@@ -1,13 +1,57 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 gets a `queries` entry
+  * (name -> DataFrame program over a testdata dir) and, when
+  * SQL-expressible, a DuckDB oracle in `oracleSql` with identical
+  * column names and a fully-tiebroken ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's getAppsByPopularity dataflow (SURVEY §3.2).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.popularity(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.pricingSummary _),
+    "q02_latest_event_per_user" -> (Relational.latestEventPerUser _),
+    "q03_popularity" -> (Relational.popularity _),
+    "q04_difficulty" -> (Relational.difficulty _),
+    "q05_join_inner" -> (Relational.joinInner _),
+    "q06_join_left_agg" -> (Relational.joinLeftAgg _),
+    "q07_semi_join" -> (Relational.semiJoin _),
+    "q08_anti_join" -> (Relational.antiJoin _),
+    "q09_count_distinct" -> (Relational.countDistinctPerGroup _),
+    "q10_filters" -> ((s: SparkSession, d: String) => Relational.filters(s, d)),
+    "q11_scalar_traps" -> (Relational.scalarTraps _),
+    "q12_weighted_blend" -> (Relational.weightedBlend _),
+    "q13_collect_pairs" -> (Relational.collectPairs _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Relational.pricingSummarySql,
+    "q02_latest_event_per_user" -> Relational.latestEventPerUserSql,
+    "q03_popularity" -> Relational.popularitySql,
+    "q04_difficulty" -> Relational.difficultySql,
+    "q05_join_inner" -> Relational.joinInnerSql,
+    "q06_join_left_agg" -> Relational.joinLeftAggSql,
+    "q07_semi_join" -> Relational.semiJoinSql,
+    "q08_anti_join" -> Relational.antiJoinSql,
+    "q09_count_distinct" -> Relational.countDistinctPerGroupSql,
+    "q10_filters" -> Relational.filtersSql,
+    "q11_scalar_traps" -> Relational.scalarTrapsSql,
+    "q12_weighted_blend" -> Relational.weightedBlendSql,
+    "q13_collect_pairs" -> Relational.collectPairsSql,
+  )
 }

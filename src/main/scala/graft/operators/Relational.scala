@@ -1,0 +1,490 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Core relational operator suite — the reference's analytics surface
+  * (SURVEY §2.2-2.8) re-expressed as declarative DataFrame programs so
+  * Catalyst supplies pushdown, pruning, join selection, partial
+  * aggregation and whole-stage codegen (the role Postgres's planner
+  * played for the reference, `src/utils/lib.ts:302-496`).
+  *
+  * Oracle-parity conventions (DuckDB, SURVEY §5):
+  *  - Sums of wide-magnitude doubles go through DECIMAL(18,6) so the
+  *    result is exact and independent of partial-aggregation order
+  *    ([[decSum]]).
+  *  - O(1)-magnitude composite scores are rounded to 6 decimals.
+  *  - Every query ends in a fully-tiebroken ORDER BY.
+  *  - Postgres `DESC` = NULLS FIRST (reference `lib.ts:410,491`), so
+  *    sorts on nullable scores use `desc_nulls_first` (SURVEY O1).
+  */
+object Relational {
+
+  /** Order-independent exact sum of a double expression: per-row cast
+    * to DECIMAL(18,6) (deterministic — .5-ulp ties are not binary-
+    * representable at scale 6), exact decimal addition, final double.
+    * At 100 TB this stays a partial+final HashAggregate — no extra
+    * shuffle versus sum(double).
+    */
+  def decSum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Millisecond-epoch view of a timestamp column. The events table is
+    * parquet timestamp[ns]; Spark truncates to micros while DuckDB
+    * keeps nanos, so all cross-engine outputs and orderings use the
+    * common millisecond truncation (integer division — no double
+    * rounding).
+    */
+  def tsMs(colName: String): Column = expr(s"unix_micros($colName) div 1000")
+
+  // ---------------------------------------------------------------------------
+  // q01 — grouped multi-aggregate rollup (SURVEY A3/A5/F7; reference
+  // lib.ts:355-362, 444-450: COUNT(*)::INT + SUM with casts).
+  // TPC-H-Q1-shaped pricing summary over lineitem.
+  // ---------------------------------------------------------------------------
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        (decSum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q02 — latest row per key (SURVEY W1/O2; reference lib.ts:303-313,
+  // 370-375: DISTINCT ON (handle) ... ORDER BY capturedAt DESC).
+  // row_number over (key, ts DESC) with a deterministic tiebreak.
+  // Scale: one hash-partition shuffle on the key; at 100 TB prefer the
+  // same shape (no global sort) — the window sorts within partitions only.
+  // ---------------------------------------------------------------------------
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("ts_ms", tsMs("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("ts_ms").as("last_ts_ms"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val latestEventPerUserSql: String =
+    """SELECT user_id, event_id AS last_event_id, epoch_ms(ts) AS last_ts_ms,
+      | event_type AS last_event_type, value AS last_value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q03 — flagship: the reference's getAppsByPopularity dataflow
+  // (SURVEY §3.2; reference lib.ts:337-413) mapped onto the testdata
+  // star schema. Role mapping: app=supplier, category=part (positions
+  // come from lineitem.l_linenumber), recommendations=lineitem rows
+  // with l_returnflag='N', snapshots=lineitem keyed by l_shipdate,
+  // dimension joins = supplier⋈nation (App⋈Developer).
+  //
+  // Physical posture (SURVEY §4): three hash aggregations + one window
+  // + broadcast dimension joins. The reference's global MAX(...) OVER ()
+  // (lib.ts:380-381) would serialize everything through one partition,
+  // so it is computed as a 1-row aggregate broadcast-cross-joined back
+  // (W2→A6 rewrite) — the 100 TB-safe form.
+  // ---------------------------------------------------------------------------
+  def popularity(spark: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.load(spark, dir, "lineitem")
+    val sup = Tables.load(spark, dir, "supplier")
+    val nat = Tables.load(spark, dir, "nation")
+    val prt = Tables.load(spark, dir, "part")
+
+    // category_sizes (lib.ts:342-346): COUNT(DISTINCT app) per category.
+    val catSizes = li.groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_suppkey")).as("total_apps"))
+
+    // rank_scores (lib.ts:347-354): SUM(1/(pos+1) * LOG10(size+1)).
+    val rankScores = li.select(col("l_partkey"), col("l_suppkey"), col("l_linenumber"))
+      .join(catSizes, "l_partkey")
+      .groupBy(col("l_suppkey"))
+      .agg(sum((lit(1.0) / (col("l_linenumber") + 1)) * log10(col("total_apps") + 1))
+        .as("category_rank_score"))
+
+    // recommendation_metrics (lib.ts:355-362): COUNT(*)::INT + SUM(1/(pos+1)).
+    val recMetrics = li.filter(col("l_returnflag") === "N")
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("rec_count"),
+        sum(lit(1.0) / (col("l_linenumber") + 1)).as("rec_score"))
+
+    // app_categories (lib.ts:363-369): ARRAY_AGG(DISTINCT ...) made
+    // deterministic via array_sort (SURVEY A4), flattened to a string
+    // for byte-stable oracle comparison.
+    val appCategories = li.select(col("l_suppkey"), col("l_partkey"))
+      .join(broadcast(prt), li("l_partkey") === prt("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(concat_ws("|", array_sort(collect_set(col("p_brand")))).as("brands"))
+
+    // latest_snapshots (lib.ts:370-375): latest lineitem per supplier.
+    val wSnap = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+    val latestSnap = li.withColumn("rn", row_number().over(wSnap))
+      .filter(col("rn") === 1)
+      .select(col("l_suppkey"), col("l_shipdate").as("last_shipdate"),
+        col("l_extendedprice").as("last_price"))
+
+    // scores (lib.ts:376-385) with the global max as broadcast scalars.
+    val base = sup
+      .join(recMetrics, sup("s_suppkey") === recMetrics("l_suppkey"), "left")
+      .drop("l_suppkey")
+      .join(rankScores, sup("s_suppkey") === rankScores("l_suppkey"), "left")
+      .drop("l_suppkey")
+    val maxes = base.agg(
+      max(coalesce(col("rec_score"), lit(0.0))).as("max_rec"),
+      max(coalesce(col("category_rank_score"), lit(0.0))).as("max_cat"))
+    // popularity (lib.ts:393-394): 0.7*rec/max + 0.3*cat/max with NULLIF
+    // guards — NULL scores propagate to NULL popularity (SURVEY F2:
+    // replicate, don't "fix").
+    val scored = base.crossJoin(broadcast(maxes))
+      .withColumn("popularity",
+        round(lit(0.7) * (col("rec_score") / nullif(col("max_rec"), lit(0.0))) +
+              lit(0.3) * (col("category_rank_score") / nullif(col("max_cat"), lit(0.0))), 6))
+
+    scored
+      .join(broadcast(nat), scored("s_nationkey") === nat("n_nationkey"), "left")
+      .join(appCategories, scored("s_suppkey") === appCategories("l_suppkey"), "left")
+      .drop("l_suppkey")
+      .join(latestSnap, scored("s_suppkey") === latestSnap("l_suppkey"), "left")
+      .drop("l_suppkey")
+      .select(
+        col("s_suppkey").as("app_key"),
+        col("s_name").as("app_name"),
+        coalesce(col("n_name"), lit("")).as("developer_name"),
+        coalesce(col("rec_count"), lit(0)).as("rec_count"),
+        round(coalesce(col("rec_score"), lit(0.0)), 6).as("rec_score"),
+        round(coalesce(col("category_rank_score"), lit(0.0)), 6).as("category_rank_score"),
+        coalesce(col("brands"), lit("")).as("categories"),
+        date_format(col("last_shipdate"), "MM-dd-yyyy").as("last_snapshot_date"),
+        col("last_price"),
+        col("popularity"))
+      // Postgres ORDER BY ... DESC is NULLS FIRST (SURVEY O1).
+      .orderBy(col("popularity").desc_nulls_first, col("app_key"))
+  }
+
+  val popularitySql: String =
+    """WITH category_sizes AS (
+      |  SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS total_apps
+      |  FROM lineitem GROUP BY l_partkey
+      |), rank_scores AS (
+      |  SELECT l.l_suppkey,
+      |    SUM((1.0/(l.l_linenumber+1)) * log10(cs.total_apps+1)) AS category_rank_score
+      |  FROM lineitem l JOIN category_sizes cs ON l.l_partkey = cs.l_partkey
+      |  GROUP BY l.l_suppkey
+      |), rec_metrics AS (
+      |  SELECT l_suppkey, CAST(COUNT(*) AS INT) AS rec_count,
+      |    SUM(1.0/(l_linenumber+1)) AS rec_score
+      |  FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_suppkey
+      |), app_categories AS (
+      |  SELECT l.l_suppkey,
+      |    array_to_string(list_sort(list(DISTINCT p.p_brand)), '|') AS brands
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY l.l_suppkey
+      |), latest_snapshots AS (
+      |  SELECT l_suppkey, l_shipdate AS last_shipdate, l_extendedprice AS last_price
+      |  FROM lineitem
+      |  QUALIFY row_number() OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) = 1
+      |), scores AS (
+      |  SELECT s.*, rec.rec_count, rec.rec_score, rk.category_rank_score,
+      |    MAX(COALESCE(rec.rec_score, 0)) OVER () AS max_rec,
+      |    MAX(COALESCE(rk.category_rank_score, 0)) OVER () AS max_cat
+      |  FROM supplier s
+      |  LEFT JOIN rec_metrics rec ON s.s_suppkey = rec.l_suppkey
+      |  LEFT JOIN rank_scores rk ON s.s_suppkey = rk.l_suppkey
+      |)
+      |SELECT sc.s_suppkey AS app_key, sc.s_name AS app_name,
+      |  COALESCE(n.n_name, '') AS developer_name,
+      |  COALESCE(sc.rec_count, 0) AS rec_count,
+      |  ROUND(COALESCE(sc.rec_score, 0), 6) AS rec_score,
+      |  ROUND(COALESCE(sc.category_rank_score, 0), 6) AS category_rank_score,
+      |  COALESCE(ac.brands, '') AS categories,
+      |  strftime(ls.last_shipdate, '%m-%d-%Y') AS last_snapshot_date,
+      |  ls.last_price AS last_price,
+      |  ROUND(0.7 * (sc.rec_score / NULLIF(sc.max_rec, 0)) +
+      |        0.3 * (sc.category_rank_score / NULLIF(sc.max_cat, 0)), 6) AS popularity
+      |FROM scores sc
+      |LEFT JOIN nation n ON sc.s_nationkey = n.n_nationkey
+      |LEFT JOIN app_categories ac ON sc.s_suppkey = ac.l_suppkey
+      |LEFT JOIN latest_snapshots ls ON sc.s_suppkey = ls.l_suppkey
+      |ORDER BY popularity DESC NULLS FIRST, app_key""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q04 — difficulty rollup (SURVEY A5; reference lib.ts:478-491:
+  // COUNT DISTINCT + AVG + SUM(COALESCE) + LOG10-composite per category).
+  // ---------------------------------------------------------------------------
+  def difficulty(spark: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.load(spark, dir, "lineitem")
+    val prt = Tables.load(spark, dir, "part")
+    val sup = Tables.load(spark, dir, "supplier")
+    li.join(broadcast(prt), li("l_partkey") === prt("p_partkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("total_apps"),
+        (decSum(coalesce(col("s_acctbal"), lit(0.0))) / count(lit(1))).as("avg_rating"),
+        decSum(coalesce(col("l_quantity"), lit(0.0))).as("total_reviews"))
+      .withColumn("difficulty_score",
+        round(log10(col("total_apps") + 1) * (col("avg_rating") / 1000.0) *
+              log10(col("total_reviews") + 1), 6))
+      .orderBy(col("difficulty_score").desc_nulls_first, col("p_brand"))
+  }
+
+  val difficultySql: String =
+    """SELECT p.p_brand,
+      |  COUNT(DISTINCT l.l_suppkey) AS total_apps,
+      |  CAST(SUM(CAST(COALESCE(s.s_acctbal, 0) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_rating,
+      |  CAST(SUM(CAST(COALESCE(l.l_quantity, 0) AS DECIMAL(18,6))) AS DOUBLE) AS total_reviews,
+      |  ROUND(log10(COUNT(DISTINCT l.l_suppkey) + 1) *
+      |        (CAST(SUM(CAST(COALESCE(s.s_acctbal, 0) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) / 1000.0) *
+      |        log10(CAST(SUM(CAST(COALESCE(l.l_quantity, 0) AS DECIMAL(18,6))) AS DOUBLE) + 1), 6)
+      |    AS difficulty_score
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY p.p_brand
+      |ORDER BY difficulty_score DESC NULLS FIRST, p_brand""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q05 — inner equi-join chain over dims (SURVEY J1; reference
+  // lib.ts:308-309, 352, 367). nation/region are broadcast (dimension
+  // tables — no shuffle of the fact side at scale).
+  // ---------------------------------------------------------------------------
+  def joinInner(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val cus = Tables.load(spark, dir, "customer")
+    val nat = Tables.load(spark, dir, "nation")
+    val reg = Tables.load(spark, dir, "region")
+    ord.filter(col("o_totalprice") > 150000.0)
+      .join(cus, ord("o_custkey") === cus("c_custkey"))
+      .join(broadcast(nat), cus("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("n_name").as("nation_name"), col("r_name").as("region_name"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val joinInnerSql: String =
+    """SELECT o.o_orderkey, c.c_custkey, c.c_name, n.n_name AS nation_name,
+      |  r.r_name AS region_name, o.o_totalprice
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE o.o_totalprice > 150000.0
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q06 — left outer join + aggregate (SURVEY J2; reference lib.ts:383-384
+  // and 8 more LEFT JOINs): customers keep a row even with zero orders.
+  // ---------------------------------------------------------------------------
+  def joinLeftAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val cus = Tables.load(spark, dir, "customer")
+    cus.join(ord, cus("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        decSum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinLeftAggSql: String =
+    """SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+      |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_custkey, c.c_name
+      |ORDER BY c.c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q07 — semi-join (SURVEY J3; reference lib.ts:305-312: WHERE handle IN
+  // (SELECT ...)). left_semi never duplicates or widens the left side.
+  // ---------------------------------------------------------------------------
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 200000.0)
+    cus.join(ord, cus("c_custkey") === ord("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q08 — anti-join (SURVEY J4; reference skipDuplicates migrate.ts:64 /
+  // ON CONFLICT DO NOTHING lib.ts:91 decompose to left_anti).
+  // ---------------------------------------------------------------------------
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 350000.0)
+    cus.join(ord, cus("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q09 — group-by COUNT(DISTINCT) (SURVEY A1; reference lib.ts:342-346).
+  // ---------------------------------------------------------------------------
+  def countDistinctPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    ord.groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val countDistinctPerGroupSql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q10 — filter battery (SURVEY P3-P7): IN-list, θ-range, NOT NULL,
+  // dynamically-attached predicate. All of these reach the parquet scan
+  // as PushedFilters.
+  // ---------------------------------------------------------------------------
+  def filters(spark: SparkSession, dir: String, maxQty: Option[Double] = Some(30.0)): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val base = li
+      .filter(col("l_returnflag").isin("A", "R"))            // P4 IN-list
+      .filter(col("l_shipdate").isNotNull)                   // P7
+      .filter(col("l_linestatus").isin(Seq("F"): _*))        // P3 array-membership
+    // P5: θ-predicate attached only when defined (reference lib.ts:297-300).
+    val filtered = maxQty.fold(base)(m => base.filter(col("l_quantity") <= lit(m)))
+    // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+    // order by every output column so equal rows are interchangeable.
+    filtered
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+  }
+
+  val filtersSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+      |FROM lineitem
+      |WHERE l_returnflag IN ('A','R') AND l_shipdate IS NOT NULL
+      |  AND l_linestatus IN ('F') AND l_quantity <= 30.0
+      |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q11 — scalar-function battery (SURVEY F1-F7: COALESCE, NULLIF with
+  // NULL propagation, LOG10, reciprocal rank, casts, TO_CHAR).
+  // The NULLIF guard genuinely yields NULL rows (reference lib.ts:393-394
+  // behavior is replicated, not "fixed").
+  // ---------------------------------------------------------------------------
+  def scalarTraps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    ord.select(
+        col("o_orderkey"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("price_c"),                    // F1
+        round(col("o_totalprice") / nullif(col("o_totalprice") % 7, lit(0.0)), 6)
+          .as("nullif_div"),                                                      // F2
+        round(log10(col("o_totalprice") + 1), 6).as("log10_price"),               // F3
+        round(lit(1.0) / (col("o_orderkey") % 10 + 1), 6).as("recip_rank"),       // F4
+        date_format(col("o_orderdate"), "MM-dd-yyyy").as("order_date_fmt"),       // F6
+        col("o_totalprice").cast(IntegerType).as("price_int"))                    // F7
+      .orderBy(col("o_orderkey"))
+  }
+
+  val scalarTrapsSql: String =
+    """SELECT o_orderkey,
+      |  COALESCE(o_totalprice, 0) AS price_c,
+      |  ROUND(o_totalprice / NULLIF(fmod(o_totalprice, 7), 0), 6) AS nullif_div,
+      |  ROUND(log10(o_totalprice + 1), 6) AS log10_price,
+      |  ROUND(1.0 / (o_orderkey % 10 + 1), 6) AS recip_rank,
+      |  strftime(o_orderdate, '%m-%d-%Y') AS order_date_fmt,
+      |  CAST(TRUNC(o_totalprice) AS INT) AS price_int
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q12 — weighted blend + global-max normalization (SURVEY F5 + A6/W2;
+  // reference lib.ts:338-339, 380-381, 393-394). The MAX() OVER () is
+  // computed as a broadcast 1-row aggregate — at 100 TB an empty-frame
+  // window would funnel every row through a single partition.
+  // ---------------------------------------------------------------------------
+  def weightedBlend(spark: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.load(spark, dir, "customer")
+    val maxes = cus.agg(max(coalesce(col("c_acctbal"), lit(0.0))).as("max_bal"))
+    cus.crossJoin(broadcast(maxes))
+      .select(
+        col("c_custkey"),
+        round(lit(0.7) * (col("c_acctbal") / nullif(col("max_bal"), lit(0.0))) +
+              lit(0.3) * (lit(1.0) / (col("c_custkey") % 100 + 1)), 6).as("blend_score"))
+      .orderBy(col("blend_score").desc_nulls_first, col("c_custkey"))
+  }
+
+  val weightedBlendSql: String =
+    """SELECT c_custkey,
+      |  ROUND(0.7 * (c_acctbal / NULLIF(MAX(COALESCE(c_acctbal,0)) OVER (), 0)) +
+      |        0.3 * (1.0 / (c_custkey % 100 + 1)), 6) AS blend_score
+      |FROM customer
+      |ORDER BY blend_score DESC NULLS FIRST, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q13 — collect-distinct-array aggregate (SURVEY A4; reference
+  // lib.ts:363-369: ARRAY_AGG(DISTINCT ARRAY[name, handle])), made
+  // deterministic with array_sort and flattened for the oracle.
+  // ---------------------------------------------------------------------------
+  def collectPairs(spark: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.load(spark, dir, "customer")
+    val nat = Tables.load(spark, dir, "nation")
+    cus.join(broadcast(nat), cus("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        concat_ws("|", array_sort(collect_set(col("c_mktsegment")))).as("segments"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .orderBy(col("n_name"))
+  }
+
+  val collectPairsSql: String =
+    """SELECT n.n_name,
+      |  array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), '|') AS segments,
+      |  COUNT(DISTINCT c.c_mktsegment) AS n_segments
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+}
