@@ -34,6 +34,13 @@ object SparkEntry {
     "q11_scalar_traps" -> (Relational.scalarTraps _),
     "q12_weighted_blend" -> (Relational.weightedBlend _),
     "q13_collect_pairs" -> (Relational.collectPairs _),
+    "q14_upsert" -> (WritePath.upsertCustomers _),
+    "q15_skip_duplicates" -> (WritePath.skipDuplicatesOrders _),
+    "q16_pivot_events" -> (Reshape.pivotEventCounts _),
+    "q17_report_format" -> (Reshape.reportFormat _),
+    "q18_json_roundtrip" -> (Reshape.jsonRoundtrip _),
+    "q19_tumbling_window" -> (Events.tumblingHourly _),
+    "q20_sessionize" -> ((s: SparkSession, d: String) => Events.sessionize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +60,12 @@ object SparkEntry {
     "q11_scalar_traps" -> Relational.scalarTrapsSql,
     "q12_weighted_blend" -> Relational.weightedBlendSql,
     "q13_collect_pairs" -> Relational.collectPairsSql,
+    "q14_upsert" -> WritePath.upsertCustomersSql,
+    "q15_skip_duplicates" -> WritePath.skipDuplicatesOrdersSql,
+    "q16_pivot_events" -> Reshape.pivotEventCountsSql,
+    "q17_report_format" -> Reshape.reportFormatSql,
+    "q18_json_roundtrip" -> Reshape.jsonRoundtripSql,
+    "q19_tumbling_window" -> Events.tumblingHourlySql,
+    "q20_sessionize" -> Events.sessionizeSql,
   )
 }

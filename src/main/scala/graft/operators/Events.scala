@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Relational.{decSum, tsMs}
+
+/** Batch event analytics (SURVEY §2.10): the reference has no streaming
+  * surface — temporal logic is batch over append-only history tables —
+  * so event windows and sessionization are implemented batch-first
+  * (the Structured Streaming forms live in graft.streaming).
+  */
+object Events {
+
+  /** q19 — tumbling window aggregate: hourly counts/sums per event
+    * type via the `window()` function (the same expression Structured
+    * Streaming uses, so the batch and streaming plans share semantics).
+    * Scale: a single hash aggregation on (window, type) — at 100 TB
+    * input files partitioned by event date make this partition-local.
+    */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        decSum(col("value")).as("sum_value"))
+      .select(
+        expr("unix_micros(w.start) div 1000").as("hour_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("hour_ms"), col("event_type"))
+  }
+
+  val tumblingHourlySql: String =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin
+
+  /** q20 — gap-based sessionization (SURVEY §2.10: `ts - lag(ts) > gap`
+    * cumulative-sum pattern): a new session starts after a 30-minute
+    * silence. Deterministic ordering via (ts_ms, event_id).
+    * Scale: one shuffle on user_id; the window sort is per-user within
+    * partitions — no global sort. Skewed power-users would be handled
+    * by AQE or a two-level (user, coarse-time-bucket) pre-session pass.
+    */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val gapMs = gapMinutes * 60000L
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+    val wOrder = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val flagged = ev
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(wOrder))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(wOrder.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"),
+        decSum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), sessions AS (
+      |  SELECT user_id, event_id, value, ts_ms,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id,
+      |  MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+}

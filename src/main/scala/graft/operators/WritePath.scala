@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Write-path operators (SURVEY §2.1 S5-S10): the reference's
+  * ON-CONFLICT upsert writers and duplicate-skipping batch append
+  * (`src/utils/lib.ts:76-95`, `src/migrate.ts:58-70`) re-expressed as
+  * join-based merges over immutable files.
+  *
+  * Scale posture: the anti/upsert joins shuffle on the key columns; at
+  * 100 TB both sides should be bucketed by key so the merge is
+  * co-partitioned (no wide shuffle), and the rewrite should be
+  * partition-scoped (only partitions containing incoming keys), which
+  * is what table formats' MERGE INTO does. The logic below is the
+  * engine-level plan those formats execute.
+  */
+object WritePath {
+
+  /** Last-writer-wins upsert (S6; reference `lib.ts:76-95`:
+    * INSERT ... ON CONFLICT (keys) DO UPDATE SET col = EXCLUDED.col).
+    *
+    * Within `incoming`, later rows win — the reference relies on
+    * per-statement ordering; here an explicit `versionCol` (ascending
+    * priority) makes that deterministic (SURVEY §7 "hard parts").
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+             versionCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(versionCol).desc)
+    val dedupedIncoming = incoming
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", versionCol)
+    existing.join(dedupedIncoming, keys, "left_anti")
+      .unionByName(dedupedIncoming)
+  }
+
+  /** Insert-ignore append (S5/S7; reference `createMany(skipDuplicates)`
+    * `migrate.ts:62-65` and ON CONFLICT DO NOTHING `lib.ts:90-91`):
+    * rows whose keys exist are dropped; in-batch duplicates keep the
+    * first occurrence by `orderCol`.
+    */
+  def skipDuplicatesAppend(existing: DataFrame, incoming: DataFrame,
+                           keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    val deduped = incoming
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    existing.unionByName(deduped.join(existing, keys, "left_anti"))
+  }
+
+  /** The migrate pipeline (SURVEY §3.1; reference `src/migrate.ts:75-99`):
+    * per-table copy src → dest with duplicate skipping and per-table
+    * error isolation (E1: a failed table logs and the loop continues).
+    * The reference materializes each table in driver RAM
+    * (`migrate.ts:48`) and writes 100-row batches; here the scan and
+    * write are distributed and batching is partition-level.
+    *
+    * Returns (table -> copied row count); failed tables map to -1.
+    */
+  def migrate(spark: SparkSession, srcDir: String, destDir: String,
+              tables: Seq[String], keys: Map[String, Seq[String]]): Map[String, Long] =
+    tables.map { t =>
+      t -> (try {
+        // existence guard (E: migrate.ts:43-46)
+        require(Tables.schemas.contains(t), s"model $t not in catalog")
+        val src = Tables.load(spark, srcDir, t)
+        val k = keys.getOrElse(t, src.columns.take(1).toSeq)
+        val deduped = src.dropDuplicates(k)
+        val destPath = s"$destDir/$t.parquet"
+        val toWrite =
+          if (new java.io.File(destPath).exists()) {
+            val existing = spark.read.parquet(destPath)
+            deduped.join(existing, k, "left_anti")
+          } else deduped
+        // empty-input short-circuit (E3: migrate.ts:53-56)
+        val n = toWrite.count()
+        if (n > 0) toWrite.write.mode(SaveMode.Append).parquet(destPath)
+        n
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[migrate] $t failed: ${e.getMessage}")
+          -1L
+      })
+    }.toMap
+
+  /** CSV report sink (S10; reference json2csv with explicit field order
+    * and full quoting, `lib.ts:532-536`): single file, header, quoteAll.
+    */
+  def writeCsvReport(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("quoteAll", "true").csv(path)
+
+  // ---------------------------------------------------------------------------
+  // Oracle-checked query forms of the write-path semantics. The Spark
+  // side runs the real merge machinery; the oracle states the expected
+  // post-image in closed form.
+  // ---------------------------------------------------------------------------
+
+  /** q14: upsert of customer with an incoming batch that contains
+    * in-batch key duplicates (versions 1 and 2) — exercises
+    * last-writer-wins ordering.
+    */
+  def upsertCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.load(spark, dir, "customer")
+    val v1 = cus.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      .withColumn("__v", lit(1))
+    val v2 = cus.filter(col("c_custkey") % 14 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 2000.0)
+      .withColumn("__v", lit(2))
+    upsert(cus, v1.unionByName(v2), Seq("c_custkey"), "__v")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val upsertCustomersSql: String =
+    """SELECT c_custkey, c_name,
+      |  CASE WHEN c_custkey % 14 = 0 THEN c_acctbal + 2000.0
+      |       WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0
+      |       ELSE c_acctbal END AS c_acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** q15: duplicate-skipping append (migrate path): existing = early
+    * orders, incoming = even orders; conflicts keep the existing row.
+    */
+  def skipDuplicatesOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val existing = ord.filter(col("o_orderkey") < 500)
+      .withColumn("o_orderstatus", lit("EXISTING"))
+    val incoming = ord.filter(col("o_orderkey") % 2 === 0)
+    skipDuplicatesAppend(existing, incoming, Seq("o_orderkey"), "o_orderkey")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val skipDuplicatesOrdersSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey < 500 THEN 'EXISTING' ELSE o_orderstatus END AS o_orderstatus,
+      |  o_totalprice
+      |FROM orders
+      |WHERE o_orderkey < 500 OR o_orderkey % 2 = 0
+      |ORDER BY o_orderkey""".stripMargin
+}
