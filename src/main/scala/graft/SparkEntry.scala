@@ -41,6 +41,18 @@ object SparkEntry {
     "q18_json_roundtrip" -> (Reshape.jsonRoundtrip _),
     "q19_tumbling_window" -> (Events.tumblingHourly _),
     "q20_sessionize" -> ((s: SparkSession, d: String) => Events.sessionize(s, d)),
+    "q21_token_stats" -> (TextAnalysis.tokenStats _),
+    "q22_lang_id" -> (TextAnalysis.langIdQuery _),
+    "q23_quality_score" -> (TextAnalysis.quality _),
+    "q24_fingerprints" -> (TextAnalysis.fingerprints _),
+    "q25_dedup_exact" -> (Dedup.exact _),
+    "q26_dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "q27_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
+    "q28_dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "q29_knn_brute" -> ((s: SparkSession, d: String) => Similarity.knnBrute(s, d)),
+    "q30_knn_lsh" -> ((s: SparkSession, d: String) => Similarity.knnLsh(s, d)),
+    "q31_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
+    "q32_multimodal_decode" -> (graft.sources.Multimodal.decodeMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,5 +79,16 @@ object SparkEntry {
     "q18_json_roundtrip" -> Reshape.jsonRoundtripSql,
     "q19_tumbling_window" -> Events.tumblingHourlySql,
     "q20_sessionize" -> Events.sessionizeSql,
+    "q21_token_stats" -> TextAnalysis.tokenStatsSql,
+    "q22_lang_id" -> TextAnalysis.langIdSql,
+    "q23_quality_score" -> TextAnalysis.qualitySql,
+    "q24_fingerprints" -> TextAnalysis.fingerprintsSql,
+    "q25_dedup_exact" -> Dedup.exactSql,
+    "q26_dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
+    // q27/q28/q30: sketch/LSH variants are approximate or need
+    // xxhash64 (no DuckDB twin) — driver records rows-only checks.
+    "q29_knn_brute" -> Similarity.knnBruteSql,
+    "q31_embedding_near_dups" -> Similarity.embeddingNearDupsSql,
+    "q32_multimodal_decode" -> graft.sources.Multimodal.decodeMetaSql,
   )
 }

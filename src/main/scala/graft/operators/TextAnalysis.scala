@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over `documents` (north-star extension:
+  * language ID, quality scoring, token counting, fingerprinting).
+  * All single-pass narrow transforms + one final sort — at 100 TB
+  * these are embarrassingly parallel map stages over the scan.
+  */
+object TextAnalysis {
+
+  /** q21 — token statistics: whitespace tokens, BPE-ish tokens,
+    * punctuation, character count.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        punctCount(col("text")).as("n_punct"),
+        length(col("text")).as("n_chars_computed"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS n_tokens,
+       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+       |  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+       |  length(text) AS n_chars_computed, n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q22 — heuristic language ID (stopword-hit argmax) compared with
+    * the labeled lang, plus corpus-level agreement counts.
+    */
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+      .withColumn("agrees", (col("lang") === col("lang_pred")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  val langIdSql: String = {
+    val en = hitsSql(langStopwords(0)._2)
+    val es = hitsSql(langStopwords(1)._2)
+    val fr = hitsSql(langStopwords(2)._2)
+    val de = hitsSql(langStopwords(3)._2)
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, $en AS s_en, $es AS s_es, $fr AS s_fr, $de AS s_de
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang,
+       |  CASE WHEN s_en + s_es + s_fr + s_de > 0 THEN
+       |    CASE WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+       |         WHEN s_fr > s_en AND s_fr > s_es THEN 'fr'
+       |         WHEN s_es > s_en THEN 'es'
+       |         ELSE 'en' END
+       |  ELSE 'und' END AS lang_pred,
+       |  CASE WHEN lang = (CASE WHEN s_en + s_es + s_fr + s_de > 0 THEN
+       |    CASE WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+       |         WHEN s_fr > s_en AND s_fr > s_es THEN 'fr'
+       |         WHEN s_es > s_en THEN 'es'
+       |         ELSE 'en' END
+       |  ELSE 'und' END) THEN 1 ELSE 0 END AS agrees
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** q23 — composite quality score + decile bucketing. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .withColumn("quality_bucket", floor(col("quality") * 10).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualitySql: String = {
+    val n = "len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))"
+    val p = "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
+    val s = hitsSql(langStopwords.head._2)
+    s"""SELECT doc_id,
+       |  ROUND(0.4 * least(1.0, $n / 50.0) +
+       |        0.3 * (1.0 - least(1.0, $p / greatest($n, 1.0))) +
+       |        0.3 * least(1.0, 5.0 * $s / greatest($n, 1.0)), 6) AS quality,
+       |  CAST(FLOOR((ROUND(0.4 * least(1.0, $n / 50.0) +
+       |        0.3 * (1.0 - least(1.0, $p / greatest($n, 1.0))) +
+       |        0.3 * least(1.0, 5.0 * $s / greatest($n, 1.0)), 6)) * 10) AS INT) AS quality_bucket
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q24 — document fingerprints: byte-level (whitespace-normalized)
+    * and order-insensitive bag-of-words md5.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(
+        col("doc_id"),
+        contentFingerprint(col("text")).as("content_fp"),
+        bagFingerprint(col("text")).as("bag_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintsSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_fp,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))), ' ')) AS bag_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing (north-star extension): media payloads
+  * as opaque `binary` columns with typed metadata, decoded /
+  * feature-extracted by a batched per-partition kernel.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * STUB — [[fakeDecode]] derives deterministic pseudo-metadata from the
+  * bytes. Everything around it is the real plumbing: binary column
+  * schema, partition-level batching via mapPartitions (the Scala
+  * analogue of arrow-batched mapInPandas), typed output schema, and
+  * pushdown-friendly metadata columns. Swapping in a real codec
+  * changes only the kernel body.
+  *
+  * Scale posture: decode is a narrow map stage — no shuffle; the
+  * binary column should live in its own parquet column chunk so
+  * metadata-only queries never read payload bytes (column pruning).
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, n_bytes: Int, first_code: Int,
+                       fake_width: Int, fake_height: Int)
+
+  /** STUB decode kernel: deterministic pseudo-metadata in place of a
+    * real image decode (codecs unavailable in this environment).
+    */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length
+    val first = if (n == 0) 0 else payload(0) & 0xFF
+    (first, n % 640, (first * 3) % 480)
+  }
+
+  /** Documents' text re-encoded as a binary payload column — the shape
+    * a real media table would have: (id, payload binary, metadata...).
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** q32 — decode pipeline: binary payloads through the batched
+    * per-partition stub kernel to typed metadata.
+    */
+  def decodeMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (first, w, h) = fakeDecode(r.payload)
+        MediaMeta(r.doc_id, r.payload.length, first, w, h)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the stub formulas restated over the text bytes (ASCII
+    * corpus: first UTF-8 byte == first code point).
+    */
+  val decodeMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS INT) AS n_bytes,
+      |  CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS INT) AS first_code,
+      |  CAST(strlen(text) % 640 AS INT) AS fake_width,
+      |  CAST((CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END) * 3 % 480 AS INT) AS fake_height
+      |FROM documents ORDER BY doc_id""".stripMargin
+}
