@@ -23,7 +23,10 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Sequential-order double dot product of two float arrays. */
+  /** Sequential-order double dot product of two float arrays —
+    * composable higher-order-function form (CodegenFallback; kept as
+    * the readable reference implementation and for tests).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -32,8 +35,11 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Numerically identical to `dot(a,b)/(norm(a)*norm(b))` but fused
+    * into one codegen'd loop — see [[graft.functions.CosineSimilarity]].
+    */
+  def cosine(spark: SparkSession, a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine(spark, a, b)
 
   /** q29 — brute-force cosine top-k (oracle-checked): for each query
     * vector (vec_id < nQueries) the k nearest corpus vectors.
@@ -48,7 +54,7 @@ object Similarity {
     val scored = emb.filter(col("vec_id") >= nQueries)
       .crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+        round(cosine(spark, col("q_emb"), col("embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -109,7 +115,7 @@ object Similarity {
     val scored = emb.filter(col("vec_id") >= nQueries)
       .join(broadcast(queries), "bucket")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+        round(cosine(spark, col("q_emb"), col("embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -132,7 +138,7 @@ object Similarity {
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        round(cosine(spark, col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
