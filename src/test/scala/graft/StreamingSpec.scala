@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingEvents
+
+/** Streaming smoke: the file-source stream over the testdata events
+  * drives the watermarked hourly aggregate through a memory sink, and
+  * its totals agree with the batch twin.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  test("watermarked hourly counts over a file-source stream match batch") {
+    // file stream sources need a directory: stage the single parquet file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      streamDir.resolve("part-00000.parquet"))
+    val stream = StreamingEvents.readEventStream(spark, streamDir.toString)
+    val agg = StreamingEvents.hourlyCounts(stream)
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT CAST(SUM(n_events) AS BIGINT) FROM hourly_out").head.getLong(0)
+      val batch = graft.operators.Events.tumblingHourly(spark, "/root/testdata/sf0.001")
+        .agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0)
+      assert(streamed === batch)
+      assert(streamed === 1000L)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions, keeps open ones in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingEvents.SessionInput]
+    val gapMs = 1000L
+    val sessions = StreamingEvents.sessionize(input.toDS(), gapMs)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // batch 1: two events in one session, then a gap-crossing event
+      input.addData(
+        StreamingEvents.SessionInput(1L, 1L, 0L, 1.0),
+        StreamingEvents.SessionInput(1L, 2L, 500L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() === 0) // still open
+
+      input.addData(StreamingEvents.SessionInput(1L, 3L, 5000L, 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out")
+        .as[StreamingEvents.SessionOut].collect().toSeq
+      assert(closed === Seq(StreamingEvents.SessionOut(1L, 0L, 500L, 2L, 3.0)))
+    } finally q.stop()
+  }
+}

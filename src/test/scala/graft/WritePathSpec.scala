@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.WritePath
+
+/** Upsert algebra (SURVEY §5.3): idempotence, last-writer-wins,
+  * chunking invariance; migrate-pipeline golden test with duplicate
+  * skipping and per-table error isolation.
+  */
+class WritePathSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def table(rows: Seq[(Long, String)]) =
+    rows.toDF("k", "v")
+
+  test("upsert: new keys insert, existing keys update, others untouched") {
+    val existing = table(Seq((1L, "a"), (2L, "b")))
+    val incoming = Seq((2L, "B", 1), (3L, "C", 1)).toDF("k", "v", "ver")
+    val got = WritePath.upsert(existing, incoming, Seq("k"), "ver")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a"), (2L, "B"), (3L, "C")))
+  }
+
+  test("upsert: in-batch duplicates resolve last-writer-wins by version") {
+    val existing = table(Seq((1L, "a")))
+    val incoming = Seq((1L, "v1", 1), (1L, "v2", 2), (1L, "v0", 0)).toDF("k", "v", "ver")
+    val got = WritePath.upsert(existing, incoming, Seq("k"), "ver")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "v2")))
+  }
+
+  test("property: upsert is idempotent") {
+    val gen = Gen.listOfN(20, Gen.zip(Gen.choose(0L, 9L), Gen.alphaStr.map(_.take(4))))
+    checkProp(Prop.forAll(gen, gen) { (ex, in) =>
+      val existing = table(ex.distinctBy(_._1))
+      val incoming = in.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i) }.toDF("k", "v", "ver")
+      val once = WritePath.upsert(existing, incoming, Seq("k"), "ver")
+      val twice = WritePath.upsert(once, incoming, Seq("k"), "ver")
+      once.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+        twice.as[(Long, String)].collect().sortBy(_._1).toSeq
+    })
+  }
+
+  test("property: skipDuplicatesAppend result independent of batch split") {
+    // chunking invariance (reference chunks of 100, migrate.ts:58):
+    // appending in one batch == appending in two splits
+    val gen = Gen.listOfN(16, Gen.zip(Gen.choose(0L, 7L), Gen.alphaStr.map(_.take(3))))
+    checkProp(Prop.forAll(gen) { in =>
+      val existing = Seq((100L, "seed", -1L)).toDF("k", "v", "ord")
+      val incoming = in.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "ord")
+      val whole = WritePath.skipDuplicatesAppend(existing, incoming, Seq("k"), "ord")
+      val (lo, hi) = (incoming.filter($"ord" < 8), incoming.filter($"ord" >= 8))
+      val split = WritePath.skipDuplicatesAppend(
+        WritePath.skipDuplicatesAppend(existing, lo, Seq("k"), "ord"),
+        hi, Seq("k"), "ord")
+      whole.drop("ord").as[(Long, String)].collect().sorted.toSeq ==
+        split.drop("ord").as[(Long, String)].collect().sorted.toSeq
+    })
+  }
+
+  test("migrate pipeline: copies tables, skips duplicates on rerun, isolates failures") {
+    val dest = Files.createTempDirectory("graft-migrate").toString
+    val src = "/root/testdata/sf0.001"
+    val tables = Seq("region", "nation", "bogus_table")
+    val keys = Map("region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"))
+
+    val first = WritePath.migrate(spark, src, dest, tables, keys)
+    assert(first("region") === 5L)
+    assert(first("nation") === 25L)
+    assert(first("bogus_table") === -1L) // isolated failure (E1)
+
+    // rerun: everything already present -> zero new rows appended
+    val second = WritePath.migrate(spark, src, dest, tables, keys)
+    assert(second("region") === 0L)
+    assert(second("nation") === 0L)
+    assert(spark.read.parquet(s"$dest/nation.parquet").count() === 25L)
+  }
+
+  test("CSV report sink writes a single quoted file with header") {
+    val out = Files.createTempDirectory("graft-csv").toString + "/report"
+    val df = Seq((1L, "na\"me")).toDF("id", "name")
+    WritePath.writeCsvReport(df, out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length === 1)
+    val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+    assert(lines.head === "\"id\",\"name\"")
+    assert(lines(1) === "\"1\",\"na\\\"me\"" || lines(1) === "\"1\",\"na\"\"me\"")
+  }
+}
