@@ -12,6 +12,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timed region (one tiny end-to-end job)
+    try spark.read.parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // noop sink: forces full evaluation of every column (a bare count()
     // would let Catalyst prune the projections being benchmarked).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -53,6 +53,7 @@ object SparkEntry {
     "q30_knn_lsh" -> ((s: SparkSession, d: String) => Similarity.knnLsh(s, d)),
     "q31_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
     "q32_multimodal_decode" -> (graft.sources.Multimodal.decodeMeta _),
+    "q33_latest_event_agg" -> (Relational.latestEventPerUserAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +91,8 @@ object SparkEntry {
     "q29_knn_brute" -> Similarity.knnBruteSql,
     "q31_embedding_near_dups" -> Similarity.embeddingNearDupsSql,
     "q32_multimodal_decode" -> graft.sources.Multimodal.decodeMetaSql,
+    // same oracle as q02: the aggregation form must reproduce the
+    // window form's result exactly
+    "q33_latest_event_agg" -> Relational.latestEventPerUserSql,
   )
 }

@@ -93,6 +93,26 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q33 — latest-per-key via max_by aggregation: same semantics as
+    * the window form (q02) but as a partial+final HashAggregate —
+    * map-side combining shrinks the shuffle to one row per key per
+    * partition, where the window form shuffles every row. At 100 TB
+    * this is the preferred shape; both are kept because the window
+    * form generalizes to top-N. Ordering struct (ts_ms, event_id)
+    * reproduces the window's tiebreak.
+    */
+  def latestEventPerUserAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("ts_ms", tsMs("ts"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_id"), struct(col("ts_ms"), col("event_id"))).as("last_event_id"),
+        max(col("ts_ms")).as("last_ts_ms"),
+        max_by(col("event_type"), struct(col("ts_ms"), col("event_id"))).as("last_event_type"),
+        max_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   val latestEventPerUserSql: String =
     """SELECT user_id, event_id AS last_event_id, epoch_ms(ts) AS last_ts_ms,
       | event_type AS last_event_type, value AS last_value
@@ -162,14 +182,24 @@ object Relational {
         col("l_extendedprice").as("last_price"))
 
     // scores (lib.ts:376-385) with the global max as broadcast scalars.
+    // The per-app aggregates are persisted: each feeds both the join
+    // and its global max, and without materialization Spark would
+    // recompute the whole lineitem aggregation subtree twice (the
+    // explain audit showed no ReusedExchange). They are one small row
+    // per app — cheap to hold, and the extra 100 TB scans disappear.
+    val recMetricsP = recMetrics.persist()
+    val rankScoresP = rankScores.persist()
     val base = sup
-      .join(recMetrics, sup("s_suppkey") === recMetrics("l_suppkey"), "left")
+      .join(recMetricsP, sup("s_suppkey") === recMetricsP("l_suppkey"), "left")
       .drop("l_suppkey")
-      .join(rankScores, sup("s_suppkey") === rankScores("l_suppkey"), "left")
+      .join(rankScoresP, sup("s_suppkey") === rankScoresP("l_suppkey"), "left")
       .drop("l_suppkey")
-    val maxes = base.agg(
-      max(coalesce(col("rec_score"), lit(0.0))).as("max_rec"),
-      max(coalesce(col("category_rank_score"), lit(0.0))).as("max_cat"))
+    // rec_score / category_rank_score are sums of positive terms, so
+    // MAX(COALESCE(x, 0)) over all apps == COALESCE(MAX(x), 0) over
+    // the aggregate — computable without touching `base` again.
+    val maxes = recMetricsP.agg(coalesce(max(col("rec_score")), lit(0.0)).as("max_rec"))
+      .crossJoin(rankScoresP.agg(
+        coalesce(max(col("category_rank_score")), lit(0.0)).as("max_cat")))
     // popularity (lib.ts:393-394): 0.7*rec/max + 0.3*cat/max with NULLIF
     // guards — NULL scores propagate to NULL popularity (SURVEY F2:
     // replicate, don't "fix").

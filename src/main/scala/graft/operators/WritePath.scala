@@ -51,7 +51,11 @@ object WritePath {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    existing.unionByName(deduped.join(existing, keys, "left_anti"))
+    // a pure ordering column (not part of the destination schema) is
+    // dropped after dedup so the union stays schema-aligned
+    val aligned =
+      if (existing.columns.contains(orderCol)) deduped else deduped.drop(orderCol)
+    existing.unionByName(aligned.join(existing, keys, "left_anti"))
   }
 
   /** The migrate pipeline (SURVEY §3.1; reference `src/migrate.ts:75-99`):

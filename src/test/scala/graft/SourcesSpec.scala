@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Skew, TableWriters}
+import graft.sources.{Http, Jdbc}
+
+/** HTTP retry kernel, JDBC config plumbing, salted-join equivalence,
+  * and the reference's typed-writer conflict specs.
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("http: success on first try, 404 no-retry, 429 retried to cap") {
+    var calls = 0
+    val flaky: String => (Int, String) = {
+      case "ok" => (200, "body")
+      case "gone" => calls += 1; (404, "")
+      case "busy" => calls += 1; (429, "")
+      case u => (500, u)
+    }
+    assert(Http.fetchWithRetry(flaky, "ok") === Http.FetchResult("ok", 200, Some("body"), 1))
+    calls = 0
+    assert(Http.fetchWithRetry(flaky, "gone").attempts === 1) // 404: no retry
+    calls = 0
+    val busy = Http.fetchWithRetry(flaky, "busy")
+    assert(busy.attempts === 3 && busy.body.isEmpty && calls === 3) // retried to cap
+  }
+
+  test("http: distributed fetch over a URL dataset") {
+    val urls = Seq("ok", "busy", "ok").toDS()
+    val got = Http.fetchAll(urls, () => {
+      case "ok" => (200, "b")
+      case _ => (503, "")
+    }).collect().sortBy(_.url)
+    assert(got.count(_.status == 200) === 2)
+    assert(got.find(_.url == "busy").get.attempts === 3)
+  }
+
+  test("jdbc: env config fail-fast (reference E5)") {
+    val cfg = Jdbc.configFromEnv("SRC", Map("SRC_DB_URL" -> "jdbc:x", "SRC_DB_USER" -> "u"))
+    assert(cfg.url === "jdbc:x" && cfg.user === "u")
+    intercept[IllegalArgumentException](Jdbc.configFromEnv("DEST", Map.empty))
+  }
+
+  test("salted join equals plain join") {
+    val fact = Seq((1, 10L, "x"), (1, 11L, "y"), (2, 12L, "z"), (1, 13L, "w"))
+      .toDF("k", "id", "payload")
+    val dim = Seq((1, "one"), (2, "two"), (3, "three")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("id", "name")
+      .as[(Long, String)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(fact, dim, "k", 4, col("id"))
+      .select("id", "name").as[(Long, String)].collect().sorted.toSeq
+    assert(salted === plain)
+  }
+
+  test("two-level aggregation equals direct aggregation") {
+    val df = Seq.tabulate(100)(i => (i % 3, i.toLong)).toDF("k", "v")
+    val direct = df.groupBy($"k").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val twoLevel = Skew.twoLevelAgg(df, "k", col("v"), 8,
+      partialAgg = Seq(sum($"v").as("ps"), count(lit(1)).as("pn")),
+      finalAgg = Seq(sum($"ps").as("s"), sum($"pn").as("n")))
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(twoLevel === direct)
+  }
+
+  test("typed writer specs: upsert tables update, history PK tables insert-ignore") {
+    val existing = Seq(("d1", "Old", 1L)).toDF("handle", "name", "updatedAt")
+    val incoming = Seq(("d1", "New", 2L), ("d2", "Fresh", 2L))
+      .toDF("handle", "name", "updatedAt").withColumn("__v", lit(1))
+    val dev = TableWriters.write("Developer", existing, incoming, "__v")
+      .as[(String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(dev === Seq(("d1", "New", 2L), ("d2", "Fresh", 2L)))
+
+    // RecommendedAppHistory: PK covers all columns -> conflict keeps existing
+    val hist = Seq(("a", "r", 1, 10L)).toDF("appHandle", "recommendedAppHandle", "position", "capturedAt")
+    val histIn = Seq(("a", "r", 1, 10L), ("a", "r", 2, 10L))
+      .toDF("appHandle", "recommendedAppHandle", "position", "capturedAt")
+      .withColumn("__v", lit(1))
+    val out = TableWriters.write("RecommendedAppHistory", hist, histIn, "__v")
+    assert(out.count() === 2) // (a,r,1,10) kept once + (a,r,2,10) appended
+  }
+}
