@@ -100,6 +100,27 @@ object WritePath {
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").option("quoteAll", "true").csv(path)
 
+  /** Bucketed table write — the 100 TB join layout: both sides of a
+    * recurring equi-join bucketed by the key join co-partitioned, so
+    * the sort-merge join needs NO shuffle (verified plan-level in
+    * BucketingSpec). This is how the history⋈history joins of the
+    * flagship query should be stored at scale (SURVEY §4).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Date-partitioned append — the 100 TB history-table layout
+    * (SURVEY §4: partition history by capturedAt date): readers with a
+    * date predicate scan only matching directories (partition pruning,
+    * verified plan-level in BucketingSpec).
+    */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(path)
+
   // ---------------------------------------------------------------------------
   // Oracle-checked query forms of the write-path semantics. The Spark
   // side runs the real merge machinery; the oracle states the expected
