@@ -54,6 +54,7 @@ object SparkEntry {
     "q31_embedding_near_dups" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
     "q32_multimodal_decode" -> (graft.sources.Multimodal.decodeMeta _),
     "q33_latest_event_agg" -> (Relational.latestEventPerUserAgg _),
+    "q34_widen_brands" -> ((s: SparkSession, d: String) => Reshape.widenTopBrands(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,5 +95,6 @@ object SparkEntry {
     // same oracle as q02: the aggregation form must reproduce the
     // window form's result exactly
     "q33_latest_event_agg" -> Relational.latestEventPerUserSql,
+    "q34_widen_brands" -> Reshape.widenTopBrandsSql,
   )
 }

@@ -66,7 +66,10 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String, k: Int = 3,
                         threshold: Double = 0.6, dfCap: Int = 200): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val sh = shingles(docs, k)
+    // persisted: the exploded shingle table feeds the df-filter, the
+    // size aggregate, and both sides of the candidate join — without
+    // materialization the tokenize+explode runs four times.
+    val sh = shingles(docs, k).persist()
     val rare = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
@@ -135,10 +138,10 @@ object Dedup {
                       numHashes: Int = 24, bands: Int = 8,
                       threshold: Double = 0.6): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val sh = shingles(docs, k)
+    val sh = shingles(docs, k).persist()
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 200).select("shingle")
-    val kept = sh.join(rare, "shingle")
+    val kept = sh.join(rare, "shingle").persist()
     val rows = numHashes / bands
     val sig = minhashSignatures(kept, numHashes)
     // band key = hash of the band's signature slice

@@ -72,6 +72,33 @@ object Reshape {
       |  p_retailprice AS retail_price
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Array widening (R1's other shape; reference `lib.ts:504-530`
+    * widens each row's category list into `Category 1..N` columns).
+    * q34: per-supplier sorted distinct brands widened to ranked
+    * columns, NULL-padded like the reference's sparse rows. The
+    * two-pass dynamic-N form is q16; here N is a fixed report width.
+    */
+  def widenTopBrands(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val prt = Tables.load(spark, dir, "part")
+    val agg = li.join(broadcast(prt), li("l_partkey") === prt("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(array_sort(collect_set(col("p_brand"))).as("brands"))
+    agg.select(
+        col("l_suppkey") +: (0 until n).map(i =>
+          col("brands").getItem(i).as(s"brand_${i + 1}")): _*)
+      .orderBy(col("l_suppkey"))
+  }
+
+  val widenTopBrandsSql: String =
+    """SELECT l_suppkey, brands[1] AS brand_1, brands[2] AS brand_2,
+      |  brands[3] AS brand_3
+      |FROM (
+      |  SELECT l.l_suppkey, list_sort(list(DISTINCT p.p_brand)) AS brands
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY l.l_suppkey
+      |) ORDER BY l_suppkey""".stripMargin
+
   /** JSON column round-trip (S9/F12 + extraction; reference stores
     * nested fields as JSON strings `lib.ts:191-196` via JSON.stringify;
     * queries pass them through opaquely — here we also extract, the
