@@ -144,13 +144,16 @@ object Dedup {
     val kept = sh.join(rare, "shingle").persist()
     val rows = numHashes / bands
     val sig = minhashSignatures(kept, numHashes)
-    // band key = hash of the band's signature slice
-    val banded = (0 until bands).map { b =>
+    // band keys via one explode (a union of per-band selects would
+    // recompute the signature aggregation once per band — the plan
+    // audit showed 19 shuffles); each element is (band, hash-of-slice)
+    val bandStructs = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
-      sig.select(col("doc_id"),
-        lit(b).as("band"),
-        xxhash64(slice: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist()
     val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -187,10 +190,14 @@ object Dedup {
         (0 until 64).map(b =>
           when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)).reduce(_ bitwiseOR _)
           .as("simhash"))
-    val banded = (0 until 4).map { b =>
-      sims.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))
-    }.reduce(_ unionByName _)
+    // one explode instead of a 4-way union (which re-scanned and
+    // re-aggregated the token table per band — 8 scans in the audit)
+    val banded = sims.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist()
     banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

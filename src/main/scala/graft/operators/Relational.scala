@@ -182,13 +182,15 @@ object Relational {
         col("l_extendedprice").as("last_price"))
 
     // scores (lib.ts:376-385) with the global max as broadcast scalars.
-    // The per-app aggregates are persisted: each feeds both the join
-    // and its global max, and without materialization Spark would
-    // recompute the whole lineitem aggregation subtree twice (the
-    // explain audit showed no ReusedExchange). They are one small row
-    // per app — cheap to hold, and the extra 100 TB scans disappear.
-    val recMetricsP = recMetrics.persist()
-    val rankScoresP = rankScores.persist()
+    // The per-app aggregates feed both the join and their global max;
+    // deriving the maxes from these small aggregates (not from the
+    // joined `base`) keeps the duplicated work to one extra
+    // scan+partial-agg rather than the whole join tree. (Persisting
+    // them instead measured SLOWER locally — cache materialization
+    // barriers beat the recompute at this scale; at 100 TB flip to
+    // .persist() or reuse a checkpointed aggregate table.)
+    val recMetricsP = recMetrics
+    val rankScoresP = rankScores
     val base = sup
       .join(recMetricsP, sup("s_suppkey") === recMetricsP("l_suppkey"), "left")
       .drop("l_suppkey")

@@ -108,8 +108,11 @@ object Similarity {
     */
   def knnLsh(spark: SparkSession, dir: String, nQueries: Int = 8,
              k: Int = 10, nBits: Int = 8): DataFrame = {
+    // persisted: the bucket assignment (an interpreted HOF projection)
+    // feeds both the query and corpus branches
     val emb = Tables.load(spark, dir, "embeddings")
       .withColumn("bucket", lshBucket(col("embedding"), nBits))
+      .persist()
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
     val scored = emb.filter(col("vec_id") >= nQueries)
