@@ -117,12 +117,17 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** MinHash signature matrix: numHashes independent hash slots per
-    * doc, h_i(doc) = min over shingles of xxhash64(i, shingle).
+    * doc, h_i(doc) = min over shingles of xxhash64(i, shingle) —
+    * computed by the single-buffer [[graft.functions.MinHashSketch]]
+    * aggregate (bit-equal to numHashes separate min(xxhash64) columns,
+    * which this replaces; see PipelineSpec).
     */
-  private def minhashSignatures(kept: DataFrame, numHashes: Int): DataFrame = {
-    val hashCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    kept.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
+  private def minhashSignatures(spark: SparkSession, kept: DataFrame,
+                                numHashes: Int): DataFrame = {
+    val sig = kept.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashSketch.minhash(spark, col("shingle"), numHashes).as("sig"))
+    sig.select(col("doc_id") +:
+      (0 until numHashes).map(i => col("sig").getItem(i).as(s"h$i")): _*)
   }
 
   /** q27 — MinHash + LSH banding near-dup pairs (rows-only check: the
@@ -143,7 +148,7 @@ object Dedup {
       .filter(col("df") <= 200).select("shingle")
     val kept = sh.join(rare, "shingle").persist()
     val rows = numHashes / bands
-    val sig = minhashSignatures(kept, numHashes)
+    val sig = minhashSignatures(spark, kept, numHashes)
     // band keys via one explode (a union of per-band selects would
     // recompute the signature aggregation once per band — the plan
     // audit showed 19 shuffles); each element is (band, hash-of-slice)

@@ -83,6 +83,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((0L, 1L, 0.714286)))
   }
 
+  test("MinHashSketch aggregate equals the composable min(xxhash64) columns") {
+    val df = Seq((1L, "aa"), (1L, "bb"), (1L, "cc"), (2L, "aa"), (2L, "zz"))
+      .toDF("doc_id", "shingle")
+    val n = 8
+    val sketch = df.groupBy($"doc_id")
+      .agg(graft.functions.MinHashSketch.minhash(spark, $"shingle", n).as("sig"))
+      .orderBy($"doc_id").as[(Long, Seq[Long])].collect().toSeq
+    val composable = df.groupBy($"doc_id")
+      .agg(array((0 until n).map(i => min(xxhash64(lit(i), $"shingle"))): _*).as("sig"))
+      .orderBy($"doc_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(sketch === composable)
+    // partial/merge path: repartitioned input must yield the same sketch
+    val sketchShuffled = df.repartition(5).groupBy($"doc_id")
+      .agg(graft.functions.MinHashSketch.minhash(spark, $"shingle", n).as("sig"))
+      .orderBy($"doc_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(sketchShuffled === sketch)
+  }
+
   test("multimodal stub decode: metadata formulas over payload bytes") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-mm").toString
