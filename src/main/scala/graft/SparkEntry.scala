@@ -55,6 +55,9 @@ object SparkEntry {
     "q32_multimodal_decode" -> (graft.sources.Multimodal.decodeMeta _),
     "q33_latest_event_agg" -> (Relational.latestEventPerUserAgg _),
     "q34_widen_brands" -> ((s: SparkSession, d: String) => Reshape.widenTopBrands(s, d)),
+    "q35_label_centroids" -> (Similarity.labelCentroids _),
+    "q36_vocabulary" -> (TextAnalysis.vocabulary _),
+    "q38_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,5 +99,8 @@ object SparkEntry {
     // window form's result exactly
     "q33_latest_event_agg" -> Relational.latestEventPerUserSql,
     "q34_widen_brands" -> Reshape.widenTopBrandsSql,
+    "q35_label_centroids" -> Similarity.labelCentroidsSql,
+    "q36_vocabulary" -> TextAnalysis.vocabularySql,
+    "q38_dedup_clusters" -> Dedup.dedupClustersSql,
   )
 }

@@ -130,6 +130,95 @@ object Dedup {
       (0 until numHashes).map(i => col("sig").getItem(i).as(s"h$i")): _*)
   }
 
+  /** q38 — dedup clustering: connected components over the near-dup
+    * pair graph, each doc mapped to its cluster representative
+    * (min doc_id reachable). Iterative min-label propagation — the
+    * loop is driver-controlled but every iteration is a distributed
+    * join; convergence in O(cluster diameter) rounds (near-dup
+    * clusters are tiny, so 2-3). The oracle states the same fixpoint
+    * as a recursive transitive-closure CTE.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, k: Int = 3,
+                    threshold: Double = 0.6, maxIters: Int = 10): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val pairs = ngramJaccardPairs(spark, dir, k, threshold)
+      .select(col("doc_a"), col("doc_b")).persist()
+    // materialize BEFORE deriving the undirected edge list: both union
+    // branches read pairs, and inside one job they'd race the cache
+    // and each recompute the whole jaccard join
+    pairs.count()
+    // propagation runs only over nodes that appear in edges (the
+    // near-dup graph is a sliver of the corpus), then joins back once.
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("rep_id", col("doc_id")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      iter += 1
+      // broadcast joins: the label/edge frames are tiny — shuffling
+      // them through 32 partitions per iteration is pure scheduling
+      // overhead
+      val neighborMin = edges
+        .join(broadcast(labels), edges("doc_b") === labels("doc_id"))
+        .groupBy(col("doc_a").as("doc_id2"))
+        .agg(min(col("rep_id")).as("n_rep"))
+      val next = labels.join(broadcast(neighborMin), labels("doc_id") === col("doc_id2"), "left")
+        .select(col("doc_id"),
+          least(col("rep_id"), coalesce(col("n_rep"), col("rep_id"))).as("rep_id"))
+        .persist()
+      val changed = next.join(broadcast(labels.withColumnRenamed("rep_id", "old_rep")), "doc_id")
+        .filter(col("rep_id") =!= col("old_rep")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      .withColumn("is_canonical", (col("doc_id") === col("rep_id")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    WITH sh AS (
+      |      SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+      |        for i in range(1, len(toks) - 1)])) AS shingle
+      |      FROM (SELECT doc_id,
+      |              list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |            FROM documents)
+      |      WHERE len(toks) >= 3
+      |    ), kept AS (
+      |      SELECT doc_id, shingle FROM sh
+      |      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200)
+      |    ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+      |    shared AS (
+      |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |    SELECT s.doc_a, s.doc_b
+      |    FROM shared s JOIN sizes sa ON s.doc_a = sa.doc_id
+      |    JOIN sizes sb ON s.doc_b = sb.doc_id
+      |    WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.6
+      |  )
+      |), edges AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT doc_a, doc_b FROM edges
+      |  UNION
+      |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
+      |)
+      |SELECT d.doc_id,
+      |  LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS rep_id,
+      |  CASE WHEN LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) = d.doc_id
+      |       THEN 1 ELSE 0 END AS is_canonical
+      |FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** q27 — MinHash + LSH banding near-dup pairs (rows-only check: the
     * banding is probabilistic and xxhash64 has no DuckDB twin).
     * numHashes=24 split into 8 bands of 3: P(candidate) = 1-(1-j^3)^8,

@@ -146,6 +146,28 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** q35 — per-label embedding centroids in long form (label, dim,
+    * value): posexplode + grouped exact-decimal mean. The IVF
+    * "training" step — at 100 TB this is one shuffle on (label, dim)
+    * with map-side combine; the long form avoids an array
+    * reassembly and is directly oracle-comparable.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg((Relational.decSum(col("v").cast("double")) / count(col("v"))).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  val labelCentroidsSql: String =
+    """SELECT label, i - 1 AS dim,
+      |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+      |    / COUNT(embedding[i]) AS centroid
+      |FROM embeddings, generate_series(1, 64) AS t(i)
+      |GROUP BY label, i
+      |ORDER BY label, dim""".stripMargin
+
   val embeddingNearDupsSql: String =
     """SELECT * FROM (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

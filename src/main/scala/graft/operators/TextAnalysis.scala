@@ -96,6 +96,32 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** q36 — corpus vocabulary: term frequency + document frequency per
+    * token (the vocab-building pass of a training-data pipeline).
+    * One explode + one aggregation; at 100 TB the (token) shuffle key
+    * is Zipf-skewed, which is exactly what Skew.twoLevelAgg handles —
+    * here plain partial+final aggregation suffices since count/df are
+    * algebraic.
+    */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("token"))
+  }
+
+  val vocabularySql: String =
+    """SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |FROM (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |  FROM documents
+      |)
+      |GROUP BY token ORDER BY token""".stripMargin
+
   /** q24 — document fingerprints: byte-level (whitespace-normalized)
     * and order-insensitive bag-of-words md5.
     */
