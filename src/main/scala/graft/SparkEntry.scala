@@ -57,7 +57,9 @@ object SparkEntry {
     "q34_widen_brands" -> ((s: SparkSession, d: String) => Reshape.widenTopBrands(s, d)),
     "q35_label_centroids" -> (Similarity.labelCentroids _),
     "q36_vocabulary" -> (TextAnalysis.vocabulary _),
+    "q37_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
     "q38_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
+    "q39_tfidf_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -102,5 +104,7 @@ object SparkEntry {
     "q35_label_centroids" -> Similarity.labelCentroidsSql,
     "q36_vocabulary" -> TextAnalysis.vocabularySql,
     "q38_dedup_clusters" -> Dedup.dedupClustersSql,
+    // q37: IVF probe is approximate (rows-only check)
+    "q39_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
   )
 }

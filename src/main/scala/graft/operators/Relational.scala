@@ -371,10 +371,14 @@ object Relational {
   // (SELECT ...)). left_semi never duplicates or widens the left side.
   // ---------------------------------------------------------------------------
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val cus = Tables.load(spark, dir, "customer")
+    val cus = Tables.load(spark, dir, "customer").as("c")
     val ord = Tables.load(spark, dir, "orders")
       .filter(col("o_totalprice") > 200000.0)
+    // star-projection of one relation (SURVEY P2; reference
+    // `SELECT ... snap.*` lib.ts:303) — Catalyst prunes it to the
+    // three referenced columns at the scan
     cus.join(ord, cus("c_custkey") === ord("o_custkey"), "left_semi")
+      .select(col("c.*"))
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
   }

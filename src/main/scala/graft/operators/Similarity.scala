@@ -126,6 +126,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q37 — IVF-style ANN (rows-only check: approximate): the per-label
+    * centroids act as the coarse quantizer; every vector is assigned
+    * to its nearest centroid cell, queries probe only their own cell
+    * (nprobe=1) and rerank with exact cosine. The full IVF flow —
+    * train (centroids) / assign / probe — expressed as three joins.
+    * At 100 TB the assignment is a broadcast of K centroids against
+    * the corpus scan, and cells are the storage partitioning.
+    */
+  def knnIvf(spark: SparkSession, dir: String, nQueries: Int = 8,
+             k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    // train: reassemble the long-form centroids into arrays
+    val centroids = labelCentroids(spark, dir)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid").cast("float")).as("c_emb"))
+      .select(col("label").as("cell"), col("c_emb"))
+    // assign: nearest centroid per vector (broadcast K centroids)
+    def assign(df: DataFrame): DataFrame = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("c_sim", cosine(spark, col("embedding"), col("c_emb")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_sim").desc, col("cell"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(df.columns.map(col) :+ col("cell"): _*)
+    }
+    val assigned = assign(emb).persist()
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+    // probe own cell only, exact rerank inside
+    val scored = assigned.filter(col("vec_id") >= nQueries)
+      .join(broadcast(queries), "cell")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(spark, col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q31 — embedding-cosine near-dup pairs (oracle-checked), blocked
     * by the coarse `label` column (the IVF-style partition): pairs
     * within a block with cosine >= threshold. Restricted to a bounded

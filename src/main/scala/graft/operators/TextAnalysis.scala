@@ -122,6 +122,50 @@ object TextAnalysis {
       |)
       |GROUP BY token ORDER BY token""".stripMargin
 
+  /** q39 — TF-IDF top terms per document: token tf joined with the
+    * corpus df (q36), weight = tf * log10(N / df), top-3 terms per doc
+    * by weight. The scoring pass of a relevance/quality pipeline; two
+    * aggregations + one broadcast-ish join on token + per-doc top-k.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val n = docs.count() // tiny catalog-level scalar (corpus size)
+    val tokenized = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tokenized.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tokenized.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val weighted = tf.join(df, "token")
+      .withColumn("tfidf", round(col("tf") * log10(lit(n.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    weighted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), df AS (
+      |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+      |), weighted AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    ROUND(tf.tf * log10((SELECT COUNT(*) FROM documents) * 1.0 / df.df), 6) AS tfidf
+      |  FROM tf JOIN df ON tf.token = df.token
+      |)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rank,
+      |  token, tf, df, tfidf
+      |FROM weighted
+      |QUALIFY rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** q24 — document fingerprints: byte-level (whitespace-normalized)
     * and order-insensitive bag-of-words md5.
     */

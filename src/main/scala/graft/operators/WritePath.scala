@@ -61,6 +61,13 @@ object WritePath {
   /** The migrate pipeline (SURVEY §3.1; reference `src/migrate.ts:75-99`):
     * per-table copy src → dest with duplicate skipping and per-table
     * error isolation (E1: a failed table logs and the loop continues).
+    *
+    * Documented divergence (SURVEY E2): the reference also isolates
+    * per-100-row insert batches (`migrate.ts:67-69` — a failed chunk is
+    * logged and later chunks proceed). Spark writes are all-or-nothing
+    * per job: a failed write rolls the whole table copy back, which is
+    * strictly safer (no partially-applied table) at the cost of
+    * partial-progress semantics.
     * The reference materializes each table in driver RAM
     * (`migrate.ts:48`) and writes 100-row batches; here the scan and
     * write are distributed and batching is partition-level.

@@ -51,6 +51,10 @@ class RelationalSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("driver smoke: entry() runs on a plain session and returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("flagship popularity on the reference-shaped micro-fixture") {
     // FIXTURES.md §2 traps: an app with no history at all must get
     // NULL popularity (F2), not zero; dimension join is left (J2).
