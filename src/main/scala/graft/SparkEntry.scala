@@ -60,6 +60,7 @@ object SparkEntry {
     "q37_knn_ivf" -> ((s: SparkSession, d: String) => Similarity.knnIvf(s, d)),
     "q38_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "q39_tfidf_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
+    "q40_multimodal_frames" -> ((s: SparkSession, d: String) => graft.sources.Multimodal.frameSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,5 +107,6 @@ object SparkEntry {
     "q38_dedup_clusters" -> Dedup.dedupClustersSql,
     // q37: IVF probe is approximate (rows-only check)
     "q39_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
+    "q40_multimodal_frames" -> graft.sources.Multimodal.frameSampleSql,
   )
 }

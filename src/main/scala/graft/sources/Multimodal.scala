@@ -57,6 +57,52 @@ object Multimodal {
     }.toDF().orderBy(col("doc_id"))
   }
 
+  case class FrameStats(doc_id: Long, n_frames: Int, n_sampled: Int,
+                        sampled_byte_sum: Long)
+
+  /** q40 — frame-sample + resize pipeline over "video" payloads: the
+    * payload is treated as fixed-size frames (frameBytes each, tail
+    * dropped), every `stride`-th frame is sampled (the usual
+    * keyframe-sampling shape), and the stub "resize/feature" kernel
+    * reduces each sampled frame to its byte sum. Real codec swap-in
+    * changes only the per-frame lambda; the batching, sampling
+    * arithmetic, and typed output are the production plumbing.
+    */
+  def frameSample(spark: SparkSession, dir: String, frameBytes: Int = 32,
+                  stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val nFrames = r.payload.length / frameBytes
+        val sampled = (0 until nFrames).filter(_ % stride == 0)
+        var byteSum = 0L
+        sampled.foreach { f =>
+          var i = f * frameBytes
+          val end = i + frameBytes
+          while (i < end) { byteSum += r.payload(i) & 0xFF; i += 1 }
+        }
+        FrameStats(r.doc_id, nFrames, sampled.size, byteSum)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Oracle: frame arithmetic + byte sums restated over the UTF-8 text
+    * bytes (ASCII corpus: code units == bytes, so the byte sum of a
+    * frame equals the sum of ascii codes of its 32-char window).
+    */
+  val frameSampleSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, strlen(text) // 32 AS n_frames FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(n_frames AS INT) AS n_frames,
+      |  CAST((n_frames + 3) // 4 AS INT) AS n_sampled,
+      |  CAST(COALESCE(list_sum(flatten(
+      |    [[ascii(substr(text, CAST(f AS INT) * 128 + i, 1)) for i in range(1, 33)]
+      |     for f in range(0, (n_frames + 3) // 4)])), 0) AS BIGINT) AS sampled_byte_sum
+      |FROM base ORDER BY doc_id""".stripMargin
+
   /** Oracle: the stub formulas restated over the text bytes (ASCII
     * corpus: first UTF-8 byte == first code point).
     */
