@@ -81,4 +81,15 @@ object TextFunctions {
     */
   def bagFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Order-SENSITIVE rolling-hash fingerprint (Rabin-Karp shape) over
+    * the token stream: h = (h*131 + tokenCode) mod 1e9+7, where
+    * tokenCode folds length and first codepoint. Kept in modular
+    * arithmetic so both engines stay inside exact BIGINT range
+    * (DuckDB errors on 64-bit overflow where the JVM wraps).
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (h, t) =>
+      (h * 131L + (length(t).cast("long") * 31L +
+        coalesce(ascii(substring(t, 1, 1)).cast("long"), lit(0L)))) % 1000000007L)
 }

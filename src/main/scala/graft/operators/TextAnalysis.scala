@@ -174,7 +174,8 @@ object TextAnalysis {
     docs.select(
         col("doc_id"),
         contentFingerprint(col("text")).as("content_fp"),
-        bagFingerprint(col("text")).as("bag_fp"))
+        bagFingerprint(col("text")).as("bag_fp"),
+        rollingFingerprint(col("text")).as("rolling_fp"))
       .orderBy(col("doc_id"))
   }
 
@@ -182,6 +183,10 @@ object TextAnalysis {
     """SELECT doc_id,
       |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_fp,
       |  md5(array_to_string(list_sort(list_distinct(
-      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))), ' ')) AS bag_fp
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))), ' ')) AS bag_fp,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+      |      t -> CAST(length(t) * 31 + COALESCE(ascii(substr(t, 1, 1)), 0) AS BIGINT))),
+      |    (h, c) -> (h * 131 + c) % 1000000007) AS BIGINT) AS rolling_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 }
