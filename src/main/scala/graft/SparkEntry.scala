@@ -61,6 +61,7 @@ object SparkEntry {
     "q38_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "q39_tfidf_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "q40_multimodal_frames" -> ((s: SparkSession, d: String) => graft.sources.Multimodal.frameSample(s, d)),
+    "q41_set_ops" -> (Relational.setOps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,5 +109,6 @@ object SparkEntry {
     // q37: IVF probe is approximate (rows-only check)
     "q39_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "q40_multimodal_frames" -> graft.sources.Multimodal.frameSampleSql,
+    "q41_set_ops" -> Relational.setOpsSql,
   )
 }

@@ -102,8 +102,14 @@ object Tables {
     require(schemas.contains(name), s"unknown table: $name")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+      normalizeEventTs(df)
     else df
   }
+
+  /** Nanos-as-long `ts` → micros TimestampType — the single place the
+    * truncation convention lives (batch and streaming readers share it).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr("ts div 1000")))
 }

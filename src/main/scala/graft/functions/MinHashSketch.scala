@@ -41,6 +41,11 @@ case class MinHashSketch(
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 
+  // per-slot seeds depend only on the slot index — precomputed once
+  // per executor instead of once per input row
+  @transient private lazy val slotSeeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
@@ -49,8 +54,7 @@ case class MinHashSketch(
       while (i < numHashes) {
         // identical chaining to functions.xxhash64(lit(i), col):
         // seed 42 -> hash(int slot) -> becomes seed for the string
-        val seed1 = XxHash64Function.hash(i, IntegerType, 42L)
-        val h = XxHash64Function.hash(s, StringType, seed1)
+        val h = XxHash64Function.hash(s, StringType, slotSeeds(i))
         if (h < buf(i)) buf(i) = h
         i += 1
       }

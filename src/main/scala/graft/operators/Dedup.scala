@@ -139,7 +139,7 @@ object Dedup {
     * as a recursive transitive-closure CTE.
     */
   def dedupClusters(spark: SparkSession, dir: String, k: Int = 3,
-                    threshold: Double = 0.6, maxIters: Int = 10): DataFrame = {
+                    threshold: Double = 0.6, maxIters: Int = 50): DataFrame = {
     val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
     val pairs = ngramJaccardPairs(spark, dir, k, threshold)
       .select(col("doc_a"), col("doc_b")).persist()
@@ -180,6 +180,10 @@ object Dedup {
       labels = next
       converged = changed == 0
     }
+    if (!converged)
+      System.err.println(s"[dedupClusters] WARNING: not converged after " +
+        s"$maxIters rounds — a near-dup chain longer than $maxIters hops " +
+        "exists; labels for its tail are not yet the cluster minimum")
     docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
       .withColumn("is_canonical", (col("doc_id") === col("rep_id")).cast("int"))

@@ -508,6 +508,37 @@ object Relational {
       |ORDER BY blend_score DESC NULLS FIRST, c_custkey""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q41 — set operations (SURVEY §2.7: absent from the reference, whose
+  // write path decomposes into union+dedup; covered here as first-class
+  // INTERSECT/EXCEPT/UNION physical operators over customer cohorts).
+  // ---------------------------------------------------------------------------
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val rich = cus.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+    val active = ord.filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val both = rich.intersect(active).withColumn("cohort", lit("rich_and_active"))
+    val richOnly = rich.except(active).withColumn("cohort", lit("rich_only"))
+    val activeOnly = active.except(rich).withColumn("cohort", lit("active_only"))
+    both.unionByName(richOnly).unionByName(activeOnly)
+      .orderBy(col("c_custkey"), col("cohort"))
+  }
+
+  val setOpsSql: String =
+    """WITH rich AS (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+      |), active AS (
+      |  SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000.0
+      |)
+      |SELECT c_custkey, 'rich_and_active' AS cohort FROM (SELECT * FROM rich INTERSECT SELECT * FROM active)
+      |UNION ALL
+      |SELECT c_custkey, 'rich_only' AS cohort FROM (SELECT * FROM rich EXCEPT SELECT * FROM active)
+      |UNION ALL
+      |SELECT c_custkey, 'active_only' AS cohort FROM (SELECT * FROM active EXCEPT SELECT * FROM rich)
+      |ORDER BY c_custkey, cohort""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // q13 — collect-distinct-array aggregate (SURVEY A4; reference
   // lib.ts:363-369: ARRAY_AGG(DISTINCT ARRAY[name, handle])), made
   // deterministic with array_sort and flattened for the oracle.

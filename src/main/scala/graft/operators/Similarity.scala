@@ -94,8 +94,10 @@ object Similarity {
     */
   def lshBucket(emb: Column, nBits: Int): Column =
     (0 until nBits).map { j =>
+      // (element, index) transform — dimension-generic, no hardcoded
+      // vector length
       val proj = aggregate(
-        zip_with(emb, lit((0 until 64).toArray), (v, i) =>
+        transform(emb, (v, i) =>
           v.cast("double") * when(pmod(xxhash64(lit(j), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)

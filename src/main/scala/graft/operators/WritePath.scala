@@ -31,10 +31,14 @@ object WritePath {
              versionCol: String): DataFrame = {
     val keyCols = keys.map(col)
     val w = Window.partitionBy(keyCols: _*).orderBy(col(versionCol).desc)
-    val dedupedIncoming = incoming
+    val deduped = incoming
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", versionCol)
+      .drop("__rn")
+    // a synthetic ordering column is dropped; a real destination
+    // column (e.g. updatedAt) used as the version must survive
+    val dedupedIncoming =
+      if (existing.columns.contains(versionCol)) deduped else deduped.drop(versionCol)
     existing.join(dedupedIncoming, keys, "left_anti")
       .unionByName(dedupedIncoming)
   }

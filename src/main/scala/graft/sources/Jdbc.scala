@@ -45,14 +45,18 @@ object Jdbc {
       case Some(pc) =>
         // two-phase: probe bounds, then shard (the Spark-idiomatic
         // replacement for the reference's single findMany cursor).
+        // Positional access — unquoted aliases case-fold differently
+        // across databases; NULL bounds (empty table) fall back to an
+        // unpartitioned read instead of NPEing.
         val bounds = spark.read.format("jdbc")
           .option("url", cfg.url)
           .option("dbtable", s"(SELECT MIN($pc) lo, MAX($pc) hi FROM $table) b")
           .option("user", cfg.user).option("password", cfg.password)
           .load().head()
-        base.option("partitionColumn", pc)
-          .option("lowerBound", bounds.getAs[Any]("lo").toString)
-          .option("upperBound", bounds.getAs[Any]("hi").toString)
+        if (bounds.isNullAt(0) || bounds.isNullAt(1)) base.load()
+        else base.option("partitionColumn", pc)
+          .option("lowerBound", bounds.get(0).toString)
+          .option("upperBound", bounds.get(1).toString)
           .option("numPartitions", numPartitions)
           .load()
       case None => base.load()

@@ -31,8 +31,7 @@ object StreamingEvents {
         case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
         case f => f
       })
-    spark.readStream.schema(schema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(spark.readStream.schema(schema).parquet(path))
   }
 
   /** Watermarked tumbling-window counts — the streaming twin of
@@ -49,33 +48,53 @@ object StreamingEvents {
   case class SessionOut(user_id: Long, session_start_ms: Long, session_end_ms: Long,
                         n_events: Long, session_value: Double)
 
-  /** Stateful sessionization via flatMapGroupsWithState: sessions
-    * close after `gapMs` silence (processing-time timeout drives
-    * emission between micro-batches).
+  /** Stateful sessionization via flatMapGroupsWithState: a session
+    * closes when a later event crosses the gap, or when the
+    * processing-time timeout fires after `gapMs` of silence — without
+    * the timeout, an idle user's last session would sit in state
+    * forever (flatMapGroupsWithState only runs for a key on new data
+    * or timeout).
     */
-  def sessionize(events: Dataset[SessionInput], gapMs: Long): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[SessionInput], gapMs: Long,
+                 idleTimeout: Boolean = true): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      // deterministic mode for tests: wall-clock timeouts make
+      // micro-batch emission timing nondeterministic
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
-          // Sort within the micro-batch: bounded per-user state.
-          val sorted = rows.toSeq.sortBy(r => (r.ts_ms, r.event_id))
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { r =>
-            cur match {
-              case Some(s) if r.ts_ms - s.last <= gapMs =>
-                cur = Some(SessionState(s.start, r.ts_ms, s.n + 1, s.value + r.value))
-              case Some(s) =>
-                out += SessionOut(user, s.start, s.last, s.n, s.value)
-                cur = Some(SessionState(r.ts_ms, r.ts_ms, 1, r.value))
-              case None =>
-                cur = Some(SessionState(r.ts_ms, r.ts_ms, 1, r.value))
+          if (rows.isEmpty && state.hasTimedOut) {
+            // idle past the gap: flush the open session
+            val out = state.getOption
+              .map(s => SessionOut(user, s.start, s.last, s.n, s.value)).iterator
+            state.remove()
+            out
+          } else {
+            // Sort within the micro-batch: bounded per-user state.
+            val sorted = rows.toSeq.sortBy(r => (r.ts_ms, r.event_id))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { r =>
+              cur match {
+                case Some(s) if r.ts_ms - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, r.ts_ms, s.n + 1, s.value + r.value))
+                case Some(s) =>
+                  out += SessionOut(user, s.start, s.last, s.n, s.value)
+                  cur = Some(SessionState(r.ts_ms, r.ts_ms, 1, r.value))
+                case None =>
+                  cur = Some(SessionState(r.ts_ms, r.ts_ms, 1, r.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              if (idleTimeout) state.setTimeoutDuration(gapMs)
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 }

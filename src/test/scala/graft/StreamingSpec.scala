@@ -37,7 +37,8 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingEvents.SessionInput]
     val gapMs = 1000L
-    val sessions = StreamingEvents.sessionize(input.toDS(), gapMs)
+    // idleTimeout off: wall-clock timeouts would race the assertions
+    val sessions = StreamingEvents.sessionize(input.toDS(), gapMs, idleTimeout = false)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sessions_out").start()
     try {
