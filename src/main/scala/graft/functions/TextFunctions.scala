@@ -14,9 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased whitespace tokens, empties removed. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+  /** Lowercased whitespace tokens, empties removed.
+    *
+    * Codegen note: the obvious `filter(split(...), _ =!= "")` uses a
+    * higher-order function (CodegenFallback) in every text hot path.
+    * After `trim`, `split('\s+')` cannot produce empty tokens (empties
+    * only arise at the leading boundary; Spark drops trailing ones),
+    * so the equivalent below stays fully codegen'd. The only edge is
+    * the all-whitespace/empty document, handled explicitly.
+    */
+  def tokens(text: Column): Column = {
+    // regexp trim, not trim(): the builtin strips spaces only, while
+    // the \s+ tokenizer must also ignore leading/trailing \t\n
+    val t = regexp_replace(lower(text), "^\\s+|\\s+$", "")
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -26,6 +26,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getInt(2) === 2)
   }
 
+  test("tokens: empty and all-whitespace docs yield zero tokens") {
+    val df = Seq("", "   ", " \t\n ", "a  b").toDF("text")
+      .select(TextFunctions.tokenCount($"text").as("n"))
+    assert(df.as[Int].collect().toSeq === Seq(0, 0, 0, 2))
+  }
+
   test("langId: stopword argmax with priority tiebreak and und fallback") {
     val df = Seq(
       "the cat and the dog",  // en
