@@ -90,6 +90,18 @@ class WritePathSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dest/nation.parquet").count() === 25L)
   }
 
+  test("appsStats report pipeline: flagship scores to spreadsheet CSV") {
+    val out = Files.createTempDirectory("graft-report").toString + "/apps"
+    graft.operators.Report.writeAppsStats(spark, "/root/testdata/sf0.001", out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length === 1) // single-file export (coalesce(1))
+    val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+    assert(lines.head.startsWith("\"App\",\"Developer\",\"Recommendations\"," +
+      "\"Popularity Score\",\"Last Snapshot\",\"Category 1\""))
+    assert(lines.length === 11) // header + 10 suppliers at sf0.001
+    assert(lines(1).contains("=HYPERLINK("))
+  }
+
   test("CSV report sink writes a single quoted file with header") {
     val out = Files.createTempDirectory("graft-csv").toString + "/report"
     val df = Seq((1L, "na\"me")).toDF("id", "name")
