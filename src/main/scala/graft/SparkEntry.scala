@@ -62,6 +62,9 @@ object SparkEntry {
     "q39_tfidf_top_terms" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "q40_multimodal_frames" -> ((s: SparkSession, d: String) => graft.sources.Multimodal.frameSample(s, d)),
     "q41_set_ops" -> (Relational.setOps _),
+    "q42_length_quantiles" -> (Curation.lengthQuantiles _),
+    "q43_hash_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),
+    "q44_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,5 +113,8 @@ object SparkEntry {
     "q39_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "q40_multimodal_frames" -> graft.sources.Multimodal.frameSampleSql,
     "q41_set_ops" -> Relational.setOpsSql,
+    "q42_length_quantiles" -> Curation.lengthQuantilesSql,
+    "q43_hash_sample" -> Curation.hashSampleSql,
+    "q44_stratified_sample" -> Curation.stratifiedSampleSql,
   )
 }

@@ -43,6 +43,17 @@ object StreamingEvents {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked streaming dedup: exactly-once per (user_id,
+    * event_type) within the watermark horizon — the streaming twin of
+    * the batch exact-dedup operators. State holds one entry per key
+    * and is evicted once the watermark passes (bounded state at
+    * 100 TB/day, unlike an unbounded dropDuplicates).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   case class SessionInput(user_id: Long, event_id: Long, ts_ms: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, value: Double)
   case class SessionOut(user_id: Long, session_start_ms: Long, session_end_ms: Long,

@@ -32,6 +32,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked streaming dedup matches batch distinct count") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      streamDir.resolve("part-00000.parquet"))
+    val stream = StreamingEvents.readEventStream(spark, streamDir.toString)
+    val q = StreamingEvents.dedupWithinWatermark(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out").count()
+      val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "event_type").distinct().count()
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions, keeps open ones in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
