@@ -65,6 +65,8 @@ object SparkEntry {
     "q42_length_quantiles" -> (Curation.lengthQuantiles _),
     "q43_hash_sample" -> ((s: SparkSession, d: String) => Curation.hashSample(s, d)),
     "q44_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
+    "q45_range_join_binned" -> ((s: SparkSession, d: String) => Temporal.clicksBeforePurchase(s, d)),
+    "q46_asof_join" -> (Temporal.lastSignupBeforePurchase _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,5 +118,7 @@ object SparkEntry {
     "q42_length_quantiles" -> Curation.lengthQuantilesSql,
     "q43_hash_sample" -> Curation.hashSampleSql,
     "q44_stratified_sample" -> Curation.stratifiedSampleSql,
+    "q45_range_join_binned" -> Temporal.clicksBeforePurchaseSql,
+    "q46_asof_join" -> Temporal.lastSignupBeforePurchaseSql,
   )
 }
