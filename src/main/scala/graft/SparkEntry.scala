@@ -67,6 +67,7 @@ object SparkEntry {
     "q44_stratified_sample" -> ((s: SparkSession, d: String) => Curation.stratifiedSample(s, d)),
     "q45_range_join_binned" -> ((s: SparkSession, d: String) => Temporal.clicksBeforePurchase(s, d)),
     "q46_asof_join" -> (Temporal.lastSignupBeforePurchase _),
+    "q47_rollup" -> (Relational.rollupPricing _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,5 +121,6 @@ object SparkEntry {
     "q44_stratified_sample" -> Curation.stratifiedSampleSql,
     "q45_range_join_binned" -> Temporal.clicksBeforePurchaseSql,
     "q46_asof_join" -> Temporal.lastSignupBeforePurchaseSql,
+    "q47_rollup" -> Relational.rollupPricingSql,
   )
 }

@@ -508,6 +508,30 @@ object Relational {
       |ORDER BY blend_score DESC NULLS FIRST, c_custkey""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q47 — hierarchical rollup (beyond the reference, SURVEY §2.4 notes
+  // its absence; included for engine completeness): subtotals per
+  // (returnflag, linestatus), per returnflag, and grand total, with
+  // grouping_id disambiguating NULL-as-subtotal from NULL data.
+  // ---------------------------------------------------------------------------
+  def rollupPricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        decSum(col("l_extendedprice")).as("total_price"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val rollupPricingSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------------
   // q41 — set operations (SURVEY §2.7: absent from the reference, whose
   // write path decomposes into union+dedup; covered here as first-class
   // INTERSECT/EXCEPT/UNION physical operators over customer cohorts).
