@@ -123,6 +123,43 @@ object WritePath {
       .bucketBy(numBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Partition-scoped merge (copy-on-write): upsert `incoming` into a
+    * date-partitioned destination touching ONLY the partitions that
+    * contain incoming keys — the plan a table format's MERGE INTO
+    * executes, written out over plain parquet. At 100 TB rewriting
+    * the whole table per batch is impossible; this rewrites
+    * |affected dates| partitions:
+    *
+    *  1. derive the affected p_date set from incoming (tiny collect —
+    *     it is the partition predicate, same role as a metadata
+    *     lookup in a table format);
+    *  2. read ONLY those partitions (partition pruning);
+    *  3. last-writer-wins upsert of incoming into that slice;
+    *  4. dynamic-partition overwrite writes back just that slice.
+    *
+    * Returns the affected partition values.
+    */
+  def mergeDatePartitioned(spark: SparkSession, destPath: String,
+                           incoming: DataFrame, keys: Seq[String],
+                           tsCol: String, versionCol: String): Seq[String] = {
+    val incomingP = incoming.withColumn("p_date", to_date(col(tsCol)))
+    val affected = incomingP.select(col("p_date").cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val existingSlice = spark.read.parquet(destPath)
+      .filter(col("p_date").cast("string").isin(affected: _*))
+    val merged = upsert(existingSlice,
+      incomingP.withColumn("p_date", col("p_date").cast("date")),
+      keys, versionCol)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(destPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    affected
+  }
+
   /** Date-partitioned append — the 100 TB history-table layout
     * (SURVEY §4: partition history by capturedAt date): readers with a
     * date predicate scan only matching directories (partition pruning,

@@ -29,6 +29,41 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partition-scoped merge rewrites only affected partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString + "/events"
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    WritePath.writeDatePartitioned(ev, dir, "ts")
+    val total = ev.count()
+
+    // incoming: update two existing events on one day + insert a new
+    // event on a brand-new day
+    val twoIds = ev.filter(to_date($"ts") === "2024-01-02")
+      .select($"event_id").limit(2).as[Long].collect().toSeq
+    val updates = ev.filter($"event_id".isin(twoIds: _*))
+      .withColumn("value", lit(999.0))
+    val insert = ev.limit(1)
+      .withColumn("event_id", lit(999999L))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2025-06-01 12:00:00")))
+    val incoming = updates.unionByName(insert).withColumn("__v", lit(1))
+
+    // snapshot an untouched partition's file listing before the merge
+    val untouched = new java.io.File(s"$dir/p_date=2024-01-03")
+    val before = untouched.listFiles().map(f => f.getName -> f.lastModified).toMap
+
+    val affected = WritePath.mergeDatePartitioned(
+      spark, dir, incoming, Seq("event_id"), "ts", "__v")
+    assert(affected === Seq("2024-01-02", "2025-06-01"))
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() === total + 1)
+    assert(after.filter($"event_id".isin(twoIds: _*))
+      .select($"value").as[Double].collect().forall(_ === 999.0))
+    assert(after.filter($"event_id" === 999999L).count() === 1)
+    // copy-on-write stayed partition-scoped: untouched files untouched
+    val afterFiles = untouched.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(afterFiles === before)
+  }
+
   test("date-partitioned history reads prune partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
