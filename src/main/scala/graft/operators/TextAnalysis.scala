@@ -37,11 +37,33 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q22 — heuristic language ID (stopword-hit argmax) compared with
-    * the labeled lang, plus corpus-level agreement counts.
+    * the labeled lang.
+    *
+    * Shape: explode tokens once + conditional-sum aggregation, then
+    * the argmax CASE over the score columns. The column-level
+    * [[graft.functions.TextFunctions.langId]] is equivalent but its
+    * `filter` HOFs are CodegenFallback and re-evaluate per reference
+    * in the argmax chain — the exploded form is the 100 TB shape (one
+    * pass over tokens, codegen'd conditional sums).
     */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    docs.select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val scoreCols = langStopwords.map { case (lang, words) =>
+      sum(when(col("tok").isin(words: _*), 1).otherwise(0)).as(s"s_$lang")
+    }
+    val scores = tok.groupBy(col("doc_id")).agg(scoreCols.head, scoreCols.tail: _*)
+    val s = langStopwords.map { case (lang, _) =>
+      lang -> coalesce(col(s"s_$lang"), lit(0L))
+    }.toMap
+    val pred = when(s.values.reduce(_ + _) > 0,
+      when(s("de") > s("en") && s("de") > s("es") && s("de") > s("fr"), "de")
+        .when(s("fr") > s("en") && s("fr") > s("es"), "fr")
+        .when(s("es") > s("en"), "es")
+        .otherwise("en"))
+      .otherwise(lit("und"))
+    docs.join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), pred.as("lang_pred"))
       .withColumn("agrees", (col("lang") === col("lang_pred")).cast("int"))
       .orderBy(col("doc_id"))
   }
