@@ -100,9 +100,13 @@ object SparkEntry {
     "q24_fingerprints" -> TextAnalysis.fingerprintsSql,
     "q25_dedup_exact" -> Dedup.exactSql,
     "q26_dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql,
-    // q27/q28/q30: sketch/LSH variants are approximate or need
-    // xxhash64 (no DuckDB twin) — driver records rows-only checks.
+    // q27/q28/q30/q37 (round 2): the sketch/LSH variants hash with
+    // md5-derived integers (PortableHash), so DuckDB states the exact
+    // same signatures/buckets/candidates — fully oracle-checked.
+    "q27_dedup_minhash_lsh" -> Dedup.minhashLshPairsSql,
+    "q28_dedup_simhash" -> Dedup.simhashPairsSql,
     "q29_knn_brute" -> Similarity.knnBruteSql,
+    "q30_knn_lsh" -> Similarity.knnLshSql,
     "q31_embedding_near_dups" -> Similarity.embeddingNearDupsSql,
     "q32_multimodal_decode" -> graft.sources.Multimodal.decodeMetaSql,
     // same oracle as q02: the aggregation form must reproduce the
@@ -111,8 +115,8 @@ object SparkEntry {
     "q34_widen_brands" -> Reshape.widenTopBrandsSql,
     "q35_label_centroids" -> Similarity.labelCentroidsSql,
     "q36_vocabulary" -> TextAnalysis.vocabularySql,
+    "q37_knn_ivf" -> Similarity.knnIvfSql,
     "q38_dedup_clusters" -> Dedup.dedupClustersSql,
-    // q37: IVF probe is approximate (rows-only check)
     "q39_tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "q40_multimodal_frames" -> graft.sources.Multimodal.frameSampleSql,
     "q41_set_ops" -> Relational.setOpsSql,

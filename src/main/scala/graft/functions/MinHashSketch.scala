@@ -4,27 +4,36 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature sketch as a TypedImperativeAggregate (SURVEY
   * §2.11's sketch-aggregate candidate): one pass over a group's
   * shingles produces the full `numHashes`-slot signature
-  * `h_i = min over shingles of xxhash64(i, shingle)`.
+  * `h_i = min over shingles of (a(shingle) + i * b(shingle))` where
+  * (a, b) are the two independent 32-bit words of the shingle's md5
+  * digest ([[PortableHash.md5PairJvm]]) — the classic one-digest
+  * affine hash family.
   *
   * Why custom: the composable form is `numHashes` independent
-  * `min(xxhash64(lit(i), col))` aggregates — numHashes hash
-  * evaluations AND numHashes aggregation buffers per group. This
-  * sketch keeps one mutable long-array buffer per group and one
-  * input-string traversal per hash slot, merges partials elementwise
-  * (map-side combine works as usual), and hashes identically to
-  * `functions.xxhash64(lit(i), col)` (seed 42 chained through the int
-  * slot then the string), so the two forms are bit-equal — tested in
-  * PipelineSpec.
+  * `min(hash_i(col))` aggregates — numHashes aggregation buffers per
+  * group. This sketch keeps one mutable long-array buffer per group
+  * and ONE md5 digest per input row (the affine family derives every
+  * slot from the same two words), merges partials elementwise
+  * (map-side combine works as usual).
+  *
+  * Why md5 (round 2): xxhash64 has no DuckDB twin, which left the
+  * LSH queries rows-only in CORRECTNESS_r01. The md5-affine family is
+  * bit-reproducible in DuckDB as
+  * `MIN(CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)
+  *     + i * CAST(('0x'||substr(md5(s),9,8)) AS BIGINT))`
+  * and as the equivalent Spark Column form — both asserted equal to
+  * this aggregate in PipelineSpec. Values stay < 2^37 for
+  * numHashes <= 24: no overflow on either engine.
   */
 case class MinHashSketch(
     child: Expression,
@@ -41,20 +50,13 @@ case class MinHashSketch(
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 
-  // per-slot seeds depend only on the slot index — precomputed once
-  // per executor instead of once per input row
-  @transient private lazy val slotSeeds: Array[Long] =
-    Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
-
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
+      val (a, b) = PortableHash.md5PairJvm(v.asInstanceOf[UTF8String].getBytes)
       var i = 0
       while (i < numHashes) {
-        // identical chaining to functions.xxhash64(lit(i), col):
-        // seed 42 -> hash(int slot) -> becomes seed for the string
-        val h = XxHash64Function.hash(s, StringType, slotSeeds(i))
+        val h = a + i * b
         if (h < buf(i)) buf(i) = h
         i += 1
       }

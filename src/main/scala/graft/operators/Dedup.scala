@@ -5,19 +5,28 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PortableHash
 import graft.functions.TextFunctions._
 
 /** Deduplication suite over `documents` (north-star extension): exact,
-  * n-gram Jaccard, MinHash+LSH, SimHash. Each returns a deterministic
-  * DataFrame; the exact and Jaccard variants are oracle-checked, the
-  * sketch variants (MinHash/SimHash use xxhash64, which DuckDB lacks)
-  * get the driver's rows-only check.
+  * n-gram Jaccard, MinHash+LSH, SimHash. Every variant is
+  * oracle-checked (round 2): the sketches hash with md5-derived
+  * integers ([[PortableHash]]) that DuckDB reproduces bit-for-bit, so
+  * signatures, band buckets, candidate sets and final pairs are
+  * identical across engines.
   *
   * Scale posture (100 TB): every variant is built on shuffle-by-key
   * joins/aggregations — no driver materialization, no cross join. The
   * candidate generators (shared-shingle inverted index, LSH band
   * buckets) bound pair generation; high-frequency shingles are pruned
   * (df cap) so no single reduce key explodes.
+  *
+  * Intermediate lifecycle: multi-consumer intermediates are
+  * `localCheckpoint()`ed (eager), not `persist()`ed — same one-time
+  * materialization, but storage is reclaimed by the ContextCleaner as
+  * soon as the frame is unreferenced, so a 47-query Bench session does
+  * not accumulate CacheManager entries (round-1 ADVICE). At 100 TB the
+  * same role is played by a reliable checkpoint dir or a staging table.
   */
 object Dedup {
 
@@ -54,6 +63,22 @@ object Dedup {
         s"array_distinct(transform(sequence(0, n - $k), i -> concat_ws(' ', slice(toks, i + 1, $k))))"
       )).as("shingle"))
 
+  /** The shared DuckDB CTE prefix: distinct k=3 shingles + df-cap
+    * pruning — the exact twin of [[shingles]] + the dfCap filter.
+    */
+  private val shingleCtes: String =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+      |    for i in range(1, len(toks) - 1)])) AS shingle
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 3
+      |), kept AS (
+      |  SELECT doc_id, shingle FROM sh
+      |  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200)
+      |)""".stripMargin
+
   /** q26 — n-gram Jaccard near-dup pairs: inverted-index candidate
     * generation (pairs sharing >= 1 surviving shingle) + exact Jaccard
     * verification. Because threshold > 0 implies a shared shingle, the
@@ -66,10 +91,10 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String, k: Int = 3,
                         threshold: Double = 0.6, dfCap: Int = 200): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    // persisted: the exploded shingle table feeds the df-filter, the
-    // size aggregate, and both sides of the candidate join — without
-    // materialization the tokenize+explode runs four times.
-    val sh = shingles(docs, k).persist()
+    // materialized once: the exploded shingle table feeds the
+    // df-filter, the size aggregate, and both sides of the candidate
+    // join — without it the tokenize+explode runs four times.
+    val sh = shingles(docs, k).localCheckpoint()
     val rare = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
@@ -91,36 +116,27 @@ object Dedup {
   }
 
   val ngramJaccardPairsSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-      |    for i in range(1, len(toks) - 1)])) AS shingle
-      |  FROM (SELECT doc_id,
-      |          list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-      |        FROM documents)
-      |  WHERE len(toks) >= 3
-      |), kept AS (
-      |  SELECT doc_id, shingle FROM sh
-      |  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200)
-      |), sizes AS (
+    s"""WITH $shingleCtes, sizes AS (
       |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
       |), shared AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)
-      |SELECT s.doc_a, s.doc_b,
-      |  ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared), 6) AS jaccard
-      |FROM shared s
-      |JOIN sizes sa ON s.doc_a = sa.doc_id
-      |JOIN sizes sb ON s.doc_b = sb.doc_id
-      |WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.6
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT s.doc_a, s.doc_b,
+      |    ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared), 6) AS jaccard
+      |  FROM shared s
+      |  JOIN sizes sa ON s.doc_a = sa.doc_id
+      |  JOIN sizes sb ON s.doc_b = sb.doc_id
+      |) WHERE jaccard >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** MinHash signature matrix: numHashes independent hash slots per
-    * doc, h_i(doc) = min over shingles of xxhash64(i, shingle) —
-    * computed by the single-buffer [[graft.functions.MinHashSketch]]
-    * aggregate (bit-equal to numHashes separate min(xxhash64) columns,
-    * which this replaces; see PipelineSpec).
+  /** MinHash signature matrix: numHashes affine-family slots per doc,
+    * h_i(doc) = min over shingles of (a + i*b) with (a, b) the two
+    * md5 words — computed by the single-buffer
+    * [[graft.functions.MinHashSketch]] aggregate (bit-equal to the
+    * composable min-column form AND to DuckDB; see PipelineSpec).
     */
   private def minhashSignatures(spark: SparkSession, kept: DataFrame,
                                 numHashes: Int): DataFrame = {
@@ -133,52 +149,50 @@ object Dedup {
   /** q38 — dedup clustering: connected components over the near-dup
     * pair graph, each doc mapped to its cluster representative
     * (min doc_id reachable). Iterative min-label propagation — the
-    * loop is driver-controlled but every iteration is a distributed
-    * join; convergence in O(cluster diameter) rounds (near-dup
-    * clusters are tiny, so 2-3). The oracle states the same fixpoint
-    * as a recursive transitive-closure CTE.
+    * loop is driver-controlled but every round is a pair of SHUFFLE
+    * joins keyed on doc_id (round-2 rework: no broadcast of the label
+    * table — at 100 TB web-corpus dup rates it is not broadcastable,
+    * and SHUFFLE_HASH pins the strategy so AQE cannot flip the
+    * locally-tiny table back to broadcast; the benched plan is the
+    * 100 TB plan). Convergence is folded into the round's output: the
+    * previous label rides along as `old_rep`, so the probe is a filter
+    * over the just-checkpointed round — no extra join job.
+    * Convergence in O(cluster diameter) rounds (near-dup clusters are
+    * tiny, so 2-3). The oracle states the same fixpoint as a recursive
+    * transitive-closure CTE.
     */
   def dedupClusters(spark: SparkSession, dir: String, k: Int = 3,
                     threshold: Double = 0.6, maxIters: Int = 50): DataFrame = {
     val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    // materialize the pair list once — every iteration reads edges
     val pairs = ngramJaccardPairs(spark, dir, k, threshold)
-      .select(col("doc_a"), col("doc_b")).persist()
-    // materialize BEFORE deriving the undirected edge list: both union
-    // branches read pairs, and inside one job they'd race the cache
-    // and each recompute the whole jaccard join
-    pairs.count()
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
     // propagation runs only over nodes that appear in edges (the
     // near-dup graph is a sliver of the corpus), then joins back once.
     val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
-    // Iterative lineage must be TRUNCATED, not just cached: the loop's
-    // broadcast-hinted joins defeat cache-plan matching, so without
-    // truncation every downstream action re-runs the whole jaccard
-    // subtree per reference (profiled: 3x slower end-to-end).
-    // localCheckpoint materializes each round's tiny label table to
-    // executor storage and cuts the plan there — the standard shape
-    // for iterative graph algorithms.
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    // Iterative lineage is TRUNCATED each round (localCheckpoint):
+    // without truncation every downstream action re-runs the whole
+    // jaccard subtree per reference (profiled: 3x slower end-to-end).
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("rep_id", col("doc_id")).localCheckpoint(true)
+      .withColumn("rep_id", col("doc_id")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       iter += 1
-      // broadcast joins: the label/edge frames are tiny — shuffling
-      // them through 32 partitions per iteration is pure scheduling
-      // overhead
       val neighborMin = edges
-        .join(broadcast(labels), edges("doc_b") === labels("doc_id"))
-        .groupBy(col("doc_a").as("doc_id2"))
+        .join(labels.hint("shuffle_hash"), edges("doc_b") === labels("doc_id"))
+        .groupBy(col("doc_a").as("nm_doc_id"))
         .agg(min(col("rep_id")).as("n_rep"))
-      val next = labels.join(broadcast(neighborMin), labels("doc_id") === col("doc_id2"), "left")
-        .select(col("doc_id"),
+      val next = labels
+        .join(neighborMin.hint("shuffle_hash"),
+          labels("doc_id") === col("nm_doc_id"), "left")
+        .select(col("doc_id"), col("rep_id").as("old_rep"),
           least(col("rep_id"), coalesce(col("n_rep"), col("rep_id"))).as("rep_id"))
-        .localCheckpoint(true)
-      val changed = next.join(broadcast(labels.withColumnRenamed("rep_id", "old_rep")), "doc_id")
-        .filter(col("rep_id") =!= col("old_rep")).limit(1).count()
-      labels = next
-      converged = changed == 0
+        .localCheckpoint()
+      converged = next.filter(col("rep_id") =!= col("old_rep")).isEmpty
+      labels = next.select(col("doc_id"), col("rep_id"))
     }
     if (!converged)
       System.err.println(s"[dedupClusters] WARNING: not converged after " +
@@ -191,28 +205,19 @@ object Dedup {
   }
 
   val dedupClustersSql: String =
-    """WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE $shingleCtes, sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+      |), shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
       |  SELECT doc_a, doc_b FROM (
-      |    WITH sh AS (
-      |      SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-      |        for i in range(1, len(toks) - 1)])) AS shingle
-      |      FROM (SELECT doc_id,
-      |              list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-      |            FROM documents)
-      |      WHERE len(toks) >= 3
-      |    ), kept AS (
-      |      SELECT doc_id, shingle FROM sh
-      |      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200)
-      |    ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
-      |    shared AS (
-      |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      |      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |      GROUP BY 1, 2)
-      |    SELECT s.doc_a, s.doc_b
+      |    SELECT s.doc_a, s.doc_b,
+      |      ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared), 6) AS jaccard
       |    FROM shared s JOIN sizes sa ON s.doc_a = sa.doc_id
       |    JOIN sizes sb ON s.doc_b = sb.doc_id
-      |    WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.6
-      |  )
+      |  ) WHERE jaccard >= 0.6
       |), edges AS (
       |  SELECT doc_a, doc_b FROM pairs
       |  UNION SELECT doc_b, doc_a FROM pairs
@@ -229,11 +234,13 @@ object Dedup {
       |GROUP BY d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
-  /** q27 — MinHash + LSH banding near-dup pairs (rows-only check: the
-    * banding is probabilistic and xxhash64 has no DuckDB twin).
+  /** q27 — MinHash + LSH banding near-dup pairs (oracle-checked in
+    * round 2: the md5-affine family is stated identically in DuckDB,
+    * so the candidate set — not just the verified output — matches).
     * numHashes=24 split into 8 bands of 3: P(candidate) = 1-(1-j^3)^8,
     * ~0.997 at j=0.8. Candidates are verified with exact Jaccard so
-    * precision is 1.0 — only recall is approximate.
+    * precision is 1.0 — only recall is approximate, and the oracle
+    * reproduces the same approximation deterministically.
     *
     * Scale: band buckets are the shuffle keys; signature build is one
     * aggregation over the shingle table.
@@ -242,22 +249,23 @@ object Dedup {
                       numHashes: Int = 24, bands: Int = 8,
                       threshold: Double = 0.6): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val sh = shingles(docs, k).persist()
+    val sh = shingles(docs, k).localCheckpoint()
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 200).select("shingle")
-    val kept = sh.join(rare, "shingle").persist()
+    val kept = sh.join(rare, "shingle").localCheckpoint()
     val rows = numHashes / bands
     val sig = minhashSignatures(spark, kept, numHashes)
     // band keys via one explode (a union of per-band selects would
     // recompute the signature aggregation once per band — the plan
-    // audit showed 19 shuffles); each element is (band, hash-of-slice)
+    // audit showed 19 shuffles); the bucket is the '|'-joined slice —
+    // a plain string equi-join key both engines state identically
     val bandStructs = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => col(s"h${b * rows + r}"))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+      val slice = (0 until rows).map(r => col(s"h${b * rows + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws("|", slice: _*).as("bucket"))
     }
     val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .persist()
+      .localCheckpoint()
     val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -276,38 +284,117 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q28 — SimHash near-dup pairs (rows-only check). 64-bit simhash
-    * from token hashes; pairs from 16-bit band buckets verified by
-    * Hamming distance <= maxHamming. Banding over 4 bands guarantees
-    * recall for Hamming <= 3 (pigeonhole: some band is untouched).
+  /** DuckDB twin of the FULL LSH pipeline: same md5-affine signatures
+    * (`MIN(a + i*b)`), same 8x3 banding, same candidate join, same
+    * exact-Jaccard verification — bit-identical end to end.
+    */
+  val minhashLshPairsSql: String =
+    s"""WITH $shingleCtes, hx AS (
+      |  SELECT doc_id, shingle,
+      |    CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS ha,
+      |    CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS hb
+      |  FROM kept
+      |), sig AS (
+      |  SELECT doc_id, t.i AS slot, MIN(ha + t.i * hb) AS h
+      |  FROM hx, range(0, 24) t(i)
+      |  GROUP BY doc_id, t.i
+      |), banded AS (
+      |  SELECT doc_id, slot // 3 AS band,
+      |    string_agg(CAST(h AS VARCHAR), '|' ORDER BY slot) AS bucket
+      |  FROM sig GROUP BY doc_id, slot // 3
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+      |), shared AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+      |  FROM cand c
+      |  JOIN kept ka ON ka.doc_id = c.doc_a
+      |  JOIN kept kb ON kb.doc_id = c.doc_b AND kb.shingle = ka.shingle
+      |  GROUP BY c.doc_a, c.doc_b
+      |)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT s.doc_a, s.doc_b,
+      |    ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared), 6) AS jaccard
+      |  FROM shared s
+      |  JOIN sizes sa ON s.doc_a = sa.doc_id
+      |  JOIN sizes sb ON s.doc_b = sb.doc_id
+      |) WHERE jaccard >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q28 — SimHash near-dup pairs (oracle-checked in round 2). 60-bit
+    * simhash from md5 token hashes (60, not 64: 15 md5 nibbles stay
+    * inside signed-BIGINT arithmetic on both engines); pairs from
+    * 15-bit band buckets verified by Hamming distance <= maxHamming.
+    * Banding over 4 bands guarantees recall for Hamming <= 3
+    * (pigeonhole: some band is untouched).
     */
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 3): DataFrame = {
+    val nBits = 60
+    val bandBits = 15
     val docs = Tables.load(spark, dir, "documents")
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
+      .withColumn("th", PortableHash.md5Long60(col("tok")))
     // per bit: sum of +1/-1 votes across token occurrences
-    val bitSums = (0 until 64).map(b =>
+    val bitSums = (0 until nBits).map(b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
     val sims = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
+        (0 until nBits).map(b =>
           when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)).reduce(_ bitwiseOR _)
           .as("simhash"))
     // one explode instead of a 4-way union (which re-scanned and
     // re-aggregated the token table per band — 8 scans in the audit)
     val banded = sims.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bucket"))): _*)).as("bb"))
+          shiftright(col("simhash"), b * bandBits).bitwiseAND((1L << bandBits) - 1)
+            .as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .persist()
+      .localCheckpoint()
     banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** DuckDB twin of the full SimHash pipeline: same md5-60-bit token
+    * hash, same ±1 bit votes, same 4x15-bit banding, same Hamming
+    * verification.
+    */
+  val simhashPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+      |  FROM documents
+      |), th AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      |  FROM toks
+      |), votes AS (
+      |  SELECT doc_id, t.b AS bit,
+      |    SUM(CASE WHEN ((h >> t.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, range(0, 60) t(b)
+      |  GROUP BY doc_id, t.b
+      |), sims AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id
+      |), banded AS (
+      |  SELECT doc_id, simhash, t.band AS band,
+      |    (simhash >> (t.band * 15)) & 32767 AS bucket
+      |  FROM sims, range(0, 4) t(band)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, hamming FROM pairs
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -89,17 +89,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((0L, 1L, 0.714286)))
   }
 
-  test("MinHashSketch aggregate equals the composable min(xxhash64) columns") {
+  test("MinHashSketch aggregate equals the composable md5-affine min columns") {
+    import graft.functions.PortableHash
     val df = Seq((1L, "aa"), (1L, "bb"), (1L, "cc"), (2L, "aa"), (2L, "zz"))
       .toDF("doc_id", "shingle")
     val n = 8
     val sketch = df.groupBy($"doc_id")
       .agg(graft.functions.MinHashSketch.minhash(spark, $"shingle", n).as("sig"))
       .orderBy($"doc_id").as[(Long, Seq[Long])].collect().toSeq
+    // the Column form is exactly what the DuckDB oracle states:
+    // MIN(a + i*b) over the two md5 words
     val composable = df.groupBy($"doc_id")
-      .agg(array((0 until n).map(i => min(xxhash64(lit(i), $"shingle"))): _*).as("sig"))
+      .agg(array((0 until n).map(i =>
+        min(PortableHash.md5Long32($"shingle") + lit(i) * PortableHash.md5Long32b($"shingle"))): _*)
+        .as("sig"))
       .orderBy($"doc_id").as[(Long, Seq[Long])].collect().toSeq
     assert(sketch === composable)
+    // and the JVM twin hashes identically to the Column form
+    val (a, b) = PortableHash.md5PairJvm("aa")
+    val colAB = df.filter($"shingle" === "aa").limit(1)
+      .select(PortableHash.md5Long32($"shingle"), PortableHash.md5Long32b($"shingle"))
+      .as[(Long, Long)].head()
+    assert((a, b) === colAB)
     // partial/merge path: repartitioned input must yield the same sketch
     val sketchShuffled = df.repartition(5).groupBy($"doc_id")
       .agg(graft.functions.MinHashSketch.minhash(spark, $"shingle", n).as("sig"))
