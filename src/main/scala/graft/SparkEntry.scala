@@ -68,6 +68,9 @@ object SparkEntry {
     "q45_range_join_binned" -> ((s: SparkSession, d: String) => Temporal.clicksBeforePurchase(s, d)),
     "q46_asof_join" -> (Temporal.lastSignupBeforePurchase _),
     "q47_rollup" -> (Relational.rollupPricing _),
+    "q48_category_difficulty" -> (Relational.categoryDifficulty _),
+    "q49_apps_by_category" -> ((s: SparkSession, d: String) => Relational.appsByCategory(s, d)),
+    "q50_categories_report" -> (Report.categoriesStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,5 +129,9 @@ object SparkEntry {
     "q45_range_join_binned" -> Temporal.clicksBeforePurchaseSql,
     "q46_asof_join" -> Temporal.lastSignupBeforePurchaseSql,
     "q47_rollup" -> Relational.rollupPricingSql,
+    "q48_category_difficulty" -> Relational.categoryDifficultySql,
+    "q49_apps_by_category" -> Relational.appsByCategorySql,
+    "q50_categories_report" ->
+      Report.categoriesStatsSql(Relational.categoryDifficultySql),
   )
 }

@@ -174,8 +174,13 @@ object Relational {
       .agg(concat_ws("|", array_sort(collect_set(col("p_brand")))).as("brands"))
 
     // latest_snapshots (lib.ts:370-375): latest lineitem per supplier.
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+    // so l_extendedprice joins the tiebreak — ties on all four keys
+    // then agree on every output column, making the pick value-stable
+    // across engines and reruns.
     val wSnap = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc,
+        col("l_extendedprice").desc)
     val latestSnap = li.withColumn("rn", row_number().over(wSnap))
       .filter(col("rn") === 1)
       .select(col("l_suppkey"), col("l_shipdate").as("last_shipdate"),
@@ -202,13 +207,18 @@ object Relational {
     val maxes = recMetricsP.agg(coalesce(max(col("rec_score")), lit(0.0)).as("max_rec"))
       .crossJoin(rankScoresP.agg(
         coalesce(max(col("category_rank_score")), lit(0.0)).as("max_cat")))
-    // popularity (lib.ts:393-394): 0.7*rec/max + 0.3*cat/max with NULLIF
-    // guards — NULL scores propagate to NULL popularity (SURVEY F2:
-    // replicate, don't "fix").
+    // popularity (lib.ts:393-394), replicated EXACTLY (SURVEY F2 —
+    // don't "fix"): numerators are NULLIF(COALESCE(score, 0), 0) — a
+    // zero or absent score nulls its term and hence the whole blend —
+    // and denominators are NULLIF(max, 1) (the reference's quirk: a
+    // max of exactly 1 yields NULL popularity; with NULLIF(max, 0)
+    // results diverge only when max ∈ {0, 1}).
     val scored = base.crossJoin(broadcast(maxes))
       .withColumn("popularity",
-        round(lit(0.7) * (col("rec_score") / nullif(col("max_rec"), lit(0.0))) +
-              lit(0.3) * (col("category_rank_score") / nullif(col("max_cat"), lit(0.0))), 6))
+        round(lit(0.7) * (nullif(coalesce(col("rec_score"), lit(0.0)), lit(0.0)) /
+                nullif(col("max_rec"), lit(1.0))) +
+              lit(0.3) * (nullif(coalesce(col("category_rank_score"), lit(0.0)), lit(0.0)) /
+                nullif(col("max_cat"), lit(1.0))), 6))
 
     scored
       .join(broadcast(nat), scored("s_nationkey") === nat("n_nationkey"), "left")
@@ -253,7 +263,7 @@ object Relational {
       |  SELECT l_suppkey, l_shipdate AS last_shipdate, l_extendedprice AS last_price
       |  FROM lineitem
       |  QUALIFY row_number() OVER (PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) = 1
+      |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC, l_extendedprice DESC) = 1
       |), scores AS (
       |  SELECT s.*, rec.rec_count, rec.rec_score, rk.category_rank_score,
       |    MAX(COALESCE(rec.rec_score, 0)) OVER () AS max_rec,
@@ -270,8 +280,8 @@ object Relational {
       |  COALESCE(ac.brands, '') AS categories,
       |  strftime(ls.last_shipdate, '%m-%d-%Y') AS last_snapshot_date,
       |  ls.last_price AS last_price,
-      |  ROUND(0.7 * (sc.rec_score / NULLIF(sc.max_rec, 0)) +
-      |        0.3 * (sc.category_rank_score / NULLIF(sc.max_cat, 0)), 6) AS popularity
+      |  ROUND(0.7 * (NULLIF(COALESCE(sc.rec_score, 0), 0) / NULLIF(sc.max_rec, 1)) +
+      |        0.3 * (NULLIF(COALESCE(sc.category_rank_score, 0), 0) / NULLIF(sc.max_cat, 1)), 6) AS popularity
       |FROM scores sc
       |LEFT JOIN nation n ON sc.s_nationkey = n.n_nationkey
       |LEFT JOIN app_categories ac ON sc.s_suppkey = ac.l_suppkey
@@ -313,6 +323,202 @@ object Relational {
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |GROUP BY p.p_brand
       |ORDER BY difficulty_score DESC NULLS FIRST, p_brand""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q48 — the reference's getCategoriesByDifficulty END-TO-END
+  // (lib.ts:417-496): the full popularity pipeline chained as a CTE
+  // into the per-category rollup. The reference re-states the
+  // popularity CTEs inside this query rather than calling the other
+  // one (lib.ts:430-466 duplicates lib.ts:341-385) — mirrored here,
+  // including the quirks: AVG(popularity) and SUM(reviews) run over
+  // the RAW app×category history join (apps with many position rows
+  // weigh more), and rec_metrics here has no COUNT (lib.ts:444-449).
+  //
+  // Physical posture: same as q03 (broadcast scalar maxes, no OVER(),
+  // partial+final aggs); the final rollup is one shuffle on p_brand.
+  // ---------------------------------------------------------------------------
+  def categoryDifficulty(spark: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.load(spark, dir, "lineitem")
+    val sup = Tables.load(spark, dir, "supplier")
+    val prt = Tables.load(spark, dir, "part")
+
+    // category_sizes / rank_scores / recommendation_metrics
+    // (lib.ts:431-450) — the popularity pipeline's first stage
+    val catSizes = li.groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_suppkey")).as("total_apps_c"))
+    val rankScores = li.select(col("l_partkey"), col("l_suppkey"), col("l_linenumber"))
+      .join(catSizes, "l_partkey")
+      .groupBy(col("l_suppkey"))
+      .agg(sum((lit(1.0) / (col("l_linenumber") + 1)) * log10(col("total_apps_c") + 1))
+        .as("category_rank_score"))
+    val recMetrics = li.filter(col("l_returnflag") === "N")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(lit(1.0) / (col("l_linenumber") + 1)).as("rec_score"))
+
+    // scores + popularity_scores (lib.ts:451-466): the same
+    // NULLIF(COALESCE(x,0),0) / NULLIF(max,1) blend as q03
+    val base = sup
+      .join(recMetrics, sup("s_suppkey") === recMetrics("l_suppkey"), "left")
+      .drop("l_suppkey")
+      .join(rankScores, sup("s_suppkey") === rankScores("l_suppkey"), "left")
+      .drop("l_suppkey")
+    val maxes = recMetrics.agg(coalesce(max(col("rec_score")), lit(0.0)).as("max_rec"))
+      .crossJoin(rankScores.agg(
+        coalesce(max(col("category_rank_score")), lit(0.0)).as("max_cat")))
+    val popScores = base.crossJoin(broadcast(maxes))
+      .select(col("s_suppkey"),
+        round(lit(0.7) * (nullif(coalesce(col("rec_score"), lit(0.0)), lit(0.0)) /
+                nullif(col("max_rec"), lit(1.0))) +
+              lit(0.3) * (nullif(coalesce(col("category_rank_score"), lit(0.0)), lit(0.0)) /
+                nullif(col("max_cat"), lit(1.0))), 6).as("popularity"))
+
+    // latest_snapshots (lib.ts:468-472): reviews = latest quantity
+    val wSnap = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc,
+        col("l_extendedprice").desc)
+    val latestSnap = li.withColumn("rn", row_number().over(wSnap))
+      .filter(col("rn") === 1)
+      .select(col("l_suppkey").as("ls_suppkey"), col("l_quantity").as("last_reviews"))
+
+    // app_categories (lib.ts:473-477): the RAW history join — one row
+    // per lineitem row, NOT distinct (reference semantics)
+    val appCats = li.join(broadcast(prt), li("l_partkey") === prt("p_partkey"))
+      .select(col("l_suppkey").as("ac_suppkey"), col("p_brand"))
+
+    // final rollup (lib.ts:478-491)
+    val agg = popScores
+      .join(appCats, popScores("s_suppkey") === col("ac_suppkey"))
+      .join(latestSnap, popScores("s_suppkey") === col("ls_suppkey"), "left")
+      .groupBy(col("p_brand"))
+      .agg(
+        countDistinct(col("s_suppkey")).as("total_apps"),
+        // AVG(popularity): decimal-exact sum (popularity is already
+        // round(6)) over non-null rows — NULL when every app's
+        // popularity in the category is NULL
+        (decSum(col("popularity")) / nullif(count(col("popularity")), lit(0L)))
+          .as("avg_raw"),
+        decSum(coalesce(col("last_reviews"), lit(0.0))).as("total_reviews"))
+    agg.select(
+        col("p_brand").as("category_handle"),
+        col("total_apps"),
+        round(col("avg_raw"), 6).as("average_popularity_score"),
+        col("total_reviews"),
+        round(log10(col("total_apps") + 1) * col("avg_raw") *
+              log10(col("total_reviews") + 1), 6).as("difficulty_score"))
+      .orderBy(col("difficulty_score").desc_nulls_first, col("category_handle"))
+  }
+
+  val categoryDifficultySql: String =
+    """WITH category_sizes AS (
+      |  SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS total_apps_c
+      |  FROM lineitem GROUP BY l_partkey
+      |), rank_scores AS (
+      |  SELECT l.l_suppkey,
+      |    SUM((1.0/(l.l_linenumber+1)) * log10(cs.total_apps_c+1)) AS category_rank_score
+      |  FROM lineitem l JOIN category_sizes cs ON l.l_partkey = cs.l_partkey
+      |  GROUP BY l.l_suppkey
+      |), rec_metrics AS (
+      |  SELECT l_suppkey, SUM(1.0/(l_linenumber+1)) AS rec_score
+      |  FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_suppkey
+      |), scores AS (
+      |  SELECT s.s_suppkey, rec.rec_score, rk.category_rank_score,
+      |    MAX(COALESCE(rec.rec_score, 0)) OVER () AS max_rec,
+      |    MAX(COALESCE(rk.category_rank_score, 0)) OVER () AS max_cat
+      |  FROM supplier s
+      |  LEFT JOIN rec_metrics rec ON s.s_suppkey = rec.l_suppkey
+      |  LEFT JOIN rank_scores rk ON s.s_suppkey = rk.l_suppkey
+      |), popularity_scores AS (
+      |  SELECT s_suppkey,
+      |    ROUND(0.7 * (NULLIF(COALESCE(rec_score, 0), 0) / NULLIF(max_rec, 1)) +
+      |          0.3 * (NULLIF(COALESCE(category_rank_score, 0), 0) / NULLIF(max_cat, 1)), 6)
+      |      AS popularity
+      |  FROM scores
+      |), latest_snapshots AS (
+      |  SELECT l_suppkey, l_quantity AS last_reviews
+      |  FROM lineitem
+      |  QUALIFY row_number() OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC, l_extendedprice DESC) = 1
+      |), app_categories AS (
+      |  SELECT l.l_suppkey, p.p_brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |), agg AS (
+      |  SELECT ac.p_brand AS category_handle,
+      |    COUNT(DISTINCT ps.s_suppkey) AS total_apps,
+      |    CAST(SUM(CAST(ps.popularity AS DECIMAL(18,6))) AS DOUBLE)
+      |      / NULLIF(COUNT(ps.popularity), 0) AS avg_raw,
+      |    CAST(SUM(CAST(COALESCE(snap.last_reviews, 0) AS DECIMAL(18,6))) AS DOUBLE)
+      |      AS total_reviews
+      |  FROM popularity_scores ps
+      |  JOIN app_categories ac ON ps.s_suppkey = ac.l_suppkey
+      |  LEFT JOIN latest_snapshots snap ON ps.s_suppkey = snap.l_suppkey
+      |  GROUP BY ac.p_brand
+      |)
+      |SELECT category_handle, total_apps,
+      |  ROUND(avg_raw, 6) AS average_popularity_score,
+      |  total_reviews,
+      |  ROUND(log10(total_apps + 1) * avg_raw * log10(total_reviews + 1), 6)
+      |    AS difficulty_score
+      |FROM agg
+      |ORDER BY difficulty_score DESC NULLS FIRST, category_handle""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q49 — the reference's getAppsByCategory END-TO-END (lib.ts:280-318):
+  // dynamic category/position predicates (P3/P5) + the two-history
+  // IN-subquery (J3) + DISTINCT ON latest snapshot (W1), as ONE query.
+  // capp := lineitem as position history (category=l_partkey,
+  // position=l_linenumber); ach := lineitem as role history
+  // (role=l_returnflag ∈ {N,R} for PRIMARY/SECONDARY).
+  // ---------------------------------------------------------------------------
+  def appsByCategory(spark: SparkSession, dir: String,
+                     categories: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L),
+                     maxPosition: Option[Int] = Some(3)): DataFrame = {
+    val li  = Tables.load(spark, dir, "lineitem")
+    val sup = Tables.load(spark, dir, "supplier")
+    // categoryCondition (lib.ts:286-295): TRUE when no categories given
+    val capp0 =
+      if (categories.nonEmpty) li.filter(col("l_partkey").isin(categories: _*))
+      else li
+    // extraCondition (lib.ts:297-300): attached only when defined
+    val capp = maxPosition.fold(capp0)(m => capp0.filter(col("l_linenumber") <= m))
+    val ach =
+      if (categories.nonEmpty)
+        li.filter(col("l_partkey").isin(categories: _*) &&
+          col("l_returnflag").isin("N", "R"))
+      else li.filter(col("l_returnflag").isin("N", "R"))
+    // IN (subquery) = semi-joins; App ⋈ capp ⋈ ach (lib.ts:305-312)
+    val appKeys = sup
+      .join(capp, sup("s_suppkey") === capp("l_suppkey"), "left_semi")
+      .join(ach, sup("s_suppkey") === ach("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"))
+    // DISTINCT ON (handle) snap.* ORDER BY capturedAt DESC — ordered by
+    // every output column so tied rows are interchangeable
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc,
+        col("l_extendedprice").desc, col("l_quantity").desc, col("l_returnflag").desc)
+    li.join(appKeys, li("l_suppkey") === appKeys("s_suppkey"), "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_suppkey").as("app_key"), col("l_shipdate").as("captured_at"),
+        col("l_extendedprice").as("price"), col("l_quantity").as("qty"),
+        col("l_returnflag").as("flag"))
+      .orderBy(col("app_key"))
+  }
+
+  val appsByCategorySql: String =
+    """SELECT l_suppkey AS app_key, l_shipdate AS captured_at,
+      |  l_extendedprice AS price, l_quantity AS qty, l_returnflag AS flag
+      |FROM lineitem
+      |WHERE l_suppkey IN (
+      |  SELECT s.s_suppkey
+      |  FROM supplier s
+      |  JOIN lineitem capp ON capp.l_suppkey = s.s_suppkey
+      |  JOIN lineitem ach ON ach.l_suppkey = s.s_suppkey
+      |  WHERE capp.l_partkey IN (1, 2, 3, 4, 5) AND capp.l_linenumber <= 3
+      |    AND ach.l_partkey IN (1, 2, 3, 4, 5) AND ach.l_returnflag IN ('N', 'R'))
+      |QUALIFY row_number() OVER (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC,
+      |           l_extendedprice DESC, l_quantity DESC, l_returnflag DESC) = 1
+      |ORDER BY app_key""".stripMargin
 
   // ---------------------------------------------------------------------------
   // q05 — inner equi-join chain over dims (SURVEY J1; reference

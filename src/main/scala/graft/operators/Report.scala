@@ -42,4 +42,43 @@ object Report {
   /** The full §3.3 pipeline: report frame → single quoted CSV file. */
   def writeAppsStats(spark: SparkSession, dir: String, outPath: String): Unit =
     WritePath.writeCsvReport(appsStats(spark, dir), outPath)
+
+  /** q50 / getCategoriesStats (lib.ts:539-554): the difficulty rollup
+    * (q48, itself popularity-composed) relabeled into the spreadsheet
+    * frame — Category Name as a HYPERLINK cell (same `/all` URL shape
+    * as lib.ts:543, quote-escaped), report-label renames (R2).
+    */
+  def categoriesStats(spark: SparkSession, dir: String): DataFrame =
+    Relational.categoryDifficulty(spark, dir).select(
+      concat(lit("=HYPERLINK(\"https://example.com/categories/"),
+        col("category_handle"), lit("/all\",\""),
+        regexp_replace(col("category_handle"), "\"", "\"\""), lit("\")"))
+        .as("Category Name"),
+      col("total_apps").as("Total Apps"),
+      col("average_popularity_score").as("Average Popularity Score"),
+      col("total_reviews").as("Total reviews"),
+      col("difficulty_score").as("Difficulty Score"))
+
+  /** DuckDB twin of [[categoriesStats]]'s formatting layer over the
+    * q48 statement.
+    */
+  def categoriesStatsSql(difficultySql: String): String =
+    s"""WITH difficulty AS (
+      |${difficultySql.linesIterator.map("  " + _).mkString("\n")}
+      |)
+      |SELECT
+      |  '=HYPERLINK("https://example.com/categories/' || category_handle || '/all","' ||
+      |    replace(category_handle, '"', '""') || '")' AS "Category Name",
+      |  total_apps AS "Total Apps",
+      |  average_popularity_score AS "Average Popularity Score",
+      |  total_reviews AS "Total reviews",
+      |  difficulty_score AS "Difficulty Score"
+      |FROM difficulty
+      |ORDER BY difficulty_score DESC NULLS FIRST, category_handle""".stripMargin
+
+  /** The full categories pipeline: report frame → single quoted CSV
+    * (lib.ts:549-553).
+    */
+  def writeCategoriesStats(spark: SparkSession, dir: String, outPath: String): Unit =
+    WritePath.writeCsvReport(categoriesStats(spark, dir), outPath)
 }

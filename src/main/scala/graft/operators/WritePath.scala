@@ -88,8 +88,14 @@ object WritePath {
         val k = keys.getOrElse(t, src.columns.take(1).toSeq)
         val deduped = src.dropDuplicates(k)
         val destPath = s"$destDir/$t.parquet"
+        // destination existence via the Hadoop FileSystem of the path
+        // (NOT java.io.File, which is local-only and would report
+        // "absent" on HDFS/S3 — skipping the anti-join and appending
+        // duplicates at the stated 100 TB posture)
+        val hPath = new org.apache.hadoop.fs.Path(destPath)
+        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
         val toWrite =
-          if (new java.io.File(destPath).exists()) {
+          if (fs.exists(hPath)) {
             val existing = spark.read.parquet(destPath)
             deduped.join(existing, k, "left_anti")
           } else deduped
@@ -98,7 +104,8 @@ object WritePath {
         if (n > 0) toWrite.write.mode(SaveMode.Append).parquet(destPath)
         n
       } catch {
-        case e: Throwable =>
+        // NonFatal: per-table isolation must not swallow JVM errors
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[migrate] $t failed: ${e.getMessage}")
           -1L
       })
@@ -106,10 +113,14 @@ object WritePath {
 
   /** CSV report sink (S10; reference json2csv with explicit field order
     * and full quoting, `lib.ts:532-536`): single file, header, quoteAll.
+    * escape = `"` gives RFC-4180 doubled quotes — the same style
+    * json2csv emits (`"" `), so HYPERLINK formula cells round-trip
+    * into spreadsheets exactly like the reference's output.
     */
   def writeCsvReport(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite)
-      .option("header", "true").option("quoteAll", "true").csv(path)
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"").csv(path)
 
   /** Bucketed table write — the 100 TB join layout: both sides of a
     * recurring equi-join bucketed by the key join co-partitioned, so

@@ -40,8 +40,17 @@ object RewriteGlobalMaxWindow extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // `child.deterministic` guard: the rewrite duplicates `child` into
+    // both join sides, so a non-deterministic child (rand(), uuid(),
+    // non-idempotent source) would have its aggregate computed over a
+    // DIFFERENT sample than the joined rows — silently wrong versus
+    // the Window form. Mirrors Spark's own care around duplicating
+    // non-deterministic subtrees; such plans keep the Window.
+    // (For deterministic children the double-scan is the documented
+    // cost of trading a single-partition window for a parallel
+    // aggregate — a win at any real scale.)
     case w @ Window(wexprs, Seq(), Seq(), child, _)
-        if wexprs.nonEmpty && wexprs.forall(rewritableAlias) =>
+        if wexprs.nonEmpty && wexprs.forall(rewritableAlias) && child.deterministic =>
       // keep the original exprIds so parent operators resolve unchanged
       val aggAliases = wexprs.map { case a @ Alias(WindowExpression(ae, _), name) =>
         Alias(ae, name)(a.exprId, a.qualifier, a.explicitMetadata)

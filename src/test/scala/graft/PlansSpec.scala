@@ -37,6 +37,25 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite bails out on a non-deterministic child") {
+    // duplicating a rand() subtree into both join sides would compute
+    // the max over a different sample than the joined rows — the rule
+    // must leave such plans as windows
+    GraftExtensions.install(spark)
+    try {
+      // spark.range, not a literal Seq: ConvertToLocalRelation eagerly
+      // evaluates projections (even rand) over LocalRelation, which
+      // would make the child deterministic before the rule runs
+      val df = spark.range(3).toDF("k").withColumn("v", rand(7))
+      val out = df.withColumn("mx", max($"v").over(Window.partitionBy()))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), s"non-deterministic child was rewritten:\n$plan")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq graft.plans.RewriteGlobalMaxWindow)
+    }
+  }
+
   test("knn top-k plans a PARTIAL WindowGroupLimit before the shuffle") {
     // VERDICT round-1 wrong #1: the per-query top-k must not shuffle
     // the full scored set into nQueries partitions. Spark's

@@ -62,6 +62,10 @@ class RelationalSpec extends AnyFunSuite {
       // (orderkey, partkey, suppkey, linenumber, qty, price, disc, tax, rf, ls, ship)
       (1L, 10L, 100L, 0, 1.0, 5.0, 0.0, 0.0, "N", "O", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
       (2L, 10L, 100L, 1, 1.0, 6.0, 0.0, 0.0, "A", "F", java.sql.Timestamp.valueOf("2024-01-03 00:00:00")),
+      // second rec row for 100 keeps max_rec = 1.5 ≠ 1 — with a single
+      // position-0 rec the reference's NULLIF(max_rec, 1) nulls every
+      // blend (pinned in the quirk test below)
+      (4L, 10L, 100L, 1, 1.0, 4.0, 0.0, 0.0, "N", "O", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
       (3L, 11L, 101L, 0, 1.0, 7.0, 0.0, 0.0, "N", "O", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
     ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
@@ -84,5 +88,24 @@ class RelationalSpec extends AnyFunSuite {
     val rest = out.tail.map(r => r.getAs[Long]("app_key") -> r.getAs[Double]("popularity")).toMap
     assert(rest.keySet === Set(100L, 101L))
     assert(rest.values.forall(p => p > 0.0 && p <= 1.0))
+  }
+
+  test("reference quirk: NULLIF(max_rec, 1) nulls the blend when max_rec = 1") {
+    // lib.ts:393-394 divides by NULLIF(max, 1), not NULLIF(max, 0): a
+    // corpus whose best recommendation score is exactly 1 (one lone
+    // position-0 recommendation) yields NULL popularity for EVERY app.
+    // Replicated, not "fixed" (SURVEY F2) — this pin documents it.
+    val li = Seq(
+      (1L, 10L, 100L, 0, 1.0, 5.0, 0.0, 0.0, "N", "O", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    val sup = Seq((100L, "s100", 1, 10.0)).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val nat = Seq((1, "ALPHA", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val prt = Seq((10L, "p", "B1", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val out = Relational.popularityCore(li, sup, nat, prt).collect()
+    assert(out.length === 1)
+    // rec_score = 1/(0+1) = 1 = max_rec => NULLIF(max_rec, 1) is NULL
+    assert(out.head.isNullAt(out.head.fieldIndex("popularity")))
   }
 }

@@ -102,6 +102,24 @@ class WritePathSpec extends AnyFunSuite {
     assert(lines(1).contains("=HYPERLINK("))
   }
 
+  test("categoriesStats report pipeline: golden CSV on sf0.001") {
+    // getCategoriesStats (lib.ts:539-554) end-to-end: difficulty
+    // rollup (popularity-composed q48) -> labeled spreadsheet CSV.
+    // Golden values cross-checked against the DuckDB oracle.
+    val out = Files.createTempDirectory("graft-report").toString + "/categories"
+    graft.operators.Report.writeCategoriesStats(spark, "/root/testdata/sf0.001", out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length === 1)
+    val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+    assert(lines.head === "\"Category Name\",\"Total Apps\"," +
+      "\"Average Popularity Score\",\"Total reviews\",\"Difficulty Score\"")
+    assert(lines.length === 26) // header + 25 brands at sf0.001
+    // top row: Brand#25 (json2csv-style doubled quotes inside the cell)
+    assert(lines(1) ===
+      "\"=HYPERLINK(\"\"https://example.com/categories/Brand#25/all\"\",\"\"Brand#25\"\")\"," +
+      "\"10\",\"0.92436\",\"11697.0\",\"3.916053\"")
+  }
+
   test("CSV report sink writes a single quoted file with header") {
     val out = Files.createTempDirectory("graft-csv").toString + "/report"
     val df = Seq((1L, "na\"me")).toDF("id", "name")
