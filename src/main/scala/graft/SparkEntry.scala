@@ -71,6 +71,7 @@ object SparkEntry {
     "q48_category_difficulty" -> (Relational.categoryDifficulty _),
     "q49_apps_by_category" -> ((s: SparkSession, d: String) => Relational.appsByCategory(s, d)),
     "q50_categories_report" -> (Report.categoriesStats _),
+    "q51_sql_source" -> ((s: SparkSession, d: String) => Relational.sqlSource(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,5 +134,6 @@ object SparkEntry {
     "q49_apps_by_category" -> Relational.appsByCategorySql,
     "q50_categories_report" ->
       Report.categoriesStatsSql(Relational.categoryDifficultySql),
+    "q51_sql_source" -> Relational.sqlSourceSql,
   )
 }

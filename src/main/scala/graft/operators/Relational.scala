@@ -769,6 +769,31 @@ object Relational {
       |ORDER BY c_custkey, cohort""".stripMargin
 
   // ---------------------------------------------------------------------------
+  // q51 — parameterized SQL source (SURVEY S4; reference
+  // `pool.query(text, params)` lib.ts:16-29, 316, 413, 494): ad-hoc
+  // SQL text over registered temp views with named parameters bound at
+  // execution — the Spark-native form of the reference's $1-style
+  // bind params. Same Catalyst plan as the DataFrame form (pushdown,
+  // partial aggs); the SQL text is the API, not a different engine.
+  // ---------------------------------------------------------------------------
+  val sqlSourceText: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE o_totalprice > :minPrice
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def sqlSource(spark: SparkSession, dir: String,
+                minPrice: Double = 150000.0): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(sqlSourceText, Map("minPrice" -> minPrice))
+  }
+
+  val sqlSourceSql: String = sqlSourceText.replace(":minPrice", "150000.0")
+
+  // ---------------------------------------------------------------------------
   // q13 — collect-distinct-array aggregate (SURVEY A4; reference
   // lib.ts:363-369: ARRAY_AGG(DISTINCT ARRAY[name, handle])), made
   // deterministic with array_sort and flattened for the oracle.

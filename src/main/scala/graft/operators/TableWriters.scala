@@ -54,4 +54,17 @@ object TableWriters {
     if (updateCols.nonEmpty) WritePath.upsert(existing, incoming, keys, versionCol)
     else WritePath.skipDuplicatesAppend(existing, incoming, keys, versionCol)
   }
+
+  /** F8 (reference `new Date()` injected as createdAt/updatedAt,
+    * lib.ts:100, 110, 120, 130, 141, 236, 254): stamp audit columns
+    * with the engine clock on the write path. `current_timestamp()` is
+    * evaluated once per query, so every row of a batch carries the
+    * same stamp — the same semantics as the reference building one
+    * `new Date()` per save call. (`new Date() || null` at lib.ts:110
+    * is always `new Date()` — JS truthiness quirk — so no null branch
+    * exists here either.)
+    */
+  def stampNow(df: DataFrame, cols: Seq[String] = Seq("createdAt", "updatedAt")): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.current_timestamp()))
 }

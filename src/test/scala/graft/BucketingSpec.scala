@@ -29,6 +29,26 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("flagship over bucketed history drops the per-app-key shuffles") {
+    // The bench's bucketed mode (SPARK_GRAFT_BUCKETED=1) runs exactly
+    // this: popularityCore with lineitem stored bucketed by l_suppkey.
+    // Every groupBy(l_suppkey) aggregate and the latest-snapshot
+    // window then read pre-partitioned buckets — the plan must contain
+    // strictly fewer hash exchanges than the flat-parquet plan.
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    WritePath.writeBucketed(li, "b_lineitem_flag", "l_suppkey", 4)
+    def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    val sup = Tables.load(spark, "/root/testdata/sf0.001", "supplier")
+    val nat = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    val prt = Tables.load(spark, "/root/testdata/sf0.001", "part")
+    val flat = nExchanges(operators.Relational.popularityCore(li, sup, nat, prt))
+    val bucketed = nExchanges(operators.Relational.popularityCore(
+      spark.table("b_lineitem_flag"), sup, nat, prt))
+    assert(bucketed < flat, s"bucketed=$bucketed flat=$flat")
+  }
+
   test("partition-scoped merge rewrites only affected partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString + "/events"
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")

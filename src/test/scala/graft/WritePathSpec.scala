@@ -120,6 +120,19 @@ class WritePathSpec extends AnyFunSuite {
       "\"10\",\"0.92436\",\"11697.0\",\"3.916053\"")
   }
 
+  test("F8: writer path stamps audit columns with one engine clock value") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("handle", "name")
+    val stamped = graft.operators.TableWriters.stampNow(df).collect()
+    // current_timestamp() is per-query-constant: every row of the
+    // batch carries the same stamp, like the reference's one
+    // new Date() per save call (lib.ts:100)
+    val created = stamped.map(_.getTimestamp(2))
+    val updated = stamped.map(_.getTimestamp(3))
+    assert(created.forall(_ != null) && updated.forall(_ != null))
+    assert(created.distinct.length === 1)
+    assert(updated.distinct.length === 1)
+  }
+
   test("CSV report sink writes a single quoted file with header") {
     val out = Files.createTempDirectory("graft-csv").toString + "/report"
     val df = Seq((1L, "na\"me")).toDF("id", "name")
