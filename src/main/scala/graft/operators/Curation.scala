@@ -59,6 +59,24 @@ object Curation {
       |  MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_chars END) AS p90_chars
       |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The 100 TB form of [[lengthQuantiles]]: one-pass mergeable
+    * quantile sketch (`approx_percentile`) instead of the exact
+    * per-group rank selection — no per-group sort, partial+final
+    * aggregation only. Not oracle-registered (sketch interpolation
+    * differs across engines); QuantilesSpec bounds its error against
+    * the exact form.
+    */
+  def lengthQuantilesApprox(spark: SparkSession, dir: String,
+                            accuracy: Int = 10000): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(accuracy)).as("median_chars"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(accuracy)).as("p90_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q43 — deterministic Bernoulli-style sampling: keep rows whose
     * content-independent hash bucket falls under the rate. Rerun-stable
     * and join-free (a pure map over the scan).

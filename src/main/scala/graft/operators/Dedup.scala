@@ -204,6 +204,51 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Alternating large-star/small-star connected components — the
+    * O(log n)-round shuffle-only CC (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"), as the high-diameter
+    * alternative to [[dedupClusters]]' min-label propagation
+    * (O(diameter) rounds; fine for tiny near-dup clusters, quadratic
+    * wall-clock on pathological chains). Input: undirected edge list
+    * (src, dst); output: (node, rep) with rep = component minimum —
+    * component centers are omitted (they map to themselves; join back
+    * with coalesce, as [[dedupClusters]] does for singletons).
+    * Every round is two shuffle joins + two aggregations; edges are
+    * checkpointed per round (same lineage-truncation reasoning as the
+    * propagation loop). Equivalence to the propagation fixpoint is
+    * asserted in PipelineSpec.
+    */
+  def connectedComponents(edges0: DataFrame, maxIters: Int = 20): DataFrame = {
+    // self-loop-free, oriented large→small, distinct
+    def orient(e: DataFrame): DataFrame = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    var e = orient(edges0).localCheckpoint()
+    var done = false
+    var i = 0
+    while (!done && i < maxIters) {
+      i += 1
+      // large-star: connect every strictly-larger neighbor of u to
+      // m(u) = min(N(u) ∪ {u})
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      val ls = orient(sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))).localCheckpoint()
+      // small-star: connect u and all its (smaller) neighbors to the min
+      val mins2 = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val ss = orient(ls.join(mins2, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(mins2.select(col("src"), col("m").as("dst")))).localCheckpoint()
+      // fixpoint: the (distinct) edge set stopped changing
+      done = ss.count() == e.count() && ss.except(e).isEmpty
+      e = ss
+    }
+    e.select(col("src").as("node"), col("dst").as("rep"))
+  }
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE $shingleCtes, sizes AS (
       |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id

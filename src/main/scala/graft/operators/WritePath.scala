@@ -102,6 +102,8 @@ object WritePath {
         // empty-input short-circuit (E3: migrate.ts:53-56)
         val n = toWrite.count()
         if (n > 0) toWrite.write.mode(SaveMode.Append).parquet(destPath)
+        // structured progress logging (E6: migrate.ts:39, 66, 72)
+        System.err.println(s"[migrate] $t: copied $n rows")
         n
       } catch {
         // NonFatal: per-table isolation must not swallow JVM errors

@@ -118,6 +118,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(sketchShuffled === sketch)
   }
 
+  test("large-star/small-star CC equals the min-label propagation fixpoint") {
+    // chain graph: the worst case for label propagation (diameter =
+    // n), O(log n) rounds for the star algorithm
+    val chain = spark.range(99).select($"id".as("src"), ($"id" + 1).as("dst"))
+    val cc = Dedup.connectedComponents(chain)
+    assert(cc.count() === 99) // nodes 1..99, center 0 omitted
+    assert(cc.agg(max($"rep")).head.getLong(0) === 0L) // all collapse to 0
+    // real dup graph: identical cluster assignment to q38's loop
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val star = Dedup.connectedComponents(pairs)
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id")
+    val viaStar = docs.join(star, docs("doc_id") === star("node"), "left")
+      .select($"doc_id", coalesce($"rep", $"doc_id").as("rep_id"))
+    val viaProp = Dedup.dedupClusters(spark, dir).select($"doc_id", $"rep_id")
+    assert(viaStar.except(viaProp).isEmpty && viaProp.except(viaStar).isEmpty)
+  }
+
+  test("approx quantiles track the exact rank-selection form") {
+    // the 100 TB path (mergeable sketch, no per-group sort) must stay
+    // close to the oracle-exact per-group rank selection
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.operators.Curation.lengthQuantiles(spark, dir)
+      .select($"lang", $"median_chars", $"p90_chars")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = graft.operators.Curation.lengthQuantilesApprox(spark, dir)
+      .select($"lang", $"median_chars", $"p90_chars")
+      .as[(String, Long, Long)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (lang, m, p90) =>
+      val (em, ep) = exact(lang)
+      // high-accuracy sketch on sf0.01 group sizes: within 2% relative
+      assert(math.abs(m - em).toDouble / em <= 0.02, s"$lang median $m vs $em")
+      assert(math.abs(p90 - ep).toDouble / ep <= 0.02, s"$lang p90 $p90 vs $ep")
+    }
+  }
+
   test("multimodal stub decode: metadata formulas over payload bytes") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-mm").toString

@@ -50,6 +50,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kafka-shaped records parse, drop poison pills, drive the aggregate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    // payloads arrive as the broker record contract: binary value +
+    // (topic, partition, offset, timestamp) metadata
+    val records = input.toDF().select(
+      lit(null).cast("binary").as("key"),
+      col("value").cast("binary").as("value"),
+      lit("events").as("topic"), lit(0).as("partition"),
+      lit(0L).as("offset"), current_timestamp().as("timestamp"))
+    val agg = StreamingEvents.hourlyCounts(graft.streaming.KafkaShaped.parseEvents(records))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("kafka_out").start()
+    try {
+      input.addData(
+        """{"event_id":1,"user_id":10,"event_type":"click","value":1.0,"ts_ms":3600000}""",
+        """{"event_id":2,"user_id":11,"event_type":"click","value":2.0,"ts_ms":3700000}""",
+        """{"event_id":3,"user_id":12,"event_type":"buy","value":9.0,"ts_ms":7300000}""",
+        "not json at all") // poison pill: must be dropped, not crash
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, n_events, sum_value FROM kafka_out ORDER BY event_type")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(rows === Seq(("buy", 1L, 9.0), ("click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions, keeps open ones in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -78,7 +78,16 @@ class WritePathSpec extends AnyFunSuite {
     val tables = Seq("region", "nation", "bogus_table")
     val keys = Map("region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"))
 
-    val first = WritePath.migrate(spark, src, dest, tables, keys)
+    // E6: per-table progress lines on stderr (migrate.ts:39, 66, 72)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    val first =
+      try WritePath.migrate(spark, src, dest, tables, keys)
+      finally System.setErr(realErr)
+    val errLog = errBuf.toString
+    assert(errLog.contains("[migrate] region: copied 5 rows"), errLog)
+    assert(errLog.contains("[migrate] bogus_table failed"), errLog)
     assert(first("region") === 5L)
     assert(first("nation") === 25L)
     assert(first("bogus_table") === -1L) // isolated failure (E1)
