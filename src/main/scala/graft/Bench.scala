@@ -19,10 +19,26 @@ object Bench {
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup outside the timed region (one tiny end-to-end job)
-    try spark.read.parquet(s"$sfDir/region.parquet")
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // JVM/codegen warmup outside the timed region: exercise the code
+    // paths the queries hit (scan, hash agg, broadcast + shuffle join,
+    // window, sort) over the 5-row region table, so the first timed
+    // query measures the query, not first-touch JIT/codegen of those
+    // operator classes
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.write.format("noop").mode("overwrite").save()
+      r.groupBy(col("r_regionkey")).agg(count(lit(1)).as("n"))
+        .join(r, "r_regionkey")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("r_regionkey")).orderBy(col("r_name"))))
+        .orderBy(col("rn"), col("r_regionkey"))
+        .write.format("noop").mode("overwrite").save()
+      r.as("a").join(r.as("b").hint("shuffle_hash"),
+          col("a.r_regionkey") === col("b.r_regionkey"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     // noop sink: forces full evaluation of every column (a bare count()
     // would let Catalyst prune the projections being benchmarked).
     // optional comma-separated subset for isolated measurement

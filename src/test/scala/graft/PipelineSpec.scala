@@ -118,6 +118,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(sketchShuffled === sketch)
   }
 
+  test("property: JVM md5 pair equals the Column form on arbitrary unicode") {
+    // oracle parity hinges on the sketch aggregate hashing EXACTLY the
+    // bytes DuckDB's md5(shingle) sees — i.e. UTF-8 of the string,
+    // including multi-byte and surrogate-pair codepoints
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.PortableHash
+    val gen = Gen.listOfN(40, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const("héllo wörld"), Gen.const("日本語 テキスト"),
+      Gen.const("emoji 😀 pair"), Gen.const(""), Gen.const("  tab\t")))
+    val p = Prop.forAll(gen) { strs =>
+      val distinct = strs.distinct
+      val colSide = distinct.toDF("s")
+        .select($"s", PortableHash.md5Long32($"s"), PortableHash.md5Long32b($"s"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      distinct.forall(s => colSide(s) == PortableHash.md5PairJvm(s))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("large-star/small-star CC equals the min-label propagation fixpoint") {
     // chain graph: the worst case for label propagation (diameter =
     // n), O(log n) rounds for the star algorithm
