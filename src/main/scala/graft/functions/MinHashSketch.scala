@@ -14,26 +14,27 @@ import org.apache.spark.unsafe.types.UTF8String
 /** MinHash signature sketch as a TypedImperativeAggregate (SURVEY
   * §2.11's sketch-aggregate candidate): one pass over a group's
   * shingles produces the full `numHashes`-slot signature
-  * `h_i = min over shingles of (a(shingle) + i * b(shingle))` where
-  * (a, b) are the two independent 32-bit words of the shingle's md5
-  * digest ([[PortableHash.md5PairJvm]]) — the classic one-digest
-  * affine hash family.
+  * `h_i = min over shingles of (A_i * x + B_i) mod p` where
+  * x = md5word(shingle) mod p and (A_i, B_i) are deterministic
+  * per-slot constants ([[PortableHash.slotConstants]]) — the textbook
+  * universal hash family, so slots are independent and the LSH band
+  * recall model (P(candidate) = 1-(1-j^r)^b) actually holds. (An
+  * earlier draft used the modulus-free ladder a + i*b, whose slots
+  * are strongly correlated — higher slots degenerate toward argmin-b.)
   *
   * Why custom: the composable form is `numHashes` independent
   * `min(hash_i(col))` aggregates — numHashes aggregation buffers per
   * group. This sketch keeps one mutable long-array buffer per group
-  * and ONE md5 digest per input row (the affine family derives every
-  * slot from the same two words), merges partials elementwise
+  * and ONE md5 digest per input row, merges partials elementwise
   * (map-side combine works as usual).
   *
   * Why md5 (round 2): xxhash64 has no DuckDB twin, which left the
-  * LSH queries rows-only in CORRECTNESS_r01. The md5-affine family is
-  * bit-reproducible in DuckDB as
-  * `MIN(CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)
-  *     + i * CAST(('0x'||substr(md5(s),9,8)) AS BIGINT))`
-  * and as the equivalent Spark Column form — both asserted equal to
-  * this aggregate in PipelineSpec. Values stay < 2^37 for
-  * numHashes <= 24: no overflow on either engine.
+  * LSH queries rows-only in CORRECTNESS_r01. DuckDB reproduces the
+  * family bit-for-bit:
+  * `MIN((a * (CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) % p) + b) % p)`
+  * with the same (a, b) literals — asserted equal to this aggregate
+  * (and to the Spark Column form) in PipelineSpec. x, A, B < p = 2^31-1
+  * keeps A*x + B < 2^62: exact on both engines.
   */
 case class MinHashSketch(
     child: Expression,
@@ -50,13 +51,18 @@ case class MinHashSketch(
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 
+  @transient private lazy val slotAB: Array[(Long, Long)] =
+    PortableHash.slotConstants(numHashes)
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val (a, b) = PortableHash.md5PairJvm(v.asInstanceOf[UTF8String].getBytes)
+      val x = PortableHash.md5PairJvm(v.asInstanceOf[UTF8String].getBytes)._1 %
+        PortableHash.P31
       var i = 0
       while (i < numHashes) {
-        val h = a + i * b
+        val (a, b) = slotAB(i)
+        val h = (a * x + b) % PortableHash.P31
         if (h < buf(i)) buf(i) = h
         i += 1
       }

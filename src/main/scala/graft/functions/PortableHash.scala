@@ -19,11 +19,11 @@ import org.apache.spark.sql.functions._
   *  - [[md5Long60]]  = first 15 hex digits, a 60-bit value that stays
   *    inside signed-64 arithmetic in both engines
   *
-  * MinHash uses the classic affine family over the two 32-bit words:
-  * `h_i(x) = a(x) + i * b(x)` (max 24 slots * 2^32 < 2^37 — no
-  * overflow anywhere). One digest per input row regardless of the
-  * number of hash slots — cheaper than per-slot string hashing, and
-  * expressible in one DuckDB cross join with `range(0, n)`.
+  * MinHash uses the textbook universal family over the first word:
+  * `h_i(x) = (A_i * x + B_i) mod p`, p = 2^31 - 1, with per-slot
+  * deterministic constants ([[slotConstants]]) — independent slots,
+  * one digest per input row regardless of the number of hash slots,
+  * and expressible in one DuckDB cross join with a VALUES slot table.
   */
 object PortableHash {
 
@@ -64,6 +64,32 @@ object PortableHash {
   // shared across local-mode task threads, so each thread gets its own.
   private val threadDigest: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Mersenne prime 2^31 - 1: the modulus of the MinHash universal
+    * family. Both engines stay in exact signed-64 arithmetic:
+    * x < p and A,B < p, so A*x + B < 2^62.
+    */
+  val P31: Long = 2147483647L
+
+  /** Per-slot (A_i, B_i) constants of the universal hash family
+    * h_i(x) = (A_i * x + B_i) mod p — independent slots (the classic
+    * MinHash construction), NOT the correlated a + i*b ladder (without
+    * a modulus that degenerates toward argmin-b for large i).
+    * Deterministic: derived from md5("slot:i"); A_i forced nonzero.
+    * The same constants are embedded as literals in the DuckDB oracle
+    * ([[slotConstantsSql]]).
+    */
+  def slotConstants(numHashes: Int): Array[(Long, Long)] =
+    Array.tabulate(numHashes) { i =>
+      val (w1, w2) = md5PairJvm(s"slot:$i")
+      (w1 % (P31 - 1) + 1, w2 % P31)
+    }
+
+  /** `(VALUES (0, A0, B0), ...) AS slots(i, a, b)` for the oracle. */
+  def slotConstantsSql(numHashes: Int): String =
+    slotConstants(numHashes).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }
+      .mkString("(VALUES ", ", ", ") AS slots(i, a, b)")
 
   /** Deterministic ±1 hyperplane matrix for sign-LSH: plane j's i-th
     * coordinate is +1 iff md5("j:i")'s first-8-hex word is even —

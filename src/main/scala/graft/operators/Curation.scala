@@ -18,10 +18,10 @@ import graft.Tables
 object Curation {
 
   /** Deterministic per-row hash in [0, 2^32): portable across engines
-    * (DuckDB: CAST('0x'||substr(md5(x),1,8) AS BIGINT)).
+    * (DuckDB: CAST('0x'||substr(md5(x),1,8) AS BIGINT)). One
+    * definition for the whole engine — delegates to [[PortableHash]].
     */
-  def md5Bucket(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+  def md5Bucket(c: Column): Column = graft.functions.PortableHash.md5Long32(c)
 
   /** q42 — exact per-group quantiles by rank selection (no
     * percentile interpolation: interpolation semantics differ across

@@ -132,9 +132,9 @@ object Dedup {
       |) WHERE jaccard >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** MinHash signature matrix: numHashes affine-family slots per doc,
-    * h_i(doc) = min over shingles of (a + i*b) with (a, b) the two
-    * md5 words — computed by the single-buffer
+  /** MinHash signature matrix: numHashes universal-family slots per
+    * doc, h_i(doc) = min over shingles of (A_i*x + B_i) mod p with
+    * x the md5 word of the shingle — computed by the single-buffer
     * [[graft.functions.MinHashSketch]] aggregate (bit-equal to the
     * composable min-column form AND to DuckDB; see PipelineSpec).
     */
@@ -246,6 +246,10 @@ object Dedup {
       done = ss.count() == e.count() && ss.except(e).isEmpty
       e = ss
     }
+    if (!done)
+      System.err.println(s"[connectedComponents] WARNING: not converged " +
+        s"after $maxIters alternating rounds — returned reps may not yet " +
+        "be component minima")
     e.select(col("src").as("node"), col("dst").as("rep"))
   }
 
@@ -280,7 +284,7 @@ object Dedup {
       |ORDER BY d.doc_id""".stripMargin
 
   /** q27 — MinHash + LSH banding near-dup pairs (oracle-checked in
-    * round 2: the md5-affine family is stated identically in DuckDB,
+    * round 2: the md5 universal family is stated identically in DuckDB,
     * so the candidate set — not just the verified output — matches).
     * numHashes=24 split into 8 bands of 3: P(candidate) = 1-(1-j^3)^8,
     * ~0.997 at j=0.8. Candidates are verified with exact Jaccard so
@@ -329,20 +333,20 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** DuckDB twin of the FULL LSH pipeline: same md5-affine signatures
-    * (`MIN(a + i*b)`), same 8x3 banding, same candidate join, same
+  /** DuckDB twin of the FULL LSH pipeline: same universal-family
+    * signatures (`MIN((a*x + b) % p)` with the same per-slot (a, b)
+    * literals), same 8x3 banding, same candidate join, same
     * exact-Jaccard verification — bit-identical end to end.
     */
   val minhashLshPairsSql: String =
     s"""WITH $shingleCtes, hx AS (
       |  SELECT doc_id, shingle,
-      |    CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS ha,
-      |    CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS hb
+      |    CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483647 AS x
       |  FROM kept
       |), sig AS (
-      |  SELECT doc_id, t.i AS slot, MIN(ha + t.i * hb) AS h
-      |  FROM hx, range(0, 24) t(i)
-      |  GROUP BY doc_id, t.i
+      |  SELECT doc_id, slots.i AS slot, MIN((slots.a * x + slots.b) % 2147483647) AS h
+      |  FROM hx, ${graft.functions.PortableHash.slotConstantsSql(24)}
+      |  GROUP BY doc_id, slots.i
       |), banded AS (
       |  SELECT doc_id, slot // 3 AS band,
       |    string_agg(CAST(h AS VARCHAR), '|' ORDER BY slot) AS bucket

@@ -372,10 +372,14 @@ object Relational {
               lit(0.3) * (nullif(coalesce(col("category_rank_score"), lit(0.0)), lit(0.0)) /
                 nullif(col("max_cat"), lit(1.0))), 6).as("popularity"))
 
-    // latest_snapshots (lib.ts:468-472): reviews = latest quantity
+    // latest_snapshots (lib.ts:468-472): reviews = latest quantity.
+    // l_quantity is an OUTPUT of this pick, so it must be in the
+    // tiebreak (rows tying on all ordering keys then agree on it) —
+    // otherwise Spark and the oracle can legitimately pick different
+    // quantities on a full tie.
     val wSnap = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc,
-        col("l_extendedprice").desc)
+        col("l_extendedprice").desc, col("l_quantity").desc)
     val latestSnap = li.withColumn("rn", row_number().over(wSnap))
       .filter(col("rn") === 1)
       .select(col("l_suppkey").as("ls_suppkey"), col("l_quantity").as("last_reviews"))
@@ -437,7 +441,8 @@ object Relational {
       |  SELECT l_suppkey, l_quantity AS last_reviews
       |  FROM lineitem
       |  QUALIFY row_number() OVER (PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC, l_extendedprice DESC) = 1
+      |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC,
+      |             l_extendedprice DESC, l_quantity DESC) = 1
       |), app_categories AS (
       |  SELECT l.l_suppkey, p.p_brand
       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey

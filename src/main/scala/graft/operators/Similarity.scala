@@ -116,10 +116,13 @@ object Similarity {
   def lshBucket(emb: Column, nBits: Int, dim: Int = 64): Column = {
     val signs = PortableHash.signMatrix(nBits, dim)
     (0 until nBits).map { j =>
-      // zip_with + left-to-right fold: the same accumulation order the
-      // oracle's list_reduce states
+      // index-lookup transform, not zip_with: dimension-generic for
+      // vectors up to `dim` (uses the first len(emb) signs, exactly
+      // like the oracle's range(1, len+1)); vectors LONGER than dim
+      // null the fold on both engines (bucket 0) instead of silently
+      // diverging. Left-to-right fold = the oracle's list_reduce.
       val proj = aggregate(
-        zip_with(emb, lit(signs(j)), (v, s) => v.cast("double") * s),
+        transform(emb, (v, i) => v.cast("double") * element_at(lit(signs(j)), (i + 1).cast("int"))),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_ bitwiseOR _)

@@ -29,10 +29,13 @@ object IvfRecall {
     spark.catalog.clearCache()
     Seq(1, 2, 4).foreach { nprobe =>
       val ann = Similarity.knnIvfKmeans(spark, dir, nprobe = nprobe)
-      val rec = Similarity.ivfRecall(ann, exact)
-      val mean = rec.agg(avg(col("recall"))).head.getDouble(0)
+      // one action: the collected rows supply both the mean and the
+      // per-query list (rec is uncached — a second action would re-run
+      // the recall join)
+      val rows = Similarity.ivfRecall(ann, exact).collect()
+      val mean = rows.map(_.getDouble(1)).sum / rows.length
       println(f"nprobe=$nprobe%d mean_recall@10=$mean%.4f per_query=" +
-        rec.collect().map(r => f"${r.getDouble(1)}%.2f").mkString(","))
+        rows.map(r => f"${r.getDouble(1)}%.2f").mkString(","))
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -89,7 +89,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((0L, 1L, 0.714286)))
   }
 
-  test("MinHashSketch aggregate equals the composable md5-affine min columns") {
+  test("MinHashSketch aggregate equals the composable universal-family min columns") {
     import graft.functions.PortableHash
     val df = Seq((1L, "aa"), (1L, "bb"), (1L, "cc"), (2L, "aa"), (2L, "zz"))
       .toDF("doc_id", "shingle")
@@ -98,11 +98,14 @@ class PipelineSpec extends AnyFunSuite {
       .agg(graft.functions.MinHashSketch.minhash(spark, $"shingle", n).as("sig"))
       .orderBy($"doc_id").as[(Long, Seq[Long])].collect().toSeq
     // the Column form is exactly what the DuckDB oracle states:
-    // MIN(a + i*b) over the two md5 words
+    // MIN((a_i * x + b_i) % p) with x = md5 word % p
+    val p = PortableHash.P31
+    val ab = PortableHash.slotConstants(n)
+    val x = PortableHash.md5Long32($"shingle") % p
     val composable = df.groupBy($"doc_id")
-      .agg(array((0 until n).map(i =>
-        min(PortableHash.md5Long32($"shingle") + lit(i) * PortableHash.md5Long32b($"shingle"))): _*)
-        .as("sig"))
+      .agg(array((0 until n).map { i =>
+        min((lit(ab(i)._1) * x + lit(ab(i)._2)) % p)
+      }: _*).as("sig"))
       .orderBy($"doc_id").as[(Long, Seq[Long])].collect().toSeq
     assert(sketch === composable)
     // and the JVM twin hashes identically to the Column form
