@@ -72,6 +72,8 @@ object SparkEntry {
     "q49_apps_by_category" -> ((s: SparkSession, d: String) => Relational.appsByCategory(s, d)),
     "q50_categories_report" -> (Report.categoriesStats _),
     "q51_sql_source" -> ((s: SparkSession, d: String) => Relational.sqlSource(s, d)),
+    "q52_topk_per_source" -> ((s: SparkSession, d: String) => Curation.topKPerSource(s, d)),
+    "q53_sequence_pack" -> ((s: SparkSession, d: String) => Curation.sequencePack(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,5 +137,7 @@ object SparkEntry {
     "q50_categories_report" ->
       Report.categoriesStatsSql(Relational.categoryDifficultySql),
     "q51_sql_source" -> Relational.sqlSourceSql,
+    "q52_topk_per_source" -> Curation.topKPerSourceSql,
+    "q53_sequence_pack" -> Curation.sequencePackSql,
   )
 }

@@ -107,6 +107,84 @@ object Curation {
       .orderBy(col("lang"), col("pick"))
   }
 
+  /** q52 — top-k per group by quality: the standard "keep the best N
+    * documents per source" curation pass of a pretraining pipeline.
+    * The rank filter plans as a PARTIAL WindowGroupLimit before the
+    * shuffle (same shape PlansSpec pins for kNN): each map partition
+    * ships at most k rows per source, so at 100 TB the shuffle carries
+    * O(partitions * sources * k), not the corpus.
+    */
+  def topKPerSource(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("source"), col("lang"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** DuckDB twin: the q23 oracle's proven quality expression
+    * ([[TextAnalysis.qualityExprSql]]) + the same windowed top-k.
+    */
+  val topKPerSourceSql: String =
+    s"""WITH scored AS (
+      |  SELECT doc_id, source, lang,
+      |    ${TextAnalysis.qualityExprSql} AS quality
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, lang, quality,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY quality DESC, doc_id) AS INT) AS rank
+      |FROM scored
+      |QUALIFY rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
+  /** q53 — deterministic sequence packing: assign each document to a
+    * fixed-token-budget training sequence by running token offset —
+    * the batch/sequence construction pass of an LLM pretraining
+    * pipeline. Scale shape: the running sum is windowed WITHIN a hash
+    * bucket (md5(doc_id) % nBuckets), never globally — one shuffle on
+    * bucket, each partition packs independently (a global cumsum would
+    * serialize the corpus through one partition). seq_id is globally
+    * unique as (bucket, local sequence index). Greedy-split semantics:
+    * a document starts in the sequence its cumulative offset falls in
+    * (documents may straddle a boundary; the packer downstream splits
+    * or pads — this operator decides placement deterministically).
+    */
+  def sequencePack(spark: SparkSession, dir: String, budget: Int = 2048,
+                   nBuckets: Int = 32): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val t = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      (md5Bucket(col("doc_id")) % nBuckets).as("bucket"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("seq_id"),
+        (col("cum_before") % budget).as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sequencePackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS n_tokens,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bucket
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, bucket, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM t
+      |)
+      |SELECT doc_id, bucket, n_tokens,
+      |  cum_before // 2048 AS seq_id,
+      |  cum_before % 2048 AS seq_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val stratifiedSampleSql: String =
     """SELECT lang, pick, doc_id, n_chars FROM (
       |  SELECT lang, doc_id, n_chars,

@@ -104,19 +104,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val qualitySql: String = {
+  /** The quality formula as one DuckDB scalar expression — shared by
+    * the q23 oracle and Curation's q52 top-k-per-source oracle.
+    */
+  private[operators] val qualityExprSql: String = {
     val n = "len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))"
     val p = "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
     val s = hitsSql(langStopwords.head._2)
-    s"""SELECT doc_id,
-       |  ROUND(0.4 * least(1.0, $n / 50.0) +
+    s"""ROUND(0.4 * least(1.0, $n / 50.0) +
        |        0.3 * (1.0 - least(1.0, $p / greatest($n, 1.0))) +
-       |        0.3 * least(1.0, 5.0 * $s / greatest($n, 1.0)), 6) AS quality,
-       |  CAST(FLOOR((ROUND(0.4 * least(1.0, $n / 50.0) +
-       |        0.3 * (1.0 - least(1.0, $p / greatest($n, 1.0))) +
-       |        0.3 * least(1.0, 5.0 * $s / greatest($n, 1.0)), 6)) * 10) AS INT) AS quality_bucket
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |        0.3 * least(1.0, 5.0 * $s / greatest($n, 1.0)), 6)""".stripMargin
   }
+
+  val qualitySql: String =
+    s"""SELECT doc_id,
+       |  $qualityExprSql AS quality,
+       |  CAST(FLOOR(($qualityExprSql) * 10) AS INT) AS quality_bucket
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q36 — corpus vocabulary: term frequency + document frequency per
     * token (the vocab-building pass of a training-data pipeline).
