@@ -88,18 +88,33 @@ object Dedup {
     * dfCap prunes degenerate high-frequency shingles (identically on
     * both sides) so no inverted-index key fans out quadratically.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, k: Int = 3,
-                        threshold: Double = 0.6, dfCap: Int = 200): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    // materialized once: the exploded shingle table feeds the
-    // df-filter, the size aggregate, and both sides of the candidate
-    // join — without it the tokenize+explode runs four times.
+  /** df-capped shingle table, materialized ONCE: explode → checkpoint,
+    * partial+final df aggregate, join-back, checkpoint again. Both
+    * checkpoints matter — the size aggregate and both sides of the
+    * candidate self-join read the second one (an uncached self-join
+    * computes its subtree once per side), and the df-agg + join read
+    * the first (one tokenize+explode total). At sf0.1 this measures
+    * within noise of the previous single-checkpoint form (the
+    * self-join recompute was served by the sh cache); at 100 TB the
+    * second materialization wins — each extra consumer of `kept`
+    * re-ran a full shuffle join. (A count-over-window df-cap variant
+    * was also tried: same ballpark locally, but the window sorts the
+    * full shingle table by a high-cardinality string key instead of
+    * map-side combining — the aggregate form is the scale shape.)
+    */
+  private def keptShingles(docs: DataFrame, k: Int, dfCap: Int): DataFrame = {
     val sh = shingles(docs, k).localCheckpoint()
     val rare = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select("shingle")
-    val kept = sh.join(rare, "shingle")
+    sh.join(rare, "shingle").localCheckpoint()
+  }
+
+  def ngramJaccardPairs(spark: SparkSession, dir: String, k: Int = 3,
+                        threshold: Double = 0.6, dfCap: Int = 200): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = keptShingles(docs, k, dfCap)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairsShared = kept.as("a").join(kept.as("b"), "shingle")
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -298,10 +313,7 @@ object Dedup {
                       numHashes: Int = 24, bands: Int = 8,
                       threshold: Double = 0.6): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val sh = shingles(docs, k).localCheckpoint()
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 200).select("shingle")
-    val kept = sh.join(rare, "shingle").localCheckpoint()
+    val kept = keptShingles(docs, k, dfCap = 200)
     val rows = numHashes / bands
     val sig = minhashSignatures(spark, kept, numHashes)
     // band keys via one explode (a union of per-band selects would
