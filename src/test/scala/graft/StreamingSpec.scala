@@ -50,6 +50,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup runs on the RocksDB state store backend") {
+    // at 100 TB/day the HDFS-backed in-memory state store OOMs; the
+    // spill-to-disk RocksDB provider is the production backend — prove
+    // the watermarked dedup state machine is backend-portable
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-rocks-stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        streamDir.resolve("part-00000.parquet"))
+      val stream = StreamingEvents.readEventStream(spark, streamDir.toString)
+      val q = StreamingEvents.dedupWithinWatermark(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rocks_dedup_out").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("rocks_dedup_out").count()
+        val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+          .select("user_id", "event_type").distinct().count()
+        assert(streamed === batch)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("kafka-shaped records parse, drop poison pills, drive the aggregate") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
