@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.Temporal
+
+/** Property tests for the temporal joins: random event sets (clustered
+  * around bin boundaries to stress the ±1-bin probe and exact-tie
+  * edges) against brute-force in-Scala references. The oracle queries
+  * (q45/q46) pin one dataset; these pin the algebra.
+  */
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val W = 1800000L
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** rows: (event_id, ts_ms, user_id, event_type) → events dir. */
+  private def writeEvents(rows: Seq[(Long, Long, Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft-temporal").toString
+    rows.map { case (id, ms, u, t) =>
+      (id, new java.sql.Timestamp(ms), u, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  // timestamps piled onto bin-boundary multiples of W (±2ms) plus
+  // uniform filler — the boundary cases are where binning bugs live
+  private val rowsGen: Gen[Seq[(Long, Long, Long, String)]] = for {
+    n <- Gen.choose(5, 40)
+    raw <- Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 3L)
+      t <- Gen.oneOf("click", "purchase", "signup")
+      base <- Gen.choose(1L, 4L)
+      ms <- Gen.oneOf(
+        Gen.choose(base * W - 2, base * W + 2),
+        Gen.choose(0L, 5L * W))
+    } yield (u, t, ms))
+  } yield raw.zipWithIndex.map { case ((u, t, ms), i) => (i.toLong, ms, u, t) }
+
+  test("property: binned range join equals the brute-force θ-count") {
+    checkProp(Prop.forAll(rowsGen) { rows =>
+      val dir = writeEvents(rows)
+      val got = Temporal.clicksBeforePurchase(spark, dir, W)
+        .select($"purchase_id", $"n_clicks_before").as[(Long, Long)]
+        .collect().toMap
+      val clicks = rows.filter(_._4 == "click")
+      val expected = rows.filter(_._4 == "purchase").map { case (id, ms, u, _) =>
+        id -> clicks.count(c => c._3 == u && c._2 >= ms - W && c._2 < ms).toLong
+      }.toMap
+      got == expected
+    })
+  }
+
+  test("property: as-of join equals the brute-force most-recent-prior scan") {
+    checkProp(Prop.forAll(rowsGen) { rows =>
+      val dir = writeEvents(rows)
+      val got = Temporal.lastSignupBeforePurchase(spark, dir)
+        .select($"purchase_id", $"last_signup_ms").as[(Long, Option[Long])]
+        .collect().toMap
+      val signups = rows.filter(_._4 == "signup")
+      val expected = rows.filter(_._4 == "purchase").map { case (id, ms, u, _) =>
+        // window order is (ts_ms, event_id) with frame up to -1: a
+        // signup qualifies iff strictly before the purchase in that order
+        val prior = signups.filter(s =>
+          s._3 == u && (s._2 < ms || (s._2 == ms && s._1 < id)))
+        id -> prior.sortBy(s => (s._2, s._1)).lastOption.map(_._2)
+      }.toMap
+      got == expected
+    })
+  }
+}
