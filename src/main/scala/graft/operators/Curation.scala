@@ -169,9 +169,9 @@ object Curation {
   }
 
   val sequencePackSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id,
-      |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS n_tokens,
+      |    ${TextAnalysis.tokenCountExprSql} AS n_tokens,
       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bucket
       |  FROM documents
       |), c AS (

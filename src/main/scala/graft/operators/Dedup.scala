@@ -79,15 +79,6 @@ object Dedup {
       |  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200)
       |)""".stripMargin
 
-  /** q26 — n-gram Jaccard near-dup pairs: inverted-index candidate
-    * generation (pairs sharing >= 1 surviving shingle) + exact Jaccard
-    * verification. Because threshold > 0 implies a shared shingle, the
-    * candidate step loses nothing — the result equals the full O(n^2)
-    * computation, which is what the oracle states.
-    *
-    * dfCap prunes degenerate high-frequency shingles (identically on
-    * both sides) so no inverted-index key fans out quadratically.
-    */
   /** df-capped shingle table, materialized ONCE: explode → checkpoint,
     * partial+final df aggregate, join-back, checkpoint again. Both
     * checkpoints matter — the size aggregate and both sides of the
@@ -111,6 +102,15 @@ object Dedup {
     sh.join(rare, "shingle").localCheckpoint()
   }
 
+  /** q26 — n-gram Jaccard near-dup pairs: inverted-index candidate
+    * generation (pairs sharing >= 1 surviving shingle) + exact Jaccard
+    * verification. Because threshold > 0 implies a shared shingle, the
+    * candidate step loses nothing — the result equals the full O(n^2)
+    * computation, which is what the oracle states.
+    *
+    * dfCap prunes degenerate high-frequency shingles (identically on
+    * both sides) so no inverted-index key fans out quadratically.
+    */
   def ngramJaccardPairs(spark: SparkSession, dir: String, k: Int = 3,
                         threshold: Double = 0.6, dfCap: Int = 200): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

@@ -104,11 +104,19 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Whitespace token count as a DuckDB expression — the oracle twin
+    * of TextFunctions.tokenCount, shared by the quality and
+    * sequence-packing oracles so the tokenizer can only change in one
+    * place per engine.
+    */
+  private[operators] val tokenCountExprSql: String =
+    "len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))"
+
   /** The quality formula as one DuckDB scalar expression — shared by
     * the q23 oracle and Curation's q52 top-k-per-source oracle.
     */
   private[operators] val qualityExprSql: String = {
-    val n = "len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))"
+    val n = tokenCountExprSql
     val p = "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
     val s = hitsSql(langStopwords.head._2)
     s"""ROUND(0.4 * least(1.0, $n / 50.0) +

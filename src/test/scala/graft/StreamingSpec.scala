@@ -32,22 +32,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("watermarked streaming dedup matches batch distinct count") {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+  /** Shared by the default-backend and RocksDB dedup tests: stage the
+    * events file as a stream, run the watermarked dedup to a memory
+    * sink, assert against the batch distinct count.
+    */
+  private def runDedupStream(queryName: String): Unit = {
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft-$queryName")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       streamDir.resolve("part-00000.parquet"))
     val stream = StreamingEvents.readEventStream(spark, streamDir.toString)
     val q = StreamingEvents.dedupWithinWatermark(stream)
       .writeStream.outputMode("append")
-      .format("memory").queryName("dedup_out").start()
+      .format("memory").queryName(queryName).start()
     try {
       q.processAllAvailable()
-      val streamed = spark.table("dedup_out").count()
+      val streamed = spark.table(queryName).count()
       val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
         .select("user_id", "event_type").distinct().count()
       assert(streamed === batch)
     } finally q.stop()
+  }
+
+  test("watermarked streaming dedup matches batch distinct count") {
+    runDedupStream("dedup_out")
   }
 
   test("streaming dedup runs on the RocksDB state store backend") {
@@ -57,23 +65,8 @@ class StreamingSpec extends AnyFunSuite {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-rocks-stream")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
-        streamDir.resolve("part-00000.parquet"))
-      val stream = StreamingEvents.readEventStream(spark, streamDir.toString)
-      val q = StreamingEvents.dedupWithinWatermark(stream)
-        .writeStream.outputMode("append")
-        .format("memory").queryName("rocks_dedup_out").start()
-      try {
-        q.processAllAvailable()
-        val streamed = spark.table("rocks_dedup_out").count()
-        val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
-          .select("user_id", "event_type").distinct().count()
-        assert(streamed === batch)
-      } finally q.stop()
-    } finally prev match {
+    try runDedupStream("rocks_dedup_out")
+    finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }

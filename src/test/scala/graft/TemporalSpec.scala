@@ -51,23 +51,27 @@ class TemporalSpec extends AnyFunSuite {
   test("property: binned range join equals the brute-force θ-count") {
     checkProp(Prop.forAll(rowsGen) { rows =>
       val dir = writeEvents(rows)
-      val got = Temporal.clicksBeforePurchase(spark, dir, W)
+      val gotRows = Temporal.clicksBeforePurchase(spark, dir, W)
         .select($"purchase_id", $"n_clicks_before").as[(Long, Long)]
-        .collect().toMap
+        .collect()
+      val got = gotRows.toMap
       val clicks = rows.filter(_._4 == "click")
       val expected = rows.filter(_._4 == "purchase").map { case (id, ms, u, _) =>
         id -> clicks.count(c => c._3 == u && c._2 >= ms - W && c._2 < ms).toLong
       }.toMap
-      got == expected
+      // row-count check too: toMap would mask a duplicate-row
+      // regression (e.g. one row per probed bin)
+      gotRows.length == expected.size && got == expected
     })
   }
 
   test("property: as-of join equals the brute-force most-recent-prior scan") {
     checkProp(Prop.forAll(rowsGen) { rows =>
       val dir = writeEvents(rows)
-      val got = Temporal.lastSignupBeforePurchase(spark, dir)
+      val gotRows = Temporal.lastSignupBeforePurchase(spark, dir)
         .select($"purchase_id", $"last_signup_ms").as[(Long, Option[Long])]
-        .collect().toMap
+        .collect()
+      val got = gotRows.toMap
       val signups = rows.filter(_._4 == "signup")
       val expected = rows.filter(_._4 == "purchase").map { case (id, ms, u, _) =>
         // window order is (ts_ms, event_id) with frame up to -1: a
@@ -76,7 +80,7 @@ class TemporalSpec extends AnyFunSuite {
           s._3 == u && (s._2 < ms || (s._2 == ms && s._1 < id)))
         id -> prior.sortBy(s => (s._2, s._1)).lastOption.map(_._2)
       }.toMap
-      got == expected
+      gotRows.length == expected.size && got == expected
     })
   }
 }
