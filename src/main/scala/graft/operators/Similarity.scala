@@ -326,6 +326,50 @@ object Similarity {
     topK(scored.dropDuplicates("query_id", "neighbor_id"), k)
   }
 
+  /** Persisted IVF index: the corpus written cell-partitioned
+    * (`partitionBy(cell)`) so probes are partition-PRUNED scans — the
+    * storage layout a 100 TB ANN deployment uses (each cell directory
+    * holds only its vectors; a probe reads nprobe directories, not the
+    * corpus). Centroids are written alongside. Returns the centroid
+    * frame.
+    */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+                    kCells: Int = 16, iters: Int = 3): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = kmeansCentroids(spark, emb, kCells, iters)
+    assignCells(spark, emb, centroids, nprobe = 1)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/corpus")
+    centroids.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    centroids
+  }
+
+  /** Probe a persisted IVF index: queries rank the stored centroids,
+    * then scan ONLY their nprobe cell partitions (pushed as a
+    * PartitionFilters `cell IN (...)` — asserted in PipelineSpec) and
+    * rerank exactly. The `cell` filter comes from a tiny driver-side
+    * centroid ranking (kCells rows — the same role as an index
+    * metadata lookup).
+    */
+  def knnIvfIndexed(spark: SparkSession, dir: String, indexPath: String,
+                    nQueries: Int = 8, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val queries = assignCells(spark,
+        Tables.load(spark, dir, "embeddings").filter(col("vec_id") < nQueries),
+        centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+      .localCheckpoint()
+    // partition pruning: restrict the corpus scan to the probed cells
+    val probedCells = queries.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+      .filter(col("cell").isin(probedCells: _*))
+      .filter(col("vec_id") >= nQueries)
+    val scored = corpus.join(broadcast(queries), "cell")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(spark, col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    topK(scored.dropDuplicates("query_id", "neighbor_id"), k)
+  }
+
   /** recall@k of an ANN result against the exact [[knnBrute]] top-k:
     * |ANN ∩ exact| / |exact| per query, and the mean across queries.
     */

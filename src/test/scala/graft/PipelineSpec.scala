@@ -161,6 +161,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaStar.except(viaProp).isEmpty && viaProp.except(viaStar).isEmpty)
   }
 
+  test("persisted IVF index: partition-pruned probes, same results as in-memory") {
+    import java.nio.file.Files
+    val dir = "/root/testdata/sf0.001"
+    val idx = Files.createTempDirectory("graft-ivf").toString
+    Similarity.buildIvfIndex(spark, dir, idx, kCells = 4, iters = 1)
+    val ann = Similarity.knnIvfIndexed(spark, dir, idx, nprobe = 2)
+    // the corpus scan must read only the probed cell partitions
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+      s"corpus scan not partition-pruned:\n$plan")
+    // same deterministic centroids => identical results to the
+    // in-memory k-means IVF at the same settings
+    val inMem = Similarity.knnIvfKmeans(spark, dir, kCells = 4, iters = 1, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val indexed = ann.as[(Long, Long, Double, Int)].collect().toSeq
+    assert(indexed === inMem)
+    assert(indexed.nonEmpty)
+  }
+
   test("approx quantiles track the exact rank-selection form") {
     // the 100 TB path (mergeable sketch, no per-group sort) must stay
     // close to the oracle-exact per-group rank selection
