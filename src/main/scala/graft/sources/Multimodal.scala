@@ -36,6 +36,27 @@ object Multimodal {
     (first, n % 640, (first * 3) % 480)
   }
 
+  /** REAL decode path for one dependency-free container: BMP. Parses
+    * the BITMAPINFOHEADER fields (magic "BM", little-endian i32 width
+    * at offset 18 / height at 22) with pure byte arithmetic — no codec
+    * library, so it runs in this environment. Non-BMP payloads fall
+    * back to the deterministic stub: the kernel demonstrates the full
+    * real-decode shape (magic sniff → header parse → typed metadata)
+    * that a libjpeg/ffmpeg-backed kernel would follow. Returns
+    * (first_code, width, height). q32 keeps the stub kernel (its
+    * oracle states the stub formulas over text payloads — a text that
+    * happened to start with "BM" would otherwise diverge); this path
+    * is exercised by MultimodalSpec over hand-built BMP bytes.
+    */
+  def decodeBmpOrFake(payload: Array[Byte]): (Int, Int, Int) = {
+    def le32(off: Int): Int =
+      (payload(off) & 0xFF) | ((payload(off + 1) & 0xFF) << 8) |
+        ((payload(off + 2) & 0xFF) << 16) | ((payload(off + 3) & 0xFF) << 24)
+    if (payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
+      (payload(0) & 0xFF, le32(18), le32(22))
+    else fakeDecode(payload)
+  }
+
   /** Documents' text re-encoded as a binary payload column — the shape
     * a real media table would have: (id, payload binary, metadata...).
     */

@@ -199,6 +199,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP kernel decodes a real header; non-BMP falls back to the stub") {
+    // hand-built 54-byte BMP header: magic "BM", width 640 @ offset 18
+    // (LE), height 480 @ offset 22
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte
+    def putLe32(off: Int, v: Int): Unit = (0 until 4).foreach { i =>
+      bmp(off + i) = ((v >> (8 * i)) & 0xFF).toByte
+    }
+    putLe32(18, 640); putLe32(22, 480)
+    assert(Multimodal.decodeBmpOrFake(bmp) === (('B'.toInt, 640, 480)))
+    // non-BMP payload: deterministic stub
+    val txt = "hello".getBytes("UTF-8")
+    assert(Multimodal.decodeBmpOrFake(txt) === Multimodal.fakeDecode(txt))
+    // "BM"-prefixed but shorter than a header: stub, no out-of-bounds
+    val short = "BMx".getBytes("UTF-8")
+    assert(Multimodal.decodeBmpOrFake(short) === Multimodal.fakeDecode(short))
+  }
+
   test("multimodal stub decode: metadata formulas over payload bytes") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-mm").toString
