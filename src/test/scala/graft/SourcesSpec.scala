@@ -56,6 +56,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("AQE splits the skewed partition of a sort-merge join at runtime") {
+    // the engine's stated skew posture is salting for aggs + AQE for
+    // SMJ skew; prove the AQE half actually fires: one hot key big
+    // enough to cross the (lowered) skew thresholds, broadcast off so
+    // the join stays sort-merge, then the FINAL adaptive plan must
+    // mark the join skew=true
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot key: 3/4 of all rows land on k = 0
+      val fact = spark.range(60000).select(
+        when(col("id") % 4 =!= 0, lit(0L)).otherwise(col("id") % 1000).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, "k")
+      // collect() executes THIS df's plan (count() would wrap a new
+      // aggregate plan and leave joined's adaptive plan unexecuted)
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"), s"no skew split in final plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("two-level aggregation equals direct aggregation") {
     val df = Seq.tabulate(100)(i => (i % 3, i.toLong)).toDF("k", "v")
     val direct = df.groupBy($"k").agg(sum($"v").as("s"), count(lit(1)).as("n"))
