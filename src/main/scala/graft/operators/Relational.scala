@@ -145,25 +145,72 @@ object Relational {
   /** Core dataflow with injectable inputs (micro-fixture tests feed
     * literal frames exercising the NULL/tie traps, FIXTURES.md §2).
     */
-  def popularityCore(li: DataFrame, sup: DataFrame, nat: DataFrame,
-                     prt: DataFrame): DataFrame = {
-    // category_sizes (lib.ts:342-346): COUNT(DISTINCT app) per category.
+  // ---- shared popularity CTE builders (used by q03 AND q48 — the
+  // reference re-states these CTEs verbatim in both queries,
+  // lib.ts:341-385 vs lib.ts:430-466; one definition here) ----
+
+  /** rank_scores (lib.ts:347-354 / 436-443): category_sizes folded in
+    * — SUM(1/(pos+1) * LOG10(category size + 1)) per app.
+    */
+  private def rankScoresOf(li: DataFrame): DataFrame = {
+    // category_sizes (lib.ts:342-346): COUNT(DISTINCT app) per category
     val catSizes = li.groupBy(col("l_partkey"))
       .agg(countDistinct(col("l_suppkey")).as("total_apps"))
-
-    // rank_scores (lib.ts:347-354): SUM(1/(pos+1) * LOG10(size+1)).
-    val rankScores = li.select(col("l_partkey"), col("l_suppkey"), col("l_linenumber"))
+    li.select(col("l_partkey"), col("l_suppkey"), col("l_linenumber"))
       .join(catSizes, "l_partkey")
       .groupBy(col("l_suppkey"))
       .agg(sum((lit(1.0) / (col("l_linenumber") + 1)) * log10(col("total_apps") + 1))
         .as("category_rank_score"))
+  }
 
-    // recommendation_metrics (lib.ts:355-362): COUNT(*)::INT + SUM(1/(pos+1)).
-    val recMetrics = li.filter(col("l_returnflag") === "N")
-      .groupBy(col("l_suppkey"))
-      .agg(
-        count(lit(1)).cast(IntegerType).as("rec_count"),
-        sum(lit(1.0) / (col("l_linenumber") + 1)).as("rec_score"))
+  /** recommendation_metrics (lib.ts:355-362; the difficulty variant at
+    * lib.ts:444-449 omits the COUNT — `withCount` mirrors that).
+    */
+  private def recMetricsOf(li: DataFrame, withCount: Boolean): DataFrame = {
+    val base = li.filter(col("l_returnflag") === "N").groupBy(col("l_suppkey"))
+    val score = sum(lit(1.0) / (col("l_linenumber") + 1)).as("rec_score")
+    if (withCount) base.agg(count(lit(1)).cast(IntegerType).as("rec_count"), score)
+    else base.agg(score)
+  }
+
+  /** supplier left-joined with both score CTEs (lib.ts:376-384). */
+  private def scoresBaseOf(sup: DataFrame, recMetrics: DataFrame,
+                           rankScores: DataFrame): DataFrame =
+    sup
+      .join(recMetrics, sup("s_suppkey") === recMetrics("l_suppkey"), "left")
+      .drop("l_suppkey")
+      .join(rankScores, sup("s_suppkey") === rankScores("l_suppkey"), "left")
+      .drop("l_suppkey")
+
+  /** The global maxes as a broadcast 1-row frame (W2→A6 rewrite of
+    * `MAX(COALESCE(x, 0)) OVER ()`, lib.ts:380-381/455-456): rec/cat
+    * scores are sums of positive terms, so MAX(COALESCE(x, 0)) over
+    * all apps == COALESCE(MAX(x), 0) over the aggregates — computable
+    * without touching the joined base again.
+    */
+  private def maxesOf(recMetrics: DataFrame, rankScores: DataFrame): DataFrame =
+    recMetrics.agg(coalesce(max(col("rec_score")), lit(0.0)).as("max_rec"))
+      .crossJoin(rankScores.agg(
+        coalesce(max(col("category_rank_score")), lit(0.0)).as("max_cat")))
+
+  /** The popularity blend (lib.ts:393-394 / 463-465), replicated
+    * EXACTLY (SURVEY F2 — don't "fix"): numerators are
+    * NULLIF(COALESCE(score, 0), 0) — a zero or absent score nulls its
+    * term and hence the whole blend — and denominators are
+    * NULLIF(max, 1) (the reference's quirk: a max of exactly 1 yields
+    * NULL popularity; with NULLIF(max, 0) results diverge only when
+    * max ∈ {0, 1}).
+    */
+  private def popularityBlend: Column =
+    round(lit(0.7) * (nullif(coalesce(col("rec_score"), lit(0.0)), lit(0.0)) /
+            nullif(col("max_rec"), lit(1.0))) +
+          lit(0.3) * (nullif(coalesce(col("category_rank_score"), lit(0.0)), lit(0.0)) /
+            nullif(col("max_cat"), lit(1.0))), 6)
+
+  def popularityCore(li: DataFrame, sup: DataFrame, nat: DataFrame,
+                     prt: DataFrame): DataFrame = {
+    val rankScores = rankScoresOf(li)
+    val recMetrics = recMetricsOf(li, withCount = true)
 
     // app_categories (lib.ts:363-369): ARRAY_AGG(DISTINCT ...) made
     // deterministic via array_sort (SURVEY A4), flattened to a string
@@ -194,31 +241,10 @@ object Relational {
     // them instead measured SLOWER locally — cache materialization
     // barriers beat the recompute at this scale; at 100 TB flip to
     // .persist() or reuse a checkpointed aggregate table.)
-    val recMetricsP = recMetrics
-    val rankScoresP = rankScores
-    val base = sup
-      .join(recMetricsP, sup("s_suppkey") === recMetricsP("l_suppkey"), "left")
-      .drop("l_suppkey")
-      .join(rankScoresP, sup("s_suppkey") === rankScoresP("l_suppkey"), "left")
-      .drop("l_suppkey")
-    // rec_score / category_rank_score are sums of positive terms, so
-    // MAX(COALESCE(x, 0)) over all apps == COALESCE(MAX(x), 0) over
-    // the aggregate — computable without touching `base` again.
-    val maxes = recMetricsP.agg(coalesce(max(col("rec_score")), lit(0.0)).as("max_rec"))
-      .crossJoin(rankScoresP.agg(
-        coalesce(max(col("category_rank_score")), lit(0.0)).as("max_cat")))
-    // popularity (lib.ts:393-394), replicated EXACTLY (SURVEY F2 —
-    // don't "fix"): numerators are NULLIF(COALESCE(score, 0), 0) — a
-    // zero or absent score nulls its term and hence the whole blend —
-    // and denominators are NULLIF(max, 1) (the reference's quirk: a
-    // max of exactly 1 yields NULL popularity; with NULLIF(max, 0)
-    // results diverge only when max ∈ {0, 1}).
+    val base = scoresBaseOf(sup, recMetrics, rankScores)
+    val maxes = maxesOf(recMetrics, rankScores)
     val scored = base.crossJoin(broadcast(maxes))
-      .withColumn("popularity",
-        round(lit(0.7) * (nullif(coalesce(col("rec_score"), lit(0.0)), lit(0.0)) /
-                nullif(col("max_rec"), lit(1.0))) +
-              lit(0.3) * (nullif(coalesce(col("category_rank_score"), lit(0.0)), lit(0.0)) /
-                nullif(col("max_cat"), lit(1.0))), 6))
+      .withColumn("popularity", popularityBlend)
 
     scored
       .join(broadcast(nat), scored("s_nationkey") === nat("n_nationkey"), "left")
@@ -342,35 +368,15 @@ object Relational {
     val sup = Tables.load(spark, dir, "supplier")
     val prt = Tables.load(spark, dir, "part")
 
-    // category_sizes / rank_scores / recommendation_metrics
-    // (lib.ts:431-450) — the popularity pipeline's first stage
-    val catSizes = li.groupBy(col("l_partkey"))
-      .agg(countDistinct(col("l_suppkey")).as("total_apps_c"))
-    val rankScores = li.select(col("l_partkey"), col("l_suppkey"), col("l_linenumber"))
-      .join(catSizes, "l_partkey")
-      .groupBy(col("l_suppkey"))
-      .agg(sum((lit(1.0) / (col("l_linenumber") + 1)) * log10(col("total_apps_c") + 1))
-        .as("category_rank_score"))
-    val recMetrics = li.filter(col("l_returnflag") === "N")
-      .groupBy(col("l_suppkey"))
-      .agg(sum(lit(1.0) / (col("l_linenumber") + 1)).as("rec_score"))
-
-    // scores + popularity_scores (lib.ts:451-466): the same
+    // popularity_scores (lib.ts:431-466): the shared CTE builders —
+    // rec_metrics without the COUNT (lib.ts:444-449), same
     // NULLIF(COALESCE(x,0),0) / NULLIF(max,1) blend as q03
-    val base = sup
-      .join(recMetrics, sup("s_suppkey") === recMetrics("l_suppkey"), "left")
-      .drop("l_suppkey")
-      .join(rankScores, sup("s_suppkey") === rankScores("l_suppkey"), "left")
-      .drop("l_suppkey")
-    val maxes = recMetrics.agg(coalesce(max(col("rec_score")), lit(0.0)).as("max_rec"))
-      .crossJoin(rankScores.agg(
-        coalesce(max(col("category_rank_score")), lit(0.0)).as("max_cat")))
+    val rankScores = rankScoresOf(li)
+    val recMetrics = recMetricsOf(li, withCount = false)
+    val base = scoresBaseOf(sup, recMetrics, rankScores)
+    val maxes = maxesOf(recMetrics, rankScores)
     val popScores = base.crossJoin(broadcast(maxes))
-      .select(col("s_suppkey"),
-        round(lit(0.7) * (nullif(coalesce(col("rec_score"), lit(0.0)), lit(0.0)) /
-                nullif(col("max_rec"), lit(1.0))) +
-              lit(0.3) * (nullif(coalesce(col("category_rank_score"), lit(0.0)), lit(0.0)) /
-                nullif(col("max_cat"), lit(1.0))), 6).as("popularity"))
+      .select(col("s_suppkey"), popularityBlend.as("popularity"))
 
     // latest_snapshots (lib.ts:468-472): reviews = latest quantity.
     // l_quantity is an OUTPUT of this pick, so it must be in the
