@@ -12,12 +12,17 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // SPARK_GRAFT_NOAQE=1: static plans with [codegen id : N]
+    // annotations (AdaptiveSparkPlan hides codegen info until runtime)
+    // for WholeStageCodegen span audits
+    val spark = (if (sys.env.get("SPARK_GRAFT_NOAQE").contains("1"))
+      builder.config("spark.sql.adaptive.enabled", "false") else builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
