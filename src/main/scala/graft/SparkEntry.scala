@@ -74,6 +74,7 @@ object SparkEntry {
     "q51_sql_source" -> ((s: SparkSession, d: String) => Relational.sqlSource(s, d)),
     "q52_topk_per_source" -> ((s: SparkSession, d: String) => Curation.topKPerSource(s, d)),
     "q53_sequence_pack" -> ((s: SparkSession, d: String) => Curation.sequencePack(s, d)),
+    "q54_incremental_neardups" -> ((s: SparkSession, d: String) => Dedup.incrementalNearDups(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,5 +140,6 @@ object SparkEntry {
     "q51_sql_source" -> Relational.sqlSourceSql,
     "q52_topk_per_source" -> Curation.topKPerSourceSql,
     "q53_sequence_pack" -> Curation.sequencePackSql,
+    "q54_incremental_neardups" -> Dedup.incrementalNearDupsSql,
   )
 }

@@ -147,6 +147,72 @@ object Dedup {
       |) WHERE jaccard >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q54 — incremental near-dup screening: an INCOMING batch checked
+    * against the EXISTING corpus (asymmetric — the production
+    * ingestion shape: each new document either maps to its best
+    * corpus near-dup or is admitted as new; corpus-internal and
+    * batch-internal pairs are NOT recomputed). The inverted index is
+    * built over both sides once; the candidate join is
+    * incoming⋈corpus only. The df cap is computed over the combined
+    * corpus so ingestion order cannot change which shingles survive.
+    * Split rule here: doc_id >= splitId is "incoming" (the testdata
+    * stand-in for a new crawl batch).
+    */
+  def incrementalNearDups(spark: SparkSession, dir: String, splitId: Long = 400L,
+                          k: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = keptShingles(docs, k, dfCap = 200)
+    val corpus = kept.filter(col("doc_id") < splitId)
+    val incoming = kept.filter(col("doc_id") >= splitId)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = incoming.as("i").join(corpus.as("c"), "shingle")
+      .groupBy(col("i.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val scoredPairs = shared
+      .join(sizes.withColumnRenamed("doc_id", "new_id").withColumnRenamed("n_sh", "n_i"), "new_id")
+      .join(sizes.withColumnRenamed("doc_id", "corpus_id").withColumnRenamed("n_sh", "n_c"), "corpus_id")
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double") / (col("n_i") + col("n_c") - col("n_shared")), 6))
+      .filter(col("jaccard") >= threshold)
+    // best corpus match per incoming doc; unmatched incoming = admit
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("corpus_id"))
+    val best = scoredPairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+    docs.filter(col("doc_id") >= splitId).select(col("doc_id").as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .withColumn("is_new", col("corpus_id").isNull.cast("int"))
+      .orderBy(col("new_id"))
+  }
+
+  val incrementalNearDupsSql: String =
+    s"""WITH $shingleCtes, sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+      |), shared AS (
+      |  SELECT i.doc_id AS new_id, c.doc_id AS corpus_id, COUNT(*) AS n_shared
+      |  FROM kept i JOIN kept c ON i.shingle = c.shingle
+      |  WHERE i.doc_id >= 400 AND c.doc_id < 400
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT new_id, corpus_id, jaccard FROM (
+      |    SELECT s.new_id, s.corpus_id,
+      |      ROUND(CAST(s.n_shared AS DOUBLE) / (si.n_sh + sc.n_sh - s.n_shared), 6) AS jaccard
+      |    FROM shared s
+      |    JOIN sizes si ON s.new_id = si.doc_id
+      |    JOIN sizes sc ON s.corpus_id = sc.doc_id
+      |  ) WHERE jaccard >= 0.6
+      |), best AS (
+      |  SELECT new_id, corpus_id, jaccard FROM scored
+      |  QUALIFY row_number() OVER (PARTITION BY new_id
+      |    ORDER BY jaccard DESC, corpus_id) = 1
+      |)
+      |SELECT d.doc_id AS new_id, b.corpus_id, b.jaccard,
+      |  CASE WHEN b.corpus_id IS NULL THEN 1 ELSE 0 END AS is_new
+      |FROM documents d LEFT JOIN best b ON d.doc_id = b.new_id
+      |WHERE d.doc_id >= 400
+      |ORDER BY new_id""".stripMargin
+
   /** MinHash signature matrix: numHashes universal-family slots per
     * doc, h_i(doc) = min over shingles of (A_i*x + B_i) mod p with
     * x the md5 word of the shingle — computed by the single-buffer
