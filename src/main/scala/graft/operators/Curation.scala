@@ -114,15 +114,22 @@ object Curation {
     * ships at most k rows per source, so at 100 TB the shuffle carries
     * O(partitions * sources * k), not the corpus.
     */
+  /** Frame-parameterized core (shared with CurationPipeline): rank
+    * rows within `source` by (quality DESC, doc_id), keep the top k.
+    */
+  def topKPerSourceCore(scored: DataFrame, k: Int,
+                        rankCol: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+  }
+
   def topKPerSource(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val scored = docs.select(col("doc_id"), col("source"), col("lang"),
       graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("quality").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col("source"), col("rank"))
+    topKPerSourceCore(scored, k).orderBy(col("source"), col("rank"))
   }
 
   /** DuckDB twin: the q23 oracle's proven quality expression
@@ -153,18 +160,29 @@ object Curation {
     * (documents may straddle a boundary; the packer downstream splits
     * or pads — this operator decides placement deterministically).
     */
+  /** Frame-parameterized core (shared with CurationPipeline): given
+    * rows with `doc_id` and `n_tokens`, add (bucket, seq_id,
+    * seq_offset) — the bucketed running-offset placement.
+    */
+  def sequencePackCore(t: DataFrame, budget: Int, nBuckets: Int): DataFrame = {
+    val bucketed = t.withColumn("bucket", md5Bucket(col("doc_id")) % nBuckets)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $budget"))
+      .withColumn("seq_offset", col("cum_before") % budget)
+      .drop("cum_before")
+  }
+
   def sequencePack(spark: SparkSession, dir: String, budget: Int = 2048,
                    nBuckets: Int = 32): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val t = docs.select(col("doc_id"),
-      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
-      (md5Bucket(col("doc_id")) % nBuckets).as("bucket"))
-    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    t.withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("bucket"), col("n_tokens"),
-        expr(s"cum_before div $budget").as("seq_id"),
-        (col("cum_before") % budget).as("seq_offset"))
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    sequencePackCore(t, budget, nBuckets)
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("seq_id"),
+        col("seq_offset"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -44,23 +43,15 @@ object CurationPipeline {
         col("text"), TextFunctions.qualityScore(col("text")).as("quality"))
       .filter(col("quality") >= minQuality)
 
-    // 3. per-source cap (quality-ranked, deterministic tiebreak)
-    val wSrc = Window.partitionBy(col("source"))
-      .orderBy(col("quality").desc, col("doc_id"))
-    val capped = scored.withColumn("src_rank", row_number().over(wSrc))
-      .filter(col("src_rank") <= perSource)
+    // 3. per-source cap — q52's core over the composed frame
+    val capped = Curation.topKPerSourceCore(scored, perSource, rankCol = "src_rank")
 
-    // 4. token-budget sequence placement (bucketed running sums)
+    // 4. token-budget sequence placement — q53's core
     val withTokens = capped.select(col("doc_id"), col("source"), col("lang"),
-      col("quality"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
-      (Curation.md5Bucket(col("doc_id")) % nBuckets).as("bucket"))
-    val wPack = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    withTokens
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wPack), lit(0L)))
+      col("quality"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    Curation.sequencePackCore(withTokens, budget, nBuckets)
       .select(col("doc_id"), col("source"), col("lang"), col("quality"),
-        col("n_tokens"), col("bucket"),
-        expr(s"cum_before div $budget").as("seq_id"))
+        col("n_tokens"), col("bucket"), col("seq_id"), col("seq_offset"))
       .orderBy(col("doc_id"))
   }
 }

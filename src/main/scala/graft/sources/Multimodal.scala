@@ -36,24 +36,30 @@ object Multimodal {
     (first, n % 640, (first * 3) % 480)
   }
 
-  /** REAL decode path for one dependency-free container: BMP. Parses
-    * the BITMAPINFOHEADER fields (magic "BM", little-endian i32 width
-    * at offset 18 / height at 22) with pure byte arithmetic — no codec
-    * library, so it runs in this environment. Non-BMP payloads fall
-    * back to the deterministic stub: the kernel demonstrates the full
-    * real-decode shape (magic sniff → header parse → typed metadata)
-    * that a libjpeg/ffmpeg-backed kernel would follow. Returns
+  /** REAL decode path for one dependency-free container: BMP with a
+    * BITMAPINFOHEADER-family DIB header (header size >= 40 at offset
+    * 14; the legacy 12-byte BITMAPCOREHEADER stores 16-bit dimensions
+    * at different offsets and falls back to the stub rather than
+    * reading garbage). Width is the little-endian i32 at 18; height at
+    * 22 is NEGATIVE for top-down rows — reported as |height| (the
+    * orientation bit is not part of this metadata surface). Pure byte
+    * arithmetic, no codec library: the kernel demonstrates the full
+    * real-decode shape (magic sniff → header validate → field parse →
+    * typed metadata) that a libjpeg/ffmpeg-backed kernel follows.
+    * Non-BMP payloads fall back to the deterministic stub. Returns
     * (first_code, width, height). q32 keeps the stub kernel (its
     * oracle states the stub formulas over text payloads — a text that
     * happened to start with "BM" would otherwise diverge); this path
-    * is exercised by MultimodalSpec over hand-built BMP bytes.
+    * is exercised in PipelineSpec over hand-built headers.
     */
   def decodeBmpOrFake(payload: Array[Byte]): (Int, Int, Int) = {
     def le32(off: Int): Int =
       (payload(off) & 0xFF) | ((payload(off + 1) & 0xFF) << 8) |
         ((payload(off + 2) & 0xFF) << 16) | ((payload(off + 3) & 0xFF) << 24)
-    if (payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
-      (payload(0) & 0xFF, le32(18), le32(22))
+    val isInfoBmp = payload.length >= 54 &&
+      payload(0) == 'B'.toByte && payload(1) == 'M'.toByte &&
+      le32(14) >= 40 // BITMAPINFOHEADER or the V4/V5 extensions
+    if (isInfoBmp) (payload(0) & 0xFF, le32(18), math.abs(le32(22)))
     else fakeDecode(payload)
   }
 

@@ -167,9 +167,13 @@ class PipelineSpec extends AnyFunSuite {
     val idx = Files.createTempDirectory("graft-ivf").toString
     Similarity.buildIvfIndex(spark, dir, idx, kCells = 4, iters = 1)
     val ann = Similarity.knnIvfIndexed(spark, dir, idx, nprobe = 2)
-    // the corpus scan must read only the probed cell partitions
+    // the corpus scan must read only the probed cell partitions: a
+    // NON-EMPTY PartitionFilters on cell (bare `PartitionFilters: []`
+    // prints for any partitioned scan — asserting its presence alone
+    // would pass even with the pruning filter deleted)
     val plan = ann.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+    assert("PartitionFilters: \\[[^\\]]*cell#\\d+[^\\]]*(IN|isnotnull)".r
+      .findFirstIn(plan).isDefined,
       s"corpus scan not partition-pruned:\n$plan")
     // same deterministic centroids => identical results to the
     // in-memory k-means IVF at the same settings
@@ -207,8 +211,16 @@ class PipelineSpec extends AnyFunSuite {
     def putLe32(off: Int, v: Int): Unit = (0 until 4).foreach { i =>
       bmp(off + i) = ((v >> (8 * i)) & 0xFF).toByte
     }
+    putLe32(14, 40) // BITMAPINFOHEADER size
     putLe32(18, 640); putLe32(22, 480)
     assert(Multimodal.decodeBmpOrFake(bmp) === (('B'.toInt, 640, 480)))
+    // top-down BMP: negative stored height, reported as |height|
+    putLe32(22, -480)
+    assert(Multimodal.decodeBmpOrFake(bmp) === (('B'.toInt, 640, 480)))
+    // legacy BITMAPCOREHEADER (size 12, 16-bit dims at other offsets):
+    // must NOT be parsed with INFOHEADER offsets — stub fallback
+    putLe32(14, 12)
+    assert(Multimodal.decodeBmpOrFake(bmp) === Multimodal.fakeDecode(bmp))
     // non-BMP payload: deterministic stub
     val txt = "hello".getBytes("UTF-8")
     assert(Multimodal.decodeBmpOrFake(txt) === Multimodal.fakeDecode(txt))
