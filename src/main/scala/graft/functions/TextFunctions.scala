@@ -100,9 +100,17 @@ object TextFunctions {
     * tokenCode folds length and first codepoint. Kept in modular
     * arithmetic so both engines stay inside exact BIGINT range
     * (DuckDB errors on 64-bit overflow where the JVM wraps).
+    * This HOF form is CodegenFallback; q24 runs the fused codegen'd
+    * [[graft.functions.RollingHash]] Expression, asserted bit-equal
+    * to this form in PipelineSpec.
     */
-  def rollingFingerprint(text: Column): Column =
+  def rollingFingerprintHof(text: Column): Column =
     aggregate(tokens(text), lit(0L), (h, t) =>
       (h * 131L + (length(t).cast("long") * 31L +
         coalesce(ascii(substring(t, 1, 1)).cast("long"), lit(0L)))) % 1000000007L)
+
+  /** Fused codegen'd form of [[rollingFingerprintHof]]. */
+  def rollingFingerprint(spark: org.apache.spark.sql.SparkSession,
+                         text: Column): Column =
+    graft.functions.RollingHash.rollingHash(spark, tokens(text))
 }

@@ -209,7 +209,7 @@ object TextAnalysis {
         col("doc_id"),
         contentFingerprint(col("text")).as("content_fp"),
         bagFingerprint(col("text")).as("bag_fp"),
-        rollingFingerprint(col("text")).as("rolling_fp"))
+        rollingFingerprint(spark, col("text")).as("rolling_fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -121,6 +121,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(sketchShuffled === sketch)
   }
 
+  test("fused rolling hash equals the HOF form bit-for-bit (unicode incl.)") {
+    // `length` counts code points, `ascii` yields the first code point
+    // (supplementary-safe), empty-after-trim docs hash to 0 — the
+    // fused Expression must reproduce the composable fold exactly
+    val df = Seq(
+      "plain ascii tokens here",
+      "héllo wörld tokens",
+      "日本語 テキスト です",
+      "mixed 😀emoji and ascii",
+      "", "   \t  "
+    ).toDF("text").select(
+      TextFunctions.rollingFingerprint(spark, $"text").as("fused"),
+      TextFunctions.rollingFingerprintHof($"text").as("hof"))
+    df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1), r))
+  }
+
   test("property: JVM md5 pair equals the Column form on arbitrary unicode") {
     // oracle parity hinges on the sketch aggregate hashing EXACTLY the
     // bytes DuckDB's md5(shingle) sees — i.e. UTF-8 of the string,
