@@ -101,6 +101,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming micro-batches merge into the date-partitioned destination") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String, Int)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "__v")
+    val dest = java.nio.file.Files.createTempDirectory("graft-smerge").toString + "/events"
+    val q = graft.streaming.StreamingMerge.mergeStream(
+      df, dest, Seq("event_id"), "ts", "__v")
+    try {
+      // batch 1 bootstraps the destination
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}", 1),
+        (2L, ts("2024-01-02 10:00:00"), 1L, "buy", 2.0, "{}", 1))
+      q.processAllAvailable()
+      assert(spark.read.parquet(dest).count() === 2)
+      // batch 2: update event 1 in place, insert event 3 on a new day
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 99.0, "{}", 1),
+        (3L, ts("2024-03-05 00:00:00"), 2L, "signup", 3.0, "{}", 1))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dest)
+      assert(out.count() === 3)
+      assert(out.filter($"event_id" === 1L).select($"value").as[Double].head() === 99.0)
+      assert(out.filter($"event_id" === 3L).count() === 1)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions, keeps open ones in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
