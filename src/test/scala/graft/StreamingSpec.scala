@@ -128,6 +128,16 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.count() === 3)
       assert(out.filter($"event_id" === 1L).select($"value").as[Double].head() === 99.0)
       assert(out.filter($"event_id" === 3L).count() === 1)
+      val image = out.orderBy($"event_id").collect().map(_.toString).toSeq
+      // replay the same batch (the foreachBatch recovery scenario):
+      // last-writer-wins merge must be idempotent — same post-image
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 99.0, "{}", 1),
+        (3L, ts("2024-03-05 00:00:00"), 2L, "signup", 3.0, "{}", 1))
+      q.processAllAvailable()
+      val replayed = spark.read.parquet(dest)
+        .orderBy($"event_id").collect().map(_.toString).toSeq
+      assert(replayed === image)
     } finally q.stop()
   }
 
