@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused Rabin-Karp-style rolling hash over a token array as a native
@@ -19,16 +20,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * fused loop. Semantics are IDENTICAL to the HOF form (asserted
   * bit-for-bit in PipelineSpec, unicode included): `length` = code
   * point count = UTF8String.numChars, `ascii` = first code point
-  * (supplementary-safe via codePointAt) with 0 for the empty string.
-  * Modular arithmetic keeps every intermediate < 2^38 — exact on the
-  * JVM and in the DuckDB oracle alike (q24's oracle is unchanged).
+  * (supplementary-safe, read via a 1-codepoint substring — no
+  * full-token String copy) with 0 for the empty string. A null token
+  * nulls the whole fold, like the HOF's null propagation. Modular
+  * arithmetic keeps every intermediate < 2^38 — exact on the JVM and
+  * in the DuckDB oracle alike (q24's oracle is unchanged).
   */
 case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  // nullable regardless of child nullability: a null ELEMENT nulls the
+  // fold (and keeps ev.isNull a real variable in generated code)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_rolling_hash"
 
-  private val M = 1000000007L
+  // analysis-time input validation (a wrong-typed call must be an
+  // AnalysisException, not a runtime cast error or silent garbage)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -36,9 +48,8 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     var h = 0L
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) return null // HOF form: null token nulls the fold
-      val t = arr.getUTF8String(i)
-      h = RollingHash.step(h, t)
+      if (arr.isNullAt(i)) return null
+      h = RollingHash.step(h, arr.getUTF8String(i))
       i += 1
     }
     h
@@ -66,20 +77,26 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 }
 
 object RollingHash {
+  /** Fold modulus: keeps h*131 + code < 2^38 (exact in any engine). */
+  val Modulus: Long = 1000000007L
+
   /** One fold step — shared by interpreted and generated code so the
     * arithmetic exists once. numChars counts code points (= Spark
-    * `length`); codePointAt(0) matches Spark `ascii` incl.
-    * supplementary planes; empty token contributes code 0.
+    * `length`); the first code point is read through a one-codepoint
+    * substring (<= 4 bytes copied — same shape as Spark's own Ascii),
+    * matching `ascii` incl. supplementary planes; empty token
+    * contributes code 0.
     */
   def step(h: Long, t: UTF8String): Long = {
     val chars = t.numChars().toLong
-    val code = if (chars == 0) 0L else t.toString.codePointAt(0).toLong
-    (h * 131L + (chars * 31L + code)) % 1000000007L
+    val code =
+      if (chars == 0) 0L else t.substring(0, 1).toString.codePointAt(0).toLong
+    (h * 131L + (chars * 31L + code)) % Modulus
   }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rolling_hash", exprs => RollingHash(exprs(0)), "built-in")
+      "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
 
   def rollingHash(spark: SparkSession, tokens: Column): Column = {
     register(spark)

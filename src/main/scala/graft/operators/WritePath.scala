@@ -156,10 +156,18 @@ object WritePath {
                            incoming: DataFrame, keys: Seq[String],
                            tsCol: String, versionCol: String): Seq[String] = {
     val incomingP = incoming.withColumn("p_date", to_date(col(tsCol)))
-    val affected = incomingP.select(col("p_date").cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
-    val existingSlice = spark.read.parquet(destPath)
-      .filter(col("p_date").cast("string").isin(affected: _*))
+    // a null timestamp maps to the null partition (Hive default
+    // partition dir) — tracked separately because isin() never
+    // matches null, and sorted without the null entry
+    val affectedRaw = incomingP.select(col("p_date").cast("string"))
+      .distinct().collect().map(r => Option(r.getString(0)))
+    val hasNullDate = affectedRaw.contains(None)
+    val affected = affectedRaw.flatten.toSeq.sorted
+    val datePred = {
+      val inSet = col("p_date").cast("string").isin(affected: _*)
+      if (hasNullDate) inSet || col("p_date").isNull else inSet
+    }
+    val existingSlice = spark.read.parquet(destPath).filter(datePred)
     val merged = upsert(existingSlice,
       incomingP.withColumn("p_date", col("p_date").cast("date")),
       keys, versionCol)
@@ -170,7 +178,7 @@ object WritePath {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    affected
+    affected ++ (if (hasNullDate) Seq(null) else Nil)
   }
 
   /** Date-partitioned append — the 100 TB history-table layout

@@ -11,8 +11,9 @@ import graft.operators.WritePath
   * .mergeDatePartitioned`) — the foreachBatch shape a table format's
   * streaming MERGE INTO executes. Exactly-once per key comes from the
   * merge's last-writer-wins semantics: a replayed micro-batch
-  * re-merges to the same post-image (idempotent), which is the
-  * standard recovery contract for foreachBatch sinks.
+  * re-merges to the same post-image (idempotent — asserted in
+  * StreamingSpec), which is the standard recovery contract for
+  * foreachBatch sinks.
   *
   * Scale posture: each micro-batch rewrites only the partitions its
   * keys touch (the merge collects the affected date set — a tiny
@@ -21,22 +22,51 @@ import graft.operators.WritePath
 object StreamingMerge {
 
   /** Start a streaming merge of `events` (a streaming DataFrame with
-    * `tsCol` and `versionCol`) into `destPath`. Bootstraps the
-    * destination from the first batch if it does not exist yet.
+    * `tsCol` and `versionCol`) into `destPath`, bootstrapping the
+    * destination from the first batch — with the SAME last-writer-wins
+    * key dedup the merge applies (a first batch carrying in-batch key
+    * duplicates must not seed duplicate keys).
+    *
+    * `versionInSchema`: false (default) treats `versionCol` as a
+    * synthetic ordering column and excludes it from the destination
+    * schema; set true when the version is a real destination column
+    * (e.g. an updatedAt) that must survive — required if
+    * `versionCol == tsCol`.
+    *
+    * Bootstrap detection looks for actual parquet data files, not the
+    * directory: a failed or empty first write must not wedge later
+    * batches onto an unreadable merge path.
     */
   def mergeStream(events: DataFrame, destPath: String, keys: Seq[String],
-                  tsCol: String, versionCol: String): StreamingQuery =
+                  tsCol: String, versionCol: String,
+                  versionInSchema: Boolean = false): StreamingQuery = {
+    require(versionCol != tsCol || versionInSchema,
+      "versionCol == tsCol implies the version is a real destination column; " +
+        "pass versionInSchema = true")
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val hPath = new org.apache.hadoop.fs.Path(destPath)
         val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(hPath))
-          WritePath.writeDatePartitioned(batch.drop(versionCol), destPath, tsCol)
-        else {
+        val hasData = fs.exists(hPath) && {
+          val it = fs.listFiles(hPath, true)
+          var found = false
+          while (!found && it.hasNext)
+            found = it.next().getPath.getName.endsWith(".parquet")
+          found
+        }
+        if (!hasData) {
+          // last-writer-wins dedup against an empty "existing" frame
+          // whose schema decides whether versionCol survives
+          val empty =
+            (if (versionInSchema) batch else batch.drop(versionCol)).limit(0)
+          WritePath.writeDatePartitioned(
+            WritePath.upsert(empty, batch, keys, versionCol), destPath, tsCol)
+        } else {
           WritePath.mergeDatePartitioned(spark, destPath, batch, keys, tsCol, versionCol)
           ()
         }
       }
       .start()
+  }
 }

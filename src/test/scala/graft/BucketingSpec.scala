@@ -84,6 +84,27 @@ class BucketingSpec extends AnyFunSuite {
     assert(afterFiles === before)
   }
 
+  test("partition-scoped merge handles null event times") {
+    // a null tsCol maps to the Hive default (null) partition; the
+    // merge must update it like any other partition instead of NPEing
+    // on the affected-date sort or silently never matching isin()
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullts").toString + "/events"
+    val rows = Seq(
+      (1L, Option(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), 1L, "click", 1.0, "{}"),
+      (2L, None: Option[java.sql.Timestamp], 1L, "buy", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    WritePath.writeDatePartitioned(rows, dir, "ts")
+    val incoming = Seq(
+      (2L, None: Option[java.sql.Timestamp], 1L, "buy", 99.0, "{}", 1)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props", "__v")
+    val affected = WritePath.mergeDatePartitioned(
+      spark, dir, incoming, Seq("event_id"), "ts", "__v")
+    assert(affected === Seq(null))
+    val out = spark.read.parquet(dir)
+    assert(out.count() === 2)
+    assert(out.filter($"event_id" === 2L).select($"value").as[Double].head() === 99.0)
+  }
+
   test("date-partitioned history reads prune partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")

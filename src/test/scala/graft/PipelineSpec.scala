@@ -135,6 +135,15 @@ class PipelineSpec extends AnyFunSuite {
       TextFunctions.rollingFingerprint(spark, $"text").as("fused"),
       TextFunctions.rollingFingerprintHof($"text").as("hof"))
     df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1), r))
+    // null element nulls the fold (HOF parity), declared nullable
+    graft.functions.RollingHash.register(spark)
+    val withNull = spark.sql(
+      "SELECT graft_rolling_hash(array('a', CAST(NULL AS STRING))) AS h")
+    assert(withNull.schema("h").nullable)
+    assert(withNull.head().isNullAt(0))
+    // wrong input type is an analysis error, not runtime garbage
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_rolling_hash(array(1, 2))").head())
   }
 
   test("property: JVM md5 pair equals the Column form on arbitrary unicode") {

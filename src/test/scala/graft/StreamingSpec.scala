@@ -113,12 +113,16 @@ class StreamingSpec extends AnyFunSuite {
     val q = graft.streaming.StreamingMerge.mergeStream(
       df, dest, Seq("event_id"), "ts", "__v")
     try {
-      // batch 1 bootstraps the destination
+      // batch 1 bootstraps the destination — including last-writer-wins
+      // dedup of an in-batch key duplicate (__v 0 loses to __v 1)
       input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 7.0, "{}", 0),
         (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}", 1),
         (2L, ts("2024-01-02 10:00:00"), 1L, "buy", 2.0, "{}", 1))
       q.processAllAvailable()
-      assert(spark.read.parquet(dest).count() === 2)
+      val boot = spark.read.parquet(dest)
+      assert(boot.count() === 2)
+      assert(boot.filter($"event_id" === 1L).select($"value").as[Double].head() === 1.0)
       // batch 2: update event 1 in place, insert event 3 on a new day
       input.addData(
         (1L, ts("2024-01-01 10:00:00"), 1L, "click", 99.0, "{}", 1),
