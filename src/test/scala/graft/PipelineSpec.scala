@@ -186,6 +186,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaStar.except(viaProp).isEmpty && viaProp.except(viaStar).isEmpty)
   }
 
+  test("property: star CC equals union-find on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(0, 40)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield edges.filter(e => e._1 != e._2)
+    val p = Prop.forAll(gen) { edges =>
+      edges.isEmpty || {
+        val df = edges.toDF("src", "dst")
+        val got = Dedup.connectedComponents(df)
+          .as[(Long, Long)].collect().toMap
+        // reference: plain union-find collapsed to component minima
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p0 = parent.getOrElseUpdate(x, x)
+          if (p0 == x) x else { val r = find(p0); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.map(v => v -> find(v)).filter { case (v, r) => v != r }.toMap
+        got == expected
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("persisted IVF index: partition-pruned probes, same results as in-memory") {
     import java.nio.file.Files
     val dir = "/root/testdata/sf0.001"

@@ -111,6 +111,39 @@ class WritePathSpec extends AnyFunSuite {
     assert(lines(1).contains("=HYPERLINK("))
   }
 
+  test("property: partition-scoped merge equals whole-table upsert") {
+    // the copy-on-write merge rewrites only affected partitions; its
+    // post-image must equal the naive full upsert for random
+    // existing/incoming sets spanning several dates (incl. updates,
+    // inserts, in-batch duplicates)
+    val dates = Seq("2024-01-01", "2024-01-02", "2024-02-10")
+    val rowGen = for {
+      id <- Gen.choose(0L, 14L)
+      d <- Gen.oneOf(dates)
+      v <- Gen.choose(0, 999)
+    } yield (id, java.sql.Timestamp.valueOf(s"$d 12:00:00"), v.toDouble)
+    val gen = Gen.zip(Gen.listOfN(12, rowGen), Gen.listOfN(8, rowGen))
+    checkProp(Prop.forAll(gen) { case (existing0, incoming0) =>
+      // existing side: unique keys (it is a table post-image)
+      val existing = existing0.distinctBy(_._1)
+      val incoming = incoming0.zipWithIndex
+        .map { case ((id, ts, v), i) => (id, ts, v, i) }
+      val dir = Files.createTempDirectory("graft-mergeprop").toString + "/t"
+      val exDf = existing.toDF("k", "ts", "v")
+      WritePath.writeDatePartitioned(exDf, dir, "ts")
+      val inDf = incoming.toDF("k", "ts", "v", "__v")
+      WritePath.mergeDatePartitioned(spark, dir, inDf, Seq("k"), "ts", "__v")
+      val got = spark.read.parquet(dir).select("k", "v")
+        .as[(Long, Double)].collect().sorted.toSeq
+      // reference: last-writer-wins by __v per key over the whole table
+      val lastIn = incoming.groupBy(_._1).map { case (k, rs) =>
+        k -> rs.maxBy(_._4)._3 }
+      val expected = (existing.map(e => e._1 -> e._3).toMap ++ lastIn)
+        .toSeq.sorted
+      got == expected
+    })
+  }
+
   test("categoriesStats report pipeline: golden CSV on sf0.001") {
     // getCategoriesStats (lib.ts:539-554) end-to-end: difficulty
     // rollup (popularity-composed q48) -> labeled spreadsheet CSV.
