@@ -96,7 +96,12 @@ object RollingHash {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+      "graft_rolling_hash", { exprs =>
+        // extra arguments must be an error, not silently discarded
+        require(exprs.length == 1,
+          s"graft_rolling_hash expects 1 argument, got ${exprs.length}")
+        RollingHash(exprs.head)
+      }, "built-in")
 
   def rollingHash(spark: SparkSession, tokens: Column): Column = {
     register(spark)

@@ -137,40 +137,60 @@ object WritePath {
       .format("parquet").saveAsTable(table)
 
   /** Partition-scoped merge (copy-on-write): upsert `incoming` into a
-    * date-partitioned destination touching ONLY the partitions that
-    * contain incoming keys — the plan a table format's MERGE INTO
-    * executes, written out over plain parquet. At 100 TB rewriting
-    * the whole table per batch is impossible; this rewrites
-    * |affected dates| partitions:
+    * date-partitioned destination rewriting ONLY the affected
+    * partitions — the plan a table format's MERGE INTO executes,
+    * written out over plain parquet. At 100 TB rewriting the whole
+    * table per batch is impossible; this rewrites |affected dates|
+    * partitions:
     *
-    *  1. derive the affected p_date set from incoming (tiny collect —
-    *     it is the partition predicate, same role as a metadata
-    *     lookup in a table format);
+    *  1. derive the affected p_date set: the dates incoming rows land
+    *     on PLUS the dates currently holding an incoming KEY (a
+    *     key-columns-only semi-join scan of the destination — a key
+    *     may MOVE partitions when its event time is corrected, and its
+    *     old row must be rewritten away, not left as a stale
+    *     duplicate; table formats pay the same matching scan, pruned
+    *     by file stats);
     *  2. read ONLY those partitions (partition pruning);
     *  3. last-writer-wins upsert of incoming into that slice;
     *  4. dynamic-partition overwrite writes back just that slice.
     *
-    * Returns the affected partition values.
+    * Null event times map to the Hive default partition, reported with
+    * its sentinel name. Returns the affected partition values.
     */
   def mergeDatePartitioned(spark: SparkSession, destPath: String,
                            incoming: DataFrame, keys: Seq[String],
                            tsCol: String, versionCol: String): Seq[String] = {
+    val nullPartition = "__HIVE_DEFAULT_PARTITION__"
     val incomingP = incoming.withColumn("p_date", to_date(col(tsCol)))
-    // a null timestamp maps to the null partition (Hive default
-    // partition dir) — tracked separately because isin() never
-    // matches null, and sorted without the null entry
-    val affectedRaw = incomingP.select(col("p_date").cast("string"))
+    val existing = spark.read.parquet(destPath)
+    // dates incoming rows land on ∪ dates currently holding an
+    // incoming key (cross-partition key moves) — two tiny collects
+    // (the partition predicate, the metadata-lookup role); the
+    // key-match scan reads only the key + partition columns
+    val incomingKeys = incomingP.select(keys.map(col): _*).distinct()
+    val landed = incomingP.select(col("p_date").cast("string"))
       .distinct().collect().map(r => Option(r.getString(0)))
+    val holding = existing.join(incomingKeys, keys, "left_semi")
+      .select(col("p_date").cast("string"))
+      .distinct().collect().map(r => Option(r.getString(0)))
+    val affectedRaw = (landed ++ holding).distinct
+    // null timestamps: tracked separately because isin() never
+    // matches null, and sorted without the null entry
     val hasNullDate = affectedRaw.contains(None)
     val affected = affectedRaw.flatten.toSeq.sorted
     val datePred = {
       val inSet = col("p_date").cast("string").isin(affected: _*)
       if (hasNullDate) inSet || col("p_date").isNull else inSet
     }
-    val existingSlice = spark.read.parquet(destPath).filter(datePred)
-    val merged = upsert(existingSlice,
+    val merged = upsert(existing.filter(datePred),
       incomingP.withColumn("p_date", col("p_date").cast("date")),
       keys, versionCol)
+    // a partition whose ONLY rows moved away ends up empty — dynamic
+    // overwrite cannot write an empty partition, so its directory must
+    // be dropped explicitly or the stale rows survive. One extra
+    // collect over the (affected-slice-sized) merge output.
+    val mergedDates = merged.select(col("p_date").cast("string"))
+      .distinct().collect().map(r => Option(r.getString(0))).toSet
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(destPath)
@@ -178,7 +198,17 @@ object WritePath {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    affected ++ (if (hasNullDate) Seq(null) else Nil)
+    val emptied =
+      affected.filterNot(d => mergedDates.contains(Some(d))).map(d => s"p_date=$d") ++
+        (if (hasNullDate && !mergedDates.contains(None))
+          Seq(s"p_date=$nullPartition") else Nil)
+    if (emptied.nonEmpty) {
+      val base = new org.apache.hadoop.fs.Path(destPath)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      emptied.foreach(dir =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, dir), true))
+    }
+    affected ++ (if (hasNullDate) Seq(nullPartition) else Nil)
   }
 
   /** Date-partitioned append — the 100 TB history-table layout

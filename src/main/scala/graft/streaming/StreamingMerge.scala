@@ -48,11 +48,27 @@ object StreamingMerge {
         val spark = batch.sparkSession
         val hPath = new org.apache.hadoop.fs.Path(destPath)
         val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        // committed data only: files under _temporary (or other
+        // underscore/dot-prefixed dirs, which Spark's reader ignores)
+        // are uncommitted task output — counting them would wedge a
+        // crashed bootstrap onto an unreadable merge path
+        def committed(p: org.apache.hadoop.fs.Path): Boolean = {
+          var cur = p.getParent
+          var ok = true
+          while (ok && cur != null && cur.toString.length >= hPath.toString.length) {
+            val n = cur.getName
+            if (n.startsWith("_") || n.startsWith(".")) ok = false
+            cur = cur.getParent
+          }
+          ok
+        }
         val hasData = fs.exists(hPath) && {
           val it = fs.listFiles(hPath, true)
           var found = false
-          while (!found && it.hasNext)
-            found = it.next().getPath.getName.endsWith(".parquet")
+          while (!found && it.hasNext) {
+            val f = it.next().getPath
+            found = f.getName.endsWith(".parquet") && committed(f)
+          }
           found
         }
         if (!hasData) {

@@ -84,6 +84,29 @@ class BucketingSpec extends AnyFunSuite {
     assert(afterFiles === before)
   }
 
+  test("partition-scoped merge handles cross-partition key moves") {
+    // a corrected event time moves a key to another date: the old row
+    // must be rewritten away (not survive as a stale duplicate), and a
+    // partition emptied by the move must disappear entirely
+    val dir = java.nio.file.Files.createTempDirectory("graft-keymove").toString + "/t"
+    val existing = Seq(
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (6L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 1.0)
+    ).toDF("k", "ts", "v")
+    WritePath.writeDatePartitioned(existing, dir, "ts")
+    // k=5 moves from 01-01 (its only row -> partition empties) to 01-02
+    val incoming = Seq(
+      (5L, java.sql.Timestamp.valueOf("2024-01-02 11:00:00"), 2.0, 1)
+    ).toDF("k", "ts", "v", "__v")
+    val affected = WritePath.mergeDatePartitioned(
+      spark, dir, incoming, Seq("k"), "ts", "__v")
+    assert(affected === Seq("2024-01-01", "2024-01-02"))
+    val out = spark.read.parquet(dir).select($"k", $"v")
+      .as[(Long, Double)].collect().sorted.toSeq
+    assert(out === Seq((5L, 2.0), (6L, 1.0))) // no stale (5, 1.0)
+    assert(!new java.io.File(s"$dir/p_date=2024-01-01").exists())
+  }
+
   test("partition-scoped merge handles null event times") {
     // a null tsCol maps to the Hive default (null) partition; the
     // merge must update it like any other partition instead of NPEing
@@ -99,7 +122,7 @@ class BucketingSpec extends AnyFunSuite {
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props", "__v")
     val affected = WritePath.mergeDatePartitioned(
       spark, dir, incoming, Seq("event_id"), "ts", "__v")
-    assert(affected === Seq(null))
+    assert(affected === Seq("__HIVE_DEFAULT_PARTITION__"))
     val out = spark.read.parquet(dir)
     assert(out.count() === 2)
     assert(out.filter($"event_id" === 2L).select($"value").as[Double].head() === 99.0)
