@@ -182,9 +182,12 @@ object WritePath {
       val inSet = col("p_date").cast("string").isin(affected: _*)
       if (hasNullDate) inSet || col("p_date").isNull else inSet
     }
+    // materialized once: the merge output feeds both the
+    // emptied-partition probe and the write — two lazy evaluations
+    // could pick different rows on version ties
     val merged = upsert(existing.filter(datePred),
       incomingP.withColumn("p_date", col("p_date").cast("date")),
-      keys, versionCol)
+      keys, versionCol).localCheckpoint()
     // a partition whose ONLY rows moved away ends up empty — dynamic
     // overwrite cannot write an empty partition, so its directory must
     // be dropped explicitly or the stale rows survive. One extra
