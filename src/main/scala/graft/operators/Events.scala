@@ -66,6 +66,51 @@ object Events {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q58 — per-key ordered window analytics (SURVEY §2.10 widened
+    * beyond row_number/sum: lag/lead navigation, running totals,
+    * bounded moving averages — the per-entity timeline features of an
+    * event pipeline).
+    *
+    * Scale: ONE shuffle on user_id serves every window below (same
+    * partitioning + ordering → one Window operator, one sort within
+    * partitions — verified in the plan audit). No global sort until
+    * the presentation ORDER BY.
+    *
+    * Oracle parity: running/moving sums accumulate DECIMAL(18,6), not
+    * double — Spark accumulates cumulative frames row-by-row while
+    * DuckDB uses segment trees, so double addition would associate
+    * differently; decimal addition is exact under any association.
+    */
+  def windowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val decVal = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    ev.select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"), col("value"))
+      .withColumn("seq", row_number().over(w))
+      .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("running_value",
+        sum(decVal).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .withColumn("moving_avg3",
+        round(sum(decVal).over(w.rowsBetween(-2, 0)).cast("double") /
+          count(col("value")).over(w.rowsBetween(-2, 0)), 6))
+      .orderBy(col("user_id"), col("seq"))
+  }
+
+  val windowAnalyticsSql: String =
+    """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value,
+      |  CAST(row_number() OVER w AS INT) AS seq,
+      |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms,
+      |  lead(event_type) OVER w AS next_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+      |    OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+      |      OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+      |    COUNT(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |ORDER BY user_id, seq""".stripMargin
+
   val sessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering keys
+  * and the z-ordered writer (north-star extension: at 100 TB the
+  * dominant cost is the scan, and a z-ordered layout lets min/max
+  * file statistics prune BOTH join/filter dimensions at once — the
+  * table-format clustering trick, built from plain codegen'd bit
+  * arithmetic; LayoutSpec measures the per-file span narrowing).
+  */
+object Layout {
+
+  /** Interleaved (Morton) key over the low `bits` of two non-negative
+    * integral columns: bit b of x lands at 2b, bit b of y at 2b+1.
+    * Pure shift/and/or composition — whole-stage codegen'd, no UDF.
+    */
+  def zorderKey(x: Column, y: Column, bits: Int = 16): Column = {
+    val mask = (1L << bits) - 1
+    val xm = x.cast("long").bitwiseAND(mask)
+    val ym = y.cast("long").bitwiseAND(mask)
+    (0 until bits).map { b =>
+      shiftleft(shiftright(xm, b).bitwiseAND(1L), 2 * b)
+        .bitwiseOR(shiftleft(shiftright(ym, b).bitwiseAND(1L), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** DuckDB twin of [[zorderKey]] — same shift/and/or terms. */
+  def zorderKeySql(x: String, y: String, bits: Int = 16): String = {
+    val mask = (1L << bits) - 1
+    val xm = s"($x & $mask)"
+    val ym = s"($y & $mask)"
+    (0 until bits).map { b =>
+      s"(((($xm >> $b) & 1) << ${2 * b}) | ((($ym >> $b) & 1) << ${2 * b + 1}))"
+    }.mkString("(", " | ", ")")
+  }
+
+  /** q59 — z-order cell audit over lineitem's (l_partkey, l_suppkey):
+    * per coarse z-cell row count and the min/max extent in BOTH
+    * dimensions — the statistics a file-skipping scan planner would
+    * consult, and the direct evidence of the z-curve's locality
+    * guarantee (every cell is a bounded rectangle-union in (part,
+    * supp) space, so a predicate on EITHER key prunes cells).
+    * One partial+final aggregation on the cell key.
+    */
+  def zorderCells(spark: SparkSession, dir: String, cellShift: Int = 22): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.select(col("l_partkey"), col("l_suppkey"),
+        zorderKey(col("l_partkey"), col("l_suppkey")).as("zkey"))
+      .withColumn("zcell", shiftright(col("zkey"), cellShift))
+      .groupBy(col("zcell"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+      .withColumn("part_span", col("max_part") - col("min_part"))
+      .withColumn("supp_span", col("max_supp") - col("min_supp"))
+      .orderBy(col("zcell"))
+  }
+
+  def zorderCellsSql(cellShift: Int = 22): String = {
+    val z = zorderKeySql("l_partkey", "l_suppkey")
+    s"""WITH z AS (
+      |  SELECT l_partkey, l_suppkey, ($z >> $cellShift) AS zcell
+      |  FROM lineitem
+      |)
+      |SELECT zcell, COUNT(*) AS n_rows,
+      |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+      |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp,
+      |  MAX(l_partkey) - MIN(l_partkey) AS part_span,
+      |  MAX(l_suppkey) - MIN(l_suppkey) AS supp_span
+      |FROM z GROUP BY zcell ORDER BY zcell""".stripMargin
+  }
+
+  /** Write `df` z-order-clustered on (xCol, yCol) into `numFiles`
+    * range-partitioned files: rows are range-partitioned then sorted
+    * by the Morton key, so every output file covers a bounded z-range
+    * — its parquet min/max stats are narrow in BOTH dimensions and a
+    * reader prunes files on either predicate. The shuffle is one
+    * range exchange (sampled bounds), the sort is within partitions.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    path: String, numFiles: Int): Unit =
+    df.withColumn("__z", zorderKey(col(xCol), col(yCol)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** PII / identifier scrubbing (north-star extension: the redaction
+  * pass every training-data pipeline runs before release). Pattern
+  * redaction is a pure map over the scan — `regexp_replace` /
+  * `regexp_count` are codegen'd built-ins, so at 100 TB this runs at
+  * scan speed with full column pruning and no shuffle at all (the
+  * only shuffle below is the final presentation sort).
+  *
+  * Patterns deliberately stay in the regex subset with identical
+  * semantics in Java regex (Spark) and RE2 (DuckDB): character
+  * classes, bounded/unbounded repetition — no backreferences, no
+  * lookaround. The testdata carries no real PII, so the audited
+  * fields are the synthetic identifier-bearing strings: customer
+  * names (`Customer#000000042`) and event JSON payloads
+  * (`{"k": 69}`) — the plumbing (scan-speed redact + audit counts +
+  * cross-table union) is the real deliverable.
+  */
+object Pii {
+
+  private val idRun = "[0-9]{4,}" // long digit runs: account-ish ids
+  private val numRun = "[0-9]+"   // any number in a JSON payload
+
+  /** q57 — cross-table redaction audit: every customer name and every
+    * event payload, redacted, with match counts — UNION ALL of two
+    * independent scan-speed map stages (the audit a scrub job emits
+    * alongside the cleaned copy).
+    */
+  def redactionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cus = Tables.load(spark, dir, "customer")
+    val ev = Tables.load(spark, dir, "events")
+    val cusAudit = cus.select(
+      lit("customer").as("src_table"),
+      col("c_custkey").as("rec_id"),
+      regexp_replace(col("c_name"), idRun, "[ID]").as("redacted"),
+      regexp_count(col("c_name"), lit(idRun)).cast("long").as("n_matches"))
+    val evAudit = ev.select(
+      lit("events").as("src_table"),
+      col("event_id").as("rec_id"),
+      regexp_replace(col("props"), numRun, "[NUM]").as("redacted"),
+      regexp_count(col("props"), lit(numRun)).cast("long").as("n_matches"))
+    cusAudit.unionByName(evAudit)
+      .orderBy(col("src_table"), col("rec_id"))
+  }
+
+  val redactionAuditSql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer' AS src_table, c_custkey AS rec_id,
+      |    regexp_replace(c_name, '[0-9]{4,}', '[ID]', 'g') AS redacted,
+      |    CAST(len(regexp_extract_all(c_name, '[0-9]{4,}')) AS BIGINT) AS n_matches
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'events' AS src_table, event_id AS rec_id,
+      |    regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS redacted,
+      |    CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_matches
+      |  FROM events
+      |)
+      |ORDER BY src_table, rec_id""".stripMargin
+}

@@ -200,6 +200,154 @@ object TextAnalysis {
       |QUALIFY rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** q55 — repetition signals (the Gopher/C4-style repetition
+    * filters): per-document duplicate-token fraction, top-bigram
+    * fraction and duplicate-bigram fraction. High values flag
+    * boilerplate/spam for corpus curation. The testdata has no line
+    * structure, so the line-level variants collapse onto the n-gram
+    * forms.
+    *
+    * Shape: one tokenize + one bigram explode + a two-level aggregate
+    * — (doc_id, bigram) then (doc_id) — all keys carry doc_id, so the
+    * shuffle is skew-free and map-side combined; at 100 TB this is an
+    * embarrassingly parallel per-document map + local agg. Documents
+    * with < 2 tokens have no bigrams: their fractions are NULL
+    * (faithful NULL propagation, house style).
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+    val bi = base.filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, n_tokens - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"
+      )).as("bigram"))
+    val biStats = bi.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("total_bi"),
+        count(lit(1)).as("distinct_bi"))
+    base.join(biStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          nullif(col("n_tokens"), lit(0)), 6).as("dup_token_frac"),
+        round(col("top_cnt").cast("double") / col("total_bi"), 6).as("top_bigram_frac"),
+        round(lit(1.0) - col("distinct_bi").cast("double") / col("total_bi"), 6)
+          .as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSignalsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |), stats AS (
+      |  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+      |  FROM base
+      |), bi AS (
+      |  SELECT doc_id,
+      |    unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+      |  FROM base WHERE len(toks) >= 2
+      |), cnts AS (
+      |  SELECT doc_id, bigram, COUNT(*) AS cnt FROM bi GROUP BY 1, 2
+      |), bistats AS (
+      |  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS total_bi,
+      |    COUNT(*) AS distinct_bi
+      |  FROM cnts GROUP BY doc_id
+      |)
+      |SELECT s.doc_id, s.n_tokens,
+      |  ROUND(1.0 - CAST(s.n_distinct AS DOUBLE) / NULLIF(s.n_tokens, 0), 6) AS dup_token_frac,
+      |  ROUND(CAST(b.top_cnt AS DOUBLE) / b.total_bi, 6) AS top_bigram_frac,
+      |  ROUND(1.0 - CAST(b.distinct_bi AS DOUBLE) / b.total_bi, 6) AS dup_bigram_frac
+      |FROM stats s LEFT JOIN bistats b ON s.doc_id = b.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** q56 — corpus-trained bigram language-model scoring: train
+    * add-one-smoothed bigram probabilities P(w2|w1) = (c(w1 w2) + 1) /
+    * (c(w1 ·) + |V|) over the whole corpus, then score every document
+    * by its per-bigram cross-entropy (average -log10 P). The standard
+    * cheap "perplexity filter" of LLM data pipelines (statistical
+    * outliers = gibberish or boilerplate).
+    *
+    * Shape: one bigram explode (checkpointed — the train aggregations
+    * and the scoring join all read it), two partial+final aggregates
+    * for the counts, one broadcast 1-row vocab scalar, then a scoring
+    * join keyed on (w1, w2). At 100 TB the count tables are Zipf-
+    * skewed but small relative to the corpus (vocab², capped by
+    * observed pairs) — the scoring join is the only big shuffle, and
+    * AQE's skew splitting covers the hot function words.
+    *
+    * Oracle parity: each per-bigram log10 term is rounded to 6 before
+    * the DECIMAL(18,6) sum, so the per-document mean is
+    * order-independent and engine-exact.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val bg = base.filter(col("n") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, n - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+      )).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = base.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val scored = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log10((col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6).as("lp"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-Relational.decSum(col("lp")) / count(lit(1)), 6).as("cross_entropy"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLmSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+      |    FROM base WHERE len(toks) >= 2
+      |  )
+      |), c2 AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1
+      |), vocab AS (
+      |  SELECT COUNT(DISTINCT t) AS v
+      |  FROM (SELECT unnest(toks) AS t FROM base)
+      |), scored AS (
+      |  SELECT bg.doc_id,
+      |    ROUND(log10(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + vocab.v)), 6) AS lp
+      |  FROM bg
+      |  JOIN c2 USING (w1, w2)
+      |  JOIN c1 USING (w1)
+      |  CROSS JOIN vocab
+      |), agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    ROUND(-CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.cross_entropy
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** q24 — document fingerprints: byte-level (whitespace-normalized)
     * and order-insensitive bag-of-words md5.
     */
