@@ -75,6 +75,12 @@ object SparkEntry {
     "q52_topk_per_source" -> ((s: SparkSession, d: String) => Curation.topKPerSource(s, d)),
     "q53_sequence_pack" -> ((s: SparkSession, d: String) => Curation.sequencePack(s, d)),
     "q54_incremental_neardups" -> ((s: SparkSession, d: String) => Dedup.incrementalNearDups(s, d)),
+    "q55_repetition_signals" -> (TextAnalysis.repetitionSignals _),
+    "q56_bigram_lm" -> (TextAnalysis.bigramLm _),
+    "q57_redaction_audit" -> (Pii.redactionAudit _),
+    "q58_window_analytics" -> (Events.windowAnalytics _),
+    "q59_zorder_cells" -> ((s: SparkSession, d: String) => Layout.zorderCells(s, d)),
+    "q60_length_quantiles_hist" -> ((s: SparkSession, d: String) => Curation.lengthQuantilesHist(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -141,5 +147,11 @@ object SparkEntry {
     "q52_topk_per_source" -> Curation.topKPerSourceSql,
     "q53_sequence_pack" -> Curation.sequencePackSql,
     "q54_incremental_neardups" -> Dedup.incrementalNearDupsSql,
+    "q55_repetition_signals" -> TextAnalysis.repetitionSignalsSql,
+    "q56_bigram_lm" -> TextAnalysis.bigramLmSql,
+    "q57_redaction_audit" -> Pii.redactionAuditSql,
+    "q58_window_analytics" -> Events.windowAnalyticsSql,
+    "q59_zorder_cells" -> Layout.zorderCellsSql(),
+    "q60_length_quantiles_hist" -> Curation.lengthQuantilesHistSql(),
   )
 }

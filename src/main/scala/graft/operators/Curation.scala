@@ -77,6 +77,59 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** q60 — histogram (equi-width bin) quantiles: the deterministic
+    * 100 TB scale path for [[lengthQuantiles]]. Bin every length into
+    * `binWidth`-wide buckets, partial+final count per (lang, bin) —
+    * map-side combinable, bounded state (maxLen/binWidth bins per
+    * group), NO per-group row sort — then pick the bin containing the
+    * target rank and report its inclusive upper bound. Unlike the
+    * `approx_percentile` sketch ([[lengthQuantilesApprox]], whose
+    * interpolation is engine-specific), this is pure integer
+    * arithmetic, so DuckDB states the identical answer — an
+    * oracle-exact approximate quantile. Error is bounded by binWidth.
+    */
+  def lengthQuantilesHist(spark: SparkSession, dir: String,
+                          binWidth: Int = 64): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bins = docs
+      .groupBy(col("lang"), expr(s"n_chars div $binWidth").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+    // the bin containing rank r: first bin with cum >= r  <=>
+    // cum >= r AND cum - cnt < r (cheap to state as one predicate)
+    def atRank(rank: Column): Column =
+      max(when(col("cum") >= rank && (col("cum") - col("cnt")) < rank,
+        (col("bin") + 1) * binWidth - 1))
+    cum.groupBy(col("lang"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        atRank(expr("(n + 1) div 2")).as("median_chars_ub"),
+        atRank(expr("(n * 9 + 9) div 10")).as("p90_chars_ub"))
+      .orderBy(col("lang"))
+  }
+
+  def lengthQuantilesHistSql(binWidth: Int = 64): String =
+    s"""WITH bins AS (
+      |  SELECT lang, n_chars // $binWidth AS bin, COUNT(*) AS cnt
+      |  FROM documents GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT lang, bin, cnt,
+      |    SUM(cnt) OVER (PARTITION BY lang ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY lang) AS n
+      |  FROM bins
+      |)
+      |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+      |  MAX(CASE WHEN cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2
+      |    THEN (bin + 1) * $binWidth - 1 END) AS median_chars_ub,
+      |  MAX(CASE WHEN cum >= (n * 9 + 9) // 10 AND cum - cnt < (n * 9 + 9) // 10
+      |    THEN (bin + 1) * $binWidth - 1 END) AS p90_chars_ub
+      |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
+
   /** q43 — deterministic Bernoulli-style sampling: keep rows whose
     * content-independent hash bucket falls under the rate. Rerun-stable
     * and join-free (a pure map over the scan).

@@ -17,6 +17,13 @@ object Layout {
   /** Interleaved (Morton) key over the low `bits` of two non-negative
     * integral columns: bit b of x lands at 2b, bit b of y at 2b+1.
     * Pure shift/and/or composition — whole-stage codegen'd, no UDF.
+    *
+    * ALIASING: inputs are masked to the low `bits`, so keys ≥ 2^bits
+    * alias onto the same cells (zorderKey(x + 2^bits, y) ==
+    * zorderKey(x, y) — pinned in LayoutSpec) and the locality
+    * guarantee only holds for key domains within 2^bits. When writing
+    * a real layout, size `bits` to the domain — [[bitsFor]] derives it
+    * from the data (one tiny agg), and [[writeZOrdered]] uses it.
     */
   def zorderKey(x: Column, y: Column, bits: Int = 16): Column = {
     val mask = (1L << bits) - 1
@@ -26,6 +33,18 @@ object Layout {
       shiftleft(shiftright(xm, b).bitwiseAND(1L), 2 * b)
         .bitwiseOR(shiftleft(shiftright(ym, b).bitwiseAND(1L), 2 * b + 1))
     }.reduce(_ bitwiseOR _)
+  }
+
+  /** Bits needed to cover BOTH columns' observed domain (one tiny
+    * driver-scalar agg, the same role as a table format reading its
+    * column stats before clustering). Clamped to [1, 31] — 2*31 bit
+    * positions still fit a signed long.
+    */
+  def bitsFor(df: DataFrame, xCol: String, yCol: String): Int = {
+    val row = df.agg(
+      max(greatest(col(xCol).cast("long"), col(yCol).cast("long")))).head()
+    val m = if (row.isNullAt(0)) 0L else math.max(0L, row.getLong(0))
+    math.min(31, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(m)))
   }
 
   /** DuckDB twin of [[zorderKey]] — same shift/and/or terms. */
@@ -84,7 +103,8 @@ object Layout {
     */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
                     path: String, numFiles: Int): Unit =
-    df.withColumn("__z", zorderKey(col(xCol), col(yCol)))
+    df.withColumn("__z",
+        zorderKey(col(xCol), col(yCol), bitsFor(df, xCol, yCol)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -26,6 +26,15 @@ object Pii {
   private val idRun = "[0-9]{4,}" // long digit runs: account-ish ids
   private val numRun = "[0-9]+"   // any number in a JSON payload
 
+  /** Scan-speed redaction map over an events-shaped frame — the
+    * reusable core shared by the batch audit (q57) and the streaming
+    * redact-on-ingest twin ([[graft.streaming.StreamingPii]]): adds
+    * the redacted payload and the match count, drops nothing.
+    */
+  def redactEvents(df: DataFrame): DataFrame =
+    df.withColumn("props_redacted", regexp_replace(col("props"), numRun, "[NUM]"))
+      .withColumn("n_matches", regexp_count(col("props"), lit(numRun)).cast("long"))
+
   /** q57 — cross-table redaction audit: every customer name and every
     * event payload, redacted, with match counts — UNION ALL of two
     * independent scan-speed map stages (the audit a scrub job emits
@@ -39,11 +48,11 @@ object Pii {
       col("c_custkey").as("rec_id"),
       regexp_replace(col("c_name"), idRun, "[ID]").as("redacted"),
       regexp_count(col("c_name"), lit(idRun)).cast("long").as("n_matches"))
-    val evAudit = ev.select(
+    val evAudit = redactEvents(ev).select(
       lit("events").as("src_table"),
       col("event_id").as("rec_id"),
-      regexp_replace(col("props"), numRun, "[NUM]").as("redacted"),
-      regexp_count(col("props"), lit(numRun)).cast("long").as("n_matches"))
+      col("props_redacted").as("redacted"),
+      col("n_matches"))
     cusAudit.unionByName(evAudit)
       .orderBy(col("src_table"), col("rec_id"))
   }

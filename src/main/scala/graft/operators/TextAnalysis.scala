@@ -294,8 +294,19 @@ object TextAnalysis {
       )).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .localCheckpoint()
+    // The count tables are materialized (localCheckpoint), not left as
+    // lazy aggregates, for two reasons: (a) c1 derives from c2, so an
+    // unmaterialized c2 would be computed twice; (b) a lazy aggregate
+    // keeps its agg partitioning, so the scoring SMJ's build child is
+    // a HashAggregate rather than a shuffle read — a shape AQE's
+    // OptimizeSkewedJoin cannot split (it splits at shuffle-block
+    // granularity on BOTH sides). Materialized tables re-shuffle for
+    // the join, and the Zipf-hot w1 partition splits at runtime —
+    // asserted in TextOpsSpec.
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      .localCheckpoint()
     val vocab = base.select(explode(col("toks")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     val scored = bg
@@ -304,9 +315,20 @@ object TextAnalysis {
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
         round(log10((col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6).as("lp"))
+    // cross-entropy = mean of the (scale-6-exact) -log10 terms. The
+    // mean of scale-6 decimals hits EXACT half-way ties at the 6th
+    // decimal (sum*10/count ending in 5), where Spark's BigDecimal
+    // HALF_UP and DuckDB's double-multiply round diverge by 1 ulp —
+    // so do the rounding in integer micro-units, half-up, identically
+    // on both sides: micro = (2a + b) div (2b) with a = -sum * 1e6.
     val agg = scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(-Relational.decSum(col("lp")) / count(lit(1)), 6).as("cross_entropy"))
+        (-sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 6))))
+          .as("negsum"))
+      .withColumn("micro", expr(
+        "(2 * CAST(negsum * 1000000 AS BIGINT) + n_bigrams) div (2 * n_bigrams)"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("micro").cast("double") / 1000000).as("cross_entropy"))
     docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("cross_entropy"))
@@ -341,10 +363,12 @@ object TextAnalysis {
       |  CROSS JOIN vocab
       |), agg AS (
       |  SELECT doc_id, COUNT(*) AS n_bigrams,
-      |    ROUND(-CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS cross_entropy
+      |    CAST(-SUM(CAST(lp AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS a
       |  FROM scored GROUP BY doc_id
       |)
-      |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.cross_entropy
+      |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+      |  CAST((2 * a.a + a.n_bigrams) // (2 * a.n_bigrams) AS DOUBLE) / 1000000
+      |    AS cross_entropy
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+/** Z-order layout: key correctness against a reference bit-interleave,
+  * the documented low-bits aliasing, and the writer's span narrowing —
+  * per-file min/max extents (what parquet footer stats expose to a
+  * file-skipping reader) must be narrow in BOTH dimensions vs an
+  * unsorted layout of the same data.
+  */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  /** Reference Morton interleave, independent of the Column impl. */
+  private def morton(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, b) =>
+      acc | (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+    }
+
+  test("zorderKey matches the reference interleave") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L), (12345L, 54321L),
+      (65535L, 65535L), (40000L, 7L))
+    val df = cases.toDF("x", "y")
+      .select($"x", $"y", Layout.zorderKey($"x", $"y").as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) === morton(r.getLong(0), r.getLong(1), 16),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("keys beyond 2^bits alias (documented) and bitsFor sizes past it") {
+    val df = Seq((40000L, 7L)).toDF("x", "y")
+    val aliased = df.select(
+      Layout.zorderKey($"x" + (1L << 16), $"y").as("a"),
+      Layout.zorderKey($"x", $"y").as("b")).head()
+    assert(aliased.getLong(0) === aliased.getLong(1))
+    // bitsFor covers the observed domain, so the same pair separates
+    val bits = Layout.bitsFor(
+      Seq((40000L + 65536L, 7L), (40000L, 7L)).toDF("x", "y"), "x", "y")
+    assert(bits === 17)
+    val sep = df.select(
+      Layout.zorderKey($"x" + (1L << 16), $"y", bits).as("a"),
+      Layout.zorderKey($"x", $"y", bits).as("b")).head()
+    assert(sep.getLong(0) !== sep.getLong(1))
+  }
+
+  test("writeZOrdered narrows per-file spans in BOTH dimensions") {
+    // a shuffled 64x64 grid: every (x, y) once, in hash order
+    val n = 64
+    val grid = spark.range(n.toLong * n)
+      .select(($"id" % n).as("x"), ($"id" / n).cast("long").as("y"))
+      .orderBy(md5(concat_ws(",", $"id")))
+    val base = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val zdir = s"$base/z"
+    val udir = s"$base/u"
+    Layout.writeZOrdered(grid, "x", "y", zdir, 16)
+    grid.repartition(16).write.mode("overwrite").parquet(udir)
+
+    // per-file min/max extents — the values a reader's footer-stats
+    // pruning consults (computed from the data: identical numbers)
+    def meanSpans(dir: String): (Double, Double, Long) = {
+      val perFile = spark.read.parquet(dir)
+        .withColumn("f", input_file_name())
+        .groupBy($"f")
+        .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"),
+          count(lit(1)).as("cnt"))
+      val r = perFile.agg(avg($"xs"), avg($"ys"), sum($"cnt"), count(lit(1))).head()
+      assert(r.getLong(3) >= 8, s"expected >=8 files in $dir")
+      (r.getDouble(0), r.getDouble(1), r.getLong(2))
+    }
+    val (zx, zy, zn) = meanSpans(zdir)
+    val (ux, uy, un) = meanSpans(udir)
+    assert(zn === n.toLong * n && un === n.toLong * n) // round-trip
+    // unsorted files cover nearly the whole domain in both dims;
+    // z-ordered files must be materially narrower in BOTH
+    assert(zx < ux / 2, s"x span not narrowed: z=$zx unsorted=$ux")
+    assert(zy < uy / 2, s"y span not narrowed: z=$zy unsorted=$uy")
+  }
+}

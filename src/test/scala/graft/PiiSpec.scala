@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pii
+
+/** PII redaction: regex edge-string behavior (the patterns live in the
+  * Java-regex ∩ RE2 subset — bounded/unbounded repetition over
+  * character classes; these rows pin the Java side, the oracle run
+  * pins the DuckDB side), plus the streaming redact-on-ingest twin
+  * through the merge sink, replay-idempotent.
+  */
+class PiiSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("redactionAudit edge strings: run lengths, boundaries, empties") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      (1L, "Customer#000012345", 0, 0.0, "BUILDING"),
+      (2L, "123", 0, 0.0, "BUILDING"),          // below the {4,} floor
+      (3L, "a1b22c333d4444", 0, 0.0, "AUTO"),   // only the 4-run matches
+      (4L, "9999 and 88888", 0, 0.0, "AUTO"),   // two separate runs
+      (5L, "", 0, 0.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0, """{"k": 69}"""),
+      (11L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0, "7x8"),
+      (12L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = Pii.redactionAudit(spark, dir)
+      .select($"src_table", $"rec_id", $"redacted", $"n_matches")
+      .as[(String, Long, String, Long)].collect().toSeq
+    assert(out === Seq(
+      ("customer", 1L, "Customer#[ID]", 1L),
+      ("customer", 2L, "123", 0L),
+      ("customer", 3L, "a1b22c333d[ID]", 1L),
+      ("customer", 4L, "[ID] and [ID]", 2L),
+      ("customer", 5L, "", 0L),
+      ("events", 10L, """{"k": [NUM]}""", 1L),
+      ("events", 11L, "[NUM]x[NUM]", 2L),
+      ("events", 12L, "{}", 0L)))
+  }
+
+  test("streaming redact-on-ingest merges clean copies, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String, Int)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props", "__v")
+    val dest = java.nio.file.Files.createTempDirectory("graft-spii").toString + "/events"
+    val q = graft.streaming.StreamingPii.redactedMergeStream(
+      df, dest, Seq("event_id"), "ts", "__v")
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, """{"k": 69}""", 1),
+        (2L, ts("2024-01-02 10:00:00"), 2L, "buy", 2.0, "no digits", 1))
+      q.processAllAvailable()
+      val boot = spark.read.parquet(dest)
+      assert(boot.count() === 2)
+      // the stored copy carries the scrubbed payload + audit count
+      assert(boot.filter($"event_id" === 1L)
+        .select($"props_redacted", $"n_matches")
+        .as[(String, Long)].head() === ("""{"k": [NUM]}""", 1L))
+      // update event 1's payload: redaction re-applies on the new image
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "id 12345", 1))
+      q.processAllAvailable()
+      val upd = spark.read.parquet(dest)
+      assert(upd.count() === 2)
+      assert(upd.filter($"event_id" === 1L)
+        .select($"props_redacted").as[String].head() === "id [NUM]")
+      val image = upd.orderBy($"event_id").collect().map(_.toString).toSeq
+      // replayed micro-batch (foreachBatch recovery): same post-image
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "id 12345", 1))
+      q.processAllAvailable()
+      val replayed = spark.read.parquet(dest)
+        .orderBy($"event_id").collect().map(_.toString).toSeq
+      assert(replayed === image)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Events, TextAnalysis}
+
+/** Round-3 operators' unit rows: repetition signals and bigram-LM on
+  * degenerate documents, ordered window analytics at partition
+  * boundaries, histogram quantiles' error bound, and the q56 scoring
+  * join's AQE skew-split (the Zipf-hot function-word path).
+  */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  /** Stage a crafted documents table (full schema) in a temp dir. */
+  private def docsDir(rows: Seq[(Long, String)], nFiles: Int = 1): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.map { case (id, text) => (id, text, "en", "unit", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("repetitionSignals: <2-token docs yield NULL fractions") {
+    val dir = docsDir(Seq(
+      (1L, ""),            // 0 tokens
+      (2L, "solo"),        // 1 token: no bigrams, dup_token_frac 0
+      (3L, "a a a"),       // all-duplicate: top bigram covers all
+      (4L, "w x y z")))    // all-distinct
+    val out = TextAnalysis.repetitionSignals(spark, dir)
+      .as[(Long, Int, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out === Seq(
+      (1L, 0, None, None, None),
+      (2L, 1, Some(0.0), None, None),
+      (3L, 3, Some(0.666667), Some(1.0), Some(0.5)),
+      (4L, 4, Some(0.0), Some(0.333333), Some(0.0))))
+  }
+
+  test("bigramLm: <2-token docs carry 0 bigrams and NULL entropy") {
+    // corpus: one real bigram (a,b); vocab {a,b,x} so
+    // P(b|a) = (1+1)/(1+3) = 0.5, lp = round(log10 .5, 6) = -0.30103
+    val dir = docsDir(Seq((1L, "a b"), (2L, "x"), (3L, "")))
+    val out = TextAnalysis.bigramLm(spark, dir)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, Some(0.30103)),
+      (2L, 0L, None),
+      (3L, 0L, None)))
+  }
+
+  test("windowAnalytics: gap/lead NULL at partition boundaries, exact frames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wevents").toString
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    Seq(
+      (1L, t(1000), 1L, "click", 1.5, "{}"),
+      (2L, t(4000), 1L, "view", 2.25, "{}"),
+      (3L, t(4000), 1L, "buy", 0.25, "{}"),   // ts tie -> event_id tiebreak
+      (4L, t(9000), 2L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.windowAnalytics(spark, dir)
+      .select($"user_id", $"event_id", $"seq", $"gap_ms", $"next_type",
+        $"running_value", $"moving_avg3")
+      .as[(Long, Long, Int, Option[Long], Option[String], Double, Double)]
+      .collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 1, None, Some("view"), 1.5, 1.5),
+      (1L, 2L, 2, Some(3000L), Some("buy"), 3.75, 1.875),
+      (1L, 3L, 3, Some(0L), None, 4.0, 1.333333),
+      (2L, 4L, 1, None, None, 3.0, 3.0)))
+  }
+
+  test("lengthQuantilesHist: bin upper bounds, within binWidth of exact") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = Curation.lengthQuantiles(spark, sf)
+      .select($"lang", $"median_chars", $"p90_chars")
+      .as[(String, Long, Long)].collect()
+      .map { case (l, m, p) => l -> (m, p) }.toMap
+    val hist = Curation.lengthQuantilesHist(spark, sf)
+      .select($"lang", $"median_chars_ub", $"p90_chars_ub")
+      .as[(String, Long, Long)].collect()
+    assert(hist.nonEmpty)
+    hist.foreach { case (lang, medUb, p90Ub) =>
+      val (med, p90) = exact(lang)
+      assert(medUb >= med && medUb - med < 64, s"$lang median: $medUb vs $med")
+      assert(p90Ub >= p90 && p90Ub - p90 < 64, s"$lang p90: $p90Ub vs $p90")
+    }
+  }
+
+  test("bigramLm scoring join: AQE splits the Zipf-hot w1 partition") {
+    // corpus where one function-word bigram dominates — the documented
+    // 100 TB risk on the (w1, w2) scoring join; prove the stated
+    // mitigation (AQE skew-split) actually fires on this exact query
+    // the hot rows are near-identical, so the shuffle blocks compress
+    // hard — thresholds must sit below the COMPRESSED hot-partition
+    // size for the split to trigger on this small corpus
+    val hot = Seq.tabulate(400) { i => (i.toLong, ("the " * 400) + s"u$i") }
+    // several input files + a small split cap => several MAP tasks:
+    // AQE can only split a skewed reduce partition at map-block
+    // granularity, so a single-mapper shuffle is unsplittable
+    val dir = docsDir(hot, nFiles = 8)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.files.maxPartitionBytes" -> "8MB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val out = TextAnalysis.bigramLm(spark, dir)
+      assert(out.collect().length === hot.length)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"), s"no skew split in final plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
