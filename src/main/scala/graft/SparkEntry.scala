@@ -81,6 +81,8 @@ object SparkEntry {
     "q58_window_analytics" -> (Events.windowAnalytics _),
     "q59_zorder_cells" -> ((s: SparkSession, d: String) => Layout.zorderCells(s, d)),
     "q60_length_quantiles_hist" -> ((s: SparkSession, d: String) => Curation.lengthQuantilesHist(s, d)),
+    "q61_decontamination" -> ((s: SparkSession, d: String) => Dedup.decontamination(s, d)),
+    "q62_mix_rebalance" -> ((s: SparkSession, d: String) => Curation.mixRebalance(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -153,5 +155,7 @@ object SparkEntry {
     "q58_window_analytics" -> Events.windowAnalyticsSql,
     "q59_zorder_cells" -> Layout.zorderCellsSql(),
     "q60_length_quantiles_hist" -> Curation.lengthQuantilesHistSql(),
+    "q61_decontamination" -> Dedup.decontaminationSql(),
+    "q62_mix_rebalance" -> Curation.mixRebalanceSql(),
   )
 }

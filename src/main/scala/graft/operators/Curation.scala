@@ -160,6 +160,60 @@ object Curation {
       .orderBy(col("lang"), col("pick"))
   }
 
+  /** q62 — training-mix rebalance: sample the corpus toward TARGET
+    * language proportions under a document budget, capped by
+    * availability — the mix-weighting pass that turns a raw crawl
+    * distribution into the training distribution. Per-language quota =
+    * floor(budget × weight); rows are picked in deterministic hash
+    * order (rerun-stable, like every sampler here); a language with
+    * fewer documents than its quota contributes everything it has
+    * (the cap binds — at sf0.01, de/es/fr bind and en/zh do not).
+    *
+    * Shape: quotas are plan-time literals (the weights are config, not
+    * data), so this is ONE lang-keyed window + filter — the rank
+    * filter plans the same partial WindowGroupLimit as q52's top-k:
+    * each map partition ships at most quota rows per language.
+    */
+  def mixRebalance(spark: SparkSession, dir: String,
+                   budget: Int = 500,
+                   weights: Seq[(String, Double)] = Seq(
+                     "en" -> 0.40, "de" -> 0.15, "es" -> 0.15,
+                     "fr" -> 0.15, "zh" -> 0.15)): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val quota = weights.foldLeft(lit(0)) { case (acc, (l, w)) =>
+      when(col("lang") === l, lit((budget * w).toInt)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5Bucket(col("doc_id")), col("doc_id"))
+    // two-step rank filter: the LITERAL max-quota bound is what
+    // InferWindowGroupLimit needs to plan the partial WindowGroupLimit
+    // (a CASE bound is opaque to it); the per-lang CASE then refines.
+    // Each map partition ships at most max-quota rows per language.
+    val maxQuota = weights.map { case (_, wt) => (budget * wt).toInt }.max
+    docs.withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= maxQuota && col("pick") <= quota)
+      .select(col("lang"), col("pick"), col("doc_id"))
+      .orderBy(col("lang"), col("pick"))
+  }
+
+  def mixRebalanceSql(budget: Int = 500,
+                      weights: Seq[(String, Double)] = Seq(
+                        "en" -> 0.40, "de" -> 0.15, "es" -> 0.15,
+                        "fr" -> 0.15, "zh" -> 0.15)): String = {
+    val cases = weights.map { case (l, w) =>
+      s"WHEN '$l' THEN ${(budget * w).toInt}" }.mkString(" ")
+    s"""WITH ranked AS (
+      |  SELECT lang, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+      |      doc_id) AS INT) AS pick
+      |  FROM documents
+      |)
+      |SELECT lang, pick, doc_id FROM ranked
+      |WHERE pick <= CASE lang $cases ELSE 0 END
+      |ORDER BY lang, pick""".stripMargin
+  }
+
   /** q52 — top-k per group by quality: the standard "keep the best N
     * documents per source" curation pass of a pretraining pipeline.
     * The rank filter plans as a PARTIAL WindowGroupLimit before the

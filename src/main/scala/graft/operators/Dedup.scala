@@ -524,4 +524,62 @@ object Dedup {
       |)
       |SELECT doc_a, doc_b, hamming FROM pairs
       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q61 — benchmark decontamination screen: flag training documents
+    * sharing ≥ `minShared` distinct word trigrams with any document in
+    * the held-out eval split (here: a deterministic `evalPct`% hash
+    * split of the corpus stands in for the benchmark suite). The
+    * standard pre-release overlap check of an LLM data pipeline —
+    * contaminated docs leak eval answers into training.
+    *
+    * Shape: the eval n-gram set is the benchmark's, i.e. tiny relative
+    * to the corpus — broadcast it, so the screen is a map-side
+    * semi-join + one doc_id-keyed count at scan speed over the
+    * training corpus; no corpus-sized shuffle at any step. (Were the
+    * eval set large, the same program without the broadcast hint
+    * shuffles on the trigram — Catalyst picks it from stats.)
+    */
+  def decontamination(spark: SparkSession, dir: String,
+                      evalPct: Int = 2, minShared: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("bucket", PortableHash.md5Long32(col("doc_id")) % 100)
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 3)
+    val tri = base.select(col("doc_id"), col("bucket"), explode(expr(
+      "transform(sequence(0, n - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+    )).as("g"))
+    val ev = tri.filter(col("bucket") < evalPct).select(col("g")).distinct()
+    val corpus = tri.filter(col("bucket") >= evalPct)
+      .select(col("doc_id"), col("g")).distinct()
+    corpus.join(broadcast(ev), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminationSql(evalPct: Int = 2, minShared: Int = 3): String =
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      |      AS bucket
+      |  FROM documents
+      |), tri AS (
+      |  SELECT doc_id, bucket,
+      |    unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |            for i in range(1, len(toks) - 1)]) AS g
+      |  FROM base WHERE len(toks) >= 3
+      |), ev AS (
+      |  SELECT DISTINCT g FROM tri WHERE bucket < $evalPct
+      |), corpus AS (
+      |  SELECT DISTINCT doc_id, g FROM tri WHERE bucket >= $evalPct
+      |)
+      |SELECT doc_id, COUNT(*) AS n_shared
+      |FROM corpus JOIN ev USING (g)
+      |GROUP BY doc_id
+      |HAVING COUNT(*) >= $minShared
+      |ORDER BY doc_id""".stripMargin
 }

@@ -91,6 +91,48 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination: >=minShared distinct shared trigrams flags a doc") {
+    // pick ids by their md5 bucket so the eval/corpus split is known
+    val buckets = spark.range(1, 200)
+      .select($"id", (graft.functions.PortableHash.md5Long32($"id") % 100).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val evalId = buckets.collectFirst { case (id, b) if b < 2 => id }.get
+    val corpusIds = buckets.collect { case (id, b) if b >= 2 => id }.toSeq.sorted
+    val Seq(cA, cB, cC) = corpusIds.take(3)
+    val dir = docsDir(Seq(
+      (evalId, "w1 w2 w3 w4 w5"),   // eval: trigrams w123 w234 w345
+      (cA, "w1 w2 w3 w4 w5 w1 w2 w3"), // shares 3 distinct -> flagged
+      (cB, "w1 w2 w3 w4"),          // shares 2 -> below threshold
+      (cC, "x1 x2 x3 x4 x5")))      // disjoint
+    val out = graft.operators.Dedup.decontamination(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((cA, 3L)))
+  }
+
+  test("mixRebalance: weighted quotas, availability caps, deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    val rows = (1 to 30).map(i => (i.toLong, s"doc $i", "en", "unit", 5L)) ++
+      Seq((100L, "nur eins", "de", "unit", 8L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val weights = Seq("en" -> 0.5, "de" -> 0.5)
+    def run() = graft.operators.Curation
+      .mixRebalance(spark, dir, budget = 8, weights = weights)
+      .as[(String, Int, Long)].collect().toSeq
+    val out = run()
+    // en: quota 4 of 30 available; de: quota 4 but only 1 available
+    assert(out.count(_._1 == "en") === 4)
+    assert(out.count(_._1 == "de") === 1)
+    assert(out.filter(_._1 == "en").map(_._2) === Seq(1, 2, 3, 4))
+    assert(run() === out) // rerun-stable (hash order, not rand())
+    // the literal max-quota bound plans the partial WindowGroupLimit
+    // (the per-lang CASE bound alone would be opaque to the rule)
+    val plan = graft.operators.Curation
+      .mixRebalance(spark, dir, budget = 8, weights = weights)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
   test("bigramLm scoring join: AQE splits the Zipf-hot w1 partition") {
     // corpus where one function-word bigram dominates — the documented
     // 100 TB risk on the (w1, w2) scoring join; prove the stated
