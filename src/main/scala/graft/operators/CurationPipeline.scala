@@ -12,9 +12,15 @@ import graft.functions.TextFunctions
   *
   *   documents
   *     → near-dup clustering (q38's fixpoint): keep cluster canonicals
+  *     → boilerplate gate (q55's repetition signals): drop
+  *       duplicate-token/duplicate-bigram outliers
   *     → quality gate (q23's score): drop the low-quality tail
+  *     → decontamination screen (q61's core): drop docs overlapping
+  *       the held-out eval split
+  *     → PII scrub (q57's redaction): clean text + audit count
   *     → per-source cap (q52's top-k): bound any one source's share
-  *     → sequence packing (q53): token-budget placement
+  *     → sequence packing (q53): token-budget placement over the
+  *       SCRUBBED text (the tokens that actually ship)
   *
   * One DataFrame chain, one action at the end. Operator-internal
   * checkpoints (dedup's shingle/pair tables) stay scoped to their
@@ -29,7 +35,9 @@ object CurationPipeline {
 
   def curateCorpus(spark: SparkSession, dir: String,
                    minQuality: Double = 0.5, perSource: Int = 50,
-                   budget: Int = 2048, nBuckets: Int = 32): DataFrame = {
+                   budget: Int = 2048, nBuckets: Int = 32,
+                   maxDupTokenFrac: Double = 0.95, evalPct: Int = 2,
+                   minShared: Int = 3): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
 
     // 1. near-dup clustering: canonical representatives only
@@ -38,20 +46,43 @@ object CurationPipeline {
       .select(col("doc_id"))
     val deduped = docs.join(canon, Seq("doc_id"), "left_semi")
 
-    // 2. quality gate
-    val scored = deduped.select(col("doc_id"), col("source"), col("lang"),
+    // 2. boilerplate gate — q55's core: drop duplicate-token outliers
+    // (NULL fractions = <2-token docs: keep, nothing to judge)
+    val repetitive = TextAnalysis.repetitionSignalsCore(deduped)
+      .filter(col("dup_token_frac") > maxDupTokenFrac)
+      .select(col("doc_id"))
+    val varied = deduped.join(repetitive, Seq("doc_id"), "left_anti")
+
+    // 3. quality gate
+    val scored = varied.select(col("doc_id"), col("source"), col("lang"),
         col("text"), TextFunctions.qualityScore(col("text")).as("quality"))
       .filter(col("quality") >= minQuality)
 
-    // 3. per-source cap — q52's core over the composed frame
-    val capped = Curation.topKPerSourceCore(scored, perSource, rankCol = "src_rank")
+    // 4. decontamination screen — q61's core against the held-out
+    // eval hash split (stand-in for the benchmark suite)
+    val evalDocs = docs.filter(
+      graft.functions.PortableHash.md5Long32(col("doc_id")) % 100 < evalPct)
+    val contaminated = Dedup.decontaminationCore(scored, evalDocs, minShared)
+      .select(col("doc_id"))
+    val clean = scored.join(contaminated, Seq("doc_id"), "left_anti")
+      // eval docs themselves never ship as training data
+      .join(evalDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
 
-    // 4. token-budget sequence placement — q53's core
+    // 5. PII scrub: the packed corpus carries the clean copy
+    val redacted = Pii.redactDocs(clean)
+
+    // 6. per-source cap — q52's core over the composed frame
+    val capped = Curation.topKPerSourceCore(redacted, perSource, rankCol = "src_rank")
+
+    // 7. token-budget sequence placement — q53's core, counting the
+    // SCRUBBED text's tokens (what actually ships)
     val withTokens = capped.select(col("doc_id"), col("source"), col("lang"),
-      col("quality"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      col("quality"), col("n_redactions"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
     Curation.sequencePackCore(withTokens, budget, nBuckets)
       .select(col("doc_id"), col("source"), col("lang"), col("quality"),
-        col("n_tokens"), col("bucket"), col("seq_id"), col("seq_offset"))
+        col("n_redactions"), col("n_tokens"), col("bucket"), col("seq_id"),
+        col("seq_offset"))
       .orderBy(col("doc_id"))
   }
 }

@@ -542,22 +542,32 @@ object Dedup {
   def decontamination(spark: SparkSession, dir: String,
                       evalPct: Int = 2, minShared: Int = 3): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val base = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("bucket", PortableHash.md5Long32(col("doc_id")) % 100)
+    decontaminationCore(
+        docs.filter(col("bucket") >= evalPct),
+        docs.filter(col("bucket") < evalPct), minShared)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame-parameterized core (shared with CurationPipeline): flagged
+    * (doc_id, n_shared) for corpus docs overlapping the eval frame,
+    * unordered. Both frames need (doc_id, text).
+    */
+  def decontaminationCore(corpus: DataFrame, evalDocs: DataFrame,
+                          minShared: Int): DataFrame = {
+    def tri(df: DataFrame) = df
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= 3)
-    val tri = base.select(col("doc_id"), col("bucket"), explode(expr(
-      "transform(sequence(0, n - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-    )).as("g"))
-    val ev = tri.filter(col("bucket") < evalPct).select(col("g")).distinct()
-    val corpus = tri.filter(col("bucket") >= evalPct)
-      .select(col("doc_id"), col("g")).distinct()
-    corpus.join(broadcast(ev), Seq("g"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, n - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+      )).as("g"))
+    val ev = tri(evalDocs).select(col("g")).distinct()
+    tri(corpus).select(col("doc_id"), col("g")).distinct()
+      .join(broadcast(ev), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .orderBy(col("doc_id"))
   }
 
   def decontaminationSql(evalPct: Int = 2, minShared: Int = 3): String =

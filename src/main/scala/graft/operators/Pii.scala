@@ -31,6 +31,15 @@ object Pii {
     * redact-on-ingest twin ([[graft.streaming.StreamingPii]]): adds
     * the redacted payload and the match count, drops nothing.
     */
+  /** Scrub long digit runs (account-ish identifiers) from a documents
+    * frame's text in place, keeping an audit count — the corpus-side
+    * redaction stage of CurationPipeline. Pure codegen'd map.
+    */
+  def redactDocs(df: DataFrame): DataFrame =
+    df.withColumn("n_redactions",
+        regexp_count(col("text"), lit(idRun)).cast("long"))
+      .withColumn("text", regexp_replace(col("text"), idRun, "[ID]"))
+
   def redactEvents(df: DataFrame): DataFrame =
     df.withColumn("props_redacted", regexp_replace(col("props"), numRun, "[NUM]"))
       .withColumn("n_matches", regexp_count(col("props"), lit(numRun)).cast("long"))

@@ -214,8 +214,14 @@ object TextAnalysis {
     * with < 2 tokens have no bigrams: their fractions are NULL
     * (faithful NULL propagation, house style).
     */
-  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignalsCore(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** Frame-parameterized core (shared with CurationPipeline's
+    * boilerplate gate): per-doc repetition fractions, unordered.
+    */
+  def repetitionSignalsCore(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_distinct", size(array_distinct(col("toks"))))
@@ -236,7 +242,6 @@ object TextAnalysis {
         round(col("top_cnt").cast("double") / col("total_bi"), 6).as("top_bigram_frac"),
         round(lit(1.0) - col("distinct_bi").cast("double") / col("total_bi"), 6)
           .as("dup_bigram_frac"))
-      .orderBy(col("doc_id"))
   }
 
   val repetitionSignalsSql: String =

@@ -25,6 +25,17 @@ class CurationPipelineSpec extends AnyFunSuite {
     // above the quality floor, per-source cap respected
     assert(out.length > 0 && out.length <= nDocs - nDups)
     assert(out.forall(_.getAs[Double]("quality") >= 0.5))
+    // decontamination: neither eval-split docs nor flagged-overlap
+    // docs ship, and every shipped row carries the redaction audit
+    val outIds = out.map(_.getAs[Long]("doc_id")).toSet
+    val evalIds = docs
+      .filter(graft.functions.PortableHash.md5Long32($"doc_id") % 100 < 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(outIds.intersect(evalIds).isEmpty, "eval docs leaked into training")
+    val flagged = Dedup.decontamination(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(outIds.intersect(flagged).isEmpty, "contaminated docs shipped")
+    assert(out.forall(_.getAs[Long]("n_redactions") >= 0L))
     val bySource = out.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
     assert(bySource.values.forall(_ <= 50))
     // seq ids are dense-ish per bucket: max seq bounded by token mass
