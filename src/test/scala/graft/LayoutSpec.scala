@@ -48,6 +48,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(sep.getLong(0) !== sep.getLong(1))
   }
 
+  test("property: zorderKey is a bijection on the in-domain rectangle") {
+    // within 2^bits × 2^bits the Morton interleave must be invertible:
+    // any collision would merge unrelated cells and silently corrupt
+    // the layout's locality guarantee
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val coord = Gen.chooseNum(0L, 65535L)
+    val gen = Gen.listOfN(60, Gen.zip(coord, coord))
+    val p = Prop.forAll(gen) { pts =>
+      val distinct = pts.distinct
+      val rows = distinct.toDF("x", "y")
+        .select($"x", $"y", Layout.zorderKey($"x", $"y").as("z"))
+        .as[(Long, Long, Long)].collect()
+      rows.length == distinct.length &&
+        rows.map(_._3).distinct.length == distinct.length &&
+        rows.forall { case (x, y, z) => z == morton(x, y, 16) }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("writeZOrdered narrows per-file spans in BOTH dimensions") {
     // a shuffled 64x64 grid: every (x, y) once, in hash order
     val n = 64

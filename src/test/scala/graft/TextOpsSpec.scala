@@ -109,6 +109,16 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out === Seq((cA, 3L)))
   }
 
+  test("decontamination plans a broadcast of the eval trigram set") {
+    // the 100 TB guarantee: the screen is a map-side join against the
+    // (small) benchmark n-gram set — a shuffle on the raw trigram
+    // would carry the whole corpus
+    val out = graft.operators.Dedup.decontamination(spark, "/root/testdata/sf0.001")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"no broadcast:\n$plan")
+  }
+
   test("mixRebalance: weighted quotas, availability caps, deterministic") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
     val rows = (1 to 30).map(i => (i.toLong, s"doc $i", "en", "unit", 5L)) ++
