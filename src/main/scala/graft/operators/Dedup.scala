@@ -59,8 +59,8 @@ object Dedup {
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= k)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(0, n - $k), i -> concat_ws(' ', slice(toks, i + 1, $k))))"
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordNGrams.ngrams(docs.sparkSession, col("toks"), k)
       )).as("shingle"))
 
   /** The shared DuckDB CTE prefix: distinct k=3 shingles + df-cap
@@ -559,9 +559,9 @@ object Dedup {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, n - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-      )).as("g"))
+      .select(col("doc_id"), explode(
+        graft.functions.WordNGrams.ngrams(df.sparkSession, col("toks"), 3)
+      ).as("g"))
     val ev = tri(evalDocs).select(col("g")).distinct()
     tri(corpus).select(col("doc_id"), col("g")).distinct()
       .join(broadcast(ev), Seq("g"))

@@ -226,9 +226,9 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_distinct", size(array_distinct(col("toks"))))
     val bi = base.filter(col("n_tokens") >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, n_tokens - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"
-      )).as("bigram"))
+      .select(col("doc_id"), explode(
+        graft.functions.WordNGrams.ngrams(docs.sparkSession, col("toks"), 2)
+      ).as("bigram"))
     val biStats = bi.groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
@@ -293,11 +293,14 @@ object TextAnalysis {
     val docs = Tables.load(spark, dir, "documents")
     val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
+    // fused n-gram expression, split back into (w1, w2) join keys —
+    // lossless because tokens() cannot contain whitespace
     val bg = base.filter(col("n") >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, n - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
-      )).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), explode(
+        graft.functions.WordNGrams.ngrams(spark, col("toks"), 2)).as("bigram"))
+      .select(col("doc_id"),
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
       .localCheckpoint()
     // The count tables are materialized (localCheckpoint), not left as
     // lazy aggregates, for two reasons: (a) c1 derives from c2, so an

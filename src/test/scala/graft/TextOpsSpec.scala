@@ -91,6 +91,36 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("WordNGrams equals the composable transform form (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.WordNGrams
+    val tok = Gen.oneOf(
+      Gen.alphaNumStr.map(s => if (s.isEmpty) "t" else s.take(6)),
+      Gen.const("日本語"), Gen.const("😀"), Gen.const("x"))
+    val gen = for {
+      n <- Gen.chooseNum(1, 4)
+      len <- Gen.chooseNum(n, 10)
+      toks <- Gen.listOfN(len, tok)
+    } yield (n, toks)
+    val p = Prop.forAll(gen) { case (n, toks) =>
+      val df = Seq(Tuple1(toks)).toDF("toks").withColumn("m", size($"toks"))
+      val fused = df.select(WordNGrams.ngrams(spark, $"toks", n).as("g"))
+        .as[Seq[String]].head()
+      val composable = df.select(expr(
+        s"transform(sequence(0, m - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"
+      ).as("g")).as[Seq[String]].head()
+      fused == composable
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+    // below-width arrays yield an EMPTY array (the composable form's
+    // descending sequence() would misbehave there; callers pre-filter)
+    val short = Seq(Tuple1(Seq("only"))).toDF("toks")
+      .select(graft.functions.WordNGrams.ngrams(spark, $"toks", 3).as("g"))
+      .as[Seq[String]].head()
+    assert(short === Seq.empty)
+  }
+
   test("decontamination: >=minShared distinct shared trigrams flags a doc") {
     // pick ids by their md5 bucket so the eval/corpus split is known
     val buckets = spark.range(1, 200)
