@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.Tables
+
+/** JSONL (one JSON document per line) source — the de-facto ingest
+  * format of web-scale text corpora — read against the engine's
+  * declared `documents` schema with corrupt-record QUARANTINE rather
+  * than silent drop.
+  *
+  * Scale posture: the schema comes from the catalog (`Tables.schemas`)
+  * so there is NO inference pre-scan of 100 TB; parsing is
+  * per-partition streaming; malformed lines land in an audit frame
+  * (the poison-pill discipline of `KafkaShaped`, applied to files).
+  * One materialization (`localCheckpoint`) feeds both outputs — also
+  * sidestepping Spark's restriction on queries that select only the
+  * internal corrupt-record column from a raw JSON scan.
+  */
+object Jsonl {
+
+  /** Read `path` as documents-shaped JSONL. Returns (clean, quarantine):
+    * clean rows carry the catalog schema; quarantine rows carry the
+    * raw offending line in `raw_line`. A line is quarantined if it is
+    * unparseable OR parses without the required key (`doc_id` null —
+    * JSON nulls and missing keys are indistinguishable post-parse, and
+    * a document without an id cannot enter the pipeline).
+    */
+  def readDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val schema = Tables.schemas("documents").add("_corrupt_record", StringType)
+    val raw = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .localCheckpoint()
+    val bad = col("_corrupt_record").isNotNull || col("doc_id").isNull
+    val clean = raw.filter(!bad).drop("_corrupt_record")
+    val quarantine = raw.filter(bad)
+      .select(coalesce(col("_corrupt_record"), to_json(struct(
+        Tables.schemas("documents").fieldNames.map(col).toSeq: _*))).as("raw_line"))
+    (clean, quarantine)
+  }
+
+  /** Write a documents frame as JSONL (what `spark.write.json` emits:
+    * one object per line) — the round-trip twin of [[readDocuments]].
+    */
+  def writeDocuments(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

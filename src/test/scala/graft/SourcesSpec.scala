@@ -115,4 +115,29 @@ class SourcesSpec extends AnyFunSuite {
     val out = TableWriters.write("RecommendedAppHistory", hist, histIn, "__v")
     assert(out.count() === 2) // (a,r,1,10) kept once + (a,r,2,10) appended
   }
+
+  test("jsonl: clean/quarantine split, missing-id quarantined, round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0", "n_chars": 11}""",
+      """{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s1", "n_chars": 7}""",
+      """not json at all {{{""",
+      """{"text": "no id here", "lang": "en", "source": "s0", "n_chars": 10}""")
+    java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val (clean, quarantine) = graft.sources.Jsonl.readDocuments(spark, dir.toString)
+    assert(clean.schema === Tables.schemas("documents"))
+    assert(clean.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    val q = quarantine.select($"raw_line").as[String].collect().toSeq
+    assert(q.length === 2)
+    assert(q.exists(_.startsWith("not json")))
+    assert(q.exists(_.contains("no id here")))
+    // round-trip: write clean docs, read back, identical rows
+    val out = s"$dir/out"
+    graft.sources.Jsonl.writeDocuments(clean, out)
+    val (back, backQ) = graft.sources.Jsonl.readDocuments(spark, out)
+    assert(backQ.isEmpty)
+    assert(back.orderBy($"doc_id").collect().map(_.toString).toSeq ===
+      clean.orderBy($"doc_id").collect().map(_.toString).toSeq)
+  }
 }
