@@ -220,21 +220,28 @@ object TextAnalysis {
 
   /** Frame-parameterized core (shared with CurationPipeline's
     * boilerplate gate): per-doc repetition fractions, unordered.
+    *
+    * SHUFFLE-FREE: every statistic is a function of one row's own
+    * token array — total bigrams = n-1, distinct via `array_distinct`,
+    * the top-bigram count via the fused [[graft.functions.ArrayMaxFreq]]
+    * hash count — so the whole operator is a narrow map (round 3's
+    * explode + two doc_id-keyed aggregations shuffled the exploded
+    * corpus just to count within each row). Docs with <2 tokens have
+    * an EMPTY bigram array: ArrayMaxFreq yields NULL there and the
+    * bigram fractions NULL-propagate, exactly the left-join-miss
+    * semantics of the aggregated form (equivalence pinned in
+    * TextOpsSpec and by the unchanged DuckDB oracle).
     */
   def repetitionSignalsCore(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val spark = docs.sparkSession
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_distinct", size(array_distinct(col("toks"))))
-    val bi = base.filter(col("n_tokens") >= 2)
-      .select(col("doc_id"), explode(
-        graft.functions.WordNGrams.ngrams(docs.sparkSession, col("toks"), 2)
-      ).as("bigram"))
-    val biStats = bi.groupBy(col("doc_id"), col("bigram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("total_bi"),
-        count(lit(1)).as("distinct_bi"))
-    base.join(biStats, Seq("doc_id"), "left")
+      .withColumn("bg", graft.functions.WordNGrams.ngrams(spark, col("toks"), 2))
+      .withColumn("top_cnt", graft.functions.ArrayMaxFreq.maxFreq(spark, col("bg")))
+      .withColumn("total_bi", when(col("n_tokens") >= 2, col("n_tokens") - 1))
+      .withColumn("distinct_bi", when(col("n_tokens") >= 2,
+        size(array_distinct(col("bg")))))
       .select(
         col("doc_id"), col("n_tokens"),
         round(lit(1.0) - col("n_distinct").cast("double") /
