@@ -39,30 +39,30 @@ object TextAnalysis {
   /** q22 — heuristic language ID (stopword-hit argmax) compared with
     * the labeled lang.
     *
-    * Shape: explode tokens once + conditional-sum aggregation, then
-    * the argmax CASE over the score columns. The column-level
-    * [[graft.functions.TextFunctions.langId]] is equivalent but its
-    * `filter` HOFs are CodegenFallback and re-evaluate per reference
-    * in the argmax chain — the exploded form is the 100 TB shape (one
-    * pass over tokens, codegen'd conditional sums).
+    * Shape: SHUFFLE-FREE narrow map — per-language stopword hits are
+    * counted within each row's own token array by the codegen'd
+    * [[graft.functions.ArrayCountIn]] (one hash-set probe per token),
+    * then the argmax CASE. Round 3's explode + conditional-sum
+    * aggregation shuffled the exploded corpus by doc_id and joined it
+    * back, just to count per row; the column-level `filter` HOF
+    * alternative is CodegenFallback. The oracle SQL was already the
+    * per-row form — the engines now share the shape, not just values.
     */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val scoreCols = langStopwords.map { case (lang, words) =>
-      sum(when(col("tok").isin(words: _*), 1).otherwise(0)).as(s"s_$lang")
+    val base = docs.select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val withScores = langStopwords.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang",
+        graft.functions.ArrayCountIn.countIn(spark, col("toks"), words))
     }
-    val scores = tok.groupBy(col("doc_id")).agg(scoreCols.head, scoreCols.tail: _*)
-    val s = langStopwords.map { case (lang, _) =>
-      lang -> coalesce(col(s"s_$lang"), lit(0L))
-    }.toMap
+    val s = langStopwords.map { case (lang, _) => lang -> col(s"s_$lang") }.toMap
     val pred = when(s.values.reduce(_ + _) > 0,
       when(s("de") > s("en") && s("de") > s("es") && s("de") > s("fr"), "de")
         .when(s("fr") > s("en") && s("fr") > s("es"), "fr")
         .when(s("es") > s("en"), "es")
         .otherwise("en"))
       .otherwise(lit("und"))
-    docs.join(scores, Seq("doc_id"), "left")
+    withScores
       .select(col("doc_id"), col("lang"), pred.as("lang_pred"))
       .withColumn("agrees", (col("lang") === col("lang_pred")).cast("int"))
       .orderBy(col("doc_id"))

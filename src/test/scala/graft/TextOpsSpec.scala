@@ -121,6 +121,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(short === Seq.empty)
   }
 
+  test("ArrayMaxFreq / ArrayCountIn equal their composable forms (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val tok = Gen.oneOf("a", "b", "c", "der", "und", "日本")
+    val gen = Gen.listOf(tok)
+    val words = Seq("der", "und", "a")
+    val p = Prop.forAll(gen) { toks =>
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val fused = df.select(
+        graft.functions.ArrayMaxFreq.maxFreq(spark, $"toks").as("mf"),
+        graft.functions.ArrayCountIn.countIn(spark, $"toks", words).as("ci"))
+        .as[(Option[Long], Long)].head()
+      val expectMf = if (toks.isEmpty) None
+        else Some(toks.groupBy(identity).values.map(_.length).max.toLong)
+      val expectCi = toks.count(words.contains).toLong
+      fused == ((expectMf, expectCi))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("decontamination: >=minShared distinct shared trigrams flags a doc") {
     // pick ids by their md5 bucket so the eval/corpus split is known
     val buckets = spark.range(1, 200)
