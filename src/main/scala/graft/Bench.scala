@@ -98,12 +98,9 @@ object Bench {
     // non-graded scale-path twin: the approx_percentile sketch form of
     // q42/q60 (no oracle — engine-specific interpolation; QuantilesSpec
     // bounds its error) benched alongside so both forms carry timings
+    // (the composed curation pipeline is graded as q63 — no extra needed)
     val extras: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
-      "x01_quantiles_sketch" -> (() => operators.Curation.lengthQuantilesApprox(spark, sfDir)),
-      // end-to-end composed curation (dedup -> repetition gate ->
-      // quality -> decontaminate -> PII scrub -> cap -> pack): the
-      // integration number for the whole pipeline, not just its parts
-      "x02_curation_pipeline" -> (() => operators.CurationPipeline.curateCorpus(spark, sfDir)))
+      "x01_quantiles_sketch" -> (() => operators.Curation.lengthQuantilesApprox(spark, sfDir)))
 
     val standard = SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (n, fn) => n -> (() => fn(spark, sfDir)) }

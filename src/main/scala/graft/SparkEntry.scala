@@ -83,6 +83,7 @@ object SparkEntry {
     "q60_length_quantiles_hist" -> ((s: SparkSession, d: String) => Curation.lengthQuantilesHist(s, d)),
     "q61_decontamination" -> ((s: SparkSession, d: String) => Dedup.decontamination(s, d)),
     "q62_mix_rebalance" -> ((s: SparkSession, d: String) => Curation.mixRebalance(s, d)),
+    "q63_curation_pipeline" -> ((s: SparkSession, d: String) => CurationPipeline.curateCorpus(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -157,5 +158,6 @@ object SparkEntry {
     "q60_length_quantiles_hist" -> Curation.lengthQuantilesHistSql(),
     "q61_decontamination" -> Dedup.decontaminationSql(),
     "q62_mix_rebalance" -> Curation.mixRebalanceSql(),
+    "q63_curation_pipeline" -> CurationPipeline.curateCorpusSql,
   )
 }

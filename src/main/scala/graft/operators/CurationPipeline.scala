@@ -85,4 +85,74 @@ object CurationPipeline {
         col("seq_offset"))
       .orderBy(col("doc_id"))
   }
+
+  /** q63 — the WHOLE pipeline as one DuckDB oracle: every stage's
+    * proven twin composed in order (recursive-CTE dedup from q38,
+    * per-row repetition gate from q55, the q23 quality expression, the
+    * q61 trigram screen, q57's redaction regex, q52's windowed cap,
+    * q53's bucketed packing). Hash-exact end-to-end means the stages
+    * compose without semantic drift — the strongest correctness
+    * statement this engine makes.
+    */
+  val curateCorpusSql: String = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+    val tri = "unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+      "for i in range(1, len(toks) - 1)]) AS g"
+    val md5b = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    s"""WITH canon AS (
+      |  SELECT doc_id FROM (${Dedup.dedupClustersSql}) WHERE is_canonical = 1
+      |), base AS (
+      |  SELECT d.doc_id, d.source, d.lang, d.text, $toks AS toks
+      |  FROM documents d JOIN canon USING (doc_id)
+      |), varied AS (
+      |  SELECT * FROM base
+      |  WHERE (ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+      |           / NULLIF(len(toks), 0), 6) > 0.95) IS NOT TRUE
+      |), scored AS (
+      |  SELECT doc_id, source, lang, text, toks,
+      |    ${TextAnalysis.qualityExprSql} AS quality
+      |  FROM varied
+      |  WHERE ${TextAnalysis.qualityExprSql} >= 0.5
+      |), evaldocs AS (
+      |  SELECT doc_id, $toks AS toks FROM documents WHERE $md5b % 100 < 2
+      |), evtri0 AS (
+      |  SELECT $tri FROM evaldocs WHERE len(toks) >= 3
+      |), evtri AS (SELECT DISTINCT g FROM evtri0
+      |), cotri0 AS (
+      |  SELECT doc_id, $tri FROM scored WHERE len(toks) >= 3
+      |), cotri AS (SELECT DISTINCT doc_id, g FROM cotri0
+      |), contaminated AS (
+      |  SELECT doc_id FROM cotri JOIN evtri USING (g)
+      |  GROUP BY doc_id HAVING COUNT(*) >= 3
+      |), clean AS (
+      |  SELECT * FROM scored
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |    AND doc_id NOT IN (SELECT doc_id FROM evaldocs)
+      |), redacted AS (
+      |  SELECT doc_id, source, lang, quality,
+      |    CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_redactions,
+      |    regexp_replace(text, '[0-9]{4,}', '[ID]', 'g') AS rtext
+      |  FROM clean
+      |), capped AS (
+      |  SELECT * FROM (
+      |    SELECT r.*, row_number() OVER (PARTITION BY source
+      |      ORDER BY quality DESC, doc_id) AS src_rank
+      |    FROM redacted r
+      |  ) WHERE src_rank <= 50
+      |), witht AS (
+      |  SELECT doc_id, source, lang, quality, n_redactions,
+      |    len(list_filter(string_split_regex(lower(rtext), '\\s+'), t -> t <> ''))
+      |      AS n_tokens,
+      |    $md5b % 32 AS bucket
+      |  FROM capped
+      |), packed AS (
+      |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS cum_before
+      |  FROM witht
+      |)
+      |SELECT doc_id, source, lang, quality, n_redactions, n_tokens, bucket,
+      |  cum_before // 2048 AS seq_id, cum_before % 2048 AS seq_offset
+      |FROM packed ORDER BY doc_id""".stripMargin
+  }
 }
