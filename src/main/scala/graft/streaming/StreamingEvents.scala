@@ -59,6 +59,53 @@ object StreamingEvents {
   case class SessionOut(user_id: Long, session_start_ms: Long, session_end_ms: Long,
                         n_events: Long, session_value: Double)
 
+  case class OrdState(seq: Int, lastTs: Long, runMicros: Long)
+  case class OrdOut(user_id: Long, event_id: Long, ts_ms: Long, seq: Int,
+                    gap_ms: Option[Long], running_value: Double)
+
+  /** Streaming twin of the ordered window analytics (q58), causal
+    * subset: per-user seq / gap to the previous event / running value.
+    * `lead`-style columns are anti-causal (they need the NEXT event)
+    * and are deliberately absent — a streaming system can only emit
+    * them one event late, which changes the output contract.
+    *
+    * Ordering discipline: rows are sorted within the micro-batch by
+    * (ts_ms, event_id); an event arriving BELOW the per-user processed
+    * frontier is dropped (the watermark contract — same late-data
+    * stance as the windowed aggregates above). The running sum
+    * accumulates in integer micro-units with the same scale-6 HALF_UP
+    * rounding as the batch form's DECIMAL(18,6), so streamed values
+    * equal the batch window exactly (asserted in StreamingSpec).
+    * State per user is three scalars — bounded regardless of history.
+    */
+  def orderedAnalytics(events: Dataset[SessionInput]): Dataset[OrdOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OrdState, OrdOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[OrdState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts_ms, r.event_id))
+          var st = state.getOption.getOrElse(OrdState(0, Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[OrdOut]
+          sorted.foreach { r =>
+            if (st.seq > 0 && r.ts_ms < st.lastTs) {
+              // late beyond the processed frontier: dropped
+            } else {
+              val micros = BigDecimal(r.value)
+                .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .underlying.movePointRight(6).longValueExact
+              val run = st.runMicros + micros
+              val gap = if (st.seq == 0) None else Some(r.ts_ms - st.lastTs)
+              out += OrdOut(user, r.event_id, r.ts_ms, st.seq + 1, gap,
+                run.toDouble / 1e6)
+              st = OrdState(st.seq + 1, r.ts_ms, run)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: a session
     * closes when a later event crosses the gap, or when the
     * processing-time timeout fires after `gapMs` of silence — without

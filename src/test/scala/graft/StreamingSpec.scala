@@ -145,6 +145,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ordered analytics matches the batch window twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the same crafted events as the batch boundary test: ts tie on
+    // user 1 (event_id tiebreak), single-event user 2
+    val rows = Seq(
+      (1L, 1000L, 1L, "click", 1.5, "{}"),
+      (2L, 4000L, 1L, "view", 2.25, "{}"),
+      (3L, 4000L, 1L, "buy", 0.25, "{}"),
+      (4L, 9000L, 2L, "click", 3.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sord").toString
+    rows.map { case (e, ts, u, t, v, p) => (e, new java.sql.Timestamp(ts), u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Events.windowAnalytics(spark, dir)
+      .select($"user_id", $"event_id", $"seq", $"gap_ms", $"running_value")
+      .as[(Long, Long, Int, Option[Long], Double)].collect().toSeq
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingEvents.SessionInput]
+    val q = StreamingEvents.orderedAnalytics(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ordered_out").start()
+    try {
+      // split across micro-batches so state carries the frontier
+      input.addData(
+        StreamingEvents.SessionInput(1L, 1L, 1000L, 1.5),
+        StreamingEvents.SessionInput(1L, 2L, 4000L, 2.25))
+      q.processAllAvailable()
+      input.addData(
+        StreamingEvents.SessionInput(1L, 3L, 4000L, 0.25),
+        StreamingEvents.SessionInput(2L, 4L, 9000L, 3.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ordered_out")
+        .select($"user_id", $"event_id", $"seq", $"gap_ms", $"running_value")
+        .as[(Long, Long, Int, Option[Long], Double)].collect().toSeq
+        .sortBy(r => (r._1, r._3))
+      assert(streamed === batch)
+      // a late event below the frontier is dropped, not re-sequenced
+      input.addData(StreamingEvents.SessionInput(1L, 9L, 500L, 7.0))
+      q.processAllAvailable()
+      assert(spark.table("ordered_out").count() === 4)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions, keeps open ones in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
