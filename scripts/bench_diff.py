@@ -58,7 +58,7 @@ def main():
                 spread = ("  runs=[" + ", ".join(f"{r:.2f}" for r in runs) + "]" +
                           (" (inside run spread: noise?)" if noise else ""))
             print(f"MOVED   {q:34s} {a:6.2f} -> {b:6.2f}  ({ratio:4.2f}x){spread}")
-    tot_a = sum(oq.values())
+    tot_a = sum(v for k, v in oq.items() if k in nq)
     tot_b = sum(v for k, v in nq.items() if k in oq)
     print(f"\ntotals (shared queries): {tot_a:.1f} -> {tot_b:.1f} s; "
           f"{flagged} flagged of {len(set(oq) & set(nq))} shared")

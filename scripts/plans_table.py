@@ -53,6 +53,8 @@ def main():
         if i >= 0:
             bench = json.loads(line[i:])
     qsec = bench["queries"] if bench else {}
+    if bench is None:
+        bench = {}  # degraded table: '-' timings, reps column reads 1
     a, n = sections(aqe), sections(noaqe)
     print("| query | exchanges | bj | smj/shj | scans | pushed | codegen spans | sf0.1 sec (median of %d) |" % bench.get("reps", 1))
     print("|---|---|---|---|---|---|---|---|")

@@ -563,10 +563,14 @@ object Dedup {
         graft.functions.WordNGrams.ngrams(df.sparkSession, col("toks"), 3)
       ).as("g"))
     val ev = tri(evalDocs).select(col("g")).distinct()
-    tri(corpus).select(col("doc_id"), col("g")).distinct()
+    // broadcast semi-join FIRST, per-doc distinct count AFTER: only
+    // eval-matched trigrams (tiny) reach the aggregation. A distinct
+    // before the join would shuffle every corpus (doc_id, trigram)
+    // pair — the corpus-sized shuffle this operator exists to avoid.
+    tri(corpus)
       .join(broadcast(ev), Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("g")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 

@@ -35,21 +35,28 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Bit length of one column's observed max (clamped to [1, 31] —
+  /** Bit length of a non-negative max value (clamped to [1, 31] —
     * 2*31 interleaved positions still fit a signed long).
     */
-  def colBits(df: DataFrame, c: String): Int = {
-    val row = df.agg(max(col(c).cast("long"))).head()
-    val m = if (row.isNullAt(0)) 0L else math.max(0L, row.getLong(0))
-    math.min(31, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(m)))
+  private def bitLen(m: Long): Int =
+    math.min(31, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(0L, m))))
+
+  /** Per-column bit widths covering both observed domains — ONE
+    * driver-scalar aggregation job for both columns (the same role as
+    * a table format reading its column stats before clustering; a
+    * scan per column would double the pre-write read cost).
+    */
+  def colBitsBoth(df: DataFrame, xCol: String, yCol: String): (Int, Int) = {
+    val row = df.agg(max(col(xCol).cast("long")), max(col(yCol).cast("long"))).head()
+    def at(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+    (bitLen(at(0)), bitLen(at(1)))
   }
 
-  /** Bits needed to cover BOTH columns' observed domain (one tiny
-    * driver-scalar agg per column, the same role as a table format
-    * reading its column stats before clustering).
-    */
-  def bitsFor(df: DataFrame, xCol: String, yCol: String): Int =
-    math.max(colBits(df, xCol), colBits(df, yCol))
+  /** Bits needed to cover BOTH columns' observed domain. */
+  def bitsFor(df: DataFrame, xCol: String, yCol: String): Int = {
+    val (bx, by) = colBitsBoth(df, xCol, yCol)
+    math.max(bx, by)
+  }
 
   /** DuckDB twin of [[zorderKey]] — same shift/and/or terms. */
   def zorderKeySql(x: String, y: String, bits: Int = 16): String = {
@@ -112,7 +119,7 @@ object Layout {
     // bits own the key's top bits and the narrow dimension barely
     // prunes (ZorderAudit on lineitem (part ~2^15, supp ~2^10):
     // supp-only scan fraction 0.64 unscaled vs ~0.1 scaled).
-    val (bx, by) = (colBits(df, xCol), colBits(df, yCol))
+    val (bx, by) = colBitsBoth(df, xCol, yCol)
     val bits = math.max(bx, by)
     df.withColumn("__z", zorderKey(
         shiftleft(col(xCol).cast("long"), bits - bx),

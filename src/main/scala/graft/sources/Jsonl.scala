@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
 
 import graft.Tables
 
@@ -23,24 +22,27 @@ object Jsonl {
 
   /** Read `path` as documents-shaped JSONL. Returns (clean, quarantine):
     * clean rows carry the catalog schema; quarantine rows carry the
-    * raw offending line in `raw_line`. A line is quarantined if it is
-    * unparseable OR parses without the required key (`doc_id` null —
-    * JSON nulls and missing keys are indistinguishable post-parse, and
-    * a document without an id cannot enter the pipeline).
+    * raw offending line VERBATIM in `raw_line`. A line is quarantined
+    * if it is unparseable OR parses without the required key (`doc_id`
+    * null — JSON nulls and missing keys are indistinguishable
+    * post-parse, and a document without an id cannot enter the
+    * pipeline).
+    *
+    * Reads as text + `from_json` rather than `spark.read.json` so the
+    * original line survives for EVERY quarantined record — the json
+    * reader's corrupt-record column only covers malformed lines, and
+    * re-serializing a parsed-but-id-less row would drop unknown keys
+    * and null fields, making the audit frame unable to replay the
+    * record it exists to preserve.
     */
   def readDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val schema = Tables.schemas("documents").add("_corrupt_record", StringType)
-    val raw = spark.read
-      .schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
+    val schema = Tables.schemas("documents")
+    val raw = spark.read.text(path)
+      .withColumn("parsed", from_json(col("value"), schema))
       .localCheckpoint()
-    val bad = col("_corrupt_record").isNotNull || col("doc_id").isNull
-    val clean = raw.filter(!bad).drop("_corrupt_record")
-    val quarantine = raw.filter(bad)
-      .select(coalesce(col("_corrupt_record"), to_json(struct(
-        Tables.schemas("documents").fieldNames.map(col).toSeq: _*))).as("raw_line"))
+    val bad = col("parsed").isNull || col("parsed.doc_id").isNull
+    val clean = raw.filter(!bad).select(col("parsed.*"))
+    val quarantine = raw.filter(bad).select(col("value").as("raw_line"))
     (clean, quarantine)
   }
 

@@ -59,7 +59,7 @@ object StreamingEvents {
   case class SessionOut(user_id: Long, session_start_ms: Long, session_end_ms: Long,
                         n_events: Long, session_value: Double)
 
-  case class OrdState(seq: Int, lastTs: Long, runMicros: Long)
+  case class OrdState(seq: Int, lastTs: Long, lastId: Long, runMicros: Long)
   case class OrdOut(user_id: Long, event_id: Long, ts_ms: Long, seq: Int,
                     gap_ms: Option[Long], running_value: Double)
 
@@ -70,9 +70,13 @@ object StreamingEvents {
     * them one event late, which changes the output contract.
     *
     * Ordering discipline: rows are sorted within the micro-batch by
-    * (ts_ms, event_id); an event arriving BELOW the per-user processed
-    * frontier is dropped (the watermark contract — same late-data
-    * stance as the windowed aggregates above). The running sum
+    * (ts_ms, event_id); an event at or below the per-user processed
+    * frontier — (ts_ms, event_id) LEXICOGRAPHIC, so an equal-ts event
+    * with a lower id arriving in a later micro-batch is late too, not
+    * mis-sequenced after its tiebreak predecessor — is dropped (the
+    * watermark contract, same late-data stance as the windowed
+    * aggregates above). For frontier-respecting input the streamed
+    * rows equal the batch window exactly. The running sum
     * accumulates in integer micro-units with the same scale-6 HALF_UP
     * rounding as the batch form's DECIMAL(18,6), so streamed values
     * equal the batch window exactly (asserted in StreamingSpec).
@@ -85,11 +89,13 @@ object StreamingEvents {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[SessionInput], state: GroupState[OrdState]) =>
           val sorted = rows.toSeq.sortBy(r => (r.ts_ms, r.event_id))
-          var st = state.getOption.getOrElse(OrdState(0, Long.MinValue, 0L))
+          var st = state.getOption.getOrElse(
+            OrdState(0, Long.MinValue, Long.MinValue, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[OrdOut]
           sorted.foreach { r =>
-            if (st.seq > 0 && r.ts_ms < st.lastTs) {
-              // late beyond the processed frontier: dropped
+            if (st.seq > 0 && (r.ts_ms < st.lastTs ||
+                (r.ts_ms == st.lastTs && r.event_id <= st.lastId))) {
+              // at or below the (ts, id) frontier: dropped as late
             } else {
               val micros = BigDecimal(r.value)
                 .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
@@ -98,7 +104,7 @@ object StreamingEvents {
               val gap = if (st.seq == 0) None else Some(r.ts_ms - st.lastTs)
               out += OrdOut(user, r.event_id, r.ts_ms, st.seq + 1, gap,
                 run.toDouble / 1e6)
-              st = OrdState(st.seq + 1, r.ts_ms, run)
+              st = OrdState(st.seq + 1, r.ts_ms, r.event_id, run)
             }
           }
           state.update(st)

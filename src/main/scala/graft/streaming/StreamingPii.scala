@@ -17,11 +17,18 @@ import graft.operators.Pii
 object StreamingPii {
 
   /** Start the redact-then-merge stream into `destPath`; parameters as
-    * [[StreamingMerge.mergeStream]].
+    * [[StreamingMerge.mergeStream]]. The raw `props` column is
+    * OVERWRITTEN with the redacted payload before the merge — keeping
+    * it would persist the PII in the sink and defeat the scrub; only
+    * the clean copy and the audit count ship.
     */
   def redactedMergeStream(events: DataFrame, destPath: String,
                           keys: Seq[String], tsCol: String,
-                          versionCol: String): StreamingQuery =
-    StreamingMerge.mergeStream(
-      Pii.redactEvents(events), destPath, keys, tsCol, versionCol)
+                          versionCol: String): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val scrubbed = Pii.redactEvents(events)
+      .withColumn("props", col("props_redacted"))
+      .drop("props_redacted")
+    StreamingMerge.mergeStream(scrubbed, destPath, keys, tsCol, versionCol)
+  }
 }

@@ -64,10 +64,12 @@ class PiiSpec extends AnyFunSuite {
       q.processAllAvailable()
       val boot = spark.read.parquet(dest)
       assert(boot.count() === 2)
-      // the stored copy carries the scrubbed payload + audit count
+      // the stored props IS the scrubbed payload (the raw PII never
+      // reaches the sink), plus the audit count
       assert(boot.filter($"event_id" === 1L)
-        .select($"props_redacted", $"n_matches")
+        .select($"props", $"n_matches")
         .as[(String, Long)].head() === ("""{"k": [NUM]}""", 1L))
+      assert(!boot.columns.contains("props_redacted"))
       // update event 1's payload: redaction re-applies on the new image
       input.addData(
         (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "id 12345", 1))
@@ -75,7 +77,7 @@ class PiiSpec extends AnyFunSuite {
       val upd = spark.read.parquet(dest)
       assert(upd.count() === 2)
       assert(upd.filter($"event_id" === 1L)
-        .select($"props_redacted").as[String].head() === "id [NUM]")
+        .select($"props").as[String].head() === "id [NUM]")
       val image = upd.orderBy($"event_id").collect().map(_.toString).toSeq
       // replayed micro-batch (foreachBatch recovery): same post-image
       input.addData(

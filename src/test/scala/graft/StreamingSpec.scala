@@ -183,8 +183,13 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Long, Int, Option[Long], Double)].collect().toSeq
         .sortBy(r => (r._1, r._3))
       assert(streamed === batch)
-      // a late event below the frontier is dropped, not re-sequenced
-      input.addData(StreamingEvents.SessionInput(1L, 9L, 500L, 7.0))
+      // late events are dropped, not re-sequenced: below the frontier
+      // ts AND at the frontier ts with a lower event_id (the batch
+      // tiebreak would have placed it EARLIER — emitting it now would
+      // diverge from the batch order)
+      input.addData(
+        StreamingEvents.SessionInput(1L, 9L, 500L, 7.0),
+        StreamingEvents.SessionInput(1L, 0L, 4000L, 7.0))
       q.processAllAvailable()
       assert(spark.table("ordered_out").count() === 4)
     } finally q.stop()
