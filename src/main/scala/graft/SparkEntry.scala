@@ -84,6 +84,7 @@ object SparkEntry {
     "q61_decontamination" -> ((s: SparkSession, d: String) => Dedup.decontamination(s, d)),
     "q62_mix_rebalance" -> ((s: SparkSession, d: String) => Curation.mixRebalance(s, d)),
     "q63_curation_pipeline" -> ((s: SparkSession, d: String) => CurationPipeline.curateCorpus(s, d)),
+    "q64_semantic_dedup_clusters" -> ((s: SparkSession, d: String) => Similarity.semanticDedupClusters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -159,5 +160,6 @@ object SparkEntry {
     "q61_decontamination" -> Dedup.decontaminationSql(),
     "q62_mix_rebalance" -> Curation.mixRebalanceSql(),
     "q63_curation_pipeline" -> CurationPipeline.curateCorpusSql,
+    "q64_semantic_dedup_clusters" -> Similarity.semanticDedupClustersSql,
   )
 }

@@ -436,4 +436,55 @@ object Similarity {
       |  WHERE a.vec_id < 2000 AND b.vec_id < 2000
       |) WHERE cos_sim >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** q64 — SEMANTIC dedup clusters (the SemDeDup pass of an embedding
+    * pipeline): q31's cosine near-dup pairs become edges, the
+    * large-star/small-star connected-components fixpoint
+    * ([[Dedup.connectedComponents]] — O(log n) rounds, no label
+    * broadcast) assigns every vector its component-minimum
+    * representative, and the canonical flag marks the one vector per
+    * semantic cluster that survives. Composes two independently
+    * verified operators; the oracle restates the composition with a
+    * recursive CTE over the same edges.
+    */
+  def semanticDedupClusters(spark: SparkSession, dir: String,
+                            threshold: Double = 0.4, maxId: Long = 2000L): DataFrame = {
+    val pairs = embeddingNearDups(spark, dir, threshold, maxId)
+    val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val reps = Dedup.connectedComponents(edges)
+    val all = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("label"))
+    val rep = coalesce(col("rep"), col("vec_id"))
+    all.join(reps, all("vec_id") === reps("node"), "left")
+      .select(col("vec_id"), col("label"), rep.as("rep_id"),
+        (rep === col("vec_id")).cast("int").as("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT * FROM (
+      |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |      ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+      |    FROM embeddings a JOIN embeddings b
+      |      ON a.label = b.label AND a.vec_id < b.vec_id
+      |    WHERE a.vec_id < 2000 AND b.vec_id < 2000
+      |  ) WHERE cos_sim >= 0.4
+      |), edges AS (
+      |  SELECT vec_a AS a, vec_b AS b FROM pairs
+      |  UNION SELECT vec_b, vec_a FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |)
+      |SELECT v.vec_id, v.label,
+      |  LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS rep_id,
+      |  CASE WHEN LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) = v.vec_id
+      |       THEN 1 ELSE 0 END AS is_canonical
+      |FROM (SELECT vec_id, label FROM embeddings WHERE vec_id < 2000) v
+      |LEFT JOIN reach r ON v.vec_id = r.a
+      |GROUP BY v.vec_id, v.label
+      |ORDER BY v.vec_id""".stripMargin
 }
