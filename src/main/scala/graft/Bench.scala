@@ -116,7 +116,7 @@ object Bench {
     // byte-identical code). All passes are surfaced in "runs".
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = (standard ++ extras ++ bucketedQueries)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => selected(n) }
       .map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()

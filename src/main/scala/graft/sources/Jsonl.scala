@@ -36,12 +36,22 @@ object Jsonl {
     * record it exists to preserve.
     */
   def readDocuments(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val schema = Tables.schemas("documents")
+    import org.apache.spark.sql.types.StringType
+    // corrupt-record column INSIDE from_json: a parseable line whose
+    // field fails the schema's type (e.g. a string n_chars) must
+    // quarantine too, not flow through with the field silently nulled
+    val schema = Tables.schemas("documents").add("_corrupt_record", StringType)
     val raw = spark.read.text(path)
-      .withColumn("parsed", from_json(col("value"), schema))
+      // blank lines are shard-concatenation artifacts, not records:
+      // skipped entirely (neither clean nor quarantined)
+      .filter(length(trim(col("value"))) > 0)
+      .withColumn("parsed", from_json(col("value"), schema, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")))
       .localCheckpoint()
-    val bad = col("parsed").isNull || col("parsed.doc_id").isNull
-    val clean = raw.filter(!bad).select(col("parsed.*"))
+    val bad = col("parsed").isNull ||
+      col("parsed._corrupt_record").isNotNull || col("parsed.doc_id").isNull
+    val clean = raw.filter(!bad).select(col("parsed.*")).drop("_corrupt_record")
     val quarantine = raw.filter(bad).select(col("value").as("raw_line"))
     (clean, quarantine)
   }

@@ -80,7 +80,10 @@ object StreamingEvents {
     * accumulates in integer micro-units with the same scale-6 HALF_UP
     * rounding as the batch form's DECIMAL(18,6), so streamed values
     * equal the batch window exactly (asserted in StreamingSpec).
-    * State per user is three scalars — bounded regardless of history.
+    * State per user is four scalars — bounded regardless of history.
+    * (State-schema note: OrdState is the flatMapGroupsWithState state
+    * type; changing its fields invalidates existing checkpoints — a
+    * restart after such a change needs a fresh checkpoint directory.)
     */
   def orderedAnalytics(events: Dataset[SessionInput]): Dataset[OrdOut] = {
     import events.sparkSession.implicits._

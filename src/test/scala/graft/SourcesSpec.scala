@@ -120,18 +120,23 @@ class SourcesSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
     val lines = Seq(
       """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0", "n_chars": 11}""",
+      "",                 // blank shard-concat artifact: skipped entirely
       """{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s1", "n_chars": 7}""",
       """not json at all {{{""",
-      """{"text": "no id here", "lang": "en", "source": "s0", "n_chars": 10}""")
+      """{"text": "no id here", "lang": "en", "source": "s0", "n_chars": 10}""",
+      // parseable but type-mismatched field: must quarantine, not
+      // flow through with n_chars silently nulled
+      """{"doc_id": 3, "text": "t", "lang": "en", "source": "s0", "n_chars": "oops"}""")
     java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
       lines.mkString("\n").getBytes("UTF-8"))
     val (clean, quarantine) = graft.sources.Jsonl.readDocuments(spark, dir.toString)
     assert(clean.schema === Tables.schemas("documents"))
     assert(clean.select($"doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
     val q = quarantine.select($"raw_line").as[String].collect().toSeq
-    assert(q.length === 2)
+    assert(q.length === 3)
     assert(q.exists(_.startsWith("not json")))
     assert(q.exists(_.contains("no id here")))
+    assert(q.exists(_.contains("oops")))
     // round-trip: write clean docs, read back, identical rows
     val out = s"$dir/out"
     graft.sources.Jsonl.writeDocuments(clean, out)
