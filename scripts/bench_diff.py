@@ -10,7 +10,20 @@ in either direction; when the artifact carries "runs" (round 4+), the
 run spread is printed so box noise is distinguishable from real
 regressions (a move inside the other side's min-max spread is noise).
 """
-import json, sys
+import json, re, sys
+
+
+def norm(queries):
+    """Key per-query dicts by their qNN/xNN/bNN prefix: round-5 headlines
+    use short keys to fit the driver's 2000-char tail window, while
+    r1-r4 artifacts carry full names. A None value (failed query) is
+    dropped — there is no timing to compare."""
+    out = {}
+    for k, v in (queries or {}).items():
+        m = re.match(r"^([qxb]\d+)", k)
+        if v is not None:
+            out[m.group(1) if m else k] = v
+    return out
 
 
 def load(path):
@@ -33,7 +46,10 @@ def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
     ratio_t = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     abs_t = float(sys.argv[4]) if len(sys.argv) > 4 else 0.3
-    oq, nq = old["queries"], new["queries"]
+    oq = norm({**old.get("queries", {}), **old.get("extras", {})})
+    nq = norm({**new.get("queries", {}), **new.get("extras", {})})
+    oruns = norm(old.get("runs", {}))
+    nruns = norm(new.get("runs", {}))
     flagged = 0
     for q in sorted(set(oq) | set(nq)):
         if q not in oq:
@@ -49,8 +65,8 @@ def main():
             # the median is trivially inside its OWN runs; noise means
             # the OTHER round's value falls inside this round's spread
             spread = ""
-            new_runs = new.get("runs", {}).get(q)
-            old_runs = old.get("runs", {}).get(q)
+            new_runs = nruns.get(q)
+            old_runs = oruns.get(q)
             noise = (new_runs and min(new_runs) <= a <= max(new_runs)) or \
                 (old_runs and min(old_runs) <= b <= max(old_runs))
             runs = new_runs or old_runs
