@@ -51,7 +51,11 @@ def main():
         line = line.strip()
         i = line.find('{"metric"')
         if i >= 0:
-            bench = json.loads(line[i:])
+            doc = json.loads(line[i:])
+            # prefer the full-name detail record over the compact
+            # short-key headline (round 5+ emits both)
+            if bench is None or doc.get("metric") == "bench_detail":
+                bench = doc
     qsec = bench["queries"] if bench else {}
     if bench is None:
         bench = {}  # degraded table: '-' timings, reps column reads 1

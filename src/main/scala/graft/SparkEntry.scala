@@ -85,6 +85,11 @@ object SparkEntry {
     "q62_mix_rebalance" -> ((s: SparkSession, d: String) => Curation.mixRebalance(s, d)),
     "q63_curation_pipeline" -> ((s: SparkSession, d: String) => CurationPipeline.curateCorpus(s, d)),
     "q64_semantic_dedup_clusters" -> ((s: SparkSession, d: String) => Similarity.semanticDedupClusters(s, d)),
+    "q65_span_dedup" -> ((s: SparkSession, d: String) => Spans.spanDedup(s, d)),
+    "q66_lev_neardups" -> ((s: SparkSession, d: String) => Dedup.levNearDups(s, d)),
+    "q67_systematic_sample" -> ((s: SparkSession, d: String) => Curation.systematicSample(s, d)),
+    "q68_rag_chunks" -> ((s: SparkSession, d: String) => Spans.chunk(s, d)),
+    "q69_decontamination_bloom" -> ((s: SparkSession, d: String) => Dedup.decontaminationBloom(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -161,5 +166,13 @@ object SparkEntry {
     "q62_mix_rebalance" -> Curation.mixRebalanceSql(),
     "q63_curation_pipeline" -> CurationPipeline.curateCorpusSql,
     "q64_semantic_dedup_clusters" -> Similarity.semanticDedupClustersSql,
+    "q65_span_dedup" -> Spans.spanDedupSql(),
+    "q66_lev_neardups" -> Dedup.levNearDupsSql(),
+    "q67_systematic_sample" -> Curation.systematicSampleSql(),
+    "q68_rag_chunks" -> Spans.chunkSql(),
+    // q69 computes the SAME relation as q61 through the bloom-
+    // prefiltered physical path — the shared oracle is the proof that
+    // the prefilter is correctness-preserving
+    "q69_decontamination_bloom" -> Dedup.decontaminationSql(),
   )
 }

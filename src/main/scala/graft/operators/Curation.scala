@@ -310,6 +310,87 @@ object Curation {
       |  cum_before % 2048 AS seq_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q67 — systematic probability-proportional-to-size (PPS) sampling:
+    * k sampling points spaced W_total/k apart over the cumulative
+    * weight axis, rows ordered by a deterministic md5 permutation.
+    * Every row is selected with probability proportional to its weight
+    * (rows heavier than W_total/k get multiplicity > 1 via n_picks);
+    * selection is pure integer arithmetic — `(cum * k) div W_total`
+    * crossings — so the sample is bit-exact reproducible across
+    * engines and reruns, with none of the libm (-ln(u)/w exponential
+    * keys) portability trap.
+    *
+    * Scale posture: the global cumulative sum is the textbook
+    * two-level prefix sum, not a single-partition window. hkey is
+    * uniform in [0, 2^32), so range-bucketing its high bits yields
+    * `nBuckets` contiguous, balanced slices of the global (hkey,
+    * doc_id) order; each bucket cumsums independently (one shuffle),
+    * and the per-bucket totals — nBuckets rows — form the broadcast
+    * offset table. Weight here is n_chars (a stand-in for any
+    * positive importance weight, e.g. quality x token count).
+    * Headroom: cum*k must fit a long — at 10^15 total weight that
+    * bounds k at ~9000; beyond that switch the selection arithmetic
+    * to DECIMAL(38,0).
+    */
+  def systematicSample(spark: SparkSession, dir: String, k: Int = 60,
+                       nBuckets: Int = 32): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    systematicSampleCore(
+      docs.select(col("doc_id"), col("n_chars").as("weight")), k, nBuckets)
+  }
+
+  /** Frame-parameterized core: rows need (doc_id, weight>0); returns
+    * (doc_id, weight, n_picks) for selected rows, ordered by doc_id.
+    * Invariant (pinned in CurationOpsSpec): sum(n_picks) == k exactly.
+    */
+  def systematicSampleCore(rows: DataFrame, k: Int, nBuckets: Int): DataFrame = {
+    val t = rows.select(col("doc_id"), col("weight"),
+      md5Bucket(col("doc_id")).as("hkey"))
+      .withColumn("bucket", expr(s"hkey div ${4294967296L / nBuckets}"))
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = t.withColumn("cum_local", sum(col("weight")).over(wLocal))
+    // per-bucket totals -> running offsets: nBuckets rows, so the
+    // single-partition window and the broadcast are both O(nBuckets)
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("bucket"))
+      .agg(sum(col("weight")).as("bw"))
+      .withColumn("offset", coalesce(sum(col("bw")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val totals = t.agg(sum(col("weight")).as("w_total"))
+    local.join(broadcast(offsets), "bucket")
+      .crossJoin(broadcast(totals))
+      .withColumn("cum_hi", col("cum_local") + col("offset"))
+      .withColumn("cum_lo", col("cum_hi") - col("weight"))
+      .withColumn("n_picks",
+        (expr(s"(cum_hi * $k) div w_total") - expr(s"(cum_lo * $k) div w_total"))
+          .cast("int"))
+      .filter(col("n_picks") > 0)
+      .select(col("doc_id"), col("weight"), col("n_picks"))
+      .orderBy(col("doc_id"))
+  }
+
+  def systematicSampleSql(k: Int = 60): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, n_chars AS weight,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hkey
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, weight,
+      |    CAST(SUM(weight) OVER (ORDER BY hkey, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hi,
+      |    CAST(SUM(weight) OVER () AS BIGINT) AS w_total
+      |  FROM t
+      |)
+      |SELECT doc_id, weight,
+      |  CAST((cum_hi * $k) // w_total - ((cum_hi - weight) * $k) // w_total AS INT)
+      |    AS n_picks
+      |FROM c
+      |WHERE (cum_hi * $k) // w_total > ((cum_hi - weight) * $k) // w_total
+      |ORDER BY doc_id""".stripMargin
+
   val stratifiedSampleSql: String =
     """SELECT lang, pick, doc_id, n_chars FROM (
       |  SELECT lang, doc_id, n_chars,

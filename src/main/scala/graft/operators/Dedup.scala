@@ -596,4 +596,110 @@ object Dedup {
       |GROUP BY doc_id
       |HAVING COUNT(*) >= $minShared
       |ORDER BY doc_id""".stripMargin
+
+  /** q66 — edit-distance-verified near-dup pairs: blocking via the
+    * shared-shingle inverted index (pairs with >= `minShared` distinct
+    * surviving shingles — the same index q26/q54 build), then exact
+    * Levenshtein verification on the candidate set only. Both engines
+    * compute textbook Levenshtein over integer DP, so the distance —
+    * unlike a libm similarity — is bit-exact portable.
+    *
+    * Scale posture: the verify step is O(|text|^2) per pair, so its
+    * admission gate is the whole design. At sf0.1 the >=1-shared-
+    * shingle candidate set is 1.13M pairs; >= 5 shared shingles admits
+    * 305 — the quadratic work tracks true near-dup density, not the
+    * corpus size. The gate is an aggregate over the inverted index
+    * (map-side combining count), not a similarity estimate, so the
+    * blocking threshold is exactly reproducible in the oracle.
+    */
+  def levNearDups(spark: SparkSession, dir: String, k: Int = 3,
+                  dfCap: Int = 200, minShared: Int = 5,
+                  threshold: Double = 0.6): DataFrame =
+    levNearDupsCore(Tables.load(spark, dir, "documents"), k, dfCap,
+      minShared, threshold)
+
+  /** Frame-parameterized core: rows need (doc_id, text). */
+  def levNearDupsCore(docs: DataFrame, k: Int, dfCap: Int,
+                      minShared: Int, threshold: Double): DataFrame = {
+    val kept = keptShingles(docs, k, dfCap)
+    val cand = kept.as("a").join(kept.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
+      .withColumn("sim", round(lit(1.0) - col("dist").cast("double") /
+        greatest(length(col("text_a")), length(col("text_b"))), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def levNearDupsSql(minShared: Int = 5, threshold: Double = 0.6): String =
+    s"""WITH $shingleCtes, cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
+      |)
+      |SELECT doc_a, doc_b, dist, sim FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(levenshtein(ta.text, tb.text) AS INT) AS dist,
+      |    ROUND(1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE) /
+      |      greatest(length(ta.text), length(tb.text)), 6) AS sim
+      |  FROM cand JOIN documents ta ON cand.doc_a = ta.doc_id
+      |            JOIN documents tb ON cand.doc_b = tb.doc_id
+      |) WHERE sim >= $threshold
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q69 — bloom-prefiltered decontamination: result-identical to q61
+    * (same oracle SQL grades both), but the corpus-side trigram stream
+    * is first screened by a Bloom filter built over the eval trigram
+    * set, and only survivors reach the exact broadcast semi-join. The
+    * bloom pass can false-positive but never false-negative, and the
+    * exact join removes the false positives — so the rewrite is
+    * correctness-preserving by construction, and the oracle proves it.
+    *
+    * Scale posture: at benchmark-decontamination scale the eval n-gram
+    * SET may be too large to broadcast as strings (10^8 trigrams of
+    * ~20 bytes), while its Bloom filter at 3% fpp is ~100 MB of bits —
+    * broadcastable. The exact verify join then runs over ~fpp of the
+    * corpus stream instead of all of it, turning a corpus-wide
+    * broadcast-hash probe of a giant set into a scan-speed bit-test
+    * plus a small join. (Here the filter rides a lambda UDF — the one
+    * non-codegen step — because Spark's bloom_filter expressions are
+    * not exposed through the stable functions API.)
+    */
+  def decontaminationBloom(spark: SparkSession, dir: String,
+                           evalPct: Int = 2, minShared: Int = 3,
+                           fpp: Double = 0.03): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("bucket", PortableHash.md5Long32(col("doc_id")) % 100)
+    def tri(df: DataFrame) = df
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 3)
+      .select(col("doc_id"), explode(
+        graft.functions.WordNGrams.ngrams(df.sparkSession, col("toks"), 3)
+      ).as("g"))
+    val ev = tri(docs.filter(col("bucket") < evalPct))
+      .select(col("g")).distinct().localCheckpoint()
+    // driver scalars: the eval set's cardinality sizes the filter; the
+    // filter itself is an executor-side distributed build (TreeAggregate
+    // under stat.bloomFilter), collected as bits, then shipped back in
+    // the scan lambda — the strings never leave the executors twice
+    val nEval = ev.count()
+    val bloom = ev.stat.bloomFilter("g", math.max(nEval, 1L), fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
+    tri(docs.filter(col("bucket") >= evalPct))
+      .filter(mightContain(col("g")))
+      .join(broadcast(ev), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Dedup, Spans}
+
+/** Round-5 corpus operators: span-level dedup (q65), levenshtein-
+  * verified near-dups (q66), systematic PPS sampling (q67), RAG
+  * chunking (q68), bloom-prefiltered decontamination (q69).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  val sf0001 = "/root/testdata/sf0.001"
+
+  test("spanize tiles the token list exactly (no loss, no overlap)") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),   // 7 tokens, w=3 -> spans of 3,3,1
+      (2L, "x y"),              // shorter than w -> one span
+      (3L, "   ")               // empty after trim -> no spans
+    ).toDF("doc_id", "text")
+    val spans = Spans.spanize(docs, 3)
+      .orderBy("doc_id", "span_idx").collect()
+    assert(spans.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ===
+      Seq((1L, 0L, "a b c"), (1L, 1L, "d e f"), (1L, 2L, "g"), (2L, 0L, "x y")))
+  }
+
+  test("spanDedup keeps first occurrence corpus-wide and reassembles in order") {
+    // doc 1 owns both spans; doc 2 repeats doc 1's first span then a
+    // fresh one; doc 3 is entirely doc-1 content -> zero kept spans
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "d e f a b c")
+    ).toDF("doc_id", "text")
+    val r = Spans.spanDedupCore(docs, 3).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r(0) === ((1L, 2L, 2L, "a b c d e f")))
+    assert(r(1) === ((2L, 2L, 1L, "x y z")))
+    assert(r(2) === ((3L, 2L, 0L, "")))
+  }
+
+  test("spanDedup invariants on testdata: kept counts bound, dup spans dropped once") {
+    val out = Spans.spanDedup(spark, sf0001).localCheckpoint()
+    assert(out.filter(col("n_kept") > col("n_spans")).count() === 0)
+    val totalKept = out.agg(sum("n_kept")).head.getLong(0)
+    val distinctSpans = Spans.spanize(Tables.load(spark, sf0001, "documents"), 20)
+      .select(md5(col("span_text"))).distinct().count()
+    assert(totalKept === distinctSpans)
+  }
+
+  test("chunk: stride/size geometry and full token coverage") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10, c=4, s=3
+      (2L, "a b c")                                    // n<=c -> one chunk
+    ).toDF("doc_id", "text")
+    val r = Spans.chunkCore(docs, 4, 3).orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "start_tok", "chunk_len", "chunk_text")
+      .collect()
+    val d1 = r.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getLong(2)).toSeq === Seq(0L, 3L, 6L))
+    assert(d1.map(_.getLong(3)).toSeq === Seq(4L, 4L, 4L))
+    assert(d1.last.getString(4) === "t7 t8 t9 t10") // covers the tail
+    val d2 = r.filter(_.getLong(0) == 2L)
+    assert(d2.length === 1 && d2.head.getLong(3) === 3L)
+  }
+
+  test("chunk invariants on testdata: offsets, bounded length, tail coverage") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val chunks = Spans.chunk(spark, sf0001).localCheckpoint()
+    assert(chunks.filter(col("start_tok") =!= col("chunk_idx") * 24).count() === 0)
+    assert(chunks.filter(col("chunk_len") < 1 || col("chunk_len") > 32).count() === 0)
+    // last chunk of every doc reaches exactly the doc's token count
+    val tails = chunks.groupBy("doc_id")
+      .agg(max(col("start_tok") + col("chunk_len")).as("covered"))
+    val n = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    assert(tails.join(n, "doc_id").filter(col("covered") =!= col("n")).count() === 0)
+    assert(tails.count() === n.count())
+  }
+
+  test("levNearDups: synthetic one-edit pair found, distances recomputable") {
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("w7", "w7x")),                   // 1 insert vs doc 1
+      (3L, (101 to 112).map(i => s"u$i").mkString(" "))  // unrelated
+    ).toDF("doc_id", "text")
+    val r = Dedup.levNearDupsCore(docs, k = 3, dfCap = 200, minShared = 5,
+      threshold = 0.6).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(r.head.getInt(2) === 1) // one inserted char
+  }
+
+  test("levNearDups on testdata: every returned dist matches a direct recompute") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val out = Dedup.levNearDups(spark, sf0001)
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+    val recheck = out.join(ta, "doc_a").join(tb, "doc_b")
+      .filter(levenshtein(col("ta"), col("tb")) =!= col("dist"))
+    assert(recheck.count() === 0)
+    assert(out.filter(col("sim") < 0.6).count() === 0)
+  }
+
+  test("systematicSample: sum of picks is exactly k; heavy rows multi-pick") {
+    val rows = (1L to 50L).map(i => (i, if (i == 7L) 1000L else 10L))
+      .toDF("doc_id", "weight")
+    for (k <- Seq(1, 5, 13, 40)) {
+      val r = Curation.systematicSampleCore(rows, k, nBuckets = 8)
+        .agg(sum("n_picks")).head.getLong(0)
+      assert(r === k, s"k=$k")
+    }
+    // weight 1000 of 1490 total ~ 2/3 of the axis: at k=12 the heavy
+    // row must straddle several sampling points
+    val heavy = Curation.systematicSampleCore(rows, 12, nBuckets = 8)
+      .filter(col("doc_id") === 7L).head.getInt(2)
+    assert(heavy >= 7)
+  }
+
+  test("systematicSample is invariant to the bucket count (pure prefix-sum refactor)") {
+    val rows = (1L to 200L).map(i => (i, (i % 17) + 1)).toDF("doc_id", "weight")
+    val a = Curation.systematicSampleCore(rows, 25, nBuckets = 1).collect().toSeq
+    val b = Curation.systematicSampleCore(rows, 25, nBuckets = 32).collect().toSeq
+    assert(a === b)
+  }
+
+  test("decontaminationBloom computes exactly the q61 relation") {
+    val exact = Dedup.decontamination(spark, sf0001).collect().toSet
+    val bloom = Dedup.decontaminationBloom(spark, sf0001).collect().toSet
+    assert(bloom === exact)
+  }
+}
