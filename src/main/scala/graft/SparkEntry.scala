@@ -90,6 +90,7 @@ object SparkEntry {
     "q67_systematic_sample" -> ((s: SparkSession, d: String) => Curation.systematicSample(s, d)),
     "q68_rag_chunks" -> ((s: SparkSession, d: String) => Spans.chunk(s, d)),
     "q69_decontamination_bloom" -> ((s: SparkSession, d: String) => Dedup.decontaminationBloom(s, d)),
+    "q70_profile" -> ((s: SparkSession, d: String) => Profile.profileDocuments(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -174,5 +175,6 @@ object SparkEntry {
     // prefiltered physical path — the shared oracle is the proof that
     // the prefilter is correctness-preserving
     "q69_decontamination_bloom" -> Dedup.decontaminationSql(),
+    "q70_profile" -> Profile.profileDocumentsSql,
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Dedup, Spans}
+import graft.operators.{Curation, Dedup, Profile, Spans}
 
 /** Round-5 corpus operators: span-level dedup (q65), levenshtein-
   * verified near-dups (q66), systematic PPS sampling (q67), RAG
@@ -126,6 +126,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     val a = Curation.systematicSampleCore(rows, 25, nBuckets = 1).collect().toSeq
     val b = Curation.systematicSampleCore(rows, 25, nBuckets = 32).collect().toSeq
     assert(a === b)
+  }
+
+  test("profileCore: nulls counted, min/max in native order, one row per column") {
+    val df = Seq(
+      (Some(10L), Some("b")), (Some(2L), None), (None, Some("a"))
+    ).toDF("k", "s")
+    val r = Profile.profileCore(df, Seq("k", "s")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(4), x.getString(5)))
+    // native numeric order: min 2, max 10 (a lexicographic cast-first
+    // comparison would report min "10")
+    assert(r(0) === (("k", 3L, 1L, 2L, "2", "10")))
+    assert(r(1) === (("s", 3L, 1L, 2L, "a", "b")))
   }
 
   test("decontaminationBloom computes exactly the q61 relation") {
