@@ -141,6 +141,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(1) === (("s", 3L, 1L, 2L, "a", "b")))
   }
 
+  test("streaming span screen: corpus hits and replayed spans dropped, novel spans pass") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val corpus = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val corpusFps = graft.operators.Spans.spanize(corpus, 3)
+      .select(md5(col("span_text")).as("span_fp"))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingSpans.novelSpans(
+      input.toDF().toDF("doc_id", "ts", "text"), corpusFps, w = 3)
+    val q = out.writeStream.format("memory").queryName("novel_spans")
+      .outputMode("append").start()
+    try {
+      // doc 1: one corpus-dup span ("a b c") + one novel ("x y z")
+      input.addData((1L, ts("2024-01-01 10:00:00"), "a b c x y z"))
+      q.processAllAvailable()
+      // doc 2: replays doc 1's novel span + brings one new span
+      input.addData((2L, ts("2024-01-01 10:30:00"), "x y z p q r"))
+      q.processAllAvailable()
+      val got = spark.table("novel_spans")
+        .select("doc_id", "span_text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((1L, "x y z"), (2L, "p q r")))
+    } finally q.stop()
+  }
+
   test("decontaminationBloom computes exactly the q61 relation") {
     val exact = Dedup.decontamination(spark, sf0001).collect().toSet
     val bloom = Dedup.decontaminationBloom(spark, sf0001).collect().toSet
