@@ -91,6 +91,7 @@ object SparkEntry {
     "q68_rag_chunks" -> ((s: SparkSession, d: String) => Spans.chunk(s, d)),
     "q69_decontamination_bloom" -> ((s: SparkSession, d: String) => Dedup.decontaminationBloom(s, d)),
     "q70_profile" -> ((s: SparkSession, d: String) => Profile.profileDocuments(s, d)),
+    "q71_knn_pq" -> ((s: SparkSession, d: String) => Similarity.knnPq(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -176,5 +177,6 @@ object SparkEntry {
     // the prefilter is correctness-preserving
     "q69_decontamination_bloom" -> Dedup.decontaminationSql(),
     "q70_profile" -> Profile.profileDocumentsSql,
+    "q71_knn_pq" -> Similarity.knnPqSql(),
   )
 }

@@ -487,4 +487,120 @@ object Similarity {
       |LEFT JOIN reach r ON v.vec_id = r.a
       |GROUP BY v.vec_id, v.label
       |ORDER BY v.vec_id""".stripMargin
+
+  /** Squared L2 between the `s`-th `dsub`-dim subvectors of two float
+    * arrays: left-to-right double fold (the oracle's list_reduce).
+    */
+  private def subL2sq(x: Column, c: Column, s: Int, dsub: Int): Column =
+    aggregate(
+      zip_with(slice(x, s * dsub + 1, dsub), slice(c, s * dsub + 1, dsub),
+        (a, b) => {
+          val d = a.cast("double") - b.cast("double"); d * d
+        }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** q71 — product-quantization ANN (PQ-ADC): the corpus is
+    * represented by `m` sub-codebook ids per vector (here m=8 x 16
+    * codes: 8 small ints instead of 64 floats — a 32x compression of
+    * what moves through the topology), queries score candidates via
+    * the asymmetric-distance lookup table, never touching corpus
+    * floats. Codebooks are data-derived but deterministic: the
+    * subvectors of the first `ksub` vectors (a fixed sample both
+    * engines read identically — the literal-hyperplane trick of q30,
+    * without literals). Encoding = per-subspace argmin of exact
+    * double L2^2 with lowest-code tiebreak; ADC = sum over subspaces
+    * of the (query, code) distance-table entries, summed through
+    * DECIMAL(18,6) for order independence.
+    *
+    * Scale posture: encoding is a broadcast of ksub codebook rows
+    * against the corpus scan + a map-side-combining min aggregate;
+    * the distance table is nQueries x m x ksub rows — broadcast; the
+    * ADC join fans each corpus code row to nQueries rows and
+    * partial-aggregates map-side; the final per-query top-k is the
+    * q29 WindowGroupLimit shape (partial top-k before the exchange).
+    * PQ does not cut the candidate count — it cuts bytes per
+    * candidate; the production composition is IVF cells (q37) to cut
+    * candidates x PQ codes to cut bytes (IVF-PQ), both of which this
+    * engine now has.
+    */
+  def knnPq(spark: SparkSession, dir: String, nQueries: Int = 8,
+            k: Int = 10, m: Int = 8, dsub: Int = 8, ksub: Int = 16): DataFrame =
+    knnPqCore(Tables.load(spark, dir, "embeddings"), nQueries, k, m, dsub, ksub)
+
+  /** Frame-parameterized core: rows need (vec_id, embedding). */
+  def knnPqCore(emb: DataFrame, nQueries: Int, k: Int, m: Int,
+                dsub: Int, ksub: Int): DataFrame = {
+    val codebooks = emb.filter(col("vec_id") < ksub)
+      .select(col("vec_id").cast("int").as("code_id"), col("embedding").as("c_emb"))
+    // corpus encoding: distances to all ksub codes in long (vec_id,
+    // s, code_id, d) form, then argmin per (vec_id, s) as a map-side
+    // combining MIN over (d, code_id) — lowest code wins ties
+    def longDistances(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.crossJoin(broadcast(codebooks))
+        .select(col(idCol), col("code_id"),
+          explode(array((0 until m).map(s =>
+            struct(lit(s).as("s"),
+              subL2sq(col(vecCol), col("c_emb"), s, dsub).as("d"))): _*)).as("sd"))
+        .select(col(idCol), col("sd.s").as("s"), col("code_id"), col("sd.d").as("d"))
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("embedding"))
+    val codes = longDistances(corpus, "vec_id", "embedding")
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("code_id"))).as("w"))
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("w.code_id").as("code"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val dtable = longDistances(queries, "query_id", "q_emb")
+      .withColumnRenamed("code_id", "code")
+    val adc = codes.join(broadcast(dtable), Seq("s", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(Relational.decSum(col("d")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    adc.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Generated DuckDB twin of [[knnPq]]: same codebook sample, same
+    * per-subspace double folds, same argmin tiebreak, same decimal
+    * ADC sum.
+    */
+  def knnPqSql(nQueries: Int = 8, k: Int = 10, m: Int = 8,
+               dsub: Int = 8, ksub: Int = 16): String = {
+    def sub(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0, [
+         |      (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+         |      (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |      for i in range(r.s*$dsub + 1, r.s*$dsub + ${dsub + 1})]),
+         |    (x, y) -> x + y)""".stripMargin
+    s"""WITH cb AS (
+      |  SELECT CAST(vec_id AS INT) AS code_id, embedding AS c_emb
+      |  FROM embeddings WHERE vec_id < $ksub
+      |), corpus_d AS (
+      |  SELECT c.vec_id, cb.code_id, r.s, ${sub("c.embedding", "cb.c_emb")} AS d
+      |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $nQueries) c,
+      |    cb, range(0, $m) r(s)
+      |), codes AS (
+      |  SELECT vec_id AS neighbor_id, s, code_id AS code FROM (
+      |    SELECT vec_id, s, code_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code_id) AS rn
+      |    FROM corpus_d) WHERE rn = 1
+      |), dtable AS (
+      |  SELECT q.vec_id AS query_id, r.s, cb.code_id AS code,
+      |    ${sub("q.embedding", "cb.c_emb")} AS d
+      |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $nQueries) q,
+      |    cb, range(0, $m) r(s)
+      |), adc AS (
+      |  SELECT t.query_id, c.neighbor_id,
+      |    CAST(SUM(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+      |  FROM codes c JOIN dtable t ON c.s = t.s AND c.code = t.code
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, neighbor_id, adc_dist,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+      |FROM adc QUALIFY rank <= $k
+      |ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Dedup, Profile, Spans}
+import graft.operators.{Curation, Dedup, Profile, Similarity, Spans}
 
 /** Round-5 corpus operators: span-level dedup (q65), levenshtein-
   * verified near-dups (q66), systematic PPS sampling (q67), RAG
@@ -165,6 +165,33 @@ class CorpusOpsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(got === Set((1L, "x y z"), (2L, "p q r")))
     } finally q.stop()
+  }
+
+  test("knnPq: a corpus copy of a codebook vector encodes to it and ADC-ranks first") {
+    // 4 codebook vectors (ids 0-3, distinct), queries = ids 0-1;
+    // corpus: id 10 = exact copy of codebook 2's vector, id 11 far away
+    def vec(seed: Int): Array[Float] =
+      (0 until 8).map(i => (seed * 7 + i * 3 + 1).toFloat / 10f).toArray
+    val rows = Seq(
+      (0L, vec(0)), (1L, vec(1)), (2L, vec(2)), (3L, vec(3)),
+      (10L, vec(2)), (11L, vec(9)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.knnPqCore(emb, nQueries = 2, k = 4, m = 2,
+      dsub = 4, ksub = 4).localCheckpoint()
+    // query 1's own subvectors are codebook 1's: its self-distance
+    // table entry for code 1 is 0; corpus vector 10 == codebook 2, so
+    // adc(q, 10) == exact subspace distances q-vs-codebook-2 — in
+    // particular adc is 0 when query IS the matching codebook vector
+    val q2rows = out.filter(col("query_id") === 1L).collect()
+    assert(q2rows.map(_.getLong(1)).toSet === Set(2L, 3L, 10L, 11L))
+    // every corpus vector got exactly m codes and appears per query
+    assert(out.count() === 2L * 4L)
+    // vector 10 (== codebook 2) must ADC-beat the far vector 11 for
+    // a query near codebook 2's region
+    val q0 = out.filter(col("query_id") === 0L)
+      .orderBy(col("rank")).collect().map(_.getLong(1))
+    assert(q0.indexOf(10L) < q0.indexOf(11L))
+    assert(out.filter(col("adc_dist") < 0).count() === 0)
   }
 
   test("decontaminationBloom computes exactly the q61 relation") {
