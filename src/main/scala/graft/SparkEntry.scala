@@ -92,6 +92,7 @@ object SparkEntry {
     "q69_decontamination_bloom" -> ((s: SparkSession, d: String) => Dedup.decontaminationBloom(s, d)),
     "q70_profile" -> ((s: SparkSession, d: String) => Profile.profileDocuments(s, d)),
     "q71_knn_pq" -> ((s: SparkSession, d: String) => Similarity.knnPq(s, d)),
+    "q72_knn_ivfpq" -> ((s: SparkSession, d: String) => Similarity.knnIvfPq(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -178,5 +179,6 @@ object SparkEntry {
     "q69_decontamination_bloom" -> Dedup.decontaminationSql(),
     "q70_profile" -> Profile.profileDocumentsSql,
     "q71_knn_pq" -> Similarity.knnPqSql(),
+    "q72_knn_ivfpq" -> Similarity.knnIvfPqSql(),
   )
 }

@@ -527,30 +527,43 @@ object Similarity {
             k: Int = 10, m: Int = 8, dsub: Int = 8, ksub: Int = 16): DataFrame =
     knnPqCore(Tables.load(spark, dir, "embeddings"), nQueries, k, m, dsub, ksub)
 
-  /** Frame-parameterized core: rows need (vec_id, embedding). */
-  def knnPqCore(emb: DataFrame, nQueries: Int, k: Int, m: Int,
-                dsub: Int, ksub: Int): DataFrame = {
-    val codebooks = emb.filter(col("vec_id") < ksub)
+  /** Distances to all ksub codes in long (id, s, code_id, d) form —
+    * the shared encoding/distance-table builder of the PQ family.
+    */
+  private def pqLongDistances(df: DataFrame, idCol: String, vecCol: String,
+                              codebooks: DataFrame, m: Int, dsub: Int): DataFrame =
+    df.crossJoin(broadcast(codebooks))
+      .select(col(idCol), col("code_id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            subL2sq(col(vecCol), col("c_emb"), s, dsub).as("d"))): _*)).as("sd"))
+      .select(col(idCol), col("sd.s").as("s"), col("code_id"), col("sd.d").as("d"))
+
+  /** PQ codebooks: the subvectors of the first ksub vectors. */
+  private def pqCodebooks(emb: DataFrame, ksub: Int): DataFrame =
+    emb.filter(col("vec_id") < ksub)
       .select(col("vec_id").cast("int").as("code_id"), col("embedding").as("c_emb"))
-    // corpus encoding: distances to all ksub codes in long (vec_id,
-    // s, code_id, d) form, then argmin per (vec_id, s) as a map-side
-    // combining MIN over (d, code_id) — lowest code wins ties
-    def longDistances(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-      df.crossJoin(broadcast(codebooks))
-        .select(col(idCol), col("code_id"),
-          explode(array((0 until m).map(s =>
-            struct(lit(s).as("s"),
-              subL2sq(col(vecCol), col("c_emb"), s, dsub).as("d"))): _*)).as("sd"))
-        .select(col(idCol), col("sd.s").as("s"), col("code_id"), col("sd.d").as("d"))
-    val corpus = emb.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id"), col("embedding"))
-    val codes = longDistances(corpus, "vec_id", "embedding")
+
+  /** Per-(vector, subspace) argmin code as a map-side combining MIN
+    * over (d, code_id) — lowest code wins ties.
+    */
+  private def pqCodes(vectors: DataFrame, codebooks: DataFrame,
+                      m: Int, dsub: Int): DataFrame =
+    pqLongDistances(vectors, "vec_id", "embedding", codebooks, m, dsub)
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(col("d"), col("code_id"))).as("w"))
       .select(col("vec_id").as("neighbor_id"), col("s"), col("w.code_id").as("code"))
+
+  /** Frame-parameterized core: rows need (vec_id, embedding). */
+  def knnPqCore(emb: DataFrame, nQueries: Int, k: Int, m: Int,
+                dsub: Int, ksub: Int): DataFrame = {
+    val codebooks = pqCodebooks(emb, ksub)
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("embedding"))
+    val codes = pqCodes(corpus, codebooks, m, dsub)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val dtable = longDistances(queries, "query_id", "q_emb")
+    val dtable = pqLongDistances(queries, "query_id", "q_emb", codebooks, m, dsub)
       .withColumnRenamed("code_id", "code")
     val adc = codes.join(broadcast(dtable), Seq("s", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
@@ -595,6 +608,107 @@ object Similarity {
       |  SELECT t.query_id, c.neighbor_id,
       |    CAST(SUM(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
       |  FROM codes c JOIN dtable t ON c.s = t.s AND c.code = t.code
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, neighbor_id, adc_dist,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+      |FROM adc QUALIFY rank <= $k
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q72 — IVF-PQ: the production ANN layout. IVF cells (q37's
+    * nearest-centroid assignment) cut the CANDIDATE count — queries
+    * only score their own cell's members — and PQ codes (q71) cut the
+    * BYTES per candidate — the cell scan reads m small ints per
+    * vector, not the float array. Candidates = cell-equi-join, exactly
+    * q37's probe; scoring = ADC over the broadcast distance table,
+    * exactly q71's arithmetic; at 100 TB the cells are the storage
+    * partitioning (partition-pruned probes, as the persisted IVF index
+    * in PLANS.md demonstrates) and the codes are the cell payload.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String, nQueries: Int = 8,
+               k: Int = 10, m: Int = 8, dsub: Int = 8, ksub: Int = 16): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = centroidArrays(labelCentroids(spark, dir))
+    // two consumers (query + corpus split): one assignment pass
+    val assigned = assignCells(spark, emb, centroids, nprobe = 1).localCheckpoint()
+    val codebooks = pqCodebooks(emb, ksub)
+    val corpus = assigned.filter(col("vec_id") >= nQueries)
+    val codes = pqCodes(corpus.select(col("vec_id"), col("embedding")),
+      codebooks, m, dsub)
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+    val dtable = pqLongDistances(
+      queries.select(col("query_id"), col("q_emb")), "query_id", "q_emb",
+      codebooks, m, dsub).withColumnRenamed("code_id", "code")
+    val cand = corpus.select(col("vec_id").as("neighbor_id"), col("cell"))
+      .join(broadcast(queries.select(col("query_id"), col("cell"))), "cell")
+      .select(col("query_id"), col("neighbor_id"))
+    val adc = cand.join(codes, "neighbor_id")
+      .join(broadcast(dtable), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(Relational.decSum(col("d")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    adc.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Generated DuckDB twin of [[knnIvfPq]]: q37's centroid/assignment
+    * CTEs composed with q71's codebook/ADC CTEs, candidate set
+    * restricted by the same cell join.
+    */
+  def knnIvfPqSql(nQueries: Int = 8, k: Int = 10, m: Int = 8,
+                  dsub: Int = 8, ksub: Int = 16): String = {
+    def sub(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0, [
+         |      (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+         |      (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |      for i in range(r.s*$dsub + 1, r.s*$dsub + ${dsub + 1})]),
+         |    (x, y) -> x + y)""".stripMargin
+    s"""WITH cent_long AS (
+      |  SELECT label, i - 1 AS dim,
+      |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+      |      / COUNT(embedding[i]) AS centroid
+      |  FROM embeddings, generate_series(1, 64) AS t(i)
+      |  GROUP BY label, i
+      |), cent AS (
+      |  SELECT label AS cell, list(CAST(centroid AS REAL) ORDER BY dim) AS c_emb
+      |  FROM cent_long GROUP BY label
+      |), assigned AS (
+      |  SELECT e.vec_id, e.embedding, c.cell
+      |  FROM embeddings e CROSS JOIN cent c
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell) = 1
+      |), cb AS (
+      |  SELECT CAST(vec_id AS INT) AS code_id, embedding AS pq_emb
+      |  FROM embeddings WHERE vec_id < $ksub
+      |), codes AS (
+      |  SELECT vec_id AS neighbor_id, s, code_id AS code FROM (
+      |    SELECT c.vec_id, r.s, cb.code_id,
+      |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, r.s
+      |        ORDER BY ${sub("c.embedding", "cb.pq_emb")}, cb.code_id) AS rn
+      |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $nQueries) c,
+      |      cb, range(0, $m) r(s)) WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb, cell
+      |  FROM assigned WHERE vec_id < $nQueries
+      |), dtable AS (
+      |  SELECT q.query_id, r.s, cb.code_id AS code,
+      |    ${sub("q.q_emb", "cb.pq_emb")} AS d
+      |  FROM q, cb, range(0, $m) r(s)
+      |), cand AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id
+      |  FROM assigned c JOIN q ON c.cell = q.cell
+      |  WHERE c.vec_id >= $nQueries
+      |), adc AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    CAST(SUM(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+      |  FROM cand JOIN codes cd ON cand.neighbor_id = cd.neighbor_id
+      |    JOIN dtable t ON t.query_id = cand.query_id
+      |      AND t.s = cd.s AND t.code = cd.code
       |  GROUP BY 1, 2
       |)
       |SELECT query_id, neighbor_id, adc_dist,

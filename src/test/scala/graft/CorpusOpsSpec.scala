@@ -194,6 +194,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.filter(col("adc_dist") < 0).count() === 0)
   }
 
+  test("knnIvfPq: cell-restricted candidates, ADC arithmetic identical to q71's") {
+    val ivfpq = Similarity.knnIvfPq(spark, sf0001).localCheckpoint()
+    // every emitted pair must score identically in the unrestricted PQ
+    // ranking (cells select candidates; they must not change ADC) —
+    // k large enough to cover all corpus vectors per query
+    val n = Tables.load(spark, sf0001, "embeddings").count().toInt
+    val pq = Similarity.knnPqCore(Tables.load(spark, sf0001, "embeddings"),
+      nQueries = 8, k = n, m = 8, dsub = 8, ksub = 16)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist").as("pq_dist"))
+    val joined = ivfpq.join(pq, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter(col("pq_dist").isNull ||
+      col("pq_dist") =!= col("adc_dist")).count() === 0)
+    // ranks are contiguous from 1 within each query
+    val bad = ivfpq.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("c"), max(col("rank")).as("mx"), min(col("rank")).as("mn"))
+      .filter(col("mx") =!= col("c") || col("mn") =!= 1)
+    assert(bad.count() === 0)
+  }
+
   test("decontaminationBloom computes exactly the q61 relation") {
     val exact = Dedup.decontamination(spark, sf0001).collect().toSet
     val bloom = Dedup.decontaminationBloom(spark, sf0001).collect().toSet
