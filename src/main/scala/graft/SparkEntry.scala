@@ -93,6 +93,7 @@ object SparkEntry {
     "q70_profile" -> ((s: SparkSession, d: String) => Profile.profileDocuments(s, d)),
     "q71_knn_pq" -> ((s: SparkSession, d: String) => Similarity.knnPq(s, d)),
     "q72_knn_ivfpq" -> ((s: SparkSession, d: String) => Similarity.knnIvfPq(s, d)),
+    "q73_winsorize" -> ((s: SparkSession, d: String) => Curation.winsorize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -180,5 +181,6 @@ object SparkEntry {
     "q70_profile" -> Profile.profileDocumentsSql,
     "q71_knn_pq" -> Similarity.knnPqSql(),
     "q72_knn_ivfpq" -> Similarity.knnIvfPqSql(),
+    "q73_winsorize" -> Curation.winsorizeSql,
   )
 }

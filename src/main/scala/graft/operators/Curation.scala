@@ -391,6 +391,56 @@ object Curation {
       |WHERE (cum_hi * $k) // w_total > ((cum_hi - weight) * $k) // w_total
       |ORDER BY doc_id""".stripMargin
 
+  /** q73 — per-source winsorization (outlier clipping): clip n_chars
+    * to the exact per-source [p05, p95] rank-selected bounds — the
+    * standard robust-scaling pass before length-based curation
+    * decisions (a handful of pathological documents must not stretch
+    * a source's length budget). Rank selection, not interpolation,
+    * for cross-engine exactness (the q42 rule); bounds ride a window
+    * per source, then the clip is a narrow map. Scale: one shuffle on
+    * source for the ranks; the 100 TB path computes the bounds with
+    * the approx sketch (x01's form) and broadcast-joins them back.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorizeCore(Tables.load(spark, dir, "documents"))
+
+  /** Frame-parameterized core: rows need (doc_id, source, n_chars). */
+  def winsorizeCore(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("lo", max(when(col("rn") === expr("(n + 19) div 20"),
+        col("n_chars"))).over(wAll))
+      .withColumn("hi", max(when(col("rn") === expr("(n * 19 + 19) div 20"),
+        col("n_chars"))).over(wAll))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lo"), col("hi"),
+        greatest(least(col("n_chars"), col("hi")), col("lo")).as("clipped"),
+        (col("n_chars") < col("lo") || col("n_chars") > col("hi"))
+          .cast("int").as("is_clipped"))
+      .orderBy(col("doc_id"))
+  }
+
+  val winsorizeSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents
+      |), bounds AS (
+      |  SELECT doc_id, source, n_chars,
+      |    MAX(CASE WHEN rn = (n + 19) // 20 THEN n_chars END)
+      |      OVER (PARTITION BY source) AS lo,
+      |    MAX(CASE WHEN rn = (n * 19 + 19) // 20 THEN n_chars END)
+      |      OVER (PARTITION BY source) AS hi
+      |  FROM ranked
+      |)
+      |SELECT doc_id, source, n_chars, lo, hi,
+      |  GREATEST(LEAST(n_chars, hi), lo) AS clipped,
+      |  CAST(n_chars < lo OR n_chars > hi AS INT) AS is_clipped
+      |FROM bounds ORDER BY doc_id""".stripMargin
+
   val stratifiedSampleSql: String =
     """SELECT lang, pick, doc_id, n_chars FROM (
       |  SELECT lang, doc_id, n_chars,

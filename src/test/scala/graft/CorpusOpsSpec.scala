@@ -213,6 +213,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("winsorize: p05/p95 rank bounds, clip only outside, identity inside") {
+    val docs = (1L to 20L).map(i => (i, "s", i)).toDF("doc_id", "source", "n_chars")
+    val r = Curation.winsorizeCore(docs).orderBy("doc_id").collect()
+    // n=20: lo rank (20+19) div 20 = 1 -> lo=1; hi rank (380+19) div 20 = 19 -> hi=19
+    assert(r.forall(x => x.getLong(3) === 1L && x.getLong(4) === 19L))
+    assert(r.filter(_.getInt(6) == 1).map(_.getLong(0)).toSeq === Seq(20L))
+    assert(r.last.getLong(5) === 19L) // 20 clipped to hi
+    assert(r.init.forall(x => x.getLong(5) === x.getLong(2))) // identity inside
+  }
+
   test("decontaminationBloom computes exactly the q61 relation") {
     val exact = Dedup.decontamination(spark, sf0001).collect().toSet
     val bloom = Dedup.decontaminationBloom(spark, sf0001).collect().toSet

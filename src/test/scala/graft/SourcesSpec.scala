@@ -116,6 +116,55 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.count() === 2) // (a,r,1,10) kept once + (a,r,2,10) appended
   }
 
+  test("orc: lossless roundtrip and predicate pushdown to the scan") {
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/docs"
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // roundtrip: exact same rows (ORC preserves the declared types)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0 && src.exceptAll(back).count() === 0)
+    // pushdown: the filter must reach the ORC scan, not sit in a
+    // post-scan Filter only (same audit as the parquet PushedFilters
+    // checks in PlansSpec)
+    val plan = back.filter(col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("LessThan(doc_id,10)"),
+      s"no ORC pushdown in:\n$plan")
+  }
+
+  test("parquet footer-aggregate pushdown: count/min/max answered from metadata") {
+    // scan-free statistics (the q70 profile's cheap path for
+    // min/max/count): with aggregate pushdown on, parquet answers
+    // whole-file aggregates from footer stats without materializing
+    // rows — the plan shows PushedAggregation instead of a full scan
+    val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // aggregate pushdown lives in the DSv2 scan builder; the default
+    // useV1SourceList routes parquet through the v1 FileScan
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"),
+          max(col("doc_id")).as("mx"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*), MIN(doc_id), MAX(doc_id)]"),
+        s"no aggregate pushdown in:\n$plan")
+      val r = df.head
+      assert(r.getLong(0) > 0 && r.getLong(1) === 0L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+      prevV1 match {
+        case Some(v) => spark.conf.set("spark.sql.sources.useV1SourceList", v)
+        case None => spark.conf.unset("spark.sql.sources.useV1SourceList")
+      }
+    }
+  }
+
   test("jsonl: clean/quarantine split, missing-id quarantined, round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
     val lines = Seq(
