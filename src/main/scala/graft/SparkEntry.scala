@@ -94,6 +94,7 @@ object SparkEntry {
     "q71_knn_pq" -> ((s: SparkSession, d: String) => Similarity.knnPq(s, d)),
     "q72_knn_ivfpq" -> ((s: SparkSession, d: String) => Similarity.knnIvfPq(s, d)),
     "q73_winsorize" -> ((s: SparkSession, d: String) => Curation.winsorize(s, d)),
+    "q74_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -182,5 +183,6 @@ object SparkEntry {
     "q71_knn_pq" -> Similarity.knnPqSql(),
     "q72_knn_ivfpq" -> Similarity.knnIvfPqSql(),
     "q73_winsorize" -> Curation.winsorizeSql,
+    "q74_bm25" -> TextAnalysis.bm25Sql(),
   )
 }

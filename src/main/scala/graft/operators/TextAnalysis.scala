@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -410,4 +410,88 @@ object TextAnalysis {
       |      t -> CAST(length(t) * 31 + COALESCE(ascii(substr(t, 1, 1)), 0) AS BIGINT))),
       |    (h, c) -> (h * 131 + c) % 1000000007) AS BIGINT) AS rolling_fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Default BM25 query terms: present in the synthetic vocabulary
+    * with differing document frequencies, so idf actually
+    * discriminates.
+    */
+  val bm25Terms: Seq[String] = Seq("table", "query", "stream")
+
+  /** q74 — BM25 retrieval scoring of the corpus against a keyword
+    * query (k1=1.2, b=0.75): the lexical ranking half of a RAG stack —
+    * q68 chunks the corpus, this scores it (swap `documents` for the
+    * chunk table and dl for chunk_len to rank chunks). idf uses
+    * log10 (a positive constant factor vs ln — identical ranking),
+    * because base-10 log is this repo's proven bit-parity libm call
+    * (q11 F3, q39); every other term is rational arithmetic.
+    *
+    * Shape: per-term tf is a narrow per-row map (no explode, no
+    * shuffle); the corpus stats (N, Σdl, per-term df) are ONE 1-row
+    * aggregate broadcast back; scoring is again scan-speed; the final
+    * top-`limit` is a global orderBy+limit — planned as
+    * TakeOrderedAndProject (per-partition top-k, driver merge of
+    * `limit` rows), NOT a single-partition sort.
+    */
+  def bm25(spark: SparkSession, dir: String, terms: Seq[String] = bm25Terms,
+           limit: Int = 100): DataFrame =
+    bm25Core(Tables.load(spark, dir, "documents"), terms, limit)
+
+  /** Frame-parameterized core: rows need (doc_id, text). */
+  def bm25Core(corpus: DataFrame, terms: Seq[String], limit: Int): DataFrame = {
+    val docs = corpus
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val withTf = terms.zipWithIndex.foldLeft(docs) { case (d, (t, i)) =>
+      d.withColumn(s"tf$i", size(filter(col("toks"), x => x === lit(t))))
+    }.localCheckpoint() // two consumers: the stats aggregate + scoring
+    val statAggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("double").as("sum_dl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).as(s"df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    // mirror the SQL twin's expression shape EXACTLY (literal-for-
+    // literal) so double evaluation order matches
+    def term(i: Int): Column =
+      log10((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)) + lit(1.0)) *
+        ((col(s"tf$i") * (lit(1.2) + lit(1))) /
+          (col(s"tf$i") + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dl") / (col("sum_dl") / col("n_docs")))))
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("score", round(terms.indices.map(term).reduce(_ + _), 6))
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("dl"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(limit)
+  }
+
+  def bm25Sql(terms: Seq[String] = bm25Terms, limit: Int = 100): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }.mkString(",\n      |    ")
+    val dfCols = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n      |    ")
+    val scoreExpr = terms.indices.map(i =>
+      s"""log10((n_docs - df$i + 0.5) / (df$i + 0.5) + 1.0) *
+         |      ((tf$i * (1.2 + 1)) /
+         |        (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs))))""".stripMargin)
+      .mkString("\n      |    + ")
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, len(toks) AS dl,
+      |    $tfCols
+      |  FROM t
+      |), s AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+      |    $dfCols
+      |  FROM d
+      |)
+      |SELECT doc_id, dl, score FROM (
+      |  SELECT doc_id, dl, ROUND(
+      |    $scoreExpr, 6) AS score
+      |  FROM d, s
+      |) WHERE score > 0
+      |ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
+  }
 }

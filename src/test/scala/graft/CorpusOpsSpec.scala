@@ -223,6 +223,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.init.forall(x => x.getLong(5) === x.getLong(2))) // identity inside
   }
 
+  test("bm25: term-stuffed doc outranks sparse doc, absent terms score zero rows out") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha beta"),   // tf(alpha)=3, short
+      (2L, "alpha gamma gamma gamma gamma gamma gamma gamma"), // tf=1, longer
+      (3L, "delta epsilon zeta")        // no query terms -> filtered
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.bm25Core(docs, Seq("alpha"), 10)
+      .collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L)) // ranked, doc 3 absent
+    assert(r(0).getDouble(2) > r(1).getDouble(2))
+    // global top-k plans as TakeOrderedAndProject (per-partition
+    // top-k + driver merge), not a single-partition global sort
+    val plan = graft.operators.TextAnalysis.bm25Core(docs, Seq("alpha"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
+  }
+
   test("decontaminationBloom computes exactly the q61 relation") {
     val exact = Dedup.decontamination(spark, sf0001).collect().toSet
     val bloom = Dedup.decontaminationBloom(spark, sf0001).collect().toSet
