@@ -95,6 +95,7 @@ object SparkEntry {
     "q72_knn_ivfpq" -> ((s: SparkSession, d: String) => Similarity.knnIvfPq(s, d)),
     "q73_winsorize" -> ((s: SparkSession, d: String) => Curation.winsorize(s, d)),
     "q74_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
+    "q75_hybrid_rrf" -> ((s: SparkSession, d: String) => Similarity.hybridRrf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -184,5 +185,6 @@ object SparkEntry {
     "q72_knn_ivfpq" -> Similarity.knnIvfPqSql(),
     "q73_winsorize" -> Curation.winsorizeSql,
     "q74_bm25" -> TextAnalysis.bm25Sql(),
+    "q75_hybrid_rrf" -> Similarity.hybridRrfSql(),
   )
 }

@@ -717,4 +717,79 @@ object Similarity {
       |FROM adc QUALIFY rank <= $k
       |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** q75 — hybrid retrieval via reciprocal-rank fusion: the lexical
+    * ranking (q74 BM25 over the keyword query) and the semantic
+    * ranking (exact cosine against doc 0's embedding — doc_id and
+    * vec_id are 1:1 in the testdata) each produce a top-R list, fused
+    * by RRF: score = Σ 1/(60 + rank) over the systems that retrieved
+    * the doc. The standard RAG retrieval stack; RRF is rank-only
+    * rational arithmetic — no score-scale calibration between systems
+    * and nothing non-portable in the fusion.
+    *
+    * Shape: each branch ends in a global orderBy+limit —
+    * TakeOrderedAndProject (per-partition top-k, driver merge of R
+    * rows) — and the row_number windows run AFTER the limit, over R
+    * rows, never over the corpus. The fusion is a full-outer join of
+    * two R-row frames. Doc 0 (the query doc) is excluded from both
+    * branches.
+    */
+  def hybridRrf(spark: SparkSession, dir: String,
+                terms: Seq[String] = TextAnalysis.bm25Terms,
+                r: Int = 100, kRrf: Int = 60, limit: Int = 50): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").filter(col("doc_id") =!= 0)
+    val bm = TextAnalysis.bm25Core(docs, terms, r)
+      .withColumn("rank_bm25", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("rank_bm25"))
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val annTop = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(cosine(spark, col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id")).limit(r)
+      .withColumn("rank_ann", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("rank_ann"))
+    bm.join(annTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("rank_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_ann")), lit(0.0)), 6))
+      .select(col("doc_id"), col("rank_bm25"), col("rank_ann"), col("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(limit)
+  }
+
+  def hybridRrfSql(terms: Seq[String] = TextAnalysis.bm25Terms,
+                   r: Int = 100, kRrf: Int = 60, limit: Int = 50): String = {
+    // q74's CTE prefix, restricted to doc_id <> 0 — keep the literal
+    // shapes identical so the scores (and hence ranks) match exactly
+    val bmInner = TextAnalysis.bm25Sql(terms, r)
+    val prefixEnd = bmInner.indexOf("SELECT doc_id, dl, score FROM (")
+    val prefix = bmInner.substring(0, prefixEnd)
+      .replace("FROM documents", "FROM documents WHERE doc_id <> 0")
+    val scoreBody = bmInner.substring(
+      bmInner.indexOf("SELECT doc_id, dl, ROUND("),
+      bmInner.indexOf(") WHERE score > 0"))
+    s"""$prefix, bm AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_bm25
+      |  FROM ($scoreBody) WHERE score > 0
+      |  QUALIFY rank_bm25 <= $r
+      |), qv AS (
+      |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+      |), ann AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS rank_ann
+      |  FROM (
+      |    SELECT e.vec_id AS doc_id, ROUND(${cosSql("qv.q_emb", "e.embedding")}, 6) AS cos_sim
+      |    FROM embeddings e, qv WHERE e.vec_id <> 0)
+      |  QUALIFY rank_ann <= $r
+      |)
+      |SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id, rank_bm25, rank_ann,
+      |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ($kRrf + rank_bm25), 0.0) +
+      |        COALESCE(CAST(1.0 AS DOUBLE) / ($kRrf + rank_ann), 0.0), 6) AS rrf_score
+      |FROM bm FULL JOIN ann ON bm.doc_id = ann.doc_id
+      |ORDER BY rrf_score DESC, doc_id LIMIT $limit""".stripMargin
+  }
 }

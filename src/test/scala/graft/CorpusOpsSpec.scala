@@ -240,6 +240,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
   }
 
+  test("hybridRrf: fusion score consistent with own ranks, both-list docs rewarded") {
+    val out = Similarity.hybridRrf(spark, sf0001).localCheckpoint()
+    val bad = out.filter(
+      round(coalesce(lit(1.0) / (lit(60) + col("rank_bm25")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("rank_ann")), lit(0.0)), 6)
+        =!= col("rrf_score"))
+    assert(bad.count() === 0)
+    val rows = out.collect()
+    // output ordered by (rrf_score desc, doc_id)
+    assert(rows.map(r => (-r.getDouble(3), r.getLong(0))).toSeq ===
+      rows.map(r => (-r.getDouble(3), r.getLong(0))).sortBy(identity).toSeq)
+    // a doc retrieved by both systems at rank 1 would score 2/(61);
+    // every single-system doc is bounded by 1/61 — verify the bound
+    val singles = rows.filter(r => r.isNullAt(1) || r.isNullAt(2))
+    assert(singles.forall(_.getDouble(3) <= 1.0 / 61 + 1e-9))
+  }
+
   test("decontaminationBloom computes exactly the q61 relation") {
     val exact = Dedup.decontamination(spark, sf0001).collect().toSet
     val bloom = Dedup.decontaminationBloom(spark, sf0001).collect().toSet
