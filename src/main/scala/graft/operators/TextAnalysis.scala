@@ -441,8 +441,12 @@ object TextAnalysis {
     val docs = corpus
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
+    // per-term tf via the codegen'd ArrayCountIn (a single-element
+    // word set counts exactly that term's occurrences) — the HOF
+    // filter+size form is CodegenFallback in every scored row
     val withTf = terms.zipWithIndex.foldLeft(docs) { case (d, (t, i)) =>
-      d.withColumn(s"tf$i", size(filter(col("toks"), x => x === lit(t))))
+      d.withColumn(s"tf$i",
+        graft.functions.ArrayCountIn.countIn(corpus.sparkSession, col("toks"), Seq(t)))
     }.localCheckpoint() // two consumers: the stats aggregate + scoring
     val statAggs = Seq(
       count(lit(1)).as("n_docs"),
