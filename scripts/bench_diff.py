@@ -50,6 +50,11 @@ def main():
     nq = norm({**new.get("queries", {}), **new.get("extras", {})})
     oruns = norm(old.get("runs", {}))
     nruns = norm(new.get("runs", {}))
+    # a failed (null-valued) query must read as FAILED, not as suite
+    # churn — norm() drops it from the comparison dicts
+    for side, doc in (("old", old), ("new", new)):
+        for q in doc.get("failed", []) or []:
+            print(f"FAILED  {q:34s} (in {side} artifact)")
     flagged = 0
     for q in sorted(set(oq) | set(nq)):
         if q not in oq:

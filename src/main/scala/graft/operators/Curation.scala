@@ -344,9 +344,12 @@ object Curation {
     * Invariant (pinned in CurationOpsSpec): sum(n_picks) == k exactly.
     */
   def systematicSampleCore(rows: DataFrame, k: Int, nBuckets: Int): DataFrame = {
+    // three consumers (local cumsum, bucket offsets, grand total):
+    // materialize the hashed frame once, house convention
     val t = rows.select(col("doc_id"), col("weight"),
       md5Bucket(col("doc_id")).as("hkey"))
       .withColumn("bucket", expr(s"hkey div ${4294967296L / nBuckets}"))
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("bucket"))
       .orderBy(col("hkey"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

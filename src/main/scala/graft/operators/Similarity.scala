@@ -762,15 +762,10 @@ object Similarity {
 
   def hybridRrfSql(terms: Seq[String] = TextAnalysis.bm25Terms,
                    r: Int = 100, kRrf: Int = 60, limit: Int = 50): String = {
-    // q74's CTE prefix, restricted to doc_id <> 0 — keep the literal
-    // shapes identical so the scores (and hence ranks) match exactly
-    val bmInner = TextAnalysis.bm25Sql(terms, r)
-    val prefixEnd = bmInner.indexOf("SELECT doc_id, dl, score FROM (")
-    val prefix = bmInner.substring(0, prefixEnd)
-      .replace("FROM documents", "FROM documents WHERE doc_id <> 0")
-    val scoreBody = bmInner.substring(
-      bmInner.indexOf("SELECT doc_id, dl, ROUND("),
-      bmInner.indexOf(") WHERE score > 0"))
+    // q74's CTE prefix restricted to doc_id <> 0, composed from the
+    // shared pieces (same literal shapes -> same scores and ranks)
+    val (prefix, scoreBody) =
+      TextAnalysis.bm25Ctes(terms, docPredicate = " WHERE doc_id <> 0")
     s"""$prefix, bm AS (
       |  SELECT doc_id,
       |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_bm25

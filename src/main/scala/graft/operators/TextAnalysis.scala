@@ -468,20 +468,30 @@ object TextAnalysis {
       .limit(limit)
   }
 
-  def bm25Sql(terms: Seq[String] = bm25Terms, limit: Int = 100): String = {
+  /** The t/d/s CTE prefix and the per-doc score SELECT body of the
+    * BM25 twin, as separately reusable pieces (hybridRrfSql composes
+    * them with a doc predicate instead of editing generated text).
+    * Every fractional literal is CAST(... AS DOUBLE) before use —
+    * DuckDB parses bare 1.2/0.5/0.75 as DECIMAL, and decimal
+    * arithmetic (exact 2.2, decimal division) diverges by ulps from
+    * the double arithmetic Spark runs, which is a latent flake at the
+    * 6-decimal rounding boundary even when every current row passes.
+    */
+  private[operators] def bm25Ctes(terms: Seq[String],
+                                  docPredicate: String): (String, String) = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }.mkString(",\n      |    ")
     val dfCols = terms.indices.map(i =>
       s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n      |    ")
     val scoreExpr = terms.indices.map(i =>
-      s"""log10((n_docs - df$i + 0.5) / (df$i + 0.5) + 1.0) *
-         |      ((tf$i * (1.2 + 1)) /
-         |        (tf$i + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs))))""".stripMargin)
+      s"""log10((n_docs - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
+         |      ((tf$i * (CAST(1.2 AS DOUBLE) + 1)) /
+         |        (tf$i + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs))))""".stripMargin)
       .mkString("\n      |    + ")
-    s"""WITH t AS (
+    val prefix = s"""WITH t AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
-      |  FROM documents
+      |  FROM documents$docPredicate
       |), d AS (
       |  SELECT doc_id, len(toks) AS dl,
       |    $tfCols
@@ -490,11 +500,18 @@ object TextAnalysis {
       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS sum_dl,
       |    $dfCols
       |  FROM d
-      |)
-      |SELECT doc_id, dl, score FROM (
-      |  SELECT doc_id, dl, ROUND(
+      |)""".stripMargin
+    val scoreBody = s"""SELECT doc_id, dl, ROUND(
       |    $scoreExpr, 6) AS score
-      |  FROM d, s
+      |  FROM d, s""".stripMargin
+    (prefix, scoreBody)
+  }
+
+  def bm25Sql(terms: Seq[String] = bm25Terms, limit: Int = 100): String = {
+    val (prefix, scoreBody) = bm25Ctes(terms, docPredicate = "")
+    s"""$prefix
+      |SELECT doc_id, dl, score FROM (
+      |  $scoreBody
       |) WHERE score > 0
       |ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
   }
