@@ -96,6 +96,13 @@ object SparkEntry {
     "q73_winsorize" -> ((s: SparkSession, d: String) => Curation.winsorize(s, d)),
     "q74_bm25" -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
     "q75_hybrid_rrf" -> ((s: SparkSession, d: String) => Similarity.hybridRrf(s, d)),
+    "q76_grouping_sets" -> (Relational.groupingSetsPricing _),
+    "q77_above_brand_avg" -> (Relational.aboveBrandAvg _),
+    "q78_time_range_windows" -> (Events.timeRangeWindows _),
+    "q79_quality_deciles" -> (Curation.qualityDeciles _),
+    "q80_cluster_split" -> ((s: SparkSession, d: String) => Dedup.clusterSplit(s, d)),
+    "q81_ngram_diversity" -> (TextAnalysis.ngramDiversity _),
+    "q82_dedup_normalized" -> (Dedup.exactNormalized _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,5 +193,14 @@ object SparkEntry {
     "q73_winsorize" -> Curation.winsorizeSql,
     "q74_bm25" -> TextAnalysis.bm25Sql(),
     "q75_hybrid_rrf" -> Similarity.hybridRrfSql(),
+    "q76_grouping_sets" -> Relational.groupingSetsPricingSql,
+    "q77_above_brand_avg" -> Relational.aboveBrandAvgSql,
+    "q78_time_range_windows" -> Events.timeRangeWindowsSql,
+    "q79_quality_deciles" -> Curation.qualityDecilesSql,
+    // q80 wraps q38's recursive-CTE components oracle — the split
+    // column is derived from the same md5 bucket on both sides
+    "q80_cluster_split" -> Dedup.clusterSplitSql(),
+    "q81_ngram_diversity" -> TextAnalysis.ngramDiversitySql,
+    "q82_dedup_normalized" -> Dedup.exactNormalizedSql,
   )
 }

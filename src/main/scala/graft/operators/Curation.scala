@@ -453,4 +453,42 @@ object Curation {
       |  FROM documents
       |) WHERE pick <= 20
       |ORDER BY lang, pick""".stripMargin
+
+  /** q79 — distribution-rank features per source: NTILE deciles,
+    * PERCENT_RANK, CUME_DIST over (n_chars, doc_id) within each
+    * source, plus the decile-based keep flag (drop the bottom decile
+    * per source — the curation move these functions exist for).
+    *
+    * Oracle parity: the window ordering is fully tiebroken
+    * (n_chars, doc_id), so every rank function is deterministic;
+    * PERCENT_RANK/CUME_DIST are exact integer ratios evaluated in
+    * double — identical operands → identical IEEE results — rounded
+    * to 6dp as belt-and-braces.
+    *
+    * Scale: one shuffle on source; ranks need a per-source ordered
+    * pass (the windowed-rank reality). If one source dominates the
+    * corpus, the two-level bucketed rank of q67's prefix-sum pattern
+    * is the drop-in replacement: bucket by hash-range within source,
+    * rank within buckets, add broadcast per-bucket offsets.
+    */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("keep", (col("decile") > 1).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityDecilesSql: String =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(NTILE(10) OVER w AS INT) AS decile,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+      |  CAST(NTILE(10) OVER w > 1 AS INT) AS keep
+      |FROM documents
+      |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

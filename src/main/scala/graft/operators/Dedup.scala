@@ -52,6 +52,43 @@ object Dedup {
       |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) THEN 1 ELSE 0 END AS is_dup
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q82 — Unicode-canonicalized exact dedup: NFC-normalize BEFORE the
+    * lower/whitespace-collapse fingerprint, so byte-different spellings
+    * of canonically-equivalent text (precomposed é vs e + combining
+    * acute) land in the same dup group — the gap a byte-level md5
+    * dedup (q25) has on real multilingual corpora. `nfc_changed` flags
+    * the rows normalization actually rewrote (0 across this ASCII
+    * corpus; the unicode behavior is pinned in TextOpsSpec).
+    *
+    * Scale: identical to q25 — a narrow codegen'd map (the NFC
+    * expression has an isNormalized fast path, no allocation on the
+    * ASCII/precomposed common case) + one fingerprint-keyed window.
+    */
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val nfcText = graft.functions.NfcNormalize.nfcCol(spark, col("text"))
+    val w = Window.partitionBy(col("norm_fp"))
+    docs.select(col("doc_id"),
+        (nfcText =!= col("text")).cast("int").as("nfc_changed"),
+        md5(regexp_replace(trim(lower(nfcText)), "\\s+", " ")).as("norm_fp"))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("rep_id")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val exactNormalizedSql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    CAST(nfc_normalize(text) <> text AS INT) AS nfc_changed,
+      |    md5(regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g')) AS norm_fp
+      |  FROM documents
+      |)
+      |SELECT doc_id, nfc_changed, norm_fp,
+      |  MIN(doc_id) OVER (PARTITION BY norm_fp) AS rep_id,
+      |  CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY norm_fp)
+      |       THEN 1 ELSE 0 END AS is_dup
+      |FROM n ORDER BY doc_id""".stripMargin
+
   /** Distinct word-k-gram shingles per doc (docs shorter than k tokens
     * produce none and drop out of pair generation).
     */
@@ -702,4 +739,37 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
       .orderBy(col("doc_id"))
   }
+
+  /** q80 — leakage-safe train/val split: hash-split the corpus at the
+    * near-dup CLUSTER level, not the document level. A plain per-doc
+    * hash split scatters near-duplicates across train and val — the
+    * eval set then scores memorization, not generalization. Here every
+    * document inherits its cluster representative's bucket
+    * (md5(rep_id) % 10: 8 train / 2 val), so a near-dup pair can never
+    * straddle the split — by construction, not by post-hoc filtering.
+    *
+    * Scale: reuses [[dedupClusters]]' shapes (df-capped shingle
+    * candidates, shuffle-hash label propagation); the split itself is
+    * a narrow map over the labels — no additional exchange.
+    */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .withColumn("split",
+        when(graft.functions.PortableHash.md5Long32(col("rep_id")) % 10 < 8,
+          lit("train")).otherwise(lit("val")))
+      .select(col("doc_id"), col("rep_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: the q38 recursive-CTE connected components, with the
+    * split derived from the identical md5 bucket of rep_id.
+    */
+  def clusterSplitSql(): String =
+    s"""WITH cc AS (
+      |$dedupClustersSql
+      |)
+      |SELECT doc_id, rep_id,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |         % 10 < 8
+      |       THEN 'train' ELSE 'val' END AS split
+      |FROM cc ORDER BY doc_id""".stripMargin
 }

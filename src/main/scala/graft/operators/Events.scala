@@ -111,6 +111,42 @@ object Events {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
       |ORDER BY user_id, seq""".stripMargin
 
+  /** q78 — time-based RANGE window frames (SURVEY §2.10 widened past
+    * q58's ROWS frames): per event, the count / decimal sum / min over
+    * the trailing 1-hour window of the SAME user — the "activity in
+    * the last hour" feature family, where the frame is defined by the
+    * ORDER-BY value (epoch ms), not a row count, so ties (equal
+    * timestamps) are peers and the frame is deterministic without a
+    * row tiebreak.
+    *
+    * Scale: the same single user_id shuffle as q58 — RANGE frames add
+    * no exchange, only a per-partition ordered scan with a sliding
+    * frame boundary. Presentation sort tiebreaks on event_id because
+    * equal-ts rows are interchangeable ONLY in frame membership, not
+    * in output order.
+    */
+  def timeRangeWindows(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    val decVal = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    ev.select(col("user_id"), col("event_id"), col("ts_ms"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(decVal).over(w).cast("double"))
+      .withColumn("min_1h", min(col("value")).over(w))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
+  val timeRangeWindowsSql: String =
+    """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
+      |  MIN(value) OVER w AS min_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_ms, event_id""".stripMargin
+
   val sessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,

@@ -826,4 +826,86 @@ object Relational {
       |  COUNT(DISTINCT c.c_mktsegment) AS n_segments
       |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q76 — GROUPING SETS aggregate (SURVEY §2.4 widened past q47's
+  // ROLLUP: an explicit, non-prefix set list — the general multi-level
+  // report shape). Per-grouping flags are emitted (not grouping_id())
+  // so the oracle states the identical column per engine.
+  //
+  // Scale: GROUPING SETS plans as ONE scan + Expand (each row fans to
+  // its grouping levels) + a single hash aggregation — no per-level
+  // rescan, partial aggregation applies as usual. ORDER BY leads with
+  // the grouping flags, so within each stratum the null-placeholder
+  // columns are all-null (no mixed null ordering between engines).
+  // ---------------------------------------------------------------------------
+  def groupingSetsPricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_price"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val groupingSetsPricingSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // q77 — decorrelated scalar subquery (SURVEY §2.3/§2.4): "parts
+  // priced above their brand's average" — the classic correlated
+  // `WHERE price > (SELECT AVG(...) WHERE brand = outer.brand)` shape,
+  // expressed as the decorrelation Catalyst would produce: one
+  // per-brand aggregate broadcast-joined back to the row stream.
+  //
+  // Oracle parity: the above-average predicate is the integer-safe
+  // cross-multiplication `price * n > sum` (no division inside the
+  // filter), with the sum in DECIMAL(18,6); only the REPORTED average
+  // divides, rounded to 6dp on both sides.
+  //
+  // Scale: the brand aggregate is dimension-sized (one row per brand)
+  // → broadcast; the fact stream is never shuffled.
+  // ---------------------------------------------------------------------------
+  def aboveBrandAvg(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    val byBrand = part.groupBy(col("p_brand").as("b_brand"))
+      .agg(
+        sum(col("p_retailprice").cast(DecimalType(18, 6))).as("b_sum"),
+        count(lit(1)).as("b_n"))
+    part.join(broadcast(byBrand), col("p_brand") === col("b_brand"))
+      .filter(col("p_retailprice").cast(DecimalType(18, 6)) * col("b_n") > col("b_sum"))
+      .select(
+        col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        round(col("b_sum").cast("double") / col("b_n"), 6).as("brand_avg"),
+        col("b_n").as("n_in_brand"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val aboveBrandAvgSql: String =
+    """WITH by_brand AS (
+      |  SELECT p_brand AS b_brand,
+      |    SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS b_sum,
+      |    COUNT(*) AS b_n
+      |  FROM part GROUP BY p_brand
+      |)
+      |SELECT p_partkey, p_brand, p_retailprice,
+      |  ROUND(CAST(b_sum AS DOUBLE) / b_n, 6) AS brand_avg,
+      |  b_n AS n_in_brand
+      |FROM part JOIN by_brand ON p_brand = b_brand
+      |WHERE CAST(p_retailprice AS DECIMAL(18,6)) * b_n > b_sum
+      |ORDER BY p_partkey""".stripMargin
 }

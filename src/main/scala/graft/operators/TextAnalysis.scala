@@ -515,4 +515,56 @@ object TextAnalysis {
       |) WHERE score > 0
       |ORDER BY score DESC, doc_id LIMIT $limit""".stripMargin
   }
+
+  /** q81 — corpus n-gram diversity per source: total trigram
+    * instances, distinct trigrams, type-token ratio, and the hapax
+    * fraction (trigrams seen exactly once within the source). Low
+    * diversity / low hapax = templated or machine-generated text —
+    * the corpus-level sibling of q55's within-document repetition.
+    *
+    * Scale: two-level aggregation — partial counts on (source,
+    * trigram) combine map-side (the Zipf head collapses before the
+    * shuffle), then one source-level rollup of the per-trigram counts.
+    * DISTINCT falls out of the first level's key — no Expand, no
+    * count-distinct shuffle of raw trigram instances.
+    */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tri = docs
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(
+        graft.functions.WordNGrams.ngrams(spark, col("toks"), 3)).as("tg"))
+    tri.groupBy(col("source"), col("tg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_total"),
+        count(lit(1)).as("n_distinct"),
+        count(when(col("c") === 1, lit(1))).as("n_hapax"))
+      .withColumn("ttr",
+        round(col("n_distinct").cast("double") / col("n_total"), 6))
+      .withColumn("hapax_ratio",
+        round(col("n_hapax").cast("double") / col("n_distinct"), 6))
+      .orderBy(col("source"))
+  }
+
+  val ngramDiversitySql: String =
+    """WITH base AS (
+      |  SELECT source,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |), tri AS (
+      |  SELECT source,
+      |    unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |            for i in range(1, len(toks) - 1)]) AS tg
+      |  FROM base WHERE len(toks) >= 3
+      |), pertg AS (
+      |  SELECT source, tg, COUNT(*) AS c FROM tri GROUP BY 1, 2
+      |)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS n_distinct,
+      |  COUNT(*) FILTER (c = 1) AS n_hapax,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6) AS ttr,
+      |  ROUND(CAST(COUNT(*) FILTER (c = 1) AS DOUBLE) / COUNT(*), 6) AS hapax_ratio
+      |FROM pertg GROUP BY source ORDER BY source""".stripMargin
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Dedup, Events, Relational}
+
+/** Round-6 analytics operators: GROUPING SETS strata invariants,
+  * the decorrelated above-brand-average predicate, time-RANGE window
+  * frames (ties-as-peers, inclusive trailing boundary), per-source
+  * decile ranks, and the leakage-safe cluster-level split invariant.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  val sf0001 = "/root/testdata/sf0.001"
+
+  test("groupingSetsPricing: strata reconcile to the global total") {
+    val out = Relational.groupingSetsPricing(spark, sf0001).localCheckpoint()
+    val total = graft.Tables.load(spark, sf0001, "lineitem").count()
+    // the () stratum is the single all-null row carrying the global count
+    val grand = out.filter($"g_flag" === 1 && $"g_status" === 1)
+      .select($"n_items", $"l_returnflag", $"l_linestatus")
+      .as[(Long, Option[String], Option[String])].collect().toSeq
+    assert(grand === Seq((total, None, None)))
+    // the finest stratum partitions the table: counts sum to the total,
+    // and so does the (l_linestatus) stratum
+    val fine = out.filter($"g_flag" === 0 && $"g_status" === 0)
+      .agg(sum($"n_items")).as[Long].head()
+    val mid = out.filter($"g_flag" === 1 && $"g_status" === 0)
+      .agg(sum($"n_items")).as[Long].head()
+    assert(fine === total && mid === total)
+    // placeholder columns are null exactly where the grouping flag says
+    assert(out.filter($"g_flag" === 1 && $"l_returnflag".isNotNull).count() === 0)
+    assert(out.filter($"g_flag" === 0 && $"l_returnflag".isNull).count() === 0)
+  }
+
+  test("aboveBrandAvg: returned rows beat their brand mean, others don't") {
+    val part = graft.Tables.load(spark, sf0001, "part")
+    val out = Relational.aboveBrandAvg(spark, sf0001).localCheckpoint()
+    // recompute the strict-above set independently (double arithmetic is
+    // fine as the checker: the operator's cross-multiplication decides
+    // ties exactly, and the test data has no exact-mean collision)
+    val expect = part.groupBy($"p_brand").agg(avg($"p_retailprice").as("m"))
+      .join(part, "p_brand").filter($"p_retailprice" > $"m")
+      .select($"p_partkey").as[Long].collect().sorted.toSeq
+    val got = out.select($"p_partkey").as[Long].collect().sorted.toSeq
+    assert(got === expect)
+    // every brand keeps strictly fewer than all its parts (a mean is
+    // never below the minimum) and at least one part overall survives
+    assert(out.count() > 0 && out.count() < part.count())
+  }
+
+  test("timeRangeWindows: ties are peers, trailing boundary is inclusive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-revents").toString
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    Seq(
+      (1L, t(0L), 1L, "a", 10.0, "{}"),
+      (2L, t(3600000L), 1L, "b", 2.0, "{}"),  // exactly 1h later: in frame
+      (3L, t(3600000L), 1L, "c", 5.0, "{}"),  // ts tie: peer of event 2
+      (4L, t(7201000L), 1L, "d", 7.0, "{}"),  // 3601s after the ties: alone
+      (5L, t(1000L), 2L, "e", 4.0, "{}"))     // other user: own partition
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.timeRangeWindows(spark, dir)
+      .select($"user_id", $"event_id", $"n_1h", $"sum_1h", $"min_1h")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 1L, 10.0, 10.0),
+      // RANGE peers: both tie rows see event 1 (inclusive -1h bound)
+      // AND each other — identical frames, identical aggregates
+      (1L, 2L, 3L, 17.0, 2.0),
+      (1L, 3L, 3L, 17.0, 2.0),
+      (1L, 4L, 1L, 7.0, 7.0),
+      (2L, 5L, 1L, 4.0, 4.0)))
+  }
+
+  test("qualityDeciles: balanced tiles, keep drops exactly the bottom tile") {
+    val out = Curation.qualityDeciles(spark, sf0001).localCheckpoint()
+    val bySource = out.groupBy($"source").agg(
+      count(lit(1)).as("n"),
+      sum(when($"keep" === 0, 1).otherwise(0)).as("dropped"),
+      max($"cume").as("max_cume"),
+      min($"pct_rank").as("min_pr"),
+      countDistinct($"decile").as("n_tiles"))
+      .as[(String, Long, Long, Double, Double, Long)].collect()
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, n, dropped, maxCume, minPr, tiles) =>
+      // NTILE(10): bottom tile holds ceil(n/10) or floor(n/10) rows
+      assert(dropped === n / 10 + (if (n % 10 > 0) 1 else 0),
+        s"$src dropped=$dropped of n=$n")
+      assert(maxCume === 1.0 && minPr === 0.0 && tiles === 10L, s"$src")
+    }
+    // ranks are per-source: within a source, pct_rank is monotone in
+    // (n_chars, doc_id) — spot-check by re-sorting
+    val one = out.filter($"source" === bySource.head._1)
+      .orderBy($"n_chars", $"doc_id").select($"pct_rank")
+      .as[Double].collect().toSeq
+    assert(one === one.sorted)
+  }
+
+  test("clusterSplit: no near-dup cluster straddles train/val") {
+    val out = Dedup.clusterSplit(spark, sf0001).localCheckpoint()
+    // the leakage guarantee, by construction: one split per rep_id
+    val straddlers = out.groupBy($"rep_id")
+      .agg(countDistinct($"split").as("k")).filter($"k" > 1).count()
+    assert(straddlers === 0)
+    // both sides are non-empty and the doc-level fractions are sane
+    // (8/2 bucket split; tolerance for cluster-size variance)
+    val n = out.count().toDouble
+    val train = out.filter($"split" === "train").count().toDouble
+    assert(train / n > 0.6 && train / n < 0.95, s"train frac ${train / n}")
+    // split agrees with the documented bucket function of rep_id
+    val mismatch = out.withColumn("b",
+        graft.functions.PortableHash.md5Long32($"rep_id") % 10)
+      .filter(($"b" < 8 && $"split" =!= "train") ||
+              ($"b" >= 8 && $"split" =!= "val")).count()
+    assert(mismatch === 0)
+  }
+}

@@ -225,4 +225,54 @@ class TextOpsSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("NfcNormalize: combining marks compose; ASCII is identity (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.NfcNormalize
+    // decomposed (base + combining mark) pairs vs their precomposed twins,
+    // written as explicit escapes so source encoding can't collapse them
+    val combining = Gen.oneOf(
+      "e\u0301" -> "\u00e9",   // e + acute -> LATIN SMALL LETTER E WITH ACUTE
+      "a\u0308" -> "\u00e4",   // a + diaeresis
+      "n\u0303" -> "\u00f1",   // n + tilde
+      "o\u0302" -> "\u00f4",   // o + circumflex
+      "A\u030a" -> "\u00c5")   // A + ring above
+    val gen = for {
+      pre <- Gen.alphaNumStr.map(_.take(8))
+      cs <- Gen.listOfN(3, combining)
+      post <- Gen.alphaNumStr.map(_.take(8))
+    } yield (pre + cs.map(_._1).mkString + post,
+             pre + cs.map(_._2).mkString + post)
+    val p = Prop.forAll(gen) { case (decomposed, precomposed) =>
+      val out = Seq(decomposed, precomposed, "plain ascii").toDF("s")
+        .select(NfcNormalize.nfcCol(spark, $"s").as("n"))
+        .as[String].collect().toSeq
+      out(0) == precomposed && out(1) == precomposed && out(2) == "plain ascii"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("exactNormalized: NFC-equivalent spellings land in one dup group") {
+    val dir = docsDir(Seq(
+      (1L, "caf\u00e9 au lait"),       // precomposed e-acute
+      (2L, "cafe\u0301 au lait"),      // e + combining acute — same text
+      (3L, "cafe au lait")))           // genuinely different (no accent)
+    val out = graft.operators.Dedup.exactNormalized(spark, dir)
+      .select($"doc_id", $"nfc_changed", $"rep_id", $"is_dup")
+      .as[(Long, Int, Long, Int)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0, 1L, 0),    // already NFC, representative of its group
+      (2L, 1, 1L, 1),    // rewritten by NFC, deduped against doc 1
+      (3L, 0, 3L, 0)))   // accentless text stays its own group
+  }
+
+  test("ngramDiversity: hand-computed trigram counts, short docs drop out") {
+    // doc 1: trigrams [a b c, b c a, c a b, a b c] -> total 4, distinct 3,
+    // hapax 2 (b-c-a, c-a-b); doc 2 has <3 tokens and contributes nothing
+    val dir = docsDir(Seq((1L, "a b c a b c"), (2L, "x y")))
+    val out = TextAnalysis.ngramDiversity(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(("unit", 4L, 3L, 2L, 0.75, 0.666667)))
+  }
 }
