@@ -55,7 +55,20 @@ object NfcNormalize {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_nfc", exprs => NfcNormalize(exprs(0)), "built-in")
+      "graft_nfc", { exprs =>
+        // arity guard: without it, SQL `graft_nfc()` would surface as an
+        // IndexOutOfBoundsException from the builder instead of the
+        // standard wrong-number-of-arguments analysis error
+        if (exprs.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_nfc`",
+              "expectedNum" -> "1",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        NfcNormalize(exprs.head)
+      }, "built-in")
 
   def nfcCol(spark: SparkSession, c: Column): Column = {
     register(spark)

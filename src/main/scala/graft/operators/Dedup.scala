@@ -53,34 +53,51 @@ object Dedup {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q82 — Unicode-canonicalized exact dedup: NFC-normalize BEFORE the
-    * lower/whitespace-collapse fingerprint, so byte-different spellings
-    * of canonically-equivalent text (precomposed é vs e + combining
-    * acute) land in the same dup group — the gap a byte-level md5
-    * dedup (q25) has on real multilingual corpora. `nfc_changed` flags
-    * the rows normalization actually rewrote (0 across this ASCII
-    * corpus; the unicode behavior is pinned in TextOpsSpec).
+    * casefold/whitespace-collapse fingerprint, so byte-different
+    * spellings of canonically-equivalent text (precomposed é vs e +
+    * combining acute) land in the same dup group — the gap a
+    * byte-level md5 dedup (q25) has on real multilingual corpora.
+    * `nfc_changed` flags the rows normalization actually rewrote (0
+    * across this ASCII corpus; the unicode behavior is pinned in
+    * TextOpsSpec).
+    *
+    * The casefold is deliberately ASCII-only (`translate` A-Z→a-z, the
+    * identical table in both engines) rather than full `lower()`:
+    * Spark's JVM `toLowerCase` and DuckDB's utf8proc lowercase diverge
+    * on exotic case mappings (U+0130 İ, Cherokee, locale-sensitive
+    * dotted-I), which are exactly the non-ASCII inputs this query
+    * targets — a fingerprint built on `lower()` can disagree across
+    * engines on multilingual corpora even though both are "correct".
+    * ASCII fold + NFC is portable by construction; full-Unicode
+    * case-insensitivity is intentionally out of scope (É ≠ é here).
+    * Pinned in TextOpsSpec ("casefold is ASCII-only").
     *
     * Scale: identical to q25 — a narrow codegen'd map (the NFC
     * expression has an isNormalized fast path, no allocation on the
     * ASCII/precomposed common case) + one fingerprint-keyed window.
     */
+  private val AsciiUpper = ('A' to 'Z').mkString
+  private val AsciiLower = ('a' to 'z').mkString
+
   def exactNormalized(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val nfcText = graft.functions.NfcNormalize.nfcCol(spark, col("text"))
     val w = Window.partitionBy(col("norm_fp"))
     docs.select(col("doc_id"),
         (nfcText =!= col("text")).cast("int").as("nfc_changed"),
-        md5(regexp_replace(trim(lower(nfcText)), "\\s+", " ")).as("norm_fp"))
+        md5(regexp_replace(trim(translate(nfcText, AsciiUpper, AsciiLower)),
+          "\\s+", " ")).as("norm_fp"))
       .withColumn("rep_id", min(col("doc_id")).over(w))
       .withColumn("is_dup", (col("doc_id") =!= col("rep_id")).cast("int"))
       .orderBy(col("doc_id"))
   }
 
   val exactNormalizedSql: String =
-    """WITH n AS (
+    s"""WITH n AS (
       |  SELECT doc_id,
       |    CAST(nfc_normalize(text) <> text AS INT) AS nfc_changed,
-      |    md5(regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g')) AS norm_fp
+      |    md5(regexp_replace(trim(translate(nfc_normalize(text),
+      |      '$AsciiUpper', '$AsciiLower')), '\\s+', ' ', 'g')) AS norm_fp
       |  FROM documents
       |)
       |SELECT doc_id, nfc_changed, norm_fp,
@@ -280,7 +297,8 @@ object Dedup {
     * transitive-closure CTE.
     */
   def dedupClusters(spark: SparkSession, dir: String, k: Int = 3,
-                    threshold: Double = 0.6, maxIters: Int = 50): DataFrame = {
+                    threshold: Double = 0.6, maxIters: Int = 50,
+                    requireConverged: Boolean = false): DataFrame = {
     val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
     // materialize the pair list once — every iteration reads edges
     val pairs = ngramJaccardPairs(spark, dir, k, threshold)
@@ -312,10 +330,17 @@ object Dedup {
       converged = next.filter(col("rep_id") =!= col("old_rep")).isEmpty
       labels = next.select(col("doc_id"), col("rep_id"))
     }
-    if (!converged)
-      System.err.println(s"[dedupClusters] WARNING: not converged after " +
-        s"$maxIters rounds — a near-dup chain longer than $maxIters hops " +
-        "exists; labels for its tail are not yet the cluster minimum")
+    if (!converged) {
+      val msg = s"[dedupClusters] not converged after $maxIters rounds — " +
+        s"a near-dup chain longer than $maxIters hops exists; labels for " +
+        "its tail are not yet the cluster minimum"
+      // callers that depend on complete clusters (clusterSplit's
+      // no-leakage-by-construction guarantee) must fail hard: two docs
+      // of one true cluster with different rep_ids could silently
+      // straddle train/val otherwise
+      if (requireConverged) throw new IllegalStateException(msg)
+      System.err.println(s"$msg (WARNING)")
+    }
     docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
       .withColumn("is_canonical", (col("doc_id") === col("rep_id")).cast("int"))
@@ -751,9 +776,13 @@ object Dedup {
     * Scale: reuses [[dedupClusters]]' shapes (df-capped shingle
     * candidates, shuffle-hash label propagation); the split itself is
     * a narrow map over the labels — no additional exchange.
+    * `requireConverged = true`: the whole point of this operator is
+    * the by-construction guarantee, so a propagation that hits
+    * maxIters without converging is a hard failure here, not the
+    * stderr warning the analytics path tolerates.
     */
   def clusterSplit(spark: SparkSession, dir: String): DataFrame =
-    dedupClusters(spark, dir)
+    dedupClusters(spark, dir, requireConverged = true)
       .withColumn("split",
         when(graft.functions.PortableHash.md5Long32(col("rep_id")) % 10 < 8,
           lit("train")).otherwise(lit("val")))

@@ -39,11 +39,15 @@ class AnalyticsOpsSpec extends AnyFunSuite {
   test("aboveBrandAvg: returned rows beat their brand mean, others don't") {
     val part = graft.Tables.load(spark, sf0001, "part")
     val out = Relational.aboveBrandAvg(spark, sf0001).localCheckpoint()
-    // recompute the strict-above set independently (double arithmetic is
-    // fine as the checker: the operator's cross-multiplication decides
-    // ties exactly, and the test data has no exact-mean collision)
-    val expect = part.groupBy($"p_brand").agg(avg($"p_retailprice").as("m"))
-      .join(part, "p_brand").filter($"p_retailprice" > $"m")
+    // recompute the strict-above set independently with the SAME exact
+    // predicate the operator uses (decimal cross-multiplication, no
+    // division): a double avg() checker can flake when a price sits
+    // within double-epsilon of its brand mean — exact-vs-exact cannot
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val expect = part.groupBy($"p_brand").agg(
+        sum($"p_retailprice".cast(dec)).as("s"), count(lit(1)).as("n"))
+      .join(part, "p_brand")
+      .filter($"p_retailprice".cast(dec) * $"n" > $"s")
       .select($"p_partkey").as[Long].collect().sorted.toSeq
     val got = out.select($"p_partkey").as[Long].collect().sorted.toSeq
     assert(got === expect)
@@ -117,5 +121,20 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .filter(($"b" < 8 && $"split" =!= "train") ||
               ($"b" >= 8 && $"split" =!= "val")).count()
     assert(mismatch === 0)
+  }
+
+  test("clusterSplit: non-convergence is a hard failure, not a warning") {
+    // maxIters=0 cannot converge on any corpus with at least one
+    // near-dup edge — the guarantee-bearing path must throw, because a
+    // half-propagated labeling can put two docs of one true cluster in
+    // different splits while only a stderr line fires
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupClusters(spark, sf0001, maxIters = 0,
+        requireConverged = true).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+    // the analytics path keeps the tolerant behavior: same call without
+    // the flag returns a (partial) labeling instead of throwing
+    assert(Dedup.dedupClusters(spark, sf0001, maxIters = 0).count() > 0)
   }
 }

@@ -267,6 +267,38 @@ class TextOpsSpec extends AnyFunSuite {
       (3L, 0, 3L, 0)))   // accentless text stays its own group
   }
 
+  test("exactNormalized: casefold is ASCII-only (engine-portable by construction)") {
+    // ASCII case differences merge; non-ASCII case differences do NOT —
+    // JVM lower() and utf8proc lower() can disagree on exotic mappings
+    // (U+0130 LATIN CAPITAL I WITH DOT ABOVE expands to i + combining
+    // dot in one engine, maps 1:1 in another), so q82 folds only A-Z
+    val dir = docsDir(Seq(
+      (1L, "CAFE au lait"),            // ASCII upper: folds, dups doc 2
+      (2L, "cafe au lait"),
+      (3L, "İstanbul gezisi"),    // U+0130: untouched by the fold
+      (4L, "istanbul gezisi"),         // so it does NOT dup doc 3
+      (5L, "CAFÉ au lait")))      // É stays É: not a dup of anything
+    val out = graft.operators.Dedup.exactNormalized(spark, dir)
+      .select($"doc_id", $"rep_id", $"is_dup")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 0), (2L, 1L, 1),   // ASCII fold merges
+      (3L, 3L, 0), (4L, 4L, 0),   // dotted-I stays distinct
+      (5L, 5L, 0)))               // non-ASCII case difference preserved
+  }
+
+  test("graft_nfc SQL: wrong arity is an analysis error, not an index crash") {
+    graft.functions.NfcNormalize.register(spark)
+    val e0 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_nfc()").collect()
+    }
+    assert(e0.getMessage.contains("graft_nfc"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_nfc('a', 'b')").collect()
+    }
+    assert(e2.getMessage.contains("graft_nfc"))
+  }
+
   test("ngramDiversity: hand-computed trigram counts, short docs drop out") {
     // doc 1: trigrams [a b c, b c a, c a b, a b c] -> total 4, distinct 3,
     // hapax 2 (b-c-a, c-a-b); doc 2 has <3 tokens and contributes nothing
