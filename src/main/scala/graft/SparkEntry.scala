@@ -103,6 +103,9 @@ object SparkEntry {
     "q80_cluster_split" -> ((s: SparkSession, d: String) => Dedup.clusterSplit(s, d)),
     "q81_ngram_diversity" -> (TextAnalysis.ngramDiversity _),
     "q82_dedup_normalized" -> (Dedup.exactNormalized _),
+    "q83_cohort_retention" -> (Events.cohortRetention _),
+    "q84_funnel" -> (Events.funnel _),
+    "q85_scd2_intervals" -> (Temporal.scd2Intervals _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -202,5 +205,8 @@ object SparkEntry {
     "q80_cluster_split" -> Dedup.clusterSplitSql(),
     "q81_ngram_diversity" -> TextAnalysis.ngramDiversitySql,
     "q82_dedup_normalized" -> Dedup.exactNormalizedSql,
+    "q83_cohort_retention" -> Events.cohortRetentionSql,
+    "q84_funnel" -> Events.funnelSql,
+    "q85_scd2_intervals" -> Temporal.scd2IntervalsSql,
   )
 }

@@ -167,4 +167,120 @@ object Events {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  /** q83 — cohort retention matrix: users are assigned to the weekly
+    * cohort of their FIRST event (Monday-truncated, identical
+    * `date_trunc('week')` in both engines), then each (cohort,
+    * week-offset) cell counts the distinct cohort members active that
+    * week — the classic product-analytics retention triangle.
+    *
+    * Scale: first-event per user is a partial-aggregable min on the
+    * user_id shuffle key; weekly activity is a distinct over (user,
+    * week) — also map-side combinable; the cohort join is user_id ⋈
+    * user_id, co-partitioned with the aggregates around it, and the
+    * final cell aggregate is over the tiny (cohort × offset) domain.
+    * Nothing here holds per-user state wider than one row.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .withColumn("cohort", to_date(date_trunc("week", col("first_ts"))))
+      .select(col("user_id"), col("cohort"))
+    val activity = ev
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val sizes = firsts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    activity.join(firsts, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort")) / 7).cast("int"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort")
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("cohort_size"), 6))
+      .select(col("cohort"), col("week_offset"), col("n_active"),
+        col("cohort_size"), col("retention"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+      |  FROM events GROUP BY user_id
+      |), activity AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events
+      |), sizes AS (
+      |  SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort
+      |), cells AS (
+      |  SELECT f.cohort,
+      |    CAST(date_diff('day', f.cohort, a.week) / 7 AS INT) AS week_offset,
+      |    COUNT(DISTINCT a.user_id) AS n_active
+      |  FROM activity a JOIN firsts f ON a.user_id = f.user_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT c.cohort, c.week_offset, c.n_active, s.cohort_size,
+      |  ROUND(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+      |FROM cells c JOIN sizes s ON c.cohort = s.cohort
+      |ORDER BY c.cohort, c.week_offset""".stripMargin
+
+  /** q84 — ordered funnel (signup → click → purchase): per user, the
+    * earliest signup, the earliest click STRICTLY AFTER that signup,
+    * and the earliest purchase strictly after that click — order
+    * matters, so a purchase before the first post-signup click does
+    * not convert. `stage` is the furthest step reached.
+    *
+    * Scale: each step is a filter + min-aggregate keyed on user_id
+    * joined to the previous step's frontier — three co-partitioned
+    * user_id shuffles, no windows, no per-user event buffering; the
+    * progressive-min form is how funnels stay linear when one user can
+    * have millions of events (the alternative — sorting each user's
+    * full history — pays an O(n log n) sort for a pair of mins).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_signup"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts_ms") > col("t_signup"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts_ms") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, lit(3))
+          .when(col("t_click").isNotNull, lit(2))
+          .otherwise(lit(1)))
+      .select(col("user_id"), col("t_signup"), col("t_click"),
+        col("t_purchase"), col("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(epoch_ms(ts)) AS t_signup
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t_click
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t_signup
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t_purchase
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.t_click
+      |  GROUP BY e.user_id
+      |)
+      |SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+      |  CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+      |       WHEN s2.t_click IS NOT NULL THEN 2 ELSE 1 END AS stage
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
 }

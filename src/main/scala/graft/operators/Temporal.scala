@@ -91,4 +91,55 @@ object Temporal {
       |)
       |WHERE event_type = 'purchase'
       |ORDER BY purchase_id""".stripMargin
+
+  /** q85 — SCD Type-2 interval build: compress each user's event
+    * stream into state-change versions — a row survives only when its
+    * event_type differs from the previous event's (change detection
+    * via lag), then each surviving row gets [valid_from, valid_to)
+    * from the NEXT change (lead), a version number, and an is_current
+    * flag on the open interval. This is the general form of the
+    * reference's append-only `*History` tables (SURVEY §1.1,
+    * lib.ts:303,370-375): DISTINCT ON latest-per-key (q02) reads the
+    * current version; SCD2 materializes ALL versions with validity.
+    *
+    * Scale: both windows share one user_id hash partitioning and one
+    * (ts, event_id) sort — a single exchange; the change filter runs
+    * between them without re-shuffling. No joins, no state beyond
+    * adjacent rows.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val changes = ev
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    changes
+      .withColumn("valid_to_ms", lead(col("ts_ms"), 1).over(w2))
+      .withColumn("version", row_number().over(w2))
+      .withColumn("is_current", col("valid_to_ms").isNull.cast("int"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_ms").as("valid_from_ms"), col("valid_to_ms"),
+        col("version"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS prev_state
+      |  FROM events
+      |), changes AS (
+      |  SELECT user_id, event_type, ts_ms, event_id FROM ordered
+      |  WHERE prev_state IS NULL OR prev_state <> event_type
+      |)
+      |SELECT user_id, event_type AS state, ts_ms AS valid_from_ms,
+      |  lead(ts_ms) OVER w AS valid_to_ms,
+      |  CAST(row_number() OVER w AS INT) AS version,
+      |  CASE WHEN lead(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |ORDER BY user_id, version""".stripMargin
 }
