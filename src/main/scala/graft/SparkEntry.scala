@@ -106,6 +106,10 @@ object SparkEntry {
     "q83_cohort_retention" -> (Events.cohortRetention _),
     "q84_funnel" -> (Events.funnel _),
     "q85_scd2_intervals" -> (Temporal.scd2Intervals _),
+    "q86_containment_neardups" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
+    "q87_weighted_sample" -> ((s: SparkSession, d: String) => Curation.weightedPrioritySample(s, d)),
+    "q88_boilerplate_mask" -> ((s: SparkSession, d: String) => TextAnalysis.boilerplateMask(s, d)),
+    "q89_survivorship" -> (Dedup.survivorship _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -208,5 +212,11 @@ object SparkEntry {
     "q83_cohort_retention" -> Events.cohortRetentionSql,
     "q84_funnel" -> Events.funnelSql,
     "q85_scd2_intervals" -> Temporal.scd2IntervalsSql,
+    "q86_containment_neardups" -> Dedup.containmentPairsSql,
+    "q87_weighted_sample" -> Curation.weightedPrioritySampleSql(),
+    "q88_boilerplate_mask" -> TextAnalysis.boilerplateMaskSql(),
+    // q89 wraps q38's recursive-CTE components oracle, like q80 — the
+    // survivor argmax and merge stats are stated over the same labels
+    "q89_survivorship" -> Dedup.survivorshipSql(),
   )
 }

@@ -491,4 +491,57 @@ object Curation {
       |FROM documents
       |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** q87 — weighted priority sampling (Duffield-Thorup): per source,
+    * the k documents with the largest priority w/u, where w = n_chars
+    * (the weight: longer docs are likelier picks, in proportion) and
+    * u = (md5(doc_id)+1)/2^32 — a deterministic uniform in (0,1].
+    * Unlike the equal-probability forms (q43 hash, q44 stratified,
+    * q67 systematic), inclusion probability here is proportional to
+    * weight — the "sample by token count" primitive a mixture builder
+    * needs so that sampled TOKENS, not sampled documents, follow the
+    * target distribution.
+    *
+    * Float portability (the reason this is w/u and not the textbook
+    * u^(1/w) key, which orders identically): (h+1) <= 2^32 is exact in
+    * a double, /2^32 is a power-of-two scale (exact), and w/u is ONE
+    * IEEE division — correctly rounded, so both engines compute the
+    * bit-identical double. pow/log are not correctly rounded and may
+    * differ in the last ulp across runtimes; division is safe the way
+    * `round(x, 6)` alone is not.
+    *
+    * Scale: a narrow map to score + the q52 per-group partial-top-k
+    * window (WindowGroupLimit prunes to k per source inside each map
+    * task before the source shuffle).
+    */
+  def weightedPrioritySample(spark: SparkSession, dir: String,
+                             k: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val u = (md5Bucket(col("doc_id")) + 1).cast("double") / lit(4294967296.0)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("priority", col("n_chars").cast("double") / u)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .withColumn("priority", round(col("priority"), 6))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  def weightedPrioritySampleSql(k: Int = 20): String =
+    s"""WITH scored AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(n_chars AS DOUBLE) /
+      |      ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+      |        / 4294967296.0) AS priority
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT doc_id, source, n_chars, priority,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY priority DESC, doc_id) AS INT) AS rk
+      |  FROM scored
+      |)
+      |SELECT doc_id, source, n_chars, ROUND(priority, 6) AS priority, rk
+      |FROM ranked WHERE rk <= $k
+      |ORDER BY source, rk""".stripMargin
 }

@@ -201,6 +201,61 @@ object Dedup {
       |) WHERE jaccard >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q86 — containment near-dup pairs: the ASYMMETRIC overlap measure
+    * |A∩B| / min(|A|,|B|) (directional containments reported both
+    * ways). Jaccard (q26) misses sub-document duplication by
+    * construction — a 30-shingle doc fully embedded in a 300-shingle
+    * doc scores J = 30/300 = 0.1 but containment 1.0; this is the
+    * quote/boilerplate-wrapper/excerpt case that matters for training
+    * data (the small doc contributes nothing new).
+    *
+    * Scale: identical machinery to q26 — the df-capped shingle
+    * inverted index generates candidates (a pair with
+    * max-containment >= t shares >= 1 shingle, so candidates lose
+    * nothing), the shared-count aggregate rides the shingle shuffle,
+    * and the containment arithmetic is a narrow map. No new shapes.
+    */
+  def containmentPairs(spark: SparkSession, dir: String, k: Int = 3,
+                       threshold: Double = 0.8, dfCap: Int = 200): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = keptShingles(docs, k, dfCap)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairsShared = kept.as("a").join(kept.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairsShared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("contain_a", round(col("n_shared").cast("double") / col("n_a"), 6))
+      .withColumn("contain_b", round(col("n_shared").cast("double") / col("n_b"), 6))
+      .withColumn("containment", greatest(col("contain_a"), col("contain_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("contain_a"),
+        col("contain_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH $shingleCtes, sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+      |), shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, contain_a, contain_b, containment FROM (
+      |  SELECT s.doc_a, s.doc_b,
+      |    ROUND(CAST(s.n_shared AS DOUBLE) / sa.n_sh, 6) AS contain_a,
+      |    ROUND(CAST(s.n_shared AS DOUBLE) / sb.n_sh, 6) AS contain_b,
+      |    GREATEST(ROUND(CAST(s.n_shared AS DOUBLE) / sa.n_sh, 6),
+      |             ROUND(CAST(s.n_shared AS DOUBLE) / sb.n_sh, 6)) AS containment
+      |  FROM shared s
+      |  JOIN sizes sa ON s.doc_a = sa.doc_id
+      |  JOIN sizes sb ON s.doc_b = sb.doc_id
+      |) WHERE containment >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q54 — incremental near-dup screening: an INCOMING batch checked
     * against the EXISTING corpus (asymmetric — the production
     * ingestion shape: each new document either maps to its best
@@ -801,4 +856,60 @@ object Dedup {
       |         % 10 < 8
       |       THEN 'train' ELSE 'val' END AS split
       |FROM cc ORDER BY doc_id""".stripMargin
+
+  /** q89 — survivorship (golden-record selection): within each
+    * near-dup cluster, keep the RICHEST member (longest text, doc_id
+    * as the deterministic tiebreak), not the arbitrary min-id
+    * representative q38 labels with. min-id is the right CLUSTER KEY
+    * (stable under insertion order); the survivor is a quality
+    * decision — dedup pipelines that keep min-id silently prefer
+    * whichever crawl happened to be ingested first, dropping the
+    * fuller copy of the same page. Emits one row per cluster with the
+    * survivor and the mass of what was merged away.
+    *
+    * Scale: rides [[dedupClusters]]' propagation unchanged; the
+    * survivor argmax is a partial-top-1 window per rep_id
+    * (WindowGroupLimit shape, like q52), and the cluster stats are
+    * one map-side-combinable aggregate on the same rep_id shuffle.
+    */
+  def survivorship(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val labeled = dedupClusters(spark, dir).join(docs, "doc_id")
+    val w = Window.partitionBy(col("rep_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val survivors = labeled
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("rep_id"), col("doc_id").as("survivor_id"),
+        col("n_chars").as("survivor_chars"))
+    labeled.groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"))
+      .join(survivors, "rep_id")
+      .filter(col("n_members") > 1)
+      .select(col("rep_id"), col("survivor_id"), col("survivor_chars"),
+        col("n_members"), col("total_chars"))
+      .orderBy(col("rep_id"))
+  }
+
+  def survivorshipSql(): String =
+    s"""WITH cc AS (
+      |$dedupClustersSql
+      |), labeled AS (
+      |  SELECT cc.rep_id, cc.doc_id, d.n_chars
+      |  FROM cc JOIN documents d ON cc.doc_id = d.doc_id
+      |), ranked AS (
+      |  SELECT rep_id, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY rep_id
+      |      ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM labeled
+      |)
+      |SELECT s.rep_id, r.doc_id AS survivor_id, r.n_chars AS survivor_chars,
+      |  s.n_members, s.total_chars
+      |FROM (SELECT rep_id, COUNT(*) AS n_members,
+      |        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |      FROM labeled GROUP BY rep_id HAVING COUNT(*) > 1) s
+      |JOIN ranked r ON s.rep_id = r.rep_id AND r.rk = 1
+      |ORDER BY s.rep_id""".stripMargin
 }

@@ -567,4 +567,69 @@ object TextAnalysis {
       |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6) AS ttr,
       |  ROUND(CAST(COUNT(*) FILTER (c = 1) AS DOUBLE) / COUNT(*), 6) AS hapax_ratio
       |FROM pertg GROUP BY source ORDER BY source""".stripMargin
+
+  /** q88 — boilerplate mask, CCNet-style: a trigram shingle that
+    * recurs across >= minDf DIFFERENT documents of the same source is
+    * boilerplate (nav chrome, footers, license headers — the text the
+    * crawler saw on every page of a site); each document then gets its
+    * boilerplate fraction, the signal a cleaning pass thresholds on.
+    * CCNet drops paragraphs seen more than once per shard — an
+    * absolute repetition count, not a fraction, which is why minDf is
+    * absolute here too.
+    *
+    * Scale: the (source, shingle) df is a map-side-combinable
+    * aggregate on the same exploded shingle table the join-back reads
+    * (checkpointed once, two consumers); the mask join is an equi-join
+    * on (source, shingle) — co-partitioned with the df shuffle. At
+    * 100 TB the per-source mask is exactly the CCNet shard pass: no
+    * all-pairs anything, every shape keyed and combinable.
+    */
+  def boilerplateMask(spark: SparkSession, dir: String,
+                      minDf: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"), explode(array_distinct(
+        graft.functions.WordNGrams.ngrams(spark, col("toks"), 3))).as("shingle"))
+      .localCheckpoint()
+    val bp = sh.groupBy(col("source"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("source"), col("shingle"))
+    val perDoc = sh.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_sh"))
+    val bpPerDoc = sh.join(bp, Seq("source", "shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
+    perDoc.join(bpPerDoc, Seq("doc_id"), "left")
+      .withColumn("n_bp", coalesce(col("n_bp"), lit(0L)))
+      .withColumn("bp_frac", round(col("n_bp").cast("double") / col("n_sh"), 6))
+      .select(col("doc_id"), col("source"), col("n_sh"), col("n_bp"), col("bp_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def boilerplateMaskSql(minDf: Int = 3): String =
+    s"""WITH sh AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+      |      for i in range(1, len(toks) - 1)])) AS shingle
+      |  FROM (SELECT doc_id, source,
+      |          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 3
+      |), bp AS (
+      |  SELECT source, shingle FROM sh
+      |  GROUP BY source, shingle HAVING COUNT(*) >= $minDf
+      |), per_doc AS (
+      |  SELECT doc_id, source, COUNT(*) AS n_sh FROM sh GROUP BY 1, 2
+      |), bp_per_doc AS (
+      |  SELECT sh.doc_id, COUNT(*) AS n_bp
+      |  FROM sh JOIN bp ON sh.source = bp.source AND sh.shingle = bp.shingle
+      |  GROUP BY sh.doc_id
+      |)
+      |SELECT p.doc_id, p.source, p.n_sh,
+      |  COALESCE(b.n_bp, 0) AS n_bp,
+      |  ROUND(CAST(COALESCE(b.n_bp, 0) AS DOUBLE) / p.n_sh, 6) AS bp_frac
+      |FROM per_doc p LEFT JOIN bp_per_doc b ON p.doc_id = b.doc_id
+      |ORDER BY p.doc_id""".stripMargin
 }

@@ -123,6 +123,83 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(mismatch === 0)
   }
 
+  /** Stage a crafted events table (full schema) in a temp dir. */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-aevents").toString
+    rows.map { case (id, ms, user, typ) =>
+      (id, new java.sql.Timestamp(ms), user, typ, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("cohortRetention: hand-built two-cohort triangle") {
+    // 2024-01-01 is a Monday; week cohorts truncate to Mondays
+    val jan = (d: Int) => (86400000L * (d - 1)) + 1704067200000L // 2024-01-<d> UTC
+    val dir = eventsDir(Seq(
+      (1L, jan(2), 1L, "view"),   // u1 first: week of 1/1
+      (2L, jan(9), 1L, "view"),   // u1 active again: week of 1/8
+      (3L, jan(3), 2L, "view"),   // u2 first: week of 1/1, never again
+      (4L, jan(10), 3L, "view"))) // u3 first: week of 1/8
+    val out = Events.cohortRetention(spark, dir)
+      .select($"cohort".cast("string"), $"week_offset", $"n_active",
+        $"cohort_size", $"retention")
+      .as[(String, Int, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),   // both w1 users active in week 0
+      ("2024-01-01", 1, 1L, 2L, 0.5),   // only u1 returns
+      ("2024-01-08", 0, 1L, 1L, 1.0)))  // u3's own cohort
+  }
+
+  test("funnel: order matters, strict inequality, left-join stages") {
+    val dir = eventsDir(Seq(
+      // u1: full ordered funnel
+      (1L, 1000L, 1L, "signup"), (2L, 2000L, 1L, "click"), (3L, 3000L, 1L, "purchase"),
+      // u2: purchase but no click -> stage 1
+      (4L, 1000L, 2L, "signup"), (5L, 2000L, 2L, "purchase"),
+      // u3: click BEFORE signup doesn't count -> stage 1
+      (6L, 5000L, 3L, "signup"), (7L, 3000L, 3L, "click"),
+      // u4: no signup -> not in the funnel at all
+      (8L, 1000L, 4L, "click"),
+      // u5: purchase at the same ms as click (not strictly after) -> stage 2
+      (9L, 1000L, 5L, "signup"), (10L, 2000L, 5L, "click"), (11L, 2000L, 5L, "purchase")))
+    val out = Events.funnel(spark, dir)
+      .select($"user_id", $"stage").as[(Long, Int)].collect().toSeq
+    assert(out === Seq((1L, 3), (2L, 1), (3L, 1), (5L, 2)))
+  }
+
+  test("scd2Intervals: change compression, validity chain, one current row") {
+    val dir = eventsDir(Seq(
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "view"),  // repeat: compressed
+      (3L, 3000L, 1L, "click"), (4L, 4000L, 1L, "view")))
+    val out = graft.operators.Temporal.scd2Intervals(spark, dir)
+      .select($"state", $"valid_from_ms", $"valid_to_ms", $"version", $"is_current")
+      .as[(String, Long, Option[Long], Int, Int)].collect().toSeq
+    assert(out === Seq(
+      ("view", 1000L, Some(3000L), 1, 0),
+      ("click", 3000L, Some(4000L), 2, 0),
+      ("view", 4000L, None, 3, 1)))
+    // intervals chain: each valid_to equals the next valid_from
+    out.sliding(2).foreach { case Seq(a, b) => assert(a._3.contains(b._2)); case _ => }
+  }
+
+  test("weightedPrioritySample: deterministic, formula-exact, k-bounded") {
+    val out = Curation.weightedPrioritySample(spark, sf0001, k = 5).localCheckpoint()
+    val again = Curation.weightedPrioritySample(spark, sf0001, k = 5)
+    assert(out.collect().toSeq === again.collect().toSeq)
+    val perSrc = out.groupBy($"source").count().as[(String, Long)].collect()
+    assert(perSrc.nonEmpty && perSrc.forall(_._2 <= 5))
+    // recompute one row's priority independently (md5 word, exact IEEE ops)
+    val r = out.orderBy($"doc_id").head()
+    val h = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        r.getAs[Long]("doc_id").toString).substring(0, 8), 16)
+    val expect = math.floor(
+      (r.getAs[Long]("n_chars").toDouble / ((h + 1).toDouble / 4294967296.0))
+        * 1e6 + 0.5) / 1e6
+    assert(math.abs(r.getAs[Double]("priority") - expect) < 1e-9)
+  }
+
   test("clusterSplit: non-convergence is a hard failure, not a warning") {
     // maxIters=0 cannot converge on any corpus with at least one
     // near-dup edge — the guarantee-bearing path must throw, because a

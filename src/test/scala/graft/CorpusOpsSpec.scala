@@ -15,6 +15,62 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   val sf0001 = "/root/testdata/sf0.001"
 
+  /** Stage a crafted documents table (full schema) in a temp dir. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdocs").toString
+    rows.map { case (id, text) => (id, text, "en", "unit", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("containmentPairs: embedded doc scores 1.0 where Jaccard stays silent") {
+    val dir = docsDir(Seq(
+      (1L, "a b c d"),              // shingles {abc, bcd} — fully inside doc 2
+      (2L, "a b c d e f g"),        // shingles {abc, bcd, cde, def, efg}
+      (3L, "p q r s t")))           // unrelated
+    val out = Dedup.containmentPairs(spark, dir)
+      .select($"doc_a", $"doc_b", $"contain_a", $"contain_b", $"containment")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // 2 shared / |A|=2 -> 1.0 ; 2 / |B|=5 -> 0.4
+    assert(out === Seq((1L, 2L, 1.0, 0.4, 1.0)))
+    // the same pair is invisible to symmetric Jaccard: 2/5 = 0.4 < 0.6
+    assert(Dedup.ngramJaccardPairs(spark, dir).isEmpty)
+  }
+
+  test("boilerplateMask: shingle repeated across minDf docs flags, rest don't") {
+    val dir = docsDir(Seq(
+      (1L, "x y z p q"),   // shingles xyz yzp zpq — xyz shared by 3 docs
+      (2L, "x y z r s"),
+      (3L, "x y z t u"),
+      (4L, "m n o p q")))  // no shared shingle
+    val out = graft.operators.TextAnalysis.boilerplateMask(spark, dir, minDf = 3)
+      .select($"doc_id", $"n_sh", $"n_bp", $"bp_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 1L, 0.333333), (2L, 3L, 1L, 0.333333),
+      (3L, 3L, 1L, 0.333333), (4L, 3L, 0L, 0.0)))
+  }
+
+  test("survivorship: keeps the longest member per multi-doc cluster") {
+    val out = Dedup.survivorship(spark, sf0001).localCheckpoint()
+    val labels = Dedup.dedupClusters(spark, sf0001).localCheckpoint()
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"n_chars")
+    // independent recompute: per rep_id with >1 member, the survivor is
+    // the (max n_chars, min doc_id) argmax and the stats add up
+    val expect = labels.join(docs, "doc_id")
+      .as[(Long, Long, Int, Long)] // doc_id, rep_id, is_canonical, n_chars
+      .collect().groupBy(_._2).filter(_._2.length > 1)
+      .map { case (rep, ms) =>
+        val surv = ms.minBy(m => (-m._4, m._1))
+        (rep, surv._1, surv._4, ms.length.toLong, ms.map(_._4).sum)
+      }.toSeq.sortBy(_._1)
+    val got = out.as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty) // sf0.001 has real near-dup clusters
+  }
+
   test("spanize tiles the token list exactly (no loss, no overlap)") {
     val docs = Seq(
       (1L, "a b c d e f g"),   // 7 tokens, w=3 -> spans of 3,3,1
