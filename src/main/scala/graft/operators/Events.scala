@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -261,6 +261,110 @@ object Events {
         col("t_purchase"), col("stage"))
       .orderBy(col("user_id"))
   }
+
+  /** q90 — RFM segmentation: per purchasing user, Recency (ms since
+    * their last purchase, measured from the corpus-max purchase time),
+    * Frequency (purchase count) and Monetary (decimal-exact value
+    * sum), each scored into quintiles (5 = best), composed into the
+    * classic 3-digit RFM segment.
+    *
+    * Scale: the per-user aggregate is map-side combinable on the
+    * user_id key and shrinks events to one row per purchaser BEFORE
+    * any window; the corpus max rides a broadcast 1-row aggregate
+    * (q03/q12's pattern — no `OVER ()`). The quintile ntile windows
+    * are global over the aggregated users table — integer-exact
+    * (no float quantile boundaries to disagree over) but
+    * single-partition; the 100 TB path replaces them with
+    * approx-quantile boundaries broadcast back (q42's documented
+    * exact-vs-approx tradeoff, applied to users instead of lengths).
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("ts_ms", tsMs("ts"))
+    val maxTs = p.agg(max(col("ts_ms")).as("corpus_max_ms"))
+    val per = p.groupBy(col("user_id"))
+      .agg(max(col("ts_ms")).as("last_ms"),
+        count(lit(1)).as("frequency"),
+        decSum(col("value")).as("monetary"))
+      .crossJoin(broadcast(maxTs))
+      .withColumn("recency_ms", col("corpus_max_ms") - col("last_ms"))
+    def quintile(order: Column*): Column = ntile(5).over(
+      Window.orderBy(order: _*))
+    per
+      .withColumn("r_score", quintile(col("recency_ms").desc, col("user_id")))
+      .withColumn("f_score", quintile(col("frequency").asc, col("user_id")))
+      .withColumn("m_score", quintile(col("monetary").asc, col("user_id")))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .select(col("user_id"), col("recency_ms"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        col("rfm"))
+      .orderBy(col("user_id"))
+  }
+
+  val rfmSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), per AS (
+      |  SELECT user_id, MAX(ts_ms) AS last_ms,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      |  FROM p GROUP BY user_id
+      |), scored AS (
+      |  SELECT user_id,
+      |    (SELECT MAX(ts_ms) FROM p) - last_ms AS recency_ms,
+      |    frequency, monetary
+      |  FROM per
+      |)
+      |SELECT user_id, recency_ms, frequency, monetary,
+      |  CAST(NTILE(5) OVER (ORDER BY recency_ms DESC, user_id) AS INT) AS r_score,
+      |  CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS INT) AS f_score,
+      |  CAST(NTILE(5) OVER (ORDER BY monetary ASC, user_id) AS INT) AS m_score,
+      |  CAST(NTILE(5) OVER (ORDER BY recency_ms DESC, user_id) AS INT) * 100 +
+      |  CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS INT) * 10 +
+      |  CAST(NTILE(5) OVER (ORDER BY monetary ASC, user_id) AS INT) AS rfm
+      |FROM scored ORDER BY user_id""".stripMargin
+
+  /** q91 — last-touch attribution: each purchase is attributed to the
+    * same user's most recent PRIOR touch (click or view); purchases
+    * with no prior touch are 'direct'. Revenue rolls up per channel —
+    * the marketing-analytics sibling of the as-of join (q46): same
+    * tagged single-pass window over the merged stream, one user_id
+    * shuffle, no join, then a tiny channel aggregate.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .withColumn("ts_ms", tsMs("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel", coalesce(col("last_touch"), lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        decSum(col("value")).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
+  val lastTouchAttributionSql: String =
+    """WITH tagged AS (
+      |  SELECT event_type, value,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      |  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT COALESCE(last_touch, 'direct') AS channel,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+      |FROM tagged WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val funnelSql: String =
     """WITH s1 AS (

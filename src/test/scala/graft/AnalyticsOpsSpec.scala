@@ -200,6 +200,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("priority") - expect) < 1e-9)
   }
 
+  /** Events fixture with explicit values (eventsDir fixes value=1.0). */
+  private def eventsDirV(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vevents").toString
+    rows.map { case (id, ms, user, typ, v) =>
+      (id, new java.sql.Timestamp(ms), user, typ, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("rfm: five users, one per quintile on every axis") {
+    // user k: k purchases, each value k, last purchase at k*1000 ms —
+    // so recency, frequency and monetary all rank u1 worst, u5 best
+    val rows = (1L to 5L).flatMap { k =>
+      (1L to k).map(i => (k * 100 + i, k * 1000 - (k - i) * 10, k, "purchase", k.toDouble))
+    }
+    val out = Events.rfm(spark, eventsDirV(rows))
+      .select($"user_id", $"recency_ms", $"frequency", $"monetary",
+        $"r_score", $"f_score", $"m_score", $"rfm")
+      .as[(Long, Long, Long, Double, Int, Int, Int, Int)].collect().toSeq
+    assert(out === (1 to 5).map { k =>
+      (k.toLong, (5000 - k * 1000).toLong, k.toLong, (k * k).toDouble, k, k, k, k * 111)
+    })
+  }
+
+  test("lastTouchAttribution: prior-touch channel, direct fallback") {
+    val out = Events.lastTouchAttribution(spark, eventsDirV(Seq(
+      (1L, 1000L, 1L, "view", 0.0), (2L, 2000L, 1L, "purchase", 10.0),
+      (3L, 3000L, 1L, "click", 0.0), (4L, 4000L, 1L, "purchase", 20.0),
+      (5L, 1000L, 2L, "purchase", 5.0),          // no prior touch
+      (6L, 5000L, 2L, "error", 0.0),             // non-touch types are excluded
+      (7L, 6000L, 2L, "purchase", 7.0))))        // still direct (error filtered)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("click", 1L, 20.0), ("direct", 2L, 12.0), ("view", 1L, 10.0)))
+  }
+
   test("clusterSplit: non-convergence is a hard failure, not a warning") {
     // maxIters=0 cannot converge on any corpus with at least one
     // near-dup edge — the guarantee-bearing path must throw, because a
