@@ -366,6 +366,56 @@ object Events {
       |FROM tagged WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q92 — event-type transition matrix: for each consecutive pair in
+    * a user's (ts, event_id)-ordered stream, count from→to transitions
+    * and the row-normalized probability — the first-order Markov view
+    * of user journeys (what follows a view? how often does an error
+    * precede churn?). The funnel (q84) asks about one fixed path; this
+    * is the whole transition structure at once.
+    *
+    * Scale: the lead() pairs ride one user_id shuffle (same exchange
+    * family as q58/q85); the transition aggregate collapses to the
+    * tiny (types × types) domain map-side, and the row totals come
+    * from a second aggregate over that domain (a broadcast join back
+    * — never a window over the raw stream). Decimal division is
+    * avoided: probability is an O(1)-magnitude score, round(x, 6).
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val pairs = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_total"))
+    counts.join(broadcast(totals), "from_type")
+      .withColumn("prob", round(col("n").cast("double") / col("row_total"), 6))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("row_total"), col("prob"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS to_type
+      |  FROM events
+      |), counts AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+      |  FROM counts GROUP BY 1
+      |)
+      |SELECT c.from_type, c.to_type, c.n, t.row_total,
+      |  ROUND(CAST(c.n AS DOUBLE) / t.row_total, 6) AS prob
+      |FROM counts c JOIN totals t ON c.from_type = t.from_type
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
   val funnelSql: String =
     """WITH s1 AS (
       |  SELECT user_id, MIN(epoch_ms(ts)) AS t_signup

@@ -236,6 +236,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out === Seq(("click", 1L, 20.0), ("direct", 2L, 12.0), ("view", 1L, 10.0)))
   }
 
+  test("eventTransitions: hand-counted matrix, rows normalize to 1") {
+    val out = Events.eventTransitions(spark, eventsDirV(Seq(
+      (1L, 1000L, 1L, "view", 0.0), (2L, 2000L, 1L, "click", 0.0),
+      (3L, 3000L, 1L, "view", 0.0), (4L, 4000L, 1L, "click", 0.0),
+      (5L, 5000L, 1L, "purchase", 0.0),
+      (6L, 1000L, 2L, "view", 0.0), (7L, 2000L, 2L, "view", 0.0))))
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // u1: view->click, click->view, view->click, click->purchase
+    // u2: view->view  — no cross-user transition between u1 and u2
+    assert(out === Seq(
+      ("click", "purchase", 1L, 2L, 0.5),
+      ("click", "view", 1L, 2L, 0.5),
+      ("view", "click", 2L, 3L, 0.666667),
+      ("view", "view", 1L, 3L, 0.333333)))
+  }
+
   test("clusterSplit: non-convergence is a hard failure, not a warning") {
     // maxIters=0 cannot converge on any corpus with at least one
     // near-dup edge — the guarantee-bearing path must throw, because a

@@ -195,6 +195,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming last-touch attribution matches the batch q91 rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAttribution.{Attribution, TouchInput}
+    // u1: view -> purchase -> click -> purchase; u2: direct purchase;
+    // u1's error event must not become a channel
+    val rows = Seq(
+      (1L, 1000L, 1L, "view", 0.0), (2L, 2000L, 1L, "purchase", 10.0),
+      (3L, 3000L, 1L, "error", 0.0), (4L, 4000L, 1L, "click", 0.0),
+      (5L, 5000L, 1L, "purchase", 20.0),
+      (6L, 1000L, 2L, "purchase", 5.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sattr").toString
+    rows.map { case (e, ts, u, t, v) => (e, new java.sql.Timestamp(ts), u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Events.lastTouchAttribution(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TouchInput]
+    val q = graft.streaming.StreamingAttribution.attribute(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").start()
+    try {
+      // split so the touch state must survive a micro-batch boundary
+      input.addData(
+        TouchInput(1L, 1L, 1000L, "view", 0.0),
+        TouchInput(1L, 2L, 2000L, "purchase", 10.0),
+        TouchInput(1L, 3L, 3000L, "error", 0.0))
+      q.processAllAvailable()
+      input.addData(
+        TouchInput(1L, 4L, 4000L, "click", 0.0),
+        TouchInput(1L, 5L, 5000L, "purchase", 20.0),
+        TouchInput(2L, 6L, 1000L, "purchase", 5.0))
+      q.processAllAvailable()
+      val streamedAgg = spark.table("attr_out").as[Attribution].collect().toSeq
+        .groupBy(_.channel).map { case (c, as) =>
+          (c, as.length.toLong, as.map(_.value).sum) }
+        .toSeq.sortBy(_._1)
+      assert(streamedAgg === batch)
+      // a late purchase (below the frontier) is dropped, not re-attributed
+      input.addData(TouchInput(1L, 0L, 500L, "purchase", 99.0))
+      q.processAllAvailable()
+      assert(spark.table("attr_out").count() === 3)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions, keeps open ones in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
