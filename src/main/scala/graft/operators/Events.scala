@@ -366,6 +366,98 @@ object Events {
       |FROM tagged WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q93 — session co-occurrence lift: which event types appear
+    * together in one session more (lift > 1) or less (< 1) than
+    * independence predicts — association-rule mining's support/lift
+    * over q20's gap sessions. The transition matrix (q92) is ordered
+    * and adjacent; this is unordered whole-session affinity.
+    *
+    * Scale: sessions are q20's running-sum window (one user_id
+    * shuffle); the distinct (session, type) table is a
+    * map-side-combinable aggregate; the pair join is a self-join
+    * co-partitioned on the session key, whose fan-out is bounded by
+    * (distinct types per session choose 2) — with a bounded type
+    * vocabulary this is linear in sessions, never all-pairs of events.
+    * The session total rides a broadcast 1-row aggregate. Lift
+    * arithmetic is one multiply + one divide over exact integer
+    * counts in a fixed order — correctly-rounded IEEE both engines.
+    */
+  def sessionCooccurrence(spark: SparkSession, dir: String,
+                          gapMinutes: Int = 30): DataFrame = {
+    val gapMs = gapMinutes * 60000L
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+    val wOrder = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val st = ev
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(wOrder))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(wOrder.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("session_id"), col("event_type"))
+      .distinct()
+      .localCheckpoint() // three consumers: totals, singles, pair join
+    val total = st.select(col("user_id"), col("session_id")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val singles = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_single"))
+    val pairs = st.as("a")
+      .join(st.as("b"), Seq("user_id", "session_id"))
+      .filter(col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"),
+        col("n_single").as("n_a"))), "type_a")
+      .join(broadcast(singles.select(col("event_type").as("type_b"),
+        col("n_single").as("n_b"))), "type_b")
+      .crossJoin(broadcast(total))
+      .withColumn("lift", round(
+        col("n_ab").cast("double") * col("n_sessions") /
+          (col("n_a").cast("double") * col("n_b")), 6))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_sessions"), col("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  def sessionCooccurrenceSql(gapMinutes: Int = 30): String = {
+    val gapMs = gapMinutes * 60000L
+    s"""WITH flagged AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > $gapMs
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), st AS (
+      |  SELECT DISTINCT user_id, session_id, event_type FROM (
+      |    SELECT user_id, event_type,
+      |      SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS session_id
+      |    FROM flagged
+      |  )
+      |), total AS (
+      |  SELECT COUNT(*) AS n_sessions
+      |  FROM (SELECT DISTINCT user_id, session_id FROM st)
+      |), singles AS (
+      |  SELECT event_type, COUNT(*) AS n_single FROM st GROUP BY event_type
+      |), pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+      |  FROM st a JOIN st b ON a.user_id = b.user_id
+      |    AND a.session_id = b.session_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.type_a, p.type_b, p.n_ab, sa.n_single AS n_a, sb.n_single AS n_b,
+      |  t.n_sessions,
+      |  ROUND(CAST(p.n_ab AS DOUBLE) * t.n_sessions /
+      |    (CAST(sa.n_single AS DOUBLE) * sb.n_single), 6) AS lift
+      |FROM pairs p
+      |JOIN singles sa ON p.type_a = sa.event_type
+      |JOIN singles sb ON p.type_b = sb.event_type
+      |CROSS JOIN total t
+      |ORDER BY p.type_a, p.type_b""".stripMargin
+  }
+
   /** q92 — event-type transition matrix: for each consecutive pair in
     * a user's (ts, event_id)-ordered stream, count from→to transitions
     * and the row-normalized probability — the first-order Markov view
