@@ -117,21 +117,24 @@ object Dedup {
         graft.functions.WordNGrams.ngrams(docs.sparkSession, col("toks"), k)
       )).as("shingle"))
 
-  /** The shared DuckDB CTE prefix: distinct k=3 shingles + df-cap
-    * pruning — the exact twin of [[shingles]] + the dfCap filter.
+  /** The shared DuckDB CTE prefix: distinct k-shingles + df-cap
+    * pruning — the exact twin of [[shingles]] + the dfCap filter,
+    * parameterized so non-default invocations keep an exact oracle.
     */
-  private val shingleCtes: String =
-    """sh AS (
-      |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-      |    for i in range(1, len(toks) - 1)])) AS shingle
+  private def shingleCtesFor(k: Int, dfCap: Int): String =
+    s"""sh AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+${k - 1}], ' ')
+      |    for i in range(1, len(toks) - ${k - 2})])) AS shingle
       |  FROM (SELECT doc_id,
-      |          list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
       |        FROM documents)
-      |  WHERE len(toks) >= 3
+      |  WHERE len(toks) >= $k
       |), kept AS (
       |  SELECT doc_id, shingle FROM sh
-      |  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 200)
+      |  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $dfCap)
       |)""".stripMargin
+
+  private val shingleCtes: String = shingleCtesFor(3, 200)
 
   /** df-capped shingle table, materialized ONCE: explode → checkpoint,
     * partial+final df aggregate, join-back, checkpoint again. Both
@@ -236,8 +239,12 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val containmentPairsSql: String =
-    s"""WITH $shingleCtes, sizes AS (
+  /** Oracle twin of [[containmentPairs]] — takes the same parameters,
+    * so non-default invocations stay exactly checkable.
+    */
+  def containmentPairsSql(k: Int = 3, threshold: Double = 0.8,
+                          dfCap: Int = 200): String =
+    s"""WITH ${shingleCtesFor(k, dfCap)}, sizes AS (
       |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
       |), shared AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -253,7 +260,7 @@ object Dedup {
       |  FROM shared s
       |  JOIN sizes sa ON s.doc_a = sa.doc_id
       |  JOIN sizes sb ON s.doc_b = sb.doc_id
-      |) WHERE containment >= 0.8
+      |) WHERE containment >= $threshold
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q54 — incremental near-dup screening: an INCOMING batch checked
@@ -875,7 +882,13 @@ object Dedup {
   def survivorship(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
-    val labeled = dedupClusters(spark, dir).join(docs, "doc_id")
+    // requireConverged: survivor selection over PARTIAL cluster
+    // fragments silently picks the wrong golden record and
+    // under-counts n_members/total_chars — integrity-bearing, so a
+    // non-converged propagation is a hard failure here (like q80's
+    // split), not the stderr warning the analytics path tolerates.
+    val labeled = dedupClusters(spark, dir, requireConverged = true)
+      .join(docs, "doc_id")
     val w = Window.partitionBy(col("rep_id"))
       .orderBy(col("n_chars").desc, col("doc_id"))
     val survivors = labeled

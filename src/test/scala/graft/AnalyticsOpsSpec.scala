@@ -252,6 +252,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("view", "view", 1L, 3L, 0.333333)))
   }
 
+  test("sessionCooccurrence: hand-built sessions, lift against independence") {
+    // u1 session A {view,click,purchase}; u1 session B {view,click}
+    // (second session: 2_997_000 ms gap > 30 min); u2 session C {view}
+    val out = Events.sessionCooccurrence(spark, eventsDirV(Seq(
+      (1L, 1000L, 1L, "view", 0.0), (2L, 2000L, 1L, "click", 0.0),
+      (3L, 3000L, 1L, "purchase", 0.0),
+      (4L, 3000000L, 1L, "view", 0.0), (5L, 3001000L, 1L, "click", 0.0),
+      (6L, 1000L, 2L, "view", 0.0))))
+      .as[(String, String, Long, Long, Long, Long, Double)].collect().toSeq
+    // singles: view 3, click 2, purchase 1; n_sessions 3
+    // lift(click,purchase) = 1*3/(2*1); lift(click,view) = 2*3/(2*3)
+    assert(out === Seq(
+      ("click", "purchase", 1L, 2L, 1L, 3L, 1.5),
+      ("click", "view", 2L, 2L, 3L, 3L, 1.0),
+      ("purchase", "view", 1L, 1L, 3L, 3L, 1.0)))
+  }
+
   test("clusterSplit: non-convergence is a hard failure, not a warning") {
     // maxIters=0 cannot converge on any corpus with at least one
     // near-dup edge — the guarantee-bearing path must throw, because a
