@@ -528,6 +528,164 @@ object Curation {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** q94 — temperature-scaled (alpha) mixture sampling: per-language
+    * sampling shares DERIVED from the data, p_l ∝ n_l^alpha — the
+    * multilingual mixing move (alpha < 1 upweights low-resource
+    * languages relative to their raw counts; alpha = 1 is proportional,
+    * alpha = 0 uniform). q62 takes target weights as CONFIG; here the
+    * weights come from the corpus itself, so quotas are data-dependent
+    * and ride a broadcast join instead of plan-time literals.
+    *
+    * Oracle parity: the alpha power is the one cross-engine libm call,
+    * so it is rounded to 6dp and fixed in DECIMAL(18,6) BEFORE the
+    * share division — every downstream float op (share, floor, quota)
+    * then runs on identical operands in both engines.
+    *
+    * Scale: the weight/quota table is one tiny aggregate (|langs|
+    * rows) broadcast back; picking is one lang shuffle whose rank
+    * filter keeps the LITERAL budget bound first, so
+    * InferWindowGroupLimit plans the partial top-k (each map partition
+    * ships ≤ budget rows per lang) before the data-dependent quota
+    * refines.
+    */
+  def alphaMixSample(spark: SparkSession, dir: String, budget: Int = 400,
+                     alpha: Double = 0.5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val wts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w6", round(pow(col("n_docs").cast("double"), lit(alpha)), 6).cast(dec))
+    val total = wts.agg(sum(col("w6")).as("total"))
+    val quotas = wts.crossJoin(broadcast(total))
+      .withColumn("ratio", col("w6").cast("double") / col("total").cast("double"))
+      .withColumn("share", round(col("ratio"), 6))
+      .withColumn("quota", least(col("n_docs").cast("double"),
+        floor(lit(budget.toDouble) * col("ratio"))).cast("int"))
+      .select(col("lang"), col("n_docs"), col("share"), col("quota"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5Bucket(col("doc_id")), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= budget) // literal bound → partial WindowGroupLimit
+      .join(broadcast(quotas), "lang")
+      .filter(col("pick") <= col("quota"))
+      .select(col("lang"), col("n_docs"), col("share"), col("quota"),
+        col("pick"), col("doc_id"))
+      .orderBy(col("lang"), col("pick"))
+  }
+
+  def alphaMixSampleSql(budget: Int = 400, alpha: Double = 0.5): String =
+    s"""WITH counts AS (
+      |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+      |), wts AS (
+      |  SELECT lang, n_docs,
+      |    CAST(ROUND(pow(CAST(n_docs AS DOUBLE), $alpha), 6) AS DECIMAL(18,6)) AS w6
+      |  FROM counts
+      |), tot AS (
+      |  SELECT CAST(SUM(w6) AS DECIMAL(18,6)) AS total FROM wts
+      |), quotas AS (
+      |  SELECT lang, n_docs,
+      |    ROUND(CAST(w6 AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+      |    CAST(LEAST(CAST(n_docs AS DOUBLE),
+      |      FLOOR($budget.0 * (CAST(w6 AS DOUBLE) / CAST(total AS DOUBLE)))) AS INT) AS quota
+      |  FROM wts CROSS JOIN tot
+      |), picked AS (
+      |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+      |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+      |             doc_id) AS INT) AS pick
+      |  FROM documents
+      |)
+      |SELECT q.lang, q.n_docs, q.share, q.quota, p.pick, p.doc_id
+      |FROM picked p JOIN quotas q USING (lang)
+      |WHERE p.pick <= q.quota
+      |ORDER BY lang, pick""".stripMargin
+
+  /** q95 — robust outlier screen: per-language median absolute
+    * deviation (MAD) z-scores over document length. Mean/stddev
+    * z-scores move with the outliers they hunt; the median/MAD pair is
+    * the standard robust replacement (z = 0.6745·(x − med)/MAD,
+    * |z| > 3.5 flags — the classic Iglewicz–Hoban screen for length
+    * spam in a crawl).
+    *
+    * Exactness: medians by RANK SELECTION (q42's move — no
+    * percentile interpolation semantics to match across engines):
+    * med = mean of the values at ranks (n+1) div 2 and (n+2) div 2.
+    * All arithmetic below double-exact: integer sums halved, absolute
+    * deviations in 0.5 steps, so both medians are bit-identical
+    * across engines; the single rounded output is the z itself.
+    *
+    * Scale: two ordered window passes over the SAME lang shuffle
+    * (Catalyst reuses the exchange; the second sort is the cost of
+    * exactness). At 100 TB swap the rank-selected medians for
+    * approx_percentile(0.5) of x and of |x − med| — the q60 histogram
+    * pattern — and the whole screen is two partial+final aggs.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val wAll = Window.partitionBy(col("lang"))
+    val wv = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val withMed = docs
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("v1", max(when(col("rn") === expr("(n + 1) div 2"),
+        col("n_chars"))).over(wAll))
+      .withColumn("v2", max(when(col("rn") === expr("(n + 2) div 2"),
+        col("n_chars"))).over(wAll))
+      .withColumn("med", (col("v1") + col("v2")) / 2.0)
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val wd = Window.partitionBy(col("lang")).orderBy(col("dev"), col("doc_id"))
+    withMed
+      .withColumn("rd", row_number().over(wd))
+      .withColumn("d1", max(when(col("rd") === expr("(n + 1) div 2"),
+        col("dev"))).over(wAll))
+      .withColumn("d2", max(when(col("rd") === expr("(n + 2) div 2"),
+        col("dev"))).over(wAll))
+      .withColumn("mad", (col("d1") + col("d2")) / 2.0)
+      .withColumn("robust_z", round(
+        lit(0.6745) * (col("n_chars") - col("med")) / nullif(col("mad"), lit(0.0)), 6))
+      .withColumn("is_outlier",
+        coalesce((abs(col("robust_z")) > 3.5).cast("int"), lit(0)))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
+        col("mad"), col("robust_z"), col("is_outlier"))
+      .orderBy(col("doc_id"))
+  }
+
+  val madOutliersSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents
+      |), med AS (
+      |  SELECT doc_id, lang, n_chars, n,
+      |    (MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END)
+      |       OVER (PARTITION BY lang)
+      |     + MAX(CASE WHEN rn = (n + 2) // 2 THEN n_chars END)
+      |       OVER (PARTITION BY lang)) / 2.0 AS med
+      |  FROM ranked
+      |), devs AS (
+      |  SELECT doc_id, lang, n_chars, n, med,
+      |    ABS(n_chars - med) AS dev
+      |  FROM med
+      |), dranked AS (
+      |  SELECT doc_id, lang, n_chars, n, med, dev,
+      |    row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS rd
+      |  FROM devs
+      |), madt AS (
+      |  SELECT doc_id, lang, n_chars, med,
+      |    (MAX(CASE WHEN rd = (n + 1) // 2 THEN dev END)
+      |       OVER (PARTITION BY lang)
+      |     + MAX(CASE WHEN rd = (n + 2) // 2 THEN dev END)
+      |       OVER (PARTITION BY lang)) / 2.0 AS mad
+      |  FROM dranked
+      |)
+      |SELECT doc_id, lang, n_chars, med, mad,
+      |  ROUND(0.6745 * (n_chars - med) / NULLIF(mad, 0.0), 6) AS robust_z,
+      |  COALESCE(CAST(ABS(ROUND(0.6745 * (n_chars - med) / NULLIF(mad, 0.0), 6))
+      |    > 3.5 AS INT), 0) AS is_outlier
+      |FROM madt ORDER BY doc_id""".stripMargin
+
   def weightedPrioritySampleSql(k: Int = 20): String =
     s"""WITH scored AS (
       |  SELECT doc_id, source, n_chars,

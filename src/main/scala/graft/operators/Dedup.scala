@@ -925,4 +925,90 @@ object Dedup {
       |      FROM labeled GROUP BY rep_id HAVING COUNT(*) > 1) s
       |JOIN ranked r ON s.rep_id = r.rep_id AND r.rk = 1
       |ORDER BY s.rep_id""".stripMargin
+
+  /** q97 — prefix-filtered set-similarity join (the PPJoin family):
+    * EXACT Jaccard pairs ≥ t with NO df-cap loss. q26's inverted
+    * index needs the df-cap to bound Zipf-hot shingle fan-out, which
+    * silently drops hot shingles from the similarity itself; here
+    * candidates come only from each document's PREFIX — its
+    * (n − ⌈t·n⌉ + 1) globally-rarest shingles — which provably loses
+    * no pair at threshold t (two sets with J ≥ t must share a prefix
+    * element under any global order), and hot shingles sort to the
+    * suffix where they generate no candidates at all.
+    *
+    * The threshold is a rational tNum/tDen so ⌈t·n⌉ is exact integer
+    * arithmetic ((tNum·n + tDen − 1) div tDen) — a double 0.6·n
+    * rounds up at n = 5k and the prefix silently shrinks below the
+    * lossless bound. Candidates also pass the PPJoin length filter
+    * (min·tDen ≥ max·tNum, integer cross-multiply) before
+    * verification.
+    *
+    * Scale: df ranking rides the shingle shuffle; prefix selection is
+    * a per-doc top-k window (partial WindowGroupLimit shape);
+    * verification joins each CANDIDATE PAIR to the two sorted shingle
+    * sets (doc-keyed joins, per-pair O(|A|+|B|) array intersect) —
+    * bounded by the candidate count, never by hot-shingle df². The
+    * exact relation this computes is stated independently by the
+    * all-pairs oracle, so the driver run proves losslessness.
+    */
+  def prefixJaccardPairs(spark: SparkSession, dir: String, k: Int = 3,
+                         tNum: Int = 3, tDen: Int = 5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = shingles(docs, k).localCheckpoint()
+    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val wN = Window.partitionBy(col("doc_id"))
+    val prefix = sh.join(dfTab, "shingle")
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("n_sh", count(lit(1)).over(wN))
+      .filter(col("pos") <=
+        col("n_sh") - expr(s"($tNum * n_sh + $tDen - 1) div $tDen") + 1)
+      .select(col("doc_id"), col("shingle"), col("n_sh"))
+    val cand = prefix.as("a").join(prefix.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      // length filter: J >= t forces min(n)·tDen >= max(n)·tNum
+      .filter(least(col("a.n_sh"), col("b.n_sh")) * tDen >=
+        greatest(col("a.n_sh"), col("b.n_sh")) * tNum)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("sset"),
+        count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("n_shared", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")), 6))
+      // exact rational threshold test on integer counts — shared·tDen
+      // >= union·tNum — so the keep/drop decision never rides a double
+      .filter(col("n_shared") * tDen >=
+        (col("n_a") + col("n_b") - col("n_shared")) * tNum)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Ground truth stated INDEPENDENTLY of the prefix filter: exact
+    * all-pairs Jaccard over the full (uncapped) shingle sets. The
+    * driver's match is the losslessness proof for q97's pruning.
+    */
+  def prefixJaccardPairsSql(k: Int = 3, tNum: Int = 3, tDen: Int = 5): String =
+    s"""WITH ${shingleCtesFor(k, Int.MaxValue)}, sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+      |), shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT s.doc_a, s.doc_b, s.n_shared,
+      |  sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |  ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared), 6) AS jaccard
+      |FROM shared s
+      |JOIN sizes sa ON s.doc_a = sa.doc_id
+      |JOIN sizes sb ON s.doc_b = sb.doc_id
+      |WHERE s.n_shared * $tDen >= (sa.n_sh + sb.n_sh - s.n_shared) * $tNum
+      |ORDER BY s.doc_a, s.doc_b""".stripMargin
 }

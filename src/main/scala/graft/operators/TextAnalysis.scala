@@ -632,4 +632,137 @@ object TextAnalysis {
       |  ROUND(CAST(COALESCE(b.n_bp, 0) AS DOUBLE) / p.n_sh, 6) AS bp_frac
       |FROM per_doc p LEFT JOIN bp_per_doc b ON p.doc_id = b.doc_id
       |ORDER BY p.doc_id""".stripMargin
+
+  /** q96 — readability scoring: the Flesch–Kincaid grade-level
+    * heuristic (syllables ≈ vowel-group runs, sentences ≈ terminal
+    * punctuation runs) — a classic cheap quality signal for filtering
+    * crawl text by audience level. grade = 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59; NULL for empty docs.
+    *
+    * Oracle parity: both counters are single regexes with identical
+    * Java/RE2 semantics (character classes only); the grade is one
+    * fixed-order double expression rounded to 6dp.
+    *
+    * Scale: pure narrow map over the scan (regexp counters are
+    * codegen'd), one final sort — the q21/q23 shape.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val words = tokenCount(col("text"))
+    val sents = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+    val syls = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+    docs.select(
+        col("doc_id"),
+        sents.as("n_sentences"),
+        words.as("n_words"),
+        syls.as("n_syllables"))
+      .withColumn("fk_grade", round(
+        lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
+          + lit(11.8) * (col("n_syllables").cast("double") /
+            nullif(col("n_words"), lit(0)))
+          - lit(15.59), 6))
+      .withColumn("band",
+        when(col("fk_grade").isNull, "empty")
+          .when(col("fk_grade") < 6.0, "easy")
+          .when(col("fk_grade") < 10.0, "medium")
+          .otherwise("hard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val readabilitySql: String =
+    s"""WITH counted AS (
+      |  SELECT doc_id,
+      |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+      |    $tokenCountExprSql AS n_words,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      |  FROM documents
+      |), graded AS (
+      |  SELECT doc_id, n_sentences, n_words, n_syllables,
+      |    ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |      + 11.8 * (CAST(n_syllables AS DOUBLE) / NULLIF(n_words, 0))
+      |      - 15.59, 6) AS fk_grade
+      |  FROM counted
+      |)
+      |SELECT doc_id, n_sentences, n_words, n_syllables, fk_grade,
+      |  CASE WHEN fk_grade IS NULL THEN 'empty'
+      |       WHEN fk_grade < 6.0 THEN 'easy'
+      |       WHEN fk_grade < 10.0 THEN 'medium'
+      |       ELSE 'hard' END AS band
+      |FROM graded ORDER BY doc_id""".stripMargin
+
+  /** q98 — script/charset profile: per-document fractions of
+    * characters in the major Unicode script ranges, plus a
+    * mojibake/corruption signal (C0 control chars + U+FFFD
+    * replacement chars) and a dominant-script call — the
+    * multilingual-corpus triage pass that runs BEFORE language ID
+    * (lang-ID models assume the script; mojibake poisons both).
+    *
+    * Oracle parity: every counter is a character-class regex using
+    * \\x{NNNN} escapes — the one class syntax Java regex and RE2
+    * share; fractions are single divisions rounded to 6dp; the
+    * dominant-script CASE breaks ties in a fixed order.
+    *
+    * Scale: narrow codegen map over the scan, like q96.
+    */
+  def scriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    def cnt(pat: String) = regexp_count(col("text"), lit(pat))
+    def frac(c: Column) =
+      round(c.cast("double") / nullif(col("n_chars_m"), lit(0)), 6)
+    docs.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        cnt("[A-Za-z]").as("n_latin"),
+        cnt("[\\x{0400}-\\x{04FF}]").as("n_cyrillic"),
+        cnt("[\\x{4E00}-\\x{9FFF}]").as("n_cjk"),
+        cnt("[\\x{0600}-\\x{06FF}]").as("n_arabic"),
+        cnt("[0-9]").as("n_digit"),
+        cnt("[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{FFFD}]")
+          .as("n_bad"))
+      .withColumn("latin_frac", frac(col("n_latin")))
+      .withColumn("cyrillic_frac", frac(col("n_cyrillic")))
+      .withColumn("cjk_frac", frac(col("n_cjk")))
+      .withColumn("digit_frac", frac(col("n_digit")))
+      .withColumn("bad_frac", frac(col("n_bad")))
+      .withColumn("script",
+        when(col("n_latin") + col("n_cyrillic") + col("n_cjk")
+          + col("n_arabic") === 0, "none")
+          .when(col("n_latin") >= col("n_cyrillic") &&
+            col("n_latin") >= col("n_cjk") &&
+            col("n_latin") >= col("n_arabic"), "latin")
+          .when(col("n_cyrillic") >= col("n_cjk") &&
+            col("n_cyrillic") >= col("n_arabic"), "cyrillic")
+          .when(col("n_cjk") >= col("n_arabic"), "cjk")
+          .otherwise("arabic"))
+      .select(col("doc_id"), col("n_chars_m"), col("latin_frac"),
+        col("cyrillic_frac"), col("cjk_frac"), col("digit_frac"),
+        col("bad_frac"), col("script"))
+      .orderBy(col("doc_id"))
+  }
+
+  val scriptProfileSql: String =
+    """WITH counted AS (
+      |  SELECT doc_id, length(text) AS n_chars_m,
+      |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_latin,
+      |    len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS n_cyrillic,
+      |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS n_cjk,
+      |    len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS n_arabic,
+      |    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+      |    len(regexp_extract_all(text,
+      |      '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{FFFD}]')) AS n_bad
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_chars_m,
+      |  ROUND(CAST(n_latin AS DOUBLE) / NULLIF(n_chars_m, 0), 6) AS latin_frac,
+      |  ROUND(CAST(n_cyrillic AS DOUBLE) / NULLIF(n_chars_m, 0), 6) AS cyrillic_frac,
+      |  ROUND(CAST(n_cjk AS DOUBLE) / NULLIF(n_chars_m, 0), 6) AS cjk_frac,
+      |  ROUND(CAST(n_digit AS DOUBLE) / NULLIF(n_chars_m, 0), 6) AS digit_frac,
+      |  ROUND(CAST(n_bad AS DOUBLE) / NULLIF(n_chars_m, 0), 6) AS bad_frac,
+      |  CASE WHEN n_latin + n_cyrillic + n_cjk + n_arabic = 0 THEN 'none'
+      |       WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+      |            AND n_latin >= n_arabic THEN 'latin'
+      |       WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic THEN 'cyrillic'
+      |       WHEN n_cjk >= n_arabic THEN 'cjk'
+      |       ELSE 'arabic' END AS script
+      |FROM counted ORDER BY doc_id""".stripMargin
 }

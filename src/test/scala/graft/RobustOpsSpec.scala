@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Dedup, TextAnalysis}
+
+/** Round-8 operators: temperature-scaled (alpha) mixture sampling
+  * (q94), MAD robust outlier screen (q95), Flesch–Kincaid readability
+  * (q96), prefix-filtered exact set-similarity join (q97), and the
+  * Unicode script/charset profile (q98).
+  */
+class RobustOpsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  val sf0001 = "/root/testdata/sf0.001"
+
+  /** Stage a crafted documents table with controlled lang + n_chars. */
+  private def docsDir(rows: Seq[(Long, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rdocs").toString
+    rows.map { case (id, text, lang, n) => (id, text, lang, "unit", n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("alphaMixSample: sqrt shares, floor quotas, availability cap binds") {
+    // en:16 docs, de:1 doc; alpha=0.5 -> weights 4.0 / 1.0, shares .8/.2
+    // budget 10 -> quota en = floor(10*.8) = 8, de = min(1, 2) = 1 (cap)
+    val rows = (1L to 16L).map(i => (i, s"doc $i", "en", 10L)) :+
+      (17L, "doc 17", "de", 10L)
+    val dir = docsDir(rows)
+    val out = Curation.alphaMixSample(spark, dir, budget = 10)
+      .select($"lang", $"n_docs", $"quota", $"pick", $"doc_id")
+      .as[(String, Long, Int, Int, Long)].collect().toSeq
+    assert(out.count(_._1 == "en") === 8 && out.count(_._1 == "de") === 1)
+    assert(out.filter(_._1 == "en").forall(r => r._2 === 16L && r._3 === 8))
+    assert(out.filter(_._1 == "de").forall(r => r._2 === 1L && r._3 === 1))
+    // deterministic: a rerun picks the identical documents
+    val again = Curation.alphaMixSample(spark, dir, budget = 10)
+      .select($"lang", $"n_docs", $"quota", $"pick", $"doc_id")
+      .as[(String, Long, Int, Int, Long)].collect().toSeq
+    assert(again === out)
+  }
+
+  test("madOutliers: hand medians, MAD z flags the spike, MAD=0 degenerates to null") {
+    // en lengths [8,9,10,11,1000]: med 10, |dev| sorted [0,1,1,2,990]
+    // -> mad 1; z(1000) = .6745*990 = 667.755 (outlier), z(8) = -1.349
+    // de lengths [5,5,5]: mad 0 -> z NULL, not flagged
+    val dir = docsDir(Seq(
+      (1L, "a", "en", 8L), (2L, "a", "en", 9L), (3L, "a", "en", 10L),
+      (4L, "a", "en", 11L), (5L, "a", "en", 1000L),
+      (6L, "a", "de", 5L), (7L, "a", "de", 5L), (8L, "a", "de", 5L)))
+    val out = Curation.madOutliers(spark, dir)
+      .select($"doc_id", $"med", $"mad", $"robust_z", $"is_outlier")
+      .as[(Long, Double, Double, Option[Double], Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(5L) === ((5L, 10.0, 1.0, Some(667.755), 1)))
+    assert(out(1L) === ((1L, 10.0, 1.0, Some(-1.349), 0)))
+    assert(out(3L) === ((3L, 10.0, 1.0, Some(0.0), 0)))
+    assert(out(6L) === ((6L, 5.0, 0.0, None, 0)))
+  }
+
+  test("readability: hand-counted sentences/words/syllables; empty doc is 'empty'") {
+    val dir = docsDir(Seq(
+      (1L, "Hello world. This is fine! Ok?", "en", 30L),
+      (2L, "", "en", 0L)))
+    val out = TextAnalysis.readability(spark, dir)
+      .select($"doc_id", $"n_sentences", $"n_words", $"n_syllables",
+        $"fk_grade", $"band")
+      .as[(Long, Int, Int, Int, Option[Double], String)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, s, w, syl, fk, band) = out(1L)
+    assert(s === 3 && w === 6 && syl === 8)
+    // 0.39*(6/3) + 11.8*(8/6) - 15.59 = 0.923333...
+    assert(math.abs(fk.get - 0.923333) < 1e-6 && band === "easy")
+    assert(out(2L)._5.isEmpty && out(2L)._6 === "empty")
+  }
+
+  test("prefixJaccardPairs: exact dup found, sub-threshold shared-prefix pair dropped") {
+    val dir = docsDir(Seq(
+      (1L, "a b c d e f", "en", 11L),
+      (2L, "a b c d e f", "en", 11L), // identical -> jaccard 1.0
+      (3L, "a b c x y z", "en", 11L))) // shares 'a b c' only -> 1/7 < 0.6
+    val out = Dedup.prefixJaccardPairs(spark, dir)
+      .select($"doc_a", $"doc_b", $"n_shared", $"jaccard")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(out === Seq((1L, 2L, 4, 1.0)))
+  }
+
+  test("prefixJaccardPairs equals brute-force all-pairs on testdata (losslessness)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val sh = docs.select($"doc_id", explode(array_distinct(
+        graft.functions.WordNGrams.ngrams(spark, graft.functions.TextFunctions.tokens($"text"), 3)))
+        .as("shingle"))
+    val sets = sh.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"shingle")).as("sset"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    val brute = sets.as("a").crossJoin(sets.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .withColumn("n_shared", size(array_intersect($"a.sset", $"b.sset")))
+      .filter($"n_shared" * 5 >= ($"a.n" + $"b.n" - $"n_shared") * 3)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"n_shared")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    val pruned = Dedup.prefixJaccardPairs(spark, sf0001)
+      .select($"doc_a", $"doc_b", $"n_shared")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(pruned === brute && brute.nonEmpty)
+  }
+
+  test("scriptProfile: dominant scripts, fixed-order ties, mojibake fraction") {
+    val dir = docsDir(Seq(
+      (1L, "Привет мир", "ru", 10L),       // 9 cyrillic / 10 chars
+      (2L, "你好世界", "zh", 4L),           // all cjk
+      (3L, "hello мир", "en", 9L),          // latin 5 >= cyrillic 3 -> latin
+      (4L, "ab\u0001\uFFFD", "en", 4L),     // 2 bad chars of 4
+      (5L, "....", "en", 4L)))              // no script chars at all
+    val out = TextAnalysis.scriptProfile(spark, dir)
+      .select($"doc_id", $"cyrillic_frac", $"cjk_frac", $"bad_frac", $"script")
+      .as[(Long, Double, Double, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._5 === "cyrillic" && out(1L)._2 === 0.9)
+    assert(out(2L)._5 === "cjk" && out(2L)._3 === 1.0)
+    assert(out(3L)._5 === "latin")
+    assert(out(4L)._4 === 0.5)
+    assert(out(5L)._5 === "none")
+  }
+}
