@@ -59,4 +59,73 @@ object Profile {
         |  CAST(MAX($c) AS VARCHAR) AS max_val
         |FROM documents""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  /** q101 — referential-integrity audit over the orders⋈lineitem FK:
+    * the post-migration validation pass (the check the reference's
+    * per-batch error logging, migrate.ts:66-69, substitutes for).
+    * One (check, value) row per invariant: row counts, orphan children
+    * (FK without parent), childless parents, duplicate PKs, null FKs,
+    * and an order-independent XOR content checksum of the key column
+    * on each side — bit_xor never overflows and commutes, so it is
+    * partial-aggregation-safe AND identical across engines, where a
+    * SUM of hashes would overflow BIGINT at large row counts (and
+    * wrap differently per engine).
+    *
+    * Scale: the orphan/childless checks are anti-joins on the FK
+    * (shuffle or broadcast as Catalyst picks); everything else is a
+    * map-side-combinable aggregate. Output is O(1) rows.
+    */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val orphans = li.join(orders, li("l_orderkey") === orders("o_orderkey"),
+      "left_anti")
+    val childless = orders.join(li, orders("o_orderkey") === li("l_orderkey"),
+      "left_anti")
+    def row(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("check"), col("value"))
+    row("childless_orders", childless.agg(count(lit(1)).as("value")))
+      .unionByName(row("dup_orderkeys", orders.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("value"))))
+      .unionByName(row("lineitem_key_xor",
+        li.select(graft.functions.PortableHash.md5Long32(col("l_orderkey")).as("v"))
+          .agg(expr("bit_xor(v)").as("value"))))
+      .unionByName(row("lineitem_rows", li.agg(count(lit(1)).as("value"))))
+      .unionByName(row("null_fk_lineitems", li.agg(
+        (count(lit(1)) - count(col("l_orderkey"))).as("value"))))
+      .unionByName(row("orders_key_xor",
+        orders.select(graft.functions.PortableHash.md5Long32(col("o_orderkey")).as("v"))
+          .agg(expr("bit_xor(v)").as("value"))))
+      .unionByName(row("orders_rows", orders.agg(count(lit(1)).as("value"))))
+      .unionByName(row("orphan_lineitems", orphans.agg(count(lit(1)).as("value"))))
+      .orderBy(col("check"))
+  }
+
+  val refIntegritySql: String =
+    """SELECT check_name AS "check", value FROM (
+      |  SELECT 'childless_orders' AS check_name, COUNT(*) AS value
+      |  FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+      |  UNION ALL
+      |  SELECT 'dup_orderkeys', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem_key_xor', BIT_XOR(
+      |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT))
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_rows', COUNT(*) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'null_fk_lineitems', COUNT(*) - COUNT(l_orderkey) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders_key_xor', BIT_XOR(
+      |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT))
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_rows', COUNT(*) FROM orders
+      |  UNION ALL
+      |  SELECT 'orphan_lineitems', COUNT(*)
+      |  FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |)
+      |ORDER BY check_name""".stripMargin
 }

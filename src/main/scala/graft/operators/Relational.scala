@@ -908,4 +908,99 @@ object Relational {
       |FROM part JOIN by_brand ON p_brand = b_brand
       |WHERE CAST(p_retailprice AS DECIMAL(18,6)) * b_n > b_sum
       |ORDER BY p_partkey""".stripMargin
+
+  /** q99 — full-outer daily reconciliation: order-book revenue vs
+    * event-stream purchase value per day, FULL OUTER joined so days
+    * present on only one side surface explicitly (the two-system
+    * consistency check every ETL pipeline runs after a migration —
+    * the one join shape of SURVEY §2.3 the reference never needed).
+    *
+    * Scale: two partial+final day aggregates (the join inputs are
+    * |days| rows, trivially small after aggregation — the full outer
+    * join is never the bottleneck; the aggregates ride map-side
+    * combine). Totals through DECIMAL(18,6) for order-independent
+    * exactness.
+    */
+  def fullOuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("orders_total"))
+    val purchases = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        decSum(col("value")).as("purchase_total"))
+    orders.join(purchases, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("orders_total"), lit(0.0)).as("orders_total"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("purchase_total"), lit(0.0)).as("purchase_total"),
+        when(col("n_orders").isNotNull && col("n_purchases").isNotNull, "both")
+          .when(col("n_orders").isNotNull, "orders_only")
+          .otherwise("events_only").as("presence"))
+      .orderBy(col("day"))
+  }
+
+  val fullOuterReconcileSql: String =
+    """WITH o AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS orders_total
+      |  FROM orders GROUP BY 1
+      |), e AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |    COUNT(*) AS n_purchases,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_total
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |)
+      |SELECT COALESCE(o.day, e.day) AS day,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(orders_total, 0.0) AS orders_total,
+      |  COALESCE(n_purchases, 0) AS n_purchases,
+      |  COALESCE(purchase_total, 0.0) AS purchase_total,
+      |  CASE WHEN o.day IS NOT NULL AND e.day IS NOT NULL THEN 'both'
+      |       WHEN o.day IS NOT NULL THEN 'orders_only'
+      |       ELSE 'events_only' END AS presence
+      |FROM o FULL OUTER JOIN e ON o.day = e.day
+      |ORDER BY day""".stripMargin
+
+  /** q100 — unpivot/melt (SURVEY §2.9's missing inverse of R1's
+    * pivot): the wide per-returnflag pricing metrics turned into long
+    * (metric, value) rows with `stack` — the report-reshaping
+    * direction BI exports need. All metrics cast to double so the
+    * melted value column has one type.
+    *
+    * Scale: the stack runs on the already-aggregated |flags|-row
+    * frame — reshape after reduce, never before.
+    */
+  def unpivotPricing(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n_items"))
+    wide.select(col("l_returnflag"),
+        expr("stack(3, 'n_items', n_items, 'sum_price', sum_price, " +
+          "'sum_qty', sum_qty) AS (metric, value)"))
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  val unpivotPricingSql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_items
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'n_items' AS metric, n_items AS value FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_qty', sum_qty FROM wide
+      |)
+      |ORDER BY l_returnflag, metric""".stripMargin
 }

@@ -109,6 +109,80 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(pruned === brute && brute.nonEmpty)
   }
 
+  /** Stage crafted orders + lineitem + events tables in one dir. */
+  private def starDir(orders: Seq[(Long, Long, String, Double, Long)],
+                      lineitem: Seq[(Long, Long)],
+                      events: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-star").toString
+    orders.map { case (ok, ck, st, tp, dayMs) =>
+      (ok, ck, st, tp, new java.sql.Timestamp(dayMs), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    lineitem.map { case (ok, pk) =>
+      (ok, pk, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    events.map { case (id, ms, user, typ, v) =>
+      (id, new java.sql.Timestamp(ms), user, typ, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  val day1 = 86400000L // 1970-01-02 UTC
+  val day2 = 2 * 86400000L
+  val day3 = 3 * 86400000L
+
+  test("fullOuterReconcile: one-sided days surface with zeroed other side") {
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 10.5, day1), (2L, 1L, "O", 4.5, day2)),
+      lineitem = Seq((1L, 1L)),
+      events = Seq((1L, day2, 1L, "purchase", 3.25),
+        (2L, day2, 1L, "view", 99.0), // non-purchase excluded
+        (3L, day3, 2L, "purchase", 7.0)))
+    val out = graft.operators.Relational.fullOuterReconcile(spark, dir)
+      .as[(String, Long, Double, Long, Double, String)].collect().toSeq
+    assert(out === Seq(
+      ("1970-01-02", 1L, 10.5, 0L, 0.0, "orders_only"),
+      ("1970-01-03", 1L, 4.5, 1L, 3.25, "both"),
+      ("1970-01-04", 0L, 0.0, 1L, 7.0, "events_only")))
+  }
+
+  test("unpivotPricing: wide metrics melt to (metric, value) rows, values exact") {
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, day1)),
+      lineitem = Seq((1L, 1L), (1L, 2L), (2L, 3L)),
+      events = Seq((1L, day1, 1L, "view", 0.0)))
+    // all quantities/prices are 1.0; flags all 'N' -> one flag group
+    val out = graft.operators.Relational.unpivotPricing(spark, dir)
+      .as[(String, String, Double)].collect().toSeq
+    assert(out === Seq(
+      ("N", "n_items", 3.0), ("N", "sum_price", 3.0), ("N", "sum_qty", 3.0)))
+  }
+
+  test("refIntegrity: orphans, childless parents, dup PKs, xor checksums recomputable") {
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, day1), (2L, 1L, "O", 1.0, day1),
+        (2L, 1L, "O", 1.0, day1), (3L, 1L, "O", 1.0, day1)),
+      lineitem = Seq((1L, 1L), (1L, 2L), (4L, 3L)), // 4 is an orphan
+      events = Seq((1L, day1, 1L, "view", 0.0)))
+    val out = graft.operators.Profile.refIntegrity(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(out("orphan_lineitems") === 1L)
+    assert(out("childless_orders") === 3L) // keys 2 (twice) and 3
+    assert(out("dup_orderkeys") === 1L)
+    assert(out("null_fk_lineitems") === 0L)
+    assert(out("orders_rows") === 4L && out("lineitem_rows") === 3L)
+    // the xor checksum is recomputable from the JVM twin of the hash
+    def h(k: Long) = graft.functions.PortableHash.md5PairJvm(k.toString)._1
+    assert(out("orders_key_xor") === (h(1) ^ h(2) ^ h(2) ^ h(3)))
+    assert(out("lineitem_key_xor") === (h(1) ^ h(1) ^ h(4)))
+  }
+
   test("scriptProfile: dominant scripts, fixed-order ties, mojibake fraction") {
     val dir = docsDir(Seq(
       (1L, "Привет мир", "ru", 10L),       // 9 cyrillic / 10 chars
