@@ -529,4 +529,77 @@ object Events {
       |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
       |        LEFT JOIN s3 ON s1.user_id = s3.user_id
       |ORDER BY s1.user_id""".stripMargin
+
+  /** q102 — group-wise OLS regression: per event type, the
+    * least-squares trend of purchase value over time (is this metric
+    * drifting?) from the five classic sufficient statistics — the
+    * aggregate-composable form of regr_slope/regr_r2, which is also
+    * the 100 TB form: one partial+final aggregate per group, no
+    * second pass, no window.
+    *
+    * Exactness: x is the integer epoch DAY (ms div 86400000 — exact),
+    * y the raw value; all five sums accumulate in DECIMAL(28,6)
+    * (order-independent; (28,6) because Σx² at day² ≈ 4·10⁸ overflows
+    * the house (18,6) at ~10⁴ rows), are cast to double once, and the
+    * slope/intercept/r² arithmetic runs in one fixed operand order —
+    * identical IEEE results in both engines, rounded to 6dp at the
+    * end. Degenerate groups (single x, zero variance) surface as NULL
+    * via NULLIF rather than dividing by ~0 noise.
+    */
+  def groupwiseOls(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val e = Tables.load(spark, dir, "events")
+      .withColumn("x", expr("(unix_micros(ts) div 1000) div 86400000").cast("double"))
+      .withColumn("y", col("value"))
+    val stats = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      dsum(col("x")).as("sx"),
+      dsum(col("y")).as("sy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("y") * col("y")).as("syy"))
+    stats
+      .withColumn("den", nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0)))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope", round(col("num") / col("den"), 6))
+      // intercept rounds to 4dp, not the house 6: at epoch-day x the
+      // intercept magnitude is ~10³, and at sf0.01 its exact double
+      // sits ON a 6dp half-boundary where Spark's BigDecimal HALF_UP
+      // and DuckDB's binary-double rounding disagree by 1e-6; 4dp
+      // keeps every dropped tail far from a half
+      .withColumn("intercept", round(
+        (col("sy") - (col("num") / col("den")) * col("sx")) / col("n"), 4))
+      .withColumn("r2", round(
+        (col("num") * col("num")) /
+          nullif(col("den") * (col("n") * col("syy") - col("sy") * col("sy")),
+            lit(0.0)), 6))
+      .select(col("event_type"), col("n"), col("slope"), col("intercept"), col("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  val groupwiseOlsSql: String =
+    """WITH pts AS (
+      |  SELECT event_type,
+      |    CAST((epoch_ms(ts) // 86400000) AS DOUBLE) AS x, value AS y
+      |  FROM events
+      |), stats AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |  FROM pts GROUP BY event_type
+      |), derived AS (
+      |  SELECT event_type, n,
+      |    NULLIF(n * sxx - sx * sx, 0.0) AS den,
+      |    n * sxy - sx * sy AS num, sx, sy, syy
+      |  FROM stats
+      |)
+      |SELECT event_type, n,
+      |  ROUND(num / den, 6) AS slope,
+      |  ROUND((sy - (num / den) * sx) / n, 4) AS intercept,
+      |  ROUND((num * num) / NULLIF(den * (n * syy - sy * sy), 0.0), 6) AS r2
+      |FROM derived ORDER BY event_type""".stripMargin
 }

@@ -765,4 +765,62 @@ object TextAnalysis {
       |       WHEN n_cjk >= n_arabic THEN 'cjk'
       |       ELSE 'arabic' END AS script
       |FROM counted ORDER BY doc_id""".stripMargin
+
+  /** q103 — unigram token entropy per document, in bits: the
+    * information-diversity quality signal (near-zero entropy = token
+    * spam/repetition even when q55's exact-dup fractions miss it;
+    * uniform text maxes at log2(n_unique)). Computed in the
+    * aggregate-stable form H = log10(n) − (Σ c·log10(c))/n, converted
+    * to bits by one constant division — only counts are aggregated,
+    * never per-row probabilities.
+    *
+    * Oracle parity: each c·log10(c) term is rounded to 6dp and summed
+    * in DECIMAL(18,6) (q56's convention — the per-term round makes
+    * the sum independent of partial-aggregation order AND of libm's
+    * last ulp); the remaining float ops run in one fixed order.
+    *
+    * Scale: explode → (doc_id, token) partial+final count →
+    * (doc_id) agg; both aggregates map-side combine. Empty docs
+    * surface with NULL entropy via the left join back to `documents`.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val per = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        sum(round(col("c") * log10(col("c")), 6).cast(dec)).as("s"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round((log10(col("n_tokens")) - col("s").cast("double") / col("n_tokens"))
+          / lit(0.30102999566398120), 6).as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenEntropySql: String =
+    """WITH counts AS (
+      |  SELECT doc_id, token, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  ) GROUP BY doc_id, token
+      |), per AS (
+      |  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_unique,
+      |    SUM(CAST(ROUND(c * log10(c), 6) AS DECIMAL(18,6))) AS s
+      |  FROM counts GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |  COALESCE(p.n_unique, 0) AS n_unique,
+      |  ROUND((log10(p.n_tokens) - CAST(p.s AS DOUBLE) / p.n_tokens)
+      |    / CAST(0.30102999566398120 AS DOUBLE), 6) AS entropy_bits
+      |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }

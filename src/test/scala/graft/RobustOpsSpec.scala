@@ -183,6 +183,41 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(out("lineitem_key_xor") === (h(1) ^ h(1) ^ h(4)))
   }
 
+  test("groupwiseOls: perfect line recovers slope/intercept/r2; zero-variance x is NULL") {
+    val day = 86400000L
+    // type "a": y = 2x + 1 over days 1..3 — exact fit
+    // type "b": all points on one day — den = 0 -> NULLs
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, day)),
+      lineitem = Seq((1L, 1L)),
+      events = Seq(
+        (1L, 1 * day, 1L, "a", 3.0), (2L, 2 * day, 1L, "a", 5.0),
+        (3L, 3 * day, 1L, "a", 7.0),
+        (4L, 5 * day, 1L, "b", 1.0), (5L, 5 * day, 1L, "b", 9.0)))
+    val out = graft.operators.Events.groupwiseOls(spark, dir)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out === Seq(
+      ("a", 3L, Some(2.0), Some(1.0), Some(1.0)),
+      ("b", 2L, None, None, None)))
+  }
+
+  test("tokenEntropy: hand distributions in bits; empty doc NULL, single token 0") {
+    val dir = docsDir(Seq(
+      (1L, "a a b b", "en", 7L),   // two tokens x2 -> exactly 1 bit
+      (2L, "a b c d", "en", 7L),   // uniform over 4 -> 2 bits
+      (3L, "a a a b", "en", 7L),   // skewed -> 0.811278 bits
+      (4L, "", "en", 0L),          // no tokens -> NULL entropy
+      (5L, "x", "en", 1L)))        // one token -> 0 bits
+    val out = TextAnalysis.tokenEntropy(spark, dir)
+      .as[(Long, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4L, 2L, Some(1.0))))
+    assert(out(2L) === ((2L, 4L, 4L, Some(2.0))))
+    assert(out(3L) === ((3L, 4L, 2L, Some(0.811278))))
+    assert(out(4L) === ((4L, 0L, 0L, None)))
+    assert(out(5L) === ((5L, 1L, 1L, Some(0.0))))
+  }
+
   test("scriptProfile: dominant scripts, fixed-order ties, mojibake fraction") {
     val dir = docsDir(Seq(
       (1L, "Привет мир", "ru", 10L),       // 9 cyrillic / 10 chars
