@@ -646,16 +646,24 @@ object TextAnalysis {
     * Scale: pure narrow map over the scan (regexp counters are
     * codegen'd), one final sort — the q21/q23 shape.
     */
-  def readability(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val words = tokenCount(col("text"))
-    val sents = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
-    val syls = regexp_count(lower(col("text")), lit("[aeiouy]+"))
-    docs.select(
-        col("doc_id"),
-        sents.as("n_sentences"),
-        words.as("n_words"),
-        syls.as("n_syllables"))
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilitySignals(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        col("n_syllables"), col("fk_grade"), col("band"))
+      .orderBy(col("doc_id"))
+
+  /** Frame-parameterized core (pure map — streaming-safe): appends
+    * n_sentences/n_words/n_syllables/fk_grade/band to any frame with
+    * a `text` column. The streaming quality gate reuses it per
+    * micro-batch.
+    */
+  def readabilitySignals(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_sentences",
+        greatest(lit(1), regexp_count(col("text"), lit("[.!?]+"))))
+      .withColumn("n_words", tokenCount(col("text")))
+      .withColumn("n_syllables",
+        regexp_count(lower(col("text")), lit("[aeiouy]+")))
       .withColumn("fk_grade", round(
         lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
           + lit(11.8) * (col("n_syllables").cast("double") /
@@ -666,8 +674,6 @@ object TextAnalysis {
           .when(col("fk_grade") < 6.0, "easy")
           .when(col("fk_grade") < 10.0, "medium")
           .otherwise("hard"))
-      .orderBy(col("doc_id"))
-  }
 
   val readabilitySql: String =
     s"""WITH counted AS (
@@ -704,21 +710,30 @@ object TextAnalysis {
     *
     * Scale: narrow codegen map over the scan, like q96.
     */
-  def scriptProfile(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def scriptProfile(spark: SparkSession, dir: String): DataFrame =
+    scriptSignals(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("n_chars_m"), col("latin_frac"),
+        col("cyrillic_frac"), col("cjk_frac"), col("digit_frac"),
+        col("bad_frac"), col("script"))
+      .orderBy(col("doc_id"))
+
+  /** Frame-parameterized core (pure map — streaming-safe): appends
+    * the script-range counters, fractions, and the dominant-script
+    * call to any frame with a `text` column.
+    */
+  def scriptSignals(docs: DataFrame): DataFrame = {
     def cnt(pat: String) = regexp_count(col("text"), lit(pat))
     def frac(c: Column) =
       round(c.cast("double") / nullif(col("n_chars_m"), lit(0)), 6)
-    docs.select(
-        col("doc_id"),
-        length(col("text")).as("n_chars_m"),
-        cnt("[A-Za-z]").as("n_latin"),
-        cnt("[\\x{0400}-\\x{04FF}]").as("n_cyrillic"),
-        cnt("[\\x{4E00}-\\x{9FFF}]").as("n_cjk"),
-        cnt("[\\x{0600}-\\x{06FF}]").as("n_arabic"),
-        cnt("[0-9]").as("n_digit"),
-        cnt("[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{FFFD}]")
-          .as("n_bad"))
+    docs
+      .withColumn("n_chars_m", length(col("text")))
+      .withColumn("n_latin", cnt("[A-Za-z]"))
+      .withColumn("n_cyrillic", cnt("[\\x{0400}-\\x{04FF}]"))
+      .withColumn("n_cjk", cnt("[\\x{4E00}-\\x{9FFF}]"))
+      .withColumn("n_arabic", cnt("[\\x{0600}-\\x{06FF}]"))
+      .withColumn("n_digit", cnt("[0-9]"))
+      .withColumn("n_bad",
+        cnt("[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{FFFD}]"))
       .withColumn("latin_frac", frac(col("n_latin")))
       .withColumn("cyrillic_frac", frac(col("n_cyrillic")))
       .withColumn("cjk_frac", frac(col("n_cjk")))
@@ -734,10 +749,6 @@ object TextAnalysis {
             col("n_cyrillic") >= col("n_arabic"), "cyrillic")
           .when(col("n_cjk") >= col("n_arabic"), "cjk")
           .otherwise("arabic"))
-      .select(col("doc_id"), col("n_chars_m"), col("latin_frac"),
-        col("cyrillic_frac"), col("cjk_frac"), col("digit_frac"),
-        col("bad_frac"), col("script"))
-      .orderBy(col("doc_id"))
   }
 
   val scriptProfileSql: String =

@@ -69,6 +69,17 @@ class PlansSpec extends AnyFunSuite {
       s"no partial WindowGroupLimit:\n$plan")
   }
 
+  test("alpha mix sampling plans a PARTIAL WindowGroupLimit from the literal budget") {
+    // q94's two-step rank filter: the literal budget bound (not the
+    // data-dependent quota) is what InferWindowGroupLimit needs — pin
+    // it so a refactor folding the quota filter under the window
+    // doesn't silently ship whole languages per map partition
+    val out = operators.Curation.alphaMixSample(spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"no partial WindowGroupLimit:\n$plan")
+  }
+
   test("rank-family and framed windows are left alone") {
     GraftExtensions.install(spark)
     try {

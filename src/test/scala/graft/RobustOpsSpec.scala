@@ -218,6 +218,38 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(out(5L) === ((5L, 1L, 1L, Some(0.0))))
   }
 
+  test("streaming quality gate admits clean docs, drops mojibake/empty, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, java.sql.Timestamp, Int)]
+    val df = input.toDF().toDF("doc_id", "text", "lang", "ts", "__v")
+    val dest = java.nio.file.Files.createTempDirectory("graft-sqg").toString + "/docs"
+    val q = graft.streaming.StreamingQualityGate.gatedMergeStream(
+      df, dest, Seq("doc_id"), "ts", "__v")
+    try {
+      input.addData(
+        (1L, "Good clean text here. Quite readable!", "en", ts("2024-01-01 10:00:00"), 1),
+        (2L, "ab\u0001\uFFFDcorrupted", "en", ts("2024-01-01 11:00:00"), 1),
+        (3L, "", "en", ts("2024-01-02 10:00:00"), 1))
+      q.processAllAvailable()
+      val boot = spark.read.parquet(dest)
+      // only the clean doc survives, carrying the audit columns
+      assert(boot.select($"doc_id").as[Long].collect().toSeq === Seq(1L))
+      val audit = boot.select($"script", $"band").as[(String, String)].head()
+      assert(audit._1 === "latin" && audit._2 != "empty")
+      assert(!boot.columns.contains("n_bad")) // counters don't ship
+      val image = boot.collect().map(_.toString).sorted.toSeq
+      // replayed micro-batch: same post-image, still no gated docs
+      input.addData(
+        (1L, "Good clean text here. Quite readable!", "en", ts("2024-01-01 10:00:00"), 1),
+        (2L, "ab\u0001\uFFFDcorrupted", "en", ts("2024-01-01 11:00:00"), 1))
+      q.processAllAvailable()
+      val replayed = spark.read.parquet(dest).collect().map(_.toString).sorted.toSeq
+      assert(replayed === image)
+    } finally q.stop()
+  }
+
   test("scriptProfile: dominant scripts, fixed-order ties, mojibake fraction") {
     val dir = docsDir(Seq(
       (1L, "Привет мир", "ru", 10L),       // 9 cyrillic / 10 chars
