@@ -30,6 +30,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
+  /** array<float> ONLY: the fused loop reads float slots, so an
+    * array<double> input would silently read garbage (4 bytes of each
+    * 8-byte element) instead of failing — enforce at analysis time.
+    */
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine expects two array<float> inputs, got ${l.sql} and ${r.sql}")
+    }
+  }
+
   /** Mismatched lengths yield NULL (matching the composable
     * `zip_with` form, whose null padding nulls the whole sum) rather
     * than a silently-truncated prefix similarity. Elements must be

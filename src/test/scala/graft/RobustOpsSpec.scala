@@ -250,6 +250,33 @@ class RobustOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("knnSq8 equals exact brute-force kNN even at a tight candidate budget") {
+    // nCand = 15 of a 492-vector corpus: the quantized candidate set
+    // must still contain the true top-10 (measured recall margin), and
+    // the re-rank must reproduce q29's exact scoring bit-for-bit
+    val sq8 = graft.operators.Similarity.knnSq8(spark, sf0001, nCand = 15)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val brute = graft.operators.Similarity.knnBrute(spark, sf0001)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(sq8 === brute && brute.size === 80)
+  }
+
+  test("graft_cosine rejects array<double> at analysis time (no silent garbage)") {
+    // the fused loop reads float slots; before the type check an
+    // array<double> input read 4 bytes of each 8-byte element and
+    // returned wrong scores instead of failing
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0, 2.0))).toDF("f", "d")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.operators.Similarity.cosine(spark, $"f", $"d")).collect()
+    }
+    assert(e.getMessage.contains("graft_cosine") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+    // float/float still works
+    val ok = df.select(
+      graft.operators.Similarity.cosine(spark, $"f", $"f")).as[Double].head()
+    assert(math.abs(ok - 1.0) < 1e-12)
+  }
+
   test("scriptProfile: dominant scripts, fixed-order ties, mojibake fraction") {
     val dir = docsDir(Seq(
       (1L, "Привет мир", "ru", 10L),       // 9 cyrillic / 10 chars
