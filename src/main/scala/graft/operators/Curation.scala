@@ -686,6 +686,92 @@ object Curation {
       |    > 3.5 AS INT), 0) AS is_outlier
       |FROM madt ORDER BY doc_id""".stripMargin
 
+  /** q105 — fair-share (water-filling) quota allocation: divide a
+    * document budget across languages so no group is starved — every
+    * group gets the common LEVEL unless its availability saturates
+    * first, in which case its surplus refills the others (the
+    * max-min-fairness allocation of multi-tenant schedulers, applied
+    * to corpus budgeting; q62 takes target weights, q94 derives
+    * power-law shares — this one equalizes). At sf0.01/budget 400 the
+    * four small languages saturate (64/70/73/75) and en takes the
+    * level, 118 — the budget allocates exactly.
+    *
+    * Exactness: the level search is pure integer arithmetic on the
+    * sorted availability prefix sums — candidate level for rank i is
+    * (B − c_{i−1}) div (S − i + 1); the first rank where it does not
+    * exceed availability fixes the level. Integer floors mean up to
+    * (unsaturated − 1) units of budget stay unallocated — documented,
+    * deterministic.
+    *
+    * Scale: the allocation runs on the |langs|-row counts frame
+    * (single-partition windows over a tiny aggregate — the q34
+    * pivot-domain precedent); picking is the q94 shape (literal
+    * budget bound plans the partial WindowGroupLimit, broadcast quota
+    * refines).
+    */
+  def fairShareQuota(spark: SparkSession, dir: String,
+                     budget: Int = 400): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val wOrd = Window.orderBy(col("n_docs"), col("lang"))
+    val wAll = Window.partitionBy()
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val leveled = counts
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("c", sum(col("n_docs")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("s", count(lit(1)).over(wAll))
+      .withColumn("lvl", expr(s"($budget - (c - n_docs)) div (s - i + 1)"))
+      .withColumn("flag", col("lvl") <= col("n_docs"))
+      .withColumn("istar", min(when(col("flag"), col("i"))).over(wAll))
+      .withColumn("level", max(when(col("i") === col("istar"), col("lvl"))).over(wAll))
+      .withColumn("quota", when(col("level").isNull, col("n_docs"))
+        .otherwise(least(col("n_docs"), col("level"))).cast("int"))
+      .select(col("lang"), col("n_docs"), col("quota"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5Bucket(col("doc_id")), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= budget) // literal bound → partial WindowGroupLimit
+      .join(broadcast(leveled), "lang")
+      .filter(col("pick") <= col("quota"))
+      .select(col("lang"), col("n_docs"), col("quota"), col("pick"), col("doc_id"))
+      .orderBy(col("lang"), col("pick"))
+  }
+
+  def fairShareQuotaSql(budget: Int = 400): String =
+    s"""WITH counts AS (
+      |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+      |), ranked AS (
+      |  SELECT lang, n_docs,
+      |    row_number() OVER (ORDER BY n_docs, lang) AS i,
+      |    SUM(n_docs) OVER (ORDER BY n_docs, lang
+      |      ROWS UNBOUNDED PRECEDING) AS c,
+      |    COUNT(*) OVER () AS s
+      |  FROM counts
+      |), leveled AS (
+      |  SELECT lang, n_docs, i,
+      |    ($budget - (c - n_docs)) // (s - i + 1) AS lvl,
+      |    ($budget - (c - n_docs)) // (s - i + 1) <= n_docs AS flag
+      |  FROM ranked
+      |), fixed AS (
+      |  SELECT lang, n_docs,
+      |    CAST(CASE WHEN MAX(CASE WHEN i = istar THEN lvl END) OVER () IS NULL
+      |         THEN n_docs
+      |         ELSE LEAST(n_docs, MAX(CASE WHEN i = istar THEN lvl END) OVER ())
+      |    END AS INT) AS quota
+      |  FROM (SELECT *, MIN(CASE WHEN flag THEN i END) OVER () AS istar
+      |        FROM leveled)
+      |), picked AS (
+      |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+      |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+      |             doc_id) AS INT) AS pick
+      |  FROM documents
+      |)
+      |SELECT f.lang, f.n_docs, f.quota, p.pick, p.doc_id
+      |FROM picked p JOIN fixed f USING (lang)
+      |WHERE p.pick <= f.quota
+      |ORDER BY lang, pick""".stripMargin
+
   def weightedPrioritySampleSql(k: Int = 20): String =
     s"""WITH scored AS (
       |  SELECT doc_id, source, n_chars,

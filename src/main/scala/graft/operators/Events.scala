@@ -578,6 +578,70 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** q106 — rolling 7-day active users (WAU) per calendar day, plus
+    * the daily distinct for contrast — the windowed-distinct metric
+    * every product dashboard runs. Computed in the explode form: each
+    * event day contributes its user to the 7 report days it covers,
+    * then ONE (report_day, user) distinct aggregate — never a
+    * per-day self-join over the raw stream, and never a
+    * sliding-window scan per day.
+    *
+    * Days with no trailing activity report 0 (the calendar spine is
+    * a 1-row min/max aggregate exploded to the day range — no
+    * driver-side date loop).
+    *
+    * Scale: the ×7 explode rides the scan; both distinct aggregates
+    * partial+final on (day, user). At 100 TB the same shape carries
+    * HLL sketches instead of exact distincts (one sketch per day,
+    * merged across the window — the q60 approx-twin pattern);
+    * exact stays as the oracle form.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String,
+                         windowDays: Int = 7): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(expr("(unix_micros(ts) div 1000) div 86400000").as("day"),
+        col("user_id"))
+    val days = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("epoch_day"))
+    val w7 = ev
+      .select(explode(sequence(col("day"), col("day") + (windowDays - 1)))
+        .as("epoch_day"), col("user_id"))
+      .groupBy(col("epoch_day"))
+      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+    val d1 = ev.groupBy(col("day").as("epoch_day"))
+      .agg(countDistinct(col("user_id")).as("n_users_1d"))
+    days
+      .join(d1, Seq("epoch_day"), "left")
+      .join(w7, Seq("epoch_day"), "left")
+      .select(col("epoch_day"),
+        coalesce(col("n_users_1d"), lit(0L)).as("n_users_1d"),
+        coalesce(col("n_users_7d"), lit(0L)).as("n_users_7d"))
+      .orderBy(col("epoch_day"))
+  }
+
+  def rollingActiveUsersSql(windowDays: Int = 7): String =
+    s"""WITH ev AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+      |), bounds AS (
+      |  SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev
+      |), days AS (
+      |  SELECT unnest(range(mn, mx + 1)) AS epoch_day FROM bounds
+      |), w7 AS (
+      |  SELECT e.day + o.o AS epoch_day, COUNT(DISTINCT e.user_id) AS n_users_7d
+      |  FROM ev e CROSS JOIN (SELECT unnest(range(0, $windowDays)) AS o) o
+      |  GROUP BY 1
+      |), d1 AS (
+      |  SELECT day AS epoch_day, COUNT(DISTINCT user_id) AS n_users_1d
+      |  FROM ev GROUP BY 1
+      |)
+      |SELECT d.epoch_day,
+      |  COALESCE(d1.n_users_1d, 0) AS n_users_1d,
+      |  COALESCE(w7.n_users_7d, 0) AS n_users_7d
+      |FROM days d
+      |LEFT JOIN d1 USING (epoch_day)
+      |LEFT JOIN w7 USING (epoch_day)
+      |ORDER BY epoch_day""".stripMargin
+
   val groupwiseOlsSql: String =
     """WITH pts AS (
       |  SELECT event_type,

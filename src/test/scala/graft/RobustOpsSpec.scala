@@ -277,6 +277,41 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(math.abs(ok - 1.0) < 1e-12)
   }
 
+  test("fairShareQuota: small groups saturate, level refills the rest, floor documented") {
+    // availabilities a:2, b:3, c:10 with budget 9 — waterfill: a
+    // saturates at 2 (9/3=3 > 2), then level (9-2)/2 = 3 binds at b
+    // (3 <= 3): quotas a=2, b=3, c=3; one budget unit stays
+    // unallocated (integer floor)
+    val rows = Seq.tabulate(2)(i => (100L + i, "x", "a", 1L)) ++
+      Seq.tabulate(3)(i => (200L + i, "x", "b", 1L)) ++
+      Seq.tabulate(10)(i => (300L + i, "x", "c", 1L))
+    val dir = docsDir(rows)
+    val out = Curation.fairShareQuota(spark, dir, budget = 9)
+      .select($"lang", $"n_docs", $"quota")
+      .as[(String, Long, Int)].collect().toSeq
+    assert(out.distinct.sorted === Seq(("a", 2L, 2), ("b", 3L, 3), ("c", 10L, 3)))
+    assert(out.size === 8) // 2 + 3 + 3 picked rows
+    // budget above total availability: everything is admitted
+    val all = Curation.fairShareQuota(spark, dir, budget = 100)
+    assert(all.count() === 15)
+  }
+
+  test("rollingActiveUsers: trailing-7 window, calendar gaps report zero daily") {
+    val day = 86400000L
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, day)),
+      lineitem = Seq((1L, 1L)),
+      events = Seq(
+        (1L, 0 * day, 1L, "view", 0.0), (2L, 0 * day, 2L, "view", 0.0),
+        (3L, 1 * day, 1L, "click", 0.0),
+        (4L, 8 * day, 3L, "view", 0.0)))
+    val out = graft.operators.Events.rollingActiveUsers(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 2L), (1L, 1L, 2L), (2L, 0L, 2L), (3L, 0L, 2L), (4L, 0L, 2L),
+      (5L, 0L, 2L), (6L, 0L, 2L), (7L, 0L, 1L), (8L, 1L, 1L)))
+  }
+
   test("scriptProfile: dominant scripts, fixed-order ties, mojibake fraction") {
     val dir = docsDir(Seq(
       (1L, "Привет мир", "ru", 10L),       // 9 cyrillic / 10 chars
