@@ -106,7 +106,10 @@ object Bench {
     // bounds its error) benched alongside so both forms carry timings
     // (the composed curation pipeline is graded as q63 — no extra needed)
     val extras: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
-      "x01_quantiles_sketch" -> (() => operators.Curation.lengthQuantilesApprox(spark, sfDir)))
+      "x01_quantiles_sketch" -> (() => operators.Curation.lengthQuantilesApprox(spark, sfDir)),
+      // q90's scale twin: sketch quintile boundaries broadcast back —
+      // no single-partition ntile sorts (RobustOpsSpec bounds the drift)
+      "x02_rfm_sketch" -> (() => operators.Events.rfmApprox(spark, sfDir)))
 
     val standard = SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (n, fn) => n -> (() => fn(spark, sfDir)) }

@@ -327,6 +327,49 @@ object Events {
       |  CAST(NTILE(5) OVER (ORDER BY monetary ASC, user_id) AS INT) AS rfm
       |FROM scored ORDER BY user_id""".stripMargin
 
+  /** 100 TB scale path of q90 (benched as x02, not oracle-graded):
+    * the three global ntile windows — single-partition sorts over the
+    * aggregated users table — replaced by approx_percentile quintile
+    * BOUNDARIES (one 1-row sketch aggregate) broadcast back and
+    * compared per row: fully parallel, no global sort anywhere.
+    * Same q42-exact-vs-approx tradeoff, applied to users: sketch
+    * boundaries assign tied values to one side where ntile splits
+    * ties positionally, so scores can differ at bucket edges (and
+    * the sketch itself is approximate) — the exact form stays the
+    * oracle.
+    */
+  def rfmApprox(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("ts_ms", tsMs("ts"))
+    val maxTs = p.agg(max(col("ts_ms")).as("corpus_max_ms"))
+    val per = p.groupBy(col("user_id"))
+      .agg(max(col("ts_ms")).as("last_ms"),
+        count(lit(1)).as("frequency"),
+        decSum(col("value")).as("monetary"))
+      .crossJoin(broadcast(maxTs))
+      .withColumn("recency_ms", col("corpus_max_ms") - col("last_ms"))
+    val qs = array((1 to 4).map(i => lit(i / 5.0)): _*)
+    val bounds = per.agg(
+      percentile_approx(col("recency_ms"), qs, lit(10000)).as("rb"),
+      percentile_approx(col("frequency"), qs, lit(10000)).as("fb"),
+      percentile_approx(col("monetary"), qs, lit(10000)).as("mb"))
+    def above(c: Column, b: Column): Column =
+      (1 to 4).map(i => (c > element_at(b, i)).cast("int")).reduce(_ + _) + 1
+    def below(c: Column, b: Column): Column =
+      (1 to 4).map(i => (c < element_at(b, i)).cast("int")).reduce(_ + _) + 1
+    per.crossJoin(broadcast(bounds))
+      .withColumn("r_score", below(col("recency_ms"), col("rb")))
+      .withColumn("f_score", above(col("frequency"), col("fb")))
+      .withColumn("m_score", above(col("monetary"), col("mb")))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .select(col("user_id"), col("recency_ms"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        col("rfm"))
+      .orderBy(col("user_id"))
+  }
+
   /** q91 — last-touch attribution: each purchase is attributed to the
     * same user's most recent PRIOR touch (click or view); purchases
     * with no prior touch are 'direct'. Revenue rolls up per channel —

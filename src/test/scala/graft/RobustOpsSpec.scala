@@ -312,6 +312,74 @@ class RobustOpsSpec extends AnyFunSuite {
       (5L, 0L, 2L), (6L, 0L, 2L), (7L, 0L, 1L), (8L, 1L, 1L)))
   }
 
+  test("streaming funnel matches batch q84, holds state across batches, drops late") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingFunnel.{FunnelInput, FunnelUpdate}
+    // u1 full path; u2 purchase BEFORE first post-signup click (must
+    // not convert — ordered semantics); u3 click before signup
+    val rows = Seq(
+      (1L, 1000L, 1L, "signup", 0.0), (2L, 2000L, 1L, "click", 0.0),
+      (3L, 3000L, 1L, "purchase", 1.0),
+      (4L, 500L, 2L, "purchase", 1.0), (5L, 1000L, 2L, "signup", 0.0),
+      (6L, 1500L, 2L, "click", 0.0),
+      (7L, 100L, 3L, "click", 0.0), (8L, 200L, 3L, "signup", 0.0))
+    val dir = starDir(orders = Seq((1L, 1L, "O", 1.0, 86400000L)),
+      lineitem = Seq((1L, 1L)),
+      events = rows.map { case (e, ts, u, t, v) => (e, ts, u, t, v) })
+    val batch = graft.operators.Events.funnel(spark, dir)
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect().toSeq
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[FunnelInput]
+    val q = graft.streaming.StreamingFunnel.track(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      // split mid-path so u1's click state must survive the boundary
+      input.addData(
+        FunnelInput(1L, 1L, 1000L, "signup"), FunnelInput(1L, 2L, 2000L, "click"),
+        FunnelInput(2L, 4L, 500L, "purchase"), FunnelInput(2L, 5L, 1000L, "signup"),
+        FunnelInput(3L, 7L, 100L, "click"))
+      q.processAllAvailable()
+      input.addData(
+        FunnelInput(1L, 3L, 3000L, "purchase"),
+        FunnelInput(2L, 6L, 1500L, "click"),
+        FunnelInput(3L, 8L, 200L, "signup"))
+      q.processAllAvailable()
+      val last = spark.table("funnel_out").as[FunnelUpdate].collect().toSeq
+        .groupBy(_.user_id).map { case (_, us) => us.maxBy(_.stage) }
+        .map(u => (u.user_id, u.t_signup, u.t_click, u.t_purchase, u.stage))
+        .toSeq.sortBy(_._1)
+      assert(last === batch)
+      // a late duplicate purchase below u1's frontier is dropped
+      val n = spark.table("funnel_out").count()
+      input.addData(FunnelInput(1L, 0L, 2500L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").count() === n)
+    } finally q.stop()
+  }
+
+  test("rfmApprox: no Window in the plan, scores in range, low-tie axis tracks exact") {
+    val approx = graft.operators.Events.rfmApprox(spark, sf0001)
+    // the scale claim: no window anywhere — quintiles come from
+    // broadcast sketch boundaries, not single-partition ntile sorts
+    assert(!approx.queryExecution.executedPlan.toString.contains("Window"))
+    val a = approx.select($"user_id", $"r_score", $"f_score", $"m_score")
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    val e = graft.operators.Events.rfm(spark, sf0001)
+      .select($"user_id", $"r_score", $"f_score", $"m_score")
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(a.keySet === e.keySet)
+    assert(a.values.forall(r => Seq(r._2, r._3, r._4).forall(s => s >= 1 && s <= 5)))
+    // monetary is a decimal sum (ties rare): the sketch must track the
+    // exact quintile for nearly all users; r/f carry heavy integer
+    // ties that ntile splits positionally — bounded looser
+    val mAgree = a.keys.count(k => a(k)._4 == e(k)._4).toDouble / a.size
+    val rClose = a.keys.count(k => math.abs(a(k)._2 - e(k)._2) <= 1).toDouble / a.size
+    assert(mAgree >= 0.9, s"m_score agreement $mAgree")
+    assert(rClose >= 0.9, s"r_score within-1 fraction $rClose")
+  }
+
   test("scriptProfile: dominant scripts, fixed-order ties, mojibake fraction") {
     val dir = docsDir(Seq(
       (1L, "Привет мир", "ru", 10L),       // 9 cyrillic / 10 chars
