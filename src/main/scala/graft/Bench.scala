@@ -109,7 +109,10 @@ object Bench {
       "x01_quantiles_sketch" -> (() => operators.Curation.lengthQuantilesApprox(spark, sfDir)),
       // q90's scale twin: sketch quintile boundaries broadcast back —
       // no single-partition ntile sorts (RobustOpsSpec bounds the drift)
-      "x02_rfm_sketch" -> (() => operators.Events.rfmApprox(spark, sfDir)))
+      "x02_rfm_sketch" -> (() => operators.Events.rfmApprox(spark, sfDir)),
+      // q106's scale twin: HLL sketches instead of exact (day, user)
+      // distinct sets (RobustOpsSpec bounds the rsd drift)
+      "x03_rolling_active_sketch" -> (() => operators.Events.rollingActiveUsersApprox(spark, sfDir)))
 
     val standard = SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (n, fn) => n -> (() => fn(spark, sfDir)) }

@@ -233,6 +233,34 @@ object WritePath {
     * in-batch key duplicates (versions 1 and 2) — exercises
     * last-writer-wins ordering.
     */
+  /** CDC apply: reconcile a keyed change stream (op ∈ I/U/D with a
+    * version column) into a snapshot — the write-path shape the
+    * reference's copy-only pipeline (migrate.ts) cannot express:
+    * replicating a source that DELETES needs tombstones, not just
+    * ON CONFLICT upserts. Per key, the highest-version change wins
+    * (on a version tie the delete wins — tombstone durability:
+    * `orderBy(version desc, op asc)` sorts 'D' first); a winning
+    * delete drops the key, winners I/U flow through [[upsert]]'s
+    * last-writer-wins union. Re-applying the same change set is a
+    * no-op (idempotent — the recovery contract, tested).
+    *
+    * Scale: one window over the CHANGES (batch-sized, not
+    * snapshot-sized), one anti-join for tombstones, and upsert's
+    * anti-join + union — all co-partitioned on the key.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+               opCol: String, versionCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col(opCol))
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val tombstones = latest.filter(col(opCol) === "D")
+      .select(keys.map(col): _*)
+    val upserts = latest.filter(col(opCol) =!= "D").drop(opCol)
+    val survivors = base.join(tombstones, keys, "left_anti")
+    upsert(survivors, upserts, keys, versionCol)
+  }
+
   def upsertCustomers(spark: SparkSession, dir: String): DataFrame = {
     val cus = Tables.load(spark, dir, "customer")
     val v1 = cus.filter(col("c_custkey") % 7 === 0)

@@ -380,6 +380,42 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(rClose >= 0.9, s"r_score within-1 fraction $rClose")
   }
 
+  test("applyCdc: tombstones delete, latest version wins, delete wins ties, idempotent") {
+    import graft.operators.WritePath
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "x", "D", 1L),               // delete existing
+      (3L, "c2", "U", 1L),              // update existing
+      (4L, "d", "I", 1L),               // insert new
+      (5L, "e", "I", 1L), (5L, "x", "D", 2L), // insert then later delete
+      (6L, "x", "D", 1L),               // delete of absent key: no-op
+      (7L, "f", "I", 3L), (7L, "x", "D", 3L)) // version tie: delete wins
+      .toDF("k", "v", "op", "ver")
+    val once = WritePath.applyCdc(base, changes, Seq("k"), "op", "ver")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(once === Seq((1L, "a"), (3L, "c2"), (4L, "d")))
+    // recovery contract: re-applying the same change set is a no-op
+    val twice = WritePath.applyCdc(
+      once.toDF("k", "v"), changes, Seq("k"), "op", "ver")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(twice === once)
+  }
+
+  test("rollingActiveUsersApprox tracks exact within the HLL rsd bound") {
+    val exact = graft.operators.Events.rollingActiveUsers(spark, sf0001)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val approx = graft.operators.Events.rollingActiveUsersApprox(spark, sf0001)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    // rsd 0.01 with generous slack (5%) — drift here means the sketch
+    // twin silently diverged from the oracle shape, not HLL noise
+    exact.foreach { case (d, (_, _, e7)) =>
+      val a7 = approx(d)._3
+      assert(math.abs(a7 - e7) <= math.max(2L, (e7 * 0.05).toLong),
+        s"day $d: exact $e7 vs approx $a7")
+    }
+  }
+
   test("scriptProfile: dominant scripts, fixed-order ties, mojibake fraction") {
     val dir = docsDir(Seq(
       (1L, "Привет мир", "ru", 10L),       // 9 cyrillic / 10 chars
