@@ -416,6 +416,29 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: hand path graph, scaled-integer recurrence, mass conservation-ish") {
+    // orders {1: parts 10,20} and {2: parts 20,30} -> path 10-20-30
+    // n=3, r0 = 1e12 div 3 = 333333333333; teleport = 150000000000 div 3
+    // it1: r(20) = 5e10 + 17*(2*333333333333) div 20 = 616666666666
+    //      r(10) = r(30) = 5e10 + 17*(333333333333 div 2) div 20
+    //            = 5e10 + 141666666666 = 191666666666
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, 86400000L)),
+      lineitem = Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L)),
+      events = Seq((1L, 1000L, 1L, "view", 0.0)))
+    val out = graft.operators.Graph.pagerank(spark, dir, iters = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (20L, 616666666666L, 2L),
+      (10L, 191666666666L, 1L),
+      (30L, 191666666666L, 1L)))
+    // 3 iterations still conserve mass up to floor loss: sum <= 1e12,
+    // within n*iters*small slack of it
+    val r3 = graft.operators.Graph.pagerank(spark, dir)
+      .agg(sum($"rank_e12")).as[Long].head()
+    assert(r3 <= 1000000000000L && r3 > 999999999000L)
+  }
+
   test("scriptProfile: dominant scripts, fixed-order ties, mojibake fraction") {
     val dir = docsDir(Seq(
       (1L, "Привет мир", "ru", 10L),       // 9 cyrillic / 10 chars
