@@ -54,7 +54,11 @@ object Graph {
     val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
     val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
-    val edgesW = edges.join(wdeg, "src").localCheckpoint()
+    // pre-partitioned on src BEFORE the checkpoint: localCheckpoint
+    // preserves partitioning, so the three per-round joins reuse this
+    // layout and only the (tiny) rank side exchanges each iteration
+    val edgesW = edges.join(wdeg, "src")
+      .repartition(col("src")).localCheckpoint()
     val nodes = li.select(col("l_partkey").as("p")).distinct().localCheckpoint()
     val n = nodes.count()
     val r0 = Scale / n
