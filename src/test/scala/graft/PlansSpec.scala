@@ -80,6 +80,17 @@ class PlansSpec extends AnyFunSuite {
       s"no partial WindowGroupLimit:\n$plan")
   }
 
+  test("SQ8 kNN plans partial WindowGroupLimits for both top-k stages") {
+    // q104 has TWO rank filters — ADC candidate selection and the
+    // exact re-rank — and both must keep the map-side partial top-k
+    // (the q29 scale fix, applied twice)
+    val out = operators.Similarity.knnSq8(spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    val partials = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(partials >= 2 && plan.contains("Partial"),
+      s"expected two WindowGroupLimit stages:\n$plan")
+  }
+
   test("rank-family and framed windows are left alone") {
     GraftExtensions.install(spark)
     try {
