@@ -439,6 +439,39 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(r3 <= 1000000000000L && r3 > 999999999000L)
   }
 
+  test("prefixJaccardPairs is lossless on random small-alphabet corpora (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // a 4-token alphabet forces shingle collisions, near-dups, and
+    // exact dups — the regime where a broken prefix/length/positional
+    // filter would actually drop pairs
+    val tok = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(3, 9).flatMap(n =>
+      Gen.listOfN(n, tok).map(_.mkString(" ")))
+    val corpus = Gen.chooseNum(4, 8).flatMap(k => Gen.listOfN(k, doc))
+    val p = Prop.forAll(corpus) { texts =>
+      val dir = docsDir(texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", t.length.toLong) })
+      val sh = Tables.load(spark, dir, "documents")
+        .select($"doc_id", explode(array_distinct(
+          graft.functions.WordNGrams.ngrams(spark,
+            graft.functions.TextFunctions.tokens($"text"), 3))).as("shingle"))
+      val sets = sh.groupBy($"doc_id")
+        .agg(sort_array(collect_list($"shingle")).as("sset"), count(lit(1)).as("n"))
+      val brute = sets.as("a").crossJoin(sets.as("b"))
+        .filter($"a.doc_id" < $"b.doc_id")
+        .withColumn("sh", size(array_intersect($"a.sset", $"b.sset")))
+        .filter($"sh" * 5 >= ($"a.n" + $"b.n" - $"sh") * 3)
+        .select($"a.doc_id", $"b.doc_id", $"sh")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      val pruned = Dedup.prefixJaccardPairs(spark, dir)
+        .select($"doc_a", $"doc_b", $"n_shared")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      pruned == brute
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("scriptProfile: dominant scripts, fixed-order ties, mojibake fraction") {
     val dir = docsDir(Seq(
       (1L, "Привет мир", "ru", 10L),       // 9 cyrillic / 10 chars
