@@ -926,6 +926,65 @@ object Dedup {
       |JOIN ranked r ON s.rep_id = r.rep_id AND r.rk = 1
       |ORDER BY s.rep_id""".stripMargin
 
+  /** q108 — per-source dedup report: the summary every curation run
+    * ships — for each source, how many documents exact dedup (q25's
+    * content fingerprint) would remove and how many sit in multi-doc
+    * near-dup clusters (q38's labels), as counts and fractions. The
+    * per-source breakdown is what locates a contaminated or
+    * boilerplate-heavy feed; the corpus-wide numbers alone can't.
+    *
+    * Scale: one (source) aggregate over fingerprints + the q38
+    * propagation reused for labels with a rep-keyed size aggregate —
+    * everything map-side-combinable except the inherited fixpoint.
+    */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val exact = docs
+      .select(col("source"), contentFingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .withColumn("n_exact_removed", col("n_docs") - col("n_distinct"))
+    val labeled = dedupClusters(spark, dir, requireConverged = true)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val csize = labeled.groupBy(col("rep_id")).agg(count(lit(1)).as("n_members"))
+    val near = labeled.join(csize, "rep_id")
+      .filter(col("n_members") > 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_near_members"))
+    exact.join(near, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_exact_removed"),
+        round(col("n_exact_removed").cast("double") / col("n_docs"), 6)
+          .as("exact_dup_frac"),
+        coalesce(col("n_near_members"), lit(0L)).as("n_near_members"),
+        round(coalesce(col("n_near_members"), lit(0L)).cast("double")
+          / col("n_docs"), 6).as("near_dup_frac"))
+      .orderBy(col("source"))
+  }
+
+  def dedupReportSql(): String =
+    s"""WITH cc AS (
+      |$dedupClustersSql
+      |), csize AS (
+      |  SELECT rep_id, COUNT(*) AS n_members FROM cc GROUP BY rep_id
+      |), near AS (
+      |  SELECT d.source, COUNT(*) AS n_near_members
+      |  FROM cc JOIN csize USING (rep_id)
+      |  JOIN documents d ON cc.doc_id = d.doc_id
+      |  WHERE csize.n_members > 1
+      |  GROUP BY d.source
+      |), ex AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS n_distinct
+      |  FROM documents GROUP BY source
+      |)
+      |SELECT ex.source, ex.n_docs,
+      |  ex.n_docs - ex.n_distinct AS n_exact_removed,
+      |  ROUND(CAST(ex.n_docs - ex.n_distinct AS DOUBLE) / ex.n_docs, 6) AS exact_dup_frac,
+      |  CAST(COALESCE(near.n_near_members, 0) AS BIGINT) AS n_near_members,
+      |  ROUND(CAST(COALESCE(near.n_near_members, 0) AS DOUBLE) / ex.n_docs, 6) AS near_dup_frac
+      |FROM ex LEFT JOIN near ON ex.source = near.source
+      |ORDER BY ex.source""".stripMargin
+
   /** q97 — prefix-filtered set-similarity join (the PPJoin family):
     * EXACT Jaccard pairs ≥ t with NO df-cap loss. q26's inverted
     * index needs the df-cap to bound Zipf-hot shingle fan-out, which

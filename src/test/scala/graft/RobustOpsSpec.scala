@@ -472,6 +472,23 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("dedupReport: exact and near-dup counts per source, clean source zeroes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drep").toString
+    Seq(
+      (1L, "x y z w", "en", "feedA", 7L),
+      (2L, "x y z w", "en", "feedA", 7L), // exact dup of 1 (and near-dup)
+      (3L, "totally different text here", "en", "feedA", 27L),
+      (4L, "unique one two three", "en", "feedB", 20L),
+      (5L, "another unique document four", "en", "feedB", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.dedupReport(spark, dir)
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("feedA", 3L, 1L, 0.333333, 2L, 0.666667),
+      ("feedB", 2L, 0L, 0.0, 0L, 0.0)))
+  }
+
   test("scriptProfile: dominant scripts, fixed-order ties, mojibake fraction") {
     val dir = docsDir(Seq(
       (1L, "Привет мир", "ru", 10L),       // 9 cyrillic / 10 chars
