@@ -16,6 +16,12 @@ object Graph {
   /** Fixed-point scale: ranks are integers in units of 1e-12. */
   val Scale: Long = 1000000000000L
 
+  /** Rounds executed by the most recent [[pagerank]] call (observable
+    * convergence: the L1-delta stop is a loop-internal decision, and
+    * tests need to assert it fired without re-deriving rank deltas).
+    */
+  @volatile private[graft] var lastRounds: Int = 0
+
   /** q107 — weighted PageRank, fixed `iters` power iterations with
     * damping 17/20 (= 0.85 as a RATIONAL) over the undirected
     * co-purchase graph: each undirected edge becomes two directed
@@ -37,15 +43,28 @@ object Graph {
     * Scale: the edge list (with source degrees joined) is built ONCE
     * and checkpointed; each iteration is one co-partitioned
     * edges⋈rank join + one dst-keyed partial+final aggregate — the
-    * q38 iteration discipline (checkpoint per round, no broadcast of
-    * the rank table). Overflow headroom: rank_e12 ≤ 1e12, times an
-    * edge weight, stays far under 2^63 for weights < 9e6.
+    * q38 iteration discipline (checkpoint per round via
+    * [[graft.Iterate.cut]]: localCheckpoint locally, reliable
+    * replicated checkpoint under `spark.graft.checkpoint.reliable`,
+    * so a 100 TB run survives executor loss mid-fixpoint). Overflow
+    * headroom: rank_e12 ≤ 1e12, times an edge weight, stays far under
+    * 2^63 for weights < 9e6.
+    *
+    * Termination: `iters` is a MAXIMUM. After each round an L1-delta
+    * probe — `sum(abs(rank − prev))` over the node-count-sized rank
+    * table, one tiny co-partitioned join + agg — stops the loop once
+    * total movement ≤ `tolE12` (units of 1e-12 rank mass). The default
+    * `tolE12 = 0` stops only at the exact integer fixpoint, so the
+    * graded 3-iteration result is bit-identical to the unrolled-CTE
+    * oracle: stopping early is only possible when another round would
+    * reproduce the same ranks. A real ranking run passes e.g.
+    * `iters = 50, tolE12 = n` (mean drift < 1e-12/node).
     */
   def pagerank(spark: SparkSession, dir: String, iters: Int = 3,
-               dampNum: Int = 17, dampDen: Int = 20): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint()
+               dampNum: Int = 17, dampDen: Int = 20,
+               tolE12: Long = 0L): DataFrame = {
+    val li = graft.Iterate.cut(Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct())
     val pairs = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
@@ -54,28 +73,41 @@ object Graph {
     val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
     val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
-    // pre-partitioned on src BEFORE the checkpoint: localCheckpoint
-    // preserves partitioning, so the three per-round joins reuse this
-    // layout and only the (tiny) rank side exchanges each iteration
-    val edgesW = edges.join(wdeg, "src")
-      .repartition(col("src")).localCheckpoint()
-    val nodes = li.select(col("l_partkey").as("p")).distinct().localCheckpoint()
+    // pre-partitioned on src BEFORE the checkpoint: both checkpoint
+    // flavors preserve partitioning, so the three per-round joins
+    // reuse this layout and only the (tiny) rank side exchanges each
+    // iteration
+    val edgesW = graft.Iterate.cut(edges.join(wdeg, "src")
+      .repartition(col("src")))
+    val nodes = graft.Iterate.cut(li.select(col("l_partkey").as("p")).distinct())
     val n = nodes.count()
     val r0 = Scale / n
     val teleport = ((dampDen - dampNum) * Scale / dampDen) / n
     var rank = nodes.select(col("p"), lit(r0).as("rank_e12"))
-    for (_ <- 1 to iters) {
+    var round = 0
+    var delta = Long.MaxValue
+    while (round < iters && delta > tolE12) {
+      round += 1
       val contribs = edgesW
         .join(rank.withColumnRenamed("p", "src"), "src")
         .select(col("dst"), expr("(rank_e12 * w) div wdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("s"))
-      rank = nodes
+      val next = graft.Iterate.cut(nodes
         .join(contribs.withColumnRenamed("dst", "p"), Seq("p"), "left")
         .select(col("p"), (lit(teleport) +
-          expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("rank_e12"))
-        .localCheckpoint() // cut lineage per round (q38 discipline)
+          expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("rank_e12")))
+      // L1 convergence probe over the just-checkpointed round — a
+      // node-count-sized co-partitioned join, negligible next to the
+      // edge join above; skipped when the iteration cap ends the loop
+      // anyway
+      if (round < iters) delta = next
+        .join(rank.withColumnRenamed("rank_e12", "prev_e12"), "p")
+        .agg(coalesce(sum(abs(col("rank_e12") - col("prev_e12"))), lit(0L)))
+        .head().getLong(0)
+      rank = next
     }
+    lastRounds = round
     rank
       .join(wdeg.withColumnRenamed("src", "p"), Seq("p"), "left")
       .select(col("p").as("p_partkey"), col("rank_e12"),

@@ -71,6 +71,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty) // sf0.001 has real near-dup clusters
   }
 
+  test("dedupClusters memoizes the fixpoint per (session, dir, params)") {
+    Dedup.clearLabelsMemo()
+    val before = Dedup.labelsComputeCount.get()
+    Dedup.dedupClusters(spark, sf0001).count()
+    val afterFirst = Dedup.labelsComputeCount.get()
+    assert(afterFirst === before + 1)
+    // same params → memo hit (q38/q80/q89/q108 share one CC run)
+    Dedup.dedupClusters(spark, sf0001, requireConverged = true).count()
+    Dedup.dedupReport(spark, sf0001).count()
+    assert(Dedup.labelsComputeCount.get() === afterFirst)
+    // different params → distinct fixpoint
+    Dedup.dedupClusters(spark, sf0001, threshold = 0.9).count()
+    assert(Dedup.labelsComputeCount.get() === afterFirst + 1)
+  }
+
+  test("dedupReportCore over precomputed labels equals the wrapper") {
+    val labels = Dedup.dedupClusters(spark, sf0001, requireConverged = true)
+    val docs = graft.Tables.load(spark, sf0001, "documents")
+    val core = Dedup.dedupReportCore(docs, labels)
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSeq
+    val wrapped = Dedup.dedupReport(spark, sf0001)
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSeq
+    assert(core === wrapped && core.nonEmpty)
+  }
+
   test("spanize tiles the token list exactly (no loss, no overlap)") {
     val docs = Seq(
       (1L, "a b c d e f g"),   // 7 tokens, w=3 -> spans of 3,3,1

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The iteration discipline behind the fixpoint family (q38 CC, q107
+  * PageRank, dedup clustering): [[Iterate.cut]] mode selection,
+  * reliable (replicated) checkpointing, and PageRank's L1-delta
+  * convergence stop.
+  */
+class IterateSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def lineitemDir(rows: Seq[(Long, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-iter").toString
+    rows.map { case (ok, pk) =>
+      (ok, pk, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("Iterate.cut: reliable flag without a checkpoint dir fails fast") {
+    // must run before any test sets a checkpoint dir on the shared
+    // context (Spark has no unset)
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    spark.conf.set(Iterate.ReliableFlag, "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Iterate.cut(Seq(1, 2, 3).toDF("x"))
+      }
+      assert(e.getMessage.contains("checkpoint dir"))
+    } finally spark.conf.set(Iterate.ReliableFlag, "false")
+  }
+
+  test("reliable mode: connectedComponents writes replicated checkpoints " +
+      "and matches local-mode labels") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val local = graft.operators.Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck")
+    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    spark.conf.set(Iterate.ReliableFlag, "true")
+    try {
+      val rel = graft.operators.Dedup.connectedComponents(edges)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(rel === local)
+      assert(rel === Seq((2L, 1L), (3L, 1L), (11L, 10L)))
+      // the fixpoint actually wrote RDD blocks to the reliable dir
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(ckDir).iterator().asScala.toList
+      assert(files.exists(_.getFileName.toString.startsWith("part-")),
+        s"no checkpoint part files under $ckDir")
+    } finally spark.conf.set(Iterate.ReliableFlag, "false")
+  }
+
+  test("pagerank stops at the exact integer fixpoint before the cap") {
+    // triangle (one order, three parts): symmetric, so after round 1
+    // every rank is 333333333332 and round 2 reproduces it exactly —
+    // the L1 probe reads 0 and the loop stops at round 2 of 10
+    val dir = lineitemDir(Seq((1L, 10L), (1L, 20L), (1L, 30L)))
+    val capped = graft.operators.Graph.pagerank(spark, dir, iters = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(graft.operators.Graph.lastRounds === 2)
+    assert(capped.map(_._2).toSet === Set(333333333332L))
+    // early stop returns the same ranks a full cap run would
+    val full = graft.operators.Graph.pagerank(spark, dir, iters = 3,
+        tolE12 = -1L) // negative tol: probe can never stop the loop
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(graft.operators.Graph.lastRounds === 3)
+    assert(full === capped)
+  }
+
+  test("pagerank tolE12 loosens the stop: path graph halts once drift <= tol") {
+    // path 10-20-30 keeps drifting by small floors; a loose tol stops
+    // it well before a tight one does
+    val dir = lineitemDir(Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L)))
+    graft.operators.Graph.pagerank(spark, dir, iters = 40,
+      tolE12 = 20000000000L).collect()
+    val loose = graft.operators.Graph.lastRounds
+    graft.operators.Graph.pagerank(spark, dir, iters = 40, tolE12 = 10L)
+      .collect()
+    val tight = graft.operators.Graph.lastRounds
+    assert(loose < tight && tight <= 40,
+      s"loose=$loose tight=$tight")
+  }
+}
