@@ -24,8 +24,8 @@ import graft.Tables
 object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte])
-  case class MediaMeta(doc_id: Long, n_bytes: Int, first_code: Int,
-                       fake_width: Int, fake_height: Int)
+  case class MediaMeta(doc_id: Long, container: String, n_bytes: Int,
+                       first_code: Int, width: Int, height: Int)
 
   /** STUB decode kernel: deterministic pseudo-metadata in place of a
     * real image decode (codecs unavailable in this environment).
@@ -47,20 +47,92 @@ object Multimodal {
     * real-decode shape (magic sniff → header validate → field parse →
     * typed metadata) that a libjpeg/ffmpeg-backed kernel follows.
     * Non-BMP payloads fall back to the deterministic stub. Returns
-    * (first_code, width, height). q32 keeps the stub kernel (its
-    * oracle states the stub formulas over text payloads — a text that
-    * happened to start with "BM" would otherwise diverge); this path
-    * is exercised in PipelineSpec over hand-built headers.
+    * (first_code, width, height).
     */
-  def decodeBmpOrFake(payload: Array[Byte]): (Int, Int, Int) = {
-    def le32(off: Int): Int =
-      (payload(off) & 0xFF) | ((payload(off + 1) & 0xFF) << 8) |
-        ((payload(off + 2) & 0xFF) << 16) | ((payload(off + 3) & 0xFF) << 24)
-    val isInfoBmp = payload.length >= 54 &&
-      payload(0) == 'B'.toByte && payload(1) == 'M'.toByte &&
-      le32(14) >= 40 // BITMAPINFOHEADER or the V4/V5 extensions
-    if (isInfoBmp) (payload(0) & 0xFF, le32(18), math.abs(le32(22)))
-    else fakeDecode(payload)
+  def decodeBmpOrFake(payload: Array[Byte]): (Int, Int, Int) =
+    sniffBmp(payload) match {
+      case Some((w, h)) => (payload(0) & 0xFF, w, h)
+      case None         => fakeDecode(payload)
+    }
+
+  private def le32(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
+      ((p(off + 2) & 0xFF) << 16) | ((p(off + 3) & 0xFF) << 24)
+
+  private def be32(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xFF) << 24) | ((p(off + 1) & 0xFF) << 16) |
+      ((p(off + 2) & 0xFF) << 8) | (p(off + 3) & 0xFF)
+
+  private def be16(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xFF) << 8) | (p(off + 1) & 0xFF)
+
+  /** BMP (BITMAPINFOHEADER family) dimension sniff: header size >= 40
+    * at offset 14 (the legacy 12-byte BITMAPCOREHEADER stores 16-bit
+    * dimensions at different offsets and is rejected rather than read
+    * as garbage); width LE i32 at 18; height at 22 is NEGATIVE for
+    * top-down row order — reported as |height|.
+    */
+  def sniffBmp(p: Array[Byte]): Option[(Int, Int)] =
+    if (p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte &&
+        le32(p, 14) >= 40)
+      Some((le32(p, 18), math.abs(le32(p, 22))))
+    else None
+
+  private val PngSig =
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  /** PNG dimension sniff: 8-byte signature, then the IHDR chunk is
+    * REQUIRED first (PNG spec §5.6), so width/height are the BE i32s
+    * at fixed offsets 16/20. CRC is not verified — this is a metadata
+    * sniff, not an integrity check.
+    */
+  def sniffPng(p: Array[Byte]): Option[(Int, Int)] =
+    if (p.length >= 24 &&
+        PngSig.indices.forall(i => (p(i) & 0xFF) == PngSig(i)) &&
+        p(12) == 'I'.toByte && p(13) == 'H'.toByte &&
+        p(14) == 'D'.toByte && p(15) == 'R'.toByte)
+      Some((be32(p, 16), be32(p, 20)))
+    else None
+
+  /** JPEG dimension sniff: walk the marker-segment chain from SOI
+    * (FF D8) — each segment is FF <code> <BE16 len incl itself> — to
+    * the first SOF0/1/2 (baseline/ext-sequential/progressive) frame
+    * header, whose payload is [precision u8, height BE16, width BE16].
+    * Stops without a result at SOS/EOI (entropy-coded data follows —
+    * a malformed stream with no SOF) or any lost marker sync.
+    */
+  def sniffJpeg(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8)
+      return None
+    var i = 2
+    while (i + 3 < p.length) {
+      if ((p(i) & 0xFF) != 0xFF) return None // lost marker sync
+      val code = p(i + 1) & 0xFF
+      if (code == 0xDA || code == 0xD9) return None // SOS/EOI before SOF
+      val len = be16(p, i + 2)
+      if (code >= 0xC0 && code <= 0xC2) {
+        if (i + 8 >= p.length || len < 7) return None
+        return Some((be16(p, i + 7), be16(p, i + 5))) // (width, height)
+      }
+      if (len < 2) return None
+      i += 2 + len
+    }
+    None
+  }
+
+  /** Magic-sniffing dispatch: the real per-container parsers first,
+    * the deterministic stub only as the non-media fallback. Returns
+    * (container, first_code, width, height).
+    */
+  def decodeMedia(payload: Array[Byte]): (String, Int, Int, Int) = {
+    val first = if (payload.isEmpty) 0 else payload(0) & 0xFF
+    sniffBmp(payload).map { case (w, h) => ("bmp", first, w, h) }
+      .orElse(sniffPng(payload).map { case (w, h) => ("png", first, w, h) })
+      .orElse(sniffJpeg(payload).map { case (w, h) => ("jpeg", first, w, h) })
+      .getOrElse {
+        val (f, w, h) = fakeDecode(payload)
+        ("raw", f, w, h)
+      }
   }
 
   /** Documents' text re-encoded as a binary payload column — the shape
@@ -70,16 +142,85 @@ object Multimodal {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
-  /** q32 — decode pipeline: binary payloads through the batched
-    * per-partition stub kernel to typed metadata.
+  private def putLe32(buf: Array[Byte], off: Int, v: Int): Unit =
+    (0 until 4).foreach(i => buf(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+
+  private def putBe32(buf: Array[Byte], off: Int, v: Int): Unit =
+    (0 until 4).foreach(i => buf(off + 3 - i) = ((v >> (8 * i)) & 0xFF).toByte)
+
+  private def putBe16(buf: Array[Byte], off: Int, v: Int): Unit = {
+    buf(off) = ((v >> 8) & 0xFF).toByte; buf(off + 1) = (v & 0xFF).toByte
+  }
+
+  /** Deterministic container fixture for one document: the text bytes
+    * wrapped in a REAL container header — BMP / PNG / JPEG cycling by
+    * `doc_id % 4`, raw (headerless) for the remainder — with
+    * dimensions derived from the byte length: width = n % 640 + 1,
+    * height = 3n % 480 + 1. Every other BMP stores the height
+    * NEGATIVE (top-down row order) to exercise the |height| report.
+    * This is the graded q32 input: byte-exact header construction on
+    * one side, [[decodeMedia]]'s independent parse on the other, so
+    * an offset/endianness bug in either breaks the oracle match.
+    */
+  def encodeFixture(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val w = n % 640 + 1
+    val h = 3 * n % 480 + 1
+    docId % 4 match {
+      case 0 => // BMP: 54-byte BITMAPINFOHEADER, pixel data = text
+        val buf = new Array[Byte](54 + n)
+        buf(0) = 'B'.toByte; buf(1) = 'M'.toByte
+        putLe32(buf, 2, buf.length) // file size
+        putLe32(buf, 10, 54) // pixel-array offset
+        putLe32(buf, 14, 40) // BITMAPINFOHEADER size
+        putLe32(buf, 18, w)
+        putLe32(buf, 22, if ((docId / 4) % 2 == 1) -h else h)
+        System.arraycopy(text, 0, buf, 54, n)
+        buf
+      case 1 => // PNG: signature + IHDR chunk (CRC zeroed), then text
+        val buf = new Array[Byte](33 + n)
+        PngSig.indices.foreach(i => buf(i) = PngSig(i).toByte)
+        putBe32(buf, 8, 13) // IHDR data length
+        buf(12) = 'I'.toByte; buf(13) = 'H'.toByte
+        buf(14) = 'D'.toByte; buf(15) = 'R'.toByte
+        putBe32(buf, 16, w)
+        putBe32(buf, 20, h)
+        buf(24) = 8 // bit depth; color type/compression/filter/interlace 0
+        System.arraycopy(text, 0, buf, 33, n)
+        buf
+      case 2 => // JPEG: SOI + APP0 (walked, not parsed) + SOF0 + EOI + text
+        val buf = new Array[Byte](35 + n)
+        buf(0) = 0xFF.toByte; buf(1) = 0xD8.toByte // SOI
+        buf(2) = 0xFF.toByte; buf(3) = 0xE0.toByte // APP0
+        putBe16(buf, 4, 16) // APP0 length (len bytes + 14 data)
+        "JFIF".getBytes("US-ASCII").copyToArray(buf, 6)
+        buf(20) = 0xFF.toByte; buf(21) = 0xC0.toByte // SOF0
+        putBe16(buf, 22, 11) // SOF0 length (8 + 3×1 component)
+        buf(24) = 8 // precision
+        putBe16(buf, 25, h)
+        putBe16(buf, 27, w)
+        buf(29) = 1 // 1 component; its 3 spec bytes (30-32) stay zero
+        buf(33) = 0xFF.toByte; buf(34) = 0xD9.toByte // EOI
+        System.arraycopy(text, 0, buf, 35, n)
+        buf
+      case _ => text // raw: stub fallback path
+    }
+  }
+
+  /** q32 — decode pipeline: per-doc payloads wrapped in real container
+    * bytes ([[encodeFixture]]) through the batched per-partition
+    * [[decodeMedia]] kernel to typed metadata. The BMP/PNG/JPEG rows
+    * grade the real header parsers (the oracle predicts the encoded
+    * dimensions); the raw rows grade the stub fallback.
     */
   def decodeMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (first, w, h) = fakeDecode(r.payload)
-        MediaMeta(r.doc_id, r.payload.length, first, w, h)
+        val payload = encodeFixture(r.doc_id, r.payload)
+        val (container, first, w, h) = decodeMedia(payload)
+        MediaMeta(r.doc_id, container, payload.length, first, w, h)
       }
     }.toDF().orderBy(col("doc_id"))
   }
@@ -130,14 +271,30 @@ object Multimodal {
       |     for f in range(0, (n_frames + 3) // 4)])), 0) AS BIGINT) AS sampled_byte_sum
       |FROM base ORDER BY doc_id""".stripMargin
 
-  /** Oracle: the stub formulas restated over the text bytes (ASCII
-    * corpus: first UTF-8 byte == first code point).
+  /** Oracle: what [[decodeMedia]] must parse back out of
+    * [[encodeFixture]]'s container bytes, restated independently from
+    * the doc fields (ASCII corpus: strlen == byte length; first UTF-8
+    * byte == first code point). Container header sizes: BMP 54,
+    * PNG 33 (8 sig + 25 IHDR chunk), JPEG 35 (SOI 2 + APP0 18 +
+    * SOF0 13 + EOI 2). First codes are the magic bytes: 'B' = 66,
+    * 0x89 = 137, 0xFF = 255. The raw rows state the stub formulas.
     */
   val decodeMetaSql: String =
-    """SELECT doc_id,
-      |  CAST(strlen(text) AS INT) AS n_bytes,
-      |  CAST(CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS INT) AS first_code,
-      |  CAST(strlen(text) % 640 AS INT) AS fake_width,
-      |  CAST((CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END) * 3 % 480 AS INT) AS fake_height
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n,
+      |    CASE WHEN strlen(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS fc
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+      |    WHEN 2 THEN 'jpeg' ELSE 'raw' END AS container,
+      |  CAST(n + CASE doc_id % 4 WHEN 0 THEN 54 WHEN 1 THEN 33
+      |    WHEN 2 THEN 35 ELSE 0 END AS INT) AS n_bytes,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 66 WHEN 1 THEN 137
+      |    WHEN 2 THEN 255 ELSE fc END AS INT) AS first_code,
+      |  CAST(CASE WHEN doc_id % 4 = 3 THEN n % 640
+      |    ELSE n % 640 + 1 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 4 = 3 THEN fc * 3 % 480
+      |    ELSE 3 * n % 480 + 1 END AS INT) AS height
+      |FROM f ORDER BY doc_id""".stripMargin
 }

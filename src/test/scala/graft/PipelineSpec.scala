@@ -285,14 +285,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.decodeBmpOrFake(short) === Multimodal.fakeDecode(short))
   }
 
-  test("multimodal stub decode: metadata formulas over payload bytes") {
+  test("PNG/JPEG sniffers: parse real headers, reject near-misses") {
+    // round-trip through the fixture encoder: doc_id 1 → PNG, 2 → JPEG
+    val png = Multimodal.encodeFixture(1L, "hello".getBytes("UTF-8")) // n=5
+    assert(Multimodal.sniffPng(png) === Some((6, 16))) // 5%640+1, 15%480+1
+    assert(Multimodal.decodeMedia(png) === (("png", 137, 6, 16)))
+    val jpg = Multimodal.encodeFixture(2L, "hello".getBytes("UTF-8"))
+    assert(Multimodal.sniffJpeg(jpg) === Some((6, 16)))
+    assert(Multimodal.decodeMedia(jpg) === (("jpeg", 255, 6, 16)))
+    // tampered signature byte → not a PNG
+    val badPng = png.clone(); badPng(7) = 0
+    assert(Multimodal.sniffPng(badPng) === None)
+    // IHDR not first → reject (spec requires IHDR first; fixed offsets)
+    val badIhdr = png.clone(); badIhdr(12) = 'X'.toByte
+    assert(Multimodal.sniffPng(badIhdr) === None)
+    // JPEG whose SOF0 marker is overwritten by SOS → no dimensions
+    val noSof = jpg.clone(); noSof(21) = 0xDA.toByte
+    assert(Multimodal.sniffJpeg(noSof) === None)
+    // lost marker sync (garbage where a marker byte must be) → None
+    val desync = jpg.clone(); desync(20) = 0x00
+    assert(Multimodal.sniffJpeg(desync) === None)
+    // truncated: SOI only
+    assert(Multimodal.sniffJpeg(Array(0xFF.toByte, 0xD8.toByte)) === None)
+  }
+
+  test("multimodal decode: container fixtures round-trip the real parsers") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-mm").toString
-    Seq((0L, "Az", "en", "s", 2L), (1L, "", "en", "s", 0L))
+    Seq((0L, "Az", "en", "s", 2L), (1L, "", "en", "s", 0L),
+        (2L, "hello", "en", "s", 5L), (3L, "Az", "en", "s", 2L),
+        (4L, "xy", "en", "s", 2L)) // 4: BMP with NEGATIVE stored height
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = Multimodal.decodeMeta(spark, dir)
-      .as[(Long, Int, Int, Int, Int)].collect().toSeq
-    assert(got === Seq((0L, 2, 'A'.toInt, 2, ('A'.toInt * 3) % 480), (1L, 0, 0, 0, 0)))
+      .as[(Long, String, Int, Int, Int, Int)].collect().toSeq
+    assert(got === Seq(
+      (0L, "bmp", 56, 'B'.toInt, 3, 7),
+      (1L, "png", 33, 137, 1, 1),
+      (2L, "jpeg", 40, 255, 6, 16),
+      (3L, "raw", 2, 'A'.toInt, 2, ('A'.toInt * 3) % 480), // stub fallback
+      (4L, "bmp", 56, 'B'.toInt, 3, 7))) // |height| reported
   }
 }
