@@ -14,6 +14,16 @@ import graft.operators.Relational.{decSum, tsMs}
   */
 object Events {
 
+  /** Calendar day of `ts` as integer epoch days with FLOOR-division
+    * semantics: `us - pmod(us, d)` is the largest day multiple ≤ us
+    * (pmod is nonnegative), so the final `div` is exact — equal to
+    * DuckDB's `epoch_ms(ts) // 86400000` for ALL timestamps. A bare
+    * `div` truncates toward zero, silently assigning pre-1970
+    * timestamps to the following day relative to the oracle.
+    */
+  private[operators] val epochDayExpr: Column = expr(
+    "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+
   /** q19 — tumbling window aggregate: hourly counts/sums per event
     * type via the `window()` function (the same expression Structured
     * Streaming uses, so the batch and streaming plans share semantics).
@@ -580,28 +590,34 @@ object Events {
     * the 100 TB form: one partial+final aggregate per group, no
     * second pass, no window.
     *
-    * Exactness: x is the integer epoch DAY (ms div 86400000 — exact),
-    * y the raw value; all five sums accumulate in DECIMAL(28,6)
-    * (order-independent; (28,6) because Σx² at day² ≈ 4·10⁸ overflows
-    * the house (18,6) at ~10⁴ rows), are cast to double once, and the
-    * slope/intercept/r² arithmetic runs in one fixed operand order —
-    * identical IEEE results in both engines, rounded to 6dp at the
-    * end. Degenerate groups (single x, zero variance) surface as NULL
-    * via NULLIF rather than dividing by ~0 noise.
+    * Exactness: x is the integer epoch DAY ([[epochDayExpr]] — FLOOR
+    * division, matching DuckDB's `//` for pre-1970 timestamps too),
+    * y the raw value; each product term is rounded to 6dp BEFORE the
+    * decimal cast (the q103 convention — double→decimal conversion on
+    * an unrounded product can land on a half-boundary where Spark's
+    * shortest-repr BigDecimal HALF_UP and DuckDB's binary-double
+    * rounding disagree by 1e-6); all five sums accumulate in
+    * DECIMAL(28,6) (order-independent; (28,6) because Σx² at day²
+    * ≈ 4·10⁸ overflows the house (18,6) at ~10⁴ rows), are cast to
+    * double once, and the slope/intercept/r² arithmetic runs in one
+    * fixed operand order — identical IEEE results in both engines,
+    * rounded to 6dp at the end. Degenerate groups (single x, zero
+    * variance) surface as NULL via NULLIF rather than dividing by ~0
+    * noise.
     */
   def groupwiseOls(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
     val e = Tables.load(spark, dir, "events")
-      .withColumn("x", expr("(unix_micros(ts) div 1000) div 86400000").cast("double"))
+      .withColumn("x", epochDayExpr.cast("double"))
       .withColumn("y", col("value"))
     val stats = e.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       dsum(col("x")).as("sx"),
       dsum(col("y")).as("sy"),
-      dsum(col("x") * col("x")).as("sxx"),
-      dsum(col("x") * col("y")).as("sxy"),
-      dsum(col("y") * col("y")).as("syy"))
+      dsum(round(col("x") * col("x"), 6)).as("sxx"),
+      dsum(round(col("x") * col("y"), 6)).as("sxy"),
+      dsum(round(col("y") * col("y"), 6)).as("syy"))
     stats
       .withColumn("den", nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0)))
       .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
@@ -642,8 +658,7 @@ object Events {
   def rollingActiveUsers(spark: SparkSession, dir: String,
                          windowDays: Int = 7): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
-      .select(expr("(unix_micros(ts) div 1000) div 86400000").as("day"),
-        col("user_id"))
+      .select(epochDayExpr.as("day"), col("user_id"))
     val days = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"))).as("epoch_day"))
     val w7 = ev
@@ -671,8 +686,7 @@ object Events {
   def rollingActiveUsersApprox(spark: SparkSession, dir: String,
                                windowDays: Int = 7): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
-      .select(expr("(unix_micros(ts) div 1000) div 86400000").as("day"),
-        col("user_id"))
+      .select(epochDayExpr.as("day"), col("user_id"))
     val days = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .select(explode(sequence(col("mn"), col("mx"))).as("epoch_day"))
     val w7 = ev
@@ -723,9 +737,9 @@ object Events {
       |  SELECT event_type, COUNT(*) AS n,
       |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
       |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
-      |    CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
       |  FROM pts GROUP BY event_type
       |), derived AS (
       |  SELECT event_type, n,

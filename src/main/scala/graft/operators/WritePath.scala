@@ -244,19 +244,31 @@ object WritePath {
     * last-writer-wins union. Re-applying the same change set is a
     * no-op (idempotent — the recovery contract, tested).
     *
+    * Determinism: pass `seqCol` (a per-change sequence/offset id, the
+    * thing every CDC log carries) to fully tiebreak the winner window
+    * — highest sequence wins among same-(version, op) changes. With
+    * `seqCol = None` the stream must not contain two changes with
+    * equal (key, version, op) but different payloads: their winner
+    * would be pick-any, so the post-image could differ across runs.
+    *
     * Scale: one window over the CHANGES (batch-sized, not
     * snapshot-sized), one anti-join for tombstones, and upsert's
     * anti-join + union — all co-partitioned on the key.
     */
   def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
-               opCol: String, versionCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc, col(opCol))
+               opCol: String, versionCol: String,
+               seqCol: Option[String] = None): DataFrame = {
+    val ordering = Seq(col(versionCol).desc, col(opCol)) ++
+      seqCol.map(c => col(c).desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     val latest = changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val tombstones = latest.filter(col(opCol) === "D")
       .select(keys.map(col): _*)
+    // op and the synthetic sequence are change-stream bookkeeping, not
+    // destination columns (versionCol survival is upsert's decision)
     val upserts = latest.filter(col(opCol) =!= "D").drop(opCol)
+      .drop(seqCol.toSeq: _*)
     val survivors = base.join(tombstones, keys, "left_anti")
     upsert(survivors, upserts, keys, versionCol)
   }

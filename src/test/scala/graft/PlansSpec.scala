@@ -86,9 +86,27 @@ class PlansSpec extends AnyFunSuite {
     // (the q29 scale fix, applied twice)
     val out = operators.Similarity.knnSq8(spark, "/root/testdata/sf0.001")
     val plan = out.queryExecution.executedPlan.toString
-    val partials = "WindowGroupLimit".r.findAllIn(plan).size
-    assert(partials >= 2 && plan.contains("Partial"),
-      s"expected two WindowGroupLimit stages:\n$plan")
+    // count modes separately (a bare node count of 2 would pass with a
+    // single Partial+Final stage). The exact shape: the ADC stage
+    // shuffles on query_id, so it MUST cut map-side (Partial) before
+    // its Exchange; the re-rank stage's input arrives already
+    // hash-partitioned (the broadcast join preserves stage-1's
+    // layout), so it plans Final-only — no exchange exists there for
+    // a Partial to protect. Pin both Finals (both stages limit) and
+    // the one load-bearing Partial.
+    val partials = "WindowGroupLimit.*Partial".r.findAllIn(plan).size
+    val finals = "WindowGroupLimit.*Final".r.findAllIn(plan).size
+    assert(finals >= 2 && partials >= 1,
+      s"expected two Final WindowGroupLimit stages and the ADC-side " +
+        s"Partial (partial=$partials, final=$finals):\n$plan")
+    // the scale-critical pairing: the shuffle that feeds the ADC
+    // window sits ABOVE a Partial limit (candidates are cut to 50/query
+    // map-side, not shuffled whole)
+    val exIdx = plan.indexOf("Exchange hashpartitioning(query_id")
+    val partialIdx = plan.indexOf("WindowGroupLimit", exIdx)
+    assert(exIdx >= 0 && partialIdx >= 0 &&
+      plan.substring(partialIdx).takeWhile(_ != '\n').contains("Partial"),
+      s"ADC shuffle is not fed by a Partial WindowGroupLimit:\n$plan")
   }
 
   test("rank-family and framed windows are left alone") {

@@ -401,6 +401,21 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(twice === once)
   }
 
+  test("applyCdc seqCol tiebreaks same-(version, op) changes deterministically") {
+    import graft.operators.WritePath
+    val base = Seq((1L, "a")).toDF("k", "v")
+    // two updates with identical key/version/op but different
+    // payloads: the log offset decides — highest sequence wins
+    val changes = Seq(
+      (1L, "u-early", "U", 5L, 100L),
+      (1L, "u-late", "U", 5L, 101L))
+      .toDF("k", "v", "op", "ver", "seq")
+    val out = WritePath.applyCdc(base, changes,
+      Seq("k"), "op", "ver", seqCol = Some("seq"))
+      .select($"k", $"v").as[(Long, String)].collect().toSeq
+    assert(out === Seq((1L, "u-late")))
+  }
+
   test("rollingActiveUsersApprox tracks exact within the HLL rsd bound") {
     val exact = graft.operators.Events.rollingActiveUsers(spark, sf0001)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
