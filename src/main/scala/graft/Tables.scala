@@ -98,10 +98,22 @@ object Tables {
     * and the raw nano count is normalized here to a micros TimestampType
     * so every downstream operator sees one type.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    require(schemas.contains(name), s"unknown table: $name")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name, schemas)
+
+  /** Catalog-parameterized form: the same existence guard and read,
+    * but against a caller-supplied registry — the schema-text path
+    * ([[SchemaCatalog.parse]]) feeds the migrate pipeline through
+    * here without touching the built-in registry.
+    */
+  def load(spark: SparkSession, dir: String, name: String,
+           catalog: Map[String, StructType]): DataFrame = {
+    require(catalog.contains(name), s"unknown table: $name")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
+    val wantsTs = catalog(name).fields.exists(f =>
+      f.name == "ts" && f.dataType == TimestampType)
+    if (wantsTs && df.columns.contains("ts") &&
+        df.schema("ts").dataType == LongType)
       normalizeEventTs(df)
     else df
   }

@@ -79,12 +79,14 @@ object WritePath {
     * Returns (table -> copied row count); failed tables map to -1.
     */
   def migrate(spark: SparkSession, srcDir: String, destDir: String,
-              tables: Seq[String], keys: Map[String, Seq[String]]): Map[String, Long] =
+              tables: Seq[String], keys: Map[String, Seq[String]],
+              catalog: Map[String, org.apache.spark.sql.types.StructType]
+                = Tables.schemas): Map[String, Long] =
     tables.map { t =>
       t -> (try {
         // existence guard (E: migrate.ts:43-46)
-        require(Tables.schemas.contains(t), s"model $t not in catalog")
-        val src = Tables.load(spark, srcDir, t)
+        require(catalog.contains(t), s"model $t not in catalog")
+        val src = Tables.load(spark, srcDir, t, catalog)
         val k = keys.getOrElse(t, src.columns.take(1).toSeq)
         val deduped = src.dropDuplicates(k)
         val destPath = s"$destDir/$t.parquet"
@@ -112,6 +114,20 @@ object WritePath {
           -1L
       })
     }.toMap
+
+  /** Schema-text-driven migrate (S2 completed): the reference's whole
+    * pipeline is steered by `schema.prisma` — `migrate.ts:83-85` loads
+    * the file, derives the model list, and copies exactly those
+    * models. This is that entry point: parse the Prisma-style schema
+    * text, take the table list AND the catalog from it, run
+    * [[migrate]]. A new table set is a schema edit, not a code edit.
+    */
+  def migrateFromSchema(spark: SparkSession, schemaText: String,
+                        srcDir: String, destDir: String,
+                        keys: Map[String, Seq[String]] = Map.empty): Map[String, Long] =
+    migrate(spark, srcDir, destDir,
+      graft.SchemaCatalog.tableNames(schemaText), keys,
+      graft.SchemaCatalog.parse(schemaText))
 
   /** CSV report sink (S10; reference json2csv with explicit field order
     * and full quoting, `lib.ts:532-536`): single file, header, quoteAll.

@@ -194,4 +194,57 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.orderBy($"doc_id").collect().map(_.toString).toSeq ===
       clean.orderBy($"doc_id").collect().map(_.toString).toSeq)
   }
+
+  test("SchemaCatalog: the schema-text catalog reproduces the registry (S2)") {
+    // the two catalog forms must not drift: parsing the schema text
+    // yields exactly Tables.schemas, in the same migrate order
+    assert(SchemaCatalog.parse(SchemaCatalog.testdataSchema) === Tables.schemas)
+    assert(SchemaCatalog.tableNames(SchemaCatalog.testdataSchema) === Tables.names)
+  }
+
+  test("SchemaCatalog: scalar mapping, modifiers, attributes, relations") {
+    import org.apache.spark.sql.types._
+    val models = SchemaCatalog.parseModels(
+      """// a kitchen-sink model
+        |model Thing {
+        |  id       BigInt   @id @default(autoincrement())
+        |  name     String   // trailing comment with model Fake { junk }
+        |  score    Float?
+        |  exact    Decimal
+        |  seen     DateTime
+        |  flags    Boolean
+        |  blob     Bytes
+        |  meta     Json
+        |  counts   Int[]
+        |  vec      Float[]  @db.Real
+        |  owner    Owner    @relation(fields: [ownerId], references: [id])
+        |  ownerId  BigInt
+        |  @@map("things")
+        |  @@index([name])
+        |}
+        |model Owner {
+        |  id     BigInt  @id
+        |  things Thing[]
+        |}
+        |""".stripMargin)
+    assert(models.map(_.table) === Seq("things", "owner"))
+    val t = models.head
+    assert(t.name === "Thing")
+    assert(t.schema === StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("exact", DecimalType(18, 6)),
+      StructField("seen", TimestampType), StructField("flags", BooleanType),
+      StructField("blob", BinaryType), StructField("meta", StringType),
+      StructField("counts", ArrayType(IntegerType)),
+      StructField("vec", ArrayType(FloatType)),
+      StructField("ownerId", LongType))))
+    assert(t.required === t.schema.fieldNames.toSeq.filterNot(_ == "score"))
+    // relation-only model: list-of-model field dropped, default table name
+    assert(models(1).schema.fieldNames.toSeq === Seq("id"))
+    // unknown type is an error, not a silent drop
+    val e = intercept[IllegalArgumentException] {
+      SchemaCatalog.parseModels("model M { x NotAType }")
+    }
+    assert(e.getMessage.contains("NotAType"))
+  }
 }

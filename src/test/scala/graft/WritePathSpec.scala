@@ -99,6 +99,39 @@ class WritePathSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dest/nation.parquet").count() === 25L)
   }
 
+  test("migrate pipeline driven end-to-end from a parsed schema string (S2)") {
+    // the reference's design: schema.prisma decides what gets copied
+    // (migrate.ts:83-93) — table list AND catalog both come from the
+    // schema text, none from Scala-side registries
+    val dest = Files.createTempDirectory("graft-migrate-schema").toString
+    val src = "/root/testdata/sf0.001"
+    val schema =
+      """model Region {
+        |  r_regionkey Int    @id
+        |  r_name      String
+        |  @@map("region")
+        |}
+        |model Nation {
+        |  n_nationkey Int    @id
+        |  n_name      String
+        |  n_regionkey Int
+        |  region      Region // relation field: no physical column
+        |  @@map("nation")
+        |}
+        |model Ghost { // in the schema but absent on disk: isolated fail
+        |  g_id BigInt @id
+        |}
+        |""".stripMargin
+    val first = WritePath.migrateFromSchema(spark, schema, src, dest,
+      keys = Map("region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey")))
+    assert(first === Map("region" -> 5L, "nation" -> 25L, "ghost" -> -1L))
+    // rerun is duplicate-skipping, same as the registry-driven path
+    val second = WritePath.migrateFromSchema(spark, schema, src, dest,
+      keys = Map("region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey")))
+    assert(second === Map("region" -> 0L, "nation" -> 0L, "ghost" -> -1L))
+    assert(spark.read.parquet(s"$dest/nation.parquet").count() === 25L)
+  }
+
   test("appsStats report pipeline: flagship scores to spreadsheet CSV") {
     val out = Files.createTempDirectory("graft-report").toString + "/apps"
     graft.operators.Report.writeAppsStats(spark, "/root/testdata/sf0.001", out)
