@@ -47,10 +47,13 @@ object Jdbc {
         // replacement for the reference's single findMany cursor).
         // Positional access — unquoted aliases case-fold differently
         // across databases; NULL bounds (empty table) fall back to an
-        // unpartitioned read instead of NPEing.
+        // unpartitioned read instead of NPEing. The column is
+        // ANSI-quoted: Spark's JDBC writer creates quoted (exact-case)
+        // columns, which an unquoted reference case-folds PAST in
+        // case-folding databases (found live against embedded Derby).
         val bounds = spark.read.format("jdbc")
           .option("url", cfg.url)
-          .option("dbtable", s"(SELECT MIN($pc) lo, MAX($pc) hi FROM $table) b")
+          .option("dbtable", s"""(SELECT MIN("$pc") lo, MAX("$pc") hi FROM $table) b""")
           .option("user", cfg.user).option("password", cfg.password)
           .load().head()
         if (bounds.isNullAt(0) || bounds.isNullAt(1)) base.load()
