@@ -27,14 +27,18 @@ object IvfRecall {
     println(f"label-cells nprobe=1 mean_recall@10=" +
       f"${labelRec.agg(avg(col("recall"))).head.getDouble(0)}%.4f")
     spark.catalog.clearCache()
-    Seq(1, 2, 4).foreach { nprobe =>
-      val ann = Similarity.knnIvfKmeans(spark, dir, nprobe = nprobe)
+    for {
+      spill <- Seq(1, 2, 3)
+      nprobe <- Seq(1, 2, 4)
+    } {
+      val ann = Similarity.knnIvfKmeans(spark, dir, nprobe = nprobe,
+        spill = spill)
       // one action: the collected rows supply both the mean and the
       // per-query list (rec is uncached — a second action would re-run
       // the recall join)
       val rows = Similarity.ivfRecall(ann, exact).collect()
       val mean = rows.map(_.getDouble(1)).sum / rows.length
-      println(f"nprobe=$nprobe%d mean_recall@10=$mean%.4f per_query=" +
+      println(f"spill=$spill%d nprobe=$nprobe%d mean_recall@10=$mean%.4f per_query=" +
         rows.map(r => f"${r.getDouble(1)}%.2f").mkString(","))
       spark.catalog.clearCache()
     }

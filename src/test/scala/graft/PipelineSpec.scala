@@ -240,6 +240,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(indexed.nonEmpty)
   }
 
+  test("IVF spill assignment replicates corpus vectors and can only add recall") {
+    import java.nio.file.Files
+    val dir = "/root/testdata/sf0.001"
+    val idx = Files.createTempDirectory("graft-ivf-spill").toString
+    Similarity.buildIvfIndex(spark, dir, idx, kCells = 4, iters = 1, spill = 2)
+    // every corpus vector is stored in exactly its 2 nearest cells
+    val copies = spark.read.parquet(s"$idx/corpus")
+      .groupBy($"vec_id").count().select($"count").distinct()
+      .as[Long].collect().toSeq
+    assert(copies === Seq(2L))
+    // the spilled index returns the same rows as the in-memory spill
+    // path (deterministic centroids), and its per-query hit set
+    // against exact top-10 is a superset of the unspilled one: the
+    // runner-up-cell copies only ADD candidates to the probed scan
+    val exact = Similarity.knnBrute(spark, dir).localCheckpoint()
+    val spill1 = Similarity.knnIvfKmeans(spark, dir, kCells = 4, iters = 1, nprobe = 2)
+    val spill2 = Similarity.knnIvfIndexed(spark, dir, idx, nprobe = 2)
+    val inMem2 = Similarity.knnIvfKmeans(spark, dir, kCells = 4, iters = 1,
+      nprobe = 2, spill = 2).as[(Long, Long, Double, Int)].collect().toSeq
+    assert(spill2.as[(Long, Long, Double, Int)].collect().toSeq === inMem2)
+    val r1 = Similarity.ivfRecall(spill1, exact).as[(Long, Double)].collect().toMap
+    val r2 = Similarity.ivfRecall(spill2, exact).as[(Long, Double)].collect().toMap
+    assert(r1.keySet === r2.keySet)
+    r1.keys.foreach(q => assert(r2(q) >= r1(q), s"query $q: ${r2(q)} < ${r1(q)}"))
+  }
+
   test("approx quantiles track the exact rank-selection form") {
     // the 100 TB path (mergeable sketch, no per-group sort) must stay
     // close to the oracle-exact per-group rank selection
