@@ -31,20 +31,34 @@ object Curation {
     * window — for heavy groups this is the sort-based variant of
     * approx_percentile, chosen here for oracle exactness.
     */
-  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+  def lengthQuantiles(spark: SparkSession, dir: String,
+                      mode: graft.ScaleMode = graft.ScaleMode.Exact): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
-    val ranked = docs
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
-    ranked.groupBy(col("lang"))
-      .agg(
-        max(col("n")).as("n_docs"),
-        // integer div (Column./ is double division — a fractional rank
-        // would match nothing and null the quantile)
-        max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("median_chars"),
-        max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("n_chars"))).as("p90_chars"))
-      .orderBy(col("lang"))
+    // the ONLY exact↔sketch difference: quantile strategy — per-group
+    // rank selection (exact, needs the per-group sort) vs the
+    // mergeable approx_percentile sketch (partial+final only, the
+    // 100 TB plan). Shared load and output shape.
+    val quantiled = mode match {
+      case graft.ScaleMode.Exact =>
+        val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+        docs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+          .groupBy(col("lang"))
+          .agg(
+            max(col("n")).as("n_docs"),
+            // integer div (Column./ is double division — a fractional
+            // rank would match nothing and null the quantile)
+            max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("median_chars"),
+            max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("n_chars"))).as("p90_chars"))
+      case graft.ScaleMode.Sketch =>
+        docs.groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("median_chars"),
+            percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("p90_chars"))
+    }
+    quantiled.orderBy(col("lang"))
   }
 
   val lengthQuantilesSql: String =
@@ -59,23 +73,14 @@ object Curation {
       |  MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_chars END) AS p90_chars
       |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** The 100 TB form of [[lengthQuantiles]]: one-pass mergeable
-    * quantile sketch (`approx_percentile`) instead of the exact
-    * per-group rank selection — no per-group sort, partial+final
-    * aggregation only. Not oracle-registered (sketch interpolation
-    * differs across engines); QuantilesSpec bounds its error against
+  /** The 100 TB form of [[lengthQuantiles]] (benched as x01):
+    * [[graft.ScaleMode.Sketch]] — one-pass mergeable quantile sketch,
+    * no per-group sort. Not oracle-registered (sketch interpolation
+    * differs across engines); the spec suite bounds its error against
     * the exact form.
     */
-  def lengthQuantilesApprox(spark: SparkSession, dir: String,
-                            accuracy: Int = 10000): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    docs.groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        percentile_approx(col("n_chars"), lit(0.5), lit(accuracy)).as("median_chars"),
-        percentile_approx(col("n_chars"), lit(0.9), lit(accuracy)).as("p90_chars"))
-      .orderBy(col("lang"))
-  }
+  def lengthQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    lengthQuantiles(spark, dir, graft.ScaleMode.Sketch)
 
   /** q60 — histogram (equi-width bin) quantiles: the deterministic
     * 100 TB scale path for [[lengthQuantiles]]. Bin every length into

@@ -288,29 +288,60 @@ object Events {
     * approx-quantile boundaries broadcast back (q42's documented
     * exact-vs-approx tradeoff, applied to users instead of lengths).
     */
-  def rfm(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.load(spark, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .withColumn("ts_ms", tsMs("ts"))
-    val maxTs = p.agg(max(col("ts_ms")).as("corpus_max_ms"))
-    val per = p.groupBy(col("user_id"))
-      .agg(max(col("ts_ms")).as("last_ms"),
-        count(lit(1)).as("frequency"),
-        decSum(col("value")).as("monetary"))
-      .crossJoin(broadcast(maxTs))
-      .withColumn("recency_ms", col("corpus_max_ms") - col("last_ms"))
-    def quintile(order: Column*): Column = ntile(5).over(
-      Window.orderBy(order: _*))
-    per
-      .withColumn("r_score", quintile(col("recency_ms").desc, col("user_id")))
-      .withColumn("f_score", quintile(col("frequency").asc, col("user_id")))
-      .withColumn("m_score", quintile(col("monetary").asc, col("user_id")))
+  def rfm(spark: SparkSession, dir: String,
+          mode: graft.ScaleMode = graft.ScaleMode.Exact): DataFrame = {
+    val per = rfmPerUser(spark, dir)
+    // the ONLY exact↔sketch difference: quintile scoring — global
+    // ntile windows (integer-exact, single-partition sort) vs
+    // approx_percentile boundaries broadcast back (fully parallel,
+    // ties split by value instead of position). Base aggregate and
+    // output shape are one shared body.
+    val scored = mode match {
+      case graft.ScaleMode.Exact =>
+        def quintile(order: Column*): Column = ntile(5).over(
+          Window.orderBy(order: _*))
+        per
+          .withColumn("r_score", quintile(col("recency_ms").desc, col("user_id")))
+          .withColumn("f_score", quintile(col("frequency").asc, col("user_id")))
+          .withColumn("m_score", quintile(col("monetary").asc, col("user_id")))
+      case graft.ScaleMode.Sketch =>
+        val qs = array((1 to 4).map(i => lit(i / 5.0)): _*)
+        val bounds = per.agg(
+          percentile_approx(col("recency_ms"), qs, lit(10000)).as("rb"),
+          percentile_approx(col("frequency"), qs, lit(10000)).as("fb"),
+          percentile_approx(col("monetary"), qs, lit(10000)).as("mb"))
+        def above(c: Column, b: Column): Column =
+          (1 to 4).map(i => (c > element_at(b, i)).cast("int")).reduce(_ + _) + 1
+        def below(c: Column, b: Column): Column =
+          (1 to 4).map(i => (c < element_at(b, i)).cast("int")).reduce(_ + _) + 1
+        per.crossJoin(broadcast(bounds))
+          .withColumn("r_score", below(col("recency_ms"), col("rb")))
+          .withColumn("f_score", above(col("frequency"), col("fb")))
+          .withColumn("m_score", above(col("monetary"), col("mb")))
+    }
+    scored
       .withColumn("rfm",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .select(col("user_id"), col("recency_ms"), col("frequency"),
         col("monetary"), col("r_score"), col("f_score"), col("m_score"),
         col("rfm"))
       .orderBy(col("user_id"))
+  }
+
+  /** Shared q90/x02 base: one map-side-combinable per-user aggregate
+    * over purchases, corpus max broadcast back (q03/q12's pattern).
+    */
+  private def rfmPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("ts_ms", tsMs("ts"))
+    val maxTs = p.agg(max(col("ts_ms")).as("corpus_max_ms"))
+    p.groupBy(col("user_id"))
+      .agg(max(col("ts_ms")).as("last_ms"),
+        count(lit(1)).as("frequency"),
+        decSum(col("value")).as("monetary"))
+      .crossJoin(broadcast(maxTs))
+      .withColumn("recency_ms", col("corpus_max_ms") - col("last_ms"))
   }
 
   val rfmSql: String =
@@ -348,37 +379,8 @@ object Events {
     * the sketch itself is approximate) — the exact form stays the
     * oracle.
     */
-  def rfmApprox(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.load(spark, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .withColumn("ts_ms", tsMs("ts"))
-    val maxTs = p.agg(max(col("ts_ms")).as("corpus_max_ms"))
-    val per = p.groupBy(col("user_id"))
-      .agg(max(col("ts_ms")).as("last_ms"),
-        count(lit(1)).as("frequency"),
-        decSum(col("value")).as("monetary"))
-      .crossJoin(broadcast(maxTs))
-      .withColumn("recency_ms", col("corpus_max_ms") - col("last_ms"))
-    val qs = array((1 to 4).map(i => lit(i / 5.0)): _*)
-    val bounds = per.agg(
-      percentile_approx(col("recency_ms"), qs, lit(10000)).as("rb"),
-      percentile_approx(col("frequency"), qs, lit(10000)).as("fb"),
-      percentile_approx(col("monetary"), qs, lit(10000)).as("mb"))
-    def above(c: Column, b: Column): Column =
-      (1 to 4).map(i => (c > element_at(b, i)).cast("int")).reduce(_ + _) + 1
-    def below(c: Column, b: Column): Column =
-      (1 to 4).map(i => (c < element_at(b, i)).cast("int")).reduce(_ + _) + 1
-    per.crossJoin(broadcast(bounds))
-      .withColumn("r_score", below(col("recency_ms"), col("rb")))
-      .withColumn("f_score", above(col("frequency"), col("fb")))
-      .withColumn("m_score", above(col("monetary"), col("mb")))
-      .withColumn("rfm",
-        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
-      .select(col("user_id"), col("recency_ms"), col("frequency"),
-        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
-        col("rfm"))
-      .orderBy(col("user_id"))
-  }
+  def rfmApprox(spark: SparkSession, dir: String): DataFrame =
+    rfm(spark, dir, graft.ScaleMode.Sketch)
 
   /** q91 — last-touch attribution: each purchase is attributed to the
     * same user's most recent PRIOR touch (click or view); purchases
@@ -656,7 +658,15 @@ object Events {
     * exact stays as the oracle form.
     */
   def rollingActiveUsers(spark: SparkSession, dir: String,
-                         windowDays: Int = 7): DataFrame = {
+                         windowDays: Int = 7,
+                         mode: graft.ScaleMode = graft.ScaleMode.Exact): DataFrame = {
+    // the ONLY exact↔sketch difference: the distinct-user aggregation
+    // strategy — exact set vs fixed-size HLL sketch (rsd 1%). The
+    // explode shape, spine, joins, and output are one shared body.
+    val distinctUsers: Column => Column = mode match {
+      case graft.ScaleMode.Exact  => countDistinct(_)
+      case graft.ScaleMode.Sketch => approx_count_distinct(_, 0.01)
+    }
     val ev = Tables.load(spark, dir, "events")
       .select(epochDayExpr.as("day"), col("user_id"))
     val days = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
@@ -665,9 +675,9 @@ object Events {
       .select(explode(sequence(col("day"), col("day") + (windowDays - 1)))
         .as("epoch_day"), col("user_id"))
       .groupBy(col("epoch_day"))
-      .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      .agg(distinctUsers(col("user_id")).as("n_users_7d"))
     val d1 = ev.groupBy(col("day").as("epoch_day"))
-      .agg(countDistinct(col("user_id")).as("n_users_1d"))
+      .agg(distinctUsers(col("user_id")).as("n_users_1d"))
     days
       .join(d1, Seq("epoch_day"), "left")
       .join(w7, Seq("epoch_day"), "left")
@@ -678,32 +688,13 @@ object Events {
   }
 
   /** 100 TB scale path of q106 (benched as x03, not oracle-graded):
-    * the exact (day, user) distinct aggregates swapped for
-    * approx_count_distinct's HLL sketches — same explode shape, but
-    * the per-day state is a fixed-size sketch instead of a user set
-    * (rsd 1%); the exact form stays the oracle.
+    * [[rollingActiveUsers]] in [[graft.ScaleMode.Sketch]] — the exact
+    * (day, user) distinct aggregates become HLL sketches; the exact
+    * form stays the oracle.
     */
   def rollingActiveUsersApprox(spark: SparkSession, dir: String,
-                               windowDays: Int = 7): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-      .select(epochDayExpr.as("day"), col("user_id"))
-    val days = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
-      .select(explode(sequence(col("mn"), col("mx"))).as("epoch_day"))
-    val w7 = ev
-      .select(explode(sequence(col("day"), col("day") + (windowDays - 1)))
-        .as("epoch_day"), col("user_id"))
-      .groupBy(col("epoch_day"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_7d"))
-    val d1 = ev.groupBy(col("day").as("epoch_day"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_1d"))
-    days
-      .join(d1, Seq("epoch_day"), "left")
-      .join(w7, Seq("epoch_day"), "left")
-      .select(col("epoch_day"),
-        coalesce(col("n_users_1d"), lit(0L)).as("n_users_1d"),
-        coalesce(col("n_users_7d"), lit(0L)).as("n_users_7d"))
-      .orderBy(col("epoch_day"))
-  }
+                               windowDays: Int = 7): DataFrame =
+    rollingActiveUsers(spark, dir, windowDays, graft.ScaleMode.Sketch)
 
   def rollingActiveUsersSql(windowDays: Int = 7): String =
     s"""WITH ev AS (

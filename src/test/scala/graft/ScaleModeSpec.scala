@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The exact↔sketch dial (round-8 verdict item 8): each operator with
+  * a scale twin exposes ONE entry point taking a [[ScaleMode]], and
+  * the legacy *Approx names are thin delegations — flipping a
+  * pipeline to sketch mode is a parameter change, not a rewiring.
+  */
+class ScaleModeSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  val sf0001 = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("one entry point per operator: Sketch mode == the *Approx twin") {
+    // deterministic sketches (same input, same plan) make these exact
+    // equalities — the wrapper and the mode flag are one code path
+    assert(rows(operators.Curation.lengthQuantiles(spark, sf0001, ScaleMode.Sketch))
+      === rows(operators.Curation.lengthQuantilesApprox(spark, sf0001)))
+    assert(rows(operators.Events.rfm(spark, sf0001, ScaleMode.Sketch))
+      === rows(operators.Events.rfmApprox(spark, sf0001)))
+    assert(rows(operators.Events.rollingActiveUsers(spark, sf0001,
+        mode = ScaleMode.Sketch))
+      === rows(operators.Events.rollingActiveUsersApprox(spark, sf0001)))
+  }
+
+  test("mode flip preserves the output contract (schema and keys)") {
+    // a pipeline consuming the exact form can consume the sketch form
+    // unchanged: same column names, same key set
+    def contract(name: String,
+                 f: ScaleMode => org.apache.spark.sql.DataFrame,
+                 keyCol: String): Unit = {
+      val e = f(ScaleMode.Exact)
+      val s = f(ScaleMode.Sketch)
+      assert(e.columns.toSeq === s.columns.toSeq, name)
+      val ek = e.select(keyCol).collect().map(_.get(0)).toSet
+      val sk = s.select(keyCol).collect().map(_.get(0)).toSet
+      assert(ek === sk, name)
+      assert(ek.nonEmpty, name)
+    }
+    contract("lengthQuantiles",
+      m => operators.Curation.lengthQuantiles(spark, sf0001, m), "lang")
+    contract("rfm", m => operators.Events.rfm(spark, sf0001, m), "user_id")
+    contract("rollingActiveUsers",
+      m => operators.Events.rollingActiveUsers(spark, sf0001, mode = m),
+      "epoch_day")
+  }
+}
