@@ -81,7 +81,8 @@ object WritePath {
   def migrate(spark: SparkSession, srcDir: String, destDir: String,
               tables: Seq[String], keys: Map[String, Seq[String]],
               catalog: Map[String, org.apache.spark.sql.types.StructType]
-                = Tables.schemas): Map[String, Long] =
+                = Tables.schemas,
+              required: Map[String, Seq[String]] = Map.empty): Map[String, Long] =
     tables.map { t =>
       t -> (try {
         // existence guard (E: migrate.ts:43-46)
@@ -101,9 +102,16 @@ object WritePath {
             val existing = spark.read.parquet(destPath)
             deduped.join(existing, k, "left_anti")
           } else deduped
-        // empty-input short-circuit (E3: migrate.ts:53-56)
-        val n = toWrite.count()
-        if (n > 0) toWrite.write.mode(SaveMode.Append).parquet(destPath)
+        // empty-input short-circuit (E3: migrate.ts:53-56); with a
+        // required-columns contract the write runs in E2 quarantine
+        // mode (contract-violating rows isolated, copy proceeds)
+        val n = required.get(t).filter(_.nonEmpty) match {
+          case Some(req) => appendWithQuarantine(toWrite, destPath, req)._1
+          case None =>
+            val c = toWrite.count()
+            if (c > 0) toWrite.write.mode(SaveMode.Append).parquet(destPath)
+            c
+        }
         // structured progress logging (E6: migrate.ts:39, 66, 72)
         System.err.println(s"[migrate] $t: copied $n rows")
         n
@@ -115,6 +123,42 @@ object WritePath {
       })
     }.toMap
 
+  /** E2 per-batch error isolation, Spark-shaped: the reference's
+    * migrate loop logs a failed 100-row insert chunk and PROCEEDS with
+    * later chunks (`migrate.ts:67-69`) — partial progress instead of
+    * all-or-nothing. A Spark job is write-atomic, so the honest
+    * equivalent isolates at the granularity that actually fails in a
+    * copy pipeline: ROWS that would violate the destination contract
+    * (required/NOT-NULL columns, from the schema catalog's `?`
+    * markers). One pass splits the batch; contract-clean rows append
+    * to the destination, violating rows land in `<dest>_quarantine`
+    * with the same schema for replay after repair — no partially
+    * applied files, nothing silently dropped. Returns (nGood, nBad).
+    *
+    * Scale: the split is a narrow map over the scan (one
+    * materialization feeds both writes); quarantine is expected-tiny
+    * and never joins anything.
+    */
+  def appendWithQuarantine(df: DataFrame, destPath: String,
+                           required: Seq[String]): (Long, Long) = {
+    val bad = required.map(col(_).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val flagged = df.withColumn("__bad", bad).localCheckpoint()
+    val good = flagged.filter(!col("__bad")).drop("__bad")
+    val badRows = flagged.filter(col("__bad")).drop("__bad")
+    val nGood = good.count()
+    val nBad = badRows.count()
+    if (nGood > 0) good.write.mode(SaveMode.Append).parquet(destPath)
+    if (nBad > 0) {
+      badRows.write.mode(SaveMode.Append).parquet(s"${destPath}_quarantine")
+      // the reference logs and continues (migrate.ts:67-69); same here
+      System.err.println(
+        s"[migrate] quarantined $nBad row(s) violating required " +
+          s"columns ${required.mkString(",")} -> ${destPath}_quarantine")
+    }
+    (nGood, nBad)
+  }
+
   /** Schema-text-driven migrate (S2 completed): the reference's whole
     * pipeline is steered by `schema.prisma` — `migrate.ts:83-85` loads
     * the file, derives the model list, and copies exactly those
@@ -124,10 +168,16 @@ object WritePath {
     */
   def migrateFromSchema(spark: SparkSession, schemaText: String,
                         srcDir: String, destDir: String,
-                        keys: Map[String, Seq[String]] = Map.empty): Map[String, Long] =
-    migrate(spark, srcDir, destDir,
-      graft.SchemaCatalog.tableNames(schemaText), keys,
-      graft.SchemaCatalog.parse(schemaText))
+                        keys: Map[String, Seq[String]] = Map.empty,
+                        quarantine: Boolean = false): Map[String, Long] = {
+    val models = graft.SchemaCatalog.parseModels(schemaText)
+    migrate(spark, srcDir, destDir, models.map(_.table), keys,
+      models.map(m => m.table -> m.schema).toMap,
+      // quarantine mode enforces the schema's requiredness (non-`?`
+      // fields) as the E2 write contract
+      if (quarantine) models.map(m => m.table -> m.required).toMap
+      else Map.empty)
+  }
 
   /** CSV report sink (S10; reference json2csv with explicit field order
     * and full quoting, `lib.ts:532-536`): single file, header, quoteAll.

@@ -132,6 +132,41 @@ class WritePathSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dest/nation.parquet").count() === 25L)
   }
 
+  test("E2 quarantine mode: contract-violating rows isolated, copy proceeds") {
+    // reference semantics: a failed insert chunk is logged and later
+    // chunks proceed (migrate.ts:67-69); here the failing unit is the
+    // row violating the schema's requiredness contract
+    val src = Files.createTempDirectory("graft-q-src").toString
+    val dest = Files.createTempDirectory("graft-q-dest").toString
+    Seq((Some(0), Some("AFRICA")), (Some(1), None), (None, Some("ASIA")),
+        (Some(3), Some("EUROPE")))
+      .toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$src/region.parquet")
+    val schema =
+      """model Region {
+        |  r_regionkey Int    @id
+        |  r_name      String
+        |  @@map("region")
+        |}""".stripMargin
+    val copied = WritePath.migrateFromSchema(spark, schema, src, dest,
+      keys = Map("region" -> Seq("r_regionkey")), quarantine = true)
+    assert(copied === Map("region" -> 2L)) // two clean rows copied
+    val good = spark.read.parquet(s"$dest/region.parquet")
+      .as[(Option[Int], Option[String])].collect().toSet
+    assert(good === Set((Some(0), Some("AFRICA")), (Some(3), Some("EUROPE"))))
+    // violating rows preserved, same schema, for replay after repair
+    val quar = spark.read.parquet(s"$dest/region.parquet_quarantine")
+      .as[(Option[Int], Option[String])].collect().toSet
+    assert(quar === Set((Some(1), None), (None, Some("ASIA"))))
+    // rerun: clean rows dedup-skip, the same bad rows quarantine again
+    // (append mode: replay bookkeeping is the operator's contract, not
+    // dedup of the quarantine itself)
+    val again = WritePath.migrateFromSchema(spark, schema, src, dest,
+      keys = Map("region" -> Seq("r_regionkey")), quarantine = true)
+    assert(again === Map("region" -> 0L))
+    assert(spark.read.parquet(s"$dest/region.parquet").count() === 2L)
+  }
+
   test("appsStats report pipeline: flagship scores to spreadsheet CSV") {
     val out = Files.createTempDirectory("graft-report").toString + "/apps"
     graft.operators.Report.writeAppsStats(spark, "/root/testdata/sf0.001", out)
