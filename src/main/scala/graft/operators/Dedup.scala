@@ -1204,6 +1204,106 @@ object Dedup {
       |JOIN sizes sb ON s.source_b = sb.source
       |ORDER BY s.source_a, s.source_b""".stripMargin
 
+  /** q112 — MinHash estimator audit: for every LSH candidate pair
+    * (q27's banding, NO threshold filter), the signature-agreement
+    * Jaccard ESTIMATE (agreeing slots / numHashes) next to the exact
+    * Jaccard and the absolute error — the calibration report that
+    * says whether the sketch's (numHashes, bands) setting can be
+    * trusted before a 100 TB run commits to it. Oracle-exact end to
+    * end because the md5 universal family is stated identically in
+    * DuckDB (q27's round-2 result), so both engines produce the SAME
+    * estimates, not just the same true values.
+    *
+    * Scale: candidates come only from band buckets (the q27 payoff);
+    * the agreement check joins the numHashes-wide signature row per
+    * side (one row per doc), and verification is candidate-bounded.
+    */
+  def minhashEstimateAudit(spark: SparkSession, dir: String, k: Int = 3,
+                           numHashes: Int = 24, bands: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = keptShingles(docs, k, dfCap = 200)
+    val rows = numHashes / bands
+    val sig = minhashSignatures(spark, kept, numHashes).localCheckpoint()
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"h${b * rows + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws("|", slice: _*).as("bucket"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint()
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 until numHashes)
+      .map(i => (col(s"sa.h$i") === col(s"sb.h$i")).cast("long")).reduce(_ + _)
+    val sets = kept.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sh_set"))
+    candidates
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("n_agree", agree)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), "doc_b")
+      .withColumn("n_shared", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("est_jaccard",
+        round(col("n_agree").cast("double") / numHashes, 6))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (size(col("set_a")) + size(col("set_b")) - col("n_shared")), 6))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("n_shared"),
+        col("est_jaccard"), col("jaccard"), col("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def minhashEstimateAuditSql(numHashes: Int = 24, bands: Int = 8): String = {
+    val rows = numHashes / bands
+    s"""WITH $shingleCtes, hx AS (
+      |  SELECT doc_id, shingle,
+      |    CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483647 AS x
+      |  FROM kept
+      |), sig AS (
+      |  SELECT doc_id, slots.i AS slot, MIN((slots.a * x + slots.b) % 2147483647) AS h
+      |  FROM hx, ${graft.functions.PortableHash.slotConstantsSql(numHashes)}
+      |  GROUP BY doc_id, slots.i
+      |), banded AS (
+      |  SELECT doc_id, slot // $rows AS band,
+      |    string_agg(CAST(h AS VARCHAR), '|' ORDER BY slot) AS bucket
+      |  FROM sig GROUP BY doc_id, slot // $rows
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id
+      |), agree AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.slot = sa.slot
+      |  GROUP BY c.doc_a, c.doc_b
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+      |), shared AS (
+      |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM cand c
+      |  JOIN kept ka ON ka.doc_id = c.doc_a
+      |  JOIN kept kb ON kb.doc_id = c.doc_b AND kb.shingle = ka.shingle
+      |  GROUP BY c.doc_a, c.doc_b
+      |)
+      |SELECT g.doc_a, g.doc_b, g.n_agree,
+      |  COALESCE(s.n_shared, 0) AS n_shared,
+      |  ROUND(CAST(g.n_agree AS DOUBLE) / $numHashes, 6) AS est_jaccard,
+      |  ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+      |    / (sa.n_sh + sb.n_sh - COALESCE(s.n_shared, 0)), 6) AS jaccard,
+      |  ROUND(ABS(ROUND(CAST(g.n_agree AS DOUBLE) / $numHashes, 6)
+      |    - ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+      |        / (sa.n_sh + sb.n_sh - COALESCE(s.n_shared, 0)), 6)), 6) AS abs_err
+      |FROM agree g
+      |LEFT JOIN shared s ON g.doc_a = s.doc_a AND g.doc_b = s.doc_b
+      |JOIN sizes sa ON g.doc_a = sa.doc_id
+      |JOIN sizes sb ON g.doc_b = sb.doc_id
+      |ORDER BY g.doc_a, g.doc_b""".stripMargin
+  }
+
   /** q111 — prefix-novelty scoring: per document (in doc_id ingestion
     * order), the fraction of its distinct k-shingles NOT seen in any
     * earlier document — the running "is this feed still contributing

@@ -128,6 +128,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       (2L, 2L, 1L, 0.5)))  // "x y z" already seen in doc 1; doc 3 has no shingles
   }
 
+  test("minhashEstimateAudit: identical docs estimate 1.0 with zero error") {
+    val dir = docsDir(Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "p q r s t u v w"),     // exact dup of 1: every band collides
+      (3L, "completely different words here now")))
+    val got = graft.operators.Dedup.minhashEstimateAudit(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    val dup = got.find(r => r._1 == 1L && r._2 == 2L)
+    assert(dup.isDefined, s"dup pair not a candidate: $got")
+    val (_, _, nAgree, _, est, jac, err) = dup.get
+    assert(nAgree === 24L && est === 1.0 && jac === 1.0 && err === 0.0)
+    // doc 3 shares no shingle with 1/2: if it surfaced as a candidate
+    // (possible only via hash collision), its exact jaccard must be 0
+    got.filter(r => r._2 == 3L).foreach(r => assert(r._6 === 0.0))
+  }
+
   test("spanize tiles the token list exactly (no loss, no overlap)") {
     val docs = Seq(
       (1L, "a b c d e f g"),   // 7 tokens, w=3 -> spans of 3,3,1
