@@ -1165,11 +1165,13 @@ object Dedup {
         col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
+    // sizes is |sources| rows — broadcast explicitly (post-aggregation
+    // size estimates are conservative and planned these as SMJs)
     shared
-      .join(sizes.withColumnRenamed("source", "source_a")
-        .withColumnRenamed("n_sh", "n_sh_a"), "source_a")
-      .join(sizes.withColumnRenamed("source", "source_b")
-        .withColumnRenamed("n_sh", "n_sh_b"), "source_b")
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_sh", "n_sh_a")), "source_a")
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_sh", "n_sh_b")), "source_b")
       .select(col("source_a"), col("source_b"), col("n_shared"),
         col("n_sh_a"), col("n_sh_b"),
         round(col("n_shared").cast("double") /
