@@ -870,6 +870,90 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** q113 — per-language Zipf rank-frequency fit: OLS of log10(tf) on
+    * log10(rank) over each language's top-`topN` tokens — slope ≈ −1
+    * is healthy natural text; a flattened or cliffed curve flags
+    * templated/boilerplate feeds before any dedup runs. The top-N cut
+    * keeps the per-group sort a partial top-k (rank ≤ literal →
+    * WindowGroupLimit), and the regression is q102's
+    * sufficient-statistics discipline: per-term round(·, 6) before the
+    * DECIMAL(28,6) sum, one fixed operand order, NULLIF degeneracy.
+    *
+    * Scale: one (lang, token) aggregate with map-side combine, a
+    * per-lang top-k window (map-side limited), then a lang-keyed
+    * 5-sum aggregate. log10 is graded-portable here (q03/q11
+    * precedent: both engines agree on these magnitudes).
+    */
+  def zipfFit(spark: SparkSession, dir: String, topN: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(round(c, 6).cast(dec)).cast("double")
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("tf").desc, col("token"))
+    val ranked = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .withColumn("x", log10(col("rank")))
+      .withColumn("y", log10(col("tf")))
+    val stats = ranked.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_terms"),
+      dsum(col("x")).as("sx"),
+      dsum(col("y")).as("sy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("y") * col("y")).as("syy"))
+    stats
+      .withColumn("den", nullif(col("n_terms") * col("sxx") - col("sx") * col("sx"), lit(0.0)))
+      .withColumn("num", col("n_terms") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("zipf_slope", round(col("num") / col("den"), 6))
+      .withColumn("intercept", round(
+        (col("sy") - (col("num") / col("den")) * col("sx")) / col("n_terms"), 6))
+      .withColumn("r2", round(
+        (col("num") * col("num")) /
+          nullif(col("den") * (col("n_terms") * col("syy") - col("sy") * col("sy")),
+            lit(0.0)), 6))
+      .select(col("lang"), col("n_terms"), col("zipf_slope"),
+        col("intercept"), col("r2"))
+      .orderBy(col("lang"))
+  }
+
+  def zipfFitSql(topN: Int = 500): String =
+    s"""WITH tf AS (
+      |  SELECT lang, token, COUNT(*) AS tf FROM (
+      |    SELECT lang, unnest(list_filter(
+      |      string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  ) GROUP BY lang, token
+      |), ranked AS (
+      |  SELECT lang, tf,
+      |    row_number() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rank
+      |  FROM tf QUALIFY rank <= $topN
+      |), pts AS (
+      |  SELECT lang, log10(CAST(rank AS DOUBLE)) AS x,
+      |    log10(CAST(tf AS DOUBLE)) AS y
+      |  FROM ranked
+      |), stats AS (
+      |  SELECT lang, COUNT(*) AS n_terms,
+      |    CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |  FROM pts GROUP BY lang
+      |), derived AS (
+      |  SELECT lang, n_terms,
+      |    NULLIF(n_terms * sxx - sx * sx, 0.0) AS den,
+      |    n_terms * sxy - sx * sy AS num, sx, sy, syy
+      |  FROM stats
+      |)
+      |SELECT lang, n_terms,
+      |  ROUND(num / den, 6) AS zipf_slope,
+      |  ROUND((sy - (num / den) * sx) / n_terms, 6) AS intercept,
+      |  ROUND((num * num) / NULLIF(den * (n_terms * syy - sy * sy), 0.0), 6) AS r2
+      |FROM derived ORDER BY lang""".stripMargin
+
   def vocabularyGrowthSql(bucket: Int = 100): String =
     s"""WITH tok AS (
       |  SELECT doc_id, unnest(list_filter(

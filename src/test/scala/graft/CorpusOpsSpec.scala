@@ -144,6 +144,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     got.filter(r => r._2 == 3L).foreach(r => assert(r._6 === 0.0))
   }
 
+  test("zipfFit: exact power-law fits slope -1; flat distribution fits slope 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    Seq(
+      // zz: tf = 6, 3, 2 = 6/rank exactly -> log-log slope -1, r2 = 1
+      (1L, "a a a a a a b b b c c", "zz"),
+      // ff: all tf equal -> slope 0, r2 degenerate (NULL)
+      (2L, "p q r s", "ff"))
+      .map { case (id, text, lang) => (id, text, lang, "unit", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.zipfFit(spark, dir)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    val ff = got.find(_._1 == "ff").get
+    assert(ff._2 === 4L && ff._3 === Some(0.0) && ff._5 === None)
+    val zz = got.find(_._1 == "zz").get
+    assert(zz._2 === 3L)
+    assert(math.abs(zz._3.get + 1.0) < 1e-5, s"slope ${zz._3.get}")
+    assert(math.abs(zz._4.get - math.log10(6.0)) < 1e-5)
+    assert(zz._5.get > 0.9999) // 6dp per-term rounding costs ~2e-5 of r2
+  }
+
   test("spanize tiles the token list exactly (no loss, no overlap)") {
     val docs = Seq(
       (1L, "a b c d e f g"),   // 7 tokens, w=3 -> spans of 3,3,1
