@@ -255,6 +255,68 @@ object Multimodal {
     }.toDF().orderBy(col("doc_id"))
   }
 
+  case class AudioWindow(doc_id: Long, window_idx: Int, energy: Long)
+
+  /** q114 — audio feature extraction: the payload as a PCM16-LE sample
+    * stream, reduced to per-window energy (Σ s², the classic VAD /
+    * silence-detection feature). This kernel is REAL — little-endian
+    * int16 decode with sign handling (spec-covers a negative sample)
+    * and exact integer energy, so the whole audio path is
+    * oracle-checkable: no float windowing, no codec dependency. A
+    * trailing odd byte and a trailing partial window are dropped
+    * (frameSample's tail convention).
+    *
+    * Scale: narrow mapPartitions over the payload scan — no shuffle;
+    * output is windows-per-doc rows (corpus bytes / (2·window)),
+    * partition-local until the presentation sort.
+    */
+  def pcmWindowEnergy(spark: SparkSession, dir: String,
+                      window: Int = 16): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nSamples = r.payload.length / 2
+        val nWindows = nSamples / window
+        (0 until nWindows).iterator.map { w =>
+          var e = 0L
+          var i = w * window
+          val end = i + window
+          while (i < end) {
+            val lo = r.payload(2 * i) & 0xFF
+            val hi = r.payload(2 * i + 1) // SIGNED high byte: int16 LE
+            val s = (hi << 8) | lo
+            e += s.toLong * s
+            i += 1
+          }
+          AudioWindow(r.doc_id, w, e)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"), col("window_idx"))
+  }
+
+  /** Oracle: the same int16-LE windowed energy restated over the text
+    * bytes. The ASCII corpus keeps every high byte < 0x80, so the
+    * sign branch contributes nothing here (it is unit-covered with
+    * crafted bytes instead); byte i of the payload is
+    * ascii(substr(text, i+1, 1)).
+    */
+  def pcmWindowEnergySql(window: Int = 16): String =
+    s"""WITH base AS (
+      |  SELECT doc_id, text, strlen(text) // 2 AS n_samp FROM documents
+      |), w AS (
+      |  SELECT doc_id, text, CAST(f AS INT) AS window_idx
+      |  FROM base, unnest(range(0, n_samp // $window)) AS t(f)
+      |), s AS (
+      |  SELECT doc_id, window_idx,
+      |    ascii(substr(text, CAST((window_idx * $window + i) * 2 + 1 AS INT), 1))
+      |      + 256 * ascii(substr(text, CAST((window_idx * $window + i) * 2 + 2 AS INT), 1)) AS smp
+      |  FROM w, unnest(range(0, $window)) AS t2(i)
+      |)
+      |SELECT doc_id, window_idx, CAST(SUM(smp * smp) AS BIGINT) AS energy
+      |FROM s GROUP BY doc_id, window_idx
+      |ORDER BY doc_id, window_idx""".stripMargin
+
   /** Oracle: frame arithmetic + byte sums restated over the UTF-8 text
     * bytes (ASCII corpus: code units == bytes, so the byte sum of a
     * frame equals the sum of ascii codes of its 32-char window).

@@ -335,6 +335,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.sniffJpeg(Array(0xFF.toByte, 0xD8.toByte)) === None)
   }
 
+  test("pcmWindowEnergy: int16-LE sign handled; tail bytes and windows dropped") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-pcm").toString
+    // doc 1: 4 ASCII chars = 2 samples; window=2 -> one window
+    //   "AB" -> 0x41 + 256*0x42 = 16961; "CD" -> 0x43 + 256*0x44 = 17475
+    //   energy = 16961^2 + 17475^2 = 287675521 + 305375625
+    // doc 2: 5 chars -> trailing byte dropped -> 2 samples, one window
+    // doc 3: 2 chars -> 1 sample < window -> no rows
+    Seq((1L, "ABCD", "en", "s", 4L), (2L, "ABCDE", "en", "s", 5L),
+        (3L, "AB", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.pcmWindowEnergy(spark, dir, window = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    val e = 16961L * 16961L + 17475L * 17475L
+    assert(got === Seq((1L, 0, e), (2L, 0, e)))
+    // sign branch, through the REAL operator: 'ÿ' is UTF-8 C3 BF, so
+    // each char contributes the sample (0xBF << 8) | 0xC3 = -16445
+    // signed (a kernel reading the high byte unsigned would square
+    // 49091 instead); "ÿÿÿÿ" = 8 bytes = 4 samples = 2 windows of 2
+    val negDir = Files.createTempDirectory("graft-pcm-neg").toString
+    Seq((9L, "ÿÿÿÿ", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$negDir/documents.parquet")
+    val negGot = Multimodal.pcmWindowEnergy(spark, negDir, window = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    val eNeg = 2L * 16445L * 16445L
+    assert(negGot === Seq((9L, 0, eNeg), (9L, 1, eNeg)))
+  }
+
   test("multimodal decode: container fixtures round-trip the real parsers") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-mm").toString
