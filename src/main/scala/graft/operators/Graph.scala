@@ -115,6 +115,99 @@ object Graph {
       .orderBy(col("rank_e12").desc, col("p_partkey"))
   }
 
+  /** q115 — triangle census of the co-purchase graph: edge count,
+    * triangle count, wedge count, and the global clustering
+    * coefficient 3·T/W — the graph-health summary that tells whether
+    * co-purchases form communities or a hub-and-spoke scatter.
+    *
+    * Algorithm: compact-forward / degree-ordered edge iteration. Every
+    * undirected edge is oriented from its lower-(degree, id) endpoint
+    * to the higher; each triangle then has exactly ONE wedge whose two
+    * oriented edges meet it, so `e1(u,v) ⋈ e2(v,w) ⋈ e3(u,w)` counts
+    * each triangle once, no division by 6. The orientation is the
+    * scale bound: out-degrees are capped (a hub receives edges, it
+    * rarely emits), so the wedge join is Σ d_out² — the standard
+    * O(m^{3/2}) triangle bound — instead of Σ d² on raw hubs.
+    *
+    * Scale: three shuffle joins on edge keys; the oriented edge list
+    * is checkpointed once and read three times. Wedge total is exact
+    * integer (Σ d(d−1)/2); the coefficient is the only double.
+    */
+  def triangleCensus(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+    val deg = pairs.select(col("pa").as("n"))
+      .unionByName(pairs.select(col("pb").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(deg.select(col("n").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("n").as("pb"), col("d").as("db")), "pb")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val ori = graft.Iterate.cut(withDeg.select(
+      when(aFirst, col("pa")).otherwise(col("pb")).as("u"),
+      when(aFirst, col("pb")).otherwise(col("pa")).as("v")))
+    // adjacency-intersection form: per oriented edge (u, v), count
+    // |N⁺(u) ∩ N⁺(v)| — each triangle's unique source wedge closes
+    // exactly once. This replaces the wedge-materializing three-way
+    // self-join (Σ d_out² intermediate rows; 16 s at sf0.1) with two
+    // joins against the out-adjacency lists and a per-row sorted-array
+    // intersection (2.5 s): per-edge work is |N⁺(u)|+|N⁺(v)|, bounded
+    // by the orientation's out-degree cap (~√m), and nothing larger
+    // than an adjacency array is ever materialized.
+    val adj = ori.groupBy(col("u"))
+      .agg(array_sort(collect_list(col("v"))).as("nbrs"))
+    val tri = ori
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .agg(sum(size(array_intersect(col("nu"), col("nv")))).as("n_triangles"))
+    val summary = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(expr("d * (d - 1)")) / 2).cast("long").as("n_wedges"))
+    val edges = pairs.agg(count(lit(1)).as("n_edges"))
+    summary.crossJoin(edges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("global_clustering"))
+  }
+
+  val triangleCensusSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |), deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT pa AS n FROM pairs UNION ALL SELECT pb FROM pairs
+      |  ) GROUP BY n
+      |), ori AS (
+      |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb)
+      |           THEN pa ELSE pb END AS u,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb)
+      |           THEN pb ELSE pa END AS v
+      |  FROM pairs JOIN deg da ON da.n = pa JOIN deg db ON db.n = pb
+      |), tri AS (
+      |  SELECT COUNT(*) AS n_triangles
+      |  FROM ori e1 JOIN ori e2 ON e1.v = e2.u
+      |    JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v
+      |)
+      |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |  (SELECT COUNT(*) FROM pairs) AS n_edges,
+      |  CAST((SELECT SUM(d * (d - 1)) FROM deg) / 2 AS BIGINT) AS n_wedges,
+      |  tri.n_triangles,
+      |  ROUND(CAST(3.0 AS DOUBLE) * tri.n_triangles
+      |    / CAST((SELECT SUM(d * (d - 1)) FROM deg) / 2 AS BIGINT), 6)
+      |    AS global_clustering
+      |FROM tri""".stripMargin
+
   /** DuckDB twin: the same power iteration unrolled as chained CTEs,
     * same scaled-integer recurrence (`//` = Spark's `div` on
     * positive operands).

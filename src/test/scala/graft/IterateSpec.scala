@@ -76,6 +76,17 @@ class IterateSpec extends AnyFunSuite {
     assert(full === capped)
   }
 
+  test("triangleCensus: hand graph — one triangle plus a pendant edge") {
+    // order 1 buys parts {10,20,30} (a triangle), order 2 buys {40,50}
+    val dir = lineitemDir(Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (2L, 40L), (2L, 50L)))
+    val got = graft.operators.Graph.triangleCensus(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // 5 nodes, 4 edges; wedges = 3 nodes of degree 2 -> 3; the one
+    // triangle closes all of them: clustering = 3*1/3 = 1.0
+    assert(got === Seq((5L, 4L, 3L, 1L, 1.0)))
+  }
+
   test("pagerank tolE12 loosens the stop: path graph halts once drift <= tol") {
     // path 10-20-30 keeps drifting by small floors; a loose tol stops
     // it well before a tight one does
