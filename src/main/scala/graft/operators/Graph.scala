@@ -22,6 +22,30 @@ object Graph {
     */
   @volatile private[graft] var lastRounds: Int = 0
 
+  /** Session memo of the weighted co-purchase pair list (pa < pb, w =
+    * co-occurrence count) — the expensive lineitem self-join that both
+    * PageRank (q107) and the triangle census (q115) start from. Same
+    * reuse argument as the Dedup labels memo: deterministic input ⇒
+    * semantics-free sharing; the held frame is the checkpointed edge
+    * list, cold cost lands on the first consumer.
+    */
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]()
+
+  private[graft] def clearPairsMemo(): Unit = pairsMemo.clear()
+
+  private def coPurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    pairsMemo.computeIfAbsent((spark, dir), _ => {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      graft.Iterate.cut(li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("w")))
+    })
+
   /** q107 — weighted PageRank, fixed `iters` power iterations with
     * damping 17/20 (= 0.85 as a RATIONAL) over the undirected
     * co-purchase graph: each undirected edge becomes two directed
@@ -63,16 +87,14 @@ object Graph {
   def pagerank(spark: SparkSession, dir: String, iters: Int = 3,
                dampNum: Int = 17, dampDen: Int = 20,
                tolE12: Long = 0L): DataFrame = {
-    val li = graft.Iterate.cut(Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct())
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-      .agg(count(lit(1)).as("w"))
+    val pairs = coPurchasePairs(spark, dir)
     val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
       .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
     val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    // nodes come from lineitem, NOT the pair list: an isolated part
+    // (never co-purchased) still holds the teleport floor
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
     // pre-partitioned on src BEFORE the checkpoint: both checkpoint
     // flavors preserve partitioning, so the three per-round joins
     // reuse this layout and only the (tiny) rank side exchanges each
@@ -134,13 +156,7 @@ object Graph {
     * integer (Σ d(d−1)/2); the coefficient is the only double.
     */
   def triangleCensus(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-      .distinct()
+    val pairs = coPurchasePairs(spark, dir).select(col("pa"), col("pb"))
     val deg = pairs.select(col("pa").as("n"))
       .unionByName(pairs.select(col("pb").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
