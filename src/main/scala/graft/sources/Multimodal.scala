@@ -257,6 +257,93 @@ object Multimodal {
 
   case class AudioWindow(doc_id: Long, window_idx: Int, energy: Long)
 
+  case class WavMeta(doc_id: Long, channels: Int, sample_rate: Int,
+                     n_frames: Long, duration_ms: Long)
+
+  /** WAV (RIFF/WAVE, PCM "fmt " chunk) metadata sniff: channels LE16
+    * at 22, sample rate LE32 at 24, block align LE16 at 32, data size
+    * LE32 at 40 (canonical 44-byte header with the "data" chunk
+    * second). Returns (channels, sampleRate, nFrames). Rejects
+    * non-RIFF/WAVE payloads and non-canonical chunk layouts rather
+    * than guessing offsets.
+    */
+  def sniffWav(p: Array[Byte]): Option[(Int, Int, Long)] = {
+    def tag(off: Int, s: String): Boolean =
+      s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+    if (p.length >= 44 && tag(0, "RIFF") && tag(8, "WAVE") &&
+        tag(12, "fmt ") && tag(36, "data")) {
+      val channels = (p(22) & 0xFF) | ((p(23) & 0xFF) << 8)
+      val sampleRate = le32(p, 24)
+      val blockAlign = (p(32) & 0xFF) | ((p(33) & 0xFF) << 8)
+      val dataSize = le32(p, 40)
+      if (channels > 0 && blockAlign > 0 && sampleRate > 0)
+        Some((channels, sampleRate, dataSize.toLong / blockAlign))
+      else None
+    } else None
+  }
+
+  /** Deterministic WAV fixture: the text bytes as PCM16 data behind a
+    * canonical 44-byte header — channels from doc_id parity, sample
+    * rate from the byte length, data truncated to whole frames.
+    */
+  def encodeWav(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val channels = (docId % 2 + 1).toInt
+    val sampleRate = 8000 + text.length % 8000
+    val blockAlign = channels * 2
+    val dataSize = text.length - text.length % blockAlign
+    val buf = new Array[Byte](44 + dataSize)
+    "RIFF".getBytes("US-ASCII").copyToArray(buf, 0)
+    putLe32(buf, 4, 36 + dataSize)
+    "WAVE".getBytes("US-ASCII").copyToArray(buf, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(buf, 12)
+    putLe32(buf, 16, 16) // PCM fmt chunk size
+    buf(20) = 1 // audio format PCM
+    buf(22) = channels.toByte
+    putLe32(buf, 24, sampleRate)
+    putLe32(buf, 28, sampleRate * blockAlign) // byte rate
+    buf(32) = blockAlign.toByte
+    buf(34) = 16 // bits per sample
+    "data".getBytes("US-ASCII").copyToArray(buf, 36)
+    putLe32(buf, 40, dataSize)
+    System.arraycopy(text, 0, buf, 44, dataSize)
+    buf
+  }
+
+  /** q116 — WAV metadata pipeline: per-doc WAV fixtures through the
+    * real [[sniffWav]] header parse to typed audio metadata
+    * (channels, sample rate, frame count, floor-ms duration). The
+    * audio sibling of q32's image containers: byte-exact encode on
+    * one side, independent parse on the other, oracle predicts both.
+    */
+  def wavMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val wav = encodeWav(r.doc_id, r.payload)
+        val (ch, sr, nf) = sniffWav(wav).getOrElse(
+          throw new IllegalStateException(s"fixture failed to parse: doc ${r.doc_id}"))
+        WavMeta(r.doc_id, ch, sr, nf, nf * 1000L / sr)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the header fields restated from doc_id and the byte
+    * length (ASCII corpus: strlen == bytes). block_align = 2·channels;
+    * frames = (n − n % block_align) / block_align; duration floors.
+    */
+  val wavMetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n,
+      |    CAST(doc_id % 2 + 1 AS INT) AS channels,
+      |    CAST(8000 + strlen(text) % 8000 AS INT) AS sample_rate
+      |  FROM documents
+      |)
+      |SELECT doc_id, channels, sample_rate,
+      |  CAST((n - n % (2 * channels)) // (2 * channels) AS BIGINT) AS n_frames,
+      |  CAST(((n - n % (2 * channels)) // (2 * channels)) * 1000 // sample_rate AS BIGINT) AS duration_ms
+      |FROM f ORDER BY doc_id""".stripMargin
+
   /** q114 — audio feature extraction: the payload as a PCM16-LE sample
     * stream, reduced to per-window energy (Σ s², the classic VAD /
     * silence-detection feature). This kernel is REAL — little-endian

@@ -365,6 +365,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(negGot === Seq((9L, 0, eNeg), (9L, 1, eNeg)))
   }
 
+  test("sniffWav: canonical header parses; tampered headers reject") {
+    // doc_id 1 -> 2 channels, 10 bytes -> rate 8010, block 4,
+    // data 8 bytes -> 2 frames, duration 2*1000/8010 = 0 ms
+    val wav = Multimodal.encodeWav(1L, "0123456789".getBytes("US-ASCII"))
+    assert(Multimodal.sniffWav(wav) === Some((2, 8010, 2L)))
+    val notRiff = wav.clone(); notRiff(0) = 'X'.toByte
+    assert(Multimodal.sniffWav(notRiff) === None)
+    val badFmt = wav.clone(); badFmt(12) = 'X'.toByte
+    assert(Multimodal.sniffWav(badFmt) === None)
+    // zero block align must not divide-by-zero
+    val zeroBlock = wav.clone(); zeroBlock(32) = 0
+    assert(Multimodal.sniffWav(zeroBlock) === None)
+    assert(Multimodal.sniffWav(wav.take(40)) === None) // truncated
+  }
+
   test("multimodal decode: container fixtures round-trip the real parsers") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-mm").toString
