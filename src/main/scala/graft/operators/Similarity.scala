@@ -438,6 +438,59 @@ object Similarity {
       |GROUP BY label, i
       |ORDER BY label, dim""".stripMargin
 
+  /** q117 — embedding drift profile: per label, how tightly the
+    * vectors sit around their centroid — member count, mean and
+    * minimum cosine-to-centroid, and the count below a low-similarity
+    * floor. This is the health gauge for every centroid-based path
+    * here (IVF cells, SemDeDup clusters): a label whose mean drops or
+    * whose low-sim count grows is drifting away from its quantizer,
+    * and the index needs retraining before recall silently decays.
+    *
+    * Exactness: per-row cosine rounds to 6dp, the mean accumulates in
+    * DECIMAL(18,6) (order-independent), min and the floor-count are
+    * exact. Scale: the K centroids broadcast against the embedding
+    * scan; one label-keyed partial+final aggregate — no shuffle of
+    * the vectors themselves.
+    */
+  def embeddingDriftProfile(spark: SparkSession, dir: String,
+                            lowSim: Double = 0.1): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cent = centroidArrays(labelCentroids(spark, dir))
+      .withColumnRenamed("cell", "label")
+    emb.join(broadcast(cent), "label")
+      .withColumn("cos_c", round(cosine(spark, col("embedding"), col("c_emb")), 6))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(Relational.decSum(col("cos_c")) / count(lit(1)), 6)
+          .as("mean_cos_centroid"),
+        min(col("cos_c")).as("min_cos_centroid"),
+        sum((col("cos_c") < lowSim).cast("long")).as("n_low_sim"))
+      .orderBy(col("label"))
+  }
+
+  def embeddingDriftProfileSql(lowSim: Double = 0.1): String =
+    s"""WITH cent_long AS (
+      |  SELECT label, i - 1 AS dim,
+      |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+      |      / COUNT(embedding[i]) AS centroid
+      |  FROM embeddings, generate_series(1, 64) AS t(i)
+      |  GROUP BY label, i
+      |), cent AS (
+      |  SELECT label, list(CAST(centroid AS REAL) ORDER BY dim) AS c_emb
+      |  FROM cent_long GROUP BY label
+      |), scored AS (
+      |  SELECT e.label,
+      |    ROUND(${cosSql("e.embedding", "c.c_emb")}, 6) AS cos_c
+      |  FROM embeddings e JOIN cent c ON e.label = c.label
+      |)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(cos_c AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS mean_cos_centroid,
+      |  MIN(cos_c) AS min_cos_centroid,
+      |  CAST(SUM(CASE WHEN cos_c < $lowSim THEN 1 ELSE 0 END) AS BIGINT) AS n_low_sim
+      |FROM scored GROUP BY label ORDER BY label""".stripMargin
+
   val embeddingNearDupsSql: String =
     s"""SELECT * FROM (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

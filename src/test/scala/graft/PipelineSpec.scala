@@ -365,6 +365,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(negGot === Seq((9L, 0, eNeg), (9L, 1, eNeg)))
   }
 
+  test("embeddingDriftProfile: tight label scores 1.0, spread label drops") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-drift").toString
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0), // tight
+      (3L, Array(1.0f, 0.0f), 1), (4L, Array(0.0f, 1.0f), 1)) // orthogonal pair
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embeddingDriftProfile(spark, dir, lowSim = 0.8)
+      .as[(Int, Long, Double, Double, Long)].collect().toSeq
+    assert(got.length === 2)
+    val l0 = got.find(_._1 == 0).get
+    assert(l0 === ((0, 2L, 1.0, 1.0, 0L)))
+    // label 1 centroid = (.5, .5): each member at cos = 1/sqrt(2)
+    val l1 = got.find(_._1 == 1).get
+    assert(l1._2 === 2L && math.abs(l1._3 - 0.707107) < 1e-6)
+    assert(l1._5 === 2L) // both sit below the 0.8 floor
+  }
+
   test("sniffWav: canonical header parses; tampered headers reject") {
     // doc_id 1 -> 2 channels, 10 bytes -> rate 8010, block 4,
     // data 8 bytes -> 2 frames, duration 2*1000/8010 = 0 ms
