@@ -277,6 +277,44 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(math.abs(ok - 1.0) < 1e-12)
   }
 
+  test("graft_sorted_intersect_count: merge walk matches array_intersect semantics") {
+    import graft.functions.SortedIntersectCount
+    val df = Seq(
+      (Array(1L, 3L, 5L, 7L), Array(2L, 3L, 5L, 9L)), // overlap {3,5}
+      (Array.empty[Long], Array(1L, 2L)),              // empty side
+      (Array(4L, 8L), Array(4L, 8L)),                  // identical
+      (Array(1L, 2L), Array(3L, 4L)))                  // disjoint
+      .toDF("a", "b")
+    val got = df.select(
+      SortedIntersectCount.intersectCount(spark, $"a", $"b")).as[Long]
+      .collect().toSeq
+    assert(got === Seq(2L, 0L, 2L, 0L))
+    // agrees with size(array_intersect(...)) on sorted set inputs —
+    // and the plan stays in WholeStageCodegen (no CodegenFallback)
+    val ref = df.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.array_intersect($"a", $"b")).cast("long"))
+      .as[Long].collect().toSeq
+    assert(got === ref)
+    // codegen assertion needs a non-local source (ConvertToLocalRelation
+    // folds literal frames before the physical plan exists)
+    val pq = java.nio.file.Files.createTempDirectory("graft-sic").toString
+    df.write.mode("overwrite").parquet(pq)
+    val plan = spark.read.parquet(pq)
+      .select(SortedIntersectCount.intersectCount(spark, $"a", $"b"))
+      .queryExecution.executedPlan.toString
+    // codegen stages print with the "*(n)" prefix; a CodegenFallback
+    // expression would demote its Project to an unstarred node
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_sorted_intersect_count")), plan)
+    // wrong element type is an analysis error, not silent garbage
+    val bad = Seq((Array(1, 2), Array(1, 2))).toDF("x", "y")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(SortedIntersectCount.intersectCount(spark, $"x", $"y")).collect()
+    }
+    assert(e.getMessage.contains("graft_sorted_intersect_count") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   test("fairShareQuota: small groups saturate, level refills the rest, floor documented") {
     // availabilities a:2, b:3, c:10 with budget 9 — waterfill: a
     // saturates at 2 (9/3=3 > 2), then level (9-2)/2 = 3 binds at b
