@@ -1225,6 +1225,35 @@ object Dedup {
       |JOIN sizes sb ON s.source_b = sb.source
       |ORDER BY s.source_a, s.source_b""".stripMargin
 
+  /** q118 — duplicate-cluster size histogram: how many clusters exist
+    * at each size, and how many documents (and removable duplicates)
+    * they hold — the shape report behind every dedup budget decision
+    * (a corpus dominated by size-2 clusters dedups cheaply; a few
+    * giant clusters signal template storms that need span-level
+    * treatment instead). Rides the session labels memo: after q38 has
+    * run, this is two tiny aggregates.
+    */
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir, requireConverged = true)
+    labels.groupBy(col("rep_id")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("csize")).as("n_docs"),
+        sum(col("csize") - 1).as("n_removable"))
+      .orderBy(col("csize"))
+  }
+
+  def clusterSizeHistogramSql(): String =
+    s"""WITH cc AS (
+      |$dedupClustersSql
+      |), sz AS (
+      |  SELECT rep_id, COUNT(*) AS csize FROM cc GROUP BY rep_id
+      |)
+      |SELECT csize, COUNT(*) AS n_clusters,
+      |  CAST(SUM(csize) AS BIGINT) AS n_docs,
+      |  CAST(SUM(csize - 1) AS BIGINT) AS n_removable
+      |FROM sz GROUP BY csize ORDER BY csize""".stripMargin
+
   /** q112 — MinHash estimator audit: for every LSH candidate pair
     * (q27's banding, NO threshold filter), the signature-agreement
     * Jaccard ESTIMATE (agreeing slots / numHashes) next to the exact

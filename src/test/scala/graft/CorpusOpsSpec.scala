@@ -166,6 +166,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(zz._5.get > 0.9999) // 6dp per-term rounding costs ~2e-5 of r2
   }
 
+  test("clusterSizeHistogram: agrees with an independent recompute from labels") {
+    val hist = graft.operators.Dedup.clusterSizeHistogram(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val labels = graft.operators.Dedup.dedupClusters(spark, sf0001)
+      .select($"rep_id").as[Long].collect()
+    val expect = labels.groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, cs) =>
+        (sz, cs.size.toLong, sz * cs.size, (sz - 1) * cs.size) }
+      .toSeq.sortBy(_._1)
+    assert(hist === expect && hist.nonEmpty)
+    // every document is in exactly one cluster
+    assert(hist.map(_._3).sum === labels.length)
+  }
+
   test("spanize tiles the token list exactly (no loss, no overlap)") {
     val docs = Seq(
       (1L, "a b c d e f g"),   // 7 tokens, w=3 -> spans of 3,3,1

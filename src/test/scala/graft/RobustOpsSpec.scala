@@ -315,6 +315,19 @@ class RobustOpsSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("data type mismatch"))
   }
 
+  test("graft_sorted_intersect_count equals array_intersect on random sorted sets (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val arr = Gen.listOf(Gen.chooseNum(0L, 30L)).map(_.distinct.sorted.toArray)
+    val p = Prop.forAll(arr, arr) { (a: Array[Long], b: Array[Long]) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val got = df.select(graft.functions.SortedIntersectCount
+        .intersectCount(spark, $"a", $"b")).as[Long].head()
+      got == a.toSet.intersect(b.toSet).size.toLong
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("fairShareQuota: small groups saturate, level refills the rest, floor documented") {
     // availabilities a:2, b:3, c:10 with budget 9 — waterfill: a
     // saturates at 2 (9/3=3 > 2), then level (9-2)/2 = 3 binds at b
