@@ -793,4 +793,60 @@ object Curation {
       |SELECT doc_id, source, n_chars, ROUND(priority, 6) AS priority, rk
       |FROM ranked WHERE rk <= $k
       |ORDER BY source, rk""".stripMargin
+
+  /** q119 — context-length fit report: for each candidate context
+    * length, how the corpus would fare — documents over the limit,
+    * the token fraction truncation would discard, and the ideal
+    * packed-bin count for what survives. The choose-your-sequence-
+    * length table every pretraining run consults before committing a
+    * tokenization budget; q53 then performs the packing the ideal
+    * column bounds.
+    *
+    * Exactness: pure integer aggregates (token counts, clamped sums,
+    * ceil-div bins); the single double is the 6dp loss fraction in one
+    * fixed operand order. Scale: one narrow map for token counts, a
+    * ×|lengths| literal explode, one partial+final aggregate on the
+    * (tiny) length key.
+    */
+  def contextFitReport(spark: SparkSession, dir: String,
+                       lengths: Seq[Int] = Seq(128, 512, 2048)): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    docs.select(col("n_tokens"),
+        explode(array(lengths.map(lit): _*)).as("ctx_len"))
+      .groupBy(col("ctx_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_tokens") > col("ctx_len")).cast("long")).as("n_over"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(greatest(col("n_tokens") - col("ctx_len"), lit(0L))).as("lost_tokens"),
+        sum(least(col("n_tokens"), col("ctx_len"))).as("kept_tokens"))
+      .select(col("ctx_len"), col("n_docs"), col("n_over"),
+        col("total_tokens"), col("lost_tokens"),
+        round(col("lost_tokens").cast("double") / col("total_tokens"), 6)
+          .as("loss_frac"),
+        // integer ceil-div (Column./ is double division — inexact in
+        // principle for large token totals)
+        expr("(kept_tokens + ctx_len - 1) div ctx_len").as("n_bins_ideal"))
+      .orderBy(col("ctx_len"))
+  }
+
+  def contextFitReportSql(lengths: Seq[Int] = Seq(128, 512, 2048)): String =
+    s"""WITH t AS (
+      |  SELECT len(list_filter(string_split_regex(lower(text), '\\s+'),
+      |    x -> x <> '')) AS n_tokens
+      |  FROM documents
+      |), e AS (
+      |  SELECT n_tokens, CAST(l AS INT) AS ctx_len
+      |  FROM t, unnest([${lengths.mkString(", ")}]) AS u(l)
+      |)
+      |SELECT ctx_len, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_tokens > ctx_len THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(GREATEST(n_tokens - ctx_len, 0)) AS BIGINT) AS lost_tokens,
+      |  ROUND(CAST(SUM(GREATEST(n_tokens - ctx_len, 0)) AS DOUBLE)
+      |    / CAST(SUM(n_tokens) AS BIGINT), 6) AS loss_frac,
+      |  CAST((SUM(LEAST(n_tokens, ctx_len)) + ctx_len - 1) // ctx_len AS BIGINT)
+      |    AS n_bins_ideal
+      |FROM e GROUP BY ctx_len ORDER BY ctx_len""".stripMargin
 }

@@ -180,6 +180,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(hist.map(_._3).sum === labels.length)
   }
 
+  test("contextFitReport: clamp arithmetic and ideal bin count by hand") {
+    val dir = docsDir(Seq(
+      (1L, "a b c d e"),   // 5 tokens
+      (2L, "a b"),         // 2 tokens
+      (3L, "a b c")))      // 3 tokens
+    val got = graft.operators.Curation.contextFitReport(spark, dir, Seq(3, 8))
+      .as[(Int, Long, Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got === Seq(
+      // L=3: doc1 loses 2, kept 3+2+3=8 -> ceil(8/3)=3 bins
+      (3, 3L, 1L, 10L, 2L, 0.2, 3L),
+      // L=8: nothing truncated, kept 10 -> ceil(10/8)=2 bins
+      (8, 3L, 0L, 10L, 0L, 0.0, 2L)))
+  }
+
   test("spanize tiles the token list exactly (no loss, no overlap)") {
     val docs = Seq(
       (1L, "a b c d e f g"),   // 7 tokens, w=3 -> spans of 3,3,1
