@@ -639,6 +639,57 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** q120 — exponentially-smoothed daily-value forecast per event
+    * type: SES with α = 1/2 over the per-day decimal-exact value
+    * totals — tomorrow's expected metric with recency-weighted
+    * history, the first-reach forecasting primitive of every ops
+    * dashboard.
+    *
+    * Exactness (why α is HALF and not a parameter): the recurrence
+    * s_t = (y_t + s_{t−1}) / 2 only does IEEE-exact halvings, and both
+    * engines fold the same ordered array left-to-right with the first
+    * element as seed (Spark `aggregate` over the day-sorted values;
+    * DuckDB `list_reduce`, whose seed is also the head) — so the
+    * smoothed value is bit-identical without any per-term rounding. A
+    * general α multiplies by inexact doubles each step and would need
+    * the q103 rounding machinery.
+    *
+    * Scale: one (type, day) aggregate with map-side combine, then one
+    * per-type fold over a days-long array — series length is calendar
+    * days, never event count; the collected array is bounded by the
+    * corpus time span.
+    */
+  def sesForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(decSum(col("value")).as("v"))
+    daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("v")))).as("dv"))
+      .select(col("event_type"),
+        size(col("dv")).as("n_days"),
+        element_at(col("dv"), -1).getField("v").as("last_value"),
+        round(expr(
+          """aggregate(
+            |  slice(transform(dv, x -> x.v), 2, size(dv) - 1),
+            |  CAST(dv[0].v AS DOUBLE),
+            |  (s, x) -> (x + s) / 2D)""".stripMargin), 6).as("ses_forecast"))
+      .orderBy(col("event_type"))
+  }
+
+  val sesForecastSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), series AS (
+      |  SELECT event_type, list(v ORDER BY day) AS vals FROM daily GROUP BY 1
+      |)
+      |SELECT event_type,
+      |  CAST(len(vals) AS INT) AS n_days,
+      |  vals[len(vals)] AS last_value,
+      |  ROUND(list_reduce(vals, (s, x) -> (x + s) / 2), 6) AS ses_forecast
+      |FROM series ORDER BY event_type""".stripMargin
+
   /** q106 — rolling 7-day active users (WAU) per calendar day, plus
     * the daily distinct for contrast — the windowed-distinct metric
     * every product dashboard runs. Computed in the explode form: each

@@ -482,6 +482,22 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sesForecast: alpha=1/2 recurrence by hand; single-day series is itself") {
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, day1)),
+      lineitem = Seq((1L, 1L)),
+      events = Seq(
+        // type "a": daily totals 1, 2, 3 -> s = 1, 1.5, 2.25
+        (1L, day1, 1L, "a", 1.0),
+        (2L, day2, 1L, "a", 2.0),
+        (3L, day3, 1L, "a", 1.0), (4L, day3, 2L, "a", 2.0),
+        // type "b": one day -> forecast = the value
+        (5L, day2, 1L, "b", 7.5)))
+    val got = graft.operators.Events.sesForecast(spark, dir)
+      .as[(String, Int, Double, Double)].collect().toSeq
+    assert(got === Seq(("a", 3, 3.0, 2.25), ("b", 1, 7.5, 7.5)))
+  }
+
   test("pagerank: hand path graph, scaled-integer recurrence, mass conservation-ish") {
     // orders {1: parts 10,20} and {2: parts 20,30} -> path 10-20-30
     // n=3, r0 = 1e12 div 3 = 333333333333; teleport = 150000000000 div 3
