@@ -181,8 +181,8 @@ object Graph {
     val tri = ori
       .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
-      .agg(sum(graft.functions.SortedIntersectCount.intersectCount(
-        spark, col("nu"), col("nv"))).as("n_triangles"))
+      .agg(coalesce(sum(graft.functions.SortedIntersectCount.intersectCount(
+        spark, col("nu"), col("nv"))), lit(0L)).as("n_triangles"))
     val summary = deg.agg(
       count(lit(1)).as("n_nodes"),
       (sum(expr("d * (d - 1)")) / 2).cast("long").as("n_wedges"))
