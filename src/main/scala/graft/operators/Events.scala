@@ -690,6 +690,77 @@ object Events {
       |  ROUND(list_reduce(vals, (s, x) -> (x + s) / 2), 6) AS ses_forecast
       |FROM series ORDER BY event_type""".stripMargin
 
+  /** q121 — daily anomaly flags per event type: each day's value
+    * total scored against the type's exact median and MAD (median
+    * absolute deviation), flagged when |v − med| > 3·MAD — the robust
+    * ops-alerting screen (a mean/σ rule is itself dragged by the
+    * outliers it should catch; the median/MAD pair is not). The
+    * series sibling of q95's per-document MAD screen.
+    *
+    * Exactness: daily totals are decimal sums; median and MAD are
+    * rank-SELECTED values (lower-middle rank, (v, day)-tiebroken —
+    * q42's convention), so every compared number is an exact double
+    * both engines share, and the 3·MAD comparison needs no rounding
+    * machinery. Scale: one (type, day) aggregate, then two windows
+    * partitioned by type over the days-long daily table — catalog-
+    * sized, never event-sized.
+    */
+  def dailyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(decSum(col("value")).as("v"))
+    val wMed = Window.partitionBy(col("event_type")).orderBy(col("v"), col("day"))
+    val med = daily
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("med"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("v") - col("med")))
+    val wMad = Window.partitionBy(col("event_type")).orderBy(col("adev"), col("day"))
+    val mad = dev
+      .withColumn("rn", row_number().over(wMad))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("adev"))).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("v"), col("med"), col("mad"),
+        (col("adev") > col("mad") * 3).cast("int").as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val dailyAnomaliesSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), med AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+      |  FROM (
+      |    SELECT event_type, v,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY v, day) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM daily
+      |  ) GROUP BY event_type
+      |), dev AS (
+      |  SELECT d.event_type, d.day, d.v, m.med, ABS(d.v - m.med) AS adev
+      |  FROM daily d JOIN med m USING (event_type)
+      |), mad AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad
+      |  FROM (
+      |    SELECT event_type, adev,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY adev, day) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM dev
+      |  ) GROUP BY event_type
+      |)
+      |SELECT dev.event_type, dev.day, dev.v, dev.med, mad.mad,
+      |  CASE WHEN dev.adev > mad.mad * 3 THEN 1 ELSE 0 END AS is_anomaly
+      |FROM dev JOIN mad USING (event_type)
+      |ORDER BY dev.event_type, dev.day""".stripMargin
+
   /** q106 — rolling 7-day active users (WAU) per calendar day, plus
     * the daily distinct for contrast — the windowed-distinct metric
     * every product dashboard runs. Computed in the explode form: each

@@ -498,6 +498,25 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(got === Seq(("a", 3, 3.0, 2.25), ("b", 1, 7.5, 7.5)))
   }
 
+  test("dailyAnomalies: spike flagged against hand median/MAD; quiet days not") {
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, day1)),
+      lineitem = Seq((1L, 1L)),
+      // type "a" daily totals: 10, 10, 12, 100 → med = 10 (lower-mid
+      // rank 2 of 4), adevs = 0, 0, 2, 90 → mad = 0 (rank 2) → any
+      // nonzero deviation flags: days 3 and 4
+      events = Seq(
+        (1L, day1, 1L, "a", 10.0),
+        (2L, day2, 1L, "a", 10.0),
+        (3L, day3, 1L, "a", 12.0),
+        (4L, 4 * 86400000L, 1L, "a", 100.0)))
+    val got = graft.operators.Events.dailyAnomalies(spark, dir)
+      .as[(String, Long, Double, Double, Double, Int)].collect().toSeq
+    assert(got.map(r => (r._3, r._6)) === Seq(
+      (10.0, 0), (10.0, 0), (12.0, 1), (100.0, 1)))
+    assert(got.forall(r => r._4 === 10.0 && r._5 === 0.0))
+  }
+
   test("pagerank: hand path graph, scaled-integer recurrence, mass conservation-ish") {
     // orders {1: parts 10,20} and {2: parts 20,30} -> path 10-20-30
     // n=3, r0 = 1e12 div 3 = 333333333333; teleport = 150000000000 div 3
