@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -224,6 +224,81 @@ object Graph {
       |    / CAST((SELECT SUM(d * (d - 1)) FROM deg) / 2 AS BIGINT), 6)
       |    AS global_clustering
       |FROM tri""".stripMargin
+
+  /** q122 — degree assortativity of the co-purchase graph: the
+    * Pearson correlation of endpoint degrees over the symmetrized
+    * edge list. Positive = hubs co-purchase with hubs (a clubby
+    * catalog); negative = hub-and-spoke (accessories attach to
+    * flagships) — with q115's clustering and q107's ranks, the third
+    * standard graph-shape number.
+    *
+    * q102's sufficient-statistics discipline: five sums in
+    * DECIMAL(28,6) with per-term 6dp rounds (degree products reach
+    * d² ~ 10⁶ — comfortably inside (28,6) at any edge count), one
+    * fixed operand order, NULLIF degeneracy (a degree-regular graph
+    * has zero variance and reports NULL, not noise). The only
+    * irrational step is sqrt — correctly-rounded IEEE on both
+    * engines (the q29 cosine precedent). Rides the memoized pair
+    * list; degrees join back in two node-keyed joins.
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(round(c, 6).cast(dec)).cast("double")
+    val pairs = coPurchasePairs(spark, dir)
+    val edges = pairs.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(pairs.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = edges.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    val xy = edges
+      .join(deg.select(col("n").as("u"), col("d").as("x")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("y")), "v")
+      .select(col("x").cast("double").as("x"), col("y").cast("double").as("y"))
+    val stats = xy.agg(
+      count(lit(1)).as("n_edges_directed"),
+      dsum(col("x")).as("sx"),
+      dsum(col("y")).as("sy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("y") * col("y")).as("syy"))
+    stats.select(
+      col("n_edges_directed"),
+      round(
+        (col("n_edges_directed") * col("sxy") - col("sx") * col("sy")) /
+          nullif(
+            sqrt(col("n_edges_directed") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n_edges_directed") * col("syy") - col("sy") * col("sy")),
+            lit(0.0)),
+        6).as("assortativity"))
+  }
+
+  val degreeAssortativitySql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |), edges AS (
+      |  SELECT pa AS u, pb AS v FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs
+      |), deg AS (
+      |  SELECT u AS n, COUNT(*) AS d FROM edges GROUP BY u
+      |), xy AS (
+      |  SELECT CAST(du.d AS DOUBLE) AS x, CAST(dv.d AS DOUBLE) AS y
+      |  FROM edges e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+      |), stats AS (
+      |  SELECT COUNT(*) AS n_edges_directed,
+      |    CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |  FROM xy
+      |)
+      |SELECT n_edges_directed,
+      |  ROUND((n_edges_directed * sxy - sx * sy)
+      |    / NULLIF(sqrt(n_edges_directed * sxx - sx * sx)
+      |        * sqrt(n_edges_directed * syy - sy * sy), 0.0), 6) AS assortativity
+      |FROM stats""".stripMargin
 
   /** DuckDB twin: the same power iteration unrolled as chained CTEs,
     * same scaled-integer recurrence (`//` = Spark's `div` on

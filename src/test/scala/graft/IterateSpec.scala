@@ -87,6 +87,22 @@ class IterateSpec extends AnyFunSuite {
     assert(got === Seq((5L, 4L, 3L, 1L, 1.0)))
   }
 
+  test("degreeAssortativity: star graph scores exactly -1") {
+    // one order with parts {10,20,30} would be a triangle (r undefined,
+    // zero variance); a star — center 10 co-purchased with 20 and 30
+    // in separate orders — is the classic perfectly-disassortative case
+    val dir = lineitemDir(Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 30L)))
+    val got = graft.operators.Graph.degreeAssortativity(spark, dir)
+      .as[(Long, Option[Double])].collect().head
+    assert(got === ((4L, Some(-1.0))))
+    // degree-regular graph: zero variance -> NULL, not noise
+    val tri = lineitemDir(Seq((1L, 10L), (1L, 20L), (1L, 30L)))
+    val reg = graft.operators.Graph.degreeAssortativity(spark, tri)
+      .as[(Long, Option[Double])].collect().head
+    assert(reg === ((6L, None)))
+  }
+
   test("pagerank tolE12 loosens the stop: path graph halts once drift <= tol") {
     // path 10-20-30 keeps drifting by small floors; a loose tol stops
     // it well before a tight one does
