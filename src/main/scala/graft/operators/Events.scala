@@ -272,6 +272,86 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** q123 — funnel conversion rates with Wilson 95% intervals: per
+    * funnel transition (signup→click, click→purchase), the observed
+    * conversion rate and its Wilson score interval — the significance
+    * lens that says whether a step's movement is real or small-n
+    * noise (the Wald ±1.96·√(p(1−p)/n) interval misbehaves exactly at
+    * the small n and extreme p where funnels live; Wilson does not).
+    *
+    * Exactness: n and k are exact integers from q84's stage counts;
+    * every double op (the Wilson algebra with z = 1.96, one fixed
+    * operand order, sqrt correctly-rounded IEEE) runs identically on
+    * both engines; bounds round to 6dp. Scale: rides q84's funnel —
+    * the interval math is arithmetic on a 2-row aggregate.
+    */
+  def funnelConfidence(spark: SparkSession, dir: String): DataFrame = {
+    val counts = funnel(spark, dir).agg(
+      count(lit(1)).as("n1"),
+      sum((col("stage") >= 2).cast("long")).as("n2"),
+      sum((col("stage") >= 3).cast("long")).as("n3"))
+    val steps = counts.select(
+      explode(array(
+        struct(lit("signup->click").as("step"),
+          col("n1").as("n"), col("n2").as("k")),
+        struct(lit("click->purchase").as("step"),
+          col("n2").as("n"), col("n3").as("k")))).as("s"))
+      .select(col("s.step").as("step"), col("s.n").as("n"), col("s.k").as("k"))
+    val z = lit(1.96)
+    val p = col("k").cast("double") / col("n")
+    val z2n = z * z / col("n")
+    val center = (p + z2n / 2) / (lit(1.0) + z2n)
+    val half = (z * sqrt((p * (lit(1.0) - p) + z2n / 4) / col("n"))) /
+      (lit(1.0) + z2n)
+    steps.select(col("step"), col("n"), col("k"),
+        round(p, 6).as("rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+      .orderBy(col("step"))
+  }
+
+  val funnelConfidenceSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(epoch_ms(ts)) AS t_signup
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t_click
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t_signup
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t_purchase
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.t_click
+      |  GROUP BY e.user_id
+      |), counts AS (
+      |  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+      |         (SELECT COUNT(*) FROM s2) AS n2,
+      |         (SELECT COUNT(*) FROM s3) AS n3
+      |), steps AS (
+      |  SELECT 'signup->click' AS step, n1 AS n, n2 AS k FROM counts
+      |  UNION ALL
+      |  SELECT 'click->purchase', n2, n3 FROM counts
+      |), calc AS (
+      |  -- z is CAST to DOUBLE: a bare 1.96 literal is DECIMAL(3,2) in
+      |  -- DuckDB and would route the algebra through decimal ops
+      |  SELECT step, n, k,
+      |    CAST(k AS DOUBLE) / n AS p,
+      |    CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n AS z2n
+      |  FROM steps
+      |), calc2 AS (
+      |  SELECT step, n, k, p,
+      |    (p + z2n / 2) / (1.0 + z2n) AS center,
+      |    (CAST(1.96 AS DOUBLE) * sqrt((p * (1.0 - p) + z2n / 4) / n))
+      |      / (1.0 + z2n) AS half
+      |  FROM calc
+      |)
+      |SELECT step, n, k,
+      |  ROUND(p, 6) AS rate,
+      |  ROUND(center - half, 6) AS wilson_lo,
+      |  ROUND(center + half, 6) AS wilson_hi
+      |FROM calc2 ORDER BY step""".stripMargin
+
   /** q90 — RFM segmentation: per purchasing user, Recency (ms since
     * their last purchase, measured from the corpus-max purchase time),
     * Frequency (purchase count) and Monetary (decimal-exact value

@@ -517,6 +517,25 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(got.forall(r => r._4 === 10.0 && r._5 === 0.0))
   }
 
+  test("funnelConfidence: hand counts, Wilson bounds bracket the rate") {
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, day1)),
+      lineitem = Seq((1L, 1L)),
+      events = Seq(
+        (1L, day1, 1L, "signup", 0.0), (2L, day1, 2L, "signup", 0.0),
+        (3L, day2, 1L, "click", 0.0))) // user 1 converts, user 2 stalls
+    val got = graft.operators.Events.funnelConfidence(spark, dir)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    val sc = got.find(_._1 == "signup->click").get
+    assert(sc._2 === 2L && sc._3 === 1L && sc._4 === 0.5)
+    assert(sc._5 < 0.5 && 0.5 < sc._6 && sc._5 >= 0.0 && sc._6 <= 1.0)
+    // z=1.96, n=2, k=1: textbook Wilson interval ~ (0.095, 0.905)
+    assert(math.abs(sc._5 - 0.094531) < 1e-4 && math.abs(sc._6 - 0.905469) < 1e-4)
+    val cp = got.find(_._1 == "click->purchase").get
+    assert(cp._2 === 1L && cp._3 === 0L && cp._4 === 0.0)
+    assert(cp._5 === 0.0) // k = 0 collapses the lower bound to zero
+  }
+
   test("pagerank: hand path graph, scaled-integer recurrence, mass conservation-ish") {
     // orders {1: parts 10,20} and {2: parts 20,30} -> path 10-20-30
     // n=3, r0 = 1e12 div 3 = 333333333333; teleport = 150000000000 div 3
