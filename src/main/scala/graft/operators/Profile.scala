@@ -128,4 +128,86 @@ object Profile {
       |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
       |)
       |ORDER BY check_name""".stripMargin
+
+  /** q124 — corpus drift report (PSI): the documents table split into
+    * its EARLY and LATE halves by doc_id (the ingestion-order proxy),
+    * then for each monitored dimension — lang, source, length bin —
+    * the population stability index between the halves:
+    * Σ (p_late − p_early) · log10(p_late / p_early) over the
+    * dimension's buckets. THE ml-ops drift gauge: a feed whose
+    * language or length mix shifted mid-ingestion lights up one
+    * dimension; stable feeds sit near 0.
+    *
+    * Exactness: shares are Laplace-smoothed exact rationals
+    * ((c + 1)/(n + k) — also what keeps empty buckets finite), the
+    * log10 is the graded-portable one (F3/q03 precedent), and each
+    * PSI term is rounded to 6dp before the decimal sum (q103). The
+    * bucket universe is the FULL corpus's, so both halves smooth over
+    * identical k.
+    *
+    * Scale: one bounds aggregate broadcast back, one (dimension,
+    * bucket, half) count with map-side combine, and per-dimension
+    * aggregates over bucket-cardinality rows.
+    */
+  def driftReport(spark: SparkSession, dir: String,
+                  lengthBin: Int = 256): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val docs = Tables.load(spark, dir, "documents")
+    val bounds = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val tagged = docs.crossJoin(broadcast(bounds))
+      .withColumn("late", (col("doc_id") * 2 > col("mn") + col("mx")).cast("int"))
+      .select(col("late"),
+        explode(array(
+          struct(lit("lang").as("dim"), col("lang").as("bucket")),
+          struct(lit("source").as("dim"), col("source").as("bucket")),
+          struct(lit("length").as("dim"),
+            concat(lit("b"), expr(s"n_chars div $lengthBin")).as("bucket")))).as("db"))
+      .select(col("late"), col("db.dim").as("dim"), col("db.bucket").as("bucket"))
+    val cells = tagged.groupBy(col("dim"), col("bucket"))
+      .agg(sum(lit(1) - col("late")).as("c_early"),
+        sum(col("late")).as("c_late"))
+    val dims = cells.groupBy(col("dim"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("c_early")).as("n_early"),
+        sum(col("c_late")).as("n_late"))
+    val pE = (col("c_early") + 1).cast("double") / (col("n_early") + col("k"))
+    val pL = (col("c_late") + 1).cast("double") / (col("n_late") + col("k"))
+    cells.join(broadcast(dims), "dim")
+      .select(col("dim"),
+        round((pL - pE) * log10(pL / pE), 6).as("term"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_buckets"),
+        round(sum(col("term").cast(dec)).cast("double"), 6).as("psi"))
+      .orderBy(col("dim"))
+  }
+
+  def driftReportSql(lengthBin: Int = 256): String =
+    s"""WITH bounds AS (
+      |  SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents
+      |), tagged AS (
+      |  SELECT CASE WHEN doc_id * 2 > mn + mx THEN 1 ELSE 0 END AS late,
+      |    dim, bucket
+      |  FROM documents CROSS JOIN bounds
+      |  CROSS JOIN LATERAL (VALUES
+      |    ('lang', lang), ('source', source),
+      |    ('length', 'b' || CAST(n_chars // $lengthBin AS VARCHAR))) AS t(dim, bucket)
+      |), cells AS (
+      |  SELECT dim, bucket,
+      |    SUM(1 - late) AS c_early, SUM(late) AS c_late
+      |  FROM tagged GROUP BY dim, bucket
+      |), dims AS (
+      |  SELECT dim, COUNT(*) AS k,
+      |    SUM(c_early) AS n_early, SUM(c_late) AS n_late
+      |  FROM cells GROUP BY dim
+      |), terms AS (
+      |  SELECT cells.dim,
+      |    ROUND((CAST(c_late + 1 AS DOUBLE) / (n_late + k)
+      |        - CAST(c_early + 1 AS DOUBLE) / (n_early + k))
+      |      * log10((CAST(c_late + 1 AS DOUBLE) / (n_late + k))
+      |        / (CAST(c_early + 1 AS DOUBLE) / (n_early + k))), 6) AS term
+      |  FROM cells JOIN dims ON cells.dim = dims.dim
+      |)
+      |SELECT dim, COUNT(*) AS n_buckets,
+      |  ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi
+      |FROM terms GROUP BY dim ORDER BY dim""".stripMargin
 }

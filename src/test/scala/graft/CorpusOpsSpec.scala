@@ -194,6 +194,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       (8, 3L, 0L, 10L, 0L, 0.0, 2L)))
   }
 
+  test("driftReport: identical halves read ~0 PSI; a lang flip lights up lang only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-psi").toString
+    // doc_ids 1-4: early = {1,2}, late = {3,4}. Identical length and
+    // source mix; lang flips en,en -> fr,fr between halves.
+    Seq((1L, "aaaa", "en", "s0"), (2L, "aaaa", "en", "s0"),
+        (3L, "aaaa", "fr", "s0"), (4L, "aaaa", "fr", "s0"))
+      .map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Profile.driftReport(spark, dir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // source and length: one bucket each, identical shares -> PSI 0
+    assert(got("source") === ((1L, 0.0)))
+    assert(got("length") === ((1L, 0.0)))
+    // lang: smoothed shares are en (3/4 early, 1/4 late) and fr
+    // mirrored -> psi = 2 * (1/2) * log10(3) = log10(3) = 0.477121
+    assert(got("lang")._1 === 2L)
+    assert(math.abs(got("lang")._2 - math.log10(3.0)) < 1e-5)
+  }
+
   test("spanize tiles the token list exactly (no loss, no overlap)") {
     val docs = Seq(
       (1L, "a b c d e f g"),   // 7 tokens, w=3 -> spans of 3,3,1
