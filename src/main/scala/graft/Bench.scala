@@ -112,7 +112,11 @@ object Bench {
       "x02_rfm_sketch" -> (() => operators.Events.rfmApprox(spark, sfDir)),
       // q106's scale twin: HLL sketches instead of exact (day, user)
       // distinct sets (RobustOpsSpec bounds the rsd drift)
-      "x03_rolling_active_sketch" -> (() => operators.Events.rollingActiveUsersApprox(spark, sfDir)))
+      "x03_rolling_active_sketch" -> (() => operators.Events.rollingActiveUsersApprox(spark, sfDir)),
+      // q36's scale twin: Misra-Gries heavy hitters, <= k counters per
+      // buffer instead of the vocabulary shuffle (TextOpsSpec asserts
+      // the MG presence/undercount bounds)
+      "x04_vocab_heavy_hitters" -> (() => operators.TextAnalysis.vocabularyHeavyHitters(spark, sfDir)))
 
     val standard = SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (n, fn) => n -> (() => fn(spark, sfDir)) }

@@ -870,6 +870,22 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** 100 TB scale path of q36's vocabulary (benched as x04, not
+    * oracle-graded): Misra–Gries heavy hitters over the token stream —
+    * ≤ k counters per aggregation buffer instead of the full
+    * vocabulary shuffle. Sketch contents are arrival-order-dependent;
+    * the MG presence/undercount bounds against the exact counts are
+    * what TextOpsSpec asserts (the HLL/quantile-twin split).
+    */
+  def vocabularyHeavyHitters(spark: SparkSession, dir: String,
+                             k: Int = 50): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(spark, col("token"), k).as("hh"))
+      .select(explode(col("hh")).as(Seq("token", "est_count")))
+      .orderBy(col("est_count").desc, col("token"))
+  }
+
   /** q113 — per-language Zipf rank-frequency fit: OLS of log10(tf) on
     * log10(rank) over each language's top-`topN` tokens — slope ≈ −1
     * is healthy natural text; a flattened or cliffed curve flags

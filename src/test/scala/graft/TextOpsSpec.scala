@@ -299,6 +299,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("graft_nfc"))
   }
 
+  test("vocabularyHeavyHitters: MG presence and undercount bounds vs exact") {
+    val dir = "/root/testdata/sf0.001"
+    val k = 50
+    val exact = TextAnalysis.vocabulary(spark, dir)
+      .select($"token", $"tf").as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val bound = n / (k + 1)
+    val sketch = TextAnalysis.vocabularyHeavyHitters(spark, dir, k)
+      .as[(String, Long)].collect().toMap
+    assert(sketch.size <= k && sketch.nonEmpty)
+    // presence: every true heavy hitter (tf > N/(k+1)) must appear
+    exact.foreach { case (t, tf) =>
+      if (tf > bound) assert(sketch.contains(t), s"missing heavy hitter $t ($tf > $bound)")
+    }
+    // estimates never overcount, and undercount by at most N/(k+1)
+    sketch.foreach { case (t, est) =>
+      val tf = exact.getOrElse(t, 0L)
+      assert(est <= tf, s"$t overcounted: $est > $tf")
+      assert(tf - est <= bound, s"$t undercounted past the bound: $tf - $est > $bound")
+    }
+  }
+
   test("ngramDiversity: hand-computed trigram counts, short docs drop out") {
     // doc 1: trigrams [a b c, b c a, c a b, a b c] -> total 4, distinct 3,
     // hapax 2 (b-c-a, c-a-b); doc 2 has <3 tokens and contributes nothing
