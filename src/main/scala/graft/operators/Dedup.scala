@@ -1254,6 +1254,62 @@ object Dedup {
       |  CAST(SUM(csize - 1) AS BIGINT) AS n_removable
       |FROM sz GROUP BY csize ORDER BY csize""".stripMargin
 
+  /** q125 — top repeated phrases per source: each source's most
+    * frequent k-shingles (document-frequency, so a phrase repeated
+    * inside one doc counts once) with their share of the source's
+    * documents — the actionable view q88's boilerplate MASK doesn't
+    * give: it flags which docs carry boilerplate, this names the
+    * boilerplate itself, per feed, so a template can be stripped at
+    * the source.
+    *
+    * Scale: (source, shingle) df aggregate with map-side combine, then
+    * a per-source top-k rank filter — the literal bound plans a
+    * partial WindowGroupLimit before the source exchange (q29's
+    * shape). Ties break on the shingle text.
+    */
+  def topBoilerplate(spark: SparkSession, dir: String, k: Int = 3,
+                     topK: Int = 5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sf = shingles(docs, k)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val df = sf.groupBy(col("source"), col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("df").desc, col("shingle"))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .join(broadcast(nDocs), "source")
+      .select(col("source"), col("rk"), col("shingle"), col("df"),
+        round(col("df").cast("double") / col("n_docs"), 6).as("doc_share"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  def topBoilerplateSql(k: Int = 3, topK: Int = 5): String =
+    s"""WITH sh0 AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+${k - 1}], ' ')
+      |    for i in range(1, len(toks) - ${k - 2})])) AS shingle
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= $k
+      |), df AS (
+      |  SELECT d.source, sh0.shingle, COUNT(DISTINCT sh0.doc_id) AS df
+      |  FROM sh0 JOIN documents d ON sh0.doc_id = d.doc_id
+      |  GROUP BY d.source, sh0.shingle
+      |), nd AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+      |), ranked AS (
+      |  SELECT source, shingle, df,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY df DESC, shingle) AS INT) AS rk
+      |  FROM df QUALIFY rk <= $topK
+      |)
+      |SELECT r.source, r.rk, r.shingle, r.df,
+      |  ROUND(CAST(r.df AS DOUBLE) / nd.n_docs, 6) AS doc_share
+      |FROM ranked r JOIN nd ON r.source = nd.source
+      |ORDER BY r.source, r.rk""".stripMargin
+
   /** q112 — MinHash estimator audit: for every LSH candidate pair
     * (q27's banding, NO threshold filter), the signature-agreement
     * Jaccard ESTIMATE (agreeing slots / numHashes) next to the exact

@@ -214,6 +214,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(got("lang")._2 - math.log10(3.0)) < 1e-5)
   }
 
+  test("topBoilerplate: repeated template phrase ranks first with its doc share") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bp").toString
+    Seq((1L, "click here now x", "s0"), (2L, "click here now y", "s0"),
+        (3L, "click here now z", "s0"), (4L, "fresh novel words", "s0"),
+        (5L, "other feed text", "s1"))
+      .map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.topBoilerplate(spark, dir, topK = 2)
+      .as[(String, Int, String, Long, Double)].collect().toSeq
+    val top = got.filter(_._1 == "s0")
+    assert(top.head === (("s0", 1, "click here now", 3L, 0.75)))
+    assert(top.length === 2 && top(1)._4 === 1L) // ties by shingle text
+    assert(got.filter(_._1 == "s1").head._4 === 1L)
+  }
+
   test("spanize tiles the token list exactly (no loss, no overlap)") {
     val docs = Seq(
       (1L, "a b c d e f g"),   // 7 tokens, w=3 -> spans of 3,3,1
