@@ -630,6 +630,15 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val wAll = Window.partitionBy(col("lang"))
     val wv = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    // every quantity stays INTEGER until display: m2 = 2·median,
+    // idev = 2·deviation, dd = 4·MAD. robust_z is then the exact
+    // rational 1349000·(2x − m2)/dd in micro-units, rounded half-away-
+    // from-zero in integer arithmetic identically on both engines —
+    // the q56 convention. The old double form round(0.6745·(x−med)/
+    // mad, 6) hit EXACT 6dp half-boundaries at sf0.1 (half-integer
+    // med/mad make the quotient a small-denominator rational; 12 rows
+    // landed on …5 where Spark's HALF_UP and DuckDB's binary-double
+    // rounding split).
     val withMed = docs
       .withColumn("rn", row_number().over(wv))
       .withColumn("n", count(lit(1)).over(wAll))
@@ -637,18 +646,24 @@ object Curation {
         col("n_chars"))).over(wAll))
       .withColumn("v2", max(when(col("rn") === expr("(n + 2) div 2"),
         col("n_chars"))).over(wAll))
-      .withColumn("med", (col("v1") + col("v2")) / 2.0)
-      .withColumn("dev", abs(col("n_chars") - col("med")))
-    val wd = Window.partitionBy(col("lang")).orderBy(col("dev"), col("doc_id"))
+      .withColumn("m2", col("v1") + col("v2"))
+      .withColumn("med", col("m2") / 2.0)
+      .withColumn("idev", abs(col("n_chars") * 2 - col("m2")))
+    val wd = Window.partitionBy(col("lang")).orderBy(col("idev"), col("doc_id"))
     withMed
       .withColumn("rd", row_number().over(wd))
       .withColumn("d1", max(when(col("rd") === expr("(n + 1) div 2"),
-        col("dev"))).over(wAll))
+        col("idev"))).over(wAll))
       .withColumn("d2", max(when(col("rd") === expr("(n + 2) div 2"),
-        col("dev"))).over(wAll))
-      .withColumn("mad", (col("d1") + col("d2")) / 2.0)
-      .withColumn("robust_z", round(
-        lit(0.6745) * (col("n_chars") - col("med")) / nullif(col("mad"), lit(0.0)), 6))
+        col("idev"))).over(wAll))
+      .withColumn("dd", col("d1") + col("d2"))
+      .withColumn("mad", col("dd") / 4.0)
+      .withColumn("zp", lit(1349000L) * (col("n_chars") * 2 - col("m2")))
+      .withColumn("micro", expr(
+        """CASE WHEN dd = 0 THEN NULL
+          |     WHEN zp >= 0 THEN (2 * zp + dd) div (2 * dd)
+          |     ELSE -((2 * (-zp) + dd) div (2 * dd)) END""".stripMargin))
+      .withColumn("robust_z", col("micro").cast("double") / 1e6)
       .withColumn("is_outlier",
         coalesce((abs(col("robust_z")) > 3.5).cast("int"), lit(0)))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
@@ -667,29 +682,36 @@ object Curation {
       |    (MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END)
       |       OVER (PARTITION BY lang)
       |     + MAX(CASE WHEN rn = (n + 2) // 2 THEN n_chars END)
-      |       OVER (PARTITION BY lang)) / 2.0 AS med
+      |       OVER (PARTITION BY lang)) AS m2
       |  FROM ranked
       |), devs AS (
-      |  SELECT doc_id, lang, n_chars, n, med,
-      |    ABS(n_chars - med) AS dev
+      |  SELECT doc_id, lang, n_chars, n, m2,
+      |    ABS(n_chars * 2 - m2) AS idev
       |  FROM med
       |), dranked AS (
-      |  SELECT doc_id, lang, n_chars, n, med, dev,
-      |    row_number() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS rd
+      |  SELECT doc_id, lang, n_chars, n, m2, idev,
+      |    row_number() OVER (PARTITION BY lang ORDER BY idev, doc_id) AS rd
       |  FROM devs
       |), madt AS (
-      |  SELECT doc_id, lang, n_chars, med,
-      |    (MAX(CASE WHEN rd = (n + 1) // 2 THEN dev END)
+      |  SELECT doc_id, lang, n_chars, m2,
+      |    (MAX(CASE WHEN rd = (n + 1) // 2 THEN idev END)
       |       OVER (PARTITION BY lang)
-      |     + MAX(CASE WHEN rd = (n + 2) // 2 THEN dev END)
-      |       OVER (PARTITION BY lang)) / 2.0 AS mad
+      |     + MAX(CASE WHEN rd = (n + 2) // 2 THEN idev END)
+      |       OVER (PARTITION BY lang)) AS dd,
+      |    1349000 * (n_chars * 2 - m2) AS zp
       |  FROM dranked
+      |), z AS (
+      |  SELECT doc_id, lang, n_chars, m2, dd,
+      |    CASE WHEN dd = 0 THEN NULL
+      |         WHEN zp >= 0 THEN (2 * zp + dd) // (2 * dd)
+      |         ELSE -((2 * (-zp) + dd) // (2 * dd)) END AS micro
+      |  FROM madt
       |)
-      |SELECT doc_id, lang, n_chars, med, mad,
-      |  ROUND(0.6745 * (n_chars - med) / NULLIF(mad, 0.0), 6) AS robust_z,
-      |  COALESCE(CAST(ABS(ROUND(0.6745 * (n_chars - med) / NULLIF(mad, 0.0), 6))
-      |    > 3.5 AS INT), 0) AS is_outlier
-      |FROM madt ORDER BY doc_id""".stripMargin
+      |SELECT doc_id, lang, n_chars,
+      |  m2 / 2.0 AS med, dd / 4.0 AS mad,
+      |  CAST(micro AS DOUBLE) / 1e6 AS robust_z,
+      |  COALESCE(CAST(ABS(CAST(micro AS DOUBLE) / 1e6) > 3.5 AS INT), 0) AS is_outlier
+      |FROM z ORDER BY doc_id""".stripMargin
 
   /** q105 — fair-share (water-filling) quota allocation: divide a
     * document budget across languages so no group is starved — every
