@@ -886,6 +886,65 @@ object TextAnalysis {
       .orderBy(col("est_count").desc, col("token"))
   }
 
+  /** q126 — out-of-vocabulary rate across ingestion halves: token
+    * coverage of the LATE half under the EARLY half's vocabulary, per
+    * language — the tokenizer-coverage proxy (a vocab/tokenizer frozen
+    * on yesterday's corpus: how much of today's stream falls outside
+    * it?). Complements q124's distribution drift (PSI can be flat
+    * while a long tail of novel tokens grows) and q109's corpus-level
+    * growth curve with a per-language coverage number.
+    *
+    * Scale: one early-vocab distinct + one (lang, token)-keyed
+    * left-anti membership join with map-side combinable counts — no
+    * driver-side vocab, no broadcast of the vocabulary.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bounds = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val tok = docs.crossJoin(broadcast(bounds))
+      .withColumn("late", (col("doc_id") * 2 > col("mn") + col("mx")).cast("int"))
+      .select(col("late"), col("lang"), explode(tokens(col("text"))).as("token"))
+    val earlyVocab = tok.filter(col("late") === 0)
+      .select(col("lang"), col("token")).distinct()
+    val late = tok.filter(col("late") === 1)
+    val counts = late.groupBy(col("lang")).agg(count(lit(1)).as("n_late_tokens"))
+    val oov = late.join(earlyVocab, Seq("lang", "token"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_oov"))
+    counts.join(oov, Seq("lang"), "left")
+      .select(col("lang"), col("n_late_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("n_oov"), lit(0L)).cast("double")
+          / col("n_late_tokens"), 6).as("oov_rate"))
+      .orderBy(col("lang"))
+  }
+
+  val oovRateSql: String =
+    """WITH bounds AS (
+      |  SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents
+      |), tok AS (
+      |  SELECT CASE WHEN doc_id * 2 > mn + mx THEN 1 ELSE 0 END AS late,
+      |    lang, unnest(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |  FROM documents CROSS JOIN bounds
+      |), early_vocab AS (
+      |  SELECT DISTINCT lang, token FROM tok WHERE late = 0
+      |), late_tok AS (
+      |  SELECT lang, token FROM tok WHERE late = 1
+      |), counts AS (
+      |  SELECT lang, COUNT(*) AS n_late_tokens FROM late_tok GROUP BY lang
+      |), oov AS (
+      |  SELECT l.lang, COUNT(*) AS n_oov
+      |  FROM late_tok l
+      |  WHERE NOT EXISTS (SELECT 1 FROM early_vocab e
+      |                    WHERE e.lang = l.lang AND e.token = l.token)
+      |  GROUP BY l.lang
+      |)
+      |SELECT c.lang, c.n_late_tokens,
+      |  CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+      |  ROUND(CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / c.n_late_tokens, 6) AS oov_rate
+      |FROM counts c LEFT JOIN oov o ON c.lang = o.lang
+      |ORDER BY c.lang""".stripMargin
+
   /** q113 — per-language Zipf rank-frequency fit: OLS of log10(tf) on
     * log10(rank) over each language's top-`topN` tokens — slope ≈ −1
     * is healthy natural text; a flattened or cliffed curve flags

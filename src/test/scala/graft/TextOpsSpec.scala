@@ -321,6 +321,20 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("oovRate: late-half tokens outside the early vocab, by hand") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-oov").toString
+    // early = docs 1,2; late = docs 3,4. en late tokens: a b c NEW ->
+    // 1 OOV of 4; fr late: fully covered
+    Seq((1L, "a b c", "en"), (2L, "x y", "fr"),
+        (3L, "a b c new", "en"), (4L, "x y x", "fr"))
+      .map { case (id, text, lang) => (id, text, lang, "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.oovRate(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("en", 4L, 1L, 0.25), ("fr", 3L, 0L, 0.0)))
+  }
+
   test("ngramDiversity: hand-computed trigram counts, short docs drop out") {
     // doc 1: trigrams [a b c, b c a, c a b, a b c] -> total 4, distinct 3,
     // hapax 2 (b-c-a, c-a-b); doc 2 has <3 tokens and contributes nothing
