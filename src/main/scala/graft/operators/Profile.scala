@@ -129,6 +129,52 @@ object Profile {
       |)
       |ORDER BY check_name""".stripMargin
 
+  /** q127 — Benford first-digit audit of order totals: the observed
+    * leading-digit distribution against Benford's log10(1 + 1/d)
+    * expectation — the classic fabricated-or-truncated-data screen
+    * for financial columns (hand-entered, capped, or synthetic-uniform
+    * amounts bend the curve visibly).
+    *
+    * Digit extraction is floor(x / 10^floor(log10(x))) on positive
+    * amounts — log10/power/floor are the graded-portable doubles (F3
+    * precedent); shares round at 6dp (denominators here cannot land
+    * on a 6dp half — see the spec's boundary note). Scale: one
+    * digit-keyed aggregate with map-side combine; nine rows out.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 0)
+    val digits = orders.withColumn("digit",
+      floor(col("o_totalprice") /
+        pow(lit(10.0), floor(log10(col("o_totalprice"))))).cast("int"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("obs_share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_share"))
+      .withColumn("delta", round(col("obs_share") - col("benford_share"), 6))
+      .orderBy(col("digit"))
+  }
+
+  val benfordAuditSql: String =
+    """WITH d AS (
+      |  SELECT CAST(FLOOR(o_totalprice / POWER(10, FLOOR(log10(o_totalprice))))
+      |    AS INT) AS digit
+      |  FROM orders WHERE o_totalprice > 0
+      |), counts AS (
+      |  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+      |), t AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts
+      |)
+      |SELECT digit, n,
+      |  ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+      |  ROUND(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit), 6) AS benford_share,
+      |  ROUND(ROUND(CAST(n AS DOUBLE) / total, 6)
+      |    - ROUND(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit), 6), 6) AS delta
+      |FROM counts CROSS JOIN t
+      |ORDER BY digit""".stripMargin
+
   /** q124 — corpus drift report (PSI): the documents table split into
     * its EARLY and LATE halves by doc_id (the ingestion-order proxy),
     * then for each monitored dimension — lang, source, length bin —

@@ -328,6 +328,25 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("benfordAudit: digit extraction across magnitudes; shares sum to 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-benford").toString
+    // digits: 9.99->9, 10.0->1, 0.02->2, 345.6->3, 1000.0->1 (log10
+    // exactly 3.0 — the power-of-ten boundary must not leak to digit 0)
+    Seq((1L, 9.99), (2L, 10.0), (3L, 0.02), (4L, 345.6), (5L, 1000.0))
+      .map { case (k, p) => (k, 1L, "O", p,
+        new java.sql.Timestamp(86400000L), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Profile.benfordAudit(spark, dir)
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2) === Seq(1 -> 2L, 2 -> 1L, 3 -> 1L, 9 -> 1L))
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
+    // benford shares are the textbook values
+    assert(got.find(_._1 == 1).get._4 === 0.30103)
+    assert(got.find(_._1 == 9).get._4 === 0.045757)
+  }
+
   test("fairShareQuota: small groups saturate, level refills the rest, floor documented") {
     // availabilities a:2, b:3, c:10 with budget 9 — waterfill: a
     // saturates at 2 (9/3=3 > 2), then level (9-2)/2 = 3 binds at b
