@@ -945,6 +945,94 @@ object TextAnalysis {
       |FROM counts c LEFT JOIN oov o ON c.lang = o.lang
       |ORDER BY c.lang""".stripMargin
 
+  /** q128 — collocation extraction: the corpus's top adjacent token
+    * pairs by pointwise mutual information, with a minimum pair count
+    * — the multi-word-expression miner ("new york"-style units) that
+    * feeds tokenizer merges and phrase-aware dedup. PMI compares the
+    * pair's probability against independence of its parts:
+    * log10((c2/Nb) / ((ca/Nt)·(cb/Nt))).
+    *
+    * Exactness: all inputs are exact integer counts, so the PMI
+    * argument is a small rational — log10 of a non-power-of-ten
+    * rational cannot land on a 6dp half, and both engines share the
+    * correctly-rounded log10 (F3). Ordering happens on the IDENTICAL
+    * doubles, tie-broken by the pair text. Scale: two token-keyed
+    * aggregates with map-side combine, two 1-row totals broadcast,
+    * and the top-k is a distributed TakeOrdered over the
+    * min-count-filtered candidates — never a global sort of the full
+    * bigram table.
+    */
+  def collocations(spark: SparkSession, dir: String, minCount: Int = 5,
+                   topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bg = base.filter(size(col("toks")) >= 2)
+      .select(explode(
+        graft.functions.WordNGrams.ngrams(spark, col("toks"), 2)).as("bigram"))
+      .select(substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    val ct = base.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+    val nt = base.select(explode(col("toks")).as("t")).agg(count(lit(1)).as("nt"))
+    val pmi = round(log10(
+      (col("c2").cast("double") / col("nb")) /
+        ((col("ca").cast("double") / col("nt")) *
+          (col("cb").cast("double") / col("nt")))), 6)
+    val top = c2
+      .join(ct.select(col("t").as("w1"), col("ct").as("ca")), "w1")
+      .join(ct.select(col("t").as("w2"), col("ct").as("cb")), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nt))
+      .withColumn("pmi", pmi)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
+      .select(col("rank"), col("w1"), col("w2"), col("c2"), col("pmi"))
+      .orderBy(col("rank"))
+  }
+
+  def collocationsSql(minCount: Int = 5, topK: Int = 20): String =
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |), bg AS (
+      |  SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2
+      |  FROM (
+      |    SELECT unnest([toks[i] || ' ' || toks[i+1]
+      |      for i in range(1, len(toks))]) AS bigram
+      |    FROM base WHERE len(toks) >= 2
+      |  )
+      |), c2 AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2
+      |  HAVING COUNT(*) >= $minCount
+      |), nb AS (
+      |  SELECT COUNT(*) AS nb FROM bg
+      |), ct AS (
+      |  SELECT t, COUNT(*) AS ct
+      |  FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t
+      |), nt AS (
+      |  SELECT COUNT(*) AS nt FROM (SELECT unnest(toks) AS t FROM base)
+      |), scored AS (
+      |  SELECT c2.w1, c2.w2, c2.c2,
+      |    ROUND(log10((CAST(c2.c2 AS DOUBLE) / nb.nb)
+      |      / ((CAST(ca.ct AS DOUBLE) / nt.nt)
+      |        * (CAST(cb.ct AS DOUBLE) / nt.nt))), 6) AS pmi
+      |  FROM c2
+      |  JOIN ct ca ON c2.w1 = ca.t
+      |  JOIN ct cb ON c2.w2 = cb.t
+      |  CROSS JOIN nb CROSS JOIN nt
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank,
+      |  w1, w2, c2, pmi
+      |FROM scored
+      |QUALIFY rank <= $topK
+      |ORDER BY rank""".stripMargin
+
   /** q113 — per-language Zipf rank-frequency fit: OLS of log10(tf) on
     * log10(rank) over each language's top-`topN` tokens — slope ≈ −1
     * is healthy natural text; a flattened or cliffed curve flags

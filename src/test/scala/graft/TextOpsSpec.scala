@@ -335,6 +335,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got === Seq(("en", 4L, 1L, 0.25), ("fr", 3L, 0L, 0.0)))
   }
 
+  test("collocations: glued pair outranks frequent-but-independent pair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
+    // "new york" always co-occurs (5 times, each word only in the
+    // pair); "the cat" co-occurs 5 times but both words also roam free
+    val glued = Seq.fill(5)("new york").mkString(" the ")
+    val loose = (Seq.fill(5)("the cat") ++ Seq.fill(5)("cat naps") ++
+      Seq.fill(5)("the dog")).mkString(" ")
+    Seq((1L, glued), (2L, loose))
+      .map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.collocations(spark, dir, minCount = 5, topK = 5)
+      .as[(Int, String, String, Long, Double)].collect().toSeq
+    assert(got.head._2 === "new" && got.head._3 === "york" && got.head._4 === 5L)
+    val pairs = got.map(r => (r._2, r._3))
+    val pmiOf = got.map(r => ((r._2, r._3), r._5)).toMap
+    assert(pairs.contains(("the", "cat")))
+    assert(pmiOf(("new", "york")) > pmiOf(("the", "cat")))
+  }
+
   test("ngramDiversity: hand-computed trigram counts, short docs drop out") {
     // doc 1: trigrams [a b c, b c a, c a b, a b c] -> total 4, distinct 3,
     // hapax 2 (b-c-a, c-a-b); doc 2 has <3 tokens and contributes nothing
