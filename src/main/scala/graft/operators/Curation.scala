@@ -871,4 +871,111 @@ object Curation {
       |  CAST((SUM(LEAST(n_tokens, ctx_len)) + ctx_len - 1) // ctx_len AS BIGINT)
       |    AS n_bins_ideal
       |FROM e GROUP BY ctx_len ORDER BY ctx_len""".stripMargin
+
+  /** q129 — filter-cascade attrition report: an ordered battery of
+    * Gopher-style document-quality rules (min/max length, stopword
+    * density, top-token repetition, punctuation density), reporting per
+    * rule how many documents reach it, fail it, and survive it. The
+    * standard curation diagnostic: it tells you which rule is doing the
+    * cutting and what the cumulative yield is, before you commit a
+    * filter config to a 100 TB run (the reference's migrate loop logs
+    * the same kind of per-stage progress, migrate.ts:57-66).
+    *
+    * Every rule is an INTEGER cross-multiplication (`25*stop >= n`, not
+    * `stop/n >= 0.04`) so both engines compare exact integers — no
+    * float ratios anywhere.
+    *
+    * Shape: one narrow map computes the per-doc signals (token count by
+    * the shared tokenizer, stopword hits via the codegen'd
+    * [[graft.functions.ArrayCountIn]] over the union of the four
+    * language lists, top-token count via [[graft.functions.ArrayMaxFreq]]
+    * — no explode, no per-doc shuffle), then the first-failed-rule index
+    * per doc, one tiny aggregation keyed by that index (≤ 6 groups),
+    * and the cumulative report assembled by a window over the ≤ 5-row
+    * rules frame. At 100 TB: a single scan + an O(rules) reduce.
+    */
+  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val stopAll = TextFunctions.langStopwords.flatMap(_._2).distinct.sorted
+    val docs = Tables.load(spark, dir, "documents")
+    val sig = docs.select(
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextFunctions.punctCount(col("text")).cast("long").as("n_punct"),
+      graft.functions.ArrayCountIn
+        .countIn(spark, TextFunctions.tokens(col("text")), stopAll)
+        .cast("long").as("stop_hits"),
+      graft.functions.ArrayMaxFreq
+        .maxFreq(spark, TextFunctions.tokens(col("text")))
+        .cast("long").as("max_freq"))
+    // First failing rule (1-based position in the cascade); survivors → 0.
+    val firstFail = when(col("n_tokens") < 20, 1)
+      .when(col("n_tokens") > 2000, 2)
+      .when(col("stop_hits") * 25 < col("n_tokens"), 3)
+      .when(col("max_freq") * 5 > col("n_tokens"), 4)
+      .when(col("n_punct") * 10 > col("n_tokens"), 5)
+      .otherwise(0)
+    val failCounts = sig.select(firstFail.as("rule_idx"))
+      .groupBy(col("rule_idx")).agg(count(lit(1)).as("n"))
+    val total = failCounts.agg(sum(col("n")).as("n_total"))
+    val rules = spark.createDataFrame(Seq(
+      (1, "min_tokens_20"), (2, "max_tokens_2000"),
+      (3, "stopword_ratio_4pct"), (4, "top_token_repetition_20pct"),
+      (5, "punct_ratio_10pct"))).toDF("rule_idx", "rule")
+    val w = Window.orderBy(col("rule_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rules.join(failCounts, Seq("rule_idx"), "left")
+      .withColumn("n_fail", coalesce(col("n"), lit(0L)))
+      .withColumn("prior_fails", coalesce(sum(col("n_fail")).over(w), lit(0L)))
+      .crossJoin(total)
+      .select(
+        col("rule_idx"),
+        col("rule"),
+        (col("n_total") - col("prior_fails")).as("n_in"),
+        col("n_fail"),
+        (col("n_total") - col("prior_fails") - col("n_fail")).as("n_out"))
+      .orderBy(col("rule_idx"))
+  }
+
+  def filterCascadeSql(): String = {
+    val stopAll = graft.functions.TextFunctions.langStopwords
+      .flatMap(_._2).distinct.sorted
+    val inList = stopAll.map(w => s"'$w'").mkString(", ")
+    s"""WITH sig AS (
+       |  SELECT
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS n_tokens,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ($inList))) AS stop_hits,
+       |    (SELECT MAX(c) FROM (
+       |       SELECT COUNT(*) AS c FROM unnest(list_filter(
+       |         string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS u(tok)
+       |       GROUP BY tok)) AS max_freq
+       |  FROM documents
+       |), ff AS (
+       |  SELECT CASE
+       |    WHEN n_tokens < 20 THEN 1
+       |    WHEN n_tokens > 2000 THEN 2
+       |    WHEN stop_hits * 25 < n_tokens THEN 3
+       |    WHEN max_freq * 5 > n_tokens THEN 4
+       |    WHEN n_punct * 10 > n_tokens THEN 5
+       |    ELSE 0 END AS rule_idx
+       |  FROM sig
+       |), fc AS (
+       |  SELECT rule_idx, COUNT(*) AS n FROM ff GROUP BY rule_idx
+       |), rules(rule_idx, rule) AS (VALUES
+       |  (1, 'min_tokens_20'), (2, 'max_tokens_2000'),
+       |  (3, 'stopword_ratio_4pct'), (4, 'top_token_repetition_20pct'),
+       |  (5, 'punct_ratio_10pct')
+       |), joined AS (
+       |  SELECT r.rule_idx, r.rule, COALESCE(fc.n, 0) AS n_fail,
+       |    COALESCE(SUM(COALESCE(fc.n, 0)) OVER (ORDER BY r.rule_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_fails,
+       |    (SELECT SUM(n) FROM fc) AS n_total
+       |  FROM rules r LEFT JOIN fc ON r.rule_idx = fc.rule_idx
+       |)
+       |SELECT rule_idx, rule,
+       |  CAST(n_total - prior_fails AS BIGINT) AS n_in,
+       |  CAST(n_fail AS BIGINT) AS n_fail,
+       |  CAST(n_total - prior_fails - n_fail AS BIGINT) AS n_out
+       |FROM joined ORDER BY rule_idx""".stripMargin
+  }
 }

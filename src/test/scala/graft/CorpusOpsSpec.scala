@@ -194,6 +194,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       (8, 3L, 0L, 10L, 0L, 0.0, 2L)))
   }
 
+  test("filterCascade: attrition accounting matches a hand-walked corpus") {
+    val distinct = (1 to 18).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, "a b c d e"),                                   // 5 toks -> rule 1
+      (2L, (1 to 25).map(i => s"t$i").mkString(" ")),      // 0 stopwords -> rule 3
+      (3L, s"the x x x x x x $distinct"),                  // maxfreq 6/25 -> rule 4
+      (4L, s"the $distinct w19 w20 w21 w22 w23 w24")))     // survives all rules
+    val got = graft.operators.Curation.filterCascade(spark, dir)
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1, "min_tokens_20", 4L, 1L, 3L),
+      (2, "max_tokens_2000", 3L, 0L, 3L),
+      (3, "stopword_ratio_4pct", 3L, 1L, 2L),
+      (4, "top_token_repetition_20pct", 2L, 1L, 1L),
+      (5, "punct_ratio_10pct", 1L, 0L, 1L)))
+  }
+
   test("driftReport: identical halves read ~0 PSI; a lang flip lights up lang only") {
     val dir = java.nio.file.Files.createTempDirectory("graft-psi").toString
     // doc_ids 1-4: early = {1,2}, late = {3,4}. Identical length and
