@@ -256,4 +256,90 @@ object Profile {
       |SELECT dim, COUNT(*) AS n_buckets,
       |  ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi
       |FROM terms GROUP BY dim ORDER BY dim""".stripMargin
+
+  /** q130 — pairwise Jensen–Shannon divergence between the unigram
+    * token distributions of every source pair: the corpus-similarity
+    * matrix behind mixture design ("are these two crawls actually the
+    * same distribution?") and dedup-scope decisions. q124's PSI
+    * compares two fixed ingestion halves; this compares every source
+    * against every other on token content.
+    *
+    * Identity used (base-10 logs): because each source distribution
+    * sums to 1, the out-of-intersection mass contributes exactly
+    * log10(2)/2 per side, so
+    * `JSD(P,Q) = log10(2) + Σ_{common tokens} [ −m·log10(m)
+    *   + (p/2)·log10(p/2) + (q/2)·log10(q/2) ]`, m = (p+q)/2.
+    * Only the token INTERSECTION is ever joined — no full-outer union
+    * per pair, no per-pair vocabulary materialization.
+    *
+    * Exactness: p and q are correctly-rounded quotients of exact
+    * counts, identical in both engines; each summand is rounded to 6dp
+    * and summed as DECIMAL(18,6) (order-independent — the q102/q124
+    * convention), so the 190-pair matrix is bit-identical.
+    *
+    * A pair sharing NO tokens never reaches the inner join and is
+    * absent from the output — an absent row means maximal divergence
+    * (JSD = log10 2), same contract in both engines.
+    *
+    * Scale: one token-keyed count, a tiny per-source total broadcast,
+    * one self-join shuffled by token (each token's row group is
+    * |sources touching it|² — bounded by #sources², not corpus size),
+    * one (pair)-keyed reduce. At 100 TB with a 10M-token vocabulary
+    * this is a vocabulary-sized join, not a corpus-sized one; df-style
+    * caps (drop tokens in every source) apply if #sources grows.
+    */
+  def sourceJsd(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.load(spark, dir, "documents")
+    val counts = docs
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val dist = counts.join(broadcast(totals), "source")
+    val a = dist.select(col("source").as("source_a"), col("tok"),
+      col("c").as("ca"), col("t").as("ta"))
+    val b = dist.select(col("source").as("source_b"), col("tok"),
+      col("c").as("cb"), col("t").as("tb"))
+    val p = col("ca").cast("double") / col("ta")
+    val q = col("cb").cast("double") / col("tb")
+    val m = (p + q) / lit(2)
+    val term = round(
+      (m * log10(m)) * lit(-1)
+        + (p / lit(2)) * log10(p / lit(2))
+        + (q / lit(2)) * log10(q / lit(2)), 6)
+    a.join(b, "tok").filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), term.as("term"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"),
+        Relational.decSum(col("term")).as("s"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        round(col("s") + lit(0.30103), 6).as("jsd"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceJsdSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+      |  FROM documents
+      |), cnt AS (
+      |  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT source, SUM(c) AS t FROM cnt GROUP BY 1
+      |), d AS (
+      |  SELECT cnt.source, tok, c, t FROM cnt JOIN tot USING (source)
+      |), j AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(a.c AS DOUBLE) / CAST(a.t AS BIGINT) AS p,
+      |    CAST(b.c AS DOUBLE) / CAST(b.t AS BIGINT) AS q
+      |  FROM d a JOIN d b ON a.tok = b.tok AND a.source < b.source
+      |), terms AS (
+      |  SELECT source_a, source_b,
+      |    ROUND(-(((p + q) / 2) * log10((p + q) / 2))
+      |      + (p / 2) * log10(p / 2) + (q / 2) * log10(q / 2), 6) AS term
+      |  FROM j
+      |)
+      |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_common,
+      |  ROUND(CAST(SUM(CAST(term AS DECIMAL(18, 6))) AS DOUBLE) + 0.30103, 6) AS jsd
+      |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -211,6 +211,27 @@ class CorpusOpsSpec extends AnyFunSuite {
       (5, "punct_ratio_10pct", 1L, 0L, 1L)))
   }
 
+  test("sourceJsd: identical sources ~0, one-shared-token pair hits the closed form, disjoint pair absent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsd").toString
+    Seq((1L, "the cat sat", "s0"), (2L, "the cat sat", "s1"),
+        (3L, "the dog ran", "s2"), (4L, "xx yy zz", "s3"))
+      .map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Profile.sourceJsd(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // s3 shares no token with anyone -> its three pairs are absent rows
+    assert(got.keySet === Set(("s0", "s1"), ("s0", "s2"), ("s1", "s2")))
+    // identical distributions -> JSD 0 (up to 6dp per-term rounding)
+    assert(math.abs(got(("s0", "s1"))._2) < 1e-4)
+    assert(got(("s0", "s1"))._1 === 3L)
+    // single shared token at p = q = 1/3: intersection term sums to
+    // (1/3)*log10(1/2), so JSD = log10(2) + (1/3)*log10(1/2) = 0.200687
+    assert(math.abs(got(("s0", "s2"))._2 - 0.200687) < 1e-4)
+    assert(got(("s0", "s2"))._1 === 1L)
+  }
+
   test("driftReport: identical halves read ~0 PSI; a lang flip lights up lang only") {
     val dir = java.nio.file.Files.createTempDirectory("graft-psi").toString
     // doc_ids 1-4: early = {1,2}, late = {3,4}. Identical length and
