@@ -349,4 +349,108 @@ object Graph {
         |FROM it$iters r LEFT JOIN wdeg d ON r.p = d.src
         |ORDER BY r.rank_e12 DESC, p_partkey""".stripMargin
   }
+
+  /** Fixed-point scale for HITS: scores are integers in units of
+    * 1e-6. Smaller than PageRank's 1e-12 on purpose — the
+    * normalization step multiplies a raw score (≤ Scale × max-degree)
+    * by the scale again, so 1e-6 units keep every intermediate under
+    * 2^63 with ~10^5 degree headroom.
+    */
+  val HitsScale: Long = 1000000L
+
+  /** q131 — HITS (hubs and authorities) over the customer→part
+    * purchase BIPARTITE graph: a customer is a good hub when they buy
+    * authoritative parts; a part is a good authority when bought by
+    * good hubs. The co-purchase graph (q107/q115) is undirected, where
+    * HITS degenerates to degree centrality — the bipartite form
+    * (co-HITS) is the one that says something new: it separates
+    * broad-basket curator customers from the parts that anchor those
+    * baskets.
+    *
+    * Exactness: the q107 discipline — scaled-integer scores (BIGINT,
+    * units of 1e-6), every division an integer floor on positive
+    * operands (Spark `div` == DuckDB `//`), and L1 normalization per
+    * half-step: `score ← raw · Scale div total(raw)`. The two totals
+    * per iteration are driver scalars (one tiny agg each, the q107
+    * L1-probe precedent). The oracle unrolls the same half-steps as
+    * chained CTEs.
+    *
+    * Scale: the edge list is built once, deduplicated, checkpointed
+    * twice — once partitioned by customer, once by part — so each
+    * half-step's join reuses a co-located layout and only the
+    * node-sized score frame exchanges. Each half-step is one join +
+    * one key-keyed partial+final aggregate; nodes outside the purchase
+    * graph (customers with no orders, never-bought parts) are out of
+    * scope by construction.
+    */
+  def hits(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    val edgesByC = graft.Iterate.cut(e.repartition(col("c")))
+    val edgesByP = graft.Iterate.cut(e.repartition(col("p")))
+    val nc = edgesByC.select(col("c")).distinct().count()
+    var hub = edgesByC.select(col("c")).distinct()
+      .select(col("c"), lit(HitsScale / nc).as("s"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val authRaw = edgesByC.join(hub, "c")
+        .groupBy(col("p")).agg(sum(col("s")).as("r"))
+      val totA = authRaw.agg(sum(col("r"))).head().getLong(0)
+      auth = graft.Iterate.cut(
+        authRaw.select(col("p"), expr(s"(r * $HitsScale) div $totA").as("s")))
+      val hubRaw = edgesByP.join(auth, "p")
+        .groupBy(col("c")).agg(sum(col("s")).as("r"))
+      val totH = hubRaw.agg(sum(col("r"))).head().getLong(0)
+      hub = graft.Iterate.cut(
+        hubRaw.select(col("c"), expr(s"(r * $HitsScale) div $totH").as("s")))
+    }
+    hub.select(lit("customer").as("side"), col("c").as("node_key"),
+        col("s").as("score_e6"))
+      .unionByName(auth.select(lit("part").as("side"),
+        col("p").as("node_key"), col("s").as("score_e6")))
+      .orderBy(col("side"), col("score_e6").desc, col("node_key"))
+  }
+
+  /** DuckDB twin: the same half-steps unrolled as chained CTEs; the
+    * per-half-step totals are scalar subqueries instead of driver
+    * scalars — identical integer arithmetic either way.
+    */
+  def hitsSql(iters: Int = 2): String = {
+    val base =
+      s"""WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), nc AS (
+        |  SELECT COUNT(DISTINCT c) AS n FROM e
+        |), h0 AS (
+        |  SELECT DISTINCT c, $HitsScale // n AS s FROM e CROSS JOIN nc
+        |)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s""", a${t}r AS (
+        |  SELECT p, CAST(SUM(s) AS BIGINT) AS r
+        |  FROM e JOIN h${t - 1} USING (c) GROUP BY p
+        |), a$t AS (
+        |  SELECT p, (r * $HitsScale) // (SELECT SUM(r) FROM a${t}r) AS s
+        |  FROM a${t}r
+        |), h${t}r AS (
+        |  SELECT c, CAST(SUM(s) AS BIGINT) AS r
+        |  FROM e JOIN a$t USING (p) GROUP BY c
+        |), h$t AS (
+        |  SELECT c, (r * $HitsScale) // (SELECT SUM(r) FROM h${t}r) AS s
+        |  FROM h${t}r
+        |)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+        |SELECT side, node_key, CAST(score_e6 AS BIGINT) AS score_e6 FROM (
+        |  SELECT 'customer' AS side, c AS node_key, s AS score_e6 FROM h$iters
+        |  UNION ALL
+        |  SELECT 'part', p, s FROM a$iters
+        |)
+        |ORDER BY side, score_e6 DESC, node_key""".stripMargin
+  }
 }

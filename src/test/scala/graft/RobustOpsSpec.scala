@@ -578,6 +578,26 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(r3 <= 1000000000000L && r3 > 999999999000L)
   }
 
+  test("hits: hand bipartite graph, one iteration of floored half-steps") {
+    // c1 buys {10, 20}, c2 buys {20}. nc=2 -> h0 = 500000 each.
+    // auth raw: p10=5e5, p20=1e6; tot=1.5e6
+    //   -> auth: p10 = 5e11 div 1.5e6 = 333333, p20 = 666666
+    // hub raw: c1 = 999999, c2 = 666666; tot = 1666665
+    //   -> hub: c1 = 999999e6 div 1666665 = 600000 (exact),
+    //      c2 = 666666e6 div 1666665 = 400000 (exact: 1666665*4e5)
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, 86400000L), (2L, 2L, "O", 1.0, 86400000L)),
+      lineitem = Seq((1L, 10L), (1L, 20L), (2L, 20L)),
+      events = Seq((1L, 1000L, 1L, "view", 0.0)))
+    val out = graft.operators.Graph.hits(spark, dir, iters = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("customer", 1L, 600000L),
+      ("customer", 2L, 400000L),
+      ("part", 20L, 666666L),
+      ("part", 10L, 333333L)))
+  }
+
   test("prefixJaccardPairs is lossless on random small-alphabet corpora (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // a 4-token alphabet forces shingle collisions, near-dups, and
