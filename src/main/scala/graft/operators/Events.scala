@@ -945,4 +945,92 @@ object Events {
       |  ROUND((sy - (num / den) * sx) / n, 4) AS intercept,
       |  ROUND((num * num) / NULLIF(den * (n * syy - sy * sy), 0.0), 6) AS r2
       |FROM derived ORDER BY event_type""".stripMargin
+
+  /** q132 — frequent session paths: the top-k event-type TRIGRAMS
+    * taken consecutively inside a session (q92's transition matrix is
+    * the order-1 view; three-step paths expose the funnel detours a
+    * Markov matrix averages away — "view→click→error" vs
+    * "view→click→purchase" have the same first transition).
+    *
+    * Sessions are q20/q93's contract: per-user 30-min inactivity gap,
+    * events ordered by (ts_ms, event_id) — the fully-tiebroken
+    * cross-engine ordering. Support = trigram occurrences across all
+    * sessions; share = support / total trigram slots (exact-count
+    * quotient, rounded at 6dp on identical doubles).
+    *
+    * Scale: sessionization is one user-keyed window scan (the
+    * already-graded q20 shape), the two `lead`s stay inside that same
+    * window pass — no extra shuffle — and the trigram count is a
+    * partial+final aggregate over at most |event_types|³ groups. The
+    * top-k is a TakeOrdered over those groups, never a global sort.
+    */
+  def sessionPaths(spark: SparkSession, dir: String,
+                   gapMinutes: Int = 30, topK: Int = 20): DataFrame = {
+    val gapMs = gapMinutes * 60000L
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+    val wOrder = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val sess = ev
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(wOrder))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(wOrder.rowsBetween(Window.unboundedPreceding, 0)))
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val tri = sess
+      .withColumn("e2", lead(col("event_type"), 1).over(wSess))
+      .withColumn("e3", lead(col("event_type"), 2).over(wSess))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(col("event_type").as("e1"), col("e2"), col("e3"))
+    val counts = tri.groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("support"))
+    val total = counts.agg(sum(col("support")).as("n_trigrams"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("support").cast("double") / col("n_trigrams"), 6))
+      .orderBy(col("support").desc, col("e1"), col("e2"), col("e3"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("support").desc, col("e1"), col("e2"), col("e3"))))
+      .select(col("rank"), col("e1"), col("e2"), col("e3"),
+        col("support"), col("share"))
+      .orderBy(col("rank"))
+  }
+
+  def sessionPathsSql(gapMinutes: Int = 30, topK: Int = 20): String = {
+    val gapMs = gapMinutes * 60000L
+    s"""WITH flagged AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > $gapMs
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, event_type, ts_ms,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |), tri AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER ws AS e2,
+      |    lead(event_type, 2) OVER ws AS e3
+      |  FROM sess
+      |  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts_ms, event_id)
+      |), counts AS (
+      |  SELECT e1, e2, e3, COUNT(*) AS support FROM tri
+      |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |  GROUP BY 1, 2, 3
+      |), total AS (
+      |  SELECT SUM(support) AS n_trigrams FROM counts
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY support DESC, e1, e2, e3) AS INT) AS rank,
+      |  e1, e2, e3, support,
+      |  ROUND(CAST(support AS DOUBLE) / n_trigrams, 6) AS share
+      |FROM counts CROSS JOIN total
+      |QUALIFY rank <= $topK
+      |ORDER BY rank""".stripMargin
+  }
 }

@@ -252,6 +252,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("view", "view", 1L, 3L, 0.333333)))
   }
 
+  test("sessionPaths: trigrams never cross the session gap, shares sum over slots") {
+    // u1 session A: view click view click -> trigrams (v,c,v), (c,v,c)
+    // u1 session B (gap > 30 min): view click purchase -> (v,c,p)
+    // u2: two events only -> no trigram
+    val out = Events.sessionPaths(spark, eventsDirV(Seq(
+      (1L, 1000L, 1L, "view", 0.0), (2L, 2000L, 1L, "click", 0.0),
+      (3L, 3000L, 1L, "view", 0.0), (4L, 4000L, 1L, "click", 0.0),
+      (5L, 4000000L, 1L, "view", 0.0), (6L, 4001000L, 1L, "click", 0.0),
+      (7L, 4002000L, 1L, "purchase", 0.0),
+      (8L, 1000L, 2L, "view", 0.0), (9L, 2000L, 2L, "click", 0.0))))
+      .as[(Int, String, String, String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1, "click", "view", "click", 1L, 0.333333),
+      (2, "view", "click", "purchase", 1L, 0.333333),
+      (3, "view", "click", "view", 1L, 0.333333)))
+  }
+
   test("sessionCooccurrence: hand-built sessions, lift against independence") {
     // u1 session A {view,click,purchase}; u1 session B {view,click}
     // (second session: 2_997_000 ms gap > 30 min); u2 session C {view}
