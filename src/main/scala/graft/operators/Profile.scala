@@ -342,4 +342,75 @@ object Profile {
       |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_common,
       |  ROUND(CAST(SUM(CAST(term AS DECIMAL(18, 6))) AS DOUBLE) + 0.30103, 6) AS jsd
       |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q133 — per-source token concentration: Gini coefficient of each
+    * source's token-frequency distribution plus the top-10-token mass
+    * share. A boilerplate-heavy or template-generated source
+    * concentrates its mass in few tokens (Gini → 1); a diverse crawl
+    * spreads it (Gini → 0). The scalar twin of q113's Zipf fit — one
+    * number per source to threshold on, not a regression to read.
+    *
+    * Gini over counts c₁ ≤ … ≤ cₙ (ascending, ties broken by token —
+    * Σ i·cᵢ is tie-order invariant, the tiebreak is only for engine
+    * determinism): `G = 2·Σ i·cᵢ / (n·Σcᵢ) − (n+1)/n`. All sums are
+    * exact BIGINTs; the two divisions happen once, on identical
+    * doubles, rounded at 6dp.
+    *
+    * Scale: one token-keyed count, then ONE window pass partitioned by
+    * source computing both the ascending rank (for Gini) and the
+    * descending rank (for the top-10 share) in the same sort, then a
+    * source-keyed reduce. The window is vocabulary-sized per source,
+    * not corpus-sized.
+    */
+  def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    val docs = Tables.load(spark, dir, "documents")
+    val counts = docs
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val wAsc = Window.partitionBy(col("source")).orderBy(col("c"), col("tok"))
+    val wDesc = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("tok"))
+    counts
+      .withColumn("i", row_number().over(wAsc))
+      .withColumn("r", row_number().over(wDesc))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_vocab"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("i") * col("c")).as("s_rank"),
+        sum(when(col("r") <= 10, col("c")).otherwise(0L)).as("top10"))
+      .select(col("source"), col("n_vocab"), col("n_tokens"),
+        round((col("s_rank") * 2).cast("double")
+            / (col("n_vocab") * col("n_tokens"))
+          - (col("n_vocab") + lit(1)).cast("double") / col("n_vocab"), 6)
+          .as("gini"),
+        round(col("top10").cast("double") / col("n_tokens"), 6)
+          .as("top10_share"))
+      .orderBy(col("source"))
+  }
+
+  val tokenGiniSql: String =
+    """WITH cnt AS (
+      |  SELECT source, tok, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+      |    FROM documents
+      |  ) GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT source, c,
+      |    row_number() OVER (PARTITION BY source ORDER BY c, tok) AS i,
+      |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS r
+      |  FROM cnt
+      |)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_vocab,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(2 * CAST(SUM(i * c) AS BIGINT) AS DOUBLE)
+      |      / (COUNT(*) * CAST(SUM(c) AS BIGINT))
+      |    - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini,
+      |  ROUND(CAST(SUM(CASE WHEN r <= 10 THEN c ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(c) AS BIGINT), 6) AS top10_share
+      |FROM ranked GROUP BY source ORDER BY source""".stripMargin
 }

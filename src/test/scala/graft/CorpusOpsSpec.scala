@@ -232,6 +232,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(("s0", "s2"))._1 === 1L)
   }
 
+  test("tokenGini: hand-computed Gini, uniform source reads zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gini").toString
+    Seq((1L, "a b b c", "s0"), (2L, "x y", "s1"))
+      .map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Profile.tokenGini(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // s0: counts asc (a:1, c:1, b:2) -> S = 1+2+6 = 9, n=3, T=4
+    //   G = 18/12 - 4/3 = 0.166667; s1 uniform -> G = 0
+    assert(got === Seq(
+      ("s0", 3L, 4L, 0.166667, 1.0),
+      ("s1", 2L, 2L, 0.0, 1.0)))
+  }
+
   test("driftReport: identical halves read ~0 PSI; a lang flip lights up lang only") {
     val dir = java.nio.file.Files.createTempDirectory("graft-psi").toString
     // doc_ids 1-4: early = {1,2}, late = {3,4}. Identical length and
