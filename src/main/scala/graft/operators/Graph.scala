@@ -453,4 +453,99 @@ object Graph {
         |)
         |ORDER BY side, score_e6 DESC, node_key""".stripMargin
   }
+
+  /** q134 — k-core decomposition of the STRONG co-purchase graph
+    * (edges with co-occurrence weight ≥ `minW`): iteratively peel
+    * nodes whose in-subgraph degree drops below `k` until the set is
+    * stable. The surviving core is the community skeleton — the raw
+    * co-purchase graph is expander-dense (every part survives any
+    * small k; a median-degree k annihilates it), so the weight
+    * threshold is what makes the core informative rather than
+    * all-or-nothing.
+    *
+    * Exactness: pure integer set/degree logic — no floats anywhere.
+    * The peel sequence is monotone (each round's survivors are a
+    * subset of the last), so an unchanged COUNT is an unchanged SET
+    * and the fixpoint test is one tiny driver scalar per round (the
+    * q38/q107 probe discipline). The oracle unrolls `maxRounds` peels;
+    * once Spark's loop converges every further oracle round is a
+    * no-op, so early-stopping cannot diverge from the unrolled SQL.
+    * Non-convergence within `maxRounds` throws (q38's
+    * converged-or-throw contract) rather than returning a
+    * half-peeled set.
+    *
+    * Scale: each round is one edge⋈survivor semi-join pair + one
+    * u-keyed count — edges shuffled by endpoint once per round, with
+    * the edge frame checkpointed up front and only the shrinking
+    * survivor set exchanging. O(peel-depth) rounds, bounded by the
+    * degeneracy ordering length, not node count.
+    */
+  def kCore(spark: SparkSession, dir: String, k: Int = 2, minW: Long = 2L,
+            maxRounds: Int = 12): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir).filter(col("w") >= minW)
+    val edges = graft.Iterate.cut(
+      pairs.select(col("pa").as("u"), col("pb").as("v"))
+        .unionByName(pairs.select(col("pb").as("u"), col("pa").as("v"))))
+    var surv = edges.select(col("u")).distinct()
+    var prevN = -1L
+    var n = surv.count()
+    var round = 0
+    while (n != prevN && round < maxRounds) {
+      round += 1
+      prevN = n
+      surv = graft.Iterate.cut(edges
+        .join(surv, "u")
+        .join(surv.withColumnRenamed("u", "v"), "v")
+        .groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("u")))
+      n = surv.count()
+    }
+    if (n != prevN)
+      throw new IllegalStateException(
+        s"k-core not converged after $maxRounds rounds (still $n survivors)")
+    edges.join(surv, "u")
+      .join(surv.withColumnRenamed("u", "v"), "v")
+      .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("p_partkey"), col("core_deg"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** DuckDB twin: `maxRounds` peels unrolled as chained CTEs — every
+    * round past the fixpoint is a no-op, so the unrolled depth only
+    * needs to be ≥ the true peel depth (Spark throws if it is not).
+    * The CTEs are MATERIALIZED: each round references its predecessor
+    * twice, so default inlining would expand the chain exponentially
+    * (2^rounds parquet scans — the "too many open files" failure mode).
+    */
+  def kCoreSql(k: Int = 2, minW: Long = 2L, maxRounds: Int = 12): String = {
+    val base =
+      s"""WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), pairs AS MATERIALIZED (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), e AS MATERIALIZED (
+        |  SELECT pa AS u, pb AS v FROM pairs WHERE w >= $minW
+        |  UNION ALL
+        |  SELECT pb, pa FROM pairs WHERE w >= $minW
+        |), s0 AS MATERIALIZED (
+        |  SELECT DISTINCT u FROM e
+        |)""".stripMargin
+    val steps = (1 to maxRounds).map { t =>
+      s""", s$t AS MATERIALIZED (
+        |  SELECT u FROM e
+        |  WHERE u IN (SELECT u FROM s${t - 1}) AND v IN (SELECT u FROM s${t - 1})
+        |  GROUP BY u HAVING COUNT(*) >= $k
+        |)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+        |SELECT u AS p_partkey, CAST(COUNT(*) AS BIGINT) AS core_deg
+        |FROM e
+        |WHERE u IN (SELECT u FROM s$maxRounds) AND v IN (SELECT u FROM s$maxRounds)
+        |GROUP BY u ORDER BY u""".stripMargin
+  }
 }

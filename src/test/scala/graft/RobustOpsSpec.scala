@@ -598,6 +598,27 @@ class RobustOpsSpec extends AnyFunSuite {
       ("part", 10L, 333333L)))
   }
 
+  test("kCore: pendant chain peels in cascade, triangle survives, early cap throws") {
+    // baskets: {10,20,30} (triangle), {10,40}, {40,50} (pendant chain)
+    // k=2, minW=1: round 1 peels 50 (deg 1), round 2 peels 40
+    // (deg fell to 1), triangle is the stable 2-core
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, 86400000L)),
+      lineitem = Seq((1L, 10L), (1L, 20L), (1L, 30L),
+        (2L, 10L), (2L, 40L), (3L, 40L), (3L, 50L)),
+      events = Seq((1L, 1000L, 1L, "view", 0.0)))
+    graft.operators.Graph.clearPairsMemo()
+    val out = graft.operators.Graph.kCore(spark, dir, k = 2, minW = 1L)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((10L, 2L), (20L, 2L), (30L, 2L)))
+    // the cascade needs 3 rounds (two peels + the stability check);
+    // capping below that must throw, not return a half-peeled set
+    val e = intercept[IllegalStateException] {
+      graft.operators.Graph.kCore(spark, dir, k = 2, minW = 1L, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("prefixJaccardPairs is lossless on random small-alphabet corpora (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // a 4-token alphabet forces shingle collisions, near-dups, and
