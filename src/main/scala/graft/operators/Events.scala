@@ -999,6 +999,116 @@ object Events {
       .orderBy(col("rank"))
   }
 
+  /** q135 — order-2 Markov next-event backtest with a TEMPORAL
+    * holdout: trigram contexts (e1, e2) from the first half of the
+    * time range train an argmax next-event predictor; trigrams from
+    * the second half score it. The "is yesterday's behavior model
+    * still right today" check a funnel team runs before acting on
+    * q92/q132 — evaluated out-of-time, not in-sample.
+    *
+    * Determinism: the split point is `(min + max) div 2` of epoch-ms
+    * (exact integers); a trigram belongs to the half its FIRST event
+    * falls in (sessions may straddle the boundary; the trigram's
+    * assignment must not). The predictor tie-breaks equal counts by
+    * event-type order. Unseen test contexts predict NULL and score
+    * zero hits — visible rows, not dropped ones.
+    *
+    * Scale: trigram extraction rides the one q20 sessionization
+    * window pass; train/test land in ≤ |types|³ groups each; the
+    * predictor is a |types|²-row broadcast joined to test contexts.
+    */
+  def markovBacktest(spark: SparkSession, dir: String,
+                     gapMinutes: Int = 30): DataFrame = {
+    val gapMs = gapMinutes * 60000L
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+    val wOrder = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val sess = ev
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(wOrder))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(wOrder.rowsBetween(Window.unboundedPreceding, 0)))
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val bounds = ev.agg(min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi"))
+    val tri = sess
+      .withColumn("e2", lead(col("event_type"), 1).over(wSess))
+      .withColumn("e3", lead(col("event_type"), 2).over(wSess))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(col("event_type").as("e1"), col("e2"), col("e3"), col("ts_ms"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("is_train", col("ts_ms") <= expr("(lo + hi) div 2"))
+    val trainCounts = tri.filter(col("is_train"))
+      .groupBy(col("e1"), col("e2"), col("e3")).agg(count(lit(1)).as("c"))
+    val wCtx = Window.partitionBy(col("e1"), col("e2"))
+      .orderBy(col("c").desc, col("e3"))
+    val predictor = trainCounts
+      .withColumn("rn", row_number().over(wCtx))
+      .filter(col("rn") === 1)
+      .select(col("e1"), col("e2"), col("e3").as("predicted"))
+    val test = tri.filter(!col("is_train"))
+      .groupBy(col("e1"), col("e2"), col("e3")).agg(count(lit(1)).as("c"))
+    test
+      .join(broadcast(predictor), Seq("e1", "e2"), "left")
+      .groupBy(col("e1"), col("e2"), col("predicted"))
+      .agg(
+        sum(col("c")).as("n_test"),
+        sum(when(col("e3") === col("predicted"), col("c")).otherwise(0L))
+          .as("n_hits"))
+      .select(col("e1"), col("e2"), col("predicted"), col("n_test"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_test"), 6).as("hit_rate"))
+      .orderBy(col("e1"), col("e2"))
+  }
+
+  def markovBacktestSql(gapMinutes: Int = 30): String = {
+    val gapMs = gapMinutes * 60000L
+    s"""WITH flagged AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > $gapMs
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, event_type, ts_ms,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |), bounds AS (
+      |  SELECT MIN(epoch_ms(ts)) AS lo, MAX(epoch_ms(ts)) AS hi FROM events
+      |), tri AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER ws AS e2,
+      |    lead(event_type, 2) OVER ws AS e3,
+      |    ts_ms <= (SELECT (lo + hi) // 2 FROM bounds) AS is_train
+      |  FROM sess
+      |  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts_ms, event_id)
+      |), tri2 AS (
+      |  SELECT * FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |), train AS (
+      |  SELECT e1, e2, e3, COUNT(*) AS c FROM tri2 WHERE is_train GROUP BY 1, 2, 3
+      |), predictor AS (
+      |  SELECT e1, e2, e3 AS predicted FROM (
+      |    SELECT e1, e2, e3,
+      |      row_number() OVER (PARTITION BY e1, e2 ORDER BY c DESC, e3) AS rn
+      |    FROM train
+      |  ) WHERE rn = 1
+      |), test AS (
+      |  SELECT e1, e2, e3, COUNT(*) AS c FROM tri2 WHERE NOT is_train GROUP BY 1, 2, 3
+      |)
+      |SELECT t.e1, t.e2, p.predicted,
+      |  CAST(SUM(t.c) AS BIGINT) AS n_test,
+      |  CAST(SUM(CASE WHEN t.e3 = p.predicted THEN t.c ELSE 0 END) AS BIGINT)
+      |    AS n_hits,
+      |  ROUND(CAST(SUM(CASE WHEN t.e3 = p.predicted THEN t.c ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(t.c) AS BIGINT), 6) AS hit_rate
+      |FROM test t LEFT JOIN predictor p ON t.e1 = p.e1 AND t.e2 = p.e2
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+  }
+
   def sessionPathsSql(gapMinutes: Int = 30, topK: Int = 20): String = {
     val gapMs = gapMinutes * 60000L
     s"""WITH flagged AS (

@@ -269,6 +269,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (3, "view", "click", "view", 1L, 0.333333)))
   }
 
+  test("markovBacktest: temporal halves, argmax predictor, unseen context scores null") {
+    // lo=1000, hi=11000 -> split at 6000. Train (u1): (v,c,v), (c,v,c).
+    // Test: u2 (v,c,v) hit + (c,v,e) miss; u3 (err,err,err) unseen ctx.
+    val out = Events.markovBacktest(spark, eventsDirV(Seq(
+      (1L, 1000L, 1L, "view", 0.0), (2L, 2000L, 1L, "click", 0.0),
+      (3L, 3000L, 1L, "view", 0.0), (4L, 4000L, 1L, "click", 0.0),
+      (5L, 7000L, 2L, "view", 0.0), (6L, 8000L, 2L, "click", 0.0),
+      (7L, 9000L, 2L, "view", 0.0), (8L, 11000L, 2L, "error", 0.0),
+      (9L, 7000L, 3L, "error", 0.0), (10L, 8000L, 3L, "error", 0.0),
+      (11L, 9000L, 3L, "error", 0.0))))
+      .as[(String, String, Option[String], Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("click", "view", Some("click"), 1L, 0L, 0.0),
+      ("error", "error", None, 1L, 0L, 0.0),
+      ("view", "click", Some("view"), 1L, 1L, 1.0)))
+  }
+
   test("sessionCooccurrence: hand-built sessions, lift against independence") {
     // u1 session A {view,click,purchase}; u1 session B {view,click}
     // (second session: 2_997_000 ms gap > 30 min); u2 session C {view}
