@@ -438,6 +438,56 @@ object Similarity {
       |GROUP BY label, i
       |ORDER BY label, dim""".stripMargin
 
+  /** q136 — centroid confusion matrix: cosine between every pair of
+    * label centroids, with member counts. The between-class companion
+    * of q117's within-class tightness: two labels whose centroids run
+    * hot (cosine → 1) are classes the quantizer/classifier is about to
+    * conflate, and every centroid-routed path here (IVF cells,
+    * SemDeDup) degrades on exactly those pairs first.
+    *
+    * Exactness: centroids are the q35 frame (DECIMAL-sum means) cast
+    * to float — the same collapse-to-REAL step the drift profile uses
+    * — and the pairwise cosine is the shared index-ordered fold,
+    * rounded at 6dp. Scale: K centroids is a driver-scale frame; the
+    * K² pair matrix never touches the vector scan at all (the heavy
+    * part, the centroid means, is one dim-keyed aggregate over the
+    * corpus — shared shape with q35).
+    */
+  def centroidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroidArrays(labelCentroids(spark, dir))
+    val sizes = Tables.load(spark, dir, "embeddings")
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val a = cent.select(col("cell").as("label_a"), col("c_emb").as("ea"))
+      .join(sizes.select(col("label").as("label_a"), col("n").as("n_a")), "label_a")
+    val b = cent.select(col("cell").as("label_b"), col("c_emb").as("eb"))
+      .join(sizes.select(col("label").as("label_b"), col("n").as("n_b")), "label_b")
+    a.crossJoin(b).filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(cosine(spark, col("ea"), col("eb")), 6).as("cos_centroids"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val centroidConfusionSql: String =
+    s"""WITH cent_long AS (
+      |  SELECT label, i - 1 AS dim,
+      |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+      |      / COUNT(embedding[i]) AS centroid
+      |  FROM embeddings, generate_series(1, 64) AS t(i)
+      |  GROUP BY label, i
+      |), cent AS (
+      |  SELECT label, list(CAST(centroid AS REAL) ORDER BY dim) AS c_emb
+      |  FROM cent_long GROUP BY label
+      |), sizes AS (
+      |  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+      |)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |  ROUND(${cosSql("a.c_emb", "b.c_emb")}, 6) AS cos_centroids
+      |FROM cent a JOIN cent b ON a.label < b.label
+      |JOIN sizes sa ON a.label = sa.label
+      |JOIN sizes sb ON b.label = sb.label
+      |ORDER BY label_a, label_b""".stripMargin
+
   /** q117 — embedding drift profile: per label, how tightly the
     * vectors sit around their centroid — member count, mean and
     * minimum cosine-to-centroid, and the count below a low-similarity

@@ -384,6 +384,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(l1._5 === 2L) // both sit below the 0.8 floor
   }
 
+  test("centroidConfusion: aligned labels read 1, orthogonal labels read 0") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-confusion").toString
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1),                       // same axis as 0
+      (4L, Array(0.0f, 1.0f), 2), (5L, Array(0.0f, 1.0f), 2)) // orthogonal
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.centroidConfusion(spark, dir)
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0, 1, 2L, 1L, 1.0),
+      (0, 2, 2L, 2L, 0.0),
+      (1, 2, 1L, 2L, 0.0)))
+  }
+
   test("sniffWav: canonical header parses; tampered headers reject") {
     // doc_id 1 -> 2 channels, 10 bytes -> rate 8010, block 4,
     // data 8 bytes -> 2 frames, duration 2*1000/8010 = 0 ms
