@@ -438,6 +438,64 @@ object Similarity {
       |GROUP BY label, i
       |ORDER BY label, dim""".stripMargin
 
+  /** q137 — ANN recall audit: per query, how much of the EXACT top-k
+    * (q29) the sign-LSH tier (q30) actually returned. The q112
+    * estimator-calibration idea applied to the ANN stack: recall is
+    * usually a PLANS.md claim measured offline; here it is a graded
+    * relation, so a quantizer regression shows up as a diff, not a
+    * stale doc. Recall is against the exact list (n_overlap /
+    * n_exact); a query whose bucket went empty still shows up with
+    * recall 0 rather than vanishing.
+    *
+    * Scale: composes two already-bounded operators (broadcast queries,
+    * partial top-k) and joins k-row-per-query lists — the audit
+    * itself is queries×k sized, trivial next to either input.
+    */
+  def annRecallAudit(spark: SparkSession, dir: String, nQueries: Int = 8,
+                     k: Int = 10): DataFrame = {
+    val exact = knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = knnLsh(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = exact.join(ann, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    val ec = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    val ac = ann.groupBy(col("query_id")).agg(count(lit(1)).as("n_ann"))
+    ec.join(ac, Seq("query_id"), "left")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double")
+          / col("n_exact"), 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallAuditSql: String =
+    s"""WITH exact_list AS (
+      |  $knnBruteSql
+      |), ann_list AS (
+      |  $knnLshSql
+      |), ov AS (
+      |  SELECT e.query_id, COUNT(*) AS n_overlap
+      |  FROM exact_list e JOIN ann_list a
+      |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |  GROUP BY 1
+      |), ec AS (
+      |  SELECT query_id, COUNT(*) AS n_exact FROM exact_list GROUP BY 1
+      |), ac AS (
+      |  SELECT query_id, COUNT(*) AS n_ann FROM ann_list GROUP BY 1
+      |)
+      |SELECT ec.query_id, ec.n_exact,
+      |  CAST(COALESCE(ac.n_ann, 0) AS BIGINT) AS n_ann,
+      |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / ec.n_exact, 6)
+      |    AS recall
+      |FROM ec
+      |LEFT JOIN ac ON ec.query_id = ac.query_id
+      |LEFT JOIN ov ON ec.query_id = ov.query_id
+      |ORDER BY ec.query_id""".stripMargin
+
   /** q136 — centroid confusion matrix: cosine between every pair of
     * label centroids, with member counts. The between-class companion
     * of q117's within-class tightness: two labels whose centroids run

@@ -401,6 +401,27 @@ class PipelineSpec extends AnyFunSuite {
       (1, 2, 1L, 2L, 0.0)))
   }
 
+  test("annRecallAudit: internally consistent with its own top-k inputs") {
+    val sf0001 = "/root/testdata/sf0.001"
+    val out = Similarity.annRecallAudit(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) === out.map(_._1).sorted)
+    assert(out.nonEmpty && out.forall(_._2 === 10L)) // exact list is full-k
+    out.foreach { case (_, nExact, nAnn, nOv, recall) =>
+      assert(nOv <= math.min(nExact, nAnn))
+      assert(recall === math.rint(nOv.toDouble / nExact * 1e6) / 1e6)
+    }
+    // the audit must agree with a direct recomputation from the graded inputs
+    val exact = Similarity.knnBrute(spark, sf0001)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.knnLsh(spark, sf0001)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ovByQ = exact.intersect(ann).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    out.foreach { case (q, _, _, nOv, _) =>
+      assert(nOv === ovByQ.getOrElse(q, 0L))
+    }
+  }
+
   test("sniffWav: canonical header parses; tampered headers reject") {
     // doc_id 1 -> 2 channels, 10 bytes -> rate 8010, block 4,
     // data 8 bytes -> 2 frames, duration 2*1000/8010 = 0 ms
