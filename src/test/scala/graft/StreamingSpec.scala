@@ -305,4 +305,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed === Seq(StreamingEvents.SessionOut(1L, 0L, 500L, 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("streaming session trigrams match the batch q132 multiset") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPaths.{PathInput, PathOut}
+    // same fixture shape as the batch sessionPaths spec: u1 has two
+    // sessions (4-event, then 3-event past the 30-min gap), u2 too short
+    val rows = Seq(
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
+      (3L, 3000L, 1L, "view"), (4L, 4000L, 1L, "click"),
+      (5L, 4000000L, 1L, "view"), (6L, 4001000L, 1L, "click"),
+      (7L, 4002000L, 1L, "purchase"),
+      (8L, 1000L, 2L, "view"), (9L, 2000L, 2L, "click"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-spaths").toString
+    rows.map { case (id, ms, user, typ) =>
+      (id, new java.sql.Timestamp(ms), user, typ, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Events.sessionPaths(spark, dir)
+      .select($"e1", $"e2", $"e3", $"support")
+      .as[(String, String, String, Long)].collect().toSeq.sortBy(identity)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[PathInput]
+    val q = graft.streaming.StreamingPaths.sessionTrigrams(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("paths_out").start()
+    try {
+      // split mid-session across micro-batches so the predecessor pair
+      // must survive in state
+      input.addData(rows.take(3).map { case (id, ms, u, t) =>
+        PathInput(u, id, ms, t) }: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(3).map { case (id, ms, u, t) =>
+        PathInput(u, id, ms, t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("paths_out").as[PathOut].collect().toSeq
+        .groupBy(p => (p.e1, p.e2, p.e3)).view
+        .map { case ((a, b, c), v) => (a, b, c, v.size.toLong) }
+        .toSeq.sortBy(identity)
+      assert(streamed === batch)
+      // a late event below the frontier adds nothing
+      input.addData(PathInput(1L, 0L, 500L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("paths_out").count() === streamed.map(_._4).sum)
+    } finally q.stop()
+  }
 }
