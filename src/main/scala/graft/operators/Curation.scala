@@ -872,6 +872,57 @@ object Curation {
       |    AS n_bins_ideal
       |FROM e GROUP BY ctx_len ORDER BY ctx_len""".stripMargin
 
+  /** q138 — cross-source score calibration: each document's quality
+    * percent-rank WITHIN its source next to its GLOBAL percent-rank,
+    * and the gap between them. A threshold tuned on the global
+    * distribution silently over-prunes any source whose scores run
+    * low (q23's formula is length/stopword-based — a terse source is
+    * systematically punished); the gap column is the per-doc evidence
+    * for per-source thresholds vs one global cut.
+    *
+    * Exactness: percent_rank is (rank−1)/(n−1) on exact integer
+    * ranks with a fully-tiebroken ordering — small rationals,
+    * identical doubles both engines, rounded at 6dp.
+    *
+    * Scale: the per-source rank is a source-partitioned window; the
+    * global rank is a TOTAL ORDER — fine as a report at audit sizes,
+    * and the documented 100 TB path swaps it for the x01 KLL-sketch
+    * quantile inverse (percent-rank ≈ CDF value at the doc's score),
+    * which needs no global sort.
+    */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.load(spark, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("quality"), col("doc_id"))
+    val wAll = Window.orderBy(col("quality"), col("doc_id"))
+    scored
+      .withColumn("pr_source", round(percent_rank().over(wSrc), 6))
+      .withColumn("pr_global", round(percent_rank().over(wAll), 6))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("pr_source"), col("pr_global"),
+        round(col("pr_source") - col("pr_global"), 6).as("calibration_gap"))
+      .orderBy(col("doc_id"))
+  }
+
+  def scoreCalibrationSql(): String = {
+    val q = graft.operators.TextAnalysis.qualityExprSql
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, $q AS quality FROM documents
+       |)
+       |SELECT doc_id, source, quality,
+       |  ROUND(PERCENT_RANK() OVER ws, 6) AS pr_source,
+       |  ROUND(PERCENT_RANK() OVER wg, 6) AS pr_global,
+       |  ROUND(ROUND(PERCENT_RANK() OVER ws, 6)
+       |    - ROUND(PERCENT_RANK() OVER wg, 6), 6) AS calibration_gap
+       |FROM scored
+       |WINDOW ws AS (PARTITION BY source ORDER BY quality, doc_id),
+       |  wg AS (ORDER BY quality, doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q129 — filter-cascade attrition report: an ordered battery of
     * Gopher-style document-quality rules (min/max length, stopword
     * density, top-token repetition, punctuation density), reporting per

@@ -247,6 +247,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("s1", 2L, 2L, 0.0, 1.0)))
   }
 
+  test("scoreCalibration: ranks recompute from its own quality column") {
+    val out = graft.operators.Curation.scoreCalibration(spark, sf0001)
+      .as[(Long, String, Double, Double, Double, Double)].collect().toSeq
+    assert(out.size === 500)
+    def pr(sorted: Seq[(Double, Long)], key: (Double, Long)): Double = {
+      val i = sorted.indexOf(key)
+      math.rint(i.toDouble / (sorted.size - 1) * 1e6) / 1e6
+    }
+    val globalOrder = out.map(r => (r._3, r._1)).sorted
+    val bySrc = out.groupBy(_._2).view
+      .mapValues(_.map(r => (r._3, r._1)).sorted).toMap
+    out.foreach { case (id, src, q, prS, prG, gap) =>
+      assert(prS === pr(bySrc(src), (q, id)))
+      assert(prG === pr(globalOrder, (q, id)))
+      assert(gap === math.rint((prS - prG) * 1e6) / 1e6)
+    }
+  }
+
   test("driftReport: identical halves read ~0 PSI; a lang flip lights up lang only") {
     val dir = java.nio.file.Files.createTempDirectory("graft-psi").toString
     // doc_ids 1-4: early = {1,2}, late = {3,4}. Identical length and
