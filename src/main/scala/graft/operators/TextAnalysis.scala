@@ -96,6 +96,37 @@ object TextAnalysis {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** q139 — language-ID confusion matrix: the q22 per-doc agreement
+    * rolled into the (labeled, predicted) contingency table with
+    * per-label recall shares — the model-quality summary you read
+    * before trusting the heuristic to route a 100 TB corpus through
+    * per-language pipelines. One narrow map (the same codegen'd
+    * argmax as q22) + one ≤(L+1)²-group aggregate; `share_of_lang` is
+    * an exact-count quotient on identical doubles.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = langIdQuery(spark, dir)
+    val totals = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    perDoc.groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "lang")
+      .select(col("lang"), col("lang_pred"), col("n"), col("n_lang"),
+        round(col("n").cast("double") / col("n_lang"), 6).as("share_of_lang"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH per_doc AS (
+       |  $langIdSql
+       |), totals AS (
+       |  SELECT lang, COUNT(*) AS n_lang FROM per_doc GROUP BY lang
+       |), cells AS (
+       |  SELECT lang, lang_pred, COUNT(*) AS n FROM per_doc GROUP BY 1, 2
+       |)
+       |SELECT c.lang, c.lang_pred, c.n, t.n_lang,
+       |  ROUND(CAST(c.n AS DOUBLE) / t.n_lang, 6) AS share_of_lang
+       |FROM cells c JOIN totals t ON c.lang = t.lang
+       |ORDER BY c.lang, c.lang_pred""".stripMargin
+
   /** q23 — composite quality score + decile bucketing. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

@@ -11,6 +11,23 @@ import graft.operators.{Curation, Events, TextAnalysis}
   * join's AQE skew-split (the Zipf-hot function-word path).
   */
 class TextOpsSpec extends AnyFunSuite {
+
+  test("langConfusion: cells sum back to per-doc agreement and label totals") {
+    import SharedSpark.spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val cells = graft.operators.TextAnalysis.langConfusion(SharedSpark.spark, sf)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    val perDoc = graft.operators.TextAnalysis.langIdQuery(SharedSpark.spark, sf)
+      .as[(Long, String, String, Int)].collect().toSeq
+    // label totals recompose
+    cells.groupBy(_._1).foreach { case (lang, cs) =>
+      assert(cs.map(_._3).sum === cs.head._4)
+      assert(cs.head._4 === perDoc.count(_._2 == lang))
+    }
+    // diagonal mass == total agreement count from the graded q22 output
+    val diag = cells.filter(c => c._1 == c._2).map(_._3).sum
+    assert(diag === perDoc.map(_._4.toLong).sum)
+  }
   lazy val spark = SharedSpark.spark
   import spark.implicits._
 
