@@ -1109,6 +1109,63 @@ object Events {
       |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
   }
 
+  /** q140 — inter-arrival spectrum: per event type, the histogram of
+    * per-user gaps between consecutive occurrences, bucketed by
+    * powers of two (bucket k holds 2^k ≤ gap_ms < 2^(k+1); zero gaps
+    * get bucket −1). The burstiness fingerprint behind retention and
+    * session-gap tuning: a spectrum with mass at seconds AND days is
+    * two regimes one mean would blur; q121's anomaly flags assume a
+    * rhythm, this is the rhythm.
+    *
+    * Exactness: bucketing is a generated chain of INTEGER comparisons
+    * against power-of-two literals — no log2 calls, whose 1-ulp
+    * wobble near exact powers would be the only thing either engine
+    * could disagree on. Min/max/count per bucket are exact.
+    *
+    * Scale: one (user, type)-partitioned window pass for the lag,
+    * then a ≤ |types|·42-group reduce. Same shuffle budget as q20.
+    */
+  def interarrivalSpectrum(spark: SparkSession, dir: String,
+                           maxBucket: Int = 41): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val gaps = ev
+      .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+    val bucket = (0 to maxBucket).foldLeft(when(col("gap_ms") < 1L, -1)) {
+      (acc, k) => acc.when(col("gap_ms") < (1L << (k + 1)), k)
+    }.otherwise(maxBucket + 1)
+    gaps.select(col("event_type"), bucket.as("bucket"), col("gap_ms"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("gap_ms")).as("min_gap_ms"),
+        max(col("gap_ms")).as("max_gap_ms"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  def interarrivalSpectrumSql(maxBucket: Int = 41): String = {
+    val cases = (0 to maxBucket).map { k =>
+      s"WHEN gap_ms < ${1L << (k + 1)} THEN $k"
+    }.mkString("\n      |    ")
+    s"""WITH gaps AS (
+      |  SELECT event_type,
+      |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+      |      (PARTITION BY user_id, event_type
+      |       ORDER BY epoch_ms(ts), event_id) AS gap_ms
+      |  FROM events
+      |), bucketed AS (
+      |  SELECT event_type, gap_ms,
+      |    CASE WHEN gap_ms < 1 THEN -1
+      |    $cases
+      |    ELSE ${maxBucket + 1} END AS bucket
+      |  FROM gaps WHERE gap_ms IS NOT NULL
+      |)
+      |SELECT event_type, bucket, COUNT(*) AS n,
+      |  MIN(gap_ms) AS min_gap_ms, MAX(gap_ms) AS max_gap_ms
+      |FROM bucketed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def sessionPathsSql(gapMinutes: Int = 30, topK: Int = 20): String = {
     val gapMs = gapMinutes * 60000L
     s"""WITH flagged AS (

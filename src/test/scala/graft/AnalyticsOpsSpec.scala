@@ -286,6 +286,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("view", "click", Some("view"), 1L, 1L, 1.0)))
   }
 
+  test("interarrivalSpectrum: power-of-two boundaries land in the right buckets") {
+    // u1 view gaps: 1ms (bucket 0), 4ms (bucket 2: 4 <= g < 8),
+    // 0ms same-ts tiebreak (bucket -1), 7ms (bucket 2)
+    val out = Events.interarrivalSpectrum(spark, eventsDirV(Seq(
+      (1L, 1000L, 1L, "view", 0.0), (2L, 1001L, 1L, "view", 0.0),
+      (3L, 1005L, 1L, "view", 0.0), (4L, 1005L, 1L, "view", 0.0),
+      (5L, 1012L, 1L, "view", 0.0),
+      (6L, 2000L, 2L, "click", 0.0))))  // single event: no gap row
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("view", -1, 1L, 0L, 0L),
+      ("view", 0, 1L, 1L, 1L),
+      ("view", 2, 2L, 4L, 7L)))
+  }
+
   test("sessionCooccurrence: hand-built sessions, lift against independence") {
     // u1 session A {view,click,purchase}; u1 session B {view,click}
     // (second session: 2_997_000 ms gap > 30 min); u2 session C {view}
