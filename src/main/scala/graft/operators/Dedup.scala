@@ -1450,4 +1450,48 @@ object Dedup {
       |    / COUNT(*), 6) AS novelty
       |FROM sh JOIN fd ON sh.shingle = fd.shingle
       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
+  /** q141 — dedup-method agreement audit: the q137 idea applied to
+    * the dedup stack. q26 (exhaustive df-capped inverted index) is
+    * the ground-truth pair set at the graded threshold; q27 runs the
+    * same exact-Jaccard verification but only over MinHash-LSH band
+    * candidates — so its pairs are a subset, and the difference IS
+    * the LSH miss set. One summary row: pair counts, overlap, and
+    * LSH pair-recall. Banding theory says misses concentrate just
+    * above threshold; a recall drop here is the tuning signal to add
+    * bands before a 100 TB dedup run silently under-merges.
+    *
+    * Scale: composes two already-candidate-bounded graded operators
+    * and joins their pair lists — audit cost is pair-list sized.
+    */
+  def lshAgreementAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = ngramJaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val lsh = minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val nE = exact.agg(count(lit(1)).as("n_exact"))
+    val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nC = exact.join(lsh, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    nE.crossJoin(nL).crossJoin(nC)
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        (col("n_exact") - col("n_common")).as("n_missed"),
+        round(col("n_common").cast("double") / col("n_exact"), 6)
+          .as("lsh_pair_recall"))
+  }
+
+  val lshAgreementAuditSql: String =
+    s"""WITH exact_pairs AS (
+      |  $ngramJaccardPairsSql
+      |), lsh_pairs AS (
+      |  $minhashLshPairsSql
+      |), ne AS (SELECT COUNT(*) AS n_exact FROM exact_pairs
+      |), nl AS (SELECT COUNT(*) AS n_lsh FROM lsh_pairs
+      |), ncm AS (
+      |  SELECT COUNT(*) AS n_common
+      |  FROM exact_pairs e JOIN lsh_pairs l
+      |    ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+      |)
+      |SELECT n_exact, n_lsh, n_common,
+      |  n_exact - n_common AS n_missed,
+      |  ROUND(CAST(n_common AS DOUBLE) / n_exact, 6) AS lsh_pair_recall
+      |FROM ne CROSS JOIN nl CROSS JOIN ncm""".stripMargin
 }

@@ -543,6 +543,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(singles.forall(_.getDouble(3) <= 1.0 / 61 + 1e-9))
   }
 
+  test("lshAgreementAudit: counts recompute from the two graded pair lists") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val row = Dedup.lshAgreementAudit(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(row._1 === exact.size.toLong)
+    assert(row._2 === lsh.size.toLong)
+    assert(row._3 === exact.intersect(lsh).size.toLong)
+    assert(row._4 === (exact.size - exact.intersect(lsh).size).toLong)
+    // q27 verifies candidates with the same exact Jaccard, so its
+    // pairs are a subset: n_lsh == n_common always
+    assert(row._2 === row._3)
+  }
+
   test("decontaminationBloom computes exactly the q61 relation") {
     val exact = Dedup.decontamination(spark, sf0001).collect().toSet
     val bloom = Dedup.decontaminationBloom(spark, sf0001).collect().toSet
