@@ -397,16 +397,17 @@ object Graph {
       .select(col("c"), lit(HitsScale / nc).as("s"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val authRaw = edgesByC.join(hub, "c")
-        .groupBy(col("p")).agg(sum(col("s")).as("r"))
+      // checkpoint the RAW sums BEFORE the total probe: the probe's
+      // head() and the normalized frame both read the checkpoint, so
+      // the edge join runs once per half-step, not twice
+      val authRaw = graft.Iterate.cut(edgesByC.join(hub, "c")
+        .groupBy(col("p")).agg(sum(col("s")).as("r")))
       val totA = authRaw.agg(sum(col("r"))).head().getLong(0)
-      auth = graft.Iterate.cut(
-        authRaw.select(col("p"), expr(s"(r * $HitsScale) div $totA").as("s")))
-      val hubRaw = edgesByP.join(auth, "p")
-        .groupBy(col("c")).agg(sum(col("s")).as("r"))
+      auth = authRaw.select(col("p"), expr(s"(r * $HitsScale) div $totA").as("s"))
+      val hubRaw = graft.Iterate.cut(edgesByP.join(auth, "p")
+        .groupBy(col("c")).agg(sum(col("s")).as("r")))
       val totH = hubRaw.agg(sum(col("r"))).head().getLong(0)
-      hub = graft.Iterate.cut(
-        hubRaw.select(col("c"), expr(s"(r * $HitsScale) div $totH").as("s")))
+      hub = hubRaw.select(col("c"), expr(s"(r * $HitsScale) div $totH").as("s"))
     }
     hub.select(lit("customer").as("side"), col("c").as("node_key"),
         col("s").as("score_e6"))
@@ -487,27 +488,28 @@ object Graph {
       pairs.select(col("pa").as("u"), col("pb").as("v"))
         .unionByName(pairs.select(col("pb").as("u"), col("pa").as("v"))))
     var surv = edges.select(col("u")).distinct()
+    var degs: DataFrame = null
     var prevN = -1L
     var n = surv.count()
     var round = 0
     while (n != prevN && round < maxRounds) {
       round += 1
       prevN = n
-      surv = graft.Iterate.cut(edges
+      // one checkpointed degree table per round; survivors are a
+      // narrow filter over it, and at the fixpoint it IS the answer
+      // (the filter dropped nothing), so no post-loop re-join
+      degs = graft.Iterate.cut(edges
         .join(surv, "u")
         .join(surv.withColumnRenamed("u", "v"), "v")
-        .groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k)
-        .select(col("u")))
+        .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k))
+      surv = degs.select(col("u"))
       n = surv.count()
     }
     if (n != prevN)
       throw new IllegalStateException(
         s"k-core not converged after $maxRounds rounds (still $n survivors)")
-    edges.join(surv, "u")
-      .join(surv.withColumnRenamed("u", "v"), "v")
-      .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
-      .select(col("u").as("p_partkey"), col("core_deg"))
+    degs.select(col("u").as("p_partkey"), col("core_deg"))
       .orderBy(col("p_partkey"))
   }
 
