@@ -116,7 +116,11 @@ object Bench {
       // q36's scale twin: Misra-Gries heavy hitters, <= k counters per
       // buffer instead of the vocabulary shuffle (TextOpsSpec asserts
       // the MG presence/undercount bounds)
-      "x04_vocab_heavy_hitters" -> (() => operators.TextAnalysis.vocabularyHeavyHitters(spark, sfDir)))
+      "x04_vocab_heavy_hitters" -> (() => operators.TextAnalysis.vocabularyHeavyHitters(spark, sfDir)),
+      // q36 under ScaleMode.Sketch: HLL df per token — same code path,
+      // the dial swaps only the distinct aggregate (ScaleModeSpec
+      // bounds the rsd drift against Exact)
+      "x05_vocab_sketch" -> (() => operators.TextAnalysis.vocabularyApprox(spark, sfDir)))
 
     val standard = SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (n, fn) => n -> (() => fn(spark, sfDir)) }

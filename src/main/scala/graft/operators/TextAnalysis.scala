@@ -168,15 +168,28 @@ object TextAnalysis {
     * here plain partial+final aggregation suffices since count/df are
     * algebraic.
     */
-  def vocabulary(spark: SparkSession, dir: String): DataFrame = {
+  def vocabulary(spark: SparkSession, dir: String,
+                 mode: graft.ScaleMode = graft.ScaleMode.Exact): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
+    // the mode swaps ONLY the df aggregate: tf is algebraic either way,
+    // and countDistinct's per-group Expand is the part whose state is
+    // unbounded at 100 TB — the HLL sketch (rsd 5%) is mergeable
+    // map-side state of fixed size per (token) group
+    val df = mode match {
+      case graft.ScaleMode.Exact => countDistinct(col("doc_id"))
+      case graft.ScaleMode.Sketch => approx_count_distinct(col("doc_id"), 0.05)
+    }
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(
         count(lit(1)).as("tf"),
-        countDistinct(col("doc_id")).as("df"))
+        df.as("df"))
       .orderBy(col("token"))
   }
+
+  /** Bench/deploy alias for the sketch mode (x05). */
+  def vocabularyApprox(spark: SparkSession, dir: String): DataFrame =
+    vocabulary(spark, dir, graft.ScaleMode.Sketch)
 
   val vocabularySql: String =
     """SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df

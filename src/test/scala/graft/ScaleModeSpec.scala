@@ -25,6 +25,31 @@ class ScaleModeSpec extends AnyFunSuite {
     assert(rows(operators.Events.rollingActiveUsers(spark, sf0001,
         mode = ScaleMode.Sketch))
       === rows(operators.Events.rollingActiveUsersApprox(spark, sf0001)))
+    assert(rows(operators.TextAnalysis.vocabulary(spark, sf0001, ScaleMode.Sketch))
+      === rows(operators.TextAnalysis.vocabularyApprox(spark, sf0001)))
+  }
+
+  test("vocabulary sketch df stays within the HLL rsd envelope of exact") {
+    import spark.implicits._
+    val exact = operators.TextAnalysis.vocabulary(spark, sf0001)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val sk = operators.TextAnalysis
+      .vocabulary(spark, sf0001, ScaleMode.Sketch)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(sk.keySet === exact.keySet)
+    // rsd 5%: allow 4 sigma (sketches are deterministic, this pins
+    // the configured accuracy rather than luck)
+    sk.foreach { case (tok, d) =>
+      assert(math.abs(d - exact(tok)) <= math.max(1L, (exact(tok) * 0.2).toLong),
+        s"token $tok: sketch $d vs exact ${exact(tok)}")
+    }
+    // tf is exact in both modes
+    val tfE = operators.TextAnalysis.vocabulary(spark, sf0001)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val tfS = operators.TextAnalysis
+      .vocabulary(spark, sf0001, ScaleMode.Sketch)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(tfE === tfS)
   }
 
   test("mode flip preserves the output contract (schema and keys)") {
@@ -47,5 +72,7 @@ class ScaleModeSpec extends AnyFunSuite {
     contract("rollingActiveUsers",
       m => operators.Events.rollingActiveUsers(spark, sf0001, mode = m),
       "epoch_day")
+    contract("vocabulary",
+      m => operators.TextAnalysis.vocabulary(spark, sf0001, m), "token")
   }
 }
