@@ -350,6 +350,86 @@ object Graph {
         |ORDER BY r.rank_e12 DESC, p_partkey""".stripMargin
   }
 
+  /** q142 — market-basket association rules: for every co-purchased
+    * part pair with support ≥ `minCount` baskets, the support /
+    * confidence / lift triple of the classic level-1 Apriori pass —
+    * the "customers who bought X also bought Y" miner the co-purchase
+    * graph exists to feed. Both rule directions are reported (a→b and
+    * b→a confidences), top-`topK` pairs by lift.
+    *
+    * Exactness: supports are exact basket counts; lift and the
+    * confidences are exact-count quotients rounded at 6dp on
+    * identical doubles, ordered with a full (lift, pa, pb) tiebreak.
+    *
+    * Scale: reuses the session-memoized q107/q115 pair list (the one
+    * lineitem self-join); per-part basket counts are one aggregate
+    * over the distinct (order, part) projection; the top-k is a
+    * TakeOrdered over min-support survivors, never a global sort.
+    */
+  def marketBasket(spark: SparkSession, dir: String, minCount: Long = 2L,
+                   topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = coPurchasePairs(spark, dir).filter(col("w") >= minCount)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val partCounts = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val nBaskets = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val scored = pairs
+      .join(partCounts.select(col("l_partkey").as("pa"), col("n_part").as("n_a")), "pa")
+      .join(partCounts.select(col("l_partkey").as("pb"), col("n_part").as("n_b")), "pb")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("pa"), col("pb"), col("w").as("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        round(col("w").cast("double") / col("n_baskets"), 6).as("support"),
+        round(col("w").cast("double") / col("n_a"), 6).as("conf_a_to_b"),
+        round(col("w").cast("double") / col("n_b"), 6).as("conf_b_to_a"),
+        round(col("w").cast("double") * col("n_baskets")
+          / (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+    scored
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift").desc, col("pa"), col("pb"))))
+      .select(col("rank"), col("pa"), col("pb"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"), col("support"), col("conf_a_to_b"),
+        col("conf_b_to_a"), col("lift"))
+      .orderBy(col("rank"))
+  }
+
+  def marketBasketSql(minCount: Long = 2L, topK: Int = 20): String =
+    s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= $minCount
+      |), pc AS (
+      |  SELECT l_partkey, COUNT(*) AS n_part FROM li GROUP BY 1
+      |), nb AS (
+      |  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li
+      |), scored AS (
+      |  SELECT p.pa, p.pb, p.n_ab, ca.n_part AS n_a, cb.n_part AS n_b,
+      |    nb.n_baskets,
+      |    ROUND(CAST(p.n_ab AS DOUBLE) / nb.n_baskets, 6) AS support,
+      |    ROUND(CAST(p.n_ab AS DOUBLE) / ca.n_part, 6) AS conf_a_to_b,
+      |    ROUND(CAST(p.n_ab AS DOUBLE) / cb.n_part, 6) AS conf_b_to_a,
+      |    ROUND(CAST(p.n_ab AS DOUBLE) * nb.n_baskets
+      |      / (CAST(ca.n_part AS DOUBLE) * cb.n_part), 6) AS lift
+      |  FROM pairs p
+      |  JOIN pc ca ON p.pa = ca.l_partkey
+      |  JOIN pc cb ON p.pb = cb.l_partkey
+      |  CROSS JOIN nb
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY lift DESC, pa, pb) AS INT) AS rank,
+      |  pa, pb, n_ab, n_a, n_b, CAST(n_baskets AS BIGINT) AS n_baskets,
+      |  support, conf_a_to_b, conf_b_to_a, lift
+      |FROM scored
+      |QUALIFY rank <= $topK
+      |ORDER BY rank""".stripMargin
+
   /** Fixed-point scale for HITS: scores are integers in units of
     * 1e-6. Smaller than PageRank's 1e-12 on purpose — the
     * normalization step multiplies a raw score (≤ Scale × max-degree)

@@ -619,6 +619,24 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("marketBasket: hand-counted support/confidence/lift on three baskets") {
+    // baskets: {10,20}, {10,20}, {10,30} — pair (10,20) in 2 baskets,
+    // (10,30) in 1 (below minCount=2)
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, 86400000L)),
+      lineitem = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+        (3L, 10L), (3L, 30L)),
+      events = Seq((1L, 1000L, 1L, "view", 0.0)))
+    graft.operators.Graph.clearPairsMemo()
+    val out = graft.operators.Graph.marketBasket(spark, dir)
+      .as[(Int, Long, Long, Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    // n_a(10)=3, n_b(20)=2, N=3: support 2/3, conf 10->20 = 2/3,
+    // conf 20->10 = 1, lift = 2*3/(3*2) = 1
+    assert(out === Seq(
+      (1, 10L, 20L, 2L, 3L, 2L, 3L, 0.666667, 0.666667, 1.0, 1.0)))
+  }
+
   test("prefixJaccardPairs is lossless on random small-alphabet corpora (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // a 4-token alphabet forces shingle collisions, near-dups, and
