@@ -343,6 +343,72 @@ object Profile {
       |  ROUND(CAST(SUM(CAST(term AS DECIMAL(18, 6))) AS DOUBLE) + 0.30103, 6) AS jsd
       |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q143 — numeric correlation matrix: Pearson r for every pair of
+    * lineitem measures, computed from sufficient statistics in ONE
+    * scan — the ANALYZE-style companion to q70's per-column profile
+    * ("discount tracks quantity" is a join-free fact a curation or
+    * pricing pipeline wants before modeling).
+    *
+    * Exactness: the q102/q122 convention — every per-row term (x, x²,
+    * x·y) is rounded to 6dp and summed as DECIMAL(18,6)
+    * (order-independent); the closed form then runs once per pair on
+    * identical doubles. One aggregate computes all 4+4+6 sums; the
+    * matrix rows are literal projections of that single row — no
+    * second scan, no shuffle beyond the partial+final aggregate.
+    */
+  def corrMatrix(spark: SparkSession, dir: String,
+                 cols: Seq[String] = Seq("l_quantity", "l_extendedprice",
+                   "l_discount", "l_tax")): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) =
+      sum(round(c, 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double")
+    val li = Tables.load(spark, dir, "lineitem")
+    val aggs = Seq(count(lit(1)).cast("double").as("n")) ++
+      cols.map(c => dec(col(c).cast("double")).as(s"s_$c")) ++
+      cols.map(c => dec(col(c).cast("double") * col(c).cast("double")).as(s"ss_$c")) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        dec(col(a).cast("double") * col(b).cast("double")).as(s"sp_${a}_$b")
+      }.toSeq
+    val stats = li.agg(aggs.head, aggs.tail: _*)
+    val pairRows = cols.combinations(2).map { case Seq(a, b) =>
+      stats.select(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        round((col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+          / nullif(sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+            * sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")),
+            lit(0.0)), 6).as("pearson_r"))
+    }.toSeq
+    pairRows.reduce(_ unionByName _).orderBy(col("col_a"), col("col_b"))
+  }
+
+  def corrMatrixSql(cols: Seq[String] = Seq("l_quantity", "l_extendedprice",
+                      "l_discount", "l_tax")): String = {
+    def d(expr: String) =
+      s"CAST(SUM(CAST(ROUND($expr, 6) AS DECIMAL(18,6))) AS DOUBLE)"
+    val sums =
+      (cols.map(c => s"${d(s"CAST($c AS DOUBLE)")} AS s_$c") ++
+        cols.map(c => s"${d(s"CAST($c AS DOUBLE) * CAST($c AS DOUBLE)")} AS ss_$c") ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          s"${d(s"CAST($a AS DOUBLE) * CAST($b AS DOUBLE)")} AS sp_${a}_$b"
+        }).mkString(",\n      |    ")
+    val rows = cols.combinations(2).map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |    ROUND((n * sp_${a}_$b - s_$a * s_$b)
+         |      / NULLIF(sqrt(n * ss_$a - s_$a * s_$a)
+         |          * sqrt(n * ss_$b - s_$b * s_$b), 0.0), 6) AS pearson_r
+         |  FROM stats""".stripMargin
+    }.mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    $sums
+      |  FROM lineitem
+      |)
+      |SELECT * FROM (
+      |  $rows
+      |)
+      |ORDER BY col_a, col_b""".stripMargin
+  }
+
   /** q133 — per-source token concentration: Gini coefficient of each
     * source's token-frequency distribution plus the top-10-token mass
     * share. A boilerplate-heavy or template-generated source

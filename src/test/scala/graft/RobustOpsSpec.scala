@@ -619,6 +619,28 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("corrMatrix: perfect and zero correlations on a crafted frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corr").toString
+    // q = 1,2,3,4; price = 2q (r=1); disc = -q scaled (r=-1);
+    // tax alternates independently of the others' order (r=0 vs q)
+    Seq((1.0, 2.0, 4.0, 1.0), (2.0, 4.0, 3.0, -1.0),
+        (3.0, 6.0, 2.0, -1.0), (4.0, 8.0, 1.0, 1.0))
+      .map { case (q, p, d, t) => (1L, 1L, 1L, 1, q, p, d, t, "N", "O",
+        new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Profile.corrMatrix(spark, dir)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("l_quantity", "l_extendedprice")) === 1.0)
+    assert(got(("l_quantity", "l_discount")) === -1.0)
+    assert(got(("l_quantity", "l_tax")) === 0.0)
+    assert(got(("l_extendedprice", "l_discount")) === -1.0)
+    assert(got.size === 6)
+  }
+
   test("marketBasket: hand-counted support/confidence/lift on three baskets") {
     // baskets: {10,20}, {10,20}, {10,30} — pair (10,20) in 2 baskets,
     // (10,30) in 1 (below minCount=2)
