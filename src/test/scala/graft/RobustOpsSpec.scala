@@ -659,6 +659,50 @@ class RobustOpsSpec extends AnyFunSuite {
       (1, 10L, 20L, 2L, 3L, 2L, 3L, 0.666667, 0.666667, 1.0, 1.0)))
   }
 
+  test("kCore equals brute-force peeling on random basket sets (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small part universe forces shared parts across baskets — the
+    // regime with actual peel cascades rather than isolated cliques
+    val basket = Gen.chooseNum(2, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 8L)).map(_.distinct))
+    val baskets = Gen.chooseNum(2, 6).flatMap(k => Gen.listOfN(k, basket))
+    val p = Prop.forAll(baskets) { bs =>
+      val li = bs.zipWithIndex.flatMap { case (parts, ok) =>
+        parts.map(pk => ((ok + 1).toLong, pk))
+      }
+      if (li.isEmpty) true
+      else {
+        val dir = starDir(
+          orders = Seq((1L, 1L, "O", 1.0, 86400000L)),
+          lineitem = li,
+          events = Seq((1L, 1000L, 1L, "view", 0.0)))
+        graft.operators.Graph.clearPairsMemo()
+        // brute force: adjacency over all within-basket pairs, peel
+        // to fixpoint at k=2, report degrees inside the surviving set
+        val edges = bs.flatMap(parts =>
+          parts.combinations(2).map(pr => (pr.min, pr.max))).toSet
+        var surv = edges.flatMap(e => Set(e._1, e._2))
+        var changed = true
+        while (changed) {
+          val deg = surv.map(u => u -> edges.count { case (a, b) =>
+            (a == u && surv(b)) || (b == u && surv(a)) }).toMap
+          val next = surv.filter(deg(_) >= 2)
+          changed = next != surv
+          surv = next
+        }
+        val expect = surv.toSeq.map { u =>
+          (u, edges.count { case (a, b) =>
+            (a == u && surv(b)) || (b == u && surv(a)) }.toLong)
+        }.sortBy(_._1)
+        val got = graft.operators.Graph.kCore(spark, dir, k = 2, minW = 1L)
+          .as[(Long, Long)].collect().toSeq
+        got == expect
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("prefixJaccardPairs is lossless on random small-alphabet corpora (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // a 4-token alphabet forces shingle collisions, near-dups, and
