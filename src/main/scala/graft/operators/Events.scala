@@ -665,6 +665,76 @@ object Events {
       |        LEFT JOIN s3 ON s1.user_id = s3.user_id
       |ORDER BY s1.user_id""".stripMargin
 
+  /** q144 — time-to-convert distribution: per funnel step, exact
+    * min/median/p90/max of the millisecond latency between stage
+    * timestamps for users who completed the step (q84 gives the
+    * stage reach, q123 the rate confidence — this is the "how LONG
+    * does converting take" axis, the input to abandonment timeouts
+    * and attribution windows).
+    *
+    * Exactness: latencies are exact integer ms differences from q84's
+    * min-timestamps; quantiles are the q42 rank-selection convention
+    * ((n+1) div 2 and (9n+9) div 10 on a fully-tiebroken ordering) —
+    * no interpolation, so both engines pick the same element.
+    *
+    * Scale: rides the q84 funnel (three filtered aggregates), then a
+    * per-step window over CONVERTED users only — the small end of the
+    * funnel, orders of magnitude under the event scan.
+    */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val f = funnel(spark, dir)
+    val steps = f.select(explode(array(
+        struct(lit("1_signup_to_click").as("step"),
+          (col("t_click") - col("t_signup")).as("dt_ms"), col("user_id")),
+        struct(lit("2_click_to_purchase").as("step"),
+          (col("t_purchase") - col("t_click")).as("dt_ms"), col("user_id")),
+        struct(lit("3_signup_to_purchase").as("step"),
+          (col("t_purchase") - col("t_signup")).as("dt_ms"), col("user_id"))))
+        .as("s"))
+      .select(col("s.step").as("step"), col("s.dt_ms").as("dt_ms"),
+        col("s.user_id").as("user_id"))
+      .filter(col("dt_ms").isNotNull)
+    val w = Window.partitionBy(col("step")).orderBy(col("dt_ms"), col("user_id"))
+    steps
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("step"))))
+      .groupBy(col("step"))
+      .agg(
+        max(col("n")).as("n_users"),
+        min(col("dt_ms")).as("min_ms"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("dt_ms"))).as("median_ms"),
+        max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("dt_ms"))).as("p90_ms"),
+        max(col("dt_ms")).as("max_ms"))
+      .orderBy(col("step"))
+  }
+
+  val timeToConvertSql: String =
+    s"""WITH funnel_frame AS (
+      |  $funnelSql
+      |), steps AS (
+      |  SELECT step, dt_ms, user_id FROM (
+      |    SELECT '1_signup_to_click' AS step,
+      |      t_click - t_signup AS dt_ms, user_id FROM funnel_frame
+      |    UNION ALL
+      |    SELECT '2_click_to_purchase', t_purchase - t_click, user_id
+      |    FROM funnel_frame
+      |    UNION ALL
+      |    SELECT '3_signup_to_purchase', t_purchase - t_signup, user_id
+      |    FROM funnel_frame
+      |  ) WHERE dt_ms IS NOT NULL
+      |), ranked AS (
+      |  SELECT step, dt_ms,
+      |    row_number() OVER (PARTITION BY step ORDER BY dt_ms, user_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY step) AS n
+      |  FROM steps
+      |)
+      |SELECT step, CAST(MAX(n) AS BIGINT) AS n_users,
+      |  MIN(dt_ms) AS min_ms,
+      |  MAX(CASE WHEN rn = (n + 1) // 2 THEN dt_ms END) AS median_ms,
+      |  MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN dt_ms END) AS p90_ms,
+      |  MAX(dt_ms) AS max_ms
+      |FROM ranked GROUP BY step ORDER BY step""".stripMargin
+
   /** q102 — group-wise OLS regression: per event type, the
     * least-squares trend of purchase value over time (is this metric
     * drifting?) from the five classic sufficient statistics — the

@@ -269,6 +269,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (3, "view", "click", "view", 1L, 0.333333)))
   }
 
+  test("timeToConvert: hand-computed latency ladder over three converting users") {
+    // users 1..3 convert with signup->click 10/20/30ms, click->purchase
+    // 5/5/100ms; user 4 stalls after signup (appears in no step)
+    val rows = (1 to 3).flatMap { u =>
+      val base = u * 100000L
+      Seq((u * 10L + 1, base, u.toLong, "signup", 0.0),
+        (u * 10L + 2, base + u * 10L, u.toLong, "click", 0.0),
+        (u * 10L + 3, base + u * 10L + (if (u == 3) 100L else 5L),
+          u.toLong, "purchase", 0.0))
+    } :+ ((99L, 999000L, 4L, "signup", 0.0))
+    val out = Events.timeToConvert(spark, eventsDirV(rows))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // dt1: 10,20,30 -> median rn=(3+1) div 2=2 -> 20; p90 rn=(27+9) div 10=3 -> 30
+    // dt2: 5,5,100 -> median 5, p90 100; total: 15,25,130 -> median 25, p90 130
+    assert(out === Seq(
+      ("1_signup_to_click", 3L, 10L, 20L, 30L, 30L),
+      ("2_click_to_purchase", 3L, 5L, 5L, 100L, 100L),
+      ("3_signup_to_purchase", 3L, 15L, 25L, 130L, 130L)))
+  }
+
   test("markovBacktest: temporal halves, argmax predictor, unseen context scores null") {
     // lo=1000, hi=11000 -> split at 6000. Train (u1): (v,c,v), (c,v,c).
     // Test: u2 (v,c,v) hit + (c,v,e) miss; u3 (err,err,err) unseen ctx.
