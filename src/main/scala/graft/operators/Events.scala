@@ -735,6 +735,57 @@ object Events {
       |  MAX(dt_ms) AS max_ms
       |FROM ranked GROUP BY step ORDER BY step""".stripMargin
 
+  /** q145 — day-of-week seasonality profile: per (event type,
+    * weekday), event count, share of the type's events, and exact
+    * mean value. The rhythm baseline q121's daily anomaly flags and
+    * q120's forecast implicitly assume — a type whose Monday share is
+    * 3× its Sunday share needs weekday-conditional thresholds, and
+    * this is the relation that says so.
+    *
+    * Weekday is PURE INTEGER arithmetic off the epoch day:
+    * `pmod(day + 3, 7)` with 0 = Monday (1970-01-01 was a Thursday),
+    * floor-division safe for pre-1970 timestamps like everything
+    * downstream of [[epochDayExpr]]. Mean value accumulates in
+    * DECIMAL(18,6); share is an exact-count quotient.
+    *
+    * Scale: one partial+final aggregate into ≤ |types|·7 groups plus
+    * a broadcast of per-type totals — pure map-side shape.
+    */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val cells = ev
+      .withColumn("dow", expr(
+        "pmod((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+          " div 86400000000 + 3, 7)"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"),
+        round(decSum(col("value")) / count(lit(1)), 6).as("mean_value"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_type"))
+    cells.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        round(col("n").cast("double") / col("n_type"), 6).as("share"),
+        col("mean_value"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val dowSeasonalitySql: String =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    ((((epoch_ms(ts) // 86400000) + 3) % 7) + 7) % 7 AS dow,
+      |    COUNT(*) AS n,
+      |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |      / COUNT(*), 6) AS mean_value
+      |  FROM events GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT event_type, SUM(n) AS n_type FROM cells GROUP BY 1
+      |)
+      |SELECT c.event_type, c.dow, c.n,
+      |  ROUND(CAST(c.n AS DOUBLE) / t.n_type, 6) AS share,
+      |  c.mean_value
+      |FROM cells c JOIN totals t ON c.event_type = t.event_type
+      |ORDER BY c.event_type, c.dow""".stripMargin
+
   /** q102 — group-wise OLS regression: per event type, the
     * least-squares trend of purchase value over time (is this metric
     * drifting?) from the five classic sufficient statistics — the

@@ -289,6 +289,18 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("3_signup_to_purchase", 3L, 15L, 25L, 130L, 130L)))
   }
 
+  test("dowSeasonality: 1970-01-01 is Thursday=3, shares sum to 1 per type") {
+    // day 0 (Thu) -> dow 3; day 4 (Mon) -> dow 0
+    val out = Events.dowSeasonality(spark, eventsDirV(Seq(
+      (1L, 1000L, 1L, "view", 2.0),
+      (2L, 2000L, 2L, "view", 4.0),
+      (3L, 4L * 86400000L + 1000L, 1L, "view", 9.0))))
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("view", 0L, 1L, 0.333333, 9.0),
+      ("view", 3L, 2L, 0.666667, 3.0)))
+  }
+
   test("markovBacktest: temporal halves, argmax predictor, unseen context scores null") {
     // lo=1000, hi=11000 -> split at 6000. Train (u1): (v,c,v), (c,v,c).
     // Test: u2 (v,c,v) hit + (c,v,e) miss; u3 (err,err,err) unseen ctx.
