@@ -142,4 +142,51 @@ object Temporal {
       |FROM changes
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
       |ORDER BY user_id, version""".stripMargin
+
+  /** q146 — order aging report: per order status × 30-day age bucket
+    * (age = corpus as-of date minus order date), order count and total
+    * value — the receivables/backlog staple ("how much value sits in
+    * open orders older than 90 days"). The as-of date is the corpus
+    * MAX order date, not wall-clock `now()`: reruns over the same data
+    * must produce the same report (the determinism stance every
+    * sampler here takes; the reference's now()-stamping writers are
+    * the write path, not the analytics).
+    *
+    * Exactness: age is an exact integer epoch-day difference (both
+    * engines floor-divide epoch ms); bucket = `age div 30`; totals
+    * accumulate in DECIMAL(18,6). Scale: a 1-row as-of broadcast
+    * against the orders scan, one partial+final aggregate into
+    * ≤ |status|·(range/30) groups.
+    */
+  def orderAging(spark: SparkSession, dir: String,
+                 bucketDays: Int = 30): DataFrame = {
+    // o_orderdate is parquet TIMESTAMP_NTZ; the cast reads it as UTC
+    // (the session timezone), matching DuckDB's naive epoch_ms
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("um", expr("unix_micros(cast(o_orderdate as timestamp))"))
+      .withColumn("day", expr("(um - pmod(um, 86400000000)) div 86400000000"))
+    val asof = orders.agg(max(col("day")).as("asof_day"))
+    orders.crossJoin(broadcast(asof))
+      .withColumn("age_bucket",
+        expr(s"(asof_day - day) div $bucketDays"))
+      .groupBy(col("o_orderstatus").as("status"), col("age_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        Relational.decSum(col("o_totalprice")).as("total_value"))
+      .orderBy(col("status"), col("age_bucket"))
+  }
+
+  def orderAgingSql(bucketDays: Int = 30): String =
+    s"""WITH o AS (
+      |  SELECT o_orderstatus, o_totalprice,
+      |    epoch_ms(o_orderdate) // 86400000 AS day
+      |  FROM orders
+      |), ad AS (
+      |  SELECT MAX(day) AS asof_day FROM o
+      |)
+      |SELECT o.o_orderstatus AS status,
+      |  (ad.asof_day - o.day) // $bucketDays AS age_bucket,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM o CROSS JOIN ad
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

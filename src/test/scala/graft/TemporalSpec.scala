@@ -14,6 +14,25 @@ import graft.operators.Temporal
   * (q45/q46) pin one dataset; these pin the algebra.
   */
 class TemporalSpec extends AnyFunSuite {
+
+  test("orderAging: buckets count back from the corpus max date, not now()") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-aging").toString
+    def day(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    // as-of = day 100; ages 0, 29 (bucket 0), 30 (bucket 1), 95 (bucket 3)
+    Seq((1L, 1L, "O", 10.0, day(100)), (2L, 1L, "O", 20.0, day(71)),
+        (3L, 2L, "F", 40.0, day(70)), (4L, 2L, "F", 80.0, day(5)))
+      .map { case (ok, ck, st, tp, d) => (ok, ck, st, tp, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Temporal.orderAging(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("F", 1L, 1L, 40.0), ("F", 3L, 1L, 80.0),
+      ("O", 0L, 2L, 30.0)))
+  }
   lazy val spark = SharedSpark.spark
   import spark.implicits._
 
