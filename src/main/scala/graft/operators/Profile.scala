@@ -409,6 +409,69 @@ object Profile {
       |ORDER BY col_a, col_b""".stripMargin
   }
 
+  /** q147 — revenue concentration (Pareto/Lorenz table): customers
+    * ranked into spend deciles, with each decile's headcount, spend,
+    * and CUMULATIVE revenue share — the "do 10% of customers carry
+    * 60% of revenue" relation behind account-tiering and the q105
+    * fair-share quotas. q133 compresses concentration to one Gini
+    * number for tokens; this keeps the whole curve, for money.
+    *
+    * Exactness: deciles are NTILE over a fully-tiebroken (spend,
+    * custkey) ordering; spend sums accumulate in DECIMAL(18,6) and
+    * the cumulative share divides two decimal-exact doubles once per
+    * decile row. Scale: one customer-keyed aggregate, a 10-row window
+    * — the ranking window is customer-sized, the report is 10 rows.
+    */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(Relational.decSum(col("o_totalprice")).as("spend"))
+    val ranked = spend.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("spend"), col("o_custkey"))))
+    val cells = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("spend").cast(
+          org.apache.spark.sql.types.DecimalType(18, 6))).cast("double"), 6)
+          .as("decile_spend"))
+    val total = cells.agg(sum(col("decile_spend").cast(
+      org.apache.spark.sql.types.DecimalType(18, 6))).cast("double").as("total_spend"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.crossJoin(broadcast(total))
+      .withColumn("cum_spend", round(sum(col("decile_spend").cast(
+        org.apache.spark.sql.types.DecimalType(18, 6))).over(wCum)
+        .cast("double"), 6))
+      .select(col("decile"), col("n_customers"), col("decile_spend"),
+        round(col("cum_spend") / col("total_spend"), 6).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  val revenueConcentrationSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey
+      |), ranked AS (
+      |  SELECT o_custkey, spend,
+      |    NTILE(10) OVER (ORDER BY spend, o_custkey) AS decile
+      |  FROM spend
+      |), cells AS (
+      |  SELECT decile, COUNT(*) AS n_customers,
+      |    ROUND(CAST(SUM(CAST(spend AS DECIMAL(18,6))) AS DOUBLE), 6)
+      |      AS decile_spend
+      |  FROM ranked GROUP BY decile
+      |), tot AS (
+      |  SELECT CAST(SUM(CAST(decile_spend AS DECIMAL(18,6))) AS DOUBLE)
+      |    AS total_spend FROM cells
+      |)
+      |SELECT decile, n_customers, decile_spend,
+      |  ROUND(ROUND(CAST(SUM(CAST(decile_spend AS DECIMAL(18,6))) OVER
+      |      (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+      |    / total_spend, 6) AS cum_share
+      |FROM cells CROSS JOIN tot
+      |ORDER BY decile""".stripMargin
+
   /** q133 — per-source token concentration: Gini coefficient of each
     * source's token-frequency distribution plus the top-10-token mass
     * share. A boilerplate-heavy or template-generated source

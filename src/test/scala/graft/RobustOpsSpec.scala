@@ -619,6 +619,19 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("revenueConcentration: Lorenz curve ends at 1, shares monotone, spend recomposes") {
+    val out = graft.operators.Profile
+      .revenueConcentration(spark, "/root/testdata/sf0.001")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) === (1 to 10))
+    // cumulative share is strictly increasing and ends at exactly 1
+    assert(out.map(_._4) === out.map(_._4).sorted)
+    assert(out.last._4 === 1.0)
+    // deciles ordered by spend: per-customer mean spend rises with decile
+    val means = out.map(r => r._3 / r._2)
+    assert(means === means.sorted)
+  }
+
   test("corrMatrix: perfect and zero correlations on a crafted frame") {
     val dir = java.nio.file.Files.createTempDirectory("graft-corr").toString
     // q = 1,2,3,4; price = 2q (r=1); disc = -q scaled (r=-1);
