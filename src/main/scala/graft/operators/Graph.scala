@@ -430,6 +430,83 @@ object Graph {
       |QUALIFY rank <= $topK
       |ORDER BY rank""".stripMargin
 
+  /** q148 — substitution candidates: part pairs bought by at least
+    * `minCustomers` of the SAME customers yet never together in one
+    * basket. q142's lift finds complements (bought together); the
+    * substitutes hide in the opposite corner — same demand, mutually
+    * exclusive baskets — and they are the assortment/recommendation
+    * signal co-purchase counts cannot see by construction.
+    *
+    * Shape: the customer-level pair join (same self-join discipline
+    * as the co-purchase build, keyed by customer instead of order)
+    * minus the basket-level pair set via LEFT ANTI join; exact
+    * customer counts, top-k by (shared customers, pa, pb) as a
+    * TakeOrdered. At 100 TB the per-customer fanout is quadratic in
+    * basket size — the deployed path caps or salts power-customer
+    * degrees the same way the shingle index df-caps hot shingles.
+    */
+  def substitutionCandidates(spark: SparkSession, dir: String,
+                             minCustomers: Long = 2L,
+                             topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val cp = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    val custPairs = cp.as("a").join(cp.as("b"),
+        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n_cust"))
+      .filter(col("n_cust") >= minCustomers)
+    val basketPairs = coPurchasePairs(spark, dir).select(col("pa"), col("pb"))
+    val partCust = cp.groupBy(col("p")).agg(count(lit(1)).as("n_c"))
+    custPairs.join(basketPairs, Seq("pa", "pb"), "left_anti")
+      .join(partCust.select(col("p").as("pa"), col("n_c").as("n_a")), "pa")
+      .join(partCust.select(col("p").as("pb"), col("n_c").as("n_b")), "pb")
+      .orderBy(col("n_cust").desc, col("pa"), col("pb"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_cust").desc, col("pa"), col("pb"))))
+      .select(col("rank"), col("pa"), col("pb"), col("n_cust"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("rank"))
+  }
+
+  def substitutionCandidatesSql(minCustomers: Long = 2L,
+                                topK: Int = 20): String =
+    s"""WITH cp AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), cust_pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_cust
+      |  FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= $minCustomers
+      |), li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), basket_pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |), pc AS (
+      |  SELECT p, COUNT(*) AS n_c FROM cp GROUP BY p
+      |), subs AS (
+      |  SELECT s.pa, s.pb, s.n_cust, ca.n_c AS n_a, cb.n_c AS n_b
+      |  FROM cust_pairs s
+      |  LEFT JOIN basket_pairs bp ON s.pa = bp.pa AND s.pb = bp.pb
+      |  JOIN pc ca ON s.pa = ca.p
+      |  JOIN pc cb ON s.pb = cb.p
+      |  WHERE bp.pa IS NULL
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY n_cust DESC, pa, pb) AS INT)
+      |    AS rank,
+      |  pa, pb, n_cust, n_a, n_b
+      |FROM subs
+      |QUALIFY rank <= $topK
+      |ORDER BY rank""".stripMargin
+
   /** Fixed-point scale for HITS: scores are integers in units of
     * 1e-6. Smaller than PageRank's 1e-12 on purpose — the
     * normalization step multiplies a raw score (≤ Scale × max-degree)

@@ -654,6 +654,26 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(got.size === 6)
   }
 
+  test("substitutionCandidates: shared-customer pair surfaces only when never co-basketed") {
+    // customer 1: order1 {10}, order2 {20} -> shares parts 10,20 across
+    // baskets; customer 2: order3 {10}, order4 {20} -> second shared
+    // customer; customer 3: order5 {30,40} co-baskets 30/40 (excluded)
+    // and customers 1+2 never co-basket 10 with 20
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, 86400000L), (2L, 1L, "O", 1.0, 86400000L),
+        (3L, 2L, "O", 1.0, 86400000L), (4L, 2L, "O", 1.0, 86400000L),
+        (5L, 3L, "O", 1.0, 86400000L)),
+      lineitem = Seq((1L, 10L), (2L, 20L), (3L, 10L), (4L, 20L),
+        (5L, 30L), (5L, 40L)),
+      events = Seq((1L, 1000L, 1L, "view", 0.0)))
+    graft.operators.Graph.clearPairsMemo()
+    val out = graft.operators.Graph.substitutionCandidates(spark, dir)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    // (10,20): 2 shared customers, zero co-baskets -> the one candidate;
+    // (30,40): shared customer but co-basketed -> excluded
+    assert(out === Seq((1, 10L, 20L, 2L, 2L, 2L)))
+  }
+
   test("marketBasket: hand-counted support/confidence/lift on three baskets") {
     // baskets: {10,20}, {10,20}, {10,30} — pair (10,20) in 2 baskets,
     // (10,30) in 1 (below minCount=2)
