@@ -175,6 +175,71 @@ object Temporal {
       .orderBy(col("status"), col("age_bucket"))
   }
 
+  /** q149 — supplier lead-time profile: per supplier, the exact
+    * min/median/p90/max of ship-minus-order lag in whole days, plus
+    * the early-ship count (negative lag — in this synthetic data a
+    * real contingent, which is exactly the data-quality signal the
+    * report exists to surface). The vendor-scorecard staple next to
+    * q146's aging: aging says what's stuck, this says who's slow.
+    *
+    * Exactness: both dates collapse to epoch days by floor division
+    * FIRST, then subtract — negative-safe integers in both engines
+    * (ms-difference-then-divide would truncate toward zero and shift
+    * every negative lag). Quantiles are q42 rank selection on a
+    * (lag, orderkey, linenumber) fully-tiebroken ordering.
+    *
+    * Scale: one orders⋈lineitem join (orderkey-keyed), one
+    * supplier-partitioned window — supplier cardinality bounds the
+    * group count, not line items.
+    */
+  def supplierLeadTime(spark: SparkSession, dir: String): DataFrame = {
+    val dayOf = (c: String) =>
+      s"(unix_micros(cast($c as timestamp)) - pmod(unix_micros(cast($c as timestamp)), 86400000000)) div 86400000000"
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        expr(dayOf("l_shipdate")).as("ship_day"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), expr(dayOf("o_orderdate")).as("order_day"))
+    val lags = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        (col("ship_day") - col("order_day")).as("lead_days"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("lead_days"), col("l_orderkey"), col("l_linenumber"))
+    lags
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_suppkey"))))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        max(col("n")).as("n_items"),
+        min(col("lead_days")).as("min_days"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("lead_days"))).as("median_days"),
+        max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("lead_days"))).as("p90_days"),
+        max(col("lead_days")).as("max_days"),
+        sum((col("lead_days") < 0).cast("long")).as("n_early"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val supplierLeadTimeSql: String =
+    """WITH lags AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    (epoch_ms(l_shipdate) // 86400000)
+      |      - (epoch_ms(o_orderdate) // 86400000) AS lead_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), ranked AS (
+      |  SELECT l_suppkey, lead_days,
+      |    row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY lead_days, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+      |  FROM lags
+      |)
+      |SELECT l_suppkey, CAST(MAX(n) AS BIGINT) AS n_items,
+      |  MIN(lead_days) AS min_days,
+      |  MAX(CASE WHEN rn = (n + 1) // 2 THEN lead_days END) AS median_days,
+      |  MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN lead_days END) AS p90_days,
+      |  MAX(lead_days) AS max_days,
+      |  CAST(SUM(CASE WHEN lead_days < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_early
+      |FROM ranked GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
   def orderAgingSql(bucketDays: Int = 30): String =
     s"""WITH o AS (
       |  SELECT o_orderstatus, o_totalprice,

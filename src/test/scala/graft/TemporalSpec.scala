@@ -15,6 +15,31 @@ import graft.operators.Temporal
   */
 class TemporalSpec extends AnyFunSuite {
 
+  test("supplierLeadTime: day-floor-then-subtract keeps negative lags exact") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lead").toString
+    def day(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    Seq((1L, 1L, day(10)))
+      .map { case (ok, ck, d) => (ok, ck, "O", 1.0, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // lags: +2, +5, -3 days (one early ship)
+    Seq((1L, 100L, 7L, 1, day(12)), (1L, 101L, 7L, 2, day(15)),
+        (1L, 102L, 7L, 3, day(7)))
+      .map { case (ok, pk, sk, ln, sd) => (ok, pk, sk, ln, 1.0, 1.0, 0.0,
+        0.0, "N", "O", sd) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Temporal.supplierLeadTime(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // sorted lags -3, 2, 5: median rn=(3+1) div 2=2 -> 2; p90 rn=3 -> 5
+    assert(got === Seq((7L, 3L, -3L, 2L, 5L, 5L, 1L)))
+  }
+
   test("orderAging: buckets count back from the corpus max date, not now()") {
     val spark = SharedSpark.spark
     import spark.implicits._
