@@ -496,6 +496,63 @@ object Similarity {
       |LEFT JOIN ov ON ec.query_id = ov.query_id
       |ORDER BY ec.query_id""".stripMargin
 
+  /** q150 — embedding-norm health audit: per label, the L2-norm
+    * ladder (min/mean/max), zero-vector count, and non-finite count.
+    * The vector-quality gate run BEFORE anything cosine-based: a
+    * zero vector makes cosine undefined (silent NaN), a norm outlier
+    * distorts every un-normalized dot product, and a NaN component
+    * poisons whole reductions — all three are one cheap scan to
+    * catch and expensive to debug downstream.
+    *
+    * Exactness: per-row norm² is the shared index-ordered fold
+    * (identical fp sequence both engines); the norm rounds at 6dp,
+    * min/max/counts are exact, the mean accumulates in
+    * DECIMAL(18,6). Scale: one narrow map over the vector scan +
+    * one label-keyed aggregate — no shuffle of the vectors.
+    */
+  def embeddingNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val norm2 = expr(
+      """aggregate(embedding, cast(0.0 as double),
+        |  (acc, x) -> acc + cast(x as double) * cast(x as double))""".stripMargin)
+    emb
+      .withColumn("norm", round(sqrt(norm2), 6))
+      .withColumn("finite", norm2.isNotNull && !isnan(norm2))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(when(col("finite"), col("norm"))).as("min_norm"),
+        round(Relational.decSum(when(col("finite"), col("norm")))
+          / sum(col("finite").cast("long")), 6).as("mean_norm"),
+        max(when(col("finite"), col("norm"))).as("max_norm"),
+        sum((col("finite") && col("norm") === 0.0).cast("long")).as("n_zero"),
+        sum((!col("finite")).cast("long")).as("n_nonfinite"))
+      .orderBy(col("label"))
+  }
+
+  val embeddingNormAuditSql: String =
+    """WITH scored AS (
+      |  SELECT label,
+      |    ROUND(sqrt(list_reduce(list_prepend(0.0,
+      |      [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+      |      (a, b) -> a + b)), 6) AS norm,
+      |    NOT isnan(list_reduce(list_prepend(0.0,
+      |      [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+      |      (a, b) -> a + b)) AS finite
+      |  FROM embeddings
+      |)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  MIN(CASE WHEN finite THEN norm END) AS min_norm,
+      |  ROUND(CAST(SUM(CASE WHEN finite
+      |      THEN CAST(norm AS DECIMAL(18,6)) END) AS DOUBLE)
+      |    / SUM(CASE WHEN finite THEN 1 ELSE 0 END), 6) AS mean_norm,
+      |  MAX(CASE WHEN finite THEN norm END) AS max_norm,
+      |  CAST(SUM(CASE WHEN finite AND norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_zero,
+      |  CAST(SUM(CASE WHEN NOT finite THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_nonfinite
+      |FROM scored GROUP BY label ORDER BY label""".stripMargin
+
   /** q136 — centroid confusion matrix: cosine between every pair of
     * label centroids, with member counts. The between-class companion
     * of q117's within-class tightness: two labels whose centroids run

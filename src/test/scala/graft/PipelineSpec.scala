@@ -422,6 +422,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingNormAudit: zero and NaN vectors counted, stats skip them") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-norm").toString
+    Seq(
+      (1L, Array(3.0f, 4.0f), 0),            // norm 5
+      (2L, Array(0.0f, 0.0f), 0),            // zero vector
+      (3L, Array(Float.NaN, 1.0f), 0),       // non-finite
+      (4L, Array(1.0f, 0.0f), 1))            // norm 1
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embeddingNormAudit(spark, dir)
+      .as[(Int, Long, Double, Double, Double, Long, Long)].collect().toSeq
+    // label 0: finite norms {5, 0} -> min 0, mean 2.5, max 5; 1 zero, 1 NaN
+    assert(got === Seq(
+      (0, 3L, 0.0, 2.5, 5.0, 1L, 1L),
+      (1, 1L, 1.0, 1.0, 1.0, 0L, 0L)))
+  }
+
   test("sniffWav: canonical header parses; tampered headers reject") {
     // doc_id 1 -> 2 channels, 10 bytes -> rate 8010, block 4,
     // data 8 bytes -> 2 frames, duration 2*1000/8010 = 0 ms
