@@ -35,6 +35,29 @@ object Graph {
 
   private[graft] def clearPairsMemo(): Unit = pairsMemo.clear()
 
+  /** Session memo of the distinct customer–part purchase edge list —
+    * the orders⋈lineitem distinct that HITS (q131) and the
+    * substitution miner (q148) both start from. Same deterministic-
+    * input sharing argument as [[pairsMemo]]; the held frame is
+    * checkpointed, so each consumer's repartition reads the
+    * materialized blocks instead of re-running the join.
+    */
+  private val custPartMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]()
+
+  private[graft] def clearCustPartMemo(): Unit = custPartMemo.clear()
+
+  private[graft] def custPartEdges(spark: SparkSession, dir: String): DataFrame =
+    custPartMemo.computeIfAbsent((spark, dir), _ => {
+      val orders = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.Iterate.cut(orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct())
+    })
+
   private def coPurchasePairs(spark: SparkSession, dir: String): DataFrame =
     pairsMemo.computeIfAbsent((spark, dir), _ => {
       val li = Tables.load(spark, dir, "lineitem")
@@ -441,7 +464,9 @@ object Graph {
     * as the co-purchase build, keyed by customer instead of order)
     * minus the basket-level pair set via LEFT ANTI join; exact
     * customer counts, top-k by (shared customers, pa, pb) as a
-    * TakeOrdered. At 100 TB the per-customer fanout is quadratic in
+    * TakeOrdered. The (customer, part) base table comes from the
+    * session memo shared with q131, so the orders⋈lineitem distinct
+    * is paid once. At 100 TB the per-customer fanout is quadratic in
     * basket size — the deployed path caps or salts power-customer
     * degrees the same way the shingle index df-caps hot shingles.
     */
@@ -449,12 +474,7 @@ object Graph {
                              minCustomers: Long = 2L,
                              topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val orders = Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val cp = orders.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    val cp = custPartEdges(spark, dir)
     val custPairs = cp.as("a").join(cp.as("b"),
         col("a.c") === col("b.c") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
@@ -532,8 +552,9 @@ object Graph {
     * L1-probe precedent). The oracle unrolls the same half-steps as
     * chained CTEs.
     *
-    * Scale: the edge list is built once, deduplicated, checkpointed
-    * twice — once partitioned by customer, once by part — so each
+    * Scale: the edge list is session-memoized (shared with q148),
+    * deduplicated, checkpointed twice more — once partitioned by
+    * customer, once by part — so each
     * half-step's join reuses a co-located layout and only the
     * node-sized score frame exchanges. Each half-step is one join +
     * one key-keyed partial+final aggregate; nodes outside the purchase
@@ -541,12 +562,7 @@ object Graph {
     * scope by construction.
     */
   def hits(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
-    val orders = Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val e = orders.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    val e = custPartEdges(spark, dir)
     val edgesByC = graft.Iterate.cut(e.repartition(col("c")))
     val edgesByP = graft.Iterate.cut(e.repartition(col("p")))
     val nc = edgesByC.select(col("c")).distinct().count()
@@ -707,4 +723,74 @@ object Graph {
         |WHERE u IN (SELECT u FROM s$maxRounds) AND v IN (SELECT u FROM s$maxRounds)
         |GROUP BY u ORDER BY u""".stripMargin
   }
+
+  /** q153 — deterministic negative sampling for recommender training:
+    * for each customer in a `custPct`% hash-selected cohort, the `k`
+    * parts they have NEVER purchased, picked in portable-hash order
+    * over the (customer, part) pair. The other half of a training
+    * set: q142/q148 mine positives and near-positives; a ranking
+    * model also needs reproducible negatives, and hash order makes
+    * the sample identical across engines, runs, and backfills (no
+    * RNG state to ship).
+    *
+    * Exactness: the pair hash is md5 of `"cust|part"` (the
+    * [[graft.functions.PortableHash]] convention), tiebroken by
+    * partkey; the per-customer top-k is a literal bound, so the
+    * window plans a partial WindowGroupLimit.
+    *
+    * Scale: candidates = cohort × part dim with the purchased set
+    * anti-joined out. The part side is a broadcast dim (catalogs
+    * broadcast; corpora do not), the purchased set comes from the
+    * session-memoized (customer, part) edges co-partitioned on the
+    * customer key, and the candidate fan-out is bounded by
+    * |cohort| × |parts| — tune custPct, or replace the full part
+    * catalog with a hash-windowed slice of it, to cap it at scale.
+    */
+  def negativeSamples(spark: SparkSession, dir: String,
+                      custPct: Int = 5, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.PortableHash.md5Long32 _
+    val cohort = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"))
+      .filter(h(col("c_custkey")) % 100 < custPct)
+    val parts = Tables.load(spark, dir, "part").select(col("p_partkey"))
+    val purchased = custPartEdges(spark, dir)
+    val cand = cohort.crossJoin(broadcast(parts))
+      .join(purchased,
+        col("c_custkey") === col("c") && col("p_partkey") === col("p"),
+        "left_anti")
+    val w = Window.partitionBy(col("c_custkey")).orderBy(
+      h(concat(col("c_custkey").cast("string"), lit("|"),
+        col("p_partkey").cast("string"))),
+      col("p_partkey"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("c_custkey"), col("rank"), col("p_partkey"))
+      .orderBy(col("c_custkey"), col("rank"))
+  }
+
+  def negativeSamplesSql(custPct: Int = 5, k: Int = 5): String =
+    s"""WITH cohort AS (
+      |  SELECT c_custkey FROM customer
+      |  WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 100 < $custPct
+      |), pos AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |), cand AS (
+      |  SELECT c_custkey, p_partkey
+      |  FROM cohort CROSS JOIN part
+      |  LEFT JOIN pos ON c_custkey = pos.c AND p_partkey = pos.p
+      |  WHERE pos.c IS NULL
+      |), ranked AS (
+      |  SELECT c_custkey, p_partkey,
+      |    CAST(row_number() OVER (PARTITION BY c_custkey ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|'
+      |        || CAST(p_partkey AS VARCHAR)), 1, 8)) AS BIGINT),
+      |      p_partkey) AS INT) AS rank
+      |  FROM cand
+      |)
+      |SELECT c_custkey, rank, p_partkey FROM ranked
+      |WHERE rank <= $k
+      |ORDER BY c_custkey, rank""".stripMargin
 }

@@ -353,8 +353,10 @@ object Profile {
     * x·y) is rounded to 6dp and summed as DECIMAL(18,6)
     * (order-independent); the closed form then runs once per pair on
     * identical doubles. One aggregate computes all 4+4+6 sums; the
-    * matrix rows are literal projections of that single row — no
-    * second scan, no shuffle beyond the partial+final aggregate.
+    * matrix rows are an exploded array of per-pair structs over that
+    * single row (a union of per-pair selects would re-plan the
+    * scan+aggregate once per pair) — one scan, no shuffle beyond the
+    * partial+final aggregate.
     */
   def corrMatrix(spark: SparkSession, dir: String,
                  cols: Seq[String] = Seq("l_quantity", "l_extendedprice",
@@ -370,15 +372,20 @@ object Profile {
         dec(col(a).cast("double") * col(b).cast("double")).as(s"sp_${a}_$b")
       }.toSeq
     val stats = li.agg(aggs.head, aggs.tail: _*)
-    val pairRows = cols.combinations(2).map { case Seq(a, b) =>
-      stats.select(
+    // one struct per pair, exploded over the single stats row: a
+    // union of stats.select(...) branches would re-plan the whole
+    // scan+aggregate per pair (6 lineitem scans for 4 columns)
+    val pairStructs = cols.combinations(2).map { case Seq(a, b) =>
+      struct(
         lit(a).as("col_a"), lit(b).as("col_b"),
         round((col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
           / nullif(sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
             * sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")),
             lit(0.0)), 6).as("pearson_r"))
     }.toSeq
-    pairRows.reduce(_ unionByName _).orderBy(col("col_a"), col("col_b"))
+    stats.select(explode(array(pairStructs: _*)).as("pair"))
+      .select(col("pair.col_a"), col("pair.col_b"), col("pair.pearson_r"))
+      .orderBy(col("col_a"), col("col_b"))
   }
 
   def corrMatrixSql(cols: Seq[String] = Seq("l_quantity", "l_extendedprice",

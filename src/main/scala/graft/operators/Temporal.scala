@@ -254,4 +254,174 @@ object Temporal {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM o CROSS JOIN ad
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q151 — Kaplan–Meier survival of customer activity: per customer,
+    * duration = days between first and last order; the customer
+    * counts as a churn EVENT if their last order predates the
+    * dataset's as-of day by more than `censorDays`, otherwise they
+    * are right-CENSORED (still plausibly active). The estimator walks
+    * durations ascending: S(t) = Π_{t_i ≤ t} (1 − d_i / n_i), with
+    * n_i = customers whose duration ≥ t_i. The churn-curve staple
+    * behind retention targets — and the standard correction the naive
+    * "average lifetime" number gets wrong by ignoring censoring.
+    *
+    * Exactness: the product is computed in log10 space with each
+    * step's term rounded to 6dp and summed as DECIMAL (the q56/q103
+    * log convention — order-independent, no double-association
+    * drift); a d_i = n_i terminal step (everyone left dies) would be
+    * log10(0), so it is carried as a cumulative zero flag instead.
+    * Scale: one customer aggregate, then windows over the
+    * |distinct durations|-sized step table — data-sized work is one
+    * shuffle; the curve math is catalog-sized.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String,
+                  censorDays: Int = 90): DataFrame = {
+    val dayOf = (c: String) =>
+      s"(unix_micros(cast($c as timestamp)) - pmod(unix_micros(cast($c as timestamp)), 86400000000)) div 86400000000"
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), expr(dayOf("o_orderdate")).as("day"))
+    val subj = orders.groupBy(col("o_custkey"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val asof = orders.agg(max(col("day")).as("asof_day"))
+    val s = subj.crossJoin(broadcast(asof))
+      .select((col("d1") - col("d0")).as("dur"),
+        when(col("d1") <= col("asof_day") - censorDays, 1L).otherwise(0L).as("ev"))
+    val steps = s.groupBy(col("dur"))
+      .agg(sum(col("ev")).as("d_events"),
+        sum(lit(1L) - col("ev")).as("n_censored"),
+        count(lit(1)).as("n_t"))
+    val wDesc = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAsc = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    steps
+      .withColumn("n_risk", sum(col("n_t")).over(wDesc))
+      .withColumn("lp",
+        when(col("d_events") === 0 || col("d_events") === col("n_risk"),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
+          .otherwise(round(log10(lit(1.0) -
+            col("d_events").cast("double") / col("n_risk").cast("double")), 6)
+            .cast("decimal(18,6)")))
+      .withColumn("hit_zero",
+        max((col("d_events") === col("n_risk")).cast("int")).over(wAsc))
+      .withColumn("survival",
+        when(col("hit_zero") === 1, lit(0.0))
+          .otherwise(round(pow(lit(10.0),
+            sum(col("lp")).over(wAsc).cast("double")), 6)))
+      .select(col("dur").as("t_day"), col("n_risk"), col("d_events"),
+        col("n_censored"), col("survival"))
+      .orderBy(col("t_day"))
+  }
+
+  def kaplanMeierSql(censorDays: Int = 90): String =
+    s"""WITH d AS (
+      |  SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day FROM orders
+      |), ad AS (
+      |  SELECT MAX(day) AS asof_day FROM d
+      |), subj AS (
+      |  SELECT MAX(day) - MIN(day) AS dur,
+      |    CASE WHEN MAX(day) <= (SELECT asof_day FROM ad) - $censorDays
+      |      THEN 1 ELSE 0 END AS ev
+      |  FROM d GROUP BY o_custkey
+      |), steps AS (
+      |  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d_events,
+      |    CAST(SUM(1 - ev) AS BIGINT) AS n_censored, COUNT(*) AS n_t
+      |  FROM subj GROUP BY dur
+      |), r AS (
+      |  SELECT dur, d_events, n_censored,
+      |    SUM(n_t) OVER (ORDER BY dur DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |  FROM steps
+      |)
+      |SELECT dur AS t_day, CAST(n_risk AS BIGINT) AS n_risk, d_events,
+      |  n_censored,
+      |  CASE WHEN MAX(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END)
+      |      OVER w = 1 THEN 0.0
+      |    ELSE ROUND(POWER(10, CAST(SUM(
+      |      CASE WHEN d_events = 0 OR d_events = n_risk
+      |        THEN CAST(0 AS DECIMAL(18,6))
+      |        ELSE CAST(ROUND(LOG10(1 - CAST(d_events AS DOUBLE) / n_risk), 6)
+      |          AS DECIMAL(18,6)) END) OVER w AS DOUBLE)), 6) END AS survival
+      |FROM r
+      |WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY t_day""".stripMargin
+
+  /** q152 — weekly demand features per brand, on a DENSE calendar
+    * spine: summed quantity per (brand, epoch-week) including
+    * zero-sale weeks, with lag-1, lag-4, and a trailing 4-week mean —
+    * the feature-export shape a demand-forecasting trainer consumes.
+    * The spine matters: lags over only-observed weeks silently mean
+    * "previous sale", not "last week", and the model trains on the
+    * wrong feature.
+    *
+    * Exactness: weeks are floor-divided epoch days; quantity sums
+    * accumulate in DECIMAL; the rolling mean divides the exact
+    * decimal frame sum by the frame row count once, then rounds.
+    * Scale: one lineitem aggregate (brand dim broadcast onto the
+    * scan); the spine is |brands| × |weeks| — catalog-sized — and the
+    * lag windows partition by brand over it.
+    */
+  def weeklyDemandFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val dayOf = (c: String) =>
+      s"(unix_micros(cast($c as timestamp)) - pmod(unix_micros(cast($c as timestamp)), 86400000000)) div 86400000000"
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        expr(s"(${dayOf("l_shipdate")}) div 7").as("week"))
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val weekly = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("week"))
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("qty_dec"))
+    val spine = li.agg(min(col("week")).as("mn"), max(col("week")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("week"))
+      .crossJoin(part.select(col("p_brand")).distinct())
+    val dense = spine.join(weekly, Seq("p_brand", "week"), "left")
+      .withColumn("qty_dec", coalesce(col("qty_dec"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")))
+    val wk = Window.partitionBy(col("p_brand")).orderBy(col("week"))
+    val frame4 = wk.rowsBetween(-3, 0)
+    dense
+      .withColumn("qty", col("qty_dec").cast("double"))
+      .withColumn("lag_1", lag(col("qty_dec"), 1).over(wk).cast("double"))
+      .withColumn("lag_4", lag(col("qty_dec"), 4).over(wk).cast("double"))
+      .withColumn("rmean_4", round(
+        sum(col("qty_dec")).over(frame4).cast("double") /
+          count(lit(1)).over(frame4), 6))
+      .select(col("p_brand"), col("week"), col("qty"), col("lag_1"),
+        col("lag_4"), col("rmean_4"))
+      .orderBy(col("p_brand"), col("week"))
+  }
+
+  val weeklyDemandFeaturesSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_quantity,
+      |    (epoch_ms(l_shipdate) // 86400000) // 7 AS week
+      |  FROM lineitem
+      |), weekly AS (
+      |  SELECT p_brand, week,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty_dec
+      |  FROM li JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT MIN(week) AS mn, MAX(week) AS mx FROM li
+      |), spine AS (
+      |  SELECT b.p_brand, w.week
+      |  FROM (SELECT DISTINCT p_brand FROM part) b
+      |  CROSS JOIN (SELECT unnest(range(mn, mx + 1)) AS week FROM bounds) w
+      |), dense AS (
+      |  SELECT s.p_brand, s.week,
+      |    COALESCE(weekly.qty_dec, CAST(0 AS DECIMAL(18,6))) AS qty_dec
+      |  FROM spine s LEFT JOIN weekly
+      |    ON s.p_brand = weekly.p_brand AND s.week = weekly.week
+      |)
+      |SELECT p_brand, week, CAST(qty_dec AS DOUBLE) AS qty,
+      |  CAST(lag(qty_dec, 1) OVER w AS DOUBLE) AS lag_1,
+      |  CAST(lag(qty_dec, 4) OVER w AS DOUBLE) AS lag_4,
+      |  ROUND(CAST(SUM(qty_dec) OVER f AS DOUBLE)
+      |    / COUNT(*) OVER f, 6) AS rmean_4
+      |FROM dense
+      |WINDOW w AS (PARTITION BY p_brand ORDER BY week),
+      |  f AS (PARTITION BY p_brand ORDER BY week
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY p_brand, week""".stripMargin
 }

@@ -803,4 +803,34 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(out(4L)._4 === 0.5)
     assert(out(5L)._5 === "none")
   }
+
+  test("negativeSamples: hash-ordered never-purchased parts, purchased excluded") {
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, 86400000L), (2L, 2L, "O", 1.0, 86400000L)),
+      lineitem = Seq((1L, 10L), (2L, 20L)), // c1 bought p10, c2 bought p20
+      events = Seq((1L, 1000L, 1L, "view", 0.0)))
+    Seq(1L, 2L).map(ck => (ck, s"c$ck", 1, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq(10L, 20L, 30L).map(pk => (pk, "part", "B", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    graft.operators.Graph.clearCustPartMemo()
+    val out = graft.operators.Graph
+      .negativeSamples(spark, dir, custPct = 100, k = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    // expected order from an independent JVM md5 of "cust|part" (the
+    // first digest word IS md5Long32's first-8-hex-digit value)
+    def h(c: Long, p: Long): Long =
+      graft.functions.PortableHash.md5PairJvm(s"$c|$p")._1
+    val expect = Seq(1L -> Seq(20L, 30L), 2L -> Seq(10L, 30L)).flatMap {
+      case (c, parts) =>
+        parts.sortBy(p => (h(c, p), p)).take(2).zipWithIndex.map {
+          case (p, i) => (c, i + 1, p) }
+    }
+    assert(out === expect)
+    // the purchased pair never leaks into its owner's negatives
+    assert(!out.contains((1L, 1, 10L)) && !out.contains((1L, 2, 10L)))
+  }
 }

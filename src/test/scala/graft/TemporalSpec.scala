@@ -127,4 +127,75 @@ class TemporalSpec extends AnyFunSuite {
       gotRows.length == expected.size && got == expected
     })
   }
+
+  private def ordersDir(rows: Seq[(Long, Long, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-km").toString
+    rows.map { case (ok, ck, d) =>
+      (ok, ck, "O", 1.0, new java.sql.Timestamp(d * 86400000L), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("kaplanMeier: censoring reduces risk set without a survival step") {
+    // A: days 0,10 (dur 10, last 10 -> event); B: 0,200 (dur 200,
+    // last 200 = as-of -> censored); C: 50 (dur 0, event);
+    // D: 0,100 (dur 100, last 100 <= 110 -> event)
+    val dir = ordersDir(Seq((1L, 1L, 0L), (2L, 1L, 10L), (3L, 2L, 0L),
+      (4L, 2L, 200L), (5L, 3L, 50L), (6L, 4L, 0L), (7L, 4L, 100L)))
+    val got = Temporal.kaplanMeier(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) ===
+      Seq((0L, 4L, 1L, 0L), (10L, 3L, 1L, 0L),
+        (100L, 2L, 1L, 0L), (200L, 1L, 0L, 1L)))
+    val surv = got.map(_._5)
+    // KM: 3/4, then x2/3, then x1/2; the censored tail holds flat
+    assert(math.abs(surv(0) - 0.75) < 1e-5)
+    assert(math.abs(surv(1) - 0.5) < 1e-5)
+    assert(math.abs(surv(2) - 0.25) < 1e-5)
+    assert(surv(3) === surv(2))
+  }
+
+  test("kaplanMeier: terminal everyone-dies step drives survival to exact zero") {
+    // c1: 150..300 (dur 150, last 300 = as-of -> censored);
+    // c2: 0..190 (dur 190, last 190 <= 210 -> event, and it is the
+    // last subject at risk -> d = n -> S = 0 via the zero flag, not
+    // log10(0)
+    val dir = ordersDir(Seq((1L, 1L, 150L), (2L, 1L, 300L),
+      (3L, 2L, 0L), (4L, 2L, 190L)))
+    val got = Temporal.kaplanMeier(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((150L, 2L, 0L, 1L, 1.0), (190L, 1L, 1L, 0L, 0.0)))
+  }
+
+  test("weeklyDemandFeatures: dense spine keeps zero-sale weeks in the lags") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wk").toString
+    def day(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    Seq((10L, "X"), (20L, "Y"))
+      .map { case (pk, b) => (pk, "part", b, "t", 1, 1.0) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // X: week 0 qty 5, week 2 qty 3 (week 1 is a zero-sale gap);
+    // Y: week 1 qty 2
+    Seq((1L, 10L, 5.0, day(0)), (2L, 10L, 3.0, day(14)),
+        (3L, 20L, 2.0, day(7)))
+      .map { case (ok, pk, q, sd) => (ok, pk, 1L, 1, q, 1.0, 0.0, 0.0,
+        "N", "O", sd) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Temporal.weeklyDemandFeatures(spark, dir)
+      .as[(String, Long, Double, Option[Double], Option[Double], Double)]
+      .collect().toSeq
+    assert(got === Seq(
+      ("X", 0L, 5.0, None, None, 5.0),
+      ("X", 1L, 0.0, Some(5.0), None, 2.5),
+      ("X", 2L, 3.0, Some(0.0), None, 2.666667),
+      ("Y", 0L, 0.0, None, None, 0.0),
+      ("Y", 1L, 2.0, Some(0.0), None, 1.0),
+      ("Y", 2L, 0.0, Some(2.0), None, 0.666667)))
+  }
 }
