@@ -549,4 +549,165 @@ object Profile {
       |  ROUND(CAST(SUM(CASE WHEN r <= 10 THEN c ELSE 0 END) AS DOUBLE)
       |    / CAST(SUM(c) AS BIGINT), 6) AS top10_share
       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+
+  /** Poisson(1) inverse-CDF thresholds: P(X ≤ k) = e⁻¹ Σ_{j≤k} 1/j!.
+    * A uniform u maps to the first k with u < threshold(k); weights
+    * are capped at 8 (P(X > 8) ≈ 1.1e-6 — the truncation bias is far
+    * below the 6dp output rounding). LITERAL doubles so both engines
+    * compare against bit-identical constants.
+    */
+  private val PoissonCdf: Seq[Double] = {
+    val inv_e = math.exp(-1.0)
+    val fact = Seq(1L, 1L, 2L, 6L, 24L, 120L, 720L, 5040L, 40320L)
+    (0 to 8).map(k => inv_e * fact.take(k + 1).map(1.0 / _).sum)
+  }
+
+  /** q154 — Poisson-bootstrap confidence intervals for mean document
+    * length per source. THE scale-correct bootstrap: classic
+    * resampling draws n rows with replacement B times (B full
+    * shuffles of a 100 TB corpus); the Poisson approximation gives
+    * each row an independent Poisson(1) replicate weight, so all B
+    * replicates ride ONE scan as a ×B explode into a (source,
+    * replicate) aggregate with map-side combine. The interval is the
+    * p10/p90 rank selection over the B replicate means (an 80%
+    * percentile-bootstrap CI; rank selection, not interpolation, per
+    * the q42 convention).
+    *
+    * Determinism: the uniform is portable-md5(doc|b) / 2³², exactly
+    * representable (32-bit integer over a power of two), compared
+    * against literal CDF thresholds; per-replicate sums are integer
+    * (weight × n_chars), divided once per (source, replicate).
+    */
+  def bootstrapCi(spark: SparkSession, dir: String, reps: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val u = graft.functions.PortableHash.md5Long32(
+      concat(col("doc_id").cast("string"), lit("|"), col("b").cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val wExpr = PoissonCdf.zipWithIndex.foldRight(lit(8): org.apache.spark.sql.Column) {
+      case ((thr, k), rest) => when(col("u") < thr, k).otherwise(rest)
+    }
+    val repMeans = docs
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("u", u)
+      .withColumn("w", wExpr)
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("w") * col("n_chars")).as("ws"), sum(col("w")).as("wn"))
+      .withColumn("mean_b",
+        round(col("ws").cast("double") / nullif(col("wn"), lit(0L)), 6))
+    val wAsc = Window.partitionBy(col("source")).orderBy(col("mean_b"), col("b"))
+    val exact = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+          .as("mean_len"))
+    repMeans
+      .withColumn("rn", row_number().over(wAsc))
+      .groupBy(col("source"))
+      .agg(
+        max(when(col("rn") === (reps + 9) / 10, col("mean_b"))).as("ci_lo"),
+        max(when(col("rn") === (9 * reps + 9) / 10, col("mean_b"))).as("ci_hi"))
+      .join(exact, Seq("source"))
+      .select(col("source"), col("n_docs"), col("mean_len"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy(col("source"))
+  }
+
+  def bootstrapCiSql(reps: Int = 32): String = {
+    val caseChain = PoissonCdf.zipWithIndex
+      .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+    s"""WITH rep AS (
+      |  SELECT d.source, b.b, d.n_chars,
+      |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|'
+      |      || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(range(0, $reps)) AS b) b
+      |), means AS (
+      |  SELECT source, b,
+      |    ROUND(CAST(SUM(w * n_chars) AS DOUBLE)
+      |      / NULLIF(CAST(SUM(w) AS BIGINT), 0), 6) AS mean_b
+      |  FROM (SELECT source, b, n_chars, $caseChain AS w FROM rep)
+      |  GROUP BY source, b
+      |), ranked AS (
+      |  SELECT source, b, mean_b,
+      |    row_number() OVER (PARTITION BY source ORDER BY mean_b, b) AS rn
+      |  FROM means
+      |), ci AS (
+      |  SELECT source,
+      |    MAX(CASE WHEN rn = ($reps + 9) // 10 THEN mean_b END) AS ci_lo,
+      |    MAX(CASE WHEN rn = (9 * $reps + 9) // 10 THEN mean_b END) AS ci_hi
+      |  FROM ranked GROUP BY source
+      |), exact AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_len
+      |  FROM documents GROUP BY source
+      |)
+      |SELECT ci.source, exact.n_docs, exact.mean_len, ci.ci_lo, ci.ci_hi
+      |FROM ci JOIN exact ON ci.source = exact.source
+      |ORDER BY ci.source""".stripMargin
+  }
+
+  /** q155 — join-key skew profile: for each frequently-joined key
+    * column, the top-`topK` hottest values with their absolute count,
+    * share of rows, and ratio to the uniform per-key share — the
+    * exact report that decides whether a 100 TB join needs salting /
+    * AQE skew handling before it runs, turned into a graded relation.
+    *
+    * Shape: one count aggregate per profiled key (map-side combined),
+    * a catalog-sized (N, D) roll-up broadcast back, and a
+    * literal-bounded per-key-name top-k window. The branches scan
+    * their tables independently — profiling is per-column by nature.
+    */
+  def keySkewProfile(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def branch(table: String, key: String): DataFrame =
+      Tables.load(spark, dir, table)
+        .groupBy(col(key).as("key_value"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(s"$table.$key").as("key_name"), col("key_value"), col("cnt"))
+    val counts = Seq(
+      branch("lineitem", "l_partkey"),
+      branch("lineitem", "l_suppkey"),
+      branch("events", "user_id")).reduce(_ unionByName _)
+    val totals = counts.groupBy(col("key_name"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"))
+    val w = Window.partitionBy(col("key_name"))
+      .orderBy(col("cnt").desc, col("key_value"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .join(broadcast(totals), Seq("key_name"))
+      .select(col("key_name"), col("rank"), col("key_value"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        round(col("cnt").cast("double") * col("n_keys") / col("n_rows"), 6)
+          .as("skew_ratio"))
+      .orderBy(col("key_name"), col("rank"))
+  }
+
+  def keySkewProfileSql(topK: Int = 5): String =
+    s"""WITH counts AS (
+      |  SELECT 'lineitem.l_partkey' AS key_name, l_partkey AS key_value,
+      |    COUNT(*) AS cnt FROM lineitem GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey', l_suppkey, COUNT(*)
+      |  FROM lineitem GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'events.user_id', user_id, COUNT(*) FROM events GROUP BY 2
+      |), totals AS (
+      |  SELECT key_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |    COUNT(*) AS n_keys
+      |  FROM counts GROUP BY key_name
+      |), ranked AS (
+      |  SELECT key_name, key_value, cnt,
+      |    CAST(row_number() OVER (PARTITION BY key_name
+      |      ORDER BY cnt DESC, key_value) AS INT) AS rank
+      |  FROM counts
+      |)
+      |SELECT r.key_name, r.rank, r.key_value, r.cnt,
+      |  ROUND(CAST(r.cnt AS DOUBLE) / t.n_rows, 6) AS share,
+      |  ROUND(CAST(r.cnt AS DOUBLE) * t.n_keys / t.n_rows, 6) AS skew_ratio
+      |FROM ranked r JOIN totals t ON r.key_name = t.key_name
+      |WHERE r.rank <= $topK
+      |ORDER BY r.key_name, r.rank""".stripMargin
 }

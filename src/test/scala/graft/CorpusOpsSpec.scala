@@ -564,4 +564,71 @@ class CorpusOpsSpec extends AnyFunSuite {
     val bloom = Dedup.decontaminationBloom(spark, sf0001).collect().toSet
     assert(bloom === exact)
   }
+
+  test("bootstrapCi: replicate weights match an independent Poisson inverse-CDF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-boot").toString
+    val rows = (1L to 40L).map(i => (i, "x" * (10 + (i % 7)).toInt))
+    rows.map { case (id, text) =>
+      (id, text, "en", if (id % 2 == 0) "even" else "odd", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val reps = 8
+    val got = graft.operators.Profile.bootstrapCi(spark, dir, reps = reps)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // independent reference: JVM md5 word -> uniform -> Poisson(1)
+    // inverse CDF -> weighted replicate means -> p10/p90 rank pick
+    val cdf = {
+      val f = Seq(1L, 1L, 2L, 6L, 24L, 120L, 720L, 5040L, 40320L)
+      (0 to 8).map(k => math.exp(-1.0) * f.take(k + 1).map(1.0 / _).sum)
+    }
+    def w(id: Long, b: Int): Long = {
+      val u = graft.functions.PortableHash.md5PairJvm(s"$id|$b")._1 / 4294967296.0
+      cdf.indexWhere(u < _) match { case -1 => 8L case k => k.toLong }
+    }
+    for (src <- Seq("even", "odd")) {
+      val docs = rows.filter { case (id, _) =>
+        (id % 2 == 0) == (src == "even") }
+      val means = (0 until reps).map { b =>
+        val ws = docs.map { case (id, t) => w(id, b) * t.length }.sum
+        val wn = docs.map { case (id, _) => w(id, b) }.sum
+        b -> BigDecimal(ws.toDouble / wn).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sortBy { case (b, m) => (m, b) }.map(_._2)
+      val (lo, hi) = (means((reps + 9) / 10 - 1), means((9 * reps + 9) / 10 - 1))
+      val exact = docs.map(_._2.length).sum.toDouble / docs.size
+      val r = got(src)
+      assert(r._2 === docs.size.toLong)
+      assert(math.abs(r._3 - exact) < 1e-6)
+      assert(r._4 === lo && r._5 === hi)
+      assert(r._4 <= r._5)
+    }
+  }
+
+  test("keySkewProfile: hot key tops the rank with exact share and skew ratio") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    // l_partkey: 10 appears 6x, 20..40 once each -> N=9, D=4
+    val li = (1 to 6).map(i => (i.toLong, 10L)) ++
+      Seq((7L, 20L), (8L, 30L), (9L, 40L))
+    li.map { case (ok, pk) => (ok, pk, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L, "view")).map { case (id, u, t) =>
+      (id, new java.sql.Timestamp(1000L), u, t, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Profile.keySkewProfile(spark, dir, topK = 2)
+      .as[(String, Int, Long, Long, Double, Double)].collect().toSeq
+    val pk = got.filter(_._1 == "lineitem.l_partkey")
+    // share 6/9 = 0.666667; skew = 6*4/9 = 2.666667 (x uniform share)
+    assert(pk === Seq(
+      ("lineitem.l_partkey", 1, 10L, 6L, 0.666667, 2.666667),
+      ("lineitem.l_partkey", 2, 20L, 1L, 0.111111, 0.444444)))
+    // suppkey is constant 1 -> skew ratio exactly 1 (no skew)
+    val sk = got.filter(_._1 == "lineitem.l_suppkey")
+    assert(sk === Seq(("lineitem.l_suppkey", 1, 1L, 9L, 1.0, 1.0)))
+  }
 }
