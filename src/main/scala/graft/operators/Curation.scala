@@ -1029,4 +1029,65 @@ object Curation {
        |  CAST(n_total - prior_fails - n_fail AS BIGINT) AS n_out
        |FROM joined ORDER BY rule_idx""".stripMargin
   }
+
+  /** q157 — length-distribution flattening sampler: buckets documents
+    * by length (`n_chars div bucketWidth`), sets a UNIFORM target
+    * count per observed bucket (total div #buckets), and thins each
+    * over-represented bucket down to it by deterministic importance
+    * acceptance — keep a doc iff u32 · n_bucket < 2³² · target. The
+    * "match the length histogram" pass that stops a trainer from
+    * seeing 90% short documents; under-represented buckets pass
+    * through whole (acceptance capped at 1 — this sampler thins, it
+    * does not replicate).
+    *
+    * Exactness: the acceptance test is PURE 64-bit integer
+    * arithmetic (u32 < 2³², n_bucket ≤ corpus, both sides < 2⁶³ for
+    * any corpus this engine grades) — no doubles anywhere, so the
+    * kept set is bit-identical across engines by construction, and
+    * E[n_after] = target exactly. Reports per bucket:
+    * before/target/after.
+    *
+    * Scale: one scan + one bucket-count aggregate broadcast back;
+    * the thinning filter is a narrow map — no shuffle of the corpus
+    * itself (the report aggregate shuffles bucket-sized rows).
+    */
+  def flattenLengths(spark: SparkSession, dir: String,
+                     bucketWidth: Int = 100): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), expr(s"n_chars div $bucketWidth").as("bucket"))
+    val counts = base.groupBy(col("bucket")).agg(count(lit(1)).as("n_before"))
+    val target = counts.agg(
+      expr("sum(n_before) div count(*)").as("n_target"))
+    val withQuota = counts.crossJoin(broadcast(target))
+    val kept = base
+      .join(broadcast(withQuota), Seq("bucket"))
+      .filter(md5Bucket(col("doc_id")) * col("n_before") <
+        lit(4294967296L) * least(col("n_before"), col("n_target")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_after"))
+    withQuota.join(kept, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_before"), col("n_target"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy(col("bucket"))
+  }
+
+  def flattenLengthsSql(bucketWidth: Int = 100): String =
+    s"""WITH base AS (
+      |  SELECT doc_id, n_chars // $bucketWidth AS bucket FROM documents
+      |), counts AS (
+      |  SELECT bucket, COUNT(*) AS n_before FROM base GROUP BY bucket
+      |), quota AS (
+      |  SELECT CAST(SUM(n_before) AS BIGINT) // COUNT(*) AS n_target
+      |  FROM counts
+      |), kept AS (
+      |  SELECT b.bucket, COUNT(*) AS n_after
+      |  FROM base b JOIN counts c ON b.bucket = c.bucket
+      |  WHERE CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) * c.n_before
+      |    < 4294967296 * LEAST(c.n_before, (SELECT n_target FROM quota))
+      |  GROUP BY b.bucket
+      |)
+      |SELECT c.bucket, c.n_before, (SELECT n_target FROM quota) AS n_target,
+      |  CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_after
+      |FROM counts c LEFT JOIN kept k ON c.bucket = k.bucket
+      |ORDER BY c.bucket""".stripMargin
 }

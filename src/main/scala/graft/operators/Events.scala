@@ -1321,4 +1321,117 @@ object Events {
       |QUALIFY rank <= $topK
       |ORDER BY rank""".stripMargin
   }
+  /** q156 — CUPED variance-reduced A/B readout over events: users are
+    * deterministically assigned to control/treatment by portable-hash
+    * parity (the reproducible randomization unit of every large-scale
+    * experiment platform), the observation window splits at the
+    * corpus midpoint day into pre/post periods, and the post-period
+    * per-user metric is adjusted by its pre-period covariate:
+    * y' = y − θ(x − x̄) with θ = cov(x,y)/var(x) POOLED across both
+    * arms (the standard CUPED estimator — pooling keeps θ independent
+    * of assignment, so the adjustment is unbiased). Reports per-arm
+    * raw and adjusted means plus the pooled pre/post R² — the
+    * fraction of metric variance the covariate removes.
+    *
+    * Exactness: per-user period sums are decimal; pooled moments are
+    * the q102 round-then-decimal sufficient statistics; θ, x̄ and the
+    * adjusted means are closed forms over those sums — no per-row
+    * adjusted pass is needed because mean(y′) per arm collapses to
+    * (Σy − θ(Σx − n·x̄))/n. Scale: one user-keyed aggregate, one
+    * 1-row pooled frame broadcast back onto a 2-row arm table.
+    */
+  def cupedReadout(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), epochDayExpr.as("day"), col("value"))
+    val bounds = e.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(expr("(mn + mx + 1) div 2").as("mid"))
+    val perUser = e.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(
+        dsum(when(col("day") < col("mid"), col("value")).otherwise(lit(0.0)))
+          .as("x"),
+        dsum(when(col("day") >= col("mid"), col("value")).otherwise(lit(0.0)))
+          .as("y"))
+      .withColumn("variant",
+        (graft.functions.PortableHash.md5Long32(col("user_id")) % 2).cast("int"))
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"),
+      dsum(col("x")).as("sx"),
+      dsum(col("y")).as("sy"),
+      dsum(round(col("x") * col("x"), 6)).as("sxx"),
+      dsum(round(col("x") * col("y"), 6)).as("sxy"),
+      dsum(round(col("y") * col("y"), 6)).as("syy"))
+      .withColumn("den", nullif(col("n") * col("sxx") - col("sx") * col("sx"),
+        lit(0.0)))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("theta", col("num") / col("den"))
+      .withColumn("xbar", col("sx") / col("n"))
+      .withColumn("r2_pre_post", round(
+        (col("num") * col("num")) /
+          nullif(col("den") * (col("n") * col("syy") - col("sy") * col("sy")),
+            lit(0.0)), 6))
+      .select(col("theta"), col("xbar"), col("r2_pre_post"))
+    perUser
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        dsum(col("x")).as("vsx"),
+        dsum(col("y")).as("vsy"))
+      .crossJoin(broadcast(pooled))
+      .select(
+        col("variant"), col("n_users"),
+        round(col("vsx") / col("n_users"), 6).as("mean_pre"),
+        round(col("vsy") / col("n_users"), 6).as("mean_raw"),
+        round((col("vsy") - col("theta") * (col("vsx") - col("n_users") * col("xbar")))
+          / col("n_users"), 6).as("mean_adj"),
+        col("r2_pre_post"))
+      .orderBy(col("variant"))
+  }
+
+  val cupedReadoutSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, value FROM events
+      |), mid AS (
+      |  SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e
+      |), per_user AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN day < (SELECT mid FROM mid)
+      |      THEN CAST(value AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6))
+      |      END) AS DOUBLE) AS x,
+      |    CAST(SUM(CASE WHEN day >= (SELECT mid FROM mid)
+      |      THEN CAST(value AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6))
+      |      END) AS DOUBLE) AS y,
+      |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 2 AS INT) AS variant
+      |  FROM e GROUP BY user_id
+      |), pooled AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |  FROM per_user
+      |), param AS (
+      |  SELECT
+      |    (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) AS theta,
+      |    sx / n AS xbar,
+      |    ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |      / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0), 6)
+      |      AS r2_pre_post
+      |  FROM pooled
+      |), arms AS (
+      |  SELECT variant, COUNT(*) AS n_users,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS vsx,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS vsy
+      |  FROM per_user GROUP BY variant
+      |)
+      |SELECT variant, n_users,
+      |  ROUND(vsx / n_users, 6) AS mean_pre,
+      |  ROUND(vsy / n_users, 6) AS mean_raw,
+      |  ROUND((vsy - theta * (vsx - n_users * xbar)) / n_users, 6) AS mean_adj,
+      |  r2_pre_post
+      |FROM arms CROSS JOIN param
+      |ORDER BY variant""".stripMargin
 }

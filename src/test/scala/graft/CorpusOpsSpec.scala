@@ -605,6 +605,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("flattenLengths: fat bucket thins toward uniform target, thin bucket passes whole") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-flat").toString
+    // 10 docs in bucket 0 (len 10), 2 in bucket 1 (len 150):
+    // target = 12 div 2 = 6 -> bucket 0 thins, bucket 1 keeps all
+    val rows = (1L to 10L).map(i => (i, 10)) ++ Seq((11L, 150), (12L, 155))
+    rows.map { case (id, len) =>
+      (id, "x" * len, "en", "unit", len.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Curation.flattenLengths(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // expected keeps in bucket 0 from the independent JVM md5 path:
+    // keep iff u32 * n_before < 2^32 * target
+    val expect0 = (1L to 10L).count(id =>
+      graft.functions.PortableHash.md5PairJvm(id.toString)._1 * 10L <
+        4294967296L * 6L).toLong
+    assert(got === Seq((0L, 10L, 6L, expect0), (1L, 2L, 6L, 2L)))
+  }
+
   test("keySkewProfile: hot key tops the rank with exact share and skew ratio") {
     val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
     // l_partkey: 10 appears 6x, 20..40 once each -> N=9, D=4

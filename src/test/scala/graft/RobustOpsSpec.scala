@@ -804,6 +804,44 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(out(5L)._5 === "none")
   }
 
+  test("cupedReadout: adjustment shifts arm means by theta times covariate gap") {
+    // days 0-3 -> mid = 2: days 0,1 are pre, 2,3 are post. Four
+    // users, pre/post values chosen with nonzero pre variance.
+    val fixture = Seq( // (user, day, value)
+      (1L, 0L, 10.0), (1L, 2L, 20.0),
+      (2L, 1L, 30.0), (2L, 3L, 40.0),
+      (3L, 0L, 50.0), (3L, 2L, 60.0),
+      (4L, 1L, 20.0), (4L, 3L, 10.0))
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, 86400000L)),
+      lineitem = Seq((1L, 1L)),
+      events = fixture.zipWithIndex.map { case ((u, d, v), i) =>
+        ((i + 1).toLong, d * 86400000L, u, "view", v) })
+    val got = graft.operators.Events.cupedReadout(spark, dir)
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // independent reference in plain doubles (1e-5 tolerance absorbs
+    // the 6dp round-then-decimal machinery)
+    val xs = fixture.filter(_._2 < 2).map(r => r._1 -> r._3).toMap
+    val ys = fixture.filter(_._2 >= 2).map(r => r._1 -> r._3).toMap
+    val users = Seq(1L, 2L, 3L, 4L)
+    val n = users.size
+    val (sx, sy) = (users.map(xs).sum, users.map(ys).sum)
+    val theta = (n * users.map(u => xs(u) * ys(u)).sum - sx * sy) /
+      (n * users.map(u => xs(u) * xs(u)).sum - sx * sx)
+    val xbar = sx / n
+    def arm(u: Long): Int =
+      (graft.functions.PortableHash.md5PairJvm(u.toString)._1 % 2).toInt
+    for (v <- users.map(arm).distinct) {
+      val us = users.filter(arm(_) == v)
+      val rawMean = us.map(ys).sum / us.size
+      val adjMean = us.map(u => ys(u) - theta * (xs(u) - xbar)).sum / us.size
+      assert(got(v)._2 === us.size.toLong)
+      assert(math.abs(got(v)._4 - rawMean) < 1e-5)
+      assert(math.abs(got(v)._5 - adjMean) < 1e-5)
+    }
+  }
+
   test("negativeSamples: hash-ordered never-purchased parts, purchased excluded") {
     val dir = starDir(
       orders = Seq((1L, 1L, "O", 1.0, 86400000L), (2L, 2L, "O", 1.0, 86400000L)),
