@@ -15,6 +15,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bench-SF input files are ~0.3-10 MB — far under the 128 MB
+      // default split, so every scan (and the partial aggregate above
+      // it) would run as ONE task and serialize the whole-stage work
+      // on a single core. 1 MB splits restore scan parallelism at
+      // this SF; at production scale files exceed the default split
+      // and this knob is moot (sized per TESTDATA, per the
+      // partitions-fit-memory sizing rule).
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()

@@ -349,27 +349,31 @@ object Profile {
     * ("discount tracks quantity" is a join-free fact a curation or
     * pricing pipeline wants before modeling).
     *
-    * Exactness: the q102/q122 convention — every per-row term (x, x²,
-    * x·y) is rounded to 6dp and summed as DECIMAL(18,6)
-    * (order-independent); the closed form then runs once per pair on
-    * identical doubles. One aggregate computes all 4+4+6 sums; the
-    * matrix rows are an exploded array of per-pair structs over that
-    * single row (a union of per-pair selects would re-plan the
+    * Exactness AND speed: the measures are exact 2dp decimals, so
+    * every value scales to an EXACT integer (`round(100c)` — the
+    * q107 scaled-integer discipline), per-row products are exact
+    * int64s (≤ ~10¹⁴), and sums accumulate in DECIMAL(38,0) —
+    * overflow-safe at any corpus size, long-backed adds ~5× faster
+    * than the round-then-DECIMAL(18,6) path (no per-row BigDecimal).
+    * Pearson is scale-invariant, so the 100² factors cancel and the
+    * closed form is unchanged. One aggregate computes all 4+4+6 sums;
+    * the matrix rows are an exploded array of per-pair structs over
+    * that single row (a union of per-pair selects would re-plan the
     * scan+aggregate once per pair) — one scan, no shuffle beyond the
     * partial+final aggregate.
     */
   def corrMatrix(spark: SparkSession, dir: String,
                  cols: Seq[String] = Seq("l_quantity", "l_extendedprice",
                    "l_discount", "l_tax")): DataFrame = {
-    def dec(c: org.apache.spark.sql.Column) =
-      sum(round(c, 6).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-        .cast("double")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec38)).cast("double")
     val li = Tables.load(spark, dir, "lineitem")
+      .select(cols.map(c => round(col(c) * 100).cast("long").as(c)): _*)
     val aggs = Seq(count(lit(1)).cast("double").as("n")) ++
-      cols.map(c => dec(col(c).cast("double")).as(s"s_$c")) ++
-      cols.map(c => dec(col(c).cast("double") * col(c).cast("double")).as(s"ss_$c")) ++
+      cols.map(c => dsum(col(c)).as(s"s_$c")) ++
+      cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
       cols.combinations(2).map { case Seq(a, b) =>
-        dec(col(a).cast("double") * col(b).cast("double")).as(s"sp_${a}_$b")
+        dsum(col(a) * col(b)).as(s"sp_${a}_$b")
       }.toSeq
     val stats = li.agg(aggs.head, aggs.tail: _*)
     // one struct per pair, exploded over the single stats row: a
@@ -391,12 +395,14 @@ object Profile {
   def corrMatrixSql(cols: Seq[String] = Seq("l_quantity", "l_extendedprice",
                       "l_discount", "l_tax")): String = {
     def d(expr: String) =
-      s"CAST(SUM(CAST(ROUND($expr, 6) AS DECIMAL(18,6))) AS DOUBLE)"
+      s"CAST(SUM(CAST($expr AS DECIMAL(38,0))) AS DOUBLE)"
+    val scaled = cols.map(c =>
+      s"CAST(ROUND($c * 100) AS BIGINT) AS $c").mkString(", ")
     val sums =
-      (cols.map(c => s"${d(s"CAST($c AS DOUBLE)")} AS s_$c") ++
-        cols.map(c => s"${d(s"CAST($c AS DOUBLE) * CAST($c AS DOUBLE)")} AS ss_$c") ++
+      (cols.map(c => s"${d(c)} AS s_$c") ++
+        cols.map(c => s"${d(s"$c * $c")} AS ss_$c") ++
         cols.combinations(2).map { case Seq(a, b) =>
-          s"${d(s"CAST($a AS DOUBLE) * CAST($b AS DOUBLE)")} AS sp_${a}_$b"
+          s"${d(s"$a * $b")} AS sp_${a}_$b"
         }).mkString(",\n      |    ")
     val rows = cols.combinations(2).map { case Seq(a, b) =>
       s"""SELECT '$a' AS col_a, '$b' AS col_b,
@@ -405,10 +411,12 @@ object Profile {
          |          * sqrt(n * ss_$b - s_$b * s_$b), 0.0), 6) AS pearson_r
          |  FROM stats""".stripMargin
     }.mkString("\n      |  UNION ALL\n      |  ")
-    s"""WITH stats AS (
+    s"""WITH scaled AS (
+      |  SELECT $scaled FROM lineitem
+      |), stats AS (
       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
       |    $sums
-      |  FROM lineitem
+      |  FROM scaled
       |)
       |SELECT * FROM (
       |  $rows
