@@ -1088,4 +1088,214 @@ object Similarity {
         round(cosine(spark, col("q_emb"), col("embedding")), 6).as("cos_sim"))
     topK(rescored, k)
   }
+  /** q158 — clustering quality as a graded relation: assign every
+    * embedding to its nearest label-centroid cell (the q37 coarse
+    * quantizer) and score the assignment against the TRUE labels —
+    * per-cell member count, majority label, and purity, plus the
+    * global normalized mutual information NMI = 2·I(C;L)/(H(C)+H(L)).
+    * The external-validation twin of q136's centroid-geometry view:
+    * q136 says how close the cells sit, this says how cleanly they
+    * partition the labeled data (purity 1.0 + NMI 1.0 = the quantizer
+    * recovered the labels).
+    *
+    * Exactness: NMI is base-invariant, so both engines use log10 with
+    * each term rounded to 6dp and decimal-summed (the q103
+    * convention); every input to the logs is a ratio of exact integer
+    * counts. Scale: ONE corpus-sized aggregate (the broadcast
+    * nearest-centroid assignment rides the scan); everything after is
+    * over the ≤|cells|×|labels| confusion table, checkpointed once
+    * for its three consumers.
+    */
+  def clusterNmi(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = centroidArrays(labelCentroids(spark, dir))
+    val conf = graft.Iterate.cut(
+      assignCells(spark, emb, centroids, nprobe = 1)
+        .groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("n_cl")))
+    val total = conf.agg(sum(col("n_cl")).as("n_total"))
+    val cellM = conf.groupBy(col("cell")).agg(sum(col("n_cl")).as("n_c"))
+    val labelM = conf.groupBy(col("label")).agg(sum(col("n_cl")).as("n_l"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val mi = conf.join(broadcast(cellM), "cell").join(broadcast(labelM), "label")
+      .crossJoin(broadcast(total))
+      .select(round((col("n_cl") / col("n_total")) *
+        log10((col("n_total") * col("n_cl")) / (col("n_c") * col("n_l"))), 6)
+        .cast(dec).as("t"))
+      .agg(sum(col("t")).cast("double").as("mi"))
+    val hc = cellM.crossJoin(broadcast(total))
+      .select(round((col("n_c") / col("n_total")) *
+        log10(col("n_c") / col("n_total")), 6).cast(dec).as("t"))
+      .agg((-sum(col("t"))).cast("double").as("hc"))
+    val hl = labelM.crossJoin(broadcast(total))
+      .select(round((col("n_l") / col("n_total")) *
+        log10(col("n_l") / col("n_total")), 6).cast(dec).as("t"))
+      .agg((-sum(col("t"))).cast("double").as("hl"))
+    val nmi = mi.crossJoin(hc).crossJoin(hl)
+      .select(round(lit(2.0) * col("mi") /
+        nullif(col("hc") + col("hl"), lit(0.0)), 6).as("nmi"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("n_cl").desc, col("label"))
+    conf.withColumn("rn", row_number().over(w))
+      .join(broadcast(cellM), "cell")
+      .filter(col("rn") === 1)
+      .crossJoin(broadcast(nmi))
+      .select(col("cell"), col("n_c").as("n_vecs"),
+        col("label").as("majority_label"),
+        round(col("n_cl") / col("n_c"), 6).as("purity"), col("nmi"))
+      .orderBy(col("cell"))
+  }
+
+  val clusterNmiSql: String =
+    s"""WITH cent_long AS (
+      |  SELECT label, i - 1 AS dim,
+      |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+      |      / COUNT(embedding[i]) AS centroid
+      |  FROM embeddings, generate_series(1, 64) AS t(i)
+      |  GROUP BY label, i
+      |), cent AS (
+      |  SELECT label AS cell, list(CAST(centroid AS REAL) ORDER BY dim) AS c_emb
+      |  FROM cent_long GROUP BY label
+      |), assigned AS (
+      |  SELECT e.vec_id, e.label, c.cell
+      |  FROM embeddings e CROSS JOIN cent c
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell) = 1
+      |), conf AS (
+      |  SELECT cell, label, COUNT(*) AS n_cl FROM assigned GROUP BY 1, 2
+      |), total AS (
+      |  SELECT CAST(SUM(n_cl) AS BIGINT) AS n_total FROM conf
+      |), cell_m AS (
+      |  SELECT cell, CAST(SUM(n_cl) AS BIGINT) AS n_c FROM conf GROUP BY cell
+      |), label_m AS (
+      |  SELECT label, CAST(SUM(n_cl) AS BIGINT) AS n_l FROM conf GROUP BY label
+      |), mi AS (
+      |  SELECT CAST(SUM(CAST(ROUND((n_cl / n_total) *
+      |      LOG10((n_total * n_cl) / (n_c * n_l)), 6) AS DECIMAL(18,6)))
+      |    AS DOUBLE) AS mi
+      |  FROM conf JOIN cell_m USING (cell) JOIN label_m USING (label)
+      |  CROSS JOIN total
+      |), hc AS (
+      |  SELECT CAST(-SUM(CAST(ROUND((n_c / n_total) *
+      |      LOG10(n_c / n_total), 6) AS DECIMAL(18,6))) AS DOUBLE) AS hc
+      |  FROM cell_m CROSS JOIN total
+      |), hl AS (
+      |  SELECT CAST(-SUM(CAST(ROUND((n_l / n_total) *
+      |      LOG10(n_l / n_total), 6) AS DECIMAL(18,6))) AS DOUBLE) AS hl
+      |  FROM label_m CROSS JOIN total
+      |), nmi AS (
+      |  SELECT ROUND(2.0 * mi / NULLIF(hc + hl, 0.0), 6) AS nmi
+      |  FROM mi CROSS JOIN hc CROSS JOIN hl
+      |), majority AS (
+      |  SELECT cell, label, n_cl,
+      |    row_number() OVER (PARTITION BY cell
+      |      ORDER BY n_cl DESC, label) AS rn
+      |  FROM conf
+      |)
+      |SELECT m.cell, cm.n_c AS n_vecs, m.label AS majority_label,
+      |  ROUND(m.n_cl / cm.n_c, 6) AS purity, nmi.nmi
+      |FROM majority m JOIN cell_m cm USING (cell) CROSS JOIN nmi
+      |WHERE m.rn = 1
+      |ORDER BY m.cell""".stripMargin
+
+  /** nDCG@k position weights in 1e-6 units: w(i) = 1/log2(i+1),
+    * rounded once to integers so per-query DCG sums are pure integer
+    * arithmetic — no float accumulation order to reconcile across
+    * engines. Shared literal table with the oracle.
+    */
+  private def ndcgWeightsE6(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** q159 — retrieval quality audit: nDCG@k of the q29 brute-force
+    * cosine ranking against label-match relevance (a neighbor is
+    * relevant iff it carries the query's label). The
+    * graded-relevance companion to q137's recall audit: recall counts
+    * how many of the true neighbors came back, nDCG asks whether the
+    * relevant ones were ranked FIRST. Per query: hits, ideal-capped
+    * n_rel, integer DCG/IDCG in 1e-6 units, and their ratio.
+    *
+    * Exactness: position discounts are shared integer literals
+    * ([[ndcgWeightsE6]]), relevance is 0/1, so DCG and IDCG are exact
+    * integer sums (IDCG = prefix sum of the first min(n_rel, k)
+    * weights, a literal CASE); the single division happens once per
+    * query. Scale: rides q29's broadcast-queries + partial-top-k
+    * plan; the relevance join adds one broadcast of the k·|queries|
+    * ranked rows against the label dim.
+    */
+  def ndcgAudit(spark: SparkSession, dir: String, nQueries: Int = 8,
+                k: Int = 10): DataFrame = {
+    val wE6 = ndcgWeightsE6(k)
+    val prefix = wE6.scanLeft(0L)(_ + _).tail
+    val emb = Tables.load(spark, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val qlab = labels.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val corpusRel = labels.filter(col("vec_id") >= nQueries)
+      .groupBy(col("label").as("q_label")).agg(count(lit(1)).as("n_rel"))
+    val wCase = (1 to k).foldRight(lit(0L)) { case (i, rest) =>
+      when(col("rank") === i, lit(wE6(i - 1))).otherwise(rest) }
+    val idcgCase = (1 to k).foldRight(lit(0L)) { case (m, rest) =>
+      when(least(col("n_rel"), lit(k.toLong)) === m, lit(prefix(m - 1)))
+        .otherwise(rest) }
+    knnBrute(spark, dir, nQueries, k)
+      .join(broadcast(qlab), "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .withColumn("rel", (col("n_label") === col("q_label")).cast("long"))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(sum(col("rel") * wCase).as("dcg_e6"), sum(col("rel")).as("n_hits"))
+      .join(broadcast(corpusRel), Seq("q_label"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("idcg_e6",
+        when(col("n_rel") === 0, lit(0L)).otherwise(idcgCase))
+      .select(col("query_id"), col("q_label"), col("n_rel"), col("n_hits"),
+        col("dcg_e6"), col("idcg_e6"),
+        round(col("dcg_e6") / nullif(col("idcg_e6"), lit(0L)), 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  def ndcgAuditSql(nQueries: Int = 8, k: Int = 10): String = {
+    val wE6 = ndcgWeightsE6(k)
+    val prefix = wE6.scanLeft(0L)(_ + _).tail
+    val wCase = (1 to k).map(i => s"WHEN rank = $i THEN ${wE6(i - 1)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val idcgCase = (1 to k).map(m => s"WHEN m = $m THEN ${prefix(m - 1)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+      |  FROM embeddings WHERE vec_id < $nQueries
+      |), scored AS (
+      |  SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+      |    ROUND(${cosSql("q.q_emb", "e.embedding")}, 6) AS cos_sim
+      |  FROM embeddings e, q WHERE e.vec_id >= $nQueries
+      |), ranked AS (
+      |  SELECT query_id, q_label, n_label,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      |  FROM scored
+      |  QUALIFY rank <= $k
+      |), per_q AS (
+      |  SELECT query_id, q_label,
+      |    CAST(SUM(CASE WHEN n_label = q_label
+      |      THEN $wCase ELSE 0 END) AS BIGINT) AS dcg_e6,
+      |    CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hits
+      |  FROM ranked GROUP BY 1, 2
+      |), rel AS (
+      |  SELECT label AS q_label, COUNT(*) AS n_rel FROM embeddings
+      |  WHERE vec_id >= $nQueries GROUP BY 1
+      |), joined AS (
+      |  SELECT p.query_id, p.q_label,
+      |    CAST(COALESCE(r.n_rel, 0) AS BIGINT) AS n_rel, p.n_hits, p.dcg_e6,
+      |    LEAST(CAST(COALESCE(r.n_rel, 0) AS BIGINT), $k) AS m
+      |  FROM per_q p LEFT JOIN rel r ON p.q_label = r.q_label
+      |)
+      |SELECT query_id, q_label, n_rel, n_hits, dcg_e6,
+      |  CASE WHEN n_rel = 0 THEN 0 ELSE $idcgCase END AS idcg_e6,
+      |  ROUND(dcg_e6 / NULLIF(CASE WHEN n_rel = 0 THEN 0
+      |    ELSE $idcgCase END, 0), 6) AS ndcg
+      |FROM joined
+      |ORDER BY query_id""".stripMargin
+  }
 }

@@ -472,4 +472,55 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "raw", 2, 'A'.toInt, 2, ('A'.toInt * 3) % 480), // stub fallback
       (4L, "bmp", 56, 'B'.toInt, 3, 7))) // |height| reported
   }
+
+  test("clusterNmi: clean axis labels score purity 1 and NMI 1; mixed label splits") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-nmi").toString
+    // labels 0 and 1 sit on orthogonal axes -> centroids on the axes,
+    // every vector assigns to its own label's cell: a perfect
+    // clustering (purity 1, NMI 1)
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.clusterNmi(spark, dir)
+      .as[(Int, Long, Int, Double, Double)].collect().toSeq
+    assert(got === Seq((0, 2L, 0, 1.0, 1.0), (1, 2L, 1, 1.0, 1.0)))
+    // one label-1 vector moved onto the label-0 axis: it assigns to
+    // cell 0 (nearer centroid), so cell 0 is impure and NMI < 1
+    val dir2 = Files.createTempDirectory("graft-nmi2").toString
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1), (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val got2 = Similarity.clusterNmi(spark, dir2)
+      .as[(Int, Long, Int, Double, Double)].collect().toSeq
+    val c0 = got2.find(_._1 == 0).get
+    assert(c0._2 === 3L && c0._3 === 0 && math.abs(c0._4 - 0.666667) < 1e-6)
+    assert(c0._5 > 0.0 && c0._5 < 1.0)
+  }
+
+  test("ndcgAudit: relevant-first ranking scores 1, missed hit scores 0 against nonzero ideal") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-ndcg").toString
+    // query 0 (label 7, x-axis): both label-7 corpus vectors rank
+    // 1-2 -> DCG = IDCG -> nDCG 1. query 1 (label 9, y-axis): its
+    // only same-label corpus vector points at -y, ranking dead last
+    // (rank 4 > k) -> 0 hits against an ideal of w1 -> nDCG 0.
+    Seq(
+      (0L, Array(1.0f, 0.0f), 7), (1L, Array(0.0f, 1.0f), 9),
+      (2L, Array(1.0f, 0.0f), 7), (3L, Array(1.0f, 0.9f), 7),
+      (4L, Array(0.0f, -1.0f), 9), (5L, Array(0.0f, 1.0f), 8))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.ndcgAudit(spark, dir, nQueries = 2, k = 3)
+      .as[(Long, Int, Long, Long, Long, Long, Double)].collect().toSeq
+    // integer weights: w1 = 1e6, w2 = round(1e6/log2(3)) = 630930
+    val q0 = got.find(_._1 == 0L).get
+    assert(q0 === ((0L, 7, 2L, 2L, 1630930L, 1630930L, 1.0)))
+    val q1 = got.find(_._1 == 1L).get
+    assert(q1 === ((1L, 9, 1L, 0L, 0L, 1000000L, 0.0)))
+  }
 }
