@@ -1434,4 +1434,61 @@ object Events {
       |  r2_pre_post
       |FROM arms CROSS JOIN param
       |ORDER BY variant""".stripMargin
+  /** q160 — mergeable aggregate state (incremental view
+    * maintenance): the per-type metric profile computed as TWO
+    * partial aggregates — the "yesterday" half and the "today" delta,
+    * split at the corpus midpoint day — merged by pure state algebra:
+    * counts and decimal sums add, min/max fold, avg re-derives from
+    * merged state. The oracle computes the same profile in one direct
+    * pass, so the hash match IS the proof that the merge is lossless
+    * — the algebra every 100 TB rolling aggregate, streaming
+    * checkpoint, and backfill-then-merge pipeline stands on (and the
+    * reason avg is carried as (sum, n), never as a mean).
+    *
+    * Scale: both halves are map-side-combined partial aggregates over
+    * one scan each; the merge is a |types|-row full-outer join. A
+    * deployed pipeline persists yesterday's state and scans ONLY the
+    * delta — the shape this query grades.
+    */
+  def mergeableAggs(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"), epochDayExpr.as("day"), col("value"))
+    val bounds = e.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(expr("(mn + mx + 1) div 2").as("mid"))
+    val halves = e.crossJoin(broadcast(bounds))
+    def part(half: DataFrame, suffix: String): DataFrame =
+      half.groupBy(col("event_type")).agg(
+        count(lit(1)).as(s"n$suffix"),
+        sum(col("value").cast(dec)).as(s"s$suffix"),
+        min(col("value")).as(s"mn$suffix"),
+        max(col("value")).as(s"mx$suffix"))
+    val old = part(halves.filter(col("day") < col("mid")), "1")
+    val delta = part(halves.filter(col("day") >= col("mid")), "2")
+    old.join(delta, Seq("event_type"), "full_outer")
+      .select(
+        col("event_type"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n"),
+        (coalesce(col("s1"), lit(0).cast(dec)) +
+          coalesce(col("s2"), lit(0).cast(dec))).cast("double").as("total"),
+        least(coalesce(col("mn1"), col("mn2")), coalesce(col("mn2"), col("mn1")))
+          .as("min_value"),
+        greatest(coalesce(col("mx1"), col("mx2")), coalesce(col("mx2"), col("mx1")))
+          .as("max_value"))
+      .withColumn("avg_value", round(col("total") / col("n"), 6))
+      .orderBy(col("event_type"))
+  }
+
+  /** Direct single-pass statement of the same profile — the merge
+    * correctness oracle. */
+  val mergeableAggsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

@@ -804,6 +804,41 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(out(5L)._5 === "none")
   }
 
+  test("mergeableAggs equals the direct one-pass aggregate on random events (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions._
+    val evGen = Gen.listOfN(30, for {
+      u <- Gen.chooseNum(1L, 5L)
+      day <- Gen.chooseNum(0L, 9L)
+      typ <- Gen.oneOf("view", "click", "purchase")
+      v <- Gen.chooseNum(-500, 500).map(_ / 100.0)
+    } yield (u, day, typ, v))
+    val p = Prop.forAll(evGen) { evs =>
+      val dir = starDir(
+        orders = Seq((1L, 1L, "O", 1.0, 86400000L)),
+        lineitem = Seq((1L, 1L)),
+        events = evs.zipWithIndex.map { case ((u, d, t, v), i) =>
+          ((i + 1).toLong, d * 86400000L, u, t, v) })
+      val merged = graft.operators.Events.mergeableAggs(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+      val direct = graft.Tables.load(spark, dir, "events")
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .withColumn("avg_value", round(col("total") / col("n"), 6))
+        .orderBy(col("event_type"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      merged == direct
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cupedReadout: adjustment shifts arm means by theta times covariate gap") {
     // days 0-3 -> mid = 2: days 0,1 are pre, 2,3 are post. Four
     // users, pre/post values chosen with nonzero pre variance.
