@@ -1491,4 +1491,82 @@ object Events {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** q161 — CUSUM change-point detection per event type: the day that
+    * best splits the type's daily-total series into two regimes, found
+    * as the argmax of the centered cumulative sum
+    * |S_d − (d/n)·S_n| — the classic CUSUM statistic, and the first
+    * split of binary segmentation. Where q121 flags individual outlier
+    * days and q124 measures drift between fixed halves, this LOCATES
+    * the structural break (a scraper change, a schema migration, a
+    * traffic-mix shift) without being told where to look.
+    *
+    * Exactness: daily totals are decimal sums cast to double (q121's
+    * convention); the centered statistic is computed with one fixed
+    * IEEE operation order (cum − idx·total/n) in both engines, so the
+    * argmax compares bit-identical doubles, (stat desc, day asc)
+    * tiebroken. The last day is excluded — a split must leave both
+    * sides non-empty. Only presentation columns are rounded.
+    *
+    * Scale: one event-sized (type, day) aggregate; every window after
+    * that runs over the days-long daily table partitioned by type —
+    * catalog-sized, never event-sized. At 100 TB the daily aggregate
+    * is the only shuffle, and date-partitioned input makes it
+    * partition-local.
+    */
+  def changePoints(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(decSum(col("value")).as("v"))
+    val wType = Window.partitionBy(col("event_type"))
+    val wCum = wType.orderBy(col("day"))
+    val scored = daily
+      .withColumn("idx", row_number().over(wCum))
+      .withColumn("cum", sum(col("v")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wType))
+      .withColumn("total", sum(col("v")).over(wType))
+      .filter(col("idx") < col("n"))
+      .withColumn("stat",
+        abs(col("cum") - col("idx").cast("double") * col("total") / col("n")))
+    scored
+      .withColumn("rn", row_number().over(
+        wType.orderBy(col("stat").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_type"),
+        col("day").as("change_day"),
+        col("n").cast("int").as("n_days"),
+        round(col("stat"), 6).as("cusum_stat"),
+        round(col("cum") / col("idx"), 6).as("mean_before"),
+        round((col("total") - col("cum")) / (col("n") - col("idx")), 6)
+          .as("mean_after"))
+      .orderBy(col("event_type"))
+  }
+
+  val changePointsSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT event_type, day,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx,
+      |    SUM(v) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    SUM(v) OVER (PARTITION BY event_type) AS total
+      |  FROM daily
+      |), stats AS (
+      |  SELECT *, ABS(cum - CAST(idx AS DOUBLE) * total / n) AS stat
+      |  FROM scored WHERE idx < n
+      |), winner AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY stat DESC, day) AS rn
+      |  FROM stats
+      |)
+      |SELECT event_type, day AS change_day, CAST(n AS INT) AS n_days,
+      |  ROUND(stat, 6) AS cusum_stat,
+      |  ROUND(cum / idx, 6) AS mean_before,
+      |  ROUND((total - cum) / (n - idx), 6) AS mean_after
+      |FROM winner WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
 }

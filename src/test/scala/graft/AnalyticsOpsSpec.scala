@@ -364,4 +364,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // the flag returns a (partial) labeling instead of throwing
     assert(Dedup.dedupClusters(spark, sf0001, maxIters = 0).count() > 0)
   }
+
+  test("changePoints: locates the regime shift, flat series degenerates to day 0") {
+    val day = 86400000L
+    // type a: three days at 10, then three days at 100 — the centered
+    // CUSUM |cum - idx/n*total| peaks at idx=3 (|30-165|=135), so the
+    // change day is day 2 with means 10 -> 100. type b: constant 5 for
+    // three days — stat is identically 0, day-asc tiebreak picks day 0.
+    val rows =
+      (0 to 5).map(d => (d + 1L, d * day, 1L, "a",
+        if (d < 3) 10.0 else 100.0)) ++
+      (0 to 2).map(d => (d + 10L, d * day, 1L, "b", 5.0))
+    val out = Events.changePoints(spark, eventsDirV(rows))
+      .as[(String, Long, Int, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", 2L, 6, 135.0, 10.0, 100.0),
+      ("b", 0L, 3, 0.0, 5.0, 5.0)))
+  }
 }
