@@ -1090,4 +1090,85 @@ object Curation {
       |  CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_after
       |FROM counts c LEFT JOIN kept k ON c.bucket = k.bucket
       |ORDER BY c.bucket""".stripMargin
+
+  /** q162 — cross-source quantile normalization of quality scores:
+    * every document's score is replaced by the GLOBAL score at its
+    * within-source rank position, so all sources share one scale and
+    * "top decile" means the same thing everywhere. q138 audits how
+    * source score distributions disagree; this is the transform that
+    * removes the disagreement (the microarray quantile-normalization
+    * move, applied to heterogeneous corpus scoring).
+    *
+    * Mapping: a doc at within-source rank r of n_s maps to global rank
+    * ((r−1)·(N−1)) div (n_s−1) + 1 — pure integer arithmetic, so the
+    * join key is exact in both engines (n_s = 1 maps to the global
+    * median position). Both rankings tiebreak by doc_id.
+    *
+    * Scale: the global rank is NOT a single-partition window — it
+    * decomposes as bucket offset + within-bucket rank: docs bucket by
+    * floor(quality·10) (11 buckets), per-bucket counts make a tiny
+    * offsets table (broadcast), and row_number partitions by bucket.
+    * The only unpartitioned window in the plan runs over 11 rows.
+    * The rank-alignment join is one doc-sized shuffle on the rank key.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("bucket", floor(col("quality") * 10).cast("int"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("quality"), col("doc_id"))
+    val ranked = scored
+      .withColumn("rn_s", row_number().over(wSrc))
+      .withColumn("n_s",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+    // distributed global rank: per-bucket counts -> exclusive prefix
+    // offsets (11-row window) -> offset + within-bucket row_number
+    val offsets = scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_b"))
+      .withColumn("offset",
+        coalesce(sum(col("n_b")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val nG = scored.agg(count(lit(1)).as("n_g"))
+    val wBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("quality"), col("doc_id"))
+    val global = scored
+      .join(broadcast(offsets.select(col("bucket"), col("offset"))), "bucket")
+      .withColumn("rn_g", col("offset") + row_number().over(wBucket))
+      .select(col("rn_g"), col("quality").as("norm_quality"))
+    ranked.crossJoin(broadcast(nG))
+      .withColumn("target_rn",
+        when(col("n_s") > 1,
+          expr("((rn_s - 1) * (n_g - 1)) div (n_s - 1) + 1"))
+          .otherwise(expr("(n_g + 1) div 2")).cast("long"))
+      .join(global, col("target_rn") === col("rn_g"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("norm_quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val quantileNormalizeSql: String = {
+    val q = graft.operators.TextAnalysis.qualityExprSql
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, $q AS quality FROM documents
+       |), src AS (
+       |  SELECT doc_id, source, quality,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY quality, doc_id) AS rn_s,
+       |    COUNT(*) OVER (PARTITION BY source) AS n_s,
+       |    COUNT(*) OVER () AS n_g
+       |  FROM scored
+       |), grank AS (
+       |  SELECT quality AS norm_quality,
+       |    row_number() OVER (ORDER BY quality, doc_id) AS rn_g
+       |  FROM scored
+       |)
+       |SELECT s.doc_id, s.source, s.quality, g.norm_quality
+       |FROM src s JOIN grank g ON g.rn_g =
+       |  CASE WHEN s.n_s > 1
+       |    THEN ((s.rn_s - 1) * (s.n_g - 1)) // (s.n_s - 1) + 1
+       |    ELSE (s.n_g + 1) // 2 END
+       |ORDER BY s.doc_id""".stripMargin
+  }
 }

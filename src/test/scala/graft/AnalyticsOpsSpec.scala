@@ -365,6 +365,61 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(Dedup.dedupClusters(spark, sf0001, maxIters = 0).count() > 0)
   }
 
+  test("quantileNormalize: bucket-decomposed rank equals the naive global rank") {
+    // mixed-source docs with distinct quality scores; the operator's
+    // distributed (bucket offset + within-bucket) global rank must
+    // reproduce exactly what a naive single-partition mapping gives
+    val dir = java.nio.file.Files.createTempDirectory("graft-qnorm").toString
+    val texts = Seq(
+      "good clean sentence with the usual words and the right length",
+      "a", "!!! ??? $$$ @@@", "the quick brown fox jumps over a lazy dog",
+      "words words words words words", "x y z !", "short", "and the of to in",
+      "mixed bag of punctuation, length and stopwords overall decent text",
+      "zzzz qqqq jjjj wwww")
+    texts.zipWithIndex.map { case (t, i) =>
+      (i + 1L, t, "en", if (i % 3 == 0) "web" else if (i % 3 == 1) "books"
+        else "code", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.quantileNormalize(spark, dir)
+      .as[(Long, String, Double, Double)].collect().toSeq
+    // naive reference: same mapping with plain unpartitioned windows
+    val scored = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source",
+        graft.functions.TextFunctions.qualityScore($"text").as("quality"))
+    scored.createOrReplaceTempView("qn_scored")
+    val expected = spark.sql(
+      """WITH src AS (
+        |  SELECT doc_id, source, quality,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality, doc_id) AS rn_s,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_s,
+        |    COUNT(*) OVER () AS n_g
+        |  FROM qn_scored
+        |), glob AS (
+        |  SELECT quality AS norm_quality,
+        |    row_number() OVER (ORDER BY quality, doc_id) AS rn_g
+        |  FROM qn_scored
+        |)
+        |SELECT s.doc_id, s.source, s.quality, g.norm_quality
+        |FROM src s JOIN glob g ON g.rn_g =
+        |  CASE WHEN s.n_s > 1
+        |    THEN ((s.rn_s - 1) * (s.n_g - 1)) div (s.n_s - 1) + 1
+        |    ELSE (s.n_g + 1) div 2 END
+        |ORDER BY s.doc_id""".stripMargin)
+      .as[(Long, String, Double, Double)].collect().toSeq
+    assert(out === expected)
+    // the normalized scores are drawn from the global score multiset,
+    // and the per-source min/max map to the global min/max
+    val globalScores = scored.as[(Long, String, Double)].collect()
+      .map(_._3).sorted
+    assert(out.forall(r => globalScores.contains(r._4)))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.minBy(r => (r._3, r._1))._4 === globalScores.head)
+      assert(rows.maxBy(r => (r._3, r._1))._4 === globalScores.last)
+    }
+  }
+
   test("changePoints: locates the regime shift, flat series degenerates to day 0") {
     val day = 86400000L
     // type a: three days at 10, then three days at 100 — the centered
