@@ -365,6 +365,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(Dedup.dedupClusters(spark, sf0001, maxIters = 0).count() > 0)
   }
 
+  test("validation suite: every rule type counts its staged violations") {
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsuite").toString
+    val t0 = new java.sql.Timestamp(0L)
+    def write(name: String, rows: Seq[Row]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), graft.Tables.schemas(name))
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    write("customer", Seq(Row(10L, "a", 1, 0.0, "SEG")))
+    write("orders", Seq(
+      Row(1L, 10L, "O", 100.0, t0, "1-URGENT"),       // clean
+      Row(1L, 10L, "F", 200.0, t0, "1-URGENT"),       // dup key
+      Row(null, 11L, "X", -5.0, t0, "1-URGENT"),      // null key, bad
+                                                      // status, neg total,
+                                                      // orphan custkey
+      Row(3L, 99L, "P", 2e6, t0, "1-URGENT")))        // over-cap total,
+                                                      // orphan custkey
+    write("lineitem", Seq(
+      Row(1L, 1L, 1L, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", t0),   // clean
+      Row(7L, 1L, 1L, 1, 0.0, 1.0, 0.0, 0.0, "N", "O", t0),   // orphan
+                                                              // order, qty<1
+      Row(null, 1L, 1L, 1, 60.0, 1.0, 0.0, 0.0, "N", "O", t0))) // null key,
+                                                                // qty>50
+    val out = graft.operators.Validate.orderFlowReport(spark, dir)
+      .as[(String, String, Long, Long, Int)].collect().toSeq
+    assert(out === Seq(
+      ("lineitem_key_not_null", "lineitem", 3L, 1L, 0),
+      ("lineitem_order_fk", "lineitem", 3L, 1L, 0),
+      ("lineitem_qty_in_range", "lineitem", 3L, 2L, 0),
+      ("orders_customer_fk", "orders", 4L, 2L, 0),
+      ("orders_key_not_null", "orders", 4L, 1L, 0),
+      ("orders_key_unique", "orders", 4L, 1L, 0),
+      ("orders_status_domain", "orders", 4L, 1L, 0),
+      ("orders_total_in_range", "orders", 4L, 2L, 0)))
+  }
+
   test("quantileNormalize: bucket-decomposed rank equals the naive global rank") {
     // mixed-source docs with distinct quality scores; the operator's
     // distributed (bucket offset + within-bucket) global rank must
