@@ -1181,4 +1181,68 @@ object TextAnalysis {
       |  CAST(SUM(COALESCE(nt.n_new_types, 0)) OVER (ORDER BY tc.bucket) AS BIGINT) AS cum_types
       |FROM tc LEFT JOIN nt ON tc.bucket = nt.bucket
       |ORDER BY tc.bucket""".stripMargin
+
+  /** q164 — inverted-index posting lists: the IR-engine artifact
+    * itself, materialized as a relation. For the `topTokens` highest-df
+    * tokens: document frequency, total term frequency, and the first
+    * `postingsCap` doc ids of the (doc_id-ascending) posting list —
+    * the physical structure behind q26's candidate generation and any
+    * BM25/boolean retrieval serving tier, exposed so a pipeline can
+    * persist and ship it. q36 reports the vocabulary's statistics;
+    * this materializes the index entries.
+    *
+    * Scale: the (token, doc) term-frequency aggregate is the one
+    * corpus-sized shuffle, and the posting arrays are BOUNDED before
+    * any collect — a row_number window with a literal cap filter
+    * (WindowGroupLimit prunes map-side) feeds the collect_list, so no
+    * task ever holds an unbounded hot-token posting list; the full
+    * list lives as rows, the preview as an array. Stats and postings
+    * aggregate on the same token key — one partitioning, reused. The
+    * final top-k is a literal-bounded TakeOrderedAndProject.
+    */
+  def invertedIndex(spark: SparkSession, dir: String,
+                    topTokens: Int = 100, postingsCap: Int = 10): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("doc_id"))
+    val postings = perDoc
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= postingsCap)
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    stats.join(postings, "token")
+      .select(col("token"), col("df"), col("tf_total"), col("postings"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(topTokens)
+  }
+
+  def invertedIndexSql(topTokens: Int = 100, postingsCap: Int = 10): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+       |  FROM documents
+       |), per_doc AS (
+       |  SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+       |), stats AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       |    CAST(SUM(tf) AS BIGINT) AS tf_total
+       |  FROM per_doc GROUP BY token
+       |), ranked AS (
+       |  SELECT token, doc_id,
+       |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+       |  FROM per_doc
+       |), post AS (
+       |  SELECT token, list(doc_id ORDER BY doc_id) AS postings
+       |  FROM ranked WHERE rn <= $postingsCap GROUP BY token
+       |)
+       |SELECT s.token, s.df, s.tf_total, p.postings
+       |FROM stats s JOIN post p USING (token)
+       |ORDER BY s.df DESC, s.token
+       |LIMIT $topTokens""".stripMargin
 }

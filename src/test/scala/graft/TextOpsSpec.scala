@@ -380,4 +380,26 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
     assert(out === Seq(("unit", 4L, 3L, 2L, 0.75, 0.666667)))
   }
+
+  test("invertedIndex: df/tf/capped postings, df-desc top-k, cap binds") {
+    // "the": docs 1,2,3 (tf 2+1+1); "cat": docs 1,2 (tf 1+1);
+    // "sat": doc 1 only (tf 3)
+    val dir = docsDir(Seq(
+      (1L, "the cat sat sat sat the"),
+      (2L, "the cat"),
+      (3L, "the")))
+    val out = TextAnalysis.invertedIndex(spark, dir, topTokens = 2,
+      postingsCap = 2)
+      .as[(String, Long, Long, Seq[Long])].collect().toSeq
+    // top-2 by (df desc, token asc): the(3), cat(2); postings capped
+    // to the 2 SMALLEST doc_ids (rank before collect, not after)
+    assert(out === Seq(
+      ("the", 3L, 4L, Seq(1L, 2L)),
+      ("cat", 2L, 2L, Seq(1L, 2L))))
+    // the capped-collect plan carries the literal-bounded rank filter:
+    // a WindowGroupLimit prunes posting lists map-side before collect
+    val plan = TextAnalysis.invertedIndex(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
 }
