@@ -718,4 +718,99 @@ object Profile {
       |FROM ranked r JOIN totals t ON r.key_name = t.key_name
       |WHERE r.rank <= $topK
       |ORDER BY r.key_name, r.rank""".stripMargin
+
+  /** q165 — join-cardinality estimation report: for each candidate
+    * equi-join, the EXACT output cardinality Σ_k c_left(k)·c_right(k)
+    * computed from per-key counts (never by materializing the join),
+    * next to a key-synchronized sampled estimate (keep a key iff
+    * md5(key) mod `rate` = 0, on BOTH sides, scale the product sum by
+    * `rate`) and its relative error. This is the planner's question —
+    * "how big is this join going to be?" — answered as a relation: the
+    * report a pipeline consults before picking broadcast vs shuffle vs
+    * pre-aggregation, and an audit of how well key-sampled estimation
+    * tracks truth on real key distributions.
+    *
+    * Key-synchronized sampling matters: sampling ROWS independently on
+    * each side biases E[ĉ] away from the true product sum; sampling
+    * KEYS keeps each key's full c_l·c_r product with probability
+    * 1/rate, so the scaled sum is unbiased with variance driven by the
+    * product-sum's skew (exactly what the report's rel_err column
+    * exposes). Correlated (key-synchronized) sampling for join size
+    * estimation is the standard planner technique for exactly this
+    * reason.
+    *
+    * Scale: per join = two map-side-combined per-key count aggregates
+    * + one count-table join on the key (co-partitioned, key-sized
+    * inputs, never row-sized); the sampled estimate rides the SAME
+    * joined frame as one conditional sum — zero extra passes. At
+    * 100 TB the sketch path pushes the key filter below the count
+    * aggregate (hash-filter scan, rate× less aggregate state).
+    */
+  def joinCardinality(spark: SparkSession, dir: String,
+                      rate: Int = 16): DataFrame = {
+    def candidate(name: String, lt: String, lk: String,
+                  rt: String, rk: String): DataFrame = {
+      val lc = Tables.load(spark, dir, lt).groupBy(col(lk).as("k"))
+        .agg(count(lit(1)).as("c_l"))
+      val rc = Tables.load(spark, dir, rt).groupBy(col(rk).as("k"))
+        .agg(count(lit(1)).as("c_r"))
+      lc.join(rc, "k")
+        .withColumn("prod", col("c_l") * col("c_r"))
+        .withColumn("sampled",
+          Curation.md5Bucket(col("k")) % rate === 0)
+        .agg(
+          sum(col("c_l")).as("n_left"),
+          sum(col("c_r")).as("n_right"),
+          sum(col("prod")).as("exact_rows"),
+          (coalesce(sum(when(col("sampled"), col("prod"))), lit(0L)) * rate)
+            .as("est_rows"))
+        .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
+          col("exact_rows"), col("est_rows"),
+          round(abs(col("est_rows") - col("exact_rows")).cast("double") /
+            col("exact_rows"), 6).as("rel_err"))
+    }
+    Seq(
+      candidate("customer_orders", "customer", "c_custkey",
+        "orders", "o_custkey"),
+      candidate("orders_lineitem", "orders", "o_orderkey",
+        "lineitem", "l_orderkey"),
+      candidate("part_lineitem", "part", "p_partkey",
+        "lineitem", "l_partkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("join_name"))
+  }
+
+  def joinCardinalitySql(rate: Int = 16): String = {
+    def candidate(name: String, lt: String, lk: String,
+                  rt: String, rk: String): String =
+      s"""SELECT '$name' AS join_name,
+         |  CAST(SUM(c_l) AS BIGINT) AS n_left,
+         |  CAST(SUM(c_r) AS BIGINT) AS n_right,
+         |  CAST(SUM(c_l * c_r) AS BIGINT) AS exact_rows,
+         |  CAST(COALESCE(SUM(CASE WHEN
+         |      CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))
+         |        AS BIGINT) % $rate = 0
+         |      THEN c_l * c_r END), 0) * $rate AS BIGINT) AS est_rows,
+         |  ROUND(CAST(ABS(COALESCE(SUM(CASE WHEN
+         |      CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))
+         |        AS BIGINT) % $rate = 0
+         |      THEN c_l * c_r END), 0) * $rate - SUM(c_l * c_r)) AS DOUBLE)
+         |    / SUM(c_l * c_r), 6) AS rel_err
+         |FROM (
+         |  SELECT l.k, l.c_l, r.c_r FROM
+         |    (SELECT $lk AS k, COUNT(*) AS c_l FROM $lt GROUP BY 1) l
+         |    JOIN
+         |    (SELECT $rk AS k, COUNT(*) AS c_r FROM $rt GROUP BY 1) r
+         |    ON l.k = r.k
+         |)""".stripMargin
+    Seq(
+      candidate("customer_orders", "customer", "c_custkey",
+        "orders", "o_custkey"),
+      candidate("orders_lineitem", "orders", "o_orderkey",
+        "lineitem", "l_orderkey"),
+      candidate("part_lineitem", "part", "p_partkey",
+        "lineitem", "l_partkey"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n)\nORDER BY join_name")
+  }
 }

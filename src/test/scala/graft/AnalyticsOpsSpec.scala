@@ -365,6 +365,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(Dedup.dedupClusters(spark, sf0001, maxIters = 0).count() > 0)
   }
 
+  test("joinCardinality: exact product-sum without materializing, rate=1 estimate is exact") {
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("graft-jcard").toString
+    val t0 = new java.sql.Timestamp(0L)
+    def write(name: String, rows: Seq[Row]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), graft.Tables.schemas(name))
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    write("customer", Seq(Row(1L, "a", 1, 0.0, "S"), Row(2L, "b", 1, 0.0, "S")))
+    write("orders", Seq(
+      Row(1L, 1L, "O", 1.0, t0, "p"), Row(2L, 1L, "O", 1.0, t0, "p"),
+      Row(3L, 2L, "O", 1.0, t0, "p"), Row(4L, 9L, "O", 1.0, t0, "p")))
+    write("lineitem", (1 to 3).map(i =>
+      Row(1L, 5L, 1L, i, 1.0, 1.0, 0.0, 0.0, "N", "O", t0)))
+    write("part", Seq(Row(5L, "p", "b", "t", 1, 1.0)))
+    val out = graft.operators.Profile.joinCardinality(spark, dir, rate = 1)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // customer⋈orders: matched keys {1: 1·2, 2: 1·1} -> exact 3 (order
+    // with orphan custkey 9 contributes nothing); orders⋈lineitem:
+    // {1: 1·3}; part⋈lineitem: {5: 1·3}. rate=1 samples every key, so
+    // the estimate IS the exact sum and rel_err is identically 0.
+    assert(out === Seq(
+      ("customer_orders", 2L, 3L, 3L, 3L, 0.0),
+      ("orders_lineitem", 1L, 3L, 3L, 3L, 0.0),
+      ("part_lineitem", 1L, 3L, 3L, 3L, 0.0)))
+    // default rate: estimate is always a multiple of the rate and
+    // rel_err restates |est - exact| / exact
+    val sampled = graft.operators.Profile.joinCardinality(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    sampled.foreach { case (_, _, _, exact, est, relErr) =>
+      assert(est % 16 === 0)
+      assert(relErr === BigDecimal(math.abs(est - exact).toDouble / exact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("validation suite: every rule type counts its staged violations") {
     import org.apache.spark.sql.Row
     val dir = java.nio.file.Files.createTempDirectory("graft-vsuite").toString
