@@ -1003,4 +1003,81 @@ object Relational {
       |  SELECT l_returnflag, 'sum_qty', sum_qty FROM wide
       |)
       |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** q166 — skyline (Pareto-dominance frontier) over part on
+    * (minimize p_retailprice, maximize p_size): the parts for which no
+    * other part is at-least-as-good on both axes and strictly better
+    * on one. The multi-objective "best offers" operator every
+    * curation/report surface eventually wants and SQL engines lack as
+    * a primitive.
+    *
+    * Dominance: q dominates p iff q.price <= p.price AND
+    * q.size >= p.size AND (q.price < p.price OR q.size > p.size).
+    * Identical (price, size) points do NOT dominate each other — all
+    * copies of a frontier point survive.
+    *
+    * Plan (two-phase, never all-pairs): the naive skyline is a
+    * quadratic NOT-EXISTS self-join — the oracle states it that way
+    * because DuckDB at sf0.01 can afford it, but a 100 TB scan cannot.
+    * Phase 1 hash-buckets rows (uniform synthetic key, one shuffle)
+    * and drops, per bucket, every row whose running max(p_size) over
+    * the (price ASC, size DESC) prefix strictly exceeds its own size —
+    * each such row is dominated by a witness in its own bucket.
+    * Dominance is transitive, so pruning against a LOCAL witness never
+    * removes a GLOBAL frontier point: survivors ⊇ skyline(full).
+    * Phase 2 runs the exact test on the survivor set (≈ buckets ×
+    * per-bucket frontier ≈ thousands of rows, not billions): per-price
+    * group max + running max over strictly-cheaper price groups — a
+    * row is on the frontier iff it tops its own price group AND beats
+    * every cheaper group's best size. skyline(survivors) =
+    * skyline(full) for the same transitivity reason (a dropped
+    * witness's own dominator still dominates whatever it dominated).
+    */
+  def skylineParts(spark: SparkSession, dir: String,
+                   buckets: Int = 32): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_retailprice"), col("p_size"))
+    // phase 1: per-bucket prune (safe — only drops strictly-dominated rows)
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("p_retailprice").asc, col("p_size").desc,
+        col("p_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val survivors = part
+      .withColumn("bucket", pmod(graft.operators.Curation.md5Bucket(
+        col("p_partkey")), lit(buckets)))
+      .withColumn("local_max", max(col("p_size")).over(wLocal))
+      .filter(col("local_max").isNull || col("local_max") <= col("p_size"))
+      .drop("bucket", "local_max")
+    // phase 2: exact frontier over the (small) survivor set.
+    // Per-price max catches same-price domination; the running max over
+    // strictly-cheaper price groups catches the rest. The price-group
+    // frame is tiny (distinct survivor prices), so the single-partition
+    // window is a driver-scalar-sized step, not a data-sized one.
+    val groups = survivors.groupBy(col("p_retailprice").as("g_price"))
+      .agg(max(col("p_size")).as("g_max"))
+      .withColumn("cheaper_max", max(col("g_max")).over(
+        Window.orderBy(col("g_price").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    survivors
+      .join(groups, col("p_retailprice") === col("g_price"))
+      .filter(col("p_size") === col("g_max") &&
+        (col("cheaper_max").isNull || col("cheaper_max") < col("p_size")))
+      .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+  }
+
+  /** Oracle states the frontier as the quadratic NOT EXISTS — exact,
+    * affordable at oracle SF, and definitionally transparent.
+    */
+  val skylinePartsSql: String =
+    """SELECT p_partkey, p_brand, p_retailprice, p_size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice
+      |    AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+      |)
+      |ORDER BY p_retailprice, p_partkey""".stripMargin
 }

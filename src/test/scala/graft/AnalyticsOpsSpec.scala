@@ -508,4 +508,40 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("a", 2L, 6, 135.0, 10.0, 100.0),
       ("b", 0L, 3, 0.0, 5.0, 5.0)))
   }
+
+  test("skylineParts: matches brute-force dominance on sf0.001") {
+    // brute force: a part survives iff no other part is <= on price,
+    // >= on size, and strictly better on at least one axis
+    val part = graft.Tables.load(spark, sf0001, "part")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .as[(Long, Double, Int)].collect().toSeq
+    val expect = part.filter { case (k, pr, sz) =>
+      !part.exists { case (k2, pr2, sz2) =>
+        pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz) && k2 != k
+      }
+    }.map(_._1).toSet
+    val got = Relational.skylineParts(spark, sf0001)
+      .select($"p_partkey").as[Long].collect().toSet
+    assert(got === expect)
+    // frontier is a staircase: sorted by price asc, sizes strictly
+    // increase whenever price strictly increases (a later point that
+    // paid more but got no more size would be dominated)
+    val ladder = Relational.skylineParts(spark, sf0001)
+      .select($"p_retailprice", $"p_size").as[(Double, Int)]
+      .collect().toSeq
+    ladder.sliding(2).foreach {
+      case Seq((pr1, sz1), (pr2, sz2)) =>
+        assert(pr1 <= pr2)
+        if (pr1 < pr2) assert(sz1 < sz2) else assert(sz1 == sz2)
+      case _ =>
+    }
+  }
+
+  test("skylineParts: exact under adversarial bucketing (1 bucket == global)") {
+    val one = Relational.skylineParts(spark, sf0001, buckets = 1)
+      .select($"p_partkey").as[Long].collect().toSet
+    val many = Relational.skylineParts(spark, sf0001, buckets = 64)
+      .select($"p_partkey").as[Long].collect().toSet
+    assert(one === many)
+  }
 }
