@@ -813,4 +813,94 @@ object Profile {
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n)\nORDER BY join_name")
   }
+
+  /** q167 — sample-ratio-mismatch (SRM) audit: hash-split the users
+    * who performed each event type into `k` equal-allocation variants
+    * (`md5(user_id) mod k` — the deterministic bucketing an experiment
+    * platform actually uses) and test the realized split against the
+    * uniform expectation with a chi-square statistic. SRM is the
+    * canonical experiment-health check: a significant chi2 means the
+    * assignment or logging pipeline is biased and every downstream
+    * readout (q156's CUPED included) is suspect.
+    *
+    * chi2 = Σ_v (obs_v − n/k)² / (n/k) over all k variants —
+    * INCLUDING variants that received zero users (an absent variant is
+    * the loudest possible mismatch, so the variant domain is generated
+    * with `explode(sequence(...))`, never inferred from the data).
+    * df = k−1; at k = 4 the 0.05 critical value is 7.814728.
+    *
+    * Engine parity: each variant's term is rounded to 6dp and summed
+    * as DECIMAL(28,6) (the q56/q103 convention) so the k-term sum is
+    * order-independent and bit-identical across engines.
+    *
+    * Scale: one distinct-(event_type, user) aggregate (map-side
+    * combinable), one k-row-per-type count, one window over ≤ k rows
+    * per type. No data-sized shuffle beyond the distinct; the variant
+    * domain join is a generated literal, not a scan.
+    */
+  def srmAudit(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val crit = 7.814728 // chi2(df=3, 0.05); callers changing k re-derive
+    require(k == 4, "critical value is pinned for k = 4")
+    val users = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("variant",
+        pmod(graft.functions.PortableHash.md5Long32(col("user_id")), lit(k)))
+    val counts = users.groupBy("event_type", "variant")
+      .agg(count(lit(1)).as("obs"))
+    val domain = users.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(k - 1))).as("variant"))
+    val full = domain.join(counts, Seq("event_type", "variant"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    full
+      .withColumn("n_users", sum(col("obs")).over(w))
+      .withColumn("exp", col("n_users").cast("double") / k)
+      .withColumn("term",
+        round(pow(col("obs") - col("exp"), 2) / col("exp"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_users")).as("n_users"),
+        min(col("obs")).as("min_variant"),
+        max(col("obs")).as("max_variant"),
+        sum(col("term")).cast("double").as("chi2"))
+      .withColumn("srm_flag", col("chi2") > crit)
+      .orderBy(col("event_type"))
+  }
+
+  def srmAuditSql(k: Int = 4): String =
+    s"""WITH users AS (
+       |  SELECT DISTINCT event_type, user_id,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % $k AS variant
+       |  FROM events
+       |), counts AS (
+       |  SELECT event_type, variant, COUNT(*) AS obs
+       |  FROM users GROUP BY 1, 2
+       |), domain AS (
+       |  SELECT DISTINCT event_type FROM events
+       |), full_grid AS (
+       |  SELECT d.event_type, v.variant, COALESCE(c.obs, 0) AS obs
+       |  FROM domain d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${k - 1})) AS variant) v
+       |  LEFT JOIN counts c
+       |    ON c.event_type = d.event_type AND c.variant = v.variant
+       |), terms AS (
+       |  SELECT event_type, obs,
+       |    SUM(obs) OVER (PARTITION BY event_type) AS n_users,
+       |    CAST(ROUND(
+       |      POW(obs - SUM(obs) OVER (PARTITION BY event_type) / $k.0, 2)
+       |        / (SUM(obs) OVER (PARTITION BY event_type) / $k.0),
+       |      6) AS DECIMAL(28,6)) AS term
+       |  FROM full_grid
+       |)
+       |SELECT event_type,
+       |  CAST(MAX(n_users) AS BIGINT) AS n_users,
+       |  CAST(MIN(obs) AS BIGINT) AS min_variant,
+       |  CAST(MAX(obs) AS BIGINT) AS max_variant,
+       |  CAST(SUM(term) AS DOUBLE) AS chi2,
+       |  CAST(SUM(term) AS DOUBLE) > 7.814728 AS srm_flag
+       |FROM terms
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
 }

@@ -537,6 +537,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("srmAudit: perfect split is chi2 0; missing variants count") {
+    // users 1,2,3,5 hash (md5 first-8-hex mod 4) to variants 0,1,2,3 —
+    // one per variant: chi2 = 0, no flag. Type "skew" sees users
+    // 1,6,10 (ALL variant 0): obs (3,0,0,0) vs exp 0.75 → chi2 =
+    // (3-.75)²/.75 + 3·(.75)²/.75 = 6.75 + 2.25 = 9.0 > 7.814728,
+    // which only comes out right if zero-user variants contribute.
+    val rows =
+      Seq(1L, 2L, 3L, 5L).zipWithIndex.map { case (u, i) =>
+        (i + 1L, 1000L * i, u, "even", 1.0) } ++
+      Seq(1L, 6L, 10L).zipWithIndex.map { case (u, i) =>
+        (i + 10L, 1000L * i, u, "skew", 1.0) }
+    val out = graft.operators.Profile.srmAudit(spark, eventsDirV(rows))
+      .select($"event_type", $"n_users", $"min_variant", $"max_variant",
+        $"chi2", $"srm_flag")
+      .as[(String, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out === Seq(
+      ("even", 4L, 1L, 1L, 0.0, false),
+      ("skew", 3L, 0L, 3L, 9.0, true)))
+  }
+
   test("skylineParts: exact under adversarial bucketing (1 bucket == global)") {
     val one = Relational.skylineParts(spark, sf0001, buckets = 1)
       .select($"p_partkey").as[Long].collect().toSet
