@@ -1171,4 +1171,58 @@ object Curation {
        |    ELSE (s.n_g + 1) // 2 END
        |ORDER BY s.doc_id""".stripMargin
   }
+
+  /** q168 — leave-one-out target encoding of o_orderpriority against
+    * o_totalprice: each order's categorical feature becomes the mean
+    * target of all OTHER orders sharing its category,
+    * (Σ_cat − y_row) / (n_cat − 1). The standard leakage-safe encoding
+    * for categorical features in gradient-boosting pipelines — naive
+    * category-mean encoding leaks the row's own label into its
+    * feature; LOO removes exactly that row's contribution, per row,
+    * without a second pass.
+    *
+    * Singleton categories encode NULL (no "other" rows exist), stated
+    * explicitly in both engines rather than relying on x/0 semantics.
+    *
+    * Engine parity: the category sum is accumulated as DECIMAL(18,6)
+    * (order-independent, exact), cast to double once, and the per-row
+    * subtraction/division happens in IEEE double with one final
+    * round(6) — identical sequences on both engines.
+    *
+    * Scale: one map-side-combinable aggregate over the category domain
+    * (tiny), broadcast back over the fact rows — a narrow, zero-extra-
+    * shuffle encode pass. At 100 TB the same shape holds for any
+    * low-cardinality categorical; high-cardinality keys flip the
+    * broadcast to a co-partitioned join with no logic change.
+    */
+  def looTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val stats = orders.groupBy(col("o_orderpriority"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)"))
+             .cast("double").as("cat_sum"),
+           count(lit(1)).as("cat_n"))
+    orders.join(broadcast(stats), "o_orderpriority")
+      .withColumn("loo_enc",
+        when(col("cat_n") > 1,
+          round((col("cat_sum") - col("o_totalprice")) /
+            (col("cat_n") - 1), 6)))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("loo_enc"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val looTargetEncodeSql: String =
+    """WITH stats AS (
+      |  SELECT o_orderpriority,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+      |      AS cat_sum,
+      |    COUNT(*) AS cat_n
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+      |  CASE WHEN s.cat_n > 1
+      |    THEN ROUND((s.cat_sum - o.o_totalprice) / (s.cat_n - 1), 6)
+      |  END AS loo_enc
+      |FROM orders o JOIN stats s USING (o_orderpriority)
+      |ORDER BY o.o_orderkey""".stripMargin
 }

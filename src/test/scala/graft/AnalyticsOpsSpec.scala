@@ -557,6 +557,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("skew", 3L, 0L, 3L, 9.0, true)))
   }
 
+  test("looTargetEncode: excludes own row; singleton category is null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-loo").toString
+    // category A: prices 10, 20, 30 → LOO enc of the 10-row is
+    // (20+30)/2 = 25; category B: one row → null
+    Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0),
+        (4L, "B", 99.0))
+      .map { case (k, p, tp) =>
+        (k, 1L, "O", tp, new java.sql.Timestamp(0L), p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Curation.looTargetEncode(spark, dir)
+      .select($"o_orderkey", $"loo_enc")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (1L, Some(25.0)), (2L, Some(20.0)), (3L, Some(15.0)), (4L, None)))
+  }
+
   test("skylineParts: exact under adversarial bucketing (1 bucket == global)") {
     val one = Relational.skylineParts(spark, sf0001, buckets = 1)
       .select($"p_partkey").as[Long].collect().toSet
