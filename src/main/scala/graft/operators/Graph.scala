@@ -793,4 +793,82 @@ object Graph {
       |SELECT c_custkey, rank, p_partkey FROM ranked
       |WHERE rank <= $k
       |ORDER BY c_custkey, rank""".stripMargin
+
+  /** q169 — BFS k-hop reachability: shortest hop distance (≤ `maxHops`)
+    * from the single highest-degree part (tiebreak: lowest partkey) to
+    * every part reachable over the undirected co-purchase graph. The
+    * reachability primitive the graph family was missing next to
+    * PageRank (influence), HITS (duality), k-core (cohesion) and
+    * triangles (closure) — "how far does a recall/contamination spread
+    * from this node" is a frontier walk, not a rank.
+    *
+    * Level-synchronous BFS: the frontier at hop h joins the edge list,
+    * anti-joins everything already visited (so each node's recorded
+    * hop is its MINIMUM distance, by induction the first time BFS
+    * reaches it), and becomes the hop-h+1 frontier. `maxHops` bounds
+    * the loop — no convergence probe needed; an early-empty frontier
+    * short-circuits. Oracle: DuckDB recursive CTE with UNION-dedup on
+    * (node, hop) and min(hop) per node — path-free, so it terminates
+    * at the same bound.
+    *
+    * Scale: per round = one co-partitioned frontier⋈edges join + one
+    * anti-join against visited, both keyed on the node id; the frontier
+    * is at most the reachable vertex set, never a path set. Visited is
+    * checkpointed per round ([[graft.Iterate.cut]] — reliable mode at
+    * cluster scale) so lineage stays O(1). The seed pick is one
+    * driver-scalar collect over the degree aggregate (metadata-sized,
+    * the q37 probed-cell convention).
+    */
+  def bfsHops(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    val seedRow = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src").asc).limit(1)
+      .select(col("src")).collect()
+    val seed = seedRow.head.getLong(0)
+    val schema = "p_partkey long, hop int"
+    var visited = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(seed, 0)),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    var frontier = visited
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier.select(col("p_partkey").as("src"))
+        .join(edges, "src")
+        .select(col("dst").as("p_partkey")).distinct()
+        .join(visited.select("p_partkey"), Seq("p_partkey"), "left_anti")
+        .withColumn("hop", lit(h))
+      visited = graft.Iterate.cut(visited.unionByName(next))
+      frontier = next
+      h += 1
+    }
+    visited.orderBy(col("hop"), col("p_partkey"))
+  }
+
+  def bfsHopsSql(maxHops: Int = 3): String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT pb AS src, pa AS dst FROM pairs
+       |), seed AS (
+       |  SELECT src FROM edges GROUP BY src
+       |  ORDER BY COUNT(*) DESC, src LIMIT 1
+       |), reach(p, hop) AS (
+       |  SELECT src, 0 FROM seed
+       |  UNION
+       |  SELECT e.dst, r.hop + 1
+       |  FROM reach r JOIN edges e ON e.src = r.p
+       |  WHERE r.hop < $maxHops
+       |)
+       |SELECT p AS p_partkey, CAST(MIN(hop) AS INT) AS hop
+       |FROM reach GROUP BY p
+       |ORDER BY hop, p_partkey""".stripMargin
 }

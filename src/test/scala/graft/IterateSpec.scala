@@ -116,4 +116,20 @@ class IterateSpec extends AnyFunSuite {
     assert(loose < tight && tight <= 40,
       s"loose=$loose tight=$tight")
   }
+
+  test("bfsHops: path graph — min hop per node, unreachable excluded") {
+    // co-purchase path 1-2-3-4 (orders pairing consecutive parts) plus
+    // a disconnected island {5,6}. Degrees: 2 and 3 tie at 2; lowest
+    // partkey wins, so the seed is part 2.
+    val dir = lineitemDir(Seq(
+      (1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L)))
+    val out = graft.operators.Graph.bfsHops(spark, dir)
+      .as[(Long, Int)].collect().toSeq
+    assert(out === Seq((2L, 0), (1L, 1), (3L, 1), (4L, 2)))
+    // tighter cap: the hop-2 node drops out
+    val capped = graft.operators.Graph.bfsHops(spark, dir, maxHops = 1)
+      .as[(Long, Int)].collect().toSeq
+    assert(capped === Seq((2L, 0), (1L, 1), (3L, 1)))
+  }
 }
