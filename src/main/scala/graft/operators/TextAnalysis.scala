@@ -1245,4 +1245,58 @@ object TextAnalysis {
        |FROM stats s JOIN post p USING (token)
        |ORDER BY s.df DESC, s.token
        |LIMIT $topTokens""".stripMargin
+
+  /** q170 — BPE merge-pair statistics: the first iteration of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016,
+    * arXiv:1508.07909) as a relation. Words ([a-z]+ runs of the
+    * lowercased corpus) are aggregated into a frequency vocabulary
+    * first — the classic BPE formulation trains on the word-freq dict
+    * because distinct words ≪ token occurrences — then every adjacent
+    * character pair inside each distinct word is counted weighted by
+    * the word's corpus frequency. The top pair is exactly the first
+    * merge a BPE trainer would perform; the top-k table is the merge
+    * queue every tokenizer-training pipeline materializes.
+    *
+    * Scale: the vocab aggregate is map-side combinable over the
+    * tokenizer explode; the pair explode runs over DISTINCT words
+    * (bounded by vocabulary, not corpus size — the whole point of the
+    * vocab-first formulation); the final top-k is a count aggregate
+    * over ≤ 26² + ε keys. No data-sized shuffle after the vocab.
+    */
+  def bpeMergePairs(spark: SparkSession, dir: String,
+                    topK: Int = 30): DataFrame = {
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(expr(
+        "filter(split(regexp_replace(lower(text), '[^a-z]+', ' '), ' '), " +
+          "w -> w <> '')")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    vocab
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), " +
+          "i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("n_merges"))
+      .orderBy(col("n_merges").desc, col("pair").asc)
+      .limit(topK)
+  }
+
+  def bpeMergePairsSql(topK: Int = 30): String =
+    s"""WITH vocab AS (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(list_filter(
+       |      string_split_regex(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+       |      w -> w <> '')) AS word
+       |    FROM documents
+       |  ) GROUP BY word
+       |), pairs AS (
+       |  SELECT substr(v.word, CAST(i AS INT), 2) AS pair, v.freq
+       |  FROM vocab v
+       |  CROSS JOIN unnest(generate_series(1, len(v.word) - 1)) AS t(i)
+       |  WHERE len(v.word) >= 2
+       |)
+       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_merges
+       |FROM pairs GROUP BY pair
+       |ORDER BY n_merges DESC, pair
+       |LIMIT $topK""".stripMargin
 }

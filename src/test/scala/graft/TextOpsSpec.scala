@@ -402,4 +402,14 @@ class TextOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
+
+  test("bpeMergePairs: counts weight pairs by word frequency") {
+    // "aab" ×3 (pairs aa, ab each ×3), "ab" ×2 (ab ×2), "x!y" splits
+    // into single chars (no pairs), punctuation/digits are separators
+    val dir = docsDir(Seq(
+      (1L, "aab aab AB"), (2L, "aab ab x9y"), (3L, "")))
+    val out = graft.operators.TextAnalysis.bpeMergePairs(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("ab", 5L), ("aa", 3L)))
+  }
 }
