@@ -1569,4 +1569,137 @@ object Events {
       |  ROUND((total - cum) / (n - idx), 6) AS mean_after
       |FROM winner WHERE rn = 1
       |ORDER BY event_type""".stripMargin
+
+  /** q171 — split-conformal forecast intervals per event type: fit
+    * q102's OLS trend on the FIRST 60% of each type's daily series
+    * (day-rank split, integer cross-multiplication `10·r ≤ 6·n` — no
+    * float thresholds), take the conformal quantile q̂ of the absolute
+    * residuals on the NEXT 20% (calibration), and report the empirical
+    * coverage of `|y − ŷ| ≤ q̂` on the FINAL 20% (test). This is
+    * distribution-free uncertainty calibration (split conformal
+    * prediction, Vovk et al.; Lei et al. 2018) — the audit that tells
+    * a forecasting pipeline whether "90% interval" means 90% BEFORE
+    * anyone ships the interval, with the temporal split discipline of
+    * q135 (never calibrate on the past you trained on).
+    *
+    * q̂ is the k-th smallest calibration residual with
+    * k = min(⌈0.9·(n_cal+1)⌉, n_cal) — the finite-sample-valid
+    * conformal rank, computed in integer arithmetic
+    * `(9·n_cal + 18) div 10`; selection is q42-style rank-pick, exact
+    * in both engines regardless of residual ties.
+    *
+    * Engine parity: the fit reuses q102's machinery verbatim (decimal
+    * sufficient statistics, slope 6dp / intercept 4dp); predictions
+    * and residuals are deterministic IEEE double chains over those
+    * published coefficients with one final round(6).
+    *
+    * Scale: one (type, day) aggregate (map-side combinable; series
+    * length = calendar days, not events), then three window/agg passes
+    * over the days-long per-type series. Everything after the first
+    * aggregate is calendar-sized.
+    */
+  def conformalForecast(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(decSum(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ranked = daily
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("x", col("day").cast("double"))
+    val fit = ranked.filter(col("r") * 10 <= col("n") * 6)
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_train"),
+        dsum(col("x")).as("sx"),
+        dsum(col("v")).as("sy"),
+        dsum(round(col("x") * col("x"), 6)).as("sxx"),
+        dsum(round(col("x") * col("v"), 6)).as("sxy"))
+      .withColumn("den",
+        nullif(col("n_train") * col("sxx") - col("sx") * col("sx"), lit(0.0)))
+      .withColumn("num", col("n_train") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope", round(col("num") / col("den"), 6))
+      .withColumn("intercept", round(
+        (col("sy") - (col("num") / col("den")) * col("sx")) / col("n_train"), 4))
+      .select(col("event_type"), col("n_train"), col("slope"), col("intercept"))
+    val scored = ranked.join(fit, "event_type")
+      .withColumn("resid", round(abs(
+        col("v") - (col("slope") * col("x") + col("intercept"))), 6))
+    val cal = scored
+      .filter(col("r") * 10 > col("n") * 6 && col("r") * 10 <= col("n") * 8)
+      .withColumn("rr", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("resid").asc, col("day").asc)))
+      .withColumn("n_cal",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type")).agg(
+        max(col("n_cal")).as("n_cal"),
+        max(when(col("rr") === least(expr("(9 * n_cal + 18) div 10"),
+          col("n_cal")), col("resid"))).as("qhat"))
+    scored.filter(col("r") * 10 > col("n") * 8)
+      .join(cal, "event_type")
+      .groupBy(col("event_type")).agg(
+        max(col("n")).as("n_days"),
+        max(col("n_train")).as("n_train"),
+        max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max(col("qhat")).as("qhat"),
+        round(sum(when(col("resid") <= col("qhat"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("coverage"))
+      .orderBy(col("event_type"))
+  }
+
+  val conformalForecastSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT event_type, day, v, CAST(day AS DOUBLE) AS x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS r,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily
+      |), fit AS (
+      |  SELECT event_type, COUNT(*) AS n_train,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(x * v, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      |  FROM ranked WHERE r * 10 <= n * 6 GROUP BY 1
+      |), coef AS (
+      |  SELECT event_type, n_train,
+      |    ROUND((n_train * sxy - sx * sy)
+      |      / NULLIF(n_train * sxx - sx * sx, 0.0), 6) AS slope,
+      |    ROUND((sy - ((n_train * sxy - sx * sy)
+      |        / NULLIF(n_train * sxx - sx * sx, 0.0)) * sx)
+      |      / n_train, 4) AS intercept
+      |  FROM fit
+      |), scored AS (
+      |  SELECT r.event_type, r.day, r.r, r.n, c.n_train,
+      |    ROUND(ABS(r.v - (c.slope * r.x + c.intercept)), 6) AS resid
+      |  FROM ranked r JOIN coef c USING (event_type)
+      |), calr AS (
+      |  SELECT event_type, resid,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY resid, day) AS rr,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+      |  FROM scored WHERE r * 10 > n * 6 AND r * 10 <= n * 8
+      |), qh AS (
+      |  SELECT event_type, MAX(n_cal) AS n_cal,
+      |    MAX(CASE WHEN rr = LEAST((9 * n_cal + 18) // 10, n_cal)
+      |      THEN resid END) AS qhat
+      |  FROM calr GROUP BY 1
+      |)
+      |SELECT s.event_type,
+      |  CAST(MAX(s.n) AS BIGINT) AS n_days,
+      |  CAST(MAX(s.n_train) AS BIGINT) AS n_train,
+      |  CAST(MAX(q.n_cal) AS BIGINT) AS n_cal,
+      |  COUNT(*) AS n_test,
+      |  MAX(q.qhat) AS qhat,
+      |  ROUND(CAST(SUM(CASE WHEN s.resid <= q.qhat THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS coverage
+      |FROM scored s JOIN qh q USING (event_type)
+      |WHERE s.r * 10 > s.n * 8
+      |GROUP BY s.event_type
+      |ORDER BY s.event_type""".stripMargin
 }

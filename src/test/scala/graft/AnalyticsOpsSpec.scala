@@ -575,6 +575,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (1L, Some(25.0)), (2L, Some(20.0)), (3L, Some(15.0)), (4L, None)))
   }
 
+  test("conformalForecast: exact line gives qhat 0; test outlier halves coverage") {
+    val day = 86400000L
+    // "lin": 20 days exactly on v = 2d + 5 → OLS recovers the line,
+    // residuals 0 everywhere, qhat 0, coverage 1. "half": 10 days on
+    // v = d except the LAST test day (day 9, rank 10) at +100 → train
+    // (r ≤ 6) and cal (r 7-8) are exact, qhat 0, and of the two test
+    // days only day 8 is covered → coverage 0.5
+    val rows =
+      (0 to 19).map(d => (d + 1L, d * day, 1L, "lin", 2.0 * d + 5.0)) ++
+      (0 to 9).map(d => (d + 100L, d * day, 1L, "half",
+        if (d == 9) 109.0 else d.toDouble))
+    val out = Events.conformalForecast(spark, eventsDirV(rows))
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("half", 10L, 6L, 2L, 2L, 0.0, 0.5),
+      ("lin", 20L, 12L, 4L, 4L, 0.0, 1.0)))
+  }
+
   test("skylineParts: exact under adversarial bucketing (1 bucket == global)") {
     val one = Relational.skylineParts(spark, sf0001, buckets = 1)
       .select($"p_partkey").as[Long].collect().toSet
