@@ -1702,4 +1702,190 @@ object Events {
       |WHERE s.r * 10 > s.n * 8
       |GROUP BY s.event_type
       |ORDER BY s.event_type""".stripMargin
+
+  /** q172 — STL-lite seasonal decomposition of each type's daily
+    * value series into trend + weekday seasonal + residual: trend is
+    * a centered 7-day moving average (full windows only — the three
+    * edge days each side carry no trend and are excluded), the
+    * seasonal component is the mean detrended value per weekday
+    * re-centered to sum to zero per type, and the residual is what
+    * remains. This is the decomposition q145's weekday shares gesture
+    * at and q121's anomaly flags want as input — an alert on the
+    * RESIDUAL fires on genuine irregularity instead of re-discovering
+    * Monday every week.
+    *
+    * Exactness: the MA numerator sums the 6dp-exact daily totals in
+    * DECIMAL(18,6) over a ROWS window (order-independent, exact in
+    * both engines), cast to double once, divided by the literal 7;
+    * detrended values are rounded to 6dp and re-aggregated through
+    * the same decimal-sum machinery; every subtraction after that is
+    * one fixed IEEE chain over engine-identical operands.
+    *
+    * Scale: one (type, day) aggregate (map-side combinable), one
+    * ROWS-framed window and one weekday aggregate over the
+    * calendar-sized daily table, and a broadcast join of the
+    * ≤ |types|·7 seasonal table back onto it — nothing after the
+    * first aggregate is event-sized.
+    */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(decSum(col("value")).as("v"))
+    val wMa = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("w_n", count(lit(1)).over(wMa))
+      .withColumn("trend", when(col("w_n") === 7,
+        round(sum(col("v").cast(dec)).over(wMa).cast("double") / 7, 6)))
+      .filter(col("trend").isNotNull)
+      .withColumn("det", round(col("v") - col("trend"), 6))
+      .withColumn("dow", pmod(col("day") + 3, lit(7)))
+    val seasonalRaw = trended.groupBy(col("event_type"), col("dow"))
+      .agg(round(sum(col("det").cast(dec)).cast("double") / count(lit(1)), 6)
+        .as("s_raw"))
+    val seasonal = seasonalRaw
+      .withColumn("s_mean",
+        sum(col("s_raw").cast(dec)).over(Window.partitionBy(col("event_type")))
+          .cast("double") /
+          count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("dow"),
+        round(col("s_raw") - col("s_mean"), 6).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("v"), col("trend"),
+        col("seasonal"), round(col("det") - col("seasonal"), 6).as("resid"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val stlDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), trended AS (
+      |  SELECT event_type, day, v,
+      |    ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE) / 7, 6)
+      |      AS trend,
+      |    COUNT(*) OVER w AS w_n
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), det AS (
+      |  SELECT event_type, day, v, trend,
+      |    ROUND(v - trend, 6) AS det,
+      |    ((((day + 3) % 7) + 7) % 7) AS dow
+      |  FROM trended WHERE w_n = 7
+      |), sraw AS (
+      |  SELECT event_type, dow,
+      |    ROUND(CAST(SUM(CAST(det AS DECIMAL(18,6))) AS DOUBLE)
+      |      / COUNT(*), 6) AS s_raw
+      |  FROM det GROUP BY 1, 2
+      |), seas AS (
+      |  SELECT event_type, dow,
+      |    ROUND(s_raw - CAST(SUM(CAST(s_raw AS DECIMAL(18,6)))
+      |        OVER (PARTITION BY event_type) AS DOUBLE)
+      |      / COUNT(*) OVER (PARTITION BY event_type), 6) AS seasonal
+      |  FROM sraw
+      |)
+      |SELECT d.event_type, d.day, d.v, d.trend, s.seasonal,
+      |  ROUND(d.det - s.seasonal, 6) AS resid
+      |FROM det d JOIN seas s ON d.event_type = s.event_type AND d.dow = s.dow
+      |ORDER BY d.event_type, d.day""".stripMargin
+
+  /** q173 — EWMA control chart per event type: each day's value total
+    * against an exponentially-weighted moving average (λ = 1/5), with
+    * the one-step forecast error `dev = v_t − E_{t−1}` flagged when
+    * |dev| exceeds 3× the type's mean |dev| — the classic EWMA control
+    * chart (Roberts 1959), the smoother-memory alternative to q121's
+    * median/MAD daily screen (EWMA adapts to slow drift; MAD does
+    * not).
+    *
+    * Exactness: the recurrence runs in SCALED INTEGERS — daily totals
+    * become exact micro-units via a decimal multiply
+    * (`Σvalue × 1e6 → BIGINT`, no double in the path), and
+    * `E_t = (v_t + 4·E_{t−1}) div 5` is integer arithmetic both
+    * engines execute identically (Spark `div` and DuckDB `//` both
+    * truncate; all values non-negative here anyway — q107's
+    * scaled-integer lesson applied to smoothing). Spark folds the
+    * day-sorted series with the `aggregate` HOF (per-type, list is
+    * calendar-days long); DuckDB runs the same recurrence as a
+    * recursive CTE. The alert compares `|dev|·n > 3·Σ|dev|` in
+    * integers — no rounding machinery anywhere.
+    *
+    * Scale: one (type, day) aggregate with map-side combine, one
+    * per-type fold over a days-long array, one lag window and one
+    * per-type aggregate on the calendar-sized result.
+    */
+  def ewmaControl(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg((sum(col("value").cast(dec)) * 1000000).cast("long").as("v_e6"))
+    val folded = daily
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("v_e6")))).as("dv"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(
+          |  slice(dv, 2, size(dv) - 1),
+          |  array(named_struct(
+          |    'day', dv[0].day, 'v_e6', dv[0].v_e6, 'ewma_e6', dv[0].v_e6)),
+          |  (acc, x) -> acc || array(named_struct(
+          |    'day', x.day, 'v_e6', x.v_e6,
+          |    'ewma_e6', (x.v_e6 + 4 * element_at(acc, -1).ewma_e6) div 5)))"""
+          .stripMargin)).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.v_e6").as("v_e6"), col("r.ewma_e6").as("ewma_e6"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val withDev = folded
+      .withColumn("dev_e6", col("v_e6") - lag(col("ewma_e6"), 1).over(wLag))
+    val stats = withDev.groupBy(col("event_type")).agg(
+      count(col("dev_e6")).as("n_dev"),
+      sum(abs(col("dev_e6"))).as("sum_abs"))
+    withDev.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("day"),
+        round(col("v_e6").cast("double") / 1000000, 6).as("v"),
+        round(col("ewma_e6").cast("double") / 1000000, 6).as("ewma"),
+        round(col("dev_e6").cast("double") / 1000000, 6).as("dev"),
+        when(col("dev_e6").isNotNull,
+          (abs(col("dev_e6")) * col("n_dev") > col("sum_abs") * 3).cast("int"))
+          .as("is_alert"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val ewmaControlSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v_e6
+      |  FROM events GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT event_type, day, v_e6,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily
+      |), rec AS (
+      |  SELECT event_type, day, rn, v_e6, v_e6 AS ewma_e6
+      |  FROM ranked WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.event_type, n.day, n.rn, n.v_e6,
+      |    (n.v_e6 + 4 * r.ewma_e6) // 5
+      |  FROM ranked n JOIN rec r
+      |    ON n.event_type = r.event_type AND n.rn = r.rn + 1
+      |), withdev AS (
+      |  SELECT event_type, day, v_e6, ewma_e6,
+      |    v_e6 - lag(ewma_e6) OVER (PARTITION BY event_type ORDER BY day)
+      |      AS dev_e6
+      |  FROM rec
+      |), stats AS (
+      |  SELECT event_type, COUNT(dev_e6) AS n_dev,
+      |    SUM(ABS(dev_e6)) AS sum_abs
+      |  FROM withdev GROUP BY 1
+      |)
+      |SELECT w.event_type, w.day,
+      |  ROUND(CAST(w.v_e6 AS DOUBLE) / 1000000, 6) AS v,
+      |  ROUND(CAST(w.ewma_e6 AS DOUBLE) / 1000000, 6) AS ewma,
+      |  ROUND(CAST(w.dev_e6 AS DOUBLE) / 1000000, 6) AS dev,
+      |  CASE WHEN w.dev_e6 IS NULL THEN NULL
+      |    ELSE CAST(ABS(w.dev_e6) * s.n_dev > s.sum_abs * 3 AS INT) END
+      |    AS is_alert
+      |FROM withdev w JOIN stats s ON w.event_type = s.event_type
+      |ORDER BY w.event_type, w.day""".stripMargin
 }

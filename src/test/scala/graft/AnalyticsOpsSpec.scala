@@ -593,6 +593,46 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("lin", 20L, 12L, 4L, 4L, 0.0, 1.0)))
   }
 
+  test("stlDecompose: constant series is all-trend; pure weekly pattern is all-seasonal") {
+    val day = 86400000L
+    // "c": 14 days at v = 10 → trend 10, seasonal 0, resid 0 on the 8
+    // full-window days. "w": v = 70 + (dow − 3) with dow = (d+3)%7 —
+    // every 7-day window covers each weekday once, so trend = 70
+    // exactly, the seasonal component recovers dow − 3 (sums to zero
+    // over the week), and the residual vanishes
+    val rows =
+      (0 to 13).map(d => (d + 1L, d * day, 1L, "c", 10.0)) ++
+      (0 to 13).map(d => (d + 50L, d * day, 1L, "w", 70.0 + (d + 3) % 7 - 3))
+    val out = Events.stlDecompose(spark, eventsDirV(rows))
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    val expected =
+      (3L to 10L).map(d => ("c", d, 10.0, 10.0, 0.0, 0.0)) ++
+      (3L to 10L).map { d =>
+        val b = ((d + 3) % 7 - 3).toDouble
+        ("w", d, 70.0 + b, 70.0, b, 0.0)
+      }
+    assert(out === expected)
+  }
+
+  test("ewmaControl: hand-traced λ=1/5 recurrence with one 3σ-style alert") {
+    val day = 86400000L
+    // E: 5 → (10+4·5)/5 = 6 → (5+4·6)/5 = 5.8 → 5.64 → (30+4·5.64)/5
+    // = 10.512 (all exact in micro-units); |dev| = 5, 1, 0.8, 24.36 →
+    // mean 7.79, so only day 4 (24.36 > 3·7.79 = 23.37) alerts
+    val vals = Seq(5.0, 10.0, 5.0, 5.0, 30.0)
+    val rows = vals.zipWithIndex.map { case (v, d) =>
+      (d + 1L, d * day, 1L, "e", v) }
+    val out = Events.ewmaControl(spark, eventsDirV(rows))
+      .as[(String, Long, Double, Double, Option[Double], Option[Int])]
+      .collect().toSeq
+    assert(out === Seq(
+      ("e", 0L, 5.0, 5.0, None, None),
+      ("e", 1L, 10.0, 6.0, Some(5.0), Some(0)),
+      ("e", 2L, 5.0, 5.8, Some(-1.0), Some(0)),
+      ("e", 3L, 5.0, 5.64, Some(-0.8), Some(0)),
+      ("e", 4L, 30.0, 10.512, Some(24.36), Some(1))))
+  }
+
   test("skylineParts: exact under adversarial bucketing (1 bucket == global)") {
     val one = Relational.skylineParts(spark, sf0001, buckets = 1)
       .select($"p_partkey").as[Long].collect().toSet
