@@ -1246,6 +1246,130 @@ object TextAnalysis {
        |ORDER BY s.df DESC, s.token
        |LIMIT $topTokens""".stripMargin
 
+  /** The fixed keyword-query workload for [[retrievalTopK]] — five
+    * multi-term queries over the corpus vocabulary, the batch a
+    * serving tier replays nightly to refresh cached result pages.
+    */
+  val retrievalQueries: Seq[(String, Seq[String])] = Seq(
+    "perf" -> Seq("slow", "fast", "query"),
+    "scanfilter" -> Seq("table", "scan", "filter"),
+    "sortmerge" -> Seq("sort", "merge", "join"),
+    "streaming" -> Seq("stream", "window", "batch"),
+    "vectorhash" -> Seq("vector", "hash", "group"))
+
+  /** q174 — batch multi-query BM25 retrieval THROUGH the inverted
+    * index: the serving-side complement of q74 (which scores ONE
+    * query by scanning every document) and q164 (which materializes
+    * the index). Query terms join the (token, doc_id, tf) posting
+    * relation, so only documents containing at least one query term
+    * are ever touched — retrieval cost is Σ df(query terms), not
+    * corpus size, which is the entire point of an inverted index at
+    * 100 TB. Scores use the same k1=1.2/b=0.75/log10-idf formulation
+    * as q74 (absent terms contribute 0, which the postings join
+    * expresses structurally), and each query returns its exact top-k
+    * page.
+    *
+    * Exactness: each term contribution is rounded to 6dp and summed
+    * in DECIMAL(18,6) per (query, doc) — term-arrival order inside
+    * the aggregate cannot perturb the score (q74 sums its three fixed
+    * terms in one expression; here matched-term COUNT varies per doc,
+    * so order independence must come from the decimal sum). The
+    * contribution expression mirrors the SQL twin literal-for-literal.
+    *
+    * Scale: one corpus-sized (token, doc) aggregate (shared shape
+    * with q164 — in a deployed pipeline this IS the persisted index,
+    * built once); everything after is postings-of-query-terms sized.
+    * df/query/corpus-stats frames are broadcast; the per-query top-k
+    * is a literal-bounded row_number → WindowGroupLimit prunes
+    * map-side before the qid shuffle. MaxScore/WAND-style upper-bound
+    * skipping (per-term max contribution as a prune threshold) is the
+    * documented next tier when query batches reach web scale.
+    */
+  def retrievalTopK(spark: SparkSession, dir: String,
+                    queries: Seq[(String, Seq[String])] = retrievalQueries,
+                    k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val perDoc = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // three consumers: dl, df, postings join
+    val dl = perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("double").as("sum_dl"))
+    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
+    val terms = qterms.select(col("term")).distinct()
+    val qpost = perDoc.join(broadcast(terms), col("token") === col("term"))
+      .drop("term")
+    val dfT = qpost.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val contrib = qpost
+      .join(broadcast(dfT), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .join(broadcast(qterms), col("token") === col("term"))
+      .withColumn("c", round(
+        log10((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          ((col("tf") * (lit(1.2) + lit(1))) /
+            (col("tf") + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * col("dl") / (col("sum_dl") / col("n_docs"))))),
+        6).cast(dec))
+    val scores = contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    scores.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("score"), col("n_terms"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def retrievalTopKSql(queries: Seq[(String, Seq[String])] = retrievalQueries,
+                       k: Int = 10): String = {
+    val vals = queries.flatMap { case (q, ts) =>
+      ts.map(t => s"('$q', '$t')") }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+       |  FROM documents
+       |), per_doc AS (
+       |  SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, SUM(tf) AS dl FROM per_doc GROUP BY 1
+       |), corpus AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dl
+       |), q(qid, term) AS (
+       |  SELECT * FROM (VALUES $vals)
+       |), dfq AS (
+       |  SELECT token, COUNT(*) AS df FROM per_doc
+       |  WHERE token IN (SELECT DISTINCT term FROM q) GROUP BY 1
+       |), contrib AS (
+       |  SELECT q.qid, p.doc_id, ROUND(
+       |    log10((c.n_docs - f.df + CAST(0.5 AS DOUBLE)) / (f.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
+       |      ((p.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+       |        (p.tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * d.dl / (c.sum_dl / c.n_docs)))),
+       |    6) AS c
+       |  FROM per_doc p
+       |  JOIN q ON p.token = q.term
+       |  JOIN dfq f ON f.token = p.token
+       |  JOIN dl d ON d.doc_id = p.doc_id, corpus c
+       |), scores AS (
+       |  SELECT qid, doc_id,
+       |    CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score,
+       |    COUNT(*) AS n_terms
+       |  FROM contrib GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT qid, doc_id, score, n_terms,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+       |      AS rnk
+       |  FROM scores
+       |)
+       |SELECT qid, rnk, doc_id, score, n_terms
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   /** q170 — BPE merge-pair statistics: the first iteration of
     * byte-pair-encoding tokenizer training (Sennrich et al. 2016,
     * arXiv:1508.07909) as a relation. Words ([a-z]+ runs of the

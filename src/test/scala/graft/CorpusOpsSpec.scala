@@ -650,4 +650,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     val sk = got.filter(_._1 == "lineitem.l_suppkey")
     assert(sk === Seq(("lineitem.l_suppkey", 1, 1L, 9L, 1.0, 1.0)))
   }
+
+  test("retrievalTopK: postings join touches only matching docs; rank follows BM25") {
+    val dir = docsDir(Seq(
+      (0L, "apple apple banana"), // tf(apple)=2, dl=3
+      (1L, "apple cherry"),       // tf(apple)=1, dl=2
+      (2L, "banana banana banana"),
+      (3L, "date")))              // matches nothing
+    val out = graft.operators.TextAnalysis.retrievalTopK(spark, dir, queries = Seq(
+        "a" -> Seq("apple"), "ab" -> Seq("apple", "banana")), k = 10)
+      .as[(String, Int, Long, Double, Long)].collect().toSeq
+    val a = out.filter(_._1 == "a")
+    // df(apple)=2 of N=4, avgdl=9/4: doc 0's higher tf beats doc 1's
+    // shorter length (hand check: tf-part 4.4/3.5 vs 2.2/2.3667)
+    assert(a.map(r => (r._2, r._3, r._5)) === Seq((1, 0L, 1L), (2, 1L, 1L)))
+    assert(a.map(_._4) === a.map(_._4).sorted.reverse && a.forall(_._4 > 0))
+    val ab = out.filter(_._1 == "ab")
+    // doc 3 (no query term) never appears; docs 0 matches both terms
+    assert(ab.map(_._3).toSet === Set(0L, 1L, 2L) &&
+      ab.map(r => r._3 -> r._5).toMap === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+    assert(ab.map(_._2) === Seq(1, 2, 3) &&
+      ab.map(_._4) === ab.map(_._4).sorted.reverse)
+  }
 }
