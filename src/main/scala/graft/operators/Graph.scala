@@ -871,4 +871,112 @@ object Graph {
        |SELECT p AS p_partkey, CAST(MIN(hop) AS INT) AS hop
        |FROM reach GROUP BY p
        |ORDER BY hop, p_partkey""".stripMargin
+
+  /** q175 — weighted modularity of the co-purchase graph under the
+    * BRAND partition: Newman's Q = Σ_c [w_in(c)/W − (deg(c)/2W)²]
+    * with each part assigned to its `p_brand` community. q122 asks
+    * whether hubs attach to hubs (degree assortativity); this asks
+    * whether purchasing clusters along the catalog's brand structure
+    * at all — Q ≈ 0 says brands carry no co-purchase signal (the
+    * null-model baseline for any community-detection effort on this
+    * graph), Q > 0 says brand-aware partitioning (data layout, cache
+    * sharding, recommendation candidate pools) would co-locate real
+    * traffic. One relation: per-brand intra-edge weight, weighted
+    * degree mass, and modularity contribution, with a `__total__` row
+    * carrying the graph-level Q.
+    *
+    * Exactness: w_in, deg and W are exact BIGINT sums; each
+    * contribution is ONE fixed IEEE chain over those integers
+    * (`w_in/W − (deg/2W)·(deg/2W)`, identical operand order in both
+    * engines) rounded to 6dp; the total row sums the rounded
+    * contributions in DECIMAL(18,6) — order-independent.
+    *
+    * Scale: the pair list is the one heavy input ([[pairsMemo]] —
+    * built once per session, checkpointed); brands join it twice on
+    * the part key (the part side is dimension-sized → broadcast);
+    * everything else aggregates to |brands| rows. No fixpoint — the
+    * partition comes from the catalog, so the oracle needs no
+    * recursive CTE and the operator no iteration discipline.
+    */
+  def brandModularity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val pairs = coPurchasePairs(spark, dir)
+    val brands = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val withBrands = pairs
+      .join(broadcast(brands.select(col("p_partkey").as("pa"),
+        col("p_brand").as("brand_a"))), "pa")
+      .join(broadcast(brands.select(col("p_partkey").as("pb"),
+        col("p_brand").as("brand_b"))), "pb")
+    val totalW = pairs.agg(sum(col("w")).as("total_w"))
+    val intra = withBrands.filter(col("brand_a") === col("brand_b"))
+      .groupBy(col("brand_a").as("brand")).agg(sum(col("w")).as("w_in"))
+    val wdeg = pairs.select(col("pa").as("p"), col("w"))
+      .unionByName(pairs.select(col("pb").as("p"), col("w")))
+      .groupBy(col("p")).agg(sum(col("w")).as("wd"))
+    val perBrand = wdeg
+      .join(broadcast(brands.withColumnRenamed("p_partkey", "p")), "p")
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("wd")).as("deg"))
+      .join(intra, Seq("brand"), "left")
+      .withColumn("w_in", coalesce(col("w_in"), lit(0L)))
+      .crossJoin(broadcast(totalW))
+      .withColumn("q_contrib", round(
+        col("w_in").cast("double") / col("total_w") -
+          (col("deg").cast("double") / (col("total_w") * 2)) *
+            (col("deg").cast("double") / (col("total_w") * 2)), 6))
+      .select(col("brand"), col("n_parts"), col("w_in"), col("deg"),
+        col("q_contrib"))
+    val total = perBrand.agg(
+      lit("__total__").as("brand"),
+      sum(col("n_parts")).as("n_parts"),
+      sum(col("w_in")).as("w_in"),
+      sum(col("deg")).as("deg"),
+      sum(col("q_contrib").cast(dec)).cast("double").as("q_contrib"))
+    perBrand.unionByName(total).orderBy(col("brand"))
+  }
+
+  val brandModularitySql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |), tw AS (
+      |  SELECT SUM(w) AS total_w FROM pairs
+      |), intra AS (
+      |  SELECT x.p_brand AS brand, CAST(SUM(p.w) AS BIGINT) AS w_in
+      |  FROM pairs p
+      |  JOIN part x ON x.p_partkey = p.pa
+      |  JOIN part y ON y.p_partkey = p.pb
+      |  WHERE x.p_brand = y.p_brand GROUP BY 1
+      |), wdeg AS (
+      |  SELECT p, CAST(SUM(w) AS BIGINT) AS wd FROM (
+      |    SELECT pa AS p, w FROM pairs
+      |    UNION ALL SELECT pb AS p, w FROM pairs
+      |  ) GROUP BY 1
+      |), per_brand AS (
+      |  SELECT x.p_brand AS brand, COUNT(*) AS n_parts,
+      |    CAST(COALESCE(MAX(i.w_in), 0) AS BIGINT) AS w_in,
+      |    CAST(SUM(d.wd) AS BIGINT) AS deg
+      |  FROM wdeg d
+      |  JOIN part x ON x.p_partkey = d.p
+      |  LEFT JOIN intra i ON i.brand = x.p_brand
+      |  GROUP BY 1
+      |), scored AS (
+      |  SELECT brand, n_parts, w_in, deg,
+      |    ROUND(CAST(w_in AS DOUBLE) / total_w -
+      |      (CAST(deg AS DOUBLE) / (total_w * 2)) *
+      |        (CAST(deg AS DOUBLE) / (total_w * 2)), 6) AS q_contrib
+      |  FROM per_brand, tw
+      |)
+      |SELECT brand, n_parts, w_in, deg, q_contrib FROM scored
+      |UNION ALL
+      |SELECT '__total__', CAST(SUM(n_parts) AS BIGINT),
+      |  CAST(SUM(w_in) AS BIGINT), CAST(SUM(deg) AS BIGINT),
+      |  CAST(SUM(CAST(q_contrib AS DECIMAL(18,6))) AS DOUBLE)
+      |FROM scored
+      |ORDER BY brand""".stripMargin
 }

@@ -132,4 +132,24 @@ class IterateSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toSeq
     assert(capped === Seq((2L, 0), (1L, 1), (3L, 1)))
   }
+
+  test("brandModularity: hand graph — Q = -1/36 per brand, -1/18 total") {
+    // pairs: (1,2) w=2 from orders 1,2; (2,3) w=1 from order 3.
+    // brands: parts 1,2 = A, part 3 = B. W=3, wdeg 1→2, 2→3, 3→1.
+    // Q_A = 2/3 − (5/6)² = −1/36; Q_B = 0 − (1/6)² = −1/36
+    val dir = lineitemDir(Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 2L), (3L, 3L)))
+    Seq((1L, "A"), (2L, "A"), (3L, "B"))
+      .map { case (pk, b) => (pk, s"part$pk", b, "t", 1, 1.0) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    graft.operators.Graph.clearPairsMemo()
+    val out = graft.operators.Graph.brandModularity(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("A", 2L, 2L, 5L, -0.027778),
+      ("B", 1L, 0L, 1L, -0.027778),
+      ("__total__", 3L, 2L, 6L, -0.055556)))
+  }
 }
