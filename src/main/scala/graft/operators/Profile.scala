@@ -903,4 +903,72 @@ object Profile {
        |FROM terms
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
+
+  /** The candidate functional dependencies [[fdAudit]] checks:
+    * (table, determinant column, dependent column). Two are key-led
+    * controls that must hold exactly (violation share 0 — a nonzero
+    * value there means the audit itself is broken); the rest probe
+    * whether the catalog's soft hierarchies (brand→type,
+    * nation→segment, user→event mix) actually determine anything.
+    */
+  val fdCandidates: Seq[(String, String, String)] = Seq(
+    ("customer", "c_custkey", "c_nationkey"),   // key-led control
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("documents", "source", "lang"),
+    ("events", "user_id", "event_type"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("nation", "n_nationkey", "n_regionkey"),   // key-led control
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("part", "p_brand", "p_type"))
+
+  /** q176 — approximate-functional-dependency audit: for each
+    * candidate FD `lhs → rhs`, how many determinant groups exist, how
+    * many are VIOLATING (more than one distinct dependent value), what
+    * share that is, and the worst group's dependent-value spread — the
+    * schema-discovery pass (Huhtala et al.'s TANE problem, audited
+    * rather than mined) that tells a pipeline which "obvious"
+    * hierarchies it may safely normalize on, denormalize by, or
+    * partition under. q101 checks declared foreign keys; this checks
+    * UNDECLARED determinism before anyone builds on it.
+    *
+    * Scale: per candidate one (lhs, rhs) distinct-pair aggregate
+    * followed by a per-lhs count — both partial+final, map-side
+    * combinable, output is group-count-sized; the audit table itself
+    * is |candidates| rows. Exact COUNT(DISTINCT) per group is the
+    * oracle-checkable form; the 100 TB swap is approx_count_distinct
+    * per group (the q70 convention), which turns each candidate into
+    * one pass with bounded state.
+    */
+  def fdAudit(spark: SparkSession, dir: String,
+              candidates: Seq[(String, String, String)] = fdCandidates): DataFrame = {
+    val summaries = candidates.map { case (table, lhs, rhs) =>
+      Tables.load(spark, dir, table)
+        .groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("n_rhs"))
+        .agg(
+          lit(table).as("table_name"),
+          lit(lhs).as("lhs"),
+          lit(rhs).as("rhs"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+          round(sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("violation_share"),
+          max(col("n_rhs")).as("max_rhs_distinct"))
+    }
+    summaries.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("lhs"), col("rhs"))
+  }
+
+  val fdAuditSql: String = fdCandidates.map { case (table, lhs, rhs) =>
+    s"""SELECT '$table' AS table_name, '$lhs' AS lhs, '$rhs' AS rhs,
+       |  COUNT(*) AS n_groups,
+       |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_violating,
+       |  ROUND(CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS violation_share,
+       |  CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_distinct
+       |FROM (
+       |  SELECT $lhs, COUNT(DISTINCT $rhs) AS n_rhs FROM $table GROUP BY 1
+       |)""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, lhs, rhs")
 }

@@ -651,6 +651,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(sk === Seq(("lineitem.l_suppkey", 1, 1L, 9L, 1.0, 1.0)))
   }
 
+  test("fdAudit: held FD reports zero violations; broken FD counts groups exactly") {
+    val dir = docsDir(Seq.empty)
+    // source src0: langs {en} and {en, de} across groups; doc_id is a
+    // key so doc_id → lang must hold with zero violations
+    Seq((1L, "a", "en", "src0", 1L), (2L, "b", "en", "src0", 1L),
+        (3L, "c", "de", "src0", 1L), (4L, "d", "fr", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Profile.fdAudit(spark, dir, candidates = Seq(
+        ("documents", "doc_id", "lang"), ("documents", "source", "lang")))
+      .as[(String, String, String, Long, Long, Double, Long)].collect().toSeq
+    assert(out === Seq(
+      ("documents", "doc_id", "lang", 4L, 0L, 0.0, 1L),
+      ("documents", "source", "lang", 2L, 1L, 0.5, 2L)))
+  }
+
   test("retrievalTopK: postings join touches only matching docs; rank follows BM25") {
     val dir = docsDir(Seq(
       (0L, "apple apple banana"), // tf(apple)=2, dl=3
