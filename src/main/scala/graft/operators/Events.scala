@@ -1852,6 +1852,110 @@ object Events {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** q177 — off-policy evaluation of an ε-greedy target policy over
+    * the logged event stream (IPS / SNIPS / ESS): treat each event as
+    * a logged bandit decision (action = event_type, reward = value,
+    * context = day), with the behavioral propensity taken as the
+    * day's empirical action share. The target policy plays yesterday's
+    * best-mean action with probability 3/4 and explores uniformly
+    * with 1/4. Per day: the inverse-propensity-scored value estimate,
+    * its self-normalized variant, Kong's effective sample size
+    * (Σw)²/Σw², and the max importance weight — the counterfactual
+    * "what would the greedy policy have earned" report (Horvitz &
+    * Thompson 1952; Swaminathan & Joachims 2015) every
+    * interaction-log pipeline ships beside its A/B dashboards, with
+    * ESS/max_w as the standard trust diagnostics.
+    *
+    * Exactness: propensities and policy probabilities are exact
+    * rationals assembled in ONE fixed IEEE chain
+    * `(3/4·𝟙 + (1/4)/K)·n/n_a`; each per-action IPS term is rounded
+    * to 6dp and summed in DECIMAL(28,6) (order-independent across
+    * the ≤K terms), and rewards enter as 6dp-exact decimal sums. The
+    * previous-day argmax is rank-picked with a lexicographic
+    * tie-break.
+    *
+    * Scale: one (day, action) aggregate with map-side combine is the
+    * only event-sized pass; the argmax window, the day-shift join and
+    * the diagnostic sums all run on the calendar×actions table.
+    */
+  def ipsOffPolicy(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(epochDayExpr.as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_a"), decSum(col("value")).as("sum_r"))
+    val perDay = daily.groupBy(col("day"))
+      .agg(sum(col("n_a")).as("n"), count(lit(1)).as("k"))
+    val wArg = Window.partitionBy(col("day"))
+      .orderBy((col("sum_r") / col("n_a")).desc, col("event_type"))
+    val chosen = daily
+      .withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select((col("day") + 1).as("day"), col("event_type").as("chosen_action"))
+    val scored = daily
+      .join(perDay, "day")
+      .join(chosen, "day")
+      .withColumn("ind",
+        when(col("event_type") === col("chosen_action"), lit(1.0)).otherwise(lit(0.0)))
+      .withColumn("w",
+        (lit(0.75) * col("ind") + lit(0.25) / col("k")) * col("n") / col("n_a"))
+    scored.groupBy(col("day"), col("chosen_action"), col("n"), col("k"))
+      .agg(
+        sum(col("sum_r").cast(dec)).cast("double").as("b_sum"),
+        sum(round(col("w") * col("sum_r"), 6).cast(dec)).cast("double").as("num"),
+        sum(round(col("w") * col("n_a"), 6).cast(dec)).cast("double").as("den"),
+        sum(round(col("w") * col("w") * col("n_a"), 6).cast(dec)).cast("double").as("sq"),
+        max(col("w")).as("w_max"))
+      .select(col("day"), col("chosen_action"), col("n"), col("k"),
+        round(col("b_sum") / col("n"), 6).as("behavior_value"),
+        round(col("num") / col("n"), 6).as("ips_value"),
+        round(col("num") / col("den"), 6).as("snips_value"),
+        round(col("den") * col("den") / col("sq"), 6).as("ess"),
+        round(col("w_max"), 6).as("max_w"))
+      .orderBy(col("day"))
+  }
+
+  val ipsOffPolicySql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+      |    COUNT(*) AS n_a,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_r
+      |  FROM events GROUP BY 1, 2
+      |), per_day AS (
+      |  SELECT day, CAST(SUM(n_a) AS BIGINT) AS n, COUNT(*) AS k
+      |  FROM daily GROUP BY 1
+      |), chosen AS (
+      |  SELECT day + 1 AS day, event_type AS chosen_action FROM (
+      |    SELECT day, event_type, row_number() OVER (PARTITION BY day
+      |      ORDER BY sum_r / n_a DESC, event_type) AS rn
+      |    FROM daily
+      |  ) WHERE rn = 1
+      |), scored AS (
+      |  SELECT d.day, c.chosen_action, p.n, p.k, d.n_a, d.sum_r,
+      |    (CAST(0.75 AS DOUBLE) *
+      |      (CASE WHEN d.event_type = c.chosen_action THEN CAST(1.0 AS DOUBLE)
+      |        ELSE CAST(0.0 AS DOUBLE) END)
+      |      + CAST(0.25 AS DOUBLE) / p.k) * p.n / d.n_a AS w
+      |  FROM daily d
+      |  JOIN per_day p ON p.day = d.day
+      |  JOIN chosen c ON c.day = d.day
+      |)
+      |SELECT day, chosen_action, n, k,
+      |  ROUND(CAST(SUM(CAST(sum_r AS DECIMAL(28,6))) AS DOUBLE) / n, 6)
+      |    AS behavior_value,
+      |  ROUND(CAST(SUM(CAST(ROUND(w * sum_r, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |    / n, 6) AS ips_value,
+      |  ROUND(CAST(SUM(CAST(ROUND(w * sum_r, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(ROUND(w * n_a, 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
+      |    AS snips_value,
+      |  ROUND(CAST(SUM(CAST(ROUND(w * n_a, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |    * CAST(SUM(CAST(ROUND(w * n_a, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(ROUND(w * w * n_a, 6) AS DECIMAL(28,6))) AS DOUBLE),
+      |    6) AS ess,
+      |  ROUND(MAX(w), 6) AS max_w
+      |FROM scored
+      |GROUP BY day, chosen_action, n, k
+      |ORDER BY day""".stripMargin
+
   val ewmaControlSql: String =
     """WITH RECURSIVE daily AS (
       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,

@@ -633,6 +633,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("e", 4L, 30.0, 10.512, Some(24.36), Some(1))))
   }
 
+  test("ipsOffPolicy: exact-binary weights — greedy pick from day 0, diagnostics by hand") {
+    val day = 86400000L
+    // day 0: A mean 1 (r=1,1), B mean 4 (r=4) → day 1 plays B.
+    // day 1: A r=2 (n_a=1), B r=4 (n_a=1); n=2, K=2 →
+    // w_A = (0.25/2)·2 = 0.25, w_B = (0.75+0.125)·2 = 1.75 (both
+    // exact binary). IPS = (0.25·2 + 1.75·4)/2 = 3.75 = SNIPS
+    // (den = 2); ESS = 2²/(0.0625+3.0625) = 1.28; behavior = 6/2 = 3
+    val rows = Seq(
+      (1L, 0L, 1L, "A", 1.0), (2L, 1L, 1L, "A", 1.0), (3L, 2L, 1L, "B", 4.0),
+      (4L, day, 1L, "A", 2.0), (5L, day + 1, 1L, "B", 4.0))
+    val out = Events.ipsOffPolicy(spark, eventsDirV(rows))
+      .as[(Long, String, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(out === Seq((1L, "B", 2L, 2L, 3.0, 3.75, 3.75, 1.28, 1.75)))
+  }
+
   test("skylineParts: exact under adversarial bucketing (1 bucket == global)") {
     val one = Relational.skylineParts(spark, sf0001, buckets = 1)
       .select($"p_partkey").as[Long].collect().toSet
