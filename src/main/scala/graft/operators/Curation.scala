@@ -1225,4 +1225,74 @@ object Curation {
       |  END AS loo_enc
       |FROM orders o JOIN stats s USING (o_orderpriority)
       |ORDER BY o.o_orderkey""".stripMargin
+
+  /** q178 — temperature-scaled training-mix schedule per source: the
+    * data-mixture table an LLM pretraining run is configured from.
+    * Sampling weights follow the τ = 1/2 temperature rule
+    * `p_s ∝ n_tokens(s)^τ` (the multilingual/multi-source upsampling
+    * convention of mT5/XLM-R — square-root scaling lifts small
+    * sources without letting the head dominate), reported against the
+    * proportional share, with the upsampling boost and the number of
+    * effective epochs each source would run at a 10M-token budget —
+    * the overfit-risk column (epochs ≫ 1 on a small source means
+    * memorization pressure). q62 enforces a GIVEN mix by sampling;
+    * this DERIVES the mix from corpus statistics.
+    *
+    * Exactness: per-source token totals are exact BIGINT sums; each
+    * √n is one correctly-rounded IEEE sqrt, rounded to 6dp before the
+    * DECIMAL(28,6) normalization sum (order-independence across
+    * sources — the q103 convention); every published ratio is one
+    * fixed double chain over those engine-identical operands.
+    *
+    * Scale: one per-source aggregate over a narrow codegen token-count
+    * map — map-side combinable, |sources| output rows, no shuffle
+    * beyond the final tiny aggregate; the normalization runs on the
+    * |sources|-row table via one window.
+    */
+  def mixTemperature(spark: SparkSession, dir: String,
+                     budgetTokens: Long = 10000000L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val perSource = Tables.load(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+    val wAll = Window.partitionBy()
+    perSource
+      .withColumn("rw", round(sqrt(col("n_tokens").cast("double")), 6))
+      .withColumn("sum_rw", sum(col("rw").cast(dec)).over(wAll).cast("double"))
+      .withColumn("sum_tok", sum(col("n_tokens")).over(wAll))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("rw") / col("sum_rw"), 6).as("p_temp"),
+        round(col("n_tokens").cast("double") / col("sum_tok"), 6).as("p_prop"),
+        round((col("rw") / col("sum_rw")) /
+          (col("n_tokens").cast("double") / col("sum_tok")), 6).as("boost"),
+        round((col("rw") / col("sum_rw")) * lit(budgetTokens.toDouble) /
+          col("n_tokens"), 6).as("epochs_at_budget"))
+      .orderBy(col("source"))
+  }
+
+  def mixTemperatureSql(budgetTokens: Long = 10000000L): String =
+    s"""WITH per_source AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(list_filter(
+      |      string_split_regex(lower(text), '\\s+'), t -> t <> '')))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1
+      |), scored AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS rw,
+      |    CAST(SUM(CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+      |      AS DECIMAL(28,6))) OVER () AS DOUBLE) AS sum_rw,
+      |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS sum_tok
+      |  FROM per_source
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  ROUND(rw / sum_rw, 6) AS p_temp,
+      |  ROUND(CAST(n_tokens AS DOUBLE) / sum_tok, 6) AS p_prop,
+      |  ROUND((rw / sum_rw) / (CAST(n_tokens AS DOUBLE) / sum_tok), 6)
+      |    AS boost,
+      |  ROUND((rw / sum_rw) * CAST($budgetTokens AS DOUBLE) / n_tokens, 6)
+      |    AS epochs_at_budget
+      |FROM scored ORDER BY source""".stripMargin
 }

@@ -667,6 +667,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("documents", "source", "lang", 2L, 1L, 0.5, 2L)))
   }
 
+  test("mixTemperature: √-scaling on perfect squares gives rational shares") {
+    val dir = docsDir(Seq.empty)
+    // source a: 9 tokens (√ = 3), source b: 16 tokens (√ = 4) →
+    // p_temp = 3/7, 4/7; p_prop = 0.36, 0.64; at a 70-token budget
+    // epochs = (3/7)·70/9 = 10/3 and (4/7)·70/16 = 2.5
+    Seq((1L, (1 to 9).map(i => s"w$i").mkString(" "), "a"),
+        (2L, (1 to 16).map(i => s"w$i").mkString(" "), "b"))
+      .map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Curation.mixTemperature(spark, dir, budgetTokens = 70L)
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", 1L, 9L, 0.428571, 0.36, 1.190476, 3.333333),
+      ("b", 1L, 16L, 0.571429, 0.64, 0.892857, 2.5)))
+  }
+
   test("retrievalTopK: postings join touches only matching docs; rank follows BM25") {
     val dir = docsDir(Seq(
       (0L, "apple apple banana"), // tf(apple)=2, dl=3
