@@ -1852,6 +1852,91 @@ object Events {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** q179 — A/B power analysis per event type: for each candidate
+    * relative lift (1%, 2%, 5%) in mean event value, the per-arm
+    * sample size of a two-sample test at α = 0.05 / power 0.80
+    * (`n = 2(z_{α/2}+z_β)²σ²/Δ²`) and the days of traffic needed to
+    * fill both arms at the type's observed event rate — the
+    * experiment-sizing table q156 (CUPED) and q167 (SRM) bracket: SRM
+    * audits a running test, CUPED shrinks its variance, this says
+    * whether the test is WORTH STARTING (a 90-day runway for a 1%
+    * lift is a "no").
+    *
+    * Exactness: mean/variance come from the q102 sufficient-statistic
+    * machinery (6dp-rounded product terms, DECIMAL(28,6) sums, one
+    * fixed double chain); the z constants are 6dp literals combined
+    * in-engine so both sides square the identical double; `ceil`
+    * outputs integral doubles cast to BIGINT. Degenerate types
+    * (single event) surface NULL via NULLIF rather than noise.
+    *
+    * Scale: one partial+final aggregate per type over the event scan
+    * (the distinct-day count rides the same shuffle), then a
+    * |types|×|grid| cross join on the tiny stats table.
+    */
+  def powerAnalysis(spark: SparkSession, dir: String,
+                    lifts: Seq[Double] = Seq(0.01, 0.02, 0.05)): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val stats = Tables.load(spark, dir, "events")
+      .withColumn("day", epochDayExpr)
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("day")).as("n_days"),
+        dsum(col("value")).as("sy"),
+        dsum(round(col("value") * col("value"), 6)).as("syy"))
+    val z = lit(1.959964) + lit(0.841621)
+    val grid = explode(array(lifts.map(lit(_)): _*)).as("rel_lift")
+    stats.select(col("*"), grid)
+      .withColumn("mean_v", col("sy") / col("n"))
+      .withColumn("var_v",
+        (col("syy") - col("sy") * col("sy") / col("n")) /
+          nullif((col("n") - 1).cast("double"), lit(0.0)))
+      .withColumn("mde", col("rel_lift") * col("mean_v"))
+      .withColumn("n_per_arm",
+        ceil(lit(2) * (z * z) * col("var_v") / (col("mde") * col("mde"))))
+      .select(col("event_type"), col("rel_lift"), col("n"), col("n_days"),
+        round(col("mean_v"), 6).as("mean_value"),
+        round(sqrt(col("var_v")), 6).as("sd_value"),
+        round(col("mde"), 6).as("mde_abs"),
+        col("n_per_arm"),
+        ceil(col("n_per_arm").cast("double") * 2 * col("n_days") / col("n"))
+          .as("days_to_power"))
+      .orderBy(col("event_type"), col("rel_lift"))
+  }
+
+  def powerAnalysisSql(lifts: Seq[Double] = Seq(0.01, 0.02, 0.05)): String = {
+    val gridVals = lifts.map(l => s"CAST($l AS DOUBLE)").mkString(", ")
+    s"""WITH stats AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    COUNT(DISTINCT epoch_ms(ts) // 86400000) AS n_days,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(28,6)))
+      |      AS DOUBLE) AS syy
+      |  FROM events GROUP BY 1
+      |), gridded AS (
+      |  SELECT s.*, g.rel_lift,
+      |    sy / n AS mean_v,
+      |    (syy - sy * sy / n) / NULLIF(CAST(n - 1 AS DOUBLE), 0.0) AS var_v,
+      |    rel_lift * (sy / n) AS mde,
+      |    (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)) AS z
+      |  FROM stats s
+      |  CROSS JOIN (SELECT unnest([$gridVals]) AS rel_lift) g
+      |), sized AS (
+      |  SELECT *, CAST(CEIL(2 * (z * z) * var_v / (mde * mde)) AS BIGINT)
+      |    AS n_per_arm
+      |  FROM gridded
+      |)
+      |SELECT event_type, rel_lift, n, n_days,
+      |  ROUND(mean_v, 6) AS mean_value,
+      |  ROUND(sqrt(var_v), 6) AS sd_value,
+      |  ROUND(mde, 6) AS mde_abs,
+      |  n_per_arm,
+      |  CAST(CEIL(CAST(n_per_arm AS DOUBLE) * 2 * n_days / n) AS BIGINT)
+      |    AS days_to_power
+      |FROM sized
+      |ORDER BY event_type, rel_lift""".stripMargin
+  }
+
   /** q177 — off-policy evaluation of an ε-greedy target policy over
     * the logged event stream (IPS / SNIPS / ESS): treat each event as
     * a logged bandit decision (action = event_type, reward = value,

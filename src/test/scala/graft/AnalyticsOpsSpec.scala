@@ -649,6 +649,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out === Seq((1L, "B", 2L, 2L, 3.0, 3.75, 3.75, 1.28, 1.75)))
   }
 
+  test("powerAnalysis: unit-variance fixture sizes 16 per arm, 22 days") {
+    val day = 86400000L
+    // values 1,2,3 over days {0,0,1}: mean 2, var 1, sd 1; lift 0.5 →
+    // mde 1, n_per_arm = ceil(2·(2.801585)²) = 16; rate 3 events per
+    // 2 days → days = ceil(32·2/3) = 22
+    val rows = Seq((1L, 0L, 1L, "e", 1.0), (2L, 1L, 1L, "e", 2.0),
+      (3L, day, 1L, "e", 3.0))
+    val out = Events.powerAnalysis(spark, eventsDirV(rows), lifts = Seq(0.5))
+      .as[(String, Double, Long, Long, Double, Double, Double, Long, Long)]
+      .collect().toSeq
+    assert(out === Seq(("e", 0.5, 3L, 2L, 2.0, 1.0, 1.0, 16L, 22L)))
+  }
+
   test("skylineParts: exact under adversarial bucketing (1 bucket == global)") {
     val one = Relational.skylineParts(spark, sf0001, buckets = 1)
       .select($"p_partkey").as[Long].collect().toSet
