@@ -93,10 +93,11 @@ object Tables {
   /** Existence-guarded read (reference: `src/migrate.ts:43-46` checks
     * the model exists in the client before scanning).
     *
-    * events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as
-    * a timestamp; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * and the raw nano count is normalized here to a micros TimestampType
-    * so every downstream operator sees one type.
+    * events.ts has shipped as parquet TIMESTAMP(NANOS) (read as a raw
+    * long under `spark.sql.legacy.parquet.nanosAsLong`) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ);
+    * both generations are normalized here to a micros TimestampType so
+    * every downstream operator sees one type.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     load(spark, dir, name, schemas)
@@ -113,15 +114,27 @@ object Tables {
     val wantsTs = catalog(name).fields.exists(f =>
       f.name == "ts" && f.dataType == TimestampType)
     if (wantsTs && df.columns.contains("ts") &&
-        df.schema("ts").dataType == LongType)
+        df.schema("ts").dataType != TimestampType)
       normalizeEventTs(df)
     else df
   }
 
-  /** Nanos-as-long `ts` → micros TimestampType — the single place the
-    * truncation convention lives (batch and streaming readers share it).
+  /** Physical-`ts` → micros TimestampType — the single place the
+    * normalization convention lives (batch and streaming readers share
+    * it). Long input is the legacy nanos encoding (truncated to
+    * micros); TIMESTAMP_NTZ input is reinterpreted as UTC, which is
+    * instant-preserving because every session in this project pins
+    * `spark.sql.session.timeZone=UTC` — the same convention DuckDB
+    * applies when it reads the naive parquet timestamps, so both
+    * engines agree on epoch arithmetic.
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
+    }
 }

@@ -21,14 +21,16 @@ object StreamingEvents {
 
   /** File-source stream over an events directory (requires the
     * declared catalog schema — streaming reads cannot infer).
-    * NB the testdata events.parquet uses TIMESTAMP(NANOS); with
-    * `nanosAsLong` the declared field must be LongType, so we declare
-    * ts_ns and normalize, mirroring Tables.load.
+    * NB the testdata events.parquet stores naive micros timestamps
+    * (TIMESTAMP(MICROS, isAdjustedToUTC=false)), so the declared field
+    * must be TIMESTAMP_NTZ; normalization to the session TimestampType
+    * is shared with the batch reader via Tables.normalizeEventTs.
     */
   def readEventStream(spark: SparkSession, path: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(
       Tables.schemas("events").fields.map {
-        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f if f.name == "ts" =>
+          f.copy(dataType = org.apache.spark.sql.types.TimestampNTZType)
         case f => f
       })
     Tables.normalizeEventTs(spark.readStream.schema(schema).parquet(path))
