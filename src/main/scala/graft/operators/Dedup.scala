@@ -1494,4 +1494,114 @@ object Dedup {
       |  n_exact - n_common AS n_missed,
       |  ROUND(CAST(n_common AS DOUBLE) / n_exact, 6) AS lsh_pair_recall
       |FROM ne CROSS JOIN nl CROSS JOIN ncm""".stripMargin
+
+  /** q180 — sorted-neighborhood (SNM) dedup candidates: the THIRD
+    * classic blocking family next to the inverted index (q26/q86) and
+    * LSH banding (q27/q28). Each doc gets a normalized sort key (the
+    * first `keyLen` alphanumeric chars of the casefolded text); docs
+    * are ranked inside coarse blocks (first `blkLen` key chars) by
+    * (key, doc_id), and the candidate set is every pair within `w`
+    * rank positions — linear O(n·w) candidates instead of quadratic,
+    * the window-join trick from Hernández/Stolfo's merge/purge work.
+    * Candidates are then verified with exact distinct-word Jaccard
+    * and reported with their rank gap (gap 1 = sort-adjacent).
+    *
+    * SNM catches what shingle/LSH blocking is weakest at — very short
+    * documents (too few shingles to index) whose edits are at the
+    * TAIL of the text, since prefix-keyed neighbors survive any tail
+    * divergence — and costs one sort-shuffle, no index explode.
+    *
+    * Spark-native shape: the classic formulation is ONE global sort +
+    * sliding window — a single-partition bottleneck at 100 TB. Here
+    * the window is PARTITIONED by the coarse block, so ranking is a
+    * per-block parallel sort (one shuffle on `blk`), and the
+    * neighbor join is an EQUI-join on (blk, rank − gap) built by
+    * exploding gap ∈ 1..w — no range condition, no nested loop. The
+    * trade: pairs that straddle a block boundary are lost (the docs
+    * disagree in their first `blkLen` normalized chars — for a dedup
+    * candidate generator that's the population with near-zero prior
+    * anyway; multi-pass SNM with a rotated key is the standard recall
+    * supplement and composes by union). Verification joins the
+    * candidate list back to the distinct-token table twice — cost
+    * bounded by candidates × doc length, never all-pairs.
+    *
+    * Exactness: key normalization (`lower` + strip non-[a-z0-9] +
+    * prefix) and ROW_NUMBER over (blk, key, doc_id) are fully
+    * tiebroken and engine-identical; Jaccard is one rounded IEEE
+    * division of exact counts (the q26 convention).
+    */
+  def snmCandidates(spark: SparkSession, dir: String, w: Int = 4,
+                    keyLen: Int = 32, blkLen: Int = 4,
+                    threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val ranked = docs.select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, keyLen)
+          .as("snm_key"))
+      .withColumn("blk", substring(col("snm_key"), 1, blkLen))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("blk")).orderBy(col("snm_key"), col("doc_id"))))
+    val right = ranked.withColumn("g", explode(sequence(lit(1), lit(w))))
+      .select(col("blk"), (col("rn") - col("g")).as("rn"),
+        col("doc_id").as("doc_y"), col("g"))
+    val cand = ranked.join(right, Seq("blk", "rn"))
+      .select(least(col("doc_id"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_y")).as("doc_b"),
+        col("g").as("rank_gap"))
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_t"))
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok").as("tok_a")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok").as("tok_a")),
+        Seq("doc_b", "tok_a"))
+      .groupBy(col("doc_a"), col("doc_b"), col("rank_gap"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_t", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_t", "n_b"), "doc_b")
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("rank_gap"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle twin of [[snmCandidates]] — parameterized so non-default
+    * invocations stay exactly checkable.
+    */
+  def snmCandidatesSql(w: Int = 4, keyLen: Int = 32, blkLen: Int = 4,
+                       threshold: Double = 0.5): String =
+    s"""WITH ranked AS (
+      |  SELECT doc_id, snm_key, substr(snm_key, 1, $blkLen) AS blk,
+      |    ROW_NUMBER() OVER (PARTITION BY substr(snm_key, 1, $blkLen)
+      |                       ORDER BY snm_key, doc_id) AS rn
+      |  FROM (SELECT doc_id,
+      |          substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, $keyLen) AS snm_key
+      |        FROM documents)
+      |), cand AS (
+      |  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+      |         GREATEST(a.doc_id, b.doc_id) AS doc_b,
+      |         b.rn - a.rn AS rank_gap
+      |  FROM ranked a JOIN ranked b
+      |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + $w
+      |), toks AS (
+      |  SELECT doc_id, unnest(list_distinct(list_filter(
+      |    string_split_regex(lower(text), '\\s+'), t -> t <> ''))) AS tok
+      |  FROM documents
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_t FROM toks GROUP BY doc_id
+      |), shared AS (
+      |  SELECT c.doc_a, c.doc_b, c.rank_gap, COUNT(*) AS n_shared
+      |  FROM cand c
+      |  JOIN toks ta ON ta.doc_id = c.doc_a
+      |  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_a, doc_b, rank_gap, jaccard FROM (
+      |  SELECT s.doc_a, s.doc_b, s.rank_gap,
+      |    ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n_t + sb.n_t - s.n_shared), 6) AS jaccard
+      |  FROM shared s
+      |  JOIN sizes sa ON sa.doc_id = s.doc_a
+      |  JOIN sizes sb ON sb.doc_id = s.doc_b
+      |) WHERE jaccard >= $threshold
+      |ORDER BY doc_a, doc_b""".stripMargin
 }
