@@ -979,4 +979,84 @@ object Graph {
       |  CAST(SUM(CAST(q_contrib AS DECIMAL(18,6))) AS DOUBLE)
       |FROM scored
       |ORDER BY brand""".stripMargin
+
+  /** q181 — weighted single-source shortest paths (bounded-hop
+    * Bellman–Ford) over the co-purchase graph, seeded at the
+    * top-weighted-degree part (q169's seed convention). Edge COST is
+    * the weight complement `maxW + 1 − w` — strongly co-purchased
+    * parts are "close" — so the result ranks every part reachable in
+    * ≤ `maxHops` edges by its cheapest association path to the hub:
+    * the graph-distance feature a recommender or candidate-pool
+    * builder wants where BFS hop count (q169) is too coarse.
+    *
+    * Semantics: dist(p) = min total cost over paths of ≤ `maxHops`
+    * edges — exactly `maxHops` rounds of Bellman–Ford relaxation, and
+    * exactly what the oracle's hop-bounded recursive CTE enumerates.
+    * All-integer arithmetic: costs are BIGINTs, so min() agrees across
+    * engines with no float concern.
+    *
+    * Scale: the relaxation is the q107 iteration shape — the edge
+    * list is built once, pre-partitioned on `src`, checkpointed
+    * ([[graft.Iterate.cut]]: reliable replicated checkpoint under
+    * `spark.graft.checkpoint.reliable`); each round is one
+    * co-partitioned dist⋈edges join + one dst-keyed partial+final min
+    * — versus the oracle CTE which materializes every PATH (expo-
+    * nential in dense graphs): the relaxation form is why an engine
+    * runs SSSP and an analyst's recursive SQL does not, at scale.
+    * Frontier filtering (propagating only improved nodes) is the
+    * standard refinement; with small fixed `maxHops` the uniform
+    * re-relaxation keeps every round's plan identical.
+    */
+  def weightedSssp(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val maxW = pairs.agg(max(col("w")).as("m")).head().getLong(0)
+    val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+      .withColumn("cost", lit(maxW + 1L) - col("w"))
+      .select(col("src"), col("dst"), col("cost"))
+    val seed = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src").asc).limit(1)
+      .select(col("src")).head().getLong(0)
+    val edgesP = graft.Iterate.cut(edges.repartition(col("src")))
+    var dist = spark.range(1).select(lit(seed).as("p"), lit(0L).as("dist"))
+    var h = 1
+    while (h <= maxHops) {
+      val relaxed = dist.withColumnRenamed("p", "src")
+        .join(edgesP, "src")
+        .select(col("dst").as("p"), (col("dist") + col("cost")).as("dist"))
+      dist = graft.Iterate.cut(dist.unionByName(relaxed)
+        .groupBy(col("p")).agg(min(col("dist")).as("dist")))
+      h += 1
+    }
+    dist.select(col("p").as("p_partkey"), col("dist"))
+      .orderBy(col("dist"), col("p_partkey"))
+  }
+
+  def weightedSsspSql(maxHops: Int = 3): String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), mw AS (
+       |  SELECT MAX(w) AS max_w FROM pairs
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst, max_w + 1 - w AS cost FROM pairs, mw
+       |  UNION ALL
+       |  SELECT pb AS src, pa AS dst, max_w + 1 - w AS cost FROM pairs, mw
+       |), seed AS (
+       |  SELECT src FROM edges GROUP BY src
+       |  ORDER BY COUNT(*) DESC, src LIMIT 1
+       |), reach(p, d, hop) AS (
+       |  SELECT src, CAST(0 AS BIGINT), 0 FROM seed
+       |  UNION
+       |  SELECT e.dst, r.d + e.cost, r.hop + 1
+       |  FROM reach r JOIN edges e ON e.src = r.p
+       |  WHERE r.hop < $maxHops
+       |)
+       |SELECT p AS p_partkey, MIN(d) AS dist
+       |FROM reach GROUP BY p
+       |ORDER BY dist, p_partkey""".stripMargin
 }
