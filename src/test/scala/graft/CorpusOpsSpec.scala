@@ -705,4 +705,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ab.map(_._2) === Seq(1, 2, 3) &&
       ab.map(_._4) === ab.map(_._4).sorted.reverse)
   }
+
+  test("snmCandidates: prefix neighbors pair up, block boundary splits") {
+    val dir = docsDir(Seq(
+      (1L, "alpha common tail words here"),
+      (2L, "alpha common tail words here extra"),   // same block, adjacent
+      (3L, "zeta common tail words here")))         // other block: never paired
+    val out = Dedup.snmCandidates(spark, dir)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    // docs 1,2: distinct tokens 5 and 6, shared 5 → J = 5/6; doc 3
+    // overlaps doc 1 at 4/6 >= threshold but sits in block "zeta" —
+    // the documented boundary loss
+    assert(out === Seq((1L, 2L, 1, 0.833333)))
+    // tail-edit robustness: the pair survives because the sort key is
+    // a PREFIX — LSH/shingle blocking needs the whole doc to agree
+    val tail = Dedup.snmCandidates(spark, docsDir(Seq(
+      (1L, "identical prefix of this pair then different suffix one"),
+      (2L, "identical prefix of this pair then changed ending"))))
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(tail.map(t => (t._1, t._2)) === Seq((1L, 2L)))
+  }
 }

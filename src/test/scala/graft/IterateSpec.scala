@@ -152,4 +152,25 @@ class IterateSpec extends AnyFunSuite {
       ("B", 1L, 0L, 1L, -0.027778),
       ("__total__", 3L, 2L, 6L, -0.055556)))
   }
+
+  test("weightedSssp: heavy edges are short, hop cap prunes the far tail") {
+    // path 1-2-3-4 with w=3 per edge plus a weak 1-4 shortcut (w=1).
+    // maxW=3 → path edges cost 1, shortcut costs 3. Seed: all degrees
+    // tie at 2, lowest partkey wins → 1.
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),  // (1,2) w=3
+      (4L, 2L), (4L, 3L), (5L, 2L), (5L, 3L), (6L, 2L), (6L, 3L),  // (2,3) w=3
+      (7L, 3L), (7L, 4L), (8L, 3L), (8L, 4L), (9L, 3L), (9L, 4L),  // (3,4) w=3
+      (10L, 1L), (10L, 4L))                                         // (1,4) w=1
+    val dir = lineitemDir(rows)
+    val full = graft.operators.Graph.weightedSssp(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    // 4 is cost 3 both ways (3 cheap hops = weak direct edge)
+    assert(full === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+    // one hop only: 3 is unreachable, 4 still lands via the costly
+    // shortcut — hop-bounded semantics, not cost-bounded
+    val oneHop = graft.operators.Graph.weightedSssp(spark, dir, maxHops = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(oneHop === Seq((1L, 0L), (2L, 1L), (4L, 3L)))
+  }
 }
