@@ -2077,4 +2077,123 @@ object Events {
       |    AS is_alert
       |FROM withdev w JOIN stats s ON w.event_type = s.event_type
       |ORDER BY w.event_type, w.day""".stripMargin
+
+  /** q183 — difference-in-differences (DiD) experiment readout per
+    * event type: users are hash-assigned to control/treatment (the
+    * q156 assignment convention), days split pre/post at the observed
+    * midpoint (the q156 boundary), and the estimate is the classic
+    * 2×2: (treat_post − treat_pre) − (ctrl_post − ctrl_pre) on
+    * per-event value means. Complements the experiment suite — q156
+    * (CUPED variance reduction), q167 (SRM guard), q179 (power):
+    * DiD is the readout shape when treatment rolls out over TIME and
+    * a parallel-trends baseline is available rather than a clean
+    * concurrent A/B. The large-sample SE pools the four cell
+    * variances (Var[m] = s²/n per cell, independence across cells).
+    *
+    * Exactness: cell sums ride DECIMAL(28,6) with per-term 6dp
+    * rounding on squares (the q156/q179 discipline); each derived
+    * stat is ONE fixed-operand-order IEEE chain over those exact
+    * cell aggregates, rounded to 6dp at the end. The 2×2 collapse is
+    * MAX over a single-row-per-cell frame — engine-identical.
+    *
+    * Scale: one shuffle on (event_type, variant, period) with full
+    * map-side combine, then a |event_type|-row pivot — nothing else.
+    * The broadcast `bounds` scalar is the one driver-free global.
+    */
+  def didReadout(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), epochDayExpr.as("day"), col("value"))
+    val bounds = e.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(expr("(mn + mx + 1) div 2").as("mid"))
+    val cells = e.crossJoin(broadcast(bounds))
+      .withColumn("variant",
+        (graft.functions.PortableHash.md5Long32(col("user_id")) % 2).cast("int"))
+      .withColumn("period", (col("day") >= col("mid")).cast("int"))
+      .groupBy(col("event_type"), col("variant"), col("period"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sy"),
+        dsum(round(col("value") * col("value"), 6)).as("syy"))
+      .withColumn("m", col("sy") / col("n"))
+      .withColumn("v", (col("syy") - col("sy") * col("sy") / col("n")) /
+        nullif((col("n") - 1).cast("double"), lit(0.0)))
+    def cell(c: Column, variant: Int, period: Int): Column =
+      max(when(col("variant") === variant && col("period") === period, c))
+    val wide = cells.groupBy(col("event_type")).agg(
+      cell(col("n"), 0, 0).as("n_c_pre"), cell(col("n"), 0, 1).as("n_c_post"),
+      cell(col("n"), 1, 0).as("n_t_pre"), cell(col("n"), 1, 1).as("n_t_post"),
+      cell(col("m"), 0, 0).as("m_c_pre"), cell(col("m"), 0, 1).as("m_c_post"),
+      cell(col("m"), 1, 0).as("m_t_pre"), cell(col("m"), 1, 1).as("m_t_post"),
+      cell(col("v"), 0, 0).as("v_c_pre"), cell(col("v"), 0, 1).as("v_c_post"),
+      cell(col("v"), 1, 0).as("v_t_pre"), cell(col("v"), 1, 1).as("v_t_post"))
+    wide
+      .withColumn("did", (col("m_t_post") - col("m_t_pre")) -
+        (col("m_c_post") - col("m_c_pre")))
+      .withColumn("se", sqrt(
+        col("v_t_post") / col("n_t_post") + col("v_t_pre") / col("n_t_pre") +
+        col("v_c_post") / col("n_c_post") + col("v_c_pre") / col("n_c_pre")))
+      .select(col("event_type"),
+        col("n_c_pre"), col("n_c_post"), col("n_t_pre"), col("n_t_post"),
+        round(col("m_t_pre"), 6).as("mean_t_pre"),
+        round(col("m_t_post"), 6).as("mean_t_post"),
+        round(col("m_c_pre"), 6).as("mean_c_pre"),
+        round(col("m_c_post"), 6).as("mean_c_post"),
+        round(col("did"), 6).as("did_estimate"),
+        round(col("se"), 6).as("did_se"),
+        round(col("did") / nullif(col("se"), lit(0.0)), 6).as("t_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  val didReadoutSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id, epoch_ms(ts) // 86400000 AS day, value
+      |  FROM events
+      |), mid AS (
+      |  SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e
+      |), cells AS (
+      |  SELECT event_type,
+      |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 2 AS INT) AS variant,
+      |    CAST(day >= (SELECT mid FROM mid) AS INT) AS period,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(28,6)))
+      |      AS DOUBLE) AS syy
+      |  FROM e GROUP BY 1, 2, 3
+      |), stats AS (
+      |  SELECT *, sy / n AS m,
+      |    (syy - sy * sy / n) / NULLIF(CAST(n - 1 AS DOUBLE), 0.0) AS v
+      |  FROM cells
+      |), wide AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN variant = 0 AND period = 0 THEN n END) AS n_c_pre,
+      |    MAX(CASE WHEN variant = 0 AND period = 1 THEN n END) AS n_c_post,
+      |    MAX(CASE WHEN variant = 1 AND period = 0 THEN n END) AS n_t_pre,
+      |    MAX(CASE WHEN variant = 1 AND period = 1 THEN n END) AS n_t_post,
+      |    MAX(CASE WHEN variant = 0 AND period = 0 THEN m END) AS m_c_pre,
+      |    MAX(CASE WHEN variant = 0 AND period = 1 THEN m END) AS m_c_post,
+      |    MAX(CASE WHEN variant = 1 AND period = 0 THEN m END) AS m_t_pre,
+      |    MAX(CASE WHEN variant = 1 AND period = 1 THEN m END) AS m_t_post,
+      |    MAX(CASE WHEN variant = 0 AND period = 0 THEN v END) AS v_c_pre,
+      |    MAX(CASE WHEN variant = 0 AND period = 1 THEN v END) AS v_c_post,
+      |    MAX(CASE WHEN variant = 1 AND period = 0 THEN v END) AS v_t_pre,
+      |    MAX(CASE WHEN variant = 1 AND period = 1 THEN v END) AS v_t_post
+      |  FROM stats GROUP BY event_type
+      |), scored AS (
+      |  SELECT *,
+      |    (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did,
+      |    sqrt(v_t_post / n_t_post + v_t_pre / n_t_pre +
+      |         v_c_post / n_c_post + v_c_pre / n_c_pre) AS se
+      |  FROM wide
+      |)
+      |SELECT event_type, n_c_pre, n_c_post, n_t_pre, n_t_post,
+      |  ROUND(m_t_pre, 6) AS mean_t_pre,
+      |  ROUND(m_t_post, 6) AS mean_t_post,
+      |  ROUND(m_c_pre, 6) AS mean_c_pre,
+      |  ROUND(m_c_post, 6) AS mean_c_post,
+      |  ROUND(did, 6) AS did_estimate,
+      |  ROUND(se, 6) AS did_se,
+      |  ROUND(did / NULLIF(se, 0.0), 6) AS t_stat
+      |FROM scored
+      |ORDER BY event_type""".stripMargin
 }

@@ -1059,4 +1059,94 @@ object Graph {
        |SELECT p AS p_partkey, MIN(d) AS dist
        |FROM reach GROUP BY p
        |ORDER BY dist, p_partkey""".stripMargin
+
+  /** q182 — synchronous label-propagation communities (LPA) over the
+    * weighted co-purchase graph: every part starts in its own
+    * community; each round, every node adopts the label carrying the
+    * most neighbor edge weight (ties → smallest label; isolated nodes
+    * keep their own). `iters` fixed rounds of the SYNCHRONOUS variant
+    * (Raghavan et al. 2007) keep the computation deterministic —
+    * asynchronous/randomized LPA is not reproducible across engines,
+    * so the graded form trades a little convergence speed for an
+    * exactly checkable fixture. q175 scores a GIVEN partition's
+    * modularity; this DISCOVERS one from the topology alone — run
+    * q182 → q175-style scoring to audit whether detected communities
+    * beat the catalog's brand partition.
+    *
+    * Scale: the q107 discipline — the bidirectional edge list is
+    * built once, pre-partitioned on `src`, checkpointed; each round
+    * is one co-partitioned edges⋈labels join (labels keyed by `src`,
+    * riding the edge layout), one (dst, lbl) weight aggregate, and
+    * one per-node argmax window (partitioned by node — parallel, no
+    * global sort; the window input is the vote table, bounded by the
+    * label-diversity of each neighborhood, not the corpus). Label
+    * frames are node-sized; every intermediate is checkpointed via
+    * [[graft.Iterate.cut]] so lineage stays flat and a reliable-
+    * checkpoint run survives executor loss.
+    *
+    * Exactness: votes are BIGINT edge-weight sums; the argmax is a
+    * fully-tiebroken ROW_NUMBER — no floats anywhere.
+    */
+  def labelPropagation(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = coPurchasePairs(spark, dir)
+    val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val edgesP = graft.Iterate.cut(edges.repartition(col("src")))
+    val nodes = graft.Iterate.cut(Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p")).distinct())
+    var lbl = nodes.select(col("p"), col("p").as("lbl"))
+    for (_ <- 1 to iters) {
+      val votes = edgesP
+        .join(lbl.select(col("p").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("p"), col("lbl"))
+        .agg(sum(col("w")).as("s"))
+      val next = votes.withColumn("rn", row_number().over(
+          Window.partitionBy(col("p")).orderBy(col("s").desc, col("lbl").asc)))
+        .filter(col("rn") === 1).select(col("p"), col("lbl"))
+      lbl = graft.Iterate.cut(nodes
+        .join(next.withColumnRenamed("lbl", "next_lbl"), Seq("p"), "left")
+        .select(col("p"), coalesce(col("next_lbl"), col("p")).as("lbl")))
+    }
+    lbl.withColumn("community_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))))
+      .select(col("p").as("p_partkey"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  def labelPropagationSql(iters: Int = 2): String = {
+    val rounds = (1 to iters).map { i =>
+      s""", v$i AS (
+         |  SELECT e.dst AS p, l.lbl, SUM(e.w) AS s
+         |  FROM edges e JOIN l${i - 1} l ON l.p = e.src
+         |  GROUP BY 1, 2
+         |), l$i AS (
+         |  SELECT n.p, COALESCE(w.lbl, n.p) AS lbl
+         |  FROM l0 n LEFT JOIN (
+         |    SELECT p, lbl FROM (
+         |      SELECT p, lbl,
+         |        ROW_NUMBER() OVER (PARTITION BY p ORDER BY s DESC, lbl) AS rn
+         |      FROM v$i) WHERE rn = 1) w ON w.p = n.p
+         |)""".stripMargin
+    }.mkString
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst, w FROM pairs
+       |  UNION ALL
+       |  SELECT pb AS src, pa AS dst, w FROM pairs
+       |), l0 AS (
+       |  SELECT DISTINCT l_partkey AS p, l_partkey AS lbl FROM li
+       |)$rounds
+       |SELECT p AS p_partkey, lbl AS community,
+       |  COUNT(*) OVER (PARTITION BY lbl) AS community_size
+       |FROM l$iters
+       |ORDER BY p_partkey""".stripMargin
+  }
 }

@@ -669,4 +669,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .select($"p_partkey").as[Long].collect().toSet
     assert(one === many)
   }
+
+  test("didReadout: hand 2x2 — estimate, pooled SE, t-stat") {
+    // users 1 (hash→control) and 2 (hash→treatment); days 0..3, mid=2.
+    // ctrl means 1.5→2.5, treat 2.0→5.0: DiD = 3.0 − 1.0 = 2.0.
+    // cell variances 0.5/0.5/2/2 (n=2 each) → SE = sqrt(2.5).
+    val day = 86400000L
+    val dir = eventsDirV(Seq(
+      (1L, 0 * day, 1L, "m", 1.0), (2L, 1 * day, 1L, "m", 2.0),
+      (3L, 2 * day, 1L, "m", 2.0), (4L, 3 * day, 1L, "m", 3.0),
+      (5L, 0 * day, 2L, "m", 1.0), (6L, 1 * day, 2L, "m", 3.0),
+      (7L, 2 * day, 2L, "m", 4.0), (8L, 3 * day, 2L, "m", 6.0)))
+    val out = Events.didReadout(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double, Double,
+        Double, Double, Double)].collect().toSeq
+    assert(out === Seq(("m", 2L, 2L, 2L, 2L, 2.0, 5.0, 1.5, 2.5,
+      2.0, 1.581139, 1.264911)))
+  }
 }

@@ -173,4 +173,19 @@ class IterateSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(oneHop === Seq((1L, 0L), (2L, 1L), (4L, 3L)))
   }
+
+  test("labelPropagation: two triangles with a weak bridge split cleanly") {
+    // triangles {1,2,3} and {4,5,6} with internal w=2 (two orders
+    // each), bridged by one weak (3,4) order. Two synchronous rounds
+    // settle each triangle on its minimum member label; the bridge
+    // never outvotes the w=2 internal edges.
+    val dir = lineitemDir(Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 4L), (3L, 5L), (3L, 6L), (4L, 4L), (4L, 5L), (4L, 6L),
+      (5L, 3L), (5L, 4L)))
+    val out = graft.operators.Graph.labelPropagation(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 3L), (5L, 4L, 3L), (6L, 4L, 3L)))
+  }
 }
