@@ -1423,4 +1423,104 @@ object TextAnalysis {
        |FROM pairs GROUP BY pair
        |ORDER BY n_merges DESC, pair
        |LIMIT $topK""".stripMargin
+
+  /** q184 — RAKE-style keyphrase extraction (Rose et al. 2010):
+    * candidate phrases are MAXIMAL runs of consecutive non-stopword
+    * tokens (stopwords act as phrase delimiters); each word scores
+    * degree/frequency where freq counts its non-stop occurrences and
+    * degree sums the lengths of every phrase it appears in (its
+    * co-occurrence degree, self included); a phrase scores the sum of
+    * its member words' ratios (with multiplicity). Reports the corpus
+    * top-`topK` distinct phrases — the unsupervised keyword surface a
+    * corpus-exploration UI or topic labeller wants, and a different
+    * extraction PRINCIPLE from q39's TF-IDF (document-discriminative
+    * single terms) or q128's PMI collocations (associated pairs):
+    * RAKE rewards multi-word spans that hang together as units.
+    *
+    * Shapes: the run segmentation is gaps-and-islands — position
+    * minus per-doc non-stop rank — entirely inside doc-partitioned
+    * windows (parallel; no global sort); word stats are one
+    * token-keyed shuffle; the final top-K is a literal-bounded global
+    * TakeOrdered. At 100 TB: two explodes of the token stream, three
+    * key-shuffles (doc-run, token, phrase), no all-pairs anything.
+    *
+    * Exactness: freq/degree are BIGINT counts; ratio is ONE double
+    * division rounded to 6dp; phrase scores sum those 6dp ratios in
+    * DECIMAL(28,6) (order-independent) — identical in DuckDB.
+    */
+  def rakeKeyphrases(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = langStopwords.find(_._1 == "en").get._2
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(!col("tok").isin(stop: _*))
+    val runs = toks.withColumn("run",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val phrases = runs.groupBy(col("doc_id"), col("run"))
+      .agg(concat_ws(" ", transform(array_sort(collect_list(
+          struct(col("pos"), col("tok")))), x => x.getField("tok"))).as("phrase"),
+        count(lit(1)).as("phrase_len"))
+    val stats = runs
+      .join(phrases.select(col("doc_id"), col("run"), col("phrase_len")),
+        Seq("doc_id", "run"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("phrase_len")).as("degree"))
+      .withColumn("ratio",
+        round(col("degree").cast("double") / col("freq"), 6))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val scored = runs
+      .join(stats.select(col("tok"), col("ratio")), "tok")
+      .groupBy(col("doc_id"), col("run"))
+      .agg(sum(col("ratio").cast(dec)).cast("double").as("score"))
+      .join(phrases, Seq("doc_id", "run"))
+      .groupBy(col("phrase"))
+      .agg(max(col("phrase_len")).as("phrase_len"),
+        count(lit(1)).as("n_occ"), max(round(col("score"), 6)).as("score"))
+    scored.orderBy(col("score").desc, col("phrase")).limit(topK)
+      .select(col("phrase"), col("phrase_len"), col("n_occ"), col("score"))
+  }
+
+  def rakeKeyphrasesSql(topK: Int = 100): String = {
+    val stop = graft.functions.TextFunctions.langStopwords
+      .find(_._1 == "en").get._2.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, pos, tok FROM (
+       |    SELECT doc_id,
+       |      generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+       |    FROM (SELECT doc_id,
+       |            list_filter(string_split_regex(lower(text), '\\s+'),
+       |              t -> t <> '') AS l
+       |          FROM documents)
+       |  ) WHERE tok NOT IN ($stop)
+       |), runs AS (
+       |  SELECT doc_id, pos, tok,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+       |  FROM toks
+       |), phrases AS (
+       |  SELECT doc_id, run, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+       |    COUNT(*) AS phrase_len
+       |  FROM runs GROUP BY 1, 2
+       |), stats AS (
+       |  SELECT r.tok, COUNT(*) AS freq,
+       |    CAST(SUM(p.phrase_len) AS BIGINT) AS degree,
+       |    ROUND(CAST(SUM(p.phrase_len) AS DOUBLE) / COUNT(*), 6) AS ratio
+       |  FROM runs r JOIN phrases p ON p.doc_id = r.doc_id AND p.run = r.run
+       |  GROUP BY 1
+       |), inst AS (
+       |  SELECT r.doc_id, r.run,
+       |    CAST(SUM(CAST(s.ratio AS DECIMAL(28,6))) AS DOUBLE) AS score
+       |  FROM runs r JOIN stats s ON s.tok = r.tok
+       |  GROUP BY 1, 2
+       |), dedup AS (
+       |  SELECT p.phrase, MAX(p.phrase_len) AS phrase_len,
+       |    COUNT(*) AS n_occ, MAX(ROUND(i.score, 6)) AS score
+       |  FROM inst i JOIN phrases p ON p.doc_id = i.doc_id AND p.run = i.run
+       |  GROUP BY 1
+       |)
+       |SELECT phrase, phrase_len, n_occ, score FROM dedup
+       |ORDER BY score DESC, phrase
+       |LIMIT $topK""".stripMargin
+  }
 }

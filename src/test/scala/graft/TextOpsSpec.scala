@@ -412,4 +412,22 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(out === Seq(("ab", 5L), ("aa", 3L)))
   }
+
+  test("rakeKeyphrases: stopword-delimited runs, degree/freq hand math") {
+    // "for"/"the" are en stopwords. Corpus word stats: deep freq 3
+    // degree 6 (all phrases len 2) → ratio 2; learning 2/4 → 2;
+    // models 1/2 → 2; alpha freq 2 degree 2 → ratio 1. Phrase scores:
+    // "deep learning" = 4 (2 occurrences), "deep models" = 4,
+    // "alpha" = 1 (2 single-token runs split by "the").
+    val dir = docsDir(Seq(
+      (1L, "deep learning for deep models"),
+      (2L, "the deep learning"),
+      (3L, "alpha the alpha")))
+    val out = graft.operators.TextAnalysis.rakeKeyphrases(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("deep learning", 2L, 2L, 4.0),
+      ("deep models", 2L, 1L, 4.0),
+      ("alpha", 1L, 2L, 1.0)))
+  }
 }
