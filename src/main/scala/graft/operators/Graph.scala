@@ -1149,4 +1149,75 @@ object Graph {
        |FROM l$iters
        |ORDER BY p_partkey""".stripMargin
   }
+
+  /** q185 — item-based collaborative-filtering recommendations: for
+    * every customer, the top-`topK` parts they do NOT already buy,
+    * scored by total co-purchase weight between the candidate and the
+    * parts they DO buy (the classic item-item CF sum, Sarwar et al.
+    * 2001, with raw co-occurrence weights as the similarity). q148
+    * finds substitutable ITEM PAIRS; this produces the per-CUSTOMER
+    * ranked candidate pool a recommendation or basket-completion
+    * surface serves.
+    *
+    * Scale: sparse matrix-matrix product expressed as two key-joins —
+    * ownership edges ⋈ item-similarity edges on the owned part (one
+    * shuffle each side), aggregated on (customer, candidate). The
+    * similarity list is the memoized q107 pair list (df-bounded by
+    * basket size); the owned-part exclusion is a co-partitioned
+    * anti-join; the per-customer top-K is a literal-bounded
+    * ROW_NUMBER → WindowGroupLimit prunes partial. All-integer
+    * scores — no float drift anywhere.
+    */
+  def itemCfRecs(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cp = custPartEdges(spark, dir)
+    val pairs = coPurchasePairs(spark, dir)
+    val sims = pairs.select(col("pa").as("p"), col("pb").as("p_to"), col("w"))
+      .unionByName(pairs.select(col("pb").as("p"), col("pa").as("p_to"), col("w")))
+    val scores = cp.join(sims, "p")
+      .groupBy(col("c"), col("p_to"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_owned_neighbors"))
+    val recs = scores
+      .join(cp.select(col("c"), col("p").as("p_to")), Seq("c", "p_to"), "left_anti")
+    recs.withColumn("rec_rank", row_number().over(
+        Window.partitionBy(col("c")).orderBy(col("score").desc, col("p_to").asc)))
+      .filter(col("rec_rank") <= topK)
+      .select(col("c").as("c_custkey"), col("rec_rank"),
+        col("p_to").as("p_partkey"), col("score"), col("n_owned_neighbors"))
+      .orderBy(col("c_custkey"), col("rec_rank"))
+  }
+
+  def itemCfRecsSql(topK: Int = 3): String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT pa AS p, pb AS p_to, w FROM pairs
+       |  UNION ALL
+       |  SELECT pb AS p, pa AS p_to, w FROM pairs
+       |), cp AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |), scores AS (
+       |  SELECT cp.c, s.p_to, CAST(SUM(s.w) AS BIGINT) AS score,
+       |    COUNT(*) AS n_owned_neighbors
+       |  FROM cp JOIN sims s ON s.p = cp.p
+       |  GROUP BY 1, 2
+       |), recs AS (
+       |  SELECT sc.* FROM scores sc
+       |  LEFT JOIN cp ON cp.c = sc.c AND cp.p = sc.p_to
+       |  WHERE cp.c IS NULL
+       |)
+       |SELECT c AS c_custkey, CAST(rk AS INT) AS rec_rank,
+       |  p_to AS p_partkey, score, n_owned_neighbors
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c
+       |    ORDER BY score DESC, p_to) AS rk
+       |  FROM recs
+       |) WHERE rk <= $topK
+       |ORDER BY c_custkey, rec_rank""".stripMargin
 }

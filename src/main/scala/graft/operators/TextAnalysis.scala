@@ -1523,4 +1523,69 @@ object TextAnalysis {
        |ORDER BY score DESC, phrase
        |LIMIT $topK""".stripMargin
   }
+
+  /** q186 — tokenizer fertility per (lang, source): how many
+    * characters, UTF-8 bytes and whitespace words each BPE-ish token
+    * "absorbs" in every corpus slice. Fertility (bytes per token) is
+    * THE cost model of LLM data work — token budgets, context-window
+    * packing (q53/q119), and per-source pricing all convert through
+    * it, and it varies enough across languages/sources that a single
+    * global constant misallocates budgets. Byte and char densities
+    * are reported separately: their ratio exposes multi-byte-script
+    * slices where char-based accounting undercounts.
+    *
+    * Exactness: all sums are exact BIGINTs over codegen'd counts
+    * (`regexp_count`, `length`, `octet_length`); each density is one
+    * rounded IEEE division of two integer totals.
+    *
+    * Scale: one narrow map over the scan + one tiny (lang, source)
+    * aggregate — fully map-side-combinable, pruned to three columns.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("lang"), col("source"),
+        tokenCount(col("text")).cast("long").as("ws"),
+        bpeTokenCount(col("text")).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("sum_ws_tokens"),
+        sum(col("bpe")).as("sum_bpe_tokens"),
+        sum(col("chars")).as("sum_chars"),
+        sum(col("bytes")).as("sum_bytes"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("sum_ws_tokens"), col("sum_bpe_tokens"), col("sum_chars"),
+        col("sum_bytes"),
+        round(col("sum_chars").cast("double") / col("sum_bpe_tokens"), 6)
+          .as("chars_per_bpe"),
+        round(col("sum_bytes").cast("double") / col("sum_bpe_tokens"), 6)
+          .as("bytes_per_bpe"),
+        round(col("sum_bpe_tokens").cast("double") / col("sum_ws_tokens"), 6)
+          .as("bpe_per_word"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val tokenizerFertilitySql: String =
+    s"""WITH per_doc AS (
+       |  SELECT lang, source,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t <> '')) AS BIGINT) AS ws,
+       |    CAST(len(regexp_extract_all(text,
+       |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe,
+       |    CAST(length(text) AS BIGINT) AS chars,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+       |  FROM documents
+       |)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(ws) AS BIGINT) AS sum_ws_tokens,
+       |  CAST(SUM(bpe) AS BIGINT) AS sum_bpe_tokens,
+       |  CAST(SUM(chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(bytes) AS BIGINT) AS sum_bytes,
+       |  ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(bpe), 6) AS chars_per_bpe,
+       |  ROUND(CAST(SUM(bytes) AS DOUBLE) / SUM(bpe), 6) AS bytes_per_bpe,
+       |  ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS bpe_per_word
+       |FROM per_doc
+       |GROUP BY 1, 2
+       |ORDER BY lang, source""".stripMargin
 }

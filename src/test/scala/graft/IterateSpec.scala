@@ -188,4 +188,21 @@ class IterateSpec extends AnyFunSuite {
     assert(out === Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (4L, 4L, 3L), (5L, 4L, 3L), (6L, 4L, 3L)))
   }
+
+  test("itemCfRecs: unowned neighbor recommended, full owners get nothing") {
+    // baskets: o1(c1)={1,2}, o2(c2)={2,3}, o3(c1)={2,3} → co-purchase
+    // w(1,2)=1, w(2,3)=2. c1 owns {1,2,3} → nothing left to recommend;
+    // c2 owns {2,3} → only candidate is part 1 via the (1,2) edge.
+    val dir = lineitemDir(Seq(
+      (1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 2L), (3L, 3L)))
+    Seq((1L, 1L), (2L, 2L), (3L, 1L))
+      .map { case (ok, ck) => (ok, ck, "O", 1.0,
+        new java.sql.Timestamp(0L), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Graph.itemCfRecs(spark, dir)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 1, 1L, 1L, 1L)))
+  }
 }

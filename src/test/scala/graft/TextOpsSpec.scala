@@ -430,4 +430,15 @@ class TextOpsSpec extends AnyFunSuite {
       ("deep models", 2L, 1L, 4.0),
       ("alpha", 1L, 2L, 1.0)))
   }
+
+  test("tokenizerFertility: hand sums, multi-byte chars split bytes from chars") {
+    // "ab cd": ws 2, bpe 2, 5 chars/bytes; "a,b": ws 1, bpe 3 (a , b),
+    // 3 chars/bytes; "é": ws 1, bpe 1 (symbol class), 1 char, 2 bytes
+    val dir = docsDir(Seq((1L, "ab cd"), (2L, "a,b"), (3L, "é")))
+    val out = graft.operators.TextAnalysis.tokenizerFertility(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long, Double, Double,
+        Double)].collect().toSeq
+    assert(out === Seq(
+      ("en", "unit", 3L, 4L, 6L, 9L, 10L, 1.5, 1.666667, 1.5)))
+  }
 }
