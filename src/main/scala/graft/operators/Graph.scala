@@ -1220,4 +1220,152 @@ object Graph {
        |  FROM recs
        |) WHERE rk <= $topK
        |ORDER BY c_custkey, rec_rank""".stripMargin
+
+  /** q187 — leave-last-basket-out evaluation of the q185 recommender:
+    * per customer, hold out every order on their LAST order date,
+    * rebuild the co-purchase similarities and ownership on the
+    * remaining (train) orders only, and score top-3 recommendations
+    * against the held-out NEW items (parts not already owned in
+    * train). One summary row: eval population, hit customers,
+    * hit-rate@3, item-level precision@3 (denominator 3·|eval| — the
+    * standard fixed-slot convention even when fewer recs exist) and
+    * recall@3. Completes the evaluation-harness family (q137 ANN
+    * recall, q158 NMI, q159 nDCG) with the TEMPORAL-holdout protocol
+    * every production recommender is actually judged by — random
+    * splits leak future baskets into training.
+    *
+    * Scale: the train restriction is one broadcast-size date filter
+    * (per-customer last date rides a key aggregate, not a window over
+    * facts); similarity/ownership/scoring reuse the q185 shapes on
+    * the filtered inputs; the final summary is four scalar aggregates
+    * crossed together — no driver loops, no all-pairs.
+    *
+    * Exactness: every count is BIGINT; the three rates are single
+    * rounded IEEE divisions.
+    */
+  def cfHoldoutEval(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    // holdout = last-date orders of customers with >=2 distinct dates;
+    // single-date customers stay fully in TRAIN (they are excluded
+    // from evaluation, not from the similarity signal)
+    val lastDt = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_dt"),
+        countDistinct(col("o_orderdate")).as("n_dt"))
+    val o2 = orders.join(lastDt, "o_custkey")
+      .withColumn("is_holdout",
+        col("n_dt") >= 2 && col("o_orderdate") === col("last_dt"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    def cpOf(os: DataFrame): DataFrame = os
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    val trainOrders = o2.filter(!col("is_holdout"))
+    val trainCp = graft.Iterate.cut(cpOf(trainOrders))
+    val newTest = graft.Iterate.cut(
+      cpOf(o2.filter(col("is_holdout")))
+        .join(trainCp, Seq("c", "p"), "left_anti"))
+    val trainLi = li.join(
+      trainOrders.select(col("o_orderkey").as("l_orderkey")).distinct(), "l_orderkey")
+    val pairs = trainLi.as("a").join(trainLi.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("w"))
+    val sims = pairs.select(col("pa").as("p"), col("pb").as("p_to"), col("w"))
+      .unionByName(pairs.select(col("pb").as("p"), col("pa").as("p_to"), col("w")))
+    val recs = trainCp.join(sims, "p")
+      .groupBy(col("c"), col("p_to"))
+      .agg(sum(col("w")).as("score"))
+      .join(trainCp.select(col("c"), col("p").as("p_to")), Seq("c", "p_to"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("c")).orderBy(col("score").desc, col("p_to").asc)))
+      .filter(col("rk") <= topK)
+    val hits = recs.join(
+      newTest.select(col("c"), col("p").as("p_to")), Seq("c", "p_to"))
+    val nEval = newTest.agg(
+      countDistinct(col("c")).as("n_eval_customers"),
+      count(lit(1)).as("n_test_items"))
+    val nHit = hits.agg(
+      countDistinct(col("c")).as("n_hit_customers"),
+      count(lit(1)).as("n_hits"))
+    nEval.crossJoin(broadcast(nHit)).select(
+      col("n_eval_customers"), col("n_hit_customers"),
+      round(col("n_hit_customers").cast("double") / col("n_eval_customers"), 6)
+        .as("hit_rate_at_k"),
+      col("n_test_items"), col("n_hits"),
+      round(col("n_hits").cast("double") / (col("n_eval_customers") * topK), 6)
+        .as("precision_at_k"),
+      round(col("n_hits").cast("double") / col("n_test_items"), 6)
+        .as("recall_at_k"))
+  }
+
+  def cfHoldoutEvalSql(topK: Int = 3): String =
+    s"""WITH last_dt AS (
+       |  SELECT o_custkey, MAX(o_orderdate) AS last_dt,
+       |    COUNT(DISTINCT o_orderdate) AS n_dt
+       |  FROM orders GROUP BY 1
+       |), o2 AS (
+       |  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       |    (l.n_dt >= 2 AND o.o_orderdate = l.last_dt) AS is_holdout
+       |  FROM orders o JOIN last_dt l ON l.o_custkey = o.o_custkey
+       |), li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), train_cp AS (
+       |  SELECT DISTINCT o.o_custkey AS c, li.l_partkey AS p
+       |  FROM o2 o JOIN li ON li.l_orderkey = o.o_orderkey
+       |  WHERE NOT o.is_holdout
+       |), new_test AS (
+       |  SELECT t.c, t.p FROM (
+       |    SELECT DISTINCT o.o_custkey AS c, li.l_partkey AS p
+       |    FROM o2 o JOIN li ON li.l_orderkey = o.o_orderkey
+       |    WHERE o.is_holdout
+       |  ) t LEFT JOIN train_cp tc ON tc.c = t.c AND tc.p = t.p
+       |  WHERE tc.c IS NULL
+       |), train_li AS (
+       |  SELECT li.* FROM li
+       |  JOIN (SELECT DISTINCT o_orderkey FROM o2
+       |        WHERE NOT is_holdout) t
+       |    ON t.o_orderkey = li.l_orderkey
+       |), pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+       |  FROM train_li a JOIN train_li b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT pa AS p, pb AS p_to, w FROM pairs
+       |  UNION ALL
+       |  SELECT pb AS p, pa AS p_to, w FROM pairs
+       |), recs AS (
+       |  SELECT c, p_to FROM (
+       |    SELECT sc.c, sc.p_to,
+       |      ROW_NUMBER() OVER (PARTITION BY sc.c
+       |        ORDER BY sc.score DESC, sc.p_to) AS rk
+       |    FROM (
+       |      SELECT cp.c, s.p_to, CAST(SUM(s.w) AS BIGINT) AS score
+       |      FROM train_cp cp JOIN sims s ON s.p = cp.p
+       |      GROUP BY 1, 2
+       |    ) sc
+       |    LEFT JOIN train_cp tc ON tc.c = sc.c AND tc.p = sc.p_to
+       |    WHERE tc.c IS NULL
+       |  ) WHERE rk <= $topK
+       |), hits AS (
+       |  SELECT r.c, r.p_to FROM recs r
+       |  JOIN new_test t ON t.c = r.c AND t.p = r.p_to
+       |), ev AS (
+       |  SELECT COUNT(DISTINCT c) AS n_eval_customers,
+       |    COUNT(*) AS n_test_items FROM new_test
+       |), hv AS (
+       |  SELECT COUNT(DISTINCT c) AS n_hit_customers,
+       |    COUNT(*) AS n_hits FROM hits
+       |)
+       |SELECT n_eval_customers, n_hit_customers,
+       |  ROUND(CAST(n_hit_customers AS DOUBLE) / n_eval_customers, 6)
+       |    AS hit_rate_at_k,
+       |  n_test_items, n_hits,
+       |  ROUND(CAST(n_hits AS DOUBLE) / (n_eval_customers * $topK), 6)
+       |    AS precision_at_k,
+       |  ROUND(CAST(n_hits AS DOUBLE) / n_test_items, 6) AS recall_at_k
+       |FROM ev CROSS JOIN hv""".stripMargin
 }

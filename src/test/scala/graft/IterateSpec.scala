@@ -205,4 +205,22 @@ class IterateSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Long, Long)].collect().toSeq
     assert(out === Seq((2L, 1, 1L, 1L, 1L)))
   }
+
+  test("cfHoldoutEval: last-basket item is recommended from train-only signal") {
+    // c1 trains on day-0 baskets {1,2},{2,3} and holds out day-1 {4};
+    // c2 (single date → excluded from eval) buys {3,4} on day 0,
+    // giving train the (3,4) edge that recommends part 4 to c1.
+    val day = 86400000L
+    val dir = lineitemDir(Seq(
+      (1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 4L), (4L, 3L), (4L, 4L)))
+    Seq((1L, 1L, 0L), (2L, 1L, 0L), (3L, 1L, day), (4L, 2L, 0L))
+      .map { case (ok, ck, ms) => (ok, ck, "O", 1.0,
+        new java.sql.Timestamp(ms), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Graph.cfHoldoutEval(spark, dir)
+      .as[(Long, Long, Double, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq((1L, 1L, 1.0, 1L, 1L, 0.333333, 1.0)))
+  }
 }
