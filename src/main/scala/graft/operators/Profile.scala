@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -971,4 +971,101 @@ object Profile {
        |  SELECT $lhs, COUNT(DISTINCT $rhs) AS n_rhs FROM $table GROUP BY 1
        |)""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, lhs, rhs")
+
+  /** q188 — chi-square independence audit between order quantity and
+    * extended price on `lineitem`, both discretized into `bins`
+    * equal-width buckets: the contingency-table screen for
+    * NONLINEAR/categorical dependence that q143's Pearson matrix
+    * (linear only) cannot see. Reports the chi-square statistic,
+    * degrees of freedom and Cramér's V (the [0,1] effect size) in one
+    * row — the feature-redundancy triage a feature-selection or
+    * drift-investigation pass runs before modeling.
+    *
+    * Exactness: bin edges derive from exact global min/max (one IEEE
+    * subtraction/division chain, identical both engines); observed
+    * counts are BIGINT; each cell's (o−e)²/e term is one fixed-order
+    * float chain rounded to 6dp; the chi-square total sums those 6dp
+    * terms in DECIMAL(28,6) — order-independent. Cramér's V is one
+    * sqrt over the rounded total.
+    *
+    * Scale: one narrow map over the scan (two columns pruned), one
+    * (qbin, pbin)-keyed aggregate bounded at bins², and marginal/
+    * total reductions over that bins²-row table. The min/max scalar
+    * pre-pass is a broadcast, not a driver collect.
+    */
+  def chi2Independence(spark: SparkSession, dir: String, bins: Int = 5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_quantity").as("q"), col("l_extendedprice").as("p"))
+    val bounds = li.agg(min(col("q")).as("qmn"), max(col("q")).as("qmx"),
+      min(col("p")).as("pmn"), max(col("p")).as("pmx"))
+    def binOf(x: Column, mn: Column, mx: Column): Column =
+      least(floor((x - mn) / ((mx - mn) / bins)), lit(bins - 1)).cast("int")
+    val cells = li.crossJoin(broadcast(bounds))
+      .select(binOf(col("q"), col("qmn"), col("qmx")).as("qbin"),
+        binOf(col("p"), col("pmn"), col("pmx")).as("pbin"))
+      .groupBy(col("qbin"), col("pbin")).agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("qbin")).agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col("pbin")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("qbin")).as("r"), countDistinct(col("pbin")).as("c"))
+    // full r×c grid: EMPTY cells still contribute (0−e)²/e = e —
+    // skipping them understates the statistic
+    rowTot.crossJoin(colTot)
+      .join(cells, Seq("qbin", "pbin"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct") / col("n"))
+      .withColumn("term", round(
+        (col("o") - col("e")) * (col("o") - col("e")) / col("e"), 6))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(sum(col("term").cast(dec)).cast("double").as("chi2"))
+      .select(col("n").as("n_rows"),
+        ((col("r") - 1) * (col("c") - 1)).cast("int").as("dof"),
+        round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n") * least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
+  }
+
+  def chi2IndependenceSql(bins: Int = 5): String =
+    s"""WITH li AS (
+       |  SELECT l_quantity AS q, l_extendedprice AS p FROM lineitem
+       |), bounds AS (
+       |  SELECT MIN(q) AS qmn, MAX(q) AS qmx, MIN(p) AS pmn, MAX(p) AS pmx
+       |  FROM li
+       |), cells AS (
+       |  SELECT
+       |    CAST(LEAST(FLOOR((q - qmn) / ((qmx - qmn) / $bins)), $bins - 1)
+       |      AS INT) AS qbin,
+       |    CAST(LEAST(FLOOR((p - pmn) / ((pmx - pmn) / $bins)), $bins - 1)
+       |      AS INT) AS pbin,
+       |    COUNT(*) AS o
+       |  FROM li, bounds GROUP BY 1, 2
+       |), rt AS (SELECT qbin, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+       |), ct AS (SELECT pbin, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(o) AS BIGINT) AS n,
+       |    COUNT(DISTINCT qbin) AS r, COUNT(DISTINCT pbin) AS c
+       |  FROM cells
+       |), grid AS (
+       |  SELECT rt.qbin, ct.pbin, rt.rt, ct.ct, COALESCE(cells.o, 0) AS o
+       |  FROM rt CROSS JOIN ct
+       |  LEFT JOIN cells ON cells.qbin = rt.qbin AND cells.pbin = ct.pbin
+       |), terms AS (
+       |  SELECT tot.n, tot.r, tot.c,
+       |    ROUND((grid.o - CAST(grid.rt AS DOUBLE) * grid.ct / tot.n)
+       |      * (grid.o - CAST(grid.rt AS DOUBLE) * grid.ct / tot.n)
+       |      / (CAST(grid.rt AS DOUBLE) * grid.ct / tot.n), 6) AS term
+       |  FROM grid
+       |  CROSS JOIN tot
+       |), agg AS (
+       |  SELECT n, r, c,
+       |    CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE) AS chi2
+       |  FROM terms GROUP BY 1, 2, 3
+       |)
+       |SELECT n AS n_rows, CAST((r - 1) * (c - 1) AS INT) AS dof,
+       |  ROUND(chi2, 6) AS chi2,
+       |  ROUND(sqrt(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
+       |FROM agg""".stripMargin
 }

@@ -686,4 +686,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out === Seq(("m", 2L, 2L, 2L, 2L, 2.0, 5.0, 1.5, 2.5,
       2.0, 1.581139, 1.264911)))
   }
+
+  test("chi2Independence: 2x2 hand table, empty cell contributes e") {
+    // (q,p) rows (0,0)x2, (10,10)x2, (0,10): marginals r=(3,2),
+    // c=(2,3), n=5. The (1,0) cell is EMPTY and must still add
+    // e=0.8 to chi2: 0.533333+0.355556+0.8+0.533333 = 2.222222;
+    // V = sqrt(2.222222/5) = 0.666667.
+    val dir = java.nio.file.Files.createTempDirectory("graft-chi2").toString
+    Seq((0.0, 0.0), (0.0, 0.0), (10.0, 10.0), (10.0, 10.0), (0.0, 10.0))
+      .zipWithIndex
+      .map { case ((q, p), i) => (i.toLong, i.toLong, 1L, 1, q, p, 0.0, 0.0,
+        "N", "O", new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Profile.chi2Independence(spark, dir, bins = 2)
+      .as[(Long, Int, Double, Double)].collect().toSeq
+    assert(out === Seq((5L, 1, 2.222222, 0.666667)))
+  }
 }
