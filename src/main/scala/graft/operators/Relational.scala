@@ -1080,4 +1080,95 @@ object Relational {
       |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
       |)
       |ORDER BY p_retailprice, p_partkey""".stripMargin
+
+  /** q189 — national market share (the TPC-H Q8 shape): for every
+    * order year and customer region, the fraction of PROMO-part
+    * revenue supplied by suppliers of `shareNation`. The classic
+    * 7-relation star join — fact lineitem against orders, customer,
+    * supplier, part, and nation twice (customer side and supplier
+    * side) plus region — exercising exactly the plan properties a
+    * warehouse engine is graded on: every dimension broadcasts, the
+    * `p_type` filter prunes the fact join through the part dimension,
+    * and the single wide fact scan shuffles ONCE on the final
+    * (year, region) aggregate key. At 100 TB the fact table is the
+    * only non-broadcast input, so the whole query is one scan + one
+    * 2-key aggregate — any plan that shuffles lineitem more than once
+    * here is wrong.
+    *
+    * Exactness: revenue terms round to 6dp before the DECIMAL(28,6)
+    * accumulators (order-independent sums, the q01 discipline); the
+    * share is one rounded IEEE division of two exact decimals-as-
+    * doubles.
+    */
+  def marketShare(spark: SparkSession, dir: String,
+                  shareNation: String = "NATION_0",
+                  partType: String = "PROMO"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+    val orders = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val supp = Tables.load(spark, dir, "supplier")
+    val part = Tables.load(spark, dir, "part").filter(col("p_type") === partType)
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    li
+      .join(broadcast(part.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_regionkey"))), "c_nationkey")
+      .join(broadcast(region.select(col("r_regionkey").as("n_regionkey"),
+        col("r_name"))), "n_regionkey")
+      .join(broadcast(supp.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))), "s_nationkey")
+      .withColumn("rev",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6))
+      .groupBy(col("o_year"), col("r_name").as("cust_region"))
+      .agg(
+        sum(when(col("supp_nation") === shareNation, col("rev").cast(dec))
+          .otherwise(lit(0).cast(dec))).cast("double").as("nation_rev"),
+        sum(col("rev").cast(dec)).cast("double").as("total_rev"),
+        count(lit(1)).as("n_lines"))
+      .select(col("o_year"), col("cust_region"),
+        round(col("nation_rev"), 6).as("nation_rev"),
+        round(col("total_rev"), 6).as("total_rev"),
+        round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"),
+        col("n_lines"))
+      .orderBy(col("o_year"), col("cust_region"))
+  }
+
+  def marketShareSql(shareNation: String = "NATION_0",
+                     partType: String = "PROMO"): String =
+    s"""SELECT o_year, cust_region,
+       |  ROUND(nation_rev, 6) AS nation_rev,
+       |  ROUND(total_rev, 6) AS total_rev,
+       |  ROUND(nation_rev / total_rev, 6) AS mkt_share,
+       |  n_lines
+       |FROM (
+       |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       |    r.r_name AS cust_region,
+       |    CAST(SUM(CASE WHEN sn.n_name = '$shareNation'
+       |      THEN CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 6)
+       |        AS DECIMAL(28,6))
+       |      ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS nation_rev,
+       |    CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 6)
+       |      AS DECIMAL(28,6))) AS DOUBLE) AS total_rev,
+       |    COUNT(*) AS n_lines
+       |  FROM lineitem l
+       |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = '$partType'
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN customer c ON c.c_custkey = o.o_custkey
+       |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+       |  JOIN region r ON r.r_regionkey = cn.n_regionkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+       |  GROUP BY 1, 2
+       |)
+       |ORDER BY o_year, cust_region""".stripMargin
 }

@@ -124,4 +124,17 @@ class PlansSpec extends AnyFunSuite {
         spark.experimental.extraOptimizations.filterNot(_ eq graft.plans.RewriteGlobalMaxWindow)
     }
   }
+
+  test("q189 star join: every dimension broadcasts, fact shuffles once") {
+    // the TPC-H Q8 shape is graded on its plan: seven broadcast hash
+    // joins chained on the single lineitem scan and NO shuffle join —
+    // a sort-merge join here means a dimension lost its broadcast and
+    // the fact table is being exchanged on a join key
+    val out = operators.Relational.marketShare(spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBhj >= 7, s"expected >=7 broadcast joins, got $nBhj:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"dimension fell back to a shuffle join:\n$plan")
+  }
 }
