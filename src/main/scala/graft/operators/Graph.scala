@@ -1368,4 +1368,76 @@ object Graph {
        |    AS precision_at_k,
        |  ROUND(CAST(n_hits AS DOUBLE) / n_test_items, 6) AS recall_at_k
        |FROM ev CROSS JOIN hv""".stripMargin
+
+  /** q190 — frequent itemset triples (Apriori level 2): extends
+    * q142's frequent pairs one lattice level up. Candidate (a,b,c)
+    * triples are GENERATED from frequent pairs sharing a prefix
+    * ((a,b)⋈(a,c), b<c) and PRUNED by the Apriori property (the
+    * third side (b,c) must itself be frequent) BEFORE any support
+    * counting touches the fact table — the candidate set is bounded
+    * by the frequent-pair list, never by the cubic all-triples
+    * space. Support is then counted by three co-keyed basket joins
+    * and thresholded; top-`topK` reported with a fully-tiebroken
+    * literal limit.
+    *
+    * Scale: this is the textbook reason Apriori survives at volume —
+    * level-k candidates come from level-(k−1) results (tiny), and
+    * each counting pass is key-joins against the basket table (one
+    * shuffle per side, all equi-joins). The basket table is already
+    * distinct (order, part), so COUNT(*) is distinct-order support.
+    *
+    * All-integer; no float anywhere.
+    */
+  def frequentTriples(spark: SparkSession, dir: String, minSup: Long = 2L,
+                      topK: Int = 20): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+    val p2 = graft.Iterate.cut(coPurchasePairs(spark, dir)
+      .filter(col("w") >= minSup).select(col("pa"), col("pb")))
+    val cand = p2.select(col("pa").as("a"), col("pb").as("b"))
+      .join(p2.select(col("pa").as("a"), col("pb").as("c")), "a")
+      .filter(col("b") < col("c"))
+      .join(p2.select(col("pa").as("b"), col("pb").as("c")),
+        Seq("b", "c"), "left_semi")
+    cand
+      .join(li.select(col("ok"), col("l_partkey").as("a")), "a")
+      .join(li.select(col("ok"), col("l_partkey").as("b")), Seq("b", "ok"),
+        "left_semi")
+      .join(li.select(col("ok"), col("l_partkey").as("c")), Seq("c", "ok"),
+        "left_semi")
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSup)
+      .select(col("a").as("pa"), col("b").as("pb"), col("c").as("pc"),
+        col("support"))
+      .orderBy(col("support").desc, col("pa"), col("pb"), col("pc"))
+      .limit(topK)
+  }
+
+  def frequentTriplesSql(minSup: Long = 2L, topK: Int = 20): String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem
+       |), p2 AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSup
+       |), cand AS (
+       |  SELECT ab.pa AS a, ab.pb AS b, ac.pb AS c
+       |  FROM p2 ab JOIN p2 ac ON ab.pa = ac.pa AND ab.pb < ac.pb
+       |  WHERE EXISTS (SELECT 1 FROM p2 bc
+       |                WHERE bc.pa = ab.pb AND bc.pb = ac.pb)
+       |), sup AS (
+       |  SELECT cand.a, cand.b, cand.c, COUNT(*) AS support
+       |  FROM cand
+       |  JOIN li la ON la.l_partkey = cand.a
+       |  WHERE EXISTS (SELECT 1 FROM li lb
+       |                WHERE lb.ok = la.ok AND lb.l_partkey = cand.b)
+       |    AND EXISTS (SELECT 1 FROM li lc
+       |                WHERE lc.ok = la.ok AND lc.l_partkey = cand.c)
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT a AS pa, b AS pb, c AS pc, support
+       |FROM sup WHERE support >= $minSup
+       |ORDER BY support DESC, pa, pb, pc
+       |LIMIT $topK""".stripMargin
 }

@@ -223,4 +223,18 @@ class IterateSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Long, Long, Double, Double)].collect().toSeq
     assert(out === Seq((1L, 1L, 1.0, 1L, 1L, 0.333333, 1.0)))
   }
+
+  test("frequentTriples: Apriori prune kills the triple missing a pair") {
+    // {1,2,3} twice → all three pairs frequent, triple support 2.
+    // {4,5}x2 and {4,6}x2 make (4,5) and (4,6) frequent but never
+    // (5,6) — candidate (4,5,6) must be PRUNED, not counted to zero.
+    val dir = lineitemDir(Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L),
+      (4L, 4L), (4L, 5L), (5L, 4L), (5L, 5L),
+      (6L, 4L), (6L, 6L), (7L, 4L), (7L, 6L)))
+    val out = graft.operators.Graph.frequentTriples(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 3L, 2L)))
+  }
 }
