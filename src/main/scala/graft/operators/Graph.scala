@@ -1168,12 +1168,34 @@ object Graph {
     * ROW_NUMBER → WindowGroupLimit prunes partial. All-integer
     * scores — no float drift anywhere.
     */
-  def itemCfRecs(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+  /** Top-`cap` similarity-list truncation — the standard item-CF
+    * scale lever (every serving-side item-item system stores bounded
+    * neighbor lists): caps the ownership⋈similarity fan-out at
+    * |ownership|·cap instead of |ownership|·avg-degree. Fully
+    * tiebroken (w desc, p_to asc) so both engines truncate
+    * identically; the per-item top-cap is a literal-bounded
+    * ROW_NUMBER → partial WindowGroupLimit. Measured: the sf0.1
+    * uncapped q185/q187 spent 12.9 s / 28.5 s almost entirely in the
+    * fan-out aggregate; cap=20 bounds it with unchanged protocol
+    * semantics (scores are now "over the top-20 neighbor graph",
+    * stated in both oracles).
+    */
+  private def capNeighbors(sims: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sims.withColumn("nrk", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("w").desc, col("p_to").asc)))
+      .filter(col("nrk") <= cap).drop("nrk")
+  }
+
+  def itemCfRecs(spark: SparkSession, dir: String, topK: Int = 3,
+                 neighborCap: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cp = custPartEdges(spark, dir)
     val pairs = coPurchasePairs(spark, dir)
-    val sims = pairs.select(col("pa").as("p"), col("pb").as("p_to"), col("w"))
-      .unionByName(pairs.select(col("pb").as("p"), col("pa").as("p_to"), col("w")))
+    val sims = capNeighbors(
+      pairs.select(col("pa").as("p"), col("pb").as("p_to"), col("w"))
+        .unionByName(pairs.select(col("pb").as("p"), col("pa").as("p_to"), col("w"))),
+      neighborCap)
     val scores = cp.join(sims, "p")
       .groupBy(col("c"), col("p_to"))
       .agg(sum(col("w")).as("score"), count(lit(1)).as("n_owned_neighbors"))
@@ -1187,7 +1209,7 @@ object Graph {
       .orderBy(col("c_custkey"), col("rec_rank"))
   }
 
-  def itemCfRecsSql(topK: Int = 3): String =
+  def itemCfRecsSql(topK: Int = 3, neighborCap: Int = 20): String =
     s"""WITH li AS (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
        |), pairs AS (
@@ -1196,9 +1218,12 @@ object Graph {
        |    AND a.l_partkey < b.l_partkey
        |  GROUP BY 1, 2
        |), sims AS (
-       |  SELECT pa AS p, pb AS p_to, w FROM pairs
-       |  UNION ALL
-       |  SELECT pb AS p, pa AS p_to, w FROM pairs
+       |  SELECT p, p_to, w FROM (
+       |    SELECT pa AS p, pb AS p_to, w FROM pairs
+       |    UNION ALL
+       |    SELECT pb AS p, pa AS p_to, w FROM pairs
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY p
+       |      ORDER BY w DESC, p_to) <= $neighborCap
        |), cp AS (
        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1243,7 +1268,8 @@ object Graph {
     * Exactness: every count is BIGINT; the three rates are single
     * rounded IEEE divisions.
     */
-  def cfHoldoutEval(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+  def cfHoldoutEval(spark: SparkSession, dir: String, topK: Int = 3,
+                    neighborCap: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val orders = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
@@ -1273,8 +1299,10 @@ object Graph {
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .agg(count(lit(1)).as("w"))
-    val sims = pairs.select(col("pa").as("p"), col("pb").as("p_to"), col("w"))
-      .unionByName(pairs.select(col("pb").as("p"), col("pa").as("p_to"), col("w")))
+    val sims = capNeighbors(
+      pairs.select(col("pa").as("p"), col("pb").as("p_to"), col("w"))
+        .unionByName(pairs.select(col("pb").as("p"), col("pa").as("p_to"), col("w"))),
+      neighborCap)
     val recs = trainCp.join(sims, "p")
       .groupBy(col("c"), col("p_to"))
       .agg(sum(col("w")).as("score"))
@@ -1301,7 +1329,7 @@ object Graph {
         .as("recall_at_k"))
   }
 
-  def cfHoldoutEvalSql(topK: Int = 3): String =
+  def cfHoldoutEvalSql(topK: Int = 3, neighborCap: Int = 20): String =
     s"""WITH last_dt AS (
        |  SELECT o_custkey, MAX(o_orderdate) AS last_dt,
        |    COUNT(DISTINCT o_orderdate) AS n_dt
@@ -1334,9 +1362,12 @@ object Graph {
        |    AND a.l_partkey < b.l_partkey
        |  GROUP BY 1, 2
        |), sims AS (
-       |  SELECT pa AS p, pb AS p_to, w FROM pairs
-       |  UNION ALL
-       |  SELECT pb AS p, pa AS p_to, w FROM pairs
+       |  SELECT p, p_to, w FROM (
+       |    SELECT pa AS p, pb AS p_to, w FROM pairs
+       |    UNION ALL
+       |    SELECT pb AS p, pa AS p_to, w FROM pairs
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY p
+       |      ORDER BY w DESC, p_to) <= $neighborCap
        |), recs AS (
        |  SELECT c, p_to FROM (
        |    SELECT sc.c, sc.p_to,
