@@ -129,7 +129,11 @@ object Bench {
       // q36 under ScaleMode.Sketch: HLL df per token — same code path,
       // the dial swaps only the distinct aggregate (ScaleModeSpec
       // bounds the rsd drift against Exact)
-      "x05_vocab_sketch" -> (() => operators.TextAnalysis.vocabularyApprox(spark, sfDir)))
+      "x05_vocab_sketch" -> (() => operators.TextAnalysis.vocabularyApprox(spark, sfDir)),
+      // q110 under ScaleMode.Sketch: HLL inclusion-exclusion replaces
+      // the shingle-keyed self-join entirely (ScaleModeSpec bounds the
+      // drift against Exact)
+      "x06_overlap_sketch" -> (() => operators.Dedup.crossSourceOverlapApprox(spark, sfDir)))
 
     val standard = SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (n, fn) => n -> (() => fn(spark, sfDir)) }

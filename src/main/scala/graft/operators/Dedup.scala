@@ -1172,7 +1172,10 @@ object Dedup {
     * aggregates are partial+final on (source_a, source_b).
     */
   def crossSourceOverlap(spark: SparkSession, dir: String,
-                         k: Int = 3): DataFrame = {
+                         k: Int = 3,
+                         mode: graft.ScaleMode = graft.ScaleMode.Exact): DataFrame = {
+    if (mode == graft.ScaleMode.Sketch)
+      return crossSourceOverlapSketch(spark, dir, k)
     val docs = Tables.load(spark, dir, "documents")
     val sf = shingles(docs, k)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
@@ -1197,6 +1200,57 @@ object Dedup {
           (col("n_sh_a") + col("n_sh_b") - col("n_shared")), 6).as("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** x06 — the bounded-state 100 TB path for q110: HLL distincts +
+    * inclusion–exclusion replace the shingle-keyed SELF-JOIN entirely.
+    * Per source, |S| is one approx_count_distinct; per source PAIR,
+    * |A∪B| is an approx_count_distinct over the pair-tagged shingle
+    * stream (each (source, shingle) row replicated to the ≤|sources|−1
+    * pairs containing it — a broadcast join against the tiny pair
+    * list, NOT a shingle⋈shingle join), and |A∩B| = |A|+|B|−|A∪B|
+    * (clamped at 0: sketch noise can push the difference negative).
+    * HLL registers are order-insensitive (merge = register max), so
+    * the sketch output is deterministic; the spec binds it to the
+    * exact twin within the rsd envelope. No pre-`distinct` either —
+    * the sketch absorbs duplicates, dropping the exact path's
+    * distinct shuffle. This is why the sketch is the scale path: the
+    * exact form's join fan-out is |shingle|-keyed; this form never
+    * keys on a shingle at all.
+    */
+  private def crossSourceOverlapSketch(spark: SparkSession, dir: String,
+                                       k: Int = 3,
+                                       rsd: Double = 0.05): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sf = shingles(docs, k)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("shingle"))
+      .localCheckpoint() // two consumers: sizes + the pair tagging
+    val sizes = sf.groupBy(col("source"))
+      .agg(approx_count_distinct(col("shingle"), rsd).as("n_sh"))
+    val pairList = sizes.select(col("source").as("source_a"))
+      .crossJoin(sizes.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val unions = sf
+      .join(broadcast(pairList),
+        col("source") === col("source_a") || col("source") === col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(approx_count_distinct(col("shingle"), rsd).as("n_union"))
+    unions
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_sh").as("n_sh_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_sh").as("n_sh_b"))), "source_b")
+      .withColumn("n_shared",
+        greatest(col("n_sh_a") + col("n_sh_b") - col("n_union"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_sh_a"), col("n_sh_b"),
+        round(col("n_shared").cast("double") / col("n_union"), 6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Bench/deploy alias for the sketch mode (x06). */
+  def crossSourceOverlapApprox(spark: SparkSession, dir: String): DataFrame =
+    crossSourceOverlap(spark, dir, mode = graft.ScaleMode.Sketch)
 
   def crossSourceOverlapSql(k: Int = 3): String =
     s"""WITH sh0 AS (

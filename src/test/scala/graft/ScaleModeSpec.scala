@@ -27,6 +27,34 @@ class ScaleModeSpec extends AnyFunSuite {
       === rows(operators.Events.rollingActiveUsersApprox(spark, sf0001)))
     assert(rows(operators.TextAnalysis.vocabulary(spark, sf0001, ScaleMode.Sketch))
       === rows(operators.TextAnalysis.vocabularyApprox(spark, sf0001)))
+    assert(rows(operators.Dedup.crossSourceOverlap(spark, sf0001,
+        mode = ScaleMode.Sketch))
+      === rows(operators.Dedup.crossSourceOverlapApprox(spark, sf0001)))
+  }
+
+  test("overlap sketch tracks exact pair counts within the rsd envelope") {
+    import spark.implicits._
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r).toMap
+    val exact = keyed(operators.Dedup.crossSourceOverlap(spark, sf0001))
+    val sk = keyed(operators.Dedup.crossSourceOverlap(spark, sf0001,
+      mode = ScaleMode.Sketch))
+    // every EXACT pair with overlap appears in the sketch (the sketch
+    // emits all pairs; exact omits zero-shared pairs, so compare on
+    // the exact key set)
+    assert(exact.keySet.subsetOf(sk.keySet))
+    exact.foreach { case (k, e) =>
+      val s = sk(k)
+      // per-source sizes: HLL rsd 5%, allow 4 sigma
+      assert(math.abs(s._4 - e._4) <= math.max(2L, (e._4 * 0.2).toLong), s"$k n_a")
+      assert(math.abs(s._5 - e._5) <= math.max(2L, (e._5 * 0.2).toLong), s"$k n_b")
+      // intersection via inclusion-exclusion compounds three sketches:
+      // bound it loosely relative to the UNION size (the stable scale)
+      val union = e._4 + e._5 - e._3
+      assert(math.abs(s._3 - e._3) <= math.max(4L, (union * 0.3).toLong),
+        s"$k n_shared sketch ${s._3} vs exact ${e._3}")
+    }
   }
 
   test("vocabulary sketch df stays within the HLL rsd envelope of exact") {
