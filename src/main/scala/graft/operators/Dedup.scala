@@ -1658,4 +1658,77 @@ object Dedup {
       |  JOIN sizes sb ON sb.doc_id = s.doc_b
       |) WHERE jaccard >= $threshold
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q192 — effective token yield per source: how many TOKENS (not
+    * documents) each source actually contributes to a training mix
+    * after deduplication. q108 counts dup documents; budgets are paid
+    * in tokens, and dup documents are systematically longer/shorter
+    * than average often enough that doc-level and token-level dup
+    * rates diverge — this is the number a mix planner (q62/q178)
+    * should weight by. Per source: raw docs/tokens, exact-dedup
+    * survivors (q25's normalized-fingerprint minimum) and their
+    * tokens, near-dup cluster canonicals (q38's CC labels — exact
+    * dups land in the same cluster whenever the doc is long enough
+    * to shingle, so canonical counts encode the cascade) and their
+    * tokens, and the end-to-end token yield.
+    *
+    * Scale: one narrow map for tokens/fingerprints, the memoized CC
+    * labels joined doc-keyed, a fingerprint-partitioned min window,
+    * one (source) aggregate. Nothing new shuffles beyond the q38
+    * fixpoint the session already paid for.
+    */
+  def tokenYield(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+        contentFingerprint(col("text")).as("fp"))
+      .withColumn("is_exact_surv",
+        (col("doc_id") === min(col("doc_id")).over(w)).cast("int"))
+    val labels = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    docs.join(labels, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("is_exact_surv").cast("long")).as("n_docs_exact"),
+        sum(when(col("is_exact_surv") === 1, col("n_tok")).otherwise(lit(0L)))
+          .as("n_tokens_exact"),
+        sum(col("is_canonical").cast("long")).as("n_docs_canonical"),
+        sum(when(col("is_canonical") === 1, col("n_tok")).otherwise(lit(0L)))
+          .as("n_tokens_canonical"))
+      .withColumn("token_yield", round(
+        col("n_tokens_canonical").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
+  def tokenYieldSql(): String =
+    s"""WITH cc AS (
+      |$dedupClustersSql
+      |), docs_t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+      |      t -> t <> '')) AS BIGINT) AS n_tok,
+      |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      |  FROM documents
+      |), ex AS (
+      |  SELECT *, CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+      |    THEN 1 ELSE 0 END AS is_exact_surv
+      |  FROM docs_t
+      |)
+      |SELECT e.source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(e.n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(e.is_exact_surv) AS BIGINT) AS n_docs_exact,
+      |  CAST(SUM(CASE WHEN e.is_exact_surv = 1 THEN e.n_tok ELSE 0 END)
+      |    AS BIGINT) AS n_tokens_exact,
+      |  CAST(SUM(cc.is_canonical) AS BIGINT) AS n_docs_canonical,
+      |  CAST(SUM(CASE WHEN cc.is_canonical = 1 THEN e.n_tok ELSE 0 END)
+      |    AS BIGINT) AS n_tokens_canonical,
+      |  ROUND(CAST(SUM(CASE WHEN cc.is_canonical = 1 THEN e.n_tok ELSE 0 END)
+      |    AS DOUBLE) / SUM(e.n_tok), 6) AS token_yield
+      |FROM ex e JOIN cc ON cc.doc_id = e.doc_id
+      |GROUP BY e.source
+      |ORDER BY e.source""".stripMargin
 }

@@ -1171,4 +1171,78 @@ object Relational {
        |  GROUP BY 1, 2
        |)
        |ORDER BY o_year, cust_region""".stripMargin
+
+  /** q191 — hierarchical revenue shares (percent-of-parent rollup):
+    * per nation, its order revenue, its REGION's revenue, the global
+    * total, and the nation's share of each — the region→nation drill
+    * layer every BI revenue dashboard renders, and the ratio-to-parent
+    * window shape (share computed against two ancestor levels in one
+    * pass) that q47's rollup totals don't express.
+    *
+    * Scale: one orders-sized aggregate keyed on the (tiny) customer→
+    * nation→region broadcast chain; both ancestor shares are windows
+    * over the |nations|-row aggregate — catalog-sized, never
+    * fact-sized. Revenue rides DECIMAL(28,6) (order-independent);
+    * shares are single rounded IEEE divisions.
+    */
+  def nationRevenueShares(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val region = Tables.load(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val perNation = orders
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice"), 6).cast(dec)).as("nation_rev_d"))
+    perNation
+      .withColumn("region_rev_d",
+        sum(col("nation_rev_d")).over(Window.partitionBy(col("region"))))
+      .withColumn("global_rev_d",
+        sum(col("nation_rev_d")).over(Window.partitionBy()))
+      .select(col("region"), col("nation"), col("n_orders"),
+        col("nation_rev_d").cast("double").as("nation_rev"),
+        col("region_rev_d").cast("double").as("region_rev"),
+        col("global_rev_d").cast("double").as("global_rev"),
+        round(col("nation_rev_d").cast("double") /
+          col("region_rev_d").cast("double"), 6).as("share_of_region"),
+        round(col("nation_rev_d").cast("double") /
+          col("global_rev_d").cast("double"), 6).as("share_of_global"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val nationRevenueSharesSql: String =
+    """WITH per_nation AS (
+      |  SELECT r.r_name AS region, n.n_name AS nation,
+      |    COUNT(*) AS n_orders,
+      |    SUM(CAST(ROUND(o.o_totalprice, 6) AS DECIMAL(28,6))) AS nation_rev_d
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  GROUP BY 1, 2
+      |), leveled AS (
+      |  SELECT *,
+      |    SUM(nation_rev_d) OVER (PARTITION BY region) AS region_rev_d,
+      |    SUM(nation_rev_d) OVER () AS global_rev_d
+      |  FROM per_nation
+      |)
+      |SELECT region, nation, n_orders,
+      |  CAST(nation_rev_d AS DOUBLE) AS nation_rev,
+      |  CAST(region_rev_d AS DOUBLE) AS region_rev,
+      |  CAST(global_rev_d AS DOUBLE) AS global_rev,
+      |  ROUND(CAST(nation_rev_d AS DOUBLE) / CAST(region_rev_d AS DOUBLE), 6)
+      |    AS share_of_region,
+      |  ROUND(CAST(nation_rev_d AS DOUBLE) / CAST(global_rev_d AS DOUBLE), 6)
+      |    AS share_of_global
+      |FROM leveled
+      |ORDER BY region, nation""".stripMargin
 }

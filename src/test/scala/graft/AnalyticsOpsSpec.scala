@@ -705,4 +705,30 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .as[(Long, Int, Double, Double)].collect().toSeq
     assert(out === Seq((5L, 1, 2.222222, 0.666667)))
   }
+
+  test("nationRevenueShares: two-level shares sum to 1 per level, hand math") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-natrev").toString
+    Seq((1, "R1"), (2, "R2")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((1, "A", 1), (2, "B", 1), (3, "C", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, "c1", 1, 0.0, "X"), (2L, "c2", 2, 0.0, "X"), (3L, "c3", 3, 0.0, "X"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // nation A: 10+20, B: 30, C: 40 → region R1=60, R2=40, global 100
+    Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 2L, 30.0), (4L, 3L, 40.0))
+      .map { case (ok, ck, v) => (ok, ck, "O", v,
+        new java.sql.Timestamp(0L), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Relational.nationRevenueShares(spark, dir)
+      .as[(String, String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("R1", "A", 2L, 30.0, 60.0, 100.0, 0.5, 0.3),
+      ("R1", "B", 1L, 30.0, 60.0, 100.0, 0.5, 0.3),
+      ("R2", "C", 1L, 40.0, 40.0, 100.0, 1.0, 0.4)))
+  }
 }

@@ -725,4 +725,17 @@ class CorpusOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Double)].collect().toSeq
     assert(tail.map(t => (t._1, t._2)) === Seq((1L, 2L)))
   }
+
+  test("tokenYield: exact dup drops tokens, near-dup canonical keeps rep only") {
+    // docs 1,2 are byte-identical (3 tokens each); docs 3,4 are
+    // shingle near-dups (6 and 7 tokens, J=4/5). Exact survivors:
+    // 1,3,4 (16 tokens); CC canonicals: 1,3 (9 tokens).
+    val dir = docsDir(Seq(
+      (1L, "a b c"), (2L, "a b c"),
+      (3L, "x y z p q r"), (4L, "x y z p q r s")))
+    val out = Dedup.tokenYield(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(out === Seq(("unit", 4L, 19L, 3L, 16L, 2L, 9L, 0.473684)))
+  }
 }
