@@ -424,4 +424,65 @@ object Temporal {
       |  f AS (PARTITION BY p_brand ORDER BY week
       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
       |ORDER BY p_brand, week""".stripMargin
+
+  /** q193 — point-in-time (PIT) enrichment of purchases against the
+    * q85 SCD2 state history: for every purchase event, the state the
+    * user was in JUST BEFORE the purchase (the interval with
+    * valid_from < t ≤ valid_to, half-open on the other side so a
+    * state change at the purchase instant resolves to the state being
+    * left). This is the fact→versioned-dimension lookup every
+    * warehouse join does against SCD2 history — q46's as-of join
+    * finds the nearest prior EVENT; this resolves against compressed
+    * INTERVALS, the shape dimension history is actually stored in.
+    * Purchases with no prior state (the user's first event) survive
+    * with NULL state via the left join.
+    *
+    * Uniqueness: intervals of one user are disjoint half-open spans
+    * ordered by (ts, event_id); at most one satisfies
+    * from < t ≤ to (an empty same-instant interval fails from < t),
+    * so the join is at-most-one — no post-dedup needed, and both
+    * engines agree row-for-row.
+    *
+    * Scale: an EQUI-join on user_id with the containment as a
+    * residual filter — a hash/sort-merge join whose per-key right
+    * side is the user's CHANGE count (compressed), not their event
+    * count; never a range-join nested loop. Both inputs share the
+    * user_id partitioning with the q85 window that built the
+    * intervals.
+    */
+  def pitEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val iv = scd2Intervals(spark, dir)
+      .select(col("user_id").as("iv_user"), col("state"),
+        col("valid_from_ms"), col("valid_to_ms"), col("version"))
+    val purchases = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("ts_ms", graft.operators.Relational.tsMs("ts"))
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_ms"))
+    purchases.join(iv,
+        col("user_id") === col("iv_user") &&
+          col("valid_from_ms") < col("ts_ms") &&
+          (col("valid_to_ms").isNull || col("ts_ms") <= col("valid_to_ms")),
+        "left")
+      .select(col("purchase_id"), col("user_id"), col("ts_ms"),
+        col("state").as("prior_state"),
+        col("version").as("prior_version"),
+        col("valid_from_ms").as("prior_since_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val pitEnrichmentSql: String =
+    s"""WITH iv AS (
+       |$scd2IntervalsSql
+       |), p AS (
+       |  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS ts_ms
+       |  FROM events WHERE event_type = 'purchase'
+       |)
+       |SELECT p.purchase_id, p.user_id, p.ts_ms,
+       |  iv.state AS prior_state,
+       |  iv.version AS prior_version,
+       |  iv.valid_from_ms AS prior_since_ms
+       |FROM p LEFT JOIN iv ON iv.user_id = p.user_id
+       |  AND iv.valid_from_ms < p.ts_ms
+       |  AND (iv.valid_to_ms IS NULL OR p.ts_ms <= iv.valid_to_ms)
+       |ORDER BY purchase_id""".stripMargin
 }

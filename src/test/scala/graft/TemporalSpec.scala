@@ -198,4 +198,21 @@ class TemporalSpec extends AnyFunSuite {
       ("Y", 1L, 2.0, Some(0.0), None, 1.0),
       ("Y", 2L, 0.0, Some(2.0), None, 0.666667)))
   }
+
+  test("pitEnrichment: purchase resolves to the state being LEFT; first event NULL") {
+    // user 1: signup@1000 → click@2000 → purchase@3000. The purchase
+    // instant closes the click interval [2000, 3000], so the prior
+    // state is click (version 2). user 2's purchase is their first
+    // event: no prior interval → NULL enrichment survives the left join.
+    val dir = writeEvents(Seq(
+      (1L, 1000L, 1L, "signup"), (2L, 2000L, 1L, "click"),
+      (3L, 3000L, 1L, "purchase"),
+      (4L, 5000L, 2L, "purchase")))
+    val out = graft.operators.Temporal.pitEnrichment(spark, dir)
+      .as[(Long, Long, Long, Option[String], Option[Int], Option[Long])]
+      .collect().toSeq
+    assert(out === Seq(
+      (3L, 1L, 3000L, Some("click"), Some(2), Some(2000L)),
+      (4L, 2L, 5000L, None, None, None)))
+  }
 }
