@@ -1295,4 +1295,78 @@ object Curation {
       |  ROUND((rw / sum_rw) * CAST($budgetTokens AS DOUBLE) / n_tokens, 6)
       |    AS epochs_at_budget
       |FROM scored ORDER BY source""".stripMargin
+
+  /** q195 — weighted median (lower) of line quantity per brand,
+    * weighted by extended price: the first quantity, in (quantity,
+    * orderkey, linenumber) order, whose cumulative weight reaches half
+    * the brand's total. Revenue-weighted medians answer "what quantity
+    * does the median DOLLAR ship at" — robust to the long tail of
+    * cheap lines that drags the unweighted median, and the missing
+    * sibling of the unweighted rank quantiles (q42) and MAD screen
+    * (q95).
+    *
+    * Exactness: weights accumulate as DECIMAL(18,6) (window sum is
+    * widened-decimal, order-independent); the crossing test compares
+    * `2·cw ≥ W` in exact decimal arithmetic — no halving, no float
+    * drift, so both engines pick the identical crossing row given the
+    * identical total order (fully tiebroken by the line's PK).
+    *
+    * Scale: one shuffle on brand for the cumulative window plus a
+    * map-side-combinable totals aggregate; the brand domain is small,
+    * so per-partition sort is the cost — for a 100 TB run with huge
+    * single groups, the two-pass bucketed prefix-sum path (q60's
+    * histogram quantiles, weight-summed per bucket) replaces the
+    * single-partition sort; this exact form is the oracle and the
+    * small-group workhorse.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        expr("CAST(l_extendedprice AS DECIMAL(18,6))").as("w"))
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val j = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val cumW = Window.partitionBy(col("p_brand"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("p_brand"))
+    val crossing = j
+      .withColumn("cw", sum(col("w")).over(cumW))
+      .withColumn("tw", sum(col("w")).over(totW))
+      .filter(lit(2) * col("cw") >= col("tw"))
+      .groupBy(col("p_brand"))
+      .agg(min(col("l_quantity")).as("w_median_qty"))
+    val totals = j.groupBy(col("p_brand"))
+      .agg(sum(col("w")).cast("double").as("total_weight"),
+        count(lit(1)).as("n_items"))
+    totals.join(crossing, Seq("p_brand"))
+      .select(col("p_brand"), col("w_median_qty"),
+        col("total_weight"), col("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH j AS (
+      |  SELECT p.p_brand, l.l_quantity, l.l_orderkey, l.l_linenumber,
+      |    CAST(l.l_extendedprice AS DECIMAL(18,6)) AS w
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |), c AS (
+      |  SELECT p_brand, l_quantity,
+      |    SUM(w) OVER (PARTITION BY p_brand
+      |                 ORDER BY l_quantity, l_orderkey, l_linenumber
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(w) OVER (PARTITION BY p_brand) AS tw
+      |  FROM j
+      |), sel AS (
+      |  SELECT p_brand, MIN(l_quantity) AS w_median_qty
+      |  FROM c WHERE 2 * cw >= tw GROUP BY 1
+      |), t AS (
+      |  SELECT p_brand, CAST(SUM(w) AS DOUBLE) AS total_weight,
+      |    CAST(COUNT(*) AS BIGINT) AS n_items
+      |  FROM j GROUP BY 1
+      |)
+      |SELECT t.p_brand, sel.w_median_qty, t.total_weight, t.n_items
+      |FROM t JOIN sel USING (p_brand)
+      |ORDER BY p_brand""".stripMargin
 }

@@ -1245,4 +1245,73 @@ object Relational {
       |    AS share_of_global
       |FROM leveled
       |ORDER BY region, nation""".stripMargin
+
+  /** q196 — suppliers who single-handedly held up multi-supplier
+    * orders (the TPC-H Q21 "suppliers who kept orders waiting" shape,
+    * adapted to this schema's ship-vs-order-date lag): count, per
+    * supplier, the orders where (a) the order involves MORE than one
+    * supplier, (b) this supplier shipped a line more than `lateDays`
+    * after the order date, and (c) NO other supplier on the order was
+    * late — the sole-culprit attribution query.
+    *
+    * The textbook formulation is a semi-join (another supplier
+    * exists) plus an anti-join (no other late supplier) — two extra
+    * scans of the fact. This implementation collapses both EXISTS
+    * into ONE windowed pass over the per-(order, supplier) lateness
+    * aggregate: `n_supp > 1 ∧ late ∧ n_late = 1` — the oracle SQL
+    * keeps the EXISTS/NOT-EXISTS form, so the correctness gate proves
+    * the rewrite equivalent.
+    *
+    * Scale: one order-keyed shuffle for the aggregate; the window
+    * runs over per-order SUPPLIER lists (bounded by suppliers-per-
+    * order, single digits), not raw lines; supplier names arrive by
+    * broadcast. Three fact scans become one.
+    */
+  def lateCulprits(spark: SparkSession, dir: String,
+                   lateDays: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayOf = (c: String) =>
+      s"(unix_micros(cast($c as timestamp)) - pmod(unix_micros(cast($c as timestamp)), 86400000000)) div 86400000000"
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr(dayOf("l_shipdate")).as("ship_day"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), expr(dayOf("o_orderdate")).as("order_day"))
+    val per = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("ship_day") - col("order_day")) > lateDays).as("late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val culprits = per
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("late").cast("long")).over(w))
+      .filter(col("late") && col("n_supp") > 1 && col("n_late") === 1)
+    val supplier = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    culprits.join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  def lateCulpritsSql(lateDays: Int = 60): String =
+    s"""WITH per AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    BOOL_OR((epoch_ms(l_shipdate) // 86400000)
+       |      - (epoch_ms(o_orderdate) // 86400000) > $lateDays) AS late
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |), culprit AS (
+       |  SELECT p.l_orderkey, p.l_suppkey FROM per p
+       |  WHERE p.late
+       |    AND EXISTS (SELECT 1 FROM per p2
+       |                WHERE p2.l_orderkey = p.l_orderkey
+       |                  AND p2.l_suppkey <> p.l_suppkey)
+       |    AND NOT EXISTS (SELECT 1 FROM per p3
+       |                    WHERE p3.l_orderkey = p.l_orderkey
+       |                      AND p3.l_suppkey <> p.l_suppkey AND p3.late)
+       |)
+       |SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+       |FROM culprit c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+       |GROUP BY 1, 2
+       |ORDER BY numwait DESC, s_name""".stripMargin
 }

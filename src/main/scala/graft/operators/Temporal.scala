@@ -485,4 +485,71 @@ object Temporal {
        |  AND iv.valid_from_ms < p.ts_ms
        |  AND (iv.valid_to_ms IS NULL OR p.ts_ms <= iv.valid_to_ms)
        |ORDER BY purchase_id""".stripMargin
+
+  /** q194 — calendar gap-fill with LOCF (last observation carried
+    * forward): densify each user's daily spend series to EVERY
+    * calendar day between their first and last active day, carrying
+    * the last observed daily total across the gaps and reporting the
+    * staleness (`gap_age` = days since the carried observation).
+    * The canonical feature-engineering shape for feeding regular-grid
+    * models (forecasting, anomaly scoring) from sparse event logs —
+    * the missing operator between raw events and q152/q172-style
+    * per-day features, which silently skip absent days.
+    *
+    * Shape: one (user, day) aggregate, a per-user span row, a
+    * `sequence()` explode to the dense grid, a left join back to the
+    * observations, and one cumulative window for the carry. The fill
+    * starts at each user's OWN first observation, so `v_filled` is
+    * never NULL (no leading gap) and output is bounded by
+    * users × span-days, not a global calendar cross-join.
+    *
+    * Scale: the grid explode and the carry window both partition by
+    * user_id — one shuffle each, no driver calendar. Span-days is
+    * bounded by the retention window (here 30 days); a 100 TB run
+    * fills users × window rows, linear in users. Oracle parity: daily
+    * sums accumulate DECIMAL(18,6) (order-independent); days use
+    * floor-division epoch days (`Events.epochDayExpr`).
+    */
+  def gapFillLocf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .withColumn("day", Events.epochDayExpr)
+      .groupBy(col("user_id"), col("day"))
+      .agg(Relational.decSum(col("value")).as("v_obs"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("v_filled", last(col("v_obs"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("v_obs").isNotNull)
+      .withColumn("gap_age",
+        col("day") - last(when(col("v_obs").isNotNull, col("day")),
+          ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"), col("v_filled"),
+        col("is_observed"), col("gap_age"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val gapFillLocfSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v_obs
+      |  FROM events GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(lo, hi)) AS day
+      |  FROM (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+      |        FROM daily GROUP BY user_id)
+      |)
+      |SELECT g.user_id, g.day,
+      |  last_value(d.v_obs IGNORE NULLS) OVER w AS v_filled,
+      |  d.v_obs IS NOT NULL AS is_observed,
+      |  g.day - last_value(CASE WHEN d.v_obs IS NOT NULL THEN d.day END
+      |                     IGNORE NULLS) OVER w AS gap_age
+      |FROM grid g LEFT JOIN daily d
+      |  ON g.user_id = d.user_id AND g.day = d.day
+      |WINDOW w AS (PARTITION BY g.user_id ORDER BY g.day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY g.user_id, g.day""".stripMargin
 }

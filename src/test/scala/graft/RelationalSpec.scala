@@ -108,4 +108,33 @@ class RelationalSpec extends AnyFunSuite {
     // rec_score = 1/(0+1) = 1 = max_rec => NULLIF(max_rec, 1) is NULL
     assert(out.head.isNullAt(out.head.fieldIndex("popularity")))
   }
+
+  test("lateCulprits: sole-late wins, shared-late and single-supplier orders drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q21").toString
+    def day(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    // order 1: s7 late, s8 on time  -> culprit s7
+    // order 2: s7 and s8 both late  -> shared blame, no culprit
+    // order 3: s7 late but sole supplier -> not "kept others waiting"
+    // order 4: s8 late (day 70 > 60), s7 on time -> culprit s8
+    Seq((1L, 7L, 100L), (1L, 8L, 10L),
+        (2L, 7L, 100L), (2L, 8L, 100L),
+        (3L, 7L, 100L),
+        (4L, 8L, 70L), (4L, 7L, 5L))
+      .zipWithIndex.map { case ((ok, sk, sd), i) =>
+        (ok, 10L, sk, i, 1.0, 1.0, 0.0, 0.0, "N", "O", day(sd)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(1L, 2L, 3L, 4L).map(ok => (ok, 1L, "O", 1.0, day(0), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((7L, "s7", 1, 0.0), (8L, "s8", 1, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val out = Relational.lateCulprits(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((7L, "s7", 1L), (8L, "s8", 1L)))
+  }
 }

@@ -906,4 +906,29 @@ class RobustOpsSpec extends AnyFunSuite {
     // the purchased pair never leaks into its owner's negatives
     assert(!out.contains((1L, 1, 10L)) && !out.contains((1L, 2, 10L)))
   }
+
+  test("weightedMedian: cumulative-weight crossing picks the median dollar's qty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wmed").toString
+    val ship = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    // B1 (qty, price): (1,10) (2,30) (3,10) — total 50, cumulative in
+    // qty order 10/40/50; first 2·cw ≥ 50 is qty 2 (2·40=80): the
+    // cheap qty-1 line holds 20% of the weight, so the UNWEIGHTED
+    // median (2) and weighted median coincide here but the crossing
+    // row is picked by weight, pinned by B2's singleton below.
+    Seq((1L, 10L, 1L, 1, 1.0, 10.0), (1L, 10L, 1L, 2, 2.0, 30.0),
+        (2L, 10L, 1L, 1, 3.0, 10.0), (3L, 11L, 1L, 1, 5.0, 7.0))
+      .map { case (ok, pk, sk, ln, q, px) =>
+        (ok, pk, sk, ln, q, px, 0.0, 0.0, "N", "O", ship) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((10L, "p", "B1", "t", 1, 1.0), (11L, "q", "B2", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = Curation.weightedMedian(spark, dir)
+      .as[(String, Double, Double, Long)].collect().toSeq
+    assert(out === Seq(("B1", 2.0, 50.0, 3L), ("B2", 5.0, 7.0, 1L)))
+  }
 }

@@ -215,4 +215,27 @@ class TemporalSpec extends AnyFunSuite {
       (3L, 1L, 3000L, Some("click"), Some(2), Some(2000L)),
       (4L, 2L, 5000L, None, None, None)))
   }
+
+  test("gapFillLocf: gaps densified, value carried, gap_age counts staleness") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-locf").toString
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    // user 1: days 10 (two events summing 2.5) and 13 — days 11/12 are
+    // gaps carrying 2.5 with rising staleness; user 2: single day 5
+    // (span of one, no fill). User spans must NOT cross-pollinate:
+    // user 2 gets no rows for 10..13.
+    Seq((1L, ts(10), 1L, "click", 1.0, "{}"),
+        (2L, ts(10), 1L, "click", 1.5, "{}"),
+        (3L, ts(13), 1L, "purchase", 4.0, "{}"),
+        (4L, ts(5), 2L, "click", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Temporal.gapFillLocf(spark, dir)
+      .as[(Long, Long, Double, Boolean, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 10L, 2.5, true, 0L), (1L, 11L, 2.5, false, 1L),
+      (1L, 12L, 2.5, false, 2L), (1L, 13L, 4.0, true, 0L),
+      (2L, 5L, 7.0, true, 0L)))
+  }
 }
