@@ -128,7 +128,27 @@ object Graph {
     val n = nodes.count()
     val r0 = Scale / n
     val teleport = ((dampDen - dampNum) * Scale / dampDen) / n
-    var rank = nodes.select(col("p"), lit(r0).as("rank_e12"))
+    val seeded = nodes.select(col("p"), lit(teleport).as("tel_e12"),
+      lit(r0).as("r0_e12"))
+    val rank = powerIterate(seeded, edgesW, iters, dampNum, dampDen, tolE12)
+    rank
+      .join(wdeg.withColumnRenamed("src", "p"), Seq("p"), "left")
+      .select(col("p").as("p_partkey"), col("rank_e12"),
+        coalesce(col("wdeg"), lit(0L)).as("wdeg"))
+      .orderBy(col("rank_e12").desc, col("p_partkey"))
+  }
+
+  /** The damped power-iteration fixpoint shared by [[pagerank]] and
+    * [[personalizedPagerank]]: `nodes` carries each node's personal
+    * teleport mass (`tel_e12`) and initial rank (`r0_e12`) — a uniform
+    * vector gives classic PageRank, a seed-concentrated one gives PPR.
+    * Same iteration discipline as the CC fixpoint: checkpoint per
+    * round ([[graft.Iterate.cut]]), L1-delta stop, `iters` as cap.
+    */
+  private def powerIterate(nodes: DataFrame, edgesW: DataFrame,
+                           iters: Int, dampNum: Int, dampDen: Int,
+                           tolE12: Long): DataFrame = {
+    var rank = nodes.select(col("p"), col("r0_e12").as("rank_e12"))
     var round = 0
     var delta = Long.MaxValue
     while (round < iters && delta > tolE12) {
@@ -140,7 +160,7 @@ object Graph {
         .agg(sum(col("contrib")).as("s"))
       val next = graft.Iterate.cut(nodes
         .join(contribs.withColumnRenamed("dst", "p"), Seq("p"), "left")
-        .select(col("p"), (lit(teleport) +
+        .select(col("p"), (col("tel_e12") +
           expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("rank_e12")))
       // L1 convergence probe over the just-checkpointed round — a
       // node-count-sized co-partitioned join, negligible next to the
@@ -154,10 +174,106 @@ object Graph {
     }
     lastRounds = round
     rank
-      .join(wdeg.withColumnRenamed("src", "p"), Seq("p"), "left")
-      .select(col("p").as("p_partkey"), col("rank_e12"),
-        coalesce(col("wdeg"), lit(0L)).as("wdeg"))
+  }
+
+  /** q197 — personalized PageRank: the [[pagerank]] recurrence with
+    * the teleport (and the initial mass) concentrated on a SEED set —
+    * here the parts of one brand — so rank measures proximity to the
+    * seeds through the co-purchase graph rather than global
+    * centrality. The standard recommendation-expansion primitive:
+    * "given this brand's catalog, which other parts does the purchase
+    * network pull towards it".
+    *
+    * Exactness: the same scaled-integer (1e-12) arithmetic as q107 —
+    * seed teleport = `((dampDen−dampNum)·Scale/dampDen) / |S|` in
+    * Long floor division, zero for non-seeds, so non-seed rank decays
+    * unless co-purchase paths feed it; the unrolled-CTE oracle
+    * replays the identical integer recurrence.
+    *
+    * Scale: identical per-round plan to q107 (the edge list and its
+    * src partitioning are shared via the session memo — building PPR
+    * on top of a graded q107 run adds NO new edge scan); seeds are a
+    * broadcast part-catalog join. Rank state is nodes-sized.
+    */
+  def personalizedPagerank(spark: SparkSession, dir: String,
+                           seedBrand: String = "Brand#1", iters: Int = 3,
+                           dampNum: Int = 17, dampDen: Int = 20,
+                           tolE12: Long = 0L): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+    val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val edgesW = graft.Iterate.cut(edges.join(wdeg, "src")
+      .repartition(col("src")))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey")).distinct()
+    val brands = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("p"), (col("p_brand") === seedBrand).as("is_seed"))
+    val nodes = graft.Iterate.cut(li.select(col("l_partkey").as("p"))
+      .join(broadcast(brands), Seq("p"), "left")
+      .select(col("p"), coalesce(col("is_seed"), lit(false)).as("is_seed")))
+    val nSeeds = nodes.filter(col("is_seed")).count()
+    require(nSeeds > 0, s"personalizedPagerank: no seed parts for brand $seedBrand")
+    val telSeed = ((dampDen - dampNum) * Scale / dampDen) / nSeeds
+    val r0Seed = Scale / nSeeds
+    val seeded = nodes.select(col("p"),
+      when(col("is_seed"), lit(telSeed)).otherwise(lit(0L)).as("tel_e12"),
+      when(col("is_seed"), lit(r0Seed)).otherwise(lit(0L)).as("r0_e12"))
+    powerIterate(seeded, edgesW, iters, dampNum, dampDen, tolE12)
+      .join(nodes, Seq("p"))
+      .select(col("p").as("p_partkey"), col("is_seed"), col("rank_e12"))
       .orderBy(col("rank_e12").desc, col("p_partkey"))
+  }
+
+  def personalizedPagerankSql(seedBrand: String = "Brand#1", iters: Int = 3,
+                              dampNum: Int = 17, dampDen: Int = 20): String = {
+    val base =
+      s"""WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), edges AS (
+        |  SELECT pa AS src, pb AS dst, w FROM pairs
+        |  UNION ALL
+        |  SELECT pb AS src, pa AS dst, w FROM pairs
+        |), wdeg AS (
+        |  SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM edges GROUP BY src
+        |), edgesw AS (
+        |  SELECT e.src, e.dst, e.w, d.wdeg FROM edges e JOIN wdeg d USING (src)
+        |), nodes AS (
+        |  SELECT DISTINCT li.l_partkey AS p,
+        |    COALESCE(pt.p_brand = '$seedBrand', FALSE) AS is_seed
+        |  FROM li LEFT JOIN part pt ON pt.p_partkey = li.l_partkey
+        |), ns AS (
+        |  SELECT COUNT(*) AS n FROM nodes WHERE is_seed
+        |), it0 AS (
+        |  SELECT p, CASE WHEN is_seed THEN $Scale // n ELSE 0 END AS rank_e12
+        |  FROM nodes CROSS JOIN ns
+        |)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s""", c$t AS (
+        |  SELECT e.dst,
+        |    CAST(SUM((r.rank_e12 * e.w) // e.wdeg) AS BIGINT) AS s
+        |  FROM edgesw e JOIN it${t - 1} r ON e.src = r.p
+        |  GROUP BY e.dst
+        |), it$t AS (
+        |  SELECT nodes.p,
+        |    (CASE WHEN nodes.is_seed
+        |        THEN ((${dampDen - dampNum} * $Scale // $dampDen)) // n
+        |        ELSE 0 END)
+        |      + ($dampNum * COALESCE(c$t.s, 0)) // $dampDen AS rank_e12
+        |  FROM nodes CROSS JOIN ns LEFT JOIN c$t ON nodes.p = c$t.dst
+        |)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+        |SELECT r.p AS p_partkey, nodes.is_seed,
+        |  CAST(r.rank_e12 AS BIGINT) AS rank_e12
+        |FROM it$iters r JOIN nodes ON nodes.p = r.p
+        |ORDER BY r.rank_e12 DESC, p_partkey""".stripMargin
   }
 
   /** q115 — triangle census of the co-purchase graph: edge count,

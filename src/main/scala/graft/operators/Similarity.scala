@@ -1298,4 +1298,81 @@ object Similarity {
       |FROM joined
       |ORDER BY query_id""".stripMargin
   }
+
+  /** q198 — reciprocal (mutual) nearest-neighbor pairs: vectors a < b
+    * where b is a's single nearest neighbor AND a is b's — the
+    * high-precision pairing primitive under the SemDeDup/agglomerative
+    * family: mutual-NN pairs are the edges safe to merge without a
+    * threshold, because each endpoint independently elected the other.
+    *
+    * Blocked by the q30 sign-LSH bucket (the hyperplanes are shared
+    * md5-derived literals, so both engines block identically): each
+    * vector's NN is its in-bucket argmax by (cosine DESC, id) — the
+    * same approximation contract as q30/q31, exact within the bucket,
+    * never all-pairs. A vector alone in its bucket has no NN and
+    * drops out on both engines.
+    *
+    * Scale: the pair generation is the q31 shape (bucket-keyed
+    * self-join, per-bucket quadratic bounded by bucket size); the
+    * argmax is a WindowGroupLimit-eligible rank-1 filter per source;
+    * mutuality is a self-join of the nodes-sized best-list on the
+    * reversed key. At 100 TB: persist the bucket assignment
+    * (bucketed-by `bucket`), and the self-join is co-partitioned.
+    */
+  def mutualNn(spark: SparkSession, dir: String, nBits: Int = 8): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), nBits).as("bucket"))
+    val pairs = emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(cosine(spark, col("a.embedding"), col("b.embedding")), 6)
+          .as("cos_sim"))
+    val directed = pairs.select(col("va").as("src"), col("vb").as("dst"), col("cos_sim"))
+      .unionByName(pairs.select(col("vb").as("src"), col("va").as("dst"), col("cos_sim")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    val best = directed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    best.as("x").join(best.as("y"),
+        col("x.dst") === col("y.src") && col("y.dst") === col("x.src") &&
+          col("x.src") < col("y.src"))
+      .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
+        col("x.cos_sim"))
+      .orderBy(col("vec_a"))
+  }
+
+  def mutualNnSql(nBits: Int = 8): String = {
+    val signs = PortableHash.signMatrix(nBits, 64)
+    val bucketExpr = (0 until nBits).map { j =>
+      val proj =
+        s"""list_reduce(list_prepend(0.0, [CAST(embedding[i] AS DOUBLE) * (${PortableHash.sqlList(signs(j))})[i]
+           |        for i in range(1, len(embedding) + 1)]), (x, y) -> x + y)""".stripMargin
+      s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH b AS (
+      |  SELECT vec_id, embedding,
+      |      $bucketExpr AS bucket
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS va, c.vec_id AS vb,
+      |    ROUND(${cosSql("a.embedding", "c.embedding")}, 6) AS cos_sim
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      |), d AS (
+      |  SELECT va AS src, vb AS dst, cos_sim FROM p
+      |  UNION ALL
+      |  SELECT vb AS src, va AS dst, cos_sim FROM p
+      |), best AS (
+      |  SELECT src, dst, cos_sim,
+      |    row_number() OVER (PARTITION BY src
+      |      ORDER BY cos_sim DESC, dst) AS rn
+      |  FROM d
+      |  QUALIFY rn = 1
+      |)
+      |SELECT x.src AS vec_a, x.dst AS vec_b, x.cos_sim
+      |FROM best x JOIN best y
+      |  ON x.dst = y.src AND y.dst = x.src AND x.src < y.src
+      |ORDER BY vec_a""".stripMargin
+  }
 }

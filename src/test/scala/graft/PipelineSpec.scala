@@ -523,4 +523,23 @@ class PipelineSpec extends AnyFunSuite {
     val q1 = got.find(_._1 == 1L).get
     assert(q1 === ((1L, 9, 1L, 0L, 0L, 1000000L, 0.0)))
   }
+
+  test("mutualNn: reciprocal pair survives, jilted suitor and lone bucket drop") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-mnn").toString
+    // 1 and 2 are identical (+x): each other's NN -> mutual pair, cos 1.
+    // 4 = (0.9, 0.1) projects with sign(s_j0) on every plane (0.9
+    // dominates), so it shares their bucket; its NN is 1 (cos tie with
+    // 2, lower id wins) but 1 prefers 2 -> unreciprocated, dropped.
+    // 3 = -x flips every projection sign -> alone in the complement
+    // bucket -> no NN at all.
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f), 0), (4L, Array(0.9f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.mutualNn(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1.0)))
+  }
 }

@@ -907,6 +907,49 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(!out.contains((1L, 1, 10L)) && !out.contains((1L, 2, 10L)))
   }
 
+  test("personalizedPagerank: mass stays on the seed component; all-seeds = pagerank") {
+    // two disconnected co-purchase components: {10-20} and {30-40};
+    // seed brand covers only part 10. nSeeds=1: r0(10)=1e12,
+    // tel(10)=150000000000. it1: r(20) = 0 + 17*1e12 div 20 = 85e10;
+    // r(10) = tel only; the 30-40 component never sees mass.
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, day1), (2L, 1L, "O", 1.0, day1)),
+      lineitem = Seq((1L, 10L), (1L, 20L), (2L, 30L), (2L, 40L)),
+      events = Seq((1L, 1000L, 1L, "view", 0.0)))
+    Seq((10L, "BrandS"), (20L, "BrandX"), (30L, "BrandX"), (40L, "BrandX"))
+      .map { case (pk, b) => (pk, "p", b, "t", 1, 1.0) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    graft.operators.Graph.clearPairsMemo()
+    val out = graft.operators.Graph
+      .personalizedPagerank(spark, dir, seedBrand = "BrandS", iters = 1)
+      .as[(Long, Boolean, Long)].collect().toSeq
+    assert(out === Seq(
+      (20L, false, 850000000000L),
+      (10L, true, 150000000000L),
+      (30L, false, 0L), (40L, false, 0L)))
+
+    // degenerate check of the shared fixpoint: when EVERY node is a
+    // seed the personal teleport vector is uniform — PPR must equal
+    // classic pagerank rank-for-rank
+    val dir2 = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, day1), (2L, 1L, "O", 1.0, day1)),
+      lineitem = Seq((1L, 10L), (1L, 20L), (2L, 30L), (2L, 40L)),
+      events = Seq((1L, 1000L, 1L, "view", 0.0)))
+    Seq(10L, 20L, 30L, 40L).map(pk => (pk, "p", "BrandS", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir2/part.parquet")
+    graft.operators.Graph.clearPairsMemo()
+    val ppr = graft.operators.Graph
+      .personalizedPagerank(spark, dir2, seedBrand = "BrandS", iters = 3)
+      .select($"p_partkey", $"rank_e12").as[(Long, Long)].collect().toSeq
+    val pr = graft.operators.Graph.pagerank(spark, dir2, iters = 3)
+      .select($"p_partkey", $"rank_e12").as[(Long, Long)].collect().toSeq
+    assert(ppr === pr)
+  }
+
   test("weightedMedian: cumulative-weight crossing picks the median dollar's qty") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wmed").toString
     val ship = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
