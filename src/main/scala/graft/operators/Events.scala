@@ -2196,4 +2196,93 @@ object Events {
       |  ROUND(did / NULLIF(se, 0.0), 6) AS t_stat
       |FROM scored
       |ORDER BY event_type""".stripMargin
+
+  /** q200 — cohort LTV (lifetime-value) curve: users cohorted by
+    * first-event week (q83's cohort key), purchase revenue accumulated
+    * per cohort-age week, reported as the running per-user cumulative —
+    * the revenue twin of the q83 retention triangle, and the curve
+    * payback-period decisions read ("cohort X recovers CAC by week
+    * 3"). Weeks with retention but zero purchases still appear in the
+    * grid (activity drives the rows, revenue left-joins on), so the
+    * curve is gapless wherever the cohort was alive.
+    *
+    * Exactness: revenue accumulates as DECIMAL(18,6) end-to-end — the
+    * running cumulative windows over the DECIMAL, not the double, so
+    * partial-sum order never shows; the per-user division is one
+    * rounded IEEE op at the end. Scale: two user-keyed aggregates
+    * (first-touch, weekly revenue) and one window over the
+    * cohort×age grid — cohort-count sized, not event-sized.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.load(spark, dir, "events")
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .withColumn("cohort", to_date(date_trunc("week", col("first_ts"))))
+      .select(col("user_id"), col("cohort"))
+    val sizes = firsts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    // activity grid keeps zero-revenue weeks alive
+    val activity = ev
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val weeklyRev = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"),
+        col("value"))
+      .groupBy(col("user_id"), col("week"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("rev_d"))
+    val cells = activity
+      .join(weeklyRev, Seq("user_id", "week"), "left")
+      .join(firsts, "user_id")
+      .withColumn("age_week", (datediff(col("week"), col("cohort")) / 7).cast("int"))
+      .groupBy(col("cohort"), col("age_week"))
+      .agg(coalesce(sum(col("rev_d")),
+        lit(0).cast(DecimalType(18, 6))).as("week_rev_d"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age_week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev_d", sum(col("week_rev_d")).over(w))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("age_week"), col("cohort_size"),
+        col("week_rev_d").cast("double").as("week_rev"),
+        col("cum_rev_d").cast("double").as("cum_rev"),
+        round(col("cum_rev_d").cast("double") / col("cohort_size"), 6)
+          .as("ltv_per_user"))
+      .orderBy(col("cohort"), col("age_week"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+      |  FROM events GROUP BY user_id
+      |), sizes AS (
+      |  SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort
+      |), activity AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events
+      |), weekly_rev AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS rev_d
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT f.cohort,
+      |    CAST(date_diff('day', f.cohort, a.week) / 7 AS INT) AS age_week,
+      |    COALESCE(SUM(r.rev_d), CAST(0 AS DECIMAL(18,6))) AS week_rev_d
+      |  FROM activity a
+      |  LEFT JOIN weekly_rev r ON r.user_id = a.user_id AND r.week = a.week
+      |  JOIN firsts f ON a.user_id = f.user_id
+      |  GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT cohort, age_week, week_rev_d,
+      |    SUM(week_rev_d) OVER (PARTITION BY cohort ORDER BY age_week
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev_d
+      |  FROM cells
+      |)
+      |SELECT c.cohort, c.age_week, s.cohort_size,
+      |  CAST(c.week_rev_d AS DOUBLE) AS week_rev,
+      |  CAST(c.cum_rev_d AS DOUBLE) AS cum_rev,
+      |  ROUND(CAST(c.cum_rev_d AS DOUBLE) / s.cohort_size, 6) AS ltv_per_user
+      |FROM cum c JOIN sizes s ON c.cohort = s.cohort
+      |ORDER BY c.cohort, c.age_week""".stripMargin
 }

@@ -79,4 +79,48 @@ object Pii {
       |  FROM events
       |)
       |ORDER BY src_table, rec_id""".stripMargin
+
+  /** q199 — k-anonymity audit over the customer quasi-identifiers
+    * (nation, market segment, account-balance bucket): for every QI
+    * combination, its equivalence-class size `k`, the size after one
+    * generalization step (dropping the balance bucket), and whether
+    * the class is re-identifiable (`k < kMin`). The standard privacy
+    * gate before releasing "anonymized" records: any row in a small
+    * class is linkable, and the two-level k shows whether coarsening
+    * the balance attribute would fix it or the (nation, segment) cell
+    * is itself too small.
+    *
+    * Scale: one hash aggregate on the QI triple plus a window over
+    * the AGGREGATED classes (bounded by the QI domain, not rows);
+    * both engines bucket with the same IEEE divide-then-floor.
+    */
+  def kAnonymityAudit(spark: SparkSession, dir: String, kMin: Int = 5,
+                      bucketWidth: Double = 1000.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classes = Tables.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / bucketWidth).as("bal_bucket"))
+      .agg(count(lit(1)).as("k"))
+    classes
+      .withColumn("k_generalized", sum(col("k")).over(
+        Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))))
+      .withColumn("at_risk", col("k") < kMin)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"),
+        col("k"), col("k_generalized"), col("at_risk"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+  }
+
+  def kAnonymityAuditSql(kMin: Int = 5, bucketWidth: Double = 1000.0): String =
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(FLOOR(c_acctbal / $bucketWidth) AS BIGINT) AS bal_bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM customer GROUP BY 1, 2, 3
+       |)
+       |SELECT c_nationkey, c_mktsegment, bal_bucket, k,
+       |  CAST(SUM(k) OVER (PARTITION BY c_nationkey, c_mktsegment)
+       |    AS BIGINT) AS k_generalized,
+       |  k < $kMin AS at_risk
+       |FROM g
+       |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin
 }

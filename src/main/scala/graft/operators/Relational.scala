@@ -1314,4 +1314,65 @@ object Relational {
        |FROM culprit c JOIN supplier s ON s.s_suppkey = c.l_suppkey
        |GROUP BY 1, 2
        |ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** q201 — return-rate ranking by Wilson lower bound: per part (with
+    * at least `minN` shipped lines), the fraction of lines returned
+    * (`l_returnflag = 'R'`) ranked by the 95% Wilson LOWER bound —
+    * the "sort by lower confidence bound" pattern that keeps a 1/1 =
+    * 100% return rate from outranking a 45/100: small-n cells rank by
+    * what the data can actually support. Top `topK` parts reported —
+    * the defect-triage list.
+    *
+    * Exactness: q123's Wilson algebra verbatim (doubles with one
+    * fixed operand order, z cast to DOUBLE in the oracle so DuckDB
+    * doesn't route through DECIMAL); ordering is on the ROUNDED bound
+    * with a part-key tiebreak, so both engines sort identical values.
+    * Scale: one hash aggregate on part, arithmetic on the aggregate,
+    * and a TakeOrdered top-k — never a global sort.
+    */
+  def returnRateRanking(spark: SparkSession, dir: String, minN: Long = 10L,
+                        topK: Int = 100): DataFrame = {
+    val agg = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_returnflag") === "R").cast("long")).as("k"))
+      .filter(col("n") >= minN)
+    val z = lit(1.96)
+    val p = col("k").cast("double") / col("n")
+    val z2n = z * z / col("n")
+    val center = (p + z2n / 2) / (lit(1.0) + z2n)
+    val half = (z * sqrt((p * (lit(1.0) - p) + z2n / 4) / col("n"))) /
+      (lit(1.0) + z2n)
+    agg.select(col("l_partkey"), col("n"), col("k"),
+        round(p, 6).as("return_rate"),
+        round(center - half, 6).as("wilson_lo"))
+      .orderBy(col("wilson_lo").desc, col("l_partkey"))
+      .limit(topK)
+  }
+
+  def returnRateRankingSql(minN: Long = 10L, topK: Int = 100): String =
+    s"""WITH agg AS (
+       |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS k
+       |  FROM lineitem GROUP BY 1
+       |  HAVING COUNT(*) >= $minN
+       |), calc AS (
+       |  SELECT l_partkey, n, k,
+       |    CAST(k AS DOUBLE) / n AS p,
+       |    CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n AS z2n
+       |  FROM agg
+       |), calc2 AS (
+       |  SELECT l_partkey, n, k, p,
+       |    (p + z2n / 2) / (1.0 + z2n) AS center,
+       |    (CAST(1.96 AS DOUBLE) * sqrt((p * (1.0 - p) + z2n / 4) / n))
+       |      / (1.0 + z2n) AS half
+       |  FROM calc
+       |)
+       |SELECT l_partkey, n, k,
+       |  ROUND(p, 6) AS return_rate,
+       |  ROUND(center - half, 6) AS wilson_lo
+       |FROM calc2
+       |ORDER BY wilson_lo DESC, l_partkey
+       |LIMIT $topK""".stripMargin
 }

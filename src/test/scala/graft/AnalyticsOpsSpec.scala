@@ -151,6 +151,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("2024-01-08", 0, 1L, 1L, 1.0)))  // u3's own cohort
   }
 
+  test("cohortLtv: running per-user revenue, zero-purchase weeks stay on the curve") {
+    val jan = (d: Int) => (86400000L * (d - 1)) + 1704067200000L // 2024-01-<d> UTC
+    val dir = eventsDirV(Seq(
+      (1L, jan(2), 1L, "purchase", 10.0),  // u1 cohort 1/1, week0 rev 10
+      (2L, jan(9), 1L, "click", 0.0),      // active week1, NO revenue
+      (3L, jan(16), 1L, "purchase", 5.0),  // week2 rev 5
+      (4L, jan(3), 2L, "purchase", 2.0),   // u2 cohort 1/1, week0 only
+      (5L, jan(10), 3L, "click", 0.0)))    // u3 cohort 1/8, never buys
+    val out = Events.cohortLtv(spark, dir)
+      .select($"cohort".cast("string"), $"age_week", $"cohort_size",
+        $"week_rev", $"cum_rev", $"ltv_per_user")
+      .as[(String, Int, Long, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01-01", 0, 2L, 12.0, 12.0, 6.0),
+      ("2024-01-01", 1, 2L, 0.0, 12.0, 6.0),   // alive, bought nothing
+      ("2024-01-01", 2, 2L, 5.0, 17.0, 8.5),
+      ("2024-01-08", 0, 1L, 0.0, 0.0, 0.0)))   // zero-revenue cohort
+  }
+
   test("funnel: order matters, strict inequality, left-join stages") {
     val dir = eventsDir(Seq(
       // u1: full ordered funnel

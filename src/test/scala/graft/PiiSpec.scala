@@ -88,4 +88,25 @@ class PiiSpec extends AnyFunSuite {
       assert(replayed === image)
     } finally q.stop()
   }
+
+  test("kAnonymityAudit: small classes flagged, generalization sums the segment") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kanon").toString
+    // nation 1 / segment A: 6 in bucket 0 (safe), 1 in bucket 1 (at
+    // risk, but generalizing to the segment gives k=7); nation 1 /
+    // segment B: 2 in bucket -1 (negative balance floors DOWN) — at
+    // risk even after generalization.
+    val rows =
+      (1 to 6).map(i => (i.toLong, s"c$i", 1, i * 100.0, "A")) ++
+        Seq((7L, "c7", 1, 1500.0, "A"), (8L, "c8", 1, -500.0, "B"),
+          (9L, "c9", 1, -500.0, "B"))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = Pii.kAnonymityAudit(spark, dir)
+      .as[(Int, String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1, "A", 0L, 6L, 7L, false),
+      (1, "A", 1L, 1L, 7L, true),
+      (1, "B", -1L, 2L, 2L, true)))
+  }
 }

@@ -137,4 +137,34 @@ class RelationalSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSeq
     assert(out === Seq((7L, "s7", 1L), (8L, "s8", 1L)))
   }
+
+  test("returnRateRanking: Wilson lower bound ranks certainty, minN gates noise") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wilson").toString
+    val ship = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    // p20: 12/12 returned; p10: 6/12; p30: 5/5 but only 5 lines — the
+    // all-returns small-n part is EXCLUDED by minN, which is the point
+    val lines =
+      (1 to 12).map(i => (10L, if (i <= 6) "R" else "N")) ++
+        (1 to 12).map(_ => (20L, "R")) ++ (1 to 5).map(_ => (30L, "R"))
+    lines.zipWithIndex.map { case ((pk, rf), i) =>
+        (i.toLong, pk, 1L, i, 1.0, 1.0, 0.0, 0.0, rf, "O", ship) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def wilsonLo(n: Long, k: Long): Double = {
+      val z = 1.96; val p = k.toDouble / n; val z2n = z * z / n
+      val center = (p + z2n / 2) / (1.0 + z2n)
+      val half = (z * math.sqrt((p * (1.0 - p) + z2n / 4) / n)) / (1.0 + z2n)
+      BigDecimal(center - half)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = Relational.returnRateRanking(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      (20L, 12L, 12L, 1.0, wilsonLo(12, 12)),
+      (10L, 12L, 6L, 0.5, wilsonLo(12, 6))))
+    // the bound actually discounts certainty: 12/12 ranks ~0.76, not 1
+    assert(wilsonLo(12, 12) < 0.8 && wilsonLo(12, 12) > 0.7)
+  }
 }
