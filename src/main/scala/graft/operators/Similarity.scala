@@ -1375,4 +1375,61 @@ object Similarity {
       |  ON x.dst = y.src AND y.dst = x.src AND x.src < y.src
       |ORDER BY vec_a""".stripMargin
   }
+
+  /** q202 — SEMANTIC decontamination: corpus vectors whose embedding
+    * sits within `threshold` cosine of ANY eval-set vector (vec_id <
+    * `nEval`), with the closest eval id — the embedding-space
+    * complement of q61's trigram decontamination, catching the
+    * paraphrased/reworded benchmark leakage that n-gram overlap
+    * misses. Reporting (not silently dropping) flagged vectors is the
+    * contract: contamination review wants the pair, not a smaller
+    * corpus.
+    *
+    * Scale: the eval set is benchmark-sized — BROADCAST it and the
+    * corpus streams through one fused-codegen cosine scan, exactly
+    * q61's broadcast-eval/no-corpus-shuffle posture; the per-vector
+    * argmax is a rank-1 window (partial WindowGroupLimit cuts
+    * map-side), so the only shuffle carries rows that already matched
+    * a threshold candidate. Exact — no LSH approximation — because
+    * eval × corpus is linear in the corpus, not quadratic.
+    */
+  def semanticDecontamination(spark: SparkSession, dir: String,
+                              nEval: Long = 16L,
+                              threshold: Double = 0.35): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val eval = emb.filter(col("vec_id") < nEval)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"))
+    val scored = emb.filter(col("vec_id") >= nEval)
+      .crossJoin(broadcast(eval))
+      .select(col("vec_id"), col("eval_id"),
+        round(cosine(spark, col("embedding"), col("e_emb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("eval_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("eval_id").as("closest_eval"),
+        col("cos_sim").as("max_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  def semanticDecontaminationSql(nEval: Long = 16L,
+                                 threshold: Double = 0.35): String =
+    s"""WITH ev AS (
+      |  SELECT vec_id AS eval_id, embedding AS e_emb FROM embeddings
+      |  WHERE vec_id < $nEval
+      |), scored AS (
+      |  SELECT c.vec_id, ev.eval_id,
+      |    ROUND(${cosSql("ev.e_emb", "c.embedding")}, 6) AS cos_sim
+      |  FROM embeddings c, ev WHERE c.vec_id >= $nEval
+      |), hits AS (
+      |  SELECT vec_id, eval_id, cos_sim,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos_sim DESC, eval_id) AS rn
+      |  FROM scored WHERE cos_sim >= $threshold
+      |  QUALIFY rn = 1
+      |)
+      |SELECT vec_id, eval_id AS closest_eval, cos_sim AS max_sim
+      |FROM hits
+      |ORDER BY vec_id""".stripMargin
 }

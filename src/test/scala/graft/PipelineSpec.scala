@@ -542,4 +542,21 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got === Seq((1L, 2L, 1.0)))
   }
+
+  test("semanticDecontamination: argmax eval id, sub-threshold corpus invisible") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-semdecon").toString
+    // eval: 0 = +x, 1 = +y. corpus: 20 hugs +x (flag vs eval 0),
+    // 21 = -x (max cos 0.0 < 0.35, never reported), 22 = (0.6, 0.8)
+    // leans +y (cos 0.8 vs eval 1 beats 0.6 vs eval 0).
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 0),
+      (20L, Array(0.9f, 0.1f), 0), (21L, Array(-1.0f, 0.0f), 0),
+      (22L, Array(0.6f, 0.8f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.semanticDecontamination(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((20L, 0L, 0.993884), (22L, 1L, 0.8)))
+  }
 }
