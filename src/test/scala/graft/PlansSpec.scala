@@ -137,4 +137,32 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"dimension fell back to a shuffle join:\n$plan")
   }
+
+  test("q196 collapses the Q21 EXISTS pair into one windowed pass — no self-joins") {
+    // the textbook formulation needs a semi- and an anti-self-join of
+    // the per-(order, supplier) aggregate (three fact passes); the
+    // implementation's single window must not regress into joins: the
+    // only join in the plan is lineitem⋈orders (+ the broadcast
+    // supplier-name join)
+    val out = operators.Relational.lateCulprits(spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    val selfJoins = "(?:SortMergeJoin|ShuffledHashJoin)".r.findAllIn(plan).size
+    assert(selfJoins <= 1, // the fact⋈orders join may plan SMJ at scale
+      s"EXISTS/NOT-EXISTS crept back as self-joins:\n$plan")
+    assert(plan.contains("Window"), s"culprit window missing:\n$plan")
+  }
+
+  test("q201/q202 keep map-side cuts: TakeOrdered top-k, partial rank-1 limit") {
+    // q201's literal LIMIT over the ranked aggregate must plan as
+    // TakeOrdered (never a global Sort), and q202's per-vector argmax
+    // must cut candidates map-side before its shuffle
+    val top = operators.Relational.returnRateRanking(spark, "/root/testdata/sf0.001")
+    val topPlan = top.queryExecution.executedPlan.toString
+    assert(topPlan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$topPlan")
+    val dec = operators.Similarity.semanticDecontamination(spark, "/root/testdata/sf0.001")
+    val decPlan = dec.queryExecution.executedPlan.toString
+    assert(decPlan.contains("WindowGroupLimit") && decPlan.contains("Partial"),
+      s"argmax lost its partial WindowGroupLimit:\n$decPlan")
+  }
 }
