@@ -2251,6 +2251,183 @@ object Events {
       .orderBy(col("cohort"), col("age_week"))
   }
 
+  /** q203 — Markov removal-effect attribution: model each session as a
+    * first-order chain over channel states (START → event types → CONV
+    * at the first purchase, DROP at session end), estimate transition
+    * counts from the corpus, and credit each channel by how much the
+    * START→CONV absorption probability FALLS when that channel is
+    * removed (its transitions redirected to DROP) — the
+    * data-driven multi-touch model that last-touch (q91) approximates.
+    *
+    * Semantics pinned for exactness: absorption probability is the
+    * `steps`-step synchronous recurrence p'(s) = (Σ_t cnt(s,t)·p(t))
+    * div n(s) in SCALED-INTEGER units of 1e-12 (CONV ≡ 1e12, DROP ≡
+    * 0) — the same floor-division discipline as q107, so both engines
+    * replay it bit-for-bit; `steps` = 16 bounds journey length by far
+    * (sessions here are ≤ dozens of events).
+    *
+    * Scale split: transition counting — sessionize (q20's gap rule),
+    * truncate at first conversion, lag-pair — is the data-sized work,
+    * all one user-keyed shuffle; the chain itself collapses to a
+    * ≤ |channels|²-row matrix, COLLECTED and iterated on the driver
+    * with BigInt (the pivot-domain precedent: driver scalars bounded
+    * by the CHANNEL vocabulary, never by rows). The 1+|channels|
+    * absorption runs are arithmetic on that tiny matrix.
+    */
+  def markovAttribution(spark: SparkSession, dir: String,
+                        gapMinutes: Int = 30, steps: Int = 16,
+                        channels: Seq[String] =
+                          Seq("click", "error", "signup", "view")): DataFrame = {
+    val ScaleE12 = 1000000000000L
+    val gapMs = gapMinutes * 60000L
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+    val wOrder = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val sess = ev
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(wOrder))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(wOrder.rowsBetween(Window.unboundedPreceding, 0)))
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val kept = sess
+      .withColumn("prior_conv",
+        sum((col("event_type") === "purchase").cast("long"))
+          .over(wSess.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(coalesce(col("prior_conv"), lit(0L)) === 0L)
+      .withColumn("state",
+        when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")))
+    val inner = kept
+      .withColumn("src", coalesce(lag(col("state"), 1).over(wSess), lit("START")))
+      .select(col("src"), col("state").as("dst"))
+    val terminal = kept
+      .withColumn("rn_desc", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts_ms").desc, col("event_id").desc)))
+      .filter(col("rn_desc") === 1 && col("state") =!= "CONV")
+      .select(col("state").as("src"), lit("DROP").as("dst"))
+    val tm = inner.unionByName(terminal)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val outdeg = tm.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val transient = outdeg.keySet // START + observed channels
+    def absorb(removed: Option[String]): BigInt = {
+      val live = transient -- removed
+      var p = live.map(_ -> BigInt(0)).toMap
+      for (_ <- 1 to steps) {
+        p = live.map { s =>
+          val num = tm.collect { case ((`s`, t), c) =>
+            val pt = if (t == "CONV") BigInt(ScaleE12)
+                     else p.getOrElse(t, BigInt(0)) // DROP and removed = 0
+            BigInt(c) * pt
+          }.sum
+          s -> num / BigInt(outdeg(s))
+        }.toMap
+      }
+      p.getOrElse("START", BigInt(0))
+    }
+    val baseP = absorb(None).toLong
+    val rows = channels.sorted.map { c =>
+      (c, outdeg.getOrElse(c, 0L), baseP, absorb(Some(c)).toLong) }
+    import spark.implicits._
+    rows.toDF("channel", "n_touch", "base_p_e12", "removed_p_e12")
+      .withColumn("removal_effect",
+        when(col("base_p_e12") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("base_p_e12") - col("removed_p_e12")).cast("double") /
+              col("base_p_e12"), 6)))
+      .orderBy(col("channel"))
+  }
+
+  def markovAttributionSql(gapMinutes: Int = 30, steps: Int = 16,
+                           channels: Seq[String] =
+                             Seq("click", "error", "signup", "view")): String = {
+    val gapMs = gapMinutes * 60000L
+    val base =
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > $gapMs
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT *, lag(ts_ms) OVER
+        |    (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ts FROM ev)
+        |), sess AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |), kept AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' THEN 'CONV'
+        |    ELSE event_type END AS state
+        |  FROM (
+        |    SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id, session_id
+        |        ORDER BY ts_ms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prior_conv
+        |    FROM sess)
+        |  WHERE prior_conv = 0
+        |), inner_t AS (
+        |  SELECT COALESCE(lag(state) OVER (PARTITION BY user_id, session_id
+        |    ORDER BY ts_ms, event_id), 'START') AS src, state AS dst
+        |  FROM kept
+        |), term_t AS (
+        |  SELECT state AS src, 'DROP' AS dst FROM (
+        |    SELECT state, row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts_ms DESC, event_id DESC) AS rn_desc
+        |    FROM kept)
+        |  WHERE rn_desc = 1 AND state <> 'CONV'
+        |), tm AS MATERIALIZED (
+        |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT src, dst FROM inner_t
+        |    UNION ALL SELECT src, dst FROM term_t)
+        |  GROUP BY 1, 2
+        |), od AS MATERIALIZED (
+        |  SELECT src AS state, CAST(SUM(cnt) AS BIGINT) AS n FROM tm GROUP BY 1
+        |)""".stripMargin
+    def chain(tag: String, removed: Option[String]): String = {
+      val whereOd = removed.map(c => s" WHERE o.state <> '$c'").getOrElse("")
+      val v0 =
+        s""", v_${tag}_0 AS MATERIALIZED (
+          |  SELECT o.state, CAST(0 AS BIGINT) AS p FROM od o$whereOd
+          |)""".stripMargin
+      val its = (1 to steps).map { k =>
+        s""", v_${tag}_$k AS MATERIALIZED (
+          |  SELECT o.state, CAST((
+          |    SELECT COALESCE(SUM(t.cnt * CASE WHEN t.dst = 'CONV'
+          |        THEN 1000000000000
+          |        ELSE COALESCE((SELECT v.p FROM v_${tag}_${k - 1} v
+          |                       WHERE v.state = t.dst), 0) END), 0)
+          |    FROM tm t WHERE t.src = o.state) // o.n AS BIGINT) AS p
+          |  FROM od o$whereOd
+          |)""".stripMargin
+      }.mkString
+      v0 + its
+    }
+    val chains = chain("base", None) +
+      channels.map(c => chain(c, Some(c))).mkString
+    val rows = channels.sorted.map { c =>
+      s"""  SELECT '$c' AS channel,
+         |    COALESCE((SELECT n FROM od WHERE state = '$c'), 0) AS n_touch,
+         |    (SELECT p FROM v_base_$steps WHERE state = 'START') AS base_p_e12,
+         |    COALESCE((SELECT p FROM v_${c}_$steps WHERE state = 'START'), 0)
+         |      AS removed_p_e12""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$base${chains}
+       |SELECT channel, n_touch, base_p_e12, removed_p_e12,
+       |  CASE WHEN base_p_e12 = 0 THEN NULL
+       |    ELSE ROUND(CAST(base_p_e12 - removed_p_e12 AS DOUBLE)
+       |      / base_p_e12, 6) END AS removal_effect
+       |FROM (
+       |$rows
+       |)
+       |ORDER BY channel""".stripMargin
+  }
+
   val cohortLtvSql: String =
     """WITH firsts AS (
       |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort

@@ -170,6 +170,41 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("2024-01-08", 0, 1L, 0.0, 0.0, 0.0)))   // zero-revenue cohort
   }
 
+  test("markovAttribution: hand chain — load-bearing channels score 1, absent score 0") {
+    // u1: view->click->purchase (converts); u2: view->click (drops).
+    // tm: START->view 2, view->click 2, click->CONV 1, click->DROP 1.
+    // Fixpoint: p(click)=5e11, propagates to view and START. Removing
+    // view or click severs the ONLY path -> removal effect 1.0;
+    // error/signup never occur -> removal changes nothing, effect 0.
+    val dir = eventsDir(Seq(
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
+      (3L, 3000L, 1L, "purchase"),
+      (4L, 1000L, 2L, "view"), (5L, 2000L, 2L, "click")))
+    val out = Events.markovAttribution(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("click", 2L, 500000000000L, 0L, 1.0),
+      ("error", 0L, 500000000000L, 500000000000L, 0.0),
+      ("signup", 0L, 500000000000L, 500000000000L, 0.0),
+      ("view", 2L, 500000000000L, 0L, 1.0)))
+  }
+
+  test("markovAttribution: post-conversion events are dropped from the chain") {
+    // u1's second purchase and trailing click sit AFTER the first
+    // conversion in the same session — they must contribute NO
+    // transitions (no CONV->x edges, no double-counted conversion)
+    val dir = eventsDir(Seq(
+      (1L, 1000L, 1L, "click"), (2L, 2000L, 1L, "purchase"),
+      (3L, 3000L, 1L, "purchase"), (4L, 4000L, 1L, "click")))
+    val out = Events.markovAttribution(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // single journey START->click->CONV: base p = 1e12; click carries it
+    val click = out.find(_._1 == "click").get
+    assert(click === (("click", 1L, 1000000000000L, 0L, 1.0)))
+    assert(out.filter(_._1 != "click").forall(r =>
+      r._3 === 1000000000000L && r._4 === 1000000000000L && r._5 === 0.0))
+  }
+
   test("funnel: order matters, strict inequality, left-join stages") {
     val dir = eventsDir(Seq(
       // u1: full ordered funnel
