@@ -1413,6 +1413,122 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q204 — top principal axis of the embedding corpus by distributed
+    * Gram accumulation + integer power iteration: the d×d (64×64)
+    * uncentered second-moment matrix is the ONE data-sized pass (a
+    * (i, j) hash aggregate over exploded index pairs — the classic
+    * "sufficient statistics shrink the problem to d²" pattern, q143's
+    * idea lifted to vectors); the eigensolve then runs on the
+    * COLLECTED catalog-sized matrix (2 080 cells — the pivot-domain
+    * precedent) with `iters` power steps.
+    *
+    * Exactness end-to-end: components are quantized to 1e-6 by FLOOR
+    * (floor of an identical double is engine-deterministic — unlike
+    * ROUND at half boundaries, which Spark resolves via shortest-repr
+    * BigDecimal and DuckDB via binary doubles; the first draft used
+    * per-term round(,6) and mismatched 109 cells at sf0.01), so Gram
+    * cells are EXACT integer sums in 1e-12 units and every power step
+    * is integer — matvec exact, and the per-round renormalization
+    * divides by max|component| (TRUNCATING division: DuckDB's integer
+    * `//` truncates toward zero, probed at -7 // 2 = -3, exactly
+    * BigInt `/`) instead of the usual L2 norm, so NO sqrt and NO
+    * float ever enters the recurrence. The Rayleigh quotient
+    * `⌊vᵀ(Av) / vᵀv⌋` reports the dominant eigenvalue of the SUMMED
+    * Gram in 1e-12 units. The oracle replays the identical recurrence
+    * over MATERIALIZED unrolled CTEs.
+    *
+    * Scale: at 100 TB the explode is dim²/2 rows per vector with
+    * map-side combine into ≤2 080 groups — bandwidth-bound, no skew
+    * (every group is uniform); the driver matrix is 16 KB regardless
+    * of corpus size.
+    */
+  def embeddingPca(spark: SparkSession, dir: String,
+                   iters: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        floor(col("x").cast("double") * 1000000).as("xq"))
+    val m = e.as("a").join(e.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      // per-term products fit a Long, but the SUM is decimal(38,0):
+      // 1e9 corpus vectors × 1e12-sized terms overflows BIGINT
+      .agg(sum((col("a.xq") * col("b.xq")).cast(DecimalType(38, 0)))
+        .as("a_e12"))
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).toBigInteger)
+      .map { case (k, v) => k -> BigInt(v) }
+      .toMap
+    val dims = (m.keys.flatMap(k => Seq(k._1, k._2)).max + 1)
+    def aAt(i: Int, j: Int): BigInt =
+      m.getOrElse(if (i <= j) (i, j) else (j, i), BigInt(0))
+    // DuckDB `//` on INTEGER types truncates toward zero (probed:
+    // -7 // 2 = -3), exactly BigInt `/` — NOT floor division
+    val scale = BigInt(1000000)
+    var v = Array.fill(dims)(scale)
+    for (_ <- 1 to iters) {
+      val raw = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => aAt(i, j) * v(j)).sum)
+      val mx = raw.map(_.abs).max
+      require(mx > 0, "embeddingPca: zero Gram matrix")
+      v = raw.map(r => (r * scale) / mx)
+    }
+    val rawF = Array.tabulate(dims)(i =>
+      (0 until dims).map(j => aAt(i, j) * v(j)).sum)
+    // units: raw = (A·u)·1e18 (a = A·1e12, v = u·1e6) ⇒
+    // (vᵀraw)/(vᵀv) = λ·1e12 — no further scaling
+    val num = (0 until dims).map(i => v(i) * rawF(i)).sum
+    val den = (0 until dims).map(i => v(i) * v(i)).sum
+    val lambda = (num / den).toLong
+    import spark.implicits._
+    v.zipWithIndex.map { case (l, d) => (d, l.toLong, lambda) }.toSeq
+      .toDF("dim", "loading_e6", "lambda_e12")
+      .orderBy(col("dim"))
+  }
+
+  def embeddingPcaSql(iters: Int = 8, dim: Int = 64): String = {
+    val rounds = (1 to iters).map { k =>
+      s""", r$k AS MATERIALIZED (
+         |  SELECT s.i, SUM(s.a_e12 * v.val) AS raw
+         |  FROM sym s JOIN v${k - 1} v ON v.i = s.j
+         |  GROUP BY 1
+         |), v$k AS MATERIALIZED (
+         |  SELECT i, (raw * 1000000) // (SELECT MAX(ABS(raw)) FROM r$k)
+         |    AS val
+         |  FROM r$k
+         |)""".stripMargin
+    }.mkString
+    s"""WITH e AS (
+       |  SELECT vec_id, i - 1 AS i,
+       |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+       |  FROM embeddings, generate_series(1, $dim) AS t(i)
+       |), m AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j,
+       |    SUM(CAST(a.xq AS HUGEINT) * b.xq) AS a_e12
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2
+       |), sym AS MATERIALIZED (
+       |  SELECT i, j, a_e12 FROM m
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, a_e12 FROM m WHERE i <> j
+       |), v0 AS (
+       |  SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS val FROM sym
+       |)$rounds, rf AS MATERIALIZED (
+       |  SELECT s.i, SUM(s.a_e12 * v.val) AS raw
+       |  FROM sym s JOIN v$iters v ON v.i = s.j
+       |  GROUP BY 1
+       |), lam AS (
+       |  SELECT CAST((SELECT SUM(v.val * rf.raw) FROM v$iters v
+       |               JOIN rf ON rf.i = v.i)
+       |    // (SELECT SUM(val * val) FROM v$iters) AS BIGINT) AS lambda_e12
+       |)
+       |SELECT v.i AS dim, CAST(v.val AS BIGINT) AS loading_e6,
+       |  lam.lambda_e12
+       |FROM v$iters v CROSS JOIN lam
+       |ORDER BY dim""".stripMargin
+  }
+
   def semanticDecontaminationSql(nEval: Long = 16L,
                                  threshold: Double = 0.35): String =
     s"""WITH ev AS (

@@ -559,4 +559,23 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got === Seq((20L, 0L, 0.993884), (22L, 1L, 0.8)))
   }
+
+  test("embeddingPca: rank-1 Gram recovers the generating axis exactly") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-pca").toString
+    // three vectors on the ±(3,1) axis: Gram = 3·(3,1)(3,1)ᵀ =
+    // (27 9; 9 3), dominant eigenvector ∝ (3,1), eigenvalue 30.
+    // Max-normalized integer iteration fixpoint: (1e6, 333333);
+    // Rayleigh floor in 1e-12 units gives 29999999999997 (three ulps
+    // under 30e12 from the 333333 floor), hand-derived in BigInt.
+    Seq(
+      (1L, Array(3.0f, 1.0f), 0), (2L, Array(3.0f, 1.0f), 0),
+      (3L, Array(-3.0f, -1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.embeddingPca(spark, dir)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0, 1000000L, 29999999999997L), (1, 333333L, 29999999999997L)))
+  }
 }
