@@ -1375,4 +1375,96 @@ object Relational {
        |FROM calc2
        |ORDER BY wilson_lo DESC, l_partkey
        |LIMIT $topK""".stripMargin
+
+  /** q205 — ABC/XYZ inventory classification: every part placed on
+    * the two-axis planning grid — ABC by cumulative revenue share
+    * (A ≤ 80%, B ≤ 95%, C tail, in revenue-descending order) and XYZ
+    * by demand variability (weekly-quantity coefficient of variation:
+    * X ≤ 0.5, Y ≤ 1.0, Z beyond) — the classic stock-policy matrix
+    * (AX: automate, CZ: make-to-order).
+    *
+    * Exactness: both classifications avoid float thresholds entirely.
+    * Revenue shares compare in EXACT decimal cross-multiplication
+    * (`5·cum ≤ 4·total` for A, `20·cum ≤ 19·total` for B) over the
+    * fully-tiebroken (revenue DESC, partkey) cumulative; quantities
+    * are integral (1–50 in this corpus), so CV² thresholds reduce to
+    * integer comparisons: X ⇔ 4·n·Σq² ≤ 5·(Σq)², Y ⇔ n·Σq² ≤ 2·(Σq)²
+    * (population variance over the part's OBSERVED demand weeks).
+    *
+    * Scale: one part-keyed revenue aggregate + cumulative window (the
+    * q195 caveat applies: a monster part domain would bucket the
+    * prefix sum), one (part, week) aggregate folded into per-part
+    * sufficient stats (both map-side-combinable). The Σ terms ride
+    * longs here; a 100 TB run lifts them to DECIMAL(38,0) like q204.
+    */
+  def abcXyz(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+    val rev = li.groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .cast(dec)).as("rev_d"))
+    val wCum = Window.orderBy(col("rev_d").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val abc = rev
+      .withColumn("cum_d", sum(col("rev_d")).over(wCum))
+      .withColumn("tot_d", sum(col("rev_d")).over(Window.partitionBy()))
+      .withColumn("rev_class",
+        when(col("cum_d") * 5 <= col("tot_d") * 4, "A")
+          .when(col("cum_d") * 20 <= col("tot_d") * 19, "B")
+          .otherwise("C"))
+    val weekly = li
+      .select(col("l_partkey"),
+        expr("(unix_micros(cast(l_shipdate as timestamp)) - pmod(unix_micros(cast(l_shipdate as timestamp)), 86400000000)) div 86400000000 div 7").as("week"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_partkey"), col("week"))
+      .agg(sum(col("q")).as("wq"))
+    val xyz = weekly.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_weeks"),
+        sum(col("wq")).as("sum_q"),
+        sum(col("wq") * col("wq")).as("sum_q2"))
+      .withColumn("var_class",
+        when(lit(4) * col("n_weeks") * col("sum_q2") <=
+          lit(5) * col("sum_q") * col("sum_q"), "X")
+          .when(col("n_weeks") * col("sum_q2") <=
+            lit(2) * col("sum_q") * col("sum_q"), "Y")
+          .otherwise("Z"))
+    abc.join(xyz, Seq("l_partkey"))
+      .select(col("l_partkey"), col("rev_d").cast("double").as("revenue"),
+        col("rev_class"), col("n_weeks"), col("sum_q"), col("var_class"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val abcXyzSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+      |      AS DECIMAL(28,6))) AS rev_d
+      |  FROM lineitem GROUP BY 1
+      |), abc AS (
+      |  SELECT l_partkey, rev_d,
+      |    SUM(rev_d) OVER (ORDER BY rev_d DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d,
+      |    SUM(rev_d) OVER () AS tot_d
+      |  FROM rev
+      |), weekly AS (
+      |  SELECT l_partkey, (epoch_ms(l_shipdate) // 86400000) // 7 AS week,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wq
+      |  FROM lineitem GROUP BY 1, 2
+      |), xyz AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+      |    CAST(SUM(wq) AS BIGINT) AS sum_q,
+      |    CAST(SUM(wq * wq) AS BIGINT) AS sum_q2
+      |  FROM weekly GROUP BY 1
+      |)
+      |SELECT a.l_partkey, CAST(a.rev_d AS DOUBLE) AS revenue,
+      |  CASE WHEN a.cum_d * 5 <= a.tot_d * 4 THEN 'A'
+      |       WHEN a.cum_d * 20 <= a.tot_d * 19 THEN 'B'
+      |       ELSE 'C' END AS rev_class,
+      |  x.n_weeks, x.sum_q,
+      |  CASE WHEN 4 * x.n_weeks * x.sum_q2 <= 5 * x.sum_q * x.sum_q THEN 'X'
+      |       WHEN x.n_weeks * x.sum_q2 <= 2 * x.sum_q * x.sum_q THEN 'Y'
+      |       ELSE 'Z' END AS var_class
+      |FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
+      |ORDER BY a.l_partkey""".stripMargin
 }

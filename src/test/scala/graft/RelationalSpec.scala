@@ -167,4 +167,30 @@ class RelationalSpec extends AnyFunSuite {
     // the bound actually discounts certainty: 12/12 ranks ~0.76, not 1
     assert(wilsonLo(12, 12) < 0.8 && wilsonLo(12, 12) > 0.7)
   }
+
+  test("abcXyz: exact 80/95 revenue boundaries, CV=0.5 lands inclusive in X") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-abc").toString
+    def day(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    // revenue 80/15/5 hits the A and B thresholds EXACTLY (5·80=4·100,
+    // 20·95=19·100 — the cross-multiplied decimal compare, no floats);
+    // p20's weekly demand (1,3) has CV exactly 0.5 -> X inclusive;
+    // p30's (1,1,10) -> CV² = 162/144 > 1 -> Z.
+    Seq(
+      (1L, 10L, 10L, 40.0, 0L), (2L, 10L, 10L, 40.0, 7L),
+      (3L, 20L, 1L, 7.5, 0L), (4L, 20L, 3L, 7.5, 7L),
+      (5L, 30L, 1L, 2.0, 0L), (6L, 30L, 1L, 2.0, 7L),
+      (7L, 30L, 10L, 1.0, 14L))
+      .map { case (ok, pk, q, px, d) =>
+        (ok, pk, 1L, 1, q.toDouble, px, 0.0, 0.0, "N", "O", day(d)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Relational.abcXyz(spark, dir)
+      .as[(Long, Double, String, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (10L, 80.0, "A", 2L, 20L, "X"),
+      (20L, 15.0, "B", 2L, 4L, "X"),
+      (30L, 5.0, "C", 3L, 12L, "Z")))
+  }
 }
