@@ -281,6 +281,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LOCF gap-fill matches the batch q194 grid row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingGapFill.{DayInput, FillOut}
+    // the q194 spec fixture: user 1 days 10 (sum 2.5) and 13, user 2
+    // day 5 — batch grid = 5 rows with two carried gap days
+    val dir = java.nio.file.Files.createTempDirectory("graft-slocf").toString
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    Seq((1L, ts(10), 1L, "click", 1.0, "{}"),
+        (2L, ts(10), 1L, "click", 1.5, "{}"),
+        (3L, ts(13), 1L, "purchase", 4.0, "{}"),
+        (4L, ts(5), 2L, "click", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Temporal.gapFillLocf(spark, dir)
+      .as[(Long, Long, Double, Boolean, Long)].collect().toSeq
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DayInput]
+    val q = graft.streaming.StreamingGapFill.fill(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("locf_out").start()
+    try {
+      // batch boundary between the observations: the carry state must
+      // survive it (the gap rows for days 11-12 emit in micro-batch 2)
+      input.addData(DayInput(1L, 10L, 2.5), DayInput(2L, 5L, 7.0))
+      q.processAllAvailable()
+      input.addData(DayInput(1L, 13L, 4.0))
+      q.processAllAvailable()
+      val streamed = spark.table("locf_out").as[FillOut].collect().toSeq
+        .map(f => (f.user_id, f.day, f.v_filled, f.is_observed, f.gap_age))
+        .sortBy(r => (r._1, r._2))
+      assert(streamed === batch)
+      // a duplicate day is dropped, not re-emitted
+      input.addData(DayInput(1L, 13L, 99.0))
+      q.processAllAvailable()
+      assert(spark.table("locf_out").count() === 5)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions, keeps open ones in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
