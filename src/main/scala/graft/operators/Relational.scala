@@ -1467,4 +1467,42 @@ object Relational {
       |       ELSE 'Z' END AS var_class
       |FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
       |ORDER BY a.l_partkey""".stripMargin
+
+  /** q206 — rank-family percentile scorecard: every customer's
+    * account-balance standing WITHIN their nation — `percent_rank`
+    * (share of peers strictly below, tie-stable by definition),
+    * `cume_dist` (share at-or-below), and the `ntile(4)` quartile —
+    * the remaining rank-family window functions the suite had not yet
+    * graded (q02/q52 use row_number, q42 manual rank quantiles).
+    *
+    * Determinism: percent_rank and cume_dist are tie-invariant
+    * (equal balances share a value on both engines); ntile is NOT —
+    * it splits ties by row position — so its window orders by the
+    * fully-tiebroken (acctbal, custkey). Ratios are exact-integer
+    * quotients rounded once at 6dp.
+    *
+    * Scale: one shuffle on nation for all three windows (same
+    * partitioning + ordering → a single Window operator, the q58
+    * discipline); output is customer-sized with no joins.
+    */
+  def percentileScorecard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  val percentileScorecardSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal,
+      |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      |  ROUND(cume_dist() OVER w, 6) AS cume,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
 }

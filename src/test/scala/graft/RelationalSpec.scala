@@ -193,4 +193,24 @@ class RelationalSpec extends AnyFunSuite {
       (20L, 15.0, "B", 2L, 4L, "X"),
       (30L, 5.0, "C", 3L, 12L, "Z")))
   }
+
+  test("percentileScorecard: rank family over a tiebroken order, per nation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pctl").toString
+    // nation 1: balances 10 < 20 = 20 < 40 (tie broken by custkey);
+    // nation 2: a single customer (percent_rank degenerates to 0)
+    Seq((1L, 10.0, 1), (2L, 20.0, 1), (3L, 20.0, 1), (4L, 40.0, 1),
+        (9L, 7.0, 2))
+      .map { case (ck, b, n) => (ck, s"c$ck", n, b, "BUILDING") }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = Relational.percentileScorecard(spark, dir)
+      .as[(Long, Int, Double, Double, Double, Int)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1, 10.0, 0.0, 0.25, 1),
+      (2L, 1, 20.0, 0.333333, 0.5, 2),   // tie split by custkey
+      (3L, 1, 20.0, 0.666667, 0.75, 3),
+      (4L, 1, 40.0, 1.0, 1.0, 4),
+      (9L, 2, 7.0, 0.0, 1.0, 1)))
+  }
 }
