@@ -1068,4 +1068,72 @@ object Profile {
        |  ROUND(chi2, 6) AS chi2,
        |  ROUND(sqrt(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
        |FROM agg""".stripMargin
+
+  /** q207 — exact ROC-AUC of the q23 quality score as an exact-dup
+    * detector, per language: "do low-quality scores actually flag the
+    * documents that exact dedup (q25's fingerprint) would catch?" —
+    * the separability audit you run before trusting a heuristic score
+    * to gate a 100 TB corpus. AUC is computed exactly via the
+    * Mann–Whitney rank-sum identity with midranks for ties:
+    *   AUC = (Σ midrank(pos) − nPos(nPos+1)/2) / (nPos·nNeg),
+    * midrank = RANK() + (ties − 1)/2 over the per-lang quality order.
+    *
+    * Determinism: quality is the shared 6dp-rounded score (identical
+    * doubles both engines), so rank ties are identical; midranks are
+    * integers-plus-halves (exact doubles), rank sums stay exact below
+    * 2^52, and the single division is rounded once at 6dp. Languages
+    * with no dups (or all dups) yield NULL via the NULLIF guard.
+    *
+    * Scale: one fingerprint-keyed window (the q25 shuffle) to label,
+    * one lang-keyed window pass (rank and tie counts share the sort),
+    * one partial+final aggregate — no joins, no per-threshold sweep:
+    * the rank-sum identity IS the full ROC integral.
+    */
+  def qualityDupAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.{contentFingerprint, qualityScore}
+    val docs = Tables.load(spark, dir, "documents")
+    val labeled = docs
+      .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality"),
+        contentFingerprint(col("text")).as("fp"))
+      .withColumn("is_dup",
+        (count(lit(1)).over(Window.partitionBy(col("fp"))) > 1).cast("int"))
+    val ranked = labeled.withColumn("midrank",
+      rank().over(Window.partitionBy(col("lang")).orderBy(col("quality")))
+        + (count(lit(1)).over(Window.partitionBy(col("lang"), col("quality"))) - 1) / 2.0)
+    ranked.groupBy(col("lang"))
+      .agg(
+        sum(col("is_dup")).cast("long").as("n_pos"),
+        sum(lit(1) - col("is_dup")).cast("long").as("n_neg"),
+        sum(when(col("is_dup") === 1, col("midrank"))).as("rank_sum"))
+      .select(col("lang"), col("n_pos"), col("n_neg"),
+        round((col("rank_sum") - col("n_pos") * (col("n_pos") + 1) / 2.0)
+          / nullif((col("n_pos") * col("n_neg")).cast("double"), lit(0.0)), 6)
+          .as("auc"))
+      .orderBy(col("lang"))
+  }
+
+  val qualityDupAucSql: String =
+    s"""WITH labeled AS (
+       |  SELECT lang, ${graft.operators.TextAnalysis.qualityExprSql} AS quality,
+       |    CASE WHEN COUNT(*) OVER (PARTITION BY
+       |      md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) > 1
+       |      THEN 1 ELSE 0 END AS is_dup
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT lang, is_dup,
+       |    RANK() OVER (PARTITION BY lang ORDER BY quality)
+       |      + (COUNT(*) OVER (PARTITION BY lang, quality) - 1) / 2.0 AS midrank
+       |  FROM labeled
+       |), agg AS (
+       |  SELECT lang,
+       |    CAST(SUM(is_dup) AS BIGINT) AS n_pos,
+       |    CAST(SUM(1 - is_dup) AS BIGINT) AS n_neg,
+       |    SUM(CASE WHEN is_dup = 1 THEN midrank END) AS rank_sum
+       |  FROM ranked GROUP BY lang
+       |)
+       |SELECT lang, n_pos, n_neg,
+       |  ROUND((rank_sum - n_pos * (n_pos + 1) / 2.0)
+       |    / NULLIF(CAST(n_pos * n_neg AS DOUBLE), 0.0), 6) AS auc
+       |FROM agg ORDER BY lang""".stripMargin
 }

@@ -738,4 +738,40 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(out === Seq(("unit", 4L, 19L, 3L, 16L, 2L, 9L, 0.473684)))
   }
+
+  test("qualityDupAuc: rank-sum identity matches brute-force pairwise AUC") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-auc").toString
+    val rows = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat on the mat", "en"), // exact-dup pair -> both positive
+      (3L, "a quick brown fox jumps over the lazy dog and runs", "en"),
+      (4L, "!!! ??? ,,, ###", "en"),        // punctuation-heavy, low quality
+      (5L, Seq.fill(60)("the").mkString(" "), "en"),
+      (6L, "hola mundo que tal estas hoy", "es"),
+      (7L, "adios amigo", "es"))            // es: zero dups -> NULL auc
+    rows.map { case (id, t, l) => (id, t, l, "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // brute-force pairwise AUC over the operator's own inputs: quality
+    // via the shared scorer, label = text occurs more than once
+    val en = rows.filter(_._3 == "en")
+    val texts = en.groupBy(_._2).map { case (t, g) => t -> g.size }
+    val qualities = spark.createDataFrame(en.map { case (id, t, l) => (id, t) })
+      .toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.TextFunctions.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect().toMap
+    val pos = en.filter(r => texts(r._2) > 1).map(r => qualities(r._1))
+    val neg = en.filter(r => texts(r._2) == 1).map(r => qualities(r._1))
+    val expected = BigDecimal(
+      (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.size * neg.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val out = Profile.qualityDupAuc(spark, dir)
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      ("en", 2L, 3L, Some(expected)),
+      ("es", 0L, 2L, None)))
+  }
 }
