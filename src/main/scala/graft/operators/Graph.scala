@@ -1587,4 +1587,81 @@ object Graph {
        |FROM sup WHERE support >= $minSup
        |ORDER BY support DESC, pa, pb, pc
        |LIMIT $topK""".stripMargin
+
+  /** q208 — Adamic–Adar link prediction over the co-purchase graph:
+    * for every UNCONNECTED part pair sharing at least one co-purchase
+    * neighbor, score = Σ_z 1/log10(deg(z)) over common neighbors z —
+    * rare shared neighbors count more than hub parts everyone buys.
+    * The classic common-neighbor ranking (Adamic & Adar 2003) that
+    * q185's item-CF cannot produce: CF scores existing co-purchase
+    * strength, this predicts the MISSING edges (new-bundle
+    * candidates).
+    *
+    * Exactness: per-z terms are round(1/log10(deg), 6) summed in
+    * DECIMAL(28,6) (the q102 convention — order-independent, engine-
+    * identical), one cast to double at the end; top-k fully tiebroken
+    * (score desc, part_a, part_b) so both engines cut identically.
+    *
+    * Scale: candidate pairs are generated THROUGH the common
+    * neighbor (one self-join of the adjacency list on z), so the
+    * fan-out is Σ_z deg(z)² bounded by `degCap` — hub parts with
+    * deg > degCap are excluded as wedge centers (standard in
+    * link prediction: a neighbor shared with half the catalog
+    * carries ~zero signal but quadratic cost; the screen is part of
+    * the stated semantics, not an approximation of it). The edge
+    * list is the session-memoized q107/q115 pair list; existing
+    * edges leave via a co-partitioned left anti join; the global
+    * top-k is a distributed TakeOrdered, never a full sort.
+    */
+  def adamicAdar(spark: SparkSession, dir: String, degCap: Int = 64,
+                 topK: Int = 50): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val pairs = coPurchasePairs(spark, dir).select(col("pa"), col("pb"))
+    val adj = pairs.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(pairs.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val mid = adj.join(deg.where(col("d").between(2, degCap)), "u")
+    val cand = mid.as("a1").join(mid.as("a2"),
+        col("a1.u") === col("a2.u") && col("a1.v") < col("a2.v"))
+      .select(col("a1.v").as("pa"), col("a2.v").as("pb"), col("a1.d").as("d"))
+    cand.groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(round(lit(1.0) / log10(col("d")), 6).cast(dec)).cast("double")
+          .as("aa_score"))
+      .join(pairs, Seq("pa", "pb"), "left_anti")
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("common_neighbors"), col("aa_score"))
+      .orderBy(col("aa_score").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
+  def adamicAdarSql(degCap: Int = 64, topK: Int = 50): String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), adj AS (
+       |  SELECT pa AS u, pb AS v FROM pairs
+       |  UNION ALL SELECT pb, pa FROM pairs
+       |), deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u
+       |), mid AS (
+       |  SELECT adj.u, adj.v, deg.d FROM adj JOIN deg ON deg.u = adj.u
+       |  WHERE deg.d BETWEEN 2 AND $degCap
+       |), cand AS (
+       |  SELECT a1.v AS pa, a2.v AS pb, a1.d
+       |  FROM mid a1 JOIN mid a2 ON a1.u = a2.u AND a1.v < a2.v
+       |), scored AS (
+       |  SELECT pa, pb, COUNT(*) AS common_neighbors,
+       |    CAST(SUM(CAST(ROUND(1.0 / log10(d), 6) AS DECIMAL(28,6)))
+       |      AS DOUBLE) AS aa_score
+       |  FROM cand GROUP BY 1, 2
+       |)
+       |SELECT s.pa AS part_a, s.pb AS part_b, s.common_neighbors, s.aa_score
+       |FROM scored s
+       |LEFT JOIN pairs p ON p.pa = s.pa AND p.pb = s.pb
+       |WHERE p.pa IS NULL
+       |ORDER BY s.aa_score DESC, part_a, part_b
+       |LIMIT $topK""".stripMargin
 }

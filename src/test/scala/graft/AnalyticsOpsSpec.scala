@@ -785,4 +785,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("R1", "B", 1L, 30.0, 60.0, 100.0, 0.5, 0.3),
       ("R2", "C", 1L, 40.0, 40.0, 100.0, 1.0, 0.4)))
   }
+
+  test("adamicAdar: triangle yields no candidates, open wedge scores 1/log10(deg)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-aa").toString
+    // orders: {1,2} {1,3} {2,3} close a triangle (every wedge pair is
+    // already an edge -> anti-join removes it); {4,5} {4,6} leave the
+    // open wedge 5-4-6: one candidate (5,6) through z=4, deg(4)=2.
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 3L),
+        (4L, 4L), (4L, 5L), (5L, 4L), (5L, 6L))
+      .map { case (ok, pk) => (ok, pk, 1L, 1, 1.0, 1.0, 0.0, 0.0,
+        "N", "O", new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Graph.adamicAdar(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // round(1/log10(2), 6) = 3.321928
+    assert(out === Seq((5L, 6L, 1L, 3.321928)))
+  }
 }
