@@ -2462,4 +2462,100 @@ object Events {
       |  ROUND(CAST(c.cum_rev_d AS DOUBLE) / s.cohort_size, 6) AS ltv_per_user
       |FROM cum c JOIN sizes s ON c.cohort = s.cohort
       |ORDER BY c.cohort, c.age_week""".stripMargin
+
+  /** q209 — autocorrelation function (ACF) of daily event counts per
+    * type at lags 1/2/3/7: the periodicity detector behind every
+    * forecasting choice (a strong lag-7 says "weekly seasonality —
+    * use q145's profile"; fast decay says q120's SES is enough). ACF
+    * is Pearson r between the daily-count series and its lag-shifted
+    * self over the DENSE calendar — missing days count 0 (computing
+    * on gappy days would silently correlate across holes).
+    *
+    * Exactness: daily counts are integers, so ALL sufficient sums
+    * (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs; numerator and the two
+    * variance terms are exact integer expressions converted to double
+    * once, then one division + sqrt (both correctly rounded IEEE) and
+    * one 6dp round. Constant or single-pair series hit the NULLIF
+    * guard (den = 0 → NULL). At 100 TB daily counts near 1e9 push
+    * Σx² toward 2^63 — swap the sums to DECIMAL(38,0); the shape
+    * stays.
+    *
+    * Scale: one (type, day) count aggregate (map-side combined), a
+    * calendar-sized spine from a per-type min/max, and ONE window
+    * pass (all four leads share the type-partitioned day sort)
+    * unpivoted by `stack` — the raw stream is touched once; the
+    * series table is days-long, never event-sized.
+    */
+  def acfDaily(spark: SparkSession, dir: String,
+               lags: Seq[Int] = Seq(1, 2, 3, 7)): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(count(lit(1)).as("v"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    val dense = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("v"), lit(0L)).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val withLeads = lags.foldLeft(dense) { (df, k) =>
+      df.withColumn(s"y_$k", lead(col("v"), k).over(w))
+    }
+    withLeads
+      .select(col("event_type"), col("v").as("x"),
+        expr(s"stack(${lags.size}, ${lags.map(k => s"$k, y_$k").mkString(", ")})")
+          .as(Seq("lag", "y")))
+      .where(col("y").isNotNull)
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / nullif(
+            sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")),
+            lit(0.0)), 6).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  def acfDailySql(lags: Seq[Int] = Seq(1, 2, 3, 7)): String = {
+    val leadCols = lags.map(k => s"lead(v, $k) OVER w AS y_$k").mkString(",\n      |    ")
+    val unpivot = lags.map(k =>
+      s"SELECT event_type, x, $k AS lag, y_$k AS y FROM leads").mkString("\n      |  UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+       |    COUNT(*) AS v
+       |  FROM events GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT event_type, unnest(range(mn, mx + 1)) AS day
+       |  FROM (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+       |        FROM daily GROUP BY 1)
+       |), dense AS (
+       |  SELECT s.event_type, s.day, COALESCE(d.v, 0) AS v
+       |  FROM spine s LEFT JOIN daily d
+       |    ON d.event_type = s.event_type AND d.day = s.day
+       |), leads AS (
+       |  SELECT event_type, v AS x,
+       |    $leadCols
+       |  FROM dense
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       |), pairs AS (
+       |  $unpivot
+       |), agg AS (
+       |  SELECT event_type, lag, COUNT(*) AS n_pairs,
+       |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+       |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+       |  FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT event_type, CAST(lag AS INT) AS lag,
+       |  CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+       |    / NULLIF(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+       |        * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 0.0), 6) AS acf
+       |FROM agg ORDER BY event_type, lag""".stripMargin
+  }
 }

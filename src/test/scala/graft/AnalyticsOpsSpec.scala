@@ -804,4 +804,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // round(1/log10(2), 6) = 3.321928
     assert(out === Seq((5L, 6L, 1L, 3.321928)))
   }
+
+  test("acfDaily: linear series gives r=1, gap day counts as zero, 1-pair lag is NULL") {
+    val day = 86400000L
+    // type a: days 0..3 counts 1,2,3,4 (linear -> lag1 and lag2 acf = 1;
+    // lag3 has a single pair -> zero variance -> NULL; lag7 no pairs).
+    // type b: counts on days 0 and 2 only -> dense series [2,0,2] ->
+    // lag1 acf = -1 (the gap zero is real data, not a dropped row).
+    val rows =
+      (0 until 4).flatMap(d => (0 to d).map(i =>
+        (10L * d + i, d * day, 1L, "a"))) ++
+      Seq((100L, 0L, 1L, "b"), (101L, 0L, 2L, "b"),
+          (102L, 2 * day, 1L, "b"), (103L, 2 * day, 2L, "b"))
+    val dir = eventsDir(rows.map { case (id, ms, u, t) => (id, ms, u, t) })
+    val out = graft.operators.Events.acfDaily(spark, dir)
+      .as[(String, Int, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      ("a", 1, 3L, Some(1.0)),
+      ("a", 2, 2L, Some(1.0)),
+      ("a", 3, 1L, None),
+      ("b", 1, 2L, Some(-1.0)),
+      ("b", 2, 1L, None)))
+  }
 }
