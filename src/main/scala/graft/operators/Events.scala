@@ -2558,4 +2558,94 @@ object Events {
        |        * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 0.0), 6) AS acf
        |FROM agg ORDER BY event_type, lag""".stripMargin
   }
+
+  /** q210 — U-shaped (position-based) multi-touch attribution: each
+    * purchase's value splits 40% to the journey's first touch, 40% to
+    * the last, and the remaining 20% evenly across middle touches
+    * (1-touch journeys take 100%, 2-touch 50/50, touchless purchases
+    * stay 'direct') — the standard middle ground between q91's
+    * last-touch and q203's Markov removal effects. A journey is the
+    * touch run since the user's previous purchase: the same
+    * purchase-count window resets journeys without any join against
+    * a purchase table.
+    *
+    * Determinism: journey ids are exclusive-frame purchase counts
+    * (empty frame = 0 both engines); first/last are fully tiebroken
+    * by (ts, event_id); credits are CASE doubles with the one inexact
+    * quotient (0.2/(k−2)) written identically on both sides; each
+    * credited term rounds at 6dp before the DECIMAL sum (q103
+    * convention).
+    *
+    * Scale: ONE user_id window pass tags journeys, one (user,
+    * journey) window ranks touches, the purchase join is
+    * co-partitioned on the same keys, and the rollup is a tiny
+    * channel aggregate — event-sized work only in the two window
+    * passes, no self-join over the stream.
+    */
+  def uShapedAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .withColumn("ts_ms", tsMs("ts"))
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tagged = ev.withColumn("journey",
+      count(when(col("event_type") === "purchase", 1)).over(wPrev))
+    val purchases = tagged.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("journey"), col("value"))
+    val wJ = Window.partitionBy(col("user_id"), col("journey"))
+    val touches = tagged.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("journey"), col("event_type").as("channel"),
+        col("ts_ms"), col("event_id"))
+      .withColumn("rn",
+        row_number().over(wJ.orderBy(col("ts_ms"), col("event_id"))))
+      .withColumn("k", count(lit(1)).over(wJ))
+    val credited = touches.join(purchases, Seq("user_id", "journey"))
+      .withColumn("credit",
+        when(col("k") === 1, lit(1.0))
+          .when(col("k") === 2, lit(0.5))
+          .when(col("rn") === 1 || col("rn") === col("k"), lit(0.4))
+          .otherwise(lit(0.2) / (col("k") - 2)))
+      .select(col("channel"), round(col("value") * col("credit"), 6).as("v"))
+    val direct = purchases.join(
+        touches.select(col("user_id"), col("journey")).distinct(),
+        Seq("user_id", "journey"), "left_anti")
+      .select(lit("direct").as("channel"), round(col("value"), 6).as("v"))
+    credited.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"), decSum(col("v")).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
+  val uShapedAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS journey
+      |  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+      |), purchases AS (
+      |  SELECT user_id, journey, value FROM ev WHERE event_type = 'purchase'
+      |), touches AS (
+      |  SELECT user_id, journey, event_type AS channel,
+      |    row_number() OVER (PARTITION BY user_id, journey
+      |                       ORDER BY ts_ms, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id, journey) AS k
+      |  FROM ev WHERE event_type <> 'purchase'
+      |), credited AS (
+      |  SELECT t.channel,
+      |    ROUND(p.value * (CASE WHEN t.k = 1 THEN CAST(1.0 AS DOUBLE)
+      |      WHEN t.k = 2 THEN CAST(0.5 AS DOUBLE)
+      |      WHEN t.rn = 1 OR t.rn = t.k THEN CAST(0.4 AS DOUBLE)
+      |      ELSE CAST(0.2 AS DOUBLE) / (t.k - 2) END), 6) AS v
+      |  FROM touches t JOIN purchases p USING (user_id, journey)
+      |  UNION ALL
+      |  SELECT 'direct' AS channel, ROUND(p.value, 6) AS v
+      |  FROM purchases p
+      |  WHERE NOT EXISTS (SELECT 1 FROM touches t
+      |                    WHERE t.user_id = p.user_id AND t.journey = p.journey)
+      |)
+      |SELECT channel, COUNT(*) AS n_credits,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+      |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -826,4 +826,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("b", 1, 2L, Some(-1.0)),
       ("b", 2, 1L, None)))
   }
+
+  test("uShapedAttribution: 40/20/40 split, journey reset at purchase, direct fallback") {
+    // u1: click view click purchase(10) -> 4,2,4 by position; then a
+    //     second journey: view purchase(5) -> single touch takes all 5
+    // u2: purchase(7) with no touches -> direct
+    val rows = Seq(
+      (1L, 1000L, 1L, "click", 0.0), (2L, 2000L, 1L, "view", 0.0),
+      (3L, 3000L, 1L, "click", 0.0), (4L, 4000L, 1L, "purchase", 10.0),
+      (5L, 5000L, 1L, "view", 0.0), (6L, 6000L, 1L, "purchase", 5.0),
+      (7L, 1000L, 2L, "purchase", 7.0))
+    val dir = eventsDirV(rows)
+    val out = graft.operators.Events.uShapedAttribution(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    // click: first 4.0 + last 4.0 = 8.0 over 2 credits;
+    // view: middle 2.0 + solo 5.0 = 7.0 over 2 credits; direct: 7.0
+    assert(out === Seq(
+      ("click", 2L, 8.0), ("direct", 1L, 7.0), ("view", 2L, 7.0)))
+  }
 }
