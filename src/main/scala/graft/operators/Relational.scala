@@ -1505,4 +1505,95 @@ object Relational {
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_nationkey, c_custkey""".stripMargin
+
+  /** q211 — small-quantity-order revenue per brand: lineitems whose
+    * quantity falls below 20% of their part's average order quantity,
+    * rolled up as yearly-ized revenue — the TPC-H Q17 shape, whose
+    * defining feature is the CORRELATED SCALAR SUBQUERY (per-part avg
+    * referenced from the outer predicate). The oracle keeps the
+    * textbook correlated form; the Spark plan is its decorrelation:
+    * one per-part aggregate joined back co-partitioned on l_partkey
+    * (the agg output and the probe side share the key, so AQE plans a
+    * shuffle-local join), then a broadcast part-dim join for the
+    * brand label.
+    *
+    * Exactness: avg qty is decSum/count (order-independent decimal
+    * sum, one double division) computed identically on both sides, so
+    * the 0.2·avg threshold compare is on bit-identical doubles; the
+    * qualifying revenue is a DECIMAL sum divided by 7 and rounded
+    * once.
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg((decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(perPart, "l_partkey")
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"),
+        round(decSum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"))
+      .orderBy(col("p_brand"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """SELECT p.p_brand,
+      |  COUNT(*) AS n_small,
+      |  ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |    / 7.0, 6) AS avg_yearly
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE l.l_quantity < 0.2 * (
+      |  SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+      |    / COUNT(*)
+      |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q212 — large-volume orders ("who places the bulk orders"): orders
+    * whose total lineitem quantity exceeds `minQty`, joined back to
+    * customer and order headers with the quantity total — the TPC-H
+    * Q18 shape: IN-subquery with a HAVING aggregate, planned as an
+    * aggregate → semi-join. Spark side computes the per-order total
+    * ONCE and reuses it as both the filter and the output column
+    * (the decorrelated form); the oracle keeps the textbook
+    * IN (GROUP BY ... HAVING) + re-aggregate form to prove the
+    * rewrite. Both aggregates are co-partitioned on l_orderkey; the
+    * order/customer joins are key joins on the already-thin filtered
+    * set.
+    *
+    * Exactness: quantity totals are DECIMAL sums (order-independent);
+    * the > minQty compare and the final (total desc, orderkey) sort
+    * use those exact doubles.
+    */
+  def largeVolumeOrders(spark: SparkSession, dir: String,
+                        minQty: Double = 250.0): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(decSum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    big.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  def largeVolumeOrdersSql(minQty: Double = 250.0): String =
+    s"""SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
+       |  (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+       |   FROM lineitem l2 WHERE l2.l_orderkey = o.o_orderkey) AS total_qty
+       |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+       |WHERE o.o_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+       |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+       |    > $minQty)
+       |ORDER BY total_qty DESC, o.o_orderkey""".stripMargin
 }

@@ -213,4 +213,52 @@ class RelationalSpec extends AnyFunSuite {
       (4L, 1, 40.0, 1.0, 1.0, 4),
       (9L, 2, 7.0, 0.0, 1.0, 1)))
   }
+
+  test("smallQtyRevenue: only below-20%-of-part-average lineitems count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q17").toString
+    Seq((1L, "p1", "Brand#A", "T", 1, 1.0), (2L, "p2", "Brand#B", "T", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // part 1: quantities 1, 10, 10, 19 -> avg 10, threshold 2: only the
+    // qty-1 row (price 70) qualifies -> 70/7 = 10 per year.
+    // part 2: quantities 5, 5 -> threshold 1: nothing qualifies.
+    Seq((1L, 1L, 1.0, 70.0), (2L, 1L, 10.0, 1.0), (3L, 1L, 10.0, 1.0),
+        (4L, 1L, 19.0, 1.0), (5L, 2L, 5.0, 1.0), (6L, 2L, 5.0, 1.0))
+      .map { case (ok, pk, q, px) => (ok, pk, 1L, 1, q, px, 0.0, 0.0,
+        "N", "O", new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Relational.smallQtyRevenue(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("Brand#A", 1L, 10.0)))
+  }
+
+  test("largeVolumeOrders: HAVING threshold keeps only bulk orders, sorted by qty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q18").toString
+    Seq((1L, "alice", 1, 0.0, "B"), (2L, "bob", 1, 0.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, 100.0), (11L, 2L, 200.0), (12L, 2L, 50.0))
+      .map { case (ok, ck, tp) => (ok, ck, "O", tp,
+        new java.sql.Timestamp(0L), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // order 10: 150+150=300 > 250; order 11: 260 > 250; order 12: 10
+    Seq((10L, 150.0), (10L, 150.0), (11L, 260.0), (12L, 10.0))
+      .zipWithIndex
+      .map { case ((ok, q), i) => (ok, i.toLong, 1L, 1, q, 1.0, 0.0, 0.0,
+        "N", "O", new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Relational.largeVolumeOrders(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("alice", 1L, 10L, 100.0, 300.0),
+      ("bob", 2L, 11L, 200.0, 260.0)))
+  }
 }
