@@ -1136,4 +1136,76 @@ object Profile {
        |  ROUND((rank_sum - n_pos * (n_pos + 1) / 2.0)
        |    / NULLIF(CAST(n_pos * n_neg AS DOUBLE), 0.0), 6) AS auc
        |FROM agg ORDER BY lang""".stripMargin
+
+  /** q213 — two-sample Kolmogorov–Smirnov drift statistic per
+    * language: D = max |F_early(x) − F_late(x)| between the early and
+    * late ingestion halves' document-length distributions (q124's
+    * doc_id-midpoint split). Where q124's PSI needs a bucketing
+    * choice, KS is bucket-free — the supremum over the empirical
+    * CDFs — so it catches shape drift PSI's bins can straddle.
+    *
+    * Exactness: the supremum is computed on INTEGER cross-multiplied
+    * counts — max |c1·n2 − c2·n1| over distinct values x — and
+    * divided by n1·n2 exactly once (double division of exact
+    * integers, 6dp round). No floats exist before that division, so
+    * both engines agree bit-for-bit; one-sided languages hit the
+    * NULLIF guard.
+    *
+    * Scale: one (lang, value) aggregate collapses the corpus to
+    * distinct-length cardinality, one lang-partitioned ordered window
+    * accumulates both CDFs in a single pass, one max aggregate ends
+    * it — the corpus is scanned once and never self-joined.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val bounds = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val tagged = docs.crossJoin(broadcast(bounds))
+      .withColumn("late", (col("doc_id") * 2 > col("mn") + col("mx")).cast("int"))
+      .select(col("lang"), col("late"), col("n_chars").as("x"))
+    val perVal = tagged.groupBy(col("lang"), col("x"))
+      .agg(sum(lit(1) - col("late")).as("ce"), sum(col("late")).as("cl"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("lang"))
+    perVal
+      .withColumn("c1", sum(col("ce")).over(wCum))
+      .withColumn("c2", sum(col("cl")).over(wCum))
+      .withColumn("n1", sum(col("ce")).over(wAll))
+      .withColumn("n2", sum(col("cl")).over(wAll))
+      .groupBy(col("lang"))
+      .agg(max(col("n1")).as("n_early"), max(col("n2")).as("n_late"),
+        max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
+      .select(col("lang"), col("n_early"), col("n_late"),
+        round(col("d_num").cast("double")
+          / nullif((col("n_early") * col("n_late")).cast("double"), lit(0.0)), 6)
+          .as("ks_stat"))
+      .orderBy(col("lang"))
+  }
+
+  val ksDriftSql: String =
+    """WITH bounds AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+      |tagged AS (
+      |  SELECT lang, CASE WHEN doc_id * 2 > mn + mx THEN 1 ELSE 0 END AS late,
+      |    n_chars AS x
+      |  FROM documents, bounds
+      |), per_val AS (
+      |  SELECT lang, x, SUM(1 - late) AS ce, SUM(late) AS cl
+      |  FROM tagged GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT lang,
+      |    SUM(ce) OVER (PARTITION BY lang ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+      |    SUM(cl) OVER (PARTITION BY lang ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+      |    SUM(ce) OVER (PARTITION BY lang) AS n1,
+      |    SUM(cl) OVER (PARTITION BY lang) AS n2
+      |  FROM per_val
+      |)
+      |SELECT lang,
+      |  CAST(MAX(n1) AS BIGINT) AS n_early,
+      |  CAST(MAX(n2) AS BIGINT) AS n_late,
+      |  ROUND(CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+      |    / NULLIF(CAST(MAX(n1) * MAX(n2) AS DOUBLE), 0.0), 6) AS ks_stat
+      |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -774,4 +774,19 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("en", 2L, 3L, Some(expected)),
       ("es", 0L, 2L, None)))
   }
+
+  test("ksDrift: integer cross-multiplied supremum, one-sided lang is NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ks").toString
+    // global midpoint of ids 1..6 -> late iff 2*id > 7 (ids 4,5,6).
+    // en: early lengths {10,20,20}, late {30} -> D = max(1,3,0)/3 = 1.0
+    // es: both docs late -> n_early = 0 -> NULL
+    Seq((1L, 10L, "en"), (2L, 20L, "en"), (3L, 20L, "en"), (4L, 30L, "en"),
+        (5L, 40L, "es"), (6L, 50L, "es"))
+      .map { case (id, len, lang) => (id, "x", lang, "unit", len) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Profile.ksDrift(spark, dir)
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(("en", 3L, 1L, Some(1.0)), ("es", 0L, 2L, None)))
+  }
 }
