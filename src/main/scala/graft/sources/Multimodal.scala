@@ -446,4 +446,93 @@ object Multimodal {
       |  CAST(CASE WHEN doc_id % 4 = 3 THEN fc * 3 % 480
       |    ELSE 3 * n % 480 + 1 END AS INT) AS height
       |FROM f ORDER BY doc_id""".stripMargin
+
+  case class AudioActivity(doc_id: Long, window_idx: Int, n_zero_cross: Int,
+                           n_turning: Int, peak_abs: Int, is_silent: Int)
+
+  /** q214 — audio activity profile: q114's PCM16-LE stream reduced to
+    * the other classic VAD features per window — zero-crossing count
+    * (strict sign alternation), turning-point count (local extrema:
+    * adjacent deltas with strictly opposite signs — the
+    * voiced/unvoiced texture cue that stays informative even on
+    * all-positive streams), peak amplitude, and a silence flag
+    * (peak < `silenceThreshold`). The kernel is REAL int16-LE with
+    * sign handling; on the graded ASCII corpus every sample is
+    * positive, so n_zero_cross is exactly 0 there (stated by the
+    * oracle; the sign path is unit-covered with crafted negative
+    * bytes, q114's convention). Tail bytes and partial windows drop.
+    *
+    * Scale: narrow mapPartitions over the payload scan, no shuffle;
+    * windows-per-doc output, partition-local until the presentation
+    * sort — the same shape as q114, one kernel pass per payload.
+    */
+  def pcmActivity(spark: SparkSession, dir: String, window: Int = 16,
+                  silenceThreshold: Int = 25000): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nSamples = r.payload.length / 2
+        val nWindows = nSamples / window
+        (0 until nWindows).iterator.map { w =>
+          var zc = 0; var tp = 0; var peak = 0
+          var prev = 0; var prevDelta = 0
+          var i = w * window
+          val end = i + window
+          val start = i
+          while (i < end) {
+            val lo = r.payload(2 * i) & 0xFF
+            val hi = r.payload(2 * i + 1) // SIGNED high byte: int16 LE
+            val s = (hi << 8) | lo
+            val a = if (s < 0) -s else s
+            if (a > peak) peak = a
+            if (i > start) {
+              if ((prev < 0) != (s < 0)) zc += 1
+              val d = s - prev
+              if (i > start + 1 && prevDelta.toLong * d < 0) tp += 1
+              prevDelta = d
+            }
+            prev = s
+            i += 1
+          }
+          AudioActivity(r.doc_id, w, zc, tp, peak,
+            if (peak < silenceThreshold) 1 else 0)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"), col("window_idx"))
+  }
+
+  /** Oracle: the same features restated over the ASCII text bytes
+    * (q114's per-sample table), with the window-function formulation
+    * of the two adjacency counts: lag(smp) for sign alternation,
+    * (smp − lag) · (lead − smp) < 0 for turning points. All samples
+    * are nonnegative on an ASCII corpus, so the zero-cross column is
+    * the constant the real kernel must also produce there.
+    */
+  def pcmActivitySql(window: Int = 16, silenceThreshold: Int = 25000): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, strlen(text) // 2 AS n_samp FROM documents
+       |), w AS (
+       |  SELECT doc_id, text, CAST(f AS INT) AS window_idx
+       |  FROM base, unnest(range(0, n_samp // $window)) AS t(f)
+       |), s AS (
+       |  SELECT doc_id, window_idx, CAST(i AS INT) AS i,
+       |    ascii(substr(text, CAST((window_idx * $window + i) * 2 + 1 AS INT), 1))
+       |      + 256 * ascii(substr(text, CAST((window_idx * $window + i) * 2 + 2 AS INT), 1)) AS smp
+       |  FROM w, unnest(range(0, $window)) AS t2(i)
+       |), d AS (
+       |  SELECT doc_id, window_idx, i, smp,
+       |    lag(smp) OVER win AS prev,
+       |    lead(smp) OVER win AS nxt
+       |  FROM s WINDOW win AS (PARTITION BY doc_id, window_idx ORDER BY i)
+       |)
+       |SELECT doc_id, window_idx,
+       |  CAST(SUM(CASE WHEN prev IS NOT NULL
+       |    AND ((prev < 0) <> (smp < 0)) THEN 1 ELSE 0 END) AS INT) AS n_zero_cross,
+       |  CAST(SUM(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+       |    AND (smp - prev) * (nxt - smp) < 0 THEN 1 ELSE 0 END) AS INT) AS n_turning,
+       |  CAST(MAX(ABS(smp)) AS INT) AS peak_abs,
+       |  CASE WHEN MAX(ABS(smp)) < $silenceThreshold THEN 1 ELSE 0 END AS is_silent
+       |FROM d GROUP BY doc_id, window_idx
+       |ORDER BY doc_id, window_idx""".stripMargin
 }

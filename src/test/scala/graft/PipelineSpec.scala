@@ -578,4 +578,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Seq(
       (0, 1000000L, 29999999999997L), (1, 333333L, 29999999999997L)))
   }
+
+  test("pcmActivity: turning points, silence gate, and a real sign crossing") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-pcmact").toString
+    // doc 1 "AzzAAzzA": samples 31297,16762,31297,16762 -> deltas
+    // alternate sign -> 2 turning points in a 4-sample window
+    // doc 2 "  !!": samples 8224,8481 -> peak under 25000 -> silent
+    Seq((1L, "AzzAAzzA", "en", "s", 8L), (2L, "  !!", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w4 = Multimodal.pcmActivity(spark, dir, window = 4)
+      .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq
+    assert(w4 === Seq((1L, 0, 0, 2, 31297, 0))) // doc 2: 2 samples < window
+    val w2 = Multimodal.pcmActivity(spark, dir, window = 2)
+      .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq
+    assert(w2 === Seq(
+      (1L, 0, 0, 0, 31297, 0), (1L, 1, 0, 0, 31297, 0),
+      (2L, 0, 0, 0, 8481, 1)))
+    // sign branch through the REAL operator: "Azÿÿ" = bytes 41 7A C3 BF
+    // -> samples +31297 then -16445 -> one true zero crossing
+    val negDir = Files.createTempDirectory("graft-pcmact-neg").toString
+    Seq((9L, "Az\u00ff\u00ff", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$negDir/documents.parquet")
+    val neg = Multimodal.pcmActivity(spark, negDir, window = 2)
+      .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq
+    assert(neg === Seq((9L, 0, 1, 0, 31297, 0)))
+  }
 }
