@@ -123,4 +123,55 @@ object Pii {
        |  k < $kMin AS at_risk
        |FROM g
        |ORDER BY c_nationkey, c_mktsegment, bal_bucket""".stripMargin
+
+  /** q215 — l-diversity audit: q199 tells you each quasi-identifier
+    * class is big enough (k-anonymity); this asks whether the
+    * SENSITIVE attribute inside each class is varied enough — a
+    * k-anonymous class whose members all share one balance bucket
+    * still leaks it (the homogeneity attack l-diversity exists for).
+    * Per (nation, segment) class: k, distinct sensitive values l, and
+    * the sensitive distribution's entropy in bits (entropy
+    * l-diversity needs H ≥ log l; a skewed class scores low even with
+    * high nominal l). `at_risk` flags l < lMin.
+    *
+    * Exactness: entropy uses q103's aggregate-stable identity
+    * H = log10(k) − Σ c·log10(c)/k with per-term 6dp rounds into a
+    * DECIMAL sum, divided by log10(2) once. Scale: one (class,
+    * sensitive) count aggregate then one class aggregate — both
+    * map-side combinable, output is class-cardinality-sized.
+    */
+  def lDiversityAudit(spark: SparkSession, dir: String, lMin: Int = 3,
+                      bucketWidth: Double = 1000.0): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val cells = Tables.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / bucketWidth).as("sens"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("c")).as("k"), count(lit(1)).as("l_distinct"),
+        sum(round(col("c") * log10(col("c")), 6).cast(dec)).as("s"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("k"),
+        col("l_distinct"),
+        round((log10(col("k")) - col("s").cast("double") / col("k"))
+          / lit(0.30102999566398120), 6).as("entropy_bits"),
+        (col("l_distinct") < lMin).as("at_risk"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  def lDiversityAuditSql(lMin: Int = 3, bucketWidth: Double = 1000.0): String =
+    s"""WITH cells AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(FLOOR(c_acctbal / $bucketWidth) AS BIGINT) AS sens,
+       |    COUNT(*) AS c
+       |  FROM customer GROUP BY 1, 2, 3
+       |)
+       |SELECT c_nationkey, c_mktsegment,
+       |  CAST(SUM(c) AS BIGINT) AS k,
+       |  COUNT(*) AS l_distinct,
+       |  ROUND((log10(SUM(c)) - CAST(SUM(CAST(ROUND(c * log10(c), 6)
+       |      AS DECIMAL(18,6))) AS DOUBLE) / SUM(c))
+       |    / CAST(0.30102999566398120 AS DOUBLE), 6) AS entropy_bits,
+       |  COUNT(*) < $lMin AS at_risk
+       |FROM cells GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
 }

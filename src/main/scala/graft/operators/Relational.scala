@@ -1596,4 +1596,57 @@ object Relational {
        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
        |    > $minQty)
        |ORDER BY total_qty DESC, o.o_orderkey""".stripMargin
+
+  /** q216 — exact per-group mode: the modal order priority per
+    * customer nation, with its share of the nation's orders — the
+    * categorical summary statistic the suite's aggregates family
+    * lacked (Spark's `mode()` and DuckDB's `mode()` are both
+    * tie-nondeterministic, so neither is used: the mode is computed
+    * as a counted rank with a full (count desc, value asc) tiebreak,
+    * making equal-count modes resolve identically on both engines).
+    *
+    * Scale: one (nation, priority) count aggregate (map-side
+    * combined, group count bounded by |nations|·|priorities|), one
+    * window over that tiny grouped table, one broadcast-sized total
+    * join — the orders scan is touched once; share is an exact-count
+    * quotient rounded at 6dp.
+    */
+  def groupMode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val oc = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("o_orderpriority"))
+    val counts = oc.groupBy(col("c_nationkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_mode"))
+    counts
+      .withColumn("rk", row_number().over(Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("n_mode").desc, col("o_orderpriority"))))
+      .withColumn("n_total",
+        sum(col("n_mode")).over(Window.partitionBy(col("c_nationkey"))))
+      .where(col("rk") === 1)
+      .select(col("c_nationkey"), col("o_orderpriority").as("mode_priority"),
+        col("n_mode"), col("n_total"),
+        round(col("n_mode").cast("double") / col("n_total"), 6).as("mode_share"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val groupModeSql: String =
+    """WITH counts AS (
+      |  SELECT c.c_nationkey, o.o_orderpriority, COUNT(*) AS n_mode
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT c_nationkey, o_orderpriority, n_mode,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY n_mode DESC, o_orderpriority) AS rk,
+      |    SUM(n_mode) OVER (PARTITION BY c_nationkey) AS n_total
+      |  FROM counts
+      |)
+      |SELECT c_nationkey, o_orderpriority AS mode_priority,
+      |  CAST(n_mode AS BIGINT) AS n_mode,
+      |  CAST(n_total AS BIGINT) AS n_total,
+      |  ROUND(CAST(n_mode AS DOUBLE) / n_total, 6) AS mode_share
+      |FROM ranked WHERE rk = 1
+      |ORDER BY c_nationkey""".stripMargin
 }

@@ -109,4 +109,22 @@ class PiiSpec extends AnyFunSuite {
       (1, "A", 1L, 1L, 7L, true),
       (1, "B", -1L, 2L, 2L, true)))
   }
+
+  test("lDiversityAudit: homogeneous class flags at_risk with zero entropy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ldiv").toString
+    // nation 1: 4 customers all in bal bucket 0 -> l=1, H=0, at risk
+    // nation 2: buckets 0,0,1,2 -> l=3, H = 2 - (2*log10 2)/(4*log10 2)... in
+    //   bits: k=4, counts {2,1,1}: H = (log10(4) - (2*log10 2)/4)/log10(2) = 1.5
+    val rows = Seq(
+      (1L, 1, 100.0), (2L, 1, 200.0), (3L, 1, 300.0), (4L, 1, 400.0),
+      (5L, 2, 100.0), (6L, 2, 200.0), (7L, 2, 1100.0), (8L, 2, 2100.0))
+    rows.map { case (ck, n, bal) => (ck, s"c$ck", n, bal, "SEG") }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = graft.operators.Pii.lDiversityAudit(spark, dir)
+      .as[(Int, String, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1, "SEG", 4L, 1L, 0.0, true),
+      (2, "SEG", 4L, 3L, 1.5, false)))
+  }
 }

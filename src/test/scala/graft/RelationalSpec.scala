@@ -261,4 +261,25 @@ class RelationalSpec extends AnyFunSuite {
       ("alice", 1L, 10L, 100.0, 300.0),
       ("bob", 2L, 11L, 200.0, 260.0)))
   }
+
+  test("groupMode: count ties resolve to the lexically first priority") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mode").toString
+    Seq((1L, "c1", 1, 0.0, "B"), (2L, "c2", 2, 0.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // nation 1: URGENT x2, HIGH x1 -> mode URGENT, share 2/3
+    // nation 2: HIGH x1, LOW x1 (tie) -> lexically first wins: 2-HIGH
+    Seq((10L, 1L, "1-URGENT"), (11L, 1L, "1-URGENT"), (12L, 1L, "2-HIGH"),
+        (13L, 2L, "2-HIGH"), (14L, 2L, "3-LOW"))
+      .map { case (ok, ck, pr) => (ok, ck, "O", 1.0,
+        new java.sql.Timestamp(0L), pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Relational.groupMode(spark, dir)
+      .as[(Int, String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1, "1-URGENT", 2L, 3L, 0.666667),
+      (2, "2-HIGH", 1L, 2L, 0.5)))
+  }
 }
