@@ -2649,6 +2649,95 @@ object Events {
       |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
       |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q220 — time-decay attribution: each purchase's value splits over
+    * its journey's touches with weights halving per day of age
+    * (2^−Δdays), the recency curve between q91's winner-take-all and
+    * q210's position split. Journeys are q210's purchase-count
+    * windows; touchless purchases stay 'direct'.
+    *
+    * Exactness: weights are INTEGER powers of two — Δdays (capped at
+    * 52) is rescaled per journey to iw = 1 << (maxΔ − Δ), so the
+    * credit iw/Σiw is one double division of exact BIGINTs, identical
+    * both engines (no pow(), whose libm exactness we'd otherwise have
+    * to trust); credited terms round at 6dp into DECIMAL sums.
+    *
+    * Scale: q210's posture — two key-partitioned window passes (one
+    * per-user, one per-journey carrying max, sum and the rescale),
+    * a co-partitioned purchase join, a channel-sized rollup.
+    */
+  def timeDecayAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .withColumn("ts_ms", tsMs("ts"))
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tagged = ev.withColumn("journey",
+      count(when(col("event_type") === "purchase", 1)).over(wPrev))
+    val purchases = tagged.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("journey"), col("value"),
+        col("ts_ms").as("p_ts"))
+    val wJ = Window.partitionBy(col("user_id"), col("journey"))
+    val touches = tagged.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("journey"), col("event_type").as("channel"),
+        col("ts_ms"))
+      .join(purchases, Seq("user_id", "journey"))
+      .withColumn("d",
+        least(expr("(p_ts - ts_ms) div 86400000"), lit(52L)))
+      .withColumn("maxd", max(col("d")).over(wJ))
+      .withColumn("iw", expr("shiftleft(cast(1 as bigint), cast(maxd - d as int))"))
+      .withColumn("sumw", sum(col("iw")).over(wJ))
+    val credited = touches
+      .select(col("channel"),
+        round(col("value") * (col("iw").cast("double") / col("sumw")), 6).as("v"))
+    val direct = purchases.join(
+        touches.select(col("user_id"), col("journey")).distinct(),
+        Seq("user_id", "journey"), "left_anti")
+      .select(lit("direct").as("channel"), round(col("value"), 6).as("v"))
+    credited.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"), decSum(col("v")).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
+  val timeDecayAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms,
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS journey
+      |  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+      |), purchases AS (
+      |  SELECT user_id, journey, value, ts_ms AS p_ts
+      |  FROM ev WHERE event_type = 'purchase'
+      |), touch_d AS (
+      |  SELECT t.user_id, t.journey, t.event_type AS channel,
+      |    LEAST(CAST((p.p_ts - t.ts_ms) // 86400000 AS BIGINT), 52) AS d
+      |  FROM ev t JOIN purchases p USING (user_id, journey)
+      |  WHERE t.event_type <> 'purchase'
+      |), weighted AS (
+      |  SELECT user_id, journey, channel,
+      |    CAST(1 AS BIGINT) << CAST(
+      |      MAX(d) OVER (PARTITION BY user_id, journey) - d AS INT) AS iw
+      |  FROM touch_d
+      |), summed AS (
+      |  SELECT user_id, journey, channel, iw,
+      |    SUM(iw) OVER (PARTITION BY user_id, journey) AS sumw
+      |  FROM weighted
+      |), credited AS (
+      |  SELECT s.channel,
+      |    ROUND(p.value * (CAST(s.iw AS DOUBLE) / s.sumw), 6) AS v
+      |  FROM summed s JOIN purchases p USING (user_id, journey)
+      |  UNION ALL
+      |  SELECT 'direct' AS channel, ROUND(p.value, 6) AS v
+      |  FROM purchases p
+      |  WHERE NOT EXISTS (SELECT 1 FROM touch_d t
+      |                    WHERE t.user_id = p.user_id AND t.journey = p.journey)
+      |)
+      |SELECT channel, COUNT(*) AS n_credits,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+      |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q217 — Theil–Sen robust trend per event type: the MEDIAN of all
     * pairwise day-slopes of the daily value series — the estimator
     * that shrugs off the outlier days that drag q102's OLS line (up

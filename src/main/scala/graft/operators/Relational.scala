@@ -1710,4 +1710,63 @@ object Relational {
        |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
        |    FROM lineitem l2 WHERE l2.l_partkey = d.l_partkey))
        |ORDER BY s.s_suppkey""".stripMargin
+
+  /** q221 — dormant high-balance customers per nation: customers whose
+    * balance beats the positive-balance average but who placed NO
+    * order in the last `recencyDays` of the corpus timeline — the
+    * TPC-H Q22 shape (ungrouped scalar subquery + NOT EXISTS
+    * anti-join + rollup), recast as the "dormant capital" screen.
+    * (Q22's literal "no orders at all" is empty on this corpus —
+    * every customer orders — so the anti-join target is the RECENT
+    * order set, with the cutoff derived from max(o_orderdate), the
+    * q146 rerun-deterministic as-of discipline.) The oracle keeps the
+    * textbook correlated NOT EXISTS; the Spark plan decorrelates: two
+    * 1-row aggregates broadcast by cross join (average and as-of
+    * day — the A6/W2 discipline, never a single-partition window),
+    * one left anti join on custkey, a nation-sized rollup.
+    *
+    * Exactness: the average is decSum/count computed identically both
+    * sides, so the threshold compare is on bit-identical doubles;
+    * the cutoff is exact integer epoch-day arithmetic; balance
+    * totals are decimal sums rounded once.
+    */
+  def idleRichCustomers(spark: SparkSession, dir: String,
+                        recencyDays: Int = 90): DataFrame = {
+    val dayOf = (c: String) =>
+      s"(unix_micros(cast($c as timestamp)) - pmod(unix_micros(cast($c as timestamp)), 86400000000)) div 86400000000"
+    val cust = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), expr(dayOf("o_orderdate")).as("day"))
+    val avgBal = cust.where(col("c_acctbal") > 0)
+      .agg((decSum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    val asof = orders.agg(max(col("day")).as("asof_day"))
+    val recent = orders.crossJoin(broadcast(asof))
+      .where(col("day") > col("asof_day") - recencyDays)
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(decSum(col("c_acctbal")), 6).as("total_balance"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  def idleRichCustomersSql(recencyDays: Int = 90): String =
+    s"""SELECT c_nationkey, COUNT(*) AS n_customers,
+       |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
+       |    AS total_balance
+       |FROM customer c
+       |WHERE c_acctbal > (
+       |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+       |      / COUNT(*)
+       |    FROM customer WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders o
+       |    WHERE o.o_custkey = c.c_custkey
+       |      AND epoch_ms(o.o_orderdate) // 86400000 > (
+       |        SELECT MAX(epoch_ms(o2.o_orderdate) // 86400000)
+       |          - $recencyDays
+       |        FROM orders o2))
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -878,4 +878,44 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("a", 3L, 2.0, 0.0, 0.0),
       ("b", 3L, 1.666667, 4.333333, 2.6)))
   }
+
+  test("timeDecayAttribution: per-day halving weights, same-day ties split evenly") {
+    val day = 86400000L
+    // u1 journey: click 2 days out (w=1), view 1 day out (w=2),
+    // click same day (w=4) -> purchase(70): credits 10/20/40
+    // u2: touchless purchase(5) -> direct
+    val rows = Seq(
+      (1L, 0L, 1L, "click", 0.0), (2L, day, 1L, "view", 0.0),
+      (3L, 2 * day, 1L, "click", 0.0), (4L, 2 * day + 1, 1L, "purchase", 70.0),
+      (9L, 0L, 2L, "purchase", 5.0))
+    val dir = eventsDirV(rows)
+    val out = graft.operators.Events.timeDecayAttribution(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("click", 2L, 50.0), ("direct", 1L, 5.0), ("view", 1L, 20.0)))
+  }
+
+  test("idleRichCustomers: above-average balance and orderless only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q22").toString
+    // positive-balance avg = (100+300+200+300)/4 = 225; qualifiers must
+    // be > 225 AND have no order in the last 90 days of the timeline:
+    // asof = day 100; c2 (300) ordered on day 95 -> recent -> excluded;
+    // c5 (300) last ordered day 5 -> dormant -> kept; c4's negative
+    // balance is excluded from the average
+    val day = 86400000L
+    Seq((1L, "c1", 1, 100.0, "B"), (2L, "c2", 1, 300.0, "B"),
+        (3L, "c3", 1, 200.0, "B"), (4L, "c4", 2, -50.0, "B"),
+        (5L, "c5", 2, 300.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 2L, 95L), (11L, 5L, 5L), (12L, 1L, 100L))
+      .map { case (ok, ck, d) => (ok, ck, "O", 1.0,
+        new java.sql.Timestamp(d * day), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Relational.idleRichCustomers(spark, dir)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out === Seq((2, 1L, 300.0)))
+  }
 }
