@@ -2796,6 +2796,110 @@ object Events {
       |  MAX(CASE WHEN rn = (n + 1) // 2 THEN slope END) AS slope_per_day
       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q222 — forecast backtest with temporal holdout: naive (y_{t−1})
+    * and seasonal-naive (y_{t−7}) forecasts scored on the LATE half
+    * of each type's dense daily series (q135's integer-midpoint
+    * split), with MASE — MAE(seasonal-naive on test) scaled by the
+    * in-sample one-step naive MAE, the standard scale-free comparison
+    * (Hyndman & Koehler 2006). The honesty check q120/q172 need
+    * before anyone trusts a forecast: beat these two baselines or go
+    * home.
+    *
+    * Exactness: daily values are decimal sums (exact shared doubles);
+    * each |y − ŷ| rounds at 6dp before its DECIMAL sum (q103
+    * convention), and every MAE/MASE is a single guarded division.
+    * Lag forecasts ride ONE type-partitioned day-ordered window
+    * (lag 1 and lag 7 share the sort); the split day is exact integer
+    * arithmetic. Test days whose lag-7 source falls before the series
+    * start are excluded from BOTH seasonal columns (stated n_test
+    * counts the naive-scored days).
+    *
+    * Scale: q209's posture — calendar-sized series tables, one window
+    * pass, one reduce per type.
+    */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(decSum(col("value")).as("v"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"), col("mn"), col("mx"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    val dense = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("v"), lit(0.0)).as("v"),
+        expr("(mn + mx) div 2").as("mid"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = dense
+      .withColumn("p1", lag(col("v"), 1).over(w))
+      .withColumn("p7", lag(col("v"), 7).over(w))
+    lagged.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("day") > col("mid") && col("p1").isNotNull, 1))
+          .as("n_test"),
+        sum(when(col("day") > col("mid") && col("p1").isNotNull,
+          round(abs(col("v") - col("p1")), 6).cast(dec))).as("ae1"),
+        sum(when(col("day") > col("mid") && col("p7").isNotNull, 1))
+          .as("n_test7"),
+        sum(when(col("day") > col("mid") && col("p7").isNotNull,
+          round(abs(col("v") - col("p7")), 6).cast(dec))).as("ae7"),
+        sum(when(col("day") <= col("mid") && col("p1").isNotNull, 1))
+          .as("n_train"),
+        sum(when(col("day") <= col("mid") && col("p1").isNotNull,
+          round(abs(col("v") - col("p1")), 6).cast(dec))).as("aeTr"))
+      .select(col("event_type"), col("n_test"),
+        round(col("ae1").cast("double")
+          / nullif(col("n_test").cast("double"), lit(0.0)), 6).as("mae_naive"),
+        round(col("ae7").cast("double")
+          / nullif(col("n_test7").cast("double"), lit(0.0)), 6).as("mae_snaive"),
+        round((col("ae7").cast("double") / nullif(col("n_test7").cast("double"), lit(0.0)))
+          / nullif(col("aeTr").cast("double")
+            / nullif(col("n_train").cast("double"), lit(0.0)), lit(0.0)), 6)
+          .as("mase_snaive"))
+      .orderBy(col("event_type"))
+  }
+
+  val forecastBacktestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1
+      |), dense AS (
+      |  SELECT s.event_type, s.day, COALESCE(d.v, 0.0) AS v, s.mid
+      |  FROM (SELECT b.event_type, (b.mn + b.mx) // 2 AS mid,
+      |          unnest(range(b.mn, b.mx + 1)) AS day
+      |        FROM bounds b) s
+      |  LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
+      |), lagged AS (
+      |  SELECT event_type, day, v, mid,
+      |    lag(v, 1) OVER w AS p1, lag(v, 7) OVER w AS p7
+      |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |), agg AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN day > mid AND p1 IS NOT NULL THEN 1 END) AS n_test,
+      |    SUM(CASE WHEN day > mid AND p1 IS NOT NULL
+      |      THEN CAST(ROUND(ABS(v - p1), 6) AS DECIMAL(18,6)) END) AS ae1,
+      |    SUM(CASE WHEN day > mid AND p7 IS NOT NULL THEN 1 END) AS n_test7,
+      |    SUM(CASE WHEN day > mid AND p7 IS NOT NULL
+      |      THEN CAST(ROUND(ABS(v - p7), 6) AS DECIMAL(18,6)) END) AS ae7,
+      |    SUM(CASE WHEN day <= mid AND p1 IS NOT NULL THEN 1 END) AS n_train,
+      |    SUM(CASE WHEN day <= mid AND p1 IS NOT NULL
+      |      THEN CAST(ROUND(ABS(v - p1), 6) AS DECIMAL(18,6)) END) AS ae_tr
+      |  FROM lagged GROUP BY 1
+      |)
+      |SELECT event_type, CAST(n_test AS BIGINT) AS n_test,
+      |  ROUND(CAST(ae1 AS DOUBLE)
+      |    / NULLIF(CAST(n_test AS DOUBLE), 0.0), 6) AS mae_naive,
+      |  ROUND(CAST(ae7 AS DOUBLE)
+      |    / NULLIF(CAST(n_test7 AS DOUBLE), 0.0), 6) AS mae_snaive,
+      |  ROUND((CAST(ae7 AS DOUBLE) / NULLIF(CAST(n_test7 AS DOUBLE), 0.0))
+      |    / NULLIF(CAST(ae_tr AS DOUBLE)
+      |      / NULLIF(CAST(n_train AS DOUBLE), 0.0), 0.0), 6) AS mase_snaive
+      |FROM agg ORDER BY event_type""".stripMargin
+
   /** q219 — burstiness (Fano factor) of daily event counts per type:
     * variance-to-mean ratio over the dense calendar — 1 means
     * Poisson-like arrivals, >1 says events clump (bot bursts, batch

@@ -918,4 +918,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .as[(Int, Long, Double)].collect().toSeq
     assert(out === Seq((2, 1L, 300.0)))
   }
+
+  test("forecastBacktest: hand series, naive and seasonal MAEs with MASE scaling") {
+    val day = 86400000L
+    // one type, 8 days of values 1..8 (linear): mid = (0+7)//2 = 3 ->
+    // train days 0..3, test days 4..7. p1 errors are all 1:
+    //   train scored days 1,2,3 -> aeTr = 3, n_train = 3 -> denom 1
+    //   test days 4..7 -> mae_naive = 1
+    // p7 exists only on day 7: |8 - 1| = 7 -> mae_snaive = 7, mase = 7
+    val rows = (0 until 8).map(d =>
+      (d.toLong + 1, d * day, 1L, "a", (d + 1).toDouble))
+    val dir = eventsDirV(rows)
+    val out = graft.operators.Events.forecastBacktest(spark, dir)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(("a", 4L, 1.0, 7.0, 7.0)))
+  }
 }
