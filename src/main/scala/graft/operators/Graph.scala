@@ -1664,4 +1664,103 @@ object Graph {
        |WHERE p.pa IS NULL
        |ORDER BY s.aa_score DESC, part_a, part_b
        |LIMIT $topK""".stripMargin
+
+  /** q223 — community conductance: per q182 label-propagation
+    * community, the weighted cut/volume ratio
+    * φ(S) = cut(S) / min(vol(S), vol(V∖S)) — the standard partition-
+    * quality gauge (low φ = well-separated community; φ near 1 = the
+    * "community" is mostly boundary). q175 scores the BRAND partition
+    * by modularity; this scores the DISCOVERED partition, and
+    * together they say whether label propagation found structure or
+    * noise.
+    *
+    * Exactness: internal/cut masses are BIGINT edge-weight sums —
+    * vol = 2·internal + cut, total volume their grand sum — and φ is
+    * ONE double division of exact integers, rounded at 6dp;
+    * edge-less communities yield NULL via the min(vol, ·) = 0 guard.
+    *
+    * Scale: rides the session-memoized pair list and q182's
+    * checkpointed label frames; two co-partitioned label joins tag
+    * each edge's endpoint communities, cross edges explode ×2 (cut
+    * counts for both sides), then everything is community-sized —
+    * one aggregate, one broadcast total, one left join for
+    * empty-edge communities.
+    */
+  def communityConductance(spark: SparkSession, dir: String,
+                           iters: Int = 2): DataFrame = {
+    val labels = labelPropagation(spark, dir, iters)
+      .select(col("p_partkey"), col("community"))
+    val pairs = coPurchasePairs(spark, dir)
+    val e = pairs
+      .join(labels.select(col("p_partkey").as("pa"), col("community").as("ca")),
+        "pa")
+      .join(labels.select(col("p_partkey").as("pb"), col("community").as("cb")),
+        "pb")
+    val contrib = e.select(col("ca").as("community"),
+        when(col("ca") === col("cb"), col("w")).otherwise(lit(0L)).as("iw"),
+        when(col("ca") =!= col("cb"), col("w")).otherwise(lit(0L)).as("cw"))
+      .unionByName(e.where(col("ca") =!= col("cb"))
+        .select(col("cb").as("community"), lit(0L).as("iw"), col("w").as("cw")))
+    val per = contrib.groupBy(col("community"))
+      .agg(sum(col("iw")).as("internal_w"), sum(col("cw")).as("cut_w"))
+    val tot = per.agg(sum(col("internal_w") * 2 + col("cut_w")).as("total_vol"))
+    labels.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+      .join(per, Seq("community"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_w"), lit(0L)).as("internal_w"),
+        coalesce(col("cut_w"), lit(0L)).as("cut_w"),
+        coalesce(col("internal_w") * 2 + col("cut_w"), lit(0L)).as("vol"),
+        round(coalesce(col("cut_w"), lit(0L)).cast("double")
+          / nullif(least(
+              coalesce(col("internal_w") * 2 + col("cut_w"), lit(0L)),
+              col("total_vol")
+                - coalesce(col("internal_w") * 2 + col("cut_w"), lit(0L)))
+            .cast("double"), lit(0.0)), 6).as("conductance"))
+      .orderBy(col("community"))
+  }
+
+  def communityConductanceSql(iters: Int = 2): String =
+    s"""WITH lp AS (
+       |  SELECT * FROM (${labelPropagationSql(iters)})
+       |), li2 AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), pairs2 AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+       |  FROM li2 a JOIN li2 b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), e AS (
+       |  SELECT p.w, la.community AS ca, lb.community AS cb
+       |  FROM pairs2 p
+       |  JOIN lp la ON la.p_partkey = p.pa
+       |  JOIN lp lb ON lb.p_partkey = p.pb
+       |), contrib AS (
+       |  SELECT ca AS community,
+       |    CASE WHEN ca = cb THEN w ELSE 0 END AS iw,
+       |    CASE WHEN ca <> cb THEN w ELSE 0 END AS cw
+       |  FROM e
+       |  UNION ALL
+       |  SELECT cb, 0, w FROM e WHERE ca <> cb
+       |), per AS (
+       |  SELECT community, SUM(iw) AS internal_w, SUM(cw) AS cut_w
+       |  FROM contrib GROUP BY 1
+       |), tot AS (
+       |  SELECT SUM(internal_w * 2 + cut_w) AS total_vol FROM per
+       |), sizes AS (
+       |  SELECT community, COUNT(*) AS n_nodes FROM lp GROUP BY 1
+       |)
+       |SELECT s.community, s.n_nodes,
+       |  CAST(COALESCE(p.internal_w, 0) AS BIGINT) AS internal_w,
+       |  CAST(COALESCE(p.cut_w, 0) AS BIGINT) AS cut_w,
+       |  CAST(COALESCE(p.internal_w * 2 + p.cut_w, 0) AS BIGINT) AS vol,
+       |  ROUND(CAST(COALESCE(p.cut_w, 0) AS DOUBLE)
+       |    / NULLIF(CAST(LEAST(
+       |        COALESCE(p.internal_w * 2 + p.cut_w, 0),
+       |        t.total_vol - COALESCE(p.internal_w * 2 + p.cut_w, 0))
+       |      AS DOUBLE), 0.0), 6) AS conductance
+       |FROM sizes s
+       |LEFT JOIN per p USING (community)
+       |CROSS JOIN tot t
+       |ORDER BY s.community""".stripMargin
 }

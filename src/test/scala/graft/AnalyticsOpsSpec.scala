@@ -933,4 +933,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double, Double)].collect().toSeq
     assert(out === Seq(("a", 4L, 1.0, 7.0, 7.0)))
   }
+
+  test("communityConductance: two cliques with one bridge edge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cond").toString
+    // orders build two triangles {1,2,3} and {4,5,6} plus one bridge
+    // order {3,4}. After 2 LP rounds both triangles collapse to one
+    // label each; the bridge is the only cut edge (w=1).
+    // Per community: internal_w = 3, cut_w = 1, vol = 7, total = 14
+    // -> conductance = 1/7 = 0.142857 for both.
+    val baskets = Seq(
+      Seq(1L, 2L, 3L), Seq(1L, 2L, 3L),
+      Seq(4L, 5L, 6L), Seq(4L, 5L, 6L),
+      Seq(3L, 4L))
+    val rows = baskets.zipWithIndex.flatMap { case (ps, ok) =>
+      ps.map(pk => (ok.toLong, pk)) }
+    rows.zipWithIndex
+      .map { case ((ok, pk), i) => (ok, pk, 1L, i, 1.0, 1.0, 0.0, 0.0,
+        "N", "O", new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Graph.communityConductance(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().toSeq
+    // weights: triangle edges w=2 (two identical baskets)! recompute:
+    // internal_w = 3 edges x2 = 6, cut 1, vol = 13, total = 26,
+    // conductance = 1/13 = 0.076923
+    assert(out.map(_._2) === Seq(3L, 3L))
+    assert(out.map(_._3) === Seq(6L, 6L))
+    assert(out.map(_._4) === Seq(1L, 1L))
+    assert(out.map(_._5) === Seq(13L, 13L))
+    assert(out.map(_._6) === Seq(Some(0.076923), Some(0.076923)))
+  }
 }
