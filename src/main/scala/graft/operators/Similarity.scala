@@ -1548,4 +1548,76 @@ object Similarity {
       |SELECT vec_id, eval_id AS closest_eval, cos_sim AS max_sim
       |FROM hits
       |ORDER BY vec_id""".stripMargin
+
+  /** q224 — simplified (centroid-based) silhouette per label: for
+    * each vector, a = cosine distance to its OWN label centroid, b =
+    * distance to the nearest OTHER centroid, s = (b − a)/max(a, b) ∈
+    * [−1, 1]; per-label mean silhouette plus the misplaced count
+    * (s < 0: the vector sits closer to a foreign centroid). The
+    * geometric clustering-quality gauge the eval family lacked —
+    * q158's NMI scores agreement between two PARTITIONS, q117 watches
+    * centroid tightness; silhouette asks "is each vector on the right
+    * side of the boundary", the retrain trigger for the IVF/SemDeDup
+    * tiers. Simplified (Hruschka et al.) rather than full silhouette:
+    * centroid distances, not all-pairs — the only variant that scales
+    * (full silhouette is O(n²) by definition).
+    *
+    * Exactness: per-(vector, centroid) cosine rounds at 6dp (the
+    * q117 kernel), own/other reduce to MAX CASE aggregates, s is one
+    * guarded division of shared doubles rounded once, and the mean
+    * accumulates in DECIMAL. Scale: K centroids broadcast against
+    * the embedding scan (the q29 posture — vectors never shuffle),
+    * one (vec, label) aggregate, one label-sized reduce.
+    */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cent = centroidArrays(labelCentroids(spark, dir))
+    val scored = emb.crossJoin(broadcast(cent))
+      .withColumn("cos_c", round(cosine(spark, col("embedding"), col("c_emb")), 6))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("cell") === col("label"), col("cos_c"))).as("cos_own"),
+        max(when(col("cell") =!= col("label"), col("cos_c"))).as("cos_other"))
+    val sil = scored.select(col("label"),
+      round(((lit(1.0) - col("cos_other")) - (lit(1.0) - col("cos_own")))
+        / nullif(greatest(lit(1.0) - col("cos_own"), lit(1.0) - col("cos_other")),
+          lit(0.0)), 6).as("s"))
+    sil.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(Relational.decSum(col("s"))
+          / nullif(count(col("s")).cast("double"), lit(0.0)), 6)
+          .as("mean_silhouette"),
+        sum(when(col("s") < 0, 1).otherwise(0)).cast("long").as("n_misplaced"))
+      .orderBy(col("label"))
+  }
+
+  val silhouetteSql: String =
+    s"""WITH cent_long AS (
+       |  SELECT label, i - 1 AS dim,
+       |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+       |      / COUNT(embedding[i]) AS centroid
+       |  FROM embeddings, generate_series(1, 64) AS t(i)
+       |  GROUP BY label, i
+       |), cent AS (
+       |  SELECT label AS cell, list(CAST(centroid AS REAL) ORDER BY dim) AS c_emb
+       |  FROM cent_long GROUP BY label
+       |), scored AS (
+       |  SELECT e.vec_id, e.label,
+       |    MAX(CASE WHEN c.cell = e.label
+       |      THEN ROUND(${cosSql("e.embedding", "c.c_emb")}, 6) END) AS cos_own,
+       |    MAX(CASE WHEN c.cell <> e.label
+       |      THEN ROUND(${cosSql("e.embedding", "c.c_emb")}, 6) END) AS cos_other
+       |  FROM embeddings e CROSS JOIN cent c
+       |  GROUP BY e.vec_id, e.label
+       |), sil AS (
+       |  SELECT label,
+       |    ROUND(((1.0 - cos_other) - (1.0 - cos_own))
+       |      / NULLIF(GREATEST(1.0 - cos_own, 1.0 - cos_other), 0.0), 6) AS s
+       |  FROM scored
+       |)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+       |    / NULLIF(CAST(COUNT(s) AS DOUBLE), 0.0), 6) AS mean_silhouette,
+       |  CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced
+       |FROM sil GROUP BY label ORDER BY label""".stripMargin
 }

@@ -606,4 +606,25 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq
     assert(neg === Seq((9L, 0, 1, 0, 31297, 0)))
   }
+
+  test("silhouette: clean label scores 1, foreign-side vector flags misplaced") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-sil").toString
+    // label 0: two copies of (1,0) -> centroid (1,0), a=0 -> s=1.0
+    // label 1: (0,1) and a misplaced (1,0) -> centroid (0.5,0.5);
+    //   the (1,0) member is closer to label 0's centroid -> s=-1.0
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Similarity.silhouette(spark, dir)
+      .as[(Int, Long, Double, Long)].collect().toSeq
+    val l0 = out.find(_._1 == 0).get
+    assert(l0 === (0, 2L, 1.0, 0L))
+    val l1 = out.find(_._1 == 1).get
+    assert(l1._2 === 2L && l1._4 === 1L)
+    // mean of s = (0.707107 + -1.0)/2 ~ -0.146447
+    assert(math.abs(l1._3 - -0.146446) < 1e-5)
+  }
 }
