@@ -300,7 +300,7 @@ class RelationalSpec extends AnyFunSuite {
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    val out = graft.operators.Relational.dominantShareSuppliers(spark, dir)
+    val out = graft.operators.Relational.dominantShareSuppliers(spark, dir, share = 0.5)
       .as[(Long, String, String, Long)].collect().toSeq
     assert(out === Seq((1L, "sup1", "GERMANY", 1L)))
   }
