@@ -155,15 +155,22 @@ object Similarity {
     * over the SAME literal ±1 sign rows, bucket bits summed, then the
     * identical bucket-join + rerank.
     */
-  val knnLshSql: String = {
-    val nBits = 8
+  /** The q30 bucket assignment as one DuckDB expression — shared by
+    * the kNN oracle and the q225 balance audit so the hash can only
+    * change in one place per engine.
+    */
+  private def lshBucketSqlExpr(nBits: Int = 8): String = {
     val signs = PortableHash.signMatrix(nBits, 64)
-    val bucketExpr = (0 until nBits).map { j =>
+    (0 until nBits).map { j =>
       val proj =
         s"""list_reduce(list_prepend(0.0, [CAST(embedding[i] AS DOUBLE) * (${PortableHash.sqlList(signs(j))})[i]
            |        for i in range(1, len(embedding) + 1)]), (x, y) -> x + y)""".stripMargin
       s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("\n      + ")
+  }
+
+  val knnLshSql: String = {
+    val bucketExpr = lshBucketSqlExpr(8)
     s"""WITH b AS (
       |  SELECT vec_id, embedding,
       |      $bucketExpr AS bucket
@@ -1620,4 +1627,53 @@ object Similarity {
        |    / NULLIF(CAST(COUNT(s) AS DOUBLE), 0.0), 6) AS mean_silhouette,
        |  CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced
        |FROM sil GROUP BY label ORDER BY label""".stripMargin
+
+  /** q225 — LSH bucket-balance audit: occupancy of every q30 sign-LSH
+    * bucket, each bucket's corpus share, and its load ratio against
+    * the uniform-across-occupied expectation (ratio > 1 = hot shard).
+    * Random-hyperplane buckets skew wherever the embedding cloud has
+    * structure, and a hot bucket is exactly where q30's in-bucket
+    * rerank cost (∝ n²) and recall both degrade — this relation turns
+    * that shard-health claim into a graded, diffable table, the
+    * index-ops sibling of q137's recall audit and q155's join-key
+    * skew profile.
+    *
+    * Exactness: bucket ids ride the SAME shared ±1 hyperplane
+    * literals as q30 (one definition per engine, spec-shared); counts
+    * are integers; the two ratios are single divisions rounded at
+    * 6dp. Scale: one narrow codegen'd projection per vector, one
+    * bucket-keyed count aggregate, one broadcast 1-row total — the
+    * vectors are scanned once and never shuffled.
+    */
+  def lshBucketBalance(spark: SparkSession, dir: String,
+                       nBits: Int = 8): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", lshBucket(col("embedding"), nBits))
+    val per = emb.groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+    val tot = per.agg(sum(col("n_vecs")).as("total"),
+      count(lit(1)).as("occupied"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_vecs"), col("occupied"),
+        round(col("n_vecs").cast("double") / col("total"), 6).as("share"),
+        round((col("n_vecs") * col("occupied")).cast("double") / col("total"), 6)
+          .as("load_ratio"))
+      .orderBy(col("bucket"))
+  }
+
+  val lshBucketBalanceSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id,
+       |      ${lshBucketSqlExpr(8)} AS bucket
+       |  FROM embeddings
+       |), per AS (
+       |  SELECT bucket, COUNT(*) AS n_vecs FROM b GROUP BY 1
+       |), tot AS (
+       |  SELECT SUM(n_vecs) AS total, COUNT(*) AS occupied FROM per
+       |)
+       |SELECT p.bucket, CAST(p.n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(t.occupied AS BIGINT) AS occupied,
+       |  ROUND(CAST(p.n_vecs AS DOUBLE) / t.total, 6) AS share,
+       |  ROUND(CAST(p.n_vecs * t.occupied AS DOUBLE) / t.total, 6) AS load_ratio
+       |FROM per p CROSS JOIN tot t
+       |ORDER BY p.bucket""".stripMargin
 }

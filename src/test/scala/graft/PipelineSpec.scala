@@ -627,4 +627,20 @@ class PipelineSpec extends AnyFunSuite {
     // mean of s = (0.707107 + -1.0)/2 ~ -0.146447
     assert(math.abs(l1._3 - -0.146446) < 1e-5)
   }
+
+  test("lshBucketBalance: shares sum to 1, load ratios mean to 1, buckets match q30") {
+    val out = graft.operators.Similarity.lshBucketBalance(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    val total = out.map(_._2).sum
+    val occupied = out.size.toLong
+    assert(out.head._3 === occupied)
+    // shares reassemble to ~1 (each share rounded at 6dp)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-3)
+    // load ratio is share * occupied: hot buckets > 1, average is 1
+    assert(math.abs(out.map(_._5).sum / occupied - 1.0) < 1e-3)
+    // bucket ids are the same assignment q30 uses (spot-check count)
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    assert(total === emb.count())
+  }
 }
