@@ -1676,4 +1676,80 @@ object Similarity {
        |  ROUND(CAST(p.n_vecs * t.occupied AS DOUBLE) / t.total, 6) AS load_ratio
        |FROM per p CROSS JOIN tot t
        |ORDER BY p.bucket""".stripMargin
+
+  /** q226 — hard-negative mining: for each query vector (q29's
+    * deterministic sample), its nearest SAME-label neighbor (the
+    * positive) and nearest OTHER-label neighbor (the hard negative),
+    * with the triplet margin cos_pos − cos_neg. This is the training-
+    * data miner for contrastive embedding fine-tuning (triplet/InfoNCE
+    * batches live on exactly these pairs: easy negatives teach
+    * nothing, the nearest foreign vector teaches the boundary); a
+    * negative margin doubles as a label-quality flag — some foreign
+    * vector sits closer than every same-class one (q224's misplaced
+    * signal, per query, with the culprit named).
+    *
+    * Exactness: per-pair cosine rounds at 6dp (the q29 kernel);
+    * both argmaxes are fully-tiebroken ROW_NUMBERs ((cos desc, id) —
+    * engines cut identically); margin is one subtraction of shared
+    * doubles rounded once. Queries whose label has no other member
+    * keep a NULL positive (visible, not dropped).
+    *
+    * Scale: q29's posture exactly — the query sample broadcasts
+    * against one corpus scan, the per-query argmax is a partial
+    * WindowGroupLimit; the corpus never self-joins.
+    */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nQueries: Int = 8): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = emb.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("q_label"), col("vec_id"), col("label"),
+        round(cosine(spark, col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val pos = scored.where(col("label") === col("q_label"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("pos_id"),
+        col("cos_sim").as("cos_pos"))
+    val neg = scored.where(col("label") =!= col("q_label"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        col("cos_sim").as("cos_neg"))
+    queries.select(col("query_id"), col("q_label").as("label"))
+      .join(pos, Seq("query_id"), "left")
+      .join(neg, Seq("query_id"), "left")
+      .withColumn("margin", round(col("cos_pos") - col("cos_neg"), 6))
+      .orderBy(col("query_id"))
+  }
+
+  def hardNegativesSql(nQueries: Int = 8): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+       |  FROM embeddings WHERE vec_id < $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, q.q_label, c.vec_id, c.label,
+       |    ROUND(${cosSql("q.q_emb", "c.embedding")}, 6) AS cos_sim
+       |  FROM embeddings c CROSS JOIN q
+       |  WHERE c.vec_id >= $nQueries
+       |), pos AS (
+       |  SELECT query_id, vec_id AS pos_id, cos_sim AS cos_pos
+       |  FROM scored WHERE label = q_label
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, vec_id) = 1
+       |), neg AS (
+       |  SELECT query_id, vec_id AS neg_id, cos_sim AS cos_neg
+       |  FROM scored WHERE label <> q_label
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, vec_id) = 1
+       |)
+       |SELECT q.query_id, q.q_label AS label,
+       |  p.pos_id, p.cos_pos, n.neg_id, n.cos_neg,
+       |  ROUND(p.cos_pos - n.cos_neg, 6) AS margin
+       |FROM q
+       |LEFT JOIN pos p USING (query_id)
+       |LEFT JOIN neg n USING (query_id)
+       |ORDER BY q.query_id""".stripMargin
 }

@@ -643,4 +643,30 @@ class PipelineSpec extends AnyFunSuite {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     assert(total === emb.count())
   }
+
+  test("hardNegatives: nearest same-label positive, nearest foreign negative, margin") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-hneg").toString
+    // query 0 (label 0, along x): corpus has a close positive (10),
+    // a far positive (11), and a foreign vector (12) closer than the
+    // far positive. Query 1 (label 9): no other label-9 vector ->
+    // NULL positive, visible row.
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 9),
+      (10L, Array(0.9f, 0.1f), 0),   // cos ~0.993884 to q0
+      (11L, Array(0.1f, 0.9f), 0),   // cos ~0.110432 to q0
+      (12L, Array(0.7f, 0.7f), 1))   // cos ~0.707107 to q0
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Similarity.hardNegatives(spark, dir, nQueries = 2)
+      .as[(Long, Int, Option[Long], Option[Double], Option[Long],
+        Option[Double], Option[Double])].collect().toSeq
+    val q0 = out.find(_._1 == 0L).get
+    assert(q0._3 === Some(10L) && q0._5 === Some(12L))
+    assert(q0._7.get > 0.28 && q0._7.get < 0.29) // 0.993884 - 0.707107
+    val q1 = out.find(_._1 == 1L).get
+    assert(q1._3 === None && q1._4 === None)     // no same-label corpus vec
+    assert(q1._5.isDefined && q1._7 === None)    // margin NULL without a positive
+  }
 }
