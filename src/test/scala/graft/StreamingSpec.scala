@@ -392,4 +392,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("paths_out").count() === streamed.map(_._4).sum)
     } finally q.stop()
   }
+
+  test("streaming EWMA chart matches batch q173 v/ewma/dev across a batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingEwma.{DailyInput, EwmaOut}
+    // fixture: one type, daily totals 10, 20, 5, 20 -> the batch chart
+    // folds ewma (v + 4*prev) div 5 in e6 units
+    val dir = java.nio.file.Files.createTempDirectory("graft-sewma").toString
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    Seq((1L, ts(0), 1L, "m", 10.0, "{}"), (2L, ts(1), 1L, "m", 20.0, "{}"),
+        (3L, ts(2), 1L, "m", 5.0, "{}"), (4L, ts(3), 1L, "m", 20.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Events.ewmaControl(spark, dir)
+      .select($"event_type", $"day", $"v", $"ewma", $"dev")
+      .as[(String, Long, Double, Double, Option[Double])].collect().toSeq
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyInput]
+    val q = graft.streaming.StreamingEwma.chart(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_out").start()
+    try {
+      // batch boundary mid-series: the EWMA state must carry across
+      input.addData(DailyInput("m", 0L, 10000000L), DailyInput("m", 1L, 20000000L))
+      q.processAllAvailable()
+      input.addData(DailyInput("m", 2L, 5000000L), DailyInput("m", 3L, 20000000L))
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_out").as[EwmaOut].collect().toSeq
+        .sortBy(_.day)
+        .map(r => (r.event_type, r.day, r.v_e6 / 1e6, r.ewma_e6 / 1e6,
+          r.dev_e6.map(_ / 1e6)))
+      assert(streamed === batch)
+      // running alert: day 2's |dev| (13) vs running mean |dev|
+      // ((6+13)/2=9.5): 13*2 > 19*3 is false -> 0; duplicate day dropped
+      val alerts = spark.table("ewma_out").as[EwmaOut].collect().toSeq
+        .sortBy(_.day).map(_.alert_running)
+      assert(alerts === Seq(None, Some(0), Some(0), Some(0)))
+      input.addData(DailyInput("m", 3L, 99L))
+      q.processAllAvailable()
+      assert(spark.table("ewma_out").count() === 4)
+    } finally q.stop()
+  }
 }
