@@ -223,6 +223,93 @@ object Dedup {
       |) WHERE jaccard >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q227 — dedup threshold curve: how many near-dup pairs, removable
+    * documents (the higher-id member under the min-id-canonical rule)
+    * and removable characters each candidate Jaccard threshold would
+    * flag — the tuning table you read BEFORE committing a 100 TB
+    * corpus to one threshold (q26 hard-codes the decision; this shows
+    * the dial: too low eats real data, too high leaves dup mass in).
+    *
+    * Exactness: one q26 pair computation at the LOOSEST grid point
+    * (jaccard ≥ min threshold, same inverted-index + df-cap
+    * machinery), then the grid is a literal explode over the flagged
+    * pair table — counts and character sums are exact integers, the
+    * jaccard-vs-threshold compares are on the shared 6dp-rounded
+    * doubles. Thresholds that flag nothing keep visible zero rows.
+    *
+    * Scale: the pair table is computed once (candidate-bounded, never
+    * all-pairs); the ×|grid| explode runs over PAIRS (already tiny),
+    * not the corpus; everything after is threshold-cardinality-sized.
+    */
+  def dedupThresholdCurve(spark: SparkSession, dir: String, k: Int = 3,
+                          thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+                          dfCap: Int = 200): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, k, thresholds.min, dfCap)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val gridDf = spark.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    val flagged = pairs.crossJoin(broadcast(gridDf))
+      .where(col("jaccard") >= col("threshold"))
+    val nPairs = flagged.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val removed = flagged.select(col("threshold"), col("doc_b")).distinct()
+      .join(docs, col("doc_b") === col("doc_id"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_docs_removable"),
+        sum(col("n_chars")).as("chars_removable"))
+    gridDf.join(nPairs, Seq("threshold"), "left")
+      .join(removed, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_removable"), lit(0L)).as("n_docs_removable"),
+        coalesce(col("chars_removable"), lit(0L)).as("chars_removable"))
+      .orderBy(col("threshold"))
+  }
+
+  def dedupThresholdCurveSql(
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): String = {
+    val tmin = thresholds.min
+    val list = thresholds.mkString("[", ", ", "]")
+    s"""WITH $shingleCtes, sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+       |), shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT s.doc_a, s.doc_b,
+       |      ROUND(CAST(s.n_shared AS DOUBLE)
+       |        / (sa.n_sh + sb.n_sh - s.n_shared), 6) AS jaccard
+       |    FROM shared s
+       |    JOIN sizes sa ON s.doc_a = sa.doc_id
+       |    JOIN sizes sb ON s.doc_b = sb.doc_id
+       |  ) WHERE jaccard >= $tmin
+       |), grid AS (
+       |  SELECT CAST(unnest($list) AS DOUBLE) AS threshold
+       |), flagged AS (
+       |  SELECT g.threshold, p.doc_a, p.doc_b
+       |  FROM grid g JOIN pairs p ON p.jaccard >= g.threshold
+       |), npairs AS (
+       |  SELECT threshold, COUNT(*) AS n_pairs FROM flagged GROUP BY 1
+       |), removed AS (
+       |  SELECT f.threshold,
+       |    COUNT(*) AS n_docs_removable,
+       |    SUM(d.n_chars) AS chars_removable
+       |  FROM (SELECT DISTINCT threshold, doc_b FROM flagged) f
+       |  JOIN documents d ON d.doc_id = f.doc_b
+       |  GROUP BY 1
+       |)
+       |SELECT g.threshold,
+       |  CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(r.n_docs_removable, 0) AS BIGINT) AS n_docs_removable,
+       |  CAST(COALESCE(r.chars_removable, 0) AS BIGINT) AS chars_removable
+       |FROM grid g
+       |LEFT JOIN npairs np USING (threshold)
+       |LEFT JOIN removed r USING (threshold)
+       |ORDER BY g.threshold""".stripMargin
+  }
+
   /** q86 — containment near-dup pairs: the ASYMMETRIC overlap measure
     * |A∩B| / min(|A|,|B|) (directional containments reported both
     * ways). Jaccard (q26) misses sub-document duplication by

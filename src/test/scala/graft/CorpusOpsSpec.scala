@@ -789,4 +789,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Option[Double])].collect().toSeq
     assert(out === Seq(("en", 3L, 1L, Some(1.0)), ("es", 0L, 2L, None)))
   }
+
+  test("dedupThresholdCurve: monotone non-increasing, zero rows stay visible") {
+    // docs 1,2 share 2 of 3 shingles (J=0.5); docs 3,4 identical (J=1)
+    val dir = docsDir(Seq(
+      (1L, "a b c d e"), (2L, "a b c d x"),
+      (3L, "p q r s"), (4L, "p q r s")))
+    val out = graft.operators.Dedup.dedupThresholdCurve(spark, dir)
+      .as[(Double, Long, Long, Long)].collect().toSeq
+    // pair (1,2): shingles {abc,bcd,cde} vs {abc,bcd,cdx}: 2/4 = 0.5
+    // pair (3,4): jaccard 1.0; doc_b removable chars: doc2=9, doc4=7
+    assert(out === Seq(
+      (0.5, 2L, 2L, 16L),
+      (0.6, 1L, 1L, 7L),
+      (0.7, 1L, 1L, 7L),
+      (0.8, 1L, 1L, 7L),
+      (0.9, 1L, 1L, 7L)))
+    // monotone: tightening the threshold never flags more
+    assert(out.map(_._2) === out.map(_._2).sorted.reverse)
+  }
 }
