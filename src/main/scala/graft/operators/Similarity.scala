@@ -1306,6 +1306,84 @@ object Similarity {
       |ORDER BY query_id""".stripMargin
   }
 
+  /** q228 — retrieval summary scorecard: MRR and success@{1,5,k} of
+    * the q29 brute-force ranking against label-match relevance, one
+    * row per query plus the rank of the first relevant hit. The
+    * leaderboard companion to q159 (nDCG grades the whole ranked
+    * list; MRR/success@k grade "did the FIRST good answer come fast",
+    * which is what RAG-style single-answer consumers feel).
+    *
+    * Exactness: first_rel_rank is an exact MIN over integer ranks;
+    * the reciprocal rank is one literal CASE over k shared 6dp
+    * constants (no division at eval time), success flags are integer
+    * compares. Queries with no relevant hit in the top k keep a
+    * visible zero row (rr = 0 — the standard MRR convention).
+    *
+    * Scale: rides q29's broadcast-queries + partial-top-k plan; the
+    * summary is a |queries|-sized aggregate.
+    */
+  def retrievalScorecard(spark: SparkSession, dir: String, nQueries: Int = 8,
+                         k: Int = 10): DataFrame = {
+    val rrCase = (1 to k).foldRight(lit(0.0)) { case (i, rest) =>
+      when(col("first_rel_rank") === i,
+        lit(BigDecimal(1.0 / i).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)).otherwise(rest) }
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val qlab = labels.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    knnBrute(spark, dir, nQueries, k)
+      .join(broadcast(qlab), "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(min(when(col("n_label") === col("q_label"), col("rank")))
+        .as("first_rel_rank"))
+      .select(col("query_id"), col("q_label"),
+        coalesce(col("first_rel_rank"), lit(0)).as("first_rel_rank"),
+        coalesce(rrCase, lit(0.0)).as("reciprocal_rank"),
+        (coalesce(col("first_rel_rank"), lit(k + 1)) === 1).cast("int")
+          .as("success_at_1"),
+        (coalesce(col("first_rel_rank"), lit(k + 1)) <= 5).cast("int")
+          .as("success_at_5"))
+      .orderBy(col("query_id"))
+  }
+
+  def retrievalScorecardSql(nQueries: Int = 8, k: Int = 10): String = {
+    val rrCase = (1 to k).map(i =>
+      s"WHEN first_rel_rank = $i THEN ${BigDecimal(1.0 / i)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble}")
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+       |  FROM embeddings WHERE vec_id < $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+       |    e.label AS n_label,
+       |    ROUND(${cosSql("q.q_emb", "e.embedding")}, 6) AS cos_sim
+       |  FROM embeddings e, q WHERE e.vec_id >= $nQueries
+       |), ranked AS (
+       |  SELECT query_id, q_label, n_label,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored
+       |  QUALIFY rank <= $k
+       |), per_q AS (
+       |  SELECT query_id, q_label,
+       |    MIN(CASE WHEN n_label = q_label THEN rank END) AS first_rel_rank
+       |  FROM ranked GROUP BY 1, 2
+       |)
+       |SELECT query_id, q_label,
+       |  CAST(COALESCE(first_rel_rank, 0) AS INT) AS first_rel_rank,
+       |  CAST(COALESCE($rrCase, 0.0) AS DOUBLE) AS reciprocal_rank,
+       |  CASE WHEN COALESCE(first_rel_rank, ${k + 1}) = 1
+       |    THEN 1 ELSE 0 END AS success_at_1,
+       |  CASE WHEN COALESCE(first_rel_rank, ${k + 1}) <= 5
+       |    THEN 1 ELSE 0 END AS success_at_5
+       |FROM per_q
+       |ORDER BY query_id""".stripMargin
+  }
+
   /** q198 — reciprocal (mutual) nearest-neighbor pairs: vectors a < b
     * where b is a's single nearest neighbor AND a is b's — the
     * high-precision pairing primitive under the SemDeDup/agglomerative

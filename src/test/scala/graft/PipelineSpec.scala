@@ -669,4 +669,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(q1._3 === None && q1._4 === None)     // no same-label corpus vec
     assert(q1._5.isDefined && q1._7 === None)    // margin NULL without a positive
   }
+
+  test("retrievalScorecard: first-hit rank drives MRR, no-hit query keeps zero row") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-mrr").toString
+    // q0 (label 0): nearest is foreign (12), first same-label at rank 2
+    // q1 (label 9): no label-9 corpus vectors -> rr = 0 visible row
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 9),
+      (10L, Array(0.9f, 0.1f), 0),
+      (12L, Array(1.0f, 0.05f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Similarity.retrievalScorecard(spark, dir, nQueries = 2)
+      .as[(Long, Int, Int, Double, Int, Int)].collect().toSeq
+    val q0 = out.find(_._1 == 0L).get
+    assert(q0 === (0L, 0, 2, 0.5, 0, 1))
+    val q1 = out.find(_._1 == 1L).get
+    assert(q1 === (1L, 9, 0, 0.0, 0, 0))
+  }
 }
