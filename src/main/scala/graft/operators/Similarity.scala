@@ -1797,8 +1797,8 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neg_id"),
         col("cos_sim").as("cos_neg"))
     queries.select(col("query_id"), col("q_label").as("label"))
-      .join(pos, Seq("query_id"), "left")
-      .join(neg, Seq("query_id"), "left")
+      .join(broadcast(pos), Seq("query_id"), "left")
+      .join(broadcast(neg), Seq("query_id"), "left")
       .withColumn("margin", round(col("cos_pos") - col("cos_neg"), 6))
       .orderBy(col("query_id"))
   }
