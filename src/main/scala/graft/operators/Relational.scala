@@ -1769,4 +1769,70 @@ object Relational {
        |          - $recencyDays
        |        FROM orders o2))
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q229 — cheapest supplier per part: each part's minimum-unit-cost
+    * supplier (unit cost = revenue/quantity over that supplier's
+    * lineitems for the part), with supplier and nation names — the
+    * TPC-H Q2 shape: a CORRELATED MIN SUBQUERY selecting the row(s)
+    * that attain a per-group aggregate minimum. The oracle keeps the
+    * textbook `cost = (SELECT MIN ...)` correlation; the Spark plan
+    * decorrelates it into a per-part window MIN over the
+    * (part, supplier) aggregate — one l_partkey shuffle serves both
+    * the aggregate and the min — followed by broadcast dim joins.
+    * Q2's tie semantics are preserved: EVERY supplier attaining the
+    * minimum returns (an argmin row_number would silently drop ties),
+    * with a fully tiebroken presentation sort.
+    *
+    * Exactness: unit cost lives in INTEGER micro-units —
+    * floor(1e6·revenue/quantity) over e6-scaled BIGINT sums — so the
+    * per-part MIN, the attaining-equality compare and the output
+    * column are all exact integers (a first cut rounded the double
+    * quotient and hit a real half-boundary at sf0.1: Spark's
+    * shortest-repr HALF_UP vs DuckDB's binary rounding disagreed by
+    * 1e-6 on one part). At 100 TB the e6×e6 product needs
+    * DECIMAL(38,0); the shape stays.
+    */
+  def cheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(18, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"))
+    val cost = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        (sum(col("l_extendedprice").cast(dec)) * 1000000).cast("long").as("rev_e6"),
+        (sum(col("l_quantity").cast(dec)) * 1000000).cast("long").as("qty_e6"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("(rev_e6 * 1000000) div qty_e6").as("unit_cost_e6"))
+    val best = cost.withColumn("min_cost",
+        min(col("unit_cost_e6")).over(Window.partitionBy(col("l_partkey"))))
+      .where(col("unit_cost_e6") === col("min_cost"))
+    best
+      .join(Tables.load(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("unit_cost_e6"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  val cheapestSupplierSql: String =
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+      |      * 1000000)
+      |      // CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+      |      AS unit_cost_e6
+      |  FROM lineitem GROUP BY 1, 2
+      |)
+      |SELECT c.l_partkey AS p_partkey, s.s_suppkey, s.s_name, n.n_name,
+      |  CAST(c.unit_cost_e6 AS BIGINT) AS unit_cost_e6
+      |FROM cost c
+      |JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE c.unit_cost_e6 = (
+      |  SELECT MIN(c2.unit_cost_e6) FROM cost c2
+      |  WHERE c2.l_partkey = c.l_partkey)
+      |ORDER BY p_partkey, s.s_suppkey""".stripMargin
 }

@@ -304,4 +304,29 @@ class RelationalSpec extends AnyFunSuite {
       .as[(Long, String, String, Long)].collect().toSeq
     assert(out === Seq((1L, "sup1", "GERMANY", 1L)))
   }
+
+  test("cheapestSupplier: Q2 tie semantics keep every min-cost supplier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q2").toString
+    Seq((1, "GERMANY", 1)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, "s1", 1, 0.0), (2L, "s2", 1, 0.0), (3L, "s3", 1, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    // part 1: s1 sells 2 units for 10 (cost 5), s2 sells 1 for 8 (8)
+    // part 2: s2 and s3 both at unit cost 3 -> BOTH rows return
+    Seq((1L, 1L, 1L, 2.0, 10.0), (2L, 1L, 2L, 1.0, 8.0),
+        (3L, 2L, 2L, 2.0, 6.0), (4L, 2L, 3L, 1.0, 3.0))
+      .map { case (ok, pk, sk, q, px) => (ok, pk, sk, 1, q, px, 0.0, 0.0,
+        "N", "O", new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Relational.cheapestSupplier(spark, dir)
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, "s1", "GERMANY", 5000000L),
+      (2L, 2L, "s2", "GERMANY", 3000000L),
+      (2L, 3L, "s3", "GERMANY", 3000000L)))
+  }
 }
