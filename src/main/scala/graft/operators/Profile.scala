@@ -1208,4 +1208,94 @@ object Profile {
       |  ROUND(CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
       |    / NULLIF(CAST(MAX(n1) * MAX(n2) AS DOUBLE), 0.0), 6) AS ks_stat
       |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q230 — higher-moments profile: mean, stddev, skewness and excess
+    * kurtosis per numeric lineitem column — the distribution-shape
+    * row q70's min/max/count profile and q143's correlation matrix
+    * both lack (skew says which tail the mass leans into, kurtosis
+    * whether q73/q95's outlier screens face heavy tails or near-
+    * Gaussian noise). Neither engine's built-in skewness/kurtosis is
+    * used: their streaming update orders differ, so the moments are
+    * assembled from raw power sums instead.
+    *
+    * Exactness: all four power sums per column accumulate 6dp-rounded
+    * terms in DECIMAL(38,6) (the q102/q143 convention — order-
+    * independent, engine-identical; x^4 of a 1e5-scale price needs
+    * the 38-digit headroom), every column flows through ONE shared
+    * derived-stat code path (identical double chains on both
+    * engines), and degenerate columns (zero variance) yield NULL via
+    * NULLIF. Scale: ONE scan computes all 16 sums + 4 counts in a
+    * single partial+final aggregate; the unpivot and moment algebra
+    * run on a 1-row frame.
+    */
+  def momentsProfile(spark: SparkSession, dir: String,
+                     cols: Seq[String] = Seq("l_quantity", "l_extendedprice",
+                       "l_discount", "l_tax")): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    def psum(c: String, p: Int) = {
+      val x = col(c)
+      val pw = (1 until p).foldLeft(x)((acc, _) => acc * x)
+      sum(round(pw, 6).cast(dec)).cast("double").as(s"${c}_s$p")
+    }
+    val aggs = cols.flatMap(c =>
+      Seq(count(col(c)).cast("double").as(s"${c}_n"),
+        psum(c, 1), psum(c, 2), psum(c, 3), psum(c, 4)))
+    val one = Tables.load(spark, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val rows = one.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"), col(s"${c}_n").as("n"),
+        col(s"${c}_s1").as("s1"), col(s"${c}_s2").as("s2"),
+        col(s"${c}_s3").as("s3"), col(s"${c}_s4").as("s4"))): _*)).as("r"))
+      .select(col("r.*"))
+    val mean = col("s1") / col("n")
+    val m2 = col("s2") / col("n") - mean * mean
+    val sd = sqrt(m2)
+    val m3 = col("s3") / col("n") - lit(3.0) * mean * (col("s2") / col("n")) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4") / col("n") - lit(4.0) * mean * (col("s3") / col("n")) +
+      lit(6.0) * mean * mean * (col("s2") / col("n")) -
+      lit(3.0) * mean * mean * mean * mean
+    rows.select(col("column"), col("n").cast("long").as("n"),
+        round(mean, 6).as("mean"),
+        round(sd, 6).as("stddev"),
+        round(m3 / nullif(sd * sd * sd, lit(0.0)), 6).as("skewness"),
+        round(m4 / nullif(m2 * m2, lit(0.0)) - 3.0, 6).as("kurtosis_excess"))
+      .orderBy(col("column"))
+  }
+
+  def momentsProfileSql(cols: Seq[String] = Seq("l_quantity", "l_extendedprice",
+                          "l_discount", "l_tax")): String = {
+    val aggs = cols.map { c =>
+      s"""    CAST(COUNT($c) AS DOUBLE) AS ${c}_n,
+         |    CAST(SUM(CAST(ROUND($c, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ${c}_s1,
+         |    CAST(SUM(CAST(ROUND($c * $c, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ${c}_s2,
+         |    CAST(SUM(CAST(ROUND($c * $c * $c, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ${c}_s3,
+         |    CAST(SUM(CAST(ROUND($c * $c * $c * $c, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ${c}_s4""".stripMargin
+    }.mkString(",\n")
+    val rows = cols.map(c =>
+      s"""  SELECT '$c' AS "column", ${c}_n AS n, ${c}_s1 AS s1, ${c}_s2 AS s2, ${c}_s3 AS s3, ${c}_s4 AS s4 FROM agg""")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH agg AS (
+       |  SELECT
+       |$aggs
+       |  FROM lineitem
+       |), rows_ AS (
+       |$rows
+       |)
+       |SELECT "column", CAST(n AS BIGINT) AS n,
+       |  ROUND(s1 / n, 6) AS mean,
+       |  ROUND(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS stddev,
+       |  ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+       |      + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+       |    / NULLIF(sqrt(s2 / n - (s1 / n) * (s1 / n))
+       |        * sqrt(s2 / n - (s1 / n) * (s1 / n))
+       |        * sqrt(s2 / n - (s1 / n) * (s1 / n)), 0.0), 6) AS skewness,
+       |  ROUND((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+       |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+       |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+       |    / NULLIF((s2 / n - (s1 / n) * (s1 / n))
+       |        * (s2 / n - (s1 / n) * (s1 / n)), 0.0) - 3.0, 6)
+       |    AS kurtosis_excess
+       |FROM rows_
+       |ORDER BY "column"""".stripMargin
+  }
 }

@@ -808,4 +808,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     // monotone: tightening the threshold never flags more
     assert(out.map(_._2) === out.map(_._2).sorted.reverse)
   }
+
+  test("momentsProfile: hand moments -- symmetric series has zero skew") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mom").toString
+    // every column = {1,2,3,4}: mean 2.5, sd sqrt(1.25), skew 0 (symmetry),
+    // excess kurtosis 2.5625/1.5625 - 3 = -1.36
+    Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, 1L, 1L, 1, v, v, v, v,
+        "N", "O", new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Profile.momentsProfile(spark, dir)
+      .as[(String, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out.map(_._1) === Seq("l_discount", "l_extendedprice",
+      "l_quantity", "l_tax"))
+    out.foreach { r =>
+      assert(r._2 === 4L && r._3 === 2.5 && r._4 === 1.118034)
+      assert(r._5 === Some(0.0) && r._6 === Some(-1.36))
+    }
+  }
 }
