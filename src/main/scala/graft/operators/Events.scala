@@ -2900,6 +2900,100 @@ object Events {
       |      / NULLIF(CAST(n_train AS DOUBLE), 0.0), 0.0), 6) AS mase_snaive
       |FROM agg ORDER BY event_type""".stripMargin
 
+  /** q231 — Durbin–Watson residual diagnostics: fit each type's DAILY
+    * value series with q102's sufficient-statistic OLS, then test the
+    * day-ordered residuals for serial correlation —
+    * DW = Σ(e_t − e_{t−1})² / Σe_t² (≈2 independent, →0 positively
+    * correlated, →4 negatively). The regression-trust gauge: a q102
+    * trend whose residuals autocorrelate has understated errors, and
+    * the honest next step is q209/q222's time-series machinery, not a
+    * tighter line.
+    *
+    * Exactness: slope (6dp) and intercept (4dp — q102's half-boundary
+    * precedent at epoch-day magnitudes) are rounded ONCE and shared,
+    * so every residual is the same double on both engines; each
+    * residual and each squared term rounds at 6dp before its
+    * DECIMAL(28,6) sum; DW is one guarded division. Scale: one
+    * (type, day) aggregate, one broadcast coefficient join, ONE
+    * type-ordered window pass for the lag — daily-table sized
+    * throughout.
+    */
+  def olsResidualDw(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(decSum(col("value")).as("y"))
+      .withColumn("x", col("day").cast("double"))
+    val coef = daily.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(round(col("x") * col("x"), 6)).as("sxx"),
+        dsum(round(col("x") * col("y"), 6)).as("sxy"))
+      .withColumn("den",
+        nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0)))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope", round(col("num") / col("den"), 6))
+      .withColumn("intercept", round(
+        (col("sy") - (col("num") / col("den")) * col("sx")) / col("n"), 4))
+      .select(col("event_type"), col("slope"), col("intercept"))
+    val resid = daily.join(broadcast(coef), "event_type")
+      .withColumn("e",
+        round(col("y") - (col("intercept") + col("slope") * col("x")), 6))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    resid.withColumn("e_prev", lag(col("e"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("slope")).as("slope"), max(col("intercept")).as("intercept"),
+        dsum(round(col("e") * col("e"), 6)).as("sse"),
+        dsum(when(col("e_prev").isNotNull,
+          round((col("e") - col("e_prev")) * (col("e") - col("e_prev")), 6)))
+          .as("sdiff"))
+      .select(col("event_type"), col("n_days"), col("slope"), col("intercept"),
+        round(col("sdiff") / nullif(col("sse"), lit(0.0)), 6).as("dw"))
+      .orderBy(col("event_type"))
+  }
+
+  val olsResidualDwSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+      |  FROM events GROUP BY 1, 2
+      |), d2 AS (
+      |  SELECT event_type, day, y, CAST(day AS DOUBLE) AS x FROM daily
+      |), stats AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      |  FROM d2 GROUP BY 1
+      |), coef AS (
+      |  SELECT event_type,
+      |    ROUND((n * sxy - sx * sy)
+      |      / NULLIF(n * sxx - sx * sx, 0.0), 6) AS slope,
+      |    ROUND((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0))
+      |      * sx) / n, 4) AS intercept
+      |  FROM stats
+      |), resid AS (
+      |  SELECT d.event_type, d.day,
+      |    ROUND(d.y - (c.intercept + c.slope * d.x), 6) AS e,
+      |    c.slope, c.intercept
+      |  FROM d2 d JOIN coef c USING (event_type)
+      |), lagged AS (
+      |  SELECT event_type, slope, intercept, e,
+      |    lag(e) OVER (PARTITION BY event_type ORDER BY day) AS e_prev
+      |  FROM resid
+      |)
+      |SELECT event_type, COUNT(*) AS n_days,
+      |  MAX(slope) AS slope, MAX(intercept) AS intercept,
+      |  ROUND(CAST(SUM(CASE WHEN e_prev IS NOT NULL
+      |      THEN CAST(ROUND((e - e_prev) * (e - e_prev), 6) AS DECIMAL(28,6))
+      |      END) AS DOUBLE)
+      |    / NULLIF(CAST(SUM(CAST(ROUND(e * e, 6) AS DECIMAL(28,6)))
+      |      AS DOUBLE), 0.0), 6) AS dw
+      |FROM lagged GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q219 — burstiness (Fano factor) of daily event counts per type:
     * variance-to-mean ratio over the dense calendar — 1 means
     * Poisson-like arrivals, >1 says events clump (bot bursts, batch

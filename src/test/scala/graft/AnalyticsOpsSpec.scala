@@ -965,4 +965,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.map(_._5) === Seq(13L, 13L))
     assert(out.map(_._6) === Seq(Some(0.076923), Some(0.076923)))
   }
+
+  test("olsResidualDw: perfect line gives dw NULL (zero residuals); alternating gives 4-ish") {
+    val day = 86400000L
+    // type a: y = 2x + 1 exactly -> residuals all 0 -> sse 0 -> NULL dw
+    // type b: y alternates +1/-1 around a flat line -> strong negative
+    //   autocorrelation -> dw near 4 (residuals e: .75,-1.25,.75,-1.25 after
+    //   fit -- just assert the bracket, the exact fit is shared-engine)
+    val rows =
+      (0 until 4).map(d => (10L + d, d * day, 1L, "a", 2.0 * d + 1.0)) ++
+      (0 until 4).map(d => (20L + d, d * day, 1L, "b",
+        if (d % 2 == 0) 2.0 else 0.0))
+    val dir = eventsDirV(rows)
+    val out = graft.operators.Events.olsResidualDw(spark, dir)
+      .as[(String, Long, Double, Double, Option[Double])].collect().toSeq
+    val a = out.find(_._1 == "a").get
+    assert(a._3 === 2.0 && a._4 === 1.0 && a._5 === None)
+    val b = out.find(_._1 == "b").get
+    assert(b._5.isDefined && b._5.get > 3.0 && b._5.get <= 4.0)
+  }
 }
