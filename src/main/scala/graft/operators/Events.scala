@@ -2900,6 +2900,94 @@ object Events {
       |      / NULLIF(CAST(n_train AS DOUBLE), 0.0), 0.0), 6) AS mase_snaive
       |FROM agg ORDER BY event_type""".stripMargin
 
+  /** q232 — lead-lag cross-correlation (CCF) between event types:
+    * Pearson r between type A's daily count series and type B's
+    * lag-shifted series over the SHARED dense calendar — "does a
+    * click spike today predict purchases tomorrow?" The asymmetric
+    * companion of q209's ACF (corr(a_t, b_{t+lag}) large says A LEADS
+    * B), the lead-lag screen read before building any cross-metric
+    * forecast on q222's backtest.
+    *
+    * Exactness: q209's discipline exactly — integer counts on the
+    * zero-filled GLOBAL calendar (cross-series alignment demands one
+    * spine), all sufficient sums exact BIGINTs, numerator/variances
+    * integer until one double conversion + sqrt + 6dp round, NULLIF
+    * for degenerate series. Self-pairs are excluded (that row is
+    * q209).
+    *
+    * Scale: the dense table is |types|×|days|; the lag shift is a
+    * projection (day − lag) and the pairing ONE day-keyed join whose
+    * fan-out is |types|² per day — calendar-sized work with a small
+    * constant, the raw stream is touched once by the count aggregate.
+    */
+  def crossCorrelation(spark: SparkSession, dir: String,
+                       lags: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(count(lit(1)).as("v"))
+    val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val types = daily.select(col("event_type")).distinct()
+    val dense = types.crossJoin(spine)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("v"), lit(0L)).as("v"))
+    val a = dense.select(col("event_type").as("type_a"), col("day"),
+      col("v").as("x"))
+    val b = dense
+      .crossJoin(broadcast(spark.range(1)
+        .select(explode(array(lags.map(l => lit(l)): _*)).as("lag"))))
+      .select(col("event_type").as("type_b"), col("lag"),
+        (col("day") - col("lag")).as("day"), col("v").as("y"))
+    a.join(b, "day")
+      .where(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("type_a"), col("type_b"), col("lag"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / nullif(
+            sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")),
+            lit(0.0)), 6).as("ccf"))
+      .orderBy(col("type_a"), col("type_b"), col("lag"))
+  }
+
+  def crossCorrelationSql(lags: Seq[Int] = Seq(1, 2, 3)): String = {
+    val list = lags.mkString("[", ", ", "]")
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, COUNT(*) AS v
+       |  FROM events GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT unnest(range(mn, mx + 1)) AS day
+       |  FROM (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily)
+       |), types AS (SELECT DISTINCT event_type FROM daily
+       |), dense AS (
+       |  SELECT t.event_type, s.day, COALESCE(d.v, 0) AS v
+       |  FROM types t CROSS JOIN spine s
+       |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+       |), b AS (
+       |  SELECT event_type AS type_b, CAST(l.lag AS INT) AS lag,
+       |    day - l.lag AS day, v AS y
+       |  FROM dense, (SELECT unnest($list) AS lag) l
+       |), agg AS (
+       |  SELECT a.event_type AS type_a, b.type_b, b.lag,
+       |    COUNT(*) AS n_pairs,
+       |    SUM(a.v) AS sx, SUM(b.y) AS sy, SUM(a.v * b.y) AS sxy,
+       |    SUM(a.v * a.v) AS sxx, SUM(b.y * b.y) AS syy
+       |  FROM dense a JOIN b ON a.day = b.day
+       |  WHERE a.event_type <> b.type_b
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT type_a, type_b, lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+       |    / NULLIF(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+       |        * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 0.0), 6) AS ccf
+       |FROM agg ORDER BY type_a, type_b, lag""".stripMargin
+  }
+
   /** q231 — Durbin–Watson residual diagnostics: fit each type's DAILY
     * value series with q102's sufficient-statistic OLS, then test the
     * day-ordered residuals for serial correlation —

@@ -984,4 +984,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val b = out.find(_._1 == "b").get
     assert(b._5.isDefined && b._5.get > 3.0 && b._5.get <= 4.0)
   }
+
+  test("crossCorrelation: shifted copy of a series correlates perfectly at its lag") {
+    val day = 86400000L
+    // type a: counts 1,2,3,1 on days 0..3; type b = a shifted +1 day
+    // (counts 1,2,3 on days 1..3 -- day 4 would carry 1 but the global
+    // spine ends at day 3). ccf(a,b,lag=1): pairs over days 0..2:
+    // x=(1,2,3) vs y=b(1..3)=(1,2,3) -> r = 1.
+    val rows =
+      (0 until 4).flatMap { d =>
+        val n = Seq(1, 2, 3, 1)(d)
+        (0 until n).map(i => (100L + 10 * d + i, d * day, 1L, "a"))
+      } ++
+      (1 until 4).flatMap { d =>
+        val n = Seq(1, 2, 3)(d - 1)
+        (0 until n).map(i => (200L + 10 * d + i, d * day, 2L, "b"))
+      }
+    val dir = eventsDir(rows)
+    val out = graft.operators.Events.crossCorrelation(spark, dir)
+      .as[(String, String, Int, Long, Option[Double])].collect().toSeq
+    val ab1 = out.find(r => r._1 == "a" && r._2 == "b" && r._3 == 1).get
+    assert(ab1._4 === 3L && ab1._5 === Some(1.0))
+    // the reverse direction at lag 1 is NOT 1: b does not lead a
+    val ba1 = out.find(r => r._1 == "b" && r._2 == "a" && r._3 == 1).get
+    assert(ba1._5 !== Some(1.0))
+  }
 }
