@@ -1143,6 +1143,55 @@ object Dedup {
       |FROM ex LEFT JOIN near ON ex.source = near.source
       |ORDER BY ex.source""".stripMargin
 
+  /** q233 — duplicate-provenance matrix: for every near-dup cluster
+    * member, which source contributed the CANONICAL (origin) document
+    * vs which source carries the copy — the (origin, copier)
+    * cross-table that names the relationship q108 and q110 only count
+    * (q108 says source X is 30% dups, q110 says X and Y overlap; this
+    * says Y's dups are copies of X's originals, i.e. which feed to
+    * keep and which to gate). Origin = the cluster's min-id canonical
+    * under the q38 labels; members are the non-canonical rows, with
+    * their copied character mass.
+    *
+    * Exactness: pure integer counts/sums over the oracle-shared q38
+    * cluster relation. Scale: rides the session-memoized CC labels
+    * (no new fixpoint); two doc-keyed joins + a |sources|²-bounded
+    * aggregate.
+    */
+  def dupProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir, requireConverged = true)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val withSrc = labels.join(docs, "doc_id")
+    val origins = withSrc.where(col("doc_id") === col("rep_id"))
+      .select(col("rep_id"), col("source").as("origin_source"))
+    val members = withSrc.where(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id"), col("source").as("member_source"), col("n_chars"))
+    members.join(origins, "rep_id")
+      .groupBy(col("origin_source"), col("member_source"))
+      .agg(count(lit(1)).as("n_copies"), sum(col("n_chars")).as("chars_copied"))
+      .orderBy(col("origin_source"), col("member_source"))
+  }
+
+  val dupProvenanceSql: String =
+    s"""WITH cc AS (
+      |$dedupClustersSql
+      |), wsrc AS (
+      |  SELECT cc.doc_id, cc.rep_id, d.source, d.n_chars
+      |  FROM cc JOIN documents d USING (doc_id)
+      |), origins AS (
+      |  SELECT rep_id, source AS origin_source FROM wsrc WHERE doc_id = rep_id
+      |), members AS (
+      |  SELECT rep_id, source AS member_source, n_chars
+      |  FROM wsrc WHERE doc_id <> rep_id
+      |)
+      |SELECT o.origin_source, m.member_source,
+      |  COUNT(*) AS n_copies,
+      |  CAST(SUM(m.n_chars) AS BIGINT) AS chars_copied
+      |FROM members m JOIN origins o USING (rep_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** q97 — prefix-filtered set-similarity join (the PPJoin family):
     * EXACT Jaccard pairs ≥ t with NO df-cap loss. q26's inverted
     * index needs the df-cap to bound Zipf-hot shingle fan-out, which

@@ -830,4 +830,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(r._5 === Some(0.0) && r._6 === Some(-1.36))
     }
   }
+
+  test("dupProvenance: copies attribute to the canonical's source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prov").toString
+    // docs 1 (feedA) and 2,3 (feedB) are near-identical -> canonical 1:
+    // feedB copied 2 docs from feedA. doc 4 unique -> no rows.
+    Seq((1L, "alpha beta gamma delta epsilon", "feedA"),
+        (2L, "alpha beta gamma delta epsilon", "feedB"),
+        (3L, "alpha beta gamma delta epsilon zeta", "feedB"),
+        (4L, "totally different content here", "feedC"))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.dupProvenance(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val chars2 = "alpha beta gamma delta epsilon".length.toLong
+    val chars3 = "alpha beta gamma delta epsilon zeta".length.toLong
+    assert(out === Seq(("feedA", "feedB", 2L, chars2 + chars3)))
+  }
 }
