@@ -1369,4 +1369,105 @@ object Curation {
       |SELECT t.p_brand, sel.w_median_qty, t.total_weight, t.n_items
       |FROM t JOIN sel USING (p_brand)
       |ORDER BY p_brand""".stripMargin
+
+  /** q243 — cumulative gains/lift table: rank orders by value
+    * (o_totalprice desc, the "inspect the big orders first" triage
+    * score) into deciles and read off, decile by decile, what share
+    * of all LATE orders (any lineitem shipped > 60 days after the
+    * order date — the q235 lateness contract) the top-k% capture
+    * versus the share of orders inspected — the operating curve every
+    * score-gated intervention is actually chosen from ("auditing the
+    * top 20% of orders catches 23% of late shipments — lift 1.15, the
+    * score is nearly useless"). q207 grades a scorer with ONE number
+    * (AUC); this is the threshold-choosing table behind any such
+    * score.
+    *
+    * Determinism: deciles come from ntile over the TOTAL order
+    * (o_totalprice desc, o_orderkey asc) — with the id tiebreak both
+    * engines assign identical deciles, where a ties-unbroken ntile
+    * would be pick-any. Counts stay integers through the cumulative
+    * window; capture/share/lift are exact-integer quotients rounded
+    * once, NULLIF-guarded so an SF with zero late orders degrades to
+    * NULL rather than erroring.
+    *
+    * Scale: the label is one order-keyed semi-join (the q235 plan);
+    * the ranking is the suite's acknowledged global-sort shape (the
+    * q79/q147 family — at 100 TB, swap ntile for range-partitioned
+    * bucketing by quantile bounds, the q42 machinery); everything
+    * after the decile tag collapses to 10 rows before the cumulative
+    * window.
+    */
+  def gainsTable(spark: SparkSession, dir: String,
+                 lateDays: Int = 60): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val late = orders.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .select(col("o_orderkey"), lit(1).as("is_late"))
+    val labeled = orders.join(late, Seq("o_orderkey"), "left")
+      .withColumn("is_late", coalesce(col("is_late"), lit(0)))
+    val deciled = labeled.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+    val perDecile = deciled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("is_late")).as("n_late"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = perDecile.agg(sum(col("n_orders")).as("n_all"),
+      sum(col("n_late")).as("late_all"))
+    perDecile
+      .withColumn("cum_orders", sum(col("n_orders")).over(wCum))
+      .withColumn("cum_late", sum(col("n_late")).over(wCum))
+      .crossJoin(broadcast(totals))
+      .select(col("decile"), col("n_orders"), col("n_late"),
+        round(col("cum_late").cast("double") /
+          nullif(col("late_all").cast("double"), lit(0.0)), 6).as("capture"),
+        round(col("cum_orders").cast("double") / col("n_all"), 6).as("share"),
+        round((col("cum_late") * col("n_all")).cast("double") /
+          nullif((col("cum_orders") * col("late_all")).cast("double"),
+            lit(0.0)), 6).as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  def gainsTableSql(lateDays: Int = 60): String =
+    s"""WITH labeled AS (
+      |  SELECT o.o_orderkey, o.o_totalprice,
+      |    CASE WHEN EXISTS (
+      |      SELECT 1 FROM lineitem l
+      |      WHERE l.l_orderkey = o.o_orderkey
+      |        AND l.l_shipdate > o.o_orderdate + INTERVAL $lateDays DAY)
+      |      THEN 1 ELSE 0 END AS is_late
+      |  FROM orders o
+      |), deciled AS (
+      |  SELECT is_late,
+      |    NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+      |  FROM labeled
+      |), per_decile AS (
+      |  SELECT decile, COUNT(*) AS n_orders, SUM(is_late) AS n_late
+      |  FROM deciled GROUP BY decile
+      |), cum AS (
+      |  SELECT decile, n_orders, n_late,
+      |    SUM(n_orders) OVER w AS cum_orders,
+      |    SUM(n_late) OVER w AS cum_late
+      |  FROM per_decile
+      |  WINDOW w AS (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), totals AS (
+      |  SELECT SUM(n_orders) AS n_all, SUM(n_late) AS late_all
+      |  FROM per_decile
+      |)
+      |SELECT CAST(decile AS INT) AS decile,
+      |  CAST(n_orders AS BIGINT) AS n_orders,
+      |  CAST(n_late AS BIGINT) AS n_late,
+      |  ROUND(CAST(cum_late AS DOUBLE)
+      |    / NULLIF(CAST(t.late_all AS DOUBLE), 0.0), 6) AS capture,
+      |  ROUND(CAST(cum_orders AS DOUBLE) / t.n_all, 6) AS share,
+      |  ROUND(CAST(cum_late * t.n_all AS DOUBLE)
+      |    / NULLIF(CAST(cum_orders * t.late_all AS DOUBLE), 0.0), 6) AS lift
+      |FROM cum, totals t
+      |ORDER BY decile""".stripMargin
 }

@@ -3146,4 +3146,142 @@ object Events {
       |  ROUND(CAST(n * sxx - sx * sx AS DOUBLE)
       |    / NULLIF(CAST((n - 1) * sx AS DOUBLE), 0.0), 6) AS fano
       |FROM agg ORDER BY event_type""".stripMargin
+
+  /** q241 — Holt linear-trend forecast per event type: double
+    * exponential smoothing over the per-day decimal-exact value
+    * totals — level AND trend state, so a steadily growing metric
+    * forecasts its growth where q120's SES (level only) lags one
+    * trend-step behind. The coupled recurrences with α = β = ½:
+    * s_t = (y_t + s_{t−1} + b_{t−1})/2,
+    * b_t = ((s_t − s_{t−1}) + b_{t−1})/2, seeded with the textbook
+    * s₁ = y₁, b₁ = y₂ − y₁; forecast(h=1) = s_T + b_T.
+    *
+    * Exactness (the q120 argument, extended to coupled state): each
+    * step is additions and EXACT halvings of IEEE doubles, and both
+    * engines fold the identical day-ordered sequence with the
+    * identical seed — Spark `aggregate` with a two-field struct
+    * state, DuckDB `list_reduce` with a two-element list state — so
+    * the final (level, trend) pair is bit-identical with no per-step
+    * rounding. A one-day series cannot seed a trend and is guarded to
+    * (y₁, 0) on both sides.
+    *
+    * Scale: one (type, day) aggregate with map-side combine, then one
+    * per-type fold over a calendar-days-long array (the q120 bound —
+    * series length is time span, never event count).
+    */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(decSum(col("value")).as("v"))
+    daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("v")))).as("dv"))
+      .select(col("event_type"),
+        size(col("dv")).as("n_days"),
+        expr(
+          """CASE WHEN size(dv) = 1
+            |  THEN named_struct('s', CAST(dv[0].v AS DOUBLE), 'b', 0D)
+            |  ELSE aggregate(
+            |    slice(transform(dv, x -> CAST(x.v AS DOUBLE)), 3,
+            |      greatest(size(dv) - 2, 0)),
+            |    named_struct(
+            |      's', CAST(dv[0].v AS DOUBLE),
+            |      'b', CAST(dv[1].v AS DOUBLE) - CAST(dv[0].v AS DOUBLE)),
+            |    (acc, x) -> named_struct(
+            |      's', (x + acc.s + acc.b) / 2D,
+            |      'b', (((x + acc.s + acc.b) / 2D) - acc.s + acc.b) / 2D))
+            |END""".stripMargin).as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(col("st.s"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        round(col("st.s") + col("st.b"), 6).as("holt_forecast"))
+      .orderBy(col("event_type"))
+  }
+
+  val holtForecastSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), series AS (
+      |  SELECT event_type, CAST(list(v ORDER BY day) AS DOUBLE[]) AS vals
+      |  FROM daily GROUP BY 1
+      |), folded AS (
+      |  SELECT event_type, len(vals) AS n_days,
+      |    CASE WHEN len(vals) = 1 THEN [vals[1], 0.0]
+      |    ELSE list_reduce(
+      |      list_concat([[vals[1], vals[2] - vals[1]]],
+      |        [[x, 0.0] for x in vals[3:]]),
+      |      (acc, x) -> [ (x[1] + acc[1] + acc[2]) / 2,
+      |                    (((x[1] + acc[1] + acc[2]) / 2) - acc[1] + acc[2]) / 2 ])
+      |    END AS st
+      |  FROM series
+      |)
+      |SELECT event_type, CAST(n_days AS INT) AS n_days,
+      |  ROUND(st[1], 6) AS level,
+      |  ROUND(st[2], 6) AS trend,
+      |  ROUND(st[1] + st[2], 6) AS holt_forecast
+      |FROM folded ORDER BY event_type""".stripMargin
+
+  /** q242 — Markov conditional entropy (journey predictability): per
+    * from-type, the Shannon entropy of the next-event distribution —
+    * q92 gives the full transition matrix; this collapses each row to
+    * ONE number ("after an error, what happens next is a coin flip:
+    * 2.1 bits") plus the row's share of all transitions, so the
+    * chain's overall predictability is the share-weighted sum. Low
+    * entropy rows are the deterministic corridors funnels (q84)
+    * should encode; high entropy rows are where journey prediction
+    * models earn nothing.
+    *
+    * Exactness: the q215 aggregate-stable identity
+    * H = log10(n) − Σ c·log10(c)/n with per-term 6dp rounds into a
+    * DECIMAL(18,6) accumulator, one division by log10(2); the share
+    * is an exact-count quotient. Scale: rides the single user-keyed
+    * lead() shuffle q92 established; entropies aggregate over the
+    * (types × types)-bounded transition relation.
+    */
+  def markovEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val pairs = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val rows = counts.groupBy(col("from_type"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_next_types"),
+        sum(round(col("c") * log10(col("c")), 6).cast(dec)).as("s"))
+    val total = rows.agg(sum(col("n")).as("n_all"))
+    rows.crossJoin(broadcast(total))
+      .select(col("from_type"), col("n").as("n_transitions"),
+        col("n_next_types"),
+        round((log10(col("n")) - col("s").cast("double") / col("n"))
+          / lit(0.30102999566398120), 6).as("entropy_bits"),
+        round(col("n").cast("double") / col("n_all"), 6).as("share"))
+      .orderBy(col("from_type"))
+  }
+
+  val markovEntropySql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS to_type
+      |  FROM events
+      |), counts AS (
+      |  SELECT from_type, to_type, COUNT(*) AS c
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |), rows_ AS (
+      |  SELECT from_type, SUM(c) AS n, COUNT(*) AS n_next_types,
+      |    SUM(CAST(ROUND(c * log10(c), 6) AS DECIMAL(18,6))) AS s
+      |  FROM counts GROUP BY 1
+      |), total AS (SELECT SUM(n) AS n_all FROM rows_)
+      |SELECT from_type,
+      |  CAST(n AS BIGINT) AS n_transitions,
+      |  CAST(n_next_types AS BIGINT) AS n_next_types,
+      |  ROUND((log10(n) - CAST(s AS DOUBLE) / n)
+      |    / CAST(0.30102999566398120 AS DOUBLE), 6) AS entropy_bits,
+      |  ROUND(CAST(n AS DOUBLE) / t.n_all, 6) AS share
+      |FROM rows_, total t
+      |ORDER BY from_type""".stripMargin
 }

@@ -174,4 +174,101 @@ object Pii {
        |  COUNT(*) < $lMin AS at_risk
        |FROM cells GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
+
+  /** q240 — t-closeness audit: q199 checks class sizes, q215 checks
+    * sensitive-value variety; this checks sensitive-value
+    * DISTRIBUTION — per (nation, segment) class, the earth-mover's
+    * distance between the class's balance-bucket distribution and the
+    * global one. A class can be k-anonymous AND l-diverse yet still
+    * leak ("everyone in this cell is in the top balance buckets");
+    * t-closeness bounds exactly that skew. For the ordered bucket
+    * domain the EMD is the mean absolute CDF gap:
+    * t = Σᵢ |F_class(i) − F_global(i)| / (m − 1) over the m ordered
+    * buckets (the final bucket's gap is identically 0 — both CDFs
+    * reach 1 — and is summed harmlessly).
+    *
+    * Exactness: the CDF gap is kept as the integer cross-product
+    * |cum_c·N − cum_g·k| (the ksDrift discipline) and divided by
+    * k·N·(m−1) exactly once; classes missing a bucket contribute a
+    * zero count via the dense grid, so both engines accumulate the
+    * same m terms.
+    *
+    * Scale: counts collapse to (class, bucket) cells before anything
+    * else; the dense grid is classes × buckets (domain-sized, not
+    * row-sized) built from two broadcast-small aggregates; the
+    * cumulative windows run per class over ≤ m rows.
+    */
+  def tClosenessAudit(spark: SparkSession, dir: String, tMax: Double = 0.25,
+                      bucketWidth: Double = 1000.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cus = Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / bucketWidth).as("sens"))
+    val cells = cus.groupBy(col("c_nationkey"), col("c_mktsegment"), col("sens"))
+      .agg(count(lit(1)).as("c"))
+    val classes = cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("c")).as("k"))
+    val buckets = cells.groupBy(col("sens")).agg(sum(col("c")).as("g"))
+    val globals = buckets.agg(sum(col("g")).as("n_total"),
+      count(lit(1)).as("m"))
+    val grid = classes.crossJoin(broadcast(buckets))
+      .join(cells, Seq("c_nationkey", "c_mktsegment", "sens"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+    val wCum = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("sens"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCdf = grid
+      .withColumn("cum_c", sum(col("c0")).over(wCum))
+      .withColumn("cum_g", sum(col("g")).over(wCum))
+    withCdf.crossJoin(broadcast(globals))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"),
+        col("n_total"), col("m"))
+      .agg(sum(abs(col("cum_c") * col("n_total") - col("cum_g") * col("k")))
+        .as("gap_num"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("k"),
+        round(col("gap_num").cast("double") /
+          (col("k").cast("double") * col("n_total").cast("double") *
+            (col("m") - 1).cast("double")), 6).as("t_emd"))
+      .withColumn("at_risk", col("t_emd") > tMax)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  def tClosenessAuditSql(tMax: Double = 0.25,
+                         bucketWidth: Double = 1000.0): String =
+    s"""WITH cus AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(FLOOR(c_acctbal / $bucketWidth) AS BIGINT) AS sens
+       |  FROM customer
+       |), cells AS (
+       |  SELECT c_nationkey, c_mktsegment, sens, COUNT(*) AS c
+       |  FROM cus GROUP BY 1, 2, 3
+       |), classes AS (
+       |  SELECT c_nationkey, c_mktsegment, SUM(c) AS k FROM cells GROUP BY 1, 2
+       |), buckets AS (
+       |  SELECT sens, SUM(c) AS g FROM cells GROUP BY 1
+       |), globals AS (
+       |  SELECT SUM(g) AS n_total, COUNT(*) AS m FROM buckets
+       |), grid AS (
+       |  SELECT cl.c_nationkey, cl.c_mktsegment, cl.k, b.sens, b.g,
+       |    COALESCE(ce.c, 0) AS c0
+       |  FROM classes cl CROSS JOIN buckets b
+       |  LEFT JOIN cells ce ON ce.c_nationkey = cl.c_nationkey
+       |    AND ce.c_mktsegment = cl.c_mktsegment AND ce.sens = b.sens
+       |), cdf AS (
+       |  SELECT c_nationkey, c_mktsegment, k,
+       |    SUM(c0) OVER w AS cum_c,
+       |    SUM(g) OVER w AS cum_g
+       |  FROM grid
+       |  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY sens
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT c_nationkey, c_mktsegment, CAST(k AS BIGINT) AS k,
+       |  ROUND(CAST(SUM(ABS(cum_c * g2.n_total - cum_g * k)) AS DOUBLE)
+       |    / (CAST(k AS DOUBLE) * g2.n_total * (g2.m - 1)), 6) AS t_emd,
+       |  ROUND(CAST(SUM(ABS(cum_c * g2.n_total - cum_g * k)) AS DOUBLE)
+       |    / (CAST(k AS DOUBLE) * g2.n_total * (g2.m - 1)), 6) > $tMax
+       |    AS at_risk
+       |FROM cdf, globals g2
+       |GROUP BY c_nationkey, c_mktsegment, k, g2.n_total, g2.m
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 }

@@ -1298,4 +1298,202 @@ object Profile {
        |FROM rows_
        |ORDER BY "column"""".stripMargin
   }
+
+  /** q238 — Mann-Whitney U (one-vs-rest per event type): for each
+    * event type, the rank-sum test of its `value` distribution
+    * against all other types pooled — the nonparametric "is this
+    * segment's metric actually different" answer q230's moments and
+    * q213's KS statistic both stop short of (KS measures distance, U
+    * carries a calibrated z). One-vs-rest means every comparison
+    * pools to the FULL corpus, so a single global ranking serves all
+    * types at once.
+    *
+    * Exactness: midranks are kept as INTEGER doubled-ranks
+    * (2·midrank = 2·cum_before + cnt + 1 — no halves exist), so every
+    * rank sum is an exact integer; U, the tie-corrected variance
+    * σ² = (n₁n₂/12)·((N+1) − Σ(t³−t)/(N(N−1))) and
+    * z = (U − n₁n₂/2)/σ run the identical double expression chain on
+    * both engines (sqrt is IEEE-exact), rounded once at 6dp. The
+    * rank-biserial effect size r = 2U/(n₁n₂) − 1 rides the same
+    * integers.
+    *
+    * Scale: NO global row ranking — ranks are reconstructed from a
+    * (value)-aggregated cumulative window, so the only ordered pass
+    * runs over DISTINCT values (the ksDrift discipline); per-type
+    * sums are one map-side-combinable aggregate; the tie term and N
+    * broadcast as a 1-row frame.
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val perTypeVal = ev.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val perVal = perTypeVal.groupBy(col("value"))
+      .agg(sum(col("c")).as("cnt"))
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val globals = perVal.agg(sum(col("cnt")).as("n_total"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+    val perType = perTypeVal.join(perVal, "value")
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n1"),
+        sum(col("c") * (lit(2) * col("cum_before") + col("cnt") + 1))
+          .as("r2_sum"))
+    perType.crossJoin(broadcast(globals))
+      .withColumn("n2", col("n_total") - col("n1"))
+      .withColumn("u",
+        (col("r2_sum") - col("n1") * (col("n1") + 1)).cast("double") / 2.0)
+      .withColumn("sigma2",
+        (col("n1") * col("n2")).cast("double") / 12.0 *
+          ((col("n_total").cast("double") + 1.0) -
+            col("tie_term").cast("double") /
+              (col("n_total").cast("double") *
+                (col("n_total").cast("double") - 1.0))))
+      .select(col("event_type"), col("n1"), col("n2"),
+        round(col("u"), 6).as("u"),
+        round((col("u") - (col("n1") * col("n2")).cast("double") / 2.0) /
+          nullif(sqrt(col("sigma2")), lit(0.0)), 6).as("z"),
+        round(lit(2.0) * col("u") /
+          nullif((col("n1") * col("n2")).cast("double"), lit(0.0)) - 1.0, 6)
+          .as("rank_biserial"))
+      .orderBy(col("event_type"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH per_type_val AS (
+      |  SELECT event_type, value, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), per_val AS (
+      |  SELECT value, SUM(c) AS cnt,
+      |    COALESCE(SUM(SUM(c)) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM per_type_val GROUP BY value
+      |), globals AS (
+      |  SELECT SUM(cnt) AS n_total,
+      |    SUM(cnt * cnt * cnt - cnt) AS tie_term
+      |  FROM per_val
+      |), per_type AS (
+      |  SELECT t.event_type, SUM(t.c) AS n1,
+      |    SUM(t.c * (2 * v.cum_before + v.cnt + 1)) AS r2_sum
+      |  FROM per_type_val t JOIN per_val v ON t.value = v.value
+      |  GROUP BY t.event_type
+      |)
+      |SELECT event_type,
+      |  CAST(n1 AS BIGINT) AS n1,
+      |  CAST(g.n_total - n1 AS BIGINT) AS n2,
+      |  ROUND(CAST(r2_sum - n1 * (n1 + 1) AS DOUBLE) / 2.0, 6) AS u,
+      |  ROUND((CAST(r2_sum - n1 * (n1 + 1) AS DOUBLE) / 2.0
+      |      - CAST(n1 * (g.n_total - n1) AS DOUBLE) / 2.0)
+      |    / NULLIF(sqrt(CAST(n1 * (g.n_total - n1) AS DOUBLE) / 12.0
+      |      * ((CAST(g.n_total AS DOUBLE) + 1.0)
+      |        - CAST(g.tie_term AS DOUBLE)
+      |          / (CAST(g.n_total AS DOUBLE)
+      |            * (CAST(g.n_total AS DOUBLE) - 1.0)))), 0.0), 6) AS z,
+      |  ROUND(2.0 * (CAST(r2_sum - n1 * (n1 + 1) AS DOUBLE) / 2.0)
+      |    / NULLIF(CAST(n1 * (g.n_total - n1) AS DOUBLE), 0.0) - 1.0, 6)
+      |    AS rank_biserial
+      |FROM per_type, globals g
+      |ORDER BY event_type""".stripMargin
+
+  /** q239 — weight-of-evidence / information-value feature screen:
+    * per candidate feature (market segment; account-balance band),
+    * the per-bucket WOE against the urgent-order label
+    * (o_orderpriority = '1-URGENT') and the feature's total IV — the
+    * credit-scoring-standard "which attributes carry signal about the
+    * outcome" screen, run before any model exists. IV ≈ 0 means the
+    * feature is noise for this label; buckets with |WOE| ≫ 0 are the
+    * segments worth a dedicated rule.
+    *
+    * Exactness: WOE's log argument is a ratio of exact integer
+    * products, ln((pos·NEG)/(neg·POS)) — products stay well inside
+    * double-exact range — rounded at 6dp (the suite's log10/ln
+    * convention); buckets where either class count is zero yield NULL
+    * WOE (log of 0 or ∞) via NULLIF guards on both engines and
+    * contribute nothing to IV (sum skips nulls). The iv_term divides
+    * by per-feature totals only under the same NULLIF guards, so a
+    * label that is empty at some SF degrades to NULL rows instead of
+    * erroring (ANSI division).
+    *
+    * Scale: one orders→customer key join (customer broadcasts at dim
+    * scale); counts collapse to the bucket domain (segments + balance
+    * bands — tens of rows) before any window; the IV window runs over
+    * that tiny relation.
+    */
+  def woeIv(spark: SparkSession, dir: String,
+            balBand: Double = 2000.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val oc = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("is_pos"))
+      .join(broadcast(Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))),
+        col("o_custkey") === col("c_custkey"))
+    val feats = oc.select(col("is_pos"),
+        lit("mktsegment").as("feature"), col("c_mktsegment").as("bucket"))
+      .unionByName(oc.select(col("is_pos"),
+        lit("bal_band").as("feature"),
+        floor(col("c_acctbal") / balBand).cast("long").cast("string")
+          .as("bucket")))
+    val cells = feats.groupBy(col("feature"), col("bucket"))
+      .agg(sum(col("is_pos")).as("n_pos"),
+        sum(lit(1) - col("is_pos")).as("n_neg"))
+    val wf = Window.partitionBy(col("feature"))
+    cells
+      .withColumn("tot_pos", sum(col("n_pos")).over(wf))
+      .withColumn("tot_neg", sum(col("n_neg")).over(wf))
+      .withColumn("woe", round(log(
+        nullif((col("n_pos") * col("tot_neg")).cast("double"), lit(0.0)) /
+          nullif((col("n_neg") * col("tot_pos")).cast("double"), lit(0.0))), 6))
+      .withColumn("iv_term",
+        (col("n_pos").cast("double") /
+          nullif(col("tot_pos").cast("double"), lit(0.0)) -
+          col("n_neg").cast("double") /
+            nullif(col("tot_neg").cast("double"), lit(0.0))) * col("woe"))
+      .withColumn("iv_total", round(sum(col("iv_term")).over(wf), 6))
+      .select(col("feature"), col("bucket"), col("n_pos"), col("n_neg"),
+        col("woe"), col("iv_total"))
+      .orderBy(col("feature"), col("bucket"))
+  }
+
+  def woeIvSql(balBand: Double = 2000.0): String =
+    s"""WITH oc AS (
+      |  SELECT CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+      |      AS is_pos,
+      |    c.c_mktsegment, c.c_acctbal
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |), feats AS (
+      |  SELECT is_pos, 'mktsegment' AS feature, c_mktsegment AS bucket
+      |  FROM oc
+      |  UNION ALL
+      |  SELECT is_pos, 'bal_band' AS feature,
+      |    CAST(CAST(FLOOR(c_acctbal / $balBand) AS BIGINT) AS VARCHAR)
+      |      AS bucket
+      |  FROM oc
+      |), cells AS (
+      |  SELECT feature, bucket,
+      |    SUM(is_pos) AS n_pos, SUM(1 - is_pos) AS n_neg
+      |  FROM feats GROUP BY 1, 2
+      |), w AS (
+      |  SELECT feature, bucket, n_pos, n_neg,
+      |    SUM(n_pos) OVER (PARTITION BY feature) AS tot_pos,
+      |    SUM(n_neg) OVER (PARTITION BY feature) AS tot_neg
+      |  FROM cells
+      |), scored AS (
+      |  SELECT feature, bucket, n_pos, n_neg,
+      |    ROUND(ln(NULLIF(CAST(n_pos * tot_neg AS DOUBLE), 0.0)
+      |      / NULLIF(CAST(n_neg * tot_pos AS DOUBLE), 0.0)), 6) AS woe,
+      |    (CAST(n_pos AS DOUBLE) / NULLIF(CAST(tot_pos AS DOUBLE), 0.0)
+      |      - CAST(n_neg AS DOUBLE) / NULLIF(CAST(tot_neg AS DOUBLE), 0.0))
+      |      * ROUND(ln(NULLIF(CAST(n_pos * tot_neg AS DOUBLE), 0.0)
+      |        / NULLIF(CAST(n_neg * tot_pos AS DOUBLE), 0.0)), 6) AS iv_term
+      |  FROM w
+      |)
+      |SELECT feature, bucket,
+      |  CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+      |  woe,
+      |  ROUND(SUM(iv_term) OVER (PARTITION BY feature), 6) AS iv_total
+      |FROM scored
+      |ORDER BY feature, bucket""".stripMargin
 }

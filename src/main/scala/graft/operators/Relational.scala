@@ -1835,4 +1835,290 @@ object Relational {
       |  SELECT MIN(c2.unit_cost_e6) FROM cost c2
       |  WHERE c2.l_partkey = c.l_partkey)
       |ORDER BY p_partkey, s.s_suppkey""".stripMargin
+
+  /** q234 — disjunctive-bracket revenue (the TPC-H Q19 shape): revenue
+    * from lineitems matching ANY of three (brand, size-range,
+    * quantity-range) brackets — the canonical OR-of-conjuncts
+    * predicate. Q19 is a *planner* test as much as a query: the
+    * part-side conjuncts (brand, size) and the lineitem-side conjunct
+    * (quantity) live on opposite sides of the join inside each OR arm,
+    * and a naive plan evaluates the whole disjunction post-join. This
+    * plan factors the UNION of the part-side arms into the part filter
+    * BEFORE the join (any part matching no arm can satisfy no
+    * disjunct), so the broadcast build side carries only bracket
+    * parts, and the residual OR runs on the joined rows. Output is
+    * per-bracket (the scalar Q19 total is the sum of the rows), with a
+    * row per matching arm — brackets are brand-disjoint, so arms
+    * never double-count a lineitem.
+    *
+    * Exactness: revenue terms round to 6dp before the DECIMAL(28,6)
+    * accumulator (the q01/q189 discipline); quantity bounds are
+    * integer-valued doubles compared directly.
+    *
+    * Scale: one fact scan, one broadcast join against the
+    * pre-filtered part dim, one tiny (3-group) aggregate. The
+    * disjunction never forces a second scan or a union of three fact
+    * passes — the arm tag is a CASE over already-joined rows.
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val arm1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val arm2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+    val arm3 = col("p_brand") === "Brand#34" &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+    // part-side factor of the disjunction: pushed below the join so
+    // the broadcast side is bracket-only
+    val partArm = (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 35))
+    li.join(broadcast(part.filter(partArm)), col("l_partkey") === col("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .withColumn("bracket",
+        when(arm1, 1).when(arm2, 2).otherwise(3))
+      .withColumn("rev",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6))
+      .groupBy(col("bracket"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("rev").cast(dec)).cast("double"), 6).as("revenue"))
+      .orderBy(col("bracket"))
+  }
+
+  val disjunctiveRevenueSql: String =
+    """SELECT bracket, COUNT(*) AS n_items,
+      |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+      |    AS DECIMAL(28,6))) AS DOUBLE), 6) AS revenue
+      |FROM (
+      |  SELECT l.l_extendedprice, l.l_discount,
+      |    CASE
+      |      WHEN p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+      |        AND l.l_quantity BETWEEN 1 AND 11 THEN 1
+      |      WHEN p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+      |        AND l.l_quantity BETWEEN 10 AND 20 THEN 2
+      |      ELSE 3
+      |    END AS bracket
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+      |      AND l.l_quantity BETWEEN 1 AND 11)
+      |    OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+      |      AND l.l_quantity BETWEEN 10 AND 20)
+      |    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+      |      AND l.l_quantity BETWEEN 20 AND 30)
+      |)
+      |GROUP BY bracket ORDER BY bracket""".stripMargin
+
+  /** q235 — order-priority pipeline check (the TPC-H Q4 shape): per
+    * order priority, how many orders in a one-year window have at
+    * least one lineitem shipped more than `lateDays` after the order
+    * date (this schema carries no commit/receipt dates, so ship-lag
+    * stands in for Q4's receipt>commit lateness — same EXISTS
+    * semantics, different predicate). The defining feature is the
+    * correlated EXISTS: the oracle keeps the textbook form; the Spark
+    * plan is the decorrelation every warehouse engine applies — a
+    * LEFT SEMI join from orders to the qualifying lineitems, then a
+    * tiny priority aggregate.
+    *
+    * Scale: the semi-join shuffles both sides on the order key once
+    * (or goes shuffle-free if both tables are bucketed on it — the
+    * Layout module's claim); the EXISTS short-circuits per key on the
+    * build side, and the aggregate domain is |priorities| = 5.
+    * The ship-lag predicate references BOTH sides (l_shipdate vs
+    * o_orderdate), so it rides the join condition, not a pushed scan
+    * filter — exactly Q4's point.
+    */
+  def priorityPipeline(spark: SparkSession, dir: String,
+                       yearStart: String = "1996-01-01",
+                       lateDays: Int = 60): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
+        col("o_orderdate") < add_months(lit(yearStart).cast("timestamp"), 12))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    orders.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def priorityPipelineSql(yearStart: String = "1996-01-01",
+                          lateDays: Int = 60): String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_late_orders
+       |FROM orders o
+       |WHERE o.o_orderdate >= TIMESTAMP '$yearStart'
+       |  AND o.o_orderdate < TIMESTAMP '$yearStart' + INTERVAL 12 MONTH
+       |  AND EXISTS (
+       |    SELECT 1 FROM lineitem l
+       |    WHERE l.l_orderkey = o.o_orderkey
+       |      AND l.l_shipdate > o.o_orderdate + INTERVAL $lateDays DAY)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q236 — monthly promo revenue share (the TPC-H Q14 shape): per
+    * ship month, the percentage of revenue from PROMO-type parts —
+    * conditional aggregation over the fact/dim join, the classic
+    * campaign-effect readout. Q14 grades one month; this emits the
+    * whole monthly series (the scalar is any single row), which turns
+    * the shape into a promo-mix trend without changing the per-group
+    * semantics.
+    *
+    * Exactness: the q189 discipline — per-term 6dp round into
+    * DECIMAL(28,6) for both the conditional and total sums, one final
+    * IEEE division rounded at 6dp. Month keys are integer
+    * (year, month) pairs, no date formatting in the compare path.
+    *
+    * Scale: one fact scan; the part dim broadcasts (only p_partkey +
+    * the PROMO flag survive pruning); one (year, month) aggregate
+    * with map-side combine. The share arithmetic runs on the
+    * months-sized result.
+    */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .withColumn("rev",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6))
+      .groupBy(year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"))
+      .agg(
+        sum(when(col("is_promo"), col("rev").cast(dec))
+          .otherwise(lit(0).cast(dec))).cast("double").as("promo_rev"),
+        sum(col("rev").cast(dec)).cast("double").as("total_rev"))
+      .select(col("ship_year"), col("ship_month"),
+        round(col("promo_rev"), 6).as("promo_rev"),
+        round(col("total_rev"), 6).as("total_rev"),
+        round(lit(100.0) * col("promo_rev") / col("total_rev"), 6)
+          .as("promo_pct"))
+      .orderBy(col("ship_year"), col("ship_month"))
+  }
+
+  val promoShareSql: String =
+    """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+      |  CAST(month(l_shipdate) AS INT) AS ship_month,
+      |  ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+      |      AS DECIMAL(28,6))
+      |    ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE), 6) AS promo_rev,
+      |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+      |    AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_rev,
+      |  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+      |      AS DECIMAL(28,6))
+      |    ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+      |      AS DECIMAL(28,6))) AS DOUBLE), 6) AS promo_pct
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q237 — supplier diversity per part segment (the TPC-H Q16 shape):
+    * for every (brand, type, size-band), how many DISTINCT suppliers
+    * ship that segment — excluding a supplier blocklist (Q16's
+    * "complaints" subquery; this schema has no comment text, so the
+    * blocklist is the overdrawn suppliers, s_acctbal < 0). The shape
+    * under grading: a NOT IN subquery against a dimension (planned as
+    * an anti-join on the thin supplier list), then COUNT(DISTINCT)
+    * over a composite group.
+    *
+    * Scale: the part→lineitem join carries only keys + group columns;
+    * the blocklist anti-join broadcasts (suppliers are dim-sized);
+    * the distinct-count aggregate is two-phase (partial distinct on
+    * (group, suppkey), then final count) — Spark plans exactly that
+    * via the standard distinct-agg expansion, so no group ever holds
+    * a supplier set in memory.
+    */
+  def supplierPartCounts(spark: SparkSession, dir: String,
+                         sizeBand: Int = 10): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        (floor(col("p_size") / sizeBand) * sizeBand).cast("int").as("size_band"))
+    val blocked = Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    li.join(broadcast(blocked), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("size_band"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("size_band"))
+  }
+
+  def supplierPartCountsSql(sizeBand: Int = 10): String =
+    s"""SELECT p.p_brand, p.p_type,
+       |  CAST(FLOOR(p.p_size / $sizeBand) * $sizeBand AS INT) AS size_band,
+       |  COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+       |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |WHERE l.l_suppkey NOT IN (
+       |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, size_band""".stripMargin
+
+  /** q245 — top revenue supplier(s) (the TPC-H Q15 shape): total
+    * revenue per supplier over a quarter, returning every supplier
+    * tied at the maximum — the "view + global-max equality" pattern
+    * (Q15 defines a revenue view and selects WHERE total = (SELECT
+    * MAX FROM view)). Ties must all surface, which is why this is not
+    * an ORDER BY/LIMIT 1: the equality-against-max form is
+    * deterministic under ties where a row_number pick is not.
+    *
+    * Exactness: revenue accumulates 6dp-rounded terms in
+    * DECIMAL(28,6) and the max-equality compares DECIMALS — never
+    * doubles — so tie detection is exact; the double cast happens
+    * only in the output projection.
+    *
+    * Scale: one fact scan + one supplier aggregate; the global max is
+    * a 1-row broadcast joined back (the q12 empty-frame-max shape,
+    * here as an explicit cross join so the plan is
+    * scan → agg → tiny-agg → broadcast-compare, all one pass over
+    * the fact).
+    */
+  def topSupplier(spark: SparkSession, dir: String,
+                  quarterStart: String = "1996-01-01"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(quarterStart).cast("timestamp") &&
+        col("l_shipdate") < add_months(lit(quarterStart).cast("timestamp"), 3))
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast(dec).as("rev"))
+    val perSupp = li.groupBy(col("l_suppkey"))
+      .agg(sum(col("rev")).as("total_rev_dec"))
+    val mx = perSupp.agg(max(col("total_rev_dec")).as("max_rev"))
+    perSupp.crossJoin(broadcast(mx))
+      .filter(col("total_rev_dec") === col("max_rev"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_rev_dec").cast("double"), 6).as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  def topSupplierSql(quarterStart: String = "1996-01-01"): String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey,
+       |    SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+       |      AS DECIMAL(28,6))) AS total_rev_dec
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$quarterStart'
+       |    AND l_shipdate < TIMESTAMP '$quarterStart' + INTERVAL 3 MONTH
+       |  GROUP BY l_suppkey
+       |)
+       |SELECT s.s_suppkey, s.s_name,
+       |  ROUND(CAST(r.total_rev_dec AS DOUBLE), 6) AS total_rev
+       |FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+       |WHERE r.total_rev_dec = (SELECT MAX(total_rev_dec) FROM revenue)
+       |ORDER BY s.s_suppkey""".stripMargin
 }

@@ -535,4 +535,171 @@ object Multimodal {
        |  CASE WHEN MAX(ABS(smp)) < $silenceThreshold THEN 1 ELSE 0 END AS is_silent
        |FROM d GROUP BY doc_id, window_idx
        |ORDER BY doc_id, window_idx""".stripMargin
+
+  /** Deterministic 8×8 grayscale thumbnail fixture: a REAL 24bpp BMP
+    * (bottom-up rows, 54-byte BITMAPINFOHEADER) whose pixel at logical
+    * top-down (row R, col c) samples the text byte at
+    * ((R·8 + c)·7) mod n — the stride-7 walk spreads the 64 samples
+    * across the document, so near-identical texts produce
+    * near-identical thumbnails (the property perceptual hashing
+    * needs). All three channels carry the same gray value.
+    */
+  def encodeGrayBmp(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val buf = new Array[Byte](54 + 8 * 24) // 8 rows × 8 px × 3 bpp, no padding
+    buf(0) = 'B'.toByte; buf(1) = 'M'.toByte
+    putLe32(buf, 2, buf.length)
+    putLe32(buf, 10, 54)
+    putLe32(buf, 14, 40)
+    putLe32(buf, 18, 8)
+    putLe32(buf, 22, 8) // positive: bottom-up row order
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val logicalRow = 7 - r // stored row r is logical row 7-r (bottom-up)
+        val g = if (n == 0) 0
+          else text(((logicalRow * 8 + c) * 7) % n) & 0xFF
+        val off = 54 + r * 24 + c * 3
+        buf(off) = g.toByte; buf(off + 1) = g.toByte; buf(off + 2) = g.toByte
+        c += 1
+      }
+      r += 1
+    }
+    buf
+  }
+
+  /** REAL aHash kernel: parse the BMP header (dimensions via
+    * [[sniffBmp]], pixel-array offset from the le32 at 10, row stride
+    * padded to 4 bytes, bottom-up vs top-down from the height sign),
+    * decode the 64 lumas (integer (b+g+r)/3) in top-down row-major
+    * order, and emit the average-hash as FOUR 16-bit bands: bit i of
+    * band j is set iff 64·p(16j+i) > Σp (strict — the all-equal
+    * image hashes to 0). Bands, not one packed 64-bit word, so the
+    * hash never goes negative and every downstream bit op is
+    * sign-free on both engines.
+    */
+  def decodeAHashBands(payload: Array[Byte]): Array[Int] = {
+    val (w, h) = sniffBmp(payload).getOrElse(
+      throw new IllegalArgumentException("not a BITMAPINFOHEADER BMP"))
+    require(w == 8 && math.abs(h) == 8, s"aHash kernel expects 8x8, got ${w}x$h")
+    val off = le32(payload, 10)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val topDown = h < 0
+    val lum = new Array[Int](64)
+    var total = 0
+    var rr = 0
+    while (rr < 8) {
+      val storedRow = if (topDown) rr else 7 - rr
+      var c = 0
+      while (c < 8) {
+        val p = off + storedRow * stride + c * 3
+        val l = ((payload(p) & 0xFF) + (payload(p + 1) & 0xFF) +
+          (payload(p + 2) & 0xFF)) / 3
+        lum(rr * 8 + c) = l
+        total += l
+        c += 1
+      }
+      rr += 1
+    }
+    val bands = new Array[Int](4)
+    var i = 0
+    while (i < 64) {
+      if (64 * lum(i) > total) bands(i / 16) |= 1 << (i % 16)
+      i += 1
+    }
+    bands
+  }
+
+  case class AHashRow(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** q244 — perceptual-hash image near-dup join: every document's 8×8
+    * grayscale thumbnail ([[encodeGrayBmp]]) through the REAL BMP
+    * decode + average-hash kernel ([[decodeAHashBands]]), then an
+    * LSH band join on the four 16-bit hash bands and a hamming
+    * verify at `maxDist` — image-level near-dedup, the multimodal
+    * sibling of q27's MinHash text path. Byte-identical docs hash
+    * identically (hamming 0); stride-sampled near-identical docs land
+    * within a few bits.
+    *
+    * LOSSLESS banding, proved by the oracle: with 4 bands, any pair
+    * at hamming ≤ 3 differs in at most 3 bands, so by pigeonhole at
+    * least one band is IDENTICAL and the band join finds the pair.
+    * The oracle therefore states the pure all-pairs hamming-≤maxDist
+    * relation (no banding), and the driver match proves the candidate
+    * generator loses nothing (the q97 discipline). `maxDist` > 3
+    * would break the guarantee and is rejected.
+    *
+    * Scale: hashes are a narrow mapPartitions (no shuffle); the band
+    * join shuffles 4 rows/doc on (band_idx, band_val); verification
+    * joins hash rows by doc key — candidate-bounded, never all-pairs.
+    */
+  def imageAHashDups(spark: SparkSession, dir: String,
+                     maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, s"banding is lossless only for maxDist <= 3, got $maxDist")
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    val hashes = media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = decodeAHashBands(encodeGrayBmp(r.payload))
+        AHashRow(r.doc_id, b(0), b(1), b(2), b(3))
+      }
+    }.toDF().localCheckpoint() // two consumers: band explode + verify join
+    val bands = hashes.select(col("doc_id"), posexplode(
+      array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band_idx", "band_val")))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band_idx", "band_val"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "doc_b")
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: the LOGICAL thumbnail restated directly from the text
+    * (no BMP detour — encode→decode roundtrip fidelity is exactly
+    * what's under test), then the pure all-pairs hamming join. ASCII
+    * corpus: byte k of the text is ascii(substr(text, k+1, 1)).
+    */
+  def imageAHashDupsSql(maxDist: Int = 3): String =
+    s"""WITH px AS (
+       |  SELECT doc_id,
+       |    CAST(i AS INT) AS i,
+       |    CASE WHEN strlen(text) = 0 THEN 0
+       |      ELSE ascii(substr(text,
+       |        CAST((i * 7) % strlen(text) AS INT) + 1, 1)) END AS g
+       |  FROM documents, unnest(range(0, 64)) AS t(i)
+       |), tot AS (
+       |  SELECT doc_id, SUM(g) AS total FROM px GROUP BY doc_id
+       |), bands AS (
+       |  SELECT px.doc_id, CAST(px.i // 16 AS INT) AS band_idx,
+       |    CAST(SUM(CASE WHEN 64 * px.g > t.total
+       |      THEN 1 << (px.i % 16) ELSE 0 END) AS BIGINT) AS band_val
+       |  FROM px JOIN tot t ON t.doc_id = px.doc_id
+       |  GROUP BY px.doc_id, px.i // 16
+       |), hashes AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+       |    MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+       |    MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+       |    MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+       |  FROM bands GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |    AS INT) AS hamming
+       |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |  <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
 }
