@@ -585,7 +585,8 @@ object Multimodal {
     require(w == 8 && math.abs(h) == 8, s"aHash kernel expects 8x8, got ${w}x$h")
     val off = le32(payload, 10)
     val stride = ((w * 3 + 3) / 4) * 4
-    val topDown = h < 0
+    // sniffBmp reports |height|; the row-order bit is the RAW sign
+    val topDown = le32(payload, 22) < 0
     val lum = new Array[Int](64)
     var total = 0
     var rr = 0

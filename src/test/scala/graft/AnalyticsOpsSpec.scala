@@ -1009,4 +1009,110 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val ba1 = out.find(r => r._1 == "b" && r._2 == "a" && r._3 == 1).get
     assert(ba1._5 !== Some(1.0))
   }
+
+  test("mannWhitney: tie-corrected U and z on a hand case") {
+    // a: {1,1}, b: {1,2}. value 1 has cnt 3 (midrank 2), value 2 has
+    // midrank 4. R(a) = 4, U_a = 4 - 3 = 1; U_b = 3 (U_a + U_b = n1·n2).
+    // tie term Σ(t³-t) = 24, so σ² = (4/12)·(5 - 24/12) = 1 exactly:
+    // z_a = (1-2)/1 = -1, z_b = +1; rank-biserial = ±0.5.
+    val rows = Seq(
+      (1L, 0L, 1L, "a", 1.0), (2L, 1L, 1L, "a", 1.0),
+      (3L, 2L, 1L, "b", 1.0), (4L, 3L, 1L, "b", 2.0))
+    val dir = eventsDirV(rows)
+    val out = graft.operators.Profile.mannWhitney(spark, dir)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", 2L, 2L, 1.0, -1.0, -0.5),
+      ("b", 2L, 2L, 3.0, 1.0, 0.5)))
+  }
+
+  test("holtForecast: exact halving fold on a hand series; 1-day guard") {
+    val day = 86400000L
+    val series = Seq(10.0, 14.0, 13.0, 20.0, 22.0)
+    val rows = series.zipWithIndex.map { case (v, d) =>
+      (d.toLong + 1, d * day, 1L, "a", v)
+    } :+ (99L, 0L, 2L, "single", 7.5)
+    val dir = eventsDirV(rows)
+    val out = graft.operators.Events.holtForecast(spark, dir)
+      .as[(String, Int, Double, Double, Double)].collect().toSeq
+    // hand fold: s=10, b=4; then 13, 20, 22 through the α=β=½ recurrence
+    var s = 10.0; var b = 4.0
+    Seq(13.0, 20.0, 22.0).foreach { x =>
+      val s2 = (x + s + b) / 2; b = ((s2 - s) + b) / 2; s = s2
+    }
+    assert(out === Seq(
+      ("a", 5, s, b, s + b), // 22.53125, 4.171875, 26.703125
+      ("single", 1, 7.5, 0.0, 7.5)))
+  }
+
+  test("tClosenessAudit: fully-separated class hits the max EMD 0.5 for m=2") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tclose").toString
+    // class (1,B): both customers in bucket 0; class (2,B): both in
+    // bucket 1. Global CDF at bucket 0 is 1/2, each class's is 1 or 0:
+    // t = |F_c - F_g| / (m-1) = 0.5 for both, at_risk at tMax 0.25
+    Seq((1L, "c1", 1, 100.0, "B"), (2L, "c2", 1, 200.0, "B"),
+        (3L, "c3", 2, 1100.0, "B"), (4L, "c4", 2, 1200.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = graft.operators.Pii.tClosenessAudit(spark, dir)
+      .as[(Int, String, Long, Double, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1, "B", 2L, 0.5, true),
+      (2, "B", 2L, 0.5, true)))
+  }
+
+  test("gainsTable: late-capture lift by value decile on four hand orders") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gains").toString
+    val day = 86400000L
+    def ts(d: Long) = new java.sql.Timestamp(d * day)
+    Seq((1L, 1L, "O", 40.0, ts(0), "1-URGENT"),
+        (2L, 1L, "O", 30.0, ts(0), "5-LOW"),
+        (3L, 1L, "O", 20.0, ts(0), "5-LOW"),
+        (4L, 1L, "O", 10.0, ts(0), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // o1 and o3 ship a line 61 days late; o2/o4 ship on time
+    Seq((1L, 61L), (2L, 1L), (3L, 61L), (4L, 1L)).map { case (ok, d) =>
+      (ok, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts(d))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Curation.gainsTable(spark, dir)
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    // value order o1..o4 -> 4 singleton deciles; lates at ranks 1 and 3
+    assert(out === Seq(
+      (1, 1L, 1L, 0.5, 0.25, 2.0),
+      (2, 1L, 0L, 0.5, 0.5, 1.0),
+      (3, 1L, 1L, 1.0, 0.75, 1.333333),
+      (4, 1L, 0L, 1.0, 1.0, 1.0)))
+  }
+
+  test("woeIv: zero-class buckets yield NULL WOE; balanced bucket scores 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-woe").toString
+    val ts0 = new java.sql.Timestamp(0L)
+    // segment X: 2 urgent / 0 low (n_neg = 0 -> WOE NULL);
+    // segment Y: 0 urgent / 2 low (n_pos = 0 -> WOE NULL);
+    // segment Z: 1 / 1 with tot_pos = tot_neg = 3 -> WOE exactly 0
+    Seq((1L, "c1", 1, 0.0, "X"), (2L, "c2", 1, 0.0, "Y"),
+        (3L, "c3", 1, 0.0, "Z"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, "1-URGENT"), (2L, 1L, "1-URGENT"),
+        (3L, 2L, "5-LOW"), (4L, 2L, "5-LOW"),
+        (5L, 3L, "1-URGENT"), (6L, 3L, "5-LOW"))
+      .map { case (ok, ck, pri) => (ok, ck, "O", 1.0, ts0, pri) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val seg = graft.operators.Profile.woeIv(spark, dir)
+      .filter($"feature" === "mktsegment")
+      .as[(String, String, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(seg === Seq(
+      ("mktsegment", "X", 2L, 0L, None, Some(0.0)),
+      ("mktsegment", "Y", 0L, 2L, None, Some(0.0)),
+      ("mktsegment", "Z", 1L, 1L, Some(0.0), Some(0.0))))
+  }
 }

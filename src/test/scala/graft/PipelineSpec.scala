@@ -689,4 +689,62 @@ class PipelineSpec extends AnyFunSuite {
     val q1 = out.find(_._1 == 1L).get
     assert(q1 === (1L, 9, 0, 0.0, 0, 0))
   }
+
+  test("aHash kernel: BMP roundtrip equals the direct formula; top-down agrees") {
+    import graft.sources.Multimodal
+    val text = "the quick brown fox jumps over the lazy dog 0123456789"
+      .getBytes("US-ASCII")
+    // direct (oracle-form) computation: logical pixel i samples byte
+    // (i*7) mod n; bit i of band i/16 set iff 64*g > total
+    val n = text.length
+    val lum = (0 until 64).map(i => text((i * 7) % n) & 0xFF)
+    val total = lum.sum
+    val expected = Array.fill(4)(0)
+    lum.zipWithIndex.foreach { case (g, i) =>
+      if (64 * g > total) expected(i / 16) |= 1 << (i % 16)
+    }
+    val got = Multimodal.decodeAHashBands(Multimodal.encodeGrayBmp(text))
+    assert(got.toSeq === expected.toSeq)
+    // top-down variant (negative height, rows stored first-to-last)
+    // must decode to the SAME logical image and bands
+    val bottomUp = Multimodal.encodeGrayBmp(text)
+    val topDown = bottomUp.clone()
+    // height := -8 (le32 at 22)
+    topDown(22) = (-8 & 0xFF).toByte; topDown(23) = 0xFF.toByte
+    topDown(24) = 0xFF.toByte; topDown(25) = 0xFF.toByte
+    // reverse the 8 stored rows (24 bytes each at offset 54)
+    (0 until 4).foreach { r =>
+      val a = 54 + r * 24; val b = 54 + (7 - r) * 24
+      (0 until 24).foreach { i =>
+        val t = topDown(a + i); topDown(a + i) = topDown(b + i); topDown(b + i) = t
+      }
+    }
+    assert(Multimodal.decodeAHashBands(topDown).toSeq === expected.toSeq)
+    // non-8x8 images are rejected, not silently mis-hashed
+    val wide = bottomUp.clone()
+    wide(18) = 16 // width := 16
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAHashBands(wide)
+    }
+    // flat image (all pixels equal): strict > hashes to all-zero bands
+    val flat = Multimodal.encodeGrayBmp(Array.fill[Byte](64)('x'))
+    assert(Multimodal.decodeAHashBands(flat).toSeq === Seq(0, 0, 0, 0))
+  }
+
+  test("imageAHashDups: identical texts collide at hamming 0; banding finds them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ahash").toString
+    Seq(
+      (1L, "an identical document body shared by two doc ids", "en", "s", 48L),
+      (2L, "an identical document body shared by two doc ids", "en", "s", 48L),
+      (3L, "a completely different text with other characters!!", "en", "s", 51L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.sources.Multimodal.imageAHashDups(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.contains((1L, 2L, 0)))
+    // requiring maxDist beyond the lossless pigeonhole bound must throw
+    intercept[IllegalArgumentException] {
+      graft.sources.Multimodal.imageAHashDups(spark, dir, maxDist = 4)
+    }
+  }
 }
