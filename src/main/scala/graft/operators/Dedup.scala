@@ -1222,9 +1222,23 @@ object Dedup {
     * bounded by the candidate count, never by hot-shingle df². The
     * exact relation this computes is stated independently by the
     * all-pairs oracle, so the driver run proves losslessness.
+    *
+    * `streamVerify = true` swaps the verification stage for the
+    * BEYOND-ARRAY-COMFORT form: instead of collecting each document's
+    * sorted shingle set into one array row (per-doc memory = set
+    * size — the piece that breaks first when documents grow to
+    * megashingle scale), the candidate pairs join the exploded
+    * (doc, shingle) stream on both sides and count shared shingles
+    * with an ordinary partial+final aggregate. No row ever holds a
+    * whole document; shuffle volume is Σ|A| over candidates — the
+    * same work the array intersect does, spread across rows. Both
+    * modes compute the identical relation (spec-asserted); the array
+    * form stays the local-scale default because one doc-keyed join
+    * beats two when sets fit comfortably.
     */
   def prefixJaccardPairs(spark: SparkSession, dir: String, k: Int = 3,
-                         tNum: Int = 3, tDen: Int = 5): DataFrame = {
+                         tNum: Int = 3, tDen: Int = 5,
+                         streamVerify: Boolean = false): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val sh = shingles(docs, k).localCheckpoint()
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -1251,15 +1265,34 @@ object Dedup {
         col("b.n_sh") - col("b.pos"))).as("ub"))
       .filter(col("ub") * (tNum + tDen) >= (col("na0") + col("nb0")) * tNum)
       .select(col("doc_a"), col("doc_b"))
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("shingle"))).as("sset"),
-        count(lit(1)).as("n_sh"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a"),
-        col("n_sh").as("n_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b"),
-        col("n_sh").as("n_b")), "doc_b")
-      .withColumn("n_shared", size(array_intersect(col("set_a"), col("set_b"))))
+    val verified =
+      if (streamVerify) {
+        // merge-count over the exploded stream: no per-doc arrays
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val shared = cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("doc_b", "shingle"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(sizes.select(col("doc_id").as("doc_a"),
+            col("n_sh").as("n_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"),
+            col("n_sh").as("n_b")), "doc_b")
+      } else {
+        val sets = sh.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("shingle"))).as("sset"),
+            count(lit(1)).as("n_sh"))
+        cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a"),
+            col("n_sh").as("n_a")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b"),
+            col("n_sh").as("n_b")), "doc_b")
+          .withColumn("n_shared",
+            size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      }
+    verified
       .withColumn("jaccard", round(col("n_shared").cast("double") /
         (col("n_a") + col("n_b") - col("n_shared")), 6))
       // exact rational threshold test on integer counts — shared·tDen
