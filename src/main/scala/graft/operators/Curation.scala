@@ -1470,4 +1470,104 @@ object Curation {
       |    / NULLIF(CAST(cum_orders * t.late_all AS DOUBLE), 0.0), 6) AS lift
       |FROM cum, totals t
       |ORDER BY decile""".stripMargin
+
+  /** q247 — packing-budget sweep: for each candidate sequence length,
+    * the fragmentation profile of the q53 chop-packer — how many
+    * sequences the corpus fills, how many documents get SPLIT across
+    * a sequence boundary (the truncated-context cost of chop-packing)
+    * and the fill ratio of the sequence budget — the tuning table for
+    * choosing a training sequence length. q53 commits to ONE budget;
+    * this prices all the candidates from a single pass.
+    *
+    * Exactness: pure integer arithmetic — a doc crosses a boundary
+    * iff cum_before div L < (cum_before + n_tokens − 1) div L (empty
+    * docs guarded to false); sequences per bucket are
+    * ceil(total/L) = (total + L − 1) div L; the only doubles are the
+    * two final rounded ratios.
+    *
+    * Scale: the expensive part — token counts + the per-bucket
+    * cumulative window — runs ONCE; every budget reuses the same
+    * frame through a 4-way literal explode (map-side, no re-scan,
+    * no re-sort). Aggregates collapse to |budgets| rows.
+    */
+  def packingSweep(spark: SparkSession, dir: String,
+                   budgets: Seq[Int] = Seq(512, 1024, 2048, 4096),
+                   nBuckets: Int = 32): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val t = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long").as("n_tokens"))
+      .withColumn("bucket", md5Bucket(col("doc_id")) % nBuckets)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = t.withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .localCheckpoint() // one window pass feeds every budget + totals
+    val budgetCol = explode(array(budgets.map(lit): _*)).as("budget")
+    val fragged = c.select(col("*"), budgetCol)
+      .withColumn("crosses",
+        (col("n_tokens") > 0 &&
+          expr("cum_before div budget") <
+            expr("(cum_before + n_tokens - 1) div budget")).cast("long"))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("crosses")).as("frag_docs"))
+    val seqs = c.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .select(col("tot"), explode(array(budgets.map(lit): _*)).as("budget"))
+      .groupBy(col("budget"))
+      .agg(sum(expr("(tot + budget - 1) div budget")).as("n_seqs"))
+    fragged.join(seqs, "budget")
+      .select(col("budget"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"), col("frag_docs"),
+        round(col("frag_docs").cast("double") / col("n_docs"), 6)
+          .as("frag_rate"),
+        round(col("total_tokens").cast("double") /
+          (col("n_seqs") * col("budget")).cast("double"), 6).as("fill_ratio"))
+      .orderBy(col("budget"))
+  }
+
+  def packingSweepSql(budgets: Seq[Int] = Seq(512, 1024, 2048, 4096),
+                      nBuckets: Int = 32): String = {
+    val blist = budgets.mkString("[", ", ", "]")
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(${TextAnalysis.tokenCountExprSql} AS BIGINT) AS n_tokens,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % $nBuckets AS bucket
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, bucket, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM t
+      |), fragged AS (
+      |  SELECT b.budget,
+      |    COUNT(*) AS n_docs,
+      |    SUM(n_tokens) AS total_tokens,
+      |    SUM(CASE WHEN n_tokens > 0
+      |      AND cum_before // b.budget
+      |        < (cum_before + n_tokens - 1) // b.budget
+      |      THEN 1 ELSE 0 END) AS frag_docs
+      |  FROM c, (SELECT unnest($blist) AS budget) b
+      |  GROUP BY b.budget
+      |), seqs AS (
+      |  SELECT b.budget, SUM((tot + b.budget - 1) // b.budget) AS n_seqs
+      |  FROM (SELECT bucket, SUM(n_tokens) AS tot FROM c GROUP BY bucket),
+      |    (SELECT unnest($blist) AS budget) b
+      |  GROUP BY b.budget
+      |)
+      |SELECT CAST(f.budget AS INT) AS budget,
+      |  CAST(f.n_docs AS BIGINT) AS n_docs,
+      |  CAST(f.total_tokens AS BIGINT) AS total_tokens,
+      |  CAST(s.n_seqs AS BIGINT) AS n_seqs,
+      |  CAST(f.frag_docs AS BIGINT) AS frag_docs,
+      |  ROUND(CAST(f.frag_docs AS DOUBLE) / f.n_docs, 6) AS frag_rate,
+      |  ROUND(CAST(f.total_tokens AS DOUBLE)
+      |    / CAST(s.n_seqs * f.budget AS DOUBLE), 6) AS fill_ratio
+      |FROM fragged f JOIN seqs s ON s.budget = f.budget
+      |ORDER BY f.budget""".stripMargin
+  }
 }

@@ -3284,4 +3284,116 @@ object Events {
       |  ROUND(CAST(n AS DOUBLE) / t.n_all, 6) AS share
       |FROM rows_, total t
       |ORDER BY from_type""".stripMargin
+
+  /** q246 — entry/exit session analytics: per session ENTRY type (the
+    * first event after a 30-minute silence), how many sessions start
+    * there, how many bounce (single-event sessions), and the most
+    * common EXIT type — landing/exit-page analytics, the
+    * web-analytics staple q20's sessionizer feeds. High-bounce
+    * entries are broken landing surfaces; entry→top-exit pairs are
+    * the corridors q242's entropy scores.
+    *
+    * Determinism: entry and exit come from row_number over the
+    * sessionizer's (ts_ms, event_id) total order; the top exit is a
+    * counted rank with a (count desc, type asc) tiebreak (the q216
+    * mode discipline — never the engines' pick-any mode()).
+    *
+    * Scale: rides q20's single user_id shuffle (the session window
+    * and both row_numbers share one sort order); everything after
+    * collapses to (entry, exit) cells bounded by |types|², then
+    * |types| rows.
+    */
+  def entryExit(spark: SparkSession, dir: String,
+                gapMinutes: Int = 30): DataFrame = {
+    val gapMs = gapMinutes * 60000L
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+    val wOrder = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val flagged = ev
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(wOrder))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(wOrder.rowsBetween(Window.unboundedPreceding, 0)))
+    val sessions = flagged
+      .withColumn("rn_first", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts_ms"), col("event_id"))))
+      .withColumn("rn_last", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts_ms").desc, col("event_id").desc)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(max(when(col("rn_first") === 1, col("event_type"))).as("entry_type"),
+        max(when(col("rn_last") === 1, col("event_type"))).as("exit_type"),
+        count(lit(1)).as("n_events"))
+    val cells = sessions.groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("c"),
+        sum((col("n_events") === 1).cast("long")).as("c_bounce"))
+    val wEntry = Window.partitionBy(col("entry_type"))
+      .orderBy(col("c").desc, col("exit_type"))
+    cells
+      .withColumn("rk", row_number().over(wEntry))
+      .groupBy(col("entry_type"))
+      .agg(sum(col("c")).as("n_sessions"),
+        sum(col("c_bounce")).as("n_bounce"),
+        max(when(col("rk") === 1, col("exit_type"))).as("top_exit"),
+        max(when(col("rk") === 1, col("c"))).as("top_exit_n"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounce"),
+        round(col("n_bounce").cast("double") / col("n_sessions"), 6)
+          .as("bounce_rate"),
+        col("top_exit"),
+        round(col("top_exit_n").cast("double") / col("n_sessions"), 6)
+          .as("top_exit_share"))
+      .orderBy(col("entry_type"))
+  }
+
+  def entryExitSql(gapMinutes: Int = 30): String = {
+    val gapMs = gapMinutes * 60000L
+    s"""WITH flagged AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > $gapMs
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, event_type, ts_ms,
+      |    SUM(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |), picked AS (
+      |  SELECT user_id, session_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |      ORDER BY ts_ms, event_id) AS rn_first,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |      ORDER BY ts_ms DESC, event_id DESC) AS rn_last
+      |  FROM sess
+      |), sessions AS (
+      |  SELECT user_id, session_id,
+      |    MAX(CASE WHEN rn_first = 1 THEN event_type END) AS entry_type,
+      |    MAX(CASE WHEN rn_last = 1 THEN event_type END) AS exit_type,
+      |    COUNT(*) AS n_events
+      |  FROM picked GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT entry_type, exit_type, COUNT(*) AS c,
+      |    SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS c_bounce
+      |  FROM sessions GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT entry_type, exit_type, c, c_bounce,
+      |    ROW_NUMBER() OVER (PARTITION BY entry_type
+      |      ORDER BY c DESC, exit_type) AS rk
+      |  FROM cells
+      |)
+      |SELECT entry_type,
+      |  CAST(SUM(c) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(c_bounce) AS BIGINT) AS n_bounce,
+      |  ROUND(CAST(SUM(c_bounce) AS DOUBLE) / SUM(c), 6) AS bounce_rate,
+      |  MAX(CASE WHEN rk = 1 THEN exit_type END) AS top_exit,
+      |  ROUND(CAST(MAX(CASE WHEN rk = 1 THEN c END) AS DOUBLE) / SUM(c), 6)
+      |    AS top_exit_share
+      |FROM ranked GROUP BY entry_type
+      |ORDER BY entry_type""".stripMargin
+  }
 }

@@ -2121,4 +2121,164 @@ object Relational {
        |FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
        |WHERE r.total_rev_dec = (SELECT MAX(total_rev_dec) FROM revenue)
        |ORDER BY s.s_suppkey""".stripMargin
+
+  /** q248 — shipping-priority top-10 (the TPC-H Q3 shape): the ten
+    * highest-revenue orders from one market segment that were PLACED
+    * before a cutoff date but still have lineitems SHIPPING after it
+    * — the "what's in flight and worth expediting" triage list. The
+    * graded plan properties: the customer-segment filter prunes
+    * through a broadcast dim join before the fact shuffle, the
+    * two-sided date predicate splits across orders (scan-pushed) and
+    * lineitem (scan-pushed), and the top-10 is a deterministic
+    * LIMIT over a fully-tiebroken (revenue desc, orderkey) sort —
+    * planned as TakeOrderedAndProject, never a global sort.
+    *
+    * Exactness: revenue is the q189 discipline (6dp-rounded terms in
+    * DECIMAL(28,6)); the top-10 cut compares DECIMALS with the
+    * orderkey tiebreak, so an SF where rank 10 and 11 tie on revenue
+    * still cuts identically on both engines.
+    */
+  def shippingPriority(spark: SparkSession, dir: String,
+                       segment: String = "BUILDING",
+                       cutoff: String = "1998-06-15"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val cut = lit(cutoff).cast("timestamp")
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === segment).select(col("c_custkey"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast(dec).as("rev"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).as("revenue_dec"))
+      .orderBy(col("revenue_dec").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey").as("o_orderkey"),
+        round(col("revenue_dec").cast("double"), 6).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  def shippingPrioritySql(segment: String = "BUILDING",
+                          cutoff: String = "1998-06-15"): String =
+    s"""SELECT l.l_orderkey AS o_orderkey,
+       |  ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 6)
+       |    AS DECIMAL(28,6))) AS DOUBLE), 6) AS revenue,
+       |  o.o_orderdate, o.o_orderpriority
+       |FROM customer c
+       |JOIN orders o ON o.o_custkey = c.c_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |WHERE c.c_mktsegment = '$segment'
+       |  AND o.o_orderdate < TIMESTAMP '$cutoff'
+       |  AND l.l_shipdate > TIMESTAMP '$cutoff'
+       |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+       |ORDER BY SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 6)
+       |  AS DECIMAL(28,6))) DESC, l.l_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** q249 — returned-item reporting (the TPC-H Q10 shape): revenue
+    * lost to RETURNED lineitems per customer over one quarter of
+    * orders, with nation context — the "which accounts are returning
+    * the most value" account-review list, top 20 by lost revenue.
+    * Shape under grading: fact filtered on the RETURN flag, a
+    * quarter-bounded order join, two broadcast dims, and the same
+    * deterministic TakeOrdered cut as q248.
+    *
+    * Exactness: q189 revenue discipline; top-20 compares decimals
+    * with the custkey tiebreak.
+    */
+  def returnedItems(spark: SparkSession, dir: String,
+                    quarterStart: String = "1996-01-01"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val qs = lit(quarterStart).cast("timestamp")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= qs &&
+        col("o_orderdate") < add_months(qs, 3))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast(dec).as("rev"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"))
+    val nation = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("lost_dec"), count(lit(1)).as("n_returned"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("lost_dec").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("n_returned"),
+        round(col("lost_dec").cast("double"), 6).as("lost_revenue"))
+  }
+
+  def returnedItemsSql(quarterStart: String = "1996-01-01"): String =
+    s"""SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+       |  COUNT(*) AS n_returned,
+       |  ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 6)
+       |    AS DECIMAL(28,6))) AS DOUBLE), 6) AS lost_revenue
+       |FROM customer c
+       |JOIN orders o ON o.o_custkey = c.c_custkey
+       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |WHERE l.l_returnflag = 'R'
+       |  AND o.o_orderdate >= TIMESTAMP '$quarterStart'
+       |  AND o.o_orderdate < TIMESTAMP '$quarterStart' + INTERVAL 3 MONTH
+       |GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+       |ORDER BY SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 6)
+       |  AS DECIMAL(28,6))) DESC, c.c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** q250 — forecast revenue-change scalar (the TPC-H Q6 shape): the
+    * revenue that would have been gained by eliminating mid-band
+    * discounts on small-quantity lines in one year —
+    * SUM(extendedprice · discount) under three scan-pushable range
+    * predicates and NO join or group: the purest pushdown probe in
+    * the TPC-H set (the whole query should collapse to one filtered
+    * scan + one partial/final agg; `PushedFilters` must carry all
+    * three ranges). Emitted with the qualifying line count so the
+    * result is a 1-row relation, not a bare scalar.
+    *
+    * Exactness: the discount bounds are PLAIN double literals — both
+    * engines parse '0.05'/'0.07' to the identical IEEE double and
+    * compare the identical stored doubles, so the predicate is
+    * engine-exact AND stays a pushable column-vs-literal range (a
+    * round()-normalized compare would be equally exact but wraps the
+    * column and kills the scan pushdown); revenue terms are
+    * 6dp-rounded into DECIMAL(28,6).
+    */
+  def forecastRevenueDelta(spark: SparkSession, dir: String,
+                           yearStart: String = "1996-01-01"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val ys = lit(yearStart).cast("timestamp")
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ys &&
+        col("l_shipdate") < add_months(ys, 12) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(round(col("l_extendedprice") * col("l_discount"), 6)
+          .cast(dec)).cast("double"), 6).as("revenue_delta"))
+  }
+
+  def forecastRevenueDeltaSql(yearStart: String = "1996-01-01"): String =
+    s"""SELECT COUNT(*) AS n_lines,
+       |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6)
+       |    AS DECIMAL(28,6))) AS DOUBLE), 6) AS revenue_delta
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '$yearStart'
+       |  AND l_shipdate < TIMESTAMP '$yearStart' + INTERVAL 12 MONTH
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
 }

@@ -165,4 +165,39 @@ class PlansSpec extends AnyFunSuite {
     assert(decPlan.contains("WindowGroupLimit") && decPlan.contains("Partial"),
       s"argmax lost its partial WindowGroupLimit:\n$decPlan")
   }
+
+  test("q248/q249 top-k plans TakeOrderedAndProject, never a global sort") {
+    val sp = operators.Relational.shippingPriority(spark, "/root/testdata/sf0.001")
+    val spPlan = sp.queryExecution.executedPlan.toString
+    assert(spPlan.contains("TakeOrderedAndProject"),
+      s"Q3-shape top-10 fell back to a global sort:\n$spPlan")
+    val ri = operators.Relational.returnedItems(spark, "/root/testdata/sf0.001")
+    val riPlan = ri.queryExecution.executedPlan.toString
+    assert(riPlan.contains("TakeOrderedAndProject"),
+      s"Q10-shape top-20 fell back to a global sort:\n$riPlan")
+  }
+
+  test("q250 pushes all three range predicates into the parquet scan") {
+    val out = operators.Relational.forecastRevenueDelta(spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    // shipdate bounds + discount band + quantity cap all column-vs-literal
+    assert(plan.contains("PushedFilters:"), s"no pushed filters:\n$plan")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      val pushed = plan.linesIterator
+        .filter(_.contains("PushedFilters:")).mkString
+      assert(pushed.contains(c), s"$c not pushed to the scan:\n$plan")
+    }
+  }
+
+  test("q234 factors the part-side disjunction below the broadcast join") {
+    val out = operators.Relational.disjunctiveRevenue(spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    // the build side must be filtered: a part-side PushedFilters line
+    // mentioning p_brand proves the OR-union reached the dim scan
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    val partScanPushed = plan.linesIterator
+      .filter(_.contains("PushedFilters:")).mkString
+    assert(partScanPushed.contains("p_brand"),
+      s"part-side disjunction not pushed to the dim scan:\n$plan")
+  }
 }
