@@ -579,37 +579,69 @@ object Multimodal {
     * hash never goes negative and every downstream bit op is
     * sign-free on both engines.
     */
-  def decodeAHashBands(payload: Array[Byte]): Array[Int] = {
+  /** Shared REAL decode stage: BMP header parse (dimensions via
+    * [[sniffBmp]], pixel-array offset from the le32 at 10, row stride
+    * padded to 4 bytes, bottom-up vs top-down from the RAW height
+    * sign — sniffBmp reports |height|) to the 64 integer lumas
+    * ((b+g+r)/3) in top-down row-major order.
+    */
+  def decodeLumas(payload: Array[Byte]): Array[Int] = {
     val (w, h) = sniffBmp(payload).getOrElse(
       throw new IllegalArgumentException("not a BITMAPINFOHEADER BMP"))
-    require(w == 8 && math.abs(h) == 8, s"aHash kernel expects 8x8, got ${w}x$h")
+    require(w == 8 && math.abs(h) == 8, s"hash kernel expects 8x8, got ${w}x$h")
     val off = le32(payload, 10)
     val stride = ((w * 3 + 3) / 4) * 4
-    // sniffBmp reports |height|; the row-order bit is the RAW sign
     val topDown = le32(payload, 22) < 0
     val lum = new Array[Int](64)
-    var total = 0
     var rr = 0
     while (rr < 8) {
       val storedRow = if (topDown) rr else 7 - rr
       var c = 0
       while (c < 8) {
         val p = off + storedRow * stride + c * 3
-        val l = ((payload(p) & 0xFF) + (payload(p + 1) & 0xFF) +
+        lum(rr * 8 + c) = ((payload(p) & 0xFF) + (payload(p + 1) & 0xFF) +
           (payload(p + 2) & 0xFF)) / 3
-        lum(rr * 8 + c) = l
-        total += l
         c += 1
       }
       rr += 1
     }
-    val bands = new Array[Int](4)
+    lum
+  }
+
+  /** Pack 64 hash bits into `nBands` equal sign-free integer bands
+    * (bit i of the hash lands in band i/(64/nBands) at in-band
+    * position i mod (64/nBands)).
+    */
+  private def packBands(bit: Int => Boolean, nBands: Int): Array[Int] = {
+    val width = 64 / nBands
+    val bands = new Array[Int](nBands)
     var i = 0
     while (i < 64) {
-      if (64 * lum(i) > total) bands(i / 16) |= 1 << (i % 16)
+      if (bit(i)) bands(i / width) |= 1 << (i % width)
       i += 1
     }
     bands
+  }
+
+  def decodeAHashBands(payload: Array[Byte]): Array[Int] = {
+    val lum = decodeLumas(payload)
+    val total = lum.sum
+    packBands(i => 64 * lum(i) > total, 4)
+  }
+
+  /** dHash (gradient hash) bands: bit (r, c) is set iff the pixel is
+    * strictly darker than its RIGHT neighbor, wrapping at the row end
+    * (p(r,c) < p(r,(c+1) mod 8)) — the difference hash is invariant
+    * to global brightness shifts that move every aHash bit at once,
+    * so the two families fail differently (the reason perceptual-hash
+    * pipelines run both).
+    */
+  def decodeDHashBands(payload: Array[Byte], nBands: Int = 4): Array[Int] = {
+    val lum = decodeLumas(payload)
+    packBands({ i =>
+      val r = i / 8; val c = i % 8
+      lum(r * 8 + c) < lum(r * 8 + (c + 1) % 8)
+    }, nBands)
   }
 
   case class AHashRow(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
@@ -664,6 +696,87 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  case class DHashRow(doc_id: Long, bands: Array[Int])
+
+  /** q251 — gradient-hash (dHash) image near-dup join: the q244
+    * pipeline with the difference hash and a BAND-COUNT DIAL. With
+    * `nBands` bands of 64/nBands bits, pigeonhole makes the band join
+    * lossless for hamming ≤ nBands − 1 — so nBands = 8 buys a
+    * hamming-≤7 lossless join at double the banding fan-out (8
+    * rows/doc instead of 4), the storage↔radius trade the README
+    * "Next" list named. The oracle states the banding-free all-pairs
+    * relation at the default (8 bands, maxDist 7), proving the wider
+    * radius loses nothing.
+    *
+    * Scale: identical to q244 — narrow hash kernel, (band_idx,
+    * band_val) shuffle of nBands rows/doc, candidate-bounded verify.
+    */
+  def imageDHashDups(spark: SparkSession, dir: String,
+                     maxDist: Int = 7, nBands: Int = 8): DataFrame = {
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    require(maxDist < nBands,
+      s"banding is lossless only for maxDist < nBands, got $maxDist/$nBands")
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    val hashes = media.mapPartitions { rows =>
+      rows.map { r =>
+        DHashRow(r.doc_id, decodeDHashBands(encodeGrayBmp(r.payload), nBands))
+      }
+    }.toDF().localCheckpoint() // two consumers: band explode + verify join
+    val bands = hashes.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band_idx", "band_val"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("doc_a"), col("bands").as("ba")),
+        "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"), col("bands").as("bb")),
+        "doc_b")
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (s, v) -> s + v)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: the dHash bits restated directly from the text bytes
+    * (logical pixel (r,c) vs its wrapped right neighbor), then the
+    * banding-free all-pairs hamming join — one 64-bit total per doc
+    * (band packing is a Spark-side sharding detail the relation
+    * doesn't see).
+    */
+  def imageDHashDupsSql(maxDist: Int = 7): String =
+    s"""WITH px AS (
+       |  SELECT doc_id, CAST(i AS INT) AS i,
+       |    CASE WHEN strlen(text) = 0 THEN 0
+       |      ELSE ascii(substr(text,
+       |        CAST((i * 7) % strlen(text) AS INT) + 1, 1)) END AS g,
+       |    CASE WHEN strlen(text) = 0 THEN 0
+       |      ELSE ascii(substr(text,
+       |        CAST((((i // 8) * 8 + (i % 8 + 1) % 8) * 7) % strlen(text)
+       |          AS INT) + 1, 1)) END AS g_nbr
+       |  FROM documents, unnest(range(0, 64)) AS t(i)
+       |), bits AS (
+       |  SELECT doc_id, i, CASE WHEN g < g_nbr THEN 1 ELSE 0 END AS bit
+       |  FROM px
+       |), hashes AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+       |      ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+       |      ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+       |    AS INT) AS hamming
+       |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+       |  <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Oracle: the LOGICAL thumbnail restated directly from the text
     * (no BMP detour — encode→decode roundtrip fidelity is exactly

@@ -747,4 +747,33 @@ class PipelineSpec extends AnyFunSuite {
       graft.sources.Multimodal.imageAHashDups(spark, dir, maxDist = 4)
     }
   }
+
+  test("dHash: brightness-invariant where aHash is not; band dial regroups bits") {
+    import graft.sources.Multimodal
+    val text = "some moderately varied sample text for gradient hashing 42"
+      .getBytes("US-ASCII")
+    val base = Multimodal.encodeGrayBmp(text)
+    // brighten every pixel by +40: gradients (strict <) are unchanged,
+    // so dHash must be identical while the aHash threshold set shifts
+    val bright = base.clone()
+    (54 until base.length).foreach { i =>
+      bright(i) = math.min((base(i) & 0xFF) + 40, 255).toByte
+    }
+    assert(Multimodal.decodeDHashBands(base).toSeq ===
+      Multimodal.decodeDHashBands(bright).toSeq)
+    // the 8-band packing carries the SAME 64 bits as the 4-band one:
+    // adjacent 8-bit band pairs reassemble the 16-bit bands
+    val b4 = Multimodal.decodeDHashBands(base, nBands = 4)
+    val b8 = Multimodal.decodeDHashBands(base, nBands = 8)
+    val reassembled = (0 until 4).map(j => b8(2 * j) | (b8(2 * j + 1) << 8))
+    assert(reassembled === b4.toSeq)
+    // a varied thumbnail must set SOME gradient bits (the all-zero
+    // hash is reserved for flat images)
+    val ramp = Array.tabulate[Byte](64)(i => (i % 8 * 20).toByte)
+    val bands = Multimodal.decodeDHashBands(Multimodal.encodeGrayBmp(ramp))
+    assert(bands.exists(_ != 0))
+    assert(Multimodal.decodeDHashBands(
+      Multimodal.encodeGrayBmp(Array.fill[Byte](32)('q'))).toSeq ===
+      Seq(0, 0, 0, 0))
+  }
 }

@@ -435,4 +435,58 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("ewma_out").count() === 4)
     } finally q.stop()
   }
+
+  test("streaming entry/exit sessions match the batch q246 table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingEntryExit
+    import graft.streaming.StreamingEntryExit.{EEInput, EEOut}
+    val min = 60000L
+    // u1: 3-event session (view->purchase), later a 2-event view session
+    // crossing the micro-batch boundary; u2: two single-event bounces
+    val batch1 = Seq(
+      EEInput(1L, 1L, 0L, "view"), EEInput(1L, 2L, 1 * min, "click"),
+      EEInput(1L, 3L, 2 * min, "purchase"),
+      EEInput(1L, 4L, 60 * min, "view"),
+      EEInput(2L, 5L, 0L, "error"))
+    val batch2 = Seq(
+      EEInput(1L, 6L, 61 * min, "view"),
+      EEInput(2L, 7L, 90 * min, "signup"))
+    // sentinels open a throwaway session so every REAL session closes
+    val sentinels = Seq(EEInput(1L, 98L, 1000 * min, "__end"),
+      EEInput(2L, 99L, 1000 * min, "__end"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EEInput]
+    val out = StreamingEntryExit.sessions(input.toDS(), gapMs = 30 * min,
+      idleTimeout = false)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ee_out").start()
+    val streamed = try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(sentinels: _*); q.processAllAvailable()
+      spark.table("ee_out").as[EEOut].collect().toSeq
+        .filter(_.entry_type != "__end")
+    } finally q.stop()
+    assert(streamed.toSet === Set(
+      EEOut(1L, "view", "purchase", 3L), EEOut(1L, "view", "view", 2L),
+      EEOut(2L, "error", "error", 1L), EEOut(2L, "signup", "signup", 1L)))
+    // the batch q246 over the same events agrees on the rollup
+    val dir = java.nio.file.Files.createTempDirectory("graft-ee").toString
+    (batch1 ++ batch2)
+      .map(e => (e.event_id, new java.sql.Timestamp(e.ts_ms), e.user_id,
+        e.event_type, 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batchTable = graft.operators.Events.entryExit(spark, dir)
+      .as[(String, Long, Long, Double, String, Double)].collect().toSeq
+    assert(batchTable === Seq(
+      ("error", 1L, 1L, 1.0, "error", 1.0),
+      ("signup", 1L, 1L, 1.0, "signup", 1.0),
+      ("view", 2L, 0L, 0.0, "purchase", 0.5)))
+    // streamed emissions roll up to the same (entry, n_sessions, n_bounce)
+    val rolled = streamed.groupBy(_.entry_type).map { case (e, ss) =>
+      (e, ss.size.toLong, ss.count(_.n_events == 1L).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(rolled === batchTable.map(r => (r._1, r._2, r._3)))
+  }
 }
