@@ -866,6 +866,97 @@ object Dedup {
       |HAVING COUNT(*) >= $minShared
       |ORDER BY doc_id""".stripMargin
 
+  /** q252 — contamination n-gram-size sweep: q61's eval-overlap
+    * screen re-run at n = 2, 3, 4, 5, collapsed to one row per n —
+    * how many corpus docs get flagged, the flag rate, and the hottest
+    * doc's shared-gram count. The n-gram size is decontamination's
+    * main dial (bigrams over-flag on common phrases, 5-grams only
+    * catch verbatim lifts); like q227 for dedup and q247 for packing,
+    * the sweep makes the dial a graded relation instead of a config
+    * guess.
+    *
+    * Scale: the token arrays are built ONCE (checkpointed) and each n
+    * re-explodes them — 4 narrow map passes, each followed by q61's
+    * broadcast-semi-join-then-count shape; the per-n result is ONE
+    * row, so the union is free. No corpus-sized shuffle at any n
+    * (the q61 ordering argument, per pass).
+    */
+  def contaminationSweep(spark: SparkSession, dir: String,
+                         ns: Seq[Int] = Seq(2, 3, 4, 5),
+                         evalPct: Int = 2, minShared: Int = 3): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .withColumn("bucket", PortableHash.md5Long32(col("doc_id")) % 100)
+      .select(col("doc_id"), col("bucket"), tokens(col("text")).as("toks"))
+      .localCheckpoint() // one tokenization feeds every n
+    val corpusDocs = toks.filter(col("bucket") >= evalPct)
+      .agg(count(lit(1)).as("n_corpus"))
+    val perN = ns.map { n =>
+      def grams(df: DataFrame) = df
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(
+          graft.functions.WordNGrams.ngrams(spark, col("toks"), n)).as("g"))
+      val ev = grams(toks.filter(col("bucket") < evalPct))
+        .select(col("g")).distinct()
+      grams(toks.filter(col("bucket") >= evalPct))
+        .join(broadcast(ev), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .agg(count(lit(1)).as("n_flagged"),
+          coalesce(max(col("n_shared")), lit(0L)).as("max_shared"))
+        .select(lit(n).as("n"), col("n_flagged"), col("max_shared"))
+    }.reduce(_ unionByName _)
+    perN.crossJoin(broadcast(corpusDocs))
+      .select(col("n"), col("n_corpus"), col("n_flagged"),
+        round(col("n_flagged").cast("double") / col("n_corpus"), 6)
+          .as("flag_rate"),
+        col("max_shared"))
+      .orderBy(col("n"))
+  }
+
+  def contaminationSweepSql(ns: Seq[Int] = Seq(2, 3, 4, 5),
+                            evalPct: Int = 2, minShared: Int = 3): String = {
+    def gramExpr(n: Int): String = {
+      val parts = (0 until n).map(k => s"toks[i + $k]").mkString(" || ' ' || ")
+      // range is EXCLUSIVE of the upper bound: the last n-gram starts
+      // at len - n + 1, so the bound is len - n + 2 = len - (n - 2)
+      s"[$parts for i in range(1, len(toks) - ${n - 2})]"
+    }
+    val perN = ns.map { n =>
+      s"""  SELECT $n AS n, COUNT(*) AS n_flagged,
+         |    COALESCE(MAX(n_shared), 0) AS max_shared
+         |  FROM (
+         |    SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared
+         |    FROM (SELECT doc_id, unnest(${gramExpr(n)}) AS g
+         |          FROM base WHERE bucket >= $evalPct AND len(toks) >= $n) c
+         |    JOIN (SELECT DISTINCT unnest(${gramExpr(n)}) AS g
+         |          FROM base WHERE bucket < $evalPct AND len(toks) >= $n) e
+         |      USING (g)
+         |    GROUP BY c.doc_id
+         |    HAVING COUNT(DISTINCT c.g) >= $minShared
+         |  )""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+       |      AS toks,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 100 AS bucket
+       |  FROM documents
+       |), corpus_n AS (
+       |  SELECT COUNT(*) AS n_corpus FROM base WHERE bucket >= $evalPct
+       |), sweep AS (
+       |$perN
+       |)
+       |SELECT CAST(s.n AS INT) AS n,
+       |  CAST(c.n_corpus AS BIGINT) AS n_corpus,
+       |  CAST(s.n_flagged AS BIGINT) AS n_flagged,
+       |  ROUND(CAST(s.n_flagged AS DOUBLE) / c.n_corpus, 6) AS flag_rate,
+       |  CAST(s.max_shared AS BIGINT) AS max_shared
+       |FROM sweep s, corpus_n c
+       |ORDER BY s.n""".stripMargin
+  }
+
   /** q66 — edit-distance-verified near-dup pairs: blocking via the
     * shared-shingle inverted index (pairs with >= `minShared` distinct
     * surviving shingles — the same index q26/q54 build), then exact

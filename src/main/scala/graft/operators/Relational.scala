@@ -2281,4 +2281,127 @@ object Relational {
        |  AND l_shipdate < TIMESTAMP '$yearStart' + INTERVAL 12 MONTH
        |  AND l_discount BETWEEN 0.05 AND 0.07
        |  AND l_quantity < 24""".stripMargin
+
+  /** q253 — local-supplier revenue (the TPC-H Q5 shape): revenue per
+    * nation from lineitems where the CUSTOMER and the SUPPLIER sit in
+    * the same nation of one region — the canonical CYCLIC join graph:
+    * lineitem joins orders→customer→nation on one arm and supplier→
+    * nation on the other, and the two arms close the cycle on
+    * c_nationkey = s_nationkey. A planner that treats the closing
+    * predicate as a post-join filter materializes the full
+    * cross-nation join first; keeping it in the supplier join
+    * condition (as here) prunes at the last broadcast probe.
+    *
+    * Exactness: q189 revenue discipline (6dp-rounded terms,
+    * DECIMAL(28,6), one final cast). Scale: one fact scan; every dim
+    * broadcasts; one |nations|-sized aggregate.
+    */
+  def localSupplierRevenue(spark: SparkSession, dir: String,
+                           region: String = "ASIA",
+                           yearStart: String = "1996-01-01"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val ys = lit(yearStart).cast("timestamp")
+    val nation = Tables.load(spark, dir, "nation")
+    val region_ = Tables.load(spark, dir, "region")
+      .filter(col("r_name") === region).select(col("r_regionkey"))
+    val regionNations = nation
+      .join(broadcast(region_), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ys && col("o_orderdate") < add_months(ys, 12))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast(dec).as("rev"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      // the cycle-closing predicate rides the supplier join itself
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("rev")).cast("double"), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  def localSupplierRevenueSql(region: String = "ASIA",
+                              yearStart: String = "1996-01-01"): String =
+    s"""SELECT n.n_name, COUNT(*) AS n_lines,
+       |  ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 6)
+       |    AS DECIMAL(28,6))) AS DOUBLE), 6) AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey
+       |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  AND s.s_nationkey = c.c_nationkey
+       |JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |JOIN region r ON r.r_regionkey = n.n_regionkey
+       |WHERE r.r_name = '$region'
+       |  AND o.o_orderdate >= TIMESTAMP '$yearStart'
+       |  AND o.o_orderdate < TIMESTAMP '$yearStart' + INTERVAL 12 MONTH
+       |GROUP BY n.n_name
+       |ORDER BY SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 6)
+       |  AS DECIMAL(28,6))) DESC, n.n_name""".stripMargin
+
+  /** q254 — cross-nation shipping flows (the TPC-H Q7 shape): yearly
+    * revenue between an ordered pair of nations — supplier nation
+    * ships, customer nation receives, the two DIRECTIONS kept as
+    * separate rows (Q7's `(supp = A AND cust = B) OR (supp = B AND
+    * cust = A)` disjunction, generalized to the full nation-pair
+    * matrix with the self-flows excluded). The q189 star with BOTH
+    * nation dims surviving into the group key.
+    *
+    * Exactness: q189 revenue discipline. Scale: one fact scan, all
+    * dims broadcast, one aggregate on (supp_nation, cust_nation,
+    * year) — |nations|²·|years| groups, map-side combinable.
+    */
+  def nationFlows(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val nation = Tables.load(spark, dir, "nation")
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast(dec).as("rev"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))), "s_nationkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("cust_nation"))), "c_nationkey")
+      .groupBy(col("supp_nation"), col("cust_nation"), col("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("rev")).cast("double"), 6).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("o_year"))
+  }
+
+  val nationFlowsSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(o.o_orderdate) AS INT) AS o_year,
+      |  COUNT(*) AS n_lines,
+      |  ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 6)
+      |    AS DECIMAL(28,6))) AS DOUBLE), 6) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      |WHERE s.s_nationkey <> c.c_nationkey
+      |GROUP BY sn.n_name, cn.n_name, year(o.o_orderdate)
+      |ORDER BY supp_nation, cust_nation, o_year""".stripMargin
 }

@@ -1089,6 +1089,98 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (4, 1L, 0L, 1.0, 1.0, 1.0)))
   }
 
+  test("contaminationSweep: lifted phrase flags at small n, not at n=5") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csweep").toString
+    // doc_ids chosen so md5Bucket puts SOME docs in the eval slice
+    // (bucket < 2): probe the bucket assignment first, then craft the
+    // corpus so one corpus doc lifts a 4-token phrase from an eval doc
+    import graft.functions.PortableHash
+    val probe = spark.range(1, 401)
+      .select($"id", (PortableHash.md5Long32($"id") % 100).as("b"))
+      .as[(Long, Long)].collect().toSeq
+    val evalIds = probe.filter(_._2 < 2).map(_._1).take(1)
+    val corpusIds = probe.filter(_._2 >= 2).map(_._1).take(2)
+    assert(evalIds.nonEmpty && corpusIds.size == 2)
+    val lifted = "alpha beta gamma delta"
+    val rows = Seq(
+      (evalIds.head, s"eval doc contains $lifted inside it", "en", "s"),
+      (corpusIds(0), s"training doc copied $lifted verbatim here", "en", "s"),
+      (corpusIds(1), "wholly unrelated text with different words", "en", "s"))
+    rows.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.contaminationSweep(spark, dir)
+      .as[(Int, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._3, r._5)).toMap
+    // 4 shared tokens -> 3 shared bigrams / 2 trigrams: n=2 flags (>=3),
+    // n=3 does not (2 < minShared), n=5 shares nothing
+    assert(out(2) === ((1L, 3L)))
+    assert(out(3) === ((0L, 0L)))
+    assert(out(5) === ((0L, 0L)))
+  }
+
+  test("localSupplierRevenue counts only same-nation customer/supplier lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q5").toString
+    val ts = new java.sql.Timestamp(java.sql.Timestamp.valueOf("1996-03-01 00:00:00").getTime)
+    Seq((0, "ASIA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((1, "N1", 0), (2, "N2", 0), (3, "N3", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, "c1", 1, 0.0, "B"), (2L, "c2", 2, 0.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, "s1", 1, 0.0), (20L, "s2", 2, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((100L, 1L, "O", 1.0, ts, "1-URGENT"), (200L, 2L, "O", 1.0, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // order 100 (cust nation 1): one local line (s1), one cross (s2);
+    // order 200 (cust nation 2): one local line (s2)
+    Seq((100L, 10L, 100.0), (100L, 20L, 999.0), (200L, 20L, 50.0))
+      .map { case (ok, sk, price) =>
+        (ok, 1L, sk, 1, 1.0, price, 0.0, 0.0, "N", "O", ts) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Relational.localSupplierRevenue(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("N1", 1L, 100.0), ("N2", 1L, 50.0)))
+  }
+
+  test("nationFlows keeps directions separate and drops self-flows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q7").toString
+    val ts = new java.sql.Timestamp(java.sql.Timestamp.valueOf("1996-03-01 00:00:00").getTime)
+    Seq((1, "N1", 0), (2, "N2", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, "c1", 1, 0.0, "B"), (2L, "c2", 2, 0.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, "s1", 1, 0.0), (20L, "s2", 2, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((100L, 1L, "O", 1.0, ts, "1-URGENT"), (200L, 2L, "O", 1.0, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // N2 -> N1: 100; N1 -> N2: 40; self-flow N1 -> N1 dropped
+    Seq((100L, 20L, 100.0), (200L, 10L, 40.0), (100L, 10L, 999.0))
+      .map { case (ok, sk, price) =>
+        (ok, 1L, sk, 1, 1.0, price, 0.0, 0.0, "N", "O", ts) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Relational.nationFlows(spark, dir)
+      .as[(String, String, Int, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("N1", "N2", 1996, 1L, 40.0),
+      ("N2", "N1", 1996, 1L, 100.0)))
+  }
+
   test("woeIv: zero-class buckets yield NULL WOE; balanced bucket scores 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft-woe").toString
     val ts0 = new java.sql.Timestamp(0L)
