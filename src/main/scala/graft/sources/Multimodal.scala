@@ -697,6 +697,99 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  case class AviMeta(doc_id: Long, width: Int, height: Int,
+                     total_frames: Long, micro_per_frame: Long,
+                     duration_ms: Long)
+
+  /** AVI (RIFF/'AVI '/LIST-hdrl/avih) header sniff: the canonical
+    * main-header layout — 'avih' fourcc at 24, its 56-byte payload at
+    * 32 carrying dwMicroSecPerFrame (+0), dwTotalFrames (+16),
+    * dwWidth (+32), dwHeight (+36), all LE32. Rejects anything that
+    * is not exactly this canonical chunk order (the sniffWav
+    * discipline: parse the layout you can verify, never guess
+    * offsets). Returns (width, height, totalFrames, microSecPerFrame).
+    */
+  def sniffAvi(p: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    def tag(off: Int, s: String): Boolean =
+      s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+    if (p.length >= 88 && tag(0, "RIFF") && tag(8, "AVI ") &&
+        tag(12, "LIST") && tag(20, "hdrl") && tag(24, "avih")) {
+      val micro = le32(p, 32).toLong & 0xFFFFFFFFL
+      val frames = le32(p, 48).toLong & 0xFFFFFFFFL
+      val w = le32(p, 64)
+      val h = le32(p, 68)
+      if (micro > 0 && w > 0 && h > 0) Some((w, h, frames, micro)) else None
+    } else None
+  }
+
+  /** Deterministic AVI fixture: a canonical RIFF/AVI main header in
+    * front of the text bytes (the "movi" payload stand-in) — frame
+    * timing and dimensions derived from the byte length so the oracle
+    * can restate them independently.
+    */
+  def encodeAvi(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val micro = 33333 + n % 1000
+    val frames = n / 16 + 1
+    val w = n % 640 + 1
+    val h = 3 * n % 480 + 1
+    val buf = new Array[Byte](88 + n)
+    "RIFF".getBytes("US-ASCII").copyToArray(buf, 0)
+    putLe32(buf, 4, buf.length - 8)
+    "AVI ".getBytes("US-ASCII").copyToArray(buf, 8)
+    "LIST".getBytes("US-ASCII").copyToArray(buf, 12)
+    putLe32(buf, 16, 68) // list size: 'hdrl' + avih chunk
+    "hdrl".getBytes("US-ASCII").copyToArray(buf, 20)
+    "avih".getBytes("US-ASCII").copyToArray(buf, 24)
+    putLe32(buf, 28, 56) // avih payload size
+    putLe32(buf, 32, micro) // dwMicroSecPerFrame
+    putLe32(buf, 48, frames) // dwTotalFrames
+    putLe32(buf, 64, w) // dwWidth
+    putLe32(buf, 68, h) // dwHeight
+    System.arraycopy(text, 0, buf, 88, n)
+    buf
+  }
+
+  /** q255 — AVI metadata pipeline: per-doc AVI fixtures through the
+    * real [[sniffAvi]] header parse to typed video metadata — the
+    * video sibling of q116's WAV path (byte-exact encode on one side,
+    * independent field parse on the other, oracle predicts both).
+    * Duration floors in integer microseconds; fps is the one rounded
+    * IEEE division.
+    */
+  def aviMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val avi = encodeAvi(r.payload)
+        val (w, h, frames, micro) = sniffAvi(avi).getOrElse(
+          throw new IllegalStateException(s"fixture failed to parse: doc ${r.doc_id}"))
+        AviMeta(r.doc_id, w, h, frames, micro, frames * micro / 1000L)
+      }
+    }.toDF()
+      // fps via the engine round (HALF_UP parity with DuckDB ROUND —
+      // the suite convention; never a hand-rolled rint)
+      .withColumn("fps", round(lit(1e6) / col("micro_per_frame"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val aviMetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n,
+      |    CAST(33333 + strlen(text) % 1000 AS BIGINT) AS micro,
+      |    CAST(strlen(text) // 16 + 1 AS BIGINT) AS frames
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(n % 640 + 1 AS INT) AS width,
+      |  CAST(3 * n % 480 + 1 AS INT) AS height,
+      |  frames AS total_frames,
+      |  micro AS micro_per_frame,
+      |  CAST(frames * micro // 1000 AS BIGINT) AS duration_ms,
+      |  ROUND(1e6 / micro, 6) AS fps
+      |FROM f ORDER BY doc_id""".stripMargin
+
   case class DHashRow(doc_id: Long, bands: Array[Int])
 
   /** q251 — gradient-hash (dHash) image near-dup join: the q244

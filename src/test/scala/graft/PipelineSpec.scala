@@ -776,4 +776,21 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.encodeGrayBmp(Array.fill[Byte](32)('q'))).toSeq ===
       Seq(0, 0, 0, 0))
   }
+
+  test("sniffAvi: canonical header parses; tampered headers reject") {
+    import graft.sources.Multimodal
+    val text = "a sample document body for the avi container".getBytes("US-ASCII")
+    val n = text.length
+    val avi = Multimodal.encodeAvi(text)
+    val parsed = Multimodal.sniffAvi(avi)
+    assert(parsed === Some((n % 640 + 1, 3 * n % 480 + 1,
+      (n / 16 + 1).toLong, (33333 + n % 1000).toLong)))
+    // wrong fourcc, zero frame period, truncated header: all rejected
+    val badTag = avi.clone(); badTag(8) = 'X'.toByte
+    assert(Multimodal.sniffAvi(badTag).isEmpty)
+    val zeroMicro = avi.clone()
+    (32 until 36).foreach(i => zeroMicro(i) = 0)
+    assert(Multimodal.sniffAvi(zeroMicro).isEmpty)
+    assert(Multimodal.sniffAvi(avi.take(60)).isEmpty)
+  }
 }
