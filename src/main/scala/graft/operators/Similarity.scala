@@ -205,8 +205,8 @@ object Similarity {
     * the vector scan, keep the argmax-cosine cell per vector (and with
     * `nprobe` > 1, the top-nprobe cells — the multi-probe query path).
     */
-  private def assignCells(spark: SparkSession, df: DataFrame,
-                          centroids: DataFrame, nprobe: Int): DataFrame = {
+  def assignCells(spark: SparkSession, df: DataFrame,
+                  centroids: DataFrame, nprobe: Int): DataFrame = {
     val scored = df.crossJoin(broadcast(centroids))
       .withColumn("c_sim", cosine(spark, col("embedding"), col("c_emb")))
     val w = Window.partitionBy(col("vec_id"))
@@ -308,6 +308,70 @@ object Similarity {
         .localCheckpoint()
     }
     centroids
+  }
+
+  /** IVF cell rebalance (the skewed-corpus fix): any cell holding
+    * more than `factor`× the mean load is SPLIT in two — a real
+    * corpus is never near-uniform like the test fixtures, and one hot
+    * Voronoi cell turns every probe that touches it into a scan of
+    * half the index. Split procedure, fully deterministic: within
+    * each hot cell, seed A is the vector FARTHEST from the cell
+    * centroid (min cosine, vec_id tiebreak), seed B the vector
+    * farthest from A; members join their nearer seed; the two
+    * replacement centroids are the decimal-exact member means (the
+    * kmeansCentroids discipline, so rebalanced indexes are
+    * rerun-stable). Cold cells keep their centroids; the result is
+    * renumbered 0..k'−1 and drops into [[knnIvfKmeans]]/
+    * [[buildIvfIndex]] unchanged.
+    *
+    * Scale: one assignment pass (broadcast centroids), per-hot-cell
+    * windows bounded by cell population, one decimal mean aggregate.
+    * Iterating the function converges geometrically on the max load
+    * (each pass halves surviving hot cells).
+    */
+  def rebalanceIvfCells(spark: SparkSession, emb: DataFrame,
+                        centroids: DataFrame,
+                        factor: Double = 2.0): DataFrame = {
+    val assigned = assignCells(spark, emb, centroids, nprobe = 1)
+      .localCheckpoint() // consumed by counts + both seed passes
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val meanN = counts.agg((sum(col("n")).cast("double") /
+      count(lit(1))).as("mean_n"))
+    val hot = counts.crossJoin(broadcast(meanN))
+      .filter(col("n") > lit(factor) * col("mean_n"))
+      .select(col("cell"))
+    val hotMembers = assigned.join(broadcast(hot), "cell")
+      .join(centroids, "cell")
+      .localCheckpoint() // windows + assignment reuse one frame
+    val wCell = Window.partitionBy(col("cell"))
+    val seedA = hotMembers
+      .withColumn("rk", row_number().over(wCell.orderBy(
+        cosine(spark, col("embedding"), col("c_emb")).asc, col("vec_id"))))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("embedding").as("seed_a"))
+    val withA = hotMembers.join(broadcast(seedA), "cell")
+    val seedB = withA
+      .withColumn("rk", row_number().over(wCell.orderBy(
+        cosine(spark, col("embedding"), col("seed_a")).asc, col("vec_id"))))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("embedding").as("seed_b"))
+    val split = withA.join(broadcast(seedB), "cell")
+      .withColumn("side",
+        (cosine(spark, col("embedding"), col("seed_b")) >
+          cosine(spark, col("embedding"), col("seed_a"))).cast("int"))
+    val splitCentroids = centroidArrays(split
+        .select(concat_ws("_", col("cell"), col("side")).as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg((Relational.decSum(col("v").cast("double")) / count(col("v")))
+          .as("centroid")))
+      .select(col("cell").as("old_key"), col("c_emb"))
+    val cold = centroids.join(broadcast(hot), Seq("cell"), "left_anti")
+      .select(concat_ws("_", col("cell"), lit("c")).as("old_key"), col("c_emb"))
+    cold.unionByName(splitCentroids)
+      .withColumn("cell",
+        row_number().over(Window.orderBy(col("old_key"))) - 1)
+      .select(col("cell"), col("c_emb"))
   }
 
   /** IVF with trained (k-means) centroids and multi-probe: queries

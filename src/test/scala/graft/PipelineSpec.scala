@@ -266,6 +266,37 @@ class PipelineSpec extends AnyFunSuite {
     r1.keys.foreach(q => assert(r2(q) >= r1(q), s"query $q: ${r2(q)} < ${r1(q)}"))
   }
 
+  test("rebalanceIvfCells splits the hot cell and lowers the max load") {
+    // skewed corpus: 40 vectors in TWO sub-lobes around axis 0, 10
+    // around axis 1 — with centroids on the axes, cell 0 holds 80%
+    def v(x: Float, y: Float, z: Float, w: Float) = Array(x, y, z, w)
+    val vecs =
+      (0 until 20).map(i => (i.toLong, v(1f, 0.3f + i * 0.001f, 0f, 0f))) ++
+      (20 until 40).map(i => (i.toLong, v(1f, -0.3f - (i - 20) * 0.001f, 0f, 0f))) ++
+      (40 until 50).map(i => (i.toLong, v(0.01f * (i - 40), 1f, 0f, 0f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val centroids = Seq((0, v(1f, 0f, 0f, 0f)), (1, v(0f, 1f, 0f, 0f)))
+      .toDF("cell", "c_emb")
+    val before = Similarity.assignCells(spark, emb, centroids, 1)
+      .groupBy($"cell").count().as[(Int, Long)].collect().toMap
+    assert(before(0) === 40L && before(1) === 10L)
+    val rebalanced = Similarity.rebalanceIvfCells(spark, emb, centroids,
+      factor = 1.5)
+    assert(rebalanced.count() === 3) // hot cell split, cold kept
+    val after = Similarity.assignCells(spark, emb, rebalanced, 1)
+      .groupBy($"cell").count().as[(Int, Long)].collect().toMap
+    assert(after.values.sum === 50L) // no vector lost or duplicated
+    assert(after.values.max < 40L,
+      s"hot cell not split: $after")
+    // the split separates the two lobes: max load near 20, not 39
+    assert(after.values.max <= 25L, s"unbalanced split: $after")
+    // determinism: a second run yields the identical centroid frame
+    val again = Similarity.rebalanceIvfCells(spark, emb, centroids,
+      factor = 1.5)
+    assert(rebalanced.orderBy($"cell").collect().toSeq ===
+      again.orderBy($"cell").collect().toSeq)
+  }
+
   test("approx quantiles track the exact rank-selection form") {
     // the 100 TB path (mergeable sketch, no per-group sort) must stay
     // close to the oracle-exact per-group rank selection
