@@ -3348,6 +3348,93 @@ object Events {
       .orderBy(col("entry_type"))
   }
 
+  /** q257 — repeat-purchase profile: for users with a SECOND
+    * purchase, the gap between purchase 1 and 2 banded into
+    * operational buckets (same-day / week / month / longer), with the
+    * band's user share, the average second-basket value and the
+    * average value uplift vs the first basket — the habit-formation
+    * readout q144's signup→purchase latency stops short of (q144
+    * measures activation; this measures whether the SECOND visit
+    * happens and what it's worth).
+    *
+    * Exactness: gaps are integer ms differences banded by integer
+    * thresholds; value means are decimal sums over exact counts, one
+    * rounded division each. Scale: one user_id shuffle (the purchase
+    * rank window), then a 4-row band aggregate with a 1-row total
+    * broadcast back.
+    */
+  def repeatPurchaseProfile(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val day = 86400000L
+    val p = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("ts_ms", tsMs("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val firstTwo = p.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("rn") === 1, col("ts_ms"))).as("t1"),
+        max(when(col("rn") === 2, col("ts_ms"))).as("t2"),
+        max(when(col("rn") === 1, col("value"))).as("v1"),
+        max(when(col("rn") === 2, col("value"))).as("v2"))
+      .filter(col("t2").isNotNull)
+      .withColumn("gap_ms", col("t2") - col("t1"))
+      .withColumn("band",
+        when(col("gap_ms") < day, "1_same_day")
+          .when(col("gap_ms") < 7 * day, "2_within_week")
+          .when(col("gap_ms") < 30 * day, "3_within_month")
+          .otherwise("4_longer"))
+    val bands = firstTwo.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(round(col("v2"), 6).cast(dec)).as("sv2"),
+        sum(round(col("v2") - col("v1"), 6).cast(dec)).as("suplift"))
+    val total = bands.agg(sum(col("n_users")).as("n_repeat"))
+    bands.crossJoin(broadcast(total))
+      .select(col("band"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_repeat"), 6).as("share"),
+        round(col("sv2").cast("double") / col("n_users"), 6)
+          .as("avg_second_value"),
+        round(col("suplift").cast("double") / col("n_users"), 6)
+          .as("avg_uplift"))
+      .orderBy(col("band"))
+  }
+
+  val repeatPurchaseProfileSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, value, event_id
+      |  FROM events WHERE event_type = 'purchase'
+      |), ranked AS (
+      |  SELECT user_id, ts_ms, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms, event_id) AS rn
+      |  FROM p
+      |), firsts AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN rn = 1 THEN ts_ms END) AS t1,
+      |    MAX(CASE WHEN rn = 2 THEN ts_ms END) AS t2,
+      |    MAX(CASE WHEN rn = 1 THEN value END) AS v1,
+      |    MAX(CASE WHEN rn = 2 THEN value END) AS v2
+      |  FROM ranked WHERE rn <= 2 GROUP BY user_id
+      |), gapped AS (
+      |  SELECT *, t2 - t1 AS gap_ms,
+      |    CASE WHEN t2 - t1 < 86400000 THEN '1_same_day'
+      |         WHEN t2 - t1 < 7 * CAST(86400000 AS BIGINT) THEN '2_within_week'
+      |         WHEN t2 - t1 < 30 * CAST(86400000 AS BIGINT) THEN '3_within_month'
+      |         ELSE '4_longer' END AS band
+      |  FROM firsts WHERE t2 IS NOT NULL
+      |), bands AS (
+      |  SELECT band, COUNT(*) AS n_users,
+      |    SUM(CAST(ROUND(v2, 6) AS DECIMAL(18,6))) AS sv2,
+      |    SUM(CAST(ROUND(v2 - v1, 6) AS DECIMAL(18,6))) AS suplift
+      |  FROM gapped GROUP BY band
+      |), total AS (SELECT SUM(n_users) AS n_repeat FROM bands)
+      |SELECT band, CAST(n_users AS BIGINT) AS n_users,
+      |  ROUND(CAST(n_users AS DOUBLE) / t.n_repeat, 6) AS share,
+      |  ROUND(CAST(sv2 AS DOUBLE) / n_users, 6) AS avg_second_value,
+      |  ROUND(CAST(suplift AS DOUBLE) / n_users, 6) AS avg_uplift
+      |FROM bands, total t
+      |ORDER BY band""".stripMargin
+
   def entryExitSql(gapMinutes: Int = 30): String = {
     val gapMs = gapMinutes * 60000L
     s"""WITH flagged AS (

@@ -1409,6 +1409,79 @@ object Profile {
       |FROM per_type, globals g
       |ORDER BY event_type""".stripMargin
 
+  /** q256 — Spearman rank correlation per language between document
+    * length and the composite quality score: "does the quality score
+    * just measure length?" — the monotone-association audit Pearson
+    * (q143) can't give (Pearson rewards linearity; Spearman any
+    * monotone link), run per language because the score's stopword
+    * term is English-anchored.
+    *
+    * Exactness: midranks are kept as INTEGER doubled-ranks
+    * (2·midrank = 2·rank + tie_count − 1, the q238 discipline), so
+    * all six sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    * BIGINTs; ρ is one double expression over them, rounded 6dp —
+    * identical chains on both engines. Degenerate groups (any
+    * zero-variance side) yield NULL via NULLIF.
+    *
+    * Scale: two lang-partitioned windows (rank + tie count each ride
+    * one sort) and one lang aggregate. Long sums bound: Σx² ≤ 4n³ —
+    * fine to ~10⁶ rows per group; beyond that, reconstruct ranks from
+    * value-aggregated counts (the q238 shape) before summing.
+    */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.qualityScore
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("n_chars").as("xv"),
+        qualityScore(col("text")).as("yv"))
+    def r2(v: String) = {
+      val wRank = Window.partitionBy(col("lang")).orderBy(col(v))
+      val wTies = Window.partitionBy(col("lang"), col(v))
+      (lit(2) * rank().over(wRank) + count(lit(1)).over(wTies) - 1)
+        .cast("long")
+    }
+    val ranked = docs
+      .withColumn("x", r2("xv"))
+      .withColumn("y", r2("yv"))
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lang"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            lit(0.0)), 6).as("spearman_rho"))
+      .orderBy(col("lang"))
+  }
+
+  val spearmanSql: String =
+    s"""WITH base AS (
+      |  SELECT lang, n_chars AS xv,
+      |    ${graft.operators.TextAnalysis.qualityExprSql} AS yv
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT lang,
+      |    CAST(2 * RANK() OVER (PARTITION BY lang ORDER BY xv)
+      |      + COUNT(*) OVER (PARTITION BY lang, xv) - 1 AS BIGINT) AS x,
+      |    CAST(2 * RANK() OVER (PARTITION BY lang ORDER BY yv)
+      |      + COUNT(*) OVER (PARTITION BY lang, yv) - 1 AS BIGINT) AS y
+      |  FROM base
+      |), agg AS (
+      |  SELECT lang, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM ranked GROUP BY lang
+      |)
+      |SELECT lang, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 6) AS spearman_rho
+      |FROM agg ORDER BY lang""".stripMargin
+
   /** q239 — weight-of-evidence / information-value feature screen:
     * per candidate feature (market segment; account-balance band),
     * the per-bucket WOE against the urgent-order label
