@@ -266,6 +266,26 @@ class PipelineSpec extends AnyFunSuite {
     r1.keys.foreach(q => assert(r2(q) >= r1(q), s"query $q: ${r2(q)} < ${r1(q)}"))
   }
 
+  test("residual IVF-PQ system beats q72's raw label-cell recall; deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Similarity.knnBrute(spark, dir).localCheckpoint()
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.ivfRecall(df, exact).as[(Long, Double)].collect()
+      r.map(_._2).sum / r.length
+    }
+    val raw = meanRecall(Similarity.knnIvfPq(spark, dir))
+    val res = Similarity.knnIvfPqResidual(spark, dir).localCheckpoint()
+    val resRecall = meanRecall(res)
+    // measured 0.1125 vs 0.2125 on this fixture; assert the ordering
+    // with headroom, not the exact numbers
+    assert(resRecall > raw,
+      s"residual system $resRecall did not beat raw $raw")
+    // decimal-exact training at every stage -> rerun-identical output
+    val again = Similarity.knnIvfPqResidual(spark, dir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(res.as[(Long, Long, Double, Int)].collect().toSeq === again)
+  }
+
   test("rebalanceIvfCells splits the hot cell and lowers the max load") {
     // skewed corpus: 40 vectors in TWO sub-lobes around axis 0, 10
     // around axis 1 — with centroids on the axes, cell 0 holds 80%
