@@ -3222,6 +3222,125 @@ object Events {
       |  ROUND(st[1] + st[2], 6) AS holt_forecast
       |FROM folded ORDER BY event_type""".stripMargin
 
+  /** q258 — Holt–Winters additive seasonal forecast per event type
+    * (α = β = γ = ½, period 7): level + trend + a 7-slot day-of-week
+    * seasonal state over the DENSE daily value series — the
+    * forecasting family's completion (q120 SES: level; q241 Holt:
+    * +trend; this: +weekly seasonality, which daily ops metrics
+    * always carry). Recurrences, all exact halvings:
+    * s_t = (y_t − c_{t−7} + s_{t−1} + b_{t−1})/2,
+    * b_t = ((s_t − s_{t−1}) + b_{t−1})/2,
+    * c_t = ((y_t − s_t) + c_{t−7})/2; seeds s₁ = y₁, b₁ = y₂ − y₁,
+    * c ≡ 0 (the first period learns the seasonal shape).
+    * Forecast(h=1) = s_T + b_T + c_{next day-of-week}.
+    *
+    * Exactness (the q120/q241 argument, extended to 9-slot state):
+    * every step is additions and EXACT halvings of IEEE doubles;
+    * Spark folds `aggregate` with a (s, b, c-array) struct state,
+    * DuckDB `list_reduce` with a 9-element list state, over the
+    * identical dense day-ordered sequence — verified bit-identical on
+    * a hand series before grading. The series is DENSIFIED (q219's
+    * calendar spine) so c_{t−7} always means "same weekday last
+    * week", never "7 observations ago".
+    *
+    * Scale: one (type, day) aggregate, a calendar-bounded spine
+    * join, one per-type fold over a days-long array.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(decSum(col("value")).as("v"))
+    val bounds = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val spine = bounds.select(col("event_type"), col("mn"),
+      explode(sequence(col("mn"), col("mx"))).as("day"))
+    val dense = spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("v", coalesce(col("v"), lit(0.0)))
+      .withColumn("idx", ((col("day") - col("mn")) % 7).cast("int"))
+    val series = dense.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("v"), col("idx"))))
+        .as("dv"))
+    series.select(col("event_type"),
+        size(col("dv")).as("n_days"),
+        expr(
+          """CASE WHEN size(dv) = 1
+            |  THEN named_struct('s', CAST(dv[0].v AS DOUBLE), 'b', 0D,
+            |    'c', array_repeat(0D, 7))
+            |  ELSE aggregate(
+            |    slice(transform(dv, x ->
+            |      named_struct('v', CAST(x.v AS DOUBLE), 'idx', x.idx)),
+            |      3, greatest(size(dv) - 2, 0)),
+            |    named_struct(
+            |      's', CAST(dv[0].v AS DOUBLE),
+            |      'b', CAST(dv[1].v AS DOUBLE) - CAST(dv[0].v AS DOUBLE),
+            |      'c', array_repeat(0D, 7)),
+            |    (acc, x) -> named_struct(
+            |      's', (x.v - element_at(acc.c, x.idx + 1) + acc.s + acc.b) / 2D,
+            |      'b', (((x.v - element_at(acc.c, x.idx + 1) + acc.s + acc.b) / 2D)
+            |        - acc.s + acc.b) / 2D,
+            |      'c', transform(acc.c, (cv, j) -> IF(j = x.idx,
+            |        (x.v - ((x.v - element_at(acc.c, x.idx + 1) + acc.s + acc.b) / 2D)
+            |          + cv) / 2D, cv))))
+            |END""".stripMargin).as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(col("st.s"), 6).as("level"),
+        round(col("st.b"), 6).as("trend"),
+        (col("n_days") % 7).as("next_idx"),
+        round(col("st.s") + col("st.b") +
+          element_at(col("st.c"), col("n_days") % 7 + 1), 6)
+          .as("hw_forecast"))
+      .orderBy(col("event_type"))
+  }
+
+  val holtWintersSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+      |  FROM daily GROUP BY 1
+      |), spine AS (
+      |  SELECT event_type, mn, unnest(range(mn, mx + 1)) AS day FROM bounds
+      |), dense AS (
+      |  SELECT s.event_type, s.day, COALESCE(d.v, 0.0) AS v,
+      |    CAST((s.day - s.mn) % 7 AS DOUBLE) AS idx
+      |  FROM spine s LEFT JOIN daily d
+      |    ON d.event_type = s.event_type AND d.day = s.day
+      |), series AS (
+      |  SELECT event_type,
+      |    CAST(list(v ORDER BY day) AS DOUBLE[]) AS vals,
+      |    CAST(list(idx ORDER BY day) AS DOUBLE[]) AS idxs
+      |  FROM dense GROUP BY 1
+      |), folded AS (
+      |  SELECT event_type, len(vals) AS n_days,
+      |    CASE WHEN len(vals) = 1
+      |      THEN [vals[1], 0.0, 0,0,0,0,0,0,0]
+      |    ELSE list_reduce(
+      |      list_concat(
+      |        [list_concat([vals[1], vals[2] - vals[1]], [0.0,0,0,0,0,0,0])],
+      |        [[vals[i+1], idxs[i+1]] for i in range(2, len(vals))]
+      |      ),
+      |      (acc, x) -> list_concat(
+      |        [ (x[1] - acc[CAST(x[2] AS INT) + 3] + acc[1] + acc[2]) / 2,
+      |          (((x[1] - acc[CAST(x[2] AS INT) + 3] + acc[1] + acc[2]) / 2)
+      |            - acc[1] + acc[2]) / 2 ],
+      |        list_transform(acc[3:], (c, j) -> CASE
+      |          WHEN j - 1 = CAST(x[2] AS INT)
+      |          THEN (x[1] - ((x[1] - acc[CAST(x[2] AS INT) + 3]
+      |            + acc[1] + acc[2]) / 2) + c) / 2
+      |          ELSE c END)
+      |      )) END AS st
+      |  FROM series
+      |)
+      |SELECT event_type, CAST(n_days AS INT) AS n_days,
+      |  ROUND(st[1], 6) AS level,
+      |  ROUND(st[2], 6) AS trend,
+      |  CAST(n_days % 7 AS INT) AS next_idx,
+      |  ROUND(st[1] + st[2] + st[CAST(n_days % 7 AS INT) + 3], 6)
+      |    AS hw_forecast
+      |FROM folded ORDER BY event_type""".stripMargin
+
   /** q242 — Markov conditional entropy (journey predictability): per
     * from-type, the Shannon entropy of the next-event distribution —
     * q92 gives the full transition matrix; this collapses each row to

@@ -1045,6 +1045,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("single", 1, 7.5, 0.0, 7.5)))
   }
 
+  test("holtWinters: hand fold over a 14-day weekly-seasonal series") {
+    val day = 86400000L
+    val series = Seq(10.0, 12, 11, 13, 12, 14, 13, 20, 22, 21, 23, 22, 24, 23)
+    val rows = series.zipWithIndex.map { case (v, d) =>
+      (d.toLong + 1, d * day, 1L, "a", v)
+    }
+    val dir = eventsDirV(rows)
+    val out = graft.operators.Events.holtWinters(spark, dir)
+      .as[(String, Int, Double, Double, Int, Double)].collect().toSeq
+    // replicate the fold: seeds s=v1, b=v2-v1, c=0; process from v3
+    var s = series.head; var b = series(1) - series.head
+    val c = Array.fill(7)(0.0)
+    series.zipWithIndex.drop(2).foreach { case (x, i) =>
+      val idx = i % 7
+      val s2 = (x - c(idx) + s + b) / 2
+      b = ((s2 - s) + b) / 2
+      c(idx) = (x - s2 + c(idx)) / 2
+      s = s2
+    }
+    val f = s + b + c(series.length % 7)
+    assert(out === Seq(("a", 14,
+      math.round(s * 1e6) / 1e6, math.round(b * 1e6) / 1e6,
+      0, math.round(f * 1e6) / 1e6)))
+  }
+
   test("tClosenessAudit: fully-separated class hits the max EMD 0.5 for m=2") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tclose").toString
     // class (1,B): both customers in bucket 0; class (2,B): both in
