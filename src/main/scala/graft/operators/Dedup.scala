@@ -866,6 +866,97 @@ object Dedup {
       |HAVING COUNT(*) >= $minShared
       |ORDER BY doc_id""".stripMargin
 
+  /** q259 — weighted (multiset) token-Jaccard near-dups: candidate
+    * pairs from the df-capped shared-shingle index (the q66 admission
+    * gate, ≥ `minShared` shingles), verified with the FREQUENCY-AWARE
+    * similarity J_w = Σ_t min(a_t, b_t) / Σ_t max(a_t, b_t) over
+    * token counts — the set-Jaccard family (q26/q97) treats "the the
+    * the the" and one "the" identically; the multiset form doesn't,
+    * which is what separates true near-copies from documents that
+    * merely share a vocabulary.
+    *
+    * Exactness: Σmax = |A| + |B| − Σmin (multiset identity), so the
+    * whole verification is integer token counts; the keep/drop
+    * decision is the rational cross-multiply
+    * min_sum·tDen ≥ (|A|+|B|−min_sum)·tNum (never a double), and the
+    * reported similarity is one rounded division.
+    *
+    * Scale: candidates are bounded by the shingle gate (the q66
+    * argument — quadratic only in true-near-dup density); the Σmin
+    * join explodes candidates by their SHARED tokens only (inner join
+    * of the two per-doc count tables), every join doc- or
+    * token-keyed.
+    */
+  def weightedJaccardPairs(spark: SparkSession, dir: String, k: Int = 3,
+                           dfCap: Int = 200, minShared: Int = 3,
+                           tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = keptShingles(docs, k, dfCap)
+    val cand = kept.as("a").join(kept.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_sh_shared"))
+      .filter(col("n_sh_shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"))
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tokCounts = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // both join sides + totals
+    val totals = tokCounts.groupBy(col("doc_id")).agg(sum(col("c")).as("tot"))
+    val minSum = cand
+      .join(tokCounts.select(col("doc_id").as("doc_a"), col("token"),
+        col("c").as("ca")), "doc_a")
+      .join(tokCounts.select(col("doc_id").as("doc_b"), col("token"),
+        col("c").as("cb")), Seq("doc_b", "token"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("min_sum"))
+    minSum
+      .join(totals.select(col("doc_id").as("doc_a"), col("tot").as("tot_a")), "doc_a")
+      .join(totals.select(col("doc_id").as("doc_b"), col("tot").as("tot_b")), "doc_b")
+      .filter(col("min_sum") * tDen >=
+        (col("tot_a") + col("tot_b") - col("min_sum")) * tNum)
+      .select(col("doc_a"), col("doc_b"), col("min_sum"),
+        col("tot_a"), col("tot_b"),
+        round(col("min_sum").cast("double") /
+          (col("tot_a") + col("tot_b") - col("min_sum")), 6).as("w_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def weightedJaccardPairsSql(k: Int = 3, dfCap: Int = 200,
+                              minShared: Int = 3,
+                              tNum: Int = 1, tDen: Int = 2): String =
+    s"""WITH ${shingleCtesFor(k, dfCap)}, cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
+      |), tok AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+      |  FROM documents
+      |), tc AS (
+      |  SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT doc_id, SUM(c) AS tot FROM tc GROUP BY 1
+      |), msum AS (
+      |  SELECT cand.doc_a, cand.doc_b, SUM(LEAST(a.c, b.c)) AS min_sum
+      |  FROM cand
+      |  JOIN tc a ON a.doc_id = cand.doc_a
+      |  JOIN tc b ON b.doc_id = cand.doc_b AND b.token = a.token
+      |  GROUP BY 1, 2
+      |)
+      |SELECT m.doc_a, m.doc_b,
+      |  CAST(m.min_sum AS BIGINT) AS min_sum,
+      |  CAST(ta.tot AS BIGINT) AS tot_a,
+      |  CAST(tb.tot AS BIGINT) AS tot_b,
+      |  ROUND(CAST(m.min_sum AS DOUBLE)
+      |    / (ta.tot + tb.tot - m.min_sum), 6) AS w_jaccard
+      |FROM msum m
+      |JOIN totals ta ON ta.doc_id = m.doc_a
+      |JOIN totals tb ON tb.doc_id = m.doc_b
+      |WHERE m.min_sum * $tDen >= (ta.tot + tb.tot - m.min_sum) * $tNum
+      |ORDER BY m.doc_a, m.doc_b""".stripMargin
+
   /** q252 — contamination n-gram-size sweep: q61's eval-overlap
     * screen re-run at n = 2, 3, 4, 5, collapsed to one row per n —
     * how many corpus docs get flagged, the flag rate, and the hottest

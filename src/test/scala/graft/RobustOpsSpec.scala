@@ -89,6 +89,23 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(out === Seq((1L, 2L, 4L, 1.0)))
   }
 
+  test("weightedJaccardPairs: repetition-inflated doc scores below its set-Jaccard") {
+    // doc 2 repeats doc 1's tokens unevenly: SET overlap is total but
+    // the multiset form divides by the inflated max-sum
+    val dir = docsDir(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", 35L),
+      (2L, "alpha alpha alpha beta gamma delta epsilon zeta", "en", 47L),
+      (3L, "alpha beta gamma delta epsilon zeta", "en", 35L)))
+    val out = Dedup.weightedJaccardPairs(spark, dir)
+      .select($"doc_a", $"doc_b", $"min_sum", $"w_jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // 1-3 identical: J_w = 1; 1-2 and 2-3: min-sum 6 vs union 6+8-6=8
+    assert(out === Seq(
+      (1L, 2L, 6L, 0.75),
+      (1L, 3L, 6L, 1.0),
+      (2L, 3L, 6L, 0.75)))
+  }
+
   test("prefixJaccardPairs equals brute-force all-pairs on testdata (losslessness)") {
     val docs = Tables.load(spark, sf0001, "documents")
     val sh = docs.select($"doc_id", explode(array_distinct(
