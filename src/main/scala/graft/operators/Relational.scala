@@ -2404,4 +2404,59 @@ object Relational {
       |WHERE s.s_nationkey <> c.c_nationkey
       |GROUP BY sn.n_name, cn.n_name, year(o.o_orderdate)
       |ORDER BY supp_nation, cust_nation, o_year""".stripMargin
+
+  /** q260 — basket-size profile: the order-size distribution (how
+    * many lineitems per order) with each size's order share, average
+    * basket revenue, and average revenue PER LINE — the retail "are
+    * big baskets worth more per item" readout, and the basket-shape
+    * prior q185/q187's co-purchase models implicitly depend on
+    * (pair counts grow as C(size, 2)).
+    *
+    * Exactness: sizes and counts are integers; revenue rides the q189
+    * discipline; the per-line average divides the same decimal sum by
+    * size·n_orders in ONE rounded division. Scale: one l_orderkey
+    * aggregate (the q212 shuffle), then a basket-size-bounded
+    * aggregate with a 1-row total broadcast back.
+    */
+  def basketProfile(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val perOrder = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast(dec).as("rev"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("basket_size"), sum(col("rev")).as("order_rev"))
+    val bySize = perOrder.groupBy(col("basket_size"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("order_rev")).as("size_rev"))
+    val total = bySize.agg(sum(col("n_orders")).as("n_all"))
+    bySize.crossJoin(broadcast(total))
+      .select(col("basket_size"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("n_all"), 6).as("share"),
+        round(col("size_rev").cast("double") / col("n_orders"), 6)
+          .as("avg_basket_rev"),
+        round(col("size_rev").cast("double") /
+          (col("basket_size") * col("n_orders")).cast("double"), 6)
+          .as("avg_line_rev"))
+      .orderBy(col("basket_size"))
+  }
+
+  val basketProfileSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey, COUNT(*) AS basket_size,
+      |    SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+      |      AS DECIMAL(28,6))) AS order_rev
+      |  FROM lineitem GROUP BY l_orderkey
+      |), by_size AS (
+      |  SELECT basket_size, COUNT(*) AS n_orders,
+      |    SUM(order_rev) AS size_rev
+      |  FROM per_order GROUP BY basket_size
+      |), total AS (SELECT SUM(n_orders) AS n_all FROM by_size)
+      |SELECT CAST(basket_size AS BIGINT) AS basket_size,
+      |  CAST(n_orders AS BIGINT) AS n_orders,
+      |  ROUND(CAST(n_orders AS DOUBLE) / t.n_all, 6) AS share,
+      |  ROUND(CAST(size_rev AS DOUBLE) / n_orders, 6) AS avg_basket_rev,
+      |  ROUND(CAST(size_rev AS DOUBLE)
+      |    / CAST(basket_size * n_orders AS DOUBLE), 6) AS avg_line_rev
+      |FROM by_size, total t
+      |ORDER BY basket_size""".stripMargin
 }

@@ -436,6 +436,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transition pairs match the batch q92 lead() pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingTransitions
+    import graft.streaming.StreamingTransitions.{TrInput, TrOut}
+    // u1's journey crosses the micro-batch boundary mid-stream: the
+    // last-event state must carry "view" over to pair with "purchase"
+    val batch1 = Seq(
+      TrInput(1L, 1L, 0L, "signup"), TrInput(1L, 2L, 10L, "view"),
+      TrInput(2L, 3L, 0L, "view"))
+    val batch2 = Seq(
+      TrInput(1L, 4L, 20L, "purchase"),
+      TrInput(2L, 5L, 10L, "error"), TrInput(2L, 6L, 20L, "view"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TrInput]
+    val q = StreamingTransitions.pairs(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tr_out").start()
+    val streamed = try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      spark.table("tr_out").as[TrOut].collect().toSeq
+    } finally q.stop()
+    assert(streamed.toSet === Set(
+      TrOut(1L, "signup", "view"), TrOut(1L, "view", "purchase"),
+      TrOut(2L, "view", "error"), TrOut(2L, "error", "view")))
+    // batch q92 over the same events produces the same (from, to, n)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tr").toString
+    (batch1 ++ batch2)
+      .map(e => (e.event_id, new java.sql.Timestamp(e.ts_ms), e.user_id,
+        e.event_type, 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batchPairs = graft.operators.Events.eventTransitions(spark, dir)
+      .select($"from_type", $"to_type", $"n")
+      .as[(String, String, Long)].collect().toSeq.sorted
+    val rolled = streamed.groupBy(p => (p.from_type, p.to_type))
+      .map { case ((f, t), ps) => (f, t, ps.size.toLong) }.toSeq.sorted
+    assert(rolled === batchPairs)
+  }
+
   test("streaming entry/exit sessions match the batch q246 table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
