@@ -2440,6 +2440,74 @@ object Relational {
       .orderBy(col("basket_size"))
   }
 
+  /** q261 — discount elasticity per brand: the OLS slope of line
+    * quantity on discount percent — "does discounting actually move
+    * volume for this brand, and how much per point" — with intercept
+    * (base quantity at zero discount) and r². The q102 groupwise-OLS
+    * discipline transplanted to the retail fact table: x = discount
+    * in integer PERCENT (the data's discounts are exact hundredths,
+    * so 100·d rounds to an exact integer-valued double on both
+    * engines — no epsilon anywhere), y = quantity.
+    *
+    * Exactness: per-term 6dp rounds into DECIMAL(28,6) accumulators
+    * for all five sums (q102/q103 convention), one shared double
+    * chain for the derived stats, NULLIF guards for degenerate
+    * brands. Scale: one fact scan with the part dim broadcast, one
+    * |brands|-sized aggregate — partial+final all the way.
+    */
+  def discountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(round(c, 6).cast(dec)).cast("double")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_discount") * 100, 0).as("x"), col("l_quantity").as("y"))
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val stats = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("y") * col("y")).as("syy"))
+    stats
+      .withColumn("den", nullif(col("n") * col("sxx") - col("sx") * col("sx"),
+        lit(0.0)))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .select(col("p_brand"), col("n"),
+        round(col("num") / col("den"), 6).as("slope_per_pct"),
+        round((col("sy") - (col("num") / col("den")) * col("sx")) / col("n"), 6)
+          .as("base_qty"),
+        round((col("num") * col("num")) /
+          nullif(col("den") * (col("n") * col("syy") - col("sy") * col("sy")),
+            lit(0.0)), 6).as("r2"))
+      .orderBy(col("p_brand"))
+  }
+
+  val discountElasticitySql: String =
+    """WITH pts AS (
+      |  SELECT p.p_brand, ROUND(l.l_discount * 100, 0) AS x,
+      |    l.l_quantity AS y
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |), agg AS (
+      |  SELECT p_brand, COUNT(*) AS n,
+      |    CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |  FROM pts GROUP BY 1
+      |)
+      |SELECT p_brand, CAST(n AS BIGINT) AS n,
+      |  ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0), 6)
+      |    AS slope_per_pct,
+      |  ROUND((sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0))
+      |      * sx) / n, 6) AS base_qty,
+      |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |    / NULLIF((n * sxx - sx * sx)
+      |        * (n * syy - sy * sy), 0.0), 6) AS r2
+      |FROM agg ORDER BY p_brand""".stripMargin
+
   val basketProfileSql: String =
     """WITH per_order AS (
       |  SELECT l_orderkey, COUNT(*) AS basket_size,
