@@ -3288,7 +3288,12 @@ object Events {
         (col("n_days") % 7).as("next_idx"),
         round(col("st.s") + col("st.b") +
           element_at(col("st.c"), col("n_days") % 7 + 1), 6)
-          .as("hw_forecast"))
+          .as("hw_forecast"),
+        // seasonal strength: the learned weekly swing (max - min of
+        // the 7-slot state) -- 0 means the series carries no weekly
+        // shape worth a seasonal model (use q241's Holt instead)
+        round(array_max(col("st.c")) - array_min(col("st.c")), 6)
+          .as("season_amplitude"))
       .orderBy(col("event_type"))
   }
 
@@ -3338,7 +3343,8 @@ object Events {
       |  ROUND(st[2], 6) AS trend,
       |  CAST(n_days % 7 AS INT) AS next_idx,
       |  ROUND(st[1] + st[2] + st[CAST(n_days % 7 AS INT) + 3], 6)
-      |    AS hw_forecast
+      |    AS hw_forecast,
+      |  ROUND(list_max(st[3:]) - list_min(st[3:]), 6) AS season_amplitude
       |FROM folded ORDER BY event_type""".stripMargin
 
   /** q242 — Markov conditional entropy (journey predictability): per

@@ -1065,6 +1065,20 @@ object Similarity {
     val centroids =
       if (kmeansCells) kmeansCentroids(spark, emb, kCells = 16, iters = 3)
       else centroidArrays(labelCentroids(spark, dir))
+    knnIvfPqResidualCore(spark, emb, centroids, nQueries, k, m, dsub, ksub,
+      nprobe, trainIters)
+  }
+
+  /** Frame-parameterized core of [[knnIvfPqResidual]] — rows need
+    * (vec_id, embedding); `centroids` needs (cell, c_emb). A single
+    * all-zero centroid degenerates residual to RAW flat trained-PQ
+    * (one cell = every candidate, residual = identity), which is how
+    * the spec measures the residual term in isolation.
+    */
+  def knnIvfPqResidualCore(spark: SparkSession, emb: DataFrame,
+                           centroids: DataFrame, nQueries: Int,
+                           k: Int, m: Int, dsub: Int, ksub: Int,
+                           nprobe: Int, trainIters: Int = 2): DataFrame = {
     def residual(v: Column, c: Column) =
       zip_with(v, c, (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
     val assigned = assignCells(spark, emb, centroids, nprobe = 1)

@@ -1053,7 +1053,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     val dir = eventsDirV(rows)
     val out = graft.operators.Events.holtWinters(spark, dir)
-      .as[(String, Int, Double, Double, Int, Double)].collect().toSeq
+      .as[(String, Int, Double, Double, Int, Double, Double)].collect().toSeq
     // replicate the fold: seeds s=v1, b=v2-v1, c=0; process from v3
     var s = series.head; var b = series(1) - series.head
     val c = Array.fill(7)(0.0)
@@ -1065,9 +1065,10 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s = s2
     }
     val f = s + b + c(series.length % 7)
+    val amp = c.max - c.min
     assert(out === Seq(("a", 14,
       math.round(s * 1e6) / 1e6, math.round(b * 1e6) / 1e6,
-      0, math.round(f * 1e6) / 1e6)))
+      0, math.round(f * 1e6) / 1e6, math.round(amp * 1e6) / 1e6)))
   }
 
   test("tClosenessAudit: fully-separated class hits the max EMD 0.5 for m=2") {

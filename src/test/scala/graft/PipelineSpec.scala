@@ -286,6 +286,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.as[(Long, Long, Double, Int)].collect().toSeq === again)
   }
 
+  test("residual encoding wins on a CLUSTERED corpus (where the theory applies)") {
+    // 4 well-separated clusters in 64-dim: residuals against the true
+    // centers concentrate, so trained codes spend their 16 levels on
+    // the small within-cluster structure instead of the between-
+    // cluster offsets. Compare against the SAME code path with a
+    // single zero centroid (= raw flat trained PQ over all
+    // candidates): clustered-residual must rank better despite having
+    // FEWER candidates (nprobe 1).
+    def det(a: Int, b: Int, mod: Int): Float = ((a * 131 + b * 17) % mod).toFloat
+    def vec(i: Int): Array[Float] = {
+      val cl = i % 4
+      Array.tabulate(64)(d => (det(cl, d, 7) - 3f) / 3f +
+        (det(i, d, 5) - 2f) * 0.05f)
+    }
+    val emb = (0 until 108).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .localCheckpoint()
+    val centers = (0 until 4).map(j =>
+      (j, Array.tabulate(64)(d => (det(j, d, 7) - 3f) / 3f)))
+      .toDF("cell", "c_emb")
+    val zero = Seq((0, Array.fill(64)(0f))).toDF("cell", "c_emb")
+    // exact cosine top-10 ground truth, computed inline (8 x 100)
+    val qs = (0 until 8).map(i => i -> vec(i)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i => d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val exact = qs.map { case (q, qv) =>
+      q.toLong -> (8 until 108).sortBy(c => (-cos(qv, vec(c)), c)).take(10)
+        .map(_.toLong).toSet
+    }
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      exact.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).count(t).toDouble / t.size }.sum / exact.size
+    }
+    val residual = recall(Similarity.knnIvfPqResidualCore(spark, emb, centers,
+      nQueries = 8, k = 10, m = 8, dsub = 8, ksub = 16, nprobe = 1))
+    val rawFlat = recall(Similarity.knnIvfPqResidualCore(spark, emb, zero,
+      nQueries = 8, k = 10, m = 8, dsub = 8, ksub = 16, nprobe = 1))
+    assert(residual > rawFlat,
+      s"clustered residual $residual did not beat raw flat $rawFlat")
+  }
+
   test("rebalanceIvfCells splits the hot cell and lowers the max load") {
     // skewed corpus: 40 vectors in TWO sub-lobes around axis 0, 10
     // around axis 1 — with centroids on the axes, cell 0 holds 80%
