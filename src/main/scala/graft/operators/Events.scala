@@ -3222,6 +3222,79 @@ object Events {
       |  ROUND(st[1] + st[2], 6) AS holt_forecast
       |FROM folded ORDER BY event_type""".stripMargin
 
+  /** q262 — engagement-segment migration matrix: purchase-frequency
+    * terciles computed INDEPENDENTLY in the timeline's two halves
+    * (the q124/q213 midpoint split, on time), crossed per user into a
+    * (segment_h1 → segment_h2) transition matrix with inactive (0)
+    * as an explicit state — the retention analytics readout ("how
+    * many heavy buyers lapsed, how many new users converted to
+    * heavy") that q90's single-snapshot RFM cannot express.
+    *
+    * Determinism: terciles are ntile over the fully-tiebroken
+    * (frequency, user_id) order among that half's ACTIVE users (the
+    * q243 discipline); the midpoint split is integer epoch-ms
+    * arithmetic ((mn + mx) div 2 — both engines floor identically on
+    * nonnegative ms). Scale: two per-user count aggregates and a
+    * full-outer user join; the acknowledged global ntile sort runs
+    * over active USERS (swap for quantile-boundary bucketing at
+    * 100 TB, the q90 sketch note); the matrix is ≤ 16 cells.
+    */
+  def segmentMigration(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("ts_ms", tsMs("ts"))
+    val bounds = p.agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
+    val halves = p.crossJoin(broadcast(bounds))
+      .withColumn("late", (col("ts_ms") * 2 > col("mn") + col("mx")).cast("int"))
+    def segs(late: Int) = halves.filter(col("late") === late)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("freq"))
+      .withColumn("seg", ntile(3).over(
+        Window.orderBy(col("freq"), col("user_id"))))
+      .select(col("user_id"), col("seg"))
+    val joined = segs(0).withColumnRenamed("seg", "seg_h1")
+      .join(segs(1).withColumnRenamed("seg", "seg_h2"), Seq("user_id"), "full_outer")
+      .select(coalesce(col("seg_h1"), lit(0)).as("seg_h1"),
+        coalesce(col("seg_h2"), lit(0)).as("seg_h2"))
+    val cells = joined.groupBy(col("seg_h1"), col("seg_h2"))
+      .agg(count(lit(1)).as("n_users"))
+    cells
+      .withColumn("row_total", sum(col("n_users")).over(
+        Window.partitionBy(col("seg_h1"))))
+      .withColumn("share_of_row",
+        round(col("n_users").cast("double") / col("row_total"), 6))
+      .orderBy(col("seg_h1"), col("seg_h2"))
+  }
+
+  val segmentMigrationSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms
+      |  FROM events WHERE event_type = 'purchase'
+      |), bounds AS (SELECT MIN(ts_ms) AS mn, MAX(ts_ms) AS mx FROM p),
+      |halves AS (
+      |  SELECT user_id,
+      |    CASE WHEN ts_ms * 2 > b.mn + b.mx THEN 1 ELSE 0 END AS late
+      |  FROM p, bounds b
+      |), s0 AS (
+      |  SELECT user_id, NTILE(3) OVER (ORDER BY COUNT(*), user_id) AS seg
+      |  FROM halves WHERE late = 0 GROUP BY user_id
+      |), s1 AS (
+      |  SELECT user_id, NTILE(3) OVER (ORDER BY COUNT(*), user_id) AS seg
+      |  FROM halves WHERE late = 1 GROUP BY user_id
+      |), joined AS (
+      |  SELECT COALESCE(s0.seg, 0) AS seg_h1, COALESCE(s1.seg, 0) AS seg_h2
+      |  FROM s0 FULL OUTER JOIN s1 USING (user_id)
+      |), cells AS (
+      |  SELECT seg_h1, seg_h2, COUNT(*) AS n_users
+      |  FROM joined GROUP BY 1, 2
+      |)
+      |SELECT CAST(seg_h1 AS INT) AS seg_h1, CAST(seg_h2 AS INT) AS seg_h2,
+      |  CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(SUM(n_users) OVER (PARTITION BY seg_h1) AS BIGINT) AS row_total,
+      |  ROUND(CAST(n_users AS DOUBLE)
+      |    / SUM(n_users) OVER (PARTITION BY seg_h1), 6) AS share_of_row
+      |FROM cells
+      |ORDER BY seg_h1, seg_h2""".stripMargin
+
   /** q258 — Holt–Winters additive seasonal forecast per event type
     * (α = β = γ = ½, period 7): level + trend + a 7-slot day-of-week
     * seasonal state over the DENSE daily value series — the

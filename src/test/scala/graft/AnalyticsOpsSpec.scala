@@ -1045,6 +1045,54 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("single", 1, 7.5, 0.0, 7.5)))
   }
 
+  test("mannWhitney invariants on random two-type data (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    // values drawn from a tiny domain to force heavy ties — the tie
+    // correction's stress case
+    val vals = Gen.listOfN(12, Gen.chooseNum(0, 3)).map(_.map(_.toDouble))
+    val p = Prop.forAll(vals, vals) { (as: List[Double], bs: List[Double]) =>
+      (as.nonEmpty && bs.nonEmpty) ==> {
+        val rows = (as.map(("a", _)) ++ bs.map(("b", _))).zipWithIndex
+          .map { case ((t, v), i) => (i.toLong + 1, i.toLong, 1L, t, v) }
+        val dir = eventsDirV(rows)
+        val out = graft.operators.Profile.mannWhitney(spark, dir)
+          .as[(String, Long, Long, Double, Double, Double)]
+          .collect().map(r => r._1 -> r).toMap
+        val (ua, ub) = (out("a")._4, out("b")._4)
+        val (za, zb) = (out("a")._5, out("b")._5)
+        // U_a + U_b = n1·n2 (exact, the rank-sum identity), one-vs-rest
+        // z-scores are antisymmetric for two groups, and U ∈ [0, n1·n2]
+        ua + ub == as.size.toDouble * bs.size &&
+          math.abs(za + zb) <= 2e-6 && // each rounded 6dp before summing
+          ua >= 0 && ua <= as.size.toDouble * bs.size
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("tClosenessAudit stays in [0, 1] on random customer tables (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val rows = Gen.listOfN(20, Gen.zip(Gen.chooseNum(1, 3),
+      Gen.oneOf("A", "B"), Gen.chooseNum(-2, 5)))
+    val p = Prop.forAll(rows) { rs: List[(Int, String, Int)] =>
+      rs.nonEmpty ==> {
+        val dir = java.nio.file.Files.createTempDirectory("graft-tcp").toString
+        rs.zipWithIndex.map { case ((n, seg, bal), i) =>
+          (i.toLong + 1, s"c$i", n, bal * 1000.0 + 500.0, seg) }
+          .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+          .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+        val ts = graft.operators.Pii.tClosenessAudit(spark, dir)
+          .select($"t_emd").as[Double].collect()
+        ts.nonEmpty && ts.forall(t => t >= 0.0 && t <= 1.0)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("holtWinters: hand fold over a 14-day weekly-seasonal series") {
     val day = 86400000L
     val series = Seq(10.0, 12, 11, 13, 12, 14, 13, 20, 22, 21, 23, 22, 24, 23)
