@@ -3222,6 +3222,62 @@ object Events {
       |  ROUND(st[1] + st[2], 6) AS holt_forecast
       |FROM folded ORDER BY event_type""".stripMargin
 
+  /** q263 — event-stream compaction report: per event type, how many
+    * events are REDUNDANT REPEATS — same user, same type, same value,
+    * within `dedupMs` of the previous such event — the telemetry
+    * compaction every ingest pipeline runs (button-mash clicks,
+    * retry-looped errors, double-fired beacons), reported as kept vs
+    * dropped with the compaction ratio. q25's dedup is content
+    * identity across the corpus; this is TEMPORAL adjacency identity
+    * within a stream — different operator, different shuffle key.
+    *
+    * Determinism: "previous such event" is lag() over the
+    * (user, type, value)-partitioned (ts, event_id) order, so chains
+    * of rapid repeats keep their FIRST event and drop the rest
+    * (every repeat is within dedupMs of its predecessor — the
+    * standard compaction contract). Integer ms compare only.
+    *
+    * Scale: one shuffle on (user_id, event_type, value) — finer than
+    * q20's user key, so hot users spread across partitions; the
+    * report aggregate collapses to |types| rows map-side.
+    */
+  def streamCompaction(spark: SparkSession, dir: String,
+                       dedupMs: Long = 60000L): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+      .withColumn("dropped",
+        (col("prev_ts").isNotNull &&
+          col("ts_ms") - col("prev_ts") <= dedupMs).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dropped")).as("n_dropped"))
+      .select(col("event_type"), col("n_events"), col("n_dropped"),
+        (col("n_events") - col("n_dropped")).as("n_kept"),
+        round(col("n_dropped").cast("double") / col("n_events"), 6)
+          .as("drop_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  def streamCompactionSql(dedupMs: Long = 60000L): String =
+    s"""WITH flagged AS (
+       |  SELECT event_type,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NOT NULL
+       |      AND epoch_ms(ts) - lag(epoch_ms(ts)) OVER w <= $dedupMs
+       |      THEN 1 ELSE 0 END AS dropped
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id, event_type, value
+       |    ORDER BY epoch_ms(ts), event_id)
+       |)
+       |SELECT event_type,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+       |  CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_kept,
+       |  ROUND(CAST(SUM(dropped) AS DOUBLE) / COUNT(*), 6) AS drop_rate
+       |FROM flagged GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   /** q262 — engagement-segment migration matrix: purchase-frequency
     * terciles computed INDEPENDENTLY in the timeline's two halves
     * (the q124/q213 midpoint split, on time), crossed per user into a
