@@ -189,6 +189,19 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("q253/q254 stars broadcast every dimension — no sort-merge joins") {
+    Seq(
+      operators.Relational.localSupplierRevenue(spark, "/root/testdata/sf0.001"),
+      operators.Relational.nationFlows(spark, "/root/testdata/sf0.001")
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      val bj = "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(bj >= 4, s"expected >=4 broadcast joins, got $bj:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"dimension fell back to sort-merge:\n$plan")
+    }
+  }
+
   test("q234 factors the part-side disjunction below the broadcast join") {
     val out = operators.Relational.disjunctiveRevenue(spark, "/root/testdata/sf0.001")
     val plan = out.queryExecution.executedPlan.toString
