@@ -1346,8 +1346,13 @@ object Profile {
       .withColumn("cum_before", coalesce(sum(col("cnt")).over(
         Window.orderBy(col("value"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // tie term in DECIMAL(38,0): a fully-degenerate column at ~2e6+
+    // rows overflows cnt^3 in int64; decimal keeps the sum exact and
+    // only the final /(N(N-1)) division goes through double
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val globals = perVal.agg(sum(col("cnt")).as("n_total"),
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
+      sum(col("cnt").cast(dec38) * col("cnt") * col("cnt") - col("cnt"))
+        .as("tie_term"))
     val perType = perTypeVal.join(perVal, "value")
       .groupBy(col("event_type"))
       .agg(sum(col("c")).as("n1"),
@@ -1384,7 +1389,7 @@ object Profile {
       |  FROM per_type_val GROUP BY value
       |), globals AS (
       |  SELECT SUM(cnt) AS n_total,
-      |    SUM(cnt * cnt * cnt - cnt) AS tie_term
+      |    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_term
       |  FROM per_val
       |), per_type AS (
       |  SELECT t.event_type, SUM(t.c) AS n1,
