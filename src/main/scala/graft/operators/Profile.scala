@@ -1414,6 +1414,99 @@ object Profile {
       |FROM per_type, globals g
       |ORDER BY event_type""".stripMargin
 
+  /** q264 — one-way ANOVA of shipping lag across supplier nations:
+    * does WHERE a supplier sits explain ship-delay variance? The
+    * F statistic with its effect size η² — the continuous-outcome-by-
+    * categorical-factor test the suite's chi-square (q188, both
+    * categorical) and two-sample tests (q213 KS, q238 U) don't cover.
+    * One summary row: k groups, N, between/within sums of squares,
+    * F, and η² = SSB/SST.
+    *
+    * Exactness: lag is an exact integer day difference, so Σx and
+    * Σx² are exact BIGINTs; the between-group term Σ_g S_g²/n_g is
+    * the precision hazard (a per-group double round diverges between
+    * engines at 1e8 magnitudes — observed at sf0.1), so each group's
+    * term is the exact scaled-integer floor division
+    * (S_g² · 10⁶) div n_g in DECIMAL(38,0)/HUGEINT, summed exactly
+    * and divided by 10⁶ once — the q229/q107 scaled-integer
+    * discipline. The statistic is defined WITH that 1e-6-per-group
+    * floor (deterministic on both engines; bias ≤ k·1e-6); the
+    * remaining chain is identical double ops. NULLIF guards
+    * degenerate layouts.
+    *
+    * Scale: one fact scan with the supplier dim broadcast, one
+    * |nations|-sized aggregate, algebra on a k-row frame.
+    */
+  def anovaShipLag(spark: SparkSession, dir: String,
+                   lateDaysCap: Int = 3650): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val lags = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("lag_days",
+        expr("datediff(l_shipdate, o_orderdate)").cast("double"))
+      .filter(col("lag_days").between(0, lateDaysCap))
+    val byGroup = lags.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("lag_days").cast("long")).as("s_g"),
+        sum((col("lag_days") * col("lag_days")).cast("long")).as("ss_g"))
+    byGroup.agg(
+        count(lit(1)).as("k"),
+        sum(col("n_g")).as("n"),
+        sum(col("s_g")).cast("double").as("sx"),
+        sum(col("ss_g")).cast("double").as("sxx"),
+        (sum(expr(
+          "(CAST(s_g AS DECIMAL(38,0)) * s_g * 1000000) div n_g"))
+          .cast("double") / 1e6).as("sb"))
+      .select(col("k"), col("n"),
+        round(col("sb") - col("sx") * col("sx") / col("n"), 6).as("ss_between"),
+        round(col("sxx") - col("sb"), 6).as("ss_within"),
+        round(((col("sb") - col("sx") * col("sx") / col("n")) /
+          (col("k") - 1).cast("double")) /
+          nullif((col("sxx") - col("sb")) /
+            (col("n") - col("k")).cast("double"), lit(0.0)), 6).as("f_stat"),
+        round((col("sb") - col("sx") * col("sx") / col("n")) /
+          nullif(col("sxx") - col("sx") * col("sx") / col("n"), lit(0.0)), 6)
+          .as("eta_sq"))
+  }
+
+  def anovaShipLagSql(lateDaysCap: Int = 3650): String =
+    s"""WITH lags AS (
+       |  SELECT s.s_nationkey,
+       |    CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS DOUBLE)
+       |      AS lag_days
+       |  FROM lineitem l
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |), kept AS (
+       |  SELECT * FROM lags WHERE lag_days BETWEEN 0 AND $lateDaysCap
+       |), by_group AS (
+       |  SELECT s_nationkey, COUNT(*) AS n_g,
+       |    CAST(SUM(CAST(lag_days AS BIGINT)) AS BIGINT) AS s_g,
+       |    CAST(SUM(CAST(lag_days * lag_days AS BIGINT)) AS BIGINT) AS ss_g
+       |  FROM kept GROUP BY 1
+       |), agg AS (
+       |  SELECT COUNT(*) AS k, SUM(n_g) AS n,
+       |    CAST(SUM(s_g) AS DOUBLE) AS sx,
+       |    CAST(SUM(ss_g) AS DOUBLE) AS sxx,
+       |    CAST(SUM((CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g) AS DOUBLE)
+       |      / 1e6 AS sb
+       |  FROM by_group
+       |)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       |  ROUND(sb - sx * sx / n, 6) AS ss_between,
+       |  ROUND(sxx - sb, 6) AS ss_within,
+       |  ROUND(((sb - sx * sx / n) / CAST(k - 1 AS DOUBLE))
+       |    / NULLIF((sxx - sb) / CAST(n - k AS DOUBLE), 0.0), 6) AS f_stat,
+       |  ROUND((sb - sx * sx / n)
+       |    / NULLIF(sxx - sx * sx / n, 0.0), 6) AS eta_sq
+       |FROM agg""".stripMargin
+
   /** q256 — Spearman rank correlation per language between document
     * length and the composite quality score: "does the quality score
     * just measure length?" — the monotone-association audit Pearson

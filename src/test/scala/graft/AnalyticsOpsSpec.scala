@@ -1045,6 +1045,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("single", 1, 7.5, 0.0, 7.5)))
   }
 
+  test("anovaShipLag: two-group hand case (F = 8, eta^2 = 0.8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-anova").toString
+    val day = 86400000L
+    def ts(d: Long) = new java.sql.Timestamp(d * day)
+    // group nation 1: lags {1, 2}; nation 2: lags {3, 4}
+    Seq((10L, "s1", 1, 0.0), (20L, "s2", 2, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, 1L, "O", 1.0, ts(0), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L), (10L, 2L), (20L, 3L), (20L, 4L)).map { case (sk, lag) =>
+      (1L, 1L, sk, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts(lag))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Profile.anovaShipLag(spark, dir)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    // sx=10 N=4 sxx=30; sb = (9/2 + 49/2) = 29 (exact at the e6 scale);
+    // SSB = 29 - 25 = 4, SSW = 1, F = (4/1)/(1/2) = 8, eta² = 4/5
+    assert(out === Seq((2L, 4L, 4.0, 1.0, 8.0, 0.8)))
+  }
+
   test("mannWhitney invariants on random two-type data (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.Prop.propBoolean
