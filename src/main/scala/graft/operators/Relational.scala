@@ -1475,11 +1475,16 @@ object Relational {
     * the remaining rank-family window functions the suite had not yet
     * graded (q02/q52 use row_number, q42 manual rank quantiles).
     *
-    * Determinism: percent_rank and cume_dist are tie-invariant
-    * (equal balances share a value on both engines); ntile is NOT —
-    * it splits ties by row position — so its window orders by the
-    * fully-tiebroken (acctbal, custkey). Ratios are exact-integer
-    * quotients rounded once at 6dp.
+    * Determinism: every window orders by the fully-tiebroken
+    * (acctbal, custkey) (ntile splits ties by position), which makes
+    * ranks unique — so percent_rank ≡ (rn−1)/(np−1) and
+    * cume_dist ≡ rn/np, and BOTH are emitted through exact integer
+    * HALF_UP arithmetic ((2a·10⁶ + b) div 2b) instead of
+    * round(double, 6): a dyadic quotient like 16651/32005 →
+    * 0.5203125 sits ON a 6dp half-boundary where Spark's
+    * decimal-string round and DuckDB's binary round disagree — a
+    * real divergence caught by the sf0.1 sweep (round 9), impossible
+    * once the rounding itself is integer division.
     *
     * Scale: one shuffle on nation for all three windows (same
     * partitioning + ordering → a single Window operator, the q58
@@ -1491,19 +1496,35 @@ object Relational {
       .orderBy(col("c_acctbal"), col("c_custkey"))
     Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("c_nationkey"))))
+      .withColumn("pct_rank", when(col("np") === 1, lit(0.0)).otherwise(
+        expr("((rn - 1) * 2000000 + (np - 1)) div (2 * (np - 1))")
+          .cast("double") / 1e6))
+      .withColumn("cume",
+        expr("(rn * 2000000 + np) div (2 * np)").cast("double") / 1e6)
       .withColumn("quartile", ntile(4).over(w))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        col("pct_rank"), col("cume"), col("quartile"))
       .orderBy(col("c_nationkey"), col("c_custkey"))
   }
 
   val percentileScorecardSql: String =
-    """SELECT c_custkey, c_nationkey, c_acctbal,
-      |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
-      |  ROUND(cume_dist() OVER w, 6) AS cume,
-      |  CAST(ntile(4) OVER w AS INT) AS quartile
-      |FROM customer
-      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """WITH ranked AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_nationkey) AS np
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |)
+      |SELECT c_custkey, c_nationkey, c_acctbal,
+      |  CASE WHEN np = 1 THEN 0.0
+      |    ELSE CAST(((rn - 1) * 2000000 + (np - 1)) // (2 * (np - 1))
+      |      AS DOUBLE) / 1e6 END AS pct_rank,
+      |  CAST((rn * 2000000 + np) // (2 * np) AS DOUBLE) / 1e6 AS cume,
+      |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+      |    ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+      |FROM ranked
       |ORDER BY c_nationkey, c_custkey""".stripMargin
 
   /** q211 — small-quantity-order revenue per brand: lineitems whose
