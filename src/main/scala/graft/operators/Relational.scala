@@ -2548,4 +2548,211 @@ object Relational {
       |    / CAST(basket_size * n_orders AS DOUBLE), 6) AS avg_line_rev
       |FROM by_size, total t
       |ORDER BY basket_size""".stripMargin
+
+  /** q265 — product-line profit by supplier nation and order year (the
+    * TPC-H Q9 shape): for every part whose name carries a product
+    * token, profit = revenue − cost, attributed to the SUPPLIER's
+    * nation and the ORDER's year. The classic five-way snowflake where
+    * the part filter must reach the scan (it prunes ~3/4 of the fact
+    * after the broadcast probe) and three dims broadcast while the
+    * orders arm joins on the fact's own key. This corpus has no
+    * partsupp table, so cost is the standing proxy
+    * 0.6 · p_retailprice · l_quantity (same shape: a part-side unit
+    * cost times the line quantity).
+    *
+    * Exactness: revenue and cost are each 6dp-rounded per line and
+    * cast DECIMAL(28,6); the difference and the group sums are exact
+    * decimal arithmetic, one final double cast (q189 discipline —
+    * identical left-assoc double chains feed the rounds on both
+    * engines). Scale: one fact scan; part/supplier/nation broadcast;
+    * the orders join shuffles on l_orderkey only; final aggregate is
+    * |nations|·|years| groups, map-side combinable.
+    */
+  def productProfit(spark: SparkSession, dir: String,
+                    nameToken: String = "bolt"): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_name").contains(nameToken))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nation = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("profit",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast(dec) -
+        round(lit(0.6) * col("p_retailprice") * col("l_quantity"), 6)
+          .cast(dec))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("profit")).cast("double"), 6).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  def productProfitSql(nameToken: String = "bolt"): String =
+    s"""SELECT n.n_name AS nation,
+       |  CAST(year(o.o_orderdate) AS INT) AS o_year,
+       |  COUNT(*) AS n_lines,
+       |  ROUND(CAST(SUM(
+       |    CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 6)
+       |      AS DECIMAL(28,6))
+       |    - CAST(ROUND(0.6 * p.p_retailprice * l.l_quantity, 6)
+       |      AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_profit
+       |FROM lineitem l
+       |JOIN part p ON p.p_partkey = l.l_partkey
+       |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |JOIN nation n ON n.n_nationkey = s.s_nationkey
+       |JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |WHERE p.p_name LIKE '%$nameToken%'
+       |GROUP BY n.n_name, year(o.o_orderdate)
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q266 — important supplier-part positions (the TPC-H Q11 shape):
+    * per (supplier, part) pair observed in the fact, its total
+    * revenue, kept only when the pair's value exceeds a FRACTION of
+    * the global total — Q11's correlated HAVING over a global scalar
+    * subquery, decorrelated into a 1-row aggregate broadcast against
+    * the pair-level aggregate (the q212/q218 discipline: the global
+    * threshold rides a cross join of a 1-row frame, never a rescan).
+    *
+    * Exactness: the threshold test is EXACT RATIONAL — the fraction
+    * 1/denom is applied as `value · denom > total` in DECIMAL
+    * arithmetic, so no double boundary exists at all (a pair sitting
+    * exactly on the threshold is excluded identically on both
+    * engines). Scale: one fact scan, one (supp, part)-keyed shuffle
+    * (the dominant cost, unavoidable — it IS the output grain), a
+    * 1-row broadcast; no second scan for the total (rollup of the
+    * pair aggregate).
+    */
+  def importantPositions(spark: SparkSession, dir: String,
+                         denom: Long = 20000L): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val pairs = Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast(dec).as("rev"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("rev")).as("value"))
+    val total = pairs.agg(sum(col("value")).as("total"))
+    pairs.crossJoin(broadcast(total))
+      .filter(col("value") * lit(denom) > col("total"))
+      .select(col("l_suppkey"), col("l_partkey"),
+        round(col("value").cast("double"), 6).as("value"))
+      .orderBy(col("value").desc, col("l_suppkey"), col("l_partkey"))
+  }
+
+  def importantPositionsSql(denom: Long = 20000L): String =
+    s"""WITH pairs AS (
+       |  SELECT l_suppkey, l_partkey,
+       |    SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+       |      AS DECIMAL(28,6))) AS value
+       |  FROM lineitem GROUP BY 1, 2
+       |), total AS (SELECT SUM(value) AS total FROM pairs)
+       |SELECT l_suppkey, l_partkey,
+       |  ROUND(CAST(value AS DOUBLE), 6) AS value
+       |FROM pairs, total
+       |WHERE value * $denom > total
+       |ORDER BY value DESC, l_suppkey, l_partkey""".stripMargin
+
+  /** q267 — shipping-speed / order-priority matrix (the TPC-H Q12
+    * shape): lines bucketed by ship lag (fast ≤ the cutoff vs slow),
+    * with conditional counts of critical-priority (1-URGENT/2-HIGH)
+    * versus other orders per bucket — Q12's CASE-inside-SUM
+    * conditional aggregation, which the planner should fold into ONE
+    * pass over the joined fact (no per-priority re-scan). The join
+    * carries only (orderkey → priority), so the orders arm projects
+    * two columns.
+    *
+    * Exactness: all counts are exact integers; the critical share is
+    * one 6dp-rounded double quotient. Scale: one fact scan, one
+    * orderkey shuffle join, a 2-row aggregate.
+    */
+  def shipModePriority(spark: SparkSession, dir: String,
+                       fastDays: Int = 30): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("speed_bucket",
+        when(expr("datediff(l_shipdate, o_orderdate)") <= fastDays,
+          lit("FAST")).otherwise(lit("SLOW")))
+      .groupBy(col("speed_bucket"))
+      .agg(
+        sum(when(critical, 1L).otherwise(0L)).as("critical_lines"),
+        sum(when(critical, 0L).otherwise(1L)).as("other_lines"))
+      .select(col("speed_bucket"), col("critical_lines"), col("other_lines"),
+        round(col("critical_lines").cast("double") /
+          (col("critical_lines") + col("other_lines")), 6)
+          .as("critical_share"))
+      .orderBy(col("speed_bucket"))
+  }
+
+  def shipModePrioritySql(fastDays: Int = 30): String =
+    s"""WITH joined AS (
+       |  SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate)
+       |      <= $fastDays THEN 'FAST' ELSE 'SLOW' END AS speed_bucket,
+       |    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |      THEN 1 ELSE 0 END AS crit
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |)
+       |SELECT speed_bucket,
+       |  CAST(SUM(crit) AS BIGINT) AS critical_lines,
+       |  CAST(SUM(1 - crit) AS BIGINT) AS other_lines,
+       |  ROUND(CAST(SUM(crit) AS DOUBLE) / COUNT(*), 6) AS critical_share
+       |FROM joined GROUP BY speed_bucket
+       |ORDER BY speed_bucket""".stripMargin
+
+  /** q268 — customer order-count distribution (the TPC-H Q13 shape):
+    * how many customers placed exactly k qualifying orders, INCLUDING
+    * the zero bucket — the left-outer-join-then-double-aggregate
+    * pattern whose whole point is that an inner join would silently
+    * drop never-ordered customers. The order-side filter (priority
+    * not left unspecified — Q13's `comment NOT LIKE '%special%
+    * requests%'` analog) lives in the JOIN CONDITION, not a WHERE,
+    * because a post-join WHERE on an outer join would turn it inner.
+    *
+    * Exactness: pure integer counts end-to-end. Scale: the first
+    * aggregate shuffles on c_custkey (customer-grain — the big one);
+    * the second is |distinct k| groups, map-side combinable. At 100 TB
+    * the orders→customer join is a shuffle join on custkey and the
+    * left-outer preserves customer partitioning into the first agg.
+    */
+  def custOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer").select(col("c_custkey"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    cust.join(orders,
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "4-NOT SPECIFIED",
+        "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val custOrderDistributionSql: String =
+    """WITH per_cust AS (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c.c_custkey
+      |)
+      |SELECT CAST(c_count AS BIGINT) AS c_count,
+      |  COUNT(*) AS custdist
+      |FROM per_cust GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
 }
