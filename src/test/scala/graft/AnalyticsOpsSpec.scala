@@ -1280,6 +1280,90 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("N2", "N1", 1996, 1L, 100.0)))
   }
 
+  test("productProfit: filtered part drops its line; profit = rev - 0.6*retail*qty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q9").toString
+    val ts = new java.sql.Timestamp(java.sql.Timestamp.valueOf("1996-03-01 00:00:00").getTime)
+    Seq((1, "N1", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((10L, "s1", 1, 0.0)).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, "red bolt", "B1", "STANDARD", 1, 10.0),
+        (2L, "blue widget", "B1", "STANDARD", 1, 5.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((100L, 1L, "O", 1.0, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // bolt line: rev 100, cost 0.6*10*2 = 12 -> profit 88; widget line filtered
+    Seq((100L, 1L, 2.0, 100.0), (100L, 2L, 1.0, 999.0))
+      .map { case (ok, pk, qty, price) =>
+        (ok, pk, 10L, 1, qty, price, 0.0, 0.0, "N", "O", ts) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Relational.productProfit(spark, dir)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(out === Seq(("N1", 1996, 1L, 88.0)))
+  }
+
+  test("importantPositions: exact rational threshold excludes the boundary pair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q11").toString
+    val ts = new java.sql.Timestamp(0L)
+    // pairs: (1,1)=100, (2,2)=100, (3,3)=50; total=250, denom=5 keeps
+    // value*5 > 250 -> the exactly-on-threshold pair (50*5 = 250) is OUT
+    Seq((10L, 1L, 100.0), (20L, 2L, 100.0), (30L, 3L, 50.0))
+      .map { case (sk, pk, price) =>
+        (1L, pk, sk, 1, 1.0, price, 0.0, 0.0, "N", "O", ts) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Relational.importantPositions(spark, dir, denom = 5L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((10L, 1L, 100.0), (20L, 2L, 100.0)))
+  }
+
+  test("shipModePriority: CASE-fold buckets split critical vs other in one pass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q12").toString
+    val d0 = new java.sql.Timestamp(java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime)
+    def plus(days: Int) = new java.sql.Timestamp(d0.getTime + days * 86400000L)
+    Seq((1L, 1L, "O", 1.0, d0, "1-URGENT"), (2L, 1L, "O", 1.0, d0, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 10), (1L, 40), (2L, 5))
+      .map { case (ok, lag) =>
+        (ok, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", plus(lag)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Relational.shipModePriority(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("FAST", 1L, 1L, 0.5), ("SLOW", 1L, 0L, 1.0)))
+  }
+
+  test("custOrderDistribution: zero-order customers survive; join-condition filter stays outer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q13").toString
+    val ts = new java.sql.Timestamp(0L)
+    Seq((1L, "c1", 1, 0.0, "B"), (2L, "c2", 1, 0.0, "B"), (3L, "c3", 1, 0.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // c1: 2 qualifying + 1 unspecified (filtered IN the join condition);
+    // c2: 1 qualifying; c3: none -> the zero bucket must exist
+    Seq((11L, 1L, "1-URGENT"), (12L, 1L, "5-LOW"), (13L, 1L, "4-NOT SPECIFIED"),
+        (21L, 2L, "2-HIGH"))
+      .map { case (ok, ck, pr) => (ok, ck, "O", 1.0, ts, pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Relational.custOrderDistribution(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 1L), (1L, 1L), (0L, 1L)))
+  }
+
   test("woeIv: zero-class buckets yield NULL WOE; balanced bucket scores 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft-woe").toString
     val ts0 = new java.sql.Timestamp(0L)
