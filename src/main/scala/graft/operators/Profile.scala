@@ -1679,4 +1679,125 @@ object Profile {
       |  ROUND(SUM(iv_term) OVER (PARTITION BY feature), 6) AS iv_total
       |FROM scored
       |ORDER BY feature, bucket""".stripMargin
+
+  /** q269 — Kruskal–Wallis H across order priorities: does priority
+    * class shift the ship-lag DISTRIBUTION? The k-group rank-based
+    * completion of the two-sample tests (q238 Mann–Whitney is k=2;
+    * q264 ANOVA assumes the mean is the story) — the distribution-free
+    * omnibus test a skewed lag metric actually wants. One summary row:
+    * k, N, tie-corrected H, and ε² = (H − k + 1)/(N − k) effect size.
+    *
+    * Exactness: ranks are never materialized per row — midranks are
+    * reconstructed from per-value cumulative counts (the q238
+    * discipline), so each group's doubled rank-sum 2R_g is an exact
+    * BIGINT. The hazard term Σ R_g²/n_g becomes the exact
+    * scaled-integer floor division Σ ((2R_g)²·10⁶) div (4n_g) in
+    * DECIMAL(38,0)/HUGEINT (the q264 argument: deterministic on both
+    * engines, bias ≤ k·1e-6 absorbed into the statistic's
+    * definition); the tie term Σ(t³−t) rides the same exact path as
+    * q238. The remaining chain is an identical double expression.
+    *
+    * Scale: two value-grain aggregates (lag has ~thousands of
+    * distinct days) and a k-row reduction — no global sort, no
+    * per-row rank shuffle; the fact scan is the only big read.
+    */
+  def kruskalWallis(spark: SparkSession, dir: String,
+                    lateDaysCap: Int = 3650): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val lags = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("grp"),
+        expr("datediff(l_shipdate, o_orderdate)").as("lag"))
+      .filter(col("lag").between(0, lateDaysCap))
+    val perGrpVal = lags.groupBy(col("grp"), col("lag"))
+      .agg(count(lit(1)).as("c"))
+    val perVal = perGrpVal.groupBy(col("lag"))
+      .agg(sum(col("c")).as("cnt"))
+      .withColumn("cum_before", coalesce(
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("lag")).rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val perGrp = perGrpVal.join(perVal, Seq("lag"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_g"),
+        // doubled rank-sum: Sum c * (2*cum_before + cnt + 1), exact
+        sum(col("c") * (lit(2) * col("cum_before") + col("cnt") + 1))
+          .as("r2_g"))
+    val ties = perVal.agg(
+      sum(col("cnt")).as("n_total"),
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tie_term"))
+    perGrp.agg(
+        count(lit(1)).as("k"),
+        // Sum R_g^2/n_g = Sum (2R_g)^2/(4 n_g), floored at 1e-6 grain
+        (sum(expr(
+          "(CAST(r2_g AS DECIMAL(38,0)) * r2_g * 1000000) div (4 * n_g)"))
+          .cast("double") / 1e6).as("sb"))
+      .crossJoin(broadcast(ties))
+      .select(col("k").cast("int").as("k"),
+        col("n_total").cast("long").as("n"),
+        round(
+          (lit(12.0) * col("sb") /
+            (col("n_total").cast("double") * (col("n_total") + 1)) -
+            lit(3.0) * (col("n_total") + 1)) /
+          nullif(lit(1.0) - col("tie_term").cast("double") /
+            (col("n_total").cast("double") * col("n_total") * col("n_total")
+              - col("n_total")), lit(0.0)), 6).as("h_stat"),
+        round(
+          ((lit(12.0) * col("sb") /
+            (col("n_total").cast("double") * (col("n_total") + 1)) -
+            lit(3.0) * (col("n_total") + 1)) /
+          nullif(lit(1.0) - col("tie_term").cast("double") /
+            (col("n_total").cast("double") * col("n_total") * col("n_total")
+              - col("n_total")), lit(0.0))
+            - col("k") + 1) /
+          nullif((col("n_total") - col("k")).cast("double"), lit(0.0)), 6)
+          .as("epsilon_sq"))
+  }
+
+  def kruskalWallisSql(lateDaysCap: Int = 3650): String =
+    s"""WITH lags AS (
+       |  SELECT o.o_orderpriority AS grp,
+       |    datediff('day', o.o_orderdate, l.l_shipdate) AS lag
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  WHERE datediff('day', o.o_orderdate, l.l_shipdate)
+       |    BETWEEN 0 AND $lateDaysCap
+       |), per_grp_val AS (
+       |  SELECT grp, lag, COUNT(*) AS c FROM lags GROUP BY 1, 2
+       |), per_val AS (
+       |  SELECT lag, SUM(c) AS cnt,
+       |    COALESCE(SUM(SUM(c)) OVER (ORDER BY lag
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before
+       |  FROM per_grp_val GROUP BY lag
+       |), per_grp AS (
+       |  SELECT g.grp, SUM(g.c) AS n_g,
+       |    SUM(g.c * (2 * v.cum_before + v.cnt + 1)) AS r2_g
+       |  FROM per_grp_val g JOIN per_val v ON g.lag = v.lag
+       |  GROUP BY g.grp
+       |), ties AS (
+       |  SELECT SUM(cnt) AS n_total,
+       |    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_term
+       |  FROM per_val
+       |), agg AS (
+       |  SELECT COUNT(*) AS k,
+       |    CAST(SUM((CAST(r2_g AS HUGEINT) * r2_g * 1000000) // (4 * n_g))
+       |      AS DOUBLE) / 1e6 AS sb
+       |  FROM per_grp
+       |)
+       |SELECT CAST(k AS INT) AS k, CAST(t.n_total AS BIGINT) AS n,
+       |  ROUND(
+       |    (12.0 * sb / (CAST(t.n_total AS DOUBLE) * (t.n_total + 1))
+       |      - 3.0 * (t.n_total + 1))
+       |    / NULLIF(1.0 - CAST(t.tie_term AS DOUBLE)
+       |      / (CAST(t.n_total AS DOUBLE) * t.n_total * t.n_total
+       |        - t.n_total), 0.0), 6) AS h_stat,
+       |  ROUND(
+       |    ((12.0 * sb / (CAST(t.n_total AS DOUBLE) * (t.n_total + 1))
+       |      - 3.0 * (t.n_total + 1))
+       |    / NULLIF(1.0 - CAST(t.tie_term AS DOUBLE)
+       |      / (CAST(t.n_total AS DOUBLE) * t.n_total * t.n_total
+       |        - t.n_total), 0.0) - k + 1)
+       |    / NULLIF(CAST(t.n_total - k AS DOUBLE), 0.0), 6) AS epsilon_sq
+       |FROM agg, ties t""".stripMargin
 }
