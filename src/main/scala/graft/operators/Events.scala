@@ -3737,4 +3737,101 @@ object Events {
       |FROM ranked GROUP BY entry_type
       |ORDER BY entry_type""".stripMargin
   }
+
+  /** q271 — Friedman test of event-type volume consistency across
+    * days: blocks = days, treatments = event types; within each day
+    * the k types are ranked by volume, and the test asks whether the
+    * rank ORDER is stable day over day ("views always outrank
+    * purchases") or shuffles freely. The repeated-measures complement
+    * of q269's one-way Kruskal–Wallis — the blocked design removes
+    * the day-level volume trend the KW pooling would smear in. Also
+    * emits Kendall's W = χ²/(n(k−1)), the 0..1 concordance readout.
+    *
+    * Exactness: FULLY exact, no per-step rounding at all — within-day
+    * midranks are kept DOUBLED (2r = 2·rank + ties − 1, the q238
+    * convention), and with doubled ranks the tie-corrected statistic
+    * collapses to a pure integer ratio:
+    * χ² = (k−1)·Σ_j(R′_j − n(k+1))² / (A′ − nk(k+1)²), where R′_j is
+    * the doubled rank sum and A′ = ΣΣ(2r)² — both exact BIGINTs. One
+    * double division, rounded 6dp. The day×type grid is DENSIFIED
+    * (zero-volume cells rank lowest) so every block has all k
+    * treatments.
+    *
+    * Scale: one (type, day) aggregate, a |days|-partitioned rank
+    * window over the k·|days| grid, then catalog-sized algebra.
+    */
+  def friedmanTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val types = daily.select(col("event_type")).distinct()
+    val days = daily.select(col("day")).distinct()
+    val dense = types.crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val wRank = Window.partitionBy(col("day")).orderBy(col("cnt"))
+    val wTies = Window.partitionBy(col("day"), col("cnt"))
+    val ranked = dense.withColumn("dr",
+      (lit(2) * rank().over(wRank) + count(lit(1)).over(wTies) - 1)
+        .cast("long"))
+    val perType = ranked.groupBy(col("event_type"))
+      .agg(sum(col("dr")).as("r2"), sum(col("dr") * col("dr")).as("a2"),
+        count(lit(1)).as("nd"))
+    val globals = perType.agg(count(lit(1)).as("k"), max(col("nd")).as("n"),
+      sum(col("a2")).as("a_all"))
+    perType.crossJoin(broadcast(globals))
+      .agg(max(col("k")).cast("int").as("k"),
+        max(col("n")).cast("long").as("n_days"),
+        round((max(col("k")) - 1).cast("double") *
+          sum((col("r2") - col("n") * (col("k") + 1)) *
+            (col("r2") - col("n") * (col("k") + 1))).cast("double") /
+          nullif((max(col("a_all")) - max(col("n")) * max(col("k")) *
+            (max(col("k")) + 1) * (max(col("k")) + 1)).cast("double"),
+            lit(0.0)), 6).as("chi2_f"),
+        round(((max(col("k")) - 1).cast("double") *
+          sum((col("r2") - col("n") * (col("k") + 1)) *
+            (col("r2") - col("n") * (col("k") + 1))).cast("double") /
+          nullif((max(col("a_all")) - max(col("n")) * max(col("k")) *
+            (max(col("k")) + 1) * (max(col("k")) + 1)).cast("double"),
+            lit(0.0))) /
+          (max(col("n")) * (max(col("k")) - 1)).cast("double"), 6)
+          .as("kendall_w"))
+  }
+
+  val friedmanTestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), dense AS (
+      |  SELECT t.event_type, d.day, COALESCE(x.cnt, 0) AS cnt
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN (SELECT DISTINCT day FROM daily) d
+      |  LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+      |), ranked AS (
+      |  SELECT event_type,
+      |    2 * RANK() OVER (PARTITION BY day ORDER BY cnt)
+      |      + COUNT(*) OVER (PARTITION BY day, cnt) - 1 AS dr
+      |  FROM dense
+      |), per_type AS (
+      |  SELECT event_type, SUM(dr) AS r2, SUM(dr * dr) AS a2,
+      |    COUNT(*) AS nd
+      |  FROM ranked GROUP BY event_type
+      |), globals AS (
+      |  SELECT COUNT(*) AS k, MAX(nd) AS n, SUM(a2) AS a_all FROM per_type
+      |)
+      |SELECT CAST(MAX(g.k) AS INT) AS k,
+      |  CAST(MAX(g.n) AS BIGINT) AS n_days,
+      |  ROUND(CAST(MAX(g.k) - 1 AS DOUBLE)
+      |      * CAST(SUM((r2 - g.n * (g.k + 1)) * (r2 - g.n * (g.k + 1)))
+      |        AS DOUBLE)
+      |    / NULLIF(CAST(MAX(g.a_all) - MAX(g.n) * MAX(g.k) * (MAX(g.k) + 1)
+      |        * (MAX(g.k) + 1) AS DOUBLE), 0.0), 6) AS chi2_f,
+      |  ROUND((CAST(MAX(g.k) - 1 AS DOUBLE)
+      |      * CAST(SUM((r2 - g.n * (g.k + 1)) * (r2 - g.n * (g.k + 1)))
+      |        AS DOUBLE)
+      |    / NULLIF(CAST(MAX(g.a_all) - MAX(g.n) * MAX(g.k) * (MAX(g.k) + 1)
+      |        * (MAX(g.k) + 1) AS DOUBLE), 0.0))
+      |    / CAST(MAX(g.n) * (MAX(g.k) - 1) AS DOUBLE), 6) AS kendall_w
+      |FROM per_type, globals g""".stripMargin
 }

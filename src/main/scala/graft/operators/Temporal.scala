@@ -552,4 +552,115 @@ object Temporal {
       |WINDOW w AS (PARTITION BY g.user_id ORDER BY g.day
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY g.user_id, g.day""".stripMargin
+
+  /** q270 — log-rank test between two customer segments' survival
+    * curves: q151 draws the Kaplan–Meier curve; this answers "are the
+    * two segments' churn processes actually DIFFERENT?" — the standard
+    * censoring-aware two-sample test (a t-test on lifetimes is wrong
+    * under right-censoring; this is the instrument survival analysis
+    * uses instead). At every event time: observed group-A deaths d1
+    * vs the hypergeometric expectation n1·d/n and variance
+    * d·n1(n−n1)(n−d)/(n²(n−1)); χ² = (ΣO−ΣE)²/ΣV on one output row.
+    *
+    * Exactness: per-step E and V terms are 6dp-rounded into
+    * DECIMAL(18,6) accumulators (the q151/q56 aggregate-stable
+    * convention — the statistic is defined WITH the 6dp step grain,
+    * identical on both engines; each term is one deterministic
+    * left-associated double chain from exact integer risk counts).
+    * Scale: one orders scan, a custkey aggregate, then windows over
+    * the |distinct durations| step table — curve math is
+    * catalog-sized, like q151.
+    */
+  def logRank(spark: SparkSession, dir: String,
+              segA: String = "AUTOMOBILE", segB: String = "BUILDING",
+              censorDays: Int = 90): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dayOf = (c: String) =>
+      s"(unix_micros(cast($c as timestamp)) - pmod(unix_micros(cast($c as timestamp)), 86400000000)) div 86400000000"
+    val seg = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val d = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), expr(dayOf("o_orderdate")).as("day"))
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+    val asof = d.agg(max(col("day")).as("asof_day"))
+    val subj = d.groupBy(col("o_custkey"), col("seg"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .crossJoin(broadcast(asof))
+      .select(col("seg"), (col("d1") - col("d0")).as("dur"),
+        when(col("d1") <= col("asof_day") - censorDays, 1L).otherwise(0L)
+          .as("ev"))
+    val steps = subj.groupBy(col("dur"))
+      .agg(sum(when(col("seg") === segA, col("ev")).otherwise(0L)).as("d1"),
+        sum(col("ev")).as("d_all"),
+        sum(when(col("seg") === segA, 1L).otherwise(0L)).as("m1"),
+        count(lit(1)).as("m_all"))
+    val wDesc = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val terms = steps
+      .withColumn("n1", sum(col("m1")).over(wDesc))
+      .withColumn("n_all", sum(col("m_all")).over(wDesc))
+      .filter(col("d_all") > 0)
+      .select(col("d1"),
+        round(col("n1").cast("double") * col("d_all") / col("n_all"), 6)
+          .cast(dec).as("e1"),
+        when(col("n_all") > 1,
+          round(col("d_all").cast("double") * col("n1") *
+            (col("n_all") - col("n1")) * (col("n_all") - col("d_all")) /
+            (col("n_all").cast("double") * col("n_all") * (col("n_all") - 1)),
+            6).cast(dec))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(dec)).as("v1"))
+    terms.agg(sum(col("d1")).cast("long").as("o1"),
+        round(sum(col("e1")).cast("double"), 6).as("e1"),
+        round(sum(col("v1")).cast("double"), 6).as("var1"),
+        round((sum(col("d1")) - sum(col("e1")).cast("double")) *
+          (sum(col("d1")) - sum(col("e1")).cast("double")) /
+          nullif(sum(col("v1")).cast("double"), lit(0.0)), 6).as("chi2"))
+  }
+
+  def logRankSql(segA: String = "AUTOMOBILE", segB: String = "BUILDING",
+                 censorDays: Int = 90): String =
+    s"""WITH d AS (
+       |  SELECT o.o_custkey, c.c_mktsegment AS seg,
+       |    epoch_ms(o.o_orderdate) // 86400000 AS day
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |  WHERE c.c_mktsegment IN ('$segA', '$segB')
+       |), ad AS (SELECT MAX(day) AS asof_day FROM d
+       |), subj AS (
+       |  SELECT seg, MAX(day) - MIN(day) AS dur,
+       |    CASE WHEN MAX(day) <= (SELECT asof_day FROM ad) - $censorDays
+       |      THEN 1 ELSE 0 END AS ev
+       |  FROM d GROUP BY o_custkey, seg
+       |), steps AS (
+       |  SELECT dur,
+       |    SUM(CASE WHEN seg = '$segA' THEN ev ELSE 0 END) AS d1,
+       |    SUM(ev) AS d_all,
+       |    SUM(CASE WHEN seg = '$segA' THEN 1 ELSE 0 END) AS m1,
+       |    COUNT(*) AS m_all
+       |  FROM subj GROUP BY dur
+       |), risk AS (
+       |  SELECT dur, d1, d_all,
+       |    SUM(m1) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS n1,
+       |    SUM(m_all) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS n_all
+       |  FROM steps
+       |), terms AS (
+       |  SELECT d1,
+       |    CAST(ROUND(CAST(n1 AS DOUBLE) * d_all / n_all, 6)
+       |      AS DECIMAL(18,6)) AS e1,
+       |    CASE WHEN n_all > 1 THEN CAST(ROUND(
+       |      CAST(d_all AS DOUBLE) * n1 * (n_all - n1) * (n_all - d_all)
+       |        / (CAST(n_all AS DOUBLE) * n_all * (n_all - 1)), 6)
+       |      AS DECIMAL(18,6))
+       |      ELSE CAST(0 AS DECIMAL(18,6)) END AS v1
+       |  FROM risk WHERE d_all > 0
+       |)
+       |SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+       |  ROUND(CAST(SUM(e1) AS DOUBLE), 6) AS e1,
+       |  ROUND(CAST(SUM(v1) AS DOUBLE), 6) AS var1,
+       |  ROUND((SUM(d1) - CAST(SUM(e1) AS DOUBLE))
+       |      * (SUM(d1) - CAST(SUM(e1) AS DOUBLE))
+       |    / NULLIF(CAST(SUM(v1) AS DOUBLE), 0.0), 6) AS chi2
+       |FROM terms""".stripMargin
 }

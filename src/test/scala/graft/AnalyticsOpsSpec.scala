@@ -1387,6 +1387,46 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out === Seq((2, 4L, 2.4, 0.7)))
   }
 
+  test("logRank: hand curve — early-churn segment vs censored segment") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lr").toString
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    Seq((1L, "a1", 1, 0.0, "AUTOMOBILE"), (2L, "a2", 1, 0.0, "AUTOMOBILE"),
+        (3L, "b1", 1, 0.0, "BUILDING"), (4L, "b2", 1, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // asof = day 200. A1 dur 10 (event), A2 dur 0 (event);
+    // B1 dur 200 (censored: last = asof), B2 dur 150 (censored: 150 > 110)
+    Seq((1L, 0), (2L, 10), (3L, 0), (4L, 0),
+        (5L, 0), (6L, 200), (7L, 0), (8L, 150))
+      .zip(Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L))
+      .map { case ((ok, day), ck) => (ok, ck, "O", 1.0, ts(day), "5-LOW") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Temporal.logRank(spark, dir)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    // t=0: d1=1, e=2*1/4=0.5, v=0.25; t=10: d1=1, e=1/3, v=4/18
+    assert(out === Seq((2L, 0.833333, 0.472222, 2.882356)))
+  }
+
+  test("friedmanTest: perfect day-over-day concordance gives W = 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fr").toString
+    def t(day: Int, i: Int) = new java.sql.Timestamp(day * 86400000L + i * 1000L)
+    // 3 days; type X has 2 events/day, type Y has 1 -> X always outranks Y
+    val rows = for {
+      day <- 0 to 2
+      (tp, n) <- Seq(("view", 2), ("click", 1))
+      i <- 1 to n
+    } yield ((day * 10 + i).toLong * (if (tp == "view") 1 else 100),
+      t(day, i), 1L, tp, 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.friedmanTest(spark, dir)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    // R'_click=6, R'_view=12, n=3, k=2: chi2 = 1*18/(60-54) = 3, W = 1
+    assert(out === Seq((2, 3L, 3.0, 1.0)))
+  }
+
   test("woeIv: zero-class buckets yield NULL WOE; balanced bucket scores 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft-woe").toString
     val ts0 = new java.sql.Timestamp(0L)
