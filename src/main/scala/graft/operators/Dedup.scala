@@ -2082,4 +2082,92 @@ object Dedup {
       |FROM ex e JOIN cc ON cc.doc_id = e.doc_id
       |GROUP BY e.source
       |ORDER BY e.source""".stripMargin
+
+  /** q272 — chance-corrected agreement between the two LSH dup
+    * detectors: per DOCUMENT, does MinHash-LSH (q27) flag it as
+    * near-dup, and does SimHash (q28)? q141 measures pair-recall of
+    * one family against exact ground truth; this asks the different
+    * operational question — "if I swap detector families, which
+    * documents change verdict?" — via the 2×2 doc-level contingency,
+    * Cohen's κ (raw agreement can look high just because most docs
+    * are clean; κ subtracts the chance floor), and McNemar's χ² on
+    * the disagreeing cells (is the b/c asymmetry real, i.e. is one
+    * family systematically laxer?).
+    *
+    * Exactness: flags are set-membership from two already-graded pair
+    * lists; a/b/c/d are exact counts, and both statistics are single
+    * double expressions over integer products (κ's numerator
+    * N(a+d) − [(a+b)(a+c)+(c+d)(b+d)] stays < 2⁶³ to ~10⁹ docs).
+    * Scale: two candidate-bounded pair lists, two doc-keyed
+    * semi-joins, one 4-cell aggregate.
+    */
+  def detectorAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    def flagged(pairs: DataFrame): DataFrame = pairs
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val mh = flagged(minhashLshPairs(spark, dir)).withColumn("mh", lit(1L))
+    val sh = flagged(simhashPairs(spark, dir)).withColumn("sh", lit(1L))
+    val cells = docs
+      .join(mh, Seq("doc_id"), "left").join(sh, Seq("doc_id"), "left")
+      .select(coalesce(col("mh"), lit(0L)).as("mh"),
+        coalesce(col("sh"), lit(0L)).as("sh"))
+      .agg(
+        sum(col("mh") * col("sh")).as("a"),
+        sum(col("mh") * (lit(1L) - col("sh"))).as("b"),
+        sum((lit(1L) - col("mh")) * col("sh")).as("c"),
+        sum((lit(1L) - col("mh")) * (lit(1L) - col("sh"))).as("d"))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      round(
+        ((col("a") + col("b") + col("c") + col("d")) * (col("a") + col("d")) -
+          ((col("a") + col("b")) * (col("a") + col("c")) +
+           (col("c") + col("d")) * (col("b") + col("d")))).cast("double") /
+        nullif(((col("a") + col("b") + col("c") + col("d")) *
+          (col("a") + col("b") + col("c") + col("d")) -
+          ((col("a") + col("b")) * (col("a") + col("c")) +
+           (col("c") + col("d")) * (col("b") + col("d")))).cast("double"),
+          lit(0.0)), 6).as("kappa"),
+      round(((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+        nullif((col("b") + col("c")).cast("double"), lit(0.0)), 6)
+        .as("mcnemar_chi2"))
+  }
+
+  val detectorAgreementSql: String =
+    s"""WITH mh_pairs AS (
+       |  $minhashLshPairsSql
+       |), sh_pairs AS (
+       |  $simhashPairsSql
+       |), mh AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM mh_pairs
+       |    UNION ALL SELECT doc_b FROM mh_pairs)
+       |), sh AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM sh_pairs
+       |    UNION ALL SELECT doc_b FROM sh_pairs)
+       |), cells AS (
+       |  SELECT
+       |    SUM(CASE WHEN m.doc_id IS NOT NULL AND s.doc_id IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS a,
+       |    SUM(CASE WHEN m.doc_id IS NOT NULL AND s.doc_id IS NULL
+       |      THEN 1 ELSE 0 END) AS b,
+       |    SUM(CASE WHEN m.doc_id IS NULL AND s.doc_id IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS c,
+       |    SUM(CASE WHEN m.doc_id IS NULL AND s.doc_id IS NULL
+       |      THEN 1 ELSE 0 END) AS d
+       |  FROM documents doc
+       |  LEFT JOIN mh m ON m.doc_id = doc.doc_id
+       |  LEFT JOIN sh s ON s.doc_id = doc.doc_id
+       |)
+       |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+       |  ROUND(CAST((a + b + c + d) * (a + d)
+       |      - ((a + b) * (a + c) + (c + d) * (b + d)) AS DOUBLE)
+       |    / NULLIF(CAST((a + b + c + d) * (a + b + c + d)
+       |      - ((a + b) * (a + c) + (c + d) * (b + d)) AS DOUBLE), 0.0), 6)
+       |    AS kappa,
+       |  ROUND(CAST((b - c) * (b - c) AS DOUBLE)
+       |    / NULLIF(CAST(b + c AS DOUBLE), 0.0), 6) AS mcnemar_chi2
+       |FROM cells""".stripMargin
 }

@@ -1763,4 +1763,94 @@ object Graph {
        |LEFT JOIN per p USING (community)
        |CROSS JOIN tot t
        |ORDER BY s.community""".stripMargin
+
+  /** q273 — per-node local clustering coefficient of the co-purchase
+    * graph: for every part with degree ≥ 2, the fraction of its
+    * neighbor pairs that are themselves connected — q115 gives ONE
+    * global number; this is the per-node field ("which parts sit in
+    * tight accessory cliques vs radiate hub-and-spoke"), the standard
+    * community-vs-hub discriminator next to q134's k-core and q122's
+    * assortativity.
+    *
+    * Algorithm: q115's degree-ordered orientation + adjacency-
+    * intersection, extended to CREDIT all three corners: each
+    * oriented edge (u,v) computes N⁺(u)∩N⁺(v) once; u and v earn the
+    * intersection SIZE, every w inside it earns 1 (exploded — output
+    * bounded by 3·#triangles, never wedge-sized). LCC = 2T/(d(d−1))
+    * is exact-integer until the single rounded division.
+    *
+    * Scale: the same two adjacency joins as q115 (out-degree capped
+    * ~√m by the orientation) plus a triangle-bounded explode and one
+    * node-keyed aggregate — no wedge materialization anywhere.
+    */
+  def localClustering(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir).select(col("pa"), col("pb"))
+    val deg = pairs.select(col("pa").as("n"))
+      .unionByName(pairs.select(col("pb").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(deg.select(col("n").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("n").as("pb"), col("d").as("db")), "pb")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val ori = graft.Iterate.cut(withDeg.select(
+      when(aFirst, col("pa")).otherwise(col("pb")).as("u"),
+      when(aFirst, col("pb")).otherwise(col("pa")).as("v")))
+    val adj = ori.groupBy(col("u"))
+      .agg(array_sort(collect_list(col("v"))).as("nbrs"))
+    val withInter = ori
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .withColumn("inter", array_intersect(col("nu"), col("nv")))
+      .select(col("u"), col("v"), col("inter"),
+        size(col("inter")).cast("long").as("cnt"))
+      .filter(col("cnt") > 0)
+    val credits = withInter.select(col("u").as("n"), col("cnt"))
+      .unionByName(withInter.select(col("v").as("n"), col("cnt")))
+      .unionByName(withInter
+        .select(explode(col("inter")).as("n"), lit(1L).as("cnt")))
+      .groupBy(col("n")).agg(sum(col("cnt")).as("t"))
+    deg.filter(col("d") >= 2)
+      .join(credits, Seq("n"), "left")
+      .select(col("n").as("part"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+          (col("d").cast("double") * (col("d") - 1)), 6).as("lcc"))
+      .orderBy(col("part"))
+  }
+
+  val localClusteringSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |), deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT pa AS n FROM pairs UNION ALL SELECT pb FROM pairs
+      |  ) GROUP BY n
+      |), ori AS (
+      |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb)
+      |           THEN pa ELSE pb END AS u,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb)
+      |           THEN pb ELSE pa END AS v
+      |  FROM pairs JOIN deg da ON da.n = pa JOIN deg db ON db.n = pb
+      |), tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM ori e1 JOIN ori e2 ON e1.v = e2.u
+      |    JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v
+      |), credits AS (
+      |  SELECT n, COUNT(*) AS t FROM (
+      |    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri
+      |  ) GROUP BY n
+      |)
+      |SELECT deg.n AS part, CAST(deg.d AS BIGINT) AS degree,
+      |  CAST(COALESCE(credits.t, 0) AS BIGINT) AS n_triangles,
+      |  ROUND(2.0 * COALESCE(credits.t, 0)
+      |    / (CAST(deg.d AS DOUBLE) * (deg.d - 1)), 6) AS lcc
+      |FROM deg LEFT JOIN credits ON credits.n = deg.n
+      |WHERE deg.d >= 2
+      |ORDER BY part""".stripMargin
 }

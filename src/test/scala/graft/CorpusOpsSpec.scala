@@ -559,6 +559,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(row._2 === row._3)
   }
 
+  test("detectorAgreement: exact duplicates satisfy both detectors -> kappa 1, McNemar null") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = docsDir(Seq(
+      (1L, dup), (2L, dup),
+      (3L, "wholly different words about nothing in particular here now")))
+    val row = Dedup.detectorAgreement(spark, dir)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    // identical text -> identical minhash signature AND identical simhash:
+    // both flag docs 1+2; doc 3 is clean on both -> perfect agreement
+    assert(row === ((2L, 0L, 0L, 1L, Some(1.0), None)))
+  }
+
   test("decontaminationBloom computes exactly the q61 relation") {
     val exact = Dedup.decontamination(spark, sf0001).collect().toSet
     val bloom = Dedup.decontaminationBloom(spark, sf0001).collect().toSet

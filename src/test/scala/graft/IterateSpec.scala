@@ -87,6 +87,19 @@ class IterateSpec extends AnyFunSuite {
     assert(got === Seq((5L, 4L, 3L, 1L, 1.0)))
   }
 
+  test("localClustering: triangle corners score 1, bridge node dilutes, pendant drops") {
+    // order 1 buys {10,20,30} (triangle); order 2 buys {30,40}: node 30
+    // bridges (degree 3, one closed pair of three), node 40 is pendant
+    val dir = lineitemDir(Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (2L, 30L), (2L, 40L)))
+    val got = graft.operators.Graph.localClustering(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (10L, 2L, 1L, 1.0),
+      (20L, 2L, 1L, 1.0),
+      (30L, 3L, 1L, 0.333333)))
+  }
+
   test("degreeAssortativity: star graph scores exactly -1") {
     // one order with parts {10,20,30} would be a triangle (r undefined,
     // zero variance); a star — center 10 co-purchased with 20 and 30
