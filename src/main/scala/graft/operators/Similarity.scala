@@ -2058,4 +2058,147 @@ object Similarity {
        |LEFT JOIN pos p USING (query_id)
        |LEFT JOIN neg n USING (query_id)
        |ORDER BY q.query_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // OPQ-style learned rotation (parametric variant): rotate the
+  // space so PQ's m subspaces carry BALANCED variance, then run the
+  // existing trained-PQ machinery on the rotated vectors. Plain PQ
+  // slices dims in storage order; if the corpus concentrates its
+  // energy in a few dims, one subspace swallows all the structure
+  // and 16 codes can't hold it. The parametric OPQ recipe:
+  // eigendecompose the second-moment matrix, then deal the
+  // eigenvectors onto subspaces balancing the per-subspace
+  // log-eigenvalue sums (product-of-variances), R = the re-ordered
+  // eigenbasis. Rotation preserves L2, so ADC distances in the
+  // rotated space ARE the original distances.
+  // ---------------------------------------------------------------
+
+  /** Distributed Gram (second-moment) matrix of the embedding column:
+    * the q204 scaled-integer path (per-term floor to 1e-6 grain,
+    * exact DECIMAL(38,0) sums — order-independent, rerun-identical),
+    * densified to a full symmetric d×d double array on the driver
+    * (d² tiny scalars; the DATA never leaves the executors).
+    */
+  private def gramMatrix(emb: DataFrame, dim: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        floor(col("x").cast("double") * 1000000).as("xq"))
+    val entries = e.as("a").join(e.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum((col("a.xq") * col("b.xq")).cast(DecimalType(38, 0)))
+        .as("a_e12"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getDecimal(2).doubleValue() / 1e12).toMap
+    Array.tabulate(dim, dim)((i, j) =>
+      entries.getOrElse(if (i <= j) (i, j) else (j, i), 0.0))
+  }
+
+  /** Driver-side cyclic Jacobi eigendecomposition of a symmetric
+    * matrix — deterministic (fixed sweep order, fixed threshold), the
+    * textbook O(d³)-per-sweep method; d here is the embedding width
+    * (64), so this is microseconds. Returns (eigenvalues,
+    * eigenvectors as COLUMNS of v).
+    */
+  private[operators] def jacobiEigen(aIn: Array[Array[Double]],
+                                     sweeps: Int = 50)
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until d; q <- (p + 1) until d) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-14) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 // theta == 0: 45-degree rotation
+              case x => x
+            }
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until d) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** The OPQ rotation: row i of the result is the eigenvector that
+    * feeds output dimension i, with eigenvectors dealt onto the m
+    * subspaces by GREEDY BALANCED LOG-EIGENVALUE allocation (sort
+    * eigenpairs by eigenvalue desc, give the next one to the
+    * non-full subspace with the smallest log-sum — deterministic
+    * tiebreaks throughout). y = R·x.
+    */
+  def opqRotation(spark: SparkSession, emb: DataFrame, m: Int,
+                  dim: Int = 64): Array[Array[Double]] = {
+    val dsub = dim / m
+    require(m * dsub == dim, s"dim $dim not divisible by m $m")
+    val (evals, evecs) = jacobiEigen(gramMatrix(emb, dim))
+    val order = (0 until dim).sortBy(i => (-evals(i), i))
+    val binLog = Array.fill(m)(0.0)
+    val binFill = Array.fill(m)(0)
+    val bins = Array.fill(m)(List.empty[Int])
+    order.foreach { ei =>
+      val open = (0 until m).filter(binFill(_) < dsub)
+      val b = open.minBy(s => (binLog(s), s))
+      bins(b) = ei :: bins(b)
+      binLog(b) += math.log(math.max(evals(ei), 1e-12))
+      binFill(b) += 1
+    }
+    val rowOrder = bins.flatMap(_.reverse)
+    rowOrder.map(ei => Array.tabulate(dim)(k => evecs(k)(ei)))
+  }
+
+  /** Apply a rotation to the embedding column: y_i = Σ_j R_ij · x_j,
+    * one narrow map (the HOF form — at 100 TB width 64 this is a
+    * d²-multiply per row; a codegen'd matrix Expression would shave
+    * constant factor, not shape). */
+  def rotateEmbeddings(emb: DataFrame, r: Array[Array[Double]]): DataFrame =
+    emb.withColumn("embedding",
+      transform(typedLit(r.map(_.toSeq).toSeq),
+        row => aggregate(
+          zip_with(row, col("embedding"), (a, b) => a * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x).cast("float")))
+
+  /** Flat trained-PQ over the OPQ-rotated space: rotate, then reuse
+    * [[knnIvfPqResidualCore]]'s zero-centroid degenerate mode (= raw
+    * flat trained PQ — one cell, identity residual). Not oracle-
+    * graded (driver-side eigensolve has no SQL twin); recall proven
+    * against plain trained PQ on an anisotropic fixture in
+    * PipelineSpec, determinism spec'd (exact Gram + fixed-order
+    * Jacobi + deterministic allocation).
+    */
+  def knnPqOpq(spark: SparkSession, emb: DataFrame, nQueries: Int = 8,
+               k: Int = 10, m: Int = 8, dsub: Int = 8, ksub: Int = 16,
+               trainIters: Int = 2, dim: Int = 64): DataFrame = {
+    val r = opqRotation(spark, emb, m, dim)
+    val rotated = rotateEmbeddings(emb, r).localCheckpoint()
+    val zero = spark.range(1).select(lit(0).cast("int").as("cell"),
+      array((0 until dim).map(_ => lit(0f)): _*).as("c_emb"))
+    knnIvfPqResidualCore(spark, rotated, zero, nQueries, k, m, dsub, ksub,
+      nprobe = 1, trainIters = trainIters)
+  }
 }

@@ -331,6 +331,60 @@ class PipelineSpec extends AnyFunSuite {
       s"clustered residual $residual did not beat raw flat $rawFlat")
   }
 
+  test("OPQ rotation: orthonormal, deterministic, beats plain trained PQ on anisotropic data") {
+    // ALL the corpus energy lives in dims 0..7 — exactly one PQ
+    // subspace. Plain trained PQ must encode 8 busy dims with 16
+    // codes in subspace 0 (and nothing anywhere else); OPQ's
+    // eigenvalue allocation deals the 8 high-variance directions one
+    // per subspace, so each gets 16 codes for 1 busy dim.
+    def det(a: Int, b: Int, mod: Int): Float = ((a * 131 + b * 17) % mod).toFloat
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(d =>
+        if (d < 8) (det(i, d, 31) - 15f) / 15f
+        else (det(i, d, 5) - 2f) * 0.001f)
+    val emb = (0 until 108).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .localCheckpoint()
+    val r = Similarity.opqRotation(spark, emb, m = 8)
+    // orthonormality: R Rt = I to fp noise
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => r(i)(k) * r(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RRt[$i][$j] = $dot")
+    }
+    // determinism: exact Gram + fixed-order Jacobi + greedy allocation
+    val r2 = Similarity.opqRotation(spark, emb, m = 8)
+    assert(r.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+    // rotation preserves norms (L2 isometry) on a sample row
+    val v0 = vec(0).map(_.toDouble)
+    val rot0 = r.map(row => row.zip(v0).map { case (a, b) => a * b }.sum)
+    assert(math.abs(rot0.map(x => x * x).sum - v0.map(x => x * x).sum) < 1e-6)
+    // recall: exact cosine top-10 ground truth, inline
+    val qs = (0 until 8).map(i => i -> vec(i)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i =>
+        s += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i) }
+      s / math.sqrt(na * nb)
+    }
+    val exact = qs.map { case (q, qv) =>
+      q.toLong -> (8 until 108).sortBy(c => (-cos(qv, vec(c)), c)).take(10)
+        .map(_.toLong).toSet
+    }
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      exact.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).count(t).toDouble / t.size }.sum / exact.size
+    }
+    val zero = Seq((0, Array.fill(64)(0f))).toDF("cell", "c_emb")
+    val plain = recall(Similarity.knnIvfPqResidualCore(spark, emb, zero,
+      nQueries = 8, k = 10, m = 8, dsub = 8, ksub = 16, nprobe = 1))
+    val opq = recall(Similarity.knnPqOpq(spark, emb))
+    assert(opq > plain, s"OPQ recall $opq did not beat plain trained PQ $plain")
+  }
+
   test("rebalanceIvfCells splits the hot cell and lowers the max load") {
     // skewed corpus: 40 vectors in TWO sub-lobes around axis 0, 10
     // around axis 1 — with centroids on the axes, cell 0 holds 80%
