@@ -1570,4 +1570,88 @@ object Curation {
       |FROM fragged f JOIN seqs s ON s.budget = f.budget
       |ORDER BY f.budget""".stripMargin
   }
+
+  /** q274 — Neyman (variance-optimal) sample allocation per source:
+    * given a total sampling budget, how many docs should each source
+    * contribute so the stratified estimate of mean length has MINIMUM
+    * variance? n_h ∝ N_h·σ_h — big AND internally-diverse strata earn
+    * samples; a huge-but-uniform source earns few. The principled
+    * upgrade over q44's equal-per-stratum and the proportional rule
+    * (allocation theory from classic survey sampling, the same
+    * family as q67's PPS). Allocations are integers that sum EXACTLY
+    * to the budget (largest-remainder apportionment, the q105
+    * exhaustiveness discipline).
+    *
+    * Exactness: N_h·σ_h = √(N_h·Σx² − (Σx)²) — the radicand is an
+    * exact DECIMAL(38,0) integer, √ is correctly-rounded IEEE on both
+    * engines (q29 precedent), and the weight is 6dp-rounded then
+    * SCALED TO AN INTEGER, so base shares and remainders are pure
+    * integer arithmetic: base_h = (budget·w_h) div W, leftover dealt
+    * by (remainder, source) rank. No double comparisons anywhere in
+    * the apportionment.
+    *
+    * Scale: one documents scan into a |sources|-row aggregate; the
+    * apportionment is catalog-sized window algebra.
+    */
+  def neymanAllocation(spark: SparkSession, dir: String,
+                       budget: Long = 1000L): DataFrame = {
+    val wAll = Window.partitionBy()
+    val stats = Tables.load(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(n_chars AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars")).as("sxx"))
+      // round-to-integer BEFORE the long cast: Spark's double→long
+      // cast truncates while DuckDB's rounds; an explicit ROUND is
+      // half-up on positives in both engines, so the scaled weight is
+      // the same integer everywhere
+      .withColumn("wi",
+        round(sqrt((col("n_docs") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) * 1e6).cast("long"))
+    val alloc = stats
+      .withColumn("w_tot", sum(col("wi")).over(wAll))
+      .withColumn("base", expr(s"($budget * wi) div w_tot"))
+      .withColumn("rem", expr(s"$budget * wi - base * w_tot"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(wAll))
+      .withColumn("pri", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("alloc",
+        (col("base") + when(col("pri") <= col("leftover"), 1L).otherwise(0L))
+          .cast("long"))
+    alloc.select(col("source"), col("n_docs"),
+        round(col("wi") / 1e6 / col("n_docs"), 6).as("sigma"),
+        col("alloc"))
+      .orderBy(col("source"))
+  }
+
+  def neymanAllocationSql(budget: Long = 1000L): String =
+    s"""WITH stats AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    SUM(CAST(n_chars AS HUGEINT)) AS sx,
+       |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+       |  FROM documents GROUP BY source
+       |), weighted AS (
+       |  SELECT source, n_docs,
+       |    CAST(ROUND(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) * 1e6)
+       |      AS BIGINT) AS wi
+       |  FROM stats
+       |), shares AS (
+       |  SELECT source, n_docs, wi,
+       |    SUM(wi) OVER () AS w_tot,
+       |    ($budget * wi) // SUM(wi) OVER () AS base,
+       |    $budget * wi - (($budget * wi) // SUM(wi) OVER ()) * SUM(wi) OVER ()
+       |      AS rem
+       |  FROM weighted
+       |), dealt AS (
+       |  SELECT source, n_docs, wi, base,
+       |    $budget - SUM(base) OVER () AS leftover,
+       |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS pri
+       |  FROM shares
+       |)
+       |SELECT source, n_docs,
+       |  ROUND(wi / 1e6 / n_docs, 6) AS sigma,
+       |  CAST(base + CASE WHEN pri <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc
+       |FROM dealt
+       |ORDER BY source""".stripMargin
 }

@@ -2170,4 +2170,142 @@ object Dedup {
        |  ROUND(CAST((b - c) * (b - c) AS DOUBLE)
        |    / NULLIF(CAST(b + c AS DOUBLE), 0.0), 6) AS mcnemar_chi2
        |FROM cells""".stripMargin
+
+  /** q275 — Fellegi–Sunter record-linkage weights: per comparison
+    * feature (same lang / same source / length within 10%), the
+    * m-probability (agreement rate among KNOWN matches — q82's
+    * normalized-exact-dup pairs) and u-probability (agreement rate
+    * among known non-matches), and the log₂ likelihood-ratio weights
+    * a probabilistic linker scores candidate pairs with: w⁺ =
+    * log₂(m/u) for agreement, w⁻ = log₂((1−m)/(1−u)) for
+    * disagreement. The classic linkage calibration (Fellegi & Sunter
+    * 1969) the dedup stack can hand to fuzzy entity resolution: high
+    * w⁺ features are the discriminating ones; w near 0 means the
+    * feature is noise.
+    *
+    * Pair construction is deterministic and linear: matches = each
+    * dup paired with its group REPRESENTATIVE (min doc_id — no
+    * quadratic within-group blowup); non-matches = the (doc_id,
+    * doc_id+1) successor pairs with differing fingerprints — an
+    * equi-join, NO global sort, and an unbiased-enough u-sample for
+    * calibration. Length closeness is an integer cross-multiply
+    * (|la−lb|·10 ≤ min), no division.
+    *
+    * Exactness: all counts exact; m, u and both weights are single
+    * fixed-order double chains with CASE guards on the 0/1
+    * degeneracies (log of zero reports NULL, not ±inf noise).
+    * Scale: one fingerprint shuffle (shared with q82's relation), one
+    * successor equi-join, a 1-row aggregate, 3 output rows.
+    */
+  def linkageWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val nfcText = graft.functions.NfcNormalize.nfcCol(spark, col("text"))
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"),
+        md5(regexp_replace(trim(translate(nfcText, AsciiUpper, AsciiLower)),
+          "\\s+", " ")).as("norm_fp"))
+      .localCheckpoint() // three consumers: reps, matches, successors
+    val reps = base.groupBy(col("norm_fp")).agg(min(col("doc_id")).as("rep_id"))
+    val repAttrs = base.select(col("doc_id").as("rep_id"),
+      col("lang").as("lang_b"), col("source").as("source_b"),
+      col("n_chars").as("len_b"))
+    val matches = base.join(reps, "norm_fp")
+      .filter(col("doc_id") > col("rep_id"))
+      .join(repAttrs, "rep_id")
+    val succ = base.as("a").join(
+        base.select((col("doc_id") - 1).as("doc_id"),
+          col("lang").as("lang_b"), col("source").as("source_b"),
+          col("n_chars").as("len_b"), col("norm_fp").as("fp_b")),
+        Seq("doc_id"))
+      .filter(col("norm_fp") =!= col("fp_b"))
+    def agrees(df: DataFrame): (org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column) = (
+      (col("lang") === col("lang_b")).cast("long"),
+      (col("source") === col("source_b")).cast("long"),
+      (abs(col("n_chars") - col("len_b")) * 10 <=
+        least(col("n_chars"), col("len_b"))).cast("long"))
+    val (ml, ms, mc) = agrees(matches)
+    val mAgg = matches.agg(count(lit(1)).as("nm"),
+      sum(ml).as("m_lang"), sum(ms).as("m_source"), sum(mc).as("m_len"))
+    val (ul, us, uc) = agrees(succ)
+    val uAgg = succ.agg(count(lit(1)).as("nu"),
+      sum(ul).as("u_lang"), sum(us).as("u_source"), sum(uc).as("u_len"))
+    val longForm = mAgg.crossJoin(uAgg).select(col("nm"), col("nu"),
+      explode(array(
+        struct(lit("len_close").as("feature"),
+          col("m_len").as("cm"), col("u_len").as("cu")),
+        struct(lit("same_lang").as("feature"),
+          col("m_lang").as("cm"), col("u_lang").as("cu")),
+        struct(lit("same_source").as("feature"),
+          col("m_source").as("cm"), col("u_source").as("cu")))).as("x"))
+      .select(col("x.feature").as("feature"), col("nm"), col("nu"),
+        col("x.cm").as("cm"), col("x.cu").as("cu"))
+    longForm.select(col("feature"),
+        col("nm").as("n_match"), col("nu").as("n_nonmatch"),
+        round(col("cm").cast("double") / col("nm"), 6).as("m_prob"),
+        round(col("cu").cast("double") / col("nu"), 6).as("u_prob"),
+        when(col("cm") > 0 && col("cu") > 0,
+          round(log2((col("cm").cast("double") / col("nm")) /
+            (col("cu").cast("double") / col("nu"))), 6)).as("w_agree"),
+        when(col("cm") < col("nm") && col("cu") < col("nu"),
+          round(log2((lit(1.0) - col("cm").cast("double") / col("nm")) /
+            (lit(1.0) - col("cu").cast("double") / col("nu"))), 6))
+          .as("w_disagree"))
+      .orderBy(col("feature"))
+  }
+
+  val linkageWeightsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |    md5(regexp_replace(trim(translate(nfc_normalize(text),
+       |      '$AsciiUpper', '$AsciiLower')), '\\s+', ' ', 'g')) AS norm_fp
+       |  FROM documents
+       |), reps AS (
+       |  SELECT norm_fp, MIN(doc_id) AS rep_id FROM base GROUP BY norm_fp
+       |), matches AS (
+       |  SELECT a.lang, a.source, a.n_chars,
+       |    b.lang AS lang_b, b.source AS source_b, b.n_chars AS len_b
+       |  FROM base a
+       |  JOIN reps r ON r.norm_fp = a.norm_fp AND a.doc_id > r.rep_id
+       |  JOIN base b ON b.doc_id = r.rep_id
+       |), succ AS (
+       |  SELECT a.lang, a.source, a.n_chars,
+       |    b.lang AS lang_b, b.source AS source_b, b.n_chars AS len_b
+       |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.norm_fp <> b.norm_fp
+       |), magg AS (
+       |  SELECT COUNT(*) AS nm,
+       |    SUM(CASE WHEN lang = lang_b THEN 1 ELSE 0 END) AS m_lang,
+       |    SUM(CASE WHEN source = source_b THEN 1 ELSE 0 END) AS m_source,
+       |    SUM(CASE WHEN abs(n_chars - len_b) * 10 <= least(n_chars, len_b)
+       |      THEN 1 ELSE 0 END) AS m_len
+       |  FROM matches
+       |), uagg AS (
+       |  SELECT COUNT(*) AS nu,
+       |    SUM(CASE WHEN lang = lang_b THEN 1 ELSE 0 END) AS u_lang,
+       |    SUM(CASE WHEN source = source_b THEN 1 ELSE 0 END) AS u_source,
+       |    SUM(CASE WHEN abs(n_chars - len_b) * 10 <= least(n_chars, len_b)
+       |      THEN 1 ELSE 0 END) AS u_len
+       |  FROM succ
+       |), lf AS (
+       |  SELECT 'len_close' AS feature, nm, nu, m_len AS cm, u_len AS cu
+       |    FROM magg, uagg
+       |  UNION ALL
+       |  SELECT 'same_lang', nm, nu, m_lang, u_lang FROM magg, uagg
+       |  UNION ALL
+       |  SELECT 'same_source', nm, nu, m_source, u_source FROM magg, uagg
+       |)
+       |SELECT feature,
+       |  CAST(nm AS BIGINT) AS n_match, CAST(nu AS BIGINT) AS n_nonmatch,
+       |  ROUND(CAST(cm AS DOUBLE) / nm, 6) AS m_prob,
+       |  ROUND(CAST(cu AS DOUBLE) / nu, 6) AS u_prob,
+       |  CASE WHEN cm > 0 AND cu > 0 THEN
+       |    ROUND(log2((CAST(cm AS DOUBLE) / nm) / (CAST(cu AS DOUBLE) / nu)), 6)
+       |  END AS w_agree,
+       |  CASE WHEN cm < nm AND cu < nu THEN
+       |    ROUND(log2((1.0 - CAST(cm AS DOUBLE) / nm)
+       |      / (1.0 - CAST(cu AS DOUBLE) / nu)), 6)
+       |  END AS w_disagree
+       |FROM lf
+       |ORDER BY feature""".stripMargin
 }

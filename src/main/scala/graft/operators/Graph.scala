@@ -1853,4 +1853,158 @@ object Graph {
       |FROM deg LEFT JOIN credits ON credits.n = deg.n
       |WHERE deg.d >= 2
       |ORDER BY part""".stripMargin
+
+  /** q276 — edge-support (trussness) histogram of the co-purchase
+    * graph: for every edge, the number of triangles CONTAINING it
+    * (its "support" — the quantity k-truss peeling thresholds on),
+    * reported as the support → edge-count distribution plus each
+    * level's truss upper bound (support + 2). q115 counts triangles
+    * globally, q273 credits NODES; this credits EDGES — the
+    * cohesion readout that says which co-purchase links are embedded
+    * in cliques (high support — bundle structure worth mining) vs
+    * merely incidental (support 0). [[kTrussPeel]] is the iterative
+    * consumer; this histogram is how you pick its k.
+    *
+    * Algorithm: each oriented edge (u,v) intersects N⁺(u) ∩ N⁺(v)
+    * once (the q115/q273 machinery); every w in the intersection
+    * completes a triangle whose THREE edges — (u,v), (u,w), (v,w) —
+    * each earn one support, emitted in canonical (min,max) key form.
+    * Explode volume = 3·#triangles, never wedge-sized. Zero-support
+    * edges enter via a left join from the full pair list. Pure
+    * integer counts end-to-end.
+    *
+    * Scale: the q115 adjacency joins + a triangle-bounded explode,
+    * one edge-keyed aggregate, a |distinct support|-sized histogram.
+    */
+  def edgeSupport(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir).select(col("pa"), col("pb"))
+    val deg = pairs.select(col("pa").as("n"))
+      .unionByName(pairs.select(col("pb").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(deg.select(col("n").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("n").as("pb"), col("d").as("db")), "pb")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val ori = graft.Iterate.cut(withDeg.select(
+      when(aFirst, col("pa")).otherwise(col("pb")).as("u"),
+      when(aFirst, col("pb")).otherwise(col("pa")).as("v")))
+    val adj = ori.groupBy(col("u"))
+      .agg(array_sort(collect_list(col("v"))).as("nbrs"))
+    val triangles = ori
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    def canon(a: Column, b: Column) =
+      struct(least(a, b).as("ea"), greatest(a, b).as("eb"))
+    val credits = triangles.select(canon(col("u"), col("v")).as("e"))
+      .unionByName(triangles.select(canon(col("u"), col("w")).as("e")))
+      .unionByName(triangles.select(canon(col("v"), col("w")).as("e")))
+      .groupBy(col("e.ea").as("pa"), col("e.eb").as("pb"))
+      .agg(count(lit(1)).as("support"))
+    pairs.join(credits, Seq("pa", "pb"), "left")
+      .select(coalesce(col("support"), lit(0L)).as("support"))
+      .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+      .select(col("support"), col("n_edges"),
+        (col("support") + 2).cast("long").as("truss_bound"))
+      .orderBy(col("support"))
+  }
+
+  val edgeSupportSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |), deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT pa AS n FROM pairs UNION ALL SELECT pb FROM pairs
+      |  ) GROUP BY n
+      |), ori AS (
+      |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb)
+      |           THEN pa ELSE pb END AS u,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb)
+      |           THEN pb ELSE pa END AS v
+      |  FROM pairs JOIN deg da ON da.n = pa JOIN deg db ON db.n = pb
+      |), tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM ori e1 JOIN ori e2 ON e1.v = e2.u
+      |    JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v
+      |), credits AS (
+      |  SELECT ea AS pa, eb AS pb, COUNT(*) AS support FROM (
+      |    SELECT least(a, b) AS ea, greatest(a, b) AS eb FROM tri
+      |    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+      |    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+      |  ) GROUP BY ea, eb
+      |)
+      |SELECT CAST(COALESCE(c.support, 0) AS BIGINT) AS support,
+      |  COUNT(*) AS n_edges,
+      |  CAST(COALESCE(c.support, 0) + 2 AS BIGINT) AS truss_bound
+      |FROM pairs p
+      |LEFT JOIN credits c ON c.pa = p.pa AND c.pb = p.pb
+      |GROUP BY COALESCE(c.support, 0)
+      |ORDER BY support""".stripMargin
+
+  /** k-truss peel (NOT oracle-graded — the fixpoint has no bounded
+    * SQL unroll): iteratively delete every edge supported by fewer
+    * than k−2 triangles until none remains, returning the maximal
+    * subgraph where EVERY edge sits in ≥ k−2 triangles — the
+    * standard cohesion core strictly stronger than q134's k-core
+    * (degree can be faked by a hub; triangle support cannot). Each
+    * round recomputes support on the SURVIVING edges only (support
+    * never rises under deletion, so the loop is monotone and
+    * terminates); rounds are lineage-cut via [[graft.Iterate.cut]]
+    * (localCheckpoint default, reliable-checkpoint switch — the
+    * q38/q107 iteration discipline). Spec: hand graphs (IterateSpec)
+    * — shared-edge double triangle survives at k=3, dissolves at
+    * k=4; a clique keeps everything.
+    */
+  def kTrussPeel(spark: SparkSession, edges: DataFrame, k: Int,
+                 maxRounds: Int = 50): DataFrame = {
+    require(k >= 2, s"k-truss needs k >= 2, got $k")
+    var cur = graft.Iterate.cut(
+      edges.select(least(col("pa"), col("pb")).as("pa"),
+        greatest(col("pa"), col("pb")).as("pb")).distinct())
+    var done = false
+    var rounds = 0
+    while (!done && rounds < maxRounds) {
+      val before = cur.count()
+      val deg = cur.select(col("pa").as("n"))
+        .unionByName(cur.select(col("pb").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val withDeg = cur
+        .join(deg.select(col("n").as("pa"), col("d").as("da")), "pa")
+        .join(deg.select(col("n").as("pb"), col("d").as("db")), "pb")
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("pa") < col("pb"))
+      val ori = withDeg.select(
+        when(aFirst, col("pa")).otherwise(col("pb")).as("u"),
+        when(aFirst, col("pb")).otherwise(col("pa")).as("v"))
+      val adj = ori.groupBy(col("u"))
+        .agg(array_sort(collect_list(col("v"))).as("nbrs"))
+      val triangles = ori
+        .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+        .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+        .select(col("u"), col("v"),
+          explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      def canon(a: Column, b: Column) =
+        struct(least(a, b).as("ea"), greatest(a, b).as("eb"))
+      val support = triangles.select(canon(col("u"), col("v")).as("e"))
+        .unionByName(triangles.select(canon(col("u"), col("w")).as("e")))
+        .unionByName(triangles.select(canon(col("v"), col("w")).as("e")))
+        .groupBy(col("e.ea").as("pa"), col("e.eb").as("pb"))
+        .agg(count(lit(1)).as("support"))
+      cur = graft.Iterate.cut(
+        cur.join(support, Seq("pa", "pb"), "left")
+          .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+          .select(col("pa"), col("pb")))
+      val after = cur.count()
+      done = after == before
+      rounds += 1
+    }
+    require(done, s"kTrussPeel: no fixpoint within $maxRounds rounds")
+    cur.orderBy(col("pa"), col("pb"))
+  }
 }

@@ -571,6 +571,51 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(row === ((2L, 0L, 0L, 1L, Some(1.0), None)))
   }
 
+  test("linkageWeights: hand pairs — m/u rates and log2 weights with 0/1 guards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fs").toString
+    // docs 1-3 share normalized text (matches: 2->1 same lang+source,
+    // 3->1 different lang+source); successor non-match pairs: (3,4)
+    // nothing agrees, (4,5) lang agrees + len close
+    Seq(
+      (1L, "hello world", "en", "s1", 11L),
+      (2L, "hello world", "en", "s1", 11L),
+      (3L, "hello world", "fr", "s2", 11L),
+      (4L, "completely different text here", "en", "s1", 30L),
+      (5L, "another unrelated document text", "en", "s2", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.linkageWeights(spark, dir)
+      .as[(String, Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out === Seq(
+      // m=1, u=.5: agree weight log2(2)=1; disagree undefined (cm=nm)
+      ("len_close", 2L, 2L, 1.0, 0.5, Some(1.0), None),
+      ("same_lang", 2L, 2L, 0.5, 0.5, Some(0.0), Some(0.0)),
+      // u=0: agree weight undefined; disagree log2(.5/1) = -1
+      ("same_source", 2L, 2L, 0.5, 0.0, None, Some(-1.0))))
+  }
+
+  test("neymanAllocation: hand strata — zero-variance earns 0, leftover goes to largest remainder") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ney").toString
+    // A: lengths {1,1,5,5} -> w = sqrt(4*52-144) = 8, sigma 2
+    // B: {4,4} -> radicand 0 -> excluded from the budget entirely
+    // C: {0,6,6} -> w = sqrt(3*72-144) = sqrt(72), sigma 2.828427
+    val rows = Seq(
+      (1L, "A", 1L), (2L, "A", 1L), (3L, "A", 5L), (4L, "A", 5L),
+      (5L, "B", 4L), (6L, "B", 4L),
+      (7L, "C", 0L), (8L, "C", 6L), (9L, "C", 6L))
+    rows.map { case (id, src, len) => (id, "x", "en", src, len) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Curation.neymanAllocation(spark, dir, budget = 10L)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    // W = 8e6 + 0 + 8485281; base A=4 (rem 14058876), C=5 (rem
+    // 2426405); leftover 1 -> A. Sum of allocs == budget exactly.
+    assert(out === Seq(
+      ("A", 4L, 2.0, 5L), ("B", 2L, 0.0, 0L), ("C", 3L, 2.828427, 5L)))
+    assert(out.map(_._4).sum === 10L)
+  }
+
   test("decontaminationBloom computes exactly the q61 relation") {
     val exact = Dedup.decontamination(spark, sf0001).collect().toSet
     val bloom = Dedup.decontaminationBloom(spark, sf0001).collect().toSet

@@ -100,6 +100,33 @@ class IterateSpec extends AnyFunSuite {
       (30L, 3L, 1L, 0.333333)))
   }
 
+  test("edgeSupport: shared-edge double triangle — histogram separates the spine") {
+    // orders {10,20,30} and {20,30,40}: triangles 10-20-30 and
+    // 20-30-40 share edge (20,30) -> support 2; the four rim edges
+    // support 1
+    val dir = lineitemDir(Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (2L, 20L), (2L, 30L), (2L, 40L)))
+    val got = graft.operators.Graph.edgeSupport(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 4L, 3L), (2L, 1L, 4L)))
+  }
+
+  test("kTrussPeel: shared-edge triangles survive k=3, dissolve at k=4; clique holds") {
+    import org.apache.spark.sql.functions.col
+    val edges = Seq((10L, 20L), (10L, 30L), (20L, 30L), (20L, 40L), (30L, 40L))
+      .toDF("pa", "pb")
+    val k3 = graft.operators.Graph.kTrussPeel(spark, edges, k = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(k3 === Seq((10L, 20L), (10L, 30L), (20L, 30L), (20L, 40L), (30L, 40L)))
+    // k=4 needs every edge in >= 2 triangles: the spine survives round
+    // 1 alone, then has no triangle -> empty fixpoint
+    assert(graft.operators.Graph.kTrussPeel(spark, edges, k = 4).isEmpty)
+    // 4-clique: every edge sits in exactly 2 triangles -> 4-truss keeps all 6
+    val clique = (for { a <- Seq(1L, 2L, 3L, 4L); b <- Seq(1L, 2L, 3L, 4L)
+      if a < b } yield (a, b)).toDF("pa", "pb")
+    assert(graft.operators.Graph.kTrussPeel(spark, clique, k = 4).count() === 6L)
+  }
+
   test("degreeAssortativity: star graph scores exactly -1") {
     // one order with parts {10,20,30} would be a triangle (r undefined,
     // zero variance); a star — center 10 co-purchased with 20 and 30
