@@ -2201,4 +2201,79 @@ object Similarity {
     knnIvfPqResidualCore(spark, rotated, zero, nQueries, k, m, dsub, ksub,
       nprobe = 1, trainIters = trainIters)
   }
+
+  /** q277 — dimension-truncation (Matryoshka-style) recall audit: can
+    * this corpus's embeddings be truncated to their first 8/16/32
+    * dims without losing retrieval quality? Per prefix width, the
+    * mean recall@k of truncated-cosine top-k against the full-width
+    * exact top-k — the storage-halving readout (a prefix that holds
+    * recall means index and cache shrink by that factor; the 64-row
+    * is the 1.0 self-check). The question every 100 TB vector store
+    * asks before PQ even enters the room.
+    *
+    * Exactness: each truncated ranking is the q29 brute relation
+    * over SLICED arrays (same fused cosine, same 6dp round, same
+    * (score desc, id) tiebreak), hit counts are exact integers, and
+    * mean recall is ONE division by the constant nQueries·k.
+    * Scale: |prefixes| broadcast-query scans with partial top-k map
+    * cuts (the q29 shape ×4) — embarrassingly parallel, no new
+    * shuffle classes.
+    */
+  def dimTruncationRecall(spark: SparkSession, dir: String,
+                          nQueries: Int = 8, k: Int = 10,
+                          prefixes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").localCheckpoint()
+    def bruteTop(p: Int): DataFrame = {
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          slice(col("embedding"), 1, p).as("q_emb"))
+      val scored = emb.filter(col("vec_id") >= nQueries)
+        .select(col("vec_id"), slice(col("embedding"), 1, p).as("embedding"))
+        .crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(spark, col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val exact = bruteTop(64).localCheckpoint()
+    prefixes.map { p =>
+      bruteTop(p).join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(p).as("prefix_dim"),
+          round(col("hits").cast("double") / (nQueries * k), 6)
+            .as("mean_recall"))
+    }.reduce(_ unionByName _).orderBy(col("prefix_dim"))
+  }
+
+  def dimTruncationRecallSql(nQueries: Int = 8, k: Int = 10,
+                             prefixes: Seq[Int] = Seq(8, 16, 32, 64)): String = {
+    def bruteCte(p: Int): String =
+      s"""top$p AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |      ROUND(${cosSql(s"(q.q_emb[1:$p])", s"(e.embedding[1:$p])")}, 6)
+         |        AS cos_sim,
+         |      CAST(row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ROUND(${cosSql(s"(q.q_emb[1:$p])", s"(e.embedding[1:$p])")}, 6)
+         |          DESC, e.vec_id) AS INT) AS rank
+         |    FROM embeddings e, q WHERE e.vec_id >= $nQueries
+         |  ) WHERE rank <= $k
+         |)""".stripMargin
+    val rows = prefixes.map(p =>
+      s"""SELECT $p AS prefix_dim,
+         |  ROUND(CAST((SELECT COUNT(*) FROM top$p t
+         |    JOIN top64 x ON x.query_id = t.query_id
+         |      AND x.neighbor_id = t.neighbor_id) AS DOUBLE)
+         |    / ${nQueries * k}, 6) AS mean_recall""".stripMargin)
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < $nQueries
+       |), ${(prefixes.toSet + 64).toSeq.sorted.map(bruteCte).mkString(",\n")}
+       |$rows
+       |ORDER BY prefix_dim""".stripMargin
+  }
 }

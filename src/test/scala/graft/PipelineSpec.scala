@@ -385,6 +385,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(opq > plain, s"OPQ recall $opq did not beat plain trained PQ $plain")
   }
 
+  test("dimTruncationRecall: full width is the 1.0 self-check; dim-0-only corpus holds every prefix") {
+    val sf = Similarity.dimTruncationRecall(spark, "/root/testdata/sf0.001")
+      .as[(Int, Double)].collect().toMap
+    assert(sf(64) === 1.0)
+    assert(sf.values.forall(r => r >= 0.0 && r <= 1.0))
+    // corpus whose ONLY signal is dim 0: any prefix >= 1 ranks identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-trunc").toString
+    (0 until 40).map(i => (i.toLong,
+        Array.tabulate(64)(d => if (d == 0) 1f + (i % 7) * 0.1f else 0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val flat = Similarity.dimTruncationRecall(spark, dir)
+      .as[(Int, Double)].collect().toMap
+    assert(flat.values.forall(_ === 1.0), s"dim-0 corpus lost recall: $flat")
+  }
+
   test("rebalanceIvfCells splits the hot cell and lowers the max load") {
     // skewed corpus: 40 vectors in TWO sub-lobes around axis 0, 10
     // around axis 1 — with centroids on the axes, cell 0 holds 80%
