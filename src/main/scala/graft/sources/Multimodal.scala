@@ -790,6 +790,136 @@ object Multimodal {
       |  ROUND(1e6 / micro, 6) AS fps
       |FROM f ORDER BY doc_id""".stripMargin
 
+  case class GifMeta(doc_id: Long, width: Int, height: Int,
+                     n_frames: Long, delay_cs: Long, duration_cs: Long)
+
+  /** GIF89a sniff — a REAL block-structure walk, not a fixed-offset
+    * peek: logical screen dims come from the descriptor, but the
+    * frame count only exists as "number of 0x2C image descriptors
+    * encountered while walking extension blocks, sub-block chains and
+    * image payloads to the 0x3B trailer" — so the parser walks them
+    * (skipping each LZW data sub-block by its length byte) exactly as
+    * a decoder would, and picks the per-frame delay out of the 0xF9
+    * graphic-control extension. Returns (width, height, frames,
+    * lastDelayCs); None on anything malformed (truncated chain, bad
+    * signature, unknown block tag).
+    */
+  def sniffGif(p: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    def u8(i: Int): Int = p(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (p.length < 14 || !"GIF89a".indices.forall(i =>
+        p(i) == "GIF89a".charAt(i).toByte)) return None
+    val w = le16(6); val h = le16(8)
+    val gctSize = if ((u8(10) & 0x80) != 0) 3 << ((u8(10) & 7) + 1) else 0
+    var pos = 13 + gctSize
+    var frames = 0L
+    var delay = 0L
+    def skipSubBlocks(): Boolean = {
+      while (pos < p.length && u8(pos) != 0) {
+        pos += 1 + u8(pos)
+      }
+      if (pos < p.length) { pos += 1; true } else false
+    }
+    while (pos < p.length) {
+      u8(pos) match {
+        case 0x3B => // trailer
+          return if (w > 0 && h > 0) Some((w, h, frames, delay)) else None
+        case 0x21 => // extension: label, then sub-block chain
+          if (pos + 1 >= p.length) return None
+          val label = u8(pos + 1)
+          if (label == 0xF9 && pos + 5 < p.length && u8(pos + 2) == 4)
+            delay = le16(pos + 4).toLong
+          pos += 2
+          if (!skipSubBlocks()) return None
+        case 0x2C => // image descriptor
+          if (pos + 10 >= p.length) return None
+          val packed = u8(pos + 9)
+          val lct = if ((packed & 0x80) != 0) 3 << ((packed & 7) + 1) else 0
+          pos += 10 + lct + 1 // descriptor + local table + LZW min-code
+          if (!skipSubBlocks()) return None
+          frames += 1
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** Deterministic animated-GIF fixture: GIF89a + 2-entry global
+    * palette + `frames` (graphic-control + image) pairs + trailer,
+    * all length-derived so the oracle restates every field without
+    * seeing the bytes. Each frame carries one 1-byte data sub-block.
+    */
+  def encodeGif(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val w = n % 320 + 1
+    val h = 2 * n % 240 + 1
+    val frames = n / 32 + 1
+    val delay = n % 100 + 2
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xFF); out.write(w >> 8)
+    out.write(h & 0xFF); out.write(h >> 8)
+    out.write(0x80) // GCT present, 2 entries
+    out.write(0); out.write(0)
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1)) // 2-color palette
+    (0 until frames).foreach { i =>
+      out.write(0x21); out.write(0xF9); out.write(4) // GCE
+      out.write(0); out.write(delay & 0xFF); out.write(delay >> 8); out.write(0)
+      out.write(0) // GCE terminator
+      out.write(0x2C) // image descriptor at (0,0,w,h), no LCT
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(w & 0xFF); out.write(w >> 8)
+      out.write(h & 0xFF); out.write(h >> 8)
+      out.write(0)
+      out.write(2) // LZW min code size
+      out.write(1) // one data sub-block
+      out.write(if (n > 0) text(i * 7 % n) & 0xFF else 0)
+      out.write(0) // data terminator
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** q278 — GIF metadata pipeline: per-doc animated-GIF fixtures
+    * through the real [[sniffGif]] block walk to typed metadata —
+    * the third real container family (BMP/PNG/JPEG stills, WAV/AVI
+    * A/V, now the block-chained GIF whose frame count CANNOT be read
+    * from a fixed offset). Same contract as q255: byte-exact encode
+    * on one side, independent structural parse on the other, the
+    * oracle predicts both. fps = 100/delay_cs is the one rounded
+    * IEEE division.
+    */
+  def gifMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val gif = encodeGif(r.payload)
+        val (w, h, frames, delay) = sniffGif(gif).getOrElse(
+          throw new IllegalStateException(s"fixture failed to parse: doc ${r.doc_id}"))
+        GifMeta(r.doc_id, w, h, frames, delay, frames * delay)
+      }
+    }.toDF()
+      .withColumn("fps", round(lit(100.0) / col("delay_cs"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val gifMetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n,
+      |    CAST(strlen(text) // 32 + 1 AS BIGINT) AS frames,
+      |    CAST(strlen(text) % 100 + 2 AS BIGINT) AS delay
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(n % 320 + 1 AS INT) AS width,
+      |  CAST(2 * n % 240 + 1 AS INT) AS height,
+      |  frames AS n_frames,
+      |  delay AS delay_cs,
+      |  CAST(frames * delay AS BIGINT) AS duration_cs,
+      |  ROUND(100.0 / delay, 6) AS fps
+      |FROM f ORDER BY doc_id""".stripMargin
+
   case class DHashRow(doc_id: Long, bands: Array[Int])
 
   /** q251 — gradient-hash (dHash) image near-dup join: the q244

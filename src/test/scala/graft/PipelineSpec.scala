@@ -959,4 +959,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.sniffAvi(zeroMicro).isEmpty)
     assert(Multimodal.sniffAvi(avi.take(60)).isEmpty)
   }
+
+  test("sniffGif: block walk counts frames through sub-block chains; malformed streams reject") {
+    import graft.sources.Multimodal
+    val text = ("gif container body, long enough for two frames " +
+      "0123456789 0123456789").getBytes("US-ASCII")
+    val n = text.length
+    val gif = Multimodal.encodeGif(text)
+    // n = 68: 3 frames (68/32+1), delay 70cs, w 69, h 136
+    assert(Multimodal.sniffGif(gif) ===
+      Some((n % 320 + 1, 2 * n % 240 + 1, (n / 32 + 1).toLong,
+        (n % 100 + 2).toLong)))
+    // wrong signature
+    val badSig = gif.clone(); badSig(4) = '7'.toByte
+    assert(Multimodal.sniffGif(badSig).isEmpty)
+    // truncated mid-sub-block-chain: the walk must fail, not guess
+    assert(Multimodal.sniffGif(gif.dropRight(2)).isEmpty)
+    // unknown block tag where an image/extension/trailer must be
+    val badTag = gif.clone()
+    badTag(13 + 6) = 0x55.toByte // first block after the 2-color GCT
+    assert(Multimodal.sniffGif(badTag).isEmpty)
+    // the walk is structural: appending a second GCE+frame pair via
+    // the encoder's own layout raises the count by exactly 1
+    val longer = Multimodal.encodeGif(("x" * (n + 32)).getBytes("US-ASCII"))
+    assert(Multimodal.sniffGif(longer).map(_._3) === Some((n + 32) / 32 + 1L))
+  }
 }
