@@ -1588,4 +1588,81 @@ object TextAnalysis {
        |FROM per_doc
        |GROUP BY 1, 2
        |ORDER BY lang, source""".stripMargin
+
+  /** Full iterative BPE training (Sennrich et al. 2016): q170 shows
+    * the FIRST merge; this runs the whole greedy loop — count
+    * adjacent symbol pairs over the word-frequency vocabulary, merge
+    * the most frequent pair (ties broken lexicographically — the
+    * determinism every reproducible tokenizer build needs), rewrite
+    * the vocabulary, repeat `nMerges` times. Returns the learned
+    * merge table (rank, left, right, weight) — the artifact a
+    * tokenizer ships. NOT oracle-graded: the loop is data-dependent
+    * sequential (each round's relation depends on the previous
+    * round's winner), which has no bounded SQL unroll; the spec
+    * hand-verifies the classic merge sequence.
+    *
+    * Distribution posture: training runs on the DISTINCT-WORD
+    * vocabulary (the classic formulation — vocab ≪ corpus, one
+    * corpus-sized aggregate up front, never again); each round is one
+    * vocabulary-sized pair aggregate (map-side combinable) plus a
+    * broadcast single-rule rewrite, lineage-cut per round
+    * ([[graft.Iterate.cut]] — localCheckpoint default, reliable
+    * switch). The per-round rewrite is a left-to-right non-overlapping
+    * fold over each word's symbol array ("aaa" + rule (a,a) → [aa, a],
+    * the reference BPE behavior).
+    */
+  def trainBpe(spark: SparkSession, dir: String,
+               nMerges: Int = 20): DataFrame =
+    trainBpeCore(spark, Tables.load(spark, dir, "documents"), nMerges)
+
+  def trainBpeCore(spark: SparkSession, docs: DataFrame,
+                   nMerges: Int): DataFrame = {
+    import spark.implicits._
+    var vocab = graft.Iterate.cut(docs
+      .select(explode(expr(
+        "filter(split(regexp_replace(lower(text), '[^a-z]+', ' '), ' '), " +
+          "w -> w <> '')")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"), col("freq")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = top.head
+        merges += ((round, a, b, n))
+        // symbols are built from [a-z] only (the tokenizer strips the
+        // rest), so embedding them as SQL string literals is safe
+        require((a + b).forall(c => c >= 'a' && c <= 'z'),
+          s"unexpected symbol alphabet: '$a'+'$b'")
+        val merged = a + b
+        vocab = graft.Iterate.cut(vocab.withColumn("syms", expr(
+          s"""aggregate(syms,
+             |  named_struct('acc', CAST(array() AS ARRAY<STRING>),
+             |               'pend', CAST(NULL AS STRING)),
+             |  (st, s) -> IF(st.pend = '$a' AND s = '$b',
+             |    named_struct('acc', concat(st.acc, array('$merged')),
+             |                 'pend', CAST(NULL AS STRING)),
+             |    named_struct('acc',
+             |      IF(st.pend IS NULL, st.acc, concat(st.acc, array(st.pend))),
+             |      'pend', CAST(s AS STRING))),
+             |  st -> IF(st.pend IS NULL, st.acc, concat(st.acc, array(st.pend)))
+             |)""".stripMargin)))
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "weight")
+  }
 }

@@ -441,4 +441,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out === Seq(
       ("en", "unit", 3L, 4L, 6L, 9L, 10L, 1.5, 1.666667, 1.5)))
   }
+
+  test("trainBpe: classic greedy merge sequence with lexicographic tiebreaks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // vocab after the corpus aggregate: low x2, lower x1
+    Seq((1L, "low low lower"))
+      .map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = graft.operators.TextAnalysis.trainBpe(spark, dir, nMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // r1: (l,o)=3 ties (o,w)=3, lex 'l' wins; r2: (lo,w)=3;
+    // r3: (low,e)=1 ties (e,r)=1, lex 'e' wins
+    assert(merges === Seq((1, "l", "o", 3L), (2, "lo", "w", 3L),
+      (3, "e", "r", 1L)))
+    // overlap rule: 'aaaa' merges non-overlapping left-to-right, and
+    // training EXHAUSTS once the word is one symbol (no phantom rounds)
+    Seq((1L, "aaaa"))
+      .map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m2 = graft.operators.TextAnalysis.trainBpe(spark, dir, nMerges = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // r1: (a,a) counted at all 3 adjacencies, merged pairwise -> [aa, aa]
+    assert(m2 === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+    val m10 = graft.operators.TextAnalysis.trainBpe(spark, dir, nMerges = 10)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m10 === m2)
+  }
 }
