@@ -1615,6 +1615,57 @@ object TextAnalysis {
                nMerges: Int = 20): DataFrame =
     trainBpeCore(spark, Tables.load(spark, dir, "documents"), nMerges)
 
+  /** The left-to-right non-overlapping single-rule rewrite of a
+    * symbol array as a SQL fold: pend holds the last unflushed
+    * symbol; matching (a, b) flushes the merged token and clears it.
+    * Shared by [[trainBpeCore]] (one rule per round) and [[applyBpe]]
+    * (the learned rule list in order). Symbols are [a-z]+ only.
+    */
+  private def bpeRewriteExpr(colName: String, a: String, b: String): String = {
+    require((a + b).forall(c => c >= 'a' && c <= 'z'),
+      s"unexpected symbol alphabet: '$a'+'$b'")
+    s"""aggregate($colName,
+       |  named_struct('acc', CAST(array() AS ARRAY<STRING>),
+       |               'pend', CAST(NULL AS STRING)),
+       |  (st, s) -> IF(st.pend = '$a' AND s = '$b',
+       |    named_struct('acc', concat(st.acc, array('${a + b}')),
+       |                 'pend', CAST(NULL AS STRING)),
+       |    named_struct('acc',
+       |      IF(st.pend IS NULL, st.acc, concat(st.acc, array(st.pend))),
+       |      'pend', CAST(s AS STRING))),
+       |  st -> IF(st.pend IS NULL, st.acc, concat(st.acc, array(st.pend)))
+       |)""".stripMargin
+  }
+
+  /** Tokenize the corpus with a LEARNED merge list ([[trainBpe]]'s
+    * output order): per doc, word count, BPE token count, and
+    * fertility (tokens/word) under the trained tokenizer — q186
+    * measures a fixed reference tokenizer; this measures YOURS, the
+    * number a tokenizer-budget decision actually needs. Each rule is
+    * one narrow fold map over the symbol arrays (rule-count plan
+    * depth — fine for spec-scale lists; a production 32k-merge
+    * vocabulary would compile the rules into one codegen'd longest-
+    * match pass instead, same output by BPE's determinism).
+    */
+  def applyBpe(spark: SparkSession, docs: DataFrame,
+               merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(expr(
+        "filter(split(regexp_replace(lower(text), '[^a-z]+', ' '), ' '), " +
+          "w -> w <> '')")).as("word"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    val encoded = merges.foldLeft(words) { case (df, (a, b)) =>
+      df.withColumn("syms", expr(bpeRewriteExpr("syms", a, b)))
+    }
+    encoded.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).cast("long").as("n_tokens"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   def trainBpeCore(spark: SparkSession, docs: DataFrame,
                    nMerges: Int): DataFrame = {
     import spark.implicits._
@@ -1643,23 +1694,8 @@ object TextAnalysis {
       else {
         val (a, b, n) = top.head
         merges += ((round, a, b, n))
-        // symbols are built from [a-z] only (the tokenizer strips the
-        // rest), so embedding them as SQL string literals is safe
-        require((a + b).forall(c => c >= 'a' && c <= 'z'),
-          s"unexpected symbol alphabet: '$a'+'$b'")
-        val merged = a + b
-        vocab = graft.Iterate.cut(vocab.withColumn("syms", expr(
-          s"""aggregate(syms,
-             |  named_struct('acc', CAST(array() AS ARRAY<STRING>),
-             |               'pend', CAST(NULL AS STRING)),
-             |  (st, s) -> IF(st.pend = '$a' AND s = '$b',
-             |    named_struct('acc', concat(st.acc, array('$merged')),
-             |                 'pend', CAST(NULL AS STRING)),
-             |    named_struct('acc',
-             |      IF(st.pend IS NULL, st.acc, concat(st.acc, array(st.pend))),
-             |      'pend', CAST(s AS STRING))),
-             |  st -> IF(st.pend IS NULL, st.acc, concat(st.acc, array(st.pend)))
-             |)""".stripMargin)))
+        vocab = graft.Iterate.cut(vocab.withColumn("syms",
+          expr(bpeRewriteExpr("syms", a, b))))
         round += 1
       }
     }

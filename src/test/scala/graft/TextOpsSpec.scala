@@ -469,4 +469,19 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(m10 === m2)
   }
+
+  test("applyBpe: learned merges tokenize the training corpus consistently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpea").toString
+    Seq((1L, "low low lower"), (2L, "lower low"))
+      .map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val merges = graft.operators.TextAnalysis.trainBpe(spark, dir, nMerges = 2)
+      .as[(Int, String, String, Long)].collect().toSeq.map(m => (m._2, m._3))
+    // rules (l,o) then (lo,w): "low" -> [low], "lower" -> [low, e, r]
+    val out = graft.operators.TextAnalysis.applyBpe(spark, docs, merges)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 3L, 5L, 1.666667), (2L, 2L, 4L, 2.0)))
+  }
 }
