@@ -1800,4 +1800,103 @@ object Profile {
        |        - t.n_total), 0.0) - k + 1)
        |    / NULLIF(CAST(t.n_total - k AS DOUBLE), 0.0), 6) AS epsilon_sq
        |FROM agg, ties t""".stripMargin
+
+  /** q279 — Jonckheere–Terpstra ordered-trend test: does ship lag
+    * MONOTONICALLY shift across the priority ladder (1-URGENT → …
+    * → 5-LOW)? q269's Kruskal–Wallis asks "are the groups different
+    * at all"; JT spends its power on the ordered alternative the
+    * priority scale actually encodes — JT = Σ_{i<j} U_ij over every
+    * ordered group pair, each U the Mann–Whitney count of
+    * cross-pair inversions. Reports JT and the normal z against the
+    * no-trend null (classical no-tie variance — the standard
+    * approximation, stated as such; ties enter U via the ½ midrank
+    * convention).
+    *
+    * Exactness: DOUBLED U (2U = Σ_v 2·c_j(v)·C_i(<v) + c_i(v)·c_j(v))
+    * is an exact integer accumulated in DECIMAL(38,0)/HUGEINT from
+    * per-(group, value) counts — no per-row ranks, no double sums;
+    * the z chain is one fixed-order double expression over exact
+    * totals. The (group × value) grid densifies so cumulative counts
+    * align across groups at every observed value.
+    *
+    * Scale: one fact scan into a (k·V)-sized grid (V = distinct
+    * lags), k windows over it, one value-aligned pair join bounded by
+    * k²·V — catalog-scale algebra after the scan, like q269.
+    */
+  def jonckheereTerpstra(spark: SparkSession, dir: String,
+                         lateDaysCap: Int = 3650): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val gv = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("grp"),
+        expr("datediff(l_shipdate, o_orderdate)").as("v"))
+      .filter(col("v").between(0, lateDaysCap))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // grid + sizes + groups share one aggregate
+    val dense = gv.select(col("grp")).distinct()
+      .crossJoin(gv.select(col("v")).distinct())
+      .join(gv, Seq("grp", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val cum = dense.withColumn("cb", coalesce(
+      sum(col("c")).over(Window.partitionBy(col("grp")).orderBy(col("v"))
+        .rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val u2 = cum.as("i").join(cum.as("j"),
+        col("i.v") === col("j.v") && col("i.grp") < col("j.grp"))
+      .agg(sum(expr(
+        "CAST(2 * j.c * i.cb + i.c * j.c AS DECIMAL(38,0))")).as("u2"))
+    val tot = gv.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("n_all"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("sn2"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n * (2 * n + 3)")).as("sn23"))
+    u2.crossJoin(broadcast(tot))
+      .select(col("k").cast("int").as("k"),
+        col("n_all").cast("long").as("n"),
+        (col("u2").cast("double") / 2).as("jt"),
+        round((col("u2").cast("double") / 2 -
+          (col("n_all").cast("double") * col("n_all") -
+            col("sn2").cast("double")) / 4.0) /
+          sqrt((col("n_all").cast("double") * col("n_all") *
+            (lit(2) * col("n_all") + 3) - col("sn23").cast("double")) / 72.0),
+          6).as("z"))
+  }
+
+  def jonckheereTerpstraSql(lateDaysCap: Int = 3650): String =
+    s"""WITH lags AS (
+       |  SELECT o.o_orderpriority AS grp,
+       |    datediff('day', o.o_orderdate, l.l_shipdate) AS v
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  WHERE datediff('day', o.o_orderdate, l.l_shipdate)
+       |    BETWEEN 0 AND $lateDaysCap
+       |), gv AS (
+       |  SELECT grp, v, COUNT(*) AS c FROM lags GROUP BY 1, 2
+       |), dense AS (
+       |  SELECT g.grp, va.v, COALESCE(gv.c, 0) AS c
+       |  FROM (SELECT DISTINCT grp FROM gv) g
+       |  CROSS JOIN (SELECT DISTINCT v FROM gv) va
+       |  LEFT JOIN gv ON gv.grp = g.grp AND gv.v = va.v
+       |), cum AS (
+       |  SELECT grp, v, c,
+       |    COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM dense
+       |), pairu AS (
+       |  SELECT SUM(CAST(2 * j.c * i.cb + i.c * j.c AS HUGEINT)) AS u2
+       |  FROM cum i JOIN cum j ON i.v = j.v AND i.grp < j.grp
+       |), tot AS (
+       |  SELECT COUNT(*) AS k, SUM(n) AS n_all,
+       |    SUM(CAST(n AS HUGEINT) * n) AS sn2,
+       |    SUM(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS sn23
+       |  FROM (SELECT grp, SUM(c) AS n FROM gv GROUP BY grp)
+       |)
+       |SELECT CAST(t.k AS INT) AS k, CAST(t.n_all AS BIGINT) AS n,
+       |  CAST(u2 AS DOUBLE) / 2 AS jt,
+       |  ROUND((CAST(u2 AS DOUBLE) / 2
+       |      - (CAST(t.n_all AS DOUBLE) * t.n_all
+       |        - CAST(t.sn2 AS DOUBLE)) / 4.0)
+       |    / sqrt((CAST(t.n_all AS DOUBLE) * t.n_all * (2 * t.n_all + 3)
+       |      - CAST(t.sn23 AS DOUBLE)) / 72.0), 6) AS z
+       |FROM pairu, tot t""".stripMargin
 }

@@ -1427,6 +1427,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out === Seq((2, 3L, 3.0, 1.0)))
   }
 
+  test("jonckheereTerpstra: clean ordered shift — JT = n1*n2, z from the hand variance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jt").toString
+    val d0 = new java.sql.Timestamp(java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime)
+    def plus(days: Int) = new java.sql.Timestamp(d0.getTime + days * 86400000L)
+    // URGENT lags {1,2} all below LOW lags {3,4}: every cross pair is
+    // concordant -> JT = 4; E = 2, Var = 120/72 -> z = 2/sqrt(5/3)
+    Seq((1L, "1-URGENT"), (2L, "1-URGENT"), (3L, "5-LOW"), (4L, "5-LOW"))
+      .map { case (ok, pr) => (ok, 1L, "O", 1.0, d0, pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4))
+      .map { case (ok, lag) =>
+        (ok, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", plus(lag)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Profile.jonckheereTerpstra(spark, dir)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out === Seq((2, 4L, 4.0, 1.549193)))
+  }
+
   test("woeIv: zero-class buckets yield NULL WOE; balanced bucket scores 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft-woe").toString
     val ts0 = new java.sql.Timestamp(0L)
