@@ -1899,4 +1899,95 @@ object Profile {
        |    / sqrt((CAST(t.n_all AS DOUBLE) * t.n_all * (2 * t.n_all + 3)
        |      - CAST(t.sn23 AS DOUBLE)) / 72.0), 6) AS z
        |FROM pairu, tot t""".stripMargin
+
+  /** q280 — Wilcoxon signed-rank test of per-customer spend shift:
+    * did the SAME customers spend differently in the corpus's second
+    * half? The PAIRED complement of the two-sample family (q238 U is
+    * unpaired; a paired t assumes normal diffs) — each customer is
+    * their own control, so customer-level spend scale cancels and
+    * only the within-customer shift ranks. Zero-diff customers drop
+    * (the standard convention); W⁺ = rank-sum of positive shifts;
+    * z against n(n+1)/4 with the tie-corrected variance
+    * n(n+1)(2n+1)/24 − Σ(t³−t)/48.
+    *
+    * Exactness: spends are exact CENTS; |diff| midranks come DOUBLED
+    * from per-value cumulative counts (the q238 discipline — no
+    * per-row rank window), so 2W⁺ and the tie term are exact
+    * BIGINT/DECIMAL(38,0); the z is one fixed-order double chain.
+    * The half-split boundary is integer (day·2 vs mn+mx — q262's
+    * convention, no epoch division).
+    *
+    * Scale: one orders scan, one custkey aggregate, then
+    * |distinct-|diff||-grain algebra. Nothing data-sized after the
+    * pair aggregate.
+    */
+  def wilcoxonSignedRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayOf =
+      "(unix_micros(cast(o_orderdate as timestamp)) - pmod(unix_micros(cast(o_orderdate as timestamp)), 86400000000)) div 86400000000"
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), expr(dayOf).as("day"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val b = o.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val d = o.crossJoin(broadcast(b))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("day") * 2 <= col("mn") + col("mx"), col("cents"))
+          .otherwise(0L)).as("s1"),
+        sum(when(col("day") * 2 > col("mn") + col("mx"), col("cents"))
+          .otherwise(0L)).as("s2"))
+      .filter(col("s2") =!= col("s1"))
+      .select((col("s2") - col("s1")).as("diff"),
+        abs(col("s2") - col("s1")).as("ad"))
+    val perVal = d.groupBy(col("ad")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cb", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("ad"))
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val wsum = d.join(perVal, "ad")
+      .agg(sum(when(col("diff") > 0, lit(2) * col("cb") + col("cnt") + 1)
+          .otherwise(0L)).as("w2"),
+        count(lit(1)).as("n"))
+    val ties = perVal.agg(
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tt"))
+    wsum.crossJoin(broadcast(ties))
+      .select(col("n").cast("long").as("n_pairs"),
+        (col("w2").cast("double") / 2).as("w_plus"),
+        round((col("w2").cast("double") / 2 -
+          col("n").cast("double") * (col("n") + 1) / 4.0) /
+          sqrt(col("n").cast("double") * (col("n") + 1) *
+            (lit(2) * col("n") + 1) / 24.0 -
+            col("tt").cast("double") / 48.0), 6).as("z"))
+  }
+
+  val wilcoxonSignedRankSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM o
+      |), pairs AS (
+      |  SELECT o_custkey,
+      |    SUM(CASE WHEN day * 2 <= b.mn + b.mx THEN cents ELSE 0 END) AS s1,
+      |    SUM(CASE WHEN day * 2 > b.mn + b.mx THEN cents ELSE 0 END) AS s2
+      |  FROM o, b GROUP BY o_custkey, b.mn, b.mx
+      |), d AS (
+      |  SELECT s2 - s1 AS diff, abs(s2 - s1) AS ad FROM pairs WHERE s2 <> s1
+      |), per_val AS (
+      |  SELECT ad, COUNT(*) AS cnt,
+      |    COALESCE(SUM(COUNT(*)) OVER (ORDER BY ad
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM d GROUP BY ad
+      |), wsum AS (
+      |  SELECT SUM(CASE WHEN d.diff > 0 THEN 2 * v.cb + v.cnt + 1
+      |      ELSE 0 END) AS w2,
+      |    COUNT(*) AS n
+      |  FROM d JOIN per_val v ON v.ad = d.ad
+      |), ties AS (
+      |  SELECT SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tt FROM per_val
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(w2 AS DOUBLE) / 2 AS w_plus,
+      |  ROUND((CAST(w2 AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+      |    / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+      |      - CAST(t.tt AS DOUBLE) / 48.0), 6) AS z
+      |FROM wsum, ties t""".stripMargin
 }

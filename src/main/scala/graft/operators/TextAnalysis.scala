@@ -1615,6 +1615,48 @@ object TextAnalysis {
                nMerges: Int = 20): DataFrame =
     trainBpeCore(spark, Tables.load(spark, dir, "documents"), nMerges)
 
+  case class CompressionRow(doc_id: Long, n_bytes: Long, n_deflated: Long)
+
+  /** q281 — compression-ratio quality signal: deflate each document
+    * (zlib level 6, one reused Deflater per partition) and report
+    * compressed/raw — the classic cheap repetition-and-entropy proxy
+    * real curation stacks filter on (boilerplate and generator spam
+    * compress far below natural prose; random noise doesn't compress
+    * at all). Complements q55's explicit repetition counters and
+    * q103's unigram entropy with the signal that catches BOTH at
+    * once, including long-range duplication n-gram windows miss.
+    *
+    * Graded rows-only (no oracle: DuckDB has no deflate; the ratio is
+    * nevertheless deterministic — fixed level, fixed library, reset
+    * between docs — and the spec pins ordering properties and
+    * rerun-stability). Scale: embarrassingly parallel narrow map,
+    * one small output row per doc; the Deflater is reused across a
+    * partition (allocation-free steady state).
+    */
+  def compressionRatio(spark: SparkSession, dir: String,
+                       flagBelow: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](1 << 16)
+      rows.map { case (id, text) =>
+        val in = text.getBytes("UTF-8")
+        deflater.reset()
+        deflater.setInput(in)
+        deflater.finish()
+        var out = 0L
+        while (!deflater.finished()) out += deflater.deflate(buf)
+        CompressionRow(id, in.length.toLong, out)
+      }
+    }.toDF()
+      .withColumn("ratio", round(col("n_deflated").cast("double") /
+        greatest(col("n_bytes"), lit(1L)), 6))
+      .withColumn("flag_repetitive", (col("ratio") < flagBelow).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The left-to-right non-overlapping single-rule rewrite of a
     * symbol array as a SQL fold: pend holds the last unflushed
     * symbol; matching (a, b) flushes the merged token and clears it.

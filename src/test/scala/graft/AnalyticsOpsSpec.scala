@@ -1450,6 +1450,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out === Seq((2, 4L, 4.0, 1.549193)))
   }
 
+  test("wilcoxonSignedRank: hand pairs — zero diffs drop, signed midranks by hand") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wsr").toString
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // half split at day*2 <= mn+mx = 10: days 0..5 early, 6..10 late.
+    // diffs (late-early cents): c1 +100, c2 -200, c3 +300, c4 0 (drops)
+    // ranks of |d|: 100->1, 200->2, 300->3; W+ = 1+3 = 4; n=3
+    // z = (4 - 3)/sqrt(3*4*7/24) = 1/sqrt(3.5)
+    val rows = Seq(
+      (1L, 1L, 0, 1.0), (2L, 1L, 10, 2.0),
+      (3L, 2L, 0, 3.0), (4L, 2L, 10, 1.0),
+      (5L, 3L, 0, 1.0), (6L, 3L, 10, 4.0),
+      (7L, 4L, 0, 1.0), (8L, 4L, 10, 1.0))
+    rows.map { case (ok, ck, day, price) =>
+        (ok, ck, "O", price, ts(day), "5-LOW") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Profile.wilcoxonSignedRank(spark, dir)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(out === Seq((3L, 4.0, 0.534522)))
+  }
+
   test("woeIv: zero-class buckets yield NULL WOE; balanced bucket scores 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft-woe").toString
     val ts0 = new java.sql.Timestamp(0L)

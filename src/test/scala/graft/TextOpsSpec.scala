@@ -484,4 +484,22 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(out === Seq((1L, 3L, 5L, 1.666667), (2L, 2L, 4L, 2.0)))
   }
+
+  test("compressionRatio: repetition compresses below the flag line, varied prose doesn't") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+    val varied = (1 to 40).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
+    Seq((1L, "a" * 400), (2L, varied))
+      .map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.compressionRatio(spark, dir)
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 < 0.1 && byId(1L)._5 === 1) // pure repetition
+    assert(byId(2L)._4 > byId(1L)._4 && byId(2L)._5 === 0)
+    // deterministic: fixed level, reset per doc
+    val again = graft.operators.TextAnalysis.compressionRatio(spark, dir)
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq
+    assert(again === out)
+  }
 }
