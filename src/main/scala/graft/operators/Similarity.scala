@@ -2202,6 +2202,27 @@ object Similarity {
       nprobe = 1, trainIters = trainIters)
   }
 
+  /** OPQ composed with the residual IVF-PQ system: rotate the WHOLE
+    * space first (rotation is an L2 isometry, so k-means cells,
+    * residuals and ADC distances in the rotated frame equal the
+    * original geometry — only the SUBSPACE SLICING changes, which is
+    * the point), then run [[knnIvfPqResidualCore]] with cells trained
+    * on the rotated vectors. The m-subspace variance balance now
+    * applies to the residual encoding, where the remaining
+    * anisotropy lives after cell centering.
+    */
+  def knnIvfPqResidualOpq(spark: SparkSession, emb: DataFrame,
+                          nQueries: Int = 8, k: Int = 10, m: Int = 8,
+                          dsub: Int = 8, ksub: Int = 16, nprobe: Int = 2,
+                          kCells: Int = 16, trainIters: Int = 2,
+                          dim: Int = 64): DataFrame = {
+    val r = opqRotation(spark, emb, m, dim)
+    val rotated = rotateEmbeddings(emb, r).localCheckpoint()
+    val centroids = kmeansCentroids(spark, rotated, kCells, iters = 3)
+    knnIvfPqResidualCore(spark, rotated, centroids, nQueries, k, m, dsub,
+      ksub, nprobe, trainIters)
+  }
+
   /** q277 — dimension-truncation (Matryoshka-style) recall audit: can
     * this corpus's embeddings be truncated to their first 8/16/32
     * dims without losing retrieval quality? Per prefix width, the

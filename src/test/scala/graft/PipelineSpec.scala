@@ -401,6 +401,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(flat.values.forall(_ === 1.0), s"dim-0 corpus lost recall: $flat")
   }
 
+  test("OPQ-rotated residual IVF-PQ beats the unrotated system on anisotropic clusters") {
+    // clusters AND within-cluster noise both live in dims 0..7: after
+    // cell centering the residual is still confined to one storage
+    // subspace, so plain residual-PQ burns 7 codebooks on nothing;
+    // OPQ deals the 8 live directions across subspaces
+    def det(a: Int, b: Int, mod: Int): Float = ((a * 131 + b * 17) % mod).toFloat
+    def vec(i: Int): Array[Float] = {
+      val cl = i % 4
+      Array.tabulate(64)(d =>
+        if (d < 8) (det(cl, d, 7) - 3f) / 1.5f + (det(i, d, 31) - 15f) / 30f
+        else (det(i, d, 5) - 2f) * 0.001f)
+    }
+    val emb = (0 until 108).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .localCheckpoint()
+    val qs = (0 until 8).map(i => i -> vec(i)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i =>
+        s += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i) }
+      s / math.sqrt(na * nb)
+    }
+    val exact = qs.map { case (q, qv) =>
+      q.toLong -> (8 until 108).sortBy(c => (-cos(qv, vec(c)), c)).take(10)
+        .map(_.toLong).toSet
+    }
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      exact.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).count(t).toDouble / t.size }.sum / exact.size
+    }
+    val plainCells = Similarity.kmeansCentroids(spark, emb, kCells = 4, iters = 3)
+    val plain = recall(Similarity.knnIvfPqResidualCore(spark, emb, plainCells,
+      nQueries = 8, k = 10, m = 8, dsub = 8, ksub = 16, nprobe = 2))
+    val opq = recall(Similarity.knnIvfPqResidualOpq(spark, emb,
+      nprobe = 2, kCells = 4))
+    assert(opq > plain,
+      s"OPQ residual system $opq did not beat unrotated $plain")
+  }
+
   test("rebalanceIvfCells splits the hot cell and lowers the max load") {
     // skewed corpus: 40 vectors in TWO sub-lobes around axis 0, 10
     // around axis 1 — with centroids on the axes, cell 0 holds 80%
