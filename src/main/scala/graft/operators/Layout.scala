@@ -105,6 +105,48 @@ object Layout {
       |FROM z GROUP BY zcell ORDER BY zcell""".stripMargin
   }
 
+  /** q282 — Hilbert-curve cell audit over the same (l_partkey,
+    * l_suppkey) plane as q59: per coarse Hilbert cell, row count and
+    * both dimensions' min/max extents. The comparison IS the point:
+    * the Hilbert walk never jumps (consecutive keys are grid
+    * neighbors — [[graft.functions.HilbertKey]], spec-pinned), so at
+    * the same cell budget its cells are tighter rectangles than
+    * Morton's (whose quadrant seams produce span-wide cells), i.e.
+    * better file-skipping for the same layout cost. Same one
+    * partial+final aggregate shape as q59; the key itself is a
+    * custom codegen'd Expression because the level-carried
+    * rotate/flip state has no flat bit-interleave form.
+    */
+  def hilbertCells(spark: SparkSession, dir: String,
+                   cellShift: Int = 14): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.select(col("l_partkey"), col("l_suppkey"),
+        graft.functions.HilbertKey.hilbertKey(spark,
+          col("l_partkey"), col("l_suppkey")).as("hkey"))
+      .withColumn("hcell", shiftright(col("hkey"), cellShift))
+      .groupBy(col("hcell"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+      .withColumn("part_span", col("max_part") - col("min_part"))
+      .withColumn("supp_span", col("max_supp") - col("min_supp"))
+      .orderBy(col("hcell"))
+  }
+
+  def hilbertCellsSql(cellShift: Int = 14): String = {
+    val ctes = graft.functions.HilbertKey.hilbertKeySqlCtes(
+      "l_partkey", "l_suppkey", 16,
+      "(SELECT l_partkey, l_suppkey FROM lineitem)")
+    s"""WITH $ctes
+      |SELECT (hd >> $cellShift) AS hcell, COUNT(*) AS n_rows,
+      |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+      |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp,
+      |  MAX(l_partkey) - MIN(l_partkey) AS part_span,
+      |  MAX(l_suppkey) - MIN(l_suppkey) AS supp_span
+      |FROM h16 GROUP BY 1 ORDER BY hcell""".stripMargin
+  }
+
   /** Write `df` z-order-clustered on (xCol, yCol) into `numFiles`
     * range-partitioned files: rows are range-partitioned then sorted
     * by the Morton key, so every output file covers a bounded z-range

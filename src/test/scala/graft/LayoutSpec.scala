@@ -100,4 +100,60 @@ class LayoutSpec extends AnyFunSuite {
     assert(zx < ux / 2, s"x span not narrowed: z=$zx unsorted=$ux")
     assert(zy < uy / 2, s"y span not narrowed: z=$zy unsorted=$uy")
   }
+
+  test("HilbertKey: classic order-1 walk, full-grid bijection, neighbor continuity Morton lacks") {
+    import graft.functions.HilbertKey.key
+    // order-1 U walk: (0,0)->0, (0,1)->1, (1,1)->2, (1,0)->3
+    assert(key(0, 0, 1) === 0L)
+    assert(key(0, 1, 1) === 1L)
+    assert(key(1, 1, 1) === 2L)
+    assert(key(1, 0, 1) === 3L)
+    // bits=3: a bijection onto 0..63 ...
+    val pts = for { x <- 0 until 8; y <- 0 until 8 } yield (x, y)
+    val ds = pts.map { case (x, y) => key(x, y, 3) }
+    assert(ds.sorted === (0L until 64L))
+    // ... whose CONSECUTIVE keys are always grid neighbors (the
+    // Hilbert locality guarantee)
+    val byD = pts.map { case (x, y) => key(x, y, 3) -> ((x, y)) }.toMap
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // Morton, same grid: the quadrant seam jumps (e.g. z=3 is (1,1),
+    // z=4 is (2,0) — manhattan distance 3), which is exactly the
+    // locality difference the q282-vs-q59 audit measures
+    def mkey(x: Long, y: Long): Long =
+      (0 until 3).map(b => (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))).reduce(_ | _)
+    val zpts = pts.map { case (x, y) => mkey(x, y) -> ((x, y)) }.toMap
+    val jumps = (0L until 63L).count { z =>
+      val (x1, y1) = zpts(z); val (x2, y2) = zpts(z + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(jumps > 0)
+  }
+
+  test("hilbertCells: pipeline matches an independent scalar-kernel recomputation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hil").toString
+    val ts = new java.sql.Timestamp(0L)
+    val rows = for { p <- 0L until 40L; s <- 0L until 3L } yield (p, s)
+    rows.map { case (pk, sk) =>
+        (1L, pk, sk, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val viaExpr = graft.operators.Layout.hilbertCells(spark, dir, cellShift = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // independent recomputation from the shared scalar kernel (the
+    // DuckDB CTE twin's parity is the q282 oracle gate's job)
+    val expected = rows.groupBy { case (p, s) =>
+        graft.functions.HilbertKey.key(p, s, 16) >> 4 }
+      .map { case (cell, pts) =>
+        val ps = pts.map(_._1); val ss = pts.map(_._2)
+        (cell, pts.size.toLong, ps.min, ps.max, ss.min, ss.max,
+          ps.max - ps.min, ss.max - ss.min) }
+      .toSeq.sortBy(_._1)
+    assert(viaExpr === expected)
+  }
 }
