@@ -36,6 +36,8 @@ object ZorderAudit {
     val li = Tables.load(spark, sfDir, "lineitem")
     val nFiles = 64
     Layout.writeZOrdered(li, "l_partkey", "l_suppkey", s"$base/z", nFiles)
+    Layout.writeHilbertOrdered(spark, li, "l_partkey", "l_suppkey",
+      s"$base/h", nFiles)
     li.repartition(nFiles).write.mode("overwrite").parquet(s"$base/u")
 
     val bounds = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
@@ -61,11 +63,16 @@ object ZorderAudit {
     val total = li.count()
     preds.foreach { case (name, pred) =>
       val (zScan, zKept) = scanRows(s"$base/z", pred)
+      val (hScan, hKept) = scanRows(s"$base/h", pred)
       val (uScan, uKept) = scanRows(s"$base/u", pred)
-      require(zKept == uKept, s"$name: result rows diverge: $zKept vs $uKept")
+      require(zKept == uKept && hKept == uKept,
+        s"$name: result rows diverge: $zKept / $hKept vs $uKept")
       println(f"$name%-10s total=$total%8d kept=$zKept%8d " +
-        f"zorder_scanned=$zScan%8d unsorted_scanned=$uScan%8d " +
-        f"zorder_frac=${zScan.toDouble / total}%.3f unsorted_frac=${uScan.toDouble / total}%.3f")
+        f"zorder_scanned=$zScan%8d hilbert_scanned=$hScan%8d " +
+        f"unsorted_scanned=$uScan%8d " +
+        f"zorder_frac=${zScan.toDouble / total}%.3f " +
+        f"hilbert_frac=${hScan.toDouble / total}%.3f " +
+        f"unsorted_frac=${uScan.toDouble / total}%.3f")
     }
     spark.stop()
   }
