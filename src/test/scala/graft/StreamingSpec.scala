@@ -529,4 +529,48 @@ class StreamingSpec extends AnyFunSuite {
     }.toSeq.sortBy(_._1)
     assert(rolled === batchTable.map(r => (r._1, r._2, r._3)))
   }
+
+  test("streaming heavy hitters: bounded MG state honors presence and undercount bounds") {
+    import graft.streaming.StreamingHeavyHitters
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val out = StreamingHeavyHitters.topTokens(input.toDS(), k = 3, nShards = 2)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("hh_out").start()
+    try {
+      // batch 1: hot 'aa' + chaff; batch 2: more hot + fresh chaff --
+      // state must carry 'aa' across batches and stay <= k counters
+      val b1 = Seq.fill(20)("aa") ++ Seq("b1", "b2", "b3", "b4")
+      val b2 = Seq.fill(15)("aa") ++ Seq.fill(8)("cc") ++ Seq("d1", "d2")
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // latest snapshot per shard: Update-mode sinks keep superseded
+      // rows (an evicted token is not retracted), so the CURRENT
+      // counter set is exactly the rows carrying the shard's max
+      // processed watermark
+      val raw = spark.sql(
+        "SELECT shard, token, est_count, shard_processed FROM hh_out")
+        .as[(Int, String, Long, Long)].collect().toSeq
+      val latest = raw.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+      val snap = raw.filter(r => r._4 == latest(r._1))
+      val all = b1 ++ b2
+      val trueCounts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val byShard = all.groupBy(t => StreamingHeavyHitters.shardOf(t, 2))
+        .view.mapValues(_.size.toLong).toMap
+      // per-shard state bound: <= k counters survive
+      snap.groupBy(_._1).foreach { case (_, rows) => assert(rows.size <= 3) }
+      snap.foreach { case (shard, tok, est, processed) =>
+        assert(processed === byShard(shard))
+        val t = trueCounts(tok)
+        assert(est <= t, s"$tok overestimated: $est > $t")
+        assert(t - est <= processed / 4, s"$tok undercount bound broken")
+      }
+      // MG presence guarantee: count > processed/(k+1) in its shard
+      val hot = trueCounts.filter { case (tok, c) =>
+        c > byShard(StreamingHeavyHitters.shardOf(tok, 2)) / 4 }
+      hot.keys.foreach { tok =>
+        assert(snap.exists(_._2 == tok), s"hot token $tok missing") }
+    } finally q.stop()
+  }
 }
