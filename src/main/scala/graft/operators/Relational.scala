@@ -2636,12 +2636,15 @@ object Relational {
   def importantPositions(spark: SparkSession, dir: String,
                          denom: Long = 20000L): DataFrame = {
     val dec = DecimalType(28, 6)
-    val pairs = Tables.load(spark, dir, "lineitem")
+    // materialize the pair aggregate once: the global total is a
+    // rollup of it, and without the cut Spark re-reads the whole fact
+    // for the 1-row aggregate (PlansSpec pins the single scan)
+    val pairs = graft.Iterate.cut(Tables.load(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_partkey"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
           .cast(dec).as("rev"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
-      .agg(sum(col("rev")).as("value"))
+      .agg(sum(col("rev")).as("value")))
     val total = pairs.agg(sum(col("value")).as("total"))
     pairs.crossJoin(broadcast(total))
       .filter(col("value") * lit(denom) > col("total"))

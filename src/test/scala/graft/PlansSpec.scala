@@ -202,6 +202,36 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("q265 star broadcasts part/supplier/nation; q268 keeps the outer join outer") {
+    val profit = operators.Relational.productProfit(spark, "/root/testdata/sf0.001")
+    val pPlan = profit.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(pPlan).size >= 3,
+      s"expected 3 broadcast dims:\n$pPlan")
+    // the part-name filter must reach the dim scan (it prunes the
+    // fact after the broadcast probe)
+    assert(pPlan.contains("PushedFilters") && pPlan.contains("p_name"),
+      s"part filter not pushed:\n$pPlan")
+    val dist = operators.Relational.custOrderDistribution(spark, "/root/testdata/sf0.001")
+    val dPlan = dist.queryExecution.executedPlan.toString
+    assert(dPlan.contains("LeftOuter"),
+      s"zero-bucket outer join was turned inner:\n$dPlan")
+  }
+
+  test("q266 decorrelates the global threshold: one pair shuffle, broadcast 1-row total") {
+    val out = operators.Relational.importantPositions(spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    // the total joins back as a broadcast nested-loop over ONE row,
+    // never a rescan of the fact or a sort-merge
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"global total not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+    // at most one fact read: the pair aggregate is lineage-cut, so
+    // the rollup total reads the materialized pairs (the final plan
+    // shows the checkpoint RDD, not a second parquet scan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 1, s"fact scanned twice:\n$plan")
+  }
+
   test("q234 factors the part-side disjunction below the broadcast join") {
     val out = operators.Relational.disjunctiveRevenue(spark, "/root/testdata/sf0.001")
     val plan = out.queryExecution.executedPlan.toString
