@@ -2171,6 +2171,100 @@ object Dedup {
        |    / NULLIF(CAST(b + c AS DOUBLE), 0.0), 6) AS mcnemar_chi2
        |FROM cells""".stripMargin
 
+  /** q283 — probabilistic linkage scoring: q180's sorted-neighborhood
+    * CANDIDATES scored with q275's LEARNED Fellegi–Sunter weights —
+    * the composition that turns the two calibration relations into a
+    * working linker. Per candidate pair: the three feature agreements
+    * and score = Σ (agree ? w⁺ : w⁻), the log₂ likelihood ratio of
+    * match vs non-match under the learned m/u model (an undefined
+    * weight — a degenerate 0/1 probability — contributes 0, i.e. the
+    * feature abstains). Positive score ⇒ evidence for a match beyond
+    * the blocking key; the threshold is the reviewable dial.
+    *
+    * Exactness: each weight is a 6dp-rounded double (or exactly 0);
+    * the score adds the three terms in ONE fixed order (lang +
+    * source + length) and rounds once — identical chains. Scale:
+    * weights are a 3-row broadcast; candidates are q180's linear
+    * O(n·w) set; two doc-keyed attr joins.
+    */
+  def linkageScores(spark: SparkSession, dir: String,
+                    minScore: Double = 0.0): DataFrame = {
+    val zero = lit(0.0)
+    def w(f: String, c: String) =
+      max(when(col("feature") === f, coalesce(col(c), zero)))
+    val wide = linkageWeights(spark, dir).agg(
+      w("same_lang", "w_agree").as("wl_a"),
+      w("same_lang", "w_disagree").as("wl_d"),
+      w("same_source", "w_agree").as("ws_a"),
+      w("same_source", "w_disagree").as("ws_d"),
+      w("len_close", "w_agree").as("wc_a"),
+      w("len_close", "w_disagree").as("wc_d"))
+    val attrs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val cand = snmCandidates(spark, dir).select(col("doc_a"), col("doc_b"))
+    cand
+      .join(attrs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+        col("source").as("source_a"), col("n_chars").as("len_a")), "doc_a")
+      .join(attrs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("source").as("source_b"), col("n_chars").as("len_b")), "doc_b")
+      .crossJoin(broadcast(wide))
+      .withColumn("a_lang", (col("lang_a") === col("lang_b")).cast("int"))
+      .withColumn("a_source", (col("source_a") === col("source_b")).cast("int"))
+      .withColumn("a_len", (abs(col("len_a") - col("len_b")) * 10 <=
+        least(col("len_a"), col("len_b"))).cast("int"))
+      .withColumn("score", round(
+        when(col("a_lang") === 1, col("wl_a")).otherwise(col("wl_d")) +
+        when(col("a_source") === 1, col("ws_a")).otherwise(col("ws_d")) +
+        when(col("a_len") === 1, col("wc_a")).otherwise(col("wc_d")), 6))
+      .filter(col("score") > minScore)
+      .select(col("doc_a"), col("doc_b"),
+        (col("a_lang") + col("a_source") + col("a_len")).as("n_agree"),
+        col("score"))
+      .orderBy(col("score").desc, col("doc_a"), col("doc_b"))
+  }
+
+  def linkageScoresSql(minScore: Double = 0.0): String =
+    s"""WITH fsw AS (
+       |  $linkageWeightsSql
+       |), wide AS (
+       |  SELECT
+       |    MAX(CASE WHEN feature = 'same_lang'
+       |      THEN COALESCE(w_agree, 0.0) END) AS wl_a,
+       |    MAX(CASE WHEN feature = 'same_lang'
+       |      THEN COALESCE(w_disagree, 0.0) END) AS wl_d,
+       |    MAX(CASE WHEN feature = 'same_source'
+       |      THEN COALESCE(w_agree, 0.0) END) AS ws_a,
+       |    MAX(CASE WHEN feature = 'same_source'
+       |      THEN COALESCE(w_disagree, 0.0) END) AS ws_d,
+       |    MAX(CASE WHEN feature = 'len_close'
+       |      THEN COALESCE(w_agree, 0.0) END) AS wc_a,
+       |    MAX(CASE WHEN feature = 'len_close'
+       |      THEN COALESCE(w_disagree, 0.0) END) AS wc_d
+       |  FROM fsw
+       |), snm AS (
+       |  ${snmCandidatesSql()}
+       |), scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CASE WHEN da.lang = db.lang THEN 1 ELSE 0 END AS a_lang,
+       |    CASE WHEN da.source = db.source THEN 1 ELSE 0 END AS a_source,
+       |    CASE WHEN abs(da.n_chars - db.n_chars) * 10
+       |      <= least(da.n_chars, db.n_chars) THEN 1 ELSE 0 END AS a_len,
+       |    ROUND(
+       |      (CASE WHEN da.lang = db.lang THEN w.wl_a ELSE w.wl_d END)
+       |      + (CASE WHEN da.source = db.source THEN w.ws_a ELSE w.ws_d END)
+       |      + (CASE WHEN abs(da.n_chars - db.n_chars) * 10
+       |          <= least(da.n_chars, db.n_chars)
+       |        THEN w.wc_a ELSE w.wc_d END), 6) AS score
+       |  FROM snm c
+       |  JOIN documents da ON da.doc_id = c.doc_a
+       |  JOIN documents db ON db.doc_id = c.doc_b
+       |  CROSS JOIN wide w
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(a_lang + a_source + a_len AS INT) AS n_agree, score
+       |FROM scored WHERE score > $minScore
+       |ORDER BY score DESC, doc_a, doc_b""".stripMargin
+
   /** q275 — Fellegi–Sunter record-linkage weights: per comparison
     * feature (same lang / same source / length within 10%), the
     * m-probability (agreement rate among KNOWN matches — q82's
@@ -2183,10 +2277,13 @@ object Dedup {
     * w⁺ features are the discriminating ones; w near 0 means the
     * feature is noise.
     *
-    * Pair construction is deterministic and linear: matches = each
-    * dup paired with its group REPRESENTATIVE (min doc_id — no
-    * quadratic within-group blowup); non-matches = the (doc_id,
-    * doc_id+1) successor pairs with differing fingerprints — an
+    * Pair construction is deterministic and linear: matches = the
+    * VERIFIED near-dup pairs from q27's MinHash-LSH relation (exact
+    * Jaccard ≥ threshold — the labeled-match set a real linkage
+    * calibration would use; the normalized-exact relation is empty
+    * at corpus SFs whose duplicates are all near-dups); non-matches
+    * = the (doc_id, doc_id+1) successor pairs with differing
+    * normalized fingerprints AND not in the match set — an
     * equi-join, NO global sort, and an unbiased-enough u-sample for
     * calibration. Length closeness is an integer cross-multiply
     * (|la−lb|·10 ≤ min), no division.
@@ -2205,19 +2302,23 @@ object Dedup {
         md5(regexp_replace(trim(translate(nfcText, AsciiUpper, AsciiLower)),
           "\\s+", " ")).as("norm_fp"))
       .localCheckpoint() // three consumers: reps, matches, successors
-    val reps = base.groupBy(col("norm_fp")).agg(min(col("doc_id")).as("rep_id"))
-    val repAttrs = base.select(col("doc_id").as("rep_id"),
+    val bAttrs = base.select(col("doc_id").as("doc_b"),
       col("lang").as("lang_b"), col("source").as("source_b"),
       col("n_chars").as("len_b"))
-    val matches = base.join(reps, "norm_fp")
-      .filter(col("doc_id") > col("rep_id"))
-      .join(repAttrs, "rep_id")
+    val matchPairs = minhashLshPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val matches = matchPairs
+      .join(base.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(bAttrs, "doc_b")
     val succ = base.as("a").join(
         base.select((col("doc_id") - 1).as("doc_id"),
+          col("doc_id").as("doc_b"),
           col("lang").as("lang_b"), col("source").as("source_b"),
           col("n_chars").as("len_b"), col("norm_fp").as("fp_b")),
         Seq("doc_id"))
       .filter(col("norm_fp") =!= col("fp_b"))
+      .join(matchPairs.withColumnRenamed("doc_a", "doc_id"),
+        Seq("doc_id", "doc_b"), "left_anti")
     def agrees(df: DataFrame): (org.apache.spark.sql.Column,
         org.apache.spark.sql.Column, org.apache.spark.sql.Column) = (
       (col("lang") === col("lang_b")).cast("long"),
@@ -2260,19 +2361,21 @@ object Dedup {
        |    md5(regexp_replace(trim(translate(nfc_normalize(text),
        |      '$AsciiUpper', '$AsciiLower')), '\\s+', ' ', 'g')) AS norm_fp
        |  FROM documents
-       |), reps AS (
-       |  SELECT norm_fp, MIN(doc_id) AS rep_id FROM base GROUP BY norm_fp
+       |), mh AS (
+       |  $minhashLshPairsSql
        |), matches AS (
        |  SELECT a.lang, a.source, a.n_chars,
        |    b.lang AS lang_b, b.source AS source_b, b.n_chars AS len_b
-       |  FROM base a
-       |  JOIN reps r ON r.norm_fp = a.norm_fp AND a.doc_id > r.rep_id
-       |  JOIN base b ON b.doc_id = r.rep_id
+       |  FROM mh
+       |  JOIN base a ON a.doc_id = mh.doc_a
+       |  JOIN base b ON b.doc_id = mh.doc_b
        |), succ AS (
        |  SELECT a.lang, a.source, a.n_chars,
        |    b.lang AS lang_b, b.source AS source_b, b.n_chars AS len_b
        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
        |  WHERE a.norm_fp <> b.norm_fp
+       |    AND NOT EXISTS (SELECT 1 FROM mh
+       |      WHERE mh.doc_a = a.doc_id AND mh.doc_b = b.doc_id)
        |), magg AS (
        |  SELECT COUNT(*) AS nm,
        |    SUM(CASE WHEN lang = lang_b THEN 1 ELSE 0 END) AS m_lang,

@@ -573,13 +573,16 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   test("linkageWeights: hand pairs — m/u rates and log2 weights with 0/1 guards") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fs").toString
-    // docs 1-3 share normalized text (matches: 2->1 same lang+source,
-    // 3->1 different lang+source); successor non-match pairs: (3,4)
-    // nothing agrees, (4,5) lang agrees + len close
+    // docs 1-3 are identical (long enough to shingle), so the
+    // MinHash match set is all 3 pairs: (1,2) agrees on everything,
+    // (1,3)/(2,3) only on length; successor non-matches: (3,4)
+    // nothing agrees, (4,5) lang agrees + len close ((1,2)/(2,3)
+    // successor pairs are excluded: same fingerprint / match pair)
+    val dup = "hello wonderful world today"
     Seq(
-      (1L, "hello world", "en", "s1", 11L),
-      (2L, "hello world", "en", "s1", 11L),
-      (3L, "hello world", "fr", "s2", 11L),
+      (1L, dup, "en", "s1", 27L),
+      (2L, dup, "en", "s1", 27L),
+      (3L, dup, "fr", "s2", 27L),
       (4L, "completely different text here", "en", "s1", 30L),
       (5L, "another unrelated document text", "en", "s2", 31L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -589,10 +592,12 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(out === Seq(
       // m=1, u=.5: agree weight log2(2)=1; disagree undefined (cm=nm)
-      ("len_close", 2L, 2L, 1.0, 0.5, Some(1.0), None),
-      ("same_lang", 2L, 2L, 0.5, 0.5, Some(0.0), Some(0.0)),
-      // u=0: agree weight undefined; disagree log2(.5/1) = -1
-      ("same_source", 2L, 2L, 0.5, 0.0, None, Some(-1.0))))
+      ("len_close", 3L, 2L, 1.0, 0.5, Some(1.0), None),
+      // m=1/3, u=1/2: w+ = log2(2/3), w- = log2(4/3)
+      ("same_lang", 3L, 2L, 0.333333, 0.5,
+        Some(-0.584963), Some(0.415037)),
+      // u=0: agree weight undefined; disagree log2((2/3)/1)
+      ("same_source", 3L, 2L, 0.333333, 0.0, None, Some(-0.584963))))
   }
 
   test("neymanAllocation: hand strata — zero-variance earns 0, leftover goes to largest remainder") {
