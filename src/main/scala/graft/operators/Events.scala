@@ -3738,6 +3738,65 @@ object Events {
       |ORDER BY entry_type""".stripMargin
   }
 
+  /** q285 — Rayleigh test of time-of-day clustering per event type:
+    * are events uniformly spread around the 24 h clock, or do they
+    * concentrate at a preferred hour? CIRCULAR statistics — a linear
+    * mean of "hour" is meaningless across midnight (23:00 and 01:00
+    * average to noon); the resultant vector R = |Σe^{iθ}|/n with
+    * θ = 2π·(ms-of-day)/86400000 handles the wrap, Rayleigh's
+    * z = nR² is the uniformity test, and atan2 recovers the mean
+    * direction as an hour. Complements q145's day-of-week profile
+    * (discrete buckets) with the continuous within-day shape.
+    *
+    * Exactness: per-event cos/sin terms are 6dp-rounded into
+    * DECIMAL(18,6) accumulators (order-independent — the q151/q270
+    * aggregate-stable convention; libm sin/cos agree to ~1 ulp, 10
+    * orders below the 6dp grain); the 2π and 24/2π constants are
+    * spelled as identical double literals on both engines; the final
+    * R/z/hour chains are fixed-order doubles. Scale: one narrow map
+    * + one |types|-row aggregate — map-side combinable, nothing else.
+    */
+  def rayleighTimeOfDay(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val twoPi = 6.283185307179586
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("ms_day", pmod(tsMs("ts"), lit(86400000L)))
+      .withColumn("theta", lit(twoPi) * col("ms_day") / 86400000.0)
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(cos(col("theta")), 6).cast(dec)).cast("double").as("c"),
+        sum(round(sin(col("theta")), 6).cast(dec)).cast("double").as("s"))
+      .select(col("event_type"), col("n"),
+        round(sqrt(col("c") * col("c") + col("s") * col("s")) / col("n"), 6)
+          .as("resultant_r"),
+        round((col("c") * col("c") + col("s") * col("s")) / col("n"), 6)
+          .as("rayleigh_z"),
+        round(((atan2(col("s"), col("c")) + twoPi) % twoPi) *
+          (24.0 / twoPi), 6).as("mean_hour"))
+      .orderBy(col("event_type"))
+  }
+
+  val rayleighTimeOfDaySql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    6.283185307179586 * (epoch_ms(ts) % 86400000) / 86400000.0
+      |      AS theta
+      |  FROM events
+      |), agg AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(ROUND(cos(theta), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |      AS c,
+      |    CAST(SUM(CAST(ROUND(sin(theta), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |      AS s
+      |  FROM e GROUP BY event_type
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  ROUND(sqrt(c * c + s * s) / n, 6) AS resultant_r,
+      |  ROUND((c * c + s * s) / n, 6) AS rayleigh_z,
+      |  ROUND(((atan2(s, c) + 6.283185307179586) % 6.283185307179586)
+      |    * (24.0 / 6.283185307179586), 6) AS mean_hour
+      |FROM agg ORDER BY event_type""".stripMargin
+
   /** q271 — Friedman test of event-type volume consistency across
     * days: blocks = days, treatments = event types; within each day
     * the k types are ranked by volume, and the test asks whether the

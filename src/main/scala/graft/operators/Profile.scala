@@ -1507,6 +1507,96 @@ object Profile {
        |    / NULLIF(sxx - sx * sx / n, 0.0), 6) AS eta_sq
        |FROM agg""".stripMargin
 
+  /** q284 — Tukey-HSD post-hoc pairs for the ship-lag ANOVA: q264
+    * says WHETHER supplier nation explains ship-delay variance; this
+    * says WHICH nation pairs actually differ — the studentized-range
+    * q statistic |mean_i − mean_j| / √(MSW/2·(1/n_i + 1/n_j)) for
+    * every nation pair, the standard all-pairs follow-up that
+    * controls family-wise error where k·(k−1)/2 naive t-tests don't.
+    * (The critical value against which q compares is a table lookup
+    * at chosen α — the statistic itself is the data-dependent part.)
+    *
+    * Exactness: group means are single divisions of exact BIGINT
+    * sums; MSW reuses q264's scaled-integer within-group term
+    * verbatim (same 1e-6 floor definition), and each pair's q is one
+    * fixed-order double chain rounded 6dp. Scale: the q264 aggregate
+    * plus a k²-row broadcast self-join — catalog-sized.
+    */
+  def tukeyPairs(spark: SparkSession, dir: String,
+                 lateDaysCap: Int = 3650): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val lags = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("lag", expr("datediff(l_shipdate, o_orderdate)"))
+      .filter(col("lag").between(0, lateDaysCap))
+    val byGroup = graft.Iterate.cut(lags.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("lag").cast("long")).as("s_g"),
+        sum((col("lag") * col("lag")).cast("long")).as("ss_g")))
+    val msw = byGroup.agg(
+        count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("ss_g")).cast("double").as("sxx"),
+        (sum(expr(
+          "(CAST(s_g AS DECIMAL(38,0)) * s_g * 1000000) div n_g"))
+          .cast("double") / 1e6).as("sb"))
+      .select(((col("sxx") - col("sb")) /
+        (col("n") - col("k")).cast("double")).as("msw"))
+    val a = byGroup.select(col("s_nationkey").as("nation_a"),
+      col("n_g").as("n_a"), col("s_g").as("s_a"))
+    val b = byGroup.select(col("s_nationkey").as("nation_b"),
+      col("n_g").as("n_b"), col("s_g").as("s_b"))
+    a.join(b, col("nation_a") < col("nation_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("nation_a"), col("nation_b"),
+        col("n_a"), col("n_b"),
+        round(abs(col("s_a").cast("double") / col("n_a") -
+          col("s_b").cast("double") / col("n_b")), 6).as("mean_gap"),
+        round(abs(col("s_a").cast("double") / col("n_a") -
+          col("s_b").cast("double") / col("n_b")) /
+          sqrt(col("msw") * 0.5 *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
+          .as("q_stat"))
+      .orderBy(col("q_stat").desc, col("nation_a"), col("nation_b"))
+  }
+
+  def tukeyPairsSql(lateDaysCap: Int = 3650): String =
+    s"""WITH lags AS (
+       |  SELECT s.s_nationkey,
+       |    datediff('day', o.o_orderdate, l.l_shipdate) AS lag
+       |  FROM lineitem l
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  WHERE datediff('day', o.o_orderdate, l.l_shipdate)
+       |    BETWEEN 0 AND $lateDaysCap
+       |), by_group AS (
+       |  SELECT s_nationkey, COUNT(*) AS n_g,
+       |    SUM(CAST(lag AS BIGINT)) AS s_g,
+       |    SUM(CAST(lag AS BIGINT) * lag) AS ss_g
+       |  FROM lags GROUP BY 1
+       |), msw AS (
+       |  SELECT (CAST(SUM(ss_g) AS DOUBLE)
+       |      - CAST(SUM((CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g)
+       |          AS DOUBLE) / 1e6)
+       |    / CAST(SUM(n_g) - COUNT(*) AS DOUBLE) AS msw
+       |  FROM by_group
+       |)
+       |SELECT a.s_nationkey AS nation_a, b.s_nationkey AS nation_b,
+       |  CAST(a.n_g AS BIGINT) AS n_a, CAST(b.n_g AS BIGINT) AS n_b,
+       |  ROUND(abs(CAST(a.s_g AS DOUBLE) / a.n_g
+       |    - CAST(b.s_g AS DOUBLE) / b.n_g), 6) AS mean_gap,
+       |  ROUND(abs(CAST(a.s_g AS DOUBLE) / a.n_g
+       |      - CAST(b.s_g AS DOUBLE) / b.n_g)
+       |    / sqrt(m.msw * 0.5 * (1.0 / a.n_g + 1.0 / b.n_g)), 6) AS q_stat
+       |FROM by_group a
+       |JOIN by_group b ON a.s_nationkey < b.s_nationkey
+       |CROSS JOIN msw m
+       |ORDER BY q_stat DESC, nation_a, nation_b""".stripMargin
+
   /** q256 — Spearman rank correlation per language between document
     * length and the composite quality score: "does the quality score
     * just measure length?" — the monotone-association audit Pearson

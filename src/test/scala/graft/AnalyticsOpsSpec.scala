@@ -1472,6 +1472,45 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out === Seq((3L, 4.0, 0.534522)))
   }
 
+  test("tukeyPairs: two clean groups — MSW and studentized gap by hand") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tk").toString
+    val d0 = new java.sql.Timestamp(java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime)
+    def plus(days: Int) = new java.sql.Timestamp(d0.getTime + days * 86400000L)
+    Seq((10L, "s1", 1, 0.0), (20L, "s2", 2, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, 1L, "O", 1.0, d0, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // nation 1 lags {1,2}, nation 2 lags {3,4}: MSW = (30-29)/2 = .5,
+    // gap 2.0, q = 2/sqrt(.5*.5*(.5+.5)) = 4
+    Seq((10L, 1), (10L, 2), (20L, 3), (20L, 4))
+      .map { case (sk, lag) =>
+        (1L, 1L, sk, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", plus(lag)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Profile.tukeyPairs(spark, dir)
+      .as[(Int, Int, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq((1, 2, 2L, 2L, 2.0, 4.0)))
+  }
+
+  test("rayleighTimeOfDay: aligned phase scores R=1 at its hour; antipodal cancels to 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ray").toString
+    def at(h: Int, id: Long) =
+      (id, new java.sql.Timestamp(h * 3600000L), 1L, if (id < 3) "aligned" else "split", 1.0, "{}")
+    Seq(at(6, 1L), at(6, 2L), at(0, 3L), at(12, 4L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.rayleighTimeOfDay(spark, dir)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("aligned", 2L, 1.0, 2.0, 6.0),
+      ("split", 2L, 0.0, 0.0, 0.0)))
+  }
+
   test("woeIv: zero-class buckets yield NULL WOE; balanced bucket scores 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft-woe").toString
     val ts0 = new java.sql.Timestamp(0L)
