@@ -1819,9 +1819,16 @@ object Profile {
       sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tie_term"))
     perGrp.agg(
         count(lit(1)).as("k"),
-        // Sum R_g^2/n_g = Sum (2R_g)^2/(4 n_g), floored at 1e-6 grain
+        // Sum R_g^2/n_g = Sum (2R_g)^2/(4 n_g), floored at 1e-6 grain.
+        // NOT `div`: Spark's IntegralDivide always RETURNS LONG, and
+        // (2R)^2*1e6/(4n) ~ 1e23 at sf0.1 wraps negative (caught by
+        // the sf0.1 sweep). Subtract-remainder-then-divide keeps the
+        // exact floor quotient in DECIMAL — an exact integer, so the
+        // decimal division introduces no rounding.
         (sum(expr(
-          "(CAST(r2_g AS DECIMAL(38,0)) * r2_g * 1000000) div (4 * n_g)"))
+          """(CAST(r2_g AS DECIMAL(38,0)) * r2_g * 1000000
+            |  - (CAST(r2_g AS DECIMAL(38,0)) * r2_g * 1000000) % (4 * n_g))
+            |  / (4 * n_g)""".stripMargin))
           .cast("double") / 1e6).as("sb"))
       .crossJoin(broadcast(ties))
       .select(col("k").cast("int").as("k"),

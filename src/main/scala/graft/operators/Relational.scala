@@ -2624,17 +2624,20 @@ object Relational {
     * the pair-level aggregate (the q212/q218 discipline: the global
     * threshold rides a cross join of a 1-row frame, never a rescan).
     *
-    * Exactness: the threshold test is EXACT RATIONAL — the fraction
-    * 1/denom is applied as `value · denom > total` in DECIMAL
-    * arithmetic, so no double boundary exists at all (a pair sitting
-    * exactly on the threshold is excluded identically on both
-    * engines). Scale: one fact scan, one (supp, part)-keyed shuffle
-    * (the dominant cost, unavoidable — it IS the output grain), a
-    * 1-row broadcast; no second scan for the total (rollup of the
-    * pair aggregate).
+    * Exactness: the threshold test is EXACT RATIONAL — "value above
+    * `mult`× the MEAN pair value" is applied as
+    * `value · n_pairs > mult · total` in DECIMAL/integer arithmetic,
+    * so no double boundary exists at all (a pair sitting exactly on
+    * the threshold is excluded identically on both engines). The
+    * mean-relative form is SCALE-INVARIANT: an absolute fraction of
+    * the total (TPC-H's 0.0001/SF knob) empties or floods as the
+    * pair population grows — caught by the sf0.1 sweep. Scale: one
+    * fact scan, one (supp, part)-keyed shuffle (the dominant cost,
+    * unavoidable — it IS the output grain), a 1-row broadcast; no
+    * second scan for the total (rollup of the pair aggregate).
     */
   def importantPositions(spark: SparkSession, dir: String,
-                         denom: Long = 20000L): DataFrame = {
+                         mult: Long = 3L): DataFrame = {
     val dec = DecimalType(28, 6)
     // materialize the pair aggregate once: the global total is a
     // rollup of it, and without the cut Spark re-reads the whole fact
@@ -2645,25 +2648,26 @@ object Relational {
           .cast(dec).as("rev"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(col("rev")).as("value")))
-    val total = pairs.agg(sum(col("value")).as("total"))
+    val total = pairs.agg(sum(col("value")).as("total"),
+      count(lit(1)).as("np"))
     pairs.crossJoin(broadcast(total))
-      .filter(col("value") * lit(denom) > col("total"))
+      .filter(col("value") * col("np") > lit(mult) * col("total"))
       .select(col("l_suppkey"), col("l_partkey"),
         round(col("value").cast("double"), 6).as("value"))
       .orderBy(col("value").desc, col("l_suppkey"), col("l_partkey"))
   }
 
-  def importantPositionsSql(denom: Long = 20000L): String =
+  def importantPositionsSql(mult: Long = 3L): String =
     s"""WITH pairs AS (
        |  SELECT l_suppkey, l_partkey,
        |    SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
        |      AS DECIMAL(28,6))) AS value
        |  FROM lineitem GROUP BY 1, 2
-       |), total AS (SELECT SUM(value) AS total FROM pairs)
+       |), tot AS (SELECT SUM(value) AS total, COUNT(*) AS np FROM pairs)
        |SELECT l_suppkey, l_partkey,
        |  ROUND(CAST(value AS DOUBLE), 6) AS value
-       |FROM pairs, total
-       |WHERE value * $denom > total
+       |FROM pairs, tot
+       |WHERE value * np > $mult * total
        |ORDER BY value DESC, l_suppkey, l_partkey""".stripMargin
 
   /** q267 — shipping-speed / order-priority matrix (the TPC-H Q12

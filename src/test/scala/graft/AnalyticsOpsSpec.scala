@@ -1308,21 +1308,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out === Seq(("N1", 1996, 1L, 88.0)))
   }
 
-  test("importantPositions: exact rational threshold excludes the boundary pair") {
+  test("importantPositions: exact rational mean-relative threshold excludes the boundary pair") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q11").toString
     val ts = new java.sql.Timestamp(0L)
-    // pairs: (1,1)=100, (2,2)=100, (3,3)=50; total=250, denom=5 keeps
-    // value*5 > 250 -> the exactly-on-threshold pair (50*5 = 250) is OUT
-    Seq((10L, 1L, 100.0), (20L, 2L, 100.0), (30L, 3L, 50.0))
+    // pairs: 4, 1, 1, 2; total=8, np=4, mult=1 keeps value*4 > 8 —
+    // the exactly-at-the-mean pair (2*4 = 8) is OUT, proving the
+    // boundary is decided in exact arithmetic
+    Seq((10L, 1L, 4.0), (20L, 2L, 1.0), (30L, 3L, 1.0), (40L, 4L, 2.0))
       .map { case (sk, pk, price) =>
         (1L, pk, sk, 1, 1.0, price, 0.0, 0.0, "N", "O", ts) }
       .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    val out = graft.operators.Relational.importantPositions(spark, dir, denom = 5L)
+    val out = graft.operators.Relational.importantPositions(spark, dir, mult = 1L)
       .as[(Long, Long, Double)].collect().toSeq
-    assert(out === Seq((10L, 1L, 100.0), (20L, 2L, 100.0)))
+    assert(out === Seq((10L, 1L, 4.0)))
   }
 
   test("shipModePriority: CASE-fold buckets split critical vs other in one pass") {
