@@ -1783,7 +1783,11 @@ object Graph {
     * ~√m by the orientation) plus a triangle-bounded explode and one
     * node-keyed aggregate — no wedge materialization anywhere.
     */
-  def localClustering(spark: SparkSession, dir: String): DataFrame = {
+  /** Degree-oriented edge list + the two adjacency tables (out- and
+    * in-neighbors, sorted arrays) the corner-role passes intersect.
+    */
+  private def orientAdj(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val pairs = coPurchasePairs(spark, dir).select(col("pa"), col("pb"))
     val deg = pairs.select(col("pa").as("n"))
       .unionByName(pairs.select(col("pb").as("n")))
@@ -1796,19 +1800,40 @@ object Graph {
     val ori = graft.Iterate.cut(withDeg.select(
       when(aFirst, col("pa")).otherwise(col("pb")).as("u"),
       when(aFirst, col("pb")).otherwise(col("pa")).as("v")))
-    val adj = ori.groupBy(col("u"))
+    val adjOut = ori.groupBy(col("u"))
       .agg(array_sort(collect_list(col("v"))).as("nbrs"))
-    val withInter = ori
-      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
-      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
-      .withColumn("inter", array_intersect(col("nu"), col("nv")))
-      .select(col("u"), col("v"), col("inter"),
-        size(col("inter")).cast("long").as("cnt"))
+    val adjIn = ori.groupBy(col("v"))
+      .agg(array_sort(collect_list(col("u"))).as("nbrs"))
+    (ori, adjOut, adjIn)
+  }
+
+  def localClustering(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir).select(col("pa"), col("pb"))
+    val deg = pairs.select(col("pa").as("n"))
+      .unionByName(pairs.select(col("pb").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val (ori, adjOut, adjIn) = orientAdj(spark, dir)
+    def ic(a: Column, b: Column) =
+      graft.functions.SortedIntersectCount.intersectCount(spark, a, b)
+    // every oriented triangle u→v→w (u→w) has one SOURCE wedge (u,v):
+    // |N⁺(u)∩N⁺(v)| credits u and v; and one CLOSING edge (v,w):
+    // |N⁻(v)∩N⁻(w)| credits w. Two intersection passes, NO
+    // per-triangle explode (the first cut of this operator exploded
+    // the intersection elements — 3·#triangles rows, 14.6 s isolated
+    // at sf0.1; this form runs in q115's cost envelope).
+    val basePass = ori
+      .join(adjOut.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adjOut.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("u"), col("v"), ic(col("nu"), col("nv")).as("cnt"))
       .filter(col("cnt") > 0)
-    val credits = withInter.select(col("u").as("n"), col("cnt"))
-      .unionByName(withInter.select(col("v").as("n"), col("cnt")))
-      .unionByName(withInter
-        .select(explode(col("inter")).as("n"), lit(1L).as("cnt")))
+    val closePass = ori
+      .join(adjIn.select(col("v").as("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adjIn.select(col("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("v").as("n"), ic(col("nu"), col("nv")).as("cnt"))
+      .filter(col("cnt") > 0)
+    val credits = basePass.select(col("u").as("n"), col("cnt"))
+      .unionByName(basePass.select(col("v").as("n"), col("cnt")))
+      .unionByName(closePass)
       .groupBy(col("n")).agg(sum(col("cnt")).as("t"))
     deg.filter(col("d") >= 2)
       .join(credits, Seq("n"), "left")
@@ -1865,47 +1890,35 @@ object Graph {
     * merely incidental (support 0). [[kTrussPeel]] is the iterative
     * consumer; this histogram is how you pick its k.
     *
-    * Algorithm: each oriented edge (u,v) intersects N⁺(u) ∩ N⁺(v)
-    * once (the q115/q273 machinery); every w in the intersection
-    * completes a triangle whose THREE edges — (u,v), (u,w), (v,w) —
-    * each earn one support, emitted in canonical (min,max) key form.
-    * Explode volume = 3·#triangles, never wedge-sized. Zero-support
-    * edges enter via a left join from the full pair list. Pure
+    * Algorithm: an oriented triangle u→v→w (u→w) touches an edge in
+    * one of three ROLES — wedge base (u,v), hypotenuse (u,w), or
+    * closing edge (v,w) — and each role count is an adjacency
+    * intersection: base = |N⁺(u)∩N⁺(v)|, hypotenuse = |N⁺(u)∩N⁻(v)|,
+    * closing = |N⁻(u)∩N⁻(v)|. support(e) is their sum — three
+    * intersection passes, NO per-triangle explode (an exploded
+    * credit stream is 3·#triangles rows; on the dense sf0.1 graph
+    * that's the difference between seconds and minutes). Pure
     * integer counts end-to-end.
     *
-    * Scale: the q115 adjacency joins + a triangle-bounded explode,
-    * one edge-keyed aggregate, a |distinct support|-sized histogram.
+    * Scale: the q115 adjacency joins ×3, one edge-keyed sum, a
+    * |distinct support|-sized histogram.
     */
   def edgeSupport(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = coPurchasePairs(spark, dir).select(col("pa"), col("pb"))
-    val deg = pairs.select(col("pa").as("n"))
-      .unionByName(pairs.select(col("pb").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    val withDeg = pairs
-      .join(deg.select(col("n").as("pa"), col("d").as("da")), "pa")
-      .join(deg.select(col("n").as("pb"), col("d").as("db")), "pb")
-    val aFirst = col("da") < col("db") ||
-      (col("da") === col("db") && col("pa") < col("pb"))
-    val ori = graft.Iterate.cut(withDeg.select(
-      when(aFirst, col("pa")).otherwise(col("pb")).as("u"),
-      when(aFirst, col("pb")).otherwise(col("pa")).as("v")))
-    val adj = ori.groupBy(col("u"))
-      .agg(array_sort(collect_list(col("v"))).as("nbrs"))
-    val triangles = ori
-      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
-      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
-      .select(col("u"), col("v"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
-    def canon(a: Column, b: Column) =
-      struct(least(a, b).as("ea"), greatest(a, b).as("eb"))
-    val credits = triangles.select(canon(col("u"), col("v")).as("e"))
-      .unionByName(triangles.select(canon(col("u"), col("w")).as("e")))
-      .unionByName(triangles.select(canon(col("v"), col("w")).as("e")))
-      .groupBy(col("e.ea").as("pa"), col("e.eb").as("pb"))
-      .agg(count(lit(1)).as("support"))
-    pairs.join(credits, Seq("pa", "pb"), "left")
-      .select(coalesce(col("support"), lit(0L)).as("support"))
-      .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+    val (ori, adjOut, adjIn) = orientAdj(spark, dir)
+    def ic(a: Column, b: Column) =
+      graft.functions.SortedIntersectCount.intersectCount(spark, a, b)
+    val support = ori
+      .join(adjOut.select(col("u"), col("nbrs").as("out_u")), Seq("u"), "left")
+      .join(adjOut.select(col("u").as("v"), col("nbrs").as("out_v")),
+        Seq("v"), "left")
+      .join(adjIn.select(col("v").as("u"), col("nbrs").as("in_u")),
+        Seq("u"), "left")
+      .join(adjIn.select(col("v"), col("nbrs").as("in_v")), Seq("v"), "left")
+      .select(
+        (coalesce(ic(col("out_u"), col("out_v")), lit(0L)) +
+         coalesce(ic(col("out_u"), col("in_v")), lit(0L)) +
+         coalesce(ic(col("in_u"), col("in_v")), lit(0L))).as("support"))
+    support.groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
       .select(col("support"), col("n_edges"),
         (col("support") + 2).cast("long").as("truss_bound"))
       .orderBy(col("support"))
@@ -1982,20 +1995,26 @@ object Graph {
       val ori = withDeg.select(
         when(aFirst, col("pa")).otherwise(col("pb")).as("u"),
         when(aFirst, col("pb")).otherwise(col("pa")).as("v"))
-      val adj = ori.groupBy(col("u"))
+      val adjOut = ori.groupBy(col("u"))
         .agg(array_sort(collect_list(col("v"))).as("nbrs"))
-      val triangles = ori
-        .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
-        .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
-        .select(col("u"), col("v"),
-          explode(array_intersect(col("nu"), col("nv"))).as("w"))
-      def canon(a: Column, b: Column) =
-        struct(least(a, b).as("ea"), greatest(a, b).as("eb"))
-      val support = triangles.select(canon(col("u"), col("v")).as("e"))
-        .unionByName(triangles.select(canon(col("u"), col("w")).as("e")))
-        .unionByName(triangles.select(canon(col("v"), col("w")).as("e")))
-        .groupBy(col("e.ea").as("pa"), col("e.eb").as("pb"))
-        .agg(count(lit(1)).as("support"))
+      val adjIn = ori.groupBy(col("v"))
+        .agg(array_sort(collect_list(col("u"))).as("nbrs"))
+      def ic(a: Column, b: Column) =
+        graft.functions.SortedIntersectCount.intersectCount(spark, a, b)
+      // per-edge support via the three corner-role intersections (the
+      // q276 form — no per-triangle explode inside the fixpoint)
+      val support = ori
+        .join(adjOut.select(col("u"), col("nbrs").as("out_u")), Seq("u"), "left")
+        .join(adjOut.select(col("u").as("v"), col("nbrs").as("out_v")),
+          Seq("v"), "left")
+        .join(adjIn.select(col("v").as("u"), col("nbrs").as("in_u")),
+          Seq("u"), "left")
+        .join(adjIn.select(col("v"), col("nbrs").as("in_v")), Seq("v"), "left")
+        .select(least(col("u"), col("v")).as("pa"),
+          greatest(col("u"), col("v")).as("pb"),
+          (coalesce(ic(col("out_u"), col("out_v")), lit(0L)) +
+           coalesce(ic(col("out_u"), col("in_v")), lit(0L)) +
+           coalesce(ic(col("in_u"), col("in_v")), lit(0L))).as("support"))
       cur = graft.Iterate.cut(
         cur.join(support, Seq("pa", "pb"), "left")
           .filter(coalesce(col("support"), lit(0L)) >= k - 2)
