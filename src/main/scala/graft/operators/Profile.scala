@@ -1597,6 +1597,113 @@ object Profile {
        |CROSS JOIN msw m
        |ORDER BY q_stat DESC, nation_a, nation_b""".stripMargin
 
+  /** q286 — Brown–Forsythe robust variance-homogeneity test: q264's
+    * ANOVA assumes the nations share a variance; this CHECKS it —
+    * the Levene family's median variant (deviations from the group
+    * MEDIAN, robust to the skew a lag distribution always has):
+    * F_BF = one-way ANOVA on |x − med_g|. Large F ⇒ q264's
+    * equal-variance premise is the thing that differs, and its F
+    * should be read with Welch-style caution. Completes the ANOVA
+    * trilogy: omnibus q264 → post-hoc q284 → assumption audit.
+    *
+    * Exactness: group medians come DOUBLED from per-value cumulative
+    * counts (2·med = lower + upper order statistic — exact integers,
+    * no interpolation ambiguity), so z = |2x − 2·med| is an exact
+    * integer per value and all sufficient sums are BIGINT at the
+    * VALUE grain (weights = counts). The between-group term uses the
+    * q269 overflow-safe decimal floor-division (1e-6 grain); the
+    * doubling cancels in F. Scale: the q264 aggregate plus one
+    * per-group median scan over the (group, value) grid — no per-row
+    * second pass.
+    */
+  def brownForsythe(spark: SparkSession, dir: String,
+                    lateDaysCap: Int = 3650): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val gv = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("grp"),
+        expr("datediff(l_shipdate, o_orderdate)").as("v"))
+      .filter(col("v").between(0, lateDaysCap))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // median scan + deviation aggregate share it
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("grp"))
+    val med = gv
+      .withColumn("cr", sum(col("c")).over(wCum))
+      .withColumn("n_g", sum(col("c")).over(wAll))
+      .groupBy(col("grp"))
+      .agg((min(when(col("cr") >= expr("(n_g + 1) div 2"), col("v"))) +
+        min(when(col("cr") >= expr("(n_g + 2) div 2"), col("v")))).as("m2"))
+    val byGroup = gv.join(med, "grp")
+      .select(col("grp"), col("c"),
+        abs(lit(2) * col("v") - col("m2")).as("z"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_g"),
+        sum(col("c") * col("z")).as("s_g"),
+        sum(col("c") * col("z") * col("z")).as("ss_g"))
+    byGroup.agg(
+        count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).cast("double").as("sx"),
+        sum(col("ss_g")).cast("double").as("sxx"),
+        (sum(expr(
+          """(CAST(s_g AS DECIMAL(38,0)) * s_g * 1000000
+            |  - (CAST(s_g AS DECIMAL(38,0)) * s_g * 1000000) % n_g)
+            |  / n_g""".stripMargin))
+          .cast("double") / 1e6).as("sb"))
+      .select(col("k").cast("int").as("k"), col("n").cast("long").as("n"),
+        round(((col("sb") - col("sx") * col("sx") / col("n")) /
+          (col("k") - 1).cast("double")) /
+          nullif((col("sxx") - col("sb")) /
+            (col("n") - col("k")).cast("double"), lit(0.0)), 6).as("f_bf"))
+  }
+
+  def brownForsytheSql(lateDaysCap: Int = 3650): String =
+    s"""WITH lags AS (
+       |  SELECT s.s_nationkey AS grp,
+       |    datediff('day', o.o_orderdate, l.l_shipdate) AS v
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  WHERE datediff('day', o.o_orderdate, l.l_shipdate)
+       |    BETWEEN 0 AND $lateDaysCap
+       |), gv AS (
+       |  SELECT grp, v, COUNT(*) AS c FROM lags GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT grp, v, c,
+       |    SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cr,
+       |    SUM(c) OVER (PARTITION BY grp) AS n_g
+       |  FROM gv
+       |), med AS (
+       |  SELECT grp,
+       |    MIN(CASE WHEN cr >= (n_g + 1) // 2 THEN v END)
+       |      + MIN(CASE WHEN cr >= (n_g + 2) // 2 THEN v END) AS m2
+       |  FROM cum GROUP BY grp
+       |), z AS (
+       |  SELECT g.grp, abs(2 * g.v - m.m2) AS z, g.c
+       |  FROM gv g JOIN med m ON m.grp = g.grp
+       |), by_group AS (
+       |  SELECT grp, SUM(c) AS n_g,
+       |    SUM(CAST(c AS BIGINT) * z) AS s_g,
+       |    SUM(CAST(c AS BIGINT) * z * z) AS ss_g
+       |  FROM z GROUP BY grp
+       |), agg AS (
+       |  SELECT COUNT(*) AS k, SUM(n_g) AS n,
+       |    CAST(SUM(s_g) AS DOUBLE) AS sx,
+       |    CAST(SUM(ss_g) AS DOUBLE) AS sxx,
+       |    CAST(SUM((CAST(s_g AS HUGEINT) * s_g * 1000000) // n_g) AS DOUBLE)
+       |      / 1e6 AS sb
+       |  FROM by_group
+       |)
+       |SELECT CAST(k AS INT) AS k, CAST(n AS BIGINT) AS n,
+       |  ROUND(((sb - sx * sx / n) / CAST(k - 1 AS DOUBLE))
+       |    / NULLIF((sxx - sb) / CAST(n - k AS DOUBLE), 0.0), 6) AS f_bf
+       |FROM agg""".stripMargin
+
   /** q256 — Spearman rank correlation per language between document
     * length and the composite quality score: "does the quality score
     * just measure length?" — the monotone-association audit Pearson

@@ -1512,6 +1512,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("split", 2L, 0.0, 0.0, 0.0)))
   }
 
+  test("brownForsythe: hand medians — tight vs spread group gives F = 2.117647") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bf").toString
+    val d0 = new java.sql.Timestamp(java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime)
+    def plus(days: Int) = new java.sql.Timestamp(d0.getTime + days * 86400000L)
+    Seq((10L, "s1", 1, 0.0), (20L, "s2", 2, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, 1L, "O", 1.0, d0, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // nation 1 lags {1,2,3} (med 2, |2v-4| = 2,0,2);
+    // nation 2 lags {1,5,9} (med 5, |2v-10| = 8,0,8): same mean lag
+    // family, different spread -> BF fires on the VARIANCE only
+    Seq((10L, 1), (10L, 2), (10L, 3), (20L, 1), (20L, 5), (20L, 9))
+      .map { case (sk, lag) =>
+        (1L, 1L, sk, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", plus(lag)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Profile.brownForsythe(spark, dir)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out === Seq((2, 6L, 2.117647)))
+  }
+
   test("woeIv: zero-class buckets yield NULL WOE; balanced bucket scores 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft-woe").toString
     val ts0 = new java.sql.Timestamp(0L)
