@@ -1704,6 +1704,122 @@ object Profile {
        |    / NULLIF((sxx - sb) / CAST(n - k AS DOUBLE), 0.0), 6) AS f_bf
        |FROM agg""".stripMargin
 
+  /** q287 — Welch's ANOVA of ship lag by supplier nation: the
+    * unequal-variance alternative q286's Brown–Forsythe tells you to
+    * reach for — group means compared under per-group variance
+    * weights w_g = n_g/s_g², with Welch's denominator correction and
+    * the Welch–Satterthwaite df₂. Completes the one-way family:
+    * q264 (pooled F) / q284 (post-hoc) / q286 (assumption) / this
+    * (the assumption-free refit).
+    *
+    * Exactness: w_g and m_g are ratios of EXACT integers (variance
+    * numerator n·Σx² − (Σx)² in DECIMAL(38,0)), each 6dp-rounded
+    * into DECIMAL weights so the weight total and weighted-mean
+    * numerator are exact decimal sums; the two nonlinear term sums
+    * (A = Σw(m − m̄)², B = Σ(1 − w/W)²/(n−1)) round each term to 6dp
+    * into DECIMAL accumulators — the aggregate-stable convention
+    * (order-independent, engine-identical; the statistic is DEFINED
+    * at that grain). Scale: the q264 aggregate + k-row algebra.
+    */
+  def welchAnova(spark: SparkSession, dir: String,
+                 lateDaysCap: Int = 3650): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val byGroup = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("grp"),
+        expr("datediff(l_shipdate, o_orderdate)").as("v"))
+      .filter(col("v").between(0, lateDaysCap))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("v").cast("long")).as("s_g"),
+        sum((col("v") * col("v")).cast("long")).as("ss_g"))
+      .filter(col("n_g") >= 2)
+      .withColumn("m6", round(col("s_g").cast("double") / col("n_g"), 6)
+        .cast(dec))
+      .withColumn("w6", round(
+        col("n_g").cast("double") /
+          (expr("CAST(n_g AS DECIMAL(38,0)) * ss_g - " +
+            "CAST(s_g AS DECIMAL(38,0)) * s_g").cast("double") /
+            (col("n_g").cast("double") * (col("n_g") - 1))), 6).cast(dec))
+    val tot = byGroup.agg(
+      count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(col("w6")).as("w_tot"),
+      sum(col("w6") * col("m6")).as("wm_tot"))
+    val withBar = byGroup.crossJoin(broadcast(tot))
+      .withColumn("m_bar",
+        col("wm_tot").cast("double") / col("w_tot").cast("double"))
+    val sums = withBar.agg(
+      max(col("k")).as("k"), max(col("n")).as("n"),
+      sum(round(col("w6").cast("double") *
+        (col("m6").cast("double") - col("m_bar")) *
+        (col("m6").cast("double") - col("m_bar")), 6).cast(dec))
+        .cast("double").as("a"),
+      sum(round(
+        (lit(1.0) - col("w6").cast("double") / col("w_tot").cast("double")) *
+        (lit(1.0) - col("w6").cast("double") / col("w_tot").cast("double")) /
+        (col("n_g") - 1), 6).cast(dec)).cast("double").as("b"))
+    sums.select(col("k").cast("int").as("k"), col("n").cast("long").as("n"),
+      round((col("a") / (col("k") - 1).cast("double")) /
+        (lit(1.0) + lit(2.0) * (col("k") - 2) /
+          ((col("k") * col("k") - 1).cast("double")) * col("b")), 6)
+        .as("f_welch"),
+      round((col("k") * col("k") - 1).cast("double") / (lit(3.0) * col("b")),
+        6).as("df2"))
+  }
+
+  def welchAnovaSql(lateDaysCap: Int = 3650): String =
+    s"""WITH lags AS (
+       |  SELECT s.s_nationkey AS grp,
+       |    datediff('day', o.o_orderdate, l.l_shipdate) AS v
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |  WHERE datediff('day', o.o_orderdate, l.l_shipdate)
+       |    BETWEEN 0 AND $lateDaysCap
+       |), by_group AS (
+       |  SELECT grp, COUNT(*) AS n_g,
+       |    SUM(CAST(v AS BIGINT)) AS s_g,
+       |    SUM(CAST(v AS BIGINT) * v) AS ss_g
+       |  FROM lags GROUP BY grp HAVING COUNT(*) >= 2
+       |), weighted AS (
+       |  SELECT grp, n_g,
+       |    CAST(ROUND(CAST(s_g AS DOUBLE) / n_g, 6) AS DECIMAL(18,6)) AS m6,
+       |    CAST(ROUND(CAST(n_g AS DOUBLE)
+       |      / (CAST(CAST(n_g AS HUGEINT) * ss_g
+       |          - CAST(s_g AS HUGEINT) * s_g AS DOUBLE)
+       |        / (CAST(n_g AS DOUBLE) * (n_g - 1))), 6)
+       |      AS DECIMAL(18,6)) AS w6
+       |  FROM by_group
+       |), tot AS (
+       |  SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(w6) AS w_tot,
+       |    SUM(w6 * m6) AS wm_tot
+       |  FROM weighted
+       |), sums AS (
+       |  SELECT MAX(t.k) AS k, MAX(t.n) AS n,
+       |    CAST(SUM(CAST(ROUND(CAST(w6 AS DOUBLE)
+       |      * (CAST(m6 AS DOUBLE)
+       |          - CAST(t.wm_tot AS DOUBLE) / CAST(t.w_tot AS DOUBLE))
+       |      * (CAST(m6 AS DOUBLE)
+       |          - CAST(t.wm_tot AS DOUBLE) / CAST(t.w_tot AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS a,
+       |    CAST(SUM(CAST(ROUND(
+       |      (1.0 - CAST(w6 AS DOUBLE) / CAST(t.w_tot AS DOUBLE))
+       |      * (1.0 - CAST(w6 AS DOUBLE) / CAST(t.w_tot AS DOUBLE))
+       |      / (n_g - 1), 6) AS DECIMAL(18,6))) AS DOUBLE) AS b
+       |  FROM weighted, tot t
+       |)
+       |SELECT CAST(k AS INT) AS k, CAST(n AS BIGINT) AS n,
+       |  ROUND((a / CAST(k - 1 AS DOUBLE))
+       |    / (1.0 + 2.0 * (k - 2) / CAST(k * k - 1 AS DOUBLE) * b), 6)
+       |    AS f_welch,
+       |  ROUND(CAST(k * k - 1 AS DOUBLE) / (3.0 * b), 6) AS df2
+       |FROM sums""".stripMargin
+
   /** q256 — Spearman rank correlation per language between document
     * length and the composite quality score: "does the quality score
     * just measure length?" — the monotone-association audit Pearson

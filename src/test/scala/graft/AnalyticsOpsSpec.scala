@@ -1538,6 +1538,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out === Seq((2, 6L, 2.117647)))
   }
 
+  test("welchAnova: hand weights — unequal variances, k=2 denominator collapses to 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wa").toString
+    val d0 = new java.sql.Timestamp(java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime)
+    def plus(days: Int) = new java.sql.Timestamp(d0.getTime + days * 86400000L)
+    Seq((10L, "s1", 1, 0.0), (20L, "s2", 2, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1L, 1L, "O", 1.0, d0, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // g1 {1,2,3}: var 1, w 3, m 2; g2 {4,6,8}: var 4, w .75, m 6
+    // m_bar 2.8, A = 1.92+7.68 = 9.6, B = .02+.32 = .34
+    // k=2 -> F = 9.6, df2 = 3/1.02
+    Seq((10L, 1), (10L, 2), (10L, 3), (20L, 4), (20L, 6), (20L, 8))
+      .map { case (sk, lag) =>
+        (1L, 1L, sk, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", plus(lag)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Profile.welchAnova(spark, dir)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out === Seq((2, 6L, 9.6, 2.941176)))
+  }
+
   test("woeIv: zero-class buckets yield NULL WOE; balanced bucket scores 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft-woe").toString
     val ts0 = new java.sql.Timestamp(0L)
