@@ -790,6 +790,115 @@ object Multimodal {
       |  ROUND(1e6 / micro, 6) AS fps
       |FROM f ORDER BY doc_id""".stripMargin
 
+  case class Mp4Meta(doc_id: Long, mvhd_version: Int, timescale: Long,
+                     duration_ticks: Long, duration_ms: Long)
+
+  /** MP4 / ISO-BMFF sniff — a real BOX-TREE walk: the file is a
+    * sequence of [size(BE32) type(4cc)] boxes (size 1 ⇒ a BE64
+    * largesize follows), `moov` is a CONTAINER whose children are
+    * walked recursively until `mvhd`, whose version byte decides the
+    * field layout (v0: 32-bit times at +12/+16 after the full-box
+    * header; v1: 64-bit at +20/+28). Returns (version, timescale,
+    * durationTicks); None for a malformed tree (short box, truncated
+    * payload, missing mvhd).
+    */
+  def sniffMp4(p: Array[Byte]): Option[(Int, Long, Long)] = {
+    def be32(i: Int): Long =
+      ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+        ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int): String =
+      if (i + 4 <= p.length) new String(p, i, 4, "US-ASCII") else ""
+    def walk(from: Int, to: Int): Option[(Int, Long, Long)] = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val size0 = be32(pos)
+        val typ = tag(pos + 4)
+        val (size, hdr) =
+          if (size0 == 1) {
+            if (pos + 16 > to) return None
+            (be64(pos + 8), 16)
+          } else (size0, 8)
+        if (size < hdr || pos + size > to) return None
+        if (typ == "moov") {
+          val found = walk(pos + hdr, pos + size.toInt)
+          if (found.isDefined) return found
+        } else if (typ == "mvhd") {
+          val b = pos + hdr
+          if (b >= to) return None
+          val version = p(b) & 0xFF
+          if (version == 0) {
+            if (b + 20 > to) return None
+            return Some((0, be32(b + 12), be32(b + 16)))
+          } else if (version == 1) {
+            if (b + 32 > to) return None
+            return Some((1, be32(b + 20), be64(b + 24)))
+          } else return None
+        }
+        pos += size.toInt
+      }
+      None
+    }
+    if (p.length >= 8 && tag(4) == "ftyp") walk(0, p.length) else None
+  }
+
+  /** Deterministic MP4 fixture: ftyp + moov(mvhd v0) + mdat(payload),
+    * timescale/duration length-derived so the oracle restates them.
+    */
+  def encodeMp4(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val timescale = 600 + n % 400
+    val duration = 100L * n + 42
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    be32(16); tag("ftyp"); tag("isom"); be32(0x200)
+    // moov: 8 (header) + mvhd 108
+    be32(8 + 108); tag("moov")
+    be32(108); tag("mvhd")
+    out.write(0); out.write(0); out.write(0); out.write(0) // v0 + flags
+    be32(0); be32(0) // ctime, mtime
+    be32(timescale); be32(duration)
+    (0 until 100 - 20).foreach(_ => out.write(0)) // rate..matrix..next_track
+    be32(8L + n); tag("mdat"); out.write(text)
+    out.toByteArray
+  }
+
+  /** q288 — MP4 metadata pipeline: per-doc ISO-BMFF fixtures through
+    * the real [[sniffMp4]] recursive box walk — the container whose
+    * header fields live two levels deep in a size-framed tree, so a
+    * fixed-offset peek cannot parse it. Same contract as q255/q278;
+    * duration floors in integer milliseconds (exact on both engines).
+    */
+  def mp4Meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val mp4 = encodeMp4(r.payload)
+        val (v, ts, dur) = sniffMp4(mp4).getOrElse(
+          throw new IllegalStateException(s"fixture failed to parse: doc ${r.doc_id}"))
+        Mp4Meta(r.doc_id, v, ts, dur, dur * 1000L / ts)
+      }
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val mp4MetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(600 + strlen(text) % 400 AS BIGINT) AS timescale,
+      |    CAST(100 * strlen(text) + 42 AS BIGINT) AS duration
+      |  FROM documents
+      |)
+      |SELECT doc_id, 0 AS mvhd_version, timescale,
+      |  duration AS duration_ticks,
+      |  CAST(duration * 1000 // timescale AS BIGINT) AS duration_ms
+      |FROM f ORDER BY doc_id""".stripMargin
+
   case class GifMeta(doc_id: Long, width: Int, height: Int,
                      n_frames: Long, delay_cs: Long, duration_cs: Long)
 

@@ -1001,6 +1001,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.sniffAvi(avi.take(60)).isEmpty)
   }
 
+  test("sniffMp4: recursive box walk finds mvhd v0/v1 behind mdat; malformed trees reject") {
+    import graft.sources.Multimodal
+    val text = "an mp4 container body".getBytes("US-ASCII")
+    val n = text.length
+    val mp4 = Multimodal.encodeMp4(text)
+    assert(Multimodal.sniffMp4(mp4) ===
+      Some((0, 600L + n % 400, 100L * n + 42)))
+    // hand-build: ftyp, mdat FIRST, then moov with a v1 mvhd — the
+    // walker must skip the data box by its size and still descend
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = (24 to 0 by -8).foreach(s =>
+      out.write(((v >> s) & 0xFF).toInt))
+    def be64(v: Long): Unit = { be32(v >>> 32); be32(v & 0xFFFFFFFFL) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    be32(16); tag("ftyp"); tag("isom"); be32(0x200)
+    be32(8 + 5); tag("mdat"); out.write(Array[Byte](1, 2, 3, 4, 5))
+    be32(8 + 8 + 32); tag("moov")
+    be32(8 + 32); tag("mvhd")
+    out.write(1); out.write(0); out.write(0); out.write(0) // v1
+    be64(0); be64(0) // 64-bit ctime, mtime
+    be32(90000) // timescale
+    be64(1234567890123L) // 64-bit duration
+    val v1 = out.toByteArray
+    assert(Multimodal.sniffMp4(v1) === Some((1, 90000L, 1234567890123L)))
+    // wrong brand position, truncated tree, short box: all rejected
+    val bad = mp4.clone(); bad(4) = 'X'.toByte
+    assert(Multimodal.sniffMp4(bad).isEmpty)
+    assert(Multimodal.sniffMp4(mp4.take(30)).isEmpty)
+    val shortBox = mp4.clone(); shortBox(16 + 3) = 2 // moov size = 2 < header
+    assert(Multimodal.sniffMp4(shortBox).isEmpty)
+  }
+
   test("sniffGif: block walk counts frames through sub-block chains; malformed streams reject") {
     import graft.sources.Multimodal
     val text = ("gif container body, long enough for two frames " +
