@@ -2102,7 +2102,7 @@ object Similarity {
     * (64), so this is microseconds. Returns (eigenvalues,
     * eigenvectors as COLUMNS of v).
     */
-  private[operators] def jacobiEigen(aIn: Array[Array[Double]],
+  private[graft] def jacobiEigen(aIn: Array[Array[Double]],
                                      sweeps: Int = 50)
       : (Array[Double], Array[Array[Double]]) = {
     val d = aIn.length

@@ -133,6 +133,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(jumps > 0)
   }
 
+  test("HilbertKey property: bijection and unit-step continuity at every order 1..6") {
+    import graft.functions.HilbertKey.key
+    (1 to 6).foreach { bits =>
+      val side = 1 << bits
+      val pts = for { x <- 0 until side; y <- 0 until side } yield (x, y)
+      val ds = pts.map { case (x, y) => key(x, y, bits) }
+      assert(ds.sorted == (0L until side.toLong * side),
+        s"not a bijection at bits=$bits")
+      val byD = pts.map { case (x, y) => key(x, y, bits) -> ((x, y)) }.toMap
+      (0L until side.toLong * side - 1).foreach { d =>
+        val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"jump at bits=$bits d=$d")
+      }
+    }
+  }
+
   test("hilbertCells: pipeline matches an independent scalar-kernel recomputation") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hil").toString
     val ts = new java.sql.Timestamp(0L)

@@ -1001,6 +1001,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.sniffAvi(avi.take(60)).isEmpty)
   }
 
+  test("jacobiEigen property: V Lambda Vt reconstructs random symmetric matrices") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val d = 6
+    val entries = Gen.listOfN(d * d, Gen.chooseNum(-100, 100))
+    val p = Prop.forAll(entries) { (raw: List[Int]) =>
+      val m = raw.map(_ / 10.0).grouped(d).toArray.map(_.toArray)
+      val a = Array.tabulate(d, d)((i, j) => (m(i)(j) + m(j)(i)) / 2.0)
+      val (evals, v) = Similarity.jacobiEigen(a)
+      val recon = Array.tabulate(d, d)((i, j) =>
+        (0 until d).map(k => v(i)(k) * evals(k) * v(j)(k)).sum)
+      val maxErr = (for { i <- 0 until d; j <- 0 until d }
+        yield math.abs(recon(i)(j) - a(i)(j))).max
+      val orthoErr = (for { i <- 0 until d; j <- 0 until d } yield {
+        val dot = (0 until d).map(k => v(k)(i) * v(k)(j)).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0))
+      }).max
+      maxErr < 1e-9 && orthoErr < 1e-9
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sniffMp4: recursive box walk finds mvhd v0/v1 behind mdat; malformed trees reject") {
     import graft.sources.Multimodal
     val text = "an mp4 container body".getBytes("US-ASCII")

@@ -485,6 +485,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out === Seq((1L, 3L, 5L, 1.666667), (2L, 2L, 4L, 2.0)))
   }
 
+  test("BPE fold rewrite equals a reference Scala merge on random words (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def refMerge(syms: List[String], a: String, b: String): List[String] = {
+      // textbook left-to-right non-overlapping merge
+      syms match {
+        case x :: y :: rest if x == a && y == b =>
+          (a + b) :: refMerge(rest, a, b)
+        case x :: rest => x :: refMerge(rest, a, b)
+        case Nil => Nil
+      }
+    }
+    val letter = Gen.oneOf('a', 'b', 'c')
+    val word = Gen.listOfN(8, letter).map(_.mkString)
+    val p = Prop.forAll(word, letter, letter) { (w: String, ca: Char, cb: Char) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-bpp").toString
+      Seq((1L, w)).map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = graft.Tables.load(spark, dir, "documents")
+      val got = graft.operators.TextAnalysis
+        .applyBpe(spark, docs, Seq((ca.toString, cb.toString)))
+        .as[(Long, Long, Long, Double)].head()
+      val expected = refMerge(w.toList.map(_.toString), ca.toString, cb.toString)
+      got._3 == expected.size.toLong
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("compressionRatio: repetition compresses below the flag line, varied prose doesn't") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString
     val varied = (1 to 40).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
