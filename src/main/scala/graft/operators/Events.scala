@@ -3738,6 +3738,82 @@ object Events {
       |ORDER BY entry_type""".stripMargin
   }
 
+  /** q289 — growth accounting of daily active users: every active
+    * (user, day) cell classified as NEW (first-ever day), RETAINED
+    * (also active yesterday) or RESURRECTED (seen before, not
+    * yesterday), with yesterday's non-returners attributed as
+    * today's CHURNED — the standard DAU ledger where
+    * new + resurrected − churned = ΔDAU by construction. q83's
+    * cohort triangle shows decay per cohort; this is the single
+    * time-series decomposition a growth dashboard leads with.
+    *
+    * Exactness: pure integer counts over the distinct (user, day)
+    * relation — self-equi-joins on (user, day±1), one min-window for
+    * first-days, no doubles anywhere. Scale: one distinct on the
+    * activity grain (the big shuffle), then user-keyed equi-joins
+    * that reuse its partitioning; output is |days| rows.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val uw = graft.Iterate.cut(Tables.load(spark, dir, "events")
+      .select(col("user_id"), epochDayExpr.as("day")).distinct())
+    val firsts = uw.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val flags = uw
+      .join(firsts, "user_id")
+      .join(uw.select(col("user_id"), (col("day") + 1).as("day"),
+        lit(1L).as("was_prev")), Seq("user_id", "day"), "left")
+      .select(col("day"),
+        (col("first_day") === col("day")).cast("long").as("is_new"),
+        coalesce(col("was_prev"), lit(0L)).as("was_prev"))
+    val act = flags.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(col("is_new")).as("n_new"),
+        sum(col("was_prev")).as("n_retained"),
+        sum(when(col("is_new") === 0 && col("was_prev") === 0, 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val churn = uw.as("c")
+      .join(uw.select(col("user_id"), (col("day") - 1).as("day"),
+        lit(1).as("nx")), Seq("user_id", "day"), "left_anti")
+      .groupBy((col("day") + 1).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("day"), "left")
+      .select(col("day"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  val growthAccountingSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+      |), firsts AS (
+      |  SELECT user_id, MIN(day) AS first_day FROM uw GROUP BY user_id
+      |), flags AS (
+      |  SELECT c.day,
+      |    CASE WHEN f.first_day = c.day THEN 1 ELSE 0 END AS is_new,
+      |    CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS was_prev
+      |  FROM uw c
+      |  JOIN firsts f ON f.user_id = c.user_id
+      |  LEFT JOIN uw p ON p.user_id = c.user_id AND p.day = c.day - 1
+      |), act AS (
+      |  SELECT day, COUNT(*) AS n_active, SUM(is_new) AS n_new,
+      |    SUM(was_prev) AS n_retained,
+      |    SUM(CASE WHEN is_new = 0 AND was_prev = 0 THEN 1 ELSE 0 END)
+      |      AS n_resurrected
+      |  FROM flags GROUP BY day
+      |), churn AS (
+      |  SELECT c.day + 1 AS day, COUNT(*) AS n_churned
+      |  FROM uw c LEFT JOIN uw nx
+      |    ON nx.user_id = c.user_id AND nx.day = c.day + 1
+      |  WHERE nx.user_id IS NULL
+      |  GROUP BY c.day + 1
+      |)
+      |SELECT a.day, CAST(a.n_active AS BIGINT) AS n_active,
+      |  CAST(a.n_new AS BIGINT) AS n_new,
+      |  CAST(a.n_retained AS BIGINT) AS n_retained,
+      |  CAST(a.n_resurrected AS BIGINT) AS n_resurrected,
+      |  CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned
+      |FROM act a LEFT JOIN churn ch ON ch.day = a.day
+      |ORDER BY a.day""".stripMargin
+
   /** q285 — Rayleigh test of time-of-day clustering per event type:
     * are events uniformly spread around the 24 h clock, or do they
     * concentrate at a preferred hour? CIRCULAR statistics — a linear

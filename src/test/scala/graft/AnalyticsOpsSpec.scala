@@ -1564,6 +1564,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out === Seq((2, 6L, 9.6, 2.941176)))
   }
 
+  test("growthAccounting: hand ledger — new/retained/resurrected/churned add up") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ga").toString
+    def at(day: Int, uid: Long, id: Long) =
+      (id, new java.sql.Timestamp(day * 86400000L + 1000L), uid, "view", 1.0, "{}")
+    // u1: days 0,1,2 (retained twice); u2: days 0,2 (resurrects day 2,
+    // churn attributed to day 1); u3: joins day 1, churns day 2
+    Seq(at(0, 1L, 1), at(1, 1L, 2), at(2, 1L, 3),
+        at(0, 2L, 4), at(2, 2L, 5),
+        at(1, 3L, 6))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.growthAccounting(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 2L, 0L, 0L, 0L),
+      (1L, 2L, 1L, 1L, 0L, 1L),   // u3 new, u1 retained; u2 churned
+      (2L, 2L, 0L, 1L, 1L, 1L))) // u1 retained, u2 resurrected; u3 churned
+    // ledger identity: delta active = new + resurrected - churned
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 - a._2 === b._3 + b._5 - b._6)
+    }
+  }
+
   test("woeIv: zero-class buckets yield NULL WOE; balanced bucket scores 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft-woe").toString
     val ts0 = new java.sql.Timestamp(0L)
