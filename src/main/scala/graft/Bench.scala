@@ -22,7 +22,8 @@ object Bench {
       // this SF; at production scale files exceed the default split
       // and this knob is moot (sized per TESTDATA, per the
       // partitions-fit-memory sizing rule).
-      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"))
       .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

@@ -1185,7 +1185,9 @@ object TextAnalysis {
   /** q164 — inverted-index posting lists: the IR-engine artifact
     * itself, materialized as a relation. For the `topTokens` highest-df
     * tokens: document frequency, total term frequency, and the first
-    * `postingsCap` doc ids of the (doc_id-ascending) posting list —
+    * `postingsCap` doc ids of the (doc_id-ascending) posting list,
+    * emitted as a comma-joined string so any downstream harness can
+    * sort/hash the frame without array-cell support —
     * the physical structure behind q26's candidate generation and any
     * BM25/boolean retrieval serving tier, exposed so a pipeline can
     * persist and ship it. q36 reports the vocabulary's statistics;
@@ -1196,7 +1198,7 @@ object TextAnalysis {
     * any collect — a row_number window with a literal cap filter
     * (WindowGroupLimit prunes map-side) feeds the collect_list, so no
     * task ever holds an unbounded hot-token posting list; the full
-    * list lives as rows, the preview as an array. Stats and postings
+    * list lives as rows, the preview as a bounded string. Stats and postings
     * aggregate on the same token key — one partitioning, reused. The
     * final top-k is a literal-bounded TakeOrderedAndProject.
     */
@@ -1215,7 +1217,8 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= postingsCap)
       .groupBy(col("token"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .agg(array_join(sort_array(collect_list(col("doc_id")))
+        .cast("array<string>"), ",").as("postings"))
     stats.join(postings, "token")
       .select(col("token"), col("df"), col("tf_total"), col("postings"))
       .orderBy(col("df").desc, col("token"))
@@ -1238,7 +1241,8 @@ object TextAnalysis {
        |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
        |  FROM per_doc
        |), post AS (
-       |  SELECT token, list(doc_id ORDER BY doc_id) AS postings
+       |  SELECT token,
+       |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
        |  FROM ranked WHERE rn <= $postingsCap GROUP BY token
        |)
        |SELECT s.token, s.df, s.tf_total, p.postings
@@ -1626,10 +1630,14 @@ object TextAnalysis {
     * q103's unigram entropy with the signal that catches BOTH at
     * once, including long-range duplication n-gram windows miss.
     *
-    * Graded rows-only (no oracle: DuckDB has no deflate; the ratio is
-    * nevertheless deterministic — fixed level, fixed library, reset
-    * between docs — and the spec pins ordering properties and
-    * rerun-stability). Scale: embarrassingly parallel narrow map,
+    * Oracle-graded via a golden fixture: DuckDB has no deflate, so
+    * [[compressionRatioSql]] joins the corpus to a build-time parquet
+    * of (doc_id, md5(text), n_deflated) computed by CPython's zlib —
+    * an independent implementation whose level-6 stream is
+    * byte-identical to Java's Deflater (both wrap madler zlib;
+    * regenerate with scripts/gen_q281_fixture.py). The md5 join key
+    * makes one fixture serve every SF whose documents it covers.
+    * Scale: embarrassingly parallel narrow map,
     * one small output row per doc; the Deflater is reused across a
     * partition (allocation-free steady state).
     */
@@ -1656,6 +1664,25 @@ object TextAnalysis {
       .withColumn("flag_repetitive", (col("ratio") < flagBelow).cast("int"))
       .orderBy(col("doc_id"))
   }
+
+  /** q281 oracle: the golden-fixture join (see [[compressionRatio]]).
+    * n_bytes/ratio/flag recompute in SQL; n_deflated comes from the
+    * independently-generated fixture, matched on (doc_id, md5). */
+  def compressionRatioSql(flagBelow: Double = 0.4,
+      fixture: String = "/root/repo/fixtures/q281_deflate_golden.parquet")
+      : String =
+    s"""SELECT d.doc_id,
+       |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       |  g.n_deflated,
+       |  round(g.n_deflated /
+       |    greatest(CAST(octet_length(encode(d.text)) AS BIGINT), 1), 6) AS ratio,
+       |  CAST(round(g.n_deflated /
+       |    greatest(CAST(octet_length(encode(d.text)) AS BIGINT), 1), 6)
+       |    < $flagBelow AS INT) AS flag_repetitive
+       |FROM documents d
+       |JOIN read_parquet('$fixture') g
+       |  ON g.doc_id = d.doc_id AND g.md5_text = md5(d.text)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** The left-to-right non-overlapping single-rule rewrite of a
     * symbol array as a SQL fold: pend holds the last unflushed

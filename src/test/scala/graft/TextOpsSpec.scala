@@ -390,12 +390,12 @@ class TextOpsSpec extends AnyFunSuite {
       (3L, "the")))
     val out = TextAnalysis.invertedIndex(spark, dir, topTokens = 2,
       postingsCap = 2)
-      .as[(String, Long, Long, Seq[Long])].collect().toSeq
+      .as[(String, Long, Long, String)].collect().toSeq
     // top-2 by (df desc, token asc): the(3), cat(2); postings capped
     // to the 2 SMALLEST doc_ids (rank before collect, not after)
     assert(out === Seq(
-      ("the", 3L, 4L, Seq(1L, 2L)),
-      ("cat", 2L, 2L, Seq(1L, 2L))))
+      ("the", 3L, 4L, "1,2"),
+      ("cat", 2L, 2L, "1,2")))
     // the capped-collect plan carries the literal-bounded rank filter:
     // a WindowGroupLimit prunes posting lists map-side before collect
     val plan = TextAnalysis.invertedIndex(spark, dir)
