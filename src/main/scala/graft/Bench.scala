@@ -166,10 +166,19 @@ object Bench {
     // masquerade as a regression (round-3 postmortem: +28% on
     // byte-identical code). All passes are surfaced in "runs".
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // untimed warmup passes before the timed reps (0 in the graded
+    // sweep — the suite warms itself; isolated children set 1 so their
+    // 5 timed reps measure steady state, not first-query codegen)
+    val warmupReps = sys.env.getOrElse("SPARK_GRAFT_WARMUP_REPS", "0").toInt
     val results = (standard ++ extras ++ bucketedQueries)
       .filter { case (n, _) => selected(n) }
       .map { case (name, fn) =>
         var failures = 0
+        (1 to warmupReps).foreach { _ =>
+          try { fn().write.format("noop").mode("overwrite").save() }
+          catch { case _: Throwable => () }
+          finally spark.catalog.clearCache()
+        }
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try fn().write.format("noop").mode("overwrite").save()
@@ -199,6 +208,76 @@ object Bench {
           else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
         (name, median, times, failures == 0)
       }
+    // --- isolated re-measurement of the noisy tail ------------------
+    // In-suite medians for late queries inherit ~280 queries of JVM
+    // aging (fragmented heap, filled code cache, accumulated weak
+    // refs): PLANS.md's q185/q187 diagnosis showed 3-4x inflation vs a
+    // fresh process on byte-identical code. So after the sweep, the
+    // queries whose spread says "this median proves nothing" re-run in
+    // FRESH single-query JVMs (5 reps, same session config) and BOTH
+    // numbers ship: "queries" stays the in-suite sweep
+    // (apples-to-apples with prior rounds), "isolated" carries the
+    // reproducible per-query cost that regressions should be graded
+    // against. Child processes inherit SPARK_GRAFT_ISOLATED=0 so the
+    // recursion is structurally closed (subset runs also never spawn).
+    def isolatedRun(name: String): Option[(Double, Double)] = try {
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val classes = new java.io.File(getClass.getProtectionDomain
+        .getCodeSource.getLocation.toURI).getAbsolutePath
+      val cp = classes + java.io.File.pathSeparator + "/opt/spark/jars/*"
+      val modOpts = org.apache.spark.launcher.JavaModuleOptions
+        .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
+      val xmx = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_XMX", "8g")
+      val cmd = Seq(javaBin, s"-Xmx$xmx") ++ modOpts ++
+        Seq("-cp", cp, "graft.Bench")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-iso").toFile
+      val outFile = new java.io.File(tmp, "out.json")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.directory(tmp) // child's bench_detail.json lands here, not ours
+      pb.redirectOutput(outFile)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_ONLY", name)
+      env.put("SPARK_GRAFT_REPS", "5")
+      env.put("SPARK_GRAFT_WARMUP_REPS", "1")
+      env.put("SPARK_GRAFT_ISOLATED", "0")
+      env.put("SPARK_GRAFT_SF_DIR", sfDir)
+      env.put("SPARK_GRAFT_CPUS", cpus)
+      val p = pb.start()
+      val finished = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) { p.destroyForcibly(); None }
+      else {
+        val out = new String(
+          java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+        val q = java.util.regex.Pattern.quote(name)
+        def field(key: String): Option[Double] =
+          (s""""$key":\\{"$q":([0-9.]+)""".r).findFirstMatchIn(out)
+            .map(_.group(1).toDouble)
+        for (m <- field("queries"); s <- field("spread")) yield (m, s)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
+      None
+    }
+    def spreadOfTs(ts: Seq[Double]): Double = ts.max - ts.min
+    val childGuard = sys.env.get("SPARK_GRAFT_ISOLATED").contains("0")
+    // SPARK_GRAFT_ISOLATE=q1,q2 forces a specific list (diagnosis);
+    // default = auto-select the noisiest survivors of the full sweep
+    val isoCandidates = sys.env.get("SPARK_GRAFT_ISOLATE") match {
+      case _ if childGuard => Seq.empty
+      case Some(list) => list.split(",").toSeq.filter(_.nonEmpty)
+      case None if only.nonEmpty => Seq.empty
+      case None =>
+        results.filter { case (n, m, ts, ok) =>
+            n.startsWith("q") && ok && spreadOfTs(ts) > math.max(1.0, 0.3 * m) }
+          .sortBy { case (_, _, ts, _) => -spreadOfTs(ts) }
+          .take(sys.env.getOrElse("SPARK_GRAFT_ISOLATED_N", "4").toInt)
+          .map(_._1)
+    }
+    val isolated: Seq[(String, Option[(Double, Double)])] =
+      isoCandidates.map(n => n -> isolatedRun(n))
+
     // Two artifacts from one run. The driver keeps only the LAST 2000
     // chars of stdout in BENCH_r{N}.json ("tail") — round 4's full-name
     // runs dict pushed the headline total out of that window, so the
@@ -222,7 +301,11 @@ object Bench {
       "\"" + k + "\":" + f3(spreadOf(ts)) }.mkString("{", ",", "}")
     val failedNames = results.filterNot(_._4).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
-    val detail = s"""{"metric":"bench_detail","reps":$reps,"queries":$detailQs,"runs":$detailRuns,"spread":$detailSpread,"failed":$failedNames,"sf":"$sfDir"}"""
+    val detailIso = isolated.map { case (k, r) =>
+      "\"" + k + "\":" + r.map { case (m, s) =>
+        s"""{"median":${f3(m)},"spread":${f3(s)}}""" }.getOrElse("null")
+    }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"bench_detail","reps":$reps,"queries":$detailQs,"runs":$detailRuns,"spread":$detailSpread,"isolated":$detailIso,"failed":$failedNames,"sf":"$sfDir"}"""
     println(detail)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -250,7 +333,12 @@ object Bench {
     val (noisyQ, noisyS) =
       if (gradedSpreads.nonEmpty) gradedSpreads.maxBy(_._2) else ("none", 0.0)
     val spreadTotal = gradedSpreads.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"spread_total":${f3(spreadTotal)},"max_spread":{"q":"${shortKey(noisyQ)}","sec":${f3(noisyS)}},"queries":$qs,"extras":$xs,"failed":$failedShort,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    // compact isolated dict: fresh-JVM 5-rep median per noisy query
+    // (full median+spread pairs live in the detail file)
+    val isoShort = isolated.map { case (k, r) =>
+      "\"" + shortKey(k) + "\":" + r.map(x => f3(x._1)).getOrElse("null")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"spread_total":${f3(spreadTotal)},"max_spread":{"q":"${shortKey(noisyQ)}","sec":${f3(noisyS)}},"isolated":$isoShort,"queries":$qs,"extras":$xs,"failed":$failedShort,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
