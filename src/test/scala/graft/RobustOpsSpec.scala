@@ -642,6 +642,42 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("coPurchasePairs: basketCap never binds on TPC-H shapes, truncates hot baskets deterministically") {
+    // capped (default 1024) == effectively-uncapped on real sf0.001
+    // lineitem — TPC-H baskets hold <=7 items, so the guard is free
+    graft.operators.Graph.clearPairsMemo()
+    val capped = graft.operators.Graph.coPurchasePairs(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSet
+    val uncapped = graft.operators.Graph
+      .coPurchasePairs(spark, sf0001, basketCap = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+    // a hot basket {10,20,30,40,50} under cap=3 keeps its 3 SMALLEST
+    // part ids {10,20,30}: pairs among them survive, pairs touching
+    // 40/50 exist only via the small basket {40,50}
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, 86400000L)),
+      lineitem = Seq((1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L), (1L, 50L),
+        (2L, 40L), (2L, 50L)),
+      events = Seq((1L, 1000L, 1L, "view", 0.0)))
+    graft.operators.Graph.clearPairsMemo()
+    val hot = graft.operators.Graph.coPurchasePairs(spark, dir, basketCap = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hot === Set((10L, 20L, 1L), (10L, 30L, 1L), (20L, 30L, 1L),
+      (40L, 50L, 1L)))
+    // duplicate line items (same part twice in a basket) stay one item
+    val dup = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, 86400000L)),
+      lineitem = Seq((1L, 10L), (1L, 10L), (1L, 20L)),
+      events = Seq((1L, 1000L, 1L, "view", 0.0)))
+    graft.operators.Graph.clearPairsMemo()
+    val d = graft.operators.Graph.coPurchasePairs(spark, dup)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(d === Set((10L, 20L, 1L)))
+    graft.operators.Graph.clearPairsMemo()
+  }
+
   test("revenueConcentration: Lorenz curve ends at 1, shares monotone, spend recomposes") {
     val out = graft.operators.Profile
       .revenueConcentration(spark, "/root/testdata/sf0.001")
