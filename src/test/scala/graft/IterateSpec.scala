@@ -59,6 +59,36 @@ class IterateSpec extends AnyFunSuite {
     } finally spark.conf.set(Iterate.ReliableFlag, "false")
   }
 
+  test("reliable mode survives injected task failures mid-fixpoint " +
+      "(RecoveryDrill in a retry-capable JVM)") {
+    // task retries need a local[n, maxFailures] master, which the
+    // shared session can't provide — spawn the drill in its own JVM
+    // (same pattern as Bench's isolated mode) and require the marker
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val classes = new java.io.File(graft.Iterate.getClass
+      .getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
+    val cp = classes + java.io.File.pathSeparator + "/opt/spark/jars/*"
+    val modOpts = org.apache.spark.launcher.JavaModuleOptions
+      .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drill").toFile
+    val outFile = new java.io.File(tmp, "out.txt")
+    val pb = new ProcessBuilder(
+      (Seq(javaBin, "-Xmx4g") ++ modOpts ++
+        Seq("-cp", cp, "graft.tools.RecoveryDrill")): _*)
+    pb.directory(tmp)
+    pb.redirectOutput(outFile)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val p = pb.start()
+    val finished = p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) p.destroyForcibly()
+    assert(finished, "RecoveryDrill timed out")
+    val out = new String(
+      java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+    assert(p.exitValue() == 0, s"RecoveryDrill exit ${p.exitValue()}: $out")
+    assert(out.contains("DRILL_OK"), s"no DRILL_OK marker in: $out")
+  }
+
   test("pagerank stops at the exact integer fixpoint before the cap") {
     // triangle (one order, three parts): symmetric, so after round 1
     // every rank is 333333333332 and round 2 reproduces it exactly —
