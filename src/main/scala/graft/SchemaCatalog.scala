@@ -11,14 +11,20 @@ import org.apache.spark.sql.types._
   * pointing the pipeline at a new table set means editing a schema
   * string, not Scala.
   *
-  * Supported surface (the subset the reference's schemas use):
-  * scalar fields (`name Type`), optional `?`, list `[]`, line and
-  * trailing `//` comments, field attributes (`@id`, `@default(...)`,
-  * `@relation(...)` — ignored), block attributes (`@@map("table")`
-  * sets the physical table name; other `@@...` ignored), and
-  * relation fields (type = another model name) which are dropped
-  * exactly as Prisma's DMMF separates them from the scalar columns.
-  * Non-model blocks (`datasource`, `generator`, `enum`) are skipped.
+  * Supported surface (DMMF-parity for the constructs the reference's
+  * schemas can carry): scalar fields (`name Type`), optional `?`,
+  * list `[]`, line and trailing `//` comments, `enum` blocks (an
+  * enum-typed field is a String column whose allowed values the
+  * catalog records, Prisma's text storage convention), field
+  * attributes (`@id`; `@default(...)` captured per field and
+  * applicable on the write path via
+  * [[graft.operators.WritePath.applyDefaults]]; `@relation(fields:
+  * [...], references: [...])` captured as foreign-key metadata),
+  * block attributes (`@@map("table")` sets the physical table name;
+  * other `@@...` ignored), and relation fields (type = another model
+  * name) which are dropped from the physical columns exactly as
+  * Prisma's DMMF separates them from the scalars. Non-model blocks
+  * (`datasource`, `generator`) are skipped.
   */
 object SchemaCatalog {
 
@@ -38,18 +44,36 @@ object SchemaCatalog {
     "Json" -> StringType,
     "Bytes" -> BinaryType)
 
+  /** A parsed `@relation` foreign key: the (dropped) relation field's
+    * name, the related model, and the fk/referenced column lists.
+    */
+  case class Relation(field: String, related: String,
+                      fkFields: Seq[String], refFields: Seq[String])
+
   /** One parsed model: Prisma model name, physical table name
     * (`@@map` or the lowercased model name), scalar column schema,
-    * and the non-`?` field names. Requiredness is carried separately
-    * instead of as `nullable = false` because a Spark parquet scan
-    * yields nullable columns regardless — the catalog keeps Spark's
-    * convention so a parsed schema is comparable to a scanned one.
+    * the non-`?` field names, per-field `@default` expressions (raw
+    * Prisma text — `now()`, literals, enum values), declared
+    * relations, and enum-typed fields with their allowed values.
+    * Requiredness is carried separately instead of as
+    * `nullable = false` because a Spark parquet scan yields nullable
+    * columns regardless — the catalog keeps Spark's convention so a
+    * parsed schema is comparable to a scanned one.
     */
   case class Model(name: String, table: String, schema: StructType,
-                   required: Seq[String])
+                   required: Seq[String],
+                   defaults: Map[String, String] = Map.empty,
+                   relations: Seq[Relation] = Nil,
+                   enumFields: Map[String, Seq[String]] = Map.empty)
 
   private val ModelBlock = """model\s+(\w+)\s*\{([^}]*)\}""".r
+  private val EnumBlock = """enum\s+(\w+)\s*\{([^}]*)\}""".r
   private val MapAttr = """@@map\(\s*"([^"]+)"\s*\)""".r
+  // one nesting level: @default(now()), @default(dbgenerated("..."))
+  private val DefaultAttr = """@default\(((?:[^()]|\([^()]*\))*)\)""".r
+  private val RelationAttr = """@relation\(([^)]*)\)""".r
+  private val FieldsList = """fields:\s*\[([^\]]*)\]""".r
+  private val RefsList = """references:\s*\[([^\]]*)\]""".r
 
   /** Parse every `model` block, in declaration order (the reference's
     * `getModels` order is the migrate order).
@@ -61,6 +85,13 @@ object SchemaCatalog {
         case i  => l.substring(0, i)
       })
       .mkString("\n")
+    val enums = EnumBlock.findAllMatchIn(noComments).map { m =>
+      // one value per line; a value may carry @map("...") — the
+      // Prisma-side name (the first token) is the stored text
+      m.group(1) -> m.group(2).linesIterator.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("@@"))
+        .map(_.split("\\s+")(0)).toSeq
+    }.toMap
     val models = ModelBlock.findAllMatchIn(noComments).map { m =>
       (m.group(1), m.group(2))
     }.toSeq
@@ -73,6 +104,9 @@ object SchemaCatalog {
             throw new IllegalArgumentException(
               s"model $name: unparseable $l"))
       }.getOrElse(name.toLowerCase)
+      var defaults = Map.empty[String, String]
+      var relations = Seq.empty[Relation]
+      var enumFields = Map.empty[String, Seq[String]]
       val parsed = lines.filterNot(_.startsWith("@@")).flatMap { line =>
         val toks = line.split("\\s+")
         if (toks.length < 2) throw new IllegalArgumentException(
@@ -83,23 +117,43 @@ object SchemaCatalog {
         val isList = rawType.endsWith("[]")
         val isOptional = rawType.endsWith("?")
         val base = rawType.stripSuffix("[]").stripSuffix("?")
+        DefaultAttr.findFirstMatchIn(line).foreach { d =>
+          defaults += fieldName -> d.group(1).trim
+        }
+        def scalarField(t0: DataType): Option[(StructField, Boolean)] = {
+          // native-type attribute: Prisma's @db.Real narrows Float
+          // to float32 (the embeddings column convention)
+          val t = if (base == "Float" && attrs.contains("@db.Real"))
+            FloatType else t0
+          val dt = if (isList) ArrayType(t) else t
+          Some((StructField(fieldName, dt), !isOptional))
+        }
         scalarTypes.get(base) match {
-          case Some(t0) =>
-            // native-type attribute: Prisma's @db.Real narrows Float
-            // to float32 (the embeddings column convention)
-            val t = if (base == "Float" && attrs.contains("@db.Real"))
-              FloatType else t0
-            val dt = if (isList) ArrayType(t) else t
-            Some((StructField(fieldName, dt), !isOptional))
+          case Some(t0) => scalarField(t0)
+          case None if enums.contains(base) =>
+            // enum column: stored as text (Prisma's convention); the
+            // allowed values ride along for write-path validation
+            enumFields += fieldName -> enums(base)
+            scalarField(StringType)
           case None if modelNames.contains(base) =>
-            None // relation field — not a physical column (DMMF parity)
+            // relation field — not a physical column (DMMF parity);
+            // capture the fk metadata if the @relation spells it out
+            RelationAttr.findFirstMatchIn(line).foreach { r =>
+              def names(re: scala.util.matching.Regex): Seq[String] =
+                re.findFirstMatchIn(r.group(1)).toSeq.flatMap(
+                  _.group(1).split(",").map(_.trim).filter(_.nonEmpty))
+              relations :+= Relation(fieldName, base,
+                names(FieldsList), names(RefsList))
+            }
+            None
           case None => throw new IllegalArgumentException(
             s"model $name: unknown type $base for field $fieldName " +
-              s"(not a Prisma scalar or a declared model)")
+              s"(not a Prisma scalar, enum, or declared model)")
         }
       }
       Model(name, table, StructType(parsed.map(_._1)),
-        parsed.collect { case (f, true) => f.name })
+        parsed.collect { case (f, true) => f.name },
+        defaults, relations, enumFields)
     }
   }
 

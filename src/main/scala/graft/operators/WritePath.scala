@@ -179,6 +179,100 @@ object WritePath {
       else Map.empty)
   }
 
+  /** Apply a model's `@default`s on the write path (DMMF parity for
+    * the attribute Prisma's client applies on INSERT): a column the
+    * batch doesn't carry materializes as its default; an existing
+    * column's NULLs coalesce to it. `now()` stamps once per batch
+    * (the F8 convention — `current_timestamp()` is a per-query
+    * constant); `autoincrement()`/`dbgenerated(...)` are storage-
+    * engine defaults a copy pipeline must NOT fabricate, so they are
+    * left untouched. Literals cast to the field's catalog type; an
+    * enum default must be one of the enum's values (fails fast
+    * otherwise — a schema typo, not data).
+    */
+  def applyDefaults(df: DataFrame,
+                    model: graft.SchemaCatalog.Model): DataFrame =
+    model.defaults.foldLeft(df) { case (acc, (field, raw)) =>
+      val dt = model.schema.fields.find(_.name == field).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"model ${model.name}: @default on unknown field $field"))
+      val dflt: Option[org.apache.spark.sql.Column] = raw match {
+        case "now()" => Some(current_timestamp().cast(dt))
+        case "autoincrement()" => None
+        case s if s.startsWith("dbgenerated") => None
+        case s if s.startsWith("\"") && s.endsWith("\"") && s.length >= 2 =>
+          Some(lit(s.substring(1, s.length - 1)).cast(dt))
+        case "true" | "false" => Some(lit(raw == "true").cast(dt))
+        case s if s.nonEmpty && (s(0).isDigit || s(0) == '-') =>
+          Some(lit(s).cast(dt))
+        case s if model.enumFields.contains(field) =>
+          require(model.enumFields(field).contains(s),
+            s"model ${model.name}: @default($s) is not a value of " +
+              s"$field's enum ${model.enumFields(field).mkString("{", ",", "}")}")
+          Some(lit(s))
+        case s => throw new IllegalArgumentException(
+          s"model ${model.name}: unsupported @default($s) on $field")
+      }
+      dflt.map { d =>
+        if (acc.columns.contains(field))
+          acc.withColumn(field, coalesce(col(field), d))
+        else acc.withColumn(field, d)
+      }.getOrElse(acc)
+    }
+
+  /** Enum-domain violations in a batch: one row per offending input
+    * row and enum field — (field, value) plus the model's key columns
+    * if present — the write-path validation the parsed enum blocks
+    * make possible. Narrow scan, no shuffle; compose with the E2
+    * quarantine before an append.
+    */
+  def enumViolations(df: DataFrame,
+                     model: graft.SchemaCatalog.Model): DataFrame = {
+    val frames = model.enumFields.toSeq.sortBy(_._1).map { case (f, vals) =>
+      df.filter(col(f).isNotNull && !col(f).isin(vals: _*))
+        .select(lit(f).as("field"), col(f).cast("string").as("value"))
+    }
+    frames.reduceOption(_.unionByName(_))
+      .getOrElse(df.sparkSession.emptyDataFrame
+        .select(lit("").as("field"), lit("").as("value")).limit(0))
+  }
+
+  /** Referential-integrity audit over a parsed schema's `@relation`s:
+    * for every declared fk, the count of child rows whose (non-null)
+    * fk combination has no parent — orphans that a relational
+    * destination would reject and a parquet copy silently keeps. One
+    * broadcast-or-shuffle anti-join per relation on the fk columns;
+    * output is relation-count-sized.
+    */
+  def fkOrphans(spark: SparkSession, dir: String,
+                schemaText: String): DataFrame = {
+    val models = graft.SchemaCatalog.parseModels(schemaText)
+    val byName = models.map(m => m.name -> m).toMap
+    val rows = for {
+      m <- models
+      r <- m.relations if r.fkFields.nonEmpty && r.refFields.nonEmpty
+    } yield {
+      val parent = byName.getOrElse(r.related,
+        throw new IllegalArgumentException(
+          s"model ${m.name}: @relation to undeclared model ${r.related}"))
+      val child = Tables.load(spark, dir, m.table,
+        models.map(x => x.table -> x.schema).toMap)
+      val par = Tables.load(spark, dir, parent.table,
+        models.map(x => x.table -> x.schema).toMap)
+      val cond = r.fkFields.zip(r.refFields).map { case (fk, ref) =>
+        col("c." + fk) === col("p." + ref) }.reduce(_ && _)
+      val nonNull = r.fkFields.map(f => col("c." + f).isNotNull)
+        .reduce(_ && _)
+      val n = child.as("c").filter(nonNull)
+        .join(par.as("p"), cond, "left_anti").count()
+      (m.table, r.fkFields.mkString(","), parent.table,
+        r.refFields.mkString(","), n)
+    }
+    import spark.implicits._
+    rows.toDF("child_table", "fk_fields", "parent_table", "ref_fields",
+      "n_orphans")
+  }
+
   /** CSV report sink (S10; reference json2csv with explicit field order
     * and full quoting, `lib.ts:532-536`): single file, header, quoteAll.
     * escape = `"` gives RFC-4180 doubled quotes — the same style

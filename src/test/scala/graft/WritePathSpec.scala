@@ -132,6 +132,75 @@ class WritePathSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dest/nation.parquet").count() === 25L)
   }
 
+  test("DMMF parity: enum + @relation + @default parse and drive the write path") {
+    val src = Files.createTempDirectory("graft-dmmf-src").toString
+    val dest = Files.createTempDirectory("graft-dmmf-dest").toString
+    val schema =
+      """enum Status {
+        |  ACTIVE
+        |  DISABLED
+        |}
+        |model Author {
+        |  a_id   BigInt @id
+        |  a_name String
+        |  @@map("author")
+        |}
+        |model Post {
+        |  p_id      BigInt  @id
+        |  status    Status  @default(ACTIVE)
+        |  views     Int     @default(0)
+        |  created   DateTime @default(now())
+        |  author_id BigInt?
+        |  author    Author? @relation(fields: [author_id], references: [a_id])
+        |  @@map("post")
+        |}""".stripMargin
+    val models = SchemaCatalog.parseModels(schema)
+    val post = models.find(_.name == "Post").get
+    // relation field dropped from physical columns; fk metadata kept
+    assert(post.schema.fieldNames.toSeq ===
+      Seq("p_id", "status", "views", "created", "author_id"))
+    assert(post.relations === Seq(SchemaCatalog.Relation(
+      "author", "Author", Seq("author_id"), Seq("a_id"))))
+    // enum column is text with its domain recorded
+    assert(post.schema("status").dataType.typeName === "string")
+    assert(post.enumFields === Map("status" -> Seq("ACTIVE", "DISABLED")))
+    assert(post.defaults === Map("status" -> "ACTIVE", "views" -> "0",
+      "created" -> "now()"))
+
+    // @default application: missing column materializes, nulls coalesce
+    val batch = Seq((1L, Some("DISABLED"), Some(5L)), (2L, None, None))
+      .toDF("p_id", "status", "author_id")
+    val defaulted = WritePath.applyDefaults(batch, post)
+    val got = defaulted.select($"p_id", $"status", $"views")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got === Set((1L, "DISABLED", 0), (2L, "ACTIVE", 0)))
+    // now() stamped once per batch: a single distinct timestamp
+    assert(defaulted.select($"created").distinct().count() === 1L)
+
+    // enum-domain validation catches values outside the domain
+    val bad = Seq((3L, "NOPE"), (4L, "ACTIVE")).toDF("p_id", "status")
+    assert(WritePath.enumViolations(bad, post)
+      .as[(String, String)].collect().toSeq === Seq(("status", "NOPE")))
+    assert(WritePath.enumViolations(batch, post).count() === 0L)
+
+    // migrate driven from this schema copies both tables
+    Seq((10L, "amal")).toDF("a_id", "a_name")
+      .write.mode("overwrite").parquet(s"$src/author.parquet")
+    WritePath.applyDefaults(
+        Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None))
+          .toDF("p_id", "author_id"), post)
+      .select($"p_id", $"status", $"views", $"created", $"author_id")
+      .write.mode("overwrite").parquet(s"$src/post.parquet")
+    val copied = WritePath.migrateFromSchema(spark, schema, src, dest,
+      keys = Map("author" -> Seq("a_id"), "post" -> Seq("p_id")))
+    assert(copied === Map("author" -> 1L, "post" -> 3L))
+
+    // fk audit: author_id=99 is the one orphan; the null fk is not
+    val orphans = WritePath.fkOrphans(spark, src, schema)
+      .as[(String, String, String, String, Long)].collect().toSeq
+    assert(orphans === Seq(("post", "author_id", "author", "a_id", 1L)))
+  }
+
   test("E2 quarantine mode: contract-violating rows isolated, copy proceeds") {
     // reference semantics: a failed insert chunk is logged and later
     // chunks proceed (migrate.ts:67-69); here the failing unit is the
