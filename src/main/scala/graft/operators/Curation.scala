@@ -1654,4 +1654,111 @@ object Curation {
        |    AS alloc
        |FROM dealt
        |ORDER BY source""".stripMargin
+
+  /** q290 — weak-supervision labeling-function audit (the Snorkel-
+    * style diagnostic matrix): five deterministic label functions
+    * vote keep(+1)/drop(−1)/abstain(0) on every document — token
+    * length, stopword density, distinct-token (repetition) ratio,
+    * average word length, character budget — each two-sided with an
+    * abstain band, and the audit reports, for every LF pair (diagonal
+    * included), how often both fire, agree, and conflict. This is the
+    * table a curation team reads BEFORE trusting a rule-built label
+    * set: a high-conflict pair means the rules encode different
+    * notions of quality; a zero-overlap pair means the matrix can't
+    * estimate their correlation. Diagonal rows carry each LF's
+    * coverage (n_both = votes cast) and polarity split via n_agree
+    * (= n_pos on the diagonal, since a vote always agrees with
+    * itself) — so one relation holds the whole diagnostic.
+    *
+    * Every vote threshold is an INTEGER cross-multiplication (e.g.
+    * `5*digits > chars`, never `digits/chars > 0.2`) so both engines
+    * decide identically with no float drift. Scale: one narrow map
+    * builds the 5 votes, an unpivot + doc-keyed self-join fans each
+    * doc to ≤15 pairs (literal bound — LF count, not data), one pair
+    * aggregate; nothing corpus-squared.
+    */
+  def lfAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{langStopwords, stopwordHits,
+      tokenCount, tokens}
+    val docs = Tables.load(spark, dir, "documents")
+    val n = tokenCount(col("text"))
+    val dn = size(array_distinct(tokens(col("text"))))
+    val s = stopwordHits(col("text"), langStopwords.head._2)
+    val c = length(col("text"))
+    // avg word length numerator: chars minus the n−1 separators
+    val wl = c - n + 1
+    val votes = docs.select(col("doc_id"),
+      when(n >= 70, 1).when(n < 25, -1).otherwise(0).as("lf_length"),
+      when(s * 10 >= n && n > 0, 1).when(s * 50 < n, -1)
+        .otherwise(0).as("lf_stopword"),
+      when(dn * 10 >= n * 7, 1).when(dn * 5 < n * 2, -1)
+        .otherwise(0).as("lf_repeat"),
+      when(wl * 10 >= n * 47 && n > 0, 1).when(wl * 10 < n * 43, -1)
+        .otherwise(0).as("lf_wordlen"),
+      when(c >= 400, 1).when(c < 150, -1).otherwise(0).as("lf_charbudget"))
+    val lfs = Seq("lf_length", "lf_stopword", "lf_repeat", "lf_wordlen",
+      "lf_charbudget")
+    val long = votes.select(col("doc_id"), expr(
+      "stack(" + lfs.length + ", " +
+        lfs.map(f => s"'$f', $f").mkString(", ") + ") AS (lf, vote)"))
+      .filter(col("vote") =!= 0)
+    long.as("a").join(long.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.lf") <= col("b.lf"))
+      .groupBy(col("a.lf").as("lf_a"), col("b.lf").as("lf_b"))
+      .agg(count(lit(1)).as("n_both"),
+        sum(when(col("a.vote") === col("b.vote"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("a.vote") =!= col("b.vote"), 1L).otherwise(0L))
+          .as("n_conflict"))
+      .withColumn("conflict_rate",
+        round(col("n_conflict").cast("double") / col("n_both"), 6))
+      .orderBy(col("lf_a"), col("lf_b"))
+  }
+
+  val lfAuditSql: String = {
+    val stop = graft.functions.TextFunctions.langStopwords.head._2
+      .map(w => s"'$w'").mkString(",")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t <> '')) AS n,
+       |    len(list_distinct(list_filter(
+       |      string_split_regex(lower(text), '\\s+'), t -> t <> ''))) AS dn,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t IN ($stop))) AS s,
+       |    length(text) AS c
+       |  FROM documents
+       |), votes AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n >= 70 THEN 1 WHEN n < 25 THEN -1 ELSE 0 END AS lf_length,
+       |    CASE WHEN s * 10 >= n AND n > 0 THEN 1
+       |         WHEN s * 50 < n THEN -1 ELSE 0 END AS lf_stopword,
+       |    CASE WHEN dn * 10 >= n * 7 THEN 1
+       |         WHEN dn * 5 < n * 2 THEN -1 ELSE 0 END AS lf_repeat,
+       |    CASE WHEN (c - n + 1) * 10 >= n * 47 AND n > 0 THEN 1
+       |         WHEN (c - n + 1) * 10 < n * 43 THEN -1 ELSE 0 END AS lf_wordlen,
+       |    CASE WHEN c >= 400 THEN 1 WHEN c < 150 THEN -1 ELSE 0 END
+       |      AS lf_charbudget
+       |  FROM m
+       |), long AS (
+       |  SELECT doc_id, lf, vote FROM (
+       |    SELECT doc_id, 'lf_length' AS lf, lf_length AS vote FROM votes
+       |    UNION ALL SELECT doc_id, 'lf_stopword', lf_stopword FROM votes
+       |    UNION ALL SELECT doc_id, 'lf_repeat', lf_repeat FROM votes
+       |    UNION ALL SELECT doc_id, 'lf_wordlen', lf_wordlen FROM votes
+       |    UNION ALL SELECT doc_id, 'lf_charbudget', lf_charbudget FROM votes
+       |  ) WHERE vote <> 0
+       |)
+       |SELECT a.lf AS lf_a, b.lf AS lf_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_both,
+       |  CAST(SUM(CASE WHEN a.vote = b.vote THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  CAST(SUM(CASE WHEN a.vote <> b.vote THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_conflict,
+       |  ROUND(SUM(CASE WHEN a.vote <> b.vote THEN 1 ELSE 0 END)
+       |    / COUNT(*), 6) AS conflict_rate
+       |FROM long a JOIN long b ON a.doc_id = b.doc_id AND a.lf <= b.lf
+       |GROUP BY 1, 2
+       |ORDER BY lf_a, lf_b""".stripMargin
+  }
 }

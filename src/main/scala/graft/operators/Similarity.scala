@@ -2297,4 +2297,162 @@ object Similarity {
        |$rows
        |ORDER BY prefix_dim""".stripMargin
   }
+
+  /** q291 — MMR (maximal marginal relevance) diversified retrieval:
+    * from each query's top-`kCand` cosine candidates, greedily pick
+    * `kPick` results maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)
+    * — the classic serving-tier re-rank that stops a result page from
+    * being `kPick` near-duplicates of the same hit (exactly what a
+    * near-dup-heavy corpus produces under plain top-k). Pick 1 is the
+    * relevance argmax (empty-set diversity term = 0); ties break on
+    * neighbor_id; all similarities are the engine-shared fused cosine
+    * rounded to 6dp, so both engines argmax identical doubles.
+    *
+    * λ is a RATIONAL (lamNum/lamDen, default 7/10) and the score is
+    * SCALED-INTEGER: sims enter as exact e6 integers and the score
+    * lives as `lamNum·rel_e6 − (lamDen−lamNum)·maxSim_e6` (argmax'd
+    * as a BIGINT, emitted as that integer over lamDen·1e6) — the
+    * pagerank discipline, because `round(0.7·x, 6)` of a 6dp x sits
+    * exactly on a half boundary and the engines' double-vs-decimal
+    * rounding disagrees there (observed on the sf0.01 fixture).
+    *
+    * Scale: candidate generation is q29's broadcast-queries +
+    * map-side partial top-k — the only corpus-sized pass. Everything
+    * after runs on nQueries×kCand rows: the candidate-pair similarity
+    * matrix is kCand²-bounded per query, and each of the kPick−1
+    * greedy rounds is one anti-join + max-aggregate + window argmax
+    * over that bounded set (driver loop depth = kPick, a literal).
+    */
+  def mmrRetrieval(spark: SparkSession, dir: String, nQueries: Int = 8,
+                   kCand: Int = 20, kPick: Int = 5,
+                   lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    val muNum = lamDen - lamNum
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(spark, col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val cand = scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= kCand)
+      .localCheckpoint() // bounded (nQueries×kCand); reused every round
+    val withVec = cand.select(col("query_id"), col("neighbor_id"),
+        col("cos_sim"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+    val pairs = withVec.as("x").join(withVec.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.neighbor_id") =!= col("y.neighbor_id"))
+      .select(col("x.query_id").as("query_id"),
+        col("x.neighbor_id").as("a"), col("y.neighbor_id").as("b"),
+        round(cosine(spark, col("x.embedding"), col("y.embedding")), 6)
+          .as("sim_ab"))
+      .localCheckpoint() // kCand²-bounded; reused every round
+    def e6(c: Column): Column = round(c * lit(1e6)).cast("long")
+    val scoreDen = lit(lamDen.toDouble * 1e6)
+    var selected = cand.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        lit(1).as("pick_rank"),
+        ((lit(lamNum.toLong) * e6(col("cos_sim"))).cast("double") / scoreDen)
+          .as("mmr_score"))
+    (2 to kPick).foreach { step =>
+      val remaining = cand
+        .join(selected.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = remaining.as("r")
+        .join(pairs.as("p"),
+          col("r.query_id") === col("p.query_id") &&
+            col("r.neighbor_id") === col("p.a"))
+        .join(selected.select(col("query_id").as("sq"),
+            col("neighbor_id").as("sb")).as("s"),
+          col("p.query_id") === col("s.sq") && col("p.b") === col("s.sb"))
+        .groupBy(col("r.query_id").as("query_id"),
+          col("r.neighbor_id").as("neighbor_id"), col("r.cos_sim").as("cos_sim"))
+        .agg(max(col("p.sim_ab")).as("ms"))
+      val rawE6 = lit(lamNum.toLong) * e6(col("cos_sim")) -
+        lit(muNum.toLong) * e6(col("ms"))
+      val wPick = Window.partitionBy(col("query_id"))
+        .orderBy(rawE6.desc, col("neighbor_id"))
+      val pick = ms.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+          lit(step).as("pick_rank"),
+          (rawE6.cast("double") / scoreDen).as("mmr_score"))
+      selected = selected.unionByName(pick)
+    }
+    selected.orderBy(col("query_id"), col("pick_rank"))
+  }
+
+  /** Generated DuckDB twin of [[mmrRetrieval]]: the greedy loop
+    * unrolled as one CTE chain per pick, same rounded inputs, same
+    * unrounded argmax expression, same tiebreaks.
+    */
+  def mmrRetrievalSql(nQueries: Int = 8, kCand: Int = 20, kPick: Int = 5,
+                      lamNum: Int = 7, lamDen: Int = 10): String = {
+    val mu = lamDen - lamNum
+    val den = s"($lamDen * 1e6)"
+    def e6(x: String) = s"CAST(ROUND($x * 1e6) AS BIGINT)"
+    val steps = (2 to kPick).map { i =>
+      s"""sc$i AS (
+         |  SELECT c.query_id, c.neighbor_id, c.cos_sim, MAX(p.sim_ab) AS ms
+         |  FROM cand c
+         |  JOIN pairs p ON p.query_id = c.query_id AND p.a = c.neighbor_id
+         |  JOIN sel${i - 1} s ON s.query_id = p.query_id
+         |    AND s.neighbor_id = p.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} z
+         |    WHERE z.query_id = c.query_id
+         |      AND z.neighbor_id = c.neighbor_id)
+         |  GROUP BY 1, 2, 3
+         |), s$i AS (
+         |  SELECT query_id, neighbor_id, cos_sim, $i AS pick_rank,
+         |    CAST(raw_e6 AS DOUBLE) / $den AS mmr_score
+         |  FROM (SELECT *,
+         |      $lamNum * ${e6("cos_sim")} - $mu * ${e6("ms")} AS raw_e6,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY $lamNum * ${e6("cos_sim")} - $mu * ${e6("ms")}
+         |          DESC, neighbor_id) AS rn
+         |    FROM sc$i)
+         |  WHERE rn = 1
+         |), sel$i AS (
+         |  SELECT query_id, neighbor_id FROM sel${i - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM s$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("q.q_emb", "e.embedding")}, 6) AS cos_sim
+       |  FROM embeddings e, q WHERE e.vec_id >= $nQueries
+       |), cand AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored QUALIFY rank <= $kCand
+       |), cv AS (
+       |  SELECT c.query_id, c.neighbor_id, e.embedding
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+       |), pairs AS (
+       |  SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+       |    ROUND(${cosSql("x.embedding", "y.embedding")}, 6) AS sim_ab
+       |  FROM cv x JOIN cv y ON x.query_id = y.query_id
+       |    AND x.neighbor_id <> y.neighbor_id
+       |), s1 AS (
+       |  SELECT query_id, neighbor_id, cos_sim, 1 AS pick_rank,
+       |    CAST($lamNum * CAST(ROUND(cos_sim * 1e6) AS BIGINT) AS DOUBLE)
+       |      / ($lamDen * 1e6) AS mmr_score
+       |  FROM cand WHERE rank = 1
+       |), sel1 AS (
+       |  SELECT query_id, neighbor_id FROM s1
+       |),
+       |$steps
+       |SELECT query_id, neighbor_id, cos_sim, pick_rank, mmr_score
+       |FROM (${(1 to kPick).map(i => s"SELECT * FROM s$i")
+          .mkString(" UNION ALL ")})
+       |ORDER BY query_id, pick_rank""".stripMargin
+  }
 }

@@ -608,6 +608,32 @@ class PipelineSpec extends AnyFunSuite {
       (1, 2, 1L, 2L, 0.0)))
   }
 
+  test("mmrRetrieval: diversity term breaks up a near-dup cluster; λ=1 degenerates to top-k") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-mmr").toString
+    // query 0 on the x-axis; 1/2 a tight near-dup pair around it
+    // (mutual sim 0.9208), 3 a diverse hit (rel 0.5, max-sim-to-dups
+    // 0.662)
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.98f, 0.199f), 0),
+      (2L, Array(0.98f, -0.199f), 0),
+      (3L, Array(0.5f, 0.866f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // λ=3/10: diversity dominates — after the rel-argmax (1), the
+    // diverse 3 beats the remaining near-dup 2
+    val diverse = Similarity.mmrRetrieval(spark, dir, nQueries = 1,
+        kCand = 3, kPick = 3, lamNum = 3, lamDen = 10)
+      .select($"pick_rank", $"neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(diverse === Seq((1, 1L), (2, 3L), (3, 2L)))
+    // λ=1: the diversity term vanishes and MMR IS relevance top-k
+    val pure = Similarity.mmrRetrieval(spark, dir, nQueries = 1,
+        kCand = 3, kPick = 3, lamNum = 10, lamDen = 10)
+      .select($"pick_rank", $"neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(pure === Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
   test("annRecallAudit: internally consistent with its own top-k inputs") {
     val sf0001 = "/root/testdata/sf0.001"
     val out = Similarity.annRecallAudit(spark, sf0001)

@@ -642,6 +642,27 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("lfAudit: diagonal carries coverage with zero conflict, counts reconcile") {
+    val out = Curation.lfAudit(spark, sf0001)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    // every row: votes split exactly into agreements and conflicts
+    out.foreach { case (_, _, nBoth, nAgree, nConflict, rate) =>
+      assert(nAgree + nConflict === nBoth)
+      assert(math.abs(rate - nConflict.toDouble / nBoth) < 1e-6)
+    }
+    // a vote always agrees with itself: the diagonal has no conflicts
+    val diag = out.filter(r => r._1 == r._2)
+    assert(diag.nonEmpty)
+    diag.foreach { case (_, _, _, _, nConflict, _) =>
+      assert(nConflict === 0L)
+    }
+    // pair ordering invariant: lf_a <= lf_b, sorted output
+    assert(out.forall(r => r._1 <= r._2))
+    assert(out.map(r => (r._1, r._2)) ===
+      out.map(r => (r._1, r._2)).sorted)
+  }
+
   test("coPurchasePairs: basketCap never binds on TPC-H shapes, truncates hot baskets deterministically") {
     // capped (default 1024) == effectively-uncapped on real sf0.001
     // lineitem — TPC-H baskets hold <=7 items, so the guard is free
