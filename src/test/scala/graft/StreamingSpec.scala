@@ -530,6 +530,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(rolled === batchTable.map(r => (r._1, r._2, r._3)))
   }
 
+  test("streaming count-min: never undercounts, exact when collision-free, bounded state") {
+    import graft.streaming.StreamingCountMin
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val depth = 4
+    val width = 8 // tiny on purpose: batch-2 chaff forces collisions
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val out = StreamingCountMin.sketch(input.toDS(), depth, width)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("cm_out").start()
+    try {
+      val b1 = Seq.fill(10)("aa") ++ Seq.fill(4)("bb") ++ Seq("cc")
+      val b2 = Seq.fill(6)("aa") ++ (1 to 12).map(i => s"chaff$i")
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val raw = spark.sql(
+        "SELECT row, col, count, row_processed FROM cm_out")
+        .as[(Int, Int, Long, Long)].collect().toSeq
+      // current sketch: per (row, col), that CELL's latest emission —
+      // Update mode only re-emits touched columns, so a cell quiet in
+      // the last batch still carries its batch-1 value
+      val latest = raw.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+      val snap = raw.groupBy(r => (r._1, r._2)).view
+        .mapValues(rs => rs.maxBy(_._4)._3).toMap
+      val all = b1 ++ b2
+      val trueCounts = all.groupBy(identity).view.mapValues(_.size.toLong)
+      // every row processed every token once; state stays width-bounded
+      assert(latest.values.toSet === Set(all.size.toLong))
+      raw.groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.map(_._2).distinct.size <= width) }
+      // CM guarantee: estimates never undercount any token
+      trueCounts.foreach { case (tok, t) =>
+        val est = StreamingCountMin.estimateJvm(snap, tok, depth, width)
+        assert(est >= t, s"$tok underestimated: $est < $t")
+        assert(est <= all.size, s"$tok estimate above processed total")
+      }
+      // replaying the same stream into a wide sketch is collision-free
+      // at this vocabulary: estimates are EXACT
+      val wide = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val w2 = 4096
+      val q2 = StreamingCountMin.sketch(wide.toDS(), depth, w2)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("cm_wide").start()
+      try {
+        wide.addData(all: _*); q2.processAllAvailable()
+        val wraw = spark.sql("SELECT row, col, count, row_processed FROM cm_wide")
+          .as[(Int, Int, Long, Long)].collect().toSeq
+        val wsnap = wraw.map(r => (r._1, r._2) -> r._3).toMap
+        trueCounts.foreach { case (tok, t) =>
+          assert(StreamingCountMin.estimateJvm(wsnap, tok, depth, w2) === t)
+        }
+        // an unseen token reads 0 (all its cells untouched)
+        assert(StreamingCountMin.estimateJvm(wsnap, "never-seen", depth, w2) === 0L)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: bounded MG state honors presence and undercount bounds") {
     import graft.streaming.StreamingHeavyHitters
     import spark.implicits._
