@@ -278,4 +278,43 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("NotAType"))
   }
+
+  test("Html: linear scanner covers the cheerio consumer surface (S11)") {
+    import graft.sources.Html
+    val page =
+      """<!DOCTYPE html>
+        |<html><head>
+        |  <title> Graft &amp; Friends </title>
+        |  <style>body { color: red; } /* <a href="not-a-link"> */</style>
+        |  <script>if (1 < 2) { document.write("<a href='fake'>x</a>"); }</script>
+        |</head>
+        |<body>
+        |  <!-- comment with <a href="nope"> inside -->
+        |  <p>Hello&nbsp;<b>big</b> world &#33;&#x21;</p>
+        |  <a href="https://example.com/a?x=1&amp;y=2">first</a>
+        |  <a class=plain href=/relative>second</a>
+        |  <a name="anchor-no-href">not a link</a>
+        |  <div><div>outer <div>inner</div> tail</div></div>
+        |  <img src="x.png"/>
+        |</body></html>""".stripMargin
+    // $('title').text()
+    assert(Html.title(page) === Some("Graft & Friends"))
+    // $('a') + attr('href'): quoted, unquoted, entity-decoded;
+    // script/style/comment fakes and href-less anchors excluded
+    assert(Html.links(page) ===
+      Seq("https://example.com/a?x=1&y=2", "/relative"))
+    // $.text(): script/style suppressed, entities decoded, normalized
+    val t = Html.text(page)
+    assert(t.contains("Hello big world !!"))
+    assert(!t.contains("color"), t)
+    assert(!t.contains("document.write"), t)
+    assert(!t.contains("comment with"), t)
+    // selectText: nested same-name tags belong to the outermost match
+    assert(Html.selectText(page, "div") === Seq("outer inner tail"))
+    assert(Html.selectText(page, "b") === Seq("big"))
+    // malformed input degrades, never throws
+    assert(Html.links("<a href='unclosed") === Nil)
+    assert(Html.text("a < b & c") === "a < b & c")
+    assert(Html.text("<p>tail never closed") === "tail never closed")
+  }
 }
