@@ -530,6 +530,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(rolled === batchTable.map(r => (r._1, r._2, r._3)))
   }
 
+  test("streaming bottom-k sample: replay equals the batch selection at every prefix") {
+    import graft.streaming.StreamingBottomK
+    import graft.streaming.StreamingBottomK.DocIn
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocIn]
+    val q = StreamingBottomK.sample(input.toDS(), k = 3)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("bk_out").start()
+    try {
+      val b1 = (1L to 10L).map(DocIn(_, "en")) ++
+        (11L to 13L).map(DocIn(_, "de"))
+      val b2 = (14L to 25L).map(DocIn(_, "en")) ++ Seq(DocIn(26L, "de"))
+      def batchPick(docs: Seq[DocIn]): Map[String, Set[Long]] =
+        docs.groupBy(_.lang).view.mapValues(
+          _.map(d => (StreamingBottomK.hashOf(d.doc_id), d.doc_id))
+            .sorted.take(3).map(_._2).toSet).toMap
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val raw = spark.sql(
+        "SELECT lang, doc_id, hash, stratum_processed FROM bk_out")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      // prefix property: batch-1's snapshot is the batch selection
+      // over b1 alone; the final snapshot matches b1 ++ b2
+      val afterB1 = raw.filter(r => r._4 == b1.count(_.lang == r._1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(afterB1 === batchPick(b1))
+      val latest = raw.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+      val finalSnap = raw.filter(r => r._4 == latest(r._1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(finalSnap === batchPick(b1 ++ b2))
+      // state bound: never more than k rows per stratum in a snapshot
+      finalSnap.values.foreach(s => assert(s.size <= 3))
+      // mergeability: bottom-k of unioned samples == union's bottom-k
+      val merged = (batchPick(b1)("en") ++ batchPick(b2)("en"))
+        .map(id => (StreamingBottomK.hashOf(id), id))
+        .toSeq.sorted.take(3).map(_._2).toSet
+      assert(merged === batchPick(b1 ++ b2)("en"))
+    } finally q.stop()
+  }
+
   test("streaming count-min: never undercounts, exact when collision-free, bounded state") {
     import graft.streaming.StreamingCountMin
     import spark.implicits._
