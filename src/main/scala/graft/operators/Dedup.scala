@@ -2411,4 +2411,80 @@ object Dedup {
        |  END AS w_disagree
        |FROM lf
        |ORDER BY feature""".stripMargin
+
+  /** q292 — winnowed fingerprint candidates (Schleimer–Wilkerson–
+    * Aiken winnowing, the MOSS scheme): per document, hash every
+    * word-`k`-gram in order, slide a `w`-hash window and keep each
+    * window's MINIMUM — the selected set is a tiny position-robust
+    * fingerprint with the paper's guarantee: any shared token run of
+    * length ≥ w + k − 1 contributes a full common window, whose min
+    * both documents select, so the pair ALWAYS surfaces (spec-pinned
+    * on crafted docs). Complements q26 (whole-doc Jaccard — dilutes
+    * local overlap in long docs) and q65 (fixed-stride spans — stride
+    * alignment can split a copied run); winnowing detects local
+    * copies regardless of alignment at ~2/(w+1) the gram storage.
+    *
+    * Docs shorter than w+k−1 tokens fall back to their single global
+    * min-hash (one truncated window), so short duplicates still pair.
+    *
+    * Scale: fingerprint selection is one narrow codegen map (the
+    * window mins are a bounded HOF over the per-row gram array — no
+    * explode of unselected grams, no shuffle); the candidate join is
+    * the q26 discipline — inverted index on selected fingerprints
+    * with a df-cap so no hot fingerprint fans out quadratically.
+    */
+  def winnowCandidates(spark: SparkSession, dir: String, k: Int = 4,
+                       w: Int = 5, dfCap: Int = 50,
+                       minShared: Int = 2): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        transform(graft.functions.WordNGrams.ngrams(spark, col("toks"), k),
+          g => PortableHash.md5Long32(g)).as("gh"))
+    val fps = grams.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("gh")) - w, lit(0))),
+          i => array_min(slice(col("gh"), i + lit(1), lit(w))))))
+          .as("fp"))
+      .localCheckpoint() // df aggregate + join-back read one explode
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("fp")
+    val kept = fps.join(rare, "fp").localCheckpoint()
+    kept.as("a").join(kept.as("b"), "fp")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def winnowCandidatesSql(k: Int = 4, w: Int = 5, dfCap: Int = 50,
+                          minShared: Int = 2): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t <> '') AS tk
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    [CAST(('0x' || substr(md5(array_to_string(tk[i:i+${k - 1}], ' ')),
+       |      1, 8)) AS BIGINT) for i in range(1, len(tk) - ${k - 2})] AS gh
+       |  FROM toks WHERE len(tk) >= $k
+       |), f AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [list_min(gh[i:i+${w - 1}])
+       |     for i in range(1, greatest(len(gh) - $w, 0) + 2)])) AS fp
+       |  FROM g
+       |), capped AS (
+       |  SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= $dfCap
+       |), kept AS (
+       |  SELECT f.doc_id, f.fp FROM f JOIN capped USING (fp)
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

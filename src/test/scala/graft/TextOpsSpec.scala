@@ -381,6 +381,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out === Seq(("unit", 4L, 3L, 2L, 0.75, 0.666667)))
   }
 
+  test("winnowCandidates: the w+k-1 detection guarantee holds regardless of alignment") {
+    import graft.operators.Dedup
+    // docs 1/2 share an 8-token run (= w+k-1 for k=4, w=5) at
+    // DIFFERENT offsets amid disjoint filler -> a full common hash
+    // window exists, its min is selected by both, the pair MUST
+    // surface; doc 3 shares nothing and must stay out
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val dir = docsDir(Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"seven eight $run nine ten eleven twelve"),
+      (3L, "completely different words with zero overlap here now")))
+    val pairs = Dedup.winnowCandidates(spark, dir, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    // one token short of the guarantee: detection is no longer owed
+    // (may or may not pair; with disjoint filler the windows' mins
+    // land in the filler) — assert only that nothing crashes and doc 3
+    // stays out
+    val short7 = "alpha bravo charlie delta echo foxtrot golf"
+    val dir2 = docsDir(Seq(
+      (1L, s"one two three four five six seven eight $short7"),
+      (2L, s"$short7 nine ten eleven twelve thirteen fourteen fifteen"),
+      (3L, "completely different words with zero overlap here now")))
+    val p2 = Dedup.winnowCandidates(spark, dir2, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(!p2.exists(p => p._1 == 3L || p._2 == 3L))
+    // short-doc fallback: twin 4-token docs (< w grams) fingerprint
+    // via their single truncated-window min and still pair
+    val dir3 = docsDir(Seq(
+      (1L, "tiny little dup doc"),
+      (2L, "tiny little dup doc"),
+      (3L, "other short text here")))
+    val p3 = Dedup.winnowCandidates(spark, dir3, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(p3.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+  }
+
   test("invertedIndex: df/tf/capped postings, df-desc top-k, cap binds") {
     // "the": docs 1,2,3 (tf 2+1+1); "cat": docs 1,2 (tf 1+1);
     // "sat": doc 1 only (tf 3)
