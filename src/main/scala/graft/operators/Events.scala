@@ -3969,4 +3969,98 @@ object Events {
       |        * (MAX(g.k) + 1) AS DOUBLE), 0.0))
       |    / CAST(MAX(g.n) * (MAX(g.k) - 1) AS DOUBLE), 6) AS kendall_w
       |FROM per_type, globals g""".stripMargin
+
+  /** q293 — Mann–Kendall trend TEST per event type: the hypothesis
+    * test q217's Theil–Sen estimator lacks (a slope without a test
+    * invites reading noise as trend). S = Σ_{i<j} sign(v_j − v_i)
+    * over the daily value series — an EXACT integer both engines
+    * agree on — with the tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18 carried as
+    * its exact integer numerator (`var_num`), and the standard
+    * continuity-corrected z = (S∓1)/√(var_num/18). Only z is a
+    * rounded double; the verdict column applies the two-sided 5%
+    * normal cut (|z| > 1.96).
+    *
+    * Scale: identical posture to q217 — the pair join is over the
+    * DAILY table (calendar-sized, co-partitioned on event_type,
+    * n(n−1)/2 sign rows per type), the tie term is one value-keyed
+    * aggregate; nothing event-sized is joined.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(decSum(col("value")).as("v"))
+    val s = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(col("b.v") > col("a.v"), 1L)
+        .when(col("b.v") < col("a.v"), -1L).otherwise(0L)).as("s_stat"))
+    val n = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .as("tie_term"))
+    s.join(n, "event_type").join(ties, "event_type")
+      .withColumn("var_num",
+        col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+          - col("tie_term"))
+      .withColumn("z", round(
+        when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double") /
+            sqrt(col("var_num").cast("double") / 18.0))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") /
+              sqrt(col("var_num").cast("double") / 18.0))
+          .otherwise(lit(0.0)), 6))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        col("var_num"), col("z"),
+        when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+      .orderBy(col("event_type"))
+  }
+
+  val mannKendallSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), s AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(CASE WHEN b.v > a.v THEN 1
+      |                  WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+      |      AS s_stat
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY 1
+      |), n AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY 1
+      |), ties AS (
+      |  SELECT event_type,
+      |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT event_type, v, COUNT(*) AS t
+      |        FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), m AS (
+      |  SELECT s.event_type, n.n_days, s.s_stat,
+      |    n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_term
+      |      AS var_num
+      |  FROM s JOIN n USING (event_type) JOIN ties USING (event_type)
+      |), z AS (
+      |  SELECT event_type, n_days, s_stat, CAST(var_num AS BIGINT) AS var_num,
+      |    ROUND(CASE
+      |      WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_num / 18.0)
+      |      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_num / 18.0)
+      |      ELSE 0.0 END, 6) AS z
+      |  FROM m
+      |)
+      |SELECT event_type, n_days, s_stat, var_num, z,
+      |  CASE WHEN z > 1.96 THEN 'increasing'
+      |       WHEN z < -1.96 THEN 'decreasing'
+      |       ELSE 'no_trend' END AS trend
+      |FROM z ORDER BY event_type""".stripMargin
 }

@@ -861,6 +861,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out === Seq(("a", 6L, 1.0)))
   }
 
+  test("mannKendall: monotone series maxes S, ties shrink the variance, flat series is no_trend") {
+    val day = 86400000L
+    // 'a': strictly rising 5-day series — every pair concordant:
+    // S = 10; var_num = 5*4*15 - 0 = 300; z = 9/sqrt(300/18)
+    // 'b': constant — S = 0, tie term = 5*4*15 = 300 -> var_num 0
+    val rows = (0 until 5).flatMap { d =>
+      Seq((10L + d, d * day, 1L, "a", (d + 1).toDouble),
+          (20L + d, d * day, 1L, "b", 7.0))
+    }
+    val dir = eventsDirV(rows)
+    val out = graft.operators.Events.mannKendall(spark, dir)
+      .as[(String, Long, Long, Long, Double, String)].collect().toSeq
+    val zA = math.rint(9.0 / math.sqrt(300.0 / 18.0) * 1e6) / 1e6
+    assert(out === Seq(
+      ("a", 5L, 10L, 300L, zA, "increasing"),
+      ("b", 5L, 0L, 0L, 0.0, "no_trend")))
+  }
+
   test("burstiness: constant series fano 0, clumped series fano > 1") {
     val day = 86400000L
     // a: 2 events each of days 0..2 -> var 0 -> fano 0
