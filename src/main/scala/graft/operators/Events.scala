@@ -3970,6 +3970,86 @@ object Events {
       |    / CAST(MAX(g.n) * (MAX(g.k) - 1) AS DOUBLE), 6) AS kendall_w
       |FROM per_type, globals g""".stripMargin
 
+  /** q294 — watermark tuning table: for each candidate watermark
+    * delay, the events a streaming job with that watermark would drop
+    * as TOO LATE — measured on the batch history BEFORE committing a
+    * 100 TB streaming pipeline to one delay (the q227
+    * threshold-curve idea applied to event-time lateness). The test
+    * tables carry no ingest timestamp (event_id order IS event-time
+    * order — a perfectly in-order log on which every watermark is
+    * free), so arrival is MODELED: each event arrives at its event
+    * time plus a deterministic md5-derived transport jitter in
+    * [0, jitterMs) — the standard replay harness when the log lacks
+    * arrival times; with real arrival timestamps the jitter column
+    * swaps out and everything downstream is unchanged. An event's
+    * lateness is the high-watermark at its arrival (running max event
+    * time over everything that arrived earlier, per event_type
+    * stream) minus its own event time; a delay `d` drops the events
+    * with lateness > d. Lateness is exact integer milliseconds; the
+    * fraction is the only rounded column.
+    *
+    * Scale: one window pass ordered by arrival within each
+    * event_type stream (the same per-source-partition watermark
+    * Structured Streaming tracks — parallel across streams), then a
+    * literal-grid explode and a grid-sized aggregate. Nothing
+    * event²-sized.
+    */
+  def watermarkTuning(spark: SparkSession, dir: String,
+                      delaysMin: Seq[Int] = Seq(0, 1, 5, 15, 60),
+                      jitterMs: Long = 600000L): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+      .withColumn("arrival_ms", col("ms") +
+        pmod(graft.functions.PortableHash.md5Long32(col("event_id")),
+          lit(jitterMs)))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("arrival_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = ev
+      .withColumn("hwm", max(col("ms")).over(w))
+      .withColumn("late_ms",
+        greatest(coalesce(col("hwm") - col("ms"), lit(0L)), lit(0L)))
+    late
+      .select(col("*"),
+        explode(lit(delaysMin.toArray)).as("delay_min"))
+      .groupBy(col("event_type"), col("delay_min"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_ms") > col("delay_min") * 60000L, 1L)
+          .otherwise(0L)).as("n_dropped"),
+        max(col("late_ms")).as("max_late_ms"))
+      .withColumn("frac_dropped",
+        round(col("n_dropped").cast("double") / col("n_events"), 6))
+      .orderBy(col("event_type"), col("delay_min"))
+  }
+
+  def watermarkTuningSql(delaysMin: Seq[Int] = Seq(0, 1, 5, 15, 60),
+                         jitterMs: Long = 600000L): String =
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id, epoch_ms(ts) AS ms,
+       |    epoch_ms(ts) + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+       |      1, 8)) AS BIGINT) % $jitterMs AS arrival_ms
+       |  FROM events
+       |), late AS (
+       |  SELECT event_type, event_id, ms,
+       |    GREATEST(COALESCE(MAX(ms) OVER (PARTITION BY event_type
+       |      ORDER BY arrival_ms, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ms,
+       |      0), 0) AS late_ms
+       |  FROM ev
+       |)
+       |SELECT event_type, delay_min,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CASE WHEN late_ms > delay_min * 60000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dropped,
+       |  CAST(MAX(late_ms) AS BIGINT) AS max_late_ms,
+       |  ROUND(SUM(CASE WHEN late_ms > delay_min * 60000 THEN 1 ELSE 0 END)
+       |    / COUNT(*), 6) AS frac_dropped
+       |FROM late, (SELECT unnest([${delaysMin.mkString(", ")}])
+       |  AS delay_min)
+       |GROUP BY 1, 2
+       |ORDER BY event_type, delay_min""".stripMargin
+
   /** q293 — Mann–Kendall trend TEST per event type: the hypothesis
     * test q217's Theil–Sen estimator lacks (a slope without a test
     * invites reading noise as trend). S = Σ_{i<j} sign(v_j − v_i)

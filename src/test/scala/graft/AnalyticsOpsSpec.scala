@@ -879,6 +879,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("b", 5L, 0L, 0L, 0.0, "no_trend")))
   }
 
+  test("watermarkTuning: drop curve is monotone and zero beyond the jitter bound") {
+    val out = graft.operators.Events.watermarkTuning(spark, sf0001)
+      .as[(String, Int, Long, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byDelay = rows.sortBy(_._2)
+      // n_events constant across the grid; drops monotone non-rising
+      assert(byDelay.map(_._3).distinct.size === 1)
+      assert(byDelay.map(_._4) === byDelay.map(_._4).sorted.reverse)
+      // lateness is bounded by the modeled 10-min jitter: a 15-min
+      // (or wider) watermark never drops anything
+      byDelay.filter(_._2 >= 15).foreach(r => assert(r._4 === 0L))
+      byDelay.foreach(r => assert(r._5 < 600000L))
+    }
+  }
+
   test("burstiness: constant series fano 0, clumped series fano > 1") {
     val day = 86400000L
     // a: 2 events each of days 0..2 -> var 0 -> fano 0
