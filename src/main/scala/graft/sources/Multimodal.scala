@@ -1148,4 +1148,235 @@ object Multimodal {
        |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
        |  <= $maxDist
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 16×16 grayscale thumbnail fixture (the pHash kernel's input —
+    * DCT on 8×8 leaves too few AC coefficients): a real 24bpp
+    * bottom-up BMP, stride 48 (16·3, already 4-aligned), pixels
+    * stride-7-sampled from the payload like [[encodeGrayBmp]].
+    */
+  def encodeGrayBmp16(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val buf = new Array[Byte](54 + 16 * 48)
+    buf(0) = 'B'.toByte; buf(1) = 'M'.toByte
+    putLe32(buf, 2, buf.length)
+    putLe32(buf, 10, 54)
+    putLe32(buf, 14, 40)
+    putLe32(buf, 18, 16)
+    putLe32(buf, 22, 16) // positive: bottom-up row order
+    var r = 0
+    while (r < 16) {
+      var c = 0
+      while (c < 16) {
+        val logicalRow = 15 - r
+        val g = if (n == 0) 0
+          else text(((logicalRow * 16 + c) * 7) % n) & 0xFF
+        val off = 54 + r * 48 + c * 3
+        buf(off) = g.toByte; buf(off + 1) = g.toByte; buf(off + 2) = g.toByte
+        c += 1
+      }
+      r += 1
+    }
+    buf
+  }
+
+  /** 256 lumas of a 16×16 BMP, top-down row-major — the 16×16 twin
+    * of [[decodeLumas]] (same header parse, stride, orientation).
+    */
+  def decodeLumas16(payload: Array[Byte]): Array[Int] = {
+    val (w, h) = sniffBmp(payload).getOrElse(
+      throw new IllegalArgumentException("not a BITMAPINFOHEADER BMP"))
+    require(w == 16 && math.abs(h) == 16,
+      s"pHash kernel expects 16x16, got ${w}x$h")
+    val off = le32(payload, 10)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val topDown = le32(payload, 22) < 0
+    val lum = new Array[Int](256)
+    var rr = 0
+    while (rr < 16) {
+      val storedRow = if (topDown) rr else 15 - rr
+      var c = 0
+      while (c < 16) {
+        val p = off + storedRow * stride + c * 3
+        lum(rr * 16 + c) = ((payload(p) & 0xFF) + (payload(p + 1) & 0xFF) +
+          (payload(p + 2) & 0xFF)) / 3
+        c += 1
+      }
+      rr += 1
+    }
+    lum
+  }
+
+  /** FIXED-POINT DCT-II basis, the codec trick that makes a spectral
+    * hash engine-portable: B(u,x) = round(2^14·cos(π(2x+1)u/32)) for
+    * u < 8, x < 16 — every downstream product and sum is exact
+    * 64-bit integer arithmetic (max |coef| ≈ 1.8e16 < 2^63), so the
+    * JVM kernel and the SQL oracle agree bit-for-bit where a
+    * floating DCT would drift. The classic 1/√2 normalization of the
+    * u=0 basis row is deliberately dropped (it would break integer
+    * exactness): u=0/v=0 AC coefficients enter the median √2 heavier
+    * than textbook pHash weights them — a fixed, documented variant
+    * of the scheme, identical on both engines, with the same
+    * robustness character (all basis rows keep amplitude 2^14).
+    */
+  private[sources] val dctBasis: Array[Array[Long]] =
+    Array.tabulate(8, 16) { (u, x) =>
+      math.rint(16384.0 * math.cos(math.Pi * (2 * x + 1) * u / 32.0)).toLong
+    }
+
+  /** pHash (spectral hash) bands: integer 2-D DCT of the 16×16 luma
+    * block, the 63 low-frequency AC coefficients (u,v < 8, (0,0)
+    * dropped — the DC term is just brightness), bit i set iff
+    * coefficient i exceeds the 63-coefficient MEDIAN (rank-32
+    * ascending; strict, so a flat image hashes to 0). Median-of-AC
+    * is what makes pHash robust to contrast/brightness rescaling
+    * that flips aHash/dHash bits wholesale — the third, spectral,
+    * member of the perceptual-hash family (q244 average, q251
+    * gradient).
+    */
+  def decodePHashBands(payload: Array[Byte]): Array[Int] = {
+    val lum = decodeLumas16(payload)
+    // separable transform: T(v, row) = Σ_col lum(row,col)·B(v,col)
+    val t = Array.ofDim[Long](8, 16)
+    var v = 0
+    while (v < 8) {
+      var row = 0
+      while (row < 16) {
+        var s = 0L
+        var colI = 0
+        while (colI < 16) {
+          s += lum(row * 16 + colI) * dctBasis(v)(colI)
+          colI += 1
+        }
+        t(v)(row) = s
+        row += 1
+      }
+      v += 1
+    }
+    val coefs = new Array[Long](63)
+    var u = 0
+    while (u < 8) {
+      var vv = 0
+      while (vv < 8) {
+        if (u != 0 || vv != 0) {
+          var s = 0L
+          var row = 0
+          while (row < 16) {
+            s += t(vv)(row) * dctBasis(u)(row)
+            row += 1
+          }
+          coefs(u * 8 + vv - 1) = s
+        }
+        vv += 1
+      }
+      u += 1
+    }
+    val median = coefs.sorted.apply(31) // rank 32 of 63, ascending
+    packBands(i => i < 63 && coefs(i) > median, 4)
+  }
+
+  case class PHashRow(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** q295 — spectral-hash (pHash) image near-dup join: every
+    * document's 16×16 grayscale thumbnail through the REAL BMP
+    * decode + fixed-point DCT kernel ([[decodePHashBands]]), then
+    * the q244 discipline — LSH band join on four 16-bit bands
+    * (lossless for hamming ≤ 3 by pigeonhole) and a hamming verify.
+    * Completes the perceptual-hash family: average (q244) reacts to
+    * luminance, gradient (q251) to local edges, spectral to the
+    * low-frequency SHAPE — production image dedup runs all three
+    * because they fail on different transforms.
+    *
+    * Scale: identical to q244 — narrow mapPartitions hash kernel,
+    * 4-rows/doc band shuffle, candidate-bounded verify.
+    */
+  def imagePHashDups(spark: SparkSession, dir: String,
+                     maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, s"banding is lossless only for maxDist <= 3, got $maxDist")
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    val hashes = media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = decodePHashBands(encodeGrayBmp16(r.payload))
+        PHashRow(r.doc_id, b(0), b(1), b(2), b(3))
+      }
+    }.toDF().localCheckpoint() // two consumers: band explode + verify join
+    val bands = hashes.select(col("doc_id"), posexplode(
+      array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band_idx", "band_val")))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band_idx", "band_val"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), "doc_b")
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle twin: lumas re-derived from the payload generation (the
+    * q244 convention — the BMP encode/decode round-trip is
+    * unit-tested; the oracle states the hash arithmetic), basis
+    * embedded as the SAME Scala-computed integer literals, and the
+    * pure all-pairs hamming relation (no banding), which the driver
+    * match proves lossless.
+    */
+  def imagePHashDupsSql(maxDist: Int = 3): String = {
+    val basisRows = (for (u <- 0 until 8; x <- 0 until 16)
+      yield s"($u, $x, ${dctBasis(u)(x)})").mkString(", ")
+    s"""WITH basis(u, x, b) AS (VALUES $basisRows
+       |), px AS (
+       |  SELECT doc_id,
+       |    CAST(i AS INT) AS i,
+       |    CASE WHEN strlen(text) = 0 THEN 0
+       |      ELSE ascii(substr(text,
+       |        CAST((i * 7) % strlen(text) AS INT) + 1, 1)) END AS g
+       |  FROM documents, unnest(range(0, 256)) AS t(i)
+       |), t1 AS (
+       |  SELECT px.doc_id, b.u AS v, CAST(px.i // 16 AS INT) AS row_i,
+       |    CAST(SUM(px.g * b.b) AS BIGINT) AS t
+       |  FROM px JOIN basis b ON b.x = px.i % 16
+       |  GROUP BY 1, 2, 3
+       |), f AS (
+       |  SELECT t1.doc_id, b.u AS u, t1.v AS v,
+       |    CAST(SUM(t1.t * b.b) AS BIGINT) AS coef
+       |  FROM t1 JOIN basis b ON b.x = t1.row_i
+       |  GROUP BY 1, 2, 3
+       |), cz AS (
+       |  SELECT doc_id, u, v, u * 8 + v - 1 AS bit_i, coef
+       |  FROM f WHERE NOT (u = 0 AND v = 0)
+       |), med AS (
+       |  SELECT doc_id, MAX(CASE WHEN rn = 32 THEN coef END) AS m
+       |  FROM (SELECT doc_id, coef, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY coef, u, v) AS rn FROM cz)
+       |  GROUP BY doc_id
+       |), bands AS (
+       |  SELECT c.doc_id, CAST(c.bit_i // 16 AS INT) AS band_idx,
+       |    CAST(SUM(CASE WHEN c.coef > med.m
+       |      THEN 1 << (c.bit_i % 16) ELSE 0 END) AS BIGINT) AS band_val
+       |  FROM cz c JOIN med USING (doc_id)
+       |  GROUP BY 1, 2
+       |), hashes AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+       |    MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+       |    MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+       |    MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+       |  FROM bands GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |    AS INT) AS hamming
+       |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+       |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |  <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

@@ -923,6 +923,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(q1 === (1L, 9, 0, 0.0, 0, 0))
   }
 
+  test("pHash kernel: integer DCT matches a direct dense computation; flat hashes to 0") {
+    import graft.sources.Multimodal
+    val text = "spectral hashing needs a somewhat longer sample text 42"
+      .getBytes("US-ASCII")
+    // dense reference: F(u,v) = sum over pixels of g*B(u,row)*B(v,col)
+    val n = text.length
+    val lum = (0 until 256).map(i => text((i * 7) % n) & 0xFF)
+    def b(u: Int, x: Int): Long =
+      math.rint(16384.0 * math.cos(math.Pi * (2 * x + 1) * u / 32.0)).toLong
+    val coefs = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+      yield (0 until 256).map { i =>
+        lum(i) * b(u, i / 16) * b(v, i % 16)
+      }.sum).toArray
+    val median = coefs.sorted.apply(31)
+    val expected = Array.fill(4)(0)
+    coefs.zipWithIndex.foreach { case (c, i) =>
+      if (c > median) expected(i / 16) |= 1 << (i % 16)
+    }
+    val got = Multimodal.decodePHashBands(Multimodal.encodeGrayBmp16(text))
+    assert(got.toSeq === expected.toSeq)
+    // 63 bits only: band 3 never uses its top bit
+    assert((got(3) & (1 << 15)) === 0)
+    // flat image: every AC coefficient is 0 (basis rows u>0 sum to 0),
+    // median 0, strict > -> all-zero hash
+    val flat = Multimodal.encodeGrayBmp16(Array.fill[Byte](64)('x'))
+    assert(Multimodal.decodePHashBands(flat).toSeq === Seq(0, 0, 0, 0))
+    // an 8x8 input is rejected, not silently mis-hashed
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePHashBands(Multimodal.encodeGrayBmp(text))
+    }
+  }
+
+  test("imagePHashDups: identical texts collide at hamming 0, different stay apart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    Seq(
+      (1L, "an identical document body shared by two doc ids", "en", "s", 48L),
+      (2L, "an identical document body shared by two doc ids", "en", "s", 48L),
+      (3L, "a completely different text with other characters!!", "en", "s", 51L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.sources.Multimodal.imagePHashDups(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out === Seq((1L, 2L, 0)))
+  }
+
   test("aHash kernel: BMP roundtrip equals the direct formula; top-down agrees") {
     import graft.sources.Multimodal
     val text = "the quick brown fox jumps over the lazy dog 0123456789"
