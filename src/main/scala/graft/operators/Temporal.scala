@@ -663,4 +663,55 @@ object Temporal {
        |      * (SUM(d1) - CAST(SUM(e1) AS DOUBLE))
        |    / NULLIF(CAST(SUM(v1) AS DOUBLE), 0.0), 6) AS chi2
        |FROM terms""".stripMargin
+
+  /** q296 — as-of join through the NATIVE custom operator
+    * ([[graft.plans.AsofJoinExec]] — LogicalPlan + Strategy +
+    * SparkPlan, SURVEY §2 tier (c)): each purchase joined to the same
+    * user's most recent signup AT OR BEFORE it, graded against
+    * DuckDB's built-in `ASOF LEFT JOIN` — engine-native operator on
+    * both sides, same relation. q46 keeps the composed union+window
+    * form; this is the operator a serving layer calls.
+    *
+    * Determinism: the right side pre-aggregates to one row per
+    * (user, ms) (max signup_id), making the as-of pick unique — the
+    * documented tie discipline of both engines' operators.
+    *
+    * Scale: one clustered exchange + sort per side (EnsureRequirements
+    * plans them; bucketed inputs would join shuffle-free), then an
+    * O(1)-state per-partition merge — no union shuffle, no window
+    * frame, no row buffering.
+    */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("ms", Relational.tsMs("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ms").as("p_ms"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ms").as("s_ms"))
+      .agg(max(col("event_id")).as("signup_id"))
+    graft.plans.AsofJoinOps
+      .asofJoin(purchases, signups, Seq("user_id"), "p_ms", "s_ms")
+      .select(col("purchase_id"), col("user_id"), col("p_ms"),
+        col("s_ms").as("last_signup_ms"), col("signup_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val asofNativeSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type
+      |  FROM events
+      |), p AS (
+      |  SELECT event_id AS purchase_id, user_id, ms AS p_ms
+      |  FROM ev WHERE event_type = 'purchase'
+      |), s AS (
+      |  SELECT user_id, ms AS s_ms,
+      |    CAST(MAX(event_id) AS BIGINT) AS signup_id
+      |  FROM ev WHERE event_type = 'signup' GROUP BY 1, 2
+      |)
+      |SELECT p.purchase_id, p.user_id, p.p_ms,
+      |  s.s_ms AS last_signup_ms, s.signup_id
+      |FROM p ASOF LEFT JOIN s
+      |  ON p.user_id = s.user_id AND p.p_ms >= s.s_ms
+      |ORDER BY purchase_id""".stripMargin
 }

@@ -243,4 +243,58 @@ class PlansSpec extends AnyFunSuite {
     assert(partScanPushed.contains("p_brand"),
       s"part-side disjunction not pushed to the dim scan:\n$plan")
   }
+
+  test("AsofJoinExec: backward as-of semantics, nulls on no match, merge plan shape") {
+    import graft.plans.AsofJoinOps
+    val trades = Seq(
+      (1L, 100L, "t1"), (1L, 200L, "t2"), (1L, 50L, "t0"),
+      (2L, 150L, "t3"), (3L, 500L, "t4"))
+      .toDF("uid", "t", "trade")
+    val quotes = Seq(
+      (1L, 90L, 9.0), (1L, 100L, 10.0), (1L, 180L, 18.0),
+      (2L, 151L, 15.1), (4L, 1L, 0.4))
+      .toDF("uid", "qt", "px")
+    val out = AsofJoinOps.asofJoin(trades, quotes, Seq("uid"), "t", "qt")
+      .select($"uid", $"t", $"trade", $"qt", $"px")
+      .as[(Long, Long, String, Option[Long], Option[Double])]
+      .collect().toSet
+    assert(out === Set(
+      (1L, 50L, "t0", None, None),          // earliest: no quote yet
+      (1L, 100L, "t1", Some(100L), Some(10.0)), // equal time matches
+      (1L, 200L, "t2", Some(180L), Some(18.0)), // latest <= 200
+      (2L, 150L, "t3", None, None),         // only a LATER quote exists
+      (3L, 500L, "t4", None, None)))        // key absent on the right
+    // physical shape: the custom exec with one exchange + sort per side
+    val plan = AsofJoinOps.asofJoin(trades, quotes, Seq("uid"), "t", "qt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan) // nodeName strips "Exec"
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2, plan)
+    assert(plan.linesIterator.count(l => l.trim.startsWith("+- Sort") ||
+      l.trim.startsWith(":- Sort") || l.trim.contains("Sort [")) >= 2, plan)
+    // agrees with the q46-style union+window composition on the same data
+    val tagged = trades.select($"uid", $"t".as("ts"), lit(null).cast("double").as("px"), lit(1).as("is_l"), $"trade")
+      .unionByName(quotes.select($"uid", $"qt".as("ts"), $"px", lit(0).as("is_l"), lit(null).cast("string").as("trade")))
+    val w = Window.partitionBy($"uid").orderBy($"ts", $"is_l")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val composed = tagged
+      .withColumn("asof_px", last(when($"is_l" === 0, $"px"), ignoreNulls = true).over(w))
+      // equal-time quotes must be visible: is_l orders quotes first at a tie
+      .filter($"is_l" === 1)
+      .select($"uid", $"ts".as("t"), $"trade", $"asof_px")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+    val native = out.map(r => (r._1, r._2, r._3, r._5))
+    assert(native === composed)
+  }
+
+  test("AsofJoinExec: timestamp time columns compare as unix micros") {
+    import graft.plans.AsofJoinOps
+    val l = Seq((1L, new java.sql.Timestamp(10000L), "a"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((1L, new java.sql.Timestamp(9000L), 0.9),
+        (1L, new java.sql.Timestamp(11000L), 1.1))
+      .toDF("k", "ts2", "v")
+    val out = AsofJoinOps.asofJoin(l, r, Seq("k"), "ts", "ts2")
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toSeq
+    assert(out === Seq(("a", Some(0.9))))
+  }
 }
