@@ -286,6 +286,37 @@ class PlansSpec extends AnyFunSuite {
     assert(native === composed)
   }
 
+  test("AsofJoinExec: bucketed-by-key inputs join with NO exchange") {
+    import graft.plans.AsofJoinOps
+    val trades = Seq((1L, 100L, "t1"), (1L, 200L, "t2"), (2L, 150L, "t3"))
+      .toDF("uid", "t", "trade")
+    val quotes = Seq((1L, 90L, 9.0), (1L, 180L, 18.0), (2L, 151L, 15.1))
+      .toDF("uid", "qt", "px")
+    spark.sql("DROP TABLE IF EXISTS asof_l_b")
+    spark.sql("DROP TABLE IF EXISTS asof_r_b")
+    trades.write.bucketBy(4, "uid").sortBy("uid")
+      .format("parquet").saveAsTable("asof_l_b")
+    quotes.write.bucketBy(4, "uid").sortBy("uid")
+      .format("parquet").saveAsTable("asof_r_b")
+    try {
+      val out = AsofJoinOps.asofJoin(spark.table("asof_l_b"),
+        spark.table("asof_r_b"), Seq("uid"), "t", "qt")
+      val plan = out.queryExecution.executedPlan.toString
+      // the bucketed layout satisfies the clustered distribution: the
+      // whole join plans with ZERO shuffles (sorts remain — buckets
+      // are key-sorted, not (key, time)-sorted)
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("AsofJoin"), plan)
+      val got = out.select($"uid", $"t", $"px")
+        .as[(Long, Long, Option[Double])].collect().toSet
+      assert(got === Set((1L, 100L, Some(9.0)), (1L, 200L, Some(18.0)),
+        (2L, 150L, None)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_l_b")
+      spark.sql("DROP TABLE IF EXISTS asof_r_b")
+    }
+  }
+
   test("AsofJoinExec: timestamp time columns compare as unix micros") {
     import graft.plans.AsofJoinOps
     val l = Seq((1L, new java.sql.Timestamp(10000L), "a"))
