@@ -984,6 +984,89 @@ object Graph {
     visited.orderBy(col("hop"), col("p_partkey"))
   }
 
+  /** q297 — landmark closeness centrality: exact BFS closeness
+    * ((reachable−1)/Σ hops) from the `k` highest-degree parts — the
+    * landmark restriction that makes closeness computable at scale
+    * (all-sources closeness is O(V·E); landmarks are the standard
+    * approximation, and the high-degree picks are the ones a
+    * catalog-navigation ranking actually wants). Deterministic
+    * landmark choice: (degree DESC, part ASC). One multi-source BFS:
+    * the frontier is keyed (landmark, part), so all k searches share
+    * each round's single edge join.
+    *
+    * Scale: per round one frontier⋈edges shuffle bounded by
+    * k·|V| × mean degree, visited set k·|V| rows checkpointed per
+    * round ([[graft.Iterate.cut]] — the q38/q107 discipline); rounds
+    * bounded by `maxHops` (the dense co-purchase graph's diameter is
+    * tiny; disconnected remainders just never enter).
+    */
+  def landmarkCloseness(spark: SparkSession, dir: String, k: Int = 16,
+                        maxHops: Int = 6): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val edges = graft.Iterate.cut(
+      pairs.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst"))))
+    val landmarks = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src").asc).limit(k)
+      .select(col("src").as("landmark"))
+    var visited = landmarks
+      .select(col("landmark"), col("landmark").as("p"), lit(0).as("hop"))
+      .localCheckpoint()
+    var frontier = visited
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier.select(col("landmark"), col("p").as("src"))
+        .join(edges, "src")
+        .select(col("landmark"), col("dst").as("p")).distinct()
+        .join(visited.select(col("landmark"), col("p")),
+          Seq("landmark", "p"), "left_anti")
+        .withColumn("hop", lit(h))
+      visited = graft.Iterate.cut(visited.unionByName(next))
+      frontier = next
+      h += 1
+    }
+    visited.filter(col("hop") >= 1)
+      .groupBy(col("landmark"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("hop")).cast("long").as("sum_hops"))
+      .withColumn("closeness",
+        round(col("n_reached").cast("double") / col("sum_hops"), 6))
+      .orderBy(col("landmark"))
+  }
+
+  def landmarkClosenessSql(k: Int = 16, maxHops: Int = 6): String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT pb AS src, pa AS dst FROM pairs
+       |), lms AS (
+       |  SELECT src AS landmark FROM edges GROUP BY src
+       |  ORDER BY COUNT(*) DESC, src LIMIT $k
+       |), reach(landmark, p, hop) AS (
+       |  SELECT landmark, landmark, 0 FROM lms
+       |  UNION
+       |  SELECT r.landmark, e.dst, r.hop + 1
+       |  FROM reach r JOIN edges e ON e.src = r.p
+       |  WHERE r.hop < $maxHops
+       |), dist AS (
+       |  SELECT landmark, p, MIN(hop) AS hop
+       |  FROM reach GROUP BY 1, 2
+       |)
+       |SELECT landmark,
+       |  CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |  CAST(SUM(hop) AS BIGINT) AS sum_hops,
+       |  ROUND(COUNT(*) / CAST(SUM(hop) AS DOUBLE), 6) AS closeness
+       |FROM dist WHERE hop >= 1
+       |GROUP BY landmark
+       |ORDER BY landmark""".stripMargin
+
   def bfsHopsSql(maxHops: Int = 3): String =
     s"""WITH RECURSIVE li AS (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -642,6 +642,28 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("landmarkCloseness: path graph hand check, hop cap binds") {
+    // path 10-20-30-40 via baskets {10,20},{20,30},{30,40}; top-2
+    // degree landmarks are 20 and 30 (degree 2 each, id tiebreak)
+    val dir = starDir(
+      orders = Seq((1L, 1L, "O", 1.0, 86400000L)),
+      lineitem = Seq((1L, 10L), (1L, 20L), (2L, 20L), (2L, 30L),
+        (3L, 30L), (3L, 40L)),
+      events = Seq((1L, 1000L, 1L, "view", 0.0)))
+    graft.operators.Graph.clearPairsMemo()
+    val out = graft.operators.Graph.landmarkCloseness(spark, dir, k = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // closeness(20): d(10)=1, d(30)=1, d(40)=2 -> 3/4; symmetric for 30
+    assert(out === Seq((20L, 3L, 4L, 0.75), (30L, 3L, 4L, 0.75)))
+    // maxHops=1 truncates the far end: only the 2 direct neighbors
+    graft.operators.Graph.clearPairsMemo()
+    val capped = graft.operators.Graph
+      .landmarkCloseness(spark, dir, k = 2, maxHops = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(capped === Seq((20L, 2L, 2L, 1.0), (30L, 2L, 2L, 1.0)))
+    graft.operators.Graph.clearPairsMemo()
+  }
+
   test("lfAudit: diagonal carries coverage with zero conflict, counts reconcile") {
     val out = Curation.lfAudit(spark, sf0001)
       .as[(String, String, Long, Long, Long, Double)].collect().toSeq
