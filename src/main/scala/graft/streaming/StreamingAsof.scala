@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Streaming as-of enrichment against a STATIC keyed time-series:
+  * for each stream row, the static row with the same key and the
+  * largest time ≤ the row's time — q296's backward as-of, in the
+  * serving shape. The static side (a signup ledger, a rate table, a
+  * model-version history) collects into per-key sorted arrays and
+  * BROADCASTS; each stream row then answers in O(log n) with zero
+  * state and zero shuffle — the right trade when the dimension is
+  * dimension-sized, while [[graft.plans.AsofJoinExec]] handles the
+  * big-big batch case. Replaying the stream reproduces the batch
+  * operator's rows exactly (spec-asserted).
+  *
+  * Ties on (key, time) in the static side resolve to the LARGEST
+  * value-row id — callers wanting full determinism dedup first, the
+  * q296 discipline (here the sort is (time, id) so the pick IS
+  * deterministic even with ties).
+  */
+object StreamingAsof {
+
+  case class StreamRow(key: Long, ms: Long, row_id: Long)
+  case class AsofOut(key: Long, ms: Long, row_id: Long,
+                     asof_ms: Option[Long], asof_id: Option[Long])
+
+  /** Build the broadcastable lookup: key → (sorted times, ids),
+    * ties ordered by id so the last-at-or-before pick is unique.
+    */
+  def buildLookup(staticDf: DataFrame): Map[Long, (Array[Long], Array[Long])] =
+    staticDf.select(col("key").cast("long"), col("ms").cast("long"),
+        col("id").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        k -> (sorted.map(_._2), sorted.map(_._3))
+      }
+
+  /** Largest index i with times(i) <= t, or -1. Binary search over
+    * the sorted (ascending, possibly duplicated) time array.
+    */
+  def floorIndex(times: Array[Long], t: Long): Int = {
+    var lo = 0
+    var hi = times.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (times(mid) <= t) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    ans
+  }
+
+  def enrich(stream: Dataset[StreamRow],
+             lookup: Map[Long, (Array[Long], Array[Long])]): Dataset[AsofOut] = {
+    import stream.sparkSession.implicits._
+    val bc = stream.sparkSession.sparkContext.broadcast(lookup)
+    stream.map { r =>
+      bc.value.get(r.key) match {
+        case Some((times, ids)) =>
+          val i = floorIndex(times, r.ms)
+          if (i >= 0) AsofOut(r.key, r.ms, r.row_id,
+            Some(times(i)), Some(ids(i)))
+          else AsofOut(r.key, r.ms, r.row_id, None, None)
+        case None => AsofOut(r.key, r.ms, r.row_id, None, None)
+      }
+    }
+  }
+}

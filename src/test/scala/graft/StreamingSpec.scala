@@ -530,6 +530,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(rolled === batchTable.map(r => (r._1, r._2, r._3)))
   }
 
+  test("streaming as-of enrichment: replay matches the native batch operator") {
+    import graft.streaming.StreamingAsof
+    import graft.streaming.StreamingAsof.StreamRow
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staticDf = Seq(
+      (1L, 90L, 900L), (1L, 100L, 1000L), (1L, 180L, 1800L),
+      (2L, 151L, 1510L), (1L, 100L, 1001L)) // tie on (1,100): max id wins
+      .toDF("key", "ms", "id")
+    val lookup = StreamingAsof.buildLookup(staticDf)
+    val rows = Seq(StreamRow(1L, 50L, 1L), StreamRow(1L, 100L, 2L),
+      StreamRow(1L, 200L, 3L), StreamRow(2L, 150L, 4L),
+      StreamRow(3L, 500L, 5L))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamRow]
+    val q = StreamingAsof.enrich(input.toDS(), lookup)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    try {
+      input.addData(rows.take(2): _*); q.processAllAvailable()
+      input.addData(rows.drop(2): _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM asof_out")
+        .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(got === Set(
+        (1L, 50L, 1L, None, None),
+        (1L, 100L, 2L, Some(100L), Some(1001L)), // tie: max id
+        (1L, 200L, 3L, Some(180L), Some(1800L)),
+        (2L, 150L, 4L, None, None),
+        (3L, 500L, 5L, None, None)))
+      // batch twin through the NATIVE operator: same relation (dedup
+      // the static tie first, the documented discipline)
+      val staticDedup = staticDf.groupBy($"key", $"ms")
+        .agg(org.apache.spark.sql.functions.max($"id").as("id"))
+      val batch2 = graft.plans.AsofJoinOps.asofJoin(
+          rows.toDF(),
+          staticDedup.withColumnRenamed("ms", "s_ms"),
+          Seq("key"), "ms", "s_ms")
+        .select($"key", $"ms", $"row_id", $"s_ms", $"id")
+        .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(batch2 === got)
+    } finally q.stop()
+  }
+
   test("streaming bottom-k sample: replay equals the batch selection at every prefix") {
     import graft.streaming.StreamingBottomK
     import graft.streaming.StreamingBottomK.DocIn
