@@ -697,6 +697,67 @@ object Temporal {
       .orderBy(col("purchase_id"))
   }
 
+  /** q298 — SCD2 point-in-time state lookup through the native as-of
+    * operator: every purchase resolved to the SCD2 state version
+    * (q85's intervals) valid AT its timestamp — the "what did the
+    * warehouse believe about this user when the order landed" probe
+    * every PIT-correct feature store runs. Composition:
+    * [[graft.plans.AsofJoinOps.pointInInterval]] = as-of on the
+    * interval start + the [start, end) filter; since q85's intervals
+    * tile each user's timeline with no gaps from the first event on,
+    * every purchase AT or after its user's first event matches.
+    *
+    * Scale: intervals are change-count-sized (far below events); the
+    * probe is the operator's clustered-merge — and on a bucketed
+    * feature store the whole lookup is shuffle-free (PlansSpec).
+    */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    // two changes in the same millisecond produce an EMPTY interval
+    // [t, t) ahead of the real one — drop it (it can never match a
+    // probe) so the as-of pick at start-time ties is deterministic
+    val wFrom = Window.partitionBy(col("user_id"), col("valid_from_ms"))
+      .orderBy(col("version").desc)
+    val intervals = scd2Intervals(spark, dir)
+      .select(col("user_id"), col("state"), col("valid_from_ms"),
+        col("valid_to_ms"), col("version"))
+      .withColumn("rn", row_number().over(wFrom))
+      .filter(col("rn") === 1).drop("rn")
+    val purchases = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        Relational.tsMs("ts").as("p_ms"))
+    graft.plans.AsofJoinOps.pointInInterval(purchases, intervals,
+        Seq("user_id"), "p_ms", "valid_from_ms", "valid_to_ms")
+      .select(col("purchase_id"), col("user_id"), col("p_ms"),
+        col("state"), col("version"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val scd2LookupSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS prev_state
+      |  FROM events
+      |), changes AS (
+      |  SELECT user_id, event_type, ts_ms, event_id FROM ordered
+      |  WHERE prev_state IS NULL OR prev_state <> event_type
+      |), iv AS (
+      |  SELECT user_id, event_type AS state, ts_ms AS valid_from_ms,
+      |    lead(ts_ms) OVER w AS valid_to_ms,
+      |    CAST(row_number() OVER w AS INT) AS version
+      |  FROM changes
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |), p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS p_ms
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.purchase_id, p.user_id, p.p_ms, iv.state, iv.version
+      |FROM p LEFT JOIN iv
+      |  ON iv.user_id = p.user_id AND iv.valid_from_ms <= p.p_ms
+      |  AND (iv.valid_to_ms IS NULL OR p.p_ms < iv.valid_to_ms)
+      |ORDER BY purchase_id""".stripMargin
+
   val asofNativeSql: String =
     """WITH ev AS (
       |  SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.functions.{col, unix_micros, when}
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Native sort-merge AS-OF join — the whole-operator custom-plan tier
@@ -201,4 +201,33 @@ object AsofJoinOps {
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       org.apache.spark.sql.catalyst.plans.logical.Project(kept, node))
   }
+
+  /** Point-in-interval lookup over NON-OVERLAPPING keyed intervals
+    * ([start, end), open end = null): an as-of join on the interval
+    * start plus the end filter — the SCD2 "state at time t" probe
+    * expressed through the native operator. Rows whose matched
+    * interval has already closed before t come back null-padded (the
+    * probe time falls in a gap), exactly like a no-match.
+    */
+  def pointInInterval(left: DataFrame, intervals: DataFrame,
+                      keys: Seq[String], leftTimeCol: String,
+                      startCol: String, endCol: String): DataFrame = {
+    val joined = asofJoin(left, intervals, keys, leftTimeCol, startCol)
+    // materialize the predicate FIRST: nulling endCol in the fold
+    // would flip `isNull` for the columns processed after it
+    val inWindow = col(endCol).isNull ||
+      asLongCol(left, leftTimeCol) < asLongCol(intervals, endCol)
+    val marked = joined.withColumn("__piv_in", inWindow)
+    val rightCols = intervals.columns.filterNot(keys.contains)
+    rightCols.foldLeft(marked) { (df, c) =>
+      df.withColumn(c, when(col("__piv_in"), col(c)))
+    }.drop("__piv_in")
+  }
+
+  /** The same long normalization [[asofJoin]] applies to time
+    * columns, for expressions that must compare against them.
+    */
+  private def asLongCol(df: DataFrame, c: String): Column =
+    if (df.schema(c).dataType == TimestampType) unix_micros(col(c))
+    else col(c).cast(LongType)
 }

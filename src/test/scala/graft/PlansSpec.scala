@@ -317,6 +317,27 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("pointInInterval: [start,end) semantics, gaps null out, open end matches") {
+    import graft.plans.AsofJoinOps
+    val probes = Seq((1L, 5L, "p0"), (1L, 10L, "p1"), (1L, 19L, "p2"),
+      (1L, 20L, "p3"), (2L, 25L, "p4"), (2L, 35L, "p5"))
+      .toDF("k", "t", "tag")
+    val iv = Seq(
+      (1L, 10L, Some(20L), "A"), (1L, 20L, None, "B"),
+      (2L, 10L, Some(20L), "C"), (2L, 30L, Some(40L), "D"))
+      .toDF("k", "s", "e", "state")
+    val out = AsofJoinOps.pointInInterval(probes, iv, Seq("k"), "t", "s", "e")
+      .select($"tag", $"state").as[(String, Option[String])]
+      .collect().toSet
+    assert(out === Set(
+      ("p0", None),        // before any interval
+      ("p1", Some("A")),   // inclusive start
+      ("p2", Some("A")),
+      ("p3", Some("B")),   // exclusive end: 20 belongs to B
+      ("p4", None),        // gap [20,30): as-of hits C but end filter nulls
+      ("p5", Some("D"))))
+  }
+
   test("AsofJoinExec: timestamp time columns compare as unix micros") {
     import graft.plans.AsofJoinOps
     val l = Seq((1L, new java.sql.Timestamp(10000L), "a"))
