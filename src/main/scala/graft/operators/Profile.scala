@@ -2310,4 +2310,72 @@ object Profile {
       |    / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
       |      - CAST(t.tt AS DOUBLE) / 48.0), 6) AS z
       |FROM wsum, ties t""".stripMargin
+
+  /** q299 — corpus datasheet: the per-(source, lang) summary card a
+    * dataset release ships ("Datasheets for Datasets" shape) —
+    * volume (docs/tokens/chars), exact-dup burden (q25's corpus-wide
+    * fingerprint groups attributed to each cell), and mean quality
+    * under the shared q23 formula. One relation a consumer reads
+    * before training on (or buying) a feed; every signal reuses the
+    * engine-shared expression its dedicated query grades, so the
+    * card can't drift from the detailed audits.
+    *
+    * Exactness: counts/sums are integers; mean_quality averages
+    * 6dp-rounded scores through the q56 integer-micro half-up
+    * convention (a plain round(avg, 6) half-ties across engines on
+    * scale-6 inputs). Scale: one narrow signal map + corpus-wide
+    * fingerprint window (the q25 shuffle) + one (source, lang)
+    * aggregate — cells are catalog-sized.
+    */
+  def corpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{contentFingerprint, qualityScore,
+      tokenCount}
+    val docs = Tables.load(spark, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_fp"))
+    val signals = docs.select(col("source"), col("lang"), col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_ch"),
+        qualityScore(col("text")).as("quality"),
+        contentFingerprint(col("text")).as("content_fp"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= min(col("doc_id")).over(w)).cast("long"))
+    signals.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_ch")).as("n_chars"),
+        sum(col("is_dup")).as("n_exact_dups"),
+        sum(col("quality")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("qsum"))
+      .withColumn("mean_quality", expr(
+        "CAST((2 * CAST(qsum * 1000000 AS BIGINT) + n_docs) div (2 * n_docs)"
+          + " AS DOUBLE) / 1000000"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_exact_dups"), col("mean_quality"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val corpusDatasheetSql: String = {
+    val fp = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+    s"""WITH sig AS (
+       |  SELECT source, lang, doc_id,
+       |    ${graft.operators.TextAnalysis.tokenCountExprSql} AS n_tok,
+       |    length(text) AS n_ch,
+       |    ${graft.operators.TextAnalysis.qualityExprSql} AS quality,
+       |    CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY $fp)
+       |         THEN 1 ELSE 0 END AS is_dup
+       |  FROM documents
+       |)
+       |SELECT source, lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+       |  CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+       |  CAST((2 * CAST(SUM(CAST(quality AS DECIMAL(18,6))) * 1000000
+       |      AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000
+       |    AS mean_quality
+       |FROM sig
+       |GROUP BY 1, 2
+       |ORDER BY source, lang""".stripMargin
+  }
 }

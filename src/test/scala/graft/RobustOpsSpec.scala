@@ -642,6 +642,23 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("corpusDatasheet: cells reconcile to corpus totals and the q25 dup count") {
+    import graft.operators.Profile
+    val ds = Profile.corpusDatasheet(spark, sf0001)
+      .as[(String, String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(ds.nonEmpty)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(ds.map(_._3).sum === docs.count())
+    assert(ds.map(_._5).sum ===
+      docs.agg(sum(length(col("text")))).head().getLong(0))
+    // dup attribution sums to exactly q25's corpus-wide dup count
+    val q25dups = graft.operators.Dedup.exact(spark, sf0001)
+      .agg(sum(col("is_dup"))).head().getLong(0)
+    assert(ds.map(_._6).sum === q25dups)
+    // quality means stay in the score's [0, 1] range
+    ds.foreach(r => assert(r._7 >= 0.0 && r._7 <= 1.0))
+  }
+
   test("landmarkCloseness: path graph hand check, hop cap binds") {
     // path 10-20-30-40 via baskets {10,20},{20,30},{30,40}; top-2
     // degree landmarks are 20 and 30 (degree 2 each, id tiebreak)
