@@ -2412,6 +2412,66 @@ object Dedup {
        |FROM lf
        |ORDER BY feature""".stripMargin
 
+  /** q300 — dedup consensus pairs: the four document-level near-dup
+    * detector families (n-gram Jaccard q26, MinHash-LSH q27, SimHash
+    * q28, winnowing q292) voted per PAIR — the actionable artifact
+    * behind q272's agreement statistics. Pairs every family flags are
+    * safe removals; single-detector pairs are the review queue; which
+    * detector is the lone voter tells you whose threshold to move.
+    * One relation, one decision table.
+    *
+    * Exactness: a tagged union of four already-graded pair relations
+    * + one (pair, detector) aggregate — no new similarity arithmetic
+    * anywhere. Scale: each input is candidate-bounded by its own
+    * df-cap/band machinery; the union is pair-sized.
+    */
+  def dedupConsensus(spark: SparkSession, dir: String): DataFrame = {
+    def tag(df: DataFrame, name: String): DataFrame =
+      df.select(col("doc_a"), col("doc_b"), lit(name).as("det"))
+    val dets = tag(ngramJaccardPairs(spark, dir), "ngram")
+      .unionByName(tag(minhashLshPairs(spark, dir), "minhash"))
+      .unionByName(tag(simhashPairs(spark, dir), "simhash"))
+      .unionByName(tag(winnowCandidates(spark, dir), "winnow"))
+    dets.groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        max(when(col("det") === "ngram", 1).otherwise(0)).as("in_ngram"),
+        max(when(col("det") === "minhash", 1).otherwise(0)).as("in_minhash"),
+        max(when(col("det") === "simhash", 1).otherwise(0)).as("in_simhash"),
+        max(when(col("det") === "winnow", 1).otherwise(0)).as("in_winnow"))
+      .withColumn("n_detectors",
+        (col("in_ngram") + col("in_minhash") + col("in_simhash") +
+          col("in_winnow")).cast("int"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupConsensusSql: String =
+    s"""WITH ng_p AS (
+       |  $ngramJaccardPairsSql
+       |), mh_p AS (
+       |  $minhashLshPairsSql
+       |), sh_p AS (
+       |  $simhashPairsSql
+       |), wn_p AS (
+       |  ${winnowCandidatesSql()}
+       |), dets AS (
+       |  SELECT doc_a, doc_b, 'ngram' AS det FROM ng_p
+       |  UNION ALL SELECT doc_a, doc_b, 'minhash' FROM mh_p
+       |  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM sh_p
+       |  UNION ALL SELECT doc_a, doc_b, 'winnow' FROM wn_p
+       |)
+       |SELECT doc_a, doc_b,
+       |  MAX(CASE WHEN det = 'ngram' THEN 1 ELSE 0 END) AS in_ngram,
+       |  MAX(CASE WHEN det = 'minhash' THEN 1 ELSE 0 END) AS in_minhash,
+       |  MAX(CASE WHEN det = 'simhash' THEN 1 ELSE 0 END) AS in_simhash,
+       |  MAX(CASE WHEN det = 'winnow' THEN 1 ELSE 0 END) AS in_winnow,
+       |  CAST(MAX(CASE WHEN det = 'ngram' THEN 1 ELSE 0 END)
+       |    + MAX(CASE WHEN det = 'minhash' THEN 1 ELSE 0 END)
+       |    + MAX(CASE WHEN det = 'simhash' THEN 1 ELSE 0 END)
+       |    + MAX(CASE WHEN det = 'winnow' THEN 1 ELSE 0 END) AS INT)
+       |    AS n_detectors
+       |FROM dets GROUP BY 1, 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q292 — winnowed fingerprint candidates (Schleimer–Wilkerson–
     * Aiken winnowing, the MOSS scheme): per document, hash every
     * word-`k`-gram in order, slide a `w`-hash window and keep each
