@@ -2311,6 +2311,119 @@ object Profile {
       |      - CAST(t.tt AS DOUBLE) / 48.0), 6) AS z
       |FROM wsum, ties t""".stripMargin
 
+  /** q301 — EXACT isotonic calibration (PAV) of the quality score
+    * against the near-dup label (membership in q27's MinHash-LSH pair
+    * set — the exact-dup relation is empty at the graded SFs, the
+    * q275 lesson), computed in closed form: instead of the sequential
+    * pool-adjacent-violators sweep, the fit uses the minimax identity
+    *   fitted(i) = max_{j ≤ i} min_{k ≥ i} mean(y[j..k])
+    * over score-bin prefix sums — every candidate interval mean is a
+    * ratio of exact integers, so the whole regression is one triple
+    * index join over ≤ nBins rows, no iteration, no convergence
+    * question. The output is the monotone step function a production
+    * scorer applies to turn raw quality into a calibrated dup
+    * probability (q138 audits per-source rank calibration; q207 gives
+    * the AUC; this gives the CURVE). Fitted values are emitted as the
+    * unrounded IEEE doubles both engines derive from identical
+    * integer ratios — exact cross-engine, no rounding machinery.
+    *
+    * Direction: non-decreasing in the score by construction (the
+    * standard PAV orientation); a practitioner calibrating an
+    * anti-correlated signal negates the score first.
+    *
+    * Scale: one corpus-sized label window (the q25 shuffle) + one bin
+    * aggregate; everything after runs on ≤ nBins rows.
+    */
+  def isotonicCalibration(spark: SparkSession, dir: String,
+                          nBins: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.qualityScore
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = graft.operators.Dedup.minhashLshPairs(spark, dir)
+    val flagged = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("flag", lit(1L))
+    val labeled = docs
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .join(flagged, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("flag"), lit(0L)))
+    val bins = labeled
+      .withColumn("bin", least(floor(col("quality") * nBins),
+        lit(nBins - 1)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("is_dup")).as("pos"))
+    val wOrd = Window.orderBy(col("bin"))
+    val cum = bins
+      .withColumn("r", row_number().over(wOrd))
+      .withColumn("cn", sum(col("n")).over(wOrd))
+      .withColumn("cp", sum(col("pos")).over(wOrd))
+      .localCheckpoint() // tiny; read three times below
+    // prefix boundaries j0 = 0..m-1 (r=0 is the empty prefix)
+    val pref = cum.select(col("r").as("j0"), col("cn").as("pn"),
+        col("cp").as("pp"))
+      .unionByName(cum.sparkSession.range(1).toDF("z")
+        .select(lit(0).as("j0"), lit(0L).as("pn"), lit(0L).as("pp")))
+    val intervals = pref.as("j").join(cum.as("k"),
+        col("k.r") > col("j.j0"))
+      .select(col("j.j0").as("j0"), col("k.r").as("k"),
+        ((col("k.cp") - col("j.pp")).cast("double") /
+          (col("k.cn") - col("j.pn"))).as("ratio"))
+    val inner = cum.select(col("r").as("i"))
+      .join(intervals, col("j0") < col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j0"))
+      .agg(min(col("ratio")).as("mn"))
+    val fitted = inner.groupBy(col("i")).agg(max(col("mn")).as("fitted"))
+    cum.join(fitted, col("r") === col("i"))
+      .select(col("bin"), col("n"), col("pos").as("n_pos"),
+        (col("pos").cast("double") / col("n")).as("raw_rate"),
+        col("fitted"))
+      .orderBy(col("bin"))
+  }
+
+  def isotonicCalibrationSql(nBins: Int = 20): String =
+    s"""WITH mh_pairs AS (
+       |  ${graft.operators.Dedup.minhashLshPairsSql}
+       |), flagged AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM mh_pairs
+       |    UNION ALL SELECT doc_b FROM mh_pairs)
+       |), labeled AS (
+       |  SELECT ${graft.operators.TextAnalysis.qualityExprSql} AS quality,
+       |    CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+       |  FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+       |), bins AS (
+       |  SELECT CAST(LEAST(FLOOR(quality * $nBins), $nBins - 1) AS INT)
+       |      AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(is_dup) AS BIGINT) AS pos
+       |  FROM labeled GROUP BY 1
+       |), cum AS (
+       |  SELECT bin, n, pos,
+       |    CAST(row_number() OVER (ORDER BY bin) AS INT) AS r,
+       |    SUM(n) OVER (ORDER BY bin) AS cn,
+       |    SUM(pos) OVER (ORDER BY bin) AS cp
+       |  FROM bins
+       |), pref AS (
+       |  SELECT r AS j0, cn AS pn, cp AS pp FROM cum
+       |  UNION ALL SELECT 0, 0, 0
+       |), intervals AS (
+       |  SELECT j.j0, k.r AS k,
+       |    CAST(k.cp - j.pp AS DOUBLE) / (k.cn - j.pn) AS ratio
+       |  FROM pref j JOIN cum k ON k.r > j.j0
+       |), inner_min AS (
+       |  SELECT c.r AS i, iv.j0, MIN(iv.ratio) AS mn
+       |  FROM cum c JOIN intervals iv
+       |    ON iv.j0 < c.r AND iv.k >= c.r
+       |  GROUP BY 1, 2
+       |), fit AS (
+       |  SELECT i, MAX(mn) AS fitted FROM inner_min GROUP BY i
+       |)
+       |SELECT c.bin, c.n, c.pos AS n_pos,
+       |  CAST(c.pos AS DOUBLE) / c.n AS raw_rate,
+       |  f.fitted
+       |FROM cum c JOIN fit f ON f.i = c.r
+       |ORDER BY c.bin""".stripMargin
+
   /** q299 — corpus datasheet: the per-(source, lang) summary card a
     * dataset release ships ("Datasheets for Datasets" shape) —
     * volume (docs/tokens/chars), exact-dup burden (q25's corpus-wide

@@ -642,6 +642,49 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("isotonicCalibration: minimax fit equals sequential PAV, preserves mass, monotone") {
+    import graft.operators.Profile
+    val out = Profile.isotonicCalibration(spark, sf0001)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    // monotone non-decreasing step function
+    val fit = out.map(_._5)
+    assert(fit === fit.sorted)
+    // PAV preserves total positive mass: sum n_i * fitted_i = sum pos_i
+    val mass = out.map(r => r._2 * r._5).sum
+    assert(math.abs(mass - out.map(_._3).sum) < 1e-6, mass)
+    // the closed-form minimax fit equals the classic stack-based
+    // pool-adjacent-violators sweep on the same bins
+    case class Block(var n: Long, var pos: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    out.foreach { r =>
+      stack += Block(r._2, r._3)
+      while (stack.length >= 2 && {
+        val a = stack(stack.length - 2); val b = stack.last
+        // violation: previous block mean > current block mean
+        a.pos * b.n > b.pos * a.n
+      }) {
+        val b = stack.remove(stack.length - 1)
+        stack.last.n += b.n; stack.last.pos += b.pos
+      }
+    }
+    // expand blocks back to per-bin fitted values
+    val expanded = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var idx = 0
+    stack.foreach { bl =>
+      var consumed = 0L
+      while (consumed < bl.n) {
+        consumed += out(idx)._2
+        expanded += bl.pos.toDouble / bl.n
+        idx += 1
+      }
+    }
+    assert(expanded.size === out.size)
+    out.zip(expanded).foreach { case (r, e) =>
+      assert(math.abs(r._5 - e) < 1e-12, s"bin ${r._1}: ${r._5} vs $e")
+    }
+  }
+
   test("corpusDatasheet: cells reconcile to corpus totals and the q25 dup count") {
     import graft.operators.Profile
     val ds = Profile.corpusDatasheet(spark, sf0001)
