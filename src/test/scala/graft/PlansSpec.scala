@@ -317,6 +317,36 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("property: AsofJoinExec equals a per-key reference merge on random data") {
+    import graft.plans.AsofJoinOps
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small key domain forces key collisions; duplicate right times
+    // are deduped (the documented tie discipline) before comparing
+    val rowGen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(1L, 5L), Gen.choose(0L, 30L), Gen.choose(0L, 999L)))
+    val p = Prop.forAll(rowGen, rowGen) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val rightRows = rs.map { case (k, t, v) => (k, t, v) }
+        .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val right = rightRows.toDF("k", "rt", "v")
+      val got = AsofJoinOps.asofJoin(left, right, Seq("k"), "t", "rt")
+        .select($"lid", $"v").as[(Long, Option[Long])]
+        .collect().toMap
+      // reference: per left row, scan the right list
+      val byKey = rightRows.groupBy(_._1)
+      val expected = ls.zipWithIndex.map { case ((k, t, _), i) =>
+        i.toLong -> byKey.getOrElse(k, Nil)
+          .filter(_._2 <= t).sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("pointInInterval: [start,end) semantics, gaps null out, open end matches") {
     import graft.plans.AsofJoinOps
     val probes = Seq((1L, 5L, "p0"), (1L, 10L, "p1"), (1L, 19L, "p2"),
