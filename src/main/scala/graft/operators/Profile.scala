@@ -2424,6 +2424,137 @@ object Profile {
        |FROM cum c JOIN fit f ON f.i = c.r
        |ORDER BY c.bin""".stripMargin
 
+  /** q302 — Brier score decomposition of the quality score as a
+    * near-dup forecast: the GENERALIZED Murphy partition
+    *   BS = REL − RES + UNC + WBV − 2·WBC
+    * over the q301 score bins — reliability (how far bin forecasts
+    * sit from bin outcomes — what isotonic calibration removes),
+    * resolution (how much the bins separate outcomes — what no
+    * calibration can add), uncertainty (the outcome base rate's own
+    * variance), and the two terms the textbook three-way identity
+    * silently assumes away by treating every forecast in a bin as
+    * identical: within-bin forecast variance and within-bin
+    * forecast–outcome covariance (Stephenson et al.'s correction).
+    * q207 ranks (AUC), q301 fits the curve, this SCORES the forecast
+    * and says how much of its error is fixable. The spec closes the
+    * five-term identity to <1e-4 (per-term 6dp rounding is the only
+    * slack).
+    *
+    * Exactness: per-doc and per-bin terms are rounded to 6dp and
+    * summed through DECIMAL(28,6) (order-free); bin forecast means
+    * use the integer-micro half-up convention; outcome rates are
+    * exact integer ratios. Scale: one corpus pass for labels + one
+    * bin aggregate; everything else is ≤ nBins rows.
+    */
+  def brierDecomposition(spark: SparkSession, dir: String,
+                         nBins: Int = 20): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = graft.operators.Dedup.minhashLshPairs(spark, dir)
+    val flagged = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("flag", lit(1L))
+    val labeled = docs
+      .select(col("doc_id"), qualityScore(col("text")).as("q"))
+      .join(flagged, Seq("doc_id"), "left")
+      .withColumn("y", coalesce(col("flag"), lit(0L)))
+      .withColumn("bin", least(floor(col("q") * nBins), lit(nBins - 1))
+        .cast("int"))
+    val perBin = labeled.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(col("q").cast(dec)).as("qs"),
+        sum(round(col("q") * col("q"), 6).cast(dec)).as("qss"),
+        // Σ q·y: q where y=1 (already 6dp — no extra rounding)
+        sum(when(col("y") === 1L, col("q")).otherwise(lit(0.0))
+          .cast(dec)).as("qys"),
+        sum(round((col("q") - col("y")) * (col("q") - col("y")), 6)
+          .cast(dec)).as("se"))
+    // bin forecast mean via the integer-micro half-up convention
+    val withF = perBin.withColumn("f", expr(
+        "CAST((2 * CAST(qs * 1000000 AS BIGINT) + n) div (2 * n) AS DOUBLE)"
+          + " / 1000000"))
+      .withColumn("o", col("pos").cast("double") / col("n"))
+    val totals = withF.agg(
+      sum(col("n")).as("nn"), sum(col("pos")).as("np"),
+      sum(col("se")).as("se_sum"),
+      sum(round(col("n") * (col("f") - col("o")) * (col("f") - col("o")), 6)
+        .cast(dec)).as("rel_sum"),
+      // resolution needs obar: computed below via a second pass over
+      // the tiny bin frame (cross join the 1-row totals back)
+      sum(round(col("qss").cast("double")
+        - col("n") * col("f") * col("f"), 6).cast(dec)).as("wbv_sum"),
+      sum(round(col("qys").cast("double")
+        - col("n") * col("f") * col("o"), 6).cast(dec)).as("wbc_sum"))
+    val base = totals.select(col("nn"), col("np"), col("se_sum"),
+      col("rel_sum"), col("wbv_sum"), col("wbc_sum"),
+      (col("np").cast("double") / col("nn")).as("obar"))
+    val res = withF.crossJoin(broadcast(base))
+      .agg(sum(round(col("n") * (col("o") - col("obar"))
+        * (col("o") - col("obar")), 6).cast(dec)).as("res_sum"))
+    base.crossJoin(broadcast(res)).select(
+      col("nn").as("n_docs"),
+      round(col("se_sum").cast("double") / col("nn"), 6).as("brier"),
+      round(col("rel_sum").cast("double") / col("nn"), 6).as("reliability"),
+      round(col("res_sum").cast("double") / col("nn"), 6).as("resolution"),
+      round(col("obar") * (lit(1.0) - col("obar")), 6).as("uncertainty"),
+      round(col("wbv_sum").cast("double") / col("nn"), 6).as("within_bin_var"),
+      round(col("wbc_sum").cast("double") / col("nn"), 6).as("within_bin_cov"))
+  }
+
+  def brierDecompositionSql(nBins: Int = 20): String =
+    s"""WITH mh_pairs AS (
+       |  ${graft.operators.Dedup.minhashLshPairsSql}
+       |), flagged AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM mh_pairs
+       |    UNION ALL SELECT doc_b FROM mh_pairs)
+       |), labeled AS (
+       |  SELECT ${graft.operators.TextAnalysis.qualityExprSql} AS q,
+       |    CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y
+       |  FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+       |), binned AS (
+       |  SELECT CAST(LEAST(FLOOR(q * $nBins), $nBins - 1) AS INT) AS bin,
+       |    q, y FROM labeled
+       |), per_bin AS (
+       |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS pos,
+       |    SUM(CAST(q AS DECIMAL(28,6))) AS qs,
+       |    SUM(CAST(ROUND(q * q, 6) AS DECIMAL(28,6))) AS qss,
+       |    SUM(CAST(CASE WHEN y = 1 THEN q ELSE 0.0 END
+       |      AS DECIMAL(28,6))) AS qys,
+       |    SUM(CAST(ROUND((q - y) * (q - y), 6) AS DECIMAL(28,6))) AS se
+       |  FROM binned GROUP BY 1
+       |), with_f AS (
+       |  SELECT *,
+       |    CAST((2 * CAST(qs * 1000000 AS BIGINT) + n) // (2 * n) AS DOUBLE)
+       |      / 1000000 AS f,
+       |    CAST(pos AS DOUBLE) / n AS o
+       |  FROM per_bin
+       |), base AS (
+       |  SELECT SUM(n) AS nn, SUM(pos) AS np, SUM(se) AS se_sum,
+       |    SUM(CAST(ROUND(n * (f - o) * (f - o), 6) AS DECIMAL(28,6)))
+       |      AS rel_sum,
+       |    SUM(CAST(ROUND(CAST(qss AS DOUBLE) - n * f * f, 6)
+       |      AS DECIMAL(28,6))) AS wbv_sum,
+       |    SUM(CAST(ROUND(CAST(qys AS DOUBLE) - n * f * o, 6)
+       |      AS DECIMAL(28,6))) AS wbc_sum,
+       |    CAST(SUM(pos) AS DOUBLE) / SUM(n) AS obar
+       |  FROM with_f
+       |), res AS (
+       |  SELECT SUM(CAST(ROUND(w.n * (w.o - b.obar) * (w.o - b.obar), 6)
+       |    AS DECIMAL(28,6))) AS res_sum
+       |  FROM with_f w, base b
+       |)
+       |SELECT CAST(b.nn AS BIGINT) AS n_docs,
+       |  ROUND(CAST(b.se_sum AS DOUBLE) / b.nn, 6) AS brier,
+       |  ROUND(CAST(b.rel_sum AS DOUBLE) / b.nn, 6) AS reliability,
+       |  ROUND(CAST(r.res_sum AS DOUBLE) / b.nn, 6) AS resolution,
+       |  ROUND(b.obar * (1.0 - b.obar), 6) AS uncertainty,
+       |  ROUND(CAST(b.wbv_sum AS DOUBLE) / b.nn, 6) AS within_bin_var,
+       |  ROUND(CAST(b.wbc_sum AS DOUBLE) / b.nn, 6) AS within_bin_cov
+       |FROM base b, res r""".stripMargin
+
   /** q299 — corpus datasheet: the per-(source, lang) summary card a
     * dataset release ships ("Datasheets for Datasets" shape) —
     * volume (docs/tokens/chars), exact-dup burden (q25's corpus-wide

@@ -685,6 +685,21 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("brierDecomposition: the five-term generalized identity closes; terms signed correctly") {
+    import graft.operators.Profile
+    val r = Profile.brierDecomposition(spark, sf0001)
+      .as[(Long, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    val (_, bs, rel, res, unc, wbv, wbc) = r
+    // BS = REL − RES + UNC + WBV − 2·WBC (per-term 6dp is the slack)
+    assert(math.abs(bs - (rel - res + unc + wbv - 2 * wbc)) < 1e-4,
+      s"$bs vs ${rel - res + unc + wbv - 2 * wbc}")
+    // variance-like terms are non-negative; brier bounded by 1
+    assert(rel >= 0 && res >= 0 && unc >= 0 && wbv >= -1e-6)
+    assert(bs >= 0 && bs <= 1)
+    assert(unc <= 0.25 + 1e-9) // p(1-p) max
+  }
+
   test("corpusDatasheet: cells reconcile to corpus totals and the q25 dup count") {
     import graft.operators.Profile
     val ds = Profile.corpusDatasheet(spark, sf0001)
