@@ -1467,6 +1467,90 @@ object Graph {
        |) WHERE rk <= $topK
        |ORDER BY c_custkey, rec_rank""".stripMargin
 
+  /** q303 — recommendation coverage & exposure-bias audit of the q185
+    * recommender: catalog coverage@k (what fraction of the
+    * co-purchase catalog EVER appears in a top-k list — a recommender
+    * that only surfaces bestsellers reads high on hit-rate and
+    * starves the long tail), the exposure Gini over recommended parts
+    * (q133's exact BIGINT rank-sum formula on the per-part
+    * recommendation counts), and the top-decile exposure share. The
+    * serving-side health metrics that accompany q187's accuracy —
+    * accuracy and coverage trade off, and a production dial (the
+    * neighborCap) moves both.
+    *
+    * Exactness: counts are BIGINT; the Gini rides fully-tiebroken
+    * integer rank sums; the three ratios are single rounded
+    * divisions. Scale: one aggregate over the rec list (already
+    * k-bounded per customer) + one catalog distinct; the Gini window
+    * runs over the recommended-part counts (catalog-sized).
+    */
+  def recExposureAudit(spark: SparkSession, dir: String, topK: Int = 3,
+                       neighborCap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val recs = itemCfRecs(spark, dir, topK, neighborCap)
+    val catalog = coPurchasePairs(spark, dir)
+      .select(col("pa").as("p"))
+      .unionByName(coPurchasePairs(spark, dir).select(col("pb").as("p")))
+      .distinct()
+    val exposure = recs.groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("x")).localCheckpoint()
+    val m = exposure.count()
+    val wAsc = Window.orderBy(col("x").asc, col("p_partkey").asc)
+    val gini = exposure
+      .withColumn("i", row_number().over(wAsc))
+      .agg(sum(col("i") * col("x")).as("ix"), sum(col("x")).as("sx"))
+      .select((lit(2.0) * col("ix") / (lit(m) * col("sx"))
+        - (lit(m) + 1).cast("double") / lit(m)).as("g"),
+        col("sx"))
+    val topDecile = exposure
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("x").desc, col("p_partkey").asc)))
+      .filter(col("r") <= (m + 9) / 10)
+      .agg(sum(col("x")).as("top_x"))
+    val nCat = catalog.count()
+    gini.crossJoin(broadcast(topDecile)).select(
+      lit(nCat).as("n_catalog"),
+      lit(m).as("n_recommended"),
+      round(lit(m).cast("double") / nCat, 6).as("coverage"),
+      round(col("g"), 6).as("gini_exposure"),
+      round(col("top_x").cast("double") / col("sx"), 6)
+        .as("top_decile_share"))
+  }
+
+  def recExposureAuditSql(topK: Int = 3, neighborCap: Int = 20): String =
+    s"""WITH recs AS (
+       |  ${itemCfRecsSql(topK, neighborCap)}
+       |), li2 AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), cat AS (
+       |  SELECT DISTINCT p FROM (
+       |    SELECT a.l_partkey AS p FROM li2 a JOIN li2 b
+       |      ON a.l_orderkey = b.l_orderkey
+       |        AND a.l_partkey <> b.l_partkey)
+       |), exposure AS (
+       |  SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM recs GROUP BY 1
+       |), sized AS (
+       |  SELECT (SELECT COUNT(*) FROM exposure) AS m,
+       |    (SELECT COUNT(*) FROM cat) AS n_cat
+       |), g AS (
+       |  SELECT SUM(i * x) AS ix, SUM(x) AS sx FROM (
+       |    SELECT x, row_number() OVER (ORDER BY x, p_partkey) AS i
+       |    FROM exposure)
+       |), topd AS (
+       |  SELECT SUM(x) AS top_x FROM (
+       |    SELECT x, row_number() OVER (ORDER BY x DESC, p_partkey) AS r
+       |    FROM exposure)
+       |  WHERE r <= (SELECT (m + 9) // 10 FROM sized)
+       |)
+       |SELECT CAST(s.n_cat AS BIGINT) AS n_catalog,
+       |  CAST(s.m AS BIGINT) AS n_recommended,
+       |  ROUND(CAST(s.m AS DOUBLE) / s.n_cat, 6) AS coverage,
+       |  ROUND(2.0 * g.ix / (s.m * g.sx)
+       |    - CAST(s.m + 1 AS DOUBLE) / s.m, 6) AS gini_exposure,
+       |  ROUND(CAST(t.top_x AS DOUBLE) / g.sx, 6) AS top_decile_share
+       |FROM sized s, g, topd t""".stripMargin
+
   /** q187 — leave-last-basket-out evaluation of the q185 recommender:
     * per customer, hold out every order on their LAST order date,
     * rebuild the co-purchase similarities and ownership on the

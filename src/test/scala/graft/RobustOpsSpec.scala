@@ -685,6 +685,19 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("recExposureAudit: bounds hold and recommended set stays inside the catalog") {
+    graft.operators.Graph.clearPairsMemo()
+    val r = graft.operators.Graph.recExposureAudit(spark, sf0001)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    val (nCat, nRec, cov, gini, topShare) = r
+    assert(nRec > 0 && nRec <= nCat)
+    assert(math.abs(cov - nRec.toDouble / nCat) < 1e-6)
+    assert(gini >= 0.0 && gini < 1.0)
+    // the top decile holds at least its proportional share
+    assert(topShare >= 0.1 - 1e-6 && topShare <= 1.0)
+    graft.operators.Graph.clearPairsMemo()
+  }
+
   test("brierDecomposition: the five-term generalized identity closes; terms signed correctly") {
     import graft.operators.Profile
     val r = Profile.brierDecomposition(spark, sf0001)
