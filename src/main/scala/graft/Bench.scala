@@ -98,6 +98,31 @@ object Bench {
           operators.Layout.writeZOrdered(
             Tables.load(spark, sfDir, "lineitem"),
             "l_partkey", "l_suppkey", zdir, 64)
+        // b04: the native as-of join's layout-reuse case — both sides
+        // bucketed by the key ONCE (untimed), the recurring join then
+        // plans with ZERO exchanges (PlansSpec pins the plan; this
+        // measures it against q296's unbucketed 0.35 s in-suite cost)
+        if (selected("b04_asof_bucketed")) {
+          Seq("purch_b", "signup_b").foreach { t =>
+            spark.sql(s"DROP TABLE IF EXISTS $t")
+            val loc = new org.apache.hadoop.fs.Path(
+              spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+            loc.getFileSystem(spark.sessionState.newHadoopConf())
+              .delete(loc, true)
+          }
+          val ev = Tables.load(spark, sfDir, "events")
+            .withColumn("ms", operators.Relational.tsMs("ts"))
+          operators.WritePath.writeBucketed(
+            ev.filter(col("event_type") === "purchase")
+              .select(col("event_id").as("purchase_id"), col("user_id"),
+                col("ms").as("p_ms")),
+            "purch_b", "user_id", cpus.toInt)
+          operators.WritePath.writeBucketed(
+            ev.filter(col("event_type") === "signup")
+              .groupBy(col("user_id"), col("ms").as("s_ms"))
+              .agg(max(col("event_id")).as("signup_id")),
+            "signup_b", "user_id", cpus.toInt)
+        }
         Seq(
           "b01_flagship_bucketed" -> (() => operators.Relational.popularityCore(
             spark.table("lineitem_b"),
@@ -116,7 +141,11 @@ object Bench {
             spark.read.parquet(zdir)
               .filter(col("l_suppkey") < 100)
               .select(col("l_suppkey"), col("l_partkey"), col("l_extendedprice"))
-          }))
+          }),
+          "b04_asof_bucketed" -> (() =>
+            graft.plans.AsofJoinOps.asofJoin(
+              spark.table("purch_b"), spark.table("signup_b"),
+              Seq("user_id"), "p_ms", "s_ms")))
       } else Seq.empty
 
     // non-graded scale-path twin: the approx_percentile sketch form of
