@@ -171,7 +171,11 @@ object Bench {
       // q110 under ScaleMode.Sketch: HLL inclusion-exclusion replaces
       // the shingle-keyed self-join entirely (ScaleModeSpec bounds the
       // drift against Exact)
-      "x06_overlap_sketch" -> (() => operators.Dedup.crossSourceOverlapApprox(spark, sfDir)))
+      "x06_overlap_sketch" -> (() => operators.Dedup.crossSourceOverlapApprox(spark, sfDir)),
+      // q153's scale twin: rejection sampling — catalog-size-
+      // independent draws instead of ranking every candidate
+      // (RobustOpsSpec pins the quota/determinism contract)
+      "x07_negatives_rejection" -> (() => operators.Graph.negativeSamplesRejection(spark, sfDir)))
 
     // SPARK_GRAFT_ORDER: measurement-hygiene knob (graded run = unset
     // = alphabetical). "reverse" or "seed:<n>" (deterministic

@@ -907,6 +907,52 @@ object Graph {
       .orderBy(col("c_custkey"), col("rank"))
   }
 
+  /** q153's SCALE PATH (benched as x07, spec-graded): rejection
+    * sampling instead of rank-everything. q153 hashes and ranks every
+    * (cohort customer × part) candidate — exact uniform
+    * without-replacement, but O(|cohort|·|catalog|) hash+sort work.
+    * Production negative samplers draw k·slack deterministic
+    * hash-indexed candidates per customer (the TPC-H part key space
+    * is dense 1..N), reject the purchased ones and hash collisions,
+    * and keep the first k — O(|cohort|·k·slack) total, catalog-size
+    * independent. Ownership is a tiny fraction of a real catalog, so
+    * slack·k draws exhaust only with vanishing probability; the spec
+    * asserts full k-quotas on the graded fixtures and rerun
+    * determinism. Not oracle-graded (different — documented — sample
+    * than q153; the spec pins the contract instead).
+    */
+  def negativeSamplesRejection(spark: SparkSession, dir: String,
+                               custPct: Int = 5, k: Int = 5,
+                               slack: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.PortableHash.md5Long32 _
+    val cohort = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"))
+      .filter(h(col("c_custkey")) % 100 < custPct)
+    val maxPk = Tables.load(spark, dir, "part")
+      .agg(max(col("p_partkey"))).head().getLong(0)
+    val purchased = custPartEdges(spark, dir)
+    val draws = cohort
+      .select(col("c_custkey"),
+        explode(sequence(lit(0), lit(k * slack - 1))).as("slot"))
+      .withColumn("p_partkey",
+        pmod(h(concat(col("c_custkey").cast("string"), lit("#"),
+          col("slot").cast("string"))), lit(maxPk)) + 1)
+    // collision dedup: a part drawn twice keeps its earliest slot
+    val wDup = Window.partitionBy(col("c_custkey"), col("p_partkey"))
+      .orderBy(col("slot"))
+    val wPick = Window.partitionBy(col("c_custkey")).orderBy(col("slot"))
+    draws
+      .withColumn("dd", row_number().over(wDup)).filter(col("dd") === 1)
+      .join(purchased,
+        col("c_custkey") === col("c") && col("p_partkey") === col("p"),
+        "left_anti")
+      .withColumn("rank", row_number().over(wPick))
+      .filter(col("rank") <= k)
+      .select(col("c_custkey"), col("rank"), col("p_partkey"))
+      .orderBy(col("c_custkey"), col("rank"))
+  }
+
   def negativeSamplesSql(custPct: Int = 5, k: Int = 5): String =
     s"""WITH cohort AS (
       |  SELECT c_custkey FROM customer

@@ -685,6 +685,27 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("negativeSamplesRejection: full quotas, never samples owned parts, rerun-stable") {
+    import graft.operators.Graph
+    val out = Graph.negativeSamplesRejection(spark, sf0001)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // every cohort customer fills its full k-quota with ranks 1..k
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (1 to 5))
+      // no duplicate part within a customer's sample
+      assert(rows.map(_._3).distinct.size === rows.size)
+    }
+    // negatives are genuinely unowned
+    val owned = Graph.custPartEdges(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    out.foreach { case (c, _, p) => assert(!owned.contains((c, p))) }
+    // deterministic: a rerun reproduces the identical sample
+    val again = Graph.negativeSamplesRejection(spark, sf0001)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(again === out)
+  }
+
   test("recExposureAudit: bounds hold and recommended set stays inside the catalog") {
     graft.operators.Graph.clearPairsMemo()
     val r = graft.operators.Graph.recExposureAudit(spark, sf0001)
