@@ -114,7 +114,7 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
         // reused on the next rIter.next(), which we never call while
         // rHead is set
         private var rHead: InternalRow = null
-        private var candidate: UnsafeRow = null // last right ≤ left time
+        private var candidate: InternalRow = null // last right ≤ left time
         private var candidateKey: UnsafeRow = null
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
@@ -133,7 +133,7 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                 // still at-or-before this left row: becomes (or
                 // replaces) the candidate; copies detach from the
                 // iterator's reused row memory
-                candidate = rHead.asInstanceOf[UnsafeRow].copy()
+                candidate = rHead.copy()
                 candidateKey = rk.copy()
                 rHead = null
               } else done = true // future key or future time: stop
