@@ -1046,7 +1046,7 @@ object Graph {
     * bounded by `maxHops` (the dense co-purchase graph's diameter is
     * tiny; disconnected remainders just never enter).
     */
-  def landmarkCloseness(spark: SparkSession, dir: String, k: Int = 16,
+  def landmarkCloseness(spark: SparkSession, dir: String, k: Int = 8,
                         maxHops: Int = 6): DataFrame = {
     val pairs = coPurchasePairs(spark, dir)
     val edges = graft.Iterate.cut(
@@ -1080,7 +1080,7 @@ object Graph {
       .orderBy(col("landmark"))
   }
 
-  def landmarkClosenessSql(k: Int = 16, maxHops: Int = 6): String =
+  def landmarkClosenessSql(k: Int = 8, maxHops: Int = 6): String =
     s"""WITH RECURSIVE li AS (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
        |), pairs AS (
