@@ -1061,12 +1061,18 @@ object Graph {
     var frontier = visited
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
-      val next = frontier.select(col("landmark"), col("p").as("src"))
-        .join(edges, "src")
-        .select(col("landmark"), col("dst").as("p")).distinct()
-        .join(visited.select(col("landmark"), col("p")),
-          Seq("landmark", "p"), "left_anti")
-        .withColumn("hop", lit(h))
+      // checkpoint the round's frontier ITSELF: the emptiness probe,
+      // the next round's edge join, and the visited union all read it
+      // — unmaterialized, each consumer would recompute the
+      // join+distinct+anti lineage (measured 3x round cost on the
+      // dense sf0.1 graph)
+      val next = graft.Iterate.cut(
+        frontier.select(col("landmark"), col("p").as("src"))
+          .join(edges, "src")
+          .select(col("landmark"), col("dst").as("p")).distinct()
+          .join(visited.select(col("landmark"), col("p")),
+            Seq("landmark", "p"), "left_anti")
+          .withColumn("hop", lit(h)))
       visited = graft.Iterate.cut(visited.unionByName(next))
       frontier = next
       h += 1
