@@ -1018,11 +1018,14 @@ object Graph {
     var frontier = visited
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
-      val next = frontier.select(col("p_partkey").as("src"))
-        .join(edges, "src")
-        .select(col("dst").as("p_partkey")).distinct()
-        .join(visited.select("p_partkey"), Seq("p_partkey"), "left_anti")
-        .withColumn("hop", lit(h))
+      // frontier checkpointed for the same reason as q297's loop: the
+      // emptiness probe, the next join and the union each re-derive it
+      val next = graft.Iterate.cut(
+        frontier.select(col("p_partkey").as("src"))
+          .join(edges, "src")
+          .select(col("dst").as("p_partkey")).distinct()
+          .join(visited.select("p_partkey"), Seq("p_partkey"), "left_anti")
+          .withColumn("hop", lit(h)))
       visited = graft.Iterate.cut(visited.unionByName(next))
       frontier = next
       h += 1
