@@ -758,6 +758,68 @@ object Temporal {
       |  AND (iv.valid_to_ms IS NULL OR p.p_ms < iv.valid_to_ms)
       |ORDER BY purchase_id""".stripMargin
 
+  /** q304 — order-day streaks (gaps-and-islands over the calendar):
+    * per customer, the LONGEST run of consecutive order days and the
+    * run count — the classic retention shape ("how sticky is this
+    * account") computed with the day − dense_rank island key: within
+    * a customer's distinct order days, consecutive days share
+    * (day − rank), so one window pass + one island aggregate does it,
+    * no self-joins, no recursion. Top rows by (longest streak DESC)
+    * with full tiebreaks.
+    *
+    * Scale: one distinct on (customer, day) — calendar-bounded — then
+    * one customer-keyed window and two tiny aggregates; the single
+    * shuffle key is o_custkey.
+    */
+  def orderDayStreaks(spark: SparkSession, dir: String,
+                      topN: Int = 100): DataFrame = {
+    val days = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr("datediff(o_orderdate, DATE '1970-01-01')").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+    val islands = days
+      .withColumn("island", col("day") - dense_rank().over(w))
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    islands.groupBy(col("o_custkey"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_order_days"),
+        max(struct(col("len"), col("start_day"))).getField("start_day")
+          .as("best_start_day"))
+      .orderBy(col("longest_streak").desc, col("n_order_days").desc,
+        col("o_custkey"))
+      .limit(topN)
+  }
+
+  def orderDayStreaksSql(topN: Int = 100): String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT o_custkey,
+       |    datediff('day', DATE '1970-01-01', o_orderdate) AS day
+       |  FROM orders
+       |), islands AS (
+       |  SELECT o_custkey, island,
+       |    CAST(COUNT(*) AS BIGINT) AS len,
+       |    MIN(day) AS start_day
+       |  FROM (
+       |    SELECT o_custkey, day,
+       |      day - dense_rank() OVER (PARTITION BY o_custkey
+       |        ORDER BY day) AS island
+       |    FROM days)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT o_custkey,
+       |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+       |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       |  CAST(SUM(len) AS BIGINT) AS n_order_days,
+       |  CAST((MAX({'len': len, 'start_day': start_day})).start_day
+       |    AS BIGINT) AS best_start_day
+       |FROM islands
+       |GROUP BY o_custkey
+       |ORDER BY longest_streak DESC, n_order_days DESC, o_custkey
+       |LIMIT $topN""".stripMargin
+
   val asofNativeSql: String =
     """WITH ev AS (
       |  SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type

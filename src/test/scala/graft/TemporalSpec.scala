@@ -238,4 +238,20 @@ class TemporalSpec extends AnyFunSuite {
       (1L, 12L, 2.5, false, 2L), (1L, 13L, 4.0, true, 0L),
       (2L, 5L, 7.0, true, 0L)))
   }
+
+  test("orderDayStreaks: islands split on gaps, same-day orders dedup, ties pick latest start") {
+    // c1: days 0,1,2 then 5,6 (two same-day orders on day 1);
+    // c2: a single day; c3: two length-2 streaks (tie -> latest start)
+    val dir = ordersDir(Seq(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 2L),
+      (5L, 1L, 5L), (6L, 1L, 6L),
+      (7L, 2L, 10L),
+      (8L, 3L, 20L), (9L, 3L, 21L), (10L, 3L, 30L), (11L, 3L, 31L)))
+    val out = graft.operators.Temporal.orderDayStreaks(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 2L, 5L, 0L),   // longest 3 (days 0-2), 2 streaks
+      (3L, 2L, 2L, 4L, 30L),  // tie of two 2-day streaks: latest start
+      (2L, 1L, 1L, 1L, 10L)))
+  }
 }
