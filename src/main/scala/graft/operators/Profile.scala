@@ -2555,6 +2555,78 @@ object Profile {
        |  ROUND(CAST(b.wbc_sum AS DOUBLE) / b.nn, 6) AS within_bin_cov
        |FROM base b, res r""".stripMargin
 
+  /** q305 — median-of-means robust mean of document token counts:
+    * the sketching-theory estimator (k deterministic hash buckets →
+    * bucket means → their median) whose error is bounded by the
+    * median's breakdown point rather than the tail — on heavy-tailed
+    * or adversarially spiked corpora the plain mean follows the
+    * spike, the MoM estimate doesn't (up to k/2 poisoned buckets).
+    * Reported side by side with the plain mean and the bucket-mean
+    * spread, so the gap IS the tail-contamination reading.
+    *
+    * Exactness: bucket sums/counts are exact integers; each bucket
+    * mean is one IEEE division of those integers (identical both
+    * engines); the median is a rank-SELECTED value (lower-middle,
+    * q217's convention, tiebroken by bucket id); the plain mean uses
+    * the integer-micro half-up convention. Scale: one bucket-keyed
+    * partial+final aggregate; everything after is k rows.
+    */
+  def medianOfMeans(spark: SparkSession, dir: String,
+                    k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokenCount
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("t"))
+      .withColumn("b",
+        pmod(graft.functions.PortableHash.md5Long32(col("doc_id")),
+          lit(k.toLong)))
+    val buckets = docs.groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("s"))
+      .withColumn("m", col("s").cast("double") / col("n"))
+    val wOrd = Window.orderBy(col("m"), col("b"))
+    val ranked = buckets
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("nb", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    ranked.agg(
+        sum(col("n")).as("n_docs"), sum(col("s")).as("t_sum"),
+        max(col("nb")).as("n_buckets"),
+        max(when(col("rn") === expr("(nb + 1) div 2"), col("m")))
+          .as("mom_mean"),
+        (max(col("m")) - min(col("m"))).as("bucket_spread"))
+      .select(col("n_docs"), col("n_buckets").cast("int").as("n_buckets"),
+        expr("CAST((2 * t_sum * 1000000 + n_docs) div (2 * n_docs) " +
+          "AS DOUBLE) / 1000000").as("plain_mean"),
+        round(col("mom_mean"), 6).as("mom_mean"),
+        round(col("bucket_spread"), 6).as("bucket_spread"))
+  }
+
+  def medianOfMeansSql(k: Int = 16): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    ${graft.operators.TextAnalysis.tokenCountExprSql} AS t,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % $k AS b
+       |  FROM documents
+       |), buckets AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(t) AS BIGINT) AS s,
+       |    CAST(SUM(t) AS DOUBLE) / COUNT(*) AS m
+       |  FROM docs GROUP BY 1
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY m, b) AS rn,
+       |    COUNT(*) OVER () AS nb
+       |  FROM buckets
+       |)
+       |SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       |  CAST(MAX(nb) AS INT) AS n_buckets,
+       |  CAST((2 * SUM(s) * 1000000 + SUM(n)) // (2 * SUM(n)) AS DOUBLE)
+       |    / 1000000 AS plain_mean,
+       |  ROUND(MAX(CASE WHEN rn = (nb + 1) // 2 THEN m END), 6)
+       |    AS mom_mean,
+       |  ROUND(MAX(m) - MIN(m), 6) AS bucket_spread
+       |FROM ranked""".stripMargin
+
   /** q299 — corpus datasheet: the per-(source, lang) summary card a
     * dataset release ships ("Datasheets for Datasets" shape) —
     * volume (docs/tokens/chars), exact-dup burden (q25's corpus-wide

@@ -685,6 +685,18 @@ class RobustOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("medianOfMeans: counts reconcile; the estimator sits inside the bucket-mean range") {
+    import graft.operators.Profile
+    val r = Profile.medianOfMeans(spark, sf0001)
+      .as[(Long, Int, Double, Double, Double)].collect().head
+    val (n, k, plain, mom, spread) = r
+    assert(n === 500L && k === 16)
+    assert(spread >= 0.0)
+    // MoM and the plain mean both sit inside the bucket-mean envelope
+    // (the plain mean is a convex combination of bucket means)
+    assert(math.abs(mom - plain) <= spread + 1e-6)
+  }
+
   test("negativeSamplesRejection: full quotas, never samples owned parts, rerun-stable") {
     import graft.operators.Graph
     val out = Graph.negativeSamplesRejection(spark, sf0001)
