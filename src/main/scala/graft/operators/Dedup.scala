@@ -1630,6 +1630,140 @@ object Dedup {
       |JOIN sizes sb ON s.source_b = sb.source
       |ORDER BY s.source_a, s.source_b""".stripMargin
 
+  /** q306 — KMV (k-minimum-values) distinct sketches with set-op
+    * estimates per source pair (Beyer et al., SIGMOD 2007): each
+    * source keeps only its `kMin` smallest distinct shingle hashes;
+    * the k-th minimum estimates the distinct count
+    * (`(k-1)·M / kth`), the merged pair sketch estimates the union,
+    * and the fraction of union-sketch members present in BOTH input
+    * sketches estimates intersection and Jaccard. This is the
+    * hash-GRADED sketch twin of x06's HLL path: because the hash is
+    * [[PortableHash.md5Long60]], DuckDB derives the bit-identical
+    * sketches, so estimates grade exactly (rows+schema+hash), not
+    * "within rsd".
+    *
+    * Scale: the only corpus-sized work is one (source, shingle-hash)
+    * distinct (partial aggregate, map-side combined) and one
+    * per-source top-k window — Spark plans it as WindowGroupLimit, so
+    * each map task forwards at most `kMin` rows per source. All pair
+    * arithmetic runs on ≤ kMin·|sources| sketch rows against a
+    * broadcast pair list — no shingle-keyed self-join anywhere, which
+    * is exactly why KMV (like HLL) is the 100 TB path for q110. KMV's
+    * edge over HLL here: sketches stay sub-settable (the same k-min
+    * rows answer ANY pair/ensemble query later) and the intersection
+    * is estimated directly instead of by inclusion–exclusion noise.
+    *
+    * Exactness: hashes, counts and the k-th minima are integers;
+    * each estimate is one IEEE double division of exact integers
+    * (identical both engines), rounded 6dp. Sources with fewer than
+    * kMin distinct hashes fall back to their exact count (standard
+    * KMV convention), as do unions.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String,
+                 k: Int = 3, kMin: Int = 128): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val m = lit((1L << 60).toDouble)
+    val sf = shingles(docs, k)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), PortableHash.md5Long60(col("shingle")).as("h"))
+      .distinct()
+    val sk = sf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= kMin).drop("rn")
+      .localCheckpoint() // consumers: per-source estimates + pair tagging
+    val est = sk.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_k"), max(col("h")).as("kth"))
+      .withColumn("est", round(
+        when(col("n_k") < kMin, col("n_k").cast("double"))
+          .otherwise(lit((kMin - 1).toDouble) * m / col("kth").cast("double")),
+        6))
+    val pairList = est.select(col("source").as("source_a"))
+      .crossJoin(est.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val merged = sk
+      .join(broadcast(pairList),
+        col("source") === col("source_a") || col("source") === col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("h"))
+      .agg(countDistinct(col("source")).as("sides"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("h"))))
+      .filter(col("rn") <= kMin)
+    val pairAgg = merged.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_u"), max(col("h")).as("kth_u"),
+        sum(when(col("sides") === 2, 1L).otherwise(0L)).as("k_inter"))
+      .withColumn("est_union", round(
+        when(col("n_u") < kMin, col("n_u").cast("double"))
+          .otherwise(lit((kMin - 1).toDouble) * m / col("kth_u").cast("double")),
+        6))
+    pairAgg
+      .join(broadcast(est.select(col("source").as("source_a"),
+        col("est").as("est_a"))), "source_a")
+      .join(broadcast(est.select(col("source").as("source_b"),
+        col("est").as("est_b"))), "source_b")
+      .select(col("source_a"), col("source_b"),
+        col("est_a"), col("est_b"), col("est_union"), col("k_inter"),
+        round(col("k_inter").cast("double") / col("n_u").cast("double") *
+          col("est_union"), 6).as("est_intersection"),
+        round(col("k_inter").cast("double") / col("n_u").cast("double"), 6)
+          .as("jaccard_kmv"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def kmvOverlapSql(k: Int = 3, kMin: Int = 128): String =
+    s"""WITH sh0 AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+${k - 1}], ' ')
+      |    for i in range(1, len(toks) - ${k - 2})])) AS shingle
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= $k
+      |), sf AS (
+      |  SELECT DISTINCT d.source,
+      |    CAST(('0x' || substr(md5(sh0.shingle), 1, 15)) AS BIGINT) AS h
+      |  FROM sh0 JOIN documents d ON sh0.doc_id = d.doc_id
+      |), sk AS (
+      |  SELECT source, h FROM (
+      |    SELECT source, h,
+      |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |    FROM sf) WHERE rn <= $kMin
+      |), est AS (
+      |  SELECT source, COUNT(*) AS n_k, MAX(h) AS kth,
+      |    ROUND(CASE WHEN COUNT(*) < $kMin THEN CAST(COUNT(*) AS DOUBLE)
+      |      ELSE ${kMin - 1}.0 * POWER(2.0, 60) / CAST(MAX(h) AS DOUBLE)
+      |      END, 6) AS est
+      |  FROM sk GROUP BY source
+      |), pair_list AS (
+      |  SELECT a.source AS source_a, b.source AS source_b
+      |  FROM est a, est b WHERE a.source < b.source
+      |), merged AS (
+      |  SELECT source_a, source_b, h, sides,
+      |    row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn
+      |  FROM (
+      |    SELECT p.source_a, p.source_b, s.h,
+      |      COUNT(DISTINCT s.source) AS sides
+      |    FROM sk s JOIN pair_list p
+      |      ON s.source = p.source_a OR s.source = p.source_b
+      |    GROUP BY 1, 2, 3)
+      |), pair_agg AS (
+      |  SELECT source_a, source_b, COUNT(*) AS n_u, MAX(h) AS kth_u,
+      |    CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS k_inter,
+      |    ROUND(CASE WHEN COUNT(*) < $kMin THEN CAST(COUNT(*) AS DOUBLE)
+      |      ELSE ${kMin - 1}.0 * POWER(2.0, 60) / CAST(MAX(h) AS DOUBLE)
+      |      END, 6) AS est_union
+      |  FROM merged WHERE rn <= $kMin GROUP BY 1, 2
+      |)
+      |SELECT p.source_a, p.source_b, ea.est AS est_a, eb.est AS est_b,
+      |  p.est_union, p.k_inter,
+      |  ROUND(CAST(p.k_inter AS DOUBLE) / p.n_u * p.est_union, 6)
+      |    AS est_intersection,
+      |  ROUND(CAST(p.k_inter AS DOUBLE) / p.n_u, 6) AS jaccard_kmv
+      |FROM pair_agg p
+      |JOIN est ea ON p.source_a = ea.source
+      |JOIN est eb ON p.source_b = eb.source
+      |ORDER BY p.source_a, p.source_b""".stripMargin
+
   /** q118 — duplicate-cluster size histogram: how many clusters exist
     * at each size, and how many documents (and removable duplicates)
     * they hold — the shape report behind every dedup budget decision

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -113,6 +114,113 @@ object Spans {
       |  COALESCE(array_to_string(list(span_text ORDER BY span_idx)
       |    FILTER (WHERE keep), ' '), '') AS dedup_text
       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q307 — repeated-substring duplicate extent, character level: for
+    * every document, how many of its characters are covered by some
+    * length-L substring that also occurs elsewhere in the corpus
+    * (another position of any document, including itself). This is
+    * the OVERLAPPING, exact-substring sibling of q65's non-overlapping
+    * token spans — the measurement behind suffix-array training-data
+    * dedup ("Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022): their suffix-array pass finds exactly
+    * these ≥L repeated extents; here each length-L window is hashed
+    * (md5 — effectively collision-free and engine-portable) and a
+    * window is duplicated iff its hash occurs at more than one
+    * (doc, position) site. Merging overlapping duplicated windows
+    * per document (gaps-and-islands: a break opens when the next
+    * duplicated start exceeds the previous start by more than L)
+    * yields the exact union extent, so `dup_chars` equals the length
+    * of text a Lee-style cut pass would remove-or-rewrite.
+    *
+    * Scale (100 TB): the position stream is |corpus chars| rows — the
+    * same order as the suffix array the reference method materializes
+    * — but needs only (doc_id, pos, 16-byte hash) per row, one
+    * hash-keyed partial+final count (map-side combined: a boilerplate
+    * gram repeated 10^6× combines locally), one semi-join back on the
+    * hash, and a per-doc window bounded by document length. No
+    * corpus-sized sort, no driver state. Long documents chunk
+    * naturally: positions are generated per row and never collected
+    * into one array bigger than the document itself.
+    */
+  def substringDupExtent(spark: SparkSession, dir: String,
+                         l: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"))
+    val grams = docs.filter(col("n_chars") >= l)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("n_chars") - l)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, pos + 1, $l)")).as("g"))
+      .localCheckpoint() // two consumers: dup-hash set + position filter
+    val dupG = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_sites"))
+      .filter(col("n_sites") > 1)
+      .select(col("g"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val dupPos = grams.join(dupG, Seq("g"), "left_semi")
+      .withColumn("prev", lag(col("pos"), 1).over(wDoc))
+      .withColumn("isl", sum(
+        when(col("prev").isNull || col("pos") - col("prev") > l, 1L)
+          .otherwise(0L)).over(wDoc))
+    val perDoc = dupPos.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"),
+        count(lit(1)).as("np"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("np")).as("n_dup_positions"),
+        sum(col("mx") - col("mn") + l).as("dup_chars"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") >= l, col("n_chars") - l + 1)
+          .otherwise(lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("n_chars").cast("double"), 6).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  def substringDupExtentSql(l: Int = 20): String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents
+      |), pos0 AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, n_chars - ${l - 1})) AS pos
+      |  FROM docs WHERE n_chars >= $l
+      |), grams AS (
+      |  SELECT doc_id, pos, md5(substr(text, pos + 1, $l)) AS g
+      |  FROM pos0
+      |), dupg AS (
+      |  SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1
+      |), dup AS (
+      |  SELECT doc_id, pos,
+      |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM grams WHERE g IN (SELECT g FROM dupg)
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    SUM(CASE WHEN prev IS NULL OR pos - prev > $l THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM dup
+      |), per_island AS (
+      |  SELECT doc_id, island, MIN(pos) AS mn, MAX(pos) AS mx,
+      |    COUNT(*) AS np
+      |  FROM isl GROUP BY 1, 2
+      |), per_doc AS (
+      |  SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_dup_positions,
+      |    CAST(SUM(mx - mn + $l) AS BIGINT) AS dup_chars
+      |  FROM per_island GROUP BY 1
+      |)
+      |SELECT d.doc_id, d.n_chars,
+      |  CASE WHEN d.n_chars >= $l THEN d.n_chars - ${l - 1}
+      |       ELSE 0 END AS n_grams,
+      |  COALESCE(p.n_dup_positions, 0) AS n_dup_positions,
+      |  COALESCE(p.dup_chars, 0) AS dup_chars,
+      |  ROUND(CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / d.n_chars, 6)
+      |    AS dup_ratio
+      |FROM docs d LEFT JOIN per_doc p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** q68 — RAG chunking: overlapping token windows of size `c` with
     * stride `s` (overlap c-s), one output row per chunk with its token

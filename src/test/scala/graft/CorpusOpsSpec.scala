@@ -337,6 +337,71 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(totalKept === distinctSpans)
   }
 
+  test("substringDupExtent: hand-built cross-doc and intra-doc repeats, island merge") {
+    // 30-char non-periodic run shared by docs 1/2 at different offsets;
+    // doc 3 disjoint; doc 4 shorter than L; doc 5 repeats a 25-char
+    // block twice internally (two islands, gap 26 > L)
+    val run = "abcdefghijklmnopqrstuvwxyz0123"          // |run| = 30
+    val blk = "qwertyuiopasdfghjklzxcvbn"               // |blk| = 25
+    val dir = docsDir(Seq(
+      (1L, "AAAA" + run + "BBBBBB"),                    // 40 chars
+      (2L, "CCCCCCC" + run + "DD"),                     // 39 chars
+      (3L, "ZYXWVUTSRQPONMLKJIHGFEDCBA9876"),           // 30, unique
+      (4L, "short"),                                    // < L
+      (5L, blk + "123456" + blk)))                      // 56 chars
+    val got = Spans.substringDupExtent(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // dup extent = the shared run's exact 30 chars in docs 1/2 (one
+    // island each: starts 30-20+1=11 positions); doc 5 = 2 islands of
+    // 25 (6 in-block starts each); docs 3/4 untouched
+    assert(got === Seq(
+      (1L, 40L, 21L, 11L, 30L, 0.75),
+      (2L, 39L, 20L, 11L, 30L, 0.769231),
+      (3L, 30L, 11L, 0L, 0L, 0.0),
+      (4L, 5L, 0L, 0L, 0L, 0.0),
+      (5L, 56L, 37L, 12L, 50L, 0.892857)))
+  }
+
+  test("kmvOverlap: identical sources read jaccard 1, disjoint sources read 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    Seq(
+      (1L, words, "en", "src_a", words.length.toLong),
+      (2L, words, "en", "src_b", words.length.toLong),   // b == a
+      (3L, other, "en", "src_c", other.length.toLong))   // c disjoint
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.kmvOverlap(spark, dir)
+      .select($"source_a", $"source_b", $"k_inter", $"jaccard_kmv",
+        $"est_union", $"est_intersection")
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map(r => ((r._1, r._2), r)).toMap
+    val ab = got(("src_a", "src_b"))
+    assert(ab._4 === 1.0 && ab._5 === ab._6) // identical: J=1, ∩ = ∪
+    assert(got(("src_a", "src_c"))._3 === 0L) // disjoint: no shared mins
+    assert(got(("src_b", "src_c"))._4 === 0.0)
+  }
+
+  test("kmvOverlap: estimates track the exact q110 relation within the k=128 envelope") {
+    val exact = Dedup.crossSourceOverlap(spark, sf0001)
+      .select($"source_a", $"source_b", $"n_sh_a", $"n_sh_b", $"jaccard")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r)).toMap
+    val est = Dedup.kmvOverlap(spark, sf0001)
+      .as[(String, String, Double, Double, Double, Long, Double, Double)]
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { e =>
+      val x = exact((e._1, e._2))
+      // distinct estimates: ~1/sqrt(128) = 8.8% std -> 30% guard band
+      assert(math.abs(e._3 - x._3) / x._3 < 0.30, s"est_a off: $e vs $x")
+      assert(math.abs(e._4 - x._4) / x._4 < 0.30, s"est_b off: $e vs $x")
+      // jaccard: K∩/k has std ~ sqrt(J(1-J)/128) -> additive 0.15 band
+      assert(math.abs(e._8 - x._5) < 0.15, s"jaccard off: $e vs $x")
+    }
+  }
+
   test("chunk: stride/size geometry and full token coverage") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10, c=4, s=3
