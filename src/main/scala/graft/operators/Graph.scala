@@ -1049,8 +1049,14 @@ object Graph {
     * bounded by `maxHops` (the dense co-purchase graph's diameter is
     * tiny; disconnected remainders just never enter).
     */
-  def landmarkCloseness(spark: SparkSession, dir: String, k: Int = 8,
-                        maxHops: Int = 6): DataFrame = {
+  /** Shared multi-source BFS over the co-purchase graph: one row per
+    * (landmark, node, first-hop) with the `k` highest-degree vertices
+    * as sources — the reach relation behind q297 (closeness) and q309
+    * (hop distribution / effective diameter). Frontier-checkpointed
+    * per round (see the inline note).
+    */
+  private def landmarkBfsReach(spark: SparkSession, dir: String, k: Int,
+                               maxHops: Int): DataFrame = {
     val pairs = coPurchasePairs(spark, dir)
     val edges = graft.Iterate.cut(
       pairs.select(col("pa").as("src"), col("pb").as("dst"))
@@ -1080,7 +1086,12 @@ object Graph {
       frontier = next
       h += 1
     }
-    visited.filter(col("hop") >= 1)
+    visited
+  }
+
+  def landmarkCloseness(spark: SparkSession, dir: String, k: Int = 8,
+                        maxHops: Int = 6): DataFrame = {
+    landmarkBfsReach(spark, dir, k, maxHops).filter(col("hop") >= 1)
       .groupBy(col("landmark"))
       .agg(count(lit(1)).as("n_reached"),
         sum(col("hop")).cast("long").as("sum_hops"))
@@ -1121,6 +1132,91 @@ object Graph {
        |FROM dist WHERE hop >= 1
        |GROUP BY landmark
        |ORDER BY landmark""".stripMargin
+
+  /** q309 — hop-distance distribution and effective diameter over the
+    * co-purchase graph, sampled from the q297 landmark set: for each
+    * hop h, how many (landmark, node) pairs sit at BFS distance
+    * exactly h, cumulatively, and as a fraction of all reached pairs.
+    * `eff_90` marks the first hop whose cumulative fraction reaches
+    * 0.9 — the effective-diameter readout of the ANF/HyperANF
+    * neighborhood-function literature (Palmer et al. 2002, Boldi et
+    * al. 2011), with the high-degree landmark sample standing in for
+    * their sketch-per-vertex at audit scale. Shares [[landmarkBfsReach]]
+    * with q297 — one BFS serves both relations.
+    *
+    * Scale: the BFS is the q297 frontier-checkpointed loop (≤
+    * k·|V| state, one key-shuffle per round); the distribution is a
+    * |maxHops|-row aggregate and window. A full-graph effective
+    * diameter at 100 TB swaps the landmark sample for HyperANF's
+    * per-vertex HLL registers — the loop shape is identical.
+    */
+  def hopDistribution(spark: SparkSession, dir: String, k: Int = 8,
+                      maxHops: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHop = landmarkBfsReach(spark, dir, k, maxHops)
+      .filter(col("hop") >= 1)
+      .groupBy(col("hop")).agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("hop"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byHop
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+      .withColumn("total", sum(col("n_pairs")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("cum_frac",
+        round(col("cum_pairs").cast("double") / col("total"), 6))
+      .withColumn("prev_cum",
+        lag(col("cum_pairs"), 1, 0L).over(Window.orderBy(col("hop"))))
+      .select(col("hop"), col("n_pairs"), col("cum_pairs"), col("cum_frac"),
+        (col("cum_pairs") * 10L >= col("total") * 9L &&
+          col("prev_cum") * 10L < col("total") * 9L).as("eff_90"))
+      .orderBy(col("hop"))
+  }
+
+  def hopDistributionSql(k: Int = 8, maxHops: Int = 6): String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT pb AS src, pa AS dst FROM pairs
+       |), lms AS (
+       |  SELECT src AS landmark FROM edges GROUP BY src
+       |  ORDER BY COUNT(*) DESC, src LIMIT $k
+       |), reach(landmark, p, hop) AS (
+       |  SELECT landmark, landmark, 0 FROM lms
+       |  UNION
+       |  SELECT r.landmark, e.dst, r.hop + 1
+       |  FROM reach r JOIN edges e ON e.src = r.p
+       |  WHERE r.hop < $maxHops
+       |), dist AS (
+       |  SELECT landmark, p, MIN(hop) AS hop
+       |  FROM reach GROUP BY 1, 2
+       |), by_hop AS (
+       |  SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM dist WHERE hop >= 1 GROUP BY hop
+       |), cum AS (
+       |  SELECT hop, n_pairs,
+       |    CAST(SUM(n_pairs) OVER (ORDER BY hop
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_pairs,
+       |    CAST(SUM(n_pairs) OVER () AS BIGINT) AS total
+       |  FROM by_hop
+       |), fin AS (
+       |  SELECT hop, n_pairs, cum_pairs, total,
+       |    CAST(COALESCE(lag(cum_pairs) OVER (ORDER BY hop), 0) AS BIGINT)
+       |      AS prev_cum
+       |  FROM cum
+       |)
+       |SELECT hop, n_pairs, cum_pairs,
+       |  ROUND(CAST(cum_pairs AS DOUBLE) / total, 6) AS cum_frac,
+       |  (cum_pairs * 10 >= total * 9 AND prev_cum * 10 < total * 9)
+       |    AS eff_90
+       |FROM fin ORDER BY hop""".stripMargin
 
   def bfsHopsSql(maxHops: Int = 3): String =
     s"""WITH RECURSIVE li AS (

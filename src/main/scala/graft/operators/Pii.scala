@@ -271,4 +271,80 @@ object Pii {
        |FROM cdf, globals g2
        |GROUP BY c_nationkey, c_mktsegment, k, g2.n_total, g2.m
        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
+  /** q308 — differentially-private histogram release: per
+    * (event_type, day) distinct-user counts with Laplace(1/ε) noise,
+    * the ε-DP release mechanism (Dwork et al. 2006) completing the
+    * privacy battery (q199 k-anonymity → q215 l-diversity → q240
+    * t-closeness audit what a release LOOKS like; this one produces
+    * the release). Contribution bounding: a user contributes at most
+    * one unit per cell (COUNT DISTINCT user), so per-cell sensitivity
+    * under add/remove-one-presence is 1 and the per-cell noise scale
+    * is b = 1/ε; cross-cell composition (a user may appear in many
+    * cells) is the release-planner's ε budget split, noted here, not
+    * hidden. `released = max(0, round(n + noise))` is standard
+    * post-processing (clamp + integer rounding preserve DP).
+    *
+    * Noise is drawn by inverse-CDF from a SEEDED uniform
+    * (md5 of the cell key) — the same determinism-for-grading trick
+    * every sampling query here uses (q43/q87): both engines derive
+    * the bit-identical noise, so the release grades exactly. A
+    * production release swaps the md5 uniform for a fresh
+    * cryptographic draw; the plan shape is unchanged. The true count
+    * rides along because this relation doubles as the curator-side
+    * calibration audit (signed error per cell); only the `released`
+    * column crosses the trust boundary.
+    *
+    * Scale: one distinct + one partial+final count keyed by cell, a
+    * narrow map for the noise — no joins, no windows.
+    */
+  def dpHistogram(spark: SparkSession, dir: String,
+                  eps: Double = 1.0): DataFrame = {
+    import graft.functions.PortableHash
+    val cells = Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_users"))
+    val h = PortableHash.md5Long60(
+      concat(col("event_type"), lit("|"), col("day").cast("string")))
+    val v = (h.cast("double") + 0.5) / lit((1L << 60).toDouble) - 0.5
+    val noise = round(
+      lit(-1.0 / eps) *
+        when(v >= 0, 1.0).otherwise(-1.0) *
+        log(lit(1.0) - lit(2.0) * abs(v)), 6)
+    cells
+      .withColumn("noise", noise)
+      .withColumn("released",
+        greatest(lit(0L), round(col("n_users") + col("noise"), 0).cast("long")))
+      .select(col("event_type"), col("day"), col("n_users"), col("noise"),
+        col("released"),
+        (col("released") - col("n_users")).as("signed_err"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  def dpHistogramSql(eps: Double = 1.0): String =
+    s"""WITH cells AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    COUNT(DISTINCT user_id) AS n_users
+       |  FROM events GROUP BY 1, 2
+       |), seeded AS (
+       |  SELECT event_type, day, n_users,
+       |    (CAST(CAST(('0x' || substr(md5(event_type || '|' ||
+       |        CAST(day AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+       |      + 0.5) / POWER(2.0, 60) - 0.5 AS v
+       |  FROM cells
+       |), noised AS (
+       |  SELECT event_type, day, n_users,
+       |    ROUND(${-1.0 / eps} *
+       |      (CASE WHEN v >= 0 THEN 1.0 ELSE -1.0 END) *
+       |      ln(1.0 - 2.0 * abs(v)), 6) AS noise
+       |  FROM seeded
+       |)
+       |SELECT event_type, day, CAST(n_users AS BIGINT) AS n_users, noise,
+       |  GREATEST(0, CAST(ROUND(n_users + noise, 0) AS BIGINT)) AS released,
+       |  GREATEST(0, CAST(ROUND(n_users + noise, 0) AS BIGINT))
+       |    - CAST(n_users AS BIGINT) AS signed_err
+       |FROM noised
+       |ORDER BY event_type, day""".stripMargin
 }

@@ -127,4 +127,29 @@ class PiiSpec extends AnyFunSuite {
       (1, "SEG", 4L, 1L, 0.0, true),
       (2, "SEG", 4L, 3L, 1.5, false)))
   }
+
+  test("dpHistogram: bounded contribution, clamp/round identity, Laplace scale") {
+    val out = graft.operators.Pii.dpHistogram(SharedSpark.spark, "/root/testdata/sf0.001")
+      .as[(String, java.sql.Date, Long, Double, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, n, noise, released, err) =>
+      assert(released >= 0L)
+      // post-processing identity: released = max(0, half-up(n + noise))
+      val exp = math.max(0L,
+        BigDecimal(n + noise).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      assert(released === exp)
+      assert(err === released - n)
+    }
+    // contribution bounding: the true count is DISTINCT users per cell
+    val ev = graft.Tables.load(SharedSpark.spark, "/root/testdata/sf0.001", "events")
+    val cell = out.head
+    val n0 = ev.filter(col("event_type") === cell._1 &&
+        to_date(col("ts")) === lit(cell._2.toString))
+      .select("user_id").distinct().count()
+    assert(n0 === cell._3)
+    // Laplace(b=1/ε=1): median |noise| = b·ln2 ≈ 0.693 — the seeded
+    // uniforms should land the empirical median in a generous band
+    val med = out.map(r => math.abs(r._4)).sorted.apply(out.size / 2)
+    assert(med > 0.15 && med < 2.5, s"median |noise| = $med")
+  }
 }

@@ -713,4 +713,54 @@ class StreamingSpec extends AnyFunSuite {
         assert(snap.exists(_._2 == tok), s"hot token $tok missing") }
     } finally q.stop()
   }
+
+  test("streaming content dedup: q25 fingerprint parity, then the horizon FORGETS") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "event_ts")
+    val q = graft.streaming.StreamingDedup
+      .firstInHorizon(docs, delay = "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out").start()
+    try {
+      // b1: doc 3 is doc 1 after whitespace/case normalization —
+      // exactly one of the pair may pass
+      val b1 = Seq(
+        (1L, "hello world", ts("2026-01-01 10:00:00")),
+        (2L, "foo bar", ts("2026-01-01 10:00:00")),
+        (3L, "  Hello   WORLD ", ts("2026-01-01 10:00:01")))
+      input.addData(b1: _*); q.processAllAvailable()
+      // b2 inside the horizon: the repeat is suppressed, fresh passes
+      input.addData(
+        (4L, "hello world", ts("2026-01-01 10:00:05")),
+        (5L, "fresh text", ts("2026-01-01 10:00:05")))
+      q.processAllAvailable()
+      val mid = spark.sql("SELECT doc_id, content_fp FROM sdedup_out")
+        .as[(Long, String)].collect().toSeq
+      // emitted fingerprints == batch q25's distinct fingerprints
+      val batchFps = (b1 :+ ((4L, "hello world", ts("2026-01-01 10:00:05")))
+        :+ ((5L, "fresh text", ts("2026-01-01 10:00:05"))))
+        .map(_._2).toDF("text")
+        .select(graft.functions.TextFunctions.contentFingerprint(col("text")))
+        .distinct().as[String].collect().toSet
+      assert(mid.map(_._2).toSet === batchFps)
+      assert(mid.size === 3) // one per distinct content
+      assert(mid.exists(r => r._1 == 1L || r._1 == 3L)) // the 1/3 pair kept once
+      assert(!mid.exists(_._1 == 4L)) // in-horizon repeat suppressed
+      // advance the watermark far past 10:00 + 10s, evicting the state
+      input.addData((6L, "padding doc", ts("2026-01-01 10:10:00")))
+      q.processAllAvailable()
+      // the SAME content re-sent after eviction re-emits: horizon
+      // dedup trades recall beyond the delay for bounded state
+      input.addData((7L, "hello world", ts("2026-01-01 10:10:01")))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT doc_id FROM sdedup_out")
+        .as[Long].collect().toSet
+      assert(all.contains(7L), "post-eviction duplicate must re-emit")
+    } finally q.stop()
+  }
 }
