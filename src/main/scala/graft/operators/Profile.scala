@@ -904,6 +904,104 @@ object Profile {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** q311 — Wald SPRT (sequential probability ratio test) readout per
+    * event type: users enter in first-seen order as Bernoulli trials
+    * (success = the user repeats the event, n ≥ 2), and the
+    * log-likelihood ratio for H1: p = p1 vs H0: p = p0 is monitored
+    * against the Wald boundaries ±ln((1−β)/α). The relation reports
+    * where the experiment WOULD have stopped (first boundary-crossing
+    * trial and its decision) versus the fixed-horizon readout — the
+    * sequential-testing companion to q179's fixed-n power analysis:
+    * a team running always-on metric monitors stops at the crossing,
+    * paying a fraction of the fixed-horizon sample.
+    *
+    * Exactness: the LLR at trial t is computed in CLOSED FORM
+    * s_t·ln(p1/p0) + f_t·ln((1−p1)/(1−p0)) from exact cumulative
+    * integer counts — a per-row two-multiply expression, not a
+    * floating running sum, so it is order-independent and
+    * bit-identical across engines; only the reported final LLR is
+    * rounded. Scale: one (type, user) aggregate, then one window per
+    * event type bounded by the experiment's user count — the
+    * monitoring ORDER is inherent to sequential testing, and each
+    * experiment's timeline sorts within its own key, never globally.
+    */
+  def sprtReadout(spark: SparkSession, dir: String,
+                  p0: Double = 0.3, p1: Double = 0.4): DataFrame = {
+    val incS = log(lit(p1) / lit(p0))
+    val incF = log((lit(1.0) - lit(p1)) / (lit(1.0) - lit(p0)))
+    val bound = log(lit(19.0)) // (1-β)/α at α = β = 0.05
+    val trials = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n_ev"))
+      .withColumn("success", (col("n_ev") >= 2).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("first_ts"), col("user_id"))
+    val walked = trials
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("s_t", sum(col("success")).over(w))
+      .withColumn("llr",
+        col("s_t").cast("double") * incS +
+          (col("t") - col("s_t")).cast("double") * incF)
+      .withColumn("crossed",
+        when(col("llr") > bound, lit(1))
+          .when(col("llr") < -bound, lit(-1)).otherwise(lit(0)))
+    walked.groupBy(col("event_type"))
+      .agg(
+        max(col("t")).as("n_trials"),
+        max(col("s_t")).as("n_success"),
+        round(max(struct(col("t"), col("llr"))).getField("llr"), 6)
+          .as("llr_final"),
+        min(when(col("crossed") =!= 0, col("t"))).as("fc"),
+        min(when(col("crossed") =!= 0, struct(col("t"), col("crossed"))))
+          .getField("crossed").as("fdir"))
+      .select(col("event_type"), col("n_trials"), col("n_success"),
+        col("llr_final"),
+        coalesce(col("fc"), lit(-1L)).as("first_cross"),
+        when(col("fdir").isNull, "continue")
+          .when(col("fdir") === 1, "accept_h1")
+          .otherwise("accept_h0").as("decision"))
+      .orderBy(col("event_type"))
+  }
+
+  def sprtReadoutSql(p0: Double = 0.3, p1: Double = 0.4): String =
+    s"""WITH trials AS (
+       |  SELECT event_type, user_id, MIN(ts) AS first_ts,
+       |    CASE WHEN COUNT(*) >= 2 THEN 1 ELSE 0 END AS success
+       |  FROM events GROUP BY 1, 2
+       |), walked AS (
+       |  SELECT event_type,
+       |    CAST(row_number() OVER w AS BIGINT) AS t,
+       |    CAST(SUM(success) OVER w AS BIGINT) AS s_t
+       |  FROM trials
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY first_ts, user_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), llrs AS (
+       |  SELECT event_type, t, s_t,
+       |    CAST(s_t AS DOUBLE) * ln($p1 / $p0) +
+       |      CAST(t - s_t AS DOUBLE) * ln((1.0 - $p1) / (1.0 - $p0)) AS llr
+       |  FROM walked
+       |), flagged AS (
+       |  SELECT event_type, t, s_t, llr,
+       |    CASE WHEN llr > ln(19.0) THEN 1
+       |         WHEN llr < -ln(19.0) THEN -1 ELSE 0 END AS crossed
+       |  FROM llrs
+       |)
+       |SELECT event_type,
+       |  MAX(t) AS n_trials,
+       |  MAX(s_t) AS n_success,
+       |  ROUND(arg_max(llr, t), 6) AS llr_final,
+       |  COALESCE(MIN(t) FILTER (WHERE crossed <> 0), -1) AS first_cross,
+       |  CASE
+       |    WHEN COUNT(*) FILTER (WHERE crossed <> 0) = 0 THEN 'continue'
+       |    WHEN arg_min(crossed, t) FILTER (WHERE crossed <> 0) = 1
+       |      THEN 'accept_h1'
+       |    ELSE 'accept_h0'
+       |  END AS decision
+       |FROM flagged
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   /** The candidate functional dependencies [[fdAudit]] checks:
     * (table, determinant column, dependent column). Two are key-led
     * controls that must hold exactly (violation share 0 — a nonzero

@@ -200,6 +200,68 @@ object TextAnalysis {
       |)
       |GROUP BY token ORDER BY token""".stripMargin
 
+  /** q310 — Good–Turing missing mass and Chao1 richness per language:
+    * from the (lang, token) frequency table, the count of singleton
+    * (N1) and doubleton (N2) types gives (a) the Good–Turing estimate
+    * N1/N of the probability that the NEXT token drawn is an unseen
+    * type — the "how much vocabulary is this corpus still missing"
+    * number a tokenizer-training or corpus-acquisition decision reads
+    * — and (b) the bias-corrected Chao1 lower bound
+    * V + N1(N1−1)/(2(N2+1)) on the true vocabulary size. Languages
+    * whose p_unseen stays high after ingesting the feed need more
+    * data, not more epochs.
+    *
+    * Scale: one (lang, token) partial+final count (q36's shuffle),
+    * then a |vocab|-row aggregate down to |langs| rows — the
+    * frequency-of-frequencies collapse is map-side combinable.
+    * Exactness: all inputs integers; p_unseen and chao1 are one IEEE
+    * division each (identical operand order both engines), rounded
+    * 6dp.
+    */
+  def goodTuringVocab(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("lang"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("tf") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("n1"),
+        col("n2"),
+        round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("p_unseen"),
+        round(col("vocab").cast("double") +
+          (col("n1") * (col("n1") - 1)).cast("double") /
+            (lit(2.0) * (col("n2") + 1).cast("double")), 6).as("chao1"))
+      .orderBy(col("lang"))
+  }
+
+  val goodTuringVocabSql: String =
+    """WITH tf AS (
+      |  SELECT lang, token, COUNT(*) AS tf
+      |  FROM (
+      |    SELECT lang, unnest(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  ) GROUP BY lang, token
+      |), agg AS (
+      |  SELECT lang, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM tf GROUP BY lang
+      |)
+      |SELECT lang, n_tokens, vocab, n1, n2,
+      |  ROUND(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS p_unseen,
+      |  ROUND(CAST(vocab AS DOUBLE) +
+      |    CAST(n1 * (n1 - 1) AS DOUBLE) / (2.0 * CAST(n2 + 1 AS DOUBLE)), 6)
+      |    AS chao1
+      |FROM agg ORDER BY lang""".stripMargin
+
   /** q39 — TF-IDF top terms per document: token tf joined with the
     * corpus df (q36), weight = tf * log10(N / df), top-3 terms per doc
     * by weight. The scoring pass of a relevance/quality pipeline; two

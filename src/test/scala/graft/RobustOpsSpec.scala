@@ -697,6 +697,33 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(math.abs(mom - plain) <= spread + 1e-6)
   }
 
+  test("sprtReadout: crossing trial and decision match the hand-walked LLR") {
+    import graft.operators.Profile
+    val dir = java.nio.file.Files.createTempDirectory("graft-sprt").toString
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // type "hot": 12 users in ts order, all repeat (2 events each).
+    //   llr_t = t*ln(4/3): crosses ln(19)=2.944439 first at t=11
+    //   (11*0.287682 = 3.164503; 10*... = 2.876821 stays under)
+    // type "cold": 2 users, no repeats -> llr stays tiny, continue
+    val hot = (1 to 12).flatMap { u =>
+      Seq((u * 2L, t(u * 1000L), u.toLong, "hot", 1.0, "{}"),
+          (u * 2 + 1L, t(u * 1000L + 500), u.toLong, "hot", 1.0, "{}"))
+    }
+    val cold = Seq((100L, t(1000L), 50L, "cold", 1.0, "{}"),
+      (101L, t(2000L), 51L, "cold", 1.0, "{}"))
+    (hot ++ cold)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Profile.sprtReadout(spark, dir)
+      .as[(String, Long, Long, Double, Long, String)].collect().toSeq
+    val hotRow = out.find(_._1 == "hot").get
+    assert(hotRow._2 === 12L && hotRow._3 === 12L)
+    assert(hotRow._5 === 11L && hotRow._6 === "accept_h1")
+    assert(math.abs(hotRow._4 - 12 * math.log(4.0 / 3.0)) < 1e-6)
+    val coldRow = out.find(_._1 == "cold").get
+    assert(coldRow._5 === -1L && coldRow._6 === "continue")
+  }
+
   test("negativeSamplesRejection: full quotas, never samples owned parts, rerun-stable") {
     import graft.operators.Graph
     val out = Graph.negativeSamplesRejection(spark, sf0001)

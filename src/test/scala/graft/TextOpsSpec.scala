@@ -381,6 +381,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out === Seq(("unit", 4L, 3L, 2L, 0.75, 0.666667)))
   }
 
+  test("goodTuringVocab: hand-counted singleton/doubleton estimates") {
+    // en: tokens a a b c -> N=4 V=3 N1=2 N2=1
+    //   p_unseen = 2/4 = 0.5 ; chao1 = 3 + 2*1/(2*2) = 3.5
+    val dir = java.nio.file.Files.createTempDirectory("graft-gt").toString
+    Seq((1L, "a a b", "en"), (2L, "c", "en"), (3L, "x x", "de"))
+      .map { case (id, text, lang) => (id, text, lang, "unit", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.goodTuringVocab(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // de: tokens x x -> N=2 V=1 N1=0 N2=1 -> p_unseen 0, chao1 = 1.0
+    assert(out === Seq(
+      ("de", 2L, 1L, 0L, 1L, 0.0, 1.0),
+      ("en", 4L, 3L, 2L, 1L, 0.5, 3.5)))
+  }
+
   test("winnowCandidates: the w+k-1 detection guarantee holds regardless of alignment") {
     import graft.operators.Dedup
     // docs 1/2 share an 8-token run (= w+k-1 for k=4, w=5) at
