@@ -2455,4 +2455,79 @@ object Similarity {
           .mkString(" UNION ALL ")})
        |ORDER BY query_id, pick_rank""".stripMargin
   }
+
+  /** q312 — k-center coreset by farthest-first traversal (Gonzalez
+    * 1985, the 2-approximation for k-center): seed at the smallest
+    * vec_id, then k−1 times pick the vector farthest (cosine
+    * distance) from the current center set. This is the canonical
+    * coverage-driven data-SELECTION primitive of training-data
+    * curation (diverse finetuning subsets, active-learning seeds,
+    * k-means++-style initialization): each selection distance is also
+    * the CURRENT coverage radius, so the relation doubles as the
+    * "how many centers until the corpus is within r" curve.
+    *
+    * Scale: inherently k sequential rounds (each pick depends on the
+    * last) — per round ONE narrow scan holding a running min-distance
+    * column against the single broadcast new center (never re-scoring
+    * the whole center set), one 1-row argmax collect. k driver
+    * round-trips of metadata size, the q170-BPE discipline. Distances
+    * are rounded to 6dp BEFORE the running min/argmax in both engines
+    * (ties broken by vec_id), so selection is bit-deterministic.
+    */
+  def kCenterCoreset(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val seedId = emb.agg(min(col("vec_id"))).head.getLong(0)
+    def vecOf(id: Long): Array[Float] =
+      emb.filter(col("vec_id") === id).head.getSeq[Float](1).toArray
+    def distTo(v: Array[Float]): Column =
+      round(lit(1.0) - cosine(spark, col("embedding"), typedLit(v)), 6)
+    var picked = Vector[(Int, Long, Option[Double])]((1, seedId, None))
+    var md = emb
+      .select(col("vec_id"), col("embedding"), distTo(vecOf(seedId)).as("md"))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val top = md.orderBy(col("md").desc, col("vec_id").asc)
+        .select(col("vec_id"), col("md")).head
+      val cid = top.getLong(0)
+      picked :+= ((i, cid, Some(top.getDouble(1))))
+      if (i < k)
+        md = md.select(col("vec_id"), col("embedding"),
+            least(col("md"), distTo(vecOf(cid))).as("md"))
+          .localCheckpoint()
+    }
+    picked.toDF("round", "center_id", "sel_dist").orderBy(col("round"))
+  }
+
+  def kCenterCoresetSql(k: Int = 8): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH seed AS (
+      |  SELECT embedding FROM embeddings
+      |  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+      |), d1 AS (
+      |  SELECT e.vec_id, e.embedding,
+      |    ROUND(1.0 - ${cosSql("e.embedding", "s.embedding")}, 6) AS md
+      |  FROM embeddings e, seed s
+      |)""".stripMargin
+    for (i <- 2 to k) {
+      sb ++= s""", c$i AS (
+      |  SELECT vec_id, md FROM d${i - 1} ORDER BY md DESC, vec_id LIMIT 1
+      |)""".stripMargin
+      if (i < k)
+        sb ++= s""", d$i AS (
+      |  SELECT p.vec_id, p.embedding,
+      |    LEAST(p.md, ROUND(1.0 - ${cosSql("p.embedding", "cv.embedding")}, 6)) AS md
+      |  FROM d${i - 1} p, (SELECT embedding FROM embeddings
+      |    WHERE vec_id = (SELECT vec_id FROM c$i)) cv
+      |)""".stripMargin
+    }
+    sb ++= "\nSELECT CAST(1 AS INT) AS round,\n" +
+      "  (SELECT MIN(vec_id) FROM embeddings) AS center_id,\n" +
+      "  CAST(NULL AS DOUBLE) AS sel_dist"
+    for (i <- 2 to k)
+      sb ++= s"\nUNION ALL SELECT CAST($i AS INT), vec_id, md FROM c$i"
+    sb ++= "\nORDER BY round"
+    sb.toString
+  }
 }

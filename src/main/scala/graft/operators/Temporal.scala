@@ -837,4 +837,149 @@ object Temporal {
       |FROM p ASOF LEFT JOIN s
       |  ON p.user_id = s.user_id AND p.p_ms >= s.s_ms
       |ORDER BY purchase_id""".stripMargin
+
+  /** q313 — 1-NN caliper matching with an ATT readout (propensity-
+    * score-matching shape): treated customers (one market segment)
+    * match the nearest control on the score axis (integer account-
+    * balance cents) WITHIN their nation block, with-replacement,
+    * caliper-bounded; the matched sample reads out mean outcomes
+    * (lifetime order revenue) and the average treatment effect on the
+    * treated. The nearest-on-a-sorted-axis step is TWO passes of the
+    * native as-of operator (backward = greatest control score ≤
+    * treated; forward = the same operator on negated scores), so the
+    * matching inherits the as-of join's clustered-merge scaling —
+    * nearest-neighbor matching IS an as-of join, which is why the
+    * operator was worth owning.
+    *
+    * Exactness: scores are integer cents, distances integer, ties
+    * break to the backward (lower-score) control, then min custkey
+    * (control ties pre-deduped per (nation, score)); outcome sums
+    * accumulate as DECIMAL(18,6); each mean/ATT is one IEEE division
+    * rounded 6dp. Scale: controls dedupe to one row per (block,
+    * score); both as-of passes are key-clustered merges; the outcome
+    * join is customer-keyed. Nothing is quadratic in block size.
+    */
+  def caliperMatching(spark: SparkSession, dir: String,
+                      segment: String = "BUILDING",
+                      caliperCents: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("s"),
+        (col("c_mktsegment") === segment).as("treated"))
+    val outcome = cust.select(col("c_custkey"))
+      .join(Tables.load(spark, dir, "orders")
+          .select(col("o_custkey").as("c_custkey"),
+            col("o_totalprice").cast(DecimalType(18, 6)).as("p")),
+        Seq("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(coalesce(sum(col("p")),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6))).as("outc"))
+    val treatedDf = cust.filter(col("treated"))
+      .select(col("c_custkey").as("t_id"), col("c_nationkey"), col("s"))
+    val controls = cust.filter(!col("treated"))
+      .groupBy(col("c_nationkey"), col("s").as("cs"))
+      .agg(min(col("c_custkey")).as("ctl"))
+      .select(col("c_nationkey"), col("cs"), col("ctl"))
+    val back = graft.plans.AsofJoinOps.asofJoin(
+        treatedDf, controls.select(col("c_nationkey"),
+          col("cs").as("csb"), col("ctl").as("cb")),
+        Seq("c_nationkey"), "s", "csb")
+      .select(col("t_id"), col("c_nationkey"), col("s"),
+        col("cb"), col("csb"))
+    val fwd = graft.plans.AsofJoinOps.asofJoin(
+        treatedDf.withColumn("ns", -col("s")),
+        controls.select(col("c_nationkey"), (-col("cs")).as("ncs"),
+          col("cs").as("csf"), col("ctl").as("cf")),
+        Seq("c_nationkey"), "ns", "ncs")
+      .select(col("t_id"), col("cf"), col("csf"))
+    val db = col("s") - col("csb")
+    val df_ = col("csf") - col("s")
+    val condB = col("csb").isNotNull && db <= caliperCents &&
+      (col("csf").isNull || db <= df_)
+    val matched = back.join(fwd, Seq("t_id"))
+      .withColumn("mt",
+        when(condB, col("cb"))
+          .when(col("csf").isNotNull && df_ <= caliperCents, col("cf")))
+    val scored = matched
+      .join(outcome.select(col("c_custkey").as("t_id"),
+        col("outc").as("outc_t")), Seq("t_id"))
+      .join(outcome.select(col("c_custkey").as("mt"),
+        col("outc").as("outc_c")), Seq("mt"), "left")
+    scored.groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_treated"),
+        count(col("mt")).as("n_matched"),
+        sum(when(col("mt").isNotNull, col("outc_t"))).as("st"),
+        sum(when(col("mt").isNotNull, col("outc_c"))).as("sc"))
+      .select(col("c_nationkey"), col("n_treated"), col("n_matched"),
+        when(col("n_matched") > 0,
+          round(col("st").cast("double") / col("n_matched"), 6))
+          .as("mean_treated"),
+        when(col("n_matched") > 0,
+          round(col("sc").cast("double") / col("n_matched"), 6))
+          .as("mean_control"),
+        when(col("n_matched") > 0,
+          round((col("st") - col("sc")).cast("double") / col("n_matched"), 6))
+          .as("att"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  def caliperMatchingSql(segment: String = "BUILDING",
+                         caliperCents: Long = 5000L): String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_nationkey,
+       |    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS s,
+       |    c_mktsegment = '$segment' AS treated
+       |  FROM customer
+       |), outcome AS (
+       |  SELECT c.c_custkey,
+       |    COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))),
+       |      CAST(0 AS DECIMAL(18,6))) AS outc
+       |  FROM cust c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1
+       |), t AS (
+       |  SELECT c_custkey AS t_id, c_nationkey, s FROM cust WHERE treated
+       |), c0 AS (
+       |  SELECT c_nationkey, s AS cs, MIN(c_custkey) AS ctl
+       |  FROM cust WHERE NOT treated GROUP BY 1, 2
+       |), back AS (
+       |  SELECT t.t_id, t.c_nationkey, t.s, c.ctl AS cb, c.cs AS csb
+       |  FROM t ASOF LEFT JOIN c0 c
+       |    ON t.c_nationkey = c.c_nationkey AND t.s >= c.cs
+       |), fwd AS (
+       |  SELECT t.t_id, c.ctl AS cf, c.cs AS csf
+       |  FROM t ASOF LEFT JOIN c0 c
+       |    ON t.c_nationkey = c.c_nationkey AND t.s <= c.cs
+       |), matched AS (
+       |  SELECT b.t_id, b.c_nationkey,
+       |    CASE
+       |      WHEN b.csb IS NOT NULL AND b.s - b.csb <= $caliperCents
+       |        AND (f.csf IS NULL OR b.s - b.csb <= f.csf - b.s) THEN b.cb
+       |      WHEN f.csf IS NOT NULL AND f.csf - b.s <= $caliperCents
+       |        THEN f.cf
+       |    END AS mt
+       |  FROM back b JOIN fwd f USING (t_id)
+       |), scored AS (
+       |  SELECT m.c_nationkey, m.mt, ot.outc AS outc_t, oc.outc AS outc_c
+       |  FROM matched m
+       |  JOIN outcome ot ON ot.c_custkey = m.t_id
+       |  LEFT JOIN outcome oc ON oc.c_custkey = m.mt
+       |)
+       |SELECT c_nationkey,
+       |  CAST(COUNT(*) AS BIGINT) AS n_treated,
+       |  CAST(COUNT(mt) AS BIGINT) AS n_matched,
+       |  CASE WHEN COUNT(mt) > 0 THEN ROUND(
+       |    CAST(SUM(CASE WHEN mt IS NOT NULL THEN outc_t END) AS DOUBLE)
+       |      / COUNT(mt), 6) END AS mean_treated,
+       |  CASE WHEN COUNT(mt) > 0 THEN ROUND(
+       |    CAST(SUM(CASE WHEN mt IS NOT NULL THEN outc_c END) AS DOUBLE)
+       |      / COUNT(mt), 6) END AS mean_control,
+       |  CASE WHEN COUNT(mt) > 0 THEN ROUND(
+       |    CAST(SUM(CASE WHEN mt IS NOT NULL THEN outc_t END)
+       |      - SUM(CASE WHEN mt IS NOT NULL THEN outc_c END) AS DOUBLE)
+       |      / COUNT(mt), 6) END AS att
+       |FROM scored
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
 }

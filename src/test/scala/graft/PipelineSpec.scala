@@ -591,6 +591,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(l1._5 === 2L) // both sit below the 0.8 floor
   }
 
+  test("kCenterCoreset: farthest-first picks the hand-ordered centers") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-kcenter").toString
+    // seed = min id (1). Cosine dists from v1=(1,0): v4=(-1,0) -> 2,
+    // v2=(0,1) -> 1, v3~(1,eps) -> ~0. Round 2 picks v4; round 3 v2
+    // (min dist to {v1,v4} = 1); round 4 is the near-duplicate v3.
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(1.0f, 0.01f), 0), (4L, Array(-1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.kCenterCoreset(spark, dir, k = 4)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(got.map(_._2) === Seq(1L, 4L, 2L, 3L))
+    assert(got.head._3.isEmpty)
+    assert(got(1)._3.get === 2.0 && got(2)._3.get === 1.0)
+    // selection distances are the coverage-radius curve: non-increasing
+    val ds = got.flatMap(_._3)
+    assert(ds === ds.sorted.reverse)
+  }
+
   test("centroidConfusion: aligned labels read 1, orthogonal labels read 0") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-confusion").toString

@@ -254,4 +254,40 @@ class TemporalSpec extends AnyFunSuite {
       (3L, 2L, 2L, 4L, 30L),  // tie of two 2-day streaks: latest start
       (2L, 1L, 1L, 1L, 10L)))
   }
+
+  test("caliperMatching: nearest control wins, ties go backward, caliper drops") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-psm").toString
+    // nation 0 (all balances in dollars -> cents are x100):
+    //   treated t1 s=100_00: controls at 90_00 (c11) and 105_00 (c12)
+    //     -> forward wins (500 < 1000)
+    //   treated t2 s=200_00: controls equidistant 195_00/205_00
+    //     -> tie goes BACKWARD (c13 at 195_00)
+    //   treated t3 s=900_00: nearest control 105_00, outside caliper
+    //     -> unmatched
+    // nation 1: one treated, no controls -> unmatched
+    val cust = Seq(
+      (1L, 0, 100.0, "BUILDING"), (2L, 0, 200.0, "BUILDING"),
+      (3L, 0, 900.0, "BUILDING"),
+      (11L, 0, 90.0, "AUTOMOBILE"), (12L, 0, 105.0, "AUTOMOBILE"),
+      (13L, 0, 195.0, "AUTOMOBILE"), (14L, 0, 205.0, "AUTOMOBILE"),
+      (21L, 1, 500.0, "BUILDING"))
+    cust.map { case (k, n, bal, seg) => (k, s"c$k", n, bal, seg) }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // outcomes: each matched customer gets one order of a known price
+    Seq((1L, 1L, 70.0), (2L, 2L, 50.0), (3L, 3L, 10.0),
+      (4L, 12L, 40.0), (5L, 13L, 30.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Temporal.caliperMatching(spark, dir)
+      .as[(Int, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    // nation 0: t1->c12 (outcome 40), t2->c13 (outcome 30), t3 unmatched
+    //   mean_t = (70+50)/2 = 60, mean_c = (40+30)/2 = 35, att = 25
+    assert(out === Seq(
+      (0, 3L, 2L, Some(60.0), Some(35.0), Some(25.0)),
+      (1, 1L, 0L, None, None, None)))
+  }
 }
