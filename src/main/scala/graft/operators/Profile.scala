@@ -1307,6 +1307,138 @@ object Profile {
       |    / NULLIF(CAST(MAX(n1) * MAX(n2) AS DOUBLE), 0.0), 6) AS ks_stat
       |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q314 — Benjamini–Hochberg FDR over a drift-test panel: the q213
+    * early/late KS machinery runs per (source, lang) CELL — one
+    * hypothesis per feed slice, the "which slices actually drifted"
+    * fan-out every periodic corpus-health report produces — and the
+    * panel of asymptotic p-values (one-term Kolmogorov bound
+    * p = min(1, 2·exp(−2·n_eff·D²))) is corrected by the BH step-up
+    * at FDR q = 0.10, with BH-adjusted q-values (reverse running min
+    * of m·p/rank). Without the correction a 20-cell panel at α = .05
+    * false-alarms once per report by construction; BH is the standard
+    * fix and is pure relational algebra: a rank window, an integer
+    * comparison, a reverse cumulative min.
+    *
+    * Exactness: D and p round to 6dp off exact integer counts; the
+    * REJECTION rule is evaluated in pure integers
+    * (p_micro·m·10 ≤ rank·10⁶ at q = 1/10), so no boundary float
+    * wobble can flip a verdict; q-values are monotone mins over
+    * already-rounded doubles. Scale: the cell grid is
+    * |sources|×|langs|; everything after the per-cell windows is
+    * panel-sized.
+    */
+  def bhDriftPanel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val bounds = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val tagged = docs.crossJoin(broadcast(bounds))
+      .withColumn("late", (col("doc_id") * 2 > col("mn") + col("mx")).cast("int"))
+      .select(col("source"), col("lang"), col("late"), col("n_chars").as("x"))
+    val perVal = tagged.groupBy(col("source"), col("lang"), col("x"))
+      .agg(sum(lit(1) - col("late")).as("ce"), sum(col("late")).as("cl"))
+    val wCum = Window.partitionBy(col("source"), col("lang")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("source"), col("lang"))
+    val cells = perVal
+      .withColumn("c1", sum(col("ce")).over(wCum))
+      .withColumn("c2", sum(col("cl")).over(wCum))
+      .withColumn("n1", sum(col("ce")).over(wAll))
+      .withColumn("n2", sum(col("cl")).over(wAll))
+      .groupBy(col("source"), col("lang"))
+      .agg(max(col("n1")).as("n_early"), max(col("n2")).as("n_late"),
+        max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
+      .filter(col("n_early") > 0 && col("n_late") > 0)
+      .withColumn("ks_d", round(col("d_num").cast("double") /
+        (col("n_early") * col("n_late")).cast("double"), 6))
+      .withColumn("p_value", round(least(lit(1.0),
+        lit(2.0) * exp(lit(-2.0) *
+          ((col("n_early") * col("n_late")).cast("double") /
+            (col("n_early") + col("n_late")).cast("double")) *
+          col("ks_d") * col("ks_d"))), 6))
+    val wRank = Window.orderBy(col("p_value"), col("source"), col("lang"))
+    val ranked = cells
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("p_micro", round(col("p_value") * 1e6, 0).cast("long"))
+      .withColumn("passes",
+        col("p_micro") * col("m") * 10L <= col("rank") * 1000000L)
+    val kMax = Window.partitionBy(lit(1))
+    val wRev = Window.orderBy(col("rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked
+      .withColumn("k_max",
+        max(when(col("passes"), col("rank")).otherwise(0L)).over(kMax))
+      .withColumn("q_value",
+        min(round(least(lit(1.0),
+          col("m").cast("double") * col("p_value") / col("rank").cast("double")),
+          6)).over(wRev))
+      .select(col("source"), col("lang"), col("n_early"), col("n_late"),
+        col("ks_d"), col("p_value"), col("rank").cast("int").as("rank"),
+        (col("rank") <= col("k_max")).as("rejected"), col("q_value"))
+      .orderBy(col("rank"), col("source"), col("lang"))
+  }
+
+  val bhDriftPanelSql: String =
+    """WITH bounds AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+      |tagged AS (
+      |  SELECT source, lang,
+      |    CASE WHEN doc_id * 2 > mn + mx THEN 1 ELSE 0 END AS late,
+      |    n_chars AS x
+      |  FROM documents, bounds
+      |), per_val AS (
+      |  SELECT source, lang, x, SUM(1 - late) AS ce, SUM(late) AS cl
+      |  FROM tagged GROUP BY 1, 2, 3
+      |), cum AS (
+      |  SELECT source, lang,
+      |    SUM(ce) OVER w AS c1, SUM(cl) OVER w AS c2,
+      |    SUM(ce) OVER wa AS n1, SUM(cl) OVER wa AS n2
+      |  FROM per_val
+      |  WINDOW w AS (PARTITION BY source, lang ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wa AS (PARTITION BY source, lang)
+      |), cells0 AS (
+      |  SELECT source, lang,
+      |    CAST(MAX(n1) AS BIGINT) AS n_early,
+      |    CAST(MAX(n2) AS BIGINT) AS n_late,
+      |    MAX(ABS(c1 * n2 - c2 * n1)) AS d_num
+      |  FROM cum GROUP BY 1, 2
+      |), cells1 AS (
+      |  SELECT source, lang, n_early, n_late,
+      |    ROUND(CAST(d_num AS DOUBLE)
+      |      / CAST(n_early * n_late AS DOUBLE), 6) AS ks_d
+      |  FROM cells0 WHERE n_early > 0 AND n_late > 0
+      |), cells AS (
+      |  SELECT *, ROUND(LEAST(1.0,
+      |    2.0 * exp(-2.0 *
+      |      (CAST(n_early * n_late AS DOUBLE)
+      |        / CAST(n_early + n_late AS DOUBLE)) * ks_d * ks_d)), 6)
+      |    AS p_value
+      |  FROM cells1
+      |), ranked AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER (ORDER BY p_value, source, lang)
+      |      AS BIGINT) AS rank,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS m,
+      |    CAST(ROUND(p_value * 1e6, 0) AS BIGINT) AS p_micro
+      |  FROM cells
+      |), flagged AS (
+      |  SELECT *,
+      |    p_micro * m * 10 <= rank * 1000000 AS passes
+      |  FROM ranked
+      |), final AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN passes THEN rank ELSE 0 END) OVER () AS k_max,
+      |    MIN(ROUND(LEAST(1.0,
+      |      CAST(m AS DOUBLE) * p_value / CAST(rank AS DOUBLE)), 6))
+      |      OVER (ORDER BY rank
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS q_value
+      |  FROM flagged
+      |)
+      |SELECT source, lang, n_early, n_late, ks_d, p_value,
+      |  CAST(rank AS INT) AS rank, rank <= k_max AS rejected, q_value
+      |FROM final
+      |ORDER BY rank, source, lang""".stripMargin
+
   /** q230 — higher-moments profile: mean, stddev, skewness and excess
     * kurtosis per numeric lineitem column — the distribution-shape
     * row q70's min/max/count profile and q143's correlation matrix

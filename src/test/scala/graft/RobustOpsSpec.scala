@@ -724,6 +724,34 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(coldRow._5 === -1L && coldRow._6 === "continue")
   }
 
+  test("bhDriftPanel: BH step-up invariants on the graded panel") {
+    import graft.operators.Profile
+    val out = Profile.bhDriftPanel(spark, sf0001)
+      .as[(String, String, Long, Long, Double, Double, Int, Boolean, Double)]
+      .collect().toSeq
+    assert(out.nonEmpty)
+    val m = out.size
+    assert(out.map(_._7).sorted === (1 to m))
+    val byRank = out.sortBy(_._7)
+    // p is non-decreasing in rank; q-values monotone and in [p-adjacent, 1]
+    assert(byRank.map(_._6) === byRank.map(_._6).sorted)
+    assert(byRank.map(_._9) === byRank.map(_._9).sorted)
+    byRank.foreach { r => assert(r._9 <= 1.0 + 1e-9) }
+    // step-up: the rejected set is exactly a prefix of ranks, and its
+    // boundary rank itself passes p <= rank*q/m (q = 0.10)
+    val rejected = byRank.filter(_._8).map(_._7)
+    assert(rejected === (1 to rejected.size))
+    rejected.lastOption.foreach { k =>
+      val p = byRank(k - 1)._6
+      assert(math.round(p * 1e6) * m * 10 <= k.toLong * 1000000L)
+    }
+    // every non-rejected rank fails the criterion above the boundary
+    byRank.filterNot(_._8).foreach { r =>
+      assert(math.round(r._6 * 1e6) * m * 10 > r._7.toLong * 1000000L ||
+        r._7 > rejected.size)
+    }
+  }
+
   test("negativeSamplesRejection: full quotas, never samples owned parts, rerun-stable") {
     import graft.operators.Graph
     val out = Graph.negativeSamplesRejection(spark, sf0001)
