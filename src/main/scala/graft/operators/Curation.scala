@@ -1761,4 +1761,138 @@ object Curation {
        |GROUP BY 1, 2
        |ORDER BY lf_a, lf_b""".stripMargin
   }
+
+  /** q315 — DSIR importance resampling (Xie et al., NeurIPS 2023
+    * "Data Selection for Language Models via Importance Resampling"):
+    * raw-pool documents are weighted by the log-likelihood ratio of
+    * two hashed-unigram bag models — the TARGET domain (the
+    * lexicographically-first source stands in for "quality" data)
+    * versus the remaining RAW pool — and resampled by Gumbel-top-k on
+    * the weights, the paper's exact sampling-without-replacement
+    * construction. The selected set is the "looks most like the
+    * target domain" training subset, the method FineWeb-class
+    * pipelines use to steer mixture composition without training a
+    * classifier.
+    *
+    * Determinism/parity: feature hashing is [[graft.functions
+    * .PortableHash.md5Long32]] mod B buckets; add-1-smoothed bucket
+    * log-ratios round to 6dp and multiply exact per-doc bucket counts
+    * into a DECIMAL(18,6) sum (order-independent); the Gumbel noise
+    * is inverse-CDF'd from the q308-style seeded md5 uniform. Both
+    * engines derive the identical selection. Scale: one token
+    * explode collapsing map-side to (doc, bucket) counts, bucket
+    * stats broadcast (B rows), one narrow per-doc aggregate, and a
+    * TakeOrdered top-k — no corpus-sized sort.
+    */
+  def dsirSelect(spark: SparkSession, dir: String, buckets: Int = 256,
+                 k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.PortableHash
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.load(spark, dir, "documents")
+    val target = docs.agg(min(col("source"))).head.getString(0)
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("t"))
+      .withColumn("b", pmod(PortableHash.md5Long32(col("t")),
+        lit(buckets.toLong)))
+    val docBuckets = toks.groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("cd"))
+      .localCheckpoint() // consumers: both pool counts + the scoring join
+    val domain = spark.range(buckets).select(col("id").as("b"))
+    def pool(cond: Column): DataFrame = domain
+      .join(docBuckets.filter(cond).groupBy(col("b"))
+        .agg(sum(col("cd")).as("c")), Seq("b"), "left")
+      .select(col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    val ct = pool(col("source") === target)
+      .withColumnRenamed("c", "ct")
+    val cr = pool(col("source") =!= target)
+      .withColumnRenamed("c", "cr")
+    val stats = ct.join(cr, "b")
+      .crossJoin(broadcast(
+        ct.agg(sum(col("ct")).as("nt"))
+          .crossJoin(cr.agg(sum(col("cr")).as("nr")))))
+      .select(col("b"), round(
+        log10((col("ct") + 1).cast("double") /
+          (col("nt") + buckets).cast("double")) -
+        log10((col("cr") + 1).cast("double") /
+          (col("nr") + buckets).cast("double")), 6)
+        .cast(DecimalType(12, 6)).as("diff"))
+    val logw = docBuckets.filter(col("source") =!= target)
+      .join(broadcast(stats), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cd")).as("n_toks"),
+        sum(col("cd") * col("diff")).cast(DecimalType(18, 6)).as("lw"))
+    val u = (PortableHash.md5Long60(col("doc_id")).cast("double") + 0.5) /
+      lit((1L << 60).toDouble)
+    val scored = logw
+      .withColumn("gumbel", round(-log(-log(u)), 6))
+      .withColumn("log_ratio", col("lw").cast("double"))
+      .withColumn("score",
+        round(col("log_ratio") + col("gumbel"), 6))
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("log_ratio"), col("gumbel"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .orderBy(col("rank"))
+  }
+
+  def dsirSelectSql(buckets: Int = 256, k: Int = 64): String =
+    s"""WITH target AS (SELECT MIN(source) AS ts FROM documents),
+       |toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % $buckets AS b
+       |  FROM (
+       |    SELECT doc_id, source, unnest(list_filter(
+       |      string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS t
+       |    FROM documents)
+       |), doc_buckets AS (
+       |  SELECT doc_id, source, b, COUNT(*) AS cd
+       |  FROM toks GROUP BY 1, 2, 3
+       |), domain AS (
+       |  SELECT unnest(range(0, $buckets)) AS b
+       |), ct AS (
+       |  SELECT d.b, COALESCE(SUM(x.cd), 0) AS ct
+       |  FROM domain d LEFT JOIN (
+       |    SELECT b, cd FROM doc_buckets, target WHERE source = ts) x
+       |    ON x.b = d.b
+       |  GROUP BY d.b
+       |), cr AS (
+       |  SELECT d.b, COALESCE(SUM(x.cd), 0) AS cr
+       |  FROM domain d LEFT JOIN (
+       |    SELECT b, cd FROM doc_buckets, target WHERE source <> ts) x
+       |    ON x.b = d.b
+       |  GROUP BY d.b
+       |), stats AS (
+       |  SELECT ct.b, CAST(ROUND(
+       |    log10(CAST(ct.ct + 1 AS DOUBLE) /
+       |      CAST(nt.nt + $buckets AS DOUBLE)) -
+       |    log10(CAST(cr.cr + 1 AS DOUBLE) /
+       |      CAST(nr.nr + $buckets AS DOUBLE)), 6) AS DECIMAL(12,6)) AS diff
+       |  FROM ct JOIN cr ON ct.b = cr.b,
+       |    (SELECT SUM(ct) AS nt FROM ct) nt,
+       |    (SELECT SUM(cr) AS nr FROM cr) nr
+       |), logw AS (
+       |  SELECT db.doc_id, db.source,
+       |    CAST(SUM(db.cd) AS BIGINT) AS n_toks,
+       |    CAST(SUM(db.cd * s.diff) AS DECIMAL(18,6)) AS lw
+       |  FROM doc_buckets db JOIN stats s ON s.b = db.b, target
+       |  WHERE db.source <> ts
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT doc_id, source, n_toks,
+       |    CAST(lw AS DOUBLE) AS log_ratio,
+       |    ROUND(-ln(-ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS
+       |      VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+       |      / POWER(2.0, 60))), 6) AS gumbel
+       |  FROM logw
+       |)
+       |SELECT doc_id, source, n_toks, log_ratio, gumbel,
+       |  ROUND(log_ratio + gumbel, 6) AS score,
+       |  CAST(row_number() OVER (ORDER BY ROUND(log_ratio + gumbel, 6) DESC,
+       |    doc_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $k
+       |ORDER BY rank""".stripMargin
 }

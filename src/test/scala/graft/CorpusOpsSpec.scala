@@ -402,6 +402,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirSelect: target-like raw docs outweigh target-unlike ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    // target source (lexicographically first = "a_target"): pure "aaa bbb"
+    // raw pool: docs 10/11 mimic the target, docs 12/13 are disjoint
+    val rows = Seq(
+      (1L, "aaa bbb aaa bbb", "a_target"), (2L, "aaa bbb", "a_target"),
+      (10L, "aaa bbb aaa", "raw"), (11L, "bbb aaa", "raw"),
+      (12L, "zzz yyy xxx", "raw"), (13L, "yyy zzz", "raw"))
+    rows.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.dsirSelect(spark, dir, buckets = 16, k = 4)
+      .as[(Long, String, Long, Double, Double, Double, Int)].collect().toSeq
+    // only raw-pool docs are candidates
+    assert(out.forall(_._2 == "raw") && out.size === 4)
+    val byDoc = out.map(r => r._1 -> r._4).toMap
+    // per-token log-ratio favors target-like content
+    assert(byDoc(10L) / 3 > byDoc(12L) / 3)
+    assert(byDoc(11L) > byDoc(13L))
+    // score decomposition holds
+    out.foreach { r =>
+      assert(math.abs(r._6 - BigDecimal(r._4 + r._5)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("chunk: stride/size geometry and full token coverage") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10, c=4, s=3
