@@ -493,6 +493,69 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q316 — CCNet-style perplexity buckets: every document's q56
+    * bigram-LM cross-entropy, split into per-language HEAD / MIDDLE /
+    * TAIL tertiles (ntile over the language's own distribution — the
+    * CCNet recipe: absolute ppl thresholds don't transfer across
+    * languages, per-lang quantiles do), with per-bucket volume and
+    * cross-entropy envelope. The head/tail split is the classic
+    * LM-based quality gate (keep head, drop or down-weight tail) of
+    * the CommonCrawl curation line (Wenzek et al. 2020).
+    *
+    * Reuses the graded q56 scorer verbatim, so the buckets cannot
+    * drift from the per-doc relation. Exactness: cross_entropy is
+    * already exactly 6dp; the bucket mean runs in integer micro-units
+    * with the shared half-up convention. Scale: the scorer's cost
+    * dominates; the tertile is one per-lang window over docs, and the
+    * report is 3·|langs| rows.
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ce = bigramLm(spark, dir).filter(col("n_bigrams") > 0)
+    val langs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val bucketed = ce.join(langs, "doc_id")
+      .withColumn("b", ntile(3).over(Window.partitionBy(col("lang"))
+        .orderBy(col("cross_entropy"), col("doc_id"))))
+      .withColumn("micro",
+        round(col("cross_entropy") * 1e6, 0).cast("long"))
+    bucketed.groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("cross_entropy")).as("min_ce"),
+        max(col("cross_entropy")).as("max_ce"),
+        sum(col("micro")).as("s"))
+      .select(col("lang"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_docs"), col("min_ce"), col("max_ce"),
+        (expr("CAST((2 * s + n_docs) div (2 * n_docs) AS DOUBLE)") / 1e6)
+          .as("mean_ce"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  def pplBucketsSql(): String =
+    s"""WITH ce0 AS (
+       |  $bigramLmSql
+       |), bucketed AS (
+       |  SELECT d.lang, c.doc_id, c.cross_entropy,
+       |    ntile(3) OVER (PARTITION BY d.lang
+       |      ORDER BY c.cross_entropy, c.doc_id) AS b,
+       |    CAST(ROUND(c.cross_entropy * 1e6, 0) AS BIGINT) AS micro
+       |  FROM ce0 c JOIN documents d ON d.doc_id = c.doc_id
+       |  WHERE c.n_bigrams > 0
+       |)
+       |SELECT lang,
+       |  CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(cross_entropy) AS min_ce,
+       |  MAX(cross_entropy) AS max_ce,
+       |  CAST((2 * SUM(micro) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+       |    / 1e6 AS mean_ce
+       |FROM bucketed
+       |GROUP BY lang, b
+       |ORDER BY lang, bucket""".stripMargin
+
   /** q24 — document fingerprints: byte-level (whitespace-normalized)
     * and order-insensitive bag-of-words md5.
     */

@@ -381,6 +381,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out === Seq(("unit", 4L, 3L, 2L, 0.75, 0.666667)))
   }
 
+  test("pplBuckets: tertiles balanced and ordered head <= middle <= tail") {
+    val out = TextAnalysis.pplBuckets(SharedSpark.spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Double, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val m = rows.map(r => r._2 -> r).toMap
+      // ntile balance: sizes differ by at most 1
+      assert(rows.map(_._3).max - rows.map(_._3).min <= 1, s"$lang unbalanced")
+      // the CE envelope is ordered across buckets
+      for {
+        h <- m.get("head"); mid <- m.get("middle")
+      } assert(h._5 <= mid._4 + 1e-9, s"$lang head/middle overlap")
+      for {
+        mid <- m.get("middle"); t <- m.get("tail")
+      } assert(mid._5 <= t._4 + 1e-9, s"$lang middle/tail overlap")
+      rows.foreach(r => assert(r._4 <= r._6 && r._6 <= r._5 + 1e-9))
+    }
+  }
+
   test("goodTuringVocab: hand-counted singleton/doubleton estimates") {
     // en: tokens a a b c -> N=4 V=3 N1=2 N2=1
     //   p_unseen = 2/4 = 0.5 ; chao1 = 3 + 2*1/(2*2) = 3.5
