@@ -714,6 +714,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: pairs match the batch range join, late clicks drop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = graft.streaming.StreamingIntervalJoin.clicksBeforePurchase(
+      clicks.toDF().toDF("c_user", "c_id", "c_ts"),
+      purchases.toDF().toDF("p_user", "p_id", "p_ts"),
+      windowMs = 60000L, delay = "10 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      // user 1: clicks at 10:00:00 and 10:00:30; purchase at 10:00:50
+      //   -> both clicks inside the 60 s window
+      // user 2: click at 09:58:00; purchase at 10:00:00 -> outside
+      clicks.addData((1L, 101L, ts("2026-01-01 10:00:00")),
+        (1L, 102L, ts("2026-01-01 10:00:30")),
+        (2L, 201L, ts("2026-01-01 09:58:00")))
+      purchases.addData((1L, 11L, ts("2026-01-01 10:00:50")),
+        (2L, 21L, ts("2026-01-01 10:00:00")))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT p_id, c_id FROM ssj_out")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs === Set((11L, 101L), (11L, 102L)))
+      // advance both watermarks far ahead, evicting click state
+      clicks.addData((9L, 901L, ts("2026-01-01 11:00:00")))
+      purchases.addData((9L, 91L, ts("2026-01-01 11:00:00")))
+      q.processAllAvailable()
+      // a click far behind the watermark targeting an in-window (old)
+      // purchase produces nothing: the join state for that region is gone
+      clicks.addData((1L, 103L, ts("2026-01-01 10:00:40")))
+      q.processAllAvailable()
+      val after = spark.sql("SELECT c_id FROM ssj_out").as[Long].collect()
+      assert(!after.contains(103L), "late click must be dropped")
+    } finally q.stop()
+  }
+
   test("streaming content dedup: q25 fingerprint parity, then the horizon FORGETS") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
