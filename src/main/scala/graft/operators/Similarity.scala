@@ -1434,6 +1434,88 @@ object Similarity {
       |WHERE m.rn = 1
       |ORDER BY m.cell""".stripMargin
 
+  /** q317 — Adjusted Rand Index of the q158 cell assignment against
+    * the true labels: the PAIR-counting external validation that
+    * complements q158's information-theoretic NMI (the two
+    * disagree exactly when cluster sizes are skewed — reporting both
+    * is the standard practice). Everything is integer pair counting
+    * on the same (cell, label) contingency table: with doubled
+    * binomials s_ij = Σ n_ij(n_ij−1), s_a = Σ a_i(a_i−1),
+    * s_b = Σ b_j(b_j−1), N₂ = n(n−1),
+    * ARI = (s_ij·N₂ − s_a·s_b) / (N₂·(s_a+s_b)/2 − s_a·s_b) and the
+    * plain Rand index = (2·s_ij + N₂ − s_a − s_b)/N₂ — each ONE IEEE
+    * division of exact integers, rounded 6dp.
+    *
+    * Scale: the corpus-sized work is the q158 assignment aggregate;
+    * the pair counting runs on the ≤|cells|×|labels| table. The
+    * doubled sums stay in BIGINT through ~10⁹ rows; past that the
+    * same expressions lift to DECIMAL(38,0) unchanged.
+    */
+  def clusterAri(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val centroids = centroidArrays(labelCentroids(spark, dir))
+    val conf = graft.Iterate.cut(
+      assignCells(spark, emb, centroids, nprobe = 1)
+        .groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("n_cl")))
+    val sij = conf.agg(sum(col("n_cl") * (col("n_cl") - 1)).as("s_ij"),
+      sum(col("n_cl")).as("n"), countDistinct(col("cell")).as("n_cells"),
+      countDistinct(col("label")).as("n_labels"))
+    val sa = conf.groupBy(col("cell")).agg(sum(col("n_cl")).as("a"))
+      .agg(sum(col("a") * (col("a") - 1)).as("s_a"))
+    val sb = conf.groupBy(col("label")).agg(sum(col("n_cl")).as("b"))
+      .agg(sum(col("b") * (col("b") - 1)).as("s_b"))
+    sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("n2", col("n") * (col("n") - 1))
+      .select(col("n").as("n_total"),
+        col("n_cells").cast("int").as("n_cells"),
+        col("n_labels").cast("int").as("n_labels"),
+        round((lit(2L) * col("s_ij") * col("n2") -
+          lit(2L) * col("s_a") * col("s_b")).cast("double") /
+          (col("n2") * (col("s_a") + col("s_b")) -
+            lit(2L) * col("s_a") * col("s_b")).cast("double"), 6).as("ari"),
+        round((lit(2L) * col("s_ij") + col("n2") - col("s_a") - col("s_b"))
+          .cast("double") / col("n2").cast("double"), 6).as("rand_index"))
+  }
+
+  val clusterAriSql: String =
+    s"""WITH cent_long AS (
+      |  SELECT label, i - 1 AS dim,
+      |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+      |      / COUNT(embedding[i]) AS centroid
+      |  FROM embeddings, generate_series(1, 64) AS t(i)
+      |  GROUP BY label, i
+      |), cent AS (
+      |  SELECT label AS cell, list(CAST(centroid AS REAL) ORDER BY dim) AS c_emb
+      |  FROM cent_long GROUP BY label
+      |), assigned AS (
+      |  SELECT e.vec_id, e.label, c.cell
+      |  FROM embeddings e CROSS JOIN cent c
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell) = 1
+      |), conf AS (
+      |  SELECT cell, label, COUNT(*) AS n_cl FROM assigned GROUP BY 1, 2
+      |), sij AS (
+      |  SELECT CAST(SUM(n_cl * (n_cl - 1)) AS BIGINT) AS s_ij,
+      |    CAST(SUM(n_cl) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT cell) AS INT) AS n_cells,
+      |    CAST(COUNT(DISTINCT label) AS INT) AS n_labels
+      |  FROM conf
+      |), sa AS (
+      |  SELECT CAST(SUM(a * (a - 1)) AS BIGINT) AS s_a FROM (
+      |    SELECT CAST(SUM(n_cl) AS BIGINT) AS a FROM conf GROUP BY cell)
+      |), sb AS (
+      |  SELECT CAST(SUM(b * (b - 1)) AS BIGINT) AS s_b FROM (
+      |    SELECT CAST(SUM(n_cl) AS BIGINT) AS b FROM conf GROUP BY label)
+      |)
+      |SELECT n AS n_total, n_cells, n_labels,
+      |  ROUND(CAST(2 * s_ij * (n * (n - 1)) - 2 * s_a * s_b AS DOUBLE)
+      |    / CAST((n * (n - 1)) * (s_a + s_b) - 2 * s_a * s_b AS DOUBLE), 6)
+      |    AS ari,
+      |  ROUND(CAST(2 * s_ij + (n * (n - 1)) - s_a - s_b AS DOUBLE)
+      |    / CAST(n * (n - 1) AS DOUBLE), 6) AS rand_index
+      |FROM sij, sa, sb""".stripMargin
+
   /** nDCG@k position weights in 1e-6 units: w(i) = 1/log2(i+1),
     * rounded once to integers so per-query DCG sums are pure integer
     * arithmetic — no float accumulation order to reconcile across

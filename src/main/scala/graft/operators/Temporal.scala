@@ -346,6 +346,85 @@ object Temporal {
       |WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY t_day""".stripMargin
 
+  /** q318 — Nelson–Aalen cumulative hazard over the q151 risk table:
+    * H(t) = Σ_{t_i ≤ t} d_i/n_i, plus the Fleming–Harrington survival
+    * S_FH = e^(−H) — the estimator pair survival reporting ships next
+    * to Kaplan–Meier (N–A is the less biased hazard view at small
+    * risk sets, and KM vs FH divergence flags exactly those steps).
+    * Identical subjects/censoring/steps machinery as q151, so the two
+    * curves cannot drift apart on inputs.
+    *
+    * Exactness: each step's hazard increment d_i/n_i is one IEEE
+    * division rounded 6dp, accumulated as DECIMAL (order-independent);
+    * S_FH exponentiates the rounded cumulative — the same
+    * log-space-with-6dp-terms convention as q151. Scale: one customer
+    * aggregate, then windows over the distinct-duration step table.
+    */
+  def nelsonAalen(spark: SparkSession, dir: String,
+                  censorDays: Int = 90): DataFrame = {
+    val dayOf = (c: String) =>
+      s"(unix_micros(cast($c as timestamp)) - pmod(unix_micros(cast($c as timestamp)), 86400000000)) div 86400000000"
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), expr(dayOf("o_orderdate")).as("day"))
+    val subj = orders.groupBy(col("o_custkey"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val asof = orders.agg(max(col("day")).as("asof_day"))
+    val s = subj.crossJoin(broadcast(asof))
+      .select((col("d1") - col("d0")).as("dur"),
+        when(col("d1") <= col("asof_day") - censorDays, 1L).otherwise(0L).as("ev"))
+    val steps = s.groupBy(col("dur"))
+      .agg(sum(col("ev")).as("d_events"),
+        sum(lit(1L) - col("ev")).as("n_censored"),
+        count(lit(1)).as("n_t"))
+    val wDesc = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAsc = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    steps
+      .withColumn("n_risk", sum(col("n_t")).over(wDesc))
+      .withColumn("hinc",
+        round(col("d_events").cast("double") / col("n_risk").cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .withColumn("ch", sum(col("hinc")).over(wAsc))
+      .select(col("dur").as("t_day"), col("n_risk"), col("d_events"),
+        col("n_censored"),
+        col("ch").cast("double").as("cum_hazard"),
+        round(exp(-col("ch").cast("double")), 6).as("s_fh"))
+      .orderBy(col("t_day"))
+  }
+
+  def nelsonAalenSql(censorDays: Int = 90): String =
+    s"""WITH d AS (
+      |  SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day FROM orders
+      |), ad AS (
+      |  SELECT MAX(day) AS asof_day FROM d
+      |), subj AS (
+      |  SELECT MAX(day) - MIN(day) AS dur,
+      |    CASE WHEN MAX(day) <= (SELECT asof_day FROM ad) - $censorDays
+      |      THEN 1 ELSE 0 END AS ev
+      |  FROM d GROUP BY o_custkey
+      |), steps AS (
+      |  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d_events,
+      |    CAST(SUM(1 - ev) AS BIGINT) AS n_censored, COUNT(*) AS n_t
+      |  FROM subj GROUP BY dur
+      |), r AS (
+      |  SELECT dur, d_events, n_censored,
+      |    SUM(n_t) OVER (ORDER BY dur DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |  FROM steps
+      |), h AS (
+      |  SELECT dur, d_events, n_censored, n_risk,
+      |    SUM(CAST(ROUND(CAST(d_events AS DOUBLE) / n_risk, 6)
+      |      AS DECIMAL(18,6))) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+      |  FROM r
+      |)
+      |SELECT dur AS t_day, CAST(n_risk AS BIGINT) AS n_risk, d_events,
+      |  n_censored,
+      |  CAST(ch AS DOUBLE) AS cum_hazard,
+      |  ROUND(exp(-CAST(ch AS DOUBLE)), 6) AS s_fh
+      |FROM h ORDER BY t_day""".stripMargin
+
   /** q152 — weekly demand features per brand, on a DENSE calendar
     * spine: summed quantity per (brand, epoch-week) including
     * zero-sale weeks, with lag-1, lag-4, and a trailing 4-week mean —

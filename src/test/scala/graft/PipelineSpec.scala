@@ -591,6 +591,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(l1._5 === 2L) // both sit below the 0.8 floor
   }
 
+  test("clusterAri: hand-counted pair agreement on a crafted confusion") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-ari").toString
+    // labels 0/1 share the x-axis centroid (merge into cell 0 by the
+    // cell-asc tiebreak); label 2 owns the y-axis. Contingency:
+    // cell0 = {l0:2, l1:1}, cell2 = {l2:2}; n=5.
+    // s_ij=4, s_a=8, s_b=4, N2=20 -> ARI = 96/176, RI = 16/20
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1),
+      (4L, Array(0.0f, 1.0f), 2), (5L, Array(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.clusterAri(spark, dir)
+      .as[(Long, Int, Int, Double, Double)].collect().head
+    assert(r === ((5L, 2, 3, 0.545455, 0.8)))
+  }
+
   test("kCenterCoreset: farthest-first picks the hand-ordered centers") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-kcenter").toString

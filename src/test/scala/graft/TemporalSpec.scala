@@ -255,6 +255,28 @@ class TemporalSpec extends AnyFunSuite {
       (2L, 1L, 1L, 1L, 10L)))
   }
 
+  test("nelsonAalen: shares q151's risk table; FH dominates KM; hazard monotone") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val na = graft.operators.Temporal.nelsonAalen(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    val km = graft.operators.Temporal.kaplanMeier(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // identical step/risk tables — the two curves can't drift on inputs
+    assert(na.map(r => (r._1, r._2, r._3, r._4)) ===
+      km.map(r => (r._1, r._2, r._3, r._4)))
+    // cumulative hazard is non-decreasing; survivals in [0,1]
+    val ch = na.map(_._5)
+    assert(ch === ch.sorted)
+    na.foreach(r => assert(r._6 >= 0.0 && r._6 <= 1.0))
+    // Fleming-Harrington dominates Kaplan-Meier pointwise (standard
+    // inequality: e^(-d/n) >= 1 - d/n), up to the shared 6dp rounding
+    na.zip(km).foreach { case (n, k) =>
+      assert(n._6 >= k._5 - 2e-6, s"t=${n._1}: FH ${n._6} < KM ${k._5}")
+    }
+  }
+
   test("caliperMatching: nearest control wins, ties go backward, caliper drops") {
     val spark = SharedSpark.spark
     import spark.implicits._
