@@ -1762,6 +1762,79 @@ object Curation {
        |ORDER BY lf_a, lf_b""".stripMargin
   }
 
+  /** q320 — training-shard assignment audit: documents land in
+    * `nShards` output shards by the deterministic md5 hash every
+    * epoch-shuffled training run uses (same doc → same shard across
+    * reruns and retried tasks — the idempotence sampling already
+    * relies on), and the relation reports what the data-loading tier
+    * actually cares about: per-shard document/token/byte volume, each
+    * shard's deviation from the uniform expectation, and the global
+    * imbalance chi² with the q167 decimal-term convention (df =
+    * nShards − 1; at 16 shards the 0.05 critical value is 24.995790).
+    * A skewed shard is a straggler at training time; this is the
+    * pre-flight check that catches it while it's still a repartition
+    * away from free.
+    *
+    * Scale: one narrow map (hash + token count ride the scan) and one
+    * nShards-row aggregate — no joins; the window runs over the shard
+    * table. Exactness: volumes are integers; chi² terms round to 6dp
+    * and sum as DECIMAL(28,6).
+    */
+  def shardBalance(spark: SparkSession, dir: String,
+                   nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.TextFunctions.tokenCount
+    val docs = Tables.load(spark, dir, "documents")
+      .select(
+        pmod(graft.functions.PortableHash.md5Long32(col("doc_id")),
+          lit(nShards.toLong)).as("shard"),
+        tokenCount(col("text")).cast("long").as("toks"),
+        col("n_chars"))
+    val shards = docs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"))
+    val w = Window.partitionBy(lit(1))
+    shards
+      .withColumn("total_docs", sum(col("n_docs")).over(w))
+      .withColumn("exp", col("total_docs").cast("double") / nShards)
+      .withColumn("term",
+        round(pow(col("n_docs") - col("exp"), 2) / col("exp"), 6)
+          .cast(DecimalType(28, 6)))
+      .withColumn("chi2", sum(col("term")).over(w).cast("double"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bytes"),
+        round(col("n_docs") / col("exp"), 6).as("load_factor"),
+        col("chi2"), (col("chi2") > 24.995790).as("imbalanced"))
+      .orderBy(col("shard"))
+  }
+
+  def shardBalanceSql(nShards: Int = 16): String =
+    s"""WITH docs AS (
+       |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % $nShards AS shard,
+       |    ${graft.operators.TextAnalysis.tokenCountExprSql} AS toks,
+       |    n_chars
+       |  FROM documents
+       |), shards AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+       |  FROM docs GROUP BY shard
+       |), terms AS (
+       |  SELECT *, SUM(n_docs) OVER () AS total_docs,
+       |    CAST(SUM(n_docs) OVER () AS DOUBLE) / $nShards AS exp,
+       |    CAST(ROUND(POW(n_docs - CAST(SUM(n_docs) OVER () AS DOUBLE)
+       |        / $nShards, 2)
+       |      / (CAST(SUM(n_docs) OVER () AS DOUBLE) / $nShards), 6)
+       |      AS DECIMAL(28,6)) AS term
+       |  FROM shards
+       |)
+       |SELECT shard, n_docs, n_tokens, n_bytes,
+       |  ROUND(n_docs / exp, 6) AS load_factor,
+       |  CAST(SUM(term) OVER () AS DOUBLE) AS chi2,
+       |  CAST(SUM(term) OVER () AS DOUBLE) > 24.995790 AS imbalanced
+       |FROM terms
+       |ORDER BY shard""".stripMargin
+
   /** q315 — DSIR importance resampling (Xie et al., NeurIPS 2023
     * "Data Selection for Language Models via Importance Resampling"):
     * raw-pool documents are weighted by the log-likelihood ratio of

@@ -1218,6 +1218,87 @@ object Graph {
        |    AS eff_90
        |FROM fin ORDER BY hop""".stripMargin
 
+  /** q319 — seeded random walks over the co-purchase graph: from each
+    * q297 landmark, a DeepWalk-style trajectory of `steps` hops where
+    * the next hop is the neighbor selected by a deterministic hash of
+    * (walk, step, node) — the md5-seeded stand-in for the RNG draw,
+    * so replays, retried tasks and the oracle all walk the identical
+    * path (the q43/q87 sampling discipline applied to graph
+    * traversal). Walk corpora like this are the input grain of
+    * DeepWalk/node2vec-style embedding pretraining; the relation is
+    * the (walk, step, node) trajectory table a skip-gram stage would
+    * consume.
+    *
+    * Scale: the adjacency table (sorted neighbor arrays, built on the
+    * basket-capped pair generator) materializes once; each of the
+    * `steps` rounds joins the walk frontier — |walks| rows — against
+    * it, a broadcast-probe of metadata size. At a production walk
+    * count (walks ≫ |V|) the same loop co-partitions frontier and
+    * adjacency on the node key instead; the step structure is
+    * unchanged. Neighbor arrays are bounded by the q?-cap on basket
+    * fan-out; a degree cap slots into the same collect_list if a
+    * corpus needs one.
+    */
+  def seededWalks(spark: SparkSession, dir: String, k: Int = 8,
+                  steps: Int = 8): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    val adj = graft.Iterate.cut(
+      edges.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"),
+          count(lit(1)).as("deg")))
+    val landmarks = adj.orderBy(col("deg").desc, col("src").asc).limit(k)
+      .select(col("src").as("walk_id"))
+    var cur = landmarks.select(col("walk_id"), col("walk_id").as("node"))
+      .localCheckpoint()
+    var out = cur.withColumn("step", lit(0))
+    for (t <- 1 to steps) {
+      val idx = pmod(graft.functions.PortableHash.md5Long32(
+        concat_ws("|", col("walk_id"), lit(t), col("node"))), col("deg"))
+      cur = cur.join(adj, cur("node") === adj("src"))
+        .select(col("walk_id"),
+          element_at(col("nbrs"), (idx + 1).cast("int")).as("node"))
+        .localCheckpoint()
+      out = out.unionByName(cur.withColumn("step", lit(t)))
+    }
+    out.select(col("walk_id"), col("step"), col("node"))
+      .orderBy(col("walk_id"), col("step"))
+  }
+
+  def seededWalksSql(k: Int = 8, steps: Int = 8): String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT pa AS src, pb AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT pb AS src, pa AS dst FROM pairs
+       |), adj AS (
+       |  SELECT src, list(dst ORDER BY dst) AS nbrs,
+       |    CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY src
+       |), lms AS (
+       |  SELECT src AS walk_id FROM adj
+       |  ORDER BY deg DESC, src LIMIT $k
+       |), walk(walk_id, step, node) AS (
+       |  SELECT walk_id, 0, walk_id FROM lms
+       |  UNION ALL
+       |  SELECT w.walk_id, w.step + 1,
+       |    a.nbrs[CAST(1 + (CAST(('0x' || substr(md5(
+       |      CAST(w.walk_id AS VARCHAR) || '|' ||
+       |      CAST(w.step + 1 AS VARCHAR) || '|' ||
+       |      CAST(w.node AS VARCHAR)), 1, 8)) AS BIGINT) % a.deg) AS INT)]
+       |  FROM walk w JOIN adj a ON a.src = w.node
+       |  WHERE w.step < $steps
+       |)
+       |SELECT walk_id, step, node FROM walk
+       |ORDER BY walk_id, step""".stripMargin
+
   def bfsHopsSql(maxHops: Int = 3): String =
     s"""WITH RECURSIVE li AS (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

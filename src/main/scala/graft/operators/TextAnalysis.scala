@@ -1039,6 +1039,94 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** q321 — Heaps' law fit over the q109 growth curve: OLS of
+    * log10(cum_types) on log10(cum_tokens) gives the Heaps exponent β
+    * (V ≈ K·Nᵝ) and its r² — the two-number summary of "how fast does
+    * this corpus's vocabulary saturate", the forward extrapolation
+    * q310's Good–Turing mass reads instantaneously. β near 1 means
+    * the feed keeps minting types (OCR noise, IDs, markup); text
+    * corpora typically sit in 0.4–0.6 — the comparison is the QC
+    * reading.
+    *
+    * Exactness: the q102 OLS discipline verbatim — log10 terms and
+    * their products rounded to 6dp and decimal-summed, slope/
+    * intercept/r² each one double chain off those exact sums.
+    * Scale: rides the q109 aggregates; the regression runs over the
+    * |buckets|-row curve.
+    */
+  def heapsFit(spark: SparkSession, dir: String,
+               bucket: Int = 100): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val curve = vocabularyGrowth(spark, dir, bucket)
+      .filter(col("cum_tokens") > 0 && col("cum_types") > 0)
+      .select(round(log10(col("cum_tokens").cast("double")), 6).as("x"),
+        round(log10(col("cum_types").cast("double")), 6).as("y"))
+    curve.agg(
+        count(lit(1)).as("n_points"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(round(col("x") * col("x"), 6)).as("sxx"),
+        dsum(round(col("x") * col("y"), 6)).as("sxy"),
+        dsum(round(col("y") * col("y"), 6)).as("syy"))
+      .withColumn("den",
+        nullif(col("n_points") * col("sxx") - col("sx") * col("sx"), lit(0.0)))
+      .withColumn("num", col("n_points") * col("sxy") - col("sx") * col("sy"))
+      .select(col("n_points"),
+        // + 0.0 normalizes IEEE negative zero (a saturated-vocabulary
+        // corpus fits beta = exactly 0, where the engines' rounding
+        // signs differ)
+        (round(col("num") / col("den"), 6) + lit(0.0)).as("beta"),
+        (round((col("sy") - (col("num") / col("den")) * col("sx"))
+          / col("n_points"), 4) + lit(0.0)).as("log10_k"),
+        (round((col("num") * col("num")) /
+          nullif(col("den") * (col("n_points") * col("syy") -
+            col("sy") * col("sy")), lit(0.0)), 6) + lit(0.0)).as("r2"))
+  }
+
+  def heapsFitSql(bucket: Int = 100): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+       |  FROM documents
+       |), first_doc AS (
+       |  SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token
+       |), new_types AS (
+       |  SELECT first_doc // $bucket AS bucket, COUNT(*) AS n_new_types
+       |  FROM first_doc GROUP BY 1
+       |), tok_counts AS (
+       |  SELECT doc_id // $bucket AS bucket, COUNT(*) AS n_tokens
+       |  FROM tok GROUP BY 1
+       |), curve AS (
+       |  SELECT
+       |    SUM(t.n_tokens) OVER (ORDER BY t.bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+       |    SUM(COALESCE(n.n_new_types, 0)) OVER (ORDER BY t.bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_types
+       |  FROM tok_counts t LEFT JOIN new_types n ON n.bucket = t.bucket
+       |), pts AS (
+       |  SELECT ROUND(LOG10(CAST(cum_tokens AS DOUBLE)), 6) AS x,
+       |    ROUND(LOG10(CAST(cum_types AS DOUBLE)), 6) AS y
+       |  FROM curve WHERE cum_tokens > 0 AND cum_types > 0
+       |), s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+       |  FROM pts
+       |)
+       |SELECT n_points,
+       |  ROUND((n_points * sxy - sx * sy)
+       |    / NULLIF(n_points * sxx - sx * sx, 0.0), 6) + 0.0 AS beta,
+       |  ROUND((sy - ((n_points * sxy - sx * sy)
+       |      / NULLIF(n_points * sxx - sx * sx, 0.0)) * sx)
+       |    / n_points, 4) + 0.0 AS log10_k,
+       |  ROUND((n_points * sxy - sx * sy) * (n_points * sxy - sx * sy)
+       |    / NULLIF((n_points * sxx - sx * sx) *
+       |      (n_points * syy - sy * sy), 0.0), 6) + 0.0 AS r2
+       |FROM s""".stripMargin
+
   /** 100 TB scale path of q36's vocabulary (benched as x04, not
     * oracle-graded): Misra–Gries heavy hitters over the token stream —
     * ≤ k counters per aggregation buffer instead of the full

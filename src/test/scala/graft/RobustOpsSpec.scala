@@ -697,6 +697,43 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(math.abs(mom - plain) <= spread + 1e-6)
   }
 
+  test("seededWalks: every hop is a graph edge; trajectories are rerun-stable") {
+    import graft.operators.Graph
+    val spark2 = SharedSpark.spark
+    val walks = Graph.seededWalks(spark2, sf0001, k = 4, steps = 5)
+      .as[(Long, Int, Long)].collect().toSeq
+    // 4 walks x 6 rows (step 0..5), each complete
+    assert(walks.map(_._1).distinct.size === 4)
+    walks.groupBy(_._1).foreach { case (_, t) =>
+      assert(t.map(_._2).sorted === (0 to 5)) }
+    // each consecutive (node, next) pair is an undirected co-purchase edge
+    val pairs = graft.operators.Graph.coPurchasePairs(spark2, sf0001)
+      .select("pa", "pb").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    walks.groupBy(_._1).foreach { case (_, t) =>
+      t.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Seq(a, b) => assert(pairs.contains((a, b)), s"$a->$b not an edge")
+        case _ =>
+      }
+    }
+    // determinism: a second run walks the identical trajectories
+    val again = Graph.seededWalks(spark2, sf0001, k = 4, steps = 5)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(again === walks)
+  }
+
+  test("shardBalance: shards partition the corpus; chi2 reconciles with terms") {
+    import graft.operators.Curation
+    val out = Curation.shardBalance(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(out.map(_._2).sum === 500L) // sf0.001's 500 docs, fully covered
+    assert(out.map(_._1).distinct.size === out.size)
+    // doc-weighted mean load factor sits near 1 by construction
+    val lf = out.map(r => r._5 * r._2).sum / out.map(_._2).sum
+    assert(out.map(_._6).distinct.size === 1) // one global chi2
+    assert(lf > 0.9 && lf < 1.6)
+  }
+
   test("sprtReadout: crossing trial and decision match the hand-walked LLR") {
     import graft.operators.Profile
     val dir = java.nio.file.Files.createTempDirectory("graft-sprt").toString

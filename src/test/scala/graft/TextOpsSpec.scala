@@ -381,6 +381,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out === Seq(("unit", 4L, 3L, 2L, 0.75, 0.666667)))
   }
 
+  test("heapsFit: all-unique corpus fits beta 1 with r2 1; saturated corpus fits beta 0") {
+    // 300 docs, every token globally unique -> cum_types == cum_tokens
+    // at every bucket -> the log-log fit is exactly y = x
+    val uniq = (1 to 300).map(i => (i.toLong, s"u${i}a u${i}b u${i}c"))
+    val d1 = docsDir(uniq)
+    val r1 = TextAnalysis.heapsFit(spark, d1)
+      .as[(Long, Double, Double, Option[Double])].collect().head
+    assert(r1 === ((4L, 1.0, 0.0, Some(1.0)))) // docs 1..300 span 4 buckets
+    // one token repeated everywhere -> vocabulary saturates at bucket 0;
+    // zero y-variance nulls r2 (the degenerate-fit contract)
+    val sat = (1 to 300).map(i => (i.toLong, "same same same"))
+    val r2 = TextAnalysis.heapsFit(spark, docsDir(sat))
+      .as[(Long, Double, Double, Option[Double])].collect().head
+    assert(r2._2 === 0.0 && r2._1 === 4L && r2._4.isEmpty)
+  }
+
   test("pplBuckets: tertiles balanced and ordered head <= middle <= tail") {
     val out = TextAnalysis.pplBuckets(SharedSpark.spark, "/root/testdata/sf0.001")
       .as[(String, String, Long, Double, Double, Double)].collect().toSeq
