@@ -1002,6 +1002,88 @@ object Profile {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** q322 — Poisson overdispersion audit of daily event counts: per
+    * event type, the index of dispersion D = s²/x̄ over the dense
+    * daily-count series (a Poisson arrival process has D = 1; bursty
+    * or clumped traffic reads D ≫ 1, which invalidates every
+    * Poisson-assuming capacity/anomaly threshold downstream — q121's
+    * control limits included). Flagged when D exceeds the two-sigma
+    * Poisson envelope 1 + 2·√(2/(n−1)). Days with zero events count
+    * as zeros (dense calendar spine between the type's first and last
+    * day), since skipping them is itself the classic way this audit
+    * lies.
+    *
+    * Exactness: daily counts are integers; s² and x̄ come from the
+    * exact integer power sums (n·Σx² − (Σx)²) — each reported figure
+    * is one IEEE division chain, rounded 6dp. Scale: one
+    * (type, day) count, a calendar-bounded dense spine per type, one
+    * |types|-row aggregate.
+    */
+  def dispersionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), Events.epochDayExpr.as("day"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = bounds.select(col("event_type"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+    dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sxx"))
+      .filter(col("n_days") > 1 && col("sx") > 0)
+      .withColumn("mean_count",
+        round(col("sx").cast("double") / col("n_days").cast("double"), 6))
+      .withColumn("var_count", round(
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("n_days") * (col("n_days") - 1)).cast("double"), 6))
+      .withColumn("dispersion", round(
+        ((col("n_days") * col("sxx") - col("sx") * col("sx")) * col("n_days"))
+          .cast("double") /
+          ((col("n_days") * (col("n_days") - 1)).cast("double") *
+            col("sx").cast("double")), 6))
+      .select(col("event_type"), col("n_days"), col("sx").as("n_events"),
+        col("mean_count"), col("var_count"), col("dispersion"),
+        (col("dispersion") > lit(1.0) + lit(2.0) *
+          sqrt(lit(2.0) / (col("n_days") - 1).cast("double")))
+          .as("overdispersed"))
+      .orderBy(col("event_type"))
+  }
+
+  val dispersionAuditSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      |  FROM daily GROUP BY 1
+      |), spine AS (
+      |  SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM bounds
+      |), dense AS (
+      |  SELECT s.event_type, COALESCE(d.c, 0) AS c
+      |  FROM spine s LEFT JOIN daily d
+      |    ON d.event_type = s.event_type AND d.day = s.day
+      |), agg AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS sx, CAST(SUM(c * c) AS BIGINT) AS sxx
+      |  FROM dense GROUP BY 1
+      |)
+      |SELECT event_type, n_days, sx AS n_events,
+      |  ROUND(CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_count,
+      |  ROUND(CAST(n_days * sxx - sx * sx AS DOUBLE)
+      |    / CAST(n_days * (n_days - 1) AS DOUBLE), 6) AS var_count,
+      |  ROUND(CAST((n_days * sxx - sx * sx) * n_days AS DOUBLE)
+      |    / (CAST(n_days * (n_days - 1) AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |    AS dispersion,
+      |  ROUND(CAST((n_days * sxx - sx * sx) * n_days AS DOUBLE)
+      |    / (CAST(n_days * (n_days - 1) AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |    > 1.0 + 2.0 * sqrt(2.0 / CAST(n_days - 1 AS DOUBLE))
+      |    AS overdispersed
+      |FROM agg
+      |WHERE n_days > 1 AND sx > 0
+      |ORDER BY event_type""".stripMargin
+
   /** The candidate functional dependencies [[fdAudit]] checks:
     * (table, determinant column, dependent column). Two are key-led
     * controls that must hold exactly (violation share 0 — a nonzero
