@@ -175,7 +175,8 @@ object Bench {
       // q153's scale twin: rejection sampling — catalog-size-
       // independent draws instead of ranking every candidate
       // (RobustOpsSpec pins the quota/determinism contract)
-      "x07_negatives_rejection" -> (() => operators.Graph.negativeSamplesRejection(spark, sfDir)))
+      "x07_negatives_rejection" -> (() => operators.Graph.negativeSamplesRejection(spark, sfDir)),
+      "x08_substring_dups_rolling" -> (() => operators.Spans.substringDupExtentFast(spark, sfDir)))
 
     // SPARK_GRAFT_ORDER: measurement-hygiene knob (graded run = unset
     // = alphabetical). "reverse" or "seed:<n>" (deterministic

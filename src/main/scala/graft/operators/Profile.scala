@@ -1002,6 +1002,76 @@ object Profile {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** q323 — effect-size table for the event-value metric: Cohen's d
+    * (pooled-SD standardized mean difference) and the small-sample-
+    * corrected Hedges' g for every event-type pair — the magnitude
+    * companion the significance battery (q238 Mann–Whitney, q264
+    * ANOVA → q284 Tukey) deliberately doesn't report: at corpus n a
+    * microscopic shift is "significant", and d is the number that
+    * says whether anyone should care. Reported with both group means
+    * so the sign is interpretable.
+    *
+    * Exactness: group sums accumulate value and round(v², 6) as
+    * DECIMAL (the q102 power-sum convention); every derived figure is
+    * one shared double chain off those exact sums, mirrored
+    * operand-for-operand in the oracle, rounded 6dp. Scale: one
+    * |types|-row aggregate; the pair grid is |types|²/2 rows of
+    * arithmetic.
+    */
+  def effectSizes(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val g = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"),
+        dsum(round(col("value") * col("value"), 6)).as("svv"))
+      .withColumn("mean", col("sv") / col("n"))
+      .withColumn("var",
+        (col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+    val pairs = g.as("a").crossJoin(broadcast(g.as("b")))
+      .filter(col("a.event_type") < col("b.event_type"))
+    pairs
+      .withColumn("sp", sqrt(
+        ((col("a.n") - 1) * col("a.var") + (col("b.n") - 1) * col("b.var")) /
+          (col("a.n") + col("b.n") - 2)))
+      .withColumn("d", (col("a.mean") - col("b.mean")) / col("sp"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        round(col("a.mean"), 6).as("mean_a"),
+        round(col("b.mean"), 6).as("mean_b"),
+        round(col("d"), 6).as("cohen_d"),
+        round(col("d") * (lit(1.0) - lit(3.0) /
+          (lit(4.0) * (col("a.n") + col("b.n")) - 9)), 6).as("hedges_g"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val effectSizesSql: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sv,
+      |    CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(28,6)))
+      |      AS DOUBLE) AS svv
+      |  FROM events GROUP BY 1
+      |), m AS (
+      |  SELECT event_type, n, sv / n AS mean,
+      |    (svv - sv * sv / n) / (n - 1) AS var
+      |  FROM g
+      |), pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+      |    (a.mean - b.mean) /
+      |      sqrt(((a.n - 1) * a.var + (b.n - 1) * b.var)
+      |        / (a.n + b.n - 2)) AS d
+      |  FROM m a, m b WHERE a.event_type < b.event_type
+      |)
+      |SELECT type_a, type_b, n_a, n_b,
+      |  ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+      |  ROUND(d, 6) AS cohen_d,
+      |  ROUND(d * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9)), 6) AS hedges_g
+      |FROM pairs
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** q322 — Poisson overdispersion audit of daily event counts: per
     * event type, the index of dispersion D = s²/x̄ over the dense
     * daily-count series (a Poisson arrival process has D = 1; bursty

@@ -152,6 +152,38 @@ object Spans {
         explode(sequence(lit(0L), col("n_chars") - l)).as("pos"))
       .select(col("doc_id"), col("pos"),
         md5(expr(s"substring(text, pos + 1, $l)")).as("g"))
+    dupExtentCore(docs, grams, l)
+  }
+
+  /** The q307 scale path: identical semantics, but every window hash
+    * comes from ONE [[graft.functions.CharWindowHashes]] pass per
+    * document — O(n) work and zero per-window allocation vs the md5
+    * form's O(n·L) substring+digest per position (the difference
+    * between "rehash the corpus L times" and "read it once" at
+    * 100 TB). 61-bit rolling hashes replace the md5 hex; byte
+    * positions equal character positions on ASCII text. SpansSpec
+    * pins this row-for-row to the graded md5 relation.
+    */
+  def substringDupExtentFast(spark: SparkSession, dir: String,
+                             l: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"))
+    val grams = docs.filter(col("n_chars") >= l)
+      .select(col("doc_id"), posexplode(
+        graft.functions.CharWindowHashes.windowHashes(spark, col("text"), l)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("g"))
+    dupExtentCore(docs, grams, l)
+  }
+
+  /** Shared tail of the two q307 variants: corpus-duplicated gram
+    * positions → per-doc island merge → covered-extent report.
+    * `grams` rows are (doc_id, pos, g) with g of any hashable type.
+    */
+  private def dupExtentCore(docs: DataFrame, gramsIn: DataFrame,
+                            l: Int): DataFrame = {
+    val grams = gramsIn
       .localCheckpoint() // two consumers: dup-hash set + position filter
     val dupG = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("n_sites"))

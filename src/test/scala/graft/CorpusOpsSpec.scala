@@ -362,6 +362,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       (5L, 56L, 37L, 12L, 50L, 0.892857)))
   }
 
+  test("substringDupExtentFast: the rolling-hash scale path equals the graded md5 relation") {
+    val run = "abcdefghijklmnopqrstuvwxyz0123"
+    val blk = "qwertyuiopasdfghjklzxcvbn"
+    val dir = docsDir(Seq(
+      (1L, "AAAA" + run + "BBBBBB"), (2L, "CCCCCCC" + run + "DD"),
+      (3L, "ZYXWVUTSRQPONMLKJIHGFEDCBA9876"), (4L, "short"),
+      (5L, blk + "123456" + blk)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rows(Spans.substringDupExtentFast(spark, dir)) ===
+      rows(Spans.substringDupExtent(spark, dir)))
+    // and on the real corpus shape
+    assert(rows(Spans.substringDupExtentFast(spark, sf0001)) ===
+      rows(Spans.substringDupExtent(spark, sf0001)))
+  }
+
   test("kmvOverlap: identical sources read jaccard 1, disjoint sources read 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
     val words = (1 to 40).map(i => s"w$i").mkString(" ")
