@@ -2762,4 +2762,52 @@ object Relational {
       |  COUNT(*) AS custdist
       |FROM per_cust GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q324 — decile boundary rows of the global price ranking, through
+    * [[Skew.globalRank]]: every lineitem ranked corpus-wide by
+    * (price DESC, full key tiebreak) WITHOUT a single-partition
+    * window — range exchange + partition-offset arithmetic — and the
+    * relation keeps only rank 1 and the ten decile-boundary ranks.
+    * The oracle IS a plain `row_number() OVER (ORDER BY ...)`: any
+    * rank the distributed assembly gets wrong shifts a boundary row
+    * and fails the hash — the end-to-end proof that the scale path
+    * and the single-reducer window are the same function.
+    *
+    * Scale: the ranking sorts in parallel across range partitions
+    * (driver traffic = one (count, min-id) pair per partition); the
+    * boundary filter is a broadcast 1-row count. This is the
+    * replacement the q42/q79/q90 plan notes promise for their
+    * acknowledged global-sort tails.
+    */
+  def priceRankBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val ranked = Skew.globalRank(li,
+      Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")))
+    val total = li.agg(count(lit(1)).as("n"))
+    val boundaries = (1 to 10)
+      .map(i => s"($i * n) div 10").mkString(", ")
+    ranked.crossJoin(broadcast(total))
+      .filter(col("rank") === 1 || expr(s"rank IN ($boundaries)"))
+      .select(col("rank"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        round(col("rank").cast("double") / col("n").cast("double"), 6)
+          .as("percentile"))
+      .orderBy(col("rank"))
+  }
+
+  val priceRankBoundariesSql: String = {
+    val boundaries = (1 to 10).map(i => s"($i * n) // 10").mkString(", ")
+    s"""WITH ranked AS (
+      |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |    CAST(row_number() OVER (ORDER BY l_extendedprice DESC,
+      |      l_orderkey, l_linenumber) AS BIGINT) AS rank
+      |  FROM lineitem
+      |), total AS (SELECT COUNT(*) AS n FROM lineitem)
+      |SELECT rank, l_orderkey, l_linenumber, l_extendedprice,
+      |  ROUND(CAST(rank AS DOUBLE) / CAST(n AS DOUBLE), 6) AS percentile
+      |FROM ranked, total
+      |WHERE rank = 1 OR rank IN ($boundaries)
+      |ORDER BY rank""".stripMargin
+  }
 }

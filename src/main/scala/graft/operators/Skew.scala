@@ -38,4 +38,52 @@ object Skew {
       .agg(partialAgg.head, partialAgg.tail: _*)
       .groupBy(col(key))
       .agg(finalAgg.head, finalAgg.tail: _*)
+
+  /** Distributed EXACT global rank — the 100 TB replacement for
+    * `row_number() OVER (ORDER BY ...)` with no partition key, which
+    * Spark plans as an Exchange to a SINGLE partition (the
+    * acknowledged sore spot of the q42/q79/q90-family global
+    * rankings: one reducer sorts the world). Here the total order is
+    * produced by a RANGE exchange (sampled boundaries, all reducers
+    * sort their slice) and the global rank is reassembled
+    * arithmetically: per-partition row counts — a metadata-sized
+    * collect, one row per partition — prefix-sum into offsets, and
+    * each row's rank = its partition's offset + its ordinal within
+    * the partition (ordinal = monotonically_increasing_id minus the
+    * partition's minimum, which is exact because the counter is
+    * consecutive within a partition and the rows are already sorted).
+    *
+    * REQUIRES a fully tiebroken sort (a total order): rows that
+    * compare equal could straddle a range boundary, and their
+    * relative rank would then depend on boundary sampling. With a
+    * total order the result is deterministic and equal to the
+    * single-partition window row_number (spec + oracle-proven by
+    * q324). Wall-clock: all reducers sort in parallel; the only
+    * driver traffic is |partitions| (count, min-id) pairs.
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+                 parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint() // consumers: partition stats + the rank map
+    val stats = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("c"), min(col("__mid")).as("m0"))
+      .collect() // one row PER PARTITION — metadata-sized by design
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = stats.scanLeft((0, 0L, 0L, 0L)) {
+      case ((_, acc, _, _), (pid, c, m0)) => (pid, acc + c, c, m0)
+    }.tail.map { case (pid, cum, c, m0) => (pid, cum - c, m0) }
+    val offDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__off", "__m0")
+    parted.join(broadcast(offDf), "__pid")
+      .withColumn("rank",
+        col("__off") + (col("__mid") - col("__m0")) + 1L)
+      .drop("__pid", "__mid", "__off", "__m0")
+  }
 }

@@ -125,6 +125,36 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRank equals the global window row_number, without its single partition") {
+    import graft.operators.Skew
+    // colliding sort values, unique tiebreak — the required total order
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 5000).map(i => (i.toLong, rnd.nextInt(50)))
+      .toDF("id", "v")
+    val got = Skew.globalRank(df, Seq($"v".desc, $"id"), parts = 13)
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    val exp = df.withColumn("rank",
+        row_number().over(Window.orderBy($"v".desc, $"id")).cast("long"))
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    assert(got === exp)
+    // the scale claim: the window form exchanges to ONE partition,
+    // the range-rank form never does
+    val winPlan = df.withColumn("rank",
+        row_number().over(Window.orderBy($"v".desc, $"id")))
+      .queryExecution.executedPlan.toString
+    assert(winPlan.contains("SinglePartition"))
+    val rankPlan = Skew.globalRank(df, Seq($"v".desc, $"id"), parts = 13)
+      .queryExecution.executedPlan.toString
+    assert(!rankPlan.contains("SinglePartition"), rankPlan)
+    // (the range exchange itself sits above the localCheckpoint and is
+    // invisible in the displayed plan — PLANS.md's checkpoint caveat;
+    // assert it on the pre-checkpoint stage instead)
+    val prePlan = df.repartitionByRange(13, $"v".desc, $"id")
+      .sortWithinPartitions($"v".desc, $"id")
+      .queryExecution.executedPlan.toString
+    assert(prePlan.contains("rangepartitioning"), prePlan)
+  }
+
   test("q189 star join: every dimension broadcasts, fact shuffles once") {
     // the TPC-H Q8 shape is graded on its plan: seven broadcast hash
     // joins chained on the single lineitem scan and NO shuffle join —
