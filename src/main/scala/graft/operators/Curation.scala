@@ -1391,11 +1391,12 @@ object Curation {
     * NULL rather than erroring.
     *
     * Scale: the label is one order-keyed semi-join (the q235 plan);
-    * the ranking is the suite's acknowledged global-sort shape (the
-    * q79/q147 family — at 100 TB, swap ntile for range-partitioned
-    * bucketing by quantile bounds, the q42 machinery); everything
-    * after the decile tag collapses to 10 rows before the cumulative
-    * window.
+    * the decile now comes from [[Skew.globalNtile]] — the range-
+    * exchange global rank plus closed-form bucket arithmetic, so NO
+    * single-partition window remains in this plan (the round-10
+    * closure of the q79/q147-family global-sort caveat; the oracle is
+    * the unchanged built-in ntile); everything after the decile tag
+    * collapses to 10 rows before the cumulative window.
     */
   def gainsTable(spark: SparkSession, dir: String,
                  lateDays: Int = 60): DataFrame = {
@@ -1411,8 +1412,12 @@ object Curation {
       .select(col("o_orderkey"), lit(1).as("is_late"))
     val labeled = orders.join(late, Seq("o_orderkey"), "left")
       .withColumn("is_late", coalesce(col("is_late"), lit(0)))
-    val deciled = labeled.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+    // Skew.globalNtile replaces the single-partition ntile window
+    // (round-10: the q79-family global-sort caveat made real) —
+    // bucket-for-bucket the built-in's assignment, computed from the
+    // range-exchange global rank; the oracle is unchanged
+    val deciled = Skew.globalNtile(labeled, 10,
+      Seq(col("o_totalprice").desc, col("o_orderkey")), out = "decile")
     val perDecile = deciled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_orders"), sum(col("is_late")).as("n_late"))
     val wCum = Window.orderBy(col("decile"))

@@ -86,4 +86,27 @@ object Skew {
         col("__off") + (col("__mid") - col("__m0")) + 1L)
       .drop("__pid", "__mid", "__off", "__m0")
   }
+
+  /** Distributed exact `ntile(k) OVER (ORDER BY ...)` — the same
+    * bucket assignment as the built-in (first n mod k buckets take
+    * the extra row), computed from [[globalRank]] + closed-form
+    * arithmetic instead of a single-partition window. Same total-
+    * order requirement; PlansSpec proves bucket-for-bucket equality
+    * with the built-in on colliding data.
+    */
+  def globalNtile(df: DataFrame, k: Int, sortCols: Seq[Column],
+                  out: String = "ntile"): DataFrame = {
+    val ranked = globalRank(df, sortCols)
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("__q", expr(s"__n div $k"))
+      .withColumn("__r", expr(s"__n % $k"))
+      .withColumn(out,
+        when(col("rank") <= col("__r") * (col("__q") + 1),
+          expr("(rank - 1) div (__q + 1) + 1"))
+          .otherwise(expr(
+            "__r + (rank - __r * (__q + 1) - 1) div greatest(__q, 1) + 1"))
+          .cast("int"))
+      .drop("rank", "__n", "__q", "__r")
+  }
 }

@@ -155,6 +155,21 @@ class PlansSpec extends AnyFunSuite {
     assert(prePlan.contains("rangepartitioning"), prePlan)
   }
 
+  test("globalNtile matches the built-in bucket-for-bucket, uneven buckets included") {
+    import graft.operators.Skew
+    val rnd = new scala.util.Random(7)
+    // 5003 rows: n % k != 0 exercises the ceil/floor bucket split
+    val df = (1 to 5003).map(i => (i.toLong, rnd.nextInt(40))).toDF("id", "v")
+    for (k <- Seq(3, 10, 7)) {
+      val got = Skew.globalNtile(df, k, Seq($"v".desc, $"id"), out = "b")
+        .select($"id", $"b").as[(Long, Int)].collect().toMap
+      val exp = df.withColumn("b",
+          ntile(k).over(Window.orderBy($"v".desc, $"id")))
+        .select($"id", $"b").as[(Long, Int)].collect().toMap
+      assert(got === exp, s"k=$k")
+    }
+  }
+
   test("q189 star join: every dimension broadcasts, fact shuffles once") {
     // the TPC-H Q8 shape is graded on its plan: seven broadcast hash
     // joins chained on the single lineitem scan and NO shuffle join —
