@@ -1387,6 +1387,122 @@ object Profile {
        |    / NULLIF(CAST(n_pos * n_neg AS DOUBLE), 0.0), 6) AS auc
        |FROM agg ORDER BY lang""".stripMargin
 
+  /** q325 — best decision stump on the quality score: the exact
+    * information-gain-maximizing threshold for predicting q25's
+    * exact-dup label from q23's quality score — the one-split
+    * decision tree that turns q207's "is the score separable at all"
+    * AUC into an OPERATIONAL gate ("filter at quality ≤ t") with its
+    * achieved purity on both sides. Every distinct score value is a
+    * candidate split; the top 3 by gain are reported so the curve's
+    * flatness around the best cut is visible.
+    *
+    * Exactness: candidate evaluation runs at VALUE GRAIN (cumulative
+    * integer counts over the distinct-score grid — never a
+    * per-document sweep); entropies are the identical double chain in
+    * both engines off exact integer counts, gain rounded once at 6dp,
+    * argmax tiebroken by threshold. Scale: one fingerprint window to
+    * label, one value-grain aggregate + cumulative window, a
+    * TakeOrdered(3).
+    */
+  def bestStump(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.{contentFingerprint, qualityScore}
+    val docs = Tables.load(spark, dir, "documents")
+    val labeled = docs
+      .select(qualityScore(col("text")).as("q"),
+        contentFingerprint(col("text")).as("fp"))
+      .withColumn("y",
+        (count(lit(1)).over(Window.partitionBy(col("fp"))) > 1).cast("long"))
+    val cells = labeled.groupBy(col("q"))
+      .agg(count(lit(1)).as("n_v"), sum(col("y")).as("p_v"))
+    val wCum = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(lit(1))
+    def h(p: Column, n: Column): Column = {
+      val r = p.cast("double") / n.cast("double")
+      when(p === 0 || p === n, lit(0.0))
+        .otherwise(-r * log10(r) - (lit(1.0) - r) * log10(lit(1.0) - r))
+    }
+    val scored = cells
+      .withColumn("nl", sum(col("n_v")).over(wCum))
+      .withColumn("pl", sum(col("p_v")).over(wCum))
+      .withColumn("n", sum(col("n_v")).over(wAll))
+      .withColumn("p", sum(col("p_v")).over(wAll))
+      .filter(col("nl") < col("n")) // the right side must be nonempty
+      .withColumn("ig", round(
+        h(col("p"), col("n")) -
+          (col("nl").cast("double") * h(col("pl"), col("nl")) +
+            (col("n") - col("nl")).cast("double") *
+              h(col("p") - col("pl"), col("n") - col("nl"))) /
+            col("n").cast("double"), 6))
+    scored
+      .orderBy(col("ig").desc, col("q"))
+      .limit(topN)
+      .select(col("q").as("threshold"), col("ig").as("info_gain"),
+        col("nl").as("left_n"), col("pl").as("left_pos"),
+        (col("n") - col("nl")).as("right_n"),
+        (col("p") - col("pl")).as("right_pos"),
+        round(col("pl").cast("double") / col("nl").cast("double"), 6)
+          .as("left_dup_rate"),
+        round((col("p") - col("pl")).cast("double") /
+          (col("n") - col("nl")).cast("double"), 6).as("right_dup_rate"))
+      .orderBy(col("info_gain").desc, col("threshold"))
+  }
+
+  val bestStumpSql: String =
+    s"""WITH labeled AS (
+       |  SELECT ${graft.operators.TextAnalysis.qualityExprSql} AS q,
+       |    CASE WHEN COUNT(*) OVER (PARTITION BY
+       |      md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) > 1
+       |      THEN 1 ELSE 0 END AS y
+       |  FROM documents
+       |), cells AS (
+       |  SELECT q, CAST(COUNT(*) AS BIGINT) AS n_v,
+       |    CAST(SUM(y) AS BIGINT) AS p_v
+       |  FROM labeled GROUP BY q
+       |), cum AS (
+       |  SELECT q,
+       |    CAST(SUM(n_v) OVER w AS BIGINT) AS nl,
+       |    CAST(SUM(p_v) OVER w AS BIGINT) AS pl,
+       |    CAST(SUM(n_v) OVER () AS BIGINT) AS n,
+       |    CAST(SUM(p_v) OVER () AS BIGINT) AS p
+       |  FROM cells
+       |  WINDOW w AS (ORDER BY q
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), scored AS (
+       |  SELECT *, ROUND(
+       |    (CASE WHEN p = 0 OR p = n THEN 0.0
+       |      ELSE -(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * log10(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+       |        - (1.0 - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * log10(1.0 - CAST(p AS DOUBLE) / CAST(n AS DOUBLE)) END)
+       |    - (CAST(nl AS DOUBLE) *
+       |        (CASE WHEN pl = 0 OR pl = nl THEN 0.0
+       |          ELSE -(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+       |              * log10(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+       |            - (1.0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+       |              * log10(1.0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+       |          END)
+       |      + CAST(n - nl AS DOUBLE) *
+       |        (CASE WHEN p - pl = 0 OR p - pl = n - nl THEN 0.0
+       |          ELSE -(CAST(p - pl AS DOUBLE) / CAST(n - nl AS DOUBLE))
+       |              * log10(CAST(p - pl AS DOUBLE) / CAST(n - nl AS DOUBLE))
+       |            - (1.0 - CAST(p - pl AS DOUBLE) / CAST(n - nl AS DOUBLE))
+       |              * log10(1.0 - CAST(p - pl AS DOUBLE)
+       |                / CAST(n - nl AS DOUBLE)) END))
+       |      / CAST(n AS DOUBLE), 6) AS ig
+       |  FROM cum WHERE nl < n
+       |)
+       |SELECT q AS threshold, ig AS info_gain,
+       |  nl AS left_n, pl AS left_pos,
+       |  n - nl AS right_n, p - pl AS right_pos,
+       |  ROUND(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE), 6) AS left_dup_rate,
+       |  ROUND(CAST(p - pl AS DOUBLE) / CAST(n - nl AS DOUBLE), 6)
+       |    AS right_dup_rate
+       |FROM scored
+       |ORDER BY info_gain DESC, threshold
+       |LIMIT 3""".stripMargin
+
   /** q213 — two-sample Kolmogorov–Smirnov drift statistic per
     * language: D = max |F_early(x) − F_late(x)| between the early and
     * late ingestion halves' document-length distributions (q124's

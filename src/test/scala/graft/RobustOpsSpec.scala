@@ -761,6 +761,29 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(coldRow._5 === -1L && coldRow._6 === "continue")
   }
 
+  test("bestStump: a separable corpus splits perfectly at H(1/2) gain") {
+    import graft.operators.Profile
+    // 4 byte-identical spam docs (exact-dups, y=1) vs 4 unique prose
+    // docs (y=0): dup-ness is perfectly separable on the quality axis,
+    // so the best stump's gain is the full root entropy log10(2)
+    val spam = "!!! $$$ !!! $$$ !!!"
+    val prose = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "a quiet morning walk through the old town square was pleasant",
+      "she read the long letter twice and then set it gently aside",
+      "the harvest this year was better than anyone had expected")
+    val dir = docsDir(
+      (1 to 4).map(i => (i.toLong, spam, "en", spam.length.toLong)) ++
+        prose.zipWithIndex.map { case (t, i) =>
+          ((i + 10).toLong, t, "en", t.length.toLong) })
+    val top = Profile.bestStump(spark, dir)
+      .as[(Double, Double, Long, Long, Long, Long, Double, Double)]
+      .collect().head
+    assert(top._2 === 0.30103) // round(log10(2), 6)
+    assert(Set((top._7, top._8)).subsetOf(Set((1.0, 0.0), (0.0, 1.0))))
+    assert(top._3 + top._5 === 8L && top._4 + top._6 === 4L)
+  }
+
   test("bhDriftPanel: BH step-up invariants on the graded panel") {
     import graft.operators.Profile
     val out = Profile.bhDriftPanel(spark, sf0001)
