@@ -1191,6 +1191,86 @@ object Dedup {
       |       THEN 'train' ELSE 'val' END AS split
       |FROM cc ORDER BY doc_id""".stripMargin
 
+  /** q326 — group-aware k-fold assignment with a leakage readout:
+    * every document inherits fold = md5(cluster rep) % k from its
+    * q38 near-dup cluster (the q80 split generalized from 80/20 to
+    * cross-validation folds), and the relation reports per-fold
+    * volume (docs / clusters / tokens) PLUS the residual leakage the
+    * guarantee does NOT cover: q27 MinHash pairs whose endpoints sit
+    * in different clusters can still straddle folds — each fold's
+    * `leak_pairs` counts its straddling pairs (a pair is counted in
+    * both its folds). Zero same-cluster straddling is by
+    * construction; nonzero `leak_pairs` is the honest residual a
+    * CV-based eval on this corpus must report.
+    *
+    * Scale: rides the q38 label fixpoint and the q27 candidate
+    * generator unchanged; the fold math is a narrow map and the
+    * audit joins are pair-table-sized.
+    */
+  def foldAudit(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val folds = graft.Iterate.cut(
+      dedupClusters(spark, dir, requireConverged = true)
+        .select(col("doc_id"), col("rep_id"),
+          pmod(PortableHash.md5Long32(col("rep_id")), lit(k.toLong))
+            .as("fold")))
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("t"))
+    val balance = folds.join(toks, "doc_id")
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep_id")).as("n_clusters"),
+        sum(col("t")).as("n_tokens"))
+    val pairs = minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val straddle = pairs
+      .join(folds.select(col("doc_id").as("doc_a"), col("fold").as("fa")),
+        "doc_a")
+      .join(folds.select(col("doc_id").as("doc_b"), col("fold").as("fb")),
+        "doc_b")
+      .filter(col("fa") =!= col("fb"))
+    val leak = straddle
+      .select(explode(array(col("fa"), col("fb"))).as("fold"))
+      .groupBy(col("fold")).agg(count(lit(1)).as("leak_pairs"))
+    balance.join(leak, Seq("fold"), "left")
+      .select(col("fold"), col("n_docs"), col("n_clusters"), col("n_tokens"),
+        coalesce(col("leak_pairs"), lit(0L)).as("leak_pairs"))
+      .orderBy(col("fold"))
+  }
+
+  def foldAuditSql(k: Int = 5): String =
+    s"""WITH cc AS (
+      |$dedupClustersSql
+      |), folds AS (
+      |  SELECT doc_id, rep_id,
+      |    CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % $k AS fold
+      |  FROM cc
+      |), toks AS (
+      |  SELECT doc_id, ${graft.operators.TextAnalysis.tokenCountExprSql} AS t
+      |  FROM documents
+      |), balance AS (
+      |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(DISTINCT rep_id) AS BIGINT) AS n_clusters,
+      |    CAST(SUM(t) AS BIGINT) AS n_tokens
+      |  FROM folds JOIN toks USING (doc_id) GROUP BY 1
+      |), mh AS (
+      |$minhashLshPairsSql
+      |), strad AS (
+      |  SELECT fa.fold AS f1, fb.fold AS f2
+      |  FROM mh JOIN folds fa ON fa.doc_id = mh.doc_a
+      |  JOIN folds fb ON fb.doc_id = mh.doc_b
+      |  WHERE fa.fold <> fb.fold
+      |), leak AS (
+      |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS leak_pairs FROM (
+      |    SELECT f1 AS fold FROM strad
+      |    UNION ALL SELECT f2 FROM strad)
+      |  GROUP BY 1
+      |)
+      |SELECT b.fold, b.n_docs, b.n_clusters, b.n_tokens,
+      |  COALESCE(l.leak_pairs, 0) AS leak_pairs
+      |FROM balance b LEFT JOIN leak l USING (fold)
+      |ORDER BY b.fold""".stripMargin
+
   /** q89 — survivorship (golden-record selection): within each
     * near-dup cluster, keep the RICHEST member (longest text, doc_id
     * as the deterministic tiebreak), not the arbitrary min-id

@@ -362,6 +362,25 @@ class CorpusOpsSpec extends AnyFunSuite {
       (5L, 56L, 37L, 12L, 50L, 0.892857)))
   }
 
+  test("foldAudit: folds partition the corpus; leakage double-counts straddlers") {
+    val out = Dedup.foldAudit(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val labels = Dedup.dedupClusters(spark, sf0001, requireConverged = true)
+      .select($"doc_id", $"rep_id").as[(Long, Long)].collect().toMap
+    assert(out.map(_._2).sum === labels.size) // every doc in one fold
+    assert(out.map(_._3).sum === labels.values.toSet.size) // clusters partition too
+    // independent straddler count: each cross-fold MinHash pair is
+    // counted once in each of its two folds
+    def foldOf(rep: Long): Long = {
+      val h = graft.functions.PortableHash.md5PairJvm(rep.toString)._1
+      ((h % 5) + 5) % 5
+    }
+    val straddlers = Dedup.minhashLshPairs(spark, sf0001)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      .count { case (a, b) => foldOf(labels(a)) != foldOf(labels(b)) }
+    assert(out.map(_._5).sum === 2L * straddlers)
+  }
+
   test("substringDupExtentFast: the rolling-hash scale path equals the graded md5 relation") {
     val run = "abcdefghijklmnopqrstuvwxyz0123"
     val blk = "qwertyuiopasdfghjklzxcvbn"
