@@ -1271,6 +1271,83 @@ object Dedup {
       |FROM balance b LEFT JOIN leak l USING (fold)
       |ORDER BY b.fold""".stripMargin
 
+  /** q327 — transitivity audit of the near-dup relation: global
+    * clustering coefficient (3·triangles / wedges) of the q27 MinHash
+    * pair graph. Cluster-based dedup (q38's connected components)
+    * implicitly assumes the pair relation is quasi-transitive —
+    * a ~ b ~ c mostly implies a ~ c; every OPEN wedge is a place
+    * where the component merge chains documents the detector itself
+    * would NOT pair (the under-merge/over-merge dial q108/q141 reads
+    * at the pair level, lifted to graph structure). Low transitivity
+    * with large components = chaining artifacts; investigate before
+    * shipping cluster-level dedup on the feed.
+    *
+    * Scale: the q115 discipline on the pair graph — degree-oriented
+    * edges, per-edge sorted-adjacency intersection with the codegen'd
+    * [[graft.functions.SortedIntersectCount]], never a wedge
+    * materialization. The pair graph is candidate-bounded (LSH
+    * buckets), far below the co-purchase graph this machinery already
+    * handles.
+    */
+  def dupTransitivity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.Iterate.cut(
+      minhashLshPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    val deg = pairs.select(col("doc_a").as("n"))
+      .unionByName(pairs.select(col("doc_b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(deg.select(col("n").as("doc_a"), col("d").as("da")), "doc_a")
+      .join(deg.select(col("n").as("doc_b"), col("d").as("db")), "doc_b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val ori = graft.Iterate.cut(withDeg.select(
+      when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
+      when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("v")))
+    val adj = ori.groupBy(col("u"))
+      .agg(array_sort(collect_list(col("v"))).as("nbrs"))
+    val tri = ori
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .agg(coalesce(sum(graft.functions.SortedIntersectCount.intersectCount(
+        spark, col("nu"), col("nv"))), lit(0L)).as("n_triangles"))
+    val summary = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      (sum(expr("d * (d - 1)")) / 2).cast("long").as("n_wedges"))
+    summary.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0, round(
+          (lit(3L) * col("n_triangles")).cast("double") /
+            col("n_wedges").cast("double"), 6)).as("transitivity"),
+        (col("n_wedges") - lit(3L) * col("n_triangles")).as("open_wedges"))
+  }
+
+  def dupTransitivitySql(): String =
+    s"""WITH mh AS (
+      |$minhashLshPairsSql
+      |), e AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM mh
+      |), deg AS (
+      |  SELECT n, COUNT(*) AS d FROM (
+      |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n
+      |), tri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      |), summary AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |    CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+      |    CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+      |  FROM deg
+      |)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  CASE WHEN n_wedges > 0 THEN
+      |    ROUND(CAST(3 * n_triangles AS DOUBLE)
+      |      / CAST(n_wedges AS DOUBLE), 6) END AS transitivity,
+      |  n_wedges - 3 * n_triangles AS open_wedges
+      |FROM summary, tri""".stripMargin
+
   /** q89 — survivorship (golden-record selection): within each
     * near-dup cluster, keep the RICHEST member (longest text, doc_id
     * as the deterministic tiebreak), not the arbitrary min-id

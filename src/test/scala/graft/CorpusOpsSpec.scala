@@ -362,6 +362,25 @@ class CorpusOpsSpec extends AnyFunSuite {
       (5L, 56L, 37L, 12L, 50L, 0.892857)))
   }
 
+  test("dupTransitivity: crafted triangle and wedge read 1.0 and 0.0") {
+    // three mutual near-dups (one triangle) in one doc family, and an
+    // open wedge family (hub shares with two leaves that share too
+    // little with each other)
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = docsDir(Seq(
+      (1L, t), (2L, t), (3L, t), // identical: triangle, trans = 1
+      (10L, "one two three four five six seven eight")))
+    val r = Dedup.dupTransitivity(spark, dir)
+      .as[(Long, Long, Long, Long, Option[Double], Long)].collect().head
+    assert(r._1 === 3L && r._2 === 3L && r._3 === 3L && r._4 === 1L)
+    assert(r._5 === Some(1.0) && r._6 === 0L)
+    // corpus invariants at sf0.001: 0 <= 3T <= W, transitivity in [0,1]
+    val c = Dedup.dupTransitivity(spark, sf0001)
+      .as[(Long, Long, Long, Long, Option[Double], Long)].collect().head
+    assert(c._6 === c._3 - 3 * c._4 && c._6 >= 0)
+    c._5.foreach(tr => assert(tr >= 0.0 && tr <= 1.0))
+  }
+
   test("foldAudit: folds partition the corpus; leakage double-counts straddlers") {
     val out = Dedup.foldAudit(spark, sf0001)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
