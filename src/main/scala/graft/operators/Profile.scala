@@ -2367,6 +2367,101 @@ object Profile {
       .orderBy(col("lang"))
   }
 
+  /** q328 — cross-modal consistency audit: per language, Spearman AND
+    * Pearson correlation between the TEXT-side quality score (q23)
+    * and the EMBEDDING-side vector norm (q150's fold), joined on the
+    * 1:1 doc_id = vec_id correspondence. The "do my two modality
+    * pipelines agree about which documents are healthy" reading: a
+    * strong correlation means the embedding norm can pre-filter
+    * before the (costlier) text scoring at ingest; a sign flip in one
+    * language localizes an encoder problem the global number hides.
+    *
+    * Exactness: Spearman rides the q256 doubled-midrank discipline
+    * (pure integers); Pearson follows the q102 convention — 6dp
+    * inputs, rounded products, DECIMAL sums, one double chain.
+    * Scale: one broadcast-sized id join, two per-lang rank windows,
+    * one aggregate.
+    */
+  def crossModalAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.qualityScore
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val norm2 = expr(
+      """aggregate(embedding, cast(0.0 as double),
+        |  (acc, x) -> acc + cast(x as double) * cast(x as double))""".stripMargin)
+    val joined = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("q"))
+      .join(Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), round(sqrt(norm2), 6).as("nm")),
+        "doc_id")
+    def r2(v: String) = {
+      val wRank = Window.partitionBy(col("lang")).orderBy(col(v))
+      val wTies = Window.partitionBy(col("lang"), col(v))
+      (lit(2) * rank().over(wRank) + count(lit(1)).over(wTies) - 1)
+        .cast("long")
+    }
+    val ranked = joined
+      .withColumn("x", r2("q")).withColumn("y", r2("nm"))
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("rx"), sum(col("y")).as("ry"),
+        sum(col("x") * col("y")).as("rxy"),
+        sum(col("x") * col("x")).as("rxx"),
+        sum(col("y") * col("y")).as("ryy"),
+        dsum(col("q")).as("sq"), dsum(col("nm")).as("sn"),
+        dsum(round(col("q") * col("nm"), 6)).as("sqn"),
+        dsum(round(col("q") * col("q"), 6)).as("sqq"),
+        dsum(round(col("nm") * col("nm"), 6)).as("snn"))
+      .select(col("lang"), col("n"),
+        round((col("n") * col("rxy") - col("rx") * col("ry")).cast("double") /
+          nullif(sqrt((col("n") * col("rxx") - col("rx") * col("rx"))
+              .cast("double") *
+            (col("n") * col("ryy") - col("ry") * col("ry")).cast("double")),
+            lit(0.0)), 6).as("spearman_rho"),
+        round((col("n") * col("sqn") - col("sq") * col("sn")) /
+          nullif(sqrt((col("n") * col("sqq") - col("sq") * col("sq")) *
+            (col("n") * col("snn") - col("sn") * col("sn"))), lit(0.0)), 6)
+          .as("pearson_r"))
+      .orderBy(col("lang"))
+  }
+
+  val crossModalAuditSql: String =
+    s"""WITH joined AS (
+      |  SELECT d.lang, ${graft.operators.TextAnalysis.qualityExprSql} AS q,
+      |    ROUND(sqrt(list_reduce(list_prepend(0.0,
+      |      [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in e.embedding]),
+      |      (a, b) -> a + b)), 6) AS nm
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      |), ranked AS (
+      |  SELECT lang, q, nm,
+      |    CAST(2 * RANK() OVER (PARTITION BY lang ORDER BY q)
+      |      + COUNT(*) OVER (PARTITION BY lang, q) - 1 AS BIGINT) AS x,
+      |    CAST(2 * RANK() OVER (PARTITION BY lang ORDER BY nm)
+      |      + COUNT(*) OVER (PARTITION BY lang, nm) - 1 AS BIGINT) AS y
+      |  FROM joined
+      |), agg AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS rx, CAST(SUM(y) AS BIGINT) AS ry,
+      |    CAST(SUM(x * y) AS BIGINT) AS rxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS rxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS ryy,
+      |    CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) AS sq,
+      |    CAST(SUM(CAST(nm AS DECIMAL(28,6))) AS DOUBLE) AS sn,
+      |    CAST(SUM(CAST(ROUND(q * nm, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sqn,
+      |    CAST(SUM(CAST(ROUND(q * q, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sqq,
+      |    CAST(SUM(CAST(ROUND(nm * nm, 6) AS DECIMAL(28,6))) AS DOUBLE) AS snn
+      |  FROM ranked GROUP BY lang
+      |)
+      |SELECT lang, n,
+      |  ROUND(CAST(n * rxy - rx * ry AS DOUBLE) /
+      |    NULLIF(sqrt(CAST(n * rxx - rx * rx AS DOUBLE)
+      |      * CAST(n * ryy - ry * ry AS DOUBLE)), 0.0), 6) AS spearman_rho,
+      |  ROUND((n * sqn - sq * sn) /
+      |    NULLIF(sqrt((n * sqq - sq * sq) * (n * snn - sn * sn)), 0.0), 6)
+      |    AS pearson_r
+      |FROM agg ORDER BY lang""".stripMargin
+
   val spearmanSql: String =
     s"""WITH base AS (
       |  SELECT lang, n_chars AS xv,
