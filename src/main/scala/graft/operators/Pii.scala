@@ -272,6 +272,66 @@ object Pii {
        |GROUP BY c_nationkey, c_mktsegment, k, g2.n_total, g2.m
        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  /** q329 — generalization-ladder sweep for k-anonymity: the q199
+    * audit re-run at every rung of a balance-bucket generalization
+    * ladder (width 250 → 4000), reporting per width how many
+    * quasi-identifier classes and how many ROWS remain below the k
+    * threshold, plus the information loss proxy (distinct classes
+    * remaining). This is the dial an anonymization pass actually
+    * turns: the first width whose `rows_at_risk` hits zero is the
+    * release configuration, and the class-count column prices what
+    * that safety costs in resolution.
+    *
+    * Scale: ONE scan — the ladder is a literal explode (5 rows per
+    * customer), one (width, class) aggregate, one width-grain
+    * rollup. Exactness: all counts integer; the risk share is one
+    * rounded division.
+    */
+  def generalizationSweep(spark: SparkSession, dir: String,
+                          kMin: Int = 5): DataFrame = {
+    val widths = Seq(250, 500, 1000, 2000, 4000)
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("w", explode(lit(widths.toArray)))
+    val classes = cust
+      .groupBy(col("w"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / col("w")).as("bal_bucket"))
+      .agg(count(lit(1)).as("k"))
+    classes.groupBy(col("w").as("bucket_width"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum((col("k") < kMin).cast("long")).as("classes_at_risk"),
+        sum(when(col("k") < kMin, col("k")).otherwise(0L))
+          .as("rows_at_risk"),
+        sum(col("k")).as("n_rows"))
+      .select(col("bucket_width"), col("n_classes"), col("classes_at_risk"),
+        col("rows_at_risk"),
+        round(col("rows_at_risk").cast("double") /
+          col("n_rows").cast("double"), 6).as("risk_share"))
+      .orderBy(col("bucket_width"))
+  }
+
+  def generalizationSweepSql(kMin: Int = 5): String =
+    s"""WITH cust AS (
+       |  SELECT c_nationkey, c_mktsegment, c_acctbal,
+       |    unnest([250, 500, 1000, 2000, 4000]) AS w
+       |  FROM customer
+       |), classes AS (
+       |  SELECT w, c_nationkey, c_mktsegment,
+       |    FLOOR(c_acctbal / w) AS bal_bucket, COUNT(*) AS k
+       |  FROM cust GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT w AS bucket_width,
+       |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |  CAST(SUM(CASE WHEN k < $kMin THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS classes_at_risk,
+       |  CAST(SUM(CASE WHEN k < $kMin THEN k ELSE 0 END) AS BIGINT)
+       |    AS rows_at_risk,
+       |  ROUND(CAST(SUM(CASE WHEN k < $kMin THEN k ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(k) AS DOUBLE), 6) AS risk_share
+       |FROM classes
+       |GROUP BY w
+       |ORDER BY bucket_width""".stripMargin
+
   /** q308 — differentially-private histogram release: per
     * (event_type, day) distinct-user counts with Laplace(1/ε) noise,
     * the ε-DP release mechanism (Dwork et al. 2006) completing the

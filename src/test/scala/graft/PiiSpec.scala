@@ -128,6 +128,22 @@ class PiiSpec extends AnyFunSuite {
       (2, "SEG", 4L, 3L, 1.5, false)))
   }
 
+  test("generalizationSweep: the w=1000 rung reconciles with the q199 audit") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val sweep = graft.operators.Pii.generalizationSweep(SharedSpark.spark, sf)
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(sweep.map(_._1) === Seq(250, 500, 1000, 2000, 4000))
+    val rung = sweep.find(_._1 == 1000).get
+    val q199 = graft.operators.Pii.kAnonymityAudit(SharedSpark.spark, sf)
+      .as[(Int, String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(rung._2 === q199.size.toLong)
+    assert(rung._3 === q199.count(_._6).toLong)
+    assert(rung._4 === q199.filter(_._6).map(_._4).sum)
+    // wider buckets can only merge classes: class count is non-increasing
+    assert(sweep.map(_._2) === sweep.map(_._2).sorted.reverse)
+  }
+
   test("dpHistogram: bounded contribution, clamp/round identity, Laplace scale") {
     val out = graft.operators.Pii.dpHistogram(SharedSpark.spark, "/root/testdata/sf0.001")
       .as[(String, java.sql.Date, Long, Double, Long, Long)].collect().toSeq
