@@ -1348,6 +1348,99 @@ object Dedup {
       |  n_wedges - 3 * n_triangles AS open_wedges
       |FROM summary, tri""".stripMargin
 
+  /** q330 — dedup savings ledger: one relation answering the budget
+    * question every dedup proposal gets asked — "how many tokens does
+    * each strategy actually remove?" Three graded strategies, each at
+    * its own granularity, against the same corpus total:
+    * `exact` drops q25's is_dup documents; `cluster` drops everything
+    * but q38's representative per near-dup cluster; `span` keeps
+    * documents but removes q65's repeated spans (its savings is the
+    * token delta between original and reassembled text). The ledger
+    * is a consumer of three already-graded relations — it introduces
+    * no new similarity arithmetic, so it cannot disagree with the
+    * audits it summarizes.
+    *
+    * Scale: three narrow maps over relations whose plans are audited
+    * at their own queries, one 3-row report.
+    */
+  def savingsLedger(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("t"))
+      .localCheckpoint() // consumers: corpus total + two flag joins
+    val total = docs.agg(sum(col("t")).as("corpus_tokens"))
+    def row(name: String, flagged: org.apache.spark.sql.DataFrame) =
+      flagged.join(docs, "doc_id")
+        .agg(lit(name).as("detector"), count(lit(1)).as("n_docs_flagged"),
+          coalesce(sum(col("t")), lit(0L)).as("tokens_removable"))
+    val exactDups = exact(spark, dir).filter(col("is_dup") === 1)
+      .select(col("doc_id"))
+    val clusterDups = dedupClusters(spark, dir, requireConverged = true)
+      .filter(col("doc_id") =!= col("rep_id")).select(col("doc_id"))
+    val span = spanDedupStats(spark, dir)
+    row("exact", exactDups)
+      .unionByName(row("cluster", clusterDups))
+      .unionByName(span)
+      .crossJoin(broadcast(total))
+      .select(col("detector"), col("n_docs_flagged"),
+        col("tokens_removable"),
+        round(col("tokens_removable").cast("double") /
+          col("corpus_tokens").cast("double"), 6).as("savings_share"))
+      .orderBy(col("detector"))
+  }
+
+  /** q330's span row: q65's reassembly, token delta per doc. */
+  private def spanDedupStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    graft.operators.Spans.spanDedup(spark, dir)
+      .select(col("doc_id"), col("n_kept"), col("n_spans"),
+        tokenCount(col("dedup_text")).cast("long").as("kept_t"))
+      .join(Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), tokenCount(col("text")).cast("long").as("t")),
+        "doc_id")
+      .agg(lit("span").as("detector"),
+        sum((col("n_kept") < col("n_spans")).cast("long"))
+          .as("n_docs_flagged"),
+        coalesce(sum(col("t") - col("kept_t")), lit(0L))
+          .as("tokens_removable"))
+  }
+
+  def savingsLedgerSql(): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, ${graft.operators.TextAnalysis.tokenCountExprSql} AS t
+      |  FROM documents
+      |), total AS (
+      |  SELECT CAST(SUM(t) AS BIGINT) AS corpus_tokens FROM toks
+      |), ex AS (
+      |  $exactSql
+      |), cc AS (
+      |$dedupClustersSql
+      |), sp AS (
+      |  ${graft.operators.Spans.spanDedupSql()}
+      |), rows_out AS (
+      |  SELECT 'exact' AS detector,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs_flagged,
+      |    CAST(COALESCE(SUM(t), 0) AS BIGINT) AS tokens_removable
+      |  FROM ex JOIN toks USING (doc_id) WHERE ex.is_dup = 1
+      |  UNION ALL
+      |  SELECT 'cluster', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(t), 0) AS BIGINT)
+      |  FROM cc JOIN toks USING (doc_id) WHERE cc.doc_id <> cc.rep_id
+      |  UNION ALL
+      |  SELECT 'span',
+      |    CAST(SUM(CASE WHEN sp.n_kept < sp.n_spans THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(COALESCE(SUM(t - (
+      |      len(list_filter(string_split_regex(lower(sp.dedup_text), '\\s+'),
+      |        x -> x <> '')))), 0) AS BIGINT)
+      |  FROM sp JOIN toks USING (doc_id)
+      |)
+      |SELECT detector, n_docs_flagged, tokens_removable,
+      |  ROUND(CAST(tokens_removable AS DOUBLE)
+      |    / CAST(corpus_tokens AS DOUBLE), 6) AS savings_share
+      |FROM rows_out, total
+      |ORDER BY detector""".stripMargin
+
   /** q89 — survivorship (golden-record selection): within each
     * near-dup cluster, keep the RICHEST member (longest text, doc_id
     * as the deterministic tiebreak), not the arbitrary min-id

@@ -381,6 +381,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     c._5.foreach(tr => assert(tr >= 0.0 && tr <= 1.0))
   }
 
+  test("savingsLedger: rows reconcile with their source relations; cluster dominates exact") {
+    import graft.functions.TextFunctions.tokenCount
+    val ledger = Dedup.savingsLedger(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // the exact row recomputed straight from q25
+    val exactDup = Dedup.exact(spark, sf0001).filter($"is_dup" === 1)
+      .join(Tables.load(spark, sf0001, "documents")
+        .select($"doc_id", tokenCount($"text").cast("long").as("t")), "doc_id")
+      .agg(count(lit(1)), coalesce(sum($"t"), lit(0L)))
+      .as[(Long, Long)].collect().head
+    assert((ledger("exact")._2, ledger("exact")._3) === exactDup)
+    // exact-dup docs share all shingles, so cluster savings dominate
+    assert(ledger("cluster")._3 >= ledger("exact")._3)
+    ledger.values.foreach(r => assert(r._4 >= 0.0 && r._4 < 1.0))
+  }
+
   test("foldAudit: folds partition the corpus; leakage double-counts straddlers") {
     val out = Dedup.foldAudit(spark, sf0001)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
