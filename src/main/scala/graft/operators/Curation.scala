@@ -1840,6 +1840,73 @@ object Curation {
        |FROM terms
        |ORDER BY shard""".stripMargin
 
+  /** q331 — leave-one-out source ablation: for every source, the
+    * corpus-level quality and volume statistics WITHOUT that source —
+    * "which feed moves the needle, and in which direction" as one
+    * relation. Dropping a source whose `delta_mean_quality` is
+    * negative RAISES corpus quality; `token_share` prices what that
+    * costs in volume. This is pure group algebra (global sums minus
+    * group sums), so the whole ablation fan-out costs ONE aggregate —
+    * no per-source re-scan, which is exactly why it scales where the
+    * naive "filter and recompute per source" loop doesn't.
+    *
+    * Exactness: quality is the shared 6dp score summed as DECIMAL;
+    * every mean uses the integer-micro half-up convention off exact
+    * (count, micro-sum) pairs; deltas subtract two such means.
+    */
+  def sourceAblation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScore, tokenCount}
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        tokenCount(col("text")).cast("long").as("t"),
+        round(qualityScore(col("text")) * 1e6, 0).cast("long").as("qm"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"), sum(col("t")).as("t_s"),
+        sum(col("qm")).as("q_s"))
+    val totals = bySrc.agg(sum(col("n_s")).as("n"), sum(col("t_s")).as("tt"),
+      sum(col("q_s")).as("qq"))
+    bySrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_s").as("n_docs"),
+        round(col("t_s").cast("double") / col("tt").cast("double"), 6)
+          .as("token_share"),
+        (expr("CAST((2 * q_s + n_s) div (2 * n_s) AS DOUBLE)") / 1e6)
+          .as("mean_quality"),
+        (expr("CAST((2 * qq + n) div (2 * n) AS DOUBLE)") / 1e6)
+          .as("corpus_mean"),
+        round(
+          expr("CAST((2 * (qq - q_s) + (n - n_s)) div (2 * (n - n_s)) AS DOUBLE)") / 1e6 -
+          expr("CAST((2 * qq + n) div (2 * n) AS DOUBLE)") / 1e6, 6)
+          .as("delta_mean_quality"))
+      .orderBy(col("source"))
+  }
+
+  val sourceAblationSql: String =
+    s"""WITH docs AS (
+       |  SELECT source,
+       |    ${graft.operators.TextAnalysis.tokenCountExprSql} AS t,
+       |    CAST(ROUND(${graft.operators.TextAnalysis.qualityExprSql} * 1e6, 0)
+       |      AS BIGINT) AS qm
+       |  FROM documents
+       |), by_src AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+       |    CAST(SUM(t) AS BIGINT) AS t_s, CAST(SUM(qm) AS BIGINT) AS q_s
+       |  FROM docs GROUP BY 1
+       |), totals AS (
+       |  SELECT CAST(SUM(n_s) AS BIGINT) AS n, CAST(SUM(t_s) AS BIGINT) AS tt,
+       |    CAST(SUM(q_s) AS BIGINT) AS qq
+       |  FROM by_src
+       |)
+       |SELECT source, n_s AS n_docs,
+       |  ROUND(CAST(t_s AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS token_share,
+       |  CAST((2 * q_s + n_s) // (2 * n_s) AS DOUBLE) / 1e6 AS mean_quality,
+       |  CAST((2 * qq + n) // (2 * n) AS DOUBLE) / 1e6 AS corpus_mean,
+       |  ROUND(CAST((2 * (qq - q_s) + (n - n_s)) // (2 * (n - n_s))
+       |      AS DOUBLE) / 1e6
+       |    - CAST((2 * qq + n) // (2 * n) AS DOUBLE) / 1e6, 6)
+       |    AS delta_mean_quality
+       |FROM by_src, totals
+       |ORDER BY source""".stripMargin
+
   /** q315 — DSIR importance resampling (Xie et al., NeurIPS 2023
     * "Data Selection for Language Models via Importance Resampling"):
     * raw-pool documents are weighted by the log-likelihood ratio of

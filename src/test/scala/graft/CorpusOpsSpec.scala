@@ -381,6 +381,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     c._5.foreach(tr => assert(tr >= 0.0 && tr <= 1.0))
   }
 
+  test("sourceAblation: shares sum to one; delta sign opposes the source's own deviation") {
+    val out = Curation.sourceAblation(spark, sf0001)
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+    // one corpus mean, stated identically on every row
+    assert(out.map(_._5).distinct.size === 1)
+    // removing an above-average source lowers the remainder's mean and
+    // vice versa (strict when the deviation clears the 1e-6 grid)
+    out.foreach { r =>
+      val dev = r._4 - r._5
+      if (math.abs(dev) > 1e-5)
+        assert(r._6 * dev < 0, s"${r._1}: dev=$dev delta=${r._6}")
+    }
+  }
+
   test("savingsLedger: rows reconcile with their source relations; cluster dominates exact") {
     import graft.functions.TextFunctions.tokenCount
     val ledger = Dedup.savingsLedger(spark, sf0001)
