@@ -1002,6 +1002,98 @@ object Profile {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** q332 — Cramér's V association matrix for the categorical
+    * columns: the pairs among (l_returnflag, l_linestatus,
+    * o_orderstatus, o_orderpriority) — at lineitem grain, so the
+    * values compare on one population — tested for independence
+    * (chi², q188's machinery)
+    * and NORMALIZED to V = √(χ²/(n·(min(r,c)−1))) — the [0,1]
+    * effect-size that makes associations comparable across pairs
+    * with different cardinalities, the categorical twin of q323's
+    * Cohen's d (significance says "not independent"; V says "how
+    * far from it"). One relation = the full matrix a feature-
+    * selection or leakage screen reads.
+    *
+    * Exactness: cell/margin counts are integers; each χ² term rounds
+    * to 6dp and sums as DECIMAL(28,6) (the q167 convention); V is one
+    * more double chain. Scale: per pair, one cell aggregate over the
+    * same scan and windows over the ≤ r·c cell grid.
+    */
+  def cramersMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    // all pairs evaluated at LINEITEM grain (order attributes repeat
+    // per line) so the three V values are comparable on one population
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"))
+      .join(Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderstatus"), col("o_orderpriority")),
+        "l_orderkey")
+    val pairs = Seq(
+      ("l_returnflag", "l_linestatus"),
+      ("o_orderstatus", "o_orderpriority"),
+      ("o_orderpriority", "l_returnflag"))
+    val per = pairs.map { case (a, b) =>
+      val cells = li.groupBy(col(a).as("va"), col(b).as("vb"))
+        .agg(count(lit(1)).as("c"))
+      val wA = Window.partitionBy(col("va"))
+      val wB = Window.partitionBy(col("vb"))
+      val wAll = Window.partitionBy(lit(1))
+      cells
+        .withColumn("ra", sum(col("c")).over(wA))
+        .withColumn("cb", sum(col("c")).over(wB))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .withColumn("exp",
+          (col("ra") * col("cb")).cast("double") / col("n").cast("double"))
+        .withColumn("term",
+          round(pow(col("c") - col("exp"), 2) / col("exp"), 6).cast(dec))
+        .agg(
+          lit(a).as("col_a"), lit(b).as("col_b"),
+          max(col("n")).as("n"),
+          countDistinct(col("va")).cast("int").as("card_a"),
+          countDistinct(col("vb")).cast("int").as("card_b"),
+          sum(col("term")).cast("double").as("chi2"))
+        .select(col("col_a"), col("col_b"), col("n"), col("card_a"),
+          col("card_b"), round(col("chi2"), 6).as("chi2"),
+          round(sqrt(col("chi2") /
+            (col("n") * (least(col("card_a"), col("card_b")) - 1))
+              .cast("double")), 6).as("cramers_v"))
+    }
+    per.reduce(_ unionByName _).orderBy(col("col_a"), col("col_b"))
+  }
+
+  val cramersMatrixSql: String = {
+    def one(a: String, b: String): String =
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  CAST(MAX(n) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT va) AS INT) AS card_a,
+         |  CAST(COUNT(DISTINCT vb) AS INT) AS card_b,
+         |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+         |  ROUND(sqrt(CAST(SUM(term) AS DOUBLE) /
+         |    CAST(MAX(n) * (LEAST(COUNT(DISTINCT va), COUNT(DISTINCT vb)) - 1)
+         |      AS DOUBLE)), 6) AS cramers_v
+         |FROM (
+         |  SELECT va, vb, n,
+         |    CAST(ROUND(POW(c - CAST(ra * cb AS DOUBLE) / n, 2)
+         |      / (CAST(ra * cb AS DOUBLE) / n), 6) AS DECIMAL(28,6)) AS term
+         |  FROM (
+         |    SELECT va, vb, c,
+         |      SUM(c) OVER (PARTITION BY va) AS ra,
+         |      SUM(c) OVER (PARTITION BY vb) AS cb,
+         |      SUM(c) OVER () AS n
+         |    FROM (SELECT $a AS va, $b AS vb, COUNT(*) AS c
+         |          FROM lineitem l JOIN orders o
+         |            ON o.o_orderkey = l.l_orderkey
+         |          GROUP BY 1, 2)))""".stripMargin
+    s"""${one("l_returnflag", "l_linestatus")}
+       |UNION ALL
+       |${one("o_orderstatus", "o_orderpriority")}
+       |UNION ALL
+       |${one("o_orderpriority", "l_returnflag")}
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   /** q323 — effect-size table for the event-value metric: Cohen's d
     * (pooled-SD standardized mean difference) and the small-sample-
     * corrected Hedges' g for every event-type pair — the magnitude

@@ -761,6 +761,21 @@ class RobustOpsSpec extends AnyFunSuite {
     assert(coldRow._5 === -1L && coldRow._6 === "continue")
   }
 
+  test("cramersMatrix: V bounded in [0,1]; chi2 and cardinalities consistent") {
+    import graft.operators.Profile
+    val out = Profile.cramersMatrix(spark, sf0001)
+      .as[(String, String, Long, Int, Int, Double, Double)].collect().toSeq
+    assert(out.size === 3)
+    out.foreach { r =>
+      assert(r._6 >= 0.0)
+      assert(r._7 >= 0.0 && r._7 <= 1.0 + 1e-9, s"${r._1}x${r._2}: V=${r._7}")
+      assert(r._4 >= 2 && r._5 >= 2) // real contingency on both axes
+      // V recomposes from chi2 within the 6dp rounding envelope
+      val v = math.sqrt(r._6 / (r._3 * (math.min(r._4, r._5) - 1)))
+      assert(math.abs(v - r._7) < 1e-4)
+    }
+  }
+
   test("crossModalAudit: correlations bounded; perfect monotone fixture reads rho 1") {
     import graft.operators.Profile
     val out = Profile.crossModalAudit(spark, sf0001)
