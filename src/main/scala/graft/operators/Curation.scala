@@ -1840,6 +1840,64 @@ object Curation {
        |FROM terms
        |ORDER BY shard""".stripMargin
 
+  /** q333 — Lorenz curve of token mass over documents: docs ranked by
+    * token count (full tiebreak) into deciles via [[Skew.globalNtile]]
+    * — the range-exchange path, no single-partition window — with
+    * per-decile token sums and the cumulative share curve. The
+    * curve q133's scalar Gini integrates: "the top decile of
+    * documents holds X% of the tokens" is the packing/budget reading
+    * a context-window planner and a storage-tiering decision both
+    * consume. Second graded consumer of the distributed ntile (after
+    * q243), against the built-in-ntile oracle.
+    *
+    * Exactness: token counts integers; shares are single rounded
+    * divisions of exact sums. Scale: the ranking sorts in parallel
+    * across range partitions; everything after is 10 rows.
+    */
+  def lorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("t"))
+    val deciled = Skew.globalNtile(docs, 10,
+      Seq(col("t"), col("doc_id")), out = "decile")
+    val cells = deciled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("decile_tokens"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_tokens", sum(col("decile_tokens")).over(w))
+      .withColumn("total", sum(col("decile_tokens")).over(
+        Window.partitionBy(lit(1))))
+      .select(col("decile"), col("n_docs"), col("decile_tokens"),
+        round(col("decile_tokens").cast("double") /
+          col("total").cast("double"), 6).as("token_share"),
+        round(col("cum_tokens").cast("double") /
+          col("total").cast("double"), 6).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  val lorenzCurveSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    CAST(${graft.operators.TextAnalysis.tokenCountExprSql} AS BIGINT)
+       |      AS t
+       |  FROM documents
+       |), deciled AS (
+       |  SELECT t, ntile(10) OVER (ORDER BY t, doc_id) AS decile FROM docs
+       |), cells AS (
+       |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(t) AS BIGINT) AS decile_tokens
+       |  FROM deciled GROUP BY 1
+       |)
+       |SELECT decile, n_docs, decile_tokens,
+       |  ROUND(CAST(decile_tokens AS DOUBLE)
+       |    / CAST(SUM(decile_tokens) OVER () AS DOUBLE), 6) AS token_share,
+       |  ROUND(CAST(SUM(decile_tokens) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / CAST(SUM(decile_tokens) OVER () AS DOUBLE), 6) AS cum_share
+       |FROM cells
+       |ORDER BY decile""".stripMargin
+
   /** q331 — leave-one-out source ablation: for every source, the
     * corpus-level quality and volume statistics WITHOUT that source —
     * "which feed moves the needle, and in which direction" as one

@@ -381,6 +381,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     c._5.foreach(tr => assert(tr >= 0.0 && tr <= 1.0))
   }
 
+  test("lorenzCurve: convex and conserving — shares non-decreasing, cum hits 1") {
+    val out = Curation.lorenzCurve(spark, sf0001)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) === (1 to 10))
+    // 500 docs split into equal deciles; with equal sizes and
+    // ascending values the share curve is convex (non-decreasing)
+    assert(out.map(_._2).distinct.size === 1)
+    assert(out.map(_._4) === out.map(_._4).sorted)
+    assert(math.abs(out.last._5 - 1.0) < 1e-9)
+    assert(out.map(_._5) === out.map(_._5).sorted)
+    assert(out.map(_._2).sum === 500L)
+  }
+
   test("sourceAblation: shares sum to one; delta sign opposes the source's own deviation") {
     val out = Curation.sourceAblation(spark, sf0001)
       .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
