@@ -917,6 +917,88 @@ object Temporal {
       |  ON p.user_id = s.user_id AND p.p_ms >= s.s_ms
       |ORDER BY purchase_id""".stripMargin
 
+  /** q334 — order backlog curve: for every calendar day, how many
+    * orders are OPEN (placed but not yet fully shipped — completion =
+    * the order's LAST lineitem ship date) and how many tokens of
+    * work-in-flight that represents in value terms. The classic
+    * operations burn-down: cumulative opens minus cumulative
+    * completions on a dense day spine, peak backlog visible as the
+    * curve's max. Orders with no lineitems never complete and carry
+    * to the horizon (counted, not hidden).
+    *
+    * Scale: one order-keyed max over lineitem (the only data-sized
+    * shuffle), two day-grain histograms, a dense calendar spine with
+    * two cumulative windows — calendar-bounded after the first
+    * aggregate. Exactness: day arithmetic and counts are integers.
+    */
+  def backlogCurve(spark: SparkSession, dir: String): DataFrame = {
+    val dayOf = (c: String) =>
+      s"(unix_micros(cast($c as timestamp)) - pmod(unix_micros(cast($c as timestamp)), 86400000000)) div 86400000000"
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), expr(dayOf("o_orderdate")).as("open_day"))
+    val done = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(expr(dayOf("l_shipdate"))).as("done_day"))
+    val joined = orders.join(done, Seq("o_orderkey"), "left")
+      .localCheckpoint() // consumers: bounds + two histograms
+    val opens = joined.groupBy(col("open_day").as("day"))
+      .agg(count(lit(1)).as("n_open"))
+    val closes = joined.filter(col("done_day").isNotNull)
+      .groupBy(col("done_day").as("day"))
+      .agg(count(lit(1)).as("n_done"))
+    val bounds = joined.agg(min(col("open_day")).as("d0"),
+      greatest(max(col("open_day")), max(col("done_day"))).as("d1"))
+    val spine = bounds.select(
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(opens, Seq("day"), "left")
+      .join(closes, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_open"), lit(0L)).as("n_opened"),
+        coalesce(col("n_done"), lit(0L)).as("n_completed"))
+      .withColumn("backlog",
+        sum(col("n_opened")).over(w) - sum(col("n_completed")).over(w))
+      .orderBy(col("day"))
+  }
+
+  val backlogCurveSql: String =
+    """WITH orders0 AS (
+      |  SELECT o_orderkey, epoch_ms(o_orderdate) // 86400000 AS open_day
+      |  FROM orders
+      |), done AS (
+      |  SELECT l_orderkey AS o_orderkey,
+      |    MAX(epoch_ms(l_shipdate) // 86400000) AS done_day
+      |  FROM lineitem GROUP BY 1
+      |), joined AS (
+      |  SELECT o.o_orderkey, o.open_day, d.done_day
+      |  FROM orders0 o LEFT JOIN done d USING (o_orderkey)
+      |), opens AS (
+      |  SELECT open_day AS day, CAST(COUNT(*) AS BIGINT) AS n_open
+      |  FROM joined GROUP BY 1
+      |), closes AS (
+      |  SELECT done_day AS day, CAST(COUNT(*) AS BIGINT) AS n_done
+      |  FROM joined WHERE done_day IS NOT NULL GROUP BY 1
+      |), bounds AS (
+      |  SELECT MIN(open_day) AS d0,
+      |    GREATEST(MAX(open_day), MAX(done_day)) AS d1
+      |  FROM joined
+      |), spine AS (
+      |  SELECT unnest(range(d0, d1 + 1)) AS day FROM bounds
+      |)
+      |SELECT s.day,
+      |  COALESCE(o.n_open, 0) AS n_opened,
+      |  COALESCE(c.n_done, 0) AS n_completed,
+      |  CAST(SUM(COALESCE(o.n_open, 0)) OVER w
+      |    - SUM(COALESCE(c.n_done, 0)) OVER w AS BIGINT) AS backlog
+      |FROM spine s
+      |LEFT JOIN opens o ON o.day = s.day
+      |LEFT JOIN closes c ON c.day = s.day
+      |WINDOW w AS (ORDER BY s.day
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY s.day""".stripMargin
+
   /** q313 — 1-NN caliper matching with an ATT readout (propensity-
     * score-matching shape): treated customers (one market segment)
     * match the nearest control on the score axis (integer account-

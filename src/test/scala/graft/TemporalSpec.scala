@@ -255,6 +255,30 @@ class TemporalSpec extends AnyFunSuite {
       (2L, 1L, 1L, 1L, 10L)))
   }
 
+  test("backlogCurve: conservation — backlog = cum opens - cum completions, ends at never-shipped") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    val out = graft.operators.Temporal.backlogCurve(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // running identity holds row by row
+    var opens = 0L; var dones = 0L
+    out.foreach { r =>
+      opens += r._2; dones += r._3
+      assert(r._4 === opens - dones, s"day ${r._1}")
+    }
+    // the curve's terminal value = orders that never fully ship
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select($"o_orderkey").distinct()
+    val shipped = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select($"l_orderkey").distinct()
+    val neverShipped = orders.join(shipped,
+      orders("o_orderkey") === shipped("l_orderkey"), "left_anti").count()
+    assert(out.last._4 === neverShipped)
+    // dense spine: consecutive days, no gaps
+    assert(out.map(_._1) === (out.head._1 to out.last._1))
+  }
+
   test("nelsonAalen: shares q151's risk table; FH dominates KM; hazard monotone") {
     val spark = SharedSpark.spark
     import spark.implicits._
