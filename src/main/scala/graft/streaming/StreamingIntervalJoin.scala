@@ -36,4 +36,24 @@ object StreamingIntervalJoin {
         "inner")
       .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
         col("c_id"), col("c_ts"))
+
+  /** LEFT OUTER variant, purchases driving: a purchase with no click
+    * in its window emits null-padded — but only AFTER the watermark
+    * proves no matching click can still arrive (the outer row is a
+    * negative claim, and the engine must wait until the claim is
+    * safe). StreamingSpec demonstrates exactly that deferral: no
+    * output at arrival, the null-padded row at the next watermark
+    * advance. The same bounded-state eviction as the inner form.
+    */
+  def purchasesWithClicks(clicks: DataFrame, purchases: DataFrame,
+                          windowMs: Long = 3600000L,
+                          delay: String = "10 seconds"): DataFrame =
+    purchases.withWatermark("p_ts", delay)
+      .join(clicks.withWatermark("c_ts", delay),
+        col("c_user") === col("p_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECONDS") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("c_id"), col("c_ts"))
 }

@@ -755,6 +755,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER: the null-padded row waits for the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = graft.streaming.StreamingIntervalJoin.purchasesWithClicks(
+      clicks.toDF().toDF("c_user", "c_id", "c_ts"),
+      purchases.toDF().toDF("p_user", "p_id", "p_ts"),
+      windowMs = 60000L, delay = "10 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer").start()
+    try {
+      // user 1 purchases with a matching click; user 2 purchases alone
+      clicks.addData((1L, 101L, ts("2026-01-01 10:00:40")))
+      purchases.addData((1L, 11L, ts("2026-01-01 10:00:50")),
+        (2L, 21L, ts("2026-01-01 10:00:50")))
+      q.processAllAvailable()
+      val early = spark.sql("SELECT p_id, c_id FROM ssj_outer")
+        .as[(Long, Option[Long])].collect().toSet
+      // the matched pair may emit immediately; the OUTER row for user 2
+      // must NOT exist yet — its no-click claim is not yet provable
+      assert(early.contains((11L, Some(101L))))
+      assert(!early.exists(r => r._1 == 21L))
+      // advance both watermarks well past the join window
+      clicks.addData((9L, 901L, ts("2026-01-01 11:00:00")))
+      purchases.addData((9L, 91L, ts("2026-01-01 11:00:00")))
+      q.processAllAvailable()
+      clicks.addData((8L, 801L, ts("2026-01-01 11:30:00")))
+      purchases.addData((8L, 81L, ts("2026-01-01 11:30:00")))
+      q.processAllAvailable()
+      val late = spark.sql("SELECT p_id, c_id FROM ssj_outer")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(late.contains((21L, None)), s"outer row missing: $late")
+    } finally q.stop()
+  }
+
   test("streaming content dedup: q25 fingerprint parity, then the horizon FORGETS") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
