@@ -487,6 +487,98 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** q335 — semantic-vs-lexical dedup overlap: every q31 embedding
+    * near-dup pair scored with its exact token-3-shingle Jaccard
+    * (doc_id = vec_id), histogrammed into 0.2-wide Jaccard buckets.
+    * The bottom bucket is the answer to "how much does semantic dedup
+    * see that lexical dedup cannot": pairs the embedding space calls
+    * duplicates while sharing almost no surface n-grams — exactly the
+    * paraphrase mass SemDeDup-style pipelines add over MinHash, now
+    * as a measured relation instead of a claim. Pairs whose docs are
+    * too short to shingle report as bucket −1 (counted, not dropped).
+    *
+    * Scale: the pair set is q31's (label-blocked, threshold-cut);
+    * shingle arrays join per pair — pair-bounded work; the histogram
+    * is ≤ 6 rows. Exactness: intersection/union are integer set
+    * sizes over distinct shingle arrays; means use the integer-micro
+    * convention on 6dp inputs.
+    */
+  def semanticLexicalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val pairs = embeddingNearDups(spark, dir)
+      .select(col("vec_a"), col("vec_b"),
+        round(col("cos_sim") * 1e6, 0).cast("long").as("cos_micro"))
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(
+        graft.functions.WordNGrams.ngrams(spark, col("toks"), 3)).as("sh"))
+    val scored = pairs
+      .join(sh.select(col("doc_id").as("vec_a"), col("sh").as("sa")), "vec_a")
+      .join(sh.select(col("doc_id").as("vec_b"), col("sh").as("sb")), "vec_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .withColumn("j", when(col("uni") > 0,
+        round(col("inter").cast("double") / col("uni").cast("double"), 6)))
+      .withColumn("bucket", when(col("j").isNull, lit(-1))
+        .otherwise(least(floor(col("j") * 5).cast("int"), lit(4))))
+    scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cos_micro")).as("cs"),
+        sum(round(coalesce(col("j"), lit(0.0)) * 1e6, 0).cast("long")).as("js"))
+      .select(col("bucket"),
+        col("n_pairs"),
+        (expr("CAST((2 * cs + n_pairs) div (2 * n_pairs) AS DOUBLE)") / 1e6)
+          .as("mean_cos"),
+        (expr("CAST((2 * js + n_pairs) div (2 * n_pairs) AS DOUBLE)") / 1e6)
+          .as("mean_jaccard"))
+      .orderBy(col("bucket"))
+  }
+
+  def semanticLexicalOverlapSql(threshold: Double = 0.4,
+                                maxId: Long = 2000L): String =
+    s"""WITH pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    CAST(ROUND(ROUND(${cosSql("a.embedding", "b.embedding")}, 6) * 1e6,
+      |      0) AS BIGINT) AS cos_micro,
+      |    ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos6
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE a.vec_id < $maxId AND b.vec_id < $maxId
+      |    AND ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= $threshold
+      |), sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+      |    for i in range(1, len(toks) - 1)]) AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      |        FROM documents)
+      |), scored AS (
+      |  SELECT p.cos_micro,
+      |    CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+      |    CAST(len(sa.s) + len(sb.s) AS BIGINT)
+      |      - CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS uni
+      |  FROM pairs p
+      |  JOIN sh sa ON sa.doc_id = p.vec_a
+      |  JOIN sh sb ON sb.doc_id = p.vec_b
+      |), bucketed AS (
+      |  SELECT cos_micro,
+      |    CASE WHEN uni > 0
+      |      THEN ROUND(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) END AS j,
+      |    CASE WHEN uni > 0
+      |      THEN CAST(LEAST(FLOOR(ROUND(CAST(inter AS DOUBLE)
+      |        / CAST(uni AS DOUBLE), 6) * 5), 4) AS INT)
+      |      ELSE -1 END AS bucket
+      |  FROM scored
+      |)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST((2 * SUM(cos_micro) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+      |    / 1e6 AS mean_cos,
+      |  CAST((2 * SUM(CAST(ROUND(COALESCE(j, 0.0) * 1e6, 0) AS BIGINT))
+      |    + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1e6 AS mean_jaccard
+      |FROM bucketed
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   /** q35 — per-label embedding centroids in long form (label, dim,
     * value): posexplode + grouped exact-decimal mean. The IVF
     * "training" step — at 100 TB this is one shuffle on (label, dim)

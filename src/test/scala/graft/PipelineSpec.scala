@@ -591,6 +591,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(l1._5 === 2L) // both sit below the 0.8 floor
   }
 
+  test("semanticLexicalOverlap: identical, disjoint, and unshingleable pairs bucket correctly") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-semlex").toString
+    // label 0: docs 1/2 identical text -> jaccard 1 -> bucket 4
+    // label 1: docs 3/4 disjoint text -> jaccard 0 -> bucket 0
+    // label 2: docs 5/6 too short to 3-shingle -> bucket -1
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the fence"),
+      (2L, "the quick brown fox jumps over the fence"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six"),
+      (5L, "hi there"), (6L, "bye now"))
+    texts.map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
+      (3L, Array(0f, 1f), 1), (4L, Array(0f, 1f), 1),
+      (5L, Array(1f, 1f), 2), (6L, Array(1f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.semanticLexicalOverlap(spark, dir)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out.map(r => r._1 -> r._2).toMap ===
+      Map(-1 -> 1L, 0 -> 1L, 4 -> 1L))
+    val byB = out.map(r => r._1 -> r).toMap
+    assert(byB(4)._4 === 1.0 && byB(0)._4 === 0.0)
+    assert(byB(4)._3 === 1.0) // identical embeddings: cos 1
+  }
+
   test("clusterAri: hand-counted pair agreement on a crafted confusion") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-ari").toString
