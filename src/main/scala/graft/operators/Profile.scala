@@ -1002,6 +1002,64 @@ object Profile {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** q336 — standardized-residual heatmap for (order weekday ×
+    * priority): the cell-level drill-down behind the chi²/Cramér's V
+    * aggregates (q188/q332) — each cell's Pearson residual
+    * (obs − exp)/√exp says WHICH weekday-priority combinations drive
+    * an association and in which direction (|r| > 2 ≈ cell-level
+    * significance), the table an analyst actually reads after the
+    * omnibus test fires.
+    *
+    * Exactness: counts and margins integer; exp and the residual are
+    * one shared double chain, rounded 6dp. Scale: one day-grain
+    * aggregate, windows over the 7×|priorities| grid.
+    */
+  def residualHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.load(spark, dir, "orders")
+      .select(dayofweek(col("o_orderdate")).as("dow"),
+        col("o_orderpriority").as("priority"))
+      .groupBy(col("dow"), col("priority"))
+      .agg(count(lit(1)).as("obs"))
+    cells
+      .withColumn("rm", sum(col("obs")).over(Window.partitionBy(col("dow"))))
+      .withColumn("cm", sum(col("obs")).over(
+        Window.partitionBy(col("priority"))))
+      .withColumn("n", sum(col("obs")).over(Window.partitionBy(lit(1))))
+      .withColumn("exp",
+        (col("rm") * col("cm")).cast("double") / col("n").cast("double"))
+      .select(col("dow"), col("priority"), col("obs"),
+        round(col("exp"), 6).as("expected"),
+        round((col("obs") - col("exp")) / sqrt(col("exp")), 6)
+          .as("std_residual"),
+        (abs((col("obs") - col("exp")) / sqrt(col("exp"))) > 2.0)
+          .as("notable"))
+      .orderBy(col("dow"), col("priority"))
+  }
+
+  val residualHeatmapSql: String =
+    """WITH cells AS (
+      |  SELECT dayofweek(o_orderdate) + 1 AS dow, o_orderpriority AS priority,
+      |    CAST(COUNT(*) AS BIGINT) AS obs
+      |  FROM orders GROUP BY 1, 2
+      |), m AS (
+      |  SELECT dow, priority, obs,
+      |    SUM(obs) OVER (PARTITION BY dow) AS rm,
+      |    SUM(obs) OVER (PARTITION BY priority) AS cm,
+      |    SUM(obs) OVER () AS n
+      |  FROM cells
+      |)
+      |SELECT dow, priority, obs,
+      |  ROUND(CAST(rm * cm AS DOUBLE) / CAST(n AS DOUBLE), 6) AS expected,
+      |  ROUND((obs - CAST(rm * cm AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / sqrt(CAST(rm * cm AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |    AS std_residual,
+      |  ABS((obs - CAST(rm * cm AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / sqrt(CAST(rm * cm AS DOUBLE) / CAST(n AS DOUBLE))) > 2.0
+      |    AS notable
+      |FROM m
+      |ORDER BY dow, priority""".stripMargin
+
   /** q332 — Cramér's V association matrix for the categorical
     * columns: the pairs among (l_returnflag, l_linestatus,
     * o_orderstatus, o_orderpriority) — at lineitem grain, so the
