@@ -306,7 +306,10 @@ object Bench {
         results.filter { case (n, m, ts, ok) =>
             n.startsWith("q") && ok && spreadOfTs(ts) > math.max(1.0, 0.3 * m) }
           .sortBy { case (_, _, ts, _) => -spreadOfTs(ts) }
-          .take(sys.env.getOrElse("SPARK_GRAFT_ISOLATED_N", "4").toInt)
+          // bound 8 (was 4 — round-10 verdict: q185/q108 spreads of
+          // ~7.5 s ranked 5th/6th and missed the cut, leaving their
+          // medians unpinned)
+          .take(sys.env.getOrElse("SPARK_GRAFT_ISOLATED_N", "8").toInt)
           .map(_._1)
     }
     val isolated: Seq[(String, Option[(Double, Double)])] =
@@ -373,6 +376,14 @@ object Bench {
       "\"" + shortKey(k) + "\":" + r.map(x => f3(x._1)).getOrElse("null")
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"spread_total":${f3(spreadTotal)},"max_spread":{"q":"${shortKey(noisyQ)}","sec":${f3(noisyS)}},"isolated":$isoShort,"queries":$qs,"extras":$xs,"failed":$failedShort,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    // truncation-proof trailer: the driver's artifact keeps only the
+    // LAST ~2000 chars of stdout and the big line above fronts its
+    // "value" field, so (round-10 verdict item 3) the canonical total
+    // is restated LAST in a line short enough to always survive any
+    // tail capture
+    val extrasTotal = extra.collect { case (_, m, _, true) => m }.sum
+    val nOk = graded.count(_._4)
+    println(s"""{"metric":"total_compact","value":${f3(total)},"unit":"sec","n":${graded.size},"n_ok":$nOk,"extras_s":${f3(extrasTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

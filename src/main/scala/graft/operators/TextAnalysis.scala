@@ -1880,9 +1880,14 @@ object TextAnalysis {
 
   /** q281 oracle: the golden-fixture join (see [[compressionRatio]]).
     * n_bytes/ratio/flag recompute in SQL; n_deflated comes from the
-    * independently-generated fixture, matched on (doc_id, md5). */
+    * independently-generated fixture, matched on (doc_id, md5). The
+    * default fixture path resolves against the JVM's working
+    * directory (the repo root under sbt/Verify) so any checkout
+    * location works — round-10 advice flagged the hardcoded
+    * /root/repo form. */
   def compressionRatioSql(flagBelow: Double = 0.4,
-      fixture: String = "/root/repo/fixtures/q281_deflate_golden.parquet")
+      fixture: String = new java.io.File(
+        "fixtures/q281_deflate_golden.parquet").getAbsolutePath)
       : String =
     s"""SELECT d.doc_id,
        |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,

@@ -30,16 +30,32 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * SortMergeJoinExec pattern with the inner loop specialized to
   * "advance while right ≤ left, keep last".
   *
+  * Direction (round 11): `backward` (default, above) / `forward`
+  * (smallest right time ≥ the left time — the "next event after"
+  * probe) / `nearest` (whichever of the two candidates has the
+  * smaller absolute gap; exact ties resolve backward). `tolerance`
+  * (same unit as the time columns) null-pads any match whose gap
+  * exceeds it — max-gap as-of, DuckDB-expressible as a post-filter
+  * on the matched gap since tolerance never changes WHICH row is
+  * closest. All three directions keep the same required
+  * distribution/ordering and the same O(1)-state merge.
+  *
   * Determinism note: if several right rows tie on (key, time), the
-  * LAST in child sort order wins — callers wanting cross-engine
-  * determinism (the oracle does) make (key, time) unique on the right
-  * first, exactly as DuckDB's ASOF JOIN documentation advises.
+  * LAST in child sort order wins for backward matches and the FIRST
+  * for forward matches — callers wanting cross-engine determinism
+  * (the oracle does) make (key, time) unique on the right first,
+  * exactly as DuckDB's ASOF JOIN documentation advises.
   * Null handling: null times must be filtered/coalesced by the caller
   * ([[AsofJoinOps.asofJoin]] rejects nullable-time plans at build).
+  * Null KEYS follow SQL equality semantics (round-10 advice): a left
+  * row whose key contains a null never matches (null-padded output),
+  * and null-keyed right rows are skipped.
   */
 case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-                    leftTime: Expression, rightTime: Expression)
+                    leftTime: Expression, rightTime: Expression,
+                    direction: String = "backward",
+                    tolerance: Option[Long] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -51,8 +67,8 @@ case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
 /** Planner strategy: 1:1 physical mapping. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -65,11 +81,16 @@ object AsofJoinStrategy extends SparkStrategy {
   */
 case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTime: Expression, rightTime: Expression,
-                        left: SparkPlan, right: SparkPlan)
+                        left: SparkPlan, right: SparkPlan,
+                        direction: String = "backward",
+                        tolerance: Option[Long] = None)
     extends BinaryExecNode {
 
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     s"as-of times must be LongType, got ${leftTime.dataType}/${rightTime.dataType}")
+  require(Set("backward", "forward", "nearest").contains(direction),
+    s"as-of direction must be backward/forward/nearest, got $direction")
+  require(tolerance.forall(_ >= 0L), "as-of tolerance must be >= 0")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -99,6 +120,8 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     val keyTypes = leftKeys.map(_.dataType)
     val outAttrs = output
     val nRight = rOut.length
+    val dir = direction
+    val tolOpt = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -108,42 +131,97 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(nRight)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val inTol: Long => Boolean = gap => tolOpt.forall(gap <= _)
       new Iterator[InternalRow] {
         // un-consumed right row: held by REFERENCE between next()
-        // calls — valid because the sorter's row memory is only
-        // reused on the next rIter.next(), which we never call while
-        // rHead is set
+        // calls — valid because the sorter's row memory (and the key
+        // projection's reused buffer) is only overwritten on the next
+        // rIter.next()/rKeyProj call, which we only make while rHead
+        // is null
         private var rHead: InternalRow = null
+        private var rHeadKey: UnsafeRow = null
+        private var rHeadTime: Long = 0L
         private var candidate: InternalRow = null // last right ≤ left time
         private var candidateKey: UnsafeRow = null
+        private var candidateTime: Long = 0L
+
+        /** Load the next right row with a fully non-null key into
+          * rHead (null-keyed rows can never equality-match — SQL
+          * semantics — and nulls sort first, so skipping here is
+          * order-consistent). False when the right side is exhausted.
+          */
+        private def fillRHead(): Boolean = {
+          while (rHead == null && rIter.hasNext) {
+            val r = rIter.next()
+            val rk = rKeyProj(r)
+            if (!rk.anyNull) {
+              rHead = r
+              rHeadKey = rk
+              rHeadTime = rTimeProj(r).getLong(0)
+            }
+          }
+          rHead != null
+        }
+
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyProj(l)
           val lt = lTimeProj(l).getLong(0)
-          var done = false
-          while (!done) {
-            if (rHead == null && rIter.hasNext) rHead = rIter.next()
-            if (rHead == null) done = true
-            else {
-              val rk = rKeyProj(rHead)
-              val cmp = keyOrd.compare(rk, lk)
-              if (cmp < 0) rHead = null // left is sorted: never needed again
-              else if (cmp == 0 && rTimeProj(rHead).getLong(0) <= lt) {
-                // still at-or-before this left row: becomes (or
-                // replaces) the candidate; copies detach from the
-                // iterator's reused row memory
-                candidate = rHead.copy()
-                candidateKey = rk.copy()
-                rHead = null
-              } else done = true // future key or future time: stop
+          var matched: InternalRow = null
+          if (!lk.anyNull) {
+            if (dir == "forward") {
+              // advance to the first right row with key ≥ lk and (on
+              // key equality) time ≥ lt; rows passed over can never
+              // match a LATER left row either (left sorted ascending)
+              var done = false
+              while (!done) {
+                if (!fillRHead()) done = true
+                else {
+                  val cmp = keyOrd.compare(rHeadKey, lk)
+                  if (cmp < 0 || (cmp == 0 && rHeadTime < lt)) rHead = null
+                  else done = true
+                }
+              }
+              if (rHead != null && keyOrd.compare(rHeadKey, lk) == 0 &&
+                  inTol(rHeadTime - lt)) matched = rHead
+            } else {
+              // backward walk (shared by backward and nearest):
+              // consume right rows at-or-before lt into the candidate;
+              // stop on a future key or future time — for nearest that
+              // stopped-at row IS the forward candidate
+              var done = false
+              while (!done) {
+                if (!fillRHead()) done = true
+                else {
+                  val cmp = keyOrd.compare(rHeadKey, lk)
+                  if (cmp < 0) rHead = null // left sorted: never needed again
+                  else if (cmp == 0 && rHeadTime <= lt) {
+                    // copies detach from the iterator's reused row memory
+                    candidate = rHead.copy()
+                    candidateKey = rHeadKey.copy()
+                    candidateTime = rHeadTime
+                    rHead = null
+                  } else done = true
+                }
+              }
+              val backOk = candidate != null &&
+                keyOrd.compare(candidateKey, lk) == 0 && inTol(lt - candidateTime)
+              if (dir == "nearest") {
+                val fwdOk = rHead != null &&
+                  keyOrd.compare(rHeadKey, lk) == 0 && inTol(rHeadTime - lt)
+                matched =
+                  if (backOk && fwdOk)
+                    // exact gap tie resolves backward (≤)
+                    (if (lt - candidateTime <= rHeadTime - lt) candidate else rHead)
+                  else if (backOk) candidate
+                  else if (fwdOk) rHead
+                  else null
+              } else if (backOk) matched = candidate
             }
           }
-          val out =
-            if (candidate != null && keyOrd.compare(candidateKey, lk) == 0)
-              joined(l, candidate)
-            else joined(l, nullRight)
-          resultProj(out)
+          resultProj(
+            if (matched != null) joined(l, matched) else joined(l, nullRight))
         }
       }
     }
@@ -159,15 +237,23 @@ object AsofJoinOps {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
 
-  /** Backward as-of join `left` to `right` on equal `keys` and
-    * `right.timeCol ≤ left.timeCol`, most recent right row wins; left
-    * outer. Timestamp time columns compare as unix micros; integer
-    * ones as longs. Right columns come back null-padded on no match.
-    * Right time columns that are nullable must be pre-filtered (the
-    * merge compares primitive longs).
+  /** As-of join `left` to `right` on equal `keys`; `direction`
+    * picks the time predicate — `backward` (default): most recent
+    * right row with time ≤ left's; `forward`: earliest right row with
+    * time ≥ left's; `nearest`: smaller absolute gap of the two, ties
+    * backward. `tolerance` (in the compared unit: unix MICROS for
+    * timestamp columns, the raw long value otherwise) null-pads
+    * matches whose gap exceeds it. Left outer in all modes. Timestamp
+    * time columns compare as unix micros; integer ones as longs.
+    * Right columns come back null-padded on no match. Right time
+    * columns that are nullable must be pre-filtered (the merge
+    * compares primitive longs). Null join keys never match (SQL
+    * equality semantics).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTimeCol: String, rightTimeCol: String): DataFrame = {
+               leftTimeCol: String, rightTimeCol: String,
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     def asLong(df: DataFrame, c: String, out: String): DataFrame = {
@@ -190,7 +276,8 @@ object AsofJoinOps {
         throw new IllegalArgumentException(s"no column $name"))
     val node = AsofJoin(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      attr(lPlan, "__asof_lt"), attr(rPlan, "__asof_rt"))
+      attr(lPlan, "__asof_lt"), attr(rPlan, "__asof_rt"),
+      direction, tolerance)
     // USING-join output shape: left columns + right non-key columns
     // (the right keys equal the left's by construction; keeping both
     // would make every key reference ambiguous downstream)

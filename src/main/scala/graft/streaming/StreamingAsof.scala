@@ -25,10 +25,29 @@ object StreamingAsof {
   case class AsofOut(key: Long, ms: Long, row_id: Long,
                      asof_ms: Option[Long], asof_id: Option[Long])
 
+  /** The dimension-sized trade is ENFORCED, not just documented: the
+    * static side is counted before it collects, and anything above
+    * this bound throws with a pointer to the big-big operator. 2M
+    * rows ≈ 48 MB of longs broadcast — comfortably dimension-sized;
+    * raise it deliberately per deployment, don't remove it.
+    */
+  val DefaultMaxStaticRows: Long = 2000000L
+
   /** Build the broadcastable lookup: key → (sorted times, ids),
     * ties ordered by id so the last-at-or-before pick is unique.
+    * Fails fast when the static side exceeds `maxStaticRows` — a
+    * fact-sized "dimension" must go through the distributed
+    * [[graft.plans.AsofJoinExec]] batch operator instead of a
+    * driver collect.
     */
-  def buildLookup(staticDf: DataFrame): Map[Long, (Array[Long], Array[Long])] =
+  def buildLookup(staticDf: DataFrame,
+      maxStaticRows: Long = DefaultMaxStaticRows): Map[Long, (Array[Long], Array[Long])] = {
+    val n = staticDf.count()
+    require(n <= maxStaticRows,
+      s"StreamingAsof static side has $n rows > maxStaticRows=$maxStaticRows: " +
+        "this operator broadcasts the static side and is for " +
+        "dimension-sized lookups only — use graft.plans.AsofJoinOps.asofJoin " +
+        "(distributed sort-merge) for the big-big case")
     staticDf.select(col("key").cast("long"), col("ms").cast("long"),
         col("id").cast("long"))
       .collect()
@@ -38,6 +57,7 @@ object StreamingAsof {
         val sorted = rows.sortBy(r => (r._2, r._3))
         k -> (sorted.map(_._2), sorted.map(_._3))
       }
+  }
 
   /** Largest index i with times(i) <= t, or -1. Binary search over
     * the sorted (ascending, possibly duplicated) time array.

@@ -1647,4 +1647,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("mktsegment", "Y", 0L, 2L, None, Some(0.0)),
       ("mktsegment", "Z", 1L, 1L, Some(0.0), Some(0.0))))
   }
+
+  test("residualHeatmap: an independent grid has all-zero residuals; margins reconcile") {
+    // 2 weekdays x 2 priorities in exact proportion: obs == expected
+    // everywhere, so every standardized residual is 0 and nothing is
+    // notable. 1970-01-01 = Thursday, +1 day = Friday.
+    val dir = java.nio.file.Files.createTempDirectory("graft-rh").toString
+    def day(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    val rows =
+      (Seq.fill(2)((0, "1-URGENT")) ++ Seq.fill(4)((0, "5-LOW")) ++
+        Seq.fill(1)((1, "1-URGENT")) ++ Seq.fill(2)((1, "5-LOW")))
+    rows.zipWithIndex.map { case ((d, pri), i) =>
+      (i.toLong, 1L, "O", 1.0, day(d), pri) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Profile.residualHeatmap(spark, dir)
+      .as[(Int, String, Long, Double, Double, Boolean)].collect().toSeq
+    assert(out.map(_._3).sum === 9L)            // cells reconcile to N
+    assert(out.forall(_._5 === 0.0))            // independent ⇒ zero residuals
+    assert(out.forall(!_._6))                   // nothing notable
+    assert(out.map(r => (r._1, r._2)) === out.map(r => (r._1, r._2)).sorted)
+  }
 }

@@ -1004,6 +1004,29 @@ class RobustOpsSpec extends AnyFunSuite {
     graft.operators.Graph.clearPairsMemo()
   }
 
+  test("cfHoldoutEval train-set pairing routes through the basket cap: capped == uncapped on TPC-H, truncated on hot baskets") {
+    import org.apache.spark.sql.functions.col
+    // the exact frame cfHoldoutEval re-pairs: distinct train-filtered
+    // (l_orderkey, l_partkey) — prove the shared capped generator is a
+    // no-op at the default cap vs an effectively-uncapped run
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val capped = graft.operators.Graph.basketCappedPairs(li)
+      .as[(Long, Long, Long)].collect().toSet
+    val uncapped = graft.operators.Graph
+      .basketCappedPairs(li, basketCap = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+    // and on a hot basket the helper truncates to the cap's smallest
+    // part ids — the O(basket^2) guard cfHoldoutEval now inherits
+    val hot = Seq((1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L))
+      .toDF("l_orderkey", "l_partkey")
+    val hotPairs = graft.operators.Graph.basketCappedPairs(hot, basketCap = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hotPairs === Set((10L, 20L, 1L)))
+  }
+
   test("revenueConcentration: Lorenz curve ends at 1, shares monotone, spend recomposes") {
     val out = graft.operators.Profile
       .revenueConcentration(spark, "/root/testdata/sf0.001")

@@ -572,6 +572,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of lookup guard: an oversized static side fails fast with a pointer to the batch operator") {
+    import spark.implicits._
+    val staticDf = (1L to 10L).map(i => (i, i * 10L, i * 100L))
+      .toDF("key", "ms", "id")
+    // within the bound: builds fine
+    assert(graft.streaming.StreamingAsof
+      .buildLookup(staticDf, maxStaticRows = 10L).size === 10)
+    // one row over: refuses to collect, names the distributed operator
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingAsof.buildLookup(staticDf, maxStaticRows = 9L)
+    }
+    assert(e.getMessage.contains("maxStaticRows"))
+    assert(e.getMessage.contains("asofJoin"))
+  }
+
   test("streaming bottom-k sample: replay equals the batch selection at every prefix") {
     import graft.streaming.StreamingBottomK
     import graft.streaming.StreamingBottomK.DocIn

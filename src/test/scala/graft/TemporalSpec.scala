@@ -118,10 +118,9 @@ class TemporalSpec extends AnyFunSuite {
       val got = gotRows.toMap
       val signups = rows.filter(_._4 == "signup")
       val expected = rows.filter(_._4 == "purchase").map { case (id, ms, u, _) =>
-        // window order is (ts_ms, event_id) with frame up to -1: a
-        // signup qualifies iff strictly before the purchase in that order
-        val prior = signups.filter(s =>
-          s._3 == u && (s._2 < ms || (s._2 == ms && s._1 < id)))
+        // round-11 contract: STRICTLY earlier in time (the native
+        // as-of probes at p_ms - 1; same-ms signups never qualify)
+        val prior = signups.filter(s => s._3 == u && s._2 < ms)
         id -> prior.sortBy(s => (s._2, s._1)).lastOption.map(_._2)
       }.toMap
       gotRows.length == expected.size && got == expected
