@@ -1067,6 +1067,92 @@ object Events {
       |  ROUND((num * num) / NULLIF(den * (n * syy - sy * sy), 0.0), 6) AS r2
       |FROM derived ORDER BY event_type""".stripMargin
 
+  /** q346 — session concurrency curve at hour grain: for every hour
+    * bucket that any session touches, how many sessions were ACTIVE
+    * (interval overlaps the hour), how many STARTED and how many
+    * ENDED there — the load curve capacity planning reads (peak
+    * concurrency = the max row; Little's law cross-checks against
+    * q140's interarrival view). Sessions are q20's exact contract
+    * (per-user 30-min inactivity gap, (ts, event_id) ordering), so
+    * the concurrency curve reconciles with the graded session table
+    * by construction. Hours no session touches produce no row — the
+    * histogram is sparse, not zero-filled (the dense spine is q334's
+    * trick, deliberately not repeated where idle gaps carry no
+    * information).
+    *
+    * Scale: sessionization is the one user-keyed window pass; each
+    * session explodes to (duration-hours + 1) rows — bounded by the
+    * gap rule times the calendar — and everything after is
+    * hour-grain aggregates. No global sweep-line running sum, no
+    * single-partition window.
+    */
+  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val hourMs = 3600000L
+    val sess = sessionize(spark, dir)
+      .select(col("session_start_ms").as("s_ms"),
+        col("session_end_ms").as("e_ms"))
+      .localCheckpoint() // consumers: spans + the two endpoint histograms
+    val spans = sess.withColumn("hour_start_ms",
+      explode(sequence(expr(s"(s_ms div $hourMs) * $hourMs"),
+        expr(s"(e_ms div $hourMs) * $hourMs"), lit(hourMs))))
+    val active = spans.groupBy(col("hour_start_ms"))
+      .agg(count(lit(1)).as("n_active"))
+    val started = sess.groupBy(expr(s"(s_ms div $hourMs) * $hourMs")
+        .as("hour_start_ms"))
+      .agg(count(lit(1)).as("n_started"))
+    val ended = sess.groupBy(expr(s"(e_ms div $hourMs) * $hourMs")
+        .as("hour_start_ms"))
+      .agg(count(lit(1)).as("n_ended"))
+    active
+      .join(started, Seq("hour_start_ms"), "left")
+      .join(ended, Seq("hour_start_ms"), "left")
+      .select(col("hour_start_ms"), col("n_active"),
+        coalesce(col("n_started"), lit(0L)).as("n_started"),
+        coalesce(col("n_ended"), lit(0L)).as("n_ended"))
+      .orderBy(col("hour_start_ms"))
+  }
+
+  val sessionConcurrencySql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts_ms,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id, session_id,
+      |    MIN(ts_ms) AS s_ms, MAX(ts_ms) AS e_ms
+      |  FROM numbered GROUP BY 1, 2
+      |), spans AS (
+      |  SELECT unnest(generate_series((s_ms // 3600000) * 3600000,
+      |    (e_ms // 3600000) * 3600000, 3600000)) AS hour_start_ms
+      |  FROM sess
+      |), act AS (
+      |  SELECT hour_start_ms, CAST(COUNT(*) AS BIGINT) AS n_active
+      |  FROM spans GROUP BY 1
+      |), st AS (
+      |  SELECT (s_ms // 3600000) * 3600000 AS hour_start_ms,
+      |    CAST(COUNT(*) AS BIGINT) AS n_started
+      |  FROM sess GROUP BY 1
+      |), en AS (
+      |  SELECT (e_ms // 3600000) * 3600000 AS hour_start_ms,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ended
+      |  FROM sess GROUP BY 1
+      |)
+      |SELECT a.hour_start_ms, a.n_active,
+      |  COALESCE(st.n_started, 0) AS n_started,
+      |  COALESCE(en.n_ended, 0) AS n_ended
+      |FROM act a
+      |LEFT JOIN st USING (hour_start_ms)
+      |LEFT JOIN en USING (hour_start_ms)
+      |ORDER BY hour_start_ms""".stripMargin
+
   /** q132 — frequent session paths: the top-k event-type TRIGRAMS
     * taken consecutively inside a session (q92's transition matrix is
     * the order-1 view; three-step paths expose the funnel detours a

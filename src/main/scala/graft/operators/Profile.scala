@@ -1672,6 +1672,80 @@ object Profile {
     * accumulates both CDFs in a single pass, one max aggregate ends
     * it — the corpus is scanned once and never self-joined.
     */
+  /** q343 — QQ table per source vs the corpus: exact doc-length
+    * quantiles at ventile grain (p = 1/20 … 19/20) for every source,
+    * side by side with the GLOBAL quantiles and their gap — the
+    * diagnostic relation behind the drift scalars (q213's KS statistic
+    * says "the distributions differ", this says WHERE along the
+    * distribution: a heavy-tailed source shows gaps fanning out with
+    * p, a shifted one a constant offset). Quantile = the repo's exact
+    * rank-crossing convention (row_number over (value, doc_id), rank
+    * (p·(n+1)) div 20); tiny sources whose rank-1 lands at 0 simply
+    * omit that percentile row in both engines.
+    *
+    * Scale: per-source ranks ride a source-partitioned window; the
+    * GLOBAL ranks ride [[Skew.globalRank]] (range exchange + offset
+    * arithmetic — third graded consumer, no single-partition window);
+    * the 19-row percentile spine broadcasts to both.
+    */
+  def qqTable(spark: SparkSession, dir: String, grain: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars"), col("doc_id"))
+    val pcts = (1 until grain).map(p => (p, p.toDouble / grain))
+      .toDF("pnum", "pct")
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val srcRanked = docs
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+    val srcQ = srcRanked.join(broadcast(pcts),
+        col("rn") === expr(s"(pnum * (n + 1)) div $grain"))
+      .select(col("source"), col("pnum"), col("pct"),
+        col("n").as("n_docs"), col("n_chars").as("q_source"))
+    val g = Skew.globalRank(docs, Seq(col("n_chars"), col("doc_id")))
+    val gn = g.agg(count(lit(1)).as("gn"))
+    val gQ = g.crossJoin(broadcast(gn))
+      .join(broadcast(pcts), col("rank") === expr(s"(pnum * (gn + 1)) div $grain"))
+      .select(col("pnum"), col("n_chars").as("q_global"))
+    srcQ.join(broadcast(gQ), Seq("pnum"))
+      .select(col("source"), col("pct"), col("n_docs"),
+        col("q_source"), col("q_global"),
+        (col("q_source") - col("q_global")).as("gap"))
+      .orderBy(col("source"), col("pct"))
+  }
+
+  def qqTableSql(grain: Int = 20): String =
+    s"""WITH d AS (
+       |  SELECT source, n_chars, doc_id FROM documents
+       |), p AS (
+       |  SELECT i AS pnum, i / $grain.0 AS pct
+       |  FROM generate_series(1, ${grain - 1}) t(i)
+       |), s AS (
+       |  SELECT source, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM d
+       |), sq AS (
+       |  SELECT s.source, p.pnum, p.pct, s.n AS n_docs,
+       |    s.n_chars AS q_source
+       |  FROM s JOIN p ON s.rn = (p.pnum * (s.n + 1)) // $grain
+       |), g AS (
+       |  SELECT n_chars,
+       |    row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+       |    COUNT(*) OVER () AS gn
+       |  FROM d
+       |), gq AS (
+       |  SELECT p.pnum, g.n_chars AS q_global
+       |  FROM g JOIN p ON g.rank = (p.pnum * (g.gn + 1)) // $grain
+       |)
+       |SELECT sq.source, sq.pct, sq.n_docs, sq.q_source, gq.q_global,
+       |  sq.q_source - gq.q_global AS gap
+       |FROM sq JOIN gq ON gq.pnum = sq.pnum
+       |ORDER BY sq.source, sq.pct""".stripMargin
+
   def ksDrift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, dir, "documents")

@@ -1415,6 +1415,82 @@ object Similarity {
         round(cosine(spark, col("q_emb"), col("embedding")), 6).as("cos_sim"))
     topK(rescored, k)
   }
+  /** q342 — SQ8 reconstruction-error audit per dimension: the index
+    * card behind q104's quantized kNN. For every dimension, the
+    * trained (min, max) range, the code step, and the actual
+    * reconstruction error of quantize→dequantize over the corpus —
+    * mean |error| (integer-micro summed, order-independent) and max
+    * |error|, with the theoretical half-step bound and a per-dim
+    * `within_bound` invariant flag. This is what an ANN operator
+    * publishes so a capacity/recall decision ("is 1 byte/dim enough
+    * for THESE vectors, or does dim 17's range blow the budget")
+    * reads numbers instead of re-deriving them; a dimension whose
+    * range is dominated by outliers shows up as a fat half-step.
+    *
+    * Exactness: per-element error is one shared IEEE double chain
+    * (identical in both engines given identical float inputs); the
+    * mean goes through the 6dp integer-micro convention; the bound
+    * check compares 6dp-rounded values with a 1e-6 guard. Scale: one
+    * posexplode (narrow, map-side), a 64-row stats aggregate
+    * broadcast back, one more 64-row aggregate.
+    */
+  def sq8ErrorAudit(spark: SparkSession, dir: String): DataFrame = {
+    val elems = Tables.load(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+    val stats = elems.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .withColumn("s", (col("mx") - col("mn")) / 255.0)
+    val err = elems.join(broadcast(stats), "dim")
+      .withColumn("code", when(col("s") === 0.0, lit(0.0))
+        .otherwise(least(greatest(
+          floor((col("v") - col("mn")) / col("s") + 0.5), lit(0.0)), lit(255.0))))
+      .withColumn("e_abs",
+        abs(col("v") - (col("mn") + col("code") * col("s"))))
+    err.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("e_abs") * 1e6, 0).cast("long")).as("sum_e_micro"),
+        max(round(col("e_abs"), 6)).as("max_abs_err"))
+      .join(broadcast(stats), "dim")
+      .select(col("dim"), col("n"),
+        round(col("mn"), 6).as("dim_min"),
+        round(col("mx"), 6).as("dim_max"),
+        round(col("s") / 2.0, 6).as("half_step"),
+        round(col("sum_e_micro").cast("double") / 1e6
+          / col("n").cast("double"), 6).as("mean_abs_err"),
+        col("max_abs_err"),
+        (col("max_abs_err") <= round(col("s") / 2.0, 6) + 1e-6)
+          .as("within_bound"))
+      .orderBy(col("dim"))
+  }
+
+  val sq8ErrorAuditSql: String =
+    """WITH el AS (
+      |  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, generate_series(1, 64) AS t(i)
+      |), st AS (
+      |  SELECT dim, MIN(v) AS mn, MAX(v) AS mx,
+      |    (MAX(v) - MIN(v)) / 255.0 AS s
+      |  FROM el GROUP BY 1
+      |), err AS (
+      |  SELECT el.dim,
+      |    ABS(el.v - (st.mn + (CASE WHEN st.s = 0 THEN 0.0
+      |      ELSE LEAST(GREATEST(FLOOR((el.v - st.mn) / st.s + 0.5),
+      |        0.0), 255.0) END) * st.s)) AS e_abs
+      |  FROM el JOIN st ON st.dim = el.dim
+      |)
+      |SELECT e.dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(st.mn, 6) AS dim_min, ROUND(st.mx, 6) AS dim_max,
+      |  ROUND(st.s / 2.0, 6) AS half_step,
+      |  ROUND(CAST(SUM(CAST(ROUND(e.e_abs * 1000000, 0) AS BIGINT)) AS DOUBLE)
+      |    / 1000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_abs_err,
+      |  MAX(ROUND(e.e_abs, 6)) AS max_abs_err,
+      |  MAX(ROUND(e.e_abs, 6)) <= ROUND(st.s / 2.0, 6) + 0.000001
+      |    AS within_bound
+      |FROM err e JOIN st ON st.dim = e.dim
+      |GROUP BY e.dim, st.mn, st.mx, st.s
+      |ORDER BY e.dim""".stripMargin
+
   /** q158 — clustering quality as a graded relation: assign every
     * embedding to its nearest label-centroid cell (the q37 coarse
     * quantizer) and score the assignment against the TRUE labels —

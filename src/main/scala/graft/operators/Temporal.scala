@@ -1080,6 +1080,33 @@ object Temporal {
        |JOIN f ON f.view_id = v.view_id
        |ORDER BY v.view_id""".stripMargin
 
+  /** q345 — the SAME relation as q296 through the BROADCAST as-of
+    * path ([[graft.plans.AsofJoinOps.asofJoinBroadcast]]): signups
+    * collapse to per-user sorted time arrays riding a broadcast hash
+    * join; each purchase resolves its match with the codegen'd
+    * SortedFloorIndex binary search. The shared oracle
+    * ([[asofNativeSql]]) is the proof the two physical paths compute
+    * one relation — the q69/q61 and q104/q29 pattern. At 100 TB this
+    * is THE plan when the right side is dimension-sized: the purchase
+    * fact stream is never shuffled or sorted (PlansSpec pins zero
+    * exchanges on the left).
+    */
+  def asofBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("ms", Relational.tsMs("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ms").as("p_ms"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ms").as("s_ms"))
+      .agg(max(col("event_id")).as("signup_id"))
+    graft.plans.AsofJoinOps
+      .asofJoinBroadcast(purchases, signups, Seq("user_id"), "p_ms", "s_ms")
+      .select(col("purchase_id"), col("user_id"), col("p_ms"),
+        col("s_ms").as("last_signup_ms"), col("signup_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   val asofNativeSql: String =
     """WITH ev AS (
       |  SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type

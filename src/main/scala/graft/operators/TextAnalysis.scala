@@ -200,6 +200,63 @@ object TextAnalysis {
       |)
       |GROUP BY token ORDER BY token""".stripMargin
 
+  /** q341 — Yule's K lexical-richness characteristic per source:
+    * K = 10⁴·(Σ_m m²·V(m) − N)/N² over the per-source token frequency
+    * spectrum (V(m) = types occurring m times, N = tokens). K is
+    * length-invariant where type/token ratio is not, which makes it
+    * THE comparable repetitiveness dial across sources of very
+    * different sizes — template/boilerplate feeds score high K, rich
+    * prose low — complementing q103's entropy (distribution shape)
+    * and q55's explicit repetition counters (local structure) with
+    * the classic vocabulary-concentration statistic. Hapax share
+    * (V(1)/V) rides along: high K + low hapax = a feed stamping the
+    * same tokens; high hapax = open vocabulary still growing (q310's
+    * missing-mass reading).
+    *
+    * Exactness: the spectrum sums are pure integers; K and the hapax
+    * share are single rounded double chains. Scale: one (source,
+    * token) partial+final count (q36's shuffle shape) then a
+    * per-source aggregate — nothing wider than the vocabulary.
+    */
+  def yuleK(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("m"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("m")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("m") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("m") * col("m")).as("sum_m2"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(lit(10000.0) * (col("sum_m2") - col("n_tokens")).cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double"), 6)
+          .as("yule_k"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_share"))
+      .orderBy(col("source"))
+  }
+
+  val yuleKSql: String =
+    """WITH tf AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM (
+      |    SELECT source, unnest(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  )
+      |  GROUP BY 1, 2
+      |)
+      |SELECT source,
+      |  CAST(SUM(m) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  ROUND(10000.0 * CAST(SUM(m * m) - SUM(m) AS DOUBLE)
+      |    / CAST(SUM(m) * SUM(m) AS DOUBLE), 6) AS yule_k,
+      |  ROUND(CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+      |FROM tf GROUP BY source ORDER BY source""".stripMargin
+
   /** q310 — Good–Turing missing mass and Chao1 richness per language:
     * from the (lang, token) frequency table, the count of singleton
     * (N1) and doubleton (N2) types gives (a) the Good–Turing estimate

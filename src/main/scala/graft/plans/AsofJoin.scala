@@ -256,14 +256,8 @@ object AsofJoinOps {
                tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     install(spark)
-    def asLong(df: DataFrame, c: String, out: String): DataFrame = {
-      val t = df.schema(c).dataType
-      val cast = if (t == TimestampType) unix_micros(col(c))
-        else col(c).cast(LongType)
-      df.withColumn(out, cast)
-    }
-    val l2 = asLong(left, leftTimeCol, "__asof_lt")
-    val r2raw = asLong(right, rightTimeCol, "__asof_rt")
+    val l2 = withLongTime(left, leftTimeCol, "__asof_lt")
+    val r2raw = withLongTime(right, rightTimeCol, "__asof_rt")
     // self-join safety: left and right may share a lineage (and thus
     // attribute ids); re-aliasing every right column mints fresh
     // exprIds at the subtree boundary, so the node's right keys stay
@@ -289,6 +283,64 @@ object AsofJoinOps {
       org.apache.spark.sql.catalyst.plans.logical.Project(kept, node))
   }
 
+  /** BROADCAST backward as-of join — the small-dimension twin of
+    * [[asofJoin]] (same output contract: left columns + right
+    * non-key columns, null-padded on no match). The right side
+    * collapses to ONE sorted (time, payload…) array per key, rides a
+    * broadcast hash join, and each left row resolves its match with
+    * the codegen'd [[graft.functions.SortedFloorIndex]] binary
+    * search — the LEFT SIDE IS NEVER SHUFFLED OR SORTED. At 100 TB
+    * this is the right plan whenever the right side is
+    * dimension-sized (a rate ledger, a version history): the sorted
+    * exec's exchange pair costs a full pass over the fact table that
+    * this plan simply doesn't make. The trade is enforced like
+    * [[graft.streaming.StreamingAsof.buildLookup]]: the right side
+    * is counted first and anything above `maxRightRows` throws with
+    * a pointer back to the distributed operator.
+    *
+    * Ties on (key, time) resolve to the largest payload tuple (the
+    * struct array sorts by (time, payload…) and the floor index
+    * lands on the last duplicate) — same "last wins" discipline as
+    * the sorted exec; dedup first for cross-engine determinism.
+    * Right rows with null time are dropped (they can never match);
+    * null keys never match on either side (SQL join semantics, for
+    * free from the broadcast hash join).
+    */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTimeCol: String, rightTimeCol: String,
+      maxRightRows: Long = 2000000L): DataFrame = {
+    val spark = left.sparkSession
+    val n = right.count()
+    require(n <= maxRightRows,
+      s"asofJoinBroadcast right side has $n rows > maxRightRows=$maxRightRows: " +
+        "the per-key arrays broadcast to every task — use asofJoin " +
+        "(distributed sort-merge) for the big-big case")
+    val payload = right.columns.filterNot(keys.contains)
+    require(payload.forall(c => !left.columns.contains(c)),
+      s"right non-key columns ${payload.mkString(",")} must not collide with left")
+    val l2 = withLongTime(left, leftTimeCol, "__asof_lt")
+    val r2 = withLongTime(right, rightTimeCol, "__asof_rt")
+      .filter(col("__asof_rt").isNotNull)
+    val arrCol = org.apache.spark.sql.functions.sort_array(
+      org.apache.spark.sql.functions.collect_list(
+        org.apache.spark.sql.functions.struct(
+          (col("__asof_rt").as("__t") +: payload.map(col)): _*)))
+    val dim = r2.groupBy(keys.map(col): _*)
+      .agg(arrCol.as("__asof_arr"))
+      .withColumn("__asof_times",
+        org.apache.spark.sql.functions.expr(
+          "transform(__asof_arr, x -> x.__t)"))
+    val idx = graft.functions.SortedFloorIndex.floorIndex(spark,
+      col("__asof_times"), col("__asof_lt"))
+    val joined = l2.join(
+        org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+      .withColumn("__asof_m", when(idx >= 0,
+        org.apache.spark.sql.functions.element_at(col("__asof_arr"), idx + 1)))
+    payload.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, col("__asof_m").getField(c))
+    }.drop("__asof_lt", "__asof_arr", "__asof_times", "__asof_m")
+  }
+
   /** Point-in-interval lookup over NON-OVERLAPPING keyed intervals
     * ([start, end), open end = null): an as-of join on the interval
     * start plus the end filter — the SCD2 "state at time t" probe
@@ -309,6 +361,16 @@ object AsofJoinOps {
     rightCols.foldLeft(marked) { (df, c) =>
       df.withColumn(c, when(col("__piv_in"), col(c)))
     }.drop("__piv_in")
+  }
+
+  /** Shared time normalization: timestamps to unix micros, integral
+    * types to long, in a fresh output column.
+    */
+  private def withLongTime(df: DataFrame, c: String, out: String): DataFrame = {
+    val t = df.schema(c).dataType
+    val cast = if (t == TimestampType) unix_micros(col(c))
+      else col(c).cast(LongType)
+    df.withColumn(out, cast)
   }
 
   /** The same long normalization [[asofJoin]] applies to time

@@ -845,6 +845,145 @@ object Multimodal {
   /** Deterministic MP4 fixture: ftyp + moov(mvhd v0) + mdat(payload),
     * timescale/duration length-derived so the oracle restates them.
     */
+  /** Deterministic FULL-PNG fixture: signature, IHDR, `1 + n % 4`
+    * IDAT chunks (sizes/content derived from the byte length), IEND —
+    * every chunk carrying its REAL CRC-32 over (type ‖ data), so the
+    * q344 walk validates genuine checksums, not zeroed stubs (the q32
+    * IHDR peek keeps its CRC-less minimal form).
+    */
+  def encodePngFull(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val w = n % 640 + 1
+    val h = 3 * n % 480 + 1
+    val colorType = (n % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+    val out = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(b => out.write(b))
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      be32(data.length.toLong)
+      val t = tag.getBytes("US-ASCII")
+      out.write(t)
+      out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      be32(crc.getValue)
+    }
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; comp/filter/interlace 0
+    chunk("IHDR", ihdr)
+    (0 until (1 + n % 4)).foreach { i =>
+      val len = 8 + ((n + 7 * i) % 21)
+      chunk("IDAT", Array.tabulate(len)(j => ((n + i * 31 + j) % 256).toByte))
+    }
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** REAL chunk-list walk of a PNG byte stream: verifies the 8-byte
+    * signature, then every (length, type, data, CRC) chunk with the
+    * CRC recomputed over (type ‖ data), IHDR fields picked out, IDAT
+    * count/bytes accumulated, terminated by IEND. None on any
+    * malformation: bad signature, truncated chunk, CRC mismatch,
+    * missing IHDR-first, or a stream that ends before IEND — exactly
+    * the checks a decoder makes before trusting dimensions.
+    */
+  def sniffPngChunks(p: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int, Int, Long)] = {
+    if (p.length < 8 || !PngSig.indices.forall(i => p(i) == PngSig(i).toByte))
+      return None
+    var off = 8
+    var w = 0; var h = 0; var depth = 0; var color = 0
+    var nChunks = 0; var nIdat = 0; var idatBytes = 0L
+    var sawIhdr = false; var sawIend = false
+    def be32(o: Int): Long =
+      ((p(o) & 0xFFL) << 24) | ((p(o + 1) & 0xFFL) << 16) |
+        ((p(o + 2) & 0xFFL) << 8) | (p(o + 3) & 0xFFL)
+    while (!sawIend) {
+      if (off + 12 > p.length) return None // truncated header/crc
+      val len = be32(off)
+      if (len > Int.MaxValue || off + 12 + len > p.length) return None
+      val tag = new String(p, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, off + 4, 4 + len.toInt)
+      if (crc.getValue != be32(off + 8 + len.toInt)) return None
+      if (nChunks == 0 && tag != "IHDR") return None // IHDR must lead
+      tag match {
+        case "IHDR" =>
+          if (len != 13) return None
+          sawIhdr = true
+          w = be32(off + 8).toInt; h = be32(off + 12).toInt
+          depth = p(off + 16) & 0xFF; color = p(off + 17) & 0xFF
+        case "IDAT" => nIdat += 1; idatBytes += len
+        case "IEND" => if (len != 0) return None else sawIend = true
+        case _ => () // ancillary chunks walk through
+      }
+      nChunks += 1
+      off += 12 + len.toInt
+    }
+    if (!sawIhdr) None
+    else Some((w, h, depth, color, nChunks, nIdat, idatBytes))
+  }
+
+  case class PngChunkMeta(doc_id: Long, width: Int, height: Int,
+                          bit_depth: Int, color_type: Int, n_chunks: Int,
+                          n_idat: Int, idat_bytes: Long, crc_ok: Boolean)
+
+  /** q344 — PNG chunk inventory: per-doc full-PNG fixtures
+    * ([[encodePngFull]], real CRCs) through the real
+    * [[sniffPngChunks]] list walk — the container whose integrity
+    * model is per-chunk checksums (the GIF/MP4 walks parse structure;
+    * this one also VERIFIES it, the check an ingest pipeline runs
+    * before trusting a crawled image). The oracle predicts every
+    * field from the fixture formulas; `crc_ok` is the walk's own
+    * verdict — a single flipped byte anywhere in a 20 MB stream
+    * breaks the match.
+    *
+    * Scale: embarrassingly parallel narrow map in batched
+    * mapPartitions; one small row per doc; the CRC table is
+    * JVM-shared, no per-row allocation beyond the fixture itself.
+    */
+  def pngChunkMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val png = encodePngFull(r.payload)
+        val (w, h, d, c, nc, ni, ib) = sniffPngChunks(png).getOrElse(
+          throw new IllegalStateException(s"fixture failed to parse: doc ${r.doc_id}"))
+        PngChunkMeta(r.doc_id, w, h, d, c, nc, ni, ib, crc_ok = true)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val pngChunkMetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n FROM documents
+      |), idat_rows AS (
+      |  SELECT doc_id, n,
+      |    unnest(generate_series(0, CAST(n % 4 AS BIGINT))) AS i
+      |  FROM f
+      |), idat AS (
+      |  SELECT doc_id, COUNT(*) AS n_idat,
+      |    SUM(8 + ((n + 7 * i) % 21)) AS idat_bytes
+      |  FROM idat_rows GROUP BY doc_id
+      |)
+      |SELECT f.doc_id,
+      |  CAST(f.n % 640 + 1 AS INT) AS width,
+      |  CAST(3 * f.n % 480 + 1 AS INT) AS height,
+      |  CAST(8 AS INT) AS bit_depth,
+      |  CAST(CASE WHEN f.n % 3 = 0 THEN 0
+      |            WHEN f.n % 3 = 1 THEN 2 ELSE 6 END AS INT) AS color_type,
+      |  CAST(i.n_idat + 2 AS INT) AS n_chunks,
+      |  CAST(i.n_idat AS INT) AS n_idat,
+      |  CAST(i.idat_bytes AS BIGINT) AS idat_bytes,
+      |  TRUE AS crc_ok
+      |FROM f JOIN idat i USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def encodeMp4(text: Array[Byte]): Array[Byte] = {
     val n = text.length
     val timescale = 600 + n % 400

@@ -74,16 +74,21 @@ object StreamingAsof {
     ans
   }
 
+  /** `toleranceMs` mirrors the batch operator's max-gap semantics
+    * (q339): a floor match further back than the tolerance reports as
+    * no-match — the serving-side attribution window.
+    */
   def enrich(stream: Dataset[StreamRow],
-             lookup: Map[Long, (Array[Long], Array[Long])]): Dataset[AsofOut] = {
+             lookup: Map[Long, (Array[Long], Array[Long])],
+             toleranceMs: Option[Long] = None): Dataset[AsofOut] = {
     import stream.sparkSession.implicits._
     val bc = stream.sparkSession.sparkContext.broadcast(lookup)
     stream.map { r =>
       bc.value.get(r.key) match {
         case Some((times, ids)) =>
           val i = floorIndex(times, r.ms)
-          if (i >= 0) AsofOut(r.key, r.ms, r.row_id,
-            Some(times(i)), Some(ids(i)))
+          if (i >= 0 && toleranceMs.forall(r.ms - times(i) <= _))
+            AsofOut(r.key, r.ms, r.row_id, Some(times(i)), Some(ids(i)))
           else AsofOut(r.key, r.ms, r.row_id, None, None)
         case None => AsofOut(r.key, r.ms, r.row_id, None, None)
       }

@@ -1648,6 +1648,48 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("mktsegment", "Z", 1L, 1L, Some(0.0), Some(0.0))))
   }
 
+  test("sessionConcurrency: hand sessions — overlap counted per hour, start/end conserve") {
+    // u1: one session inside hour 0 (30-min gap boundary is INCLUSIVE)
+    // u2: one session entirely in hour 2
+    // u3: one session spanning hours 0 and 1
+    val dir = eventsDir(Seq(
+      (1L, 0L, 1L, "view"), (2L, 1800000L, 1L, "click"),
+      (3L, 7210000L, 2L, "view"),
+      (4L, 3500000L, 3L, "view"), (5L, 5000000L, 3L, "click")))
+    val out = graft.operators.Events.sessionConcurrency(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 2L, 1L),          // u1 + u3 active; u1 ends here
+      (3600000L, 1L, 0L, 1L),    // u3 carries over and ends
+      (7200000L, 1L, 1L, 1L)))   // u2 alone
+    // conservation: every session starts once and ends once
+    assert(out.map(_._3).sum === out.map(_._4).sum)
+    assert(out.map(_._3).sum === 3L)
+  }
+
+  test("qqTable: single-source corpus matches the global curve; a shifted source shifts every quantile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qq").toString
+    val rows = (1 to 19).map(i => (i.toLong, "t", "en", "A", i.toLong)) ++
+      (1 to 19).map(i => (100L + i, "t", "en", "B", 100L + i))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Profile.qqTable(spark, dir)
+      .as[(String, Double, Long, Long, Long, Long)].collect().toSeq
+    val a = out.filter(_._1 == "A").sortBy(_._2)
+    val b = out.filter(_._1 == "B").sortBy(_._2)
+    assert(a.size === 19 && b.size === 19)
+    // n=19 per source: rank p*(20)/20 = p, so q_source(A) = pnum
+    assert(a.map(_._4) === (1L to 19L))
+    // B is A + 100 at every percentile
+    assert(b.map(_._4) === a.map(_._4 + 100L))
+    // quantiles are monotone in p on both sides
+    assert(a.map(_._5) === a.map(_._5).sorted)
+    // the global curve is shared: same q_global at each pct
+    assert(a.map(_._5) === b.map(_._5))
+    // gap = q_source - q_global by definition
+    assert(out.forall(r => r._6 === r._4 - r._5))
+  }
+
   test("residualHeatmap: an independent grid has all-zero residuals; margins reconcile") {
     // 2 weekdays x 2 priorities in exact proportion: obs == expected
     // everywhere, so every standardized residual is 0 and nothing is

@@ -1194,6 +1194,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.sniffMp4(shortBox).isEmpty)
   }
 
+  test("sq8ErrorAudit: reconstruction error bounded by half a code step; constant dims exact") {
+    import graft.operators.Similarity
+    val out = Similarity.sq8ErrorAudit(spark, "/root/testdata/sf0.001")
+      .as[(Int, Long, Double, Double, Double, Double, Double, Boolean)]
+      .collect().toSeq
+    assert(out.map(_._1) === (0 until 64))
+    assert(out.forall(_._8))                      // within_bound everywhere
+    assert(out.forall(r => r._6 <= r._5 + 1e-6))  // mean ≤ half_step too
+    assert(out.forall(r => r._4 >= r._3))         // max ≥ min per dim
+    // crafted: a constant dimension (scale 0) quantizes exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8a").toString
+    (0 until 10).map(i => (i.toLong,
+        Array.tabulate(64)(d => if (d == 0) 5f else i.toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val byDim = Similarity.sq8ErrorAudit(spark, dir)
+      .as[(Int, Long, Double, Double, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(byDim(0)._3 === 5.0 && byDim(0)._4 === 5.0)
+    assert(byDim(0)._5 === 0.0 && byDim(0)._7 === 0.0 && byDim(0)._8)
+  }
+
+  test("sniffPngChunks: CRC-validated chunk walk; any flipped byte or truncation rejects") {
+    import graft.sources.Multimodal
+    val png = Multimodal.encodePngFull("hello png world".getBytes("UTF-8"))
+    val n = 15 // byte length of the text above
+    val parsed = Multimodal.sniffPngChunks(png)
+    // n = 15: color type 0 (n % 3 == 0), 4 IDAT chunks (1 + 15 % 4)
+    assert(parsed === Some((n % 640 + 1, 3 * n % 480 + 1, 8, 0,
+      1 + n % 4 + 2, 1 + n % 4,
+      (0 until (1 + n % 4)).map(i => 8L + ((n + 7 * i) % 21)).sum)))
+    // a single flipped byte ANYWHERE in a chunk body breaks its CRC
+    val corrupt = png.clone()
+    corrupt(45) = (corrupt(45) ^ 0x01).toByte
+    assert(Multimodal.sniffPngChunks(corrupt).isEmpty)
+    // truncation (missing IEND / mid-chunk cut) rejects
+    assert(Multimodal.sniffPngChunks(png.dropRight(1)).isEmpty)
+    assert(Multimodal.sniffPngChunks(png.take(20)).isEmpty)
+    // wrong signature rejects
+    val badSig = png.clone(); badSig(0) = 0x00
+    assert(Multimodal.sniffPngChunks(badSig).isEmpty)
+  }
+
   test("sniffGif: block walk counts frames through sub-block chains; malformed streams reject") {
     import graft.sources.Multimodal
     val text = ("gif container body, long enough for two frames " +

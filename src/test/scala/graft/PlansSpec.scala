@@ -555,6 +555,89 @@ class PlansSpec extends AnyFunSuite {
     assert(flat.nonEmpty)
   }
 
+  test("SortedFloorIndex: codegen binary search equals the composable filter form") {
+    import org.apache.spark.sql.functions.{expr, typedlit}
+    val arr = Seq(10L, 20L, 20L, 35L)
+    val probes = Seq(5L, 10L, 19L, 20L, 30L, 35L, 99L).toDF("t")
+      .withColumn("arr", typedlit(arr))
+    val got = probes.withColumn("idx",
+        graft.functions.SortedFloorIndex.floorIndex(spark, $"arr", $"t"))
+      .select($"t", $"idx").as[(Long, Int)].collect().toMap
+    // floor = LAST index <= t (ties land on the last duplicate)
+    assert(got === Map(5L -> -1, 10L -> 0, 19L -> 0, 20L -> 2,
+      30L -> 2, 35L -> 3, 99L -> 3))
+    // the O(n) composable twin agrees everywhere
+    val twin = probes.withColumn("idx",
+        expr("size(filter(arr, x -> x <= t)) - 1"))
+      .select($"t", $"idx").as[(Long, Int)].collect().toMap
+    assert(twin === got)
+    // empty array and null probe
+    val edge = Seq((Seq.empty[Long], Some(7L)), (arr, None))
+      .toDF("arr", "t")
+      .withColumn("idx",
+        graft.functions.SortedFloorIndex.floorIndex(spark, $"arr", $"t"))
+      .select($"idx").as[Option[Int]].collect().toSeq
+    assert(edge === Seq(Some(-1), None))
+  }
+
+  test("asofJoinBroadcast: same relation as the sorted exec, zero shuffles, guard throws") {
+    import graft.plans.AsofJoinOps
+    val trades = Seq(
+      (1L, 100L, "t1"), (1L, 200L, "t2"), (1L, 50L, "t0"),
+      (2L, 150L, "t3"), (3L, 500L, "t4"))
+      .toDF("uid", "t", "trade")
+    val quotes = Seq(
+      (1L, 90L, 9.0), (1L, 100L, 10.0), (1L, 180L, 18.0),
+      (2L, 151L, 15.1), (4L, 1L, 0.4))
+      .toDF("uid", "qt", "px")
+    val bcast = AsofJoinOps.asofJoinBroadcast(trades, quotes, Seq("uid"), "t", "qt")
+    val sorted = AsofJoinOps.asofJoin(trades, quotes, Seq("uid"), "t", "qt")
+    val a = bcast.select($"uid", $"t", $"trade", $"qt", $"px")
+      .as[(Long, Long, String, Option[Long], Option[Double])].collect().toSet
+    val b = sorted.select($"uid", $"t", $"trade", $"qt", $"px")
+      .as[(Long, Long, String, Option[Long], Option[Double])].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    // plan shape: broadcast hash join, the LEFT side never exchanges
+    // or sorts (the dim side's tiny aggregate may — that's the point)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("AsofJoin"), plan)
+    // count exchanges: only the dim-side aggregate's (1) is allowed,
+    // and it hashes on the dim rows, never the fact stream
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1, plan)
+    // the guard enforces the dimension-size trade
+    val e = intercept[IllegalArgumentException] {
+      AsofJoinOps.asofJoinBroadcast(trades, quotes, Seq("uid"), "t", "qt",
+        maxRightRows = 2L)
+    }
+    assert(e.getMessage.contains("maxRightRows"))
+    assert(e.getMessage.contains("asofJoin"))
+  }
+
+  test("property: asofJoinBroadcast equals the sorted exec on random data") {
+    import graft.plans.AsofJoinOps
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowGen = Gen.listOfN(30, Gen.zip(
+      Gen.choose(1L, 4L), Gen.choose(0L, 25L), Gen.choose(0L, 999L)))
+    val p = Prop.forAll(rowGen, rowGen) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t, _), i) => (k, t, i.toLong) }.toDF("k", "t", "lid")
+      val rightRows = rs.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val right = rightRows.toDF("k", "rt", "v")
+      val viaB = AsofJoinOps.asofJoinBroadcast(left, right, Seq("k"), "t", "rt")
+        .select($"lid", $"rt", $"v").as[(Long, Option[Long], Option[Long])]
+        .collect().toSet
+      val viaS = AsofJoinOps.asofJoin(left, right, Seq("k"), "t", "rt")
+        .select($"lid", $"rt", $"v").as[(Long, Option[Long], Option[Long])]
+        .collect().toSet
+      viaB == viaS
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("pointInInterval: [start,end) semantics, gaps null out, open end matches") {
     import graft.plans.AsofJoinOps
     val probes = Seq((1L, 5L, "p0"), (1L, 10L, "p1"), (1L, 19L, "p2"),

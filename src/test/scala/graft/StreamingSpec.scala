@@ -572,6 +572,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of tolerance mirrors the batch max-gap: stale matches null out") {
+    import graft.streaming.StreamingAsof
+    import graft.streaming.StreamingAsof.StreamRow
+    import spark.implicits._
+    val staticDf = Seq((1L, 100L, 1000L), (1L, 500L, 5000L))
+      .toDF("key", "ms", "id")
+    val lookup = StreamingAsof.buildLookup(staticDf)
+    val rows = Seq(StreamRow(1L, 120L, 1L),   // gap 20: in tolerance
+      StreamRow(1L, 400L, 2L),                // gap 300: stale
+      StreamRow(1L, 530L, 3L))                // gap 30: boundary inclusive
+    val got = StreamingAsof.enrich(rows.toDS(), lookup,
+        toleranceMs = Some(30L))
+      .collect().map(o => (o.row_id, o.asof_ms, o.asof_id)).toSet
+    assert(got === Set(
+      (1L, Some(100L), Some(1000L)),
+      (2L, None, None),
+      (3L, Some(500L), Some(5000L))))
+    // no tolerance: the stale match comes back
+    val open = StreamingAsof.enrich(rows.toDS(), lookup)
+      .collect().map(o => (o.row_id, o.asof_ms)).toSet
+    assert(open === Set((1L, Some(100L)), (2L, Some(100L)), (3L, Some(500L))))
+  }
+
   test("streaming as-of lookup guard: an oversized static side fails fast with a pointer to the batch operator") {
     import spark.implicits._
     val staticDf = (1L to 10L).map(i => (i, i * 10L, i * 100L))

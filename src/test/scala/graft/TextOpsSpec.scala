@@ -602,6 +602,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("yuleK: hand spectrum — 'a a a b' scores K=3750, hapax 0.5; pure repetition maxes out") {
+    val dir = docsDir(Seq((1L, "a a a b")))
+    val out = graft.operators.TextAnalysis.yuleK(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    // N=4, V=2, spectrum {3:1, 1:1}: K = 1e4*(9+1-4)/16 = 3750
+    assert(out === Seq(("unit", 4L, 2L, 1L, 3750.0, 0.5)))
+    // a one-type corpus: K = 1e4*(N^2-N)/N^2 -> approaches 1e4, no hapax
+    val rep = docsDir(Seq((1L, Seq.fill(100)("x").mkString(" "))))
+    val r = graft.operators.TextAnalysis.yuleK(spark, rep)
+      .as[(String, Long, Long, Long, Double, Double)].collect().head
+    assert(r._2 === 100L && r._3 === 1L && r._4 === 0L)
+    assert(r._5 === 9900.0 && r._6 === 0.0)
+  }
+
   test("compressionRatio: repetition compresses below the flag line, varied prose doesn't") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString
     val varied = (1 to 40).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
