@@ -223,6 +223,116 @@ object Dedup {
       |) WHERE jaccard >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q348 — blocking-strategy audit for record linkage / dedup: for
+    * each candidate-generation strategy (exact-text hash, 64-char
+    * length bucket, 32-char normalized-prefix hash), the two numbers
+    * every blocking decision trades off — REDUCTION RATIO (what
+    * fraction of the n(n−1)/2 all-pairs space the blocks avoid) and
+    * PAIRS COMPLETENESS (what fraction of the TRUE near-dup pairs —
+    * q26's graded n-gram Jaccard relation — land in the same block).
+    * Exact-text blocking reduces maximally but only catches byte
+    * dups; length buckets catch more but barely reduce; the prefix
+    * hash is the classic middle. This is the measurement a 100 TB
+    * linkage run makes on a sample BEFORE committing to a blocking
+    * key — a strategy with completeness 0.4 silently loses 60% of
+    * the dup mass no matter how good the downstream matcher is.
+    *
+    * Exactness: candidate counts are Σ c(c−1)/2 over block sizes —
+    * pure integers, the pair space is never materialized; recall
+    * joins the (tiny) gold pair table to the block keys of BOTH
+    * endpoints. Ratios are single rounded divisions.
+    */
+  def blockingAudit(spark: SparkSession, dir: String, k: Int = 3,
+                    threshold: Double = 0.6, dfCap: Int = 200): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val keyed = docs.select(lit("exact_text").as("strategy"), col("doc_id"),
+        md5(col("text")).as("key"))
+      .unionByName(docs.select(lit("length_bucket").as("strategy"),
+        col("doc_id"), expr("CAST(n_chars div 64 AS STRING)").as("key")))
+      .unionByName(docs.select(lit("prefix_hash").as("strategy"),
+        col("doc_id"), md5(substring(lower(col("text")), 1, 32)).as("key")))
+      .localCheckpoint() // consumers: block sizes + two gold joins
+    val nDocs = docs.count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    val cand = keyed.groupBy(col("strategy"), col("key"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("strategy"))
+      .agg(count(lit(1)).as("n_blocks"),
+        // integer div: Column./ is DOUBLE division
+        sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
+    val gold = graft.Iterate.cut(
+      ngramJaccardPairs(spark, dir, k, threshold, dfCap)
+        .select(col("doc_a"), col("doc_b")))
+    val nGold = gold.count()
+    val covered = gold
+      .join(keyed.select(col("strategy"), col("doc_id").as("doc_a"),
+        col("key").as("key_a")), "doc_a")
+      .join(keyed.select(col("strategy"), col("doc_id").as("doc_b"),
+        col("key").as("key_b")), Seq("strategy", "doc_b"))
+      .filter(col("key_a") === col("key_b"))
+      .groupBy(col("strategy")).agg(count(lit(1)).as("gold_covered"))
+    cand.join(covered, Seq("strategy"), "left")
+      .select(col("strategy"), lit(nDocs).as("n_docs"),
+        lit(allPairs).as("all_pairs"), col("n_blocks"),
+        col("cand_pairs").cast("long").as("cand_pairs"),
+        round(lit(1.0) - col("cand_pairs").cast("double") / allPairs, 6)
+          .as("reduction_ratio"),
+        lit(nGold).as("gold_pairs"),
+        coalesce(col("gold_covered"), lit(0L)).as("gold_covered"),
+        round(coalesce(col("gold_covered"), lit(0L)).cast("double")
+          / nGold, 6).as("pairs_completeness"))
+      .orderBy(col("strategy"))
+  }
+
+  def blockingAuditSql(): String =
+    s"""WITH keyed AS (
+       |  SELECT 'exact_text' AS strategy, doc_id, md5(text) AS key
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'length_bucket', doc_id, CAST(n_chars // 64 AS VARCHAR)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'prefix_hash', doc_id, md5(substr(lower(text), 1, 32))
+       |  FROM documents
+       |), tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS all_pairs
+       |  FROM documents
+       |), cand AS (
+       |  SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       |    CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+       |  FROM (
+       |    SELECT strategy, key, COUNT(*) AS c
+       |    FROM keyed GROUP BY 1, 2
+       |  ) GROUP BY 1
+       |), gold AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    $ngramJaccardPairsSql
+       |  )
+       |), ng AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_gold FROM gold
+       |), covered AS (
+       |  SELECT ka.strategy, CAST(COUNT(*) AS BIGINT) AS gold_covered
+       |  FROM gold g
+       |  JOIN keyed ka ON ka.doc_id = g.doc_a
+       |  JOIN keyed kb ON kb.doc_id = g.doc_b
+       |    AND kb.strategy = ka.strategy
+       |  WHERE ka.key = kb.key
+       |  GROUP BY 1
+       |)
+       |SELECT c.strategy, t.n_docs, t.all_pairs, c.n_blocks, c.cand_pairs,
+       |  ROUND(1.0 - CAST(c.cand_pairs AS DOUBLE) / t.all_pairs, 6)
+       |    AS reduction_ratio,
+       |  ng.n_gold AS gold_pairs,
+       |  COALESCE(cv.gold_covered, 0) AS gold_covered,
+       |  ROUND(CAST(COALESCE(cv.gold_covered, 0) AS DOUBLE) / ng.n_gold, 6)
+       |    AS pairs_completeness
+       |FROM cand c
+       |CROSS JOIN tot t CROSS JOIN ng
+       |LEFT JOIN covered cv ON cv.strategy = c.strategy
+       |ORDER BY c.strategy""".stripMargin
+
   /** q227 — dedup threshold curve: how many near-dup pairs, removable
     * documents (the higher-id member under the min-id-canonical rule)
     * and removable characters each candidate Jaccard threshold would

@@ -257,6 +257,232 @@ object TextAnalysis {
       |    / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
       |FROM tf GROUP BY source ORDER BY source""".stripMargin
 
+  /** q349 — multinomial naive Bayes language classifier, trained AND
+    * evaluated as relational algebra: docs split deterministically
+    * (doc_id % 5 == 0 is the held-out fifth), per-(lang, token)
+    * counts + Laplace smoothing train the model IN ONE AGGREGATE —
+    * the reason NB is the classifier a 100 TB pipeline can actually
+    * fit in a single pass — and the holdout scores
+    * argmax_c [ log P(c) + Σ_t mult·log P(t|c) ]. The output is the
+    * confusion matrix (true × predicted, with per-cell share of the
+    * true class), the artifact a label-quality audit reads; the
+    * diagonal is the lang-id agreement check against the q22
+    * heuristic's training labels.
+    *
+    * Determinism/exactness: every log10 term rounds to 6dp and sums
+    * as DECIMAL (the q103/q158 convention — integer multiplicities ×
+    * 6dp decimals are exact); the smoothed-likelihood algebra uses
+    * the identity log((c+1)/(T_c+V)) = log(c+1) − log(T_c+V), so
+    * vocabulary tokens UNSEEN for a class contribute log(1) = 0 and
+    * the (token × class) zero-cells are never materialized — the
+    * model relation is exactly the seen (lang, token) pairs. Holdout
+    * tokens outside the train vocabulary drop (standard NB practice,
+    * identical on both sides). Argmax tie-breaks by lang asc.
+    *
+    * Scale: train = one (lang, token) count (the q36 shuffle) + a
+    * |langs|-row class table; scoring joins holdout tokens to the
+    * model ON TOKEN (vocabulary-keyed shuffle) and reduces per
+    * (doc, lang); the cross of test docs × |langs| class rows is
+    * broadcast-sized arithmetic.
+    */
+  def nbLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("mult"))
+    val train = toks.filter(col("doc_id") % 5 =!= 0)
+    val test = toks.filter(col("doc_id") % 5 === 0)
+    // model: per-(lang, token) log10(count + 1), 6dp
+    val model = train.groupBy(col("lang").as("c"), col("token"))
+      .agg(sum(col("mult")).as("cnt"))
+      .withColumn("l_num", round(log10(col("cnt") + 1), 6))
+    val vocab = model.agg(countDistinct(col("token")).as("v"))
+    // class table: doc prior + the per-token denominator log10(T_c+V)
+    val classes = train.groupBy(col("lang").as("c"))
+      .agg(countDistinct(col("doc_id")).as("d_c"), sum(col("mult")).as("t_c"))
+      .crossJoin(broadcast(vocab))
+      .select(col("c"), round(log10(col("d_c")), 6).as("l_prior"),
+        round(log10(col("t_c") + col("v")), 6).as("l_den"))
+    // holdout tokens restricted to the train vocabulary; M_d = their
+    // total multiplicity (class-independent by construction)
+    val inVocab = test.join(
+      model.select(col("token")).distinct(), "token")
+    val md = inVocab.groupBy(col("doc_id"), col("lang").as("true_lang"))
+      .agg(sum(col("mult")).as("m_d"))
+    // Σ mult·log10(cnt+1) for SEEN (token, class) pairs only — the
+    // zero-cells contribute log10(1) = 0 and never materialize
+    val seen = inVocab.join(model, "token")
+      .groupBy(col("doc_id"), col("c"))
+      .agg(sum(col("mult") * col("l_num").cast("decimal(18,6)")).as("sum_num"))
+    val scores = md.crossJoin(broadcast(classes))
+      .join(seen, Seq("doc_id", "c"), "left")
+      .withColumn("score",
+        col("l_prior").cast("decimal(28,6)")
+          + coalesce(col("sum_num"), lit(0).cast("decimal(18,6)"))
+          - col("m_d") * col("l_den").cast("decimal(18,6)"))
+    val pred = scores
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("c"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("true_lang"), col("c").as("pred_lang"))
+    val cells = pred.groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy(col("true_lang"))
+      .agg(sum(col("n")).as("n_true"))
+    cells.join(rowTot, "true_lang")
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        round(col("n").cast("double") / col("n_true").cast("double"), 6)
+          .as("share_of_true"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  val nbLangConfusionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS mult
+      |  FROM (
+      |    SELECT doc_id, lang, unnest(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  )
+      |  GROUP BY 1, 2, 3
+      |), train AS (
+      |  SELECT * FROM toks WHERE doc_id % 5 <> 0
+      |), test AS (
+      |  SELECT * FROM toks WHERE doc_id % 5 = 0
+      |), model AS (
+      |  SELECT lang AS c, token, SUM(mult) AS cnt,
+      |    ROUND(log10(SUM(mult) + 1), 6) AS l_num
+      |  FROM train GROUP BY 1, 2
+      |), vocab AS (
+      |  SELECT COUNT(DISTINCT token) AS v FROM model
+      |), classes AS (
+      |  SELECT lang AS c,
+      |    ROUND(log10(COUNT(DISTINCT doc_id)), 6) AS l_prior,
+      |    ROUND(log10(SUM(mult) + (SELECT v FROM vocab)), 6) AS l_den
+      |  FROM train GROUP BY 1
+      |), in_vocab AS (
+      |  SELECT t.* FROM test t
+      |  JOIN (SELECT DISTINCT token FROM model) m ON m.token = t.token
+      |), md AS (
+      |  SELECT doc_id, lang AS true_lang, SUM(mult) AS m_d
+      |  FROM in_vocab GROUP BY 1, 2
+      |), seen AS (
+      |  SELECT iv.doc_id, m.c,
+      |    SUM(iv.mult * CAST(m.l_num AS DECIMAL(18,6))) AS sum_num
+      |  FROM in_vocab iv JOIN model m ON m.token = iv.token
+      |  GROUP BY 1, 2
+      |), scores AS (
+      |  SELECT md.doc_id, md.true_lang, cl.c,
+      |    CAST(cl.l_prior AS DECIMAL(28,6))
+      |      + COALESCE(s.sum_num, CAST(0 AS DECIMAL(18,6)))
+      |      - md.m_d * CAST(cl.l_den AS DECIMAL(18,6)) AS score
+      |  FROM md CROSS JOIN classes cl
+      |  LEFT JOIN seen s ON s.doc_id = md.doc_id AND s.c = cl.c
+      |), pred AS (
+      |  SELECT doc_id, true_lang, c AS pred_lang FROM (
+      |    SELECT doc_id, true_lang, c,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, c) AS rk
+      |    FROM scores
+      |  ) WHERE rk = 1
+      |), cells AS (
+      |  SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM pred GROUP BY 1, 2
+      |)
+      |SELECT c.true_lang, c.pred_lang, c.n,
+      |  ROUND(CAST(c.n AS DOUBLE) / CAST(rt.n_true AS DOUBLE), 6)
+      |    AS share_of_true
+      |FROM cells c
+      |JOIN (SELECT true_lang, SUM(n) AS n_true FROM cells GROUP BY 1) rt
+      |  ON rt.true_lang = c.true_lang
+      |ORDER BY c.true_lang, c.pred_lang""".stripMargin
+
+  /** q347 — tokenizer vocabulary-budget coverage curve: for vocab
+    * sizes k = 1, 2, 4, … (powers of two up to the full vocabulary),
+    * what fraction of all corpus tokens the top-k most frequent types
+    * cover — THE curve a tokenizer-budget decision reads ("32k buys
+    * 98.1%, 64k buys 99.2%; the extra 32k rows buy 1.1 points").
+    * Frequency ranks tie-break by token text, so the curve is
+    * deterministic on both engines; the final row (k = full vocab)
+    * always reads coverage 1.
+    *
+    * Scale: the vocabulary ranks ride [[graft.operators.Skew]]'s
+    * globalRank (range exchange, no single-partition window — fourth
+    * graded consumer); each type then tags its power-of-two bucket
+    * (ceil) and the cumulative curve is a running sum over the ≤
+    * log₂|V| bucket rows, never over the vocabulary.
+    */
+  def coverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.load(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val ranked = Skew.globalRank(tf, Seq(col("tf").desc, col("token")))
+    val totals = ranked.agg(sum(col("tf")).as("total_tokens"),
+      count(lit(1)).as("vocab"))
+    // bucket = the smallest power of two >= rank, by EXACT integer
+    // logic (p >= rank AND p < 2·rank picks exactly one power) — a
+    // float ceil(log2(rank)) can land on either side of an exact
+    // power depending on the engine's libm, so no logs here
+    import spark.implicits._
+    val powers = (0 to 40).map(i => 1L << i).toDF("k")
+    val bucketed = ranked.join(broadcast(powers),
+        col("k") >= col("rank") && col("k") < col("rank") * 2)
+      .groupBy(col("k")).agg(sum(col("tf")).as("bucket_tf"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.crossJoin(broadcast(totals))
+      .withColumn("cum_tf", sum(col("bucket_tf")).over(w))
+      .select(
+        least(col("k"), col("vocab")).as("k"),
+        col("vocab"), col("total_tokens"), col("cum_tf"),
+        round(col("cum_tf").cast("double")
+          / col("total_tokens").cast("double"), 6).as("coverage"),
+        round(lit(1.0) - col("cum_tf").cast("double")
+          / col("total_tokens").cast("double"), 6).as("oov_rate"))
+      .orderBy(col("k"))
+  }
+
+  val coverageCurveSql: String =
+    """WITH tf AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (
+      |    SELECT unnest(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  )
+      |  GROUP BY 1
+      |), ranked AS (
+      |  SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rank
+      |  FROM tf
+      |), tot AS (
+      |  SELECT CAST(SUM(tf) AS BIGINT) AS total_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab
+      |  FROM ranked
+      |), powers AS (
+      |  SELECT CAST(1 AS BIGINT) << i AS k
+      |  FROM (SELECT unnest(generate_series(0, 40)) AS i)
+      |), bucketed AS (
+      |  SELECT p.k, CAST(SUM(r.tf) AS BIGINT) AS bucket_tf
+      |  FROM ranked r JOIN powers p
+      |    ON p.k >= r.rank AND p.k < r.rank * 2
+      |  GROUP BY 1
+      |)
+      |SELECT LEAST(b.k, t.vocab) AS k, t.vocab, t.total_tokens,
+      |  CAST(SUM(b.bucket_tf) OVER (ORDER BY b.k
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tf,
+      |  ROUND(CAST(SUM(b.bucket_tf) OVER (ORDER BY b.k
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |    / CAST(t.total_tokens AS DOUBLE), 6) AS coverage,
+      |  ROUND(1.0 - CAST(SUM(b.bucket_tf) OVER (ORDER BY b.k
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |    / CAST(t.total_tokens AS DOUBLE), 6) AS oov_rate
+      |FROM bucketed b CROSS JOIN tot t
+      |ORDER BY k""".stripMargin
+
   /** q310 — Good–Turing missing mass and Chao1 richness per language:
     * from the (lang, token) frequency table, the count of singleton
     * (N1) and doubleton (N2) types gives (a) the Good–Turing estimate

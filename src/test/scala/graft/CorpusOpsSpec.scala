@@ -1116,4 +1116,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     val chars3 = "alpha beta gamma delta epsilon zeta".length.toLong
     assert(out === Seq(("feedA", "feedB", 2L, chars2 + chars3)))
   }
+
+  test("blockingAudit: exact hash catches byte dups only; shared prefix rides the prefix block") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-blk").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    // 1-2: byte-identical (gold + same exact-text block)
+    // 3: shares 3-gram mass and the 32-char prefix with 1/2 but not bytes
+    // 4: unrelated
+    Seq((1L, base), (2L, base), (3L, base + " iota"),
+        (4L, "totally different words entirely unrelated here"))
+      .map { case (id, t) => (id, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.blockingAudit(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set("exact_text", "length_bucket", "prefix_hash"))
+    // gold = {(1,2), (1,3), (2,3)} — all three clear jaccard 0.6
+    assert(out.values.head._7 === 3L)
+    // exact hash blocks only the byte-identical pair: completeness 1/3
+    val ex = out("exact_text")
+    assert(ex._5 === 1L && ex._8 === 1L)
+    assert(ex._9 === math.rint(1e6 / 3.0) / 1e6)
+    // the 32-char prefix is shared by 1,2,3: all gold pairs covered
+    val pf = out("prefix_hash")
+    assert(pf._8 === 3L && pf._9 === 1.0)
+    // every strategy reduces (cand <= all_pairs) and counts blocks
+    assert(out.values.forall(r => r._5 <= r._3 && r._4 >= 1L))
+  }
 }

@@ -616,6 +616,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r._5 === 9900.0 && r._6 === 0.0)
   }
 
+  test("coverageCurve: hand spectrum — powers-of-two checkpoints, final row covers 1.0") {
+    // tf: a=4, b=2, c=1, d=1 -> ranks 1..4; buckets k=1:{a} k=2:{b} k=4:{c,d}
+    val dir = docsDir(Seq((1L, "a a a a b b c d")))
+    val out = graft.operators.TextAnalysis.coverageCurve(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 8L, 4L, 0.5, 0.5),
+      (2L, 4L, 8L, 6L, 0.75, 0.25),
+      (4L, 4L, 8L, 8L, 1.0, 0.0)))
+    // coverage is monotone and the curve always ends at exactly 1
+    assert(out.map(_._5) === out.map(_._5).sorted)
+    assert(out.last._5 === 1.0 && out.last._1 === out.last._2)
+  }
+
+  test("nbLangConfusion: separable corpus classifies the holdout perfectly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    // doc_id % 5 == 0 is the holdout fifth; both classes contribute
+    // train docs AND one test doc each
+    val rows =
+      (1L to 5L).map(i => (i, "aaa aaa aab", "aa")) ++
+      (11L to 15L).map(i => (i, "bbb bbb bba", "bb"))
+    rows.map { case (id, t, lang) => (id, t, lang, "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.nbLangConfusion(spark, dir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out === Seq(("aa", "aa", 1L, 1.0), ("bb", "bb", 1L, 1.0)))
+  }
+
   test("compressionRatio: repetition compresses below the flag line, varied prose doesn't") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString
     val varied = (1 to 40).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
