@@ -1067,6 +1067,52 @@ object Events {
       |  ROUND((num * num) / NULLIF(den * (n * syy - sy * sy), 0.0), 6) AS r2
       |FROM derived ORDER BY event_type""".stripMargin
 
+  /** q350 — the salted hot-key join, GRADED: events (fact) joined to
+    * a per-type dimension on `event_type` — a 5-value key, the
+    * pathological all-keys-hot case — through
+    * [[graft.operators.Skew.saltedJoin]]: the fact side salts
+    * deterministically from event_id (never rand() — reruns must
+    * repartition identically), the dimension replicates saltFactor
+    * ways, and the join key becomes (event_type, salt) so each hot
+    * key's rows spread over saltFactor reduce tasks instead of
+    * hammering five. The oracle states the PLAIN join — the match is
+    * the proof salting is a pure partitioning trick that never
+    * changes the relation (the q337-layout argument, for skew).
+    * Report: per type, how many events exceed their type's mean
+    * value — the fact×dim probe every enrichment join makes.
+    */
+  def saltedHotKeyJoin(spark: SparkSession, dir: String,
+                       saltFactor: Int = 8): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dim = ev.groupBy(col("event_type"))
+      .agg((decSum(col("value")) / count(col("value"))).as("avg_value"))
+    Skew.saltedJoin(ev, dim, "event_type", saltFactor, col("event_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") > col("avg_value"), 1L).otherwise(0L))
+          .as("n_above_avg"))
+      .select(col("event_type"), col("n_events"), col("n_above_avg"),
+        round(col("n_above_avg").cast("double")
+          / col("n_events").cast("double"), 6).as("share_above"))
+      .orderBy(col("event_type"))
+  }
+
+  val saltedHotKeyJoinSql: String =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |      / COUNT(value) AS avg_value
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN e.value > d.avg_value THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_above_avg,
+      |  ROUND(CAST(SUM(CASE WHEN e.value > d.avg_value THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS share_above
+      |FROM events e JOIN d USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q346 — session concurrency curve at hour grain: for every hour
     * bucket that any session touches, how many sessions were ACTIVE
     * (interval overlaps the hour), how many STARTED and how many

@@ -187,6 +187,30 @@ object TextAnalysis {
       .orderBy(col("token"))
   }
 
+  /** q351 — q36's vocabulary through [[graft.operators.Skew.twoLevelAgg]],
+    * graded against q36's own oracle (the q104/q29 shared-oracle
+    * pattern): term frequency partial-aggregates on (token, salt) —
+    * the salt derived deterministically from doc_id, never rand() —
+    * then finalizes on token, so a Zipf-hot token ("the" at 100 TB)
+    * spreads its reduce work over `saltFactor` tasks instead of one.
+    * df stays exact by re-aggregating distinct doc sets per salt:
+    * count_distinct(doc_id) per (token, salt) does NOT compose
+    * (a doc's tokens land in ONE salt per (token, doc) by keying the
+    * salt on doc_id, so per-salt distinct counts are disjoint and
+    * their SUM is the true df — the identity that makes the
+    * two-level split lossless for this pair).
+    */
+  def vocabularyTwoLevel(spark: SparkSession, dir: String,
+                         saltFactor: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    Skew.twoLevelAgg(toks, "token", col("doc_id"), saltFactor,
+        partialAgg = Seq(count(lit(1)).as("tf_p"),
+          countDistinct(col("doc_id")).as("df_p")),
+        finalAgg = Seq(sum(col("tf_p")).as("tf"), sum(col("df_p")).as("df")))
+      .orderBy(col("token"))
+  }
+
   /** Bench/deploy alias for the sketch mode (x05). */
   def vocabularyApprox(spark: SparkSession, dir: String): DataFrame =
     vocabulary(spark, dir, graft.ScaleMode.Sketch)

@@ -19,6 +19,56 @@ import org.apache.spark.sql.functions._
   * q296 discipline (here the sort is (time, id) so the pick IS
   * deterministic even with ties).
   */
+/** Streaming FORWARD as-of (q338's twin): each left row matched to
+  * the FIRST right row with the same key at-or-after its time, within
+  * a `horizonMs` wait bound — composed from native operators per the
+  * custom-operator ladder: a time-bounded stream-stream LEFT OUTER
+  * join (state evicted by the watermark + horizon, exactly like
+  * [[StreamingIntervalJoin]]) feeding a windowed first-match
+  * aggregate (chained stateful operators; Spark propagates the
+  * delayed watermark through the join into the agg). The horizon is
+  * what makes a FORWARD match streamable at all: "no right will ever
+  * come" is undecidable without a bound, so a left with no match in
+  * [t, t+H] resolves to null once the watermark passes — the same
+  * negative-claim deferral as the interval join's outer rows.
+  *
+  * The null-padded join rows are excluded from the min (a
+  * struct(null, null) would sort BELOW real matches and steal the
+  * min); a left whose every joined row is null-padded aggregates to
+  * a null match. Ties on (key, time): smallest right id wins — state
+  * the right side unique-per-(key, time) for cross-engine parity,
+  * the q338 discipline.
+  */
+object StreamingForwardAsof {
+
+  /** `left` needs (l_key, l_id, l_ts: timestamp); `right` needs
+    * (r_key, r_id, r_ts: timestamp). One output row per left row,
+    * emitted when the watermark closes its hour bucket.
+    */
+  def nextMatch(left: DataFrame, right: DataFrame,
+                horizonMs: Long = 3600000L,
+                delay: String = "10 seconds"): DataFrame = {
+    val joined = left.withWatermark("l_ts", delay)
+      .join(right.withWatermark("r_ts", delay),
+        col("l_key") === col("r_key") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonMs MILLISECONDS"),
+        "left_outer")
+    joined
+      // group on the window + key + row id ONLY: adding raw l_ts to
+      // the grouping would put two event-time columns in one stream
+      // (the engine rejects it); the row's time rides as an aggregate
+      // instead (one left row per l_id, so min() is the identity)
+      .groupBy(window(col("l_ts"), "1 hour"), col("l_key"), col("l_id"))
+      .agg(min(col("l_ts")).as("l_ts"),
+        min(when(col("r_id").isNotNull,
+          struct(col("r_ts"), col("r_id")))).as("m"))
+      .select(col("l_key").as("key"), col("l_id").as("row_id"),
+        col("l_ts"), col("m.r_ts").as("match_ts"),
+        col("m.r_id").as("match_id"))
+  }
+}
+
 object StreamingAsof {
 
   case class StreamRow(key: Long, ms: Long, row_id: Long)

@@ -832,6 +832,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming forward as-of: first at-or-after match emits at window close; no-match resolves null") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lefts = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rights = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingForwardAsof.nextMatch(
+      lefts.toDF().toDF("l_key", "l_id", "l_ts"),
+      rights.toDF().toDF("r_key", "r_id", "r_ts"),
+      horizonMs = 60000L, delay = "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fwd_asof").start()
+    try {
+      // key 1: left at 10:00:00; rights at 10:00:20 and 10:00:40 —
+      //   the EARLIEST at-or-after (id 201, 10:00:20) must win even
+      //   though the later right arrives first
+      // key 2: left at 10:00:00, no right inside the 60 s horizon
+      rights.addData((1L, 202L, ts("2026-01-01 10:00:40")))
+      lefts.addData((1L, 11L, ts("2026-01-01 10:00:00")),
+        (2L, 21L, ts("2026-01-01 10:00:00")))
+      rights.addData((1L, 201L, ts("2026-01-01 10:00:20")),
+        (2L, 299L, ts("2026-01-01 10:05:00"))) // past key 2's horizon
+      q.processAllAvailable()
+      // nothing final yet: the hour window hasn't closed
+      assert(spark.sql("SELECT * FROM fwd_asof").count() === 0L)
+      // push both watermarks past the 10:00 hour + delay
+      lefts.addData((9L, 91L, ts("2026-01-01 11:30:00")))
+      rights.addData((9L, 991L, ts("2026-01-01 11:30:00")))
+      q.processAllAvailable()
+      lefts.addData((8L, 81L, ts("2026-01-01 12:30:00")))
+      rights.addData((8L, 881L, ts("2026-01-01 12:30:00")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT key, row_id, match_id FROM fwd_asof")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(got.contains((1L, 11L, Some(201L))), s"got $got")
+      assert(got.contains((2L, 21L, None)), s"got $got")
+      // batch parity on the same resolved rows: the native forward
+      // operator picks the same matches (horizon stated as tolerance)
+      val l = Seq((1L, 11L, 0L), (2L, 21L, 0L)).toDF("key", "row_id", "ms")
+      val r = Seq((1L, 201L, 20000L), (1L, 202L, 40000L),
+        (2L, 299L, 300000L)).toDF("key", "match_id", "r_ms")
+      val batch = graft.plans.AsofJoinOps.asofJoin(l, r, Seq("key"),
+          "ms", "r_ms", direction = "forward", tolerance = Some(60000L))
+        .select($"key", $"row_id", $"match_id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(batch === got.filter(x => x._1 == 1L || x._1 == 2L))
+    } finally q.stop()
+  }
+
   test("streaming content dedup: q25 fingerprint parity, then the horizon FORGETS") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
