@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -381,6 +381,105 @@ object Pii {
         col("released"),
         (col("released") - col("n_users")).as("signed_err"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** q353 — differentially-private MEAN release per event type,
+    * completing the release-mechanism pair (q308 released counts;
+    * real curators also publish means): the classic two-query
+    * construction. Contribution bounding first — each user
+    * contributes ONE value per type (their exact per-type mean,
+    * clamped to [0, C] and held as integer micros so the sum is
+    * order-independent) — then Laplace(C/ε_s) noise on the clamped
+    * SUM and Laplace(1/ε_n) on the user COUNT (ε split evenly), and
+    * released_mean = noisy_sum / max(1, noisy_count). True values
+    * ride along as the curator-side calibration audit (the q308
+    * convention); only the `released_*` columns cross the trust
+    * boundary.
+    *
+    * Determinism: the noise is the q308 seeded inverse-CDF draw
+    * (md5-derived uniforms keyed on (type, tag)) — swap in a
+    * cryptographic source in deployment, the plan is unchanged.
+    * Scale: one (type, user) aggregate, one per-type aggregate, a
+    * narrow noise map.
+    */
+  def dpMeanRelease(spark: SparkSession, dir: String, eps: Double = 1.0,
+                    clampHi: Double = 10.0): DataFrame = {
+    import graft.functions.PortableHash
+    val epsHalf = eps / 2.0
+    val perUser = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("value"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg((graft.operators.Relational.decSum(col("value"))
+        / count(col("value"))).as("u_mean"))
+      .select(col("event_type"),
+        round(least(greatest(col("u_mean"), lit(0.0)), lit(clampHi)) * 1e6, 0)
+          .cast("long").as("u_micro"))
+    val cells = perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("u_micro")).as("sum_micro"))
+    def lap(tag: String, scale: Double): Column = {
+      val h = PortableHash.md5Long60(concat(col("event_type"), lit(tag)))
+      val v = (h.cast("double") + 0.5) / lit((1L << 60).toDouble) - 0.5
+      round(lit(-scale) * when(v >= 0, 1.0).otherwise(-1.0) *
+        log(lit(1.0) - lit(2.0) * abs(v)), 6)
+    }
+    cells
+      .withColumn("noise_sum", lap("|S", clampHi / epsHalf))
+      .withColumn("noise_cnt", lap("|N", 1.0 / epsHalf))
+      .withColumn("released_n",
+        greatest(lit(1L), round(col("n_users") + col("noise_cnt"), 0).cast("long")))
+      .withColumn("released_sum",
+        col("sum_micro").cast("double") / 1e6 + col("noise_sum"))
+      .select(col("event_type"), col("n_users"),
+        round(col("sum_micro").cast("double") / 1e6
+          / col("n_users").cast("double"), 6).as("true_mean"),
+        col("noise_sum"), col("noise_cnt"), col("released_n"),
+        round(col("released_sum") / col("released_n").cast("double"), 6)
+          .as("released_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  def dpMeanReleaseSql(eps: Double = 1.0, clampHi: Double = 10.0): String = {
+    val epsHalf = eps / 2.0
+    def lapSql(tag: String, scale: Double): String =
+      s"""ROUND(${-scale} *
+         |      (CASE WHEN v$tag >= 0 THEN 1.0 ELSE -1.0 END) *
+         |      ln(1.0 - 2.0 * abs(v$tag)), 6)""".stripMargin
+    def seedSql(tag: String): String =
+      s"""(CAST(CAST(('0x' || substr(md5(event_type || '|$tag'), 1, 15))
+         |      AS BIGINT) AS DOUBLE) + 0.5) / POWER(2.0, 60) - 0.5""".stripMargin
+    s"""WITH per_user AS (
+       |  SELECT event_type,
+       |    CAST(ROUND(LEAST(GREATEST(
+       |      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |        / COUNT(value), 0.0), $clampHi) * 1000000, 0) AS BIGINT)
+       |      AS u_micro
+       |  FROM events GROUP BY event_type, user_id
+       |), cells AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |    CAST(SUM(u_micro) AS BIGINT) AS sum_micro
+       |  FROM per_user GROUP BY 1
+       |), seeded AS (
+       |  SELECT event_type, n_users, sum_micro,
+       |    ${seedSql("S")} AS vS,
+       |    ${seedSql("N")} AS vN
+       |  FROM cells
+       |), noised AS (
+       |  SELECT event_type, n_users, sum_micro,
+       |    ${lapSql("S", clampHi / epsHalf)} AS noise_sum,
+       |    ${lapSql("N", 1.0 / epsHalf)} AS noise_cnt
+       |  FROM seeded
+       |)
+       |SELECT event_type, n_users,
+       |  ROUND(CAST(sum_micro AS DOUBLE) / 1000000.0
+       |    / CAST(n_users AS DOUBLE), 6) AS true_mean,
+       |  noise_sum, noise_cnt,
+       |  GREATEST(1, CAST(ROUND(n_users + noise_cnt, 0) AS BIGINT))
+       |    AS released_n,
+       |  ROUND((CAST(sum_micro AS DOUBLE) / 1000000.0 + noise_sum)
+       |    / CAST(GREATEST(1, CAST(ROUND(n_users + noise_cnt, 0) AS BIGINT))
+       |      AS DOUBLE), 6) AS released_mean
+       |FROM noised
+       |ORDER BY event_type""".stripMargin
   }
 
   def dpHistogramSql(eps: Double = 1.0): String =

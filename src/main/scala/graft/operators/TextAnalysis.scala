@@ -309,16 +309,22 @@ object TextAnalysis {
     * (doc, lang); the cross of test docs × |langs| class rows is
     * broadcast-sized arithmetic.
     */
-  def nbLangConfusion(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared NB machinery ([[nbLangConfusion]] trains on the 4/5
+    * split; [[labelNoiseScreen]] self-trains on everything): returns
+    * one row per (scored doc, class) with the Laplace-smoothed
+    * decimal score — see [[nbLangConfusion]] for the zero-cell
+    * identity and exactness argument.
+    */
+  private def nbScores(spark: SparkSession, dir: String,
+                       trainPred: Column, scorePred: Column): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
     val toks = docs.select(col("doc_id"), col("lang"),
         explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("lang"), col("token"))
       .agg(count(lit(1)).as("mult"))
-    val train = toks.filter(col("doc_id") % 5 =!= 0)
-    val test = toks.filter(col("doc_id") % 5 === 0)
+    val train = toks.filter(trainPred)
+    val test = toks.filter(scorePred)
     // model: per-(lang, token) log10(count + 1), 6dp
     val model = train.groupBy(col("lang").as("c"), col("token"))
       .agg(sum(col("mult")).as("cnt"))
@@ -341,12 +347,19 @@ object TextAnalysis {
     val seen = inVocab.join(model, "token")
       .groupBy(col("doc_id"), col("c"))
       .agg(sum(col("mult") * col("l_num").cast("decimal(18,6)")).as("sum_num"))
-    val scores = md.crossJoin(broadcast(classes))
+    md.crossJoin(broadcast(classes))
       .join(seen, Seq("doc_id", "c"), "left")
       .withColumn("score",
         col("l_prior").cast("decimal(28,6)")
           + coalesce(col("sum_num"), lit(0).cast("decimal(18,6)"))
           - col("m_d") * col("l_den").cast("decimal(18,6)"))
+      .select(col("doc_id"), col("true_lang"), col("c"), col("score"))
+  }
+
+  def nbLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = nbScores(spark, dir,
+      col("doc_id") % 5 =!= 0, col("doc_id") % 5 === 0)
     val pred = scores
       .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("c"))))
@@ -423,6 +436,94 @@ object TextAnalysis {
       |JOIN (SELECT true_lang, SUM(n) AS n_true FROM cells GROUP BY 1) rt
       |  ON rt.true_lang = c.true_lang
       |ORDER BY c.true_lang, c.pred_lang""".stripMargin
+
+  /** q352 — label-noise screen (confident-learning-lite): the NB
+    * model SELF-TRAINED on the whole labeled corpus re-scores every
+    * document; rows where the model's argmax disagrees with the
+    * stored `lang` label come back with their score margin
+    * (argmax − true-label score, in decimal log10 space) — the ranked
+    * worklist a label-audit actually reviews, largest margin = most
+    * confidently mislabeled. Self-training makes this a CONSISTENCY
+    * screen, not an accuracy claim: a clean corpus that is merely
+    * hard stays near margin 0; a doc whose text mass belongs to
+    * another class pulls a large margin no matter how it was labeled.
+    * Complements q139 (heuristic-vs-label confusion) with a
+    * corpus-statistics judge instead of a rule-based one.
+    *
+    * Exactness/scale: [[nbScores]] — one (lang, token) training
+    * aggregate, vocabulary-keyed scoring join, decimal 6dp score
+    * algebra; the screen is one argmax window + one key join on the
+    * (doc × class) score frame.
+    */
+  def labelNoiseScreen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = nbScores(spark, dir, lit(true), lit(true))
+    val pred = scores
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("c"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("true_lang"),
+        col("c").as("pred_lang"), col("score").as("s_pred"))
+    val own = scores.filter(col("c") === col("true_lang"))
+      .select(col("doc_id"), col("score").as("s_true"))
+    pred.join(own, "doc_id")
+      .filter(col("pred_lang") =!= col("true_lang"))
+      .select(col("doc_id"), col("true_lang"), col("pred_lang"),
+        round((col("s_pred") - col("s_true")).cast("double"), 6)
+          .as("margin"))
+      .orderBy(col("margin").desc, col("doc_id"))
+  }
+
+  val labelNoiseScreenSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS mult
+      |  FROM (
+      |    SELECT doc_id, lang, unnest(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  )
+      |  GROUP BY 1, 2, 3
+      |), model AS (
+      |  SELECT lang AS c, token, SUM(mult) AS cnt,
+      |    ROUND(log10(SUM(mult) + 1), 6) AS l_num
+      |  FROM toks GROUP BY 1, 2
+      |), vocab AS (
+      |  SELECT COUNT(DISTINCT token) AS v FROM model
+      |), classes AS (
+      |  SELECT lang AS c,
+      |    ROUND(log10(COUNT(DISTINCT doc_id)), 6) AS l_prior,
+      |    ROUND(log10(SUM(mult) + (SELECT v FROM vocab)), 6) AS l_den
+      |  FROM toks GROUP BY 1
+      |), md AS (
+      |  SELECT doc_id, lang AS true_lang, SUM(mult) AS m_d
+      |  FROM toks GROUP BY 1, 2
+      |), seen AS (
+      |  SELECT t.doc_id, m.c,
+      |    SUM(t.mult * CAST(m.l_num AS DECIMAL(18,6))) AS sum_num
+      |  FROM toks t JOIN model m ON m.token = t.token
+      |  GROUP BY 1, 2
+      |), scores AS (
+      |  SELECT md.doc_id, md.true_lang, cl.c,
+      |    CAST(cl.l_prior AS DECIMAL(28,6))
+      |      + COALESCE(s.sum_num, CAST(0 AS DECIMAL(18,6)))
+      |      - md.m_d * CAST(cl.l_den AS DECIMAL(18,6)) AS score
+      |  FROM md CROSS JOIN classes cl
+      |  LEFT JOIN seen s ON s.doc_id = md.doc_id AND s.c = cl.c
+      |), pred AS (
+      |  SELECT doc_id, true_lang, c AS pred_lang, score AS s_pred FROM (
+      |    SELECT doc_id, true_lang, c, score,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, c) AS rk
+      |    FROM scores
+      |  ) WHERE rk = 1
+      |), own AS (
+      |  SELECT doc_id, score AS s_true FROM scores WHERE c = true_lang
+      |)
+      |SELECT p.doc_id, p.true_lang, p.pred_lang,
+      |  ROUND(CAST(p.s_pred - o.s_true AS DOUBLE), 6) AS margin
+      |FROM pred p JOIN own o ON o.doc_id = p.doc_id
+      |WHERE p.pred_lang <> p.true_lang
+      |ORDER BY margin DESC, p.doc_id""".stripMargin
 
   /** q347 — tokenizer vocabulary-budget coverage curve: for vocab
     * sizes k = 1, 2, 4, … (powers of two up to the full vocabulary),

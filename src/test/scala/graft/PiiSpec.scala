@@ -168,4 +168,33 @@ class PiiSpec extends AnyFunSuite {
     val med = out.map(r => math.abs(r._4)).sorted.apply(out.size / 2)
     assert(med > 0.15 && med < 2.5, s"median |noise| = $med")
   }
+
+  test("dpMeanRelease: contribution bounded to one clamped value per user; rerun-identical") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.operators.Pii.dpMeanRelease(spark, sf)
+      .as[(String, Long, Double, Double, Double, Long, Double)]
+      .collect().toSeq
+    assert(out.nonEmpty)
+    // true mean is the mean of CLAMPED per-user means: in [0, clampHi]
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= 10.0))
+    // released_n floored at 1; released mean finite
+    assert(out.forall(r => r._6 >= 1L && !r._7.isNaN && !r._7.isInfinite))
+    // the noise is SEEDED: a second run is bit-identical
+    val again = graft.operators.Pii.dpMeanRelease(spark, sf)
+      .as[(String, Long, Double, Double, Double, Long, Double)]
+      .collect().toSeq
+    assert(again === out)
+    // hand fixture: one user, values 4 and 6 -> clamped user mean 5.0
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpm").toString
+    Seq((1L, 1L, "view", 4.0), (2L, 1L, "view", 6.0))
+      .map { case (id, u, t, v) =>
+        (id, new java.sql.Timestamp(1000L * id), u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val one = graft.operators.Pii.dpMeanRelease(spark, dir)
+      .as[(String, Long, Double, Double, Double, Long, Double)]
+      .collect().toSeq
+    assert(one.size === 1)
+    assert(one.head._2 === 1L && one.head._3 === 5.0)
+  }
 }

@@ -317,4 +317,47 @@ class SourcesSpec extends AnyFunSuite {
     assert(Html.text("a < b & c") === "a < b & c")
     assert(Html.text("<p>tail never closed") === "tail never closed")
   }
+
+  test("jsonl sharded writer: budget honored within one line, manifest matches disk, round-trip") {
+    import graft.sources.Jsonl
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard").toString
+    val docs = (1L to 40L)
+      .map(i => (i, s"doc body number $i padded ${"x" * (i % 7).toInt}",
+        "en", "unit", 10L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val budget = 400L
+    val manifest = Jsonl.writeShardedDocuments(docs, s"$dir/out", budget)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(manifest.size > 1, "fixture must span multiple shards")
+    // shards are contiguous ids from 0
+    assert(manifest.map(_._1) === manifest.indices.map(_.toLong))
+    // every row landed exactly once
+    assert(manifest.map(_._2).sum === 40L)
+    // budget: a shard exceeds it by at most one line (the closer)
+    val maxLine = docs.select(
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.octet_length(
+            org.apache.spark.sql.functions.to_json(
+              org.apache.spark.sql.functions.struct(docs.columns.map(
+                org.apache.spark.sql.functions.col): _*))))).as[Int].head + 1
+    assert(manifest.forall(_._3 <= budget + maxLine))
+    // all but the last shard actually CROSSED the budget line
+    assert(manifest.init.forall(_._3 + maxLine >= budget))
+    // manifest reconciles with the bytes on disk per shard dir
+    manifest.foreach { case (shard, _, nBytes) =>
+      val d = new java.io.File(s"$dir/out/shard=$shard")
+      val onDisk = d.listFiles().filter(_.getName.endsWith(".txt"))
+        .map(_.length()).sum
+      assert(onDisk === nBytes, s"shard $shard: $onDisk != $nBytes")
+    }
+    // round-trip: reading the shards back yields the exact corpus
+    val (clean, quarantine) = Jsonl.readDocuments(spark, s"$dir/out/*/")
+    assert(quarantine.count() === 0L)
+    assert(clean.select("doc_id", "text").as[(Long, String)].collect().toSet
+      === docs.select("doc_id", "text").as[(Long, String)].collect().toSet)
+    // determinism: a second write produces the same manifest
+    val again = Jsonl.writeShardedDocuments(docs, s"$dir/out2", budget)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again === manifest)
+  }
 }

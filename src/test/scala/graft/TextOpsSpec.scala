@@ -645,6 +645,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out === Seq(("aa", "aa", 1L, 1.0), ("bb", "bb", 1L, 1.0)))
   }
 
+  test("labelNoiseScreen: clean separable corpus flags nothing; a planted mislabel surfaces with positive margin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lns").toString
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.map { case (id, t, lang) => (id, t, lang, "unit", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clean = (1L to 4L).map(i => (i, "aaa aaa aab", "aa")) ++
+      (11L to 14L).map(i => (i, "bbb bbb bba", "bb"))
+    write(clean)
+    assert(graft.operators.TextAnalysis.labelNoiseScreen(spark, dir)
+      .count() === 0L)
+    // plant one doc whose text is pure class-bb mass under label aa
+    write(clean :+ ((21L, "bbb bbb bba", "aa")))
+    val flagged = graft.operators.TextAnalysis.labelNoiseScreen(spark, dir)
+      .as[(Long, String, String, Double)].collect().toSeq
+    assert(flagged.map(_._1).contains(21L))
+    val f = flagged.find(_._1 == 21L).get
+    assert(f._2 === "aa" && f._3 === "bb" && f._4 > 0.0)
+  }
+
   test("compressionRatio: repetition compresses below the flag line, varied prose doesn't") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString
     val varied = (1 to 40).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
