@@ -1067,6 +1067,206 @@ object Events {
       |  ROUND((num * num) / NULLIF(den * (n * syy - sy * sy), 0.0), 6) AS r2
       |FROM derived ORDER BY event_type""".stripMargin
 
+  /** q355 — synthetic-control-lite readout: the top-revenue nation is
+    * the "treated" unit; every other nation is scored as a candidate
+    * control by its PRE-period SSE against the treated weekly-revenue
+    * series (dense week grid, zero-filled — a nation silent for a
+    * week must count as disagreement, not vanish), the split point
+    * being the exact midpoint of the week range (the q135 temporal
+    * discipline). One row per candidate: pre-period fit, fit rank,
+    * and the post-period revenue gap — the donor-pool diagnostic a
+    * causal analyst reads before trusting any single-control
+    * comparison (q183's DiD assumes the control; this SHOWS the
+    * choice and what it costs). Not a weighted synthetic control —
+    * the single-best-donor readout, stated as such.
+    *
+    * Exactness: weekly revenues are exact integer CENTS (the half-up
+    * ×100 convention), so post sums and gaps are BIGINTs; each SSE
+    * term is (cents-diff / 1e8)² — million-dollar units keep the
+    * squares small enough that the 6dp-rounded, DECIMAL-summed total
+    * casts to double EXACTLY (the first cut summed raw dollars and
+    * lost the last ulp in the decimal→double conversion — 19
+    * significant digits don't fit a double). Scale: one orders-sized
+    * aggregate; everything after lives on the |weeks| × |nations|
+    * grid.
+    */
+  def syntheticControl(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = graft.Tables.load(spark, dir, "orders")
+      .join(graft.Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        expr("unix_micros(cast(date_trunc('week', o_orderdate) as timestamp)) div 1000")
+          .as("week_ms"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("nation"), col("week_ms"))
+      .agg(sum(col("cents")).as("rev_c"))
+    val weeks = weekly.select(col("week_ms")).distinct()
+    val nations = weekly.select(col("nation")).distinct()
+    val grid = weeks.crossJoin(nations)
+      .join(weekly, Seq("nation", "week_ms"), "left")
+      .withColumn("rev_c", coalesce(col("rev_c"), lit(0L)))
+    val treated = weekly.groupBy(col("nation"))
+      .agg(sum(col("rev_c")).as("tot"))
+      .orderBy(col("tot").desc, col("nation")).limit(1)
+      .select(col("nation").as("treated_nation"))
+    val mid = weeks.agg(
+      expr("(min(week_ms) + max(week_ms)) div 2").as("mid_ms"))
+    val t = grid.join(broadcast(treated),
+        col("nation") === col("treated_nation"))
+      .select(col("treated_nation"), col("week_ms"), col("rev_c").as("t_c"))
+    val c = grid.join(broadcast(treated),
+        col("nation") =!= col("treated_nation"))
+      .select(col("nation").as("control_nation"), col("week_ms"),
+        col("rev_c").as("c_c"))
+    val scored = c.join(t, "week_ms").crossJoin(broadcast(mid))
+      .withColumn("is_pre", col("week_ms") <= col("mid_ms"))
+      .withColumn("term", when(col("is_pre"),
+        round(pow((col("t_c") - col("c_c")).cast("double") / 1e8, 2), 6)
+          .cast("decimal(28,6)")))
+      .groupBy(col("treated_nation"), col("control_nation"))
+      .agg(sum(col("term")).cast("double").as("pre_sse_msq"),
+        sum(when(!col("is_pre"), col("t_c"))).as("t_post_c"),
+        sum(when(!col("is_pre"), col("c_c"))).as("c_post_c"))
+    scored
+      .withColumn("fit_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pre_sse_msq"), col("control_nation"))))
+      .select(col("treated_nation"), col("control_nation"),
+        col("pre_sse_msq"), col("fit_rank"),
+        (col("fit_rank") === 1).as("is_best"),
+        col("t_post_c").as("treated_post_cents"),
+        col("c_post_c").as("control_post_cents"),
+        (col("t_post_c") - col("c_post_c")).as("post_gap_cents"))
+      .orderBy(col("fit_rank"))
+  }
+
+  val syntheticControlSql: String =
+    """WITH weekly AS (
+      |  SELECT n.n_name AS nation,
+      |    epoch_ms(date_trunc('week', o.o_orderdate)) AS week_ms,
+      |    CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1, 2
+      |), weeks AS (SELECT DISTINCT week_ms FROM weekly),
+      |nations AS (SELECT DISTINCT nation FROM weekly),
+      |grid AS (
+      |  SELECT ns.nation, w.week_ms, COALESCE(wk.rev_c, 0) AS rev_c
+      |  FROM weeks w CROSS JOIN nations ns
+      |  LEFT JOIN weekly wk
+      |    ON wk.nation = ns.nation AND wk.week_ms = w.week_ms
+      |), treated AS (
+      |  SELECT nation AS treated_nation FROM weekly
+      |  GROUP BY 1 ORDER BY SUM(rev_c) DESC, nation LIMIT 1
+      |), mid AS (
+      |  SELECT (MIN(week_ms) + MAX(week_ms)) // 2 AS mid_ms FROM weeks
+      |), t AS (
+      |  SELECT tr.treated_nation, g.week_ms, g.rev_c AS t_c
+      |  FROM grid g JOIN treated tr ON g.nation = tr.treated_nation
+      |), c AS (
+      |  SELECT g.nation AS control_nation, g.week_ms, g.rev_c AS c_c
+      |  FROM grid g JOIN treated tr ON g.nation <> tr.treated_nation
+      |), scored AS (
+      |  SELECT t.treated_nation, c.control_nation,
+      |    CAST(SUM(CASE WHEN c.week_ms <= m.mid_ms THEN
+      |      CAST(ROUND(POWER(CAST(t.t_c - c.c_c AS DOUBLE) / 100000000.0,
+      |        2), 6) AS DECIMAL(28,6)) END) AS DOUBLE) AS pre_sse_msq,
+      |    CAST(SUM(CASE WHEN c.week_ms > m.mid_ms THEN t.t_c END)
+      |      AS BIGINT) AS t_post_c,
+      |    CAST(SUM(CASE WHEN c.week_ms > m.mid_ms THEN c.c_c END)
+      |      AS BIGINT) AS c_post_c
+      |  FROM c JOIN t ON t.week_ms = c.week_ms CROSS JOIN mid m
+      |  GROUP BY 1, 2
+      |)
+      |SELECT treated_nation, control_nation, pre_sse_msq,
+      |  CAST(row_number() OVER (ORDER BY pre_sse_msq, control_nation)
+      |    AS INT) AS fit_rank,
+      |  row_number() OVER (ORDER BY pre_sse_msq, control_nation) = 1
+      |    AS is_best,
+      |  t_post_c AS treated_post_cents,
+      |  c_post_c AS control_post_cents,
+      |  t_post_c - c_post_c AS post_gap_cents
+      |FROM scored
+      |ORDER BY fit_rank""".stripMargin
+
+  /** q354 — event burst compaction (debounce): within each
+    * (user, event_type), events closer than `gapMs` to their
+    * predecessor chain into one BURST (the q20 gaps-and-islands key,
+    * per type) and only the burst's FIRST event is kept — the retry-
+    * storm / double-click compaction every event pipeline runs before
+    * counting anything. Output: per kept event, the burst's size and
+    * span — the kept row carries the evidence of what it absorbed
+    * (dropped rows are aggregated in, not silently gone; q25's dedup
+    * ledger discipline).
+    *
+    * Semantics note (stated, not accidental): chaining is ISLAND
+    * debounce — an event within gapMs of its PREDECESSOR joins the
+    * burst even if it is further than gapMs from the burst's KEPT
+    * head (the greedy-from-head variant is a different operator; the
+    * island form is the one expressible as one window pass and the
+    * one that kills retry storms, which chain by construction).
+    *
+    * Scale: one (user, type)-keyed window pass + one burst aggregate —
+    * single shuffle key, no joins.
+    */
+  def burstCompaction(spark: SparkSession, dir: String,
+                      gapMs: Long = 60000L): DataFrame = {
+    val ev = Tables.load(spark, dir, "events").withColumn("ts_ms", tsMs("ts"))
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val bursts = ev
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_burst",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("burst_id",
+        sum(col("new_burst")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    bursts.groupBy(col("user_id"), col("event_type"), col("burst_id"))
+      .agg(min(struct(col("ts_ms"), col("event_id"))).getField("event_id")
+          .as("kept_event_id"),
+        min(col("ts_ms")).as("burst_start_ms"),
+        max(col("ts_ms")).as("burst_end_ms"),
+        count(lit(1)).as("n_absorbed"))
+      .select(col("user_id"), col("event_type"), col("kept_event_id"),
+        col("burst_start_ms"), col("burst_end_ms"), col("n_absorbed"),
+        (col("n_absorbed") - 1).as("n_dropped"))
+      .orderBy(col("user_id"), col("event_type"), col("burst_start_ms"),
+        col("kept_event_id"))
+  }
+
+  val burstCompactionSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 60000
+      |         THEN 1 ELSE 0 END AS new_burst
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type
+      |    ORDER BY epoch_ms(ts), event_id)
+      |), bursts AS (
+      |  SELECT user_id, event_type, ts_ms, event_id,
+      |    SUM(new_burst) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS burst_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, event_type,
+      |  CAST((MIN({'ts_ms': ts_ms, 'event_id': event_id})).event_id
+      |    AS BIGINT) AS kept_event_id,
+      |  MIN(ts_ms) AS burst_start_ms,
+      |  MAX(ts_ms) AS burst_end_ms,
+      |  CAST(COUNT(*) AS BIGINT) AS n_absorbed,
+      |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+      |FROM bursts
+      |GROUP BY user_id, event_type, burst_id
+      |ORDER BY user_id, event_type, burst_start_ms, kept_event_id""".stripMargin
+
   /** q350 — the salted hot-key join, GRADED: events (fact) joined to
     * a per-type dimension on `event_type` — a 5-value key, the
     * pathological all-keys-hot case — through

@@ -1667,6 +1667,41 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.map(_._3).sum === 3L)
   }
 
+  test("burstCompaction: island chaining absorbs beyond the head gap; boundary is inclusive; types separate") {
+    // user 1 / view: 0s, 30s, 90s — 90s is 60s from its PREDECESSOR
+    // (inclusive boundary: NOT a new burst) though 90s from the kept
+    // head; 151s is 61s out -> new burst. user 1 / click: its own
+    // stream.
+    val dir = eventsDir(Seq(
+      (1L, 0L, 1L, "view"), (2L, 30000L, 1L, "view"),
+      (3L, 90000L, 1L, "view"), (4L, 151000L, 1L, "view"),
+      (5L, 10000L, 1L, "click")))
+    val out = graft.operators.Events.burstCompaction(spark, dir)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "click", 5L, 10000L, 10000L, 1L, 0L),
+      (1L, "view", 1L, 0L, 90000L, 3L, 2L),
+      (1L, "view", 4L, 151000L, 151000L, 1L, 0L)))
+  }
+
+  test("syntheticControl: one best donor, constant treated series, gap identity") {
+    val out = graft.operators.Events
+      .syntheticControl(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Double, Int, Boolean, Long, Long, Long)]
+      .collect().toSeq
+    assert(out.nonEmpty)
+    // ranks are 1..n with exactly one best = the smallest pre-SSE
+    assert(out.map(_._4) === (1 to out.size))
+    assert(out.count(_._5) === 1)
+    assert(out.find(_._5).get._3 === out.map(_._3).min)
+    // the treated side is one series: constant across donor rows
+    assert(out.map(_._1).distinct.size === 1)
+    assert(out.map(_._6).distinct.size === 1)
+    // the treated unit is never its own donor; gap identity holds
+    assert(!out.exists(r => r._2 == r._1))
+    assert(out.forall(r => r._8 === r._6 - r._7))
+  }
+
   test("qqTable: single-source corpus matches the global curve; a shifted source shifts every quantile") {
     val dir = java.nio.file.Files.createTempDirectory("graft-qq").toString
     val rows = (1 to 19).map(i => (i.toLong, "t", "en", "A", i.toLong)) ++
