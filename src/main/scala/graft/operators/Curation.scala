@@ -1898,6 +1898,86 @@ object Curation {
        |FROM cells
        |ORDER BY decile""".stripMargin
 
+  /** q356 — greedy token-budget source selection (the knapsack-greedy
+    * mixing decision): sources ranked by quality-per-token density
+    * (integer-micro mean of the shared 6dp quality score), then
+    * greedily admitted in density order until the token budget is
+    * spent — the first source that doesn't fully fit is admitted
+    * FRACTIONALLY (its take_tokens = the remaining budget; the
+    * fractional-knapsack optimum for a divisible corpus, which token
+    * sampling makes true in practice). One row per source in greedy
+    * order: density, cumulative tokens before it, its take, and the
+    * admitted fraction — the "what gets in at budget B and why"
+    * worklist, complementing q62/q178's proportional mixes with the
+    * quality-maximizing corner solution.
+    *
+    * Exactness: token counts and micro-quality sums are integers; the
+    * density is one rounded division; takes are integer min/greatest
+    * algebra over a cumulative window on |sources| rows.
+    */
+  def greedyBudgetSelect(spark: SparkSession, dir: String,
+                         budgetTokens: Long = 20000L): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScore, tokenCount}
+    val bySrc = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        tokenCount(col("text")).cast("long").as("t"),
+        round(qualityScore(col("text")) * 1e6, 0).cast("long").as("qm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("src_tokens"),
+        sum(col("qm")).as("q_micro"))
+      .withColumn("density",
+        round(col("q_micro").cast("double") / 1e6
+          / col("src_tokens").cast("double"), 9))
+    val w = Window.orderBy(col("density").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bySrc
+      .withColumn("cum_before",
+        coalesce(sum(col("src_tokens")).over(w), lit(0L)))
+      .withColumn("take_tokens",
+        greatest(lit(0L),
+          least(col("src_tokens"), lit(budgetTokens) - col("cum_before"))))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("density"), col("cum_before"), col("take_tokens"),
+        round(col("take_tokens").cast("double")
+          / col("src_tokens").cast("double"), 6).as("admitted_frac"))
+      .orderBy(col("density").desc, col("source"))
+  }
+
+  def greedyBudgetSelectSql(budgetTokens: Long = 20000L): String =
+    s"""WITH by_src AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(t) AS BIGINT) AS src_tokens,
+       |    CAST(SUM(qm) AS BIGINT) AS q_micro
+       |  FROM (
+       |    SELECT source,
+       |      ${TextAnalysis.tokenCountExprSql} AS t,
+       |      CAST(ROUND((${TextAnalysis.qualityExprSql}) * 1000000, 0)
+       |        AS BIGINT) AS qm
+       |    FROM documents
+       |  )
+       |  GROUP BY 1
+       |), dens AS (
+       |  SELECT *, ROUND(CAST(q_micro AS DOUBLE) / 1000000.0
+       |    / CAST(src_tokens AS DOUBLE), 9) AS density
+       |  FROM by_src
+       |)
+       |SELECT source, n_docs, src_tokens, density,
+       |  CAST(COALESCE(SUM(src_tokens) OVER (ORDER BY density DESC, source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cum_before,
+       |  CAST(GREATEST(0, LEAST(src_tokens,
+       |    $budgetTokens - COALESCE(SUM(src_tokens)
+       |      OVER (ORDER BY density DESC, source
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
+       |    AS BIGINT) AS take_tokens,
+       |  ROUND(CAST(GREATEST(0, LEAST(src_tokens,
+       |    $budgetTokens - COALESCE(SUM(src_tokens)
+       |      OVER (ORDER BY density DESC, source
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
+       |    AS DOUBLE) / CAST(src_tokens AS DOUBLE), 6) AS admitted_frac
+       |FROM dens
+       |ORDER BY density DESC, source""".stripMargin
+
   /** q331 — leave-one-out source ablation: for every source, the
     * corpus-level quality and volume statistics WITHOUT that source —
     * "which feed moves the needle, and in which direction" as one

@@ -32,6 +32,66 @@ object Relational {
     */
   def decSum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 
+  /** q357 — supplier concentration (Herfindahl–Hirschman index) per
+    * part type: each part type's revenue split across suppliers,
+    * HHI = Σ (share·100)² in the standard 0–10 000 points (10 000 =
+    * monopoly; <1 500 reads unconcentrated by the usual antitrust
+    * rule of thumb), with the supplier count and the top supplier's
+    * share alongside — the supply-risk screen a sourcing decision
+    * reads ("which part types depend on one vendor"). Completes the
+    * concentration family: q147/q333 measure concentration across a
+    * POPULATION ranking, HHI measures it across a categorical split.
+    *
+    * Exactness: revenue is integer cents; each share² term is one
+    * double chain on exact integers, rounded 6dp and DECIMAL-summed
+    * (order-independent); the grid is |types| × |suppliers-per-type|.
+    * Scale: one lineitem⋈part aggregate (part broadcasts), then
+    * type-keyed algebra.
+    */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.Tables.load(spark, dir, "lineitem")
+      .join(broadcast(graft.Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("p_type"), col("l_suppkey"))
+      .agg(sum(col("cents")).as("c"))
+    val tot = cells.groupBy(col("p_type"))
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_suppliers"))
+    cells.join(tot, "p_type")
+      .withColumn("share", col("c").cast("double") / col("tot").cast("double"))
+      .groupBy(col("p_type"), col("n_suppliers"), col("tot"))
+      .agg(sum(round(col("share") * col("share") * 1e4, 6)
+          .cast("decimal(18,6)")).cast("double").as("hhi"),
+        round(max(col("share")), 6).as("top_share"))
+      .select(col("p_type"), col("n_suppliers"),
+        col("tot").as("total_cents"), col("hhi"), col("top_share"))
+      .orderBy(col("hhi").desc, col("p_type"))
+  }
+
+  val supplierHhiSql: String =
+    """WITH cells AS (
+      |  SELECT p.p_type, l.l_suppkey,
+      |    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS c
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT p_type, CAST(SUM(c) AS BIGINT) AS tot,
+      |    CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      |  FROM cells GROUP BY 1
+      |)
+      |SELECT c.p_type, t.n_suppliers, t.tot AS total_cents,
+      |  CAST(SUM(CAST(ROUND((CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE))
+      |    * (CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE)) * 10000, 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS hhi,
+      |  ROUND(MAX(CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE)), 6)
+      |    AS top_share
+      |FROM cells c JOIN tot t ON t.p_type = c.p_type
+      |GROUP BY c.p_type, t.n_suppliers, t.tot
+      |ORDER BY hhi DESC, c.p_type""".stripMargin
+
   /** Millisecond-epoch view of a timestamp column. The events table is
     * parquet timestamp[ns]; Spark truncates to micros while DuckDB
     * keeps nanos, so all cross-engine outputs and orderings use the

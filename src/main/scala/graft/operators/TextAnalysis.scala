@@ -437,6 +437,143 @@ object TextAnalysis {
       |  ON rt.true_lang = c.true_lang
       |ORDER BY c.true_lang, c.pred_lang""".stripMargin
 
+  /** q358 — classifier agreement: Cohen's kappa between the q22
+    * stopword heuristic and the q349 naive Bayes model on the holdout
+    * fifth — the "do two independent lang-id mechanisms tell one
+    * story" triangulation (q139 compares the heuristic to the LABELS;
+    * this compares detector to detector, chance-corrected, the q272
+    * discipline applied to classifiers). Low kappa with high labeled
+    * accuracy on both sides means the two disagree on DIFFERENT
+    * slices — the routing decision needs a referee, not a vote.
+    *
+    * Exactness: po and pe are ratios of exact integer counts (pe via
+    * Σ marginal-product longs over n²); kappa is one shared double
+    * chain, all rounded 6dp. Scale: the NB scorer's vocabulary-keyed
+    * join + the q22 narrow map; the contingency is ≤ (L+1)² cells.
+    */
+  def classifierKappa(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = nbScores(spark, dir,
+        col("doc_id") % 5 =!= 0, col("doc_id") % 5 === 0)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("c"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("c").as("nb_pred"))
+    val heur = langIdQuery(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang_pred").as("heur_pred"))
+    val joined = nb.join(heur, "doc_id").localCheckpoint()
+    val totals = joined.agg(count(lit(1)).as("n"),
+      sum(when(col("nb_pred") === col("heur_pred"), 1L).otherwise(0L))
+        .as("n_agree"))
+    val margNb = joined.groupBy(col("nb_pred").as("cls"))
+      .agg(count(lit(1)).as("a"))
+    val margHeur = joined.groupBy(col("heur_pred").as("cls"))
+      .agg(count(lit(1)).as("b"))
+    val peNum = margNb.join(margHeur, "cls")
+      .agg(coalesce(sum(col("a") * col("b")), lit(0L)).as("pe_num"))
+    totals.crossJoin(broadcast(peNum))
+      .select(col("n").as("n_docs"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n").cast("double"), 6)
+          .as("po"),
+        round(col("pe_num").cast("double")
+          / (col("n") * col("n")).cast("double"), 6).as("pe"),
+        round((col("n_agree").cast("double") / col("n").cast("double")
+            - col("pe_num").cast("double") / (col("n") * col("n")).cast("double"))
+          / (lit(1.0) - col("pe_num").cast("double")
+            / (col("n") * col("n")).cast("double")), 6).as("kappa"))
+  }
+
+  val classifierKappaSql: String = {
+    val heurPred =
+      """CASE WHEN s_en + s_es + s_fr + s_de > 0 THEN
+        |    CASE WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+        |         WHEN s_fr > s_en AND s_fr > s_es THEN 'fr'
+        |         WHEN s_es > s_en THEN 'es'
+        |         ELSE 'en' END
+        |  ELSE 'und' END""".stripMargin
+    val en = hitsSql(langStopwords(0)._2)
+    val es = hitsSql(langStopwords(1)._2)
+    val fr = hitsSql(langStopwords(2)._2)
+    val de = hitsSql(langStopwords(3)._2)
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS mult
+       |  FROM (
+       |    SELECT doc_id, lang, unnest(list_filter(
+       |      string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+       |    FROM documents
+       |  )
+       |  GROUP BY 1, 2, 3
+       |), train AS (
+       |  SELECT * FROM toks WHERE doc_id % 5 <> 0
+       |), test AS (
+       |  SELECT * FROM toks WHERE doc_id % 5 = 0
+       |), model AS (
+       |  SELECT lang AS c, token,
+       |    ROUND(log10(SUM(mult) + 1), 6) AS l_num
+       |  FROM train GROUP BY 1, 2
+       |), vocab AS (
+       |  SELECT COUNT(DISTINCT token) AS v FROM model
+       |), classes AS (
+       |  SELECT lang AS c,
+       |    ROUND(log10(COUNT(DISTINCT doc_id)), 6) AS l_prior,
+       |    ROUND(log10(SUM(mult) + (SELECT v FROM vocab)), 6) AS l_den
+       |  FROM train GROUP BY 1
+       |), in_vocab AS (
+       |  SELECT t.* FROM test t
+       |  JOIN (SELECT DISTINCT token FROM model) m ON m.token = t.token
+       |), md AS (
+       |  SELECT doc_id, SUM(mult) AS m_d FROM in_vocab GROUP BY 1
+       |), seen AS (
+       |  SELECT iv.doc_id, m.c,
+       |    SUM(iv.mult * CAST(m.l_num AS DECIMAL(18,6))) AS sum_num
+       |  FROM in_vocab iv JOIN model m ON m.token = iv.token
+       |  GROUP BY 1, 2
+       |), nb AS (
+       |  SELECT doc_id, c AS nb_pred FROM (
+       |    SELECT md.doc_id, cl.c,
+       |      row_number() OVER (PARTITION BY md.doc_id ORDER BY
+       |        CAST(cl.l_prior AS DECIMAL(28,6))
+       |          + COALESCE(s.sum_num, CAST(0 AS DECIMAL(18,6)))
+       |          - md.m_d * CAST(cl.l_den AS DECIMAL(18,6)) DESC,
+       |        cl.c) AS rk
+       |    FROM md CROSS JOIN classes cl
+       |    LEFT JOIN seen s ON s.doc_id = md.doc_id AND s.c = cl.c
+       |  ) WHERE rk = 1
+       |), heur AS (
+       |  SELECT doc_id, $heurPred AS heur_pred FROM (
+       |    SELECT doc_id,
+       |      $en AS s_en, $es AS s_es, $fr AS s_fr, $de AS s_de
+       |    FROM documents WHERE doc_id % 5 = 0
+       |  )
+       |), joined AS (
+       |  SELECT nb.nb_pred, h.heur_pred
+       |  FROM nb JOIN heur h ON h.doc_id = nb.doc_id
+       |), tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN nb_pred = heur_pred THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_agree
+       |  FROM joined
+       |), pe AS (
+       |  SELECT CAST(COALESCE(SUM(a * b), 0) AS BIGINT) AS pe_num FROM (
+       |    SELECT cls, a, b FROM
+       |      (SELECT nb_pred AS cls, COUNT(*) AS a FROM joined GROUP BY 1) x
+       |    JOIN
+       |      (SELECT heur_pred AS cls, COUNT(*) AS b FROM joined GROUP BY 1) y
+       |    USING (cls)
+       |  )
+       |)
+       |SELECT t.n AS n_docs, t.n_agree,
+       |  ROUND(CAST(t.n_agree AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS po,
+       |  ROUND(CAST(p.pe_num AS DOUBLE) / CAST(t.n * t.n AS DOUBLE), 6)
+       |    AS pe,
+       |  ROUND((CAST(t.n_agree AS DOUBLE) / CAST(t.n AS DOUBLE)
+       |      - CAST(p.pe_num AS DOUBLE) / CAST(t.n * t.n AS DOUBLE))
+       |    / (1.0 - CAST(p.pe_num AS DOUBLE) / CAST(t.n * t.n AS DOUBLE)),
+       |    6) AS kappa
+       |FROM tot t CROSS JOIN pe p""".stripMargin
+  }
+
   /** q352 — label-noise screen (confident-learning-lite): the NB
     * model SELF-TRAINED on the whole labeled corpus re-scores every
     * document; rows where the model's argmax disagrees with the

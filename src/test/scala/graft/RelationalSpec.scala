@@ -305,6 +305,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(out === Seq((1L, "sup1", "GERMANY", 1L)))
   }
 
+  test("supplierHhi: monopoly scores 10000, an even split scores 10000/n") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hhi").toString
+    Seq((1L, "TYPE_A"), (2L, "TYPE_B"))
+      .map { case (pk, t) => (pk, s"part$pk", "b", t, 1, "c", 1.0, "x") }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_container", "p_retailprice", "p_comment")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // TYPE_A: supplier 1 only (monopoly). TYPE_B: 4 suppliers x 25.00
+    val rows = Seq((1L, 1L, 1L, 100.0)) ++
+      (1L to 4L).map(s => (10L + s, 2L, s, 25.0))
+    rows.map { case (ok, pk, sk, price) => (ok, pk, sk, 1, 1.0, price,
+        0.0, 0.0, "N", "O", new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Relational.supplierHhi(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("TYPE_A", 1L, 10000L, 10000.0, 1.0),
+      ("TYPE_B", 4L, 10000L, 2500.0, 0.25)))
+  }
+
   test("cheapestSupplier: Q2 tie semantics keep every min-cost supplier") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q2").toString
     Seq((1, "GERMANY", 1)).toDF("n_nationkey", "n_name", "n_regionkey")

@@ -25,6 +25,29 @@ class RobustOpsSpec extends AnyFunSuite {
     dir
   }
 
+  test("greedyBudgetSelect: fractional knapsack — prefix full, one fractional closer, rest zero") {
+    val out = Curation.greedyBudgetSelect(spark, "/root/testdata/sf0.001",
+        budgetTokens = 20000L)
+      .as[(String, Long, Long, Double, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    // greedy order: density non-increasing, ties by source
+    assert(out.map(-_._4) === out.map(-_._4).sorted)
+    // cum_before is the running sum of src_tokens in greedy order
+    val cums = out.map(_._3).scanLeft(0L)(_ + _).init
+    assert(out.map(_._5) === cums)
+    // takes: full admits, then at most ONE fractional, then zeros
+    val fracs = out.map(r => r._6.toDouble / r._3)
+    val firstPartial = fracs.indexWhere(f => f > 0.0 && f < 1.0)
+    if (firstPartial >= 0) {
+      assert(fracs.take(firstPartial).forall(_ == 1.0))
+      assert(fracs.drop(firstPartial + 1).forall(_ == 0.0))
+    }
+    // the budget is exactly spent (or the whole corpus admitted)
+    val spent = out.map(_._6).sum
+    assert(spent === math.min(20000L, out.map(_._3).sum))
+    assert(out.forall(r => r._7 >= 0.0 && r._7 <= 1.0))
+  }
+
   test("alphaMixSample: sqrt shares, floor quotas, availability cap binds") {
     // en:16 docs, de:1 doc; alpha=0.5 -> weights 4.0 / 1.0, shares .8/.2
     // budget 10 -> quota en = floor(10*.8) = 8, de = min(1, 2) = 1 (cap)

@@ -665,6 +665,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(f._2 === "aa" && f._3 === "bb" && f._4 > 0.0)
   }
 
+  test("classifierKappa: chance-correction identity holds; perfect agreement reads kappa 1") {
+    val out = graft.operators.TextAnalysis
+      .classifierKappa(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out.size === 1)
+    val (n, agree, po, pe, kappa) = out.head
+    assert(n > 0 && agree <= n)
+    assert(po >= 0.0 && po <= 1.0 && pe > 0.0 && pe < 1.0)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    // the identity recomputes from the row's own (unrounded-within-6dp)
+    // parts: kappa ≈ (po − pe) / (1 − pe)
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-4)
+    // a corpus where both mechanisms must agree (every doc pure-'en'
+    // stopword mass, labeled en) scores kappa 1? No: one class makes
+    // pe = 1 and kappa undefined — use TWO clean classes instead
+    val dir = java.nio.file.Files.createTempDirectory("graft-kap").toString
+    val rows =
+      (1L to 10L).map(i => (i, "the of and to the", "en")) ++
+      (11L to 20L).map(i => (i, "der die und das der", "de"))
+    rows.map { case (id, t, lang) => (id, t, lang, "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clean = graft.operators.TextAnalysis.classifierKappa(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(clean._3 === 1.0 && clean._5 === 1.0)
+  }
+
   test("compressionRatio: repetition compresses below the flag line, varied prose doesn't") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString
     val varied = (1 to 40).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
