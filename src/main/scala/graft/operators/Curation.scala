@@ -1898,6 +1898,92 @@ object Curation {
        |FROM cells
        |ORDER BY decile""".stripMargin
 
+  /** q359 — quality-threshold retention curve: for each candidate
+    * cutoff on the shared 6dp quality score, how many documents and
+    * tokens survive and what the surviving mean quality reads — the
+    * dial table you consult BEFORE hard-coding a quality gate (q63's
+    * pipeline fixes 0.5; q227 is this same instrument for the dedup
+    * threshold). Tokens-retained is the budget axis; mean-quality of
+    * the survivors is the payoff axis; the knee is the cutoff.
+    * Thresholds that keep nothing stay as visible zero rows.
+    *
+    * Exactness: per-doc quality is the 6dp score held as integer
+    * micros; the threshold compare (qm ≥ thr·1e6 as integers) and all
+    * counts are exact; means use the half-up micro convention.
+    * Scale: ONE corpus scan; the ×|grid| explode runs over the
+    * per-doc (tokens, micro-quality) pairs — a narrow frame — and
+    * aggregates per threshold.
+    */
+  def qualityRetentionCurve(spark: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.0, 0.2, 0.4, 0.5, 0.6, 0.8, 0.9))
+      : DataFrame = {
+    import graft.functions.TextFunctions.{qualityScore, tokenCount}
+    val docs = Tables.load(spark, dir, "documents")
+      .select(tokenCount(col("text")).cast("long").as("t"),
+        round(qualityScore(col("text")) * 1e6, 0).cast("long").as("qm"))
+    val grid = spark.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    val total = docs.agg(count(lit(1)).as("n_total"),
+      sum(col("t")).as("tokens_total"))
+    docs.crossJoin(broadcast(grid))
+      .withColumn("keep",
+        (col("qm") >= round(col("threshold") * 1e6, 0).cast("long"))
+          .cast("long"))
+      .groupBy(col("threshold"))
+      .agg(sum(col("keep")).as("n_kept"),
+        coalesce(sum(when(col("keep") === 1, col("t"))), lit(0L))
+          .as("tokens_kept"),
+        sum(when(col("keep") === 1, col("qm"))).as("qm_kept"))
+      .crossJoin(broadcast(total))
+      .select(col("threshold"), col("n_kept"), col("tokens_kept"),
+        round(col("n_kept").cast("double") / col("n_total").cast("double"), 6)
+          .as("doc_retention"),
+        round(col("tokens_kept").cast("double")
+          / col("tokens_total").cast("double"), 6).as("token_retention"),
+        when(col("n_kept") > 0,
+          expr("CAST((2 * qm_kept + n_kept) div (2 * n_kept) AS DOUBLE)") / 1e6)
+          .as("mean_quality_kept"))
+      .orderBy(col("threshold"))
+  }
+
+  def qualityRetentionCurveSql(
+      thresholds: Seq[Double] = Seq(0.0, 0.2, 0.4, 0.5, 0.6, 0.8, 0.9))
+      : String = {
+    val grid = thresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT ${graft.operators.TextAnalysis.tokenCountExprSql} AS t,
+       |    CAST(ROUND((${graft.operators.TextAnalysis.qualityExprSql})
+       |      * 1000000, 0) AS BIGINT) AS qm
+       |  FROM documents
+       |), grid(threshold) AS (VALUES $grid),
+       |total AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       |    CAST(SUM(t) AS BIGINT) AS tokens_total
+       |  FROM docs
+       |), cells AS (
+       |  SELECT g.threshold,
+       |    CAST(SUM(CASE WHEN d.qm >= CAST(ROUND(g.threshold * 1000000, 0) AS BIGINT)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(COALESCE(SUM(CASE WHEN d.qm >=
+       |      CAST(ROUND(g.threshold * 1000000, 0) AS BIGINT) THEN d.t END), 0)
+       |      AS BIGINT) AS tokens_kept,
+       |    CAST(SUM(CASE WHEN d.qm >= CAST(ROUND(g.threshold * 1000000, 0) AS BIGINT)
+       |      THEN d.qm END) AS BIGINT) AS qm_kept
+       |  FROM docs d CROSS JOIN grid g
+       |  GROUP BY 1
+       |)
+       |SELECT c.threshold, c.n_kept, c.tokens_kept,
+       |  ROUND(CAST(c.n_kept AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+       |    AS doc_retention,
+       |  ROUND(CAST(c.tokens_kept AS DOUBLE) / CAST(t.tokens_total
+       |    AS DOUBLE), 6) AS token_retention,
+       |  CASE WHEN c.n_kept > 0 THEN
+       |    CAST((2 * c.qm_kept + c.n_kept) // (2 * c.n_kept) AS DOUBLE)
+       |      / 1000000.0 END AS mean_quality_kept
+       |FROM cells c CROSS JOIN total t
+       |ORDER BY c.threshold""".stripMargin
+  }
+
   /** q356 — greedy token-budget source selection (the knapsack-greedy
     * mixing decision): sources ranked by quality-per-token density
     * (integer-micro mean of the shared 6dp quality score), then

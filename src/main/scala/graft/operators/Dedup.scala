@@ -223,6 +223,125 @@ object Dedup {
       |) WHERE jaccard >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q360 — shingle-size sensitivity audit: the q26 near-dup relation
+    * recomputed at k = 2, 3, 4 token shingles, each row reporting its
+    * pair count, flagged-doc count, mean Jaccard, and the pair-set
+    * agreement with the PRODUCTION k = 3 baseline (overlap count +
+    * pair-set Jaccard) — the parameter-sensitivity table the
+    * threshold (q227), generalization (q329) and contamination
+    * (q252) sweeps provide for their dials, now for the n-gram
+    * order. A k whose pair set barely overlaps the baseline's means
+    * the detector's verdicts hinge on an arbitrary constant — the
+    * thing to know BEFORE a 100 TB run bakes k in.
+    *
+    * Scale: three candidate-bounded q26 computations (shared df-cap
+    * discipline, never all-pairs); the cross-k comparisons join
+    * pair tables (tiny). Exactness: counts are integers; means use
+    * the 6dp-micro half-up convention over the already-6dp jaccards.
+    */
+  def shingleSensitivity(spark: SparkSession, dir: String,
+                         ks: Seq[Int] = Seq(2, 3, 4), baselineK: Int = 3,
+                         threshold: Double = 0.6, dfCap: Int = 200)
+      : DataFrame = {
+    val byK = ks.map { k =>
+      k -> graft.Iterate.cut(ngramJaccardPairs(spark, dir, k, threshold, dfCap))
+    }.toMap
+    val base = byK(baselineK).select(col("doc_a"), col("doc_b"))
+    val rows = byK.toSeq.sortBy(_._1).map { case (k, pairs) =>
+      val stats = pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("jaccard") * 1e6, 0).cast("long")).as("jm"))
+      val flagged = pairs.select(col("doc_a").as("d"))
+        .unionByName(pairs.select(col("doc_b").as("d")))
+        .agg(countDistinct(col("d")).as("n_flagged_docs"))
+      val overlap = pairs.join(base, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_overlap_base"))
+      stats.crossJoin(broadcast(flagged)).crossJoin(broadcast(overlap))
+        .select(lit(k).as("k"), col("n_pairs"), col("n_flagged_docs"),
+          when(col("n_pairs") > 0,
+            expr("CAST((2 * jm + n_pairs) div (2 * n_pairs) AS DOUBLE)") / 1e6)
+            .as("mean_jaccard"),
+          col("n_overlap_base"))
+    }
+    val unioned = rows.reduce(_ unionByName _)
+    val nBase = base.agg(count(lit(1)).as("n_base"))
+    unioned.crossJoin(broadcast(nBase))
+      .select(col("k"), col("n_pairs"), col("n_flagged_docs"),
+        col("mean_jaccard"), col("n_overlap_base"),
+        round(col("n_overlap_base").cast("double")
+          / (col("n_pairs") + col("n_base") - col("n_overlap_base"))
+            .cast("double"), 6).as("pairset_jaccard_vs_base"))
+      .orderBy(col("k"))
+  }
+
+  def shingleSensitivitySql(ks: Seq[Int] = Seq(2, 3, 4), baselineK: Int = 3,
+                            threshold: Double = 0.6, dfCap: Int = 200)
+      : String = {
+    def pairsCte(k: Int): String = {
+      // the q26 oracle parameterized by k: shingles of k tokens,
+      // df-capped, inverted-index joined, threshold-cut
+      s"""SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT s.doc_a, s.doc_b,
+         |    ROUND(CAST(s.n_shared AS DOUBLE)
+         |      / (sa.n_sh + sb.n_sh - s.n_shared), 6) AS jaccard
+         |  FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      COUNT(*) AS n_shared
+         |    FROM kept_$k a JOIN kept_$k b
+         |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2
+         |  ) s
+         |  JOIN (SELECT doc_id, COUNT(*) AS n_sh FROM kept_$k GROUP BY 1) sa
+         |    ON s.doc_a = sa.doc_id
+         |  JOIN (SELECT doc_id, COUNT(*) AS n_sh FROM kept_$k GROUP BY 1) sb
+         |    ON s.doc_b = sb.doc_id
+         |) WHERE jaccard >= $threshold""".stripMargin
+    }
+    // the EXACT per-k form of [[shingleCtesFor]], names suffixed so
+    // three k's coexist in one WITH — any drift from the q26 oracle's
+    // construction would silently change the relation
+    def shingleCte(k: Int): String =
+      s"""sh_$k AS (
+         |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+${k - 1}], ' ')
+         |    for i in range(1, len(toks) - ${k - 2})])) AS shingle
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= $k
+         |), kept_$k AS (
+         |  SELECT doc_id, shingle FROM sh_$k
+         |  WHERE shingle IN (SELECT shingle FROM sh_$k GROUP BY shingle
+         |                    HAVING COUNT(*) <= $dfCap)
+         |)""".stripMargin
+    val ctes = ks.map(shingleCte).mkString(",\n")
+    val pairCtes = ks.map(k => s"pairs_$k AS (\n${pairsCte(k)}\n)")
+      .mkString(", ")
+    val rows = ks.sorted.map { k =>
+      s"""SELECT $k AS k,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_$k) AS n_pairs,
+         |  (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM (
+         |     SELECT doc_a AS d FROM pairs_$k
+         |     UNION ALL SELECT doc_b FROM pairs_$k)) AS n_flagged_docs,
+         |  (SELECT CASE WHEN COUNT(*) > 0 THEN
+         |     CAST((2 * SUM(CAST(ROUND(jaccard * 1000000, 0) AS BIGINT))
+         |       + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 END
+         |   FROM pairs_$k) AS mean_jaccard,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_$k p
+         |   JOIN pairs_$baselineK b
+         |     ON b.doc_a = p.doc_a AND b.doc_b = p.doc_b)
+         |    AS n_overlap_base""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ctes, $pairCtes,
+       |rows_out AS (
+       |$rows
+       |)
+       |SELECT k, n_pairs, n_flagged_docs, mean_jaccard, n_overlap_base,
+       |  ROUND(CAST(n_overlap_base AS DOUBLE) /
+       |    CAST(n_pairs + (SELECT COUNT(*) FROM pairs_$baselineK)
+       |      - n_overlap_base AS DOUBLE), 6) AS pairset_jaccard_vs_base
+       |FROM rows_out
+       |ORDER BY k""".stripMargin
+  }
+
   /** q348 — blocking-strategy audit for record linkage / dedup: for
     * each candidate-generation strategy (exact-text hash, 64-char
     * length bucket, 32-char normalized-prefix hash), the two numbers

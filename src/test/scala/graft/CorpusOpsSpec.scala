@@ -1117,6 +1117,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out === Seq(("feedA", "feedB", 2L, chars2 + chars3)))
   }
 
+  test("shingleSensitivity: the baseline row agrees with itself exactly; overlaps bounded") {
+    val out = graft.operators.Dedup
+      .shingleSensitivity(spark, "/root/testdata/sf0.001")
+      .as[(Int, Long, Long, Option[Double], Long, Double)].collect().toSeq
+    assert(out.map(_._1) === Seq(2, 3, 4))
+    val base = out.find(_._1 == 3).get
+    // self-comparison: overlap = its own pair count, pair-set jaccard 1
+    assert(base._5 === base._2 && base._6 === 1.0)
+    // overlap with the baseline never exceeds either side
+    assert(out.forall(r => r._5 <= r._2 && r._5 <= base._2))
+    assert(out.forall(r => r._6 >= 0.0 && r._6 <= 1.0))
+    // flagged docs can't exceed 2 docs per pair
+    assert(out.forall(r => r._3 <= 2 * r._2))
+  }
+
   test("blockingAudit: exact hash catches byte dups only; shared prefix rides the prefix block") {
     val dir = java.nio.file.Files.createTempDirectory("graft-blk").toString
     val base = "alpha beta gamma delta epsilon zeta eta theta"

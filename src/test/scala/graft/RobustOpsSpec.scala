@@ -25,6 +25,23 @@ class RobustOpsSpec extends AnyFunSuite {
     dir
   }
 
+  test("qualityRetentionCurve: zero cutoff keeps all; retention falls and survivor quality rises with the cutoff") {
+    val out = Curation.qualityRetentionCurve(spark, "/root/testdata/sf0.001")
+      .as[(Double, Long, Long, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(out.map(_._1) === out.map(_._1).sorted)
+    // threshold 0.0 keeps the whole corpus
+    assert(out.head._1 === 0.0 && out.head._4 === 1.0 && out.head._5 === 1.0)
+    // retention is non-increasing in the cutoff (docs and tokens)
+    assert(out.map(-_._2) === out.map(-_._2).sorted)
+    assert(out.map(-_._3) === out.map(-_._3).sorted)
+    // mean survivor quality is non-decreasing where defined
+    val means = out.flatMap(_._6)
+    assert(means === means.sorted)
+    // empty rungs stay visible with null mean
+    assert(out.forall(r => r._6.isDefined == (r._2 > 0)))
+  }
+
   test("greedyBudgetSelect: fractional knapsack — prefix full, one fractional closer, rest zero") {
     val out = Curation.greedyBudgetSelect(spark, "/root/testdata/sf0.001",
         budgetTokens = 20000L)

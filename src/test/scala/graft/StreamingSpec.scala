@@ -883,6 +883,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming burst compaction: closed bursts equal the batch rows; open bursts wait") {
+    import graft.streaming.StreamingBurst
+    import graft.streaming.StreamingBurst.BurstInput
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the q354 spec fixture: u1/view bursts {0,30s,90s} then {151s};
+    // u1/click single; plus a far trailing event per chain so every
+    // earlier burst CLOSES deterministically (no processing-time
+    // flush in tests)
+    val evs = Seq(
+      BurstInput(1L, 1L, 0L, "view"), BurstInput(1L, 2L, 30000L, "view"),
+      BurstInput(1L, 3L, 90000L, "view"), BurstInput(1L, 4L, 151000L, "view"),
+      BurstInput(1L, 5L, 10000L, "click"),
+      BurstInput(1L, 6L, 999000L, "view"), BurstInput(1L, 7L, 999000L, "click"))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[BurstInput]
+    val q = StreamingBurst.compact(input.toDS(), gapMs = 60000L,
+        idleTimeout = false)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("burst_out").start()
+    try {
+      input.addData(evs.take(5): _*); q.processAllAvailable()
+      input.addData(evs.drop(5): _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM burst_out")
+        .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSet
+      // batch rows on the SAME events, minus each key's final
+      // still-open burst
+      val dir = java.nio.file.Files.createTempDirectory("graft-sb").toString
+      evs.map(e => (e.event_id, new java.sql.Timestamp(e.ts_ms), e.user_id,
+          e.event_type, 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = graft.operators.Events.burstCompaction(spark, dir)
+        .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSeq
+      val lastStart = batch.groupBy(r => (r._1, r._2))
+        .view.mapValues(_.map(_._4).max).toMap
+      val closed = batch.filterNot(r => lastStart((r._1, r._2)) == r._4).toSet
+      assert(got === closed)
+      assert(got.nonEmpty)
+      // the island absorption is visible in the stream too: the
+      // first view burst spans 0..90s with 2 dropped
+      assert(got.contains((1L, "view", 1L, 0L, 90000L, 3L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming content dedup: q25 fingerprint parity, then the horizon FORGETS") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
