@@ -342,6 +342,58 @@ object Dedup {
        |ORDER BY k""".stripMargin
   }
 
+  /** q362 — stratified pair-audit sample: the human-QA sheet every
+    * dedup rollout actually reviews — `perBucket` near-dup pairs
+    * drawn DETERMINISTICALLY (portable md5 order, the q43 hash-sample
+    * discipline) from each Jaccard decile bucket of q26's relation,
+    * so the reviewer sees borderline 0.6s and slam-dunk 0.9s in equal
+    * measure instead of whatever a head() happens to return. Rerun-
+    * stable by construction (no rand()), bucket via integer micros
+    * (floor(j·10) on a double puts 0.7 in bucket 6 — the binary-
+    * representation trap, avoided).
+    *
+    * Scale: the pair relation is candidate-bounded (q26); the bucket
+    * window is a WindowGroupLimit-prunable literal top-k per ≤ 4
+    * buckets.
+    */
+  def pairAuditSample(spark: SparkSession, dir: String,
+                      perBucket: Int = 5): DataFrame = {
+    import graft.functions.PortableHash
+    val pairs = ngramJaccardPairs(spark, dir)
+    val bucketed = pairs.withColumn("bucket",
+      least(expr("CAST(ROUND(jaccard * 1000000, 0) AS BIGINT) div 100000"),
+        lit(9L)).cast("int"))
+    val h = PortableHash.md5Long60(concat(col("doc_a").cast("string"),
+      lit("|"), col("doc_b").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(h, col("doc_a"), col("doc_b"))
+    bucketed
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= perBucket)
+      .select(col("bucket"), col("pick"), col("doc_a"), col("doc_b"),
+        col("jaccard"))
+      .orderBy(col("bucket"), col("pick"))
+  }
+
+  def pairAuditSampleSql(perBucket: Int = 5): String =
+    s"""WITH pairs AS (
+       |  $ngramJaccardPairsSql
+       |), bucketed AS (
+       |  SELECT doc_a, doc_b, jaccard,
+       |    CAST(LEAST(CAST(ROUND(jaccard * 1000000, 0) AS BIGINT)
+       |      // 100000, 9) AS INT) AS bucket,
+       |    CAST(('0x' || substr(md5(CAST(doc_a AS VARCHAR) || '|' ||
+       |      CAST(doc_b AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM pairs
+       |)
+       |SELECT bucket, pick, doc_a, doc_b, jaccard FROM (
+       |  SELECT bucket, doc_a, doc_b, jaccard,
+       |    CAST(row_number() OVER (PARTITION BY bucket
+       |      ORDER BY h, doc_a, doc_b) AS INT) AS pick
+       |  FROM bucketed
+       |) WHERE pick <= $perBucket
+       |ORDER BY bucket, pick""".stripMargin
+
   /** q348 — blocking-strategy audit for record linkage / dedup: for
     * each candidate-generation strategy (exact-text hash, 64-char
     * length bucket, 32-char normalized-prefix hash), the two numbers

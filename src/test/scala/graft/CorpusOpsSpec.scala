@@ -1117,6 +1117,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out === Seq(("feedA", "feedB", 2L, chars2 + chars3)))
   }
 
+  test("pairAuditSample: per-bucket caps hold, buckets match jaccard deciles, rerun-identical") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.operators.Dedup.pairAuditSample(spark, sf, perBucket = 3)
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    // picks are 1..k per bucket and never exceed the cap
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (1 to rows.size))
+      assert(rows.size <= 3)
+    }
+    // a pair's bucket IS its jaccard decile (clamped at 9)
+    assert(out.forall(r =>
+      r._1 === math.min(9, (math.rint(r._5 * 1e6) / 100000).toInt)))
+    // deterministic: the hash order picks identical pairs on rerun
+    val again = graft.operators.Dedup.pairAuditSample(spark, sf, perBucket = 3)
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    assert(again === out)
+  }
+
   test("shingleSensitivity: the baseline row agrees with itself exactly; overlaps bounded") {
     val out = graft.operators.Dedup
       .shingleSensitivity(spark, "/root/testdata/sf0.001")

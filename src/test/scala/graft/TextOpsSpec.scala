@@ -665,6 +665,16 @@ class TextOpsSpec extends AnyFunSuite {
     assert(f._2 === "aa" && f._3 === "bb" && f._4 > 0.0)
   }
 
+  test("invertedIndexIncremental: merge(base, delta) equals the full rebuild exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val inc = graft.operators.TextAnalysis.invertedIndexIncremental(spark, sf)
+      .as[(String, Long, Long, String)].collect().toSeq
+    val full = graft.operators.TextAnalysis.invertedIndex(spark, sf)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("classifierKappa: chance-correction identity holds; perfect agreement reads kappa 1") {
     val out = graft.operators.TextAnalysis
       .classifierKappa(spark, "/root/testdata/sf0.001")
