@@ -4475,4 +4475,114 @@ object Events {
       |       WHEN z < -1.96 THEN 'decreasing'
       |       ELSE 'no_trend' END AS trend
       |FROM z ORDER BY event_type""".stripMargin
+
+  /** q364 — two-sided tabular CUSUM chart (Page 1954) per event type:
+    * the change-DETECTION complement to q173's EWMA (which tracks
+    * slow drift) and q161's offline changepoints (which need the
+    * whole series) — CUSUM accumulates small persistent shifts that
+    * no single-day screen fires on, the standard monitor for "the
+    * feed quietly degraded 5% three weeks ago". Per type: daily
+    * totals v_t against the series mean μ with allowance k = d/2
+    * (d = mean absolute deviation, the robust σ stand-in the q121
+    * precedent uses), S⁺_t = max(0, S⁺_{t−1} + v_t − μ − k),
+    * S⁻_t = max(0, S⁻_{t−1} + μ − v_t − k), alert when either side
+    * crosses h = 5d.
+    *
+    * Exactness: the whole recurrence runs in the q173 scaled-integer
+    * convention — daily totals are exact micro-units
+    * (Σvalue·1e6 → BIGINT), μ and d are integer floor-divisions both
+    * engines execute identically (all dividends non-negative, so
+    * Spark `div` truncation == DuckDB `//` floor), and max(0, ·) on
+    * BIGINTs has no rounding anywhere. Spark folds the day-sorted
+    * series per type with the `aggregate` HOF; DuckDB runs the same
+    * recurrence as a recursive CTE.
+    *
+    * Scale: one (type, day) aggregate with map-side combine, two
+    * calendar-sized stat aggregates, one per-type fold over a
+    * days-long array — the same envelope as q173/q258. At 100 TB the
+    * raw-event aggregate is the only full-data pass.
+    */
+  def cusumChart(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg((sum(col("value").cast(dec)) * 1000000).cast("long").as("v_e6"))
+    val st1 = daily.groupBy(col("event_type"))
+      .agg(sum(col("v_e6")).as("sv"), count(lit(1)).as("nd"))
+      .withColumn("mu_e6", expr("sv div nd"))
+      .select(col("event_type"), col("mu_e6"))
+    val st2 = daily.join(broadcast(st1), "event_type")
+      .groupBy(col("event_type"))
+      .agg(sum(abs(col("v_e6") - col("mu_e6"))).as("sad"),
+        count(lit(1)).as("nd"))
+      .withColumn("d_e6", expr("sad div nd"))
+      .select(col("event_type"), col("d_e6"))
+    daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("v_e6")))).as("dv"))
+      .join(broadcast(st1), "event_type")
+      .join(broadcast(st2), "event_type")
+      .select(col("event_type"), col("d_e6"), explode(expr(
+        """aggregate(
+          |  slice(dv, 2, size(dv) - 1),
+          |  array(named_struct(
+          |    'day', dv[0].day, 'v_e6', dv[0].v_e6,
+          |    's_hi', greatest(CAST(0 AS BIGINT),
+          |      dv[0].v_e6 - mu_e6 - d_e6 div 2),
+          |    's_lo', greatest(CAST(0 AS BIGINT),
+          |      mu_e6 - dv[0].v_e6 - d_e6 div 2))),
+          |  (acc, x) -> acc || array(named_struct(
+          |    'day', x.day, 'v_e6', x.v_e6,
+          |    's_hi', greatest(CAST(0 AS BIGINT),
+          |      element_at(acc, -1).s_hi + x.v_e6 - mu_e6 - d_e6 div 2),
+          |    's_lo', greatest(CAST(0 AS BIGINT),
+          |      element_at(acc, -1).s_lo + mu_e6 - x.v_e6 - d_e6 div 2))))"""
+          .stripMargin)).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        round(col("r.v_e6").cast("double") / 1000000, 6).as("v"),
+        round(col("r.s_hi").cast("double") / 1000000, 6).as("s_hi"),
+        round(col("r.s_lo").cast("double") / 1000000, 6).as("s_lo"),
+        (col("r.s_hi") > col("d_e6") * 5 ||
+          col("r.s_lo") > col("d_e6") * 5).cast("int").as("is_alert"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val cusumChartSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v_e6
+      |  FROM events GROUP BY 1, 2
+      |), st1 AS (
+      |  SELECT event_type, SUM(v_e6) // COUNT(*) AS mu_e6
+      |  FROM daily GROUP BY 1
+      |), st2 AS (
+      |  SELECT event_type, sad // nd AS d_e6 FROM (
+      |    SELECT d.event_type, SUM(ABS(d.v_e6 - s.mu_e6)) AS sad,
+      |      COUNT(*) AS nd
+      |    FROM daily d JOIN st1 s USING (event_type) GROUP BY 1)
+      |), ranked AS (
+      |  SELECT d.event_type, d.day, d.v_e6, s1.mu_e6, s2.d_e6,
+      |    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+      |  FROM daily d JOIN st1 s1 USING (event_type)
+      |    JOIN st2 s2 USING (event_type)
+      |), rec AS (
+      |  SELECT event_type, day, rn, v_e6, mu_e6, d_e6,
+      |    GREATEST(CAST(0 AS BIGINT), v_e6 - mu_e6 - d_e6 // 2) AS s_hi,
+      |    GREATEST(CAST(0 AS BIGINT), mu_e6 - v_e6 - d_e6 // 2) AS s_lo
+      |  FROM ranked WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.event_type, n.day, n.rn, n.v_e6, n.mu_e6, n.d_e6,
+      |    GREATEST(CAST(0 AS BIGINT),
+      |      p.s_hi + n.v_e6 - n.mu_e6 - n.d_e6 // 2),
+      |    GREATEST(CAST(0 AS BIGINT),
+      |      p.s_lo + n.mu_e6 - n.v_e6 - n.d_e6 // 2)
+      |  FROM ranked n JOIN rec p
+      |    ON n.event_type = p.event_type AND n.rn = p.rn + 1
+      |)
+      |SELECT event_type, day,
+      |  ROUND(CAST(v_e6 AS DOUBLE) / 1000000, 6) AS v,
+      |  ROUND(CAST(s_hi AS DOUBLE) / 1000000, 6) AS s_hi,
+      |  ROUND(CAST(s_lo AS DOUBLE) / 1000000, 6) AS s_lo,
+      |  CAST(s_hi > d_e6 * 5 OR s_lo > d_e6 * 5 AS INT) AS is_alert
+      |FROM rec
+      |ORDER BY event_type, day""".stripMargin
 }

@@ -3511,4 +3511,216 @@ object Profile {
        |GROUP BY 1, 2
        |ORDER BY source, lang""".stripMargin
   }
+
+  /** q363 — empirical-Bayes shrinkage of per-supplier return rates
+    * (beta-binomial, method-of-moments prior): the small-n fix every
+    * per-entity rate leaderboard needs — a supplier with 1 return in
+    * 2 lineitems must NOT outrank one with 40 in 100. The prior's
+    * mean m and strength s₀ come from the cross-supplier moment match
+    * (s₀ = m(1−m)/v − 1), then each supplier's rate shrinks to
+    * (r + s₀·m)/(n + s₀) — exactly the James–Stein/beta-binomial
+    * recipe a 100 TB curation run uses to rank sources or domains by
+    * defect rate without letting tiny cells dominate.
+    *
+    * Exactness: n/r are integers; p = r/n is one double division both
+    * engines execute identically; the cross-supplier moments Σp and
+    * Σp² go through the q332 discipline (6dp-rounded terms,
+    * DECIMAL(28,6) sums — order-independent) and the prior is a fixed
+    * double chain from those two sums. Degenerate priors (zero
+    * variance or non-positive strength) surface NULL shrunk rates via
+    * the guarded CASE rather than noise.
+    *
+    * Scale: one lineitem aggregate (map-side combine), a 1-row prior
+    * broadcast — the cross join is a scalar broadcast, never a
+    * shuffle. At 100 TB the per-supplier agg is the only pass.
+    */
+  def ebShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val per = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .withColumn("p", col("r").cast("double") / col("n").cast("double"))
+    val prior = per.agg(
+        count(lit(1)).as("k"),
+        sum(round(col("p"), 6).cast(dec)).cast("double").as("sp"),
+        sum(round(col("p") * col("p"), 6).cast(dec)).cast("double").as("spp"))
+      .withColumn("m", col("sp") / col("k"))
+      .withColumn("v", col("spp") / col("k") - col("m") * col("m"))
+      .withColumn("s0raw",
+        col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0))
+      .withColumn("s0",
+        when(col("v") > 0 && col("s0raw") > 0, col("s0raw")))
+      .select(col("m"), col("s0"))
+    per.crossJoin(broadcast(prior))
+      .withColumn("shrunk",
+        (col("r").cast("double") + col("s0") * col("m")) /
+          (col("n").cast("double") + col("s0")))
+      .select(col("l_suppkey").as("s_suppkey"),
+        col("n").as("n_items"), col("r").as("n_returned"),
+        round(col("p"), 6).as("raw_rate"),
+        round(col("shrunk"), 6).as("shrunk_rate"),
+        round(col("shrunk") - col("p"), 6).as("shrink_delta"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val ebShrinkageSql: String =
+    """WITH per AS (
+      |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p
+      |  FROM lineitem GROUP BY 1
+      |), moments AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(CAST(ROUND(p, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sp,
+      |    CAST(SUM(CAST(ROUND(p * p, 6) AS DECIMAL(28,6))) AS DOUBLE) AS spp
+      |  FROM per
+      |), prior AS (
+      |  SELECT m, CASE WHEN v > 0 AND s0raw > 0 THEN s0raw END AS s0
+      |  FROM (
+      |    SELECT sp / k AS m,
+      |      spp / k - (sp / k) * (sp / k) AS v,
+      |      (sp / k) * (1 - sp / k)
+      |        / (spp / k - (sp / k) * (sp / k)) - 1 AS s0raw
+      |    FROM moments)
+      |)
+      |SELECT per.l_suppkey AS s_suppkey, per.n AS n_items,
+      |  per.r AS n_returned,
+      |  ROUND(per.p, 6) AS raw_rate,
+      |  ROUND((CAST(per.r AS DOUBLE) + pr.s0 * pr.m)
+      |    / (CAST(per.n AS DOUBLE) + pr.s0), 6) AS shrunk_rate,
+      |  ROUND((CAST(per.r AS DOUBLE) + pr.s0 * pr.m)
+      |    / (CAST(per.n AS DOUBLE) + pr.s0) - per.p, 6) AS shrink_delta
+      |FROM per CROSS JOIN prior pr
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q365 — Theil's U (uncertainty coefficient) matrix over the q332
+    * categorical pairs: the DIRECTED complement to Cramér's V. V says
+    * "these two columns associate"; U(a|b) = I(a;b)/H(a) says "how
+    * much of a's uncertainty b removes" — asymmetric, so a
+    * deterministic mapping b→a scores U(a|b)=1 even when a barely
+    * predicts b. The audit a feature-selection or leakage screen runs
+    * on categorical columns before training (a near-1 U against the
+    * label is leakage; q332's V cannot tell which direction leaks).
+    *
+    * Exactness: all probabilities derive from BIGINT cell/margin
+    * counts; each entropy and MI term is one fixed double chain off
+    * integer ratios, rounded to 6dp and summed as DECIMAL(28,6)
+    * (order-independent; the 6dp rounding also absorbs any last-ulp
+    * ln() divergence between JVM and DuckDB libm — the q103/q242
+    * entropy precedent). U ratios are single rounded divisions of the
+    * two decimal-exact sums.
+    *
+    * Scale: per pair, one (va, vb) aggregate over the fact scan
+    * (cells are |A|×|B|-bounded), margins and entropies are
+    * cell-table aggregates — nothing after the first shuffle exceeds
+    * catalog size. The orders join broadcasts at dimension scale and
+    * at 100 TB becomes the same key-shuffle every fact-dim join pays.
+    */
+  def theilsUMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"))
+      .join(Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderstatus"), col("o_orderpriority")),
+        "l_orderkey")
+    val pairs = Seq(
+      ("l_returnflag", "l_linestatus"),
+      ("o_orderstatus", "o_orderpriority"),
+      ("o_orderpriority", "l_returnflag"))
+    def entTerm(cnt: Column, n: Column): Column =
+      round(-(cnt.cast("double") / n.cast("double")) *
+        log(cnt.cast("double") / n.cast("double")), 6).cast(dec)
+    val per = pairs.map { case (a, b) =>
+      val cells = graft.Iterate.cut(
+        li.groupBy(col(a).as("va"), col(b).as("vb"))
+          .agg(count(lit(1)).as("c")))
+      val nRow = cells.agg(sum(col("c")).as("n"))
+      val margA = cells.groupBy(col("va")).agg(sum(col("c")).as("ra"))
+        .crossJoin(broadcast(nRow))
+      val margB = cells.groupBy(col("vb")).agg(sum(col("c")).as("cb"))
+        .crossJoin(broadcast(nRow))
+      val hA = margA.agg(sum(entTerm(col("ra"), col("n")))
+        .cast("double").as("h_a"),
+        count(lit(1)).cast("int").as("card_a"))
+      val hB = margB.agg(sum(entTerm(col("cb"), col("n")))
+        .cast("double").as("h_b"),
+        count(lit(1)).cast("int").as("card_b"))
+      val mi = cells
+        .join(broadcast(margA.select(col("va"), col("ra"))), "va")
+        .join(broadcast(margB.select(col("vb"), col("cb"))), "vb")
+        .crossJoin(broadcast(nRow))
+        .agg(sum(round((col("c").cast("double") / col("n").cast("double")) *
+            log((col("c") * col("n")).cast("double") /
+              (col("ra") * col("cb")).cast("double")), 6).cast(dec))
+          .cast("double").as("mi"),
+          max(col("n")).as("n"))
+      mi.crossJoin(broadcast(hA)).crossJoin(broadcast(hB))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+          col("card_a"), col("card_b"),
+          round(col("h_a"), 6).as("h_a"),
+          round(col("h_b"), 6).as("h_b"),
+          round(col("mi"), 6).as("mutual_info"),
+          round(col("mi") / col("h_a"), 6).as("u_a_given_b"),
+          round(col("mi") / col("h_b"), 6).as("u_b_given_a"))
+    }
+    per.reduce(_ unionByName _).orderBy(col("col_a"), col("col_b"))
+  }
+
+  val theilsUMatrixSql: String = {
+    def one(a: String, b: String): String =
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n, card_a, card_b,
+         |  ROUND(h_a, 6) AS h_a, ROUND(h_b, 6) AS h_b,
+         |  ROUND(mi, 6) AS mutual_info,
+         |  ROUND(mi / h_a, 6) AS u_a_given_b,
+         |  ROUND(mi / h_b, 6) AS u_b_given_a
+         |FROM (
+         |  SELECT
+         |    (SELECT CAST(SUM(c) AS BIGINT) FROM cells_${a}_$b) AS n,
+         |    (SELECT CAST(COUNT(*) AS INT) FROM marga_${a}_$b) AS card_a,
+         |    (SELECT CAST(COUNT(*) AS INT) FROM margb_${a}_$b) AS card_b,
+         |    (SELECT CAST(SUM(CAST(ROUND(
+         |        -(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * ln(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |      AS DECIMAL(28,6))) AS DOUBLE) FROM marga_${a}_$b) AS h_a,
+         |    (SELECT CAST(SUM(CAST(ROUND(
+         |        -(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |      AS DECIMAL(28,6))) AS DOUBLE) FROM margb_${a}_$b) AS h_b,
+         |    (SELECT CAST(SUM(CAST(ROUND(
+         |        (CAST(t.c AS DOUBLE) / CAST(ma.n AS DOUBLE))
+         |        * ln(CAST(t.c * ma.n AS DOUBLE)
+         |          / CAST(ma.ra * mb.cb AS DOUBLE)), 6)
+         |      AS DECIMAL(28,6))) AS DOUBLE)
+         |     FROM cells_${a}_$b t
+         |     JOIN marga_${a}_$b ma ON t.va = ma.va
+         |     JOIN margb_${a}_$b mb ON t.vb = mb.vb) AS mi
+         |)""".stripMargin
+    def ctes(a: String, b: String): String =
+      s"""cells_${a}_$b AS (
+         |  SELECT $a AS va, $b AS vb, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2
+         |), marga_${a}_$b AS (
+         |  SELECT va, CAST(SUM(c) AS BIGINT) AS ra,
+         |    (SELECT CAST(SUM(c) AS BIGINT) FROM cells_${a}_$b) AS n
+         |  FROM cells_${a}_$b GROUP BY 1
+         |), margb_${a}_$b AS (
+         |  SELECT vb, CAST(SUM(c) AS BIGINT) AS cb,
+         |    (SELECT CAST(SUM(c) AS BIGINT) FROM cells_${a}_$b) AS n
+         |  FROM cells_${a}_$b GROUP BY 1
+         |)""".stripMargin
+    val ps = Seq(
+      ("l_returnflag", "l_linestatus"),
+      ("o_orderstatus", "o_orderpriority"),
+      ("o_orderpriority", "l_returnflag"))
+    s"""WITH ${ps.map { case (a, b) => ctes(a, b) }.mkString(",\n")}
+       |SELECT * FROM (
+       |${ps.map { case (a, b) => one(a, b) }.mkString("\nUNION ALL\n")}
+       |)
+       |ORDER BY col_a, col_b""".stripMargin
+  }
 }
