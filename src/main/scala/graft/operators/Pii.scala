@@ -506,4 +506,110 @@ object Pii {
        |    - CAST(n_users AS BIGINT) AS signed_err
        |FROM noised
        |ORDER BY event_type, day""".stripMargin
+
+  /** q368 — differentially-private MEDIAN release per event type via
+    * the exponential mechanism (McSherry–Talwar), completing the
+    * release triple: q308 counts (Laplace), q353 means (two-query
+    * Laplace), this medians — the right mechanism, because Laplace on
+    * a median's unbounded sensitivity is useless while the
+    * exponential mechanism only needs RANK sensitivity 1. Candidates
+    * are the per-user mean values (one row per user = bounded
+    * contribution, the q353 discipline); utility u_i = −|i − target|
+    * in rank units; the draw is the Gumbel-max trick —
+    * argmax(ε·u_i/2 + g_i) over seeded Gumbel noise — which samples
+    * exactly the exponential-mechanism distribution without
+    * normalizing.
+    *
+    * Determinism: the Gumbel noise is the q308 seeded convention
+    * (md5-derived uniform per (type, rank) → −ln(−ln(u))); both
+    * engines build the identical double key, 6dp-rounded before the
+    * deterministic (key DESC, rank) argmax so a last-ulp libm
+    * divergence cannot flip the winner. True median rides along as
+    * the curator-side calibration audit; only `released_*` crosses
+    * the trust boundary.
+    *
+    * Scale: one (type, user) aggregate, one per-type rank window
+    * (user-cardinality, the acknowledged q90-family sort; hits
+    * [[graft.operators.Skew.globalRank]] if a single type's users
+    * outgrow a partition), a narrow key map, and a literal top-1
+    * WindowGroupLimit.
+    */
+  def dpQuantileRelease(spark: SparkSession, dir: String,
+                        eps: Double = 1.0): DataFrame = {
+    import graft.functions.PortableHash
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg((graft.operators.Relational.decSum(col("value"))
+        / count(col("value"))).as("u_mean"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("u_mean"), col("user_id"))
+    val ranked = perUser
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("target", expr("(n + 1) div 2"))
+    val u = (PortableHash.md5Long60(concat(col("event_type"), lit("|"),
+      col("i").cast("string"))).cast("double") + 0.5) /
+      lit((1L << 60).toDouble)
+    val keyed = ranked.withColumn("ekey",
+      round(lit(-eps / 2.0) * abs(col("i") - col("target")).cast("double") +
+        -log(-log(u)), 6))
+    val pick = keyed
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("ekey").desc, col("i"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("u_mean"), col("i"), col("target"))
+    val med = ranked.groupBy(col("event_type")).agg(
+      max(col("n")).as("n_users"),
+      max(when(col("i") === expr("(n + 1) div 2"), col("u_mean"))).as("m1"),
+      max(when(col("i") === expr("(n + 2) div 2"), col("u_mean"))).as("m2"))
+    pick.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("n_users"),
+        round((col("m1") + col("m2")) / 2, 6).as("true_median"),
+        round(col("u_mean"), 6).as("released_value"),
+        col("i").as("released_rank"),
+        abs(col("i") - col("target")).as("rank_abs_err"))
+      .orderBy(col("event_type"))
+  }
+
+  def dpQuantileReleaseSql(eps: Double = 1.0): String =
+    s"""WITH per_user AS (
+       |  SELECT event_type, user_id,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+       |      AS u_mean
+       |  FROM events GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT event_type, u_mean,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY u_mean, user_id) AS BIGINT) AS i,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM per_user
+       |), keyed AS (
+       |  SELECT event_type, u_mean, i, n, (n + 1) // 2 AS target,
+       |    ROUND(${-eps / 2.0} * CAST(ABS(i - ((n + 1) // 2)) AS DOUBLE) +
+       |      -ln(-ln((CAST(CAST(('0x' || substr(md5(event_type || '|' ||
+       |        CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+       |        / POWER(2.0, 60))), 6) AS ekey
+       |  FROM ranked
+       |), pick AS (
+       |  SELECT event_type, u_mean, i, target FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY event_type
+       |      ORDER BY ekey DESC, i) AS rn
+       |    FROM keyed
+       |  ) WHERE rn = 1
+       |), med AS (
+       |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_users,
+       |    MAX(CASE WHEN i = (n + 1) // 2 THEN u_mean END) AS m1,
+       |    MAX(CASE WHEN i = (n + 2) // 2 THEN u_mean END) AS m2
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT p.event_type, m.n_users,
+       |  ROUND((m.m1 + m.m2) / 2, 6) AS true_median,
+       |  ROUND(p.u_mean, 6) AS released_value,
+       |  p.i AS released_rank,
+       |  ABS(p.i - p.target) AS rank_abs_err
+       |FROM pick p JOIN med m USING (event_type)
+       |ORDER BY p.event_type""".stripMargin
 }

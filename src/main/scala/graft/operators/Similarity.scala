@@ -2780,4 +2780,105 @@ object Similarity {
     sb ++= "\nORDER BY round"
     sb.toString
   }
+
+  /** q366 — leave-one-out kNN classifier evaluation over the
+    * embedding column: for a deterministic 1-in-10 query sample
+    * (vec_id % 10 = 0), the 5 nearest OTHER vectors by cosine vote on
+    * the label (majority; ties break to the smaller label id), and
+    * the votes roll into the (true, predicted) confusion matrix with
+    * per-true-label recall shares — the standard "are these
+    * embeddings any good for classification?" probe a curation run
+    * makes before spending GPU-hours on a learned classifier head
+    * (q349 grades a text-feature NB; this grades the geometric
+    * alternative on the same kind of contingency readout).
+    *
+    * Exactness: cosine is the shared fused-loop expression whose
+    * left-to-right double accumulation the oracle's list_reduce
+    * reproduces bit-for-bit (q29 precedent), rounded to 6dp before
+    * ranking; ranks, votes, and the argmax are integers with
+    * deterministic tiebreaks all the way down.
+    *
+    * Scale: queries broadcast (sample-sized); the scored relation is
+    * |queries|×|corpus| but collapses through a PARTIAL
+    * WindowGroupLimit (rank ≤ k) before any exchange — the q29
+    * discipline. The vote and confusion aggregates are sample- and
+    * |labels|²-sized. At 100 TB the same plan holds with the sample
+    * as the broadcast side; an IVF route (q37) replaces brute force
+    * only if the QUERY side also scales.
+    */
+  def knnLoocv(spark: SparkSession, dir: String, k: Int = 5,
+               sampleMod: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("true_label"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        round(cosine(spark, col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val topk = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val votes = topk.groupBy(col("query_id"), col("true_label"),
+        col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val wVote = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    val pred = votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("n_label").as("pred_label"))
+    val totals = pred.groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_true"))
+    pred.groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "true_label")
+      .select(col("true_label"), col("pred_label"), col("n"),
+        col("n_true"),
+        round(col("n").cast("double") / col("n_true").cast("double"), 6)
+          .as("share_of_true"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  def knnLoocvSql(k: Int = 5, sampleMod: Int = 10): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, label AS true_label
+       |  FROM embeddings WHERE vec_id % $sampleMod = 0
+       |), scored AS (
+       |  SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id,
+       |    e.label AS n_label,
+       |    ROUND(${cosSql("q.q_emb", "e.embedding")}, 6) AS cos_sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+       |), topk AS (
+       |  SELECT query_id, true_label, n_label FROM (
+       |    SELECT query_id, true_label, n_label,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM scored
+       |  ) WHERE rank <= $k
+       |), votes AS (
+       |  SELECT query_id, true_label, n_label, COUNT(*) AS votes
+       |  FROM topk GROUP BY 1, 2, 3
+       |), pred AS (
+       |  SELECT query_id, true_label, n_label AS pred_label FROM (
+       |    SELECT query_id, true_label, n_label,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY votes DESC, n_label) AS vr
+       |    FROM votes
+       |  ) WHERE vr = 1
+       |), totals AS (
+       |  SELECT true_label, CAST(COUNT(*) AS BIGINT) AS n_true
+       |  FROM pred GROUP BY 1
+       |)
+       |SELECT p.true_label, p.pred_label, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MAX(t.n_true) AS n_true,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(t.n_true) AS DOUBLE), 6)
+       |    AS share_of_true
+       |FROM pred p JOIN totals t ON p.true_label = t.true_label
+       |GROUP BY p.true_label, p.pred_label
+       |ORDER BY p.true_label, p.pred_label""".stripMargin
 }

@@ -2578,4 +2578,102 @@ object TextAnalysis {
     }
     merges.toSeq.toDF("rank", "left", "right", "weight")
   }
+
+  /** q367 — split-half stability audit of the q22 language detector:
+    * each document's token sequence is cut in half, the detector runs
+    * on the full sequence and on each half independently, and the row
+    * reports whether all three verdicts agree — split-half
+    * reliability, the classic cheap instrument for "how much of this
+    * detector's output is signal vs length-dependent noise". A
+    * detector that flips on half-length inputs cannot be trusted to
+    * route the SHORT tail of a 100 TB corpus (exactly the regime
+    * where routing errors concentrate), and this measures that
+    * directly without labels.
+    *
+    * Exactness: token arrays are the shared q21 tokenizer (Spark's
+    * trim-then-split equals DuckDB's split-then-drop-empties —
+    * boundary empties are the only divergence and both forms remove
+    * them); halves are integer-length slices; stopword hits are
+    * integer counts through the same codegen'd [[ArrayCountIn]] /
+    * list_filter pair q22 grades; the argmax CASE is shared verbatim.
+    *
+    * Scale: shuffle-free narrow map over the corpus (three
+    * ArrayCountIn probes per language over row-local arrays), exactly
+    * the q22 envelope — no extra pass for the halves.
+    */
+  def splitHalfLangStability(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .withColumn("t1", expr("slice(toks, 1, nt div 2)"))
+      .withColumn("t2", expr("slice(toks, nt div 2 + 1, nt - nt div 2)"))
+    val arrs = Seq("f" -> col("toks"), "h1" -> col("t1"), "h2" -> col("t2"))
+    val withScores = arrs.foldLeft(base) { case (df0, (p, arr)) =>
+      langStopwords.foldLeft(df0) { case (df, (lang, words)) =>
+        df.withColumn(s"${p}_$lang",
+          graft.functions.ArrayCountIn.countIn(spark, arr, words))
+      }
+    }
+    def predOf(p: String): Column = {
+      val s = langStopwords.map { case (l, _) => l -> col(s"${p}_$l") }.toMap
+      when(s.values.reduce(_ + _) > 0,
+        when(s("de") > s("en") && s("de") > s("es") && s("de") > s("fr"), "de")
+          .when(s("fr") > s("en") && s("fr") > s("es"), "fr")
+          .when(s("es") > s("en"), "es")
+          .otherwise("en"))
+        .otherwise(lit("und"))
+    }
+    withScores
+      .select(col("doc_id"), col("lang"), col("nt").as("n_tokens"),
+        predOf("f").as("pred_full"),
+        predOf("h1").as("pred_h1"), predOf("h2").as("pred_h2"))
+      .withColumn("is_stable",
+        (col("pred_h1") === col("pred_h2") &&
+          col("pred_h1") === col("pred_full")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitHalfLangStabilitySql: String = {
+    def hits(arr: String, words: Seq[String]): String =
+      s"len(list_filter($arr, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    def scoreCols(p: String, arr: String): String =
+      langStopwords.map { case (lang, words) =>
+        s"${hits(arr, words)} AS ${p}_$lang"
+      }.mkString(",\n    ")
+    def caseOf(p: String): String =
+      s"""CASE WHEN ${p}_en + ${p}_es + ${p}_fr + ${p}_de > 0 THEN
+         |    CASE WHEN ${p}_de > ${p}_en AND ${p}_de > ${p}_es
+         |           AND ${p}_de > ${p}_fr THEN 'de'
+         |         WHEN ${p}_fr > ${p}_en AND ${p}_fr > ${p}_es THEN 'fr'
+         |         WHEN ${p}_es > ${p}_en THEN 'es'
+         |         ELSE 'en' END
+         |  ELSE 'und' END""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+       |      AS toks
+       |  FROM documents
+       |), halves AS (
+       |  SELECT doc_id, lang, toks, len(toks) AS nt,
+       |    toks[1 : len(toks) // 2] AS t1,
+       |    toks[len(toks) // 2 + 1 : len(toks)] AS t2
+       |  FROM base
+       |), scored AS (
+       |  SELECT doc_id, lang, nt,
+       |    ${scoreCols("f", "toks")},
+       |    ${scoreCols("h1", "t1")},
+       |    ${scoreCols("h2", "t2")}
+       |  FROM halves
+       |), preds AS (
+       |  SELECT doc_id, lang, CAST(nt AS INT) AS n_tokens,
+       |    ${caseOf("f")} AS pred_full,
+       |    ${caseOf("h1")} AS pred_h1,
+       |    ${caseOf("h2")} AS pred_h2
+       |  FROM scored
+       |)
+       |SELECT doc_id, lang, n_tokens, pred_full, pred_h1, pred_h2,
+       |  CAST(pred_h1 = pred_h2 AND pred_h1 = pred_full AS INT) AS is_stable
+       |FROM preds ORDER BY doc_id""".stripMargin
+  }
 }
