@@ -4585,4 +4585,229 @@ object Events {
       |  CAST(s_hi > d_e6 * 5 OR s_lo > d_e6 * 5 AS INT) AS is_alert
       |FROM rec
       |ORDER BY event_type, day""".stripMargin
+
+  /** q369 — quantile-forecast backtest under pinball loss: per event
+    * type, each day's value is forecast by the trailing-28-day
+    * empirical quantile (type-1 / lower order statistic — an integer
+    * rank pick, no interpolation) at q ∈ {0.5, 0.9}, scored by the
+    * pinball (quantile) loss the forecasting literature grades
+    * quantile models with, plus empirical coverage (share of days the
+    * forecast was not exceeded — a calibrated q-quantile covers ≈ q).
+    * q222 backtests POINT forecasts with MASE; capacity planning and
+    * anomaly thresholds consume QUANTILES, and this is their honesty
+    * check.
+    *
+    * Exactness: daily totals are decimal-summed shared doubles on the
+    * dense calendar spine (q258's densification — "28 trailing days"
+    * must mean calendar days, not observations); the rank pick is an
+    * integer element_at off the sorted frame list; each pinball term
+    * rounds at 6dp before its DECIMAL(28,6) sum; means/coverages are
+    * single rounded divisions.
+    *
+    * Scale: one (type, day) aggregate, a calendar-bounded spine, one
+    * type-partitioned day-ordered window carrying a 28-element frame
+    * list, a ×|quantiles| explode of the calendar-sized frame, one
+    * aggregate. Nothing after the first shuffle exceeds calendar size.
+    */
+  def pinballBacktest(spark: SparkSession, dir: String, window: Int = 28,
+                      quantiles: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(graft.operators.Relational.decSum(col("value")).as("v"))
+    val bounds = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val spine = bounds.select(col("event_type"),
+      explode(sequence(col("mn"), col("mx"))).as("day"))
+    val dense = spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("v", coalesce(col("v"), lit(0.0)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-window, -1)
+    val hist = dense
+      .withColumn("hist", collect_list(col("v")).over(w))
+      .filter(size(col("hist")) === window)
+      .withColumn("sorted", sort_array(col("hist")))
+    val qf = quantiles.map { q =>
+      val idx = math.ceil(q * window).toInt
+      struct(lit(q).as("q"), element_at(col("sorted"), idx).as("f"))
+    }
+    hist.select(col("event_type"), col("v"),
+        explode(array(qf: _*)).as("qf"))
+      .select(col("event_type"), col("qf.q").as("quantile"), col("v"),
+        col("qf.f").as("f"))
+      .groupBy(col("event_type"), col("quantile"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(round(greatest(col("quantile") * (col("v") - col("f")),
+            (col("quantile") - 1) * (col("v") - col("f"))), 6).cast(dec))
+          .cast("double").as("sl"),
+        sum((col("v") <= col("f")).cast("long")).as("nc"))
+      .select(col("event_type"), col("quantile"), col("n_days"),
+        round(col("sl") / col("n_days").cast("double"), 6)
+          .as("mean_pinball"),
+        round(col("nc").cast("double") / col("n_days").cast("double"), 6)
+          .as("coverage"))
+      .orderBy(col("event_type"), col("quantile"))
+  }
+
+  def pinballBacktestSql(window: Int = 28,
+                         quantiles: Seq[Double] = Seq(0.5, 0.9)): String = {
+    val grid = quantiles.map { q =>
+      s"(${q}, ${math.ceil(q * window).toInt})"
+    }.mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+       |  FROM events GROUP BY 1, 2
+       |), bounds AS (
+       |  SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+       |  FROM daily GROUP BY 1
+       |), spine AS (
+       |  SELECT event_type, unnest(range(mn, mx + 1)) AS day FROM bounds
+       |), dense AS (
+       |  SELECT s.event_type, s.day, COALESCE(d.v, 0.0) AS v
+       |  FROM spine s LEFT JOIN daily d
+       |    ON d.event_type = s.event_type AND d.day = s.day
+       |), hist AS (
+       |  SELECT event_type, day, v,
+       |    list(v) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN $window PRECEDING AND 1 PRECEDING) AS h
+       |  FROM dense
+       |), full_w AS (
+       |  SELECT event_type, v, list_sort(h) AS sorted
+       |  FROM hist WHERE len(h) = $window
+       |), qf AS (
+       |  SELECT event_type, v, g.q AS quantile, sorted[g.idx] AS f
+       |  FROM full_w CROSS JOIN (VALUES $grid) AS g(q, idx)
+       |)
+       |SELECT event_type, quantile, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  ROUND(CAST(SUM(CAST(ROUND(GREATEST(quantile * (v - f),
+       |      (quantile - 1) * (v - f)), 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_pinball,
+       |  ROUND(CAST(SUM(CASE WHEN v <= f THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+       |FROM qf
+       |GROUP BY 1, 2
+       |ORDER BY event_type, quantile""".stripMargin
+  }
+
+  /** q371 — seeded permutation test for the per-user mean-value
+    * difference between the two synthetic arms (user parity, the q167
+    * SRM convention): the assignment labels are re-drawn nPerms times
+    * from seeded hashes, the arm-mean difference is recomputed under
+    * each relabeling, and the two-sided p-value is the (add-one
+    * smoothed) share of permuted |diffs| at least as extreme as the
+    * observed one — the assumption-free alternative to the t-based
+    * readouts (q123/q179 lean on normality; a permutation test does
+    * not), and the method of choice when per-user metrics are as
+    * skewed as revenue always is.
+    *
+    * Determinism: permuted assignments are md5-parity draws keyed on
+    * (perm, user) — the q308 seeded convention, so both engines
+    * relabel identically; per-arm sums run over 6dp-rounded user
+    * means as DECIMAL(28,6) (order-independent); every diff is the
+    * identical double chain, and the extremeness comparison is on
+    * identical doubles.
+    *
+    * Scale: one (type, user) aggregate over the event scan, then a
+    * ×nPerms explode of the USER-sized frame (users × perms rows —
+    * bounded, never event-sized) into a (type, perm) aggregate. At
+    * 100 TB the explode stays proportional to users, not events.
+    */
+  def permutationTest(spark: SparkSession, dir: String,
+                      nPerms: Int = 200): DataFrame = {
+    import graft.functions.PortableHash
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val perUser = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg((graft.operators.Relational.decSum(col("value"))
+        / count(col("value"))).as("u_mean"))
+      .withColumn("um", round(col("u_mean"), 6))
+      .localCheckpoint() // consumers: observed arms + the perm explode
+    def armDiff(df: DataFrame, grp: Column,
+                keys: Seq[Column]): DataFrame =
+      df.groupBy(keys: _*)
+        .agg(
+          sum(when(grp === 1, col("um")).otherwise(lit(0.0)).cast(dec))
+            .cast("double").as("s1"),
+          sum(when(grp === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(grp === 0, col("um")).otherwise(lit(0.0)).cast(dec))
+            .cast("double").as("s0"),
+          sum(when(grp === 0, 1L).otherwise(0L)).as("n0"))
+        .withColumn("diff",
+          col("s1") / nullif(col("n1").cast("double"), lit(0.0)) -
+            col("s0") / nullif(col("n0").cast("double"), lit(0.0)))
+    val obs = armDiff(perUser, (col("user_id") % 2 === 0).cast("int"),
+        Seq(col("event_type")))
+      .select(col("event_type"), (col("n1") + col("n0")).as("n_users"),
+        col("diff").as("obs_diff"))
+    val perms = perUser.select(col("event_type"), col("user_id"), col("um"),
+        explode(sequence(lit(1), lit(nPerms))).as("perm"))
+    val permDiffs = armDiff(perms,
+      (PortableHash.md5Long60(concat(col("perm").cast("string"), lit("|"),
+        col("user_id").cast("string"))) % 2).cast("int"),
+      Seq(col("event_type"), col("perm")))
+    permDiffs.join(broadcast(obs), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_users")).as("n_users"),
+        round(max(col("obs_diff")), 6).as("obs_diff"),
+        count(lit(1)).as("n_perms"),
+        sum(when(abs(col("diff")) >= abs(col("obs_diff")), 1L)
+          .otherwise(0L)).as("n_ge"))
+      .select(col("event_type"), col("n_users"), col("obs_diff"),
+        col("n_perms"), col("n_ge"),
+        round((col("n_ge") + 1).cast("double") /
+          (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+      .orderBy(col("event_type"))
+  }
+
+  def permutationTestSql(nPerms: Int = 200): String =
+    s"""WITH per_user AS (
+       |  SELECT event_type, user_id,
+       |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |      / COUNT(value), 6) AS um
+       |  FROM events GROUP BY 1, 2
+       |), obs AS (
+       |  SELECT event_type, n1 + n0 AS n_users,
+       |    s1 / NULLIF(CAST(n1 AS DOUBLE), 0.0)
+       |      - s0 / NULLIF(CAST(n0 AS DOUBLE), 0.0) AS obs_diff
+       |  FROM (
+       |    SELECT event_type,
+       |      CAST(SUM(CAST(CASE WHEN user_id % 2 = 0 THEN um ELSE 0.0 END
+       |        AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+       |      CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |        AS BIGINT) AS n1,
+       |      CAST(SUM(CAST(CASE WHEN user_id % 2 <> 0 THEN um ELSE 0.0 END
+       |        AS DECIMAL(28,6))) AS DOUBLE) AS s0,
+       |      CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+       |        AS BIGINT) AS n0
+       |    FROM per_user GROUP BY 1)
+       |), perms AS (
+       |  SELECT p.event_type, p.user_id, p.um, g.perm,
+       |    CAST(('0x' || substr(md5(CAST(g.perm AS VARCHAR) || '|' ||
+       |      CAST(p.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS pgrp
+       |  FROM per_user p
+       |  CROSS JOIN (SELECT unnest(range(1, $nPerms + 1)) AS perm) g
+       |), perm_diffs AS (
+       |  SELECT event_type, perm,
+       |    CAST(SUM(CAST(CASE WHEN pgrp = 1 THEN um ELSE 0.0 END
+       |        AS DECIMAL(28,6))) AS DOUBLE)
+       |      / NULLIF(CAST(SUM(CASE WHEN pgrp = 1 THEN 1 ELSE 0 END)
+       |        AS DOUBLE), 0.0)
+       |    - CAST(SUM(CAST(CASE WHEN pgrp = 0 THEN um ELSE 0.0 END
+       |        AS DECIMAL(28,6))) AS DOUBLE)
+       |      / NULLIF(CAST(SUM(CASE WHEN pgrp = 0 THEN 1 ELSE 0 END)
+       |        AS DOUBLE), 0.0) AS diff
+       |  FROM perms GROUP BY 1, 2
+       |)
+       |SELECT d.event_type, MAX(o.n_users) AS n_users,
+       |  ROUND(MAX(o.obs_diff), 6) AS obs_diff,
+       |  CAST(COUNT(*) AS BIGINT) AS n_perms,
+       |  CAST(SUM(CASE WHEN ABS(d.diff) >= ABS(o.obs_diff) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_ge,
+       |  ROUND(CAST(SUM(CASE WHEN ABS(d.diff) >= ABS(o.obs_diff)
+       |      THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+       |    / CAST(COUNT(*) + 1 AS DOUBLE), 6) AS p_value
+       |FROM perm_diffs d JOIN obs o ON d.event_type = o.event_type
+       |GROUP BY d.event_type
+       |ORDER BY d.event_type""".stripMargin
 }

@@ -269,4 +269,88 @@ object Layout {
       .drop("__h")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** q370 — sort-key data-skipping advisor: for every (candidate sort
+    * key × filter column) pair, lay the fact table out in sort-key
+    * order, cut it into fixed-size row blocks (the row-group /
+    * file-statistics granule), and measure how many blocks a
+    * point-filter on the filter column must touch — `avg blocks per
+    * distinct value` and the skip ratio `touched / (values × blocks)`
+    * (1.0 = statistics prune nothing). This is THE layout decision a
+    * 100 TB table owner makes before rewriting petabytes: q59/q282
+    * provide z-order/Hilbert layouts, this measures which single-key
+    * order actually serves the workload's filters.
+    *
+    * Exactness: the block id derives from the EXACT distributed
+    * global rank ([[Skew.globalRank]] — range exchange + partition
+    * offsets, grade-proven against row_number in q324) over a fully
+    * tiebroken order, so both engines assign identical blocks; all
+    * outputs are integer counts and two rounded divisions.
+    *
+    * Scale: per sort key one range-exchange sort (the identical cost
+    * a real layout rewrite pays) localCheckpointed for the three
+    * filter-column aggregates; the aggregates are
+    * (value, block)-pair-bounded. No single-partition window anywhere.
+    */
+  def sortKeySkippingAdvisor(spark: SparkSession, dir: String,
+                             block: Int = 1024): DataFrame = {
+    val keys = Seq("l_shipdate", "l_partkey", "l_suppkey")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select((keys.map(col) :+ col("l_orderkey") :+ col("l_linenumber")): _*)
+    val per = keys.flatMap { k =>
+      val ranked = Skew.globalRank(li,
+          Seq(col(k), col("l_orderkey"), col("l_linenumber")))
+        .withColumn("block", expr(s"(rank - 1) div $block"))
+        .select((keys.map(col) :+ col("block")): _*)
+        .localCheckpoint() // consumers: one aggregate per filter column
+      val nBlocks = ranked.agg(countDistinct(col("block")).as("n_blocks"))
+      keys.map { f =>
+        ranked.groupBy(col(f))
+          .agg(countDistinct(col("block")).as("bt"))
+          .agg(count(lit(1)).as("n_values"), sum(col("bt")).as("pairs"))
+          .crossJoin(broadcast(nBlocks))
+          .select(lit(k).as("sort_key"), lit(f).as("filter_col"),
+            col("n_blocks"), col("n_values"), col("pairs"),
+            round(col("pairs").cast("double") /
+              col("n_values").cast("double"), 6).as("avg_blocks_per_value"),
+            round(col("pairs").cast("double") /
+              (col("n_values") * col("n_blocks")).cast("double"), 6)
+              .as("skip_ratio"))
+      }
+    }
+    per.reduce(_ unionByName _)
+      .orderBy(col("sort_key"), col("filter_col"))
+  }
+
+  def sortKeySkippingAdvisorSql(block: Int = 1024): String = {
+    val keys = Seq("l_shipdate", "l_partkey", "l_suppkey")
+    def ranked(k: String): String =
+      s"""ranked_$k AS (
+         |  SELECT ${keys.mkString(", ")},
+         |    (row_number() OVER (ORDER BY $k, l_orderkey, l_linenumber) - 1)
+         |      // $block AS block
+         |  FROM lineitem
+         |)""".stripMargin
+    def one(k: String, f: String): String =
+      s"""SELECT '$k' AS sort_key, '$f' AS filter_col,
+         |  (SELECT CAST(COUNT(DISTINCT block) AS BIGINT) FROM ranked_$k)
+         |    AS n_blocks,
+         |  CAST(COUNT(*) AS BIGINT) AS n_values,
+         |  CAST(SUM(bt) AS BIGINT) AS pairs,
+         |  ROUND(CAST(SUM(bt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS avg_blocks_per_value,
+         |  ROUND(CAST(SUM(bt) AS DOUBLE) / CAST(COUNT(*) *
+         |    (SELECT COUNT(DISTINCT block) FROM ranked_$k) AS DOUBLE), 6)
+         |    AS skip_ratio
+         |FROM (
+         |  SELECT $f, CAST(COUNT(DISTINCT block) AS BIGINT) AS bt
+         |  FROM ranked_$k GROUP BY 1
+         |)""".stripMargin
+    s"""WITH ${keys.map(ranked).mkString(",\n")}
+       |SELECT * FROM (
+       |${(for { k <- keys; f <- keys } yield one(k, f))
+          .mkString("\nUNION ALL\n")}
+       |)
+       |ORDER BY sort_key, filter_col""".stripMargin
+  }
 }
