@@ -4810,4 +4810,172 @@ object Events {
        |FROM perm_diffs d JOIN obs o ON d.event_type = o.event_type
        |GROUP BY d.event_type
        |ORDER BY d.event_type""".stripMargin
+
+  /** q372 — distribution-free 95% CI for the per-type median of
+    * per-user mean value, via ORDER STATISTICS: the binomial rank
+    * bounds lo = max(1, ⌊(n − z√n)/2⌋), hi = min(n, ⌈(n + z√n)/2⌉ + 1)
+    * bracket the median with ≈95% coverage under NO distributional
+    * assumption — the honest uncertainty statement for a median
+    * (q154's bootstrap resamples; this is exact in rank space and
+    * needs one pass). The instrument every per-entity median
+    * leaderboard should carry before anyone acts on "the median
+    * moved".
+    *
+    * Exactness: ranks are integers off the fully-tiebroken per-type
+    * sort; the only doubles are z√n (identical sqrt chain both
+    * engines) immediately floored/ceiled to integers; the bracketing
+    * values are exact rank picks, medians exact doubled order stats.
+    *
+    * Scale: one (type, user) aggregate + one per-type rank window
+    * (user-cardinality, the q90-family sort; [[Skew.globalRank]]
+    * replaces it if one type's users outgrow a partition) + one
+    * per-type aggregate.
+    */
+  def medianCiOrderStat(spark: SparkSession, dir: String,
+                        z: Double = 1.959964): DataFrame = {
+    val perUser = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg((graft.operators.Relational.decSum(col("value"))
+        / count(col("value"))).as("u_mean"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("u_mean"), col("user_id"))
+    val ranked = perUser
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("lo", greatest(lit(1L),
+        floor((col("n").cast("double") -
+          lit(z) * sqrt(col("n").cast("double"))) / 2).cast("long")))
+      .withColumn("hi", least(col("n"),
+        (ceil((col("n").cast("double") +
+          lit(z) * sqrt(col("n").cast("double"))) / 2) + 1).cast("long")))
+    ranked.groupBy(col("event_type")).agg(
+        max(col("n")).as("n_users"),
+        max(col("lo")).as("lo_rank"),
+        max(col("hi")).as("hi_rank"),
+        round((max(when(col("i") === expr("(n + 1) div 2"), col("u_mean"))) +
+          max(when(col("i") === expr("(n + 2) div 2"), col("u_mean")))) / 2, 6)
+          .as("median"),
+        round(max(when(col("i") === col("lo"), col("u_mean"))), 6)
+          .as("ci_lo"),
+        round(max(when(col("i") === col("hi"), col("u_mean"))), 6)
+          .as("ci_hi"))
+      .select(col("event_type"), col("n_users"), col("median"),
+        col("lo_rank"), col("hi_rank"), col("ci_lo"), col("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  def medianCiOrderStatSql(z: Double = 1.959964): String =
+    s"""WITH per_user AS (
+       |  SELECT event_type, user_id,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+       |      AS u_mean
+       |  FROM events GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT event_type, u_mean,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY u_mean, user_id) AS BIGINT) AS i,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM per_user
+       |), bounds AS (
+       |  SELECT *,
+       |    GREATEST(1, CAST(FLOOR((CAST(n AS DOUBLE)
+       |      - $z * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT)) AS lo,
+       |    LEAST(n, CAST(CEIL((CAST(n AS DOUBLE)
+       |      + $z * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT) + 1) AS hi
+       |  FROM ranked
+       |)
+       |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_users,
+       |  ROUND((MAX(CASE WHEN i = (n + 1) // 2 THEN u_mean END)
+       |    + MAX(CASE WHEN i = (n + 2) // 2 THEN u_mean END)) / 2, 6)
+       |    AS median,
+       |  MAX(lo) AS lo_rank, MAX(hi) AS hi_rank,
+       |  ROUND(MAX(CASE WHEN i = lo THEN u_mean END), 6) AS ci_lo,
+       |  ROUND(MAX(CASE WHEN i = hi THEN u_mean END), 6) AS ci_hi
+       |FROM bounds
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  /** q374 — Kendall's τ-b matrix between the event types' daily value
+    * series: rank-based concordance with the proper tie correction —
+    * the third correlation lens beside q232's Pearson CCF (linear,
+    * lag-aware) and q256's Spearman (rank, but tie-fragile at series
+    * grain). τ-b is what you quote when two metrics' DAILY movements
+    * must agree in direction and the series carry tied zeros from
+    * densification or quiet days.
+    *
+    * Exactness: concordant / discordant / tied counts are pure
+    * integers off the O(days²) ordered pair join (the q293
+    * Mann–Kendall cost envelope — calendar-bounded, never
+    * event-scaled); τ-b is one double chain off five integers,
+    * rounded at 6dp.
+    *
+    * Scale: one (type, day) aggregate, a day-keyed type-pair join
+    * (types² × days rows), one pairs join bounded by types² × days²
+    * — all calendar-sized. At 100 TB only the first aggregate sees
+    * the data.
+    */
+  def kendallTauMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(graft.operators.Relational.decSum(col("value")).as("v"))
+    val joined = graft.Iterate.cut(daily.as("a")
+      .join(daily.as("b"),
+        col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+        col("a.day").as("day"), col("a.v").as("x"), col("b.v").as("y")))
+    val pairs = joined.as("p").join(joined.as("q"),
+        col("p.ta") === col("q.ta") && col("p.tb") === col("q.tb") &&
+          col("p.day") < col("q.day"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"),
+        (col("p.x") - col("q.x")).as("dx"),
+        (col("p.y") - col("q.y")).as("dy"))
+    val counts = pairs.groupBy(col("ta"), col("tb")).agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
+      sum(when(col("dx") === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("dy") === 0, 1L).otherwise(0L)).as("n2"))
+    val nDays = joined.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_days"))
+    counts.join(broadcast(nDays), Seq("ta", "tb"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_days"), col("nc"), col("nd"),
+        round((col("nc") - col("nd")).cast("double") /
+          sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+            .cast("double")), 6).as("tau_b"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val kendallTauMatrixSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), joined AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, a.day AS day,
+      |    a.v AS x, b.v AS y
+      |  FROM daily a JOIN daily b
+      |    ON a.day = b.day AND a.event_type < b.event_type
+      |), pairs AS (
+      |  SELECT p.ta, p.tb, p.x - q.x AS dx, p.y - q.y AS dy
+      |  FROM joined p JOIN joined q
+      |    ON p.ta = q.ta AND p.tb = q.tb AND p.day < q.day
+      |), counts AS (
+      |  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+      |    CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM pairs GROUP BY 1, 2
+      |), ndays AS (
+      |  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM joined GROUP BY 1, 2
+      |)
+      |SELECT c.ta AS type_a, c.tb AS type_b, d.n_days, c.nc, c.nd,
+      |  ROUND(CAST(c.nc - c.nd AS DOUBLE) /
+      |    sqrt(CAST((c.n0 - c.n1) * (c.n0 - c.n2) AS DOUBLE)), 6) AS tau_b
+      |FROM counts c JOIN ndays d ON c.ta = d.ta AND c.tb = d.tb
+      |ORDER BY type_a, type_b""".stripMargin
 }

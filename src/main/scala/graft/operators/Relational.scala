@@ -2870,4 +2870,74 @@ object Relational {
       |WHERE rank = 1 OR rank IN ($boundaries)
       |ORDER BY rank""".stripMargin
   }
+
+  /** q373 — weekly trending parts: per ship week, the top-5 parts by
+    * week-over-week discounted-revenue GROWTH (consecutive weeks
+    * only, joined explicitly on week−1 so a gap week never fakes a
+    * spike) — the "what's suddenly moving" leaderboard every demand
+    * and curation dashboard carries, and the ranking q205's ABC/XYZ
+    * classes deliberately smooth away.
+    *
+    * Exactness: revenue is integer cents (one rounded double product
+    * per line, then BIGINT sums); growth is a single rounded division
+    * of two exact cents totals; the top-5 is integer-rank tiebroken
+    * by part key.
+    *
+    * Scale: one (part, week) aggregate (map-side combine), a
+    * self-join on the same key shifted one week (co-partitioned — no
+    * extra shuffle shape), and a per-week rank ≤ 5 that collapses
+    * through a PARTIAL WindowGroupLimit before the week exchange.
+    */
+  def weeklyTrendingParts(spark: SparkSession, dir: String,
+                          topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekExpr = expr(
+      "(unix_micros(cast(l_shipdate as timestamp)) - " +
+        "pmod(unix_micros(cast(l_shipdate as timestamp)), 86400000000)) " +
+        "div 86400000000 div 7")
+    val weekly = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), weekExpr.as("week"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100,
+          0).cast("long").as("cents"))
+      .groupBy(col("l_partkey"), col("week"))
+      .agg(sum(col("cents")).as("rev"))
+    val grown = weekly.as("cur")
+      .join(weekly.as("prev"),
+        col("cur.l_partkey") === col("prev.l_partkey") &&
+          col("cur.week") === col("prev.week") + 1)
+      .select(col("cur.week").as("week"), col("cur.l_partkey").as("l_partkey"),
+        col("prev.rev").as("rev_prev_cents"), col("cur.rev").as("rev_cents"))
+      .withColumn("growth",
+        round(col("rev_cents").cast("double") /
+          col("rev_prev_cents").cast("double"), 6))
+    val w = Window.partitionBy(col("week"))
+      .orderBy(col("growth").desc, col("l_partkey"))
+    grown.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("week"), col("rank"), col("l_partkey"),
+        col("rev_prev_cents"), col("rev_cents"), col("growth"))
+      .orderBy(col("week"), col("rank"))
+  }
+
+  def weeklyTrendingPartsSql(topK: Int = 5): String =
+    s"""WITH weekly AS (
+       |  SELECT l_partkey, (epoch_ms(l_shipdate) // 86400000) // 7 AS week,
+       |    CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0)
+       |      AS BIGINT)) AS BIGINT) AS rev
+       |  FROM lineitem GROUP BY 1, 2
+       |), grown AS (
+       |  SELECT cur.week AS week, cur.l_partkey AS l_partkey,
+       |    prev.rev AS rev_prev_cents, cur.rev AS rev_cents,
+       |    ROUND(CAST(cur.rev AS DOUBLE) / CAST(prev.rev AS DOUBLE), 6)
+       |      AS growth
+       |  FROM weekly cur JOIN weekly prev
+       |    ON cur.l_partkey = prev.l_partkey AND cur.week = prev.week + 1
+       |)
+       |SELECT week, rank, l_partkey, rev_prev_cents, rev_cents, growth
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY week
+       |    ORDER BY growth DESC, l_partkey) AS INT) AS rank
+       |  FROM grown
+       |) WHERE rank <= $topK
+       |ORDER BY week, rank""".stripMargin
 }
