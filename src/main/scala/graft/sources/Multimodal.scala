@@ -1518,4 +1518,297 @@ object Multimodal {
        |  <= $maxDist
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Deterministic JPEG-with-EXIF fixture: SOI, one APP1 Exif segment
+    * carrying a REAL TIFF header + IFD0 (ImageWidth 0x0100,
+    * ImageLength 0x0101, Orientation 0x0112 — all SHORT/count-1),
+    * `n % 3` COM segments, then SOS. Byte order alternates by payload
+    * parity — II (little) for even lengths, MM (big) for odd — so the
+    * walker's endianness handling is exercised on every other doc.
+    */
+  def encodeJpegExif(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val little = n % 2 == 0
+    val width = n % 640 + 1
+    val height = (2 * n) % 480 + 1
+    val orient = n % 8 + 1
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xFF)
+    def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    // TIFF block (header + IFD0 with 3 entries + next-IFD 0)
+    val tiff = new Array[Byte](8 + 2 + 3 * 12 + 4)
+    def t16(off: Int, v: Int): Unit =
+      if (little) { tiff(off) = (v & 0xFF).toByte
+        tiff(off + 1) = ((v >> 8) & 0xFF).toByte }
+      else { tiff(off) = ((v >> 8) & 0xFF).toByte
+        tiff(off + 1) = (v & 0xFF).toByte }
+    def t32(off: Int, v: Int): Unit =
+      if (little) putLe32(tiff, off, v) else putBe32(tiff, off, v)
+    tiff(0) = (if (little) 'I' else 'M').toByte
+    tiff(1) = tiff(0)
+    t16(2, 42); t32(4, 8) // magic, IFD0 offset
+    t16(8, 3) // entry count
+    def entry(slot: Int, tag: Int, value: Int): Unit = {
+      val o = 10 + slot * 12
+      t16(o, tag); t16(o + 2, 3); t32(o + 4, 1) // SHORT, count 1
+      t16(o + 8, value) // value packed in the field's first 2 bytes
+    }
+    entry(0, 0x0100, width); entry(1, 0x0101, height)
+    entry(2, 0x0112, orient)
+    t32(10 + 3 * 12, 0) // next IFD
+    wbe16(0xFFD8) // SOI
+    wbe16(0xFFE1); wbe16(2 + 6 + tiff.length) // APP1
+    out.write("Exif".getBytes("US-ASCII")); w8(0); w8(0)
+    out.write(tiff)
+    (0 until n % 3).foreach { i =>
+      val len = 5 + (n + i) % 7
+      wbe16(0xFFFE); wbe16(2 + len) // COM
+      (0 until len).foreach(j => w8((n + 31 * i + j) % 256))
+    }
+    wbe16(0xFFDA); wbe16(2) // SOS, then entropy data + EOI
+    w8(0x12); w8(0x34); wbe16(0xFFD9)
+    out.toByteArray
+  }
+
+  /** REAL JPEG marker walk + EXIF TIFF-IFD parse: verifies SOI, walks
+    * every length-prefixed marker segment to SOS, and inside APP1
+    * parses the TIFF header (either byte order, magic 42) and scans
+    * IFD0's 12-byte entries for width/height/orientation — the
+    * endianness-dependent reads a crawled-photo ingest must get right
+    * before trusting any dimension. None on malformation: bad SOI,
+    * truncated segment, unknown byte order, bad magic, or an IFD that
+    * runs off the buffer.
+    */
+  def sniffJpegExif(p: Array[Byte])
+      : Option[(String, Int, Int, Int, Int)] = {
+    if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8)
+      return None
+    var off = 2
+    var nSegs = 0
+    var order = ""; var w = -1; var h = -1; var orient = -1
+    def be16(o: Int): Int = ((p(o) & 0xFF) << 8) | (p(o + 1) & 0xFF)
+    def parseTiff(t0: Int, tEnd: Int): Boolean = {
+      if (t0 + 8 > tEnd) return false
+      val c0 = p(t0) & 0xFF; val c1 = p(t0 + 1) & 0xFF
+      val little = c0 == 'I'.toInt && c1 == 'I'.toInt
+      val big = c0 == 'M'.toInt && c1 == 'M'.toInt
+      if (!little && !big) return false
+      def r16(o: Int): Int =
+        if (little) (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+        else ((p(o) & 0xFF) << 8) | (p(o + 1) & 0xFF)
+      def r32(o: Int): Int =
+        if (little) (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) |
+          ((p(o + 2) & 0xFF) << 16) | ((p(o + 3) & 0xFF) << 24)
+        else ((p(o) & 0xFF) << 24) | ((p(o + 1) & 0xFF) << 16) |
+          ((p(o + 2) & 0xFF) << 8) | (p(o + 3) & 0xFF)
+      if (r16(t0 + 2) != 42) return false
+      val ifd = t0 + r32(t0 + 4)
+      if (ifd + 2 > tEnd) return false
+      val count = r16(ifd)
+      if (ifd + 2 + count * 12 + 4 > tEnd) return false
+      (0 until count).foreach { k =>
+        val e = ifd + 2 + k * 12
+        val tag = r16(e); val typ = r16(e + 2); val cnt = r32(e + 4)
+        if (typ == 3 && cnt == 1) {
+          val v = r16(e + 8)
+          tag match {
+            case 0x0100 => w = v
+            case 0x0101 => h = v
+            case 0x0112 => orient = v
+            case _ => ()
+          }
+        }
+      }
+      order = if (little) "II" else "MM"
+      true
+    }
+    var sawSos = false
+    while (!sawSos) {
+      if (off + 4 > p.length) return None
+      if ((p(off) & 0xFF) != 0xFF) return None
+      val code = p(off + 1) & 0xFF
+      val len = be16(off + 2)
+      if (len < 2 || off + 2 + len > p.length) return None
+      if (code == 0xE1 && len >= 8 &&
+          new String(p, off + 4, 4, "US-ASCII") == "Exif" &&
+          p(off + 8) == 0 && p(off + 9) == 0) {
+        if (!parseTiff(off + 10, off + 2 + len)) return None
+      }
+      nSegs += 1
+      if (code == 0xDA) sawSos = true else off += 2 + len
+    }
+    if (order.isEmpty || w < 0 || h < 0 || orient < 0) None
+    else Some((order, w, h, orient, nSegs))
+  }
+
+  case class JpegExifMeta(doc_id: Long, byte_order: String, width: Int,
+                          height: Int, orientation: Int, n_segments: Int)
+
+  /** q375 — JPEG/EXIF orientation pipeline: per-doc JPEG fixtures
+    * ([[encodeJpegExif]] — real marker framing, real TIFF IFD in BOTH
+    * byte orders) through the real [[sniffJpegExif]] walk. Orientation
+    * is the one EXIF tag every image-training pipeline MUST read (a
+    * rotated crawl photo trains a rotated model), and TIFF's
+    * dual-endianness is the classic parser trap — half the fixtures
+    * are II, half MM, so both code paths grade every run.
+    *
+    * Scale: embarrassingly parallel batched mapPartitions kernel, one
+    * small row per doc — the q344/q288 envelope.
+    */
+  def jpegExifMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val jpg = encodeJpegExif(r.payload)
+        val (bo, w, h, o, ns) = sniffJpegExif(jpg).getOrElse(
+          throw new IllegalStateException(
+            s"fixture failed to parse: doc ${r.doc_id}"))
+        JpegExifMeta(r.doc_id, bo, w, h, o, ns)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val jpegExifMetaSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN strlen(text) % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  CAST(strlen(text) % 640 + 1 AS INT) AS width,
+      |  CAST((2 * strlen(text)) % 480 + 1 AS INT) AS height,
+      |  CAST(strlen(text) % 8 + 1 AS INT) AS orientation,
+      |  CAST(2 + strlen(text) % 3 AS INT) AS n_segments
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic STORE-only ZIP fixture: `n % 3 + 1` entries, each
+    * a local file header (real CRC32 over the synthesized data) +
+    * data, then the central directory and the 22-byte EOCD. No
+    * compression (method 0) — the structure, offsets, and CRCs are
+    * the parsing surface.
+    */
+  def encodeZip(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val k = n % 3 + 1
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Long): Unit = (0 until 4).foreach(i =>
+      out.write(((v >> (8 * i)) & 0xFF).toInt))
+    val entries = (0 until k).map { i =>
+      val len = 10 + (n + 7 * i) % 50
+      val data = Array.tabulate(len)(j => ((n + 13 * i + j) % 256).toByte)
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      (s"f$i.txt", data, crc.getValue)
+    }
+    val offsets = new Array[Int](k)
+    entries.zipWithIndex.foreach { case ((name, data, crc), i) =>
+      offsets(i) = out.size()
+      le32(0x04034b50L); le16(20); le16(0); le16(0); le16(0); le16(0)
+      le32(crc); le32(data.length.toLong); le32(data.length.toLong)
+      le16(name.length); le16(0)
+      out.write(name.getBytes("US-ASCII")); out.write(data)
+    }
+    val cdStart = out.size()
+    entries.zipWithIndex.foreach { case ((name, data, crc), i) =>
+      le32(0x02014b50L); le16(20); le16(20); le16(0); le16(0)
+      le16(0); le16(0)
+      le32(crc); le32(data.length.toLong); le32(data.length.toLong)
+      le16(name.length); le16(0); le16(0); le16(0); le16(0)
+      le32(0L); le32(offsets(i).toLong)
+      out.write(name.getBytes("US-ASCII"))
+    }
+    val cdSize = out.size() - cdStart
+    le32(0x06054b50L); le16(0); le16(0); le16(k); le16(k)
+    le32(cdSize.toLong); le32(cdStart.toLong); le16(0)
+    out.toByteArray
+  }
+
+  /** REAL ZIP walk: locates the EOCD record, walks the central
+    * directory, follows each entry's offset to its local header,
+    * cross-checks name/method/sizes between the two records, and
+    * recomputes each entry's CRC32 over the stored bytes — the
+    * integrity pass an archive-ingest source runs before trusting any
+    * member. None on malformation anywhere.
+    */
+  def sniffZip(p: Array[Byte]): Option[(Int, Long, Boolean)] = {
+    if (p.length < 22) return None
+    def le16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Long = (0 until 4).map(i =>
+      (p(o + i) & 0xFFL) << (8 * i)).reduce(_ | _)
+    val eocd = p.length - 22
+    if (le32(eocd) != 0x06054b50L) return None
+    val k = le16(eocd + 10)
+    val cdSize = le32(eocd + 12); val cdStart = le32(eocd + 16)
+    if (cdStart + cdSize != eocd) return None
+    var off = cdStart.toInt
+    var total = 0L
+    var crcOk = true
+    (0 until k).foreach { _ =>
+      if (off + 46 > p.length || le32(off) != 0x02014b50L) return None
+      val crc = le32(off + 16)
+      val csize = le32(off + 20); val usize = le32(off + 24)
+      val nameLen = le16(off + 28); val extraLen = le16(off + 30)
+      val cmtLen = le16(off + 32)
+      val lho = le32(off + 42).toInt
+      val name = new String(p, off + 46, nameLen, "US-ASCII")
+      // local header cross-check
+      if (lho + 30 > p.length || le32(lho) != 0x04034b50L) return None
+      if (le16(lho + 8) != 0) return None // method must be STORE
+      if (le32(lho + 14) != crc || le32(lho + 18) != csize ||
+          le32(lho + 22) != usize) return None
+      val lNameLen = le16(lho + 26); val lExtraLen = le16(lho + 28)
+      if (new String(p, lho + 30, lNameLen, "US-ASCII") != name) return None
+      val dataOff = lho + 30 + lNameLen + lExtraLen
+      if (dataOff + csize > p.length) return None
+      val c = new java.util.zip.CRC32()
+      c.update(p, dataOff, csize.toInt)
+      if (c.getValue != crc) crcOk = false
+      total += usize
+      off += 46 + nameLen + extraLen + cmtLen
+    }
+    Some((k, total, crcOk))
+  }
+
+  case class ZipMeta(doc_id: Long, n_entries: Int, total_uncompressed: Long,
+                     crc_ok: Boolean)
+
+  /** q376 — ZIP archive inventory: per-doc STORE-only ZIP fixtures
+    * ([[encodeZip]], real CRC32s, real central-directory offsets)
+    * through the real [[sniffZip]] EOCD → central-directory → local-
+    * header walk with per-member CRC verification. Training corpora
+    * routinely arrive as archives; this is the source-side integrity
+    * pass (count members, total bytes, checksum verdict) before any
+    * member is extracted — completing the container family (image /
+    * audio / video / archive).
+    *
+    * Scale: the q344 envelope — embarrassingly parallel batched
+    * mapPartitions, one small row per doc.
+    */
+  def zipMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val z = encodeZip(r.payload)
+        val (k, total, ok) = sniffZip(z).getOrElse(
+          throw new IllegalStateException(
+            s"fixture failed to parse: doc ${r.doc_id}"))
+        ZipMeta(r.doc_id, k, total, ok)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val zipMetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n FROM documents
+      |), entries AS (
+      |  SELECT doc_id, n,
+      |    unnest(generate_series(0, CAST(n % 3 AS BIGINT))) AS i
+      |  FROM f
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS INT) AS n_entries,
+      |  CAST(SUM(10 + (n + 7 * i) % 50) AS BIGINT) AS total_uncompressed,
+      |  TRUE AS crc_ok
+      |FROM entries
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

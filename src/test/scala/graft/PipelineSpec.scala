@@ -1261,4 +1261,55 @@ class PipelineSpec extends AnyFunSuite {
     val longer = Multimodal.encodeGif(("x" * (n + 32)).getBytes("US-ASCII"))
     assert(Multimodal.sniffGif(longer).map(_._3) === Some((n + 32) / 32 + 1L))
   }
+
+  test("sniffJpegExif: marker walk + dual-endian TIFF IFD; malformed streams reject") {
+    import graft.sources.Multimodal
+    // even length -> II (little-endian TIFF), odd -> MM
+    val even = "a jpeg with exif here!".getBytes("US-ASCII") // n = 22
+    assert(even.length % 2 == 0)
+    val nE = even.length
+    assert(Multimodal.sniffJpegExif(Multimodal.encodeJpegExif(even)) ===
+      Some(("II", nE % 640 + 1, (2 * nE) % 480 + 1, nE % 8 + 1,
+        2 + nE % 3)))
+    val odd = "a jpeg with exif here".getBytes("US-ASCII") // n = 21
+    val nO = odd.length
+    assert(Multimodal.sniffJpegExif(Multimodal.encodeJpegExif(odd)) ===
+      Some(("MM", nO % 640 + 1, (2 * nO) % 480 + 1, nO % 8 + 1,
+        2 + nO % 3)))
+    val jpg = Multimodal.encodeJpegExif(even)
+    // bad SOI
+    val badSoi = jpg.clone(); badSoi(1) = 0x00
+    assert(Multimodal.sniffJpegExif(badSoi).isEmpty)
+    // unknown TIFF byte order: corrupt both order chars inside APP1
+    val badOrder = jpg.clone(); badOrder(12) = 'X'.toByte
+    badOrder(13) = 'X'.toByte
+    assert(Multimodal.sniffJpegExif(badOrder).isEmpty)
+    // bad TIFF magic (the 42 after the order chars)
+    val badMagic = jpg.clone(); badMagic(14) = 0x00; badMagic(15) = 0x00
+    assert(Multimodal.sniffJpegExif(badMagic).isEmpty)
+    // truncated before SOS: the marker loop must fail, not guess
+    assert(Multimodal.sniffJpegExif(jpg.take(jpg.length - 6)).isEmpty)
+  }
+
+  test("sniffZip: EOCD + central directory walk with CRC verify; malformed archives reject") {
+    import graft.sources.Multimodal
+    val text = "zip me up before you go".getBytes("US-ASCII")
+    val n = text.length
+    val zip = Multimodal.encodeZip(text)
+    val expectTotal = (0 until n % 3 + 1).map(i => 10L + (n + 7 * i) % 50).sum
+    assert(Multimodal.sniffZip(zip) === Some((n % 3 + 1, expectTotal, true)))
+    // bad EOCD signature
+    val badEocd = zip.clone(); badEocd(zip.length - 22) = 0x00
+    assert(Multimodal.sniffZip(badEocd).isEmpty)
+    // a flipped DATA byte flips crc_ok but the structure still walks:
+    // first entry's data starts after its 30-byte header + 6-byte name
+    val flipped = zip.clone(); flipped(36) = (flipped(36) ^ 0x7F).toByte
+    assert(Multimodal.sniffZip(flipped).map(_._3) === Some(false))
+    // a flipped CENTRAL-DIRECTORY size field breaks the offset check
+    val badCd = zip.clone(); badCd(zip.length - 10) =
+      (badCd(zip.length - 10) ^ 0x01).toByte
+    assert(Multimodal.sniffZip(badCd).isEmpty)
+    // truncated archive: EOCD gone
+    assert(Multimodal.sniffZip(zip.take(zip.length - 3)).isEmpty)
+  }
 }
