@@ -4978,4 +4978,148 @@ object Events {
       |    sqrt(CAST((c.n0 - c.n1) * (c.n0 - c.n2) AS DOUBLE)), 6) AS tau_b
       |FROM counts c JOIN ndays d ON c.ta = d.ta AND c.tb = d.tb
       |ORDER BY type_a, type_b""".stripMargin
+
+  /** q377 — anomaly-detector consensus over the daily monitors: the
+    * q300 discipline (four dedup detectors → one consensus relation)
+    * applied to the MONITORING column — q121's MAD screen (spiky
+    * one-day outliers), q173's EWMA chart (one-step forecast misses),
+    * and q364's CUSUM (small persistent shifts) joined per
+    * (type, day) into a single alert ledger with the agreement count.
+    * The three detectors fire on DIFFERENT shapes by design; a day
+    * all three flag is a page, a day one flags is a ticket — this
+    * relation is that routing table, and grading it keeps the three
+    * inputs composable (column names, day grain, flag conventions)
+    * forever.
+    *
+    * Exactness: a three-way inner join of three already-graded
+    * integer-flag relations on identical (type, day) keys (all three
+    * derive days from the same epochDayExpr aggregate) — no new
+    * arithmetic beyond flag sums; EWMA's undefined day-1 flag
+    * coalesces to 0 on both sides.
+    *
+    * Scale: three passes over the same (type, day) aggregate (each
+    * individually graded and calendar-bounded) + calendar-sized
+    * joins. A shared-scan variant would fuse the first aggregate;
+    * composition is kept 1:1 with the graded parts instead.
+    */
+  def anomalyConsensus(spark: SparkSession, dir: String): DataFrame = {
+    val mad = dailyAnomalies(spark, dir)
+      .select(col("event_type"), col("day"), col("v"),
+        col("is_anomaly").as("mad_alert"))
+    val ew = ewmaControl(spark, dir)
+      .select(col("event_type"), col("day"),
+        coalesce(col("is_alert"), lit(0)).as("ewma_alert"))
+    val cu = cusumChart(spark, dir)
+      .select(col("event_type"), col("day"),
+        col("is_alert").as("cusum_alert"))
+    mad.join(ew, Seq("event_type", "day"))
+      .join(cu, Seq("event_type", "day"))
+      .withColumn("n_alerts",
+        (col("mad_alert") + col("ewma_alert") + col("cusum_alert"))
+          .cast("int"))
+      .filter(col("n_alerts") >= 1)
+      .select(col("event_type"), col("day"), col("v"),
+        col("mad_alert"), col("ewma_alert"), col("cusum_alert"),
+        col("n_alerts"),
+        (col("n_alerts") >= 2).cast("int").as("consensus"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val anomalyConsensusSql: String =
+    s"""WITH mad_t AS (
+       |  $dailyAnomaliesSql
+       |), ew_t AS (
+       |  $ewmaControlSql
+       |), cu_t AS (
+       |  $cusumChartSql
+       |)
+       |SELECT m.event_type, m.day, m.v,
+       |  m.is_anomaly AS mad_alert,
+       |  COALESCE(e.is_alert, 0) AS ewma_alert,
+       |  c.is_alert AS cusum_alert,
+       |  CAST(m.is_anomaly + COALESCE(e.is_alert, 0) + c.is_alert AS INT)
+       |    AS n_alerts,
+       |  CAST(m.is_anomaly + COALESCE(e.is_alert, 0) + c.is_alert >= 2
+       |    AS INT) AS consensus
+       |FROM mad_t m
+       |JOIN ew_t e ON m.event_type = e.event_type AND m.day = e.day
+       |JOIN cu_t c ON m.event_type = c.event_type AND m.day = c.day
+       |WHERE m.is_anomaly + COALESCE(e.is_alert, 0) + c.is_alert >= 1
+       |ORDER BY m.event_type, m.day""".stripMargin
+
+  /** q378 — expected shortfall (CVaR) of the daily value series per
+    * event type: the α = 5% lower-tail order-statistic VaR plus the
+    * MEAN of the tail beyond it — the coherent risk measure (VaR says
+    * "the bad day threshold", ES says "how bad the bad days
+    * actually are"), and the upper-tail mirror for burst capacity.
+    * The readout a revenue-guard or quota-sizing decision consumes
+    * from q121/q364's raw series.
+    *
+    * Exactness: tail sizes are ⌈αn⌉ integers (one ceil of an exact
+    * double product); VaRs are exact rank picks off the fully
+    * tiebroken per-type sort; tail means are 6dp-rounded
+    * DECIMAL(28,6) sums over integer-bounded rank ranges, divided
+    * once and rounded.
+    *
+    * Scale: one (type, day) aggregate + one per-type rank window
+    * (calendar-sized) + one per-type aggregate.
+    */
+  def expectedShortfall(spark: SparkSession, dir: String,
+                        alpha: Double = 0.05): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(graft.operators.Relational.decSum(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("day"))
+    val ranked = daily
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("k",
+        ceil(lit(alpha) * col("n").cast("double")).cast("long"))
+    ranked.groupBy(col("event_type")).agg(
+        max(col("n")).as("n_days"),
+        max(col("k")).as("tail_days"),
+        round(max(when(col("rn") === col("k"), col("v"))), 6)
+          .as("var_lo"),
+        round(sum(when(col("rn") <= col("k"),
+            round(col("v"), 6)).otherwise(lit(0.0)).cast(dec))
+          .cast("double") / max(col("k")).cast("double"), 6).as("es_lo"),
+        round(max(when(col("rn") === col("n") - col("k") + 1, col("v"))), 6)
+          .as("var_hi"),
+        round(sum(when(col("rn") > col("n") - col("k"),
+            round(col("v"), 6)).otherwise(lit(0.0)).cast(dec))
+          .cast("double") / max(col("k")).cast("double"), 6).as("es_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  def expectedShortfallSql(alpha: Double = 0.05): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+       |  FROM events GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT event_type, v,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY v, day) AS BIGINT) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM daily
+       |), keyed AS (
+       |  SELECT *, CAST(CEIL($alpha * CAST(n AS DOUBLE)) AS BIGINT) AS k
+       |  FROM ranked
+       |)
+       |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+       |  MAX(k) AS tail_days,
+       |  ROUND(MAX(CASE WHEN rn = k THEN v END), 6) AS var_lo,
+       |  ROUND(CAST(SUM(CAST(CASE WHEN rn <= k THEN ROUND(v, 6)
+       |      ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+       |    / CAST(MAX(k) AS DOUBLE), 6) AS es_lo,
+       |  ROUND(MAX(CASE WHEN rn = n - k + 1 THEN v END), 6) AS var_hi,
+       |  ROUND(CAST(SUM(CAST(CASE WHEN rn > n - k THEN ROUND(v, 6)
+       |      ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+       |    / CAST(MAX(k) AS DOUBLE), 6) AS es_hi
+       |FROM keyed
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
 }

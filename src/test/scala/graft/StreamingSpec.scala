@@ -436,6 +436,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM chart matches batch q364 across a batch boundary; uncalibrated types drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingCusum.{DailyInput, CusumOut}
+    // fixture: one type, daily totals 10, 20, 5, 20 -> batch stats
+    // mu = 55e6 div 4, d = mean |dev| (both integer floor-divisions)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scusum").toString
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    Seq((1L, ts(0), 1L, "m", 10.0, "{}"), (2L, ts(1), 1L, "m", 20.0, "{}"),
+        (3L, ts(2), 1L, "m", 5.0, "{}"), (4L, ts(3), 1L, "m", 20.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Events.cusumChart(spark, dir)
+      .select($"event_type", $"day", $"v", $"s_hi", $"s_lo", $"is_alert")
+      .as[(String, Long, Double, Double, Double, Int)].collect().toSeq
+    // calibration = the batch stats, exactly as q364 derives them
+    val vs = Seq(10000000L, 20000000L, 5000000L, 20000000L)
+    val mu = vs.sum / vs.length
+    val d = vs.map(v => math.abs(v - mu)).sum / vs.length
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyInput]
+    val q = graft.streaming.StreamingCusum
+      .chart(input.toDS(), Map("m" -> ((mu, d))))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_out").start()
+    try {
+      // batch boundary mid-series: both accumulators must carry across
+      input.addData(DailyInput("m", 0L, vs(0)), DailyInput("m", 1L, vs(1)))
+      q.processAllAvailable()
+      input.addData(DailyInput("m", 2L, vs(2)), DailyInput("m", 3L, vs(3)),
+        DailyInput("zzz_uncalibrated", 0L, 1L))
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_out").as[CusumOut].collect().toSeq
+        .sortBy(_.day)
+        .map(r => (r.event_type, r.day, r.v_e6 / 1e6, r.s_hi / 1e6,
+          r.s_lo / 1e6, r.is_alert))
+      assert(streamed === batch)
+      // duplicate day dropped; uncalibrated type never emitted
+      input.addData(DailyInput("m", 3L, 99L))
+      q.processAllAvailable()
+      assert(spark.table("cusum_out").count() === 4)
+    } finally q.stop()
+  }
+
   test("streaming transition pairs match the batch q92 lead() pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
