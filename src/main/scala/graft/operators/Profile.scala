@@ -3723,4 +3723,76 @@ object Profile {
        |)
        |ORDER BY col_a, col_b""".stripMargin
   }
+
+  /** q380 — order-independent table content fingerprints: per table,
+    * the row count plus two modular sums of a portable per-row hash
+    * over a STABLE serialization — the change-detection key an
+    * incremental scheduler stores per snapshot ("did anything in this
+    * feed change since the last run?") without sorting, diffing, or
+    * moving the data. Two independent moduli make a silent collision
+    * require simultaneous agreement (~1 in 10¹²); the serialization
+    * pins integer/string/epoch-ms/cents renderings only — never raw
+    * double formatting, which the engines disagree on.
+    *
+    * Exactness: md5-derived 60-bit row hashes (the q308 portable
+    * convention) reduced mod two primes (≤1e6 each, so BIGINT sums
+    * over billions of rows cannot overflow), summed — addition
+    * commutes, so the fingerprint is partition-order-independent by
+    * construction, the property that makes it valid on any cluster
+    * layout.
+    *
+    * Scale: one narrow map + one 1-row aggregate per table — the
+    * cheapest full-scan pass that still witnesses every row.
+    */
+  def tableFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val p1 = 1000003L; val p2 = 999983L
+    def fp(name: String, df: DataFrame, ser: Column): DataFrame = {
+      val h = PortableHash.md5Long60(ser)
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(h % p1).as("fp1"), sum(h % p2).as("fp2"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("fp1"), col("fp2"))
+    }
+    val docs = fp("documents", Tables.load(spark, dir, "documents"),
+      concat_ws("|", col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), md5(col("text"))))
+    val orders = fp("orders", Tables.load(spark, dir, "orders"),
+      concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 1000")))
+    val li = fp("lineitem", Tables.load(spark, dir, "lineitem"),
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+        col("l_linestatus"),
+        round(col("l_quantity") * 100, 0).cast("long"),
+        round(col("l_extendedprice") * 100, 0).cast("long")))
+    docs.unionByName(orders).unionByName(li)
+      .orderBy(col("table_name"))
+  }
+
+  val tableFingerprintsSql: String = {
+    def h(ser: String): String =
+      s"CAST(('0x' || substr(md5($ser), 1, 15)) AS BIGINT)"
+    def one(name: String, table: String, ser: String): String =
+      s"""SELECT '$name' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(${h(ser)} % 1000003) AS BIGINT) AS fp1,
+         |  CAST(SUM(${h(ser)} % 999983) AS BIGINT) AS fp2
+         |FROM $table""".stripMargin
+    val docsSer = "concat_ws('|', doc_id, lang, source, n_chars, md5(text))"
+    val ordSer = "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+      "o_orderpriority, epoch_ms(o_orderdate))"
+    val liSer = "concat_ws('|', l_orderkey, l_linenumber, l_partkey, " +
+      "l_suppkey, l_returnflag, l_linestatus, " +
+      "CAST(ROUND(l_quantity * 100, 0) AS BIGINT), " +
+      "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))"
+    s"""SELECT * FROM (
+       |${one("documents", "documents", docsSer)}
+       |UNION ALL
+       |${one("orders", "orders", ordSer)}
+       |UNION ALL
+       |${one("lineitem", "lineitem", liSer)}
+       |)
+       |ORDER BY table_name""".stripMargin
+  }
 }

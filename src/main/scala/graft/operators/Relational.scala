@@ -2940,4 +2940,76 @@ object Relational {
        |  FROM grown
        |) WHERE rank <= $topK
        |ORDER BY week, rank""".stripMargin
+
+  /** q379 — incremental view maintenance WITH RETRACTIONS for the q01
+    * pricing summary: the stored per-group partials (decimal sums +
+    * count) absorb a signed CDC delta — inserts (+1) AND deletes (−1)
+    * — and the merged state must equal a FULL REBUILD on the post-CDC
+    * corpus, hash-graded against that rebuild (q361's merge ≡ rebuild
+    * contract, extended from append-only to retractable). This is the
+    * maintenance path every materialized aggregate needs at 100 TB:
+    * re-aggregating petabytes nightly because 0.1% of rows changed is
+    * the failure mode, and AVG survives deletion only because the
+    * state is (Σ, n), never the average itself.
+    *
+    * Deterministic CDC fixture: base = l_orderkey % 10 ≠ 0; inserts =
+    * % 10 = 0; deletes = base rows with % 7 = 0. DECIMAL addition is
+    * exact and associative, so merged ≡ rebuild bit-for-bit; a group
+    * retracted to n = 0 drops out (matching the rebuild, which never
+    * had it). Scale: partials are map-side-combinable aggregates;
+    * the merge touches only |groups| rows.
+    */
+  def ivmPricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_orderkey"))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec) * col("sign")).as("p_qty"),
+          sum(col("l_extendedprice").cast(dec) * col("sign")).as("p_base"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(dec) * col("sign")).as("p_disc"),
+          sum(col("sign").cast("long")).as("p_n"))
+    // the stored view: base partials, frozen once (the q361 idiom)
+    val base = graft.Iterate.cut(partials(
+      li.filter(col("l_orderkey") % 10 =!= 0).withColumn("sign", lit(1))))
+    val delta = partials(
+      li.filter(col("l_orderkey") % 10 === 0).withColumn("sign", lit(1))
+        .unionByName(li.filter(col("l_orderkey") % 10 =!= 0 &&
+          col("l_orderkey") % 7 === 0).withColumn("sign", lit(-1))))
+    base.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("p_qty")).as("m_qty"), sum(col("p_base")).as("m_base"),
+        sum(col("p_disc")).as("m_disc"), sum(col("p_n")).as("n"))
+      .filter(col("n") > 0) // retracted-to-empty groups drop out
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("m_qty").cast("double").as("sum_qty"),
+        col("m_base").cast("double").as("sum_base_price"),
+        col("m_disc").cast("double").as("sum_disc_price"),
+        (col("m_qty").cast("double") / col("n").cast("double"))
+          .as("avg_qty"),
+        col("n").as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Rebuild oracle: q01's body on the post-CDC corpus — the merge ≡
+    * rebuild contract, graded every round. */
+  val ivmPricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |   AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+      |   AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+      |   / COUNT(l_quantity) AS avg_qty,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |  AND (l_orderkey % 10 = 0 OR l_orderkey % 7 <> 0)
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
 }
