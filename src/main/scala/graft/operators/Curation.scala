@@ -2264,4 +2264,80 @@ object Curation {
        |FROM scored
        |QUALIFY rank <= $k
        |ORDER BY rank""".stripMargin
+
+  /** q382 — Hamilton-apportioned (largest-remainder) stratified
+    * sample: a FIXED total budget allocated across sources exactly
+    * proportionally to their document counts — base quota
+    * ⌊B·n_s/N⌋ per source, the leftover seats going to the largest
+    * remainders (B·n_s mod N, integer) — then rows picked per source
+    * in deterministic hash order up to the quota. q44 fixes a quota
+    * per stratum and q62 takes CONFIG weights; this is the third
+    * allocation a sampler needs: "exactly B rows total, exactly
+    * proportional, no config" — the apportionment problem, solved the
+    * way legislatures do, with quotas that always sum to B by
+    * construction.
+    *
+    * Exactness: every quota is integer arithmetic (⌊·⌋, mod, a
+    * remainder rank with a deterministic tiebreak); row picks are the
+    * shared portable-md5 order. Scale: one count aggregate,
+    * |sources|-row quota algebra, one source-keyed rank window whose
+    * LITERAL budget bound plans the partial WindowGroupLimit (the
+    * q62 two-step trick — the data-derived quota refines after).
+    */
+  def hamiltonSample(spark: SparkSession, dir: String,
+                     budget: Int = 100): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val nAll = docs.agg(count(lit(1)).as("n_all"))
+    val wAll = Window.partitionBy(lit(1))
+    val quotas = counts.crossJoin(broadcast(nAll))
+      .withColumn("base", expr(s"($budget * n_s) div n_all"))
+      .withColumn("rem", expr(s"($budget * n_s) % n_all"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(wAll))
+      .withColumn("rrank", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source"))))
+      .withColumn("quota",
+        (col("base") + (col("rrank") <= col("leftover")).cast("long"))
+          .cast("int"))
+      .select(col("source"), col("n_s").as("n_docs"), col("quota"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5Bucket(col("doc_id")), col("doc_id"))
+    docs.withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= budget)
+      .join(broadcast(quotas), "source")
+      .filter(col("pick") <= col("quota"))
+      .select(col("source"), col("n_docs"), col("quota"), col("pick"),
+        col("doc_id"))
+      .orderBy(col("source"), col("pick"))
+  }
+
+  def hamiltonSampleSql(budget: Int = 100): String =
+    s"""WITH counts AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents
+       |  GROUP BY 1
+       |), n_all AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents
+       |), quotas AS (
+       |  SELECT source, n_s AS n_docs,
+       |    CAST(base + CASE WHEN rrank <= $budget - total_base
+       |      THEN 1 ELSE 0 END AS INT) AS quota
+       |  FROM (
+       |    SELECT source, n_s,
+       |      ($budget * n_s) // n_all AS base,
+       |      ($budget * n_s) % n_all AS rem,
+       |      SUM(($budget * n_s) // n_all) OVER () AS total_base,
+       |      row_number() OVER (ORDER BY ($budget * n_s) % n_all DESC,
+       |        source) AS rrank
+       |    FROM counts CROSS JOIN n_all)
+       |), picked AS (
+       |  SELECT source, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+       |        1, 8)) AS BIGINT), doc_id) AS INT) AS pick
+       |  FROM documents
+       |)
+       |SELECT p.source, q.n_docs, q.quota, p.pick, p.doc_id
+       |FROM picked p JOIN quotas q ON p.source = q.source
+       |WHERE p.pick <= q.quota
+       |ORDER BY p.source, p.pick""".stripMargin
 }

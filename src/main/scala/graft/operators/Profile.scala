@@ -3795,4 +3795,96 @@ object Profile {
        |)
        |ORDER BY table_name""".stripMargin
   }
+
+  /** q381 — Wasserstein-1 (earth-mover) distance between each
+    * source's document-length distribution and the corpus overall:
+    * W₁ = ∫|F_s − F_corpus| dx over the shared support — the
+    * MAGNITUDE-AWARE drift metric beside q124's PSI (bin-count
+    * ratios, blind to how FAR mass moved) and q213's KS (max gap,
+    * blind to how MUCH). A source whose docs grew 10% longer and one
+    * that swapped half its mass to 10× lengths can tie on KS; W₁
+    * separates them, which is why distribution-shift monitoring at
+    * scale quotes it.
+    *
+    * Exactness: W₁ accumulates as PURE INTEGERS — at every support
+    * breakpoint, |cum_s·N − cum_g·n_s| · width (cross-multiplied
+    * ECDF gap, common denominator n_s·N deferred), summed as BIGINT,
+    * divided ONCE at the end and rounded. No double enters until the
+    * final division.
+    *
+    * Scale: one (source, length) aggregate, a |sources| × |support|
+    * grid (value-grain, bounded by distinct lengths), two cumulative
+    * windows over that grid. At 100 TB only the first aggregate sees
+    * the corpus.
+    */
+  def wassersteinDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars").as("x"))
+    val bySrc = docs.groupBy(col("source"), col("x"))
+      .agg(count(lit(1)).as("c_s"))
+    val global = docs.groupBy(col("x")).agg(count(lit(1)).as("c_g"))
+    val nSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val nAll = docs.agg(count(lit(1)).as("n_all"))
+    val grid = nSrc.crossJoin(broadcast(global))
+      .join(bySrc, Seq("source", "x"), "left")
+      .withColumn("c_s", coalesce(col("c_s"), lit(0L)))
+      .crossJoin(broadcast(nAll))
+    val wOrd = Window.partitionBy(col("source")).orderBy(col("x"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    grid
+      .withColumn("cum_s", sum(col("c_s")).over(wCum))
+      .withColumn("cum_g", sum(col("c_g")).over(wCum))
+      .withColumn("width",
+        coalesce(lead(col("x"), 1).over(wOrd) - col("x"), lit(0L)))
+      .withColumn("num",
+        abs(col("cum_s") * col("n_all") - col("cum_g") * col("n_s")) *
+          col("width"))
+      .groupBy(col("source")).agg(
+        max(col("n_s")).as("n_docs"),
+        count(lit(1)).as("n_support"),
+        sum(col("num")).as("num_sum"),
+        max(col("n_s") * col("n_all")).as("den"))
+      .select(col("source"), col("n_docs"), col("n_support"),
+        round(col("num_sum").cast("double") / col("den").cast("double"), 6)
+          .as("w1"))
+      .orderBy(col("source"))
+  }
+
+  val wassersteinDriftSql: String =
+    """WITH docs AS (
+      |  SELECT source, n_chars AS x FROM documents
+      |), by_src AS (
+      |  SELECT source, x, CAST(COUNT(*) AS BIGINT) AS c_s
+      |  FROM docs GROUP BY 1, 2
+      |), global AS (
+      |  SELECT x, CAST(COUNT(*) AS BIGINT) AS c_g FROM docs GROUP BY 1
+      |), n_src AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM docs GROUP BY 1
+      |), n_all AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM docs
+      |), grid AS (
+      |  SELECT s.source, g.x, s.n_s, g.c_g, COALESCE(b.c_s, 0) AS c_s,
+      |    (SELECT n_all FROM n_all) AS n_all
+      |  FROM n_src s CROSS JOIN global g
+      |  LEFT JOIN by_src b ON b.source = s.source AND b.x = g.x
+      |), cum AS (
+      |  SELECT source, x, n_s, n_all,
+      |    SUM(c_s) OVER (PARTITION BY source ORDER BY x
+      |      ROWS UNBOUNDED PRECEDING) AS cum_s,
+      |    SUM(c_g) OVER (PARTITION BY source ORDER BY x
+      |      ROWS UNBOUNDED PRECEDING) AS cum_g,
+      |    COALESCE(lead(x) OVER (PARTITION BY source ORDER BY x) - x, 0)
+      |      AS width
+      |  FROM grid
+      |)
+      |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_support,
+      |  ROUND(CAST(SUM(ABS(cum_s * n_all - cum_g * n_s) * width)
+      |      AS DOUBLE)
+      |    / CAST(MAX(n_s * n_all) AS DOUBLE), 6) AS w1
+      |FROM cum
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 }
