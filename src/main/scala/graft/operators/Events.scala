@@ -5122,4 +5122,119 @@ object Events {
        |FROM keyed
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
+
+  /** q383 — k-fold cross-validated OLS backtest via sufficient-stat
+    * ALGEBRA: per event type, the q102 trend model is refit k times
+    * with one user-keyed fold held out — but the refits never rescan
+    * the data, because train-fold statistics are
+    * `global − held-out fold` on the six decimal-exact sums, and the
+    * held-out RMSE expands the squared error over the SAME six stats
+    * (Σ(y−a−bx)² = syy − 2a·sy − 2b·sxy + 2ab·sx + a²n + b²sxx).
+    * This is the 100 TB form of cross-validation for any linear
+    * model: one aggregate pass, then pure |types|×k algebra — the
+    * naive "refit k times" loop never happens (the q331 leave-one-out
+    * discipline, upgraded from group means to a fitted model).
+    *
+    * Exactness: folds are integer user-id arithmetic (leak-free by
+    * user, the q326 folding rule); all sums stay DECIMAL through the
+    * global-minus-fold subtraction (exact) and cast to double once;
+    * slope/intercept/SSE run in one fixed operand order; intercept
+    * rounds at 4dp (the q102 half-boundary caveat).
+    *
+    * Scale: ONE (type, fold) aggregate over the event scan; the rest
+    * is window algebra over |types|×k rows.
+    */
+  def kfoldOlsBacktest(spark: SparkSession, dir: String,
+                       k: Int = 5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val e = Tables.load(spark, dir, "events")
+      .withColumn("x", epochDayExpr.cast("double"))
+      .withColumn("y", col("value"))
+      .withColumn("fold", (col("user_id") % k).cast("int"))
+    val per = e.groupBy(col("event_type"), col("fold")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(round(col("x") * col("x"), 6).cast(dec)).as("sxx"),
+      sum(round(col("x") * col("y"), 6).cast(dec)).as("sxy"),
+      sum(round(col("y") * col("y"), 6).cast(dec)).as("syy"))
+    val wT = Window.partitionBy(col("event_type"))
+    def tr(c: String): Column =
+      (sum(col(c)).over(wT) - col(c)).cast("double")
+    val folds = per
+      .withColumn("tr_n", (sum(col("n")).over(wT) - col("n")).cast("double"))
+      .withColumn("tr_sx", tr("sx")).withColumn("tr_sy", tr("sy"))
+      .withColumn("tr_sxx", tr("sxx")).withColumn("tr_sxy", tr("sxy"))
+      .withColumn("te_n", col("n").cast("double"))
+      .withColumn("te_sx", col("sx").cast("double"))
+      .withColumn("te_sy", col("sy").cast("double"))
+      .withColumn("te_sxx", col("sxx").cast("double"))
+      .withColumn("te_sxy", col("sxy").cast("double"))
+      .withColumn("te_syy", col("syy").cast("double"))
+      .withColumn("den", nullif(
+        col("tr_n") * col("tr_sxx") - col("tr_sx") * col("tr_sx"),
+        lit(0.0)))
+      .withColumn("b",
+        (col("tr_n") * col("tr_sxy") - col("tr_sx") * col("tr_sy")) /
+          col("den"))
+      .withColumn("a",
+        (col("tr_sy") - col("b") * col("tr_sx")) / col("tr_n"))
+      .withColumn("sse",
+        col("te_syy") - lit(2) * col("a") * col("te_sy") -
+          lit(2) * col("b") * col("te_sxy") +
+          lit(2) * col("a") * col("b") * col("te_sx") +
+          col("a") * col("a") * col("te_n") +
+          col("b") * col("b") * col("te_sxx"))
+    folds.select(col("event_type"), col("fold"),
+        col("tr_n").cast("long").as("n_train"),
+        col("n").as("n_test"),
+        round(col("b"), 6).as("slope"),
+        round(col("a"), 4).as("intercept"),
+        round(sqrt(greatest(lit(0.0), col("sse")) / col("te_n")), 6)
+          .as("rmse"))
+      .orderBy(col("event_type"), col("fold"))
+  }
+
+  def kfoldOlsBacktestSql(k: Int = 5): String =
+    s"""WITH per AS (
+       |  SELECT event_type, CAST(user_id % $k AS INT) AS fold,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(epoch_ms(ts) // 86400000 AS DECIMAL(28,6))) AS sx,
+       |    SUM(CAST(value AS DECIMAL(28,6))) AS sy,
+       |    SUM(CAST(ROUND(CAST(epoch_ms(ts) // 86400000 AS DOUBLE)
+       |      * CAST(epoch_ms(ts) // 86400000 AS DOUBLE), 6)
+       |      AS DECIMAL(28,6))) AS sxx,
+       |    SUM(CAST(ROUND(CAST(epoch_ms(ts) // 86400000 AS DOUBLE)
+       |      * value, 6) AS DECIMAL(28,6))) AS sxy,
+       |    SUM(CAST(ROUND(value * value, 6) AS DECIMAL(28,6))) AS syy
+       |  FROM events GROUP BY 1, 2
+       |), folds AS (
+       |  SELECT event_type, fold, n,
+       |    CAST(SUM(n) OVER w - n AS DOUBLE) AS tr_n,
+       |    CAST(SUM(sx) OVER w - sx AS DOUBLE) AS tr_sx,
+       |    CAST(SUM(sy) OVER w - sy AS DOUBLE) AS tr_sy,
+       |    CAST(SUM(sxx) OVER w - sxx AS DOUBLE) AS tr_sxx,
+       |    CAST(SUM(sxy) OVER w - sxy AS DOUBLE) AS tr_sxy,
+       |    CAST(n AS DOUBLE) AS te_n, CAST(sx AS DOUBLE) AS te_sx,
+       |    CAST(sy AS DOUBLE) AS te_sy, CAST(sxx AS DOUBLE) AS te_sxx,
+       |    CAST(sxy AS DOUBLE) AS te_sxy, CAST(syy AS DOUBLE) AS te_syy
+       |  FROM per
+       |  WINDOW w AS (PARTITION BY event_type)
+       |), fit AS (
+       |  SELECT *,
+       |    (tr_n * tr_sxy - tr_sx * tr_sy)
+       |      / NULLIF(tr_n * tr_sxx - tr_sx * tr_sx, 0.0) AS b
+       |  FROM folds
+       |), fit2 AS (
+       |  SELECT *, (tr_sy - b * tr_sx) / tr_n AS a FROM fit
+       |)
+       |SELECT event_type, fold, CAST(tr_n AS BIGINT) AS n_train,
+       |  n AS n_test,
+       |  ROUND(b, 6) AS slope, ROUND(a, 4) AS intercept,
+       |  ROUND(sqrt(GREATEST(0.0,
+       |    te_syy - 2 * a * te_sy - 2 * b * te_sxy
+       |      + 2 * a * b * te_sx + a * a * te_n + b * b * te_sxx)
+       |    / te_n), 6) AS rmse
+       |FROM fit2
+       |ORDER BY event_type, fold""".stripMargin
 }

@@ -3012,4 +3012,117 @@ object Relational {
       |  AND (l_orderkey % 10 = 0 OR l_orderkey % 7 <> 0)
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q384 — Bradley–Terry strength scores from pairwise preferences:
+    * suppliers "play" each other on every part both supply (the
+    * cheaper mean price wins), and three unrolled
+    * minorize–maximize iterations of the BT update
+    * s_i ← W_i / Σ_j n_ij/(s_i + s_j) turn the win/loss matrix into a
+    * single strength ranking — the preference-aggregation operator
+    * behind every pairwise-comparison leaderboard (human preference
+    * data, A/B duels, ranker evaluation). A win RATE ranks wrong when
+    * schedules differ (beating only weak opponents inflates it); BT
+    * corrects for opponent strength, which is the entire point.
+    *
+    * Exactness: wins/comparisons are integers off the part-keyed
+    * supplier pair join; each MM iteration's opponent sum accumulates
+    * 9dp-rounded terms in DECIMAL(28,9) (order-independent — the
+    * rounding is identical on both engines, so the fixpoint path is
+    * too); scores stay unnormalized (BT is scale-invariant; no
+    * order-dependent normalizing sum enters). The oracle unrolls the
+    * same three iterations as successive CTEs (the q282 discipline).
+    *
+    * Scale: one (supplier, part) mean aggregate, one part-keyed pair
+    * join (suppliers-per-part bounded), then iterations over a
+    * |suppliers|²-bounded pair list joined to a |suppliers|-row score
+    * frame — the data is touched once.
+    */
+  def bradleyTerry(spark: SparkSession, dir: String,
+                   iters: Int = 3): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val means = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg((decSum(col("l_extendedprice")) / count(lit(1))).as("m"))
+    // i < j once, both directions via explode: halves the join output
+    // (the relation is symmetric; `pairs` below is identical)
+    val duels = means.as("a").join(means.as("b"),
+        col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey") &&
+          col("a.m") =!= col("b.m"))
+      .select(explode(array(
+        struct(col("a.l_suppkey").as("i"), col("b.l_suppkey").as("j"),
+          (col("a.m") < col("b.m")).cast("long").as("win")),
+        struct(col("b.l_suppkey").as("i"), col("a.l_suppkey").as("j"),
+          (col("b.m") < col("a.m")).cast("long").as("win")))).as("d"))
+      .select(col("d.i").as("i"), col("d.j").as("j"), col("d.win").as("win"))
+    val pairs = graft.Iterate.cut(duels.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_ij"), sum(col("win")).as("w_ij")))
+    val wins = pairs.groupBy(col("i"))
+      .agg(sum(col("w_ij")).as("w"), sum(col("n_ij")).as("n_comp"))
+    var scores = wins.select(col("i"), lit(1.0).as("s"))
+    (1 to iters).foreach { _ =>
+      val opp = pairs
+        .join(scores.select(col("i"), col("s").as("s_i")), "i")
+        .join(scores.select(col("i").as("j"), col("s").as("s_j")), "j")
+        .groupBy(col("i"))
+        .agg(sum(round(col("n_ij").cast("double") /
+            (col("s_i") + col("s_j")), 9).cast(dec9))
+          .cast("double").as("den"))
+      scores = graft.Iterate.cut(
+        wins.join(opp, "i")
+          .select(col("i"),
+            (col("w").cast("double") / col("den")).as("s")))
+    }
+    wins.join(scores, "i")
+      .select(col("i").as("s_suppkey"), col("n_comp").as("n_comparisons"),
+        col("w").as("wins"), round(col("s"), 6).as("bt_score"),
+        round(col("w").cast("double") / col("n_comp").cast("double"), 6)
+          .as("raw_win_rate"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  def bradleyTerrySql(iters: Int = 3): String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT w.i, CAST(w.w AS DOUBLE) / CAST(SUM(CAST(ROUND(
+         |      CAST(p.n_ij AS DOUBLE) / (si.s + sj.s), 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE) AS s
+         |  FROM pairs p
+         |  JOIN $prev si ON si.i = p.i
+         |  JOIN $prev sj ON sj.i = p.j
+         |  JOIN wins w ON w.i = p.i
+         |  GROUP BY w.i, w.w
+         |)""".stripMargin
+    val chain = (1 to iters)
+      .map(t => iter(s"sc${t - 1}", s"sc$t")).mkString(",\n")
+    s"""WITH means AS (
+       |  SELECT l_suppkey, l_partkey,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM lineitem GROUP BY 1, 2
+       |), duels AS (
+       |  SELECT a.l_suppkey AS i, b.l_suppkey AS j,
+       |    CASE WHEN a.m < b.m THEN 1 ELSE 0 END AS win
+       |  FROM means a JOIN means b
+       |    ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+       |      AND a.m <> b.m
+       |), pairs AS (
+       |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_ij,
+       |    CAST(SUM(win) AS BIGINT) AS w_ij
+       |  FROM duels GROUP BY 1, 2
+       |), wins AS (
+       |  SELECT i, CAST(SUM(w_ij) AS BIGINT) AS w,
+       |    CAST(SUM(n_ij) AS BIGINT) AS n_comp
+       |  FROM pairs GROUP BY 1
+       |), sc0 AS (
+       |  SELECT i, 1.0 AS s FROM wins
+       |),
+       |$chain
+       |SELECT w.i AS s_suppkey, w.n_comp AS n_comparisons, w.w AS wins,
+       |  ROUND(sc.s, 6) AS bt_score,
+       |  ROUND(CAST(w.w AS DOUBLE) / CAST(w.n_comp AS DOUBLE), 6)
+       |    AS raw_win_rate
+       |FROM wins w JOIN sc$iters sc ON sc.i = w.i
+       |ORDER BY s_suppkey""".stripMargin
+  }
 }
