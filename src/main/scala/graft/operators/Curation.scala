@@ -2340,4 +2340,62 @@ object Curation {
        |FROM picked p JOIN quotas q ON p.source = q.source
        |WHERE p.pick <= q.quota
        |ORDER BY p.source, p.pick""".stripMargin
+
+  /** q387 — effective sample size (ESS) audit of quality weighting:
+    * per source, Kish's ESS = (Σw)²/Σw² for the q23 quality scores
+    * used as sampling/importance weights, plus the efficiency ratio
+    * ESS/n and the max-weight share. THE diagnostic every weighted
+    * pipeline (q87 weighted sample, q177 IPS, q315 DSIR) should run
+    * before trusting its weights: efficiency near 1 means the
+    * weighting is nearly uniform (why bother?), efficiency near 1/n
+    * means one document dominates and the "sample of 50k" is
+    * effectively a sample of a few — variance blows up silently. Two
+    * numbers, read before every weighted run at 100 TB.
+    *
+    * Exactness: weights are the shared 6dp quality scores; Σw and Σw²
+    * accumulate 6dp-rounded terms in DECIMAL(28,6)
+    * (order-independent); ESS and ratios are fixed double chains
+    * rounded at 6dp; max is exact.
+    *
+    * Scale: one narrow quality map + one per-source aggregate — the
+    * q23 envelope.
+    */
+  def weightEssAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), qualityScore(col("text")).as("w"))
+    docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum(col("w").cast(dec)).cast("double").as("sw"),
+        sum(round(col("w") * col("w"), 6).cast(dec)).cast("double")
+          .as("sww"),
+        max(col("w")).as("w_max"))
+      .select(col("source"), col("n"),
+        round((col("sw") * col("sw")) / col("sww"), 6).as("ess"),
+        round((col("sw") * col("sw")) / col("sww") /
+          col("n").cast("double"), 6).as("efficiency"),
+        round(col("w_max") / col("sw"), 6).as("max_weight_share"))
+      .orderBy(col("source"))
+  }
+
+  val weightEssAuditSql: String =
+    s"""WITH docs AS (
+       |  SELECT source,
+       |    ${graft.operators.TextAnalysis.qualityExprSql} AS w
+       |  FROM documents
+       |), agg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS sw,
+       |    CAST(SUM(CAST(ROUND(w * w, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |      AS sww,
+       |    MAX(w) AS w_max
+       |  FROM docs GROUP BY 1
+       |)
+       |SELECT source, n,
+       |  ROUND((sw * sw) / sww, 6) AS ess,
+       |  ROUND((sw * sw) / sww / CAST(n AS DOUBLE), 6) AS efficiency,
+       |  ROUND(w_max / sw, 6) AS max_weight_share
+       |FROM agg
+       |ORDER BY source""".stripMargin
 }

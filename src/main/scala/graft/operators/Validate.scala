@@ -184,4 +184,73 @@ object Validate {
       "  CAST(n_violations = 0 AS INT) AS pass\nFROM (\n",
       "\nUNION ALL\n", "\n)\nORDER BY rule_name")
   }
+
+  /** q385 — categorical-domain drift audit: for every categorical
+    * column, the category inventory of the FIRST half of the time
+    * range against the SECOND (q124's integer-midpoint split on
+    * order date), flagging values that APPEARED (`is_new`) or
+    * VANISHED (`is_gone`). This is the ingestion guard q163's static
+    * domain rules cannot express — a rule lists the values you knew
+    * about; this catches the enum value the upstream added last week,
+    * BEFORE a downstream CASE silently routes it to `otherwise`. The
+    * per-half counts make the severity call (a 3-row novel category
+    * is a probe; a 30k-row one is a schema change).
+    *
+    * Exactness: integer day split ((min+max) div 2 — non-negative,
+    * both engines floor), integer half counts, integer flags.
+    * Scale: one scan per audited table, a long-form union at
+    * (column × category) grain — catalog-sized after the aggregate.
+    */
+  def categoryDriftAudit(spark: SparkSession, dir: String): DataFrame = {
+    val dayOf = "(unix_micros(cast(o_orderdate as timestamp)) - " +
+      "pmod(unix_micros(cast(o_orderdate as timestamp)), 86400000000)) " +
+      "div 86400000000"
+    val o = Tables.load(spark, dir, "orders")
+      .withColumn("day", expr(dayOf))
+    val split = o.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val tagged = o.crossJoin(broadcast(split))
+      .withColumn("half", when(col("day") <= col("mid"), 1).otherwise(2))
+    val cols = Seq("o_orderstatus", "o_orderpriority")
+    val long = cols.map { c =>
+      tagged.select(lit(c).as("col_name"), col(c).as("value"), col("half"))
+    }.reduce(_ unionByName _)
+    long.groupBy(col("col_name"), col("value"))
+      .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("n_second"))
+      .select(col("col_name"), col("value"), col("n_first"),
+        col("n_second"),
+        (col("n_first") === 0).cast("int").as("is_new"),
+        (col("n_second") === 0).cast("int").as("is_gone"))
+      .orderBy(col("col_name"), col("value"))
+  }
+
+  val categoryDriftAuditSql: String = {
+    def one(c: String): String =
+      s"SELECT '$c' AS col_name, $c AS value, half FROM tagged"
+    s"""WITH o AS (
+       |  SELECT o_orderstatus, o_orderpriority,
+       |    epoch_ms(o_orderdate) // 86400000 AS day
+       |  FROM orders
+       |), split AS (
+       |  SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM o
+       |), tagged AS (
+       |  SELECT o.*, CASE WHEN o.day <= s.mid THEN 1 ELSE 2 END AS half
+       |  FROM o CROSS JOIN split s
+       |), long_form AS (
+       |  ${Seq("o_orderstatus", "o_orderpriority").map(one)
+           .mkString("\n  UNION ALL\n  ")}
+       |)
+       |SELECT col_name, value,
+       |  CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_first,
+       |  CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_second,
+       |  CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) = 0 AS INT)
+       |    AS is_new,
+       |  CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) = 0 AS INT)
+       |    AS is_gone
+       |FROM long_form
+       |GROUP BY 1, 2
+       |ORDER BY col_name, value""".stripMargin
+  }
 }
