@@ -3887,4 +3887,84 @@ object Profile {
       |FROM cum
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** q390 — source specialization index: per source, the Shannon
+    * entropy of its language mix (nats), the normalized evenness
+    * H/ln(L) against the source's own language count, and the
+    * dominant language with its share — the one-row-per-source answer
+    * to "is this feed a single-language specialist or a mixed
+    * crawl?", which decides whether it routes through one language
+    * pipeline or fans out. q130's JSD compares sources to EACH OTHER;
+    * this characterizes each alone, and evenness is comparable across
+    * sources with different language counts where raw H is not.
+    *
+    * Exactness: the q103/q365 entropy discipline — integer
+    * (source, lang) counts, 6dp-rounded p·ln p terms summed as
+    * DECIMAL(28,6), single rounded divisions; the dominant language
+    * is an integer-count argmax with a lexicographic tiebreak.
+    *
+    * Scale: one (source, lang) aggregate, then catalog-sized algebra.
+    */
+  def sourceSpecialization(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val cells = Tables.load(spark, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val wS = Window.partitionBy(col("source"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("lang"))
+    cells
+      .withColumn("n", sum(col("c")).over(wS))
+      .withColumn("l_cnt", count(lit(1)).over(wS))
+      .withColumn("term",
+        round(-(col("c").cast("double") / col("n").cast("double")) *
+          log(col("c").cast("double") / col("n").cast("double")), 6)
+          .cast(dec))
+      .withColumn("top_rank", row_number().over(wTop))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        max(col("l_cnt")).cast("int").as("n_langs"),
+        sum(col("term")).cast("double").as("h"),
+        max(when(col("top_rank") === 1, col("lang"))).as("top_lang"),
+        max(when(col("top_rank") === 1, col("c"))).as("top_n"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        round(col("h"), 6).as("lang_entropy"),
+        round(when(col("n_langs") > 1,
+          col("h") / log(col("n_langs").cast("double")))
+          .otherwise(lit(0.0)), 6).as("evenness"),
+        col("top_lang"),
+        round(col("top_n").cast("double") / col("n_docs").cast("double"),
+          6).as("top_share"))
+      .orderBy(col("source"))
+  }
+
+  val sourceSpecializationSql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2
+      |), rich AS (
+      |  SELECT source, lang, c,
+      |    SUM(c) OVER (PARTITION BY source) AS n,
+      |    COUNT(*) OVER (PARTITION BY source) AS l_cnt,
+      |    CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(SUM(c)
+      |        OVER (PARTITION BY source) AS DOUBLE))
+      |      * ln(CAST(c AS DOUBLE) / CAST(SUM(c)
+      |        OVER (PARTITION BY source) AS DOUBLE)), 6)
+      |      AS DECIMAL(28,6)) AS term,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY c DESC, lang) AS top_rank
+      |  FROM cells
+      |)
+      |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+      |  CAST(MAX(l_cnt) AS INT) AS n_langs,
+      |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS lang_entropy,
+      |  ROUND(CASE WHEN MAX(l_cnt) > 1
+      |    THEN CAST(SUM(term) AS DOUBLE) / ln(CAST(MAX(l_cnt) AS DOUBLE))
+      |    ELSE 0.0 END, 6) AS evenness,
+      |  MAX(CASE WHEN top_rank = 1 THEN lang END) AS top_lang,
+      |  ROUND(CAST(MAX(CASE WHEN top_rank = 1 THEN c END) AS DOUBLE)
+      |    / CAST(MAX(n) AS DOUBLE), 6) AS top_share
+      |FROM rich
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 }

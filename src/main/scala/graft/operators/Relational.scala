@@ -3208,4 +3208,93 @@ object Relational {
        |FROM c
        |ORDER BY o_orderpriority""".stripMargin
   }
+
+  /** q388 — Laspeyres / Paasche / Fisher price indices per part type
+    * and ship month: the canonical "did prices move, holding the
+    * basket fixed" readout. Laspeyres weights month-t prices by
+    * BASE-month quantities (answering "what would the old basket cost
+    * now"), Paasche by CURRENT quantities, Fisher is their geometric
+    * mean — the three every price-level dashboard quotes, computed on
+    * the matched sample (parts present in both base and current
+    * month, the standard matched-model index). q261 estimates price
+    * ELASTICITY; this tracks the LEVEL.
+    *
+    * Exactness: per-(part, month) average prices are decimal-sum /
+    * integer-count doubles; every p·q product rounds at 6dp before
+    * its DECIMAL(28,6) sum; each index is one rounded division
+    * (Fisher one rounded sqrt of the two unrounded ratios).
+    *
+    * Scale: one (part, month) aggregate over the fact scan, a
+    * part-keyed join to the base month (co-partitioned), one
+    * (type, month) aggregate — nothing after the first shuffle
+    * exceeds catalog × months.
+    */
+  def priceIndices(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("ym", expr(
+        "year(l_shipdate) * 100 + month(l_shipdate)"))
+    val pm = li.groupBy(col("l_partkey"), col("ym"))
+      .agg((decSum(col("l_extendedprice")) / count(lit(1))).as("p"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("q"))
+    val baseYm = pm.agg(min(col("ym")).as("base_ym"))
+    val base = pm.crossJoin(broadcast(baseYm))
+      .filter(col("ym") === col("base_ym"))
+      .select(col("l_partkey"), col("p").as("p0"), col("q").as("q0"))
+    val types = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_type"))
+    val matched = pm.join(base, "l_partkey")
+      .join(broadcast(types), "l_partkey")
+    matched.groupBy(col("p_type"), col("ym"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(round(col("p") * col("q0"), 6).cast(dec)).cast("double")
+          .as("pt_q0"),
+        sum(round(col("p0") * col("q0"), 6).cast(dec)).cast("double")
+          .as("p0_q0"),
+        sum(round(col("p") * col("q"), 6).cast(dec)).cast("double")
+          .as("pt_qt"),
+        sum(round(col("p0") * col("q"), 6).cast(dec)).cast("double")
+          .as("p0_qt"))
+      .select(col("p_type"), col("ym"), col("n_parts"),
+        round(col("pt_q0") / col("p0_q0"), 6).as("laspeyres"),
+        round(col("pt_qt") / col("p0_qt"), 6).as("paasche"),
+        round(sqrt((col("pt_q0") / col("p0_q0")) *
+          (col("pt_qt") / col("p0_qt"))), 6).as("fisher"))
+      .orderBy(col("p_type"), col("ym"))
+  }
+
+  val priceIndicesSql: String =
+    """WITH pm AS (
+      |  SELECT l_partkey,
+      |    year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |      / COUNT(*) AS p,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS q
+      |  FROM lineitem GROUP BY 1, 2
+      |), base AS (
+      |  SELECT l_partkey, p AS p0, q AS q0 FROM pm
+      |  WHERE ym = (SELECT MIN(ym) FROM pm)
+      |), matched AS (
+      |  SELECT t.p_type, m.ym, m.p, m.q, b.p0, b.q0
+      |  FROM pm m
+      |  JOIN base b ON b.l_partkey = m.l_partkey
+      |  JOIN part t ON t.p_partkey = m.l_partkey
+      |), agg AS (
+      |  SELECT p_type, ym, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |    CAST(SUM(CAST(ROUND(p * q0, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS pt_q0,
+      |    CAST(SUM(CAST(ROUND(p0 * q0, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS p0_q0,
+      |    CAST(SUM(CAST(ROUND(p * q, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS pt_qt,
+      |    CAST(SUM(CAST(ROUND(p0 * q, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS p0_qt
+      |  FROM matched GROUP BY 1, 2
+      |)
+      |SELECT p_type, ym, n_parts,
+      |  ROUND(pt_q0 / p0_q0, 6) AS laspeyres,
+      |  ROUND(pt_qt / p0_qt, 6) AS paasche,
+      |  ROUND(sqrt((pt_q0 / p0_q0) * (pt_qt / p0_qt)), 6) AS fisher
+      |FROM agg
+      |ORDER BY p_type, ym""".stripMargin
 }

@@ -2881,4 +2881,107 @@ object Similarity {
        |FROM pred p JOIN totals t ON p.true_label = t.true_label
        |GROUP BY p.true_label, p.pred_label
        |ORDER BY p.true_label, p.pred_label""".stripMargin
+
+  /** q389 — MRR / MAP@k retrieval audit on the q29 ranking: per
+    * query, the reciprocal rank of the FIRST relevant neighbor and
+    * average precision over the top k (label-match relevance, the
+    * q159 convention) — the two rank metrics nDCG doesn't give you:
+    * MRR is the "how fast does the user see something right" number
+    * (RAG cares about rank 1, not rank 7), AP is the full
+    * precision-ordering summary. Together with q137 (recall) and
+    * q159 (nDCG) this completes the standard IR-eval quartet on one
+    * shared ranking.
+    *
+    * Exactness: ranks and cumulative hits are integers; each
+    * precision-at-relevant-rank term (cum/i) rounds at 9dp before its
+    * DECIMAL(28,9) sum (k terms per query); RR and the AP division
+    * are single rounded operations; the AP denominator is
+    * min(n_rel, k) per the standard truncated-AP definition.
+    *
+    * Scale: rides q29's broadcast-queries + partial-top-k plan; the
+    * per-query window runs over k rows.
+    */
+  def mapMrrAudit(spark: SparkSession, dir: String, nQueries: Int = 8,
+                  k: Int = 10): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val qlab = labels.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val corpusRel = labels.filter(col("vec_id") >= nQueries)
+      .groupBy(col("label").as("q_label")).agg(count(lit(1)).as("n_rel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val ranked = knnBrute(spark, dir, nQueries, k)
+      .join(broadcast(qlab), "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .withColumn("rel", (col("n_label") === col("q_label")).cast("long"))
+      .withColumn("cum", sum(col("rel")).over(w))
+    ranked.groupBy(col("query_id"), col("q_label"))
+      .agg(sum(col("rel")).as("n_hits"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"),
+        sum(when(col("rel") === 1,
+            round(col("cum").cast("double") / col("rank").cast("double"),
+              9)).otherwise(lit(0.0)).cast(dec9))
+          .cast("double").as("ap_num"))
+      .join(broadcast(corpusRel), Seq("q_label"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .select(col("query_id"), col("q_label"), col("n_rel"),
+        col("n_hits"), col("first_rel_rank"),
+        round(when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank").cast("double"))
+          .otherwise(lit(0.0)), 6).as("rr"),
+        round(col("ap_num") /
+          greatest(least(col("n_rel"), lit(k.toLong)), lit(1L))
+            .cast("double"), 6).as("ap"))
+      .orderBy(col("query_id"))
+  }
+
+  def mapMrrAuditSql(nQueries: Int = 8, k: Int = 10): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+       |  FROM embeddings WHERE vec_id < $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+       |    e.label AS n_label,
+       |    ROUND(${cosSql("q.q_emb", "e.embedding")}, 6) AS cos_sim
+       |  FROM embeddings e, q WHERE e.vec_id >= $nQueries
+       |), topk AS (
+       |  SELECT query_id, q_label, n_label,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored
+       |  QUALIFY rank <= $k
+       |), relranked AS (
+       |  SELECT query_id, q_label, rank,
+       |    CASE WHEN n_label = q_label THEN 1 ELSE 0 END AS rel,
+       |    SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY query_id ORDER BY rank
+       |        ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM topk
+       |), corpus_rel AS (
+       |  SELECT label AS q_label, CAST(COUNT(*) AS BIGINT) AS n_rel
+       |  FROM embeddings WHERE vec_id >= $nQueries GROUP BY 1
+       |), per_q AS (
+       |  SELECT query_id, q_label,
+       |    CAST(SUM(rel) AS BIGINT) AS n_hits,
+       |    MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+       |    CAST(SUM(CAST(CASE WHEN rel = 1
+       |      THEN ROUND(CAST(cum AS DOUBLE) / CAST(rank AS DOUBLE), 9)
+       |      ELSE 0.0 END AS DECIMAL(28,9))) AS DOUBLE) AS ap_num
+       |  FROM relranked GROUP BY 1, 2
+       |)
+       |SELECT p.query_id, p.q_label,
+       |  COALESCE(c.n_rel, 0) AS n_rel, p.n_hits,
+       |  CAST(p.first_rel_rank AS INT) AS first_rel_rank,
+       |  ROUND(CASE WHEN p.first_rel_rank IS NOT NULL
+       |    THEN 1.0 / CAST(p.first_rel_rank AS DOUBLE) ELSE 0.0 END, 6)
+       |    AS rr,
+       |  ROUND(p.ap_num / CAST(GREATEST(LEAST(COALESCE(c.n_rel, 0),
+       |    $k), 1) AS DOUBLE), 6) AS ap
+       |FROM per_q p LEFT JOIN corpus_rel c ON p.q_label = c.q_label
+       |ORDER BY p.query_id""".stripMargin
 }
