@@ -3547,10 +3547,13 @@ object Profile {
         sum(round(col("p") * col("p"), 6).cast(dec)).cast("double").as("spp"))
       .withColumn("m", col("sp") / col("k"))
       .withColumn("v", col("spp") / col("k") - col("m") * col("m"))
-      .withColumn("s0raw",
-        col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0))
-      .withColumn("s0",
-        when(col("v") > 0 && col("s0raw") > 0, col("s0raw")))
+      // the v > 0 guard must wrap the DIVISION itself: under ANSI
+      // mode a zero-variance corpus (all rates equal) would otherwise
+      // throw DIVIDE_BY_ZERO before the CASE discards it
+      // (Round11OpsSpec pins this corner)
+      .withColumn("s0raw", when(col("v") > 0,
+        col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0)))
+      .withColumn("s0", when(col("s0raw") > 0, col("s0raw")))
       .select(col("m"), col("s0"))
     per.crossJoin(broadcast(prior))
       .withColumn("shrunk",
