@@ -2398,4 +2398,134 @@ object Curation {
        |  ROUND(w_max / sw, 6) AS max_weight_share
        |FROM agg
        |ORDER BY source""".stripMargin
+
+  /** q391 — optimal two-source blend search: for the corpus's two
+    * LARGEST sources, sweep the mixing weight w over a 21-point grid
+    * and score each blend's Jensen–Shannon divergence from the
+    * corpus-wide language distribution, flagging the minimizer — the
+    * mix-DESIGN question ("what ratio of A to B reproduces the target
+    * mix?") that q62 answers only when someone already hands it the
+    * weights and q178 answers only by temperature-flattening. Grid
+    * search over an exact objective is how a curation run actually
+    * picks a blend: the sweep IS the evidence, so it ships as the
+    * relation.
+    *
+    * Exactness: all probabilities are integer-count ratios; each JSD
+    * term is one fixed double chain (0·ln 0 guarded to 0) rounded at
+    * 6dp and summed as DECIMAL(28,6) over the |langs|-sized support;
+    * the winner is a deterministic (jsd, w) argmin. The top-2 source
+    * pick is an integer-count rank with a lexicographic tiebreak.
+    *
+    * Scale: one (source, lang) aggregate, then a
+    * |grid| × |langs| frame — config-sized. Only the first aggregate
+    * sees the corpus.
+    */
+  def optimalBlend(spark: SparkSession, dir: String,
+                   steps: Int = 20): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"))
+    val srcCounts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val top2 = srcCounts
+      .withColumn("rr", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("n").desc, col("source"))))
+      .filter(col("rr") <= 2)
+      .groupBy()
+      .agg(max(when(col("rr") === 1, col("source"))).as("src_a"),
+        max(when(col("rr") === 1, col("n"))).as("n_a"),
+        max(when(col("rr") === 2, col("source"))).as("src_b"),
+        max(when(col("rr") === 2, col("n"))).as("n_b"))
+    val cells = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val global = docs.groupBy(col("lang")).agg(count(lit(1)).as("c_t"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_t"))))
+    val withAb = global.crossJoin(broadcast(top2))
+      .join(cells.select(col("source").as("src_a"), col("lang"),
+        col("c").as("c_a")), Seq("src_a", "lang"), "left")
+      .join(cells.select(col("source").as("src_b"), col("lang"),
+        col("c").as("c_b")), Seq("src_b", "lang"), "left")
+      .withColumn("pa", coalesce(col("c_a"), lit(0L)).cast("double") /
+        col("n_a").cast("double"))
+      .withColumn("pb", coalesce(col("c_b"), lit(0L)).cast("double") /
+        col("n_b").cast("double"))
+      .withColumn("pt", col("c_t").cast("double") / col("n_t").cast("double"))
+    val grid = withAb.select(col("src_a"), col("src_b"), col("pa"),
+        col("pb"), col("pt"),
+        explode(sequence(lit(0), lit(steps))).as("wi"))
+      .withColumn("w", col("wi").cast("double") / lit(steps.toDouble))
+      .withColumn("m", col("w") * col("pa") +
+        (lit(1.0) - col("w")) * col("pb"))
+      .withColumn("avg", (col("m") + col("pt")) / 2)
+      .withColumn("term", round(
+        when(col("m") > 0,
+          lit(0.5) * col("m") * log(col("m") / col("avg")))
+          .otherwise(lit(0.0)) +
+        when(col("pt") > 0,
+          lit(0.5) * col("pt") * log(col("pt") / col("avg")))
+          .otherwise(lit(0.0)), 6).cast(dec))
+    val scored = grid.groupBy(col("src_a"), col("src_b"), col("wi"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("jsd"))
+    scored
+      .withColumn("is_best", (row_number().over(Window
+        .partitionBy(lit(1)).orderBy(col("jsd"), col("wi"))) === 1)
+        .cast("int"))
+      .select(col("src_a"), col("src_b"),
+        round(col("wi").cast("double") / lit(steps.toDouble), 6).as("w"),
+        col("jsd"), col("is_best"))
+      .orderBy(col("w"))
+  }
+
+  def optimalBlendSql(steps: Int = 20): String =
+    s"""WITH src_counts AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1
+       |), top2 AS (
+       |  SELECT MAX(CASE WHEN rr = 1 THEN source END) AS src_a,
+       |    MAX(CASE WHEN rr = 1 THEN n END) AS n_a,
+       |    MAX(CASE WHEN rr = 2 THEN source END) AS src_b,
+       |    MAX(CASE WHEN rr = 2 THEN n END) AS n_b
+       |  FROM (SELECT source, n,
+       |    row_number() OVER (ORDER BY n DESC, source) AS rr
+       |    FROM src_counts) WHERE rr <= 2
+       |), cells AS (
+       |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1, 2
+       |), global AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_t,
+       |    (SELECT COUNT(*) FROM documents) AS n_t
+       |  FROM documents GROUP BY 1
+       |), with_ab AS (
+       |  SELECT t.src_a, t.src_b, g.lang,
+       |    CAST(COALESCE(a.c, 0) AS DOUBLE) / CAST(t.n_a AS DOUBLE) AS pa,
+       |    CAST(COALESCE(b.c, 0) AS DOUBLE) / CAST(t.n_b AS DOUBLE) AS pb,
+       |    CAST(g.c_t AS DOUBLE) / CAST(g.n_t AS DOUBLE) AS pt
+       |  FROM global g CROSS JOIN top2 t
+       |  LEFT JOIN cells a ON a.source = t.src_a AND a.lang = g.lang
+       |  LEFT JOIN cells b ON b.source = t.src_b AND b.lang = g.lang
+       |), grid AS (
+       |  SELECT src_a, src_b, wi,
+       |    CAST(ROUND(
+       |      CASE WHEN m > 0 THEN 0.5 * m * ln(m / avg) ELSE 0.0 END +
+       |      CASE WHEN pt > 0 THEN 0.5 * pt * ln(pt / avg) ELSE 0.0 END,
+       |      6) AS DECIMAL(28,6)) AS term
+       |  FROM (
+       |    SELECT src_a, src_b, pt, wi,
+       |      (CAST(wi AS DOUBLE) / $steps.0) * pa
+       |        + (1.0 - CAST(wi AS DOUBLE) / $steps.0) * pb AS m,
+       |      ((CAST(wi AS DOUBLE) / $steps.0) * pa
+       |        + (1.0 - CAST(wi AS DOUBLE) / $steps.0) * pb + pt) / 2
+       |        AS avg
+       |    FROM with_ab
+       |    CROSS JOIN (SELECT unnest(range(0, $steps + 1)) AS wi) g
+       |  )
+       |), scored AS (
+       |  SELECT src_a, src_b, wi,
+       |    ROUND(CAST(SUM(term) AS DOUBLE), 6) AS jsd
+       |  FROM grid GROUP BY 1, 2, 3
+       |)
+       |SELECT src_a, src_b,
+       |  ROUND(CAST(wi AS DOUBLE) / $steps.0, 6) AS w, jsd,
+       |  CAST(row_number() OVER (ORDER BY jsd, wi) = 1 AS INT) AS is_best
+       |FROM scored
+       |ORDER BY w""".stripMargin
 }

@@ -1351,4 +1351,99 @@ object Temporal {
        |FROM scored
        |GROUP BY c_nationkey
        |ORDER BY c_nationkey""".stripMargin
+
+  /** q392 — time-travel snapshot diff over the SCD2 dimension: the
+    * per-user state at T₁ (40% of the time range) against the state
+    * at T₂ (80%), rolled into the (state_t1 → state_t2) transition
+    * matrix with user counts — "what changed between these two
+    * snapshots", the question every lakehouse time-travel feature
+    * exists to answer, computed here from q85's interval table
+    * without storing either snapshot. Users whose history starts
+    * after a probe time surface as `(none)` — the added-since-T₁
+    * diagonal a reconciliation report needs.
+    *
+    * Exactness: probe times are integer ms arithmetic off the corpus
+    * bounds (both engines floor); state-at-T is interval containment
+    * on the deduplicated intervals (q298's empty-interval drop, so a
+    * same-millisecond double change cannot yield two states); counts
+    * are integers.
+    *
+    * Scale: intervals are change-count-sized; each probe is one
+    * filter over them (no per-user window), the diff one full-outer
+    * user join + a |states|²-bounded aggregate.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val wFrom = Window.partitionBy(col("user_id"), col("valid_from_ms"))
+      .orderBy(col("version").desc)
+    val iv = scd2Intervals(spark, dir)
+      .select(col("user_id"), col("state"), col("valid_from_ms"),
+        col("valid_to_ms"), col("version"))
+      .withColumn("rn", row_number().over(wFrom))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint() // probed twice (T1 and T2)
+    val bounds = Tables.load(spark, dir, "events")
+      .agg(min(Relational.tsMs("ts")).as("a"),
+        max(Relational.tsMs("ts")).as("b"))
+      .select(expr("a + ((b - a) * 2) div 5").as("t1"),
+        expr("a + ((b - a) * 4) div 5").as("t2"))
+    def stateAt(t: String, out: String): DataFrame =
+      iv.crossJoin(broadcast(bounds))
+        .filter(col("valid_from_ms") <= col(t) &&
+          (col("valid_to_ms").isNull || col(t) < col("valid_to_ms")))
+        .select(col("user_id"), col("state").as(out))
+    stateAt("t1", "s1").join(stateAt("t2", "s2"), Seq("user_id"),
+        "full_outer")
+      .select(coalesce(col("s1"), lit("(none)")).as("state_t1"),
+        coalesce(col("s2"), lit("(none)")).as("state_t2"))
+      .groupBy(col("state_t1"), col("state_t2"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("is_changed",
+        (col("state_t1") =!= col("state_t2")).cast("int"))
+      .orderBy(col("state_t1"), col("state_t2"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS prev_state
+      |  FROM events
+      |), changes AS (
+      |  SELECT user_id, event_type, ts_ms, event_id FROM ordered
+      |  WHERE prev_state IS NULL OR prev_state <> event_type
+      |), iv0 AS (
+      |  SELECT user_id, event_type AS state, ts_ms AS valid_from_ms,
+      |    lead(ts_ms) OVER w AS valid_to_ms,
+      |    CAST(row_number() OVER w AS INT) AS version
+      |  FROM changes
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |), iv AS (
+      |  SELECT user_id, state, valid_from_ms, valid_to_ms FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, valid_from_ms
+      |      ORDER BY version DESC) AS rn
+      |    FROM iv0
+      |  ) WHERE rn = 1
+      |), bounds AS (
+      |  SELECT MIN(epoch_ms(ts)) + ((MAX(epoch_ms(ts)) - MIN(epoch_ms(ts)))
+      |      * 2) // 5 AS t1,
+      |    MIN(epoch_ms(ts)) + ((MAX(epoch_ms(ts)) - MIN(epoch_ms(ts)))
+      |      * 4) // 5 AS t2
+      |  FROM events
+      |), s1 AS (
+      |  SELECT i.user_id, i.state FROM iv i CROSS JOIN bounds b
+      |  WHERE i.valid_from_ms <= b.t1
+      |    AND (i.valid_to_ms IS NULL OR b.t1 < i.valid_to_ms)
+      |), s2 AS (
+      |  SELECT i.user_id, i.state FROM iv i CROSS JOIN bounds b
+      |  WHERE i.valid_from_ms <= b.t2
+      |    AND (i.valid_to_ms IS NULL OR b.t2 < i.valid_to_ms)
+      |)
+      |SELECT COALESCE(s1.state, '(none)') AS state_t1,
+      |  COALESCE(s2.state, '(none)') AS state_t2,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(COALESCE(s1.state, '(none)') <> COALESCE(s2.state, '(none)')
+      |    AS INT) AS is_changed
+      |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+      |GROUP BY 1, 2
+      |ORDER BY state_t1, state_t2""".stripMargin
 }
