@@ -5237,4 +5237,241 @@ object Events {
        |    / te_n), 6) AS rmse
        |FROM fit2
        |ORDER BY event_type, fold""".stripMargin
+
+  /** q393 — Diebold–Mariano test between the two q222 baseline
+    * forecasts (naive lag-1 vs seasonal-naive lag-7) on each type's
+    * dense daily series: the loss-differential t-statistic with the
+    * Newey–West (Bartlett, h = 7) HAC variance — the econometric
+    * answer to "is forecast A actually better, or did it win this
+    * sample by luck?". q222 reports each model's error level; a 100 TB
+    * forecasting platform promotes a model only on a significant DM,
+    * because autocorrelated daily losses make naive t-tests
+    * overconfident by design.
+    *
+    * Exactness: loss differentials d_t = |e₁| − |e₂| round at 6dp;
+    * the mean and every lagged autocovariance term round at 6dp
+    * before DECIMAL(28,6) sums (one window pass computes all six
+    * lags); the HAC variance and the statistic are one fixed double
+    * chain, NULL-guarded when non-positive (small-sample HAC can go
+    * negative — surfaced, not hidden).
+    *
+    * Scale: one (type, day) aggregate, a calendar spine, ONE
+    * type-partitioned day-ordered window (lags 1 and 7 for the
+    * forecasts + 6 differential lags ride the same sort), two
+    * calendar-sized aggregates.
+    */
+  def dieboldMariano(spark: SparkSession, dir: String,
+                     h: Int = 7): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(graft.operators.Relational.decSum(col("value")).as("v"))
+    val bounds = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val spine = bounds.select(col("event_type"),
+      explode(sequence(col("mn"), col("mx"))).as("day"))
+    val dense = spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("v", coalesce(col("v"), lit(0.0)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val withD = dense
+      .withColumn("f1", lag(col("v"), 1).over(w))
+      .withColumn("f7", lag(col("v"), 7).over(w))
+      .filter(col("f7").isNotNull)
+      .withColumn("d",
+        round(abs(col("v") - col("f1")) - abs(col("v") - col("f7")), 6))
+    val mean = withD.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("d").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("dbar"))
+    val centered = withD.join(broadcast(mean), "event_type")
+      .withColumn("c", col("d") - col("dbar"))
+    val lagged = (1 until h).foldLeft(
+        centered.withColumn("c0", col("c")))( (df, k) =>
+      df.withColumn(s"c$k", lag(col("c"), k).over(w)))
+    val gAggs = count(lit(1)).as("nn") +:
+      (0 until h).map(k =>
+        sum(round(col("c0") * col(s"c$k"), 6).cast(dec))
+          .cast("double").as(s"g$k"))
+    val gammas = lagged.groupBy(col("event_type"))
+      .agg(gAggs.head, gAggs.tail: _*)
+    val bart = (1 until h).map(k =>
+      lit(2.0 * (1.0 - k.toDouble / h)) * col(s"g$k") /
+        col("nn").cast("double"))
+    mean.join(broadcast(gammas), "event_type")
+      .withColumn("hac_var",
+        bart.foldLeft(col("g0") / col("nn").cast("double"))(_ + _))
+      .withColumn("dm_stat",
+        when(col("hac_var") > 0,
+          round(col("dbar") /
+            sqrt(col("hac_var") / col("n").cast("double")), 6)))
+      .select(col("event_type"), col("n"),
+        round(col("dbar"), 6).as("mean_loss_diff"),
+        round(col("hac_var"), 6).as("hac_var"),
+        col("dm_stat"),
+        when(col("dm_stat").isNull, "inconclusive")
+          .when(col("dm_stat") < -1.959964, "naive_better")
+          .when(col("dm_stat") > 1.959964, "seasonal_better")
+          .otherwise("no_significant_diff").as("verdict"))
+      .orderBy(col("event_type"))
+  }
+
+  def dieboldMarianoSql(h: Int = 7): String = {
+    val gCols = (0 until h).map(k =>
+      s"""CAST(SUM(CAST(ROUND(c0 * c$k, 6) AS DECIMAL(28,6)))
+         |      AS DOUBLE) AS g$k""".stripMargin).mkString(",\n    ")
+    val lagCols = (1 until h).map(k =>
+      s"lag(c, $k) OVER (PARTITION BY event_type ORDER BY day) AS c$k")
+      .mkString(",\n    ")
+    val bart = (1 until h).map(k =>
+      s"2.0 * ${1.0 - k.toDouble / h} * g$k / CAST(nn AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+       |  FROM events GROUP BY 1, 2
+       |), bounds AS (
+       |  SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+       |  FROM daily GROUP BY 1
+       |), spine AS (
+       |  SELECT event_type, unnest(range(mn, mx + 1)) AS day FROM bounds
+       |), dense AS (
+       |  SELECT s.event_type, s.day, COALESCE(d.v, 0.0) AS v
+       |  FROM spine s LEFT JOIN daily d
+       |    ON d.event_type = s.event_type AND d.day = s.day
+       |), diffs AS (
+       |  SELECT event_type, day,
+       |    ROUND(ABS(v - f1) - ABS(v - f7), 6) AS d
+       |  FROM (
+       |    SELECT event_type, day, v,
+       |      lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1,
+       |      lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7
+       |    FROM dense
+       |  ) WHERE f7 IS NOT NULL
+       |), m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS dbar
+       |  FROM diffs GROUP BY 1
+       |), centered AS (
+       |  SELECT d.event_type, d.day, d.d - m.dbar AS c
+       |  FROM diffs d JOIN m ON d.event_type = m.event_type
+       |), lagged AS (
+       |  SELECT event_type, c AS c0,
+       |    $lagCols
+       |  FROM centered
+       |), gam AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nn,
+       |    $gCols
+       |  FROM lagged GROUP BY 1
+       |), hac AS (
+       |  SELECT m.event_type, m.n, m.dbar,
+       |    g.g0 / CAST(g.nn AS DOUBLE) + $bart AS hac_var
+       |  FROM m JOIN gam g ON m.event_type = g.event_type
+       |)
+       |SELECT event_type, n,
+       |  ROUND(dbar, 6) AS mean_loss_diff,
+       |  ROUND(hac_var, 6) AS hac_var,
+       |  CASE WHEN hac_var > 0
+       |    THEN ROUND(dbar / sqrt(hac_var / CAST(n AS DOUBLE)), 6)
+       |  END AS dm_stat,
+       |  CASE
+       |    WHEN hac_var <= 0 THEN 'inconclusive'
+       |    WHEN ROUND(dbar / sqrt(hac_var / CAST(n AS DOUBLE)), 6)
+       |      < -1.959964 THEN 'naive_better'
+       |    WHEN ROUND(dbar / sqrt(hac_var / CAST(n AS DOUBLE)), 6)
+       |      > 1.959964 THEN 'seasonal_better'
+       |    ELSE 'no_significant_diff' END AS verdict
+       |FROM hac
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** q394 — behavior-LM holdout cross-entropy: a first-order Markov
+    * model over event-type transitions is TRAINED on even-id users
+    * and EVALUATED (add-1 smoothed, per-origin-state cross-entropy in
+    * nats) on odd-id users — q56's language-model holdout discipline
+    * aimed at BEHAVIOR instead of text. The number a session-model or
+    * next-event predictor must beat, split leak-free by user (the
+    * q326 rule), and the per-origin rows show exactly WHICH states'
+    * futures are predictable (a high-CE origin is where a product
+    * flow is erratic).
+    *
+    * Exactness: transition counts are integers off one user-keyed
+    * window; smoothed probabilities are integer-count ratios; each
+    * −ln p rounds at 6dp and multiplies an INTEGER test count before
+    * its DECIMAL(28,6) sum; one rounded division per origin.
+    *
+    * Scale: one user-partitioned window pass (the q92 shape), two
+    * |types|²-bounded count tables, broadcast joins.
+    */
+  def behaviorLmHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(graft.operators.Relational.tsMs("ts"), col("event_id"))
+    val tr = Tables.load(spark, dir, "events")
+      .withColumn("b", lead(col("event_type"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .select((col("user_id") % 2 === 0).as("is_train"),
+        col("event_type").as("a"), col("b"))
+    val kRow = Tables.load(spark, dir, "events")
+      .agg(countDistinct(col("event_type")).as("k"))
+    val trainAb = tr.filter(col("is_train"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val trainA = trainAb.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val testAb = tr.filter(!col("is_train"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("t_ab"))
+    testAb
+      .join(broadcast(trainAb), Seq("a", "b"), "left")
+      .join(broadcast(trainA), Seq("a"), "left")
+      .crossJoin(broadcast(kRow))
+      .withColumn("c_ab", coalesce(col("c_ab"), lit(0L)))
+      .withColumn("c_a", coalesce(col("c_a"), lit(0L)))
+      .withColumn("p",
+        (col("c_ab") + 1).cast("double") /
+          (col("c_a") + col("k")).cast("double"))
+      .withColumn("term",
+        round(-log(col("p")), 6).cast(dec) * col("t_ab"))
+      .groupBy(col("a"))
+      .agg(sum(col("t_ab")).as("n_test"),
+        round(sum(col("term")).cast("double") /
+          sum(col("t_ab")).cast("double"), 6).as("cross_entropy_nats"))
+      .select(col("a").as("from_state"), col("n_test"),
+        col("cross_entropy_nats"))
+      .orderBy(col("from_state"))
+  }
+
+  val behaviorLmHoldoutSql: String =
+    """WITH tr AS (
+      |  SELECT user_id % 2 = 0 AS is_train, event_type AS a, b FROM (
+      |    SELECT user_id, event_type,
+      |      lead(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_ms(ts), event_id) AS b
+      |    FROM events
+      |  ) WHERE b IS NOT NULL
+      |), kk AS (
+      |  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events
+      |), train_ab AS (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM tr
+      |  WHERE is_train GROUP BY 1, 2
+      |), train_a AS (
+      |  SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM train_ab GROUP BY 1
+      |), test_ab AS (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS t_ab FROM tr
+      |  WHERE NOT is_train GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT t.a, t.t_ab,
+      |    CAST(ROUND(-ln(
+      |      CAST(COALESCE(ta.c_ab, 0) + 1 AS DOUBLE)
+      |        / CAST(COALESCE(tb.c_a, 0) + kk.k AS DOUBLE)), 6)
+      |      AS DECIMAL(28,6)) * t.t_ab AS term
+      |  FROM test_ab t
+      |  LEFT JOIN train_ab ta ON ta.a = t.a AND ta.b = t.b
+      |  LEFT JOIN train_a tb ON tb.a = t.a
+      |  CROSS JOIN kk
+      |)
+      |SELECT a AS from_state, CAST(SUM(t_ab) AS BIGINT) AS n_test,
+      |  ROUND(CAST(SUM(term) AS DOUBLE) / CAST(SUM(t_ab) AS DOUBLE), 6)
+      |    AS cross_entropy_nats
+      |FROM scored
+      |GROUP BY a
+      |ORDER BY from_state""".stripMargin
 }

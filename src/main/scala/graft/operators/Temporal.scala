@@ -1446,4 +1446,77 @@ object Temporal {
       |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
       |GROUP BY 1, 2
       |ORDER BY state_t1, state_t2""".stripMargin
+
+  /** q395 — Little's-law throughput readout per order priority: the
+    * three quantities L = λW relates — average work-in-system L
+    * (order-days of open backlog per calendar day), arrival rate λ
+    * (orders/day over the shared global span), and mean sojourn W
+    * (order day → last ship day, inclusive) — the queue-theory
+    * identity every capacity dashboard is secretly built on. Reading
+    * the three side by side per priority is the point: a priority
+    * whose W grows while λ is flat is a service-rate problem, not a
+    * demand problem, and the identity guarantees the L column prices
+    * that backlog in inventory terms.
+    *
+    * Exactness: sojourns are integer day differences; Σ sojourn and
+    * the global span are integers; λ, W, L are three single rounded
+    * divisions (L uses the identity form Σ sojourn/span — exactly the
+    * calendar integral of the daily open count, by Fubini, without
+    * materializing the spine).
+    *
+    * Scale: one lineitem aggregate (order completion = max ship day),
+    * one orders join (co-keyed), one |priorities|-row aggregate + a
+    * 1-row span broadcast.
+    */
+  def littlesLaw(spark: SparkSession, dir: String): DataFrame = {
+    val dayOf = (c: String) =>
+      s"(unix_micros(cast($c as timestamp)) - " +
+        s"pmod(unix_micros(cast($c as timestamp)), 86400000000)) " +
+        "div 86400000000"
+    val comp = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr(dayOf("l_shipdate"))).as("c"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"),
+        expr(dayOf("o_orderdate")).as("a"))
+      .join(comp, "l_orderkey")
+    val span = o.agg(
+      (max(col("c")) - min(col("a")) + 1).as("span_days"))
+    o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("c") - col("a") + 1).as("sum_sojourn"))
+      .crossJoin(broadcast(span))
+      .select(col("o_orderpriority"), col("n_orders"), col("span_days"),
+        round(col("n_orders").cast("double") /
+          col("span_days").cast("double"), 6).as("lambda_per_day"),
+        round(col("sum_sojourn").cast("double") /
+          col("n_orders").cast("double"), 6).as("w_days"),
+        round(col("sum_sojourn").cast("double") /
+          col("span_days").cast("double"), 6).as("l_avg_open"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val littlesLawSql: String =
+    """WITH comp AS (
+      |  SELECT l_orderkey,
+      |    MAX(epoch_ms(l_shipdate) // 86400000) AS c
+      |  FROM lineitem GROUP BY 1
+      |), o AS (
+      |  SELECT ord.o_orderpriority,
+      |    epoch_ms(ord.o_orderdate) // 86400000 AS a, comp.c
+      |  FROM orders ord JOIN comp ON comp.l_orderkey = ord.o_orderkey
+      |), span AS (
+      |  SELECT MAX(c) - MIN(a) + 1 AS span_days FROM o
+      |)
+      |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(MAX(s.span_days) AS BIGINT) AS span_days,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE)
+      |    / CAST(MAX(s.span_days) AS DOUBLE), 6) AS lambda_per_day,
+      |  ROUND(CAST(SUM(c - a + 1) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS w_days,
+      |  ROUND(CAST(SUM(c - a + 1) AS DOUBLE)
+      |    / CAST(MAX(s.span_days) AS DOUBLE), 6) AS l_avg_open
+      |FROM o CROSS JOIN span s
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }
