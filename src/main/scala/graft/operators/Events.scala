@@ -5474,4 +5474,262 @@ object Events {
       |FROM scored
       |GROUP BY a
       |ORDER BY from_state""".stripMargin
+
+  /** Poisson(1) inverse-CDF thresholds (cumulative e⁻¹/k!), shared
+    * 10dp literals — both engines compare the identical doubles. */
+  private val poissonCdf: Seq[Double] = Seq(
+    0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+    0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508,
+    0.9999988748)
+
+  /** q396 — Poisson bootstrap of the per-type mean user value: every
+    * (user, replicate) pair draws an independent Poisson(1) weight
+    * from a seeded uniform, so ALL R resamples ride ONE pass — the
+    * 100 TB bootstrap. q154's index-resampling needs the sample
+    * materialized per replicate (fine at audit scale, impossible at
+    * corpus scale); the Poisson trick is the standard scalable
+    * substitute (per-row independence ⇒ no coordination), and the
+    * replicate-mean spread + percentile CI it yields are the error
+    * bars every mean in this engine should wear at scale.
+    *
+    * Determinism: uniforms are the q308 md5 convention keyed on
+    * (type, replicate, user); the Poisson draw is a CASE over shared
+    * 10dp CDF literals — integer weights, identical both engines.
+    * Replicate means are decimal-weighted-sum / integer-weight-sum
+    * doubles; the across-replicate sd uses the q332 moment
+    * discipline; the CI is an exact rank pick over the R means.
+    *
+    * Scale: one (type, user) aggregate, a ×R explode of the
+    * USER-sized frame (the q371 posture — never event-scaled), one
+    * (type, replicate) aggregate, one R-sized window per type.
+    */
+  def poissonBootstrap(spark: SparkSession, dir: String,
+                       reps: Int = 50): DataFrame = {
+    import graft.functions.PortableHash
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val perUser = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(round(graft.operators.Relational.decSum(col("value"))
+        / count(col("value")), 6).as("x"))
+      .localCheckpoint() // consumers: the point mean + the ×R explode
+    val point = perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        (sum(col("x").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("point_mean"))
+    val u = (PortableHash.md5Long60(concat(col("event_type"), lit("|"),
+      col("r").cast("string"), lit("|"), col("user_id").cast("string")))
+      .cast("double") + 0.5) / lit((1L << 60).toDouble)
+    val wDraw = poissonCdf.zipWithIndex.foldRight(
+        lit(poissonCdf.length): Column) { case ((t, k), rest) =>
+      when(u < t, k).otherwise(rest)
+    }
+    val repMeans = perUser
+      .select(col("event_type"), col("user_id"), col("x"),
+        explode(sequence(lit(1), lit(reps))).as("r"))
+      .withColumn("w", wDraw.cast("long"))
+      .groupBy(col("event_type"), col("r"))
+      .agg((sum(col("x").cast(dec) * col("w")).cast("double") /
+        nullif(sum(col("w")).cast("double"), lit(0.0))).as("m"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("m"), col("r"))
+    val loIdx = math.ceil(0.025 * reps).toLong
+    val hiIdx = math.ceil(0.975 * reps).toLong
+    val stats = repMeans
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(round(col("m"), 6).cast(dec)).cast("double").as("sm"),
+        sum(round(col("m") * col("m"), 6).cast(dec)).cast("double")
+          .as("smm"),
+        max(when(col("rk") === loIdx, col("m"))).as("ci_lo_raw"),
+        max(when(col("rk") === hiIdx, col("m"))).as("ci_hi_raw"))
+    point.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("n_users"),
+        round(col("point_mean"), 6).as("point_mean"),
+        col("n_reps"),
+        round(sqrt(greatest(lit(0.0),
+          col("smm") / col("n_reps") -
+            (col("sm") / col("n_reps")) * (col("sm") / col("n_reps")))),
+          6).as("boot_sd"),
+        round(col("ci_lo_raw"), 6).as("ci_lo"),
+        round(col("ci_hi_raw"), 6).as("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  def poissonBootstrapSql(reps: Int = 50): String = {
+    val draw = poissonCdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${poissonCdf.length} END")
+    val loIdx = math.ceil(0.025 * reps).toLong
+    val hiIdx = math.ceil(0.975 * reps).toLong
+    s"""WITH per_user AS (
+       |  SELECT event_type, user_id,
+       |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       |      / COUNT(value), 6) AS x
+       |  FROM events GROUP BY 1, 2
+       |), point AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS point_mean
+       |  FROM per_user GROUP BY 1
+       |), drawn AS (
+       |  SELECT event_type, r, x, $draw AS w FROM (
+       |    SELECT p.event_type, p.user_id, p.x, g.r,
+       |      (CAST(CAST(('0x' || substr(md5(p.event_type || '|' ||
+       |        CAST(g.r AS VARCHAR) || '|' || CAST(p.user_id AS VARCHAR)),
+       |        1, 15)) AS BIGINT) AS DOUBLE) + 0.5) / POWER(2.0, 60) AS u
+       |    FROM per_user p
+       |    CROSS JOIN (SELECT unnest(range(1, $reps + 1)) AS r) g
+       |  )
+       |), rep_means AS (
+       |  SELECT event_type, r,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,6)) * w) AS DOUBLE)
+       |      / NULLIF(CAST(SUM(w) AS DOUBLE), 0.0) AS m
+       |  FROM drawn GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT event_type, m,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY m, r) AS BIGINT) AS rk
+       |  FROM rep_means
+       |), stats AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_reps,
+       |    CAST(SUM(CAST(ROUND(m, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sm,
+       |    CAST(SUM(CAST(ROUND(m * m, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |      AS smm,
+       |    MAX(CASE WHEN rk = $loIdx THEN m END) AS ci_lo_raw,
+       |    MAX(CASE WHEN rk = $hiIdx THEN m END) AS ci_hi_raw
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT p.event_type, p.n_users,
+       |  ROUND(p.point_mean, 6) AS point_mean,
+       |  s.n_reps,
+       |  ROUND(sqrt(GREATEST(0.0,
+       |    s.smm / s.n_reps - (s.sm / s.n_reps) * (s.sm / s.n_reps))), 6)
+       |    AS boot_sd,
+       |  ROUND(s.ci_lo_raw, 6) AS ci_lo,
+       |  ROUND(s.ci_hi_raw, 6) AS ci_hi
+       |FROM point p JOIN stats s ON p.event_type = s.event_type
+       |ORDER BY p.event_type""".stripMargin
+  }
+
+  /** q397 — variance decomposition of each type's daily series: what
+    * share of the day-to-day variance a DAY-OF-WEEK model explains
+    * (between-group SS over the 7 weekday cells) vs a LINEAR TREND
+    * (regression SS), against the total — the model-selection dial
+    * that q145 (DOW means), q102 (trend fit) and q172 (STL) all
+    * presuppose an answer to: a series with share_dow 0.6 wants q258's
+    * seasonal model, one with share_trend 0.5 wants q241's Holt, one
+    * with both near 0 is noise and deserves q121's screen, nothing
+    * more. The two shares are MARGINAL (each model alone vs total),
+    * not an orthogonal partition — stated, because DOW and trend are
+    * correlated on finite windows.
+    *
+    * Exactness: everything derives from decimal sufficient sums
+    * (6dp-rounded products) on the dense calendar — between-group SS
+    * via Σ s_d²/n_d − s²/n (6dp-rounded per-cell terms), trend SS via
+    * Sxy²/Sxx — and the shares are single rounded divisions,
+    * NULL-guarded on constant series.
+    *
+    * Scale: one (type, day) aggregate + spine, one (type, dow)
+    * aggregate, calendar-sized algebra.
+    */
+  def varianceDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(graft.operators.Relational.decSum(col("value")).as("v"))
+    val bounds = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dense = bounds.select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("v", coalesce(col("v"), lit(0.0)))
+      .withColumn("x", col("day").cast("double"))
+      .withColumn("dow", pmod(col("day"), lit(7)))
+      .localCheckpoint() // consumers: the global and the DOW aggregate
+    val g = dense.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      dsum(col("v")).as("sy"),
+      dsum(round(col("v") * col("v"), 6)).as("syy"),
+      dsum(col("x")).as("sx"),
+      dsum(round(col("x") * col("x"), 6)).as("sxx"),
+      dsum(round(col("x") * col("v"), 6)).as("sxy"))
+    val d = dense.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_d"), dsum(col("v")).as("sy_d"))
+      .groupBy(col("event_type"))
+      .agg(sum(round(col("sy_d") * col("sy_d") /
+          col("n_d").cast("double"), 6).cast(dec))
+        .cast("double").as("dow_num"))
+    g.join(broadcast(d), "event_type")
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("ss_tot",
+        col("syy") - col("sy") * col("sy") / col("nn"))
+      .withColumn("ss_dow",
+        col("dow_num") - col("sy") * col("sy") / col("nn"))
+      .withColumn("sxx_c",
+        nullif(col("sxx") - col("sx") * col("sx") / col("nn"), lit(0.0)))
+      .withColumn("sxy_c",
+        col("sxy") - col("sx") * col("sy") / col("nn"))
+      .withColumn("ss_trend",
+        col("sxy_c") * col("sxy_c") / col("sxx_c"))
+      .select(col("event_type"), col("n").as("n_days"),
+        round(col("ss_tot"), 6).as("ss_tot"),
+        round(col("ss_dow") / nullif(col("ss_tot"), lit(0.0)), 6)
+          .as("share_dow"),
+        round(col("ss_trend") / nullif(col("ss_tot"), lit(0.0)), 6)
+          .as("share_trend"))
+      .orderBy(col("event_type"))
+  }
+
+  val varianceDecompositionSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+      |  FROM daily GROUP BY 1
+      |), dense AS (
+      |  SELECT s.event_type, s.day, COALESCE(d.v, 0.0) AS v,
+      |    CAST(s.day AS DOUBLE) AS x, s.day % 7 AS dow
+      |  FROM (SELECT event_type, unnest(range(mn, mx + 1)) AS day
+      |        FROM bounds) s
+      |  LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
+      |), g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(v * v, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS syy,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS sxx,
+      |    CAST(SUM(CAST(ROUND(x * v, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS sxy
+      |  FROM dense GROUP BY 1
+      |), dd AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(ROUND(sy_d * sy_d / CAST(n_d AS DOUBLE), 6)
+      |      AS DECIMAL(28,6))) AS DOUBLE) AS dow_num
+      |  FROM (
+      |    SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_d,
+      |      CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sy_d
+      |    FROM dense GROUP BY 1, 2
+      |  ) GROUP BY 1
+      |), calc AS (
+      |  SELECT g.event_type, g.n,
+      |    g.syy - g.sy * g.sy / CAST(g.n AS DOUBLE) AS ss_tot,
+      |    dd.dow_num - g.sy * g.sy / CAST(g.n AS DOUBLE) AS ss_dow,
+      |    (g.sxy - g.sx * g.sy / CAST(g.n AS DOUBLE))
+      |      * (g.sxy - g.sx * g.sy / CAST(g.n AS DOUBLE))
+      |      / NULLIF(g.sxx - g.sx * g.sx / CAST(g.n AS DOUBLE), 0.0)
+      |      AS ss_trend
+      |  FROM g JOIN dd ON g.event_type = dd.event_type
+      |)
+      |SELECT event_type, n AS n_days,
+      |  ROUND(ss_tot, 6) AS ss_tot,
+      |  ROUND(ss_dow / NULLIF(ss_tot, 0.0), 6) AS share_dow,
+      |  ROUND(ss_trend / NULLIF(ss_tot, 0.0), 6) AS share_trend
+      |FROM calc
+      |ORDER BY event_type""".stripMargin
 }

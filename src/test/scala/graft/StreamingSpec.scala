@@ -481,6 +481,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming pinball losses aggregate to the batch q369 relation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPinball.{DailyInput, PbOut}
+    // 35 consecutive days, one event per day, values 1..35: the batch
+    // relation scores days 29..35 against the trailing-28 quantiles
+    val dir = java.nio.file.Files.createTempDirectory("graft-spin").toString
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    (1 to 35).map(d => (d.toLong, ts(d - 1), 1L, "m", d.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Events.pinballBacktest(spark, dir)
+      .select($"event_type", $"quantile", $"n_days", $"mean_pinball",
+        $"coverage")
+      .as[(String, Double, Long, Double, Double)].collect().toSeq.sorted
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyInput]
+    val q = graft.streaming.StreamingPinball.losses(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pb_out").start()
+    val streamed = try {
+      // batch boundary mid-series: the 28-slot history must carry
+      input.addData((0 until 30).map(d =>
+        DailyInput("m", d.toLong, (d + 1).toDouble)): _*)
+      q.processAllAvailable()
+      input.addData((30 until 35).map(d =>
+        DailyInput("m", d.toLong, (d + 1).toDouble)): _*)
+      q.processAllAvailable()
+      spark.table("pb_out").as[PbOut].collect().toSeq
+    } finally q.stop()
+    // aggregate the per-day rows the way the batch relation does
+    val agg = streamed.groupBy(r => (r.event_type, r.quantile))
+      .map { case ((t, qq), rs) =>
+        val n = rs.length.toLong
+        val mean = ((rs.map(r => BigDecimal(r.loss)).sum / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).toDouble
+        val cov = BigDecimal(rs.count(r => r.v <= r.f).toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, qq, n, mean, cov)
+      }.toSeq.sorted
+    assert(agg === batch)
+  }
+
   test("streaming transition pairs match the batch q92 lead() pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
