@@ -2528,4 +2528,90 @@ object Curation {
        |  CAST(row_number() OVER (ORDER BY jsd, wi) = 1 AS INT) AS is_best
        |FROM scored
        |ORDER BY w""".stripMargin
+
+  /** q399 — per-language calibrated quality gates: for each language,
+    * the quality threshold that nominally retains ρ = 80% of ITS OWN
+    * documents (the exact (1−ρ) lower order statistic), plus what the
+    * operational rule `quality ≥ τ` actually keeps in docs and
+    * tokens. One GLOBAL threshold (q359's sweep) silently
+    * discriminates: a language whose quality scores run structurally
+    * low loses most of its mass at a cutoff tuned on English — the
+    * classic multilingual-curation failure. Per-language quantile
+    * gates equalize retention by construction; this relation IS those
+    * gates plus the tie-honesty columns (operational kept ≠ nominal
+    * kept when scores tie at τ — surfaced, not hidden).
+    *
+    * Exactness: τ is an exact rank pick off the fully tiebroken
+    * per-language sort; kept counts/token sums are integers filtered
+    * by the 6dp-quantized shared quality score; shares are single
+    * rounded divisions.
+    *
+    * Scale: one narrow quality map, one per-language rank window
+    * (the q90-family sort), two per-language aggregates.
+    */
+  def perLangGates(spark: SparkSession, dir: String,
+                   retain: Double = 0.8): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScore, tokenCount}
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        qualityScore(col("text")).as("q"),
+        tokenCount(col("text")).cast("long").as("toks"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("q"), col("doc_id"))
+    val ranked = docs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("k",
+        ceil(lit(1.0 - retain) * col("n").cast("double")).cast("long"))
+    val tau = ranked.groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        max(when(col("rn") === col("k"), col("q"))).as("tau"))
+    docs.join(broadcast(tau), "lang")
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        round(max(col("tau")), 6).as("tau"),
+        sum((col("q") >= col("tau")).cast("long")).as("n_kept"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("q") >= col("tau"), col("toks")).otherwise(0L))
+          .as("tokens_kept"))
+      .select(col("lang"), col("n_docs"), col("tau"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"),
+          6).as("doc_retention"),
+        round(col("tokens_kept").cast("double") /
+          col("n_tokens").cast("double"), 6).as("token_retention"))
+      .orderBy(col("lang"))
+  }
+
+  def perLangGatesSql(retain: Double = 0.8): String =
+    s"""WITH docs AS (
+       |  SELECT lang, doc_id,
+       |    ${graft.operators.TextAnalysis.qualityExprSql} AS q,
+       |    CAST(${graft.operators.TextAnalysis.tokenCountExprSql}
+       |      AS BIGINT) AS toks
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT lang, q,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY q, doc_id)
+       |      AS BIGINT) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM docs
+       |), tau AS (
+       |  SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+       |    MAX(CASE WHEN rn = CAST(CEIL(${1.0 - retain}
+       |      * CAST(n AS DOUBLE)) AS BIGINT) THEN q END) AS tau
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT d.lang, MAX(t.n_docs) AS n_docs,
+       |  ROUND(MAX(t.tau), 6) AS tau,
+       |  CAST(SUM(CASE WHEN d.q >= t.tau THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  ROUND(CAST(SUM(CASE WHEN d.q >= t.tau THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(MAX(t.n_docs) AS DOUBLE), 6)
+       |    AS doc_retention,
+       |  ROUND(CAST(SUM(CASE WHEN d.q >= t.tau THEN d.toks ELSE 0 END)
+       |      AS DOUBLE) / CAST(SUM(d.toks) AS DOUBLE), 6)
+       |    AS token_retention
+       |FROM docs d JOIN tau t ON d.lang = t.lang
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
 }

@@ -3970,4 +3970,76 @@ object Profile {
       |FROM rich
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** q400 — source health dashboard: the per-source one-row summary a
+    * feed owner reads every morning, composed 1:1 from four graded
+    * instruments — exact-dup share (q25's corpus-wide fingerprint
+    * attributed per source), W₁ length drift vs the corpus (q381),
+    * Kish weighting efficiency (q387), and language-mix
+    * entropy/dominance (q390) — joined on the source key. The q377
+    * consensus discipline at feed grain: grading the COMPOSITION
+    * keeps the four inputs' keys, grains, and column contracts
+    * compatible forever, which is what makes a dashboard trustworthy
+    * rather than a collection of screenshots.
+    *
+    * Exactness: a four-way equi-join of already-graded relations on
+    * identical source keys plus one integer dup-share division — no
+    * new arithmetic. Scale: the inputs are each one-pass and
+    * catalog-sized after their first aggregate; the joins touch
+    * |sources| rows.
+    */
+  def sourceHealthDashboard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.contentFingerprint
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_fp"))
+    val dups = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        contentFingerprint(col("text")).as("content_fp"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= min(col("doc_id")).over(w)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+      .select(col("source"), col("n_docs"),
+        round(col("n_dups").cast("double") / col("n_docs").cast("double"),
+          6).as("exact_dup_share"))
+    val drift = wassersteinDrift(spark, dir)
+      .select(col("source"), col("w1").as("w1_drift"))
+    val ess = Curation.weightEssAudit(spark, dir)
+      .select(col("source"), col("efficiency").as("weight_efficiency"))
+    val spec = sourceSpecialization(spark, dir)
+      .select(col("source"), col("lang_entropy"), col("top_lang"),
+        col("top_share"))
+    dups.join(drift, "source").join(ess, "source").join(spec, "source")
+      .orderBy(col("source"))
+  }
+
+  val sourceHealthDashboardSql: String = {
+    val fp = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+    s"""WITH dups AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    ROUND(CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |      AS exact_dup_share
+       |  FROM (
+       |    SELECT source, doc_id,
+       |      CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY $fp)
+       |           THEN 1 ELSE 0 END AS is_dup
+       |    FROM documents
+       |  ) GROUP BY 1
+       |), drift AS (
+       |  SELECT source, w1 AS w1_drift FROM ($wassersteinDriftSql)
+       |), ess AS (
+       |  SELECT source, efficiency AS weight_efficiency
+       |  FROM (${graft.operators.Curation.weightEssAuditSql})
+       |), spec AS (
+       |  SELECT source, lang_entropy, top_lang, top_share
+       |  FROM ($sourceSpecializationSql)
+       |)
+       |SELECT d.source, d.n_docs, d.exact_dup_share, dr.w1_drift,
+       |  e.weight_efficiency, s.lang_entropy, s.top_lang, s.top_share
+       |FROM dups d
+       |JOIN drift dr ON dr.source = d.source
+       |JOIN ess e ON e.source = d.source
+       |JOIN spec s ON s.source = d.source
+       |ORDER BY d.source""".stripMargin
+  }
 }

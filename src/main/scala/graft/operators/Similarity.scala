@@ -2984,4 +2984,104 @@ object Similarity {
        |    $k), 1) AS DOUBLE), 6) AS ap
        |FROM per_q p LEFT JOIN corpus_rel c ON p.q_label = c.q_label
        |ORDER BY p.query_id""".stripMargin
+
+  /** q398 — geometric median of each label's embeddings (Weiszfeld,
+    * 3 unrolled iterations seeded at the q35 mean): the ROBUST
+    * centroid. A mean centroid moves toward every mislabeled or
+    * corrupted vector in the cell; the geometric median (the point
+    * minimizing Σ‖x − c‖, breakdown point ½) barely does — and every
+    * centroid-routed structure here (IVF cells, SemDeDup, q136's
+    * confusion) inherits that robustness if built on it. The
+    * per-dimension `shift` column is the diagnostic: a label whose
+    * median sits far from its mean HAS heavy outliers (exactly the
+    * cells q117 flags), and this relation says in which dimensions.
+    *
+    * Exactness: the Weiszfeld updates run in rounded-term decimal
+    * sums end to end — squared-residual terms at 9dp into
+    * DECIMAL(28,9), weights = round(1/√max(d², 1e-12), 9), weighted
+    * dimension sums of 9dp-rounded products, each new coordinate
+    * rounded at 9dp — so the 3-step fixpoint path is identical on
+    * both engines (the q384 unrolled-iteration discipline). The seed
+    * is q35's decimal-mean centroid rounded at 9dp.
+    *
+    * Scale: the long-form vector table (|vectors| × dims) is built
+    * once and localCheckpointed; each iteration is one
+    * vector-grain distance aggregate + one (label, dim) weighted
+    * aggregate with the (640-row) centroid frame broadcast.
+    */
+  def geometricMedian(spark: SparkSession, dir: String,
+                      iters: Int = 3): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val lf = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v0")))
+      .withColumn("v", col("v0").cast("double")).drop("v0")
+      .localCheckpoint() // consumers: seed + every iteration
+    val seed = lf.groupBy(col("label"), col("dim"))
+      .agg(round(Relational.decSum(col("v")) / count(col("v")), 9)
+        .as("cv"))
+    var c = graft.Iterate.cut(seed)
+    (1 to iters).foreach { _ =>
+      val dv = lf.join(broadcast(c), Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(round((col("v") - col("cv")) * (col("v") - col("cv")), 9)
+          .cast(dec9)).cast("double").as("d2"))
+        .withColumn("w",
+          round(lit(1.0) / sqrt(greatest(col("d2"), lit(1e-12))), 9))
+        .select(col("vec_id"), col("w"))
+      c = graft.Iterate.cut(
+        lf.join(broadcast(dv), "vec_id")
+          .groupBy(col("label"), col("dim"))
+          .agg(round(
+            sum(round(col("w") * col("v"), 9).cast(dec9)).cast("double") /
+              sum(col("w").cast(dec9)).cast("double"), 9).as("cv")))
+    }
+    seed.withColumnRenamed("cv", "mean_cv")
+      .join(c, Seq("label", "dim"))
+      .select(col("label"), col("dim"),
+        round(col("mean_cv"), 6).as("centroid_mean"),
+        round(col("cv"), 6).as("geo_median"),
+        round(abs(col("cv") - col("mean_cv")), 6).as("shift"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  def geometricMedianSql(iters: Int = 3): String = {
+    def iter(prev: String, k: Int): String =
+      s"""d$k AS (
+         |  SELECT lf.vec_id,
+         |    CAST(SUM(CAST(ROUND((lf.v - c.cv) * (lf.v - c.cv), 9)
+         |      AS DECIMAL(28,9))) AS DOUBLE) AS d2
+         |  FROM lf JOIN $prev c ON c.label = lf.label AND c.dim = lf.dim
+         |  GROUP BY 1
+         |), w$k AS (
+         |  SELECT vec_id, ROUND(1.0 / sqrt(GREATEST(d2, 1e-12)), 9) AS w
+         |  FROM d$k
+         |), c$k AS (
+         |  SELECT lf.label, lf.dim,
+         |    ROUND(CAST(SUM(CAST(ROUND(w.w * lf.v, 9) AS DECIMAL(28,9)))
+         |        AS DOUBLE)
+         |      / CAST(SUM(CAST(w.w AS DECIMAL(28,9))) AS DOUBLE), 9) AS cv
+         |  FROM lf JOIN w$k w ON w.vec_id = lf.vec_id
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    val chain = (1 to iters).map(k =>
+      iter(if (k == 1) "c0" else s"c${k - 1}", k)).mkString(",\n")
+    s"""WITH lf AS (
+       |  SELECT vec_id, label, i - 1 AS dim,
+       |    CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, generate_series(1, 64) AS t(i)
+       |), c0 AS (
+       |  SELECT label, dim,
+       |    ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+       |      / COUNT(v), 9) AS cv
+       |  FROM lf GROUP BY 1, 2
+       |),
+       |$chain
+       |SELECT s.label, s.dim,
+       |  ROUND(s.cv, 6) AS centroid_mean,
+       |  ROUND(f.cv, 6) AS geo_median,
+       |  ROUND(ABS(f.cv - s.cv), 6) AS shift
+       |FROM c0 s JOIN c$iters f ON f.label = s.label AND f.dim = s.dim
+       |ORDER BY s.label, s.dim""".stripMargin
+  }
 }
