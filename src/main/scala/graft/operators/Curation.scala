@@ -2614,4 +2614,186 @@ object Curation {
        |FROM docs d JOIN tau t ON d.lang = t.lang
        |GROUP BY d.lang
        |ORDER BY d.lang""".stripMargin
+
+  /** q403 — expected-exposure (memorization-risk) audit: under
+    * quality-proportional sampling for E epochs, each document's
+    * expected training exposure is E·n·w/Σw — and documents seen many
+    * times are the ones models memorize (the published
+    * memorization-vs-duplication result). Per source: the max and
+    * p99-rank exposure, the share of documents over an exposure
+    * threshold, and the expected-token mass those hot documents
+    * absorb — read BEFORE training, because the fix (cap the weights,
+    * dedup harder) is cheap before the run and impossible after.
+    * Completes q387's ESS (which says the weights are degenerate;
+    * this says what the degeneracy DOES over E epochs).
+    *
+    * Exactness: weights are the 6dp shared quality scores with
+    * decimal Σw; exposures are one fixed double chain; the p99 is an
+    * exact rank pick; shares are integer-count divisions.
+    *
+    * Scale: one narrow quality map, one per-source decimal aggregate
+    * broadcast back, one per-source rank window.
+    */
+  def exposureAudit(spark: SparkSession, dir: String, epochs: Int = 4,
+                    hotFactor: Double = 2.0): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScore, tokenCount}
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        qualityScore(col("text")).as("w"),
+        tokenCount(col("text")).cast("long").as("toks"))
+    val tot = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("w").cast(dec)).cast("double").as("sw"))
+    val ex = docs.join(broadcast(tot), "source")
+      .withColumn("exposure",
+        lit(epochs.toDouble) * col("n").cast("double") * col("w") /
+          col("sw"))
+      .withColumn("is_hot",
+        (col("exposure") > lit(epochs.toDouble) * lit(hotFactor))
+          .cast("long"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("exposure"), col("doc_id"))
+    ex.withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("p99_rn", expr("CAST(CEIL(0.99 * n) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        round(max(col("exposure")), 6).as("max_exposure"),
+        round(max(when(col("rn") === col("p99_rn"), col("exposure"))), 6)
+          .as("p99_exposure"),
+        sum(col("is_hot")).as("n_hot"),
+        round(sum(col("is_hot")).cast("double") /
+          max(col("n")).cast("double"), 6).as("hot_share"),
+        round(sum(when(col("is_hot") === 1,
+            round(col("exposure") * col("toks").cast("double"), 6))
+          .otherwise(lit(0.0)).cast(dec)).cast("double"), 6)
+          .as("hot_expected_tokens"))
+      .orderBy(col("source"))
+  }
+
+  def exposureAuditSql(epochs: Int = 4, hotFactor: Double = 2.0): String =
+    s"""WITH docs AS (
+       |  SELECT source, doc_id,
+       |    ${graft.operators.TextAnalysis.qualityExprSql} AS w,
+       |    CAST(${graft.operators.TextAnalysis.tokenCountExprSql}
+       |      AS BIGINT) AS toks
+       |  FROM documents
+       |), tot AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS sw
+       |  FROM docs GROUP BY 1
+       |), ex AS (
+       |  SELECT d.source, d.doc_id, d.toks, t.n,
+       |    ${epochs.toDouble} * CAST(t.n AS DOUBLE) * d.w / t.sw
+       |      AS exposure,
+       |    CASE WHEN ${epochs.toDouble} * CAST(t.n AS DOUBLE) * d.w / t.sw
+       |      > ${epochs.toDouble} * $hotFactor THEN 1 ELSE 0 END AS is_hot
+       |  FROM docs d JOIN tot t ON d.source = t.source
+       |), ranked AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY exposure, doc_id) AS BIGINT) AS rn,
+       |    CAST(CEIL(0.99 * n) AS BIGINT) AS p99_rn
+       |  FROM ex
+       |)
+       |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       |  ROUND(MAX(exposure), 6) AS max_exposure,
+       |  ROUND(MAX(CASE WHEN rn = p99_rn THEN exposure END), 6)
+       |    AS p99_exposure,
+       |  CAST(SUM(is_hot) AS BIGINT) AS n_hot,
+       |  ROUND(CAST(SUM(is_hot) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6)
+       |    AS hot_share,
+       |  ROUND(CAST(SUM(CAST(CASE WHEN is_hot = 1
+       |    THEN ROUND(exposure * CAST(toks AS DOUBLE), 6)
+       |    ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE), 6)
+       |    AS hot_expected_tokens
+       |FROM ranked
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** q404 — dedup yield curve: exact-duplicate density by corpus
+    * prefix — for each doc-id decile cutoff, how many documents in
+    * the prefix already have an earlier same-fingerprint twin, and
+    * the cumulative dup share. Dup density GROWS with corpus size by
+    * construction (every new doc has more chances to collide), and
+    * this curve is how a 100 TB ingest forecasts the dedup budget of
+    * the NEXT 10× from the current prefix (q330 prices what dedup
+    * saved; this extrapolates what it will save). One pass: a doc's
+    * "duplicate of an earlier doc" flag is prefix-independent, so the
+    * whole curve is a cumulative sum over deciles — the naive
+    * per-cutoff rescan never happens.
+    *
+    * Exactness: the earlier-twin flag is an integer min-doc_id
+    * comparison over the q25 fingerprint window; deciles are integer
+    * rank arithmetic over the fully tiebroken doc order; cumulative
+    * counts are window integer sums.
+    *
+    * Scale: one fingerprint shuffle (the q25 cost) + one global rank
+    * (Skew.globalRank posture at 100 TB; a plain window here) + a
+    * 10-row cumulative.
+    */
+  def dedupYieldCurve(spark: SparkSession, dir: String,
+                      buckets: Int = 10): DataFrame = {
+    import graft.functions.TextFunctions.contentFingerprint
+    val wFp = Window.partitionBy(col("content_fp"))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), contentFingerprint(col("text")).as("content_fp"))
+      .withColumn("is_dup",
+        (col("doc_id") > min(col("doc_id")).over(wFp)).cast("long"))
+    val wOrd = Window.orderBy(col("doc_id"))
+    val n1 = docs.agg(count(lit(1)).as("n_all"))
+    val bucketed = docs.crossJoin(broadcast(n1))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("bucket",
+        least(expr(s"((rn - 1) * $buckets) div n_all + 1"),
+          lit(buckets.toLong)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .withColumn("cum_dups", sum(col("n_dups")).over(wCum))
+      .select(col("bucket"), col("n_docs"), col("n_dups"),
+        col("cum_docs"), col("cum_dups"),
+        round(col("cum_dups").cast("double") /
+          col("cum_docs").cast("double"), 6).as("cum_dup_share"))
+      .orderBy(col("bucket"))
+  }
+
+  def dedupYieldCurveSql(buckets: Int = 10): String = {
+    val fp = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY $fp)
+       |         THEN 1 ELSE 0 END AS is_dup
+       |  FROM documents
+       |), bucketed AS (
+       |  SELECT LEAST(((rn - 1) * $buckets) // n_all + 1, $buckets)
+       |      AS bucket,
+       |    is_dup
+       |  FROM (
+       |    SELECT doc_id, is_dup,
+       |      CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+       |      COUNT(*) OVER () AS n_all
+       |    FROM docs
+       |  )
+       |), agg AS (
+       |  SELECT CAST(bucket AS INT) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(is_dup) AS BIGINT) AS n_dups
+       |  FROM bucketed GROUP BY 1
+       |)
+       |SELECT bucket, n_docs, n_dups,
+       |  CAST(SUM(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS cum_docs,
+       |  CAST(SUM(n_dups) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS cum_dups,
+       |  ROUND(CAST(SUM(n_dups) OVER (ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       |    / CAST(SUM(n_docs) OVER (ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS cum_dup_share
+       |FROM agg
+       |ORDER BY bucket""".stripMargin
+  }
 }

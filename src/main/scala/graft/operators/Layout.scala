@@ -353,4 +353,59 @@ object Layout {
        |)
        |ORDER BY sort_key, filter_col""".stripMargin
   }
+
+  /** First-fit-decreasing compaction plan over a file listing: the
+    * small-file problem's standard fix. Files sort by (size desc,
+    * name) — deterministic — and each lands in the first bin with
+    * room; a file larger than the target gets its own bin. FFD's
+    * classic guarantee (≤ 11/9·OPT + 1 bins) is why every table
+    * format's OPTIMIZE uses it. Pure metadata function: the listing
+    * is file-count-sized, never data-sized.
+    */
+  def planCompaction(files: Seq[(String, Long)],
+                     targetBytes: Long): Seq[(Int, String)] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val sorted = files.sortBy { case (name, b) => (-b, name) }
+    val binLoads = scala.collection.mutable.ArrayBuffer.empty[Long]
+    sorted.map { case (name, b) =>
+      val i = binLoads.indexWhere(_ + b <= targetBytes)
+      val bin =
+        if (b > targetBytes || i < 0) { binLoads += b; binLoads.length - 1 }
+        else { binLoads(i) += b; i }
+      (bin, name)
+    }
+  }
+
+  /** Execute a compaction: list `inDir`'s parquet files, FFD-plan
+    * them against `targetBytes`, and write each bin as ONE file under
+    * `outDir/bin=N`. Returns the plan ledger (bin, n_files, bytes_in)
+    * as a DataFrame. The per-bin loop is metadata-sized (bins, not
+    * rows); each bin's data moves exactly once through a coalesce(1)
+    * write — the table-format OPTIMIZE job, expressed directly.
+    * LayoutSpec pins plan properties (bin fill ≤ target except
+    * oversize singletons, bin count ≥ ⌈total/target⌉, determinism)
+    * and an end-to-end row-count-preserving run.
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetBytes: Long): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen)).toSeq
+    val sizes = files.toMap
+    val plan = planCompaction(files, targetBytes)
+    plan.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (bin, members) =>
+      spark.read.parquet(members.map(_._2): _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/bin=$bin")
+    }
+    plan.groupBy(_._1).toSeq
+      .map { case (bin, members) =>
+        (bin, members.length.toLong, members.map(m => sizes(m._2)).sum)
+      }
+      .sortBy(_._1)
+      .toDF("bin", "n_files", "bytes_in")
+  }
 }

@@ -173,4 +173,63 @@ class LayoutSpec extends AnyFunSuite {
       .toSeq.sortBy(_._1)
     assert(viaExpr === expected)
   }
+
+  test("planCompaction: FFD fills bins to target, isolates oversize, deterministic") {
+    val files = Seq(
+      ("a", 70L), ("b", 40L), ("c", 35L), ("d", 30L), ("e", 20L),
+      ("f", 150L), // oversize: own bin
+      ("g", 5L))
+    val plan = Layout.planCompaction(files, targetBytes = 100L)
+    val byBin = plan.groupBy(_._1)
+      .map { case (b, m) => b -> m.map(_._2).toSet }
+    // every non-oversize bin fits the target
+    val sizes = files.toMap
+    byBin.foreach { case (b, members) =>
+      val tot = members.toSeq.map(sizes).sum
+      assert(tot <= 100L || members.size == 1,
+        s"bin $b over target with ${members.size} files")
+    }
+    // the oversize file sits alone
+    val fBin = plan.find(_._2 == "f").get._1
+    assert(byBin(fBin) === Set("f"))
+    // bin count is at least the volume lower bound (excluding oversize)
+    val smallTotal = files.filter(_._2 <= 100L).map(_._2).sum
+    assert(byBin.size - 1 >= math.ceil(smallTotal / 100.0).toInt - 1)
+    // deterministic
+    assert(plan === Layout.planCompaction(files, 100L))
+  }
+
+  test("compactParquet: end-to-end merge preserves rows and respects the plan") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-cmp-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cmp-out").toString
+    // skewed file sizes: 12 files of very different row counts
+    (1 to 12).foreach { i =>
+      (1 to i * i * 10).map(j => (i.toLong, j.toLong))
+        .toDF("f", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/part_$i")
+    }
+    // flatten: move each part file up into one dir
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    (1 to 12).foreach { i =>
+      val src = fs.listStatus(new org.apache.hadoop.fs.Path(s"$in/part_$i"))
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      fs.rename(src, new org.apache.hadoop.fs.Path(s"$in/f_$i.parquet"))
+    }
+    val total = spark.read.parquet(s"$in/*.parquet").count()
+    val target = 64L * 1024
+    val ledger = Layout.compactParquet(spark, in, out, target)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(ledger.map(_._2).sum === 12L)
+    // rows preserved across the merge
+    val after = spark.read.parquet(s"$out/bin=*").count()
+    assert(after === total)
+    // each bin wrote exactly one data file
+    ledger.foreach { case (bin, _, _) =>
+      val n = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/bin=$bin"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(n === 1, s"bin $bin has $n files")
+    }
+  }
 }
