@@ -3473,4 +3473,254 @@ object Relational {
       |FROM j
       |GROUP BY 1
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** q405 — regional revenue shares: discounted revenue rolled up the
+    * FULL dimension chain (lineitem → orders → customer → nation →
+    * region) with percent-of-region, percent-of-total, and
+    * rank-in-region — the classic share-of-parent OLAP readout on the
+    * deepest star join in the schema. Plan-wise this is the query the
+    * broadcast-dimension discipline exists for: four dimension hops,
+    * all broadcast, ONE fact scan, one exchange for the final
+    * aggregate.
+    *
+    * Exactness: revenue is integer cents per line summed as BIGINTs;
+    * shares are single rounded divisions of integer totals; rank is
+    * integer-tiebroken.
+    */
+  def regionalRevenueShares(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100,
+          0).cast("long").as("cents"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    val n = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"),
+        col("n_regionkey"))
+    val r = Tables.load(spark, dir, "region")
+      .select(col("r_regionkey").as("n_regionkey"), col("r_name"))
+    val rev = li
+      .join(broadcast(o), "l_orderkey")
+      .join(broadcast(c), "o_custkey")
+      .join(broadcast(n), "c_nationkey")
+      .join(broadcast(r), "n_regionkey")
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val wR = Window.partitionBy(col("r_name"))
+    val wAll = Window.partitionBy(lit(1))
+    rev
+      .withColumn("region_cents", sum(col("rev_cents")).over(wR))
+      .withColumn("total_cents", sum(col("rev_cents")).over(wAll))
+      .withColumn("rank_in_region", row_number().over(
+        Window.partitionBy(col("r_name"))
+          .orderBy(col("rev_cents").desc, col("n_name"))))
+      .select(col("r_name"), col("n_name"), col("rev_cents"),
+        round(col("rev_cents").cast("double") /
+          col("region_cents").cast("double"), 6).as("pct_of_region"),
+        round(col("rev_cents").cast("double") /
+          col("total_cents").cast("double"), 6).as("pct_of_total"),
+        col("rank_in_region"))
+      .orderBy(col("r_name"), col("rank_in_region"))
+  }
+
+  val regionalRevenueSharesSql: String =
+    """WITH rev AS (
+      |  SELECT r.r_name, n.n_name,
+      |    CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount)
+      |      * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT r_name, n_name, rev_cents,
+      |  ROUND(CAST(rev_cents AS DOUBLE) / CAST(SUM(rev_cents)
+      |    OVER (PARTITION BY r_name) AS DOUBLE), 6) AS pct_of_region,
+      |  ROUND(CAST(rev_cents AS DOUBLE) / CAST(SUM(rev_cents)
+      |    OVER () AS DOUBLE), 6) AS pct_of_total,
+      |  CAST(row_number() OVER (PARTITION BY r_name
+      |    ORDER BY rev_cents DESC, n_name) AS INT) AS rank_in_region
+      |FROM rev
+      |ORDER BY r_name, rank_in_region""".stripMargin
+
+  /** q406 — top-decile revenue share per market segment, WITH a
+    * Poisson-bootstrap confidence interval: the q147 concentration
+    * statistic finally wearing error bars. A rank statistic has no
+    * closed-form variance worth trusting; the q396 Poisson trick
+    * resamples it exactly — every (customer, replicate) draws an
+    * integer weight, the weighted top decile is the customers taken
+    * in revenue-desc order until cumulative weight reaches a tenth of
+    * the replicate's total, and the share recomputes per replicate —
+    * ALL of it in integer cents and integer weights until one final
+    * division.
+    *
+    * Exactness: the decile cut is the integer comparison
+    * 10·(cumw − w) < totw (take while the weight BEFORE this customer
+    * is under a tenth); weighted revenues are BIGINT w·cents sums;
+    * replicate shares divide once; sd/CI follow the q396 moment/rank
+    * discipline.
+    *
+    * Scale: one (segment, customer) aggregate, the point-estimate
+    * window, a ×R explode of the CUSTOMER-sized frame with per-
+    * (segment, replicate) windows — bounded by customers × R.
+    */
+  def topDecileShareBootstrap(spark: SparkSession, dir: String,
+                              reps: Int = 50): DataFrame = {
+    import graft.functions.PortableHash
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val perCust = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("cents"))
+      .join(broadcast(Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+        "o_custkey")
+      .localCheckpoint() // consumers: point estimate + the ×R explode
+    val wDesc = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents").desc, col("o_custkey"))
+    val wSeg = Window.partitionBy(col("c_mktsegment"))
+    val point = perCust
+      .withColumn("rn", row_number().over(wDesc).cast("long"))
+      .withColumn("n", count(lit(1)).over(wSeg))
+      .withColumn("tot", sum(col("cents")).over(wSeg))
+      .withColumn("k", expr("CAST(CEIL(0.1 * CAST(n AS DOUBLE)) AS BIGINT)"))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(col("n")).as("n_custs"),
+        (sum(when(col("rn") <= col("k"), col("cents")).otherwise(0L))
+          .cast("double") / max(col("tot")).cast("double"))
+          .as("point_share"))
+    val u = (PortableHash.md5Long60(concat(col("c_mktsegment"), lit("|"),
+      col("r").cast("string"), lit("|"), col("o_custkey").cast("string")))
+      .cast("double") + 0.5) / lit((1L << 60).toDouble)
+    val wDraw = Seq(0.3678794412, 0.7357588823, 0.9196986029,
+        0.9810118431, 0.9963401532, 0.9994058152, 0.9999167589,
+        0.9999897508, 0.9999988748).zipWithIndex
+      .foldRight(lit(9): Column) { case ((t, k), rest) =>
+        when(u < t, k).otherwise(rest)
+      }
+    val wRep = Window.partitionBy(col("c_mktsegment"), col("r"))
+      .orderBy(col("cents").desc, col("o_custkey"))
+    val wRepAll = Window.partitionBy(col("c_mktsegment"), col("r"))
+    val repShares = perCust
+      .select(col("c_mktsegment"), col("o_custkey"), col("cents"),
+        explode(sequence(lit(1), lit(reps))).as("r"))
+      .withColumn("w", wDraw.cast("long"))
+      .withColumn("cumw", sum(col("w")).over(
+        wRep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("totw", sum(col("w")).over(wRepAll))
+      .withColumn("in_top",
+        (lit(10) * (col("cumw") - col("w")) < col("totw")).cast("int"))
+      .groupBy(col("c_mktsegment"), col("r"))
+      .agg((sum(when(col("in_top") === 1, col("w") * col("cents"))
+          .otherwise(0L)).cast("double") /
+        nullif(sum(col("w") * col("cents")).cast("double"), lit(0.0)))
+        .as("m"))
+    val loIdx = math.ceil(0.025 * reps).toLong
+    val hiIdx = math.ceil(0.975 * reps).toLong
+    val wRank = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("m"), col("r"))
+    val stats = repShares
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(round(col("m"), 6).cast(dec)).cast("double").as("sm"),
+        sum(round(col("m") * col("m"), 6).cast(dec)).cast("double")
+          .as("smm"),
+        max(when(col("rk") === loIdx, col("m"))).as("lo"),
+        max(when(col("rk") === hiIdx, col("m"))).as("hi"))
+    point.join(broadcast(stats), "c_mktsegment")
+      .select(col("c_mktsegment"), col("n_custs"),
+        round(col("point_share"), 6).as("top_decile_share"),
+        col("n_reps"),
+        round(sqrt(greatest(lit(0.0),
+          col("smm") / col("n_reps") -
+            (col("sm") / col("n_reps")) * (col("sm") / col("n_reps")))),
+          6).as("boot_sd"),
+        round(col("lo"), 6).as("ci_lo"),
+        round(col("hi"), 6).as("ci_hi"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def topDecileShareBootstrapSql(reps: Int = 50): String = {
+    val draw = Seq(0.3678794412, 0.7357588823, 0.9196986029,
+        0.9810118431, 0.9963401532, 0.9994058152, 0.9999167589,
+        0.9999897508, 0.9999988748).zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 9 END")
+    val loIdx = math.ceil(0.025 * reps).toLong
+    val hiIdx = math.ceil(0.975 * reps).toLong
+    s"""WITH per_cust AS (
+       |  SELECT o.o_custkey, c.c_mktsegment,
+       |    CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+       |  GROUP BY 1, 2
+       |), point AS (
+       |  SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_custs,
+       |    CAST(SUM(CASE WHEN rn <= k THEN cents ELSE 0 END) AS DOUBLE)
+       |      / CAST(MAX(tot) AS DOUBLE) AS point_share
+       |  FROM (
+       |    SELECT c_mktsegment, cents,
+       |      CAST(row_number() OVER (PARTITION BY c_mktsegment
+       |        ORDER BY cents DESC, o_custkey) AS BIGINT) AS rn,
+       |      COUNT(*) OVER (PARTITION BY c_mktsegment) AS n,
+       |      SUM(cents) OVER (PARTITION BY c_mktsegment) AS tot,
+       |      CAST(CEIL(0.1 * CAST(COUNT(*) OVER (PARTITION BY
+       |        c_mktsegment) AS DOUBLE)) AS BIGINT) AS k
+       |    FROM per_cust
+       |  ) GROUP BY 1
+       |), drawn AS (
+       |  SELECT c_mktsegment, o_custkey, cents, r, $draw AS w FROM (
+       |    SELECT p.c_mktsegment, p.o_custkey, p.cents, g.r,
+       |      (CAST(CAST(('0x' || substr(md5(p.c_mktsegment || '|' ||
+       |        CAST(g.r AS VARCHAR) || '|' || CAST(p.o_custkey AS VARCHAR)),
+       |        1, 15)) AS BIGINT) AS DOUBLE) + 0.5) / POWER(2.0, 60) AS u
+       |    FROM per_cust p
+       |    CROSS JOIN (SELECT unnest(range(1, $reps + 1)) AS r) g
+       |  )
+       |), cuts AS (
+       |  SELECT c_mktsegment, r, cents, w,
+       |    CAST(SUM(w) OVER (PARTITION BY c_mktsegment, r
+       |      ORDER BY cents DESC, o_custkey ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cumw,
+       |    CAST(SUM(w) OVER (PARTITION BY c_mktsegment, r) AS BIGINT)
+       |      AS totw
+       |  FROM drawn
+       |), rep_shares AS (
+       |  SELECT c_mktsegment, r,
+       |    CAST(SUM(CASE WHEN 10 * (cumw - w) < totw
+       |      THEN w * cents ELSE 0 END) AS DOUBLE)
+       |      / NULLIF(CAST(SUM(w * cents) AS DOUBLE), 0.0) AS m
+       |  FROM cuts GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT c_mktsegment, m,
+       |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+       |      ORDER BY m, r) AS BIGINT) AS rk
+       |  FROM rep_shares
+       |), stats AS (
+       |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_reps,
+       |    CAST(SUM(CAST(ROUND(m, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sm,
+       |    CAST(SUM(CAST(ROUND(m * m, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |      AS smm,
+       |    MAX(CASE WHEN rk = $loIdx THEN m END) AS lo,
+       |    MAX(CASE WHEN rk = $hiIdx THEN m END) AS hi
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT p.c_mktsegment, p.n_custs,
+       |  ROUND(p.point_share, 6) AS top_decile_share,
+       |  s.n_reps,
+       |  ROUND(sqrt(GREATEST(0.0,
+       |    s.smm / s.n_reps - (s.sm / s.n_reps) * (s.sm / s.n_reps))), 6)
+       |    AS boot_sd,
+       |  ROUND(s.lo, 6) AS ci_lo,
+       |  ROUND(s.hi, 6) AS ci_hi
+       |FROM point p JOIN stats s ON p.c_mktsegment = s.c_mktsegment
+       |ORDER BY p.c_mktsegment""".stripMargin
+  }
 }
