@@ -612,4 +612,88 @@ object Pii {
        |  ABS(p.i - p.target) AS rank_abs_err
        |FROM pick p JOIN med m USING (event_type)
        |ORDER BY p.event_type""".stripMargin
+
+  /** q408 — differentially-private TOP-K selection (peeling
+    * exponential mechanism): release which k event types have the
+    * most users WITHOUT revealing exact counts — each of k rounds
+    * runs one exponential-mechanism draw (ε/k budget, user-presence
+    * sensitivity 1) over the types not yet selected, via the seeded
+    * Gumbel-max trick keyed on (type, round). Completes the DP
+    * release family's fourth verb: counts (q308), means (q353),
+    * quantiles (q368), and now SELECTION — "which items" is the
+    * query dashboards actually ask, and argmax-with-noise is its
+    * correct private form (releasing noisy counts and sorting them
+    * spends budget on magnitudes nobody asked for).
+    *
+    * Determinism: q308's md5-uniform convention → Gumbel noise; keys
+    * are 6dp-rounded before the deterministic (key DESC, type)
+    * argmax (the q368 guard). True counts ride along curator-side;
+    * only (round, event_type) crosses the trust boundary.
+    *
+    * Scale: one contribution-bounded (type, user)-distinct aggregate;
+    * the k peeling rounds run on the |types|-row frame.
+    */
+  def dpTopK(spark: SparkSession, dir: String, k: Int = 3,
+             eps: Double = 1.0): DataFrame = {
+    import graft.functions.PortableHash
+    val counts = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      .localCheckpoint() // consumed once per peeling round
+    val epsRound = eps / k
+    var picks: DataFrame = null
+    var remaining = counts
+    (1 to k).foreach { r =>
+      val u = (PortableHash.md5Long60(concat(col("event_type"),
+        lit(s"|topk|$r"))).cast("double") + 0.5) /
+        lit((1L << 60).toDouble)
+      val keyed = remaining.withColumn("ekey",
+        round(lit(epsRound / 2.0) * col("n_users").cast("double") +
+          -log(-log(u)), 6))
+      val sel = keyed
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+            .orderBy(col("ekey").desc, col("event_type"))))
+        .filter(col("rn") === 1)
+        .select(lit(r).as("round"), col("event_type"), col("n_users"))
+      picks = if (picks == null) sel else picks.unionByName(sel)
+      remaining = remaining.join(
+        sel.select(col("event_type")), Seq("event_type"), "left_anti")
+    }
+    picks.orderBy(col("round"))
+  }
+
+  def dpTopKSql(k: Int = 3, eps: Double = 1.0): String = {
+    val epsRound = eps / k
+    def keyed(r: Int, excl: Seq[Int]): String = {
+      val not = if (excl.isEmpty) ""
+        else "WHERE event_type NOT IN (" +
+          excl.map(i => s"SELECT event_type FROM sel$i")
+            .mkString(" UNION ALL ") + ")"
+      s"""sel$r AS (
+         |  SELECT $r AS round, event_type, n_users FROM (
+         |    SELECT event_type, n_users,
+         |      row_number() OVER (ORDER BY ROUND(${epsRound / 2.0}
+         |        * CAST(n_users AS DOUBLE) +
+         |        -ln(-ln((CAST(CAST(('0x' || substr(md5(event_type ||
+         |          '|topk|$r'), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+         |          / POWER(2.0, 60))), 6) DESC, event_type) AS rn
+         |    FROM counts $not
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }
+    val chain = (1 to k).map(r => keyed(r, (1 until r).toSeq))
+      .mkString(",\n")
+    s"""WITH counts AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+       |    SELECT DISTINCT event_type, user_id FROM events
+       |  ) GROUP BY 1
+       |),
+       |$chain
+       |SELECT * FROM (
+       |${(1 to k).map(r => s"SELECT round, event_type, n_users FROM sel$r")
+          .mkString("\nUNION ALL\n")}
+       |)
+       |ORDER BY round""".stripMargin
+  }
 }

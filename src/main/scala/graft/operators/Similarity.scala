@@ -3084,4 +3084,108 @@ object Similarity {
        |FROM c0 s JOIN c$iters f ON f.label = s.label AND f.dim = s.dim
        |ORDER BY s.label, s.dim""".stripMargin
   }
+
+  /** Fused Euclidean squared distance over two float arrays — the
+    * left-to-right double fold whose DuckDB twin is the list_reduce
+    * below (the [[cosine]]/cosSql pairing, for L2). */
+  private def euclid2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def euclid2Sql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0,
+       |      [(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |        * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |        for i in range(1, len($a) + 1)]), (x, y) -> x + y)"""
+      .stripMargin
+
+  /** q407 — intrinsic-dimension estimate per label (two-NN, Facco et
+    * al. 2017): for a deterministic 1-in-10 query sample, the ratio
+    * μ = r₂/r₁ of each point's second- to first-neighbor distance
+    * follows a Pareto law with exponent equal to the data's INTRINSIC
+    * dimension, so ID ≈ n / Σ ln μ — the answer to "my embeddings are
+    * 64-d, but how many dimensions do they really use?". Curation
+    * decisions ride on this: LSH bit budgets (q30), PQ codebook sizes
+    * (q71), and SemDeDup thresholds (q64) all degrade when the
+    * intrinsic dimension is far from the ambient one, and a label
+    * whose ID collapses is a label whose embeddings have gone
+    * near-degenerate (the q150 norm audit's geometric sibling).
+    *
+    * Exactness: squared distances are the shared left-to-right double
+    * fold (oracle: the same list_reduce); the top-2 pick is
+    * integer-tiebroken; ln μ = ½·ln(d₂²/d₁²) rounds at 6dp into
+    * DECIMAL sums; exact-duplicate neighbors (d₁ = 0) are excluded
+    * with their count SURFACED as `n_degenerate`, not hidden.
+    *
+    * Scale: the q366 posture — queries broadcast (sample-sized), the
+    * scored relation collapses through a PARTIAL WindowGroupLimit
+    * (rank ≤ 2) before any exchange.
+    */
+  def intrinsicDimension(spark: SparkSession, dir: String,
+                         sampleMod: Int = 10): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"),
+        col("vec_id").as("neighbor_id"),
+        round(euclid2(col("q_emb"), col("embedding")), 9).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    val top2 = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+    val perQ = top2.groupBy(col("query_id"), col("q_label"))
+      .agg(min(when(col("rank") === 1, col("d2"))).as("d1"),
+        min(when(col("rank") === 2, col("d2"))).as("d2b"))
+    perQ.groupBy(col("q_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum((col("d1") === 0).cast("long")).as("n_degenerate"),
+        sum(when(col("d1") > 0,
+            round(lit(0.5) * log(col("d2b") / col("d1")), 6))
+          .otherwise(lit(0.0)).cast(dec)).cast("double").as("sum_lnmu"))
+      .select(col("q_label").as("label"), col("n_queries"),
+        col("n_degenerate"),
+        round((col("n_queries") - col("n_degenerate")).cast("double") /
+          nullif(col("sum_lnmu"), lit(0.0)), 6).as("intrinsic_dim"))
+      .orderBy(col("label"))
+  }
+
+  def intrinsicDimensionSql(sampleMod: Int = 10): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+       |  FROM embeddings WHERE vec_id % $sampleMod = 0
+       |), scored AS (
+       |  SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+       |    ROUND(${euclid2Sql("q.q_emb", "e.embedding")}, 9) AS d2
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+       |), top2 AS (
+       |  SELECT query_id, q_label, rank, d2 FROM (
+       |    SELECT query_id, q_label, d2,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY d2, neighbor_id) AS rank
+       |    FROM scored
+       |  ) WHERE rank <= 2
+       |), per_q AS (
+       |  SELECT query_id, q_label,
+       |    MIN(CASE WHEN rank = 1 THEN d2 END) AS d1,
+       |    MIN(CASE WHEN rank = 2 THEN d2 END) AS d2b
+       |  FROM top2 GROUP BY 1, 2
+       |)
+       |SELECT q_label AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(CASE WHEN d1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_degenerate,
+       |  ROUND(CAST(COUNT(*) - SUM(CASE WHEN d1 = 0 THEN 1 ELSE 0 END)
+       |      AS DOUBLE)
+       |    / NULLIF(CAST(SUM(CAST(CASE WHEN d1 > 0
+       |      THEN ROUND(0.5 * ln(d2b / d1), 6) ELSE 0.0 END
+       |      AS DECIMAL(28,6))) AS DOUBLE), 0.0), 6) AS intrinsic_dim
+       |FROM per_q
+       |GROUP BY q_label
+       |ORDER BY label""".stripMargin
 }
