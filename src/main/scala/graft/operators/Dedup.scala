@@ -3212,4 +3212,77 @@ object Dedup {
        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING COUNT(*) >= $minShared
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q410 — LSH S-curve calibration: the q26 true near-dup pairs
+    * bucketed by Jaccard (0.05-wide bins over the graded [0.6, 1]
+    * region), each bin's OBSERVED q27 MinHash-LSH catch rate beside
+    * the THEORETICAL band-collision probability 1 − (1 − s^r)^b at
+    * the bin midpoint — the table that says whether the deployed
+    * (b = 8, r = 3) banding actually delivers its textbook recall
+    * curve on THIS corpus (estimator bias from the df-cap, shingle
+    * correlation, or short docs shows up as observed ≠ theory in a
+    * specific bin, which no aggregate recall number localizes). The
+    * FP region below the graded threshold is out of scope — both
+    * input relations are the graded ones, verbatim (the q300
+    * composition rule).
+    *
+    * Exactness: buckets cut on INTEGER micro-Jaccard (6dp scores ×1e6
+    * — a double bin expression flips at bin edges); counts are
+    * integers; theory and recall are single rounded chains (pow's
+    * last-ulp absorbed by the 6dp output round).
+    *
+    * Scale: the two inputs' own (graded, candidate-bounded) costs +
+    * a pair-sized join and an 8-row aggregate.
+    */
+  def lshSCurve(spark: SparkSession, dir: String, bands: Int = 8,
+                rows: Int = 3): DataFrame = {
+    val truePairs = ngramJaccardPairs(spark, dir)
+    val caught = minhashLshPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("caught"))
+    val binned = truePairs
+      .join(caught, Seq("doc_a", "doc_b"), "left")
+      .withColumn("j_micro",
+        round(col("jaccard") * 1000000, 0).cast("long"))
+      .withColumn("bucket",
+        least(expr("(j_micro - 600000) div 50000"), lit(7L)).cast("int"))
+    binned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .withColumn("s_mid",
+        (col("bucket") * 50000 + 625000).cast("double") / 1000000)
+      .select(col("bucket"),
+        round(col("s_mid"), 6).as("s_mid"),
+        col("n_true"), col("n_caught"),
+        round(col("n_caught").cast("double") /
+          col("n_true").cast("double"), 6).as("observed_recall"),
+        round(lit(1.0) - pow(lit(1.0) - pow(col("s_mid"),
+          rows.toDouble), bands.toDouble), 6).as("theory_collide"))
+      .orderBy(col("bucket"))
+  }
+
+  def lshSCurveSql(bands: Int = 8, rows: Int = 3): String =
+    s"""WITH true_p AS (
+       |  $ngramJaccardPairsSql
+       |), caught_p AS (
+       |  $minhashLshPairsSql
+       |), binned AS (
+       |  SELECT LEAST((CAST(ROUND(t.jaccard * 1000000, 0) AS BIGINT)
+       |      - 600000) // 50000, 7) AS bucket,
+       |    CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+       |  FROM true_p t
+       |  LEFT JOIN caught_p c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       |)
+       |SELECT CAST(bucket AS INT) AS bucket,
+       |  ROUND(CAST(bucket * 50000 + 625000 AS DOUBLE) / 1000000, 6)
+       |    AS s_mid,
+       |  CAST(COUNT(*) AS BIGINT) AS n_true,
+       |  CAST(SUM(caught) AS BIGINT) AS n_caught,
+       |  ROUND(CAST(SUM(caught) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS observed_recall,
+       |  ROUND(1.0 - POWER(1.0 - POWER(
+       |    CAST(bucket * 50000 + 625000 AS DOUBLE) / 1000000,
+       |    ${rows.toDouble}), ${bands.toDouble}), 6) AS theory_collide
+       |FROM binned
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
 }

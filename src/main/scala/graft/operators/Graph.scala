@@ -2464,4 +2464,107 @@ object Graph {
     require(done, s"kTrussPeel: no fixpoint within $maxRounds rounds")
     cur.orderBy(col("pa"), col("pb"))
   }
+
+  /** q409 — cold-start audit of the q187 temporal holdout: how much
+    * of the evaluation set involves ITEMS the training corpus never
+    * saw (and, for symmetry, users — zero by this split's
+    * construction, stated rather than assumed). Every CF evaluation
+    * silently scores cold items as misses; if they carry a large
+    * share of test interactions, the holdout measures catalog churn,
+    * not recommender quality — this relation says which, BEFORE
+    * anyone reads q187's hit rate. Entity grain: one row per entity
+    * type with distinct-entity and interaction-mass shares.
+    *
+    * Exactness: the split is q187's verbatim last-date rule; cold
+    * flags are anti-join existence; all outputs are integer counts
+    * and single rounded divisions.
+    *
+    * Scale: the q187 split machinery (broadcast-size date filter) +
+    * two distinct aggregates and one anti-join per entity type.
+    */
+  def coldStartAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val lastDt = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_dt"),
+        countDistinct(col("o_orderdate")).as("n_dt"))
+    val o2 = orders.join(lastDt, "o_custkey")
+      .withColumn("is_holdout",
+        col("n_dt") >= 2 && col("o_orderdate") === col("last_dt"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val inter = li.join(o2.select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey"), col("is_holdout")), "l_orderkey")
+    val train = inter.filter(!col("is_holdout"))
+    val test = inter.filter(col("is_holdout"))
+    def audit(entity: String, keyCol: String): DataFrame = {
+      val testKeyed = test.select(col(keyCol).as("k"))
+      val trainKeys = train.select(col(keyCol).as("k")).distinct()
+      val flagged = testKeyed
+        .join(trainKeys.withColumn("in_train", lit(1)), Seq("k"), "left")
+        .withColumn("cold", col("in_train").isNull.cast("long"))
+      val ent = flagged.groupBy(col("k"))
+        .agg(count(lit(1)).as("rows"), max(col("cold")).as("cold"))
+      ent.agg(
+        lit(entity).as("entity"),
+        count(lit(1)).as("n_test_entities"),
+        sum(col("cold")).as("n_cold_entities"),
+        round(sum(col("cold")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("cold_entity_share"),
+        sum(col("rows")).as("n_test_rows"),
+        sum(when(col("cold") === 1, col("rows")).otherwise(0L))
+          .as("n_cold_rows"),
+        round(sum(when(col("cold") === 1, col("rows")).otherwise(0L))
+          .cast("double") / sum(col("rows")).cast("double"), 6)
+          .as("cold_row_share"))
+    }
+    audit("item", "l_partkey").unionByName(audit("user", "o_custkey"))
+      .orderBy(col("entity"))
+  }
+
+  val coldStartAuditSql: String = {
+    def one(entity: String, keyCol: String): String =
+      s"""SELECT '$entity' AS entity,
+         |  CAST(COUNT(*) AS BIGINT) AS n_test_entities,
+         |  CAST(SUM(cold) AS BIGINT) AS n_cold_entities,
+         |  ROUND(CAST(SUM(cold) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS cold_entity_share,
+         |  CAST(SUM(rows_) AS BIGINT) AS n_test_rows,
+         |  CAST(SUM(CASE WHEN cold = 1 THEN rows_ ELSE 0 END) AS BIGINT)
+         |    AS n_cold_rows,
+         |  ROUND(CAST(SUM(CASE WHEN cold = 1 THEN rows_ ELSE 0 END)
+         |    AS DOUBLE) / CAST(SUM(rows_) AS DOUBLE), 6) AS cold_row_share
+         |FROM (
+         |  SELECT t.$keyCol AS k, COUNT(*) AS rows_,
+         |    MAX(CASE WHEN tr.k IS NULL THEN 1 ELSE 0 END) AS cold
+         |  FROM test_i t
+         |  LEFT JOIN (SELECT DISTINCT $keyCol AS k FROM train_i) tr
+         |    ON tr.k = t.$keyCol
+         |  GROUP BY t.$keyCol
+         |)""".stripMargin
+    s"""WITH last_dt AS (
+       |  SELECT o_custkey, MAX(o_orderdate) AS last_dt,
+       |    COUNT(DISTINCT o_orderdate) AS n_dt
+       |  FROM orders GROUP BY 1
+       |), o2 AS (
+       |  SELECT o.o_orderkey, o.o_custkey,
+       |    (l.n_dt >= 2 AND o.o_orderdate = l.last_dt) AS is_holdout
+       |  FROM orders o JOIN last_dt l ON l.o_custkey = o.o_custkey
+       |), inter AS (
+       |  SELECT DISTINCT li.l_orderkey, li.l_partkey, o2.o_custkey,
+       |    o2.is_holdout
+       |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
+       |  JOIN o2 ON o2.o_orderkey = li.l_orderkey
+       |), train_i AS (
+       |  SELECT * FROM inter WHERE NOT is_holdout
+       |), test_i AS (
+       |  SELECT * FROM inter WHERE is_holdout
+       |)
+       |SELECT * FROM (
+       |${one("item", "l_partkey")}
+       |UNION ALL
+       |${one("user", "o_custkey")}
+       |)
+       |ORDER BY entity""".stripMargin
+  }
 }
