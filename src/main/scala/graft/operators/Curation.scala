@@ -2796,4 +2796,66 @@ object Curation {
        |FROM agg
        |ORDER BY bucket""".stripMargin
   }
+
+  /** q413 — weighted sampling WITHOUT replacement via exponential
+    * race keys (Efraimidis–Spirakis A-ES): every document draws
+    * e = −ln(u)/w from a seeded uniform, and the k SMALLEST keys per
+    * source are EXACTLY a weight-proportional without-replacement
+    * sample — the one-pass, shuffle-light algorithm distributed
+    * engines actually use for weighted reservoirs (q87's
+    * with-replacement form can pick a hot doc twice; training mixes
+    * must not). The key insight is the algorithm: no sequential
+    * reservoir, no rejection loop — a rank over independent keys, so
+    * it parallelizes perfectly and reruns identically.
+    *
+    * Determinism: uniforms are the q308 md5 convention keyed on
+    * (source, doc); weights are the shared 6dp quality scores floored
+    * at 1e-6 (zero-weight docs must not divide by zero — they get
+    * astronomically large keys instead, i.e. effectively never
+    * sampled); keys round at 9dp before the (key, doc) rank so a
+    * last-ulp ln() divergence cannot flip a pick.
+    *
+    * Scale: one narrow map + one per-source rank ≤ k window (literal
+    * bound — partial WindowGroupLimit).
+    */
+  def weightedReservoir(spark: SparkSession, dir: String,
+                        k: Int = 20): DataFrame = {
+    import graft.functions.PortableHash
+    import graft.functions.TextFunctions.qualityScore
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        qualityScore(col("text")).as("w"))
+    val u = (PortableHash.md5Long60(concat(col("source"), lit("|es|"),
+      col("doc_id").cast("string"))).cast("double") + 0.5) /
+      lit((1L << 60).toDouble)
+    val keyed = docs.withColumn("ekey",
+      round(-log(u) / greatest(col("w"), lit(1e-6)), 9))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("ekey"), col("doc_id"))
+    keyed.withColumn("pick", row_number().over(wRank))
+      .filter(col("pick") <= k)
+      .select(col("source"), col("pick"), col("doc_id"),
+        round(col("w"), 6).as("weight"), col("ekey"))
+      .orderBy(col("source"), col("pick"))
+  }
+
+  def weightedReservoirSql(k: Int = 20): String =
+    s"""WITH docs AS (
+       |  SELECT source, doc_id,
+       |    ${graft.operators.TextAnalysis.qualityExprSql} AS w
+       |  FROM documents
+       |), keyed AS (
+       |  SELECT source, doc_id, w,
+       |    ROUND(-ln((CAST(CAST(('0x' || substr(md5(source || '|es|' ||
+       |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+       |      + 0.5) / POWER(2.0, 60)) / GREATEST(w, 1e-6), 9) AS ekey
+       |  FROM docs
+       |)
+       |SELECT source, pick, doc_id, ROUND(w, 6) AS weight, ekey FROM (
+       |  SELECT source, doc_id, w, ekey,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY ekey, doc_id) AS INT) AS pick
+       |  FROM keyed
+       |) WHERE pick <= $k
+       |ORDER BY source, pick""".stripMargin
 }

@@ -5732,4 +5732,126 @@ object Events {
       |  ROUND(ss_trend / NULLIF(ss_tot, 0.0), 6) AS share_trend
       |FROM calc
       |ORDER BY event_type""".stripMargin
+
+  /** q412 — Wald–Wolfowitz runs test on each type's daily series: the
+    * sign sequence of (value − median) is counted for RUNS (maximal
+    * same-sign stretches), and too FEW runs vs the exact null moments
+    * E[R] = 2·n₊·n₋/n + 1, Var[R] = (E−1)(E−2)/(n−1) means the
+    * residual sequence is positively dependent — the
+    * model-free randomness check a forecaster runs on residuals
+    * before trusting q393's loss comparisons (which assume the HAC
+    * window covered the dependence). Median-days are EXCLUDED, the
+    * standard convention, with their count surfaced.
+    *
+    * Exactness: the median is an exact doubled order statistic; signs
+    * and run counts are integers off one lag window (a run starts
+    * where the sign differs from the previous kept day); E and Var
+    * are fixed double chains off three integers; one rounded z.
+    *
+    * Scale: one (type, day) aggregate, one rank window for the
+    * median, one day-ordered lag window, one per-type aggregate —
+    * all calendar-sized.
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(graft.operators.Relational.decSum(col("value")).as("v"))
+    val wMed = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("day"))
+    val med = daily
+      .withColumn("rn", row_number().over(wMed).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(((max(when(col("rn") === expr("(n + 1) div 2"), col("v"))) +
+        max(when(col("rn") === expr("(n + 2) div 2"), col("v")))) / 2)
+        .as("med"))
+    val signed = daily.join(broadcast(med), "event_type")
+      .filter(col("v") =!= col("med"))
+      .withColumn("sgn", (col("v") > col("med")).cast("int"))
+    val wDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val runs = signed
+      .withColumn("new_run",
+        (lag(col("sgn"), 1).over(wDay).isNull ||
+          lag(col("sgn"), 1).over(wDay) =!= col("sgn")).cast("long"))
+    val excluded = daily.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(sum((col("v") === col("med")).cast("long")).as("n_excluded"))
+    runs.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("sgn").cast("long")).as("n_pos"),
+        (count(lit(1)) - sum(col("sgn").cast("long"))).as("n_neg"),
+        sum(col("new_run")).as("n_runs"))
+      .join(broadcast(excluded), "event_type")
+      .withColumn("e_runs",
+        lit(2.0) * col("n_pos").cast("double") *
+          col("n_neg").cast("double") / col("n_kept").cast("double") +
+          lit(1.0))
+      .withColumn("var_runs",
+        (col("e_runs") - 1) * (col("e_runs") - 2) /
+          nullif((col("n_kept") - 1).cast("double"), lit(0.0)))
+      .select(col("event_type"), col("n_kept"), col("n_excluded"),
+        col("n_pos"), col("n_neg"), col("n_runs"),
+        round(col("e_runs"), 6).as("e_runs"),
+        round(when(col("var_runs") > 0,
+          (col("n_runs").cast("double") - col("e_runs")) /
+            sqrt(col("var_runs"))), 6).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  val runsTestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), med AS (
+      |  SELECT event_type,
+      |    (MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)
+      |      + MAX(CASE WHEN rn = (n + 2) // 2 THEN v END)) / 2 AS med
+      |  FROM (
+      |    SELECT event_type, v,
+      |      CAST(row_number() OVER (PARTITION BY event_type
+      |        ORDER BY v, day) AS BIGINT) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM daily
+      |  ) GROUP BY 1
+      |), signed AS (
+      |  SELECT d.event_type, d.day,
+      |    CASE WHEN d.v > m.med THEN 1 ELSE 0 END AS sgn
+      |  FROM daily d JOIN med m ON d.event_type = m.event_type
+      |  WHERE d.v <> m.med
+      |), runs AS (
+      |  SELECT event_type, sgn,
+      |    CASE WHEN lag(sgn) OVER (PARTITION BY event_type ORDER BY day)
+      |      IS NULL OR lag(sgn) OVER (PARTITION BY event_type
+      |      ORDER BY day) <> sgn THEN 1 ELSE 0 END AS new_run
+      |  FROM signed
+      |), excl AS (
+      |  SELECT d.event_type,
+      |    CAST(SUM(CASE WHEN d.v = m.med THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_excluded
+      |  FROM daily d JOIN med m ON d.event_type = m.event_type
+      |  GROUP BY 1
+      |), agg AS (
+      |  SELECT r.event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    CAST(SUM(sgn) AS BIGINT) AS n_pos,
+      |    CAST(COUNT(*) - SUM(sgn) AS BIGINT) AS n_neg,
+      |    CAST(SUM(new_run) AS BIGINT) AS n_runs
+      |  FROM runs r GROUP BY 1
+      |), m2 AS (
+      |  SELECT a.*, e.n_excluded,
+      |    2.0 * CAST(a.n_pos AS DOUBLE) * CAST(a.n_neg AS DOUBLE)
+      |      / CAST(a.n_kept AS DOUBLE) + 1.0 AS e_runs
+      |  FROM agg a JOIN excl e ON a.event_type = e.event_type
+      |)
+      |SELECT event_type, n_kept, n_excluded, n_pos, n_neg, n_runs,
+      |  ROUND(e_runs, 6) AS e_runs,
+      |  ROUND(CASE WHEN (e_runs - 1) * (e_runs - 2)
+      |      / NULLIF(CAST(n_kept - 1 AS DOUBLE), 0.0) > 0
+      |    THEN (CAST(n_runs AS DOUBLE) - e_runs)
+      |      / sqrt((e_runs - 1) * (e_runs - 2)
+      |        / NULLIF(CAST(n_kept - 1 AS DOUBLE), 0.0))
+      |  END, 6) AS z
+      |FROM m2
+      |ORDER BY event_type""".stripMargin
 }

@@ -3723,4 +3723,101 @@ object Relational {
        |FROM point p JOIN stats s ON p.c_mktsegment = s.c_mktsegment
        |ORDER BY p.c_mktsegment""".stripMargin
   }
+
+  /** q411 — regression discontinuity (sharp, local-linear) at the
+    * deep-discount threshold: per part type, quantity is fit linearly
+    * in discount on EACH side of c = 0.05 (the q102 sufficient-stat
+    * machinery, centered at the cutoff so each intercept IS the value
+    * at c), and the jump a_right − a_left estimates the causal effect
+    * of crossing into deep-discount territory under the RD
+    * assumption (units just below and just above the cutoff are
+    * comparable). Completes the causal shelf: DiD (q183), synthetic
+    * control (q355), matching (q313), IPS (q177), and now the
+    * threshold design — the one that needs NO control group, only a
+    * rule.
+    *
+    * Exactness: the q102 discipline verbatim — 6dp-rounded product
+    * terms, DECIMAL(28,6) sums, one fixed double chain per side,
+    * NULL-guarded degenerate sides.
+    *
+    * Scale: ONE fact scan into a (type, side) sufficient-stat
+    * aggregate (the part dim broadcast); everything after is
+    * |types|-row algebra.
+    */
+  def regressionDiscontinuity(spark: SparkSession, dir: String,
+                              cutoff: Double = 0.05): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val types = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_type"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_discount"), col("l_quantity"))
+      .join(broadcast(types), "l_partkey")
+      .withColumn("x", col("l_discount") - lit(cutoff))
+      .withColumn("side",
+        when(col("l_discount") >= cutoff, "right").otherwise("left"))
+      .withColumn("y", col("l_quantity"))
+    val stats = li.groupBy(col("p_type"), col("side")).agg(
+      count(lit(1)).as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(round(col("x") * col("x"), 6)).as("sxx"),
+      dsum(round(col("x") * col("y"), 6)).as("sxy"))
+    val fit = stats
+      .withColumn("den",
+        nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0)))
+      .withColumn("b",
+        (col("n") * col("sxy") - col("sx") * col("sy")) / col("den"))
+      .withColumn("a",
+        (col("sy") - col("b") * col("sx")) / col("n"))
+    fit.groupBy(col("p_type")).agg(
+        sum(col("n")).as("n_rows"),
+        max(when(col("side") === "left", col("a"))).as("a_l"),
+        max(when(col("side") === "left", col("b"))).as("b_l"),
+        max(when(col("side") === "right", col("a"))).as("a_r"),
+        max(when(col("side") === "right", col("b"))).as("b_r"))
+      .select(col("p_type"), col("n_rows"),
+        round(col("a_l"), 6).as("left_at_cutoff"),
+        round(col("a_r"), 6).as("right_at_cutoff"),
+        round(col("b_l"), 6).as("slope_left"),
+        round(col("b_r"), 6).as("slope_right"),
+        round(col("a_r") - col("a_l"), 6).as("rd_jump"))
+      .orderBy(col("p_type"))
+  }
+
+  def regressionDiscontinuitySql(cutoff: Double = 0.05): String =
+    s"""WITH li AS (
+       |  SELECT t.p_type, l.l_discount - $cutoff AS x,
+       |    CASE WHEN l.l_discount >= $cutoff THEN 'right' ELSE 'left' END
+       |      AS side,
+       |    l.l_quantity AS y
+       |  FROM lineitem l JOIN part t ON t.p_partkey = l.l_partkey
+       |), stats AS (
+       |  SELECT p_type, side, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |      AS sxx,
+       |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |      AS sxy
+       |  FROM li GROUP BY 1, 2
+       |), fit AS (
+       |  SELECT p_type, side, n,
+       |    (sy - ((n * sxy - sx * sy)
+       |      / NULLIF(n * sxx - sx * sx, 0.0)) * sx) / n AS a,
+       |    (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) AS b
+       |  FROM stats
+       |)
+       |SELECT p_type, CAST(SUM(n) AS BIGINT) AS n_rows,
+       |  ROUND(MAX(CASE WHEN side = 'left' THEN a END), 6)
+       |    AS left_at_cutoff,
+       |  ROUND(MAX(CASE WHEN side = 'right' THEN a END), 6)
+       |    AS right_at_cutoff,
+       |  ROUND(MAX(CASE WHEN side = 'left' THEN b END), 6) AS slope_left,
+       |  ROUND(MAX(CASE WHEN side = 'right' THEN b END), 6)
+       |    AS slope_right,
+       |  ROUND(MAX(CASE WHEN side = 'right' THEN a END)
+       |    - MAX(CASE WHEN side = 'left' THEN a END), 6) AS rd_jump
+       |FROM fit
+       |GROUP BY p_type
+       |ORDER BY p_type""".stripMargin
 }
