@@ -5854,4 +5854,88 @@ object Events {
       |  END, 6) AS z
       |FROM m2
       |ORDER BY event_type""".stripMargin
+
+  /** q414 — Hill tail-index estimate of each type's daily-value
+    * distribution: over the top k = ⌈10%·n⌉ order statistics,
+    * ξ̂ = (1/k)·Σ ln(x₍ᵢ₎/x₍ₙ₋ₖ₎) and α̂ = 1/ξ̂ — the heaviness of the
+    * upper tail, which decides whether q378's expected shortfall even
+    * converges (α ≤ 2 means infinite variance: means and sds are
+    * theater) and how q121/q364's thresholds should scale with
+    * horizon. The standard extreme-value first look, on exact order
+    * statistics rather than a fitted GPD.
+    *
+    * Exactness: the tail membership and the threshold x₍ₙ₋ₖ₎ are
+    * exact integer rank picks off the fully tiebroken per-type sort;
+    * each log-excess term rounds at 6dp into DECIMAL sums; ξ̂ and α̂
+    * are single rounded divisions, NULL-guarded for degenerate tails
+    * (threshold ≤ 0 or all-equal tails).
+    *
+    * Scale: one (type, day) aggregate + one per-type rank window +
+    * one per-type aggregate — calendar-sized.
+    */
+  def hillTailIndex(spark: SparkSession, dir: String,
+                    tailFrac: Double = 0.1): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(graft.operators.Relational.decSum(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("v").desc, col("day"))
+    val ranked = daily
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("k",
+        ceil(lit(tailFrac) * col("n").cast("double")).cast("long"))
+    val thr = ranked.groupBy(col("event_type"))
+      .agg(max(when(col("rn") === col("k") + 1, col("v"))).as("x_thr"))
+    ranked.join(broadcast(thr), "event_type")
+      .filter(col("rn") <= col("k"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"), max(col("k")).as("tail_k"),
+        round(max(col("x_thr")), 6).as("threshold"),
+        sum(when(col("x_thr") > 0,
+            round(log(col("v") / col("x_thr")), 6))
+          .otherwise(lit(0.0)).cast(dec)).cast("double").as("sum_ln"))
+      .select(col("event_type"), col("n_days"), col("tail_k"),
+        col("threshold"),
+        round(col("sum_ln") /
+          nullif(col("tail_k").cast("double"), lit(0.0)), 6).as("xi_hat"),
+        round(nullif(col("tail_k").cast("double"), lit(0.0)) /
+          nullif(col("sum_ln"), lit(0.0)), 6).as("alpha_hat"))
+      .orderBy(col("event_type"))
+  }
+
+  def hillTailIndexSql(tailFrac: Double = 0.1): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+       |  FROM events GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT event_type, v,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY v DESC, day) AS BIGINT) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+       |    CAST(CEIL($tailFrac * CAST(COUNT(*) OVER (PARTITION BY
+       |      event_type) AS DOUBLE)) AS BIGINT) AS k
+       |  FROM daily
+       |), thr AS (
+       |  SELECT event_type, MAX(CASE WHEN rn = k + 1 THEN v END) AS x_thr
+       |  FROM ranked GROUP BY 1
+       |), agg AS (
+       |  SELECT r.event_type, CAST(MAX(r.n) AS BIGINT) AS n_days,
+       |    MAX(r.k) AS tail_k, ROUND(MAX(t.x_thr), 6) AS threshold,
+       |    CAST(SUM(CAST(CASE WHEN t.x_thr > 0
+       |      THEN ROUND(ln(r.v / t.x_thr), 6) ELSE 0.0 END
+       |      AS DECIMAL(28,6))) AS DOUBLE) AS sum_ln
+       |  FROM ranked r JOIN thr t ON r.event_type = t.event_type
+       |  WHERE r.rn <= r.k
+       |  GROUP BY 1
+       |)
+       |SELECT event_type, n_days, tail_k, threshold,
+       |  ROUND(sum_ln / NULLIF(CAST(tail_k AS DOUBLE), 0.0), 6) AS xi_hat,
+       |  ROUND(NULLIF(CAST(tail_k AS DOUBLE), 0.0)
+       |    / NULLIF(sum_ln, 0.0), 6) AS alpha_hat
+       |FROM agg
+       |ORDER BY event_type""".stripMargin
 }

@@ -3188,4 +3188,112 @@ object Similarity {
        |FROM per_q
        |GROUP BY q_label
        |ORDER BY label""".stripMargin
+
+  /** q415 — hubness audit of the embedding space: over the q366
+    * sample queries' top-k neighbor lists, the k-occurrence
+    * distribution of corpus vectors — how many queries each vector
+    * serves as a neighbor. High-dimensional spaces grow HUBS (a few
+    * points appear in everyone's neighbor list) and antihubs (most
+    * points appear in none), and hubness silently corrupts every
+    * kNN-based consumer here: q366's votes concentrate on hubs,
+    * SemDeDup's clusters glue through them, MMR diversity (q291)
+    * fights them. Reported per label: max and p99 k-occurrence, the
+    * share of never-retrieved candidates, and the top-1 hub's id —
+    * read together with q407's intrinsic dimension (hubness is its
+    * symptom).
+    *
+    * Exactness: k-occurrences are integer counts off the shared
+    * ranked lists (rank ≤ k, integer-tiebroken); the p99 is an exact
+    * rank pick; shares are integer divisions. Candidates with zero
+    * occurrences enter via a left join from the candidate universe,
+    * never inferred.
+    *
+    * Scale: the q366 broadcast-brute + partial-top-k plan, then
+    * candidate-universe-sized aggregates.
+    */
+  def hubnessAudit(spark: SparkSession, dir: String, k: Int = 5,
+                   sampleMod: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(spark, col("q_emb"), col("embedding")), 6)
+          .as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val occ = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("k_occ"))
+    val universe = emb.select(col("vec_id").as("neighbor_id"),
+        col("label"))
+      .join(occ, Seq("neighbor_id"), "left")
+      .withColumn("k_occ", coalesce(col("k_occ"), lit(0L)))
+    val wOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("k_occ"), col("neighbor_id"))
+    val wHub = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("k_occ").desc, col("neighbor_id"))
+    universe
+      .withColumn("rn", row_number().over(wOcc).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
+      .withColumn("p99_rn", expr("CAST(CEIL(0.99 * n) AS BIGINT)"))
+      .withColumn("hub_rn", row_number().over(wHub))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_candidates"),
+        max(col("k_occ")).as("max_k_occ"),
+        max(when(col("rn") === col("p99_rn"), col("k_occ")))
+          .as("p99_k_occ"),
+        sum((col("k_occ") === 0).cast("long")).as("n_never"),
+        round(sum((col("k_occ") === 0).cast("long")).cast("double") /
+          max(col("n")).cast("double"), 6).as("never_share"),
+        max(when(col("hub_rn") === 1, col("neighbor_id"))).as("top_hub_id"))
+      .orderBy(col("label"))
+  }
+
+  def hubnessAuditSql(k: Int = 5, sampleMod: Int = 10): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % $sampleMod = 0
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("q.q_emb", "e.embedding")}, 6) AS cos_sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+       |), occ AS (
+       |  SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS k_occ FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM scored
+       |  ) WHERE rank <= $k GROUP BY 1
+       |), universe AS (
+       |  SELECT e.vec_id AS neighbor_id, e.label,
+       |    COALESCE(o.k_occ, 0) AS k_occ
+       |  FROM embeddings e LEFT JOIN occ o ON o.neighbor_id = e.vec_id
+       |), ranked AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY label
+       |      ORDER BY k_occ, neighbor_id) AS BIGINT) AS rn,
+       |    COUNT(*) OVER (PARTITION BY label) AS n,
+       |    CAST(CEIL(0.99 * CAST(COUNT(*) OVER (PARTITION BY label)
+       |      AS DOUBLE)) AS BIGINT) AS p99_rn,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY k_occ DESC, neighbor_id) AS hub_rn
+       |  FROM universe
+       |)
+       |SELECT label, CAST(MAX(n) AS BIGINT) AS n_candidates,
+       |  MAX(k_occ) AS max_k_occ,
+       |  MAX(CASE WHEN rn = p99_rn THEN k_occ END) AS p99_k_occ,
+       |  CAST(SUM(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_never,
+       |  ROUND(CAST(SUM(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(MAX(n) AS DOUBLE), 6) AS never_share,
+       |  MAX(CASE WHEN hub_rn = 1 THEN neighbor_id END) AS top_hub_id
+       |FROM ranked
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
 }
