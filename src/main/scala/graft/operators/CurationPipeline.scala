@@ -37,7 +37,23 @@ object CurationPipeline {
                    minQuality: Double = 0.5, perSource: Int = 50,
                    budget: Int = 2048, nBuckets: Int = 32,
                    maxDupTokenFrac: Double = 0.95, evalPct: Int = 2,
-                   minShared: Int = 3): DataFrame = {
+                   minShared: Int = 3): DataFrame =
+    stageFrames(spark, dir, minQuality, perSource, budget, nBuckets,
+      maxDupTokenFrac, evalPct, minShared).last._2
+      .select(col("doc_id"), col("source"), col("lang"), col("quality"),
+        col("n_redactions"), col("n_tokens"), col("bucket"), col("seq_id"),
+        col("seq_offset"))
+      .orderBy(col("doc_id"))
+
+  /** The pipeline's named intermediate frames, in order — the SINGLE
+    * construction both [[curateCorpus]] (which ships the last frame)
+    * and the q417 stage ledger consume, so the ledger cannot drift
+    * from the pipeline it observes. */
+  private[operators] def stageFrames(spark: SparkSession, dir: String,
+      minQuality: Double = 0.5, perSource: Int = 50,
+      budget: Int = 2048, nBuckets: Int = 32,
+      maxDupTokenFrac: Double = 0.95, evalPct: Int = 2,
+      minShared: Int = 3): Seq[(String, DataFrame)] = {
     val docs = Tables.load(spark, dir, "documents")
 
     // 1. near-dup clustering: canonical representatives only
@@ -79,11 +95,48 @@ object CurationPipeline {
     val withTokens = capped.select(col("doc_id"), col("source"), col("lang"),
       col("quality"), col("n_redactions"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"))
-    Curation.sequencePackCore(withTokens, budget, nBuckets)
-      .select(col("doc_id"), col("source"), col("lang"), col("quality"),
-        col("n_redactions"), col("n_tokens"), col("bucket"), col("seq_id"),
-        col("seq_offset"))
-      .orderBy(col("doc_id"))
+    val packed = Curation.sequencePackCore(withTokens, budget, nBuckets)
+    Seq(
+      "0_input" -> docs,
+      "1_dedup" -> deduped,
+      "2_repetition" -> varied,
+      "3_quality" -> scored,
+      "4_decontaminated" -> clean,
+      "5_redacted" -> redacted,
+      "6_capped" -> capped,
+      "7_packed" -> packed)
+  }
+
+  /** q417 — pipeline stage ledger: one row per q63 stage with rows
+    * surviving, rows dropped from the previous stage, and the drop
+    * share — the observability layer every production curation run
+    * logs ("the quality gate suddenly dropped 40%" is an incident;
+    * without the ledger it's an invisible training-mix shift). Built
+    * on the SAME frame construction q63 grades, so the ledger and
+    * the pipeline cannot disagree; count-preserving stages (redact,
+    * pack) show zero drops by construction, which is itself a graded
+    * invariant.
+    *
+    * Exactness: integer counts + single rounded divisions. Scale:
+    * one count aggregate per stage over the shared lazy frames —
+    * Spark reuses the common stage prefixes across the counts.
+    */
+  def pipelineLedger(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = stageFrames(spark, dir)
+    val counts = frames.map { case (name, df) =>
+      df.agg(lit(name).as("stage"), count(lit(1)).as("rows_out"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(lit(1)).orderBy(col("stage"))
+    counts
+      .withColumn("rows_in", lag(col("rows_out"), 1).over(w))
+      .withColumn("dropped", col("rows_in") - col("rows_out"))
+      .select(col("stage"), col("rows_out"), col("rows_in"),
+        col("dropped"),
+        round(col("dropped").cast("double") /
+          nullif(col("rows_in").cast("double"), lit(0.0)), 6)
+          .as("drop_share"))
+      .orderBy(col("stage"))
   }
 
   /** q63 — the WHOLE pipeline as one DuckDB oracle: every stage's
@@ -94,12 +147,15 @@ object CurationPipeline {
     * compose without semantic drift — the strongest correctness
     * statement this engine makes.
     */
-  val curateCorpusSql: String = {
+  /** The shared CTE chain both the q63 final and the q417 ledger
+    * oracle state — one construction, two finals (mirrors
+    * [[stageFrames]]). */
+  private val pipelineCtesSql: String = {
     val toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
     val tri = "unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
       "for i in range(1, len(toks) - 1)]) AS g"
     val md5b = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
-    s"""WITH canon AS (
+    s"""canon AS (
       |  SELECT doc_id FROM (${Dedup.dedupClustersSql}) WHERE is_canonical = 1
       |), base AS (
       |  SELECT d.doc_id, d.source, d.lang, d.text, $toks AS toks
@@ -150,9 +206,35 @@ object CurationPipeline {
       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |    AS BIGINT) AS cum_before
       |  FROM witht
-      |)
+      |)""".stripMargin
+  }
+
+  val curateCorpusSql: String =
+    s"""WITH $pipelineCtesSql
       |SELECT doc_id, source, lang, quality, n_redactions, n_tokens, bucket,
       |  cum_before // 2048 AS seq_id, cum_before % 2048 AS seq_offset
       |FROM packed ORDER BY doc_id""".stripMargin
+
+  val pipelineLedgerSql: String = {
+    val stages = Seq(
+      ("0_input", "documents"), ("1_dedup", "base"),
+      ("2_repetition", "varied"), ("3_quality", "scored"),
+      ("4_decontaminated", "clean"), ("5_redacted", "redacted"),
+      ("6_capped", "capped"), ("7_packed", "packed"))
+    val unions = stages.map { case (name, cte) =>
+      s"SELECT '$name' AS stage, CAST(COUNT(*) AS BIGINT) AS rows_out FROM $cte"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $pipelineCtesSql, counts AS (
+      |$unions
+      |)
+      |SELECT stage, rows_out,
+      |  lag(rows_out) OVER (ORDER BY stage) AS rows_in,
+      |  lag(rows_out) OVER (ORDER BY stage) - rows_out AS dropped,
+      |  ROUND(CAST(lag(rows_out) OVER (ORDER BY stage) - rows_out
+      |      AS DOUBLE)
+      |    / NULLIF(CAST(lag(rows_out) OVER (ORDER BY stage) AS DOUBLE),
+      |      0.0), 6) AS drop_share
+      |FROM counts
+      |ORDER BY stage""".stripMargin
   }
 }

@@ -5938,4 +5938,119 @@ object Events {
        |    / NULLIF(sum_ln, 0.0), 6) AS alpha_hat
        |FROM agg
        |ORDER BY event_type""".stripMargin
+
+  /** q416 — hour-of-day profile drift per event type: the 24-bin
+    * hour-of-day distribution of the FIRST half of the time range
+    * against the SECOND, scored by JSD, with the single most-shifted
+    * hour called out — the traffic-shape monitor (a feed whose events
+    * migrate from business hours to 3am changed its upstream, its
+    * timezone handling, or its bot mix, none of which a daily TOTAL
+    * shows). q124 drifts documents, q385 drifts categories; this
+    * drifts the CLOCK.
+    *
+    * Exactness: hours and the midpoint split are integer epoch-ms
+    * arithmetic; bin probabilities are integer-count ratios; JSD
+    * terms are the q391 discipline (0·ln 0 guarded, 6dp-rounded,
+    * decimal-summed); the top-shift hour is an integer-micro argmax
+    * with an hour tiebreak.
+    *
+    * Scale: one event scan into a (type, half, hour) aggregate;
+    * everything after is 24-bin algebra.
+    */
+  def hourProfileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val tsMsC = graft.operators.Relational.tsMs("ts")
+    val e = Tables.load(spark, dir, "events")
+      .select(tsMsC.as("ms"),
+        expr("pmod(unix_micros(ts) div 3600000000, 24)").as("hour"),
+        col("event_type"))
+    val bounds = e.agg(min(col("ms")).as("a"), max(col("ms")).as("b"))
+      .select(expr("a + (b - a) div 2").as("mid"))
+    val cells = e.crossJoin(broadcast(bounds))
+      .withColumn("half", when(col("ms") <= col("mid"), 1).otherwise(2))
+      .groupBy(col("event_type"), col("hour"), col("half"))
+      .agg(count(lit(1)).as("c"))
+    val grid = cells.groupBy(col("event_type"), col("hour"))
+      .agg(sum(when(col("half") === 1, col("c")).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 2, col("c")).otherwise(0L)).as("c2"))
+      .withColumn("t1", sum(col("c1")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("t2", sum(col("c2")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("p", col("c1").cast("double") / col("t1").cast("double"))
+      .withColumn("q", col("c2").cast("double") / col("t2").cast("double"))
+      .withColumn("avg", (col("p") + col("q")) / 2)
+      .withColumn("term", round(
+        when(col("p") > 0,
+          lit(0.5) * col("p") * log(col("p") / col("avg")))
+          .otherwise(lit(0.0)) +
+        when(col("q") > 0,
+          lit(0.5) * col("q") * log(col("q") / col("avg")))
+          .otherwise(lit(0.0)), 6).cast(dec))
+      .withColumn("shift_micro",
+        abs(round(col("p") * 1000000, 0).cast("long") -
+          round(col("q") * 1000000, 0).cast("long")))
+    val wTop = Window.partitionBy(col("event_type"))
+      .orderBy(col("shift_micro").desc, col("hour"))
+    grid.withColumn("top_rn", row_number().over(wTop))
+      .groupBy(col("event_type"))
+      .agg(max(col("t1")).as("n_first"), max(col("t2")).as("n_second"),
+        round(sum(col("term")).cast("double"), 6).as("jsd"),
+        max(when(col("top_rn") === 1, col("hour"))).as("top_shift_hour"),
+        round(max(when(col("top_rn") === 1, col("shift_micro")))
+          .cast("double") / 1000000, 6).as("top_shift_abs"))
+      .orderBy(col("event_type"))
+  }
+
+  val hourProfileDriftSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ms(ts) AS ms,
+      |    (epoch_ms(ts) // 3600000) % 24 AS hour
+      |  FROM events
+      |), bounds AS (
+      |  SELECT MIN(ms) + (MAX(ms) - MIN(ms)) // 2 AS mid FROM e
+      |), cells AS (
+      |  SELECT e.event_type, e.hour,
+      |    CASE WHEN e.ms <= b.mid THEN 1 ELSE 2 END AS half,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM e CROSS JOIN bounds b
+      |  GROUP BY 1, 2, 3
+      |), grid AS (
+      |  SELECT event_type, hour,
+      |    CAST(SUM(CASE WHEN half = 1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN half = 2 THEN c ELSE 0 END) AS BIGINT) AS c2
+      |  FROM cells GROUP BY 1, 2
+      |), probs AS (
+      |  SELECT event_type, hour, c1, c2,
+      |    CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS t1,
+      |    CAST(SUM(c2) OVER (PARTITION BY event_type) AS BIGINT) AS t2
+      |  FROM grid
+      |), terms AS (
+      |  SELECT event_type, hour, t1, t2,
+      |    CAST(ROUND(
+      |      CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2))
+      |        ELSE 0.0 END +
+      |      CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2))
+      |        ELSE 0.0 END, 6) AS DECIMAL(28,6)) AS term,
+      |    ABS(CAST(ROUND(p * 1000000, 0) AS BIGINT)
+      |      - CAST(ROUND(q * 1000000, 0) AS BIGINT)) AS shift_micro
+      |  FROM (
+      |    SELECT *, CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS p,
+      |      CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS q
+      |    FROM probs
+      |  )
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY shift_micro DESC, hour) AS top_rn
+      |  FROM terms
+      |)
+      |SELECT event_type, CAST(MAX(t1) AS BIGINT) AS n_first,
+      |  CAST(MAX(t2) AS BIGINT) AS n_second,
+      |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS jsd,
+      |  MAX(CASE WHEN top_rn = 1 THEN hour END) AS top_shift_hour,
+      |  ROUND(CAST(MAX(CASE WHEN top_rn = 1 THEN shift_micro END)
+      |    AS DOUBLE) / 1000000, 6) AS top_shift_abs
+      |FROM ranked
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }
