@@ -2858,4 +2858,87 @@ object Curation {
        |  FROM keyed
        |) WHERE pick <= $k
        |ORDER BY source, pick""".stripMargin
+
+  /** q420 — quality-gate DISPARITY audit: per language, the doc and
+    * token retention under one GLOBAL quality threshold (the corpus's
+    * own 20th-percentile score) side by side with the calibrated 80%
+    * target the q399 per-language gates deliver by construction — the
+    * disparity column is the fairness cost of the single-threshold
+    * shortcut, quantified (the language whose retention falls 30
+    * points below target is the one the global gate silently
+    * defunds). q399 ships the fix; this relation is the evidence
+    * that motivates deploying it.
+    *
+    * Exactness: the global threshold is an exact corpus-wide rank
+    * pick ([[graft.operators.Skew.globalRank]]-style total order at
+    * audit scale: one rank window over the fully tiebroken score
+    * order); retention counts are integers on the 6dp shared scores;
+    * disparities are single rounded subtractions.
+    *
+    * Scale: one quality map + one global rank window + per-language
+    * aggregates.
+    */
+  def gateDisparity(spark: SparkSession, dir: String,
+                    retain: Double = 0.8): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScore, tokenCount}
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        qualityScore(col("text")).as("q"),
+        tokenCount(col("text")).cast("long").as("toks"))
+    val wAll = Window.partitionBy(lit(1)).orderBy(col("q"), col("doc_id"))
+    val tau = docs
+      .withColumn("rn", row_number().over(wAll).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("k",
+        ceil(lit(1.0 - retain) * col("n").cast("double")).cast("long"))
+      .filter(col("rn") === col("k"))
+      .select(col("q").as("tau_global"))
+    docs.crossJoin(broadcast(tau))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("q") >= col("tau_global")).cast("long")).as("n_kept"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("q") >= col("tau_global"), col("toks"))
+          .otherwise(0L)).as("tokens_kept"),
+        round(max(col("tau_global")), 6).as("tau_global"))
+      .select(col("lang"), col("n_docs"), col("tau_global"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"),
+          6).as("global_doc_retention"),
+        round(col("tokens_kept").cast("double") /
+          col("n_tokens").cast("double"), 6).as("global_token_retention"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double")
+          - lit(retain), 6).as("disparity_vs_target"))
+      .orderBy(col("lang"))
+  }
+
+  def gateDisparitySql(retain: Double = 0.8): String =
+    s"""WITH docs AS (
+       |  SELECT lang, doc_id,
+       |    ${graft.operators.TextAnalysis.qualityExprSql} AS q,
+       |    CAST(${graft.operators.TextAnalysis.tokenCountExprSql}
+       |      AS BIGINT) AS toks
+       |  FROM documents
+       |), tau AS (
+       |  SELECT q AS tau_global FROM (
+       |    SELECT q,
+       |      CAST(row_number() OVER (ORDER BY q, doc_id) AS BIGINT) AS rn,
+       |      CAST(CEIL(${1.0 - retain} * CAST(COUNT(*) OVER ()
+       |        AS DOUBLE)) AS BIGINT) AS k
+       |    FROM docs
+       |  ) WHERE rn = k
+       |)
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  ROUND(MAX(t.tau_global), 6) AS tau_global,
+       |  ROUND(CAST(SUM(CASE WHEN d.q >= t.tau_global THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS global_doc_retention,
+       |  ROUND(CAST(SUM(CASE WHEN d.q >= t.tau_global THEN d.toks
+       |      ELSE 0 END) AS DOUBLE) / CAST(SUM(d.toks) AS DOUBLE), 6)
+       |    AS global_token_retention,
+       |  ROUND(CAST(SUM(CASE WHEN d.q >= t.tau_global THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) - $retain, 6)
+       |    AS disparity_vs_target
+       |FROM docs d CROSS JOIN tau t
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
 }

@@ -3820,4 +3820,86 @@ object Relational {
        |FROM fit
        |GROUP BY p_type
        |ORDER BY p_type""".stripMargin
+
+  /** q419 — supplier attribute concordance: Kendall's τ-b between
+    * each supplier's ACCOUNT BALANCE and its REALIZED REVENUE, per
+    * nation — does the static dimension attribute predict actual
+    * activity? A strong τ means acctbal is a usable prior for new
+    * suppliers (cold-start pricing, credit limits); τ ≈ 0 means the
+    * attribute is stale and every model consuming it inherits noise
+    * — the dimension-quality audit nobody runs until a model
+    * mysteriously underperforms. The q374 integer-concordance
+    * machinery at entity (not time) grain.
+    *
+    * Exactness: balances and revenues are integer cents; concordant/
+    * discordant/tied counts are integers off the per-nation supplier
+    * pair join (suppliers-per-nation bounded); τ-b is one rounded
+    * double chain.
+    *
+    * Scale: one lineitem aggregate, a supplier-dim broadcast join,
+    * per-nation O(s²) pairs on a 100-row frame.
+    */
+  def supplierConcordance(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100, 0).cast("long")).as("rev_cents"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"),
+        round(col("s_acctbal") * 100, 0).cast("long").as("bal_cents"))
+    val base = rev.join(broadcast(sup), "l_suppkey")
+      .select(col("s_nationkey"), col("l_suppkey"), col("bal_cents"),
+        col("rev_cents"))
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.s_nationkey") === col("b.s_nationkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.s_nationkey").as("nation"),
+        (col("a.bal_cents") - col("b.bal_cents")).as("dx"),
+        (col("a.rev_cents") - col("b.rev_cents")).as("dy"))
+    pairs.groupBy(col("nation")).agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("n2"))
+      .select(col("nation"), col("n0").as("n_pairs"), col("nc"),
+        col("nd"),
+        round((col("nc") - col("nd")).cast("double") /
+          sqrt(nullif(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+            .cast("double"), lit(0.0))), 6).as("tau_b"))
+      .orderBy(col("nation"))
+  }
+
+  val supplierConcordanceSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100,
+      |      0) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem GROUP BY 1
+      |), base AS (
+      |  SELECT s.s_nationkey, s.s_suppkey,
+      |    CAST(ROUND(s.s_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+      |    r.rev_cents
+      |  FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      |), pairs AS (
+      |  SELECT a.s_nationkey AS nation,
+      |    a.bal_cents - b.bal_cents AS dx,
+      |    a.rev_cents - b.rev_cents AS dy
+      |  FROM base a JOIN base b
+      |    ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+      |)
+      |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS nc,
+      |  CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS nd,
+      |  ROUND(CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)
+      |      - SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / sqrt(NULLIF(CAST((COUNT(*)
+      |        - SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END))
+      |      * (COUNT(*) - SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END))
+      |      AS DOUBLE), 0.0)), 6) AS tau_b
+      |FROM pairs
+      |GROUP BY nation
+      |ORDER BY nation""".stripMargin
 }

@@ -2676,4 +2676,113 @@ object TextAnalysis {
        |  CAST(pred_h1 = pred_h2 AND pred_h1 = pred_full AS INT) AS is_stable
        |FROM preds ORDER BY doc_id""".stripMargin
   }
+
+  /** q418 — language-ID confidence margins: per label, the
+    * distribution of the detector's DECISION MARGIN (top stopword-hit
+    * count minus runner-up) — zero-margin docs are coin flips the
+    * argmax hides, and their share is the fraction of the corpus that
+    * should route to a heavier detector instead (the
+    * cascade-escalation dial; q129's cascade needs exactly this
+    * number to size its second stage). Margins are per LABELED
+    * language so the answer is actionable per feed.
+    *
+    * Exactness: hits and margins are integers from the shared q22
+    * ArrayCountIn probes; the margin median is an exact doubled order
+    * statistic; shares are integer divisions.
+    *
+    * Scale: the q22 shuffle-free narrow map + one per-lang rank
+    * window + one aggregate.
+    */
+  def langIdMargins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), col("lang"),
+      tokens(col("text")).as("toks"))
+    val withScores = langStopwords.foldLeft(base) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang",
+          graft.functions.ArrayCountIn.countIn(spark, col("toks"), words))
+    }
+    val scores = langStopwords.map { case (l, _) => col(s"s_$l") }
+    val best = greatest(scores: _*)
+    // runner-up = max of the scores strictly below best, accounting
+    // for ties: if two languages tie at the top the margin is 0
+    val sumTop = scores.map(s => when(s === best, 1).otherwise(0))
+      .reduce(_ + _)
+    val second = when(sumTop >= 2, best)
+      .otherwise(greatest(scores.map(s =>
+        when(s === best, lit(-1)).otherwise(s)): _*))
+    val withMargin = withScores
+      .withColumn("margin",
+        when(best > 0, (best - second).cast("long")).otherwise(0L))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("margin"), col("doc_id"))
+    withMargin
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        sum((col("margin") === 0).cast("long")).as("n_zero_margin"),
+        round(sum((col("margin") === 0).cast("long")).cast("double") /
+          max(col("n")).cast("double"), 6).as("zero_margin_share"),
+        ((max(when(col("rn") === expr("(n + 1) div 2"), col("margin"))) +
+          max(when(col("rn") === expr("(n + 2) div 2"), col("margin"))))
+          .cast("double") / 2).as("median_margin"),
+        max(col("margin")).as("max_margin"))
+      .orderBy(col("lang"))
+  }
+
+  val langIdMarginsSql: String = {
+    def hits(words: Seq[String]): String =
+      s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val cols = langStopwords.map { case (lang, words) =>
+      s"${hits(words)} AS s_$lang"
+    }.mkString(",\n    ")
+    val names = langStopwords.map { case (l, _) => s"s_$l" }
+    val best = s"GREATEST(${names.mkString(", ")})"
+    val ties = names.map(n => s"CASE WHEN $n = best THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val secondNoTie = s"GREATEST(${names.map(n =>
+      s"CASE WHEN $n = best THEN -1 ELSE $n END").mkString(", ")})"
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t <> '') AS toks
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id, lang,
+       |    $cols
+       |  FROM base
+       |), withbest AS (
+       |  SELECT doc_id, lang, $best AS best,
+       |    ${names.mkString(", ")}
+       |  FROM scored
+       |), margins AS (
+       |  SELECT doc_id, lang,
+       |    CAST(CASE WHEN best > 0 THEN
+       |      CASE WHEN $ties >= 2 THEN 0
+       |           ELSE best - $secondNoTie END
+       |    ELSE 0 END AS BIGINT) AS margin
+       |  FROM withbest
+       |), ranked AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY margin, doc_id) AS BIGINT) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM margins
+       |)
+       |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN margin = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_zero_margin,
+       |  ROUND(CAST(SUM(CASE WHEN margin = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(MAX(n) AS DOUBLE), 6) AS zero_margin_share,
+       |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN margin END)
+       |    + MAX(CASE WHEN rn = (n + 2) // 2 THEN margin END) AS DOUBLE)
+       |    / 2 AS median_margin,
+       |  MAX(margin) AS max_margin
+       |FROM ranked
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
 }
