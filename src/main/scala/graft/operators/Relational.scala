@@ -3902,4 +3902,162 @@ object Relational {
       |FROM pairs
       |GROUP BY nation
       |ORDER BY nation""".stripMargin
+
+  /** q422 — leaderboard churn: per ship week, how much of the
+    * revenue TOP-5 parts list turned over vs the previous week
+    * (1 − overlap/5) — the stability gauge for any ranked surface
+    * (merch pages, alerting top-Ns, recommended lists). A leaderboard
+    * that churns 80% weekly is noise being shipped as signal; q373
+    * ranks the movers, this says whether ranking weekly even means
+    * anything.
+    *
+    * Exactness: weekly revenues are integer cents; top-5 membership
+    * is integer-rank tiebroken; overlap is an integer self-join count
+    * on (part, week−1); churn is one rounded division.
+    *
+    * Scale: one (part, week) aggregate, a rank ≤ 5 window (literal
+    * bound — partial WindowGroupLimit), then joins on a
+    * 5-rows-per-week frame.
+    */
+  def leaderboardChurn(spark: SparkSession, dir: String,
+                       topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekExpr = expr(
+      "(unix_micros(cast(l_shipdate as timestamp)) - " +
+        "pmod(unix_micros(cast(l_shipdate as timestamp)), 86400000000)) " +
+        "div 86400000000 div 7")
+    val weekly = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), weekExpr.as("week"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100,
+          0).cast("long").as("cents"))
+      .groupBy(col("l_partkey"), col("week"))
+      .agg(sum(col("cents")).as("rev"))
+    val w = Window.partitionBy(col("week"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+    val top = graft.Iterate.cut(
+      weekly.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("week"), col("l_partkey")))
+    val sizes = top.groupBy(col("week")).agg(count(lit(1)).as("n_top"))
+    val overlap = top.as("cur").join(top.as("prev"),
+        col("cur.l_partkey") === col("prev.l_partkey") &&
+          col("cur.week") === col("prev.week") + 1)
+      .groupBy(col("cur.week").as("week"))
+      .agg(count(lit(1)).as("overlap_prev"))
+    sizes.as("s")
+      .join(sizes.select((col("week") + 1).as("week"),
+        col("n_top").as("n_prev")), Seq("week"))
+      .join(overlap, Seq("week"), "left")
+      .withColumn("overlap_prev", coalesce(col("overlap_prev"), lit(0L)))
+      .select(col("week"), col("n_top"), col("n_prev"),
+        col("overlap_prev"),
+        round(lit(1.0) - col("overlap_prev").cast("double") /
+          least(col("n_top"), col("n_prev")).cast("double"), 6)
+          .as("churn"))
+      .orderBy(col("week"))
+  }
+
+  def leaderboardChurnSql(topK: Int = 5): String =
+    s"""WITH weekly AS (
+       |  SELECT l_partkey, (epoch_ms(l_shipdate) // 86400000) // 7 AS week,
+       |    CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100,
+       |      0) AS BIGINT)) AS BIGINT) AS rev
+       |  FROM lineitem GROUP BY 1, 2
+       |), top AS (
+       |  SELECT week, l_partkey FROM (
+       |    SELECT week, l_partkey,
+       |      row_number() OVER (PARTITION BY week
+       |        ORDER BY rev DESC, l_partkey) AS rank
+       |    FROM weekly
+       |  ) WHERE rank <= $topK
+       |), sizes AS (
+       |  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_top FROM top
+       |  GROUP BY 1
+       |), overlap AS (
+       |  SELECT cur.week, CAST(COUNT(*) AS BIGINT) AS overlap_prev
+       |  FROM top cur JOIN top prev
+       |    ON prev.l_partkey = cur.l_partkey AND cur.week = prev.week + 1
+       |  GROUP BY 1
+       |)
+       |SELECT s.week, s.n_top, p.n_top AS n_prev,
+       |  COALESCE(o.overlap_prev, 0) AS overlap_prev,
+       |  ROUND(1.0 - CAST(COALESCE(o.overlap_prev, 0) AS DOUBLE)
+       |    / CAST(LEAST(s.n_top, p.n_top) AS DOUBLE), 6) AS churn
+       |FROM sizes s
+       |JOIN sizes p ON s.week = p.week + 1
+       |LEFT JOIN overlap o ON o.week = s.week
+       |ORDER BY s.week""".stripMargin
+
+  /** q423 — robust price-dispersion ranking: the coefficient of
+    * quartile deviation (Q₃−Q₁)/(Q₃+Q₁) of unit prices per part type
+    * — the scale-free dispersion a skewed price distribution needs
+    * (q401's MAD flags single bad rows; CQD ranks which CATEGORIES
+    * have structurally noisy pricing, which is a procurement signal,
+    * not a data bug). Pure order statistics: no moment is trusted on
+    * a heavy tail q414 may have just flagged.
+    *
+    * Exactness: unit prices are q401's integer micro-units; Q₁/Q₃ are
+    * exact type-1 rank picks; CQD is one rounded division of integer
+    * sums.
+    */
+  def priceDispersionCqd(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val types = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_type"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("u_e6", expr("(cents * 10000) div qty"))
+      .join(broadcast(types), "l_partkey")
+    val w = Window.partitionBy(col("p_type"))
+      .orderBy(col("u_e6"), col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("p_type"))))
+      .groupBy(col("p_type"))
+      .agg(max(col("n")).as("n_rows"),
+        max(when(col("rn") ===
+          expr("CAST(CEIL(0.25 * CAST(n AS DOUBLE)) AS BIGINT)"),
+          col("u_e6"))).as("q1_e6"),
+        max(when(col("rn") ===
+          expr("CAST(CEIL(0.75 * CAST(n AS DOUBLE)) AS BIGINT)"),
+          col("u_e6"))).as("q3_e6"))
+      .select(col("p_type"), col("n_rows"),
+        (col("q1_e6").cast("double") / 1000000).as("q1"),
+        (col("q3_e6").cast("double") / 1000000).as("q3"),
+        round((col("q3_e6") - col("q1_e6")).cast("double") /
+          (col("q3_e6") + col("q1_e6")).cast("double"), 6).as("cqd"))
+      .orderBy(col("p_type"))
+  }
+
+  val priceDispersionCqdSql: String =
+    """WITH li AS (
+      |  SELECT t.p_type, l.l_orderkey, l.l_linenumber,
+      |    (CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) * 10000)
+      |      // CAST(l.l_quantity AS BIGINT) AS u_e6
+      |  FROM lineitem l JOIN part t ON t.p_partkey = l.l_partkey
+      |), ranked AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY p_type
+      |      ORDER BY u_e6, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY p_type) AS n
+      |  FROM li
+      |)
+      |SELECT p_type, CAST(MAX(n) AS BIGINT) AS n_rows,
+      |  CAST(MAX(CASE WHEN rn = CAST(CEIL(0.25 * CAST(n AS DOUBLE))
+      |    AS BIGINT) THEN u_e6 END) AS DOUBLE) / 1000000 AS q1,
+      |  CAST(MAX(CASE WHEN rn = CAST(CEIL(0.75 * CAST(n AS DOUBLE))
+      |    AS BIGINT) THEN u_e6 END) AS DOUBLE) / 1000000 AS q3,
+      |  ROUND(CAST(MAX(CASE WHEN rn = CAST(CEIL(0.75 * CAST(n AS DOUBLE))
+      |      AS BIGINT) THEN u_e6 END)
+      |    - MAX(CASE WHEN rn = CAST(CEIL(0.25 * CAST(n AS DOUBLE))
+      |      AS BIGINT) THEN u_e6 END) AS DOUBLE)
+      |    / CAST(MAX(CASE WHEN rn = CAST(CEIL(0.75 * CAST(n AS DOUBLE))
+      |      AS BIGINT) THEN u_e6 END)
+      |    + MAX(CASE WHEN rn = CAST(CEIL(0.25 * CAST(n AS DOUBLE))
+      |      AS BIGINT) THEN u_e6 END) AS DOUBLE), 6) AS cqd
+      |FROM ranked
+      |GROUP BY p_type
+      |ORDER BY p_type""".stripMargin
 }

@@ -3296,4 +3296,101 @@ object Similarity {
        |FROM ranked
        |GROUP BY label
        |ORDER BY label""".stripMargin
+
+  /** q421 — label separability matrix: for every label pair, the
+    * Euclidean distance between centroids over the SUM of the two
+    * labels' mean within-spreads — a Fisher-style linear-separability
+    * ratio. Below ~1 the classes interpenetrate and every
+    * centroid-routed consumer (IVF cells, q366's votes, SemDeDup)
+    * will conflate them; q136 reports raw centroid cosine, q117 raw
+    * tightness — this is the RATIO that actually predicts confusion,
+    * per pair.
+    *
+    * Exactness: centroids are the q398 seed (9dp-rounded decimal
+    * means) in long form; spreads sum 6dp-rounded per-vector
+    * distances into DECIMAL; pair distances are 6dp-rounded fixed
+    * chains over the 64-dim long-form join; the ratio divides once.
+    *
+    * Scale: one long-form vector pass for the spreads (centroids
+    * broadcast), K²·dims-bounded pair algebra after.
+    */
+  def labelSeparability(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val lf = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v0")))
+      .withColumn("v", col("v0").cast("double")).drop("v0")
+    val cent = graft.Iterate.cut(lf.groupBy(col("label"), col("dim"))
+      .agg(round(Relational.decSum(col("v")) / count(col("v")), 9)
+        .as("cv")))
+    val spread = lf.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(round((col("v") - col("cv")) * (col("v") - col("cv")), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+        .cast("double").as("d2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(round(sqrt(col("d2")), 6).cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("spread"))
+    val pairD = cent.as("a").join(cent.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(round((col("a.cv") - col("b.cv")) *
+          (col("a.cv") - col("b.cv")), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+        .cast("double").as("cd2"))
+    pairD
+      .join(broadcast(spread.select(col("label").as("label_a"),
+        col("spread").as("spread_a"), col("n_vecs").as("n_a"))), "label_a")
+      .join(broadcast(spread.select(col("label").as("label_b"),
+        col("spread").as("spread_b"), col("n_vecs").as("n_b"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(sqrt(col("cd2")), 6).as("centroid_dist"),
+        round(col("spread_a"), 6).as("spread_a"),
+        round(col("spread_b"), 6).as("spread_b"),
+        round(sqrt(col("cd2")) /
+          nullif(col("spread_a") + col("spread_b"), lit(0.0)), 6)
+          .as("separability"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val labelSeparabilitySql: String =
+    """WITH lf AS (
+      |  SELECT vec_id, label, i - 1 AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, generate_series(1, 64) AS t(i)
+      |), cent AS (
+      |  SELECT label, dim,
+      |    ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+      |      / COUNT(v), 9) AS cv
+      |  FROM lf GROUP BY 1, 2
+      |), d2 AS (
+      |  SELECT lf.vec_id, lf.label,
+      |    CAST(SUM(CAST(ROUND((lf.v - c.cv) * (lf.v - c.cv), 9)
+      |      AS DECIMAL(28,9))) AS DOUBLE) AS d2
+      |  FROM lf JOIN cent c ON c.label = lf.label AND c.dim = lf.dim
+      |  GROUP BY 1, 2
+      |), spread AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    CAST(SUM(CAST(ROUND(sqrt(d2), 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS spread
+      |  FROM d2 GROUP BY 1
+      |), pair_d AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(SUM(CAST(ROUND((a.cv - b.cv) * (a.cv - b.cv), 9)
+      |      AS DECIMAL(28,9))) AS DOUBLE) AS cd2
+      |  FROM cent a JOIN cent b
+      |    ON a.dim = b.dim AND a.label < b.label
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.label_a, p.label_b, sa.n_vecs AS n_a, sb.n_vecs AS n_b,
+      |  ROUND(sqrt(p.cd2), 6) AS centroid_dist,
+      |  ROUND(sa.spread, 6) AS spread_a,
+      |  ROUND(sb.spread, 6) AS spread_b,
+      |  ROUND(sqrt(p.cd2) / NULLIF(sa.spread + sb.spread, 0.0), 6)
+      |    AS separability
+      |FROM pair_d p
+      |JOIN spread sa ON sa.label = p.label_a
+      |JOIN spread sb ON sb.label = p.label_b
+      |ORDER BY p.label_a, p.label_b""".stripMargin
 }
