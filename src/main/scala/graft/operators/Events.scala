@@ -4942,9 +4942,12 @@ object Events {
     counts.join(broadcast(nDays), Seq("ta", "tb"))
       .select(col("ta").as("type_a"), col("tb").as("type_b"),
         col("n_days"), col("nc"), col("nd"),
+        // nullif guard (the q419 convention): a constant series makes
+        // (n0-n1)*(n0-n2) = 0 and 0/0 must surface as NULL on BOTH
+        // engines, not a Spark NaN vs DuckDB-setting-dependent value
         round((col("nc") - col("nd")).cast("double") /
-          sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
-            .cast("double")), 6).as("tau_b"))
+          sqrt(nullif(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+            .cast("double"), lit(0.0))), 6).as("tau_b"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
@@ -4975,7 +4978,8 @@ object Events {
       |)
       |SELECT c.ta AS type_a, c.tb AS type_b, d.n_days, c.nc, c.nd,
       |  ROUND(CAST(c.nc - c.nd AS DOUBLE) /
-      |    sqrt(CAST((c.n0 - c.n1) * (c.n0 - c.n2) AS DOUBLE)), 6) AS tau_b
+      |    sqrt(NULLIF(CAST((c.n0 - c.n1) * (c.n0 - c.n2) AS DOUBLE), 0.0)),
+      |    6) AS tau_b
       |FROM counts c JOIN ndays d ON c.ta = d.ta AND c.tb = d.tb
       |ORDER BY type_a, type_b""".stripMargin
 
@@ -5375,7 +5379,10 @@ object Events {
        |    THEN ROUND(dbar / sqrt(hac_var / CAST(n AS DOUBLE)), 6)
        |  END AS dm_stat,
        |  CASE
-       |    WHEN hac_var <= 0 THEN 'inconclusive'
+       |    -- NULL hac_var (series shorter than the h-lag window makes
+       |    -- a g_k sum over zero rows NULL) must be 'inconclusive' on
+       |    -- both engines, matching Spark's dm_stat-IS-NULL branch
+       |    WHEN hac_var IS NULL OR hac_var <= 0 THEN 'inconclusive'
        |    WHEN ROUND(dbar / sqrt(hac_var / CAST(n AS DOUBLE)), 6)
        |      < -1.959964 THEN 'naive_better'
        |    WHEN ROUND(dbar / sqrt(hac_var / CAST(n AS DOUBLE)), 6)
@@ -5977,8 +5984,14 @@ object Events {
         Window.partitionBy(col("event_type"))))
       .withColumn("t2", sum(col("c2")).over(
         Window.partitionBy(col("event_type"))))
-      .withColumn("p", col("c1").cast("double") / col("t1").cast("double"))
-      .withColumn("q", col("c2").cast("double") / col("t2").cast("double"))
+      // NULLIF/COALESCE guard (ADVICE r11): a type with zero events in
+      // one half makes t1 or t2 = 0 → p or q = 0/0 = NaN, whose
+      // downstream CAST(ROUND(NaN*1e6) AS BIGINT) diverges between
+      // engines; a zero-total half contributes probability 0 instead
+      .withColumn("p", coalesce(col("c1").cast("double") /
+        nullif(col("t1").cast("double"), lit(0.0)), lit(0.0)))
+      .withColumn("q", coalesce(col("c2").cast("double") /
+        nullif(col("t2").cast("double"), lit(0.0)), lit(0.0)))
       .withColumn("avg", (col("p") + col("q")) / 2)
       .withColumn("term", round(
         when(col("p") > 0,
@@ -6035,8 +6048,11 @@ object Events {
       |    ABS(CAST(ROUND(p * 1000000, 0) AS BIGINT)
       |      - CAST(ROUND(q * 1000000, 0) AS BIGINT)) AS shift_micro
       |  FROM (
-      |    SELECT *, CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS p,
-      |      CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS q
+      |    SELECT *,
+      |      COALESCE(CAST(c1 AS DOUBLE) / NULLIF(CAST(t1 AS DOUBLE), 0.0),
+      |        0.0) AS p,
+      |      COALESCE(CAST(c2 AS DOUBLE) / NULLIF(CAST(t2 AS DOUBLE), 0.0),
+      |        0.0) AS q
       |    FROM probs
       |  )
       |), ranked AS (

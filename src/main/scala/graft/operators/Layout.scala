@@ -396,6 +396,14 @@ object Layout {
       .map(s => (s.getPath.toString, s.getLen)).toSeq
     val sizes = files.toMap
     val plan = planCompaction(files, targetBytes)
+    // Clear any prior run first (ADVICE r11): each bin write below
+    // overwrites only its own bin=N child, so a re-run whose plan
+    // yields FEWER bins (larger target, fewer inputs) would leave the
+    // previous run's tail bins in place and a read of outDir would
+    // double-count rows. Whole-directory delete = the semantics of a
+    // single overwrite write of the full plan.
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    if (fs.exists(outPath)) fs.delete(outPath, true)
     plan.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (bin, members) =>
       spark.read.parquet(members.map(_._2): _*)
         .coalesce(1)

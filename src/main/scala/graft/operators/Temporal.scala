@@ -765,8 +765,8 @@ object Temporal {
     * SparkPlan, SURVEY §2 tier (c)): each purchase joined to the same
     * user's most recent signup AT OR BEFORE it, graded against
     * DuckDB's built-in `ASOF LEFT JOIN` — engine-native operator on
-    * both sides, same relation. q46 keeps the composed union+window
-    * form; this is the operator a serving layer calls.
+    * both sides, same relation. q46 routes through this operator too
+    * (since r11); q45 documents the composed union+window fallback.
     *
     * Determinism: the right side pre-aggregates to one row per
     * (user, ms) (max signup_id), making the as-of pick unique — the
