@@ -6069,4 +6069,465 @@ object Events {
       |FROM ranked
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Round-12 time-series wave: PACF (the AR-order dial ACF cannot
+  // give), lag-1 Granger (directional lead-lag), the MASE/sMAPE
+  // forecast scorecard (effect size beside q393's significance), and
+  // Page–Hinkley (the sequential drift detector CUSUM's λ-tuning
+  // misses on slow means). All ride the shared dense-daily-spine
+  // discipline: one event aggregate, calendar-sized frames after.
+  // ------------------------------------------------------------------
+
+  /** Shared dense daily count grid: per (type, day in [min, max]) the
+    * event count, zero-filled — q209/q393's spine as one helper. */
+  private def denseDailyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(count(lit(1)).as("v"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("v"), lit(0L)).as("v"))
+  }
+
+  private val denseDailyCountsSql: String =
+    """daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT event_type, unnest(range(mn, mx + 1)) AS day
+      |  FROM (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+      |        FROM daily GROUP BY 1)
+      |), dense AS (
+      |  SELECT s.event_type, s.day, COALESCE(d.v, 0) AS v
+      |  FROM spine s LEFT JOIN daily d
+      |    ON d.event_type = s.event_type AND d.day = s.day
+      |)""".stripMargin
+
+  /** q429 — partial autocorrelation (Durbin–Levinson, lags 1..4) of
+    * each type's dense daily series: PACF is the AR-ORDER dial —
+    * ACF (q209) says "how long does memory look", PACF says "how many
+    * AR terms actually carry it" (an AR(p) process has PACF exactly
+    * zero past lag p), which is the number a forecaster (q241 Holt,
+    * q135 Markov backtest) needs before choosing its state size.
+    *
+    * Exactness: autocovariances follow the q393 discipline (centered
+    * terms rounded 6dp into DECIMAL(28,6) sums; the mean is one
+    * decimal-sum/count division); ρ_k = g_k/g_0 and the unrolled
+    * Durbin–Levinson chain are pure IEEE double arithmetic written
+    * with IDENTICAL parenthesization on both engines (no intermediate
+    * rounding is needed — determinism comes from the shared
+    * expression tree), NULLIF-guarded at each recursion denominator;
+    * one 6dp round at the readout.
+    *
+    * Scale: one event aggregate, then a calendar-sized window pass
+    * and a per-type scalar row — the recursion runs on |types| rows.
+    */
+  def pacfDaily(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dense = denseDailyCounts(spark, dir)
+    val mean = dense.groupBy(col("event_type"))
+      .agg((sum(col("v").cast(dec)).cast("double") /
+        count(lit(1)).cast("double")).as("xbar"))
+    val centered = dense.join(broadcast(mean), "event_type")
+      .withColumn("c", col("v").cast("double") - col("xbar"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = (1 to 4).foldLeft(centered) { (df, k) =>
+      df.withColumn(s"c$k", lead(col("c"), k).over(w))
+    }
+    val gAggs = (0 to 4).map { k =>
+      val prod = if (k == 0) col("c") * col("c") else col("c") * col(s"c$k")
+      sum(round(prod, 6).cast(dec)).cast("double").as(s"g$k")
+    }
+    val g = lagged.groupBy(col("event_type"))
+      .agg(gAggs.head, gAggs.tail: _*)
+    val rho = g.select(col("event_type") +:
+      (1 to 4).map(k => (col(s"g$k") / nullif(col("g0"), lit(0.0)))
+        .as(s"r$k")): _*)
+    // Durbin–Levinson unrolled: φ_kk per level, previous-level φ's
+    // carried forward — identical formula text in pacfDailySql
+    val dl = rho
+      .withColumn("p11", col("r1"))
+      .withColumn("p22", (col("r2") - col("p11") * col("r1")) /
+        nullif(lit(1.0) - col("p11") * col("r1"), lit(0.0)))
+      .withColumn("p21", col("p11") - col("p22") * col("p11"))
+      .withColumn("p33",
+        (col("r3") - (col("p21") * col("r2") + col("p22") * col("r1"))) /
+          nullif(lit(1.0) -
+            (col("p21") * col("r1") + col("p22") * col("r2")), lit(0.0)))
+      .withColumn("p31", col("p21") - col("p33") * col("p22"))
+      .withColumn("p32", col("p22") - col("p33") * col("p21"))
+      .withColumn("p44",
+        (col("r4") - (col("p31") * col("r3") + col("p32") * col("r2") +
+          col("p33") * col("r1"))) /
+          nullif(lit(1.0) - (col("p31") * col("r1") +
+            col("p32") * col("r2") + col("p33") * col("r3")), lit(0.0)))
+    dl.select(col("event_type"),
+        expr("stack(4, 1, r1, p11, 2, r2, p22, 3, r3, p33, 4, r4, p44)")
+          .as(Seq("lag", "rho", "pacf")))
+      .select(col("event_type"), col("lag").cast("int").as("lag"),
+        round(col("rho"), 6).as("rho"), round(col("pacf"), 6).as("pacf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val pacfDailySql: String =
+    s"""WITH $denseDailyCountsSql, m AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS xbar
+      |  FROM dense GROUP BY 1
+      |), centered AS (
+      |  SELECT d.event_type, d.day, CAST(d.v AS DOUBLE) - m.xbar AS c
+      |  FROM dense d JOIN m ON m.event_type = d.event_type
+      |), lagged AS (
+      |  SELECT event_type, c,
+      |    lead(c, 1) OVER w AS c1, lead(c, 2) OVER w AS c2,
+      |    lead(c, 3) OVER w AS c3, lead(c, 4) OVER w AS c4
+      |  FROM centered
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |), g AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(ROUND(c * c, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g0,
+      |    CAST(SUM(CAST(ROUND(c * c1, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g1,
+      |    CAST(SUM(CAST(ROUND(c * c2, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g2,
+      |    CAST(SUM(CAST(ROUND(c * c3, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g3,
+      |    CAST(SUM(CAST(ROUND(c * c4, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g4
+      |  FROM lagged GROUP BY 1
+      |), rho AS (
+      |  SELECT event_type,
+      |    g1 / NULLIF(g0, 0.0) AS r1, g2 / NULLIF(g0, 0.0) AS r2,
+      |    g3 / NULLIF(g0, 0.0) AS r3, g4 / NULLIF(g0, 0.0) AS r4
+      |  FROM g
+      |), l1 AS (
+      |  SELECT *, r1 AS p11 FROM rho
+      |), l2 AS (
+      |  SELECT *, (r2 - p11 * r1) / NULLIF(1.0 - p11 * r1, 0.0) AS p22
+      |  FROM l1
+      |), l2b AS (
+      |  SELECT *, p11 - p22 * p11 AS p21 FROM l2
+      |), l3 AS (
+      |  SELECT *, (r3 - (p21 * r2 + p22 * r1))
+      |    / NULLIF(1.0 - (p21 * r1 + p22 * r2), 0.0) AS p33
+      |  FROM l2b
+      |), l3b AS (
+      |  SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM l3
+      |), l4 AS (
+      |  SELECT *, (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+      |    / NULLIF(1.0 - (p31 * r1 + p32 * r2 + p33 * r3), 0.0) AS p44
+      |  FROM l3b
+      |)
+      |SELECT event_type, CAST(u.lag AS INT) AS lag,
+      |  ROUND(u.rho, 6) AS rho, ROUND(u.pacf, 6) AS pacf
+      |FROM l4, LATERAL (VALUES (1, r1, p11), (2, r2, p22), (3, r3, p33),
+      |  (4, r4, p44)) AS u(lag, rho, pacf)
+      |ORDER BY event_type, lag""".stripMargin
+
+  /** q430 — lag-1 Granger causality between every ordered pair of
+    * daily type series: does yesterday's X improve today's Y forecast
+    * beyond yesterday's Y? The F-test of the cross term in
+    * y_t ~ c + a·y_{t−1} + b·x_{t−1} vs the restricted AR(1) — the
+    * directional lead-lag q232's symmetric CCF cannot state (CCF says
+    * "correlated at lag 1", Granger says WHICH side adds information,
+    * the difference between a dashboard and an early-warning wire).
+    *
+    * Exactness: all raw sums are integers off the shared dense grid;
+    * centered moments and the two OLS solutions are one IEEE double
+    * chain written identically on both engines (Cramer's rule on the
+    * 2×2 normal equations), NULLIF-guarded determinants; F rounds at
+    * 6dp BEFORE the 3.92 (α=.05, df1=1) verdict compare, so the
+    * verdict can never straddle engines.
+    *
+    * Scale: one event aggregate; the pair frame is |types|²·days —
+    * calendar-sized; aggregates land on |types|² rows.
+    */
+  def grangerLag1(spark: SparkSession, dir: String): DataFrame = {
+    val dense = denseDailyCounts(spark, dir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val withLag = dense.withColumn("v1", lag(col("v"), 1).over(w))
+      .filter(col("v1").isNotNull)
+    val joined = withLag.as("y").join(
+        withLag.select(col("event_type").as("x_type"), col("day"),
+          col("v1").as("x1")).as("x"), Seq("day"))
+      .filter(col("event_type") =!= col("x_type"))
+      .select(col("x_type").as("cause"), col("event_type").as("effect"),
+        col("v").as("y"), col("v1").as("y1"), col("x1"))
+    val s = joined.groupBy(col("cause"), col("effect")).agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(col("y1")).as("sy1"),
+      sum(col("x1")).as("sx1"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("y1") * col("y1")).as("sy1y1"),
+      sum(col("x1") * col("x1")).as("sx1x1"),
+      sum(col("y") * col("y1")).as("syy1"),
+      sum(col("y") * col("x1")).as("syx1"),
+      sum(col("y1") * col("x1")).as("sy1x1"))
+    val nD = col("n").cast("double")
+    def dd(c: Column): Column = c.cast("double")
+    val out = s
+      .withColumn("s11", dd(col("sy1y1")) - dd(col("sy1")) * dd(col("sy1")) / nD)
+      .withColumn("s22", dd(col("sx1x1")) - dd(col("sx1")) * dd(col("sx1")) / nD)
+      .withColumn("s12", dd(col("sy1x1")) - dd(col("sy1")) * dd(col("sx1")) / nD)
+      .withColumn("s1y", dd(col("syy1")) - dd(col("sy1")) * dd(col("sy")) / nD)
+      .withColumn("s2y", dd(col("syx1")) - dd(col("sx1")) * dd(col("sy")) / nD)
+      .withColumn("syyc", dd(col("syy")) - dd(col("sy")) * dd(col("sy")) / nD)
+      .withColumn("rss_r",
+        col("syyc") - (col("s1y") * col("s1y")) / nullif(col("s11"), lit(0.0)))
+      .withColumn("det",
+        nullif(col("s11") * col("s22") - col("s12") * col("s12"), lit(0.0)))
+      .withColumn("b1",
+        (col("s1y") * col("s22") - col("s2y") * col("s12")) / col("det"))
+      .withColumn("b2",
+        (col("s2y") * col("s11") - col("s1y") * col("s12")) / col("det"))
+      .withColumn("rss_u",
+        col("syyc") - col("b1") * col("s1y") - col("b2") * col("s2y"))
+      .withColumn("f_stat", round(
+        (col("rss_r") - col("rss_u")) /
+          nullif(col("rss_u") / (nD - lit(3.0)), lit(0.0)), 6))
+    out.select(col("cause"), col("effect"), col("n").as("n_days"),
+        round(col("b2"), 6).as("beta_cross"), col("f_stat"),
+        when(col("f_stat").isNull, "inconclusive")
+          .when(col("f_stat") > 3.92, "granger_causal")
+          .otherwise("not_significant").as("verdict"))
+      .orderBy(col("cause"), col("effect"))
+  }
+
+  val grangerLag1Sql: String =
+    s"""WITH $denseDailyCountsSql, lagged AS (
+      |  SELECT event_type, day, v,
+      |    lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1
+      |  FROM dense
+      |), base AS (
+      |  SELECT * FROM lagged WHERE v1 IS NOT NULL
+      |), pairs AS (
+      |  SELECT x.event_type AS cause, y.event_type AS effect,
+      |    y.v AS y, y.v1 AS y1, x.v1 AS x1
+      |  FROM base y JOIN base x
+      |    ON x.day = y.day AND x.event_type <> y.event_type
+      |), s AS (
+      |  SELECT cause, effect, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(y) AS sy, SUM(y1) AS sy1, SUM(x1) AS sx1,
+      |    SUM(y * y) AS syy, SUM(y1 * y1) AS sy1y1,
+      |    SUM(x1 * x1) AS sx1x1, SUM(y * y1) AS syy1,
+      |    SUM(y * x1) AS syx1, SUM(y1 * x1) AS sy1x1
+      |  FROM pairs GROUP BY 1, 2
+      |), mo AS (
+      |  SELECT cause, effect, n,
+      |    CAST(sy1y1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS s11,
+      |    CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS s22,
+      |    CAST(sy1x1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS s12,
+      |    CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS s1y,
+      |    CAST(syx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS s2y,
+      |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS syyc
+      |  FROM s
+      |), fit AS (
+      |  SELECT *,
+      |    syyc - (s1y * s1y) / NULLIF(s11, 0.0) AS rss_r,
+      |    NULLIF(s11 * s22 - s12 * s12, 0.0) AS det
+      |  FROM mo
+      |), fit2 AS (
+      |  SELECT *,
+      |    (s1y * s22 - s2y * s12) / det AS b1,
+      |    (s2y * s11 - s1y * s12) / det AS b2
+      |  FROM fit
+      |), fit3 AS (
+      |  SELECT *, syyc - b1 * s1y - b2 * s2y AS rss_u FROM fit2
+      |), fin AS (
+      |  SELECT cause, effect, n, b2,
+      |    ROUND((rss_r - rss_u)
+      |      / NULLIF(rss_u / (CAST(n AS DOUBLE) - 3.0), 0.0), 6) AS f_stat
+      |  FROM fit3
+      |)
+      |SELECT cause, effect, n AS n_days, ROUND(b2, 6) AS beta_cross,
+      |  f_stat,
+      |  CASE WHEN f_stat IS NULL THEN 'inconclusive'
+      |    WHEN f_stat > 3.92 THEN 'granger_causal'
+      |    ELSE 'not_significant' END AS verdict
+      |FROM fin
+      |ORDER BY cause, effect""".stripMargin
+
+  /** q431 — forecast scorecard (MAE / sMAPE / MASE) for the two naive
+    * baselines on each type's dense daily series: the EFFECT-SIZE
+    * companion to q393's Diebold–Mariano significance test on the
+    * same forecasts. MASE (MAE over the seasonal-naive MAE on the
+    * same evaluation window) is the scale-free number that compares
+    * across types of different volume — "0.8" means beating
+    * seasonality by 20% whether the series runs at 10/day or 10k/day.
+    *
+    * Exactness: both forecasts are lagged INTEGER counts, so every
+    * error is an integer; MAEs are single integer-sum divisions;
+    * sMAPE terms round at 6dp into DECIMAL sums with the both-zero
+    * day contributing 0 by convention (NULLIF-guarded identically on
+    * both engines); MASE is one rounded division of two exact MAE
+    * doubles.
+    *
+    * Scale: one event aggregate, one calendar-sized window pass,
+    * |types| output rows.
+    */
+  def forecastScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dense = denseDailyCounts(spark, dir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val f = dense
+      .withColumn("f1", lag(col("v"), 1).over(w))
+      .withColumn("f7", lag(col("v"), 7).over(w))
+      .filter(col("f7").isNotNull)
+    def smapeTerm(fc: Column): Column =
+      round(when(col("v") + fc === 0, lit(0.0))
+        .otherwise(lit(2.0) * abs(col("v") - fc).cast("double") /
+          (col("v") + fc).cast("double")), 6).cast(dec)
+    f.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("v") - col("f1"))).as("ae1"),
+        sum(abs(col("v") - col("f7"))).as("ae7"),
+        sum(smapeTerm(col("f1"))).cast("double").as("sm1"),
+        sum(smapeTerm(col("f7"))).cast("double").as("sm7"))
+      .select(col("event_type"), col("n_days"),
+        round(col("ae1").cast("double") / col("n_days").cast("double"), 6)
+          .as("mae_naive1"),
+        round(col("ae7").cast("double") / col("n_days").cast("double"), 6)
+          .as("mae_snaive7"),
+        round(col("sm1") / col("n_days").cast("double"), 6)
+          .as("smape_naive1"),
+        round(col("sm7") / col("n_days").cast("double"), 6)
+          .as("smape_snaive7"),
+        round(col("ae1").cast("double") /
+          nullif(col("ae7").cast("double"), lit(0.0)), 6).as("mase_naive1"))
+      .orderBy(col("event_type"))
+  }
+
+  val forecastScorecardSql: String =
+    s"""WITH $denseDailyCountsSql, f AS (
+      |  SELECT event_type, day, v,
+      |    lag(v, 1) OVER w AS f1, lag(v, 7) OVER w AS f7
+      |  FROM dense
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |), ev AS (
+      |  SELECT * FROM f WHERE f7 IS NOT NULL
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  ROUND(CAST(SUM(ABS(v - f1)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS mae_naive1,
+      |  ROUND(CAST(SUM(ABS(v - f7)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS mae_snaive7,
+      |  ROUND(CAST(SUM(CAST(ROUND(CASE WHEN v + f1 = 0 THEN 0.0
+      |      ELSE 2.0 * CAST(ABS(v - f1) AS DOUBLE)
+      |        / CAST(v + f1 AS DOUBLE) END, 6) AS DECIMAL(28,6)))
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS smape_naive1,
+      |  ROUND(CAST(SUM(CAST(ROUND(CASE WHEN v + f7 = 0 THEN 0.0
+      |      ELSE 2.0 * CAST(ABS(v - f7) AS DOUBLE)
+      |        / CAST(v + f7 AS DOUBLE) END, 6) AS DECIMAL(28,6)))
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS smape_snaive7,
+      |  ROUND(CAST(SUM(ABS(v - f1)) AS DOUBLE)
+      |    / NULLIF(CAST(SUM(ABS(v - f7)) AS DOUBLE), 0.0), 6)
+      |    AS mase_naive1
+      |FROM ev
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q432 — Page–Hinkley drift detector on each type's dense daily
+    * series: the sequential test that catches SLOW mean drifts the
+    * q364 CUSUM (tuned for step shifts) and q121 MAD screen (single
+    * days) both miss. PH tracks m_t = Σ_{i≤t}(x_i − x̄_i), the
+    * cumulative deviation from the RUNNING mean; an alarm fires the
+    * first day m_t − min_{j≤t} m_j exceeds λ = 3σ (σ = the series'
+    * own std, so the threshold self-scales across SFs and volumes).
+    * Reported per type: λ, the max PH statistic, the alarm day (NULL
+    * when none) — the q377 consensus family's fourth detector.
+    *
+    * Exactness: each deviation term rounds at 6dp (the running mean
+    * is one division per row off exact integer prefix sums) and
+    * accumulates in a DECIMAL window sum; the running min and the
+    * first-alarm pick are deterministic window reads; σ comes from
+    * exact integer moment sums in one double chain; λ rounds at 6dp
+    * before any compare.
+    *
+    * Scale: one event aggregate, two calendar-sized window passes
+    * (prefix sums, running min), |types| output rows.
+    */
+  def pageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dense = denseDailyCounts(spark, dir)
+    val stats = dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"))
+      .select(col("event_type"),
+        round(sqrt((col("svv").cast("double") -
+          col("sv").cast("double") * col("sv").cast("double") /
+            col("n").cast("double")) / col("n").cast("double")) * 3.0, 6)
+          .as("lambda"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = dense
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("s", sum(col("v")).over(wAll))
+      .withColumn("term", round(col("v").cast("double") -
+        col("s").cast("double") / col("t").cast("double"), 6).cast(dec))
+      .withColumn("m", sum(col("term")).over(wAll).cast("double"))
+      .withColumn("runmin", min(col("m")).over(wAll))
+      .withColumn("ph", round(col("m") - col("runmin"), 6))
+    m.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"), col("lambda"))
+      .agg(count(lit(1)).as("n_days"),
+        round(max(col("ph")), 6).as("max_ph"),
+        min(when(col("ph") > col("lambda"), col("day"))).as("alarm_day"))
+      .select(col("event_type"), col("n_days"), col("lambda"),
+        col("max_ph"), col("alarm_day"),
+        col("alarm_day").isNotNull.as("alarmed"))
+      .orderBy(col("event_type"))
+  }
+
+  val pageHinkleySql: String =
+    s"""WITH $denseDailyCountsSql, stats AS (
+      |  SELECT event_type,
+      |    ROUND(sqrt((CAST(SUM(v * v) AS DOUBLE)
+      |      - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE))
+      |      * 3.0, 6) AS lambda
+      |  FROM dense GROUP BY 1
+      |), pre AS (
+      |  SELECT event_type, day, v,
+      |    CAST(row_number() OVER w AS BIGINT) AS t,
+      |    SUM(v) OVER w AS s
+      |  FROM dense
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), terms AS (
+      |  SELECT event_type, day,
+      |    CAST(ROUND(CAST(v AS DOUBLE)
+      |      - CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 6)
+      |      AS DECIMAL(28,6)) AS term
+      |  FROM pre
+      |), ms AS (
+      |  SELECT event_type, day,
+      |    CAST(SUM(term) OVER w AS DOUBLE) AS m
+      |  FROM terms
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), ph AS (
+      |  SELECT event_type, day,
+      |    ROUND(m - MIN(m) OVER w, 6) AS ph
+      |  FROM ms
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT p.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  MAX(s.lambda) AS lambda,
+      |  ROUND(MAX(p.ph), 6) AS max_ph,
+      |  MIN(CASE WHEN p.ph > s.lambda THEN p.day END) AS alarm_day,
+      |  MIN(CASE WHEN p.ph > s.lambda THEN p.day END) IS NOT NULL
+      |    AS alarmed
+      |FROM ph p JOIN stats s ON s.event_type = p.event_type
+      |GROUP BY p.event_type
+      |ORDER BY p.event_type""".stripMargin
 }

@@ -2785,4 +2785,299 @@ object TextAnalysis {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Round-12 portable-sketch battery: the q306 KMV precedent (md5-
+  // derived sketches grade HASH-EXACT cross-engine, not "within rsd")
+  // extended to the two other workhorse stream summaries — count-min
+  // and the AMS F2 sign sketch — plus a Bloom-filter FPR audit. These
+  // give the 100 TB pipeline GRADED versions of the structures the
+  // engine-internal extras (x03–x06) can only spec-bound.
+  // ------------------------------------------------------------------
+
+  private val P31 = graft.functions.PortableHash.P31
+
+  /** q426 — count-min sketch audit over the token stream: a d×w
+    * count-min built with the portable universal family (md5-derived
+    * (A_i, B_i) slot constants, the q27 MinHash convention), read back
+    * at the exact top-`topN` tokens. Reports per token the exact
+    * count, the CM estimate (min over d rows), the overcount (≥ 0 by
+    * construction — CM never underestimates) and the relative error —
+    * the calibration table that tells a pipeline whether a d×w budget
+    * is usable for ITS skew before replacing the exact vocabulary
+    * shuffle with the sketch (x04's Misra–Gries twin is
+    * arrival-order-dependent and ungradeable; this one is
+    * deterministic, so it grades).
+    *
+    * Exactness: bucket indexes and cell counts are pure integer
+    * arithmetic inside signed-64 (x < 2³¹−1, A,B < 2³¹−1 ⇒
+    * A·x+B < 2⁶²); the estimate is an integer MIN; one rounded
+    * division per row.
+    *
+    * Scale: the sketch build is one narrow map + a d·w-cell aggregate
+    * (map-side combined — each task's state is ≤ d·w counters
+    * regardless of corpus size); the exact side is the same
+    * vocabulary aggregate q36 already pays (it is the audit's ground
+    * truth, not the deploy path); the readout joins topN·d rows
+    * against d·w cells — metadata-sized.
+    */
+  def countMinAudit(spark: SparkSession, dir: String, d: Int = 4,
+                    w: Int = 512, topN: Int = 20): DataFrame = {
+    val slots = graft.functions.PortableHash.slotConstants(d)
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val withX = toks.withColumn("x",
+      graft.functions.PortableHash.md5Long32(col("token")) % P31)
+    def bucket(i: Int, x: Column): Column =
+      ((lit(slots(i)._1) * x + lit(slots(i)._2)) % P31) % w
+    val cells = withX
+      .select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("r"), bucket(i, col("x")).as("bkt"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token")).limit(topN)
+      .withColumn("x",
+        graft.functions.PortableHash.md5Long32(col("token")) % P31)
+    top.select(col("token"), col("exact_n"),
+        explode(array((0 until d).map(i =>
+          struct(lit(i).as("r"), bucket(i, col("x")).as("bkt"))): _*))
+          .as("rb"))
+      .select(col("token"), col("exact_n"), col("rb.r").as("r"),
+        col("rb.bkt").as("bkt"))
+      .join(broadcast(cells), Seq("r", "bkt"))
+      .groupBy(col("token"), col("exact_n"))
+      .agg(min(col("c")).as("est_n"))
+      .select(col("token"), col("exact_n"), col("est_n"),
+        (col("est_n") - col("exact_n")).as("overcount"),
+        round((col("est_n") - col("exact_n")).cast("double") /
+          col("exact_n").cast("double"), 6).as("rel_error"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
+  def countMinAuditSql(d: Int = 4, w: Int = 512, topN: Int = 20): String = {
+    val slots = graft.functions.PortableHash.slotConstantsSql(d)
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+       |  FROM documents
+       |), hx AS (
+       |  SELECT token,
+       |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+       |      % 2147483647 AS x
+       |  FROM tok
+       |), cells AS (
+       |  SELECT slots.i AS r, ((slots.a * h.x + slots.b) % 2147483647) % $w AS bkt,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM hx h, $slots
+       |  GROUP BY 1, 2
+       |), top AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n,
+       |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+       |      % 2147483647 AS x
+       |  FROM tok GROUP BY token
+       |  ORDER BY exact_n DESC, token LIMIT $topN
+       |), est AS (
+       |  SELECT tb.token, tb.exact_n, MIN(c.c) AS est_n
+       |  FROM (
+       |    SELECT t.token, t.exact_n, slots.i AS r,
+       |      ((slots.a * t.x + slots.b) % 2147483647) % $w AS bkt
+       |    FROM top t, $slots
+       |  ) tb JOIN cells c ON c.r = tb.r AND c.bkt = tb.bkt
+       |  GROUP BY tb.token, tb.exact_n
+       |)
+       |SELECT token, exact_n, est_n, est_n - exact_n AS overcount,
+       |  ROUND(CAST(est_n - exact_n AS DOUBLE)
+       |    / CAST(exact_n AS DOUBLE), 6) AS rel_error
+       |FROM est
+       |ORDER BY exact_n DESC, token""".stripMargin
+  }
+
+  /** q427 — AMS F2 (second frequency moment) sign-sketch audit: eight
+    * independent ±1 estimators Z_j = Σ_t n_t·s_j(t) with
+    * s_j(t) = ±1 from md5("j:token"), each estimating
+    * F2 = Σ_t n_t² as Z_j² — the self-join-size / skew statistic
+    * every shuffle planner wants BEFORE paying the shuffle (F2/n² is
+    * the collision probability a hash-join or LSH banding actually
+    * experiences). Reported per estimator beside the exact F2 so the
+    * sketch's variance is visible, not asserted.
+    *
+    * Exactness: signs, counts, Z_j and Z_j² are integers (|Z| ≤
+    * total tokens, so Z² fits signed-64 at any graded SF; the exact
+    * F2 accumulates n_t² in DECIMAL(38,0) for the 100 TB posture);
+    * one rounded division per row.
+    *
+    * Scale: rides the same vocabulary aggregate as q36 (one
+    * token-keyed shuffle), then 8 full aggregates over the vocab
+    * frame — each a map-side-combined scalar. The sketch's deploy
+    * form (streaming Z_j without the vocab aggregate) is the same
+    * column expression over raw tokens.
+    */
+  def amsF2Audit(spark: SparkSession, dir: String,
+                 nSketch: Int = 8): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = Tables.load(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val exact = counts.agg(
+      sum((col("n") * col("n")).cast(dec)).cast("long").as("f2"))
+    def sign(j: Int): Column =
+      when(graft.functions.PortableHash.md5Long32(
+        concat(lit(s"$j:"), col("token"))) % 2 === 0, 1L).otherwise(-1L)
+    val zAggs = (0 until nSketch).map(j =>
+      sum(col("n") * sign(j)).as(s"z$j"))
+    val zs = counts.agg(zAggs.head, zAggs.tail: _*)
+    val rows = zs.crossJoin(exact)
+      .select(explode(array((0 until nSketch).map(j =>
+        struct(lit(j).as("sketch"), col(s"z$j").as("z"),
+          (col(s"z$j") * col(s"z$j")).as("est_f2"),
+          col("f2").as("exact_f2"))): _*)).as("s"))
+    rows.select(col("s.sketch").as("sketch"), col("s.z").as("z"),
+        col("s.est_f2").as("est_f2"), col("s.exact_f2").as("exact_f2"),
+        round((col("s.est_f2") - col("s.exact_f2")).cast("double") /
+          col("s.exact_f2").cast("double"), 6).as("rel_error"))
+      .orderBy(col("sketch"))
+  }
+
+  def amsF2AuditSql(nSketch: Int = 8): String =
+    s"""WITH counts AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(list_filter(
+       |      string_split_regex(lower(text), '\\s+'), t -> t <> ''))
+       |      AS token
+       |    FROM documents
+       |  ) GROUP BY token
+       |), exact AS (
+       |  SELECT CAST(SUM(CAST(n * n AS DECIMAL(38,0))) AS BIGINT) AS f2
+       |  FROM counts
+       |), z AS (
+       |  SELECT j.j AS sketch,
+       |    CAST(SUM(n * (CASE WHEN
+       |      CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || token),
+       |        1, 8)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT)
+       |      AS z
+       |  FROM counts, range(0, $nSketch) AS j(j)
+       |  GROUP BY 1
+       |)
+       |SELECT z.sketch, z.z, z.z * z.z AS est_f2, e.f2 AS exact_f2,
+       |  ROUND(CAST(z.z * z.z - e.f2 AS DOUBLE) / CAST(e.f2 AS DOUBLE), 6)
+       |    AS rel_error
+       |FROM z, exact e
+       |ORDER BY z.sketch""".stripMargin
+
+  /** q428 — Bloom-filter false-positive audit at the q69
+    * decontamination grain (3-token shingles; the single-token
+    * universe of the synthetic corpus is too small to leave a probe
+    * set): an m-bit / k-hash Bloom filter is built over the DISTINCT
+    * shingles of even-doc_id documents (the portable universal family
+    * again) and probed with the shingles that appear ONLY in
+    * odd-doc_id documents — every "member" answer on that probe set
+    * is by construction a false positive, so the measured FP rate is
+    * exact, and it sits beside the fill-ratio prediction fill^k the
+    * sizing formula promises. Whether m,k are right for THIS corpus
+    * becomes a graded relation, not a PLANS.md claim.
+    *
+    * Exactness: bit indexes, the set-bit census and hit counts are
+    * integers; fill and FP rates are single rounded divisions;
+    * fill^k expands to repeated multiplication (no libm pow).
+    *
+    * Scale: two distinct-shingle aggregates (the q26 shuffle), a
+    * k·|train|-row explode collapsing to ≤ m distinct bits (map-side
+    * combined, m is a constant), and a probe join against the ≤ m-row
+    * bit set — broadcast-sized by construction at any corpus scale.
+    */
+  def bloomFprAudit(spark: SparkSession, dir: String, mBits: Int = 65536,
+                    kHash: Int = 4, shingleK: Int = 3): DataFrame = {
+    val slots = graft.functions.PortableHash.slotConstants(kHash)
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= shingleK)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordNGrams.ngrams(spark, col("toks"), shingleK)))
+        .as("token"))
+    val train = sh.filter(col("doc_id") % 2 === 0)
+      .select(col("token")).distinct()
+    val probe = sh.filter(col("doc_id") % 2 === 1)
+      .select(col("token")).distinct()
+      .join(train, Seq("token"), "left_anti")
+    def idx(i: Int, x: Column): Column =
+      ((lit(slots(i)._1) * x + lit(slots(i)._2)) % P31) % mBits
+    def indexes(df: DataFrame): DataFrame = df
+      .withColumn("x",
+        graft.functions.PortableHash.md5Long32(col("token")) % P31)
+      .select(col("token"), explode(array((0 until kHash).map(i =>
+        idx(i, col("x"))): _*)).as("bit"))
+    val bits = indexes(train).select(col("bit")).distinct()
+    val claimed = indexes(probe)
+      .join(bits, Seq("bit"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === kHash)
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    val nProbe = probe.agg(count(lit(1)).as("n_probe"))
+    val nFp = claimed.agg(count(lit(1)).as("n_fp"))
+    nTrain.crossJoin(nBits).crossJoin(nProbe).crossJoin(nFp)
+      .withColumn("fill",
+        col("n_bits_set").cast("double") / lit(mBits.toDouble))
+      .select(col("n_train"), col("n_bits_set"),
+        round(col("fill"), 6).as("fill_ratio"), col("n_probe"),
+        col("n_fp"),
+        round(col("n_fp").cast("double") / col("n_probe").cast("double"),
+          6).as("fp_rate"),
+        round((0 until kHash).map(_ => col("fill"))
+          .reduce(_ * _), 6).as("predicted_fp"))
+  }
+
+  def bloomFprAuditSql(mBits: Int = 65536, kHash: Int = 4,
+                       shingleK: Int = 3): String = {
+    val slots = graft.functions.PortableHash.slotConstantsSql(kHash)
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(toks[i:i+${shingleK - 1}], ' ')
+       |     for i in range(1, len(toks) - ${shingleK - 2})])) AS token
+       |  FROM (SELECT doc_id, list_filter(
+       |          string_split_regex(lower(text), '\\s+'), t -> t <> '')
+       |          AS toks
+       |        FROM documents)
+       |  WHERE len(toks) >= $shingleK
+       |), train AS (
+       |  SELECT DISTINCT token FROM tok WHERE doc_id % 2 = 0
+       |), probe AS (
+       |  SELECT DISTINCT token FROM tok WHERE doc_id % 2 = 1
+       |  EXCEPT SELECT token FROM train
+       |), hx_train AS (
+       |  SELECT token,
+       |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+       |      % 2147483647 AS x
+       |  FROM train
+       |), hx_probe AS (
+       |  SELECT token,
+       |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+       |      % 2147483647 AS x
+       |  FROM probe
+       |), bits AS (
+       |  SELECT DISTINCT ((slots.a * t.x + slots.b) % 2147483647) % $mBits AS bit
+       |  FROM hx_train t, $slots
+       |), claimed AS (
+       |  SELECT pb.token FROM (
+       |    SELECT p.token, ((slots.a * p.x + slots.b) % 2147483647) % $mBits AS bit
+       |    FROM hx_probe p, $slots
+       |  ) pb JOIN bits b ON b.bit = pb.bit
+       |  GROUP BY pb.token
+       |  HAVING COUNT(*) = $kHash
+       |)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM train) AS n_train,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+       |  ROUND((SELECT COUNT(*) FROM bits) / $mBits.0, 6) AS fill_ratio,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probe,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM claimed) AS n_fp,
+       |  ROUND((SELECT COUNT(*) FROM claimed)
+       |    / CAST((SELECT COUNT(*) FROM probe) AS DOUBLE), 6) AS fp_rate,
+       |  ROUND(${(1 to kHash).map(_ =>
+            s"((SELECT COUNT(*) FROM bits) / $mBits.0)").mkString(" * ")},
+       |    6) AS predicted_fp""".stripMargin
+  }
 }
