@@ -5051,6 +5051,310 @@ object Events {
        |WHERE m.is_anomaly + COALESCE(e.is_alert, 0) + c.is_alert >= 1
        |ORDER BY m.event_type, m.day""".stripMargin
 
+  /** q434 — Fleiss' kappa across the three daily anomaly detectors
+    * (q121 MAD, q173 EWMA, q364 CUSUM) per event type: q377 routes on
+    * the per-day vote; this grades whether the panel agrees MORE THAN
+    * CHANCE at all — a kappa near 0 means the "consensus" column is
+    * noise intersecting noise (three detectors that each fire 10% of
+    * days agree 1% of the time by luck alone), the standard
+    * multi-rater extension of q358's two-rater Cohen form.
+    *
+    * Exactness: Fleiss reduces entirely to integer counts — per item
+    * Σ_j n_ij² over the two categories, the alert total, the item
+    * count — combined in one shared double chain (NULLIF-guarded
+    * 1−Pe), rounded once.
+    *
+    * Scale: rides the three detectors' calendar-sized frames; the
+    * kappa aggregate is |types| rows.
+    */
+  def fleissDetectors(spark: SparkSession, dir: String): DataFrame = {
+    val mad = dailyAnomalies(spark, dir)
+      .select(col("event_type"), col("day"),
+        col("is_anomaly").cast("long").as("a1"))
+    val ew = ewmaControl(spark, dir)
+      .select(col("event_type"), col("day"),
+        coalesce(col("is_alert"), lit(0)).cast("long").as("a2"))
+    val cu = cusumChart(spark, dir)
+      .select(col("event_type"), col("day"),
+        col("is_alert").cast("long").as("a3"))
+    val items = mad.join(ew, Seq("event_type", "day"))
+      .join(cu, Seq("event_type", "day"))
+      .withColumn("n1", col("a1") + col("a2") + col("a3"))
+      .withColumn("sq", col("n1") * col("n1") +
+        (lit(3L) - col("n1")) * (lit(3L) - col("n1")))
+    val agg = items.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n1")).as("total_alerts"),
+        sum(col("sq")).as("ssq"))
+    val nD = col("n_days").cast("double")
+    val pbar = (col("ssq").cast("double") - lit(3.0) * nD) / (lit(6.0) * nD)
+    val p1 = col("total_alerts").cast("double") / (lit(3.0) * nD)
+    val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    agg.select(col("event_type"), col("n_days"), col("total_alerts"),
+        round(pbar, 6).as("p_bar"), round(pe, 6).as("p_e"),
+        round((pbar - pe) / nullif(lit(1.0) - pe, lit(0.0)), 6)
+          .as("fleiss_kappa"))
+      .orderBy(col("event_type"))
+  }
+
+  val fleissDetectorsSql: String =
+    s"""WITH mad_t AS (
+       |  $dailyAnomaliesSql
+       |), ew_t AS (
+       |  $ewmaControlSql
+       |), cu_t AS (
+       |  $cusumChartSql
+       |), items AS (
+       |  SELECT m.event_type,
+       |    CAST(m.is_anomaly AS BIGINT) + CAST(COALESCE(e.is_alert, 0)
+       |      AS BIGINT) + CAST(c.is_alert AS BIGINT) AS n1
+       |  FROM mad_t m
+       |  JOIN ew_t e ON m.event_type = e.event_type AND m.day = e.day
+       |  JOIN cu_t c ON m.event_type = c.event_type AND m.day = c.day
+       |), agg AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(n1) AS BIGINT) AS total_alerts,
+       |    CAST(SUM(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT) AS ssq
+       |  FROM items GROUP BY 1
+       |), k AS (
+       |  SELECT event_type, n_days, total_alerts,
+       |    (CAST(ssq AS DOUBLE) - 3.0 * CAST(n_days AS DOUBLE))
+       |      / (6.0 * CAST(n_days AS DOUBLE)) AS pbar,
+       |    CAST(total_alerts AS DOUBLE) / (3.0 * CAST(n_days AS DOUBLE))
+       |      AS p1
+       |  FROM agg
+       |)
+       |SELECT event_type, n_days, total_alerts,
+       |  ROUND(pbar, 6) AS p_bar,
+       |  ROUND(p1 * p1 + (1.0 - p1) * (1.0 - p1), 6) AS p_e,
+       |  ROUND((pbar - (p1 * p1 + (1.0 - p1) * (1.0 - p1)))
+       |    / NULLIF(1.0 - (p1 * p1 + (1.0 - p1) * (1.0 - p1)), 0.0), 6)
+       |    AS fleiss_kappa
+       |FROM k
+       |ORDER BY event_type""".stripMargin
+
+  /** q437 — trend / seasonal strength (Hyndman's STL feature pair)
+    * per event type: F_trend = max(0, 1 − Var(R)/Var(T+R)) and
+    * F_seasonal = max(0, 1 − Var(R)/Var(S+R)) over q172's
+    * decomposition — the single-number dial that says which types
+    * deserve a seasonal model (q258 Holt–Winters) vs a plain one
+    * (q241 Holt) vs none, and the feature every forecast router and
+    * anomaly-threshold chooser reads first.
+    *
+    * Exactness: T/S/R are q172's 6dp-rounded columns; variance terms
+    * round products at 6dp into DECIMAL(28,6) sums (order-
+    * independent); each strength is one shared double chain with
+    * NULLIF guards, clamped at 0 by GREATEST, rounded 6dp.
+    *
+    * Scale: q172's one aggregate + calendar-sized windows, then a
+    * |types|-row aggregate.
+    */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stl = stlDecompose(spark, dir)
+      .withColumn("tr", col("trend") + col("resid"))
+      .withColumn("sr", col("seasonal") + col("resid"))
+    def varCols(x: Column, pre: String): Seq[Column] = Seq(
+      sum(x.cast(dec)).cast("double").as(s"${pre}_s"),
+      sum(round(x * x, 6).cast(dec)).cast("double").as(s"${pre}_ss"))
+    val agg = stl.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (varCols(col("resid"), "r") ++ varCols(col("tr"), "t") ++
+          varCols(col("sr"), "s")): _*)
+    val nD = col("n").cast("double")
+    def variance(pre: String): Column =
+      (col(s"${pre}_ss") - col(s"${pre}_s") * col(s"${pre}_s") / nD) / nD
+    agg.select(col("event_type"), col("n").as("n_days"),
+        round(variance("r"), 6).as("var_resid"),
+        round(greatest(lit(0.0), lit(1.0) -
+          variance("r") / nullif(variance("t"), lit(0.0))), 6)
+          .as("trend_strength"),
+        round(greatest(lit(0.0), lit(1.0) -
+          variance("r") / nullif(variance("s"), lit(0.0))), 6)
+          .as("seasonal_strength"))
+      .orderBy(col("event_type"))
+  }
+
+  val seasonalStrengthSql: String =
+    s"""WITH stl AS (
+       |  $stlDecomposeSql
+       |), aug AS (
+       |  SELECT event_type, resid, trend + resid AS tr,
+       |    seasonal + resid AS sr
+       |  FROM stl
+       |), agg AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(resid AS DECIMAL(28,6))) AS DOUBLE) AS r_s,
+       |    CAST(SUM(CAST(ROUND(resid * resid, 6) AS DECIMAL(28,6)))
+       |      AS DOUBLE) AS r_ss,
+       |    CAST(SUM(CAST(tr AS DECIMAL(28,6))) AS DOUBLE) AS t_s,
+       |    CAST(SUM(CAST(ROUND(tr * tr, 6) AS DECIMAL(28,6)))
+       |      AS DOUBLE) AS t_ss,
+       |    CAST(SUM(CAST(sr AS DECIMAL(28,6))) AS DOUBLE) AS s_s,
+       |    CAST(SUM(CAST(ROUND(sr * sr, 6) AS DECIMAL(28,6)))
+       |      AS DOUBLE) AS s_ss
+       |  FROM aug GROUP BY 1
+       |)
+       |SELECT event_type, n AS n_days,
+       |  ROUND((r_ss - r_s * r_s / CAST(n AS DOUBLE))
+       |    / CAST(n AS DOUBLE), 6) AS var_resid,
+       |  ROUND(GREATEST(0.0, 1.0 -
+       |    ((r_ss - r_s * r_s / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+       |    / NULLIF((t_ss - t_s * t_s / CAST(n AS DOUBLE))
+       |      / CAST(n AS DOUBLE), 0.0)), 6) AS trend_strength,
+       |  ROUND(GREATEST(0.0, 1.0 -
+       |    ((r_ss - r_s * r_s / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+       |    / NULLIF((s_ss - s_s * s_s / CAST(n AS DOUBLE))
+       |      / CAST(n AS DOUBLE), 0.0)), 6) AS seasonal_strength
+       |FROM agg
+       |ORDER BY event_type""".stripMargin
+
+  /** q438 — Yuen's trimmed-mean test between each type's FIRST and
+    * SECOND half of days (20% symmetric trim): the robust two-sample
+    * location test the stats battery lacked — q238 Mann–Whitney asks
+    * "did the distribution shift at all", Welch (q287's per-group
+    * machinery) is moment-fragile under the heavy tails q414 flags;
+    * Yuen compares trimmed means with winsorized variances, the
+    * standard compromise (trim the tail days a burst or outage
+    * contaminates, keep a mean-difference effect size).
+    *
+    * Exactness: the split day and per-half trim bounds are integer
+    * rank arithmetic (g = floor(0.2·n), fully tiebroken (v, day)
+    * order); trimmed sums and winsorized squared sums accumulate
+    * integers (counts clamped to integer rank-bound values); the t
+    * statistic is one shared double chain, NULLIF-guarded, rounded
+    * 6dp before the |t| > 1.96 verdict compare.
+    *
+    * Scale: one event aggregate, one calendar-sized rank window per
+    * half, |types| output rows.
+    */
+  def yuenTrimmedTest(spark: SparkSession, dir: String,
+                      trim: Double = 0.2): DataFrame = {
+    val dense = denseDailyCounts(spark, dir)
+    val bounds = dense.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"),
+        expr("mn + (mx - mn) div 2").as("mid"))
+    val halves = dense.join(broadcast(bounds), "event_type")
+      .withColumn("half", when(col("day") <= col("mid"), 1).otherwise(2))
+    val w = Window.partitionBy(col("event_type"), col("half"))
+      .orderBy(col("v"), col("day"))
+    val ranked = halves
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("half"))))
+      .withColumn("g", floor(col("n").cast("double") * trim).cast("long"))
+      // winsorized value: clamp ranks outside (g, n-g] to the boundary
+      // values — the boundary v's are rank picks, carried by windows
+      .withColumn("lo_v", max(when(col("rk") === col("g") + 1, col("v")))
+        .over(Window.partitionBy(col("event_type"), col("half"))))
+      .withColumn("hi_v", max(when(col("rk") === col("n") - col("g"),
+        col("v"))).over(Window.partitionBy(col("event_type"), col("half"))))
+      .withColumn("wv", when(col("rk") <= col("g"), col("lo_v"))
+        .when(col("rk") > col("n") - col("g"), col("hi_v"))
+        .otherwise(col("v")))
+      .withColumn("kept", col("rk") > col("g") &&
+        col("rk") <= col("n") - col("g"))
+    val agg = ranked.groupBy(col("event_type"), col("half"))
+      .agg(max(col("n")).as("n"), max(col("g")).as("g"),
+        sum(when(col("kept"), col("v"))).as("tsum"),
+        sum(col("wv")).as("wsum"),
+        sum(col("wv") * col("wv")).as("wss"))
+      .withColumn("h", col("n") - lit(2L) * col("g"))
+      .withColumn("tmean",
+        col("tsum").cast("double") /
+          nullif(col("h").cast("double"), lit(0.0)))
+      // winsorized sample variance (n-1 denominator)
+      .withColumn("wvar",
+        (col("wss").cast("double") - col("wsum").cast("double") *
+          col("wsum").cast("double") / col("n").cast("double")) /
+          nullif(col("n").cast("double") - lit(1.0), lit(0.0)))
+      .withColumn("d",
+        (col("n").cast("double") - lit(1.0)) * col("wvar") /
+          nullif(col("h").cast("double") *
+            (col("h").cast("double") - lit(1.0)), lit(0.0)))
+    val a = agg.filter(col("half") === 1)
+      .select(col("event_type"), col("h").as("h1"),
+        col("tmean").as("m1"), col("d").as("d1"))
+    val b = agg.filter(col("half") === 2)
+      .select(col("event_type"), col("h").as("h2"),
+        col("tmean").as("m2"), col("d").as("d2"))
+    a.join(b, "event_type")
+      .withColumn("t_stat", round((col("m1") - col("m2")) /
+        nullif(sqrt(col("d1") + col("d2")), lit(0.0)), 6))
+      .select(col("event_type"), col("h1"), col("h2"),
+        round(col("m1"), 6).as("trimmed_mean_1"),
+        round(col("m2"), 6).as("trimmed_mean_2"),
+        col("t_stat"),
+        when(col("t_stat").isNull, "degenerate")
+          .when(abs(col("t_stat")) > 1.96, "shifted")
+          .otherwise("stable").as("verdict"))
+      .orderBy(col("event_type"))
+  }
+
+  val yuenTrimmedTestSql: String =
+    s"""WITH $denseDailyCountsSql, bounds AS (
+      |  SELECT event_type, MIN(day) + (MAX(day) - MIN(day)) // 2 AS mid
+      |  FROM dense GROUP BY 1
+      |), halves AS (
+      |  SELECT d.event_type, d.day, d.v,
+      |    CASE WHEN d.day <= b.mid THEN 1 ELSE 2 END AS half
+      |  FROM dense d JOIN bounds b ON b.event_type = d.event_type
+      |), ranked AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER wo AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER wp AS BIGINT) AS n,
+      |    CAST(FLOOR(CAST(COUNT(*) OVER wp AS DOUBLE) * 0.2) AS BIGINT)
+      |      AS g
+      |  FROM halves
+      |  WINDOW wo AS (PARTITION BY event_type, half ORDER BY v, day),
+      |    wp AS (PARTITION BY event_type, half)
+      |), winz AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN rk = g + 1 THEN v END) OVER wp AS lo_v,
+      |    MAX(CASE WHEN rk = n - g THEN v END) OVER wp AS hi_v
+      |  FROM ranked
+      |  WINDOW wp AS (PARTITION BY event_type, half)
+      |), wv AS (
+      |  SELECT *,
+      |    CASE WHEN rk <= g THEN lo_v
+      |      WHEN rk > n - g THEN hi_v ELSE v END AS wval,
+      |    CASE WHEN rk > g AND rk <= n - g THEN 1 ELSE 0 END AS kept
+      |  FROM winz
+      |), agg AS (
+      |  SELECT event_type, half, MAX(n) AS n, MAX(g) AS g,
+      |    CAST(SUM(CASE WHEN kept = 1 THEN v END) AS BIGINT) AS tsum,
+      |    CAST(SUM(wval) AS BIGINT) AS wsum,
+      |    CAST(SUM(wval * wval) AS BIGINT) AS wss
+      |  FROM wv GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT event_type, half, n - 2 * g AS h,
+      |    CAST(tsum AS DOUBLE) / NULLIF(CAST(n - 2 * g AS DOUBLE), 0.0)
+      |      AS tmean,
+      |    (CAST(n AS DOUBLE) - 1.0)
+      |      * ((CAST(wss AS DOUBLE) - CAST(wsum AS DOUBLE)
+      |          * CAST(wsum AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / NULLIF(CAST(n AS DOUBLE) - 1.0, 0.0))
+      |      / NULLIF(CAST(n - 2 * g AS DOUBLE)
+      |        * (CAST(n - 2 * g AS DOUBLE) - 1.0), 0.0) AS d
+      |  FROM agg
+      |), fin AS (
+      |  SELECT a.event_type, a.h AS h1, b.h AS h2,
+      |    a.tmean AS m1, b.tmean AS m2,
+      |    ROUND((a.tmean - b.tmean)
+      |      / NULLIF(sqrt(a.d + b.d), 0.0), 6) AS t_stat
+      |  FROM stats a JOIN stats b
+      |    ON b.event_type = a.event_type AND a.half = 1 AND b.half = 2
+      |)
+      |SELECT event_type, h1, h2,
+      |  ROUND(m1, 6) AS trimmed_mean_1,
+      |  ROUND(m2, 6) AS trimmed_mean_2,
+      |  t_stat,
+      |  CASE WHEN t_stat IS NULL THEN 'degenerate'
+      |    WHEN ABS(t_stat) > 1.96 THEN 'shifted'
+      |    ELSE 'stable' END AS verdict
+      |FROM fin
+      |ORDER BY event_type""".stripMargin
+
   /** q378 — expected shortfall (CVaR) of the daily value series per
     * event type: the α = 5% lower-tail order-statistic VaR plus the
     * MEAN of the tail beyond it — the coherent risk measure (VaR says
@@ -6094,7 +6398,9 @@ object Events {
         coalesce(col("v"), lit(0L)).as("v"))
   }
 
-  private val denseDailyCountsSql: String =
+  // def, not val: referenced by SQL vals declared EARLIER in this
+  // object (q438), which would see a null during val initialization
+  private def denseDailyCountsSql: String =
     """daily AS (
       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
       |    CAST(COUNT(*) AS BIGINT) AS v
@@ -6287,7 +6593,8 @@ object Events {
         col("syyc") - col("b1") * col("s1y") - col("b2") * col("s2y"))
       .withColumn("f_stat", round(
         (col("rss_r") - col("rss_u")) /
-          nullif(col("rss_u") / (nD - lit(3.0)), lit(0.0)), 6))
+          nullif(col("rss_u") / nullif(nD - lit(3.0), lit(0.0)),
+            lit(0.0)), 6))
     out.select(col("cause"), col("effect"), col("n").as("n_days"),
         round(col("b2"), 6).as("beta_cross"), col("f_stat"),
         when(col("f_stat").isNull, "inconclusive")
@@ -6345,7 +6652,8 @@ object Events {
       |), fin AS (
       |  SELECT cause, effect, n, b2,
       |    ROUND((rss_r - rss_u)
-      |      / NULLIF(rss_u / (CAST(n AS DOUBLE) - 3.0), 0.0), 6) AS f_stat
+      |      / NULLIF(rss_u / NULLIF(CAST(n AS DOUBLE) - 3.0, 0.0), 0.0),
+      |      6) AS f_stat
       |  FROM fit3
       |)
       |SELECT cause, effect, n AS n_days, ROUND(b2, 6) AS beta_cross,

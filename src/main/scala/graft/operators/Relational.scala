@@ -4024,6 +4024,230 @@ object Relational {
        |LEFT JOIN overlap o ON o.week = s.week
        |ORDER BY s.week""".stripMargin
 
+  /** q435 — leaderboard rank distance: Spearman footrule and Kendall
+    * distance between consecutive weekly revenue top-`topK` lists on
+    * their COMMON items — q422's churn counts who left the list; this
+    * measures how much the survivors SHUFFLED. A list with zero churn
+    * but high footrule is re-ranking noise (bad for any position-
+    * weighted consumer: merch slots, alert ordering, eval top-k); the
+    * pair tells rank-stability apart from membership-stability.
+    *
+    * Exactness: ranks are integer row_numbers off the integer-cents
+    * weekly revenue (fully tiebroken); footrule is an integer sum of
+    * |Δrank|; Kendall distance is an integer discordant-pair count
+    * over the common-item pairs; the two normalized readouts are
+    * single NULLIF-guarded rounded divisions.
+    *
+    * Scale: one (part, week) aggregate, a rank ≤ topK partial
+    * WindowGroupLimit, then joins on topK-rows-per-week frames — the
+    * pair join is topK²-bounded per week by construction (a literal
+    * bound, not a data-dependent one).
+    */
+  def leaderboardRankDistance(spark: SparkSession, dir: String,
+                              topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekExpr = expr(
+      "(unix_micros(cast(l_shipdate as timestamp)) - " +
+        "pmod(unix_micros(cast(l_shipdate as timestamp)), 86400000000)) " +
+        "div 86400000000 div 7")
+    val weekly = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), weekExpr.as("week"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100,
+          0).cast("long").as("cents"))
+      .groupBy(col("l_partkey"), col("week"))
+      .agg(sum(col("cents")).as("rev"))
+    val w = Window.partitionBy(col("week"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+    val top = graft.Iterate.cut(
+      weekly.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("week"), col("l_partkey"), col("rank")))
+    val common = top.as("cur").join(top.as("prev"),
+        col("cur.l_partkey") === col("prev.l_partkey") &&
+          col("cur.week") === col("prev.week") + 1)
+      .select(col("cur.week").as("week"), col("cur.l_partkey").as("pk"),
+        col("cur.rank").as("r_cur"), col("prev.rank").as("r_prev"))
+    val foot = common.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(abs(col("r_cur") - col("r_prev"))).as("footrule"))
+    val disc = common.as("a").join(common.as("b"),
+        col("a.week") === col("b.week") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.week").as("week"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("a.r_cur") - col("b.r_cur")) *
+          (col("a.r_prev") - col("b.r_prev")) < 0, 1L).otherwise(0L))
+          .as("n_discordant"))
+    foot.join(disc, Seq("week"), "left")
+      .select(col("week"), col("n_common"), col("footrule"),
+        round(col("footrule").cast("double") /
+          nullif((col("n_common") * col("n_common")).cast("double"),
+            lit(0.0)), 6).as("footrule_norm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_discordant"), lit(0L)).as("n_discordant"),
+        round(coalesce(col("n_discordant"), lit(0L)).cast("double") /
+          nullif(coalesce(col("n_pairs"), lit(0L)).cast("double"),
+            lit(0.0)), 6).as("kendall_dist"))
+      .orderBy(col("week"))
+  }
+
+  def leaderboardRankDistanceSql(topK: Int = 20): String =
+    s"""WITH weekly AS (
+       |  SELECT l_partkey, (epoch_ms(l_shipdate) // 86400000) // 7 AS week,
+       |    CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100,
+       |      0) AS BIGINT)) AS BIGINT) AS rev
+       |  FROM lineitem GROUP BY 1, 2
+       |), top AS (
+       |  SELECT week, l_partkey, rank FROM (
+       |    SELECT week, l_partkey,
+       |      row_number() OVER (PARTITION BY week
+       |        ORDER BY rev DESC, l_partkey) AS rank
+       |    FROM weekly
+       |  ) WHERE rank <= $topK
+       |), common AS (
+       |  SELECT cur.week, cur.l_partkey AS pk,
+       |    cur.rank AS r_cur, prev.rank AS r_prev
+       |  FROM top cur JOIN top prev
+       |    ON prev.l_partkey = cur.l_partkey AND cur.week = prev.week + 1
+       |), foot AS (
+       |  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_common,
+       |    CAST(SUM(ABS(r_cur - r_prev)) AS BIGINT) AS footrule
+       |  FROM common GROUP BY 1
+       |), disc AS (
+       |  SELECT a.week, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(CASE WHEN (a.r_cur - b.r_cur) * (a.r_prev - b.r_prev)
+       |      < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant
+       |  FROM common a JOIN common b
+       |    ON b.week = a.week AND a.pk < b.pk
+       |  GROUP BY 1
+       |)
+       |SELECT f.week, f.n_common, f.footrule,
+       |  ROUND(CAST(f.footrule AS DOUBLE)
+       |    / NULLIF(CAST(f.n_common * f.n_common AS DOUBLE), 0.0), 6)
+       |    AS footrule_norm,
+       |  COALESCE(d.n_pairs, 0) AS n_pairs,
+       |  COALESCE(d.n_discordant, 0) AS n_discordant,
+       |  ROUND(CAST(COALESCE(d.n_discordant, 0) AS DOUBLE)
+       |    / NULLIF(CAST(COALESCE(d.n_pairs, 0) AS DOUBLE), 0.0), 6)
+       |    AS kendall_dist
+       |FROM foot f LEFT JOIN disc d ON d.week = f.week
+       |ORDER BY f.week""".stripMargin
+
+  /** q436 — rank-biased overlap (RBO, truncated at the list depth)
+    * between consecutive weekly top-`topK` revenue lists: the
+    * TOP-WEIGHTED stability companion to q435 (footrule/Kendall treat
+    * rank 1 and rank 19 swaps alike; RBO's geometric weights p^{d−1}
+    * make the head dominate, which is how users actually consume a
+    * ranked surface). RBO_k = (1−p)·Σ_{d=1..k} p^{d−1}·X_d/d with
+    * X_d = |top_d(cur) ∩ top_d(prev)| — X_d counts common items whose
+    * max(rank_cur, rank_prev) ≤ d, so the whole curve falls out of
+    * one join and a literal depth explode.
+    *
+    * Exactness: ranks and X_d are integers; the geometric weights are
+    * LITERAL constants embedded identically in both engines (no libm
+    * pow at query time); each depth term rounds at 9dp into a
+    * DECIMAL(28,9) sum; one final 6dp round.
+    *
+    * Scale: the q435 frames (partial WindowGroupLimit, topK-bounded
+    * joins); the depth explode is topK·|common| rows — literal-
+    * bounded per week.
+    */
+  def leaderboardRbo(spark: SparkSession, dir: String, topK: Int = 20,
+                     p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val weekExpr = expr(
+      "(unix_micros(cast(l_shipdate as timestamp)) - " +
+        "pmod(unix_micros(cast(l_shipdate as timestamp)), 86400000000)) " +
+        "div 86400000000 div 7")
+    val weekly = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), weekExpr.as("week"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100,
+          0).cast("long").as("cents"))
+      .groupBy(col("l_partkey"), col("week"))
+      .agg(sum(col("cents")).as("rev"))
+    val w = Window.partitionBy(col("week"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+    val top = graft.Iterate.cut(
+      weekly.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("week"), col("l_partkey"), col("rank")))
+    val common = top.as("cur").join(top.as("prev"),
+        col("cur.l_partkey") === col("prev.l_partkey") &&
+          col("cur.week") === col("prev.week") + 1)
+      .select(col("cur.week").as("week"),
+        greatest(col("cur.rank"), col("prev.rank")).as("maxr"))
+    // X_d per depth: common items with maxr <= d; weights are literals
+    val weights = (1 to topK).map(d => d -> math.pow(p, d - 1))
+    val depths = common
+      .select(col("week"), explode(array(weights.map { case (d, _) =>
+        struct(lit(d).as("d"), (col("maxr") <= d).cast("long").as("in_d"))
+      }: _*)).as("dd"))
+      .select(col("week"), col("dd.d").as("d"), col("dd.in_d").as("in_d"))
+      .groupBy(col("week"), col("d")).agg(sum(col("in_d")).as("x_d"))
+    val wexpr = weights.map { case (d, c) =>
+      when(col("d") === d, lit(c)).asInstanceOf[Column]
+    }.reduce((a, b) => coalesce(a, b))
+    val weeks = top.select(col("week")).distinct().as("a")
+      .join(top.select((col("week") + 1).as("week")).distinct().as("b"),
+        "week")
+    weeks.join(depths, Seq("week"), "left")
+      .withColumn("term",
+        round(lit(1.0 - p) * col("x_d").cast("double") * wexpr /
+          col("d").cast("double"), 9).cast(dec9))
+      .groupBy(col("week"))
+      .agg(sum(when(col("d") === topK, col("x_d"))).as("n_common_at_k"),
+        round(coalesce(sum(col("term")).cast("double"), lit(0.0)), 6)
+          .as("rbo"))
+      .withColumn("n_common_at_k",
+        coalesce(col("n_common_at_k"), lit(0L)))
+      .orderBy(col("week"))
+  }
+
+  def leaderboardRboSql(topK: Int = 20, p: Double = 0.9): String = {
+    val weights = (1 to topK)
+      .map(d => s"($d, ${math.pow(p, d - 1)})").mkString(", ")
+    s"""WITH weekly AS (
+       |  SELECT l_partkey, (epoch_ms(l_shipdate) // 86400000) // 7 AS week,
+       |    CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100,
+       |      0) AS BIGINT)) AS BIGINT) AS rev
+       |  FROM lineitem GROUP BY 1, 2
+       |), top AS (
+       |  SELECT week, l_partkey, rank FROM (
+       |    SELECT week, l_partkey,
+       |      row_number() OVER (PARTITION BY week
+       |        ORDER BY rev DESC, l_partkey) AS rank
+       |    FROM weekly
+       |  ) WHERE rank <= $topK
+       |), common AS (
+       |  SELECT cur.week,
+       |    GREATEST(cur.rank, prev.rank) AS maxr
+       |  FROM top cur JOIN top prev
+       |    ON prev.l_partkey = cur.l_partkey AND cur.week = prev.week + 1
+       |), wt AS (
+       |  SELECT * FROM (VALUES $weights) AS t(d, c)
+       |), depths AS (
+       |  SELECT c.week, w.d,
+       |    CAST(SUM(CASE WHEN c.maxr <= w.d THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS x_d,
+       |    MAX(w.c) AS c
+       |  FROM common c, wt w
+       |  GROUP BY 1, 2
+       |), weeks AS (
+       |  SELECT a.week FROM (SELECT DISTINCT week FROM top) a
+       |  JOIN (SELECT DISTINCT week + 1 AS week FROM top) b
+       |    ON b.week = a.week
+       |)
+       |SELECT wk.week,
+       |  CAST(COALESCE(MAX(CASE WHEN d.d = $topK THEN d.x_d END), 0)
+       |    AS BIGINT) AS n_common_at_k,
+       |  ROUND(COALESCE(CAST(SUM(CAST(ROUND(${1.0 - p} *
+       |    CAST(d.x_d AS DOUBLE) * d.c / CAST(d.d AS DOUBLE), 9)
+       |    AS DECIMAL(28,9))) AS DOUBLE), 0.0), 6) AS rbo
+       |FROM weeks wk LEFT JOIN depths d ON d.week = wk.week
+       |GROUP BY wk.week
+       |ORDER BY wk.week""".stripMargin
+  }
+
   /** q423 — robust price-dispersion ranking: the coefficient of
     * quartile deviation (Q₃−Q₁)/(Q₃+Q₁) of unit prices per part type
     * — the scale-free dispersion a skewed price distribution needs

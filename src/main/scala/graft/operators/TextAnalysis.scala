@@ -2786,6 +2786,160 @@ object TextAnalysis {
        |ORDER BY lang""".stripMargin
   }
 
+  /** q433 — McNemar's paired test between the q22 stopword heuristic
+    * and the q349 naive Bayes on the SAME holdout fifth, against the
+    * labels: q358's kappa says whether the two classifiers agree;
+    * this says which one is more ACCURATE, using only the discordant
+    * pairs (the statistically correct way to compare two models
+    * evaluated on identical items — two independent accuracy CIs
+    * double-count the shared variance). χ² = (b−c)²/(b+c) on the
+    * heur-only-right / nb-only-right counts, 3.841 = α .05, df 1.
+    *
+    * Exactness: the 2×2 discordance table is pure integer counts off
+    * the same deterministic predictions q349/q358 grade; χ² is one
+    * rounded division, NULLIF-guarded for the zero-discordance
+    * corner, and the verdict compares the ROUNDED value so engines
+    * cannot straddle the threshold.
+    *
+    * Scale: rides q349's bounded shapes (vocab-keyed model join,
+    * |classes|-per-doc scores) plus one narrow heuristic map; the
+    * readout is a single row.
+    */
+  def mcnemarLangId(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = nbScores(spark, dir,
+        col("doc_id") % 5 =!= 0, col("doc_id") % 5 === 0)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("c"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("true_lang"), col("c").as("nb_pred"))
+    val heur = langIdQuery(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang_pred").as("heur_pred"))
+    val j = nb.join(heur, "doc_id")
+      .withColumn("h_ok",
+        (col("heur_pred") === col("true_lang")).cast("long"))
+      .withColumn("b_ok",
+        (col("nb_pred") === col("true_lang")).cast("long"))
+    j.agg(count(lit(1)).as("n_docs"),
+        sum(col("h_ok") * col("b_ok")).as("both_correct"),
+        sum(col("h_ok") * (lit(1L) - col("b_ok"))).as("heur_only"),
+        sum((lit(1L) - col("h_ok")) * col("b_ok")).as("nb_only"),
+        sum((lit(1L) - col("h_ok")) * (lit(1L) - col("b_ok")))
+          .as("both_wrong"))
+      .withColumn("chi2", round(
+        ((col("heur_only") - col("nb_only")) *
+          (col("heur_only") - col("nb_only"))).cast("double") /
+          nullif((col("heur_only") + col("nb_only")).cast("double"),
+            lit(0.0)), 6))
+      .select(col("n_docs"), col("both_correct"), col("heur_only"),
+        col("nb_only"), col("both_wrong"),
+        round((col("both_correct") + col("heur_only")).cast("double") /
+          col("n_docs").cast("double"), 6).as("heur_acc"),
+        round((col("both_correct") + col("nb_only")).cast("double") /
+          col("n_docs").cast("double"), 6).as("nb_acc"),
+        col("chi2"),
+        when(col("chi2").isNull, "no_discordant_pairs")
+          .when(col("chi2") > 3.841 && col("nb_only") > col("heur_only"),
+            "nb_better")
+          .when(col("chi2") > 3.841, "heur_better")
+          .otherwise("no_significant_diff").as("verdict"))
+  }
+
+  val mcnemarLangIdSql: String = {
+    val heurPred =
+      """CASE WHEN s_en + s_es + s_fr + s_de > 0 THEN
+        |    CASE WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+        |         WHEN s_fr > s_en AND s_fr > s_es THEN 'fr'
+        |         WHEN s_es > s_en THEN 'es'
+        |         ELSE 'en' END
+        |  ELSE 'und' END""".stripMargin
+    val en = hitsSql(langStopwords(0)._2)
+    val es = hitsSql(langStopwords(1)._2)
+    val fr = hitsSql(langStopwords(2)._2)
+    val de = hitsSql(langStopwords(3)._2)
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS mult
+       |  FROM (
+       |    SELECT doc_id, lang, unnest(list_filter(
+       |      string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+       |    FROM documents
+       |  )
+       |  GROUP BY 1, 2, 3
+       |), train AS (
+       |  SELECT * FROM toks WHERE doc_id % 5 <> 0
+       |), test AS (
+       |  SELECT * FROM toks WHERE doc_id % 5 = 0
+       |), model AS (
+       |  SELECT lang AS c, token,
+       |    ROUND(log10(SUM(mult) + 1), 6) AS l_num
+       |  FROM train GROUP BY 1, 2
+       |), vocab AS (
+       |  SELECT COUNT(DISTINCT token) AS v FROM model
+       |), classes AS (
+       |  SELECT lang AS c,
+       |    ROUND(log10(COUNT(DISTINCT doc_id)), 6) AS l_prior,
+       |    ROUND(log10(SUM(mult) + (SELECT v FROM vocab)), 6) AS l_den
+       |  FROM train GROUP BY 1
+       |), in_vocab AS (
+       |  SELECT t.* FROM test t
+       |  JOIN (SELECT DISTINCT token FROM model) m ON m.token = t.token
+       |), md AS (
+       |  SELECT doc_id, lang AS true_lang, SUM(mult) AS m_d
+       |  FROM in_vocab GROUP BY 1, 2
+       |), seen AS (
+       |  SELECT iv.doc_id, m.c,
+       |    SUM(iv.mult * CAST(m.l_num AS DECIMAL(18,6))) AS sum_num
+       |  FROM in_vocab iv JOIN model m ON m.token = iv.token
+       |  GROUP BY 1, 2
+       |), nb AS (
+       |  SELECT doc_id, true_lang, c AS nb_pred FROM (
+       |    SELECT md.doc_id, md.true_lang, cl.c,
+       |      row_number() OVER (PARTITION BY md.doc_id ORDER BY
+       |        CAST(cl.l_prior AS DECIMAL(28,6))
+       |          + COALESCE(s.sum_num, CAST(0 AS DECIMAL(18,6)))
+       |          - md.m_d * CAST(cl.l_den AS DECIMAL(18,6)) DESC,
+       |        cl.c) AS rk
+       |    FROM md CROSS JOIN classes cl
+       |    LEFT JOIN seen s ON s.doc_id = md.doc_id AND s.c = cl.c
+       |  ) WHERE rk = 1
+       |), heur AS (
+       |  SELECT doc_id, $heurPred AS heur_pred FROM (
+       |    SELECT doc_id,
+       |      $en AS s_en, $es AS s_es, $fr AS s_fr, $de AS s_de
+       |    FROM documents WHERE doc_id % 5 = 0
+       |  )
+       |), j AS (
+       |  SELECT
+       |    CASE WHEN h.heur_pred = nb.true_lang THEN 1 ELSE 0 END AS h_ok,
+       |    CASE WHEN nb.nb_pred = nb.true_lang THEN 1 ELSE 0 END AS b_ok
+       |  FROM nb JOIN heur h ON h.doc_id = nb.doc_id
+       |), t AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(h_ok * b_ok) AS BIGINT) AS both_correct,
+       |    CAST(SUM(h_ok * (1 - b_ok)) AS BIGINT) AS heur_only,
+       |    CAST(SUM((1 - h_ok) * b_ok) AS BIGINT) AS nb_only,
+       |    CAST(SUM((1 - h_ok) * (1 - b_ok)) AS BIGINT) AS both_wrong
+       |  FROM j
+       |), c AS (
+       |  SELECT *, ROUND(CAST((heur_only - nb_only) * (heur_only - nb_only)
+       |      AS DOUBLE)
+       |    / NULLIF(CAST(heur_only + nb_only AS DOUBLE), 0.0), 6) AS chi2
+       |  FROM t
+       |)
+       |SELECT n_docs, both_correct, heur_only, nb_only, both_wrong,
+       |  ROUND(CAST(both_correct + heur_only AS DOUBLE)
+       |    / CAST(n_docs AS DOUBLE), 6) AS heur_acc,
+       |  ROUND(CAST(both_correct + nb_only AS DOUBLE)
+       |    / CAST(n_docs AS DOUBLE), 6) AS nb_acc,
+       |  chi2,
+       |  CASE WHEN chi2 IS NULL THEN 'no_discordant_pairs'
+       |    WHEN chi2 > 3.841 AND nb_only > heur_only THEN 'nb_better'
+       |    WHEN chi2 > 3.841 THEN 'heur_better'
+       |    ELSE 'no_significant_diff' END AS verdict
+       |FROM c""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Round-12 portable-sketch battery: the q306 KMV precedent (md5-
   // derived sketches grade HASH-EXACT cross-engine, not "within rsd")

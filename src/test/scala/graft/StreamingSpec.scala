@@ -481,6 +481,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Page-Hinkley folds to the batch q432 summary across a batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPageHinkley.{DailyInput, PhOut}
+    // fixture: 10 gapless days with a level shift at day 5 — one event
+    // per (day, count) unit so the batch daily counts equal `vs`
+    val vs = Seq(3L, 4L, 3L, 4L, 3L, 9L, 10L, 9L, 10L, 9L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sph").toString
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    vs.zipWithIndex.flatMap { case (v, d) =>
+      (1L to v).map(i => (d * 100L + i, ts(d.toLong), 1L, "m", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Events.pageHinkley(spark, dir)
+      .select($"event_type", $"n_days", $"lambda", $"max_ph", $"alarm_day")
+      .as[(String, Long, Double, Double, Option[Long])].collect().head
+    assert(batch._2 === 10L)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyInput]
+    val q = graft.streaming.StreamingPageHinkley
+      .detect(input.toDS(), Map("m" -> batch._3))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ph_out").start()
+    try {
+      // boundary mid-series: prefix mean, m and runmin must carry over
+      input.addData(vs.take(4).zipWithIndex.map { case (v, d) =>
+        DailyInput("m", d.toLong, v) }: _*)
+      q.processAllAvailable()
+      input.addData(vs.drop(4).zipWithIndex.map { case (v, d) =>
+        DailyInput("m", (d + 4).toLong, v) }: _*)
+      input.addData(DailyInput("zzz_uncalibrated", 0L, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("ph_out").as[PhOut].collect().toSeq
+        .sortBy(_.day)
+      assert(rows.size === 10)
+      // the streamed per-day fold reproduces the batch summary exactly
+      assert(rows.map(_.ph).max === batch._4)
+      assert(rows.find(_.is_alarm === 1).map(_.day) === batch._5)
+      // duplicate day dropped
+      input.addData(DailyInput("m", 9L, 99L))
+      q.processAllAvailable()
+      assert(spark.table("ph_out").count() === 10)
+    } finally q.stop()
+  }
+
   test("streaming pinball losses aggregate to the batch q369 relation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
