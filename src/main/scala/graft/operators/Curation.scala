@@ -2284,6 +2284,94 @@ object Curation {
     * LITERAL budget bound plans the partial WindowGroupLimit (the
     * q62 two-step trick — the data-derived quota refines after).
     */
+  /** q440 — curriculum mix schedule: for each of `epochs` training
+    * epochs, the per-source document quota under a LINEAR
+    * interpolation from the corpus's natural mix (epoch 0) to the
+    * uniform mix (last epoch), each epoch's `budget` apportioned
+    * EXACTLY by Hamilton's method — the "start where the data is,
+    * end where the coverage should be" schedule every multi-source
+    * training run negotiates (q62 rebalances once; q391 optimizes a
+    * static blend; this is the blend AS A FUNCTION OF TRAINING TIME,
+    * materialized as quotas a sampler can execute verbatim).
+    *
+    * Exactness: the interpolated weight is the exact rational
+    * (n_s·(E−1−e)·S + N·e) / (N·S·(E−1)) — integer numerators and
+    * denominators throughout, so Hamilton's floor + largest-remainder
+    * runs on integers (remainder ties break by source); Σ quota =
+    * budget per epoch BY CONSTRUCTION (q382's conservation law, now
+    * per epoch). The displayed weight is one rounded division.
+    *
+    * Scale: one source-count aggregate (the only corpus-sized work);
+    * everything after runs on |sources|·epochs rows with
+    * single-partition windows over that tiny frame (the q34
+    * pivot-domain precedent).
+    */
+  def mixSchedule(spark: SparkSession, dir: String, epochs: Int = 4,
+                  budget: Int = 100): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val totals = docs.agg(count(lit(1)).as("n_all"))
+      .crossJoin(counts.agg(count(lit(1)).as("n_src")))
+    val grid = counts.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_s"), col("n_all"), col("n_src"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      // exact rational weight: num/den with den = n_all*n_src*(E-1)
+      .withColumn("num",
+        col("n_s") * (lit(epochs - 1) - col("epoch")) * col("n_src") +
+          col("n_all") * col("epoch"))
+      .withColumn("den",
+        col("n_all") * col("n_src") * lit((epochs - 1).toLong))
+    val wE = Window.partitionBy(col("epoch"))
+    val quotas = grid
+      .withColumn("base", expr(s"($budget * num) div den"))
+      .withColumn("rem", expr(s"($budget * num) % den"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(wE))
+      .withColumn("rrank", row_number().over(
+        Window.partitionBy(col("epoch"))
+          .orderBy(col("rem").desc, col("source"))))
+      .withColumn("quota",
+        (col("base") + (col("rrank") <= col("leftover")).cast("long"))
+          .cast("int"))
+    quotas.select(col("epoch"), col("source"), col("n_s").as("n_docs"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("weight"),
+        col("quota"))
+      .orderBy(col("epoch"), col("source"))
+  }
+
+  def mixScheduleSql(epochs: Int = 4, budget: Int = 100): String =
+    s"""WITH counts AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+       |  FROM documents GROUP BY 1
+       |), totals AS (
+       |  SELECT (SELECT COUNT(*) FROM documents) AS n_all,
+       |    CAST(COUNT(*) AS BIGINT) AS n_src
+       |  FROM counts
+       |), grid AS (
+       |  SELECT c.source, c.n_s, t.n_all, t.n_src, e.epoch,
+       |    c.n_s * (${epochs - 1} - e.epoch) * t.n_src
+       |      + t.n_all * e.epoch AS num,
+       |    t.n_all * t.n_src * ${epochs - 1} AS den
+       |  FROM counts c, totals t, range(0, $epochs) AS e(epoch)
+       |), quotas AS (
+       |  SELECT *,
+       |    ($budget * num) // den AS base,
+       |    ($budget * num) % den AS rem
+       |  FROM grid
+       |), ranked AS (
+       |  SELECT *,
+       |    $budget - SUM(base) OVER (PARTITION BY epoch) AS leftover,
+       |    row_number() OVER (PARTITION BY epoch
+       |      ORDER BY rem DESC, source) AS rrank
+       |  FROM quotas
+       |)
+       |SELECT CAST(epoch AS INT) AS epoch, source, n_s AS n_docs,
+       |  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS weight,
+       |  CAST(base + (CASE WHEN rrank <= leftover THEN 1 ELSE 0 END)
+       |    AS INT) AS quota
+       |FROM ranked
+       |ORDER BY epoch, source""".stripMargin
+
   def hamiltonSample(spark: SparkSession, dir: String,
                      budget: Int = 100): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

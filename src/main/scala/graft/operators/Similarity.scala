@@ -683,6 +683,105 @@ object Similarity {
       |LEFT JOIN ov ON ec.query_id = ov.query_id
       |ORDER BY ec.query_id""".stripMargin
 
+  /** q439 — one-bit (sign) quantization recall audit: the q137
+    * discipline applied to the cheapest quantizer of all — each
+    * embedding collapsed to its 64 sign bits, neighbors ranked by
+    * Hamming distance, recall measured against the exact cosine
+    * top-k. Sign quantization is the 64× compression floor (one bit
+    * per dimension, Hamming = XOR+popcount at serve time); this
+    * relation says what that floor costs in recall BEFORE anyone
+    * ships it, beside q104's SQ8 (8×) and q71's PQ on the same
+    * corpus — the compression/recall frontier as graded rows.
+    *
+    * Exactness: sign bits are (x > 0) comparisons (identical IEEE
+    * semantics both engines); Hamming distances are integer fold
+    * sums; ranks are integer-tiebroken; recall is one rounded
+    * division.
+    *
+    * Scale: the q29 broadcast-brute posture twice (literal query set,
+    * PARTIAL WindowGroupLimit before any exchange); at deploy scale
+    * the Hamming side runs over packed longs, but the RELATION graded
+    * here is the quantizer's output, which is what recall depends on.
+    */
+  def onebitRecall(spark: SparkSession, dir: String, nQueries: Int = 8,
+                   k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val hamming = aggregate(
+      zip_with(col("q_emb"), col("embedding"),
+        (x, y) => ((x > 0) =!= (y > 0)).cast("int")),
+      lit(0), (acc, v) => acc + v)
+    val scored = emb.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        hamming.as("hd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hd"), col("neighbor_id"))
+    val onebit = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = exact.join(onebit, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(onebit.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_onebit")), Seq("query_id"), "left")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_onebit"), lit(0L)).as("n_onebit"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double")
+          / col("n_exact"), 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  def onebitRecallSql(nQueries: Int = 8, k: Int = 10): String = {
+    def hamSql(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0, [CASE WHEN ($a[i] > 0) <> ($b[i] > 0)
+         |      THEN 1 ELSE 0 END for i in range(1, len($a) + 1)]),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${hamSql("q.q_emb", "e.embedding")} AS hd
+       |  FROM embeddings e, q WHERE e.vec_id >= $nQueries
+       |), onebit AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY hd, neighbor_id) AS rank
+       |    FROM scored
+       |  ) WHERE rank <= $k
+       |), exact_list AS (
+       |  $knnBruteSql
+       |), ov AS (
+       |  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM exact_list e JOIN onebit o
+       |    ON o.query_id = e.query_id AND o.neighbor_id = e.neighbor_id
+       |  GROUP BY 1
+       |), ec AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM exact_list GROUP BY 1
+       |), oc AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_onebit
+       |  FROM onebit GROUP BY 1
+       |)
+       |SELECT ec.query_id, ec.n_exact,
+       |  COALESCE(oc.n_onebit, 0) AS n_onebit,
+       |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / ec.n_exact, 6)
+       |    AS recall
+       |FROM ec
+       |LEFT JOIN oc ON oc.query_id = ec.query_id
+       |LEFT JOIN ov ON ov.query_id = ec.query_id
+       |ORDER BY ec.query_id""".stripMargin
+  }
+
   /** q150 — embedding-norm health audit: per label, the L2-norm
     * ladder (min/mean/max), zero-vector count, and non-finite count.
     * The vector-quality gate run BEFORE anything cosine-based: a
