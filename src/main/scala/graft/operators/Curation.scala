@@ -2372,6 +2372,65 @@ object Curation {
        |FROM ranked
        |ORDER BY epoch, source""".stripMargin
 
+  /** q443 — capture–recapture corpus-size estimate (Chapman's
+    * bias-corrected Lincoln–Petersen): two INDEPENDENT deterministic
+    * "captures" (disjoint md5 salts, the q43 hash-sample convention)
+    * each see ~1/4 of the corpus; the overlap sizes the whole:
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1. The estimator every crawl/dedup
+    * operation reaches for when the universe is unlistable ("how many
+    * distinct pages exist, given two crawls and their overlap?") —
+    * graded here on a KNOWN corpus, so the relation doubles as the
+    * calibration audit (estimate beside truth beside signed error),
+    * the q112/q342 discipline.
+    *
+    * Exactness: capture membership is an exact md5-mod predicate
+    * (integer, stated in the oracle); n₁, n₂, m, N are integer
+    * counts; Chapman is one integer-product division, floored on both
+    * engines.
+    *
+    * Scale: one scan with two narrow predicates, four global counts —
+    * no joins, no shuffle beyond the count aggregates.
+    */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (graft.functions.PortableHash.md5Long32(
+          concat(col("doc_id").cast("string"), lit("|capA"))) % 4 === 0)
+          .as("in_a"),
+        (graft.functions.PortableHash.md5Long32(
+          concat(col("doc_id").cast("string"), lit("|capB"))) % 4 === 0)
+          .as("in_b"))
+    docs.agg(count(lit(1)).as("n_true"),
+        sum(col("in_a").cast("long")).as("n1"),
+        sum(col("in_b").cast("long")).as("n2"),
+        sum((col("in_a") && col("in_b")).cast("long")).as("m"))
+      .select(col("n_true"), col("n1"), col("n2"), col("m"),
+        expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").as("n_chapman"),
+        expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1 - n_true")
+          .as("signed_err"))
+  }
+
+  val captureRecaptureSql: String =
+    """WITH caps AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|capA'),
+      |      1, 8)) AS BIGINT) % 4 = 0 AS in_a,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|capB'),
+      |      1, 8)) AS BIGINT) % 4 = 0 AS in_b
+      |  FROM documents
+      |), agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+      |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS m
+      |  FROM caps
+      |)
+      |SELECT n_true, n1, n2, m,
+      |  (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS n_chapman,
+      |  (n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true AS signed_err
+      |FROM agg""".stripMargin
+
   def hamiltonSample(spark: SparkSession, dir: String,
                      budget: Int = 100): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

@@ -5051,6 +5051,87 @@ object Events {
        |WHERE m.is_anomaly + COALESCE(e.is_alert, 0) + c.is_alert >= 1
        |ORDER BY m.event_type, m.day""".stripMargin
 
+  /** q441 — session-gap sensitivity curve: how many sessions (and how
+    * large they are) the corpus yields under each candidate
+    * inactivity threshold — the tuning table behind q20's hard-coded
+    * 30 minutes. Session counts are THRESHOLD-MONOTONE but not
+    * linearly so; picking θ by eyeballing one value ships an
+    * arbitrary session definition into every downstream funnel/path/
+    * retention metric, and this curve is the one-scan audit that
+    * shows where the knee actually is.
+    *
+    * Exactness: n_sessions(θ) = n_users + |gaps > θ| — pure integer
+    * identities off ONE user-ordered window pass (no per-θ rescan,
+    * no event-row explode: the grid lives as conditional sums in a
+    * single aggregate, unpivoted by stack); means are single rounded
+    * divisions.
+    *
+    * Scale: one window pass over the events (the q20 shuffle), one
+    * global aggregate, |grid| output rows.
+    */
+  def sessionGapCurve(spark: SparkSession, dir: String,
+                      gridMinutes: Seq[Int] = Seq(5, 15, 30, 60, 120))
+      : DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("ts_ms", graft.operators.Relational.tsMs("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val gaps = ev.withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+    val aggs = Seq(countDistinct(col("user_id")).as("n_users"),
+      count(lit(1)).as("n_events")) ++
+      gridMinutes.map(m =>
+        sum(when(col("prev_ts").isNotNull &&
+          col("ts_ms") - col("prev_ts") > m * 60000L, 1L).otherwise(0L))
+          .as(s"x$m"))
+    val one = gaps.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = gridMinutes.map(m => s"$m, x$m").mkString(", ")
+    one.select(col("n_users"), col("n_events"),
+        expr(s"stack(${gridMinutes.size}, $stackExpr)")
+          .as(Seq("threshold_minutes", "n_splits")))
+      .select(col("threshold_minutes").cast("int").as("threshold_minutes"),
+        (col("n_users") + col("n_splits")).as("n_sessions"),
+        round(col("n_events").cast("double") /
+          (col("n_users") + col("n_splits")).cast("double"), 6)
+          .as("events_per_session"),
+        round(col("n_splits").cast("double") /
+          nullif((col("n_events") - col("n_users")).cast("double"),
+            lit(0.0)), 6).as("split_share"))
+      .orderBy(col("threshold_minutes"))
+  }
+
+  def sessionGapCurveSql(
+      gridMinutes: Seq[Int] = Seq(5, 15, 30, 60, 120)): String = {
+    val conds = gridMinutes.map(m =>
+      s"""CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+         |      AND ts_ms - prev_ts > ${m * 60000L} THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x$m""".stripMargin).mkString(",\n    ")
+    val unions = gridMinutes.map(m =>
+      s"SELECT n_users, n_events, $m AS threshold_minutes, x$m AS n_splits FROM agg")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH gaps AS (
+       |  SELECT user_id, epoch_ms(ts) AS ts_ms,
+       |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS prev_ts
+       |  FROM events
+       |), agg AS (
+       |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    $conds
+       |  FROM gaps
+       |), grid AS (
+       |  $unions
+       |)
+       |SELECT CAST(threshold_minutes AS INT) AS threshold_minutes,
+       |  n_users + n_splits AS n_sessions,
+       |  ROUND(CAST(n_events AS DOUBLE)
+       |    / CAST(n_users + n_splits AS DOUBLE), 6) AS events_per_session,
+       |  ROUND(CAST(n_splits AS DOUBLE)
+       |    / NULLIF(CAST(n_events - n_users AS DOUBLE), 0.0), 6)
+       |    AS split_share
+       |FROM grid
+       |ORDER BY threshold_minutes""".stripMargin
+  }
+
   /** q434 — Fleiss' kappa across the three daily anomaly detectors
     * (q121 MAD, q173 EWMA, q364 CUSUM) per event type: q377 routes on
     * the per-day vote; this grades whether the panel agrees MORE THAN

@@ -696,4 +696,110 @@ object Pii {
        |)
        |ORDER BY round""".stripMargin
   }
+
+  /** q442 — randomized response (Warner's forced-response, the LOCAL
+    * differential-privacy verb): each user answers "did you
+    * purchase?" truthfully with probability p = 3/4, otherwise with a
+    * fair coin, and the curator de-biases the aggregate rate via
+    * p̂ = (r̂ − (1−p)/2) / p. The central-DP releases (q308 counts,
+    * q353 mean, q368 median, q408 top-k) trust the curator; this is
+    * the mechanism for when NOBODY is trusted with individual truth —
+    * the per-user reports are already private, and the relation
+    * shows the estimator recovering the true rate beside its error.
+    * ε = ln(3) per user here ((p + (1−p)/2)/((1−p)/2) = 3).
+    *
+    * Determinism: both coins are the q308 seeded-inverse-CDF
+    * convention — the selector compares a 60-bit md5 word against the
+    * EXACT integer threshold 3·2⁵⁸ (p = 3/4 needs no floating
+    * point), the forced answer is an independent md5 parity bit; both
+    * engines derive bit-identical reports, so the release grades
+    * hash-exact. Production swaps the md5 words for client-side
+    * cryptographic draws; the plan is unchanged.
+    *
+    * Scale: one (user, type) presence aggregate over a distinct-user
+    * frame, a narrow coin map, one per-type aggregate — no joins
+    * beyond the user-universe cross, which is |users|×|types| rows of
+    * three integers.
+    */
+  def randomizedResponse(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val ev = Tables.load(spark, dir, "events")
+    val users = ev.select(col("user_id")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val truth = ev.select(col("user_id"), col("event_type")).distinct()
+      .withColumn("did", lit(1L))
+    val universe = users.crossJoin(broadcast(types))
+      .join(truth, Seq("user_id", "event_type"), "left")
+      .withColumn("did", coalesce(col("did"), lit(0L)))
+    // selector: truth with p = 3/4 — exact integer threshold 3 * 2^58
+    val sel = PortableHash.md5Long60(
+      concat(col("user_id").cast("string"), lit("|sel|"),
+        col("event_type"))) < lit(3L << 58)
+    val coin = (PortableHash.md5Long60(
+      concat(col("user_id").cast("string"), lit("|rnd|"),
+        col("event_type"))) % 2 === 0).cast("long")
+    val reported = universe
+      .withColumn("report", when(sel, col("did")).otherwise(coin))
+    reported.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("did")).as("n_true"),
+        sum(col("report")).as("n_reported"))
+      .withColumn("true_rate", round(
+        col("n_true").cast("double") / col("n_users").cast("double"), 6))
+      .withColumn("reported_rate",
+        col("n_reported").cast("double") / col("n_users").cast("double"))
+      .select(col("event_type"), col("n_users"), col("n_true"),
+        col("n_reported"), col("true_rate"),
+        round(col("reported_rate"), 6).as("reported_rate"),
+        round((col("reported_rate") - lit(0.125)) / lit(0.75), 6)
+          .as("estimated_rate"),
+        round(abs((col("reported_rate") - lit(0.125)) / lit(0.75) -
+          col("n_true").cast("double") / col("n_users").cast("double")), 6)
+          .as("abs_err"))
+      .orderBy(col("event_type"))
+  }
+
+  val randomizedResponseSql: String =
+    s"""WITH users AS (
+       |  SELECT DISTINCT user_id FROM events
+       |), types AS (
+       |  SELECT DISTINCT event_type FROM events
+       |), truth AS (
+       |  SELECT DISTINCT user_id, event_type, 1 AS did FROM events
+       |), universe AS (
+       |  SELECT u.user_id, t.event_type,
+       |    CAST(COALESCE(tr.did, 0) AS BIGINT) AS did
+       |  FROM users u CROSS JOIN types t
+       |  LEFT JOIN truth tr
+       |    ON tr.user_id = u.user_id AND tr.event_type = t.event_type
+       |), reported AS (
+       |  SELECT event_type, did,
+       |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+       |        || '|sel|' || event_type), 1, 15)) AS BIGINT)
+       |        < ${3L << 58}
+       |      THEN did
+       |      ELSE CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS
+       |        VARCHAR) || '|rnd|' || event_type), 1, 15)) AS BIGINT)
+       |        % 2 = 0 THEN 1 ELSE 0 END
+       |    END AS report
+       |  FROM universe
+       |), agg AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |    CAST(SUM(did) AS BIGINT) AS n_true,
+       |    CAST(SUM(report) AS BIGINT) AS n_reported
+       |  FROM reported GROUP BY 1
+       |)
+       |SELECT event_type, n_users, n_true, n_reported,
+       |  ROUND(CAST(n_true AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+       |    AS true_rate,
+       |  ROUND(CAST(n_reported AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+       |    AS reported_rate,
+       |  ROUND((CAST(n_reported AS DOUBLE) / CAST(n_users AS DOUBLE)
+       |    - 0.125) / 0.75, 6) AS estimated_rate,
+       |  ROUND(ABS((CAST(n_reported AS DOUBLE) / CAST(n_users AS DOUBLE)
+       |    - 0.125) / 0.75
+       |    - CAST(n_true AS DOUBLE) / CAST(n_users AS DOUBLE)), 6)
+       |    AS abs_err
+       |FROM agg
+       |ORDER BY event_type""".stripMargin
 }

@@ -2786,6 +2786,68 @@ object TextAnalysis {
        |ORDER BY lang""".stripMargin
   }
 
+  /** q444 — Chao1 vocabulary-richness estimate per source: the
+    * nonparametric "how many types exist that we have NOT seen"
+    * lower bound, V̂ = V + f₁(f₁−1)/(2(f₂+1)) off the singleton/
+    * doubleton counts (bias-corrected form, defined even at f₂ = 0).
+    * q310's Good–Turing prices the unseen PROBABILITY mass; Chao1
+    * counts the unseen TYPES — the pair a tokenizer-budget or
+    * vocab-coverage decision (q347's curve) wants read together: a
+    * source whose Chao1 far exceeds its observed vocabulary is
+    * under-crawled, not small.
+    *
+    * Exactness: V, f₁, f₂ are integer counts off the (source, token)
+    * frequency spectrum; Chao1 is one double division of integer
+    * products (denominator ≥ 2), rounded 6dp; the unseen share is
+    * one more guarded rounded division.
+    *
+    * Scale: the q36 token-keyed aggregate, then a |vocab|-sized
+    * spectrum aggregate per source — map-side combined both stages.
+    */
+  def chao1Vocabulary(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+    counts.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum((col("n") === 1).cast("long")).as("f1"),
+        sum((col("n") === 2).cast("long")).as("f2"))
+      .withColumn("chao1", round(col("vocab").cast("double") +
+        (col("f1") * (col("f1") - 1)).cast("double") /
+          (lit(2.0) * (col("f2") + 1).cast("double")), 6))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("f1"),
+        col("f2"), col("chao1"),
+        round((col("chao1") - col("vocab").cast("double")) /
+          nullif(col("chao1"), lit(0.0)), 6).as("unseen_share"))
+      .orderBy(col("source"))
+  }
+
+  val chao1VocabularySql: String =
+    """WITH counts AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT source, unnest(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  ) GROUP BY 1, 2
+      |), spectrum AS (
+      |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM counts GROUP BY 1
+      |), est AS (
+      |  SELECT *, ROUND(CAST(vocab AS DOUBLE)
+      |    + CAST(f1 * (f1 - 1) AS DOUBLE)
+      |      / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1
+      |  FROM spectrum
+      |)
+      |SELECT source, n_tokens, vocab, f1, f2, chao1,
+      |  ROUND((chao1 - CAST(vocab AS DOUBLE)) / NULLIF(chao1, 0.0), 6)
+      |    AS unseen_share
+      |FROM est
+      |ORDER BY source""".stripMargin
+
   /** q433 — McNemar's paired test between the q22 stopword heuristic
     * and the q349 naive Bayes on the SAME holdout fifth, against the
     * labels: q358's kappa says whether the two classifiers agree;
