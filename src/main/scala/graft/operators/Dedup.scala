@@ -2480,6 +2480,129 @@ object Dedup {
       |ORDER BY g.doc_a, g.doc_b""".stripMargin
   }
 
+  /** q445 — b-bit MinHash compression audit (Li & König, b = 1): the
+    * q112 candidate pairs re-estimated from only the LOWEST BIT of
+    * each MinHash slot — a 32× signature compression — with the
+    * b=1 de-bias Ĵ = max(0, 2·A − 1) (random bits agree half the
+    * time; A is the bit-agreement share). Graded beside the full-slot
+    * estimate and the exact Jaccard, the relation prices the memory/
+    * accuracy trade a 100 TB sketch store actually faces: full slots
+    * cost 8 bytes each, one bit costs one bit, and THIS table says
+    * what that buys back in error on this corpus.
+    *
+    * Exactness: bit agreements are integer parities of the shared
+    * md5-family slot minima (identical in DuckDB by the q27 result);
+    * estimates are single rounded expressions off integer counts;
+    * GREATEST pins the negative-estimate clamp identically.
+    *
+    * Scale: identical bounded shapes to q112 (band-bucket candidates,
+    * one signature row per doc, candidate-bounded verification) —
+    * the bit view is a projection of the same signature frame.
+    */
+  def bbitMinhashAudit(spark: SparkSession, dir: String, k: Int = 3,
+                       numHashes: Int = 24, bands: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = keptShingles(docs, k, dfCap = 200)
+    val rows = numHashes / bands
+    val sig = minhashSignatures(spark, kept, numHashes).localCheckpoint()
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"h${b * rows + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws("|", slice: _*).as("bucket"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agreeFull = (0 until numHashes)
+      .map(i => (col(s"sa.h$i") === col(s"sb.h$i")).cast("long")).reduce(_ + _)
+    val agreeBit = (0 until numHashes)
+      .map(i => (col(s"sa.h$i") % 2 === col(s"sb.h$i") % 2).cast("long"))
+      .reduce(_ + _)
+    val sets = kept.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sh_set"))
+    candidates
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("n_agree_full", agreeFull)
+      .withColumn("n_agree_bit", agreeBit)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), "doc_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (size(col("set_a")) + size(col("set_b")) - col("n_shared")), 6))
+      .withColumn("est_full",
+        round(col("n_agree_full").cast("double") / numHashes, 6))
+      .withColumn("est_1bit", round(greatest(lit(0.0),
+        lit(2.0) * col("n_agree_bit").cast("double") / numHashes - lit(1.0)),
+        6))
+      .select(col("doc_a"), col("doc_b"), col("n_agree_full"),
+        col("n_agree_bit"), col("jaccard"), col("est_full"),
+        col("est_1bit"),
+        round(abs(col("est_full") - col("jaccard")), 6).as("err_full"),
+        round(abs(col("est_1bit") - col("jaccard")), 6).as("err_1bit"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def bbitMinhashAuditSql(numHashes: Int = 24, bands: Int = 8): String = {
+    val rows = numHashes / bands
+    s"""WITH $shingleCtes, hx AS (
+      |  SELECT doc_id, shingle,
+      |    CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483647 AS x
+      |  FROM kept
+      |), sig AS (
+      |  SELECT doc_id, slots.i AS slot, MIN((slots.a * x + slots.b) % 2147483647) AS h
+      |  FROM hx, ${graft.functions.PortableHash.slotConstantsSql(numHashes)}
+      |  GROUP BY doc_id, slots.i
+      |), banded AS (
+      |  SELECT doc_id, slot // $rows AS band,
+      |    string_agg(CAST(h AS VARCHAR), '|' ORDER BY slot) AS bucket
+      |  FROM sig GROUP BY doc_id, slot // $rows
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id
+      |), agree AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_agree_full,
+      |    CAST(SUM(CASE WHEN sa.h % 2 = sb.h % 2 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_agree_bit
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.slot = sa.slot
+      |  GROUP BY c.doc_a, c.doc_b
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+      |), shared AS (
+      |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM cand c
+      |  JOIN kept ka ON ka.doc_id = c.doc_a
+      |  JOIN kept kb ON kb.doc_id = c.doc_b AND kb.shingle = ka.shingle
+      |  GROUP BY c.doc_a, c.doc_b
+      |), fin AS (
+      |  SELECT g.doc_a, g.doc_b, g.n_agree_full, g.n_agree_bit,
+      |    ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+      |      / (sa.n_sh + sb.n_sh - COALESCE(s.n_shared, 0)), 6) AS jaccard,
+      |    ROUND(CAST(g.n_agree_full AS DOUBLE) / $numHashes, 6) AS est_full,
+      |    ROUND(GREATEST(0.0,
+      |      2.0 * CAST(g.n_agree_bit AS DOUBLE) / $numHashes - 1.0), 6)
+      |      AS est_1bit
+      |  FROM agree g
+      |  LEFT JOIN shared s ON g.doc_a = s.doc_a AND g.doc_b = s.doc_b
+      |  JOIN sizes sa ON g.doc_a = sa.doc_id
+      |  JOIN sizes sb ON g.doc_b = sb.doc_id
+      |)
+      |SELECT doc_a, doc_b, n_agree_full, n_agree_bit, jaccard, est_full,
+      |  est_1bit,
+      |  ROUND(ABS(est_full - jaccard), 6) AS err_full,
+      |  ROUND(ABS(est_1bit - jaccard), 6) AS err_1bit
+      |FROM fin
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** q111 — prefix-novelty scoring: per document (in doc_id ingestion
     * order), the fraction of its distinct k-shingles NOT seen in any
     * earlier document — the running "is this feed still contributing

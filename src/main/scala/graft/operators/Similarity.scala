@@ -708,14 +708,14 @@ object Similarity {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val hamming = aggregate(
-      zip_with(col("q_emb"), col("embedding"),
-        (x, y) => ((x > 0) =!= (y > 0)).cast("int")),
-      lit(0), (acc, v) => acc + v)
+    // fused codegen kernel (graft.functions.SignHamming) — the
+    // composable zip_with+aggregate form is CodegenFallback and this
+    // scan IS the query at scale; Round12OpsSpec2 pins both forms equal
     val scored = emb.filter(col("vec_id") >= nQueries)
       .crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        hamming.as("hd"))
+        graft.functions.SignHamming.signHamming(spark, col("q_emb"),
+          col("embedding")).as("hd"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("hd"), col("neighbor_id"))

@@ -161,6 +161,32 @@ class Round12OpsSpec2 extends AnyFunSuite {
     assert(r._6.contains(0.0) && r._7 === "stable")
   }
 
+  test("SignHamming codegen kernel equals the composable zip_with form and NULLs on length mismatch") {
+    val emb = Tables.load(spark, sf0001, "embeddings").limit(50)
+    val pairs = emb.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb")))
+      .filter(col("a_id") < col("b_id"))
+    val composable = aggregate(
+      zip_with(col("a_emb"), col("b_emb"),
+        (x, y) => ((x > 0) =!= (y > 0)).cast("int")),
+      lit(0), (acc, v) => acc + v)
+    val diff = pairs.select(
+        graft.functions.SignHamming.signHamming(spark, col("a_emb"),
+          col("b_emb")).as("fused"),
+        composable.as("comp"))
+      .filter(col("fused") =!= col("comp"))
+    assert(diff.isEmpty)
+    // length mismatch -> NULL, not a truncated prefix distance
+    val mism = Seq((Seq(1.0f, -2.0f), Seq(1.0f)))
+      .toDF("a", "b")
+      .select(graft.functions.SignHamming.signHamming(spark, col("a"),
+        col("b")).as("hd"))
+      .as[Option[Int]].collect()
+    assert(mism.head.isEmpty)
+  }
+
   test("q425 local scaling: every query keeps exactly k re-ranked neighbors and recall identities hold") {
     val out = Similarity.localScalingRerank(spark, sf0001)
       .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
