@@ -2848,6 +2848,118 @@ object TextAnalysis {
       |FROM est
       |ORDER BY source""".stripMargin
 
+  /** q446 — duplicate-skew KL: how far exact duplicates (q25 groups)
+    * bend the corpus's unigram distribution, per source —
+    * KL(dedup ∥ raw) over the token frequencies of min-doc_id KEEPERS
+    * vs ALL documents, with the single most-skewed token surfaced.
+    * The number answers the question every "should we dedup before
+    * counting?" argument hides: a corpus whose duplicated documents
+    * are linguistically typical has KL ≈ 0 and dedup only changes
+    * scale; a KL spike means the duplicates are a DIFFERENT
+    * distribution (boilerplate, spam) silently re-weighting every
+    * frequency-derived artifact (BM25 idf, vocab cuts, lang priors).
+    *
+    * Exactness: both distributions are exact integer count ratios
+    * over each source's totals; each KL term p·ln(p/q) rounds at 9dp
+    * into a DECIMAL(28,9) sum (q is never zero: keepers' tokens are a
+    * subset of raw tokens, and p > 0 filters the support); the top
+    * token is a deterministic rank pick on (|term| desc, token).
+    *
+    * Scale: one fingerprint window (the q25 shuffle), two
+    * (source, token) aggregates, a vocab-sized join — no pair joins.
+    */
+  def dupSkewKl(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec9 = org.apache.spark.sql.types.DecimalType(28, 9)
+    val docs = Tables.load(spark, dir, "documents")
+    val wFp = Window.partitionBy(col("content_fp"))
+    val flagged = docs.select(col("doc_id"), col("source"), col("text"),
+        graft.functions.TextFunctions.contentFingerprint(col("text"))
+          .as("content_fp"))
+      .withColumn("rep_id", min(col("doc_id")).over(wFp))
+    val toks = flagged.select(col("source"),
+        (col("doc_id") === col("rep_id")).as("kept"),
+        explode(tokens(col("text"))).as("token"))
+    val raw = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n_raw"))
+    val kept = toks.filter(col("kept"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n_kept"))
+    val joined = raw.join(kept, Seq("source", "token"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("t_raw", sum(col("n_raw")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("t_kept", sum(col("n_kept")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("p", col("n_kept").cast("double") /
+        nullif(col("t_kept").cast("double"), lit(0.0)))
+      .withColumn("q", col("n_raw").cast("double") /
+        col("t_raw").cast("double"))
+      .withColumn("term", when(col("p") > 0,
+        round(col("p") * log(col("p") / col("q")), 9)).otherwise(lit(0.0)))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(abs(col("term")).desc, col("token"))
+    joined.withColumn("rn", row_number().over(wTop))
+      .groupBy(col("source"))
+      .agg(max(col("t_raw")).as("n_tokens_raw"),
+        max(col("t_kept")).as("n_tokens_kept"),
+        round(sum(col("term").cast(dec9)).cast("double"), 6)
+          .as("kl_dedup_vs_raw"),
+        max(when(col("rn") === 1, col("token"))).as("top_skew_token"),
+        round(max(when(col("rn") === 1, col("term"))), 6)
+          .as("top_skew_term"))
+      .orderBy(col("source"))
+  }
+
+  val dupSkewKlSql: String =
+    """WITH flagged AS (
+      |  SELECT doc_id, source, text,
+      |    MIN(doc_id) OVER (PARTITION BY
+      |      md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+      |      AS rep_id
+      |  FROM documents
+      |), toks AS (
+      |  SELECT source, doc_id = rep_id AS kept, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |  FROM flagged
+      |), raw AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_raw
+      |  FROM toks GROUP BY 1, 2
+      |), kept AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_kept
+      |  FROM toks WHERE kept GROUP BY 1, 2
+      |), joined AS (
+      |  SELECT r.source, r.token, r.n_raw, COALESCE(k.n_kept, 0) AS n_kept,
+      |    CAST(SUM(r.n_raw) OVER (PARTITION BY r.source) AS BIGINT)
+      |      AS t_raw,
+      |    CAST(SUM(COALESCE(k.n_kept, 0)) OVER (PARTITION BY r.source)
+      |      AS BIGINT) AS t_kept
+      |  FROM raw r LEFT JOIN kept k
+      |    ON k.source = r.source AND k.token = r.token
+      |), terms AS (
+      |  SELECT source, token, t_raw, t_kept,
+      |    CASE WHEN n_kept > 0 THEN
+      |      ROUND((CAST(n_kept AS DOUBLE)
+      |          / NULLIF(CAST(t_kept AS DOUBLE), 0.0))
+      |        * ln((CAST(n_kept AS DOUBLE)
+      |            / NULLIF(CAST(t_kept AS DOUBLE), 0.0))
+      |          / (CAST(n_raw AS DOUBLE) / CAST(t_raw AS DOUBLE))), 9)
+      |    ELSE 0.0 END AS term
+      |  FROM joined
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY ABS(term) DESC, token) AS rn
+      |  FROM terms
+      |)
+      |SELECT source, CAST(MAX(t_raw) AS BIGINT) AS n_tokens_raw,
+      |  CAST(MAX(t_kept) AS BIGINT) AS n_tokens_kept,
+      |  ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+      |    AS kl_dedup_vs_raw,
+      |  MAX(CASE WHEN rn = 1 THEN token END) AS top_skew_token,
+      |  ROUND(MAX(CASE WHEN rn = 1 THEN term END), 6) AS top_skew_term
+      |FROM ranked
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** q433 — McNemar's paired test between the q22 stopword heuristic
     * and the q349 naive Bayes on the SAME holdout fifth, against the
     * labels: q358's kappa says whether the two classifiers agree;
