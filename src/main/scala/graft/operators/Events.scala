@@ -5132,6 +5132,257 @@ object Events {
        |ORDER BY threshold_minutes""".stripMargin
   }
 
+  /** q447 — matrix profile (motif + discord) of each type's dense
+    * daily series, window m = 7: for every 7-day window, the
+    * z-normalized Euclidean distance to its nearest NON-OVERLAPPING
+    * neighbor window. The global minimum pair is the series' MOTIF
+    * (its most-repeated weekly shape — a recurring release cycle,
+    * a weekly batch job); the window whose nearest neighbor is
+    * FARTHEST is the DISCORD — the strongest anomaly definition that
+    * needs no model, threshold, or training (Keogh's "time series
+    * anomaly = the subsequence least like any other"). Complements
+    * the point detectors (q121/q173/q364/q432): those flag days,
+    * this flags SHAPES.
+    *
+    * Exactness: window sums are integers (one ordered window list per
+    * start day); means and stds are shared double chains off those
+    * integers; each pair distance is the index-ordered fold both
+    * engines state identically (the cosine discipline), rounded 9dp
+    * before any ranking; motif/nn/discord picks are fully tiebroken
+    * rank windows. Zero-variance windows cannot be z-normalized —
+    * they are EXCLUDED with their count surfaced (`n_degenerate`),
+    * never silently divided.
+    *
+    * Scale: one event aggregate, then everything is calendar-bounded:
+    * |days|² window pairs per type with an O(m) fold each — the
+    * classic exact-MP cost envelope (STOMP et al. amortize the fold;
+    * the RELATION is identical, and days² is metadata-sized even at
+    * 100 TB of events).
+    */
+  def matrixProfile(spark: SparkSession, dir: String,
+                    m: Int = 7): DataFrame = {
+    val dense = denseDailyCounts(spark, dir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, m - 1)
+    val wins = dense
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("warr", collect_list(col("v")).over(w))
+      .filter(col("wn") === m)
+      .withColumn("s", aggregate(col("warr"), lit(0L), (acc, v) => acc + v))
+      .withColumn("ss", aggregate(col("warr"), lit(0L),
+        (acc, v) => acc + v * v))
+      .withColumn("mu", col("s").cast("double") / lit(m.toDouble))
+      .withColumn("sig", sqrt((col("ss").cast("double") -
+        col("s").cast("double") * col("s").cast("double") /
+          lit(m.toDouble)) / lit(m.toDouble)))
+      .select(col("event_type"), col("day").as("i"), col("warr"),
+        col("mu"), col("sig"))
+    val nDegen = wins.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum((col("sig") === 0.0).cast("long")).as("n_degenerate"))
+    val usable = wins.filter(col("sig") > 0.0).localCheckpoint()
+    val d2 = aggregate(
+      zip_with(col("a.warr"), col("b.warr"), (x, y) => {
+        val za = (x.cast("double") - col("a.mu")) / col("a.sig")
+        val zb = (y.cast("double") - col("b.mu")) / col("b.sig")
+        (za - zb) * (za - zb)
+      }), lit(0.0), (acc, v) => acc + v)
+    val pairs = usable.as("a").join(usable.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          abs(col("a.i") - col("b.i")) >= m)
+      .select(col("a.event_type").as("event_type"), col("a.i").as("i"),
+        col("b.i").as("j"), round(d2, 9).as("d2"))
+    val wNn = Window.partitionBy(col("event_type"), col("i"))
+      .orderBy(col("d2"), col("j"))
+    val nn = pairs.withColumn("rn", row_number().over(wNn))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("i"), col("j"), col("d2"))
+    val wMotif = Window.partitionBy(col("event_type"))
+      .orderBy(col("d2"), col("i"), col("j"))
+    val motif = pairs.filter(col("i") < col("j"))
+      .withColumn("rn", row_number().over(wMotif))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("i").as("motif_i"),
+        col("j").as("motif_j"), col("d2").as("motif_d2"))
+    val wDisc = Window.partitionBy(col("event_type"))
+      .orderBy(col("d2").desc, col("i"))
+    val discord = nn.withColumn("rn", row_number().over(wDisc))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("i").as("discord_i"),
+        col("d2").as("discord_d2"))
+    nDegen.join(motif, Seq("event_type"), "left")
+      .join(discord, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_windows"), col("n_degenerate"),
+        col("motif_i"), col("motif_j"), col("motif_d2"),
+        col("discord_i"), col("discord_d2"))
+      .orderBy(col("event_type"))
+  }
+
+  def matrixProfileSql(m: Int = 7): String =
+    s"""WITH $denseDailyCountsSql, wins0 AS (
+      |  SELECT event_type, day AS i,
+      |    list(v) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND ${m - 1} FOLLOWING) AS warr
+      |  FROM dense
+      |), wins AS (
+      |  SELECT event_type, i, warr,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      warr), (x, y) -> x + y) AS DOUBLE) / $m.0 AS mu,
+      |    sqrt((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        [v * v for v in warr]), (x, y) -> x + y) AS DOUBLE)
+      |      - CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          warr), (x, y) -> x + y) AS DOUBLE)
+      |        * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          warr), (x, y) -> x + y) AS DOUBLE) / $m.0) / $m.0)
+      |      AS sig
+      |  FROM wins0 WHERE len(warr) = $m
+      |), degen AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |    CAST(SUM(CASE WHEN sig = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_degenerate
+      |  FROM wins GROUP BY 1
+      |), usable AS (
+      |  SELECT * FROM wins WHERE sig > 0.0
+      |), pairs AS (
+      |  SELECT a.event_type, a.i, b.i AS j,
+      |    ROUND(list_reduce(list_prepend(0.0,
+      |      [((CAST(a.warr[k] AS DOUBLE) - a.mu) / a.sig
+      |        - (CAST(b.warr[k] AS DOUBLE) - b.mu) / b.sig)
+      |       * ((CAST(a.warr[k] AS DOUBLE) - a.mu) / a.sig
+      |        - (CAST(b.warr[k] AS DOUBLE) - b.mu) / b.sig)
+      |       for k in range(1, $m + 1)]), (x, y) -> x + y), 9) AS d2
+      |  FROM usable a JOIN usable b
+      |    ON b.event_type = a.event_type AND ABS(a.i - b.i) >= $m
+      |), nn AS (
+      |  SELECT event_type, i, j, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type, i
+      |      ORDER BY d2, j) AS rn
+      |    FROM pairs
+      |  ) WHERE rn = 1
+      |), motif AS (
+      |  SELECT event_type, i AS motif_i, j AS motif_j, d2 AS motif_d2
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type
+      |      ORDER BY d2, i, j) AS rn
+      |    FROM pairs WHERE i < j
+      |  ) WHERE rn = 1
+      |), discord AS (
+      |  SELECT event_type, i AS discord_i, d2 AS discord_d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type
+      |      ORDER BY d2 DESC, i) AS rn
+      |    FROM nn
+      |  ) WHERE rn = 1
+      |)
+      |SELECT g.event_type, g.n_windows, g.n_degenerate,
+      |  m.motif_i, m.motif_j, m.motif_d2,
+      |  d.discord_i, d.discord_d2
+      |FROM degen g
+      |LEFT JOIN motif m ON m.event_type = g.event_type
+      |LEFT JOIN discord d ON d.event_type = g.event_type
+      |ORDER BY g.event_type""".stripMargin
+
+  /** q448 — energy distance between each type's first- and
+    * second-half daily distributions: Székely's
+    * e = 2·E|X−Y| − E|X−X′| − E|Y−Y′| (V-statistic form), the
+    * OMNIBUS two-sample test that reacts to ANY distributional
+    * change — q438's Yuen sees location, q213's KS sees the largest
+    * CDF gap, energy distance integrates every gap, which is what a
+    * "did this series change at all?" gate wants. Reported with the
+    * sample-size-scaled statistic n₁n₂/(n₁+n₂)·e (the permutation
+    * statistic q371's machinery would resample).
+    *
+    * Exactness: every |x−y| is an integer; the three pair sums are
+    * exact integer aggregates over calendar-bounded pair joins; e is
+    * one shared double chain of integer-sum ratios, rounded 6dp.
+    * e ≥ 0 by the theory; the spec asserts it.
+    *
+    * Scale: one event aggregate, then days²-bounded pair joins per
+    * type (the q293/q374 cost envelope — calendar-sized, never
+    * event-scaled).
+    */
+  def energyDistance(spark: SparkSession, dir: String): DataFrame = {
+    val dense = denseDailyCounts(spark, dir)
+    val bounds = dense.groupBy(col("event_type"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("event_type"), expr("mn + (mx - mn) div 2").as("mid"))
+    val halves = dense.join(broadcast(bounds), "event_type")
+      .withColumn("half", when(col("day") <= col("mid"), 1).otherwise(2))
+      .select(col("event_type"), col("half"), col("day"), col("v"))
+    def pairSum(h1: Int, h2: Int): DataFrame =
+      halves.filter(col("half") === h1).as("a")
+        .join(halves.filter(col("half") === h2).as("b"),
+          col("a.event_type") === col("b.event_type"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(abs(col("a.v") - col("b.v"))).as(s"s_$h1$h2"),
+          count(lit(1)).as(s"n_$h1$h2"))
+    val ns = halves.groupBy(col("event_type"))
+      .agg(sum((col("half") === 1).cast("long")).as("n1"),
+        sum((col("half") === 2).cast("long")).as("n2"))
+    ns.join(pairSum(1, 2), "event_type")
+      .join(pairSum(1, 1), "event_type")
+      .join(pairSum(2, 2), "event_type")
+      .withColumn("e",
+        lit(2.0) * col("s_12").cast("double") / col("n_12").cast("double")
+          - col("s_11").cast("double") / col("n_11").cast("double")
+          - col("s_22").cast("double") / col("n_22").cast("double"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        round(col("e"), 6).as("energy_dist"),
+        round(col("n1").cast("double") * col("n2").cast("double") /
+          (col("n1") + col("n2")).cast("double") * col("e"), 6)
+          .as("scaled_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  val energyDistanceSql: String =
+    s"""WITH $denseDailyCountsSql, bounds AS (
+      |  SELECT event_type, MIN(day) + (MAX(day) - MIN(day)) // 2 AS mid
+      |  FROM dense GROUP BY 1
+      |), halves AS (
+      |  SELECT d.event_type,
+      |    CASE WHEN d.day <= b.mid THEN 1 ELSE 2 END AS half, d.day, d.v
+      |  FROM dense d JOIN bounds b ON b.event_type = d.event_type
+      |), s12 AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS s_12,
+      |    CAST(COUNT(*) AS BIGINT) AS n_12
+      |  FROM halves a JOIN halves b
+      |    ON b.event_type = a.event_type AND a.half = 1 AND b.half = 2
+      |  GROUP BY 1
+      |), s11 AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS s_11,
+      |    CAST(COUNT(*) AS BIGINT) AS n_11
+      |  FROM halves a JOIN halves b
+      |    ON b.event_type = a.event_type AND a.half = 1 AND b.half = 1
+      |  GROUP BY 1
+      |), s22 AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS s_22,
+      |    CAST(COUNT(*) AS BIGINT) AS n_22
+      |  FROM halves a JOIN halves b
+      |    ON b.event_type = a.event_type AND a.half = 2 AND b.half = 2
+      |  GROUP BY 1
+      |), ns AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM halves GROUP BY 1
+      |), fin AS (
+      |  SELECT ns.event_type, ns.n1, ns.n2,
+      |    2.0 * CAST(s12.s_12 AS DOUBLE) / CAST(s12.n_12 AS DOUBLE)
+      |      - CAST(s11.s_11 AS DOUBLE) / CAST(s11.n_11 AS DOUBLE)
+      |      - CAST(s22.s_22 AS DOUBLE) / CAST(s22.n_22 AS DOUBLE) AS e
+      |  FROM ns
+      |  JOIN s12 ON s12.event_type = ns.event_type
+      |  JOIN s11 ON s11.event_type = ns.event_type
+      |  JOIN s22 ON s22.event_type = ns.event_type
+      |)
+      |SELECT event_type, n1, n2, ROUND(e, 6) AS energy_dist,
+      |  ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |    / CAST(n1 + n2 AS DOUBLE) * e, 6) AS scaled_stat
+      |FROM fin
+      |ORDER BY event_type""".stripMargin
+
   /** q434 — Fleiss' kappa across the three daily anomaly detectors
     * (q121 MAD, q173 EWMA, q364 CUSUM) per event type: q377 routes on
     * the per-day vote; this grades whether the panel agrees MORE THAN

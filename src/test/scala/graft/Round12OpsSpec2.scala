@@ -187,6 +187,72 @@ class Round12OpsSpec2 extends AnyFunSuite {
     assert(mism.head.isEmpty)
   }
 
+  test("q445 b-bit minhash: bit agreement dominates full agreement; both estimates bounded") {
+    val out = graft.operators.Dedup.bbitMinhashAudit(spark, sf001)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // a full-slot agreement IS a bit agreement: n_bit >= n_full
+      assert(r._4 >= r._3)
+      assert(r._6 >= 0.0 && r._6 <= 1.0) // est_full in [0,1]
+      assert(r._7 >= 0.0 && r._7 <= 1.0) // est_1bit clamped to [0,1]
+    }
+  }
+
+  test("q446 dup-skew KL: a dup-free source has KL exactly 0; kept totals never exceed raw") {
+    val out = TextAnalysis.dupSkewKl(spark, sf001)
+      .as[(String, Long, Long, Double, String, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r._3 <= r._2))
+    // synthetic: one source all-unique (KL = 0), one source one dup pair
+    val dir = java.nio.file.Files.createTempDirectory("graft-dkl").toString
+    Seq((1L, "alpha beta gamma", "en", "pure", 16L),
+        (2L, "delta epsilon zeta", "en", "pure", 18L),
+        (3L, "spam spam spam", "en", "dupy", 14L),
+        (4L, "spam spam spam", "en", "dupy", 14L),
+        (5L, "real words here", "en", "dupy", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val synth = TextAnalysis.dupSkewKl(spark, dir)
+      .as[(String, Long, Long, Double, String, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(synth("pure")._4 === 0.0)     // no dups -> identical dists
+    assert(synth("dupy")._4 > 0.0)       // dup removal shifts the dist
+    assert(synth("dupy")._5 === "spam")  // and 'spam' is the top skew
+  }
+
+  test("q447 matrix profile: motif/discord indices are valid windows, motif_d2 <= discord_d2, degenerates excluded") {
+    val out = graft.operators.Events.matrixProfile(spark, sf001)
+      .collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nWin = r.getLong(1)
+      val motifD2 = r.getDouble(5)
+      val discordD2 = r.getDouble(7)
+      assert(nWin > 0)
+      assert(motifD2 >= 0.0)
+      // the discord's NN distance is the max of per-window minima;
+      // the motif distance is the global min — ordering is forced
+      assert(motifD2 <= discordD2)
+      assert(math.abs(r.getLong(3) - r.getLong(4)) >= 7) // exclusion zone
+    }
+  }
+
+  test("q448 energy distance: identical halves give 0; real data stays nonnegative") {
+    val out = graft.operators.Events.energyDistance(spark, sf001)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r._4 >= 0.0 && r._5 >= 0.0))
+    // mirrored halves (the q438 fixture): e = 0 exactly
+    val dir = eventsDir(
+      (0L to 9L).map(d => (d, "m", (d % 5) + 1)) ++
+        (10L to 19L).map(d => (d, "m", (d % 5) + 1)))
+    val e = graft.operators.Events.energyDistance(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(e._4 === 0.0 && e._5 === 0.0)
+  }
+
   test("q425 local scaling: every query keeps exactly k re-ranked neighbors and recall identities hold") {
     val out = Similarity.localScalingRerank(spark, sf0001)
       .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
