@@ -782,6 +782,103 @@ object Similarity {
        |ORDER BY ec.query_id""".stripMargin
   }
 
+  /** q449 — triplet-violation audit: for each fixed-budget anchor,
+    * the hardest positive is its NEAREST same-label vector and the
+    * hardest negative its NEAREST other-label vector (both by cosine,
+    * one brute pass); a triplet VIOLATES when
+    * cos(a, neg) + margin > cos(a, pos). The violation rate per label
+    * is the metric-learning health number — q421's separability says
+    * whether label CENTROIDS are distinguishable; this says whether
+    * the local neighborhood structure respects labels at all, which
+    * is what kNN routing (q366), SemDeDup clustering (q64) and any
+    * triplet/contrastive fine-tune actually depend on.
+    *
+    * Exactness: cosines are the shared fused expression rounded 6dp
+    * before ranking and before the margin compare (no engine can
+    * straddle the margin); positive/negative picks are
+    * integer-tiebroken rank-1 windows; the gap mean accumulates
+    * 6dp-rounded differences in DECIMAL sums.
+    *
+    * Scale: ONE broadcast-brute pass (constant [[fixedSample]] query
+    * side), collapsing through a per-(query, same_label) PARTIAL
+    * WindowGroupLimit before any exchange; everything after is
+    * anchor-sized.
+    */
+  def tripletViolations(spark: SparkSession, dir: String,
+                        margin: Double = 0.05,
+                        sampleN: Int = 128): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = fixedSample(emb, sampleN)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("a_label"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("a_label"),
+        (col("label") === col("a_label")).as("same_label"),
+        col("vec_id").as("neighbor_id"),
+        round(cosine(spark, col("q_emb"), col("embedding")), 6)
+          .as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("same_label"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val picks = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+    val pos = picks.filter(col("same_label"))
+      .select(col("query_id"), col("a_label"), col("cos_sim").as("cos_pos"))
+    val neg = picks.filter(!col("same_label"))
+      .select(col("query_id"), col("cos_sim").as("cos_neg"))
+    pos.join(neg, "query_id")
+      .withColumn("violated",
+        (col("cos_neg") + lit(margin) > col("cos_pos")).cast("long"))
+      .withColumn("gap", round(col("cos_pos") - col("cos_neg"), 6))
+      .groupBy(col("a_label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(col("violated")).as("n_violations"),
+        round(sum(col("violated")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("violation_rate"),
+        round(sum(col("gap").cast(dec)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_gap"))
+      .select(col("a_label").as("label"), col("n_anchors"),
+        col("n_violations"), col("violation_rate"), col("mean_gap"))
+      .orderBy(col("label"))
+  }
+
+  def tripletViolationsSql(margin: Double = 0.05,
+                           sampleN: Int = 128): String =
+    s"""WITH q AS (
+       |  ${fixedSampleSql(sampleN,
+            "vec_id AS query_id, embedding AS q_emb, label AS a_label")}
+       |), scored AS (
+       |  SELECT q.query_id, q.a_label, e.label = q.a_label AS same_label,
+       |    e.vec_id AS neighbor_id,
+       |    ROUND(${cosSql("q.q_emb", "e.embedding")}, 6) AS cos_sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+       |), picks AS (
+       |  SELECT query_id, a_label, same_label, cos_sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id, same_label
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM scored
+       |  ) WHERE rank = 1
+       |), trip AS (
+       |  SELECT p.query_id, p.a_label, p.cos_sim AS cos_pos,
+       |    n.cos_sim AS cos_neg,
+       |    CASE WHEN n.cos_sim + $margin > p.cos_sim THEN 1 ELSE 0 END
+       |      AS violated,
+       |    ROUND(p.cos_sim - n.cos_sim, 6) AS gap
+       |  FROM picks p JOIN picks n
+       |    ON n.query_id = p.query_id AND p.same_label AND NOT n.same_label
+       |)
+       |SELECT a_label AS label, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       |  CAST(SUM(violated) AS BIGINT) AS n_violations,
+       |  ROUND(CAST(SUM(violated) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS violation_rate,
+       |  ROUND(CAST(SUM(CAST(gap AS DECIMAL(28,6))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_gap
+       |FROM trip
+       |GROUP BY a_label
+       |ORDER BY label""".stripMargin
+
   /** q150 — embedding-norm health audit: per label, the L2-norm
     * ladder (min/mean/max), zero-vector count, and non-finite count.
     * The vector-quality gate run BEFORE anything cosine-based: a
