@@ -5383,6 +5383,176 @@ object Events {
       |FROM fin
       |ORDER BY event_type""".stripMargin
 
+  /** q450 — seasonally-adjusted anomaly screen: the q121 MAD
+    * discipline applied to q172's STL RESIDUALS instead of raw
+    * values — the detector that catches a quiet Sunday that is loud
+    * FOR A SUNDAY (masked by seasonality in every raw-value screen)
+    * and stops flagging ordinary Mondays a raw screen calls spikes.
+    * Flags |resid| > 3·1.4826·MAD(resid) per type; reported as the
+    * per-type summary with the worst day surfaced (q377's detectors
+    * stay as-is; this is the seasonal-blind-spot closer).
+    *
+    * Exactness: residuals are q172's 6dp-rounded column; the MAD is
+    * an exact lower-median rank pick over |resid| (fully tiebroken);
+    * the threshold is one rounded product; flags compare rounded
+    * values; the worst-day pick is a rank-1 window.
+    *
+    * Scale: q172's shapes + one rank window per type — all
+    * calendar-sized after the single event aggregate.
+    */
+  def stlAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val stl = stlDecompose(spark, dir)
+      .withColumn("aresid", abs(col("resid")))
+    val wMed = Window.partitionBy(col("event_type"))
+      .orderBy(col("aresid"), col("day"))
+    val mad = stl
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("aresid").as("mad"))
+    val flagged = stl.join(broadcast(mad), "event_type")
+      .withColumn("threshold", round(lit(3.0 * 1.4826) * col("mad"), 6))
+      .withColumn("is_anomaly",
+        (col("aresid") > col("threshold")).cast("long"))
+    val wTop = Window.partitionBy(col("event_type"))
+      .orderBy(col("aresid").desc, col("day"))
+    flagged.withColumn("top_rn", row_number().over(wTop))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(max(col("mad")), 6).as("mad"),
+        round(max(col("threshold")), 6).as("threshold"),
+        sum(col("is_anomaly")).as("n_anomalies"),
+        max(when(col("top_rn") === 1, col("day"))).as("worst_day"),
+        round(max(when(col("top_rn") === 1, col("resid"))), 6)
+          .as("worst_resid"))
+      .orderBy(col("event_type"))
+  }
+
+  val stlAnomaliesSql: String =
+    s"""WITH stl AS (
+      |  $stlDecomposeSql
+      |), ar AS (
+      |  SELECT event_type, day, resid, ABS(resid) AS aresid FROM stl
+      |), med AS (
+      |  SELECT event_type, aresid AS mad FROM (
+      |    SELECT event_type, aresid,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY aresid, day) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM ar
+      |  ) WHERE rn = (n + 1) // 2
+      |), flagged AS (
+      |  SELECT a.event_type, a.day, a.resid, a.aresid, m.mad,
+      |    ROUND(${3.0 * 1.4826} * m.mad, 6) AS threshold,
+      |    CASE WHEN a.aresid > ROUND(${3.0 * 1.4826} * m.mad, 6)
+      |      THEN 1 ELSE 0 END AS is_anomaly,
+      |    row_number() OVER (PARTITION BY a.event_type
+      |      ORDER BY a.aresid DESC, a.day) AS top_rn
+      |  FROM ar a JOIN med m ON m.event_type = a.event_type
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  ROUND(MAX(mad), 6) AS mad,
+      |  ROUND(MAX(threshold), 6) AS threshold,
+      |  CAST(SUM(is_anomaly) AS BIGINT) AS n_anomalies,
+      |  MAX(CASE WHEN top_rn = 1 THEN day END) AS worst_day,
+      |  ROUND(MAX(CASE WHEN top_rn = 1 THEN resid END), 6) AS worst_resid
+      |FROM flagged
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q451 — partial-correlation confounder screen: for every ordered
+    * type triple (x, y | z), the first-order partial correlation
+    * r_xy·z = (r_xy − r_xz·r_zy) / √((1−r_xz²)(1−r_zy²)) over the
+    * daily series, with the EXPLAINED-AWAY verdict (|r_xy| ≥ 0.3 but
+    * |r_xy·z| < 0.3): the graphical-model screening step between
+    * q143's raw correlations and any causal claim — two metrics that
+    * only co-move because a third drives both should never be wired
+    * into an alerting dependency or a Granger story (q430's
+    * complement: Granger adds direction, this removes confounding).
+    *
+    * Exactness: pairwise Pearson r's follow the q209 integer-sum
+    * discipline on the shared dense grid (identical double chain,
+    * NULLIF-guarded); the partial formula is one more shared chain
+    * off 6dp-rounded r's; verdicts compare rounded values only.
+    *
+    * Scale: one event aggregate, a |types|²-row correlation frame
+    * (days-bounded pair join), then a |types|³-row triple join — all
+    * type-cardinality-sized, never event-scaled.
+    */
+  def partialCorrScreen(spark: SparkSession, dir: String,
+                        thresh: Double = 0.3): DataFrame = {
+    val dense = denseDailyCounts(spark, dir)
+    val joined = dense.as("a").join(dense.as("b"), Seq("day"))
+      .filter(col("a.event_type") =!= col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+        col("a.v").as("x"), col("b.v").as("y"))
+    val corr = joined.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("ta"), col("tb"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / nullif(
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            lit(0.0)), 6).as("r"))
+    val triples = corr.as("xy")
+      .join(corr.select(col("ta").as("tx"), col("tb").as("tz"),
+        col("r").as("r_xz")).as("xz"),
+        col("xy.ta") === col("xz.tx"))
+      .join(corr.select(col("ta").as("tz2"), col("tb").as("ty"),
+        col("r").as("r_zy")).as("zy"),
+        col("xz.tz") === col("tz2") && col("xy.tb") === col("ty"))
+      .filter(col("xz.tz") =!= col("xy.ta") && col("xz.tz") =!= col("xy.tb"))
+      .select(col("xy.ta").as("x_type"), col("xy.tb").as("y_type"),
+        col("xz.tz").as("z_type"), col("xy.r").as("r_xy"),
+        col("r_xz"), col("r_zy"))
+      .withColumn("r_partial", round(
+        (col("r_xy") - col("r_xz") * col("r_zy")) /
+          nullif(sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+            (lit(1.0) - col("r_zy") * col("r_zy"))), lit(0.0)), 6))
+    triples.select(col("x_type"), col("y_type"), col("z_type"),
+        col("r_xy"), col("r_partial"),
+        (abs(col("r_xy")) >= thresh &&
+          abs(col("r_partial")) < thresh).as("explained_away"))
+      .orderBy(col("x_type"), col("y_type"), col("z_type"))
+  }
+
+  def partialCorrScreenSql(thresh: Double = 0.3): String =
+    s"""WITH $denseDailyCountsSql, joined AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, a.v AS x, b.v AS y
+      |  FROM dense a JOIN dense b
+      |    ON b.day = a.day AND a.event_type <> b.event_type
+      |), corr AS (
+      |  SELECT ta, tb,
+      |    ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+      |      / NULLIF(sqrt(
+      |          CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)
+      |        * CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE)),
+      |        0.0), 6) AS r
+      |  FROM joined GROUP BY 1, 2
+      |), triples AS (
+      |  SELECT xy.ta AS x_type, xy.tb AS y_type, xz.tb AS z_type,
+      |    xy.r AS r_xy, xz.r AS r_xz, zy.r AS r_zy
+      |  FROM corr xy
+      |  JOIN corr xz ON xz.ta = xy.ta
+      |  JOIN corr zy ON zy.ta = xz.tb AND zy.tb = xy.tb
+      |  WHERE xz.tb <> xy.ta AND xz.tb <> xy.tb
+      |)
+      |SELECT x_type, y_type, z_type, r_xy,
+      |  ROUND((r_xy - r_xz * r_zy)
+      |    / NULLIF(sqrt((1.0 - r_xz * r_xz) * (1.0 - r_zy * r_zy)), 0.0),
+      |    6) AS r_partial,
+      |  ABS(r_xy) >= $thresh AND
+      |    ABS(ROUND((r_xy - r_xz * r_zy)
+      |      / NULLIF(sqrt((1.0 - r_xz * r_xz) * (1.0 - r_zy * r_zy)),
+      |        0.0), 6)) < $thresh AS explained_away
+      |FROM triples
+      |ORDER BY x_type, y_type, z_type""".stripMargin
+
   /** q434 — Fleiss' kappa across the three daily anomaly detectors
     * (q121 MAD, q173 EWMA, q364 CUSUM) per event type: q377 routes on
     * the per-day vote; this grades whether the panel agrees MORE THAN

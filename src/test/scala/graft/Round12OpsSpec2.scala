@@ -253,6 +253,50 @@ class Round12OpsSpec2 extends AnyFunSuite {
     assert(e._4 === 0.0 && e._5 === 0.0)
   }
 
+  test("q449 triplet violations: rates are probabilities and violation counts match the margin rule") {
+    val out = graft.operators.Similarity.tripletViolations(spark, sf001)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r._3 <= r._2)
+      assert(r._4 >= 0.0 && r._4 <= 1.0)
+      // mean gap below -margin forces violations; above +1 impossible
+      assert(r._5 >= -2.0 && r._5 <= 2.0)
+    }
+  }
+
+  test("q450 STL anomalies: thresholds are 3*1.4826*MAD and a clean seasonal series flags nothing") {
+    val out = graft.operators.Events.stlAnomalies(spark, sf001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val mad = r.getDouble(2); val th = r.getDouble(3)
+      assert(math.abs(th - BigDecimal(3.0 * 1.4826 * mad)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(r.getLong(4) <= r.getLong(1)) // anomalies <= days
+    }
+    // perfectly 7-periodic series: residuals constant 0 -> no flags
+    val dir = eventsDir((0L to 27L).map(d => (d, "m", (d % 7) + 1)))
+    val clean = graft.operators.Events.stlAnomalies(spark, dir).collect()
+    assert(clean.head.getLong(4) === 0L)
+  }
+
+  test("q451 partial correlation: symmetric in (x,y), self-consistent triple count, values in [-1,1]") {
+    val out = graft.operators.Events.partialCorrScreen(spark, sf001)
+      .as[(String, String, String, Option[Double], Option[Double], Boolean)]
+      .collect().toSeq
+    // 5 types -> 5*4 ordered (x,y) pairs * 3 z's = 60 triples
+    assert(out.size === 60)
+    out.foreach { r =>
+      r._4.foreach(v => assert(v >= -1.0 && v <= 1.0))
+      r._5.foreach(v => assert(v >= -1.0001 && v <= 1.0001))
+    }
+    // r_xy.z is symmetric under swapping x and y
+    val byKey = out.map(r => ((r._1, r._2, r._3), r._5)).toMap
+    out.foreach { r =>
+      assert(byKey((r._2, r._1, r._3)) === r._5)
+    }
+  }
+
   test("q425 local scaling: every query keeps exactly k re-ranked neighbors and recall identities hold") {
     val out = Similarity.localScalingRerank(spark, sf0001)
       .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
