@@ -2431,6 +2431,188 @@ object Curation {
       |  (n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true AS signed_err
       |FROM agg""".stripMargin
 
+  /** q453 — Horvitz–Thompson estimator calibration: a Poisson PPS
+    * sample (inclusion probability π_i ∝ document length, capped at
+    * 1, drawn with the q308 seeded md5 uniform) and the HT total
+    * Σ_sample n_chars/π_i beside the TRUE total chars per source —
+    * the survey-sampling identity every size-biased sample must be
+    * read through (q87 samples by weight; this grades the
+    * de-biasing). An HT estimate that drifts from truth on a KNOWN
+    * corpus means the π bookkeeping is wrong — the bug class that
+    * silently corrupts every "estimated token count from a 1%
+    * sample" number at 100 TB.
+    *
+    * Exactness: π_i = min(1, n_chars·rate) with rate a RATIONAL
+    * literal (1/avg·target — stated in the oracle); inclusion
+    * compares the md5-uniform u < π on shared doubles; each HT term
+    * n_chars/π_i rounds at 6dp into a DECIMAL sum; errors are single
+    * rounded expressions.
+    *
+    * Scale: one narrow map + two aggregates — no joins, no windows.
+    */
+  def htEstimate(spark: SparkSession, dir: String,
+                 ratePerChar: Double = 0.001): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("pi", least(lit(1.0),
+        col("n_chars").cast("double") * lit(ratePerChar)))
+      .withColumn("u",
+        (md5Bucket(col("doc_id")) + 1).cast("double") / lit(4294967296.0))
+      .withColumn("in_sample", col("u") < col("pi"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("true_chars"),
+        sum(col("in_sample").cast("long")).as("n_sampled"),
+        sum(when(col("in_sample"),
+          round(col("n_chars").cast("double") / col("pi"), 6))
+          .otherwise(lit(0.0)).cast(dec)).cast("double").as("ht_est"))
+      .select(col("source"), col("n_docs"), col("true_chars"),
+        col("n_sampled"), round(col("ht_est"), 6).as("ht_chars"),
+        round((col("ht_est") - col("true_chars").cast("double")) /
+          col("true_chars").cast("double"), 6).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  def htEstimateSql(ratePerChar: Double = 0.001): String =
+    s"""WITH base AS (
+       |  SELECT source, doc_id, n_chars,
+       |    LEAST(1.0, CAST(n_chars AS DOUBLE) * $ratePerChar) AS pi,
+       |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) + 1) / 4294967296.0 AS u
+       |  FROM documents
+       |), agg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS true_chars,
+       |    CAST(SUM(CASE WHEN u < pi THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_sampled,
+       |    CAST(SUM(CASE WHEN u < pi
+       |      THEN CAST(ROUND(CAST(n_chars AS DOUBLE) / pi, 6)
+       |        AS DECIMAL(28,6))
+       |      ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE) AS ht_est
+       |  FROM base GROUP BY 1
+       |)
+       |SELECT source, n_docs, true_chars, n_sampled,
+       |  ROUND(ht_est, 6) AS ht_chars,
+       |  ROUND((ht_est - CAST(true_chars AS DOUBLE))
+       |    / CAST(true_chars AS DOUBLE), 6) AS rel_err
+       |FROM agg
+       |ORDER BY source""".stripMargin
+
+  /** q452 — size-biased sample distortion audit: the KS distance
+    * between the corpus length ECDF and (a) the RAW ECDF of the q453
+    * PPS sample — size-biased by construction — and (b) the
+    * Horvitz–Thompson 1/π-WEIGHTED sample ECDF, whose EXPECTATION is
+    * the corpus ECDF. Per source, the pair says whether the
+    * weighting's de-bias has beaten its variance at THIS sample size:
+    * on a handful of draws per source both distances are
+    * sampling-noise-dominated and D_ht can exceed D_raw (visible
+    * honestly in the graded rows); at the sample sizes a 100 TB run
+    * draws, the bias term dominates and the weighted ECDF wins.
+    * Either way this is the audit to run before trusting ANY
+    * distributional statistic computed off a weighted sample.
+    *
+    * Exactness: ECDFs are cumulative integer counts (and 6dp-rounded
+    * decimal weight sums) over the fully tiebroken per-source length
+    * order, evaluated at every corpus length; the two KS sups are
+    * exact MAX picks of rounded differences; empty samples surface
+    * NULL KS (never a throw).
+    *
+    * Scale: one narrow map (the q453 predicate), per-source
+    * cumulative windows over the length frame, a |sources|-row
+    * readout.
+    */
+  def sampleDistortionKs(spark: SparkSession, dir: String,
+                         ratePerChar: Double = 0.001): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("pi", least(lit(1.0),
+        col("n_chars").cast("double") * lit(ratePerChar)))
+      .withColumn("u",
+        (md5Bucket(col("doc_id")) + 1).cast("double") / lit(4294967296.0))
+      .withColumn("in_sample", (col("u") < col("pi")).cast("long"))
+      .withColumn("w", when(col("u") < col("pi"),
+        round(lit(1.0) / col("pi"), 6)).otherwise(lit(0.0)).cast(dec))
+    val wOrd = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    val cum = base
+      .withColumn("c_true", count(lit(1)).over(wOrd))
+      .withColumn("c_raw", sum(col("in_sample")).over(wOrd))
+      .withColumn("c_w", sum(col("w")).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("n_s", sum(col("in_sample")).over(wAll))
+      .withColumn("w_tot", sum(col("w")).over(wAll))
+      // evaluate each ECDF at the LAST row of every tied length value
+      .withColumn("is_last", lead(col("n_chars"), 1).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))).isNull ||
+        lead(col("n_chars"), 1).over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_chars"), col("doc_id"))) =!= col("n_chars"))
+      .filter(col("is_last"))
+      .withColumn("f_true",
+        col("c_true").cast("double") / col("n").cast("double"))
+      .withColumn("f_raw", col("c_raw").cast("double") /
+        nullif(col("n_s").cast("double"), lit(0.0)))
+      .withColumn("f_ht", col("c_w").cast("double") /
+        nullif(col("w_tot").cast("double"), lit(0.0)))
+    cum.groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), max(col("n_s")).as("n_sampled"),
+        round(max(abs(round(col("f_raw") - col("f_true"), 9))), 6)
+          .as("ks_raw"),
+        round(max(abs(round(col("f_ht") - col("f_true"), 9))), 6)
+          .as("ks_ht"))
+      .orderBy(col("source"))
+  }
+
+  def sampleDistortionKsSql(ratePerChar: Double = 0.001): String =
+    s"""WITH base AS (
+       |  SELECT source, doc_id, n_chars,
+       |    LEAST(1.0, CAST(n_chars AS DOUBLE) * $ratePerChar) AS pi,
+       |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) + 1) / 4294967296.0 AS u
+       |  FROM documents
+       |), flags AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CASE WHEN u < pi THEN 1 ELSE 0 END AS in_sample,
+       |    CASE WHEN u < pi THEN CAST(ROUND(1.0 / pi, 6) AS DECIMAL(28,6))
+       |      ELSE CAST(0.0 AS DECIMAL(28,6)) END AS w
+       |  FROM base
+       |), cum AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST(COUNT(*) OVER wo AS BIGINT) AS c_true,
+       |    CAST(SUM(in_sample) OVER wo AS BIGINT) AS c_raw,
+       |    SUM(w) OVER wo AS c_w,
+       |    CAST(COUNT(*) OVER wp AS BIGINT) AS n,
+       |    CAST(SUM(in_sample) OVER wp AS BIGINT) AS n_s,
+       |    SUM(w) OVER wp AS w_tot,
+       |    lead(n_chars) OVER (PARTITION BY source
+       |      ORDER BY n_chars, doc_id) AS next_len
+       |  FROM flags
+       |  WINDOW wo AS (PARTITION BY source ORDER BY n_chars, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wp AS (PARTITION BY source)
+       |), ev AS (
+       |  SELECT source, n, n_s,
+       |    CAST(c_true AS DOUBLE) / CAST(n AS DOUBLE) AS f_true,
+       |    CAST(c_raw AS DOUBLE) / NULLIF(CAST(n_s AS DOUBLE), 0.0)
+       |      AS f_raw,
+       |    CAST(c_w AS DOUBLE) / NULLIF(CAST(w_tot AS DOUBLE), 0.0)
+       |      AS f_ht
+       |  FROM cum
+       |  WHERE next_len IS NULL OR next_len <> n_chars
+       |)
+       |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       |  CAST(MAX(n_s) AS BIGINT) AS n_sampled,
+       |  ROUND(MAX(ABS(ROUND(f_raw - f_true, 9))), 6) AS ks_raw,
+       |  ROUND(MAX(ABS(ROUND(f_ht - f_true, 9))), 6) AS ks_ht
+       |FROM ev
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   def hamiltonSample(spark: SparkSession, dir: String,
                      budget: Int = 100): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

@@ -2603,6 +2603,77 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q454 — near-dup ingestion-distance spectrum: the q26 pairs
+    * bucketed by log₂ of their doc_id distance — do near-duplicates
+    * arrive ADJACENT (same crawl burst; dedup can run per-batch with
+    * a short memory) or UNIFORMLY far apart (recurring boilerplate;
+    * dedup needs the full-corpus index forever)? The answer sizes the
+    * incremental-dedup state (q54's whole design rides on it) and is
+    * invisible in every per-pair relation that doesn't keep the
+    * distance.
+    *
+    * Exactness: distances and log₂ buckets are pure integer
+    * arithmetic (bucket = bit length of doc_b − doc_a, exact in both
+    * engines via the power-of-two ladder); shares are single rounded
+    * divisions; empty buckets up to the max observed stay visible.
+    *
+    * Scale: the q26 candidate-bounded pair table + a |buckets|-row
+    * aggregate — nothing new touches the corpus.
+    */
+  def dupDistanceSpectrum(spark: SparkSession, dir: String, k: Int = 3,
+                          threshold: Double = 0.6): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, k, threshold)
+      .withColumn("dist", col("doc_b") - col("doc_a"))
+      // floor(log2(dist)) as pure INTEGER arithmetic: the bit length
+      // of dist minus one (bin() renders the minimal binary string in
+      // both engines; dist >= 1 always) — no libm log that could
+      // straddle exact powers of two cross-engine
+      .withColumn("bucket",
+        (length(expr("bin(dist)")) - 1).cast("int"))
+    val total = pairs.agg(count(lit(1)).as("n_total"))
+    pairs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("min_dist"),
+        max(col("dist")).as("max_dist"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_pairs"), col("min_dist"),
+        col("max_dist"),
+        round(col("n_pairs").cast("double") / col("n_total").cast("double"),
+          6).as("share"))
+      .orderBy(col("bucket"))
+  }
+
+  def dupDistanceSpectrumSql(threshold: Double = 0.6): String =
+    s"""WITH $shingleCtes, sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+      |), shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT s.doc_a, s.doc_b,
+      |      ROUND(CAST(s.n_shared AS DOUBLE)
+      |        / (sa.n_sh + sb.n_sh - s.n_shared), 6) AS jaccard
+      |    FROM shared s
+      |    JOIN sizes sa ON s.doc_a = sa.doc_id
+      |    JOIN sizes sb ON s.doc_b = sb.doc_id
+      |  ) WHERE jaccard >= $threshold
+      |), dists AS (
+      |  SELECT CAST(length(bin(doc_b - doc_a)) - 1 AS INT) AS bucket,
+      |    doc_b - doc_a AS dist
+      |  FROM pairs
+      |), tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM dists
+      |)
+      |SELECT d.bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(d.dist) AS BIGINT) AS min_dist,
+      |  CAST(MAX(d.dist) AS BIGINT) AS max_dist,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(t.n_total) AS DOUBLE), 6)
+      |    AS share
+      |FROM dists d CROSS JOIN tot t
+      |GROUP BY d.bucket
+      |ORDER BY d.bucket""".stripMargin
+
   /** q111 — prefix-novelty scoring: per document (in doc_id ingestion
     * order), the fraction of its distinct k-shingles NOT seen in any
     * earlier document — the running "is this feed still contributing
