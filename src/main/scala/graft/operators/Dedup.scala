@@ -2674,6 +2674,98 @@ object Dedup {
       |GROUP BY d.bucket
       |ORDER BY d.bucket""".stripMargin
 
+  /** q456 — duplicate/quality point-biserial correlation per source:
+    * Pearson r between the binary "this document is a REMOVABLE
+    * near-dup" flag (the higher-id member of any q26 pair, the
+    * min-id-canonical rule) and the q23 quality score — are the
+    * duplicates the BAD documents (dedup doubles as quality
+    * filtering; thresholds can be lax) or are they uniformly spread
+    * (dedup and quality gates prune DIFFERENT mass and both must
+    * run)? The one-number answer to the most common curation-budget
+    * argument, per source.
+    *
+    * Exactness: the flag is an integer anti/semi-join product;
+    * quality is the shared 6dp rational score; the point-biserial is
+    * the q209 Pearson chain over integer counts and 6dp-rounded
+    * decimal sums, NULLIF-guarded for degenerate sources (no dups or
+    * constant quality → NULL, never NaN).
+    *
+    * Scale: one q26 candidate-bounded pair table, a semi-join flag,
+    * one per-source aggregate.
+    */
+  def dupQualityPointBiserial(spark: SparkSession, dir: String,
+                              k: Int = 3,
+                              threshold: Double = 0.6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+    val removable = ngramJaccardPairs(spark, dir, k, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val flagged = docs.join(removable.withColumn("is_dup", lit(1L)),
+        Seq("doc_id"), "left")
+      .withColumn("x", coalesce(col("is_dup"), lit(0L)))
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("n_dups"),
+        sum(col("q").cast(dec)).cast("double").as("sy"),
+        sum(round(col("q") * col("q"), 6).cast(dec)).cast("double")
+          .as("syy"),
+        sum(when(col("x") === 1, col("q")).otherwise(lit(0.0)).cast(dec))
+          .cast("double").as("sxy"))
+      .withColumn("r_pb", round(
+        (col("n").cast("double") * col("sxy") -
+          col("n_dups").cast("double") * col("sy")) /
+          nullif(sqrt(
+            (col("n") * col("n_dups") - col("n_dups") * col("n_dups"))
+              .cast("double") *
+            (col("n").cast("double") * col("syy") - col("sy") * col("sy"))),
+            lit(0.0)), 6))
+      .select(col("source"), col("n").as("n_docs"), col("n_dups"),
+        col("r_pb"))
+      .orderBy(col("source"))
+  }
+
+  def dupQualityPointBiserialSql(threshold: Double = 0.6): String = {
+    // the exact q23 oracle expression — one definition of "quality"
+    val qualityExpr = TextAnalysis.qualityExprSql
+    s"""WITH $shingleCtes, sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+      |), shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), removable AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM (
+      |    SELECT s.doc_a, s.doc_b,
+      |      ROUND(CAST(s.n_shared AS DOUBLE)
+      |        / (sa.n_sh + sb.n_sh - s.n_shared), 6) AS jaccard
+      |    FROM shared s
+      |    JOIN sizes sa ON s.doc_a = sa.doc_id
+      |    JOIN sizes sb ON s.doc_b = sb.doc_id
+      |  ) WHERE jaccard >= $threshold
+      |), flagged AS (
+      |  SELECT d.source,
+      |    CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS x,
+      |    $qualityExpr AS q
+      |  FROM documents d LEFT JOIN removable r ON r.doc_id = d.doc_id
+      |), agg AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS n_dups,
+      |    CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(q * q, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |      AS syy,
+      |    CAST(SUM(CASE WHEN x = 1 THEN CAST(q AS DECIMAL(28,6))
+      |      ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE) AS sxy
+      |  FROM flagged GROUP BY 1
+      |)
+      |SELECT source, n AS n_docs, n_dups,
+      |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(n_dups AS DOUBLE) * sy)
+      |    / NULLIF(sqrt(CAST(n * n_dups - n_dups * n_dups AS DOUBLE)
+      |        * (CAST(n AS DOUBLE) * syy - sy * sy)), 0.0), 6) AS r_pb
+      |FROM agg
+      |ORDER BY source""".stripMargin
+  }
+
   /** q111 — prefix-novelty scoring: per document (in doc_id ingestion
     * order), the fraction of its distinct k-shingles NOT seen in any
     * earlier document — the running "is this feed still contributing

@@ -879,6 +879,66 @@ object Similarity {
        |GROUP BY a_label
        |ORDER BY label""".stripMargin
 
+  /** q457 — intra-list diversity (ILD) of the exact top-k lists: per
+    * query, the mean and minimum pairwise cosine DISTANCE among its k
+    * retrieved neighbors — the redundancy number behind q291's MMR
+    * (MMR trades relevance for diversity; ILD says whether the plain
+    * ranking even NEEDS the trade: a list of near-identical passages
+    * wastes k−1 slots of a RAG context window, and min-ILD ≈ 0 means
+    * two slots are the same document in different clothes).
+    *
+    * Exactness: list membership is q29's integer-tiebroken ranking;
+    * pairwise cosines are the shared fused expression rounded 6dp;
+    * mean accumulates 6dp-rounded distances in DECIMAL sums over the
+    * EXACT k(k−1)/2 pair count; the min is an exact pick.
+    *
+    * Scale: composes the bounded q29 lists with a k²-per-query pair
+    * join over the k-row lists joined back to their vectors —
+    * queries·k² rows total, literal-bounded.
+    */
+  def intraListDiversity(spark: SparkSession, dir: String,
+                         nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val lists = knnBrute(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(emb, col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("embedding"))
+    val pairs = lists.as("a").join(lists.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") < col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        round(lit(1.0) - cosine(spark, col("a.embedding"),
+          col("b.embedding")), 6).as("d"))
+    pairs.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("d").cast(dec)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_ild"),
+        round(min(col("d")), 6).as("min_ild"))
+      .orderBy(col("query_id"))
+  }
+
+  def intraListDiversitySql(nQueries: Int = 8, k: Int = 10): String =
+    s"""WITH exact_list AS (
+       |  $knnBruteSql
+       |), lists AS (
+       |  SELECT l.query_id, l.neighbor_id, e.embedding
+       |  FROM exact_list l JOIN embeddings e ON e.vec_id = l.neighbor_id
+       |), pairs AS (
+       |  SELECT a.query_id,
+       |    ROUND(1.0 - ${cosSql("a.embedding", "b.embedding")}, 6) AS d
+       |  FROM lists a JOIN lists b
+       |    ON b.query_id = a.query_id AND a.neighbor_id < b.neighbor_id
+       |)
+       |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ROUND(CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_ild,
+       |  ROUND(MIN(d), 6) AS min_ild
+       |FROM pairs
+       |GROUP BY query_id
+       |ORDER BY query_id""".stripMargin
+
   /** q150 — embedding-norm health audit: per label, the L2-norm
     * ladder (min/mean/max), zero-vector count, and non-finite count.
     * The vector-quality gate run BEFORE anything cosine-based: a

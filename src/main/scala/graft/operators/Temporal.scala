@@ -760,6 +760,101 @@ object Temporal {
        |    / NULLIF(CAST(SUM(v1) AS DOUBLE), 0.0), 6) AS chi2
        |FROM terms""".stripMargin
 
+  /** q455 — state sojourn distribution off the q85 SCD2 intervals:
+    * per state, how long entities actually STAY in it (closed
+    * intervals only; open current intervals are counted separately,
+    * never given a fake duration) — min / median / mean / max sojourn
+    * plus the closed/open split. The dwell-time readout behind every
+    * "how long does a user stay in onboarding" product question and
+    * the holding-time matrix a semi-Markov model (q92's transitions
+    * price WHERE you go; this prices HOW LONG you sat).
+    *
+    * Exactness: sojourns are integer millisecond differences; the
+    * median is an exact lower-median rank pick (fully tiebroken by
+    * (duration, user, version)); the mean is one decimal-sum
+    * division.
+    *
+    * Scale: q85's one window pass (change-sized intervals), then a
+    * |states|-row aggregate with one rank window over the interval
+    * frame.
+    */
+  def stateSojourn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val iv = scd2Intervals(spark, dir)
+    val closed = iv.filter(col("valid_to_ms").isNotNull)
+      .withColumn("dur_ms", col("valid_to_ms") - col("valid_from_ms"))
+    val wMed = Window.partitionBy(col("state"))
+      .orderBy(col("dur_ms"), col("user_id"), col("version"))
+    val med = closed
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("state"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("state"), col("dur_ms").as("median_ms"))
+    val openCounts = iv.groupBy(col("state"))
+      .agg(sum(col("is_current")).as("n_open"))
+    closed.groupBy(col("state"))
+      .agg(count(lit(1)).as("n_closed"),
+        min(col("dur_ms")).as("min_ms"),
+        max(col("dur_ms")).as("max_ms"),
+        round(sum(col("dur_ms").cast(dec)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_ms"))
+      .join(broadcast(med), "state")
+      .join(broadcast(openCounts), "state")
+      .select(col("state"), col("n_closed"), col("n_open"),
+        col("min_ms"), col("median_ms"), round(col("mean_ms"), 6)
+          .as("mean_ms"), col("max_ms"))
+      .orderBy(col("state"))
+  }
+
+  val stateSojournSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS prev_state
+      |  FROM events
+      |), changes AS (
+      |  SELECT user_id, event_type, ts_ms, event_id FROM ordered
+      |  WHERE prev_state IS NULL OR prev_state <> event_type
+      |), iv AS (
+      |  SELECT user_id, event_type AS state, ts_ms AS valid_from_ms,
+      |    lead(ts_ms) OVER w AS valid_to_ms,
+      |    CAST(row_number() OVER w AS INT) AS version,
+      |    CASE WHEN lead(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END
+      |      AS is_current
+      |  FROM changes
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |), closed AS (
+      |  SELECT state, user_id, version,
+      |    valid_to_ms - valid_from_ms AS dur_ms
+      |  FROM iv WHERE valid_to_ms IS NOT NULL
+      |), med AS (
+      |  SELECT state, dur_ms AS median_ms FROM (
+      |    SELECT state, dur_ms,
+      |      row_number() OVER (PARTITION BY state
+      |        ORDER BY dur_ms, user_id, version) AS rn,
+      |      COUNT(*) OVER (PARTITION BY state) AS n
+      |    FROM closed
+      |  ) WHERE rn = (n + 1) // 2
+      |), opens AS (
+      |  SELECT state, CAST(SUM(is_current) AS BIGINT) AS n_open
+      |  FROM iv GROUP BY 1
+      |), agg AS (
+      |  SELECT state, CAST(COUNT(*) AS BIGINT) AS n_closed,
+      |    CAST(MIN(dur_ms) AS BIGINT) AS min_ms,
+      |    CAST(MAX(dur_ms) AS BIGINT) AS max_ms,
+      |    ROUND(CAST(SUM(CAST(dur_ms AS DECIMAL(28,6))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_ms
+      |  FROM closed GROUP BY 1
+      |)
+      |SELECT a.state, a.n_closed, o.n_open, a.min_ms, m.median_ms,
+      |  ROUND(a.mean_ms, 6) AS mean_ms, a.max_ms
+      |FROM agg a
+      |JOIN med m ON m.state = a.state
+      |JOIN opens o ON o.state = a.state
+      |ORDER BY a.state""".stripMargin
+
   /** q296 — as-of join through the NATIVE custom operator
     * ([[graft.plans.AsofJoinExec]] — LogicalPlan + Strategy +
     * SparkPlan, SURVEY §2 tier (c)): each purchase joined to the same
