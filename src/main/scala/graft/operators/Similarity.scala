@@ -939,6 +939,85 @@ object Similarity {
        |GROUP BY query_id
        |ORDER BY query_id""".stripMargin
 
+  /** q458 — query-performance prediction (QPP) score table: per q29
+    * query, the post-retrieval difficulty signals — top-1 score, the
+    * rank-1-to-rank-k score GAP, the list's score standard deviation,
+    * and label-match precision as the ground truth beside them. A
+    * flat, low list (small gap, low σ) is a query the index answers
+    * BADLY, and routing those to a heavier retriever (or abstaining)
+    * before generation is the standard RAG guardrail; this relation
+    * is the calibration table that says whether the cheap signals
+    * predict the expensive truth on THIS corpus.
+    *
+    * Exactness: scores are the shared 6dp-rounded cosines; the gap is
+    * a subtraction of rounded values; σ comes from 6dp-rounded
+    * decimal moment sums in one shared chain; precision is an integer
+    * ratio.
+    *
+    * Scale: one bounded q29 computation + a queries·k-row aggregate
+    * and one label join — nothing beyond q29's cost.
+    */
+  def qppScores(spark: SparkSession, dir: String, nQueries: Int = 8,
+                k: Int = 10): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qLabels = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val nLabels = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"))
+    val lists = knnBrute(spark, dir, nQueries, k)
+      .join(broadcast(qLabels), "query_id")
+      .join(nLabels, "neighbor_id")
+    lists.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rank") === 1, col("cos_sim"))).as("top1"),
+        min(col("cos_sim")).as("bottomk"),
+        sum(col("cos_sim").cast(dec)).cast("double").as("s"),
+        sum(round(col("cos_sim") * col("cos_sim"), 6).cast(dec))
+          .cast("double").as("ss"),
+        sum((col("n_label") === col("q_label")).cast("long")).as("hits"))
+      .select(col("query_id"), col("n").as("k_returned"),
+        round(col("top1"), 6).as("top1_score"),
+        round(col("top1") - col("bottomk"), 6).as("score_gap"),
+        round(sqrt(greatest(lit(0.0),
+          (col("ss") - col("s") * col("s") / col("n").cast("double")) /
+            col("n").cast("double"))), 6).as("score_std"),
+        round(col("hits").cast("double") / col("n").cast("double"), 6)
+          .as("label_precision"))
+      .orderBy(col("query_id"))
+  }
+
+  def qppScoresSql(nQueries: Int = 8, k: Int = 10): String =
+    s"""WITH exact_list AS (
+       |  $knnBruteSql
+       |), joined AS (
+       |  SELECT l.query_id, l.neighbor_id, l.cos_sim, l.rank,
+       |    ql.label AS q_label, e.label AS n_label
+       |  FROM exact_list l
+       |  JOIN embeddings ql ON ql.vec_id = l.query_id
+       |  JOIN embeddings e ON e.vec_id = l.neighbor_id
+       |), agg AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n,
+       |    MAX(CASE WHEN rank = 1 THEN cos_sim END) AS top1,
+       |    MIN(cos_sim) AS bottomk,
+       |    CAST(SUM(CAST(cos_sim AS DECIMAL(28,6))) AS DOUBLE) AS s,
+       |    CAST(SUM(CAST(ROUND(cos_sim * cos_sim, 6) AS DECIMAL(28,6)))
+       |      AS DOUBLE) AS ss,
+       |    CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits
+       |  FROM joined GROUP BY 1
+       |)
+       |SELECT query_id, n AS k_returned,
+       |  ROUND(top1, 6) AS top1_score,
+       |  ROUND(top1 - bottomk, 6) AS score_gap,
+       |  ROUND(sqrt(GREATEST(0.0,
+       |    (ss - s * s / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))), 6)
+       |    AS score_std,
+       |  ROUND(CAST(hits AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       |    AS label_precision
+       |FROM agg
+       |ORDER BY query_id""".stripMargin
+
   /** q150 — embedding-norm health audit: per label, the L2-norm
     * ladder (min/mean/max), zero-vector count, and non-finite count.
     * The vector-quality gate run BEFORE anything cosine-based: a
