@@ -4248,6 +4248,123 @@ object Relational {
        |ORDER BY wk.week""".stripMargin
   }
 
+  /** q459 — price/volume/mix revenue decomposition per part type
+    * between the FIRST and LAST ship-year: the FP&A waterfall
+    * ΔRev = (p₁−p₀)·q₀  +  p₀·(q₁−q₀)  +  (p₁−p₀)·(q₁−q₀)
+    * with p := realized unit price (rev/qty). "Revenue fell 8%" is
+    * not actionable; "price held, volume fell, the cross term is
+    * noise" is — and because p is DEFINED as rev/qty the three
+    * effects sum to ΔRev EXACTLY (an algebraic identity, surfaced as
+    * the `resid` column that must print 0.0).
+    *
+    * Exactness: revenues are integer cents and quantities integer
+    * units (decSum); the effects are one shared double chain off
+    * those integers, rounded 6dp at display; the identity residual is
+    * computed BEFORE rounding and rounds to exactly 0 (spec-pinned).
+    * Types absent from a year surface with zeroed sides via the full
+    * outer join, never dropped.
+    *
+    * Scale: two filtered aggregates over one scan (year predicates
+    * pushed down), a |types|-row join — the data is touched once.
+    */
+  def priceVolumeMix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("yr", year(col("l_shipdate")))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100,
+          0).cast("long"))
+      .withColumn("qty", round(col("l_quantity"), 0).cast("long"))
+    val yrs = li.agg(min(col("yr")).as("y0"), max(col("yr")).as("y1"))
+    val both = li.crossJoin(broadcast(yrs))
+      .filter(col("yr") === col("y0") || col("yr") === col("y1"))
+      .withColumn("period", when(col("yr") === col("y0"), 0).otherwise(1))
+      .groupBy(col("p_type"), col("period"))
+      .agg(sum(col("cents")).as("rev"), sum(col("qty")).as("qty"))
+    val p0 = both.filter(col("period") === 0)
+      .select(col("p_type"), col("rev").as("rev0"), col("qty").as("qty0"))
+    val p1 = both.filter(col("period") === 1)
+      .select(col("p_type"), col("rev").as("rev1"), col("qty").as("qty1"))
+    val j = p0.join(p1, Seq("p_type"), "full_outer")
+      .na.fill(0L, Seq("rev0", "qty0", "rev1", "qty1"))
+    def price(rev: Column, qty: Column): Column =
+      rev.cast("double") / nullif(qty.cast("double"), lit(0.0))
+    val jj = j
+      .withColumn("pr0", coalesce(price(col("rev0"), col("qty0")), lit(0.0)))
+      .withColumn("pr1", coalesce(price(col("rev1"), col("qty1")), lit(0.0)))
+      .withColumn("d_rev",
+        (col("rev1") - col("rev0")).cast("double") / lit(100.0))
+      .withColumn("pe", (col("pr1") - col("pr0")) *
+        col("qty0").cast("double") / lit(100.0))
+      .withColumn("ve", col("pr0") *
+        (col("qty1") - col("qty0")).cast("double") / lit(100.0))
+      .withColumn("ce", (col("pr1") - col("pr0")) *
+        (col("qty1") - col("qty0")).cast("double") / lit(100.0))
+    // + 0.0 normalizes IEEE −0.0 (a tiny negative rounding to zero
+    // renders '-0.0' in one engine and '0.0' in the other)
+    jj.select(col("p_type"), col("qty0"), col("qty1"),
+        (round(col("d_rev"), 6) + lit(0.0)).as("delta_rev"),
+        (round(col("pe"), 6) + lit(0.0)).as("price_effect"),
+        (round(col("ve"), 6) + lit(0.0)).as("volume_effect"),
+        (round(col("ce"), 6) + lit(0.0)).as("cross_effect"),
+        (round(col("d_rev") - (col("pe") + col("ve") + col("ce")), 6) +
+          lit(0.0)).as("resid"))
+      .orderBy(col("p_type"))
+  }
+
+  val priceVolumeMixSql: String =
+    """WITH li AS (
+      |  SELECT p.p_type, year(l.l_shipdate) AS yr,
+      |    CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0)
+      |      AS BIGINT) AS cents,
+      |    CAST(ROUND(l.l_quantity, 0) AS BIGINT) AS qty
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |), yrs AS (
+      |  SELECT MIN(yr) AS y0, MAX(yr) AS y1 FROM li
+      |), agg AS (
+      |  SELECT li.p_type,
+      |    CASE WHEN li.yr = y.y0 THEN 0 ELSE 1 END AS period,
+      |    CAST(SUM(li.cents) AS BIGINT) AS rev,
+      |    CAST(SUM(li.qty) AS BIGINT) AS qty
+      |  FROM li CROSS JOIN yrs y
+      |  WHERE li.yr = y.y0 OR li.yr = y.y1
+      |  GROUP BY 1, 2
+      |), j AS (
+      |  SELECT COALESCE(a.p_type, b.p_type) AS p_type,
+      |    COALESCE(a.rev, 0) AS rev0, COALESCE(a.qty, 0) AS qty0,
+      |    COALESCE(b.rev, 0) AS rev1, COALESCE(b.qty, 0) AS qty1
+      |  FROM (SELECT * FROM agg WHERE period = 0) a
+      |  FULL OUTER JOIN (SELECT * FROM agg WHERE period = 1) b
+      |    ON b.p_type = a.p_type
+      |), eff AS (
+      |  SELECT p_type, qty0, qty1,
+      |    CAST(rev1 - rev0 AS DOUBLE) / 100.0 AS d_rev,
+      |    (COALESCE(CAST(rev1 AS DOUBLE)
+      |        / NULLIF(CAST(qty1 AS DOUBLE), 0.0), 0.0)
+      |      - COALESCE(CAST(rev0 AS DOUBLE)
+      |        / NULLIF(CAST(qty0 AS DOUBLE), 0.0), 0.0))
+      |      * CAST(qty0 AS DOUBLE) / 100.0 AS pe,
+      |    COALESCE(CAST(rev0 AS DOUBLE)
+      |        / NULLIF(CAST(qty0 AS DOUBLE), 0.0), 0.0)
+      |      * CAST(qty1 - qty0 AS DOUBLE) / 100.0 AS ve,
+      |    (COALESCE(CAST(rev1 AS DOUBLE)
+      |        / NULLIF(CAST(qty1 AS DOUBLE), 0.0), 0.0)
+      |      - COALESCE(CAST(rev0 AS DOUBLE)
+      |        / NULLIF(CAST(qty0 AS DOUBLE), 0.0), 0.0))
+      |      * CAST(qty1 - qty0 AS DOUBLE) / 100.0 AS ce
+      |  FROM j
+      |)
+      |SELECT p_type, qty0, qty1,
+      |  ROUND(d_rev, 6) + 0.0 AS delta_rev,
+      |  ROUND(pe, 6) + 0.0 AS price_effect,
+      |  ROUND(ve, 6) + 0.0 AS volume_effect,
+      |  ROUND(ce, 6) + 0.0 AS cross_effect,
+      |  ROUND(d_rev - (pe + ve + ce), 6) + 0.0 AS resid
+      |FROM eff
+      |ORDER BY p_type""".stripMargin
+
   /** q423 — robust price-dispersion ranking: the coefficient of
     * quartile deviation (Q₃−Q₁)/(Q₃+Q₁) of unit prices per part type
     * — the scale-free dispersion a skewed price distribution needs

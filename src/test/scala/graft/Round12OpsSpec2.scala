@@ -297,6 +297,18 @@ class Round12OpsSpec2 extends AnyFunSuite {
     }
   }
 
+  test("q459 price/volume/mix: the three effects sum to delta-rev exactly (resid = 0 on every row)") {
+    val out = graft.operators.Relational.priceVolumeMix(spark, sf001)
+      .as[(String, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r._8 === 0.0) // the algebraic identity, surfaced
+      // and the rounded effects recompose delta-rev to rounding noise
+      assert(math.abs(r._4 - (r._5 + r._6 + r._7)) < 1e-4)
+    }
+  }
+
   test("q425 local scaling: every query keeps exactly k re-ranked neighbors and recall identities hold") {
     val out = Similarity.localScalingRerank(spark, sf0001)
       .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
