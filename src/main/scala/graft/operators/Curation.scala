@@ -2613,6 +2613,95 @@ object Curation {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** q460 — ingestion-order quality drift: mean quality score per
+    * doc_id decile plus the OLS slope of quality on decile index —
+    * "is the feed degrading as it grows?" asked of the corpus itself.
+    * A negative slope is the earliest warning that a crawler started
+    * eating spam or a source's editorial floor dropped; per-decile
+    * means show WHERE the knee is. (q111 tracks novelty over
+    * ingestion; this tracks quality — the two together date a feed's
+    * decay.)
+    *
+    * Exactness: deciles are exact integer rank arithmetic over the
+    * fully tiebroken doc order (the q404 convention); quality is the
+    * shared q23 6dp rational; decile means accumulate decimal sums;
+    * the slope is one shared double chain off decile-level integer/
+    * decimal sums.
+    *
+    * Scale: one global rank (Skew.globalRank posture at 100 TB; a
+    * plain window here), 10-row aggregates after.
+    */
+  def qualityDriftByIngestion(spark: SparkSession, dir: String,
+                              buckets: Int = 10): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+    val w = Window.orderBy(col("doc_id"))
+    val ranked = docs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("decile",
+        expr(s"least($buckets - 1, (rn - 1) * $buckets div n)").cast("int"))
+    val per = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("q").cast(dec)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_quality"))
+    // slope of mean_quality on decile over the 10-row frame
+    val s = per.agg(count(lit(1)).as("k"),
+        sum(col("decile").cast("long")).as("sx"),
+        sum(col("mean_quality").cast(dec)).cast("double").as("sy"),
+        sum(col("decile") * col("decile")).cast("long").as("sxx"),
+        sum(round(col("decile") * col("mean_quality"), 6).cast(dec))
+          .cast("double").as("sxy"))
+      .select(round(
+        (col("k").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy")) /
+          nullif((col("k") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), lit(0.0)), 6).as("slope"))
+    per.crossJoin(broadcast(s))
+      .select(col("decile"), col("n_docs"), col("mean_quality"),
+        col("slope"),
+        when(col("slope") < -0.005, "degrading")
+          .when(col("slope") > 0.005, "improving")
+          .otherwise("stable").as("trend"))
+      .orderBy(col("decile"))
+  }
+
+  def qualityDriftByIngestionSql(buckets: Int = 10): String = {
+    val q = graft.operators.TextAnalysis.qualityExprSql
+    s"""WITH ranked AS (
+       |  SELECT doc_id, $q AS q,
+       |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |  FROM documents
+       |), per AS (
+       |  SELECT CAST(LEAST($buckets - 1, (rn - 1) * $buckets // n)
+       |      AS INT) AS decile,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    ROUND(CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality
+       |  FROM ranked GROUP BY 1
+       |), sl AS (
+       |  SELECT ROUND(
+       |    (CAST(COUNT(*) AS DOUBLE)
+       |        * CAST(SUM(CAST(ROUND(decile * mean_quality, 6)
+       |          AS DECIMAL(28,6))) AS DOUBLE)
+       |      - CAST(SUM(decile) AS DOUBLE)
+       |        * CAST(SUM(CAST(mean_quality AS DECIMAL(28,6)))
+       |          AS DOUBLE))
+       |    / NULLIF(CAST(COUNT(*) * SUM(decile * decile)
+       |        - SUM(decile) * SUM(decile) AS DOUBLE), 0.0), 6) AS slope
+       |  FROM per
+       |)
+       |SELECT p.decile, p.n_docs, p.mean_quality, s.slope,
+       |  CASE WHEN s.slope < -0.005 THEN 'degrading'
+       |    WHEN s.slope > 0.005 THEN 'improving'
+       |    ELSE 'stable' END AS trend
+       |FROM per p CROSS JOIN sl s
+       |ORDER BY p.decile""".stripMargin
+  }
+
   def hamiltonSample(spark: SparkSession, dir: String,
                      budget: Int = 100): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

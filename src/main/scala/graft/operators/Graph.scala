@@ -397,6 +397,96 @@ object Graph {
       |    AS global_clustering
       |FROM tri""".stripMargin
 
+  /** q461 — rich-club coefficient ladder of the co-purchase graph:
+    * for each degree cutoff k, the edge density φ(k) = 2·E_k /
+    * (N_k·(N_k−1)) among the nodes of degree > k — do the hubs form a
+    * CLUB (φ → 1: flagship parts all co-purchased together; a promo
+    * or recommendation on one touches all) or stay mutually isolated
+    * (φ → 0: hubs are independent category anchors)? The global
+    * complement to q122's assortativity (a correlation can be
+    * positive while the actual hub subgraph is sparse).
+    *
+    * Exactness: degrees, cutoff memberships, club-edge counts and
+    * node counts are ALL integers off the shared symmetrized pair
+    * list (one pass — the whole ladder is conditional sums, no per-k
+    * rescan); φ is one NULLIF-guarded rounded division per row.
+    *
+    * Scale: rides the memoized candidate-bounded pair list + two
+    * node-keyed joins (the q122 plan); the ladder aggregate is one
+    * row.
+    */
+  def richClub(spark: SparkSession, dir: String,
+               cutoffs: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val edges = pairs.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(pairs.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = edges.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(deg.select(col("n").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("n").as("pb"), col("d").as("db")), "pb")
+    val edgeAggs = cutoffs.map(k =>
+      sum((col("da") > k && col("db") > k).cast("long")).as(s"e$k"))
+    val e = withDeg.agg(edgeAggs.head, edgeAggs.tail: _*)
+    val nodeAggs = cutoffs.map(k =>
+      sum((col("d") > k).cast("long")).as(s"n$k"))
+    val nn = deg.agg(nodeAggs.head, nodeAggs.tail: _*)
+    val stackExpr = cutoffs.map(k => s"$k, n$k, e$k").mkString(", ")
+    e.crossJoin(nn)
+      .select(expr(s"stack(${cutoffs.size}, $stackExpr)")
+        .as(Seq("degree_gt", "n_nodes", "n_edges")))
+      .select(col("degree_gt").cast("int").as("degree_gt"),
+        col("n_nodes"), col("n_edges"),
+        round(lit(2.0) * col("n_edges").cast("double") /
+          nullif((col("n_nodes") * (col("n_nodes") - 1)).cast("double"),
+            lit(0.0)), 6).as("phi"))
+      .orderBy(col("degree_gt"))
+  }
+
+  def richClubSql(cutoffs: Seq[Int] = Seq(2, 4, 8, 16)): String = {
+    val edgeConds = cutoffs.map(k =>
+      s"""CAST(SUM(CASE WHEN da > $k AND db > $k THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS e$k""".stripMargin).mkString(",\n    ")
+    val nodeConds = cutoffs.map(k =>
+      s"CAST(SUM(CASE WHEN d > $k THEN 1 ELSE 0 END) AS BIGINT) AS n$k")
+      .mkString(",\n    ")
+    val unions = cutoffs.map(k =>
+      s"SELECT $k AS degree_gt, n$k AS n_nodes, e$k AS n_edges FROM e CROSS JOIN nn")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |), edges AS (
+      |  SELECT pa AS u, pb AS v FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs
+      |), deg AS (
+      |  SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u
+      |), wd AS (
+      |  SELECT p.pa, p.pb, du.d AS da, dv.d AS db
+      |  FROM pairs p
+      |  JOIN deg du ON du.n = p.pa
+      |  JOIN deg dv ON dv.n = p.pb
+      |), e AS (
+      |  SELECT
+      |    $edgeConds
+      |  FROM wd
+      |), nn AS (
+      |  SELECT
+      |    $nodeConds
+      |  FROM deg
+      |), grid AS (
+      |  $unions
+      |)
+      |SELECT CAST(degree_gt AS INT) AS degree_gt, n_nodes, n_edges,
+      |  ROUND(2.0 * CAST(n_edges AS DOUBLE)
+      |    / NULLIF(CAST(n_nodes * (n_nodes - 1) AS DOUBLE), 0.0), 6)
+      |    AS phi
+      |FROM grid
+      |ORDER BY degree_gt""".stripMargin
+  }
+
   /** q122 — degree assortativity of the co-purchase graph: the
     * Pearson correlation of endpoint degrees over the symmetrized
     * edge list. Positive = hubs co-purchase with hubs (a clubby

@@ -4365,6 +4365,125 @@ object Relational {
       |FROM eff
       |ORDER BY p_type""".stripMargin
 
+  /** q462 — TOPSIS multi-criteria supplier ranking: three cost
+    * criteria per supplier (mean order→ship lag, mean realized unit
+    * price, return rate), min–max normalized, scored by closeness to
+    * the ideal point C = d⁻/(d⁺ + d⁻) — the standard MCDM answer to
+    * "which supplier is best OVERALL" that a single-criterion sort
+    * cannot give (q229 picks cheapest; q149 ranks lead time; a
+    * procurement decision needs them RECONCILED, and TOPSIS is the
+    * textbook reconciliation).
+    *
+    * Exactness: all three criteria are ratios of integer/decimal
+    * sums; min–max bounds are exact aggregates; the distance and
+    * closeness chain is written identically on both engines
+    * (NULLIF-guarded degenerate ranges contribute 0 — a criterion
+    * with no spread cannot discriminate), rounded 6dp BEFORE the
+    * final fully-tiebroken rank.
+    *
+    * Scale: one lineitem+orders aggregate keyed by supplier, a 1-row
+    * bounds broadcast, a |suppliers|-row score frame.
+    */
+  def topsisSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days",
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100,
+          0).cast("long"))
+      .withColumn("qty", round(col("l_quantity"), 0).cast("long"))
+      .withColumn("ret", (col("l_returnflag") === "R").cast("long"))
+    val crit = li.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("lag_days")).cast("double") /
+          count(lit(1)).cast("double")).as("c_lag"),
+        (sum(col("cents")).cast("double") /
+          nullif(sum(col("qty")).cast("double"), lit(0.0))).as("c_price"),
+        (sum(col("ret")).cast("double") /
+          count(lit(1)).cast("double")).as("c_ret"))
+    val bounds = crit.agg(
+      min(col("c_lag")).as("lo1"), max(col("c_lag")).as("hi1"),
+      min(col("c_price")).as("lo2"), max(col("c_price")).as("hi2"),
+      min(col("c_ret")).as("lo3"), max(col("c_ret")).as("hi3"))
+    def norm(c: Column, lo: Column, hi: Column): Column =
+      coalesce((c - lo) / nullif(hi - lo, lit(0.0)), lit(0.0))
+    val scored = crit.crossJoin(broadcast(bounds))
+      .withColumn("n1", norm(col("c_lag"), col("lo1"), col("hi1")))
+      .withColumn("n2", norm(col("c_price"), col("lo2"), col("hi2")))
+      .withColumn("n3", norm(col("c_ret"), col("lo3"), col("hi3")))
+      // all three are COST criteria: ideal = 0, anti-ideal = 1
+      .withColumn("d_pos", sqrt(col("n1") * col("n1") +
+        col("n2") * col("n2") + col("n3") * col("n3")))
+      .withColumn("d_neg", sqrt(
+        (lit(1.0) - col("n1")) * (lit(1.0) - col("n1")) +
+        (lit(1.0) - col("n2")) * (lit(1.0) - col("n2")) +
+        (lit(1.0) - col("n3")) * (lit(1.0) - col("n3"))))
+      .withColumn("closeness", round(col("d_neg") /
+        nullif(col("d_pos") + col("d_neg"), lit(0.0)), 6))
+    scored.withColumn("rank", row_number().over(Window
+        .orderBy(col("closeness").desc_nulls_last, col("l_suppkey"))))
+      .select(col("l_suppkey").as("s_suppkey"), col("n").as("n_lineitems"),
+        round(col("c_lag"), 6).as("mean_lag_days"),
+        round(col("c_price"), 6).as("mean_unit_cents"),
+        round(col("c_ret"), 6).as("return_rate"),
+        col("closeness"), col("rank").cast("int").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val topsisSuppliersSql: String =
+    """WITH li AS (
+      |  SELECT l.l_suppkey,
+      |    date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days,
+      |    CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0)
+      |      AS BIGINT) AS cents,
+      |    CAST(ROUND(l.l_quantity, 0) AS BIGINT) AS qty,
+      |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |), crit AS (
+      |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(lag_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |      AS c_lag,
+      |    CAST(SUM(cents) AS DOUBLE)
+      |      / NULLIF(CAST(SUM(qty) AS DOUBLE), 0.0) AS c_price,
+      |    CAST(SUM(ret) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c_ret
+      |  FROM li GROUP BY 1
+      |), bounds AS (
+      |  SELECT MIN(c_lag) AS lo1, MAX(c_lag) AS hi1,
+      |    MIN(c_price) AS lo2, MAX(c_price) AS hi2,
+      |    MIN(c_ret) AS lo3, MAX(c_ret) AS hi3
+      |  FROM crit
+      |), scored AS (
+      |  SELECT c.*,
+      |    COALESCE((c.c_lag - b.lo1) / NULLIF(b.hi1 - b.lo1, 0.0), 0.0)
+      |      AS n1,
+      |    COALESCE((c.c_price - b.lo2) / NULLIF(b.hi2 - b.lo2, 0.0), 0.0)
+      |      AS n2,
+      |    COALESCE((c.c_ret - b.lo3) / NULLIF(b.hi3 - b.lo3, 0.0), 0.0)
+      |      AS n3
+      |  FROM crit c CROSS JOIN bounds b
+      |), dist AS (
+      |  SELECT *,
+      |    ROUND(sqrt((1.0 - n1) * (1.0 - n1) + (1.0 - n2) * (1.0 - n2)
+      |        + (1.0 - n3) * (1.0 - n3))
+      |      / NULLIF(sqrt(n1 * n1 + n2 * n2 + n3 * n3)
+      |        + sqrt((1.0 - n1) * (1.0 - n1) + (1.0 - n2) * (1.0 - n2)
+      |          + (1.0 - n3) * (1.0 - n3)), 0.0), 6) AS closeness
+      |  FROM scored
+      |)
+      |SELECT l_suppkey AS s_suppkey, n AS n_lineitems,
+      |  ROUND(c_lag, 6) AS mean_lag_days,
+      |  ROUND(c_price, 6) AS mean_unit_cents,
+      |  ROUND(c_ret, 6) AS return_rate,
+      |  closeness,
+      |  CAST(row_number() OVER (ORDER BY closeness DESC NULLS LAST,
+      |    l_suppkey) AS INT) AS rank
+      |FROM dist
+      |ORDER BY rank""".stripMargin
+
   /** q423 — robust price-dispersion ranking: the coefficient of
     * quartile deviation (Q₃−Q₁)/(Q₃+Q₁) of unit prices per part type
     * — the scale-free dispersion a skewed price distribution needs
