@@ -5553,6 +5553,74 @@ object Events {
       |FROM triples
       |ORDER BY x_type, y_type, z_type""".stripMargin
 
+  /** q463 — Fano-factor ladder per event type: the variance/mean
+    * ratio of counts at 1-, 7- and 28-day window grains — the
+    * point-process overdispersion diagnostic ACROSS SCALES. A Poisson
+    * stream holds F ≈ 1 at every grain; F growing with the window
+    * means long-range clustering (bursts of bursts — q219 measures
+    * per-user burstiness, this measures the stream's, and the GRAIN
+    * where F departs from 1 is the natural batching/alerting window).
+    *
+    * Exactness: window counts are integer sums over exact integer
+    * day-bucket arithmetic (floor division of the day index); each
+    * grain's variance comes from integer moment sums in one shared
+    * double chain, NULLIF-guarded; the ladder is one frame per grain
+    * unioned — no per-grain rescan of events (the dense daily grid is
+    * computed once and re-bucketed).
+    *
+    * Scale: one event aggregate, calendar-sized re-bucketing,
+    * |types|·|grains| output rows.
+    */
+  def fanoLadder(spark: SparkSession, dir: String,
+                 grains: Seq[Int] = Seq(1, 7, 28)): DataFrame = {
+    val dense = denseDailyCounts(spark, dir).localCheckpoint()
+    val perGrain = grains.map { g =>
+      dense.withColumn("bucket", expr(s"day div $g"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("v")).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("c")).as("s"), sum(col("c") * col("c")).as("ss"))
+        .withColumn("grain_days", lit(g))
+    }
+    val u = perGrain.reduce(_ unionByName _)
+    val nD = col("n_windows").cast("double")
+    val mean = col("s").cast("double") / nD
+    val vr = (col("ss").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nD) / nD
+    u.select(col("event_type"), col("grain_days"), col("n_windows"),
+        round(mean, 6).as("mean_count"),
+        round(vr / nullif(mean, lit(0.0)), 6).as("fano"))
+      .orderBy(col("event_type"), col("grain_days"))
+  }
+
+  def fanoLadderSql(grains: Seq[Int] = Seq(1, 7, 28)): String = {
+    val unions = grains.map(g =>
+      s"""SELECT event_type, $g AS grain_days, day // $g AS bucket, v
+         |  FROM dense""".stripMargin).mkString("\n      |  UNION ALL ")
+    s"""WITH $denseDailyCountsSql, rebucketed AS (
+      |  $unions
+      |), win AS (
+      |  SELECT event_type, grain_days, bucket,
+      |    CAST(SUM(v) AS BIGINT) AS c
+      |  FROM rebucketed GROUP BY 1, 2, 3
+      |), agg AS (
+      |  SELECT event_type, grain_days,
+      |    CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |    CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS ss
+      |  FROM win GROUP BY 1, 2
+      |)
+      |SELECT event_type, grain_days, n_windows,
+      |  ROUND(CAST(s AS DOUBLE) / CAST(n_windows AS DOUBLE), 6)
+      |    AS mean_count,
+      |  ROUND(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |      / CAST(n_windows AS DOUBLE)) / CAST(n_windows AS DOUBLE))
+      |    / NULLIF(CAST(s AS DOUBLE) / CAST(n_windows AS DOUBLE), 0.0), 6)
+      |    AS fano
+      |FROM agg
+      |ORDER BY event_type, grain_days""".stripMargin
+  }
+
   /** q434 — Fleiss' kappa across the three daily anomaly detectors
     * (q121 MAD, q173 EWMA, q364 CUSUM) per event type: q377 routes on
     * the per-day vote; this grades whether the panel agrees MORE THAN

@@ -2960,6 +2960,78 @@ object TextAnalysis {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** q464 — truncation-cap curve: for each candidate max-token cap,
+    * the share of documents truncated and the share of TOKEN MASS
+    * lost — the table behind every max_seq_len decision. q414's Hill
+    * index says the length tail is heavy; this prices each cap in the
+    * two currencies that matter (how many docs get cut at all vs how
+    * much text disappears), per cap, in one pass — no per-cap rescan
+    * (the whole grid is conditional sums over one token-count scan).
+    *
+    * Exactness: token counts are the shared q21 integer; per-cap
+    * truncated-doc counts and lost-token sums are conditional integer
+    * sums; shares are single rounded divisions.
+    *
+    * Scale: one narrow map over the scan + one aggregate carrying
+    * |grid| conditional sums, unpivoted by stack — the corpus is
+    * touched once for the whole curve.
+    */
+  def truncationCurve(spark: SparkSession, dir: String,
+                      caps: Seq[Int] = Seq(64, 128, 256, 512)): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(tokenCount(col("text")).cast("long").as("n_tok"))
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("total_tokens")) ++
+      caps.flatMap(c => Seq(
+        sum((col("n_tok") > c).cast("long")).as(s"d$c"),
+        sum(when(col("n_tok") > c, col("n_tok") - c).otherwise(0L))
+          .as(s"l$c")))
+    val one = docs.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = caps.map(c => s"$c, d$c, l$c").mkString(", ")
+    one.select(col("n_docs"), col("total_tokens"),
+        expr(s"stack(${caps.size}, $stackExpr)")
+          .as(Seq("cap_tokens", "n_truncated", "tokens_lost")))
+      .select(col("cap_tokens").cast("int").as("cap_tokens"),
+        col("n_truncated"),
+        round(col("n_truncated").cast("double") /
+          col("n_docs").cast("double"), 6).as("doc_share_truncated"),
+        col("tokens_lost"),
+        round(col("tokens_lost").cast("double") /
+          nullif(col("total_tokens").cast("double"), lit(0.0)), 6)
+          .as("token_share_lost"))
+      .orderBy(col("cap_tokens"))
+  }
+
+  def truncationCurveSql(caps: Seq[Int] = Seq(64, 128, 256, 512)): String = {
+    val conds = caps.map(c =>
+      s"""CAST(SUM(CASE WHEN n_tok > $c THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d$c,
+         |    CAST(SUM(CASE WHEN n_tok > $c THEN n_tok - $c ELSE 0 END)
+         |      AS BIGINT) AS l$c""".stripMargin).mkString(",\n    ")
+    val unions = caps.map(c =>
+      s"SELECT n_docs, total_tokens, $c AS cap_tokens, d$c AS n_truncated, l$c AS tokens_lost FROM agg")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH toks AS (
+      |  SELECT CAST($tokenCountExprSql AS BIGINT) AS n_tok FROM documents
+      |), agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      |    $conds
+      |  FROM toks
+      |), grid AS (
+      |  $unions
+      |)
+      |SELECT CAST(cap_tokens AS INT) AS cap_tokens, n_truncated,
+      |  ROUND(CAST(n_truncated AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+      |    AS doc_share_truncated,
+      |  tokens_lost,
+      |  ROUND(CAST(tokens_lost AS DOUBLE)
+      |    / NULLIF(CAST(total_tokens AS DOUBLE), 0.0), 6)
+      |    AS token_share_lost
+      |FROM grid
+      |ORDER BY cap_tokens""".stripMargin
+  }
+
   /** q433 — McNemar's paired test between the q22 stopword heuristic
     * and the q349 naive Bayes on the SAME holdout fifth, against the
     * labels: q358's kappa says whether the two classifiers agree;
