@@ -3032,6 +3032,106 @@ object TextAnalysis {
       |ORDER BY cap_tokens""".stripMargin
   }
 
+  /** q465 — uncertainty sampling (active-learning pick list): the
+    * `budget` holdout documents whose q349 naive-Bayes decision
+    * margin (top score − runner-up, the q418 convention at MODEL
+    * grain) is SMALLEST — the batch a labeling queue should buy
+    * first, because labels there move the boundary and labels on
+    * confident docs are wasted money. Deterministic: margins are the
+    * shared decimal score differences, the pick is a fully-tiebroken
+    * bottom-`budget` (margin, doc_id) selection, so two engines (and
+    * two runs) buy the same batch.
+    *
+    * Exactness: scores and margins are the q349 DECIMAL chains;
+    * ranks are integers; the margin is displayed as its exact decimal
+    * cast to double.
+    *
+    * Scale: rides q349's bounded shapes; the pick is a
+    * TakeOrderedAndProject-style bottom-budget (per-partition
+    * partial), budget-sized output.
+    */
+  def uncertaintySample(spark: SparkSession, dir: String,
+                        budget: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = nbScores(spark, dir,
+      col("doc_id") % 5 =!= 0, col("doc_id") % 5 === 0)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("c"))
+    val ranked = scores.withColumn("rk", row_number().over(w))
+    val top = ranked.filter(col("rk") === 1)
+      .select(col("doc_id"), col("true_lang"), col("c").as("pred_lang"),
+        col("score").as("s1"))
+    val runner = ranked.filter(col("rk") === 2)
+      .select(col("doc_id"), col("score").as("s2"))
+    top.join(runner, "doc_id")
+      .withColumn("margin", (col("s1") - col("s2")).cast("double"))
+      .orderBy(col("margin"), col("doc_id"))
+      .limit(budget)
+      .select(col("doc_id"), col("true_lang"), col("pred_lang"),
+        round(col("margin"), 6).as("margin"),
+        (col("pred_lang") === col("true_lang")).as("currently_right"))
+  }
+
+  def uncertaintySampleSql(budget: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS mult
+       |  FROM (
+       |    SELECT doc_id, lang, unnest(list_filter(
+       |      string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+       |    FROM documents
+       |  )
+       |  GROUP BY 1, 2, 3
+       |), train AS (
+       |  SELECT * FROM toks WHERE doc_id % 5 <> 0
+       |), test AS (
+       |  SELECT * FROM toks WHERE doc_id % 5 = 0
+       |), model AS (
+       |  SELECT lang AS c, token,
+       |    ROUND(log10(SUM(mult) + 1), 6) AS l_num
+       |  FROM train GROUP BY 1, 2
+       |), vocab AS (
+       |  SELECT COUNT(DISTINCT token) AS v FROM model
+       |), classes AS (
+       |  SELECT lang AS c,
+       |    ROUND(log10(COUNT(DISTINCT doc_id)), 6) AS l_prior,
+       |    ROUND(log10(SUM(mult) + (SELECT v FROM vocab)), 6) AS l_den
+       |  FROM train GROUP BY 1
+       |), in_vocab AS (
+       |  SELECT t.* FROM test t
+       |  JOIN (SELECT DISTINCT token FROM model) m ON m.token = t.token
+       |), md AS (
+       |  SELECT doc_id, lang AS true_lang, SUM(mult) AS m_d
+       |  FROM in_vocab GROUP BY 1, 2
+       |), seen AS (
+       |  SELECT iv.doc_id, m.c,
+       |    SUM(iv.mult * CAST(m.l_num AS DECIMAL(18,6))) AS sum_num
+       |  FROM in_vocab iv JOIN model m ON m.token = iv.token
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT md.doc_id, md.true_lang, cl.c,
+       |    CAST(cl.l_prior AS DECIMAL(28,6))
+       |      + COALESCE(s.sum_num, CAST(0 AS DECIMAL(18,6)))
+       |      - md.m_d * CAST(cl.l_den AS DECIMAL(18,6)) AS score,
+       |    row_number() OVER (PARTITION BY md.doc_id ORDER BY
+       |      CAST(cl.l_prior AS DECIMAL(28,6))
+       |        + COALESCE(s.sum_num, CAST(0 AS DECIMAL(18,6)))
+       |        - md.m_d * CAST(cl.l_den AS DECIMAL(18,6)) DESC,
+       |      cl.c) AS rk
+       |  FROM md CROSS JOIN classes cl
+       |  LEFT JOIN seen s ON s.doc_id = md.doc_id AND s.c = cl.c
+       |), top AS (
+       |  SELECT doc_id, true_lang, c AS pred_lang, score AS s1
+       |  FROM scored WHERE rk = 1
+       |), runner AS (
+       |  SELECT doc_id, score AS s2 FROM scored WHERE rk = 2
+       |)
+       |SELECT t.doc_id, t.true_lang, t.pred_lang,
+       |  ROUND(CAST(t.s1 - r.s2 AS DOUBLE), 6) AS margin,
+       |  t.pred_lang = t.true_lang AS currently_right
+       |FROM top t JOIN runner r ON r.doc_id = t.doc_id
+       |ORDER BY CAST(t.s1 - r.s2 AS DOUBLE), t.doc_id
+       |LIMIT $budget""".stripMargin
+
   /** q433 — McNemar's paired test between the q22 stopword heuristic
     * and the q349 naive Bayes on the SAME holdout fifth, against the
     * labels: q358's kappa says whether the two classifiers agree;
