@@ -7408,4 +7408,229 @@ object Events {
       |FROM ph p JOIN stats s ON s.event_type = p.event_type
       |GROUP BY p.event_type
       |ORDER BY p.event_type""".stripMargin
+
+  /** The four attribution channels of q466, alphabetical = bit order
+    * (click=1, error=2, signup=4, view=8); `purchase` is the
+    * conversion outcome, never a channel.
+    */
+  private val shapleyChannels = Seq("click", "error", "signup", "view")
+
+  /** q466 — exact Shapley attribution of conversion credit across the
+    * four non-purchase channels: users collapse to the exact SET of
+    * channels they touched (a 4-bit mask), each coalition's value is
+    * its conversion rate (share of its users with ≥1 purchase), and a
+    * channel's Shapley value is the |S|!·(3−|S|)!/4!-weighted sum of
+    * its marginal contributions v(S∪{i})−v(S) over the 8 coalitions S
+    * of the other three — the symmetric/efficient/order-free split of
+    * credit that last-touch and first-touch heuristics are biased
+    * approximations of. Coalitions with no users value 0 (stated in
+    * the oracle via COALESCE).
+    *
+    * Exactness: coalition values are integer micro-unit rates via
+    * half-up integral division ((2·conv·10⁶ + n) div (2n) — the
+    * cents-div-qty discipline); marginal terms are weightNum ·
+    * Δv_micro with weightNum = |S|!·(3−|S|)! ∈ {6,2,2,6} — exact
+    * BIGINTs end to end, so `shap_x24_micro` is hash-exact and the
+    * reported `shapley` is ONE IEEE division of that integer by
+    * 24·10⁶ (bit-identical across engines). Efficiency (Σφ_i =
+    * v(full)−v(∅)) holds exactly in the integer domain (spec-pinned).
+    *
+    * Scale: one user-grain aggregate is the only event-grain shuffle;
+    * the coalition table is ≤16 rows and the Shapley algebra is a
+    * 32-row literal grid joined against it — driver-free, broadcast-
+    * sized, constant at any corpus size.
+    */
+  def shapleyFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val flagAggs = shapleyChannels.zipWithIndex.map { case (c, i) =>
+      max(when(col("event_type") === c, lit(1L << i)).otherwise(lit(0L)))
+        .as(s"b$i")
+    } :+ max(when(col("event_type") === "purchase", lit(1L))
+      .otherwise(lit(0L))).as("conv")
+    val users = ev.groupBy(col("user_id"))
+      .agg(flagAggs.head, flagAggs.tail: _*)
+      .withColumn("mask",
+        shapleyChannels.indices.map(i => col(s"b$i")).reduce(_ + _))
+    val coal = users.groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .select(col("mask"),
+        expr("(2 * n_conv * 1000000 + n_users) div (2 * n_users)")
+          .as("v_micro"))
+    val fact = Array(1, 1, 2, 6)
+    val grid = shapleyChannels.indices.flatMap { i =>
+      (0 until 16).filter(s => (s & (1 << i)) == 0).map { s =>
+        val k = Integer.bitCount(s)
+        (shapleyChannels(i), s.toLong, (s | (1 << i)).toLong,
+          (fact(k) * fact(3 - k)).toLong)
+      }
+    }.toDF("channel", "s0", "s1", "w")
+    grid
+      .join(coal.select(col("mask").as("s0"), col("v_micro").as("v0")),
+        Seq("s0"), "left")
+      .join(coal.select(col("mask").as("s1"), col("v_micro").as("v1")),
+        Seq("s1"), "left")
+      .withColumn("term", col("w") *
+        (coalesce(col("v1"), lit(0L)) - coalesce(col("v0"), lit(0L))))
+      .groupBy(col("channel"))
+      .agg(sum(col("term")).as("shap_x24_micro"))
+      .select(col("channel"), col("shap_x24_micro"),
+        (col("shap_x24_micro").cast("double") / lit(2.4e7)).as("shapley"))
+      .orderBy(col("channel"))
+  }
+
+  def shapleyFunnelSql: String = {
+    val fact = Array(1, 1, 2, 6)
+    val bitCases = shapleyChannels.zipWithIndex.map { case (c, i) =>
+      s"MAX(CASE WHEN event_type = '$c' THEN ${1L << i} ELSE 0 END) AS b$i"
+    }.mkString(",\n      |    ")
+    val gridRows = shapleyChannels.indices.flatMap { i =>
+      (0 until 16).filter(s => (s & (1 << i)) == 0).map { s =>
+        val k = Integer.bitCount(s)
+        s"('${shapleyChannels(i)}', $s, ${s | (1 << i)}, ${fact(k) * fact(3 - k)})"
+      }
+    }.mkString(",\n      |    ")
+    s"""WITH users AS (
+      |  SELECT user_id,
+      |    $bitCases,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1
+      |), coal AS (
+      |  SELECT b0 + b1 + b2 + b3 AS mask,
+      |    CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(conv) AS BIGINT) AS n_conv
+      |  FROM users GROUP BY 1
+      |), v AS (
+      |  SELECT mask,
+      |    (2 * n_conv * 1000000 + n_users) // (2 * n_users) AS v_micro
+      |  FROM coal
+      |), grid(channel, s0, s1, w) AS (
+      |  VALUES
+      |    $gridRows
+      |), terms AS (
+      |  SELECT g.channel,
+      |    g.w * (COALESCE(v1.v_micro, 0) - COALESCE(v0.v_micro, 0)) AS term
+      |  FROM grid g
+      |  LEFT JOIN v v0 ON v0.mask = g.s0
+      |  LEFT JOIN v v1 ON v1.mask = g.s1
+      |)
+      |SELECT channel,
+      |  CAST(SUM(term) AS BIGINT) AS shap_x24_micro,
+      |  CAST(SUM(term) AS DOUBLE) / 24000000.0 AS shapley
+      |FROM terms GROUP BY channel ORDER BY channel""".stripMargin
+  }
+
+  /** q468 — Hurst exponent of each type's daily count series via the
+    * rescaled-range (R/S) ladder: for block sizes n ∈ {4,7,14} the
+    * dense series splits into full blocks, each block contributes
+    * R/S = (max−min of the cumulative mean-deviation) / population σ,
+    * and the Hurst exponent is the OLS slope of ln(mean R/S) against
+    * ln(n). H ≈ 0.5 = memoryless; H > 0.5 = long-range persistence
+    * (bursts of bursts — load clusters beyond what q209's short-lag
+    * ACF sees, so capacity planning must provision for correlated
+    * peaks); H < 0.5 = mean reversion. Partial head/tail blocks are
+    * dropped (stated: COUNT over the block must equal n).
+    *
+    * Exactness: block sums/squares are exact integers; the per-row
+    * cumulative deviation, R, σ and R/S are one shared IEEE chain
+    * mirrored verbatim in the oracle, each block's R/S rounded 6dp
+    * (the O(1)-magnitude-score convention) then averaged through
+    * DECIMAL(18,6) so the block-mean is summation-order-free; the
+    * slope folds the three rounded ladder points with literal
+    * centered-x/Sxx weights emitted from ONE Scala computation into
+    * both engines.
+    *
+    * Scale: the dense grid is computed once and re-bucketed per n
+    * ((type, block)-keyed windows — fine-grained keys, no global
+    * sort); everything after the daily aggregate is calendar-sized.
+    */
+  def hurstLadder(spark: SparkSession, dir: String,
+                  blockSizes: Seq[Int] = Seq(4, 7, 14)): DataFrame = {
+    val dense = denseDailyCounts(spark, dir).localCheckpoint()
+    val perN = blockSizes.map { n =>
+      val byBlock = Window.partitionBy(col("event_type"), col("block"))
+      val ordered = byBlock.orderBy(col("day"))
+      dense.withColumn("block", expr(s"day div $n"))
+        .withColumn("nb", count(lit(1)).over(byBlock))
+        .filter(col("nb") === n)
+        .withColumn("rn", row_number().over(ordered))
+        .withColumn("cum", sum(col("v")).over(ordered))
+        .withColumn("tot", sum(col("v")).over(byBlock))
+        .withColumn("cumdev", col("cum").cast("double") -
+          col("rn").cast("double") * col("tot").cast("double") / lit(n.toDouble))
+        .groupBy(col("event_type"), col("block"))
+        .agg(max(col("cumdev")).as("mxd"), min(col("cumdev")).as("mnd"),
+          sum(col("v")).as("s"), sum(col("v") * col("v")).as("ss"))
+        .withColumn("sd", sqrt(col("ss").cast("double") / lit(n.toDouble) -
+          (col("s").cast("double") / lit(n.toDouble)) *
+            (col("s").cast("double") / lit(n.toDouble))))
+        .withColumn("rs", round((col("mxd") - col("mnd")) /
+          nullif(col("sd"), lit(0.0)), 6))
+        .groupBy(col("event_type"))
+        .agg((decSum(col("rs")) / sum(when(col("rs").isNotNull, 1L)
+          .otherwise(0L)).cast("double")).as(s"rs_$n"))
+        .select(col("event_type"), round(col(s"rs_$n"), 6).as(s"rs_$n"))
+    }
+    val joined = perN.reduce((a, b) => a.join(b, Seq("event_type")))
+    val xs = blockSizes.map(n => math.log(n.toDouble))
+    val xbar = xs.sum / xs.size
+    val sxx = xs.map(x => (x - xbar) * (x - xbar)).sum
+    val slope = blockSizes.zip(xs).map { case (n, x) =>
+      lit((x - xbar) / sxx) * log(col(s"rs_$n"))
+    }.reduce(_ + _)
+    joined.select(
+      col("event_type") +: blockSizes.map(n => col(s"rs_$n")) :+
+        round(slope, 6).as("hurst"): _*)
+      .orderBy(col("event_type"))
+  }
+
+  def hurstLadderSql(blockSizes: Seq[Int] = Seq(4, 7, 14)): String = {
+    val xs = blockSizes.map(n => math.log(n.toDouble))
+    val xbar = xs.sum / xs.size
+    val sxx = xs.map(x => (x - xbar) * (x - xbar)).sum
+    val perN = blockSizes.map { n =>
+      s"""r$n AS (
+        |  SELECT event_type,
+        |    ROUND(CAST(SUM(CAST(rs AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN rs IS NOT NULL THEN 1 ELSE 0 END)
+        |             AS DOUBLE), 6) AS rs_$n
+        |  FROM (
+        |    SELECT event_type,
+        |      ROUND((MAX(cumdev) - MIN(cumdev)) / NULLIF(sqrt(
+        |        CAST(SUM(v * v) AS DOUBLE) / $n.0 -
+        |        (CAST(SUM(v) AS DOUBLE) / $n.0) *
+        |        (CAST(SUM(v) AS DOUBLE) / $n.0)), 0.0), 6) AS rs
+        |    FROM (
+        |      SELECT event_type, block, v,
+        |        CAST(SUM(v) OVER wo AS DOUBLE) -
+        |          CAST(ROW_NUMBER() OVER wo AS DOUBLE) *
+        |          CAST(SUM(v) OVER wb AS DOUBLE) / $n.0 AS cumdev
+        |      FROM (
+        |        SELECT event_type, day, v, day // $n AS block
+        |        FROM dense
+        |      )
+        |      WINDOW wo AS (PARTITION BY event_type, block ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |        wb AS (PARTITION BY event_type, block)
+        |      QUALIFY COUNT(*) OVER wb = $n
+        |    )
+        |    GROUP BY event_type, block
+        |  )
+        |  GROUP BY event_type
+        |)""".stripMargin
+    }.mkString(", ")
+    val joins = blockSizes.tail.map(n =>
+      s"JOIN r$n ON r$n.event_type = r${blockSizes.head}.event_type")
+      .mkString("\n      |")
+    val slope = blockSizes.zip(xs).map { case (n, x) =>
+      s"${(x - xbar) / sxx} * ln(rs_$n)"
+    }.mkString(" + ")
+    s"""WITH $denseDailyCountsSql, $perN
+      |SELECT r${blockSizes.head}.event_type,
+      |  ${blockSizes.map(n => s"rs_$n").mkString(", ")},
+      |  ROUND($slope, 6) AS hurst
+      |FROM r${blockSizes.head}
+      |$joins
+      |ORDER BY r${blockSizes.head}.event_type""".stripMargin
+  }
 }

@@ -3580,4 +3580,101 @@ object TextAnalysis {
             s"((SELECT COUNT(*) FROM bits) / $mBits.0)").mkString(" * ")},
        |    6) AS predicted_fp""".stripMargin
   }
+
+  /** q467 — keyness (Dunning log-likelihood G²) top terms per source:
+    * for each (source, token), a = in-source count, b = rest-of-corpus
+    * count, and G² = 2·[a·ln(a/E_a) + b·ln(b/E_b)] with expectations
+    * E proportional to the marginals — the corpus-linguistics
+    * "keyword" statistic that names WHAT a source is about relative
+    * to everything else (PMI's q-gram cousin ranks collocations
+    * WITHIN a corpus; keyness contrasts corpora). Only OVERUSED terms
+    * qualify (a·N > A·t, an integer-exact comparison — underused
+    * terms are the other source's keywords), top-5 per source.
+    *
+    * Exactness: all four cell counts are exact integers off one
+    * (source, token) aggregate; G² is one shared IEEE chain rounded
+    * 6dp (b = 0 contributes exactly 0 via the x·ln x → 0 limit,
+    * guarded identically on both sides); ranking orders by the
+    * ROUNDED statistic then token, so both engines buy the same
+    * top-5.
+    *
+    * Scale: one (source, token) count (the q36 shuffle), one
+    * token-keyed marginal join, a |sources|-row broadcast marginal,
+    * and a per-source row_number ≤ 5 window that Spark executes as
+    * WindowGroupLimit — partial top-k before any exchange. Nothing
+    * wider than the vocabulary ever materializes.
+    */
+  def keynessTerms(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("a"))
+    val tok = tf.groupBy(col("token")).agg(sum(col("a")).as("t"))
+    val src = tf.groupBy(col("source")).agg(sum(col("a")).as("atot"))
+    val grand = src.agg(sum(col("atot")).as("ntot"))
+    val scored = tf.join(tok, "token")
+      .join(broadcast(src), "source")
+      .crossJoin(broadcast(grand))
+      .filter(col("a") * col("ntot") > col("atot") * col("t"))
+      .withColumn("b", col("t") - col("a"))
+      .withColumn("ea", col("atot").cast("double") * col("t").cast("double")
+        / col("ntot").cast("double"))
+      .withColumn("eb", (col("ntot") - col("atot")).cast("double")
+        * col("t").cast("double") / col("ntot").cast("double"))
+      .withColumn("g2", round(lit(2.0) * (
+        col("a").cast("double") * log(col("a").cast("double") / col("ea")) +
+          when(col("b") === 0, lit(0.0))
+            .otherwise(col("b").cast("double") *
+              log(col("b").cast("double") / col("eb")))), 6))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("g2").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("token"),
+        col("a").as("n_in"), col("b").as("n_rest"), col("g2"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  def keynessTermsSql(topK: Int = 5): String =
+    s"""WITH tf AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS a
+      |  FROM (
+      |    SELECT source, unnest(list_filter(
+      |      string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  )
+      |  GROUP BY 1, 2
+      |), tok AS (
+      |  SELECT token, CAST(SUM(a) AS BIGINT) AS t FROM tf GROUP BY 1
+      |), src AS (
+      |  SELECT source, CAST(SUM(a) AS BIGINT) AS atot FROM tf GROUP BY 1
+      |), grand AS (
+      |  SELECT CAST(SUM(atot) AS BIGINT) AS ntot FROM src
+      |), scored AS (
+      |  SELECT f.source, f.token, f.a, k.t - f.a AS b,
+      |    ROUND(2.0 * (
+      |      CAST(f.a AS DOUBLE) * ln(CAST(f.a AS DOUBLE) /
+      |        (CAST(s.atot AS DOUBLE) * CAST(k.t AS DOUBLE)
+      |          / CAST(g.ntot AS DOUBLE))) +
+      |      CASE WHEN k.t - f.a = 0 THEN 0.0
+      |        ELSE CAST(k.t - f.a AS DOUBLE) * ln(CAST(k.t - f.a AS DOUBLE) /
+      |          (CAST(g.ntot - s.atot AS DOUBLE) * CAST(k.t AS DOUBLE)
+      |            / CAST(g.ntot AS DOUBLE)))
+      |      END), 6) AS g2
+      |  FROM tf f
+      |  JOIN tok k ON k.token = f.token
+      |  JOIN src s ON s.source = f.source
+      |  CROSS JOIN grand g
+      |  WHERE f.a * g.ntot > s.atot * k.t
+      |), ranked AS (
+      |  SELECT source, token, a, b, g2,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY g2 DESC, token) AS rank
+      |  FROM scored
+      |)
+      |SELECT source, CAST(rank AS INT) AS rank, token,
+      |  a AS n_in, b AS n_rest, g2
+      |FROM ranked WHERE rank <= $topK
+      |ORDER BY source, rank""".stripMargin
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Events, TextAnalysis}
+
+/** Round-12 third-wave invariants: the game-theoretic identities of
+  * Shapley attribution (efficiency, null-player, symmetry) on a
+  * constructed coalition lattice, keyness positivity/ordering, and
+  * the Hurst ladder's degenerate-variance corner.
+  */
+class Round12OpsSpec3 extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  val sf001 = "/root/testdata/sf0.01"
+
+  /** Events fixture where every 4-bit channel mask is an observed
+    * coalition of `per` users and conversion is decided by `conv`.
+    */
+  private def coalitionDir(per: Int, conv: Int => Boolean): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r12c").toString
+    val chans = Seq("click", "error", "signup", "view")
+    def ts(i: Long) = new java.sql.Timestamp(86400000L + i * 1000L)
+    val rows = for {
+      mask <- 0 until 16
+      u <- 0 until per
+      uid = mask * 1000L + u
+      ev <- chans.zipWithIndex.collect {
+        case (c, i) if (mask & (1 << i)) != 0 => c
+      } ++ (if (conv(mask)) Seq("purchase") else Nil)
+    } yield (uid * 100L + ev.hashCode.abs % 97, ts(uid), uid, ev, 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q466 Shapley: null players get 0, the sole causal channel gets v, efficiency holds in integers") {
+    // conversion iff the user touched click -> click is the whole game
+    val dir = coalitionDir(10, mask => (mask & 1) != 0)
+    val out = Events.shapleyFunnel(spark, dir)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("click")._1 === 24000000L)   // full credit: phi = v = 1.0
+    assert(out("click")._2 === 1.0)
+    Seq("error", "signup", "view").foreach(c => assert(out(c)._1 === 0L))
+    // efficiency: sum phi = v(all channels) - v(empty) = 1 - 0
+    assert(out.values.map(_._1).sum === 24000000L)
+  }
+
+  test("q466 Shapley: symmetric channels earn identical credit and efficiency holds on an interaction game") {
+    // conversion iff the user touched BOTH click and view (bits 1 and 8):
+    // click and view are symmetric players, error/signup null players
+    val dir = coalitionDir(6, mask => (mask & 9) == 9)
+    val out = Events.shapleyFunnel(spark, dir)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out("click") === out("view"))
+    assert(out("error") === 0L && out("signup") === 0L)
+    assert(out.values.sum === 24000000L) // v(1111)=1, v(0000)=0
+  }
+
+  test("q466 Shapley on sf0.01: four channels, efficiency telescopes against the coalition table") {
+    val out = Events.shapleyFunnel(spark, sf001)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out.map(_._1).sorted === Seq("click", "error", "signup", "view"))
+    out.foreach { case (_, x24, phi) =>
+      assert(math.abs(phi - x24.toDouble / 2.4e7) === 0.0)
+    }
+  }
+
+  test("q467 keyness: ranks are 1..5 per source, g2 positive and nonincreasing, counts integer-consistent") {
+    val out = TextAnalysis.keynessTerms(spark, sf001)
+      .as[(String, Int, String, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (1 to rows.size))
+      val g2s = rows.sortBy(_._2).map(_._6)
+      assert(g2s.zip(g2s.tail).forall { case (a, b) => a >= b })
+    }
+    out.foreach { r =>
+      assert(r._4 >= 1L && r._5 >= 0L)
+      assert(r._6 > 0.0) // overused-only candidates have positive G^2
+    }
+  }
+
+  test("q468 Hurst: constant daily series yields NULL ladder (sigma = 0 everywhere), never a throw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r12h").toString
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    (0L until 28L).flatMap(d => (1L to 3L).map(j =>
+      (d * 100L + j, ts(d), 1L, "m", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.hurstLadder(spark, dir)
+      .as[(String, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out.size === 1)
+    assert(out.head._2.isEmpty && out.head._3.isEmpty &&
+      out.head._4.isEmpty && out.head._5.isEmpty)
+  }
+
+  test("q468 Hurst on sf0.01: positive R/S ladder and a finite exponent per type") {
+    val out = Events.hurstLadder(spark, sf001)
+      .as[(String, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out.size === 5)
+    out.foreach { r =>
+      Seq(r._2, r._3, r._4).foreach(v => assert(v.exists(_ > 0.0)))
+      assert(r._5.exists(h => !h.isNaN && h > -1.0 && h < 2.0))
+    }
+  }
+}
