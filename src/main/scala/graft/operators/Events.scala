@@ -7520,6 +7520,94 @@ object Events {
       |FROM terms GROUP BY channel ORDER BY channel""".stripMargin
   }
 
+  /** q469 — periodogram of each type's mean-centered daily series at
+    * candidate periods (2..14 days): spectral power P(p) = C_p² + S_p²
+    * with C_p = Σ_t x̃_t·cos(2πt/p), S_p the sine twin — the
+    * frequency-domain answer to "WHICH cycle dominates" that the
+    * time-domain ACF (q209) only hints at (a 7-day rhythm shows at
+    * every multiple of 7; the periodogram puts the mass at 7 itself).
+    * `is_dominant` marks each type's argmax period — the seasonality
+    * the Holt–Winters (q258) and Fano (q463) grains should adopt.
+    *
+    * Exactness: the day index and counts are exact integers; the mean
+    * is one IEEE division of integers; each cos/sin term rounds at
+    * 6dp into a DECIMAL(28,6) sum (the q393 centered-term discipline,
+    * making the Σ_t order-free); P folds the two exact decimal sums
+    * in one rounded IEEE step; the argmax orders by the ROUNDED power
+    * then period.
+    *
+    * Scale: the dense grid computes once; each period contributes two
+    * conditional decimal sums in the SAME |types|-keyed aggregate —
+    * one pass, no per-period rescan, calendar-sized throughout.
+    */
+  def periodogram(spark: SparkSession, dir: String,
+                  periods: Seq[Int] = Seq(2, 3, 4, 5, 6, 7, 10, 14)): DataFrame = {
+    val dense = denseDailyCounts(spark, dir)
+    val base = dense
+      .withColumn("t", col("day") -
+        min(col("day")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("xbar", sum(col("v")).over(Window.partitionBy(col("event_type")))
+        .cast("double") /
+        count(lit(1)).over(Window.partitionBy(col("event_type"))).cast("double"))
+      .withColumn("xc", col("v").cast("double") - col("xbar"))
+    val sums = periods.flatMap { p =>
+      val ang = col("t").cast("double") * lit(2.0 * math.Pi / p)
+      Seq(
+        sum(round(col("xc") * cos(ang), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as(s"c$p"),
+        sum(round(col("xc") * sin(ang), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as(s"s$p"))
+    }
+    val agg = base.groupBy(col("event_type")).agg(sums.head, sums.tail: _*)
+    val stacked = agg.select(col("event_type"),
+      expr(s"stack(${periods.size}, " + periods.map(p =>
+        s"$p, cast(c$p as double), cast(s$p as double)").mkString(", ") + ")")
+        .as(Seq("period_days", "cs", "ss")))
+      .withColumn("power", round(col("cs") * col("cs") + col("ss") * col("ss"), 6))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("power").desc, col("period_days"))
+    stacked.withColumn("is_dominant", row_number().over(w) === 1)
+      .select(col("event_type"), col("period_days").cast("int").as("period_days"),
+        col("power"), col("is_dominant"))
+      .orderBy(col("event_type"), col("period_days"))
+  }
+
+  def periodogramSql(periods: Seq[Int] = Seq(2, 3, 4, 5, 6, 7, 10, 14)): String = {
+    val sums = periods.map { p =>
+      s"""SUM(CAST(ROUND(xc * cos(t * ${2.0 * math.Pi / p}), 6)
+        |      AS DECIMAL(28,6))) AS c$p,
+        |    SUM(CAST(ROUND(xc * sin(t * ${2.0 * math.Pi / p}), 6)
+        |      AS DECIMAL(28,6))) AS s$p""".stripMargin
+    }.mkString(",\n      |    ")
+    val unions = periods.map(p =>
+      s"""SELECT event_type, $p AS period_days,
+        |    CAST(c$p AS DOUBLE) AS cs, CAST(s$p AS DOUBLE) AS ss FROM agg""".stripMargin)
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH $denseDailyCountsSql, base AS (
+      |  SELECT event_type,
+      |    CAST(day - MIN(day) OVER (PARTITION BY event_type) AS DOUBLE) AS t,
+      |    CAST(v AS DOUBLE) -
+      |      CAST(SUM(v) OVER (PARTITION BY event_type) AS DOUBLE) /
+      |      CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS xc
+      |  FROM dense
+      |), agg AS (
+      |  SELECT event_type,
+      |    $sums
+      |  FROM base GROUP BY event_type
+      |), stacked AS (
+      |  $unions
+      |), powered AS (
+      |  SELECT event_type, period_days,
+      |    ROUND(cs * cs + ss * ss, 6) AS power
+      |  FROM stacked
+      |)
+      |SELECT event_type, CAST(period_days AS INT) AS period_days, power,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY power DESC, period_days) = 1 AS is_dominant
+      |FROM powered
+      |ORDER BY event_type, period_days""".stripMargin
+  }
+
   /** q468 — Hurst exponent of each type's daily count series via the
     * rescaled-range (R/S) ladder: for block sizes n ∈ {4,7,14} the
     * dense series splits into full blocks, each block contributes

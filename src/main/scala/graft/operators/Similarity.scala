@@ -3959,4 +3959,87 @@ object Similarity {
       |JOIN spread sa ON sa.label = p.label_a
       |JOIN spread sb ON sb.label = p.label_b
       |ORDER BY p.label_a, p.label_b""".stripMargin
+
+  /** q471 — Davies–Bouldin cluster-validity index over the label
+    * partition: per label the scatter S_i = mean cosine distance of
+    * members to their own centroid, per pair the separation M_ij =
+    * cosine distance between centroids, R_ij = (S_i + S_j)/M_ij, and
+    * each label reports its WORST ratio (the neighbor it most blurs
+    * into). Lower = tighter-and-farther; the q224 silhouette asks
+    * "is each VECTOR on the right side", DB asks "which CLUSTER PAIR
+    * should merge or retrain first" — the diagnostic that names the
+    * offender instead of scoring the victim.
+    *
+    * Exactness: per-member cosines round 6dp (the q117 kernel) and
+    * average through DECIMAL; the K² centroid-pair matrix reuses the
+    * SAME rounded-cosine kernel; R is one guarded IEEE division
+    * rounded 6dp; the argmax orders by the rounded R then label.
+    *
+    * Scale: members join ONLY their own centroid (a broadcast K-row
+    * join keyed on label — not the K-way crossJoin the silhouette
+    * needs); the pair matrix is K² broadcast-sized rows. One member
+    * pass at any corpus size.
+    */
+  def daviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cent = centroidArrays(labelCentroids(spark, dir)).localCheckpoint()
+    val scatter = emb
+      .join(broadcast(cent.select(col("cell").as("label"), col("c_emb"))), "label")
+      .withColumn("d", lit(1.0) - round(cosine(spark, col("embedding"), col("c_emb")), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(Relational.decSum(col("d")) / count(lit(1)).cast("double"), 6)
+          .as("s_i"))
+    val ca = cent.select(col("cell").as("la"), col("c_emb").as("ea"))
+    val cb = cent.select(col("cell").as("lb"), col("c_emb").as("eb"))
+    val pairs = ca.join(cb, col("la") =!= col("lb"))
+      .withColumn("m", lit(1.0) - round(cosine(spark, col("ea"), col("eb")), 6))
+    val r = pairs
+      .join(scatter.select(col("label").as("la"), col("s_i").as("sa")), "la")
+      .join(scatter.select(col("label").as("lb"), col("s_i").as("sb")), "lb")
+      .withColumn("r", round((col("sa") + col("sb")) /
+        nullif(col("m"), lit(0.0)), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("la"))
+      .orderBy(col("r").desc_nulls_last, col("lb"))
+    r.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(scatter.select(col("label").as("la"), col("n_vecs")), "la")
+      .select(col("la").as("label"), col("n_vecs"), col("sa").as("scatter"),
+        col("lb").as("worst_other"), col("r").as("r_max"))
+      .orderBy(col("label"))
+  }
+
+  val daviesBouldinSql: String =
+    s"""WITH cent_long AS (
+       |  SELECT label, i - 1 AS dim,
+       |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+       |      / COUNT(embedding[i]) AS centroid
+       |  FROM embeddings, generate_series(1, 64) AS t(i)
+       |  GROUP BY label, i
+       |), cent AS (
+       |  SELECT label AS cell, list(CAST(centroid AS REAL) ORDER BY dim) AS c_emb
+       |  FROM cent_long GROUP BY label
+       |), scatter AS (
+       |  SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    ROUND(CAST(SUM(CAST(1.0 - ROUND(${cosSql("e.embedding", "c.c_emb")}, 6)
+       |        AS DECIMAL(18,6))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS s_i
+       |  FROM embeddings e JOIN cent c ON c.cell = e.label
+       |  GROUP BY e.label
+       |), pairs AS (
+       |  SELECT a.cell AS la, b.cell AS lb,
+       |    1.0 - ROUND(${cosSql("a.c_emb", "b.c_emb")}, 6) AS m
+       |  FROM cent a JOIN cent b ON a.cell <> b.cell
+       |), r AS (
+       |  SELECT p.la, p.lb, sa.s_i AS sa, sb.s_i AS sb, sa.n_vecs,
+       |    ROUND((sa.s_i + sb.s_i) / NULLIF(p.m, 0.0), 6) AS r
+       |  FROM pairs p
+       |  JOIN scatter sa ON sa.label = p.la
+       |  JOIN scatter sb ON sb.label = p.lb
+       |)
+       |SELECT la AS label, n_vecs, sa AS scatter, lb AS worst_other,
+       |  r AS r_max
+       |FROM r
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY la
+       |  ORDER BY r DESC NULLS LAST, lb) = 1
+       |ORDER BY label""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Events, TextAnalysis}
+import graft.operators.{Events, Similarity, TextAnalysis}
 
 /** Round-12 third-wave invariants: the game-theoretic identities of
   * Shapley attribution (efficiency, null-player, symmetry) on a
@@ -97,6 +97,54 @@ class Round12OpsSpec3 extends AnyFunSuite {
     assert(out.size === 1)
     assert(out.head._2.isEmpty && out.head._3.isEmpty &&
       out.head._4.isEmpty && out.head._5.isEmpty)
+  }
+
+  test("q469 periodogram: a pure 7-day cycle puts the dominant period at 7, exactly one dominant per type") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r12p").toString
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    (0L until 28L).flatMap(d => (1L to (d % 7) * 4L + 1L).map(j =>
+      (d * 1000L + j, ts(d), 1L, "m", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.periodogram(spark, dir)
+      .as[(String, Int, Double, Boolean)].collect().toSeq
+    assert(out.count(_._4) === 1)
+    assert(out.find(_._4).get._2 === 7)
+    val p7 = out.find(_._2 == 7).get._3
+    out.filter(r => r._2 != 7 && r._2 != 14).foreach(r => assert(r._3 < p7 / 10))
+  }
+
+  test("q469 periodogram on sf0.01: full period grid per type, nonnegative power") {
+    val out = Events.periodogram(spark, sf001)
+      .as[(String, Int, Double, Boolean)].collect().toSeq
+    assert(out.size === 40) // 5 types x 8 periods
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.count(_._4) === 1)
+      assert(rows.map(_._2).sorted === Seq(2, 3, 4, 5, 6, 7, 10, 14))
+    }
+    out.foreach(r => assert(r._3 >= 0.0))
+  }
+
+  test("q470 HITS: scores sorted desc with the max normalized to 1, integer raw scores positive") {
+    val out = graft.operators.Graph.hitsAuthorities(spark, sf001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.size === 20)
+    assert(out.head._3 === 1.0)
+    val raws = out.map(_._2)
+    assert(raws.zip(raws.tail).forall { case (a, b) => a >= b })
+    out.foreach { r => assert(r._2 > 0L && r._3 > 0.0 && r._3 <= 1.0) }
+  }
+
+  test("q471 Davies-Bouldin: worst_other is never self, scatter and R positive, all labels present") {
+    val out = Similarity.daviesBouldin(spark, sf001)
+      .as[(Int, Long, Double, Int, Double)].collect().toSeq
+    assert(out.size === 10)
+    assert(out.map(_._1).sorted === (0 until 10))
+    out.foreach { r =>
+      assert(r._4 !== r._1)
+      assert(r._3 > 0.0 && r._5 > 0.0)
+      assert(r._2 > 0L)
+    }
   }
 
   test("q468 Hurst on sf0.01: positive R/S ladder and a finite exponent per type") {
