@@ -7608,6 +7608,209 @@ object Events {
       |ORDER BY event_type, period_days""".stripMargin
   }
 
+  /** q472 — SAX (symbolic aggregate approximation) motif table: each
+    * type's daily series z-normalizes, averages over 2-day PAA
+    * frames, discretizes into the 4-symbol Gaussian-equiprobable
+    * alphabet (breakpoints ±0.6745, 0), and the sliding 3-symbol
+    * words are counted — the top motifs are the series' recurring
+    * SHAPES ("ramp-up", "spike-decay") that raw correlation numbers
+    * can't name, the standard preprocessing for motif discovery and
+    * shape-indexed similarity at scale (symbols compress a 100 TB
+    * series into a greppable string per window). Top-3 words per
+    * type, fully tiebroken.
+    *
+    * Exactness: μ and σ come from exact integer moment sums in one
+    * IEEE chain; frame means are integer sums divided by the literal
+    * frame width; the breakpoint comparisons see bit-identical
+    * doubles in both engines so every symbol matches; word counts are
+    * integers and the ranking orders by (count desc, word).
+    *
+    * Scale: calendar-sized throughout — one dense grid, one
+    * (type, frame) aggregate, lead() windows keyed per type over
+    * frames, a word count aggregate.
+    */
+  def saxMotifs(spark: SparkSession, dir: String, frameDays: Int = 2,
+                topK: Int = 3): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val dense = denseDailyCounts(spark, dir)
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("s", sum(col("v")).over(byType))
+      .withColumn("ss", sum(col("v") * col("v")).over(byType))
+      .withColumn("mu", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("sigma", sqrt(col("ss").cast("double") / col("n").cast("double")
+        - col("mu") * col("mu")))
+    val frames = dense.withColumn("frame", expr(s"day div $frameDays"))
+      .groupBy(col("event_type"), col("frame"))
+      .agg(count(lit(1)).as("fd"), sum(col("v")).as("fs"),
+        max(col("mu")).as("mu"), max(col("sigma")).as("sigma"))
+      .filter(col("fd") === frameDays)
+      .withColumn("z", (col("fs").cast("double") / lit(frameDays.toDouble)
+        - col("mu")) / nullif(col("sigma"), lit(0.0)))
+      .withColumn("sym",
+        when(col("z").isNull, lit("b"))
+          .when(col("z") < -0.6745, lit("a"))
+          .when(col("z") < 0.0, lit("b"))
+          .when(col("z") < 0.6745, lit("c"))
+          .otherwise(lit("d")))
+    val seq3 = Window.partitionBy(col("event_type")).orderBy(col("frame"))
+    val words = frames
+      .withColumn("w", concat(col("sym"), lead(col("sym"), 1).over(seq3),
+        lead(col("sym"), 2).over(seq3)))
+      .filter(col("w").isNotNull)
+      .groupBy(col("event_type"), col("w"))
+      .agg(count(lit(1)).as("n_occ"))
+    val rankW = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_occ").desc, col("w"))
+    words.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= topK)
+      .select(col("event_type"), col("rank"), col("w").as("motif"),
+        col("n_occ"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  def saxMotifsSql(frameDays: Int = 2, topK: Int = 3): String =
+    s"""WITH $denseDailyCountsSql, stats AS (
+      |  SELECT event_type, day, v,
+      |    CAST(SUM(v) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)
+      |      AS mu,
+      |    sqrt(CAST(SUM(v * v) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)
+      |      - (CAST(SUM(v) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE))
+      |      * (CAST(SUM(v) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)))
+      |      AS sigma
+      |  FROM dense
+      |  WINDOW w AS (PARTITION BY event_type)
+      |), frames AS (
+      |  SELECT event_type, day // $frameDays AS frame,
+      |    (CAST(SUM(v) AS DOUBLE) / $frameDays.0 - MAX(mu))
+      |      / NULLIF(MAX(sigma), 0.0) AS z
+      |  FROM stats GROUP BY 1, 2
+      |  HAVING COUNT(*) = $frameDays
+      |), syms AS (
+      |  SELECT event_type, frame,
+      |    CASE WHEN z IS NULL THEN 'b'
+      |      WHEN z < -0.6745 THEN 'a'
+      |      WHEN z < 0.0 THEN 'b'
+      |      WHEN z < 0.6745 THEN 'c'
+      |      ELSE 'd' END AS sym
+      |  FROM frames
+      |), words AS (
+      |  SELECT event_type,
+      |    sym || LEAD(sym, 1) OVER wo || LEAD(sym, 2) OVER wo AS w
+      |  FROM syms
+      |  WINDOW wo AS (PARTITION BY event_type ORDER BY frame)
+      |), counted AS (
+      |  SELECT event_type, w, CAST(COUNT(*) AS BIGINT) AS n_occ
+      |  FROM words WHERE w IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT event_type, CAST(rank AS INT) AS rank, w AS motif, n_occ
+      |FROM (
+      |  SELECT event_type, w, n_occ,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY n_occ DESC, w) AS rank
+      |  FROM counted
+      |)
+      |WHERE rank <= $topK
+      |ORDER BY event_type, rank""".stripMargin
+
+  /** q474 — DTW similarity of the event types' 24-hour activity
+    * profiles: each type's hour-of-day distribution (24 shares) is a
+    * SHAPE, and dynamic time warping scores shape similarity with
+    * phase tolerance — two types with the same daily rhythm shifted
+    * by two hours score near-identical under DTW while plain L1
+    * punishes the shift (both distances reported; `warp gain` =
+    * l1 − dtw is the phase-shift evidence). The shape-based
+    * clustering primitive for "which streams share a usage rhythm",
+    * powered by the codegen'd [[graft.functions.DtwDistance]] kernel
+    * (SURVEY §2.11 — the DP is inexpressible in higher-order array
+    * functions without falling out of codegen).
+    *
+    * Exactness: profiles are single IEEE divisions of exact integer
+    * conditional sums (no spine join — 24 fixed conditional sums
+    * guarantee order and density); the DP accumulates in the FIXED
+    * recurrence order so both engines produce bit-identical doubles
+    * (the DuckDB twin is the same recurrence unrolled into 24
+    * lateral-alias column chains); l1 folds left-to-right with a 0.0
+    * seed on both sides. Both distances round once at 6dp.
+    *
+    * Scale: one narrow event aggregate (24 conditional sums per
+    * type), then |types|² broadcast-sized pair rows each paying an
+    * O(24²) codegen'd loop — the corpus is touched exactly once.
+    */
+  def dtwHourProfiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        expr("pmod(unix_micros(ts) div 3600000000, 24)").as("hour"))
+    val aggs = (0 until 24).map(h =>
+      sum(when(col("hour") === h, 1L).otherwise(0L)).as(s"h$h")) :+
+      count(lit(1)).as("t")
+    val prof = e.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"), array((0 until 24).map(h =>
+        col(s"h$h").cast("double") / col("t").cast("double")): _*).as("p"))
+    val pa = prof.select(col("event_type").as("type_a"), col("p").as("pa"))
+    val pb = prof.select(col("event_type").as("type_b"), col("p").as("pb"))
+    val l1 = aggregate(zip_with(col("pa"), col("pb"), (x, y) => abs(x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    pa.join(pb, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round(l1, 6).as("l1"),
+        round(graft.functions.DtwDistance.dtw(spark, col("pa"), col("pb")), 6)
+          .as("dtw"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** The DP unrolled: CTE r_i carries row i of the 24×24 matrix as 24
+    * lateral-alias columns c{i}_{j} — the same `cost + min3` operand
+    * order as the codegen'd kernel, so values match bit-for-bit.
+    */
+  def dtwHourProfilesSql: String = {
+    val n = 24
+    val hs = (0 until n).map(h =>
+      s"SUM(CASE WHEN hour = $h THEN 1 ELSE 0 END) AS h$h").mkString(",\n      |      ")
+    val plist = (0 until n).map(h =>
+      s"CAST(h$h AS DOUBLE) / CAST(t AS DOUBLE)").mkString(", ")
+    val levels = (1 to n).map { i =>
+      val cells = (1 to n).map { j =>
+        val cost = s"ABS(pa[$i] - pb[$j])"
+        val rhs =
+          if (i == 1 && j == 1) cost
+          else if (i == 1) s"$cost + c${i}_${j - 1}"
+          else if (j == 1) s"$cost + c${i - 1}_$j"
+          else s"$cost + LEAST(c${i - 1}_$j, c${i - 1}_${j - 1}, c${i}_${j - 1})"
+        s"$rhs AS c${i}_$j"
+      }.mkString(",\n      |    ")
+      val from = if (i == 1) "pairs" else s"r${i - 1}"
+      s"""r$i AS (
+        |  SELECT type_a, type_b, pa, pb,
+        |    $cells
+        |  FROM $from
+        |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH prof AS (
+      |  SELECT event_type, [$plist] AS p
+      |  FROM (
+      |    SELECT event_type,
+      |      $hs,
+      |      CAST(COUNT(*) AS BIGINT) AS t
+      |    FROM (
+      |      SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour
+      |      FROM events
+      |    )
+      |    GROUP BY 1
+      |  )
+      |), pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.p AS pa, b.p AS pb
+      |  FROM prof a JOIN prof b ON a.event_type < b.event_type
+      |), $levels
+      |SELECT type_a, type_b,
+      |  ROUND(list_reduce(list_prepend(0.0,
+      |    [ABS(pa[i] - pb[i]) for i in range(1, ${n + 1})]),
+      |    (x, y) -> x + y), 6) AS l1,
+      |  ROUND(c${n}_$n, 6) AS dtw
+      |FROM r$n
+      |ORDER BY type_a, type_b""".stripMargin
+  }
+
   /** q468 — Hurst exponent of each type's daily count series via the
     * rescaled-range (R/S) ladder: for block sizes n ∈ {4,7,14} the
     * dense series splits into full blocks, each block contributes

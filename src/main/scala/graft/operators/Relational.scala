@@ -4556,4 +4556,89 @@ object Relational {
       |FROM ranked
       |GROUP BY p_type
       |ORDER BY p_type""".stripMargin
+
+  /** q473 — Simpson's-paradox screen on the discount→quantity
+    * association: the OLS slope of quantity on discount computed
+    * GLOBALLY and within every part-type stratum, each stratum
+    * flagged when its sign contradicts the global — the aggregation
+    * trap detector (a pooled "discounts don't move volume" can be
+    * pure composition effect when every stratum individually says
+    * they do). The screen every pooled-metric dashboard needs before
+    * anyone acts on a pooled slope.
+    *
+    * Exactness: the q102 discipline verbatim — per-term 6dp rounds
+    * into DECIMAL(28,6) sufficient-statistic sums (one aggregate
+    * computes every stratum; the global row is the SAME sums re-added
+    * over strata, so pooled == Σ stratum sums exactly), slope in one
+    * fixed IEEE operand order, NULLIF degeneracy.
+    *
+    * Scale: one fact-scan aggregate keyed by p_type after the
+    * part-dim join; the global re-aggregate runs over |types| rows;
+    * flags are a broadcast 1-row join.
+    */
+  def simpsonScreen(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsumDec(c: Column): Column = sum(c.cast(dec))
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_type"))
+    val base = li.join(part, col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), col("l_discount").as("x"), col("l_quantity").as("y"))
+    val strata = base.groupBy(col("p_type")).agg(
+      count(lit(1)).as("n"),
+      dsumDec(col("x")).as("sx"),
+      dsumDec(col("y")).as("sy"),
+      dsumDec(round(col("x") * col("x"), 6)).as("sxx"),
+      dsumDec(round(col("x") * col("y"), 6)).as("sxy"))
+      .localCheckpoint()
+    def slopeOf(df: DataFrame): DataFrame = df
+      .withColumn("den", nullif(
+        col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"), lit(0.0)))
+      .withColumn("slope", round(
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")) / col("den"), 6))
+    val g = slopeOf(strata.agg(
+      sum(col("n")).as("n"), sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+      sum(col("sxx")).as("sxx"), sum(col("sxy")).as("sxy")))
+      .select(col("slope").as("global_slope"))
+    slopeOf(strata).crossJoin(broadcast(g))
+      .select(col("p_type"), col("n"), col("slope"), col("global_slope"),
+        (col("slope") * col("global_slope") < 0).as("flips_global"))
+      .orderBy(col("p_type"))
+  }
+
+  val simpsonScreenSql: String =
+    """WITH base AS (
+      |  SELECT p.p_type, l.l_discount AS x, l.l_quantity AS y
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |), strata AS (
+      |  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(28,6))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(28,6))) AS sy,
+      |    SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS sxx,
+      |    SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS sxy
+      |  FROM base GROUP BY 1
+      |), s AS (
+      |  SELECT p_type, n,
+      |    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) AS slope
+      |  FROM strata
+      |), g AS (
+      |  SELECT ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) AS global_slope
+      |  FROM (
+      |    SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+      |      SUM(sxx) AS sxx, SUM(sxy) AS sxy
+      |    FROM strata
+      |  )
+      |)
+      |SELECT s.p_type, s.n, s.slope, g.global_slope,
+      |  s.slope * g.global_slope < 0 AS flips_global
+      |FROM s CROSS JOIN g
+      |ORDER BY s.p_type""".stripMargin
 }

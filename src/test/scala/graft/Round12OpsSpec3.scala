@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Events, Similarity, TextAnalysis}
+import graft.operators.{Events, Relational, Similarity, TextAnalysis}
 
 /** Round-12 third-wave invariants: the game-theoretic identities of
   * Shapley attribution (efficiency, null-player, symmetry) on a
@@ -144,6 +144,102 @@ class Round12OpsSpec3 extends AnyFunSuite {
       assert(r._4 !== r._1)
       assert(r._3 > 0.0 && r._5 > 0.0)
       assert(r._2 > 0L)
+    }
+  }
+
+  test("q472 SAX: a constant series symbolizes to all-'b' (one motif), ranks well-formed on sf0.01") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r12s").toString
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    (0L until 20L).flatMap(d => (1L to 4L).map(j =>
+      (d * 100L + j, ts(d), 1L, "m", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val flat = Events.saxMotifs(spark, dir)
+      .as[(String, Int, String, Long)].collect().toSeq
+    assert(flat.size === 1)
+    assert(flat.head._3 === "bbb")
+    assert(flat.head._4 === 8L) // 10 frames -> 8 sliding 3-words
+    val out = Events.saxMotifs(spark, sf001)
+      .as[(String, Int, String, Long)].collect().toSeq
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (1 to rows.size))
+      val occ = rows.sortBy(_._2).map(_._4)
+      assert(occ.zip(occ.tail).forall { case (a, b) => a >= b })
+    }
+    out.foreach(r => assert(r._3.length === 3 &&
+      r._3.forall("abcd".contains(_))))
+  }
+
+  test("q473 Simpson screen: a textbook composition flip is caught (strata positive, pooled negative)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r12x").toString
+    def ts(d: Long) = new java.sql.Timestamp(86400000L + d)
+    // stratum LOW sells at small discounts with HIGH quantities,
+    // stratum HIGH at large discounts with LOW quantities; within each,
+    // quantity RISES with discount
+    val rows = Seq(
+      (1L, "LOW", 0.00, 50.0), (2L, "LOW", 0.01, 52.0),
+      (3L, "LOW", 0.02, 54.0), (4L, "HIGH", 0.08, 5.0),
+      (5L, "HIGH", 0.09, 7.0), (6L, "HIGH", 0.10, 9.0))
+    rows.map { case (pk, _, disc, qty) =>
+      (1000L + pk, pk, 1L, 1, qty, 100.0, disc, 0.0, "N", "O", ts(pk))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    rows.map { case (pk, t, _, _) => (pk, s"part$pk", t) }
+      .toDF("p_partkey", "p_name", "p_type")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = Relational.simpsonScreen(spark, dir)
+      .as[(String, Long, Option[Double], Option[Double], Option[Boolean])]
+      .collect().toSeq
+    assert(out.size === 2)
+    out.foreach { r =>
+      assert(r._3.exists(_ > 0.0))      // every stratum: positive slope
+      assert(r._4.exists(_ < 0.0))      // pooled: negative slope
+      assert(r._5.contains(true))       // and the screen says so
+    }
+  }
+
+  test("q473 Simpson screen on sf0.01: one global slope, flags consistent with the sign product") {
+    val out = Relational.simpsonScreen(spark, sf001)
+      .as[(String, Long, Option[Double], Option[Double], Option[Boolean])]
+      .collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.map(_._4).distinct.size === 1)
+    out.foreach { r =>
+      (r._3, r._4) match {
+        case (Some(s), Some(g)) => assert(r._5.contains(s * g < 0))
+        case _ => assert(r._5.isEmpty || r._5.contains(false))
+      }
+    }
+  }
+
+  test("q474 DTW kernel: identity gives 0, distance <= L1, and a phase shift warps to near-zero") {
+    import org.apache.spark.sql.functions._
+    val a = Seq(0.0, 0.0, 0.0, 1.0, 2.0, 1.0, 0.0, 0.0, 0.0, 0.0)
+    // the same pulse shifted 2 left, endpoints still flat — an
+    // unconstrained warp aligns it exactly (endpoints must pair up)
+    val b = a.drop(2) ++ Seq(0.0, 0.0)
+    val df = Seq((a, a, b)).toDF("x", "same", "shifted")
+    val r = df.select(
+      graft.functions.DtwDistance.dtw(spark, col("x"), col("same")).as("d0"),
+      graft.functions.DtwDistance.dtw(spark, col("x"), col("shifted")).as("ds"),
+      aggregate(zip_with(col("x"), col("shifted"), (p, q) => abs(p - q)),
+        lit(0.0), (acc, v) => acc + v).as("l1s"))
+      .as[(Double, Double, Double)].head()
+    assert(r._1 === 0.0)
+    assert(r._2 < r._3)  // warping absorbs the shift; L1 cannot
+    assert(r._2 === 0.0) // an unconstrained warp aligns the pulse exactly
+  }
+
+  test("q474 DTW profiles on sf0.01: 10 pairs, dtw <= l1 on every row, symmetric-free ordering") {
+    val out = Events.dtwHourProfiles(spark, sf001)
+      .as[(String, String, Double, Double)].collect().toSeq
+    assert(out.size === 10)
+    out.foreach { r =>
+      assert(r._1 < r._2)
+      assert(r._4 <= r._3 + 1e-9)
+      assert(r._4 >= 0.0)
     }
   }
 
