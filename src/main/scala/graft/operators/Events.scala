@@ -7712,6 +7712,205 @@ object Events {
       |WHERE rank <= $topK
       |ORDER BY event_type, rank""".stripMargin
 
+  /** q476 — Ljung–Box portmanteau test per type's daily series:
+    * Q = n(n+2)·Σ_{k=1..7} ρ_k²/(n−k) against the χ²₀.₉₅,₇ cut — the
+    * ONE-number "is there any autocorrelation at all" gate that
+    * decides whether the q209 ACF / q429 PACF machinery has anything
+    * real to model, and the standard residual-whiteness check after a
+    * fit (q241 Holt, q135 Markov).
+    *
+    * Exactness: the q429 discipline — centered products round 6dp
+    * into DECIMAL(28,6) autocovariance sums (the mean is one IEEE
+    * division of exact integers), ρ_k = g_k/g_0 and the 7-term Q fold
+    * run in one FIXED operand order (conditional-sum pivot, never a
+    * float sum over rows), verdict against the literal 14.067140 cut.
+    *
+    * Scale: calendar-sized — one dense grid, 7 lead columns, one
+    * (type, lag) aggregate, a |types|-row pivot.
+    */
+  def ljungBox(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val byType = Window.partitionBy(col("event_type"))
+    val w = byType.orderBy(col("day"))
+    val dense = denseDailyCounts(spark, dir)
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("xbar", sum(col("v")).over(byType).cast("double")
+        / count(lit(1)).over(byType).cast("double"))
+      .withColumn("xc", col("v").cast("double") - col("xbar"))
+    val withLeads = (1 to maxLag).foldLeft(dense) { (df, k) =>
+      df.withColumn(s"y_$k", lead(col("xc"), k).over(w))
+    }
+    val stacked = withLeads.select(col("event_type"), col("n"), col("xc"),
+      expr(s"stack($maxLag, " +
+        (1 to maxLag).map(k => s"$k, y_$k").mkString(", ") + ")")
+        .as(Seq("lag", "y")))
+    val gk = stacked.filter(col("y").isNotNull)
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(round(col("xc") * col("y"), 6).cast(dec)).cast("double").as("g"))
+    val g0 = dense.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        sum(round(col("xc") * col("xc"), 6).cast(dec)).cast("double").as("g0"))
+    val pivot = gk.groupBy(col("event_type"))
+      .agg((1 to maxLag).map(k =>
+        max(when(col("lag") === k, col("g"))).as(s"g$k")).head,
+        (2 to maxLag).map(k =>
+          max(when(col("lag") === k, col("g"))).as(s"g$k")): _*)
+    val joined = pivot.join(g0, "event_type")
+    val nD = col("n_days").cast("double")
+    val g0nz = nullif(col("g0"), lit(0.0))
+    val qSum = (1 to maxLag).map { k =>
+      (col(s"g$k") / g0nz) * (col(s"g$k") / g0nz) /
+        (nD - lit(k.toDouble))
+    }.reduce(_ + _)
+    joined.select(col("event_type"), col("n_days"),
+        round(nD * (nD + 2.0) * qSum, 6).as("q_stat"),
+        lit(maxLag).cast("int").as("df"))
+      .withColumn("verdict",
+        when(col("q_stat").isNull, lit("degenerate"))
+          .when(col("q_stat") > 14.067140, lit("autocorrelated"))
+          .otherwise(lit("white_noise")))
+      .orderBy(col("event_type"))
+  }
+
+  def ljungBoxSql(maxLag: Int = 7): String = {
+    val leadCols = (1 to maxLag).map(k =>
+      s"LEAD(xc, $k) OVER wo AS y_$k").mkString(",\n      |    ")
+    val unions = (1 to maxLag).map(k =>
+      s"SELECT event_type, n, xc, $k AS lag, y_$k AS y FROM leads")
+      .mkString("\n      |  UNION ALL ")
+    val gCols = (1 to maxLag).map(k =>
+      s"MAX(CASE WHEN lag = $k THEN g END) AS g$k").mkString(",\n      |    ")
+    val qTerms = (1 to maxLag).map(k =>
+      s"(g$k / NULLIF(g0, 0.0)) * (g$k / NULLIF(g0, 0.0)) / (CAST(n_days AS DOUBLE) - $k.0)")
+      .mkString("\n      |    + ")
+    s"""WITH $denseDailyCountsSql, centered AS (
+      |  SELECT event_type, day, v,
+      |    COUNT(*) OVER wt AS n,
+      |    CAST(v AS DOUBLE) - CAST(SUM(v) OVER wt AS DOUBLE)
+      |      / CAST(COUNT(*) OVER wt AS DOUBLE) AS xc
+      |  FROM dense
+      |  WINDOW wt AS (PARTITION BY event_type)
+      |), leads AS (
+      |  SELECT event_type, n, xc,
+      |    $leadCols
+      |  FROM centered
+      |  WINDOW wo AS (PARTITION BY event_type ORDER BY day)
+      |), stacked AS (
+      |  $unions
+      |), gk AS (
+      |  SELECT event_type, lag,
+      |    CAST(SUM(CAST(ROUND(xc * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g
+      |  FROM stacked WHERE y IS NOT NULL GROUP BY 1, 2
+      |), g0 AS (
+      |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+      |    CAST(SUM(CAST(ROUND(xc * xc, 6) AS DECIMAL(28,6))) AS DOUBLE) AS g0
+      |  FROM centered GROUP BY 1
+      |), gmat AS (
+      |  SELECT event_type,
+      |    $gCols
+      |  FROM gk GROUP BY 1
+      |), scored AS (
+      |  SELECT p.event_type, z.n_days,
+      |    ROUND(CAST(z.n_days AS DOUBLE) * (CAST(z.n_days AS DOUBLE) + 2.0)
+      |      * ($qTerms), 6) AS q_stat
+      |  FROM gmat p JOIN g0 z ON z.event_type = p.event_type
+      |)
+      |SELECT event_type, n_days, q_stat, CAST($maxLag AS INT) AS df,
+      |  CASE WHEN q_stat IS NULL THEN 'degenerate'
+      |    WHEN q_stat > 14.067140 THEN 'autocorrelated'
+      |    ELSE 'white_noise' END AS verdict
+      |FROM scored
+      |ORDER BY event_type""".stripMargin
+  }
+
+  /** q477 — Dickey–Fuller unit-root test per type's daily series: the
+    * regression Δx_t = α + β·x_{t−1} + ε, with the DF statistic
+    * t = β̂/SE(β̂) against the −2.86 (constant-included, 5%) cut —
+    * "is this series mean-reverting or a random walk", the
+    * stationarity gate that decides whether the trend operators
+    * (q102 OLS, q217 Theil–Sen) describe structure or drift. β̂ near
+    * 0 with small |t| = unit root (differencing needed); strongly
+    * negative t = stationary.
+    *
+    * Exactness: x and Δx are exact integers, so all five sufficient
+    * statistics accumulate EXACTLY in DECIMAL(28,6) (no per-term
+    * rounding needed); β̂, the residual variance via
+    * (Syy_c − β̂·Sxy_c)/(n−2), SE and t run in one fixed IEEE chain,
+    * each output rounded once; NULLIF guards the constant series.
+    *
+    * Scale: calendar-sized — one dense grid, one lag column, one
+    * |types|-row sufficient-stat aggregate.
+    */
+  def dickeyFuller(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pairs = denseDailyCounts(spark, dir)
+      .withColumn("xlag", lag(col("v"), 1).over(w))
+      .filter(col("xlag").isNotNull)
+      .withColumn("x", col("xlag"))
+      .withColumn("y", col("v") - col("xlag"))
+    val stats = pairs.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val sxxC = col("sxx") - col("sx") * col("sx") / nD
+    val sxyC = col("sxy") - col("sx") * col("sy") / nD
+    val syyC = col("syy") - col("sy") * col("sy") / nD
+    val beta = sxyC / nullif(sxxC, lit(0.0))
+    val s2 = (syyC - beta * sxyC) / nullif(nD - 2.0, lit(0.0))
+    val tStat = beta / nullif(sqrt(s2 / nullif(sxxC, lit(0.0))), lit(0.0))
+    stats.select(col("event_type"), col("n").as("n_pairs"),
+        round(beta, 6).as("beta"), round(tStat, 6).as("t_stat"),
+        when(round(tStat, 6).isNull, lit("degenerate"))
+          .when(round(tStat, 6) < -2.86, lit("stationary"))
+          .otherwise(lit("unit_root")).as("verdict"))
+      .orderBy(col("event_type"))
+  }
+
+  val dickeyFullerSql: String =
+    s"""WITH $denseDailyCountsSql, pairs AS (
+      |  SELECT event_type,
+      |    CAST(xlag AS BIGINT) AS x, CAST(v - xlag AS BIGINT) AS y
+      |  FROM (
+      |    SELECT event_type, v,
+      |      LAG(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS xlag
+      |    FROM dense
+      |  )
+      |  WHERE xlag IS NOT NULL
+      |), stats AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |  FROM pairs GROUP BY 1
+      |), scored AS (
+      |  SELECT event_type, n,
+      |    ROUND((sxy - sx * sy / CAST(n AS DOUBLE))
+      |      / NULLIF(sxx - sx * sx / CAST(n AS DOUBLE), 0.0), 6) AS beta,
+      |    ROUND(((sxy - sx * sy / CAST(n AS DOUBLE))
+      |        / NULLIF(sxx - sx * sx / CAST(n AS DOUBLE), 0.0))
+      |      / NULLIF(sqrt((((syy - sy * sy / CAST(n AS DOUBLE))
+      |          - ((sxy - sx * sy / CAST(n AS DOUBLE))
+      |            / NULLIF(sxx - sx * sx / CAST(n AS DOUBLE), 0.0))
+      |            * (sxy - sx * sy / CAST(n AS DOUBLE)))
+      |          / NULLIF(CAST(n AS DOUBLE) - 2.0, 0.0))
+      |        / NULLIF(sxx - sx * sx / CAST(n AS DOUBLE), 0.0)), 0.0), 6)
+      |      AS t_stat
+      |  FROM stats
+      |)
+      |SELECT event_type, n AS n_pairs, beta, t_stat,
+      |  CASE WHEN t_stat IS NULL THEN 'degenerate'
+      |    WHEN t_stat < -2.86 THEN 'stationary'
+      |    ELSE 'unit_root' END AS verdict
+      |FROM scored
+      |ORDER BY event_type""".stripMargin
+
   /** q474 — DTW similarity of the event types' 24-hour activity
     * profiles: each type's hour-of-day distribution (24 shares) is a
     * SHAPE, and dynamic time warping scores shape similarity with

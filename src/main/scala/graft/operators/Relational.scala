@@ -4608,6 +4608,106 @@ object Relational {
       .orderBy(col("p_type"))
   }
 
+  /** q475 — Cochran–Mantel–Haenszel pooled association: the 2×2 table
+    * (deep discount ≥ 5% × returned) per part-type stratum, combined
+    * into the MH common odds ratio Σ(a·d/n)/Σ(b·c/n) and the CMH χ²
+    * with continuity correction — the CATEGORICAL companion of q473's
+    * Simpson slope screen: "does discounting associate with returns
+    * once part type is controlled for", the stratified test a pooled
+    * 2×2 gets wrong whenever type mixes shift.
+    *
+    * Exactness: all four cells are integer counts off ONE fact
+    * aggregate; per-stratum terms (a·d/n, b·c/n, E, V) round 6dp into
+    * DECIMAL(18,6) sums (order-free across strata); the OR, χ² and
+    * verdict are one fixed IEEE chain against the literal 3.841459
+    * (χ²₀.₉₅,₁) cut.
+    *
+    * Scale: one part-dim join + one |types|-row aggregate; everything
+    * after is strata-sized.
+    */
+  def cmhPooled(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_type"))
+    val cells = li.join(part, col("l_partkey") === col("p_partkey"))
+      .withColumn("exp", (col("l_discount") >= 0.05).cast("long"))
+      .withColumn("ret", (col("l_returnflag") === "R").cast("long"))
+      .groupBy(col("p_type"))
+      .agg(sum(col("exp") * col("ret")).as("a"),
+        sum((lit(1L) - col("exp")) * col("ret")).as("b"),
+        sum(col("exp") * (lit(1L) - col("ret"))).as("c"),
+        sum((lit(1L) - col("exp")) * (lit(1L) - col("ret"))).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+    val nD = col("n").cast("double")
+    val agg = cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("a")).as("sa"),
+      decSum(round(col("a").cast("double") * col("d").cast("double") / nD, 6))
+        .as("s_ad"),
+      decSum(round(col("b").cast("double") * col("c").cast("double") / nD, 6))
+        .as("s_bc"),
+      decSum(round((col("a") + col("b")).cast("double")
+        * (col("a") + col("c")).cast("double") / nD, 6)).as("s_e"),
+      decSum(round((col("a") + col("b")).cast("double")
+        * (col("c") + col("d")).cast("double")
+        * (col("a") + col("c")).cast("double")
+        * (col("b") + col("d")).cast("double")
+        / (nD * nD * (nD - 1.0)), 6)).as("s_v"))
+    agg.select(col("n_strata"),
+        round(col("s_ad") / nullif(col("s_bc"), lit(0.0)), 6).as("or_cmh"),
+        round((abs(col("sa").cast("double") - col("s_e")) - 0.5)
+          * (abs(col("sa").cast("double") - col("s_e")) - 0.5)
+          / nullif(col("s_v"), lit(0.0)), 6).as("chi2"))
+      .withColumn("verdict",
+        when(col("chi2").isNull, lit("degenerate"))
+          .when(col("chi2") > 3.841459, lit("associated"))
+          .otherwise(lit("no_association")))
+  }
+
+  val cmhPooledSql: String =
+    """WITH cells AS (
+      |  SELECT p.p_type,
+      |    CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1
+      |), terms AS (
+      |  SELECT a, b, c, d, a + b + c + d AS n,
+      |    CAST(a + b + c + d AS DOUBLE) AS nd
+      |  FROM cells
+      |), agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+      |    CAST(SUM(a) AS BIGINT) AS sa,
+      |    CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / nd, 6)
+      |      AS DECIMAL(18,6))) AS DOUBLE) AS s_ad,
+      |    CAST(SUM(CAST(ROUND(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / nd, 6)
+      |      AS DECIMAL(18,6))) AS DOUBLE) AS s_bc,
+      |    CAST(SUM(CAST(ROUND(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+      |      / nd, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s_e,
+      |    CAST(SUM(CAST(ROUND(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+      |      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+      |      / (nd * nd * (nd - 1.0)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS s_v
+      |  FROM terms
+      |), scored AS (
+      |  SELECT n_strata,
+      |    ROUND(s_ad / NULLIF(s_bc, 0.0), 6) AS or_cmh,
+      |    ROUND((ABS(CAST(sa AS DOUBLE) - s_e) - 0.5)
+      |      * (ABS(CAST(sa AS DOUBLE) - s_e) - 0.5)
+      |      / NULLIF(s_v, 0.0), 6) AS chi2
+      |  FROM agg
+      |)
+      |SELECT n_strata, or_cmh, chi2,
+      |  CASE WHEN chi2 IS NULL THEN 'degenerate'
+      |    WHEN chi2 > 3.841459 THEN 'associated'
+      |    ELSE 'no_association' END AS verdict
+      |FROM scored""".stripMargin
+
   val simpsonScreenSql: String =
     """WITH base AS (
       |  SELECT p.p_type, l.l_discount AS x, l.l_quantity AS y

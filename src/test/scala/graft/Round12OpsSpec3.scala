@@ -243,6 +243,61 @@ class Round12OpsSpec3 extends AnyFunSuite {
     }
   }
 
+  test("q475 CMH: single row, verdict tracks the chi2 cut, OR positive on sf0.01") {
+    val out = Relational.cmhPooled(spark, sf001)
+      .as[(Long, Option[Double], Option[Double], String)].collect().toSeq
+    assert(out.size === 1)
+    val r = out.head
+    assert(r._2.exists(_ > 0.0))
+    (r._3, r._4) match {
+      case (Some(c), v) =>
+        assert(v === (if (c > 3.841459) "associated" else "no_association"))
+      case (None, v) => assert(v === "degenerate")
+    }
+  }
+
+  test("q476 Ljung-Box: constant series is degenerate (not a throw); sf0.01 gives 5 typed verdicts") {
+    val flat = eventsDir((0L to 13L).map(d => (d, "m", 3L)))
+    val out = Events.ljungBox(spark, flat)
+      .as[(String, Long, Option[Double], Int, String)].collect().toSeq
+    assert(out.size === 1)
+    assert(out.head._3.isEmpty && out.head._5 === "degenerate")
+    val real = Events.ljungBox(spark, sf001)
+      .as[(String, Long, Option[Double], Int, String)].collect().toSeq
+    assert(real.size === 5)
+    real.foreach { r =>
+      assert(r._4 === 7)
+      r._3.foreach(q => assert(q >= 0.0))
+      assert(Set("autocorrelated", "white_noise", "degenerate").contains(r._5))
+    }
+  }
+
+  test("q477 Dickey-Fuller: constant series is degenerate; sf0.01 series give finite t-stats") {
+    val flat = eventsDir((0L to 9L).map(d => (d, "m", 2L)))
+    val out = Events.dickeyFuller(spark, flat)
+      .as[(String, Long, Option[Double], Option[Double], String)].collect().toSeq
+    assert(out.size === 1)
+    assert(out.head._5 === "degenerate")
+    val real = Events.dickeyFuller(spark, sf001)
+      .as[(String, Long, Option[Double], Option[Double], String)].collect().toSeq
+    assert(real.size === 5)
+    real.foreach { r =>
+      assert(r._2 >= 2L)
+      assert(Set("stationary", "unit_root", "degenerate").contains(r._5))
+    }
+  }
+
+  /** events-only fixture dir shared by the time-series corners. */
+  private def eventsDir(cells: Seq[(Long, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r12e").toString
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    cells.zipWithIndex.flatMap { case ((d, typ, n), i) =>
+      (1L to n).map(j => (i * 10000L + j, ts(d), 1L, typ, 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
   test("q468 Hurst on sf0.01: positive R/S ladder and a finite exponent per type") {
     val out = Events.hurstLadder(spark, sf001)
       .as[(String, Option[Double], Option[Double], Option[Double], Option[Double])]
