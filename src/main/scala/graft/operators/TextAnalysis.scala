@@ -3581,6 +3581,247 @@ object TextAnalysis {
        |    6) AS predicted_fp""".stripMargin
   }
 
+  /** q478 — term burstiness (Church–Gale adaptation): per term with
+    * df ≥ 5, the within-document mean tf (cf/df) and the adaptation
+    * probability P(tf ≥ 2 | tf ≥ 1) = df₂/df — content words BURST
+    * (one mention begets another: high adaptation) while function
+    * words scatter Poisson-like, so adaptation separates topical
+    * vocabulary from glue without any stopword list. The top-20
+    * burstiest terms, the q36/q341 frequency battery's within-doc
+    * dimension.
+    *
+    * Exactness: cf, df, df₂ are exact integers off one (doc, token)
+    * aggregate; mean tf and adaptation are single rounded divisions;
+    * ranking orders by (rounded adaptation desc, cf desc, token).
+    *
+    * Scale: the q36 shuffle (doc-token counts with map-side combine)
+    * then a vocabulary-sized aggregate; top-20 via
+    * TakeOrderedAndProject.
+    */
+  def termBurstiness(spark: SparkSession, dir: String, minDf: Int = 5,
+                     topK: Int = 20): DataFrame = {
+    val tf = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("token"))
+      .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"),
+        sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("df2"))
+      .filter(col("df") >= minDf)
+      .select(col("token"), col("cf"), col("df"),
+        round(col("cf").cast("double") / col("df").cast("double"), 6)
+          .as("mean_tf"),
+        round(col("df2").cast("double") / col("df").cast("double"), 6)
+          .as("adaptation"))
+      .orderBy(col("adaptation").desc, col("cf").desc, col("token"))
+      .limit(topK)
+  }
+
+  def termBurstinessSql(minDf: Int = 5, topK: Int = 20): String =
+    s"""WITH tf AS (
+      |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  )
+      |  GROUP BY 1, 2
+      |), terms AS (
+      |  SELECT token, CAST(SUM(tf) AS BIGINT) AS cf,
+      |    CAST(COUNT(*) AS BIGINT) AS df,
+      |    CAST(SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      |  FROM tf GROUP BY 1
+      |)
+      |SELECT token, cf, df,
+      |  ROUND(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS mean_tf,
+      |  ROUND(CAST(df2 AS DOUBLE) / CAST(df AS DOUBLE), 6) AS adaptation
+      |FROM terms WHERE df >= $minDf
+      |ORDER BY adaptation DESC, cf DESC, token
+      |LIMIT $topK""".stripMargin
+
+  /** q479 — Kneser–Ney continuation statistics: per word, the
+    * continuation count N₁₊(•w) = number of DISTINCT left neighbors,
+    * and the KN continuation probability p_cont(w) = N₁₊(•w) / |bigram
+    * types| — the "Francisco problem" diagnostic (a word can be
+    * FREQUENT yet appear after only one context; raw unigram
+    * probability overstates it as a back-off target, continuation
+    * probability doesn't). Reported beside the raw unigram share with
+    * the rank gap, top-20 by continuation probability — the statistic
+    * every modern smoothed LM and every back-off tokenizer heuristic
+    * is built on.
+    *
+    * Exactness: continuation counts, bigram-type totals and unigram
+    * counts are all exact integers off one bigram-type aggregate; the
+    * two probabilities are single rounded divisions; ordering is
+    * fully tiebroken.
+    *
+    * Scale: one bigram explode (the q-gram shuffle) → distinct pair
+    * types → a vocabulary-sized aggregate + 1-row broadcast totals.
+    */
+  def knContinuation(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "w")))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigramTypes = toks
+      .withColumn("prev", lag(col("w"), 1).over(wnd))
+      .filter(col("prev").isNotNull)
+      .select(col("prev"), col("w")).distinct()
+      .localCheckpoint()
+    val cont = bigramTypes.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_contexts"))
+    val totBig = bigramTypes.agg(count(lit(1)).as("n_bigram_types"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val totUni = uni.agg(sum(col("cf")).as("n_tokens"))
+    cont.join(uni, "w")
+      .crossJoin(broadcast(totBig)).crossJoin(broadcast(totUni))
+      .select(col("w").as("token"), col("cf"), col("n_contexts"),
+        round(col("cf").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("p_unigram"),
+        round(col("n_contexts").cast("double")
+          / col("n_bigram_types").cast("double"), 6).as("p_continuation"))
+      .orderBy(col("p_continuation").desc, col("cf").desc, col("token"))
+      .limit(topK)
+  }
+
+  def knContinuationSql(topK: Int = 20): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\\s+'),
+      |            t -> t <> '') AS l
+      |        FROM documents)
+      |), bigram_types AS (
+      |  SELECT DISTINCT prev, w
+      |  FROM (
+      |    SELECT w, LAG(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |    FROM toks
+      |  )
+      |  WHERE prev IS NOT NULL
+      |), cont AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_contexts
+      |  FROM bigram_types GROUP BY 1
+      |), tot_big AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM bigram_types
+      |), uni AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cf FROM toks GROUP BY 1
+      |), tot_uni AS (
+      |  SELECT CAST(SUM(cf) AS BIGINT) AS n_tokens FROM uni
+      |)
+      |SELECT c.w AS token, u.cf, c.n_contexts,
+      |  ROUND(CAST(u.cf AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 6)
+      |    AS p_unigram,
+      |  ROUND(CAST(c.n_contexts AS DOUBLE) / CAST(b.n_bigram_types AS DOUBLE), 6)
+      |    AS p_continuation
+      |FROM cont c
+      |JOIN uni u ON u.w = c.w
+      |CROSS JOIN tot_big b CROSS JOIN tot_uni t
+      |ORDER BY p_continuation DESC, u.cf DESC, token
+      |LIMIT $topK""".stripMargin
+
+  /** q480 — Juilland's dispersion D per term across the 20 sources:
+    * D = 1 − CV/√(k−1) over the term's RELATIVE frequencies per
+    * source — a term can be frequent yet live in one source (D → 0:
+    * jargon, boilerplate, a single hot document set) or spread evenly
+    * (D → 1: general vocabulary). The corpus-linguistics complement
+    * of q467's keyness: keyness names what a source overuses,
+    * dispersion names which terms are CORPUS-GENERAL — the vocabulary
+    * a tokenizer should never split. Top/bottom-10 by D among df ≥ 10
+    * terms.
+    *
+    * Exactness: per-(source, token) counts and per-source totals are
+    * exact integers; each relative frequency is one IEEE division;
+    * the k-point moment sums fold over the SORTED r-array (left to
+    * right with a 0.0 seed on both engines — groupBy float sums would
+    * be partition-order-dependent), the mean/CV/D chain runs in fixed
+    * order against the driver-scalar k, rounded once; ties broken by
+    * token.
+    *
+    * Scale: the q36 (source, token) shuffle, then a vocabulary-sized
+    * aggregate holding ≤|sources| doubles per term; two
+    * TakeOrderedAndProject top-10s unioned.
+    */
+  def juillandDispersion(spark: SparkSession, dir: String, minCf: Int = 10,
+                         topK: Int = 10): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("m"))
+    val srcTot = tf.groupBy(col("source")).agg(sum(col("m")).as("st"))
+    val rel = tf.join(broadcast(srcTot), "source")
+      .withColumn("r", col("m").cast("double") / col("st").cast("double"))
+    val k = srcTot.count().toInt // |sources| — catalog-sized scalar
+    val stats = rel.groupBy(col("token"))
+      .agg(sum(col("m")).as("cf"),
+        sort_array(collect_list(col("r"))).as("rs"))
+      .filter(col("cf") >= minCf)
+      .withColumn("sr", aggregate(col("rs"), lit(0.0), (acc, v) => acc + v))
+      .withColumn("srr", aggregate(col("rs"), lit(0.0), (acc, v) => acc + v * v))
+      .withColumn("mean_r", col("sr") / lit(k.toDouble))
+      .withColumn("var_r", col("srr") / lit(k.toDouble)
+        - col("mean_r") * col("mean_r"))
+      .withColumn("d", round(lit(1.0) -
+        (sqrt(greatest(col("var_r"), lit(0.0))) / nullif(col("mean_r"), lit(0.0)))
+          / math.sqrt(k - 1.0), 6))
+      .localCheckpoint()
+    val topD = stats.orderBy(col("d").desc, col("token")).limit(topK)
+      .withColumn("bucket", lit("most_dispersed"))
+    val botD = stats.orderBy(col("d").asc, col("token")).limit(topK)
+      .withColumn("bucket", lit("most_clumped"))
+    topD.unionByName(botD)
+      .select(col("bucket"), col("token"), col("cf"), col("d"))
+      .orderBy(col("bucket"), col("d").desc, col("token"))
+  }
+
+  def juillandDispersionSql(minCf: Int = 10, topK: Int = 10): String =
+    s"""WITH tf AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM (
+      |    SELECT source, unnest(list_filter(
+      |      string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  )
+      |  GROUP BY 1, 2
+      |), src_tot AS (
+      |  SELECT source, CAST(SUM(m) AS BIGINT) AS st FROM tf GROUP BY 1
+      |), k AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k FROM src_tot
+      |), rel AS (
+      |  SELECT t.token, t.m,
+      |    CAST(t.m AS DOUBLE) / CAST(s.st AS DOUBLE) AS r
+      |  FROM tf t JOIN src_tot s ON s.source = t.source
+      |), stats AS (
+      |  SELECT token, CAST(SUM(m) AS BIGINT) AS cf,
+      |    list_sort(list(r)) AS rs
+      |  FROM rel GROUP BY 1
+      |  HAVING SUM(m) >= $minCf
+      |), folded AS (
+      |  SELECT token, cf,
+      |    list_reduce(list_prepend(0.0, rs), (x, y) -> x + y) AS sr,
+      |    list_reduce(list_prepend(0.0, [v * v for v in rs]),
+      |      (x, y) -> x + y) AS srr
+      |  FROM stats
+      |), scored AS (
+      |  SELECT token, cf,
+      |    ROUND(1.0 - (sqrt(GREATEST(srr / CAST(k.k AS DOUBLE)
+      |        - (sr / CAST(k.k AS DOUBLE)) * (sr / CAST(k.k AS DOUBLE)), 0.0))
+      |      / NULLIF(sr / CAST(k.k AS DOUBLE), 0.0))
+      |      / sqrt(CAST(k.k AS DOUBLE) - 1.0), 6) AS d
+      |  FROM folded CROSS JOIN k
+      |), topd AS (
+      |  SELECT 'most_dispersed' AS bucket, token, cf, d
+      |  FROM scored ORDER BY d DESC, token LIMIT $topK
+      |), botd AS (
+      |  SELECT 'most_clumped' AS bucket, token, cf, d
+      |  FROM scored ORDER BY d ASC, token LIMIT $topK
+      |)
+      |SELECT bucket, token, cf, d FROM topd
+      |UNION ALL
+      |SELECT bucket, token, cf, d FROM botd
+      |ORDER BY bucket, d DESC, token""".stripMargin
+
   /** q467 — keyness (Dunning log-likelihood G²) top terms per source:
     * for each (source, token), a = in-source count, b = rest-of-corpus
     * count, and G² = 2·[a·ln(a/E_a) + b·ln(b/E_b)] with expectations

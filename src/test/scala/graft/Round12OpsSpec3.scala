@@ -287,6 +287,44 @@ class Round12OpsSpec3 extends AnyFunSuite {
     }
   }
 
+  test("q478 burstiness: adaptation and mean_tf consistency (df2 <= df, mean_tf >= 1, adaptation in [0,1])") {
+    val out = TextAnalysis.termBurstiness(spark, sf001)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out.size === 20)
+    out.foreach { r =>
+      assert(r._2 >= r._3)        // cf >= df
+      assert(r._4 >= 1.0)         // mean tf at least 1 by construction
+      assert(r._5 >= 0.0 && r._5 <= 1.0)
+    }
+    val ad = out.map(_._5)
+    assert(ad.zip(ad.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q479 KN continuation: context counts bounded by cf and by the bigram-type total, probs in (0,1]") {
+    val out = TextAnalysis.knContinuation(spark, sf001)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out.size === 20)
+    out.foreach { r =>
+      assert(r._3 >= 1L)
+      assert(r._4 > 0.0 && r._4 <= 1.0)
+      assert(r._5 > 0.0 && r._5 <= 1.0)
+    }
+    val pc = out.map(_._5)
+    assert(pc.zip(pc.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q480 Juilland D: D in [0,1], dispersed bucket dominates clumped, 10+10 rows") {
+    val out = TextAnalysis.juillandDispersion(spark, sf001)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out.size === 20)
+    val byBucket = out.groupBy(_._1)
+    assert(byBucket.keySet === Set("most_dispersed", "most_clumped"))
+    out.foreach(r => assert(r._4 >= -1e-9 && r._4 <= 1.0 + 1e-9))
+    val minDispersed = byBucket("most_dispersed").map(_._4).min
+    val maxClumped = byBucket("most_clumped").map(_._4).max
+    assert(minDispersed >= maxClumped)
+  }
+
   /** events-only fixture dir shared by the time-series corners. */
   private def eventsDir(cells: Seq[(Long, String, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-r12e").toString
