@@ -3359,4 +3359,5 @@ object Curation {
        |FROM docs d CROSS JOIN tau t
        |GROUP BY d.lang
        |ORDER BY d.lang""".stripMargin
+
 }

@@ -4608,6 +4608,95 @@ object Relational {
       .orderBy(col("p_type"))
   }
 
+  /** q482 — Borda-count consensus supplier ranking: each supplier is
+    * ranked separately by mean ship lag (asc), total discounted
+    * revenue (desc) and return rate (asc) — the SAME three criteria
+    * q462's TOPSIS trades off — and the Borda score is the plain SUM
+    * of the three ranks. Where TOPSIS needs normalization choices and
+    * an ideal point, Borda is the assumption-free consensus (social
+    * choice's answer to q462's MCDM answer); rank disagreements
+    * between the two graded tables are themselves a sensitivity
+    * readout. Top-20 by consensus.
+    *
+    * Exactness: criteria reduce to integer sums / decimal-exact
+    * revenue; every rank is a fully-tiebroken row_number, so Borda
+    * scores are EXACT integers; ties in the consensus order break by
+    * suppkey.
+    *
+    * Scale: one fact aggregate keyed by supplier, then three
+    * supplier-cardinality rank windows (the acknowledged q90-family
+    * dimension-sized sort) and a top-20.
+    */
+  def bordaSuppliers(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val dayOf = (c: String) =>
+      s"(unix_micros(cast($c as timestamp)) - pmod(unix_micros(cast($c as timestamp)), 86400000000)) div 86400000000"
+    val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days",
+        expr(dayOf("l_shipdate")) - expr(dayOf("o_orderdate")))
+    val m = base.groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("lag_days")).as("lag_sum"),
+        decSum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6))
+          .as("revenue"),
+        sum((col("l_returnflag") === "R").cast("long")).as("n_ret"))
+      .withColumn("mean_lag", col("lag_sum").cast("double") / col("n_items").cast("double"))
+      .withColumn("ret_rate", col("n_ret").cast("double") / col("n_items").cast("double"))
+    val r1 = Window.orderBy(col("mean_lag").asc, col("suppkey"))
+    val r2 = Window.orderBy(col("revenue").desc, col("suppkey"))
+    val r3 = Window.orderBy(col("ret_rate").asc, col("suppkey"))
+    m.withColumn("rank_lag", row_number().over(r1))
+      .withColumn("rank_rev", row_number().over(r2))
+      .withColumn("rank_ret", row_number().over(r3))
+      .withColumn("borda", (col("rank_lag") + col("rank_rev") + col("rank_ret")).cast("long"))
+      .orderBy(col("borda").asc, col("suppkey"))
+      .limit(topK)
+      .withColumn("consensus_rank",
+        row_number().over(Window.orderBy(col("borda").asc, col("suppkey"))))
+      .select(col("consensus_rank"), col("suppkey"), col("borda"),
+        col("rank_lag"), col("rank_rev"), col("rank_ret"))
+      .orderBy(col("consensus_rank"))
+  }
+
+  def bordaSuppliersSql(topK: Int = 20): String =
+    s"""WITH base AS (
+      |  SELECT l.l_suppkey AS suppkey,
+      |    epoch_ms(l.l_shipdate) // 86400000
+      |      - epoch_ms(o.o_orderdate) // 86400000 AS lag_days,
+      |    l.l_extendedprice, l.l_discount, l.l_returnflag
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |), m AS (
+      |  SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |    CAST(SUM(lag_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_lag,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+      |      AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS ret_rate
+      |  FROM base GROUP BY 1
+      |), ranked AS (
+      |  SELECT suppkey,
+      |    ROW_NUMBER() OVER (ORDER BY mean_lag ASC, suppkey) AS rank_lag,
+      |    ROW_NUMBER() OVER (ORDER BY revenue DESC, suppkey) AS rank_rev,
+      |    ROW_NUMBER() OVER (ORDER BY ret_rate ASC, suppkey) AS rank_ret
+      |  FROM m
+      |), borda AS (
+      |  SELECT suppkey, rank_lag, rank_rev, rank_ret,
+      |    CAST(rank_lag + rank_rev + rank_ret AS BIGINT) AS borda
+      |  FROM ranked
+      |  ORDER BY borda ASC, suppkey LIMIT $topK
+      |)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY borda ASC, suppkey) AS INT)
+      |    AS consensus_rank,
+      |  suppkey, borda,
+      |  CAST(rank_lag AS INT) AS rank_lag,
+      |  CAST(rank_rev AS INT) AS rank_rev,
+      |  CAST(rank_ret AS INT) AS rank_ret
+      |FROM borda
+      |ORDER BY consensus_rank""".stripMargin
+
   /** q475 — Cochran–Mantel–Haenszel pooled association: the 2×2 table
     * (deep discount ≥ 5% × returned) per part-type stratum, combined
     * into the MH common odds ratio Σ(a·d/n)/Σ(b·c/n) and the CMH χ²

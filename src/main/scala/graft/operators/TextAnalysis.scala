@@ -3581,6 +3581,115 @@ object TextAnalysis {
        |    6) AS predicted_fp""".stripMargin
   }
 
+  /** q481 — Burrows' Delta stylometry between sources: over the 50
+    * globally most frequent tokens (the FUNCTION-word band — style
+    * lives in "the/of/and" rates, not topic words), each source's
+    * relative frequencies z-score per token across the 20 sources and
+    * Delta(a,b) = mean |z_a − z_b| — the standard authorship-
+    * attribution distance, here answering "which sources share a
+    * template/generator" (two crawls of the same CMS, a model's
+    * synthetic text under two names) BEFORE any content comparison.
+    * Top-10 most similar pairs.
+    *
+    * Exactness: counts and totals are integers; per-token moments
+    * fold over the SORTED r-array (order-free); z rounds 6dp; each
+    * pair's 50 |Δz| terms go to half-up integer micro-units and sum
+    * EXACTLY, so the ranking key is a BIGINT and delta is one IEEE
+    * division.
+    *
+    * Scale: one (source, token) count, a 50-row broadcast vocabulary,
+    * a |sources|×50 dense grid — everything after the corpus scan is
+    * catalog-sized.
+    */
+  def burrowsDelta(spark: SparkSession, dir: String, topTerms: Int = 50,
+                   topK: Int = 10): DataFrame = {
+    val tf = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val srcTot = tf.groupBy(col("source")).agg(sum(col("m")).as("st"))
+    val k = srcTot.count().toInt // |sources| — catalog-sized scalar
+    val top = tf.groupBy(col("token")).agg(sum(col("m")).as("cf"))
+      .orderBy(col("cf").desc, col("token")).limit(topTerms)
+      .select(col("token"))
+    val grid = srcTot.crossJoin(broadcast(top))
+      .join(tf, Seq("source", "token"), "left")
+      .withColumn("r", coalesce(col("m"), lit(0L)).cast("double")
+        / col("st").cast("double"))
+    val tokStats = grid.groupBy(col("token"))
+      .agg(sort_array(collect_list(col("r"))).as("rs"))
+      .withColumn("sr", aggregate(col("rs"), lit(0.0), (acc, v) => acc + v))
+      .withColumn("srr", aggregate(col("rs"), lit(0.0), (acc, v) => acc + v * v))
+      .withColumn("mu", col("sr") / lit(k.toDouble))
+      .withColumn("sd", sqrt(greatest(col("srr") / lit(k.toDouble)
+        - col("mu") * col("mu"), lit(0.0))))
+      .select(col("token"), col("mu"), col("sd"))
+    val z = grid.join(broadcast(tokStats), "token")
+      .withColumn("z", round((col("r") - col("mu"))
+        / nullif(col("sd"), lit(0.0)), 6))
+      .select(col("source"), col("token"), coalesce(col("z"), lit(0.0)).as("z"))
+    val za = z.select(col("source").as("source_a"), col("token"), col("z").as("za"))
+    val zb = z.select(col("source").as("source_b"), col("token"), col("z").as("zb"))
+    za.join(zb, Seq("token")).filter(col("source_a") < col("source_b"))
+      .withColumn("dz_micro",
+        round(abs(col("za") - col("zb")) * 1e6, 0).cast("long"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("dz_micro")).as("s"))
+      .orderBy(col("s").asc, col("source_a"), col("source_b"))
+      .limit(topK)
+      .select(col("source_a"), col("source_b"),
+        (col("s").cast("double") / lit(topTerms * 1e6)).as("delta"))
+  }
+
+  def burrowsDeltaSql(topTerms: Int = 50, topK: Int = 10): String =
+    s"""WITH tf AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM (
+      |    SELECT source, unnest(list_filter(
+      |      string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  )
+      |  GROUP BY 1, 2
+      |), src_tot AS (
+      |  SELECT source, CAST(SUM(m) AS BIGINT) AS st FROM tf GROUP BY 1
+      |), kk AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k FROM src_tot
+      |), top AS (
+      |  SELECT token FROM (
+      |    SELECT token, CAST(SUM(m) AS BIGINT) AS cf FROM tf GROUP BY 1
+      |  ) ORDER BY cf DESC, token LIMIT $topTerms
+      |), grid AS (
+      |  SELECT s.source, t.token,
+      |    CAST(COALESCE(f.m, 0) AS DOUBLE) / CAST(s.st AS DOUBLE) AS r
+      |  FROM src_tot s CROSS JOIN top t
+      |  LEFT JOIN tf f ON f.source = s.source AND f.token = t.token
+      |), tok_stats AS (
+      |  SELECT token,
+      |    list_reduce(list_prepend(0.0, rs), (x, y) -> x + y) AS sr,
+      |    list_reduce(list_prepend(0.0, [v * v for v in rs]),
+      |      (x, y) -> x + y) AS srr
+      |  FROM (SELECT token, list_sort(list(r)) AS rs FROM grid GROUP BY 1)
+      |), zed AS (
+      |  SELECT g.source, g.token,
+      |    COALESCE(ROUND((g.r - ts.sr / CAST(kk.k AS DOUBLE))
+      |      / NULLIF(sqrt(GREATEST(ts.srr / CAST(kk.k AS DOUBLE)
+      |        - (ts.sr / CAST(kk.k AS DOUBLE)) * (ts.sr / CAST(kk.k AS DOUBLE)),
+      |        0.0)), 0.0), 6), 0.0) AS z
+      |  FROM grid g
+      |  JOIN tok_stats ts ON ts.token = g.token
+      |  CROSS JOIN kk
+      |)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(SUM(CAST(ROUND(ABS(a.z - b.z) * 1000000.0, 0) AS BIGINT))
+      |    AS DOUBLE) / ${topTerms}000000.0 AS delta
+      |FROM zed a JOIN zed b
+      |  ON a.token = b.token AND a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY SUM(CAST(ROUND(ABS(a.z - b.z) * 1000000.0, 0) AS BIGINT)) ASC,
+      |  source_a, source_b
+      |LIMIT $topK""".stripMargin
+
   /** q478 — term burstiness (Church–Gale adaptation): per term with
     * df ≥ 5, the within-document mean tf (cf/df) and the adaptation
     * probability P(tf ≥ 2 | tf ≥ 1) = df₂/df — content words BURST

@@ -325,6 +325,46 @@ class Round12OpsSpec3 extends AnyFunSuite {
     assert(minDispersed >= maxClumped)
   }
 
+  test("q481 Burrows Delta: nonnegative, sorted ascending, distinct ordered pairs") {
+    val out = TextAnalysis.burrowsDelta(spark, sf001)
+      .as[(String, String, Double)].collect().toSeq
+    assert(out.size === 10)
+    out.foreach { r =>
+      assert(r._1 < r._2)
+      assert(r._3 >= 0.0)
+    }
+    val ds = out.map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q482 Borda: score is exactly the sum of the three ranks, consensus fully ordered") {
+    val out = Relational.bordaSuppliers(spark, sf001)
+      .as[(Int, Long, Long, Int, Int, Int)].collect().toSeq
+    assert(out.size === 20)
+    assert(out.map(_._1) === (1 to 20))
+    out.foreach { r =>
+      assert(r._3 === r._4.toLong + r._5 + r._6)
+      assert(r._4 >= 1 && r._5 >= 1 && r._6 >= 1)
+    }
+    val bs = out.map(_._3)
+    assert(bs.zip(bs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q483 bin advisor: 4 metrics, Sturges matches ceil(log2 n)+1, FD bins cover the range") {
+    val out = graft.operators.Profile.histogramBinAdvisor(spark, sf001)
+      .as[(String, Long, Double, Double, Option[Long], Double, Int)]
+      .collect().toSeq
+    assert(out.map(_._1).sorted === Seq("c_acctbal", "l_extendedprice",
+      "l_quantity", "o_totalprice"))
+    out.foreach { r =>
+      val expectSturges =
+        (64 - java.lang.Long.numberOfLeadingZeros(r._2 - 1)) + 1
+      assert(r._7 === expectSturges)
+      assert(r._3 >= 0.0 && r._4 >= 0.0 && r._6 >= 0.0)
+      r._5.foreach(b => assert(b >= 1L))
+    }
+  }
+
   /** events-only fixture dir shared by the time-series corners. */
   private def eventsDir(cells: Seq[(Long, String, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-r12e").toString
