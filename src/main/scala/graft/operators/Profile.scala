@@ -4043,6 +4043,118 @@ object Profile {
        |ORDER BY d.source""".stripMargin
   }
 
+  /** q484 — Theil-T inequality decomposition of customer spend by
+    * nation: T_total = T_between + Σ s_g·T_g — unlike Gini (q133/q147
+    * curve), Theil decomposes EXACTLY into a between-group term
+    * ("nations differ in mean spend") and within-group terms ("spend
+    * is unequal inside each nation"), so it answers where the
+    * inequality actually lives — the same question q397 answers for
+    * variance, asked with the log-based index economics uses for
+    * concentration. Per-nation rows carry the within index, the
+    * spend share, both decomposition terms AND the nation's share of
+    * T_total itself, so Σ total_contrib = Σ within_contrib +
+    * Σ between_term is the graded identity (spec-pinned).
+    *
+    * Exactness: spends are decimal-exact; group means and shares are
+    * single IEEE divisions; each customer's (x/μ)·ln(x/μ) term rounds
+    * 6dp into a DECIMAL(28,6) sum (order-free — the q393 discipline);
+    * the group algebra is one fixed chain rounded once. Zero-spend
+    * customers never occur (x > 0 by construction of the join).
+    *
+    * Scale: one customer-keyed spend aggregate, a broadcast
+    * |nations|-row stat join back (customers never reshuffle), one
+    * nation-keyed term aggregate.
+    */
+  def theilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val spend = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(graft.operators.Relational.decSum(col("o_totalprice")).as("x"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val base = spend
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("x"))
+    val g = base.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x").cast(dec)).cast("double").as("x_g"))
+    val tot = g.agg(sum(col("n_g")).as("n"),
+      sum(col("x_g").cast(dec)).cast("double").as("x_tot"))
+    val withStats = base.join(broadcast(g), "nation")
+      .crossJoin(broadcast(tot))
+      .withColumn("mu_g", col("x_g") / col("n_g").cast("double"))
+      .withColumn("mu", col("x_tot") / col("n").cast("double"))
+      .withColumn("t_g_term",
+        round((col("x") / col("mu_g")) * log(col("x") / col("mu_g")), 6))
+      .withColumn("t_term",
+        round((col("x") / col("mu")) * log(col("x") / col("mu")), 6))
+    withStats.groupBy(col("nation"))
+      .agg(max(col("n_g")).as("n_customers"),
+        max(col("x_g")).as("x_g"), max(col("mu_g")).as("mu_g"),
+        max(col("mu")).as("mu"), max(col("n")).as("n"),
+        sum(col("t_g_term").cast(dec)).cast("double").as("s_tg"),
+        sum(col("t_term").cast(dec)).cast("double").as("s_t"))
+      .withColumn("share", round(col("x_g") / (col("mu") * col("n").cast("double")), 6))
+      .select(col("nation"), col("n_customers"), col("share"),
+        round(col("s_tg") / col("n_customers").cast("double"), 6)
+          .as("theil_within"),
+        round((col("x_g") / (col("mu") * col("n").cast("double")))
+          * (col("s_tg") / col("n_customers").cast("double")), 6)
+          .as("within_contrib"),
+        round((col("x_g") / (col("mu") * col("n").cast("double")))
+          * log(col("mu_g") / col("mu")), 6).as("between_term"),
+        round(col("s_t") / col("n").cast("double"), 6).as("total_contrib"))
+      .orderBy(col("nation"))
+  }
+
+  val theilDecompositionSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS x
+      |  FROM orders GROUP BY 1
+      |), base AS (
+      |  SELECT nn.n_name AS nation, s.x
+      |  FROM spend s
+      |  JOIN customer c ON c.c_custkey = s.o_custkey
+      |  JOIN nation nn ON nn.n_nationkey = c.c_nationkey
+      |), g AS (
+      |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS x_g
+      |  FROM base GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(x_g AS DECIMAL(28,6))) AS DOUBLE) AS x_tot
+      |  FROM g
+      |), terms AS (
+      |  SELECT b.nation, g.n_g, g.x_g,
+      |    g.x_g / CAST(g.n_g AS DOUBLE) AS mu_g,
+      |    t.x_tot / CAST(t.n AS DOUBLE) AS mu, t.n,
+      |    ROUND((b.x / (g.x_g / CAST(g.n_g AS DOUBLE)))
+      |      * ln(b.x / (g.x_g / CAST(g.n_g AS DOUBLE))), 6) AS t_g_term,
+      |    ROUND((b.x / (t.x_tot / CAST(t.n AS DOUBLE)))
+      |      * ln(b.x / (t.x_tot / CAST(t.n AS DOUBLE))), 6) AS t_term
+      |  FROM base b JOIN g ON g.nation = b.nation CROSS JOIN tot t
+      |), agg AS (
+      |  SELECT nation, MAX(n_g) AS n_customers, MAX(x_g) AS x_g,
+      |    MAX(mu_g) AS mu_g, MAX(mu) AS mu, MAX(n) AS n,
+      |    CAST(SUM(CAST(t_g_term AS DECIMAL(28,6))) AS DOUBLE) AS s_tg,
+      |    CAST(SUM(CAST(t_term AS DECIMAL(28,6))) AS DOUBLE) AS s_t
+      |  FROM terms GROUP BY 1
+      |)
+      |SELECT nation, n_customers,
+      |  ROUND(x_g / (mu * CAST(n AS DOUBLE)), 6) AS share,
+      |  ROUND(s_tg / CAST(n_customers AS DOUBLE), 6) AS theil_within,
+      |  ROUND((x_g / (mu * CAST(n AS DOUBLE)))
+      |    * (s_tg / CAST(n_customers AS DOUBLE)), 6) AS within_contrib,
+      |  ROUND((x_g / (mu * CAST(n AS DOUBLE))) * ln(mu_g / mu), 6)
+      |    AS between_term,
+      |  ROUND(s_t / CAST(n AS DOUBLE), 6) AS total_contrib
+      |FROM agg
+      |ORDER BY nation""".stripMargin
+
   /** q483 — histogram bin advisor over the four money/quantity
     * metrics: for each, the Freedman–Diaconis width (2·IQR/∛n — the
     * robust default), Scott's width (3.49·σ/∛n — efficient when

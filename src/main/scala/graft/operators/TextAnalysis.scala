@@ -3581,6 +3581,211 @@ object TextAnalysis {
        |    6) AS predicted_fp""".stripMargin
   }
 
+  /** q485 — leave-one-source-out data valuation: retrain the q349
+    * naive-Bayes lang-id WITHOUT each source and score the SAME
+    * holdout fifth — Δaccuracy per source is the source's marginal
+    * value to the model (negative Δ on removal = the source carries
+    * signal; positive = it is actively poisoning training — mislabeled
+    * or TEMPLATE text). The Shapley-lite data-valuation audit every
+    * "should we keep buying this feed" decision wants, computed
+    * WITHOUT 20 retraining passes: counts are ADDITIVE by source
+    * (each doc has one source), so every ablated model is
+    * full-counts − source-counts in one relational subtraction, and
+    * all 21 models (20 ablations + the full baseline) train and score
+    * in ONE plan.
+    *
+    * Exactness: the q349 discipline end to end — zero-cells never
+    * materialize (cnt_loo > 0 filter keeps the log(1)=0 identity),
+    * per-ablation vocabularies and class totals rebuilt by integer
+    * subtraction, 6dp decimal score algebra, argmax tiebroken by
+    * class; accuracies are exact integer ratios rounded once; the
+    * per-ablation eval set is the holdout docs with ≥1 in-vocab
+    * token (stated — a doc can drop only if its entire vocabulary
+    * came from the ablated source).
+    *
+    * Scale: the exclusion grid is |sources|+1 broadcast rows; the
+    * model/holdout blow-up is linear in that catalog-bounded count —
+    * one (lang, token) shuffle and one vocabulary-keyed scoring join
+    * per plan, never per ablation.
+    */
+  def sourceAblationValue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val toksAll = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("token"))
+      .agg(count(lit(1)).as("mult"))
+    val train = toksAll.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val test = toksAll.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"), col("token"), col("mult"))
+      .localCheckpoint()
+    val excl = train.select(col("source").as("excl")).distinct()
+      .unionByName(Seq("__none__").toDF("excl")).localCheckpoint()
+    val cntFull = train.groupBy(col("lang").as("c"), col("token"))
+      .agg(sum(col("mult")).as("cnt"))
+    val cntSrc = train.groupBy(col("source").as("excl"),
+        col("lang").as("c"), col("token"))
+      .agg(sum(col("mult")).as("cnt_s"))
+    val modelLoo = cntFull.crossJoin(broadcast(excl))
+      .join(cntSrc, Seq("excl", "c", "token"), "left")
+      .withColumn("cnt_loo", col("cnt") - coalesce(col("cnt_s"), lit(0L)))
+      .filter(col("cnt_loo") > 0)
+      .withColumn("l_num", round(log10(col("cnt_loo") + 1), 6))
+      .select(col("excl"), col("c"), col("token"), col("l_num"))
+      .localCheckpoint()
+    val vocabLoo = modelLoo.groupBy(col("excl"))
+      .agg(countDistinct(col("token")).as("v"))
+    val clsFull = train.groupBy(col("lang").as("c"))
+      .agg(countDistinct(col("doc_id")).as("d_c"), sum(col("mult")).as("t_c"))
+    val clsSrc = train.groupBy(col("source").as("excl"), col("lang").as("c"))
+      .agg(countDistinct(col("doc_id")).as("d_s"), sum(col("mult")).as("t_s"))
+    val classesLoo = clsFull.crossJoin(broadcast(excl))
+      .join(clsSrc, Seq("excl", "c"), "left")
+      .withColumn("d_loo", col("d_c") - coalesce(col("d_s"), lit(0L)))
+      .withColumn("t_loo", col("t_c") - coalesce(col("t_s"), lit(0L)))
+      .filter(col("d_loo") > 0)
+      .join(vocabLoo, "excl")
+      .select(col("excl"), col("c"),
+        round(log10(col("d_loo")), 6).as("l_prior"),
+        round(log10(col("t_loo") + col("v")), 6).as("l_den"))
+    val vocabTok = modelLoo.select(col("excl"), col("token")).distinct()
+    val inVocab = test.join(vocabTok, Seq("token"))
+    val md = inVocab.groupBy(col("excl"), col("doc_id"),
+        col("lang").as("true_lang"))
+      .agg(sum(col("mult")).as("m_d"))
+    val seen = inVocab.join(modelLoo, Seq("excl", "token"))
+      .groupBy(col("excl"), col("doc_id"), col("c"))
+      .agg(sum(col("mult") * col("l_num").cast("decimal(18,6)")).as("sum_num"))
+    val scores = md.join(classesLoo, Seq("excl"))
+      .join(seen, Seq("excl", "doc_id", "c"), "left")
+      .withColumn("score",
+        col("l_prior").cast("decimal(28,6)")
+          + coalesce(col("sum_num"), lit(0).cast("decimal(18,6)"))
+          - col("m_d") * col("l_den").cast("decimal(18,6)"))
+    val pred = scores
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("excl"), col("doc_id"))
+          .orderBy(col("score").desc, col("c"))))
+      .filter(col("rk") === 1)
+    val acc = pred.groupBy(col("excl"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum((col("c") === col("true_lang")).cast("long")).as("n_correct"))
+      .localCheckpoint()
+    val full = acc.filter(col("excl") === "__none__")
+      .select((col("n_correct").cast("double") / col("n_eval").cast("double"))
+        .as("acc_full_raw"))
+    acc.filter(col("excl") =!= "__none__")
+      .crossJoin(broadcast(full))
+      .withColumn("acc_loo_raw",
+        col("n_correct").cast("double") / col("n_eval").cast("double"))
+      .select(col("excl").as("source"), col("n_eval"), col("n_correct"),
+        round(col("acc_loo_raw"), 6).as("acc_without"),
+        round(col("acc_full_raw"), 6).as("acc_full"),
+        round(col("acc_loo_raw") - col("acc_full_raw"), 6).as("delta_on_removal"))
+      .orderBy(col("source"))
+  }
+
+  val sourceAblationValueSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source, token, CAST(COUNT(*) AS BIGINT) AS mult
+      |  FROM (
+      |    SELECT doc_id, lang, source, unnest(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  )
+      |  GROUP BY 1, 2, 3, 4
+      |), train AS (
+      |  SELECT * FROM toks WHERE doc_id % 5 <> 0
+      |), test AS (
+      |  SELECT doc_id, lang, token, mult FROM toks WHERE doc_id % 5 = 0
+      |), excl AS (
+      |  SELECT DISTINCT source AS excl FROM train
+      |  UNION ALL SELECT '__none__'
+      |), cnt_full AS (
+      |  SELECT lang AS c, token, CAST(SUM(mult) AS BIGINT) AS cnt
+      |  FROM train GROUP BY 1, 2
+      |), cnt_src AS (
+      |  SELECT source AS excl, lang AS c, token,
+      |    CAST(SUM(mult) AS BIGINT) AS cnt_s
+      |  FROM train GROUP BY 1, 2, 3
+      |), model_loo AS (
+      |  SELECT e.excl, f.c, f.token,
+      |    ROUND(log10(f.cnt - COALESCE(s.cnt_s, 0) + 1), 6) AS l_num
+      |  FROM cnt_full f CROSS JOIN excl e
+      |  LEFT JOIN cnt_src s
+      |    ON s.excl = e.excl AND s.c = f.c AND s.token = f.token
+      |  WHERE f.cnt - COALESCE(s.cnt_s, 0) > 0
+      |), vocab_loo AS (
+      |  SELECT excl, CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+      |  FROM model_loo GROUP BY 1
+      |), cls_full AS (
+      |  SELECT lang AS c, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_c,
+      |    CAST(SUM(mult) AS BIGINT) AS t_c
+      |  FROM train GROUP BY 1
+      |), cls_src AS (
+      |  SELECT source AS excl, lang AS c,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_s,
+      |    CAST(SUM(mult) AS BIGINT) AS t_s
+      |  FROM train GROUP BY 1, 2
+      |), classes_loo AS (
+      |  SELECT e.excl, f.c,
+      |    ROUND(log10(f.d_c - COALESCE(s.d_s, 0)), 6) AS l_prior,
+      |    ROUND(log10(f.t_c - COALESCE(s.t_s, 0) + v.v), 6) AS l_den
+      |  FROM cls_full f CROSS JOIN excl e
+      |  LEFT JOIN cls_src s ON s.excl = e.excl AND s.c = f.c
+      |  JOIN vocab_loo v ON v.excl = e.excl
+      |  WHERE f.d_c - COALESCE(s.d_s, 0) > 0
+      |), vocab_tok AS (
+      |  SELECT DISTINCT excl, token FROM model_loo
+      |), in_vocab AS (
+      |  SELECT vt.excl, t.doc_id, t.lang, t.token, t.mult
+      |  FROM test t JOIN vocab_tok vt ON vt.token = t.token
+      |), md AS (
+      |  SELECT excl, doc_id, lang AS true_lang, CAST(SUM(mult) AS BIGINT) AS m_d
+      |  FROM in_vocab GROUP BY 1, 2, 3
+      |), seen AS (
+      |  SELECT iv.excl, iv.doc_id, m.c,
+      |    SUM(iv.mult * CAST(m.l_num AS DECIMAL(18,6))) AS sum_num
+      |  FROM in_vocab iv
+      |  JOIN model_loo m ON m.excl = iv.excl AND m.token = iv.token
+      |  GROUP BY 1, 2, 3
+      |), scores AS (
+      |  SELECT md.excl, md.doc_id, md.true_lang, cl.c,
+      |    CAST(cl.l_prior AS DECIMAL(28,6))
+      |      + COALESCE(s.sum_num, CAST(0 AS DECIMAL(18,6)))
+      |      - md.m_d * CAST(cl.l_den AS DECIMAL(18,6)) AS score
+      |  FROM md
+      |  JOIN classes_loo cl ON cl.excl = md.excl
+      |  LEFT JOIN seen s
+      |    ON s.excl = md.excl AND s.doc_id = md.doc_id AND s.c = cl.c
+      |), pred AS (
+      |  SELECT excl, doc_id, true_lang, c FROM (
+      |    SELECT excl, doc_id, true_lang, c,
+      |      ROW_NUMBER() OVER (PARTITION BY excl, doc_id
+      |        ORDER BY score DESC, c) AS rk
+      |    FROM scores
+      |  ) WHERE rk = 1
+      |), acc AS (
+      |  SELECT excl, CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |    CAST(SUM(CASE WHEN c = true_lang THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_correct
+      |  FROM pred GROUP BY 1
+      |), full_acc AS (
+      |  SELECT CAST(n_correct AS DOUBLE) / CAST(n_eval AS DOUBLE)
+      |    AS acc_full_raw
+      |  FROM acc WHERE excl = '__none__'
+      |)
+      |SELECT a.excl AS source, a.n_eval, a.n_correct,
+      |  ROUND(CAST(a.n_correct AS DOUBLE) / CAST(a.n_eval AS DOUBLE), 6)
+      |    AS acc_without,
+      |  ROUND(f.acc_full_raw, 6) AS acc_full,
+      |  ROUND(CAST(a.n_correct AS DOUBLE) / CAST(a.n_eval AS DOUBLE)
+      |    - f.acc_full_raw, 6) AS delta_on_removal
+      |FROM acc a CROSS JOIN full_acc f
+      |WHERE a.excl <> '__none__'
+      |ORDER BY source""".stripMargin
+
   /** q481 — Burrows' Delta stylometry between sources: over the 50
     * globally most frequent tokens (the FUNCTION-word band — style
     * lives in "the/of/and" rates, not topic words), each source's

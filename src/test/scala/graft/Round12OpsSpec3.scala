@@ -365,6 +365,31 @@ class Round12OpsSpec3 extends AnyFunSuite {
     }
   }
 
+  test("q484 Theil: shares sum to 1 and the between+within decomposition recomposes the total") {
+    val out = graft.operators.Profile.theilDecomposition(spark, sf001)
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(out.size === 25)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-3)
+    val total = out.map(_._7).sum // per-nation contributions to T_total
+    val recomposed = out.map(_._5).sum + out.map(_._6).sum
+    assert(math.abs(recomposed - total) < 1e-3)
+    out.foreach(r => assert(r._4 >= -1e-6)) // within-Theil nonnegative
+  }
+
+  test("q485 source ablation: one row per train source, constant baseline, delta consistency") {
+    val out = TextAnalysis.sourceAblationValue(spark, sf001)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.map(_._5).distinct.size === 1) // acc_full constant
+    out.foreach { r =>
+      assert(r._3 <= r._2)
+      assert(r._4 >= 0.0 && r._4 <= 1.0)
+      // delta tracks the rounded difference to rounding noise
+      assert(math.abs(r._6 - (r._4 - r._5)) < 2e-6)
+    }
+  }
+
   /** events-only fixture dir shared by the time-series corners. */
   private def eventsDir(cells: Seq[(Long, String, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-r12e").toString
