@@ -7911,6 +7911,253 @@ object Events {
       |FROM scored
       |ORDER BY event_type""".stripMargin
 
+  /** q486 — Jarque–Bera normality test per type's daily counts:
+    * JB = n·(S²/6 + (K−3)²/24) from the exact sample skewness S and
+    * kurtosis K, against the χ²₀.₉₅,₂ = 5.991465 cut — the moment
+    * battery (q188-family skew/kurt) turned into a DECISION: every
+    * Gaussian-assuming downstream (q173 EWMA bands, q179 power, q363
+    * shrinkage priors) is built on this hypothesis, and JB is the
+    * standard cheap test of it.
+    *
+    * Exactness: raw power sums Σx, Σx², Σx³, Σx⁴ are EXACT integers
+    * (counts are integers — no per-term rounding needed) accumulated
+    * in DECIMAL(38,6); central moments, S, K and JB run in one fixed
+    * IEEE chain mirrored verbatim, NULLIF-guarded at zero variance,
+    * rounded once.
+    *
+    * Scale: one |types|-row moment aggregate over the dense grid.
+    */
+  def jarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val stats = denseDailyCounts(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("v")).as("s1"),
+        dsum(col("v") * col("v")).as("s2"),
+        dsum(col("v") * col("v") * col("v")).as("s3"),
+        dsum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1") / nD
+    val m2 = col("s2") / nD - mu * mu
+    val m3 = col("s3") / nD - lit(3.0) * mu * (col("s2") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / nD - lit(4.0) * mu * (col("s3") / nD) +
+      lit(6.0) * mu * mu * (col("s2") / nD) - lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / nullif(sqrt(m2 * m2 * m2), lit(0.0))
+    val kurt = m4 / nullif(m2 * m2, lit(0.0))
+    val jb = nD * (skew * skew / 6.0 +
+      (kurt - 3.0) * (kurt - 3.0) / 24.0)
+    stats.select(col("event_type"), col("n").as("n_days"),
+        round(skew, 6).as("skewness"), round(kurt, 6).as("kurtosis"),
+        round(jb, 6).as("jb_stat"),
+        when(round(jb, 6).isNull, lit("degenerate"))
+          .when(round(jb, 6) > 5.991465, lit("non_normal"))
+          .otherwise(lit("normal_ok")).as("verdict"))
+      .orderBy(col("event_type"))
+  }
+
+  val jarqueBeraSql: String = {
+    val mu = "(s1 / nd)"
+    val m2 = s"(s2 / nd - $mu * $mu)"
+    val m3 = s"(s3 / nd - 3.0 * $mu * (s2 / nd) + 2.0 * $mu * $mu * $mu)"
+    val m4 = s"(s4 / nd - 4.0 * $mu * (s3 / nd) + 6.0 * $mu * $mu * (s2 / nd) - 3.0 * $mu * $mu * $mu * $mu)"
+    val skew = s"($m3 / NULLIF(sqrt($m2 * $m2 * $m2), 0.0))"
+    val kurt = s"($m4 / NULLIF($m2 * $m2, 0.0))"
+    val jb = s"ROUND(nd * ($skew * $skew / 6.0 + ($kurt - 3.0) * ($kurt - 3.0) / 24.0), 6)"
+    s"""WITH $denseDailyCountsSql, stats AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS DOUBLE) AS nd,
+      |    CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(v * v * v AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+      |    CAST(SUM(CAST(v * v * v * v AS DECIMAL(38,6))) AS DOUBLE) AS s4
+      |  FROM dense GROUP BY 1
+      |)
+      |SELECT event_type, n AS n_days,
+      |  ROUND($skew, 6) AS skewness,
+      |  ROUND($kurt, 6) AS kurtosis,
+      |  $jb AS jb_stat,
+      |  CASE WHEN $jb IS NULL THEN 'degenerate'
+      |    WHEN $jb > 5.991465 THEN 'non_normal'
+      |    ELSE 'normal_ok' END AS verdict
+      |FROM stats
+      |ORDER BY event_type""".stripMargin
+  }
+
+  /** q487 — permutation entropy (order 3) per type's daily series:
+    * each consecutive triple maps to its ordinal pattern (ranks with
+    * the earlier-index-wins tie rule), and the normalized Shannon
+    * entropy of the 6-pattern distribution scores the series'
+    * COMPLEXITY — ≈1 means the ordinal dynamics are indistinguishable
+    * from noise, low values mean structured motion (trends, cycles) —
+    * robust to any monotone transform of the values, which no
+    * moment/ACF statistic is. The dominant pattern is named.
+    *
+    * Exactness: patterns are pure integer comparisons on exact
+    * counts; the ≤6-row distribution turns into entropy via per-
+    * pattern 6dp-rounded p·log₂p terms in a DECIMAL sum (order-free),
+    * normalized by the literal log₂6; dominance tiebreaks by pattern.
+    *
+    * Scale: calendar-sized — two lead columns, one (type, pattern)
+    * count, a |types|-row reduce.
+    */
+  def permutationEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val triples = denseDailyCounts(spark, dir)
+      .withColumn("b", lead(col("v"), 1).over(w))
+      .withColumn("c", lead(col("v"), 2).over(w))
+      .filter(col("c").isNotNull)
+    // earlier index wins ties: a beats b iff a <= b, etc.
+    val ra = (col("v") > col("b")).cast("int") + (col("v") > col("c")).cast("int")
+    val rb = (col("b") >= col("v")).cast("int") + (col("b") > col("c")).cast("int")
+    val rc = (col("c") >= col("v")).cast("int") + (col("c") >= col("b")).cast("int")
+    val counted = triples
+      .withColumn("pattern", concat(ra.cast("string"), rb.cast("string"),
+        rc.cast("string")))
+      .groupBy(col("event_type"), col("pattern"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("n", sum(col("m")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("p", col("m").cast("double") / col("n").cast("double"))
+      .withColumn("term", round(col("p") * log2(col("p")), 6))
+    val rk = Window.partitionBy(col("event_type"))
+      .orderBy(col("m").desc, col("pattern"))
+    counted
+      .withColumn("is_top", row_number().over(rk) === 1)
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_windows"),
+        count(lit(1)).as("n_patterns"),
+        round(-sum(col("term").cast(dec)).cast("double")
+          / lit(math.log(6.0) / math.log(2.0)), 6).as("h_norm"),
+        max(when(col("is_top"), col("pattern"))).as("dominant_pattern"))
+      .orderBy(col("event_type"))
+  }
+
+  val permutationEntropySql: String =
+    s"""WITH $denseDailyCountsSql, triples AS (
+      |  SELECT event_type, v AS a,
+      |    LEAD(v, 1) OVER wo AS b, LEAD(v, 2) OVER wo AS c
+      |  FROM dense
+      |  WINDOW wo AS (PARTITION BY event_type ORDER BY day)
+      |  QUALIFY c IS NOT NULL
+      |), pats AS (
+      |  SELECT event_type,
+      |    CAST(CAST(a > b AS INT) + CAST(a > c AS INT) AS VARCHAR)
+      |      || CAST(CAST(b >= a AS INT) + CAST(b > c AS INT) AS VARCHAR)
+      |      || CAST(CAST(c >= a AS INT) + CAST(c >= b AS INT) AS VARCHAR)
+      |      AS pattern
+      |  FROM triples
+      |), counted AS (
+      |  SELECT event_type, pattern, CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM pats GROUP BY 1, 2
+      |), terms AS (
+      |  SELECT event_type, pattern, m,
+      |    CAST(SUM(m) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    ROUND((CAST(m AS DOUBLE)
+      |        / CAST(SUM(m) OVER (PARTITION BY event_type) AS DOUBLE))
+      |      * log2(CAST(m AS DOUBLE)
+      |        / CAST(SUM(m) OVER (PARTITION BY event_type) AS DOUBLE)), 6)
+      |      AS term,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY m DESC, pattern) AS rk
+      |  FROM counted
+      |)
+      |SELECT event_type, MAX(n) AS n_windows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_patterns,
+      |  ROUND(-CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE)
+      |    / ${math.log(6.0) / math.log(2.0)}, 6) AS h_norm,
+      |  MAX(CASE WHEN rk = 1 THEN pattern END) AS dominant_pattern
+      |FROM terms
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q488 — sample entropy (m = 1, r = half the population σ) per
+    * type's daily series: A = matching 1-point templates
+    * (|x_i − x_j| ≤ r, i < j), B = those whose SUCCESSORS also match;
+    * SampEn = −ln(B/A) — the regularity measure (physiology's
+    * standard) that q476's Ljung–Box cannot see: a series can be
+    * uncorrelated yet highly regular (repeating motifs), and SampEn
+    * flags exactly that. Low = predictable template reuse; high =
+    * genuine novelty per window.
+    *
+    * Exactness: the tolerance is in integer HALF-UNITS (2·|Δ| ≤
+    * σ_int where σ_int = floor(2r) in count units — the comparison is
+    * pure integers, no float boundary), A and B are exact integer
+    * pair counts, and SampEn is one guarded ln rounded 6dp.
+    *
+    * Scale: the q293 posture — a calendar² pair join per type
+    * (bounded by the time span, not the corpus), one |types|-row
+    * reduce.
+    */
+  def sampleEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val dense = denseDailyCounts(spark, dir)
+      .withColumn("nxt", lead(col("v"), 1).over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("s", sum(col("v")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ss", sum(col("v") * col("v"))
+        .over(Window.partitionBy(col("event_type"))))
+      // 2r in integer units: floor(σ) where σ² = ss/n − (s/n)²; the
+      // match predicate 2|Δ| ≤ floor(2r)=σ_int keeps ALL comparisons
+      // integral (r = σ/2)
+      .withColumn("sig_int", floor(sqrt(greatest(
+        col("ss").cast("double") / col("n").cast("double")
+          - (col("s").cast("double") / col("n").cast("double"))
+          * (col("s").cast("double") / col("n").cast("double")),
+        lit(0.0)))).cast("long"))
+      .filter(col("nxt").isNotNull)
+      .localCheckpoint()
+    val a = dense.select(col("event_type"), col("day").as("di"),
+      col("v").as("xi"), col("nxt").as("yi"), col("sig_int"))
+    val b = dense.select(col("event_type"), col("day").as("dj"),
+      col("v").as("xj"), col("nxt").as("yj"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("di") < col("dj"))
+      .withColumn("tmatch",
+        (abs(col("xi") - col("xj")) * 2 <= col("sig_int")).cast("long"))
+      .withColumn("smatch", (col("tmatch") === 1 &&
+        abs(col("yi") - col("yj")) * 2 <= col("sig_int")).cast("long"))
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("tmatch")).as("a_cnt"), sum(col("smatch")).as("b_cnt"))
+      .select(col("event_type"), col("n_pairs"), col("a_cnt"), col("b_cnt"),
+        round(-log(nullif(col("b_cnt").cast("double"), lit(0.0))
+          / nullif(col("a_cnt").cast("double"), lit(0.0))), 6).as("samp_en"))
+      .orderBy(col("event_type"))
+  }
+
+  val sampleEntropySql: String =
+    s"""WITH $denseDailyCountsSql, prepped AS (
+      |  SELECT event_type, day, v,
+      |    LEAD(v, 1) OVER wo AS nxt,
+      |    CAST(FLOOR(sqrt(GREATEST(
+      |      CAST(SUM(v * v) OVER wt AS DOUBLE) / CAST(COUNT(*) OVER wt AS DOUBLE)
+      |      - (CAST(SUM(v) OVER wt AS DOUBLE) / CAST(COUNT(*) OVER wt AS DOUBLE))
+      |      * (CAST(SUM(v) OVER wt AS DOUBLE) / CAST(COUNT(*) OVER wt AS DOUBLE)),
+      |      0.0))) AS BIGINT) AS sig_int
+      |  FROM dense
+      |  WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+      |    wt AS (PARTITION BY event_type)
+      |  QUALIFY nxt IS NOT NULL
+      |), pairs AS (
+      |  SELECT a.event_type,
+      |    CASE WHEN ABS(a.v - b.v) * 2 <= a.sig_int THEN 1 ELSE 0 END
+      |      AS tmatch,
+      |    CASE WHEN ABS(a.v - b.v) * 2 <= a.sig_int
+      |      AND ABS(a.nxt - b.nxt) * 2 <= a.sig_int THEN 1 ELSE 0 END
+      |      AS smatch
+      |  FROM prepped a JOIN prepped b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(tmatch) AS BIGINT) AS a_cnt,
+      |  CAST(SUM(smatch) AS BIGINT) AS b_cnt,
+      |  ROUND(-ln(NULLIF(CAST(SUM(smatch) AS DOUBLE), 0.0)
+      |    / NULLIF(CAST(SUM(tmatch) AS DOUBLE), 0.0)), 6) AS samp_en
+      |FROM pairs
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** q474 — DTW similarity of the event types' 24-hour activity
     * profiles: each type's hour-of-day distribution (24 shares) is a
     * SHAPE, and dynamic time warping scores shape similarity with

@@ -390,6 +390,51 @@ class Round12OpsSpec3 extends AnyFunSuite {
     }
   }
 
+  test("q486 Jarque-Bera: constant series degenerate; five graded verdicts with finite moments") {
+    val flat = eventsDir((0L to 13L).map(d => (d, "m", 3L)))
+    val out = Events.jarqueBera(spark, flat)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double], String)]
+      .collect().toSeq
+    assert(out.head._6 === "degenerate")
+    val real = Events.jarqueBera(spark, sf001)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double], String)]
+      .collect().toSeq
+    assert(real.size === 5)
+    real.foreach { r =>
+      r._4.foreach(k => assert(k > 0.0))   // kurtosis positive
+      r._5.foreach(j => assert(j >= 0.0))  // JB nonnegative
+      assert(Set("non_normal", "normal_ok", "degenerate").contains(r._6))
+    }
+  }
+
+  test("q487 permutation entropy: monotone series has H=0 and one pattern; sf0.01 in [0,1]") {
+    val mono = eventsDir((0L to 11L).map(d => (d, "m", d + 1L)))
+    val out = Events.permutationEntropy(spark, mono)
+      .as[(String, Long, Long, Double, String)].collect().toSeq
+    assert(out.size === 1)
+    assert(out.head._3 === 1L)          // one ordinal pattern only
+    assert(out.head._4 === 0.0)         // zero entropy
+    assert(out.head._5 === "012")       // strictly increasing triple
+    val real = Events.permutationEntropy(spark, sf001)
+      .as[(String, Long, Long, Double, String)].collect().toSeq
+    assert(real.size === 5)
+    real.foreach { r =>
+      assert(r._4 >= 0.0 && r._4 <= 1.0 + 1e-9)
+      assert(r._3 >= 1L && r._3 <= 6L)
+      assert(r._5.length === 3)
+    }
+  }
+
+  test("q488 sample entropy: B <= A <= pairs, SampEn nonnegative when defined") {
+    val out = Events.sampleEntropy(spark, sf001)
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out.size === 5)
+    out.foreach { r =>
+      assert(r._4 <= r._3 && r._3 <= r._2)
+      r._5.foreach(se => assert(se >= 0.0))
+    }
+  }
+
   /** events-only fixture dir shared by the time-series corners. */
   private def eventsDir(cells: Seq[(Long, String, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-r12e").toString
