@@ -3360,4 +3360,67 @@ object Curation {
        |GROUP BY d.lang
        |ORDER BY d.lang""".stripMargin
 
+  /** q489 — UCB1 crawl-allocation table: each source is a bandit arm,
+    * its historical pulls are the docs already ingested, reward = the
+    * doc passes the shared q23 quality gate (≥ 0.5), and
+    * UCB = mean reward + √(2·ln N / n_arm) — the optimism bonus that
+    * tells an acquisition loop WHICH FEED TO CRAWL NEXT: exploit the
+    * high-quality source, but keep exploring the under-sampled ones
+    * (a 3-doc source with middling quality outranks a 10k-doc source
+    * with the same mean). The deterministic-policy companion to the
+    * logged off-policy evaluator (q180-family) — no randomness, so
+    * both engines pick the same arm.
+    *
+    * Exactness: pulls and successes are exact integers off one scan
+    * (reward reuses the SHARED quality expression, so the gate cannot
+    * drift from q23); mean, bonus and UCB are one fixed IEEE chain
+    * rounded once; `next_pick` is the (rounded UCB, source) argmax.
+    *
+    * Scale: one |sources|-row aggregate + a broadcast 1-row total.
+    */
+  def ucbAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("reward",
+        (graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+          .cast("long"))
+    val arms = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pulls"), sum(col("reward")).as("n_success"))
+    val tot = arms.agg(sum(col("n_pulls")).as("n_total"))
+    val scored = arms.crossJoin(broadcast(tot))
+      .withColumn("mean_reward", round(col("n_success").cast("double")
+        / col("n_pulls").cast("double"), 6))
+      .withColumn("ucb", round(
+        col("n_success").cast("double") / col("n_pulls").cast("double")
+          + sqrt(lit(2.0) * log(col("n_total").cast("double"))
+            / col("n_pulls").cast("double")), 6))
+    scored
+      .withColumn("next_pick", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("ucb").desc, col("source"))) === 1)
+      .select(col("source"), col("n_pulls"), col("n_success"),
+        col("mean_reward"), col("ucb"), col("next_pick"))
+      .orderBy(col("source"))
+  }
+
+  def ucbAllocationSql: String =
+    s"""WITH arms AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pulls,
+      |    CAST(SUM(CASE WHEN (${TextAnalysis.qualityExprSql}) >= 0.5
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_success
+      |  FROM documents GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(n_pulls) AS BIGINT) AS n_total FROM arms
+      |), scored AS (
+      |  SELECT a.source, a.n_pulls, a.n_success,
+      |    ROUND(CAST(a.n_success AS DOUBLE) / CAST(a.n_pulls AS DOUBLE), 6)
+      |      AS mean_reward,
+      |    ROUND(CAST(a.n_success AS DOUBLE) / CAST(a.n_pulls AS DOUBLE)
+      |      + sqrt(2.0 * ln(CAST(t.n_total AS DOUBLE))
+      |        / CAST(a.n_pulls AS DOUBLE)), 6) AS ucb
+      |  FROM arms a CROSS JOIN tot t
+      |)
+      |SELECT source, n_pulls, n_success, mean_reward, ucb,
+      |  ROW_NUMBER() OVER (ORDER BY ucb DESC, source) = 1 AS next_pick
+      |FROM scored
+      |ORDER BY source""".stripMargin
 }

@@ -3960,6 +3960,93 @@ object Similarity {
       |JOIN spread sb ON sb.label = p.label_b
       |ORDER BY p.label_a, p.label_b""".stripMargin
 
+  /** q490 — DBSCAN ε advisor (k-distance curve): the 4th-NN cosine
+    * distance of a fixed-budget sample of points, read as the sorted
+    * k-dist curve whose KNEE is the standard ε choice — below it,
+    * density clustering fragments; above it, clusters merge. Reported
+    * as the curve's deciles with discrete curvature (second
+    * difference), `is_knee` marking the argmax — the graded form of
+    * the plot every DBSCAN/HDBSCAN/SemDeDup-radius decision squints
+    * at.
+    *
+    * Exactness: the sample is the q366/q407 [[fixedSample]] bottom-n
+    * md5 pick (constant-size broadcast); per-query cosines round 6dp
+    * and the 4th neighbor is a fully-tiebroken rank (self excluded);
+    * deciles are rank-selected over the sample (the q42 rule);
+    * curvature is differences of rounded values; knee tiebreaks by
+    * decile.
+    *
+    * Scale: the q29 posture — broadcast queries against one corpus
+    * scan, partial top-k (WindowGroupLimit) before any exchange;
+    * everything after is 256 rows.
+    */
+  def kdistEpsAdvisor(spark: SparkSession, dir: String, nSample: Int = 256,
+                      k: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = fixedSample(emb, nSample)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val kth = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d", lit(1.0) -
+        round(cosine(spark, col("embedding"), col("q_emb")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("d").asc, col("vec_id"))))
+      .filter(col("rk") === k)
+      .select(col("query_id"), col("d").as("kdist"))
+    val ranked = kth
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("kdist"), col("query_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val grid = spark.range(1, 11).toDF("decile")
+    val deciles = broadcast(grid)
+      .join(ranked, col("rn") === expr("(n * decile + 9) div 10"))
+      .select(col("decile").cast("int").as("decile"), col("kdist"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("decile"))
+    val curv = deciles
+      .withColumn("d2", round(lead(col("kdist"), 1).over(w)
+        - lit(2.0) * col("kdist") + lag(col("kdist"), 1).over(w), 6))
+    curv
+      .withColumn("is_knee", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("d2").desc_nulls_last, col("decile"))) === 1)
+      .select(col("decile"), col("kdist"), col("d2"), col("is_knee"))
+      .orderBy(col("decile"))
+  }
+
+  def kdistEpsAdvisorSql(nSample: Int = 256, k: Int = 4): String =
+    s"""WITH queries AS (
+       |  ${fixedSampleSql(nSample, "vec_id AS query_id, embedding AS q_emb")}
+       |), kth AS (
+       |  SELECT query_id, d AS kdist FROM (
+       |    SELECT q.query_id,
+       |      1.0 - ROUND(${cosSql("e.embedding", "q.q_emb")}, 6) AS d,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY 1.0 - ROUND(${cosSql("e.embedding", "q.q_emb")}, 6)
+       |          ASC, e.vec_id) AS rk
+       |    FROM embeddings e CROSS JOIN queries q
+       |    WHERE e.vec_id <> q.query_id
+       |  ) WHERE rk = $k
+       |), ranked AS (
+       |  SELECT kdist,
+       |    ROW_NUMBER() OVER (ORDER BY kdist, query_id) AS rn,
+       |    COUNT(*) OVER () AS n
+       |  FROM kth
+       |), deciles AS (
+       |  SELECT CAST(t.i AS INT) AS decile, r.kdist
+       |  FROM range(1, 11) t(i)
+       |  JOIN ranked r ON r.rn = (r.n * t.i + 9) // 10
+       |), curv AS (
+       |  SELECT decile, kdist,
+       |    ROUND(LEAD(kdist, 1) OVER wo - 2.0 * kdist
+       |      + LAG(kdist, 1) OVER wo, 6) AS d2
+       |  FROM deciles
+       |  WINDOW wo AS (ORDER BY decile)
+       |)
+       |SELECT decile, kdist, d2,
+       |  ROW_NUMBER() OVER (ORDER BY d2 DESC NULLS LAST, decile) = 1
+       |    AS is_knee
+       |FROM curv
+       |ORDER BY decile""".stripMargin
+
   /** q471 — Davies–Bouldin cluster-validity index over the label
     * partition: per label the scatter S_i = mean cosine distance of
     * members to their own centroid, per pair the separation M_ij =

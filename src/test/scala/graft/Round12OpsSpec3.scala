@@ -435,6 +435,34 @@ class Round12OpsSpec3 extends AnyFunSuite {
     }
   }
 
+  test("q489 UCB1: exactly one next_pick, ucb >= mean, under-sampled arms get bigger bonuses") {
+    val out = graft.operators.Curation.ucbAllocation(spark, sf001)
+      .as[(String, Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(out.size === 20)
+    assert(out.count(_._6) === 1)
+    out.foreach { r =>
+      assert(r._3 <= r._2)
+      assert(r._5 >= r._4) // optimism bonus is nonnegative
+    }
+    val bonus = out.map(r => (r._2, r._5 - r._4)).sortBy(_._1)
+    bonus.zip(bonus.tail).foreach { case ((n1, b1), (n2, b2)) =>
+      if (n1 < n2) assert(b1 >= b2 - 1e-6) // bonus decreases with pulls
+    }
+  }
+
+  test("q490 k-dist advisor: deciles nondecreasing, exactly one knee, distances in [0,2]") {
+    val out = Similarity.kdistEpsAdvisor(spark, sf001)
+      .as[(Int, Double, Option[Double], Boolean)].collect().toSeq
+    assert(out.size === 10)
+    assert(out.map(_._1) === (1 to 10))
+    val ks = out.map(_._2)
+    assert(ks.zip(ks.tail).forall { case (a, b) => a <= b })
+    out.foreach(r => assert(r._2 >= 0.0 && r._2 <= 2.0))
+    assert(out.count(_._4) === 1)
+    // endpoints have no curvature (lag/lead undefined there)
+    assert(out.head._3.isEmpty && out.last._3.isEmpty)
+  }
+
   /** events-only fixture dir shared by the time-series corners. */
   private def eventsDir(cells: Seq[(Long, String, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-r12e").toString
