@@ -1811,4 +1811,124 @@ object Multimodal {
       |FROM entries
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic POSIX ustar fixture: `n % 4 + 1` members, each a
+    * REAL 512-byte ustar header (octal size/mtime fields, the
+    * space-initialized checksum recomputed exactly as tar does,
+    * `ustar` magic) + data padded to the 512 boundary, closed by the
+    * two zero blocks. The structure, octal arithmetic and checksum
+    * are the parsing surface.
+    */
+  def encodeTar(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val k = n % 4 + 1
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until k).foreach { i =>
+      val len = 12 + (n + 11 * i) % 40
+      val data = Array.tabulate(len)(j => ((n + 17 * i + j) % 256).toByte)
+      val hdr = new Array[Byte](512)
+      def putStr(off: Int, s: String): Unit =
+        s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, j) => hdr(off + j) = b }
+      putStr(0, s"e$i.dat")
+      putStr(100, "0000644")
+      putStr(108, "0000000")
+      putStr(116, "0000000")
+      putStr(124, f"$len%011o")
+      putStr(136, "00000000000")
+      (148 until 156).foreach(j => hdr(j) = ' '.toByte) // checksum spaces
+      hdr(156) = '0'.toByte
+      putStr(257, "ustar")
+      hdr(262) = 0; putStr(263, "00")
+      val sum = hdr.map(_ & 0xFF).sum
+      putStr(148, f"$sum%06o")
+      hdr(154) = 0; hdr(155) = ' '.toByte
+      out.write(hdr)
+      out.write(data)
+      val pad = (512 - len % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** REAL ustar walk: per 512-byte header parses the NUL-terminated
+    * name, the octal size, verifies the `ustar` magic and RECOMPUTES
+    * the header checksum with the checksum field blanked (the tar
+    * rule), then skips ceil(size/512) data blocks; two zero blocks
+    * end the archive. None on any malformation.
+    */
+  def sniffTar(p: Array[Byte]): Option[(Int, Long, Boolean)] = {
+    var off = 0
+    var k = 0; var total = 0L; var ok = true
+    def isZeroBlock(o: Int): Boolean =
+      (o until o + 512).forall(j => p(j) == 0)
+    while (off + 512 <= p.length) {
+      if (isZeroBlock(off)) {
+        if (off + 1024 > p.length || !isZeroBlock(off + 512)) return None
+        return Some((k, total, ok))
+      }
+      if (new String(p, off + 257, 5, "US-ASCII") != "ustar") return None
+      val sizeStr = new String(p, off + 124, 11, "US-ASCII")
+      val size = try java.lang.Long.parseLong(sizeStr.trim, 8)
+        catch { case _: NumberFormatException => return None }
+      val stored = try java.lang.Long.parseLong(
+        new String(p, off + 148, 6, "US-ASCII"), 8)
+        catch { case _: NumberFormatException => return None }
+      var sum = 0L
+      (0 until 512).foreach { j =>
+        sum += (if (j >= 148 && j < 156) 32 else p(off + j) & 0xFF)
+      }
+      if (sum != stored) ok = false
+      k += 1; total += size
+      val blocks = ((size + 511) / 512).toInt
+      off += 512 + blocks * 512
+    }
+    None
+  }
+
+  case class TarMeta(doc_id: Long, n_entries: Int, total_bytes: Long,
+                     checksum_ok: Boolean)
+
+  /** q491 — TAR archive inventory: per-doc ustar fixtures
+    * ([[encodeTar]], real octal fields, real header checksums)
+    * through the real [[sniffTar]] block walk with per-header
+    * checksum verification — tarballs are how training corpora
+    * actually ship (WebDataset, Common Crawl segments, HF dataset
+    * shards), and this is the integrity inventory a shard-ingest
+    * source runs before extracting any member. Completes the archive
+    * family beside q376's ZIP (central-directory format) with the
+    * streaming-friendly sequential-header format.
+    *
+    * Scale: the q344 envelope — embarrassingly parallel batched
+    * mapPartitions, one small row per doc.
+    */
+  def tarMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val t = encodeTar(r.payload)
+        val (k, total, ok) = sniffTar(t).getOrElse(
+          throw new IllegalStateException(
+            s"fixture failed to parse: doc ${r.doc_id}"))
+        TarMeta(r.doc_id, k, total, ok)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val tarMetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n FROM documents
+      |), entries AS (
+      |  SELECT doc_id, n,
+      |    unnest(generate_series(0, CAST(n % 4 AS BIGINT))) AS i
+      |  FROM f
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS INT) AS n_entries,
+      |  CAST(SUM(12 + (n + 11 * i) % 40) AS BIGINT) AS total_bytes,
+      |  TRUE AS checksum_ok
+      |FROM entries
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

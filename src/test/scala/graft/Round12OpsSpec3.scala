@@ -463,6 +463,25 @@ class Round12OpsSpec3 extends AnyFunSuite {
     assert(out.head._3.isEmpty && out.last._3.isEmpty)
   }
 
+  test("q491 TAR walker: roundtrip exact, corrupt checksum detected, truncations rejected") {
+    import graft.sources.Multimodal.{encodeTar, sniffTar}
+    val payload = "hello tar world".getBytes("US-ASCII")
+    val t = encodeTar(payload)
+    val n = payload.length
+    val k = n % 4 + 1
+    val expect = (0 until k).map(i => 12L + (n + 11 * i) % 40).sum
+    assert(sniffTar(t) === Some((k, expect, true)))
+    // flip a data... header byte inside the mode field: checksum must fail
+    val corrupt = t.clone(); corrupt(101) = '9'.toByte
+    assert(sniffTar(corrupt).exists(!_._3))
+    // truncate before the closing zero blocks: malformed, not a crash
+    assert(sniffTar(t.take(t.length - 1024)).isEmpty)
+    assert(sniffTar(t.take(511)).isEmpty)
+    // magic destroyed: rejected outright
+    val nomagic = t.clone(); nomagic(257) = 'X'.toByte
+    assert(sniffTar(nomagic).isEmpty)
+  }
+
   /** events-only fixture dir shared by the time-series corners. */
   private def eventsDir(cells: Seq[(Long, String, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-r12e").toString
