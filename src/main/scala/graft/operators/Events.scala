@@ -7413,7 +7413,7 @@ object Events {
     * (click=1, error=2, signup=4, view=8); `purchase` is the
     * conversion outcome, never a channel.
     */
-  private val shapleyChannels = Seq("click", "error", "signup", "view")
+  private[graft] val shapleyChannels = Seq("click", "error", "signup", "view")
 
   /** q466 — exact Shapley attribution of conversion credit across the
     * four non-purchase channels: users collapse to the exact SET of
@@ -7452,6 +7452,16 @@ object Events {
       .agg(flagAggs.head, flagAggs.tail: _*)
       .withColumn("mask",
         shapleyChannels.indices.map(i => col(s"b$i")).reduce(_ + _))
+    shapleyFromUsers(spark, users.select(col("mask"), col("conv")))
+  }
+
+  /** The coalition + Shapley algebra over a user-grain (mask, conv)
+    * frame — shared by [[shapleyFunnel]] and the streaming twin's
+    * state snapshot so the two cannot drift.
+    */
+  private[graft] def shapleyFromUsers(spark: SparkSession,
+                                      users: DataFrame): DataFrame = {
+    import spark.implicits._
     val coal = users.groupBy(col("mask"))
       .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
       .select(col("mask"),

@@ -1112,4 +1112,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(all.contains(7L), "post-eviction duplicate must re-emit")
     } finally q.stop()
   }
+
+  test("streaming Shapley coalition state folds to the batch q466 attribution across a batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingShapley.{EventInput, UserOut}
+    // fixture: u1 click+purchase, u2 click+view, u3 view+purchase,
+    // u4 error only, u5 click+view+purchase
+    val evs = Seq(
+      (1L, "click"), (1L, "purchase"),
+      (2L, "click"), (2L, "view"),
+      (3L, "view"), (3L, "purchase"),
+      (4L, "error"),
+      (5L, "click"), (5L, "view"), (5L, "purchase"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sshap").toString
+    def ts(i: Int) = new java.sql.Timestamp(86400000L + i * 1000L)
+    evs.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, ts(i), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Events.shapleyFunnel(spark, dir)
+      .as[(String, Long, Double)].collect().toSeq
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventInput]
+    val q = graft.streaming.StreamingShapley.userMasks(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("shap_users").start()
+    try {
+      // split mid-user: u3's purchase and u5 entirely in batch 2 —
+      // state must carry and re-emission must supersede batch-1 rows
+      input.addData(evs.take(5).map { case (u, t) => EventInput(u, t) }: _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(5).map { case (u, t) => EventInput(u, t) }: _*)
+      q.processAllAvailable()
+      val streamed = graft.streaming.StreamingShapley
+        .shapleyFromSnapshot(spark, spark.table("shap_users"))
+        .as[(String, Long, Double)].collect().toSeq
+      assert(streamed === batch)
+      // replay idempotence: re-sending everything changes nothing
+      input.addData(evs.map { case (u, t) => EventInput(u, t) }: _*)
+      q.processAllAvailable()
+      val replayed = graft.streaming.StreamingShapley
+        .shapleyFromSnapshot(spark, spark.table("shap_users"))
+        .as[(String, Long, Double)].collect().toSeq
+      assert(replayed === batch)
+    } finally q.stop()
+  }
 }
