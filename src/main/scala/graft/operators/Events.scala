@@ -7921,6 +7921,96 @@ object Events {
       |FROM scored
       |ORDER BY event_type""".stripMargin
 
+  /** q492 — Haar wavelet energy ladder per type's daily series: the
+    * unnormalized Haar detail coefficients at levels 1/2/3 (pairwise
+    * differences of successive level approximations — 2/4/8-day
+    * timescales) and each level's energy share — WHERE the variance
+    * lives in time-scale: level-1-heavy = day-to-day churn (smooth
+    * before forecasting), level-3-heavy = week-scale swings (the
+    * q463 Fano grain made additive: energies decompose exactly,
+    * unlike Fano ratios). The decomposition every multirate
+    * batching/compression decision reads.
+    *
+    * Exactness: unnormalized Haar keeps EVERYTHING in integers —
+    * approximations are pairwise sums, details pairwise differences,
+    * energies Σd² (the 2^level normalization is stated; shares divide
+    * by the total at the end, the only doubles). Partial blocks at
+    * each level drop (stated: pairs only).
+    *
+    * Scale: calendar-sized — three rounds of (type, block)-keyed
+    * pairwise aggregates off the dense grid, |types|·3 output rows.
+    */
+  def haarEnergyLadder(spark: SparkSession, dir: String,
+                       levels: Int = 3): DataFrame = {
+    val dense = denseDailyCounts(spark, dir)
+      .select(col("event_type"), col("day").as("idx"), col("v").as("a"))
+    var cur = dense
+    val detailFrames = (1 to levels).map { lvl =>
+      val paired = cur.withColumn("blk", expr("idx div 2"))
+        .groupBy(col("event_type"), col("blk"))
+        .agg(count(lit(1)).as("np"),
+          sum(when(expr("idx % 2 = 0"), col("a"))).as("x0"),
+          sum(when(expr("idx % 2 = 1"), col("a"))).as("x1"))
+        .filter(col("np") === 2)
+        .localCheckpoint()
+      cur = paired.select(col("event_type"), col("blk").as("idx"),
+        (col("x0") + col("x1")).as("a"))
+      paired.select(col("event_type"),
+          ((col("x0") - col("x1")) * (col("x0") - col("x1"))).as("e"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("e")).as("energy"), count(lit(1)).as("n_details"))
+        .withColumn("level", lit(lvl))
+    }
+    val u = detailFrames.reduce(_ unionByName _)
+    val tot = u.groupBy(col("event_type"))
+      .agg(sum(col("energy")).as("e_tot"))
+    u.join(tot, "event_type")
+      .select(col("event_type"), col("level").cast("int").as("level"),
+        col("n_details"), col("energy"),
+        round(col("energy").cast("double")
+          / nullif(col("e_tot").cast("double"), lit(0.0)), 6)
+          .as("energy_share"))
+      .orderBy(col("event_type"), col("level"))
+  }
+
+  def haarEnergyLadderSql(levels: Int = 3): String = {
+    // level CTEs: aN carries (event_type, idx, a); dN the detail energies
+    val lvls = (1 to levels).map { l =>
+      val src = if (l == 1) "a0" else s"a${l - 1}"
+      s"""p$l AS (
+        |  SELECT event_type, idx // 2 AS blk,
+        |    SUM(CASE WHEN idx % 2 = 0 THEN a END) AS x0,
+        |    SUM(CASE WHEN idx % 2 = 1 THEN a END) AS x1,
+        |    COUNT(*) AS np
+        |  FROM $src GROUP BY 1, 2
+        |), a$l AS (
+        |  SELECT event_type, blk AS idx, x0 + x1 AS a
+        |  FROM p$l WHERE np = 2
+        |), d$l AS (
+        |  SELECT event_type, $l AS level,
+        |    CAST(COUNT(*) AS BIGINT) AS n_details,
+        |    CAST(SUM((x0 - x1) * (x0 - x1)) AS BIGINT) AS energy
+        |  FROM p$l WHERE np = 2 GROUP BY 1
+        |)""".stripMargin
+    }.mkString(", ")
+    val unions = (1 to levels).map(l =>
+      s"SELECT * FROM d$l").mkString(" UNION ALL ")
+    s"""WITH $denseDailyCountsSql, a0 AS (
+      |  SELECT event_type, day AS idx, v AS a FROM dense
+      |), $lvls, u AS (
+      |  $unions
+      |), tot AS (
+      |  SELECT event_type, CAST(SUM(energy) AS BIGINT) AS e_tot
+      |  FROM u GROUP BY 1
+      |)
+      |SELECT u.event_type, CAST(u.level AS INT) AS level, u.n_details,
+      |  u.energy,
+      |  ROUND(CAST(u.energy AS DOUBLE)
+      |    / NULLIF(CAST(t.e_tot AS DOUBLE), 0.0), 6) AS energy_share
+      |FROM u JOIN tot t ON t.event_type = u.event_type
+      |ORDER BY u.event_type, u.level""".stripMargin
+  }
+
   /** q486 — Jarque–Bera normality test per type's daily counts:
     * JB = n·(S²/6 + (K−3)²/24) from the exact sample skewness S and
     * kurtosis K, against the χ²₀.₉₅,₂ = 5.991465 cut — the moment

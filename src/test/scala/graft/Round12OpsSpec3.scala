@@ -482,6 +482,36 @@ class Round12OpsSpec3 extends AnyFunSuite {
     assert(sniffTar(nomagic).isEmpty)
   }
 
+  test("q492 Haar ladder: energies integer-exact, shares sum to 1 per type, level counts halve") {
+    val out = Events.haarEnergyLadder(spark, sf001)
+      .as[(String, Int, Long, Long, Option[Double])].collect().toSeq
+    assert(out.size === 15)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === Seq(1, 2, 3))
+      val byLvl = rows.sortBy(_._2).map(_._3)
+      // each level has about half the previous level's pairs
+      byLvl.zip(byLvl.tail).foreach { case (a, b) => assert(b <= a / 2 + 1) }
+      val shareSum = rows.flatMap(_._5).sum
+      assert(math.abs(shareSum - 1.0) < 1e-5)
+    }
+    out.foreach(r => assert(r._4 >= 0L))
+  }
+
+  test("q493 QQ deciles: monotone within source, decile 10 is the max, ratio consistent") {
+    val out = TextAnalysis.qqDecilesBySource(spark, sf001)
+      .as[(String, Int, Long, Long, Option[Double])].collect().toSeq
+    assert(out.size === 200)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val qs = rows.sortBy(_._2).map(_._3)
+      assert(qs.zip(qs.tail).forall { case (a, b) => a <= b })
+    }
+    val gq = out.map(r => r._2 -> r._4).toMap
+    assert(gq(10) === out.map(_._3).max) // global p100 = corpus max
+    out.foreach { r =>
+      r._5.foreach(rt => assert(math.abs(rt - r._3.toDouble / r._4) < 2e-6))
+    }
+  }
+
   /** events-only fixture dir shared by the time-series corners. */
   private def eventsDir(cells: Seq[(Long, String, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-r12e").toString
