@@ -7770,7 +7770,7 @@ object Events {
     val g0nz = nullif(col("g0"), lit(0.0))
     val qSum = (1 to maxLag).map { k =>
       (col(s"g$k") / g0nz) * (col(s"g$k") / g0nz) /
-        (nD - lit(k.toDouble))
+        nullif(nD - lit(k.toDouble), lit(0.0))
     }.reduce(_ + _)
     joined.select(col("event_type"), col("n_days"),
         round(nD * (nD + 2.0) * qSum, 6).as("q_stat"),
@@ -7791,7 +7791,7 @@ object Events {
     val gCols = (1 to maxLag).map(k =>
       s"MAX(CASE WHEN lag = $k THEN g END) AS g$k").mkString(",\n      |    ")
     val qTerms = (1 to maxLag).map(k =>
-      s"(g$k / NULLIF(g0, 0.0)) * (g$k / NULLIF(g0, 0.0)) / (CAST(n_days AS DOUBLE) - $k.0)")
+      s"(g$k / NULLIF(g0, 0.0)) * (g$k / NULLIF(g0, 0.0)) / NULLIF(CAST(n_days AS DOUBLE) - $k.0, 0.0)")
       .mkString("\n      |    + ")
     s"""WITH $denseDailyCountsSql, centered AS (
       |  SELECT event_type, day, v,
@@ -7872,7 +7872,8 @@ object Events {
     val syyC = col("syy") - col("sy") * col("sy") / nD
     val beta = sxyC / nullif(sxxC, lit(0.0))
     val s2 = (syyC - beta * sxyC) / nullif(nD - 2.0, lit(0.0))
-    val tStat = beta / nullif(sqrt(s2 / nullif(sxxC, lit(0.0))), lit(0.0))
+    val tStat = beta / nullif(sqrt(greatest(s2 / nullif(sxxC, lit(0.0)),
+      lit(0.0))), lit(0.0))
     stats.select(col("event_type"), col("n").as("n_pairs"),
         round(beta, 6).as("beta"), round(tStat, 6).as("t_stat"),
         when(round(tStat, 6).isNull, lit("degenerate"))
@@ -7905,12 +7906,12 @@ object Events {
       |      / NULLIF(sxx - sx * sx / CAST(n AS DOUBLE), 0.0), 6) AS beta,
       |    ROUND(((sxy - sx * sy / CAST(n AS DOUBLE))
       |        / NULLIF(sxx - sx * sx / CAST(n AS DOUBLE), 0.0))
-      |      / NULLIF(sqrt((((syy - sy * sy / CAST(n AS DOUBLE))
+      |      / NULLIF(sqrt(GREATEST((((syy - sy * sy / CAST(n AS DOUBLE))
       |          - ((sxy - sx * sy / CAST(n AS DOUBLE))
       |            / NULLIF(sxx - sx * sx / CAST(n AS DOUBLE), 0.0))
       |            * (sxy - sx * sy / CAST(n AS DOUBLE)))
       |          / NULLIF(CAST(n AS DOUBLE) - 2.0, 0.0))
-      |        / NULLIF(sxx - sx * sx / CAST(n AS DOUBLE), 0.0)), 0.0), 6)
+      |        / NULLIF(sxx - sx * sx / CAST(n AS DOUBLE), 0.0), 0.0)), 0.0), 6)
       |      AS t_stat
       |  FROM stats
       |)
@@ -8039,7 +8040,7 @@ object Events {
         dsum(col("v") * col("v") * col("v") * col("v")).as("s4"))
     val nD = col("n").cast("double")
     val mu = col("s1") / nD
-    val m2 = col("s2") / nD - mu * mu
+    val m2 = greatest(col("s2") / nD - mu * mu, lit(0.0))
     val m3 = col("s3") / nD - lit(3.0) * mu * (col("s2") / nD) +
       lit(2.0) * mu * mu * mu
     val m4 = col("s4") / nD - lit(4.0) * mu * (col("s3") / nD) +
@@ -8059,7 +8060,7 @@ object Events {
 
   val jarqueBeraSql: String = {
     val mu = "(s1 / nd)"
-    val m2 = s"(s2 / nd - $mu * $mu)"
+    val m2 = s"GREATEST(s2 / nd - $mu * $mu, 0.0)"
     val m3 = s"(s3 / nd - 3.0 * $mu * (s2 / nd) + 2.0 * $mu * $mu * $mu)"
     val m4 = s"(s4 / nd - 4.0 * $mu * (s3 / nd) + 6.0 * $mu * $mu * (s2 / nd) - 3.0 * $mu * $mu * $mu * $mu)"
     val skew = s"($m3 / NULLIF(sqrt($m2 * $m2 * $m2), 0.0))"

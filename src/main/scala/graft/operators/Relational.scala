@@ -4741,7 +4741,7 @@ object Relational {
         * (col("c") + col("d")).cast("double")
         * (col("a") + col("c")).cast("double")
         * (col("b") + col("d")).cast("double")
-        / (nD * nD * (nD - 1.0)), 6)).as("s_v"))
+        / nullif(nD * nD * (nD - 1.0), lit(0.0)), 6)).as("s_v"))
     agg.select(col("n_strata"),
         round(col("s_ad") / nullif(col("s_bc"), lit(0.0)), 6).as("or_cmh"),
         round((abs(col("sa").cast("double") - col("s_e")) - 0.5)
@@ -4781,7 +4781,7 @@ object Relational {
       |      / nd, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s_e,
       |    CAST(SUM(CAST(ROUND(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
       |      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
-      |      / (nd * nd * (nd - 1.0)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS s_v
+      |      / NULLIF(nd * nd * (nd - 1.0), 0.0), 6) AS DECIMAL(18,6))) AS DOUBLE) AS s_v
       |  FROM terms
       |), scored AS (
       |  SELECT n_strata,
