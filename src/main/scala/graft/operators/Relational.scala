@@ -4608,6 +4608,89 @@ object Relational {
       .orderBy(col("p_type"))
   }
 
+  /** q494 — Hill-number diversity ladder of supplier revenue per
+    * nation: the three classic orders on one row — ⁰D = richness
+    * (supplier count), ¹D = exp(Shannon) (the "effective number of
+    * suppliers" weighting by share), ²D = 1/Σp² (inverse Simpson,
+    * dominance-weighted) — plus evenness ¹D/⁰D. Ecology's unified
+    * diversity scale applied to supply-base risk: q357's HHI is
+    * 10⁴/²D in these units; the LADDER says whether concentration
+    * comes from few suppliers (⁰D low) or from skew among many
+    * (⁰D high, ²D low) — different procurement fixes.
+    *
+    * Exactness: revenues are decimal-exact; each share is one IEEE
+    * division; the p·ln p and p² terms round 6dp into DECIMAL(28,6)
+    * sums (order-free); the three D values are single guarded chains
+    * rounded once.
+    *
+    * Scale: one supplier-keyed fact aggregate, a broadcast
+    * |nations|-row total join back, one nation-keyed term aggregate.
+    */
+  def hillDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nation = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(decSum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6))
+        .as("r"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("r"))
+      .filter(col("r") > 0)
+    val tot = rev.groupBy(col("nation"))
+      .agg(sum(col("r").cast(dec)).cast("double").as("r_tot"))
+    rev.join(broadcast(tot), "nation")
+      .withColumn("p", col("r") / col("r_tot"))
+      .withColumn("plnp", round(col("p") * log(col("p")), 6))
+      .withColumn("p2", round(col("p") * col("p"), 6))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("hill0"),
+        sum(col("plnp").cast(dec)).cast("double").as("s_plnp"),
+        sum(col("p2").cast(dec)).cast("double").as("s_p2"))
+      .select(col("nation"), col("hill0"),
+        round(exp(-col("s_plnp")), 6).as("hill1"),
+        round(lit(1.0) / nullif(col("s_p2"), lit(0.0)), 6).as("hill2"),
+        round(exp(-col("s_plnp")) / col("hill0").cast("double"), 6)
+          .as("evenness"))
+      .orderBy(col("nation"))
+  }
+
+  val hillDiversitySql: String =
+    """WITH rev AS (
+      |  SELECT s.s_nationkey,
+      |    CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 6)
+      |      AS DECIMAL(18,6))) AS DOUBLE) AS r
+      |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  GROUP BY l.l_suppkey, s.s_nationkey
+      |  HAVING SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 6)
+      |    AS DECIMAL(18,6))) > 0
+      |), named AS (
+      |  SELECT nn.n_name AS nation, r.r
+      |  FROM rev r JOIN nation nn ON nn.n_nationkey = r.s_nationkey
+      |), tot AS (
+      |  SELECT nation, CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) AS r_tot
+      |  FROM named GROUP BY 1
+      |), terms AS (
+      |  SELECT n.nation, n.r / t.r_tot AS p,
+      |    ROUND((n.r / t.r_tot) * ln(n.r / t.r_tot), 6) AS plnp,
+      |    ROUND((n.r / t.r_tot) * (n.r / t.r_tot), 6) AS p2
+      |  FROM named n JOIN tot t ON t.nation = n.nation
+      |), agg AS (
+      |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS hill0,
+      |    CAST(SUM(CAST(plnp AS DECIMAL(28,6))) AS DOUBLE) AS s_plnp,
+      |    CAST(SUM(CAST(p2 AS DECIMAL(28,6))) AS DOUBLE) AS s_p2
+      |  FROM terms GROUP BY 1
+      |)
+      |SELECT nation, hill0,
+      |  ROUND(exp(-s_plnp), 6) AS hill1,
+      |  ROUND(1.0 / NULLIF(s_p2, 0.0), 6) AS hill2,
+      |  ROUND(exp(-s_plnp) / CAST(hill0 AS DOUBLE), 6) AS evenness
+      |FROM agg
+      |ORDER BY nation""".stripMargin
+
   /** q482 — Borda-count consensus supplier ranking: each supplier is
     * ranked separately by mean ship lag (asc), total discounted
     * revenue (desc) and return rate (asc) — the SAME three criteria

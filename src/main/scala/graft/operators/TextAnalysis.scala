@@ -3581,6 +3581,155 @@ object TextAnalysis {
        |    6) AS predicted_fp""".stripMargin
   }
 
+  /** q495 — cost-sensitive decision-threshold sweep for the q349
+    * classifier, one-vs-rest on 'en': per holdout doc the NB margin
+    * (score_en − best other score), candidate thresholds = the
+    * margin's own rank-selected deciles, and per threshold the FP/FN
+    * counts, the asymmetric cost FP + 5·FN (a miss costs 5× a false
+    * alarm — the curation default where dropping good data is cheap
+    * and keeping wrong-language data poisons training), and Youden's
+    * J — with the cost-argmin flagged. The step q452's calibration
+    * audit stops short of: turning scores into a DECISION under
+    * stated costs instead of defaulting to argmax.
+    *
+    * Exactness: margins are DECIMAL score differences rounded 6dp;
+    * thresholds are rank-selected (the q42 rule); FP/FN/cost are
+    * exact integers; J is one rounded chain; the argmin tiebreaks by
+    * threshold decile.
+    *
+    * Scale: rides q349's scoring plan; the sweep is a 10-row
+    * broadcast grid × holdout-doc margins with conditional-sum
+    * aggregation — never a per-threshold rescan.
+    */
+  def costThresholdSweep(spark: SparkSession, dir: String,
+                         fnCost: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = nbScores(spark, dir,
+      col("doc_id") % 5 =!= 0, col("doc_id") % 5 === 0)
+    val margins = scores.groupBy(col("doc_id"), col("true_lang"))
+      .agg(max(when(col("c") === "en", col("score"))).as("s_en"),
+        max(when(col("c") =!= "en", col("score"))).as("s_other"))
+      .filter(col("s_en").isNotNull && col("s_other").isNotNull)
+      .withColumn("margin", round((col("s_en") - col("s_other"))
+        .cast("double"), 6))
+      .withColumn("is_pos", (col("true_lang") === "en").cast("long"))
+      .localCheckpoint()
+    val ranked = margins
+      .withColumn("rn", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("margin"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val grid = broadcast(spark.range(1, 11).toDF("decile"))
+    val thresholds = grid.join(ranked,
+        col("rn") === expr("(n * decile + 9) div 10"))
+      .select(col("decile").cast("int").as("decile"),
+        col("margin").as("threshold"))
+    val swept = margins.crossJoin(broadcast(thresholds))
+      .groupBy(col("decile"), col("threshold"))
+      .agg(
+        sum(((col("margin") >= col("threshold")) &&
+          col("is_pos") === 0).cast("long")).as("n_fp"),
+        sum(((col("margin") < col("threshold")) &&
+          col("is_pos") === 1).cast("long")).as("n_fn"),
+        sum(col("is_pos")).as("n_pos"),
+        sum(lit(1L) - col("is_pos")).as("n_neg"))
+      .withColumn("cost", col("n_fp") + lit(fnCost.toLong) * col("n_fn"))
+      .withColumn("youden_j", round(
+        (col("n_pos") - col("n_fn")).cast("double")
+          / nullif(col("n_pos").cast("double"), lit(0.0))
+          - col("n_fp").cast("double")
+          / nullif(col("n_neg").cast("double"), lit(0.0)), 6))
+    swept
+      .withColumn("is_optimal", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("cost").asc, col("decile"))) === 1)
+      .select(col("decile"), col("threshold"), col("n_fp"), col("n_fn"),
+        col("cost"), col("youden_j"), col("is_optimal"))
+      .orderBy(col("decile"))
+  }
+
+  def costThresholdSweepSql(fnCost: Int = 5): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS mult
+      |  FROM (
+      |    SELECT doc_id, lang, unnest(list_filter(
+      |      string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  )
+      |  GROUP BY 1, 2, 3
+      |), train AS (
+      |  SELECT * FROM toks WHERE doc_id % 5 <> 0
+      |), test AS (
+      |  SELECT * FROM toks WHERE doc_id % 5 = 0
+      |), model AS (
+      |  SELECT lang AS c, token, SUM(mult) AS cnt,
+      |    ROUND(log10(SUM(mult) + 1), 6) AS l_num
+      |  FROM train GROUP BY 1, 2
+      |), vocab AS (
+      |  SELECT COUNT(DISTINCT token) AS v FROM model
+      |), classes AS (
+      |  SELECT lang AS c,
+      |    ROUND(log10(COUNT(DISTINCT doc_id)), 6) AS l_prior,
+      |    ROUND(log10(SUM(mult) + (SELECT v FROM vocab)), 6) AS l_den
+      |  FROM train GROUP BY 1
+      |), in_vocab AS (
+      |  SELECT t.* FROM test t
+      |  JOIN (SELECT DISTINCT token FROM model) m ON m.token = t.token
+      |), md AS (
+      |  SELECT doc_id, lang AS true_lang, SUM(mult) AS m_d
+      |  FROM in_vocab GROUP BY 1, 2
+      |), seen AS (
+      |  SELECT iv.doc_id, m.c,
+      |    SUM(iv.mult * CAST(m.l_num AS DECIMAL(18,6))) AS sum_num
+      |  FROM in_vocab iv JOIN model m ON m.token = iv.token
+      |  GROUP BY 1, 2
+      |), scores AS (
+      |  SELECT md.doc_id, md.true_lang, cl.c,
+      |    CAST(cl.l_prior AS DECIMAL(28,6))
+      |      + COALESCE(s.sum_num, CAST(0 AS DECIMAL(18,6)))
+      |      - md.m_d * CAST(cl.l_den AS DECIMAL(18,6)) AS score
+      |  FROM md CROSS JOIN classes cl
+      |  LEFT JOIN seen s ON s.doc_id = md.doc_id AND s.c = cl.c
+      |), margins AS (
+      |  SELECT doc_id, true_lang,
+      |    ROUND(CAST(MAX(CASE WHEN c = 'en' THEN score END)
+      |      - MAX(CASE WHEN c <> 'en' THEN score END) AS DOUBLE), 6)
+      |      AS margin,
+      |    CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS is_pos
+      |  FROM scores GROUP BY 1, 2
+      |  HAVING MAX(CASE WHEN c = 'en' THEN score END) IS NOT NULL
+      |    AND MAX(CASE WHEN c <> 'en' THEN score END) IS NOT NULL
+      |), ranked AS (
+      |  SELECT margin,
+      |    ROW_NUMBER() OVER (ORDER BY margin, doc_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM margins
+      |), thresholds AS (
+      |  SELECT CAST(t.i AS INT) AS decile, r.margin AS threshold
+      |  FROM range(1, 11) t(i)
+      |  JOIN ranked r ON r.rn = (r.n * t.i + 9) // 10
+      |), swept AS (
+      |  SELECT th.decile, th.threshold,
+      |    CAST(SUM(CASE WHEN m.margin >= th.threshold AND m.is_pos = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+      |    CAST(SUM(CASE WHEN m.margin < th.threshold AND m.is_pos = 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
+      |    CAST(SUM(m.is_pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(1 - m.is_pos) AS BIGINT) AS n_neg
+      |  FROM margins m CROSS JOIN thresholds th
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT decile, threshold, n_fp, n_fn,
+      |    n_fp + $fnCost * n_fn AS cost,
+      |    ROUND(CAST(n_pos - n_fn AS DOUBLE)
+      |        / NULLIF(CAST(n_pos AS DOUBLE), 0.0)
+      |      - CAST(n_fp AS DOUBLE) / NULLIF(CAST(n_neg AS DOUBLE), 0.0), 6)
+      |      AS youden_j
+      |  FROM swept
+      |)
+      |SELECT decile, threshold, n_fp, n_fn, cost, youden_j,
+      |  ROW_NUMBER() OVER (ORDER BY cost ASC, decile) = 1 AS is_optimal
+      |FROM scored
+      |ORDER BY decile""".stripMargin
+
   /** q493 — QQ decile table per source vs the global corpus: each
     * source's rank-selected doc-length deciles paired with the global
     * deciles and their ratio — the SHAPE of how a feed deviates

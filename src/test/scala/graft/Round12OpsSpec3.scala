@@ -512,6 +512,29 @@ class Round12OpsSpec3 extends AnyFunSuite {
     }
   }
 
+  test("q494 Hill ladder: diversity orders are decreasing (0D >= 1D >= 2D), evenness in (0,1]") {
+    val out = Relational.hillDiversity(spark, sf001)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out.size === 25)
+    out.foreach { r =>
+      assert(r._2.toDouble + 1e-6 >= r._3)   // 0D >= 1D
+      assert(r._3 + 1e-3 >= r._4)            // 1D >= 2D (rounded slack)
+      assert(r._5 > 0.0 && r._5 <= 1.0 + 1e-6)
+    }
+  }
+
+  test("q495 cost sweep: exactly one optimum, FP monotone down / FN monotone up in the threshold") {
+    val out = TextAnalysis.costThresholdSweep(spark, sf001)
+      .as[(Int, Double, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out.size === 10)
+    assert(out.count(_._7) === 1)
+    val byT = out.sortBy(_._2)
+    val fps = byT.map(_._3); val fns = byT.map(_._4)
+    assert(fps.zip(fps.tail).forall { case (a, b) => a >= b })
+    assert(fns.zip(fns.tail).forall { case (a, b) => a <= b })
+    out.foreach(r => assert(r._5 === r._3 + 5 * r._4))
+  }
+
   /** events-only fixture dir shared by the time-series corners. */
   private def eventsDir(cells: Seq[(Long, String, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-r12e").toString
