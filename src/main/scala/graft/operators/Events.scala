@@ -7922,6 +7922,111 @@ object Events {
       |FROM scored
       |ORDER BY event_type""".stripMargin
 
+  /** q470 — exponentiality test of inter-event gaps per type: fit
+    * λ by MLE (n/Σgap) to the within-day inter-arrival gaps, then the
+    * one-sample Kolmogorov–Smirnov distance between the gap ECDF and
+    * the fitted 1 − e^(−λx), against the 1.358/√n (5%) cut — the
+    * HYPOTHESIS TEST behind the Poisson assumption that q140's
+    * spectrum displays and q463's Fano ratio summarizes: a stream can
+    * have Fano ≈ 1 yet strongly non-exponential gaps (regular
+    * heartbeats), and it is the gap law that queueing/capacity math
+    * (q395 Little) actually assumes. Day-boundary gaps drop (stated)
+    * so the gap frame stays day-keyed.
+    *
+    * Exactness: gaps are exact integer MICROSECONDS; the ECDF is
+    * value-grain (per distinct gap, the q269 midrank discipline — D
+    * checks both step corners cum/n and (cum−m)/n so ties are
+    * handled exactly); λ and each F(x) are fixed IEEE chains; D and
+    * the critical value round once.
+    *
+    * Scale: (type, day)-keyed lag windows (fine-grained — never a
+    * whole-type sort of event-grain rows), then a value-grain
+    * cumulative over distinct gaps and a |types|-row reduce.
+    */
+  def gapExponentiality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), epochDayExpr.as("day"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = ev.withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("us") - col("prev")).as("g"))
+    val byVal = gaps.groupBy(col("event_type"), col("g"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("cum", sum(col("m")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("g"))))
+      .withColumn("n", sum(col("m")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("sg", sum(col("g") * col("m")).over(
+        Window.partitionBy(col("event_type"))))
+    val lam = col("n").cast("double") / nullif(col("sg").cast("double"), lit(0.0))
+    val fx = lit(1.0) - exp(-lam * col("g").cast("double"))
+    val scored = byVal
+      .withColumn("dplus", abs(col("cum").cast("double") / col("n").cast("double") - fx))
+      .withColumn("dminus", abs((col("cum") - col("m")).cast("double")
+        / col("n").cast("double") - fx))
+    scored.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_gaps"),
+        round(max(lam) * 1e6, 6).as("lambda_per_sec"),
+        round(max(greatest(col("dplus"), col("dminus"))), 6).as("ks_d"))
+      .withColumn("critical_5pct",
+        round(lit(1.358) / sqrt(col("n_gaps").cast("double")), 6))
+      .withColumn("verdict",
+        when(col("ks_d").isNull, lit("degenerate"))
+          .when(col("ks_d") > col("critical_5pct"), lit("non_exponential"))
+          .otherwise(lit("exponential_ok")))
+      .orderBy(col("event_type"))
+  }
+
+  val gapExponentialitySql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    epoch_us(ts) AS us, event_id
+      |  FROM events
+      |), gaps AS (
+      |  SELECT event_type, us - prev AS g
+      |  FROM (
+      |    SELECT event_type, us,
+      |      LAG(us, 1) OVER (PARTITION BY event_type, day
+      |        ORDER BY us, event_id) AS prev
+      |    FROM ev
+      |  )
+      |  WHERE prev IS NOT NULL
+      |), by_val AS (
+      |  SELECT event_type, g, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY g
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(SUM(g * COUNT(*)) OVER (PARTITION BY event_type)
+      |      AS BIGINT) AS sg
+      |  FROM gaps GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT event_type, n,
+      |    CAST(n AS DOUBLE) / NULLIF(CAST(sg AS DOUBLE), 0.0) AS lam,
+      |    GREATEST(
+      |      ABS(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - (1.0 - exp(-(CAST(n AS DOUBLE) / NULLIF(CAST(sg AS DOUBLE), 0.0))
+      |            * CAST(g AS DOUBLE)))),
+      |      ABS(CAST(cum - m AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - (1.0 - exp(-(CAST(n AS DOUBLE) / NULLIF(CAST(sg AS DOUBLE), 0.0))
+      |            * CAST(g AS DOUBLE))))) AS dterm
+      |  FROM by_val
+      |), agg AS (
+      |  SELECT event_type, MAX(n) AS n_gaps,
+      |    ROUND(MAX(lam) * 1000000.0, 6) AS lambda_per_sec,
+      |    ROUND(MAX(dterm), 6) AS ks_d
+      |  FROM scored GROUP BY 1
+      |)
+      |SELECT event_type, n_gaps, lambda_per_sec, ks_d,
+      |  ROUND(1.358 / sqrt(CAST(n_gaps AS DOUBLE)), 6) AS critical_5pct,
+      |  CASE WHEN ks_d IS NULL THEN 'degenerate'
+      |    WHEN ks_d > ROUND(1.358 / sqrt(CAST(n_gaps AS DOUBLE)), 6)
+      |      THEN 'non_exponential'
+      |    ELSE 'exponential_ok' END AS verdict
+      |FROM agg
+      |ORDER BY event_type""".stripMargin
+
   /** q492 — Haar wavelet energy ladder per type's daily series: the
     * unnormalized Haar detail coefficients at levels 1/2/3 (pairwise
     * differences of successive level approximations — 2/4/8-day

@@ -2658,68 +2658,4 @@ object Graph {
        |ORDER BY entity""".stripMargin
   }
 
-  /** q470 — HITS hubs-and-authorities over the bipartite
-    * customer→part purchase graph, two exact unrolled iterations:
-    * a¹(p) = in-degree, h¹(c) = Σ_{c→p} a¹(p), a²(p) = Σ_{c→p} h¹(c)
-    * — the authority score rewards parts bought by customers whose
-    * OTHER purchases are themselves popular (a recommendation seed
-    * PageRank's single-mode projection misses: q's PageRank ranks
-    * parts among parts; HITS ranks them through the quality of their
-    * buyers). Top-20 authorities, fully tiebroken.
-    *
-    * Exactness: both iterations stay in BIGINT (degree sums of degree
-    * sums — bounded by |E|·max_deg², far inside 64 bits at any TPC-H
-    * scale); the reported score is ONE IEEE division by the maximum,
-    * identical across engines; ranking orders by the raw integer then
-    * partkey.
-    *
-    * Scale: the edge list is one distinct (customer, part) aggregate;
-    * each iteration is an edge-keyed join + key-keyed aggregate (the
-    * shuffle pattern of one PageRank step); top-20 plans as
-    * TakeOrderedAndProject (per-partition top-k, never a global
-    * window), and the 1-row max broadcasts.
-    */
-  def hitsAuthorities(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
-    val ord = Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
-      .localCheckpoint()
-    val a1 = edges.groupBy(col("p")).agg(count(lit(1)).as("a1"))
-    val h1 = edges.join(a1, "p")
-      .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
-    val a2 = edges.join(h1, "c")
-      .groupBy(col("p")).agg(sum(col("h1")).as("a2"))
-    val mx = a2.agg(max(col("a2")).as("mx"))
-    a2.crossJoin(broadcast(mx))
-      .orderBy(col("a2").desc, col("p"))
-      .limit(topK)
-      .select(col("p").as("partkey"), col("a2").as("authority_raw"),
-        round(col("a2").cast("double") / col("mx").cast("double"), 6)
-          .as("authority"))
-  }
-
-  def hitsAuthoritiesSql(topK: Int = 20): String =
-    s"""WITH edges AS (
-      |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-      |), a1 AS (
-      |  SELECT p, CAST(COUNT(*) AS BIGINT) AS a1 FROM edges GROUP BY p
-      |), h1 AS (
-      |  SELECT e.c, CAST(SUM(a1.a1) AS BIGINT) AS h1
-      |  FROM edges e JOIN a1 ON a1.p = e.p GROUP BY e.c
-      |), a2 AS (
-      |  SELECT e.p, CAST(SUM(h1.h1) AS BIGINT) AS a2
-      |  FROM edges e JOIN h1 ON h1.c = e.c GROUP BY e.p
-      |), mx AS (
-      |  SELECT MAX(a2) AS mx FROM a2
-      |)
-      |SELECT a2.p AS partkey, a2.a2 AS authority_raw,
-      |  ROUND(CAST(a2.a2 AS DOUBLE) / CAST(mx.mx AS DOUBLE), 6) AS authority
-      |FROM a2 CROSS JOIN mx
-      |ORDER BY a2.a2 DESC, a2.p
-      |LIMIT $topK""".stripMargin
 }

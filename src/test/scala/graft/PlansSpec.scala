@@ -671,18 +671,13 @@ class PlansSpec extends AnyFunSuite {
     assert(out === Seq(("a", Some(0.9))))
   }
 
-  test("q467/q470/q490 wave: partial WindowGroupLimit and TakeOrderedAndProject pins") {
+  test("q467/q490 wave: partial WindowGroupLimit and broadcast pins") {
     // q467 keyness per-source top-5: the rank<=k filter must become a
     // PARTIAL WindowGroupLimit (vocabulary never ships whole per source)
     val key = operators.TextAnalysis.keynessTerms(spark, "/root/testdata/sf0.001")
     val keyPlan = key.queryExecution.executedPlan.toString
     assert(keyPlan.contains("WindowGroupLimit") && keyPlan.contains("Partial"),
       s"keyness lost its partial WindowGroupLimit:\n$keyPlan")
-    // q470 HITS top-20: per-partition top-k merge, never a global sort
-    val hits = operators.Graph.hitsAuthorities(spark, "/root/testdata/sf0.001")
-    val hitsPlan = hits.queryExecution.executedPlan.toString
-    assert(hitsPlan.contains("TakeOrderedAndProject"),
-      s"HITS top-20 fell back to a global sort:\n$hitsPlan")
     // q490 k-dist: the fixed-budget queries broadcast against the scan
     // and the rank<=k cuts partially before any exchange
     val kd = operators.Similarity.kdistEpsAdvisor(spark, "/root/testdata/sf0.001")

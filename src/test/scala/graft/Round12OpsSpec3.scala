@@ -125,14 +125,17 @@ class Round12OpsSpec3 extends AnyFunSuite {
     out.foreach(r => assert(r._3 >= 0.0))
   }
 
-  test("q470 HITS: scores sorted desc with the max normalized to 1, integer raw scores positive") {
-    val out = graft.operators.Graph.hitsAuthorities(spark, sf001)
-      .as[(Long, Long, Double)].collect().toSeq
-    assert(out.size === 20)
-    assert(out.head._3 === 1.0)
-    val raws = out.map(_._2)
-    assert(raws.zip(raws.tail).forall { case (a, b) => a >= b })
-    out.foreach { r => assert(r._2 > 0L && r._3 > 0.0 && r._3 <= 1.0) }
+  test("q470 gap exponentiality: KS distance in [0,1], verdicts typed, lambda positive") {
+    val out = Events.gapExponentiality(spark, sf001)
+      .as[(String, Long, Double, Double, Double, String)].collect().toSeq
+    assert(out.size === 5)
+    out.foreach { r =>
+      assert(r._2 > 0L)
+      assert(r._3 > 0.0)
+      assert(r._4 >= 0.0 && r._4 <= 1.0)
+      assert(r._5 > 0.0)
+      assert(Set("non_exponential", "exponential_ok", "degenerate").contains(r._6))
+    }
   }
 
   test("q471 Davies-Bouldin: worst_other is never self, scatter and R positive, all labels present") {
