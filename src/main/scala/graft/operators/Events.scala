@@ -7943,15 +7943,40 @@ object Events {
     * whole-type sort of event-grain rows), then a value-grain
     * cumulative over distinct gaps and a |types|-row reduce.
     */
-  def gapExponentiality(spark: SparkSession, dir: String): DataFrame = {
+  /** Within-day inter-event gaps in exact integer microseconds, the
+    * shared input of q470 (KS exponentiality) and q493 (Weibull
+    * shape): (type, day)-keyed lag windows — never a whole-type
+    * event-grain sort — with day-boundary gaps dropped.
+    */
+  private def dayGaps(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_type"), epochDayExpr.as("day"),
         expr("unix_micros(ts)").as("us"), col("event_id"))
     val w = Window.partitionBy(col("event_type"), col("day"))
       .orderBy(col("us"), col("event_id"))
-    val gaps = ev.withColumn("prev", lag(col("us"), 1).over(w))
+    ev.withColumn("prev", lag(col("us"), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("event_type"), (col("us") - col("prev")).as("g"))
+  }
+
+  private val dayGapsSql: String =
+    """ev AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    epoch_us(ts) AS us, event_id
+      |  FROM events
+      |), gaps AS (
+      |  SELECT event_type, us - prev AS g
+      |  FROM (
+      |    SELECT event_type, us,
+      |      LAG(us, 1) OVER (PARTITION BY event_type, day
+      |        ORDER BY us, event_id) AS prev
+      |    FROM ev
+      |  )
+      |  WHERE prev IS NOT NULL
+      |)""".stripMargin
+
+  def gapExponentiality(spark: SparkSession, dir: String): DataFrame = {
+    val gaps = dayGaps(spark, dir)
     val byVal = gaps.groupBy(col("event_type"), col("g"))
       .agg(count(lit(1)).as("m"))
       .withColumn("cum", sum(col("m")).over(
@@ -7979,20 +8004,7 @@ object Events {
   }
 
   val gapExponentialitySql: String =
-    """WITH ev AS (
-      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-      |    epoch_us(ts) AS us, event_id
-      |  FROM events
-      |), gaps AS (
-      |  SELECT event_type, us - prev AS g
-      |  FROM (
-      |    SELECT event_type, us,
-      |      LAG(us, 1) OVER (PARTITION BY event_type, day
-      |        ORDER BY us, event_id) AS prev
-      |    FROM ev
-      |  )
-      |  WHERE prev IS NOT NULL
-      |), by_val AS (
+    s"""WITH $dayGapsSql, by_val AS (
       |  SELECT event_type, g, CAST(COUNT(*) AS BIGINT) AS m,
       |    CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY g
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -8025,6 +8037,101 @@ object Events {
       |      THEN 'non_exponential'
       |    ELSE 'exponential_ok' END AS verdict
       |FROM agg
+      |ORDER BY event_type""".stripMargin
+
+  /** q493 — Weibull shape fit of the within-day inter-event gaps by
+    * median-rank regression: ln(−ln(1−F)) against ln(gap) is linear
+    * for Weibull data with slope = the SHAPE k — the parameter q470's
+    * binary KS verdict doesn't give: k < 1 means bursty/clustered
+    * arrivals (hazard falls with waiting — the longer quiet, the
+    * quieter), k ≈ 1 Poisson, k > 1 regular/heartbeat (hazard rises).
+    * The number that picks retry/timeout policy and capacity
+    * headroom. F uses Benard's median-rank (i−0.3)/(n+0.4) at the
+    * value-grain upper step, tied gaps weighted by multiplicity
+    * (stated); zero gaps (simultaneous events) drop before the log.
+    *
+    * Exactness: gaps are exact integer micros off the SHARED dayGaps
+    * frame; F is one fixed IEEE chain per distinct gap; the weighted
+    * OLS terms round 6dp into DECIMAL(28,6) sums; shape/scale are one
+    * rounded chain, NULLIF-guarded for the single-value corner.
+    *
+    * Scale: the q470 posture — (type, day)-keyed lags, value-grain
+    * cumulative, |types|-row sufficient-stat reduce.
+    */
+  def weibullGapFit(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val byType = Window.partitionBy(col("event_type"))
+    val pts = dayGaps(spark, dir)
+      .filter(col("g") > 0)
+      .groupBy(col("event_type"), col("g"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("cum", sum(col("m")).over(byType.orderBy(col("g"))))
+      .withColumn("n", sum(col("m")).over(byType))
+      .withColumn("x", log(col("g").cast("double") / 1e6))
+      .withColumn("f", (col("cum").cast("double") - 0.3)
+        / (col("n").cast("double") + 0.4))
+      .withColumn("y", log(-log(lit(1.0) - col("f"))))
+    val stats = pts.groupBy(col("event_type")).agg(
+      max(col("n")).as("n_gaps"),
+      sum(col("m")).as("wsum"),
+      dsum(round(col("m") * col("x"), 6)).as("sx"),
+      dsum(round(col("m") * col("y"), 6)).as("sy"),
+      dsum(round(col("m") * col("x") * col("x"), 6)).as("sxx"),
+      dsum(round(col("m") * col("x") * col("y"), 6)).as("sxy"))
+    val wD = col("wsum").cast("double")
+    val den = nullif(wD * col("sxx") - col("sx") * col("sx"), lit(0.0))
+    val shape = (wD * col("sxy") - col("sx") * col("sy")) / den
+    val intercept = (col("sy") - shape * col("sx")) / wD
+    stats.select(col("event_type"), col("n_gaps"),
+        round(shape, 6).as("shape_k"),
+        round(exp(-intercept / nullif(shape, lit(0.0))), 6).as("scale_sec"))
+      .withColumn("verdict",
+        when(col("shape_k").isNull, lit("degenerate"))
+          .when(col("shape_k") < 0.95, lit("bursty"))
+          .when(col("shape_k") > 1.05, lit("regular"))
+          .otherwise(lit("poisson_like")))
+      .orderBy(col("event_type"))
+  }
+
+  val weibullGapFitSql: String =
+    s"""WITH $dayGapsSql, pts AS (
+      |  SELECT event_type, g, m, cum, n,
+      |    ln(CAST(g AS DOUBLE) / 1000000.0) AS x,
+      |    ln(-ln(1.0 - (CAST(cum AS DOUBLE) - 0.3)
+      |      / (CAST(n AS DOUBLE) + 0.4))) AS y
+      |  FROM (
+      |    SELECT event_type, g, CAST(COUNT(*) AS BIGINT) AS m,
+      |      CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY g
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        AS cum,
+      |      CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |    FROM gaps WHERE g > 0 GROUP BY 1, 2
+      |  )
+      |), stats AS (
+      |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(m) AS DOUBLE) AS w,
+      |    CAST(SUM(CAST(ROUND(m * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(m * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(m * x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(m * x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      |  FROM pts GROUP BY 1
+      |), scored AS (
+      |  SELECT event_type, n_gaps,
+      |    ROUND((w * sxy - sx * sy)
+      |      / NULLIF(w * sxx - sx * sx, 0.0), 6) AS shape_k,
+      |    ROUND(exp(-((sy - ((w * sxy - sx * sy)
+      |        / NULLIF(w * sxx - sx * sx, 0.0)) * sx) / w)
+      |      / NULLIF((w * sxy - sx * sy)
+      |        / NULLIF(w * sxx - sx * sx, 0.0), 0.0)), 6) AS scale_sec
+      |  FROM stats
+      |)
+      |SELECT event_type, n_gaps, shape_k, scale_sec,
+      |  CASE WHEN shape_k IS NULL THEN 'degenerate'
+      |    WHEN shape_k < 0.95 THEN 'bursty'
+      |    WHEN shape_k > 1.05 THEN 'regular'
+      |    ELSE 'poisson_like' END AS verdict
+      |FROM scored
       |ORDER BY event_type""".stripMargin
 
   /** q492 — Haar wavelet energy ladder per type's daily series: the

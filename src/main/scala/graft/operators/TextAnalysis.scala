@@ -3730,78 +3730,6 @@ object TextAnalysis {
       |FROM scored
       |ORDER BY decile""".stripMargin
 
-  /** q493 — QQ decile table per source vs the global corpus: each
-    * source's rank-selected doc-length deciles paired with the global
-    * deciles and their ratio — the SHAPE of how a feed deviates
-    * (long-doc heavy everywhere? only in the tail?), where a KS
-    * number (q453 family) reports just the single worst gap. Ratio
-    * ≈ 1 across all deciles = the feed is a scaled copy of the
-    * corpus; a tail-only ratio spike = truncation/boilerplate at one
-    * end. The per-feed intake fingerprint.
-    *
-    * Exactness: deciles are RANK-SELECTED (the q42 rule, ceil(n·i/10)
-    * with doc_id tiebreak — no interpolation) on both grains; the
-    * ratio is one guarded rounded division.
-    *
-    * Scale: one per-source rank window (source-keyed, fine-grained)
-    * + one global window (the acknowledged q90-family sort; the q60
-    * histogram path is the documented sketch alternative); the join
-    * is 10 broadcast rows.
-    */
-  def qqDecilesBySource(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("source"), col("n_chars"), col("doc_id"))
-    val grid = broadcast(spark.range(1, 11).toDF("decile"))
-    val bySrc = docs
-      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
-        .orderBy(col("n_chars"), col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
-    val srcQ = grid.join(bySrc,
-        col("rn") === expr("(n * decile + 9) div 10"))
-      .select(col("source"), col("decile"), col("n_chars").as("src_q"))
-    val global = docs
-      .withColumn("rn", row_number().over(Window.partitionBy(lit(1))
-        .orderBy(col("n_chars"), col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
-    val gQ = grid.join(global,
-        col("rn") === expr("(n * decile + 9) div 10"))
-      .select(col("decile"), col("n_chars").as("global_q"))
-    srcQ.join(broadcast(gQ), "decile")
-      .select(col("source"), col("decile").cast("int").as("decile"),
-        col("src_q"), col("global_q"),
-        round(col("src_q").cast("double")
-          / nullif(col("global_q").cast("double"), lit(0.0)), 6).as("ratio"))
-      .orderBy(col("source"), col("decile"))
-  }
-
-  val qqDecilesBySourceSql: String =
-    """WITH by_src AS (
-      |  SELECT source, n_chars,
-      |    ROW_NUMBER() OVER (PARTITION BY source
-      |      ORDER BY n_chars, doc_id) AS rn,
-      |    COUNT(*) OVER (PARTITION BY source) AS n
-      |  FROM documents
-      |), src_q AS (
-      |  SELECT b.source, CAST(t.i AS INT) AS decile, b.n_chars AS src_q
-      |  FROM range(1, 11) t(i)
-      |  JOIN by_src b ON b.rn = (b.n * t.i + 9) // 10
-      |), g_all AS (
-      |  SELECT n_chars,
-      |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
-      |    COUNT(*) OVER () AS n
-      |  FROM documents
-      |), g_q AS (
-      |  SELECT CAST(t.i AS INT) AS decile, g.n_chars AS global_q
-      |  FROM range(1, 11) t(i)
-      |  JOIN g_all g ON g.rn = (g.n * t.i + 9) // 10
-      |)
-      |SELECT s.source, s.decile, s.src_q, g.global_q,
-      |  ROUND(CAST(s.src_q AS DOUBLE)
-      |    / NULLIF(CAST(g.global_q AS DOUBLE), 0.0), 6) AS ratio
-      |FROM src_q s JOIN g_q g ON g.decile = s.decile
-      |ORDER BY s.source, s.decile""".stripMargin
-
   /** q485 — leave-one-source-out data valuation: retrain the q349
     * naive-Bayes lang-id WITHOUT each source and score the SAME
     * holdout fifth — Δaccuracy per source is the source's marginal

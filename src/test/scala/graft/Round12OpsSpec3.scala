@@ -500,18 +500,15 @@ class Round12OpsSpec3 extends AnyFunSuite {
     out.foreach(r => assert(r._4 >= 0L))
   }
 
-  test("q493 QQ deciles: monotone within source, decile 10 is the max, ratio consistent") {
-    val out = TextAnalysis.qqDecilesBySource(spark, sf001)
-      .as[(String, Int, Long, Long, Option[Double])].collect().toSeq
-    assert(out.size === 200)
-    out.groupBy(_._1).foreach { case (_, rows) =>
-      val qs = rows.sortBy(_._2).map(_._3)
-      assert(qs.zip(qs.tail).forall { case (a, b) => a <= b })
-    }
-    val gq = out.map(r => r._2 -> r._4).toMap
-    assert(gq(10) === out.map(_._3).max) // global p100 = corpus max
+  test("q493 Weibull gaps: shape/scale positive, verdicts typed, five types") {
+    val out = Events.weibullGapFit(spark, sf001)
+      .as[(String, Long, Option[Double], Option[Double], String)].collect().toSeq
+    assert(out.size === 5)
     out.foreach { r =>
-      r._5.foreach(rt => assert(math.abs(rt - r._3.toDouble / r._4) < 2e-6))
+      assert(r._2 > 0L)
+      r._3.foreach(k => assert(k > 0.0))
+      r._4.foreach(s => assert(s > 0.0))
+      assert(Set("bursty", "poisson_like", "regular", "degenerate").contains(r._5))
     }
   }
 
