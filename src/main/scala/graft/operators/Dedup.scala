@@ -3571,4 +3571,129 @@ object Dedup {
        |FROM binned
        |GROUP BY bucket
        |ORDER BY bucket""".stripMargin
+
+  /** q498 — greedy max-coverage source selection: pick sources one at
+    * a time, each round taking the source that adds the most
+    * NOT-YET-COVERED distinct shingles — the classic (1 − 1/e)
+    * submodular-maximization greedy, at feed grain. q110 measures
+    * pairwise overlap and q331 ablates one source at a time; this is
+    * the SELECTION policy those diagnostics feed: "which `rounds`
+    * feeds buy the most distinct corpus content", with each pick's
+    * marginal gain and the cumulative coverage share as the yield
+    * curve. Ties and zero-gain picks are deterministic (gain desc,
+    * source asc; remaining sources with no new shingles still get
+    * picked with gain 0).
+    *
+    * Exactness: pure distinct-count set algebra on the q110
+    * (source, shingle) frame — every number is an exact BIGINT; the
+    * only division is the final coverage share.
+    *
+    * Scale: the corpus-sized work is ONE (source, shingle) distinct
+    * (localCheckpointed; the q110 shuffle); each greedy round is a
+    * shingle-keyed anti-join against the covered set plus a
+    * |sources|-row aggregate — rounds are a stated constant, and the
+    * covered set is bounded by the distinct-shingle universe, never
+    * by corpus rows. The greedy is inherently sequential; its
+    * per-round cost is one linear pass, the textbook trade for the
+    * (1 − 1/e) guarantee.
+    */
+  def maxCoverageSources(spark: SparkSession, dir: String,
+                         k: Int = 3, rounds: Int = 4): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sf = shingles(docs, k)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("shingle")).distinct()
+      .localCheckpoint()
+    val total = sf.select(col("shingle")).distinct().count()
+    val allSources = sf.select(col("source")).distinct()
+    var picked = Vector.empty[(Int, String, Long)] // (round, source, gain)
+    var covered: DataFrame = null
+    var remaining = allSources
+    for (r <- 1 to rounds) {
+      val cand = sf.join(remaining, Seq("source"), "left_semi")
+      val fresh = if (covered == null) cand
+        else cand.join(covered, Seq("shingle"), "left_anti")
+      val gains = remaining.join(
+          fresh.groupBy(col("source")).agg(count(lit(1)).as("gain")),
+          Seq("source"), "left")
+        .select(col("source"), coalesce(col("gain"), lit(0L)).as("gain"))
+      val top = gains.orderBy(col("gain").desc, col("source")).limit(1)
+        .collect() // 1 row: the greedy argmax — metadata-sized by design
+      if (top.nonEmpty) {
+        val src = top(0).getString(0); val g = top(0).getLong(1)
+        picked = picked :+ ((r, src, g))
+        val newCov = sf.filter(col("source") === src).select(col("shingle"))
+        covered = (if (covered == null) newCov
+          else covered.unionByName(newCov).distinct()).localCheckpoint()
+        remaining = remaining.filter(col("source") =!= src)
+      }
+    }
+    import spark.implicits._
+    val cum = picked.scanLeft(0L)(_ + _._3).tail
+    picked.zip(cum).map { case ((r, s, g), c) => (r, s, g, c, total) }
+      .toDF("pick_round", "source", "gain", "cum_covered", "total_shingles")
+      .withColumn("cum_share", round(col("cum_covered").cast("double") /
+        col("total_shingles").cast("double"), 6))
+      .orderBy(col("pick_round"))
+  }
+
+  def maxCoverageSourcesSql(k: Int = 3, rounds: Int = 4): String = {
+    val sh0 =
+      s"""sh0 AS (
+         |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+${k - 1}], ' ')
+         |    for i in range(1, len(toks) - ${k - 2})])) AS shingle
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= $k
+         |), sf AS (
+         |  SELECT DISTINCT d.source, sh0.shingle
+         |  FROM sh0 JOIN documents d ON sh0.doc_id = d.doc_id
+         |), srcs AS (
+         |  SELECT DISTINCT source FROM sf
+         |), tot AS (
+         |  SELECT COUNT(DISTINCT shingle) AS total FROM sf
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val notPicked = (1 until r).map(i =>
+        s"source <> (SELECT source FROM p$i)").mkString(" AND ")
+      val remaining = if (r == 1) "srcs" else s"(SELECT source FROM srcs WHERE $notPicked)"
+      val freshCond = if (r == 1) ""
+        else s" AND NOT EXISTS (SELECT 1 FROM cov${r - 1} c WHERE c.shingle = s.shingle)"
+      val gains =
+        s"""g$r AS (
+           |  SELECT rem.source, COALESCE(f.gain, 0) AS gain
+           |  FROM $remaining rem LEFT JOIN (
+           |    SELECT s.source, COUNT(*) AS gain FROM sf s
+           |    WHERE 1=1$freshCond
+           |    GROUP BY 1
+           |  ) f ON f.source = rem.source
+           |), p$r AS (
+           |  SELECT source, gain FROM g$r ORDER BY gain DESC, source LIMIT 1
+           |)""".stripMargin
+      val cov =
+        if (r < rounds) {
+          val prev = if (r == 1) ""
+            else s"SELECT shingle FROM cov${r - 1} UNION "
+          s""", cov$r AS (
+             |  ${prev}SELECT DISTINCT shingle FROM sf
+             |    WHERE source = (SELECT source FROM p$r)
+             |)""".stripMargin
+        } else ""
+      gains + cov
+    }.mkString(", ")
+    val unions = (1 to rounds).map(r =>
+      s"SELECT $r AS pick_round, source, CAST(gain AS BIGINT) AS gain FROM p$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $sh0, $roundCtes,
+       |picks AS (
+       |  $unions
+       |)
+       |SELECT pick_round, source, gain,
+       |  CAST(SUM(gain) OVER (ORDER BY pick_round) AS BIGINT) AS cum_covered,
+       |  (SELECT total FROM tot) AS total_shingles,
+       |  ROUND(CAST(SUM(gain) OVER (ORDER BY pick_round) AS DOUBLE)
+       |    / CAST((SELECT total FROM tot) AS DOUBLE), 6) AS cum_share
+       |FROM picks ORDER BY pick_round""".stripMargin
+  }
 }

@@ -8683,4 +8683,324 @@ object Events {
       |$joins
       |ORDER BY r${blockSizes.head}.event_type""".stripMargin
   }
+
+  /** q497 — Chow structural-break test per event type: split each
+    * daily series at its integer midpoint day and F-test whether two
+    * separate linear trends fit significantly better than one pooled
+    * trend — F = ((SSE_p − SSE₁ − SSE₂)/k) / ((SSE₁ + SSE₂)/(n − 2k)),
+    * k = 2 (intercept + slope). The REGRESSION-break companion of the
+    * mean-shift detectors (q161 changepoints, q432 Page–Hinkley):
+    * those ask "did the level move", this asks "did the TREND LINE
+    * change" — the question a capacity forecast actually hinges on.
+    * Verdict vs the literal F(2, large) ≈ 3.0 cut, stated here rather
+    * than an incomputable p-value.
+    *
+    * Exactness: all six sufficient sums per segment accumulate as
+    * 6dp-rounded-term DECIMAL(28,6) (the q102 convention; pooled sums
+    * are the exact decimal additions of the segment sums, computed in
+    * the same single aggregate), are cast to double once, and every
+    * downstream expression is written in ONE fixed operand order on
+    * both engines. Degenerate segments (fewer than 3 days, zero x
+    * variance, zero residual variance) surface as NULL F via NULLIF →
+    * verdict 'degenerate'. F's rounded display adds +0.0 (a
+    * mathematically-zero F can round from a tiny negative).
+    *
+    * Scale: one (type, day) aggregate with map-side combine, a 1-row
+    * per-type midpoint broadcast folded into the same aggregate, and
+    * a |types|-row readout — calendar-bounded everywhere.
+    */
+  def chowBreakTest(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec))
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(Relational.decSum(col("value")).as("v"))
+    val mid = daily.groupBy(col("event_type"))
+      .agg(expr("(min(day) + max(day)) div 2").as("m"))
+    val tagged = daily.join(broadcast(mid), "event_type")
+      .withColumn("x", col("day").cast("double"))
+      .withColumn("s", (col("day") <= col("m")).cast("int"))
+    def seg(pred: Column, name: String): Seq[Column] = Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"n$name"),
+      dsum(when(pred, col("x"))).as(s"sx$name"),
+      dsum(when(pred, col("v"))).as(s"sy$name"),
+      dsum(when(pred, round(col("x") * col("x"), 6))).as(s"sxx$name"),
+      dsum(when(pred, round(col("x") * col("v"), 6))).as(s"sxy$name"),
+      dsum(when(pred, round(col("v") * col("v"), 6))).as(s"syy$name"))
+    val aggs = Seq(max(col("m")).as("split_day")) ++
+      seg(col("s") === 1, "1") ++ seg(col("s") === 0, "2") ++
+      seg(lit(true), "p")
+    val stats = tagged.groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+    def sse(k: String): Column = {
+      val n = col(s"n$k").cast("double")
+      val sx = col(s"sx$k").cast("double"); val sy = col(s"sy$k").cast("double")
+      val sxx = col(s"sxx$k").cast("double"); val sxy = col(s"sxy$k").cast("double")
+      val syy = col(s"syy$k").cast("double")
+      val cxx = sxx - sx * sx / n
+      val cxy = sxy - sx * sy / n
+      val cyy = syy - sy * sy / n
+      cyy - (cxy * cxy) / nullif(cxx, lit(0.0))
+    }
+    stats
+      .withColumn("sse1", sse("1")).withColumn("sse2", sse("2"))
+      .withColumn("ssep", sse("p"))
+      .withColumn("f_raw",
+        when(col("n1") >= 3 && col("n2") >= 3,
+          ((col("ssep") - col("sse1") - col("sse2")) / lit(2.0)) /
+            nullif((col("sse1") + col("sse2")) /
+              (col("n1") + col("n2") - lit(4)).cast("double"), lit(0.0))))
+      .select(col("event_type"), col("n1"), col("n2"), col("split_day"),
+        (round(col("ssep"), 6) + lit(0.0)).as("sse_pooled"),
+        (round(col("sse1") + col("sse2"), 6) + lit(0.0)).as("sse_split"),
+        (round(col("f_raw"), 6) + lit(0.0)).as("f_stat"),
+        when(col("f_raw").isNull, lit("degenerate"))
+          .when(col("f_raw") > 3.0, lit("break"))
+          .otherwise(lit("stable")).as("verdict"))
+      .orderBy(col("event_type"))
+  }
+
+  val chowBreakTestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), mid AS (
+      |  SELECT event_type, (MIN(day) + MAX(day)) // 2 AS m
+      |  FROM daily GROUP BY 1
+      |), tagged AS (
+      |  SELECT d.event_type, CAST(d.day AS DOUBLE) AS x, d.v,
+      |    CASE WHEN d.day <= m.m THEN 1 ELSE 0 END AS s, m.m
+      |  FROM daily d JOIN mid m ON m.event_type = d.event_type
+      |), stats AS (
+      |  SELECT event_type, MAX(m) AS split_day,
+      |    SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN s = 1 THEN CAST(x AS DECIMAL(28,6)) END) AS sx1,
+      |    SUM(CASE WHEN s = 1 THEN CAST(v AS DECIMAL(28,6)) END) AS sy1,
+      |    SUM(CASE WHEN s = 1 THEN CAST(ROUND(x * x, 6) AS DECIMAL(28,6)) END) AS sxx1,
+      |    SUM(CASE WHEN s = 1 THEN CAST(ROUND(x * v, 6) AS DECIMAL(28,6)) END) AS sxy1,
+      |    SUM(CASE WHEN s = 1 THEN CAST(ROUND(v * v, 6) AS DECIMAL(28,6)) END) AS syy1,
+      |    SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS n2,
+      |    SUM(CASE WHEN s = 0 THEN CAST(x AS DECIMAL(28,6)) END) AS sx2,
+      |    SUM(CASE WHEN s = 0 THEN CAST(v AS DECIMAL(28,6)) END) AS sy2,
+      |    SUM(CASE WHEN s = 0 THEN CAST(ROUND(x * x, 6) AS DECIMAL(28,6)) END) AS sxx2,
+      |    SUM(CASE WHEN s = 0 THEN CAST(ROUND(x * v, 6) AS DECIMAL(28,6)) END) AS sxy2,
+      |    SUM(CASE WHEN s = 0 THEN CAST(ROUND(v * v, 6) AS DECIMAL(28,6)) END) AS syy2,
+      |    SUM(CAST(x AS DECIMAL(28,6))) AS sxp,
+      |    SUM(CAST(v AS DECIMAL(28,6))) AS syp,
+      |    SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS sxxp,
+      |    SUM(CAST(ROUND(x * v, 6) AS DECIMAL(28,6))) AS sxyp,
+      |    SUM(CAST(ROUND(v * v, 6) AS DECIMAL(28,6))) AS syyp
+      |  FROM tagged GROUP BY 1
+      |), sses AS (
+      |  SELECT event_type, split_day, n1, n2,
+      |    (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |      - ((CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |         * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+      |        / NULLIF(CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE), 0.0)
+      |      AS sse1,
+      |    (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |      - ((CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |         * (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+      |        / NULLIF(CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE), 0.0)
+      |      AS sse2,
+      |    (CAST(syyp AS DOUBLE) - CAST(syp AS DOUBLE) * CAST(syp AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+      |      - ((CAST(sxyp AS DOUBLE) - CAST(sxp AS DOUBLE) * CAST(syp AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+      |         * (CAST(sxyp AS DOUBLE) - CAST(sxp AS DOUBLE) * CAST(syp AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))
+      |        / NULLIF(CAST(sxxp AS DOUBLE) - CAST(sxp AS DOUBLE) * CAST(sxp AS DOUBLE) / CAST(n1 + n2 AS DOUBLE), 0.0)
+      |      AS ssep
+      |  FROM stats
+      |), f AS (
+      |  SELECT event_type, n1, n2, split_day, sse1, sse2, ssep,
+      |    CASE WHEN n1 >= 3 AND n2 >= 3 THEN
+      |      ((ssep - sse1 - sse2) / 2.0)
+      |        / NULLIF((sse1 + sse2) / CAST(n1 + n2 - 4 AS DOUBLE), 0.0)
+      |    END AS f_raw
+      |  FROM sses
+      |)
+      |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  split_day,
+      |  ROUND(ssep, 6) + 0.0 AS sse_pooled,
+      |  ROUND(sse1 + sse2, 6) + 0.0 AS sse_split,
+      |  ROUND(f_raw, 6) + 0.0 AS f_stat,
+      |  CASE WHEN f_raw IS NULL THEN 'degenerate'
+      |    WHEN f_raw > 3.0 THEN 'break' ELSE 'stable' END AS verdict
+      |FROM f ORDER BY event_type""".stripMargin
+
+  /** q501 — Cochran's Q test across the three daily anomaly detectors
+    * (q121 MAD, q173 EWMA, q364 CUSUM) per event type: do the
+    * detectors flag at SIGNIFICANTLY different rates on the same
+    * matched days? q434's Fleiss kappa measures how much they agree;
+    * Cochran's Q is the hypothesis TEST for k matched binary raters —
+    * the pre-condition check before trusting q377's "2 of 3"
+    * consensus rule (if one detector fires systematically more, the
+    * vote is weighted before it starts). Q = (k−1)(k·ΣC_j² − T²) /
+    * (k·T − ΣR_i²) with k = 3, C_j the per-detector flag totals, R_i
+    * the per-day flag counts, T = ΣR_i; under H₀ Q ~ χ²(k−1), cut at
+    * the literal 5.991 (χ²₀.₀₅,₂).
+    *
+    * Exactness: the same three graded integer-flag relations q377
+    * joins (NO n_alerts filter here — all-zero and all-three days
+    * belong in N even though they cancel from Q's sums); every term
+    * of Q is an exact BIGINT, one double division at the end, NULLIF
+    * for the all-agree degenerate case.
+    *
+    * Scale: three calendar-bounded passes (each individually graded)
+    * + calendar-sized joins + a |types|-row aggregate.
+    */
+  def cochranQDetectors(spark: SparkSession, dir: String): DataFrame = {
+    val mad = dailyAnomalies(spark, dir)
+      .select(col("event_type"), col("day"), col("is_anomaly").as("a"))
+    val ew = ewmaControl(spark, dir)
+      .select(col("event_type"), col("day"),
+        coalesce(col("is_alert"), lit(0)).as("b"))
+    val cu = cusumChart(spark, dir)
+      .select(col("event_type"), col("day"), col("is_alert").as("c"))
+    mad.join(ew, Seq("event_type", "day"))
+      .join(cu, Seq("event_type", "day"))
+      .withColumn("r", (col("a") + col("b") + col("c")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a").cast("long")).as("c_mad"),
+        sum(col("b").cast("long")).as("c_ewma"),
+        sum(col("c").cast("long")).as("c_cusum"),
+        sum(col("r")).as("t_sum"),
+        sum(col("r") * col("r")).as("sr2"))
+      .withColumn("q_raw",
+        (lit(2.0) * (lit(3L) * (col("c_mad") * col("c_mad")
+          + col("c_ewma") * col("c_ewma")
+          + col("c_cusum") * col("c_cusum"))
+          - col("t_sum") * col("t_sum")).cast("double")) /
+          nullif((lit(3L) * col("t_sum") - col("sr2")).cast("double"),
+            lit(0.0)))
+      .select(col("event_type"), col("n_days"),
+        col("c_mad"), col("c_ewma"), col("c_cusum"),
+        round(col("q_raw"), 6).as("q_stat"),
+        when(col("q_raw").isNull, lit("degenerate"))
+          .when(col("q_raw") > 5.991, lit("detectors_differ"))
+          .otherwise(lit("consistent")).as("verdict"))
+      .orderBy(col("event_type"))
+  }
+
+  val cochranQDetectorsSql: String =
+    s"""WITH mad_t AS (
+       |  $dailyAnomaliesSql
+       |), ew_t AS (
+       |  $ewmaControlSql
+       |), cu_t AS (
+       |  $cusumChartSql
+       |), flags AS (
+       |  SELECT m.event_type, m.is_anomaly AS a,
+       |    COALESCE(e.is_alert, 0) AS b, c.is_alert AS c,
+       |    CAST(m.is_anomaly + COALESCE(e.is_alert, 0) + c.is_alert
+       |      AS BIGINT) AS r
+       |  FROM mad_t m
+       |  JOIN ew_t e ON m.event_type = e.event_type AND m.day = e.day
+       |  JOIN cu_t c ON m.event_type = c.event_type AND m.day = c.day
+       |), agg AS (
+       |  SELECT event_type, COUNT(*) AS n_days,
+       |    CAST(SUM(a) AS BIGINT) AS c_mad,
+       |    CAST(SUM(b) AS BIGINT) AS c_ewma,
+       |    CAST(SUM(c) AS BIGINT) AS c_cusum,
+       |    CAST(SUM(r) AS BIGINT) AS t_sum,
+       |    CAST(SUM(r * r) AS BIGINT) AS sr2
+       |  FROM flags GROUP BY 1
+       |)
+       |SELECT event_type, n_days, c_mad, c_ewma, c_cusum,
+       |  ROUND(CAST(2 * (3 * (c_mad * c_mad + c_ewma * c_ewma
+       |      + c_cusum * c_cusum) - t_sum * t_sum) AS DOUBLE)
+       |    / NULLIF(CAST(3 * t_sum - sr2 AS DOUBLE), 0.0), 6) AS q_stat,
+       |  CASE WHEN CAST(3 * t_sum - sr2 AS DOUBLE) = 0.0 THEN 'degenerate'
+       |    WHEN CAST(2 * (3 * (c_mad * c_mad + c_ewma * c_ewma
+       |        + c_cusum * c_cusum) - t_sum * t_sum) AS DOUBLE)
+       |      / CAST(3 * t_sum - sr2 AS DOUBLE) > 5.991
+       |      THEN 'detectors_differ'
+       |    ELSE 'consistent' END AS verdict
+       |FROM agg ORDER BY event_type""".stripMargin
+
+  /** q502 — mean-excess (mean-residual-life) ladder per event type:
+    * e(u) = mean(v − u | v > u) at the exact p50/p75/p90 thresholds
+    * of each type's daily-value distribution — the standard
+    * extreme-value diagnostic read BEFORE fitting any tail model: a
+    * mean-excess that RISES with u means a heavy (GPD ξ > 0) tail
+    * where q378's expected shortfall keeps growing; flat means
+    * exponential; falling means a bounded tail. The threshold-grain
+    * companion of q414's single Hill number — q414 estimates the
+    * exponent, this shows WHERE tail behavior starts.
+    *
+    * Exactness: thresholds are rank-SELECTED daily values (the
+    * q42/q149 lower-middle convention, (v, day)-tiebroken), so both
+    * engines subtract the same exact double; excess terms round to
+    * 6dp and sum as DECIMAL. The exceedance comparison (v > u)
+    * happens on unrounded values, identical IEEE both sides.
+    *
+    * Scale: one (type, day) aggregate, one per-type rank window over
+    * the calendar-sized daily table, a 3-row-per-type threshold
+    * explode, and a conditional re-aggregate — never event-sized.
+    */
+  def meanExcessLadder(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(Relational.decSum(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"), col("day"))
+    val ranked = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val thr = ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("u50"),
+        max(when(col("rn") === expr("(n * 3 + 3) div 4"), col("v"))).as("u75"),
+        max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("v"))).as("u90"))
+      .select(col("event_type"), col("n"),
+        expr("stack(3, 50, u50, 75, u75, 90, u90)").as(Seq("pct", "u")))
+    daily.join(broadcast(thr), "event_type")
+      .groupBy(col("event_type"), col("pct"), col("u"))
+      .agg(max(col("n")).as("n_days"),
+        sum(when(col("v") > col("u"), 1L).otherwise(0L)).as("n_exceed"),
+        sum(when(col("v") > col("u"), round(col("v") - col("u"), 6))
+          .cast(dec)).cast("double").as("sum_excess"))
+      .select(col("event_type"), col("pct"), round(col("u"), 6).as("u"),
+        col("n_days"), col("n_exceed"),
+        round(col("sum_excess") /
+          nullif(col("n_exceed").cast("double"), lit(0.0)), 6)
+          .as("mean_excess"),
+        round(col("n_exceed").cast("double") / col("n_days").cast("double"), 6)
+          .as("exceed_share"))
+      .orderBy(col("event_type"), col("pct"))
+  }
+
+  val meanExcessLadderSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT event_type, day, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily
+      |), thr0 AS (
+      |  SELECT event_type, MAX(n) AS n,
+      |    MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS u50,
+      |    MAX(CASE WHEN rn = (n * 3 + 3) // 4 THEN v END) AS u75,
+      |    MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN v END) AS u90
+      |  FROM ranked GROUP BY 1
+      |), thr AS (
+      |  SELECT event_type, n, 50 AS pct, u50 AS u FROM thr0
+      |  UNION ALL SELECT event_type, n, 75, u75 FROM thr0
+      |  UNION ALL SELECT event_type, n, 90, u90 FROM thr0
+      |)
+      |SELECT d.event_type, t.pct, ROUND(t.u, 6) AS u,
+      |  CAST(MAX(t.n) AS BIGINT) AS n_days,
+      |  CAST(SUM(CASE WHEN d.v > t.u THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+      |  ROUND(CAST(SUM(CASE WHEN d.v > t.u
+      |      THEN CAST(ROUND(d.v - t.u, 6) AS DECIMAL(28,6)) END) AS DOUBLE)
+      |    / NULLIF(CAST(SUM(CASE WHEN d.v > t.u THEN 1 ELSE 0 END) AS DOUBLE),
+      |        0.0), 6) AS mean_excess,
+      |  ROUND(CAST(SUM(CASE WHEN d.v > t.u THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(MAX(t.n) AS DOUBLE), 6) AS exceed_share
+      |FROM daily d JOIN thr t ON t.event_type = d.event_type
+      |GROUP BY d.event_type, t.pct, t.u
+      |ORDER BY d.event_type, t.pct""".stripMargin
 }

@@ -4913,4 +4913,71 @@ object Relational {
       |  s.slope * g.global_slope < 0 AS flips_global
       |FROM s CROSS JOIN g
       |ORDER BY s.p_type""".stripMargin
+
+  /** q503 — Atkinson inequality index (ε = 1) of customer spend per
+    * nation: A = 1 − EDE/mean, where EDE = exp(mean(ln x)) is the
+    * "equally-distributed equivalent" spend — the welfare-weighted
+    * inequality number that, unlike Gini (q333) and Theil (q484),
+    * carries an explicit aversion parameter and answers "what equal
+    * spend would make society indifferent to this distribution". At
+    * ε = 1 the index is 1 − geometric/arithmetic mean — exactly the
+    * AM–GM gap. Completes the inequality shelf: Gini (rank-based),
+    * Theil (log-index decomposition), Atkinson (welfare).
+    *
+    * Exactness: per-customer spend totals are decimal sums; ln terms
+    * round to 6dp and sum as DECIMAL (the q56/q103 log convention);
+    * EDE and the final ratio are fixed-operand-order double math
+    * rounded once. Spend > 0 always (o_totalprice positive), so ln
+    * never sees zero; single-customer nations yield A = 0 honestly.
+    *
+    * Scale: one customer-keyed aggregate, one broadcast dim join, a
+    * |nations|-row readout — the q484 shape.
+    */
+  def atkinsonIndex(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val spend = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(decSum(col("o_totalprice")).as("x"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    spend.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(round(log(col("x")), 6).cast(dec)).cast("double").as("slnx"))
+      .select(col("nation"), col("n_customers"),
+        round(col("sx") / col("n_customers").cast("double"), 6)
+          .as("mean_spend"),
+        round(exp(col("slnx") / col("n_customers").cast("double")), 6)
+          .as("ede_spend"),
+        (round(lit(1.0) -
+          exp(col("slnx") / col("n_customers").cast("double")) /
+            (col("sx") / col("n_customers").cast("double")), 6) + lit(0.0))
+          .as("atkinson"))
+      .orderBy(col("nation"))
+  }
+
+  val atkinsonIndexSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS x
+      |  FROM orders GROUP BY 1
+      |), agg AS (
+      |  SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+      |    CAST(SUM(CAST(s.x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(ln(s.x), 6) AS DECIMAL(28,6))) AS DOUBLE) AS slnx
+      |  FROM spend s
+      |  JOIN customer c ON c.c_custkey = s.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1
+      |)
+      |SELECT nation, CAST(n_customers AS BIGINT) AS n_customers,
+      |  ROUND(sx / CAST(n_customers AS DOUBLE), 6) AS mean_spend,
+      |  ROUND(exp(slnx / CAST(n_customers AS DOUBLE)), 6) AS ede_spend,
+      |  ROUND(1.0 - exp(slnx / CAST(n_customers AS DOUBLE))
+      |    / (sx / CAST(n_customers AS DOUBLE)), 6) + 0.0 AS atkinson
+      |FROM agg ORDER BY nation""".stripMargin
 }

@@ -1614,4 +1614,233 @@ object Temporal {
       |FROM o CROSS JOIN span s
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** q496 — Croston's method for intermittent demand, per part over
+    * weekly ship quantities: the forecasting model spare-parts /
+    * long-tail demand actually needs (SES on a mostly-zero series
+    * converges to ~0 between demands and spikes after each one;
+    * Croston smooths the nonzero demand SIZES and the INTERVALS
+    * between them separately and forecasts size/interval). Emits the
+    * classic estimate, the Syntetos–Boylan bias-corrected variant
+    * (× (1 − α/2) = × 3/4 at α = 1/2), and the SBC demand-pattern
+    * quadrant (smooth / intermittent / erratic / lumpy via the
+    * ADI = 1.32 and CV² = 0.49 literature cuts) — the routing table
+    * that says which parts Croston should own at all.
+    *
+    * Exactness: both smoothers are the q120 dyadic fold — α = 1/2
+    * means s ← (x + s)/2 does only IEEE-exact halvings, and both
+    * engines fold the same week-ordered array head-seeded (Spark
+    * `aggregate`, DuckDB `list_reduce`), so ẑ and p̂ are
+    * bit-identical doubles BEFORE the single final rounding; weekly
+    * sizes are decimal sums, intervals are exact integer week gaps.
+    * ADI is an exact integer ratio; CV² runs on 6dp-rounded decimal
+    * power sums (q102 convention). Parts need ≥ `minWeeks` demand
+    * weeks (stated in the oracle) so every fold has a seed and a gap.
+    *
+    * Scale: one (part, week) aggregate with map-side combine, one
+    * part-keyed window for gaps, then per-part folds over arrays
+    * bounded by the part's demand-week count (weeks-in-corpus at
+    * worst) — never event-sized state; output is part-cardinality.
+    */
+  def crostonDemand(spark: SparkSession, dir: String,
+                    minWeeks: Int = 3): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dayOf = (c: String) =>
+      s"(unix_micros(cast($c as timestamp)) - " +
+        s"pmod(unix_micros(cast($c as timestamp)), 86400000000)) " +
+        "div 86400000000"
+    val wk = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey").as("part"),
+        expr(s"(${dayOf("l_shipdate")}) div 7").as("week"),
+        col("l_quantity"))
+      .groupBy(col("part"), col("week"))
+      .agg(Relational.decSum(col("l_quantity")).as("z"))
+    val g = wk.withColumn("gap",
+      col("week") - lag(col("week"), 1).over(
+        Window.partitionBy(col("part")).orderBy(col("week"))))
+    val agg = g.groupBy(col("part"))
+      .agg(count(lit(1)).as("n_wk"),
+        array_sort(collect_list(struct(col("week"), col("z")))).as("wz"),
+        array_sort(collect_list(when(col("gap").isNotNull,
+          struct(col("week"), col("gap"))))).as("wg"),
+        min(col("week")).as("w0"), max(col("week")).as("w1"),
+        sum(col("z").cast(dec)).cast("double").as("sz"),
+        sum(round(col("z") * col("z"), 6).cast(dec)).cast("double").as("szz"))
+      .filter(col("n_wk") >= minWeeks)
+    agg
+      .withColumn("z_hat", expr(
+        """aggregate(
+          |  slice(transform(wz, x -> x.z), 2, size(wz) - 1),
+          |  CAST(wz[0].z AS DOUBLE),
+          |  (s, x) -> (x + s) / 2D)""".stripMargin))
+      .withColumn("p_hat", expr(
+        """aggregate(
+          |  slice(transform(wg, x -> CAST(x.gap AS DOUBLE)), 2, size(wg) - 1),
+          |  CAST(wg[0].gap AS DOUBLE),
+          |  (s, x) -> (x + s) / 2D)""".stripMargin))
+      .withColumn("mean_z", col("sz") / col("n_wk").cast("double"))
+      .withColumn("var_z",
+        (col("szz") - col("sz") * col("sz") / col("n_wk").cast("double"))
+          / col("n_wk").cast("double"))
+      .withColumn("adi",
+        (col("w1") - col("w0")).cast("double") /
+          (col("n_wk") - lit(1)).cast("double"))
+      .withColumn("cv2",
+        col("var_z") / nullif(col("mean_z") * col("mean_z"), lit(0.0)))
+      .select(col("part"), col("n_wk"),
+        round(col("z_hat"), 6).as("z_hat"),
+        round(col("p_hat"), 6).as("p_hat"),
+        round(col("z_hat") / col("p_hat"), 6).as("croston"),
+        round(lit(0.75) * (col("z_hat") / col("p_hat")), 6).as("croston_sba"),
+        round(col("adi"), 6).as("adi"),
+        round(col("cv2"), 6).as("cv2"),
+        when(col("adi") < 1.32 && col("cv2") < 0.49, lit("smooth"))
+          .when(col("adi") >= 1.32 && col("cv2") < 0.49, lit("intermittent"))
+          .when(col("adi") < 1.32, lit("erratic"))
+          .otherwise(lit("lumpy")).as("demand_class"))
+      .orderBy(col("part"))
+  }
+
+  def crostonDemandSql(minWeeks: Int = 3): String =
+    s"""WITH wk AS (
+      |  SELECT l_partkey AS part,
+      |    (epoch_ms(l_shipdate) // 86400000) // 7 AS week,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS z
+      |  FROM lineitem GROUP BY 1, 2
+      |), g AS (
+      |  SELECT part, week, z,
+      |    week - lag(week) OVER (PARTITION BY part ORDER BY week) AS gap
+      |  FROM wk
+      |), agg AS (
+      |  SELECT part, COUNT(*) AS n_wk,
+      |    list(z ORDER BY week) AS zs,
+      |    list(CAST(gap AS DOUBLE) ORDER BY week)
+      |      FILTER (WHERE gap IS NOT NULL) AS gaps,
+      |    MIN(week) AS w0, MAX(week) AS w1,
+      |    CAST(SUM(CAST(z AS DECIMAL(28,6))) AS DOUBLE) AS sz,
+      |    CAST(SUM(CAST(ROUND(z * z, 6) AS DECIMAL(28,6))) AS DOUBLE) AS szz
+      |  FROM g GROUP BY part
+      |  HAVING COUNT(*) >= $minWeeks
+      |), folds AS (
+      |  SELECT part, n_wk, w0, w1, sz, szz,
+      |    list_reduce(zs, (s, x) -> (x + s) / 2) AS z_hat,
+      |    list_reduce(gaps, (s, x) -> (x + s) / 2) AS p_hat,
+      |    sz / CAST(n_wk AS DOUBLE) AS mean_z,
+      |    (szz - sz * sz / CAST(n_wk AS DOUBLE)) / CAST(n_wk AS DOUBLE) AS var_z,
+      |    CAST(w1 - w0 AS DOUBLE) / CAST(n_wk - 1 AS DOUBLE) AS adi
+      |  FROM agg
+      |)
+      |SELECT part, n_wk,
+      |  ROUND(z_hat, 6) AS z_hat,
+      |  ROUND(p_hat, 6) AS p_hat,
+      |  ROUND(z_hat / p_hat, 6) AS croston,
+      |  ROUND(0.75 * (z_hat / p_hat), 6) AS croston_sba,
+      |  ROUND(adi, 6) AS adi,
+      |  ROUND(var_z / NULLIF(mean_z * mean_z, 0.0), 6) AS cv2,
+      |  CASE
+      |    WHEN adi < 1.32 AND var_z / NULLIF(mean_z * mean_z, 0.0) < 0.49
+      |      THEN 'smooth'
+      |    WHEN adi >= 1.32 AND var_z / NULLIF(mean_z * mean_z, 0.0) < 0.49
+      |      THEN 'intermittent'
+      |    WHEN adi < 1.32 THEN 'erratic'
+      |    ELSE 'lumpy' END AS demand_class
+      |FROM folds ORDER BY part""".stripMargin
+
+  /** q499 — restricted mean survival time (RMST) ladder off the q151
+    * Kaplan–Meier curve: the area under S(t) truncated at each
+    * horizon τ ∈ {30, 90, 180, 365} days — "expected active days in
+    * the next τ" — the survival summary that stays defined under
+    * censoring where the plain mean lifetime does not, and the number
+    * a retention budget actually multiplies. Built ON
+    * [[kaplanMeier]]'s relation, so the curve and its integral cannot
+    * drift apart.
+    *
+    * Exactness: KM survival values are already 6dp-rounded doubles
+    * identical across engines; each interval contribution
+    * S(t_i)·(min(t_{i+1}, τ) − t_i) rounds to 6dp and sums as DECIMAL
+    * (order-independent), plus the S = 1 segment [0, t_first). Widths
+    * are exact integer day clamps.
+    *
+    * Scale: rides q151 (one customer aggregate); the integration is a
+    * lead window + conditional sums over the distinct-duration step
+    * table — catalog-sized. The τ grid is a 4-row literal explode.
+    */
+  def rmstLadder(spark: SparkSession, dir: String,
+                 censorDays: Int = 90): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val km = kaplanMeier(spark, dir, censorDays)
+      .select(col("t_day"), col("survival"))
+    val stepped = km
+      .withColumn("next_t", lead(col("t_day"), 1).over(Window.orderBy(col("t_day"))))
+      .withColumn("t_first", min(col("t_day")).over(Window.partitionBy()))
+    val taus = spark.range(1).select(
+      explode(array(lit(30), lit(90), lit(180), lit(365))).as("tau"))
+    stepped.crossJoin(broadcast(taus))
+      .withColumn("width",
+        greatest(least(coalesce(col("next_t"), col("tau").cast("long")),
+          col("tau").cast("long")) - col("t_day"), lit(0L)))
+      .groupBy(col("tau"))
+      .agg(
+        max(least(col("t_first"), col("tau").cast("long"))).as("head_days"),
+        sum(round(col("survival") * col("width").cast("double"), 6)
+          .cast(dec)).cast("double").as("area"))
+      .select(col("tau"),
+        round(col("head_days").cast("double") + col("area"), 6)
+          .as("rmst_days"),
+        round((col("head_days").cast("double") + col("area"))
+          / col("tau").cast("double"), 6).as("rmst_share"))
+      .orderBy(col("tau"))
+  }
+
+  def rmstLadderSql(censorDays: Int = 90): String =
+    s"""WITH d AS (
+      |  SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day FROM orders
+      |), ad AS (
+      |  SELECT MAX(day) AS asof_day FROM d
+      |), subj AS (
+      |  SELECT MAX(day) - MIN(day) AS dur,
+      |    CASE WHEN MAX(day) <= (SELECT asof_day FROM ad) - $censorDays
+      |      THEN 1 ELSE 0 END AS ev
+      |  FROM d GROUP BY o_custkey
+      |), steps AS (
+      |  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d_events, COUNT(*) AS n_t
+      |  FROM subj GROUP BY dur
+      |), r AS (
+      |  SELECT dur, d_events,
+      |    SUM(n_t) OVER (ORDER BY dur DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |  FROM steps
+      |), km AS (
+      |  SELECT dur AS t_day,
+      |    CASE WHEN MAX(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END)
+      |        OVER w = 1 THEN 0.0
+      |      ELSE ROUND(POWER(10, CAST(SUM(
+      |        CASE WHEN d_events = 0 OR d_events = n_risk
+      |          THEN CAST(0 AS DECIMAL(18,6))
+      |          ELSE CAST(ROUND(LOG10(1 - CAST(d_events AS DOUBLE) / n_risk), 6)
+      |            AS DECIMAL(18,6)) END) OVER w AS DOUBLE)), 6) END AS survival
+      |  FROM r
+      |  WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)
+      |), stepped AS (
+      |  SELECT t_day, survival,
+      |    lead(t_day) OVER (ORDER BY t_day) AS next_t,
+      |    MIN(t_day) OVER () AS t_first
+      |  FROM km
+      |), taus AS (
+      |  SELECT unnest([30, 90, 180, 365]) AS tau
+      |)
+      |SELECT tau,
+      |  ROUND(CAST(MAX(LEAST(t_first, CAST(tau AS BIGINT))) AS DOUBLE)
+      |    + CAST(SUM(CAST(ROUND(survival * CAST(GREATEST(
+      |        LEAST(COALESCE(next_t, CAST(tau AS BIGINT)), CAST(tau AS BIGINT))
+      |          - t_day, 0) AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
+      |    AS rmst_days,
+      |  ROUND((CAST(MAX(LEAST(t_first, CAST(tau AS BIGINT))) AS DOUBLE)
+      |    + CAST(SUM(CAST(ROUND(survival * CAST(GREATEST(
+      |        LEAST(COALESCE(next_t, CAST(tau AS BIGINT)), CAST(tau AS BIGINT))
+      |          - t_day, 0) AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE))
+      |    / CAST(tau AS DOUBLE), 6) AS rmst_share
+      |FROM stepped CROSS JOIN taus
+      |GROUP BY tau ORDER BY tau""".stripMargin
 }

@@ -4381,4 +4381,154 @@ object TextAnalysis {
       |  a AS n_in, b AS n_rest, g2
       |FROM ranked WHERE rank <= $topK
       |ORDER BY source, rank""".stripMargin
+
+  /** q500 — reliability diagram + expected calibration error (ECE)
+    * of the q349 naive-Bayes classifier on the holdout fifth: softmax
+    * the per-class log-scores into a top-class confidence, bin by
+    * confidence decile, and compare each bin's MEAN CONFIDENCE to its
+    * OBSERVED ACCURACY — ECE = Σ_b (n_b/N)·|acc_b − conf_b|. q302's
+    * Brier score prices calibration and refinement together; this is
+    * the diagram that says WHERE the model is over/under-confident —
+    * the number that decides whether q495's cost thresholds and
+    * q465's uncertainty-sampling margins can be read as probabilities
+    * at all.
+    *
+    * Exactness: confidence = 1/Σ_c 10^(s_c − s_max) — the score
+    * differences are exact DECIMAL subtractions shared with q349, the
+    * 10^d terms round to 6dp and sum as DECIMAL (d = 0 contributes
+    * exactly 1, hugely-negative d underflows to exactly 0 on both
+    * engines), and the single division is IEEE-identical. Bin =
+    * min(⌊conf·10⌋, 9). Per-bin means are rounded-term decimal sums;
+    * ECE weights each bin's raw gap by n_b as a 6dp decimal term, so
+    * the ≤10-term sum is order-independent. ECE repeats per row (the
+    * relation is the diagram; the scalar rides along).
+    *
+    * Scale: rides q349's bounded shapes (vocab-keyed model join); the
+    * calibration pass is two windows over |holdout|×|langs| rows and
+    * a ≤10-group aggregate.
+    */
+  def nbCalibrationEce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val scores = nbScores(spark, dir,
+      col("doc_id") % 5 =!= 0, col("doc_id") % 5 === 0)
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val sc = scores
+      .withColumn("smax", max(col("score")).over(wDoc))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("c"))))
+      .withColumn("term",
+        round(pow(lit(10.0), (col("score") - col("smax")).cast("double")), 6)
+          .cast("decimal(18,6)"))
+    val docs = sc.groupBy(col("doc_id"))
+      .agg(max(when(col("rk") === 1, col("c"))).as("pred"),
+        max(col("true_lang")).as("true_lang"),
+        sum(col("term")).cast("double").as("z"))
+      .withColumn("conf", lit(1.0) / col("z"))
+      .withColumn("bin", least(floor(col("conf") * 10), lit(9.0)).cast("int"))
+      .withColumn("ok", (col("pred") === col("true_lang")).cast("long"))
+    val bins = docs.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ok")).as("n_ok"),
+        sum(round(col("conf"), 6).cast(dec)).cast("double").as("sconf"))
+      .withColumn("acc_raw",
+        col("n_ok").cast("double") / col("n_docs").cast("double"))
+      .withColumn("conf_raw", col("sconf") / col("n_docs").cast("double"))
+      .withColumn("gap_raw", abs(col("acc_raw") - col("conf_raw")))
+    val tot = bins.agg(sum(col("n_docs")).as("n_tot"),
+      sum(round(col("gap_raw") * col("n_docs").cast("double"), 6).cast(dec))
+        .cast("double").as("wgap"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_docs"),
+        round(col("acc_raw"), 6).as("accuracy"),
+        round(col("conf_raw"), 6).as("avg_conf"),
+        round(col("gap_raw"), 6).as("gap"),
+        round(col("wgap") / col("n_tot").cast("double"), 6).as("ece"))
+      .orderBy(col("bin"))
+  }
+
+  val nbCalibrationEceSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS mult
+      |  FROM (
+      |    SELECT doc_id, lang, unnest(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |    FROM documents
+      |  )
+      |  GROUP BY 1, 2, 3
+      |), train AS (
+      |  SELECT * FROM toks WHERE doc_id % 5 <> 0
+      |), test AS (
+      |  SELECT * FROM toks WHERE doc_id % 5 = 0
+      |), model AS (
+      |  SELECT lang AS c, token, SUM(mult) AS cnt,
+      |    ROUND(log10(SUM(mult) + 1), 6) AS l_num
+      |  FROM train GROUP BY 1, 2
+      |), vocab AS (
+      |  SELECT COUNT(DISTINCT token) AS v FROM model
+      |), classes AS (
+      |  SELECT lang AS c,
+      |    ROUND(log10(COUNT(DISTINCT doc_id)), 6) AS l_prior,
+      |    ROUND(log10(SUM(mult) + (SELECT v FROM vocab)), 6) AS l_den
+      |  FROM train GROUP BY 1
+      |), in_vocab AS (
+      |  SELECT t.* FROM test t
+      |  JOIN (SELECT DISTINCT token FROM model) m ON m.token = t.token
+      |), md AS (
+      |  SELECT doc_id, lang AS true_lang, SUM(mult) AS m_d
+      |  FROM in_vocab GROUP BY 1, 2
+      |), seen AS (
+      |  SELECT iv.doc_id, m.c,
+      |    SUM(iv.mult * CAST(m.l_num AS DECIMAL(18,6))) AS sum_num
+      |  FROM in_vocab iv JOIN model m ON m.token = iv.token
+      |  GROUP BY 1, 2
+      |), scores AS (
+      |  SELECT md.doc_id, md.true_lang, cl.c,
+      |    CAST(cl.l_prior AS DECIMAL(28,6))
+      |      + COALESCE(s.sum_num, CAST(0 AS DECIMAL(18,6)))
+      |      - md.m_d * CAST(cl.l_den AS DECIMAL(18,6)) AS score
+      |  FROM md CROSS JOIN classes cl
+      |  LEFT JOIN seen s ON s.doc_id = md.doc_id AND s.c = cl.c
+      |), sc AS (
+      |  SELECT doc_id, true_lang, c, score,
+      |    MAX(score) OVER (PARTITION BY doc_id) AS smax,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, c) AS rk
+      |  FROM scores
+      |), docs AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN rk = 1 THEN c END) AS pred,
+      |    MAX(true_lang) AS true_lang,
+      |    CAST(SUM(CAST(ROUND(POWER(10, CAST(score - smax AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6))) AS DOUBLE) AS z
+      |  FROM sc GROUP BY 1
+      |), conf AS (
+      |  SELECT doc_id, pred, true_lang, 1.0 / z AS conf,
+      |    CAST(LEAST(FLOOR((1.0 / z) * 10), 9.0) AS INT) AS bin,
+      |    CASE WHEN pred = true_lang THEN 1 ELSE 0 END AS ok
+      |  FROM docs
+      |), bins AS (
+      |  SELECT bin, COUNT(*) AS n_docs, CAST(SUM(ok) AS BIGINT) AS n_ok,
+      |    CAST(SUM(CAST(ROUND(conf, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sconf
+      |  FROM conf GROUP BY 1
+      |), raw AS (
+      |  SELECT bin, n_docs,
+      |    CAST(n_ok AS DOUBLE) / CAST(n_docs AS DOUBLE) AS acc_raw,
+      |    sconf / CAST(n_docs AS DOUBLE) AS conf_raw,
+      |    ABS(CAST(n_ok AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |      - sconf / CAST(n_docs AS DOUBLE)) AS gap_raw
+      |  FROM bins
+      |), tot AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot,
+      |    CAST(SUM(CAST(ROUND(gap_raw * CAST(n_docs AS DOUBLE), 6)
+      |      AS DECIMAL(28,6))) AS DOUBLE) AS wgap
+      |  FROM raw
+      |)
+      |SELECT r.bin, r.n_docs,
+      |  ROUND(r.acc_raw, 6) AS accuracy,
+      |  ROUND(r.conf_raw, 6) AS avg_conf,
+      |  ROUND(r.gap_raw, 6) AS gap,
+      |  ROUND(t.wgap / CAST(t.n_tot AS DOUBLE), 6) AS ece
+      |FROM raw r CROSS JOIN tot t
+      |ORDER BY r.bin""".stripMargin
 }

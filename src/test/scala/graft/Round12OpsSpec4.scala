@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Events, Relational, Temporal, TextAnalysis}
+
+/** Round-12 wave: Croston intermittent demand (q496), Chow break
+  * test (q497), greedy max-coverage selection (q498), RMST ladder
+  * (q499), NB calibration/ECE (q500), Cochran's Q (q501),
+  * mean-excess ladder (q502), Atkinson index (q503) — hand-computed
+  * kernels on literal fixtures plus invariants on testdata.
+  */
+class Round12OpsSpec4 extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  val sf0001 = "/root/testdata/sf0.001"
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  test("q496 Croston: hand-computed dyadic folds, ADI/CV2 quadrant") {
+    val dir = tmpDir("croston")
+    def d(day: Long) = new java.sql.Date(day * 86400000L)
+    // one part, demand weeks {0, 3, 5} with sizes {4, 2, 6}:
+    // z-fold: 4 -> (2+4)/2=3 -> (6+3)/2=4.5 ; gap-fold: 3 -> (2+3)/2=2.5
+    Seq((7L, d(0), 4.0), (7L, d(21), 2.0), (7L, d(35), 6.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Temporal.crostonDemand(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_wk") === 3L)
+    assert(r.getAs[Double]("z_hat") === 4.5)
+    assert(r.getAs[Double]("p_hat") === 2.5)
+    assert(r.getAs[Double]("croston") === 1.8)
+    assert(r.getAs[Double]("croston_sba") === 1.35)
+    assert(r.getAs[Double]("adi") === 2.5)
+    // var = (16+4+36)/3 - 16 = 2.666667 ; cv2 = var/16 < 0.49, adi >= 1.32
+    assert(math.abs(r.getAs[Double]("cv2") - 0.166667) < 1e-6)
+    assert(r.getAs[String]("demand_class") === "intermittent")
+  }
+
+  test("q497 Chow: kinked trend flags 'break', perfect line is 'degenerate'") {
+    val dir = tmpDir("chow")
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val rows =
+      // kink: slope 1 then slope 6, alternating +/-1 residual texture
+      (0L to 19L).map { day =>
+        val trend = if (day <= 9) day.toDouble
+          else 9.0 + 6.0 * (day - 9)
+        (day + 1, ts(day), 1L, "kink", trend + (day % 2), "{}")
+      } ++
+      // line: exactly v = 2*day — both fits are exact, SSE = 0
+      (0L to 19L).map(day =>
+        (100 + day, ts(day), 1L, "line", 2.0 * day, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.chowBreakTest(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("kink").getAs[String]("verdict") === "break")
+    assert(out("kink").getAs[Double]("f_stat") > 3.0)
+    assert(out("line").getAs[String]("verdict") === "degenerate")
+    assert(out("kink").getAs[Long]("n1") === 10L)
+    assert(out("kink").getAs[Long]("n2") === 10L)
+  }
+
+  test("q498 max-coverage: greedy picks by marginal gain, zero-gain subset source picked last") {
+    val dir = tmpDir("maxcov")
+    // S1 covers 3 shingles, S2 is a strict subset of S1 (gain 0 after
+    // S1), S3 covers 2 disjoint shingles
+    Seq(
+      (1L, "s1", "w1 w2 w3 w4 w5"),
+      (2L, "s2", "w1 w2 w3"),
+      (3L, "s3", "x1 x2 x3 x4"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.maxCoverageSources(spark, dir).collect()
+    assert(out.length === 3) // only 3 sources; round 4 has nothing to pick
+    val picks = out.map(r => (r.getAs[Int]("pick_round"),
+      r.getAs[String]("source"), r.getAs[Long]("gain"),
+      r.getAs[Long]("cum_covered"), r.getAs[Long]("total_shingles")))
+    assert(picks(0) === ((1, "s1", 3L, 3L, 5L)))
+    assert(picks(1) === ((2, "s3", 2L, 5L, 5L)))
+    assert(picks(2) === ((3, "s2", 0L, 5L, 5L)))
+    assert(out(2).getAs[Double]("cum_share") === 1.0)
+  }
+
+  test("q499 RMST ladder: bounded by tau, monotone in tau, share in (0,1]") {
+    val out = Temporal.rmstLadder(spark, sf0001).collect()
+    assert(out.length === 4)
+    val taus = out.map(_.getAs[Int]("tau"))
+    assert(taus.toSeq === Seq(30, 90, 180, 365))
+    val rmst = out.map(_.getAs[Double]("rmst_days"))
+    rmst.zip(taus).foreach { case (v, t) =>
+      assert(v > 0.0 && v <= t.toDouble)
+    }
+    assert(rmst.sliding(2).forall(p => p(0) <= p(1)))
+    out.map(_.getAs[Double]("rmst_share"))
+      .foreach(s => assert(s > 0.0 && s <= 1.0))
+  }
+
+  test("q500 NB calibration: bins partition the holdout, rates in [0,1], one ECE") {
+    val out = TextAnalysis.nbCalibrationEce(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val b = r.getAs[Int]("bin")
+      assert(b >= 0 && b <= 9)
+      val acc = r.getAs[Double]("accuracy")
+      val conf = r.getAs[Double]("avg_conf")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(conf >= 0.0 && conf <= 1.0)
+      assert(math.abs(r.getAs[Double]("gap") - math.abs(acc - conf)) < 1e-5)
+    }
+    val eces = out.map(_.getAs[Double]("ece")).distinct
+    assert(eces.length === 1)
+    assert(eces.head >= 0.0 && eces.head <= 1.0)
+    // bins partition the scored holdout: every scored doc in exactly
+    // one bin (n_docs sums to the distinct doc count of the relation)
+    val n = out.map(_.getAs[Long]("n_docs")).sum
+    assert(n > 0)
+  }
+
+  test("q501 Cochran Q: column totals bounded by matched days, verdict consistent with the 5.991 cut") {
+    val out = Events.cochranQDetectors(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      Seq("c_mad", "c_ewma", "c_cusum").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0 && v <= n)
+      }
+      val q = Option(r.getAs[java.lang.Double]("q_stat")).map(_.toDouble)
+      val verdict = r.getAs[String]("verdict")
+      q match {
+        case None => assert(verdict === "degenerate")
+        case Some(v) =>
+          assert(v >= 0.0)
+          assert(verdict === (if (v > 5.991) "detectors_differ"
+            else "consistent"))
+      }
+    }
+  }
+
+  test("q502 mean-excess: thresholds rise with pct, exceedances shrink, excess nonnegative") {
+    val out = Events.meanExcessLadder(spark, sf0001).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    out.foreach { case (_, rows) =>
+      val byPct = rows.sortBy(_.getAs[Int]("pct"))
+      assert(byPct.map(_.getAs[Int]("pct")).toSeq === Seq(50, 75, 90))
+      val us = byPct.map(_.getAs[Double]("u"))
+      assert(us.sliding(2).forall(p => p(0) <= p(1)))
+      val ex = byPct.map(_.getAs[Long]("n_exceed"))
+      assert(ex.sliding(2).forall(p => p(0) >= p(1)))
+      byPct.foreach { r =>
+        Option(r.getAs[java.lang.Double]("mean_excess"))
+          .foreach(m => assert(m >= 0.0))
+        val share = r.getAs[Double]("exceed_share")
+        assert(share >= 0.0 && share <= 0.5)
+      }
+    }
+  }
+
+  test("q503 Atkinson: equal spends give 0, a 100/300 split gives the AM-GM gap") {
+    val dir = tmpDir("atkinson")
+    Seq((1L, 10L, 100.0), (2L, 11L, 100.0), (3L, 20L, 100.0), (4L, 21L, 300.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 0L), (11L, 0L), (20L, 1L), (21L, 1L))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((0L, "EQUALLAND"), (1L, "SKEWLAND")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val out = Relational.atkinsonIndex(spark, dir).collect()
+      .map(r => r.getAs[String]("nation") -> r).toMap
+    assert(out("EQUALLAND").getAs[Double]("atkinson") === 0.0)
+    // geometric mean sqrt(100*300) = 173.2051, arithmetic 200:
+    // A = 1 - 173.2051/200 = 0.133975 (6dp-rounded ln terms)
+    assert(math.abs(out("SKEWLAND").getAs[Double]("atkinson") - 0.133975)
+      < 1e-5)
+    assert(out("SKEWLAND").getAs[Double]("mean_spend") === 200.0)
+  }
+}
