@@ -9003,4 +9003,281 @@ object Events {
       |FROM daily d JOIN thr t ON t.event_type = d.event_type
       |GROUP BY d.event_type, t.pct, t.u
       |ORDER BY d.event_type, t.pct""".stripMargin
+
+  /** q505 — spectral entropy per event type off the q469 periodogram:
+    * normalize the candidate-period powers to shares and take
+    * H/ln(K) — ≈1 means power is spread flat across periods (noise-
+    * like, nothing to seasonally model), ≈0 means one cycle owns the
+    * series (hand it to Holt–Winters at that grain). The standard
+    * tsfeatures forecast-router dial, built ON the graded q469
+    * relation so the spectrum and its summary cannot drift apart;
+    * `dominant_share` rides along as the plain-language version.
+    *
+    * Exactness: q469's powers are already 6dp-rounded doubles
+    * identical across engines; the share divisions are single IEEE
+    * ops, each s·ln(s) term rounds to 6dp and sums as DECIMAL, and
+    * zero-power periods contribute exactly 0 (CASE-guarded — the
+    * s → 0 limit). An all-zero spectrum (constant series) surfaces as
+    * NULL via NULLIF rather than 0/0.
+    *
+    * Scale: rides q469 (one calendar-bounded pass); this adds a
+    * |types|×|periods|-row aggregate.
+    */
+  def spectralEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val pg = periodogram(spark, dir)
+    val tot = pg.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_periods"),
+        sum(col("power").cast(dec)).cast("double").as("tot"),
+        max(col("power")).as("pmax"))
+    pg.join(broadcast(tot), "event_type")
+      .withColumn("s", col("power") / nullif(col("tot"), lit(0.0)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_periods")).as("n_periods"),
+        max(col("tot")).as("tot"), max(col("pmax")).as("pmax"),
+        sum(when(col("s") > 0, round(col("s") * log(col("s")), 6))
+          .cast(dec)).cast("double").as("slns"))
+      .select(col("event_type"), col("n_periods"),
+        round(col("tot"), 6).as("total_power"),
+        round(col("pmax") / nullif(col("tot"), lit(0.0)), 6)
+          .as("dominant_share"),
+        (round(-col("slns") /
+          log(col("n_periods").cast("double")), 6) + lit(0.0))
+          .as("spectral_entropy"))
+      .orderBy(col("event_type"))
+  }
+
+  def spectralEntropySql(): String =
+    s"""WITH pgram AS (
+       |  ${periodogramSql()}
+       |), tot AS (
+       |  SELECT event_type, COUNT(*) AS n_periods,
+       |    CAST(SUM(CAST(power AS DECIMAL(28,6))) AS DOUBLE) AS tot,
+       |    MAX(power) AS pmax
+       |  FROM pgram GROUP BY 1
+       |), terms AS (
+       |  SELECT p.event_type, t.n_periods, t.tot, t.pmax,
+       |    p.power / NULLIF(t.tot, 0.0) AS s
+       |  FROM pgram p JOIN tot t ON t.event_type = p.event_type
+       |)
+       |SELECT event_type, CAST(MAX(n_periods) AS BIGINT) AS n_periods,
+       |  ROUND(MAX(tot), 6) AS total_power,
+       |  ROUND(MAX(pmax) / NULLIF(MAX(tot), 0.0), 6) AS dominant_share,
+       |  ROUND(-CAST(SUM(CASE WHEN s > 0
+       |      THEN CAST(ROUND(s * ln(s), 6) AS DECIMAL(28,6)) END) AS DOUBLE)
+       |    / ln(CAST(MAX(n_periods) AS DOUBLE)), 6) + 0.0 AS spectral_entropy
+       |FROM terms GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  /** q506 — stability & lumpiness per event type (the tsfeatures
+    * pair): tile each dense daily series into non-overlapping
+    * `tileDays`-day windows, then stability = variance of the tile
+    * MEANS (does the level wander between weeks?) and lumpiness =
+    * variance of the tile VARIANCES (does the volatility itself come
+    * in bursts?). Two different capacity problems — a wandering level
+    * needs re-forecasting, bursty variance needs headroom — that one
+    * global variance number conflates; these are the standard
+    * forecast-feature pair that separates them.
+    *
+    * Exactness: tile sums are exact integers over the dense grid
+    * (complete tiles only — the q468 QUALIFY discipline); per-tile
+    * mean/variance are fixed-order IEEE chains on integers; the outer
+    * variances run on 6dp-rounded tile statistics summed as DECIMAL,
+    * with the +0.0 guard (an exactly-zero variance can round from a
+    * tiny negative). Types with fewer than 2 complete tiles surface
+    * NULL.
+    *
+    * Scale: one dense calendar grid, one (type, tile) aggregate, one
+    * |types|-row readout — calendar-bounded throughout.
+    */
+  def stabilityLumpiness(spark: SparkSession, dir: String,
+                         tileDays: Int = 7): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dense = denseDailyCounts(spark, dir)
+      .withColumn("t", col("day") -
+        min(col("day")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("tile", expr(s"t div $tileDays"))
+    val tiles = dense.groupBy(col("event_type"), col("tile"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"))
+      .filter(col("cnt") === tileDays)
+      .withColumn("m", col("sv").cast("double") / lit(tileDays.toDouble))
+      .withColumn("va",
+        (col("svv").cast("double") -
+          col("sv").cast("double") * col("sv").cast("double") /
+            lit(tileDays.toDouble)) / lit(tileDays.toDouble))
+    tiles.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(round(col("m"), 6).cast(dec)).cast("double").as("sm"),
+        sum(round(col("m") * col("m"), 6).cast(dec)).cast("double").as("smm"),
+        sum(round(col("va"), 6).cast(dec)).cast("double").as("sva"),
+        sum(round(col("va") * col("va"), 6).cast(dec)).cast("double").as("svv2"))
+      .select(col("event_type"), col("n_tiles"),
+        when(col("n_tiles") >= 2,
+          round(col("smm") / col("n_tiles").cast("double") -
+            (col("sm") / col("n_tiles").cast("double")) *
+              (col("sm") / col("n_tiles").cast("double")), 6) + lit(0.0))
+          .as("stability"),
+        when(col("n_tiles") >= 2,
+          round(col("svv2") / col("n_tiles").cast("double") -
+            (col("sva") / col("n_tiles").cast("double")) *
+              (col("sva") / col("n_tiles").cast("double")), 6) + lit(0.0))
+          .as("lumpiness"))
+      .orderBy(col("event_type"))
+  }
+
+  def stabilityLumpinessSql(tileDays: Int = 7): String =
+    s"""WITH $denseDailyCountsSql, tiled AS (
+       |  SELECT event_type,
+       |    (day - MIN(day) OVER (PARTITION BY event_type)) // $tileDays AS tile,
+       |    v
+       |  FROM dense
+       |), tiles AS (
+       |  SELECT event_type, tile, COUNT(*) AS cnt,
+       |    CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(v * v) AS BIGINT) AS svv
+       |  FROM tiled GROUP BY 1, 2
+       |  HAVING COUNT(*) = $tileDays
+       |), stats AS (
+       |  SELECT event_type, tile,
+       |    CAST(sv AS DOUBLE) / $tileDays.0 AS m,
+       |    (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+       |      / $tileDays.0) / $tileDays.0 AS va
+       |  FROM tiles
+       |), agg AS (
+       |  SELECT event_type, COUNT(*) AS n_tiles,
+       |    CAST(SUM(CAST(ROUND(m, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sm,
+       |    CAST(SUM(CAST(ROUND(m * m, 6) AS DECIMAL(28,6))) AS DOUBLE) AS smm,
+       |    CAST(SUM(CAST(ROUND(va, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sva,
+       |    CAST(SUM(CAST(ROUND(va * va, 6) AS DECIMAL(28,6))) AS DOUBLE) AS svv2
+       |  FROM stats GROUP BY 1
+       |)
+       |SELECT event_type, n_tiles,
+       |  CASE WHEN n_tiles >= 2 THEN
+       |    ROUND(smm / CAST(n_tiles AS DOUBLE)
+       |      - (sm / CAST(n_tiles AS DOUBLE)) * (sm / CAST(n_tiles AS DOUBLE)),
+       |      6) + 0.0 END AS stability,
+       |  CASE WHEN n_tiles >= 2 THEN
+       |    ROUND(svv2 / CAST(n_tiles AS DOUBLE)
+       |      - (sva / CAST(n_tiles AS DOUBLE)) * (sva / CAST(n_tiles AS DOUBLE)),
+       |      6) + 0.0 END AS lumpiness
+       |FROM agg ORDER BY event_type""".stripMargin
+
+  /** q508 — CUPED variance reduction (controlled experiments using
+    * pre-experiment data): split the corpus at the integer midpoint
+    * day, take each user's PRE-period value sum as the covariate X
+    * and POST-period sum as the metric Y, fit θ = cov(X,Y)/var(X)
+    * pooled, and report per synthetic arm (user_id parity) the raw
+    * and CUPED-adjusted means Ŷ_adj = Ȳ_a − θ(X̄_a − X̄) — plus ρ²,
+    * which IS the fraction of metric variance CUPED removes. The
+    * standard experiment-platform trick that makes the same A/B test
+    * significant weeks earlier; the arm here is a deterministic
+    * A/A assignment, so the adjusted arm gap hovering near zero is
+    * itself the correctness signal.
+    *
+    * Exactness: per-user X/Y are decimal sums; the five pooled
+    * moment sums accumulate 6dp-rounded products as DECIMAL(28,6)
+    * (the q102 convention); θ, the adjusted means and ρ² are
+    * fixed-operand-order IEEE chains rounded once; zero pre-period
+    * variance surfaces NULL via NULLIF. Only users active in BOTH
+    * halves enter (stated both sides — CUPED needs the covariate).
+    *
+    * Scale: one user-keyed aggregate (the q90-family shuffle), a
+    * 1-row pooled broadcast, a 2-row arm readout.
+    */
+  def cupedAdjustment(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), epochDayExpr.as("day"), col("value"))
+    val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("m"))
+    val users = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(Relational.decSum(when(col("day") <= col("m"), col("value")))
+          .as("x"),
+        Relational.decSum(when(col("day") > col("m"), col("value")))
+          .as("y"),
+        sum(when(col("day") <= col("m"), 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("day") > col("m"), 1L).otherwise(0L)).as("n_post"))
+      .filter(col("n_pre") > 0 && col("n_post") > 0)
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+    val pooled = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum(round(col("x") * col("x"), 6).cast(dec)).cast("double").as("sxx"),
+      sum(round(col("x") * col("y"), 6).cast(dec)).cast("double").as("sxy"),
+      sum(round(col("y") * col("y"), 6).cast(dec)).cast("double").as("syy"))
+      .withColumn("cxx", col("sxx") - col("sx") * col("sx") / col("n").cast("double"))
+      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("n").cast("double"))
+      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n").cast("double"))
+      .withColumn("theta", col("cxy") / nullif(col("cxx"), lit(0.0)))
+      .withColumn("xbar", col("sx") / col("n").cast("double"))
+      .withColumn("rho2",
+        (col("cxy") * col("cxy")) / nullif(col("cxx") * col("cyy"), lit(0.0)))
+    users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast(dec)).cast("double").as("sxa"),
+        sum(col("y").cast(dec)).cast("double").as("sya"))
+      .crossJoin(broadcast(pooled.select(col("theta"), col("xbar"), col("rho2"))))
+      .select(col("arm"), col("n_users"),
+        round(col("sxa") / col("n_users").cast("double"), 6).as("mean_x"),
+        round(col("sya") / col("n_users").cast("double"), 6).as("mean_y"),
+        round(col("sya") / col("n_users").cast("double") -
+          col("theta") * (col("sxa") / col("n_users").cast("double") -
+            col("xbar")), 6).as("mean_y_adj"),
+        round(col("theta"), 6).as("theta"),
+        round(col("rho2"), 6).as("rho2"))
+      .orderBy(col("arm"))
+  }
+
+  val cupedAdjustmentSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, value FROM events
+      |), mid AS (
+      |  SELECT (MIN(day) + MAX(day)) // 2 AS m FROM ev
+      |), users AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN day <= (SELECT m FROM mid)
+      |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS x,
+      |    CAST(SUM(CASE WHEN day > (SELECT m FROM mid)
+      |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS y,
+      |    SUM(CASE WHEN day <= (SELECT m FROM mid) THEN 1 ELSE 0 END) AS n_pre,
+      |    SUM(CASE WHEN day > (SELECT m FROM mid) THEN 1 ELSE 0 END) AS n_post,
+      |    CAST(user_id % 2 AS INT) AS arm
+      |  FROM ev GROUP BY user_id
+      |  HAVING SUM(CASE WHEN day <= (SELECT m FROM mid) THEN 1 ELSE 0 END) > 0
+      |    AND SUM(CASE WHEN day > (SELECT m FROM mid) THEN 1 ELSE 0 END) > 0
+      |), pooled AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |  FROM users
+      |), derived AS (
+      |  SELECT
+      |    (sxy - sx * sy / CAST(n AS DOUBLE))
+      |      / NULLIF(sxx - sx * sx / CAST(n AS DOUBLE), 0.0) AS theta,
+      |    sx / CAST(n AS DOUBLE) AS xbar,
+      |    ((sxy - sx * sy / CAST(n AS DOUBLE))
+      |      * (sxy - sx * sy / CAST(n AS DOUBLE)))
+      |      / NULLIF((sxx - sx * sx / CAST(n AS DOUBLE))
+      |        * (syy - sy * sy / CAST(n AS DOUBLE)), 0.0) AS rho2
+      |  FROM pooled
+      |), arms AS (
+      |  SELECT arm, COUNT(*) AS n_users,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sxa,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sya
+      |  FROM users GROUP BY arm
+      |)
+      |SELECT a.arm, a.n_users,
+      |  ROUND(a.sxa / CAST(a.n_users AS DOUBLE), 6) AS mean_x,
+      |  ROUND(a.sya / CAST(a.n_users AS DOUBLE), 6) AS mean_y,
+      |  ROUND(a.sya / CAST(a.n_users AS DOUBLE)
+      |    - d.theta * (a.sxa / CAST(a.n_users AS DOUBLE) - d.xbar), 6)
+      |    AS mean_y_adj,
+      |  ROUND(d.theta, 6) AS theta,
+      |  ROUND(d.rho2, 6) AS rho2
+      |FROM arms a CROSS JOIN derived d
+      |ORDER BY a.arm""".stripMargin
 }

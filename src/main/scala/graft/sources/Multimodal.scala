@@ -1931,4 +1931,244 @@ object Multimodal {
       |FROM entries
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** MPEG-1 Layer III bitrate table (kbps), indexed 1..14 (0 = free,
+    * 15 = bad — both rejected by the walker). ISO/IEC 11172-3
+    * Table B.2, the column every MP3 decoder hard-codes.
+    */
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sampling-rate table (Hz), indexed 0..2 (3 = reserved). */
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** Deterministic MP3 fixture: `1 + n%4` MPEG-1 Layer III frames
+    * (no CRC), frame i carrying bitrate index `1 + (n + 7i) % 14`,
+    * sampling-rate index `n % 3` and padding bit `(n + i) % 2` —
+    * frame length = 144·bitrate/samplerate + padding, the formula the
+    * walker must reproduce from the header tables alone. Filler bytes
+    * are deterministic but ignored by the parser (they are the
+    * entropy-coded payload a metadata walk never reads).
+    */
+  def encodeMp3(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val nFrames = 1 + n % 4
+    val si = n % 3
+    val rate = Mp3Rates(si)
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until nFrames).foreach { i =>
+      val bi = 1 + (n + 7 * i) % 14
+      val pad = (n + i) % 2
+      val len = 144 * Mp3Bitrates(bi) * 1000 / rate + pad
+      val frame = new Array[Byte](len)
+      frame(0) = 0xFF.toByte
+      frame(1) = 0xFB.toByte // sync(3) | MPEG1(11) | Layer III(01) | noCRC(1)
+      frame(2) = ((bi << 4) | (si << 2) | (pad << 1)).toByte
+      frame(3) = 0x00 // stereo, no emphasis
+      (4 until len).foreach(j => frame(j) = ((n + i * 17 + j) % 256).toByte)
+      out.write(frame)
+    }
+    out.toByteArray
+  }
+
+  /** REAL MP3 frame-header walk: resynchronizes on the 11-bit sync
+    * word, validates version/layer/bitrate/samplerate fields against
+    * the ISO tables, advances by the COMPUTED frame length
+    * (144·bitrate/samplerate + padding — the part naive parsers get
+    * wrong and then mis-read every later frame), and accumulates
+    * frame count, byte total and sample count. None on any
+    * malformation: lost sync, reserved version/layer, free/bad
+    * bitrate index, reserved sampling rate, or a frame extending past
+    * the stream. Returns (frames, totalBytes, sampleRate, samples).
+    */
+  def sniffMp3(p: Array[Byte]): Option[(Int, Long, Int, Long)] = {
+    var off = 0
+    var frames = 0
+    var bytes = 0L
+    var rate = -1
+    while (off < p.length) {
+      if (off + 4 > p.length) return None
+      if ((p(off) & 0xFF) != 0xFF || (p(off + 1) & 0xE0) != 0xE0) return None
+      val version = (p(off + 1) >> 3) & 0x3
+      val layer = (p(off + 1) >> 1) & 0x3
+      if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
+      val bi = (p(off + 2) >> 4) & 0xF
+      val si = (p(off + 2) >> 2) & 0x3
+      val pad = (p(off + 2) >> 1) & 0x1
+      if (bi == 0 || bi == 15 || si == 3) return None
+      val r = Mp3Rates(si)
+      if (rate == -1) rate = r
+      else if (rate != r) return None // fixtures are CBR-rate
+      val len = 144 * Mp3Bitrates(bi) * 1000 / r + pad
+      if (off + len > p.length) return None
+      frames += 1
+      bytes += len
+      off += len
+    }
+    if (frames == 0) None else Some((frames, bytes, rate, frames * 1152L))
+  }
+
+  case class Mp3Meta(doc_id: Long, n_frames: Int, sample_rate: Int,
+                     total_bytes: Long, duration_ms: Long)
+
+  /** q504 — MP3 frame inventory: per-doc fixtures ([[encodeMp3]])
+    * through the real [[sniffMp3]] sync-walk — the container whose
+    * structure is not size-framed boxes (MP4) or tagged chunks (PNG)
+    * but a chain of self-describing frame headers whose lengths come
+    * from TWO lookup tables and a padding bit; duration only exists
+    * as frames × 1152 / samplerate. Completes the audio shelf (WAV
+    * header q116, PCM energy q114/q214) with the compressed-audio
+    * walk every crawled-audio ingest runs first.
+    *
+    * Exactness: the oracle predicts every field from the fixture
+    * formulas with the bitrate table restated as a CASE — frame
+    * lengths and the sample→ms floor division are exact integers on
+    * both engines.
+    *
+    * Scale: embarrassingly parallel narrow map in batched
+    * mapPartitions; one small row per doc, no shuffle.
+    */
+  def mp3Meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val mp3 = encodeMp3(r.payload)
+        val (fr, by, rate, samples) = sniffMp3(mp3).getOrElse(
+          throw new IllegalStateException(s"fixture failed to parse: doc ${r.doc_id}"))
+        Mp3Meta(r.doc_id, fr, rate, by, samples * 1000L / rate)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val mp3MetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n FROM documents
+      |), frames AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, CAST(n % 4 AS BIGINT))) AS i
+      |  FROM f
+      |), sized AS (
+      |  SELECT doc_id, n, i,
+      |    CASE 1 + (n + 7 * i) % 14
+      |      WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+      |      WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+      |      WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+      |      WHEN 12 THEN 224 WHEN 13 THEN 256 WHEN 14 THEN 320 END AS kbps,
+      |    CASE n % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |      ELSE 32000 END AS rate,
+      |    (n + i) % 2 AS pad
+      |  FROM frames
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS INT) AS n_frames,
+      |  CAST(MAX(rate) AS INT) AS sample_rate,
+      |  CAST(SUM(144 * kbps * 1000 // rate + pad) AS BIGINT) AS total_bytes,
+      |  CAST(COUNT(*) * 1152 * 1000 // MAX(rate) AS BIGINT) AS duration_ms
+      |FROM sized GROUP BY doc_id, n
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic WebVTT fixture: a `WEBVTT` header plus
+    * `1 + n%5` cues; cue i starts at `2000·i + n%1000` ms and lasts
+    * `1000 + (n + 137·i) % 500` ms, timestamps rendered in the
+    * spec's `HH:MM:SS.mmm` form.
+    */
+  def encodeVtt(text: Array[Byte]): String = {
+    val n = text.length
+    val nCues = 1 + n % 5
+    def fmt(ms: Long): String = {
+      val h = ms / 3600000; val m = (ms / 60000) % 60
+      val s = (ms / 1000) % 60; val f = ms % 1000
+      f"$h%02d:$m%02d:$s%02d.$f%03d"
+    }
+    val cues = (0 until nCues).map { i =>
+      val start = 2000L * i + n % 1000
+      val end = start + 1000 + (n + 137 * i) % 500
+      s"${fmt(start)} --> ${fmt(end)}\ncue $i of doc"
+    }
+    "WEBVTT\n\n" + cues.mkString("\n\n") + "\n"
+  }
+
+  case class VttMeta(doc_id: Long, n_cues: Int, first_start_ms: Long,
+                     last_end_ms: Long, total_cue_ms: Long)
+
+  /** REAL WebVTT cue walk: requires the `WEBVTT` magic line, splits
+    * the body on blank lines into cue blocks, parses each block's
+    * `HH:MM:SS.mmm --> HH:MM:SS.mmm` timing line back to epoch-style
+    * milliseconds, and rejects malformed blocks (missing arrow,
+    * non-numeric fields, end before start). Returns
+    * (cues, firstStartMs, lastEndMs, totalCueMs).
+    */
+  def sniffVtt(s: String): Option[(Int, Long, Long, Long)] = {
+    val lines = s.split("\n", -1)
+    if (lines.isEmpty || !lines(0).startsWith("WEBVTT")) return None
+    val body = lines.drop(1).mkString("\n")
+    val blocks = body.split("\n\n").map(_.trim).filter(_.nonEmpty)
+    val Ts = """(\d{2,}):(\d{2}):(\d{2})\.(\d{3})""".r
+    def ms(h: String, m: String, sec: String, f: String): Long =
+      h.toLong * 3600000L + m.toLong * 60000L + sec.toLong * 1000L + f.toLong
+    var n = 0; var first = -1L; var last = -1L; var tot = 0L
+    blocks.foreach { b =>
+      val timing = b.split("\n")(0)
+      val parts = timing.split(" --> ")
+      if (parts.length != 2) return None
+      (parts(0).trim, parts(1).trim) match {
+        case (Ts(h1, m1, s1, f1), Ts(h2, m2, s2, f2)) =>
+          val a = ms(h1, m1, s1, f1); val b2 = ms(h2, m2, s2, f2)
+          if (b2 < a) return None
+          if (first < 0) first = a
+          last = b2
+          tot += b2 - a
+          n += 1
+        case _ => return None
+      }
+    }
+    if (n == 0) None else Some((n, first, last, tot))
+  }
+
+  /** q507 — WebVTT cue inventory: per-doc subtitle fixtures
+    * ([[encodeVtt]]) through the real [[sniffVtt]] block walk — the
+    * TEXT-structured container in the shelf (binary walks cover
+    * image/audio/video/archive; subtitles and captions ship as VTT
+    * next to every video shard, and aligning them needs exactly this
+    * cue table). Timestamp math (HH:MM:SS.mmm → ms) is the part a
+    * naive split gets wrong across the minute/hour carries.
+    *
+    * Exactness: the oracle predicts cue count, first start, last end
+    * and total cue duration from the fixture formulas — all exact
+    * integer milliseconds on both engines.
+    *
+    * Scale: narrow batched mapPartitions, one small row per doc.
+    */
+  def vttMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val vtt = encodeVtt(r.payload)
+        val (nc, first, last, tot) = sniffVtt(vtt).getOrElse(
+          throw new IllegalStateException(s"fixture failed to parse: doc ${r.doc_id}"))
+        VttMeta(r.doc_id, nc, first, last, tot)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val vttMetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n FROM documents
+      |), cues AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, CAST(n % 5 AS BIGINT))) AS i
+      |  FROM f
+      |), timed AS (
+      |  SELECT doc_id, n, i,
+      |    2000 * i + n % 1000 AS start_ms,
+      |    2000 * i + n % 1000 + 1000 + (n + 137 * i) % 500 AS end_ms
+      |  FROM cues
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS INT) AS n_cues,
+      |  CAST(MIN(start_ms) AS BIGINT) AS first_start_ms,
+      |  CAST(MAX(end_ms) AS BIGINT) AS last_end_ms,
+      |  CAST(SUM(end_ms - start_ms) AS BIGINT) AS total_cue_ms
+      |FROM timed GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

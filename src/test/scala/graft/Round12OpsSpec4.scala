@@ -162,6 +162,98 @@ class Round12OpsSpec4 extends AnyFunSuite {
     }
   }
 
+  test("q504 MP3 walk: computed frame lengths, table lookups, corruption rejected") {
+    import graft.sources.Multimodal
+    val payload = Array.tabulate(23)(_.toByte) // n=23: 4 frames, 48 kHz
+    val mp3 = Multimodal.encodeMp3(payload)
+    val (frames, bytes, rate, samples) = Multimodal.sniffMp3(mp3).get
+    assert(frames === 4)
+    assert(rate === 32000) // n % 3 = 2 -> rate index 2
+    assert(samples === 4 * 1152L)
+    assert(bytes === mp3.length.toLong)
+    // a flipped sync byte anywhere breaks the walk
+    val bad = mp3.clone(); bad(0) = 0x00
+    assert(Multimodal.sniffMp3(bad).isEmpty)
+    // truncation breaks it too (last frame extends past the stream)
+    assert(Multimodal.sniffMp3(mp3.dropRight(1)).isEmpty)
+  }
+
+  test("q507 VTT walk: minute/hour carries parse back to exact ms") {
+    import graft.sources.Multimodal
+    val vtt = "WEBVTT\n\n00:59:59.900 --> 01:00:01.250\nhello\n\n" +
+      "01:00:02.000 --> 01:00:02.500\nworld\n"
+    val (n, first, last, tot) = Multimodal.sniffVtt(vtt).get
+    assert(n === 2)
+    assert(first === 59L * 60000 + 59000 + 900)
+    assert(last === 3600000L + 2500)
+    assert(tot === 1350L + 500L)
+    assert(Multimodal.sniffVtt("NOTVTT\n\n00:00:00.000 --> 00:00:01.000\nx").isEmpty)
+    // end-before-start is malformed
+    assert(Multimodal.sniffVtt("WEBVTT\n\n00:00:02.000 --> 00:00:01.000\nx").isEmpty)
+  }
+
+  test("q505 spectral entropy: in [0,1], flat-noise series scores higher than a pure weekly cycle") {
+    val dir = tmpDir("specent")
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val rows =
+      // pure 7-day cycle: a spike every 7th day
+      (0L to 27L).flatMap(day =>
+        (1L to (if (day % 7 == 0) 8L else 1L)).map(j =>
+          (day * 100 + j, ts(day), 1L, "weekly", 1.0, "{}"))) ++
+      // near-flat texture: period-97 pattern, no 2..14-day alignment
+      (0L to 27L).flatMap(day =>
+        (1L to (1 + (day * 37 % 97) % 3)).map(j =>
+          (10000 + day * 100 + j, ts(day), 1L, "flat", 1.0, "{}")))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.spectralEntropy(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val we = out("weekly").getAs[Double]("spectral_entropy")
+    val fl = out("flat").getAs[Double]("spectral_entropy")
+    Seq(we, fl).foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(we < fl)
+    assert(out("weekly").getAs[Double]("dominant_share") >
+      out("flat").getAs[Double]("dominant_share"))
+  }
+
+  test("q506 stability/lumpiness: constant series scores 0/0, level-shifted tiles score high stability") {
+    val dir = tmpDir("stab")
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val rows =
+      // constant: exactly 2 events every day for 4 complete weeks
+      (0L to 27L).flatMap(day => (1L to 2L).map(j =>
+        (day * 10 + j, ts(day), 1L, "const", 1.0, "{}"))) ++
+      // shift: week tiles at levels 1,1,9,9 per day — tile means move
+      (0L to 27L).flatMap { day =>
+        val lvl = if (day < 14) 1L else 9L
+        (1L to lvl).map(j => (100000 + day * 100 + j, ts(day), 1L, "shift", 1.0, "{}"))
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.stabilityLumpiness(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("const").getAs[Long]("n_tiles") === 4L)
+    assert(out("const").getAs[Double]("stability") === 0.0)
+    assert(out("const").getAs[Double]("lumpiness") === 0.0)
+    // tile means 1,1,9,9: population variance = 16
+    assert(out("shift").getAs[Double]("stability") === 16.0)
+    assert(out("shift").getAs[Double]("lumpiness") === 0.0)
+  }
+
+  test("q508 CUPED: rho2 in [0,1], A/A arm means pulled toward each other") {
+    val out = Events.cupedAdjustment(spark, sf0001).collect()
+    assert(out.length === 2)
+    val rho2 = out.map(_.getAs[Double]("rho2")).distinct
+    assert(rho2.length === 1)
+    assert(rho2.head >= 0.0 && rho2.head <= 1.0)
+    val theta = out.map(_.getAs[Double]("theta")).distinct
+    assert(theta.length === 1)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_users") > 0)
+      assert(!r.getAs[Double]("mean_y_adj").isNaN)
+    }
+  }
+
   test("q503 Atkinson: equal spends give 0, a 100/300 split gives the AM-GM gap") {
     val dir = tmpDir("atkinson")
     Seq((1L, 10L, 100.0), (2L, 11L, 100.0), (3L, 20L, 100.0), (4L, 21L, 300.0))
