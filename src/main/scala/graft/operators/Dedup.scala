@@ -3696,4 +3696,148 @@ object Dedup {
        |    / CAST((SELECT total FROM tot) AS DOUBLE), 6) AS cum_share
        |FROM picks ORDER BY pick_round""".stripMargin
   }
+
+  /** q510 — one-permutation hashing (OPH) audit with rotation
+    * densification (Li/Owen/Zhang 2012; Shrivastava–Li 2014): ONE
+    * hash per shingle split into K bins (bin = h mod K, min-h per
+    * bin), empty bins filled by rotating to the next non-empty bin
+    * with an offset-scaled fill value — the sketch that costs 1/K of
+    * classic K-hash MinHash (q27/q112) per element, i.e. THE
+    * production MinHash at 100 TB. Audited per true near-dup pair
+    * (the q26 relation at a stated lower threshold): matched-bin
+    * estimate beside exact Jaccard, absolute error, and each side's
+    * empty-bin count — so densification correctness (the part naive
+    * OPH implementations get wrong and then over-merge short docs) is
+    * continuously graded.
+    *
+    * Exactness: hashes are the portable md5 32-bit word; bins,
+    * rotations and fill values (m + j·C with C > 2³² so distinct
+    * (m, j) can never collide) are exact integers; the only doubles
+    * are the final estimate and error, rounded once.
+    *
+    * Scale: signatures are one (doc, bin) aggregate + a K·2-slot
+    * per-doc window over doc-cardinality rows; pair evaluation joins
+    * K rows per candidate pair — candidate-bounded, never all-pairs.
+    */
+  def ophEstimateAudit(spark: SparkSession, dir: String, k: Int = 3,
+                       bins: Int = 16, threshold: Double = 0.25,
+                       dfCap: Int = 200): DataFrame = {
+    val fillC = 4294967311L // prime > 2^32: (m, j) -> m + j*C is injective
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = keptShingles(docs, k, dfCap)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = kept.as("a").join(kept.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jac", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .filter(col("jac") >= threshold)
+    val hx = kept.select(col("doc_id"),
+        graft.functions.PortableHash.md5Long32(col("shingle")).as("h"))
+      .withColumn("bin", pmod(col("h"), lit(bins.toLong)))
+    val binMin = hx.groupBy(col("doc_id"), col("bin")).agg(min(col("h")).as("m"))
+    val slots = binMin.select(col("doc_id")).distinct()
+      .select(col("doc_id"), explode(sequence(lit(0), lit(2 * bins - 1))).as("s"))
+      .withColumn("bin", pmod(col("s"), lit(bins)).cast("long"))
+      .join(binMin, Seq("doc_id", "bin"), "left")
+    val wFwd = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val sig = slots
+      .withColumn("fill_m", first(col("m"), ignoreNulls = true).over(wFwd))
+      .withColumn("fill_s",
+        first(when(col("m").isNotNull, col("s")), ignoreNulls = true).over(wFwd))
+      .filter(col("s") < bins)
+      .select(col("doc_id"), col("s").as("slot"),
+        (col("fill_m") + (col("fill_s") - col("s")) * lit(fillC)).as("dens"),
+        col("m").isNull.cast("long").as("was_empty"))
+      .localCheckpoint()
+    val empties = sig.groupBy(col("doc_id")).agg(sum(col("was_empty")).as("n_empty"))
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("slot"),
+        col("dens").as("da")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("slot").as("slot"),
+        col("dens").as("db")), Seq("doc_b", "slot"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_shared"), col("jac"))
+      .agg(sum((col("da") === col("db")).cast("long")).as("n_match"))
+      .join(empties.select(col("doc_id").as("doc_a"), col("n_empty").as("empty_a")), "doc_a")
+      .join(empties.select(col("doc_id").as("doc_b"), col("n_empty").as("empty_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("jac"), 6).as("jaccard"),
+        col("n_match"), col("empty_a"), col("empty_b"),
+        round(col("n_match").cast("double") / lit(bins.toDouble), 6)
+          .as("est_oph"),
+        round(abs(col("n_match").cast("double") / lit(bins.toDouble)
+          - col("jac")), 6).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def ophEstimateAuditSql(k: Int = 3, bins: Int = 16,
+                          threshold: Double = 0.25,
+                          dfCap: Int = 200): String =
+    s"""WITH $shingleCtes, sizes AS (
+       |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1
+       |), pairs AS (
+       |  SELECT doc_a, doc_b, n_shared,
+       |    CAST(n_shared AS DOUBLE) / CAST(n_a + n_b - n_shared AS DOUBLE) AS jac
+       |  FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(COUNT(*) AS BIGINT) AS n_shared,
+       |      MAX(sa.n_sh) AS n_a, MAX(sb.n_sh) AS n_b
+       |    FROM kept a
+       |    JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    JOIN sizes sa ON sa.doc_id = a.doc_id
+       |    JOIN sizes sb ON sb.doc_id = b.doc_id
+       |    GROUP BY 1, 2
+       |  )
+       |  WHERE CAST(n_shared AS DOUBLE) / CAST(n_a + n_b - n_shared AS DOUBLE)
+       |    >= $threshold
+       |), hx AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+       |  FROM kept
+       |), bin_min AS (
+       |  SELECT doc_id, h % $bins AS bin, MIN(h) AS m
+       |  FROM hx GROUP BY 1, 2
+       |), slots AS (
+       |  SELECT d.doc_id, s.s, s.s % $bins AS bin
+       |  FROM (SELECT DISTINCT doc_id FROM bin_min) d,
+       |    (SELECT unnest(generate_series(0, ${2 * bins - 1})) AS s) s
+       |), filled AS (
+       |  SELECT sl.doc_id, sl.s, bm.m,
+       |    first_value(bm.m IGNORE NULLS) OVER w AS fill_m,
+       |    first_value(CASE WHEN bm.m IS NOT NULL THEN sl.s END IGNORE NULLS)
+       |      OVER w AS fill_s
+       |  FROM slots sl LEFT JOIN bin_min bm
+       |    ON bm.doc_id = sl.doc_id AND bm.bin = sl.bin
+       |  WINDOW w AS (PARTITION BY sl.doc_id ORDER BY sl.s
+       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |), sig AS (
+       |  SELECT doc_id, s AS slot,
+       |    fill_m + (fill_s - s) * 4294967311 AS dens,
+       |    CASE WHEN m IS NULL THEN 1 ELSE 0 END AS was_empty
+       |  FROM filled WHERE s < $bins
+       |), empties AS (
+       |  SELECT doc_id, CAST(SUM(was_empty) AS BIGINT) AS n_empty
+       |  FROM sig GROUP BY 1
+       |), matched AS (
+       |  SELECT p.doc_a, p.doc_b, p.n_shared, p.jac,
+       |    CAST(SUM(CASE WHEN sa.dens = sb.dens THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_match
+       |  FROM pairs p
+       |  JOIN sig sa ON sa.doc_id = p.doc_a
+       |  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.slot = sa.slot
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT m.doc_a, m.doc_b, m.n_shared,
+       |  ROUND(m.jac, 6) AS jaccard,
+       |  m.n_match, ea.n_empty AS empty_a, eb.n_empty AS empty_b,
+       |  ROUND(CAST(m.n_match AS DOUBLE) / $bins.0, 6) AS est_oph,
+       |  ROUND(ABS(CAST(m.n_match AS DOUBLE) / $bins.0 - m.jac), 6) AS abs_err
+       |FROM matched m
+       |JOIN empties ea ON ea.doc_id = m.doc_a
+       |JOIN empties eb ON eb.doc_id = m.doc_b
+       |ORDER BY m.doc_a, m.doc_b""".stripMargin
 }

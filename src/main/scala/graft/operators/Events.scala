@@ -9162,122 +9162,97 @@ object Events {
        |      6) + 0.0 END AS lumpiness
        |FROM agg ORDER BY event_type""".stripMargin
 
-  /** q508 — CUPED variance reduction (controlled experiments using
-    * pre-experiment data): split the corpus at the integer midpoint
-    * day, take each user's PRE-period value sum as the covariate X
-    * and POST-period sum as the metric Y, fit θ = cov(X,Y)/var(X)
-    * pooled, and report per synthetic arm (user_id parity) the raw
-    * and CUPED-adjusted means Ŷ_adj = Ȳ_a − θ(X̄_a − X̄) — plus ρ²,
-    * which IS the fraction of metric variance CUPED removes. The
-    * standard experiment-platform trick that makes the same A/B test
-    * significant weeks earlier; the arm here is a deterministic
-    * A/A assignment, so the adjusted arm gap hovering near zero is
-    * itself the correctness signal.
+  /** q508 — Gumbel block-maxima fit per event type (extreme value
+    * theory's OTHER track): weekly maxima of the dense daily series,
+    * method-of-moments Gumbel parameters β̂ = s·√6/π and
+    * μ̂ = m̄ − γ·β̂ (Euler–Mascheroni γ), and the return levels
+    * x_T = μ − β·ln(−ln(1 − 1/T)) at T = 4/12/52 blocks — "the daily
+    * peak you should provision for per quarter / season / year".
+    * q502's mean-excess ladder diagnoses the exceedance tail (POT
+    * track); this is the block-maxima track that turns the same
+    * series into capacity numbers, the pair EVT practice always
+    * reports together.
     *
-    * Exactness: per-user X/Y are decimal sums; the five pooled
-    * moment sums accumulate 6dp-rounded products as DECIMAL(28,6)
-    * (the q102 convention); θ, the adjusted means and ρ² are
-    * fixed-operand-order IEEE chains rounded once; zero pre-period
-    * variance surfaces NULL via NULLIF. Only users active in BOTH
-    * halves enter (stated both sides — CUPED needs the covariate).
+    * Exactness: block maxima over the dense integer grid are exact
+    * BIGINTs (complete 7-day tiles only — the q468/q506 discipline),
+    * so the moment sums are exact integers; β̂/μ̂/return levels are
+    * ONE fixed-operand-order IEEE chain (√ is correctly rounded —
+    * the q123 precedent; √6/π and γ are shared literals; the
+    * ln(−ln(1 − 1/T)) plug-ins are computed in-engine from the same
+    * literal T so both engines see bit-identical doubles), rounded
+    * once at 6dp. Types with fewer than 2 complete blocks surface
+    * NULL via the when-guard.
     *
-    * Scale: one user-keyed aggregate (the q90-family shuffle), a
-    * 1-row pooled broadcast, a 2-row arm readout.
+    * Scale: one dense calendar grid, one (type, block) max, a
+    * |types|-row readout.
     */
-  def cupedAdjustment(spark: SparkSession, dir: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
-    val ev = Tables.load(spark, dir, "events")
-      .select(col("user_id"), epochDayExpr.as("day"), col("value"))
-    val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("m"))
-    val users = ev.crossJoin(broadcast(mid))
-      .groupBy(col("user_id"))
-      .agg(Relational.decSum(when(col("day") <= col("m"), col("value")))
-          .as("x"),
-        Relational.decSum(when(col("day") > col("m"), col("value")))
-          .as("y"),
-        sum(when(col("day") <= col("m"), 1L).otherwise(0L)).as("n_pre"),
-        sum(when(col("day") > col("m"), 1L).otherwise(0L)).as("n_post"))
-      .filter(col("n_pre") > 0 && col("n_post") > 0)
-      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
-    val pooled = users.agg(
-      count(lit(1)).as("n"),
-      sum(col("x").cast(dec)).cast("double").as("sx"),
-      sum(col("y").cast(dec)).cast("double").as("sy"),
-      sum(round(col("x") * col("x"), 6).cast(dec)).cast("double").as("sxx"),
-      sum(round(col("x") * col("y"), 6).cast(dec)).cast("double").as("sxy"),
-      sum(round(col("y") * col("y"), 6).cast(dec)).cast("double").as("syy"))
-      .withColumn("cxx", col("sxx") - col("sx") * col("sx") / col("n").cast("double"))
-      .withColumn("cxy", col("sxy") - col("sx") * col("sy") / col("n").cast("double"))
-      .withColumn("cyy", col("syy") - col("sy") * col("sy") / col("n").cast("double"))
-      .withColumn("theta", col("cxy") / nullif(col("cxx"), lit(0.0)))
-      .withColumn("xbar", col("sx") / col("n").cast("double"))
-      .withColumn("rho2",
-        (col("cxy") * col("cxy")) / nullif(col("cxx") * col("cyy"), lit(0.0)))
-    users.groupBy(col("arm"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("x").cast(dec)).cast("double").as("sxa"),
-        sum(col("y").cast(dec)).cast("double").as("sya"))
-      .crossJoin(broadcast(pooled.select(col("theta"), col("xbar"), col("rho2"))))
-      .select(col("arm"), col("n_users"),
-        round(col("sxa") / col("n_users").cast("double"), 6).as("mean_x"),
-        round(col("sya") / col("n_users").cast("double"), 6).as("mean_y"),
-        round(col("sya") / col("n_users").cast("double") -
-          col("theta") * (col("sxa") / col("n_users").cast("double") -
-            col("xbar")), 6).as("mean_y_adj"),
-        round(col("theta"), 6).as("theta"),
-        round(col("rho2"), 6).as("rho2"))
-      .orderBy(col("arm"))
+  def gumbelBlockMaxima(spark: SparkSession, dir: String,
+                        blockDays: Int = 7): DataFrame = {
+    val dense = denseDailyCounts(spark, dir)
+      .withColumn("t", col("day") -
+        min(col("day")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("blk", expr(s"t div $blockDays"))
+    val blocks = dense.groupBy(col("event_type"), col("blk"))
+      .agg(count(lit(1)).as("cnt"), max(col("v")).as("bm"))
+      .filter(col("cnt") === blockDays)
+    val stats = blocks.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("bm")).as("sm"), sum(col("bm") * col("bm")).as("smm"))
+      .withColumn("mean", col("sm").cast("double") / col("k").cast("double"))
+      .withColumn("vars",
+        (col("smm").cast("double") -
+          col("sm").cast("double") * col("sm").cast("double") /
+            col("k").cast("double")) /
+          nullif((col("k") - lit(1)).cast("double"), lit(0.0)))
+      .withColumn("beta",
+        when(col("k") >= 2, sqrt(col("vars")) * lit(0.7796968012336761)))
+      .withColumn("mu", col("mean") - lit(0.5772156649015329) * col("beta"))
+    def rl(t: Int): Column =
+      round(col("mu") - col("beta") *
+        log(-log(lit(1.0) - lit(1.0) / lit(t.toDouble))), 6)
+    stats.select(col("event_type"), col("k").as("n_blocks"),
+        round(col("mu"), 6).as("mu"),
+        round(col("beta"), 6).as("beta"),
+        rl(4).as("rl_quarter"), rl(12).as("rl_season"), rl(52).as("rl_year"))
+      .orderBy(col("event_type"))
   }
 
-  val cupedAdjustmentSql: String =
-    """WITH ev AS (
-      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, value FROM events
-      |), mid AS (
-      |  SELECT (MIN(day) + MAX(day)) // 2 AS m FROM ev
-      |), users AS (
-      |  SELECT user_id,
-      |    CAST(SUM(CASE WHEN day <= (SELECT m FROM mid)
-      |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS x,
-      |    CAST(SUM(CASE WHEN day > (SELECT m FROM mid)
-      |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS y,
-      |    SUM(CASE WHEN day <= (SELECT m FROM mid) THEN 1 ELSE 0 END) AS n_pre,
-      |    SUM(CASE WHEN day > (SELECT m FROM mid) THEN 1 ELSE 0 END) AS n_post,
-      |    CAST(user_id % 2 AS INT) AS arm
-      |  FROM ev GROUP BY user_id
-      |  HAVING SUM(CASE WHEN day <= (SELECT m FROM mid) THEN 1 ELSE 0 END) > 0
-      |    AND SUM(CASE WHEN day > (SELECT m FROM mid) THEN 1 ELSE 0 END) > 0
-      |), pooled AS (
-      |  SELECT COUNT(*) AS n,
-      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
-      |    CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
-      |  FROM users
-      |), derived AS (
-      |  SELECT
-      |    (sxy - sx * sy / CAST(n AS DOUBLE))
-      |      / NULLIF(sxx - sx * sx / CAST(n AS DOUBLE), 0.0) AS theta,
-      |    sx / CAST(n AS DOUBLE) AS xbar,
-      |    ((sxy - sx * sy / CAST(n AS DOUBLE))
-      |      * (sxy - sx * sy / CAST(n AS DOUBLE)))
-      |      / NULLIF((sxx - sx * sx / CAST(n AS DOUBLE))
-      |        * (syy - sy * sy / CAST(n AS DOUBLE)), 0.0) AS rho2
-      |  FROM pooled
-      |), arms AS (
-      |  SELECT arm, COUNT(*) AS n_users,
-      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sxa,
-      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sya
-      |  FROM users GROUP BY arm
-      |)
-      |SELECT a.arm, a.n_users,
-      |  ROUND(a.sxa / CAST(a.n_users AS DOUBLE), 6) AS mean_x,
-      |  ROUND(a.sya / CAST(a.n_users AS DOUBLE), 6) AS mean_y,
-      |  ROUND(a.sya / CAST(a.n_users AS DOUBLE)
-      |    - d.theta * (a.sxa / CAST(a.n_users AS DOUBLE) - d.xbar), 6)
-      |    AS mean_y_adj,
-      |  ROUND(d.theta, 6) AS theta,
-      |  ROUND(d.rho2, 6) AS rho2
-      |FROM arms a CROSS JOIN derived d
-      |ORDER BY a.arm""".stripMargin
+  def gumbelBlockMaximaSql(blockDays: Int = 7): String = {
+    def rl(t: Int): String =
+      s"ROUND(mu - beta * ln(-ln(1.0 - 1.0 / $t.0)), 6)"
+    s"""WITH $denseDailyCountsSql, tiled AS (
+       |  SELECT event_type,
+       |    (day - MIN(day) OVER (PARTITION BY event_type)) // $blockDays AS blk,
+       |    v
+       |  FROM dense
+       |), blocks AS (
+       |  SELECT event_type, blk, COUNT(*) AS cnt, MAX(v) AS bm
+       |  FROM tiled GROUP BY 1, 2
+       |  HAVING COUNT(*) = $blockDays
+       |), stats AS (
+       |  SELECT event_type, COUNT(*) AS k,
+       |    CAST(SUM(bm) AS BIGINT) AS sm,
+       |    CAST(SUM(bm * bm) AS BIGINT) AS smm
+       |  FROM blocks GROUP BY 1
+       |), fitted AS (
+       |  SELECT event_type, k,
+       |    CAST(sm AS DOUBLE) / CAST(k AS DOUBLE) AS mean,
+       |    CASE WHEN k >= 2 THEN
+       |      sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+       |        / CAST(k AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+       |      * 0.7796968012336761 END AS beta
+       |  FROM stats
+       |), params AS (
+       |  SELECT event_type, k, beta,
+       |    mean - 0.5772156649015329 * beta AS mu
+       |  FROM fitted
+       |)
+       |SELECT event_type, CAST(k AS BIGINT) AS n_blocks,
+       |  ROUND(mu, 6) AS mu,
+       |  ROUND(beta, 6) AS beta,
+       |  ${rl(4)} AS rl_quarter,
+       |  ${rl(12)} AS rl_season,
+       |  ${rl(52)} AS rl_year
+       |FROM params ORDER BY event_type""".stripMargin
+  }
 }

@@ -2658,4 +2658,102 @@ object Graph {
        |ORDER BY entity""".stripMargin
   }
 
+  /** q509 — categorical (label) assortativity of the co-purchase
+    * graph by part BRAND: Newman's mixing coefficient
+    * r = (Σᵢeᵢᵢ − Σᵢaᵢ²)/(1 − Σᵢaᵢ²) over the weighted edge mixing
+    * matrix — do customers co-buy within a brand (r > 0, brand-loyal
+    * baskets: recommenders can shard by brand) or across brands
+    * (r < 0, complementary-goods baskets: they cannot)? The LABEL
+    * companion of q122's degree assortativity — q122 asks "do hubs
+    * attach to hubs", this asks "does like attach to like". Per-brand
+    * rows carry the within-brand endpoint share vs the share expected
+    * under random mixing; the global r rides along.
+    *
+    * Exactness: edge weights are integer co-purchase counts, so every
+    * mixing-matrix entry is an exact BIGINT — r reduces to the
+    * integer identity (S·W − Σdᵢ²)/(W² − Σdᵢ²) with W = 2Σw (total
+    * directed endpoint mass), S = 2Σ_within w, dᵢ the brand's
+    * weighted endpoint mass; ONE double division at the end, NULLIF
+    * for the single-brand degenerate case.
+    *
+    * Scale: rides the memoized basket-capped pair list (q107/q142's
+    * frame — built once per session); brands join via a broadcast
+    * dimension, and everything after is a |brands|-row aggregate.
+    */
+  def brandAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val brands = broadcast(Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand")))
+    val tagged = pairs
+      .join(brands.select(col("p_partkey").as("pa"),
+        col("p_brand").as("ba")), "pa")
+      .join(brands.select(col("p_partkey").as("pb"),
+        col("p_brand").as("bb")), "pb")
+    val endpoints = tagged.select(col("ba").as("brand"), col("w"))
+      .unionByName(tagged.select(col("bb").as("brand"), col("w")))
+      .groupBy(col("brand")).agg(sum(col("w")).as("d"))
+    val within = tagged.filter(col("ba") === col("bb"))
+      .groupBy(col("ba").as("brand")).agg(sum(col("w")).as("w_within"))
+    val perBrand = endpoints.join(within, Seq("brand"), "left")
+      .select(col("brand"), col("d"),
+        coalesce(col("w_within"), lit(0L)).as("w_within"))
+    val tot = perBrand.agg(
+      sum(col("d")).as("big_w"),
+      sum(col("w_within") * lit(2L)).as("s"),
+      sum(col("d") * col("d")).as("sd2"))
+      .withColumn("r_global",
+        (col("s") * col("big_w") - col("sd2")).cast("double") /
+          nullif((col("big_w") * col("big_w") - col("sd2")).cast("double"),
+            lit(0.0)))
+    perBrand.crossJoin(broadcast(tot))
+      .select(col("brand"), col("d").as("endpoint_mass"),
+        col("w_within"),
+        round(lit(2.0) * col("w_within").cast("double") /
+          nullif(col("d").cast("double"), lit(0.0)), 6).as("self_share"),
+        round(col("d").cast("double") / col("big_w").cast("double"), 6)
+          .as("expected_share"),
+        round(col("r_global"), 6).as("assortativity"))
+      .orderBy(col("brand"))
+  }
+
+  val brandAssortativitySql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |), tagged AS (
+      |  SELECT pa.p_brand AS ba, pb.p_brand AS bb, p.w
+      |  FROM pairs p
+      |  JOIN part pa ON pa.p_partkey = p.pa
+      |  JOIN part pb ON pb.p_partkey = p.pb
+      |), endpoints AS (
+      |  SELECT brand, CAST(SUM(w) AS BIGINT) AS d FROM (
+      |    SELECT ba AS brand, w FROM tagged
+      |    UNION ALL SELECT bb, w FROM tagged
+      |  ) GROUP BY brand
+      |), within AS (
+      |  SELECT ba AS brand, CAST(SUM(w) AS BIGINT) AS w_within
+      |  FROM tagged WHERE ba = bb GROUP BY 1
+      |), per_brand AS (
+      |  SELECT e.brand, e.d, COALESCE(i.w_within, 0) AS w_within
+      |  FROM endpoints e LEFT JOIN within i ON i.brand = e.brand
+      |), tot AS (
+      |  SELECT CAST(SUM(d) AS BIGINT) AS big_w,
+      |    CAST(SUM(w_within * 2) AS BIGINT) AS s,
+      |    CAST(SUM(d * d) AS BIGINT) AS sd2
+      |  FROM per_brand
+      |)
+      |SELECT p.brand, p.d AS endpoint_mass, p.w_within,
+      |  ROUND(2.0 * CAST(p.w_within AS DOUBLE)
+      |    / NULLIF(CAST(p.d AS DOUBLE), 0.0), 6) AS self_share,
+      |  ROUND(CAST(p.d AS DOUBLE) / CAST(t.big_w AS DOUBLE), 6)
+      |    AS expected_share,
+      |  ROUND(CAST(t.s * t.big_w - t.sd2 AS DOUBLE)
+      |    / NULLIF(CAST(t.big_w * t.big_w - t.sd2 AS DOUBLE), 0.0), 6)
+      |    AS assortativity
+      |FROM per_brand p CROSS JOIN tot t
+      |ORDER BY p.brand""".stripMargin
 }

@@ -240,18 +240,72 @@ class Round12OpsSpec4 extends AnyFunSuite {
     assert(out("shift").getAs[Double]("lumpiness") === 0.0)
   }
 
-  test("q508 CUPED: rho2 in [0,1], A/A arm means pulled toward each other") {
-    val out = Events.cupedAdjustment(spark, sf0001).collect()
-    assert(out.length === 2)
-    val rho2 = out.map(_.getAs[Double]("rho2")).distinct
-    assert(rho2.length === 1)
-    assert(rho2.head >= 0.0 && rho2.head <= 1.0)
-    val theta = out.map(_.getAs[Double]("theta")).distinct
-    assert(theta.length === 1)
-    out.foreach { r =>
-      assert(r.getAs[Long]("n_users") > 0)
-      assert(!r.getAs[Double]("mean_y_adj").isNaN)
+  test("q508 Gumbel maxima: constant blocks fit beta=0 with all return levels at the level") {
+    val dir = tmpDir("gumbel")
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // exactly 3 events every day for 4 complete weeks: every weekly
+    // maximum is 3 -> variance 0, beta 0, mu = 3, all RLs = 3
+    val rows = (0L to 27L).flatMap(day => (1L to 3L).map(j =>
+      (day * 10 + j, ts(day), 1L, "const", 1.0, "{}")))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.gumbelBlockMaxima(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_blocks") === 4L)
+    assert(r.getAs[Double]("beta") === 0.0)
+    assert(r.getAs[Double]("mu") === 3.0)
+    Seq("rl_quarter", "rl_season", "rl_year").foreach(c =>
+      assert(r.getAs[Double](c) === 3.0))
+    // return levels are monotone in T on real data
+    val real = Events.gumbelBlockMaxima(spark, sf0001).collect()
+    real.foreach { x =>
+      val q = x.getAs[Double]("rl_quarter"); val s = x.getAs[Double]("rl_season")
+      val y = x.getAs[Double]("rl_year")
+      assert(q <= s && s <= y)
     }
+  }
+
+  test("q509 brand assortativity: hand-computed mixing on a 3-edge graph") {
+    val dir = tmpDir("assort")
+    // parts 1,2 brand X; 3,4 brand Y; edges (1,2) within-X, (3,4)
+    // within-Y, (1,3) cross: W=6, S=4, d_X=d_Y=3 ->
+    // r = (4*6-18)/(36-18) = 1/3
+    Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 1L), (3L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "X"), (2L, "X"), (3L, "Y"), (4L, "Y"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = graft.operators.Graph.brandAssortativity(spark, dir).collect()
+      .map(r => r.getAs[String]("brand") -> r).toMap
+    assert(out.keySet === Set("X", "Y"))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("endpoint_mass") === 3L)
+      assert(r.getAs[Long]("w_within") === 1L)
+      assert(r.getAs[Double]("self_share") === 0.666667)
+      assert(r.getAs[Double]("expected_share") === 0.5)
+      assert(r.getAs[Double]("assortativity") === 0.333333)
+    }
+  }
+
+  test("q510 OPH: identical docs match all densified bins, empties counted") {
+    val dir = tmpDir("oph")
+    Seq((1L, "s1", "alpha beta gamma delta epsilon"),
+        (2L, "s1", "alpha beta gamma delta epsilon"),
+        (3L, "s1", "zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.ophEstimateAudit(spark, dir).collect()
+    // only the identical pair clears the 0.25 Jaccard gate
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) === ((1L, 2L)))
+    assert(r.getAs[Double]("jaccard") === 1.0)
+    assert(r.getAs[Long]("n_match") === 16L)
+    assert(r.getAs[Double]("est_oph") === 1.0)
+    assert(r.getAs[Double]("abs_err") === 0.0)
+    // 3 shingles fill at most 3 of 16 bins: densification did the rest
+    assert(r.getAs[Long]("empty_a") >= 13L)
+    assert(r.getAs[Long]("empty_a") === r.getAs[Long]("empty_b"))
   }
 
   test("q503 Atkinson: equal spends give 0, a 100/300 split gives the AM-GM gap") {
