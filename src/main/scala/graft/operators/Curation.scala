@@ -3423,4 +3423,123 @@ object Curation {
       |  ROW_NUMBER() OVER (ORDER BY ucb DESC, source) = 1 AS next_pick
       |FROM scored
       |ORDER BY source""".stripMargin
+
+  /** q512 — raking (iterative proportional fitting) of a
+    * deterministic 1-in-7 document sample to the corpus lang × source
+    * margins: three unrolled IPF rounds (lang → source → lang)
+    * produce per-cell weights whose weighted sample reproduces the
+    * corpus lang margins exactly and the source margins up to the
+    * reported residual — the survey-statistics standard for
+    * de-biasing any sampled audit (quality reviews, human evals)
+    * back to corpus shape, and the missing piece between q44's
+    * stratified draws and q453's single-margin HT de-bias (raking
+    * calibrates to TWO margins without knowing the joint).
+    *
+    * Exactness: cell and margin counts are exact integers; each
+    * round's adjustment factor is one double division rounded at 6dp
+    * before multiplying into the cell weight (also rounded 6dp), so
+    * every weight is a product of three 6dp factors computed
+    * identically on both engines; the residual is a fixed-order
+    * double chain. Sample cells missing a whole corpus lang/source
+    * surface in the residual rather than silently matching.
+    *
+    * Scale: one documents scan for the sample cells + one for the
+    * margins; everything after is |langs|×|sources|-cell arithmetic.
+    */
+  def rakingCalibration(spark: SparkSession, dir: String,
+                        mod: Int = 7): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
+    val cells = docs.filter(pmod(col("doc_id"), lit(mod)) === 0)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val langM = docs.groupBy(col("lang")).agg(count(lit(1)).as("lm"))
+    val srcM = docs.groupBy(col("source")).agg(count(lit(1)).as("sm"))
+    def adjust(df: DataFrame, marginDf: DataFrame, key: String,
+               marginCol: String, wIn: String, wOut: String): DataFrame = {
+      val tot = df.groupBy(col(key))
+        .agg(sum(round(col("n") * col(wIn), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double").as("wt"))
+      df.join(tot, key).join(broadcast(marginDf), key)
+        .withColumn("f", round(col(marginCol).cast("double") /
+          nullif(col("wt"), lit(0.0)), 6))
+        .withColumn(wOut, round(col(wIn) * col("f"), 6))
+        .drop("wt", "f", marginCol)
+    }
+    val w0 = cells.withColumn("w0", lit(1.0))
+    val r1 = adjust(w0, langM, "lang", "lm", "w0", "w1")
+    val r2 = adjust(r1, srcM, "source", "sm", "w1", "w2")
+    val r3 = adjust(r2, langM, "lang", "lm", "w2", "w3")
+    val resid = r3.groupBy(col("source"))
+      .agg(sum(round(col("n") * col("w3"), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double").as("wt"))
+      .join(broadcast(srcM), "source")
+      .withColumn("rr", round(abs(col("wt") - col("sm").cast("double")) /
+        col("sm").cast("double"), 6))
+      .agg(max(col("rr")).as("max_source_resid"))
+    r3.crossJoin(broadcast(resid))
+      .select(col("lang"), col("source"), col("n").as("n_sample"),
+        round(col("w3"), 6).as("weight"),
+        round(col("n") * col("w3"), 6).as("est_corpus_n"),
+        col("max_source_resid"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  def rakingCalibrationSql(mod: Int = 7): String =
+    s"""WITH cells AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents WHERE doc_id % $mod = 0 GROUP BY 1, 2
+       |), lang_m AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS lm FROM documents GROUP BY 1
+       |), src_m AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS sm FROM documents GROUP BY 1
+       |), w0 AS (
+       |  SELECT lang, source, n, 1.0 AS w0 FROM cells
+       |), t1 AS (
+       |  SELECT lang,
+       |    CAST(SUM(CAST(ROUND(n * w0, 6) AS DECIMAL(28,6))) AS DOUBLE) AS wt
+       |  FROM w0 GROUP BY 1
+       |), r1 AS (
+       |  SELECT w.lang, w.source, w.n,
+       |    ROUND(w.w0 * ROUND(CAST(m.lm AS DOUBLE) / NULLIF(t.wt, 0.0), 6), 6)
+       |      AS w1
+       |  FROM w0 w JOIN t1 t ON t.lang = w.lang
+       |  JOIN lang_m m ON m.lang = w.lang
+       |), t2 AS (
+       |  SELECT source,
+       |    CAST(SUM(CAST(ROUND(n * w1, 6) AS DECIMAL(28,6))) AS DOUBLE) AS wt
+       |  FROM r1 GROUP BY 1
+       |), r2 AS (
+       |  SELECT w.lang, w.source, w.n,
+       |    ROUND(w.w1 * ROUND(CAST(m.sm AS DOUBLE) / NULLIF(t.wt, 0.0), 6), 6)
+       |      AS w2
+       |  FROM r1 w JOIN t2 t ON t.source = w.source
+       |  JOIN src_m m ON m.source = w.source
+       |), t3 AS (
+       |  SELECT lang,
+       |    CAST(SUM(CAST(ROUND(n * w2, 6) AS DECIMAL(28,6))) AS DOUBLE) AS wt
+       |  FROM r2 GROUP BY 1
+       |), r3 AS (
+       |  SELECT w.lang, w.source, w.n,
+       |    ROUND(w.w2 * ROUND(CAST(m.lm AS DOUBLE) / NULLIF(t.wt, 0.0), 6), 6)
+       |      AS w3
+       |  FROM r2 w JOIN t3 t ON t.lang = w.lang
+       |  JOIN lang_m m ON m.lang = w.lang
+       |), resid AS (
+       |  SELECT MAX(ROUND(ABS(wt - CAST(sm AS DOUBLE)) / CAST(sm AS DOUBLE), 6))
+       |    AS max_source_resid
+       |  FROM (
+       |    SELECT r.source,
+       |      CAST(SUM(CAST(ROUND(n * w3, 6) AS DECIMAL(28,6))) AS DOUBLE) AS wt
+       |    FROM r3 r GROUP BY 1
+       |  ) x JOIN src_m s ON s.source = x.source
+       |)
+       |SELECT r.lang, r.source, r.n AS n_sample,
+       |  ROUND(r.w3, 6) AS weight,
+       |  ROUND(r.n * r.w3, 6) AS est_corpus_n,
+       |  d.max_source_resid
+       |FROM r3 r CROSS JOIN resid d
+       |ORDER BY r.lang, r.source""".stripMargin
 }

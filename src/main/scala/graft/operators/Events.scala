@@ -9255,4 +9255,280 @@ object Events {
        |  ${rl(52)} AS rl_year
        |FROM params ORDER BY event_type""".stripMargin
   }
+
+  /** q511 — Huber M-estimator of location per event type (3 unrolled
+    * IRLS steps, c = 1.345, MAD scale, median start): the robust
+    * location that — unlike the median (q121) and the 20% trimmed
+    * mean (q438) — downweights outliers SMOOTHLY instead of ignoring
+    * them, the estimator robust statistics actually recommends for
+    * "the typical daily load with the incidents discounted". The
+    * shift column (Huber − median) and the final downweighted-day
+    * count say how much the outliers were pulling.
+    *
+    * Exactness: median and MAD are exact rank-selected values (q121's
+    * machinery verbatim); each IRLS weight is a fixed-order IEEE
+    * chain rounded to 6dp, weighted sums accumulate as DECIMAL, and
+    * each iterate is ONE double division — three unrolled rounds,
+    * identical CTE algebra on both engines. |v − μ| = 0 takes weight
+    * 1 explicitly (no 0/0); MAD = 0 collapses all off-median weights
+    * to 0, degenerating honestly to the median.
+    *
+    * Scale: the q121 daily aggregate + rank windows, then three
+    * broadcast-join + |types|-row aggregate rounds — calendar-bounded.
+    */
+  def huberLocation(spark: SparkSession, dir: String,
+                    c: Double = 1.345): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(Relational.decSum(col("value")).as("v"))
+      .localCheckpoint()
+    val wMed = Window.partitionBy(col("event_type")).orderBy(col("v"), col("day"))
+    val med = daily
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("med"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("v") - col("med")))
+    val wMad = Window.partitionBy(col("event_type")).orderBy(col("adev"), col("day"))
+    val mad = dev
+      .withColumn("rn", row_number().over(wMad))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("adev"))).as("mad"))
+    val base = med.join(mad, "event_type")
+    def wgt(mu: Column): Column = {
+      val ad = abs(col("v") - mu)
+      round(when(ad === 0.0, lit(1.0))
+        .otherwise(least(lit(1.0), lit(c) * col("mad") / ad)), 6)
+    }
+    def step(prev: DataFrame, muCol: String, outCol: String): DataFrame = {
+      val joined = daily.join(broadcast(prev), "event_type")
+        .withColumn("w", wgt(col(muCol)))
+      joined.groupBy(col("event_type"))
+        .agg(sum(round(col("w") * col("v"), 6).cast(dec)).cast("double").as("num"),
+          sum(col("w").cast(dec)).cast("double").as("den"))
+        .withColumn(outCol, col("num") / nullif(col("den"), lit(0.0)))
+        .select(col("event_type"), col(outCol))
+        .join(prev, "event_type")
+    }
+    val it1 = step(base.withColumn("mu0", col("med")), "mu0", "mu1")
+    val it2 = step(it1, "mu1", "mu2")
+    val it3 = step(it2, "mu2", "mu3")
+    val fin = daily.join(broadcast(it3), "event_type")
+      .withColumn("w", wgt(col("mu3")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"), max(col("mu3")).as("mu3"),
+        sum((col("w") < 1.0).cast("long")).as("n_downweighted"))
+    fin.select(col("event_type"), col("n_days"),
+        round(col("med"), 6).as("median"),
+        round(col("mad"), 6).as("mad"),
+        round(col("mu3"), 6).as("huber_mu"),
+        (round(col("mu3") - col("med"), 6) + lit(0.0)).as("shift"),
+        col("n_downweighted"))
+      .orderBy(col("event_type"))
+  }
+
+  def huberLocationSql(c: Double = 1.345): String = {
+    def stepSql(i: Int, muExpr: String, prev: String): String =
+      s"""w$i AS (
+         |  SELECT d.event_type,
+         |    ROUND(CASE WHEN ABS(d.v - $muExpr) = 0 THEN 1.0
+         |      ELSE LEAST(1.0, $c * b.mad / ABS(d.v - $muExpr)) END, 6) AS w,
+         |    d.v
+         |  FROM daily d JOIN $prev b ON b.event_type = d.event_type
+         |), it$i AS (
+         |  SELECT w$i.event_type,
+         |    CAST(SUM(CAST(ROUND(w * v, 6) AS DECIMAL(28,6))) AS DOUBLE)
+         |      / NULLIF(CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE), 0.0)
+         |      AS mu$i
+         |  FROM w$i GROUP BY 1
+         |)""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+       |  FROM events GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT event_type, day, v,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY v, day) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM daily
+       |), med AS (
+       |  SELECT event_type, MAX(n) AS n_days,
+       |    MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+       |  FROM ranked GROUP BY 1
+       |), devs AS (
+       |  SELECT d.event_type, d.day, ABS(d.v - m.med) AS adev
+       |  FROM daily d JOIN med m ON m.event_type = d.event_type
+       |), dranked AS (
+       |  SELECT event_type, adev,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY adev, day) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM devs
+       |), madt AS (
+       |  SELECT event_type,
+       |    MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad
+       |  FROM dranked GROUP BY 1
+       |), base AS (
+       |  SELECT m.event_type, m.n_days, m.med, t.mad, m.med AS mu0
+       |  FROM med m JOIN madt t ON t.event_type = m.event_type
+       |), ${stepSql(1, "b.mu0", "base")},
+       |b1 AS (
+       |  SELECT b.event_type, b.n_days, b.med, b.mad, i.mu1
+       |  FROM base b JOIN it1 i ON i.event_type = b.event_type
+       |), ${stepSql(2, "b.mu1", "b1")},
+       |b2 AS (
+       |  SELECT b.event_type, b.n_days, b.med, b.mad, i.mu2
+       |  FROM b1 b JOIN it2 i ON i.event_type = b.event_type
+       |), ${stepSql(3, "b.mu2", "b2")},
+       |b3 AS (
+       |  SELECT b.event_type, b.n_days, b.med, b.mad, i.mu3
+       |  FROM b2 b JOIN it3 i ON i.event_type = b.event_type
+       |), finw AS (
+       |  SELECT d.event_type, b.n_days, b.med, b.mad, b.mu3,
+       |    ROUND(CASE WHEN ABS(d.v - b.mu3) = 0 THEN 1.0
+       |      ELSE LEAST(1.0, $c * b.mad / ABS(d.v - b.mu3)) END, 6) AS w
+       |  FROM daily d JOIN b3 b ON b.event_type = d.event_type
+       |)
+       |SELECT event_type, CAST(MAX(n_days) AS BIGINT) AS n_days,
+       |  ROUND(MAX(med), 6) AS median,
+       |  ROUND(MAX(mad), 6) AS mad,
+       |  ROUND(MAX(mu3), 6) AS huber_mu,
+       |  ROUND(MAX(mu3) - MAX(med), 6) + 0.0 AS shift,
+       |  CAST(SUM(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_downweighted
+       |FROM finw GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** q515 — Goh–Barabási burstiness–memory phase point per event
+    * type, on the SAME within-day inter-event gaps q470 tests and
+    * q493 fits: B = (σ − μ)/(σ + μ) of the gap distribution (−1
+    * regular … 0 Poisson … → 1 bursty) and M = lag-1 Pearson between
+    * CONSECUTIVE gaps (do long gaps follow long gaps?). The (B, M)
+    * pair is the classic human-dynamics fingerprint that separates
+    * "heavy-tailed gap sizes" from "correlated gap sequences" — two
+    * different burst mechanisms q493's single shape parameter k
+    * conflates, and the one that decides whether a rate limiter needs
+    * token buckets (size) or cooldowns (memory).
+    *
+    * Exactness: gaps are exact integer micros off the shared dayGaps
+    * frame; all moment and lag-1 product sums accumulate as
+    * DECIMAL(38,0) Spark-side (g² ≈ 7.4e21 overflows BIGINT) and
+    * HUGEINT DuckDB-side — exact integers either way, cast to double
+    * once, then fixed-operand-order B/M chains rounded at 6dp with
+    * the +0.0 guard; degenerate types (zero variance, < 2 pairs)
+    * surface NULL via NULLIF.
+    *
+    * Scale: one (type, day)-windowed pass for gaps + its lead() for
+    * pairs (the q470 shuffle), two |types|-row aggregates.
+    */
+  def gapBurstMemory(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    def sq(c: Column): Column = (c.cast(d19) * c.cast(d19)).cast(d38)
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), epochDayExpr.as("day"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = ev.withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("g", col("us") - col("prev"))
+      .withColumn("g2", lead(col("g"), 1).over(w))
+      .filter(col("g").isNotNull)
+      .localCheckpoint()
+    val mom = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        sum(sq(col("g"))).cast("double").as("sgg"))
+    val pairs = gaps.filter(col("g2").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("g")).as("sa"), sum(col("g2")).as("sb"),
+        sum(sq(col("g"))).cast("double").as("saa"),
+        sum(sq(col("g2"))).cast("double").as("sbb"),
+        sum((col("g").cast(d19) * col("g2").cast(d19)).cast(d38))
+          .cast("double").as("sab"))
+    mom.join(pairs, Seq("event_type"), "left")
+      .withColumn("mu", col("sg").cast("double") / col("n").cast("double"))
+      .withColumn("sigma",
+        sqrt(col("sgg") / col("n").cast("double") - col("mu") * col("mu")))
+      .withColumn("b_raw",
+        (col("sigma") - col("mu")) / nullif(col("sigma") + col("mu"), lit(0.0)))
+      .withColumn("m_raw",
+        (col("np").cast("double") * col("sab") -
+          col("sa").cast("double") * col("sb").cast("double")) /
+          nullif(sqrt(col("np").cast("double") * col("saa") -
+            col("sa").cast("double") * col("sa").cast("double")) *
+            sqrt(col("np").cast("double") * col("sbb") -
+              col("sb").cast("double") * col("sb").cast("double")), lit(0.0)))
+      .select(col("event_type"), col("n").as("n_gaps"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        (round(col("b_raw"), 6) + lit(0.0)).as("burstiness"),
+        (round(col("m_raw"), 6) + lit(0.0)).as("memory"),
+        when(col("b_raw").isNull || col("m_raw").isNull, lit("degenerate"))
+          .when(col("b_raw") > 0 && col("m_raw") > 0, lit("bursty_clustered"))
+          .when(col("b_raw") > 0, lit("bursty_alternating"))
+          .when(col("m_raw") > 0, lit("regular_clustered"))
+          .otherwise(lit("regular_alternating")).as("regime"))
+      .orderBy(col("event_type"))
+  }
+
+  val gapBurstMemorySql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    epoch_us(ts) AS us, event_id
+      |  FROM events
+      |), gapped AS (
+      |  SELECT event_type, g,
+      |    lead(g) OVER (PARTITION BY event_type, day
+      |      ORDER BY us, event_id) AS g2
+      |  FROM (
+      |    SELECT event_type, day, us, event_id,
+      |      us - LAG(us, 1) OVER (PARTITION BY event_type, day
+      |        ORDER BY us, event_id) AS g
+      |    FROM ev
+      |  )
+      |  WHERE g IS NOT NULL
+      |), mom AS (
+      |  SELECT event_type, COUNT(*) AS n, CAST(SUM(g) AS BIGINT) AS sg,
+      |    CAST(SUM(CAST(g AS HUGEINT) * g) AS DOUBLE) AS sgg
+      |  FROM gapped GROUP BY 1
+      |), prs AS (
+      |  SELECT event_type, COUNT(*) AS np,
+      |    CAST(SUM(g) AS BIGINT) AS sa, CAST(SUM(g2) AS BIGINT) AS sb,
+      |    CAST(SUM(CAST(g AS HUGEINT) * g) AS DOUBLE) AS saa,
+      |    CAST(SUM(CAST(g2 AS HUGEINT) * g2) AS DOUBLE) AS sbb,
+      |    CAST(SUM(CAST(g AS HUGEINT) * g2) AS DOUBLE) AS sab
+      |  FROM gapped WHERE g2 IS NOT NULL GROUP BY 1
+      |), derived AS (
+      |  SELECT m.event_type, m.n, COALESCE(p.np, 0) AS np,
+      |    CAST(m.sg AS DOUBLE) / CAST(m.n AS DOUBLE) AS mu,
+      |    sqrt(m.sgg / CAST(m.n AS DOUBLE)
+      |      - (CAST(m.sg AS DOUBLE) / CAST(m.n AS DOUBLE))
+      |        * (CAST(m.sg AS DOUBLE) / CAST(m.n AS DOUBLE))) AS sigma,
+      |    (CAST(p.np AS DOUBLE) * p.sab
+      |      - CAST(p.sa AS DOUBLE) * CAST(p.sb AS DOUBLE))
+      |      / NULLIF(sqrt(CAST(p.np AS DOUBLE) * p.saa
+      |          - CAST(p.sa AS DOUBLE) * CAST(p.sa AS DOUBLE))
+      |        * sqrt(CAST(p.np AS DOUBLE) * p.sbb
+      |          - CAST(p.sb AS DOUBLE) * CAST(p.sb AS DOUBLE)), 0.0) AS m_raw
+      |  FROM mom m LEFT JOIN prs p ON p.event_type = m.event_type
+      |), scored AS (
+      |  SELECT event_type, n, np,
+      |    (sigma - mu) / NULLIF(sigma + mu, 0.0) AS b_raw, m_raw
+      |  FROM derived
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+      |  CAST(np AS BIGINT) AS n_pairs,
+      |  ROUND(b_raw, 6) + 0.0 AS burstiness,
+      |  ROUND(m_raw, 6) + 0.0 AS memory,
+      |  CASE WHEN b_raw IS NULL OR m_raw IS NULL THEN 'degenerate'
+      |    WHEN b_raw > 0 AND m_raw > 0 THEN 'bursty_clustered'
+      |    WHEN b_raw > 0 THEN 'bursty_alternating'
+      |    WHEN m_raw > 0 THEN 'regular_clustered'
+      |    ELSE 'regular_alternating' END AS regime
+      |FROM scored ORDER BY event_type""".stripMargin
 }

@@ -4129,4 +4129,149 @@ object Similarity {
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY la
        |  ORDER BY r DESC NULLS LAST, lb) = 1
        |ORDER BY label""".stripMargin
+
+  /** q514 — Johnson–Lindenstrauss random-projection distortion audit:
+    * project the embeddings onto `projDims` = 16 Rademacher (±1)
+    * directions (signs from the portable md5 family, scale 1/√16 =
+    * 0.25 — an exact dyadic), then compare pairwise squared L2
+    * distances before and after on a fixed-budget sample — the
+    * measured distortion distribution (mean/p95/max of |ratio − 1|)
+    * that tells you whether a 4× dimensionality cut is safe for the
+    * ANN stack. Completes the compression price list: PQ (q71), SQ8
+    * (q104 + q342's reconstruction audit), 1-bit (q439) priced
+    * VECTORS; this prices the DIMENSIONALITY axis, with the classic
+    * JL guarantee as the thing being checked rather than assumed.
+    *
+    * Exactness: sign·x terms and squared differences round to 6dp
+    * and sum as DECIMAL (order-free); the projection scale folds in
+    * as an exact 0.25 multiply; ratios are single divisions; p95 is
+    * an exact rank pick ((n·19 + 19) div 20, pair-tiebroken). The
+    * sample is the q366/q407 fixed-budget md5 pick — constant-size
+    * at any corpus scale.
+    *
+    * Scale: the projection is a broadcast-sized literal sign table
+    * (16 × 64 rows) joined against the exploded SAMPLE only
+    * (48 × 64 rows); pair evaluation is (48·47/2) × dims rows.
+    * Nothing corpus-sized moves: the audit costs the same at 100 TB.
+    */
+  def jlDistortionAudit(spark: SparkSession, dir: String,
+                        sampleN: Int = 48, projDims: Int = 16,
+                        dims: Int = 64): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val samp = fixedSample(emb, sampleN)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val xs = samp.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+    val signs = spark.range(projDims).select(col("id").as("j"))
+      .crossJoin(spark.range(dims).select(col("id").as("i")))
+      .withColumn("sign",
+        when(pmod(PortableHash.md5Long32(
+          concat_ws("_", lit("jl"), col("j"), col("i"))), lit(2L)) === 0,
+          lit(1.0)).otherwise(lit(-1.0)))
+    val ys = xs.join(broadcast(signs), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg((sum(round(col("sign") * col("x"), 6).cast(dec)).cast("double")
+        * lit(0.25)).as("y"))
+    val ids = samp.select(col("vec_id"))
+    val pairs = ids.select(col("vec_id").as("va"))
+      .crossJoin(ids.select(col("vec_id").as("vb")))
+      .filter(col("va") < col("vb"))
+    val dFull = pairs
+      .join(xs.select(col("vec_id").as("va"), col("i"), col("x").as("xa")), "va")
+      .join(xs.select(col("vec_id").as("vb"), col("i"), col("x").as("xb")),
+        Seq("vb", "i"))
+      .groupBy(col("va"), col("vb"))
+      .agg(sum(round((col("xa") - col("xb")) * (col("xa") - col("xb")), 6)
+        .cast(dec28)).cast("double").as("d2_full"))
+    val dProj = pairs
+      .join(ys.select(col("vec_id").as("va"), col("j"), col("y").as("ya")), "va")
+      .join(ys.select(col("vec_id").as("vb"), col("j"), col("y").as("yb")),
+        Seq("vb", "j"))
+      .groupBy(col("va"), col("vb"))
+      .agg(sum(round((col("ya") - col("yb")) * (col("ya") - col("yb")), 6)
+        .cast(dec28)).cast("double").as("d2_proj"))
+    val scored = dFull.join(dProj, Seq("va", "vb"))
+      .withColumn("ratio", col("d2_proj") / nullif(col("d2_full"), lit(0.0)))
+      .withColumn("dist", abs(col("ratio") - lit(1.0)))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("dist"), col("va"), col("vb"))))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+    ranked.groupBy()
+      .agg(max(col("np")).as("n_pairs"),
+        sum(round(col("ratio"), 6).cast(dec28)).cast("double").as("sratio"),
+        sum(round(col("dist"), 6).cast(dec28)).cast("double").as("sdist"),
+        max(when(col("rn") === expr("(np * 19 + 19) div 20"), col("dist")))
+          .as("p95_raw"),
+        max(col("dist")).as("max_raw"))
+      .select(col("n_pairs"),
+        round(col("sratio") / col("n_pairs").cast("double"), 6)
+          .as("mean_ratio"),
+        round(col("sdist") / col("n_pairs").cast("double"), 6)
+          .as("mean_distortion"),
+        round(col("p95_raw"), 6).as("p95_distortion"),
+        round(col("max_raw"), 6).as("max_distortion"))
+  }
+
+  def jlDistortionAuditSql(sampleN: Int = 48, projDims: Int = 16,
+                           dims: Int = 64): String =
+    s"""WITH samp AS (
+       |  ${fixedSampleSql(sampleN, "vec_id, embedding")}
+       |), xs AS (
+       |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM samp, generate_series(1, $dims) AS t(i)
+       |), signs AS (
+       |  SELECT j.j, i2.i2,
+       |    CASE WHEN CAST(('0x' || substr(md5('jl_' || j.j || '_' || i2.i2), 1, 8))
+       |        AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+       |  FROM generate_series(0, ${projDims - 1}) AS j(j),
+       |    generate_series(0, ${dims - 1}) AS i2(i2)
+       |), ys AS (
+       |  SELECT x.vec_id, s.j,
+       |    CAST(SUM(CAST(ROUND(s.sign * x.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |      * 0.25 AS y
+       |  FROM xs x JOIN signs s ON s.i2 = x.i
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+       |), d_full AS (
+       |  SELECT p.va, p.vb,
+       |    CAST(SUM(CAST(ROUND((xa.x - xb.x) * (xa.x - xb.x), 6)
+       |      AS DECIMAL(28,6))) AS DOUBLE) AS d2_full
+       |  FROM pairs p
+       |  JOIN xs xa ON xa.vec_id = p.va
+       |  JOIN xs xb ON xb.vec_id = p.vb AND xb.i = xa.i
+       |  GROUP BY 1, 2
+       |), d_proj AS (
+       |  SELECT p.va, p.vb,
+       |    CAST(SUM(CAST(ROUND((ya.y - yb.y) * (ya.y - yb.y), 6)
+       |      AS DECIMAL(28,6))) AS DOUBLE) AS d2_proj
+       |  FROM pairs p
+       |  JOIN ys ya ON ya.vec_id = p.va
+       |  JOIN ys yb ON yb.vec_id = p.vb AND yb.j = ya.j
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT f.va, f.vb,
+       |    pr.d2_proj / NULLIF(f.d2_full, 0.0) AS ratio,
+       |    ABS(pr.d2_proj / NULLIF(f.d2_full, 0.0) - 1.0) AS dist
+       |  FROM d_full f JOIN d_proj pr ON pr.va = f.va AND pr.vb = f.vb
+       |), ranked AS (
+       |  SELECT ratio, dist,
+       |    row_number() OVER (ORDER BY dist, va, vb) AS rn,
+       |    COUNT(*) OVER () AS np
+       |  FROM scored
+       |)
+       |SELECT CAST(MAX(np) AS BIGINT) AS n_pairs,
+       |  ROUND(CAST(SUM(CAST(ROUND(ratio, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |    / CAST(MAX(np) AS DOUBLE), 6) AS mean_ratio,
+       |  ROUND(CAST(SUM(CAST(ROUND(dist, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |    / CAST(MAX(np) AS DOUBLE), 6) AS mean_distortion,
+       |  ROUND(MAX(CASE WHEN rn = (np * 19 + 19) // 20 THEN dist END), 6)
+       |    AS p95_distortion,
+       |  ROUND(MAX(dist), 6) AS max_distortion
+       |FROM ranked""".stripMargin
 }

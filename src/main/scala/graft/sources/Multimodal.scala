@@ -2067,6 +2067,140 @@ object Multimodal {
       |FROM sized GROUP BY doc_id, n
       |ORDER BY doc_id""".stripMargin
 
+  /** 28-bit syncsafe integer encode (ID3v2): 4 bytes of 7 bits each,
+    * high bit always clear — the format's trick to keep tag bytes
+    * from faking an MPEG sync word.
+    */
+  private def syncsafe(v: Int): Array[Byte] = Array(
+    ((v >> 21) & 0x7F).toByte, ((v >> 14) & 0x7F).toByte,
+    ((v >> 7) & 0x7F).toByte, (v & 0x7F).toByte)
+
+  private def unSyncsafe(p: Array[Byte], off: Int): Int = {
+    var v = 0
+    (0 until 4).foreach { i =>
+      if ((p(off + i) & 0x80) != 0) return -1 // not a syncsafe byte
+      v = (v << 7) | (p(off + i) & 0x7F)
+    }
+    v
+  }
+
+  private val Id3FrameIds = Seq("TIT2", "TPE1", "TALB")
+
+  /** Deterministic ID3v2.4 fixture: header `ID3 04 00 flags=0
+    * syncsafe(body)`, then `1 + n%3` text frames (TIT2/TPE1/TALB),
+    * frame i carrying a `121 + (n + 11i) % 20`-byte payload
+    * (encoding byte + ASCII) — payload sizes above 127 so the
+    * syncsafe frame-size encoding genuinely differs from a plain
+    * 32-bit size (the classic ID3 parser bug).
+    */
+  def encodeId3(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val m = 1 + n % 3
+    val out = new java.io.ByteArrayOutputStream()
+    val body = new java.io.ByteArrayOutputStream()
+    (0 until m).foreach { i =>
+      val plen = 121 + (n + 11 * i) % 20
+      body.write(Id3FrameIds(i).getBytes("US-ASCII"))
+      body.write(syncsafe(plen))
+      body.write(0); body.write(0) // frame flags
+      body.write(0) // text encoding: ISO-8859-1
+      (1 until plen).foreach(j => body.write('a' + (n + i + j) % 26))
+    }
+    val b = body.toByteArray
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(4); out.write(0) // v2.4.0
+    out.write(0) // flags
+    out.write(syncsafe(b.length))
+    out.write(b)
+    out.toByteArray
+  }
+
+  case class Id3Meta(doc_id: Long, n_frames: Int, tag_body_bytes: Int,
+                     payload_bytes: Long, first_id: String, last_id: String)
+
+  /** REAL ID3v2 tag walk: magic + version check, SYNCSAFE body-size
+    * decode (reject any size byte with the high bit set), then a
+    * frame chain walk — 4-char [A-Z0-9] frame ID, syncsafe frame
+    * size, 2 flag bytes — that must land EXACTLY on the body
+    * boundary. None on any malformation: bad magic, non-syncsafe
+    * size, bogus frame ID, or a frame overrunning the tag. Returns
+    * (frames, bodyBytes, payloadBytes, firstId, lastId).
+    */
+  def sniffId3(p: Array[Byte]): Option[(Int, Int, Long, String, String)] = {
+    if (p.length < 10 || p(0) != 'I' || p(1) != 'D' || p(2) != '3') return None
+    if ((p(3) & 0xFF) != 4 || p(4) != 0 || p(5) != 0) return None
+    val body = unSyncsafe(p, 6)
+    if (body < 0 || 10 + body > p.length) return None
+    var off = 10
+    val end = 10 + body
+    var frames = 0
+    var payload = 0L
+    var firstId: String = null
+    var lastId: String = null
+    while (off < end) {
+      if (off + 10 > end) return None
+      val id = new String(p, off, 4, "US-ASCII")
+      if (!id.forall(ch => (ch >= 'A' && ch <= 'Z') || (ch >= '0' && ch <= '9')))
+        return None
+      val sz = unSyncsafe(p, off + 4)
+      if (sz < 0 || off + 10 + sz > end) return None
+      if (firstId == null) firstId = id
+      lastId = id
+      frames += 1
+      payload += sz
+      off += 10 + sz
+    }
+    if (frames == 0 || off != end) None
+    else Some((frames, body, payload, firstId, lastId))
+  }
+
+  /** q513 — ID3v2 tag inventory: per-doc fixtures ([[encodeId3]])
+    * through the real [[sniffId3]] frame walk — the metadata block in
+    * front of nearly every crawled MP3 (q504 walks the frames BEHIND
+    * it), and the format whose SYNCSAFE 7-bit size encoding is the
+    * classic parser bug: read the sizes as plain 32-bit ints and
+    * every frame beyond the first lands mid-payload. Fixture payload
+    * sizes sit above 127 precisely so that bug cannot pass.
+    *
+    * Exactness: the oracle predicts frame count, body/payload byte
+    * totals and first/last frame IDs from the fixture formulas —
+    * exact integers and literals on both engines.
+    *
+    * Scale: narrow batched mapPartitions, one small row per doc.
+    */
+  def id3Meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val tag = encodeId3(r.payload)
+        val (fr, body, pay, fid, lid) = sniffId3(tag).getOrElse(
+          throw new IllegalStateException(s"fixture failed to parse: doc ${r.doc_id}"))
+        Id3Meta(r.doc_id, fr, body, pay, fid, lid)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val id3MetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n FROM documents
+      |), frames AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, CAST(n % 3 AS BIGINT))) AS i
+      |  FROM f
+      |), sized AS (
+      |  SELECT doc_id, n, i, 121 + (n + 11 * i) % 20 AS plen
+      |  FROM frames
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS INT) AS n_frames,
+      |  CAST(SUM(10 + plen) AS INT) AS tag_body_bytes,
+      |  CAST(SUM(plen) AS BIGINT) AS payload_bytes,
+      |  'TIT2' AS first_id,
+      |  CASE MAX(i) WHEN 0 THEN 'TIT2' WHEN 1 THEN 'TPE1'
+      |    ELSE 'TALB' END AS last_id
+      |FROM sized GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic WebVTT fixture: a `WEBVTT` header plus
     * `1 + n%5` cues; cue i starts at `2000·i + n%1000` ms and lasts
     * `1000 + (n + 137·i) % 500` ms, timestamps rendered in the

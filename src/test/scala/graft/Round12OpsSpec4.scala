@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Events, Relational, Temporal, TextAnalysis}
+import graft.operators.{Curation, Dedup, Events, Relational, Similarity, Temporal, TextAnalysis}
 
 /** Round-12 wave: Croston intermittent demand (q496), Chow break
   * test (q497), greedy max-coverage selection (q498), RMST ladder
@@ -306,6 +306,85 @@ class Round12OpsSpec4 extends AnyFunSuite {
     // 3 shingles fill at most 3 of 16 bins: densification did the rest
     assert(r.getAs[Long]("empty_a") >= 13L)
     assert(r.getAs[Long]("empty_a") === r.getAs[Long]("empty_b"))
+  }
+
+  test("q511 Huber: outlier day pulls the mean but barely moves the Huber location") {
+    val dir = tmpDir("huber")
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // 10 days at 10 (with tiny texture so MAD > 0) + one 1000 spike
+    val rows = (0L to 9L).map(day =>
+      (day + 1, ts(day), 1L, "t", 10.0 + (day % 2), "{}")) :+
+      ((99L, ts(10L), 1L, "t", 1000.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.huberLocation(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_days") === 11L)
+    val hm = r.getAs[Double]("huber_mu")
+    assert(hm > 9.0 && hm < 13.0) // mean would be ~100
+    assert(r.getAs[Long]("n_downweighted") >= 1L)
+  }
+
+  test("q512 raking: lang margins reproduced exactly after the final lang round") {
+    val out = Curation.rakingCalibration(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Double]("weight") > 0.0))
+    val resid = out.map(_.getAs[Double]("max_source_resid")).distinct
+    assert(resid.length === 1 && resid.head >= 0.0)
+    // weighted sample lang totals == corpus lang counts (last round
+    // adjusted langs; 6dp rounding leaves sub-1e-2 slack)
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val est = rows.map(_.getAs[Double]("est_corpus_n")).sum
+      assert(math.abs(est - corpus(lang)) < 0.05,
+        s"$lang est=$est corpus=${corpus(lang)}")
+    }
+  }
+
+  test("q513 ID3v2: syncsafe sizes above 127 decode, plain-size corruption rejected") {
+    import graft.sources.Multimodal
+    val payload = Array.tabulate(10)(_.toByte) // n=10 -> 2 frames
+    val tag = Multimodal.encodeId3(payload)
+    val (fr, body, pay, fid, lid) = Multimodal.sniffId3(tag).get
+    assert(fr === 2)
+    assert(fid === "TIT2" && lid === "TPE1")
+    // payload sizes 121+(10)%20=131 and 121+(21)%20=122 — both > 127,
+    // so the syncsafe low byte differs from the plain encoding
+    assert(pay === 131L + 122L)
+    assert(body === (10 + 131) + (10 + 122))
+    // setting the high bit of a size byte breaks syncsafe -> reject
+    val bad = tag.clone(); bad(6) = (bad(6) | 0x80).toByte
+    assert(Multimodal.sniffId3(bad).isEmpty)
+    // a plain 32-bit reader would misparse: offset 10+10+131 must be
+    // the second frame only under syncsafe arithmetic
+    assert(new String(tag, 10 + 10 + 131, 4, "US-ASCII") === "TPE1")
+  }
+
+  test("q514 JL distortion: 1128 pairs, ratios centered near 1, p95 <= max") {
+    val r = Similarity.jlDistortionAudit(spark, sf0001).collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 48L * 47 / 2)
+    val mr = r.getAs[Double]("mean_ratio")
+    assert(mr > 0.6 && mr < 1.4)
+    assert(r.getAs[Double]("p95_distortion") <= r.getAs[Double]("max_distortion"))
+    assert(r.getAs[Double]("mean_distortion") >= 0.0)
+  }
+
+  test("q515 gap burstiness-memory: alternating 1s/3s gaps give B=-1/3, M=-1") {
+    val dir = tmpDir("burst")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // one day, events at 0,1,4,5,8,9,12 s: gaps 1,3,1,3,1,3
+    val rows = Seq(0L, 1L, 4L, 5L, 8L, 9L, 12L).zipWithIndex.map {
+      case (s, i) => (i.toLong + 1, ts(s), 1L, "alt", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.gapBurstMemory(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_gaps") === 6L)
+    assert(r.getAs[Long]("n_pairs") === 5L)
+    assert(r.getAs[Double]("burstiness") === -0.333333)
+    assert(r.getAs[Double]("memory") === -1.0)
+    assert(r.getAs[String]("regime") === "regular_alternating")
   }
 
   test("q503 Atkinson: equal spends give 0, a 100/300 split gives the AM-GM gap") {
