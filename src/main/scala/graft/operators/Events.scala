@@ -9531,4 +9531,319 @@ object Events {
       |    WHEN m_raw > 0 THEN 'regular_clustered'
       |    ELSE 'regular_alternating' END AS regime
       |FROM scored ORDER BY event_type""".stripMargin
+
+  /** q517 — Bland–Altman agreement between the two q222/q431 forecast
+    * baselines (naive-1 = yesterday, seasonal-naive-7 = a week ago)
+    * per event type: per-day method DIFFERENCE d_t = v_{t−1} − v_{t−7},
+    * bias = mean(d), limits of agreement bias ± 1.96·sd, and the
+    * share of days outside the limits. q393's Diebold–Mariano asks
+    * "is one method significantly better"; Bland–Altman asks the
+    * operations question — "do the two methods AGREE well enough to
+    * be interchangeable, and by how much do they drift" — the
+    * method-comparison readout before swapping a forecaster in a
+    * live dashboard.
+    *
+    * Exactness: differences are exact integers off the dense daily
+    * grid, so bias/sd come from exact BIGINT moment sums (n − 1
+    * denominator) in one fixed IEEE chain; the outside-limits
+    * comparison uses unrounded doubles identical on both engines;
+    * display rounds once with the +0.0 guard. Types with < 2
+    * comparable days surface NULL.
+    *
+    * Scale: one dense grid + two lag windows per type, a |types|-row
+    * aggregate, then a second conditional pass — calendar-bounded.
+    */
+  def blandAltmanBaselines(spark: SparkSession, dir: String): DataFrame = {
+    val dense = denseDailyCounts(spark, dir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val diffs = dense
+      .withColumn("f1", lag(col("v"), 1).over(w))
+      .withColumn("f7", lag(col("v"), 7).over(w))
+      .filter(col("f1").isNotNull && col("f7").isNotNull)
+      .select(col("event_type"), (col("f1") - col("f7")).as("d"))
+      .localCheckpoint()
+    val stats = diffs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd1"),
+        sum(col("d") * col("d")).as("sdd"))
+      .withColumn("bias", col("sd1").cast("double") / col("n").cast("double"))
+      .withColumn("sdev", sqrt(
+        (col("sdd").cast("double") -
+          col("sd1").cast("double") * col("sd1").cast("double") /
+            col("n").cast("double")) /
+          nullif((col("n") - lit(1)).cast("double"), lit(0.0))))
+      .withColumn("lo", col("bias") - lit(1.96) * col("sdev"))
+      .withColumn("hi", col("bias") + lit(1.96) * col("sdev"))
+    diffs.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        max(col("bias")).as("bias_raw"), max(col("sdev")).as("sdev_raw"),
+        max(col("lo")).as("lo_raw"), max(col("hi")).as("hi_raw"),
+        sum((col("d").cast("double") < col("lo") ||
+          col("d").cast("double") > col("hi")).cast("long")).as("n_outside"))
+      .select(col("event_type"), col("n_days"),
+        (round(col("bias_raw"), 6) + lit(0.0)).as("bias"),
+        round(col("sdev_raw"), 6).as("sd_diff"),
+        (round(col("lo_raw"), 6) + lit(0.0)).as("loa_low"),
+        (round(col("hi_raw"), 6) + lit(0.0)).as("loa_high"),
+        round(col("n_outside").cast("double") / col("n_days").cast("double"), 6)
+          .as("outside_share"))
+      .orderBy(col("event_type"))
+  }
+
+  val blandAltmanBaselinesSql: String =
+    s"""WITH $denseDailyCountsSql, diffs AS (
+      |  SELECT event_type, f1 - f7 AS d FROM (
+      |    SELECT event_type,
+      |      lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1,
+      |      lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7
+      |    FROM dense
+      |  ) WHERE f1 IS NOT NULL AND f7 IS NOT NULL
+      |), stats AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(d) AS BIGINT) AS sd1,
+      |    CAST(SUM(d * d) AS BIGINT) AS sdd
+      |  FROM diffs GROUP BY 1
+      |), derived AS (
+      |  SELECT event_type, n,
+      |    CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE) AS bias,
+      |    sqrt((CAST(sdd AS DOUBLE)
+      |      - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / NULLIF(CAST(n - 1 AS DOUBLE), 0.0)) AS sdev
+      |  FROM stats
+      |), lims AS (
+      |  SELECT event_type, n, bias, sdev,
+      |    bias - 1.96 * sdev AS lo, bias + 1.96 * sdev AS hi
+      |  FROM derived
+      |)
+      |SELECT d.event_type, CAST(MAX(l.n) AS BIGINT) AS n_days,
+      |  ROUND(MAX(l.bias), 6) + 0.0 AS bias,
+      |  ROUND(MAX(l.sdev), 6) AS sd_diff,
+      |  ROUND(MAX(l.lo), 6) + 0.0 AS loa_low,
+      |  ROUND(MAX(l.hi), 6) + 0.0 AS loa_high,
+      |  ROUND(CAST(SUM(CASE WHEN CAST(d.d AS DOUBLE) < l.lo
+      |      OR CAST(d.d AS DOUBLE) > l.hi THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(MAX(l.n) AS DOUBLE), 6) AS outside_share
+      |FROM diffs d JOIN lims l ON l.event_type = d.event_type
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin
+
+  /** q518 — Markov stationary pull: 3 scaled-integer power steps of
+    * the q92 transition matrix from the uniform distribution, beside
+    * each type's EMPIRICAL share — how fast (and toward what) the
+    * first-order chain pulls a cold-start user mix, and the L1 gap
+    * that says whether the chain's medium-run behavior matches the
+    * observed traffic mix at all (a large gap means the first-order
+    * model misses longer structure — the q394 holdout's
+    * distributional twin).
+    *
+    * Exactness: the q107 PageRank discipline verbatim — probabilities
+    * live as BIGINTs in 1e-12 units, each step's term is
+    * (π_i·c_ij) div r_i (integer floor, exact on both engines), and
+    * the only doubles are the final 6dp display divisions. Floor
+    * loss ≤ 1e-12 per term is deterministic and identical.
+    *
+    * Scale: the transition matrix is |types|²-row; three unrolled
+    * joins over it are metadata-sized — the event-grain work is the
+    * one q92 lead() shuffle.
+    */
+  def markovStationaryPull(spark: SparkSession, dir: String,
+                           steps: Int = 3): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("ts_ms", graft.operators.Relational.tsMs("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val pairs = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("c")).as("r"))
+    val edges = counts.join(totals, "from_type").localCheckpoint()
+    val k = edges.select(col("from_type")).distinct().count()
+    var pi = edges.select(col("from_type").as("t")).distinct()
+      .withColumn("p", lit(1000000000000L / k))
+    (1 to steps).foreach { _ =>
+      pi = edges.join(pi, col("from_type") === col("t"))
+        .groupBy(col("to_type"))
+        .agg(sum(expr("(p * c) div r")).as("p"))
+        .select(col("to_type").as("t"), col("p"))
+    }
+    val emp = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      .withColumn("total", sum(col("n_events")).over(Window.partitionBy()))
+    val joined = emp.join(pi, col("event_type") === col("t"), "left")
+      .withColumn("emp_share",
+        col("n_events").cast("double") / col("total").cast("double"))
+      .withColumn("pi_share",
+        coalesce(col("p"), lit(0L)).cast("double") / lit(1e12))
+    val l1 = joined.agg(sum(round(abs(col("pi_share") - col("emp_share")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+      .cast("double").as("l1_gap"))
+    joined.crossJoin(broadcast(l1))
+      .select(col("event_type"), col("n_events"),
+        round(col("emp_share"), 6).as("emp_share"),
+        round(col("pi_share"), 6).as("pi3_share"),
+        (round(col("pi_share") - col("emp_share"), 6) + lit(0.0)).as("pull"),
+        round(col("l1_gap"), 6).as("l1_gap"))
+      .orderBy(col("event_type"))
+  }
+
+  def markovStationaryPullSql(steps: Int = 3): String = {
+    val stepCtes = (1 to steps).map { s =>
+      val prev = if (s == 1) "pi0" else s"pi${s - 1}"
+      s"""pi$s AS (
+         |  SELECT e.to_type AS t, CAST(SUM((p.p * e.c) // e.r) AS BIGINT) AS p
+         |  FROM edges e JOIN $prev p ON p.t = e.from_type
+         |  GROUP BY 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH pairs AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_ms(ts), event_id) AS to_type
+       |  FROM events
+       |), counts AS (
+       |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT c.from_type, c.to_type, c.c, t.r
+       |  FROM counts c JOIN (
+       |    SELECT from_type, CAST(SUM(c) AS BIGINT) AS r
+       |    FROM counts GROUP BY 1
+       |  ) t ON t.from_type = c.from_type
+       |), kk AS (
+       |  SELECT COUNT(DISTINCT from_type) AS k FROM edges
+       |), pi0 AS (
+       |  SELECT DISTINCT from_type AS t,
+       |    1000000000000 // (SELECT k FROM kk) AS p
+       |  FROM edges
+       |), $stepCtes,
+       |emp AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+       |  FROM events GROUP BY 1
+       |), joined AS (
+       |  SELECT e.event_type, e.n_events,
+       |    CAST(e.n_events AS DOUBLE) / CAST(e.total AS DOUBLE) AS emp_share,
+       |    CAST(COALESCE(p.p, 0) AS DOUBLE) / 1e12 AS pi_share
+       |  FROM emp e LEFT JOIN pi$steps p ON p.t = e.event_type
+       |), l1 AS (
+       |  SELECT CAST(SUM(CAST(ROUND(ABS(pi_share - emp_share), 6)
+       |    AS DECIMAL(28,6))) AS DOUBLE) AS l1_gap
+       |  FROM joined
+       |)
+       |SELECT j.event_type, j.n_events,
+       |  ROUND(j.emp_share, 6) AS emp_share,
+       |  ROUND(j.pi_share, 6) AS pi3_share,
+       |  ROUND(j.pi_share - j.emp_share, 6) + 0.0 AS pull,
+       |  ROUND(l.l1_gap, 6) AS l1_gap
+       |FROM joined j CROSS JOIN l1 l
+       |ORDER BY j.event_type""".stripMargin
+  }
+
+  /** q519 — SLO burn-rate alerts (the Google SRE multiwindow rule):
+    * per type, the exact p95 of event value over the whole series is
+    * the latency SLO threshold (so the long-run error budget is 5%
+    * BY CONSTRUCTION), and the trailing 7- and 28-day windows report
+    * error rate / budget = burn rate, with the standard two-window
+    * decision: burn₇ > 2 AND burn₂₈ > 1 pages, burn₇ > 1 tickets.
+    * q386's Wilson bounds price a proportion's uncertainty; this is
+    * the alerting POLICY a latency SLO actually runs — fast-burn
+    * catches cliffs, slow-burn confirms they are not blips.
+    *
+    * Exactness: the threshold is an exact rank-selected value
+    * ((n·19 + 19) div 20, (value, event_id)-tiebroken); window
+    * membership is integer day arithmetic off the corpus max day;
+    * rates and burns are single divisions on integer counts, rounded
+    * once; the alert compares unrounded doubles identically.
+    *
+    * Scale: one per-type rank window (the q42 event-grain shuffle),
+    * a 1-row max-day broadcast, one conditional re-aggregate.
+    */
+  def sloBurnRate(spark: SparkSession, dir: String,
+                  budget: Double = 0.05): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), epochDayExpr.as("day"), col("value"),
+        col("event_id"))
+    val wRk = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val thr = ev
+      .withColumn("rn", row_number().over(wRk))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(n * 19 + 19) div 20"), col("value")))
+        .as("slo"))
+    val maxDay = ev.agg(max(col("day")).as("mx"))
+    ev.join(broadcast(thr), "event_type").crossJoin(broadcast(maxDay))
+      .groupBy(col("event_type"), col("slo"))
+      .agg(
+        sum(when(col("day") > col("mx") - 7, 1L).otherwise(0L)).as("n7"),
+        sum(when(col("day") > col("mx") - 7 && col("value") > col("slo"), 1L)
+          .otherwise(0L)).as("e7"),
+        sum(when(col("day") > col("mx") - 28, 1L).otherwise(0L)).as("n28"),
+        sum(when(col("day") > col("mx") - 28 && col("value") > col("slo"), 1L)
+          .otherwise(0L)).as("e28"))
+      .withColumn("r7", col("e7").cast("double") /
+        nullif(col("n7").cast("double"), lit(0.0)))
+      .withColumn("r28", col("e28").cast("double") /
+        nullif(col("n28").cast("double"), lit(0.0)))
+      .withColumn("b7", col("r7") / lit(budget))
+      .withColumn("b28", col("r28") / lit(budget))
+      .select(col("event_type"), round(col("slo"), 6).as("slo_threshold"),
+        col("n7"), col("n28"),
+        round(col("r7"), 6).as("rate_7d"),
+        round(col("r28"), 6).as("rate_28d"),
+        round(col("b7"), 6).as("burn_7d"),
+        round(col("b28"), 6).as("burn_28d"),
+        when(col("b7").isNull || col("b28").isNull, lit("no_data"))
+          .when(col("b7") > 2.0 && col("b28") > 1.0, lit("page"))
+          .when(col("b7") > 1.0, lit("ticket"))
+          .otherwise(lit("ok")).as("alert"))
+      .orderBy(col("event_type"))
+  }
+
+  def sloBurnRateSql(budget: Double = 0.05): String =
+    s"""WITH ev AS (
+       |  SELECT event_type, epoch_ms(ts) // 86400000 AS day, value, event_id
+       |  FROM events
+       |), ranked AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value, event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM ev
+       |), thr AS (
+       |  SELECT event_type,
+       |    MAX(CASE WHEN rn = (n * 19 + 19) // 20 THEN value END) AS slo
+       |  FROM ranked GROUP BY 1
+       |), mx AS (
+       |  SELECT MAX(day) AS mx FROM ev
+       |), agg AS (
+       |  SELECT e.event_type, t.slo,
+       |    SUM(CASE WHEN e.day > m.mx - 7 THEN 1 ELSE 0 END) AS n7,
+       |    SUM(CASE WHEN e.day > m.mx - 7 AND e.value > t.slo
+       |      THEN 1 ELSE 0 END) AS e7,
+       |    SUM(CASE WHEN e.day > m.mx - 28 THEN 1 ELSE 0 END) AS n28,
+       |    SUM(CASE WHEN e.day > m.mx - 28 AND e.value > t.slo
+       |      THEN 1 ELSE 0 END) AS e28
+       |  FROM ev e JOIN thr t ON t.event_type = e.event_type
+       |  CROSS JOIN mx m
+       |  GROUP BY 1, 2
+       |), rates AS (
+       |  SELECT event_type, slo,
+       |    CAST(n7 AS BIGINT) AS n7, CAST(n28 AS BIGINT) AS n28,
+       |    CAST(e7 AS DOUBLE) / NULLIF(CAST(n7 AS DOUBLE), 0.0) AS r7,
+       |    CAST(e28 AS DOUBLE) / NULLIF(CAST(n28 AS DOUBLE), 0.0) AS r28
+       |  FROM agg
+       |)
+       |SELECT event_type, ROUND(slo, 6) AS slo_threshold, n7, n28,
+       |  ROUND(r7, 6) AS rate_7d,
+       |  ROUND(r28, 6) AS rate_28d,
+       |  ROUND(r7 / $budget, 6) AS burn_7d,
+       |  ROUND(r28 / $budget, 6) AS burn_28d,
+       |  CASE WHEN r7 IS NULL OR r28 IS NULL THEN 'no_data'
+       |    WHEN r7 / $budget > 2.0 AND r28 / $budget > 1.0 THEN 'page'
+       |    WHEN r7 / $budget > 1.0 THEN 'ticket'
+       |    ELSE 'ok' END AS alert
+       |FROM rates ORDER BY event_type""".stripMargin
 }

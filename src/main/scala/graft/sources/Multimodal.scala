@@ -2201,6 +2201,141 @@ object Multimodal {
       |FROM sized GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic minimal-PDF fixture: `%PDF-1.4` header,
+    * `2 + n%4` single-digit-numbered objects with
+    * `10 + (n + 5i) % 30`-byte text payloads, a classic 20-byte-record
+    * xref table whose offsets are the REAL byte positions of each
+    * object, and a `startxref` trailer pointing at the table.
+    */
+  def encodePdf(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val m = 2 + n % 4
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n")
+    val offsets = new Array[Long](m)
+    (0 until m).foreach { i =>
+      offsets(i) = sb.length.toLong
+      val b = 10 + (n + 5 * i) % 30
+      sb.append(s"${i + 1} 0 obj\n")
+      sb.append("(").append("x" * b).append(")\n")
+      sb.append("endobj\n")
+    }
+    val xrefOff = sb.length.toLong
+    sb.append("xref\n").append(s"0 ${m + 1}\n")
+    sb.append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append("trailer\n").append(s"<< /Size ${m + 1} >>\n")
+    sb.append("startxref\n").append(s"$xrefOff\n").append("%%EOF\n")
+    sb.toString.getBytes("US-ASCII")
+  }
+
+  case class PdfMeta(doc_id: Long, n_objects: Int, xref_offset: Long,
+                     obj_bytes: Long, pdf_bytes: Long)
+
+  /** REAL PDF xref walk — the read order a conforming reader uses:
+    * verify the `%PDF-` header, scan BACKWARD from `%%EOF` for
+    * `startxref`, parse the byte offset, require `xref` at exactly
+    * that offset, read the `0 k` subsection header, then k fixed
+    * 20-byte records (the classic format trap — a 19- or 21-byte
+    * record desynchronizes every later entry), and verify each
+    * in-use record's 10-digit offset lands on `<num> 0 obj`. None on
+    * any malformation. Returns (objects, xrefOffset, objBytes).
+    */
+  def sniffPdf(p: Array[Byte]): Option[(Int, Long, Long)] = {
+    val s = new String(p, "US-ASCII")
+    if (!s.startsWith("%PDF-")) return None
+    val sx = s.lastIndexOf("startxref")
+    if (sx < 0) return None
+    val after = s.substring(sx + 9).trim.takeWhile(_.isDigit)
+    if (after.isEmpty) return None
+    val xrefOff = after.toLong
+    if (xrefOff < 0 || xrefOff + 4 > p.length ||
+        !s.startsWith("xref", xrefOff.toInt)) return None
+    var pos = xrefOff.toInt + 5 // past "xref\n"
+    val nl = s.indexOf('\n', pos)
+    if (nl < 0) return None
+    val header = s.substring(pos, nl).split(" ")
+    if (header.length != 2 || header(0) != "0") return None
+    val k = header(1).toIntOption.getOrElse(return None)
+    pos = nl + 1
+    var objs = 0
+    var objBytes = 0L
+    (0 until k).foreach { e =>
+      if (pos + 20 > p.length) return None
+      val rec = s.substring(pos, pos + 20)
+      if (rec.length != 20 || rec.charAt(19) != '\n') return None
+      val off = rec.substring(0, 10).toLong
+      val kind = rec.charAt(17)
+      if (e == 0) {
+        if (kind != 'f') return None
+      } else {
+        if (kind != 'n') return None
+        val expect = s"$e 0 obj"
+        if (!s.startsWith(expect, off.toInt)) return None
+        objs += 1
+        val endIdx = s.indexOf("endobj\n", off.toInt)
+        if (endIdx < 0) return None
+        objBytes += endIdx + 7 - off
+      }
+      pos += 20
+    }
+    if (objs == 0) None else Some((objs, xrefOff, objBytes))
+  }
+
+  /** q516 — PDF xref inventory: per-doc minimal-PDF fixtures
+    * ([[encodePdf]]) through the real [[sniffPdf]] backward walk —
+    * the container read TAIL-FIRST (trailer → startxref → table →
+    * objects), unlike every forward walk on this shelf, and the one
+    * whose integrity model is BYTE OFFSETS: the oracle independently
+    * recomputes every object's position from the fixture formulas
+    * via cumulative sums, so an off-by-one anywhere in either
+    * engine's byte arithmetic fails the hash. PDFs are a top-3
+    * crawled-document format; this is the "is the xref sane" pass an
+    * ingest pipeline runs before handing bytes to a heavy parser.
+    *
+    * Scale: narrow batched mapPartitions, one small row per doc.
+    */
+  def pdfMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val pdf = encodePdf(r.payload)
+        val (objs, xo, ob) = sniffPdf(pdf).getOrElse(
+          throw new IllegalStateException(s"fixture failed to parse: doc ${r.doc_id}"))
+        PdfMeta(r.doc_id, objs, xo, ob, pdf.length.toLong)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val pdfMetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n FROM documents
+      |), objs AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, CAST(1 + n % 4 AS BIGINT))) AS i
+      |  FROM f
+      |), sized AS (
+      |  -- object i bytes: '<i+1> 0 obj\n' (8) + '(' + b + ')\n' (b+3)
+      |  --   + 'endobj\n' (7)
+      |  SELECT doc_id, n, i,
+      |    8 + (10 + (n + 5 * i) % 30) + 3 + 7 AS obj_len
+      |  FROM objs
+      |), agg AS (
+      |  SELECT doc_id,
+      |    CAST(COUNT(*) AS INT) AS n_objects,
+      |    CAST(9 + SUM(obj_len) AS BIGINT) AS xref_offset,
+      |    CAST(SUM(obj_len) AS BIGINT) AS obj_bytes
+      |  FROM sized GROUP BY doc_id
+      |)
+      |-- tail: 'xref\n'(5) + '0 k\n'(4) + 20*(m+1) + 'trailer\n'(8)
+      |--   + '<< /Size k >>\n'(14) + 'startxref\n'(10) + digits(xref)+1
+      |--   + '%%EOF\n'(6)
+      |SELECT doc_id, n_objects, xref_offset, obj_bytes,
+      |  CAST(xref_offset + 5 + 4 + 20 * (n_objects + 1) + 8 + 14 + 10
+      |    + strlen(CAST(xref_offset AS VARCHAR)) + 1 + 6 AS BIGINT) AS pdf_bytes
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic WebVTT fixture: a `WEBVTT` header plus
     * `1 + n%5` cues; cue i starts at `2000·i + n%1000` ms and lasts
     * `1000 + (n + 137·i) % 500` ms, timestamps rendered in the

@@ -387,6 +387,72 @@ class Round12OpsSpec4 extends AnyFunSuite {
     assert(r.getAs[String]("regime") === "regular_alternating")
   }
 
+  test("q516 PDF xref: tail-first walk verifies real byte offsets, corruption rejected") {
+    import graft.sources.Multimodal
+    val payload = Array.tabulate(10)(_.toByte) // n=10 -> 2 + 10%4 = 4 objects
+    val pdf = Multimodal.encodePdf(payload)
+    val (objs, xo, ob) = Multimodal.sniffPdf(pdf).get
+    assert(objs === 4)
+    val s = new String(pdf, "US-ASCII")
+    assert(s.startsWith("xref", xo.toInt))
+    assert(ob > 0)
+    // corrupt the startxref pointer: walk must reject
+    val sx = s.lastIndexOf("startxref")
+    val bad = pdf.clone(); bad(sx + 10) = '9'
+    assert(Multimodal.sniffPdf(bad).isEmpty)
+    // shrink an xref record to 19 bytes: desynchronized -> reject
+    val bad2 = (s.substring(0, xo.toInt + 5 + 4) +
+      s.substring(xo.toInt + 5 + 4).replaceFirst("65535 f \n", "65535 f\n"))
+      .getBytes("US-ASCII")
+    assert(Multimodal.sniffPdf(bad2).isEmpty)
+  }
+
+  test("q517 Bland-Altman: identical methods agree perfectly on a constant series") {
+    val dir = tmpDir("ba")
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val rows = (0L to 27L).flatMap(day => (1L to 2L).map(j =>
+      (day * 10 + j, ts(day), 1L, "c", 1.0, "{}")))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.blandAltmanBaselines(spark, dir).collect()(0)
+    // constant daily count: naive-1 and snaive-7 always agree
+    assert(r.getAs[Double]("bias") === 0.0)
+    assert(r.getAs[Double]("sd_diff") === 0.0)
+    assert(r.getAs[Double]("outside_share") === 0.0)
+    assert(r.getAs[Long]("n_days") === 21L) // 28 days minus 7-lag warmup
+  }
+
+  test("q518 Markov pull: probability mass conserved up to floor loss, gap consistent") {
+    val out = Events.markovStationaryPull(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val piSum = out.map(_.getAs[Double]("pi3_share")).sum
+    assert(piSum > 0.99 && piSum <= 1.0 + 1e-9) // floors only lose mass
+    val l1 = out.map(_.getAs[Double]("l1_gap")).distinct
+    assert(l1.length === 1 && l1.head >= 0.0)
+    out.foreach { r =>
+      val pull = r.getAs[Double]("pull")
+      val expect = r.getAs[Double]("pi3_share") - r.getAs[Double]("emp_share")
+      assert(math.abs(pull - expect) < 1e-5)
+    }
+  }
+
+  test("q519 SLO burn: uniform value mix burns at exactly 1.0 and stays quiet") {
+    val dir = tmpDir("slo")
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // 30 days x values 1..20: p95 threshold = 19, every window's
+    // error rate = 1/20 = budget -> burn exactly 1.0, no alert
+    val rows = (0L until 30L).flatMap(day => (1L to 20L).map(v =>
+      (day * 100 + v, ts(day), 1L, "svc", v.toDouble, "{}")))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.sloBurnRate(spark, dir).collect()(0)
+    assert(r.getAs[Double]("slo_threshold") === 19.0)
+    assert(r.getAs[Double]("rate_7d") === 0.05)
+    assert(r.getAs[Double]("burn_7d") === 1.0)
+    assert(r.getAs[Double]("burn_28d") === 1.0)
+    assert(r.getAs[String]("alert") === "ok")
+  }
+
   test("q503 Atkinson: equal spends give 0, a 100/300 split gives the AM-GM gap") {
     val dir = tmpDir("atkinson")
     Seq((1L, 10L, 100.0), (2L, 11L, 100.0), (3L, 20L, 100.0), (4L, 21L, 300.0))
