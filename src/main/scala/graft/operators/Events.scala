@@ -9741,6 +9741,177 @@ object Events {
        |ORDER BY j.event_type""".stripMargin
   }
 
+  /** q521 — quantile "treatment-effect" profile between the two
+    * deterministic A/A parity arms (user_id % 2): exact per-arm
+    * deciles of per-user total value and their differences — the
+    * DISTRIBUTIONAL effect readout that mean-based tests (q156 CUPED,
+    * q371 permutation) cannot give: a real treatment often moves the
+    * tails and not the mean, and this is the standard QTE table that
+    * shows WHERE. On an A/A split the profile doubles as the
+    * calibration check — every decile difference should hover near
+    * zero, so a persistent tail gap flags assignment bias before any
+    * real experiment trusts it.
+    *
+    * Exactness: per-user totals are decimal sums; every decile is an
+    * exact rank-selected value ((n·d + d) div 10, (x, user)-
+    * tiebroken); differences of exact doubles round once with the
+    * +0.0 guard.
+    *
+    * Scale: one user-keyed aggregate, one per-arm rank window over
+    * user-cardinality rows (the q90-family sort), a 9-row readout.
+    */
+  def qteProfile(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(Relational.decSum(col("value")).as("x"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+    val wRk = Window.partitionBy(col("arm")).orderBy(col("x"), col("user_id"))
+    val ranked = users
+      .withColumn("rn", row_number().over(wRk))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("arm"))))
+    val deciles = max(col("n")).as("n_users") +: (1 to 9).map(d =>
+      max(when(col("rn") === expr(s"(n * $d + $d) div 10"), col("x")))
+        .as(s"q$d"))
+    val perArm = ranked.groupBy(col("arm"))
+      .agg(deciles.head, deciles.tail: _*)
+      .select(col("arm"), col("n_users"),
+        expr(s"stack(9, ${(1 to 9).map(d => s"$d, q$d").mkString(", ")})")
+          .as(Seq("decile", "q")))
+    val a0 = perArm.filter(col("arm") === 0)
+      .select(col("decile"), col("n_users").as("n0"), col("q").as("q_arm0"))
+    val a1 = perArm.filter(col("arm") === 1)
+      .select(col("decile"), col("n_users").as("n1"), col("q").as("q_arm1"))
+    a0.join(a1, "decile")
+      .select(col("decile"), col("n0"), col("n1"),
+        round(col("q_arm0"), 6).as("q_arm0"),
+        round(col("q_arm1"), 6).as("q_arm1"),
+        (round(col("q_arm1") - col("q_arm0"), 6) + lit(0.0)).as("qte"))
+      .orderBy(col("decile"))
+  }
+
+  val qteProfileSql: String = {
+    val decCols = (1 to 9).map(d =>
+      s"MAX(CASE WHEN rn = (n * $d + $d) // 10 THEN x END) AS q$d")
+      .mkString(",\n      |    ")
+    val unions = (1 to 9).map(d =>
+      s"SELECT arm, n_users, $d AS decile, q$d AS q FROM per_arm")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH users AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x,
+      |    CAST(user_id % 2 AS INT) AS arm
+      |  FROM events GROUP BY user_id
+      |), ranked AS (
+      |  SELECT arm, x,
+      |    row_number() OVER (PARTITION BY arm ORDER BY x, user_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY arm) AS n
+      |  FROM users
+      |), per_arm AS (
+      |  SELECT arm, MAX(n) AS n_users,
+      |    $decCols
+      |  FROM ranked GROUP BY arm
+      |), stacked AS (
+      |  $unions
+      |)
+      |SELECT a0.decile, a0.n_users AS n0, a1.n_users AS n1,
+      |  ROUND(a0.q, 6) AS q_arm0,
+      |  ROUND(a1.q, 6) AS q_arm1,
+      |  ROUND(a1.q - a0.q, 6) + 0.0 AS qte
+      |FROM stacked a0 JOIN stacked a1
+      |  ON a1.decile = a0.decile AND a0.arm = 0 AND a1.arm = 1
+      |ORDER BY a0.decile""".stripMargin
+  }
+
+  /** q522 — Sn robust scale (Rousseeuw–Croux) per event type:
+    * Sn = c · med_i( med_{j≠i} |v_i − v_j| ) over the daily values,
+    * c = 1.1926 — the robust scale estimator that beats MAD on two
+    * counts the literature cares about (58% vs 37% Gaussian
+    * efficiency, and no symmetry assumption: MAD measures spread
+    * around a CENTER, Sn measures typical pairwise distance). Ships
+    * beside the MAD so the ratio flags asymmetric spread — a
+    * right-skewed load distribution has Sn ≫ MAD and a MAD-based
+    * alert band (q121) that is too tight on the high side.
+    *
+    * Exactness: pairwise |v_i − v_j| are exact IEEE differences of
+    * shared doubles; both medians are rank-SELECTED ((m+1) div 2,
+    * fully tiebroken — inner by (diff, j-day), outer by (inner-med,
+    * i-day)); the only arithmetic is the final c multiply, rounded
+    * once.
+    *
+    * Scale: the pair frame is CALENDAR²-bounded (days², never
+    * events²) and stated as such — at a year of days it is ~133k
+    * rows per type; the windows are per-(type, i-day). The O(n log n)
+    * Croux–Rousseeuw algorithm is the single-node refinement; the
+    * relational form keeps both engines exact and identical.
+    */
+  def snRobustScale(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(Relational.decSum(col("value")).as("v"))
+      .localCheckpoint()
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") =!= col("b.day"))
+      .select(col("a.event_type").as("event_type"), col("a.day").as("di"),
+        col("b.day").as("dj"), abs(col("a.v") - col("b.v")).as("ad"))
+    val wInner = Window.partitionBy(col("event_type"), col("di"))
+      .orderBy(col("ad"), col("dj"))
+    val inner = pairs
+      .withColumn("rn", row_number().over(wInner))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("di"))))
+      .groupBy(col("event_type"), col("di"))
+      .agg(max(when(col("rn") === expr("(m + 1) div 2"), col("ad"))).as("imed"))
+    val wOuter = Window.partitionBy(col("event_type"))
+      .orderBy(col("imed"), col("di"))
+    inner
+      .withColumn("rn", row_number().over(wOuter))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("imed"))).as("sn_raw"))
+      .select(col("event_type"), col("n_days"),
+        round(col("sn_raw"), 6).as("sn_raw"),
+        round(lit(1.1926) * col("sn_raw"), 6).as("sn_scaled"))
+      .orderBy(col("event_type"))
+  }
+
+  val snRobustScaleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT a.event_type, a.day AS di, b.day AS dj,
+      |    ABS(a.v - b.v) AS ad
+      |  FROM daily a JOIN daily b
+      |    ON b.event_type = a.event_type AND b.day <> a.day
+      |), inner_med AS (
+      |  SELECT event_type, di,
+      |    MAX(CASE WHEN rn = (m + 1) // 2 THEN ad END) AS imed
+      |  FROM (
+      |    SELECT event_type, di, ad,
+      |      row_number() OVER (PARTITION BY event_type, di
+      |        ORDER BY ad, dj) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type, di) AS m
+      |    FROM pairs
+      |  ) GROUP BY 1, 2
+      |), outer_med AS (
+      |  SELECT event_type, MAX(n) AS n_days,
+      |    MAX(CASE WHEN rn = (n + 1) // 2 THEN imed END) AS sn_raw
+      |  FROM (
+      |    SELECT event_type, imed,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY imed, di) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM inner_med
+      |  ) GROUP BY 1
+      |)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      |  ROUND(sn_raw, 6) AS sn_raw,
+      |  ROUND(1.1926 * sn_raw, 6) AS sn_scaled
+      |FROM outer_med ORDER BY event_type""".stripMargin
+
   /** q519 — SLO burn-rate alerts (the Google SRE multiwindow rule):
     * per type, the exact p95 of event value over the whole series is
     * the latency SLO threshold (so the long-run error budget is 5%

@@ -1792,6 +1792,113 @@ object Temporal {
       .orderBy(col("tau"))
   }
 
+  /** q520 — safety-stock / reorder-point table per part: the textbook
+    * inventory formula SS = z·σ_w·√L assembled from two graded
+    * relations' machinery — weekly demand moments over the CORPUS
+    * week span (zero-demand weeks included analytically: q496's
+    * weekly frame, variance over W global weeks) and the q149 ship
+    * lead time — at z = 1.645 (95% cycle service). Reorder point =
+    * μ_w·L_weeks + SS. The operations deliverable the q496 forecast
+    * and q149 scorecard exist to feed; parts under `minWeeks` demand
+    * weeks are excluded (Croston territory, stated both sides).
+    *
+    * Exactness: weekly sums are decimal; z² terms round at 6dp into
+    * decimal sums; the span W is an exact integer broadcast; variance
+    * / √ / products are one fixed-operand-order IEEE chain rounded
+    * once (√ correctly rounded — q123). Lead times are exact integer
+    * day sums.
+    *
+    * Scale: one (part, week) aggregate, one part-keyed lead-time
+    * aggregate (co-keyed join), a 1-row span broadcast — no dense
+    * part × week explode: zero weeks enter through W, not rows.
+    */
+  def safetyStock(spark: SparkSession, dir: String,
+                  minWeeks: Int = 3, z: Double = 1.645): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dayOf = (c: String) =>
+      s"(unix_micros(cast($c as timestamp)) - " +
+        s"pmod(unix_micros(cast($c as timestamp)), 86400000000)) " +
+        "div 86400000000"
+    val li = Tables.load(spark, dir, "lineitem")
+    val wk = li.select(col("l_partkey").as("part"),
+        expr(s"(${dayOf("l_shipdate")}) div 7").as("week"), col("l_quantity"))
+      .groupBy(col("part"), col("week"))
+      .agg(Relational.decSum(col("l_quantity")).as("z"))
+    val span = wk.agg((max(col("week")) - min(col("week")) + 1).as("w_span"))
+    val demand = wk.groupBy(col("part"))
+      .agg(count(lit(1)).as("n_wk"),
+        sum(col("z").cast(dec)).cast("double").as("sz"),
+        sum(round(col("z") * col("z"), 6).cast(dec)).cast("double").as("szz"))
+      .filter(col("n_wk") >= minWeeks)
+    val lead = li.join(
+        Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey").as("part"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr(s"(${dayOf("l_shipdate")}) - (${dayOf("o_orderdate")})"))
+          .as("slead"))
+    demand.join(lead, "part").crossJoin(broadcast(span))
+      .withColumn("mean_w", col("sz") / col("w_span").cast("double"))
+      .withColumn("var_w",
+        (col("szz") - col("sz") * col("sz") / col("w_span").cast("double")) /
+          (col("w_span") - lit(1)).cast("double"))
+      .withColumn("sd_w", sqrt(greatest(col("var_w"), lit(0.0))))
+      .withColumn("lead_w",
+        (col("slead").cast("double") / col("n_lines").cast("double")) / lit(7.0))
+      .withColumn("ss", lit(z) * col("sd_w") * sqrt(greatest(col("lead_w"), lit(0.0))))
+      .select(col("part"), col("n_wk"),
+        round(col("mean_w"), 6).as("mean_weekly"),
+        round(col("sd_w"), 6).as("sd_weekly"),
+        round(col("slead").cast("double") / col("n_lines").cast("double"), 6)
+          .as("mean_lead_days"),
+        round(col("ss"), 6).as("safety_stock"),
+        round(col("mean_w") * col("lead_w") + col("ss"), 6)
+          .as("reorder_point"))
+      .orderBy(col("part"))
+  }
+
+  def safetyStockSql(minWeeks: Int = 3, z: Double = 1.645): String =
+    s"""WITH wk AS (
+      |  SELECT l_partkey AS part,
+      |    (epoch_ms(l_shipdate) // 86400000) // 7 AS week,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS z
+      |  FROM lineitem GROUP BY 1, 2
+      |), span AS (
+      |  SELECT MAX(week) - MIN(week) + 1 AS w_span FROM wk
+      |), demand AS (
+      |  SELECT part, COUNT(*) AS n_wk,
+      |    CAST(SUM(CAST(z AS DECIMAL(28,6))) AS DOUBLE) AS sz,
+      |    CAST(SUM(CAST(ROUND(z * z, 6) AS DECIMAL(28,6))) AS DOUBLE) AS szz
+      |  FROM wk GROUP BY part
+      |  HAVING COUNT(*) >= $minWeeks
+      |), lead_t AS (
+      |  SELECT l.l_partkey AS part, COUNT(*) AS n_lines,
+      |    CAST(SUM((epoch_ms(l.l_shipdate) // 86400000)
+      |      - (epoch_ms(o.o_orderdate) // 86400000)) AS BIGINT) AS slead
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY 1
+      |), fitted AS (
+      |  SELECT d.part, d.n_wk,
+      |    d.sz / CAST(s.w_span AS DOUBLE) AS mean_w,
+      |    sqrt(GREATEST(
+      |      (d.szz - d.sz * d.sz / CAST(s.w_span AS DOUBLE))
+      |        / CAST(s.w_span - 1 AS DOUBLE), 0.0)) AS sd_w,
+      |    (CAST(t.slead AS DOUBLE) / CAST(t.n_lines AS DOUBLE)) / 7.0 AS lead_w,
+      |    CAST(t.slead AS DOUBLE) / CAST(t.n_lines AS DOUBLE) AS lead_days
+      |  FROM demand d
+      |  JOIN lead_t t ON t.part = d.part
+      |  CROSS JOIN span s
+      |)
+      |SELECT part, n_wk,
+      |  ROUND(mean_w, 6) AS mean_weekly,
+      |  ROUND(sd_w, 6) AS sd_weekly,
+      |  ROUND(lead_days, 6) AS mean_lead_days,
+      |  ROUND($z * sd_w * sqrt(GREATEST(lead_w, 0.0)), 6) AS safety_stock,
+      |  ROUND(mean_w * lead_w + $z * sd_w * sqrt(GREATEST(lead_w, 0.0)), 6)
+      |    AS reorder_point
+      |FROM fitted ORDER BY part""".stripMargin
+
   def rmstLadderSql(censorDays: Int = 90): String =
     s"""WITH d AS (
       |  SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day FROM orders

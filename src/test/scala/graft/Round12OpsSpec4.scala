@@ -453,6 +453,83 @@ class Round12OpsSpec4 extends AnyFunSuite {
     assert(r.getAs[String]("alert") === "ok")
   }
 
+  test("q520 safety stock: constant weekly demand with fixed lead gives SS=0 and ROP=mu*L") {
+    val dir = tmpDir("ss")
+    def d(day: Long) = new java.sql.Date(day * 86400000L)
+    // part 5: qty 7 shipped every week for 5 weeks, order 14 days earlier
+    val li = (0L until 5L).map(w =>
+      (5L, w + 1, d(w * 7 + 14), 7.0))
+      .toDF("l_partkey", "l_orderkey", "l_shipdate", "l_quantity")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (0L until 5L).map(w => (w + 1, d(w * 7)))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Temporal.safetyStock(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_wk") === 5L)
+    assert(r.getAs[Double]("mean_weekly") === 7.0)
+    assert(r.getAs[Double]("sd_weekly") === 0.0)
+    assert(r.getAs[Double]("mean_lead_days") === 14.0)
+    assert(r.getAs[Double]("safety_stock") === 0.0)
+    assert(r.getAs[Double]("reorder_point") === 14.0) // 7/wk * 2wk lead
+  }
+
+  test("q521 QTE profile: 9 deciles, both arms populated, qte = q1 - q0") {
+    val out = Events.qteProfile(spark, sf0001).collect()
+    assert(out.map(_.getAs[Int]("decile")).toSeq === (1 to 9))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n0") > 0 && r.getAs[Long]("n1") > 0)
+      val expect = r.getAs[Double]("q_arm1") - r.getAs[Double]("q_arm0")
+      assert(math.abs(r.getAs[Double]("qte") - expect) < 1e-5)
+    }
+    // deciles are monotone within each arm
+    val q0 = out.sortBy(_.getAs[Int]("decile")).map(_.getAs[Double]("q_arm0"))
+    assert(q0.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("q522 Sn scale: hand-computed on a 5-point series, zero on a constant one") {
+    val dir = tmpDir("sn")
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // type 'v': daily totals 1,2,3,4,10 (one event of that value/day)
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 10.0).zipWithIndex.map {
+      case (v, i) => (i.toLong + 1, ts(i.toLong), 1L, "v", v, "{}")
+    } ++ (0L to 4L).map(dd => (100 + dd, ts(dd), 1L, "c", 5.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.snRobustScale(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    // inner medians (m=4, rank 2): i=1:|1-2,1-3,1-4,1-10|={1,2,3,9}->2
+    // i=2:{1,1,2,8}->1; i=3:{1,1,2,7}->1; i=4:{1,2,3,6}->2;
+    // i=10:{6,7,8,9}->7 ; outer (n=5, rank 3) over {2,1,1,2,7}->2
+    assert(out("v").getAs[Double]("sn_raw") === 2.0)
+    assert(out("v").getAs[Double]("sn_scaled") === 2.3852)
+    assert(out("c").getAs[Double]("sn_raw") === 0.0)
+  }
+
+  test("StreamingCroston: batch-exact across a micro-batch boundary") {
+    import graft.streaming.StreamingCroston._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // part 7: weeks {0,3,5} sizes {4,2,6} — the q496 hand fixture
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[WeeklyDemand]
+    val q = forecasts(in.toDS())
+      .writeStream.format("memory").queryName("croston_twin")
+      .outputMode("append").start()
+    in.addData(WeeklyDemand(7L, 0L, 4.0), WeeklyDemand(7L, 3L, 2.0))
+    q.processAllAvailable()
+    in.addData(WeeklyDemand(7L, 5L, 6.0)) // second micro-batch
+    q.processAllAvailable()
+    val rows = spark.table("croston_twin").as[CrostonOut].collect()
+      .sortBy(_.week)
+    q.stop()
+    assert(rows.length === 3)
+    val last = rows.last
+    assert(last.n_wk === 3L)
+    assert(last.z_hat === 4.5)
+    assert(last.p_hat.contains(2.5))
+    assert(last.croston.contains(1.8))
+  }
+
   test("q503 Atkinson: equal spends give 0, a 100/300 split gives the AM-GM gap") {
     val dir = tmpDir("atkinson")
     Seq((1L, 10L, 100.0), (2L, 11L, 100.0), (3L, 20L, 100.0), (4L, 21L, 300.0))
