@@ -9912,6 +9912,199 @@ object Events {
       |  ROUND(1.1926 * sn_raw, 6) AS sn_scaled
       |FROM outer_med ORDER BY event_type""".stripMargin
 
+  /** q523 — p-chart (attribute control chart) of the daily return
+    * rate: per ship day, the share of lineitems returned, charted
+    * against p̄ ± 3·√(p̄(1−p̄)/n_t) — the VARYING-n control limits
+    * that distinguish a real p-chart from a fixed band (low-volume
+    * days legitimately swing wider; a fixed threshold pages on them
+    * for free). Completes the SPC shelf with its PROPORTIONS member:
+    * q121 MAD, q173 EWMA, q364 CUSUM and q432 Page–Hinkley all chart
+    * a continuous level; return/defect/error rates need this chart.
+    *
+    * Exactness: daily counts are exact integers; p̄ and each day's
+    * limits are one fixed-operand-order IEEE chain (√ correctly
+    * rounded); the out-of-limits comparison uses unrounded doubles on
+    * both engines and display rounds once.
+    *
+    * Scale: one (day) aggregate over the fact table with map-side
+    * combine + a 1-row p̄ broadcast — calendar-sized output.
+    */
+  def returnRatePChart(spark: SparkSession, dir: String): DataFrame = {
+    val dayOf = (c: String) =>
+      s"(unix_micros(cast($c as timestamp)) - " +
+        s"pmod(unix_micros(cast($c as timestamp)), 86400000000)) " +
+        "div 86400000000"
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(expr(dayOf("l_shipdate")).as("day"),
+        (col("l_returnflag") === "R").cast("long").as("r"))
+    val daily = li.groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("nr"))
+    val pbar = daily.agg(
+      (sum(col("nr")).cast("double") / sum(col("n")).cast("double")).as("p"))
+    daily.crossJoin(broadcast(pbar))
+      .withColumn("rate", col("nr").cast("double") / col("n").cast("double"))
+      .withColumn("halfw",
+        lit(3.0) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n").cast("double")))
+      .withColumn("lcl", greatest(col("p") - col("halfw"), lit(0.0)))
+      .withColumn("ucl", col("p") + col("halfw"))
+      .select(col("day"), col("n"), col("nr"),
+        round(col("rate"), 6).as("rate"),
+        round(col("p"), 6).as("p_bar"),
+        round(col("lcl"), 6).as("lcl"),
+        round(col("ucl"), 6).as("ucl"),
+        (col("rate") < col("lcl") || col("rate") > col("ucl")).cast("int")
+          .as("signal"))
+      .orderBy(col("day"))
+  }
+
+  val returnRatePChartSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(l_shipdate) // 86400000 AS day,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nr
+      |  FROM lineitem GROUP BY 1
+      |), pbar AS (
+      |  SELECT CAST(SUM(nr) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p
+      |  FROM daily
+      |), scored AS (
+      |  SELECT d.day, d.n, d.nr, b.p,
+      |    CAST(d.nr AS DOUBLE) / CAST(d.n AS DOUBLE) AS rate,
+      |    GREATEST(b.p - 3.0 * sqrt(b.p * (1.0 - b.p) / CAST(d.n AS DOUBLE)),
+      |      0.0) AS lcl,
+      |    b.p + 3.0 * sqrt(b.p * (1.0 - b.p) / CAST(d.n AS DOUBLE)) AS ucl
+      |  FROM daily d CROSS JOIN pbar b
+      |)
+      |SELECT day, CAST(n AS BIGINT) AS n, nr,
+      |  ROUND(rate, 6) AS rate,
+      |  ROUND(p, 6) AS p_bar,
+      |  ROUND(lcl, 6) AS lcl,
+      |  ROUND(ucl, 6) AS ucl,
+      |  CAST(rate < lcl OR rate > ucl AS INT) AS signal
+      |FROM scored ORDER BY day""".stripMargin
+
+  /** q524 — group-sequential A/A monitor with O'Brien–Fleming
+    * boundaries: four interim looks at the corpus-time quartiles,
+    * each computing the two-arm z-statistic on per-user cumulative
+    * value THROUGH that look, compared against the classic OBF
+    * 4-look boundaries (4.333, 2.963, 2.359, 2.014 — spend almost
+    * nothing early, full α at the end). The peeking-safe monitoring
+    * q311's SPRT gives per-type event rates, aimed at the experiment
+    * metric itself; on the deterministic A/A parity split, a
+    * boundary crossing at ANY look flags assignment bias, making
+    * this the continuous calibration monitor for the q156/q371/q521
+    * experiment shelf.
+    *
+    * Exactness: look cuts are integer day quantile picks off exact
+    * min/max spans; per-(user, look) sums are decimal; arm moment
+    * sums accumulate 6dp-rounded products as DECIMAL(28,6); z is one
+    * fixed-operand-order chain (pooled unequal-n variance), rounded
+    * once with the +0.0 guard; boundaries are shared literals.
+    *
+    * Scale: the event-grain work is one user-keyed aggregate per
+    * look, all four computed in ONE conditional aggregate (no
+    * rescans); the readout is 4 rows.
+    */
+  def obfSequentialLooks(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val bounds = Map(1 -> 4.333, 2 -> 2.963, 3 -> 2.359, 4 -> 2.014)
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), epochDayExpr.as("day"), col("value"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val looksArr = (1 to 4).map(l =>
+      struct(lit(l).as("look"),
+        (col("d0") + expr(s"((d1 - d0) * $l) div 4")).as("cut")))
+    val looks = span.select(explode(array(looksArr: _*)).as("lk"))
+      .select(col("lk.look").as("look"), col("lk.cut").as("cut"))
+    val userLook = ev.crossJoin(broadcast(looks))
+      .filter(col("day") <= col("cut"))
+      .groupBy(col("user_id"), col("look"))
+      .agg(Relational.decSum(col("value")).as("x"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+    val stats = userLook.groupBy(col("look"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("x")).cast(dec)).cast("double").as("s0"),
+        sum(when(col("arm") === 1, col("x")).cast(dec)).cast("double").as("s1"),
+        sum(when(col("arm") === 0, round(col("x") * col("x"), 6)).cast(dec))
+          .cast("double").as("ss0"),
+        sum(when(col("arm") === 1, round(col("x") * col("x"), 6)).cast(dec))
+          .cast("double").as("ss1"))
+      .withColumn("m0", col("s0") / col("n0").cast("double"))
+      .withColumn("m1", col("s1") / col("n1").cast("double"))
+      .withColumn("v0",
+        (col("ss0") - col("s0") * col("s0") / col("n0").cast("double")) /
+          nullif((col("n0") - lit(1)).cast("double"), lit(0.0)))
+      .withColumn("v1",
+        (col("ss1") - col("s1") * col("s1") / col("n1").cast("double")) /
+          nullif((col("n1") - lit(1)).cast("double"), lit(0.0)))
+      .withColumn("z_raw",
+        (col("m1") - col("m0")) /
+          nullif(sqrt(col("v0") / col("n0").cast("double") +
+            col("v1") / col("n1").cast("double")), lit(0.0)))
+    val boundCol = bounds.foldLeft(lit(null).cast("double")) {
+      case (acc, (l, b)) => when(col("look") === l, lit(b)).otherwise(acc)
+    }
+    stats
+      .withColumn("boundary", boundCol)
+      .select(col("look"), col("n0"), col("n1"),
+        (round(col("z_raw"), 6) + lit(0.0)).as("z_stat"),
+        col("boundary"),
+        when(col("z_raw").isNull, lit("degenerate"))
+          .when(abs(col("z_raw")) > col("boundary"), lit("crossed"))
+          .otherwise(lit("continue")).as("decision"))
+      .orderBy(col("look"))
+  }
+
+  val obfSequentialLooksSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, value FROM events
+      |), span AS (
+      |  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev
+      |), looks AS (
+      |  SELECT l.l AS look, s.d0 + ((s.d1 - s.d0) * l.l) // 4 AS cut
+      |  FROM generate_series(1, 4) AS l(l) CROSS JOIN span s
+      |), user_look AS (
+      |  SELECT e.user_id, k.look,
+      |    CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS x,
+      |    CAST(e.user_id % 2 AS INT) AS arm
+      |  FROM ev e JOIN looks k ON e.day <= k.cut
+      |  GROUP BY 1, 2, 4
+      |), stats AS (
+      |  SELECT look,
+      |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+      |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(x AS DECIMAL(28,6)) END)
+      |      AS DOUBLE) AS s0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(x AS DECIMAL(28,6)) END)
+      |      AS DOUBLE) AS s1,
+      |    CAST(SUM(CASE WHEN arm = 0
+      |      THEN CAST(ROUND(x * x, 6) AS DECIMAL(28,6)) END) AS DOUBLE) AS ss0,
+      |    CAST(SUM(CASE WHEN arm = 1
+      |      THEN CAST(ROUND(x * x, 6) AS DECIMAL(28,6)) END) AS DOUBLE) AS ss1
+      |  FROM user_look GROUP BY 1
+      |), derived AS (
+      |  SELECT look, n0, n1,
+      |    (s1 / CAST(n1 AS DOUBLE) - s0 / CAST(n0 AS DOUBLE))
+      |      / NULLIF(sqrt(
+      |          ((ss0 - s0 * s0 / CAST(n0 AS DOUBLE))
+      |            / NULLIF(CAST(n0 - 1 AS DOUBLE), 0.0)) / CAST(n0 AS DOUBLE)
+      |        + ((ss1 - s1 * s1 / CAST(n1 AS DOUBLE))
+      |            / NULLIF(CAST(n1 - 1 AS DOUBLE), 0.0)) / CAST(n1 AS DOUBLE)),
+      |        0.0) AS z_raw,
+      |    CASE look WHEN 1 THEN 4.333 WHEN 2 THEN 2.963
+      |      WHEN 3 THEN 2.359 ELSE 2.014 END AS boundary
+      |  FROM stats
+      |)
+      |SELECT look, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+      |  ROUND(z_raw, 6) + 0.0 AS z_stat,
+      |  boundary,
+      |  CASE WHEN z_raw IS NULL THEN 'degenerate'
+      |    WHEN ABS(z_raw) > boundary THEN 'crossed'
+      |    ELSE 'continue' END AS decision
+      |FROM derived ORDER BY look""".stripMargin
+
   /** q519 — SLO burn-rate alerts (the Google SRE multiwindow rule):
     * per type, the exact p95 of event value over the whole series is
     * the latency SLO threshold (so the long-run error budget is 5%

@@ -4980,4 +4980,143 @@ object Relational {
       |  ROUND(1.0 - exp(slnx / CAST(n_customers AS DOUBLE))
       |    / (sx / CAST(n_customers AS DOUBLE)), 6) + 0.0 AS atkinson
       |FROM agg ORDER BY nation""".stripMargin
+
+  /** q526 — shift-share decomposition of (region × part-type) revenue
+    * growth between the first and last ship years: ΔRev splits into
+    * the NATIONAL effect (base × overall growth — the tide), the
+    * INDUSTRY-MIX effect (base × (type growth − overall) — picked
+    * growing or shrinking product lines), and the COMPETITIVE effect
+    * (the remainder — out/under-performed the line itself). The
+    * regional-economics standard that answers "did this region grow
+    * because of WHERE it sells or WHAT it sells", q459's
+    * price/volume/mix discipline aimed at the region axis.
+    *
+    * Exactness: revenues are 6dp-rounded-term decimal sums; the
+    * national and mix effects round once at 6dp and the competitive
+    * effect is DEFINED as Δ − national − mix on those rounded values,
+    * so the three effects sum to the exact decimal Δ BY CONSTRUCTION
+    * (the q459 identity discipline, stated rather than hoped); cells
+    * with zero base revenue surface NULL growth via NULLIF and fold
+    * their whole Δ into the competitive column (a new product line is
+    * pure competitive effect).
+    *
+    * Scale: one fact scan with the two dims broadcast, a
+    * (region × type × 2-year) aggregate, then |regions|·|types|-row
+    * arithmetic with two 1-row/|types|-row broadcast growth rates.
+    */
+  def shiftShareDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("rev", round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6))
+      .withColumn("yr", year(col("l_shipdate")))
+    val span = li.agg(min(col("yr")).as("y0"), max(col("yr")).as("y1"))
+    val part = broadcast(Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_type")))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = broadcast(Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey")))
+    val region = broadcast(Tables.load(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name")))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cells = li.crossJoin(broadcast(span))
+      .filter(col("yr") === col("y0") || col("yr") === col("y1"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("r_name").as("region"), col("p_type").as("p_type"))
+      .agg(
+        sum(when(col("yr") === col("y0"), col("rev")).cast(dec))
+          .cast("double").as("base"),
+        sum(when(col("yr") === col("y1"), col("rev")).cast(dec))
+          .cast("double").as("fin"))
+      .withColumn("base", coalesce(col("base"), lit(0.0)))
+      .withColumn("fin", coalesce(col("fin"), lit(0.0)))
+      .localCheckpoint()
+    val typeG = cells.groupBy(col("p_type"))
+      .agg(sum(col("base").cast(dec)).cast("double").as("tb"),
+        sum(col("fin").cast(dec)).cast("double").as("tf"))
+      .withColumn("g_type",
+        (col("tf") - col("tb")) / nullif(col("tb"), lit(0.0)))
+      .select(col("p_type"), col("g_type"))
+    val natG = cells.agg(
+        sum(col("base").cast(dec)).cast("double").as("nb"),
+        sum(col("fin").cast(dec)).cast("double").as("nf"))
+      .withColumn("g_nat",
+        (col("nf") - col("nb")) / nullif(col("nb"), lit(0.0)))
+      .select(col("g_nat"))
+    cells.join(broadcast(typeG), "p_type").crossJoin(broadcast(natG))
+      .withColumn("delta", round(col("fin") - col("base"), 6))
+      .withColumn("nat_eff", round(col("base") * col("g_nat"), 6))
+      .withColumn("mix_eff",
+        round(col("base") * (coalesce(col("g_type"), lit(0.0)) - col("g_nat")), 6))
+      .withColumn("comp_eff",
+        round(col("delta") - col("nat_eff") - col("mix_eff"), 6))
+      .select(col("region"), col("p_type"),
+        round(col("base"), 6).as("base_rev"),
+        round(col("fin"), 6).as("final_rev"),
+        (col("delta") + lit(0.0)).as("delta_rev"),
+        (col("nat_eff") + lit(0.0)).as("national_effect"),
+        (col("mix_eff") + lit(0.0)).as("mix_effect"),
+        (col("comp_eff") + lit(0.0)).as("competitive_effect"))
+      .orderBy(col("region"), col("p_type"))
+  }
+
+  val shiftShareDecompositionSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey,
+      |    ROUND(l_extendedprice * (1.0 - l_discount), 6) AS rev,
+      |    year(l_shipdate) AS yr
+      |  FROM lineitem
+      |), span AS (
+      |  SELECT MIN(yr) AS y0, MAX(yr) AS y1 FROM li
+      |), cells AS (
+      |  SELECT r.r_name AS region, p.p_type,
+      |    COALESCE(CAST(SUM(CASE WHEN li.yr = s.y0
+      |      THEN CAST(li.rev AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS base,
+      |    COALESCE(CAST(SUM(CASE WHEN li.yr = s.y1
+      |      THEN CAST(li.rev AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS fin
+      |  FROM li CROSS JOIN span s
+      |  JOIN orders o ON o.o_orderkey = li.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  JOIN part p ON p.p_partkey = li.l_partkey
+      |  WHERE li.yr = s.y0 OR li.yr = s.y1
+      |  GROUP BY 1, 2
+      |), type_g AS (
+      |  SELECT p_type,
+      |    (CAST(SUM(CAST(fin AS DECIMAL(28,6))) AS DOUBLE)
+      |      - CAST(SUM(CAST(base AS DECIMAL(28,6))) AS DOUBLE))
+      |      / NULLIF(CAST(SUM(CAST(base AS DECIMAL(28,6))) AS DOUBLE), 0.0)
+      |      AS g_type
+      |  FROM cells GROUP BY 1
+      |), nat_g AS (
+      |  SELECT
+      |    (CAST(SUM(CAST(fin AS DECIMAL(28,6))) AS DOUBLE)
+      |      - CAST(SUM(CAST(base AS DECIMAL(28,6))) AS DOUBLE))
+      |      / NULLIF(CAST(SUM(CAST(base AS DECIMAL(28,6))) AS DOUBLE), 0.0)
+      |      AS g_nat
+      |  FROM cells
+      |), effects AS (
+      |  SELECT c.region, c.p_type, c.base, c.fin,
+      |    ROUND(c.fin - c.base, 6) AS delta,
+      |    ROUND(c.base * g.g_nat, 6) AS nat_eff,
+      |    ROUND(c.base * (COALESCE(t.g_type, 0.0) - g.g_nat), 6) AS mix_eff
+      |  FROM cells c
+      |  JOIN type_g t ON t.p_type = c.p_type
+      |  CROSS JOIN nat_g g
+      |)
+      |SELECT region, p_type,
+      |  ROUND(base, 6) AS base_rev,
+      |  ROUND(fin, 6) AS final_rev,
+      |  delta + 0.0 AS delta_rev,
+      |  nat_eff + 0.0 AS national_effect,
+      |  mix_eff + 0.0 AS mix_effect,
+      |  ROUND(delta - nat_eff - mix_eff, 6) + 0.0 AS competitive_effect
+      |FROM effects
+      |ORDER BY region, p_type""".stripMargin
 }

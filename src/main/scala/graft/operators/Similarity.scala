@@ -4216,6 +4216,108 @@ object Similarity {
         round(col("max_raw"), 6).as("max_distortion"))
   }
 
+  /** q525 — cosine-vs-Euclidean rank-agreement audit: for each
+    * fixed-budget query, rank the SAME fixed-budget candidate set by
+    * cosine similarity and by L2 distance and report the exact
+    * Spearman ρ between the two rankings plus the top-10 overlap.
+    * On unit-normalized embeddings the two metrics agree EXACTLY
+    * (L2² = 2 − 2·cos); a low ρ is the smoking gun that the vectors
+    * carry norm variance, so every L2-backed structure (k-means IVF
+    * cells, q104's SQ8 grid) answers a DIFFERENT query than the
+    * cosine scorer — the audit to run before mixing metrics in one
+    * ANN stack.
+    *
+    * Exactness: one shared (query, candidate) pass computes dot/‖a‖²/
+    * ‖b‖² as 6dp-rounded decimal sums; cosine derives from them and
+    * L2² from the IDENTITY na + nb − 2·dot (same three operands —
+    * no second distance pass to drift); both rankings are fully
+    * tiebroken row_numbers, so Σd² is an exact BIGINT and ρ is the
+    * closed-form 1 − 6Σd²/(n(n²−1)) — one division.
+    *
+    * Scale: both sides are fixed-budget md5 samples
+    * (queries × candidates × dims rows), constant at any corpus size.
+    */
+  def metricAgreementAudit(spark: SparkSession, dir: String,
+                           nQueries: Int = 8, nCand: Int = 256,
+                           topK: Int = 10): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qs = fixedSample(emb, nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cand = fixedSample(emb, nCand)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val qx = qs.select(col("query_id"), posexplode(col("qe")).as(Seq("i", "xf")))
+      .withColumn("xa", col("xf").cast("double"))
+    val cx = cand.select(col("cand_id"), posexplode(col("ce")).as(Seq("i", "xf")))
+      .withColumn("xb", col("xf").cast("double"))
+    val sums = qx.join(cx, "i")
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(round(col("xa") * col("xb"), 6).cast(dec)).cast("double").as("dot"),
+        sum(round(col("xa") * col("xa"), 6).cast(dec)).cast("double").as("na"),
+        sum(round(col("xb") * col("xb"), 6).cast(dec)).cast("double").as("nb"))
+      .withColumn("cos", col("dot") /
+        nullif(sqrt(col("na")) * sqrt(col("nb")), lit(0.0)))
+      .withColumn("l2sq", col("na") + col("nb") - lit(2.0) * col("dot"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val wL2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2sq"), col("cand_id"))
+    val ranked = sums
+      .withColumn("rc", row_number().over(wCos))
+      .withColumn("rl", row_number().over(wL2))
+      .withColumn("d", col("rc").cast("long") - col("rl").cast("long"))
+    ranked.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(col("d") * col("d")).as("sd2"),
+        sum((col("rc") <= topK && col("rl") <= topK).cast("long"))
+          .as("topk_overlap"))
+      .select(col("query_id"), col("n_cand"),
+        round(lit(1.0) - (lit(6.0) * col("sd2").cast("double")) /
+          nullif((col("n_cand") * (col("n_cand") * col("n_cand") - lit(1)))
+            .cast("double"), lit(0.0)), 6).as("spearman_rho"),
+        col("topk_overlap"))
+      .orderBy(col("query_id"))
+  }
+
+  def metricAgreementAuditSql(nQueries: Int = 8, nCand: Int = 256,
+                              topK: Int = 10, dims: Int = 64): String =
+    s"""WITH qs AS (
+       |  ${fixedSampleSql(nQueries, "vec_id AS query_id, embedding AS qe")}
+       |), cand AS (
+       |  ${fixedSampleSql(nCand, "vec_id AS cand_id, embedding AS ce")}
+       |), sums AS (
+       |  SELECT q.query_id, c.cand_id,
+       |    CAST(SUM(CAST(ROUND(CAST(q.qe[i] AS DOUBLE)
+       |      * CAST(c.ce[i] AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE) AS dot,
+       |    CAST(SUM(CAST(ROUND(CAST(q.qe[i] AS DOUBLE)
+       |      * CAST(q.qe[i] AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE) AS na,
+       |    CAST(SUM(CAST(ROUND(CAST(c.ce[i] AS DOUBLE)
+       |      * CAST(c.ce[i] AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE) AS nb
+       |  FROM qs q CROSS JOIN cand c
+       |  CROSS JOIN generate_series(1, $dims) AS t(i)
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT query_id, cand_id,
+       |    dot / NULLIF(sqrt(na) * sqrt(nb), 0.0) AS cos,
+       |    na + nb - 2.0 * dot AS l2sq
+       |  FROM sums
+       |), ranked AS (
+       |  SELECT query_id, cand_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand_id) AS rc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY l2sq, cand_id) AS rl
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |  ROUND(1.0 - (6.0 * CAST(SUM((rc - rl) * (rc - rl)) AS DOUBLE))
+       |    / NULLIF(CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE), 0.0),
+       |    6) AS spearman_rho,
+       |  CAST(SUM(CASE WHEN rc <= $topK AND rl <= $topK THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS topk_overlap
+       |FROM ranked GROUP BY query_id
+       |ORDER BY query_id""".stripMargin
+
   def jlDistortionAuditSql(sampleN: Int = 48, projDims: Int = 16,
                            dims: Int = 64): String =
     s"""WITH samp AS (

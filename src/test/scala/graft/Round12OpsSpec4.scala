@@ -530,6 +530,71 @@ class Round12OpsSpec4 extends AnyFunSuite {
     assert(last.croston.contains(1.8))
   }
 
+  test("q523 p-chart: in-control days stay quiet, a 4x-rate day signals") {
+    val dir = tmpDir("pchart")
+    def d(day: Long) = new java.sql.Date(day * 86400000L)
+    // 9 days at 10/100 returns, day 9 at 40/100
+    val rows = (0L to 9L).flatMap { day =>
+      val nr = if (day == 9) 40 else 10
+      (1 to 100).map(j =>
+        (day * 1000 + j, d(day), if (j <= nr) "R" else "N"))
+    }
+    rows.toDF("l_orderkey", "l_shipdate", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Events.returnRatePChart(spark, dir).collect()
+    assert(out.length === 10)
+    val byDay = out.map(r => r.getAs[Long]("day") -> r).toMap
+    assert(byDay(9L).getAs[Int]("signal") === 1)
+    (0L to 8L).foreach(day => assert(byDay(day).getAs[Int]("signal") === 0))
+    assert(byDay(0L).getAs[Double]("p_bar") === 0.13)
+  }
+
+  test("q524 OBF looks: 4 looks, shrinking boundaries, decisions match |z| vs boundary") {
+    val out = Events.obfSequentialLooks(spark, sf0001).collect()
+    assert(out.map(_.getAs[Int]("look")).toSeq === (1 to 4))
+    val bs = out.map(_.getAs[Double]("boundary"))
+    assert(bs.toSeq === Seq(4.333, 2.963, 2.359, 2.014))
+    out.foreach { r =>
+      val z = Option(r.getAs[java.lang.Double]("z_stat")).map(_.toDouble)
+      val dec = r.getAs[String]("decision")
+      z match {
+        case None => assert(dec === "degenerate")
+        case Some(v) =>
+          assert(dec === (if (math.abs(v) > r.getAs[Double]("boundary"))
+            "crossed" else "continue"))
+      }
+      // looks accumulate users: n never decreases
+    }
+    val ns = out.map(r => r.getAs[Long]("n0") + r.getAs[Long]("n1"))
+    assert(ns.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("q525 metric agreement: rho bounded, self-query tops both rankings") {
+    val out = Similarity.metricAgreementAudit(spark, sf0001).collect()
+    assert(out.length === 8)
+    out.foreach { r =>
+      val rho = r.getAs[Double]("spearman_rho")
+      assert(rho >= -1.0 && rho <= 1.0)
+      val ov = r.getAs[Long]("topk_overlap")
+      // the query vector itself is in the candidate sample prefix:
+      // cos = 1 and l2 = 0 both rank it first, so overlap >= 1
+      assert(ov >= 1L && ov <= 10L)
+    }
+  }
+
+  test("q526 shift-share: the three effects sum to delta exactly, cells cover both years") {
+    val out = Relational.shiftShareDecomposition(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getAs[Double]("delta_rev")
+      val s = r.getAs[Double]("national_effect") +
+        r.getAs[Double]("mix_effect") + r.getAs[Double]("competitive_effect")
+      assert(math.abs(d - s) < 1e-6, s"identity broke: $d vs $s")
+      assert(math.abs(d - (r.getAs[Double]("final_rev") -
+        r.getAs[Double]("base_rev"))) < 1e-5)
+    }
+  }
+
   test("q503 Atkinson: equal spends give 0, a 100/300 split gives the AM-GM gap") {
     val dir = tmpDir("atkinson")
     Seq((1L, 10L, 100.0), (2L, 11L, 100.0), (3L, 20L, 100.0), (4L, 21L, 300.0))
