@@ -9912,6 +9912,268 @@ object Events {
       |  ROUND(1.1926 * sn_raw, 6) AS sn_scaled
       |FROM outer_med ORDER BY event_type""".stripMargin
 
+  /** q527 — seasonal Mann–Kendall trend test (Hirsch–Slack) per event
+    * type: q293's S statistic computed WITHIN each weekday strip and
+    * summed — S' = Σ_w S_w, Var' = Σ_w Var_w, one continuity-corrected
+    * z — so a strong weekly cycle (which pairs Mondays against
+    * Sundays and drowns the signal in q293's all-pairs S) cannot mask
+    * or fake a monotone trend. The seasonal-data form of the
+    * distribution-free trend test; disagreement with q293 on the same
+    * series is itself the "your trend test was reading the calendar"
+    * verdict, so both ship.
+    *
+    * Exactness: q293's machinery verbatim per strip — integer
+    * sign-pair sums, integer tie terms, one double division and a
+    * correctly-rounded sqrt; strips with n < 2 contribute zero to
+    * both sums identically.
+    *
+    * Scale: the pair join is per (type, weekday) — strips are
+    * calendar-sized/7, so the pair frame is 7× SMALLER than q293's;
+    * everything after is a |types|-row readout.
+    */
+  def seasonalMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(Relational.decSum(col("value")).as("v"))
+      .withColumn("wd", pmod(col("day"), lit(7)))
+    val s = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.wd") === col("b.wd") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(col("b.v") > col("a.v"), 1L)
+        .when(col("b.v") < col("a.v"), -1L).otherwise(0L)).as("s_stat"))
+    val strip = daily.groupBy(col("event_type"), col("wd"))
+      .agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col("event_type"), col("wd"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"), col("wd"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .as("tie_term"))
+    val vars = strip.join(ties, Seq("event_type", "wd"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_days"),
+        sum(col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+          - col("tie_term")).as("var_num"))
+    s.join(vars, "event_type")
+      .withColumn("z", round(
+        when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double") /
+            sqrt(col("var_num").cast("double") / 18.0))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") /
+              sqrt(col("var_num").cast("double") / 18.0))
+          .otherwise(lit(0.0)), 6) + lit(0.0))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        col("var_num"), col("z"),
+        when(col("z") > 1.96, lit("increasing"))
+          .when(col("z") < -1.96, lit("decreasing"))
+          .otherwise(lit("no_trend")).as("verdict"))
+      .orderBy(col("event_type"))
+  }
+
+  val seasonalMannKendallSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v,
+      |    (epoch_ms(ts) // 86400000) % 7 AS wd
+      |  FROM events GROUP BY 1, 2, 4
+      |), s AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(CASE WHEN b.v > a.v THEN 1
+      |      WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM daily a JOIN daily b
+      |    ON b.event_type = a.event_type AND b.wd = a.wd AND a.day < b.day
+      |  GROUP BY 1
+      |), strip AS (
+      |  SELECT event_type, wd, COUNT(*) AS n FROM daily GROUP BY 1, 2
+      |), ties AS (
+      |  SELECT event_type, wd,
+      |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (
+      |    SELECT event_type, wd, v, COUNT(*) AS t
+      |    FROM daily GROUP BY 1, 2, 3
+      |  ) GROUP BY 1, 2
+      |), vars AS (
+      |  SELECT st.event_type, CAST(SUM(st.n) AS BIGINT) AS n_days,
+      |    CAST(SUM(st.n * (st.n - 1) * (2 * st.n + 5) - ti.tie_term)
+      |      AS BIGINT) AS var_num
+      |  FROM strip st JOIN ties ti
+      |    ON ti.event_type = st.event_type AND ti.wd = st.wd
+      |  GROUP BY 1
+      |), scored AS (
+      |  SELECT s.event_type, v.n_days, s.s_stat, v.var_num,
+      |    ROUND(CASE WHEN s.s_stat > 0 THEN
+      |        CAST(s.s_stat - 1 AS DOUBLE) / sqrt(CAST(v.var_num AS DOUBLE) / 18.0)
+      |      WHEN s.s_stat < 0 THEN
+      |        CAST(s.s_stat + 1 AS DOUBLE) / sqrt(CAST(v.var_num AS DOUBLE) / 18.0)
+      |      ELSE 0.0 END, 6) + 0.0 AS z
+      |  FROM s JOIN vars v ON v.event_type = s.event_type
+      |)
+      |SELECT event_type, n_days, s_stat, var_num, z,
+      |  CASE WHEN z > 1.96 THEN 'increasing'
+      |    WHEN z < -1.96 THEN 'decreasing'
+      |    ELSE 'no_trend' END AS verdict
+      |FROM scored ORDER BY event_type""".stripMargin
+
+  /** q529 — quantile-based shape profile per event type: Bowley
+    * skewness (Q3 − 2·median + Q1)/(Q3 − Q1) and Moors kurtosis
+    * ((E7 − E5) + (E3 − E1))/(E6 − E2) from exact rank-selected
+    * OCTILES — the robust counterparts of the moment skewness/
+    * kurtosis inside q486's Jarque–Bera: one fat day drags a third
+    * moment arbitrarily, but only shifts one octile. Read together:
+    * q486 says "not normal", this says in WHICH direction the shape
+    * deviates even when outliers poison the moments.
+    *
+    * Exactness: all seven octiles are exact rank picks
+    * ((n·k + k) div 8, (v, day)-tiebroken), so both engines divide
+    * identical doubles; NULLIF guards degenerate (zero-IQR) types;
+    * display rounds once with the +0.0 guard.
+    *
+    * Scale: one (type, day) aggregate + one per-type rank window —
+    * the q42 shape, calendar-sized.
+    */
+  def quantileShapeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(Relational.decSum(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"), col("day"))
+    val ranked = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val octs = max(col("n")).as("n_days") +: (1 to 7).map(k =>
+      max(when(col("rn") === expr(s"(n * $k + $k) div 8"), col("v")))
+        .as(s"e$k"))
+    val aggd = ranked.groupBy(col("event_type"))
+      .agg(octs.head, octs.tail: _*)
+    aggd.select(col("event_type"), col("n_days"),
+        round(col("e2"), 6).as("q1"),
+        round(col("e4"), 6).as("median"),
+        round(col("e6"), 6).as("q3"),
+        (round((col("e6") - lit(2.0) * col("e4") + col("e2")) /
+          nullif(col("e6") - col("e2"), lit(0.0)), 6) + lit(0.0))
+          .as("bowley_skew"),
+        (round(((col("e7") - col("e5")) + (col("e3") - col("e1"))) /
+          nullif(col("e6") - col("e2"), lit(0.0)), 6) + lit(0.0))
+          .as("moors_kurtosis"))
+      .orderBy(col("event_type"))
+  }
+
+  val quantileShapeProfileSql: String = {
+    val octs = (1 to 7).map(k =>
+      s"MAX(CASE WHEN rn = (n * $k + $k) // 8 THEN v END) AS e$k")
+      .mkString(",\n      |    ")
+    s"""WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily
+      |), octiles AS (
+      |  SELECT event_type, MAX(n) AS n_days,
+      |    $octs
+      |  FROM ranked GROUP BY 1
+      |)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      |  ROUND(e2, 6) AS q1,
+      |  ROUND(e4, 6) AS median,
+      |  ROUND(e6, 6) AS q3,
+      |  ROUND((e6 - 2.0 * e4 + e2) / NULLIF(e6 - e2, 0.0), 6) + 0.0
+      |    AS bowley_skew,
+      |  ROUND(((e7 - e5) + (e3 - e1)) / NULLIF(e6 - e2, 0.0), 6) + 0.0
+      |    AS moors_kurtosis
+      |FROM octiles ORDER BY event_type""".stripMargin
+  }
+
+  /** q530 — above/below-median spell profile per event type: drop
+    * exactly-at-median days, island the remaining day sequence by
+    * sign, and report per side the spell count, the longest spell
+    * and the mean spell length. q412's runs TEST prices the
+    * independence hypothesis with one number; this is the
+    * persistence PROFILE capacity planning actually uses — "when
+    * load goes above median it STAYS above for ~k days" is a
+    * provisioning statement no variance or trend number makes.
+    *
+    * Exactness: the median is the exact rank-selected value (q121
+    * convention); islands come from the calendar-true gaps-and-
+    * islands identity day − per-side rank, so a spell breaks at ANY
+    * interruption — an opposite-sign day, an exactly-at-median day,
+    * or a day with no events at all (stated both sides); all outputs
+    * are integers except one rounded mean division.
+    *
+    * Scale: one (type, day) aggregate, three calendar-sized windows,
+    * a ≤|types|×2-row readout.
+    */
+  def medianSpellProfile(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(Relational.decSum(col("value")).as("v"))
+      .localCheckpoint()
+    val wMed = Window.partitionBy(col("event_type")).orderBy(col("v"), col("day"))
+    val med = daily
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("med"))
+    val signed = daily.join(broadcast(med), "event_type")
+      .filter(col("v") =!= col("med"))
+      .withColumn("side", when(col("v") > col("med"), lit("above"))
+        .otherwise(lit("below")))
+    val wSide = Window.partitionBy(col("event_type"), col("side"))
+      .orderBy(col("day"))
+    val islands = signed
+      .withColumn("grp", col("day") - row_number().over(wSide))
+      .groupBy(col("event_type"), col("side"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("event_type"), col("side"))
+      .agg(count(lit(1)).as("n_spells"),
+        max(col("len")).as("longest_spell"),
+        sum(col("len")).as("total_days"))
+      .select(col("event_type"), col("side"), col("n_spells"),
+        col("longest_spell"),
+        round(col("total_days").cast("double") /
+          col("n_spells").cast("double"), 6).as("mean_spell_days"))
+      .orderBy(col("event_type"), col("side"))
+  }
+
+  val medianSpellProfileSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT event_type, day, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM daily
+      |), med AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+      |  FROM ranked GROUP BY 1
+      |), signed AS (
+      |  SELECT d.event_type, d.day,
+      |    CASE WHEN d.v > m.med THEN 'above' ELSE 'below' END AS side
+      |  FROM daily d JOIN med m ON m.event_type = d.event_type
+      |  WHERE d.v <> m.med
+      |), islands AS (
+      |  SELECT event_type, side,
+      |    day - row_number() OVER (PARTITION BY event_type, side ORDER BY day)
+      |      AS grp
+      |  FROM signed
+      |), spells AS (
+      |  SELECT event_type, side, grp, COUNT(*) AS len
+      |  FROM islands GROUP BY 1, 2, 3
+      |)
+      |SELECT event_type, side,
+      |  CAST(COUNT(*) AS BIGINT) AS n_spells,
+      |  CAST(MAX(len) AS BIGINT) AS longest_spell,
+      |  ROUND(CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+      |    AS mean_spell_days
+      |FROM spells GROUP BY 1, 2
+      |ORDER BY event_type, side""".stripMargin
+
   /** q523 — p-chart (attribute control chart) of the daily return
     * rate: per ship day, the share of lineitems returned, charted
     * against p̄ ± 3·√(p̄(1−p̄)/n_t) — the VARYING-n control limits

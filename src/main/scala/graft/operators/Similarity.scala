@@ -4216,6 +4216,102 @@ object Similarity {
         round(col("max_raw"), 6).as("max_distortion"))
   }
 
+  /** q528 — nearest-centroid (Rocchio) classifier evaluation: train
+    * per-label mean centroids on everything OUTSIDE the fixed-budget
+    * md5 holdout, assign each holdout vector to its L2-nearest
+    * centroid, and emit the (true, pred) confusion cells with
+    * per-label recall — the third leg of the classifier triangle:
+    * q349 prices a BAG-OF-TOKENS model, q366 prices LOCAL geometry
+    * (kNN), this prices GLOBAL geometry (one prototype per class).
+    * kNN ≫ centroid on the same holdout means multi-modal classes —
+    * exactly the case where every centroid-routed structure (q37 IVF
+    * cells, q421's separability matrix) under-serves, so this is the
+    * one-number justification for (or against) centroid routing.
+    *
+    * Exactness: centroid sums are 6dp-rounded decimal sums divided
+    * once per (label, dim); distances are 6dp-rounded squared-
+    * difference decimal sums; argmin tie-breaks by label. The
+    * holdout-exclusion (anti-join on the broadcast sample ids) is
+    * stated in the oracle.
+    *
+    * Scale: training is ONE (label, dim)-keyed aggregate over the
+    * corpus (the q35 shape — map-side combined, never collected);
+    * evaluation is sample × labels × dims arithmetic on the
+    * constant-size md5 sample.
+    */
+  def nearestCentroidEval(spark: SparkSession, dir: String,
+                          sampleN: Int = 256): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val samp = fixedSample(emb, sampleN)
+      .select(col("vec_id"), col("label").as("true_label"), col("embedding"))
+      .localCheckpoint()
+    val sampIds = samp.select(col("vec_id"))
+    val train = emb.join(broadcast(sampIds), Seq("vec_id"), "left_anti")
+    val cx = train.select(col("label"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+      .groupBy(col("label"), col("i"))
+      .agg((sum(round(col("x"), 6).cast(dec)).cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+    val sx = samp.select(col("vec_id"), col("true_label"),
+        posexplode(col("embedding")).as(Seq("i", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+    val d2 = sx.join(cx, "i")
+      .groupBy(col("vec_id"), col("true_label"), col("label"))
+      .agg(sum(round((col("x") - col("c")) * (col("x") - col("c")), 6)
+        .cast(dec)).cast("double").as("d2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("label"))
+    val pred = d2.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("true_label"), col("label").as("pred_label"))
+    val cells = pred.groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("true_label")).agg(sum(col("n")).as("n_true"))
+    cells.join(tot, "true_label")
+      .select(col("true_label"), col("pred_label"), col("n"),
+        round(col("n").cast("double") / col("n_true").cast("double"), 6)
+          .as("share_of_true"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  def nearestCentroidEvalSql(sampleN: Int = 256, dims: Int = 64): String =
+    s"""WITH samp AS (
+       |  ${fixedSampleSql(sampleN, "vec_id, label AS true_label, embedding")}
+       |), train AS (
+       |  SELECT e.* FROM embeddings e
+       |  WHERE NOT EXISTS (SELECT 1 FROM samp s WHERE s.vec_id = e.vec_id)
+       |), cx AS (
+       |  SELECT label, i,
+       |    CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6)
+       |      AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+       |  FROM train, generate_series(1, $dims) AS t(i)
+       |  GROUP BY 1, 2
+       |), d2 AS (
+       |  SELECT s.vec_id, s.true_label, c.label,
+       |    CAST(SUM(CAST(ROUND((CAST(s.embedding[c.i] AS DOUBLE) - c.c)
+       |      * (CAST(s.embedding[c.i] AS DOUBLE) - c.c), 6)
+       |      AS DECIMAL(28,6))) AS DOUBLE) AS d2
+       |  FROM samp s CROSS JOIN cx c
+       |  GROUP BY 1, 2, 3
+       |), pred AS (
+       |  SELECT vec_id, true_label, label AS pred_label FROM (
+       |    SELECT vec_id, true_label, label,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY d2, label) AS rk
+       |    FROM d2
+       |  ) WHERE rk = 1
+       |), cells AS (
+       |  SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2
+       |)
+       |SELECT c.true_label, c.pred_label, c.n,
+       |  ROUND(CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE), 6)
+       |    AS share_of_true
+       |FROM cells c
+       |JOIN (SELECT true_label, SUM(n) AS n_true FROM cells GROUP BY 1) t
+       |  ON t.true_label = c.true_label
+       |ORDER BY c.true_label, c.pred_label""".stripMargin
+
   /** q525 — cosine-vs-Euclidean rank-agreement audit: for each
     * fixed-budget query, rank the SAME fixed-budget candidate set by
     * cosine similarity and by L2 distance and report the exact

@@ -595,6 +595,68 @@ class Round12OpsSpec4 extends AnyFunSuite {
     }
   }
 
+  test("q527 seasonal MK: trend under a weekly cycle detected, constant series quiet") {
+    val dir = tmpDir("smk")
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val rows =
+      // trend + strong weekly cycle: v = day + 100 on day%7==0
+      (0L to 55L).map(day =>
+        (day + 1, ts(day), 1L, "trendy",
+          day.toDouble + (if (day % 7 == 0) 100.0 else 0.0), "{}")) ++
+      (0L to 55L).map(day => (1000 + day, ts(day), 1L, "flat", 5.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.seasonalMannKendall(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("trendy").getAs[String]("verdict") === "increasing")
+    assert(out("flat").getAs[Long]("s_stat") === 0L)
+    assert(out("flat").getAs[String]("verdict") === "no_trend")
+  }
+
+  test("q528 nearest centroid: confusion shares partition each true label") {
+    val out = Similarity.nearestCentroidEval(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Int]("true_label")).foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Double]("share_of_true")).sum
+      assert(math.abs(s - 1.0) < 1e-4)
+      rows.foreach(r => assert(r.getAs[Long]("n") > 0))
+    }
+  }
+
+  test("q529 quantile shape: values 1..8 give Bowley 0 and Moors 1") {
+    val dir = tmpDir("shape")
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val rows = (1L to 8L).map(v => (v, ts(v), 1L, "u", v.toDouble, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.quantileShapeProfile(spark, dir).collect()(0)
+    assert(r.getAs[Double]("q1") === 2.0)
+    assert(r.getAs[Double]("median") === 4.0)
+    assert(r.getAs[Double]("q3") === 6.0)
+    assert(r.getAs[Double]("bowley_skew") === 0.0)
+    assert(r.getAs[Double]("moors_kurtosis") === 1.0)
+  }
+
+  test("q530 median spells: islands counted after dropping at-median days") {
+    val dir = tmpDir("spell")
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // values [1,1,1,9,9,1,9,9,9]: median (rank 5 of 9) = 9, so the
+    // 9-days drop as ties; below-spells are days 0-2 (len 3), day 5
+    val vals = Seq(1.0, 1.0, 1.0, 9.0, 9.0, 1.0, 9.0, 9.0, 9.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, ts(i.toLong), 1L, "t", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.medianSpellProfile(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[String]("side") === "below")
+    assert(r.getAs[Long]("n_spells") === 2L)
+    assert(r.getAs[Long]("longest_spell") === 3L)
+    assert(r.getAs[Double]("mean_spell_days") === 2.0)
+  }
+
   test("q503 Atkinson: equal spends give 0, a 100/300 split gives the AM-GM gap") {
     val dir = tmpDir("atkinson")
     Seq((1L, 10L, 100.0), (2L, 11L, 100.0), (3L, 20L, 100.0), (4L, 21L, 300.0))
