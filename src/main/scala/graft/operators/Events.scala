@@ -10174,6 +10174,125 @@ object Events {
       |FROM spells GROUP BY 1, 2
       |ORDER BY event_type, side""".stripMargin
 
+  /** q531 — regression influence screen (DFBETA by exact
+    * leave-one-out) for each type's daily OLS trend: removing day i
+    * from the five sufficient sums by exact DECIMAL SUBTRACTION (the
+    * q383/q485 relational-LOO trick) refits the slope without the
+    * day, and dfbeta_i = slope₋ᵢ − slope says how much that single
+    * day OWNS the trend. The regression-diagnostics verb behind every
+    * q102-family slope: a "significant" trend whose max |dfbeta| is
+    * the size of the slope itself is one incident, not a trend — the
+    * readout names the day.
+    *
+    * Exactness: the global sums are 6dp-rounded-term decimals; each
+    * LOO sum is an exact decimal subtraction of that day's own terms;
+    * slopes are one fixed-operand-order double chain; per-day |dfbeta|
+    * terms round at 6dp into a decimal mean. Degenerate fits (n < 4,
+    * zero x-variance after removal) surface NULL via NULLIF and drop
+    * from the max/mean.
+    *
+    * Scale: one (type, day) aggregate + a |types|-row broadcast of
+    * the global sums joined back — the LOO refits are O(1) arithmetic
+    * per day, never k separate regressions (calendar-sized).
+    */
+  def olsInfluenceScreen(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec))
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(Relational.decSum(col("value")).as("v"))
+      .withColumn("x", col("day").cast("double"))
+      .withColumn("tx", col("x").cast(dec))
+      .withColumn("ty", col("v").cast(dec))
+      .withColumn("txx", round(col("x") * col("x"), 6).cast(dec))
+      .withColumn("txy", round(col("x") * col("v"), 6).cast(dec))
+    val glob = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("tx")).as("sx"),
+        dsum(col("ty")).as("sy"), dsum(col("txx")).as("sxx"),
+        dsum(col("txy")).as("sxy"))
+    def slope(n: Column, sx: Column, sy: Column, sxx: Column,
+              sxy: Column): Column = {
+      val nd = n.cast("double")
+      (nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")) /
+        nullif(nd * sxx.cast("double") - sx.cast("double") * sx.cast("double"),
+          lit(0.0))
+    }
+    val scored = daily.join(broadcast(glob), "event_type")
+      .withColumn("slope_all",
+        slope(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy")))
+      .withColumn("slope_loo",
+        when(col("n") >= 4, slope(col("n") - 1,
+          col("sx") - col("tx"), col("sy") - col("ty"),
+          col("sxx") - col("txx"), col("sxy") - col("txy"))))
+      .withColumn("dfbeta", col("slope_loo") - col("slope_all"))
+      .withColumn("adf", abs(col("dfbeta")))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("adf").desc_nulls_last, col("day"))
+    scored.withColumn("rk", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        max(col("slope_all")).as("slope_raw"),
+        max(when(col("rk") === 1, col("day"))).as("top_day"),
+        max(when(col("rk") === 1, col("dfbeta"))).as("top_dfbeta_raw"),
+        sum(round(col("adf"), 6).cast(dec)).cast("double").as("sadf"),
+        count(col("adf")).as("n_fit"))
+      .select(col("event_type"), col("n_days"),
+        (round(col("slope_raw"), 6) + lit(0.0)).as("slope"),
+        col("top_day"),
+        (round(col("top_dfbeta_raw"), 6) + lit(0.0)).as("top_dfbeta"),
+        round(col("sadf") / nullif(col("n_fit").cast("double"), lit(0.0)), 6)
+          .as("mean_abs_dfbeta"))
+      .orderBy(col("event_type"))
+  }
+
+  val olsInfluenceScreenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), terms AS (
+      |  SELECT event_type, day, v, CAST(day AS DOUBLE) AS x,
+      |    CAST(CAST(day AS DOUBLE) AS DECIMAL(28,6)) AS tx,
+      |    CAST(v AS DECIMAL(28,6)) AS ty,
+      |    CAST(ROUND(CAST(day AS DOUBLE) * CAST(day AS DOUBLE), 6)
+      |      AS DECIMAL(28,6)) AS txx,
+      |    CAST(ROUND(CAST(day AS DOUBLE) * v, 6) AS DECIMAL(28,6)) AS txy
+      |  FROM daily
+      |), gsums AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(tx) AS sx, SUM(ty) AS sy,
+      |    SUM(txx) AS sxx, SUM(txy) AS sxy
+      |  FROM terms GROUP BY 1
+      |), scored AS (
+      |  SELECT t.event_type, t.day, g.n,
+      |    (CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+      |      - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+      |      / NULLIF(CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+      |        - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE), 0.0) AS slope_all,
+      |    CASE WHEN g.n >= 4 THEN
+      |      (CAST(g.n - 1 AS DOUBLE) * CAST(g.sxy - t.txy AS DOUBLE)
+      |        - CAST(g.sx - t.tx AS DOUBLE) * CAST(g.sy - t.ty AS DOUBLE))
+      |        / NULLIF(CAST(g.n - 1 AS DOUBLE) * CAST(g.sxx - t.txx AS DOUBLE)
+      |          - CAST(g.sx - t.tx AS DOUBLE) * CAST(g.sx - t.tx AS DOUBLE),
+      |          0.0)
+      |    END AS slope_loo
+      |  FROM terms t JOIN gsums g ON g.event_type = t.event_type
+      |), dfb AS (
+      |  SELECT event_type, day, n, slope_all,
+      |    slope_loo - slope_all AS dfbeta,
+      |    ABS(slope_loo - slope_all) AS adf,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY ABS(slope_loo - slope_all) DESC NULLS LAST, day) AS rk
+      |  FROM scored
+      |)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+      |  ROUND(MAX(slope_all), 6) + 0.0 AS slope,
+      |  MAX(CASE WHEN rk = 1 THEN day END) AS top_day,
+      |  ROUND(MAX(CASE WHEN rk = 1 THEN dfbeta END), 6) + 0.0 AS top_dfbeta,
+      |  ROUND(CAST(SUM(CAST(ROUND(adf, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |    / NULLIF(CAST(COUNT(adf) AS DOUBLE), 0.0), 6) AS mean_abs_dfbeta
+      |FROM dfb GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** q523 — p-chart (attribute control chart) of the daily return
     * rate: per ship day, the share of lineitems returned, charted
     * against p̄ ± 3·√(p̄(1−p̄)/n_t) — the VARYING-n control limits

@@ -2716,6 +2716,55 @@ object Graph {
       .orderBy(col("brand"))
   }
 
+  /** q532 — triangle excess over the configuration-model null: the
+    * q115 triangle count beside its degree-sequence expectation
+    * E[T] ≈ (S₂/S₁)³/6 (S₁ = Σd, S₂ = Σd(d−1)) — the null-model
+    * question q115's raw clustering coefficient cannot answer: a
+    * high clustering number on a hub-heavy degree sequence may be
+    * NOTHING BUT the degree sequence. Excess ≈ 1 means "triangles
+    * come free with these degrees" (community detection will find
+    * noise); excess ≫ 1 is real transitivity worth mining (q142's
+    * rules, q175's modularity have something to cut).
+    *
+    * Exactness: rides [[triangleCensus]] (the graded q115 relation)
+    * for the actual count; S₁/S₂ are exact integer identities of
+    * its n_edges/n_wedges columns (S₁ = 2E, S₂ = 2W); the
+    * expectation is one fixed-order double chain (W/E cubed over 6),
+    * rounded once.
+    *
+    * Scale: the census does the work (degree-ordered adjacency
+    * intersection, memoized pairs); this adds 1-row arithmetic.
+    */
+  def triangleExcess(spark: SparkSession, dir: String): DataFrame = {
+    val census = triangleCensus(spark, dir)
+    census
+      .withColumn("r",
+        col("n_wedges").cast("double") / nullif(col("n_edges").cast("double"),
+          lit(0.0)))
+      .withColumn("t_exp", col("r") * col("r") * col("r") / lit(6.0))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(col("t_exp"), 6).as("t_expected"),
+        round(col("n_triangles").cast("double") /
+          nullif(col("t_exp"), lit(0.0)), 6).as("excess_ratio"))
+  }
+
+  val triangleExcessSql: String =
+    s"""WITH census AS (
+       |  $triangleCensusSql
+       |)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  ROUND((CAST(n_wedges AS DOUBLE) / NULLIF(CAST(n_edges AS DOUBLE), 0.0))
+       |    * (CAST(n_wedges AS DOUBLE) / NULLIF(CAST(n_edges AS DOUBLE), 0.0))
+       |    * (CAST(n_wedges AS DOUBLE) / NULLIF(CAST(n_edges AS DOUBLE), 0.0))
+       |    / 6.0, 6) AS t_expected,
+       |  ROUND(CAST(n_triangles AS DOUBLE)
+       |    / NULLIF((CAST(n_wedges AS DOUBLE) / NULLIF(CAST(n_edges AS DOUBLE), 0.0))
+       |      * (CAST(n_wedges AS DOUBLE) / NULLIF(CAST(n_edges AS DOUBLE), 0.0))
+       |      * (CAST(n_wedges AS DOUBLE) / NULLIF(CAST(n_edges AS DOUBLE), 0.0))
+       |      / 6.0, 0.0), 6) AS excess_ratio
+       |FROM census""".stripMargin
+
   val brandAssortativitySql: String =
     """WITH li AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

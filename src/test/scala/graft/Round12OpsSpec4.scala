@@ -657,6 +657,34 @@ class Round12OpsSpec4 extends AnyFunSuite {
     assert(r.getAs[Double]("mean_spell_days") === 2.0)
   }
 
+  test("q531 OLS influence: the outlier day owns the slope and is named") {
+    val dir = tmpDir("dfbeta")
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // perfect unit slope for 10 days, then a 1000 spike on day 10
+    val rows = (0L to 9L).map(day =>
+      (day + 1, ts(day), 1L, "t", day.toDouble + 1.0, "{}")) :+
+      ((99L, ts(10L), 1L, "t", 1000.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Events.olsInfluenceScreen(spark, dir).collect()(0)
+    assert(r.getAs[Long]("top_day") === 10L)
+    val slope = r.getAs[Double]("slope")
+    val dfb = r.getAs[Double]("top_dfbeta")
+    assert(slope > 10.0) // outlier-dragged
+    assert(dfb < -10.0) // removing day 10 restores ~unit slope
+    assert(math.abs(slope + dfb - 1.0) < 0.5)
+  }
+
+  test("q532 triangle excess: expectation positive, ratio consistent with census") {
+    val out = graft.operators.Graph.triangleExcess(spark, sf0001).collect()(0)
+    val tExp = out.getAs[Double]("t_expected")
+    val tAct = out.getAs[Long]("n_triangles")
+    assert(tExp > 0.0)
+    val ratio = out.getAs[Double]("excess_ratio")
+    assert(math.abs(ratio - tAct.toDouble / tExp) < 0.01)
+    assert(out.getAs[Long]("n_edges") > 0)
+  }
+
   test("q503 Atkinson: equal spends give 0, a 100/300 split gives the AM-GM gap") {
     val dir = tmpDir("atkinson")
     Seq((1L, 10L, 100.0), (2L, 11L, 100.0), (3L, 20L, 100.0), (4L, 21L, 300.0))
