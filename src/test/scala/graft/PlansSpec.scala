@@ -688,4 +688,18 @@ class PlansSpec extends AnyFunSuite {
     assert(kdPlan.contains("WindowGroupLimit") && kdPlan.contains("Partial"),
       s"k-dist lost its partial WindowGroupLimit:\n$kdPlan")
   }
+
+  test("q514/q525/q528 fixed-budget audits: the shared md5 sample plans as TakeOrdered") {
+    // the md5 fixedSample must plan as TakeOrderedAndProject — a
+    // partial per-partition bottom-n with one n-row merge, so the
+    // audits built on it (q366/q407/q415/q514/q525/q528) broadcast a
+    // CONSTANT-size side at any corpus scale (never a global sort)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val samp = operators.Similarity.fixedSample(emb, 48)
+    val plan = samp.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fixedSample lost its TakeOrdered plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange rangepartitioning"),
+      s"fixedSample plans a global sort/shuffle:\n$plan")
+  }
 }
