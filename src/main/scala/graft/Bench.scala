@@ -1,14 +1,409 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark driver. Two modes:
+  *
+  *  - ORCHESTRATOR (default, `SPARK_GRAFT_CHUNKS`>1, no subset filter):
+  *    splits the graded suite into N contiguous alphabetical chunks and
+  *    runs each in a FRESH child JVM, then merges the per-query results
+  *    into the same two artifacts as before. Rationale (round-12
+  *    verdict item 3): a single 500+-query JVM ages — fragmented heap,
+  *    filled code cache, accumulated weak refs — and by the tail the
+  *    in-suite medians ran 4-12x their fresh-JVM cost (q187 51 s
+  *    in-suite vs 12.5 s isolated), ~13% of the whole total. Chunking
+  *    industrializes the q71/q72 lesson: every query now runs within
+  *    ~1/N of a suite of aging instead of up to a full one.
+  *  - SWEEP (child / subset / bucketed / `SPARK_GRAFT_CHUNKS=0`): the
+  *    classic single-JVM loop — warmup, reps, median, per-query spread.
+  *
+  * The orchestrator also runs a HOST-CALIBRATION CANARY (round-12
+  * verdict item 2): a fresh child JVM measuring three queries chosen to
+  * cover the three cost regimes — q10 scan-bound, q09 shuffle-bound,
+  * q52 window-bound — against medians pinned at round-13 build time.
+  * `host_factor` = median(observed/pinned) ships in the compact trailer
+  * so round-over-round totals are self-normalizing: the r11->r12 total
+  * jump (398->842 s) was mostly a slower host, and proving that took a
+  * day of isolated re-runs; now the artifact carries the proof.
+  */
 object Bench {
+
+  /** Canary pins: fresh-JVM medians (5 reps, 1 warmup, all three in one
+    * child, sf0.1, local[32]) measured on the round-13 build host —
+    * median of 5 such child runs (per-run medians spanned ±35%, the
+    * box's ambient noise band; see PLANS.md "host canary" note).
+    * host_factor in any later round reads relative to THIS host epoch;
+    * re-pin only with a PLANS.md note recording the old/new values.
+    */
+  val canaryPins: Seq[(String, Double)] = Seq(
+    "q09_count_distinct" -> 0.703, // shuffle-bound
+    "q10_filters" -> 0.830, // scan-bound
+    "q52_topk_per_source" -> 0.954) // window-bound
+
+  /** Always-isolated queries (round-12 verdict item 1): carried
+    * reference-surface queries whose r12 in-suite medians moved above
+    * the established host band (q48 x2.6) or that are new with no
+    * isolated median yet (q473/q483). The auto-selector keys on
+    * in-suite SPREAD, which misses a query that is consistently slow
+    * in-suite (q48's spread was 0.087 s); this list pins them
+    * unconditionally so every future round has a fresh-JVM median to
+    * grade drift against. Override: SPARK_GRAFT_ISOLATE_PIN.
+    */
+  val isolatePins: Seq[String] = Seq(
+    "q48_category_difficulty", "q47_rollup", "q50_categories_report",
+    "q473_simpson_screen", "q483_bin_advisor")
+
+  /** Non-graded scale-path twins benched alongside the graded suite
+    * (no oracle — sketch forms with engine-specific interpolation;
+    * their specs bound the drift against the exact forms). Declared as
+    * (name, builder) so the orchestrator can slice NAMES without a
+    * SparkSession.
+    */
+  private val extraSpecs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    // q42/q60's approx_percentile form (QuantilesSpec bounds error)
+    "x01_quantiles_sketch" -> ((s, d) => operators.Curation.lengthQuantilesApprox(s, d)),
+    // q90's scale twin: sketch quintile boundaries broadcast back —
+    // no single-partition ntile sorts (RobustOpsSpec bounds the drift)
+    "x02_rfm_sketch" -> ((s, d) => operators.Events.rfmApprox(s, d)),
+    // q106's scale twin: HLL sketches instead of exact (day, user)
+    // distinct sets (RobustOpsSpec bounds the rsd drift)
+    "x03_rolling_active_sketch" -> ((s, d) => operators.Events.rollingActiveUsersApprox(s, d)),
+    // q36's scale twin: Misra-Gries heavy hitters, <= k counters per
+    // buffer instead of the vocabulary shuffle (TextOpsSpec asserts
+    // the MG presence/undercount bounds)
+    "x04_vocab_heavy_hitters" -> ((s, d) => operators.TextAnalysis.vocabularyHeavyHitters(s, d)),
+    // q36 under ScaleMode.Sketch: HLL df per token — same code path,
+    // the dial swaps only the distinct aggregate (ScaleModeSpec
+    // bounds the rsd drift against Exact)
+    "x05_vocab_sketch" -> ((s, d) => operators.TextAnalysis.vocabularyApprox(s, d)),
+    // q110 under ScaleMode.Sketch: HLL inclusion-exclusion replaces
+    // the shingle-keyed self-join entirely (ScaleModeSpec bounds the
+    // drift against Exact)
+    "x06_overlap_sketch" -> ((s, d) => operators.Dedup.crossSourceOverlapApprox(s, d)),
+    // q153's scale twin: rejection sampling — catalog-size-
+    // independent draws instead of ranking every candidate
+    // (RobustOpsSpec pins the quota/determinism contract)
+    "x07_negatives_rejection" -> ((s, d) => operators.Graph.negativeSamplesRejection(s, d)),
+    // q424's bench-side twin: the O(n) rolling-hash substring extent
+    "x08_substring_dups_rolling" -> ((s, d) => operators.Spans.substringDupExtentFast(s, d)))
+
+  private def envSfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  private def envCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    math.min(32, Runtime.getRuntime.availableProcessors).toString)
+
+  def f3(d: Double): String =
+    java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+  private def shortKey(name: String): String = name.takeWhile(_ != '_')
+  private def medianOf(sorted: Seq[Double]): Double =
+    if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+    else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val isChild = sys.env.get("SPARK_GRAFT_CHILD").contains("1") ||
+      sys.env.get("SPARK_GRAFT_ISOLATED").contains("0")
+    val bucketed = sys.env.get("SPARK_GRAFT_BUCKETED").contains("1")
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "4").toInt
+    if (!isChild && !bucketed && only.isEmpty && chunks > 1) orchestrate(chunks)
+    else sweep()
+  }
+
+  // ------------------------------------------------------------------
+  // child-JVM plumbing (shared by chunk, canary and isolated runs)
+  // ------------------------------------------------------------------
+
+  /** Run `graft.Bench` in a fresh JVM restricted to `names`; return the
+    * child's full-fidelity bench_detail.json content. Children inherit
+    * SPARK_GRAFT_CHILD=1 (and the legacy ISOLATED=0 guard) so the
+    * recursion is structurally closed.
+    */
+  private def runChild(names: Seq[String], reps: Int, warmup: Int,
+      xmx: String, timeoutSec: Long): Option[String] = try {
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val classes = new java.io.File(getClass.getProtectionDomain
+      .getCodeSource.getLocation.toURI).getAbsolutePath
+    val cp = classes + java.io.File.pathSeparator + "/opt/spark/jars/*"
+    val modOpts = org.apache.spark.launcher.JavaModuleOptions
+      .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
+    val cmd = Seq(javaBin, s"-Xmx$xmx") ++ modOpts ++
+      Seq("-cp", cp, "graft.Bench")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-child").toFile
+    val outFile = new java.io.File(tmp, "out.json")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(tmp) // child's bench_detail.json lands here, not ours
+    pb.redirectOutput(outFile)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val env = pb.environment()
+    env.put("SPARK_GRAFT_ONLY", names.mkString(","))
+    env.put("SPARK_GRAFT_REPS", reps.toString)
+    env.put("SPARK_GRAFT_WARMUP_REPS", warmup.toString)
+    env.put("SPARK_GRAFT_CHILD", "1")
+    env.put("SPARK_GRAFT_ISOLATED", "0")
+    env.put("SPARK_GRAFT_SF_DIR", envSfDir)
+    env.put("SPARK_GRAFT_CPUS", envCpus)
+    val p = pb.start()
+    val finished = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) { p.destroyForcibly(); None }
+    else {
+      val f = new java.io.File(tmp, "bench_detail.json")
+      if (f.exists)
+        Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      else {
+        // fall back to stdout (the detail line is printed before the
+        // file write, so a failed write still leaves it parseable)
+        val out = new String(
+          java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+        if (out.contains("\"metric\":\"bench_detail\"")) Some(out) else None
+      }
+    }
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] child run failed: ${e.getMessage}")
+    None
+  }
+
+  /** Extract a flat `"key":{...}` dict (or `"key":[...]` array) body
+    * from a detail line. All detail dict values are brace-free (scalars
+    * or number arrays), so the first closing delimiter is the end.
+    */
+  private def section(out: String, key: String): String = {
+    val tag = "\"" + key + "\":"
+    val i = out.indexOf(tag)
+    if (i < 0) return ""
+    val open = out.charAt(i + tag.length)
+    val close = if (open == '[') ']' else '}'
+    val s = i + tag.length
+    val e = out.indexOf(close, s)
+    if (e < 0) "" else out.substring(s + 1, e)
+  }
+
+  /** Parse a child's detail JSON back into the in-memory result shape:
+    * (name, median, rep times, ok).
+    */
+  private def parseDetail(out: String, names: Seq[String])
+      : Option[Seq[(String, Double, Seq[Double], Boolean)]] = {
+    val qs = section(out, "queries")
+    val runs = section(out, "runs")
+    val failed = section(out, "failed")
+    if (qs.isEmpty) return None
+    val res = names.flatMap { n =>
+      val q = java.util.regex.Pattern.quote(n)
+      val m = (s""""$q":([0-9.]+|null)""".r).findFirstMatchIn(qs)
+      val ts = (s""""$q":\\[([0-9.,]*)\\]""".r).findFirstMatchIn(runs)
+        .map(_.group(1).split(",").toSeq.filter(_.nonEmpty).map(_.toDouble))
+        .getOrElse(Seq.empty)
+      val ok = !failed.contains("\"" + n + "\"")
+      m.map { mm =>
+        val med = if (mm.group(1) == "null") 0.0 else mm.group(1).toDouble
+        (n, med, if (ts.nonEmpty) ts else Seq(med), ok)
+      }
+    }
+    // a chunk that lost queries (OOM-killed mid-suite) must not
+    // silently shrink the graded total
+    if (res.size == names.size) Some(res) else {
+      System.err.println(s"[bench] chunk parse: expected ${names.size} " +
+        s"queries, got ${res.size}")
+      None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // orchestrator
+  // ------------------------------------------------------------------
+
+  private def orchestrate(chunks: Int): Unit = {
+    val sfDir = envSfDir
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val qNames = SparkEntry.queries.keys.toSeq.sorted
+    val allNames = qNames ++ extraSpecs.map(_._1)
+    val per = math.ceil(allNames.size.toDouble / chunks).toInt
+    val slices = allNames.grouped(per).toSeq
+    val chunkXmx = sys.env.getOrElse("SPARK_GRAFT_CHUNK_XMX", "24g")
+    val chunkTimeout =
+      sys.env.getOrElse("SPARK_GRAFT_CHUNK_TIMEOUT_S", "3600").toLong
+    System.err.println(s"[bench] orchestrator: ${allNames.size} queries " +
+      s"in ${slices.size} fresh-JVM chunks of <= $per")
+    val parsed = slices.zipWithIndex.map { case (slice, i) =>
+      val t0 = System.nanoTime()
+      val r = runChild(slice, reps, 0, chunkXmx, chunkTimeout)
+        .flatMap(parseDetail(_, slice))
+      System.err.println(s"[bench] chunk ${i + 1}/${slices.size}: " +
+        s"${slice.size} queries, ${f3((System.nanoTime() - t0) / 1e9)} s" +
+        (if (r.isEmpty) " FAILED" else ""))
+      r
+    }
+    if (parsed.exists(_.isEmpty)) {
+      // safety net: the graded artifact must always exist — fall back
+      // to the classic single-JVM sweep (r12 behavior) rather than
+      // shipping a partial total
+      System.err.println("[bench] chunk failure -> falling back to " +
+        "single-JVM sweep")
+      sweep()
+      return
+    }
+    val results = parsed.flatten.flatten
+
+    // host-calibration canary: fresh child, 5 reps, 1 warmup — the
+    // same protocol the pins were measured with
+    val canaryNames = canaryPins.map(_._1)
+    val canary: Seq[(String, Option[Double])] =
+      runChild(canaryNames, 5, 1, "8g", 600) match {
+        case Some(out) =>
+          val qs = section(out, "queries")
+          canaryNames.map { n =>
+            val q = java.util.regex.Pattern.quote(n)
+            n -> (s""""$q":([0-9.]+)""".r).findFirstMatchIn(qs)
+              .map(_.group(1).toDouble)
+          }
+        case None => canaryNames.map(_ -> None)
+      }
+    val ratios = canary.flatMap { case (n, obs) =>
+      obs.flatMap(o => canaryPins.toMap.get(n).map(p => o / p)) }.sorted
+    // pins are an sf0.1 epoch: at any other SF the observations still
+    // ship (for eyeballing) but the factor is meaningless -> null
+    val pinnedSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val hostFactor =
+      if (ratios.nonEmpty && pinnedSf) Some(medianOf(ratios)) else None
+
+    // isolated re-measurement: the standing pins (consistently-slow
+    // carried queries the spread rule can't see) plus the auto-selected
+    // noisiest survivors of the merged sweep
+    def spreadOf(ts: Seq[Double]): Double = ts.max - ts.min
+    val pins = sys.env.get("SPARK_GRAFT_ISOLATE_PIN")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(isolatePins)
+      .filter(n => results.exists(r => r._1 == n && r._4))
+    val autoN = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_N", "8").toInt
+    val auto = results
+      .filter { case (n, m, ts, ok) => n.startsWith("q") && ok &&
+        !pins.contains(n) && spreadOf(ts) > math.max(1.0, 0.3 * m) }
+      .sortBy { case (_, _, ts, _) => -spreadOf(ts) }
+      .take(autoN).map(_._1)
+    val isolated: Seq[(String, Option[(Double, Double)])] =
+      (pins ++ auto).map { n =>
+        n -> (runChild(Seq(n), 5, 1,
+            sys.env.getOrElse("SPARK_GRAFT_ISOLATED_XMX", "8g"), 300) match {
+          case Some(out) =>
+            val q = java.util.regex.Pattern.quote(n)
+            def field(key: String): Option[Double] =
+              (s""""$key":\\{"$q":([0-9.]+)""".r).findFirstMatchIn(out)
+                .map(_.group(1).toDouble)
+            // the child's detail dicts hold exactly this one query, so
+            // the first value in each section is it
+            val med = (s""""$q":([0-9.]+)""".r)
+              .findFirstMatchIn(section(out, "queries")).map(_.group(1).toDouble)
+            val spr = (s""""$q":([0-9.]+)""".r)
+              .findFirstMatchIn(section(out, "spread")).map(_.group(1).toDouble)
+            (med, spr) match { case (Some(m), Some(s)) => Some((m, s))
+              case _ => field("queries").flatMap(m => field("spread").map(s => (m, s))) }
+          case None => None
+        })
+      }
+    emit(results, isolated, reps, sfDir, Some((canary, hostFactor, slices.size)))
+  }
+
+  // ------------------------------------------------------------------
+  // artifact emission (shared: orchestrator and classic sweep)
+  // ------------------------------------------------------------------
+
+  private def emit(results: Seq[(String, Double, Seq[Double], Boolean)],
+      isolated: Seq[(String, Option[(Double, Double)])],
+      reps: Int, sfDir: String,
+      canaryInfo: Option[(Seq[(String, Option[Double])], Option[Double], Int)])
+      : Unit = {
+    // Two artifacts from one run. The driver keeps only the LAST 2000
+    // chars of stdout in BENCH_r{N}.json ("tail") — round 4's full-name
+    // runs dict pushed the headline total out of that window, so the
+    // final line is COMPACT (short qNN keys, 3-decimal medians) and is
+    // guaranteed to fit; the full-fidelity record (full names, all
+    // runs, failures) is printed first and written to bench_detail.json.
+    def spreadOf(ts: Seq[Double]): Double = ts.max - ts.min
+    val detailQs = results.map { case (k, m, _, ok) =>
+      "\"" + k + "\":" + (if (ok) f3(m) else "null") }.mkString("{", ",", "}")
+    val detailRuns = results.map { case (k, _, ts, _) =>
+      "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]" }.mkString("{", ",", "}")
+    // per-query spread = max − min of the reps (for 3 reps this IS the
+    // interquartile spread): the box-noise band around each median, so
+    // a round-over-round drift can be read against it instead of
+    // re-litigating untouched code (round-8 advice: q50/q51/q92)
+    val detailSpread = results.map { case (k, _, ts, _) =>
+      "\"" + k + "\":" + f3(spreadOf(ts)) }.mkString("{", ",", "}")
+    val failedNames = results.filterNot(_._4).map(r => "\"" + r._1 + "\"")
+      .mkString("[", ",", "]")
+    val detailIso = isolated.map { case (k, r) =>
+      "\"" + k + "\":" + r.map { case (m, s) =>
+        s"""{"median":${f3(m)},"spread":${f3(s)}}""" }.getOrElse("null")
+    }.mkString("{", ",", "}")
+    val canaryDetail = canaryInfo.map { case (canary, hf, nChunks) =>
+      val cq = canary.map { case (n, o) =>
+        "\"" + n + "\":" + o.map(f3).getOrElse("null") }.mkString("{", ",", "}")
+      val cp = canaryPins.map { case (n, p) =>
+        "\"" + n + "\":" + f3(p) }.mkString("{", ",", "}")
+      s""","chunks":$nChunks,"canary":$cq,"canary_pins":$cp,"host_factor":${
+        hf.map(f3).getOrElse("null")}"""
+    }.getOrElse("")
+    val detail = s"""{"metric":"bench_detail","reps":$reps,"queries":$detailQs,"runs":$detailRuns,"spread":$detailSpread,"isolated":$detailIso,"failed":$failedNames$canaryDetail,"sf":"$sfDir"}"""
+    println(detail)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail file write failed: ${e.getMessage}") }
+    // graded total = standard qNN queries that succeeded, ONLY — extras
+    // (x*) and bucketed-mode (b*) timings live under "extras" so the
+    // round-over-round headline stays apples-to-apples; a query that
+    // threw on any rep reports null instead of a fast-looking elapsed
+    val (graded, extra) = results.partition(_._1.startsWith("q"))
+    val total = graded.collect { case (_, m, _, true) => m }.sum
+    val qs = graded.map { case (k, m, _, ok) =>
+      "\"" + shortKey(k) + "\":" + (if (ok) f3(m) else "null") }
+      .mkString("{", ",", "}")
+    val xs = extra.map { case (k, m, _, ok) =>
+      "\"" + shortKey(k) + "\":" + (if (ok) f3(m) else "null") }
+      .mkString("{", ",", "}")
+    val failedShort = results.filterNot(_._4).map(r => "\"" + shortKey(r._1) + "\"")
+      .mkString("[", ",", "]")
+    // headline spread summary (full per-query spreads live in the
+    // detail file — the compact line must stay inside the driver's
+    // 2000-char tail window): total spread across graded queries and
+    // the single noisiest query
+    val gradedSpreads = graded.map { case (k, _, ts, _) => k -> spreadOf(ts) }
+    val (noisyQ, noisyS) =
+      if (gradedSpreads.nonEmpty) gradedSpreads.maxBy(_._2) else ("none", 0.0)
+    val spreadTotal = gradedSpreads.map(_._2).sum
+    // compact isolated dict: fresh-JVM 5-rep median per noisy query
+    // (full median+spread pairs live in the detail file)
+    val isoShort = isolated.map { case (k, r) =>
+      "\"" + shortKey(k) + "\":" + r.map(x => f3(x._1)).getOrElse("null")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"spread_total":${f3(spreadTotal)},"max_spread":{"q":"${shortKey(noisyQ)}","sec":${f3(noisyS)}},"isolated":$isoShort,"queries":$qs,"extras":$xs,"failed":$failedShort,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    // truncation-proof trailer: the driver's artifact keeps only the
+    // LAST ~2000 chars of stdout and the big line above fronts its
+    // "value" field, so (round-10 verdict item 3) the canonical total
+    // is restated LAST in a line short enough to always survive any
+    // tail capture. host_factor rides here: total/host_factor is the
+    // epoch-normalized number round-over-round deltas should grade.
+    val extrasTotal = extra.collect { case (_, m, _, true) => m }.sum
+    val nOk = graded.count(_._4)
+    val canaryCompact = canaryInfo.map { case (canary, hf, nChunks) =>
+      val cq = canary.map { case (n, o) =>
+        "\"" + shortKey(n) + "\":" + o.map(f3).getOrElse("null") }
+        .mkString("{", ",", "}")
+      s""","chunks":$nChunks,"host_factor":${hf.map(f3).getOrElse("null")},"canary":$cq"""
+    }.getOrElse("")
+    println(s"""{"metric":"total_compact","value":${f3(total)},"unit":"sec","n":${graded.size},"n_ok":$nOk,"extras_s":${f3(extrasTotal)}$canaryCompact,"sf":"$sfDir"}""")
+  }
+
+  // ------------------------------------------------------------------
+  // classic single-JVM sweep (children, subsets, bucketed mode,
+  // SPARK_GRAFT_CHUNKS=0)
+  // ------------------------------------------------------------------
+
+  private def sweep(): Unit = {
+    val sfDir = envSfDir
     // grading config: the driver runs this main with no overrides on a
     // 32-cpu box -> local[32], shuffle=32 (BASELINE.md's local[4] note
     // predates round 1's grading run; keep THIS config stable so
     // round-over-round deltas stay comparable)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val cpus = envCpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -148,35 +543,8 @@ object Bench {
               Seq("user_id"), "p_ms", "s_ms")))
       } else Seq.empty
 
-    // non-graded scale-path twin: the approx_percentile sketch form of
-    // q42/q60 (no oracle — engine-specific interpolation; QuantilesSpec
-    // bounds its error) benched alongside so both forms carry timings
-    // (the composed curation pipeline is graded as q63 — no extra needed)
-    val extras: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
-      "x01_quantiles_sketch" -> (() => operators.Curation.lengthQuantilesApprox(spark, sfDir)),
-      // q90's scale twin: sketch quintile boundaries broadcast back —
-      // no single-partition ntile sorts (RobustOpsSpec bounds the drift)
-      "x02_rfm_sketch" -> (() => operators.Events.rfmApprox(spark, sfDir)),
-      // q106's scale twin: HLL sketches instead of exact (day, user)
-      // distinct sets (RobustOpsSpec bounds the rsd drift)
-      "x03_rolling_active_sketch" -> (() => operators.Events.rollingActiveUsersApprox(spark, sfDir)),
-      // q36's scale twin: Misra-Gries heavy hitters, <= k counters per
-      // buffer instead of the vocabulary shuffle (TextOpsSpec asserts
-      // the MG presence/undercount bounds)
-      "x04_vocab_heavy_hitters" -> (() => operators.TextAnalysis.vocabularyHeavyHitters(spark, sfDir)),
-      // q36 under ScaleMode.Sketch: HLL df per token — same code path,
-      // the dial swaps only the distinct aggregate (ScaleModeSpec
-      // bounds the rsd drift against Exact)
-      "x05_vocab_sketch" -> (() => operators.TextAnalysis.vocabularyApprox(spark, sfDir)),
-      // q110 under ScaleMode.Sketch: HLL inclusion-exclusion replaces
-      // the shingle-keyed self-join entirely (ScaleModeSpec bounds the
-      // drift against Exact)
-      "x06_overlap_sketch" -> (() => operators.Dedup.crossSourceOverlapApprox(spark, sfDir)),
-      // q153's scale twin: rejection sampling — catalog-size-
-      // independent draws instead of ranking every candidate
-      // (RobustOpsSpec pins the quota/determinism contract)
-      "x07_negatives_rejection" -> (() => operators.Graph.negativeSamplesRejection(spark, sfDir)),
-      "x08_substring_dups_rolling" -> (() => operators.Spans.substringDupExtentFast(spark, sfDir)))
+    val extras: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      extraSpecs.map { case (n, fn) => n -> (() => fn(spark, sfDir)) }
 
     // SPARK_GRAFT_ORDER: measurement-hygiene knob (graded run = unset
     // = alphabetical). "reverse" or "seed:<n>" (deterministic
@@ -237,65 +605,17 @@ object Bench {
         val sorted = times.sorted
         // true median for any rep count (upper-middle alone is biased
         // for even reps)
-        val median =
-          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+        val median = medianOf(sorted)
         (name, median, times, failures == 0)
       }
     // --- isolated re-measurement of the noisy tail ------------------
-    // In-suite medians for late queries inherit ~280 queries of JVM
-    // aging (fragmented heap, filled code cache, accumulated weak
-    // refs): PLANS.md's q185/q187 diagnosis showed 3-4x inflation vs a
-    // fresh process on byte-identical code. So after the sweep, the
-    // queries whose spread says "this median proves nothing" re-run in
-    // FRESH single-query JVMs (5 reps, same session config) and BOTH
-    // numbers ship: "queries" stays the in-suite sweep
-    // (apples-to-apples with prior rounds), "isolated" carries the
-    // reproducible per-query cost that regressions should be graded
-    // against. Child processes inherit SPARK_GRAFT_ISOLATED=0 so the
-    // recursion is structurally closed (subset runs also never spawn).
-    def isolatedRun(name: String): Option[(Double, Double)] = try {
-      val javaBin = new java.io.File(new java.io.File(
-        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-      val classes = new java.io.File(getClass.getProtectionDomain
-        .getCodeSource.getLocation.toURI).getAbsolutePath
-      val cp = classes + java.io.File.pathSeparator + "/opt/spark/jars/*"
-      val modOpts = org.apache.spark.launcher.JavaModuleOptions
-        .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
-      val xmx = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_XMX", "8g")
-      val cmd = Seq(javaBin, s"-Xmx$xmx") ++ modOpts ++
-        Seq("-cp", cp, "graft.Bench")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-iso").toFile
-      val outFile = new java.io.File(tmp, "out.json")
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.directory(tmp) // child's bench_detail.json lands here, not ours
-      pb.redirectOutput(outFile)
-      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-      val env = pb.environment()
-      env.put("SPARK_GRAFT_ONLY", name)
-      env.put("SPARK_GRAFT_REPS", "5")
-      env.put("SPARK_GRAFT_WARMUP_REPS", "1")
-      env.put("SPARK_GRAFT_ISOLATED", "0")
-      env.put("SPARK_GRAFT_SF_DIR", sfDir)
-      env.put("SPARK_GRAFT_CPUS", cpus)
-      val p = pb.start()
-      val finished = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-      if (!finished) { p.destroyForcibly(); None }
-      else {
-        val out = new String(
-          java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
-        val q = java.util.regex.Pattern.quote(name)
-        def field(key: String): Option[Double] =
-          (s""""$key":\\{"$q":([0-9.]+)""".r).findFirstMatchIn(out)
-            .map(_.group(1).toDouble)
-        for (m <- field("queries"); s <- field("spread")) yield (m, s)
-      }
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
-      None
-    }
+    // Legacy path (SPARK_GRAFT_CHUNKS=0 single-JVM runs only — the
+    // orchestrator does its own selection): queries whose spread says
+    // "this median proves nothing" re-run in FRESH single-query JVMs
+    // (5 reps, same session config) and BOTH numbers ship.
     def spreadOfTs(ts: Seq[Double]): Double = ts.max - ts.min
-    val childGuard = sys.env.get("SPARK_GRAFT_ISOLATED").contains("0")
+    val childGuard = sys.env.get("SPARK_GRAFT_ISOLATED").contains("0") ||
+      sys.env.get("SPARK_GRAFT_CHILD").contains("1")
     // SPARK_GRAFT_ISOLATE=q1,q2 forces a specific list (diagnosis);
     // default = auto-select the noisiest survivors of the full sweep
     val isoCandidates = sys.env.get("SPARK_GRAFT_ISOLATE") match {
@@ -313,77 +633,20 @@ object Bench {
           .map(_._1)
     }
     val isolated: Seq[(String, Option[(Double, Double)])] =
-      isoCandidates.map(n => n -> isolatedRun(n))
-
-    // Two artifacts from one run. The driver keeps only the LAST 2000
-    // chars of stdout in BENCH_r{N}.json ("tail") — round 4's full-name
-    // runs dict pushed the headline total out of that window, so the
-    // graded artifact showed a truncated dict with no total. The final
-    // line is therefore COMPACT (short qNN keys, 3-decimal medians) and
-    // is guaranteed to fit; the full-fidelity record (full names, all
-    // runs, failures) is printed first and written to bench_detail.json.
-    def f3(d: Double): String =
-      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val detailQs = results.map { case (k, m, _, ok) =>
-      "\"" + k + "\":" + (if (ok) f3(m) else "null") }.mkString("{", ",", "}")
-    val detailRuns = results.map { case (k, _, ts, _) =>
-      "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]" }.mkString("{", ",", "}")
-    // per-query spread = max − min of the reps (for 3 reps this IS the
-    // interquartile spread): the box-noise band around each median, so
-    // a round-over-round drift can be read against it instead of
-    // re-litigating untouched code (round-8 advice: q50/q51/q92)
-    def spreadOf(ts: Seq[Double]): Double = ts.max - ts.min
-    val detailSpread = results.map { case (k, _, ts, _) =>
-      "\"" + k + "\":" + f3(spreadOf(ts)) }.mkString("{", ",", "}")
-    val failedNames = results.filterNot(_._4).map(r => "\"" + r._1 + "\"")
-      .mkString("[", ",", "]")
-    val detailIso = isolated.map { case (k, r) =>
-      "\"" + k + "\":" + r.map { case (m, s) =>
-        s"""{"median":${f3(m)},"spread":${f3(s)}}""" }.getOrElse("null")
-    }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"bench_detail","reps":$reps,"queries":$detailQs,"runs":$detailRuns,"spread":$detailSpread,"isolated":$detailIso,"failed":$failedNames,"sf":"$sfDir"}"""
-    println(detail)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] detail file write failed: ${e.getMessage}") }
-    // graded total = standard qNN queries that succeeded, ONLY — extras
-    // (x*) and bucketed-mode (b*) timings live under "extras" so the
-    // round-over-round headline stays apples-to-apples; a query that
-    // threw on any rep reports null instead of a fast-looking elapsed
-    val (graded, extra) = results.partition(_._1.startsWith("q"))
-    val total = graded.collect { case (_, m, _, true) => m }.sum
-    val qs = graded.map { case (k, m, _, ok) =>
-      "\"" + shortKey(k) + "\":" + (if (ok) f3(m) else "null") }
-      .mkString("{", ",", "}")
-    val xs = extra.map { case (k, m, _, ok) =>
-      "\"" + shortKey(k) + "\":" + (if (ok) f3(m) else "null") }
-      .mkString("{", ",", "}")
-    val failedShort = results.filterNot(_._4).map(r => "\"" + shortKey(r._1) + "\"")
-      .mkString("[", ",", "]")
-    // headline spread summary (full per-query spreads live in the
-    // detail file — the compact line must stay inside the driver's
-    // 2000-char tail window): total spread across graded queries and
-    // the single noisiest query
-    val gradedSpreads = graded.map { case (k, _, ts, _) => k -> spreadOf(ts) }
-    val (noisyQ, noisyS) =
-      if (gradedSpreads.nonEmpty) gradedSpreads.maxBy(_._2) else ("none", 0.0)
-    val spreadTotal = gradedSpreads.map(_._2).sum
-    // compact isolated dict: fresh-JVM 5-rep median per noisy query
-    // (full median+spread pairs live in the detail file)
-    val isoShort = isolated.map { case (k, r) =>
-      "\"" + shortKey(k) + "\":" + r.map(x => f3(x._1)).getOrElse("null")
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"spread_total":${f3(spreadTotal)},"max_spread":{"q":"${shortKey(noisyQ)}","sec":${f3(noisyS)}},"isolated":$isoShort,"queries":$qs,"extras":$xs,"failed":$failedShort,"detail":"bench_detail.json","sf":"$sfDir"}""")
-    // truncation-proof trailer: the driver's artifact keeps only the
-    // LAST ~2000 chars of stdout and the big line above fronts its
-    // "value" field, so (round-10 verdict item 3) the canonical total
-    // is restated LAST in a line short enough to always survive any
-    // tail capture
-    val extrasTotal = extra.collect { case (_, m, _, true) => m }.sum
-    val nOk = graded.count(_._4)
-    println(s"""{"metric":"total_compact","value":${f3(total)},"unit":"sec","n":${graded.size},"n_ok":$nOk,"extras_s":${f3(extrasTotal)},"sf":"$sfDir"}""")
+      isoCandidates.map { n =>
+        n -> (runChild(Seq(n), 5, 1,
+            sys.env.getOrElse("SPARK_GRAFT_ISOLATED_XMX", "8g"), 300) match {
+          case Some(out) =>
+            val q = java.util.regex.Pattern.quote(n)
+            val med = (s""""$q":([0-9.]+)""".r)
+              .findFirstMatchIn(section(out, "queries")).map(_.group(1).toDouble)
+            val spr = (s""""$q":([0-9.]+)""".r)
+              .findFirstMatchIn(section(out, "spread")).map(_.group(1).toDouble)
+            med.flatMap(m => spr.map(s => (m, s)))
+          case None => None
+        })
+      }
+    emit(results, isolated, reps, sfDir, None)
     spark.stop()
   }
 }

@@ -3840,4 +3840,5 @@ object Dedup {
        |JOIN empties ea ON ea.doc_id = m.doc_a
        |JOIN empties eb ON eb.doc_id = m.doc_b
        |ORDER BY m.doc_a, m.doc_b""".stripMargin
+
 }

@@ -9578,8 +9578,13 @@ object Events {
       .agg(max(col("n")).as("n_days"),
         max(col("bias")).as("bias_raw"), max(col("sdev")).as("sdev_raw"),
         max(col("lo")).as("lo_raw"), max(col("hi")).as("hi_raw"),
-        sum((col("d").cast("double") < col("lo") ||
-          col("d").cast("double") > col("hi")).cast("long")).as("n_outside"))
+        // when(): a NULL condition (single-diff type -> sdev/lo/hi
+        // NULL) falls to otherwise(0) exactly like the oracle's CASE
+        // WHEN ... ELSE 0; a bare boolean cast would propagate NULL
+        // into n_outside and diverge cross-engine
+        sum(when(col("d").cast("double") < col("lo") ||
+          col("d").cast("double") > col("hi"), lit(1L)).otherwise(lit(0L)))
+          .as("n_outside"))
       .select(col("event_type"), col("n_days"),
         (round(col("bias_raw"), 6) + lit(0.0)).as("bias"),
         round(col("sdev_raw"), 6).as("sd_diff"),
@@ -10379,7 +10384,7 @@ object Events {
     * Exactness: look cuts are integer day quantile picks off exact
     * min/max spans; per-(user, look) sums are decimal; arm moment
     * sums accumulate 6dp-rounded products as DECIMAL(28,6); z is one
-    * fixed-operand-order chain (pooled unequal-n variance), rounded
+    * fixed-operand-order chain (Welch unpooled variance v0/n0 + v1/n1), rounded
     * once with the +0.0 guard; boundaries are shared literals.
     *
     * Scale: the event-grain work is one user-keyed aggregate per
@@ -10591,4 +10596,181 @@ object Events {
        |    WHEN r7 / $budget > 1.0 THEN 'ticket'
        |    ELSE 'ok' END AS alert
        |FROM rates ORDER BY event_type""".stripMargin
+
+  /** q535 — Engle–Granger cointegration screen over ordered event-type
+    * pairs on the shared global calendar: step 1 regresses series y on
+    * series x (OLS hedge ratio β); step 2 runs the q477 Dickey–Fuller
+    * regression on the RESIDUAL (Δe_t on e_{t−1}) — a strongly
+    * negative DF t says the residual mean-reverts, i.e. the two
+    * volume series share a common stochastic trend and their spread
+    * is tradeable/monitorable as one stationary health metric. The
+    * pair screen a metrics platform runs before alerting on a RATIO
+    * of two metrics (a ratio of non-cointegrated series drifts and
+    * pages forever).
+    *
+    * Exactness: daily counts are integers on the shared spine; OLS
+    * moments accumulate as DECIMAL(28,6) (q102 convention); residuals
+    * are one fixed double chain e = y − a − b·x evaluated identically
+    * in both engines; the DF step reuses q477's exact-moment form
+    * (decimal sums of 6dp-rounded residual products), one double
+    * division chain, 6dp display round. Degenerate x (constant) NULLs
+    * out via NULLIF. The −3.34 flag cut is the Engle–Granger 5%
+    * no-trend asymptotic critical value (MacKinnon), a stricter bar
+    * than the plain DF −2.86 because β was estimated.
+    *
+    * Scale: two calendar-bounded passes (one |types|²-per-day join
+    * for the OLS moments, one windowed lag over the residual) — the
+    * event stream is touched once by the daily aggregate; no
+    * state grows with corpus size.
+    */
+  def cointegrationScreen(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), epochDayExpr.as("day"))
+      .agg(count(lit(1)).as("v"))
+    val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val types = daily.select(col("event_type")).distinct()
+    val dense = types.crossJoin(spine)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("v"), lit(0L)).as("v"))
+    val xy = dense.as("a").join(dense.as("b"), Seq("day"))
+      .where(col("a.event_type") =!= col("b.event_type"))
+      .select(col("a.event_type").as("type_x"), col("b.event_type").as("type_y"),
+        col("day"), col("a.v").as("x"), col("b.v").as("y"))
+      .localCheckpoint()
+    val ols = xy.groupBy(col("type_x"), col("type_y"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"), dsum(col("x") * col("y")).as("sxy"))
+      .withColumn("nD", col("n").cast("double"))
+      .withColumn("beta",
+        (col("sxy") - col("sx") * col("sy") / col("nD"))
+          / nullif(col("sxx") - col("sx") * col("sx") / col("nD"), lit(0.0)))
+      .withColumn("alpha",
+        (col("sy") - col("beta") * col("sx")) / col("nD"))
+      .select(col("type_x"), col("type_y"), col("n").as("n_days"),
+        col("alpha"), col("beta"))
+    val resid = xy.join(broadcast(ols), Seq("type_x", "type_y"))
+      .select(col("type_x"), col("type_y"), col("day"), col("n_days"),
+        col("alpha"), col("beta"),
+        round(col("y").cast("double") - col("alpha")
+          - col("beta") * col("x").cast("double"), 6).as("e"))
+    val w = Window.partitionBy(col("type_x"), col("type_y")).orderBy(col("day"))
+    val dfPairs = resid
+      .withColumn("elag", lag(col("e"), 1).over(w))
+      .filter(col("elag").isNotNull)
+      .select(col("type_x"), col("type_y"), col("n_days"),
+        col("alpha"), col("beta"),
+        col("elag").as("u"), round(col("e") - col("elag"), 6).as("d"))
+    val df = dfPairs.groupBy(col("type_x"), col("type_y"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("alpha")).as("alpha"), max(col("beta")).as("beta"),
+        count(lit(1)).as("m"),
+        dsum(round(col("u"), 6)).as("su"),
+        dsum(col("d")).as("sd"),
+        dsum(round(col("u") * col("u"), 6)).as("suu"),
+        dsum(round(col("u") * col("d"), 6)).as("sud"),
+        dsum(round(col("d") * col("d"), 6)).as("sdd"))
+      .withColumn("mD", col("m").cast("double"))
+    val suuC = col("suu") - col("su") * col("su") / col("mD")
+    val sudC = col("sud") - col("su") * col("sd") / col("mD")
+    val sddC = col("sdd") - col("sd") * col("sd") / col("mD")
+    val gamma = sudC / nullif(suuC, lit(0.0))
+    val s2 = (sddC - gamma * sudC) / nullif(col("mD") - 2.0, lit(0.0))
+    val tStat = gamma / nullif(sqrt(greatest(s2 / nullif(suuC, lit(0.0)),
+      lit(0.0))), lit(0.0))
+    df.select(col("type_x"), col("type_y"), col("n_days"),
+        round(col("alpha"), 6).as("alpha"),
+        round(col("beta"), 6).as("beta"),
+        round(gamma, 6).as("gamma"),
+        round(tStat, 6).as("df_stat"),
+        when(round(tStat, 6).isNull, lit("degenerate"))
+          .when(round(tStat, 6) < -3.34, lit("cointegrated"))
+          .otherwise(lit("drifting")).as("verdict"))
+      .orderBy(col("type_x"), col("type_y"))
+  }
+
+  val cointegrationScreenSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT unnest(range(mn, mx + 1)) AS day
+      |  FROM (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily)
+      |), types AS (SELECT DISTINCT event_type FROM daily
+      |), dense AS (
+      |  SELECT t.event_type, s.day, COALESCE(d.v, 0) AS v
+      |  FROM types t CROSS JOIN spine s
+      |  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+      |), xy AS (
+      |  SELECT a.event_type AS type_x, b.event_type AS type_y,
+      |    a.day AS day, a.v AS x, b.v AS y
+      |  FROM dense a JOIN dense b
+      |    ON a.day = b.day AND a.event_type <> b.event_type
+      |), ols AS (
+      |  SELECT type_x, type_y, COUNT(*) AS n_days,
+      |    (CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE)
+      |       - CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+      |         * CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+      |         / CAST(COUNT(*) AS DOUBLE))
+      |    / NULLIF(CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE)
+      |       - CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+      |         * CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+      |         / CAST(COUNT(*) AS DOUBLE), 0.0) AS beta,
+      |    (CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+      |      - ((CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE)
+      |       - CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+      |         * CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+      |         / CAST(COUNT(*) AS DOUBLE))
+      |    / NULLIF(CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE)
+      |       - CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+      |         * CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+      |         / CAST(COUNT(*) AS DOUBLE), 0.0))
+      |        * CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE))
+      |      / CAST(COUNT(*) AS DOUBLE) AS alpha
+      |  FROM xy GROUP BY 1, 2
+      |), resid AS (
+      |  SELECT xy.type_x, xy.type_y, xy.day, o.n_days, o.alpha, o.beta,
+      |    ROUND(CAST(xy.y AS DOUBLE) - o.alpha
+      |      - o.beta * CAST(xy.x AS DOUBLE), 6) AS e
+      |  FROM xy JOIN ols o USING (type_x, type_y)
+      |), dfp AS (
+      |  SELECT type_x, type_y, n_days, alpha, beta,
+      |    elag AS u, ROUND(e - elag, 6) AS d
+      |  FROM (
+      |    SELECT type_x, type_y, n_days, alpha, beta, e,
+      |      LAG(e, 1) OVER (PARTITION BY type_x, type_y ORDER BY day) AS elag
+      |    FROM resid
+      |  ) WHERE elag IS NOT NULL
+      |), mom AS (
+      |  SELECT type_x, type_y,
+      |    MAX(n_days) AS n_days, MAX(alpha) AS alpha, MAX(beta) AS beta,
+      |    CAST(COUNT(*) AS DOUBLE) AS m,
+      |    CAST(SUM(CAST(ROUND(u, 6) AS DECIMAL(28,6))) AS DOUBLE) AS su,
+      |    CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS sd,
+      |    CAST(SUM(CAST(ROUND(u * u, 6) AS DECIMAL(28,6))) AS DOUBLE) AS suu,
+      |    CAST(SUM(CAST(ROUND(u * d, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sud,
+      |    CAST(SUM(CAST(ROUND(d * d, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sdd
+      |  FROM dfp GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT type_x, type_y, n_days, alpha, beta,
+      |    (sud - su * sd / m) / NULLIF(suu - su * su / m, 0.0) AS gamma,
+      |    ((sud - su * sd / m) / NULLIF(suu - su * su / m, 0.0))
+      |      / NULLIF(sqrt(GREATEST(
+      |          ((sdd - sd * sd / m)
+      |            - ((sud - su * sd / m) / NULLIF(suu - su * su / m, 0.0))
+      |              * (sud - su * sd / m)) / NULLIF(m - 2.0, 0.0)
+      |          / NULLIF(suu - su * su / m, 0.0), 0.0)), 0.0) AS t_raw
+      |  FROM mom
+      |)
+      |SELECT type_x, type_y, CAST(n_days AS BIGINT) AS n_days,
+      |  ROUND(alpha, 6) AS alpha, ROUND(beta, 6) AS beta,
+      |  ROUND(gamma, 6) AS gamma, ROUND(t_raw, 6) AS df_stat,
+      |  CASE WHEN ROUND(t_raw, 6) IS NULL THEN 'degenerate'
+      |    WHEN ROUND(t_raw, 6) < -3.34 THEN 'cointegrated'
+      |    ELSE 'drifting' END AS verdict
+      |FROM scored ORDER BY type_x, type_y""".stripMargin
 }

@@ -416,4 +416,97 @@ object Layout {
       .sortBy(_._1)
       .toDF("bin", "n_files", "bytes_in")
   }
+
+  /** q539 — rendezvous (highest-random-weight) shard-assignment audit:
+    * every doc is assigned to the fleet node maximizing
+    * md5(doc_id ":" node) over a 16-node fleet, then re-assigned with
+    * one node (`n07`) drained — the placement scheme whose operational
+    * promise is MINIMAL DISRUPTION (only the drained node's docs move;
+    * a mod-N hash would reshuffle ~15/16 of the corpus). The relation
+    * proves the promise exactly per node: `gained` counts docs that
+    * moved TO each survivor, and n_after − gained == n_before for
+    * every survivor by construction — the invariant a storage
+    * rebalancer's runbook quotes, here continuously verified.
+    *
+    * Exactness: assignments are portable-md5 argmaxes (hex-string
+    * comparisons are identical in both engines; ties impossible);
+    * every output is an exact COUNT.
+    *
+    * Scale: the Spark side never explodes — the per-doc argmax runs
+    * INSIDE one projected row (transform + array_max over the 16-node
+    * literal array, whole-stage codegen'd), so the only shuffles are
+    * two node-keyed 16-row aggregates. At 100 TB this is one map pass.
+    */
+  def rendezvousAudit(spark: SparkSession, dir: String,
+                      nNodes: Int = 16, drained: String = "n07"): DataFrame = {
+    val nodes = (0 until nNodes).map(i => f"n$i%02d")
+    val nodesArr = array(nodes.map(lit): _*)
+    val assigned = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"))
+      .withColumn("nodes", nodesArr)
+      .withColumn("node_before", expr(
+        """array_max(transform(nodes,
+          |  x -> struct(md5(concat(cast(doc_id as string), ':', x)) as s,
+          |              x as node))).node""".stripMargin))
+      .withColumn("node_after", expr(
+        s"""array_max(transform(filter(nodes, x -> x != '$drained'),
+           |  x -> struct(md5(concat(cast(doc_id as string), ':', x)) as s,
+           |              x as node))).node""".stripMargin))
+      .select(col("doc_id"), col("node_before"), col("node_after"))
+    val before = assigned.groupBy(col("node_before").as("node"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = assigned.groupBy(col("node_after").as("node"))
+      .agg(count(lit(1)).as("n_after"))
+    val gained = assigned.filter(col("node_before") === drained)
+      .groupBy(col("node_after").as("node"))
+      .agg(count(lit(1)).as("gained"))
+    val fleet = spark.range(nNodes)
+      .select(format_string("n%02d", col("id")).as("node"))
+    fleet
+      .join(before, Seq("node"), "left")
+      .join(after, Seq("node"), "left")
+      .join(gained, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("gained"), lit(0L)).as("gained"))
+      .orderBy(col("node"))
+  }
+
+  def rendezvousAuditSql(nNodes: Int = 16, drained: String = "n07"): String =
+    s"""WITH fleet AS (
+       |  SELECT printf('n%02d', CAST(i AS INT)) AS node
+       |  FROM (SELECT unnest(range(0, $nNodes)) AS i)
+       |), scored AS (
+       |  SELECT d.doc_id, f.node,
+       |    md5(CAST(d.doc_id AS VARCHAR) || ':' || f.node) AS s
+       |  FROM documents d CROSS JOIN fleet f
+       |), ab AS (
+       |  SELECT doc_id, arg_max(node, s) AS node_before
+       |  FROM scored GROUP BY doc_id
+       |), aa AS (
+       |  SELECT doc_id, arg_max(node, s) AS node_after
+       |  FROM scored WHERE node <> '$drained' GROUP BY doc_id
+       |), assigned AS (
+       |  SELECT ab.doc_id, ab.node_before, aa.node_after
+       |  FROM ab JOIN aa USING (doc_id)
+       |), before AS (
+       |  SELECT node_before AS node, COUNT(*) AS n_before
+       |  FROM assigned GROUP BY 1
+       |), after AS (
+       |  SELECT node_after AS node, COUNT(*) AS n_after
+       |  FROM assigned GROUP BY 1
+       |), moved AS (
+       |  SELECT node_after AS node, COUNT(*) AS gained
+       |  FROM assigned WHERE node_before = '$drained' GROUP BY 1
+       |)
+       |SELECT f.node,
+       |  CAST(COALESCE(b.n_before, 0) AS BIGINT) AS n_before,
+       |  CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+       |  CAST(COALESCE(m.gained, 0) AS BIGINT) AS gained
+       |FROM fleet f
+       |LEFT JOIN before b USING (node)
+       |LEFT JOIN after a USING (node)
+       |LEFT JOIN moved m USING (node)
+       |ORDER BY f.node""".stripMargin
 }

@@ -4252,4 +4252,129 @@ object Profile {
       |FROM u
       |ORDER BY metric""".stripMargin
   }
+
+  /** q534 — two-sample Anderson–Darling (the tie-aware A²akN of
+    * Scholz–Stephens 1987, k = 2) between two customer segments'
+    * order-total distributions: the distribution-equality test that
+    * weights the TAILS — q213's Kolmogorov–Smirnov sees only the
+    * single largest CDF gap and is famously blind to tail
+    * differences; AD integrates the squared gap with a 1/(F(1−F))
+    * weight, so a segment whose big-ticket tail differs fails here
+    * while passing KS. Rank-based, so no normal-CDF machinery is
+    * needed (the reason the ONE-sample AD, which needs Φ, is not on
+    * this shelf).
+    *
+    * Exactness: values are floor(o_totalprice/100) integer bins, so
+    * every multiplicity, midrank-doubled cumulative (B2 = 2·cum − l,
+    * M2 = 2·cumₐ − lₐ) and the factor (N·M2 − n_a·B2) are exact
+    * BIGINTs; each bin's contribution c = l·(N·M2 − n_a·B2)² /
+    * (B2·(2N − B2) − N·l) — the doubled-midrank identity that clears
+    * the l/2 halves and the N·l/4 quarter exactly — is ONE double
+    * chain on exact-integer operands, 6dp-rounded and summed as
+    * DECIMAL(38,6); the final (N−1)/N²·(Σ_A/n_A + Σ_B/n_B) is one
+    * shared chain. NULLIF guards the single-bin degenerate.
+    *
+    * Scale: binning makes the distinct-value frame PRICE-RANGE-
+    * bounded (≤ ~5k bins regardless of corpus size), so the two
+    * value-ordered cumsum windows run over a constant-size
+    * post-aggregation frame — never a corpus-fraction single
+    * partition; the fact scan is one broadcast-dim aggregate.
+    */
+  def andersonDarling2(spark: SparkSession, dir: String,
+                       segA: String = "AUTOMOBILE",
+                       segB: String = "BUILDING"): DataFrame = {
+    val dec386 = "DECIMAL(38,6)"
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val vals = Tables.load(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(floor(col("o_totalprice") / lit(100.0)).cast("long").as("z"),
+        (col("c_mktsegment") === segA).as("is_a"))
+    val bins = vals.groupBy(col("z"))
+      .agg(count(lit(1)).as("l"),
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("la"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("z"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cums = bins
+      .withColumn("cum", sum(col("l")).over(wCum))
+      .withColumn("cuma", sum(col("la")).over(wCum))
+    val totals = bins.agg(sum(col("l")).as("nn"), sum(col("la")).as("na"),
+      count(lit(1)).as("n_bins"))
+    val scored = cums.crossJoin(broadcast(totals))
+      .withColumn("nb", col("nn") - col("na"))
+      .withColumn("b2", lit(2) * col("cum") - col("l"))
+      .withColumn("m2a", lit(2) * col("cuma") - col("la"))
+      .withColumn("m2b",
+        lit(2) * (col("cum") - col("cuma")) - (col("l") - col("la")))
+      .withColumn("den",
+        (col("b2") * (lit(2) * col("nn") - col("b2"))
+          - col("nn") * col("l")).cast("double"))
+      .withColumn("ca", col("l").cast("double")
+        * pow((col("nn") * col("m2a") - col("na") * col("b2")).cast("double"),
+          lit(2.0)) / nullif(col("den"), lit(0.0)))
+      .withColumn("cb", col("l").cast("double")
+        * pow((col("nn") * col("m2b") - col("nb") * col("b2")).cast("double"),
+          lit(2.0)) / nullif(col("den"), lit(0.0)))
+    scored.groupBy(col("nn"), col("na"), col("nb"), col("n_bins"))
+      .agg(sum(round(col("ca"), 6).cast(dec386)).cast("double").as("sa"),
+        sum(round(col("cb"), 6).cast(dec386)).cast("double").as("sb"))
+      .select(lit(segA).as("seg_a"), lit(segB).as("seg_b"),
+        col("na").as("n_a"), col("nb").as("n_b"), col("n_bins"),
+        round((col("nn") - lit(1)).cast("double")
+          / (col("nn") * col("nn")).cast("double")
+          * (col("sa") / col("na").cast("double")
+            + col("sb") / col("nb").cast("double")), 6).as("a2_akn"))
+  }
+
+  def andersonDarling2Sql(segA: String = "AUTOMOBILE",
+                          segB: String = "BUILDING"): String =
+    s"""WITH vals AS (
+       |  SELECT CAST(FLOOR(o_totalprice / 100.0) AS BIGINT) AS z,
+       |    c.c_mktsegment = '$segA' AS is_a
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  WHERE c.c_mktsegment IN ('$segA', '$segB')
+       |), bins AS (
+       |  SELECT CAST(z AS BIGINT) AS z, COUNT(*) AS l,
+       |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS la
+       |  FROM vals GROUP BY 1
+       |), cums AS (
+       |  SELECT z, l, la,
+       |    SUM(l) OVER (ORDER BY z
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(la) OVER (ORDER BY z
+       |      ROWS UNBOUNDED PRECEDING) AS cuma
+       |  FROM bins
+       |), tot AS (
+       |  SELECT SUM(l) AS nn, SUM(la) AS na, COUNT(*) AS n_bins FROM bins
+       |), scored AS (
+       |  SELECT c.l,
+       |    t.nn, t.na, t.nn - t.na AS nb, t.n_bins,
+       |    2 * c.cum - c.l AS b2,
+       |    2 * c.cuma - c.la AS m2a,
+       |    2 * (c.cum - c.cuma) - (c.l - c.la) AS m2b,
+       |    CAST((2 * c.cum - c.l) * (2 * t.nn - (2 * c.cum - c.l))
+       |      - t.nn * c.l AS DOUBLE) AS den
+       |  FROM cums c CROSS JOIN tot t
+       |), contrib AS (
+       |  SELECT nn, na, nb, n_bins,
+       |    CAST(l AS DOUBLE)
+       |      * pow(CAST(nn * m2a - na * b2 AS DOUBLE), 2.0)
+       |      / NULLIF(den, 0.0) AS ca,
+       |    CAST(l AS DOUBLE)
+       |      * pow(CAST(nn * m2b - nb * b2 AS DOUBLE), 2.0)
+       |      / NULLIF(den, 0.0) AS cb
+       |  FROM scored
+       |)
+       |SELECT '$segA' AS seg_a, '$segB' AS seg_b,
+       |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  CAST(n_bins AS BIGINT) AS n_bins,
+       |  ROUND(CAST(nn - 1 AS DOUBLE) / CAST(nn * nn AS DOUBLE)
+       |    * (CAST(SUM(CAST(ROUND(ca, 6) AS DECIMAL(38,6))) AS DOUBLE)
+       |         / CAST(na AS DOUBLE)
+       |       + CAST(SUM(CAST(ROUND(cb, 6) AS DECIMAL(38,6))) AS DOUBLE)
+       |         / CAST(nb AS DOUBLE)), 6) AS a2_akn
+       |FROM contrib
+       |GROUP BY nn, na, nb, n_bins""".stripMargin
 }

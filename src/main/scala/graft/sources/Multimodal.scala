@@ -2440,4 +2440,425 @@ object Multimodal {
       |  CAST(SUM(end_ms - start_ms) AS BIGINT) AS total_cue_ms
       |FROM timed GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q536 FLAC — metadata-block walk with real bit-packing
+  // ------------------------------------------------------------------
+
+  private def put24be(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >> 16) & 0xFF); out.write((v >> 8) & 0xFF); out.write(v & 0xFF)
+  }
+
+  /** Deterministic FLAC fixture: `fLaC` magic, a REAL 34-byte
+    * STREAMINFO (type 0) whose rate/channels/bps/total-samples are
+    * bit-packed into the spec's 20/3/5/36-bit fields, then `1 + n%3`
+    * further blocks cycling PADDING(1)/APPLICATION(2)/
+    * VORBIS_COMMENT(4) with `20 + (n + 13i) % 40`-byte bodies; the
+    * final block carries the last-block flag (bit 7).
+    */
+  def encodeFlac(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val rate = Seq(44100, 48000, 32000, 22050)(n % 4)
+    val channels = 1 + n % 2
+    val bps = 16
+    val totalSamples = 1000L + (n.toLong * 7) % 100000L
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    // STREAMINFO, never last (extra blocks always follow)
+    out.write(0x00); put24be(out, 34)
+    out.write(0x10); out.write(0x00) // min blocksize 4096
+    out.write(0x10); out.write(0x00) // max blocksize 4096
+    put24be(out, 0); put24be(out, 0) // min/max framesize unknown
+    // 64 bits: rate(20) | channels-1(3) | bps-1(5) | totalSamples(36)
+    val packed = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | totalSamples
+    (7 to 0 by -1).foreach(i => out.write(((packed >> (8 * i)) & 0xFF).toInt))
+    (0 until 16).foreach(_ => out.write(0)) // md5: unset
+    val extra = 1 + n % 3
+    val types = Seq(1, 2, 4) // PADDING, APPLICATION, VORBIS_COMMENT
+    (0 until extra).foreach { i =>
+      val len = 20 + (n + 13 * i) % 40
+      val last = if (i == extra - 1) 0x80 else 0x00
+      out.write(last | types(i % 3)); put24be(out, len)
+      (0 until len).foreach(j => out.write((n + i + j) % 251))
+    }
+    out.toByteArray
+  }
+
+  case class FlacMeta(doc_id: Long, n_blocks: Int, sample_rate: Int,
+                      channels: Int, bits_per_sample: Int,
+                      total_samples: Long, duration_ms: Long,
+                      meta_bytes: Long)
+
+  /** REAL FLAC metadata walk: `fLaC` magic, then block headers
+    * (last-flag bit 7, 7-bit type, 24-bit big-endian length) until the
+    * last-flag block; the FIRST block must be a 34-byte STREAMINFO,
+    * whose 20-bit rate / 3-bit channels / 5-bit bps / 36-bit
+    * total-samples fields are unpacked with real bit arithmetic.
+    * None on bad magic, a non-STREAMINFO first block, a block
+    * overrunning the buffer, or a missing last-flag.
+    */
+  def sniffFlac(p: Array[Byte]): Option[(Int, Int, Int, Int, Long, Long)] = {
+    if (p.length < 42 || p(0) != 'f' || p(1) != 'L' || p(2) != 'a' || p(3) != 'C')
+      return None
+    var off = 4
+    var blocks = 0
+    var metaBytes = 0L
+    var rate = -1; var channels = -1; var bps = -1; var total = -1L
+    var sawLast = false
+    while (!sawLast) {
+      if (off + 4 > p.length) return None
+      val hdr = p(off) & 0xFF
+      sawLast = (hdr & 0x80) != 0
+      val btype = hdr & 0x7F
+      val len = ((p(off + 1) & 0xFF) << 16) | ((p(off + 2) & 0xFF) << 8) |
+        (p(off + 3) & 0xFF)
+      if (off + 4 + len > p.length) return None
+      if (blocks == 0) {
+        if (btype != 0 || len != 34) return None
+        var packed = 0L
+        (0 until 8).foreach(i =>
+          packed = (packed << 8) | (p(off + 4 + 10 + i) & 0xFFL))
+        rate = (packed >>> 44).toInt
+        channels = ((packed >>> 41) & 0x7).toInt + 1
+        bps = ((packed >>> 36) & 0x1F).toInt + 1
+        total = packed & 0xFFFFFFFFFL
+      }
+      blocks += 1
+      metaBytes += 4L + len
+      off += 4 + len
+    }
+    if (rate <= 0) None else Some((blocks, rate, channels, bps, total, metaBytes))
+  }
+
+  /** q536 — FLAC metadata-block inventory: per-doc fixtures
+    * ([[encodeFlac]]) through the real [[sniffFlac]] walk — the
+    * lossless-audio container every crawled-music ingest meets, and
+    * the shelf's only walker whose header fields do not fall on byte
+    * boundaries: rate/channels/bps/total-samples pack into 20/3/5/36
+    * BITS of one 64-bit word, so a byte-aligned reader cannot fake
+    * this parse (the bit-arithmetic sibling of q513's syncsafe trap).
+    *
+    * Exactness: the oracle predicts block counts, byte totals and
+    * every unpacked STREAMINFO field from the fixture formulas —
+    * exact integers on both engines; duration is the exact floor
+    * division samples·1000 div rate.
+    *
+    * Scale: narrow batched mapPartitions, one small row per doc, no
+    * shuffle.
+    */
+  def flacMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val flac = encodeFlac(r.payload)
+        val (bl, rate, ch, bps, total, mb) = sniffFlac(flac).getOrElse(
+          throw new IllegalStateException(s"fixture failed to parse: doc ${r.doc_id}"))
+        FlacMeta(r.doc_id, bl, rate, ch, bps, total, total * 1000L / rate, mb)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val flacMetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n FROM documents
+      |), extras AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, CAST(n % 3 AS BIGINT))) AS i
+      |  FROM f
+      |), sized AS (
+      |  SELECT doc_id, n, i, 20 + (n + 13 * i) % 40 AS blen
+      |  FROM extras
+      |)
+      |SELECT doc_id,
+      |  CAST(1 + COUNT(*) AS INT) AS n_blocks,
+      |  CAST(CASE n % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |    WHEN 2 THEN 32000 ELSE 22050 END AS INT) AS sample_rate,
+      |  CAST(1 + n % 2 AS INT) AS channels,
+      |  CAST(16 AS INT) AS bits_per_sample,
+      |  CAST(1000 + (n * 7) % 100000 AS BIGINT) AS total_samples,
+      |  CAST((1000 + (n * 7) % 100000) * 1000
+      |    // (CASE n % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |        WHEN 2 THEN 32000 ELSE 22050 END) AS BIGINT) AS duration_ms,
+      |  CAST(38 + SUM(4 + blen) AS BIGINT) AS meta_bytes
+      |FROM sized GROUP BY doc_id, n
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q537 OGG — page walk with lacing-value packet reassembly
+  // ------------------------------------------------------------------
+
+  private def putLe64(out: java.io.ByteArrayOutputStream, v: Long): Unit =
+    (0 until 8).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+
+  private def putLe32o(out: java.io.ByteArrayOutputStream, v: Int): Unit =
+    (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xFF))
+
+  /** Deterministic OGG fixture: `1 + n%4` pages, page i carrying ONE
+    * packet of `100 + (n + 17i) % 400` bytes as lacing values
+    * (⌊p/255⌋ 255-segments + the p%255 terminator), granule
+    * `960·(i+1)`, serial `n % 100000`, BOS flag on page 0, EOS on the
+    * final page. CRC left zero (the fixture's one concession; a
+    * production ingest verifies it with the OGG table).
+    */
+  def encodeOgg(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val pages = 1 + n % 4
+    val serial = n % 100000
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until pages).foreach { i =>
+      val plen = 100 + (n + 17 * i) % 400
+      out.write("OggS".getBytes("US-ASCII"))
+      out.write(0) // version
+      // BOS and EOS combine on a single-page stream
+      out.write((if (i == 0) 0x02 else 0x00) |
+        (if (i == pages - 1) 0x04 else 0x00))
+      putLe64(out, 960L * (i + 1)) // granule position
+      putLe32o(out, serial)
+      putLe32o(out, i) // page sequence number
+      putLe32o(out, 0) // crc (unverified in the fixture walk)
+      val full = plen / 255
+      val rem = plen % 255
+      out.write(full + 1) // segment count
+      (0 until full).foreach(_ => out.write(255))
+      out.write(rem)
+      (0 until plen).foreach(j => out.write((n + i + j) % 253))
+    }
+    out.toByteArray
+  }
+
+  case class OggMeta(doc_id: Long, n_pages: Int, n_packets: Int,
+                     payload_bytes: Long, final_granule: Long, serial: Long)
+
+  /** REAL OGG page walk: `OggS` capture pattern + version 0 at every
+    * page boundary, 27-byte header parse (little-endian granule/
+    * serial/sequence), segment-table lacing walk (a value < 255
+    * terminates a packet), page-sequence continuity, BOS required on
+    * the first page and EOS on the last. None on any malformation.
+    */
+  def sniffOgg(p: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    var off = 0
+    var pages = 0
+    var packets = 0
+    var payload = 0L
+    var granule = -1L
+    var serial = -1L
+    var sawEos = false
+    while (off < p.length) {
+      if (sawEos) return None // trailing bytes after the EOS page
+      if (off + 27 > p.length) return None
+      if (p(off) != 'O' || p(off + 1) != 'g' || p(off + 2) != 'g' ||
+        p(off + 3) != 'S') return None
+      if (p(off + 4) != 0) return None
+      val htype = p(off + 5) & 0xFF
+      if (pages == 0 && (htype & 0x02) == 0) return None // first page needs BOS
+      if (pages > 0 && (htype & 0x02) != 0) return None
+      var g = 0L
+      (0 until 8).foreach(i => g |= (p(off + 6 + i) & 0xFFL) << (8 * i))
+      var ser = 0L
+      (0 until 4).foreach(i => ser |= (p(off + 14 + i) & 0xFFL) << (8 * i))
+      var seq = 0L
+      (0 until 4).foreach(i => seq |= (p(off + 18 + i) & 0xFFL) << (8 * i))
+      if (seq != pages) return None // sequence continuity
+      if (serial >= 0 && ser != serial) return None
+      serial = ser
+      granule = g
+      val nSegs = p(off + 26) & 0xFF
+      if (off + 27 + nSegs > p.length) return None
+      var pageBytes = 0L
+      (0 until nSegs).foreach { s =>
+        val lace = p(off + 27 + s) & 0xFF
+        pageBytes += lace
+        if (lace < 255) packets += 1
+      }
+      if (off + 27 + nSegs + pageBytes > p.length) return None
+      payload += pageBytes
+      sawEos = (htype & 0x04) != 0
+      pages += 1
+      off += 27 + nSegs + pageBytes.toInt
+    }
+    if (pages == 0 || !sawEos) None
+    else Some((pages, packets, payload, granule, serial))
+  }
+
+  /** q537 — OGG page inventory: per-doc fixtures ([[encodeOgg]])
+    * through the real [[sniffOgg]] walk — the streaming-audio
+    * container whose framing is neither size-prefixed boxes nor
+    * sync-word frames but a SEGMENT TABLE of lacing values (packets
+    * reassemble across 255-byte segments; a value < 255 terminates
+    * one), plus the BOS/EOS/sequence-continuity invariants a seeking
+    * reader depends on. Completes the audio shelf next to WAV
+    * (q116), MP3 (q504) and FLAC (q536).
+    *
+    * Exactness: page/packet counts, payload totals, final granule
+    * and serial all come from the fixture formulas — exact integers
+    * on both engines.
+    *
+    * Scale: narrow batched mapPartitions, one small row per doc, no
+    * shuffle.
+    */
+  def oggMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ogg = encodeOgg(r.payload)
+        val (pg, pk, pay, gr, ser) = sniffOgg(ogg).getOrElse(
+          throw new IllegalStateException(s"fixture failed to parse: doc ${r.doc_id}"))
+        OggMeta(r.doc_id, pg, pk, pay, gr, ser)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val oggMetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n FROM documents
+      |), pages AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, CAST(n % 4 AS BIGINT))) AS i
+      |  FROM f
+      |), sized AS (
+      |  SELECT doc_id, n, i, 100 + (n + 17 * i) % 400 AS plen
+      |  FROM pages
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS INT) AS n_pages,
+      |  CAST(COUNT(*) AS INT) AS n_packets,
+      |  CAST(SUM(plen) AS BIGINT) AS payload_bytes,
+      |  CAST(960 * COUNT(*) AS BIGINT) AS final_granule,
+      |  CAST(n % 100000 AS BIGINT) AS serial
+      |FROM sized GROUP BY doc_id, n
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q538 EBML — variable-length-integer element walk (Matroska/WebM)
+  // ------------------------------------------------------------------
+
+  /** EBML vint SIZE encode (marker bits stripped from the value):
+    * 1 byte holds 7 bits under a 1xxxxxxx marker, 2 bytes hold 14
+    * under 01xxxxxx — the fixture only needs those two widths.
+    */
+  private def ebmlSize(v: Int): Array[Byte] =
+    if (v < 0x80) Array((0x80 | v).toByte)
+    else Array((0x40 | (v >> 8)).toByte, (v & 0xFF).toByte)
+
+  /** Deterministic EBML fixture: the 4-byte EBML magic ID 0x1A45DFA3
+    * with a 4-byte header body, then `1 + n%4` elements with 2-byte
+    * class-B IDs cycling {0x4286, 0x42F7, 0x42F2, 0x42F3} and bodies
+    * of `80 + (n + 9i) % 300` bytes (sizes straddle the 1-byte/2-byte
+    * vint boundary at 128, so both widths are exercised).
+    */
+  def encodeEbml(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x1A); out.write(0x45); out.write(0xDF); out.write(0xA3)
+    out.write(ebmlSize(4))
+    (0 until 4).foreach(j => out.write((n + j) % 247))
+    val ids = Seq(0x4286, 0x42F7, 0x42F2, 0x42F3)
+    val m = 1 + n % 4
+    (0 until m).foreach { i =>
+      val id = ids(i % 4)
+      out.write((id >> 8) & 0xFF); out.write(id & 0xFF)
+      val len = 80 + (n + 9 * i) % 300
+      out.write(ebmlSize(len))
+      (0 until len).foreach(j => out.write((n + i + j) % 249))
+    }
+    out.toByteArray
+  }
+
+  case class EbmlMeta(doc_id: Long, n_elements: Int, payload_bytes: Long,
+                      first_id: String, last_id: String)
+
+  /** REAL EBML element walk: vint IDs are read with their marker bits
+    * KEPT (class IDs — the leading-zero count of the first byte gives
+    * the width), vint SIZES with marker bits STRIPPED — the format's
+    * defining asymmetry, and the third variable-length-integer scheme
+    * on the shelf (syncsafe q513 is fixed-width 7-bit bytes, lacing
+    * q537 is unary 255-continuation; EBML encodes the width in the
+    * leading zeros). Walks elements to the exact buffer end; None on
+    * a zero first byte (width > 8), an element overrunning the
+    * buffer, or a walk not landing on the boundary.
+    */
+  def sniffEbml(p: Array[Byte]): Option[(Int, Long, String, String)] = {
+    def vintWidth(b: Int): Int = {
+      var w = 1
+      var mask = 0x80
+      while (mask != 0 && (b & mask) == 0) { w += 1; mask >>= 1 }
+      if (mask == 0) -1 else w
+    }
+    var off = 0
+    var count = 0
+    var payload = 0L
+    var firstId: String = null
+    var lastId: String = null
+    while (off < p.length) {
+      val idW = vintWidth(p(off) & 0xFF)
+      if (idW < 0 || off + idW > p.length) return None
+      var id = 0L
+      (0 until idW).foreach(i => id = (id << 8) | (p(off + i) & 0xFFL))
+      off += idW
+      if (off >= p.length) return None
+      val szW = vintWidth(p(off) & 0xFF)
+      if (szW < 0 || off + szW > p.length) return None
+      var sz = (p(off) & 0xFF & (0xFF >> szW)).toLong
+      (1 until szW).foreach(i => sz = (sz << 8) | (p(off + i) & 0xFFL))
+      off += szW
+      if (off + sz > p.length) return None
+      val hex = java.lang.Long.toHexString(id).toUpperCase
+      if (firstId == null) firstId = hex
+      lastId = hex
+      count += 1
+      payload += sz
+      off += sz.toInt
+    }
+    if (count == 0 || off != p.length) None
+    else Some((count, payload, firstId, lastId))
+  }
+
+  /** q538 — EBML element inventory: per-doc fixtures ([[encodeEbml]])
+    * through the real [[sniffEbml]] vint walk — the Matroska/WebM
+    * framing layer, i.e. the walk a crawled-video ingest runs before
+    * q288's MP4-style box logic applies to the OTHER half of the
+    * video crawl. The leading-zeros width encoding is the part a
+    * fixed-width reader gets wrong (and the ID-keeps-marker /
+    * size-strips-marker asymmetry the spec trips new parsers on).
+    *
+    * Exactness: element counts, payload totals and first/last class
+    * IDs all come from the fixture formulas — exact integers and hex
+    * literals on both engines.
+    *
+    * Scale: narrow batched mapPartitions, one small row per doc, no
+    * shuffle.
+    */
+  def ebmlMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ebml = encodeEbml(r.payload)
+        val (cnt, pay, fid, lid) = sniffEbml(ebml).getOrElse(
+          throw new IllegalStateException(s"fixture failed to parse: doc ${r.doc_id}"))
+        EbmlMeta(r.doc_id, cnt, pay, fid, lid)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  val ebmlMetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, strlen(text) AS n FROM documents
+      |), els AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, CAST(n % 4 AS BIGINT))) AS i
+      |  FROM f
+      |), sized AS (
+      |  SELECT doc_id, n, i, 80 + (n + 9 * i) % 300 AS blen
+      |  FROM els
+      |)
+      |SELECT doc_id,
+      |  CAST(1 + COUNT(*) AS INT) AS n_elements,
+      |  CAST(4 + SUM(blen) AS BIGINT) AS payload_bytes,
+      |  '1A45DFA3' AS first_id,
+      |  -- the last element's index is n % 4 by construction
+      |  CASE n % 4 WHEN 0 THEN '4286' WHEN 1 THEN '42F7'
+      |    WHEN 2 THEN '42F2' ELSE '42F3' END AS last_id
+      |FROM sized GROUP BY doc_id, n
+      |ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,124 @@
+package graft.tools
+
+/** Duplicate-operator screen (round-12 verdict item 3 of "what's
+  * missing"): three near-duplicate queries reached review only by hand
+  * (q470, q493, a q508 CUPED draft — the last slipping past a broken
+  * `grep -E 'a\|b'` alternation). With 500+ registered queries the next
+  * collision is a matter of time, so the screen is now the engine's own
+  * n-gram Jaccard core (the q26 near-dup detector) dogfooded on the
+  * `SparkEntry.oracleSql` strings and wired into `sbt test`
+  * (DupCheckSpec).
+  *
+  * Method: normalize each oracle SQL (lowercase, collapse whitespace),
+  * shingle into character 5-grams, score every pair by Jaccard
+  * similarity with a size-ratio prefilter (J <= |A|/|B| for |A|<=|B|,
+  * so wildly different-length texts skip the intersection entirely).
+  * Two queries CAN legitimately share scaffolding — the dense-daily-
+  * grid CTE, the fixedSample preamble — so the gate is tuned above the
+  * scaffolding band (measured: sibling families sit ~0.5-0.65) and an
+  * explicit allowlist names accepted pairs with the reason reviewable
+  * in one place.
+  *
+  * Pure Scala (no SparkSession): 532 texts -> ~141k pairs screen in
+  * seconds inside the test JVM.
+  */
+object DupCheck {
+
+  /** Pairs that SHOULD share (near-)identical oracle SQL: the grading
+    * discipline for a scale-path twin is "different Spark plan, SAME
+    * relation", proven by grading both against one oracle. Each entry
+    * names the reason so the exemption is reviewable in one place; a
+    * NEW pair landing at >= `threshold` that is not here fails
+    * DupCheckSpec and must either be de-duplicated or argued onto this
+    * list.
+    */
+  val intentionalTwins: Map[(String, String), String] = Map(
+    ("q02_latest_event_per_user", "q33_latest_event_agg") ->
+      "same DISTINCT-ON relation: window form vs max-struct aggregate form",
+    ("q104_knn_sq8", "q29_knn_brute") ->
+      "SQ8-quantized top-k graded exactly against the brute-force relation",
+    ("q164_inverted_index", "q361_index_incremental") ->
+      "merge==rebuild proof: incremental index graded against full rebuild",
+    ("q296_asof_native", "q345_asof_broadcast") ->
+      "same as-of relation: shuffle path vs broadcast SortedFloorIndex path",
+    ("q307_substring_dup_extent", "q424_substring_extent_rolling") ->
+      "O(n) rolling-hash extent graded against the md5 shingle relation",
+    ("q351_vocab_two_level", "q36_vocabulary") ->
+      "two-level (salted) aggregation proven relation-preserving",
+    ("q61_decontamination", "q69_decontamination_bloom") ->
+      "bloom pre-filter graded against the exact anti-join relation")
+
+  /** Gate tuned against the measured round-13 distribution: the seven
+    * intentional twins sit at 1.0; the densest ACCIDENTAL-risk band —
+    * sibling families sharing scaffolding CTEs (dense daily grid,
+    * fixedSample preamble, minhash tables) — tops out at 0.902
+    * (q112~q445). 0.93 splits the two populations with margin on both
+    * sides.
+    */
+  val threshold: Double = 0.93
+
+  def normalize(sql: String): String =
+    sql.toLowerCase.replaceAll("\\s+", " ").trim
+
+  def shingles(sql: String, k: Int = 5): Set[String] = {
+    val t = normalize(sql)
+    if (t.length < k) Set(t)
+    else (0 to t.length - k).iterator.map(i => t.substring(i, i + k)).toSet
+  }
+
+  def jaccard(a: Set[String], b: Set[String]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val (small, large) = if (a.size <= b.size) (a, b) else (b, a)
+    val inter = small.count(large.contains)
+    inter.toDouble / (a.size + b.size - inter)
+  }
+
+  /** All pairs at or above `threshold`, most-similar first. */
+  def duplicates(entries: Map[String, String], threshold: Double)
+      : Seq[(String, String, Double)] = {
+    val sh = entries.toSeq.sortBy(_._1)
+      .map { case (n, s) => (n, shingles(s)) }
+    val out = Seq.newBuilder[(String, String, Double)]
+    var i = 0
+    while (i < sh.length) {
+      var j = i + 1
+      while (j < sh.length) {
+        val (na, a) = sh(i)
+        val (nb, b) = sh(j)
+        // size-ratio upper bound on Jaccard: skip the intersection
+        // when even identical overlap couldn't reach the threshold
+        val bound = math.min(a.size, b.size).toDouble / math.max(a.size, b.size)
+        if (bound >= threshold) {
+          val sim = jaccard(a, b)
+          if (sim >= threshold) out += ((na, nb, sim))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result().sortBy(-_._3)
+  }
+
+  /** The gate DupCheckSpec enforces: flagged = pairs at or above
+    * [[threshold]] that are not on [[intentionalTwins]] (order-
+    * insensitive).
+    */
+  def flagged(entries: Map[String, String]): Seq[(String, String, Double)] =
+    duplicates(entries, threshold).filterNot { case (a, b, _) =>
+      intentionalTwins.contains((a, b)) || intentionalTwins.contains((b, a))
+    }
+
+  /** Diagnostic main: print the top-N most similar oracle pairs so a
+    * threshold change is set against the measured distribution, not a
+    * guess.
+    */
+  def main(args: Array[String]): Unit = {
+    val topN = args.headOption.map(_.toInt).getOrElse(25)
+    val entries = graft.SparkEntry.oracleSql
+    val scored = duplicates(entries, 0.30)
+    println(s"pairs >= 0.30 among ${entries.size} oracle SQL strings:")
+    scored.take(topN).foreach { case (a, b, s) =>
+      println(f"  $s%.3f  $a  ~  $b")
+    }
+  }
+}
