@@ -4377,4 +4377,150 @@ object Profile {
        |         / CAST(nb AS DOUBLE)), 6) AS a2_akn
        |FROM contrib
        |GROUP BY nn, na, nb, n_bins""".stripMargin
+
+  /** q541 — equi-depth histogram selectivity audit: build the
+    * B = 20-bucket equi-depth histogram of l_extendedprice (the
+    * statistic a cost-based optimizer keeps per column — Catalyst's
+    * `spark.sql.statistics.histogram.enabled` builds exactly this),
+    * then score the histogram's uniform-within-bucket estimate of
+    * sel(x ≤ c) against the exact count for a fixed cut ladder. The
+    * per-cut rel_err is the number behind every "why did the
+    * optimizer pick the wrong join side" postmortem: range-predicate
+    * selectivity misestimates compound multiplicatively through a
+    * plan. q540 audits the JOIN estimator; this audits the FILTER
+    * estimator; q483's bin advisor says how wide histogram bins
+    * should be.
+    *
+    * Exactness: boundaries are RANK-SELECTED (b_i = min binned value
+    * with cum ≥ (N·i) div B — exact integer rank arithmetic, the
+    * q529 convention; no interpolated percentile crosses the engine
+    * boundary); actual counts are exact cumulative BIGINTs; the
+    * estimate is one shared double chain with the bj = bj+1
+    * degenerate pinned to frac = 1 in both engines, 6dp-rounded.
+    *
+    * Scale: values bin to floor(price/100) first, so every window
+    * runs over a PRICE-RANGE-bounded frame (~1k rows regardless of
+    * corpus size; the q534 posture); the fact scan is one map-side
+    * combined aggregate. Boundaries × cuts is a 21×|cuts| broadcast
+    * grid.
+    */
+  def histogramSelectivityAudit(spark: SparkSession, dir: String,
+      buckets: Int = 20,
+      cuts: Seq[Int] = Seq(50, 100, 200, 400, 700, 1000)): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val bins = Tables.load(spark, dir, "lineitem")
+      .select(floor(col("l_extendedprice") / lit(100.0)).cast("long").as("z"))
+      .groupBy(col("z")).agg(count(lit(1)).as("cnt"))
+    val cums = bins
+      .withColumn("cum", sum(col("cnt")).over(W.orderBy(col("z"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .localCheckpoint()
+    val tot = cums.agg(max(col("cum")).as("n"), min(col("z")).as("zmin"),
+      max(col("z")).as("zmax"))
+    // rank-selected boundaries: b_i = min z with cum >= (n*i) div B
+    val is = spark.range(1, buckets.toLong) // 1..B-1
+      .select(col("id").cast("int").as("i"))
+    val inner = is.crossJoin(broadcast(tot))
+      .withColumn("r", expr(s"(n * i) div $buckets"))
+      .join(cums, col("cum") >= col("r"))
+      .groupBy(col("i")).agg(min(col("z")).as("b"))
+    val bnd = tot.select(lit(0).as("i"), col("zmin").as("b"))
+      .unionByName(inner)
+      .unionByName(tot.select(lit(buckets).as("i"), col("zmax").as("b")))
+    val cutDf = spark.range(1)
+      .select(explode(array(cuts.map(lit): _*)).as("cut_z"))
+    // j = max bucket index (0..B-1) whose lower boundary <= cut
+    val j = cutDf.join(broadcast(bnd.filter(col("i") < buckets)),
+        col("b") <= col("cut_z"), "left")
+      .groupBy(col("cut_z")).agg(max(col("i")).as("j"))
+    val est = j
+      .join(broadcast(bnd.select(col("i").as("j"), col("b").as("bj"))),
+        Seq("j"), "left")
+      .join(broadcast(bnd.select((col("i") - 1).as("j"), col("b").as("bj1"))),
+        Seq("j"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("frac",
+        when(col("j").isNull, lit(0.0))
+          .when(col("cut_z") >= col("zmax"), lit(1.0))
+          .when(col("bj1") <= col("bj"), lit(1.0))
+          .otherwise(least(lit(1.0),
+            (col("cut_z") - col("bj")).cast("double")
+              / (col("bj1") - col("bj")).cast("double"))))
+      .withColumn("est_rows",
+        round(least(col("n").cast("double"),
+          col("n").cast("double") / lit(buckets.toDouble)
+            * (coalesce(col("j").cast("double"), lit(0.0)) + col("frac"))),
+          6))
+    val actual = cutDf.join(cums, col("z") <= col("cut_z"), "left")
+      .groupBy(col("cut_z")).agg(coalesce(max(col("cum")), lit(0L))
+        .as("actual_rows"))
+    est.join(actual, "cut_z")
+      .select(col("cut_z").cast("long").as("cut_z"),
+        col("est_rows"), col("actual_rows"),
+        (round((col("est_rows") - col("actual_rows").cast("double"))
+          / nullif(col("actual_rows").cast("double"), lit(0.0)), 6) + lit(0.0))
+          .as("rel_err"))
+      .orderBy(col("cut_z"))
+  }
+
+  def histogramSelectivityAuditSql(buckets: Int = 20,
+      cuts: Seq[Int] = Seq(50, 100, 200, 400, 700, 1000)): String = {
+    val cutList = cuts.mkString("[", ", ", "]")
+    s"""WITH bins AS (
+       |  SELECT CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS z,
+       |    COUNT(*) AS cnt
+       |  FROM lineitem GROUP BY 1
+       |), cums AS (
+       |  SELECT z, cnt,
+       |    SUM(cnt) OVER (ORDER BY z ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM bins
+       |), tot AS (
+       |  SELECT MAX(cum) AS n, MIN(z) AS zmin, MAX(z) AS zmax FROM cums
+       |), inner_b AS (
+       |  SELECT i.i, MIN(c.z) AS b
+       |  FROM (SELECT unnest(range(1, $buckets)) AS i) i
+       |  CROSS JOIN tot t
+       |  JOIN cums c ON c.cum >= (t.n * i.i) // $buckets
+       |  GROUP BY i.i
+       |), bnd AS (
+       |  SELECT 0 AS i, zmin AS b FROM tot
+       |  UNION ALL SELECT i, b FROM inner_b
+       |  UNION ALL SELECT $buckets AS i, zmax AS b FROM tot
+       |), cut_list AS (
+       |  SELECT unnest($cutList) AS cut_z
+       |), jpick AS (
+       |  SELECT cl.cut_z, MAX(bd.i) AS j
+       |  FROM cut_list cl
+       |  LEFT JOIN bnd bd ON bd.b <= cl.cut_z AND bd.i < $buckets
+       |  GROUP BY cl.cut_z
+       |), est AS (
+       |  SELECT jp.cut_z, jp.j, t.n, t.zmax,
+       |    bj.b AS bj, bj1.b AS bj1,
+       |    CASE WHEN jp.j IS NULL THEN 0.0
+       |      WHEN jp.cut_z >= t.zmax THEN 1.0
+       |      WHEN bj1.b <= bj.b THEN 1.0
+       |      ELSE LEAST(1.0, CAST(jp.cut_z - bj.b AS DOUBLE)
+       |        / CAST(bj1.b - bj.b AS DOUBLE)) END AS frac
+       |  FROM jpick jp
+       |  CROSS JOIN tot t
+       |  LEFT JOIN bnd bj ON bj.i = jp.j
+       |  LEFT JOIN bnd bj1 ON bj1.i = jp.j + 1
+       |), scored AS (
+       |  SELECT cut_z,
+       |    ROUND(LEAST(CAST(n AS DOUBLE),
+       |      CAST(n AS DOUBLE) / $buckets.0
+       |        * (COALESCE(CAST(j AS DOUBLE), 0.0) + frac)), 6) AS est_rows
+       |  FROM est
+       |), act AS (
+       |  SELECT cl.cut_z, CAST(COALESCE(MAX(c.cum), 0) AS BIGINT)
+       |    AS actual_rows
+       |  FROM cut_list cl LEFT JOIN cums c ON c.z <= cl.cut_z
+       |  GROUP BY cl.cut_z
+       |)
+       |SELECT CAST(s.cut_z AS BIGINT) AS cut_z, s.est_rows, a.actual_rows,
+       |  ROUND((s.est_rows - CAST(a.actual_rows AS DOUBLE))
+       |    / NULLIF(CAST(a.actual_rows AS DOUBLE), 0.0), 6) + 0.0 AS rel_err
+       |FROM scored s JOIN act a USING (cut_z)
+       |ORDER BY cut_z""".stripMargin
+  }
 }

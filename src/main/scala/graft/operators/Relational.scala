@@ -5119,4 +5119,91 @@ object Relational {
       |  ROUND(delta - nat_eff - mix_eff, 6) + 0.0 AS competitive_effect
       |FROM effects
       |ORDER BY region, p_type""".stripMargin
+
+  /** q540 — join-cardinality estimator audit over the schema's three
+    * big equi-joins: the System-R independence/containment estimate
+    * |L|·|R| / max(d_L, d_R) — what every cost-based optimizer
+    * (Catalyst's stats-based join reorder included) computes from
+    * per-column NDVs — against the EXACT join size Σ_k cnt_L(k)·
+    * cnt_R(k). The err_ratio column is the number that explains a
+    * misplanned join at 100 TB: on a key with skewed fan-out the
+    * independence estimate is off by exactly this factor, and the
+    * remedy ladder (broadcast threshold, AQE skew split, q350
+    * saltedJoin) keys off it.
+    *
+    * Exactness: all counts and the Σ cnt·cnt join size are exact
+    * BIGINTs (the join size is computed on PRE-AGGREGATED per-key
+    * counts — the fact tables are never pair-joined); the estimate
+    * and ratio are one rounded double division each.
+    *
+    * Scale: per join, two map-side-combined key aggregates and one
+    * key-keyed join of the two count frames (key-cardinality rows,
+    * not fact-cardinality) — strictly cheaper than the join being
+    * audited; 3 output rows.
+    */
+  def joinSizeAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(label: String, l: DataFrame, lk: String,
+              r: DataFrame, rk: String): DataFrame = {
+      val lc = l.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
+      val rc = r.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr"))
+      val actual = lc.join(rc, "k")
+        .agg(sum(col("cl") * col("cr")).as("actual_rows"))
+      val stats = lc.agg(sum(col("cl")).as("n_left"),
+          count(lit(1)).as("d_left"))
+        .crossJoin(rc.agg(sum(col("cr")).as("n_right"),
+          count(lit(1)).as("d_right")))
+      stats.crossJoin(actual)
+        .select(lit(label).as("join_key"),
+          col("n_left"), col("n_right"), col("d_left"), col("d_right"),
+          round(col("n_left").cast("double") * col("n_right").cast("double")
+            / greatest(col("d_left"), col("d_right")).cast("double"), 6)
+            .as("est_rows"),
+          coalesce(col("actual_rows"), lit(0L)).as("actual_rows"))
+    }
+    val li = Tables.load(spark, dir, "lineitem")
+    val audits = Seq(
+      audit("l_orderkey", li, "l_orderkey",
+        Tables.load(spark, dir, "orders"), "o_orderkey"),
+      audit("l_partkey", li, "l_partkey",
+        Tables.load(spark, dir, "part"), "p_partkey"),
+      audit("l_suppkey", li, "l_suppkey",
+        Tables.load(spark, dir, "supplier"), "s_suppkey"))
+    audits.reduce(_ unionByName _)
+      .withColumn("err_ratio",
+        round(col("actual_rows").cast("double")
+          / nullif(col("n_left").cast("double") * col("n_right").cast("double")
+            / greatest(col("d_left"), col("d_right")).cast("double"),
+            lit(0.0)), 6))
+      .orderBy(col("join_key"))
+  }
+
+  val joinSizeAuditSql: String = {
+    def one(label: String, lt: String, lk: String, rt: String, rk: String) =
+      s"""  SELECT '$label' AS join_key,
+         |    CAST((SELECT COUNT(*) FROM $lt) AS BIGINT) AS n_left,
+         |    CAST((SELECT COUNT(*) FROM $rt) AS BIGINT) AS n_right,
+         |    CAST((SELECT COUNT(DISTINCT $lk) FROM $lt) AS BIGINT) AS d_left,
+         |    CAST((SELECT COUNT(DISTINCT $rk) FROM $rt) AS BIGINT) AS d_right,
+         |    CAST((SELECT COALESCE(SUM(cl * cr), 0) FROM
+         |      (SELECT $lk AS k, COUNT(*) AS cl FROM $lt GROUP BY 1) a
+         |      JOIN (SELECT $rk AS k, COUNT(*) AS cr FROM $rt GROUP BY 1) b
+         |      USING (k)) AS BIGINT) AS actual_rows""".stripMargin
+    s"""WITH raw AS (
+       |${one("l_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+       |  UNION ALL
+       |${one("l_partkey", "lineitem", "l_partkey", "part", "p_partkey")}
+       |  UNION ALL
+       |${one("l_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey")}
+       |)
+       |SELECT join_key, n_left, n_right, d_left, d_right,
+       |  ROUND(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+       |    / CAST(GREATEST(d_left, d_right) AS DOUBLE), 6) AS est_rows,
+       |  actual_rows,
+       |  ROUND(CAST(actual_rows AS DOUBLE)
+       |    / NULLIF(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+       |      / CAST(GREATEST(d_left, d_right) AS DOUBLE), 0.0), 6)
+       |    AS err_ratio
+       |FROM raw
+       |ORDER BY join_key""".stripMargin
+  }
 }

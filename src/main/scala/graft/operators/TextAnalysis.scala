@@ -4531,4 +4531,82 @@ object TextAnalysis {
       |  ROUND(t.wgap / CAST(t.n_tot AS DOUBLE), 6) AS ece
       |FROM raw r CROSS JOIN tot t
       |ORDER BY r.bin""".stripMargin
+
+  /** q542 — MATTR (moving-average type-token ratio, window 50) on a
+    * constant-budget document sample: the length-INVARIANT lexical-
+    * diversity readout. Plain TTR (reported alongside) falls with
+    * document length by construction — Heaps' law, q321 — so ranking
+    * mixed-length corpora by TTR ranks them by length; MATTR slides a
+    * fixed 50-token window and averages per-window TTR, so a 100-token
+    * note and a 10k-token article are scored on the same footing. The
+    * diversity dial quality-filter recipes threshold on.
+    *
+    * Exactness: per-window distinct counts are exact integers; their
+    * sum is exact; MATTR does ONE double division (sum / (50·wins)),
+    * 6dp-rounded; both engines slide the identical tokenizer's array.
+    * Docs under 50 tokens surface NULL (stated in the oracle).
+    *
+    * Scale: the O(n_tokens·50) window work runs INSIDE one projected
+    * row per doc (transform over the token array — no explode, no
+    * shuffle); the 128-doc portable-md5 sample is the q366-family
+    * constant-budget pick, stated verbatim in the oracle. The full-
+    * corpus variant is the same projection without the sample join —
+    * embarrassingly parallel.
+    */
+  def mattrProfile(spark: SparkSession, dir: String,
+                   sampleN: Int = 128, win: Int = 50): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val sample = docs.select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(sampleN)
+    docs.join(broadcast(sample), "doc_id")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_types",
+        size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("win_sum", when(col("n_tokens") >= win, expr(
+        s"""aggregate(
+           |  transform(sequence(1, int(n_tokens) - ${win - 1}),
+           |    i -> size(array_distinct(slice(toks, i, $win)))),
+           |  0L, (s, x) -> s + x)""".stripMargin)))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_types").cast("double")
+          / nullif(col("n_tokens").cast("double"), lit(0.0)), 6).as("ttr"),
+        round(col("win_sum").cast("double")
+          / (lit(win.toDouble) *
+            (col("n_tokens") - lit(win - 1)).cast("double")), 6)
+          .as(s"mattr_$win"))
+      .orderBy(col("doc_id"))
+  }
+
+  def mattrProfileSql(sampleN: Int = 128, win: Int = 50): String =
+    s"""WITH sample AS (
+       |  SELECT doc_id FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $sampleN
+       |), base AS (
+       |  SELECT d.doc_id,
+       |    list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+       |      t -> t <> '') AS toks
+       |  FROM documents d JOIN sample USING (doc_id)
+       |), sized AS (
+       |  SELECT doc_id, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+       |  FROM base
+       |), winsum AS (
+       |  SELECT doc_id, n_tokens, n_types,
+       |    CASE WHEN n_tokens >= $win THEN
+       |      list_sum(list_transform(range(1, CAST(n_tokens AS INT) - ${win - 2}),
+       |        i -> len(list_distinct(toks[i:i + ${win - 1}]))))
+       |    END AS win_sum
+       |  FROM sized
+       |)
+       |SELECT doc_id, n_tokens,
+       |  ROUND(CAST(n_types AS DOUBLE)
+       |    / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6) AS ttr,
+       |  ROUND(CAST(win_sum AS DOUBLE)
+       |    / ($win.0 * CAST(n_tokens - ${win - 1} AS DOUBLE)), 6)
+       |    AS mattr_$win
+       |FROM winsum
+       |ORDER BY doc_id""".stripMargin
 }
