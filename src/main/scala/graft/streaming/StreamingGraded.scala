@@ -88,6 +88,95 @@ object StreamingGraded {
       .orderBy(col("part"))
   }
 
+  case class CdcChange(user_id: Long, last_type: String, v: Long, op: String)
+
+  /** q543 — the CDC reconciliation path graded end-to-end: q533 grades
+    * the stateful-operator seam (flatMapGroupsWithState); this grades
+    * the OTHER streaming architecture — foreachBatch + copy-on-write
+    * snapshot ([[StreamingCdc]], the applyCdc core q14/q15 grade in
+    * batch). A deterministic I/U/D change stream (signup → I, error →
+    * D-tombstone, anything else → U; version = the change's global
+    * rank, unique and monotone with stream order) for a constant-
+    * budget md5 sample of users replays through four version-ordered
+    * micro-batches, each reconciling the parquet snapshot via the
+    * stage-and-rename swap; the FINAL snapshot is graded against the
+    * one-shot relation (per user: the max-version change, absent if
+    * it was a tombstone) — equal by construction because batches are
+    * version-contiguous, so each user's last change lands in one
+    * batch and later batches never touch the key.
+    *
+    * Exactness: versions are unique integer ranks (no cross-engine
+    * tiebreak ambiguity and no cross-batch version tie for upsert to
+    * resolve); every output column is carried verbatim.
+    *
+    * Scale: the feed is the harness half (≤ |sample|·events-per-user
+    * rows, constant-budget); the graded code is the production half —
+    * applyCdc touches the snapshot once per batch through a
+    * key-co-partitioned anti-join + upsert, state = the snapshot
+    * itself, nothing accumulates in executor state stores.
+    */
+  def cdcReplay(spark: SparkSession, dir: String,
+                userSample: Int = 256): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.Tables.load(spark, dir, "events")
+      .withColumn("ms", graft.operators.Relational.tsMs("ts"))
+    val users = ev.select(col("user_id")).distinct()
+      .orderBy(md5(col("user_id").cast("string")), col("user_id"))
+      .limit(userSample)
+    val sampled = ev.join(broadcast(users), "user_id")
+      .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
+    // global rank = the change's version: unique and monotone with
+    // stream order, so no upsert ever sees a version tie. Harness-side
+    // single-partition window over the constant-budget sample only.
+    val ch = sampled
+      .withColumn("v", row_number().over(
+        Window.orderBy(col("ms"), col("event_id"))).cast("long"))
+      .select(col("user_id"), col("event_type").as("last_type"), col("v"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"))
+      .as[CdcChange]
+      .collect()
+      .sortBy(_.v)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-replay")
+    val dest = tmp.resolve("snapshot").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[CdcChange]
+    val query = StreamingCdc.cdcStream(mem.toDS().toDF(), dest,
+      Seq("user_id"), "op", "v")
+    try {
+      val slices = ch.grouped(
+        math.max(1, math.ceil(ch.length / 4.0).toInt)).toSeq
+      slices.foreach { b =>
+        mem.addData(b.toIndexedSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.read.parquet(dest)
+      .select(col("user_id"), col("last_type"), col("v").as("version"))
+      .orderBy(col("user_id"))
+  }
+
+  def cdcReplaySql(userSample: Int = 256): String =
+    s"""WITH sample AS (
+      |  SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+      |  ORDER BY md5(CAST(user_id AS VARCHAR)), user_id LIMIT $userSample
+      |), ch AS (
+      |  SELECT e.user_id, e.event_type AS last_type,
+      |    CASE e.event_type WHEN 'signup' THEN 'I'
+      |      WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+      |    ROW_NUMBER() OVER (ORDER BY epoch_ms(e.ts), e.event_id) AS v
+      |  FROM events e JOIN sample USING (user_id)
+      |), latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY v DESC) AS rn
+      |  FROM ch
+      |)
+      |SELECT user_id, last_type, CAST(v AS BIGINT) AS version
+      |FROM latest WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   /** DuckDB twin: q496's fold restricted to the same md5 bottom-128
     * sample (the streaming snapshot IS this relation).
     */
