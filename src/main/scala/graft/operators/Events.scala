@@ -10773,4 +10773,155 @@ object Events {
       |    WHEN ROUND(t_raw, 6) < -3.34 THEN 'cointegrated'
       |    ELSE 'drifting' END AS verdict
       |FROM scored ORDER BY type_x, type_y""".stripMargin
+
+  /** q546 — Bass diffusion fit of the adoption curve: new adopters
+    * per day (first purchase) regressed on cumulative adopters via
+    * Bass's DISCRETE OLS form n_t = a + b·C_{t−1} + c·C_{t−1}² —
+    * linear in (a,b,c), so the fit is a closed-form 3×3 Cramer solve,
+    * no nonlinear optimizer — then the structural parameters: market
+    * size m from the root of c·m² + b·m + a = 0, innovation p = a/m,
+    * imitation q = −c·m, and the peak-adoption time ln(q/p)/(p+q).
+    * The growth-curve companion to q200's cohort LTV: LTV prices the
+    * users you have, Bass forecasts how many are still coming.
+    *
+    * Exactness: every OLS moment (ΣC, ΣC², ΣC³, ΣC⁴, Σn, ΣnC, ΣnC²)
+    * is an exact INTEGER accumulated as DECIMAL(38,0) over the dense
+    * adoption-span calendar (zero-adoption days are real
+    * observations and enter as rows of the span-bounded spine); the
+    * Cramer determinants and the p/q/m chain are one fixed-operand-
+    * order double sequence on those exact sums, mirrored verbatim,
+    * rounded 6dp with NULL guards for every degenerate (det = 0,
+    * c ≥ 0, negative discriminant, m ≤ 0, p or q ≤ 0).
+    *
+    * Scale: one first-purchase aggregate (user-keyed), one
+    * span-bounded dense spine + prefix sum, a 1-row readout.
+    */
+  def bassDiffusion(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def isum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val first = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(epochDayExpr).as("d0"))
+    val daily = first.groupBy(col("d0").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val dense = spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val wPrev = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withC = dense
+      .withColumn("c", coalesce(sum(col("n")).over(wPrev), lit(0L)))
+    val m = withC.agg(
+      count(lit(1)).as("t_days"),
+      isum(col("n")).as("sy"),
+      isum(col("c")).as("s1"),
+      isum(col("c") * col("c")).as("s2"),
+      isum(col("c").cast(dec) * col("c") * col("c")).as("s3"),
+      isum(col("c").cast(dec) * col("c") * col("c") * col("c")).as("s4"),
+      isum(col("n") * col("c")).as("sy1"),
+      isum(col("n").cast(dec) * col("c") * col("c")).as("sy2"))
+      .withColumn("t", col("t_days").cast("double"))
+    val det = col("t") * (col("s2") * col("s4") - col("s3") * col("s3")) -
+      col("s1") * (col("s1") * col("s4") - col("s3") * col("s2")) +
+      col("s2") * (col("s1") * col("s3") - col("s2") * col("s2"))
+    val detA = col("sy") * (col("s2") * col("s4") - col("s3") * col("s3")) -
+      col("s1") * (col("sy1") * col("s4") - col("s3") * col("sy2")) +
+      col("s2") * (col("sy1") * col("s3") - col("s2") * col("sy2"))
+    val detB = col("t") * (col("sy1") * col("s4") - col("s3") * col("sy2")) -
+      col("sy") * (col("s1") * col("s4") - col("s3") * col("s2")) +
+      col("s2") * (col("s1") * col("sy2") - col("sy1") * col("s2"))
+    val detC = col("t") * (col("s2") * col("sy2") - col("s3") * col("sy1")) -
+      col("s1") * (col("s1") * col("sy2") - col("sy1") * col("s2")) +
+      col("sy") * (col("s1") * col("s3") - col("s2") * col("s2"))
+    val scored = m
+      .withColumn("a", detA / nullif(det, lit(0.0)))
+      .withColumn("b", detB / nullif(det, lit(0.0)))
+      .withColumn("cc", detC / nullif(det, lit(0.0)))
+      .withColumn("disc", col("b") * col("b") - lit(4.0) * col("cc") * col("a"))
+      .withColumn("m_raw",
+        when(col("cc") < 0 && col("disc") >= 0,
+          (-col("b") - sqrt(col("disc"))) / (lit(2.0) * col("cc"))))
+      .withColumn("m_hat", when(col("m_raw") > 0, col("m_raw")))
+      .withColumn("p_raw", col("a") / nullif(col("m_hat"), lit(0.0)))
+      .withColumn("q_raw", -col("cc") * col("m_hat"))
+    scored.select(
+      col("t_days"), col("sy").cast("long").as("total_adopters"),
+      (round(col("a"), 6) + lit(0.0)).as("a"),
+      (round(col("b"), 6) + lit(0.0)).as("b"),
+      (round(col("cc"), 6) + lit(0.0)).as("c"),
+      round(col("m_hat"), 6).as("m_hat"),
+      (round(when(col("p_raw") > 0, col("p_raw")), 6) + lit(0.0)).as("p_hat"),
+      (round(when(col("q_raw") > 0, col("q_raw")), 6) + lit(0.0)).as("q_hat"),
+      round(when(col("p_raw") > 0 && col("q_raw") > 0,
+        log(col("q_raw") / col("p_raw")) / (col("p_raw") + col("q_raw"))), 6)
+        .as("peak_t"))
+  }
+
+  val bassDiffusionSql: String =
+    """WITH first_p AS (
+      |  SELECT user_id, MIN(epoch_ms(ts) // 86400000) AS d0
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), daily AS (
+      |  SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM first_p GROUP BY 1
+      |), spine AS (
+      |  SELECT unnest(range(mn, mx + 1)) AS day
+      |  FROM (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily)
+      |), dense AS (
+      |  SELECT s.day, COALESCE(d.n, 0) AS n
+      |  FROM spine s LEFT JOIN daily d USING (day)
+      |), withc AS (
+      |  SELECT day, n,
+      |    COALESCE(SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING), 0) AS c
+      |  FROM dense
+      |), mom AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS t_days,
+      |    CAST(COUNT(*) AS DOUBLE) AS t,
+      |    CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(c AS DECIMAL(38,0)) * c * c) AS DOUBLE) AS s3,
+      |    CAST(SUM(CAST(c AS DECIMAL(38,0)) * c * c * c) AS DOUBLE) AS s4,
+      |    CAST(SUM(CAST(n * c AS DECIMAL(38,0))) AS DOUBLE) AS sy1,
+      |    CAST(SUM(CAST(n AS DECIMAL(38,0)) * c * c) AS DOUBLE) AS sy2
+      |  FROM withc
+      |), solved AS (
+      |  SELECT t_days, sy,
+      |    (sy * (s2 * s4 - s3 * s3) - s1 * (sy1 * s4 - s3 * sy2)
+      |      + s2 * (sy1 * s3 - s2 * sy2))
+      |      / NULLIF(t * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+      |        + s2 * (s1 * s3 - s2 * s2), 0.0) AS a,
+      |    (t * (sy1 * s4 - s3 * sy2) - sy * (s1 * s4 - s3 * s2)
+      |      + s2 * (s1 * sy2 - sy1 * s2))
+      |      / NULLIF(t * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+      |        + s2 * (s1 * s3 - s2 * s2), 0.0) AS b,
+      |    (t * (s2 * sy2 - s3 * sy1) - s1 * (s1 * sy2 - sy1 * s2)
+      |      + sy * (s1 * s3 - s2 * s2))
+      |      / NULLIF(t * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+      |        + s2 * (s1 * s3 - s2 * s2), 0.0) AS cc
+      |  FROM mom
+      |), rooted AS (
+      |  SELECT t_days, sy, a, b, cc,
+      |    CASE WHEN cc < 0 AND b * b - 4.0 * cc * a >= 0 THEN
+      |      CASE WHEN (-b - sqrt(b * b - 4.0 * cc * a)) / (2.0 * cc) > 0
+      |        THEN (-b - sqrt(b * b - 4.0 * cc * a)) / (2.0 * cc) END
+      |    END AS m_hat
+      |  FROM solved
+      |), params AS (
+      |  SELECT t_days, sy, a, b, cc, m_hat,
+      |    a / NULLIF(m_hat, 0.0) AS p_raw,
+      |    -cc * m_hat AS q_raw
+      |  FROM rooted
+      |)
+      |SELECT t_days, CAST(sy AS BIGINT) AS total_adopters,
+      |  ROUND(a, 6) + 0.0 AS a, ROUND(b, 6) + 0.0 AS b,
+      |  ROUND(cc, 6) + 0.0 AS c,
+      |  ROUND(m_hat, 6) AS m_hat,
+      |  ROUND(CASE WHEN p_raw > 0 THEN p_raw END, 6) + 0.0 AS p_hat,
+      |  ROUND(CASE WHEN q_raw > 0 THEN q_raw END, 6) + 0.0 AS q_hat,
+      |  ROUND(CASE WHEN p_raw > 0 AND q_raw > 0
+      |    THEN ln(q_raw / p_raw) / (p_raw + q_raw) END, 6) AS peak_t
+      |FROM params""".stripMargin
 }

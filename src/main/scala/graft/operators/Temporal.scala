@@ -1958,4 +1958,171 @@ object Temporal {
       |    / CAST(tau AS DOUBLE), 6) AS rmst_share
       |FROM stepped CROSS JOIN taus
       |GROUP BY tau ORDER BY tau""".stripMargin
+
+  /** q544 — Greenwood confidence band over the q151 Kaplan–Meier
+    * curve: Var(Ŝ(t)) = Ŝ(t)²·Σ_{tᵢ≤t} dᵢ/(nᵢ(nᵢ−dᵢ)), the standard
+    * error every survival plot shades and every retention report
+    * should quote before anyone reads a 2-point S(t) difference as
+    * real. Built ON [[kaplanMeier]]'s returned relation (the q499
+    * RMST discipline), so the curve and its band cannot drift apart.
+    *
+    * Exactness: each step's Greenwood term dᵢ/(nᵢ(nᵢ−dᵢ)) is one IEEE
+    * division on exact integers, scaled ×10⁶ and 6dp-rounded before
+    * the DECIMAL cumulative (terms are ~1e-5 — rounding at the
+    * natural scale would erase them; the ×10⁶ scaling is part of the
+    * statistic's stated definition, bias ≤ 1e-12 per step); se and
+    * the clamped ±1.96·se band are one shared double chain, 6dp with
+    * the +0.0 guard (a lower bound can round to −0.0). Steps at or
+    * after S = 0 (d = n exhausts the risk set) surface NULL —
+    * Greenwood divides by n−d there.
+    *
+    * Scale: inherits q151's envelope — one customer aggregate, then
+    * windows over the distinct-duration step table (span-bounded).
+    */
+  def greenwoodBand(spark: SparkSession, dir: String,
+                    censorDays: Int = 90): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val km = kaplanMeier(spark, dir, censorDays)
+    val wAsc = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    km
+      .withColumn("hit_zero",
+        max((col("d_events") === col("n_risk")).cast("int")).over(wAsc))
+      .withColumn("term6",
+        when(col("d_events") === col("n_risk"), lit(null))
+          .otherwise(round(col("d_events").cast("double") * lit(1e6)
+            / (col("n_risk").cast("double")
+              * (col("n_risk") - col("d_events")).cast("double")), 6)))
+      .withColumn("cum6", sum(col("term6").cast(dec)).over(wAsc).cast("double"))
+      .withColumn("se",
+        when(col("hit_zero") === 1, lit(null))
+          .otherwise(col("survival")
+            * sqrt(greatest(col("cum6") / lit(1e6), lit(0.0)))))
+      .select(col("t_day"), col("n_risk"), col("d_events"), col("survival"),
+        (round(col("se"), 6) + lit(0.0)).as("se_greenwood"),
+        (round(greatest(col("survival") - lit(1.96) * col("se"), lit(0.0)), 6)
+          + lit(0.0)).as("ci_lo"),
+        (round(least(col("survival") + lit(1.96) * col("se"), lit(1.0)), 6)
+          + lit(0.0)).as("ci_hi"))
+      .orderBy(col("t_day"))
+  }
+
+  def greenwoodBandSql(censorDays: Int = 90): String =
+    s"""WITH d AS (
+      |  SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day FROM orders
+      |), ad AS (
+      |  SELECT MAX(day) AS asof_day FROM d
+      |), subj AS (
+      |  SELECT MAX(day) - MIN(day) AS dur,
+      |    CASE WHEN MAX(day) <= (SELECT asof_day FROM ad) - $censorDays
+      |      THEN 1 ELSE 0 END AS ev
+      |  FROM d GROUP BY o_custkey
+      |), steps AS (
+      |  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d_events, COUNT(*) AS n_t
+      |  FROM subj GROUP BY dur
+      |), r AS (
+      |  SELECT dur, d_events,
+      |    SUM(n_t) OVER (ORDER BY dur DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      |  FROM steps
+      |), km AS (
+      |  SELECT dur AS t_day, CAST(n_risk AS BIGINT) AS n_risk, d_events,
+      |    MAX(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END) OVER w
+      |      AS hit_zero,
+      |    CASE WHEN MAX(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END)
+      |        OVER w = 1 THEN 0.0
+      |      ELSE ROUND(POWER(10, CAST(SUM(
+      |        CASE WHEN d_events = 0 OR d_events = n_risk
+      |          THEN CAST(0 AS DECIMAL(18,6))
+      |          ELSE CAST(ROUND(LOG10(1 - CAST(d_events AS DOUBLE) / n_risk), 6)
+      |            AS DECIMAL(18,6)) END) OVER w AS DOUBLE)), 6) END AS survival,
+      |    SUM(CASE WHEN d_events = n_risk THEN NULL
+      |      ELSE CAST(ROUND(CAST(d_events AS DOUBLE) * 1e6
+      |        / (CAST(n_risk AS DOUBLE)
+      |          * CAST(n_risk - d_events AS DOUBLE)), 6)
+      |        AS DECIMAL(28,6)) END) OVER w AS cum6
+      |  FROM r
+      |  WINDOW w AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)
+      |), banded AS (
+      |  SELECT t_day, n_risk, d_events, survival,
+      |    CASE WHEN hit_zero = 1 THEN NULL
+      |      ELSE survival * sqrt(GREATEST(CAST(cum6 AS DOUBLE) / 1e6, 0.0))
+      |    END AS se
+      |  FROM km
+      |)
+      |SELECT t_day, n_risk, d_events, survival,
+      |  ROUND(se, 6) + 0.0 AS se_greenwood,
+      |  ROUND(GREATEST(survival - 1.96 * se, 0.0), 6) + 0.0 AS ci_lo,
+      |  ROUND(LEAST(survival + 1.96 * se, 1.0), 6) + 0.0 AS ci_hi
+      |FROM banded
+      |ORDER BY t_day""".stripMargin
+
+  /** q545 — newsvendor order quantity per part: the critical-fractile
+    * solution q* = F⁻¹(cᵤ/(cᵤ+cₒ)) of the empirical weekly-demand
+    * distribution — with underage:overage = 9:1, the 0.9 quantile of
+    * weekly demand INCLUDING the zero-demand weeks. The decision
+    * quantity q520's normal-approximation safety stock approximates;
+    * this is the distribution-free answer, and the gap between the
+    * two on lumpy parts (q496's demand classes) is exactly the
+    * normal-assumption error. Shares [[weeklyDemand]] with q496/q533
+    * so all three price the same relation.
+    *
+    * Exactness: the quantile is RANK-SELECTED on the span grid —
+    * rank r = (W·9+9) div 10 over W = corpus week span; the W−n zero
+    * weeks enter ANALYTICALLY (r ≤ W−n ⇒ q* = 0; otherwise the
+    * (r−(W−n))-th smallest demand week) — never as rows (the q520
+    * discipline); demands are exact decimal sums, displayed with one
+    * 6dp round.
+    *
+    * Scale: one (part, week) aggregate, one part-keyed rank window,
+    * a broadcast 1-row span — no dense part×week explode at any SF.
+    */
+  def newsvendorQuantity(spark: SparkSession, dir: String,
+                         minWeeks: Int = 3): DataFrame = {
+    val wk = weeklyDemand(spark, dir)
+    val span = wk.agg((max(col("week")) - min(col("week")) + 1).as("w_span"))
+    val ranked = wk
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("part")).orderBy(col("z"), col("week"))))
+      .withColumn("n_wk", count(lit(1)).over(Window.partitionBy(col("part"))))
+      .crossJoin(broadcast(span))
+      .withColumn("r", expr("(w_span * 9 + 9) div 10"))
+    ranked
+      .groupBy(col("part"), col("n_wk"), col("w_span"), col("r"))
+      .agg(max(when(col("rn") === col("r") - (col("w_span") - col("n_wk")),
+        col("z"))).as("picked"))
+      .filter(col("n_wk") >= minWeeks)
+      .select(col("part"), col("n_wk"), col("w_span"),
+        round(when(col("r") <= col("w_span") - col("n_wk"), lit(0.0))
+          .otherwise(col("picked").cast("double")), 6).as("q_star"))
+      .orderBy(col("part"))
+  }
+
+  def newsvendorQuantitySql(minWeeks: Int = 3): String =
+    s"""WITH wk AS (
+      |  SELECT l_partkey AS part,
+      |    (epoch_ms(l_shipdate) // 86400000) // 7 AS week,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS z
+      |  FROM lineitem GROUP BY 1, 2
+      |), span AS (
+      |  SELECT MAX(week) - MIN(week) + 1 AS w_span FROM wk
+      |), ranked AS (
+      |  SELECT part, z,
+      |    ROW_NUMBER() OVER (PARTITION BY part ORDER BY z, week) AS rn,
+      |    COUNT(*) OVER (PARTITION BY part) AS n_wk
+      |  FROM wk
+      |)
+      |SELECT r.part, CAST(MAX(r.n_wk) AS BIGINT) AS n_wk,
+      |  CAST(MAX(s.w_span) AS BIGINT) AS w_span,
+      |  ROUND(CASE
+      |    WHEN (MAX(s.w_span) * 9 + 9) // 10 <= MAX(s.w_span) - MAX(r.n_wk)
+      |      THEN 0.0
+      |    ELSE MAX(CASE WHEN r.rn = (s.w_span * 9 + 9) // 10
+      |      - (s.w_span - r.n_wk) THEN r.z END)
+      |    END, 6) AS q_star
+      |FROM ranked r CROSS JOIN span s
+      |GROUP BY r.part
+      |HAVING MAX(r.n_wk) >= $minWeeks
+      |ORDER BY r.part""".stripMargin
 }
