@@ -10924,4 +10924,112 @@ object Events {
       |  ROUND(CASE WHEN p_raw > 0 AND q_raw > 0
       |    THEN ln(q_raw / p_raw) / (p_raw + q_raw) END, 6) AS peak_t
       |FROM params""".stripMargin
+
+  /** q548 — Erlang C staffing table: the probability an arriving
+    * request waits, P_wait, and the average speed of answer for an
+    * agents ladder, from the purchase arrival rate λ (events table,
+    * exact count over the exact hour span) and a literal service
+    * rate μ = 12/hour — the queueing deliverable behind every
+    * support-staffing and capacity-planning sheet, completing the
+    * operations shelf (q149 lead time → q520 safety stock → q519 SLO
+    * burn → THIS: how many servers the arrival process needs).
+    *
+    * Exactness: the Erlang sum Σ A^k/k! is NOT computed from
+    * pow/factorial (whose magnitudes explode) but by the stable
+    * recurrence t_k = t_{k−1}·A/k folded in STRICT k order — Spark
+    * `aggregate` over the k sequence, DuckDB `list_reduce` over the
+    * same sequence with the same init — so both engines execute the
+    * identical IEEE operation sequence; λ and the span are exact
+    * integers, and every output is rounded once at 6dp. Unstable
+    * rows (n ≤ A) surface NULL (stated in the oracle).
+    *
+    * Scale: one count aggregate over the fact stream; the ladder is
+    * a literal 8-row frame crossed with a 1-row stats frame.
+    */
+  def erlangStaffing(spark: SparkSession, dir: String,
+                     serviceRate: Double = 12.0,
+                     maxAgents: Int = 8): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(epochDayExpr.as("day"))
+    val stats = ev.agg(count(lit(1)).as("n_arrivals"),
+        ((max(col("day")) - min(col("day")) + 1) * 24).as("span_hours"))
+      .withColumn("lam",
+        col("n_arrivals").cast("double") / col("span_hours").cast("double"))
+      .withColumn("a_load", col("lam") / lit(serviceRate))
+    val ladder = spark.range(1, maxAgents + 1L)
+      .select(col("id").cast("int").as("n_agents"))
+    ladder.crossJoin(broadcast(stats))
+      .withColumn("fold", expr(
+        """aggregate(
+          |  filter(sequence(1, n_agents), k -> k < n_agents),
+          |  named_struct('s', 1.0D, 't', 1.0D),
+          |  (acc, k) -> named_struct(
+          |    's', acc.s + acc.t * a_load / k,
+          |    't', acc.t * a_load / k))""".stripMargin))
+      .withColumn("tn",
+        col("fold.t") * col("a_load") / col("n_agents").cast("double"))
+      .withColumn("cterm",
+        col("tn") * col("n_agents").cast("double")
+          / nullif(col("n_agents").cast("double") - col("a_load"), lit(0.0)))
+      .withColumn("p_wait",
+        when(col("a_load") < col("n_agents").cast("double") && col("a_load") > 0,
+          col("cterm") / (col("fold.s") + col("cterm"))))
+      .withColumn("asa_min",
+        col("p_wait") / nullif(col("n_agents").cast("double") * lit(serviceRate)
+          - col("lam"), lit(0.0)) * lit(60.0))
+      .select(col("n_agents"), col("n_arrivals"), col("span_hours"),
+        round(col("lam"), 6).as("lambda_per_hour"),
+        round(col("a_load"), 6).as("offered_load"),
+        round(col("p_wait"), 6).as("p_wait"),
+        round(col("asa_min"), 6).as("asa_minutes"))
+      .orderBy(col("n_agents"))
+  }
+
+  def erlangStaffingSql(serviceRate: Double = 12.0,
+                        maxAgents: Int = 8): String =
+    s"""WITH arr AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+      |    (MAX(epoch_ms(ts) // 86400000)
+      |      - MIN(epoch_ms(ts) // 86400000) + 1) * 24 AS span_hours
+      |  FROM events WHERE event_type = 'purchase'
+      |), stats AS (
+      |  SELECT n_arrivals, span_hours,
+      |    CAST(n_arrivals AS DOUBLE) / CAST(span_hours AS DOUBLE) AS lam,
+      |    CAST(n_arrivals AS DOUBLE) / CAST(span_hours AS DOUBLE)
+      |      / $serviceRate AS a_load
+      |  FROM arr
+      |), ladder AS (
+      |  SELECT CAST(unnest(range(1, ${maxAgents + 1})) AS INT) AS n_agents
+      |), folded AS (
+      |  SELECT l.n_agents, s.n_arrivals, s.span_hours, s.lam, s.a_load,
+      |    list_reduce(
+      |      list_prepend([1.0, 1.0],
+      |        list_transform(range(1, l.n_agents),
+      |          k -> [CAST(k AS DOUBLE), 0.0])),
+      |      (acc, x) -> [acc[1] + acc[2] * s.a_load / x[1],
+      |                   acc[2] * s.a_load / x[1]]) AS fold
+      |  FROM ladder l CROSS JOIN stats s
+      |), scored AS (
+      |  SELECT n_agents, n_arrivals, span_hours, lam, a_load,
+      |    fold[1] AS fs,
+      |    fold[2] * a_load / CAST(n_agents AS DOUBLE) AS tn
+      |  FROM folded
+      |), ec AS (
+      |  SELECT n_agents, n_arrivals, span_hours, lam, a_load,
+      |    CASE WHEN a_load < CAST(n_agents AS DOUBLE) AND a_load > 0 THEN
+      |      (tn * CAST(n_agents AS DOUBLE)
+      |        / NULLIF(CAST(n_agents AS DOUBLE) - a_load, 0.0))
+      |      / (fs + tn * CAST(n_agents AS DOUBLE)
+      |        / NULLIF(CAST(n_agents AS DOUBLE) - a_load, 0.0))
+      |    END AS p_wait
+      |  FROM scored
+      |)
+      |SELECT n_agents, n_arrivals, CAST(span_hours AS BIGINT) AS span_hours,
+      |  ROUND(lam, 6) AS lambda_per_hour,
+      |  ROUND(a_load, 6) AS offered_load,
+      |  ROUND(p_wait, 6) AS p_wait,
+      |  ROUND(p_wait / NULLIF(CAST(n_agents AS DOUBLE) * $serviceRate - lam,
+      |    0.0) * 60.0, 6) AS asa_minutes
+      |FROM ec ORDER BY n_agents""".stripMargin
 }

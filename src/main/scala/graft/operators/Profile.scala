@@ -4523,4 +4523,86 @@ object Profile {
        |FROM scored s JOIN act a USING (cut_z)
        |ORDER BY cut_z""".stripMargin
   }
+
+  /** q547 — process-capability indices (Cp / Cpk / observed yield) of
+    * the ship-lag process per supplier nation against literal spec
+    * limits [0, 60] days: the SPC shelf's capability member — q523's
+    * p-chart asks "is the process stable today"; Cpk asks the
+    * planning question "can this process MEET the spec at all"
+    * (Cpk ≥ 1.33 is the classic capable cut), and the gap between Cp
+    * and Cpk is pure mis-centering. Per-nation rows name which
+    * supplier geographies structurally cannot ship inside spec.
+    *
+    * Exactness: lags are exact integer days so Σx and Σx² are exact
+    * BIGINTs; μ, σ (n−1), the indices and the exact observed
+    * in-spec share are one shared double chain off those sums,
+    * 6dp-rounded, NULLIF for degenerate (σ = 0 or n < 2) groups.
+    *
+    * Scale: one fact scan with the supplier dim broadcast, one
+    * |nations|-row aggregate.
+    */
+  def processCapability(spark: SparkSession, dir: String,
+                        lsl: Int = 0, usl: Int = 60): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val lags = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey"),
+        expr("datediff(l_shipdate, o_orderdate)").cast("long").as("x"))
+    val g = lags.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(when(col("x").between(lsl, usl), 1L).otherwise(0L)).as("n_in"))
+      .withColumn("nD", col("n").cast("double"))
+      .withColumn("mu", col("sx").cast("double") / col("nD"))
+      .withColumn("sd", sqrt(greatest(
+        (col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double") / col("nD"))
+          / nullif(col("nD") - 1.0, lit(0.0)), lit(0.0))))
+    g.select(col("s_nationkey"), col("n"),
+        round(col("mu"), 6).as("mean_lag"),
+        round(col("sd"), 6).as("sd_lag"),
+        round(lit((usl - lsl).toDouble)
+          / nullif(lit(6.0) * col("sd"), lit(0.0)), 6).as("cp"),
+        (round(least(lit(usl.toDouble) - col("mu"), col("mu") - lit(lsl.toDouble))
+          / nullif(lit(3.0) * col("sd"), lit(0.0)), 6) + lit(0.0)).as("cpk"),
+        round(col("n_in").cast("double") / col("nD"), 6).as("in_spec_share"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  def processCapabilitySql(lsl: Int = 0, usl: Int = 60): String =
+    s"""WITH lags AS (
+       |  SELECT s.s_nationkey,
+       |    CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS x
+       |  FROM lineitem l
+       |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |), g AS (
+       |  SELECT s_nationkey, COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(CASE WHEN x BETWEEN $lsl AND $usl THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_in
+       |  FROM lags GROUP BY 1
+       |), m AS (
+       |  SELECT s_nationkey, n, n_in,
+       |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+       |    sqrt(GREATEST((CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       |      / NULLIF(CAST(n AS DOUBLE) - 1.0, 0.0), 0.0)) AS sd
+       |  FROM g
+       |)
+       |SELECT s_nationkey, CAST(n AS BIGINT) AS n,
+       |  ROUND(mu, 6) AS mean_lag,
+       |  ROUND(sd, 6) AS sd_lag,
+       |  ROUND(${(usl - lsl).toDouble} / NULLIF(6.0 * sd, 0.0), 6) AS cp,
+       |  ROUND(LEAST($usl.0 - mu, mu - $lsl.0)
+       |    / NULLIF(3.0 * sd, 0.0), 6) + 0.0 AS cpk,
+       |  ROUND(CAST(n_in AS DOUBLE) / CAST(n AS DOUBLE), 6) AS in_spec_share
+       |FROM m ORDER BY s_nationkey""".stripMargin
 }
