@@ -108,6 +108,39 @@ object DupCheck {
       intentionalTwins.contains((a, b)) || intentionalTwins.contains((b, a))
     }
 
+  /** Scaladoc first-lines per query: every operator doc opens with
+    * `qNNN — <summary>` on the doc's first line; the summaries are a
+    * second, PROSE-level
+    * dedup surface (two operators can have dissimilar SQL but describe
+    * the same statistic — the q286/q536 near-miss was caught by the
+    * compiler only because the METHOD name collided). Extracts the
+    * first physical line of each `qNNN —` scaladoc under `root`.
+    */
+  def scaladocFirstLines(root: java.io.File): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles.foreach(walk)
+      else if (f.getName.endsWith(".scala")) {
+        val src = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val re = """/\*\* (q\d+) — ([^\n]*)""".r
+        re.findAllMatchIn(src).foreach { m =>
+          out(m.group(1)) = m.group(2)
+        }
+      }
+    walk(root)
+    out.toMap
+  }
+
+  /** First-line screen: prose summaries are short, so the gate is
+    * tuned to the measured distribution separately from the SQL gate
+    * (siblings share vocabulary; only near-verbatim lines flag).
+    */
+  val docThreshold: Double = 0.82
+
+  def flaggedDocs(root: java.io.File): Seq[(String, String, Double)] =
+    duplicates(scaladocFirstLines(root), docThreshold)
+
   /** Diagnostic main: print the top-N most similar oracle pairs so a
     * threshold change is set against the measured distribution, not a
     * guess.
@@ -119,6 +152,15 @@ object DupCheck {
     println(s"pairs >= 0.30 among ${entries.size} oracle SQL strings:")
     scored.take(topN).foreach { case (a, b, s) =>
       println(f"  $s%.3f  $a  ~  $b")
+    }
+    val srcRoot = new java.io.File("src/main/scala/graft")
+    if (srcRoot.isDirectory) {
+      val docs = scaladocFirstLines(srcRoot)
+      val docScored = duplicates(docs, 0.40)
+      println(s"\nscaladoc first-line pairs >= 0.40 among ${docs.size}:")
+      docScored.take(topN).foreach { case (a, b, s) =>
+        println(f"  $s%.3f  $a  ~  $b")
+      }
     }
   }
 }

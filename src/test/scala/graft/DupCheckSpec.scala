@@ -42,6 +42,23 @@ class DupCheckSpec extends AnyFunSuite {
       Set(a, b) == Set("q03_popularity", "q999_draft") && s >= DupCheck.threshold })
   }
 
+  test("no two operator scaladoc first-lines are near-identical") {
+    val root = new java.io.File("src/main/scala/graft")
+    assume(root.isDirectory) // repo-relative; skip outside the repo
+    val docs = DupCheck.scaladocFirstLines(root)
+    assert(docs.size > 400, s"doc extraction looks broken: ${docs.size}")
+    val hits = DupCheck.flaggedDocs(root)
+    assert(hits.isEmpty, "near-duplicate operator summaries:\n" +
+      hits.map { case (a, b, s) => f"  $s%.3f  $a ~ $b" }.mkString("\n"))
+  }
+
+  test("the doc screen catches a near-verbatim summary") {
+    val a = "Kendall tau-b rank concordance between every unordered pair"
+    val b = "Kendall tau-b rank concordance between every unordered pairs"
+    assert(DupCheck.jaccard(DupCheck.shingles(a), DupCheck.shingles(b)) >=
+      DupCheck.docThreshold)
+  }
+
   test("jaccard and the size-ratio prefilter agree on known values") {
     val a = DupCheck.shingles("SELECT x FROM t GROUP BY x")
     assert(DupCheck.jaccard(a, a) == 1.0)
