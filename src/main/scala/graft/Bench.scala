@@ -166,7 +166,7 @@ object Bench {
     * from a detail line. All detail dict values are brace-free (scalars
     * or number arrays), so the first closing delimiter is the end.
     */
-  private def section(out: String, key: String): String = {
+  private[graft] def section(out: String, key: String): String = {
     val tag = "\"" + key + "\":"
     val i = out.indexOf(tag)
     if (i < 0) return ""
@@ -180,7 +180,7 @@ object Bench {
   /** Parse a child's detail JSON back into the in-memory result shape:
     * (name, median, rep times, ok).
     */
-  private def parseDetail(out: String, names: Seq[String])
+  private[graft] def parseDetail(out: String, names: Seq[String])
       : Option[Seq[(String, Double, Seq[Double], Boolean)]] = {
     val qs = section(out, "queries")
     val runs = section(out, "runs")

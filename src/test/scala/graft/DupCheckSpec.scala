@@ -68,3 +68,38 @@ class DupCheckSpec extends AnyFunSuite {
     assert(DupCheck.jaccard(Set("abcde"), Set("fghij")) == 0.0)
   }
 }
+
+/** Orchestrator plumbing: the chunk-merge path parses child
+  * bench_detail.json lines with flat-section regexes; this pins the
+  * format contract so a detail-line change cannot silently zero a
+  * chunk (parseDetail returns None on ANY missing query, triggering
+  * the single-JVM fallback rather than a short total).
+  */
+class BenchParseSpec extends org.scalatest.funsuite.AnyFunSuite {
+  val detail = """{"metric":"bench_detail","reps":3,""" +
+    """"queries":{"q01_a":1.500,"q02_b":null,"x01_c":0.250},""" +
+    """"runs":{"q01_a":[1.400,1.500,1.600],"q02_b":[],"x01_c":[0.250]},""" +
+    """"spread":{"q01_a":0.200,"q02_b":0.000,"x01_c":0.000},""" +
+    """"isolated":{},"failed":["q02_b"],"sf":"/tmp/x"}"""
+
+  test("section extracts flat dicts and arrays") {
+    assert(Bench.section(detail, "queries").contains("\"q01_a\":1.500"))
+    assert(Bench.section(detail, "failed") === "\"q02_b\"")
+    assert(Bench.section(detail, "isolated") === "")
+  }
+
+  test("parseDetail round-trips medians, runs and failure flags") {
+    val r = Bench.parseDetail(detail, Seq("q01_a", "q02_b", "x01_c"))
+    assert(r.isDefined)
+    val byName = r.get.map(x => x._1 -> x).toMap
+    assert(byName("q01_a")._2 === 1.5)
+    assert(byName("q01_a")._3 === Seq(1.4, 1.5, 1.6))
+    assert(byName("q01_a")._4 === true)
+    assert(byName("q02_b")._4 === false)
+    assert(byName("x01_c")._2 === 0.25)
+  }
+
+  test("parseDetail refuses a detail line missing a requested query") {
+    assert(Bench.parseDetail(detail, Seq("q01_a", "q99_missing")).isEmpty)
+  }
+}
