@@ -62,9 +62,18 @@ object StreamingGraded {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[StreamingCroston.WeeklyDemand]
     val sink = s"croston_replay_${runSeq.incrementAndGet()}"
-    val query = StreamingCroston.forecasts(mem.toDS())
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
+    // the replay holds <= 128 keys: 32 state-store partitions would pay
+    // 32 checkpoint commits PER MICRO-BATCH for ~4 keys each (measured
+    // 11.6 s in-suite at sf0.1); 8 partitions carry the same state with
+    // a quarter of the commit I/O. Session conf is restored after the
+    // stream — the batch plan around it is unaffected.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try StreamingCroston.forecasts(mem.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       // split on global week boundaries: every part's later weeks land
       // in later micro-batches, so the per-part frontier check and the
@@ -143,16 +152,23 @@ object StreamingGraded {
     val dest = tmp.resolve("snapshot").toString
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[CdcChange]
-    val query = StreamingCdc.cdcStream(mem.toDS().toDF(), dest,
-      Seq("user_id"), "op", "v")
+    // the per-batch applyCdc works on <= |sample| rows: run the whole
+    // replay at 8 shuffle partitions instead of paying 32 tasks per
+    // inner window/join on a few hundred rows; restored after the stop
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val slices = ch.grouped(
-        math.max(1, math.ceil(ch.length / 4.0).toInt)).toSeq
-      slices.foreach { b =>
-        mem.addData(b.toIndexedSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+      val query = StreamingCdc.cdcStream(mem.toDS().toDF(), dest,
+        Seq("user_id"), "op", "v")
+      try {
+        val slices = ch.grouped(
+          math.max(1, math.ceil(ch.length / 4.0).toInt)).toSeq
+        slices.foreach { b =>
+          mem.addData(b.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.read.parquet(dest)
       .select(col("user_id"), col("last_type"), col("v").as("version"))
       .orderBy(col("user_id"))
