@@ -11032,4 +11032,185 @@ object Events {
       |  ROUND(p_wait / NULLIF(CAST(n_agents AS DOUBLE) * $serviceRate - lam,
       |    0.0) * 60.0, 6) AS asa_minutes
       |FROM ec ORDER BY n_agents""".stripMargin
+
+  /** q549 — Engle's ARCH LM test per event type: does today's daily
+    * VOLATILITY depend on yesterday's? Demeaned daily counts e_t, then
+    * the lag-1 auxiliary regression e²_t = α + φ·e²_{t−1}; LM = m·R²
+    * against the χ²(1) 5% cut 3.841. The volatility-clustering lens
+    * the autocorrelation battery misses by construction: q476's
+    * Ljung–Box reads correlation of LEVELS, this reads correlation of
+    * SQUARES — a series can pass one and fail the other, and the
+    * verdict decides whether q219-style EWMA control limits can assume
+    * constant variance.
+    *
+    * Exactness: counts are integers on the per-type dense calendar;
+    * e is one fixed double chain (v − exact-ratio mean) rounded 6dp;
+    * the auxiliary regression accumulates 6dp-rounded e² products as
+    * DECIMAL(28,6) (the q535 residual discipline); R², LM and the
+    * verdict are one shared chain, NULLIF-guarded for constant series.
+    *
+    * Scale: one daily aggregate, one per-type lag window over
+    * calendar-bounded frames, a |types|-row readout.
+    */
+  def archLmTest(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val dense = denseDailyCounts(spark, dir)
+    val means = dense.groupBy(col("event_type"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("nd"))
+      .withColumn("mean_v", col("sv").cast("double") / col("nd").cast("double"))
+    val e2 = dense.join(broadcast(means), "event_type")
+      .withColumn("e", col("v").cast("double") - col("mean_v"))
+      .withColumn("e2", round(col("e") * col("e"), 6))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pairs = e2
+      .withColumn("x", lag(col("e2"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .select(col("event_type"), col("x"), col("e2").as("y"))
+    val mom = pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(round(col("x") * col("x"), 6)).as("sxx"),
+        dsum(round(col("x") * col("y"), 6)).as("sxy"),
+        dsum(round(col("y") * col("y"), 6)).as("syy"))
+      .withColumn("mD", col("m").cast("double"))
+    val sxxC = col("sxx") - col("sx") * col("sx") / col("mD")
+    val sxyC = col("sxy") - col("sx") * col("sy") / col("mD")
+    val syyC = col("syy") - col("sy") * col("sy") / col("mD")
+    val r2 = sxyC * sxyC / nullif(sxxC * syyC, lit(0.0))
+    val lm = col("mD") * r2
+    mom.select(col("event_type"), col("m").as("n_pairs"),
+        round(sxyC / nullif(sxxC, lit(0.0)), 6).as("phi"),
+        round(r2, 6).as("r2"),
+        round(lm, 6).as("lm_stat"),
+        when(round(lm, 6).isNull, lit("degenerate"))
+          .when(round(lm, 6) > 3.841, lit("arch_effect"))
+          .otherwise(lit("homoskedastic")).as("verdict"))
+      .orderBy(col("event_type"))
+  }
+
+  def archLmTestSql: String =
+    s"""WITH $denseDailyCountsSql, means AS (
+      |  SELECT event_type,
+      |    CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_v
+      |  FROM dense GROUP BY 1
+      |), e2t AS (
+      |  SELECT d.event_type, d.day,
+      |    ROUND((CAST(d.v AS DOUBLE) - m.mean_v)
+      |      * (CAST(d.v AS DOUBLE) - m.mean_v), 6) AS e2
+      |  FROM dense d JOIN means m USING (event_type)
+      |), pairs AS (
+      |  SELECT event_type, x, e2 AS y FROM (
+      |    SELECT event_type, e2,
+      |      LAG(e2, 1) OVER (PARTITION BY event_type ORDER BY day) AS x
+      |    FROM e2t
+      |  ) WHERE x IS NOT NULL
+      |), mom AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(COUNT(*) AS DOUBLE) AS md,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |  FROM pairs GROUP BY 1
+      |), scored AS (
+      |  SELECT event_type, m,
+      |    (sxy - sx * sy / md) / NULLIF(sxx - sx * sx / md, 0.0) AS phi,
+      |    (sxy - sx * sy / md) * (sxy - sx * sy / md)
+      |      / NULLIF((sxx - sx * sx / md) * (syy - sy * sy / md), 0.0) AS r2,
+      |    md * ((sxy - sx * sy / md) * (sxy - sx * sy / md)
+      |      / NULLIF((sxx - sx * sx / md) * (syy - sy * sy / md), 0.0)) AS lm
+      |  FROM mom
+      |)
+      |SELECT event_type, m AS n_pairs,
+      |  ROUND(phi, 6) AS phi, ROUND(r2, 6) AS r2, ROUND(lm, 6) AS lm_stat,
+      |  CASE WHEN ROUND(lm, 6) IS NULL THEN 'degenerate'
+      |    WHEN ROUND(lm, 6) > 3.841 THEN 'arch_effect'
+      |    ELSE 'homoskedastic' END AS verdict
+      |FROM scored ORDER BY event_type""".stripMargin
+
+  /** q550 — Hampel identifier over each type's daily series: a
+    * centered 7-day window's MEDIAN and MAD replace the rolling
+    * mean/σ, flagging days with |v − med| > 3·1.4826·MAD — the
+    * robust anomaly screen that a single spike cannot blind (a
+    * rolling z-score inflates its own σ and misses the very outlier
+    * it sits on; the MAD window does not). Full windows only (the
+    * centered-MA convention), per-type counts plus the worst day.
+    *
+    * Exactness: window medians are exact rank picks from the sorted
+    * 7-element window array (odd window ⇒ no interpolation); MAD is
+    * the exact median of integer |v − med·2|/2-style halves — all
+    * arithmetic stays on exact integer-or-half values until the one
+    * 6dp-rounded score; flag counts are integers.
+    *
+    * Scale: one per-type ordered window (calendar-bounded frames)
+    * carrying a 7-element array per row — no self-joins; |types|-row
+    * readout.
+    */
+  def hampelScreen(spark: SparkSession, dir: String,
+                   k: Double = 3.0): DataFrame = {
+    val dense = denseDailyCounts(spark, dir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val windowed = dense
+      .withColumn("win", collect_list(col("v")).over(w))
+      .filter(size(col("win")) === 7)
+      .withColumn("med", expr("CAST(array_sort(win)[3] AS DOUBLE)"))
+      .withColumn("madw", expr(
+        """CAST(array_sort(transform(win,
+          |  x -> abs(x - CAST(array_sort(win)[3] AS DOUBLE))))[3]
+          |  AS DOUBLE)""".stripMargin))
+      .withColumn("score",
+        round(abs(col("v").cast("double") - col("med"))
+          / nullif(lit(1.4826) * col("madw"), lit(0.0)), 6))
+      .withColumn("flagged",
+        when(col("score") > k, 1L).otherwise(0L))
+    windowed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("flagged")).as("n_flagged"),
+        max(struct(coalesce(col("score"), lit(0.0)).as("s"),
+          col("day").as("d"))).as("worst"))
+      .select(col("event_type"), col("n_days"), col("n_flagged"),
+        round(col("n_flagged").cast("double")
+          / col("n_days").cast("double"), 6).as("flag_rate"),
+        col("worst.d").as("worst_day"),
+        col("worst.s").as("worst_score"))
+      .orderBy(col("event_type"))
+  }
+
+  def hampelScreenSql(k: Double = 3.0): String =
+    s"""WITH $denseDailyCountsSql, windowed AS (
+      |  SELECT event_type, day, v,
+      |    list(v) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win
+      |  FROM dense
+      |), full_w AS (
+      |  SELECT event_type, day, v,
+      |    CAST(list_sort(win)[4] AS DOUBLE) AS med,
+      |    CAST(list_sort(list_transform(win,
+      |      x -> abs(x - CAST(list_sort(win)[4] AS DOUBLE))))[4]
+      |      AS DOUBLE) AS madw
+      |  FROM windowed WHERE len(win) = 7
+      |), scored AS (
+      |  SELECT event_type, day,
+      |    ROUND(abs(CAST(v AS DOUBLE) - med)
+      |      / NULLIF(1.4826 * madw, 0.0), 6) AS score
+      |  FROM full_w
+      |)
+      |, agg AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(CASE WHEN score > $k THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_flagged,
+      |    MAX({'s': COALESCE(score, 0.0), 'd': day}) AS worst
+      |  FROM scored GROUP BY event_type
+      |)
+      |SELECT event_type, n_days, n_flagged,
+      |  ROUND(CAST(n_flagged AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+      |    AS flag_rate,
+      |  worst.d AS worst_day,
+      |  worst.s AS worst_score
+      |FROM agg
+      |ORDER BY event_type""".stripMargin
 }
