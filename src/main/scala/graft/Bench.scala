@@ -163,8 +163,12 @@ object Bench {
   }
 
   /** Extract a flat `"key":{...}` dict (or `"key":[...]` array) body
-    * from a detail line. All detail dict values are brace-free (scalars
-    * or number arrays), so the first closing delimiter is the end.
+    * from a detail line. Detail dict values are brace-free (scalars or
+    * number arrays) with ONE exception: the `isolated` dict nests
+    * `{median,spread}` objects, so `section(out, "isolated")` would
+    * truncate at the first inner `}` — callers must not use this
+    * helper for that key (none do; the isolated readers match the
+    * nested fields with their own regexes).
     */
   private[graft] def section(out: String, key: String): String = {
     val tag = "\"" + key + "\":"

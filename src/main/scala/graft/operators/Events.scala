@@ -10816,10 +10816,10 @@ object Events {
       count(lit(1)).as("t_days"),
       isum(col("n")).as("sy"),
       isum(col("c")).as("s1"),
-      isum(col("c") * col("c")).as("s2"),
+      isum(col("c").cast(dec) * col("c")).as("s2"),
       isum(col("c").cast(dec) * col("c") * col("c")).as("s3"),
       isum(col("c").cast(dec) * col("c") * col("c") * col("c")).as("s4"),
-      isum(col("n") * col("c")).as("sy1"),
+      isum(col("n").cast(dec) * col("c")).as("sy1"),
       isum(col("n").cast(dec) * col("c") * col("c")).as("sy2"))
       .withColumn("t", col("t_days").cast("double"))
     val det = col("t") * (col("s2") * col("s4") - col("s3") * col("s3")) -

