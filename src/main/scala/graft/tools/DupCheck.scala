@@ -141,6 +141,98 @@ object DupCheck {
   def flaggedDocs(root: java.io.File): Seq[(String, String, Double)] =
     duplicates(scaladocFirstLines(root), docThreshold)
 
+  // ------------------------------------------------------------------
+  // canonicalized-plan-digest screen (round-13 verdict item 7): the
+  // SQL screen cannot see two queries whose ORACLES differ textually
+  // but whose Spark plans are the same tree — e.g. a re-registered
+  // operator whose twin oracle was rewritten just enough to slip the
+  // 0.93 shingle gate. The plan IS the operator; hash it directly.
+  // ------------------------------------------------------------------
+
+  /** Queries the plan screen skips, each with its reason reviewable
+    * here: the four graded streaming replays EXECUTE their stream
+    * inside the builder and return a materialized LocalRelation — the
+    * digest would hash result data, not an operator tree (and building
+    * the DataFrame costs a full replay).
+    */
+  val planScreenExclusions: Map[String, String] = Map(
+    "q533_streaming_croston" ->
+      "replay harness: runs flatMapGroupsWithState eagerly, returns a local snapshot",
+    "q543_streaming_cdc" ->
+      "replay harness: runs foreachBatch CDC eagerly, returns a local snapshot",
+    "q551_streaming_interval_join" ->
+      "replay harness: runs the stream-stream join eagerly, returns local pairs",
+    "q552_streaming_dedup_eviction" ->
+      "replay harness: runs dropDuplicatesWithinWatermark eagerly, returns local counts")
+
+  /** md5 of the ANALYZED plan's canonicalized tree PLUS the plan's
+    * closure capture sites: `canonicalized` normalizes exprIds and
+    * erases cosmetic naming, so two structurally identical operator
+    * trees digest equal no matter how many times or in what order they
+    * were built, while any real difference (another operator, another
+    * literal, another column) digests apart. Closures (mapPartitions
+    * kernels, typed maps, ScalaUDFs) are NOT part of canonicalization
+    * — the screen's first run proved it by colliding q244 aHash with
+    * q295 pHash, whose entire difference is the kernel lambda — so the
+    * digest appends each closure's capture-site class name (the JVM
+    * lambda class, one per definition site, `/0x…` suffix stripped):
+    * the same site rebuilt digests equal; a different kernel digests
+    * apart.
+    */
+  def planDigest(df: org.apache.spark.sql.DataFrame): String = {
+    val analyzed = df.queryExecution.analyzed
+    val canon = analyzed.canonicalized.toString +
+      closureSites(analyzed).mkString("\n", "\n", "")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** Capture-site class names of every function object reachable from
+    * the plan's nodes and expressions, in tree order.
+    */
+  private[graft] def closureSites(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] = {
+    val out = Seq.newBuilder[String]
+    def site(f: AnyRef): String = f.getClass.getName.takeWhile(_ != '/')
+    def fromProduct(p: Product): Unit = p.productIterator.foreach {
+      case f: scala.Function1[_, _] => out += site(f)
+      case f: scala.Function2[_, _, _] => out += site(f)
+      case f: scala.Function3[_, _, _, _] => out += site(f)
+      case _ => ()
+    }
+    plan.foreach { node =>
+      node match {
+        // a checkpointed/materialized source erases its lineage from
+        // the logical tree (q244 vs q295 collide: both are the same
+        // band-join tree over an opaque LogicalRDD — the aHash/pHash
+        // kernels ran at localCheckpoint time). The RDD's debug string
+        // keeps the DEFINITION callsite (file:line), which is exactly
+        // the capture-site identity; run-varying [id] tags stripped.
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          out += lr.rdd.toDebugString.replaceAll("\\[\\d+\\]", "[]")
+        case _ => ()
+      }
+      fromProduct(node)
+      node.expressions.foreach(_.foreach(e => fromProduct(e)))
+    }
+    out.result()
+  }
+
+  /** Digest every registered (non-excluded) query at `dir` and return
+    * the digest-collision groups (>= 2 names per digest). Empty =
+    * every registered operator plans a distinct tree.
+    */
+  def samePlanGroups(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Seq[Seq[String]] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => planScreenExclusions.contains(n) }
+      .map { case (n, fn) => n -> planDigest(fn(spark, dir)) }
+      .groupBy(_._2).values
+      .collect { case g if g.size > 1 => g.map(_._1).sorted }
+      .toSeq.sortBy(_.head)
+
   /** Diagnostic main: print the top-N most similar oracle pairs so a
     * threshold change is set against the measured distribution, not a
     * guess.

@@ -59,6 +59,50 @@ class DupCheckSpec extends AnyFunSuite {
       DupCheck.docThreshold)
   }
 
+  test("no two registered queries compile to the same canonicalized plan") {
+    val spark = SharedSpark.spark
+    val groups = DupCheck.samePlanGroups(spark, "/root/testdata/sf0.001")
+    assert(groups.isEmpty, "same-plan query groups (the operator tree is " +
+      "identical — one of each group is a re-registration):\n" +
+      groups.map(_.mkString("  ", " == ", "")).mkString("\n"))
+  }
+
+  test("the plan screen catches a seeded same-plan duplicate") {
+    val spark = SharedSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    // two INDEPENDENT builds of the same query: fresh analysis assigns
+    // fresh exprIds throughout — only exprId normalization makes the
+    // digests collide, which is exactly the re-registration failure mode
+    val a = SparkEntry.queries("q10_filters")(spark, dir)
+    val b = SparkEntry.queries("q10_filters")(spark, dir)
+    assert(DupCheck.planDigest(a) === DupCheck.planDigest(b))
+    // and a REAL difference (one more filter) digests apart
+    import org.apache.spark.sql.functions.lit
+    assert(DupCheck.planDigest(a.filter(lit(true))) !==
+      DupCheck.planDigest(b))
+  }
+
+  test("closure kernels are part of the digest (the q244/q295 first-run catch)") {
+    val spark = SharedSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    // aHash vs pHash: identical operator trees, the entire difference
+    // is the mapPartitions kernel — the screen's first run collided
+    // them because canonicalization ignores closures
+    val a = SparkEntry.queries("q244_image_ahash_dups")(spark, dir)
+    val b = SparkEntry.queries("q295_image_phash_dups")(spark, dir)
+    assert(DupCheck.planDigest(a) !== DupCheck.planDigest(b))
+    // a rebuilt closure-bearing plan still digests equal to itself
+    val a2 = SparkEntry.queries("q244_image_ahash_dups")(spark, dir)
+    assert(DupCheck.planDigest(a) === DupCheck.planDigest(a2))
+  }
+
+  test("every planScreenExclusions entry names a currently-registered query") {
+    val names = SparkEntry.queries.keySet
+    DupCheck.planScreenExclusions.keys.foreach { n =>
+      assert(names.contains(n), s"stale plan-screen exclusion: $n")
+    }
+  }
+
   test("jaccard and the size-ratio prefilter agree on known values") {
     val a = DupCheck.shingles("SELECT x FROM t GROUP BY x")
     assert(DupCheck.jaccard(a, a) == 1.0)
