@@ -27,17 +27,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Canary pins: fresh-JVM medians (5 reps, 1 warmup, all three in one
-    * child, sf0.1, local[32]) measured on the round-13 build host —
-    * median of 5 such child runs (per-run medians spanned ±35%, the
-    * box's ambient noise band; see PLANS.md "host canary" note).
-    * host_factor in any later round reads relative to THIS host epoch;
-    * re-pin only with a PLANS.md note recording the old/new values.
+  /** Canary pins: fresh-JVM medians (5 reps, 1 warmup, all eight in one
+    * child, sf0.1, local[32]) measured on the ROUND-14 build host —
+    * median of 5 such child runs (PLANS.md "host canary r14 re-pin"
+    * records the protocol, the old 3-query epoch, and the per-run
+    * spread). Widened from 3 to 8 queries spanning the suite's cost
+    * regimes (round-13 verdict item 2: a 3-query median cannot resolve
+    * the 10-20% swings it is asked to settle); `host_factor` is now a
+    * TRIMMED mean (drop min/max ratio) with a lo/hi band in both
+    * trailers. host_factor in any later round reads relative to THIS
+    * host epoch; re-pin only with a PLANS.md note recording old/new.
     */
   val canaryPins: Seq[(String, Double)] = Seq(
-    "q09_count_distinct" -> 0.703, // shuffle-bound
-    "q10_filters" -> 0.830, // scan-bound
-    "q52_topk_per_source" -> 0.954) // window-bound
+    "q01_pricing_summary" -> 1.667, // scan + wide agg (flagship shape)
+    "q05_join_inner" -> 1.164, // join-bound
+    "q09_count_distinct" -> 0.485, // shuffle-bound
+    "q10_filters" -> 0.735, // scan-bound
+    "q36_vocabulary" -> 0.686, // text explode + heavy agg
+    "q52_topk_per_source" -> 0.945, // window-bound
+    "q533_streaming_croston" -> 3.670, // streaming replay (state store)
+    "q536_flac_meta" -> 0.341) // mapPartitions kernel-bound
 
   /** Always-isolated queries (round-12 verdict item 1): carried
     * reference-surface queries whose r12 in-suite medians moved above
@@ -50,7 +59,11 @@ object Bench {
     */
   val isolatePins: Seq[String] = Seq(
     "q48_category_difficulty", "q47_rollup", "q50_categories_report",
-    "q473_simpson_screen", "q483_bin_advisor")
+    "q473_simpson_screen", "q483_bin_advisor",
+    // round-13 verdict item 4: pins whose r13 isolated medians carried
+    // spread >= their median (q276: 12.67 vs 4.59) or near it (q107
+    // 2.77, q108 2.91) — pinned so every round re-measures them fresh
+    "q276_edge_support", "q107_pagerank", "q108_dedup_report")
 
   /** Non-graded scale-path twins benched alongside the graded suite
     * (no oracle — sketch forms with engine-specific interpolation;
@@ -103,7 +116,11 @@ object Bench {
     val isChild = sys.env.get("SPARK_GRAFT_CHILD").contains("1") ||
       sys.env.get("SPARK_GRAFT_ISOLATED").contains("0")
     val bucketed = sys.env.get("SPARK_GRAFT_BUCKETED").contains("1")
-    val chunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "4").toInt
+    // 8 chunks of ~70 (was 4 of ~135 — round-13 verdict item 3: the
+    // late-chunk tail still carried up to ~3x within-chunk aging; at
+    // ~70 queries per fresh JVM the measured in-suite/isolated ratio
+    // stays inside the host band)
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "8").toInt
     if (!isChild && !bucketed && only.isEmpty && chunks > 1) orchestrate(chunks)
     else sweep()
   }
@@ -251,7 +268,7 @@ object Bench {
     // same protocol the pins were measured with
     val canaryNames = canaryPins.map(_._1)
     val canary: Seq[(String, Option[Double])] =
-      runChild(canaryNames, 5, 1, "8g", 600) match {
+      runChild(canaryNames, 5, 1, "8g", 900) match {
         case Some(out) =>
           val qs = section(out, "queries")
           canaryNames.map { n =>
@@ -266,8 +283,16 @@ object Bench {
     // pins are an sf0.1 epoch: at any other SF the observations still
     // ship (for eyeballing) but the factor is meaningless -> null
     val pinnedSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
-    val hostFactor =
-      if (ratios.nonEmpty && pinnedSf) Some(medianOf(ratios)) else None
+    // trimmed mean (drop min/max) + the surviving ratios' lo/hi band:
+    // a single cold canary query can no longer drag the factor, and
+    // the band states how much the 10-20% round-over-round questions
+    // can actually be trusted (round-13 verdict item 2)
+    val hostFactor: Option[(Double, Double, Double)] =
+      if (ratios.nonEmpty && pinnedSf) {
+        val trimmed =
+          if (ratios.size >= 4) ratios.drop(1).dropRight(1) else ratios
+        Some((trimmed.sum / trimmed.size, trimmed.head, trimmed.last))
+      } else None
 
     // isolated re-measurement: the standing pins (consistently-slow
     // carried queries the spread rule can't see) plus the auto-selected
@@ -312,7 +337,8 @@ object Bench {
   private def emit(results: Seq[(String, Double, Seq[Double], Boolean)],
       isolated: Seq[(String, Option[(Double, Double)])],
       reps: Int, sfDir: String,
-      canaryInfo: Option[(Seq[(String, Option[Double])], Option[Double], Int)])
+      canaryInfo: Option[(Seq[(String, Option[Double])],
+        Option[(Double, Double, Double)], Int)])
       : Unit = {
     // Two artifacts from one run. The driver keeps only the LAST 2000
     // chars of stdout in BENCH_r{N}.json ("tail") — round 4's full-name
@@ -343,7 +369,9 @@ object Bench {
       val cp = canaryPins.map { case (n, p) =>
         "\"" + n + "\":" + f3(p) }.mkString("{", ",", "}")
       s""","chunks":$nChunks,"canary":$cq,"canary_pins":$cp,"host_factor":${
-        hf.map(f3).getOrElse("null")}"""
+        hf.map(h => f3(h._1)).getOrElse("null")},"host_factor_lo":${
+        hf.map(h => f3(h._2)).getOrElse("null")},"host_factor_hi":${
+        hf.map(h => f3(h._3)).getOrElse("null")}"""
     }.getOrElse("")
     val detail = s"""{"metric":"bench_detail","reps":$reps,"queries":$detailQs,"runs":$detailRuns,"spread":$detailSpread,"isolated":$detailIso,"failed":$failedNames$canaryDetail,"sf":"$sfDir"}"""
     println(detail)
@@ -391,7 +419,10 @@ object Bench {
       val cq = canary.map { case (n, o) =>
         "\"" + shortKey(n) + "\":" + o.map(f3).getOrElse("null") }
         .mkString("{", ",", "}")
-      s""","chunks":$nChunks,"host_factor":${hf.map(f3).getOrElse("null")},"canary":$cq"""
+      s""","chunks":$nChunks,"host_factor":${
+        hf.map(h => f3(h._1)).getOrElse("null")},"host_band":${
+        hf.map(h => "[" + f3(h._2) + "," + f3(h._3) + "]").getOrElse("null")
+        },"canary":$cq"""
     }.getOrElse("")
     println(s"""{"metric":"total_compact","value":${f3(total)},"unit":"sec","n":${graded.size},"n_ok":$nOk,"extras_s":${f3(extrasTotal)}$canaryCompact,"sf":"$sfDir"}""")
   }
