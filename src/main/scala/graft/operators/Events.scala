@@ -11213,4 +11213,92 @@ object Events {
       |  worst.s AS worst_score
       |FROM agg
       |ORDER BY event_type""".stripMargin
+
+  /** q553 — Allan variance (two-sample variance) of the daily arrival
+    * series per averaging time τ ∈ {1, 2, 4, 8} days: bin the dense
+    * day spine into consecutive FULL τ-day windows, AVAR(τ) =
+    * Σ (ȳ_{i+1} − ȳ_i)² / (2(M−1)) over the M bin means, ADEV = √.
+    * The clock-metrology stability statistic the battery lacks: a
+    * classical variance answers "how much does the rate wander",
+    * Allan answers "over WHICH horizon does averaging stop helping" —
+    * white noise falls as 1/τ, drift RISES with τ, and the τ where the
+    * curve turns is the longest useful smoothing window for q372-style
+    * rate baselines. Hurst (q468) measures long memory of the same
+    * series; Allan is the noise-floor dial instrument engineers read.
+    *
+    * Exactness: bin means enter as exact integer bin SUMS —
+    * (ȳ_{i+1} − ȳ_i)² = (S_{i+1} − S_i)²/τ², so Σ diff² accumulates as
+    * exact DECIMAL(38,0) and ONE double division by 2(M−1)τ² ends the
+    * chain, mirrored operand-for-operand; zero-arrival days are real
+    * 0 rows of the dense spine; full windows only (the trailing
+    * partial bin is dropped on both engines by the d = τ count check).
+    *
+    * Scale: one day-grain pre-aggregate (the only data-sized shuffle),
+    * then a calendar-bounded spine (span × 4 τ rows) — bins, lead and
+    * the final fold all run on O(span) rows regardless of corpus size.
+    */
+  def allanVariance(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(epochDayExpr.as("day")).agg(count(lit(1)).as("n"))
+    val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("mn"), explode(sequence(col("mn"), col("mx"))).as("day"))
+    val dense = spine.join(daily, Seq("day"), "left")
+      .select(col("mn"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val taus = spark.range(4)
+      .select(expr("shiftleft(1L, cast(id as int))").as("tau"))
+    val bins = dense.crossJoin(broadcast(taus))
+      .withColumn("bin", expr("(day - mn) div tau"))
+      .groupBy(col("tau"), col("bin"))
+      .agg(sum(col("n")).as("s"), count(lit(1)).as("d"))
+      .filter(col("d") === col("tau")) // full windows only
+    val wNext = Window.partitionBy(col("tau")).orderBy(col("bin"))
+    val diffs = bins
+      .withColumn("df", lead(col("s"), 1).over(wNext) - col("s"))
+    diffs.groupBy(col("tau"))
+      .agg(count(lit(1)).as("m_bins"),
+        sum((col("df").cast(dec) * col("df"))).cast("double").as("sumsq"))
+      .select(col("tau"), col("m_bins"),
+        round(col("sumsq") / nullif(
+          lit(2.0) * (col("m_bins") - 1) * col("tau") * col("tau"),
+          lit(0.0)), 6).as("avar"),
+        round(sqrt(col("sumsq") / nullif(
+          lit(2.0) * (col("m_bins") - 1) * col("tau") * col("tau"),
+          lit(0.0))), 6).as("adev"))
+      .orderBy(col("tau"))
+  }
+
+  val allanVarianceSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1
+      |), bounds AS (
+      |  SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily
+      |), spine AS (
+      |  SELECT mn, unnest(generate_series(mn, mx)) AS day FROM bounds
+      |), dense AS (
+      |  SELECT s.mn, s.day, COALESCE(d.n, 0) AS n
+      |  FROM spine s LEFT JOIN daily d USING (day)
+      |), taus AS (
+      |  SELECT unnest([1, 2, 4, 8]) AS tau
+      |), bins AS (
+      |  SELECT tau, (day - mn) // tau AS bin, SUM(n) AS s, COUNT(*) AS d
+      |  FROM dense CROSS JOIN taus
+      |  GROUP BY 1, 2 HAVING COUNT(*) = tau
+      |), diffs AS (
+      |  SELECT tau, bin,
+      |    lead(s) OVER (PARTITION BY tau ORDER BY bin) - s AS df
+      |  FROM bins
+      |), agg AS (
+      |  SELECT tau, COUNT(*) AS m_bins,
+      |    CAST(SUM(CAST(df AS DECIMAL(38,0)) * df) AS DOUBLE) AS sumsq
+      |  FROM diffs GROUP BY tau
+      |)
+      |SELECT CAST(tau AS BIGINT) AS tau,
+      |  CAST(m_bins AS BIGINT) AS m_bins,
+      |  ROUND(sumsq / NULLIF(2.0 * (m_bins - 1) * tau * tau, 0.0), 6)
+      |    AS avar,
+      |  ROUND(sqrt(sumsq / NULLIF(2.0 * (m_bins - 1) * tau * tau, 0.0)), 6)
+      |    AS adev
+      |FROM agg ORDER BY tau""".stripMargin
 }

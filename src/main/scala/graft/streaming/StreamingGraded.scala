@@ -461,6 +461,133 @@ object StreamingGraded {
       .orderBy(col("content_fp"))
   }
 
+  case class SessEv(user_id: Long, ts: java.sql.Timestamp, v: Double)
+
+  /** q554 — native `session_window` MERGING-STATE aggregation graded
+    * end-to-end: the fifth streaming architecture on the graded seam
+    * (after flatMapGroupsWithState q533, foreachBatch q543,
+    * stream-stream join q551, dropDuplicatesWithinWatermark q552) and
+    * the only one whose state MERGES — a session absorbs every event
+    * within `gapMs` of its frontier, extending its own end as it goes,
+    * across micro-batch boundaries. A constant-budget md5 user
+    * sample's events replay through four time-ordered micro-batches
+    * plus two far-future sentinel batches (watermark pushers: append
+    * mode emits a session only once the watermark proves it closed;
+    * the second sentinel forces the batch in which the first's
+    * watermark takes effect), and the emitted sessions grade against
+    * the batch gaps-and-islands relation.
+    *
+    * Exactness: under a time-ordered feed nothing is late, so the
+    * streaming session set equals the batch islands partition exactly
+    * — same gap convention on both sides (window end = last event +
+    * gap, end-exclusive: a gap of exactly `gapMs` STARTS a new
+    * session, `>= ` in the oracle's break predicate); session_value
+    * accumulates as DECIMAL(18,6) (order-independent), n_events as
+    * integers; ms cuts never split an instant across batches.
+    *
+    * Scale: feed = harness half (bounded collect); graded code = the
+    * production path — session state is per-(user, open session),
+    * merged and EVICTED by watermark in the state store, the exact
+    * mechanism a forever-running sessionizer needs.
+    */
+  def sessionWindowReplay(spark: SparkSession, dir: String,
+                          userSample: Int = 256,
+                          gapMs: Long = 1800000L): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = graft.Tables.load(spark, dir, "events")
+    val users = ev.select(col("user_id")).distinct()
+      .orderBy(md5(col("user_id").cast("string")), col("user_id"))
+      .limit(userSample)
+    val feed = ev.join(broadcast(users), "user_id")
+      .select(col("user_id"), col("ts"), col("value"))
+      .collect() // <= |sample| users' events: bounded feed
+      .map(r => SessEv(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      .sortBy(e => (e.ts.getTime, e.user_id))
+      .toIndexedSeq
+    val maxMs = feed.last.ts.getTime
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SessEv]
+    val sink = s"session_window_replay_${runSeq.incrementAndGet()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try mem.toDS().toDF("user_id", "ts", "v")
+        .withWatermark("ts", "10 seconds")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"$gapMs milliseconds"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .as("vsum"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      cutAtBoundary(feed, microBatches)(_.ts.getTime).foreach { batch =>
+        mem.addData(batch)
+        query.processAllAvailable()
+      }
+      // two sentinel batches: the first pushes the watermark past every
+      // real session's end + gap; the second forces the micro-batch in
+      // which that watermark is applied, flushing all closed sessions
+      // (append-mode results materialize one batch after the data that
+      // advanced the watermark — the q552 padding-batch lesson)
+      Seq(1L, 2L).foreach { k =>
+        mem.addData(SessEv(-1L,
+          new java.sql.Timestamp(maxMs + k * (gapMs + 60000L)), 0.0))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val resDf = spark.table(sink)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start) div 1000")
+          .as("session_start_ms"),
+        expr("unix_micros(session_window.end) div 1000")
+          .as("session_end_ms"),
+        col("n_events"),
+        col("vsum").cast("double").as("session_value"))
+    val resSchema = resDf.schema
+    val resRows = resDf.collect().toSeq // bounded: sample session count
+    spark.catalog.dropTempView(sink)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(resRows).asJava),
+      resSchema)
+      .orderBy(col("user_id"), col("session_start_ms"))
+  }
+
+  /** DuckDB twin: the classic gaps-and-islands sessionization over the
+    * same sample — break at gap >= gapMs, end = last event + gap.
+    */
+  def sessionWindowReplaySql(userSample: Int = 256,
+                             gapMs: Long = 1800000L): String =
+    s"""WITH sample AS (
+      |  SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+      |  ORDER BY md5(CAST(user_id AS VARCHAR)), user_id LIMIT $userSample
+      |), ev AS (
+      |  SELECT e.user_id, epoch_ms(e.ts) AS ms, e.value
+      |  FROM events e JOIN sample USING (user_id)
+      |), lagged AS (
+      |  SELECT user_id, ms, value,
+      |    CASE WHEN lag(ms) OVER w IS NULL
+      |      OR ms - lag(ms) OVER w >= $gapMs THEN 1 ELSE 0 END AS brk
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+      |), grp AS (
+      |  SELECT user_id, ms, value,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM lagged
+      |)
+      |SELECT user_id,
+      |  MIN(ms) AS session_start_ms,
+      |  MAX(ms) + $gapMs AS session_end_ms,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+      |FROM grp GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   /** DuckDB twin: the sampled fingerprint set × literal 2 — the count
     * the replay must produce iff horizon dedup AND eviction both work.
     */

@@ -110,6 +110,78 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(t === 0L, "the twin perturbation must preserve the fingerprint")
   }
 
+  // ---------------- q553 Allan variance ----------------
+
+  test("q553: tau=1 Allan variance equals the direct two-sample form") {
+    val spark = SharedSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Events.allanVariance(spark, dir)
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 4L, 8L))
+    // independent tau=1 computation: daily counts on the dense spine,
+    // avar = sum of successive diffs squared / (2(M-1))
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(expr("unix_micros(ts) div 1000 div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"))
+      .as[(Long, Long)].collect()
+    val span = (daily.head._1 to daily.last._1)
+      .map(d => daily.toMap.getOrElse(d, 0L))
+    val diffs = span.sliding(2).map { case Seq(a, b) => (b - a).toDouble }
+      .toSeq
+    val expected = diffs.map(d => d * d).sum / (2.0 * diffs.size)
+    assert(math.abs(out(1L)._3.get - expected) < 1e-5)
+    assert(out(1L)._2 === span.size.toLong)
+    // adev^2 == avar at displayed precision
+    out.values.foreach { case (_, _, Some(av), Some(ad)) =>
+      assert(math.abs(ad * ad - av) < 1e-4 * math.max(1.0, av))
+    case _ => ()
+    }
+  }
+
+  // ---------------- q554 session-window replay ----------------
+
+  test("q554: streamed session_window sessions equal the batch islands relation") {
+    val spark = SharedSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingGraded
+      .sessionWindowReplay(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // independently-built islands: same sample, lag-break + cumsum
+    val ev = Tables.load(spark, dir, "events")
+    val users = ev.select(col("user_id")).distinct()
+      .orderBy(md5(col("user_id").cast("string")), col("user_id"))
+      .limit(256)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ms"))
+    val batch = ev.join(users, "user_id")
+      .select(col("user_id"),
+        graft.operators.Relational.tsMs("ts").as("ms"), col("value"))
+      .withColumn("brk", when(col("ms") - lag(col("ms"), 1).over(w)
+        < 1800000L, 0).otherwise(1))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ms")).as("session_start_ms"),
+        (max(col("ms")) + 1800000L).as("session_end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("session_value"))
+      .select(col("user_id"), col("session_start_ms"),
+        col("session_end_ms"), col("n_events"), col("session_value"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // multi-event sessions exist, so the MERGING half is non-vacuous
+    assert(streamed.exists(_._4 > 1),
+      "sample must contain at least one multi-event session")
+  }
+
   // ---------------- q536 FLAC independent round-trip ----------------
 
   /** Hand-assembled FLAC: STREAMINFO packing 96000 Hz / 6 ch / 24 bps
