@@ -56,14 +56,35 @@ object Bench {
     * in-suite (q48's spread was 0.087 s); this list pins them
     * unconditionally so every future round has a fresh-JVM median to
     * grade drift against. Override: SPARK_GRAFT_ISOLATE_PIN.
+    *
+    * ORDER = shedding priority: the wall budget (round-14 verdict
+    * item 1) drops children from the END of this list first, so the
+    * two most expensive, least readable graded queries (q551/q552 —
+    * round-14 item 4: q551 isolated spread 11.8 on median 19.3, q552
+    * never isolated at all) sit at the FRONT.
     */
   val isolatePins: Seq[String] = Seq(
+    "q551_streaming_interval_join", "q552_streaming_dedup_eviction",
     "q48_category_difficulty", "q47_rollup", "q50_categories_report",
     "q473_simpson_screen", "q483_bin_advisor",
     // round-13 verdict item 4: pins whose r13 isolated medians carried
     // spread >= their median (q276: 12.67 vs 4.59) or near it (q107
     // 2.77, q108 2.91) — pinned so every round re-measures them fresh
     "q276_edge_support", "q107_pagerank", "q108_dedup_report")
+
+  /** The five driver-graded streaming replays (round-14 verdict item
+    * 3): correctness instruments, not throughput queries — repeated
+    * reps only re-measure accumulated state-store litter (r14: q551
+    * 23.4→58.5 s rep-over-rep) and their shared-JVM neighbors become
+    * unreadable (q544 0.58→13.7 s, q545 1.9 isolated vs 33.3 worst
+    * rep). The orchestrator quarantines them into their OWN fresh
+    * child at reps=1; q551/q552 additionally carry isolation pins for
+    * a clean 5-rep fresh-JVM median.
+    */
+  val streamingReplays: Seq[String] = Seq(
+    "q533_streaming_croston", "q543_streaming_cdc",
+    "q551_streaming_interval_join", "q552_streaming_dedup_eviction",
+    "q554_streaming_sessions")
 
   /** Non-graded scale-path twins benched alongside the graded suite
     * (no oracle — sketch forms with engine-specific interpolation;
@@ -235,18 +256,36 @@ object Bench {
   private def orchestrate(chunks: Int): Unit = {
     val sfDir = envSfDir
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // overall wall budget (round-14 verdict item 1: the r14 run
+    // measured everything, then died in the optional post-sweep phases
+    // — canary + 16 isolated children — taking the only parseable
+    // trailer with it). Chunks ALWAYS run (they are the graded
+    // number); every later phase checks the remaining budget first and
+    // is shed, cheapest-information-last, when it is exhausted.
+    val wallBudgetS =
+      sys.env.getOrElse("SPARK_GRAFT_WALL_BUDGET_S", "3900").toLong
+    val tStart = System.nanoTime()
+    def remainingS: Long = wallBudgetS - (System.nanoTime() - tStart) / 1000000000L
     val qNames = SparkEntry.queries.keys.toSeq.sorted
     val allNames = qNames ++ extraSpecs.map(_._1)
-    val per = math.ceil(allNames.size.toDouble / chunks).toInt
-    val slices = allNames.grouped(per).toSeq
+    // streaming replays quarantined into their own reps=1 child
+    // (round-14 verdict item 3) — see [[streamingReplays]]
+    val (replayNames, restNames) =
+      allNames.partition(streamingReplays.contains)
+    val per = math.ceil(restNames.size.toDouble / chunks).toInt
+    val slices = restNames.grouped(per).toSeq ++
+      (if (replayNames.nonEmpty) Seq(replayNames) else Seq.empty)
     val chunkXmx = sys.env.getOrElse("SPARK_GRAFT_CHUNK_XMX", "24g")
     val chunkTimeout =
       sys.env.getOrElse("SPARK_GRAFT_CHUNK_TIMEOUT_S", "3600").toLong
-    System.err.println(s"[bench] orchestrator: ${allNames.size} queries " +
-      s"in ${slices.size} fresh-JVM chunks of <= $per")
+    System.err.println(s"[bench] orchestrator: ${restNames.size} queries " +
+      s"in ${slices.size - 1} fresh-JVM chunks of <= $per + " +
+      s"${replayNames.size} streaming replays in a reps=1 child")
     val parsed = slices.zipWithIndex.map { case (slice, i) =>
+      val isReplayChild = slice.headOption.exists(streamingReplays.contains)
       val t0 = System.nanoTime()
-      val r = runChild(slice, reps, 0, chunkXmx, chunkTimeout)
+      val r = runChild(slice, if (isReplayChild) 1 else reps, 0,
+          chunkXmx, chunkTimeout)
         .flatMap(parseDetail(_, slice))
       System.err.println(s"[bench] chunk ${i + 1}/${slices.size}: " +
         s"${slice.size} queries, ${f3((System.nanoTime() - t0) / 1e9)} s" +
@@ -264,11 +303,23 @@ object Bench {
     }
     val results = parsed.flatten.flatten
 
+    // PROVISIONAL artifact immediately after the merge: the graded
+    // total now exists in captured stdout (and bench_detail.json) no
+    // matter where a driver-side kill lands during the refinement
+    // phases below. The final emit reprints everything; the driver's
+    // last-2000-chars tail reads whichever trailer survived.
+    emit(results, Seq.empty, reps, sfDir, None, provisional = true)
+
     // host-calibration canary: fresh child, 5 reps, 1 warmup — the
     // same protocol the pins were measured with
     val canaryNames = canaryPins.map(_._1)
+    val canaryBudgetOk = remainingS > 420
+    if (!canaryBudgetOk)
+      System.err.println(s"[bench] wall budget: ${remainingS}s left -> " +
+        "skipping canary + isolated children")
     val canary: Seq[(String, Option[Double])] =
-      runChild(canaryNames, 5, 1, "8g", 900) match {
+      (if (canaryBudgetOk) runChild(canaryNames, 5, 1, "8g",
+        math.min(900L, remainingS)) else None) match {
         case Some(out) =>
           val qs = section(out, "queries")
           canaryNames.map { n =>
@@ -307,10 +358,15 @@ object Bench {
         !pins.contains(n) && spreadOf(ts) > math.max(1.0, 0.3 * m) }
       .sortBy { case (_, _, ts, _) => -spreadOf(ts) }
       .take(autoN).map(_._1)
+    // pins lead (list order = shedding priority), autos follow; every
+    // child checks the remaining wall budget — a None for a shed child
+    // is honest "not measured", never a blocked graded artifact
     val isolated: Seq[(String, Option[(Double, Double)])] =
       (pins ++ auto).map { n =>
-        n -> (runChild(Seq(n), 5, 1,
-            sys.env.getOrElse("SPARK_GRAFT_ISOLATED_XMX", "8g"), 300) match {
+        n -> (if (!canaryBudgetOk || remainingS < 120) None
+        else runChild(Seq(n), 5, 1,
+            sys.env.getOrElse("SPARK_GRAFT_ISOLATED_XMX", "8g"),
+            math.min(300L, remainingS)) match {
           case Some(out) =>
             val q = java.util.regex.Pattern.quote(n)
             def field(key: String): Option[Double] =
@@ -338,7 +394,8 @@ object Bench {
       isolated: Seq[(String, Option[(Double, Double)])],
       reps: Int, sfDir: String,
       canaryInfo: Option[(Seq[(String, Option[Double])],
-        Option[(Double, Double, Double)], Int)])
+        Option[(Double, Double, Double)], Int)],
+      provisional: Boolean = false)
       : Unit = {
     // Two artifacts from one run. The driver keeps only the LAST 2000
     // chars of stdout in BENCH_r{N}.json ("tail") — round 4's full-name
@@ -424,7 +481,42 @@ object Bench {
         hf.map(h => "[" + f3(h._2) + "," + f3(h._3) + "]").getOrElse("null")
         },"canary":$cq"""
     }.getOrElse("")
-    println(s"""{"metric":"total_compact","value":${f3(total)},"unit":"sec","n":${graded.size},"n_ok":$nOk,"extras_s":${f3(extrasTotal)}$canaryCompact,"sf":"$sfDir"}""")
+    val prov = if (provisional) """"provisional":true,""" else ""
+    println(s"""{"metric":"total_compact",$prov"value":${f3(total)},"unit":"sec","n":${graded.size},"n_ok":$nOk,"extras_s":${f3(extrasTotal)}$canaryCompact,"sf":"$sfDir"}""")
+    // the trailer is the round's graded number: force it through any
+    // pipe/file buffering NOW, before optional later phases run (the
+    // r14 rc=124 kill left a fully-measured run with no captured total)
+    System.out.flush()
+  }
+
+  // ------------------------------------------------------------------
+  // between-rep hygiene
+  // ------------------------------------------------------------------
+
+  /** Deterministically reclaim localCheckpoint litter between reps
+    * (round-14 verdict item 2): unpersist every persistent RDD that is
+    * NOT backing a session memo. The ContextCleaner reclaims released
+    * checkpoint blocks asynchronously and lags the rep cadence, so in
+    * r14's shared chunk JVMs the litter itself got measured (q370
+    * 41.9→67.5→75.6 s across reps vs 11.5 isolated; q384 25.8→61.3).
+    * Memo-backed blocks are protected: their cross-query steady-state
+    * reuse is the deployed semantics (round-8 verdict item 2), and
+    * unpersisting a lineage-truncated frame would break, not slow,
+    * its next consumer.
+    */
+  private[graft] def reclaimCheckpoints(spark: SparkSession): Unit = {
+    val keep: Set[Int] =
+      (operators.Dedup.memoFrames ++ operators.Graph.memoFrames)
+        .flatMap { df =>
+          df.queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+          }
+        }.toSet
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keep.contains(id))
+        try rdd.unpersist(blocking = true)
+        catch { case _: Throwable => () }
+    }
   }
 
   // ------------------------------------------------------------------
@@ -614,7 +706,7 @@ object Bench {
         (1 to warmupReps).foreach { _ =>
           try { fn().write.format("noop").mode("overwrite").save() }
           catch { case _: Throwable => () }
-          finally spark.catalog.clearCache()
+          finally { spark.catalog.clearCache(); reclaimCheckpoints(spark) }
         }
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -625,14 +717,17 @@ object Bench {
           }
           val secs = (System.nanoTime() - t0) / 1e9
           // cleanup OUTSIDE the timed region: CacheManager entries are
-          // dropped here; localCheckpoint blocks are reclaimed by the
-          // ContextCleaner once the query's frames are unreferenced.
-          // The Dedup labels memo is deliberately NOT cleared: one CC
-          // fixpoint per session is the deployed semantics (round-8
-          // verdict item 2 — q38/q50/q80/q89/q108 share the labels),
-          // so medians report the shared-fixpoint steady state; the
-          // cold first rep stays visible in "runs" and "spread".
+          // dropped here; localCheckpoint blocks are unpersisted
+          // SYNCHRONOUSLY (reclaimCheckpoints — round-14 item 2: the
+          // async ContextCleaner lagged the rep cadence and the litter
+          // got measured). The memos (Dedup labels/shingles, Graph
+          // pairs) are deliberately protected: one fixpoint per
+          // session is the deployed semantics (round-8 verdict item 2
+          // — q38/q50/q80/q89/q108 share the labels), so medians
+          // report the shared-fixpoint steady state; the cold first
+          // rep stays visible in "runs" and "spread".
           spark.catalog.clearCache()
+          reclaimCheckpoints(spark)
           secs
         }
         // bound the GC debt a heavy query leaves for the NEXT one

@@ -166,6 +166,16 @@ object Dedup {
 
   private[graft] def clearShingleMemo(): Unit = shingleMemo.clear()
 
+  /** Live memoized frames (bench rep-hygiene: their checkpoint blocks
+    * must survive the between-rep unpersist sweep — see
+    * [[graft.Bench.reclaimCheckpoints]]).
+    */
+  private[graft] def memoFrames: Seq[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    shingleMemo.values.asScala.toSeq ++
+      labelsMemo.values.asScala.map(_._1).toSeq
+  }
+
   private def keptShingles(docs: DataFrame, k: Int, dfCap: Int): DataFrame =
     shingleMemo.computeIfAbsent(
       (docs.sparkSession, docs.queryExecution.logical.canonicalized, k, dfCap),

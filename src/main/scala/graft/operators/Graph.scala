@@ -48,6 +48,15 @@ object Graph {
 
   private[graft] def clearCustPartMemo(): Unit = custPartMemo.clear()
 
+  /** Live memoized frames (bench rep-hygiene: their checkpoint blocks
+    * must survive the between-rep unpersist sweep — see
+    * [[graft.Bench.reclaimCheckpoints]]).
+    */
+  private[graft] def memoFrames: Seq[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    pairsMemo.values.asScala.toSeq ++ custPartMemo.values.asScala.toSeq
+  }
+
   private[graft] def custPartEdges(spark: SparkSession, dir: String): DataFrame =
     custPartMemo.computeIfAbsent((spark, dir), _ => {
       val orders = Tables.load(spark, dir, "orders")
@@ -2428,28 +2437,50 @@ object Graph {
     * that's the difference between seconds and minutes). Pure
     * integer counts end-to-end.
     *
-    * Scale: the q115 adjacency joins ×3, one edge-keyed sum, a
+    * Scale: one SKINNY two-array pass per role + one edge-keyed sum
+    * ([[edgeSupportCounts]] — the round-14 sf1 probe caught the old
+    * single 4-array join chain spilling off the single-box sort
+    * cliff: its later SMJ sorts carried up to three neighbor arrays
+    * PER ROW; the per-role q273 shape keeps every sorted row at one
+    * array and is probe-proven linear for the ×10 decade), then a
     * |distinct support|-sized histogram.
     */
   def edgeSupport(spark: SparkSession, dir: String): DataFrame = {
     val (ori, adjOut, adjIn) = orientAdj(spark, dir)
-    def ic(a: Column, b: Column) =
-      graft.functions.SortedIntersectCount.intersectCount(spark, a, b)
-    val support = ori
-      .join(adjOut.select(col("u"), col("nbrs").as("out_u")), Seq("u"), "left")
-      .join(adjOut.select(col("u").as("v"), col("nbrs").as("out_v")),
-        Seq("v"), "left")
-      .join(adjIn.select(col("v").as("u"), col("nbrs").as("in_u")),
-        Seq("u"), "left")
-      .join(adjIn.select(col("v"), col("nbrs").as("in_v")), Seq("v"), "left")
-      .select(
-        (coalesce(ic(col("out_u"), col("out_v")), lit(0L)) +
-         coalesce(ic(col("out_u"), col("in_v")), lit(0L)) +
-         coalesce(ic(col("in_u"), col("in_v")), lit(0L))).as("support"))
-    support.groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+    val credits = edgeSupportCounts(spark, ori, adjOut, adjIn)
+    ori.join(credits, Seq("u", "v"), "left")
+      .select(coalesce(col("support"), lit(0L)).as("support"))
+      .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
       .select(col("support"), col("n_edges"),
         (col("support") + 2).cast("long").as("truss_bound"))
       .orderBy(col("support"))
+  }
+
+  /** Per-oriented-edge triangle support as three SKINNY role passes —
+    * each a two-array adjacency join emitting (u, v, cnt) and nothing
+    * wider, summed edge-keyed. The equivalent single join chain
+    * carrying all four adjacency arrays at once sorts rows of up to
+    * three arrays each and crossed the sort/spill cliff on the sf1
+    * first build (round-14 probe's one genuine finding); here no SMJ
+    * sort row ever holds more than one array. Edges in no triangle
+    * are ABSENT — callers left-join and coalesce to 0.
+    */
+  private def edgeSupportCounts(spark: SparkSession, ori: DataFrame,
+      adjOut: DataFrame, adjIn: DataFrame): DataFrame = {
+    def ic(a: Column, b: Column) =
+      graft.functions.SortedIntersectCount.intersectCount(spark, a, b)
+    // lAdj/rAdj keyed by their own key column (adjOut: "u", adjIn:
+    // "v"), re-keyed to the edge's endpoint: left side to u, right to v
+    def pass(lAdj: DataFrame, lKey: String,
+             rAdj: DataFrame, rKey: String): DataFrame = ori
+      .join(lAdj.select(col(lKey).as("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(rAdj.select(col(rKey).as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("u"), col("v"), ic(col("nu"), col("nv")).as("cnt"))
+      .filter(col("cnt") > 0)
+    pass(adjOut, "u", adjOut, "u") // base:       |N⁺(u) ∩ N⁺(v)|
+      .unionByName(pass(adjOut, "u", adjIn, "v")) // hypotenuse: |N⁺(u) ∩ N⁻(v)|
+      .unionByName(pass(adjIn, "v", adjIn, "v")) // closing:    |N⁻(u) ∩ N⁻(v)|
+      .groupBy(col("u"), col("v")).agg(sum(col("cnt")).as("support"))
   }
 
   val edgeSupportSql: String =
@@ -2527,22 +2558,12 @@ object Graph {
         .agg(array_sort(collect_list(col("v"))).as("nbrs"))
       val adjIn = ori.groupBy(col("v"))
         .agg(array_sort(collect_list(col("u"))).as("nbrs"))
-      def ic(a: Column, b: Column) =
-        graft.functions.SortedIntersectCount.intersectCount(spark, a, b)
       // per-edge support via the three corner-role intersections (the
-      // q276 form — no per-triangle explode inside the fixpoint)
-      val support = ori
-        .join(adjOut.select(col("u"), col("nbrs").as("out_u")), Seq("u"), "left")
-        .join(adjOut.select(col("u").as("v"), col("nbrs").as("out_v")),
-          Seq("v"), "left")
-        .join(adjIn.select(col("v").as("u"), col("nbrs").as("in_u")),
-          Seq("u"), "left")
-        .join(adjIn.select(col("v"), col("nbrs").as("in_v")), Seq("v"), "left")
+      // q276 form — skinny per-role passes, no per-triangle explode
+      // and no multi-array join rows inside the fixpoint)
+      val support = edgeSupportCounts(spark, ori, adjOut, adjIn)
         .select(least(col("u"), col("v")).as("pa"),
-          greatest(col("u"), col("v")).as("pb"),
-          (coalesce(ic(col("out_u"), col("out_v")), lit(0L)) +
-           coalesce(ic(col("out_u"), col("in_v")), lit(0L)) +
-           coalesce(ic(col("in_u"), col("in_v")), lit(0L))).as("support"))
+          greatest(col("u"), col("v")).as("pb"), col("support"))
       cur = graft.Iterate.cut(
         cur.join(support, Seq("pa", "pb"), "left")
           .filter(coalesce(col("support"), lit(0L)) >= k - 2)

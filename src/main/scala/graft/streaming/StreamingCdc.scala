@@ -34,12 +34,17 @@ object StreamingCdc {
 
   /** Start reconciling `changes` (streaming frame with `opCol` ∈
     * I/U/D, `versionCol`, optional `seqCol` tiebreak) into the
-    * parquet snapshot at `destPath`.
+    * parquet snapshot at `destPath`. `checkpointLocation` defaults to
+    * Spark's per-query temp dir; harness callers pass a tmpfs path
+    * (durability is the SNAPSHOT's job here — the WAL only needs to
+    * outlive the micro-batch).
     */
   def cdcStream(changes: DataFrame, destPath: String, keys: Seq[String],
                 opCol: String, versionCol: String,
-                seqCol: Option[String] = None): StreamingQuery =
-    changes.writeStream
+                seqCol: Option[String] = None,
+                checkpointLocation: Option[String] = None): StreamingQuery =
+    checkpointLocation.foldLeft(changes.writeStream)(
+      (w, p) => w.option("checkpointLocation", p))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val hPath = new org.apache.hadoop.fs.Path(destPath)

@@ -62,6 +62,33 @@ object StreamingGraded {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** tmpfs-backed checkpoint dir for a replay stream. The replays
+    * grade operator SEMANTICS through bounded feeds; their micro-batch
+    * WAL (offsets/commit log) and state-store delta files fsync once
+    * per micro-batch, and on a disk-backed temp dir that round-trip
+    * was a large slice of q551's wall (r15 measurement: walCommit +
+    * commitOffsets 150-500 ms × ~9 micro-batches, plus state commits
+    * inside addBatch). Durability buys nothing here — a failed replay
+    * is simply re-run, and the sink is a memory table anyway — so the
+    * checkpoint goes to /dev/shm when present (java.io.tmpdir
+    * otherwise) and is deleted in the caller's finally. Production
+    * streams set a real fault-tolerant checkpointLocation instead.
+    */
+  private def replayCheckpoint(): java.nio.file.Path = {
+    val shm = new java.io.File("/dev/shm")
+    val root = if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(root, "graft-replay-ckpt-")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(q => java.nio.file.Files.deleteIfExists(q))
+  }
+
   /** Collect a memory sink's rows through `project`, DROP the sink
     * (bench reps must not leak catalog entries), and rebuild the
     * bounded result as a local DataFrame.
@@ -97,9 +124,11 @@ object StreamingGraded {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[StreamingCroston.WeeklyDemand]
     val sink = s"croston_replay_${runSeq.incrementAndGet()}"
+    val ckpt = replayCheckpoint()
     val query = withShuffle(spark, 8) {
       StreamingCroston.forecasts(mem.toDS())
         .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("append").start()
     }
     try {
@@ -113,7 +142,7 @@ object StreamingGraded {
         mem.addData(batch)
         query.processAllAvailable()
       }
-    } finally query.stop()
+    } finally { query.stop(); deleteRecursively(ckpt) }
     val last = Window.partitionBy(col("part")).orderBy(col("week").desc)
     drainSink(spark, sink) { snap =>
       snap
@@ -223,14 +252,16 @@ object StreamingGraded {
       // 8-partition override must cover the whole replay, not just
       // start()
       withShuffle(spark, 8) {
+        val ckpt = replayCheckpoint()
         val query = StreamingCdc.cdcStream(mem.toDS().toDF(), dest,
-          Seq("user_id"), "op", "v")
+          Seq("user_id"), "op", "v",
+          checkpointLocation = Some(ckpt.toString))
         try {
           cutAtBoundary(ch, 4)(_.v).foreach { b =>
             mem.addData(b)
             query.processAllAvailable()
           }
-        } finally query.stop()
+        } finally { query.stop(); deleteRecursively(ckpt) }
       }
       // materialize the bounded snapshot locally so the temp dir can be
       // deleted NOW (round-13 advice: one leaked dir per invocation
@@ -283,7 +314,7 @@ object StreamingGraded {
     * user across executors.
     */
   def intervalJoinReplay(spark: SparkSession, dir: String,
-                         userSample: Int = 512,
+                         userSample: Int = 128,
                          windowMs: Long = 21600000L): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -312,8 +343,15 @@ object StreamingGraded {
       pMem.toDS().toDF("p_user", "p_id", "p_ts"),
       windowMs = windowMs, delay = "10 seconds")
     val sink = s"interval_join_replay_${runSeq.incrementAndGet()}"
-    val query = withShuffle(spark, 8) {
+    // 2 partitions, not the other replays' 8: a stream-stream join
+    // commits FOUR state stores per partition per micro-batch (left/
+    // right × keyToNumValues/keyWithIndexToValue), so partition count
+    // multiplies into commit I/O 4× harder than for the single-store
+    // operators — and the join state here is ≤ |sample| users
+    val ckpt = replayCheckpoint()
+    val query = withShuffle(spark, 2) {
       joined.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("append").start()
     }
     try {
@@ -326,7 +364,7 @@ object StreamingGraded {
         if (ps.nonEmpty) pMem.addData(ps.map(_._2))
         query.processAllAvailable()
       }
-    } finally query.stop()
+    } finally { query.stop(); deleteRecursively(ckpt) }
     drainSink(spark, sink) { t =>
       t.select(col("p_id").as("purchase_id"), col("user_id"),
         expr("unix_micros(p_ts) div 1000").as("p_ms"),
@@ -338,7 +376,7 @@ object StreamingGraded {
   /** DuckDB twin: the naive θ-join (q45's oracle shape, inclusive
     * bounds as the streaming condition states) over the same sample.
     */
-  def intervalJoinReplaySql(userSample: Int = 512,
+  def intervalJoinReplaySql(userSample: Int = 128,
                             windowMs: Long = 21600000L): String =
     s"""WITH sample AS (
       |  SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
@@ -428,15 +466,15 @@ object StreamingGraded {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String, java.sql.Timestamp)]
     val sink = s"dedup_eviction_replay_${runSeq.incrementAndGet()}"
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try StreamingDedup.firstInHorizon(
+    val ckpt = replayCheckpoint()
+    val query = withShuffle(spark, 8) {
+      StreamingDedup.firstInHorizon(
           mem.toDS().toDF("doc_id", "text", "event_ts"),
           delay = s"$delaySec seconds")
         .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("append").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     try {
       def pass(offsetSec: Long): Unit =
         cutAtBoundary(feed.zipWithIndex, 3)(_._2).foreach { batch =>
@@ -451,19 +489,12 @@ object StreamingGraded {
       mem.addData((-1L, s"graft q552 sentinel $sink", at(gapSec)))
       query.processAllAvailable()
       pass(gapSec + 1L)
-    } finally query.stop()
-    val resDf = spark.table(sink)
-      .filter(col("doc_id") >= 0)
-      .groupBy(col("content_fp"))
-      .agg(count(lit(1)).as("n_emits"))
-    val resSchema = resDf.schema
-    val resRows = resDf.collect().toSeq // bounded: <= fpSample rows
-    spark.catalog.dropTempView(sink)
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(resRows).asJava),
-      resSchema)
-      .orderBy(col("content_fp"))
+    } finally { query.stop(); deleteRecursively(ckpt) }
+    drainSink(spark, sink) { t =>
+      t.filter(col("doc_id") >= 0)
+        .groupBy(col("content_fp"))
+        .agg(count(lit(1)).as("n_emits"))
+    }.orderBy(col("content_fp"))
   }
 
   case class SessEv(user_id: Long, ts: java.sql.Timestamp, v: Double)
@@ -514,6 +545,7 @@ object StreamingGraded {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[SessEv]
     val sink = s"session_window_replay_${runSeq.incrementAndGet()}"
+    val ckpt = replayCheckpoint()
     val query = withShuffle(spark, 8) {
       mem.toDS().toDF("user_id", "ts", "v")
         .withWatermark("ts", "10 seconds")
@@ -523,6 +555,7 @@ object StreamingGraded {
           sum(col("v").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
             .as("vsum"))
         .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("append").start()
     }
     try {
@@ -540,7 +573,7 @@ object StreamingGraded {
           new java.sql.Timestamp(maxMs + k * (gapMs + 60000L)), 0.0))
         query.processAllAvailable()
       }
-    } finally query.stop()
+    } finally { query.stop(); deleteRecursively(ckpt) }
     drainSink(spark, sink) { t =>
       t.filter(col("user_id") >= 0)
         .select(col("user_id"),

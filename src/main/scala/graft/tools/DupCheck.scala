@@ -150,7 +150,7 @@ object DupCheck {
   // ------------------------------------------------------------------
 
   /** Queries the plan screen skips, each with its reason reviewable
-    * here: the four graded streaming replays EXECUTE their stream
+    * here: the five graded streaming replays EXECUTE their stream
     * inside the builder and return a materialized LocalRelation — the
     * digest would hash result data, not an operator tree (and building
     * the DataFrame costs a full replay).
@@ -163,7 +163,9 @@ object DupCheck {
     "q551_streaming_interval_join" ->
       "replay harness: runs the stream-stream join eagerly, returns local pairs",
     "q552_streaming_dedup_eviction" ->
-      "replay harness: runs dropDuplicatesWithinWatermark eagerly, returns local counts")
+      "replay harness: runs dropDuplicatesWithinWatermark eagerly, returns local counts",
+    "q554_streaming_sessions" ->
+      "replay harness: runs session_window eagerly, returns local sessions")
 
   /** md5 of the ANALYZED plan's canonicalized tree PLUS the plan's
     * closure capture sites: `canonicalized` normalizes exprIds and
